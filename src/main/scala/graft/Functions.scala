@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.bridge
+
+import graft.functions.ParseMoney
+
+/** Column-level function surface of the engine (SURVEY §2.8).
+  *
+  * Everything here is either a built-in `org.apache.spark.sql.functions`
+  * composition (codegen'd for free) or a native Catalyst expression — no
+  * Scala UDFs on any hot path.
+  */
+object Functions {
+
+  /** F1 — currency scrub (`$`/`,` stripped, `(x)` -> `-x`, empty -> 0.0,
+    * unparseable -> null). Native expression with codegen. */
+  def parse_money(c: Column): Column =
+    bridge.column(ParseMoney(bridge.expression(c)))
+
+  /** F1 keep-raw-on-failure branch: the reference keeps the original string in
+    * the cell when the scrub fails; in a monotyped column we quarantine it. */
+  def money_quarantine(c: Column): Column =
+    when(parse_money(c).isNull && c.isNotNull, c)
+
+  /** F3 — timestamp render `yyyy-MM-dd HH:mm:ss` (v3:393-403). */
+  def format_timestamp(c: Column): Column =
+    date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** F4 — Google-Sheets `=DATE(y,m,d)` serialization (v3:405-429); sink-layer. */
+  def sheets_date_formula(c: Column): Column =
+    concat(lit("=DATE("), year(c), lit(","), month(c), lit(","), dayofmonth(c), lit(")"))
+
+  /** A4 — tags array -> comma-separated-list of non-empty names (v3:482-499). */
+  def tags_csl(tags: Column, nameField: String = "name"): Column =
+    array_join(
+      filter(transform(tags, t => t.getField(nameField)), n => n.isNotNull && n =!= ""),
+      ", ")
+
+  /** Stable 48-bit integer from the md5 hex prefix. md5 is identical across
+    * engines (Spark, DuckDB, Python), which makes every hash-derived operator
+    * (dedup, MinHash, SimHash, LSH) oracle-checkable bit-for-bit. 12 hex chars
+    * = 48 bits, comfortably inside a signed 64-bit integer. */
+  def md5_prefix_long(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 12), 16, 10).cast("long")
+
+  /** Character k-shingles of a string (row-local, no shuffle). */
+  def shingles(text: Column, k: Int): Column =
+    transform(
+      sequence(lit(1), greatest(length(text) - lit(k - 1), lit(1))),
+      i => text.substr(i, lit(k)))
+
+  /** Whitespace tokenization shared by the text-analysis operators. */
+  def tokens(text: Column): Column =
+    split(trim(text), "\\s+")
+
+  /** Dot product of two numeric arrays (row-local fold; elements cast to
+    * double before accumulating so float inputs match the oracle's math). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  def l2_norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+  /** Register SQL-callable names for the custom expressions. */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "parse_money", exprs => ParseMoney(exprs.head), "built-in")
+  }
+}

@@ -1,13 +1,482 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Functions._
+import graft.operators._
+import graft.sources.Tables
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the LLM-pipeline extensions), each with a DuckDB oracle
+  * where SQL-expressible. Conventions for oracle parity:
+  *  - lowercase snake_case output columns, aliased identically on both sides
+  *  - every query ends in a deterministic ORDER BY (full tiebreak)
+  *  - double aggregates rounded on both sides
+  *  - timestamps cast to date or formatted to string (never raw in output)
+  *  - all hashing is md5-derived (identical bits in Spark and DuckDB)
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the reference's core job shape — incremental watermark merge
+    * of an ordered, flattened transaction table (SURVEY §7.3) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q08_incremental_merge")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+
+    // ---- A1: global transactions summary (monarchmoney.py:1367-1401) ----
+    "q01_txn_summary" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).withColumn("amount",
+        when(col("event_type").isin("purchase", "error"), -col("value")).otherwise(col("value")))
+      TransactionOps.summary(ev, col("amount"), col("ts").cast("date"))
+        .select(
+          round(col("avg"), 4).as("avg"), col("count"),
+          round(col("max"), 2).as("max"), round(col("maxExpense"), 2).as("max_expense"),
+          round(col("sum"), 2).as("sum"), round(col("sumIncome"), 2).as("sum_income"),
+          round(col("sumExpense"), 2).as("sum_expense"), col("first"), col("last"))
+    },
+
+    // ---- P2+O1+O4: filtered, ordered, paginated scan (lib:1403-1554) ----
+    "q02_filtered_scan" -> { (s, dir) =>
+      val f = TransactionOps.Filter(
+        dateCol = "l_shipdate",
+        startDate = Some("1996-01-01"), endDate = Some("1998-12-31"),
+        inSets = Map("l_returnflag" -> Seq("A", "R")),
+        minAmount = Some(10.0), amountCol = "l_quantity")
+      TransactionOps.page(
+          f(Tables.lineitem(s, dir)),
+          Seq(col("l_shipdate").desc, col("l_orderkey").asc, col("l_linenumber").asc),
+          limit = 100, offset = 10)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate").cast("date").as("ship_date"), col("l_quantity"), col("l_returnflag"))
+    },
+
+    // ---- J1/J2: broadcast dimension lookup joins (v3:1104-1110) ----
+    "q03_lookup_join" -> { (s, dir) =>
+      val withNation = Lookup.join(Tables.customer(s, dir), Tables.nation(s, dir),
+        "c_nationkey", "n_nationkey",
+        Seq(("n_name", "nation_name", ""), ("n_regionkey", "_rk", null)))
+      Lookup.join(withNation, Tables.region(s, dir), "_rk", "r_regionkey",
+          Seq(("r_name", "region_name", "")))
+        .select(col("c_custkey"), col("c_name"), col("nation_name"), col("region_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ---- A2: grouping-sets cashflow multi-aggregate (lib:2253-2356) ----
+    "q04_cashflow_sets" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("amount",
+          when(col("event_type").isin("purchase", "error"), -col("value")).otherwise(col("value")))
+        .withColumn("user_bucket", pmod(col("user_id"), lit(10)))
+      Cashflow.groupingSets(ev, Seq("event_type", "user_bucket"), col("amount"))
+        .drop("gid")
+        .orderBy(col("event_type"), col("user_bucket"))
+    },
+
+    // ---- A6: running total window (v3:613, Budget_Specs.md:99) ----
+    "q05_running_total" -> { (s, dir) =>
+      Windows.runningTotal(Tables.orders(s, dir),
+          Seq(col("o_custkey")), Seq(col("o_orderdate"), col("o_orderkey")),
+          col("o_totalprice"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("order_date"),
+          round(col("running_total"), 2).as("running_total"))
+        .orderBy(col("o_custkey"), col("order_date"), col("o_orderkey"))
+    },
+
+    // ---- lag: previousMonthRolloverAmount semantics (lib:1147) ----
+    "q06_month_rollover" -> { (s, dir) =>
+      val monthly = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"), date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(sum(col("o_totalprice")).as("month_amount"))
+      Windows.previousPeriod(monthly, Seq(col("o_custkey")), Seq(col("month")),
+          col("month_amount"), "prev_month_amount")
+        .select(col("o_custkey"), col("month"),
+          round(col("month_amount"), 2).as("month_amount"),
+          round(col("prev_month_amount"), 2).as("prev_month_amount"))
+        .orderBy(col("o_custkey"), col("month"))
+    },
+
+    // ---- O5: last-k ordered scan (lib:840 last-20 transactions) ----
+    "q07_top20_recent" -> { (s, dir) =>
+      TransactionOps.topK(Tables.orders(s, dir),
+          Seq(col("o_orderdate").desc, col("o_orderkey").desc), 20)
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("order_date"),
+          col("o_totalprice"), col("o_orderstatus"))
+    },
+
+    // ---- P3+U1+K2: incremental watermark merge (v3:1217-1337) ----
+    "q08_incremental_merge" -> { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      val existing = orders.select(col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), lit("kept").as("source"))
+      val fresh = orders.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+          lit("fresh").as("source"), lit("2026-01-01 00:00:00").as("loaded_at"))
+      IncrementalMerge.merge(existing, fresh, "o_orderdate", "1998-01-01")
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("order_date"),
+          col("o_totalprice"), col("source"), col("loaded_at"))
+        .orderBy(col("o_orderkey"), col("source"))
+    },
+
+    // ---- U2+A5+F12: budget-style multi-measure unpivot (v3:536-876) ----
+    "q09_budget_unpivot" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(
+          sum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(0.0)).as("open_amt"),
+          sum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(0.0)).as("filled_amt"),
+          sum(when(col("o_orderstatus") === "P", col("o_totalprice")).otherwise(0.0)).as("pending_amt"))
+        .selectExpr("month",
+          "stack(3, 'TotalOpen', open_amt, 'TotalFilled', filled_amt, 'TotalPending', pending_amt) AS (record_type, amount)")
+        .select(col("month"), col("record_type"), round(col("amount"), 2).as("amount"),
+          when(col("record_type") === "TotalFilled", "Credit").otherwise("Debit").as("debit_credit_flag"))
+        .orderBy(col("month"), col("record_type"))
+    },
+
+    // ---- F9: month-window arithmetic (v3:1117-1140) ----
+    "q10_month_window" -> { (s, dir) =>
+      val anchor = lit("1997-06-15").cast("date")
+      val start = trunc(add_months(anchor, -5), "month")
+      val end = last_day(add_months(anchor, 6))
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate").between(start, end))
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("month"))
+    },
+
+    // ---- F1: currency scrub via native parse_money expression (v3:513-532) ----
+    "q11_parse_money" -> { (s, dir) =>
+      val money = when(col("l_returnflag") === "R",
+          concat(lit("($"), round(col("l_extendedprice"), 2).cast("string"), lit(")")))
+        .otherwise(concat(lit("$"), round(col("l_extendedprice"), 2).cast("string")))
+      Tables.lineitem(s, dir)
+        .withColumn("money_str", money)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(parse_money(col("money_str")), 2).as("amount"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // ---- A8: totalCount alongside a page over one filtered plan ----
+    "q12_page_with_count" -> { (s, dir) =>
+      val filtered = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R" && col("l_quantity") > 45)
+      TransactionOps.withTotalCount(filtered,
+          Seq(col("l_orderkey").asc, col("l_linenumber").asc), 50)
+        .select(col("l_orderkey"), col("l_linenumber"), col("total_count"))
+    },
+
+    // ---- F5/F6: JSON extraction (v3:53-59, 440-445) ----
+    "q13_json_extract" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy(col("event_id"))
+    },
+
+    // ---- streaming batch-equivalent: hourly windowed aggregate ----
+    "q14_hourly_events" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("hour"), col("event_type"))
+    },
+
+    // ---- Dedup: exact (hash-groupBy) ----
+    "d01_exact_dedup" -> { (s, dir) =>
+      Dedup.exact(Tables.documents(s, dir), "doc_id", Seq("lang", "source"))
+        .orderBy(col("content_hash"))
+    },
+
+    // ---- Dedup: MinHash signature (row-local, md5-derived) ----
+    "d02_minhash_sig" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(Dedup.minhashSignature(col("text"), k = 5, numHashes = 16)))
+        .select(col("doc_id"), col("pos").as("j"), col("col").as("minhash"))
+        .orderBy(col("doc_id"), col("j"))
+    },
+
+    // ---- Dedup: full MinHash-LSH near-dup pipeline ----
+    "d03_minhash_lsh" -> { (s, dir) =>
+      Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text",
+          k = 5, bands = 4, rowsPerBand = 4, threshold = 0.2)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ---- Dedup: SimHash fingerprint ----
+    "d04_simhash" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Dedup.simhash(col("text"), 32).as("simhash"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Dedup: embedding-cosine near-dup inside blocks ----
+    "d05_embedding_neardup" -> { (s, dir) =>
+      Dedup.embeddingNearDup(Tables.embeddings(s, dir), "vec_id", "embedding",
+          "label", threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ---- Similarity: exact cosine top-k (ANN baseline) ----
+    "s01_cosine_topk" -> { (s, dir) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryId = 0L, k = 20)
+    },
+
+    // ---- Similarity: hyperplane-LSH bucketed ANN (scale path) ----
+    "s02_lsh_ann" -> { (s, dir) =>
+      Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryId = 0L, k = 10, numPlanes = 4, dim = 64)
+    },
+
+    // ---- Text: language-ID heuristic ----
+    "t01_langid" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Text: quality scoring ----
+    "t02_quality" -> { (s, dir) =>
+      TextAnalysis.qualitySignals(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("punct_ratio"),
+          col("stopword_ratio"), col("mean_token_len"), col("quality_score"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Text: token statistics ----
+    "t03_token_stats" -> { (s, dir) =>
+      TextAnalysis.tokenStats(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"), col("type_token_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Text: document fingerprint ----
+    "t04_fingerprint" -> { (s, dir) =>
+      TextAnalysis.fingerprint(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("fingerprint"), col("fingerprint_int"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = ListMap(
+    "q01_txn_summary" ->
+      """SELECT round(avg(amount),4) AS avg, count(*) AS count,
+         round(max(amount),2) AS max, round(min(amount),2) AS max_expense,
+         round(sum(amount),2) AS sum,
+         round(sum(CASE WHEN amount>0 THEN amount ELSE 0 END),2) AS sum_income,
+         round(sum(CASE WHEN amount<0 THEN amount ELSE 0 END),2) AS sum_expense,
+         min(CAST(ts AS DATE)) AS first, max(CAST(ts AS DATE)) AS last
+         FROM (SELECT CASE WHEN event_type IN ('purchase','error') THEN -value ELSE value END AS amount, ts FROM events)""",
+
+    "q02_filtered_scan" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date, l_quantity, l_returnflag
+         FROM lineitem
+         WHERE l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1998-12-31'
+           AND l_returnflag IN ('A','R') AND l_quantity >= 10
+         ORDER BY l_shipdate DESC, l_orderkey ASC, l_linenumber ASC
+         LIMIT 100 OFFSET 10""",
+
+    "q03_lookup_join" ->
+      """SELECT c_custkey, c_name,
+         coalesce(n_name, '') AS nation_name, coalesce(r_name, '') AS region_name
+         FROM customer
+         LEFT JOIN nation ON c_nationkey = n_nationkey
+         LEFT JOIN region ON n_regionkey = r_regionkey
+         ORDER BY c_custkey""",
+
+    "q04_cashflow_sets" ->
+      """WITH base AS (
+           SELECT CASE WHEN event_type IN ('purchase','error') THEN -value ELSE value END AS amount,
+                  event_type, user_id % 10 AS user_bucket
+           FROM events)
+         SELECT coalesce(CAST(event_type AS VARCHAR), 'TOTAL') AS event_type,
+                coalesce(CAST(user_bucket AS VARCHAR), 'TOTAL') AS user_bucket,
+                round(sum(CASE WHEN amount > 0 THEN amount ELSE 0 END), 2) AS sum_income,
+                round(sum(CASE WHEN amount < 0 THEN amount ELSE 0 END), 2) AS sum_expense,
+                round(sum(amount), 2) AS savings
+         FROM base
+         GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
+         ORDER BY event_type, user_bucket""",
+
+    "q05_running_total" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+         round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+         FROM orders
+         ORDER BY o_custkey, order_date, o_orderkey""",
+
+    "q06_month_rollover" ->
+      """WITH monthly AS (
+           SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                  sum(o_totalprice) AS month_amount
+           FROM orders GROUP BY 1, 2)
+         SELECT o_custkey, month, round(month_amount, 2) AS month_amount,
+                round(coalesce(lag(month_amount) OVER (PARTITION BY o_custkey ORDER BY month), 0.0), 2) AS prev_month_amount
+         FROM monthly
+         ORDER BY o_custkey, month""",
+
+    "q07_top20_recent" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_totalprice, o_orderstatus
+         FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 20""",
+
+    "q08_incremental_merge" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_totalprice,
+                'kept' AS source, CAST(NULL AS VARCHAR) AS loaded_at
+         FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+         UNION ALL
+         SELECT o_orderkey, CAST(o_orderdate AS DATE), o_totalprice,
+                'fresh', '2026-01-01 00:00:00'
+         FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+         ORDER BY o_orderkey, source""",
+
+    "q09_budget_unpivot" ->
+      """WITH monthly AS (
+           SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                  sum(CASE WHEN o_orderstatus='O' THEN o_totalprice ELSE 0 END) AS open_amt,
+                  sum(CASE WHEN o_orderstatus='F' THEN o_totalprice ELSE 0 END) AS filled_amt,
+                  sum(CASE WHEN o_orderstatus='P' THEN o_totalprice ELSE 0 END) AS pending_amt
+           FROM orders GROUP BY 1),
+         unp AS (
+           SELECT month, 'TotalOpen' AS record_type, open_amt AS amount FROM monthly
+           UNION ALL SELECT month, 'TotalFilled', filled_amt FROM monthly
+           UNION ALL SELECT month, 'TotalPending', pending_amt FROM monthly)
+         SELECT month, record_type, round(amount, 2) AS amount,
+                CASE WHEN record_type='TotalFilled' THEN 'Credit' ELSE 'Debit' END AS debit_credit_flag
+         FROM unp ORDER BY month, record_type""",
+
+    "q10_month_window" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+         FROM orders
+         WHERE o_orderdate BETWEEN date_trunc('month', DATE '1997-06-15' - INTERVAL 5 MONTH)
+                               AND last_day(DATE '1997-06-15' + INTERVAL 6 MONTH)
+         GROUP BY 1 ORDER BY 1""",
+
+    "q11_parse_money" ->
+      """SELECT l_orderkey, l_linenumber,
+                round(CASE WHEN l_returnflag='R' THEN -round(l_extendedprice,2)
+                           ELSE round(l_extendedprice,2) END, 2) AS amount
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "q12_page_with_count" ->
+      """SELECT l_orderkey, l_linenumber,
+                (SELECT count(*) FROM lineitem WHERE l_returnflag='R' AND l_quantity>45) AS total_count
+         FROM lineitem WHERE l_returnflag='R' AND l_quantity>45
+         ORDER BY l_orderkey, l_linenumber LIMIT 50""",
+
+    "q13_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+         FROM events ORDER BY event_id""",
+
+    "q14_hourly_events" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+                count(*) AS n, round(sum(value), 2) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+
+    "d01_exact_dedup" ->
+      """SELECT md5(lang || ' ' || source) AS content_hash,
+                min(doc_id) AS keep_id, count(*) AS dup_count
+         FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "d02_minhash_sig" ->
+      """WITH sh AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, greatest(length(text)-4,1)+1),
+                    i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 5)),1,12)) AS BIGINT))) AS hashes
+           FROM documents)
+         SELECT doc_id, CAST(j AS INTEGER) AS j,
+                list_min(list_transform(hashes,
+                  h -> (h*(2*j+1) + (j*2654435761)%2147483647) % 2147483647)) AS minhash
+         FROM sh, range(0, 16) t(j)
+         ORDER BY doc_id, j""",
+
+    "d04_simhash" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+         h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok),1,12)) AS BIGINT) AS h FROM toks),
+         bits AS (
+           SELECT doc_id, b, CASE WHEN sum(((h >> CAST(b AS INTEGER)) & 1)*2 - 1) > 0 THEN 1 ELSE 0 END AS bit
+           FROM h, range(0, 32) t(b) GROUP BY doc_id, b)
+         SELECT doc_id, CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(b AS INTEGER))) AS BIGINT) AS simhash
+         FROM bits GROUP BY doc_id ORDER BY doc_id""",
+
+    "d05_embedding_neardup" ->
+      """WITH e AS (SELECT label AS block, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         SELECT a.block AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_dot_product(a.v, b.v) /
+                      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+         FROM e a JOIN e b ON a.block = b.block AND a.vec_id < b.vec_id
+         WHERE round(list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+         ORDER BY id_a, id_b""",
+
+    "s01_cosine_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         scored AS (
+           SELECT vec_id,
+                  round(list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+                        (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+                         sqrt(list_dot_product(qv, qv))), 6) AS cosine
+           FROM embeddings, q WHERE vec_id <> 0)
+         SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 20""",
+
+    "t01_langid" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+         s AS (SELECT doc_id,
+           length(list_filter(toks, x -> x IN ('der','die','das','und','ist','von','ein','eine','zu','den'))) AS h_de,
+           length(list_filter(toks, x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS h_en,
+           length(list_filter(toks, x -> x IN ('el','la','los','de','que','y','en','un','una','es'))) AS h_es,
+           length(list_filter(toks, x -> x IN ('le','la','les','de','et','un','une','est','que','dans'))) AS h_fr
+           FROM t)
+         SELECT doc_id,
+           CASE WHEN greatest(h_de,h_en,h_es,h_fr) = 0 THEN 'und'
+                WHEN h_de = greatest(h_de,h_en,h_es,h_fr) THEN 'de'
+                WHEN h_en = greatest(h_de,h_en,h_es,h_fr) THEN 'en'
+                WHEN h_es = greatest(h_de,h_en,h_es,h_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+         FROM s ORDER BY doc_id""",
+
+    "t02_quality" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+                  regexp_split_to_array(trim(text), '\s+') AS toks,
+                  regexp_split_to_array(trim(lower(text)), '\s+') AS ltoks,
+                  length(text) AS n_chars,
+                  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct
+           FROM documents),
+         m AS (
+           SELECT doc_id, n_chars, length(toks) AS n_tokens,
+                  round(CAST(punct AS DOUBLE) / greatest(n_chars, 1), 6) AS punct_ratio,
+                  round(CAST(length(list_filter(ltoks, x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS DOUBLE)
+                        / greatest(length(toks), 1), 6) AS stopword_ratio,
+                  round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                        / greatest(length(toks), 1), 6) AS mean_token_len
+           FROM t)
+         SELECT doc_id, n_chars, n_tokens, punct_ratio, stopword_ratio, mean_token_len,
+                round((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+                    + (CASE WHEN punct_ratio <= 0.1 THEN 0.3 ELSE 0.0 END)
+                    + (CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END), 2) AS quality_score
+         FROM m ORDER BY doc_id""",
+
+    "t03_token_stats" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
+         SELECT doc_id, length(toks) AS n_tokens,
+                length(list_distinct(toks)) AS n_distinct_tokens,
+                round(CAST(length(list_distinct(toks)) AS DOUBLE) / greatest(length(toks), 1), 6) AS type_token_ratio
+         FROM t ORDER BY doc_id""",
+
+    "t04_fingerprint" ->
+      """WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents)
+         SELECT doc_id, md5(norm) AS fingerprint,
+                CAST(('0x' || substr(md5(norm),1,12)) AS BIGINT) AS fingerprint_int
+         FROM n ORDER BY doc_id"""
+  )
 }

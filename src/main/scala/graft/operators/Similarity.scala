@@ -1,0 +1,80 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.Functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  *  - `bruteForceTopK`: exact cosine top-k — the correctness baseline. One
+  *    scan, row-local cosine, TakeOrderedAndProject (no global sort
+  *    materialization).
+  *  - `lshTopK`: random-hyperplane LSH — the scale path. Hyperplanes are
+  *    derived deterministically from md5 so any engine reproduces the same
+  *    buckets; the probe only scans the query's bucket.
+  */
+object Similarity {
+
+  /** Exact top-k by cosine against one query vector. `TakeOrderedAndProject`
+    * keeps per-partition heaps of k — no full sort, no driver pressure. */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     queryId: Long, k: Int): DataFrame = {
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("_qvec"))
+    emb.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= queryId)
+      .withColumn("cosine", round(cosine(col(vecCol), col("_qvec")), 6))
+      .select(col(idCol), col("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
+    * (md5_int48(p + "_" + d) mod 1000)/1000 - 0.5. Matches md5PlaneScala
+    * below and is expressible in any engine with md5. */
+  def planeComponent(p: Column, d: Column): Column =
+    (pmod(md5_prefix_long(concat_ws("_", p.cast("string"), d.cast("string"))), lit(1000L))
+      .cast("double") / 1000.0) - 0.5
+
+  /** Driver-side twin of [[planeComponent]] for precomputing the (tiny)
+    * plane matrix that is broadcast as a literal. */
+  def md5PlaneScala(p: Int, d: Int): Double = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(s"${p}_$d".getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.substring(0, 12)
+    val h = java.lang.Long.parseLong(hex, 16)
+    (h % 1000L).toDouble / 1000.0 - 0.5
+  }
+
+  /** Sign-bit LSH bucket id for a vector: bit p = (dot(vec, plane_p) >= 0).
+    * Row-local; the plane matrix is a literal (planes x dim doubles). */
+  def lshBucket(vec: Column, numPlanes: Int, dim: Int): Column = {
+    val planes: Seq[Column] = (0 until numPlanes).map { p =>
+      array((0 until dim).map(d => lit(md5PlaneScala(p, d))): _*)
+    }
+    planes.zipWithIndex.map { case (plane, p) =>
+      when(dot(vec, plane) >= 0, lit(1L) * (1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** ANN top-k: restrict the scan to vectors in the query's LSH bucket, then
+    * exact cosine inside the bucket. With B buckets this scans ~1/B of the
+    * data; recall is tunable via numPlanes (and multi-probe if needed). */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, numPlanes: Int, dim: Int): DataFrame = {
+    val withBucket = emb.withColumn("_bucket", lshBucket(col(vecCol), numPlanes, dim))
+    val q = withBucket.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("_qvec"), col("_bucket").as("_qbucket"))
+    withBucket
+      .join(broadcast(q), col("_bucket") === col("_qbucket"))
+      .filter(col(idCol) =!= queryId)
+      .withColumn("cosine", round(cosine(col(vecCol), col("_qvec")), 6))
+      .select(col(idCol), col("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

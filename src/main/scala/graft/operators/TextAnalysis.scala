@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.Functions._
+
+/** Text-analysis operators for training-data pipelines: language ID
+  * (stopword-hit heuristic), quality scoring, token statistics, document
+  * fingerprinting. All row-local single-pass expressions (whole-stage
+  * codegen, no shuffle) — at 100 TB these run at scan speed.
+  *
+  * Regex usage is restricted to literal character classes and `\s+` so the
+  * semantics are identical across regex engines (oracle parity).
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists (top function words). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that"),
+    "es" -> Seq("el", "la", "los", "de", "que", "y", "en", "un", "una", "es"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "dans"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "ein", "eine", "zu", "den"))
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Language-ID heuristic: lowercase-token stopword hits per language;
+    * winner by (hits desc, language name asc); 'und' (undetermined) when no
+    * list matches at all. */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scored = array(stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(hits(toks, words).as("hits"), lit(lang).as("lang"))
+    }: _*)
+    // array_max on struct = lexicographic (hits, lang); break hit-ties toward
+    // the alphabetically-FIRST language for determinism, so invert lang order
+    // is avoided by taking max hits then min lang among maxima.
+    val best = array_max(scored)
+    val maxHits = best.getField("hits")
+    val winners = filter(scored, s => s.getField("hits") === maxHits)
+    val winner = array_min(transform(winners, s => s.getField("lang")))
+    when(maxHits > 0, winner).otherwise(lit("und"))
+  }
+
+  /** Quality signals: char/token counts, punctuation ratio, stopword ratio,
+    * mean token length, and a composite keep/drop score in [0,1]. */
+  def qualitySignals(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val toks = tokens(text)
+    val nChars = length(text)
+    val nToks = size(toks)
+    val punct = nChars - length(regexp_replace(text, "[.,!?;:]", ""))
+    val stopHits = hits(tokens(lower(text)), stopwords("en"))
+    df.withColumn("n_chars", nChars)
+      .withColumn("n_tokens", nToks)
+      .withColumn("punct_ratio", round(punct.cast("double") / greatest(nChars, lit(1)), 6))
+      .withColumn("stopword_ratio", round(stopHits.cast("double") / greatest(nToks, lit(1)), 6))
+      .withColumn("mean_token_len",
+        round(aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") /
+          greatest(nToks, lit(1)), 6))
+      .withColumn("quality_score", round(
+        when(nToks >= 10 && nToks <= 100000, 0.4).otherwise(0.0) +
+        when(col("punct_ratio") <= 0.1, 0.3).otherwise(0.0) +
+        when(col("mean_token_len").between(2.0, 12.0), 0.3).otherwise(0.0), 2))
+  }
+
+  /** Token statistics: counts, distinct counts, type-token ratio. */
+  def tokenStats(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.withColumn("n_tokens", size(toks))
+      .withColumn("n_distinct_tokens", size(array_distinct(toks)))
+      .withColumn("type_token_ratio",
+        round(size(array_distinct(toks)).cast("double") /
+          greatest(size(toks), lit(1)), 6))
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text, plus
+    * a 48-bit integer form for cheap joins/bucketing. */
+  def fingerprint(df: DataFrame, textCol: String): DataFrame = {
+    val norm = lower(trim(regexp_replace(col(textCol), "\\s+", " ")))
+    df.withColumn("fingerprint", md5(norm))
+      .withColumn("fingerprint_int", md5_prefix_long(norm))
+  }
+}

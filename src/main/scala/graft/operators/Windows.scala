@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.5 — window-function semantics the reference carries as denormalized
+  * fields: CumulativeActualAmount running totals (A6, v3:613),
+  * previousMonthRolloverAmount lag (lib:1147...), per-merchant counts (A7).
+  */
+object Windows {
+
+  /** A6 — running total per partition in order. `orderBy` must end with a
+    * unique tiebreak for deterministic sums over equal keys. */
+  def runningTotal(df: DataFrame, partitionBy: Seq[Column], orderBy: Seq[Column],
+                   value: Column, as: String = "running_total"): DataFrame =
+    df.withColumn(as,
+      sum(value).over(
+        Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
+  /** previousMonthRolloverAmount — lag(1) with 0.0 default. */
+  def previousPeriod(df: DataFrame, partitionBy: Seq[Column], orderBy: Seq[Column],
+                     value: Column, as: String = "prev_amount"): DataFrame =
+    df.withColumn(as,
+      coalesce(
+        lag(value, 1).over(Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)),
+        lit(0.0)))
+
+  /** A7 — denormalized per-group count carried on each row
+    * (merchant.transactionsCount). Unbounded window, no sort needed. */
+  def groupCount(df: DataFrame, partitionBy: Seq[Column], as: String): DataFrame =
+    df.withColumn(as, count(lit(1)).over(Window.partitionBy(partitionBy: _*)))
+}
