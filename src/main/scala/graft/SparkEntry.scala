@@ -6,8 +6,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Functions._
+import graft.jobs.{BudgetPipeline, SyncTransactions}
 import graft.operators._
-import graft.sources.Tables
+import graft.sources.{Synthetic, Tables}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the LLM-pipeline extensions), each with a DuckDB oracle
@@ -186,6 +187,43 @@ object SparkEntry {
         .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("event_type"), col("n"), col("total_value"))
         .orderBy(col("hour"), col("event_type"))
+    },
+
+    // ---- §7.3 flagship: full incremental transaction sync end-to-end ----
+    // control window -> F7 flatten -> F1 scrub -> A4 TagsCSL -> J1 lookup ->
+    // A7 merchant count -> F14 stamp -> P3+U1 merge -> O6 29-col contract
+    "q15_txn_sync_e2e" -> { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      val dim = Synthetic.accountsDim(Tables.customer(s, dir))
+      val existing = SyncTransactions.flattenBatch(
+        Synthetic.nestedTransactions(
+          orders.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))), dim)
+      val freshNested = Synthetic.nestedTransactions(
+        orders.filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp")))
+      SyncTransactions.sync(existing, freshNested, dim,
+          windowStart = "1997-07-01", loadedAt = "2026-01-01 00:00:00")
+        .orderBy(col("date"), col("id"))
+    },
+
+    // ---- Budget pipeline: explode + J2/J3/J4 + U2 union + A5 + A6 + F12 +
+    //      31-col contract (v3:536-914) ----
+    "q16_budget_pipeline" -> { (s, dir) =>
+      val nation = Tables.nation(s, dir)
+      val region = Tables.region(s, dir)
+      BudgetPipeline.records(
+        Synthetic.Budget.byCategory(nation),
+        Synthetic.Budget.byGroup(region),
+        Synthetic.Budget.flex(s),
+        Synthetic.Budget.totals(s),
+        Synthetic.Budget.categoriesDim(nation),
+        Synthetic.Budget.groupsDim(region),
+        loadedAt = "2026-01-01 00:00:00")
+    },
+
+    // ---- F8 account flatten + F5 struct JSON cells + account contract ----
+    "q17_accounts_flatten" -> { (s, dir) =>
+      val nested = Synthetic.nestedAccounts(Tables.customer(s, dir), Tables.nation(s, dir))
+      Contracts.accounts(Flatten.sheetCells(Flatten.account(nested)))
     },
 
     // ---- Dedup: exact (hash-groupBy) ----
@@ -380,6 +418,204 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
                 count(*) AS n, round(sum(value), 2) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+
+    "q15_txn_sync_e2e" ->
+      """WITH src AS (
+           SELECT o.*, c.c_name FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+         flat AS (
+           SELECT
+             'Transaction' AS "__typename",
+             CAST(o_custkey AS VARCHAR) AS "AccID",
+             CASE WHEN o_custkey % 2 = 0 THEN c_name
+                  ELSE 'ACCT-' || CAST(o_custkey AS VARCHAR) END AS "AccDispName",
+             'Account' AS "AccType",
+             CASE WHEN o_orderkey % 3 = 0 THEN -round(o_totalprice, 2)
+                  ELSE round(o_totalprice, 2) END AS "amount",
+             o_orderstatus AS "CatID",
+             CASE o_orderstatus WHEN 'O' THEN 'Open' WHEN 'F' THEN 'Filled'
+                  ELSE 'Pending' END AS "CatDispName",
+             'Category' AS "CatType",
+             CAST(o_orderdate AS DATE) AS "date",
+             CAST(o_orderkey AS VARCHAR) AS "id",
+             'M' || CAST(o_custkey % 100 AS VARCHAR) AS "MrchntID",
+             'Merchant ' || CAST(o_custkey % 100 AS VARCHAR) AS "MrchntDispName",
+             'Merchant' AS "MrchntType",
+             lower(trim(o_orderpriority)) AS "notes",
+             (o_orderkey % 97 = 0) AS "pending",
+             CASE o_orderkey % 4
+               WHEN 0 THEN '[{"name":"prio:' || trim(o_orderpriority) || '"},{"name":"bulk"}]'
+               WHEN 1 THEN '[{"name":"prio:' || trim(o_orderpriority) || '"}]'
+               WHEN 2 THEN '[]'
+               ELSE NULL END AS "tags",
+             CASE o_orderkey % 4
+               WHEN 0 THEN 'prio:' || trim(o_orderpriority) || ', bulk'
+               WHEN 1 THEN 'prio:' || trim(o_orderpriority)
+               ELSE '' END AS "TagsCSL",
+             strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS "createdAt",
+             strftime(CAST(o_orderdate AS TIMESTAMP) + INTERVAL (o_orderkey % 49) HOUR,
+                      '%Y-%m-%d %H:%M:%S') AS "updatedAt",
+             o_orderdate, o_custkey % 100 AS mkey
+           FROM src),
+         ex AS (
+           SELECT *, count(*) OVER (PARTITION BY mkey) AS mcount
+           FROM flat WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+         fr AS (
+           SELECT *, count(*) OVER (PARTITION BY mkey) AS mcount
+           FROM flat WHERE o_orderdate >= TIMESTAMP '1997-07-01')
+         SELECT "__typename","AccID","AccDispName","AccType","amount","CatID","CatDispName",
+                "CatType","date","id","MrchntID","MrchntDispName", mcount AS "MrchntTranCount",
+                "MrchntType","notes","pending","tags","TagsCSL","createdAt","updatedAt",
+                CAST(NULL AS VARCHAR) AS "loadedAtUtc"
+         FROM ex WHERE "date" < DATE '1997-07-01'
+         UNION ALL
+         SELECT "__typename","AccID","AccDispName","AccType","amount","CatID","CatDispName",
+                "CatType","date","id","MrchntID","MrchntDispName", mcount,
+                "MrchntType","notes","pending","tags","TagsCSL","createdAt","updatedAt",
+                '2026-01-01 00:00:00'
+         FROM fr
+         ORDER BY "date", "id"""",
+
+    "q16_budget_pipeline" ->
+      """WITH cat AS (
+           SELECT
+             'Category' AS "RecordType",
+             'G' || CAST(n_regionkey AS VARCHAR) AS "CategoryGroupId",
+             r_name AS "CategoryGroupName",
+             CASE WHEN n_regionkey % 2 = 0 THEN 'income' ELSE 'expense' END AS "CategoryGroupType",
+             CASE WHEN n_regionkey % 2 = 0 THEN 'Credit' ELSE 'Debit' END AS "DebitCreditFlag",
+             (n_regionkey % 2 = 0) AS "IsIncome",
+             'C' || CAST(n_nationkey AS VARCHAR) AS "CategoryId",
+             n_name AS "CategoryName",
+             '' AS "CategoryIcon",
+             (n_nationkey % 7 = 0) AS "IsSystemCategory",
+             false AS "ExcludeFromBudget",
+             '' AS "CategoryUpdatedAt",
+             CAST(NULL AS BOOLEAN) AS "GroupLevelBudgetingEnabled",
+             '1997-' || lpad(CAST(m + 1 AS VARCHAR), 2, '0') || '-01' AS "Month",
+             n_nationkey*10 + m + 0.25 AS "PlannedCashFlow",
+             (n_nationkey + m) % 3 + 0.5 AS "PlannedSetAside",
+             n_nationkey*7 + m*2 + 0.5 AS "ActualAmount",
+             sum(n_nationkey*7 + m*2 + 0.5) OVER (PARTITION BY n_nationkey ORDER BY m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS "CumulativeActualAmount",
+             (n_nationkey*10 + m + 0.25) - (n_nationkey*7 + m*2 + 0.5) AS "RemainingAmount",
+             (n_nationkey + m) % 4 + 0.75 AS "RolloverAmount",
+             CASE WHEN n_nationkey % 5 = 0 THEN 'monthly' ELSE '' END AS "RolloverType",
+             CASE WHEN n_nationkey % 5 = 0 THEN 'RP' || CAST(n_nationkey AS VARCHAR) ELSE '' END AS "RolloverPeriodId",
+             CASE WHEN n_nationkey % 5 = 0 THEN '1997-01' ELSE '' END AS "RolloverStartMonth",
+             CASE WHEN n_nationkey % 5 = 0 THEN '1997-12' ELSE '' END AS "RolloverEndMonth",
+             CASE WHEN n_nationkey % 5 = 0 THEN n_nationkey*10 + 0.5 ELSE 0.0 END AS "RolloverStartingBalance",
+             CASE WHEN n_nationkey % 5 = 0 THEN n_nationkey*100.0 ELSE 0.0 END AS "RolloverTargetAmount",
+             CASE WHEN n_nationkey % 5 = 0 THEN 'monthly' ELSE '' END AS "RolloverFrequency",
+             CASE n_nationkey % 3 WHEN 0 THEN 'fixed' WHEN 1 THEN 'flexible' ELSE 'non_monthly' END AS "BudgetVariability",
+             CAST(n_nationkey AS INTEGER) AS "CategoryOrder",
+             CAST(n_regionkey AS INTEGER) AS "GroupOrder"
+           FROM nation JOIN region ON n_regionkey = r_regionkey CROSS JOIN range(0, 6) t(m)),
+         grp AS (
+           SELECT
+             'CategoryGroup' AS "RecordType",
+             'G' || CAST(r_regionkey AS VARCHAR) AS "CategoryGroupId",
+             r_name AS "CategoryGroupName",
+             CASE WHEN r_regionkey % 2 = 0 THEN 'income' ELSE 'expense' END AS "CategoryGroupType",
+             CASE WHEN r_regionkey % 2 = 0 THEN 'Credit' ELSE 'Debit' END AS "DebitCreditFlag",
+             (r_regionkey % 2 = 0) AS "IsIncome",
+             '' AS "CategoryId", '' AS "CategoryName", '' AS "CategoryIcon",
+             false AS "IsSystemCategory", false AS "ExcludeFromBudget",
+             '' AS "CategoryUpdatedAt",
+             (r_regionkey % 2 = 0) AS "GroupLevelBudgetingEnabled",
+             '1997-' || lpad(CAST(m + 1 AS VARCHAR), 2, '0') || '-01' AS "Month",
+             r_regionkey*100 + m + 0.25 AS "PlannedCashFlow",
+             0.0 AS "PlannedSetAside",
+             r_regionkey*80 + m*3 + 0.5 AS "ActualAmount",
+             sum(r_regionkey*80 + m*3 + 0.5) OVER (PARTITION BY r_regionkey ORDER BY m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS "CumulativeActualAmount",
+             (r_regionkey*100 + m + 0.25) - (r_regionkey*80 + m*3 + 0.5) AS "RemainingAmount",
+             (r_regionkey + m) % 3 + 0.25 AS "RolloverAmount",
+             '' AS "RolloverType", '' AS "RolloverPeriodId", '' AS "RolloverStartMonth",
+             '' AS "RolloverEndMonth", 0.0 AS "RolloverStartingBalance",
+             0.0 AS "RolloverTargetAmount", '' AS "RolloverFrequency",
+             CASE WHEN r_regionkey % 2 = 0 THEN 'fixed' ELSE 'flexible' END AS "BudgetVariability",
+             0 AS "CategoryOrder",
+             CAST(r_regionkey AS INTEGER) AS "GroupOrder"
+           FROM region CROSS JOIN range(0, 6) t(m)),
+         flx AS (
+           SELECT
+             'FlexibleExpense' AS "RecordType",
+             '' AS "CategoryGroupId", 'Flexible Expenses' AS "CategoryGroupName",
+             'expense' AS "CategoryGroupType", 'Debit' AS "DebitCreditFlag", false AS "IsIncome",
+             '' AS "CategoryId", '' AS "CategoryName", '' AS "CategoryIcon",
+             false AS "IsSystemCategory", false AS "ExcludeFromBudget", '' AS "CategoryUpdatedAt",
+             false AS "GroupLevelBudgetingEnabled",
+             '1997-' || lpad(CAST(m + 1 AS VARCHAR), 2, '0') || '-01' AS "Month",
+             m + 500.25 AS "PlannedCashFlow",
+             0.0 AS "PlannedSetAside",
+             m*2 + 400.5 AS "ActualAmount",
+             sum(m*2 + 400.5) OVER (ORDER BY m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS "CumulativeActualAmount",
+             (m + 500.25) - (m*2 + 400.5) AS "RemainingAmount",
+             0.0 AS "RolloverAmount",
+             '' AS "RolloverType", '' AS "RolloverPeriodId", '' AS "RolloverStartMonth",
+             '' AS "RolloverEndMonth", 0.0 AS "RolloverStartingBalance",
+             0.0 AS "RolloverTargetAmount", '' AS "RolloverFrequency",
+             'flexible' AS "BudgetVariability",
+             0 AS "CategoryOrder", 999 AS "GroupOrder"
+           FROM range(0, 6) t(m)),
+         tot AS (
+           SELECT "RecordType",
+             '' AS "CategoryGroupId", "CategoryGroupName", "CategoryGroupType",
+             CASE WHEN "CategoryGroupType" = 'income' THEN 'Credit' ELSE 'Debit' END AS "DebitCreditFlag",
+             ("CategoryGroupType" = 'income') AS "IsIncome",
+             '' AS "CategoryId", "CategoryName", '' AS "CategoryIcon",
+             true AS "IsSystemCategory", false AS "ExcludeFromBudget", '' AS "CategoryUpdatedAt",
+             false AS "GroupLevelBudgetingEnabled",
+             '1997-' || lpad(CAST(m + 1 AS VARCHAR), 2, '0') || '-01' AS "Month",
+             m + pbase AS "PlannedCashFlow", 0.0 AS "PlannedSetAside",
+             m*amult + abase AS "ActualAmount", 0.0 AS "CumulativeActualAmount",
+             (m + pbase) - (m*amult + abase) AS "RemainingAmount", roll AS "RolloverAmount",
+             '' AS "RolloverType", '' AS "RolloverPeriodId", '' AS "RolloverStartMonth",
+             '' AS "RolloverEndMonth", 0.0 AS "RolloverStartingBalance",
+             0.0 AS "RolloverTargetAmount", '' AS "RolloverFrequency",
+             '' AS "BudgetVariability", 0 AS "CategoryOrder", gorder AS "GroupOrder"
+           FROM range(0, 6) t(m) CROSS JOIN (VALUES
+             ('TotalIncome', 'Income', 'income', 'Total Income', -1, 1000.25, 900.5, 2.0, 0.0),
+             ('TotalExpenses', 'Expenses', 'expense', 'Total Expenses', 998, 800.25, 700.5, 3.0, 1.5),
+             ('FixedExpenses', 'Expenses', 'expense', 'Fixed Expenses', 998, 300.25, 250.5, 1.0, 0.0),
+             ('FlexibleExpenses', 'Expenses', 'expense', 'Flexible Expenses', 998, 400.25, 350.5, 2.0, 0.0),
+             ('NonMonthlyExpenses', 'Expenses', 'expense', 'Non-Monthly Expenses', 998, 100.25, 90.5, 1.0, 0.25))
+             v("RecordType", "CategoryGroupName", "CategoryGroupType", "CategoryName",
+               gorder, pbase, abase, amult, roll)),
+         unioned AS (
+           SELECT * FROM cat UNION ALL SELECT * FROM grp
+           UNION ALL SELECT * FROM flx UNION ALL SELECT * FROM tot)
+         SELECT *, '2026-01-01 00:00:00' AS "LoadedAtUtc" FROM unioned
+         ORDER BY "CategoryGroupName", "CategoryName", "Month"""",
+
+    "q17_accounts_flatten" ->
+      """SELECT
+           CAST(c_custkey AS VARCHAR) AS "id",
+           upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2)) AS "TypeDisplay",
+           CASE c_nationkey % 4 WHEN 0 THEN 'Checking' WHEN 1 THEN 'Savings'
+                WHEN 2 THEN 'Roth IRA' ELSE 'Brokerage' END AS "AccountType",
+           c_name AS "displayName",
+           n_name AS "InstitutionName",
+           c_acctbal AS "currentBalance",
+           c_acctbal AS "displayBalance",
+           'Account' AS "__typename",
+           '{"id":"' || CAST(c_nationkey AS VARCHAR) || '","name":"' || n_name || '"}' AS "institution",
+           (c_acctbal >= 0) AS "isAsset",
+           lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS "mask",
+           CAST(c_custkey % 100 AS INTEGER) AS "order",
+           CAST(c_custkey % 50 AS INTEGER) AS "transactionsCount",
+           '{"name":"' || lower(c_mktsegment) || '","display":"' ||
+             upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2)) ||
+             '","__typename":"AccountType"}' AS "type",
+           CASE c_nationkey % 4
+             WHEN 0 THEN '{"name":"checking","display":"Checking","__typename":"AccountSubtype"}'
+             WHEN 1 THEN '{"name":"savings","display":"Savings","__typename":"AccountSubtype"}'
+             WHEN 2 THEN '{"name":"roth_ira","display":"Roth IRA","__typename":"AccountSubtype"}'
+             ELSE '{"name":"brokerage","display":"Brokerage","__typename":"AccountSubtype"}'
+           END AS "subtype"
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         ORDER BY "TypeDisplay", "AccountType", "displayName"""",
 
     "d01_exact_dedup" ->
       """SELECT md5(lang || ' ' || source) AS content_hash,
