@@ -1,8 +1,16 @@
 package graft
-/** Benchmark main: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR, forcing full computation through the noop sink
-  * (a bare count() would let Catalyst prune the computed columns away),
-  * and prints one JSON line.
+
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: runs every SparkEntry query against SPARK_GRAFT_SF_DIR,
+  * forcing full computation through the noop sink (a bare count() would let
+  * Catalyst prune the computed columns away), and emits one JSON line — to
+  * stdout AND to bench_out.json (sbt's [info] prefixing mangles stdout for
+  * downstream parsers).
+  *
+  * Failures are explicit: a failed query records -1.0 (never a fast-looking
+  * elapsed time) and its message lands in "errors", so a broken query can
+  * not silently inflate an all-green total.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -10,18 +18,30 @@ object Bench {
     val spark = GraftSession.get()
     // JIT + session warm-up so per-query numbers measure the plan, not JVM startup
     spark.range(1000000).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val times = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    SparkEntry.queries.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        times(name) = (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          times(name) = -1.0
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("""[\"\\\n\r\t]""", " ").take(160)
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = times.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = times.values.filter(_ >= 0).sum
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    Files.writeString(Paths.get("bench_out.json"), line + "\n")
     spark.stop()
   }
 }

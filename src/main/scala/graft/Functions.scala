@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.bridge
 
-import graft.functions.ParseMoney
+import graft.functions.{JaccardSorted, MinhashFromHashes, MinhashSignature, ParseMoney, ShingleHashSet, SimHash}
 
 /** Column-level function surface of the engine (SURVEY §2.8).
   *
@@ -37,6 +37,28 @@ object Functions {
     array_join(
       filter(transform(tags, t => t.getField(nameField)), n => n.isNotNull && n =!= ""),
       ", ")
+
+  /** Fused one-pass MinHash signature (codegen'd kernel; bit-identical to the
+    * interpreted HOF composition it replaced — see TextHashUtil). */
+  def minhash_signature(text: Column, k: Int, numHashes: Int): Column =
+    bridge.column(MinhashSignature(bridge.expression(text), k, numHashes))
+
+  /** Sorted distinct 48-bit shingle hashes — the Jaccard set representation. */
+  def shingle_hash_set(text: Column, k: Int): Column =
+    bridge.column(ShingleHashSet(bridge.expression(text), k))
+
+  /** MinHash signature over a precomputed hash set (one shingle pass shared
+    * between LSH banding and Jaccard verification). */
+  def minhash_from_hashes(hashes: Column, numHashes: Int): Column =
+    bridge.column(MinhashFromHashes(bridge.expression(hashes), numHashes))
+
+  /** Fused SimHash fingerprint (codegen'd kernel). */
+  def simhash_fused(text: Column, bits: Int): Column =
+    bridge.column(SimHash(bridge.expression(text), bits))
+
+  /** Exact Jaccard of two sorted distinct long arrays (merge walk). */
+  def jaccard_sorted(a: Column, b: Column): Column =
+    bridge.column(JaccardSorted(bridge.expression(a), bridge.expression(b)))
 
   /** Stable 48-bit integer from the md5 hex prefix. md5 is identical across
     * engines (Spark, DuckDB, Python), which makes every hash-derived operator

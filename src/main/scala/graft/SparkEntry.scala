@@ -618,8 +618,13 @@ object SparkEntry {
          ORDER BY "TypeDisplay", "AccountType", "displayName"""",
 
     "d01_exact_dedup" ->
-      """SELECT md5(lang || ' ' || source) AS content_hash,
-                min(doc_id) AS keep_id, count(*) AS dup_count
+      """SELECT md5(
+             (CASE WHEN lang IS NULL THEN 'N'
+                   ELSE 'S' || CAST(length(lang) AS VARCHAR) || ':' || lang END) ||
+             (CASE WHEN source IS NULL THEN 'N'
+                   ELSE 'S' || CAST(length(source) AS VARCHAR) || ':' || source END)
+           ) AS content_hash,
+           min(doc_id) AS keep_id, count(*) AS dup_count
          FROM documents GROUP BY 1 ORDER BY 1""",
 
     "d02_minhash_sig" ->
@@ -633,6 +638,58 @@ object SparkEntry {
                   h -> (h*(2*j+1) + (j*2654435761)%2147483647) % 2147483647)) AS minhash
          FROM sh, range(0, 16) t(j)
          ORDER BY doc_id, j""",
+
+    "d03_minhash_lsh" ->
+      """WITH sh AS (
+           SELECT doc_id, list_sort(list_distinct(list_transform(
+             range(1, greatest(length(text)-4,1)+1),
+             i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 5)),1,12)) AS BIGINT)))) AS hs
+           FROM documents),
+         sig AS (
+           SELECT doc_id, hs,
+             list_transform(range(0, 16), j -> list_min(list_transform(hs,
+               h -> (h*(2*j+1) + (j*2654435761)%2147483647) % 2147483647))) AS sg
+           FROM sh),
+         bkt AS (
+           SELECT doc_id, b AS band,
+             md5(CAST(b AS VARCHAR) || '_' || array_to_string(sg[b*4+1 : b*4+4], ',')) AS bucket
+           FROM sig CROSS JOIN range(0, 4) t(b)),
+         capped AS (
+           SELECT * FROM bkt QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM capped a JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id),
+         jac AS (
+           SELECT id_a, id_b,
+             round(CAST(length(list_intersect(x.hs, y.hs)) AS DOUBLE) /
+                   (length(x.hs) + length(y.hs) - length(list_intersect(x.hs, y.hs))), 6) AS jaccard
+           FROM pairs JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+         SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.2
+         ORDER BY id_a, id_b""",
+
+    "s02_lsh_ann" ->
+      """WITH planes AS (
+           SELECT p, list(comp ORDER BY d) AS plane
+           FROM (
+             SELECT p, d,
+               (CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)),1,12)) AS BIGINT)
+                 % 1000) / 1000.0 - 0.5 AS comp
+             FROM range(0, 4) pp(p) CROSS JOIN range(0, 64) dd(d))
+           GROUP BY p),
+         vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         bucketed AS (
+           SELECT vec_id, v,
+             CAST(sum(CASE WHEN list_dot_product(v, plane) >= 0
+                           THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+           FROM vecs CROSS JOIN planes GROUP BY vec_id, v),
+         q AS (SELECT v AS qv, bucket AS qb FROM bucketed WHERE vec_id = 0),
+         scored AS (
+           SELECT vec_id,
+             round(list_dot_product(v, qv) /
+                   (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+           FROM bucketed, q WHERE bucket = qb AND vec_id <> 0)
+         SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""",
 
     "d04_simhash" ->
       """WITH toks AS (

@@ -14,25 +14,22 @@ import org.apache.spark.sql.functions._
 object Cashflow {
 
   /** One grouping-sets aggregation: one grouping set per dim column plus the
-    * global `()` set. Dim values are coalesced to 'TOTAL' on the sets where
-    * they are inactive so output rows are self-describing. */
+    * global `()` set, via the typed Dataset.groupingSets API (no temp-view
+    * round-trip, no identifier interpolation, thread-safe). Dim values are
+    * coalesced to 'TOTAL' on the sets where they are inactive so output rows
+    * are self-describing; `gid` (grouping_id) stays in the output so genuine
+    * NULL dim values remain distinguishable from roll-up rows. */
   def groupingSets(df: DataFrame, dims: Seq[String], amount: Column): DataFrame = {
-    val spark = df.sparkSession
-    val view = s"graft_cashflow_${System.identityHashCode(df).toHexString}"
-    df.withColumn("_amt", amount).createOrReplaceTempView(view)
-    val sets = (dims.map(d => s"($d)") :+ "()").mkString(", ")
-    val dimSelect = dims
-      .map(d => s"coalesce(cast($d as string), 'TOTAL') AS $d")
-      .mkString(", ")
-    spark.sql(s"""
-      SELECT $dimSelect,
-             grouping_id() AS gid,
-             round(sum(CASE WHEN _amt > 0 THEN _amt ELSE 0 END), 2) AS sum_income,
-             round(sum(CASE WHEN _amt < 0 THEN _amt ELSE 0 END), 2) AS sum_expense,
-             round(sum(_amt), 2) AS savings
-      FROM $view
-      GROUP BY GROUPING SETS ($sets)
-    """)
+    val withAmt = df.withColumn("_amt", amount)
+    val sets: Seq[Seq[Column]] = dims.map(d => Seq(col(d))) :+ Seq.empty[Column]
+    withAmt.groupingSets(sets, dims.map(col): _*)
+      .agg(
+        grouping_id().as("gid"),
+        round(sum(when(col("_amt") > 0, col("_amt")).otherwise(0.0)), 2).as("sum_income"),
+        round(sum(when(col("_amt") < 0, col("_amt")).otherwise(0.0)), 2).as("sum_expense"),
+        round(sum(col("_amt")), 2).as("savings"))
+      .select(dims.map(d => coalesce(col(d).cast("string"), lit("TOTAL")).as(d)) ++
+        Seq(col("gid"), col("sum_income"), col("sum_expense"), col("savings")): _*)
   }
 
   /** A3 — global-only summary leg with savingsRate = savings / sumIncome. */

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Functions._
@@ -9,41 +10,40 @@ import graft.Functions._
   * star): exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
   *
   * Scale design:
-  *  - signatures are computed row-local (array lambdas — one pass, no
-  *    shuffle, whole-stage codegen);
+  *  - signatures are computed row-local by fused codegen kernels
+  *    (TextHashUtil) — one pass over the text, no shuffle, no interpreted
+  *    lambda chains;
   *  - candidate generation is an equi-join on (band, bucket) — the only
   *    shuffle, keyed so Spark hash-partitions it; never an all-pairs cross
-  *    join;
+  *    join — with a hot-bucket cap so a degenerate bucket (boilerplate or
+  *    empty documents) cannot go quadratic;
   *  - all hashing derives from md5 so results are deterministic and
   *    engine-independent (oracle-checkable).
   */
 object Dedup {
 
+  /** Structurally unambiguous row-key encoding: each field is length-prefixed
+    * (`S<len>:<value>`) with an explicit `N` null sentinel, so neither
+    * separator collisions ("a b","c" vs "a","b c") nor NULLs can conflate
+    * distinct key tuples. Mirrored verbatim in the DuckDB oracle. */
+  def keyEncoding(keyCols: Seq[String]): Column =
+    md5(concat(keyCols.map { c =>
+      when(col(c).isNull, lit("N"))
+        .otherwise(concat(lit("S"), length(col(c).cast("string")), lit(":"), col(c).cast("string")))
+    }: _*))
+
   /** Exact dedup: canonical representative per identical key (min id) plus
     * duplicate count. Hash-groupBy with map-side combine; at 100 TB this is
     * one shuffle on the 128-bit content hash, never on the full text. */
   def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
-    df.groupBy(md5(concat_ws(" ", keyCols.map(col): _*)).as("content_hash"))
+    df.groupBy(keyEncoding(keyCols).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Stable per-shingle 48-bit hash (md5-prefix). */
-  private def shingleHash(g: Column): Column = md5_prefix_long(g)
-
-  private val MinhashPrime = 2147483647L // 2^31 - 1
-
   /** MinHash signature: `numHashes` permutations h_j(x) = (a_j*x + b_j) mod p
-    * with a_j = 2j+1 (odd), b_j = (j * 2654435761) mod p (Knuth multiplicative
-    * constant). Entirely row-local: shingling, hashing and the per-j min all
-    * happen inside array expressions — zero shuffle, one text scan. */
-  def minhashSignature(text: Column, k: Int = 5, numHashes: Int = 16): Column = {
-    val sh = shingles(text, k)
-    val hashes = array_distinct(transform(sh, shingleHash(_)))
-    transform(
-      sequence(lit(0L), lit(numHashes - 1L)),
-      j => array_min(transform(hashes, h =>
-        pmod(h * (j * lit(2L) + lit(1L)) + pmod(j * lit(2654435761L), lit(MinhashPrime)),
-             lit(MinhashPrime)))))
-  }
+    * with a_j = 2j+1 (odd), b_j = (j * 2654435761) mod p over distinct
+    * 48-bit md5 shingle hashes. One fused pass per row (codegen kernel). */
+  def minhashSignature(text: Column, k: Int = 5, numHashes: Int = 16): Column =
+    minhash_signature(text, k, numHashes)
 
   /** LSH banding: signature split into `bands` bands of `rowsPerBand`;
     * bucket id = md5(band index ++ band slice). Output one row per (doc,
@@ -58,66 +58,63 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
 
-  /** Candidate pairs: docs sharing any (band, bucket). Equi-join shuffle on
-    * the bucket hash; `<` keeps each unordered pair once. */
-  def candidatePairs(buckets: DataFrame, idCol: String): DataFrame = {
-    val a = buckets.select(col("band"), col("bucket"), col(idCol).as("id_a"))
-    val b = buckets.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+  /** Candidate pairs: docs sharing any (band, bucket), with a hot-bucket
+    * guard — (band, bucket) groups above `maxBucketSize` are dropped before
+    * the self-join (a bucket of b docs yields b^2/2 pairs; one degenerate
+    * bucket of near-identical boilerplate would otherwise dominate the whole
+    * job at 100 TB). The window shares the join's hash partitioning, so the
+    * count adds no extra shuffle exchange. Dropped docs are still seen by
+    * their other (non-hot) bands, which is how LSH recall degrades
+    * gracefully. */
+  def candidatePairs(buckets: DataFrame, idCol: String,
+                     maxBucketSize: Int = 1000): DataFrame = {
+    val sized = buckets.withColumn("_sz",
+      count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+    val capped = sized.filter(col("_sz") <= maxBucketSize).drop("_sz")
+    val a = capped.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val b = capped.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
 
-  /** Exact Jaccard over distinct k-shingle sets for given pairs (the
-    * verification step after LSH candidate generation). */
-  def withJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
-                  textCol: String, k: Int = 5): DataFrame = {
-    val sets = docs.select(col(idCol).as("_jid"),
-      array_distinct(shingles(col(textCol), k)).as("_jset"))
+  /** Exact Jaccard over precomputed sorted shingle-hash sets for given pairs
+    * (the verification step after LSH candidate generation). `sets` must
+    * carry (_jid, _jset) as produced in [[minhashLsh]]. */
+  def withJaccard(pairs: DataFrame, sets: DataFrame): DataFrame =
     pairs
       .join(sets.withColumnRenamed("_jid", "id_a").withColumnRenamed("_jset", "set_a"), "id_a")
       .join(sets.withColumnRenamed("_jid", "id_b").withColumnRenamed("_jset", "set_b"), "id_b")
-      .withColumn("jaccard",
-        round(size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-          size(array_union(col("set_a"), col("set_b"))).cast("double"), 6))
+      .withColumn("jaccard", round(jaccard_sorted(col("set_a"), col("set_b")), 6))
       .drop("set_a", "set_b")
-  }
 
-  /** Full MinHash-LSH near-dup pipeline: signature -> bands -> candidate
-    * pairs -> exact-Jaccard verification -> threshold. */
+  /** Full MinHash-LSH near-dup pipeline: one shingle pass per doc produces
+    * the hash set; the signature derives from that set (no re-shingling),
+    * banding buckets candidates, and the same sets verify exact Jaccard. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  k: Int = 5, bands: Int = 4, rowsPerBand: Int = 4,
-                 threshold: Double = 0.5): DataFrame = {
-    val sig = minhashSignature(col(textCol), k, bands * rowsPerBand)
-    val buckets = lshBuckets(docs, idCol, sig, bands, rowsPerBand)
-    val pairs = candidatePairs(buckets, idCol)
-    withJaccard(pairs, docs, idCol, textCol, k).filter(col("jaccard") >= threshold)
+                 threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
+    val sets = docs
+      .select(col(idCol).as("_jid"), shingle_hash_set(col(textCol), k).as("_jset"))
+    val withSig = sets.withColumn("_sig", minhash_from_hashes(col("_jset"), bands * rowsPerBand))
+    val buckets = lshBuckets(withSig, "_jid", col("_sig"), bands, rowsPerBand)
+      .withColumnRenamed("_jid", idCol)
+    val pairs = candidatePairs(buckets, idCol, maxBucketSize)
+    withJaccard(pairs, sets).filter(col("jaccard") >= threshold)
   }
 
-  /** SimHash (32-bit): per-token md5-derived hash; each bit position
-    * accumulates +1/-1 across tokens; the sign of each sum becomes the
-    * fingerprint bit. Row-local (nested array folds), no shuffle. */
-  def simhash(text: Column, bits: Int = 32): Column = {
-    val toks = tokens(text)
-    val hs = transform(toks, t => md5_prefix_long(t))
-    // bit b (MSB first): 1 iff sum over tokens of (2*bit_b(h) - 1) > 0
-    aggregate(
-      sequence(lit(bits - 1), lit(0), lit(-1)),
-      lit(0L),
-      (acc, b) => acc * 2 + when(
-        aggregate(hs, lit(0L),
-          (s, h) => s + (pmod(shiftright_dyn(h, b), lit(2L)) * 2 - 1)) > 0,
-        lit(1L)).otherwise(lit(0L)))
+  /** SimHash: per-token md5-derived hash; each bit position accumulates
+    * +1/-1 across tokens; the sign of each sum becomes the fingerprint bit.
+    * Row-local fused kernel, no shuffle. */
+  def simhash(text: Column, bits: Int = 32): Column = simhash_fused(text, bits)
+
+  /** Hamming distance between two simhash values, masked to the requested
+    * width so bits beyond `bits` never contribute. */
+  def hammingDistance(a: Column, b: Column, bits: Int = 32): Column = {
+    val x = a.bitwiseXOR(b)
+    val masked = if (bits >= 64) x else x.bitwiseAND(lit((1L << bits) - 1))
+    call_function("bit_count", masked).cast("int")
   }
-
-  /** shiftright with a Column shift amount (the functions._ overload only
-    * accepts a literal Int; the underlying SQL function accepts columns). */
-  private def shiftright_dyn(x: Column, n: Column): Column =
-    call_function("shiftright", x, n)
-
-  /** Hamming distance between two simhash values (packed longs). */
-  def hammingDistance(a: Column, b: Column, bits: Int = 32): Column =
-    call_function("bit_count", a.bitwiseXOR(b)).cast("int")
 
   /** Embedding near-dup: pairs inside a blocking key with cosine above a
     * threshold. Blocking keeps the join an equi-join (shuffle on block key,

@@ -53,12 +53,17 @@ object TransactionOps {
     (if (offset > 0) sorted.offset(offset) else sorted).limit(limit)
   }
 
-  /** A8 — totalCount alongside a page, sharing one filtered plan. The count
-    * side is a single-row aggregate broadcast back onto the page — no
-    * window-over-empty-partition (which would single-partition the data). */
+  /** A8 — totalCount alongside a page, sharing ONE materialization of the
+    * filtered plan (the reference's single-round-trip property,
+    * monarchmoney.py:1444-1446). The filtered set is persisted
+    * (memory-with-spill) so count and page read the scan once instead of
+    * twice; the count side is a single-row aggregate broadcast back onto the
+    * page — no window-over-empty-partition (which would single-partition the
+    * data). */
   def withTotalCount(filtered: DataFrame, orderBy: Seq[Column], limit: Int): DataFrame = {
-    val total = filtered.agg(count(lit(1)).as("total_count"))
-    page(filtered, orderBy, limit).crossJoin(broadcast(total))
+    val shared = filtered.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = shared.agg(count(lit(1)).as("total_count"))
+    page(shared, orderBy, limit).crossJoin(broadcast(total))
   }
 
   /** A1 — global transactions summary: avg/count/max/maxExpense/sum/

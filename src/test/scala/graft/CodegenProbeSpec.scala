@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.Functions._
+
+/** The fused kernels must not break whole-stage codegen: the project that
+  * evaluates them carries the `*(n)` WholeStageCodegen marker instead of
+  * falling back to interpreted evaluation. */
+class CodegenProbeSpec extends SparkTestBase {
+  test("minhash/simhash/parse_money stay inside WholeStageCodegen") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = docs.select(col("doc_id"),
+      minhash_signature(col("text"), 5, 16).as("sig"),
+      simhash_fused(col("text"), 32).as("sh"),
+      parse_money(col("text")).as("pm"))
+    df.collect() // force codegen compilation (a fallback would throw or re-plan)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.next().startsWith("*("),
+      s"project not whole-stage-codegen'd:\n$plan")
+  }
+}

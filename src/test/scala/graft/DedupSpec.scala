@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.Functions._
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Dedup kernels: the fused codegen expressions must be bit-identical to the
+  * interpreted HOF compositions they replaced, and LSH must survive a
+  * degenerate corpus without going quadratic. */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** The round-1 interpreted formulation of the MinHash signature, kept here
+    * as the equivalence spec for the fused kernel. */
+  private def minhashHof(text: org.apache.spark.sql.Column, k: Int, n: Int) = {
+    val sh = transform(
+      sequence(lit(1), greatest(length(text) - lit(k - 1), lit(1))),
+      i => text.substr(i, lit(k)))
+    val hashes = array_distinct(transform(sh, g => md5_prefix_long(g)))
+    transform(
+      sequence(lit(0L), lit(n - 1L)),
+      j => array_min(transform(hashes, h =>
+        pmod(h * (j * lit(2L) + lit(1L)) + pmod(j * lit(2654435761L), lit(2147483647L)),
+             lit(2147483647L)))))
+  }
+
+  test("fused minhash_signature equals the interpreted HOF composition") {
+    val docs = Tables.documents(spark, sfDir).limit(200)
+    val diff = docs.select(
+      minhash_signature(col("text"), 5, 16).as("fused"),
+      minhashHof(col("text"), 5, 16).as("hof"))
+      .filter(col("fused") =!= col("hof")).count()
+    assert(diff == 0)
+  }
+
+  test("fused simhash equals the interpreted bit-vote composition") {
+    val docs = Tables.documents(spark, sfDir).limit(200)
+    val toks = split(trim(col("text")), "\\s+")
+    val hs = transform(toks, t => md5_prefix_long(t))
+    val hof = aggregate(
+      sequence(lit(31), lit(0), lit(-1)),
+      lit(0L),
+      (acc, b) => acc * 2 + when(
+        aggregate(hs, lit(0L),
+          (s, h) => s + (pmod(call_function("shiftright", h, b), lit(2L)) * 2 - 1)) > 0,
+        lit(1L)).otherwise(lit(0L)))
+    val diff = docs.select(simhash_fused(col("text"), 32).as("fused"), hof.as("hof"))
+      .filter(col("fused") =!= col("hof")).count()
+    assert(diff == 0)
+  }
+
+  test("edge cases: empty, single-char, whitespace-only, unicode text") {
+    val df = Seq("", "x", "     ", "a b  c", "héllo wörld", "\ttab\nnewline")
+      .toDF("text")
+    val rows = df.select(
+      minhash_signature(col("text"), 5, 16).as("f_sig"),
+      minhashHof(col("text"), 5, 16).as("h_sig"),
+      simhash_fused(col("text"), 32).as("f_sim"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
+  test("shingle_hash_set is sorted-distinct and jaccard_sorted matches set math") {
+    val df = Seq(("a", "abcdefgh"), ("b", "abcdefgh"), ("c", "zyxwvuts")).toDF("id", "text")
+    val sets = df.select(col("id"), shingle_hash_set(col("text"), 5).as("s"))
+    val rows = sets.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(rows("a") == rows("a").sorted && rows("a").distinct == rows("a"))
+    assert(rows("a") == rows("b"))
+    val j = df.as("x").crossJoin(df.as("y"))
+      .select(col("x.id"), col("y.id"),
+        jaccard_sorted(shingle_hash_set(col("x.text"), 5),
+          shingle_hash_set(col("y.text"), 5)).as("j"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(j(("a", "b")) == 1.0)
+    assert(j(("a", "c")) == 0.0)
+  }
+
+  test("hot-bucket cap: 1k identical docs produce zero uncapped pairs, not ~500k") {
+    val degenerate = spark.range(1000)
+      .select(col("id"), lit("the same boilerplate text repeated everywhere").as("text"))
+    val out = Dedup.minhashLsh(degenerate, "id", "text",
+      k = 5, bands = 4, rowsPerBand = 4, threshold = 0.1, maxBucketSize = 100)
+    // every (band,bucket) holds all 1000 docs -> all dropped by the cap
+    assert(out.count() == 0)
+    // with the cap above the corpus size the quadratic blowup would return
+    val small = spark.range(30)
+      .select(col("id"), lit("the same boilerplate text repeated everywhere").as("text"))
+    val pairs = Dedup.minhashLsh(small, "id", "text",
+      k = 5, bands = 4, rowsPerBand = 4, threshold = 0.1, maxBucketSize = 100)
+    assert(pairs.count() == 30L * 29 / 2)
+  }
+
+  test("hammingDistance masks to the requested width") {
+    val df = Seq((0xF0FL, 0x00FL)).toDF("a", "b")
+    val got = df.select(
+      Dedup.hammingDistance(col("a"), col("b"), 32).as("h32"),
+      Dedup.hammingDistance(col("a"), col("b"), 8).as("h8"),
+      Dedup.hammingDistance(col("a"), col("b"), 64).as("h64"))
+      .collect()(0)
+    assert(got.getInt(0) == 4) // xor = 0xF00
+    assert(got.getInt(1) == 0) // masked to low 8 bits
+    assert(got.getInt(2) == 4)
+  }
+
+  test("exact dedup: length-prefixed encoding separates ('a b','c') from ('a','b c') and NULLs") {
+    val df = Seq(
+      (1L, Some("a b"), Some("c")),
+      (2L, Some("a"), Some("b c")),
+      (3L, None: Option[String], Some("x")),
+      (4L, Some(""), Some("x")),
+      (5L, Some("a b"), Some("c"))).toDF("id", "k1", "k2")
+    val out = Dedup.exact(df, "id", Seq("k1", "k2")).collect()
+    assert(out.length == 4) // rows 1+5 merge; 2,3,4 all distinct
+    val dups = out.filter(_.getAs[Long]("dup_count") == 2L)
+    assert(dups.length == 1 && dups(0).getAs[Long]("keep_id") == 1L)
+  }
+}
