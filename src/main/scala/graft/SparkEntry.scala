@@ -274,6 +274,18 @@ object SparkEntry {
         queryId = 0L, k = 10, numPlanes = 4, dim = 64)
     },
 
+    // ---- Multimodal: binary asset stats (size / hash / magic sniff) ----
+    "m01_binary_stats" -> { (s, dir) =>
+      Multimodal.binaryStats(syntheticAssets(s, dir), "doc_id", "payload")
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Multimodal: deterministic byte-range frame sampling ----
+    "m02_frame_sample" -> { (s, dir) =>
+      Multimodal.sampleFrames(syntheticAssets(s, dir), "doc_id", "payload", frameBytes = 256)
+        .orderBy(col("doc_id"), col("frame_no"))
+    },
+
     // ---- Text: language-ID heuristic ----
     "t01_langid" -> { (s, dir) =>
       Tables.documents(s, dir)
@@ -303,6 +315,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }
   )
+
+  /** Binary "media" assets derived from documents: UTF-8 payload behind an
+    * ASCII container magic (PNG0/JPG0/none by doc_id mod 3). ASCII-only, so
+    * the DuckDB oracle mirrors the byte math at the string level. */
+  private def syntheticAssets(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      encode(concat(
+        when(pmod(col("doc_id"), lit(3)) === 0, "PNG0")
+          .when(pmod(col("doc_id"), lit(3)) === 1, "JPG0")
+          .otherwise(""),
+        col("text")), "UTF-8").as("payload"))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_txn_summary" ->
@@ -720,6 +744,33 @@ object SparkEntry {
                          sqrt(list_dot_product(qv, qv))), 6) AS cosine
            FROM embeddings, q WHERE vec_id <> 0)
          SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 20""",
+
+    "m01_binary_stats" ->
+      """WITH a AS (
+           SELECT doc_id,
+             (CASE doc_id % 3 WHEN 0 THEN 'PNG0' WHEN 1 THEN 'JPG0' ELSE '' END) || text AS s
+           FROM documents)
+         SELECT doc_id,
+           octet_length(encode(s)) AS n_bytes,
+           md5(s) AS content_md5,
+           CASE WHEN substr(s, 1, 4) = 'PNG0' THEN 'png'
+                WHEN substr(s, 1, 4) = 'JPG0' THEN 'jpeg'
+                ELSE 'unknown' END AS format
+         FROM a ORDER BY doc_id""",
+
+    "m02_frame_sample" ->
+      """WITH a AS (
+           SELECT doc_id,
+             (CASE doc_id % 3 WHEN 0 THEN 'PNG0' WHEN 1 THEN 'JPG0' ELSE '' END) || text AS s
+           FROM documents),
+         f AS (
+           SELECT doc_id, s,
+             unnest(range(0, CAST(greatest(ceil(octet_length(encode(s)) / 256.0), 1) AS BIGINT))) AS i
+           FROM a)
+         SELECT doc_id, CAST(i AS INTEGER) AS frame_no,
+           length(substr(s, CAST(i*256 + 1 AS INTEGER), 256)) AS frame_bytes,
+           md5(substr(s, CAST(i*256 + 1 AS INTEGER), 256)) AS frame_md5
+         FROM f ORDER BY doc_id, frame_no""",
 
     "t01_langid" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
