@@ -150,15 +150,23 @@ object SparkEntry {
         .orderBy(col("month"))
     },
 
-    // ---- F1: currency scrub via native parse_money expression (v3:513-532) ----
+    // ---- F1: currency scrub via native parse_money expression (v3:513-532).
+    // Money strings cycle through comma-grouped, paren-negative, empty and
+    // unparseable forms so the scrub's hardest semantics (v3:521-532) and the
+    // quarantine branch are all oracle-exercised. ----
     "q11_parse_money" -> { (s, dir) =>
-      val money = when(col("l_returnflag") === "R",
-          concat(lit("($"), round(col("l_extendedprice"), 2).cast("string"), lit(")")))
-        .otherwise(concat(lit("$"), round(col("l_extendedprice"), 2).cast("string")))
+      val branch = pmod(col("l_orderkey") + col("l_linenumber"), lit(13))
+      val base = round(col("l_extendedprice"), 2).cast("string")
+      val withCommas = regexp_replace(base, "(\\d)(?=(\\d{3})+\\.)", "$1,")
+      val money = when(branch === 0, "N/A")
+        .when(branch === 1, "")
+        .when(col("l_returnflag") === "R", concat(lit("($"), withCommas, lit(")")))
+        .otherwise(concat(lit("$"), withCommas))
       Tables.lineitem(s, dir)
         .withColumn("money_str", money)
         .select(col("l_orderkey"), col("l_linenumber"),
-          round(parse_money(col("money_str")), 2).as("amount"))
+          round(parse_money(col("money_str")), 2).as("amount"),
+          money_quarantine(col("money_str")).as("quarantine"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 
@@ -224,6 +232,138 @@ object SparkEntry {
     "q17_accounts_flatten" -> { (s, dir) =>
       val nested = Synthetic.nestedAccounts(Tables.customer(s, dir), Tables.nation(s, dir))
       Contracts.accounts(Flatten.sheetCells(Flatten.account(nested)))
+    },
+
+    // ---- A3: global cashflow summary with savingsRate (lib:2358-2408) ----
+    "q18_cashflow_summary" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).withColumn("amount",
+        when(col("event_type").isin("purchase", "error"), -col("value")).otherwise(col("value")))
+      Cashflow.summary(ev, col("amount"))
+        .select(round(col("sum_income"), 2).as("sum_income"),
+          round(col("sum_expense"), 2).as("sum_expense"),
+          round(col("savings"), 2).as("savings"),
+          round(col("savings_rate"), 6).as("savings_rate"))
+    },
+
+    // ---- F3+F4+K1: sheet-cell serialization (=DATE formula, rendered
+    //      timestamps, $-money cells) (v3:393-429, 1096-1100) ----
+    "q19_sheet_serialize" -> { (s, dir) =>
+      Tables.orders(s, dir).select(
+          col("o_orderkey").cast("string").as("id"),
+          sheets_date_formula(col("o_orderdate")).as("date_formula"),
+          format_timestamp(col("o_orderdate").cast("timestamp")).as("created_str"),
+          concat(lit("$"), round(col("o_totalprice"), 2).cast("string")).as("amount_cell"))
+        .orderBy(col("id"))
+    },
+
+    // ---- S4: holdings connection edges explode (lib:733-771) ----
+    "q20_holdings_explode" -> { (s, dir) =>
+      val portfolio = Tables.lineitem(s, dir).groupBy(col("l_suppkey"))
+        .agg(sort_array(collect_list(struct(
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice")))).as("edges"))
+      EntityScans.explodeEdges(portfolio, "l_suppkey", "edges")
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // ---- S6: recentBalances series explode (lib:259-268) ----
+    "q21_recent_balances" -> { (s, dir) =>
+      val series = transform(sequence(lit(0), lit(30)), d =>
+        col("c_acctbal") + d.cast("double") * pmod(col("c_custkey"), lit(7)).cast("double") * 0.25)
+      EntityScans.explodeSeries(
+          Tables.customer(s, dir).select(col("c_custkey"), series.as("recent_balances")),
+          "c_custkey", "recent_balances", "1998-01-01")
+        .select(col("c_custkey"), col("date"), round(col("balance"), 2).as("balance"))
+        .orderBy(col("c_custkey"), col("date"))
+    },
+
+    // ---- S13+S14: point lookup + split children with split-sum (lib:1979-2177) ----
+    "q22_point_lookup_splits" -> { (s, dir) =>
+      EntityScans.pointLookupWithChildren(
+          Tables.orders(s, dir).select("o_orderkey", "o_totalprice"),
+          Tables.lineitem(s, dir).select("l_orderkey", "l_linenumber", "l_extendedprice"),
+          "o_orderkey", "l_orderkey", 1, col("l_extendedprice"))
+        .select(col("l_linenumber"), col("l_extendedprice"), col("o_totalprice"),
+          round(col("split_sum"), 2).as("split_sum"))
+        .orderBy(col("l_linenumber"))
+    },
+
+    // ---- S15: recurring forecast scan (isPast + amountDiff, lib:2667-2731) ----
+    "q23_recurring_forecast" -> { (s, dir) =>
+      EntityScans.recurringForecast(Tables.orders(s, dir),
+          col("o_orderdate").cast("date"), col("o_totalprice"), col("o_custkey"),
+          anchor = "1997-07-01")
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("date"),
+          col("is_past"), col("o_totalprice").as("amount"),
+          col("stream_amount"), col("amount_diff"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ---- S9+P7: institutions scan, includeDeleted default-off (lib:1024-1107) ----
+    "q24_institutions" -> { (s, dir) =>
+      EntityScans.institutions(Tables.supplier(s, dir), col("s_acctbal") < 0)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal"), col("is_deleted"))
+        .orderBy(col("s_suppkey"))
+    },
+
+    // ---- S17: account type options static dim (lib:214-246) ----
+    "q25_account_type_options" -> { (s, dir) =>
+      val asset = col("c_mktsegment").isin("AUTOMOBILE", "HOUSEHOLD", "FURNITURE")
+      Tables.customer(s, dir).select(col("c_mktsegment")).distinct()
+        .select(
+          lower(col("c_mktsegment")).as("type_name"),
+          concat(upper(substring(col("c_mktsegment"), 1, 1)),
+            lower(expr("substring(c_mktsegment, 2)"))).as("type_display"),
+          when(asset, "asset").otherwise("liability").as("type_group"),
+          when(asset,
+            lit("""[{"name":"checking","display":"Checking"},{"name":"savings","display":"Savings"}]"""))
+            .otherwise(
+              lit("""[{"name":"credit","display":"Credit Card"},{"name":"loan","display":"Loan"}]"""))
+            .as("possible_subtypes"))
+        .orderBy(col("type_name"))
+    },
+
+    // ---- S7: snapshots grouped by account type x month (lib:276-311) ----
+    "q26_snapshots_by_type" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("account_type"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(round(sum(col("o_totalprice")), 2).as("balance"), count(lit(1)).as("n"))
+        .orderBy(col("account_type"), col("month"))
+    },
+
+    // ---- S8: daily aggregate snapshots with type filter (lib:313-354) ----
+    "q27_aggregate_snapshots" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment") === "AUTOMOBILE")
+        .groupBy(col("o_orderdate").cast("date").as("date"))
+        .agg(round(sum(col("o_totalprice")), 2).as("balance"))
+        .orderBy(col("date"))
+    },
+
+    // ---- S5: account history = last-20 scan + snapshot enrichment (lib:795-1022) ----
+    "q28_account_history" -> { (s, dir) =>
+      val acct = Tables.customer(s, dir).filter(col("c_custkey") === 1)
+        .select(col("c_custkey").cast("string").as("account_id"),
+          col("c_name").as("account_name"))
+      val last20 = TransactionOps.topK(
+        Tables.orders(s, dir).filter(col("o_custkey") === 1),
+        Seq(col("o_orderdate").desc, col("o_orderkey").desc), 20)
+      last20.crossJoin(broadcast(acct))
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("order_date"),
+          col("o_totalprice"), col("account_id"), col("account_name"))
+    },
+
+    // ---- S12: tag dim scan from the tags arrays (lib:1898-1922) ----
+    "q29_tag_dim" -> { (s, dir) =>
+      Synthetic.nestedTransactions(Tables.orders(s, dir))
+        .select(explode(col("tags")).as("tag"))
+        .select(col("tag.name").as("name"))
+        .groupBy("name").agg(count(lit(1)).as("n"))
+        .orderBy(col("name"))
     },
 
     // ---- Dedup: exact (hash-groupBy) ----
@@ -424,8 +564,11 @@ object SparkEntry {
 
     "q11_parse_money" ->
       """SELECT l_orderkey, l_linenumber,
-                round(CASE WHEN l_returnflag='R' THEN -round(l_extendedprice,2)
-                           ELSE round(l_extendedprice,2) END, 2) AS amount
+                CASE WHEN (l_orderkey + l_linenumber) % 13 = 0 THEN NULL
+                     WHEN (l_orderkey + l_linenumber) % 13 = 1 THEN 0.0
+                     WHEN l_returnflag='R' THEN -round(l_extendedprice,2)
+                     ELSE round(l_extendedprice,2) END AS amount,
+                CASE WHEN (l_orderkey + l_linenumber) % 13 = 0 THEN 'N/A' END AS quarantine
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
 
     "q12_page_with_count" ->
@@ -744,6 +887,97 @@ object SparkEntry {
                          sqrt(list_dot_product(qv, qv))), 6) AS cosine
            FROM embeddings, q WHERE vec_id <> 0)
          SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 20""",
+
+    "q18_cashflow_summary" ->
+      """WITH base AS (
+           SELECT CASE WHEN event_type IN ('purchase','error') THEN -value ELSE value END AS amount
+           FROM events),
+         s AS (
+           SELECT sum(CASE WHEN amount > 0 THEN amount ELSE 0 END) AS si,
+                  sum(CASE WHEN amount < 0 THEN amount ELSE 0 END) AS se
+           FROM base)
+         SELECT round(si, 2) AS sum_income, round(se, 2) AS sum_expense,
+                round(si + se, 2) AS savings,
+                round((si + se) / si, 6) AS savings_rate
+         FROM s""",
+
+    "q19_sheet_serialize" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS id,
+                '=DATE(' || CAST(year(o_orderdate) AS VARCHAR) || ',' ||
+                  CAST(month(o_orderdate) AS VARCHAR) || ',' ||
+                  CAST(day(o_orderdate) AS VARCHAR) || ')' AS date_formula,
+                strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS created_str,
+                '$' || CAST(round(o_totalprice, 2) AS VARCHAR) AS amount_cell
+         FROM orders ORDER BY id""",
+
+    "q20_holdings_explode" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""",
+
+    "q21_recent_balances" ->
+      """SELECT c_custkey, DATE '1998-01-01' + CAST(d AS INTEGER) AS "date",
+                round(c_acctbal + d * (c_custkey % 7) * 0.25, 2) AS balance
+         FROM customer CROSS JOIN range(0, 31) t(d)
+         ORDER BY c_custkey, "date"""",
+
+    "q22_point_lookup_splits" ->
+      """WITH c AS (SELECT * FROM lineitem WHERE l_orderkey = 1),
+         p AS (SELECT o_totalprice FROM orders WHERE o_orderkey = 1)
+         SELECT c.l_linenumber, c.l_extendedprice, p.o_totalprice,
+                round(sum(c.l_extendedprice) OVER (), 2) AS split_sum
+         FROM c, p ORDER BY c.l_linenumber""",
+
+    "q23_recurring_forecast" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS "date",
+                (CAST(o_orderdate AS DATE) < DATE '1997-07-01') AS is_past,
+                o_totalprice AS amount,
+                avg(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (PARTITION BY o_custkey) / 100.0 AS stream_amount,
+                o_totalprice - avg(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (PARTITION BY o_custkey) / 100.0 AS amount_diff
+         FROM orders ORDER BY o_orderkey""",
+
+    "q24_institutions" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+                (s_acctbal < 0) AS is_deleted
+         FROM supplier WHERE NOT (s_acctbal < 0) ORDER BY s_suppkey""",
+
+    "q25_account_type_options" ->
+      """SELECT lower(c_mktsegment) AS type_name,
+                upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2)) AS type_display,
+                CASE WHEN c_mktsegment IN ('AUTOMOBILE','HOUSEHOLD','FURNITURE')
+                     THEN 'asset' ELSE 'liability' END AS type_group,
+                CASE WHEN c_mktsegment IN ('AUTOMOBILE','HOUSEHOLD','FURNITURE')
+                     THEN '[{"name":"checking","display":"Checking"},{"name":"savings","display":"Savings"}]'
+                     ELSE '[{"name":"credit","display":"Credit Card"},{"name":"loan","display":"Loan"}]'
+                END AS possible_subtypes
+         FROM (SELECT DISTINCT c_mktsegment FROM customer)
+         ORDER BY type_name""",
+
+    "q26_snapshots_by_type" ->
+      """SELECT c_mktsegment AS account_type,
+                CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                round(sum(o_totalprice), 2) AS balance, count(*) AS n
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q27_aggregate_snapshots" ->
+      """SELECT CAST(o_orderdate AS DATE) AS "date", round(sum(o_totalprice), 2) AS balance
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'AUTOMOBILE'
+         GROUP BY 1 ORDER BY 1""",
+
+    "q28_account_history" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_totalprice,
+                '1' AS account_id,
+                (SELECT c_name FROM customer WHERE c_custkey = 1) AS account_name
+         FROM orders WHERE o_custkey = 1
+         ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 20""",
+
+    "q29_tag_dim" ->
+      """WITH t AS (
+           SELECT 'prio:' || trim(o_orderpriority) AS name FROM orders WHERE o_orderkey % 4 IN (0, 1)
+           UNION ALL
+           SELECT 'bulk' FROM orders WHERE o_orderkey % 4 = 0)
+         SELECT name, count(*) AS n FROM t GROUP BY 1 ORDER BY 1""",
 
     "m01_binary_stats" ->
       """WITH a AS (
