@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.bridge
 
-import graft.functions.{JaccardSorted, MinhashFromHashes, MinhashSignature, ParseMoney, ShingleHashSet, SimHash}
+import graft.functions.{CosineSim, DotProduct, JaccardSorted, L2Norm, LangId, MinhashFromHashes, MinhashSignature, ParseMoney, ShingleHashSet, SimHash}
 
 /** Column-level function surface of the engine (SURVEY §2.8).
   *
@@ -77,19 +77,21 @@ object Functions {
   def tokens(text: Column): Column =
     split(trim(text), "\\s+")
 
-  /** Dot product of two numeric arrays (row-local fold; elements cast to
-    * double before accumulating so float inputs match the oracle's math). */
+  /** Dot product of two numeric arrays — fused kernel with double
+    * accumulation in array order (bitwise-identical to the HOF fold it
+    * replaced, so float inputs still match the oracle's math). */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+    bridge.column(DotProduct(bridge.expression(a), bridge.expression(b)))
 
   def l2_norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    bridge.column(L2Norm(bridge.expression(a)))
 
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2_norm(a) * l2_norm(b))
+    bridge.column(CosineSim(bridge.expression(a), bridge.expression(b)))
+
+  /** Fused language-ID kernel (see operators.TextAnalysis for semantics). */
+  def lang_id(text: Column): Column =
+    bridge.column(LangId(bridge.expression(text)))
 
   /** Register SQL-callable names for the custom expressions. */
   def register(spark: SparkSession): Unit = {

@@ -50,8 +50,9 @@ object SyncTransactions {
       .withColumn("AccDispName",
         when(col("AccDispName") =!= "", col("AccDispName")).otherwise(col("_acct_name")))
       .drop("_acct_name")
-    Windows.groupCount(named.drop("MrchntTranCount"),
-      Seq(col("MrchntID")), "MrchntTranCount")
+    // A7 merchant count as count+broadcast-join (merchants are dim-like; the
+    // window form would sort the whole batch by merchant id)
+    Windows.groupCountJoin(named.drop("MrchntTranCount"), "MrchntID", "MrchntTranCount")
   }
 
   /** Full sync step: merge the flattened fresh batch over the existing table

@@ -27,21 +27,10 @@ object TextAnalysis {
 
   /** Language-ID heuristic: lowercase-token stopword hits per language;
     * winner by (hits desc, language name asc); 'und' (undetermined) when no
-    * list matches at all. */
-  def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
-    val scored = array(stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(hits(toks, words).as("hits"), lit(lang).as("lang"))
-    }: _*)
-    // array_max on struct = lexicographic (hits, lang); break hit-ties toward
-    // the alphabetically-FIRST language for determinism, so invert lang order
-    // is avoided by taking max hits then min lang among maxima.
-    val best = array_max(scored)
-    val maxHits = best.getField("hits")
-    val winners = filter(scored, s => s.getField("hits") === maxHits)
-    val winner = array_min(transform(winners, s => s.getField("lang")))
-    when(maxHits > 0, winner).otherwise(lit("und"))
-  }
+    * list matches at all. Fused single-pass kernel (LangIdUtil) — the
+    * interpreted HOF formulation it replaced lives on as the equivalence
+    * spec in TextAnalysisSpec. */
+  def langId(text: Column): Column = lang_id(text)
 
   /** Quality signals: char/token counts, punctuation ratio, stopword ratio,
     * mean token length, and a composite keep/drop score in [0,1]. */

@@ -31,4 +31,13 @@ object Windows {
     * (merchant.transactionsCount). Unbounded window, no sort needed. */
   def groupCount(df: DataFrame, partitionBy: Seq[Column], as: String): DataFrame =
     df.withColumn(as, count(lit(1)).over(Window.partitionBy(partitionBy: _*)))
+
+  /** A7 via partial aggregation + broadcast join — the scale-preferred form
+    * when the group key is dim-like (merchants, categories): the window
+    * variant repartitions AND sorts the full fact table by the key, while
+    * this does a map-side-combined count whose tiny result broadcasts back.
+    * Costs a second pass over the input, which is cheap when the input is a
+    * pushed-down columnar scan. */
+  def groupCountJoin(df: DataFrame, keyCol: String, as: String): DataFrame =
+    df.join(broadcast(df.groupBy(keyCol).agg(count(lit(1)).as(as))), keyCol)
 }

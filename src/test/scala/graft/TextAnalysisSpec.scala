@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.Functions._
+import graft.operators.TextAnalysis
+import graft.sources.Tables
+
+/** Fused langid/cosine kernels must match the interpreted HOF formulations
+  * they replaced (which live here as the equivalence spec). */
+class TextAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def langIdHof(text: org.apache.spark.sql.Column) = {
+    val toks = split(trim(lower(text)), "\\s+")
+    def hits(words: Seq[String]) = size(filter(toks, t => t.isInCollection(words)))
+    val scored = array(TextAnalysis.stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(hits(words).as("hits"), lit(lang).as("lang"))
+    }: _*)
+    val maxHits = array_max(scored).getField("hits")
+    val winner = array_min(transform(
+      filter(scored, s => s.getField("hits") === maxHits), s => s.getField("lang")))
+    when(maxHits > 0, winner).otherwise(lit("und"))
+  }
+
+  test("fused lang_id equals the interpreted HOF composition") {
+    val docs = Tables.documents(spark, sfDir)
+    val diff = docs.select(lang_id(col("text")).as("fused"), langIdHof(col("text")).as("hof"))
+      .filter(col("fused") =!= col("hof")).count()
+    assert(diff == 0)
+  }
+
+  test("lang_id edge cases: empty, mixed, no-stopword text") {
+    val got = Seq("", "the la der el", "zzz qqq", "der die das", "  EL la Los  ")
+      .toDF("text").select(lang_id(col("text"))).collect().map(_.getString(0)).toSeq
+    // "the la der el": one hit each for en; la->es+fr, der->de, el->es => es wins (2)
+    assert(got == Seq("und", "es", "und", "de", "es"))
+  }
+
+  private def dotHof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def cosineHof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+    def l2(v: org.apache.spark.sql.Column) =
+      sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    dotHof(a, b) / (l2(a) * l2(b))
+  }
+
+  test("fused cosine/dot are bitwise-identical to the HOF folds on float vectors") {
+    val emb = Tables.embeddings(spark, sfDir).limit(300)
+    val pairs = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
+      .crossJoin(emb.select(col("vec_id").as("ib"), col("embedding").as("vb")))
+      .filter(col("ia") < col("ib")).limit(2000)
+    val diff = pairs.select(
+      cosine(col("va"), col("vb")).as("fc"), cosineHof(col("va"), col("vb")).as("hc"),
+      dot(col("va"), col("vb")).as("fd"), dotHof(col("va"), col("vb")).as("hd"))
+      .filter(col("fc") =!= col("hc") || col("fd") =!= col("hd")).count()
+    assert(diff == 0)
+  }
+
+  test("mixed float/double arrays (embedding vs literal plane) still work") {
+    val emb = Tables.embeddings(spark, sfDir).limit(5)
+    val dim = emb.select(size(col("embedding"))).collect()(0).getInt(0)
+    val plane = array((0 until dim).map(i => lit(0.01 * i - 0.3)): _*)
+    val rows = emb.select(dot(col("embedding"), plane).as("d")).collect()
+    assert(rows.forall(r => !r.isNullAt(0)))
+  }
+}
