@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.IncrementalMerge
+
+/** Structured-Streaming re-expression of the reference's incremental model
+  * (SURVEY §2.9). The reference is batch-incremental: a watermark bounds each
+  * extraction and the merge deletes+reloads everything at-or-after the window
+  * start, so late/mutated rows are corrected by re-extraction. Streaming
+  * equivalents:
+  *
+  *  - event-time watermark + windowed aggregation for the grouped snapshot
+  *    scans (S7/S8 shapes);
+  *  - watermark + dropDuplicates(id) replacing the delete+reload dedup
+  *    (naive append mode would duplicate mutated rows — SURVEY §7.5 risk 6);
+  *  - foreachBatch + the batch merge for sink-side correct-by-reload;
+  *  - mapGroupsWithState for per-key running state (account balance).
+  *
+  * All operators take an unbounded `readStream` DataFrame and return the
+  * transformed streaming frame; sinks/triggers stay at the call site.
+  */
+object Streams {
+
+  /** Hourly per-type event aggregate with a watermark so state is bounded:
+    * late rows beyond `lateness` are dropped instead of growing state
+    * forever (the streaming analog of q14's batch aggregate). */
+  def hourlyEventStats(events: DataFrame, lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total_value"))
+
+  /** Streaming dedup by id within the watermark horizon — the reference's
+    * replace-the-window merge re-expressed for append streams: a mutated row
+    * re-arriving within `lateness` replaces nothing downstream because only
+    * its first occurrence passes. */
+  def dedupeById(events: DataFrame, idCol: String, tsCol: String,
+                 lateness: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, lateness).dropDuplicates(idCol, tsCol)
+
+  /** Per-account running balance via explicit keyed state
+    * (mapGroupsWithState) — the stateful analog of the A6 running-total
+    * window for unbounded input. State is one double per key, so memory is
+    * bounded by key cardinality, not stream length. */
+  final case class BalanceUpdate(accountId: Long, amount: Double)
+  final case class AccountBalance(accountId: Long, balance: Double, nUpdates: Long)
+
+  def runningBalances(updates: Dataset[BalanceUpdate]): Dataset[AccountBalance] = {
+    import updates.sparkSession.implicits._
+    updates
+      .groupByKey(_.accountId)
+      .mapGroupsWithState[AccountBalance, AccountBalance](GroupStateTimeout.NoTimeout) {
+        (id: Long, rows: Iterator[BalanceUpdate], state: GroupState[AccountBalance]) =>
+          val prev = state.getOption.getOrElse(AccountBalance(id, 0.0, 0L))
+          var bal = prev.balance
+          var n = prev.nUpdates
+          rows.foreach { u => bal += u.amount; n += 1 }
+          val next = AccountBalance(id, bal, n)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Sink-side correct-by-reload for `foreachBatch`: each micro-batch runs
+    * the reference's watermark merge against the target table (strict `<`
+    * keep, window replace) and advances the control watermark only after a
+    * successful write — exactly v3:1312-1337 per batch, with idempotent
+    * overwrite so retries are safe. */
+  def foreachBatchMerge(targetPath: String, controlPath: String, dateCol: String,
+                        windowStartOf: DataFrame => String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) => {
+      val spark = batch.sparkSession
+      val ctl = new IncrementalMerge.ControlTable(spark, controlPath)
+      val windowStart = windowStartOf(batch)
+      val existing =
+        try spark.read.parquet(targetPath)
+        catch { case _: Exception => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
+      val merged = IncrementalMerge.merge(existing, batch, dateCol, windowStart)
+      merged.write.mode("overwrite").parquet(targetPath + "_next")
+      // swap-style publish: read back and overwrite the target (local-fs
+      // analog of an atomic table swap; on a real deployment this is a
+      // partition overwrite or table-format commit)
+      spark.read.parquet(targetPath + "_next").write.mode("overwrite").parquet(targetPath)
+      ctl.advance(Instant.now(), batchWasEmpty = batch.isEmpty)
+    }
+}
