@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** DataSourceV2 pushdown source: filters/columns/limit must reach the reader
+  * (visible in the physical plan) and results must match a plain-Spark
+  * evaluation of the same predicates. */
+class MonarchV2SourceSpec extends SparkTestBase {
+
+  private lazy val dataDir: String = {
+    val dir = Files.createTempDirectory("graft_v2").toString
+    val rows = (1 to 500).map { i =>
+      val date = f"2026-01-${i % 28 + 1}%02d"
+      val cat = Seq("food", "rent", "fun")(i % 3)
+      val amount = (i * 7 % 500) - 100 + 0.25
+      s"""{"id":"$i","date":"$date","amount":$amount,"account_id":"A${i % 5}","category":"$cat","merchant":"M${i % 11}","pending":${i % 97 == 0}}"""
+    }
+    Files.writeString(java.nio.file.Paths.get(s"$dir/part-0.jsonl"),
+      rows.take(250).mkString("\n"))
+    Files.writeString(java.nio.file.Paths.get(s"$dir/part-1.jsonl"),
+      rows.drop(250).mkString("\n"))
+    dir
+  }
+
+  private def read() = spark.read.format("monarch-txns").load(dataDir)
+
+  test("source registers by short name and reads all rows/columns") {
+    val df = read()
+    assert(df.count() == 500)
+    assert(df.columns.toSeq ==
+      Seq("id", "date", "amount", "account_id", "category", "merchant", "pending"))
+  }
+
+  test("filters are pushed into the reader and results match plain evaluation") {
+    val df = read()
+      .filter(col("date") >= lit("2026-01-10").cast("date"))
+      .filter(col("category").isin("food", "rent"))
+      .filter(col("amount") > 50.0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(date"),
+      s"filters not pushed:\n$plan")
+    // independent check through Spark's own JSON reader
+    val expected = spark.read.schema(
+        graft.sources.v2.MonarchTransactionsV2.schema)
+      .json(dataDir + "/part-0.jsonl", dataDir + "/part-1.jsonl")
+      .filter(col("date") >= lit("2026-01-10").cast("date"))
+      .filter(col("category").isin("food", "rent"))
+      .filter(col("amount") > 50.0)
+    assert(df.count() == expected.count() && df.count() > 0)
+    assert(df.collect().map(_.getString(0)).sorted.toSeq ==
+      expected.collect().map(_.getString(0)).sorted.toSeq)
+  }
+
+  test("column pruning reaches the reader (ReadSchema shrinks)") {
+    val df = read().select("id", "amount")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<id:string,amount:double>"), plan)
+    assert(df.collect().length == 500)
+  }
+
+  test("limit pushes down and unsupported predicates stay Spark-side") {
+    val limited = read().limit(7)
+    assert(limited.queryExecution.executedPlan.toString.contains("Limit: 7"))
+    assert(limited.count() == 7)
+    // contains() is not expressible in the pushdown set -> Spark post-filter
+    val df = read().filter(col("merchant").contains("M1"))
+    val expectedIds = (1 to 500).filter(i => s"M${i % 11}".contains("M1")).map(_.toString).sorted
+    assert(df.collect().map(_.getString(0)).sorted.toSeq == expectedIds)
+  }
+}
