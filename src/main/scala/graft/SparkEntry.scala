@@ -366,6 +366,18 @@ object SparkEntry {
         .orderBy(col("name"))
     },
 
+    // ---- Salted skew join: row-identical to the plain join (the oracle
+    // proves it), only the shuffle distribution changes ----
+    "q30_salted_join" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"), col("l_partkey"))
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      SkewJoin.saltedJoin(li, ord, "l_orderkey", saltBy = "l_partkey", salt = 4)
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // ---- Dedup: exact (hash-groupBy) ----
     "d01_exact_dedup" -> { (s, dir) =>
       Dedup.exact(Tables.documents(s, dir), "doc_id", Seq("lang", "source"))
@@ -978,6 +990,11 @@ object SparkEntry {
            UNION ALL
            SELECT 'bulk' FROM orders WHERE o_orderkey % 4 = 0)
          SELECT name, count(*) AS n FROM t GROUP BY 1 ORDER BY 1""",
+
+    "q30_salted_join" ->
+      """SELECT o_orderstatus, sum(CAST(l_quantity AS BIGINT)) AS sum_qty, count(*) AS n
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY 1""",
 
     "m01_binary_stats" ->
       """WITH a AS (

@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sinks
+
+/** Dynamic partition overwrite: an incremental batch must replace exactly its
+  * own months and leave cold history files untouched. */
+class SinksSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def txns(rows: (String, String, Double)*) =
+    rows.toSeq.toDF("id", "d", "amount").withColumn("d", $"d".cast("date"))
+
+  test("writes month partitions and reads back without the partition column") {
+    val path = Files.createTempDirectory("graft_sink").toString
+    Sinks.writeMonthPartitioned(
+      txns(("a", "2026-01-05", 1.0), ("b", "2026-02-10", 2.0), ("c", "2026-03-15", 3.0)),
+      path, dateCol = "d")
+    assert(Seq("2026-01", "2026-02", "2026-03").forall(m =>
+      Files.isDirectory(Paths.get(s"$path/__month=$m"))))
+    val back = Sinks.readMonthPartitioned(spark, path)
+    assert(back.columns.toSeq == Seq("id", "d", "amount"))
+    assert(back.count() == 3)
+  }
+
+  test("replaying a window rewrites only its partitions; cold months keep their files") {
+    val path = Files.createTempDirectory("graft_sink2").toString
+    Sinks.writeMonthPartitioned(
+      txns(("a", "2026-01-05", 1.0), ("b", "2026-02-10", 2.0)), path, dateCol = "d")
+    def filesIn(m: String) =
+      Files.list(Paths.get(s"$path/__month=$m")).iterator()
+    val janBefore = { val it = filesIn("2026-01"); val s = new StringBuilder; it.forEachRemaining(p => s ++= p.toString + "\n"); s.toString }
+
+    // second batch touches only February, with corrected amounts
+    Sinks.writeMonthPartitioned(
+      txns(("b", "2026-02-10", 20.0), ("b2", "2026-02-11", 21.0)), path, dateCol = "d")
+
+    val janAfter = { val it = filesIn("2026-01"); val s = new StringBuilder; it.forEachRemaining(p => s ++= p.toString + "\n"); s.toString }
+    assert(janAfter == janBefore, "January partition files must be untouched")
+
+    val back = Sinks.readMonthPartitioned(spark, path).orderBy("id")
+      .select("id", "amount").as[(String, Double)].collect().toSeq
+    assert(back == Seq(("a", 1.0), ("b", 20.0), ("b2", 21.0)),
+      s"February must be replaced, January kept: $back")
+  }
+
+  test("restores the prior partitionOverwriteMode setting") {
+    val path = Files.createTempDirectory("graft_sink3").toString
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    Sinks.writeMonthPartitioned(txns(("a", "2026-01-05", 1.0)), path, dateCol = "d")
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static")
+  }
+}
