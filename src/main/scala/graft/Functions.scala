@@ -47,6 +47,10 @@ object Functions {
   def shingle_hash_set(text: Column, k: Int): Column =
     bridge.column(ShingleHashSet(bridge.expression(text), k))
 
+  /** Sorted distinct 48-bit word-n-gram hashes (fused kernel). */
+  def ngram_hash_set(text: Column, n: Int): Column =
+    bridge.column(graft.functions.NgramHashSet(bridge.expression(text), n))
+
   /** MinHash signature over a precomputed hash set (one shingle pass shared
     * between LSH banding and Jaccard verification). */
   def minhash_from_hashes(hashes: Column, numHashes: Int): Column =

@@ -407,6 +407,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- Dedup: blocked word-n-gram Jaccard ----
+    "d06_ngram_jaccard" -> { (s, dir) =>
+      Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
+          blockCols = Seq("lang"), n = 2, threshold = 0.5)
+        .orderBy(col("lang"), col("id_a"), col("id_b"))
+    },
+
     // ---- Dedup: embedding-cosine near-dup inside blocks ----
     "d05_embedding_neardup" -> { (s, dir) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -879,6 +886,23 @@ object SparkEntry {
            FROM h, range(0, 32) t(b) GROUP BY doc_id, b)
          SELECT doc_id, CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(b AS INTEGER))) AS BIGINT) AS simhash
          FROM bits GROUP BY doc_id ORDER BY doc_id""",
+
+    "d06_ngram_jaccard" ->
+      """WITH g AS (
+           SELECT doc_id, lang,
+             list_sort(list_distinct(list_transform(
+               range(1, greatest(length(toks)-1, 1)+1),
+               i -> CAST(('0x' || substr(md5(array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+1], ' ')),1,12)) AS BIGINT)))) AS gs
+           FROM (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)),
+         capped AS (
+           SELECT * FROM g QUALIFY count(*) OVER (PARTITION BY lang) <= 1000),
+         pairs AS (
+           SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CAST(length(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+                   (length(a.gs) + length(b.gs) - length(list_intersect(a.gs, b.gs))), 6) AS jaccard
+           FROM capped a JOIN capped b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+         SELECT lang, id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+         ORDER BY lang, id_a, id_b""",
 
     "d05_embedding_neardup" ->
       """WITH e AS (SELECT label AS block, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

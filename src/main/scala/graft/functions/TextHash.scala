@@ -127,6 +127,41 @@ object TextHashUtil {
     inter.toDouble / (na + nb - inter).toDouble
   }
 
+  /** Sorted distinct word n-gram hashes: tokenize like [[simhash]] (space
+    * trim + \s+ split), join each n consecutive tokens with one space, hash
+    * 48-bit. Token lists shorter than n contribute their single joined gram
+    * (mirroring the shingle max(len-k+1,1) convention). */
+  def ngramHashSet(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    var start = 0
+    var end = s.length
+    while (start < end && s.charAt(start) == ' ') start += 1
+    while (end > start && s.charAt(end - 1) == ' ') end -= 1
+    val toks = Ws.split(s.substring(start, end), -1)
+    val positions = math.max(toks.length - n + 1, 1)
+    val hs = new java.util.HashSet[java.lang.Long](positions * 2)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < positions) {
+      sb.setLength(0)
+      var j = i
+      val stop = math.min(i + n, toks.length)
+      while (j < stop) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      hs.add(md5Prefix48(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      i += 1
+    }
+    val arr = new Array[Long](hs.size())
+    val it = hs.iterator()
+    var idx = 0
+    while (it.hasNext) { arr(idx) = it.next().longValue(); idx += 1 }
+    java.util.Arrays.sort(arr)
+    new GenericArrayData(arr)
+  }
+
   /** SimHash: per-token 48-bit hash (duplicates counted); bit b of the result
     * is set iff the +/-1 vote sum at bit b is positive. Tokenization matches
     * split(trim(text), "\\s+"): space-only trim, trailing empty kept. */
@@ -193,6 +228,19 @@ case class ShingleHashSet(child: Expression, k: Int) extends TextHashExpression 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHashUtil.shingleHashSet($c, $k)")
   override protected def withNewChildInternal(newChild: Expression): ShingleHashSet =
+    copy(child = newChild)
+}
+
+/** ngram_hash_set(text, n) — sorted distinct 48-bit word-n-gram hashes. */
+case class NgramHashSet(child: Expression, n: Int) extends TextHashExpression {
+  require(n >= 1, s"ngram n must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hash_set"
+  override def nullSafeEval(input: Any): Any =
+    TextHashUtil.ngramHashSet(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashUtil.ngramHashSet($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): NgramHashSet =
     copy(child = newChild)
 }
 

@@ -103,6 +103,33 @@ object Dedup {
     withJaccard(pairs, sets).filter(col("jaccard") >= threshold)
   }
 
+  /** Word n-gram Jaccard near-dup: pairs inside a blocking key whose n-gram
+    * sets overlap above `threshold`. The join is a blocked equi-join (one
+    * shuffle on the block key) with the same hot-block cap as LSH —
+    * within-block comparison is quadratic in block size, so blocks above
+    * `maxBlockSize` are dropped rather than allowed to dominate the job.
+    * Use when the corpus has a natural partition (language, source, length
+    * bucket); for unblocked corpora prefer [[minhashLsh]], whose banding
+    * generates candidates without a quadratic term. */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                   blockCols: Seq[String], n: Int = 2, threshold: Double = 0.5,
+                   maxBlockSize: Int = 1000): DataFrame = {
+    val base = docs.select(
+      (blockCols.map(col) :+ col(idCol) :+ ngram_hash_set(col(textCol), n).as("_gset")): _*)
+    val sized = base.withColumn("_sz",
+      count(lit(1)).over(Window.partitionBy(blockCols.map(col): _*)))
+    val capped = sized.filter(col("_sz") <= maxBlockSize).drop("_sz")
+    val a = capped.select(
+      (blockCols.map(col) :+ col(idCol).as("id_a") :+ col("_gset").as("set_a")): _*)
+    val b = capped.select(
+      (blockCols.map(col) :+ col(idCol).as("id_b") :+ col("_gset").as("set_b")): _*)
+    a.join(b, blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", round(jaccard_sorted(col("set_a"), col("set_b")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select((blockCols.map(col) :+ col("id_a") :+ col("id_b") :+ col("jaccard")): _*)
+  }
+
   /** SimHash: per-token md5-derived hash; each bit position accumulates
     * +1/-1 across tokens; the sign of each sum becomes the fingerprint bit.
     * Row-local fused kernel, no shuffle. */

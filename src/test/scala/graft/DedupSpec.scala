@@ -96,6 +96,39 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.count() == 30L * 29 / 2)
   }
 
+  test("ngram_hash_set equals the interpreted token-n-gram composition") {
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    val hof = {
+      val toks = split(trim(col("text")), "\\s+", -1)
+      array_sort(array_distinct(transform(
+        sequence(lit(1), greatest(size(toks) - lit(1), lit(1))),
+        i => md5_prefix_long(concat_ws(" ", slice(toks, i, lit(2)))))))
+    }
+    val diff = docs.select(
+      ngram_hash_set(col("text"), 2).as("fused"), hof.as("hof"))
+      .filter(col("fused") =!= col("hof")).count()
+    assert(diff == 0)
+  }
+
+  test("ngramJaccard finds exact dups at 1.0, respects blocks, caps hot blocks") {
+    val docs = Seq(
+      (1L, "en", "the quick brown fox jumps"),
+      (2L, "en", "the quick brown fox jumps"),   // exact dup of 1
+      (3L, "en", "the quick brown fox sleeps"),  // near dup of 1
+      (4L, "de", "the quick brown fox jumps"),   // same text, other block
+      (5L, "en", "completely different words entirely")
+    ).toDF("doc_id", "lang", "text")
+    val out = Dedup.ngramJaccard(docs, "doc_id", "text", Seq("lang"), n = 2, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(out.map(p => (p._1, p._2)) == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(out.head._3 == 1.0) // exact dup
+    // hot-block cap: 500 identical docs in one block all dropped
+    val degenerate = spark.range(500)
+      .select(col("id"), lit("x").as("lang"), lit("same text again").as("text"))
+    assert(Dedup.ngramJaccard(degenerate, "id", "text", Seq("lang"),
+      n = 2, threshold = 0.1, maxBlockSize = 100).count() == 0)
+  }
+
   test("hammingDistance masks to the requested width") {
     val df = Seq((0xF0FL, 0x00FL)).toDF("a", "b")
     val got = df.select(
