@@ -433,6 +433,12 @@ object SparkEntry {
         queryId = 0L, k = 10, numPlanes = 4, dim = 64)
     },
 
+    // ---- Similarity: IVF coarse-quantizer ANN (scans ~nprobe/nlist) ----
+    "s03_ivf_ann" -> { (s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryId = 0L, k = 10, centroidIds = (1L to 8L), nprobe = 2)
+    },
+
     // ---- Multimodal: binary asset stats (size / hash / magic sniff) ----
     "m01_binary_stats" -> { (s, dir) =>
       Multimodal.binaryStats(syntheticAssets(s, dir), "doc_id", "payload")
@@ -875,6 +881,27 @@ object SparkEntry {
              round(list_dot_product(v, qv) /
                    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine
            FROM bucketed, q WHERE bucket = qb AND vec_id <> 0)
+         SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""",
+
+    "s03_ivf_ann" ->
+      """WITH c AS (
+           SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cosl AS (
+           SELECT v.vec_id, v.v,
+             list(list_dot_product(v.v, c.cv) /
+                  (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+                  ORDER BY c.cid) AS cl
+           FROM v CROSS JOIN c GROUP BY v.vec_id, v.v),
+         asg AS (SELECT vec_id, v, list_position(cl, list_max(cl)) AS lst FROM cosl),
+         q AS (SELECT v AS qv, cl AS qcl FROM cosl WHERE vec_id = 0),
+         scored AS (
+           SELECT a.vec_id,
+             round(list_dot_product(a.v, qv) /
+                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+           FROM asg a, q
+           WHERE qcl[a.lst] >= list_sort(qcl, 'DESC')[2] AND a.vec_id <> 0)
          SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""",
 
     "d04_simhash" ->

@@ -61,6 +61,44 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer of pinned centroid vectors
+    * partitions the corpus into `nlist` lists; each vector is assigned
+    * row-local to its max-cosine centroid (argmax over a literal codebook —
+    * codegen'd, shuffle-free); a query probes only the `nprobe` lists whose
+    * centroids are closest to it, then runs exact cosine inside them.
+    *
+    * `centroidIds` pins the codebook deterministically to existing vectors
+    * (in production these are k-means centroids — always small enough to
+    * collect: nlist ~ sqrt(N) codebook rows, not data-scale). Scanning
+    * probed lists touches ~nprobe/nlist of the corpus; recall is tunable
+    * via nprobe. Ties at the probe threshold include extra lists
+    * (deterministic in both engines). */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, centroidIds: Seq[Long], nprobe: Int): DataFrame = {
+    val byId = emb.filter(col(idCol).isInCollection(centroidIds))
+      .select(col(idCol), col(vecCol)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val codebook: Seq[Column] = centroidIds.map(id =>
+      array(byId(id).map(f => lit(f.toDouble)): _*))
+    def cosArr(vec: Column): Column = array(codebook.map(c => cosine(vec, c)): _*)
+    // 0-based argmax, first index on exact-double ties
+    def assign(vec: Column): Column = {
+      val arr = cosArr(vec)
+      (array_position(arr, array_max(arr)) - 1).cast("int")
+    }
+    val assigned = emb.withColumn("_list", assign(col(vecCol)))
+    val q = assigned.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("_qvec"), cosArr(col(vecCol)).as("_qcos"))
+    assigned.crossJoin(broadcast(q))
+      .filter(element_at(col("_qcos"), col("_list") + 1) >=
+        element_at(sort_array(col("_qcos"), asc = false), nprobe))
+      .filter(col(idCol) =!= queryId)
+      .withColumn("cosine", round(cosine(col(vecCol), col("_qvec")), 6))
+      .select(col(idCol), col("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** ANN top-k: restrict the scan to vectors in the query's LSH bucket, then
     * exact cosine inside the bucket. With B buckets this scans ~1/B of the
     * data; recall is tunable via numPlanes (and multi-probe if needed). */

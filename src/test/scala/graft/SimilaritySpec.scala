@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** ANN variants against the exact baseline: IVF probing every list must
+  * reproduce brute force exactly; narrowing nprobe must only shrink the
+  * candidate set (never invent neighbors). */
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def emb = Tables.embeddings(spark, sfDir)
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+    df.select("vec_id", "cosine").as[(Long, Double)].collect().toSeq
+
+  test("ivfTopK with nprobe = nlist equals exact brute-force top-k") {
+    val exact = ids(Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10))
+    val ivfAll = ids(Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10,
+      centroidIds = (1L to 8L), nprobe = 8))
+    assert(ivfAll == exact)
+  }
+
+  test("ivf candidates with nprobe=1 are a subset of nprobe=2, with recall > 0") {
+    val n1 = ids(Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 50,
+      centroidIds = (1L to 8L), nprobe = 1)).map(_._1).toSet
+    val n2 = ids(Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 50,
+      centroidIds = (1L to 8L), nprobe = 2)).map(_._1).toSet
+    val exact = ids(Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 50)).map(_._1).toSet
+    assert(n1.nonEmpty)
+    // top-50 of a superset scan can only rank candidates at least as well
+    assert((n1 -- n2).forall(exact.contains) || (n1 subsetOf n2) || n2.size == 50)
+    assert((n2 & exact).nonEmpty, "nprobe=2 must recall at least one true neighbor")
+  }
+
+  test("ivf assignment is a total partition: every vector lands in exactly one list") {
+    val total = emb.count() - 1 // minus the query vector itself
+    val union = ids(Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, Int.MaxValue,
+      centroidIds = (1L to 8L), nprobe = 8))
+    assert(union.size == total, s"nprobe=8 with k=∞ must scan all $total vectors, got ${union.size}")
+  }
+
+  test("lshTopK returns neighbors from the query bucket ranked like brute force") {
+    val lsh = ids(Similarity.lshTopK(emb, "vec_id", "embedding", 0L, 10,
+      numPlanes = 2, dim = 64))
+    val exact = ids(Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L,
+      Int.MaxValue)).toMap
+    assert(lsh.nonEmpty)
+    // every LSH score must equal the exact score for that id
+    lsh.foreach { case (id, cos) => assert(exact(id) == cos) }
+    // and the list must be sorted by (cosine desc, id asc)
+    assert(lsh == lsh.sortBy { case (id, cos) => (-cos, id) })
+  }
+}
