@@ -98,8 +98,11 @@ object Functions {
     bridge.column(LangId(bridge.expression(text)))
 
   /** Register SQL-callable names for the custom expressions. */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "parse_money", exprs => ParseMoney(exprs.head), "built-in")
-  }
+  /** Register every custom expression as a SQL function on a running session
+    * (same definition list as [[GraftExtensions]], the build-time path). */
+  def register(spark: SparkSession): Unit =
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
 }

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** SQL surface for the engine's custom Catalyst expressions.
+  *
+  * Two registration paths, one definition list:
+  *  - `spark.sql.extensions=graft.GraftExtensions` (or
+  *    `builder.withExtensions(new GraftExtensions)`) injects them at session
+  *    build time — the standard way a Spark library ships functions;
+  *  - [[Functions.register]] adds them to an already-running session.
+  *
+  * After either, every kernel is callable from plain SQL:
+  * `SELECT parse_money(amount), minhash_signature(text, 5, 16) FROM t`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, fn: String, pos: Int): Int = {
+    require(e.foldable, s"$fn: argument $pos must be a constant")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+
+  /** name -> SQL builder for every custom expression in the engine. */
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "parse_money" -> (e => ParseMoney(e.head)),
+    "minhash_signature" -> (e =>
+      MinhashSignature(e.head, intArg(e(1), "minhash_signature", 2),
+        intArg(e(2), "minhash_signature", 3))),
+    "shingle_hash_set" -> (e =>
+      ShingleHashSet(e.head, intArg(e(1), "shingle_hash_set", 2))),
+    "ngram_hash_set" -> (e =>
+      NgramHashSet(e.head, intArg(e(1), "ngram_hash_set", 2))),
+    "minhash_from_hashes" -> (e =>
+      MinhashFromHashes(e.head, intArg(e(1), "minhash_from_hashes", 2))),
+    "simhash" -> (e => SimHash(e.head, intArg(e(1), "simhash", 2))),
+    "jaccard_sorted" -> (e => JaccardSorted(e.head, e(1))),
+    "dot_product" -> (e => DotProduct(e.head, e(1))),
+    "cosine_similarity" -> (e => CosineSim(e.head, e(1))),
+    "l2_norm" -> (e => L2Norm(e.head)),
+    "lang_id" -> (e => LangId(e.head)))
+}
