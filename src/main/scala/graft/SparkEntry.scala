@@ -451,6 +451,20 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("frame_no"))
     },
 
+    // ---- Multimodal: resize stub (byte-stride downsample plumbing) ----
+    "m03_resize" -> { (s, dir) =>
+      Multimodal.resizeImageStub(syntheticAssets(s, dir), "doc_id", "payload", stride = 4)
+        .withColumnRenamed("asset_id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Multimodal: feature-extract stub (batched model-pass plumbing) ----
+    "m04_features" -> { (s, dir) =>
+      Multimodal.extractFeaturesStub(syntheticAssets(s, dir), "doc_id", "payload", dim = 16)
+        .withColumnRenamed("asset_id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
     // ---- Text: language-ID heuristic ----
     "t01_langid" -> { (s, dir) =>
       Tables.documents(s, dir)
@@ -1073,6 +1087,35 @@ object SparkEntry {
            length(substr(s, CAST(i*256 + 1 AS INTEGER), 256)) AS frame_bytes,
            md5(substr(s, CAST(i*256 + 1 AS INTEGER), 256)) AS frame_md5
          FROM f ORDER BY doc_id, frame_no""",
+
+    "m03_resize" ->
+      """WITH a AS (
+           SELECT doc_id,
+             (CASE doc_id % 3 WHEN 0 THEN 'PNG0' WHEN 1 THEN 'JPG0' ELSE '' END) || text AS s
+           FROM documents),
+         r AS (
+           SELECT doc_id, octet_length(encode(s)) AS n_bytes_in,
+             array_to_string(list_transform(range(1, length(s)+1, 4),
+               i -> substr(s, CAST(i AS INTEGER), 1)), '') AS rs
+           FROM a)
+         SELECT doc_id, n_bytes_in, octet_length(encode(rs)) AS n_bytes_out,
+           md5(rs) AS resized_md5
+         FROM r ORDER BY doc_id""",
+
+    "m04_features" ->
+      """WITH a AS (
+           SELECT doc_id,
+             (CASE doc_id % 3 WHEN 0 THEN 'PNG0' WHEN 1 THEN 'JPG0' ELSE '' END) || text AS s
+           FROM documents),
+         c AS (
+           SELECT doc_id, greatest(length(s), 1) AS n,
+             list_transform(range(1, length(s)+1),
+               i -> ord(substr(s, CAST(i AS INTEGER), 1)) % 16) AS bs
+           FROM a)
+         SELECT doc_id,
+           list_transform(range(0, 16),
+             b -> CAST(len(list_filter(bs, x -> x = b)) AS DOUBLE) / n) AS features
+         FROM c ORDER BY doc_id""",
 
     "t01_langid" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),

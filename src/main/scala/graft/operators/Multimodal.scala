@@ -86,6 +86,71 @@ object Multimodal {
     }(enc)
   }
 
+  /** Resized-asset schema (what a real resize kernel would emit). */
+  val resizeSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("n_bytes_in", IntegerType),
+    StructField("n_bytes_out", IntegerType),
+    StructField("resized_md5", StringType)))
+
+  /** STUB resize — keeps every `stride`-th byte of the payload (a real
+    * deployment swaps the kernel for a codec decode→scale→encode). The
+    * plumbing is the production shape: row-local binary→binary inside
+    * mapPartitions with per-partition initialization, no shuffle, bounded
+    * memory per row. */
+  def resizeImageStub(df: DataFrame, idCol: String, binCol: String,
+                      stride: Int = 4): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val input = df.select(col(idCol).cast("long"), col(binCol))
+    val enc = RowEncoder.encoderFor(resizeSchema)
+    input.mapPartitions { rows =>
+      // real resizer: initialize the codec ONCE per partition here
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val out = new Array[Byte]((bytes.length + stride - 1) / stride)
+        var i = 0
+        while (i < out.length) { out(i) = bytes(i * stride); i += 1 }
+        md.reset()
+        val hex = md.digest(out).map("%02x".format(_)).mkString
+        Row(id, bytes.length, out.length, hex)
+      }
+    }(enc)
+  }
+
+  /** Feature-vector schema: a fixed-dim embedding per asset. */
+  def featureSchema(dim: Int): StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("features", ArrayType(DoubleType, containsNull = false))))
+
+  /** STUB feature extraction — a normalized byte-bucket histogram stands in
+    * for a model forward pass. The batched-iterator shape is exactly how a
+    * real embedding model runs (weights loaded once per partition, rows
+    * streamed through), and the output contract (fixed-dim double vector)
+    * feeds the similarity suite unchanged. */
+  def extractFeaturesStub(df: DataFrame, idCol: String, binCol: String,
+                          dim: Int = 16): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val input = df.select(col(idCol).cast("long"), col(binCol))
+    val enc = RowEncoder.encoderFor(featureSchema(dim))
+    input.mapPartitions { rows =>
+      // real extractor: load the model ONCE per partition here
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val counts = new Array[Long](dim)
+        var i = 0
+        while (i < bytes.length) { counts((bytes(i) & 0xff) % dim) += 1; i += 1 }
+        // one IEEE division per bucket — bitwise identical in any engine, so
+        // no rounding needed for oracle parity
+        val denom = math.max(bytes.length, 1).toDouble
+        val feats = counts.map(_ / denom)
+        Row(id, feats.toSeq)
+      }
+    }(enc)
+  }
+
   /** ??? real decode — STUB: derives stable fake dimensions from the first
     * bytes so tests are deterministic. Replace with an image library. */
   private def fakeDecode(bytes: Array[Byte]): (String, Int, Int) = {

@@ -55,4 +55,34 @@ class MultimodalSpec extends SparkTestBase {
       .orderBy("asset_id").collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("resize stub: stride-4 keeps ceil(n/4) bytes; stride-1 is the identity") {
+    val got = Multimodal.resizeImageStub(assets, "asset_id", "payload", stride = 4)
+      .orderBy("asset_id").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(got(1L) == (604, 151))
+    assert(got(2L) == (8, 2))
+    assert(got(4L) == (0, 0))
+    val id = Multimodal.resizeImageStub(assets, "asset_id", "payload", stride = 1)
+      .orderBy("asset_id").collect()
+    val orig = Multimodal.binaryStats(assets, "asset_id", "payload")
+      .orderBy("asset_id").collect()
+    id.zip(orig).foreach { case (r, o) =>
+      assert(r.getInt(1) == r.getInt(2)) // in == out
+      assert(r.getString(3) == o.getString(2)) // same md5 as the original
+    }
+  }
+
+  test("feature stub: fixed dim, non-negative, sums to 1 for non-empty payloads") {
+    val rows = Multimodal.extractFeaturesStub(assets, "asset_id", "payload", dim = 16)
+      .orderBy("asset_id").collect()
+    rows.foreach { r =>
+      val f = r.getAs[scala.collection.Seq[Double]](1)
+      assert(f.length == 16)
+      assert(f.forall(_ >= 0.0))
+      val sum = f.sum
+      if (r.getLong(0) != 4L) assert(math.abs(sum - 1.0) < 1e-9, s"sum=$sum")
+      else assert(sum == 0.0) // empty payload: zero vector, no NaN
+    }
+  }
 }
