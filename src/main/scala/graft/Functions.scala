@@ -64,6 +64,14 @@ object Functions {
   def jaccard_sorted(a: Column, b: Column): Column =
     bridge.column(JaccardSorted(bridge.expression(a), bridge.expression(b)))
 
+  /** Bounded-heap per-group top-k aggregate: keeps the k payloads with the
+    * highest (ord DESC, tie ASC) rank; partial-aggregates map-side so only
+    * k rows per group per partition cross the shuffle. */
+  def top_k_by(payload: Column, ord: Column, tie: Column, k: Int): Column =
+    bridge.column(graft.functions.TopKBy(
+      bridge.expression(payload), bridge.expression(ord), bridge.expression(tie), k)
+      .toAggregateExpression())
+
   /** Stable 48-bit integer from the md5 hex prefix. md5 is identical across
     * engines (Spark, DuckDB, Python), which makes every hash-derived operator
     * (dedup, MinHash, SimHash, LSH) oracle-checkable bit-for-bit. 12 hex chars

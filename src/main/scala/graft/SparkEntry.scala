@@ -366,6 +366,14 @@ object SparkEntry {
         .orderBy(col("name"))
     },
 
+    // ---- Per-group top-k via the bounded-heap aggregate (k rows per
+    // group per partition cross the shuffle — never a full window sort) ----
+    "q31_topk_per_group" -> { (s, dir) =>
+      Windows.topKPerGroup(Tables.orders(s, dir), Seq("o_custkey"),
+          payloadCol = "o_orderkey", ordCol = "o_totalprice", tieCol = "o_orderkey", k = 3)
+        .orderBy(col("o_custkey"), col("rank"))
+    },
+
     // ---- Salted skew join: row-identical to the plain join (the oracle
     // proves it), only the shuffle distribution changes ----
     "q30_salted_join" -> { (s, dir) =>
@@ -1055,6 +1063,13 @@ object SparkEntry {
            UNION ALL
            SELECT 'bulk' FROM orders WHERE o_orderkey % 4 = 0)
          SELECT name, count(*) AS n FROM t GROUP BY 1 ORDER BY 1""",
+
+    "q31_topk_per_group" ->
+      """SELECT o_custkey, CAST(rnk AS INTEGER) AS rank, o_orderkey FROM (
+           SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+           FROM orders) WHERE rnk <= 3 ORDER BY o_custkey, rank""",
 
     "q30_salted_join" ->
       """SELECT o_orderstatus, sum(CAST(l_quantity AS BIGINT)) AS sum_qty, count(*) AS n

@@ -1,0 +1,173 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Per-group top-k as a partial-aggregable Catalyst aggregate.
+  *
+  * `top_k_by(payload, ord, tie, k)` keeps the k payloads with the highest
+  * (ord DESC, tie ASC) rank per group, merged associatively across
+  * partitions. Versus the `row_number() OVER (PARTITION BY ...) <= k`
+  * formulation — which shuffles EVERY row of the group and sorts it — this
+  * ships at most k rows per (group, partition) through the shuffle and never
+  * materializes a sort: the map side reduces first, which is the property
+  * that matters when one group holds millions of rows at 100 TB.
+  *
+  * `tie` must order rows totally within equal `ord` values (use a unique
+  * id); that is what makes the result deterministic and oracle-checkable.
+  */
+case class TopKBy(payload: Expression, ord: Expression, tie: Expression, k: Int,
+                  mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKHeap] {
+
+  require(k >= 1, s"top_k_by: k must be >= 1, got $k")
+
+  override def children: Seq[Expression] = Seq(payload, ord, tie)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(payload.dataType, containsNull = false)
+  override def prettyName: String = "top_k_by"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (!ord.dataType.isInstanceOf[NumericType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"top_k_by: ord must be numeric, got ${ord.dataType.catalogString}")
+    else if (tie.dataType != LongType && tie.dataType != IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"top_k_by: tie must be int/long, got ${tie.dataType.catalogString}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  private def ordToDouble(o: Any): Double = o match {
+    case d: java.lang.Double  => d
+    case f: java.lang.Float   => f.toDouble
+    case i: java.lang.Integer => i.toDouble
+    case l: java.lang.Long    => l.toDouble
+    case s: java.lang.Short   => s.toDouble
+    case b: java.lang.Byte    => b.toDouble
+    case d: Decimal           => d.toDouble
+  }
+
+  override def createAggregationBuffer(): TopKHeap = new TopKHeap(k)
+
+  override def update(buf: TopKHeap, input: InternalRow): TopKHeap = {
+    val o = ord.eval(input)
+    val t = tie.eval(input)
+    val p = payload.eval(input)
+    if (o != null && t != null && p != null) {
+      val ordD = ordToDouble(o)
+      val tieL: Long = t match {
+        case i: java.lang.Integer => i.longValue
+        case l: java.lang.Long    => l.longValue
+      }
+      buf.offer(ordD, tieL, p, payload.dataType)
+    }
+    buf
+  }
+
+  override def merge(buf: TopKHeap, other: TopKHeap): TopKHeap = { buf.absorb(other); buf }
+
+  override def eval(buf: TopKHeap): Any = new GenericArrayData(buf.sortedPayloads)
+
+  override def serialize(buf: TopKHeap): Array[Byte] = buf.toBytes(payload.dataType)
+  override def deserialize(bytes: Array[Byte]): TopKHeap =
+    TopKHeap.fromBytes(bytes, k, payload.dataType)
+
+  override def withNewMutableAggBufferOffset(n: Int): TopKBy = copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): TopKBy = copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): TopKBy =
+    copy(payload = c(0), ord = c(1), tie = c(2))
+}
+
+/** Bounded heap of (ord, tie, payload) keeping the k best under
+  * (ord DESC, tie ASC); the heap head is always the current worst so an
+  * insert into a full heap is one compare + one sift. */
+final class TopKHeap(val k: Int) {
+
+  /** head = worst kept entry: smallest ord, then largest tie. */
+  private val heap = new java.util.PriorityQueue[TopKHeap.Entry](
+    math.max(k, 1), TopKHeap.worstFirst)
+
+  private def beatsWorst(ordD: Double, tieL: Long): Boolean = {
+    val w = heap.peek()
+    ordD > w.ord || (ordD == w.ord && tieL < w.tie)
+  }
+
+  def offer(ordD: Double, tieL: Long, value: Any, dt: DataType): Unit = {
+    if (heap.size < k) {
+      heap.add(new TopKHeap.Entry(ordD, tieL, InternalRow.copyValue(value)))
+    } else if (beatsWorst(ordD, tieL)) {
+      heap.poll()
+      heap.add(new TopKHeap.Entry(ordD, tieL, InternalRow.copyValue(value)))
+    }
+  }
+
+  private def offerOwned(e: TopKHeap.Entry): Unit = {
+    if (heap.size < k) heap.add(e)
+    else if (beatsWorst(e.ord, e.tie)) { heap.poll(); heap.add(e) }
+  }
+
+  def absorb(other: TopKHeap): Unit = {
+    val it = other.heap.iterator()
+    while (it.hasNext) offerOwned(it.next()) // entries are already copies
+  }
+
+  /** Payloads best-first: (ord DESC, tie ASC). */
+  def sortedPayloads: Array[Any] = {
+    val arr = heap.toArray(new Array[TopKHeap.Entry](heap.size))
+    java.util.Arrays.sort(arr, TopKHeap.bestFirst)
+    arr.map(_.value)
+  }
+
+  def toBytes(dt: DataType): Array[Byte] = {
+    val proj = UnsafeProjection.create(Array(dt))
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(heap.size)
+    val it = heap.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out.writeDouble(e.ord)
+      out.writeLong(e.tie)
+      val row = proj.apply(InternalRow(e.value))
+      out.writeInt(row.getSizeInBytes)
+      out.write(row.getBytes)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+}
+
+object TopKHeap {
+  final class Entry(val ord: Double, val tie: Long, val value: Any)
+
+  /** smallest ord first, then largest tie (the worst kept entry). */
+  val worstFirst: java.util.Comparator[Entry] = (a: Entry, b: Entry) => {
+    val c = java.lang.Double.compare(a.ord, b.ord)
+    if (c != 0) c else java.lang.Long.compare(b.tie, a.tie)
+  }
+  val bestFirst: java.util.Comparator[Entry] = (a: Entry, b: Entry) =>
+    -worstFirst.compare(a, b)
+
+  def fromBytes(bytes: Array[Byte], k: Int, dt: DataType): TopKHeap = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val heap = new TopKHeap(k)
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val ordD = in.readDouble()
+      val tieL = in.readLong()
+      val size = in.readInt()
+      val buf = new Array[Byte](size)
+      in.readFully(buf)
+      val row = new UnsafeRow(1)
+      row.pointTo(buf, size)
+      heap.offer(ordD, tieL, row.get(0, dt), dt)
+      i += 1
+    }
+    heap
+  }
+}

@@ -27,6 +27,22 @@ object Windows {
         lag(value, 1).over(Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)),
         lit(0.0)))
 
+  /** Per-group top-k via the [[graft.Functions.top_k_by]] bounded-heap
+    * aggregate instead of `row_number().over(...) <= k`. The window form
+    * shuffles and sorts every row of every group; this form partial-
+    * aggregates map-side, so at most k rows per (group, partition) reach the
+    * shuffle — the difference between sorting a million-row group and
+    * shipping k rows of it. Output: group cols, `rank` (1-based), payload. */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], payloadCol: String,
+                   ordCol: String, tieCol: String, k: Int): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.Functions.top_k_by(col(payloadCol), col(ordCol), col(tieCol), k).as("_topk"))
+      .select((groupCols.map(col) :+ posexplode(col("_topk"))): _*)
+      .withColumn("rank", (col("pos") + 1).cast("int"))
+      .drop("pos")
+      .withColumnRenamed("col", payloadCol)
+      .select((groupCols.map(col) :+ col("rank") :+ col(payloadCol)): _*)
+
   /** A7 — denormalized per-group count carried on each row
     * (merchant.transactionsCount). Unbounded window, no sort needed. */
   def groupCount(df: DataFrame, partitionBy: Seq[Column], as: String): DataFrame =
