@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
   * zone for oracle parity.
   */
 object GraftSession {
-  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]",
+  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
               shufflePartitions: Option[Int] = None): SparkSession.Builder = {
     val cores = master match {
       case s if s.startsWith("local[") && !s.contains("*") =>

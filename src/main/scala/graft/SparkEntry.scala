@@ -162,7 +162,7 @@ object SparkEntry {
         .when(branch === 1, "")
         .when(col("l_returnflag") === "R", concat(lit("($"), withCommas, lit(")")))
         .otherwise(concat(lit("$"), withCommas))
-      Tables.lineitem(s, dir)
+      Parallelism.ensureDefaultParallelism(Tables.lineitem(s, dir))
         .withColumn("money_str", money)
         .select(col("l_orderkey"), col("l_linenumber"),
           round(parse_money(col("money_str")), 2).as("amount"),
@@ -394,7 +394,7 @@ object SparkEntry {
 
     // ---- Dedup: MinHash signature (row-local, md5-derived) ----
     "d02_minhash_sig" -> { (s, dir) =>
-      Tables.documents(s, dir)
+      Parallelism.ensureDefaultParallelism(Tables.documents(s, dir))
         .select(col("doc_id"), posexplode(Dedup.minhashSignature(col("text"), k = 5, numHashes = 16)))
         .select(col("doc_id"), col("pos").as("j"), col("col").as("minhash"))
         .orderBy(col("doc_id"), col("j"))
@@ -402,7 +402,7 @@ object SparkEntry {
 
     // ---- Dedup: full MinHash-LSH near-dup pipeline ----
     "d03_minhash_lsh" -> { (s, dir) =>
-      Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text",
+      Dedup.minhashLsh(Parallelism.ensureDefaultParallelism(Tables.documents(s, dir)), "doc_id", "text",
           k = 5, bands = 4, rowsPerBand = 4, threshold = 0.2)
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
@@ -410,14 +410,14 @@ object SparkEntry {
 
     // ---- Dedup: SimHash fingerprint ----
     "d04_simhash" -> { (s, dir) =>
-      Tables.documents(s, dir)
+      Parallelism.ensureDefaultParallelism(Tables.documents(s, dir))
         .select(col("doc_id"), Dedup.simhash(col("text"), 32).as("simhash"))
         .orderBy(col("doc_id"))
     },
 
     // ---- Dedup: blocked word-n-gram Jaccard ----
     "d06_ngram_jaccard" -> { (s, dir) =>
-      Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
+      Dedup.ngramJaccard(Parallelism.ensureDefaultParallelism(Tables.documents(s, dir)), "doc_id", "text",
           blockCols = Seq("lang"), n = 2, threshold = 0.5)
         .orderBy(col("lang"), col("id_a"), col("id_b"))
     },
