@@ -386,6 +386,24 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     },
 
+    // ---- Bucketed co-located join: both sides data-scale, shuffle paid
+    // once at write time, the join itself exchange-free (BucketingSpec
+    // asserts the plan) ----
+    "q32_bucketed_join" -> { (s, dir) =>
+      Bucketing.writeBucketed(Tables.part(s, dir), "graft_part_bkt", "p_partkey", 8)
+      Bucketing.writeBucketed(
+        Tables.lineitem(s, dir)
+          .select(col("l_partkey").as("p_partkey"), col("l_quantity"), col("l_extendedprice")),
+        "graft_li_bkt", "p_partkey", 8)
+      Bucketing.coLocatedJoin(s, "graft_li_bkt", "graft_part_bkt", "p_partkey")
+        .groupBy(col("p_brand"))
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(col("p_brand"))
+    },
+
     // ---- Dedup: exact (hash-groupBy) ----
     "d01_exact_dedup" -> { (s, dir) =>
       Dedup.exact(Tables.documents(s, dir), "doc_id", Seq("lang", "source"))
@@ -1070,6 +1088,12 @@ object SparkEntry {
              row_number() OVER (PARTITION BY o_custkey
                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
            FROM orders) WHERE rnk <= 3 ORDER BY o_custkey, rank""",
+
+    "q32_bucketed_join" ->
+      """SELECT p_brand, sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS revenue, count(*) AS n
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1 ORDER BY 1""",
 
     "q30_salted_join" ->
       """SELECT o_orderstatus, sum(CAST(l_quantity AS BIGINT)) AS sum_qty, count(*) AS n
