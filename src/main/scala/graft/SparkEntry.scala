@@ -509,7 +509,8 @@ object SparkEntry {
     // ---- Text: token statistics ----
     "t03_token_stats" -> { (s, dir) =>
       TextAnalysis.tokenStats(Tables.documents(s, dir), "text")
-        .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"), col("type_token_ratio"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+          col("type_token_ratio"), col("n_subword_chunks"))
         .orderBy(col("doc_id"))
     },
 
@@ -1195,10 +1196,11 @@ object SparkEntry {
          FROM m ORDER BY doc_id""",
 
     "t03_token_stats" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
+      """WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
          SELECT doc_id, length(toks) AS n_tokens,
                 length(list_distinct(toks)) AS n_distinct_tokens,
-                round(CAST(length(list_distinct(toks)) AS DOUBLE) / greatest(length(toks), 1), 6) AS type_token_ratio
+                round(CAST(length(list_distinct(toks)) AS DOUBLE) / greatest(length(toks), 1), 6) AS type_token_ratio,
+                len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS n_subword_chunks
          FROM t ORDER BY doc_id""",
 
     "t04_fingerprint" ->

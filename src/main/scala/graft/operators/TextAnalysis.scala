@@ -54,7 +54,13 @@ object TextAnalysis {
         when(col("mean_token_len").between(2.0, 12.0), 0.3).otherwise(0.0), 2))
   }
 
-  /** Token statistics: counts, distinct counts, type-token ratio. */
+  /** BPE-ish pre-tokenizer chunking (the GPT-2 shape, ASCII form): letter
+    * runs, digit runs, and punctuation runs, each with an optional leading
+    * space. Same RE2/Java-compatible pattern runs in the DuckDB oracle. */
+  val subwordPattern: String = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+  /** Token statistics: whitespace counts, distinct counts, type-token
+    * ratio, and the BPE-ish subword chunk count. */
   def tokenStats(df: DataFrame, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
     df.withColumn("n_tokens", size(toks))
@@ -62,6 +68,8 @@ object TextAnalysis {
       .withColumn("type_token_ratio",
         round(size(array_distinct(toks)).cast("double") /
           greatest(size(toks), lit(1)), 6))
+      .withColumn("n_subword_chunks",
+        size(regexp_extract_all(col(textCol), lit(subwordPattern), lit(0))))
   }
 
   /** Document fingerprint: md5 of whitespace-normalized lowercase text, plus
