@@ -386,6 +386,22 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     },
 
+    // ---- Gap sessionization via session_window: one shuffle on the user
+    // key; state per session, not per event (works unchanged on a stream
+    // with a watermark) ----
+    "q33_sessionize" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"),
+          unix_micros(min(col("ts"))).as("start_us"),
+          unix_micros(max(col("ts"))).as("end_us"))
+        .select(col("user_id"), col("start_us"), col("end_us"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("start_us"))
+    },
+
     // ---- Bucketed co-located join: both sides data-scale, shuffle paid
     // once at write time, the join itself exchange-free (BucketingSpec
     // asserts the plan) ----
@@ -1089,6 +1105,22 @@ object SparkEntry {
              row_number() OVER (PARTITION BY o_custkey
                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
            FROM orders) WHERE rnk <= 3 ORDER BY o_custkey, rank""",
+
+    "q33_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+         x AS (
+           SELECT user_id, us, value,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w >= 600000000 THEN 1 ELSE 0 END AS new_s
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+         y AS (
+           SELECT user_id, us, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS UNBOUNDED PRECEDING) AS sid
+           FROM x)
+         SELECT user_id, min(us) AS start_us, max(us) AS end_us,
+                count(*) AS n_events, round(sum(value), 2) AS total_value
+         FROM y GROUP BY user_id, sid ORDER BY user_id, start_us""",
 
     "q32_bucketed_join" ->
       """SELECT p_brand, sum(CAST(l_quantity AS BIGINT)) AS sum_qty,

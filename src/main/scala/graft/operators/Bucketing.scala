@@ -14,11 +14,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bucketing {
 
   /** Write `df` as a bucketed, per-bucket-sorted parquet table in the
-    * session catalog. One shuffle now; none on any future join by `key`. */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    * session catalog. One shuffle now; none on any future join by `key`.
+    * Drops any prior table AND its warehouse location first — an orphaned
+    * location from an earlier session (in-memory catalog, on-disk files)
+    * otherwise blocks the managed-table create. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
+  }
 
   /** Inner join of two same-bucketed tables on their bucket key. With equal
     * bucket counts the plan is exchange-free (verify with

@@ -36,6 +36,22 @@ object Streams {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total_value"))
 
+  /** Gap sessionization on unbounded input: `session_window` + watermark.
+    * One open session of state per key; a session closes and is emitted
+    * (append mode) once the watermark passes its end+gap. Byte-identical
+    * session bounds to the batch gaps-and-islands form (q33). */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+                 gap: String = "10 minutes", lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(col(userCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col(userCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** Streaming dedup by id within the watermark horizon — the reference's
     * replace-the-window merge re-expressed for append streams: a mutated row
     * re-arriving within `lateness` replaces nothing downstream because only

@@ -54,6 +54,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionize closes a session only after the watermark passes the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val sessions = Streams.sessionize(
+      in.toDF().toDF("user_id", "ts"), "user_id", "ts",
+      gap = "10 minutes", lateness = "5 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // two bursts for user 1 separated by > gap, then a watermark push
+      in.addData(
+        (1L, ts("2026-01-01 10:00:00")), (1L, ts("2026-01-01 10:05:00")),
+        (1L, ts("2026-01-01 10:30:00")))
+      q.processAllAvailable()
+      in.addData((2L, ts("2026-01-01 12:00:00"))) // advances the watermark past both
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .select(col("user_id"),
+          date_format(col("session_start"), "HH:mm").as("s"),
+          date_format(col("session_end"), "HH:mm").as("e"),
+          col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+      // session end = last event + gap; the two bursts never merge
+      assert(got == Set(
+        (1L, "10:00", "10:15", 2L),
+        (1L, "10:30", "10:40", 1L)))
+    } finally q.stop()
+  }
+
   test("runningBalances keeps one state per account across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Streams.BalanceUpdate]
