@@ -64,6 +64,13 @@ object Functions {
   def jaccard_sorted(a: Column, b: Column): Column =
     bridge.column(JaccardSorted(bridge.expression(a), bridge.expression(b)))
 
+  /** KMV distinct-count sketch aggregate: bounded k-minimum-values estimator
+    * over 48-bit md5 hashes; exact below k distinct values, md5-deterministic
+    * (oracle-reproducible) above. */
+  def kmv_distinct(c: Column, k: Int): Column =
+    bridge.column(graft.functions.KmvDistinct(bridge.expression(c), k)
+      .toAggregateExpression())
+
   /** Bounded-heap per-group top-k aggregate: keeps the k payloads with the
     * highest (ord DESC, tie ASC) rank; partial-aggregates map-side so only
     * k rows per group per partition cross the shuffle. */

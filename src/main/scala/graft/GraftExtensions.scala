@@ -49,6 +49,7 @@ object GraftExtensions {
     "simhash" -> (e => SimHash(e.head, intArg(e(1), "simhash", 2))),
     "jaccard_sorted" -> (e => JaccardSorted(e.head, e(1))),
     "top_k_by" -> (e => TopKBy(e.head, e(1), e(2), intArg(e(3), "top_k_by", 4))),
+    "kmv_distinct" -> (e => KmvDistinct(e.head, intArg(e(1), "kmv_distinct", 2))),
     "dot_product" -> (e => DotProduct(e.head, e(1))),
     "cosine_similarity" -> (e => CosineSim(e.head, e(1))),
     "l2_norm" -> (e => L2Norm(e.head)),

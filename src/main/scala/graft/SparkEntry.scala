@@ -535,6 +535,17 @@ object SparkEntry {
       TextAnalysis.fingerprint(Tables.documents(s, dir), "text")
         .select(col("doc_id"), col("fingerprint"), col("fingerprint_int"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- Corpus stats: KMV distinct sketch vs exact (the sketch is
+    // md5-deterministic, so the estimate itself is oracle-checked) ----
+    "t05_kmv_distinct" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(
+          kmv_distinct(col("text"), 16).as("est_distinct"),
+          countDistinct(col("text")).as("exact_distinct"))
+        .orderBy(col("lang"))
     }
   )
 
@@ -1239,6 +1250,17 @@ object SparkEntry {
       """WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents)
          SELECT doc_id, md5(norm) AS fingerprint,
                 CAST(('0x' || substr(md5(norm),1,12)) AS BIGINT) AS fingerprint_int
-         FROM n ORDER BY doc_id"""
+         FROM n ORDER BY doc_id""",
+
+    "t05_kmv_distinct" ->
+      """WITH h AS (
+           SELECT DISTINCT lang, CAST(('0x' || substr(md5(text),1,12)) AS BIGINT) AS h
+           FROM documents),
+         k AS (SELECT lang, list_sort(list(h)) AS hs, count(*) AS exact FROM h GROUP BY lang)
+         SELECT lang,
+           CASE WHEN len(hs) < 16 THEN CAST(len(hs) AS DOUBLE)
+                ELSE 15.0 * 281474976710656.0 / CAST(hs[16] AS DOUBLE) END AS est_distinct,
+           exact AS exact_distinct
+         FROM k ORDER BY lang"""
   )
 }
