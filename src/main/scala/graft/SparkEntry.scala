@@ -21,10 +21,12 @@ import graft.sources.{Synthetic, Tables}
   */
 object SparkEntry {
 
-  /** Flagship: the reference's core job shape — incremental watermark merge
-    * of an ordered, flattened transaction table (SURVEY §7.3) on sf0.001. */
+  /** Flagship: the reference's core job (SURVEY §7.3) — the full incremental
+    * transaction sync: control window -> flatten -> money scrub -> TagsCSL ->
+    * account lookup -> merchant count -> watermark merge -> 29-column
+    * contract, on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q08_incremental_merge")(spark, "/root/testdata/sf0.001")
+    queries("q15_txn_sync_e2e")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
 
