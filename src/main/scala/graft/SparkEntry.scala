@@ -388,6 +388,25 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     },
 
+    // ---- As-of (point-in-time) join: each purchase attributed to the
+    // user's latest view at or before it; one shuffle+sort, no range
+    // explosion (oracle: DuckDB's native ASOF LEFT JOIN) ----
+    "q34_asof_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      AsOfJoin.asOf(purchases, views, "user_id", "ts", "ts",
+          carryCols = Seq("event_id", "ts"), rightTie = "event_id")
+        .select(
+          col("user_id"), col("event_id").as("purchase_id"),
+          unix_micros(col("ts")).as("purchase_us"),
+          col("asof_event_id").as("view_id"),
+          unix_micros(col("asof_ts")).as("view_us"))
+        .orderBy(col("purchase_id"))
+    },
+
     // ---- Gap sessionization via session_window: one shuffle on the user
     // key; state per session, not per event (works unchanged on a stream
     // with a watermark) ----
@@ -1118,6 +1137,14 @@ object SparkEntry {
              row_number() OVER (PARTITION BY o_custkey
                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
            FROM orders) WHERE rnk <= 3 ORDER BY o_custkey, rank""",
+
+    "q34_asof_join" ->
+      """WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+            v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view')
+         SELECT p.user_id, p.event_id AS purchase_id, epoch_us(p.ts) AS purchase_us,
+                v.event_id AS view_id, epoch_us(v.ts) AS view_us
+         FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+         ORDER BY purchase_id""",
 
     "q33_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
