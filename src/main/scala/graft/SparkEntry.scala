@@ -388,6 +388,22 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     },
 
+    // ---- Range (point-in-interval) join via time binning: an equi-join on
+    // the bin + exact predicate, never a nested-loop over all pairs ----
+    "q35_range_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts"))
+      val signupWindows = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"),
+          col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("end_ts"))
+      RangeJoin.pointInInterval(clicks, "ts", signupWindows,
+          "start_ts", "end_ts", binMicros = 3600000000L)
+        .select(col("click_id"), col("signup_id"))
+        .orderBy(col("click_id"), col("signup_id"))
+    },
+
     // ---- As-of (point-in-time) join: each purchase attributed to the
     // user's latest view at or before it; one shuffle+sort, no range
     // explosion (oracle: DuckDB's native ASOF LEFT JOIN) ----
@@ -1137,6 +1153,15 @@ object SparkEntry {
              row_number() OVER (PARTITION BY o_custkey
                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
            FROM orders) WHERE rnk <= 3 ORDER BY o_custkey, rank""",
+
+    "q35_range_join" ->
+      """WITH c AS (SELECT event_id AS click_id, ts FROM events WHERE event_type = 'click'),
+            s AS (SELECT event_id AS signup_id, ts AS start_ts,
+                         ts + INTERVAL 1 HOUR AS end_ts
+                  FROM events WHERE event_type = 'signup')
+         SELECT click_id, signup_id
+         FROM c JOIN s ON c.ts >= s.start_ts AND c.ts < s.end_ts
+         ORDER BY click_id, signup_id""",
 
     "q34_asof_join" ->
       """WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
