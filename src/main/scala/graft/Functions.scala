@@ -112,7 +112,6 @@ object Functions {
   def lang_id(text: Column): Column =
     bridge.column(LangId(bridge.expression(text)))
 
-  /** Register SQL-callable names for the custom expressions. */
   /** Register every custom expression as a SQL function on a running session
     * (same definition list as [[GraftExtensions]], the build-time path). */
   def register(spark: SparkSession): Unit =

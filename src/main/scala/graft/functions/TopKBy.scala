@@ -72,7 +72,12 @@ case class TopKBy(payload: Expression, ord: Expression, tie: Expression, k: Int,
 
   override def eval(buf: TopKHeap): Any = new GenericArrayData(buf.sortedPayloads)
 
-  override def serialize(buf: TopKHeap): Array[Byte] = buf.toBytes(payload.dataType)
+  // one projection per operator instance, reused across every buffer
+  // serialize at shuffle/spill time (UnsafeProjection.create is expensive)
+  @transient private lazy val serializeProjection: UnsafeProjection =
+    UnsafeProjection.create(Array(payload.dataType))
+
+  override def serialize(buf: TopKHeap): Array[Byte] = buf.toBytes(serializeProjection)
   override def deserialize(bytes: Array[Byte]): TopKHeap =
     TopKHeap.fromBytes(bytes, k, payload.dataType)
 
@@ -122,8 +127,7 @@ final class TopKHeap(val k: Int) {
     arr.map(_.value)
   }
 
-  def toBytes(dt: DataType): Array[Byte] = {
-    val proj = UnsafeProjection.create(Array(dt))
+  def toBytes(proj: UnsafeProjection): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(heap.size)

@@ -29,21 +29,26 @@ object AsOfJoin {
     val l = left
       .withColumn("_ts", col(leftTs))
       .withColumn("_side", lit(1))
+    // all carry columns ride in ONE struct (non-null exactly on right rows):
+    // ignoreNulls-last then skips only the left rows' placeholders, so a
+    // NULL inside the latest right row is carried as NULL (never replaced by
+    // an older row's value) and the carried columns always come from the
+    // SAME right row — no tearing across columns
     val r = right.select(
-      (col(key) +: col(rightTs).as("_ts") +: lit(0).as("_side") +:
-        col(rightTie).as("_tie") +:
-        carryCols.map(c => col(c).as(s"_c_$c"))): _*)
+      col(key), col(rightTs).as("_ts"), lit(0).as("_side"),
+      col(rightTie).as("_tie"),
+      struct(carryCols.map(col): _*).as("_c"))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // right rows sort before left at equal ts ("at or before" includes them);
     // _tie orders equal-ts right rows so last() is deterministic
     val w = Window.partitionBy(col(key))
       .orderBy(col("_ts"), col("_side"), col("_tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = carryCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"$prefix$c", last(col(s"_c_$c"), ignoreNulls = true).over(w))
+    val carried = unioned.withColumn("_carried", last(col("_c"), ignoreNulls = true).over(w))
+    carryCols.foldLeft(carried) { (df, c) =>
+      df.withColumn(s"$prefix$c", col(s"_carried.$c"))
     }
-    carried
       .filter(col("_side") === 1)
-      .drop((Seq("_ts", "_side", "_tie") ++ carryCols.map(c => s"_c_$c")): _*)
+      .drop("_ts", "_side", "_tie", "_c", "_carried")
   }
 }

@@ -19,10 +19,16 @@ object Bucketing {
     * location from an earlier session (in-memory catalog, on-disk files)
     * otherwise blocks the managed-table create. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    require(!table.contains("."),
+      s"writeBucketed takes a simple table name in the current database, got $table")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // resolve the managed location through the catalog (not by string
+    // concatenation) so non-default databases clean the right directory
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(
+      table, Some(spark.catalog.currentDatabase))
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      spark.sessionState.catalog.defaultTablePath(ident))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite").format("parquet")

@@ -75,9 +75,15 @@ object Similarity {
     * (deterministic in both engines). */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int, centroidIds: Seq[Long], nprobe: Int): DataFrame = {
+    require(centroidIds.nonEmpty, "ivfTopK: centroidIds must be non-empty")
+    require(nprobe >= 1 && nprobe <= centroidIds.size,
+      s"ivfTopK: nprobe must be in 1..${centroidIds.size} (the codebook size), got $nprobe")
     val byId = emb.filter(col(idCol).isInCollection(centroidIds))
       .select(col(idCol), col(vecCol)).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val missing = centroidIds.filterNot(byId.contains)
+    require(missing.isEmpty,
+      s"ivfTopK: centroid ids not present in the corpus: ${missing.mkString(", ")}")
     val codebook: Seq[Column] = centroidIds.map(id =>
       array(byId(id).map(f => lit(f.toDouble)): _*))
     def cosArr(vec: Column): Column = array(codebook.map(c => cosine(vec, c)): _*)

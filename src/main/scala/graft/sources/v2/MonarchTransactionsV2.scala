@@ -78,11 +78,14 @@ private class TxnScanBuilder(path: String)
 
   /** Accept the filter shapes the reference's TransactionFilterInput can
     * express (equality, id-set membership, date/amount bounds); anything else
-    * stays in Spark as a post-filter. */
+    * — including null-bearing In-lists, whose null-vs-match semantics differ
+    * from this reader's null-skipping evaluation — stays in Spark as a
+    * post-filter. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
-      case EqualTo(a, _) => MonarchTransactionsV2.schema.fieldNames.contains(a)
-      case In(a, _) => MonarchTransactionsV2.schema.fieldNames.contains(a)
+      case EqualTo(a, v) => v != null && MonarchTransactionsV2.schema.fieldNames.contains(a)
+      case In(a, vs) =>
+        vs != null && !vs.contains(null) && MonarchTransactionsV2.schema.fieldNames.contains(a)
       case GreaterThan(a, _) => a == "date" || a == "amount"
       case GreaterThanOrEqual(a, _) => a == "date" || a == "amount"
       case LessThan(a, _) => a == "date" || a == "amount"
@@ -114,9 +117,11 @@ private class TxnScan(path: String, filters: Array[Filter],
   override def planInputPartitions(): Array[InputPartition] = {
     val p = Paths.get(path)
     val files =
-      if (Files.isDirectory(p))
-        Files.list(p).iterator().asScala.filter(f => f.toString.endsWith(".jsonl")).toArray
-      else Array(p)
+      if (Files.isDirectory(p)) {
+        val stream = Files.list(p)
+        try stream.iterator().asScala.filter(f => f.toString.endsWith(".jsonl")).toArray
+        finally stream.close()
+      } else Array(p)
     files.map(f => TxnFilePartition(f.toString): InputPartition)
   }
 
@@ -158,8 +163,15 @@ private class TxnPartitionReader(file: String, filters: Array[Filter],
 
   private def compareTo(name: String, value: Any, filterValue: Any): Int = name match {
     case "date" =>
-      value.asInstanceOf[Int].compareTo(
-        filterValue.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt)
+      // Spark ships date literals as java.sql.Date, or java.time.LocalDate
+      // when spark.sql.datetime.java8API.enabled is set
+      val filterDays = filterValue match {
+        case d: java.sql.Date        => d.toLocalDate.toEpochDay.toInt
+        case d: java.time.LocalDate  => d.toEpochDay.toInt
+        case other => throw new IllegalArgumentException(
+          s"unsupported date filter value: ${other.getClass.getName}")
+      }
+      value.asInstanceOf[Int].compareTo(filterDays)
     case "amount" =>
       value.asInstanceOf[Double].compareTo(filterValue.asInstanceOf[Number].doubleValue())
     case _ => value.toString.compareTo(filterValue.toString)

@@ -38,8 +38,10 @@ object Streams {
 
   /** Gap sessionization on unbounded input: `session_window` + watermark.
     * One open session of state per key; a session closes and is emitted
-    * (append mode) once the watermark passes its end+gap. Byte-identical
-    * session bounds to the batch gaps-and-islands form (q33). */
+    * (append mode) once the watermark passes its end. Sessions group the
+    * same events as the batch gaps-and-islands form (q33) and share its
+    * start bound; `session_end` here is Spark's window end = last event
+    * + gap, where q33 emits the last event timestamp itself. */
   def sessionize(events: DataFrame, userCol: String, tsCol: String,
                  gap: String = "10 minutes", lateness: String = "30 minutes"): DataFrame =
     events

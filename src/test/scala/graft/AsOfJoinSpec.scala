@@ -42,6 +42,20 @@ class AsOfJoinSpec extends SparkTestBase {
     }
   }
 
+  test("a NULL in the latest right row is carried as NULL, never an older value") {
+    val probes = Seq((1L, t("2026-01-01 12:00:00"), "p")).toDF("k", "ts", "probe")
+    val snaps = Seq(
+      (1L, t("2026-01-01 10:00:00"), 1L, Some("old"), Some(10.0)),
+      (1L, t("2026-01-01 11:00:00"), 2L, None: Option[String], Some(20.0))
+    ).toDF("k", "ts", "sid", "v", "x")
+    val got = AsOfJoin.asOf(probes, snaps, "k", "ts", "ts", Seq("v", "x"), rightTie = "sid")
+      .select("asof_v", "asof_x").collect()(0)
+    // latest snapshot has v=NULL: must NOT fall back to "old", and both
+    // carried columns must come from the same (latest) row
+    assert(got.isNullAt(0), s"expected NULL, got ${got.get(0)}")
+    assert(got.getDouble(1) == 20.0)
+  }
+
   test("matches the naive quadratic formulation on a random-ish corpus") {
     val probes = (1 to 300).map(i =>
       ((i % 5).toLong, t(f"2026-01-01 ${i % 24}%02d:${i % 60}%02d:00"), i.toLong))

@@ -43,6 +43,18 @@ class SimilaritySpec extends SparkTestBase {
     assert(union.size == total, s"nprobe=8 with k=∞ must scan all $total vectors, got ${union.size}")
   }
 
+  test("ivfTopK rejects out-of-range nprobe and unknown centroid ids") {
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10, (1L to 8L), nprobe = 9)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10, (1L to 8L), nprobe = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10, Seq(999999999L), nprobe = 1)
+    }
+  }
+
   test("lshTopK returns neighbors from the query bucket ranked like brute force") {
     val lsh = ids(Similarity.lshTopK(emb, "vec_id", "embedding", 0L, 10,
       numPlanes = 2, dim = 64))
