@@ -574,6 +574,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- Deterministic id-hash train/val/test split: same id, same split,
+    // on any engine, cluster size, or rerun (holdout contamination is
+    // structurally impossible) ----
+    "t06_split_assign" -> { (s, dir) =>
+      Sampling.assignSplit(Tables.documents(s, dir), "doc_id",
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+        .orderBy(col("split"))
+    },
+
     // ---- Corpus stats: KMV distinct sketch vs exact (the sketch is
     // md5-deterministic, so the estimate itself is oracle-checked) ----
     "t05_kmv_distinct" -> { (s, dir) =>
@@ -1305,6 +1316,19 @@ object SparkEntry {
          SELECT doc_id, md5(norm) AS fingerprint,
                 CAST(('0x' || substr(md5(norm),1,12)) AS BIGINT) AS fingerprint_int
          FROM n ORDER BY doc_id""",
+
+    "t06_split_assign" ->
+      """WITH h AS (
+           SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,12)) AS BIGINT) % 1000000 AS DOUBLE)
+               / 1000000 AS f
+           FROM documents),
+         a AS (
+           SELECT doc_id,
+             CASE WHEN f < 0.8 THEN 'train' WHEN f < 0.9 THEN 'val' ELSE 'test' END AS split
+           FROM h)
+         SELECT split, count(*) AS n, min(doc_id) AS min_id
+         FROM a GROUP BY 1 ORDER BY 1""",
 
     "t05_kmv_distinct" ->
       """WITH h AS (

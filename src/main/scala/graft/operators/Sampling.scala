@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.Functions._
+
+/** Deterministic, id-keyed sampling for training-data pipelines.
+  *
+  * `df.sample()` draws from a per-partition RNG: re-runs, repartitions, or
+  * retries select different rows, and the same document can land in both
+  * train and test across pipeline versions. Hashing the stable id instead
+  * makes every decision a pure function of the row: reproducible across
+  * runs, engines (md5-derived — the DuckDB oracle verifies it), cluster
+  * sizes, and time — the property a 100 TB training corpus needs so that
+  * holdout contamination is structurally impossible.
+  */
+object Sampling {
+
+  private val Buckets = 1000000L
+
+  /** Uniform hash bucket in [0, 1) for an id column. */
+  def hashFraction(id: Column): Column =
+    pmod(md5_prefix_long(id.cast("string")), lit(Buckets)).cast("double") / Buckets.toDouble
+
+  /** Keep ~`fraction` of rows, chosen by id hash — stable under re-runs and
+    * repartitioning; row-local, no shuffle. */
+  def deterministicSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
+    df.filter(hashFraction(col(idCol)) < fraction)
+  }
+
+  /** Assign each row to a named split by cumulative weight over the id-hash
+    * line: weights ((train,0.8), (val,0.1), (test,0.1)) partition [0,1) into
+    * contiguous ranges. Total weight must be 1. The same id always lands in
+    * the same split — holdout membership survives any reprocessing. */
+  def assignSplit(df: DataFrame, idCol: String, weights: Seq[(String, Double)],
+                  as: String = "split"): DataFrame = {
+    require(weights.nonEmpty, "assignSplit: weights must be non-empty")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"assignSplit: weights must sum to 1, got ${weights.map(_._2).sum}")
+    val h = hashFraction(col(idCol))
+    val cuts = weights.scanLeft(0.0)(_ + _._2).tail
+    val expr = weights.zip(cuts).init.foldRight(lit(weights.last._1)) {
+      case (((name, _), cut), elseExpr) => when(h < cut, name).otherwise(elseExpr)
+    }
+    df.withColumn(as, expr)
+  }
+}
