@@ -1,0 +1,41 @@
+package graft.jobs
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Sampling, TextAnalysis}
+
+/** End-to-end training-corpus cleaning — the composition the individual
+  * dedup and text-analysis operators exist for, as one declarative plan:
+  *
+  *   language-ID -> quality gate -> exact dedup (canonical min id per
+  *   identical text) -> MinHash-LSH near-dup removal (drop the
+  *   non-canonical side of each detected pair) -> deterministic
+  *   train/val/test assignment.
+  *
+  * Shuffle inventory at scale: one hash partition for the exact-dedup
+  * window, the LSH (band, bucket) equi-join with its hot-bucket cap, one
+  * left-anti join on the drop set, and nothing else — language-ID, quality,
+  * and split assignment are row-local codegen'd kernels.
+  */
+object CorpusPipeline {
+
+  def clean(docs: DataFrame, idCol: String, textCol: String,
+            minQuality: Double = 0.7, jaccardThreshold: Double = 0.5,
+            splits: Seq[(String, Double)] =
+              Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))): DataFrame = {
+    val tagged = TextAnalysis.qualitySignals(docs, textCol)
+      .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
+    val gated = tagged.filter(
+      col("lang_pred") =!= "und" && col("quality_score") >= minQuality)
+    val exactKept = gated
+      .withColumn("_keep", min(col(idCol)).over(Window.partitionBy(md5(col(textCol)))))
+      .filter(col(idCol) === col("_keep")).drop("_keep")
+    val nearDupPairs = Dedup.minhashLsh(exactKept, idCol, textCol,
+      k = 5, bands = 4, rowsPerBand = 4, threshold = jaccardThreshold)
+    val dropIds = nearDupPairs.select(col("id_b").as(idCol)).distinct()
+    val kept = exactKept.join(dropIds, Seq(idCol), "left_anti")
+    Sampling.assignSplit(kept, idCol, splits)
+  }
+}

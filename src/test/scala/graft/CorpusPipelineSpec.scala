@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.jobs.CorpusPipeline
+import graft.sources.Tables
+
+/** Pipeline invariants the composed corpus-cleaning job must hold. */
+class CorpusPipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val cleaned =
+    CorpusPipeline.clean(Tables.documents(spark, "/root/testdata/sf0.001"),
+      "doc_id", "text").cache()
+
+  test("output has no identical texts and respects the quality gate") {
+    val n = cleaned.count()
+    assert(n > 0)
+    assert(cleaned.select("text").distinct().count() == n, "exact dups must be gone")
+    assert(cleaned.filter(col("quality_score") < 0.7).count() == 0)
+    assert(cleaned.filter(col("lang_pred") === "und").count() == 0)
+  }
+
+  test("every surviving doc has a split and ids are a subset of the input") {
+    assert(cleaned.filter(col("split").isNull).count() == 0)
+    val inputIds = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id").as[Long].collect().toSet
+    cleaned.select("doc_id").as[Long].collect().foreach(id => assert(inputIds(id)))
+  }
+
+  test("near-dup pairs above threshold never survive together") {
+    val pairs = graft.operators.Dedup.minhashLsh(
+      cleaned.select("doc_id", "text"), "doc_id", "text",
+      k = 5, bands = 4, rowsPerBand = 4, threshold = 0.5)
+    assert(pairs.count() == 0, "cleaned corpus must contain no detectable near-dups")
+  }
+}
