@@ -486,6 +486,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- Dedup: SimHash near-dup (banded fingerprint join + hamming
+    // verify; lossless for maxHamming < bands by pigeonhole) ----
+    "d07_simhash_neardup" -> { (s, dir) =>
+      Dedup.simhashNearDup(Parallelism.ensureDefaultParallelism(Tables.documents(s, dir)),
+          "doc_id", "text", bits = 32, bands = 4, maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // ---- Dedup: blocked word-n-gram Jaccard ----
     "d06_ngram_jaccard" -> { (s, dir) =>
       Dedup.ngramJaccard(Parallelism.ensureDefaultParallelism(Tables.documents(s, dir)), "doc_id", "text",
@@ -1040,6 +1048,30 @@ object SparkEntry {
            FROM h, range(0, 32) t(b) GROUP BY doc_id, b)
          SELECT doc_id, CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(b AS INTEGER))) AS BIGINT) AS simhash
          FROM bits GROUP BY doc_id ORDER BY doc_id""",
+
+    "d07_simhash_neardup" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+         h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok),1,12)) AS BIGINT) AS h FROM toks),
+         bits AS (
+           SELECT doc_id, b, CASE WHEN sum(((h >> CAST(b AS INTEGER)) & 1)*2 - 1) > 0 THEN 1 ELSE 0 END AS bit
+           FROM h, range(0, 32) t(b) GROUP BY doc_id, b),
+         fp AS (
+           SELECT doc_id, CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(b AS INTEGER))) AS BIGINT) AS fp
+           FROM bits GROUP BY doc_id),
+         banded AS (
+           SELECT doc_id, CAST(b AS INTEGER) AS band, (fp >> CAST(b*8 AS INTEGER)) & 255 AS bucket
+           FROM fp CROSS JOIN range(0, 4) t(b)),
+         capped AS (
+           SELECT * FROM banded QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM capped a JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, CAST(bit_count(xor(x.fp, y.fp)) AS INTEGER) AS hamming
+         FROM pairs JOIN fp x ON x.doc_id = id_a JOIN fp y ON y.doc_id = id_b
+         WHERE bit_count(xor(x.fp, y.fp)) <= 3
+         ORDER BY id_a, id_b""",
 
     "d06_ngram_jaccard" ->
       """WITH g AS (

@@ -143,6 +143,35 @@ object Dedup {
     call_function("bit_count", masked).cast("int")
   }
 
+  /** SimHash near-dup: candidate pairs share at least one exact band of the
+    * fingerprint — by pigeonhole, any pair within hamming distance
+    * `maxHamming < bands` MUST agree on some band, so banding loses nothing
+    * at that radius. The join is the same capped (band, bucket) equi-join
+    * as MinHash-LSH (never all-pairs); candidates are verified by exact
+    * hamming distance. */
+  def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
+                     bits: Int = 32, bands: Int = 4, maxHamming: Int = 3,
+                     maxBucketSize: Int = 1000): DataFrame = {
+    require(bits % bands == 0, s"bits ($bits) must divide into bands ($bands)")
+    require(maxHamming < bands,
+      s"banding is lossless only for maxHamming < bands, got $maxHamming >= $bands")
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    val fp = docs.select(col(idCol), simhash(col(textCol), bits).as("_fp"))
+    val banded = fp
+      .select(col(idCol), posexplode(array((0 until bands).map(b =>
+        shiftright(col("_fp"), b * bandBits).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val pairs = candidatePairs(banded, idCol, maxBucketSize)
+    pairs
+      .join(fp.select(col(idCol).as("id_a"), col("_fp").as("_fp_a")), "id_a")
+      .join(fp.select(col(idCol).as("id_b"), col("_fp").as("_fp_b")), "id_b")
+      .withColumn("hamming", hammingDistance(col("_fp_a"), col("_fp_b"), bits))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Embedding near-dup: pairs inside a blocking key with cosine above a
     * threshold. Blocking keeps the join an equi-join (shuffle on block key,
     * AQE handles block skew) instead of a cross join. */

@@ -129,6 +129,26 @@ class DedupSpec extends SparkTestBase {
       n = 2, threshold = 0.1, maxBlockSize = 100).count() == 0)
   }
 
+  test("simhashNearDup banding is lossless at maxHamming < bands (vs brute force)") {
+    val docs = Tables.documents(spark, sfDir).limit(80)
+    val banded = Dedup.simhashNearDup(docs, "doc_id", "text",
+        bits = 32, bands = 4, maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val fp = docs.select(col("doc_id"), Dedup.simhash(col("text"), 32).as("fp"))
+    val brute = fp.as("a").crossJoin(fp.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        Dedup.hammingDistance(col("a.fp"), col("b.fp"), 32).as("h"))
+      .filter(col("h") <= 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded == brute, "banding must find exactly the brute-force pairs")
+    assert(Dedup.simhashNearDup(docs, "doc_id", "text").filter(col("hamming") === 0)
+      .count() >= 0) // identical docs appear at distance 0 when present
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDup(docs, "doc_id", "text", bands = 4, maxHamming = 4)
+    }
+  }
+
   test("hammingDistance masks to the requested width") {
     val df = Seq((0xF0FL, 0x00FL)).toDF("a", "b")
     val got = df.select(
