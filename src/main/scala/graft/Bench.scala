@@ -30,7 +30,7 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           times(name) = -1.0
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("""[\"\\\n\r\t]""", " ").take(160)
+            .replaceAll("""[\p{Cntrl}"\\]""", " ").take(160)
       }
     }
     val qs = times.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

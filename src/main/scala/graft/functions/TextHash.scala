@@ -112,8 +112,25 @@ object TextHashUtil {
     new GenericArrayData(arr)
   }
 
-  /** Jaccard similarity of two sorted distinct long arrays (merge walk). */
+  private def requireSortedDistinct(a: ArrayData): Unit = {
+    var i = 1
+    val n = a.numElements()
+    while (i < n) {
+      if (a.getLong(i) <= a.getLong(i - 1))
+        throw new IllegalArgumentException(
+          "jaccard_sorted requires sorted-distinct arrays (use shingle_hash_set / array_sort)")
+      i += 1
+    }
+  }
+
+  /** Jaccard similarity of two sorted distinct long arrays (merge walk).
+    * Unsorted input would silently undercount intersections, so both arrays
+    * are validated first (one linear pass each — same order as the walk):
+    * a caller passing a raw array_distinct (unsorted) gets an error, not a
+    * plausible-looking wrong score. */
   def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    requireSortedDistinct(a)
+    requireSortedDistinct(b)
     val na = a.numElements()
     val nb = b.numElements()
     if (na == 0 && nb == 0) return 0.0

@@ -18,17 +18,29 @@ object VectorUtil {
   @inline private def elem(a: ArrayData, i: Int, isFloat: Boolean): Double =
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
 
+  private def hasNull(a: ArrayData): Boolean = {
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { if (a.isNullAt(i)) return true; i += 1 }
+    false
+  }
+
   /** Sequential dot product with double accumulation (matches
-    * aggregate(zip_with(a,b,*), 0.0, +)). */
-  def dot(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    * aggregate(zip_with(a,b,*), 0.0, +)). NULL — like the HOF form — when
+    * the lengths differ (zip_with pads with null) or any element is null
+    * (a null product poisons the fold). */
+  def dot(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): java.lang.Double = {
+    if (a.numElements() != b.numElements() || hasNull(a) || hasNull(b)) return null
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) { acc += elem(a, i, aFloat) * elem(b, i, bFloat); i += 1 }
     acc
   }
 
-  def norm(a: ArrayData, aFloat: Boolean): Double = {
+  /** NULL when any element is null (matches the aggregate fold). */
+  def norm(a: ArrayData, aFloat: Boolean): java.lang.Double = {
+    if (hasNull(a)) return null
     var acc = 0.0
     var i = 0
     val n = a.numElements()
@@ -37,12 +49,17 @@ object VectorUtil {
   }
 
   /** cosine = dot / (||a|| * ||b||) — same structure as the HOF version. */
-  def cosine(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double =
-    dot(a, aFloat, b, bFloat) / (norm(a, aFloat) * norm(b, bFloat))
+  def cosine(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): java.lang.Double = {
+    val d = dot(a, aFloat, b, bFloat)
+    if (d == null) return null
+    d.doubleValue() / (norm(a, aFloat).doubleValue() * norm(b, bFloat).doubleValue())
+  }
 }
 
 sealed trait VectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  // NULL on length mismatch / null elements, besides null inputs
+  override def nullable: Boolean = true
   protected def isFloatElem(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case ArrayType(DoubleType, _) => false
@@ -51,6 +68,17 @@ sealed trait VectorBinaryExpression extends BinaryExpression {
   }
   protected lazy val leftFloat: Boolean = isFloatElem(left)
   protected lazy val rightFloat: Boolean = isFloatElem(right)
+
+  /** Codegen for a kernel returning a boxed Double (null = SQL NULL). */
+  protected def boxedCodeGen(ctx: CodegenContext, ev: ExprCode, call: (String, String) => String): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |java.lang.Double $boxed = ${call(a, b)};
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.doubleValue(); }
+       """.stripMargin
+    })
 }
 
 /** dot_product(a, b) — fused sequential dot with double accumulation. */
@@ -59,7 +87,7 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
   override def nullSafeEval(a: Any, b: Any): Any =
     VectorUtil.dot(a.asInstanceOf[ArrayData], leftFloat, b.asInstanceOf[ArrayData], rightFloat)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
+    boxedCodeGen(ctx, ev, (a, b) =>
       s"graft.functions.VectorUtil.dot($a, $leftFloat, $b, $rightFloat)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
     copy(left = l, right = r)
@@ -72,7 +100,7 @@ case class CosineSim(left: Expression, right: Expression) extends VectorBinaryEx
   override def nullSafeEval(a: Any, b: Any): Any =
     VectorUtil.cosine(a.asInstanceOf[ArrayData], leftFloat, b.asInstanceOf[ArrayData], rightFloat)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
+    boxedCodeGen(ctx, ev, (a, b) =>
       s"graft.functions.VectorUtil.cosine($a, $leftFloat, $b, $rightFloat)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(left = l, right = r)
@@ -81,6 +109,7 @@ case class CosineSim(left: Expression, right: Expression) extends VectorBinaryEx
 /** l2_norm(a) — fused Euclidean norm. */
 case class L2Norm(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "l2_norm"
   private lazy val isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
@@ -91,7 +120,14 @@ case class L2Norm(child: Expression) extends UnaryExpression {
   override def nullSafeEval(a: Any): Any =
     VectorUtil.norm(a.asInstanceOf[ArrayData], isFloat)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a => s"graft.functions.VectorUtil.norm($a, $isFloat)")
+    nullSafeCodeGen(ctx, ev, a => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |java.lang.Double $boxed = graft.functions.VectorUtil.norm($a, $isFloat);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.doubleValue(); }
+       """.stripMargin
+    })
   override protected def withNewChildInternal(newChild: Expression): L2Norm =
     copy(child = newChild)
 }
@@ -103,20 +139,22 @@ object LangIdUtil {
   import java.util.regex.Pattern
   private val Ws = Pattern.compile("\\s+")
 
+  /** Canonical per-language stopword lists (TextAnalysis.stopwords aliases
+    * this map, so language-ID and stopword_ratio share one table). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that"),
+    "es" -> Seq("el", "la", "los", "de", "que", "y", "en", "un", "una", "es"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "dans"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "ein", "eine", "zu", "den"))
+
   /** language order must stay sorted (tie goes to the alphabetically first). */
-  val langs: Array[String] = Array("de", "en", "es", "fr")
-  private val sets: Array[java.util.HashSet[String]] = {
-    val m = Map(
-      "en" -> Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that"),
-      "es" -> Seq("el", "la", "los", "de", "que", "y", "en", "un", "una", "es"),
-      "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "dans"),
-      "de" -> Seq("der", "die", "das", "und", "ist", "von", "ein", "eine", "zu", "den"))
+  val langs: Array[String] = stopwords.keys.toArray.sorted
+  private val sets: Array[java.util.HashSet[String]] =
     langs.map { l =>
       val s = new java.util.HashSet[String]()
-      m(l).foreach(s.add)
+      stopwords(l).foreach(s.add)
       s
     }
-  }
   private val interned: Array[UTF8String] = langs.map(UTF8String.fromString)
   private val und = UTF8String.fromString("und")
 

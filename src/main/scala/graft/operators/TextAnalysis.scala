@@ -15,12 +15,10 @@ import graft.Functions._
   */
 object TextAnalysis {
 
-  /** Tiny per-language stopword lists (top function words). */
-  val stopwords: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that"),
-    "es" -> Seq("el", "la", "los", "de", "que", "y", "en", "un", "una", "es"),
-    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "dans"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "von", "ein", "eine", "zu", "den"))
+  /** Tiny per-language stopword lists (top function words) — the single
+    * source of truth, shared with the fused lang_id kernel
+    * (LangIdUtil builds its hash sets from this map at class init). */
+  val stopwords: Map[String, Seq[String]] = graft.functions.LangIdUtil.stopwords
 
   private def hits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))

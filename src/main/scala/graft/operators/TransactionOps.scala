@@ -60,8 +60,16 @@ object TransactionOps {
     * twice; the count side is a single-row aggregate broadcast back onto the
     * page — no window-over-empty-partition (which would single-partition the
     * data). */
+  // at most ONE live cache from withTotalCount per JVM: each call releases
+  // the previous call's persisted plan, so a paging service cannot grow
+  // storage without bound (the current page's cache is exactly what a
+  // "next page" request wants warm anyway)
+  private val lastShared = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+
   def withTotalCount(filtered: DataFrame, orderBy: Seq[Column], limit: Int): DataFrame = {
     val shared = filtered.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prev = lastShared.getAndSet(shared)
+    if (prev != null && (prev ne shared)) prev.unpersist(blocking = false)
     val total = shared.agg(count(lit(1)).as("total_count"))
     page(shared, orderBy, limit).crossJoin(broadcast(total))
   }

@@ -53,7 +53,13 @@ object Windows {
     * variant repartitions AND sorts the full fact table by the key, while
     * this does a map-side-combined count whose tiny result broadcasts back.
     * Costs a second pass over the input, which is cheap when the input is a
-    * pushed-down columnar scan. */
-  def groupCountJoin(df: DataFrame, keyCol: String, as: String): DataFrame =
-    df.join(broadcast(df.groupBy(keyCol).agg(count(lit(1)).as(as))), keyCol)
+    * pushed-down columnar scan.
+    * Null-safe on the key (`<=>`): rows with a NULL key keep their group
+    * count instead of being dropped by the join, matching the window form. */
+  def groupCountJoin(df: DataFrame, keyCol: String, as: String): DataFrame = {
+    val counts = df.groupBy(keyCol).agg(count(lit(1)).as(as))
+      .withColumnRenamed(keyCol, "_gc_key")
+    df.join(broadcast(counts), df(keyCol) <=> counts("_gc_key"))
+      .drop("_gc_key")
+  }
 }

@@ -57,10 +57,13 @@ object Streams {
   /** Streaming dedup by id within the watermark horizon — the reference's
     * replace-the-window merge re-expressed for append streams: a mutated row
     * re-arriving within `lateness` replaces nothing downstream because only
-    * its first occurrence passes. */
+    * its first occurrence passes. Dedup is on the id ALONE
+    * (dropDuplicatesWithinWatermark), so a mutation that also moved the
+    * event time is still suppressed — dropDuplicates(id, ts) would let it
+    * through as a "new" (id, ts) pair. */
   def dedupeById(events: DataFrame, idCol: String, tsCol: String,
                  lateness: String = "1 hour"): DataFrame =
-    events.withWatermark(tsCol, lateness).dropDuplicates(idCol, tsCol)
+    events.withWatermark(tsCol, lateness).dropDuplicatesWithinWatermark(idCol)
 
   /** Per-account running balance via explicit keyed state
     * (mapGroupsWithState) — the stateful analog of the A6 running-total
@@ -96,10 +99,15 @@ object Streams {
       val spark = batch.sparkSession
       val ctl = new IncrementalMerge.ControlTable(spark, controlPath)
       val windowStart = windowStartOf(batch)
+      // ONLY a missing path means "first batch, no history yet"; any other
+      // read failure (transient storage error, corrupt footer) must abort
+      // the batch — substituting an empty frame would merge-overwrite the
+      // entire history and then advance the watermark past the loss
       val existing =
-        try spark.read.parquet(targetPath)
-        catch { case _: Exception => spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
+        if (!new java.io.File(targetPath).exists())
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+        else spark.read.parquet(targetPath)
       val merged = IncrementalMerge.merge(existing, batch, dateCol, windowStart)
       merged.write.mode("overwrite").parquet(targetPath + "_next")
       // swap-style publish: read back and overwrite the target (local-fs

@@ -47,6 +47,9 @@ class StreamingSpec extends SparkTestBase {
       in.addData(("a", ts("2026-01-01 10:00:00"), 1.0), ("b", ts("2026-01-01 10:01:00"), 2.0))
       q.processAllAvailable()
       in.addData(("a", ts("2026-01-01 10:00:00"), 99.0)) // duplicate re-arrival
+      // a mutation that ALSO moved the event time must still be suppressed
+      // (dedup is on the id alone, not the (id, ts) pair)
+      in.addData(("a", ts("2026-01-01 10:07:00"), 77.0))
       q.processAllAvailable()
       val rows = spark.table("dedup").collect()
       assert(rows.length == 2)
