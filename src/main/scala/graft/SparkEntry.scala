@@ -582,6 +582,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- Corpus distribution stats: exact interpolated token-count
+    // quantiles per language (percentile == quantile_cont) ----
+    "t08_token_quantiles" -> { (s, dir) =>
+      TextAnalysis.tokenStats(Tables.documents(s, dir), "text")
+        .groupBy(col("lang"))
+        .agg(
+          round(expr("percentile(n_tokens, 0.5)"), 4).as("p50"),
+          round(expr("percentile(n_tokens, 0.9)"), 4).as("p90"),
+          round(expr("percentile(n_tokens, 0.99)"), 4).as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy(col("lang"))
+    },
+
     // ---- End-to-end corpus cleaning: langid -> quality gate -> exact
     // dedup -> LSH near-dup removal -> split assignment, one plan ----
     "t07_corpus_pipeline" -> { (s, dir) =>
@@ -1359,6 +1372,17 @@ object SparkEntry {
          SELECT doc_id, md5(norm) AS fingerprint,
                 CAST(('0x' || substr(md5(norm),1,12)) AS BIGINT) AS fingerprint_int
          FROM n ORDER BY doc_id""",
+
+    "t08_token_quantiles" ->
+      """WITH t AS (
+           SELECT lang, length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+           FROM documents)
+         SELECT lang,
+           round(quantile_cont(n_tokens, 0.5), 4) AS p50,
+           round(quantile_cont(n_tokens, 0.9), 4) AS p90,
+           round(quantile_cont(n_tokens, 0.99), 4) AS p99,
+           count(*) AS n
+         FROM t GROUP BY 1 ORDER BY 1""",
 
     "t07_corpus_pipeline" ->
       """WITH lt AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ltoks FROM documents),
