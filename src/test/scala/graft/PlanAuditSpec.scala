@@ -1,0 +1,37 @@
+package graft
+
+/** Plan-shape regression gate over EVERY query entry: the anti-patterns that
+  * kill 100 TB jobs must never enter a plan unnoticed.
+  *
+  *  - no CartesianProduct anywhere;
+  *  - BroadcastNestedLoopJoin only where a one-row broadcast makes it the
+  *    right plan (query-vector probes, total-count attach);
+  *  - SortMergeJoin only in the intentionally exchange-free bucketed join.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** entries whose plan legitimately contains a one-row BroadcastNestedLoop */
+  private val oneRowBroadcastOk = Set(
+    "q12_page_with_count", "q28_account_history", "s01_cosine_topk", "s03_ivf_ann")
+  /** q32: the intentionally exchange-free bucketed join. t07: the corpus
+    * anti-join against the near-dup drop set — both sides data-scale-
+    * unknown, so SMJ is the correct static plan (AQE downgrades it to a
+    * broadcast join at runtime when the drop set measures small). */
+  private val sortMergeOk = Set("q32_bucketed_join", "t07_corpus_pipeline")
+
+  test("no entry plans a cartesian; NLJ/SMJ only on the allowlists") {
+    val violations = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      Seq(
+        if (plan.contains("CartesianProduct")) Some(s"$name: CartesianProduct") else None,
+        if (plan.contains("BroadcastNestedLoopJoin") && !oneRowBroadcastOk(name))
+          Some(s"$name: unexpected BroadcastNestedLoopJoin") else None,
+        if (plan.contains("SortMergeJoin") && !sortMergeOk(name))
+          Some(s"$name: unexpected SortMergeJoin") else None
+      ).flatten
+    }
+    assert(violations.isEmpty, violations.mkString("\n"))
+  }
+}
