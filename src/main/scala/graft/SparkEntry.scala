@@ -368,6 +368,22 @@ object SparkEntry {
         .orderBy(col("name"))
     },
 
+    // ---- Month-pivot matrix: the reference's sheet-shaped view (rows x
+    // 12 month columns) via pivot with EXPLICIT values — deterministic
+    // schema, single shuffle, no second pass to discover columns ----
+    "q36_month_pivot" -> { (s, dir) =>
+      val pivoted = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) === 1997)
+        .select(col("o_orderstatus").as("category"),
+          month(col("o_orderdate")).as("m"), col("o_totalprice"))
+        .groupBy(col("category"))
+        .pivot("m", (1 to 12).map(Int.box))
+        .agg(round(sum(col("o_totalprice")), 2))
+      pivoted
+        .select(col("category") +: (1 to 12).map(i => col(s"$i").as(f"m$i%02d")): _*)
+        .orderBy(col("category"))
+    },
+
     // ---- Per-group top-k via the bounded-heap aggregate (k rows per
     // group per partition cross the shuffle — never a full window sort) ----
     "q31_topk_per_group" -> { (s, dir) =>
@@ -1213,6 +1229,23 @@ object SparkEntry {
            UNION ALL
            SELECT 'bulk' FROM orders WHERE o_orderkey % 4 = 0)
          SELECT name, count(*) AS n FROM t GROUP BY 1 ORDER BY 1""",
+
+    "q36_month_pivot" ->
+      """SELECT o_orderstatus AS category,
+           round(sum(CASE WHEN month(o_orderdate) = 1 THEN o_totalprice END), 2) AS m01,
+           round(sum(CASE WHEN month(o_orderdate) = 2 THEN o_totalprice END), 2) AS m02,
+           round(sum(CASE WHEN month(o_orderdate) = 3 THEN o_totalprice END), 2) AS m03,
+           round(sum(CASE WHEN month(o_orderdate) = 4 THEN o_totalprice END), 2) AS m04,
+           round(sum(CASE WHEN month(o_orderdate) = 5 THEN o_totalprice END), 2) AS m05,
+           round(sum(CASE WHEN month(o_orderdate) = 6 THEN o_totalprice END), 2) AS m06,
+           round(sum(CASE WHEN month(o_orderdate) = 7 THEN o_totalprice END), 2) AS m07,
+           round(sum(CASE WHEN month(o_orderdate) = 8 THEN o_totalprice END), 2) AS m08,
+           round(sum(CASE WHEN month(o_orderdate) = 9 THEN o_totalprice END), 2) AS m09,
+           round(sum(CASE WHEN month(o_orderdate) = 10 THEN o_totalprice END), 2) AS m10,
+           round(sum(CASE WHEN month(o_orderdate) = 11 THEN o_totalprice END), 2) AS m11,
+           round(sum(CASE WHEN month(o_orderdate) = 12 THEN o_totalprice END), 2) AS m12
+         FROM orders WHERE year(o_orderdate) = 1997
+         GROUP BY 1 ORDER BY 1""",
 
     "q31_topk_per_group" ->
       """SELECT o_custkey, CAST(rnk AS INTEGER) AS rank, o_orderkey FROM (

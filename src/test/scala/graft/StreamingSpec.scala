@@ -86,6 +86,25 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("top_k_by runs inside a streaming aggregation across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Double, Long)]
+    val agg = in.toDF().toDF("g", "score", "id")
+      .groupBy(col("g"))
+      .agg(graft.Functions.top_k_by(col("id"), col("score"), col("id"), 2).as("top2"))
+    val q = agg.writeStream.format("memory").queryName("stream_topk")
+      .outputMode("complete").start()
+    try {
+      in.addData(("a", 1.0, 1L), ("a", 9.0, 2L), ("b", 5.0, 3L))
+      q.processAllAvailable()
+      in.addData(("a", 7.0, 4L)) // displaces id=1 in group a's top-2
+      q.processAllAvailable()
+      val got = spark.table("stream_topk")
+        .as[(String, Seq[Long])].collect().toMap
+      assert(got == Map("a" -> Seq(2L, 4L), "b" -> Seq(3L)))
+    } finally q.stop()
+  }
+
   test("runningBalances keeps one state per account across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Streams.BalanceUpdate]
