@@ -61,7 +61,7 @@ object MonarchSource {
     val cols = df.columns.toSet
     dateKeyCandidates.find(cols.contains).orElse {
       val stringCols = df.schema.fields
-        .filter(f => f.dataType == StringType).map(_.name)
+        .filter(f => f.dataType == StringType).map(_.name).toIndexedSeq
       if (stringCols.isEmpty) None
       else {
         val sample = df.select(stringCols.map(col): _*).limit(sampleSize).collect()
