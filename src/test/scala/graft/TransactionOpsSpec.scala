@@ -73,4 +73,20 @@ class TransactionOpsSpec extends SparkTestBase {
       .select("id").as[String].collect().toSeq
     assert(got == Seq("t5", "t4"))
   }
+
+  test("A7: window groupCount and broadcast groupCountJoin agree, incl. NULL keys") {
+    val rows = Seq(
+      (1L, Some("m1")), (2L, Some("m1")), (3L, Some("m2")),
+      (4L, None: Option[String]), (5L, None: Option[String]))
+      .toDF("id", "merchant")
+    val viaWindow = graft.operators.Windows
+      .groupCount(rows, Seq(col("merchant")), "n")
+      .select("id", "n").as[(Long, Long)].collect().toMap
+    val viaJoin = graft.operators.Windows
+      .groupCountJoin(rows, "merchant", "n")
+      .select("id", "n").as[(Long, Long)].collect().toMap
+    assert(viaWindow == viaJoin)
+    assert(viaJoin == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 2L, 5L -> 2L),
+      s"NULL-key rows must keep their group count: $viaJoin")
+  }
 }
