@@ -19,10 +19,11 @@ object Functions {
   def parse_money(c: Column): Column =
     bridge.column(ParseMoney(bridge.expression(c)))
 
-  /** F1 keep-raw-on-failure branch: the reference keeps the original string in
-    * the cell when the scrub fails; in a monotyped column we quarantine it. */
+  /** F1 keep-on-failure branch: the reference keeps the CLEANED string in
+    * the cell when the parse fails (v3:532 `td[field] = cleaned_amount`);
+    * in a monotyped column we quarantine that cleaned form in a sibling. */
   def money_quarantine(c: Column): Column =
-    when(parse_money(c).isNull && c.isNotNull, c)
+    when(parse_money(c).isNull && c.isNotNull, trim(translate(c, "($,)", "-")))
 
   /** F3 — timestamp render `yyyy-MM-dd HH:mm:ss` (v3:393-403). */
   def format_timestamp(c: Column): Column =

@@ -32,11 +32,13 @@ object Cashflow {
         Seq(col("gid"), col("sum_income"), col("sum_expense"), col("savings")): _*)
   }
 
-  /** A3 — global-only summary leg with savingsRate = savings / sumIncome. */
+  /** A3 — global-only summary leg with savingsRate = savings / sumIncome.
+    * Empty input yields ZEROS, not nulls — the mirrored query requests
+    * `fillEmptyValues: true` (monarchmoney.py:2316). */
   def summary(df: DataFrame, amount: Column): DataFrame =
     df.agg(
-        sum(when(amount > 0, amount).otherwise(0.0)).as("sum_income"),
-        sum(when(amount < 0, amount).otherwise(0.0)).as("sum_expense"))
+        coalesce(sum(when(amount > 0, amount).otherwise(0.0)), lit(0.0)).as("sum_income"),
+        coalesce(sum(when(amount < 0, amount).otherwise(0.0)), lit(0.0)).as("sum_expense"))
       .withColumn("savings", col("sum_income") + col("sum_expense"))
       .withColumn("savings_rate",
         when(col("sum_income") =!= 0.0, col("savings") / col("sum_income")))

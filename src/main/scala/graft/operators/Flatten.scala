@@ -28,30 +28,28 @@ object Flatten {
   def transaction(df: DataFrame): DataFrame = {
     val cols = df.columns.toSet
     def has(c: String) = cols.contains(c)
+    // the reference emits every breakout column unconditionally
+    // (td.get("account", {}) etc., v3:441-481) — a batch without the struct
+    // still gets the columns with "" defaults, so downstream joins and the
+    // 29-column contract never lose columns
+    def breakout(struct: String, fld: String): Column =
+      if (has(struct)) field(col(struct), fld) else lit("")
     var out = df
-    if (has("account"))
-      out = out
-        .withColumn("AccID", field(col("account"), "id"))
-        .withColumn("AccDispName", field(col("account"), "displayName"))
-        .withColumn("AccType", field(col("account"), "__typename"))
-        .drop("account")
-    if (has("category"))
-      out = out
-        .withColumn("CatID", field(col("category"), "id"))
-        .withColumn("CatDispName", field(col("category"), "name"))
-        .withColumn("CatType", field(col("category"), "__typename"))
-        .drop("category")
-    if (has("merchant"))
-      out = out
-        .withColumn("MrchntID", field(col("merchant"), "id"))
-        .withColumn("MrchntDispName", field(col("merchant"), "name"))
-        .withColumn("MrchntTranCount", field(col("merchant"), "transactionsCount"))
-        .withColumn("MrchntType", field(col("merchant"), "__typename"))
-        .drop("merchant")
+      .withColumn("AccID", breakout("account", "id"))
+      .withColumn("AccDispName", breakout("account", "displayName"))
+      .withColumn("AccType", breakout("account", "__typename"))
+      .withColumn("CatID", breakout("category", "id"))
+      .withColumn("CatDispName", breakout("category", "name"))
+      .withColumn("CatType", breakout("category", "__typename"))
+      .withColumn("MrchntID", breakout("merchant", "id"))
+      .withColumn("MrchntDispName", breakout("merchant", "name"))
+      .withColumn("MrchntTranCount", breakout("merchant", "transactionsCount"))
+      .withColumn("MrchntType", breakout("merchant", "__typename"))
+      .withColumn("TagsCSL",
+        if (has("tags")) coalesce(tags_csl(col("tags")), lit("")) else lit(""))
+      .drop("account", "category", "merchant")
     if (has("tags"))
-      out = out
-        .withColumn("TagsCSL", coalesce(tags_csl(col("tags")), lit("")))
-        .withColumn("tags", to_json(col("tags")))
+      out = out.withColumn("tags", to_json(col("tags")))
     for (ts <- Seq("createdAt", "updatedAt", "loadedAtUtc") if has(ts))
       out = out.withColumn(ts, coalesce(format_timestamp(col(ts)), lit("")))
     out
@@ -59,11 +57,17 @@ object Flatten {
 
   /** F8 — account flatten: `TypeDisplay` = type.display, `AccountType` =
     * subtype.display, `InstitutionName` = institution.name; original structs
-    * KEPT (v3:995-1051 mutates in place, never pops). */
-  def account(df: DataFrame): DataFrame =
-    df.withColumn("TypeDisplay", field(col("type"), "display"))
-      .withColumn("AccountType", field(col("subtype"), "display"))
-      .withColumn("InstitutionName", field(col("institution"), "name"))
+    * KEPT (v3:995-1051 mutates in place, never pops). A payload missing any
+    * of the structs gets "" — the reference's `.get(k, {})` probe — instead
+    * of an analysis error. */
+  def account(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSet
+    def probe(struct: String, fld: String): Column =
+      if (cols.contains(struct)) field(col(struct), fld) else lit("")
+    df.withColumn("TypeDisplay", probe("type", "display"))
+      .withColumn("AccountType", probe("subtype", "display"))
+      .withColumn("InstitutionName", probe("institution", "name"))
+  }
 
   /** F5 — sheet-cell serialization of any remaining complex columns: structs
     * and arrays become compact JSON strings (`_scalar`'s json.dumps,

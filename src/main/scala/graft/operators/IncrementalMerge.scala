@@ -36,11 +36,14 @@ object IncrementalMerge {
       forceFullRefresh: Boolean = false,
       targetIsEmpty: Boolean = false): (LocalDate, Instant) = {
     val fallback = now.minus(backfillDays.toLong, ChronoUnit.DAYS)
-    val base: Instant = forceStartDate match {
-      case Some(d)                  => d.atStartOfDay(ZoneOffset.UTC).toInstant
-      case None if forceFullRefresh => fallback
-      case None                     => watermark.getOrElse(fallback)
-    }
+    // FORCE_FULL_REFRESH is applied AFTER FORCE_START_DATE in the reference
+    // (v3:1228-1240), so when both are set the full refresh wins
+    val base: Instant =
+      if (forceFullRefresh) fallback
+      else forceStartDate match {
+        case Some(d) => d.atStartOfDay(ZoneOffset.UTC).toInstant
+        case None    => watermark.getOrElse(fallback)
+      }
     var start = base.atZone(ZoneOffset.UTC).toLocalDate // start-of-day truncation (v3:1250)
     // Empty-table widening (v3:1252-1256): start==today over an empty target
     // would extract nothing historical.
@@ -55,13 +58,16 @@ object IncrementalMerge {
   final class ControlTable(spark: SparkSession, path: String) {
     import spark.implicits._
 
+    /** ONLY a missing control path means "first run": any other failure
+      * (transient storage error, corrupt file) must propagate — mapping it
+      * to None would silently reset the watermark to the backfill default
+      * and then advance() would mask the loss permanently. */
     def read(): Option[Instant] =
-      try {
-        spark.read.parquet(path)
-          .filter($"key" === "last_run_utc")
-          .select($"value").as[String]
-          .collect().headOption.map(Instant.parse)
-      } catch { case _: Exception => None } // missing table = first run
+      if (!new java.io.File(path).exists()) None
+      else spark.read.parquet(path)
+        .filter($"key" === "last_run_utc")
+        .select($"value").as[String]
+        .collect().headOption.map(Instant.parse)
 
     /** Advance the watermark; `advanceOnEmpty` mirrors ADVANCE_ON_EMPTY
       * (v3:36,1282-1289). */

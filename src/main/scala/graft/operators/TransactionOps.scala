@@ -33,11 +33,15 @@ object TransactionOps {
       val preds = Seq.newBuilder[Column]
       for (s <- startDate; e <- endDate)
         preds += col(dateCol).between(lit(s).cast("date"), lit(e).cast("date"))
-      inSets.foreach { case (c, vs) => preds += col(c).isin(vs: _*) }
+      // [] means "no filter" in TransactionFilterInput (the reference always
+      // sends empty id lists, monarchmoney.py:1515-1520) — NOT "match none"
+      inSets.foreach { case (c, vs) => if (vs.nonEmpty) preds += col(c).isin(vs: _*) }
       boolEq.foreach { case (c, v) => preds += (col(c) === lit(v)) }
       minAmount.foreach(m => preds += (col(amountCol) >= lit(m)))
+      // per-column OR: a multi-word query must match WITHIN one field, not
+      // across a column boundary of the concatenation
       for (q <- search if searchCols.nonEmpty)
-        preds += lower(concat_ws(" ", searchCols.map(col): _*)).contains(q.toLowerCase)
+        preds += searchCols.map(c => lower(col(c)).contains(q.toLowerCase)).reduce(_ || _)
       preds.result().reduceOption(_ && _).getOrElse(lit(true))
     }
 
@@ -63,7 +67,9 @@ object TransactionOps {
   // at most ONE live cache from withTotalCount per JVM: each call releases
   // the previous call's persisted plan, so a paging service cannot grow
   // storage without bound (the current page's cache is exactly what a
-  // "next page" request wants warm anyway)
+  // "next page" request wants warm anyway). If a second call lands before
+  // the first result's action runs, the first DEGRADES to two scans —
+  // still correct, just uncached; the bound on storage is the priority.
   private val lastShared = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
 
   def withTotalCount(filtered: DataFrame, orderBy: Seq[Column], limit: Int): DataFrame = {

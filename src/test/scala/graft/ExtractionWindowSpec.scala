@@ -41,6 +41,12 @@ class ExtractionWindowSpec extends AnyFunSuite {
     assert(start == LocalDate.parse("2026-01-11"))
   }
 
+  test("FORCE_FULL_REFRESH wins over FORCE_START_DATE (v3:1228-1240 apply order)") {
+    val (start, _) = extractionWindow(None, now, backfill,
+      forceStartDate = Some(LocalDate.parse("2026-06-01")), forceFullRefresh = true)
+    assert(start == LocalDate.parse("2026-01-11")) // backfill window, not the forced slice
+  }
+
   test("empty-table widening: today's watermark over an empty target widens (v3:1252-1256)") {
     val wm = Instant.parse("2026-02-10T01:00:00Z") // same UTC day as `now`
     val (start, _) = extractionWindow(Some(wm), now, backfill, targetIsEmpty = true)

@@ -9,6 +9,7 @@ import graft.operators.Flatten
 /** F7/F8/P4/F5 flatten semantics against hand-built nested rows, including
   * the null/missing-struct defaults the reference's `.get(k, "")` implies. */
 class FlattenSpec extends SparkTestBase {
+  import spark.implicits._
 
   private lazy val nested = {
     val schema = StructType(Seq(
@@ -53,6 +54,23 @@ class FlattenSpec extends SparkTestBase {
     assert(rows(3).toSeq == Seq("t4", "", "", "", "", "", ""))
     assert(!flat.columns.contains("account") && !flat.columns.contains("category") &&
       !flat.columns.contains("merchant"))
+  }
+
+  test("F7: a batch MISSING a struct column still gets its breakouts with '' (v3:441-481)") {
+    val noMerchant = Seq(("t1", 5.0)).toDF("id", "amount")
+    val flat = Flatten.transaction(noMerchant)
+    val expected = Seq("AccID", "AccDispName", "AccType", "CatID", "CatDispName",
+      "CatType", "MrchntID", "MrchntDispName", "MrchntTranCount", "MrchntType", "TagsCSL")
+    expected.foreach(c => assert(flat.columns.contains(c), s"missing breakout $c"))
+    val row = flat.select(expected.map(col): _*).collect()(0)
+    expected.indices.foreach(i => assert(row.getString(i) == "", s"${expected(i)} must default to ''"))
+  }
+
+  test("F8: account flatten tolerates missing type/subtype/institution structs") {
+    val bare = Seq(("a1", "Checking")).toDF("id", "displayName")
+    val flat = Flatten.account(bare)
+    val row = flat.select("TypeDisplay", "AccountType", "InstitutionName").collect()(0)
+    assert((0 to 2).forall(row.getString(_) == ""))
   }
 
   test("A4: TagsCSL joins non-empty names, keeps tags as JSON (v3:482-499)") {

@@ -38,6 +38,26 @@ class MoneyUtilSpec extends AnyFunSuite {
     assert(MoneyUtil.parse(null) == null)
   }
 
+  test("Python float() grammar, not Java's (v3:527 uses float())") {
+    // Java-only syntax the reference's float() rejects
+    assert(parse("100d") == null)
+    assert(parse("1f") == null)
+    assert(parse("0x1p3") == null)
+    // Python-only digit-group underscores the reference accepts
+    assert(parse("1_000") == 1000.0)
+    assert(parse("$1_234.5_5") == 1234.55)
+    assert(parse("1__0") == null) // only single underscores between digits
+    assert(parse("_1") == null)
+    assert(parse("1_") == null)
+    // both engines accept these
+    assert(parse("Infinity") == Double.PositiveInfinity)
+    assert(parse("-inf") == Double.NegativeInfinity)
+    assert(java.lang.Double.isNaN(parse("nan")))
+    assert(parse("1.e3") == 1000.0)
+    assert(parse(".5") == 0.5)
+    assert(parse("1.") == 1.0)
+  }
+
   test("property: round-trip through $#,###.## formatting") {
     val cents = Gen.chooseNum(-99999999L, 99999999L)
     check(Prop.forAll(cents) { c =>

@@ -74,6 +74,23 @@ class TransactionOpsSpec extends SparkTestBase {
     assert(got == Seq("t5", "t4"))
   }
 
+  test("P2: empty id-lists are no-ops, not match-nothing (lib:1515-1520 sends [])") {
+    val all = df.count()
+    val got = TransactionOps.Filter(inSets = Map("id" -> Seq.empty)).apply(df).count()
+    assert(got == all)
+  }
+
+  test("P2: multi-word search never matches across a column boundary") {
+    val rows = Seq(
+      ("r1", "ACME STORE", "REFUND pending"), // 'store refund' spans the boundary
+      ("r2", "corner store refund desk", "x") // genuine within-field match
+    ).toDF("id", "plaidName", "notes")
+    val got = TransactionOps.Filter(
+        search = Some("store refund"), searchCols = Seq("plaidName", "notes"))
+      .apply(rows).select("id").as[String].collect().toSeq
+    assert(got == Seq("r2"))
+  }
+
   test("A7: window groupCount and broadcast groupCountJoin agree, incl. NULL keys") {
     val rows = Seq(
       (1L, Some("m1")), (2L, Some("m1")), (3L, Some("m2")),
