@@ -13,9 +13,13 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
               shufflePartitions: Option[Int] = None): SparkSession.Builder = {
+    // "local[N]" and "local[N,maxFailures]" both carry a thread count;
+    // anything unparseable falls back to the machine's processors
     val cores = master match {
       case s if s.startsWith("local[") && !s.contains("*") =>
-        s.stripPrefix("local[").stripSuffix("]").toInt
+        scala.util.Try(
+          s.stripPrefix("local[").stripSuffix("]").split(",")(0).trim.toInt)
+          .getOrElse(Runtime.getRuntime.availableProcessors())
       case _ => Runtime.getRuntime.availableProcessors()
     }
     SparkSession.builder()

@@ -16,6 +16,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // never leave a previous run's parquet behind for a now-failing
+        // query — the downstream compare would pass on stale output
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        val stale = new java.io.File(s"$outDir/$name")
+        if (stale.exists()) rm(stale)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -15,8 +15,10 @@ import graft.operators.{Contracts, Windows}
   * sort (v3:878-914).
   *
   * Scale: explodes and flag derivations are row-local; the dim joins
-  * broadcast (category dims are never data-scale); the A6 window shuffles on
-  * the entity key once; the union is shuffle-free.
+  * broadcast (category dims are never data-scale); the A6 window runs once
+  * per record type on that type's own entity key (three small exchanges —
+  * budget record sets are months x entities, never data-scale); the union
+  * itself is shuffle-free.
   */
 object BudgetPipeline {
 
@@ -161,14 +163,12 @@ object BudgetPipeline {
       slot("NonMonthlyExpenses", "totalNonMonthlyExpenses", "Expenses", "expense", "Non-Monthly Expenses", 998))
     val exploded = totals.select(col("month").as("_month"), explode(slots).as("t"))
     val bkt = col("t").getField("b")
-    exploded.select(Seq(
+    exploded.select((Seq(
       col("t").getField("rt").as("RecordType"),
       lit("").as("CategoryGroupId"),
       col("t").getField("gname").as("CategoryGroupName"),
-      col("t").getField("gtype").as("CategoryGroupType"),
-      when(col("t").getField("gtype") === "income", "Credit").otherwise("Debit")
-        .as("DebitCreditFlag"),
-      (col("t").getField("gtype") === "income").as("IsIncome"),
+      col("t").getField("gtype").as("CategoryGroupType")) ++
+      flags(col("t").getField("gtype")) ++ Seq(
       lit("").as("CategoryId"),
       col("t").getField("cname").as("CategoryName"),
       lit("").as("CategoryIcon"),
@@ -183,7 +183,7 @@ object BudgetPipeline {
       lit(0.0).as("CumulativeActualAmount"), // totals carry no cumulative (v3:812)
       d(bkt.getField("remainingAmount")).as("RemainingAmount"),
       d(bkt.getField("previousMonthRolloverAmount")).as("RolloverAmount"),
-      lit("").as("RolloverType")) ++
+      lit("").as("RolloverType"))) ++
       emptyRollover ++ Seq(
       lit("").as("BudgetVariability"),
       lit(0).as("CategoryOrder"),

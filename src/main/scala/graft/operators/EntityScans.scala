@@ -13,11 +13,20 @@ object EntityScans {
 
   /** S4 — GraphQL connection unwrap: `edges[].node` explode
     * (aggregateHoldings, monarchmoney.py:733-771). One row per node with the
-    * parent key carried along. */
-  def explodeEdges(portfolio: DataFrame, idCol: String, edgesCol: String): DataFrame =
-    portfolio
-      .select(col(idCol), explode(col(edgesCol)).as("_node"))
-      .select(col(idCol) +: Seq(col("_node.*")): _*)
+    * parent key carried along. Handles both the true connection shape
+    * (edge struct wrapping a `node` struct — FIXTURES.md holdings) and
+    * already-flat edge structs. */
+  def explodeEdges(portfolio: DataFrame, idCol: String, edgesCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    val hasNodeWrapper = portfolio.schema(edgesCol).dataType match {
+      case ArrayType(s: StructType, _) => s.fieldNames.contains("node")
+      case other => throw new IllegalArgumentException(
+        s"explodeEdges: $edgesCol must be array<struct>, got ${other.catalogString}")
+    }
+    val exploded = portfolio.select(col(idCol), explode(col(edgesCol)).as("_edge"))
+    if (hasNodeWrapper) exploded.select(col(idCol) +: Seq(col("_edge.node.*")): _*)
+    else exploded.select(col(idCol) +: Seq(col("_edge.*")): _*)
+  }
 
   /** S6 — recentBalances explode (monarchmoney.py:259-268): a per-account
     * daily balance array becomes (account, date, balance) rows; the date is
@@ -31,9 +40,10 @@ object EntityScans {
         col("col").as("balance"))
 
   /** S5 — client-side snapshot enrichment (monarchmoney.py:1018-1020): stamp
-    * constant account attributes onto every series row. */
+    * constant account attributes onto every series row (one analyzer pass —
+    * not withColumn-per-attribute). */
   def enrich(df: DataFrame, attrs: (String, Column)*): DataFrame =
-    attrs.foldLeft(df) { case (d, (name, c)) => d.withColumn(name, c) }
+    df.withColumns(attrs.toMap)
 
   /** S13+S14 — point lookup by id plus child split rows
     * (monarchmoney.py:1979-2127, 2129-2177): parent filter (partition-prunable
@@ -46,7 +56,10 @@ object EntityScans {
     val c = children.filter(col(childKey) === lit(id))
       .withColumn("split_sum",
         sum(childAmount).over(Window.partitionBy(col(childKey))))
-    p.join(c, p(parentKey) === c(childKey))
+    // LEFT join: a parent without children (isSplitTransaction = false, the
+    // common case) is still a successful point lookup — one row with null
+    // child columns — not an empty result indistinguishable from a miss
+    p.join(c, p(parentKey) === c(childKey), "left")
   }
 
   /** S9+P7 — institutions scan with the includeDeleted toggle
@@ -55,7 +68,9 @@ object EntityScans {
   def institutions(df: DataFrame, deleted: Column,
                    includeDeleted: Boolean = false): DataFrame = {
     val flagged = df.withColumn("is_deleted", deleted)
-    if (includeDeleted) flagged else flagged.filter(!deleted)
+    // a missing/NULL flag is falsy in the reference — the row is KEPT
+    // (bare !deleted would evaluate NULL and drop it)
+    if (includeDeleted) flagged else flagged.filter(!coalesce(deleted, lit(false)))
   }
 
   /** S15 — recurring forecast scan (monarchmoney.py:2667-2731): `isPast`

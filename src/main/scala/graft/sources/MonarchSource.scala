@@ -41,6 +41,17 @@ object MonarchSource {
         explode(col("allTransactions.results")).as("t"))
       .select(col("total_count"), col("t.*"))
 
+  /** A8 reconciliation: the response's DECLARED totalCount, readable even
+    * when `results` is empty or truncated — the exploded frame from
+    * [[transactions]] carries zero rows in that case, so the declared count
+    * is the only signal that data went missing. Compare against the
+    * exploded row count before trusting a batch. */
+  def declaredTotalCount(spark: SparkSession, path: String): Option[Long] =
+    spark.read.schema(transactionsResponseSchema)
+      .option("multiLine", true).json(path)
+      .select(col("allTransactions.totalCount").cast("long"))
+      .collect().headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+
   /** S1 — read an accounts response; one row per account. */
   def accounts(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(accountsResponseSchema)
@@ -58,8 +69,15 @@ object MonarchSource {
     "madeOn", "createdAt", "activityDate")
 
   def findDateKey(df: DataFrame, sampleSize: Int = 100): Option[String] = {
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    // a candidate NAME only wins if its TYPE can carry a date — an
+    // epoch-millis LongType "createdAt" must not shadow a real date column
+    def dateish(c: String) = df.schema(c).dataType match {
+      case DateType | TimestampType | StringType => true
+      case _ => false
+    }
     val cols = df.columns.toSet
-    dateKeyCandidates.find(cols.contains).orElse {
+    dateKeyCandidates.find(c => cols.contains(c) && dateish(c)).orElse {
       val stringCols = df.schema.fields
         .filter(f => f.dataType == StringType).map(_.name).toIndexedSeq
       if (stringCols.isEmpty) None

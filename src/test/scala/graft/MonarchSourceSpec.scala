@@ -70,5 +70,19 @@ class MonarchSourceSpec extends SparkTestBase {
     // candidate name wins over a differently-named ISO-shaped column
     val both = Seq(("2026-01-01", "2026-01-02")).toDF("activityDate", "otherDate")
     assert(MonarchSource.findDateKey(both).contains("activityDate"))
+    // a candidate NAME with a non-date TYPE must not shadow a real date col
+    val badType = Seq((1700000000000L, "2026-01-01")).toDF("createdAt", "posted_on")
+    assert(MonarchSource.findDateKey(badType).contains("posted_on"))
+  }
+
+  test("A8 reconciliation: declared totalCount is readable when results is empty") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_resp")
+    java.nio.file.Files.writeString(dir.resolve("resp.json"),
+      """{"allTransactions": {"totalCount": 42, "results": []}}""")
+    val path = dir.resolve("resp.json").toString
+    assert(MonarchSource.transactions(spark, path).count() == 0)
+    assert(MonarchSource.declaredTotalCount(spark, path).contains(42L),
+      "the truncation signal must survive an empty results array")
   }
 }
