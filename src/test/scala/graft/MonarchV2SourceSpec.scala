@@ -60,6 +60,27 @@ class MonarchV2SourceSpec extends SparkTestBase {
     assert(df.collect().length == 500)
   }
 
+  test("pushed date filters work under spark.sql.datetime.java8API (LocalDate literals)") {
+    spark.conf.set("spark.sql.datetime.java8API.enabled", "true")
+    try {
+      val df = read().filter(col("date") >= lit("2026-01-10").cast("date"))
+      val expected = spark.read.schema(graft.sources.v2.MonarchTransactionsV2.schema)
+        .json(dataDir + "/part-0.jsonl", dataDir + "/part-1.jsonl")
+        .filter(col("date") >= lit("2026-01-10").cast("date"))
+      assert(df.count() == expected.count() && df.count() > 0)
+    } finally spark.conf.set("spark.sql.datetime.java8API.enabled", "false")
+  }
+
+  test("null-bearing In-lists are NOT pushed (Spark keeps its null semantics)") {
+    val df = read().filter(col("category").isin("food", null))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("PushedFilters: [In(category"), plan)
+    val expected = spark.read.schema(graft.sources.v2.MonarchTransactionsV2.schema)
+      .json(dataDir + "/part-0.jsonl", dataDir + "/part-1.jsonl")
+      .filter(col("category").isin("food", null))
+    assert(df.count() == expected.count())
+  }
+
   test("limit pushes down and unsupported predicates stay Spark-side") {
     val limited = read().limit(7)
     assert(limited.queryExecution.executedPlan.toString.contains("Limit: 7"))
