@@ -42,4 +42,21 @@ object Sinks {
     * (consumers see the original contract columns). */
   def readMonthPartitioned(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("__month")
+
+  /** Compacted write: size the output partition count from the plan's
+    * byte estimate so files land near `targetBytes` instead of one file
+    * per upstream task. The small-files problem is the classic slow decay
+    * of a 100 TB table — a 32-partition shuffle stage writing hourly
+    * produces ~280k files a year; compacting to ~128 MB keeps scans
+    * row-group-bound, not open()-bound. Catalyst's size estimate is rough
+    * (decompressed, often high) — treat `targetBytes` as an order-of-
+    * magnitude target, not an exact file size. */
+  def writeCompacted(df: DataFrame, path: String,
+                     targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val estimated = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val partitions = ((estimated + targetBytes - 1) / targetBytes)
+      .max(1).min(1 << 20).toInt
+    df.repartition(partitions).write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

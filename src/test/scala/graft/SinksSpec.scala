@@ -47,6 +47,22 @@ class SinksSpec extends SparkTestBase {
       s"February must be replaced, January kept: $back")
   }
 
+  test("writeCompacted sizes file count from the byte estimate") {
+    val path1 = Files.createTempDirectory("graft_compact1").toString
+    val small = spark.range(1000).selectExpr("id", "CAST(id AS STRING) AS s")
+    Sinks.writeCompacted(small, path1, targetBytes = 1L << 30) // 1 GiB target
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(path1) == 1, "tiny data under a big target -> one file")
+
+    val path2 = Files.createTempDirectory("graft_compact2").toString
+    val bigger = spark.range(200000).selectExpr("id", "repeat('x', 100) AS pad")
+    Sinks.writeCompacted(bigger, path2, targetBytes = 1L << 20) // 1 MiB target
+    assert(parquetFiles(path2) > 1, "data over the target must split into multiple files")
+    // read-back integrity
+    assert(spark.read.parquet(path2).count() == 200000)
+  }
+
   test("restores the prior partitionOverwriteMode setting") {
     val path = Files.createTempDirectory("graft_sink3").toString
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
