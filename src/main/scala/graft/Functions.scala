@@ -52,6 +52,11 @@ object Functions {
   def ngram_hash_set(text: Column, n: Int): Column =
     bridge.column(graft.functions.NgramHashSet(bridge.expression(text), n))
 
+  /** Winnowing document fingerprints: O(n) Rabin-Karp rolling hash over
+    * k-char windows, then sliding-window-of-w minima (the MOSS scheme). */
+  def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
+    bridge.column(graft.functions.WinnowFingerprints(bridge.expression(text), k, w))
+
   /** MinHash signature over a precomputed hash set (one shingle pass shared
     * between LSH banding and Jaccard verification). */
   def minhash_from_hashes(hashes: Column, numHashes: Int): Column =

@@ -44,6 +44,9 @@ object GraftExtensions {
       ShingleHashSet(e.head, intArg(e(1), "shingle_hash_set", 2))),
     "ngram_hash_set" -> (e =>
       NgramHashSet(e.head, intArg(e(1), "ngram_hash_set", 2))),
+    "winnow_fingerprints" -> (e =>
+      WinnowFingerprints(e.head, intArg(e(1), "winnow_fingerprints", 2),
+        intArg(e(2), "winnow_fingerprints", 3))),
     "minhash_from_hashes" -> (e =>
       MinhashFromHashes(e.head, intArg(e(1), "minhash_from_hashes", 2))),
     "simhash" -> (e => SimHash(e.head, intArg(e(1), "simhash", 2))),

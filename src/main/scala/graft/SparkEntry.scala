@@ -598,6 +598,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- Winnowing fingerprints: rolling-hash (Rabin-Karp) k-gram hashes
+    // + sliding-window minima (MOSS) — the robust-fingerprint form of
+    // document identity, one O(n) pass per doc ----
+    "t09_winnow_fingerprint" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(winnow_fingerprints(col("text"), 8, 4)).as("fp"))
+        .orderBy(col("doc_id"), col("fp"))
+    },
+
     // ---- Corpus distribution stats: exact interpolated token-count
     // quantiles per language (percentile == quantile_cont) ----
     "t08_token_quantiles" -> { (s, dir) =>
@@ -1405,6 +1415,25 @@ object SparkEntry {
          SELECT doc_id, md5(norm) AS fingerprint,
                 CAST(('0x' || substr(md5(norm),1,12)) AS BIGINT) AS fingerprint_int
          FROM n ORDER BY doc_id""",
+
+    "t09_winnow_fingerprint" ->
+      """WITH h AS (
+           SELECT doc_id,
+             list_transform(range(1, greatest(length(text)-8+1, 1)+1),
+               i -> list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(0, least(CAST(8 AS BIGINT), length(text))),
+                     j -> CAST(ord(substr(text, CAST(i+j AS INTEGER), 1)) AS BIGINT))),
+                 (a, b) -> (a*257 + b) % 2147483647)) AS hl
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             CASE WHEN len(hl) <= 4 THEN [list_min(hl)]
+                  ELSE list_transform(range(1, len(hl)-4+2), i -> list_min(hl[CAST(i AS INTEGER):CAST(i AS INTEGER)+3]))
+             END AS mins
+           FROM h)
+         SELECT doc_id, unnest(list_sort(list_distinct(mins))) AS fp
+         FROM m ORDER BY doc_id, fp""",
 
     "t08_token_quantiles" ->
       """WITH t AS (

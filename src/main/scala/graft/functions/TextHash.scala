@@ -168,6 +168,63 @@ object TextHashUtil {
     new GenericArrayData(arr)
   }
 
+  /** Winnowing fingerprints (the MOSS scheme): Rabin-Karp rolling polynomial
+    * hash over k-char windows — each window hash derived from the previous
+    * in O(1) — then the minimum hash of each w-window of the hash sequence
+    * is selected (sliding-window minima via a monotonic deque, O(n) total).
+    * Output: sorted distinct selected hashes. B=257, M=2^31-1; a text
+    * shorter than k contributes its single whole-text hash. */
+  def winnowFingerprints(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    val B = 257L
+    val M = 2147483647L
+    // highest power B^(k-1) mod M for the roll-out term
+    var bk = 1L
+    var p = 0
+    val kk = math.min(k, math.max(n, 1))
+    while (p < kk - 1) { bk = bk * B % M; p += 1 }
+    val nHashes = math.max(n - k + 1, 1)
+    val hashes = new Array[Long](nHashes)
+    var h = 0L
+    var i = 0
+    val first = math.min(k, n)
+    while (i < first) { h = (h * B + s.charAt(i)) % M; i += 1 }
+    hashes(0) = h
+    var start = 1
+    while (start < nHashes) {
+      val out = s.charAt(start - 1)
+      val in = s.charAt(start + k - 1)
+      h = ((h - out * bk % M + M) % M * B + in) % M
+      hashes(start) = h
+      start += 1
+    }
+    // sliding minima over windows of w (monotonic deque of indices);
+    // fewer than w hashes = one window over all of them
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    if (nHashes <= w) {
+      var m = hashes(0)
+      var x = 1
+      while (x < nHashes) { if (hashes(x) < m) m = hashes(x); x += 1 }
+      selected.add(m)
+    } else {
+      val deque = new java.util.ArrayDeque[Int]()
+      var j = 0
+      while (j < nHashes) {
+        while (!deque.isEmpty && hashes(deque.peekLast()) >= hashes(j)) deque.pollLast()
+        deque.addLast(j)
+        if (deque.peekFirst() <= j - w) { deque.pollFirst(); () }
+        if (j >= w - 1) selected.add(hashes(deque.peekFirst()))
+        j += 1
+      }
+    }
+    val out = new Array[Long](selected.size())
+    val it = selected.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = it.next().longValue(); idx += 1 }
+    new GenericArrayData(out)
+  }
+
   /** SimHash: per-token 48-bit hash (duplicates counted); bit b of the result
     * is set iff the +/-1 vote sum at bit b is positive. Tokenization matches
     * split(trim(text), "\\s+"): space-only trim, trailing empty kept. */
@@ -234,6 +291,19 @@ case class ShingleHashSet(child: Expression, k: Int) extends TextHashExpression 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHashUtil.shingleHashSet($c, $k)")
   override protected def withNewChildInternal(newChild: Expression): ShingleHashSet =
+    copy(child = newChild)
+}
+
+/** winnow_fingerprints(text, k, w) — Rabin-Karp rolling hash + winnowing. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int) extends TextHashExpression {
+  require(k >= 1 && w >= 1, s"winnow_fingerprints: k and w must be >= 1, got k=$k w=$w")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+  override def nullSafeEval(input: Any): Any =
+    TextHashUtil.winnowFingerprints(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashUtil.winnowFingerprints($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
     copy(child = newChild)
 }
 

@@ -9,6 +9,41 @@ import graft.sources.Tables
 /** Fused langid/cosine kernels must match the interpreted HOF formulations
   * they replaced (which live here as the equivalence spec). */
 class TextAnalysisSpec extends SparkTestBase {
+
+  test("winnow_fingerprints: rolling hash equals the direct polynomial; edge cases") {
+    import spark.implicits._
+    import graft.Functions.winnow_fingerprints
+    val M = 2147483647L
+    def direct(s: String, k: Int): Seq[Long] =
+      (0 to math.max(s.length - k, 0)).map { i =>
+        s.substring(i, math.min(i + k, s.length))
+          .foldLeft(0L)((a, c) => (a * 257 + c) % M)
+      }
+    val text = "the quick brown fox jumps over the lazy dog"
+    val got = Seq(text).toDF("t")
+      .select(winnow_fingerprints(col("t"), 8, 4).as("fp"))
+      .as[Seq[Long]].collect()(0)
+    // every selected fingerprint is a real window hash, sorted distinct
+    val hashes = direct(text, 8)
+    assert(got.nonEmpty && got.toSet.subsetOf(hashes.toSet))
+    assert(got == got.sorted && got.distinct == got)
+    // the winnowing guarantee: two docs sharing a long-enough substring
+    // (>= w + k - 1 chars) share at least one fingerprint
+    val shared = "a very distinctive shared passage here"
+    val doc1 = s"prefix one $shared suffix alpha"
+    val doc2 = s"completely different beginning $shared and ending"
+    val fps = Seq(doc1, doc2).toDF("t")
+      .select(winnow_fingerprints(col("t"), 8, 4).as("fp"))
+      .as[Seq[Long]].collect()
+    assert((fps(0).toSet & fps(1).toSet).nonEmpty, "shared passage must share a fingerprint")
+    // shorter than k: one whole-text hash; empty text: the zero hash
+    val tiny = Seq("abc").toDF("t")
+      .select(winnow_fingerprints(col("t"), 8, 4).as("fp")).as[Seq[Long]].collect()(0)
+    assert(tiny == Seq("abc".foldLeft(0L)((a, c) => (a * 257 + c) % M)))
+    val empty = Seq("").toDF("t")
+      .select(winnow_fingerprints(col("t"), 8, 4).as("fp")).as[Seq[Long]].collect()(0)
+    assert(empty == Seq(0L))
+  }
   import spark.implicits._
 
   private val sfDir = "/root/testdata/sf0.001"
