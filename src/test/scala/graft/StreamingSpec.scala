@@ -149,4 +149,21 @@ class StreamingSpec extends SparkTestBase {
       assert(ctl.read().nonEmpty)
     } finally q.stop()
   }
+
+  test("foreachBatchMerge aborts on a corrupt existing target instead of wiping history") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_corrupt").toString
+    val target = s"$dir/target"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(target))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$target/part-0.parquet"), "this is not parquet")
+    val sink = Streams.foreachBatchMerge(target, s"$dir/control", "d",
+      windowStartOf = _ => "2026-01-05")
+    val batch = Seq(("x", "2026-01-10")).toDF("id", "d")
+      .select(col("id"), col("d").cast("date").as("d"))
+    intercept[Exception] { sink(batch, 0L) }
+    // the corrupt file must still be there — nothing was overwritten — and
+    // no control watermark was advanced past the failure
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$target/part-0.parquet")))
+    assert(new graft.operators.IncrementalMerge.ControlTable(spark, s"$dir/control").read().isEmpty)
+  }
 }
