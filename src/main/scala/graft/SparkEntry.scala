@@ -562,10 +562,15 @@ object SparkEntry {
     },
 
     // ---- Multimodal: feature-extract stub (batched model-pass plumbing) ----
+    // The library API returns the fixed-dim vector; the entry explodes it to
+    // (doc_id, dim, value) rows because the oracle harness compares scalar
+    // columns (array cells are unhashable on the pandas side).
     "m04_features" -> { (s, dir) =>
       Multimodal.extractFeaturesStub(syntheticAssets(s, dir), "doc_id", "payload", dim = 16)
         .withColumnRenamed("asset_id", "doc_id")
-        .orderBy(col("doc_id"))
+        .select(col("doc_id"), posexplode(col("features")))
+        .select(col("doc_id"), col("pos").as("dim"), col("col").as("value"))
+        .orderBy(col("doc_id"), col("dim"))
     },
 
     // ---- Text: language-ID heuristic ----
@@ -1298,13 +1303,13 @@ object SparkEntry {
          FROM y GROUP BY user_id, sid ORDER BY user_id, start_us""",
 
     "q32_bucketed_join" ->
-      """SELECT p_brand, sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+      """SELECT p_brand, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
                 round(sum(l_extendedprice), 2) AS revenue, count(*) AS n
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY 1 ORDER BY 1""",
 
     "q30_salted_join" ->
-      """SELECT o_orderstatus, sum(CAST(l_quantity AS BIGINT)) AS sum_qty, count(*) AS n
+      """SELECT o_orderstatus, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, count(*) AS n
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY 1 ORDER BY 1""",
 
@@ -1358,11 +1363,11 @@ object SparkEntry {
            SELECT doc_id, greatest(length(s), 1) AS n,
              list_transform(range(1, length(s)+1),
                i -> ord(substr(s, CAST(i AS INTEGER), 1)) % 16) AS bs
-           FROM a)
-         SELECT doc_id,
-           list_transform(range(0, 16),
-             b -> CAST(len(list_filter(bs, x -> x = b)) AS DOUBLE) / n) AS features
-         FROM c ORDER BY doc_id""",
+           FROM a),
+         d AS (SELECT doc_id, n, bs, unnest(range(0, 16)) AS dim FROM c)
+         SELECT doc_id, CAST(dim AS INTEGER) AS dim,
+           CAST(len(list_filter(bs, x -> x = dim)) AS DOUBLE) / n AS value
+         FROM d ORDER BY doc_id, dim""",
 
     "t01_langid" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
@@ -1519,7 +1524,7 @@ object SparkEntry {
                   WHEN CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,12)) AS BIGINT) % 1000000 AS DOUBLE) / 1000000 < 0.9 THEN 'val'
                   ELSE 'test' END AS split
            FROM kept)
-         SELECT lang_pred, split, count(*) AS n, sum(n_tokens) AS total_tokens
+         SELECT lang_pred, split, count(*) AS n, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          FROM sp GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "t06_split_assign" ->

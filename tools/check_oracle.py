@@ -43,6 +43,17 @@ def main():
                 print(f"FAIL {name}: rows {len(got)} vs {len(exp)}")
                 n_fail += 1
                 continue
+            # driver-hasher parity: a pandas dtype KIND divergence (e.g.
+            # DuckDB HUGEINT -> object/float64 vs Spark long -> int64)
+            # renders differently under the driver's value hasher even when
+            # `norm` hides it here. Width-only differences (int32 vs int64)
+            # render identically and are fine — r02 proved the driver
+            # accepts them.
+            if [d.kind for d in got.dtypes] != [d.kind for d in exp.dtypes]:
+                print(f"FAIL {name}: dtype kinds {[str(d) for d in got.dtypes]}"
+                      f" vs {[str(d) for d in exp.dtypes]}")
+                n_fail += 1
+                continue
             # row-order-insensitive compare (sort rows by normalized repr)
             g = sorted(tuple(norm(v) for v in row) for row in got.itertuples(index=False))
             e = sorted(tuple(norm(v) for v in row) for row in exp.itertuples(index=False))
