@@ -158,10 +158,16 @@ object Synthetic {
           m => lit("")).as("monthlyAmounts"))
     }
 
-    /** monthlyAmountsForFlexExpense: a single flexible-expense series. */
+    /** monthlyAmountsForFlexExpense: a single flexible-expense series.
+      * `budgetVariability` is derived from the row id rather than emitted as
+      * a literal: real API data carries it as a genuine column, and a
+      * foldable key here would let Catalyst (EliminateWindowPartitions)
+      * erase the consumer's A6 window partition spec and collapse the
+      * running total to a single partition. */
     def flex(spark: SparkSession): DataFrame =
       spark.range(1).select(
-        lit("flexible").as("budgetVariability"),
+        when(pmod(col("id"), lit(2)) === 0, "flexible").otherwise("non_monthly")
+          .as("budgetVariability"),
         monthlyAmounts(
           m => m + 500.25,
           m => lit(0.0),

@@ -34,4 +34,18 @@ class PlanAuditSpec extends SparkTestBase {
     }
     assert(violations.isEmpty, violations.mkString("\n"))
   }
+
+  test("no entry plans an unpartitioned window (single-partition sort)") {
+    // checked on the optimized logical plan: EliminateWindowPartitions has
+    // already dropped foldable keys there, so a partition spec that survives
+    // only as literals (the r02 q16 regression) shows up as empty
+    val violations = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      fn(spark, sfDir).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty =>
+          s"$name: Window with empty partition spec (${w.windowExpressions.map(_.name).mkString(",")})"
+      }
+    }
+    assert(violations.isEmpty, violations.mkString("\n"))
+  }
 }
