@@ -384,6 +384,26 @@ object SparkEntry {
         .orderBy(col("category"))
     },
 
+    // ---- K5 read-shape analog: keyed upsert (MERGE) + keyed delete
+    // (monarchmoney.py:2410-2570 update, 1556-1613 create, 1615-1662 delete).
+    // Updates re-price every 10th key, inserts clone every 1000th key under a
+    // fresh id, deletes drop every 97th original key. ----
+    "q37_keyed_upsert" -> { (s, dir) =>
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate").cast("date").as("o_date"))
+      val updates = base.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(0.25))
+      val inserts = base.filter(pmod(col("o_orderkey"), lit(1000)) === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(9000000000L))
+      val deletes = base.filter(pmod(col("o_orderkey"), lit(97)) === 0)
+        .select(col("o_orderkey"))
+      Upsert.delete(
+          Upsert.upsert(base, updates.unionByName(inserts), "o_orderkey"),
+          deletes, "o_orderkey")
+        .orderBy(col("o_orderkey"))
+    },
+
     // ---- Per-group top-k via the bounded-heap aggregate (k rows per
     // group per partition cross the shuffle — never a full window sort) ----
     "q31_topk_per_group" -> { (s, dir) =>
@@ -1261,6 +1281,28 @@ object SparkEntry {
            round(sum(CASE WHEN month(o_orderdate) = 12 THEN o_totalprice END), 2) AS m12
          FROM orders WHERE year(o_orderdate) = 1997
          GROUP BY 1 ORDER BY 1""",
+
+    "q37_keyed_upsert" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  CAST(o_orderdate AS DATE) AS o_date
+           FROM orders),
+         fresh AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+                  o_totalprice + 0.25 AS o_totalprice, o_date
+           FROM base WHERE o_orderkey % 10 = 0
+           UNION ALL
+           SELECT o_orderkey + 9000000000, o_custkey, o_orderstatus,
+                  o_totalprice, o_date
+           FROM base WHERE o_orderkey % 1000 = 0),
+         merged AS (
+           SELECT * FROM base
+           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM fresh)
+           UNION ALL SELECT * FROM fresh)
+         SELECT * FROM merged
+         WHERE o_orderkey NOT IN
+           (SELECT o_orderkey FROM base WHERE o_orderkey % 97 = 0)
+         ORDER BY o_orderkey""",
 
     "q31_topk_per_group" ->
       """SELECT o_custkey, CAST(rnk AS INTEGER) AS rank, o_orderkey FROM (

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Upsert
+
+/** K5 read-shape analog — keyed MERGE/DELETE semantics
+  * (monarchmoney.py:2410-2570, 1556-1662). */
+class UpsertSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("matched keys are replaced, unmatched fresh keys inserted, rest untouched") {
+    val existing = Seq(("1", 10.0, "keep"), ("2", 20.0, "update-me"), ("3", 30.0, "keep"))
+      .toDF("id", "amount", "note")
+    val fresh = Seq(("2", 99.0, "updated"), ("4", 40.0, "created"))
+      .toDF("id", "amount", "note")
+    val out = Upsert.upsert(existing, fresh, "id").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getString(2))).toMap
+    assert(out == Map(
+      "1" -> (10.0, "keep"),
+      "2" -> (99.0, "updated"), // update wins over the existing row
+      "3" -> (30.0, "keep"),
+      "4" -> (40.0, "created")))
+  }
+
+  test("upsert is idempotent: re-applying the same fresh batch changes nothing") {
+    val existing = Seq(("1", 10.0), ("2", 20.0)).toDF("id", "amount")
+    val fresh = Seq(("2", 99.0), ("3", 30.0)).toDF("id", "amount")
+    val once = Upsert.upsert(existing, fresh, "id")
+    val twice = Upsert.upsert(once, fresh, "id")
+    assert(once.collect().map(_.toSeq).toSet == twice.collect().map(_.toSeq).toSet)
+  }
+
+  test("schema alignment: one-sided columns are null on the other side (v3:165-176)") {
+    val existing = Seq(("1", "legacy")).toDF("id", "old_col")
+    val fresh = Seq(("2", "b1")).toDF("id", "loaded")
+    val out = Upsert.upsert(existing, fresh, "id")
+    assert(out.columns.toSet == Set("id", "old_col", "loaded"))
+    val byId = out.collect().map(r => r.getString(0) -> r).toMap
+    assert(byId("1").getAs[String]("loaded") == null)
+    assert(byId("2").getAs[String]("old_col") == null)
+  }
+
+  test("delete drops exactly the listed keys") {
+    val existing = Seq(("1", 10.0), ("2", 20.0), ("3", 30.0)).toDF("id", "amount")
+    val ids = Seq("2", "9").toDF("id") // unknown key 9 is a no-op, like the API's 404
+    val out = Upsert.delete(existing, ids, "id")
+    assert(out.select("id").as[String].collect().sorted.toSeq == Seq("1", "3"))
+  }
+
+  test("upsert plan has no cartesian / nested loop (anti join stays keyed)") {
+    val existing = spark.range(1000).select(col("id"), (col("id") * 2).as("v"))
+    val fresh = spark.range(100).select((col("id") * 10).as("id"), lit(-1L).as("v"))
+    val plan = Upsert.upsert(existing, fresh, "id").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
