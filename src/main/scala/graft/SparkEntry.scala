@@ -359,6 +359,20 @@ object SparkEntry {
           col("o_totalprice"), col("account_id"), col("account_name"))
     },
 
+    // ---- S16: subscription details — single-record scan (lib:1344-1365).
+    // The record is derived from the nation dim so the oracle recomputes the
+    // same values; the scan itself is the reference's one-object projection. ----
+    "q38_subscription" -> { (s, dir) =>
+      Tables.nation(s, dir)
+        .agg(count(lit(1)).as("_n"), sum(col("n_nationkey")).as("_s"))
+        .select(
+          concat(lit("sub-"), col("_n")).as("id"),
+          lit("stripe").as("payment_source"),
+          concat(lit("REF"), col("_s")).as("referral_code"),
+          (pmod(col("_s"), lit(2)) === 0).as("is_on_free_trial"),
+          (col("_n") > 0).as("has_premium_entitlement"))
+    },
+
     // ---- S12: tag dim scan from the tags arrays (lib:1898-1922) ----
     "q29_tag_dim" -> { (s, dir) =>
       Synthetic.nestedTransactions(Tables.orders(s, dir))
@@ -1303,6 +1317,14 @@ object SparkEntry {
          WHERE o_orderkey NOT IN
            (SELECT o_orderkey FROM base WHERE o_orderkey % 97 = 0)
          ORDER BY o_orderkey""",
+
+    "q38_subscription" ->
+      """SELECT 'sub-' || CAST(count(*) AS VARCHAR) AS id,
+                'stripe' AS payment_source,
+                'REF' || CAST(CAST(sum(n_nationkey) AS BIGINT) AS VARCHAR) AS referral_code,
+                CAST(sum(n_nationkey) AS BIGINT) % 2 = 0 AS is_on_free_trial,
+                count(*) > 0 AS has_premium_entitlement
+         FROM nation""",
 
     "q31_topk_per_group" ->
       """SELECT o_custkey, CAST(rnk AS INTEGER) AS rank, o_orderkey FROM (
