@@ -359,6 +359,18 @@ object SparkEntry {
           col("o_totalprice"), col("account_id"), col("account_name"))
     },
 
+    // ---- S3 goals fragments: @include(if:)-toggled legacy + v2 goal
+    // sub-selections (lib:1253-1296), both toggles ON here; GoalsSpec pins
+    // the off states. ----
+    "q39_budget_goals" -> { (s, dir) =>
+      val nation = Tables.nation(s, dir)
+      BudgetPipeline.goalRecords(s,
+          legacy = Some((Synthetic.Budget.legacyGoals(nation),
+            Synthetic.Budget.legacyPlannedContributions(nation))),
+          v2 = Some(Synthetic.Budget.goalsV2(nation)))
+        .orderBy(col("goal_system"), col("goal_id"), col("month"))
+    },
+
     // ---- S16: subscription details — single-record scan (lib:1344-1365).
     // The record is derived from the nation dim so the oracle recomputes the
     // same values; the scan itself is the reference's one-object projection. ----
@@ -1317,6 +1329,27 @@ object SparkEntry {
          WHERE o_orderkey NOT IN
            (SELECT o_orderkey FROM base WHERE o_orderkey % 97 = 0)
          ORDER BY o_orderkey""",
+
+    "q39_budget_goals" ->
+      """WITH m AS (SELECT unnest(range(0, 6)) AS m),
+         legacy AS (
+           SELECT 'legacy' AS goal_system,
+                  'LG' || CAST(n_nationkey AS VARCHAR) AS goal_id,
+                  'Goal ' || n_name AS goal_name,
+                  '1997-' || lpad(CAST(m + 1 AS VARCHAR), 2, '0') || '-01' AS month,
+                  n_nationkey * 2 + m + 0.25 AS planned_amount,
+                  CAST(NULL AS DOUBLE) AS contribution_sum
+           FROM nation, m),
+         v2 AS (
+           SELECT 'v2' AS goal_system,
+                  'G2-' || CAST(n_nationkey AS VARCHAR) AS goal_id,
+                  'Goal ' || n_name AS goal_name,
+                  '1997-' || lpad(CAST(m + 1 AS VARCHAR), 2, '0') || '-01' AS month,
+                  n_nationkey * 3 + m + 0.5 AS planned_amount,
+                  n_nationkey + m * 2 + 0.25 AS contribution_sum
+           FROM nation, m)
+         SELECT * FROM legacy UNION ALL SELECT * FROM v2
+         ORDER BY goal_system, goal_id, month""",
 
     "q38_subscription" ->
       """SELECT 'sub-' || CAST(count(*) AS VARCHAR) AS id,

@@ -1,7 +1,8 @@
 package graft.jobs
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
 
 import graft.operators.{Contracts, Windows}
 
@@ -188,6 +189,63 @@ object BudgetPipeline {
       lit("").as("BudgetVariability"),
       lit(0).as("CategoryOrder"),
       col("t").getField("gorder").as("GroupOrder")): _*)
+  }
+
+  /** Output contract of [[goalRecords]] — stable even when every fragment
+    * toggle is off. */
+  val goalSchema: StructType = StructType(Seq(
+    StructField("goal_system", StringType, nullable = false),
+    StructField("goal_id", StringType),
+    StructField("goal_name", StringType),
+    StructField("month", StringType),
+    StructField("planned_amount", DoubleType),
+    StructField("contribution_sum", DoubleType)))
+
+  /** The budget response's goal fragments (monarchmoney.py:1253-1296),
+    * unified to long-form (goal, month) contribution rows. Each `Option`
+    * mirrors a GraphQL `@include(if:)` toggle (`use_legacy_goals` /
+    * `use_v2_goals`, monarchmoney.py:1113-1114): `None` means the fragment
+    * was not selected and its leg contributes nothing; both off yields an
+    * empty result with the same schema.
+    *
+    *  - legacy = (goals dim, goalPlannedContributions): planned amounts
+    *    joined to the goal dim for the name (broadcast — goals are a
+    *    user-scale dim, never data-scale);
+    *  - v2 = goalsV2: nested plannedContributions and
+    *    monthlyContributionSummaries exploded and full-outer-joined on
+    *    (goal, month) — the two selections carry independent month windows,
+    *    so neither side may be dropped (a summary-only month has a null
+    *    goal_name, matching the absent sub-selection). */
+  def goalRecords(spark: SparkSession,
+                  legacy: Option[(DataFrame, DataFrame)],
+                  v2: Option[DataFrame]): DataFrame = {
+    val legacyLeg = legacy.map { case (goals, planned) =>
+      planned
+        .select(col("goal.id").as("goal_id"), col("startDate").as("month"),
+          col("amount").as("planned_amount"))
+        .join(broadcast(goals.select(col("id").as("goal_id"), col("name"))),
+          Seq("goal_id"), "left")
+        .select(lit("legacy").as("goal_system"), col("goal_id"),
+          col("name").as("goal_name"), col("month"), col("planned_amount"),
+          lit(null).cast("double").as("contribution_sum"))
+    }
+    val v2Leg = v2.map { g =>
+      val planned = g
+        .select(col("id").as("goal_id"), col("name").as("goal_name"),
+          explode(col("plannedContributions")).as("p"))
+        .select(col("goal_id"), col("goal_name"), col("p.month").as("month"),
+          col("p.amount").as("planned_amount"))
+      val sums = g
+        .select(col("id").as("goal_id"), explode(col("monthlyContributionSummaries")).as("s"))
+        .select(col("goal_id"), col("s.month").as("month"), col("s.sum").as("contribution_sum"))
+      planned.join(sums, Seq("goal_id", "month"), "full_outer")
+        .select(lit("v2").as("goal_system"), col("goal_id"), col("goal_name"),
+          col("month"), col("planned_amount"), col("contribution_sum"))
+    }
+    (legacyLeg.toSeq ++ v2Leg.toSeq)
+      .reduceOption(_.unionByName(_))
+      .getOrElse(spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), goalSchema))
   }
 
   /** U2 — union of the 7 record shapes (Category records have no

@@ -190,6 +190,54 @@ object Synthetic {
         bucket(col("id") + 400.25, col("id") * 2 + 350.5, lit(0.0)).as("totalFlexibleExpenses"))
     }
 
+    /** goals @include(if: $useLegacyGoals) (monarchmoney.py:1253-1258):
+      * flat legacy goal dim. */
+    def legacyGoals(nation: DataFrame): DataFrame = {
+      val n = col("n_nationkey")
+      nation.select(
+        concat(lit("LG"), n).as("id"),
+        concat(lit("Goal "), col("n_name")).as("name"),
+        when(pmod(n, lit(4)) === 0, "1997-06-15").as("completedAt"),
+        lit("1997-12-31").as("targetDate"))
+    }
+
+    /** goalPlannedContributions @include(if: $useLegacyGoals)
+      * (monarchmoney.py:1269-1276): {id, amount, startDate, goal{id}} rows,
+      * one per goal per window month. */
+    def legacyPlannedContributions(nation: DataFrame): DataFrame = {
+      val n = col("n_nationkey")
+      nation
+        .select(n, explode(transform(sequence(lit(0), lit(months - 1)), m => struct(
+          concat(lit("GPC"), n, lit("-"), m).as("id"),
+          (n * 2 + m + 0.25).as("amount"),
+          monthKey(m).as("startDate")))).as("c"))
+        .select(
+          col("c.id").as("id"),
+          col("c.amount").as("amount"),
+          col("c.startDate").as("startDate"),
+          struct(concat(lit("LG"), n).as("id")).as("goal"))
+    }
+
+    /** goalsV2 @include(if: $useV2Goals) (monarchmoney.py:1278-1296): goal
+      * dim with nested plannedContributions and monthlyContributionSummaries
+      * series over the window. */
+    def goalsV2(nation: DataFrame): DataFrame = {
+      val n = col("n_nationkey")
+      nation.select(
+        concat(lit("G2-"), n).as("id"),
+        concat(lit("Goal "), col("n_name")).as("name"),
+        when(pmod(n, lit(5)) === 0, "1997-03-01").as("archivedAt"),
+        when(pmod(n, lit(4)) === 0, "1997-06-15").as("completedAt"),
+        n.cast("int").as("priority"),
+        transform(sequence(lit(0), lit(months - 1)), m => struct(
+          concat(lit("PC"), n, lit("-"), m).as("id"),
+          monthKey(m).as("month"),
+          (n * 3 + m + 0.5).as("amount"))).as("plannedContributions"),
+        transform(sequence(lit(0), lit(months - 1)), m => struct(
+          monthKey(m).as("month"),
+          (n + m * 2 + 0.25).as("sum"))).as("monthlyContributionSummaries"))
+    }
+
     /** categoryGroups dim (region): id/name/type/order + variability. */
     def groupsDim(region: DataFrame): DataFrame = {
       val g = col("r_regionkey")
