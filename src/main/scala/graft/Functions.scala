@@ -29,9 +29,32 @@ object Functions {
   def format_timestamp(c: Column): Column =
     date_format(c, "yyyy-MM-dd HH:mm:ss")
 
-  /** F4 — Google-Sheets `=DATE(y,m,d)` serialization (v3:405-429); sink-layer. */
+  /** F4 — Google-Sheets `=DATE(y,m,d)` serialization (v3:405-429); sink-layer.
+    * Fast path for an already-typed date/timestamp column. */
   def sheets_date_formula(c: Column): Column =
     concat(lit("=DATE("), year(c), lit(","), month(c), lit(","), dayofmonth(c), lit(")"))
+
+  /** F4 lenient path — `_format_date`'s multi-format fallback parse over a
+    * raw STRING cell (v3:405-429): empty -> ""; contains 'T' -> full ISO
+    * datetime validation, date taken from the leading date component AS
+    * WRITTEN (fromisoformat keeps the original offset — no UTC shift);
+    * else `%Y-%m-%d` (Python strptime tolerates unpadded month/day, hence
+    * `yyyy-M-d`); else `%m/%d/%Y`; else the original string unchanged.
+    *
+    * Only ONE slash fallback: the reference's for-loop over five formats
+    * sits inside a single try, so the first strptime mismatch raises out of
+    * the loop (v3:421-427) — `%m/%d/%Y` is the only reachable fallback, and
+    * we faithfully reproduce that. */
+  def sheets_date_formula_lenient(c: Column): Column = {
+    val isoTsValid = try_to_timestamp(regexp_replace(c, "Z$", "+00:00")).isNotNull
+    val isoDatePart = to_date(try_to_timestamp(substring(c, 1, 10), lit("yyyy-MM-dd")))
+    val plainDate = to_date(try_to_timestamp(c, lit("yyyy-M-d")))
+    val usDate = to_date(try_to_timestamp(c, lit("M/d/yyyy")))
+    when(c.isNull || c === "", lit(""))
+      .when(c.contains("T"), coalesce(when(isoTsValid, sheets_date_formula(isoDatePart)), c))
+      .otherwise(coalesce(
+        sheets_date_formula(plainDate), sheets_date_formula(usDate), c))
+  }
 
   /** A4 — tags array -> comma-separated-list of non-empty names (v3:482-499). */
   def tags_csl(tags: Column, nameField: String = "name"): Column =

@@ -250,9 +250,20 @@ object SparkEntry {
     // ---- F3+F4+K1: sheet-cell serialization (=DATE formula, rendered
     //      timestamps, $-money cells) (v3:393-429, 1096-1100) ----
     "q19_sheet_serialize" -> { (s, dir) =>
+      val k = col("o_orderkey")
+      val d = col("o_orderdate")
+      // dirty sheet read-back: the five input shapes _format_date tolerates
+      // (ISO date, ISO datetime+Z, unpadded M/d/yyyy, garbage, empty)
+      val dirty = when(pmod(k, lit(5)) === 0, date_format(d, "yyyy-MM-dd"))
+        .when(pmod(k, lit(5)) === 1, date_format(d, "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+        .when(pmod(k, lit(5)) === 2,
+          concat(month(d), lit("/"), dayofmonth(d), lit("/"), year(d)))
+        .when(pmod(k, lit(5)) === 3, lit("not-a-date"))
+        .otherwise(lit(""))
       Tables.orders(s, dir).select(
           col("o_orderkey").cast("string").as("id"),
           sheets_date_formula(col("o_orderdate")).as("date_formula"),
+          sheets_date_formula_lenient(dirty).as("lenient_formula"),
           format_timestamp(col("o_orderdate").cast("timestamp")).as("created_str"),
           concat(lit("$"), round(col("o_totalprice"), 2).cast("string")).as("amount_cell"))
         .orderBy(col("id"))
@@ -1218,6 +1229,13 @@ object SparkEntry {
                 '=DATE(' || CAST(year(o_orderdate) AS VARCHAR) || ',' ||
                   CAST(month(o_orderdate) AS VARCHAR) || ',' ||
                   CAST(day(o_orderdate) AS VARCHAR) || ')' AS date_formula,
+                CASE o_orderkey % 5
+                  WHEN 3 THEN 'not-a-date'
+                  WHEN 4 THEN ''
+                  ELSE '=DATE(' || CAST(year(o_orderdate) AS VARCHAR) || ',' ||
+                    CAST(month(o_orderdate) AS VARCHAR) || ',' ||
+                    CAST(day(o_orderdate) AS VARCHAR) || ')'
+                END AS lenient_formula,
                 strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS created_str,
                 '$' || CAST(round(o_totalprice, 2) AS VARCHAR) AS amount_cell
          FROM orders ORDER BY id""",

@@ -43,6 +43,24 @@ object Sinks {
   def readMonthPartitioned(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("__month")
 
+  /** K4 — debug-capture sink (`_save_debug`, MonarchMoneyMain-v3.py:231-241):
+    * when the session conf `spark.graft.debug` is true, dump the frame as
+    * JSON under `spark.graft.debug.dir`/<name>. Mirrors the reference's
+    * semantics exactly: disabled flag is a silent no-op, and a write failure
+    * never breaks the run (the reference swallows it). Returns whether a
+    * capture was written. */
+  def writeDebugJson(df: DataFrame, name: String): Boolean = {
+    val spark = df.sparkSession
+    val enabled = spark.conf.getOption("spark.graft.debug").exists(_.toBoolean)
+    enabled && {
+      try {
+        val dir = spark.conf.getOption("spark.graft.debug.dir").getOrElse(".mm")
+        df.write.mode(SaveMode.Overwrite).json(s"$dir/$name")
+        true
+      } catch { case scala.util.control.NonFatal(_) => false }
+    }
+  }
+
   /** Compacted write: size the output partition count from the plan's
     * byte estimate so files land near `targetBytes` instead of one file
     * per upstream task. The small-files problem is the classic slow decay

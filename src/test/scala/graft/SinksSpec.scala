@@ -26,6 +26,45 @@ class SinksSpec extends SparkTestBase {
     assert(back.count() == 3)
   }
 
+  test("K4 debug sink: silent no-op when disabled, JSON capture when enabled (v3:231-241)") {
+    val df = txns(("a", "2026-01-05", 1.0))
+    val dir = Files.createTempDirectory("graft_dbg").toString
+    spark.conf.unset("spark.graft.debug")
+    try {
+      assert(!Sinks.writeDebugJson(df, "probe")) // flag absent -> no-op
+      spark.conf.set("spark.graft.debug", "false")
+      assert(!Sinks.writeDebugJson(df, "probe")) // flag off -> no-op
+      assert(!Files.exists(Paths.get(s"$dir/probe")))
+      spark.conf.set("spark.graft.debug", "true")
+      spark.conf.set("spark.graft.debug.dir", dir)
+      assert(Sinks.writeDebugJson(df, "probe"))
+      val back = spark.read.json(s"$dir/probe")
+      assert(back.count() == 1 && back.columns.sorted.toSeq == Seq("amount", "d", "id"))
+    } finally {
+      spark.conf.unset("spark.graft.debug")
+      spark.conf.unset("spark.graft.debug.dir")
+    }
+  }
+
+  test("F4 lenient date parse: reference fallback semantics incl. the one-reachable-format quirk") {
+    val rows = Seq(
+      "2020-01-05",                      // %Y-%m-%d
+      "2020-1-5",                        // strptime tolerates unpadded
+      "2020-01-05T23:30:00-05:00",       // ISO datetime: date AS WRITTEN, no UTC shift
+      "2020-01-05T07:00:00Z",            // Z tolerated
+      "1/5/2020",                        // %m/%d/%Y — the only reachable fallback
+      "5/4/2020",                        // ambiguous: %m/%d wins (month=5), like the reference
+      "31/12/2020",                      // %d/%m/%Y is UNREACHABLE -> passthrough
+      "2020/01/05",                      // %Y/%m/%d is UNREACHABLE -> passthrough
+      "garbage", "").toDF("s")
+    val got = rows.select(Functions.sheets_date_formula_lenient($"s").as("f"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq(
+      "=DATE(2020,1,5)", "=DATE(2020,1,5)", "=DATE(2020,1,5)", "=DATE(2020,1,5)",
+      "=DATE(2020,1,5)", "=DATE(2020,5,4)", "31/12/2020", "2020/01/05",
+      "garbage", ""))
+  }
+
   test("replaying a window rewrites only its partitions; cold months keep their files") {
     val path = Files.createTempDirectory("graft_sink2").toString
     Sinks.writeMonthPartitioned(
