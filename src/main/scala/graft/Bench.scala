@@ -33,13 +33,17 @@ object Bench {
             .replaceAll("""[\p{Cntrl}"\\]""", " ").take(160)
       }
     }
-    val qs = times.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // Locale.ROOT formatting: the default-locale f"" interpolator would emit
+    // comma decimals ("0,123") under e.g. de_DE — invalid JSON downstream
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = times.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = times.values.filter(_ >= 0).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
     spark.stop()

@@ -19,11 +19,16 @@ object Functions {
   def parse_money(c: Column): Column =
     bridge.column(ParseMoney(bridge.expression(c)))
 
+  /** The v3:526 scrub alone (no parse): shares MoneyUtil.clean with
+    * parse_money so both see byte-identical cleaned strings. */
+  def money_clean(c: Column): Column =
+    bridge.column(graft.functions.MoneyClean(bridge.expression(c)))
+
   /** F1 keep-on-failure branch: the reference keeps the CLEANED string in
     * the cell when the parse fails (v3:532 `td[field] = cleaned_amount`);
     * in a monotyped column we quarantine that cleaned form in a sibling. */
   def money_quarantine(c: Column): Column =
-    when(parse_money(c).isNull && c.isNotNull, trim(translate(c, "($,)", "-")))
+    when(parse_money(c).isNull && c.isNotNull, money_clean(c))
 
   /** F3 — timestamp render `yyyy-MM-dd HH:mm:ss` (v3:393-403). */
   def format_timestamp(c: Column): Column =

@@ -37,6 +37,7 @@ object GraftExtensions {
   /** name -> SQL builder for every custom expression in the engine. */
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "parse_money" -> (e => ParseMoney(e.head)),
+    "money_clean" -> (e => MoneyClean(e.head)),
     "minhash_signature" -> (e =>
       MinhashSignature(e.head, intArg(e(1), "minhash_signature", 2),
         intArg(e(2), "minhash_signature", 3))),

@@ -49,3 +49,32 @@ case class ParseMoney(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): ParseMoney =
     copy(child = newChild)
 }
+
+/** The v3:526 scrub WITHOUT the parse: the cleaned string itself, sharing
+  * [[MoneyUtil.clean]] with [[ParseMoney]] so the quarantine column is
+  * byte-identical to the string the parser actually rejected. (A Spark-side
+  * `trim(translate(...))` re-derivation is NOT identical: Spark's trim
+  * strips only 0x20 while the kernel ends with Java `String.trim`, which
+  * strips every char <= 0x20 — tabs and newlines would diverge.) */
+case class MoneyClean(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType || child.dataType == org.apache.spark.sql.types.NullType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"money_clean requires a string input, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "money_clean"
+
+  override def nullSafeEval(input: Any): Any =
+    MoneyUtil.cleaned(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MoneyUtil.cleaned($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): MoneyClean =
+    copy(child = newChild)
+}

@@ -17,6 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalMerge {
 
+  /** URI-scheme-aware existence probe. `java.io.File(path).exists()` is
+    * always false for any non-local URI (hdfs://, s3a://), which would make
+    * every "first run?" check silently answer yes — the exact history-loss
+    * mode the merge must abort on — so probe through the path's own Hadoop
+    * FileSystem. */
+  private[graft] def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** P3 + U1 — keep strictly-older rows, replace the window, align schemas
     * (`unionByName(allowMissingColumns)` mirrors the reference's
     * union-of-keys header logic, v3:165-176). */
@@ -63,7 +73,7 @@ object IncrementalMerge {
       * to None would silently reset the watermark to the backfill default
       * and then advance() would mask the loss permanently. */
     def read(): Option[Instant] =
-      if (!new java.io.File(path).exists()) None
+      if (!pathExists(spark, path)) None
       else spark.read.parquet(path)
         .filter($"key" === "last_run_utc")
         .select($"value").as[String]

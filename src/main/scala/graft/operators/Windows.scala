@@ -32,7 +32,13 @@ object Windows {
     * shuffles and sorts every row of every group; this form partial-
     * aggregates map-side, so at most k rows per (group, partition) reach the
     * shuffle — the difference between sorting a million-row group and
-    * shipping k rows of it. Output: group cols, `rank` (1-based), payload. */
+    * shipping k rows of it. Output: group cols, `rank` (1-based), payload.
+    *
+    * Behavioral notes vs the `row_number()` window form it replaces:
+    * ties on `ordCol` need a unique `tieCol` for a deterministic order, and
+    * a group whose every row has a NULL ord/tie/payload aggregates to an
+    * empty array, so that group VANISHES from the output (posexplode of an
+    * empty array), whereas the window form would still emit its rows. */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String], payloadCol: String,
                    ordCol: String, tieCol: String, k: Int): DataFrame =
     df.groupBy(groupCols.map(col): _*)

@@ -99,12 +99,14 @@ object Streams {
       val spark = batch.sparkSession
       val ctl = new IncrementalMerge.ControlTable(spark, controlPath)
       val windowStart = windowStartOf(batch)
-      // ONLY a missing path means "first batch, no history yet"; any other
-      // read failure (transient storage error, corrupt footer) must abort
-      // the batch — substituting an empty frame would merge-overwrite the
-      // entire history and then advance the watermark past the loss
+      // ONLY a missing path means "first batch, no history yet" — probed
+      // through the path's own Hadoop FileSystem so non-local URIs answer
+      // truthfully; any other read failure (transient storage error, corrupt
+      // footer) must abort the batch — substituting an empty frame would
+      // merge-overwrite the entire history and then advance the watermark
+      // past the loss
       val existing =
-        if (!new java.io.File(targetPath).exists())
+        if (!IncrementalMerge.pathExists(spark, targetPath))
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
         else spark.read.parquet(targetPath)
