@@ -211,11 +211,12 @@ object BudgetPipeline {
     *  - legacy = (goals dim, goalPlannedContributions): planned amounts
     *    joined to the goal dim for the name (broadcast — goals are a
     *    user-scale dim, never data-scale);
-    *  - v2 = goalsV2: nested plannedContributions and
-    *    monthlyContributionSummaries exploded and full-outer-joined on
-    *    (goal, month) — the two selections carry independent month windows,
-    *    so neither side may be dropped (a summary-only month has a null
-    *    goal_name, matching the absent sub-selection). */
+    *  - v2 = goalsV2: the two nested series (plannedContributions,
+    *    monthlyContributionSummaries) live on the SAME goal row, so their
+    *    month-level full-outer merge is row-local: union of month keys,
+    *    map lookups for each side — zero shuffle, no join. The selections
+    *    carry independent month windows, so neither side may be dropped
+    *    (a month present in only one series keeps a null for the other). */
   def goalRecords(spark: SparkSession,
                   legacy: Option[(DataFrame, DataFrame)],
                   v2: Option[DataFrame]): DataFrame = {
@@ -230,17 +231,20 @@ object BudgetPipeline {
           lit(null).cast("double").as("contribution_sum"))
     }
     val v2Leg = v2.map { g =>
-      val planned = g
-        .select(col("id").as("goal_id"), col("name").as("goal_name"),
-          explode(col("plannedContributions")).as("p"))
-        .select(col("goal_id"), col("goal_name"), col("p.month").as("month"),
-          col("p.amount").as("planned_amount"))
-      val sums = g
-        .select(col("id").as("goal_id"), explode(col("monthlyContributionSummaries")).as("s"))
-        .select(col("goal_id"), col("s.month").as("month"), col("s.sum").as("contribution_sum"))
-      planned.join(sums, Seq("goal_id", "month"), "full_outer")
+      val plannedByMonth = map_from_entries(transform(col("plannedContributions"),
+        p => struct(p.getField("month"), p.getField("amount"))))
+      val sumByMonth = map_from_entries(transform(col("monthlyContributionSummaries"),
+        s => struct(s.getField("month"), s.getField("sum"))))
+      val monthKeys = array_distinct(concat(
+        transform(col("plannedContributions"), _.getField("month")),
+        transform(col("monthlyContributionSummaries"), _.getField("month"))))
+      g.select(col("id").as("goal_id"), col("name").as("goal_name"),
+          plannedByMonth.as("_pm"), sumByMonth.as("_sm"),
+          explode(monthKeys).as("month")) // a goal with no months in window emits no rows
         .select(lit("v2").as("goal_system"), col("goal_id"), col("goal_name"),
-          col("month"), col("planned_amount"), col("contribution_sum"))
+          col("month"),
+          element_at(col("_pm"), col("month")).as("planned_amount"),
+          element_at(col("_sm"), col("month")).as("contribution_sum"))
     }
     (legacyLeg.toSeq ++ v2Leg.toSeq)
       .reduceOption(_.unionByName(_))

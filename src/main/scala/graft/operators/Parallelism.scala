@@ -15,9 +15,18 @@ import org.apache.spark.sql.DataFrame
 object Parallelism {
 
   /** Round-robin to at least `n` partitions iff the plan currently yields
-    * fewer. */
-  def ensureMinPartitions(df: DataFrame, n: Int): DataFrame =
-    if (df.rdd.getNumPartitions >= n) df else df.repartition(n)
+    * fewer. The count comes from the plan's output partitioning when the
+    * planner knows it (post-shuffle stages); a file scan reports
+    * UnknownPartitioning(0), so fall back to the physical RDD's partition
+    * count — `toRdd`, not `df.rdd`, which would wrap a second
+    * Row-conversion lineage around the plan just to ask for a number.
+    * Intended for scan-stage inputs: probing a plan with shuffles under AQE
+    * would materialize its stages to answer. */
+  def ensureMinPartitions(df: DataFrame, n: Int): DataFrame = {
+    val known = df.queryExecution.executedPlan.outputPartitioning.numPartitions
+    val current = if (known > 0) known else df.queryExecution.toRdd.getNumPartitions
+    if (current >= n) df else df.repartition(n)
+  }
 
   /** [[ensureMinPartitions]] at the session's default parallelism. */
   def ensureDefaultParallelism(df: DataFrame): DataFrame =

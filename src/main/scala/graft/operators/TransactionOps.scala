@@ -57,28 +57,33 @@ object TransactionOps {
     (if (offset > 0) sorted.offset(offset) else sorted).limit(limit)
   }
 
+  /** A8 result handle: the counted page plus ownership of its shared cache.
+    * Call [[release]] once the page's action has run (or when the "session"
+    * holding it for warm next-page requests ends) — the operator itself
+    * holds NO global state, so concurrent pipelines in one JVM cannot evict
+    * each other's plan. */
+  final case class CountedPage(df: DataFrame, private val shared: DataFrame) {
+    def release(): Unit = { shared.unpersist(blocking = false); () }
+  }
+
   /** A8 — totalCount alongside a page, sharing ONE materialization of the
     * filtered plan (the reference's single-round-trip property,
     * monarchmoney.py:1444-1446). The filtered set is persisted
     * (memory-with-spill) so count and page read the scan once instead of
     * twice; the count side is a single-row aggregate broadcast back onto the
     * page — no window-over-empty-partition (which would single-partition the
-    * data). */
-  // at most ONE live cache from withTotalCount per JVM: each call releases
-  // the previous call's persisted plan, so a paging service cannot grow
-  // storage without bound (the current page's cache is exactly what a
-  // "next page" request wants warm anyway). If a second call lands before
-  // the first result's action runs, the first DEGRADES to two scans —
-  // still correct, just uncached; the bound on storage is the priority.
-  private val lastShared = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
-
-  def withTotalCount(filtered: DataFrame, orderBy: Seq[Column], limit: Int): DataFrame = {
+    * data). The caller owns the cache lifetime through the returned handle. */
+  def countedPage(filtered: DataFrame, orderBy: Seq[Column], limit: Int): CountedPage = {
     val shared = filtered.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val prev = lastShared.getAndSet(shared)
-    if (prev != null && (prev ne shared)) prev.unpersist(blocking = false)
     val total = shared.agg(count(lit(1)).as("total_count"))
-    page(shared, orderBy, limit).crossJoin(broadcast(total))
+    CountedPage(page(shared, orderBy, limit).crossJoin(broadcast(total)), shared)
   }
+
+  /** [[countedPage]] for one-shot use: the cache lives until the session
+    * drops it (fine for a single query run; a long-lived paging service
+    * should hold the handle and release explicitly). */
+  def withTotalCount(filtered: DataFrame, orderBy: Seq[Column], limit: Int): DataFrame =
+    countedPage(filtered, orderBy, limit).df
 
   /** A1 — global transactions summary: avg/count/max/maxExpense/sum/
     * sumIncome/sumExpense/first/last (monarchmoney.py:1367-1401; fixture

@@ -36,7 +36,7 @@ class GoalsSpec extends SparkTestBase {
     assert(out.filter(col("planned_amount").isNull || col("contribution_sum").isNull).count() == 0)
   }
 
-  test("v2 full-outer keeps a summary-only month (independent sub-selection windows)") {
+  test("v2 row-local month merge keeps a summary-only month (independent sub-selection windows)") {
     import spark.implicits._
     val g = Seq(("G1", "Goal One")).toDF("id", "name")
       .select(col("id"), col("name"),
