@@ -172,6 +172,65 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Duplicate clustering — connected components over a near-dup pair graph
+    * (the step between pair generation and canonical-doc selection: pair
+    * lists alone under-delete, since dropping only `id_b` of each pair keeps
+    * transitive duplicates whose pair was pruned by banding). Labels every
+    * node with the minimum id reachable from it (= its component id).
+    *
+    * Iterative min-label propagation: each round joins the deduped
+    * bidirectional edge list to the current labels and takes the per-node
+    * min of own and neighbor labels. Rounds needed = component diameter —
+    * near-dup components are cliquish (every member shares a bucket with
+    * most others), so the diameter is small; `maxIter` bounds the worst
+    * case, and a run that has not REACHED a fixpoint throws rather than
+    * returning labels that are only an upper bound. Each round is two keyed
+    * shuffles (join + groupBy, both on the node id); `localCheckpoint`
+    * truncates the lineage so round N does not replan rounds 1..N-1, and the
+    * convergence probe reuses the checkpointed blocks instead of recomputing
+    * the round. */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborLabels = edges
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .select(col("src").as("id"), col("label"))
+      val next = labels.unionByName(neighborLabels)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("label", "_prev"), "id")
+        .filter(col("label") =!= col("_prev"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter iterations — " +
+        "a component's diameter exceeds maxIter; raise it")
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Canonical-doc selection over [[connectedComponents]]: keep one
+    * representative (the min id) per duplicate cluster, leave unpaired docs
+    * untouched. One anti-join shuffle on the id. */
+  def dropDuplicateClusterMembers(docs: DataFrame, idCol: String,
+                                  pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val losers = connectedComponents(pairs, maxIter = maxIter)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-dup: pairs inside a blocking key with cosine above a
     * threshold. Blocking keeps the join an equi-join (shuffle on block key,
     * AQE handles block skew) instead of a cross join. */

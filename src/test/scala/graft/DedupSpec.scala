@@ -161,6 +161,40 @@ class DedupSpec extends SparkTestBase {
     assert(got.getInt(2) == 4)
   }
 
+  test("connectedComponents: chain + triangle + isolated pair label by component min") {
+    // chain 1-2-3-4 (diameter 3), triangle 10-11-12 w/ redundant edges, pair 20-21
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents throws instead of returning a non-fixpoint labeling") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 2)
+    }
+    // and the same graph converges with enough rounds
+    val ok = Dedup.connectedComponents(chain, maxIter = 10).collect()
+    assert(ok.forall(_.getLong(1) == 1L))
+  }
+
+  test("dropDuplicateClusterMembers keeps component minima and unpaired docs (transitive delete)") {
+    val docs = (1L to 6L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    // 1-2 and 2-3 near-dup: naive drop-id_b would delete 2,3; clustering must
+    // ALSO delete 3 when only (1,2),(2,3) survive banding — and keep 4,5,6
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.dropDuplicateClusterMembers(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L, 5L, 6L))
+  }
+
   test("exact dedup: length-prefixed encoding separates ('a b','c') from ('a','b c') and NULLs") {
     val df = Seq(
       (1L, Some("a b"), Some("c")),
