@@ -669,6 +669,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- Text: overlapping token-window chunking (LLM context packing) ----
+    "t10_chunking" -> { (s, dir) =>
+      TextAnalysis.chunk(Tables.documents(s, dir), "doc_id", "text",
+          chunkTokens = 50, overlap = 10)
+        .withColumn("chunk_md5", md5(col("chunk_text")))
+        .drop("chunk_text")
+        .orderBy(col("doc_id"), col("chunk_no"))
+    },
+
+    // ---- Text: PII redaction with audit counts (emails, digit runs);
+    // deterministic PII is mixed into the synthetic text so both the hit
+    // and miss paths are exercised ----
+    "t11_pii_redact" -> { (s, dir) =>
+      val withPii = when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"), lit("@example.com now")))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(col("text"), lit(" call "), lpad(col("doc_id").cast("string"), 9, "0"), lit(" today")))
+        .otherwise(col("text"))
+      TextAnalysis.redactPii(
+          Tables.documents(s, dir).withColumn("text", withPii), "text")
+        .select(col("doc_id"), col("n_emails"), col("n_digit_runs"),
+          md5(col("redacted")).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- Winnowing fingerprints: rolling-hash (Rabin-Karp) k-gram hashes
     // + sliding-window minima (MOSS) — the robust-fingerprint form of
     // document identity, one O(n) pass per doc ----
@@ -1580,6 +1605,35 @@ object SparkEntry {
          SELECT doc_id, md5(norm) AS fingerprint,
                 CAST(('0x' || substr(md5(norm),1,12)) AS BIGINT) AS fingerprint_int
          FROM n ORDER BY doc_id""",
+
+    "t10_chunking" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+         c AS (SELECT doc_id, toks,
+           unnest(range(0, CAST(greatest(ceil((length(toks) - 10) / 40.0), 1) AS BIGINT))) AS i
+           FROM t)
+         SELECT doc_id, CAST(i AS INTEGER) AS chunk_no,
+           CAST(i * 40 AS INTEGER) AS start_token,
+           CAST(len(toks[CAST(i*40+1 AS INTEGER) : CAST(i*40+50 AS INTEGER)]) AS INTEGER) AS n_tokens,
+           md5(array_to_string(toks[CAST(i*40+1 AS INTEGER) : CAST(i*40+50 AS INTEGER)], ' ')) AS chunk_md5
+         FROM c ORDER BY doc_id, chunk_no""",
+
+    "t11_pii_redact" ->
+      """WITH p AS (
+           SELECT doc_id,
+             CASE doc_id % 3
+               WHEN 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+               WHEN 1 THEN text || ' call ' || lpad(CAST(doc_id AS VARCHAR), 9, '0') || ' today'
+               ELSE text END AS s
+           FROM documents),
+         e AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+             regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS ne
+           FROM p)
+         SELECT doc_id, n_emails,
+           CAST(len(regexp_extract_all(ne, '[0-9]{7,}')) AS INTEGER) AS n_digit_runs,
+           md5(regexp_replace(ne, '[0-9]{7,}', '<NUMBER>', 'g')) AS redacted_md5
+         FROM e ORDER BY doc_id""",
 
     "t09_winnow_fingerprint" ->
       """WITH h AS (

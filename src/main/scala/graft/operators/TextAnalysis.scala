@@ -77,4 +77,48 @@ object TextAnalysis {
     df.withColumn("fingerprint", md5(norm))
       .withColumn("fingerprint_int", md5_prefix_long(norm))
   }
+
+  /** Fixed-size overlapping token-window chunking (LLM context packing):
+    * chunk i covers tokens [i*stride, i*stride + chunkTokens) with
+    * stride = chunkTokens - overlap; the last chunk may be short; a document
+    * shorter than one chunk yields exactly one chunk. Row-local explode of a
+    * bounded index range — no shuffle, and the token array is built once per
+    * row (chunks slice it, they do not re-tokenize). */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlap")
+    val stride = chunkTokens - overlap
+    val toks = tokens(col(textCol))
+    val nChunks = greatest(
+      ceil((size(toks) - lit(overlap)).cast("double") / stride), lit(1.0)).cast("int")
+    df.select(col(idCol), toks.as("_toks"),
+        posexplode(sequence(lit(0), nChunks - 1)))
+      .select(
+        col(idCol),
+        col("pos").as("chunk_no"),
+        (col("pos") * stride).as("start_token"),
+        size(slice(col("_toks"), col("pos") * stride + 1, lit(chunkTokens))).as("n_tokens"),
+        array_join(slice(col("_toks"), col("pos") * stride + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
+
+  /** PII patterns kept to constructs with identical semantics in Java regex
+    * and RE2 (no backtracking-order dependence): a literal email shape and
+    * plain 7+-digit runs. */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val digitRunPattern: String = "[0-9]{7,}"
+
+  /** PII redaction: emails then long digit runs (phone/account numbers)
+    * replaced by typed sentinels, with per-category match counts kept for
+    * corpus audit. Order matters — emails can contain digit runs, so they
+    * are counted and replaced first. Row-local, runs at scan speed. */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val noEmail = regexp_replace(text, emailPattern, "<EMAIL>")
+    df.withColumn("n_emails", size(regexp_extract_all(text, lit(emailPattern), lit(0))))
+      .withColumn("n_digit_runs", size(regexp_extract_all(noEmail, lit(digitRunPattern), lit(0))))
+      .withColumn("redacted", regexp_replace(noEmail, digitRunPattern, "<NUMBER>"))
+  }
 }

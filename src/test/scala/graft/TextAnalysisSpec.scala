@@ -10,6 +10,42 @@ import graft.sources.Tables
   * they replaced (which live here as the equivalence spec). */
 class TextAnalysisSpec extends SparkTestBase {
 
+  test("chunk: full coverage, correct overlap, short-doc and last-chunk edges") {
+    import spark.implicits._
+    val doc = (1 to 13).map(i => s"w$i").mkString(" ") // 13 tokens
+    val df = Seq((1L, doc), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunk(df, "doc_id", "text", chunkTokens = 5, overlap = 2)
+      .orderBy("doc_id", "chunk_no").collect()
+    val d1 = got.filter(_.getLong(0) == 1L)
+    // stride 3: starts 0,3,6,9 -> ceil((13-2)/3) = 4 chunks
+    assert(d1.map(_.getInt(2)).toSeq == Seq(0, 3, 6, 9))
+    assert(d1.map(_.getInt(3)).toSeq == Seq(5, 5, 5, 4)) // last chunk short
+    assert(d1(1).getString(4) == "w4 w5 w6 w7 w8") // overlap: w4,w5 shared with chunk 0
+    // every token appears in some chunk (reconstruction from stride slices)
+    val covered = d1.flatMap(r => r.getString(4).split(" ")).toSet
+    assert(covered == (1 to 13).map(i => s"w$i").toSet)
+    // short doc -> exactly one chunk; empty doc -> one chunk of the '' token
+    assert(got.count(_.getLong(0) == 2L) == 1)
+    assert(got.filter(_.getLong(0) == 2L).head.getInt(3) == 2)
+    assert(got.count(_.getLong(0) == 3L) == 1)
+  }
+
+  test("redactPii: emails redacted before digit runs, counts audit both categories") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a.b_c+x@ex-site.org and 12345678 end"),
+      (2L, "id 999888777 and user2@a.io and u3@b.co"),
+      (3L, "clean text 123 short")).toDF("doc_id", "text")
+    val got = TextAnalysis.redactPii(df, "text").orderBy("doc_id").collect()
+    assert(got(0).getAs[Int]("n_emails") == 1 && got(0).getAs[Int]("n_digit_runs") == 1)
+    assert(got(0).getAs[String]("redacted") == "mail <EMAIL> and <NUMBER> end")
+    assert(got(1).getAs[Int]("n_emails") == 2 && got(1).getAs[Int]("n_digit_runs") == 1)
+    assert(got(1).getAs[String]("redacted") == "id <NUMBER> and <EMAIL> and <EMAIL>")
+    // short digit run (< 7) is NOT pii; email digits don't double-count
+    assert(got(2).getAs[Int]("n_emails") == 0 && got(2).getAs[Int]("n_digit_runs") == 0)
+    assert(got(2).getAs[String]("redacted") == "clean text 123 short")
+  }
+
   test("winnow_fingerprints: rolling hash equals the direct polynomial; edge cases") {
     import spark.implicits._
     import graft.Functions.winnow_fingerprints
