@@ -608,6 +608,16 @@ object SparkEntry {
         queryId = 0L, k = 10, centroidIds = (1L to 8L), nprobe = 2)
     },
 
+    // ---- Similarity: IVF codebook training (declarative Lloyd k-means,
+    // quantized order-invariant means) ----
+    "s04_ivf_train" -> { (s, dir) =>
+      Similarity.trainIvfCodebook(Tables.embeddings(s, dir), "vec_id", "embedding",
+          k = 4, iters = 2)
+        .select(col("cid"), posexplode(col("centroid")))
+        .select(col("cid"), col("pos").as("dim"), col("col").as("value"))
+        .orderBy(col("cid"), col("dim"))
+    },
+
     // ---- Multimodal: binary asset stats (size / hash / magic sniff) ----
     "m01_binary_stats" -> { (s, dir) =>
       Multimodal.binaryStats(syntheticAssets(s, dir), "doc_id", "payload")
@@ -1188,6 +1198,36 @@ object SparkEntry {
                    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine
            FROM bucketed, q WHERE bucket = qb AND vec_id <> 0)
          SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""",
+
+    "s04_ivf_train" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+         a0 AS (
+           SELECT vec_id, vv,
+             CAST(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)),1,12)) AS BIGINT) % 4 AS INTEGER) AS cid
+           FROM v),
+         s1 AS (
+           SELECT cid, d,
+             CAST(sum(CAST(floor(vv[CAST(d+1 AS INTEGER)] * 1048576) AS BIGINT)) AS BIGINT) AS s,
+             count(*) AS n
+           FROM a0 CROSS JOIN range(0, 64) t(d) GROUP BY cid, d),
+         cb1 AS (SELECT cid, list(s / 1048576.0 / n ORDER BY d) AS c FROM s1 GROUP BY cid),
+         sc AS (
+           SELECT a.vec_id, a.vv, b.cid,
+             list_sum(list_transform(range(1, 65),
+               i -> b.c[CAST(i AS INTEGER)] * b.c[CAST(i AS INTEGER)]))
+             - 2 * list_sum(list_transform(range(1, 65),
+               i -> a.vv[CAST(i AS INTEGER)] * b.c[CAST(i AS INTEGER)])) AS score
+           FROM a0 a CROSS JOIN cb1 b),
+         a1 AS (
+           SELECT vec_id, vv, cid FROM sc
+           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) = 1),
+         s2 AS (
+           SELECT cid, d,
+             CAST(sum(CAST(floor(vv[CAST(d+1 AS INTEGER)] * 1048576) AS BIGINT)) AS BIGINT) AS s,
+             count(*) AS n
+           FROM a1 CROSS JOIN range(0, 64) t(d) GROUP BY cid, d)
+         SELECT cid, CAST(d AS INTEGER) AS dim, s / 1048576.0 / n AS value
+         FROM s2 ORDER BY cid, dim""",
 
     "s03_ivf_ann" ->
       """WITH c AS (

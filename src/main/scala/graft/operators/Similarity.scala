@@ -105,6 +105,60 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF codebook TRAINING — Lloyd's k-means expressed declaratively (the
+    * scale path behind [[ivfTopK]]'s pinned codebook). Per iteration:
+    *
+    *  - update: per-centroid per-dimension mean over QUANTIZED components —
+    *    `floor(v * 2^20)` as a long. The power-of-two scale is exact (no
+    *    multiply rounding) and long sums are order-invariant under any
+    *    partitioning, so the trained codebook is bit-identical across
+    *    engines and physical layouts; double sums would drift with
+    *    partition order. One shuffle on (cid, dim), map-side combined.
+    *  - assignment: argmin ||v-c||^2 = argmin(c.c - 2 v.c) over the k-row
+    *    broadcast codebook (fused dot kernels, sequential accumulation —
+    *    engine-reproducible), ties broken by centroid id via a struct min.
+    *
+    * Init is deterministic random-partition: cid_0 = md5_48(id) mod k.
+    * Fixed `iters` (no convergence probe) keeps the result reproducible for
+    * the oracle. A centroid that loses all members simply disappears from
+    * the codebook (standard Lloyd behavior; callers that need exactly k
+    * lists re-seed). Returns (cid, centroid array<double>). */
+  def trainIvfCodebook(emb: DataFrame, idCol: String, vecCol: String,
+                       k: Int, iters: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val quant = 1048576.0 // 2^20
+    var assigned = emb.select(
+      col(idCol).as("_id"), col(vecCol).as("_v"),
+      pmod(md5_prefix_long(col(idCol)), lit(k.toLong)).cast("int").as("cid"))
+    var codebook: DataFrame = null
+    for (i <- 1 to iters) {
+      val stats = assigned
+        .select(col("cid"), posexplode(col("_v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(floor(col("col") * quant).cast("long")).as("_s"),
+          count(lit(1)).as("_n"))
+      codebook = stats.groupBy("cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"),
+            (col("_s") / quant / col("_n")).as("_m")))),
+          x => x.getField("_m")).as("centroid"))
+        .localCheckpoint()
+      if (i < iters) {
+        val cb = codebook.select(col("cid").as("_ccid"), col("centroid"))
+          .withColumn("_cc", dot(col("centroid"), col("centroid")))
+        assigned = assigned.drop("cid")
+          .crossJoin(broadcast(cb))
+          .withColumn("_score", col("_cc") - lit(2.0) * dot(col("_v"), col("centroid")))
+          .groupBy(col("_id"))
+          .agg(first(col("_v")).as("_v"), // constant within the group
+            min(struct(col("_score"), col("_ccid"))).as("_best"))
+          .select(col("_id"), col("_v"), col("_best").getField("_ccid").as("cid"))
+      }
+    }
+    codebook
+  }
+
   /** ANN top-k: restrict the scan to vectors in the query's LSH bucket, then
     * exact cosine inside the bucket. With B buckets this scans ~1/B of the
     * data; recall is tunable via numPlanes (and multi-probe if needed). */

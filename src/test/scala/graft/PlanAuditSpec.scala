@@ -12,9 +12,11 @@ class PlanAuditSpec extends SparkTestBase {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  /** entries whose plan legitimately contains a one-row BroadcastNestedLoop */
+  /** entries whose plan legitimately contains a bounded-row
+    * BroadcastNestedLoop (one-row query/count probes; s04's k-row codebook) */
   private val oneRowBroadcastOk = Set(
-    "q12_page_with_count", "q28_account_history", "s01_cosine_topk", "s03_ivf_ann")
+    "q12_page_with_count", "q28_account_history", "s01_cosine_topk", "s03_ivf_ann",
+    "s04_ivf_train")
   /** q32: the intentionally exchange-free bucketed join. t07: the corpus
     * anti-join against the near-dup drop set — both sides data-scale-
     * unknown, so SMJ is the correct static plan (AQE downgrades it to a

@@ -55,6 +55,26 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("trainIvfCodebook separates well-separated clusters and is layout-invariant") {
+    import spark.implicits._
+    // two tight 3-D clusters around (0,0,0) and (10,10,10)
+    val vecs = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) 0.0 else 10.0
+      (i, Seq(base + (i % 5) * 0.01, base - (i % 3) * 0.01, base + (i % 7) * 0.01))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val cb = Similarity.trainIvfCodebook(df, "vec_id", "embedding", k = 2, iters = 4)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(cb.size == 2)
+    // after convergence each centroid sits inside one cluster's ball
+    val means = cb.values.map(_.sum / 3).toSeq.sorted
+    assert(means.head.abs < 0.5 && (means(1) - 10.0).abs < 0.5)
+    // quantized long sums make the codebook identical under any partitioning
+    val cb7 = Similarity.trainIvfCodebook(df.repartition(7), "vec_id", "embedding",
+      k = 2, iters = 4).collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(cb == cb7)
+  }
+
   test("lshTopK returns neighbors from the query bucket ranked like brute force") {
     val lsh = ids(Similarity.lshTopK(emb, "vec_id", "embedding", 0L, 10,
       numPlanes = 2, dim = 64))
