@@ -43,6 +43,16 @@ object Sinks {
   def readMonthPartitioned(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("__month")
 
+  /** K3 engine half — sheet-shaped CSV materialization (the reference
+    * multiparts this file to the balance-history upload endpoint,
+    * monarchmoney.py:2642-2665; the upload itself is transport, not
+    * engine): one header row, the frame's pinned column order, a single
+    * part file (a sheet is single-file by nature — this is a dim-scale
+    * export, never a data-scale one). */
+  def writeSheetCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("header", "true").csv(path)
+
   /** K4 — debug-capture sink (`_save_debug`, MonarchMoneyMain-v3.py:231-241):
     * when the session conf `spark.graft.debug` is true, dump the frame as
     * JSON under `spark.graft.debug.dir`/<name>. Mirrors the reference's

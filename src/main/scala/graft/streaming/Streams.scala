@@ -88,6 +88,52 @@ object Streams {
       }
   }
 
+  /** Stream-stream interval join (attribution shape): each `right` event
+    * joins `left` rows with the same key whose timestamp lies in
+    * [rightTs - horizon, rightTs]. Both sides carry watermarks AND the join
+    * condition bounds the timestamps in both directions — that pair is what
+    * lets Spark expire join state: a left row is dropped once the right
+    * watermark passes leftTs + horizon, a right row once the left watermark
+    * passes rightTs. Without the time bounds the state would grow forever.
+    * Inner join: an unattributed right event emits nothing (use the batch
+    * AsOfJoin for last-touch attribution with nulls). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   key: String, leftTs: String, rightTs: String,
+                   horizon: String = "1 hour",
+                   lateness: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    l.join(r, l(key) === r(key) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $horizon"))
+      .drop(r(key))
+  }
+
+  /** Sink-side keyed MERGE for `foreachBatch` — the streaming twin of
+    * [[graft.operators.Upsert]] (the reference's update/create mutation
+    * family): within each micro-batch the LATEST row per key wins (by
+    * `verCol` — a mutation stream can carry several updates to one id in a
+    * batch), then matched target keys are replaced and new keys inserted.
+    * Idempotent per batch content, so retries are safe. */
+  def foreachBatchUpsert(targetPath: String, idCol: String,
+                         verCol: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) => {
+      val spark = batch.sparkSession
+      val latest = batch
+        .withColumn("_rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col(idCol)).orderBy(col(verCol).desc)))
+        .filter(col("_rn") === 1).drop("_rn")
+      val existing =
+        if (!IncrementalMerge.pathExists(spark, targetPath))
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], latest.schema)
+        else spark.read.parquet(targetPath)
+      val merged = graft.operators.Upsert.upsert(existing, latest, idCol)
+      merged.write.mode("overwrite").parquet(targetPath + "_next")
+      spark.read.parquet(targetPath + "_next").write.mode("overwrite").parquet(targetPath)
+    }
+
   /** Sink-side correct-by-reload for `foreachBatch`: each micro-batch runs
     * the reference's watermark merge against the target table (strict `<`
     * keep, window replace) and advances the control watermark only after a

@@ -26,6 +26,18 @@ class SinksSpec extends SparkTestBase {
     assert(back.count() == 3)
   }
 
+  test("K3 sheet CSV: one part file, header row, pinned column order") {
+    val dir = Files.createTempDirectory("graft_csv").toString + "/sheet"
+    Sinks.writeSheetCsv(
+      txns(("a", "2026-01-05", 1.5), ("b", "2026-02-10", 2.0)).select("id", "amount", "d"),
+      dir)
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".csv"))
+    assert(parts.length == 1) // a sheet is single-file
+    val lines = scala.io.Source.fromFile(parts.head).getLines().toSeq
+    assert(lines.head == "id,amount,d") // header preserves the frame's order
+    assert(lines.size == 3)
+  }
+
   test("K4 debug sink: silent no-op when disabled, JSON capture when enabled (v3:231-241)") {
     val df = txns(("a", "2026-01-05", 1.0))
     val dir = Files.createTempDirectory("graft_dbg").toString

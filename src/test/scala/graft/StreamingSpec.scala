@@ -150,6 +150,50 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("intervalJoin attributes right events to in-horizon left rows, state bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp, String)]
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val joined = Streams.intervalJoin(
+      imps.toDF().toDF("user_id", "imp_ts", "imp_id"),
+      clicks.toDF().toDF("user_id", "click_ts", "click_id"),
+      key = "user_id", leftTs = "imp_ts", rightTs = "click_ts",
+      horizon = "1 hour", lateness = "10 minutes")
+    val q = joined.select("imp_id", "click_id")
+      .writeStream.format("memory").queryName("attrib").outputMode("append").start()
+    try {
+      imps.addData((1L, ts("2026-01-01 10:00:00"), "i1"), (2L, ts("2026-01-01 10:00:00"), "i2"))
+      clicks.addData(
+        (1L, ts("2026-01-01 10:30:00"), "c1"),  // in horizon -> attributed
+        (2L, ts("2026-01-01 11:30:00"), "c2"),  // past horizon -> dropped
+        (3L, ts("2026-01-01 10:10:00"), "c3"))  // no impression -> dropped
+      q.processAllAvailable()
+      val got = spark.table("attrib").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == Set(("i1", "c1")))
+    } finally q.stop()
+  }
+
+  test("foreachBatchUpsert: latest-per-key wins within a batch, merge across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_supsert").toString
+    val target = s"$dir/target"
+    val in = MemoryStream[(String, Long, Double)]
+    val q = in.toDF().toDF("id", "ver", "amount")
+      .writeStream.foreachBatch(Streams.foreachBatchUpsert(target, "id", "ver")).start()
+    try {
+      // batch 1: two versions of 'a' in ONE batch -> ver 2 wins
+      in.addData(("a", 1L, 10.0), ("a", 2L, 11.0), ("b", 1L, 20.0))
+      q.processAllAvailable()
+      // batch 2: update 'b', insert 'c'
+      in.addData(("b", 2L, 21.0), ("c", 1L, 30.0))
+      q.processAllAvailable()
+      val got = spark.read.parquet(target).collect()
+        .map(r => r.getAs[String]("id") -> (r.getAs[Long]("ver"), r.getAs[Double]("amount"))).toMap
+      assert(got == Map("a" -> (2L, 11.0), "b" -> (2L, 21.0), "c" -> (1L, 30.0)))
+    } finally q.stop()
+  }
+
   test("foreachBatchMerge aborts on a corrupt existing target instead of wiping history") {
     val dir = java.nio.file.Files.createTempDirectory("graft_corrupt").toString
     val target = s"$dir/target"
