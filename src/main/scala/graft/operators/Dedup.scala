@@ -204,14 +204,16 @@ object Dedup {
       val neighborLabels = edges
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
         .select(col("src").as("id"), col("label"))
-      val next = labels.unionByName(neighborLabels)
-        .groupBy("id").agg(min("label").as("label"))
+      // the previous label rides through the aggregation (own row carries
+      // it, neighbor rows carry null, max ignores nulls), so convergence is
+      // a scan of the checkpointed result — no second join per round
+      val next = labels.select(col("id"), col("label"), col("label").as("_prev"))
+        .unionByName(neighborLabels.withColumn("_prev", lit(null).cast(
+          labels.schema("label").dataType)))
+        .groupBy("id").agg(min("label").as("label"), max("_prev").as("_prev"))
         .localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("label", "_prev"), "id")
-        .filter(col("label") =!= col("_prev"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("label") =!= col("_prev")).isEmpty
+      labels = next.select("id", "label")
       iter += 1
     }
     if (!converged) throw new IllegalStateException(

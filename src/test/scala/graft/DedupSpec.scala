@@ -195,6 +195,39 @@ class DedupSpec extends SparkTestBase {
     assert(kept == Seq(1L, 4L, 5L, 6L))
   }
 
+  test("connectedComponents equals driver-side union-find on arbitrary graphs") {
+    import org.scalacheck.{Gen, Prop}
+    val genEdges: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(1, 25)
+      es <- Gen.listOfN(n, for {
+        a <- Gen.choose(0L, 11L)
+        b <- Gen.choose(0L, 11L)
+        if a != b
+      } yield (a, b))
+    } yield es
+    PropHelper.check(Prop.forAll(genEdges) { es =>
+      val pairs = es.toDF("id_a", "id_b")
+      val got = Dedup.connectedComponents(pairs, maxIter = 30).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // driver-side union-find oracle
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // normalize: component representative = min member id
+      val members = parent.keys.toSeq.groupBy(find)
+      val expected = members.values.flatMap { ms =>
+        val m = ms.min; ms.map(_ -> m)
+      }.toMap
+      got == expected
+    }, minTests = 8)
+  }
+
   test("exact dedup: length-prefixed encoding separates ('a b','c') from ('a','b c') and NULLs") {
     val df = Seq(
       (1L, Some("a b"), Some("c")),
