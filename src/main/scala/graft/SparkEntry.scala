@@ -688,6 +688,22 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_no"))
     },
 
+    // ---- Text: within-document repetition (Gopher-style dup-n-gram ratio) ----
+    "t12_repetition" -> { (s, dir) =>
+      TextAnalysis.repetitionSignals(Tables.documents(s, dir), "text", n = 3)
+        .select(col("doc_id"), col("n_ngrams"), col("n_distinct_ngrams"),
+          col("dup_ngram_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Text: per-stratum deterministic sampling (corpus rebalancing) ----
+    "t13_stratified_sample" -> { (s, dir) =>
+      Sampling.stratifiedSample(Tables.documents(s, dir), "doc_id", "lang",
+          Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 0.1)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- Text: PII redaction with audit counts (emails, digit runs);
     // deterministic PII is mixed into the synthetic text so both the hit
     // and miss paths are exercised ----
@@ -1656,6 +1672,28 @@ object SparkEntry {
            CAST(len(toks[CAST(i*40+1 AS INTEGER) : CAST(i*40+50 AS INTEGER)]) AS INTEGER) AS n_tokens,
            md5(array_to_string(toks[CAST(i*40+1 AS INTEGER) : CAST(i*40+50 AS INTEGER)], ' ')) AS chunk_md5
          FROM c ORDER BY doc_id, chunk_no""",
+
+    "t12_repetition" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+         g AS (SELECT doc_id,
+           CASE WHEN length(toks) >= 3 THEN
+             list_transform(range(1, length(toks) - 3 + 2),
+               i -> array_to_string(toks[CAST(i AS INTEGER) : CAST(i + 2 AS INTEGER)], ' '))
+           ELSE CAST([] AS VARCHAR[]) END AS grams
+           FROM t)
+         SELECT doc_id,
+           CAST(len(grams) AS INTEGER) AS n_ngrams,
+           CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct_ngrams,
+           CASE WHEN len(grams) = 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+           END AS dup_ngram_ratio
+         FROM g ORDER BY doc_id""",
+
+    "t13_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,12)) AS BIGINT) % 1000000 AS DOUBLE) / 1000000
+           < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END
+         ORDER BY doc_id""",
 
     "t11_pii_redact" ->
       """WITH p AS (

@@ -30,6 +30,24 @@ object Sampling {
     df.filter(hashFraction(col(idCol)) < fraction)
   }
 
+  /** Per-stratum deterministic sampling — the corpus-rebalancing op
+    * (downsample over-represented languages/sources to a target mix): each
+    * stratum keeps its own id-hash fraction; strata absent from the map keep
+    * `defaultFraction`. Still a pure function of (id, stratum): row-local,
+    * no shuffle, reproducible under any layout, and a row's membership
+    * never flips when OTHER strata's fractions change (the hash line is per
+    * id, the cut per stratum). */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 1.0): DataFrame = {
+    (fractions.values.toSeq :+ defaultFraction).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"fractions must be in [0,1], got $f"))
+    val cut = fractions.foldLeft(lit(defaultFraction)) { case (e, (k, f)) =>
+      when(col(stratumCol) === k, f).otherwise(e)
+    }
+    df.filter(hashFraction(col(idCol)) < cut)
+  }
+
   /** Assign each row to a named split by cumulative weight over the id-hash
     * line: weights ((train,0.8), (val,0.1), (test,0.1)) partition [0,1) into
     * contiguous ranges. Total weight must be 1. The same id always lands in

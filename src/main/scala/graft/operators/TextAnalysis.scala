@@ -104,6 +104,29 @@ object TextAnalysis {
           .as("chunk_text"))
   }
 
+  /** Repetition signals (the Gopher-style within-document quality rules):
+    * fraction of duplicate word n-grams — boilerplate and degenerate
+    * generations repeat heavily while natural text does not. Row-local:
+    * n-grams are joined token slices over one tokenization pass; ratio =
+    * 1 - distinct/total (0.0 for docs shorter than n). */
+  def repetitionSignals(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = tokens(col(textCol))
+    // guard: sequence(1, 0) would generate a DESCENDING [1,0], so docs
+    // shorter than n get an explicit empty gram list
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    // ratio left unrounded: 1.0 - d/t is two sequential IEEE ops, identical
+    // in any engine, while rounding could tie at the kept digit
+    df.withColumn("n_ngrams", size(grams))
+      .withColumn("n_distinct_ngrams", size(array_distinct(grams)))
+      .withColumn("dup_ngram_ratio",
+        when(col("n_ngrams") === 0, 0.0) // no grams = no repetition, not "all duplicate"
+          .otherwise(lit(1.0) - col("n_distinct_ngrams").cast("double") / col("n_ngrams")))
+  }
+
   /** PII patterns kept to constructs with identical semantics in Java regex
     * and RE2 (no backtracking-order dependence): a literal email shape and
     * plain 7+-digit runs. */

@@ -44,6 +44,25 @@ class SamplingSpec extends SparkTestBase {
       .foreach { case (id, s) => assert(pairs(id) == s) }
   }
 
+  test("stratifiedSample: per-stratum fractions, membership independent of other strata") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(2000).select(col("id").as("doc_id"),
+      when(pmod(col("id"), lit(2)) === 0, "en").otherwise("de").as("lang"))
+    val kept = Sampling.stratifiedSample(df, "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.1))
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val byLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // ~500 of 1000 en, ~100 of 1000 de (id-hash is uniform)
+    assert(byLang("en") > 400 && byLang("en") < 600, byLang)
+    assert(byLang("de") > 50 && byLang("de") < 150, byLang)
+    // changing ANOTHER stratum's fraction never flips membership here
+    val keptEn = Sampling.stratifiedSample(df, "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.9))
+      .filter(col("lang") === "en").select("doc_id").as[Long].collect().toSet
+    assert(keptEn == kept.filter(_._2 == "en").map(_._1).toSet)
+    // a stratum not in the map uses the default fraction
+    val all = Sampling.stratifiedSample(df, "doc_id", "lang", Map.empty, defaultFraction = 1.0)
+    assert(all.count() == 2000)
+  }
+
   test("weights must sum to one; fraction must be in range") {
     intercept[IllegalArgumentException] {
       Sampling.assignSplit(docs, "doc_id", Seq(("a", 0.5), ("b", 0.4)))

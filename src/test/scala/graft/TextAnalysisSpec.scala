@@ -30,6 +30,22 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got.count(_.getLong(0) == 3L) == 1)
   }
 
+  test("repetitionSignals: duplicate n-gram ratio, short-doc and degenerate edges") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c a b c a b c"),    // 7 trigrams, 3 distinct -> ratio 4/7
+      (2L, "all words here differ"), // no repetition -> 0.0
+      (3L, "a b"),                   // shorter than n -> 0 grams, ratio 0.0
+      (4L, "x x x x x")).toDF("doc_id", "text") // fully degenerate -> 2/3
+    val got = TextAnalysis.repetitionSignals(df, "text", n = 3)
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Int]("n_ngrams") == 7 && got(0).getAs[Int]("n_distinct_ngrams") == 3)
+    assert(math.abs(got(0).getAs[Double]("dup_ngram_ratio") - 4.0 / 7.0) < 1e-12)
+    assert(got(1).getAs[Double]("dup_ngram_ratio") == 0.0)
+    assert(got(2).getAs[Int]("n_ngrams") == 0 && got(2).getAs[Double]("dup_ngram_ratio") == 0.0)
+    assert(math.abs(got(3).getAs[Double]("dup_ngram_ratio") - 2.0 / 3.0) < 1e-12)
+  }
+
   test("redactPii: emails redacted before digit runs, counts audit both categories") {
     import spark.implicits._
     val df = Seq(
