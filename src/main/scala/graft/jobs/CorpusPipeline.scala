@@ -21,10 +21,17 @@ import graft.operators.{Dedup, Sampling, TextAnalysis}
   */
 object CorpusPipeline {
 
+  /** `clusterDedup = false` drops the `id_b` side of each detected pair —
+    * one anti join, the oracle-checked default. `clusterDedup = true` runs
+    * connected components over the pair graph first and keeps one canonical
+    * doc (min id) per component — catches transitive duplicates whose
+    * direct pair was pruned by banding, at the cost of the iterative
+    * label-propagation rounds (see [[Dedup.connectedComponents]]). */
   def clean(docs: DataFrame, idCol: String, textCol: String,
             minQuality: Double = 0.7, jaccardThreshold: Double = 0.5,
             splits: Seq[(String, Double)] =
-              Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))): DataFrame = {
+              Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+            clusterDedup: Boolean = false): DataFrame = {
     val tagged = TextAnalysis.qualitySignals(docs, textCol)
       .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
     val gated = tagged.filter(
@@ -34,8 +41,13 @@ object CorpusPipeline {
       .filter(col(idCol) === col("_keep")).drop("_keep")
     val nearDupPairs = Dedup.minhashLsh(exactKept, idCol, textCol,
       k = 5, bands = 4, rowsPerBand = 4, threshold = jaccardThreshold)
-    val dropIds = nearDupPairs.select(col("id_b").as(idCol)).distinct()
-    val kept = exactKept.join(dropIds, Seq(idCol), "left_anti")
+    val kept =
+      if (clusterDedup)
+        Dedup.dropDuplicateClusterMembers(exactKept, idCol, nearDupPairs)
+      else {
+        val dropIds = nearDupPairs.select(col("id_b").as(idCol)).distinct()
+        exactKept.join(dropIds, Seq(idCol), "left_anti")
+      }
     Sampling.assignSplit(kept, idCol, splits)
   }
 }

@@ -34,4 +34,19 @@ class CorpusPipelineSpec extends SparkTestBase {
       k = 5, bands = 4, rowsPerBand = 4, threshold = 0.5)
     assert(pairs.count() == 0, "cleaned corpus must contain no detectable near-dups")
   }
+
+  test("clusterDedup keeps at most one doc per near-dup component, subset of pair mode") {
+    val clustered = CorpusPipeline.clean(
+      Tables.documents(spark, "/root/testdata/sf0.001"),
+      "doc_id", "text", clusterDedup = true)
+    // cluster mode can only delete MORE than pair mode (transitive members)
+    val pairIds = cleaned.select("doc_id").as[Long].collect().toSet
+    val clusterIds = clustered.select("doc_id").as[Long].collect().toSet
+    assert(clusterIds.subsetOf(pairIds))
+    // and its output is also free of detectable near-dups
+    val residual = graft.operators.Dedup.minhashLsh(
+      clustered.select("doc_id", "text"), "doc_id", "text",
+      k = 5, bands = 4, rowsPerBand = 4, threshold = 0.5)
+    assert(residual.count() == 0)
+  }
 }
