@@ -1675,17 +1675,18 @@ object SparkEntry {
 
     "t12_repetition" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
-         g AS (SELECT doc_id,
+         g AS (SELECT doc_id, greatest(length(toks) - 2, 0) AS total,
            CASE WHEN length(toks) >= 3 THEN
-             list_transform(range(1, length(toks) - 3 + 2),
-               i -> array_to_string(toks[CAST(i AS INTEGER) : CAST(i + 2 AS INTEGER)], ' '))
-           ELSE CAST([] AS VARCHAR[]) END AS grams
+             len(list_distinct(list_transform(range(1, length(toks) - 3 + 2),
+               i -> CAST(('0x' || substr(md5(array_to_string(
+                 toks[CAST(i AS INTEGER) : CAST(i + 2 AS INTEGER)], ' ')),1,12)) AS BIGINT))))
+           ELSE 0 END AS nd
            FROM t)
          SELECT doc_id,
-           CAST(len(grams) AS INTEGER) AS n_ngrams,
-           CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct_ngrams,
-           CASE WHEN len(grams) = 0 THEN 0.0
-                ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+           CAST(total AS INTEGER) AS n_ngrams,
+           CAST(nd AS INTEGER) AS n_distinct_ngrams,
+           CASE WHEN total = 0 THEN 0.0
+                ELSE 1.0 - CAST(nd AS DOUBLE) / total
            END AS dup_ngram_ratio
          FROM g ORDER BY doc_id""",
 

@@ -111,17 +111,19 @@ object TextAnalysis {
     * 1 - distinct/total (0.0 for docs shorter than n). */
   def repetitionSignals(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val toks = tokens(col(textCol))
-    // guard: sequence(1, 0) would generate a DESCENDING [1,0], so docs
-    // shorter than n get an explicit empty gram list
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - lit(n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    val total = greatest(size(tokens(col(textCol))) - lit(n - 1), lit(0))
+    // distinct count via the fused 48-bit n-gram hash kernel — one codegen
+    // pass, no gram-array materialization (a transform+slice formulation
+    // was 10x slower at bench scale). 48-bit collisions are negligible and
+    // the oracle mirrors the same hashes. The kernel emits one partial gram
+    // for docs shorter than n (shingle convention); the total==0 guard
+    // masks it so short docs read 0/0.
+    val distinctGrams = when(total === lit(0), 0)
+      .otherwise(size(ngram_hash_set(col(textCol), n)))
     // ratio left unrounded: 1.0 - d/t is two sequential IEEE ops, identical
     // in any engine, while rounding could tie at the kept digit
-    df.withColumn("n_ngrams", size(grams))
-      .withColumn("n_distinct_ngrams", size(array_distinct(grams)))
+    df.withColumn("n_ngrams", total)
+      .withColumn("n_distinct_ngrams", distinctGrams)
       .withColumn("dup_ngram_ratio",
         when(col("n_ngrams") === 0, 0.0) // no grams = no repetition, not "all duplicate"
           .otherwise(lit(1.0) - col("n_distinct_ngrams").cast("double") / col("n_ngrams")))
