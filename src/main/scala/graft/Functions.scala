@@ -146,6 +146,12 @@ object Functions {
   def lang_id(text: Column): Column =
     bridge.column(LangId(bridge.expression(text)))
 
+  /** Product-quantization code assignment against a fixed quantized codebook
+    * (`codebook(s*ksub + c)` = centroid c of subspace s) — integer math
+    * throughout, see functions.PqUtil. */
+  def pq_encode(vec: Column, codebook: Seq[Seq[Long]], m: Int, ksub: Int): Column =
+    bridge.column(graft.functions.PqEncode(bridge.expression(vec), codebook, m, ksub))
+
   /** Register every custom expression as a SQL function on a running session
     * (same definition list as [[GraftExtensions]], the build-time path). */
   def register(spark: SparkSession): Unit =

@@ -57,5 +57,11 @@ object GraftExtensions {
     "dot_product" -> (e => DotProduct(e.head, e(1))),
     "cosine_similarity" -> (e => CosineSim(e.head, e(1))),
     "l2_norm" -> (e => L2Norm(e.head)),
-    "lang_id" -> (e => LangId(e.head)))
+    "lang_id" -> (e => LangId(e.head)),
+    "pq_encode" -> (e => {
+      require(e(1).foldable, "pq_encode: argument 2 (codebook) must be a constant")
+      val ad = e(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val cb = (0 until ad.numElements()).map(i => ad.getArray(i).toLongArray().toSeq)
+      PqEncode(e.head, cb, intArg(e(2), "pq_encode", 3), intArg(e(3), "pq_encode", 4))
+    }))
 }

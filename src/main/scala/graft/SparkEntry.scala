@@ -774,6 +774,41 @@ object SparkEntry {
           kmv_distinct(col("text"), 16).as("est_distinct"),
           countDistinct(col("text")).as("exact_distinct"))
         .orderBy(col("lang"))
+    },
+
+    // ---- Benchmark decontamination: per-doc n-gram overlap against an
+    // eval set (docs with doc_id % 97 == 0 stand in for the benchmark);
+    // the benchmark gram set is broadcast — the corpus side never
+    // shuffles its text ----
+    "t14_decontamination" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Decontaminate.contamination(docs,
+          docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+          "doc_id", "text", n = 3, threshold = 0.5)
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Training-sequence packing: concatenate-and-chop layout, packed
+    // per language group (per-group windows, never one global ordering) ----
+    "t15_seq_packing" -> { (s, dir) =>
+      Packing.packSequences(Tables.documents(s, dir), "doc_id", "text",
+          seqTokens = 512, groupCols = Seq("lang"))
+        .orderBy(col("lang"), col("doc_id"))
+    },
+
+    // ---- TF-IDF keyword extraction: top-3 distinguishing terms per doc,
+    // rational idf (no libm log), bounded-heap top-k ----
+    "t16_tfidf_terms" -> { (s, dir) =>
+      TfIdf.topTerms(Tables.documents(s, dir), "doc_id", "text",
+          k = 3, minTokenLen = 3)
+        .orderBy(col("doc_id"), col("rank"))
+    },
+
+    // ---- Similarity: product-quantization ANN (codes + ADC lookup table;
+    // quantized integer math end to end) ----
+    "s05_pq_ann" -> { (s, dir) =>
+      Similarity.pqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryId = 0L, k = 10, m = 4, ksub = 8, dim = 64)
     }
   )
 
@@ -1842,6 +1877,85 @@ object SparkEntry {
            CASE WHEN len(hs) < 16 THEN CAST(len(hs) AS DOUBLE)
                 ELSE 15.0 * 281474976710656.0 / CAST(hs[16] AS DOUBLE) END AS est_distinct,
            exact AS exact_distinct
-         FROM k ORDER BY lang"""
+         FROM k ORDER BY lang""",
+
+    "t14_decontamination" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+         g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(toks)-2, 1)+1),
+             i -> CAST(('0x' || substr(md5(array_to_string(
+               toks[CAST(i AS INTEGER) : CAST(i+2 AS INTEGER)], ' ')),1,12)) AS BIGINT))) AS grams
+           FROM t),
+         bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+         e AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram FROM g),
+         m AS (SELECT e.doc_id, e.n_grams, count(bg.gram) AS n_matched
+           FROM e LEFT JOIN bg USING (gram) GROUP BY 1, 2)
+         SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams, n_matched,
+           CAST(n_matched AS DOUBLE) / n_grams AS overlap_ratio,
+           CASE WHEN CAST(n_matched AS DOUBLE) / n_grams >= 0.5 THEN 1 ELSE 0 END AS contaminated
+         FROM m ORDER BY doc_id""",
+
+    "t15_seq_packing" ->
+      """WITH t AS (SELECT lang, doc_id,
+           CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         w AS (SELECT lang, doc_id, n_tokens,
+             COALESCE(CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS tok_start
+           FROM t)
+         SELECT lang, doc_id, n_tokens, tok_start,
+           tok_start // 512 AS seq_id,
+           tok_start % 512 AS seq_offset,
+           (tok_start + n_tokens - 1) // 512 - tok_start // 512 + 1 AS n_seqs
+         FROM w ORDER BY lang, doc_id""",
+
+    "t16_tfidf_terms" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> length(t) >= 3) AS tk
+           FROM documents),
+         tc AS (SELECT doc_id, len(tk) AS n_tokens, unnest(tk) AS term FROM toks),
+         counts AS (SELECT doc_id, n_tokens, term, count(*) AS cnt FROM tc GROUP BY 1, 2, 3),
+         dfreq AS (SELECT term, count(*) AS df FROM counts GROUP BY 1),
+         nd AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (SELECT doc_id, term, cnt,
+             CAST(cnt AS DOUBLE) * n_docs / n_tokens / df AS score
+           FROM counts JOIN dfreq USING (term) CROSS JOIN nd)
+         SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER) AS rank,
+           term, cnt AS n, score
+         FROM scored
+         QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 3
+         ORDER BY doc_id, rank""",
+
+    "s05_pq_ann" -> pqAnnOracleSql(m = 4, ksub = 8, subDim = 16, queryId = 0, k = 10)
   )
+
+  /** The PQ-ANN oracle replicates code assignment and ADC lookup from the
+    * same pinned quantized codebook the engine uses (inlined as literals —
+    * the codebook is a deterministic constant, like s03's pinned centroid
+    * ids), in the same integer arithmetic. */
+  private def pqAnnOracleSql(m: Int, ksub: Int, subDim: Int,
+                             queryId: Long, k: Int): String = {
+    val cb = operators.Similarity.pqCodebookQ(m, ksub, subDim)
+    val cbValues = (for { s <- 0 until m; c <- 0 until ksub } yield
+      s"($s, $c, [${cb(s * ksub + c).mkString(", ")}])").mkString(",\n           ")
+    def qdist(vecExpr: String): String =
+      s"""list_sum(list_transform(range(0, $subDim), d ->
+         (CAST(floor(CAST($vecExpr[cb.sub*$subDim + CAST(d AS INTEGER) + 1] AS DOUBLE) * 1024) AS BIGINT) - q[CAST(d AS INTEGER) + 1]) *
+         (CAST(floor(CAST($vecExpr[cb.sub*$subDim + CAST(d AS INTEGER) + 1] AS DOUBLE) * 1024) AS BIGINT) - q[CAST(d AS INTEGER) + 1])))"""
+    s"""WITH cb(sub, code, q) AS (VALUES
+           $cbValues),
+         e AS (SELECT vec_id, embedding FROM embeddings),
+         a AS (SELECT e.vec_id, cb.sub, cb.code, ${qdist("e.embedding")} AS dist
+           FROM e CROSS JOIN cb),
+         best AS (SELECT vec_id, sub, code FROM a
+           QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) = 1),
+         qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $queryId),
+         dt AS (SELECT cb.sub, cb.code, ${qdist("qe")} AS qd
+           FROM cb CROSS JOIN qv)
+         SELECT b.vec_id, CAST(sum(dt.qd) AS BIGINT) AS adist
+         FROM best b JOIN dt ON b.sub = dt.sub AND b.code = dt.code
+         WHERE b.vec_id <> $queryId
+         GROUP BY b.vec_id
+         ORDER BY adist, vec_id LIMIT $k"""
+  }
 }

@@ -5,7 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
 import org.apache.spark.sql.types._
 
 /** Per-group top-k as a partial-aggregable Catalyst aggregate.
@@ -20,6 +20,8 @@ import org.apache.spark.sql.types._
   *
   * `tie` must order rows totally within equal `ord` values (use a unique
   * id); that is what makes the result deterministic and oracle-checkable.
+  * Any atomic orderable type works as the tie (ints, longs, strings, dates
+  * — compared with Spark's own ordering for the type).
   */
 case class TopKBy(payload: Expression, ord: Expression, tie: Expression, k: Int,
                   mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
@@ -36,9 +38,11 @@ case class TopKBy(payload: Expression, ord: Expression, tie: Expression, k: Int,
     if (!ord.dataType.isInstanceOf[NumericType])
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"top_k_by: ord must be numeric, got ${ord.dataType.catalogString}")
-    else if (tie.dataType != LongType && tie.dataType != IntegerType)
+    else if (!org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(tie.dataType) ||
+        tie.dataType.isInstanceOf[ArrayType] || tie.dataType.isInstanceOf[StructType] ||
+        tie.dataType.isInstanceOf[MapType])
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"top_k_by: tie must be int/long, got ${tie.dataType.catalogString}")
+        s"top_k_by: tie must be an atomic orderable type, got ${tie.dataType.catalogString}")
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
 
   private def ordToDouble(o: Any): Double = o match {
@@ -51,19 +55,17 @@ case class TopKBy(payload: Expression, ord: Expression, tie: Expression, k: Int,
     case d: Decimal           => d.toDouble
   }
 
-  override def createAggregationBuffer(): TopKHeap = new TopKHeap(k)
+  @transient private lazy val tieOrdering: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(tie.dataType)
+
+  override def createAggregationBuffer(): TopKHeap = new TopKHeap(k, tieOrdering)
 
   override def update(buf: TopKHeap, input: InternalRow): TopKHeap = {
     val o = ord.eval(input)
     val t = tie.eval(input)
     val p = payload.eval(input)
     if (o != null && t != null && p != null) {
-      val ordD = ordToDouble(o)
-      val tieL: Long = t match {
-        case i: java.lang.Integer => i.longValue
-        case l: java.lang.Long    => l.longValue
-      }
-      buf.offer(ordD, tieL, p, payload.dataType)
+      buf.offer(ordToDouble(o), InternalRow.copyValue(t), p)
     }
     buf
   }
@@ -73,13 +75,15 @@ case class TopKBy(payload: Expression, ord: Expression, tie: Expression, k: Int,
   override def eval(buf: TopKHeap): Any = new GenericArrayData(buf.sortedPayloads)
 
   // one projection per operator instance, reused across every buffer
-  // serialize at shuffle/spill time (UnsafeProjection.create is expensive)
+  // serialize at shuffle/spill time (UnsafeProjection.create is expensive);
+  // the tie value serializes through the same row as the payload so any
+  // atomic tie type round-trips without its own codec
   @transient private lazy val serializeProjection: UnsafeProjection =
-    UnsafeProjection.create(Array(payload.dataType))
+    UnsafeProjection.create(Array(payload.dataType, tie.dataType))
 
   override def serialize(buf: TopKHeap): Array[Byte] = buf.toBytes(serializeProjection)
   override def deserialize(bytes: Array[Byte]): TopKHeap =
-    TopKHeap.fromBytes(bytes, k, payload.dataType)
+    TopKHeap.fromBytes(bytes, k, payload.dataType, tie.dataType, tieOrdering)
 
   override def withNewMutableAggBufferOffset(n: Int): TopKBy = copy(mutableAggBufferOffset = n)
   override def withNewInputAggBufferOffset(n: Int): TopKBy = copy(inputAggBufferOffset = n)
@@ -90,23 +94,33 @@ case class TopKBy(payload: Expression, ord: Expression, tie: Expression, k: Int,
 /** Bounded heap of (ord, tie, payload) keeping the k best under
   * (ord DESC, tie ASC); the heap head is always the current worst so an
   * insert into a full heap is one compare + one sift. */
-final class TopKHeap(val k: Int) {
+final class TopKHeap(val k: Int, tieOrd: Ordering[Any]) {
+
+  private val worstFirst: java.util.Comparator[TopKHeap.Entry] =
+    (a: TopKHeap.Entry, b: TopKHeap.Entry) => {
+      val c = java.lang.Double.compare(a.ord, b.ord)
+      if (c != 0) c else tieOrd.compare(b.tie, a.tie)
+    }
+  private val bestFirst: java.util.Comparator[TopKHeap.Entry] =
+    (a: TopKHeap.Entry, b: TopKHeap.Entry) => -worstFirst.compare(a, b)
 
   /** head = worst kept entry: smallest ord, then largest tie. */
   private val heap = new java.util.PriorityQueue[TopKHeap.Entry](
-    math.max(k, 1), TopKHeap.worstFirst)
+    math.max(k, 1), worstFirst)
 
-  private def beatsWorst(ordD: Double, tieL: Long): Boolean = {
+  private def beatsWorst(ordD: Double, tie: Any): Boolean = {
     val w = heap.peek()
-    ordD > w.ord || (ordD == w.ord && tieL < w.tie)
+    ordD > w.ord || (ordD == w.ord && tieOrd.compare(tie, w.tie) < 0)
   }
 
-  def offer(ordD: Double, tieL: Long, value: Any, dt: DataType): Unit = {
+  /** `tie` must already be an owned copy (InternalRow.copyValue) — heap
+    * entries outlive the input row. */
+  def offer(ordD: Double, tie: Any, value: Any): Unit = {
     if (heap.size < k) {
-      heap.add(new TopKHeap.Entry(ordD, tieL, InternalRow.copyValue(value)))
-    } else if (beatsWorst(ordD, tieL)) {
+      heap.add(new TopKHeap.Entry(ordD, tie, InternalRow.copyValue(value)))
+    } else if (beatsWorst(ordD, tie)) {
       heap.poll()
-      heap.add(new TopKHeap.Entry(ordD, tieL, InternalRow.copyValue(value)))
+      heap.add(new TopKHeap.Entry(ordD, tie, InternalRow.copyValue(value)))
     }
   }
 
@@ -123,7 +137,7 @@ final class TopKHeap(val k: Int) {
   /** Payloads best-first: (ord DESC, tie ASC). */
   def sortedPayloads: Array[Any] = {
     val arr = heap.toArray(new Array[TopKHeap.Entry](heap.size))
-    java.util.Arrays.sort(arr, TopKHeap.bestFirst)
+    java.util.Arrays.sort(arr, bestFirst)
     arr.map(_.value)
   }
 
@@ -135,8 +149,7 @@ final class TopKHeap(val k: Int) {
     while (it.hasNext) {
       val e = it.next()
       out.writeDouble(e.ord)
-      out.writeLong(e.tie)
-      val row = proj.apply(InternalRow(e.value))
+      val row = proj.apply(InternalRow(e.value, e.tie))
       out.writeInt(row.getSizeInBytes)
       out.write(row.getBytes)
     }
@@ -146,30 +159,22 @@ final class TopKHeap(val k: Int) {
 }
 
 object TopKHeap {
-  final class Entry(val ord: Double, val tie: Long, val value: Any)
+  final class Entry(val ord: Double, val tie: Any, val value: Any)
 
-  /** smallest ord first, then largest tie (the worst kept entry). */
-  val worstFirst: java.util.Comparator[Entry] = (a: Entry, b: Entry) => {
-    val c = java.lang.Double.compare(a.ord, b.ord)
-    if (c != 0) c else java.lang.Long.compare(b.tie, a.tie)
-  }
-  val bestFirst: java.util.Comparator[Entry] = (a: Entry, b: Entry) =>
-    -worstFirst.compare(a, b)
-
-  def fromBytes(bytes: Array[Byte], k: Int, dt: DataType): TopKHeap = {
+  def fromBytes(bytes: Array[Byte], k: Int, dt: DataType, tieDt: DataType,
+                tieOrd: Ordering[Any]): TopKHeap = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val heap = new TopKHeap(k)
+    val heap = new TopKHeap(k, tieOrd)
     val n = in.readInt()
     var i = 0
     while (i < n) {
       val ordD = in.readDouble()
-      val tieL = in.readLong()
       val size = in.readInt()
       val buf = new Array[Byte](size)
       in.readFully(buf)
-      val row = new UnsafeRow(1)
+      val row = new UnsafeRow(2)
       row.pointTo(buf, size)
-      heap.offer(ordD, tieL, row.get(0, dt), dt)
+      heap.offer(ordD, InternalRow.copyValue(row.get(1, tieDt)), row.get(0, dt))
       i += 1
     }
     heap

@@ -159,6 +159,64 @@ object Similarity {
     codebook
   }
 
+  /** Deterministic pseudo-random PQ codebook, pre-quantized to PqUtil's
+    * scale: entry (s, c, d) = floor(2^10 * ((md5_48("pq_s_c_d") mod 1000)
+    * / 1000 - 0.5)). Same derivation family as the LSH planes, so any
+    * engine reproduces it; in production the codebook comes from per-
+    * subspace Lloyd k-means (the [[trainIvfCodebook]] machinery applied to
+    * vector slices) — always ksub*m rows, never data-scale. */
+  def pqCodebookQ(m: Int, ksub: Int, subDim: Int): Seq[Seq[Long]] =
+    for { s <- 0 until m; c <- 0 until ksub } yield {
+      (0 until subDim).map { d =>
+        val hex = MessageDigest.getInstance("MD5")
+          .digest(s"pq_${s}_${c}_$d".getBytes(StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString.substring(0, 12)
+        val h = java.lang.Long.parseLong(hex, 16)
+        graft.functions.PqUtil.quantize((h % 1000L).toDouble / 1000.0 - 0.5)
+      }
+    }
+
+  /** Product-quantization ANN (the memory-compression leg): every vector is
+    * encoded row-local to m codes (argmin per subspace over the quantized
+    * codebook — a fused codegen kernel, no shuffle); the query precomputes
+    * one (m x ksub) distance table; approximate distance is m table lookups
+    * summed as longs. At 100 TB the corpus scan touches ~dim/m/4 of the
+    * bytes a raw-float scan would (codes instead of floats), and in a real
+    * deployment the codes column is written once and reused per query.
+    * Quantized integer math end to end — bit-identical on any engine.
+    *
+    * Returns top-k by (approximate distance asc, id asc), query excluded. */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
+             queryId: Long, k: Int, m: Int, ksub: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"pqTopK: m ($m) must divide dim ($dim)")
+    val subDim = dim / m
+    val cb = pqCodebookQ(m, ksub, subDim)
+    val qRow = emb.filter(col(idCol) === queryId).select(col(vecCol)).head()
+    val q = qRow.getSeq[Float](0).map(_.toDouble)
+    require(q.length >= dim, s"pqTopK: query vector has ${q.length} dims, need $dim")
+    // query-side distance table dt(s)(c), driver-computed in the same
+    // quantized integer arithmetic as the kernel
+    val dt: Seq[Seq[Long]] = (0 until m).map { s =>
+      (0 until ksub).map { c =>
+        val cent = cb(s * ksub + c)
+        (0 until subDim).map { d =>
+          val diff = graft.functions.PqUtil.quantize(q(s * subDim + d)) - cent(d)
+          diff * diff
+        }.sum
+      }
+    }
+    val encoded = emb.withColumn("_codes", pq_encode(col(vecCol), cb, m, ksub))
+    val adist = (0 until m).map { s =>
+      element_at(array(dt(s).map(lit): _*), element_at(col("_codes"), s + 1) + 1)
+    }.reduce(_ + _)
+    encoded
+      .filter(col(idCol) =!= queryId)
+      .withColumn("adist", adist)
+      .select(col(idCol), col("adist"))
+      .orderBy(col("adist").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** ANN top-k: restrict the scan to vectors in the query's LSH bucket, then
     * exact cosine inside the bucket. With B buckets this scans ~1/B of the
     * data; recall is tunable via numPlanes (and multi-probe if needed). */

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Functions._
+
+/** TF-IDF keyword extraction — per-document top-k distinguishing terms, the
+  * workhorse behind corpus topic audits, near-duplicate triage, and cheap
+  * retrieval indexes over training data.
+  *
+  * The score is the rational form `tf * (N / df)` = `cnt * N / n_tokens / df`
+  * — a product/quotient of exact integers in one fixed evaluation order, so
+  * the doubles are bit-identical on any engine with NO rounding (a log-based
+  * idf would hostage parity to each engine's libm). Monotonic in the
+  * classical `tf * log(N/df)` for fixed tf, and the per-document ranking is
+  * what matters here.
+  *
+  * Scale design: two shuffles total — term counts keyed on (doc, term) with
+  * map-side combine, and document frequency keyed on the term (its result is
+  * dim-sized: the vocabulary, not the corpus) broadcast back. The corpus
+  * row count rides along as a broadcast one-row cross join (no driver
+  * round-trip, stays one plan). Top-k per doc uses the bounded-heap
+  * `top_k_by` aggregate — k rows per (doc, partition) cross the final
+  * shuffle, never a full per-doc sort.
+  */
+object TfIdf {
+
+  /** Top-k terms per document by TF-IDF. Output: (id, rank, term, n, score)
+    * with rank 1-based by (score DESC, term ASC). Tokens are lowercased;
+    * `minTokenLen` drops punctuation-ish short tokens from the vocabulary.
+    */
+  def topTerms(docs: DataFrame, idCol: String, textCol: String,
+               k: Int = 5, minTokenLen: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = filter(tokens(lower(col(textCol))), t => length(t) >= minTokenLen)
+    val termCounts = docs
+      .select(col(idCol), size(toks).as("n_tokens"), explode(toks).as("term"))
+      .groupBy(col(idCol), col("n_tokens"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val docFreq = termCounts
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .withColumnRenamed("term", "_df_term")
+    val nDocs = docs.agg(count(lit(1)).as("_n_docs"))
+    val scored = termCounts
+      .join(broadcast(docFreq), col("term") === col("_df_term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("cnt").cast("double") * col("_n_docs") / col("n_tokens") / col("df"))
+      .select(col(idCol), col("term"), col("cnt"), col("score"))
+    Windows.topKPerGroup(
+        scored.withColumn("_payload",
+          struct(col("term"), col("cnt"), col("score"))),
+        Seq(idCol), "_payload", "score", "term", k)
+      .select(col(idCol), col("rank"),
+        col("_payload.term").as("term"),
+        col("_payload.cnt").as("n"),
+        col("_payload.score").as("score"))
+  }
+}

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Decontaminate, Packing, TfIdf}
+
+/** Specs for the round-4 corpus-preparation operators: benchmark
+  * decontamination, training-sequence packing, and TF-IDF keyword
+  * extraction. */
+class CorpusPrepSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- Decontaminate ----
+
+  test("a document identical to a benchmark doc is fully contaminated") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "completely different words here entirely"),
+      (3L, "alpha beta gamma epsilon")).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val got = Decontaminate.contamination(corpus, bench, "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_grams", "n_matched", "contaminated")
+      .as[(Long, Int, Long, Int)].collect().toSeq
+    // doc 1: grams {abc, bcd} both in bench -> ratio 1.0
+    // doc 2: zero overlap
+    // doc 3: gram "alpha beta gamma" matches, "beta gamma epsilon" doesn't -> 0.5
+    assert(got == Seq((1L, 2, 2L, 1), (2L, 3, 0L, 0), (3L, 2, 1L, 1)))
+  }
+
+  test("contamination ratio is matched/total distinct grams") {
+    val corpus = Seq((1L, "a b c d e")).toDF("doc_id", "text") // 3 trigrams
+    val bench = Seq((9L, "a b c")).toDF("doc_id", "text") // gram "a b c"
+    val row = Decontaminate.contamination(corpus, bench, "doc_id", "text", n = 3)
+      .select("n_grams", "n_matched", "overlap_ratio").as[(Int, Long, Double)].head()
+    assert(row == ((3, 1L, 1.0 / 3)))
+  }
+
+  test("empty benchmark leaves every doc clean") {
+    val corpus = Seq((1L, "x y z")).toDF("doc_id", "text")
+    val bench = corpus.filter(lit(false))
+    val row = Decontaminate.contamination(corpus, bench, "doc_id", "text", n = 2)
+      .select("n_matched", "contaminated").as[(Long, Int)].head()
+    assert(row == ((0L, 0)))
+  }
+
+  // ---- Packing ----
+
+  test("packing lays groups out independently with exact integer arithmetic") {
+    // 3 docs of 4 tokens in group A, budget 6: starts 0,4,8
+    val docs = Seq(
+      ("A", 1L, "t t t t"), ("A", 2L, "t t t t"), ("A", 3L, "t t t t"),
+      ("B", 9L, "u u")).toDF("lang", "doc_id", "text")
+    val got = Packing.packSequences(docs, "doc_id", "text", seqTokens = 6, Seq("lang"))
+      .orderBy("lang", "doc_id")
+      .select("lang", "doc_id", "tok_start", "seq_id", "seq_offset", "n_seqs")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("A", 1L, 0L, 0L, 0L, 1L),  // tokens 0-3 inside seq 0
+      ("A", 2L, 4L, 0L, 4L, 2L),  // tokens 4-7 span seqs 0-1
+      ("A", 3L, 8L, 1L, 2L, 1L),  // tokens 8-11 inside seq 1
+      ("B", 9L, 0L, 0L, 0L, 1L))) // group B starts its own stream
+  }
+
+  test("packed stream is gapless: tok_start = previous start + previous tokens") {
+    val docs = CorpusFixtures.documents(spark)
+    val got = Packing.packSequences(docs, "doc_id", "text", seqTokens = 64, Seq("lang"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+    val bad = got.withColumn("_prev_end",
+        lag(col("tok_start") + col("n_tokens"), 1, 0L).over(w))
+      .filter(col("tok_start") =!= col("_prev_end"))
+    assert(bad.isEmpty)
+  }
+
+  test("packing refuses a global (ungrouped) window") {
+    val docs = Seq(("x", 1L, "a")).toDF("lang", "doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Packing.packSequences(docs, "doc_id", "text", 10, Nil)
+    }
+  }
+
+  // ---- TfIdf ----
+
+  test("corpus-wide terms rank below document-specific terms") {
+    // "common" appears in every doc (df=3 -> idf 1); each doc has one rare term
+    val docs = Seq(
+      (1L, "common common zebra zebra zebra"),
+      (2L, "common common yak"),
+      (3L, "common xenon xenon")).toDF("doc_id", "text")
+    val top = TfIdf.topTerms(docs, "doc_id", "text", k = 1, minTokenLen = 3)
+      .select("doc_id", "term").as[(Long, String)].collect().toMap
+    assert(top == Map(1L -> "zebra", 2L -> "yak", 3L -> "xenon"))
+  }
+
+  test("score ties break alphabetically on the term (string tie through the heap)") {
+    val docs = Seq((1L, "bbb aaa ccc")).toDF("doc_id", "text")
+    // all three terms: tf equal, df equal -> equal scores
+    val got = TfIdf.topTerms(docs, "doc_id", "text", k = 2, minTokenLen = 3)
+      .orderBy("rank").select("rank", "term").as[(Int, String)].collect().toSeq
+    assert(got == Seq((1, "aaa"), (2, "bbb")))
+  }
+
+  test("short tokens are dropped from the vocabulary") {
+    val docs = Seq((1L, "of to in elephant")).toDF("doc_id", "text")
+    val got = TfIdf.topTerms(docs, "doc_id", "text", k = 5, minTokenLen = 3)
+      .select("term").as[String].collect().toSeq
+    assert(got == Seq("elephant"))
+  }
+
+  test("tfidf matches the row_number window formulation on a larger corpus") {
+    val docs = CorpusFixtures.documents(spark)
+    val viaAgg = TfIdf.topTerms(docs, "doc_id", "text", k = 3, minTokenLen = 3)
+      .select("doc_id", "rank", "term")
+      .as[(Long, Int, String)].collect().toSeq.sorted
+    // independent formulation: explode + window
+    val toks = filter(split(trim(lower(col("text"))), "\\s+"), t => length(t) >= 3)
+    val tc = docs.select(col("doc_id"), size(toks).as("n_tokens"),
+        explode(toks).as("term"))
+      .groupBy("doc_id", "n_tokens", "term").agg(count(lit(1)).as("cnt"))
+    val df = tc.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.count()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    val viaWindow = tc.join(df, "term")
+      .withColumn("score", col("cnt").cast("double") * n / col("n_tokens") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "term")
+      .as[(Long, Int, String)].collect().toSeq.sorted
+    assert(viaAgg == viaWindow)
+  }
+}
+
+/** Tiny deterministic documents fixture shared by the corpus-prep tests. */
+object CorpusFixtures {
+  def documents(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    (0L until 200L).map { i =>
+      val lang = if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr"
+      val n = (i % 17 + 1).toInt
+      val text = (0 until n).map(j => words(((i * 31 + j * 7) % 10).toInt)).mkString(" ")
+      (i, lang, text)
+    }.toDF("doc_id", "lang", "text")
+  }
+}

@@ -75,6 +75,47 @@ class SimilaritySpec extends SparkTestBase {
     assert(cb == cb7)
   }
 
+  test("pq codes are total and bounded; pqTopK distance equals a naive ADC replay") {
+    val m = 4; val ksub = 8; val dim = 64; val subDim = dim / m
+    val cb = Similarity.pqCodebookQ(m, ksub, subDim)
+    assert(cb.size == m * ksub && cb.forall(_.size == subDim))
+    val encoded = emb.withColumn("codes",
+        graft.Functions.pq_encode(col("embedding"), cb, m, ksub))
+      .select("vec_id", "codes", "embedding")
+      .as[(Long, Seq[Int], Seq[Float])].collect()
+    assert(encoded.nonEmpty)
+    // every code in range, and every code IS the argmin for its subspace
+    encoded.foreach { case (_, codes, vec) =>
+      assert(codes.length == m)
+      codes.zipWithIndex.foreach { case (c, s) =>
+        assert(c >= 0 && c < ksub)
+        val dists = (0 until ksub).map { cc =>
+          (0 until subDim).map { d =>
+            val diff = graft.functions.PqUtil.quantize(vec(s * subDim + d).toDouble) -
+              cb(s * ksub + cc)(d)
+            diff * diff
+          }.sum
+        }
+        assert(dists(c) == dists.min)
+        assert(c == dists.indexOf(dists.min)) // first-min tie rule
+      }
+    }
+    // pqTopK's ADC distances replay exactly from codes + query table
+    val q = encoded.find(_._1 == 0L).get._3.map(_.toDouble)
+    val dt = (0 until m).map { s => (0 until ksub).map { c =>
+      (0 until subDim).map { d =>
+        val diff = graft.functions.PqUtil.quantize(q(s * subDim + d)) - cb(s * ksub + c)(d)
+        diff * diff
+      }.sum
+    }}
+    val expect = encoded.filter(_._1 != 0L)
+      .map { case (id, codes, _) => id -> (0 until m).map(s => dt(s)(codes(s))).sum }
+      .sortBy { case (id, d) => (d, id) }.take(10).toSeq
+    val got = Similarity.pqTopK(emb, "vec_id", "embedding", 0L, 10, m, ksub, dim)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == expect)
+  }
+
   test("lshTopK returns neighbors from the query bucket ranked like brute force") {
     val lsh = ids(Similarity.lshTopK(emb, "vec_id", "embedding", 0L, 10,
       numPlanes = 2, dim = 64))

@@ -19,6 +19,34 @@ class TopKBySpec extends SparkTestBase {
     assert(got == Seq("top", "a", "b"))
   }
 
+  test("string ties order lexicographically and survive partial-merge serialization") {
+    val df = spark.range(1000)
+      .select(
+        (col("id") % 4).as("g"),
+        (col("id") % 10).cast("double").as("v"),
+        concat(lit("t"), lpad((col("id") % 50).cast("string"), 3, "0")).as("tie"))
+      .repartition(8) // force serialize/deserialize through partial merges
+    val viaAgg = df.groupBy("g")
+      .agg(top_k_by(col("tie"), col("v"), col("tie"), 5).as("t"))
+      .select(col("g"), posexplode(col("t")))
+      .select("g", "pos", "col").as[(Long, Int, String)].collect().toSeq.sorted
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("v").desc, col("tie").asc)
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("g"), (col("rn") - 1).cast("int").as("pos"), col("tie"))
+      .as[(Long, Int, String)].collect().toSeq.sorted
+    assert(viaAgg == viaWindow)
+  }
+
+  test("an array-typed tie is rejected") {
+    val df = Seq(("g", 1.0, Seq(1L), "x")).toDF("g", "v", "tie", "p")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy("g").agg(top_k_by(col("p"), col("v"), col("tie"), 2).as("t")).collect()
+    }
+    assert(e.getMessage.contains("tie must be an atomic orderable type"))
+  }
+
   test("k larger than the group returns the whole group ordered") {
     val df = Seq(("g", 1.0, 1L, "x"), ("g", 2.0, 2L, "y")).toDF("g", "v", "id", "p")
     val got = df.groupBy("g").agg(top_k_by(col("p"), col("v"), col("id"), 10).as("t"))
