@@ -146,6 +146,12 @@ object Functions {
   def lang_id(text: Column): Column =
     bridge.column(LangId(bridge.expression(text)))
 
+  /** Fused per-document term counting (lowercase, \s+ tokenize, min-length
+    * filter, duplicate counting in one codegen pass) — see
+    * functions.TermCountsUtil. */
+  def term_counts(text: Column, minLen: Int): Column =
+    bridge.column(graft.functions.TermCounts(bridge.expression(text), minLen))
+
   /** Product-quantization code assignment against a fixed quantized codebook
     * (`codebook(s*ksub + c)` = centroid c of subspace s) — integer math
     * throughout, see functions.PqUtil. */

@@ -36,9 +36,14 @@ object CorpusPipeline {
       .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
     val gated = tagged.filter(
       col("lang_pred") =!= "und" && col("quality_score") >= minQuality)
+    // materialized once: exactKept feeds BOTH the LSH near-dup leg and the
+    // final anti-join — without this the gate kernels and the exact-dedup
+    // window (a full shuffle on md5(text)) run twice. Stored on executors
+    // (memory-and-disk), same trade as the LSH signature cache.
     val exactKept = gated
       .withColumn("_keep", min(col(idCol)).over(Window.partitionBy(md5(col(textCol)))))
       .filter(col(idCol) === col("_keep")).drop("_keep")
+      .localCheckpoint(false)
     val nearDupPairs = Dedup.minhashLsh(exactKept, idCol, textCol,
       k = 5, bands = 4, rowsPerBand = 4, threshold = jaccardThreshold)
     val kept =

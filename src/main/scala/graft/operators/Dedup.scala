@@ -88,14 +88,26 @@ object Dedup {
       .withColumn("jaccard", round(jaccard_sorted(col("set_a"), col("set_b")), 6))
       .drop("set_a", "set_b")
 
+  /** Materialize a computed frame once so every downstream use reads the
+    * stored blocks instead of re-running the producing kernel. The shingle /
+    * n-gram / fingerprint sets feed THREE plan legs (banding, and both sides
+    * of the verify join); without this the per-doc hash kernel — the
+    * dominant cost — runs three times. `localCheckpoint` stores
+    * MEMORY_AND_DISK on the executors and truncates lineage; this is the
+    * standard "cache the signatures before the similarity join" trade
+    * (memory for a 3x kernel saving) and it scales: blocks spill to local
+    * disk, nothing funnels through the driver. */
+  private def materialized(df: DataFrame): DataFrame =
+    df.localCheckpoint(false)
+
   /** Full MinHash-LSH near-dup pipeline: one shingle pass per doc produces
     * the hash set; the signature derives from that set (no re-shingling),
     * banding buckets candidates, and the same sets verify exact Jaccard. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  k: Int = 5, bands: Int = 4, rowsPerBand: Int = 4,
                  threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
-    val sets = docs
-      .select(col(idCol).as("_jid"), shingle_hash_set(col(textCol), k).as("_jset"))
+    val sets = materialized(docs
+      .select(col(idCol).as("_jid"), shingle_hash_set(col(textCol), k).as("_jset")))
     val withSig = sets.withColumn("_sig", minhash_from_hashes(col("_jset"), bands * rowsPerBand))
     val buckets = lshBuckets(withSig, "_jid", col("_sig"), bands, rowsPerBand)
       .withColumnRenamed("_jid", idCol)
@@ -114,8 +126,8 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    blockCols: Seq[String], n: Int = 2, threshold: Double = 0.5,
                    maxBlockSize: Int = 1000): DataFrame = {
-    val base = docs.select(
-      (blockCols.map(col) :+ col(idCol) :+ ngram_hash_set(col(textCol), n).as("_gset")): _*)
+    val base = materialized(docs.select(
+      (blockCols.map(col) :+ col(idCol) :+ ngram_hash_set(col(textCol), n).as("_gset")): _*))
     val sized = base.withColumn("_sz",
       count(lit(1)).over(Window.partitionBy(blockCols.map(col): _*)))
     val capped = sized.filter(col("_sz") <= maxBlockSize).drop("_sz")
@@ -157,7 +169,7 @@ object Dedup {
       s"banding is lossless only for maxHamming < bands, got $maxHamming >= $bands")
     val bandBits = bits / bands
     val mask = (1L << bandBits) - 1
-    val fp = docs.select(col(idCol), simhash(col(textCol), bits).as("_fp"))
+    val fp = materialized(docs.select(col(idCol), simhash(col(textCol), bits).as("_fp")))
     val banded = fp
       .select(col(idCol), posexplode(array((0 until bands).map(b =>
         shiftright(col("_fp"), b * bandBits).bitwiseAND(lit(mask))): _*)))

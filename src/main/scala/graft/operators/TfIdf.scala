@@ -33,11 +33,19 @@ object TfIdf {
   def topTerms(docs: DataFrame, idCol: String, textCol: String,
                k: Int = 5, minTokenLen: Int = 3): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val toks = filter(tokens(lower(col(textCol))), t => length(t) >= minTokenLen)
+    // one fused kernel pass per doc: tokenize + filter + count duplicates.
+    // Terms come out PRE-COUNTED (one row per distinct term per doc), so no
+    // token-occurrence rows ever exist in the plan — the map-side combine
+    // happens inside the scan projection. Materialized once because the
+    // counts feed BOTH the scoring leg and the broadcast doc-frequency
+    // build side (localCheckpoint stores on executors, memory-and-disk).
     val termCounts = docs
-      .select(col(idCol), size(toks).as("n_tokens"), explode(toks).as("term"))
-      .groupBy(col(idCol), col("n_tokens"), col("term"))
-      .agg(count(lit(1)).as("cnt"))
+      .select(col(idCol), term_counts(col(textCol), minTokenLen).as("_tc"))
+      .select(col(idCol), col("_tc.n_tokens").as("n_tokens"),
+        explode(col("_tc.terms")).as("_t"))
+      .select(col(idCol), col("n_tokens"),
+        col("_t.term").as("term"), col("_t.cnt").cast("long").as("cnt"))
+      .localCheckpoint(false)
     val docFreq = termCounts
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
