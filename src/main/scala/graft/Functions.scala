@@ -146,6 +146,11 @@ object Functions {
   def lang_id(text: Column): Column =
     bridge.column(LangId(bridge.expression(text)))
 
+  /** Fused quality-signal kernel (one pass: counts, ratios, composite
+    * score) — see functions.QualityUtil for the parity contract. */
+  def quality_signals(text: Column): Column =
+    bridge.column(graft.functions.QualitySignals(bridge.expression(text)))
+
   /** Fused per-document term counting (lowercase, \s+ tokenize, min-length
     * filter, duplicate counting in one codegen pass) — see
     * functions.TermCountsUtil. */

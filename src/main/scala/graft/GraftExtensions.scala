@@ -59,6 +59,7 @@ object GraftExtensions {
     "l2_norm" -> (e => L2Norm(e.head)),
     "lang_id" -> (e => LangId(e.head)),
     "term_counts" -> (e => TermCounts(e.head, intArg(e(1), "term_counts", 2))),
+    "quality_signals" -> (e => QualitySignals(e.head)),
     "pq_encode" -> (e => {
       require(e(1).foldable, "pq_encode: argument 2 (codebook) must be a constant")
       val ad = e(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]

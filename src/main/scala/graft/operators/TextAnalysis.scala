@@ -31,8 +31,28 @@ object TextAnalysis {
   def langId(text: Column): Column = lang_id(text)
 
   /** Quality signals: char/token counts, punctuation ratio, stopword ratio,
-    * mean token length, and a composite keep/drop score in [0,1]. */
+    * mean token length, and a composite keep/drop score in [0,1]. One fused
+    * kernel pass (functions.QualityUtil) — the HOF composition it replaced
+    * tokenized three times with interpreted lambdas; it lives on as
+    * [[qualitySignalsHof]], the equivalence oracle in TextAnalysisSpec. */
   def qualitySignals(df: DataFrame, textCol: String): DataFrame = {
+    val outNames = Set("n_chars", "n_tokens", "punct_ratio", "stopword_ratio",
+      "mean_token_len", "quality_score")
+    // input columns colliding with an output name are replaced, matching the
+    // withColumn semantics of the HOF formulation
+    val cols = df.columns.filterNot(outNames).map(col)
+    df.withColumn("_q", quality_signals(col(textCol)))
+      .select(cols :+ col("_q.n_chars").as("n_chars") :+
+        col("_q.n_tokens").as("n_tokens") :+
+        col("_q.punct_ratio").as("punct_ratio") :+
+        col("_q.stopword_ratio").as("stopword_ratio") :+
+        col("_q.mean_token_len").as("mean_token_len") :+
+        col("_q.quality_score").as("quality_score"): _*)
+  }
+
+  /** The original declarative formulation — retained as the spec's oracle
+    * for the fused kernel (not on any hot path). */
+  def qualitySignalsHof(df: DataFrame, textCol: String): DataFrame = {
     val text = col(textCol)
     val toks = tokens(text)
     val nChars = length(text)

@@ -112,6 +112,23 @@ class TextAnalysisSpec extends SparkTestBase {
     when(maxHits > 0, winner).otherwise(lit("und"))
   }
 
+  test("fused quality_signals equals the HOF composition, bit for bit") {
+    import spark.implicits._
+    val real = Tables.documents(spark, sfDir).select("text")
+    val dirty = Seq("", " ", "a", "  padded  ", "\tTabs\nand newlines\t",
+      "the the the of of to,,, !!!", "unicode éè café ...",
+      "a" * 5000, ".,!?;:" * 10).toDF("text")
+    val docs = real.unionByName(dirty)
+    val cols = Seq("n_chars", "n_tokens", "punct_ratio", "stopword_ratio",
+      "mean_token_len", "quality_score")
+    val fused = TextAnalysis.qualitySignals(docs, "text")
+    val hof = TextAnalysis.qualitySignalsHof(docs, "text")
+    val diff = fused.select(col("text"), struct(cols.map(col): _*).as("f"))
+      .join(hof.select(col("text"), struct(cols.map(col): _*).as("h")), "text")
+      .filter(col("f") =!= col("h"))
+    assert(diff.isEmpty, diff.collect().take(3).mkString("\n"))
+  }
+
   test("fused lang_id equals the interpreted HOF composition") {
     val docs = Tables.documents(spark, sfDir)
     val diff = docs.select(lang_id(col("text")).as("fused"), langIdHof(col("text")).as("hof"))
