@@ -70,7 +70,10 @@ object Dedup {
                      maxBucketSize: Int = 1000): DataFrame = {
     val sized = buckets.withColumn("_sz",
       count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
-    val capped = sized.filter(col("_sz") <= maxBucketSize).drop("_sz")
+    // materialized once: both self-join legs read the capped rows — without
+    // this the signature/banding computation AND the cap's exchange + sort +
+    // window tower (a full shuffle of docs x bands rows) run twice
+    val capped = materialized(sized.filter(col("_sz") <= maxBucketSize).drop("_sz"))
     val a = capped.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val b = capped.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "bucket"))
@@ -130,7 +133,8 @@ object Dedup {
       (blockCols.map(col) :+ col(idCol) :+ ngram_hash_set(col(textCol), n).as("_gset")): _*))
     val sized = base.withColumn("_sz",
       count(lit(1)).over(Window.partitionBy(blockCols.map(col): _*)))
-    val capped = sized.filter(col("_sz") <= maxBlockSize).drop("_sz")
+    // same two-legs argument as candidatePairs: cap the block once
+    val capped = materialized(sized.filter(col("_sz") <= maxBlockSize).drop("_sz"))
     val a = capped.select(
       (blockCols.map(col) :+ col(idCol).as("id_a") :+ col("_gset").as("set_a")): _*)
     val b = capped.select(
