@@ -809,6 +809,14 @@ object SparkEntry {
     "s05_pq_ann" -> { (s, dir) =>
       Similarity.pqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         queryId = 0L, k = 10, m = 4, ksub = 8, dim = 64)
+    },
+
+    // ---- Similarity: IVF-PQ ANN (coarse quantizer + PQ of the residual +
+    // per-list ADC tables — the composed production index shape) ----
+    "s06_ivfpq_ann" -> { (s, dir) =>
+      Similarity.ivfPqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryId = 0L, k = 10, centroidIds = (1L to 8L), nprobe = 2,
+        m = 4, ksub = 8, dim = 64)
     }
   )
 
@@ -1926,18 +1934,27 @@ object SparkEntry {
          QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 3
          ORDER BY doc_id, rank""",
 
-    "s05_pq_ann" -> pqAnnOracleSql(m = 4, ksub = 8, subDim = 16, queryId = 0, k = 10)
+    "s05_pq_ann" -> pqAnnOracleSql(m = 4, ksub = 8, subDim = 16, queryId = 0, k = 10),
+
+    "s06_ivfpq_ann" -> ivfPqOracleSql(m = 4, ksub = 8, subDim = 16,
+      queryId = 0, k = 10, nprobe = 2, centLo = 1, centHi = 8)
   )
 
+  /** Quantized PQ codebook as a SQL VALUES literal — shared by the PQ and
+    * IVF-PQ oracles (the codebook is a deterministic constant, like s03's
+    * pinned centroid ids). */
+  private def pqCbValuesSql(m: Int, ksub: Int, subDim: Int): String = {
+    val cb = operators.Similarity.pqCodebookQ(m, ksub, subDim)
+    (for { s <- 0 until m; c <- 0 until ksub } yield
+      s"($s, $c, [${cb(s * ksub + c).mkString(", ")}])").mkString(",\n           ")
+  }
+
   /** The PQ-ANN oracle replicates code assignment and ADC lookup from the
-    * same pinned quantized codebook the engine uses (inlined as literals —
-    * the codebook is a deterministic constant, like s03's pinned centroid
-    * ids), in the same integer arithmetic. */
+    * same pinned quantized codebook the engine uses (inlined as literals),
+    * in the same integer arithmetic. */
   private def pqAnnOracleSql(m: Int, ksub: Int, subDim: Int,
                              queryId: Long, k: Int): String = {
-    val cb = operators.Similarity.pqCodebookQ(m, ksub, subDim)
-    val cbValues = (for { s <- 0 until m; c <- 0 until ksub } yield
-      s"($s, $c, [${cb(s * ksub + c).mkString(", ")}])").mkString(",\n           ")
+    val cbValues = pqCbValuesSql(m, ksub, subDim)
     def qdist(vecExpr: String): String =
       s"""list_sum(list_transform(range(0, $subDim), d ->
          (CAST(floor(CAST($vecExpr[cb.sub*$subDim + CAST(d AS INTEGER) + 1] AS DOUBLE) * 1024) AS BIGINT) - q[CAST(d AS INTEGER) + 1]) *
@@ -1955,6 +1972,58 @@ object SparkEntry {
          SELECT b.vec_id, CAST(sum(dt.qd) AS BIGINT) AS adist
          FROM best b JOIN dt ON b.sub = dt.sub AND b.code = dt.code
          WHERE b.vec_id <> $queryId
+         GROUP BY b.vec_id
+         ORDER BY adist, vec_id LIMIT $k"""
+  }
+
+  /** The IVF-PQ oracle: s03's coarse-assignment CTEs (cosine argmax over
+    * the pinned centroid rows), then PQ of the per-list residual and the
+    * query's per-list ADC tables, all in the engine's quantized integer
+    * arithmetic. */
+  private def ivfPqOracleSql(m: Int, ksub: Int, subDim: Int, queryId: Long,
+                             k: Int, nprobe: Int, centLo: Long, centHi: Long): String = {
+    val dim = m * subDim
+    val cbValues = pqCbValuesSql(m, ksub, subDim)
+    def qdist(resExpr: String): String =
+      s"""list_sum(list_transform(range(0, $subDim), d ->
+         (CAST(floor($resExpr[cb.sub*$subDim + CAST(d AS INTEGER) + 1] * 1024) AS BIGINT) - q[CAST(d AS INTEGER) + 1]) *
+         (CAST(floor($resExpr[cb.sub*$subDim + CAST(d AS INTEGER) + 1] * 1024) AS BIGINT) - q[CAST(d AS INTEGER) + 1])))"""
+    s"""WITH c AS (
+           SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings WHERE vec_id BETWEEN $centLo AND $centHi),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cosl AS (
+           SELECT v.vec_id, v.v,
+             list(list_dot_product(v.v, c.cv) /
+                  (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+                  ORDER BY c.cid) AS cl
+           FROM v CROSS JOIN c GROUP BY v.vec_id, v.v),
+         asg AS (SELECT vec_id, v, list_position(cl, list_max(cl)) AS lst FROM cosl),
+         res AS (
+           SELECT a.vec_id, a.lst,
+             list_transform(range(1, ${dim + 1}), d ->
+               a.v[CAST(d AS INTEGER)] - c.cv[CAST(d AS INTEGER)]) AS r
+           FROM asg a JOIN c ON c.cid = a.lst + ${centLo - 1}),
+         cb(sub, code, q) AS (VALUES
+           $cbValues),
+         enc AS (SELECT res.vec_id, res.lst, cb.sub, cb.code, ${qdist("r")} AS dist
+           FROM res CROSS JOIN cb),
+         best AS (SELECT vec_id, lst, sub, code FROM enc
+           QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) = 1),
+         qres AS (
+           SELECT c.cid - ${centLo - 1} AS lst,
+             list_transform(range(1, ${dim + 1}), d ->
+               qv.v[CAST(d AS INTEGER)] - c.cv[CAST(d AS INTEGER)]) AS r
+           FROM c CROSS JOIN (SELECT v FROM v WHERE vec_id = $queryId) qv(v)),
+         dtq AS (SELECT qres.lst, cb.sub, cb.code, ${qdist("r")} AS qd
+           FROM qres CROSS JOIN cb),
+         qcl AS (SELECT cl FROM cosl WHERE vec_id = $queryId)
+         SELECT b.vec_id, CAST(sum(dtq.qd) AS BIGINT) AS adist
+         FROM best b
+         JOIN dtq ON dtq.lst = b.lst AND dtq.sub = b.sub AND dtq.code = b.code
+         CROSS JOIN qcl
+         WHERE qcl.cl[b.lst] >= list_sort(qcl.cl, 'DESC')[$nprobe]
+           AND b.vec_id <> $queryId
          GROUP BY b.vec_id
          ORDER BY adist, vec_id LIMIT $k"""
   }

@@ -217,6 +217,90 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-PQ ANN — the composed production index shape (FAISS's IVFPQ): a
+    * coarse quantizer routes each vector to its max-cosine list (the
+    * [[ivfTopK]] machinery), PQ encodes the RESIDUAL vector w.r.t. the list
+    * centroid (residuals are small, so the same code budget carries more
+    * precision than raw-vector PQ), and a query probes `nprobe` lists with
+    * one ADC lookup table per list. Everything after the residual
+    * subtraction is quantized integer math (engine-exact, like [[pqTopK]]);
+    * the residual itself is one IEEE double subtraction per component —
+    * bit-identical on any engine.
+    *
+    * At 100 TB: assignment + residual + encode are row-local (one scan,
+    * written once as (list, codes)); a query reads ~nprobe/nlist of the
+    * corpus and only the code bytes of that slice. */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+                queryId: Long, k: Int, centroidIds: Seq[Long], nprobe: Int,
+                m: Int, ksub: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"ivfPqTopK: m ($m) must divide dim ($dim)")
+    require(nprobe >= 1 && nprobe <= centroidIds.size,
+      s"ivfPqTopK: nprobe must be in 1..${centroidIds.size}, got $nprobe")
+    val subDim = dim / m
+    val cbPq = pqCodebookQ(m, ksub, subDim)
+    val byId = emb.filter(col(idCol).isInCollection(centroidIds))
+      .select(col(idCol), col(vecCol)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    val missing = centroidIds.filterNot(byId.contains)
+    require(missing.isEmpty,
+      s"ivfPqTopK: centroid ids not present in the corpus: ${missing.mkString(", ")}")
+    val cents: Seq[Seq[Double]] = centroidIds.map(byId)
+    val centArr: Column = array(cents.map(c => array(c.map(lit): _*)): _*)
+    val codebookCos: Seq[Column] = cents.map(c => array(c.map(lit): _*))
+    def cosArr(vec: Column): Column = array(codebookCos.map(c => cosine(vec, c)): _*)
+    def assign(vec: Column): Column = {
+      val arr = cosArr(vec)
+      (array_position(arr, array_max(arr)) - 1).cast("int")
+    }
+    // query-side: one quantized ADC table per list (nlist x m x ksub longs,
+    // driver-computed in the same integer arithmetic as the kernel)
+    val q = byIdOrRow(emb, idCol, vecCol, queryId)
+    val dt: Seq[Seq[Seq[Long]]] = cents.map { c =>
+      val rq = q.indices.take(dim).map(d => q(d) - c(d))
+      (0 until m).map { s =>
+        (0 until ksub).map { cc =>
+          (0 until subDim).map { d =>
+            val diff = graft.functions.PqUtil.quantize(rq(s * subDim + d)) -
+              cbPq(s * ksub + cc)(d)
+            diff * diff
+          }.sum
+        }
+      }
+    }
+    val dtLit: Column = array(dt.map(l =>
+      array(l.map(s => array(s.map(lit): _*)): _*)): _*)
+    val assigned = emb
+      .withColumn("_v", col(vecCol).cast("array<double>"))
+      .withColumn("_list", assign(col("_v")))
+      .withColumn("_res", zip_with(col("_v"),
+        element_at(centArr, col("_list") + 1), (a, b) => a - b))
+      .withColumn("_codes", pq_encode(col("_res"), cbPq, m, ksub))
+    val qFrame = assigned.filter(col(idCol) === queryId)
+      .select(cosArr(col("_v")).as("_qcos"))
+    val adist = (0 until m).map { s =>
+      element_at(
+        element_at(element_at(dtLit, col("_list") + 1), s + 1),
+        element_at(col("_codes"), s + 1) + 1)
+    }.reduce(_ + _)
+    assigned.crossJoin(broadcast(qFrame))
+      .filter(element_at(col("_qcos"), col("_list") + 1) >=
+        element_at(sort_array(col("_qcos"), asc = false), nprobe))
+      .filter(col(idCol) =!= queryId)
+      .withColumn("adist", adist)
+      .select(col(idCol), col("adist"))
+      .orderBy(col("adist").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** One-row bounded control read of a vector by id (query vectors,
+    * centroids — never data-scale). */
+  private def byIdOrRow(emb: DataFrame, idCol: String, vecCol: String,
+                        id: Long): Seq[Double] = {
+    val rows = emb.filter(col(idCol) === id).select(col(vecCol)).head(1)
+    require(rows.nonEmpty, s"vector id $id not present in the corpus")
+    rows(0).getSeq[Float](0).map(_.toDouble)
+  }
+
   /** ANN top-k: restrict the scan to vectors in the query's LSH bucket, then
     * exact cosine inside the bucket. With B buckets this scans ~1/B of the
     * data; recall is tunable via numPlanes (and multi-probe if needed). */

@@ -88,6 +88,39 @@ object Streams {
       }
   }
 
+  /** Streaming decontamination gate — the stream-static enrichment shape:
+    * incoming documents are flagged against a STATIC benchmark set without
+    * any streaming state. The benchmark's distinct gram set collapses to a
+    * ONE-ROW static frame carrying the sorted gram array (eval suites are
+    * megabytes; the array broadcasts), the stream equi-joins it on a
+    * constant key (stateless, append-mode friendly), and the overlap is a
+    * row-local sorted-array intersection — no explode, no aggregation, no
+    * watermark. Matches the batch operator's numbers exactly:
+    * |intersect| of distinct gram sets == the join+count formulation in
+    * operators.Decontaminate. */
+  def contaminationGate(docStream: DataFrame, bench: DataFrame,
+                        idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    import graft.Functions._
+    val benchGrams = bench
+      .select(explode(ngram_hash_set(col(textCol), n)).as("_g"))
+      .distinct()
+      .agg(sort_array(collect_list(col("_g"))).as("_bench_grams"))
+      .withColumn("_k", lit(1))
+    docStream
+      .select(col(idCol), col(textCol),
+        ngram_hash_set(col(textCol), n).as("_gset"), lit(1).as("_k"))
+      .join(benchGrams, Seq("_k"), "left")
+      .withColumn("n_grams", size(col("_gset")))
+      .withColumn("n_matched",
+        coalesce(size(array_intersect(col("_gset"), col("_bench_grams"))), lit(0)))
+      .withColumn("overlap_ratio",
+        col("n_matched").cast("double") / col("n_grams"))
+      .withColumn("contaminated",
+        when(col("overlap_ratio") >= threshold, 1).otherwise(0))
+      .drop("_k", "_gset", "_bench_grams")
+  }
+
   /** Stream-stream interval join (attribution shape): each `right` event
     * joins `left` rows with the same key whose timestamp lies in
     * [rightTs - horizon, rightTs]. Both sides carry watermarks AND the join

@@ -19,4 +19,17 @@ class CodegenProbeSpec extends SparkTestBase {
     assert(plan.linesIterator.next().startsWith("*("),
       s"project not whole-stage-codegen'd:\n$plan")
   }
+
+  test("round-4 kernels (quality/term_counts/pq_encode) stay inside WholeStageCodegen") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cb = graft.operators.Similarity.pqCodebookQ(2, 4, 4)
+    val df = docs.select(col("doc_id"),
+      quality_signals(col("text")).as("q"),
+      term_counts(col("text"), 3).as("tc"),
+      pq_encode(array_repeat(col("n_chars").cast("double"), 8), cb, 2, 4).as("codes"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.next().startsWith("*("),
+      s"project not whole-stage-codegen'd:\n$plan")
+  }
 }

@@ -108,6 +108,29 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(got == Seq("elephant"))
   }
 
+  test("term_counts kernel: counts sum to n_tokens and terms match the HOF tokenization") {
+    val docs = CorpusFixtures.documents(spark)
+      .unionByName(Seq((9001L, "en", ""), (9002L, "en", "  "), (9003L, "en", "ab AB aB"),
+        (9004L, "en", "x yy zzz zzz\tzzz")).toDF("doc_id", "lang", "text"))
+    val viaKernel = docs
+      .select(col("doc_id"), graft.Functions.term_counts(col("text"), 3).as("_tc"))
+      .select(col("doc_id"), col("_tc.n_tokens").as("nt"), col("_tc.terms").as("terms"))
+    // invariant: sum of per-term counts == kept-token count
+    val badSum = viaKernel.filter(
+      coalesce(aggregate(col("terms"), lit(0), (a, t) => a + t.getField("cnt")), lit(0))
+        =!= col("nt")).count()
+    assert(badSum == 0)
+    // terms+counts equal the declarative formulation
+    val toksHof = filter(split(trim(lower(col("text"))), "\\s+"), t => length(t) >= 3)
+    val hof = docs.select(col("doc_id"), explode(toksHof).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("int").as("cnt"))
+      .as[(Long, String, Int)].collect().toSeq.sorted
+    val kern = viaKernel.select(col("doc_id"), explode(col("terms")).as("t"))
+      .select(col("doc_id"), col("t.term"), col("t.cnt"))
+      .as[(Long, String, Int)].collect().toSeq.sorted
+    assert(kern == hof)
+  }
+
   test("tfidf matches the row_number window formulation on a larger corpus") {
     val docs = CorpusFixtures.documents(spark)
     val viaAgg = TfIdf.topTerms(docs, "doc_id", "text", k = 3, minTokenLen = 3)

@@ -75,6 +75,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(cb == cb7)
   }
 
+  test("pq_encode null/short-vector handling: null element or too-few dims -> NULL codes") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val cb = Similarity.pqCodebookQ(2, 2, 2)
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("v", ArrayType(DoubleType, containsNull = true))))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, Seq[java.lang.Double](1.0, 2.0, 3.0, 4.0)),
+        Row(2L, Seq[java.lang.Double](1.0, null, 3.0, 4.0)),
+        Row(3L, Seq[java.lang.Double](1.0, 2.0)), // shorter than m*subDim
+        Row(4L, null)),
+      schema)
+    val got = df.select(col("id"), graft.Functions.pq_encode(col("v"), cb, 2, 2).as("c"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Int](1))).toMap
+    assert(got(1L) != null && got(1L).length == 2)
+    assert(got(2L) == null && got(3L) == null && got(4L) == null)
+  }
+
   test("pq codes are total and bounded; pqTopK distance equals a naive ADC replay") {
     val m = 4; val ksub = 8; val dim = 64; val subDim = dim / m
     val cb = Similarity.pqCodebookQ(m, ksub, subDim)
@@ -113,6 +132,56 @@ class SimilaritySpec extends SparkTestBase {
       .sortBy { case (id, d) => (d, id) }.take(10).toSeq
     val got = Similarity.pqTopK(emb, "vec_id", "embedding", 0L, 10, m, ksub, dim)
       .as[(Long, Long)].collect().toSeq
+    assert(got == expect)
+  }
+
+  test("ivfPqTopK replays from a naive Scala IVF+residual-PQ implementation") {
+    val m = 4; val ksub = 8; val dim = 64; val subDim = dim / m
+    val nprobe = 2
+    val cb = Similarity.pqCodebookQ(m, ksub, subDim)
+    val all = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().map { case (id, v) => id -> v.map(_.toDouble) }
+    val cents = (1L to 8L).map(id => all.find(_._1 == id).get._2)
+    def cosine(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def assign(v: Seq[Double]): Int = {
+      val cs = cents.map(c => cosine(v, c))
+      cs.indexOf(cs.max)
+    }
+    def encode(r: Seq[Double]): Seq[Int] = (0 until m).map { s =>
+      val dists = (0 until ksub).map { c =>
+        (0 until subDim).map { d =>
+          val diff = graft.functions.PqUtil.quantize(r(s * subDim + d)) - cb(s * ksub + c)(d)
+          diff * diff
+        }.sum
+      }
+      dists.indexOf(dists.min)
+    }
+    val q = all.find(_._1 == 0L).get._2
+    val qcos = cents.map(c => cosine(q, c))
+    val probeCut = qcos.sorted(Ordering[Double].reverse)(nprobe - 1)
+    val dt = cents.map { c =>
+      val rq = q.indices.map(d => q(d) - c(d))
+      (0 until m).map { s => (0 until ksub).map { cc =>
+        (0 until subDim).map { d =>
+          val diff = graft.functions.PqUtil.quantize(rq(s * subDim + d)) - cb(s * ksub + cc)(d)
+          diff * diff
+        }.sum
+      }}
+    }
+    val expect = all.filter(_._1 != 0L).flatMap { case (id, v) =>
+      val lst = assign(v)
+      if (qcos(lst) >= probeCut) {
+        val r = v.indices.map(d => v(d) - cents(lst)(d))
+        val codes = encode(r)
+        Some(id -> (0 until m).map(s => dt(lst)(s)(codes(s))).sum)
+      } else None
+    }.sortBy { case (id, d) => (d, id) }.take(10).toSeq
+    val got = Similarity.ivfPqTopK(emb, "vec_id", "embedding", 0L, 10,
+      (1L to 8L), nprobe, m, ksub, dim).as[(Long, Long)].collect().toSeq
     assert(got == expect)
   }
 

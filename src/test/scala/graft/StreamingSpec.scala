@@ -57,6 +57,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("contaminationGate flags streamed docs identically to the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val benchSeq = Seq((100L, "alpha beta gamma delta"))
+    val docsSeq = Seq(
+      (1L, "alpha beta gamma delta"),          // fully contained in bench
+      (2L, "completely different words here"), // clean
+      (3L, "alpha beta gamma epsilon"))        // partial overlap
+    val bench = benchSeq.toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val gated = Streams.contaminationGate(
+      in.toDF().toDF("doc_id", "text"), bench, "doc_id", "text", n = 3)
+    val q = gated.writeStream.format("memory").queryName("contam")
+      .outputMode("append").start()
+    try {
+      in.addData(docsSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("contam")
+        .select("doc_id", "n_grams", "n_matched", "contaminated")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+      val batch = graft.operators.Decontaminate.contamination(
+          docsSeq.toDF("doc_id", "text"), bench, "doc_id", "text", n = 3)
+        .select("doc_id", "n_grams", "n_matched", "contaminated")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2).toInt, r.getInt(3))).toSet
+      assert(streamed == batch)
+      assert(streamed.map(t => t._1 -> t._4).toMap == Map(1L -> 1, 2L -> 0, 3L -> 1))
+    } finally q.stop()
+  }
+
   test("sessionize closes a session only after the watermark passes the gap") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp)]
