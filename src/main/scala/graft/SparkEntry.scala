@@ -817,6 +817,16 @@ object SparkEntry {
       Similarity.ivfPqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         queryId = 0L, k = 10, centroidIds = (1L to 8L), nprobe = 2,
         m = 4, ksub = 8, dim = 64)
+    },
+
+    // ---- Similarity: PQ codebook training (per-subspace quantized Lloyd
+    // k-means — the trained path behind s05/s06's codebooks) ----
+    "s07_pq_train" -> { (s, dir) =>
+      Similarity.trainPqCodebook(Tables.embeddings(s, dir), "vec_id", "embedding",
+          m = 4, ksub = 4, iters = 2, dim = 64)
+        .select(col("sub"), col("cid"), posexplode(col("centroid")))
+        .select(col("sub"), col("cid"), col("pos").as("dim"), col("col").as("value"))
+        .orderBy(col("sub"), col("cid"), col("dim"))
     }
   )
 
@@ -1937,7 +1947,36 @@ object SparkEntry {
     "s05_pq_ann" -> pqAnnOracleSql(m = 4, ksub = 8, subDim = 16, queryId = 0, k = 10),
 
     "s06_ivfpq_ann" -> ivfPqOracleSql(m = 4, ksub = 8, subDim = 16,
-      queryId = 0, k = 10, nprobe = 2, centLo = 1, centHi = 8)
+      queryId = 0, k = 10, nprobe = 2, centLo = 1, centHi = 8),
+
+    // s04's unrolled two-iteration Lloyd oracle with the subspace id carried
+    // through the init hash, every grouping key, and the assignment window
+    "s07_pq_train" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+         sv AS (SELECT vec_id, s AS sub,
+             vv[CAST(s*16+1 AS INTEGER) : CAST(s*16+16 AS INTEGER)] AS v
+           FROM v CROSS JOIN range(0, 4) t(s)),
+         a0 AS (SELECT vec_id, sub, v,
+             CAST(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '_' || CAST(sub AS VARCHAR)),1,12)) AS BIGINT) % 4 AS INTEGER) AS cid
+           FROM sv),
+         s1 AS (SELECT sub, cid, d,
+             CAST(sum(CAST(floor(v[CAST(d+1 AS INTEGER)] * 1048576) AS BIGINT)) AS BIGINT) AS s,
+             count(*) AS n
+           FROM a0 CROSS JOIN range(0, 16) t(d) GROUP BY sub, cid, d),
+         cb1 AS (SELECT sub, cid, list(s / 1048576.0 / n ORDER BY d) AS c FROM s1 GROUP BY sub, cid),
+         sc AS (SELECT a.vec_id, a.sub, a.v, b.cid,
+             list_sum(list_transform(range(1, 17), i -> b.c[CAST(i AS INTEGER)] * b.c[CAST(i AS INTEGER)]))
+             - 2 * list_sum(list_transform(range(1, 17), i -> a.v[CAST(i AS INTEGER)] * b.c[CAST(i AS INTEGER)])) AS score
+           FROM a0 a JOIN cb1 b ON b.sub = a.sub),
+         a1 AS (SELECT vec_id, sub, v, cid FROM sc
+           QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY score, cid) = 1),
+         s2 AS (SELECT sub, cid, d,
+             CAST(sum(CAST(floor(v[CAST(d+1 AS INTEGER)] * 1048576) AS BIGINT)) AS BIGINT) AS s,
+             count(*) AS n
+           FROM a1 CROSS JOIN range(0, 16) t(d) GROUP BY sub, cid, d)
+         SELECT CAST(sub AS INTEGER) AS sub, cid, CAST(d AS INTEGER) AS dim,
+           s / 1048576.0 / n AS value
+         FROM s2 ORDER BY sub, cid, dim"""
   )
 
   /** Quantized PQ codebook as a SQL VALUES literal — shared by the PQ and

@@ -217,6 +217,59 @@ object Similarity {
       .limit(k)
   }
 
+  /** PQ codebook TRAINING — per-subspace Lloyd k-means (the trained
+    * alternative to [[pqCodebookQ]]'s pseudo-random codebook, exactly the
+    * [[trainIvfCodebook]] recipe with the subspace id carried through every
+    * key): vectors are sliced into m subvectors row-local, initial codes
+    * are md5(id ++ sub) mod ksub, means are per-(sub, cid, dim) sums of
+    * `floor(v * 2^20)` quantized longs (order-invariant, engine-exact),
+    * assignment is argmin(c.c - 2 v.c) over the ksub-row broadcast per-sub
+    * codebook with ties to the lowest cid. One shuffle per iteration on
+    * (sub, cid, dim), map-side combined; nothing data-scale collected.
+    * Returns (sub, cid, centroid array<double> of subDim). */
+  def trainPqCodebook(emb: DataFrame, idCol: String, vecCol: String,
+                      m: Int, ksub: Int, iters: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"trainPqCodebook: m ($m) must divide dim ($dim)")
+    require(ksub >= 1 && iters >= 1, s"ksub and iters must be >= 1")
+    val subDim = dim / m
+    val quant = 1048576.0 // 2^20, matching trainIvfCodebook
+    var assigned = emb.select(col(idCol).as("_id"),
+        posexplode(array((0 until m).map(s =>
+          slice(col(vecCol).cast("array<double>"), s * subDim + 1, subDim)): _*)))
+      .select(col("_id"), col("pos").as("sub"), col("col").as("_v"))
+      .withColumn("cid", pmod(md5_prefix_long(
+        concat(col("_id").cast("string"), lit("_"), col("sub").cast("string"))),
+        lit(ksub.toLong)).cast("int"))
+    var codebook: DataFrame = null
+    for (i <- 1 to iters) {
+      val stats = assigned
+        .select(col("sub"), col("cid"), posexplode(col("_v")))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg(sum(floor(col("col") * quant).cast("long")).as("_s"),
+          count(lit(1)).as("_n"))
+      codebook = stats.groupBy("sub", "cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"),
+            (col("_s") / quant / col("_n")).as("_m")))),
+          x => x.getField("_m")).as("centroid"))
+        .localCheckpoint()
+      if (i < iters) {
+        val cb = codebook.select(col("sub").as("_csub"), col("cid").as("_ccid"),
+            col("centroid"))
+          .withColumn("_cc", dot(col("centroid"), col("centroid")))
+        assigned = assigned.drop("cid")
+          .join(broadcast(cb), col("sub") === col("_csub"))
+          .withColumn("_score", col("_cc") - lit(2.0) * dot(col("_v"), col("centroid")))
+          .groupBy(col("_id"), col("sub"))
+          .agg(first(col("_v")).as("_v"),
+            min(struct(col("_score"), col("_ccid"))).as("_best"))
+          .select(col("_id"), col("sub"), col("_v"),
+            col("_best").getField("_ccid").as("cid"))
+      }
+    }
+    codebook
+  }
+
   /** IVF-PQ ANN — the composed production index shape (FAISS's IVFPQ): a
     * coarse quantizer routes each vector to its max-cosine list (the
     * [[ivfTopK]] machinery), PQ encodes the RESIDUAL vector w.r.t. the list

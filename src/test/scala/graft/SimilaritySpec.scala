@@ -135,6 +135,28 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == expect)
   }
 
+  test("trainPqCodebook is layout-invariant and its output drives pq_encode") {
+    val cb = Similarity.trainPqCodebook(emb, "vec_id", "embedding",
+        m = 2, ksub = 2, iters = 2, dim = 64)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    assert(cb.keySet == Set((0, 0), (0, 1), (1, 0), (1, 1)))
+    assert(cb.values.forall(_.length == 32))
+    // quantized long sums make the codebook identical under any partitioning
+    val cb7 = Similarity.trainPqCodebook(emb.repartition(7), "vec_id", "embedding",
+        m = 2, ksub = 2, iters = 2, dim = 64)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    assert(cb == cb7)
+    // trained centroids quantize into a pq_encode codebook that assigns
+    // every vector a full in-range code row
+    val quantized: Seq[Seq[Long]] =
+      (for { s <- 0 until 2; c <- 0 until 2 } yield
+        cb((s, c)).map(graft.functions.PqUtil.quantize))
+    val codes = emb.select(graft.Functions.pq_encode(
+        col("embedding"), quantized, 2, 2).as("c"))
+      .as[Seq[Int]].collect()
+    assert(codes.forall(c => c.length == 2 && c.forall(x => x >= 0 && x < 2)))
+  }
+
   test("ivfPqTopK replays from a naive Scala IVF+residual-PQ implementation") {
     val m = 4; val ksub = 8; val dim = 64; val subDim = dim / m
     val nprobe = 2
