@@ -720,6 +720,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- Text: URL/domain extraction + blocklist gate; deterministic URLs
+    // are mixed into the synthetic text so hit, miss, and no-URL paths are
+    // all exercised ----
+    "t17_url_filter" -> { (s, dir) =>
+      val withUrls = when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(col("text"), lit(" see https://spam-"),
+            pmod(col("doc_id"), lit(7)).cast("string"), lit(".example/page now")))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(col("text"), lit(" via https://ok.example/x and http://spam-3.example/y")))
+        .otherwise(col("text"))
+      TextAnalysis.urlFilter(
+          Tables.documents(s, dir).withColumn("text", withUrls), "text",
+          blocklist = Seq("spam-1.example", "spam-3.example", "spam-5.example"))
+        .select(col("doc_id"), col("n_urls"), col("domains_csv"), col("blocked"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- Winnowing fingerprints: rolling-hash (Rabin-Karp) k-gram hashes
     // + sliding-window minima (MOSS) — the robust-fingerprint form of
     // document identity, one O(n) pass per doc ----
@@ -1766,6 +1783,24 @@ object SparkEntry {
            CAST(len(regexp_extract_all(ne, '[0-9]{7,}')) AS INTEGER) AS n_digit_runs,
            md5(regexp_replace(ne, '[0-9]{7,}', '<NUMBER>', 'g')) AS redacted_md5
          FROM e ORDER BY doc_id""",
+
+    "t17_url_filter" ->
+      """WITH p AS (SELECT doc_id,
+           CASE doc_id % 4
+             WHEN 0 THEN text || ' see https://spam-' || CAST(doc_id % 7 AS VARCHAR) || '.example/page now'
+             WHEN 1 THEN text || ' via https://ok.example/x and http://spam-3.example/y'
+             ELSE text END AS s
+           FROM documents),
+         u AS (SELECT doc_id, regexp_extract_all(s, 'https?://[A-Za-z0-9.-]+') AS urls FROM p),
+         d AS (SELECT doc_id, CAST(len(urls) AS INTEGER) AS n_urls,
+             list_sort(list_distinct(list_transform(urls, x -> regexp_replace(x, '^https?://', '')))) AS doms
+           FROM u)
+         SELECT doc_id, n_urls,
+           COALESCE(array_to_string(doms, ','), '') AS domains_csv,
+           CASE WHEN len(list_filter(doms,
+             x -> x IN ('spam-1.example', 'spam-3.example', 'spam-5.example'))) > 0
+           THEN 1 ELSE 0 END AS blocked
+         FROM d ORDER BY doc_id""",
 
     "t09_winnow_fingerprint" ->
       """WITH h AS (

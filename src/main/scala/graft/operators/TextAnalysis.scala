@@ -149,6 +149,27 @@ object TextAnalysis {
           .otherwise(lit(1.0) - col("n_distinct_ngrams").cast("double") / col("n_ngrams")))
   }
 
+  /** URL shape restricted to constructs with identical semantics in Java
+    * regex and RE2: scheme + host charset run (no backtracking-order
+    * dependence). */
+  val urlPattern: String = "https?://[A-Za-z0-9.-]+"
+
+  /** URL/domain filtering (the Common-Crawl-style source gate): extract
+    * URLs, derive the distinct sorted domain set, and flag documents whose
+    * domains hit a blocklist. Row-local regex + array ops at scan speed;
+    * the blocklist is a constant (in production a broadcast dim — eval the
+    * same way via isInCollection on the exploded form if it outgrows a
+    * literal). */
+  def urlFilter(df: DataFrame, textCol: String, blocklist: Seq[String]): DataFrame = {
+    val urls = regexp_extract_all(col(textCol), lit(urlPattern), lit(0))
+    val domains = array_sort(array_distinct(
+      transform(urls, u => regexp_replace(u, "^https?://", ""))))
+    df.withColumn("n_urls", size(urls))
+      .withColumn("domains_csv", array_join(domains, ","))
+      .withColumn("blocked",
+        when(exists(domains, d => d.isInCollection(blocklist)), 1).otherwise(0))
+  }
+
   /** PII patterns kept to constructs with identical semantics in Java regex
     * and RE2 (no backtracking-order dependence): a literal email shape and
     * plain 7+-digit runs. */

@@ -112,6 +112,21 @@ class TextAnalysisSpec extends SparkTestBase {
     when(maxHits > 0, winner).otherwise(lit("und"))
   }
 
+  test("urlFilter extracts domains, dedups them sorted, and flags blocklist hits") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "see https://bad.example/a and http://bad.example/b plus https://ok.example"),
+      (2L, "no urls at all"),
+      (3L, "https://ok.example only")).toDF("doc_id", "text")
+    val got = TextAnalysis.urlFilter(docs, "text", Seq("bad.example"))
+      .select("doc_id", "n_urls", "domains_csv", "blocked")
+      .as[(Long, Int, String, Int)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1L, 3, "bad.example,ok.example", 1),
+      (2L, 0, "", 0),
+      (3L, 1, "ok.example", 0)))
+  }
+
   test("fused quality_signals equals the HOF composition, bit for bit") {
     import spark.implicits._
     val real = Tables.documents(spark, sfDir).select("text")
