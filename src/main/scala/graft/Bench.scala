@@ -15,9 +15,18 @@ import java.nio.file.{Files, Paths}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val spark = GraftSession.get()
     // JIT + session warm-up so per-query numbers measure the plan, not JVM startup
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // per-query warm-up at the smallest SF: compiles each plan's codegen and
+    // loads its parquet footers once, so the timed run below measures
+    // steady-state throughput at the target SF instead of one-shot
+    // JIT/codegen latency (which dominated run-to-run variance)
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () } // failures surface in the timed run
+    }
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
