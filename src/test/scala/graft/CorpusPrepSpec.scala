@@ -80,6 +80,49 @@ class CorpusPrepSpec extends SparkTestBase {
     }
   }
 
+  test("property: packing layout replays from a sequential simulation") {
+    import org.scalacheck.{Gen, Prop}
+    val gen = Gen.listOfN(40, Gen.chooseNum(1, 30))
+    PropHelper.check(Prop.forAll(gen, Gen.chooseNum(5, 50)) { (tokenCounts, budget) =>
+      val docs = tokenCounts.zipWithIndex.map { case (n, i) =>
+        ("g", i.toLong, List.fill(n)("t").mkString(" "))
+      }.toDF("lang", "doc_id", "text")
+      val got = Packing.packSequences(docs, "doc_id", "text", budget, Seq("lang"))
+        .orderBy("doc_id")
+        .select("n_tokens", "tok_start", "seq_id", "seq_offset", "n_seqs")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      // sequential replay: walk the concatenated token stream
+      var cursor = 0L
+      val expect = tokenCounts.map { n =>
+        val start = cursor
+        val first = start / budget
+        val last = (start + n - 1) / budget
+        cursor += n
+        (n.toLong, start, first, start % budget, last - first + 1)
+      }
+      got == expect
+    }, minTests = 20)
+  }
+
+  test("property: contamination ratio is within [0,1] and grows with the benchmark") {
+    import org.scalacheck.{Gen, Prop}
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val doc = Gen.listOfN(6, word).map(_.mkString(" "))
+    PropHelper.check(Prop.forAll(Gen.listOfN(8, doc), Gen.listOfN(2, doc),
+        Gen.listOfN(2, doc)) { (corpus, bench1, bench2) =>
+      val c = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      def ratios(benchDocs: Seq[String]) =
+        Decontaminate.contamination(c,
+            benchDocs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+            "doc_id", "text", n = 2)
+          .select("doc_id", "overlap_ratio").as[(Long, Double)].collect().toMap
+      val r1 = ratios(bench1)
+      val r12 = ratios(bench1 ++ bench2)
+      r1.values.forall(v => v >= 0.0 && v <= 1.0) &&
+        r1.keys.forall(k => r12(k) >= r1(k)) // a larger benchmark never shrinks overlap
+    }, minTests = 15)
+  }
+
   // ---- TfIdf ----
 
   test("corpus-wide terms rank below document-specific terms") {
