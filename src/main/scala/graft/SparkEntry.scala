@@ -771,6 +771,21 @@ object SparkEntry {
         .orderBy(col("lang_pred"), col("split"))
     },
 
+    // ---- End-to-end training-data EXPORT: the t07 cleaning pipeline's
+    // survivors packed into fixed-token training sequences per
+    // (lang, split) shard — clean -> dedup -> split -> pack as ONE
+    // declarative plan (the layout a trainer consumes) ----
+    "t18_export_packing" -> { (s, dir) =>
+      val cleaned = CorpusPipeline.clean(
+        Parallelism.ensureDefaultParallelism(Tables.documents(s, dir)),
+        "doc_id", "text")
+      Packing.packSequences(cleaned, "doc_id", "text", seqTokens = 512,
+          groupCols = Seq("lang_pred", "split"))
+        .select(col("lang_pred"), col("split"), col("doc_id"),
+          col("n_tokens"), col("tok_start"), col("seq_id"), col("seq_offset"))
+        .orderBy(col("lang_pred"), col("split"), col("doc_id"))
+    },
+
     // ---- Deterministic id-hash train/val/test split: same id, same split,
     // on any engine, cluster size, or rerun (holdout contamination is
     // structurally impossible) ----
@@ -858,6 +873,83 @@ object SparkEntry {
           .when(pmod(col("doc_id"), lit(3)) === 1, "JPG0")
           .otherwise(""),
         col("text")), "UTF-8").as("payload"))
+
+  /** The t07 corpus-cleaning oracle CTE chain (ends at `sp`:
+    * doc_id, lang_pred, n_tokens, split) — shared with the t18
+    * export-packing oracle. */
+  private val corpusCleanCtes: String =
+    """lt AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ltoks FROM documents),
+         ls AS (SELECT doc_id,
+           length(list_filter(ltoks, x -> x IN ('der','die','das','und','ist','von','ein','eine','zu','den'))) AS h_de,
+           length(list_filter(ltoks, x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS h_en,
+           length(list_filter(ltoks, x -> x IN ('el','la','los','de','que','y','en','un','una','es'))) AS h_es,
+           length(list_filter(ltoks, x -> x IN ('le','la','les','de','et','un','une','est','que','dans'))) AS h_fr
+           FROM lt),
+         lang AS (SELECT doc_id,
+           CASE WHEN greatest(h_de,h_en,h_es,h_fr) = 0 THEN 'und'
+                WHEN h_de = greatest(h_de,h_en,h_es,h_fr) THEN 'de'
+                WHEN h_en = greatest(h_de,h_en,h_es,h_fr) THEN 'en'
+                WHEN h_es = greatest(h_de,h_en,h_es,h_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+           FROM ls),
+         qt AS (
+           SELECT doc_id, text,
+                  regexp_split_to_array(trim(text), '\s+') AS toks,
+                  length(text) AS n_chars,
+                  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct
+           FROM documents),
+         qm AS (
+           SELECT doc_id, length(toks) AS n_tokens,
+                  round(CAST(punct AS DOUBLE) / greatest(n_chars, 1), 6) AS punct_ratio,
+                  round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                        / greatest(length(toks), 1), 6) AS mean_token_len
+           FROM qt),
+         q AS (
+           SELECT doc_id, n_tokens,
+                  round((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+                      + (CASE WHEN punct_ratio <= 0.1 THEN 0.3 ELSE 0.0 END)
+                      + (CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END), 2) AS quality_score
+           FROM qm),
+         gated AS (
+           SELECT d.doc_id, d.text, q.n_tokens, l.lang_pred
+           FROM documents d JOIN lang l USING (doc_id) JOIN q USING (doc_id)
+           WHERE l.lang_pred <> 'und' AND q.quality_score >= 0.7),
+         exact AS (
+           SELECT * FROM gated
+           QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))),
+         sh AS (
+           SELECT doc_id, list_sort(list_distinct(list_transform(
+             range(1, greatest(length(text)-4,1)+1),
+             i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 5)),1,12)) AS BIGINT)))) AS hs
+           FROM exact),
+         sig AS (
+           SELECT doc_id, hs,
+             list_transform(range(0, 16), j -> list_min(list_transform(hs,
+               h -> (h*(2*j+1) + (j*2654435761)%2147483647) % 2147483647))) AS sg
+           FROM sh),
+         bkt AS (
+           SELECT doc_id, b AS band,
+             md5(CAST(b AS VARCHAR) || '_' || array_to_string(sg[b*4+1 : b*4+4], ',')) AS bucket
+           FROM sig CROSS JOIN range(0, 4) t(b)),
+         capped AS (
+           SELECT * FROM bkt QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM capped a JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id),
+         jac AS (
+           SELECT id_b
+           FROM pairs JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
+           WHERE round(CAST(length(list_intersect(x.hs, y.hs)) AS DOUBLE) /
+                 (length(x.hs) + length(y.hs) - length(list_intersect(x.hs, y.hs))), 6) >= 0.5),
+         kept AS (
+           SELECT * FROM exact WHERE doc_id NOT IN (SELECT id_b FROM jac)),
+         sp AS (
+           SELECT doc_id, lang_pred, n_tokens,
+             CASE WHEN CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,12)) AS BIGINT) % 1000000 AS DOUBLE) / 1000000 < 0.8 THEN 'train'
+                  WHEN CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,12)) AS BIGINT) % 1000000 AS DOUBLE) / 1000000 < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM kept)"""
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_txn_summary" ->
@@ -1833,80 +1925,21 @@ object SparkEntry {
          FROM t GROUP BY 1 ORDER BY 1""",
 
     "t07_corpus_pipeline" ->
-      """WITH lt AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ltoks FROM documents),
-         ls AS (SELECT doc_id,
-           length(list_filter(ltoks, x -> x IN ('der','die','das','und','ist','von','ein','eine','zu','den'))) AS h_de,
-           length(list_filter(ltoks, x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS h_en,
-           length(list_filter(ltoks, x -> x IN ('el','la','los','de','que','y','en','un','una','es'))) AS h_es,
-           length(list_filter(ltoks, x -> x IN ('le','la','les','de','et','un','une','est','que','dans'))) AS h_fr
-           FROM lt),
-         lang AS (SELECT doc_id,
-           CASE WHEN greatest(h_de,h_en,h_es,h_fr) = 0 THEN 'und'
-                WHEN h_de = greatest(h_de,h_en,h_es,h_fr) THEN 'de'
-                WHEN h_en = greatest(h_de,h_en,h_es,h_fr) THEN 'en'
-                WHEN h_es = greatest(h_de,h_en,h_es,h_fr) THEN 'es'
-                ELSE 'fr' END AS lang_pred
-           FROM ls),
-         qt AS (
-           SELECT doc_id, text,
-                  regexp_split_to_array(trim(text), '\s+') AS toks,
-                  length(text) AS n_chars,
-                  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct
-           FROM documents),
-         qm AS (
-           SELECT doc_id, length(toks) AS n_tokens,
-                  round(CAST(punct AS DOUBLE) / greatest(n_chars, 1), 6) AS punct_ratio,
-                  round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
-                        / greatest(length(toks), 1), 6) AS mean_token_len
-           FROM qt),
-         q AS (
-           SELECT doc_id, n_tokens,
-                  round((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
-                      + (CASE WHEN punct_ratio <= 0.1 THEN 0.3 ELSE 0.0 END)
-                      + (CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END), 2) AS quality_score
-           FROM qm),
-         gated AS (
-           SELECT d.doc_id, d.text, q.n_tokens, l.lang_pred
-           FROM documents d JOIN lang l USING (doc_id) JOIN q USING (doc_id)
-           WHERE l.lang_pred <> 'und' AND q.quality_score >= 0.7),
-         exact AS (
-           SELECT * FROM gated
-           QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))),
-         sh AS (
-           SELECT doc_id, list_sort(list_distinct(list_transform(
-             range(1, greatest(length(text)-4,1)+1),
-             i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 5)),1,12)) AS BIGINT)))) AS hs
-           FROM exact),
-         sig AS (
-           SELECT doc_id, hs,
-             list_transform(range(0, 16), j -> list_min(list_transform(hs,
-               h -> (h*(2*j+1) + (j*2654435761)%2147483647) % 2147483647))) AS sg
-           FROM sh),
-         bkt AS (
-           SELECT doc_id, b AS band,
-             md5(CAST(b AS VARCHAR) || '_' || array_to_string(sg[b*4+1 : b*4+4], ',')) AS bucket
-           FROM sig CROSS JOIN range(0, 4) t(b)),
-         capped AS (
-           SELECT * FROM bkt QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000),
-         pairs AS (
-           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM capped a JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
-             AND a.doc_id < b.doc_id),
-         jac AS (
-           SELECT id_b
-           FROM pairs JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
-           WHERE round(CAST(length(list_intersect(x.hs, y.hs)) AS DOUBLE) /
-                 (length(x.hs) + length(y.hs) - length(list_intersect(x.hs, y.hs))), 6) >= 0.5),
-         kept AS (
-           SELECT * FROM exact WHERE doc_id NOT IN (SELECT id_b FROM jac)),
-         sp AS (
-           SELECT doc_id, lang_pred, n_tokens,
-             CASE WHEN CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,12)) AS BIGINT) % 1000000 AS DOUBLE) / 1000000 < 0.8 THEN 'train'
-                  WHEN CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,12)) AS BIGINT) % 1000000 AS DOUBLE) / 1000000 < 0.9 THEN 'val'
-                  ELSE 'test' END AS split
-           FROM kept)
+      s"""WITH $corpusCleanCtes
          SELECT lang_pred, split, count(*) AS n, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          FROM sp GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // the t07 cleaning CTEs + the per-(lang, split) packing window
+    "t18_export_packing" ->
+      s"""WITH $corpusCleanCtes,
+         w AS (SELECT lang_pred, split, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             COALESCE(CAST(sum(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY lang_pred, split
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS tok_start
+           FROM sp)
+         SELECT lang_pred, split, doc_id, n_tokens, tok_start,
+           tok_start // 512 AS seq_id,
+           tok_start % 512 AS seq_offset
+         FROM w ORDER BY lang_pred, split, doc_id""",
 
     "t06_split_assign" ->
       """WITH h AS (

@@ -21,7 +21,8 @@ class PlanAuditSpec extends SparkTestBase {
     * anti-join against the near-dup drop set — both sides data-scale-
     * unknown, so SMJ is the correct static plan (AQE downgrades it to a
     * broadcast join at runtime when the drop set measures small). */
-  private val sortMergeOk = Set("q32_bucketed_join", "t07_corpus_pipeline")
+  private val sortMergeOk = Set("q32_bucketed_join", "t07_corpus_pipeline",
+    "t18_export_packing")
 
   test("no entry plans a cartesian; NLJ/SMJ only on the allowlists") {
     val violations = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
