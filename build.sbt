@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // ~150 whole-stage-codegen'd plans run per bench/verify JVM; the JDK
+  // default 240m code cache fills, HotSpot disables the JIT, and late
+  // queries silently run interpreted (observed as a 5x slowdown on
+  // CPU-bound kernels late in the bench order)
+  "-XX:ReservedCodeCacheSize=1g",
 )
