@@ -25,7 +25,9 @@ object Bench {
     // JIT/codegen latency (which dominated run-to-run variance)
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () } // failures surface in the timed run
+      // query failures surface in the timed run; fatal JVM errors
+      // (OutOfMemoryError etc.) must abort, not time a corrupted JVM
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()

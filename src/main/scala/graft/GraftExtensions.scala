@@ -62,8 +62,24 @@ object GraftExtensions {
     "quality_signals" -> (e => QualitySignals(e.head)),
     "pq_encode" -> (e => {
       require(e(1).foldable, "pq_encode: argument 2 (codebook) must be a constant")
+      // SQL integer literals make the codebook array<array<int>> — widen
+      // per the declared element type instead of assuming long
+      val elemType = e(1).dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.ArrayType(et, _), _) => et
+        case other => throw new IllegalArgumentException(
+          s"pq_encode: codebook must be array<array<int|bigint>>, got ${other.catalogString}")
+      }
       val ad = e(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      val cb = (0 until ad.numElements()).map(i => ad.getArray(i).toLongArray().toSeq)
+      val cb = (0 until ad.numElements()).map { i =>
+        val inner = ad.getArray(i)
+        elemType match {
+          case org.apache.spark.sql.types.LongType => inner.toLongArray().toSeq
+          case org.apache.spark.sql.types.IntegerType => inner.toIntArray().map(_.toLong).toSeq
+          case other => throw new IllegalArgumentException(
+            s"pq_encode: codebook elements must be int or bigint, got ${other.catalogString}")
+        }
+      }
       PqEncode(e.head, cb, intArg(e(2), "pq_encode", 3), intArg(e(3), "pq_encode", 4))
     }))
 }

@@ -40,7 +40,7 @@ case class TopKBy(payload: Expression, ord: Expression, tie: Expression, k: Int,
         s"top_k_by: ord must be numeric, got ${ord.dataType.catalogString}")
     else if (!org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(tie.dataType) ||
         tie.dataType.isInstanceOf[ArrayType] || tie.dataType.isInstanceOf[StructType] ||
-        tie.dataType.isInstanceOf[MapType])
+        tie.dataType.isInstanceOf[MapType] || tie.dataType == NullType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"top_k_by: tie must be an atomic orderable type, got ${tie.dataType.catalogString}")
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
@@ -65,7 +65,7 @@ case class TopKBy(payload: Expression, ord: Expression, tie: Expression, k: Int,
     val t = tie.eval(input)
     val p = payload.eval(input)
     if (o != null && t != null && p != null) {
-      buf.offer(ordToDouble(o), InternalRow.copyValue(t), p)
+      buf.offer(ordToDouble(o), t, p)
     }
     buf
   }
@@ -113,14 +113,17 @@ final class TopKHeap(val k: Int, tieOrd: Ordering[Any]) {
     ordD > w.ord || (ordD == w.ord && tieOrd.compare(tie, w.tie) < 0)
   }
 
-  /** `tie` must already be an owned copy (InternalRow.copyValue) — heap
-    * entries outlive the input row. */
+  /** Copies of tie and payload are taken only on INSERT — rows a full heap
+    * discards cost a compare, not an allocation (beatsWorst only compares,
+    * it does not retain the tie). */
   def offer(ordD: Double, tie: Any, value: Any): Unit = {
     if (heap.size < k) {
-      heap.add(new TopKHeap.Entry(ordD, tie, InternalRow.copyValue(value)))
+      heap.add(new TopKHeap.Entry(ordD, InternalRow.copyValue(tie),
+        InternalRow.copyValue(value)))
     } else if (beatsWorst(ordD, tie)) {
       heap.poll()
-      heap.add(new TopKHeap.Entry(ordD, tie, InternalRow.copyValue(value)))
+      heap.add(new TopKHeap.Entry(ordD, InternalRow.copyValue(tie),
+        InternalRow.copyValue(value)))
     }
   }
 
@@ -174,7 +177,7 @@ object TopKHeap {
       in.readFully(buf)
       val row = new UnsafeRow(2)
       row.pointTo(buf, size)
-      heap.offer(ordD, InternalRow.copyValue(row.get(1, tieDt)), row.get(0, dt))
+      heap.offer(ordD, row.get(1, tieDt), row.get(0, dt)) // offer copies on insert
       i += 1
     }
     heap

@@ -129,8 +129,10 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    blockCols: Seq[String], n: Int = 2, threshold: Double = 0.5,
                    maxBlockSize: Int = 1000): DataFrame = {
-    val base = materialized(docs.select(
-      (blockCols.map(col) :+ col(idCol) :+ ngram_hash_set(col(textCol), n).as("_gset")): _*))
+    // no materialization here: base's only consumer is the sized->capped
+    // chain, and `capped` below is itself materialized for the two join legs
+    val base = docs.select(
+      (blockCols.map(col) :+ col(idCol) :+ ngram_hash_set(col(textCol), n).as("_gset")): _*)
     val sized = base.withColumn("_sz",
       count(lit(1)).over(Window.partitionBy(blockCols.map(col): _*)))
     // same two-legs argument as candidatePairs: cap the block once

@@ -38,8 +38,12 @@ object Packing {
       .orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
+      // NULL text counts as zero tokens: size(NULL) is -1 under non-ANSI
+      // Spark, which would silently shift every later doc's layout in the
+      // group by -1
       .select((groupCols.map(col) :+ col(idCol) :+
-        size(tokens(col(textCol))).cast("long").as("n_tokens")): _*)
+        when(col(textCol).isNull, lit(0L))
+          .otherwise(size(tokens(col(textCol))).cast("long")).as("n_tokens")): _*)
       .withColumn("tok_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       // integer DIV, not floor(a/b): double division of large longs could
       // round at the boundary; DIV is exact on any engine

@@ -210,6 +210,10 @@ object Similarity {
       element_at(array(dt(s).map(lit): _*), element_at(col("_codes"), s + 1) + 1)
     }.reduce(_ + _)
     encoded
+      // unencodable vectors (null element / too few dims -> NULL codes) are
+      // excluded rather than letting a NULL adist sort ahead of every real
+      // neighbor under asc ordering
+      .filter(col("_codes").isNotNull)
       .filter(col(idCol) =!= queryId)
       .withColumn("adist", adist)
       .select(col(idCol), col("adist"))
@@ -338,6 +342,9 @@ object Similarity {
     assigned.crossJoin(broadcast(qFrame))
       .filter(element_at(col("_qcos"), col("_list") + 1) >=
         element_at(sort_array(col("_qcos"), asc = false), nprobe))
+      // same unencodable-row exclusion as pqTopK: NULL codes must not
+      // produce a NULL adist that wins the asc sort
+      .filter(col("_codes").isNotNull)
       .filter(col(idCol) =!= queryId)
       .withColumn("adist", adist)
       .select(col(idCol), col("adist"))

@@ -108,6 +108,9 @@ object Streams {
       .agg(sort_array(collect_list(col("_g"))).as("_bench_grams"))
       .withColumn("_k", lit(1))
     docStream
+      // NULL-text docs are dropped, matching the batch operator (whose
+      // explode of a NULL gram set eliminates the row)
+      .filter(col(textCol).isNotNull)
       .select(col(idCol), col(textCol),
         ngram_hash_set(col(textCol), n).as("_gset"), lit(1).as("_k"))
       .join(benchGrams, Seq("_k"), "left")

@@ -73,6 +73,17 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(bad.isEmpty)
   }
 
+  test("a NULL-text document occupies zero tokens and does not shift the layout") {
+    val docs = Seq(
+      ("A", 1L, Some("t t t")),
+      ("A", 2L, None: Option[String]),
+      ("A", 3L, Some("u u"))).toDF("lang", "doc_id", "text")
+    val got = Packing.packSequences(docs, "doc_id", "text", seqTokens = 4, Seq("lang"))
+      .orderBy("doc_id").select("doc_id", "n_tokens", "tok_start")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 0L), (2L, 0L, 3L), (3L, 2L, 3L)))
+  }
+
   test("packing refuses a global (ungrouped) window") {
     val docs = Seq(("x", 1L, "a")).toDF("lang", "doc_id", "text")
     intercept[IllegalArgumentException] {

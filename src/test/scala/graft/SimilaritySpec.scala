@@ -94,6 +94,37 @@ class SimilaritySpec extends SparkTestBase {
     assert(got(2L) == null && got(3L) == null && got(4L) == null)
   }
 
+  test("pqTopK excludes unencodable vectors instead of ranking their NULL distance first") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = true))))
+    def vec(seed: Int): Seq[java.lang.Float] =
+      (0 until 64).map(d => java.lang.Float.valueOf((seed * 31 + d) % 7 - 3f))
+    val rows: Seq[Row] = (0L to 5L).map(i => Row(i, vec(i.toInt))) :+
+      Row(99L, vec(1).updated(3, null.asInstanceOf[java.lang.Float])) // unencodable
+    val df = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+    val got = Similarity.pqTopK(df, "vec_id", "embedding", 0L, 10, 4, 8, 64)
+      .as[(Long, Long)].collect().toSeq
+    assert(!got.map(_._1).contains(99L))
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("SQL-registered pq_encode accepts an integer-literal codebook") {
+    Functions.register(spark)
+    val got = spark.sql(
+      """SELECT pq_encode(array(CAST(0.9 AS DOUBLE), CAST(0.1 AS DOUBLE),
+                                CAST(2.9 AS DOUBLE), CAST(3.1 AS DOUBLE)),
+                          array(array(1024, 0), array(0, 1024),
+                                array(2048, 3072), array(3072, 2048)), 2, 2)""")
+      .collect()(0).getSeq[Int](0)
+    // sub 0: quantized (921, 102) is nearer (1024, 0) than (0, 1024) -> 0
+    // sub 1: quantized (2969, 3174) is nearer (3072, 2048)? dists:
+    //   vs (2048,3072): 921^2+102^2 ; vs (3072,2048): 103^2+1126^2 -> code 0
+    assert(got == Seq(0, 0))
+  }
+
   test("pq codes are total and bounded; pqTopK distance equals a naive ADC replay") {
     val m = 4; val ksub = 8; val dim = 64; val subDim = dim / m
     val cb = Similarity.pqCodebookQ(m, ksub, subDim)

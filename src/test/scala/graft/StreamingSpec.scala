@@ -82,6 +82,10 @@ class StreamingSpec extends SparkTestBase {
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2).toInt, r.getInt(3))).toSet
       assert(streamed == batch)
       assert(streamed.map(t => t._1 -> t._4).toMap == Map(1L -> 1, 2L -> 0, 3L -> 1))
+      // a NULL-text doc is dropped, exactly like the batch operator
+      in.addData((4L, null.asInstanceOf[String]))
+      q.processAllAvailable()
+      assert(!spark.table("contam").select("doc_id").as[Long].collect().contains(4L))
     } finally q.stop()
   }
 
