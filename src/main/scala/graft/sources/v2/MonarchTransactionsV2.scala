@@ -68,13 +68,68 @@ private class TxnTable(path: String) extends Table with SupportsRead {
     new TxnScanBuilder(path)
 }
 
+/** Aggregate calls the reader can evaluate partially (one partial row per
+  * file partition; Spark runs the final merge) — the engine-side analog of
+  * the reference's server-computed TransactionsSummary (monarchmoney.py:
+  * 1384-1395: count/min/max/sum evaluated where the data lives). */
+private sealed trait AggCall
+private case object CountStarCall extends AggCall
+private case class CountCall(field: String) extends AggCall
+private case class MinCall(field: String) extends AggCall
+private case class MaxCall(field: String) extends AggCall
+private case class SumCall(field: String) extends AggCall
+
 private class TxnScanBuilder(path: String)
   extends ScanBuilder with SupportsPushDownFilters
-  with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+  with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+  with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = MonarchTransactionsV2.schema
   private var limit: Int = -1
+  private var aggCalls: Seq[AggCall] = Nil
+
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
+
+  private def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case fr: NamedReference if fr.fieldNames().length == 1 =>
+        Some(fr.fieldNames()(0)).filter(MonarchTransactionsV2.schema.fieldNames.contains)
+      case _ => None
+    }
+
+  /** Partial pushdown only: each partition returns its local aggregate and
+    * Spark merges — correct under any partitioning, no global coordination
+    * in the source. Global (ungrouped) COUNT/MIN/MAX/SUM over the scannable
+    * fields; anything else stays in Spark. */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (aggregation.groupByExpressions().nonEmpty) return false
+    val resolved: Seq[Option[AggCall]] = aggregation.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(CountStarCall)
+      case c: Count if !c.isDistinct => fieldOf(c.column).map(CountCall)
+      case m: Min => fieldOf(m.column).map(MinCall)
+      case m: Max => fieldOf(m.column).map(MaxCall)
+      case s: Sum if !s.isDistinct =>
+        fieldOf(s.column).filter(_ == "amount").map(SumCall) // double is the only summable field
+      case _ => None
+    }
+    if (resolved.exists(_.isEmpty)) return false
+    aggCalls = resolved.flatten
+    true
+  }
+
+  private def aggSchema: StructType = StructType(aggCalls.map {
+    case CountStarCall => StructField("count_star", LongType, nullable = false)
+    case CountCall(f) => StructField(s"count_$f", LongType, nullable = false)
+    case MinCall(f) =>
+      StructField(s"min_$f", MonarchTransactionsV2.schema(f).dataType, nullable = true)
+    case MaxCall(f) =>
+      StructField(s"max_$f", MonarchTransactionsV2.schema(f).dataType, nullable = true)
+    case SumCall(f) => StructField(s"sum_$f", DoubleType, nullable = true)
+  })
 
   /** Accept the filter shapes the reference's TransactionFilterInput can
     * express (equality, id-set membership, date/amount bounds); anything else
@@ -90,6 +145,10 @@ private class TxnScanBuilder(path: String)
       case GreaterThanOrEqual(a, _) => a == "date" || a == "amount"
       case LessThan(a, _) => a == "date" || a == "amount"
       case LessThanOrEqual(a, _) => a == "date" || a == "amount"
+      // null probes must be consumable: Spark injects IsNotNull beside most
+      // predicates, and any residual filter blocks aggregate pushdown
+      case IsNotNull(a) => MonarchTransactionsV2.schema.fieldNames.contains(a)
+      case IsNull(a) => MonarchTransactionsV2.schema.fieldNames.contains(a)
       case _ => false
     }
     pushed = accepted
@@ -103,15 +162,20 @@ private class TxnScanBuilder(path: String)
   override def pushLimit(l: Int): Boolean = { limit = l; true }
   override def isPartiallyPushed: Boolean = true
 
-  override def build(): Scan = new TxnScan(path, pushed, required, limit)
+  override def build(): Scan = {
+    val schema = if (aggCalls.nonEmpty) aggSchema else required
+    new TxnScan(path, pushed, schema, limit, aggCalls)
+  }
 }
 
 private class TxnScan(path: String, filters: Array[Filter],
-                      required: StructType, limit: Int) extends Scan with Batch {
+                      required: StructType, limit: Int,
+                      aggCalls: Seq[AggCall]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
     s"monarch-txns PushedFilters: [${filters.mkString(", ")}], " +
-      s"ReadSchema: ${required.catalogString}, Limit: $limit"
+      s"ReadSchema: ${required.catalogString}, Limit: $limit" +
+      (if (aggCalls.nonEmpty) s", PushedAggregates: [${aggCalls.mkString(", ")}]" else "")
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -126,31 +190,92 @@ private class TxnScan(path: String, filters: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TxnReaderFactory(filters, required, limit)
+    new TxnReaderFactory(filters, required, limit, aggCalls)
 }
 
 private case class TxnFilePartition(file: String) extends InputPartition
 
 private class TxnReaderFactory(filters: Array[Filter], required: StructType,
-                               limit: Int) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new TxnPartitionReader(partition.asInstanceOf[TxnFilePartition].file,
-      filters, required, limit)
+                               limit: Int, aggCalls: Seq[AggCall])
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[TxnFilePartition].file
+    if (aggCalls.nonEmpty) new TxnAggReader(file, filters, aggCalls)
+    else new TxnPartitionReader(file, filters, required, limit)
+  }
 }
 
-/** Executor-side reader: streams JSONL lines, evaluates the pushed filters on
-  * the parsed record, emits only the required columns, stops at the pushed
-  * limit. */
-private class TxnPartitionReader(file: String, filters: Array[Filter],
-                                 required: StructType, limit: Int)
+/** Executor-side partial aggregation: streams the partition's lines once,
+  * folds the pushed aggregate calls over the filter-matching records, and
+  * emits exactly ONE partial row (count 0 / null min-max-sum for an empty
+  * match set — Spark's final merge handles both). */
+private class TxnAggReader(file: String, filters: Array[Filter],
+                           aggCalls: Seq[AggCall])
+  extends TxnJsonlReaderBase(file, filters) {
+
+  private var done = false
+  private var result: InternalRow = _
+
+  override def next(): Boolean = {
+    if (done) return false
+    val counts = new Array[Long](aggCalls.length)
+    val mins = new Array[Any](aggCalls.length)
+    val maxs = new Array[Any](aggCalls.length)
+    val sums = new Array[Double](aggCalls.length)
+    val seen = new Array[Boolean](aggCalls.length)
+    var node = nextMatching()
+    while (node != null) {
+      var i = 0
+      while (i < aggCalls.length) {
+        aggCalls(i) match {
+          case CountStarCall => counts(i) += 1
+          case CountCall(f) => if (fieldValue(node, f) != null) counts(i) += 1
+          case MinCall(f) =>
+            val v = fieldValue(node, f)
+            if (v != null && (!seen(i) || compareInternal(f, v, mins(i)) < 0)) {
+              mins(i) = v; seen(i) = true
+            }
+          case MaxCall(f) =>
+            val v = fieldValue(node, f)
+            if (v != null && (!seen(i) || compareInternal(f, v, maxs(i)) > 0)) {
+              maxs(i) = v; seen(i) = true
+            }
+          case SumCall(f) =>
+            val v = fieldValue(node, f)
+            if (v != null) { sums(i) += v.asInstanceOf[Double]; seen(i) = true }
+        }
+        i += 1
+      }
+      node = nextMatching()
+    }
+    def toRowValue(v: Any): Any = v match {
+      case s: String => UTF8String.fromString(s)
+      case other => other
+    }
+    result = InternalRow.fromSeq(aggCalls.zipWithIndex.map {
+      case (CountStarCall, i) => counts(i)
+      case (CountCall(_), i) => counts(i)
+      case (MinCall(_), i) => if (seen(i)) toRowValue(mins(i)) else null
+      case (MaxCall(_), i) => if (seen(i)) toRowValue(maxs(i)) else null
+      case (SumCall(_), i) => if (seen(i)) sums(i) else null
+    })
+    done = true
+    true
+  }
+
+  override def get(): InternalRow = result
+}
+
+/** Shared executor-side JSONL machinery: line streaming, record parsing,
+  * pushed-filter evaluation. Values use the reader-internal representation
+  * (date = epoch-day Int, strings = java String until row construction). */
+private abstract class TxnJsonlReaderBase(file: String, filters: Array[Filter])
   extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
   private val lines = Files.newBufferedReader(Paths.get(file), StandardCharsets.UTF_8)
-  private var current: InternalRow = _
-  private var emitted = 0
 
-  private def fieldValue(node: JsonNode, name: String): Any = {
+  protected def fieldValue(node: JsonNode, name: String): Any = {
     val v = node.get(name)
     if (v == null || v.isNull) null
     else name match {
@@ -161,7 +286,8 @@ private class TxnPartitionReader(file: String, filters: Array[Filter],
     }
   }
 
-  private def compareTo(name: String, value: Any, filterValue: Any): Int = name match {
+  /** Compare an internal value against a FILTER literal (Spark-typed). */
+  protected def compareTo(name: String, value: Any, filterValue: Any): Int = name match {
     case "date" =>
       // Spark ships date literals as java.sql.Date, or java.time.LocalDate
       // when spark.sql.datetime.java8API.enabled is set
@@ -177,6 +303,14 @@ private class TxnPartitionReader(file: String, filters: Array[Filter],
     case _ => value.toString.compareTo(filterValue.toString)
   }
 
+  /** Compare two reader-internal values of the same field. */
+  protected def compareInternal(name: String, a: Any, b: Any): Int = name match {
+    case "date" => a.asInstanceOf[Int].compareTo(b.asInstanceOf[Int])
+    case "amount" => a.asInstanceOf[Double].compareTo(b.asInstanceOf[Double])
+    case "pending" => a.asInstanceOf[Boolean].compareTo(b.asInstanceOf[Boolean])
+    case _ => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
+  }
+
   private def matches(node: JsonNode): Boolean = filters.forall {
     case EqualTo(a, v) =>
       val x = fieldValue(node, a); x != null && compareTo(a, x, v) == 0
@@ -190,31 +324,49 @@ private class TxnPartitionReader(file: String, filters: Array[Filter],
       val x = fieldValue(node, a); x != null && compareTo(a, x, v) < 0
     case LessThanOrEqual(a, v) =>
       val x = fieldValue(node, a); x != null && compareTo(a, x, v) <= 0
+    case IsNotNull(a) => fieldValue(node, a) != null
+    case IsNull(a) => fieldValue(node, a) == null
     case _ => true
   }
 
-  override def next(): Boolean = {
-    if (limit >= 0 && emitted >= limit) return false
+  /** Next filter-matching parsed record, or null at end of file. */
+  protected def nextMatching(): JsonNode = {
     var line = lines.readLine()
     while (line != null) {
       if (line.nonEmpty) {
         val node = mapper.readTree(line)
-        if (matches(node)) {
-          current = InternalRow.fromSeq(required.fields.map { f =>
-            fieldValue(node, f.name) match {
-              case s: String => UTF8String.fromString(s)
-              case other => other
-            }
-          }.toSeq)
-          emitted += 1
-          return true
-        }
+        if (matches(node)) return node
       }
       line = lines.readLine()
     }
-    false
+    null
+  }
+
+  override def close(): Unit = lines.close()
+}
+
+/** Executor-side row reader: emits only the required columns, stops at the
+  * pushed limit. */
+private class TxnPartitionReader(file: String, filters: Array[Filter],
+                                 required: StructType, limit: Int)
+  extends TxnJsonlReaderBase(file, filters) {
+
+  private var current: InternalRow = _
+  private var emitted = 0
+
+  override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
+    val node = nextMatching()
+    if (node == null) return false
+    current = InternalRow.fromSeq(required.fields.map { f =>
+      fieldValue(node, f.name) match {
+        case s: String => UTF8String.fromString(s)
+        case other => other
+      }
+    }.toSeq)
+    emitted += 1
+    true
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = lines.close()
 }

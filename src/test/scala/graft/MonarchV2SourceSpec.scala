@@ -81,6 +81,43 @@ class MonarchV2SourceSpec extends SparkTestBase {
     assert(df.count() == expected.count())
   }
 
+  test("global count/min/max/sum push into the reader as partial aggregates") {
+    import spark.implicits._
+    val df = read()
+      .filter(col("category") === "food")
+      .agg(count(lit(1)).as("n"), count(col("merchant")).as("nm"),
+        min(col("date")).as("dmin"), max(col("amount")).as("amax"),
+        sum(col("amount")).as("asum"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [CountStarCall"), s"aggregates not pushed:\n$plan")
+    val expected = spark.read.schema(graft.sources.v2.MonarchTransactionsV2.schema)
+      .json(dataDir + "/part-0.jsonl", dataDir + "/part-1.jsonl")
+      .filter(col("category") === "food")
+      .agg(count(lit(1)), count(col("merchant")), min(col("date")),
+        max(col("amount")), sum(col("amount")))
+      .as[(Long, Long, java.sql.Date, Double, Double)].head()
+    val got = df.as[(Long, Long, java.sql.Date, Double, Double)].head()
+    assert(got == expected)
+  }
+
+  test("grouped or unsupported aggregates stay Spark-side and remain correct") {
+    val grouped = read().groupBy("category").agg(sum(col("amount")).as("s"))
+    assert(!grouped.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    val expected = spark.read.schema(graft.sources.v2.MonarchTransactionsV2.schema)
+      .json(dataDir + "/part-0.jsonl", dataDir + "/part-1.jsonl")
+      .groupBy("category").agg(sum(col("amount")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val got = grouped.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - expected(k)) < 1e-6) }
+    // avg is not in the pushdown set -> full rows flow, result still right
+    val avg1 = read().agg(avg(col("amount"))).collect()(0).getDouble(0)
+    val avg2 = spark.read.schema(graft.sources.v2.MonarchTransactionsV2.schema)
+      .json(dataDir + "/part-0.jsonl", dataDir + "/part-1.jsonl")
+      .agg(avg(col("amount"))).collect()(0).getDouble(0)
+    assert(math.abs(avg1 - avg2) < 1e-6)
+  }
+
   test("limit pushes down and unsupported predicates stay Spark-side") {
     val limited = read().limit(7)
     assert(limited.queryExecution.executedPlan.toString.contains("Limit: 7"))
