@@ -26,12 +26,20 @@ object CorpusPipeline {
     * connected components over the pair graph first and keeps one canonical
     * doc (min id) per component — catches transitive duplicates whose
     * direct pair was pruned by banding, at the cost of the iterative
-    * label-propagation rounds (see [[Dedup.connectedComponents]]). */
+    * label-propagation rounds (see [[Dedup.connectedComponents]]).
+    *
+    * `benchmark` (opt-in) adds the decontamination gate after near-dup
+    * removal: documents whose n-gram overlap with the benchmark set reaches
+    * `contaminationThreshold` are dropped before split assignment
+    * ([[graft.operators.Decontaminate]] — the benchmark side broadcasts). */
   def clean(docs: DataFrame, idCol: String, textCol: String,
             minQuality: Double = 0.7, jaccardThreshold: Double = 0.5,
             splits: Seq[(String, Double)] =
               Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)),
-            clusterDedup: Boolean = false): DataFrame = {
+            clusterDedup: Boolean = false,
+            benchmark: Option[DataFrame] = None,
+            contaminationThreshold: Double = 0.5,
+            contaminationNgram: Int = 3): DataFrame = {
     val tagged = TextAnalysis.qualitySignals(docs, textCol)
       .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
     val gated = tagged.filter(
@@ -53,6 +61,16 @@ object CorpusPipeline {
         val dropIds = nearDupPairs.select(col("id_b").as(idCol)).distinct()
         exactKept.join(dropIds, Seq(idCol), "left_anti")
       }
-    Sampling.assignSplit(kept, idCol, splits)
+    val decontaminated = benchmark match {
+      case None => kept
+      case Some(bench) =>
+        val contaminatedIds = graft.operators.Decontaminate
+          .contamination(kept, bench, idCol, textCol,
+            n = contaminationNgram, threshold = contaminationThreshold)
+          .filter(col("contaminated") === 1)
+          .select(col(idCol))
+        kept.join(contaminatedIds, Seq(idCol), "left_anti")
+    }
+    Sampling.assignSplit(decontaminated, idCol, splits)
   }
 }

@@ -49,4 +49,26 @@ class CorpusPipelineSpec extends SparkTestBase {
       k = 5, bands = 4, rowsPerBand = 4, threshold = 0.5)
     assert(residual.count() == 0)
   }
+
+  test("an opt-in benchmark drops exactly the contaminated survivors") {
+    // benchmark = the texts of some docs that survive the default pipeline;
+    // with threshold 0.5 those docs (overlap 1.0) must vanish, and every
+    // other surviving doc must be unaffected
+    val benchIds = cleaned.select("doc_id").as[Long].collect().toSet.take(5)
+    val bench = cleaned.filter(col("doc_id").isInCollection(benchIds))
+      .select("doc_id", "text")
+    val gated = CorpusPipeline.clean(
+      Tables.documents(spark, "/root/testdata/sf0.001"),
+      "doc_id", "text", benchmark = Some(bench))
+    val gatedIds = gated.select("doc_id").as[Long].collect().toSet
+    val baseIds = cleaned.select("doc_id").as[Long].collect().toSet
+    assert(benchIds.forall(!gatedIds.contains(_)), "benchmark members must be dropped")
+    val dropped = baseIds -- gatedIds
+    // everything dropped beyond the seeds is genuinely contaminated
+    val verify = graft.operators.Decontaminate.contamination(
+        cleaned.select("doc_id", "text"), bench, "doc_id", "text", n = 3)
+      .filter(col("contaminated") === 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(dropped == verify)
+  }
 }
