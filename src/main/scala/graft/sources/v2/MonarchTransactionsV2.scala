@@ -99,14 +99,19 @@ private class TxnScanBuilder(path: String)
       case _ => None
     }
 
-  /** Partial pushdown only: each partition returns its local aggregate and
-    * Spark merges — correct under any partitioning, no global coordination
-    * in the source. Global (ungrouped) COUNT/MIN/MAX/SUM over the scannable
-    * fields; anything else stays in Spark. */
+  /** Partial pushdown only: each partition returns its local (per-group)
+    * aggregate and Spark merges — correct under any partitioning, no global
+    * coordination in the source. COUNT/MIN/MAX/SUM over the scannable
+    * fields, optionally grouped by source columns; anything else stays in
+    * Spark. */
   override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
 
+  private var groupFields: Seq[String] = Nil
+
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    if (aggregation.groupByExpressions().nonEmpty) return false
+    val groups: Seq[Option[String]] =
+      aggregation.groupByExpressions().toSeq.map(fieldOf)
+    if (groups.exists(_.isEmpty)) return false
     val resolved: Seq[Option[AggCall]] = aggregation.aggregateExpressions().toSeq.map {
       case _: CountStar => Some(CountStarCall)
       case c: Count if !c.isDistinct => fieldOf(c.column).map(CountCall)
@@ -117,19 +122,24 @@ private class TxnScanBuilder(path: String)
       case _ => None
     }
     if (resolved.exists(_.isEmpty)) return false
+    groupFields = groups.flatten
     aggCalls = resolved.flatten
     true
   }
 
-  private def aggSchema: StructType = StructType(aggCalls.map {
-    case CountStarCall => StructField("count_star", LongType, nullable = false)
-    case CountCall(f) => StructField(s"count_$f", LongType, nullable = false)
-    case MinCall(f) =>
-      StructField(s"min_$f", MonarchTransactionsV2.schema(f).dataType, nullable = true)
-    case MaxCall(f) =>
-      StructField(s"max_$f", MonarchTransactionsV2.schema(f).dataType, nullable = true)
-    case SumCall(f) => StructField(s"sum_$f", DoubleType, nullable = true)
-  })
+  /** Scan output for pushed aggregation: group columns first, then one
+    * column per aggregate call (Spark binds by position). */
+  private def aggSchema: StructType = StructType(
+    groupFields.map(f => MonarchTransactionsV2.schema(f)) ++
+    aggCalls.map {
+      case CountStarCall => StructField("count_star", LongType, nullable = false)
+      case CountCall(f) => StructField(s"count_$f", LongType, nullable = false)
+      case MinCall(f) =>
+        StructField(s"min_$f", MonarchTransactionsV2.schema(f).dataType, nullable = true)
+      case MaxCall(f) =>
+        StructField(s"max_$f", MonarchTransactionsV2.schema(f).dataType, nullable = true)
+      case SumCall(f) => StructField(s"sum_$f", DoubleType, nullable = true)
+    })
 
   /** Accept the filter shapes the reference's TransactionFilterInput can
     * express (equality, id-set membership, date/amount bounds); anything else
@@ -164,18 +174,21 @@ private class TxnScanBuilder(path: String)
 
   override def build(): Scan = {
     val schema = if (aggCalls.nonEmpty) aggSchema else required
-    new TxnScan(path, pushed, schema, limit, aggCalls)
+    new TxnScan(path, pushed, schema, limit, aggCalls, groupFields)
   }
 }
 
 private class TxnScan(path: String, filters: Array[Filter],
                       required: StructType, limit: Int,
-                      aggCalls: Seq[AggCall]) extends Scan with Batch {
+                      aggCalls: Seq[AggCall], groupFields: Seq[String]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
     s"monarch-txns PushedFilters: [${filters.mkString(", ")}], " +
       s"ReadSchema: ${required.catalogString}, Limit: $limit" +
-      (if (aggCalls.nonEmpty) s", PushedAggregates: [${aggCalls.mkString(", ")}]" else "")
+      (if (aggCalls.nonEmpty)
+        s", PushedAggregates: [${aggCalls.mkString(", ")}], " +
+          s"PushedGroupBy: [${groupFields.mkString(", ")}]"
+      else "")
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -190,80 +203,96 @@ private class TxnScan(path: String, filters: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TxnReaderFactory(filters, required, limit, aggCalls)
+    new TxnReaderFactory(filters, required, limit, aggCalls, groupFields)
 }
 
 private case class TxnFilePartition(file: String) extends InputPartition
 
 private class TxnReaderFactory(filters: Array[Filter], required: StructType,
-                               limit: Int, aggCalls: Seq[AggCall])
+                               limit: Int, aggCalls: Seq[AggCall],
+                               groupFields: Seq[String])
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[TxnFilePartition].file
-    if (aggCalls.nonEmpty) new TxnAggReader(file, filters, aggCalls)
+    if (aggCalls.nonEmpty) new TxnAggReader(file, filters, groupFields, aggCalls)
     else new TxnPartitionReader(file, filters, required, limit)
   }
 }
 
 /** Executor-side partial aggregation: streams the partition's lines once,
-  * folds the pushed aggregate calls over the filter-matching records, and
-  * emits exactly ONE partial row (count 0 / null min-max-sum for an empty
-  * match set — Spark's final merge handles both). */
+  * folds the pushed aggregate calls over the filter-matching records per
+  * group key, and emits one partial row per group. Ungrouped aggregation
+  * always emits its single row (count 0 / null min-max-sum on an empty
+  * match set); grouped aggregation over an empty match set emits nothing —
+  * both exactly what Spark's final merge expects. */
 private class TxnAggReader(file: String, filters: Array[Filter],
-                           aggCalls: Seq[AggCall])
+                           groupFields: Seq[String], aggCalls: Seq[AggCall])
   extends TxnJsonlReaderBase(file, filters) {
 
-  private var done = false
-  private var result: InternalRow = _
-
-  override def next(): Boolean = {
-    if (done) return false
+  private final class State {
     val counts = new Array[Long](aggCalls.length)
     val mins = new Array[Any](aggCalls.length)
     val maxs = new Array[Any](aggCalls.length)
     val sums = new Array[Double](aggCalls.length)
     val seen = new Array[Boolean](aggCalls.length)
+  }
+
+  private var rows: Iterator[InternalRow] = _
+  private var current: InternalRow = _
+
+  private def toRowValue(v: Any): Any = v match {
+    case s: String => UTF8String.fromString(s)
+    case other => other
+  }
+
+  private def fold(): Iterator[InternalRow] = {
+    val states = new java.util.LinkedHashMap[Seq[Any], State]()
+    if (groupFields.isEmpty) states.put(Nil, new State) // global agg: always one row
     var node = nextMatching()
     while (node != null) {
+      val key = groupFields.map(f => fieldValue(node, f))
+      val st = states.computeIfAbsent(key, _ => new State)
       var i = 0
       while (i < aggCalls.length) {
         aggCalls(i) match {
-          case CountStarCall => counts(i) += 1
-          case CountCall(f) => if (fieldValue(node, f) != null) counts(i) += 1
+          case CountStarCall => st.counts(i) += 1
+          case CountCall(f) => if (fieldValue(node, f) != null) st.counts(i) += 1
           case MinCall(f) =>
             val v = fieldValue(node, f)
-            if (v != null && (!seen(i) || compareInternal(f, v, mins(i)) < 0)) {
-              mins(i) = v; seen(i) = true
+            if (v != null && (!st.seen(i) || compareInternal(f, v, st.mins(i)) < 0)) {
+              st.mins(i) = v; st.seen(i) = true
             }
           case MaxCall(f) =>
             val v = fieldValue(node, f)
-            if (v != null && (!seen(i) || compareInternal(f, v, maxs(i)) > 0)) {
-              maxs(i) = v; seen(i) = true
+            if (v != null && (!st.seen(i) || compareInternal(f, v, st.maxs(i)) > 0)) {
+              st.maxs(i) = v; st.seen(i) = true
             }
           case SumCall(f) =>
             val v = fieldValue(node, f)
-            if (v != null) { sums(i) += v.asInstanceOf[Double]; seen(i) = true }
+            if (v != null) { st.sums(i) += v.asInstanceOf[Double]; st.seen(i) = true }
         }
         i += 1
       }
       node = nextMatching()
     }
-    def toRowValue(v: Any): Any = v match {
-      case s: String => UTF8String.fromString(s)
-      case other => other
+    states.entrySet().iterator().asScala.map { e =>
+      val st = e.getValue
+      InternalRow.fromSeq(e.getKey.map(toRowValue) ++ aggCalls.zipWithIndex.map {
+        case (CountStarCall, i) => st.counts(i)
+        case (CountCall(_), i) => st.counts(i)
+        case (MinCall(_), i) => if (st.seen(i)) toRowValue(st.mins(i)) else null
+        case (MaxCall(_), i) => if (st.seen(i)) toRowValue(st.maxs(i)) else null
+        case (SumCall(_), i) => if (st.seen(i)) st.sums(i) else null
+      })
     }
-    result = InternalRow.fromSeq(aggCalls.zipWithIndex.map {
-      case (CountStarCall, i) => counts(i)
-      case (CountCall(_), i) => counts(i)
-      case (MinCall(_), i) => if (seen(i)) toRowValue(mins(i)) else null
-      case (MaxCall(_), i) => if (seen(i)) toRowValue(maxs(i)) else null
-      case (SumCall(_), i) => if (seen(i)) sums(i) else null
-    })
-    done = true
-    true
   }
 
-  override def get(): InternalRow = result
+  override def next(): Boolean = {
+    if (rows == null) rows = fold()
+    if (rows.hasNext) { current = rows.next(); true } else false
+  }
+
+  override def get(): InternalRow = current
 }
 
 /** Shared executor-side JSONL machinery: line streaming, record parsing,

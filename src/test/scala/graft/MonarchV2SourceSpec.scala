@@ -100,22 +100,37 @@ class MonarchV2SourceSpec extends SparkTestBase {
     assert(got == expected)
   }
 
-  test("grouped or unsupported aggregates stay Spark-side and remain correct") {
-    val grouped = read().groupBy("category").agg(sum(col("amount")).as("s"))
-    assert(!grouped.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+  test("grouped aggregates push with their keys; unsupported ones stay Spark-side") {
+    val grouped = read().groupBy("category")
+      .agg(sum(col("amount")).as("s"), count(lit(1)).as("n"))
+    val plan = grouped.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedGroupBy: [category]"), s"group-by not pushed:\n$plan")
     val expected = spark.read.schema(graft.sources.v2.MonarchTransactionsV2.schema)
       .json(dataDir + "/part-0.jsonl", dataDir + "/part-1.jsonl")
-      .groupBy("category").agg(sum(col("amount")).as("s"))
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val got = grouped.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      .groupBy("category").agg(sum(col("amount")).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val got = grouped.collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
     assert(got.keySet == expected.keySet)
-    got.foreach { case (k, v) => assert(math.abs(v - expected(k)) < 1e-6) }
-    // avg is not in the pushdown set -> full rows flow, result still right
-    val avg1 = read().agg(avg(col("amount"))).collect()(0).getDouble(0)
+    got.foreach { case (k, (s, n)) =>
+      assert(n == expected(k)._2 && math.abs(s - expected(k)._1) < 1e-6)
+    }
+    // avg pushes via Spark's own SUM/COUNT rewrite and stays exact
+    val avgDf = read().agg(avg(col("amount")))
+    assert(avgDf.queryExecution.executedPlan.toString
+      .contains("PushedAggregates: [SumCall(amount), CountCall(amount)]"))
+    val avg1 = avgDf.collect()(0).getDouble(0)
     val avg2 = spark.read.schema(graft.sources.v2.MonarchTransactionsV2.schema)
       .json(dataDir + "/part-0.jsonl", dataDir + "/part-1.jsonl")
       .agg(avg(col("amount"))).collect()(0).getDouble(0)
     assert(math.abs(avg1 - avg2) < 1e-6)
+    // distinct aggregation is rejected -> full rows flow, result still right
+    val sd = read().agg(sum_distinct(col("amount")))
+    assert(!sd.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    val sd2 = spark.read.schema(graft.sources.v2.MonarchTransactionsV2.schema)
+      .json(dataDir + "/part-0.jsonl", dataDir + "/part-1.jsonl")
+      .agg(sum_distinct(col("amount"))).collect()(0).getDouble(0)
+    assert(math.abs(sd.collect()(0).getDouble(0) - sd2) < 1e-6)
   }
 
   test("limit pushes down and unsupported predicates stay Spark-side") {
