@@ -54,13 +54,17 @@ object CorpusPipeline {
       .localCheckpoint(false)
     val nearDupPairs = Dedup.minhashLsh(exactKept, idCol, textCol,
       k = 5, bands = 4, rowsPerBand = 4, threshold = jaccardThreshold)
-    val kept =
+    val keptPlan =
       if (clusterDedup)
         Dedup.dropDuplicateClusterMembers(exactKept, idCol, nearDupPairs)
       else {
         val dropIds = nearDupPairs.select(col("id_b").as(idCol)).distinct()
         exactKept.join(dropIds, Seq(idCol), "left_anti")
       }
+    // with a benchmark, `kept` feeds BOTH the contamination branch and the
+    // final anti-join — materialize it once (same trade as exactKept above)
+    // so the near-dup join + drop-set anti-join do not run twice
+    val kept = if (benchmark.isDefined) keptPlan.localCheckpoint(false) else keptPlan
     val decontaminated = benchmark match {
       case None => kept
       case Some(bench) =>

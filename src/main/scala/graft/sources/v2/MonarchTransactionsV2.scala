@@ -108,9 +108,16 @@ private class TxnScanBuilder(path: String)
 
   private var groupFields: Seq[String] = Nil
 
+  /** Group-by is limited to the dimension-like columns: the reader folds
+    * groups in memory (one state per group per partition), which is the
+    * right trade for bounded-cardinality keys and strictly worse than
+    * Spark's spilling hash aggregate for a unique key like `id`. */
+  private val groupableFields = Set("date", "account_id", "category", "merchant", "pending")
+
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     val groups: Seq[Option[String]] =
-      aggregation.groupByExpressions().toSeq.map(fieldOf)
+      aggregation.groupByExpressions().toSeq.map(e =>
+        fieldOf(e).filter(groupableFields.contains))
     if (groups.exists(_.isEmpty)) return false
     val resolved: Seq[Option[AggCall]] = aggregation.aggregateExpressions().toSeq.map {
       case _: CountStar => Some(CountStarCall)
@@ -118,10 +125,13 @@ private class TxnScanBuilder(path: String)
       case m: Min => fieldOf(m.column).map(MinCall)
       case m: Max => fieldOf(m.column).map(MaxCall)
       case s: Sum if !s.isDistinct =>
-        fieldOf(s.column).filter(_ == "amount").map(SumCall) // double is the only summable field
+        // summable = double-typed (the dataType is the constraint, not a name)
+        fieldOf(s.column).filter(f =>
+          MonarchTransactionsV2.schema(f).dataType == DoubleType).map(SumCall)
       case _ => None
     }
     if (resolved.exists(_.isEmpty)) return false
+    if (groups.isEmpty && resolved.isEmpty) return false // nothing to push
     groupFields = groups.flatten
     aggCalls = resolved.flatten
     true
@@ -173,7 +183,10 @@ private class TxnScanBuilder(path: String)
   override def isPartiallyPushed: Boolean = true
 
   override def build(): Scan = {
-    val schema = if (aggCalls.nonEmpty) aggSchema else required
+    // group-by-only pushdown (a distinct()) has aggCalls empty but still
+    // needs the aggregated schema and the folding reader
+    val aggregating = aggCalls.nonEmpty || groupFields.nonEmpty
+    val schema = if (aggregating) aggSchema else required
     new TxnScan(path, pushed, schema, limit, aggCalls, groupFields)
   }
 }
@@ -214,7 +227,8 @@ private class TxnReaderFactory(filters: Array[Filter], required: StructType,
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[TxnFilePartition].file
-    if (aggCalls.nonEmpty) new TxnAggReader(file, filters, groupFields, aggCalls)
+    if (aggCalls.nonEmpty || groupFields.nonEmpty)
+      new TxnAggReader(file, filters, groupFields, aggCalls)
     else new TxnPartitionReader(file, filters, required, limit)
   }
 }
@@ -239,11 +253,6 @@ private class TxnAggReader(file: String, filters: Array[Filter],
 
   private var rows: Iterator[InternalRow] = _
   private var current: InternalRow = _
-
-  private def toRowValue(v: Any): Any = v match {
-    case s: String => UTF8String.fromString(s)
-    case other => other
-  }
 
   private def fold(): Iterator[InternalRow] = {
     val states = new java.util.LinkedHashMap[Seq[Any], State]()
@@ -332,12 +341,22 @@ private abstract class TxnJsonlReaderBase(file: String, filters: Array[Filter])
     case _ => value.toString.compareTo(filterValue.toString)
   }
 
-  /** Compare two reader-internal values of the same field. */
+  /** Compare two reader-internal values of the same field. Strings compare
+    * in UTF-8 BINARY order (Spark's StringType ordering) — java.lang.String
+    * compareTo is UTF-16 code-unit order, which inverts min/max for
+    * supplementary characters vs U+E000..U+FFFF. */
   protected def compareInternal(name: String, a: Any, b: Any): Int = name match {
     case "date" => a.asInstanceOf[Int].compareTo(b.asInstanceOf[Int])
     case "amount" => a.asInstanceOf[Double].compareTo(b.asInstanceOf[Double])
     case "pending" => a.asInstanceOf[Boolean].compareTo(b.asInstanceOf[Boolean])
-    case _ => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
+    case _ => UTF8String.fromString(a.asInstanceOf[String])
+      .compareTo(UTF8String.fromString(b.asInstanceOf[String]))
+  }
+
+  /** Reader-internal value -> InternalRow representation. */
+  protected def toRowValue(v: Any): Any = v match {
+    case s: String => UTF8String.fromString(s)
+    case other => other
   }
 
   private def matches(node: JsonNode): Boolean = filters.forall {
@@ -387,12 +406,8 @@ private class TxnPartitionReader(file: String, filters: Array[Filter],
     if (limit >= 0 && emitted >= limit) return false
     val node = nextMatching()
     if (node == null) return false
-    current = InternalRow.fromSeq(required.fields.map { f =>
-      fieldValue(node, f.name) match {
-        case s: String => UTF8String.fromString(s)
-        case other => other
-      }
-    }.toSeq)
+    current = InternalRow.fromSeq(
+      required.fields.map(f => toRowValue(fieldValue(node, f.name))).toSeq)
     emitted += 1
     true
   }

@@ -133,6 +133,39 @@ class MonarchV2SourceSpec extends SparkTestBase {
     assert(math.abs(sd.collect()(0).getDouble(0) - sd2) < 1e-6)
   }
 
+  test("distinct() plans and computes correctly (group-by-only aggregation)") {
+    // Spark declines to PARTIAL-push an aggregation with no aggregate
+    // functions (nothing to split into partial/final), so this must simply
+    // plan as a plain pruned scan — the source accepting the pushAggregation
+    // probe but reporting the row schema used to crash planning here
+    val df = read().select("category").distinct()
+    assert(df.collect().map(_.getString(0)).sorted.toSeq == Seq("food", "fun", "rent"))
+  }
+
+  test("group-by on the unique id column is rejected (unbounded reader state)") {
+    val df = read().groupBy("id").agg(count(lit(1)).as("n"))
+    assert(!df.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    assert(df.count() == 500)
+  }
+
+  test("pushed string min/max uses UTF-8 binary order (supplementary chars)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_v2_utf").toString
+    // U+FFFD is a single UTF-16 unit above the surrogate range; U+1F600 is a
+    // surrogate pair — java.lang.String order inverts them vs UTF-8 bytes
+    Files.writeString(java.nio.file.Paths.get(s"$dir/part-0.jsonl"),
+      s"""{"id":"1","date":"2026-01-01","amount":1.0,"account_id":"A","category":"c","merchant":"�","pending":false}
+         |{"id":"2","date":"2026-01-02","amount":2.0,"account_id":"A","category":"c","merchant":"😀","pending":false}""".stripMargin)
+    val df = spark.read.format("monarch-txns").load(dir)
+      .agg(min(col("merchant")).as("mn"), max(col("merchant")).as("mx"))
+    assert(df.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    val expected = spark.read.schema(graft.sources.v2.MonarchTransactionsV2.schema)
+      .json(s"$dir/part-0.jsonl")
+      .agg(min(col("merchant")), max(col("merchant")))
+      .as[(String, String)].head()
+    assert(df.as[(String, String)].head() == expected)
+  }
+
   test("limit pushes down and unsupported predicates stay Spark-side") {
     val limited = read().limit(7)
     assert(limited.queryExecution.executedPlan.toString.contains("Limit: 7"))
