@@ -649,6 +649,17 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("dim"))
     },
 
+    // ---- Multimodal -> similarity composition: stub feature vectors feed
+    // the ANN suite unchanged (asset near-dup search); zero-norm vectors
+    // (empty payloads) are excluded — 0/0 cosine is engine-dependent ----
+    "m05_asset_ann" -> { (s, dir) =>
+      val feats = Multimodal.extractFeaturesStub(
+          syntheticAssets(s, dir), "doc_id", "payload", dim = 16)
+        .withColumnRenamed("asset_id", "doc_id")
+        .filter(l2_norm(col("features")) > 0)
+      Similarity.bruteForceTopK(feats, "doc_id", "features", queryId = 0L, k = 10)
+    },
+
     // ---- Text: language-ID heuristic ----
     "t01_langid" -> { (s, dir) =>
       Tables.documents(s, dir)
@@ -1875,6 +1886,26 @@ object SparkEntry {
            CAST(len(regexp_extract_all(ne, '[0-9]{7,}')) AS INTEGER) AS n_digit_runs,
            md5(regexp_replace(ne, '[0-9]{7,}', '<NUMBER>', 'g')) AS redacted_md5
          FROM e ORDER BY doc_id""",
+
+    "m05_asset_ann" ->
+      """WITH a AS (SELECT doc_id,
+             (CASE doc_id % 3 WHEN 0 THEN 'PNG0' WHEN 1 THEN 'JPG0' ELSE '' END) || text AS s
+           FROM documents),
+         c AS (SELECT doc_id, greatest(length(s), 1) AS n,
+             list_transform(range(1, length(s)+1),
+               i -> ord(substr(s, CAST(i AS INTEGER), 1)) % 16) AS bs
+           FROM a),
+         f AS (SELECT doc_id,
+             list_transform(range(0, 16),
+               d -> CAST(len(list_filter(bs, x -> x = d)) AS DOUBLE) / n) AS v
+           FROM c),
+         nz AS (SELECT doc_id, v FROM f WHERE sqrt(list_dot_product(v, v)) > 0),
+         q AS (SELECT v AS qv FROM nz WHERE doc_id = 0)
+         SELECT doc_id,
+           round(list_dot_product(v, qv) /
+                 (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+         FROM nz, q WHERE doc_id <> 0
+         ORDER BY cosine DESC, doc_id LIMIT 10""",
 
     "t17_url_filter" ->
       """WITH p AS (SELECT doc_id,

@@ -16,7 +16,7 @@ class PlanAuditSpec extends SparkTestBase {
     * BroadcastNestedLoop (one-row query/count probes; s04's k-row codebook) */
   private val oneRowBroadcastOk = Set(
     "q12_page_with_count", "q28_account_history", "s01_cosine_topk", "s03_ivf_ann",
-    "s04_ivf_train", "s06_ivfpq_ann", "t16_tfidf_terms")
+    "s04_ivf_train", "s06_ivfpq_ann", "t16_tfidf_terms", "m05_asset_ann")
   /** q32: the intentionally exchange-free bucketed join. t07: the corpus
     * anti-join against the near-dup drop set — both sides data-scale-
     * unknown, so SMJ is the correct static plan (AQE downgrades it to a
