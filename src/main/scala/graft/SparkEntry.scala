@@ -441,6 +441,21 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     },
 
+    // ---- SCD2 interval compression over the daily balance-snapshot
+    // series (the recentBalances feed): keep change points only, with
+    // [valid_from, valid_to) validity ranges — one shuffle+sort per key ----
+    "q40_scd2_history" -> { (s, dir) =>
+      val series = transform(sequence(lit(0), lit(30)), d =>
+        col("c_acctbal") + d.cast("double") * pmod(col("c_custkey"), lit(7)).cast("double") * 0.25)
+      val hist = EntityScans.explodeSeries(
+          Tables.customer(s, dir).select(col("c_custkey"), series.as("recent_balances")),
+          "c_custkey", "recent_balances", "1998-01-01")
+        .select(col("c_custkey"), col("date"),
+          floor(col("balance") / 25).cast("long").as("bal_bucket"))
+      Windows.scd2Compress(hist, Seq("c_custkey"), "date", Seq("bal_bucket"))
+        .orderBy(col("c_custkey"), col("valid_from"))
+    },
+
     // ---- Per-group top-k via the bounded-heap aggregate (k rows per
     // group per partition cross the shuffle — never a full window sort) ----
     "q31_topk_per_group" -> { (s, dir) =>
@@ -574,6 +589,22 @@ object SparkEntry {
       Dedup.simhashNearDup(Parallelism.ensureDefaultParallelism(Tables.documents(s, dir)),
           "doc_id", "text", bits = 32, bands = 4, maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ---- Dedup: incremental batch-vs-corpus ingest — exact re-crawl drop
+    // + LSH near-dup vs corpus and earlier batch docs; the corpus never
+    // self-pairs, so the batch costs O(batch) not O(corpus). Batch = every
+    // 5th doc as fresh + re-crawls of corpus docs (same text, new id) ----
+    "d09_incremental_dedup" -> { (s, dir) =>
+      val docs = Parallelism.ensureDefaultParallelism(Tables.documents(s, dir))
+      val fresh = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+      val recrawl = docs.filter(pmod(col("doc_id"), lit(25)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+      Dedup.incrementalDedup(corpus, fresh.unionByName(recrawl), "doc_id",
+          "text", k = 5, bands = 4, rowsPerBand = 4, threshold = 0.35)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
     },
 
     // ---- Dedup: blocked word-n-gram Jaccard ----
@@ -715,6 +746,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- Text: rebalance to a target source mix — per-source keep
+    // fractions derived in-plan from observed counts (keep 100% of the
+    // binding stratum, downsample the rest); membership stays a pure
+    // (id, stratum) hash decision ----
+    "t19_source_mix" -> { (s, dir) =>
+      Sampling.rebalanceToTarget(Tables.documents(s, dir), "doc_id", "source",
+          targets = Seq("src0" -> 0.3, "src1" -> 0.3, "src2" -> 0.2,
+            "src3" -> 0.1, "src4" -> 0.1))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("min_id"))
+        .orderBy(col("source"))
+    },
+
     // ---- Text: PII redaction with audit counts (emails, digit runs);
     // deterministic PII is mixed into the synthetic text so both the hit
     // and miss paths are exercised ----
@@ -845,6 +889,13 @@ object SparkEntry {
       TfIdf.topTerms(Tables.documents(s, dir), "doc_id", "text",
           k = 3, minTokenLen = 3)
         .orderBy(col("doc_id"), col("rank"))
+    },
+
+    // ---- Text: global vocabulary build (tokenizer-training / coverage
+    // input): top-V terms by document frequency with corpus totals ----
+    "t20_vocab" -> { (s, dir) =>
+      TfIdf.vocabulary(Tables.documents(s, dir), "text",
+        topV = 100, minTokenLen = 3, minDf = 2)
     },
 
     // ---- Similarity: product-quantization ANN (codes + ADC lookup table;
@@ -1473,6 +1524,63 @@ object SparkEntry {
          WHERE bit_count(xor(x.fp, y.fp)) <= 3
          ORDER BY id_a, id_b""",
 
+    "d09_incremental_dedup" ->
+      """WITH fresh AS (
+           SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 5 = 4),
+         recrawl AS (
+           SELECT doc_id + 1000000 AS doc_id, text, lang, source
+           FROM documents WHERE doc_id % 25 = 0),
+         batch AS (SELECT * FROM fresh UNION ALL SELECT * FROM recrawl),
+         corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4),
+         bex AS (
+           SELECT b.* FROM (
+             SELECT * FROM batch
+             QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))) b
+           WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)),
+         bsh AS (
+           SELECT doc_id, list_sort(list_distinct(list_transform(
+             range(1, greatest(length(text)-4,1)+1),
+             i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 5)),1,12)) AS BIGINT)))) AS hs
+           FROM bex),
+         csh AS (
+           SELECT doc_id, list_sort(list_distinct(list_transform(
+             range(1, greatest(length(text)-4,1)+1),
+             i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 5)),1,12)) AS BIGINT)))) AS hs
+           FROM corpus),
+         bsig AS (
+           SELECT doc_id, list_transform(range(0, 16), j -> list_min(list_transform(hs,
+             h -> (h*(2*j+1) + (j*2654435761)%2147483647) % 2147483647))) AS sg
+           FROM bsh),
+         csig AS (
+           SELECT doc_id, list_transform(range(0, 16), j -> list_min(list_transform(hs,
+             h -> (h*(2*j+1) + (j*2654435761)%2147483647) % 2147483647))) AS sg
+           FROM csh),
+         allb AS (
+           SELECT doc_id, b AS band,
+             md5(CAST(b AS VARCHAR) || '_' || array_to_string(sg[b*4+1 : b*4+4], ',')) AS bucket,
+             'b' AS side
+           FROM bsig CROSS JOIN range(0, 4) t(b)
+           UNION ALL
+           SELECT doc_id, b AS band,
+             md5(CAST(b AS VARCHAR) || '_' || array_to_string(sg[b*4+1 : b*4+4], ',')) AS bucket,
+             'c' AS side
+           FROM csig CROSS JOIN range(0, 4) t(b)),
+         capped AS (
+           SELECT * FROM allb QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000),
+         pairs AS (
+           SELECT DISTINCT p.doc_id AS bid, o.doc_id AS oid
+           FROM capped p JOIN capped o ON p.band = o.band AND p.bucket = o.bucket
+           WHERE p.side = 'b' AND (o.side = 'c' OR (o.side = 'b' AND o.doc_id < p.doc_id))),
+         sets AS (SELECT * FROM bsh UNION ALL SELECT * FROM csh),
+         drops AS (
+           SELECT DISTINCT bid
+           FROM pairs JOIN sets x ON x.doc_id = bid JOIN sets y ON y.doc_id = oid
+           WHERE round(CAST(length(list_intersect(x.hs, y.hs)) AS DOUBLE) /
+                 (length(x.hs) + length(y.hs) - length(list_intersect(x.hs, y.hs))), 6) >= 0.35)
+         SELECT doc_id, lang, source FROM bex
+         WHERE doc_id NOT IN (SELECT bid FROM drops)
+         ORDER BY doc_id""",
+
     "d06_ngram_jaccard" ->
       """WITH g AS (
            SELECT doc_id, lang,
@@ -1646,6 +1754,23 @@ object SparkEntry {
          WHERE o_orderkey NOT IN
            (SELECT o_orderkey FROM base WHERE o_orderkey % 97 = 0)
          ORDER BY o_orderkey""",
+
+    // the q21 series (proven bit-exact) bucketed and SCD2-compressed:
+    // change points only, [valid_from, valid_to) validity, NULL = current
+    "q40_scd2_history" ->
+      """WITH h AS (
+           SELECT c_custkey, DATE '1998-01-01' + CAST(d AS INTEGER) AS dt,
+                  CAST(floor((c_acctbal + d * (c_custkey % 7) * 0.25) / 25) AS BIGINT) AS bal_bucket
+           FROM customer CROSS JOIN range(0, 31) t(d)),
+         chg AS (
+           SELECT c_custkey, dt, bal_bucket,
+                  (bal_bucket IS DISTINCT FROM lag(bal_bucket) OVER w)
+                    OR (lag(dt) OVER w IS NULL) AS is_chg
+           FROM h WINDOW w AS (PARTITION BY c_custkey ORDER BY dt)),
+         pts AS (SELECT c_custkey, dt, bal_bucket FROM chg WHERE is_chg)
+         SELECT c_custkey, bal_bucket, dt AS valid_from,
+                lead(dt) OVER (PARTITION BY c_custkey ORDER BY dt) AS valid_to
+         FROM pts ORDER BY c_custkey, valid_from""",
 
     "q39_budget_goals" ->
       """WITH m AS (SELECT unnest(range(0, 6)) AS m),
@@ -1869,6 +1994,21 @@ object SparkEntry {
            < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END
          ORDER BY doc_id""",
 
+    // mirrors Sampling.rebalanceToTarget arithmetic exactly: counts cast to
+    // double, scale = min(n/t), frac = (scale * t) / n (left-assoc)
+    "t19_source_mix" ->
+      """WITH t(src, tgt) AS (VALUES
+           ('src0', 0.3), ('src1', 0.3), ('src2', 0.2), ('src3', 0.1), ('src4', 0.1)),
+         w AS (SELECT d.doc_id, d.source, t.tgt FROM documents d JOIN t ON d.source = t.src),
+         c AS (SELECT source, tgt, CAST(count(*) AS DOUBLE) AS n FROM w GROUP BY source, tgt),
+         s AS (SELECT min(n / tgt) AS scale FROM c),
+         f AS (SELECT source, scale * tgt / n AS frac FROM c, s),
+         kept AS (
+           SELECT w.doc_id, w.source FROM w JOIN f USING (source)
+           WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,12)) AS BIGINT) % 1000000 AS DOUBLE) / 1000000 < frac)
+         SELECT source, count(*) AS n_sampled, min(doc_id) AS min_id
+         FROM kept GROUP BY source ORDER BY source""",
+
     "t11_pii_redact" ->
       """WITH p AS (
            SELECT doc_id,
@@ -2024,6 +2164,18 @@ object SparkEntry {
            tok_start % 512 AS seq_offset,
            (tok_start + n_tokens - 1) // 512 - tok_start // 512 + 1 AS n_seqs
          FROM w ORDER BY lang, doc_id""",
+
+    "t20_vocab" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> length(t) >= 3) AS tk
+           FROM documents),
+         tc AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+         counts AS (SELECT doc_id, term, count(*) AS cnt FROM tc GROUP BY 1, 2),
+         v AS (SELECT term, count(*) AS doc_freq, CAST(sum(cnt) AS BIGINT) AS term_freq
+               FROM counts GROUP BY 1)
+         SELECT term, doc_freq, term_freq FROM v
+         WHERE doc_freq >= 2
+         ORDER BY doc_freq DESC, term LIMIT 100""",
 
     "t16_tfidf_terms" ->
       """WITH toks AS (SELECT doc_id,

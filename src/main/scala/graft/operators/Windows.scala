@@ -54,6 +54,35 @@ object Windows {
   def groupCount(df: DataFrame, partitionBy: Seq[Column], as: String): DataFrame =
     df.withColumn(as, count(lit(1)).over(Window.partitionBy(partitionBy: _*)))
 
+  /** SCD2 interval compression — collapse a per-key ordered series of
+    * attribute observations into validity intervals, keeping only change
+    * points: a row survives when it is the first of its key or any tracked
+    * value differs (null-safely) from the previous observation; `valid_from`
+    * is the observation's order value and `valid_to` the NEXT change point's
+    * (exclusive; NULL = still current). The type-2 slowly-changing-dimension
+    * build every warehouse pipeline needs over snapshot feeds (the
+    * reference's recentBalances daily series is exactly such a feed).
+    *
+    * Scale design: both windows share one partitioning and ordering, so the
+    * plan is a single hash shuffle on the key + one sort — the minimum any
+    * order-sensitive compression can do; the lead() runs on the already-
+    * filtered change points (a fraction of the input). Keys are data-scale
+    * (one partition per entity), never a global window. */
+  def scd2Compress(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                   valueCols: Seq[String], fromAs: String = "valid_from",
+                   toAs: String = "valid_to"): DataFrame = {
+    require(valueCols.nonEmpty, "scd2Compress: need at least one tracked value column")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+    val changed = valueCols
+      .map(v => !(col(v) <=> lag(col(v), 1).over(w)))
+      .reduce(_ || _) || lag(col(orderCol), 1).over(w).isNull
+    df.withColumn("_chg", changed).filter(col("_chg"))
+      .withColumn(fromAs, col(orderCol))
+      .withColumn(toAs, lead(col(orderCol), 1).over(w))
+      .select((keyCols.map(col) ++ valueCols.map(col)
+        :+ col(fromAs) :+ col(toAs)): _*)
+  }
+
   /** A7 via partial aggregation + broadcast join — the scale-preferred form
     * when the group key is dim-like (merchants, categories): the window
     * variant repartitions AND sorts the full fact table by the key, while

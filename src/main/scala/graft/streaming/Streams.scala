@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.operators.IncrementalMerge
+import graft.operators.{Dedup, IncrementalMerge}
 
 /** Structured-Streaming re-expression of the reference's incremental model
   * (SURVEY §2.9). The reference is batch-incremental: a watermark bounds each
@@ -168,6 +168,32 @@ object Streams {
       val merged = graft.operators.Upsert.upsert(existing, latest, idCol)
       merged.write.mode("overwrite").parquet(targetPath + "_next")
       spark.read.parquet(targetPath + "_next").write.mode("overwrite").parquet(targetPath)
+    }
+
+  /** Sink-side continuous-ingest dedup for `foreachBatch` — the streaming
+    * twin of [[graft.operators.Dedup.incrementalDedup]]: each micro-batch is
+    * deduped against the CURRENT stored corpus (exact re-crawl drop + LSH
+    * near-dup, batch-vs-corpus and within-batch) and only the survivors are
+    * appended, so the corpus stays near-dup-free as it grows without ever
+    * re-pairing itself. A retried batch re-dedups against a corpus that
+    * already contains its survivors — every previously-appended row is then
+    * an exact dup and the retry appends nothing new (idempotent under
+    * at-least-once delivery, up to a partially-visible failed append, which
+    * the retry completes rather than duplicates). */
+  def foreachBatchIncrementalDedup(corpusPath: String, idCol: String,
+                                   textCol: String, threshold: Double = 0.5)
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) => {
+      val spark = batch.sparkSession
+      if (!IncrementalMerge.pathExists(spark, corpusPath))
+        // first batch bootstraps the corpus: within-batch dedup only
+        Dedup.incrementalDedup(batch.limit(0), batch, idCol, textCol,
+            threshold = threshold)
+          .write.mode("overwrite").parquet(corpusPath)
+      else
+        Dedup.incrementalDedup(spark.read.parquet(corpusPath), batch,
+            idCol, textCol, threshold = threshold)
+          .write.mode("append").parquet(corpusPath)
     }
 
   /** Sink-side correct-by-reload for `foreachBatch`: each micro-batch runs

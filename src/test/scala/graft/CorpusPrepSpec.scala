@@ -44,6 +44,28 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(row == ((0L, 0)))
   }
 
+  // ---- Vocabulary ----
+
+  test("vocabulary ranks by doc_freq desc then term, with corpus totals") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "banana apple date")).toDF("doc_id", "text")
+    val got = TfIdf.vocabulary(docs, "text", topV = 10, minTokenLen = 3, minDf = 1)
+      .as[(String, Long, Long)].collect().toSeq
+    // banana in 3 docs (3 occurrences), apple in 2 (3 occ), cherry/date in 1
+    assert(got == Seq(
+      ("banana", 3L, 3L), ("apple", 2L, 3L), ("cherry", 1L, 1L), ("date", 1L, 1L)))
+  }
+
+  test("vocabulary applies minDf and the top-V cut") {
+    val docs = Seq(
+      (1L, "aaa bbb"), (2L, "aaa ccc"), (3L, "aaa bbb")).toDF("doc_id", "text")
+    val got = TfIdf.vocabulary(docs, "text", topV = 1, minTokenLen = 3, minDf = 2)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("aaa", 3L, 3L))) // bbb (df=2) cut by topV, ccc by minDf
+  }
+
   // ---- Packing ----
 
   test("packing lays groups out independently with exact integer arithmetic") {

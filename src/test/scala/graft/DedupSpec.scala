@@ -129,6 +129,67 @@ class DedupSpec extends SparkTestBase {
       n = 2, threshold = 0.1, maxBlockSize = 100).count() == 0)
   }
 
+  test("ngramJaccard size prefilter drops no qualifying pair (vs brute force)") {
+    // the prefilter (min|A|,|B| >= t*max) must be invisible in the result:
+    // compare against an unprefiltered all-pairs Jaccard inside each block
+    val docs = Tables.documents(spark, sfDir).limit(120)
+    val out = Dedup.ngramJaccard(docs, "doc_id", "text", Seq("lang"),
+        n = 2, threshold = 0.3, maxBlockSize = 1000)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val sets = docs.select(col("lang"), col("doc_id"),
+      ngram_hash_set(col("text"), 2).as("gset"))
+    val brute = sets.as("a").join(sets.as("b"), "lang")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        round(jaccard_sorted(col("a.gset"), col("b.gset")), 6).as("j"))
+      .filter(col("j") >= 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out == brute, "size prefilter must not change the result set")
+  }
+
+  test("incrementalDedup drops re-crawls, batch dups, and near-dups of corpus") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated corpus document with other words")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // exact re-crawl of 1
+      (11L, "a genuinely new document nothing has seen before"),
+      (12L, "a genuinely new document nothing has seen before"),    // batch dup of 11
+      (13L, "the quick brown fox jumps over the lazy dog tonite"),  // near-dup of corpus 1
+      (14L, "entirely fresh content with its own unique wording")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(corpus, batch, "doc_id", "text",
+        k = 5, bands = 4, rowsPerBand = 4, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(11L, 14L))
+  }
+
+  test("incrementalDedup near-dup of an earlier batch doc drops the later id") {
+    val corpus = Seq((1L, "zzz zzz zzz zzz zzz")).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, "some shared boilerplate sentence appears here first"),
+      (21L, "some shared boilerplate sentence appears here again") // near-dup of 20
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(corpus, batch, "doc_id", "text",
+        threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(20L))
+  }
+
+  test("incrementalDedup with empty corpus reduces to within-batch dedup") {
+    val corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "alpha beta gamma delta epsilon words in a row"),
+      (2L, "alpha beta gamma delta epsilon words in a row"),
+      (3L, "totally different text that stands alone nicely here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(corpus, batch, "doc_id", "text",
+        threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L))
+  }
+
   test("simhashNearDup banding is lossless at maxHamming < bands (vs brute force)") {
     val docs = Tables.documents(spark, sfDir).limit(80)
     val banded = Dedup.simhashNearDup(docs, "doc_id", "text",

@@ -16,13 +16,14 @@ class PlanAuditSpec extends SparkTestBase {
     * BroadcastNestedLoop (one-row query/count probes; s04's k-row codebook) */
   private val oneRowBroadcastOk = Set(
     "q12_page_with_count", "q28_account_history", "s01_cosine_topk", "s03_ivf_ann",
-    "s04_ivf_train", "s06_ivfpq_ann", "t16_tfidf_terms", "m05_asset_ann")
-  /** q32: the intentionally exchange-free bucketed join. t07: the corpus
-    * anti-join against the near-dup drop set — both sides data-scale-
+    "s04_ivf_train", "s06_ivfpq_ann", "t16_tfidf_terms", "m05_asset_ann",
+    "t19_source_mix") // one-row min-scale frame attached to the stratum dim
+  /** q32: the intentionally exchange-free bucketed join. t07/t18/d09: the
+    * corpus anti-join against the near-dup drop set — both sides data-scale-
     * unknown, so SMJ is the correct static plan (AQE downgrades it to a
     * broadcast join at runtime when the drop set measures small). */
   private val sortMergeOk = Set("q32_bucketed_join", "t07_corpus_pipeline",
-    "t18_export_packing")
+    "t18_export_packing", "d09_incremental_dedup")
 
   test("no entry plans a cartesian; NLJ/SMJ only on the allowlists") {
     val violations = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>

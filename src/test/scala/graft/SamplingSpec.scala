@@ -63,6 +63,39 @@ class SamplingSpec extends SparkTestBase {
     assert(all.count() == 2000)
   }
 
+  test("rebalanceToTarget hits the target mix, keeps the binding stratum whole") {
+    // 1500 a / 900 b / 600 c; targets 0.2/0.3/0.5 -> binding stratum is c
+    // (600/0.5 = 1200 = min scale): keep all 600 c, ~240 a, ~360 b
+    val df = spark.range(3000).select(col("id").as("doc_id"),
+      when(col("id") < 1500, "a").when(col("id") < 2400, "b").otherwise("c").as("src"))
+    val kept = Sampling.rebalanceToTarget(df, "doc_id", "src",
+        Seq("a" -> 0.2, "b" -> 0.3, "c" -> 0.5))
+      .select("doc_id", "src").as[(Long, String)].collect()
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("c") == 600, bySrc) // binding stratum: kept 100%
+    assert(bySrc("a") > 190 && bySrc("a") < 290, bySrc)
+    assert(bySrc("b") > 300 && bySrc("b") < 420, bySrc)
+    // membership is the same deterministic id-hash decision on rerun
+    val again = Sampling.rebalanceToTarget(df.repartition(7), "doc_id", "src",
+        Seq("a" -> 0.2, "b" -> 0.3, "c" -> 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept.map(_._1).toSet)
+  }
+
+  test("rebalanceToTarget drops strata absent from the targets and validates input") {
+    val df = spark.range(100).select(col("id").as("doc_id"),
+      when(pmod(col("id"), lit(2)) === 0, "keep").otherwise("drop").as("src"))
+    val kept = Sampling.rebalanceToTarget(df, "doc_id", "src", Seq("keep" -> 1.0))
+    assert(kept.select("src").distinct().as[String].collect().toSeq == Seq("keep"))
+    intercept[IllegalArgumentException] {
+      Sampling.rebalanceToTarget(df, "doc_id", "src", Seq("keep" -> 0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.rebalanceToTarget(df, "doc_id", "src",
+        Seq("keep" -> 1.5, "drop" -> -0.5))
+    }
+  }
+
   test("weights must sum to one; fraction must be in range") {
     intercept[IllegalArgumentException] {
       Sampling.assignSplit(docs, "doc_id", Seq(("a", 0.5), ("b", 0.4)))

@@ -226,6 +226,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("foreachBatchIncrementalDedup: corpus grows dedup-free across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_incdedup").toString
+    val corpus = s"$dir/corpus"
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(Streams.foreachBatchIncrementalDedup(corpus, "doc_id", "text"))
+      .start()
+    try {
+      // batch 1 bootstraps: within-batch exact dup (2 of 1) dropped
+      in.addData(
+        (1L, "the quick brown fox jumps over the lazy dog tonight"),
+        (2L, "the quick brown fox jumps over the lazy dog tonight"),
+        (3L, "completely unrelated corpus document with other words"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(corpus).select("doc_id")
+        .as[Long].collect().toSet == Set(1L, 3L))
+      // batch 2: re-crawl of 1 (exact), near-dup of 1, one genuinely new doc
+      in.addData(
+        (10L, "the quick brown fox jumps over the lazy dog tonight"),
+        (11L, "the quick brown fox jumps over the lazy dog tonite"),
+        (12L, "entirely fresh content with its own unique wording"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(corpus).select("doc_id")
+        .as[Long].collect().toSet == Set(1L, 3L, 12L))
+    } finally q.stop()
+  }
+
   test("foreachBatchMerge aborts on a corrupt existing target instead of wiping history") {
     val dir = java.nio.file.Files.createTempDirectory("graft_corrupt").toString
     val target = s"$dir/target"

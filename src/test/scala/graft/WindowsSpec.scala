@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Windows
+
+/** SCD2 interval compression: change-point selection, validity ranges,
+  * null-safe value comparison, and the round-trip property (expanding the
+  * intervals reproduces the original series). */
+class WindowsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("scd2Compress keeps change points with [valid_from, valid_to) ranges") {
+    val snaps = Seq(
+      (1L, 1, "gold"), (1L, 2, "gold"), (1L, 3, "silver"), (1L, 4, "silver"),
+      (1L, 5, "gold"),
+      (2L, 1, "bronze"), (2L, 2, "bronze")
+    ).toDF("cust", "day", "tier")
+    val got = Windows.scd2Compress(snaps, Seq("cust"), "day", Seq("tier"))
+      .orderBy("cust", "valid_from")
+      .as[(Long, String, Int, Option[Int])].collect().toSeq
+    assert(got == Seq(
+      (1L, "gold", 1, Some(3)),
+      (1L, "silver", 3, Some(5)),
+      (1L, "gold", 5, None),
+      (2L, "bronze", 1, None)))
+  }
+
+  test("scd2Compress change detection is null-safe across tracked columns") {
+    val snaps = Seq(
+      (1L, 1, Option("a"), Option(10)),
+      (1L, 2, None, Option(10)),        // a -> null is a change
+      (1L, 3, None, Option(10)),        // null == null: no change
+      (1L, 4, None, None),              // second column changes
+      (1L, 5, Option("a"), None)        // first column changes back
+    ).toDF("k", "day", "v1", "v2")
+    val got = Windows.scd2Compress(snaps, Seq("k"), "day", Seq("v1", "v2"))
+      .select("valid_from").as[Int].collect().toSeq.sorted
+    assert(got == Seq(1, 2, 4, 5))
+  }
+
+  test("scd2Compress round-trips: expanding intervals reproduces the series") {
+    // pseudo-random but deterministic step series per key
+    val series = spark.range(40).select(
+      (col("id") % 4).as("k"), (col("id") / 4).cast("long").as("day"),
+      (pmod(col("id") * 2654435761L, lit(97)) < 40).cast("int").as("v"))
+    val compressed = Windows.scd2Compress(series, Seq("k"), "day", Seq("v"))
+    // expand each interval back to its days (bounded by the series max)
+    val expanded = compressed
+      .withColumn("day", explode(sequence(col("valid_from"),
+        coalesce(col("valid_to") - 1, lit(9L)))))
+      .select("k", "day", "v")
+    val orig = series.select("k", "day", "v").as[(Long, Long, Int)].collect().toSet
+    val back = expanded.as[(Long, Long, Int)].collect().toSet
+    assert(back == orig)
+  }
+}
