@@ -105,6 +105,22 @@ object Functions {
     bridge.column(graft.functions.KmvDistinct(bridge.expression(c), k)
       .toAggregateExpression())
 
+  /** Bloom-bitset aggregate over the build side's join keys (cast to
+    * string): array<bigint> of numBits/64 words, md5-double-hashed so the
+    * content is engine-reproducible. Merges are word-wise OR (map-side
+    * partials ship the bitset, never the keys). */
+  def bloom_agg(c: Column, numBits: Int, numHashes: Int): Column =
+    bridge.column(graft.functions.BloomAgg(
+      bridge.expression(c.cast("string")), numBits, numHashes)
+      .toAggregateExpression())
+
+  /** Probe-side Bloom membership test (codegen'd, short-circuiting); the
+    * numBits/numHashes must match the building bloom_agg. No false
+    * negatives, so a pre-join filter on it never changes the join result. */
+  def bloom_contains(bits: Column, c: Column, numBits: Int, numHashes: Int): Column =
+    bridge.column(graft.functions.BloomContains(
+      bridge.expression(bits), bridge.expression(c.cast("string")), numBits, numHashes))
+
   /** Bounded-heap per-group top-k aggregate: keeps the k payloads with the
     * highest (ord DESC, tie ASC) rank; partial-aggregates map-side so only
     * k rows per group per partition cross the shuffle. */

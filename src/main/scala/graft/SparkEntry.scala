@@ -441,6 +441,22 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     },
 
+    // ---- Broadcast-Bloom semi-join reduction: the fact side is filtered
+    // AT THE SCAN by an md5-deterministic Bloom of the selective dim's
+    // keys, before any shuffle; false positives die in the exact join, so
+    // the result is identical to the plain join (which IS the oracle) ----
+    "q41_bloom_join" -> { (s, dir) =>
+      val dim = Tables.orders(s, dir)
+        .filter(col("o_orderdate").between("1995-01-01", "1995-01-31"))
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o_date"))
+      SemiJoinReduction.bloomJoin(
+          Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice"),
+          dim, "l_orderkey", "o_orderkey", numBits = 1 << 16, numHashes = 5)
+        .groupBy(col("o_date"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy(col("o_date"))
+    },
+
     // ---- SCD2 interval compression over the daily balance-snapshot
     // series (the recentBalances feed): keep change points only, with
     // [valid_from, valid_to) validity ranges — one shuffle+sort per key ----
@@ -1754,6 +1770,16 @@ object SparkEntry {
          WHERE o_orderkey NOT IN
            (SELECT o_orderkey FROM base WHERE o_orderkey % 97 = 0)
          ORDER BY o_orderkey""",
+
+    // the bloom pre-filter provably never changes the join result (no
+    // false negatives; false positives die in the join), so the oracle is
+    // the PLAIN join — that equivalence is exactly what the entry checks
+    "q41_bloom_join" ->
+      """SELECT CAST(o_orderdate AS DATE) AS o_date, count(*) AS n,
+                round(sum(l_extendedprice), 2) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-01-31'
+         GROUP BY 1 ORDER BY 1""",
 
     // the q21 series (proven bit-exact) bucketed and SCD2-compressed:
     // change points only, [valid_from, valid_to) validity, NULL = current

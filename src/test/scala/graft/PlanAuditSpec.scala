@@ -17,7 +17,8 @@ class PlanAuditSpec extends SparkTestBase {
   private val oneRowBroadcastOk = Set(
     "q12_page_with_count", "q28_account_history", "s01_cosine_topk", "s03_ivf_ann",
     "s04_ivf_train", "s06_ivfpq_ann", "t16_tfidf_terms", "m05_asset_ann",
-    "t19_source_mix") // one-row min-scale frame attached to the stratum dim
+    "t19_source_mix", // one-row min-scale frame attached to the stratum dim
+    "q41_bloom_join") // one-row bloom bitset broadcast to the fact scan
   /** q32: the intentionally exchange-free bucketed join. t07/t18/d09: the
     * corpus anti-join against the near-dup drop set — both sides data-scale-
     * unknown, so SMJ is the correct static plan (AQE downgrades it to a
