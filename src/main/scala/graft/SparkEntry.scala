@@ -441,6 +441,18 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     },
 
+    // ---- Z-order (Morton) clustering key: bit-interleave two bucketed
+    // dimensions so range-partitioned output files cover small hyper-
+    // rectangles — parquet min/max stats then prune scans filtered on
+    // EITHER dimension (the write-side layout op; Layout.writeZOrdered) ----
+    "q42_zorder_key" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          Layout.zvalue(pmod(col("o_custkey"), lit(256)),
+            pmod(col("o_orderkey"), lit(256)), bits = 8).as("zval"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // ---- Broadcast-Bloom semi-join reduction: the fact side is filtered
     // AT THE SCAN by an md5-deterministic Bloom of the selective dim's
     // keys, before any shuffle; false positives die in the exact join, so
@@ -1770,6 +1782,16 @@ object SparkEntry {
          WHERE o_orderkey NOT IN
            (SELECT o_orderkey FROM base WHERE o_orderkey % 97 = 0)
          ORDER BY o_orderkey""",
+
+    // Morton interleave replayed as a sum of disjoint bit terms (bitwise OR
+    // of non-overlapping bits == addition)
+    "q42_zorder_key" ->
+      """SELECT o_orderkey,
+           CAST(list_sum(list_transform(range(0, 8), i ->
+             ((((o_custkey % 256) >> CAST(i AS INTEGER)) & 1) << CAST(2*i AS INTEGER)) +
+             ((((o_orderkey % 256) >> CAST(i AS INTEGER)) & 1) << CAST(2*i+1 AS INTEGER))))
+           AS BIGINT) AS zval
+         FROM orders ORDER BY o_orderkey""",
 
     // the bloom pre-filter provably never changes the join result (no
     // false negatives; false positives die in the join), so the oracle is

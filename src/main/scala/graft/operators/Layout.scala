@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators for scan pruning — the write-side half of the
+  * 100 TB story. Parquet readers skip files (and row groups) whose min/max
+  * column statistics exclude a filter; that only works when the writer
+  * CLUSTERED the data so each file covers a narrow value range. A sort on
+  * one column gives perfect pruning on it and none on any other; a Z-order
+  * (Morton) key interleaves the bits of several columns so each output file
+  * covers a small hyper-rectangle — range filters on ANY of the interleaved
+  * dimensions prune.
+  */
+object Layout {
+
+  /** Morton/Z-value of two non-negative ints confined to `bits` bits each:
+    * bit i of `a` lands at position 2i, bit i of `b` at 2i+1. Pure bit
+    * arithmetic on longs — constant-folded into whole-stage codegen, and
+    * identically expressible in any engine (the oracle replays it). Inputs
+    * must already be bucketed into [0, 2^bits) — pass e.g.
+    * `pmod(hash-ish, 2^bits)` or a quantile bucket. */
+  def zvalue(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"zvalue: bits must be in [1,31], got $bits")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** Write `df` range-partitioned and sorted by the Z-value of two bucketed
+    * dimensions: each output file covers a contiguous Z-range = a small
+    * hyper-rectangle in (a, b) space, so parquet min/max stats prune scans
+    * filtered on EITHER dimension. `numFiles` targets the output file count
+    * (range partitioning samples the key, so files are size-balanced even
+    * under skew). */
+  def writeZOrdered(df: DataFrame, a: Column, b: Column, path: String,
+                    numFiles: Int, bits: Int = 16): Unit =
+    df.withColumn("_z", zvalue(a, b, bits))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+}
