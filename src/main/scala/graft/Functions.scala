@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.bridge
 
-import graft.functions.{CosineSim, DotProduct, JaccardSorted, L2Norm, LangId, MinhashFromHashes, MinhashSignature, ParseMoney, ShingleHashSet, SimHash}
+import graft.functions.{CosineSim, DotProduct, JaccardGe, JaccardSorted, L2Norm, LangId, MinhashFromHashes, MinhashSignature, ParseMoney, ShingleHashSet, SimHash}
 
 /** Column-level function surface of the engine (SURVEY §2.8).
   *
@@ -97,6 +97,12 @@ object Functions {
   /** Exact Jaccard of two sorted distinct long arrays (merge walk). */
   def jaccard_sorted(a: Column, b: Column): Column =
     bridge.column(JaccardSorted(bridge.expression(a), bridge.expression(b)))
+
+  /** Early-abort threshold gate: false only when round(jaccard,6) >= t is
+    * provably impossible (no false negatives) — run it before the exact
+    * jaccard so the full merge touches only plausible pairs. */
+  def jaccard_ge(a: Column, b: Column, t: Double): Column =
+    bridge.column(JaccardGe(bridge.expression(a), bridge.expression(b), t))
 
   /** KMV distinct-count sketch aggregate: bounded k-minimum-values estimator
     * over 48-bit md5 hashes; exact below k distinct values, md5-deterministic

@@ -119,6 +119,35 @@ object TextHashUtil {
     * this runs once per candidate pair in LSH verification, and a
     * per-call validation pass re-checking the same arrays millions of
     * times measurably dominates the near-dup suite (3x at sf0.1). */
+  /** Conservative early-abort threshold gate for the similarity join's
+    * verify step (PPJoin-family bound): returns false ONLY when
+    * `round(jaccardSorted(a,b), 6) >= t` is provably impossible. Uses
+    * J >= t ⟺ |A∩B| >= t·(|A|+|B|)/(1+t) (J is monotone in the
+    * intersection for fixed sizes) with 1e-6 slack for the round-to-6
+    * comparison (round(j,6) >= t already implies j >= t - 5e-7), and
+    * aborts the merge as soon as the remaining shorter side cannot lift
+    * the intersection to the requirement — on mostly-disjoint pairs (the
+    * bulk of a blocked join) that is long before the merge would finish.
+    * No false negatives, so `filter(jaccard_ge) -> exact jaccard filter`
+    * returns exactly the pairs the exact filter alone would. */
+  def jaccardGe(a: ArrayData, b: ArrayData, t: Double): Boolean = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val tEff = t - 1e-6
+    if (tEff <= 0) return true
+    val req = tEff * (na + nb).toDouble / (1.0 + tEff)
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val remaining = if (na - i < nb - j) na - i else nb - j
+      if (inter + remaining < req) return false
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter >= req
+  }
+
   def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
     val nb = b.numElements()
@@ -356,5 +385,22 @@ case class JaccardSorted(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextHashUtil.jaccardSorted($a, $b)")
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardSorted =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Early-abort Jaccard threshold gate (see [[TextHashUtil.jaccardGe]]):
+  * true whenever `round(jaccard_sorted(a,b),6) >= t` could hold, false only
+  * when provably impossible — place it BEFORE the exact jaccard filter so
+  * the full merge runs only on plausible pairs. */
+case class JaccardGe(left: Expression, right: Expression, threshold: Double)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "jaccard_ge"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashUtil.jaccardGe(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], threshold)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextHashUtil.jaccardGe($a, $b, $threshold)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardGe =
     copy(left = newLeft, right = newRight)
 }

@@ -84,12 +84,20 @@ object Dedup {
   /** Exact Jaccard over precomputed sorted shingle-hash sets for given pairs
     * (the verification step after LSH candidate generation). `sets` must
     * carry (_jid, _jset) as produced in [[minhashLsh]]. */
-  def withJaccard(pairs: DataFrame, sets: DataFrame): DataFrame =
-    pairs
+  def withJaccard(pairs: DataFrame, sets: DataFrame,
+                  threshold: Double = 0.0): DataFrame = {
+    val joined = pairs
       .join(sets.withColumnRenamed("_jid", "id_a").withColumnRenamed("_jset", "set_a"), "id_a")
       .join(sets.withColumnRenamed("_jid", "id_b").withColumnRenamed("_jset", "set_b"), "id_b")
+    // optional early-abort gate: at a known downstream threshold the full
+    // merge only needs to run on pairs the bound cannot rule out
+    val gated = if (threshold > 0)
+      joined.filter(jaccard_ge(col("set_a"), col("set_b"), threshold))
+    else joined
+    gated
       .withColumn("jaccard", round(jaccard_sorted(col("set_a"), col("set_b")), 6))
       .drop("set_a", "set_b")
+  }
 
   /** Materialize a computed frame once so every downstream use reads the
     * stored blocks instead of re-running the producing kernel. The shingle /
@@ -115,7 +123,7 @@ object Dedup {
     val buckets = lshBuckets(withSig, "_jid", col("_sig"), bands, rowsPerBand)
       .withColumnRenamed("_jid", idCol)
     val pairs = candidatePairs(buckets, idCol, maxBucketSize)
-    withJaccard(pairs, sets).filter(col("jaccard") >= threshold)
+    withJaccard(pairs, sets, threshold).filter(col("jaccard") >= threshold)
   }
 
   /** Word n-gram Jaccard near-dup: pairs inside a blocking key whose n-gram
@@ -141,20 +149,14 @@ object Dedup {
       (blockCols.map(col) :+ col(idCol).as("id_a") :+ col("_gset").as("set_a")): _*)
     val b = capped.select(
       (blockCols.map(col) :+ col(idCol).as("id_b") :+ col("_gset").as("set_b")): _*)
-    val paired = a.join(b, blockCols)
+    a.join(b, blockCols)
       .filter(col("id_a") < col("id_b"))
-    // size prefilter (AllPairs/PPJoin family): |A∩B| <= min(|A|,|B|) and
-    // |A∪B| >= max(|A|,|B|), so J >= t forces min >= t*max. An O(1)
-    // integer compare per pair drops most of the quadratic block pairs
-    // before the O(|A|+|B|) sorted-merge Jaccard kernel ever runs —
-    // exactness is untouched because every dropped pair provably has
-    // J < t. (Only sound for t > 0: at t <= 0 every pair qualifies.)
-    val prefiltered =
-      if (threshold > 0)
-        paired.filter(least(size(col("set_a")), size(col("set_b"))) >=
-          lit(threshold) * greatest(size(col("set_a")), size(col("set_b"))))
-      else paired
-    prefiltered
+      // early-abort threshold gate FIRST (PPJoin-family bound inside the
+      // kernel: the merge stops as soon as |A∩B| provably cannot reach
+      // t/(1+t)·(|A|+|B|), with rounding slack so no qualifying pair is
+      // lost) — the full-merge exact jaccard then runs only on survivors,
+      // a tiny fraction of the quadratic block pairs
+      .filter(jaccard_ge(col("set_a"), col("set_b"), threshold))
       .withColumn("jaccard", round(jaccard_sorted(col("set_a"), col("set_b")), 6))
       .filter(col("jaccard") >= threshold)
       .select((blockCols.map(col) :+ col("id_a") :+ col("id_b") :+ col("jaccard")): _*)
@@ -260,7 +262,8 @@ object Dedup {
     val dropIds = pairs
       .join(sets.select(col("_jid").as("_bid"), col("_jset").as("_bset")), "_bid")
       .join(sets.select(col("_jid").as("_oid"), col("_jset").as("_oset")), "_oid")
-      .filter(round(jaccard_sorted(col("_bset"), col("_oset")), 6) >= threshold)
+      .filter(jaccard_ge(col("_bset"), col("_oset"), threshold) &&
+        round(jaccard_sorted(col("_bset"), col("_oset")), 6) >= threshold)
       .select(col("_bid").as(idCol)).distinct()
     batchExact.join(dropIds, Seq(idCol), "left_anti")
   }

@@ -129,9 +129,28 @@ class DedupSpec extends SparkTestBase {
       n = 2, threshold = 0.1, maxBlockSize = 100).count() == 0)
   }
 
-  test("ngramJaccard size prefilter drops no qualifying pair (vs brute force)") {
-    // the prefilter (min|A|,|B| >= t*max) must be invisible in the result:
-    // compare against an unprefiltered all-pairs Jaccard inside each block
+  test("jaccard_ge never rejects a pair the exact rounded filter accepts") {
+    // random sorted hash sets across a spread of sizes and overlaps,
+    // including boundary jaccards near the threshold
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 300).map { i =>
+      val base = Seq.fill(rnd.nextInt(40) + 1)(rnd.nextInt(60).toLong).distinct.sorted
+      val other = (base.filter(_ => rnd.nextBoolean()) ++
+        Seq.fill(rnd.nextInt(20))(rnd.nextInt(60) + 100L)).distinct.sorted
+      (i.toLong, base, other)
+    }
+    val df = rows.toDF("i", "a", "b")
+    for (t <- Seq(0.1, 0.25, 0.5, 0.9)) {
+      val violations = df.filter(
+        !jaccard_ge(col("a"), col("b"), t) &&
+          round(jaccard_sorted(col("a"), col("b")), 6) >= t).count()
+      assert(violations == 0, s"false negative at t=$t")
+    }
+  }
+
+  test("ngramJaccard early-abort gate drops no qualifying pair (vs brute force)") {
+    // the jaccard_ge gate must be invisible in the result: compare against
+    // an ungated all-pairs exact Jaccard inside each block
     val docs = Tables.documents(spark, sfDir).limit(120)
     val out = Dedup.ngramJaccard(docs, "doc_id", "text", Seq("lang"),
         n = 2, threshold = 0.3, maxBlockSize = 1000)
