@@ -222,14 +222,49 @@ object Dedup {
     * (band, bucket) join — corpus×corpus pairs are never generated, so
     * ingesting a batch costs O(batch), not O(corpus). At 100 TB the corpus
     * band table is a stored index (each doc banded once, when it was itself
-    * ingested — the `corpusBands`/`corpusSets` overload takes it
-    * precomputed); the hot-bucket cap applies to the combined bucket
-    * population, the same graceful degradation as [[candidatePairs]]. */
+    * ingested — the [[LshIndex]] overload takes it precomputed and
+    * [[lshIndex]] builds it); the hot-bucket cap applies to the combined
+    * bucket population, the same graceful degradation as
+    * [[candidatePairs]]. */
   def incrementalDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
                        textCol: String, k: Int = 5, bands: Int = 4,
                        rowsPerBand: Int = 4, threshold: Double = 0.5,
-                       maxBucketSize: Int = 1000): DataFrame = {
-    val corpusHashes = corpus.select(md5(col(textCol)).as("_h")).distinct()
+                       maxBucketSize: Int = 1000): DataFrame =
+    incrementalDedup(lshIndex(corpus, idCol, textCol, k, bands, rowsPerBand),
+      batch, idCol, textCol, k, bands, rowsPerBand, threshold, maxBucketSize)
+
+  /** Stored LSH index of a corpus — the artifact a production deployment
+    * keeps NEXT TO the corpus so each ingest batch is indexed once, at its
+    * own ingest: `sets` has one row per doc (_jid, _jhash content hash,
+    * _jset sorted shingle hashes), `bands` has `bands` rows per doc
+    * (_jid, band, bucket). Both are plain DataFrames — write them as
+    * parquet tables and append each batch's survivors' rows. */
+  final case class LshIndex(sets: DataFrame, bands: DataFrame)
+
+  /** Build the [[LshIndex]] of `docs` (see [[incrementalDedup]]; the same
+    * shingling/banding as [[minhashLsh]], so index rows are append-stable
+    * across batches). */
+  def lshIndex(docs: DataFrame, idCol: String, textCol: String, k: Int = 5,
+               bands: Int = 4, rowsPerBand: Int = 4): LshIndex = {
+    val sets = materialized(docs.select(col(idCol).as("_jid"),
+      md5(col(textCol)).as("_jhash"),
+      shingle_hash_set(col(textCol), k).as("_jset")))
+    val banded = lshBuckets(sets.withColumn("_sig",
+        minhash_from_hashes(col("_jset"), bands * rowsPerBand)),
+      "_jid", col("_sig"), bands, rowsPerBand)
+    LshIndex(sets, banded)
+  }
+
+  /** [[incrementalDedup]] against a PRECOMPUTED corpus index — the true
+    * production entry point: the corpus is never re-read, re-shingled, or
+    * re-banded; the batch's own index rows are built here (and are exactly
+    * what a caller appends to the stored index for the survivors).
+    * `k`/`bands`/`rowsPerBand` must match the parameters the index was
+    * built with, or batch and corpus buckets would not collide. */
+  def incrementalDedup(index: LshIndex, batch: DataFrame, idCol: String,
+                       textCol: String, k: Int, bands: Int, rowsPerBand: Int,
+                       threshold: Double, maxBucketSize: Int): DataFrame = {
+    val corpusHashes = index.sets.select(col("_jhash").as("_h")).distinct()
     // exact phase: canonical min id within the batch, then anti-join the
     // corpus content hashes (128-bit hash crosses the shuffle, never text)
     val batchExact = materialized(batch
@@ -238,16 +273,9 @@ object Dedup {
       .filter(col(idCol) === col("_keep"))
       .join(corpusHashes, Seq("_h"), "left_anti")
       .drop("_h", "_keep"))
-    val bSets = materialized(batchExact.select(col(idCol).as("_jid"),
-      shingle_hash_set(col(textCol), k).as("_jset")))
-    val cSets = materialized(corpus.select(col(idCol).as("_jid"),
-      shingle_hash_set(col(textCol), k).as("_jset")))
-    def banded(sets: DataFrame): DataFrame =
-      lshBuckets(sets.withColumn("_sig",
-          minhash_from_hashes(col("_jset"), bands * rowsPerBand)),
-        "_jid", col("_sig"), bands, rowsPerBand)
-    val allBands = banded(bSets).withColumn("_side", lit("b"))
-      .unionByName(banded(cSets).withColumn("_side", lit("c")))
+    val batchIdx = lshIndex(batchExact, idCol, textCol, k, bands, rowsPerBand)
+    val allBands = batchIdx.bands.withColumn("_side", lit("b"))
+      .unionByName(index.bands.withColumn("_side", lit("c")))
     val sized = allBands.withColumn("_sz",
       count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
     val capped = materialized(sized.filter(col("_sz") <= maxBucketSize).drop("_sz"))
@@ -258,7 +286,8 @@ object Dedup {
     val pairs = probe.join(build, Seq("band", "bucket"))
       .filter(col("_side") === "c" || col("_oid") < col("_bid"))
       .select(col("_bid"), col("_oid")).distinct()
-    val sets = bSets.unionByName(cSets)
+    val sets = batchIdx.sets.select(col("_jid"), col("_jset"))
+      .unionByName(index.sets.select(col("_jid"), col("_jset")))
     val dropIds = pairs
       .join(sets.select(col("_jid").as("_bid"), col("_jset").as("_bset")), "_bid")
       .join(sets.select(col("_jid").as("_oid"), col("_jset").as("_oset")), "_oid")

@@ -196,6 +196,27 @@ class DedupSpec extends SparkTestBase {
     assert(got == Set(20L))
   }
 
+  test("incrementalDedup via a stored (parquet round-tripped) index matches recompute") {
+    val docs = Tables.documents(spark, sfDir).limit(200)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+    val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+    val direct = Dedup.incrementalDedup(corpus, batch, "doc_id", "text",
+        threshold = 0.35)
+      .select("doc_id").as[Long].collect().toSet
+    // build the index once, persist it as parquet (the production layout),
+    // read it back, and dedup the batch against the stored artifact
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshidx").toString
+    val idx = Dedup.lshIndex(corpus, "doc_id", "text")
+    idx.sets.write.parquet(s"$dir/sets")
+    idx.bands.write.parquet(s"$dir/bands")
+    val stored = Dedup.LshIndex(
+      spark.read.parquet(s"$dir/sets"), spark.read.parquet(s"$dir/bands"))
+    val viaIndex = Dedup.incrementalDedup(stored, batch, "doc_id", "text",
+        k = 5, bands = 4, rowsPerBand = 4, threshold = 0.35, maxBucketSize = 1000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaIndex == direct)
+  }
+
   test("incrementalDedup with empty corpus reduces to within-batch dedup") {
     val corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val batch = Seq(
