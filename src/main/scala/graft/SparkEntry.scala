@@ -677,6 +677,18 @@ object SparkEntry {
         .orderBy(col("cid"), col("dim"))
     },
 
+    // ---- Similarity: batch ANN JOIN (two-corpus alignment): every even-id
+    // vector finds its top-3 odd-id neighbors sharing its IVF cell — one
+    // equi-join on the cell, bounded-heap top-k, never a cross join ----
+    "s08_ann_join" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.annJoin(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+          emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+          "vec_id", "embedding", corpus = emb, centroidIds = (1L to 8L), k = 3)
+        .orderBy(col("id_l"), col("rank"))
+    },
+
     // ---- Multimodal: binary asset stats (size / hash / magic sniff) ----
     "m01_binary_stats" -> { (s, dir) =>
       Multimodal.binaryStats(syntheticAssets(s, dir), "doc_id", "payload")
@@ -1517,6 +1529,31 @@ object SparkEntry {
            FROM asg a, q
            WHERE qcl[a.lst] >= list_sort(qcl, 'DESC')[2] AND a.vec_id <> 0)
          SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""",
+
+    "s08_ann_join" ->
+      """WITH c AS (
+           SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cosl AS (
+           SELECT v.vec_id, v.v,
+             list(list_dot_product(v.v, c.cv) /
+                  (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+                  ORDER BY c.cid) AS cl
+           FROM v CROSS JOIN c GROUP BY v.vec_id, v.v),
+         asg AS (SELECT vec_id, v, list_position(cl, list_max(cl)) AS cell FROM cosl),
+         l AS (SELECT vec_id AS id_l, v AS lv, cell FROM asg WHERE vec_id % 2 = 0),
+         r AS (SELECT vec_id AS id_r, v AS rv, cell FROM asg WHERE vec_id % 2 = 1),
+         scored AS (
+           SELECT id_l, id_r,
+             round(list_dot_product(lv, rv) /
+                   (sqrt(list_dot_product(lv, lv)) * sqrt(list_dot_product(rv, rv))), 6) AS cosine
+           FROM l JOIN r USING (cell) WHERE id_l <> id_r),
+         top AS (
+           SELECT id_l, id_r, cosine,
+             CAST(row_number() OVER (PARTITION BY id_l ORDER BY cosine DESC, id_r) AS INTEGER) AS rank
+           FROM scored QUALIFY rank <= 3)
+         SELECT id_l, rank, id_r, cosine FROM top ORDER BY id_l, rank""",
 
     "d04_simhash" ->
       """WITH toks AS (

@@ -61,6 +61,49 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** Batch ANN JOIN — every LEFT vector finds its top-k RIGHT neighbors
+    * among vectors sharing its IVF cell: the two-corpus alignment shape
+    * (embedding dedup across corpora, retrieval-pair mining) where the
+    * single-query entry points ([[bruteForceTopK]], [[ivfTopK]]) would need
+    * one pass per query. Both sides assign row-local to a literal codebook
+    * (argmax cosine, codegen'd, shuffle-free); candidates come from ONE
+    * equi-join on the cell id — never a cross join, cell skew handled by
+    * AQE — and the per-left top-k is the bounded-heap aggregate (k rows per
+    * (left, partition) cross the shuffle, no window sort). Recall follows
+    * IVF-at-nprobe=1: neighbors in adjacent cells are missed, the standard
+    * trade. Output: (id_l, rank, id_r, cosine), rank 1-based by
+    * (cosine DESC, id_r ASC). */
+  def annJoin(left: DataFrame, right: DataFrame, idCol: String, vecCol: String,
+              corpus: DataFrame, centroidIds: Seq[Long], k: Int): DataFrame = {
+    require(centroidIds.nonEmpty, "annJoin: centroidIds must be non-empty")
+    require(k >= 1, s"annJoin: k must be >= 1, got $k")
+    val byId = corpus.filter(col(idCol).isInCollection(centroidIds))
+      .select(col(idCol), col(vecCol)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val missing = centroidIds.filterNot(byId.contains)
+    require(missing.isEmpty,
+      s"annJoin: centroid ids not present in the corpus: ${missing.mkString(", ")}")
+    val codebook: Seq[Column] = centroidIds.map(id =>
+      array(byId(id).map(f => lit(f.toDouble)): _*))
+    def assign(vec: Column): Column = {
+      val arr = array(codebook.map(c => cosine(vec, c)): _*)
+      (array_position(arr, array_max(arr)) - 1).cast("int")
+    }
+    val l = left.select(col(idCol).as("id_l"), col(vecCol).as("_lvec"))
+      .withColumn("_cell", assign(col("_lvec")))
+    val r = right.select(col(idCol).as("id_r"), col(vecCol).as("_rvec"))
+      .withColumn("_cell", assign(col("_rvec")))
+    val scored = l.join(r, "_cell")
+      .filter(col("id_l") =!= col("id_r"))
+      .withColumn("cosine", round(cosine(col("_lvec"), col("_rvec")), 6))
+      .select(col("id_l"), col("id_r"), col("cosine"))
+    Windows.topKPerGroup(
+        scored.withColumn("_payload", struct(col("id_r"), col("cosine"))),
+        Seq("id_l"), "_payload", "cosine", "id_r", k)
+      .select(col("id_l"), col("rank"),
+        col("_payload.id_r").as("id_r"), col("_payload.cosine").as("cosine"))
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer of pinned centroid vectors
     * partitions the corpus into `nlist` lists; each vector is assigned
     * row-local to its max-cosine centroid (argmax over a literal codebook —

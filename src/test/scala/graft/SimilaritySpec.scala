@@ -55,6 +55,34 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("annJoin equals per-left brute force within the shared cell") {
+    val emb = sources.Tables.embeddings(spark, sfDir).limit(120)
+    val left = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val right = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val got = Similarity.annJoin(left, right, "vec_id", "embedding",
+        corpus = emb, centroidIds = (1L to 4L), k = 2)
+      .select("id_l", "rank", "id_r").as[(Long, Int, Long)].collect().toSet
+    // brute-force replay: assign each side to its argmax-cosine centroid,
+    // rank all same-cell pairs per left id
+    def assigned(df: org.apache.spark.sql.DataFrame) = {
+      val cb = emb.filter(col("vec_id").isInCollection(1L to 4L))
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      val cbCols = (1L to 4L).map(id => array(cb(id).map(f => lit(f.toDouble)): _*))
+      val arr = array(cbCols.map(c => graft.Functions.cosine(col("embedding"), c)): _*)
+      df.withColumn("_cell", array_position(arr, array_max(arr)) - 1)
+    }
+    val pairs = assigned(left).select(col("vec_id").as("id_l"), col("embedding").as("lv"), col("_cell"))
+      .join(assigned(right).select(col("vec_id").as("id_r"), col("embedding").as("rv"), col("_cell")), "_cell")
+      .withColumn("cosine", round(graft.Functions.cosine(col("lv"), col("rv")), 6))
+      .select("id_l", "id_r", "cosine").as[(Long, Long, Double)].collect()
+    val expect = pairs.groupBy(_._1).toSeq.flatMap { case (lid, ps) =>
+      ps.sortBy(p => (-p._3, p._2)).take(2).zipWithIndex.toSeq
+        .map { case ((_, rid, _), i) => (lid, i + 1, rid) }
+    }.toSet
+    assert(got == expect)
+  }
+
   test("trainIvfCodebook separates well-separated clusters and is layout-invariant") {
     import spark.implicits._
     // two tight 3-D clusters around (0,0,0) and (10,10,10)
