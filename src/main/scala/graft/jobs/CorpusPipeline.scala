@@ -31,7 +31,12 @@ object CorpusPipeline {
     * `benchmark` (opt-in) adds the decontamination gate after near-dup
     * removal: documents whose n-gram overlap with the benchmark set reaches
     * `contaminationThreshold` are dropped before split assignment
-    * ([[graft.operators.Decontaminate]] — the benchmark side broadcasts). */
+    * ([[graft.operators.Decontaminate]] — the benchmark side broadcasts).
+    *
+    * `mixTargets` (opt-in) rebalances the surviving corpus to a target
+    * stratum mix over `mixStratumCol` before split assignment
+    * ([[Sampling.rebalanceToTarget]] — keep fractions derived in-plan from
+    * the post-dedup counts, so the mix reflects what actually survived). */
   def clean(docs: DataFrame, idCol: String, textCol: String,
             minQuality: Double = 0.7, jaccardThreshold: Double = 0.5,
             splits: Seq[(String, Double)] =
@@ -39,7 +44,9 @@ object CorpusPipeline {
             clusterDedup: Boolean = false,
             benchmark: Option[DataFrame] = None,
             contaminationThreshold: Double = 0.5,
-            contaminationNgram: Int = 3): DataFrame = {
+            contaminationNgram: Int = 3,
+            mixTargets: Option[Seq[(String, Double)]] = None,
+            mixStratumCol: String = "source"): DataFrame = {
     val tagged = TextAnalysis.qualitySignals(docs, textCol)
       .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
     val gated = tagged.filter(
@@ -75,6 +82,11 @@ object CorpusPipeline {
           .select(col(idCol))
         kept.join(contaminatedIds, Seq(idCol), "left_anti")
     }
-    Sampling.assignSplit(decontaminated, idCol, splits)
+    val rebalanced = mixTargets match {
+      case None => decontaminated
+      case Some(targets) =>
+        Sampling.rebalanceToTarget(decontaminated, idCol, mixStratumCol, targets)
+    }
+    Sampling.assignSplit(rebalanced, idCol, splits)
   }
 }

@@ -71,4 +71,22 @@ class CorpusPipelineSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().toSet
     assert(dropped == verify)
   }
+
+  test("opt-in mixTargets rebalances the SURVIVING corpus to the target mix") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = CorpusPipeline.clean(docs, "doc_id", "text")
+    val mixed = CorpusPipeline.clean(docs, "doc_id", "text",
+      mixTargets = Some(Seq("src0" -> 0.5, "src1" -> 0.5)))
+    // only targeted strata survive, membership is a subset of the unmixed run
+    val baseIds = base.select("doc_id").as[Long].collect().toSet
+    val mixedRows = mixed.select("doc_id", "source").as[(Long, String)].collect()
+    assert(mixedRows.map(_._2).toSet.subsetOf(Set("src0", "src1")))
+    assert(mixedRows.map(_._1).toSet.subsetOf(baseIds))
+    // the binding stratum (fewer survivors relative to target) is kept whole
+    val survivorCounts = base.filter(col("source").isin("src0", "src1"))
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    val mixedCounts = mixedRows.groupBy(_._2).view.mapValues(_.length).toMap
+    val binding = survivorCounts.minBy(c => c._2 / 0.5)._1
+    assert(mixedCounts(binding) == survivorCounts(binding))
+  }
 }
