@@ -195,13 +195,26 @@ object Dedup {
         shiftright(col("_fp"), b * bandBits).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-    val pairs = candidatePairs(banded, idCol, maxBucketSize)
-    pairs
+    // verify BEFORE dedup — the opposite order from [[minhashLsh]], and
+    // deliberately so: the hamming check is two longs (xor + popcount), far
+    // cheaper than the shuffle a distinct over the raw candidate pairs
+    // costs (a pair sharing several bands appears once per band), while
+    // minhashLsh's set-merge verify is expensive enough that deduping
+    // first pays. The distinct here runs on the (much smaller) survivor
+    // set only.
+    val sized = banded.withColumn("_sz",
+      count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+    val capped = materialized(sized.filter(col("_sz") <= maxBucketSize).drop("_sz"))
+    val a = capped.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val b = capped.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
       .join(fp.select(col(idCol).as("id_a"), col("_fp").as("_fp_a")), "id_a")
       .join(fp.select(col(idCol).as("id_b"), col("_fp").as("_fp_b")), "id_b")
       .withColumn("hamming", hammingDistance(col("_fp_a"), col("_fp_b"), bits))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
   }
 
   /** Incremental (batch-vs-corpus) dedup — the production shape for a
