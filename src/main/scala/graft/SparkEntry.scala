@@ -441,6 +441,16 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     },
 
+    // ---- Table profiling (ANALYZE-style stats): per-column row/null/
+    // distinct/min/max as rows, ONE aggregation pass for all columns ----
+    "q43_profile" -> { (s, dir) =>
+      Profile.profile(
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_orderdate").cast("date").as("o_date")),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_date"))
+    },
+
     // ---- Z-order (Morton) clustering key: bit-interleave two bucketed
     // dimensions so range-partitioned output files cover small hyper-
     // rectangles — parquet min/max stats then prune scans filtered on
@@ -1819,6 +1829,34 @@ object SparkEntry {
          WHERE o_orderkey NOT IN
            (SELECT o_orderkey FROM base WHERE o_orderkey % 97 = 0)
          ORDER BY o_orderkey""",
+
+    "q43_profile" ->
+      """WITH src AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+                  CAST(o_orderdate AS DATE) AS o_date
+           FROM orders)
+         SELECT 'o_custkey' AS "column", count(o_custkey) AS n_nonnull,
+                count(*) - count(o_custkey) AS n_null,
+                count(DISTINCT o_custkey) AS n_distinct,
+                CAST(min(o_custkey) AS VARCHAR) AS min_value,
+                CAST(max(o_custkey) AS VARCHAR) AS max_value
+         FROM src
+         UNION ALL
+         SELECT 'o_date', count(o_date), count(*) - count(o_date),
+                count(DISTINCT o_date),
+                CAST(min(o_date) AS VARCHAR), CAST(max(o_date) AS VARCHAR)
+         FROM src
+         UNION ALL
+         SELECT 'o_orderkey', count(o_orderkey), count(*) - count(o_orderkey),
+                count(DISTINCT o_orderkey),
+                CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR)
+         FROM src
+         UNION ALL
+         SELECT 'o_orderstatus', count(o_orderstatus), count(*) - count(o_orderstatus),
+                count(DISTINCT o_orderstatus),
+                min(o_orderstatus), max(o_orderstatus)
+         FROM src
+         ORDER BY "column"""",
 
     // Morton interleave replayed as a sum of disjoint bit terms (bitwise OR
     // of non-overlapping bits == addition)
