@@ -645,6 +645,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- Dedup: blocked fuzzy (edit-distance) match — entity resolution
+    // over customer names, blocked by nation, length-prefiltered ----
+    "d10_fuzzy_match" -> { (s, dir) =>
+      Dedup.fuzzyMatch(
+          Tables.customer(s, dir)
+            .select(col("c_nationkey"), col("c_custkey"), col("c_name")),
+          "c_custkey", "c_name", blockCols = Seq("c_nationkey"), maxDistance = 2)
+        .orderBy(col("c_nationkey"), col("id_a"), col("id_b"))
+    },
+
     // ---- Dedup: blocked word-n-gram Jaccard ----
     "d06_ngram_jaccard" -> { (s, dir) =>
       Dedup.ngramJaccard(Parallelism.ensureDefaultParallelism(Tables.documents(s, dir)), "doc_id", "text",
@@ -1598,6 +1608,18 @@ object SparkEntry {
          FROM pairs JOIN fp x ON x.doc_id = id_a JOIN fp y ON y.doc_id = id_b
          WHERE bit_count(xor(x.fp, y.fp)) <= 3
          ORDER BY id_a, id_b""",
+
+    "d10_fuzzy_match" ->
+      """WITH capped AS (
+           SELECT c_nationkey, c_custkey, c_name FROM customer
+           QUALIFY count(*) OVER (PARTITION BY c_nationkey) <= 1000)
+         SELECT a.c_nationkey, a.c_custkey AS id_a, b.c_custkey AS id_b,
+                CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS distance
+         FROM capped a JOIN capped b
+           ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+         WHERE abs(length(a.c_name) - length(b.c_name)) <= 2
+           AND levenshtein(a.c_name, b.c_name) <= 2
+         ORDER BY a.c_nationkey, id_a, id_b""",
 
     "d09_incremental_dedup" ->
       """WITH fresh AS (

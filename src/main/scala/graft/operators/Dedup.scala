@@ -371,6 +371,35 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Blocked fuzzy match — edit-distance pairs inside a blocking key, the
+    * entity-resolution primitive (merchant/account name reconciliation,
+    * near-identical record detection where token sets are too coarse).
+    * Same scale posture as [[ngramJaccard]]: candidates come from a blocked
+    * equi-join with a hot-block cap, never all-pairs; a cheap length
+    * prefilter (|len(a)-len(b)| <= maxDistance is necessary for edit
+    * distance <= maxDistance) drops pairs before the O(len²) DP runs.
+    * Levenshtein is the standard DP on both engines, so results are
+    * oracle-checkable. */
+  def fuzzyMatch(docs: DataFrame, idCol: String, textCol: String,
+                 blockCols: Seq[String], maxDistance: Int,
+                 maxBlockSize: Int = 1000): DataFrame = {
+    require(maxDistance >= 0, s"fuzzyMatch: maxDistance must be >= 0, got $maxDistance")
+    val base = docs.select((blockCols.map(col) :+ col(idCol) :+ col(textCol)): _*)
+    val sized = base.withColumn("_sz",
+      count(lit(1)).over(Window.partitionBy(blockCols.map(col): _*)))
+    val capped = materialized(sized.filter(col("_sz") <= maxBlockSize).drop("_sz"))
+    val a = capped.select(
+      (blockCols.map(col) :+ col(idCol).as("id_a") :+ col(textCol).as("_ta")): _*)
+    val b = capped.select(
+      (blockCols.map(col) :+ col(idCol).as("id_b") :+ col(textCol).as("_tb")): _*)
+    a.join(b, blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .filter(abs(length(col("_ta")) - length(col("_tb"))) <= maxDistance)
+      .withColumn("distance", levenshtein(col("_ta"), col("_tb")))
+      .filter(col("distance") <= maxDistance)
+      .select((blockCols.map(col) :+ col("id_a") :+ col("id_b") :+ col("distance")): _*)
+  }
+
   /** Embedding near-dup: pairs inside a blocking key with cosine above a
     * threshold. Blocking keeps the join an equi-join (shuffle on block key,
     * AQE handles block skew) instead of a cross join. */

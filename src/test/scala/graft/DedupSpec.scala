@@ -166,6 +166,27 @@ class DedupSpec extends SparkTestBase {
     assert(out == brute, "size prefilter must not change the result set")
   }
 
+  test("fuzzyMatch finds edit-distance pairs inside blocks only") {
+    val recs = Seq(
+      ("x", 1L, "acme corp"),
+      ("x", 2L, "acme corp."),   // distance 1 from 1
+      ("x", 3L, "acme inc"),     // distance 4 from 1 ("corp" -> "inc" + len)
+      ("y", 4L, "acme corp"),    // same name as 1, other block
+      ("x", 5L, "completely different name")
+    ).toDF("block", "id", "name")
+    val got = Dedup.fuzzyMatch(recs, "id", "name", Seq("block"), maxDistance = 2)
+      .select("id_a", "id_b", "distance").as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 1)))
+    // brute-force equality at the operator's parameters (length prefilter
+    // provably cannot drop a qualifying pair: |len(a)-len(b)| <= distance)
+    val brute = recs.as("a").join(recs.as("b"),
+        col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        levenshtein(col("a.name"), col("b.name")).as("d"))
+      .filter(col("d") <= 2).as[(Long, Long, Int)].collect().toSet
+    assert(got == brute)
+  }
+
   test("incrementalDedup drops re-crawls, batch dups, and near-dups of corpus") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
