@@ -34,6 +34,17 @@ object GraftExtensions {
     e.eval().asInstanceOf[Number].intValue()
   }
 
+  private def doubleArg(e: Expression, fn: String, pos: Int): Double = {
+    require(e.foldable, s"$fn: argument $pos must be a constant")
+    // SQL fractional literals parse as DecimalType — not a java.lang.Number
+    e.eval() match {
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case n: Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument $pos must be numeric, got $other")
+    }
+  }
+
   /** name -> SQL builder for every custom expression in the engine. */
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "parse_money" -> (e => ParseMoney(e.head)),
@@ -52,6 +63,18 @@ object GraftExtensions {
       MinhashFromHashes(e.head, intArg(e(1), "minhash_from_hashes", 2))),
     "simhash" -> (e => SimHash(e.head, intArg(e(1), "simhash", 2))),
     "jaccard_sorted" -> (e => JaccardSorted(e.head, e(1))),
+    "jaccard_ge" -> (e => JaccardGe(e.head, e(1), doubleArg(e(2), "jaccard_ge", 3))),
+    // key args cast to string like the Column-API wrappers, so any key
+    // type hashes identically through both surfaces
+    "bloom_agg" -> (e =>
+      BloomAgg(org.apache.spark.sql.catalyst.expressions.Cast(
+          e.head, org.apache.spark.sql.types.StringType),
+        intArg(e(1), "bloom_agg", 2), intArg(e(2), "bloom_agg", 3))),
+    "bloom_contains" -> (e =>
+      BloomContains(e.head,
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          e(1), org.apache.spark.sql.types.StringType),
+        intArg(e(2), "bloom_contains", 3), intArg(e(3), "bloom_contains", 4))),
     "top_k_by" -> (e => TopKBy(e.head, e(1), e(2), intArg(e(3), "top_k_by", 4))),
     "kmv_distinct" -> (e => KmvDistinct(e.head, intArg(e(1), "kmv_distinct", 2))),
     "dot_product" -> (e => DotProduct(e.head, e(1))),

@@ -650,9 +650,11 @@ object SparkEntry {
     "d10_fuzzy_match" -> { (s, dir) =>
       Dedup.fuzzyMatch(
           Tables.customer(s, dir)
-            .select(col("c_nationkey"), col("c_custkey"), col("c_name")),
-          "c_custkey", "c_name", blockCols = Seq("c_nationkey"), maxDistance = 2)
-        .orderBy(col("c_nationkey"), col("id_a"), col("id_b"))
+            .filter(col("c_nationkey") < 5)
+            .select(col("c_nationkey"), col("c_mktsegment"), col("c_custkey"), col("c_name")),
+          "c_custkey", "c_name",
+          blockCols = Seq("c_nationkey", "c_mktsegment"), maxDistance = 2)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"), col("id_a"), col("id_b"))
     },
 
     // ---- Dedup: blocked word-n-gram Jaccard ----
@@ -1611,15 +1613,18 @@ object SparkEntry {
 
     "d10_fuzzy_match" ->
       """WITH capped AS (
-           SELECT c_nationkey, c_custkey, c_name FROM customer
-           QUALIFY count(*) OVER (PARTITION BY c_nationkey) <= 1000)
-         SELECT a.c_nationkey, a.c_custkey AS id_a, b.c_custkey AS id_b,
+           SELECT c_nationkey, c_mktsegment, c_custkey, c_name FROM customer
+           WHERE c_nationkey < 5
+           QUALIFY count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) <= 1000)
+         SELECT a.c_nationkey, a.c_mktsegment, a.c_custkey AS id_a,
+                b.c_custkey AS id_b,
                 CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS distance
          FROM capped a JOIN capped b
-           ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+           ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+             AND a.c_custkey < b.c_custkey
          WHERE abs(length(a.c_name) - length(b.c_name)) <= 2
            AND levenshtein(a.c_name, b.c_name) <= 2
-         ORDER BY a.c_nationkey, id_a, id_b""",
+         ORDER BY a.c_nationkey, a.c_mktsegment, id_a, id_b""",
 
     "d09_incremental_dedup" ->
       """WITH fresh AS (

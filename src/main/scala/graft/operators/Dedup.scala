@@ -377,9 +377,15 @@ object Dedup {
     * Same scale posture as [[ngramJaccard]]: candidates come from a blocked
     * equi-join with a hot-block cap, never all-pairs; a cheap length
     * prefilter (|len(a)-len(b)| <= maxDistance is necessary for edit
-    * distance <= maxDistance) drops pairs before the O(len²) DP runs.
-    * Levenshtein is the standard DP on both engines, so results are
-    * oracle-checkable. */
+    * distance <= maxDistance) drops pairs up front, and the DP itself is
+    * Spark's THRESHOLDED levenshtein — a banded O((2d+1)·len) pass that
+    * abandons a pair the moment its distance provably exceeds the bound,
+    * instead of the full O(len²) matrix. Blocks must be selective: the
+    * per-pair DP is the unit cost, so block size bounds the quadratic term
+    * exactly as in the other blocked joins. Results match the plain
+    * `levenshtein(a,b) <= d` filter (thresholded form returns the exact
+    * distance within the bound, -1 above it), so the oracle replays it
+    * engine-independently. */
   def fuzzyMatch(docs: DataFrame, idCol: String, textCol: String,
                  blockCols: Seq[String], maxDistance: Int,
                  maxBlockSize: Int = 1000): DataFrame = {
@@ -395,8 +401,8 @@ object Dedup {
     a.join(b, blockCols)
       .filter(col("id_a") < col("id_b"))
       .filter(abs(length(col("_ta")) - length(col("_tb"))) <= maxDistance)
-      .withColumn("distance", levenshtein(col("_ta"), col("_tb")))
-      .filter(col("distance") <= maxDistance)
+      .withColumn("distance", levenshtein(col("_ta"), col("_tb"), maxDistance))
+      .filter(col("distance") >= 0)
       .select((blockCols.map(col) :+ col("id_a") :+ col("id_b") :+ col("distance")): _*)
   }
 

@@ -43,6 +43,20 @@ class ExtensionsSpec extends SparkTestBase {
     assert(row.getAs[String]("lid") == "en")
   }
 
+  test("round-5 functions are callable from SQL: jaccard_ge, bloom_agg, bloom_contains") {
+    t // force view creation
+    val gate = spark.sql(
+      """SELECT jaccard_ge(shingle_hash_set(text, 5), shingle_hash_set(text, 5), 0.5) AS g
+         FROM ext_t""").collect()(0)
+    assert(gate.getAs[Boolean]("g"))
+    spark.sql("SELECT id FROM range(100)").createOrReplaceTempView("ext_keys")
+    val hits = spark.sql(
+      """WITH b AS (SELECT bloom_agg(id, 1024, 4) AS bits FROM ext_keys)
+         SELECT count(*) AS n FROM ext_keys, b
+         WHERE bloom_contains(bits, id, 1024, 4)""").collect()(0)
+    assert(hits.getAs[Long]("n") == 100L) // no false negatives via SQL either
+  }
+
   test("SQL results match the Column API") {
     val sql = spark.sql(
       "SELECT simhash(text, 32) AS a, cosine_similarity(va, vb) AS b FROM ext_t").collect()(0)
