@@ -671,6 +671,15 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // ---- Dedup: SemDeDup-style semantic dedup (cluster coarsely, drop
+    // within-cell cosine-near pairs, keep the smallest id per group) ----
+    "d11_semantic_dedup" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.semanticDedup(emb, "vec_id", "embedding",
+          corpus = emb, centroidIds = (1L to 8L), threshold = 0.3)
+        .orderBy(col("vec_id"))
+    },
+
     // ---- Similarity: exact cosine top-k (ANN baseline) ----
     "s01_cosine_topk" -> { (s, dir) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -1709,6 +1718,29 @@ object SparkEntry {
          WHERE round(list_dot_product(a.v, b.v) /
                      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
          ORDER BY id_a, id_b""",
+
+    "d11_semantic_dedup" ->
+      """WITH c AS (
+           SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cosl AS (
+           SELECT v.vec_id, v.v,
+             list(list_dot_product(v.v, c.cv) /
+                  (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+                  ORDER BY c.cid) AS cl
+           FROM v CROSS JOIN c GROUP BY v.vec_id, v.v),
+         asg AS (
+           SELECT vec_id, v, CAST(list_position(cl, list_max(cl)) - 1 AS INTEGER) AS cell
+           FROM cosl),
+         dropped AS (
+           SELECT DISTINCT b.vec_id
+           FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           WHERE round(list_dot_product(a.v, b.v) /
+                       (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3)
+         SELECT g.vec_id, g.cell, (d.vec_id IS NULL) AS keep
+         FROM asg g LEFT JOIN dropped d ON g.vec_id = d.vec_id
+         ORDER BY g.vec_id""",
 
     "s01_cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

@@ -77,14 +77,7 @@ object Similarity {
               corpus: DataFrame, centroidIds: Seq[Long], k: Int): DataFrame = {
     require(centroidIds.nonEmpty, "annJoin: centroidIds must be non-empty")
     require(k >= 1, s"annJoin: k must be >= 1, got $k")
-    val byId = corpus.filter(col(idCol).isInCollection(centroidIds))
-      .select(col(idCol), col(vecCol)).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
-    val missing = centroidIds.filterNot(byId.contains)
-    require(missing.isEmpty,
-      s"annJoin: centroid ids not present in the corpus: ${missing.mkString(", ")}")
-    val codebook: Seq[Column] = centroidIds.map(id =>
-      array(byId(id).map(f => lit(f.toDouble)): _*))
+    val codebook = literalCodebook(corpus, idCol, vecCol, centroidIds, "annJoin")
     def assign(vec: Column): Column = {
       val arr = array(codebook.map(c => cosine(vec, c)): _*)
       (array_position(arr, array_max(arr)) - 1).cast("int")
@@ -102,6 +95,70 @@ object Similarity {
         Seq("id_l"), "_payload", "cosine", "id_r", k)
       .select(col("id_l"), col("rank"),
         col("_payload.id_r").as("id_r"), col("_payload.cosine").as("cosine"))
+  }
+
+  /** Bounded control read of pinned centroid vectors as literal array
+    * columns, ordered by `centroidIds` (cell i = centroidIds(i)). Codebooks
+    * are nlist-sized (~sqrt(N)), never data-scale — the collect is the same
+    * justified pattern as [[ivfTopK]]'s. */
+  private def literalCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                              centroidIds: Seq[Long], who: String): Seq[Column] = {
+    val byId = corpus.filter(col(idCol).isInCollection(centroidIds))
+      .select(col(idCol), col(vecCol)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val missing = centroidIds.filterNot(byId.contains)
+    require(missing.isEmpty,
+      s"$who: centroid ids not present in the corpus: ${missing.mkString(", ")}")
+    centroidIds.map(id => array(byId(id).map(f => lit(f.toDouble)): _*))
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space coarsely, then treat
+    * pairs INSIDE a cluster whose cosine clears `threshold` as semantic
+    * duplicates and keep one representative. Unlike [[Dedup.exact]] /
+    * MinHash (which need shared surface text), this catches paraphrases and
+    * template rewrites — the dedup layer run after exact/near-dup in
+    * production LLM corpus builds.
+    *
+    * Keep rule (deterministic, engine-independent): a vector is DROPPED iff
+    * some same-cell vector with a smaller id has round(cosine, 6) >=
+    * threshold against it; the smallest id of every duplicate group
+    * therefore always survives. The rule is transitive-free (one join, no
+    * iteration) — chains a~b~c with cos(a,c) < t still drop b and c, the
+    * aggressive end of SemDeDup's spectrum, which is the documented
+    * semantics here.
+    *
+    * Scale design: cell assignment is row-local argmax cosine over the
+    * literal codebook (codegen'd, shuffle-free; nlist ~ sqrt(N) keeps cells
+    * at ~N/nlist docs so the within-cell pair count is bounded by design —
+    * exactly SemDeDup's reason for clustering first); candidates come from
+    * ONE self equi-join on the cell id, never a cross join, with AQE
+    * splitting skewed cells; the assigned frame is materialized once and
+    * feeds both join legs plus the output. Output: (id, cell, keep) — one
+    * row per input vector. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    corpus: DataFrame, centroidIds: Seq[Long],
+                    threshold: Double): DataFrame = {
+    require(centroidIds.nonEmpty, "semanticDedup: centroidIds must be non-empty")
+    val codebook = literalCodebook(corpus, idCol, vecCol, centroidIds, "semanticDedup")
+    def assign(vec: Column): Column = {
+      val arr = array(codebook.map(c => cosine(vec, c)): _*)
+      (array_position(arr, array_max(arr)) - 1).cast("int")
+    }
+    val assigned = emb
+      .select(col(idCol).as("_id"), col(vecCol).as("_vec"))
+      .withColumn("cell", assign(col("_vec")))
+      .localCheckpoint(false) // one kernel pass feeds both join legs + output
+    val a = assigned.select(col("cell"), col("_id").as("id_a"), col("_vec").as("_va"))
+    val b = assigned.select(col("cell"), col("_id").as("id_b"), col("_vec").as("_vb"))
+    val dropped = a.join(b, "cell")
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(cosine(col("_va"), col("_vb")), 6) >= threshold)
+      .select(col("id_b").as("_dropped")).distinct()
+    assigned
+      .join(dropped, col("_id") === col("_dropped"), "left")
+      .select(col("_id").as(idCol), col("cell"),
+        col("_dropped").isNull.as("keep"))
   }
 
   /** IVF (inverted-file) ANN: a coarse quantizer of pinned centroid vectors

@@ -103,6 +103,39 @@ class SimilaritySpec extends SparkTestBase {
     assert(cb == cb7)
   }
 
+  test("semanticDedup keep set matches a naive same-cell pair replay") {
+    import spark.implicits._
+    val sub = emb.limit(150)
+    val got = Similarity.semanticDedup(sub, "vec_id", "embedding",
+        corpus = emb, centroidIds = (1L to 4L), threshold = 0.3)
+      .select("vec_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(got.size == sub.count())
+    // naive replay with the same literal-codebook assignment
+    val cb = emb.filter(col("vec_id").isInCollection(1L to 4L))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val cbCols = (1L to 4L).map(id => array(cb(id).map(f => lit(f.toDouble)): _*))
+    val arr = array(cbCols.map(c => graft.Functions.cosine(col("embedding"), c)): _*)
+    val asg = sub.withColumn("_cell", array_position(arr, array_max(arr)) - 1)
+      .select(col("vec_id"), col("embedding"), col("_cell"))
+    val pairs = asg.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("_cell"))
+      .join(asg.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("_cell")), "_cell")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("c", round(graft.Functions.cosine(col("va"), col("vb")), 6))
+      .filter(col("c") >= 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val droppedExpect = pairs.map(_._2).toSet
+    assert(got.filter(!_._2).keySet == droppedExpect)
+    // the smallest id of every duplicate pair always survives
+    val minIds = pairs.map(_._1).toSet -- droppedExpect
+    assert(minIds.forall(got(_)))
+    // an impossible threshold keeps everything
+    val all = Similarity.semanticDedup(sub, "vec_id", "embedding",
+        corpus = emb, centroidIds = (1L to 4L), threshold = 1.1)
+      .select("keep").as[Boolean].collect()
+    assert(all.forall(identity))
+  }
+
   test("pq_encode null/short-vector handling: null element or too-few dims -> NULL codes") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
