@@ -969,6 +969,14 @@ object SparkEntry {
         topV = 100, minTokenLen = 3, minDf = 2)
     },
 
+    // ---- Text: cross-doc boilerplate removal (CCNet line-dedup shape over
+    // token-window units; text never crosses the frequency shuffle) ----
+    "t21_boilerplate" -> { (s, dir) =>
+      TextAnalysis.removeBoilerplate(Tables.documents(s, dir), "doc_id", "text",
+          segmentTokens = 20, minDocs = 2)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- Similarity: product-quantization ANN (codes + ADC lookup table;
     // quantized integer math end to end) ----
     "s05_pq_ann" -> { (s, dir) =>
@@ -2346,6 +2354,21 @@ object SparkEntry {
            tok_start % 512 AS seq_offset,
            (tok_start + n_tokens - 1) // 512 - tok_start // 512 + 1 AS n_seqs
          FROM w ORDER BY lang, doc_id""",
+
+    "t21_boilerplate" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+         segs AS (
+           SELECT doc_id, CAST(i AS INTEGER) AS seg_no,
+             array_to_string(toks[CAST(i*20+1 AS INTEGER) : CAST(i*20+20 AS INTEGER)], ' ') AS seg
+           FROM t, unnest(range(0, CAST(greatest(ceil(length(toks)/20.0), 1) AS BIGINT))) u(i)),
+         df AS (SELECT md5(seg) AS h, count(DISTINCT doc_id) AS df FROM segs GROUP BY 1),
+         j AS (SELECT s.doc_id, s.seg_no, s.seg, (d.df >= 2) AS boiler
+               FROM segs s JOIN df d ON md5(s.seg) = d.h)
+         SELECT doc_id,
+           CAST(count(*) AS INTEGER) AS n_segments,
+           CAST(count(*) FILTER (boiler) AS INTEGER) AS n_removed,
+           md5(coalesce(array_to_string(list(seg ORDER BY seg_no) FILTER (WHERE NOT boiler), ' '), '')) AS clean_md5
+         FROM j GROUP BY doc_id ORDER BY doc_id""",
 
     "t20_vocab" ->
       """WITH toks AS (SELECT doc_id,

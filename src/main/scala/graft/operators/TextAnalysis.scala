@@ -170,6 +170,55 @@ object TextAnalysis {
         when(exists(domains, d => d.isInCollection(blocklist)), 1).otherwise(0))
   }
 
+  /** Cross-document boilerplate removal (the CCNet / RefinedWeb line-dedup
+    * shape): split every document into fixed units, drop units that appear
+    * in at least `minDocs` DISTINCT documents (headers, footers, cookie
+    * banners, licence blocks), reassemble the survivors in original order.
+    * The unit here is a `segmentTokens`-token window (the synthetic corpus
+    * is newline-free); on real web text the same operator runs with lines
+    * as units — only the split expression changes.
+    *
+    * Scale design — the text never crosses a shuffle: the first scan emits
+    * only (id, seg_no, md5(segment)) rows; unit doc-frequency is one
+    * hash-keyed aggregate (map-side combined, 16-byte keys); the per-doc
+    * keep list folds back to one array row per doc; and reassembly re-reads
+    * the original row and re-slices its token array by the kept indices —
+    * one extra doc-keyed join instead of shipping every segment's text
+    * through the frequency shuffle. Output one row per input document:
+    * (id, n_segments, n_removed, clean_md5) where clean_md5 hashes the
+    * whitespace-normalized surviving text (single-space joined — the same
+    * normalization the tokenizer applies).
+    */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                        segmentTokens: Int = 20, minDocs: Int = 2): DataFrame = {
+    require(segmentTokens > 0, s"segmentTokens must be positive, got $segmentTokens")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val toks = tokens(col(textCol))
+    val nSegs = greatest(
+      ceil(size(toks).cast("double") / segmentTokens), lit(1.0)).cast("int")
+    // narrow segment stream: id, seg_no, 128-bit unit hash — no text
+    val hashes = df
+      .select(col(idCol), toks.as("_toks"), posexplode(sequence(lit(0), nSegs - 1)))
+      .select(col(idCol), col("pos").as("_seg_no"),
+        md5(array_join(slice(col("_toks"), col("pos") * segmentTokens + 1,
+          lit(segmentTokens)), " ")).as("_h"))
+    val docFreq = hashes.groupBy(col("_h"))
+      .agg(countDistinct(col(idCol)).as("_df"))
+    val perDoc = hashes.join(docFreq, "_h")
+      .withColumn("_boiler", col("_df") >= minDocs)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_segments"),
+        sum(when(col("_boiler"), 1).otherwise(0)).cast("int").as("n_removed"),
+        array_sort(collect_list(when(!col("_boiler"), col("_seg_no"))))
+          .as("_kept"))
+    df.select(col(idCol), toks.as("_toks"))
+      .join(perDoc, idCol)
+      .select(col(idCol), col("n_segments"), col("n_removed"),
+        md5(array_join(flatten(transform(col("_kept"),
+          i => slice(col("_toks"), i * segmentTokens + 1, lit(segmentTokens)))), " "))
+          .as("clean_md5"))
+  }
+
   /** PII patterns kept to constructs with identical semantics in Java regex
     * and RE2 (no backtracking-order dependence): a literal email shape and
     * plain 7+-digit runs. */

@@ -30,6 +30,30 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got.count(_.getLong(0) == 3L) == 1)
   }
 
+  test("removeBoilerplate drops cross-doc repeated segments and reassembles the rest") {
+    import spark.implicits._
+    // 4-token segments; "the same footer line" appears in docs 1,2,3
+    val footer = "the same footer line"
+    val df = Seq(
+      (1L, s"alpha beta gamma delta $footer"),
+      (2L, s"epsilon zeta eta theta $footer"),
+      (3L, footer),
+      (4L, "iota kappa lambda mu nu xi")).toDF("doc_id", "text")
+    val got = TextAnalysis.removeBoilerplate(df, "doc_id", "text",
+        segmentTokens = 4, minDocs = 2)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L) == ((2, 1, m("alpha beta gamma delta"))))
+    assert(got(2L) == ((2, 1, m("epsilon zeta eta theta"))))
+    // a doc that is ONLY boilerplate still emits a row, with empty survivors
+    assert(got(3L) == ((1, 1, m(""))))
+    // no cross-doc repeats -> nothing removed, text intact (normalized)
+    assert(got(4L) == ((2, 0, m("iota kappa lambda mu nu xi"))))
+  }
+
   test("repetitionSignals: duplicate n-gram ratio, short-doc and degenerate edges") {
     import spark.implicits._
     val df = Seq(
