@@ -720,6 +720,13 @@ object SparkEntry {
         .orderBy(col("id_l"), col("rank"))
     },
 
+    // ---- Similarity: BM25 keyword retrieval (lexical complement to ANN;
+    // rational idf, one corpus scan + one broadcast stats row) ----
+    "s09_bm25_search" -> { (s, dir) =>
+      TfIdf.bm25Search(Tables.documents(s, dir), "doc_id", "text",
+        queryTerms = Seq("spark", "window", "merge"), k = 20)
+    },
+
     // ---- Multimodal: binary asset stats (size / hash / magic sniff) ----
     "m01_binary_stats" -> { (s, dir) =>
       Multimodal.binaryStats(syntheticAssets(s, dir), "doc_id", "payload")
@@ -1593,6 +1600,40 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY id_l ORDER BY cosine DESC, id_r) AS INTEGER) AS rank
            FROM scored QUALIFY rank <= 3)
          SELECT id_l, rank, id_r, cosine FROM top ORDER BY id_l, rank""",
+
+    "s09_bm25_search" ->
+      """WITH tk AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> length(t) >= 3) AS tk
+           FROM documents),
+         base AS (SELECT doc_id, len(tk) AS dl,
+             len(list_filter(tk, x -> x = 'spark')) AS tf0,
+             len(list_filter(tk, x -> x = 'window')) AS tf1,
+             len(list_filter(tk, x -> x = 'merge')) AS tf2
+           FROM tk),
+         stats AS (SELECT count(*) AS n, sum(dl) AS sumdl,
+             sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+             sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+             sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+           FROM base),
+         scored AS (SELECT doc_id, round(
+             (CASE WHEN tf0 > 0 THEN
+               ((CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5))
+               * (CAST(tf0 AS DOUBLE) * (1.2 + 1.0))
+               / (CAST(tf0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+                  / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))) ELSE 0.0 END)
+             + (CASE WHEN tf1 > 0 THEN
+               ((CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+               * (CAST(tf1 AS DOUBLE) * (1.2 + 1.0))
+               / (CAST(tf1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+                  / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))) ELSE 0.0 END)
+             + (CASE WHEN tf2 > 0 THEN
+               ((CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+               * (CAST(tf2 AS DOUBLE) * (1.2 + 1.0))
+               / (CAST(tf2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+                  / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))) ELSE 0.0 END), 6) AS score
+           FROM base CROSS JOIN stats)
+         SELECT doc_id, score FROM scored WHERE score > 0
+         ORDER BY score DESC, doc_id LIMIT 20""",
 
     "d04_simhash" ->
       """WITH toks AS (

@@ -50,6 +50,66 @@ object TfIdf {
       .limit(topV)
   }
 
+  /** BM25 keyword retrieval — score every document against a small literal
+    * query-term list and return the top-k, the lexical-search complement to
+    * the ANN entry points ([[graft.operators.Similarity]]): hybrid corpus
+    * search, eval-set mining, targeted corpus audits.
+    *
+    * score(d) = sum over query terms t of
+    *   idf_r(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    * with the RATIONAL idf (N - df + 0.5)/(df + 0.5) — the classical
+    * log-idf's argument, monotone in it per term, and free of libm (the
+    * same engine-exactness stance as [[topTerms]]). All doubles come from
+    * one fixed expression tree (per-term scores summed in query order, no
+    * aggregate over terms), so any engine reproduces the ranking bit for
+    * bit.
+    *
+    * Scale design: ONE corpus scan — tf per query term is a row-local
+    * lookup into the fused [[graft.Functions.term_counts]] kernel's
+    * pre-counted output (no token explode, no per-term shuffle); the corpus
+    * stats (N, sum dl, per-term df) are one global aggregate broadcast back
+    * as a single row; the top-k cut is a TakeOrdered. Query terms are a
+    * literal list (searches are a handful of terms), never a data-scale
+    * side. */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+                 queryTerms: Seq[String], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75,
+                 minTokenLen: Int = 3): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Search: queryTerms must be non-empty")
+    require(k >= 1, s"bm25Search: k must be >= 1, got $k")
+    val terms = queryTerms.map(_.toLowerCase)
+    // one kernel pass: dl (kept-token count) + tf per query term, row-local
+    val base = docs
+      .select(col(idCol), term_counts(col(textCol), minTokenLen).as("_tc"))
+      .select(col(idCol) +: col("_tc.n_tokens").as("_dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          coalesce(
+            try_element_at(filter(col("_tc.terms"),
+              x => x.getField("term") === lit(t)), lit(1)).getField("cnt"),
+            lit(0)).as(s"_tf$i")
+        }: _*)
+      .localCheckpoint(false) // feeds the stats aggregate AND the scoring leg
+    val aggCols = Seq(count(lit(1)).as("_n"), sum(col("_dl").cast("long")).as("_sumdl")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"_tf$i") > 0, 1L).otherwise(0L)).as(s"_df$i"))
+    val stats = base.agg(aggCols.head, aggCols.tail: _*)
+    val avgdl = col("_sumdl").cast("double") / col("_n").cast("double")
+    val score = terms.indices.map { i =>
+      val tf = col(s"_tf$i").cast("double")
+      val df = col(s"_df$i").cast("double")
+      val idf = (col("_n").cast("double") - df + lit(0.5)) / (df + lit(0.5))
+      val num = tf * (lit(k1) + lit(1.0))
+      val den = tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("_dl").cast("double") / avgdl)
+      when(col(s"_tf$i") > 0, idf * num / den).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .withColumn("score", round(score, 6))
+      .filter(col("score") > 0)
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Top-k terms per document by TF-IDF. Output: (id, rank, term, n, score)
     * with rank 1-based by (score DESC, term ASC). Tokens are lowercased;
     * `minTokenLen` drops punctuation-ish short tokens from the vocabulary.

@@ -169,6 +169,30 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(top == Map(1L -> "zebra", 2L -> "yak", 3L -> "xenon"))
   }
 
+  test("bm25Search ranks by the documented rational-BM25 formula, zero-score docs excluded") {
+    val docs = Seq(
+      (1L, "spark spark window engine"),
+      (2L, "window query planner"),
+      (3L, "other words here entirely")).toDF("doc_id", "text")
+    val got = TfIdf.bm25Search(docs, "doc_id", "text",
+        queryTerms = Seq("spark", "window"), k = 10)
+      .as[(Long, Double)].collect().toSeq
+    // hand replay with the same expression tree: N=3, sumdl=11, avgdl=11/3
+    def term(tf: Double, df: Double, dl: Double): Double =
+      if (tf == 0) 0.0
+      else ((3.0 - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) /
+        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (11.0 / 3.0)))
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = Seq(
+      1L -> r6(term(2, 1, 4) + term(1, 2, 4)),
+      2L -> r6(term(0, 1, 3) + term(1, 2, 3)))
+      .sortBy { case (id, s) => (-s, id) }
+    assert(got == expect)
+    // doc 3 holds no query term: excluded, not scored 0
+    assert(!got.exists(_._1 == 3L))
+  }
+
   test("score ties break alphabetically on the term (string tie through the heap)") {
     val docs = Seq((1L, "bbb aaa ccc")).toDF("doc_id", "text")
     // all three terms: tf equal, df equal -> equal scores
