@@ -494,6 +494,21 @@ object SparkEntry {
         .orderBy(col("c_custkey"), col("valid_from"))
     },
 
+    // ---- CDC changelog derivation: diff two keyed snapshots into the
+    // I/U/D change set (inverse of the q37 keyed upsert) ----
+    "q44_snapshot_diff" -> { (s, dir) =>
+      val cust = Tables.customer(s, dir)
+      val oldSnap = cust.filter(pmod(col("c_custkey"), lit(7)) =!= 0)
+        .select(col("c_custkey"), floor(col("c_acctbal")).cast("long").as("bal"),
+          col("c_mktsegment").as("seg"))
+      val newSnap = cust.filter(pmod(col("c_custkey"), lit(5)) =!= 0)
+        .select(col("c_custkey"),
+          (floor(col("c_acctbal")).cast("long") + pmod(col("c_custkey"), lit(3))).as("bal"),
+          col("c_mktsegment").as("seg"))
+      Upsert.snapshotDiff(oldSnap, newSnap, Seq("c_custkey"), Seq("bal", "seg"))
+        .orderBy(col("c_custkey"))
+    },
+
     // ---- Per-group top-k via the bounded-heap aggregate (k rows per
     // group per partition cross the shuffle — never a full window sort) ----
     "q31_topk_per_group" -> { (s, dir) =>
@@ -1600,6 +1615,21 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY id_l ORDER BY cosine DESC, id_r) AS INTEGER) AS rank
            FROM scored QUALIFY rank <= 3)
          SELECT id_l, rank, id_r, cosine FROM top ORDER BY id_l, rank""",
+
+    "q44_snapshot_diff" ->
+      """WITH o AS (SELECT c_custkey, CAST(floor(c_acctbal) AS BIGINT) AS bal, c_mktsegment AS seg
+               FROM customer WHERE c_custkey % 7 <> 0),
+         n AS (SELECT c_custkey, CAST(floor(c_acctbal) AS BIGINT) + c_custkey % 3 AS bal, c_mktsegment AS seg
+               FROM customer WHERE c_custkey % 5 <> 0),
+         j AS (
+           SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+             CASE WHEN o.c_custkey IS NULL THEN 'I'
+                  WHEN n.c_custkey IS NULL THEN 'D'
+                  WHEN (o.bal IS DISTINCT FROM n.bal) OR (o.seg IS DISTINCT FROM n.seg) THEN 'U'
+             END AS op,
+             o.bal AS bal_old, n.bal AS bal_new, o.seg AS seg_old, n.seg AS seg_new
+           FROM o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey)
+         SELECT * FROM j WHERE op IS NOT NULL ORDER BY c_custkey""",
 
     "s09_bm25_search" ->
       """WITH tk AS (SELECT doc_id,

@@ -40,4 +40,43 @@ object Upsert {
     * `existing` row whose key appears in `ids`. */
   def delete(existing: DataFrame, ids: DataFrame, idCol: String): DataFrame =
     existing.join(ids.select(col(idCol)), Seq(idCol), "left_anti")
+
+  /** CDC changelog derivation — the inverse of [[upsert]]: diff two keyed
+    * snapshots and emit the row-level change set that turns `oldDf` into
+    * `newDf`. The reference consumes per-row mutations; a warehouse only
+    * holds the before/after snapshots, so deriving inserts/updates/deletes
+    * FROM snapshots is how its mutation stream is reconstructed (and how
+    * incremental downstream rebuilds avoid full recomputes).
+    *
+    * op per key: 'I' (key only in `newDf`), 'D' (key only in `oldDf`),
+    * 'U' (key in both, any tracked column differs null-safely). Unchanged
+    * keys emit nothing — the changelog is |changes|-sized, not
+    * snapshot-sized. Output: keyCols, op, then <c>_old and <c>_new for each
+    * tracked column. Keys must be unique per snapshot (primary-key
+    * semantics, same contract as [[upsert]]'s fresh side).
+    *
+    * Scale design: ONE full-outer hash join on the key — both snapshots
+    * shuffle once; with both sides bucketed on the key
+    * ([[Bucketing.writeBucketed]]) the join is exchange-free. Change
+    * detection is a row-local null-safe compare; nothing driver-side. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   keyCols: Seq[String], compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff: need at least one key column")
+    require(compareCols.nonEmpty, "snapshotDiff: need at least one tracked column")
+    val o = oldDf.select(keyCols.map(col) ++
+      compareCols.map(c => col(c).as(s"${c}_old")) :+ lit(true).as("_in_old"): _*)
+    val n = newDf.select(keyCols.map(col) ++
+      compareCols.map(c => col(c).as(s"${c}_new")) :+ lit(true).as("_in_new"): _*)
+    val changed = compareCols
+      .map(c => !(col(s"${c}_old") <=> col(s"${c}_new")))
+      .reduce(_ || _)
+    o.join(n, keyCols, "full_outer")
+      .withColumn("op",
+        when(col("_in_old").isNull, lit("I"))
+          .when(col("_in_new").isNull, lit("D"))
+          .when(changed, lit("U")))
+      .filter(col("op").isNotNull)
+      .select(keyCols.map(col) ++ (col("op") +:
+        compareCols.flatMap(c => Seq(col(s"${c}_old"), col(s"${c}_new")))): _*)
+  }
 }

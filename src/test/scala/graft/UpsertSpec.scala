@@ -48,6 +48,31 @@ class UpsertSpec extends SparkTestBase {
     assert(out.select("id").as[String].collect().sorted.toSeq == Seq("1", "3"))
   }
 
+  test("snapshotDiff classifies I/U/D, skips unchanged, and null-safely compares") {
+    val oldDf = Seq(
+      ("1", Some(10.0), "a"),   // unchanged
+      ("2", Some(20.0), "b"),   // value update
+      ("3", None, "c"),         // null -> value update
+      ("4", Some(40.0), "d"))   // deleted
+      .toDF("id", "bal", "note")
+    val newDf = Seq(
+      ("1", Some(10.0), "a"),
+      ("2", Some(25.0), "b"),
+      ("3", Some(30.0), "c"),
+      ("5", Some(50.0), "e"))   // inserted
+      .toDF("id", "bal", "note")
+    val got = Upsert.snapshotDiff(oldDf, newDf, Seq("id"), Seq("bal", "note"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("2" -> "U", "3" -> "U", "4" -> "D", "5" -> "I"))
+    // round trip: applying the changelog to old reproduces new exactly
+    val diff = Upsert.snapshotDiff(oldDf, newDf, Seq("id"), Seq("bal", "note"))
+    val deletions = diff.filter(col("op") === "D").select("id")
+    val freshRows = diff.filter(col("op").isin("I", "U"))
+      .select(col("id"), col("bal_new").as("bal"), col("note_new").as("note"))
+    val rebuilt = Upsert.upsert(Upsert.delete(oldDf, deletions, "id"), freshRows, "id")
+    assert(rebuilt.collect().map(_.toSeq).toSet == newDf.collect().map(_.toSeq).toSet)
+  }
+
   test("upsert plan has no cartesian / nested loop (anti join stays keyed)") {
     val existing = spark.range(1000).select(col("id"), (col("id") * 2).as("v"))
     val fresh = spark.range(100).select((col("id") * 10).as("id"), lit(-1L).as("v"))
