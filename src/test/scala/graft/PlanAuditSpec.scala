@@ -18,13 +18,19 @@ class PlanAuditSpec extends SparkTestBase {
     "q12_page_with_count", "q28_account_history", "s01_cosine_topk", "s03_ivf_ann",
     "s04_ivf_train", "s06_ivfpq_ann", "t16_tfidf_terms", "m05_asset_ann",
     "t19_source_mix", // one-row min-scale frame attached to the stratum dim
-    "q41_bloom_join") // one-row bloom bitset broadcast to the fact scan
+    "q41_bloom_join", // one-row bloom bitset broadcast to the fact scan
+    "s09_bm25_search") // one-row corpus-stats frame (N, sumdl, dfs) attach
   /** q32: the intentionally exchange-free bucketed join. t07/t18/d09: the
     * corpus anti-join against the near-dup drop set — both sides data-scale-
     * unknown, so SMJ is the correct static plan (AQE downgrades it to a
-    * broadcast join at runtime when the drop set measures small). */
+    * broadcast join at runtime when the drop set measures small). q44: a
+    * full-outer join of two snapshots — neither side can broadcast under
+    * full-outer semantics, so SMJ is the only correct shape. d11: the
+    * keep-flag left join against the dropped-id set (data-scale-unknown,
+    * same AQE-downgrade posture as the anti joins). */
   private val sortMergeOk = Set("q32_bucketed_join", "t07_corpus_pipeline",
-    "t18_export_packing", "d09_incremental_dedup")
+    "t18_export_packing", "d09_incremental_dedup", "q44_snapshot_diff",
+    "d11_semantic_dedup")
 
   test("no entry plans a cartesian; NLJ/SMJ only on the allowlists") {
     val violations = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
