@@ -509,6 +509,25 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     },
 
+    // ---- Incremental view maintenance: the q44 changelog applied to the
+    // old aggregate must equal recomputing over the new snapshot — the
+    // oracle IS the direct recompute ----
+    "q45_incremental_agg" -> { (s, dir) =>
+      val cust = Tables.customer(s, dir)
+      val oldSnap = cust.filter(pmod(col("c_custkey"), lit(7)) =!= 0)
+        .select(col("c_custkey"), floor(col("c_acctbal")).cast("long").as("bal"),
+          col("c_mktsegment").as("seg"))
+      val newSnap = cust.filter(pmod(col("c_custkey"), lit(5)) =!= 0)
+        .select(col("c_custkey"),
+          (floor(col("c_acctbal")).cast("long") + pmod(col("c_custkey"), lit(3))).as("bal"),
+          col("c_mktsegment").as("seg"))
+      val oldAgg = oldSnap.groupBy("seg")
+        .agg(count(lit(1)).as("cnt"), sum("bal").as("bal"))
+      val diff = Upsert.snapshotDiff(oldSnap, newSnap, Seq("c_custkey"), Seq("seg", "bal"))
+      IncrementalAgg.refresh(oldAgg, diff, Seq("seg"), Seq("bal"))
+        .orderBy(col("seg"))
+    },
+
     // ---- Per-group top-k via the bounded-heap aggregate (k rows per
     // group per partition cross the shuffle — never a full window sort) ----
     "q31_topk_per_group" -> { (s, dir) =>
@@ -1615,6 +1634,12 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY id_l ORDER BY cosine DESC, id_r) AS INTEGER) AS rank
            FROM scored QUALIFY rank <= 3)
          SELECT id_l, rank, id_r, cosine FROM top ORDER BY id_l, rank""",
+
+    "q45_incremental_agg" ->
+      """WITH n AS (SELECT c_custkey, CAST(floor(c_acctbal) AS BIGINT) + c_custkey % 3 AS bal, c_mktsegment AS seg
+               FROM customer WHERE c_custkey % 5 <> 0)
+         SELECT seg, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(bal) AS BIGINT) AS bal
+         FROM n GROUP BY seg ORDER BY seg""",
 
     "q44_snapshot_diff" ->
       """WITH o AS (SELECT c_custkey, CAST(floor(c_acctbal) AS BIGINT) AS bal, c_mktsegment AS seg

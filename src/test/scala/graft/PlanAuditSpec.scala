@@ -27,10 +27,12 @@ class PlanAuditSpec extends SparkTestBase {
     * full-outer join of two snapshots — neither side can broadcast under
     * full-outer semantics, so SMJ is the only correct shape. d11: the
     * keep-flag left join against the dropped-id set (data-scale-unknown,
-    * same AQE-downgrade posture as the anti joins). */
+    * same AQE-downgrade posture as the anti joins). q45: contains q44's
+    * full-outer diff plus the aggregate-merge full-outer (group-cardinality
+    * sized — AQE downgrades at runtime). */
   private val sortMergeOk = Set("q32_bucketed_join", "t07_corpus_pipeline",
     "t18_export_packing", "d09_incremental_dedup", "q44_snapshot_diff",
-    "d11_semantic_dedup")
+    "d11_semantic_dedup", "q45_incremental_agg")
 
   test("no entry plans a cartesian; NLJ/SMJ only on the allowlists") {
     val violations = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
