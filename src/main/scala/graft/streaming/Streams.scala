@@ -196,6 +196,59 @@ object Streams {
           .write.mode("append").parquet(corpusPath)
     }
 
+  /** Sink-side incremental view maintenance for `foreachBatch` — the
+    * streaming twin of [[graft.operators.IncrementalAgg]]: each micro-batch
+    * of CDC changelog rows ([[graft.operators.Upsert.snapshotDiff]] schema:
+    * op + <c>_old/<c>_new) is applied as signed deltas to the materialized
+    * aggregate at `aggPath`. Unlike the upsert twin, delta application is
+    * NOT naturally idempotent (re-applying a batch double-counts), so the
+    * last applied batch id is recorded at `controlPath` AFTER a successful
+    * publish and replayed batches are skipped — the standard
+    * transactional-sink pattern for at-least-once delivery. */
+  def foreachBatchAggRefresh(aggPath: String, controlPath: String,
+                             groupCols: Seq[String], sumCols: Seq[String])
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      if (batchId > lastAppliedBatch(spark, controlPath)) {
+        val existing =
+          if (!IncrementalMerge.pathExists(spark, aggPath))
+            // bootstrap: an empty aggregate typed from the changelog's
+            // _new columns (group/sum types) + a long count
+            batch.select(groupCols.map(c => col(s"${c}_new").as(c)) ++
+              (lit(0L).as("cnt") +: sumCols.map(c => col(s"${c}_new").as(c))): _*)
+              .limit(0)
+          else spark.read.parquet(aggPath)
+        val refreshed = graft.operators.IncrementalAgg.refresh(
+          existing, batch, groupCols, sumCols)
+        refreshed.write.mode("overwrite").parquet(aggPath + "_next")
+        spark.read.parquet(aggPath + "_next").write.mode("overwrite").parquet(aggPath)
+        recordAppliedBatch(spark, controlPath, batchId)
+      }
+    }
+
+  /** Last batch id recorded at `path`, -1 when none. Hadoop-FS probed so
+    * non-local URIs (hdfs://, s3a://) answer truthfully. */
+  private def lastAppliedBatch(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def recordAppliedBatch(spark: SparkSession, path: String, id: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Sink-side correct-by-reload for `foreachBatch`: each micro-batch runs
     * the reference's watermark merge against the target table (strict `<`
     * keep, window replace) and advances the control watermark only after a

@@ -226,6 +226,44 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("foreachBatchAggRefresh maintains the aggregate and skips replayed batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivm").toString
+    val agg = s"$dir/agg"
+    val ctl = s"$dir/ctl"
+    val in = MemoryStream[(String, Option[String], Option[String], Option[Long], Option[Long])]
+    val fn = Streams.foreachBatchAggRefresh(agg, ctl, Seq("seg"), Seq("bal"))
+    val q = in.toDF().toDF("op", "seg_old", "seg_new", "bal_old", "bal_new")
+      .writeStream.foreachBatch(fn).start()
+    def state() = spark.read.parquet(agg).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    try {
+      // batch 0: three inserts
+      in.addData(
+        ("I", None, Some("A"), None, Some(10L)),
+        ("I", None, Some("A"), None, Some(20L)),
+        ("I", None, Some("B"), None, Some(30L)))
+      q.processAllAvailable()
+      assert(state() == Map("A" -> (2L, 30L), "B" -> (1L, 30L)))
+      // batch 1: value update in A, group move B -> A, delete from A
+      in.addData(
+        ("U", Some("A"), Some("A"), Some(10L), Some(15L)),
+        ("U", Some("B"), Some("A"), Some(30L), Some(30L)),
+        ("D", Some("A"), None, Some(20L), None))
+      q.processAllAvailable()
+      assert(state() == Map("A" -> (2L, 45L))) // B died at count 0
+      // a replayed batch id must be a no-op (at-least-once delivery)
+      val replay = Seq(("I", Option.empty[String], Some("Z"),
+        Option.empty[Long], Some(99L)))
+        .toDF("op", "seg_old", "seg_new", "bal_old", "bal_new")
+      fn(replay, 1L)
+      assert(state() == Map("A" -> (2L, 45L)))
+      // a NEW batch id applies
+      fn(replay, 2L)
+      assert(state() == Map("A" -> (2L, 45L), "Z" -> (1L, 99L)))
+    } finally q.stop()
+  }
+
   test("foreachBatchIncrementalDedup: corpus grows dedup-free across batches") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_incdedup").toString
