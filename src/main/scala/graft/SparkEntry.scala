@@ -451,6 +451,12 @@ object SparkEntry {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_date"))
     },
 
+    // ---- Equi-width histogram (optimizer statistics / drift detection):
+    // one tiny (min,max) aggregate broadcast back, one bounded groupBy ----
+    "q46_histogram" -> { (s, dir) =>
+      Profile.histogram(Tables.orders(s, dir), "o_totalprice", bins = 20)
+    },
+
     // ---- Z-order (Morton) clustering key: bit-interleave two bucketed
     // dimensions so range-partitioned output files cover small hyper-
     // rectangles — parquet min/max stats then prune scans filtered on
@@ -1634,6 +1640,18 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY id_l ORDER BY cosine DESC, id_r) AS INTEGER) AS rank
            FROM scored QUALIFY rank <= 3)
          SELECT id_l, rank, id_r, cosine FROM top ORDER BY id_l, rank""",
+
+    "q46_histogram" ->
+      """WITH s AS (SELECT min(CAST(o_totalprice AS DOUBLE)) AS mn,
+                max(CAST(o_totalprice AS DOUBLE)) AS mx
+           FROM orders WHERE o_totalprice IS NOT NULL),
+         b AS (SELECT CASE WHEN (mx - mn) / 20 = 0 THEN 0
+                 ELSE CAST(least(floor((CAST(o_totalprice AS DOUBLE) - mn) / ((mx - mn) / 20)), 19) AS INTEGER)
+               END AS bin, mn, (mx - mn) / 20 AS w
+           FROM orders CROSS JOIN s WHERE o_totalprice IS NOT NULL)
+         SELECT bin, mn + bin * w AS bin_lo, mn + (bin + 1) * w AS bin_hi,
+                CAST(count(*) AS BIGINT) AS n
+         FROM b GROUP BY bin, mn, w ORDER BY bin""",
 
     "q45_incremental_agg" ->
       """WITH n AS (SELECT c_custkey, CAST(floor(c_acctbal) AS BIGINT) + c_custkey % 3 AS bal, c_mktsegment AS seg

@@ -38,4 +38,37 @@ object Profile {
       col(s"__max_$c").as("max_value"))): _*)
     one.select(explode(rows).as("_s")).select(col("_s.*")).orderBy(col("column"))
   }
+
+  /** Equi-width histogram of a numeric column — the optimizer-statistics
+    * companion to [[profile]] (selectivity estimation, skew detection, data
+    * drift checks). `bins` buckets of width (max-min)/bins over the observed
+    * range; values land in floor((v-min)/width), the max value closes into
+    * the last bin, NULLs are excluded, and a constant column (width 0)
+    * collapses into bin 0. Only OCCUPIED bins are emitted — at 100 TB the
+    * output is at most `bins` rows either way, but empty-range scans emit
+    * nothing rather than fabricating zero rows.
+    *
+    * Scale design: one tiny global (min, max) aggregate broadcast back as a
+    * one-row frame, then one map-side-combined groupBy over at most `bins`
+    * keys — two passes over a pushed-down single-column scan, nothing
+    * driver-side. Bin edges are derived from the same broadcast doubles, so
+    * every engine computes identical boundaries. */
+  def histogram(df: DataFrame, column: String, bins: Int): DataFrame = {
+    require(bins >= 1, s"histogram: bins must be >= 1, got $bins")
+    val v = col(column).cast("double")
+    val stats = df.filter(v.isNotNull)
+      .agg(min(v).as("_min"), max(v).as("_max"))
+    val width = (col("_max") - col("_min")) / bins
+    val bin = when(width === 0.0, lit(0))
+      .otherwise(least(floor((v - col("_min")) / width), lit(bins - 1)).cast("int"))
+    df.filter(v.isNotNull)
+      .crossJoin(broadcast(stats))
+      .groupBy(bin.as("bin"), col("_min"), width.as("_w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        (col("_min") + col("bin") * col("_w")).as("bin_lo"),
+        (col("_min") + (col("bin") + 1) * col("_w")).as("bin_hi"),
+        col("n"))
+      .orderBy(col("bin"))
+  }
 }

@@ -19,7 +19,8 @@ class PlanAuditSpec extends SparkTestBase {
     "s04_ivf_train", "s06_ivfpq_ann", "t16_tfidf_terms", "m05_asset_ann",
     "t19_source_mix", // one-row min-scale frame attached to the stratum dim
     "q41_bloom_join", // one-row bloom bitset broadcast to the fact scan
-    "s09_bm25_search") // one-row corpus-stats frame (N, sumdl, dfs) attach
+    "s09_bm25_search", // one-row corpus-stats frame (N, sumdl, dfs) attach
+    "q46_histogram") // one-row (min, max) range frame attach
   /** q32: the intentionally exchange-free bucketed join. t07/t18/d09: the
     * corpus anti-join against the near-dup drop set — both sides data-scale-
     * unknown, so SMJ is the correct static plan (AQE downgrades it to a

@@ -29,4 +29,25 @@ class ProfileSpec extends SparkTestBase {
   test("profile requires at least one column") {
     intercept[IllegalArgumentException] { Profile.profile(spark.range(1).toDF(), Nil) }
   }
+
+  test("histogram: equi-width bins, max closes into the last bin, nulls excluded") {
+    val df = Seq(Some(0.0), Some(1.0), Some(2.5), Some(9.9), Some(10.0), None)
+      .toDF("v")
+    val got = Profile.histogram(df, "v", bins = 5)
+      .as[(Int, Double, Double, Long)].collect().toSeq
+    // range [0,10], width 2: 0,1 -> bin 0; 2.5 -> bin 1; 9.9, 10.0 -> bin 4
+    assert(got == Seq((0, 0.0, 2.0, 2L), (1, 2.0, 4.0, 1L), (4, 8.0, 10.0, 2L)))
+  }
+
+  test("histogram of a constant column collapses into bin 0") {
+    val df = Seq(7.0, 7.0, 7.0).toDF("v")
+    val got = Profile.histogram(df, "v", bins = 4)
+      .as[(Int, Double, Double, Long)].collect().toSeq
+    assert(got == Seq((0, 7.0, 7.0, 3L)))
+  }
+
+  test("histogram of an all-null or empty column emits nothing") {
+    val df = Seq.empty[Option[Double]].toDF("v")
+    assert(Profile.histogram(df, "v", bins = 3).isEmpty)
+  }
 }
