@@ -515,6 +515,39 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     },
 
+    // ---- Changelog inversion (rollback): invert(diff(old, new)) must
+    // equal diff(new, old) — the oracle computes the right-hand side ----
+    "q47_changelog_invert" -> { (s, dir) =>
+      val cust = Tables.customer(s, dir)
+      val oldSnap = cust.filter(pmod(col("c_custkey"), lit(7)) =!= 0)
+        .select(col("c_custkey"), floor(col("c_acctbal")).cast("long").as("bal"),
+          col("c_mktsegment").as("seg"))
+      val newSnap = cust.filter(pmod(col("c_custkey"), lit(5)) =!= 0)
+        .select(col("c_custkey"),
+          (floor(col("c_acctbal")).cast("long") + pmod(col("c_custkey"), lit(3))).as("bal"),
+          col("c_mktsegment").as("seg"))
+      Upsert.invertChangelog(
+          Upsert.snapshotDiff(oldSnap, newSnap, Seq("c_custkey"), Seq("bal", "seg")),
+          Seq("bal", "seg"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ---- SCD2 point-in-time lookup: the version of every entity valid at
+    // the probe date (feature-store / audit read over the q40 history) ----
+    "q48_scd2_asof" -> { (s, dir) =>
+      val series = transform(sequence(lit(0), lit(30)), d =>
+        col("c_acctbal") + d.cast("double") * pmod(col("c_custkey"), lit(7)).cast("double") * 0.25)
+      val hist = EntityScans.explodeSeries(
+          Tables.customer(s, dir).select(col("c_custkey"), series.as("recent_balances")),
+          "c_custkey", "recent_balances", "1998-01-01")
+        .select(col("c_custkey"), col("date"),
+          floor(col("balance") / 25).cast("long").as("bal_bucket"))
+      Windows.scd2AsOf(
+          Windows.scd2Compress(hist, Seq("c_custkey"), "date", Seq("bal_bucket")),
+          to_date(lit("1998-01-15")))
+        .orderBy(col("c_custkey"))
+    },
+
     // ---- Incremental view maintenance: the q44 changelog applied to the
     // old aggregate must equal recomputing over the new snapshot — the
     // oracle IS the direct recompute ----
@@ -1640,6 +1673,41 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY id_l ORDER BY cosine DESC, id_r) AS INTEGER) AS rank
            FROM scored QUALIFY rank <= 3)
          SELECT id_l, rank, id_r, cosine FROM top ORDER BY id_l, rank""",
+
+    "q47_changelog_invert" ->
+      """WITH o AS (SELECT c_custkey, CAST(floor(c_acctbal) AS BIGINT) AS bal, c_mktsegment AS seg
+               FROM customer WHERE c_custkey % 7 <> 0),
+         n AS (SELECT c_custkey, CAST(floor(c_acctbal) AS BIGINT) + c_custkey % 3 AS bal, c_mktsegment AS seg
+               FROM customer WHERE c_custkey % 5 <> 0),
+         j AS (
+           SELECT coalesce(n.c_custkey, o.c_custkey) AS c_custkey,
+             CASE WHEN n.c_custkey IS NULL THEN 'I'
+                  WHEN o.c_custkey IS NULL THEN 'D'
+                  WHEN (n.bal IS DISTINCT FROM o.bal) OR (n.seg IS DISTINCT FROM o.seg) THEN 'U'
+             END AS op,
+             n.bal AS bal_old, o.bal AS bal_new, n.seg AS seg_old, o.seg AS seg_new
+           FROM n FULL OUTER JOIN o ON n.c_custkey = o.c_custkey)
+         SELECT * FROM j WHERE op IS NOT NULL ORDER BY c_custkey""",
+
+    "q48_scd2_asof" ->
+      """WITH h AS (
+           SELECT c_custkey, DATE '1998-01-01' + CAST(d AS INTEGER) AS dt,
+                  CAST(floor((c_acctbal + d * (c_custkey % 7) * 0.25) / 25) AS BIGINT) AS bal_bucket
+           FROM customer CROSS JOIN range(0, 31) t(d)),
+         chg AS (
+           SELECT c_custkey, dt, bal_bucket,
+                  (bal_bucket IS DISTINCT FROM lag(bal_bucket) OVER w)
+                    OR (lag(dt) OVER w IS NULL) AS is_chg
+           FROM h WINDOW w AS (PARTITION BY c_custkey ORDER BY dt)),
+         pts AS (SELECT c_custkey, dt, bal_bucket FROM chg WHERE is_chg),
+         scd AS (
+           SELECT c_custkey, bal_bucket, dt AS valid_from,
+                  lead(dt) OVER (PARTITION BY c_custkey ORDER BY dt) AS valid_to
+           FROM pts)
+         SELECT * FROM scd
+         WHERE valid_from <= DATE '1998-01-15'
+           AND (valid_to IS NULL OR DATE '1998-01-15' < valid_to)
+         ORDER BY c_custkey""",
 
     "q46_histogram" ->
       """WITH s AS (SELECT min(CAST(o_totalprice AS DOUBLE)) AS mn,

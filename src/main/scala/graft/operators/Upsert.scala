@@ -79,4 +79,23 @@ object Upsert {
       .select(keyCols.map(col) ++ (col("op") +:
         compareCols.flatMap(c => Seq(col(s"${c}_old"), col(s"${c}_new")))): _*)
   }
+
+  /** Invert a [[snapshotDiff]] changelog: swap every <c>_old/<c>_new pair
+    * and flip I<->D ('U' stays 'U' with its sides swapped). Applying the
+    * inverse rolls the new snapshot back to the old one — the rollback /
+    * undo path of CDC — and algebraically
+    * invertChangelog(snapshotDiff(a, b)) == snapshotDiff(b, a), which is
+    * exactly what the oracle checks. Row-local projection, no shuffle. */
+  def invertChangelog(changelog: DataFrame, compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "invertChangelog: need at least one tracked column")
+    val swapped = compareCols.flatMap(c => Seq(s"${c}_old", s"${c}_new")).toSet + "op"
+    val keyCols = changelog.columns.filterNot(swapped)
+    changelog.select(keyCols.map(col) ++
+      (when(col("op") === "I", lit("D"))
+        .when(col("op") === "D", lit("I"))
+        .otherwise(col("op")).as("op") +:
+        compareCols.flatMap(c => Seq(
+          col(s"${c}_new").as(s"${c}_old"),
+          col(s"${c}_old").as(s"${c}_new")))): _*)
+  }
 }

@@ -83,6 +83,18 @@ object Windows {
         :+ col(fromAs) :+ col(toAs)): _*)
   }
 
+  /** Point-in-time (as-of) lookup over an [[scd2Compress]] history: the
+    * version of every entity that was valid at `at` — the feature-store /
+    * audit query SCD2 histories exist to answer (train-time features must
+    * come from the version current AT the label's timestamp, never a later
+    * one). Row-local filter on [valid_from, valid_to): entities born after
+    * `at` drop out, the open current version (NULL valid_to) matches any
+    * later `at`. With the history partitioned/Z-ordered on the validity
+    * columns ([[Layout]]), the filter prunes at the scan. */
+  def scd2AsOf(hist: DataFrame, at: Column,
+               fromCol: String = "valid_from", toCol: String = "valid_to"): DataFrame =
+    hist.filter(col(fromCol) <= at && (col(toCol).isNull || at < col(toCol)))
+
   /** A7 via partial aggregation + broadcast join — the scale-preferred form
     * when the group key is dim-like (merchants, categories): the window
     * variant repartitions AND sorts the full fact table by the key, while

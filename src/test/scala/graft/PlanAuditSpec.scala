@@ -33,7 +33,8 @@ class PlanAuditSpec extends SparkTestBase {
     * sized — AQE downgrades at runtime). */
   private val sortMergeOk = Set("q32_bucketed_join", "t07_corpus_pipeline",
     "t18_export_packing", "d09_incremental_dedup", "q44_snapshot_diff",
-    "d11_semantic_dedup", "q45_incremental_agg")
+    "d11_semantic_dedup", "q45_incremental_agg",
+    "q47_changelog_invert") // contains q44's full-outer snapshot diff
 
   test("no entry plans a cartesian; NLJ/SMJ only on the allowlists") {
     val violations = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>

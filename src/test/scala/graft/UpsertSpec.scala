@@ -73,6 +73,24 @@ class UpsertSpec extends SparkTestBase {
     assert(rebuilt.collect().map(_.toSeq).toSet == newDf.collect().map(_.toSeq).toSet)
   }
 
+  test("invertChangelog rolls the new snapshot back and equals diff(new, old)") {
+    val oldDf = Seq(("1", Some(10.0)), ("2", Some(20.0)), ("4", Some(40.0)))
+      .toDF("id", "bal")
+    val newDf = Seq(("1", Some(10.0)), ("2", Some(25.0)), ("5", Some(50.0)))
+      .toDF("id", "bal")
+    val inv = Upsert.invertChangelog(
+      Upsert.snapshotDiff(oldDf, newDf, Seq("id"), Seq("bal")), Seq("bal"))
+    // algebraic identity: invert(diff(a, b)) == diff(b, a)
+    val direct = Upsert.snapshotDiff(newDf, oldDf, Seq("id"), Seq("bal"))
+    assert(inv.collect().map(_.toSeq).toSet == direct.collect().map(_.toSeq).toSet)
+    // applying the inverse to new reproduces old
+    val deletions = inv.filter(col("op") === "D").select("id")
+    val freshRows = inv.filter(col("op").isin("I", "U"))
+      .select(col("id"), col("bal_new").as("bal"))
+    val rolledBack = Upsert.upsert(Upsert.delete(newDf, deletions, "id"), freshRows, "id")
+    assert(rolledBack.collect().map(_.toSeq).toSet == oldDf.collect().map(_.toSeq).toSet)
+  }
+
   test("upsert plan has no cartesian / nested loop (anti join stays keyed)") {
     val existing = spark.range(1000).select(col("id"), (col("id") * 2).as("v"))
     val fresh = spark.range(100).select((col("id") * 10).as("id"), lit(-1L).as("v"))

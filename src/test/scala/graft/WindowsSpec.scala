@@ -26,6 +26,25 @@ class WindowsSpec extends SparkTestBase {
       (2L, "bronze", 1, None)))
   }
 
+  test("scd2AsOf returns exactly the version valid at the probe point") {
+    val snaps = Seq(
+      (1L, 1, "gold"), (1L, 2, "gold"), (1L, 3, "silver"), (1L, 5, "gold"),
+      (2L, 4, "bronze"), (2L, 5, "bronze")
+    ).toDF("cust", "day", "tier")
+    val hist = Windows.scd2Compress(snaps, Seq("cust"), "day", Seq("tier"))
+    // at day 3: cust 1 is silver ([3,5)); cust 2 not yet born
+    val at3 = Windows.scd2AsOf(hist, lit(3))
+      .select("cust", "tier").as[(Long, String)].collect().toSet
+    assert(at3 == Set((1L, "silver")))
+    // at day 9: both on their open current version
+    val at9 = Windows.scd2AsOf(hist, lit(9))
+      .select("cust", "tier").as[(Long, String)].collect().toSet
+    assert(at9 == Set((1L, "gold"), (2L, "bronze")))
+    // every as-of result has exactly one row per surviving key
+    assert(Windows.scd2AsOf(hist, lit(5)).groupBy("cust").count()
+      .filter(col("count") > 1).isEmpty)
+  }
+
   test("scd2Compress change detection is null-safe across tracked columns") {
     val snaps = Seq(
       (1L, 1, Option("a"), Option(10)),
