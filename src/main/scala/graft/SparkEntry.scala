@@ -800,6 +800,14 @@ object SparkEntry {
         queryTerms = Seq("spark", "window", "merge"), k = 20)
     },
 
+    // ---- Multimodal: perceptual (frame-set) near-dup — inverted frame
+    // index candidates with a hot-frame cap, sorted-set Jaccard verify ----
+    "m06_frame_neardup" -> { (s, dir) =>
+      Multimodal.frameNearDup(syntheticAssets(s, dir), "doc_id", "payload",
+          frameBytes = 64, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // ---- Multimodal: binary asset stats (size / hash / magic sniff) ----
     "m01_binary_stats" -> { (s, dir) =>
       Multimodal.binaryStats(syntheticAssets(s, dir), "doc_id", "payload")
@@ -2223,6 +2231,29 @@ object SparkEntry {
       """SELECT o_orderstatus, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, count(*) AS n
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY 1 ORDER BY 1""",
+
+    "m06_frame_neardup" ->
+      """WITH a AS (
+           SELECT doc_id,
+             (CASE doc_id % 3 WHEN 0 THEN 'PNG0' WHEN 1 THEN 'JPG0' ELSE '' END) || text AS s
+           FROM documents),
+         f AS (
+           SELECT doc_id, s,
+             unnest(range(0, CAST(greatest(ceil(octet_length(encode(s)) / 64.0), 1) AS BIGINT))) AS i
+           FROM a),
+         fr AS (SELECT doc_id, md5(substr(s, CAST(i*64 + 1 AS INTEGER), 64)) AS fmd5 FROM f),
+         sets AS (SELECT doc_id, list_sort(list(DISTINCT fmd5)) AS fs FROM fr GROUP BY doc_id),
+         inv AS (SELECT doc_id, unnest(fs) AS fh FROM sets),
+         capped AS (SELECT * FROM inv QUALIFY count(*) OVER (PARTITION BY fh) <= 1000),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM capped a JOIN capped b ON a.fh = b.fh AND a.doc_id < b.doc_id),
+         j AS (
+           SELECT id_a, id_b,
+             round(CAST(length(list_intersect(x.fs, y.fs)) AS DOUBLE) /
+                   (length(x.fs) + length(y.fs) - length(list_intersect(x.fs, y.fs))), 6) AS jaccard
+           FROM pairs JOIN sets x ON x.doc_id = id_a JOIN sets y ON y.doc_id = id_b)
+         SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
 
     "m01_binary_stats" ->
       """WITH a AS (

@@ -60,6 +60,47 @@ object Multimodal {
         md5(col("col")).as("frame_md5"))
   }
 
+  /** Perceptual near-duplicate detection over binary assets by FRAME-SET
+    * Jaccard — the video/image dedup shape: two assets are near-dups when
+    * they share most of their sampled frames (re-encodes, trims, and
+    * re-containered copies keep most frame content). Frames come from
+    * [[sampleFrames]] (a real deployment swaps in decoded keyframe pHashes;
+    * the candidate/verify machinery is unchanged).
+    *
+    * Scale design (mirrors the text LSH posture in
+    * [[graft.operators.Dedup]]): candidates come from an inverted
+    * frame-hash index — ONE equi-join on the 128-bit frame hash, never
+    * all-pairs — with a hot-frame cap so a degenerate frame (black/blank
+    * frames shared by thousands of videos) cannot go quadratic; the
+    * per-asset frame sets are materialized once and feed the index and both
+    * verify legs; verification is a row-local sorted-array intersection.
+    * Output: (id_a, id_b, jaccard) for pairs at or above `threshold`. */
+  def frameNearDup(df: DataFrame, idCol: String, binCol: String,
+                   frameBytes: Int, threshold: Double,
+                   maxFrameFreq: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = sampleFrames(df, idCol, binCol, frameBytes)
+      .groupBy(col(idCol))
+      .agg(array_sort(array_distinct(collect_list(col("frame_md5")))).as("_fset"))
+      .localCheckpoint(false) // feeds the inverted index + both verify legs
+    val inv = sets.select(col(idCol), explode(col("_fset")).as("_f"))
+    val capped = inv
+      .withColumn("_sz", count(lit(1)).over(Window.partitionBy(col("_f"))))
+      .filter(col("_sz") <= maxFrameFreq).drop("_sz")
+    val pairs = capped.select(col("_f"), col(idCol).as("id_a"))
+      .join(capped.select(col("_f"), col(idCol).as("id_b")), "_f")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val inter = size(array_intersect(col("_set_a"), col("_set_b")))
+    pairs
+      .join(sets.select(col(idCol).as("id_a"), col("_fset").as("_set_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("_fset").as("_set_b")), "id_b")
+      .withColumn("jaccard", round(inter.cast("double") /
+        (size(col("_set_a")) + size(col("_set_b")) - inter), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Decoded-image metadata schema (what a real decoder would emit). */
   val imageMetaSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),

@@ -41,6 +41,29 @@ class MultimodalSpec extends SparkTestBase {
     assert(got.filter(_.getLong(0) == 1L).map(_.getInt(1)).toSeq == Seq(0, 1, 2))
   }
 
+  test("frameNearDup: identical assets hit jaccard 1, disjoint assets never pair") {
+    // 8-byte frames: a and b share 3 of their 4 distinct frames; c is disjoint
+    val block = (c: Char) => c.toString * 8
+    val df = Seq(
+      (1L, bytes(block('a') + block('b') + block('c') + block('d'))),
+      (2L, bytes(block('a') + block('b') + block('c') + block('z'))),
+      (3L, bytes(block('a') + block('b') + block('c') + block('d'))), // exact dup of 1
+      (4L, bytes(block('p') + block('q')))).toDF("asset_id", "payload")
+    val got = Multimodal.frameNearDup(df, "asset_id", "payload",
+        frameBytes = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((1L, 3L)) == 1.0) // identical frame sets
+    assert(got((1L, 2L)) == 0.6) // |A ∩ B| = 3, |A ∪ B| = 5
+    assert(got((2L, 3L)) == 0.6)
+    assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L })
+    // a frame shared by every asset is capped out of candidate generation,
+    // so assets related ONLY through it never pair
+    val gotCapped = Multimodal.frameNearDup(df, "asset_id", "payload",
+        frameBytes = 8, threshold = 0.0, maxFrameFreq = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!gotCapped.contains((1L, 2L))) // only shared frames a,b,c are all hot
+  }
+
   test("decode stub: deterministic fake dims, schema, n_pixels = w*h") {
     val meta = Multimodal.decodeImageMetaStub(assets, "asset_id", "payload")
     assert(meta.schema == Multimodal.imageMetaSchema)
