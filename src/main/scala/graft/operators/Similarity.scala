@@ -112,6 +112,49 @@ object Similarity {
     centroidIds.map(id => array(byId(id).map(f => lit(f.toDouble)): _*))
   }
 
+  /** Hard-negative mining for contrastive embedding training: for every
+    * vector, the top-k most-similar vectors with a DIFFERENT label — close
+    * enough to confuse the model, labeled differently, exactly the
+    * negatives that carry gradient signal (the easy random negatives a
+    * uniform sample would draw are already separated). The label column
+    * stands in for whatever supervised signal defines "positive"
+    * (source document, query group, class).
+    *
+    * Same scale posture as [[annJoin]]: row-local cell assignment over the
+    * literal codebook, ONE self equi-join on the cell id, the
+    * label-difference predicate applied before scoring, and the per-query
+    * top-k via the bounded-heap aggregate. Output: (id_l, rank, id_r,
+    * cosine), rank 1-based by (cosine DESC, id_r ASC) among negatives
+    * sharing the query's cell. */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, corpus: DataFrame,
+                    centroidIds: Seq[Long], k: Int): DataFrame = {
+    require(centroidIds.nonEmpty, "hardNegatives: centroidIds must be non-empty")
+    require(k >= 1, s"hardNegatives: k must be >= 1, got $k")
+    val codebook = literalCodebook(corpus, idCol, vecCol, centroidIds, "hardNegatives")
+    def assign(vec: Column): Column = {
+      val arr = array(codebook.map(c => cosine(vec, c)): _*)
+      (array_position(arr, array_max(arr)) - 1).cast("int")
+    }
+    val assigned = emb
+      .select(col(idCol).as("_id"), col(vecCol).as("_vec"), col(labelCol).as("_lbl"))
+      .withColumn("_cell", assign(col("_vec")))
+      .localCheckpoint(false) // one kernel pass feeds both join legs
+    val l = assigned.select(col("_cell"), col("_id").as("id_l"),
+      col("_vec").as("_lvec"), col("_lbl").as("_lbl_l"))
+    val r = assigned.select(col("_cell"), col("_id").as("id_r"),
+      col("_vec").as("_rvec"), col("_lbl").as("_lbl_r"))
+    val scored = l.join(r, "_cell")
+      .filter(!(col("_lbl_l") <=> col("_lbl_r"))) // negatives only, null-safe
+      .withColumn("cosine", round(cosine(col("_lvec"), col("_rvec")), 6))
+      .select(col("id_l"), col("id_r"), col("cosine"))
+    Windows.topKPerGroup(
+        scored.withColumn("_payload", struct(col("id_r"), col("cosine"))),
+        Seq("id_l"), "_payload", "cosine", "id_r", k)
+      .select(col("id_l"), col("rank"),
+        col("_payload.id_r").as("id_r"), col("_payload.cosine").as("cosine"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space coarsely, then treat
     * pairs INSIDE a cluster whose cosine clears `threshold` as semantic

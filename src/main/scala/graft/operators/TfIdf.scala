@@ -50,6 +50,35 @@ object TfIdf {
       .limit(topV)
   }
 
+  /** Adjacent-token-pair (bigram) vocabulary — collocation mining and the
+    * merge-candidate statistics a BPE-style tokenizer-training step consumes
+    * (the most frequent adjacent pair is the next merge): the `topV` bigrams
+    * by document frequency with corpus totals. Output: (bigram, doc_freq,
+    * pair_freq) ordered by (doc_freq DESC, bigram ASC) — a total order.
+    *
+    * Scale design (the [[vocabulary]] recipe one order up): pairs are built
+    * row-local from one tokenization pass (an index-range transform slicing
+    * the same token array — no re-tokenization), ONE scan emits
+    * (id, bigram) rows, the only shuffle is the bigram-keyed aggregate
+    * (map-side combined, vocabulary-sized, doc_freq via the distinct-id
+    * rewrite), and the top-V cut is a TakeOrdered. */
+  def bigramVocabulary(docs: DataFrame, idCol: String, textCol: String,
+                       topV: Int, minDf: Long = 1): DataFrame = {
+    require(topV >= 1, s"topV must be >= 1, got $topV")
+    val toks = tokens(lower(col(textCol)))
+    val pairs = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col(idCol), explode(pairs).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(countDistinct(col(idCol)).as("doc_freq"),
+        count(lit(1)).as("pair_freq"))
+      .filter(col("doc_freq") >= minDf)
+      .orderBy(col("doc_freq").desc, col("bigram"))
+      .limit(topV)
+  }
+
   /** BM25 keyword retrieval — score every document against a small literal
     * query-term list and return the top-k, the lexical-search complement to
     * the ANN entry points ([[graft.operators.Similarity]]): hybrid corpus
