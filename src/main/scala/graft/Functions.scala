@@ -185,6 +185,25 @@ object Functions {
   def pq_encode(vec: Column, codebook: Seq[Seq[Long]], m: Int, ksub: Int): Column =
     bridge.column(graft.functions.PqEncode(bridge.expression(vec), codebook, m, ksub))
 
+  /** Broadcast-codebook argmax-cosine cell assignment (plan size O(1) in
+    * nlist — see functions.CellUtil). */
+  def cell_assign(vec: Column, bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]): Column =
+    bridge.column(graft.functions.CellAssign(bridge.expression(vec), bc))
+
+  /** Per-centroid cosine score array over a broadcast codebook. */
+  def cell_scores(vec: Column, bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]): Column =
+    bridge.column(graft.functions.CellScores(bridge.expression(vec), bc))
+
+  /** Centroid vector lookup by 0-based cell index over a broadcast codebook. */
+  def centroid_at(cell: Column, bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]): Column =
+    bridge.column(graft.functions.CentroidAt(bridge.expression(cell), bc))
+
+  /** Per-list ADC table-lookup distance over broadcast quantized tables. */
+  def adc_distance(list: Column, codes: Column,
+                   bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Long]]]]): Column =
+    bridge.column(graft.functions.AdcDistance(
+      bridge.expression(list), bridge.expression(codes), bc))
+
   /** Register every custom expression as a SQL function on a running session
     * (same definition list as [[GraftExtensions]], the build-time path). */
   def register(spark: SparkSession): Unit =

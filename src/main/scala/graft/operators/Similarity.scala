@@ -77,11 +77,8 @@ object Similarity {
               corpus: DataFrame, centroidIds: Seq[Long], k: Int): DataFrame = {
     require(centroidIds.nonEmpty, "annJoin: centroidIds must be non-empty")
     require(k >= 1, s"annJoin: k must be >= 1, got $k")
-    val codebook = literalCodebook(corpus, idCol, vecCol, centroidIds, "annJoin")
-    def assign(vec: Column): Column = {
-      val arr = array(codebook.map(c => cosine(vec, c)): _*)
-      (array_position(arr, array_max(arr)) - 1).cast("int")
-    }
+    val codebook = broadcastCodebook(corpus, idCol, vecCol, centroidIds, "annJoin")
+    def assign(vec: Column): Column = cell_assign(vec, codebook)
     val l = left.select(col(idCol).as("id_l"), col(vecCol).as("_lvec"))
       .withColumn("_cell", assign(col("_lvec")))
     val r = right.select(col(idCol).as("id_r"), col(vecCol).as("_rvec"))
@@ -97,19 +94,34 @@ object Similarity {
         col("_payload.id_r").as("id_r"), col("_payload.cosine").as("cosine"))
   }
 
-  /** Bounded control read of pinned centroid vectors as literal array
-    * columns, ordered by `centroidIds` (cell i = centroidIds(i)). Codebooks
-    * are nlist-sized (~sqrt(N)), never data-scale — the collect is the same
-    * justified pattern as [[ivfTopK]]'s. */
-  private def literalCodebook(corpus: DataFrame, idCol: String, vecCol: String,
-                              centroidIds: Seq[Long], who: String): Seq[Column] = {
+  /** Bounded control read of pinned centroid vectors into a BROADCAST
+    * codebook, ordered by `centroidIds` (cell i = centroidIds(i)). Codebooks
+    * are nlist-sized (~sqrt(N)), never data-scale, so the collect is a
+    * justified control read — and unlike the round-5 literal-array form the
+    * plan carries only a broadcast id: plan/codegen size is O(1) in nlist,
+    * so nlist can reach the 10^4..10^6 a 100 TB corpus wants (executors
+    * torrent-fetch the codebook once; every task reads the process-local
+    * copy). */
+  private[operators] def broadcastCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                                           centroidIds: Seq[Long], who: String)
+      : org.apache.spark.broadcast.Broadcast[Array[Array[Double]]] = {
+    val byId = collectVectors(corpus, idCol, vecCol, centroidIds, who)
+    corpus.sparkSession.sparkContext.broadcast(
+      centroidIds.map(id => byId(id)).toArray)
+  }
+
+  /** Collect the pinned centroid vectors as doubles, keyed by id, failing
+    * loudly on ids missing from the corpus. */
+  private def collectVectors(corpus: DataFrame, idCol: String, vecCol: String,
+                             centroidIds: Seq[Long], who: String): Map[Long, Array[Double]] = {
     val byId = corpus.filter(col(idCol).isInCollection(centroidIds))
       .select(col(idCol), col(vecCol)).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      .map(r => r.getLong(0) -> r.getSeq[Number](1).map(_.doubleValue()).toArray)
+      .toMap
     val missing = centroidIds.filterNot(byId.contains)
     require(missing.isEmpty,
       s"$who: centroid ids not present in the corpus: ${missing.mkString(", ")}")
-    centroidIds.map(id => array(byId(id).map(f => lit(f.toDouble)): _*))
+    byId
   }
 
   /** Hard-negative mining for contrastive embedding training: for every
@@ -131,11 +143,8 @@ object Similarity {
                     centroidIds: Seq[Long], k: Int): DataFrame = {
     require(centroidIds.nonEmpty, "hardNegatives: centroidIds must be non-empty")
     require(k >= 1, s"hardNegatives: k must be >= 1, got $k")
-    val codebook = literalCodebook(corpus, idCol, vecCol, centroidIds, "hardNegatives")
-    def assign(vec: Column): Column = {
-      val arr = array(codebook.map(c => cosine(vec, c)): _*)
-      (array_position(arr, array_max(arr)) - 1).cast("int")
-    }
+    val codebook = broadcastCodebook(corpus, idCol, vecCol, centroidIds, "hardNegatives")
+    def assign(vec: Column): Column = cell_assign(vec, codebook)
     val assigned = emb
       .select(col(idCol).as("_id"), col(vecCol).as("_vec"), col(labelCol).as("_lbl"))
       .withColumn("_cell", assign(col("_vec")))
@@ -183,11 +192,8 @@ object Similarity {
                     corpus: DataFrame, centroidIds: Seq[Long],
                     threshold: Double): DataFrame = {
     require(centroidIds.nonEmpty, "semanticDedup: centroidIds must be non-empty")
-    val codebook = literalCodebook(corpus, idCol, vecCol, centroidIds, "semanticDedup")
-    def assign(vec: Column): Column = {
-      val arr = array(codebook.map(c => cosine(vec, c)): _*)
-      (array_position(arr, array_max(arr)) - 1).cast("int")
-    }
+    val codebook = broadcastCodebook(corpus, idCol, vecCol, centroidIds, "semanticDedup")
+    def assign(vec: Column): Column = cell_assign(vec, codebook)
     val assigned = emb
       .select(col(idCol).as("_id"), col(vecCol).as("_vec"))
       .withColumn("cell", assign(col("_vec")))
@@ -221,20 +227,10 @@ object Similarity {
     require(centroidIds.nonEmpty, "ivfTopK: centroidIds must be non-empty")
     require(nprobe >= 1 && nprobe <= centroidIds.size,
       s"ivfTopK: nprobe must be in 1..${centroidIds.size} (the codebook size), got $nprobe")
-    val byId = emb.filter(col(idCol).isInCollection(centroidIds))
-      .select(col(idCol), col(vecCol)).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
-    val missing = centroidIds.filterNot(byId.contains)
-    require(missing.isEmpty,
-      s"ivfTopK: centroid ids not present in the corpus: ${missing.mkString(", ")}")
-    val codebook: Seq[Column] = centroidIds.map(id =>
-      array(byId(id).map(f => lit(f.toDouble)): _*))
-    def cosArr(vec: Column): Column = array(codebook.map(c => cosine(vec, c)): _*)
+    val codebook = broadcastCodebook(emb, idCol, vecCol, centroidIds, "ivfTopK")
+    def cosArr(vec: Column): Column = cell_scores(vec, codebook)
     // 0-based argmax, first index on exact-double ties
-    def assign(vec: Column): Column = {
-      val arr = cosArr(vec)
-      (array_position(arr, array_max(arr)) - 1).cast("int")
-    }
+    def assign(vec: Column): Column = cell_assign(vec, codebook)
     val assigned = emb.withColumn("_list", assign(col(vecCol)))
     val q = assigned.filter(col(idCol) === queryId)
       .select(col(vecCol).as("_qvec"), cosArr(col(vecCol)).as("_qcos"))
@@ -438,25 +434,17 @@ object Similarity {
       s"ivfPqTopK: nprobe must be in 1..${centroidIds.size}, got $nprobe")
     val subDim = dim / m
     val cbPq = pqCodebookQ(m, ksub, subDim)
-    val byId = emb.filter(col(idCol).isInCollection(centroidIds))
-      .select(col(idCol), col(vecCol)).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
-    val missing = centroidIds.filterNot(byId.contains)
-    require(missing.isEmpty,
-      s"ivfPqTopK: centroid ids not present in the corpus: ${missing.mkString(", ")}")
-    val cents: Seq[Seq[Double]] = centroidIds.map(byId)
-    val centArr: Column = array(cents.map(c => array(c.map(lit): _*)): _*)
-    val codebookCos: Seq[Column] = cents.map(c => array(c.map(lit): _*))
-    def cosArr(vec: Column): Column = array(codebookCos.map(c => cosine(vec, c)): _*)
-    def assign(vec: Column): Column = {
-      val arr = cosArr(vec)
-      (array_position(arr, array_max(arr)) - 1).cast("int")
-    }
+    val codebook = broadcastCodebook(emb, idCol, vecCol, centroidIds, "ivfPqTopK")
+    def cosArr(vec: Column): Column = cell_scores(vec, codebook)
+    def assign(vec: Column): Column = cell_assign(vec, codebook)
     // query-side: one quantized ADC table per list (nlist x m x ksub longs,
-    // driver-computed in the same integer arithmetic as the kernel)
+    // driver-computed in the same integer arithmetic as the kernel and
+    // BROADCAST — the round-5 literal form put nlist*m*ksub literals in the
+    // plan, which caps nlist; the broadcast keeps the plan O(1) in nlist)
+    val cents: Seq[Array[Double]] = codebook.value.toSeq
     val q = byIdOrRow(emb, idCol, vecCol, queryId)
-    val dt: Seq[Seq[Seq[Long]]] = cents.map { c =>
-      val rq = q.indices.take(dim).map(d => q(d) - c(d))
+    val dt: Array[Array[Array[Long]]] = cents.map { c =>
+      val rq = (0 until dim).map(d => q(d) - c(d))
       (0 until m).map { s =>
         (0 until ksub).map { cc =>
           (0 until subDim).map { d =>
@@ -464,24 +452,19 @@ object Similarity {
               cbPq(s * ksub + cc)(d)
             diff * diff
           }.sum
-        }
-      }
-    }
-    val dtLit: Column = array(dt.map(l =>
-      array(l.map(s => array(s.map(lit): _*)): _*)): _*)
+        }.toArray
+      }.toArray
+    }.toArray
+    val dtBc = emb.sparkSession.sparkContext.broadcast(dt)
     val assigned = emb
       .withColumn("_v", col(vecCol).cast("array<double>"))
       .withColumn("_list", assign(col("_v")))
       .withColumn("_res", zip_with(col("_v"),
-        element_at(centArr, col("_list") + 1), (a, b) => a - b))
+        centroid_at(col("_list"), codebook), (a, b) => a - b))
       .withColumn("_codes", pq_encode(col("_res"), cbPq, m, ksub))
     val qFrame = assigned.filter(col(idCol) === queryId)
       .select(cosArr(col("_v")).as("_qcos"))
-    val adist = (0 until m).map { s =>
-      element_at(
-        element_at(element_at(dtLit, col("_list") + 1), s + 1),
-        element_at(col("_codes"), s + 1) + 1)
-    }.reduce(_ + _)
+    val adist = adc_distance(col("_list"), col("_codes"), dtBc)
     assigned.crossJoin(broadcast(qFrame))
       .filter(element_at(col("_qcos"), col("_list") + 1) >=
         element_at(sort_array(col("_qcos"), asc = false), nprobe))

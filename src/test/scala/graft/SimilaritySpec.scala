@@ -310,4 +310,29 @@ class SimilaritySpec extends SparkTestBase {
     // and the list must be sorted by (cosine desc, id asc)
     assert(lsh == lsh.sortBy { case (id, cos) => (-cos, id) })
   }
+
+  test("broadcast codebook keeps the plan O(1) in nlist (the 100 TB gate)") {
+    // the round-5 literal-array codebook grew the plan by nlist*dim literal
+    // nodes; the broadcast path must produce an IDENTICAL expression-node
+    // count whatever nlist is
+    def planNodes(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case p =>
+        p.expressions.map(e => e.collect { case x => x }.size).sum
+      }.sum
+    def semdedup(nlist: Int) = Similarity.semanticDedup(
+      emb, "vec_id", "embedding", corpus = emb,
+      centroidIds = (1L to nlist.toLong), threshold = 0.3)
+    def ivf(nlist: Int) = Similarity.ivfTopK(
+      emb, "vec_id", "embedding", 0L, 10,
+      centroidIds = (1L to nlist.toLong), nprobe = 1)
+    def ivfpq(nlist: Int) = Similarity.ivfPqTopK(
+      emb, "vec_id", "embedding", 0L, 10,
+      centroidIds = (1L to nlist.toLong), nprobe = 1, m = 4, ksub = 8, dim = 64)
+    assert(planNodes(semdedup(2)) == planNodes(semdedup(8)),
+      "semanticDedup plan must not grow with nlist")
+    assert(planNodes(ivf(2)) == planNodes(ivf(8)),
+      "ivfTopK plan must not grow with nlist")
+    assert(planNodes(ivfpq(2)) == planNodes(ivfpq(8)),
+      "ivfPqTopK plan (incl. ADC tables) must not grow with nlist")
+  }
 }
