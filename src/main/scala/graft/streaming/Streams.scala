@@ -153,21 +153,20 @@ object Streams {
     * Idempotent per batch content, so retries are safe. */
   def foreachBatchUpsert(targetPath: String, idCol: String,
                          verCol: String): (DataFrame, Long) => Unit =
-    (batch: DataFrame, _: Long) => {
+    (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
-      val latest = batch
-        .withColumn("_rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col(idCol)).orderBy(col(verCol).desc)))
-        .filter(col("_rn") === 1).drop("_rn")
-      val existing =
-        if (!IncrementalMerge.pathExists(spark, targetPath))
+      if (batchId > lastPublishedBatch(spark, targetPath)) {
+        val latest = batch
+          .withColumn("_rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col(idCol)).orderBy(col(verCol).desc)))
+          .filter(col("_rn") === 1).drop("_rn")
+        val existing = publishedSnapshot(spark, targetPath).getOrElse(
           spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], latest.schema)
-        else spark.read.parquet(targetPath)
-      val merged = graft.operators.Upsert.upsert(existing, latest, idCol)
-      merged.write.mode("overwrite").parquet(targetPath + "_next")
-      spark.read.parquet(targetPath + "_next").write.mode("overwrite").parquet(targetPath)
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], latest.schema))
+        val merged = graft.operators.Upsert.upsert(existing, latest, idCol)
+        publishAtomic(spark, targetPath, merged, batchId)
+      }
     }
 
   /** Sink-side continuous-ingest dedup for `foreachBatch` — the streaming
@@ -202,51 +201,146 @@ object Streams {
     * op + <c>_old/<c>_new) is applied as signed deltas to the materialized
     * aggregate at `aggPath`. Unlike the upsert twin, delta application is
     * NOT naturally idempotent (re-applying a batch double-counts), so the
-    * last applied batch id is recorded at `controlPath` AFTER a successful
-    * publish and replayed batches are skipped — the standard
-    * transactional-sink pattern for at-least-once delivery. */
-  def foreachBatchAggRefresh(aggPath: String, controlPath: String,
-                             groupCols: Seq[String], sumCols: Seq[String])
-      : (DataFrame, Long) => Unit =
+    * publish must be transactional: the refreshed aggregate is staged with
+    * its batch id embedded (a `_graft_batch` marker inside the staged
+    * directory) and swapped in by atomic rename; the last applied batch id
+    * is derived FROM the published snapshot itself, never from a separate
+    * control file that could desynchronize from the data. Crash at any
+    * point either leaves the previous snapshot current (the batch replays)
+    * or the new snapshot current with its id visible (the replay is
+    * skipped) — double-apply and half-written states cannot be observed
+    * (see [[publishAtomic]]/[[recoverPublished]]). */
+  def foreachBatchAggRefresh(aggPath: String, groupCols: Seq[String],
+                             sumCols: Seq[String]): (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
-      if (batchId > lastAppliedBatch(spark, controlPath)) {
-        val existing =
-          if (!IncrementalMerge.pathExists(spark, aggPath))
-            // bootstrap: an empty aggregate typed from the changelog's
-            // _new columns (group/sum types) + a long count
-            batch.select(groupCols.map(c => col(s"${c}_new").as(c)) ++
-              (lit(0L).as("cnt") +: sumCols.map(c => col(s"${c}_new").as(c))): _*)
-              .limit(0)
-          else spark.read.parquet(aggPath)
+      if (batchId > lastPublishedBatch(spark, aggPath)) {
+        val existing = publishedSnapshot(spark, aggPath).getOrElse(
+          // bootstrap: an empty aggregate typed from the changelog's
+          // _new columns (group/sum types) + a long count
+          batch.select(groupCols.map(c => col(s"${c}_new").as(c)) ++
+            (lit(0L).as("cnt") +: sumCols.map(c => col(s"${c}_new").as(c))): _*)
+            .limit(0))
         val refreshed = graft.operators.IncrementalAgg.refresh(
           existing, batch, groupCols, sumCols)
-        refreshed.write.mode("overwrite").parquet(aggPath + "_next")
-        spark.read.parquet(aggPath + "_next").write.mode("overwrite").parquet(aggPath)
-        recordAppliedBatch(spark, controlPath, batchId)
+        publishAtomic(spark, aggPath, refreshed, batchId)
       }
     }
 
-  /** Last batch id recorded at `path`, -1 when none. Hadoop-FS probed so
-    * non-local URIs (hdfs://, s3a://) answer truthfully. */
-  private def lastAppliedBatch(spark: SparkSession, path: String): Long = {
+  // ---- crash-atomic snapshot publish ------------------------------------
+  //
+  // Single-writer transactional publish for foreachBatch sinks on a plain
+  // filesystem (the local/HDFS analog of a table-format commit; on S3-like
+  // stores without atomic rename, swap this layer for a real table format).
+  // Layout: the live snapshot lives FLAT at `path` (plain parquet readers
+  // keep working) with a `_graft_batch` marker file inside carrying the
+  // batch id that produced it (underscore-prefixed, so parquet readers
+  // ignore it). Publishing batch B:
+  //
+  //   1. write the new snapshot to `path.staging` (overwrite);
+  //   2. write `path.staging/_graft_batch` = B   — marker written LAST, so
+  //      its presence implies the data write completed;
+  //   3. rename `path` -> `path.old` (if a snapshot exists);
+  //   4. rename `path.staging` -> `path`          — the atomic commit point;
+  //   5. delete `path.old`.
+  //
+  // Recovery (run before any read of the snapshot or its batch id):
+  //   - `path` exists           -> committed; delete stale .staging/.old;
+  //   - else a COMPLETE staging -> crash between 3 and 4: roll forward
+  //     (rename staging in, drop .old);
+  //   - else `path.old` exists  -> crash before 4 with staging incomplete:
+  //     roll back (rename .old in, drop the truncated staging);
+  //   - else                    -> nothing published yet (bootstrap).
+  //
+  // Every crash point lands in exactly one case, so readers always see a
+  // complete snapshot whose marker matches its content — which is what lets
+  // `lastPublishedBatch` double as the replay gate for non-idempotent
+  // sinks.
+
+  private val BatchMarker = "_graft_batch"
+
+  private def hadoopFs(spark: SparkSession, path: String) = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) -1L
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Batch id embedded in the published snapshot at `path`, -1 when nothing
+    * is published (or the snapshot predates marker-based publishes). */
+  def lastPublishedBatch(spark: SparkSession, path: String): Long = {
+    recoverPublished(spark, path)
+    val (fs, p) = hadoopFs(spark, path)
+    val marker = new org.apache.hadoop.fs.Path(p, BatchMarker)
+    if (!fs.exists(marker)) -1L
     else {
-      val in = fs.open(p)
+      val in = fs.open(marker)
       try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
         java.nio.charset.StandardCharsets.UTF_8).trim.toLong
       finally in.close()
     }
   }
 
-  private def recordAppliedBatch(spark: SparkSession, path: String, id: Long): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  /** The current published snapshot, after crash recovery; None when nothing
+    * has been published yet. */
+  def publishedSnapshot(spark: SparkSession, path: String): Option[DataFrame] = {
+    recoverPublished(spark, path)
+    if (IncrementalMerge.pathExists(spark, path)) Some(spark.read.parquet(path))
+    else None
+  }
+
+  private def publishAtomic(spark: SparkSession, path: String,
+                            snapshot: DataFrame, batchId: Long): Unit = {
+    recoverPublished(spark, path)
+    val (fs, live) = hadoopFs(spark, path)
+    val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    // (1) stage the full snapshot — this is the only data-scale step, and it
+    // runs while the live snapshot is still readable
+    snapshot.write.mode("overwrite").parquet(staging.toString)
+    // (2) marker last: presence certifies the staged write completed
+    val out = fs.create(new org.apache.hadoop.fs.Path(staging, BatchMarker), true)
+    try out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    // (3)-(5) the swap; each rename is atomic on local FS / HDFS
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(live)) {
+      if (!fs.rename(live, old))
+        throw new java.io.IOException(s"publishAtomic: rename $live -> $old failed")
+    }
+    if (!fs.rename(staging, live))
+      throw new java.io.IOException(s"publishAtomic: rename $staging -> $live failed")
+    fs.delete(old, true)
+  }
+
+  /** Idempotent crash recovery for [[publishAtomic]]'s swap (see the layout
+    * comment above). Safe to call any time under the single-writer
+    * assumption foreachBatch provides. */
+  private def recoverPublished(spark: SparkSession, path: String): Unit = {
+    val (fs, live) = hadoopFs(spark, path)
+    val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    // drop any "<path>_next" directory a pre-round-6 publish left behind
+    fs.delete(new org.apache.hadoop.fs.Path(path + "_next"), true)
+    val stagingComplete =
+      fs.exists(new org.apache.hadoop.fs.Path(staging, BatchMarker))
+    if (fs.exists(live)) {
+      // committed — clear leftovers from an interrupted NEXT publish
+      fs.delete(staging, true)
+      fs.delete(old, true)
+    } else if (stagingComplete) {
+      // crashed between rename-away and rename-in: roll forward
+      if (!fs.rename(staging, live))
+        throw new java.io.IOException(s"recover: rename $staging -> $live failed")
+      fs.delete(old, true)
+    } else if (fs.exists(old)) {
+      // crashed mid-publish with an incomplete staging: roll back
+      fs.delete(staging, true)
+      if (!fs.rename(old, live))
+        throw new java.io.IOException(s"recover: rename $old -> $live failed")
+    } else {
+      // nothing published yet; drop any truncated staging from a first
+      // publish that never completed
+      fs.delete(staging, true)
+    }
   }
 
   /** Sink-side correct-by-reload for `foreachBatch`: each micro-batch runs
@@ -256,7 +350,7 @@ object Streams {
     * overwrite so retries are safe. */
   def foreachBatchMerge(targetPath: String, controlPath: String, dateCol: String,
                         windowStartOf: DataFrame => String): (DataFrame, Long) => Unit =
-    (batch: DataFrame, _: Long) => {
+    (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
       val ctl = new IncrementalMerge.ControlTable(spark, controlPath)
       val windowStart = windowStartOf(batch)
@@ -266,17 +360,14 @@ object Streams {
       // footer) must abort the batch — substituting an empty frame would
       // merge-overwrite the entire history and then advance the watermark
       // past the loss
-      val existing =
-        if (!IncrementalMerge.pathExists(spark, targetPath))
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
-        else spark.read.parquet(targetPath)
+      val existing = publishedSnapshot(spark, targetPath).getOrElse(
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema))
       val merged = IncrementalMerge.merge(existing, batch, dateCol, windowStart)
-      merged.write.mode("overwrite").parquet(targetPath + "_next")
-      // swap-style publish: read back and overwrite the target (local-fs
-      // analog of an atomic table swap; on a real deployment this is a
-      // partition overwrite or table-format commit)
-      spark.read.parquet(targetPath + "_next").write.mode("overwrite").parquet(targetPath)
+      // stage + marker + atomic rename swap (merge is correct-by-reload, so
+      // a replayed batch id is harmless — the swap just guarantees readers
+      // never see a half-written target and a crash never loses it)
+      publishAtomic(spark, targetPath, merged, batchId)
       ctl.advance(Instant.now(), batchWasEmpty = batch.isEmpty)
     }
 }

@@ -230,9 +230,8 @@ class StreamingSpec extends SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_ivm").toString
     val agg = s"$dir/agg"
-    val ctl = s"$dir/ctl"
     val in = MemoryStream[(String, Option[String], Option[String], Option[Long], Option[Long])]
-    val fn = Streams.foreachBatchAggRefresh(agg, ctl, Seq("seg"), Seq("bal"))
+    val fn = Streams.foreachBatchAggRefresh(agg, Seq("seg"), Seq("bal"))
     val q = in.toDF().toDF("op", "seg_old", "seg_new", "bal_old", "bal_new")
       .writeStream.foreachBatch(fn).start()
     def state() = spark.read.parquet(agg).collect()
@@ -308,5 +307,81 @@ class StreamingSpec extends SparkTestBase {
     // no control watermark was advanced past the failure
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$target/part-0.parquet")))
     assert(new graft.operators.IncrementalMerge.ControlTable(spark, s"$dir/control").read().isEmpty)
+  }
+
+  // ---- crash-atomicity of the snapshot publish ---------------------------
+
+  private def mv(a: String, b: String): Unit =
+    java.nio.file.Files.move(java.nio.file.Paths.get(a), java.nio.file.Paths.get(b))
+
+  test("aggRefresh publish survives a crash between the two renames (roll forward)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_crash_fwd").toString
+    val agg = s"$dir/agg"
+    val fn = Streams.foreachBatchAggRefresh(agg, Seq("seg"), Seq("bal"))
+    def state() = spark.read.parquet(agg).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val b0 = Seq(("I", Option.empty[String], Some("A"), Option.empty[Long], Some(10L)))
+      .toDF("op", "seg_old", "seg_new", "bal_old", "bal_new")
+    val b1 = Seq(("I", Option.empty[String], Some("B"), Option.empty[Long], Some(5L)))
+      .toDF("op", "seg_old", "seg_new", "bal_old", "bal_new")
+    fn(b0, 0L)
+    fn(b1, 1L)
+    assert(state() == Map("A" -> (1L, 10L), "B" -> (1L, 5L)))
+    // simulate the crash window between rename(live->old) and
+    // rename(staging->live): the committed snapshot becomes ".staging"
+    // (complete, marker inside) and an older snapshot sits at ".old"
+    fn(b0, 0L) // no-op replay sanity before surgery
+    mv(agg, s"$agg.staging")                   // complete staging for batch 1
+    spark.range(1).write.parquet(agg)          // fake "older" live…
+    mv(agg, s"$agg.old")                       // …renamed away, crash here
+    // ANY next access must roll the complete staging forward: the replayed
+    // batch 1 is then skipped, batch 2 applies exactly once
+    fn(b1, 1L)
+    assert(state() == Map("A" -> (1L, 10L), "B" -> (1L, 5L)),
+      "replayed batch after roll-forward must not double-apply")
+    fn(b1, 2L)
+    assert(state() == Map("A" -> (1L, 10L), "B" -> (2L, 10L)))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$agg.old")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$agg.staging")))
+  }
+
+  test("aggRefresh publish survives a crash with an incomplete staging (roll back)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_crash_back").toString
+    val agg = s"$dir/agg"
+    val fn = Streams.foreachBatchAggRefresh(agg, Seq("seg"), Seq("bal"))
+    def state() = spark.read.parquet(agg).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val b0 = Seq(("I", Option.empty[String], Some("A"), Option.empty[Long], Some(10L)))
+      .toDF("op", "seg_old", "seg_new", "bal_old", "bal_new")
+    fn(b0, 0L)
+    // simulate a crash DURING the staging write of batch 1: live renamed
+    // away is impossible at that point in the real sequence, but the
+    // worst-case layout recovery must handle is live gone + truncated
+    // staging (no marker) + old intact
+    mv(agg, s"$agg.old")
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$agg.staging"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$agg.staging/part-trunc.parquet"), "torn write")
+    // next batch must roll BACK to the old snapshot (marker absent => the
+    // staged data cannot be trusted), then apply on top of it
+    val b1 = Seq(("I", Option.empty[String], Some("B"), Option.empty[Long], Some(7L)))
+      .toDF("op", "seg_old", "seg_new", "bal_old", "bal_new")
+    fn(b1, 1L)
+    assert(state() == Map("A" -> (1L, 10L), "B" -> (1L, 7L)))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$agg.old")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$agg.staging")))
+  }
+
+  test("foreachBatchUpsert skips a replayed batch id (derived from the snapshot marker)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_replay").toString
+    val target = s"$dir/target"
+    val fn = Streams.foreachBatchUpsert(target, "id", "ver")
+    val b0 = Seq(("a", 1L, 10.0)).toDF("id", "ver", "amount")
+    fn(b0, 0L)
+    fn(b0, 0L) // at-least-once redelivery
+    val got = spark.read.parquet(target).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq(("a", 1L, 10.0)))
+    assert(Streams.lastPublishedBatch(spark, target) == 0L)
   }
 }
