@@ -850,6 +850,21 @@ object SparkEntry {
       Similarity.bruteForceTopK(feats, "doc_id", "features", queryId = 0L, k = 10)
     },
 
+    // ---- Multimodal: REAL PNG round-trip — encode one flat-color PNG per
+    // doc with the JDK PNG writer, decode its header back with the real
+    // javax.imageio kernel. Dimensions derive from doc_id, so the oracle
+    // replays the round-trip in arithmetic alone (decode(encode(w,h)) must
+    // equal (w,h)) — a genuine proof the decoder reads real containers ----
+    "m07_image_decode" -> { (s, dir) =>
+      val dims = Tables.documents(s, dir).select(col("doc_id"),
+        (pmod(col("doc_id"), lit(64)) + 1).cast("int").as("_w"),
+        (pmod(col("doc_id"), lit(48)) + 1).cast("int").as("_h"))
+      Multimodal.decodeImageMeta(
+          Multimodal.encodePng(dims, "doc_id", "_w", "_h"), "asset_id", "payload")
+        .withColumnRenamed("asset_id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
     // ---- Text: language-ID heuristic ----
     "t01_langid" -> { (s, dir) =>
       Tables.documents(s, dir)
@@ -2449,6 +2464,13 @@ object SparkEntry {
                  (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine
          FROM nz, q WHERE doc_id <> 0
          ORDER BY cosine DESC, doc_id LIMIT 10""",
+
+    "m07_image_decode" ->
+      """SELECT doc_id, 'png' AS format,
+           CAST(doc_id % 64 + 1 AS INTEGER) AS width,
+           CAST(doc_id % 48 + 1 AS INTEGER) AS height,
+           CAST((doc_id % 64 + 1) * (doc_id % 48 + 1) AS BIGINT) AS n_pixels
+         FROM documents ORDER BY doc_id""",
 
     "t17_url_filter" ->
       """WITH p AS (SELECT doc_id,

@@ -108,4 +108,50 @@ class MultimodalSpec extends SparkTestBase {
       else assert(sum == 0.0) // empty payload: zero vector, no NaN
     }
   }
+
+  // ---- real javax.imageio decode kernel ----------------------------------
+
+  private def encodeJvm(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x336699)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no JDK writer for $fmt")
+    bos.toByteArray
+  }
+
+  test("decodeImageMeta reads real PNG and JPEG headers, tolerates garbage") {
+    import spark.implicits._
+    val png = encodeJvm("png", 37, 21)
+    val jpg = encodeJvm("jpg", 64, 48)
+    val rows = Seq(
+      (1L, png), (2L, jpg),
+      (3L, "not an image at all".getBytes("UTF-8")),
+      (4L, png.take(8).toArray)) // torn header
+      .toDF("asset_id", "payload")
+    val got = Multimodal.decodeImageMeta(rows, "asset_id", "payload")
+      .orderBy("asset_id").collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(got(1L) == (("png", Some(37), Some(21))))
+    assert(got(2L) == (("jpeg", Some(64), Some(48))))
+    assert(got(3L)._1 == "unknown" && got(3L)._2.isEmpty)
+    assert(got(4L)._1 == "unknown" || got(4L)._2.isEmpty) // torn: never a lie
+    // real magics are sniffed by the column kernel too
+    val sniff = Multimodal.binaryStats(rows, "asset_id", "payload")
+      .orderBy("asset_id").collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(sniff(1L) == "png" && sniff(2L) == "jpeg" && sniff(3L) == "unknown")
+  }
+
+  test("encodePng -> decodeImageMeta round-trips the requested dimensions") {
+    import spark.implicits._
+    val dims = Seq((10L, 5, 3), (11L, 1, 1), (12L, 300, 200))
+      .toDF("doc_id", "_w", "_h")
+    val got = Multimodal.decodeImageMeta(
+        Multimodal.encodePng(dims, "doc_id", "_w", "_h"), "asset_id", "payload")
+      .orderBy("asset_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (10L, "png", 5, 3, 15L), (11L, "png", 1, 1, 1L), (12L, "png", 300, 200, 60000L)))
+  }
 }
