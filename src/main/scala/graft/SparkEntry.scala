@@ -718,6 +718,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- Dedup: STORED-index incremental dedup — the true production
+    // shape: the corpus LshIndex is written to parquet, read back, and a
+    // batch is deduped against the read-back index; the corpus text is
+    // never re-read, re-shingled, or re-banded at ingest time ----
+    "d12_stored_index_dedup" -> { (s, dir) =>
+      val docs = Parallelism.ensureDefaultParallelism(Tables.documents(s, dir))
+      val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 2)
+      val fresh = docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+      val recrawl = docs.filter(pmod(col("doc_id"), lit(15)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(2000000L))
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_lsh_index").toString
+      val built = Dedup.lshIndex(corpus, "doc_id", "text", k = 5, bands = 4, rowsPerBand = 4)
+      built.sets.write.mode("overwrite").parquet(s"$idxDir/sets")
+      built.bands.write.mode("overwrite").parquet(s"$idxDir/bands")
+      val stored = Dedup.LshIndex(
+        s.read.parquet(s"$idxDir/sets"), s.read.parquet(s"$idxDir/bands"))
+      Dedup.incrementalDedup(stored, fresh.unionByName(recrawl), "doc_id", "text",
+          k = 5, bands = 4, rowsPerBand = 4, threshold = 0.35, maxBucketSize = 1000)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- Dedup: blocked fuzzy (edit-distance) match — entity resolution
     // over customer names, blocked by nation, length-prefiltered ----
     "d10_fuzzy_match" -> { (s, dir) =>
@@ -1856,6 +1878,63 @@ object SparkEntry {
            FROM documents WHERE doc_id % 25 = 0),
          batch AS (SELECT * FROM fresh UNION ALL SELECT * FROM recrawl),
          corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4),
+         bex AS (
+           SELECT b.* FROM (
+             SELECT * FROM batch
+             QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))) b
+           WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)),
+         bsh AS (
+           SELECT doc_id, list_sort(list_distinct(list_transform(
+             range(1, greatest(length(text)-4,1)+1),
+             i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 5)),1,12)) AS BIGINT)))) AS hs
+           FROM bex),
+         csh AS (
+           SELECT doc_id, list_sort(list_distinct(list_transform(
+             range(1, greatest(length(text)-4,1)+1),
+             i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 5)),1,12)) AS BIGINT)))) AS hs
+           FROM corpus),
+         bsig AS (
+           SELECT doc_id, list_transform(range(0, 16), j -> list_min(list_transform(hs,
+             h -> (h*(2*j+1) + (j*2654435761)%2147483647) % 2147483647))) AS sg
+           FROM bsh),
+         csig AS (
+           SELECT doc_id, list_transform(range(0, 16), j -> list_min(list_transform(hs,
+             h -> (h*(2*j+1) + (j*2654435761)%2147483647) % 2147483647))) AS sg
+           FROM csh),
+         allb AS (
+           SELECT doc_id, b AS band,
+             md5(CAST(b AS VARCHAR) || '_' || array_to_string(sg[b*4+1 : b*4+4], ',')) AS bucket,
+             'b' AS side
+           FROM bsig CROSS JOIN range(0, 4) t(b)
+           UNION ALL
+           SELECT doc_id, b AS band,
+             md5(CAST(b AS VARCHAR) || '_' || array_to_string(sg[b*4+1 : b*4+4], ',')) AS bucket,
+             'c' AS side
+           FROM csig CROSS JOIN range(0, 4) t(b)),
+         capped AS (
+           SELECT * FROM allb QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000),
+         pairs AS (
+           SELECT DISTINCT p.doc_id AS bid, o.doc_id AS oid
+           FROM capped p JOIN capped o ON p.band = o.band AND p.bucket = o.bucket
+           WHERE p.side = 'b' AND (o.side = 'c' OR (o.side = 'b' AND o.doc_id < p.doc_id))),
+         sets AS (SELECT * FROM bsh UNION ALL SELECT * FROM csh),
+         drops AS (
+           SELECT DISTINCT bid
+           FROM pairs JOIN sets x ON x.doc_id = bid JOIN sets y ON y.doc_id = oid
+           WHERE round(CAST(length(list_intersect(x.hs, y.hs)) AS DOUBLE) /
+                 (length(x.hs) + length(y.hs) - length(list_intersect(x.hs, y.hs))), 6) >= 0.35)
+         SELECT doc_id, lang, source FROM bex
+         WHERE doc_id NOT IN (SELECT bid FROM drops)
+         ORDER BY doc_id""",
+
+    "d12_stored_index_dedup" ->
+      """WITH fresh AS (
+           SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 3 = 2),
+         recrawl AS (
+           SELECT doc_id + 2000000 AS doc_id, text, lang, source
+           FROM documents WHERE doc_id % 15 = 0),
+         batch AS (SELECT * FROM fresh UNION ALL SELECT * FROM recrawl),
+         corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 2),
          bex AS (
            SELECT b.* FROM (
              SELECT * FROM batch
