@@ -687,6 +687,16 @@ object SparkEntry {
       Dedup.connectedComponents(pairs).orderBy(col("id"))
     },
 
+    // ---- Dedup: duplicate clustering by ALTERNATING STAR contraction —
+    // the high-diameter-safe connected components (O(log n) rounds however
+    // chain-shaped the dup graph); must label identically to d08 ----
+    "d13_dup_clusters_star" -> { (s, dir) =>
+      val pairs = Dedup.minhashLsh(
+        Parallelism.ensureDefaultParallelism(Tables.documents(s, dir)),
+        "doc_id", "text", k = 5, bands = 4, rowsPerBand = 4, threshold = 0.2)
+      Dedup.connectedComponentsStar(pairs).orderBy(col("id"))
+    },
+
     // ---- Dedup: SimHash fingerprint ----
     "d04_simhash" -> { (s, dir) =>
       Parallelism.ensureDefaultParallelism(Tables.documents(s, dir))
@@ -1585,6 +1595,42 @@ object SparkEntry {
          ORDER BY id_a, id_b""",
 
     "d08_dup_clusters" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id, list_sort(list_distinct(list_transform(
+             range(1, greatest(length(text)-4,1)+1),
+             i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 5)),1,12)) AS BIGINT)))) AS hs
+           FROM documents),
+         sig AS (
+           SELECT doc_id, hs,
+             list_transform(range(0, 16), j -> list_min(list_transform(hs,
+               h -> (h*(2*j+1) + (j*2654435761)%2147483647) % 2147483647))) AS sg
+           FROM sh),
+         bkt AS (
+           SELECT doc_id, b AS band,
+             md5(CAST(b AS VARCHAR) || '_' || array_to_string(sg[b*4+1 : b*4+4], ',')) AS bucket
+           FROM sig CROSS JOIN range(0, 4) t(b)),
+         capped AS (
+           SELECT * FROM bkt QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000),
+         prs AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM capped a JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id),
+         fp AS (
+           SELECT id_a, id_b
+           FROM prs JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
+           WHERE round(CAST(length(list_intersect(x.hs, y.hs)) AS DOUBLE) /
+                 (length(x.hs) + length(y.hs) - length(list_intersect(x.hs, y.hs))), 6) >= 0.2),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM fp
+           UNION SELECT id_b, id_a FROM fp),
+         walk(id, label) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst)
+         SELECT id, min(label) AS cluster_id FROM walk
+         GROUP BY id ORDER BY id""",
+
+    "d13_dup_clusters_star" ->
       """WITH RECURSIVE sh AS (
            SELECT doc_id, list_sort(list_distinct(list_transform(
              range(1, greatest(length(text)-4,1)+1),

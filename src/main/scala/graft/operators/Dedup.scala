@@ -360,6 +360,77 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** Connected components by ALTERNATING STAR CONTRACTION (the two-hop
+    * algorithm of Kiveris et al. 2014, "Connected Components in MapReduce
+    * and Beyond") — the HIGH-DIAMETER complement to
+    * [[connectedComponents]]: min-label propagation needs diameter rounds
+    * (fine for cliquish near-dup components, hopeless for chain-shaped
+    * graphs), while alternating large-star/small-star contracts any
+    * component to a star rooted at its minimum in O(log n) rounds
+    * regardless of diameter.
+    *
+    * Per round, over the current edge multigraph:
+    *  - LARGE-STAR: group the bidirected edges by node u, m = min(N(u) ∪
+    *    {u}); every strictly-larger neighbor re-links to m — (v, m) for
+    *    v > u. Long chains halve here.
+    *  - SMALL-STAR: orient each edge (hi, lo); group by hi, m = min
+    *    neighbor; every smaller neighbor AND hi itself re-link to m.
+    *
+    * Both steps are one window-min + projection over the SAME hash
+    * partitioning as the groupBy a label join would need — two keyed
+    * shuffles per round, like a min-label round, but O(log n) rounds
+    * total. The fixpoint (edge set unchanged by a full round) is a star
+    * forest: every node points at its component min. Same output contract
+    * as [[connectedComponents]]: (id, cluster_id) over every node
+    * appearing in `pairs`, and a run that has not reached the fixpoint
+    * within `maxIter` throws rather than returning partial contractions. */
+  def connectedComponentsStar(pairs: DataFrame, idA: String = "id_a",
+                              idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val raw = pairs.select(col(idA).as("u"), col(idB).as("v"))
+    // every node that appears anywhere keeps a label even if its only pair
+    // is a self-pair (dropped from the edge work below as a no-op edge)
+    val nodes = raw.select(col("u").as("id"))
+      .union(raw.select(col("v").as("id"))).distinct().localCheckpoint()
+    def largeStar(e: DataFrame): DataFrame = {
+      val bi = e.union(e.select(col("v"), col("u"))).distinct()
+      bi.withColumn("_m", least(min(col("v")).over(Window.partitionBy(col("u"))), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("_m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val withM = oriented.withColumn("_m",
+        min(col("v")).over(Window.partitionBy(col("u"))))
+      withM.filter(col("v") =!= col("_m"))
+        .select(col("v").as("u"), col("_m").as("v"))
+        .union(withM.select(col("u"), col("_m").as("v")).distinct())
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    var edges = raw.filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var converged = edges.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // fixpoint = same edge SET after a full round (both frames are
+      // distinct, so two anti-joins decide set equality)
+      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge in $maxIter rounds — " +
+        "raise maxIter (expected rounds are O(log n))")
+    // the fixpoint is a star forest: (child -> root) edges; roots and
+    // self-pair-only nodes label themselves
+    nodes.join(edges.select(col("u").as("id"), col("v").as("_root")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("_root"), col("id")).as("cluster_id"))
+  }
+
   /** Canonical-doc selection over [[connectedComponents]]: keep one
     * representative (the min id) per duplicate cluster, leave unpaired docs
     * untouched. One anti-join shuffle on the id. */

@@ -350,6 +350,42 @@ class DedupSpec extends SparkTestBase {
     }, minTests = 8)
   }
 
+  test("connectedComponentsStar: path of diameter 80 converges in O(log n) rounds") {
+    // 81-node chain — the adversarial graph for min-label (needs 80
+    // rounds); alternating star contraction must finish inside a log-scale
+    // budget and label everything with the chain minimum
+    val path = (0L until 80L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponentsStar(path, maxIter = 12).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 81)
+    assert(got.forall(_._2 == 0L))
+    // at the same round budget, min-label provably cannot converge
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(path, maxIter = 12)
+    }
+  }
+
+  test("connectedComponentsStar equals min-label (and handles self-pairs, empties)") {
+    val rnd = new scala.util.Random(20260813L)
+    for (_ <- 1 to 3) {
+      val es = Seq.fill(45)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      val pairs = es.toDF("id_a", "id_b")
+      val a = Dedup.connectedComponents(
+          pairs.filter(col("id_a") =!= col("id_b")), maxIter = 100)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val b = Dedup.connectedComponentsStar(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // star keeps self-pair-only nodes (labeled themselves); min-label's
+      // edge list drops them, so compare on the common node set plus check
+      // the self-labeled leftovers
+      assert(b.filter { case (id, _) => a.contains(id) } == a)
+      assert(b.filter { case (id, _) => !a.contains(id) }.forall { case (id, l) => l == id })
+    }
+    // empty pair set -> empty labeling, no iteration crash
+    assert(Dedup.connectedComponentsStar(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).collect().isEmpty)
+  }
+
   test("exact dedup: length-prefixed encoding separates ('a b','c') from ('a','b c') and NULLs") {
     val df = Seq(
       (1L, Some("a b"), Some("c")),
