@@ -825,6 +825,16 @@ object SparkEntry {
         .orderBy(col("id_l"), col("rank"))
     },
 
+    // ---- Similarity: hard-negative mining — per vector, top-3 most-similar
+    // vectors with a DIFFERENT label among same-cell candidates (contrastive
+    // training pairs); one self equi-join on the broadcast-codebook cell ----
+    "s10_hard_negatives" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+          corpus = emb, centroidIds = (1L to 8L), k = 3)
+        .orderBy(col("id_l"), col("rank"))
+    },
+
     // ---- Similarity: BM25 keyword retrieval (lexical complement to ANN;
     // rational idf, one corpus scan + one broadcast stats row) ----
     "s09_bm25_search" -> { (s, dir) =>
@@ -1102,6 +1112,14 @@ object SparkEntry {
     "t20_vocab" -> { (s, dir) =>
       TfIdf.vocabulary(Tables.documents(s, dir), "text",
         topV = 100, minTokenLen = 3, minDf = 2)
+    },
+
+    // ---- Text: bigram vocabulary (collocation mining for tokenizer /
+    // phrase work) — explode is per adjacent PAIR, grouped on the bigram
+    // itself; only (bigram, id) rows cross the shuffle, never text ----
+    "t22_bigram_vocab" -> { (s, dir) =>
+      TfIdf.bigramVocabulary(Tables.documents(s, dir), "doc_id", "text",
+        topV = 30, minDf = 2)
     },
 
     // ---- Text: cross-doc boilerplate removal (CCNet line-dedup shape over
@@ -1759,6 +1777,30 @@ object SparkEntry {
              round(list_dot_product(lv, rv) /
                    (sqrt(list_dot_product(lv, lv)) * sqrt(list_dot_product(rv, rv))), 6) AS cosine
            FROM l JOIN r USING (cell) WHERE id_l <> id_r),
+         top AS (
+           SELECT id_l, id_r, cosine,
+             CAST(row_number() OVER (PARTITION BY id_l ORDER BY cosine DESC, id_r) AS INTEGER) AS rank
+           FROM scored QUALIFY rank <= 3)
+         SELECT id_l, rank, id_r, cosine FROM top ORDER BY id_l, rank""",
+
+    "s10_hard_negatives" ->
+      """WITH c AS (
+           SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+         v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cosl AS (
+           SELECT v.vec_id, v.label, v.v,
+             list(list_dot_product(v.v, c.cv) /
+                  (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+                  ORDER BY c.cid) AS cl
+           FROM v CROSS JOIN c GROUP BY v.vec_id, v.label, v.v),
+         asg AS (SELECT vec_id, label, v, list_position(cl, list_max(cl)) AS cell FROM cosl),
+         scored AS (
+           SELECT a.vec_id AS id_l, b.vec_id AS id_r,
+             round(list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+           FROM asg a JOIN asg b ON a.cell = b.cell
+           WHERE a.label IS DISTINCT FROM b.label),
          top AS (
            SELECT id_l, id_r, cosine,
              CAST(row_number() OVER (PARTITION BY id_l ORDER BY cosine DESC, id_r) AS INTEGER) AS rank
@@ -2741,6 +2783,19 @@ object SparkEntry {
          SELECT term, doc_freq, term_freq FROM v
          WHERE doc_freq >= 2
          ORDER BY doc_freq DESC, term LIMIT 100""",
+
+    "t22_bigram_vocab" ->
+      """WITH toks AS (SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+         bg AS (SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t), 1)),
+               i -> t[CAST(i AS INTEGER)] || ' ' || t[CAST(i AS INTEGER) + 1])) AS bigram
+           FROM toks)
+         SELECT bigram, count(DISTINCT doc_id) AS doc_freq,
+                CAST(count(*) AS BIGINT) AS pair_freq
+         FROM bg GROUP BY bigram
+         HAVING count(DISTINCT doc_id) >= 2
+         ORDER BY doc_freq DESC, bigram LIMIT 30""",
 
     "t16_tfidf_terms" ->
       """WITH toks AS (SELECT doc_id,

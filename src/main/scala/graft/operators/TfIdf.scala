@@ -93,6 +93,16 @@ object TfIdf {
     * aggregate over terms), so any engine reproduces the ranking bit for
     * bit.
     *
+    * CAVEAT — multi-term rankings deviate from classical BM25: per term
+    * the rational idf is a monotone transform of log-idf, so SINGLE-term
+    * rankings match exactly, but summing unlogged idfs across terms
+    * amplifies rare-term weight relative to summing their logs (a doc
+    * matching one rare term can outrank a doc matching several common
+    * ones where log-BM25 would order them oppositely). This is the
+    * documented trade for an engine-exact, libm-free score; callers
+    * needing classical multi-term BM25 semantics should apply a log on
+    * the idf leg and accept engine-specific last-ulp ranking ties.
+    *
     * Scale design: ONE corpus scan — tf per query term is a row-local
     * lookup into the fused [[graft.Functions.term_counts]] kernel's
     * pre-counted output (no token explode, no per-term shuffle); the corpus

@@ -253,6 +253,24 @@ class CorpusPrepSpec extends SparkTestBase {
       .as[(Long, Int, String)].collect().toSeq.sorted
     assert(viaAgg == viaWindow)
   }
+
+  test("bigramVocabulary counts adjacent pairs with doc and pair frequency") {
+    val docs = Seq(
+      (1L, "a b a b"),   // bigrams: "a b","b a","a b"
+      (2L, "a b c"),     // bigrams: "a b","b c"
+      (3L, "solo"),      // no bigram
+      (4L, "")).toDF("doc_id", "text")
+    val all = TfIdf.bigramVocabulary(docs, "doc_id", "text", topV = 10, minDf = 1)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(all == Seq(("a b", 2L, 3L), ("b a", 1L, 1L), ("b c", 1L, 1L)))
+    // minDf prunes, topV caps after the (doc_freq desc, bigram) order
+    val pruned = TfIdf.bigramVocabulary(docs, "doc_id", "text", topV = 10, minDf = 2)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(pruned == Seq(("a b", 2L, 3L)))
+    val capped = TfIdf.bigramVocabulary(docs, "doc_id", "text", topV = 2, minDf = 1)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(capped == Seq(("a b", 2L, 3L), ("b a", 1L, 1L)))
+  }
 }
 
 /** Tiny deterministic documents fixture shared by the corpus-prep tests. */

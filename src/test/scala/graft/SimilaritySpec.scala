@@ -311,6 +311,30 @@ class SimilaritySpec extends SparkTestBase {
     assert(lsh == lsh.sortBy { case (id, cos) => (-cos, id) })
   }
 
+  test("hardNegatives yields only cross-label same-cell pairs, ranked by cosine") {
+    import spark.implicits._
+    val sub = emb.limit(120)
+    val got = Similarity.hardNegatives(sub, "vec_id", "embedding", "label",
+        corpus = emb, centroidIds = (1L to 4L), k = 2)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    val labels = sub.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    // negatives only: no pair may share a label; never self-pairs
+    got.foreach { case (l, _, r, _) =>
+      assert(l != r && labels(l) != labels(r), s"($l,$r) share label ${labels(l)}")
+    }
+    // per query: ranks are 1..n and cosine non-increasing with rank
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2) == (1 to sorted.size))
+      assert(sorted.sliding(2).forall {
+        case Seq(a, b) => a._4 >= b._4
+        case _ => true
+      })
+    }
+  }
+
   test("broadcast codebook keeps the plan O(1) in nlist (the 100 TB gate)") {
     // the round-5 literal-array codebook grew the plan by nlist*dim literal
     // nodes; the broadcast path must produce an IDENTICAL expression-node
