@@ -457,6 +457,38 @@ object SparkEntry {
       Profile.histogram(Tables.orders(s, dir), "o_totalprice", bins = 20)
     },
 
+    // ---- Histogram edge cases: constant column (zero bin width), a
+    // single-row frame, and an all-NULL column (which must emit NOTHING,
+    // not a NaN-edged bin) ----
+    "q49_histogram_edges" -> { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      val constH = Profile.histogram(
+          Tables.lineitem(s, dir).filter(col("l_quantity") === 25),
+          "l_quantity", bins = 5)
+        .withColumn("scenario", lit("const"))
+      val singleH = Profile.histogram(
+          orders.orderBy(col("o_orderkey")).limit(1), "o_totalprice", bins = 7)
+        .withColumn("scenario", lit("single"))
+      val nullH = Profile.histogram(
+          orders.select(nullif(col("o_totalprice"), col("o_totalprice")).as("v")),
+          "v", bins = 4)
+        .withColumn("scenario", lit("null"))
+      constH.unionByName(singleH).unionByName(nullH)
+        .select(col("scenario"), col("bin"), col("bin_lo"), col("bin_hi"), col("n"))
+        .orderBy(col("scenario"), col("bin"))
+    },
+
+    // ---- Profile edge cases: all-NULL column (0 distinct, NULL min/max),
+    // constant column, alongside a normal one ----
+    "q50_profile_edges" -> { (s, dir) =>
+      Profile.profile(
+        Tables.orders(s, dir).select(
+          nullif(col("o_totalprice"), col("o_totalprice")).as("all_null"),
+          (col("o_orderkey") * 0).as("const_zero"),
+          col("o_orderstatus")),
+        Seq("all_null", "const_zero", "o_orderstatus"))
+    },
+
     // ---- Z-order (Morton) clustering key: bit-interleave two bucketed
     // dimensions so range-partitioned output files cover small hyper-
     // rectangles — parquet min/max stats then prune scans filtered on
@@ -1841,6 +1873,53 @@ object SparkEntry {
          WHERE valid_from <= DATE '1998-01-15'
            AND (valid_to IS NULL OR DATE '1998-01-15' < valid_to)
          ORDER BY c_custkey""",
+
+    "q49_histogram_edges" ->
+      """WITH src1 AS (SELECT CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+           WHERE l_quantity = 25 AND l_quantity IS NOT NULL),
+         s1 AS (SELECT min(v) AS mn, max(v) AS mx FROM src1),
+         b1 AS (SELECT CASE WHEN (mx - mn) / 5 = 0 THEN 0
+                  ELSE CAST(least(floor((v - mn) / ((mx - mn) / 5)), 4) AS INTEGER)
+                END AS bin, mn, (mx - mn) / 5 AS w
+           FROM src1 CROSS JOIN s1),
+         h1 AS (SELECT 'const' AS scenario, bin, mn + bin * w AS bin_lo,
+                  mn + (bin + 1) * w AS bin_hi, CAST(count(*) AS BIGINT) AS n
+           FROM b1 GROUP BY bin, mn, w),
+         src2 AS (SELECT CAST(o_totalprice AS DOUBLE) AS v
+           FROM (SELECT o_totalprice FROM orders ORDER BY o_orderkey LIMIT 1)
+           WHERE o_totalprice IS NOT NULL),
+         s2 AS (SELECT min(v) AS mn, max(v) AS mx FROM src2),
+         b2 AS (SELECT CASE WHEN (mx - mn) / 7 = 0 THEN 0
+                  ELSE CAST(least(floor((v - mn) / ((mx - mn) / 7)), 6) AS INTEGER)
+                END AS bin, mn, (mx - mn) / 7 AS w
+           FROM src2 CROSS JOIN s2),
+         h2 AS (SELECT 'single' AS scenario, bin, mn + bin * w AS bin_lo,
+                  mn + (bin + 1) * w AS bin_hi, CAST(count(*) AS BIGINT) AS n
+           FROM b2 GROUP BY bin, mn, w)
+         SELECT scenario, bin, bin_lo, bin_hi, n FROM h1
+         UNION ALL SELECT scenario, bin, bin_lo, bin_hi, n FROM h2
+         ORDER BY scenario, bin""",
+
+    "q50_profile_edges" ->
+      """WITH src AS (SELECT CAST(NULL AS DOUBLE) AS all_null,
+           o_orderkey * 0 AS const_zero, o_orderstatus FROM orders)
+         SELECT 'all_null' AS "column", count(all_null) AS n_nonnull,
+                count(*) - count(all_null) AS n_null,
+                count(DISTINCT all_null) AS n_distinct,
+                CAST(min(all_null) AS VARCHAR) AS min_value,
+                CAST(max(all_null) AS VARCHAR) AS max_value
+         FROM src
+         UNION ALL
+         SELECT 'const_zero', count(const_zero), count(*) - count(const_zero),
+                count(DISTINCT const_zero),
+                CAST(min(const_zero) AS VARCHAR), CAST(max(const_zero) AS VARCHAR)
+         FROM src
+         UNION ALL
+         SELECT 'o_orderstatus', count(o_orderstatus), count(*) - count(o_orderstatus),
+                count(DISTINCT o_orderstatus),
+                CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+         FROM src
+         ORDER BY "column"""",
 
     "q46_histogram" ->
       """WITH s AS (SELECT min(CAST(o_totalprice AS DOUBLE)) AS mn,

@@ -58,6 +58,45 @@ class LayoutSpec extends SparkTestBase {
     assert(za < sb / 2 && zb < sb / 2)
   }
 
+  test("point predicates skip row groups at the SCAN on both z dimensions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zscan").toString
+    // low byte / high byte of id: genuinely independent dimensions (an
+    // affine pair like a=177*id%256, b=55*id%256 is secretly bijective —
+    // b constant within each a-run — which lets page stats prune even the
+    // unsorted control and voids the comparison)
+    val df = spark.range(100000).select(
+      pmod(col("id"), lit(256)).as("a"),
+      pmod(floor(col("id") / 256), lit(256)).cast("long").as("b"))
+    Layout.writeZOrdered(df, col("a"), col("b"), s"$dir/z", numFiles = 16, bits = 8)
+    df.repartitionByRange(16, col("a")).sortWithinPartitions(col("a"))
+      .write.mode("overwrite").parquet(s"$dir/bya")
+    // rows the scan node actually EMITS after parquet row-group/page
+    // pruning by the pushed filter — the measurable form of file skipping
+    def scanned(path: String, pred: org.apache.spark.sql.Column): Long = {
+      val q = spark.read.parquet(path).filter(pred)
+      q.collect()
+      val scans = q.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, "expected a FileSourceScanExec leaf")
+      assert(scans.head.metadata("PushedFilters").contains("EqualTo"),
+        "predicate must reach the parquet scan")
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+    val total = 100000L
+    val zA = scanned(s"$dir/z", col("a") === 7)
+    val zB = scanned(s"$dir/z", col("b") === 7)
+    val sA = scanned(s"$dir/bya", col("a") === 7)
+    val sB = scanned(s"$dir/bya", col("b") === 7)
+    // z-order: BOTH dimensions prune well below a full scan
+    assert(zA < total * 6 / 10, s"z-scan on a scanned $zA of $total")
+    assert(zB < total * 6 / 10, s"z-scan on b scanned $zB of $total")
+    // single-column sort: pruning on a, none on b — and z beats it on b
+    assert(sA < total * 2 / 10, s"sort-by-a scan on a scanned $sA")
+    assert(sB > total * 9 / 10, s"sort-by-a scan on b scanned $sB (expected ~full)")
+    assert(zB < sB / 2, s"z-order must beat single-column sort on b: $zB vs $sB")
+  }
+
   test("zvalue validates bits range") {
     intercept[IllegalArgumentException] { Layout.zvalue(lit(1L), lit(1L), bits = 0) }
     intercept[IllegalArgumentException] { Layout.zvalue(lit(1L), lit(1L), bits = 32) }
