@@ -20,7 +20,8 @@ class PlanAuditSpec extends SparkTestBase {
     "t19_source_mix", // one-row min-scale frame attached to the stratum dim
     "q41_bloom_join", // one-row bloom bitset broadcast to the fact scan
     "s09_bm25_search", // one-row corpus-stats frame (N, sumdl, dfs) attach
-    "q46_histogram") // one-row (min, max) range frame attach
+    "q46_histogram", // one-row (min, max) range frame attach
+    "q49_histogram_edges") // q46's one-row range attach, three scenarios
   /** q32: the intentionally exchange-free bucketed join. t07/t18/d09: the
     * corpus anti-join against the near-dup drop set — both sides data-scale-
     * unknown, so SMJ is the correct static plan (AQE downgrades it to a
@@ -34,7 +35,15 @@ class PlanAuditSpec extends SparkTestBase {
   private val sortMergeOk = Set("q32_bucketed_join", "t07_corpus_pipeline",
     "t18_export_packing", "d09_incremental_dedup", "q44_snapshot_diff",
     "d11_semantic_dedup", "q45_incremental_agg",
-    "q47_changelog_invert") // contains q44's full-outer snapshot diff
+    "q47_changelog_invert", // contains q44's full-outer snapshot diff
+    // d12: d09's capped-bucket probe/build join over a parquet-read-back
+    // index unioned with a checkpointed batch side — sizes statically
+    // unknown, SMJ is the correct static plan, AQE downgrades at runtime
+    "d12_stored_index_dedup",
+    // d13: the final node-label left join reads two localCheckpointed
+    // frames (LogicalRDD reports no size stats), same AQE-downgrade
+    // posture as the anti-joins above
+    "d13_dup_clusters_star")
 
   test("no entry plans a cartesian; NLJ/SMJ only on the allowlists") {
     val violations = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
