@@ -65,12 +65,18 @@ object TfIdf {
   def bigramVocabulary(docs: DataFrame, idCol: String, textCol: String,
                        topV: Int, minDf: Long = 1): DataFrame = {
     require(topV >= 1, s"topV must be >= 1, got $topV")
-    val toks = tokens(lower(col(textCol)))
+    // tokenize in its OWN projection: the bigram lambda reads the array 4x
+    // (two sizes, two element_ats per element), and HOF lambdas defeat
+    // common-subexpression elimination — inlined, the split() would re-run
+    // per element_at, turning an O(tokens) row into O(tokens^2).
+    // CollapseProject keeps a non-cheap multi-use alias materialized.
+    val toks = col("_toks")
     val pairs = when(size(toks) >= 2,
       transform(sequence(lit(1), size(toks) - 1),
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
       .otherwise(array().cast("array<string>"))
-    docs.select(col(idCol), explode(pairs).as("bigram"))
+    docs.select(col(idCol), tokens(lower(col(textCol))).as("_toks"))
+      .select(col(idCol), explode(pairs).as("bigram"))
       .groupBy(col("bigram"))
       .agg(countDistinct(col(idCol)).as("doc_freq"),
         count(lit(1)).as("pair_freq"))
