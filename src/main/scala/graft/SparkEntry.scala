@@ -478,6 +478,35 @@ object SparkEntry {
         .orderBy(col("scenario"), col("bin"))
     },
 
+    // ---- Event analytics: strict sequential funnel — each stage anchors
+    // at the previous stage's matched timestamp; ONE user-keyed shuffle,
+    // row-local stage walk over sorted per-stage epoch-micro arrays ----
+    "q51_funnel" -> { (s, dir) =>
+      Analytics.funnel(Tables.events(s, dir), "user_id", "event_type", "ts",
+        stages = Seq("view", "click", "purchase"), horizonMicros = 3600000000L)
+    },
+
+    // ---- Event analytics: cohort retention — weekly cohorts by first
+    // activity, distinct members per (cohort, offset); every shuffle
+    // user- or cohort-keyed ----
+    "q52_cohort_retention" -> { (s, dir) =>
+      Analytics.cohortRetention(Tables.events(s, dir), "user_id", "ts",
+        bucketDays = 7)
+    },
+
+    // ---- Table maintenance: small-file compaction planning over a
+    // metadata-scale file listing — per-table-partition prefix-sum
+    // grouping toward a target size, parallel across partitions ----
+    "q53_compaction_plan" -> { (s, dir) =>
+      val listing = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("part_key"),
+          date_trunc("week", col("l_shipdate")).cast("date").as("file_id"))
+        .agg((count(lit(1)) * 100).as("bytes"))
+      Layout.compactionPlan(listing, Seq("part_key"), "file_id", "bytes",
+          targetBytes = 50000)
+        .orderBy(col("part_key"), col("file_id"))
+    },
+
     // ---- Profile edge cases: all-NULL column (0 distinct, NULL min/max),
     // constant column, alongside a normal one ----
     "q50_profile_edges" -> { (s, dir) =>
@@ -1899,6 +1928,54 @@ object SparkEntry {
          SELECT scenario, bin, bin_lo, bin_hi, n FROM h1
          UNION ALL SELECT scenario, bin, bin_lo, bin_hi, n FROM h2
          ORDER BY scenario, bin""",
+
+    "q51_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+           WHERE event_type IN ('view', 'click', 'purchase')),
+         u AS (
+           SELECT user_id,
+             list_sort(list(t) FILTER (WHERE event_type = 'view')) AS t0,
+             list_sort(list(t) FILTER (WHERE event_type = 'click')) AS t1,
+             list_sort(list(t) FILTER (WHERE event_type = 'purchase')) AS t2
+           FROM e GROUP BY user_id),
+         a0 AS (SELECT user_id, t1, t2, list_min(t0) AS a0 FROM u),
+         a1 AS (SELECT user_id, t2, a0,
+             list_min(list_filter(t1, x -> x >= a0 AND x <= a0 + 3600000000)) AS a1
+           FROM a0),
+         a2 AS (SELECT user_id, a0, a1,
+             list_min(list_filter(t2, x -> x >= a1 AND x <= a1 + 3600000000)) AS a2
+           FROM a1)
+         SELECT * FROM (
+           SELECT 1 AS stage_no, 'view' AS stage, CAST(count(a0) AS BIGINT) AS n_users FROM a2
+           UNION ALL
+           SELECT 2, 'click', CAST(count(a1) AS BIGINT) FROM a2
+           UNION ALL
+           SELECT 3, 'purchase', CAST(count(a2) AS BIGINT) FROM a2)
+         ORDER BY stage_no""",
+
+    "q52_cohort_retention" ->
+      """WITH b AS (SELECT user_id,
+           CAST(floor(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) / 7) AS BIGINT) AS bucket
+           FROM events),
+         f AS (SELECT user_id, min(bucket) AS cohort FROM b GROUP BY user_id),
+         a AS (SELECT DISTINCT user_id, bucket FROM b)
+         SELECT f.cohort AS cohort_bucket, a.bucket - f.cohort AS bucket_offset,
+                count(DISTINCT a.user_id) AS n_users
+         FROM a JOIN f USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q53_compaction_plan" ->
+      """WITH listing AS (
+           SELECT l_returnflag AS part_key,
+                  CAST(date_trunc('week', l_shipdate) AS DATE) AS file_id,
+                  CAST(count(*) * 100 AS BIGINT) AS bytes
+           FROM lineitem GROUP BY 1, 2),
+         w AS (SELECT part_key, file_id, bytes,
+                 coalesce(sum(bytes) OVER (PARTITION BY part_key ORDER BY file_id) - bytes, 0) AS before
+               FROM listing)
+         SELECT part_key, file_id, bytes,
+                CAST(floor(before / 50000) AS BIGINT) AS compaction_group
+         FROM w ORDER BY part_key, file_id""",
 
     "q50_profile_edges" ->
       """WITH src AS (SELECT CAST(NULL AS DOUBLE) AS all_null,

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-analytics operators over the events stream: funnel conversion and
+  * cohort retention — the two queries every product-analytics warehouse
+  * runs hourly, re-expressed as single-shuffle Spark plans.
+  */
+object Analytics {
+
+  /** Ordered funnel conversion: stage k counts users whose first stage-1
+    * event is followed by a stage-2 event within `horizonMicros`, whose
+    * match is followed by a stage-3 event within the horizon of THAT
+    * match, and so on (each step anchors at the previous step's matched
+    * timestamp — the strict sequential funnel, not mere per-stage
+    * presence).
+    *
+    * Scale design: ONE user-keyed shuffle. Per (user, stage) the
+    * timestamps are collected as sorted epoch-micro arrays in a single
+    * map-side-combined aggregate (funnel analysis assumes bounded per-user
+    * event counts — the arrays are per-user-stage, never corpus-wide), and
+    * the stage walk is a row-local `filter`/`array_min` chain over those
+    * arrays. Output: (stage_no, stage, n_users), one row per stage,
+    * n_users non-increasing. Epoch-micro longs keep the arithmetic
+    * engine-exact. */
+  def funnel(events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+             stages: Seq[String], horizonMicros: Long): DataFrame = {
+    require(stages.size >= 2, s"funnel: need >= 2 stages, got ${stages.size}")
+    require(horizonMicros > 0, s"funnel: horizonMicros must be positive")
+    val perUser = events
+      .filter(col(typeCol).isInCollection(stages))
+      .groupBy(col(userCol))
+      .agg(stages.zipWithIndex.map { case (s, i) =>
+        sort_array(collect_list(when(col(typeCol) === s,
+          unix_micros(col(tsCol))))).as(s"_ts$i")
+      }.head, stages.zipWithIndex.tail.map { case (s, i) =>
+        sort_array(collect_list(when(col(typeCol) === s,
+          unix_micros(col(tsCol))))).as(s"_ts$i")
+      }: _*)
+    // row-local stage walk: anchor(0) = first stage-0 event; anchor(k) =
+    // earliest stage-k event in [anchor(k-1), anchor(k-1) + horizon]
+    val anchors = stages.indices.foldLeft(Seq.empty[Column]) { (acc, i) =>
+      val a =
+        if (i == 0) array_min(col("_ts0"))
+        else {
+          val prev = acc.last
+          array_min(filter(col(s"_ts$i"),
+            t => t >= prev && t <= prev + horizonMicros))
+        }
+      acc :+ a
+    }
+    val reached = perUser.select(stages.indices.map(i =>
+      anchors(i).isNotNull.cast("long").as(s"_r$i")): _*)
+    val counts = reached.agg(
+      sum(col("_r0")).as("_n0"),
+      stages.indices.tail.map(i => sum(col(s"_r$i")).as(s"_n$i")): _*)
+    val rows = array(stages.zipWithIndex.map { case (s, i) => struct(
+      lit(i + 1).as("stage_no"), lit(s).as("stage"),
+      coalesce(col(s"_n$i"), lit(0L)).as("n_users"))
+    }: _*)
+    counts.select(explode(rows).as("_s")).select(col("_s.*"))
+      .orderBy(col("stage_no"))
+  }
+
+  /** Cohort retention: users are cohorted by the day-bucket of their FIRST
+    * event; cell (cohort_day, day_offset) counts distinct cohort members
+    * active `day_offset` bucket-days later. `bucketDays` widens the bucket
+    * (7 = weekly cohorts).
+    *
+    * Scale design: one user-keyed aggregate for first-seen, one distinct
+    * over (user, bucket), one user-keyed join to attach the cohort, one
+    * map-side-combined count per (cohort, offset) — every shuffle is keyed,
+    * nothing collects. Date arithmetic stays in whole bucket indexes
+    * (epoch-day / bucketDays), so both engines bucket identically. */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+                      bucketDays: Int = 7): DataFrame = {
+    require(bucketDays >= 1, s"cohortRetention: bucketDays must be >= 1")
+    val bucket = floor(unix_date(to_date(col(tsCol))) / bucketDays).cast("long")
+    val firstSeen = events.groupBy(col(userCol))
+      .agg(min(bucket).as("_cohort"))
+    val active = events.select(col(userCol), bucket.as("_bucket")).distinct()
+    active.join(firstSeen, userCol)
+      .groupBy(col("_cohort").as("cohort_bucket"),
+        (col("_bucket") - col("_cohort")).as("bucket_offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+      .orderBy(col("cohort_bucket"), col("bucket_offset"))
+  }
+}

@@ -412,14 +412,20 @@ object Dedup {
         .distinct()
     }
     var edges = raw.filter(col("u") =!= col("v")).distinct().localCheckpoint()
-    var converged = edges.isEmpty
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0
     var iter = 0
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      // fixpoint = same edge SET after a full round (both frames are
-      // distinct, so two anti-joins decide set equality)
-      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      // fixpoint = same edge SET after a full round. Both frames are
+      // distinct sets, so |A| == |B| makes one-direction containment
+      // (exceptAll empty) equivalent to equality — a cheap count over the
+      // checkpointed blocks short-circuits non-converged rounds, and the
+      // converged round pays ONE anti-join instead of two
+      val nextCount = next.count()
+      converged = nextCount == edgeCount && next.exceptAll(edges).isEmpty
       edges = next
+      edgeCount = nextCount
       iter += 1
     }
     if (!converged) throw new IllegalStateException(

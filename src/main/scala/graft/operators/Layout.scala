@@ -42,4 +42,30 @@ object Layout {
       .sortWithinPartitions(col("_z"))
       .drop("_z")
       .write.mode("overwrite").parquet(path)
+
+  /** Small-file compaction planner — the table-maintenance half of the
+    * layout story: a 100 TB table accumulates small files from streaming
+    * appends and partition overwrites, and scan throughput collapses long
+    * before capacity does. Given a FILE LISTING (metadata-scale: one row
+    * per file, never data-scale), assign each file to a compaction group
+    * targeting `targetBytes` per group: group = floor(running-bytes-before
+    * / target) within the file's table partition, files taken in
+    * deterministic `fileCol` order. The prefix-sum form is one window over
+    * the LISTING — expressible identically in any engine, near-optimal for
+    * the many-small-files case compaction exists to fix — and the window
+    * partitions on the table-partition columns, so planning parallelizes
+    * across partitions (no global single-partition sort). */
+  def compactionPlan(listing: DataFrame, partCols: Seq[String], fileCol: String,
+                     bytesCol: String, targetBytes: Long): DataFrame = {
+    require(partCols.nonEmpty, "compactionPlan: need at least one partition column")
+    require(targetBytes > 0, s"compactionPlan: targetBytes must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partCols.map(col): _*).orderBy(col(fileCol))
+    listing
+      .withColumn("_before", coalesce(
+        sum(col(bytesCol)).over(w) - col(bytesCol), lit(0L)))
+      .withColumn("compaction_group",
+        floor(col("_before") / targetBytes).cast("long"))
+      .drop("_before")
+  }
 }

@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Analytics, Layout}
+
+/** Funnel, cohort retention, and compaction planning on hand-computable
+  * fixtures: the strict sequential anchoring (stage k within the horizon
+  * of stage k-1's MATCH, not of stage 1) is the part worth pinning. */
+class AnalyticsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("funnel anchors each stage at the previous stage's match") {
+    val events = Seq(
+      // u1: view 10:00, click 10:30, purchase 11:15 — purchase is within
+      // 1h of the CLICK (anchor), though 75min after the view: converts
+      (1L, "view", ts("2026-01-01 10:00:00")),
+      (1L, "click", ts("2026-01-01 10:30:00")),
+      (1L, "purchase", ts("2026-01-01 11:15:00")),
+      // u2: click BEFORE the first view never matches; the later click does
+      (2L, "click", ts("2026-01-01 09:00:00")),
+      (2L, "view", ts("2026-01-01 10:00:00")),
+      (2L, "click", ts("2026-01-01 10:45:00")),
+      // u2's purchase is 61min after its click anchor: does NOT convert
+      (2L, "purchase", ts("2026-01-01 11:46:00")),
+      // u3: purchase only — not even stage 1
+      (3L, "purchase", ts("2026-01-01 10:00:00")),
+      // u4: view then nothing
+      (4L, "view", ts("2026-01-01 12:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val got = Analytics.funnel(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), horizonMicros = 3600L * 1000000L)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(got == Seq((1, "view", 3L), (2, "click", 2L), (3, "purchase", 1L)))
+  }
+
+  test("funnel: simultaneous timestamps count (>= bound is inclusive)") {
+    val events = Seq(
+      (1L, "view", ts("2026-01-01 10:00:00")),
+      (1L, "click", ts("2026-01-01 10:00:00")), // same instant: matches
+      (1L, "purchase", ts("2026-01-01 11:00:00"))) // exactly at horizon
+      .toDF("user_id", "event_type", "ts")
+    val got = Analytics.funnel(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), horizonMicros = 3600L * 1000000L)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(got.map(_._3) == Seq(1L, 1L, 1L))
+  }
+
+  test("cohortRetention buckets by first activity and counts distinct members") {
+    val events = Seq(
+      // u1 first in bucket of Jan-01 (day 20454 -> bucket 2922), active
+      // again 2 buckets later; two events in one bucket count once
+      (1L, ts("2026-01-01 10:00:00")),
+      (1L, ts("2026-01-02 10:00:00")),
+      (1L, ts("2026-01-15 10:00:00")),
+      // u2 same cohort, only the first bucket
+      (2L, ts("2026-01-03 10:00:00")),
+      // u3 cohorted one bucket later
+      (3L, ts("2026-01-08 10:00:00")))
+      .toDF("user_id", "ts")
+    val got = Analytics.cohortRetention(events, "user_id", "ts", bucketDays = 7)
+      .as[(Long, Long, Long)].collect().toSeq
+    val byCohort = got.groupBy(_._1)
+    assert(byCohort.size == 2)
+    val (c0, c1) = (byCohort.keys.min, byCohort.keys.max)
+    assert(c1 == c0 + 1)
+    assert(got.filter(_._1 == c0).map(t => (t._2, t._3)).toSet ==
+      Set((0L, 2L), (2L, 1L)))
+    assert(got.filter(_._1 == c1).map(t => (t._2, t._3)).toSet == Set((0L, 1L)))
+  }
+
+  test("compactionPlan groups by prefix-sum within each partition") {
+    val listing = Seq(
+      ("a", 1, 40L), ("a", 2, 40L), ("a", 3, 40L), // before: 0, 40, 80
+      ("a", 4, 200L),                              // before: 120 -> group 1
+      ("b", 1, 10L))                               // independent partition
+      .toDF("pt", "file_id", "bytes")
+    val got = Layout.compactionPlan(listing, Seq("pt"), "file_id", "bytes", 100L)
+      .select("pt", "file_id", "compaction_group")
+      .as[(String, Int, Long)].collect().toSet
+    assert(got == Set(
+      ("a", 1, 0L), ("a", 2, 0L), ("a", 3, 0L), ("a", 4, 1L), ("b", 1, 0L)))
+  }
+}
