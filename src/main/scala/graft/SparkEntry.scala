@@ -507,6 +507,18 @@ object SparkEntry {
         .orderBy(col("part_key"), col("file_id"))
     },
 
+    // ---- Time series: gap fill + forward fill — per-key calendar from a
+    // (min,max) aggregate exploded row-locally (never a global calendar
+    // cross join), last-ignoreNulls window sharing the join's keying ----
+    "q54_gap_fill" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("v"))
+      Windows.gapFillForward(daily, "user_id", "d", "v")
+        .orderBy(col("user_id"), col("d"))
+    },
+
     // ---- Profile edge cases: all-NULL column (0 distinct, NULL min/max),
     // constant column, alongside a normal one ----
     "q50_profile_edges" -> { (s, dir) =>
@@ -1976,6 +1988,24 @@ object SparkEntry {
          SELECT part_key, file_id, bytes,
                 CAST(floor(before / 50000) AS BIGINT) AS compaction_group
          FROM w ORDER BY part_key, file_id""",
+
+    "q54_gap_fill" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(ts AS DATE) AS d,
+                  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         cal AS (
+           SELECT user_id,
+                  CAST(unnest(generate_series(mind, maxd, INTERVAL 1 DAY)) AS DATE) AS d
+           FROM (SELECT user_id, min(d) AS mind, max(d) AS maxd FROM daily GROUP BY 1)),
+         j AS (SELECT c.user_id, c.d, dd.v
+               FROM cal c LEFT JOIN daily dd ON c.user_id = dd.user_id AND c.d = dd.d)
+         SELECT user_id, d,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+           (v IS NOT NULL) AS observed
+         FROM j ORDER BY user_id, d""",
 
     "q50_profile_edges" ->
       """WITH src AS (SELECT CAST(NULL AS DOUBLE) AS all_null,

@@ -109,4 +109,31 @@ object Windows {
     df.join(broadcast(counts), df(keyCol) <=> counts("_gc_key"))
       .drop("_gc_key")
   }
+
+  /** Time-series gap fill + forward fill (resampling a sparse daily series
+    * to a dense one — balance curves, metric dashboards, feature windows):
+    * per key, every calendar day from the key's first to last observation
+    * gets a row; days with no observation carry the last observed value
+    * forward. `observed` marks real rows.
+    *
+    * Scale design: the calendar is built per key from a (min, max)
+    * aggregate and exploded row-locally (span is bounded by the key's own
+    * history — never a global calendar cross join); the fill is one
+    * last-ignoreNulls window partitioned BY KEY, sharing the join's hash
+    * partitioning. No leading nulls by construction (the first calendar
+    * day is the first observation). */
+  def gapFillForward(df: DataFrame, keyCol: String, dateCol: String,
+                     valueCol: String): DataFrame = {
+    val cal = df.groupBy(col(keyCol))
+      .agg(min(col(dateCol)).as("_d0"), max(col(dateCol)).as("_d1"))
+      .select(col(keyCol),
+        explode(sequence(col("_d0"), col("_d1"), expr("INTERVAL 1 DAY")))
+          .as(dateCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dateCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(df.select(col(keyCol), col(dateCol), col(valueCol)),
+        Seq(keyCol, dateCol), "left")
+      .withColumn("observed", col(valueCol).isNotNull)
+      .withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
+  }
 }

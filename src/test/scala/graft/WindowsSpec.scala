@@ -73,4 +73,20 @@ class WindowsSpec extends SparkTestBase {
     val back = expanded.as[(Long, Long, Int)].collect().toSet
     assert(back == orig)
   }
+
+  test("gapFillForward densifies each key's span and carries values forward") {
+    val daily = Seq(
+      (1L, "2026-01-01", 10L), (1L, "2026-01-04", 40L), // gap of 2 days
+      (2L, "2026-01-03", 30L))                          // single observation
+      .toDF("k", "d", "v").withColumn("d", col("d").cast("date"))
+    val got = Windows.gapFillForward(daily, "k", "d", "v")
+      .select(col("k"), col("d").cast("string"), col("v"), col("observed"))
+      .as[(Long, String, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, "2026-01-01", 10L, true),
+      (1L, "2026-01-02", 10L, false), // carried
+      (1L, "2026-01-03", 10L, false), // carried
+      (1L, "2026-01-04", 40L, true),
+      (2L, "2026-01-03", 30L, true))) // span of one day, no padding
+  }
 }
