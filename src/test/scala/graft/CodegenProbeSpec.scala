@@ -32,4 +32,18 @@ class CodegenProbeSpec extends SparkTestBase {
     assert(plan.linesIterator.next().startsWith("*("),
       s"project not whole-stage-codegen'd:\n$plan")
   }
+
+  test("round-6 broadcast-codebook kernels stay inside WholeStageCodegen") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bc = spark.sparkContext.broadcast(
+      Array(Array.fill(64)(0.1), Array.fill(64)(-0.2)))
+    val df = emb.select(col("vec_id"),
+      cell_assign(col("embedding"), bc).as("cell"),
+      cell_scores(col("embedding"), bc).as("scores"),
+      centroid_at(cell_assign(col("embedding"), bc), bc).as("cent"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.next().startsWith("*("),
+      s"project not whole-stage-codegen'd:\n$plan")
+  }
 }
