@@ -168,6 +168,11 @@ object Functions {
   def lang_id(text: Column): Column =
     bridge.column(LangId(bridge.expression(text)))
 
+  /** NFC normalization + control-char scrub (tab/newline kept) — see
+    * functions.UnicodeUtil. */
+  def nfc_clean(text: Column): Column =
+    bridge.column(graft.functions.NfcClean(bridge.expression(text)))
+
   /** Fused quality-signal kernel (one pass: counts, ratios, composite
     * score) — see functions.QualityUtil for the parity contract. */
   def quality_signals(text: Column): Column =

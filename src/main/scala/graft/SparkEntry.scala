@@ -1187,6 +1187,23 @@ object SparkEntry {
         topV = 100, minTokenLen = 3, minDf = 2)
     },
 
+    // ---- Text: Unicode hygiene — NFC normalization (composed forms hash
+    // identically for dedup) + control-char scrub; deterministic dirty
+    // prefixes exercise combining marks, CRLF, and bell bytes ----
+    "t23_unicode_clean" -> { (s, dir) =>
+      val dirty = Tables.documents(s, dir).select(col("doc_id"),
+        concat(
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("é"))
+            .when(pmod(col("doc_id"), lit(3)) === 1, lit("a\r\nb\tc"))
+            .otherwise(lit("")),
+          col("text")).as("t"))
+      dirty
+        .select(col("doc_id"), nfc_clean(col("t")).as("cleaned"))
+        .select(col("doc_id"), md5(col("cleaned")).as("clean_md5"),
+          length(col("cleaned")).as("n_chars_clean"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- Text: bigram vocabulary (collocation mining for tokenizer /
     // phrase work) — explode is per adjacent PAIR, grouped on the bigram
     // itself; only (bigram, id) rows cross the shuffle, never text ----
@@ -2969,6 +2986,21 @@ object SparkEntry {
          SELECT term, doc_freq, term_freq FROM v
          WHERE doc_freq >= 2
          ORDER BY doc_freq DESC, term LIMIT 100""",
+
+    "t23_unicode_clean" ->
+      """WITH dirty AS (SELECT doc_id,
+           CASE doc_id % 3
+             WHEN 0 THEN 'e' || chr(769) || chr(7)
+             WHEN 1 THEN 'a' || chr(13) || chr(10) || 'b' || chr(9) || 'c'
+             ELSE '' END || text AS t
+           FROM documents),
+         c AS (SELECT doc_id,
+             regexp_replace(nfc_normalize(t),
+               '[\x00-\x08\x0B-\x1F\x7F-\x9F]', '', 'g') AS cleaned
+           FROM dirty)
+         SELECT doc_id, md5(cleaned) AS clean_md5,
+                CAST(length(cleaned) AS INTEGER) AS n_chars_clean
+         FROM c ORDER BY doc_id""",
 
     "t22_bigram_vocab" ->
       """WITH toks AS (SELECT doc_id,

@@ -211,4 +211,23 @@ class TextAnalysisSpec extends SparkTestBase {
     val rows = emb.select(dot(col("embedding"), plane).as("d")).collect()
     assert(rows.forall(r => !r.isNullAt(0)))
   }
+
+  test("nfc_clean composes NFC and strips controls except tab/newline") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "e\u0301clair"),          // decomposed -> composed é
+      (2L, "a\r\nb\tcd"),      // CRLF -> LF, tab kept, BEL dropped
+      (3L, "plain"),
+      (4L, "")).toDF("id", "t")
+    val got = df.select(col("id"), nfc_clean(col("t")).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "\u00e9clair")
+    assert(got(2L) == "a\nb\tcd")
+    assert(got(3L) == "plain")
+    assert(got(4L) == "")
+    // idempotent: cleaning clean text changes nothing
+    val twice = df.select(nfc_clean(nfc_clean(col("t"))).as("c2"))
+      .as[String].collect().toSeq
+    assert(twice == df.select(nfc_clean(col("t"))).as[String].collect().toSeq)
+  }
 }
