@@ -980,6 +980,39 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- Multimodal: REAL pixel resize — decode, Graphics2D bilinear
+    // scale to fit a 16px square (integer-arithmetic target dims), PNG
+    // re-encode; the entry DECODES THE RESIZED BYTES so the asserted
+    // dimensions come from the produced image, not the kernel's claim ----
+    "m08_resize_real" -> { (s, dir) =>
+      val dims = Tables.documents(s, dir).select(col("doc_id"),
+        (pmod(col("doc_id"), lit(64)) + 1).cast("int").as("_w"),
+        (pmod(col("doc_id"), lit(48)) + 1).cast("int").as("_h"))
+      val resized = Multimodal.resizeImageReal(
+        Multimodal.encodePng(dims, "doc_id", "_w", "_h"),
+        "asset_id", "payload", maxDim = 16)
+      Multimodal.decodeImageMeta(resized, "asset_id", "resized")
+        .withColumnRenamed("asset_id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Multimodal: REAL pixel feature extraction — 16-bucket integer
+    // Rec.601 luminance histogram over decoded pixels; flat-color PNGs
+    // make the expected histogram (1.0 at the color's bucket) derivable
+    // from doc_id arithmetic alone, proving actual pixel reads ----
+    "m09_features_real" -> { (s, dir) =>
+      val dims = Tables.documents(s, dir).select(col("doc_id"),
+        (pmod(col("doc_id"), lit(8)) + 1).cast("int").as("_w"),
+        (pmod(col("doc_id"), lit(8)) + 1).cast("int").as("_h"))
+      Multimodal.extractFeaturesReal(
+          Multimodal.encodePng(dims, "doc_id", "_w", "_h"),
+          "asset_id", "payload")
+        .withColumnRenamed("asset_id", "doc_id")
+        .select(col("doc_id"), posexplode(col("features")))
+        .select(col("doc_id"), col("pos").as("dim"), col("col").as("value"))
+        .orderBy(col("doc_id"), col("dim"))
+    },
+
     // ---- Text: language-ID heuristic ----
     "t01_langid" -> { (s, dir) =>
       Tables.documents(s, dir)
@@ -2834,6 +2867,31 @@ object SparkEntry {
                  (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine
          FROM nz, q WHERE doc_id <> 0
          ORDER BY cosine DESC, doc_id LIMIT 10""",
+
+    "m08_resize_real" ->
+      """WITH d AS (SELECT doc_id,
+           CAST(doc_id % 64 + 1 AS INTEGER) AS w,
+           CAST(doc_id % 48 + 1 AS INTEGER) AS h
+           FROM documents),
+         r AS (SELECT doc_id,
+           CASE WHEN greatest(w, h) <= 16 THEN w
+                ELSE CAST(greatest(1, (w * 16) // greatest(w, h)) AS INTEGER) END AS w2,
+           CASE WHEN greatest(w, h) <= 16 THEN h
+                ELSE CAST(greatest(1, (h * 16) // greatest(w, h)) AS INTEGER) END AS h2
+           FROM d)
+         SELECT doc_id, 'png' AS format, w2 AS width, h2 AS height,
+                CAST(w2 AS BIGINT) * h2 AS n_pixels
+         FROM r ORDER BY doc_id""",
+
+    "m09_features_real" ->
+      """WITH d AS (SELECT doc_id, (doc_id * 2654435761) % 16777216 AS rgb FROM documents),
+         b AS (SELECT doc_id,
+             ((77 * ((rgb // 65536) % 256) + 151 * ((rgb // 256) % 256)
+               + 28 * (rgb % 256)) // 256) // 16 AS bucket
+           FROM d)
+         SELECT doc_id, CAST(t.d AS INTEGER) AS dim,
+                CAST(CASE WHEN t.d = bucket THEN 1 ELSE 0 END AS DOUBLE) AS value
+         FROM b CROSS JOIN range(0, 16) t(d) ORDER BY doc_id, dim""",
 
     "m07_image_decode" ->
       """SELECT doc_id, 'png' AS format,

@@ -9,15 +9,16 @@ import org.apache.spark.sql.types._
 
 /** Multimodal-column operators: image/audio/video payloads ride as opaque
   * `binary` columns with typed metadata alongside (the builder brief's
-  * training-data-pipeline surface). Image metadata decode is REAL —
-  * [[decodeImageMeta]] reads actual PNG/JPEG containers header-only via
-  * `javax.imageio` (public JDK, no extra dependency), with [[encodePng]] as
-  * its round-trip proof. Pixel-level transforms (resize, feature extraction)
-  * and audio/video codecs need libraries this container does not ship, so
-  * those kernels are STUBBED with deterministic fakes — the Spark-side
-  * plumbing (binary columns, byte-range frame sampling, schema,
-  * partition-preserving batched iteration) is real and is what matters at
-  * 100 TB.
+  * training-data-pipeline surface). The IMAGE path is REAL, pure JDK
+  * (`javax.imageio` + `BufferedImage`, no extra dependency):
+  * [[decodeImageMeta]] header-only metadata, [[resizeImageReal]] pixel
+  * scaling, [[extractFeaturesReal]] decoded-pixel histograms, with
+  * [[encodePng]] as the round-trip proof generator. Audio/video codecs
+  * need libraries this container does not ship, so those kernels (and the
+  * *Stub variants kept as test doubles for the synthetic fake-magic
+  * assets) are deterministic fakes — the Spark-side plumbing (binary
+  * columns, byte-range frame sampling, schema, partition-preserving
+  * batched iteration) is identical either way.
   *
   * Scale posture: every operator here is row-local (no shuffle); frame
   * sampling explodes bounded arrays; the decode stub is mapPartitions-shaped
@@ -276,6 +277,102 @@ object Multimodal {
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", bos)
         Row(id, bos.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** Resized-image schema for the REAL resize kernel. */
+  val resizeRealSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("w_in", IntegerType),
+    StructField("h_in", IntegerType),
+    StructField("w_out", IntegerType),
+    StructField("h_out", IntegerType),
+    StructField("resized", BinaryType)))
+
+  /** REAL image resize via pure-JDK pixel ops (`ImageIO` decode →
+    * `Graphics2D` bilinear scale → PNG re-encode): fit inside a
+    * `maxDim` square preserving aspect ratio, never upscaling. Target
+    * dimensions use INTEGER arithmetic — w_out = max(1, w*maxDim /
+    * max(w,h)) with truncating division — so an oracle replays them
+    * without float-rounding ambiguity. Per-partition batching as every
+    * media kernel; undecodable payloads yield NULL dims + NULL bytes
+    * (one corrupt asset must not kill a partition). The byte-stride
+    * [[resizeImageStub]] stays as the test double for synthetic assets. */
+  def resizeImageReal(df: DataFrame, idCol: String, binCol: String,
+                      maxDim: Int): DataFrame = {
+    require(maxDim >= 1, s"resizeImageReal: maxDim must be >= 1, got $maxDim")
+    val input = df.select(col(idCol).cast("long"), col(binCol))
+    val enc = RowEncoder.encoderFor(resizeRealSchema)
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val img = try {
+          if (bytes == null) null
+          else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        } catch { case _: Exception => null }
+        if (img == null) Row(id, null, null, null, null, null)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val m = math.max(w, h)
+          val (wOut, hOut) =
+            if (m <= maxDim) (w, h)
+            else (math.max(1, w * maxDim / m), math.max(1, h * maxDim / m))
+          val out = new java.awt.image.BufferedImage(wOut, hOut,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, wOut, hOut, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Row(id, w, h, wOut, hOut, bos.toByteArray)
+        }
+      }
+    }(enc)
+  }
+
+  /** REAL feature extraction over DECODED PIXELS (pure JDK): a 16-bucket
+    * normalized luminance histogram per asset — the model-forward-pass
+    * contract ([[featureSchema]]: fixed-dim double vector feeding the
+    * similarity suite) with an actual pixel read behind it. Luminance is
+    * integer Rec.601: (77r + 151g + 28b) >> 8, bucket = lum >> 4 —
+    * integer math end to end, so an oracle with known pixel colors
+    * replays it exactly. Undecodable payloads yield the zero vector
+    * (callers exclude zero-norm rows before cosine, as with the stub). */
+  def extractFeaturesReal(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val dim = 16
+    val input = df.select(col(idCol).cast("long"), col(binCol))
+    val enc = RowEncoder.encoderFor(featureSchema(dim))
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val img = try {
+          if (bytes == null) null
+          else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        } catch { case _: Exception => null }
+        if (img == null) Row(id, Seq.fill(dim)(0.0))
+        else {
+          val counts = new Array[Long](dim)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              val lum = (77 * ((rgb >> 16) & 0xff) + 151 * ((rgb >> 8) & 0xff) +
+                28 * (rgb & 0xff)) >> 8
+              counts(lum >> 4) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val n = img.getWidth.toLong * img.getHeight.toLong
+          Row(id, counts.map(_.toDouble / n).toSeq)
+        }
       }
     }(enc)
   }

@@ -143,6 +143,49 @@ class MultimodalSpec extends SparkTestBase {
     assert(sniff(1L) == "png" && sniff(2L) == "jpeg" && sniff(3L) == "unknown")
   }
 
+  test("resizeImageReal scales with integer-exact target dims; garbage -> NULLs") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, encodeJvm("png", 64, 32)),  // downscale: max 64 -> 16, so (16, 8)
+      (2L, encodeJvm("png", 10, 7)),   // already fits: untouched
+      (3L, encodeJvm("png", 5, 100)),  // tall: h 100 -> 16, w 5*16/100 = 0 -> 1
+      (4L, "not an image".getBytes("UTF-8")))
+      .toDF("asset_id", "payload")
+    val got = Multimodal.resizeImageReal(rows, "asset_id", "payload", maxDim = 16)
+      .orderBy("asset_id").collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))).toMap
+    assert(got(1L)._1 == Some(16) && got(1L)._2 == Some(8))
+    assert(got(2L)._1 == Some(10) && got(2L)._2 == Some(7))
+    assert(got(3L)._1 == Some(1) && got(3L)._2 == Some(16))
+    assert(got(4L) == ((None, None, None)))
+    // the resized payload is a real decodable PNG of the claimed size
+    val bytes = Multimodal.resizeImageReal(rows.filter(col("asset_id") === 1L),
+        "asset_id", "payload", maxDim = 16)
+      .select("resized").collect()(0).getAs[Array[Byte]](0)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img.getWidth == 16 && img.getHeight == 8)
+  }
+
+  test("extractFeaturesReal histograms decoded pixel luminance") {
+    import spark.implicits._
+    // hand-made 2x1 image: one black pixel (bucket 0), one white (bucket 15)
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000)
+    img.setRGB(1, 0, 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val rows = Seq((1L, bos.toByteArray),
+      (2L, "garbage".getBytes("UTF-8"))).toDF("asset_id", "payload")
+    val got = Multimodal.extractFeaturesReal(rows, "asset_id", "payload")
+      .orderBy("asset_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Double]](1)).toMap
+    val f = got(1L)
+    assert(f.length == 16 && f(0) == 0.5 && f(15) == 0.5 && f.sum == 1.0)
+    assert(got(2L).forall(_ == 0.0)) // undecodable -> zero vector, no NaN
+  }
+
   test("encodePng -> decodeImageMeta round-trips the requested dimensions") {
     import spark.implicits._
     val dims = Seq((10L, 5, 3), (11L, 1, 1), (12L, 300, 200))
