@@ -203,6 +203,10 @@ object Functions {
   def centroid_at(cell: Column, bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]): Column =
     bridge.column(graft.functions.CentroidAt(bridge.expression(cell), bc))
 
+  /** Sign-bit LSH bucket over a broadcast hyperplane matrix. */
+  def hyperplane_bucket(vec: Column, bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]): Column =
+    bridge.column(graft.functions.HyperplaneBucket(bridge.expression(vec), bc))
+
   /** Per-list ADC table-lookup distance over broadcast quantized tables. */
   def adc_distance(list: Column, codes: Column,
                    bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Long]]]]): Column =

@@ -78,6 +78,35 @@ object CellUtil {
     if (best < 0) null else Integer.valueOf(best)
   }
 
+  /** Sign-bit LSH bucket: bit p set when dot(vec, plane_p) >= 0 under
+    * Double.compare ordering (NaN >= 0, like Spark SQL comparisons); null
+    * dots (length mismatch / null element) leave the bit 0. */
+  def hyperplaneBucket(vec: ArrayData, isFloat: Boolean,
+                       planes: Array[Array[Double]]): Long = {
+    var acc = 0L
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      val n = vec.numElements()
+      if (n == plane.length) {
+        var d = 0.0
+        var i = 0
+        var ok = true
+        while (ok && i < n) {
+          if (vec.isNullAt(i)) ok = false
+          else {
+            val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+            d += x * plane(i)
+            i += 1
+          }
+        }
+        if (ok && java.lang.Double.compare(d, 0.0) >= 0) acc |= 1L << p
+      }
+      p += 1
+    }
+    acc
+  }
+
   /** Centroid vector by 0-based cell index (the residual subtraction's
     * lookup); null out of range. */
   def centroidAt(idx: Int, cb: Array[Array[Double]]): ArrayData =
@@ -103,6 +132,26 @@ object CellUtil {
     }
     acc
   }
+}
+
+/** Sign-bit LSH bucket over a BROADCAST hyperplane matrix: bit p =
+  * (dot(vec, plane_p) >= 0) under Spark's double ordering (NaN counts as
+  * >= 0, matching `when(dot >= 0, ...)` semantics; a null dot — length
+  * mismatch or null element — leaves the bit 0 like the `when`'s
+  * otherwise). One fused pass; plan size O(1) in planes x dim. */
+case class HyperplaneBucket(child: Expression, bc: Broadcast[Array[Array[Double]]])
+  extends CellVectorExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_bucket"
+  override def nullSafeEval(input: Any): Any =
+    CellUtil.hyperplaneBucket(input.asInstanceOf[ArrayData], isFloat, bc.value)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = codebookRef(ctx)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CellUtil.hyperplaneBucket($c, $isFloat, $cb);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
 }
 
 sealed trait CellVectorExpression extends UnaryExpression {

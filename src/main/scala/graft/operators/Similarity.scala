@@ -34,14 +34,9 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
-    * (md5_int48(p + "_" + d) mod 1000)/1000 - 0.5. Matches md5PlaneScala
-    * below and is expressible in any engine with md5. */
-  def planeComponent(p: Column, d: Column): Column =
-    (pmod(md5_prefix_long(concat_ws("_", p.cast("string"), d.cast("string"))), lit(1000L))
-      .cast("double") / 1000.0) - 0.5
-
-  /** Driver-side twin of [[planeComponent]] for precomputing the (tiny)
-    * plane matrix that is broadcast as a literal. */
+    * (md5_int48(p + "_" + d) mod 1000)/1000 - 0.5 — expressible in any
+    * engine with md5 (the s02 oracle replays it in SQL), precomputed
+    * driver-side into the broadcast plane matrix. */
   def md5PlaneScala(p: Int, d: Int): Double = {
     val hex = MessageDigest.getInstance("MD5")
       .digest(s"${p}_$d".getBytes(StandardCharsets.UTF_8))
@@ -51,14 +46,14 @@ object Similarity {
   }
 
   /** Sign-bit LSH bucket id for a vector: bit p = (dot(vec, plane_p) >= 0).
-    * Row-local; the plane matrix is a literal (planes x dim doubles). */
-  def lshBucket(vec: Column, numPlanes: Int, dim: Int): Column = {
-    val planes: Seq[Column] = (0 until numPlanes).map { p =>
-      array((0 until dim).map(d => lit(md5PlaneScala(p, d))): _*)
-    }
-    planes.zipWithIndex.map { case (plane, p) =>
-      when(dot(vec, plane) >= 0, lit(1L) * (1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    * Row-local over a BROADCAST plane matrix — the plan carries one node
+    * and a broadcast id, so planes x dim can grow to production size
+    * (16+ planes over 1k+ dims) without plan/codegen blowup, the same
+    * posture as [[broadcastCodebook]]. Planes remain md5-derived, so any
+    * engine reproduces the buckets. */
+  def lshBucket(df: DataFrame, vec: Column, numPlanes: Int, dim: Int): Column = {
+    val planes: Array[Array[Double]] = Array.tabulate(numPlanes, dim)(md5PlaneScala)
+    hyperplane_bucket(vec, df.sparkSession.sparkContext.broadcast(planes))
   }
 
   /** Batch ANN JOIN — every LEFT vector finds its top-k RIGHT neighbors
@@ -492,7 +487,7 @@ object Similarity {
     * data; recall is tunable via numPlanes (and multi-probe if needed). */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int, numPlanes: Int, dim: Int): DataFrame = {
-    val withBucket = emb.withColumn("_bucket", lshBucket(col(vecCol), numPlanes, dim))
+    val withBucket = emb.withColumn("_bucket", lshBucket(emb, col(vecCol), numPlanes, dim))
     val q = withBucket.filter(col(idCol) === queryId)
       .select(col(vecCol).as("_qvec"), col("_bucket").as("_qbucket"))
     withBucket
