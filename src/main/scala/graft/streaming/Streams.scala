@@ -195,6 +195,110 @@ object Streams {
           .write.mode("append").parquet(corpusPath)
     }
 
+  /** Sink-side continuous-ingest dedup with a MAINTAINED stored index —
+    * the O(batch)-per-ingest production shape
+    * ([[foreachBatchIncrementalDedup]] re-reads and re-shingles the whole
+    * corpus every micro-batch, which is O(corpus) per batch and untenable
+    * at 100 TB). Layout under `root`:
+    *
+    *   root/corpus/b<id>/   batch id's surviving docs
+    *   root/sets/b<id>/     their shingle-set index rows
+    *   root/bands/b<id>/    their (band, bucket) index rows
+    *   root/_committed.<id> monotonic commit marker, created LAST
+    *
+    * Per batch: read ONLY the committed index dirs (ids <= the highest
+    * marker — a crashed batch's partial files are invisible, so a batch
+    * can never see its own torn output and drop real docs as self-dups),
+    * dedup the
+    * batch against that index ([[Dedup.incrementalDedup]]'s stored-index
+    * overload: corpus text untouched), overwrite this batch's own three
+    * dirs, then advance the marker. Crash at any point -> the marker
+    * still names the previous batch, the retry overwrites the partial
+    * dirs and commits; a replay after commit is skipped by the marker.
+    * Exactly-once effective under at-least-once delivery. */
+  def foreachBatchIndexedDedup(root: String, idCol: String, textCol: String,
+                               k: Int = 5, bands: Int = 4, rowsPerBand: Int = 4,
+                               threshold: Double = 0.5, maxBucketSize: Int = 1000)
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val (fs, rootP) = hadoopFs(spark, root)
+      val last = lastCommittedBatch(fs, rootP)
+      if (batchId > last) {
+        def committedDirs(kind: String): Seq[String] = {
+          val base = new org.apache.hadoop.fs.Path(rootP, kind)
+          if (!fs.exists(base)) Seq.empty
+          else fs.listStatus(base).toSeq
+            .map(_.getPath)
+            .filter { p => p.getName.startsWith("b") &&
+              p.getName.drop(1).forall(_.isDigit) &&
+              p.getName.drop(1).toLong <= last }
+            .map(_.toString)
+        }
+        val setsDirs = committedDirs("sets")
+        val index =
+          if (setsDirs.isEmpty)
+            Dedup.lshIndex(batch.limit(0), idCol, textCol, k, bands, rowsPerBand)
+          else Dedup.LshIndex(
+            spark.read.parquet(setsDirs: _*),
+            spark.read.parquet(committedDirs("bands"): _*))
+        val survivors = Dedup.incrementalDedup(index, batch, idCol, textCol,
+            k, bands, rowsPerBand, threshold, maxBucketSize)
+          .localCheckpoint() // one pass feeds the corpus write + both index writes
+        val sIdx = Dedup.lshIndex(survivors, idCol, textCol, k, bands, rowsPerBand)
+        survivors.write.mode("overwrite").parquet(s"$root/corpus/b$batchId")
+        sIdx.sets.write.mode("overwrite").parquet(s"$root/sets/b$batchId")
+        sIdx.bands.write.mode("overwrite").parquet(s"$root/bands/b$batchId")
+        commitBatchMarker(fs, rootP, batchId) // commit point, written LAST
+      }
+    }
+
+  /** The deduped corpus maintained by [[foreachBatchIndexedDedup]] —
+    * committed batches only. */
+  def indexedCorpus(spark: SparkSession, root: String): DataFrame = {
+    val (fs, rootP) = hadoopFs(spark, root)
+    val last = lastCommittedBatch(fs, rootP)
+    val base = new org.apache.hadoop.fs.Path(rootP, "corpus")
+    val dirs =
+      if (!fs.exists(base)) Seq.empty
+      else fs.listStatus(base).toSeq.map(_.getPath)
+        .filter { p => p.getName.startsWith("b") &&
+          p.getName.drop(1).forall(_.isDigit) &&
+          p.getName.drop(1).toLong <= last }
+        .map(_.toString)
+    require(dirs.nonEmpty, s"indexedCorpus: nothing committed under $root")
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** Commit markers are MONOTONIC FILES `_committed.<id>` — file creation
+    * is atomic and nothing is ever renamed over, so there is no crash
+    * window in which previously-committed batches become invisible (a
+    * delete-then-rename single marker would have one). Read = max id over
+    * the marker files; stale markers are garbage, trimmed opportunistically
+    * after each commit. */
+  private def lastCommittedBatch(fs: org.apache.hadoop.fs.FileSystem,
+                                 root: org.apache.hadoop.fs.Path): Long =
+    if (!fs.exists(root)) -1L
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("_committed.") &&
+        n.stripPrefix("_committed.").forall(_.isDigit))
+      .map(_.stripPrefix("_committed.").toLong)
+      .foldLeft(-1L)(math.max)
+
+  private def commitBatchMarker(fs: org.apache.hadoop.fs.FileSystem,
+                                root: org.apache.hadoop.fs.Path, id: Long): Unit = {
+    fs.mkdirs(root)
+    fs.create(new org.apache.hadoop.fs.Path(root, s"_committed.$id"), true).close()
+    // trim older markers; a failure here is harmless (read takes the max)
+    try fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_committed.") &&
+          n.stripPrefix("_committed.").forall(_.isDigit) &&
+          n.stripPrefix("_committed.").toLong < id)
+        fs.delete(st.getPath, false)
+    } catch { case _: java.io.IOException => () }
+  }
+
   /** Sink-side incremental view maintenance for `foreachBatch` — the
     * streaming twin of [[graft.operators.IncrementalAgg]]: each micro-batch
     * of CDC changelog rows ([[graft.operators.Upsert.snapshotDiff]] schema:

@@ -372,6 +372,44 @@ class StreamingSpec extends SparkTestBase {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$agg.staging")))
   }
 
+  test("foreachBatchIndexedDedup: O(batch) ingest, replay-skip, torn-batch recovery") {
+    val root = java.nio.file.Files.createTempDirectory("graft_idxdedup").toString + "/r"
+    val fn = Streams.foreachBatchIndexedDedup(root, "doc_id", "text")
+    def corpusIds() = Streams.indexedCorpus(spark, root)
+      .select("doc_id").as[Long].collect().toSet
+    val b0 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"), // in-batch dup
+      (3L, "completely unrelated corpus document with other words"))
+      .toDF("doc_id", "text")
+    fn(b0, 0L)
+    assert(corpusIds() == Set(1L, 3L))
+    // batch 1: exact re-crawl of 1, near-dup of 1, genuinely new doc —
+    // deduped against the STORED index, corpus text never re-read
+    val b1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (11L, "the quick brown fox jumps over the lazy dog tonite"),
+      (12L, "entirely fresh content with its own unique wording"))
+      .toDF("doc_id", "text")
+    fn(b1, 1L)
+    assert(corpusIds() == Set(1L, 3L, 12L))
+    // at-least-once replay of batch 1: marker skips it, nothing changes
+    fn(b1, 1L)
+    assert(corpusIds() == Set(1L, 3L, 12L))
+    // torn batch 2: partial corpus/index dirs exist but NO marker — the
+    // retry must ignore the torn output (not drop its docs as self-dups)
+    // and commit correctly
+    val b2 = Seq((20L, "a third wave of novel text nothing resembles at all"))
+      .toDF("doc_id", "text")
+    b2.write.mode("overwrite").parquet(s"$root/corpus/b2")
+    graft.operators.Dedup.lshIndex(b2, "doc_id", "text").sets
+      .write.mode("overwrite").parquet(s"$root/sets/b2")
+    // (bands dir deliberately missing: maximally torn)
+    fn(b2, 2L)
+    assert(corpusIds() == Set(1L, 3L, 12L, 20L))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/_committed.2")))
+  }
+
   test("foreachBatchUpsert skips a replayed batch id (derived from the snapshot marker)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert_replay").toString
     val target = s"$dir/target"
