@@ -174,7 +174,10 @@ object Streams {
     * deduped against the CURRENT stored corpus (exact re-crawl drop + LSH
     * near-dup, batch-vs-corpus and within-batch) and only the survivors are
     * appended, so the corpus stays near-dup-free as it grows without ever
-    * re-pairing itself. A retried batch re-dedups against a corpus that
+    * re-pairing itself. NOTE: this variant re-reads and re-shingles the
+    * corpus each batch — simple and fine at moderate scale; for the
+    * O(batch)-per-ingest production shape use
+    * [[foreachBatchIndexedDedup]], which maintains the stored index. A retried batch re-dedups against a corpus that
     * already contains its survivors — every previously-appended row is then
     * an exact dup and the retry appends nothing new (idempotent under
     * at-least-once delivery, up to a partially-visible failed append, which
