@@ -335,6 +335,30 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("growing nlist shrinks within-cell candidate pairs (the sqrt-N scale path)") {
+    // the BENCH_SCALING flags on s10/d11 are a parameterization artifact:
+    // with nlist pinned, cells grow ~N and pairs ~N^2/nlist. This pins the
+    // remedy: on the SAME corpus, more cells => fewer within-cell pairs,
+    // so choosing nlist ~ sqrt(N) keeps pair volume ~N at any scale. The
+    // broadcast codebook is what makes large nlist feasible (plan O(1)).
+    def cellSizes(nlist: Int): Seq[Long] = {
+      val byId = emb.filter(col("vec_id").isInCollection(1L to nlist.toLong))
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+      val bc = spark.sparkContext.broadcast(
+        (1L to nlist.toLong).map(byId).toArray)
+      emb.select(graft.Functions.cell_assign(col("embedding"), bc).as("c"))
+        .groupBy("c").count()
+        .select("count").as[Long].collect().toSeq
+    }
+    def pairs(sizes: Seq[Long]): Long = sizes.map(n => n * (n - 1) / 2).sum
+    val p2 = pairs(cellSizes(2))
+    val p8 = pairs(cellSizes(8))
+    assert(p8 < p2, s"8 cells must yield fewer within-cell pairs than 2 ($p8 vs $p2)")
+    // and the partition is total either way: cell ids cover every vector
+    assert(cellSizes(8).sum == emb.count())
+  }
+
   test("broadcast codebook keeps the plan O(1) in nlist (the 100 TB gate)") {
     // the round-5 literal-array codebook grew the plan by nlist*dim literal
     // nodes; the broadcast path must produce an IDENTICAL expression-node
