@@ -73,6 +73,48 @@ class AnalyticsSpec extends SparkTestBase {
     assert(got.filter(_._1 == c1).map(t => (t._2, t._3)).toSet == Set((0L, 1L)))
   }
 
+  test("funnel equals a driver-side replay on random event sets") {
+    import org.scalacheck.{Gen, Prop}
+    val stages = Seq("s1", "s2", "s3")
+    val horizon = 600L * 1000000L // 10 min in micros
+    val base = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    val genEvents: Gen[List[(Long, String, Long)]] = for {
+      n <- Gen.choose(1, 40)
+      es <- Gen.listOfN(n, for {
+        u <- Gen.choose(0L, 4L)
+        s <- Gen.oneOf(stages)
+        m <- Gen.choose(0L, 59L) // minute offset
+      } yield (u, s, m))
+    } yield es
+    PropHelper.check(Prop.forAll(genEvents) { es =>
+      val df = es.map { case (u, s, m) =>
+        (u, s, new Timestamp(base + m * 60000L)) }
+        .toDF("user_id", "event_type", "ts")
+      val got = Analytics.funnel(df, "user_id", "event_type", "ts",
+          stages, horizon)
+        .as[(Int, String, Long)].collect().map(t => t._2 -> t._3).toMap
+      // driver-side replay of the anchoring rule
+      val byUser = es.groupBy(_._1)
+      val micros = (m: Long) => (base + m * 60000L) * 1000L
+      val counts = Array(0L, 0L, 0L)
+      byUser.values.foreach { ues =>
+        val perStage = stages.map(s =>
+          ues.filter(_._2 == s).map(e => micros(e._3)).sorted)
+        var anchor: Option[Long] = perStage.head.headOption
+        var k = 0
+        while (k < stages.size && anchor.isDefined) {
+          counts(k) += 1
+          k += 1
+          if (k < stages.size) {
+            val a = anchor.get
+            anchor = perStage(k).find(t => t >= a && t <= a + horizon)
+          }
+        }
+      }
+      got == stages.zipWithIndex.map { case (s, i) => s -> counts(i) }.toMap
+    }, minTests = 12)
+  }
+
   test("compactionPlan groups by prefix-sum within each partition") {
     val listing = Seq(
       ("a", 1, 40L), ("a", 2, 40L), ("a", 3, 40L), // before: 0, 40, 80
