@@ -542,6 +542,18 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     },
 
+    // ---- Three-column Z-order key: round-robin bit interleave so ALL
+    // three dimensions prune at the scan (the q42 layout generalized) ----
+    "q55_zorder3" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          Layout.zvalueN(Seq(
+            pmod(col("l_partkey"), lit(64)),
+            pmod(col("l_suppkey"), lit(64)),
+            pmod(col("l_orderkey"), lit(64))), bits = 6).as("zval"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
     // ---- Broadcast-Bloom semi-join reduction: the fact side is filtered
     // AT THE SCAN by an md5-deterministic Bloom of the selective dim's
     // keys, before any shuffle; false positives die in the exact join, so
@@ -2542,6 +2554,15 @@ object SparkEntry {
              ((((o_orderkey % 256) >> CAST(i AS INTEGER)) & 1) << CAST(2*i+1 AS INTEGER))))
            AS BIGINT) AS zval
          FROM orders ORDER BY o_orderkey""",
+
+    "q55_zorder3" ->
+      """SELECT l_orderkey, l_linenumber,
+           CAST(list_sum(list_transform(range(0, 6), i ->
+             ((((l_partkey % 64) >> CAST(i AS INTEGER)) & 1) << CAST(3*i AS INTEGER)) +
+             ((((l_suppkey % 64) >> CAST(i AS INTEGER)) & 1) << CAST(3*i+1 AS INTEGER)) +
+             ((((l_orderkey % 64) >> CAST(i AS INTEGER)) & 1) << CAST(3*i+2 AS INTEGER))))
+           AS BIGINT) AS zval
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
 
     // the bloom pre-filter provably never changes the join result (no
     // false negatives; false positives die in the join), so the oracle is

@@ -29,6 +29,25 @@ object Layout {
     }
   }
 
+  /** N-column Morton/Z-value: bit i of column j lands at position i*n + j
+    * (round-robin interleave), so every one of the n dimensions prunes.
+    * Generalizes [[zvalue]] (zvalueN(Seq(a, b), bits) == zvalue(a, b,
+    * bits)); n*bits must fit a long. Practical n is 2-4 — each added
+    * dimension halves the per-file selectivity of every other, the
+    * standard Z-order trade. */
+  def zvalueN(cols: Seq[Column], bits: Int): Column = {
+    require(cols.size >= 2, s"zvalueN: need >= 2 columns, got ${cols.size}")
+    require(bits >= 1 && bits * cols.size <= 63,
+      s"zvalueN: bits*n must fit a long, got $bits*${cols.size}")
+    val n = cols.size
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      cols.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
+        a.bitwiseOR(shiftleft(
+          shiftright(c.cast("long"), i).bitwiseAND(lit(1L)), i * n + j))
+      }
+    }
+  }
+
   /** Write `df` range-partitioned and sorted by the Z-value of two bucketed
     * dimensions: each output file covers a contiguous Z-range = a small
     * hyper-rectangle in (a, b) space, so parquet min/max stats prune scans

@@ -97,6 +97,23 @@ class LayoutSpec extends SparkTestBase {
     assert(zB < sB / 2, s"z-order must beat single-column sort on b: $zB vs $sB")
   }
 
+  test("zvalueN: 2-col form equals zvalue; 3-col form is a bijection") {
+    val pairs = spark.range(1024).select(
+      (col("id") % 32).as("a"), (col("id") / 32).cast("long").as("b"))
+    val eq = pairs.select(
+        (Layout.zvalueN(Seq(col("a"), col("b")), 5) === Layout.zvalue(col("a"), col("b"), 5)).as("ok"))
+      .as[Boolean].collect()
+    assert(eq.forall(identity))
+    val triples = spark.range(512).select(
+      (col("id") % 8).as("a"), ((col("id") / 8) % 8).cast("long").as("b"),
+      (col("id") / 64).cast("long").as("c"))
+    val z3 = triples.select(Layout.zvalueN(Seq(col("a"), col("b"), col("c")), 3).as("z"))
+      .as[Long].collect()
+    assert(z3.toSet == (0L until 512L).toSet, "3-col interleave must cover [0, 8^3) bijectively")
+    intercept[IllegalArgumentException] { Layout.zvalueN(Seq(lit(1L)), 5) }
+    intercept[IllegalArgumentException] { Layout.zvalueN(Seq(lit(1L), lit(1L), lit(1L)), 22) }
+  }
+
   test("zvalue validates bits range") {
     intercept[IllegalArgumentException] { Layout.zvalue(lit(1L), lit(1L), bits = 0) }
     intercept[IllegalArgumentException] { Layout.zvalue(lit(1L), lit(1L), bits = 32) }
