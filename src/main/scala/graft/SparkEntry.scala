@@ -1025,6 +1025,20 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("dim"))
     },
 
+    // ---- Multimodal: REAL WAV round-trip — encode 16-bit mono PCM at
+    // 8 kHz with the JDK writer, decode the header back with the real
+    // javax.sound.sampled reader; frame counts derive from doc_id so the
+    // oracle replays the round-trip in arithmetic alone ----
+    "m10_audio_decode" -> { (s, dir) =>
+      val frames = Tables.documents(s, dir).select(col("doc_id"),
+        (pmod(col("doc_id"), lit(1000)) + 1).cast("int").as("_frames"))
+      Multimodal.decodeAudioMeta(
+          Multimodal.encodeWav(frames, "doc_id", "_frames", sampleRate = 8000),
+          "asset_id", "payload")
+        .withColumnRenamed("asset_id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
     // ---- Text: language-ID heuristic ----
     "t01_langid" -> { (s, dir) =>
       Tables.documents(s, dir)
@@ -2913,6 +2927,13 @@ object SparkEntry {
          SELECT doc_id, CAST(t.d AS INTEGER) AS dim,
                 CAST(CASE WHEN t.d = bucket THEN 1 ELSE 0 END AS DOUBLE) AS value
          FROM b CROSS JOIN range(0, 16) t(d) ORDER BY doc_id, dim""",
+
+    "m10_audio_decode" ->
+      """SELECT doc_id, 'wave' AS format,
+           8000 AS sample_rate, 1 AS channels,
+           CAST(doc_id % 1000 + 1 AS BIGINT) AS n_frames,
+           CAST((doc_id % 1000 + 1) * 1000 // 8000 AS BIGINT) AS duration_ms
+         FROM documents ORDER BY doc_id""",
 
     "m07_image_decode" ->
       """SELECT doc_id, 'png' AS format,

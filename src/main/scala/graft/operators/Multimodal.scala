@@ -13,12 +13,14 @@ import org.apache.spark.sql.types._
   * (`javax.imageio` + `BufferedImage`, no extra dependency):
   * [[decodeImageMeta]] header-only metadata, [[resizeImageReal]] pixel
   * scaling, [[extractFeaturesReal]] decoded-pixel histograms, with
-  * [[encodePng]] as the round-trip proof generator. Audio/video codecs
-  * need libraries this container does not ship, so those kernels (and the
-  * *Stub variants kept as test doubles for the synthetic fake-magic
-  * assets) are deterministic fakes — the Spark-side plumbing (binary
-  * columns, byte-range frame sampling, schema, partition-preserving
-  * batched iteration) is identical either way.
+  * [[encodePng]] as the round-trip proof generator. Audio METADATA is
+  * real too ([[decodeAudioMeta]]/[[encodeWav]] via `javax.sound.sampled`).
+  * Compressed-audio sample decode and video codecs need libraries this
+  * container does not ship, so those kernels (and the *Stub variants kept
+  * as test doubles for the synthetic fake-magic assets) are deterministic
+  * fakes — the Spark-side plumbing (binary columns, byte-range frame
+  * sampling, schema, partition-preserving batched iteration) is identical
+  * either way.
   *
   * Scale posture: every operator here is row-local (no shuffle); frame
   * sampling explodes bounded arrays; the decode stub is mapPartitions-shaped
@@ -373,6 +375,72 @@ object Multimodal {
           val n = img.getWidth.toLong * img.getHeight.toLong
           Row(id, counts.map(_.toDouble / n).toSeq)
         }
+      }
+    }(enc)
+  }
+
+  /** Decoded-audio metadata schema (the audio analog of
+    * [[imageMetaSchema]]). */
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("format", StringType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("duration_ms", LongType)))
+
+  /** REAL audio metadata decode via `javax.sound.sampled` (pure JDK):
+    * header-only container parse — sample rate, channel count, frame
+    * length, integer-exact duration_ms = frames*1000/rate (truncating) —
+    * for the formats the JDK ships readers for (WAV/AIFF/AU). Same
+    * batching and corrupt-payload posture as [[decodeImageMeta]]:
+    * unreadable bytes come back "unknown"/NULL instead of failing the
+    * task. */
+  def decodeAudioMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val input = df.select(col(idCol).cast("long"), col(binCol))
+    val enc = RowEncoder.encoderFor(audioMetaSchema)
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        try {
+          val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = aff.getType.toString.toLowerCase(java.util.Locale.ROOT)
+          val rate = aff.getFormat.getSampleRate.toInt
+          val ch = aff.getFormat.getChannels
+          val frames = aff.getFrameLength.toLong
+          Row(id, fmt, rate, ch, frames, frames * 1000L / rate)
+        } catch {
+          case _: Exception => Row(id, "unknown", null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic REAL-WAV encoder for round-trip testing: `framesCol`
+    * frames of 16-bit mono PCM silence at `sampleRate`, written by the JDK
+    * WAV writer. Row-local like every media kernel. */
+  def encodeWav(df: DataFrame, idCol: String, framesCol: String,
+                sampleRate: Int): DataFrame = {
+    require(sampleRate >= 1, s"encodeWav: sampleRate must be >= 1")
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    val input = df.select(col(idCol).cast("long"), col(framesCol).cast("int"))
+    val enc = RowEncoder.encoderFor(schema)
+    input.mapPartitions { rows =>
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val frames = r.getInt(1)
+        val pcm = new Array[Byte](frames * 2)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Row(id, bos.toByteArray)
       }
     }(enc)
   }

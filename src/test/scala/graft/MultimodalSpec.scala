@@ -186,6 +186,26 @@ class MultimodalSpec extends SparkTestBase {
     assert(got(2L).forall(_ == 0.0)) // undecodable -> zero vector, no NaN
   }
 
+  test("encodeWav -> decodeAudioMeta round-trips frames/rate; garbage -> unknown") {
+    import spark.implicits._
+    val frames = Seq((1L, 8000), (2L, 1), (3L, 12345)).toDF("asset_id", "_frames")
+    val got = Multimodal.decodeAudioMeta(
+        Multimodal.encodeWav(frames, "asset_id", "_frames", sampleRate = 8000),
+        "asset_id", "payload")
+      .orderBy("asset_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (1L, "wave", 8000, 1, 8000L, 1000L),
+      (2L, "wave", 8000, 1, 1L, 0L),
+      (3L, "wave", 8000, 1, 12345L, 1543L)))
+    val bad = Multimodal.decodeAudioMeta(
+        Seq((9L, "definitely not audio".getBytes("UTF-8"))).toDF("asset_id", "payload"),
+        "asset_id", "payload")
+      .collect()(0)
+    assert(bad.getString(1) == "unknown" && bad.isNullAt(2))
+  }
+
   test("encodePng -> decodeImageMeta round-trips the requested dimensions") {
     import spark.implicits._
     val dims = Seq((10L, 5, 3), (11L, 1, 1), (12L, 300, 200))
