@@ -554,6 +554,45 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 
+    // ---- CSV source round-trip: the K3 sheet-CSV sink's output read back
+    // through the schema'd CSV source (header, typed dates/doubles — Java
+    // shortest-round-trip double rendering makes the text lossless); the
+    // oracle is the SAME aggregate over the original table, so any
+    // serialize/parse defect breaks the hash ----
+    "q56_csv_source" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .filter(pmod(col("l_orderkey"), lit(10)) === 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+          "l_returnflag", "l_shipdate")
+      val out = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/li"
+      Sinks.writeSheetCsv(li, out)
+      s.read.schema(li.schema).option("header", "true").csv(out)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).as("sum_cents"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ---- ORC source/sink round-trip: the second columnar format (ORC is
+    // in-box); same identity-aggregate oracle as the CSV entry ----
+    "q57_orc_source" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .filter(pmod(col("l_orderkey"), lit(10)) === 1)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+          "l_returnflag", "l_shipdate")
+      val out = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/li"
+      li.write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).as("sum_cents"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // ---- Broadcast-Bloom semi-join reduction: the fact side is filtered
     // AT THE SCAN by an md5-deterministic Bloom of the selective dim's
     // keys, before any shuffle; false positives die in the exact join, so
@@ -2568,6 +2607,22 @@ object SparkEntry {
              ((((o_orderkey % 256) >> CAST(i AS INTEGER)) & 1) << CAST(2*i+1 AS INTEGER))))
            AS BIGINT) AS zval
          FROM orders ORDER BY o_orderkey""",
+
+    "q56_csv_source" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           min(CAST(l_shipdate AS DATE)) AS min_ship,
+           max(CAST(l_shipdate AS DATE)) AS max_ship
+         FROM lineitem WHERE l_orderkey % 10 = 0
+         GROUP BY 1 ORDER BY 1""",
+
+    "q57_orc_source" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           min(CAST(l_shipdate AS DATE)) AS min_ship,
+           max(CAST(l_shipdate AS DATE)) AS max_ship
+         FROM lineitem WHERE l_orderkey % 10 = 1
+         GROUP BY 1 ORDER BY 1""",
 
     "q55_zorder3" ->
       """SELECT l_orderkey, l_linenumber,

@@ -115,6 +115,40 @@ class AnalyticsSpec extends SparkTestBase {
     }, minTests = 12)
   }
 
+  test("compactionPlan invariants hold on random listings") {
+    import org.scalacheck.{Gen, Prop}
+    val genListing: Gen[List[(String, Int, Long)]] = for {
+      n <- Gen.choose(1, 30)
+      fs <- Gen.listOfN(n, for {
+        pt <- Gen.oneOf("a", "b")
+        f <- Gen.choose(0, 99)
+        bytes <- Gen.choose(1L, 150L)
+      } yield (pt, f, bytes))
+    } yield fs.distinctBy(e => (e._1, e._2))
+    PropHelper.check(Prop.forAll(genListing) { fs =>
+      val target = 100L
+      val got = Layout.compactionPlan(fs.toDF("pt", "file_id", "bytes"),
+          Seq("pt"), "file_id", "bytes", target)
+        .select("pt", "file_id", "bytes", "compaction_group")
+        .as[(String, Int, Long, Long)].collect().toSeq
+      got.groupBy(_._1).forall { case (_, part) =>
+        val sorted = part.sortBy(_._2)
+        val groups = sorted.map(_._4)
+        // groups are non-decreasing in file order, start at 0
+        groups.head == 0L && groups.sliding(2).forall {
+          case Seq(x, y) => y >= x
+          case _ => true
+        } &&
+        // every group's bytes-before-last-file < target (the prefix-sum
+        // rule: a group only ends once the running bytes reach target)
+        sorted.groupBy(_._4).values.forall { g =>
+          val before = sorted.takeWhile(_._2 < g.head._2).map(_._3).sum
+          before / target == g.head._4
+        }
+      }
+    }, minTests = 15)
+  }
+
   test("compactionPlan groups by prefix-sum within each partition") {
     val listing = Seq(
       ("a", 1, 40L), ("a", 2, 40L), ("a", 3, 40L), // before: 0, 40, 80
