@@ -81,6 +81,7 @@ object GraftExtensions {
     "cosine_similarity" -> (e => CosineSim(e.head, e(1))),
     "l2_norm" -> (e => L2Norm(e.head)),
     "lang_id" -> (e => LangId(e.head)),
+    "nfc_clean" -> (e => NfcClean(e.head)),
     "term_counts" -> (e => TermCounts(e.head, intArg(e(1), "term_counts", 2))),
     "quality_signals" -> (e => QualitySignals(e.head)),
     "pq_encode" -> (e => {

@@ -31,7 +31,8 @@ class ExtensionsSpec extends SparkTestBase {
            dot_product(va, vb) AS dp,
            cosine_similarity(va, vb) AS cs,
            l2_norm(va) AS l2,
-           lang_id(text) AS lid
+           lang_id(text) AS lid,
+           nfc_clean(concat(text, chr(7))) AS nc
          FROM ext_t""").collect()(0)
     assert(row.getAs[Double]("pm") == 1234.56)
     assert(row.getAs[scala.collection.Seq[Long]]("mh").length == 4)
@@ -41,6 +42,7 @@ class ExtensionsSpec extends SparkTestBase {
     assert(row.getAs[Double]("dp") == 2.5)
     assert(row.getAs[Double]("l2") == math.sqrt(5.0))
     assert(row.getAs[String]("lid") == "en")
+    assert(!row.getAs[String]("nc").contains('\u0007'))
   }
 
   test("round-5 functions are callable from SQL: jaccard_ge, bloom_agg, bloom_contains") {
