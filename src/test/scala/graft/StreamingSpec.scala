@@ -410,6 +410,58 @@ class StreamingSpec extends SparkTestBase {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/_committed.2")))
   }
 
+  test("publish recovery is total: every reachable crash layout lands on a sane snapshot") {
+    // enumerate the layouts a crash can leave behind (live x staging x old)
+    // and assert the next batch application never double-applies, never
+    // loses the committed snapshot, and always clears the leftovers.
+    // Reachable layouts (single writer): staging may be absent, torn
+    // (no marker), or complete; live and old each present or not — except
+    // live+old both absent with no staging (nothing ever written).
+    val cases = for {
+      live <- Seq(true, false)
+      staging <- Seq("none", "torn", "complete")
+      old <- Seq(true, false)
+    } yield (live, staging, old)
+    cases.foreach { case (live, staging, old) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_crash_enum").toString
+      val agg = s"$dir/agg"
+      val fn = Streams.foreachBatchAggRefresh(agg, Seq("seg"), Seq("bal"))
+      val b0 = Seq(("I", Option.empty[String], Some("A"), Option.empty[Long], Some(10L)))
+        .toDF("op", "seg_old", "seg_new", "bal_old", "bal_new")
+      val b1 = Seq(("I", Option.empty[String], Some("B"), Option.empty[Long], Some(5L)))
+        .toDF("op", "seg_old", "seg_new", "bal_old", "bal_new")
+      // committed state for batch 0 lives SOMEWHERE per the case
+      fn(b0, 0L)
+      if (staging == "complete") mv(agg, s"$agg.staging")
+      else if (staging == "torn") {
+        java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$agg.staging"))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$agg.staging/part-torn.parquet"), "torn")
+        if (!live) mv(agg, s"$agg.old")
+      } else if (!live) mv(agg, s"$agg.old")
+      if (old && java.nio.file.Files.exists(java.nio.file.Paths.get(agg)) &&
+          staging == "complete") {
+        // live spot empty (agg moved to staging); fabricate a stale old
+        spark.range(1).write.parquet(s"$agg.old")
+      }
+      // live=true cases where the snapshot is at agg already: optionally a
+      // stale old beside it
+      if (old && java.nio.file.Files.exists(java.nio.file.Paths.get(agg)) &&
+          !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$agg.old")))
+        spark.range(1).write.parquet(s"$agg.old")
+      // next batch must see batch 0 applied exactly once, then apply batch 1
+      fn(b1, 1L)
+      val state = spark.read.parquet(agg).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(state == Map("A" -> (1L, 10L), "B" -> (1L, 5L)),
+        s"case (live=$live, staging=$staging, old=$old): got $state")
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$agg.staging")),
+        s"case (live=$live, staging=$staging, old=$old): staging not cleared")
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$agg.old")),
+        s"case (live=$live, staging=$staging, old=$old): old not cleared")
+    }
+  }
+
   test("foreachBatchUpsert skips a replayed batch id (derived from the snapshot marker)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert_replay").toString
     val target = s"$dir/target"
