@@ -901,12 +901,22 @@ object SparkEntry {
     },
 
     // ---- Dedup: SemDeDup-style semantic dedup (cluster coarsely, drop
-    // within-cell cosine-near pairs, keep the smallest id per group) ----
+    // within-cell cosine-near pairs, keep the smallest id per group).
+    // Scale-adaptive: nlist = floor(sqrt(N)) md5-derived centroids, so
+    // within-cell pair volume grows ~N^1.5 — no pinned nlist ----
     "d11_semantic_dedup" -> { (s, dir) =>
-      val emb = Tables.embeddings(s, dir)
-      Similarity.semanticDedup(emb, "vec_id", "embedding",
-          corpus = emb, centroidIds = (1L to 8L), threshold = 0.3)
+      Similarity.semanticDedupDerived(Tables.embeddings(s, dir),
+          "vec_id", "embedding", dim = 64, threshold = 0.3)
         .orderBy(col("vec_id"))
+    },
+
+    // ---- Dedup: embedding near-dup blocked on the SCALE-ADAPTIVE IVF cell
+    // (the d05 shape with a blocking key that stays selective as N grows —
+    // fixed-cardinality keys like `label` turn the block join quadratic) ----
+    "d14_embedding_neardup_ivf" -> { (s, dir) =>
+      Dedup.embeddingNearDupIvf(Tables.embeddings(s, dir), "vec_id", "embedding",
+          dim = 64, threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))
     },
 
     // ---- Similarity: exact cosine top-k (ANN baseline) ----
@@ -939,23 +949,25 @@ object SparkEntry {
 
     // ---- Similarity: batch ANN JOIN (two-corpus alignment): every even-id
     // vector finds its top-3 odd-id neighbors sharing its IVF cell — one
-    // equi-join on the cell, bounded-heap top-k, never a cross join ----
+    // equi-join on the cell, bounded-heap top-k, never a cross join.
+    // Scale-adaptive: nlist = floor(sqrt(N)) derived in-plan (count ->
+    // broadcast md5 codebook), so cells stay ~sqrt(N) vectors ----
     "s08_ann_join" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      Similarity.annJoin(
+      Similarity.annJoinDerived(
           emb.filter(pmod(col("vec_id"), lit(2)) === 0),
           emb.filter(pmod(col("vec_id"), lit(2)) === 1),
-          "vec_id", "embedding", corpus = emb, centroidIds = (1L to 8L), k = 3)
+          "vec_id", "embedding", corpus = emb, dim = 64, k = 3)
         .orderBy(col("id_l"), col("rank"))
     },
 
     // ---- Similarity: hard-negative mining — per vector, top-3 most-similar
     // vectors with a DIFFERENT label among same-cell candidates (contrastive
-    // training pairs); one self equi-join on the broadcast-codebook cell ----
+    // training pairs); one self equi-join on the scale-adaptive
+    // sqrt(N)-nlist broadcast-codebook cell ----
     "s10_hard_negatives" -> { (s, dir) =>
-      val emb = Tables.embeddings(s, dir)
-      Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
-          corpus = emb, centroidIds = (1L to 8L), k = 3)
+      Similarity.hardNegativesDerived(Tables.embeddings(s, dir),
+          "vec_id", "embedding", "label", dim = 64, k = 3)
         .orderBy(col("id_l"), col("rank"))
     },
 
@@ -1947,9 +1959,13 @@ object SparkEntry {
          SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""",
 
     "s08_ann_join" ->
-      """WITH c AS (
-           SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-           FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+      """WITH n AS (SELECT CAST(floor(sqrt(count(*))) AS BIGINT) AS nlist FROM embeddings),
+         c AS (
+           SELECT ci AS cid,
+             list((CAST(('0x' || substr(md5('ivf_' || CAST(ci AS VARCHAR) || '_' || CAST(d AS VARCHAR)),1,12)) AS BIGINT) % 1000) / 1000.0 - 0.5
+                  ORDER BY d) AS cv
+           FROM range(0, 4096) t(ci), range(0, 64) u(d), n
+           WHERE ci < nlist GROUP BY ci),
          v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          cosl AS (
            SELECT v.vec_id, v.v,
@@ -1972,9 +1988,13 @@ object SparkEntry {
          SELECT id_l, rank, id_r, cosine FROM top ORDER BY id_l, rank""",
 
     "s10_hard_negatives" ->
-      """WITH c AS (
-           SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-           FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+      """WITH n AS (SELECT CAST(floor(sqrt(count(*))) AS BIGINT) AS nlist FROM embeddings),
+         c AS (
+           SELECT ci AS cid,
+             list((CAST(('0x' || substr(md5('ivf_' || CAST(ci AS VARCHAR) || '_' || CAST(d AS VARCHAR)),1,12)) AS BIGINT) % 1000) / 1000.0 - 0.5
+                  ORDER BY d) AS cv
+           FROM range(0, 4096) t(ci), range(0, 64) u(d), n
+           WHERE ci < nlist GROUP BY ci),
          v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          cosl AS (
            SELECT v.vec_id, v.label, v.v,
@@ -2401,9 +2421,13 @@ object SparkEntry {
          ORDER BY id_a, id_b""",
 
     "d11_semantic_dedup" ->
-      """WITH c AS (
-           SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-           FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+      """WITH n AS (SELECT CAST(floor(sqrt(count(*))) AS BIGINT) AS nlist FROM embeddings),
+         c AS (
+           SELECT ci AS cid,
+             list((CAST(('0x' || substr(md5('ivf_' || CAST(ci AS VARCHAR) || '_' || CAST(d AS VARCHAR)),1,12)) AS BIGINT) % 1000) / 1000.0 - 0.5
+                  ORDER BY d) AS cv
+           FROM range(0, 4096) t(ci), range(0, 64) u(d), n
+           WHERE ci < nlist GROUP BY ci),
          v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          cosl AS (
            SELECT v.vec_id, v.v,
@@ -2422,6 +2446,32 @@ object SparkEntry {
          SELECT g.vec_id, g.cell, (d.vec_id IS NULL) AS keep
          FROM asg g LEFT JOIN dropped d ON g.vec_id = d.vec_id
          ORDER BY g.vec_id""",
+
+    "d14_embedding_neardup_ivf" ->
+      """WITH n AS (SELECT CAST(floor(sqrt(count(*))) AS BIGINT) AS nlist FROM embeddings),
+         c AS (
+           SELECT ci AS cid,
+             list((CAST(('0x' || substr(md5('ivf_' || CAST(ci AS VARCHAR) || '_' || CAST(d AS VARCHAR)),1,12)) AS BIGINT) % 1000) / 1000.0 - 0.5
+                  ORDER BY d) AS cv
+           FROM range(0, 4096) t(ci), range(0, 64) u(d), n
+           WHERE ci < nlist GROUP BY ci),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cosl AS (
+           SELECT v.vec_id, v.v,
+             list(list_dot_product(v.v, c.cv) /
+                  (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+                  ORDER BY c.cid) AS cl
+           FROM v CROSS JOIN c GROUP BY v.vec_id, v.v),
+         asg AS (
+           SELECT vec_id, v, CAST(list_position(cl, list_max(cl)) - 1 AS INTEGER) AS cell
+           FROM cosl)
+         SELECT a.cell AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_dot_product(a.v, b.v) /
+                      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+         FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         WHERE round(list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+         ORDER BY id_a, id_b""",
 
     "s01_cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

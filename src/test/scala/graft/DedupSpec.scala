@@ -398,4 +398,21 @@ class DedupSpec extends SparkTestBase {
     val dups = out.filter(_.getAs[Long]("dup_count") == 2L)
     assert(dups.length == 1 && dups(0).getAs[Long]("keep_id") == 1L)
   }
+
+  test("embeddingNearDupIvf: ordered pairs above threshold, cells within derived nlist") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val nlist = Similarity.adaptiveNlist(emb.count())
+    val got = Dedup.embeddingNearDupIvf(emb, "vec_id", "embedding",
+        dim = 64, threshold = 0.3)
+      .select("cell", "id_a", "id_b", "cosine")
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty, "sf0.001 corpus must contain at least one near-dup pair")
+    got.foreach { case (c, a, b, cos) =>
+      assert(a < b, s"pairs must be ordered, got ($a,$b)")
+      assert(cos >= 0.3)
+      assert(c >= 0 && c < nlist)
+    }
+    assert(got.map(p => (p._2, p._3)).distinct.size == got.size, "no duplicate pairs")
+  }
 }

@@ -383,4 +383,59 @@ class SimilaritySpec extends SparkTestBase {
     assert(planNodes(ivfpq(2)) == planNodes(ivfpq(8)),
       "ivfPqTopK plan (incl. ADC tables) must not grow with nlist")
   }
+
+  test("adaptiveNlist tracks floor(sqrt(N)) with a floor of 1") {
+    assert(Similarity.adaptiveNlist(0L) == 1)
+    assert(Similarity.adaptiveNlist(1L) == 1)
+    assert(Similarity.adaptiveNlist(500L) == 22)
+    assert(Similarity.adaptiveNlist(5000L) == 70)
+    assert(Similarity.adaptiveNlist(100000000L) == 10000)
+  }
+
+  test("md5 centroids are deterministic and bounded in [-0.5, 0.5)") {
+    val v1 = Similarity.md5CentroidScala(3, 17)
+    val v2 = Similarity.md5CentroidScala(3, 17)
+    assert(v1 == v2)
+    for (c <- 0 until 8; d <- 0 until 64) {
+      val v = Similarity.md5CentroidScala(c, d)
+      assert(v >= -0.5 && v < 0.5, s"centroid($c,$d)=$v out of range")
+    }
+    // distinct seeds must not collapse to one value (sanity on the hash)
+    val vals = (0 until 16).map(d => Similarity.md5CentroidScala(0, d)).toSet
+    assert(vals.size > 8)
+  }
+
+  test("semanticDedupDerived is a total partition with sqrt(N) cells actually used") {
+    val n = emb.count()
+    val got = Similarity.semanticDedupDerived(emb, "vec_id", "embedding",
+      dim = 64, threshold = 0.3)
+    val rows = got.select("vec_id", "cell", "keep")
+      .as[(Long, Int, Boolean)].collect()
+    assert(rows.length == n, "one output row per input vector")
+    assert(rows.map(_._1).distinct.length == n)
+    val nlist = Similarity.adaptiveNlist(n)
+    assert(rows.forall { case (_, c, _) => c >= 0 && c < nlist })
+    // the derived codebook must spread vectors over many cells, not one
+    assert(rows.map(_._2).distinct.length > nlist / 4,
+      "derived centroids must actually partition the corpus")
+  }
+
+  test("annJoinDerived ranks are 1..k with non-increasing cosine, never self/parity pairs") {
+    val left = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val right = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val got = Similarity.annJoinDerived(left, right, "vec_id", "embedding",
+      corpus = emb, dim = 64, k = 3)
+      .select("id_l", "rank", "id_r", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (l, _, r, _) => assert(l % 2 == 0 && r % 2 == 1) }
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2) == (1 to sorted.size))
+      assert(sorted.sliding(2).forall {
+        case Seq(a, b) => a._4 >= b._4
+        case _ => true
+      })
+    }
+  }
 }
