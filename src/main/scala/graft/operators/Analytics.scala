@@ -39,19 +39,26 @@ object Analytics {
           unix_micros(col(tsCol))))).as(s"_ts$i")
       }: _*)
     // row-local stage walk: anchor(0) = first stage-0 event; anchor(k) =
-    // earliest stage-k event in [anchor(k-1), anchor(k-1) + horizon]
-    val anchors = stages.indices.foldLeft(Seq.empty[Column]) { (acc, i) =>
+    // earliest stage-k event in [anchor(k-1), anchor(k-1) + horizon].
+    // Each anchor is PROJECTED as its own column and the next stage's
+    // filter lambda references that attribute — never the previous
+    // anchor's expression tree. HOF lambdas defeat CSE, so inlining
+    // anchor k-1 (referenced twice per lambda) re-evaluates it per
+    // element of _ts(k): O((2m)^k) work per row. The multi-reference of
+    // a non-cheap projected column also blocks CollapseProject from
+    // undoing the materialization.
+    val withAnchors = stages.indices.foldLeft(perUser) { (df, i) =>
       val a =
         if (i == 0) array_min(col("_ts0"))
         else {
-          val prev = acc.last
+          val prev = col(s"_a${i - 1}")
           array_min(filter(col(s"_ts$i"),
             t => t >= prev && t <= prev + horizonMicros))
         }
-      acc :+ a
+      df.withColumn(s"_a$i", a)
     }
-    val reached = perUser.select(stages.indices.map(i =>
-      anchors(i).isNotNull.cast("long").as(s"_r$i")): _*)
+    val reached = withAnchors.select(stages.indices.map(i =>
+      col(s"_a$i").isNotNull.cast("long").as(s"_r$i")): _*)
     val counts = reached.agg(
       sum(col("_r0")).as("_n0"),
       stages.indices.tail.map(i => sum(col(s"_r$i")).as(s"_n$i")): _*)

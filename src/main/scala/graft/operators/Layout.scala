@@ -78,8 +78,16 @@ object Layout {
                      bytesCol: String, targetBytes: Long): DataFrame = {
     require(partCols.nonEmpty, "compactionPlan: need at least one partition column")
     require(targetBytes > 0, s"compactionPlan: targetBytes must be positive")
+    // ROWS frame, not the default RANGE: under RANGE, duplicate fileCol
+    // values are peers and each peer's running sum includes the other's
+    // bytes, overstating _before for the first peer. bytesCol is the
+    // tiebreak so duplicate file names still order deterministically
+    // (rows identical in both columns are interchangeable — same output).
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(partCols.map(col): _*).orderBy(col(fileCol))
+      .partitionBy(partCols.map(col): _*)
+      .orderBy(col(fileCol), col(bytesCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     listing
       .withColumn("_before", coalesce(
         sum(col(bytesCol)).over(w) - col(bytesCol), lit(0L)))

@@ -409,8 +409,18 @@ object Multimodal {
           val fmt = aff.getType.toString.toLowerCase(java.util.Locale.ROOT)
           val rate = aff.getFormat.getSampleRate.toInt
           val ch = aff.getFormat.getChannels
-          val frames = aff.getFrameLength.toLong
-          Row(id, fmt, rate, ch, frames, frames * 1000L / rate)
+          val rawFrames = aff.getFrameLength
+          // streamed AIFF/AU containers report NOT_SPECIFIED (-1) frame
+          // length; a non-positive rate would also corrupt duration — both
+          // get the corrupt-payload posture (NULLs), never negatives
+          if (rawFrames == javax.sound.sampled.AudioSystem.NOT_SPECIFIED || rate <= 0)
+            Row(id, fmt,
+              if (rate <= 0) null else Integer.valueOf(rate),
+              Integer.valueOf(ch), null, null)
+          else {
+            val frames = rawFrames.toLong
+            Row(id, fmt, rate, ch, frames, frames * 1000L / rate)
+          }
         } catch {
           case _: Exception => Row(id, "unknown", null, null, null, null)
         }

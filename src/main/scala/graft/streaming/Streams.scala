@@ -150,12 +150,22 @@ object Streams {
     * family): within each micro-batch the LATEST row per key wins (by
     * `verCol` — a mutation stream can carry several updates to one id in a
     * batch), then matched target keys are replaced and new keys inserted.
-    * Idempotent per batch content, so retries are safe. */
+    * Idempotent per batch content, so retries are safe.
+    *
+    * Replay skipping is batch-id based, and batch ids are only monotonic
+    * WITHIN one checkpoint lineage. Pass the query's checkpoint location
+    * as `lineage` and the skip gate only fires when the published marker
+    * came from the same lineage — restarting with a fresh checkpoint
+    * against an existing target then reprocesses (content-idempotent)
+    * instead of silently dropping every batch id the old lineage already
+    * reached. With the default empty `lineage` the target is bound to ONE
+    * checkpoint lineage for its lifetime. */
   def foreachBatchUpsert(targetPath: String, idCol: String,
-                         verCol: String): (DataFrame, Long) => Unit =
+                         verCol: String, lineage: String = ""): (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
-      if (batchId > lastPublishedBatch(spark, targetPath)) {
+      val (lastId, lastLineage) = lastPublished(spark, targetPath)
+      if (lastLineage != lineage || batchId > lastId) {
         val latest = batch
           .withColumn("_rn", row_number().over(
             org.apache.spark.sql.expressions.Window
@@ -165,7 +175,7 @@ object Streams {
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], latest.schema))
         val merged = graft.operators.Upsert.upsert(existing, latest, idCol)
-        publishAtomic(spark, targetPath, merged, batchId)
+        publishAtomic(spark, targetPath, merged, batchId, lineage)
       }
     }
 
@@ -316,12 +326,23 @@ object Streams {
     * point either leaves the previous snapshot current (the batch replays)
     * or the new snapshot current with its id visible (the replay is
     * skipped) — double-apply and half-written states cannot be observed
-    * (see [[publishAtomic]]/[[recoverPublished]]). */
+    * (see [[publishAtomic]]/[[recoverPublished]]).
+    *
+    * As with [[foreachBatchUpsert]], pass the checkpoint location as
+    * `lineage` so the batch-id skip gate only applies within one
+    * checkpoint lineage (batch ids restart at 0 under a fresh
+    * checkpoint). Deltas are NOT content-idempotent, so restarting with a
+    * fresh checkpoint against an existing aggregate is only correct when
+    * the source replays from the beginning onto an empty target — the
+    * lineage gate makes the mismatch reprocess loudly (visible
+    * recomputation) rather than silently skip. */
   def foreachBatchAggRefresh(aggPath: String, groupCols: Seq[String],
-                             sumCols: Seq[String]): (DataFrame, Long) => Unit =
+                             sumCols: Seq[String],
+                             lineage: String = ""): (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
-      if (batchId > lastPublishedBatch(spark, aggPath)) {
+      val (lastId, lastLineage) = lastPublished(spark, aggPath)
+      if (lastLineage != lineage || batchId > lastId) {
         val existing = publishedSnapshot(spark, aggPath).getOrElse(
           // bootstrap: an empty aggregate typed from the changelog's
           // _new columns (group/sum types) + a long count
@@ -330,7 +351,7 @@ object Streams {
             .limit(0))
         val refreshed = graft.operators.IncrementalAgg.refresh(
           existing, batch, groupCols, sumCols)
-        publishAtomic(spark, aggPath, refreshed, batchId)
+        publishAtomic(spark, aggPath, refreshed, batchId, lineage)
       }
     }
 
@@ -373,16 +394,25 @@ object Streams {
 
   /** Batch id embedded in the published snapshot at `path`, -1 when nothing
     * is published (or the snapshot predates marker-based publishes). */
-  def lastPublishedBatch(spark: SparkSession, path: String): Long = {
+  def lastPublishedBatch(spark: SparkSession, path: String): Long =
+    lastPublished(spark, path)._1
+
+  /** (batch id, checkpoint lineage) from the published marker. Lineage is
+    * "" for markers written without one (pre-lineage publishes parse
+    * unchanged: the id is the marker's first line). */
+  def lastPublished(spark: SparkSession, path: String): (Long, String) = {
     recoverPublished(spark, path)
     val (fs, p) = hadoopFs(spark, path)
     val marker = new org.apache.hadoop.fs.Path(p, BatchMarker)
-    if (!fs.exists(marker)) -1L
+    if (!fs.exists(marker)) (-1L, "")
     else {
       val in = fs.open(marker)
-      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
+      val text =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      val lines = text.split("\n", 2)
+      (lines(0).trim.toLong, if (lines.length > 1) lines(1).trim else "")
     }
   }
 
@@ -395,7 +425,8 @@ object Streams {
   }
 
   private def publishAtomic(spark: SparkSession, path: String,
-                            snapshot: DataFrame, batchId: Long): Unit = {
+                            snapshot: DataFrame, batchId: Long,
+                            lineage: String = ""): Unit = {
     recoverPublished(spark, path)
     val (fs, live) = hadoopFs(spark, path)
     val staging = new org.apache.hadoop.fs.Path(path + ".staging")
@@ -403,9 +434,14 @@ object Streams {
     // (1) stage the full snapshot — this is the only data-scale step, and it
     // runs while the live snapshot is still readable
     snapshot.write.mode("overwrite").parquet(staging.toString)
-    // (2) marker last: presence certifies the staged write completed
+    // (2) marker last: presence certifies the staged write completed.
+    // Line 1 = batch id; line 2 (optional) = checkpoint lineage, so the
+    // replay gate can tell a replayed batch from a fresh checkpoint
+    // whose ids restarted at 0
+    val markerText =
+      if (lineage.isEmpty) batchId.toString else s"$batchId\n$lineage"
     val out = fs.create(new org.apache.hadoop.fs.Path(staging, BatchMarker), true)
-    try out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(markerText.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     // (3)-(5) the swap; each rename is atomic on local FS / HDFS
     if (fs.exists(old)) fs.delete(old, true)

@@ -73,6 +73,25 @@ class AnalyticsSpec extends SparkTestBase {
     assert(got.filter(_._1 == c1).map(t => (t._2, t._3)).toSet == Set((0L, 1L)))
   }
 
+  test("funnel plan grows linearly in stage count (anchors stay projected)") {
+    // anchor k references anchor k-1 TWICE inside a filter() lambda, and
+    // HOF lambdas defeat CSE — if the anchors get re-inlined instead of
+    // staying projected columns, the plan (and per-row work) goes
+    // exponential in the stage count. Pin linearity: adding 3 stages must
+    // add exactly 3 array_min nodes.
+    def planArrayMins(k: Int): Int = {
+      val stages = (1 to k).map(i => s"s$i")
+      val df = (1 to k).map(i => (1L, s"s$i", ts(f"2026-01-01 00:0$i:00")))
+        .toDF("user_id", "event_type", "ts")
+      val plan = Analytics.funnel(df, "user_id", "event_type", "ts",
+        stages, 600L * 1000000L).queryExecution.optimizedPlan.toString
+      "array_min".r.findAllIn(plan).size
+    }
+    val c3 = planArrayMins(3)
+    val c6 = planArrayMins(6)
+    assert(c6 - c3 == 3, s"expected linear anchor growth, got $c3 -> $c6")
+  }
+
   test("funnel equals a driver-side replay on random event sets") {
     import org.scalacheck.{Gen, Prop}
     val stages = Seq("s1", "s2", "s3")
@@ -160,5 +179,18 @@ class AnalyticsSpec extends SparkTestBase {
       .as[(String, Int, Long)].collect().toSet
     assert(got == Set(
       ("a", 1, 0L), ("a", 2, 0L), ("a", 3, 0L), ("a", 4, 1L), ("b", 1, 0L)))
+  }
+
+  test("compactionPlan duplicate file ids are not RANGE-frame peers") {
+    // under the default RANGE frame the two (1, 100) rows are peers: each
+    // running sum includes BOTH, overstating _before for the first peer
+    // (both would land in group 1 and group 0 would be empty). The ROWS
+    // frame assigns them prefix-sum positions 0 and 100.
+    val listing = Seq(("a", 1, 100L), ("a", 1, 100L), ("a", 2, 50L))
+      .toDF("pt", "file_id", "bytes")
+    val got = Layout.compactionPlan(listing, Seq("pt"), "file_id", "bytes", 100L)
+      .select("file_id", "compaction_group")
+      .as[(Int, Long)].collect().toSeq.sorted
+    assert(got == Seq((1, 0L), (1, 1L), (2, 2L)))
   }
 }

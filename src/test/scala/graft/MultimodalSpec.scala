@@ -206,6 +206,29 @@ class MultimodalSpec extends SparkTestBase {
     assert(bad.getString(1) == "unknown" && bad.isNullAt(2))
   }
 
+  test("decodeAudioMeta: NOT_SPECIFIED frame length -> NULL frames/duration, never -1") {
+    import spark.implicits._
+    // AU header with dataSize = 0xFFFFFFFF (unknown length, the streamed
+    // form): the JDK reader reports frameLength = AudioSystem.NOT_SPECIFIED
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeBytes(".snd")
+    out.writeInt(24)         // data offset
+    out.writeInt(-1)         // 0xFFFFFFFF = unknown data size
+    out.writeInt(3)          // 16-bit linear PCM
+    out.writeInt(8000)       // sample rate
+    out.writeInt(1)          // channels
+    out.write(new Array[Byte](64)) // some payload
+    val got = Multimodal.decodeAudioMeta(
+        Seq((1L, bos.toByteArray)).toDF("asset_id", "payload"),
+        "asset_id", "payload")
+      .collect()(0)
+    assert(got.getString(1) == "au")
+    assert(got.getInt(2) == 8000 && got.getInt(3) == 1)
+    assert(got.isNullAt(4), "n_frames must be NULL, not -1")
+    assert(got.isNullAt(5), "duration_ms must be NULL, not negative")
+  }
+
   test("encodePng -> decodeImageMeta round-trips the requested dimensions") {
     import spark.implicits._
     val dims = Seq((10L, 5, 3), (11L, 1, 1), (12L, 300, 200))

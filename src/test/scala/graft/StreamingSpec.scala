@@ -474,4 +474,34 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Seq(("a", 1L, 10.0)))
     assert(Streams.lastPublishedBatch(spark, target) == 0L)
   }
+
+  test("foreachBatchUpsert lineage gate: fresh checkpoint ids do not silently skip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_lineage").toString
+    val target = s"$dir/target"
+    // lineage A publishes batch ids 0 and 1
+    val fnA = Streams.foreachBatchUpsert(target, "id", "ver", lineage = "ckpt-A")
+    fnA(Seq(("a", 1L, 10.0)).toDF("id", "ver", "amount"), 0L)
+    fnA(Seq(("b", 1L, 20.0)).toDF("id", "ver", "amount"), 1L)
+    assert(Streams.lastPublished(spark, target) == (1L, "ckpt-A"))
+    // same lineage, replayed id -> skipped
+    fnA(Seq(("a", 9L, 99.0)).toDF("id", "ver", "amount"), 1L)
+    assert(spark.read.parquet(target).filter(col("id") === "a")
+      .head().getDouble(2) == 10.0)
+    // FRESH checkpoint (ids restart at 0) against the same target: the old
+    // gate dropped these batches silently; the lineage gate applies them
+    val fnB = Streams.foreachBatchUpsert(target, "id", "ver", lineage = "ckpt-B")
+    fnB(Seq(("a", 2L, 42.0)).toDF("id", "ver", "amount"), 0L)
+    val got = spark.read.parquet(target).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(("a", 2L, 42.0), ("b", 1L, 20.0)))
+    assert(Streams.lastPublished(spark, target) == (0L, "ckpt-B"))
+    // pre-lineage marker (no second line) parses as lineage "" and the
+    // default-lineage sink still honors the id gate against it
+    val fnOld = Streams.foreachBatchUpsert(target, "id", "ver")
+    fnOld(Seq(("c", 1L, 7.0)).toDF("id", "ver", "amount"), 5L)
+    assert(Streams.lastPublished(spark, target) == (5L, ""))
+    fnOld(Seq(("c", 2L, 8.0)).toDF("id", "ver", "amount"), 5L) // replay: skipped
+    assert(spark.read.parquet(target).filter(col("id") === "c")
+      .head().getDouble(2) == 7.0)
+  }
 }
