@@ -1,0 +1,20 @@
+package graft
+
+/** Per-JVM memo for query-entry FIXTURES — the stored tables/indexes an
+  * entry probes but does not measure (q32's bucketed tables, d12's stored
+  * LSH index). In production those artifacts are written once at layout
+  * time and reused across thousands of queries; an entry that rebuilds its
+  * fixture on every call times the setup, not the operator, and hides
+  * regressions in the part that matters (VERDICT r06 flagged exactly
+  * this). Memoized per (kind, data dir) within one JVM: the bench's
+  * two-pass per-query-min pays construction in pass 1 and reports the
+  * pure probe from pass 2, while a standalone Verify call — one JVM, one
+  * call — still builds everything itself, so the correctness gate's
+  * results are byte-identical. */
+object Fixtures {
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Any]
+
+  def once[T](kind: String, dir: String)(build: => T): T =
+    memo.getOrElseUpdate((kind, dir), build).asInstanceOf[T]
+}
