@@ -916,11 +916,11 @@ object SparkEntry {
 
     // ---- Dedup: SemDeDup-style semantic dedup (cluster coarsely, drop
     // within-cell cosine-near pairs, keep the smallest id per group).
-    // Scale-adaptive: nlist = floor(sqrt(N)) md5-derived centroids, so
+    // Scale-adaptive: nlist = floor(sqrt(N)) corpus-sampled centroids, so
     // within-cell pair volume grows ~N^1.5 — no pinned nlist ----
     "d11_semantic_dedup" -> { (s, dir) =>
       Similarity.semanticDedupDerived(Tables.embeddings(s, dir),
-          "vec_id", "embedding", dim = 64, threshold = 0.3)
+          "vec_id", "embedding", threshold = 0.3)
         .orderBy(col("vec_id"))
     },
 
@@ -929,7 +929,7 @@ object SparkEntry {
     // fixed-cardinality keys like `label` turn the block join quadratic) ----
     "d14_embedding_neardup_ivf" -> { (s, dir) =>
       Dedup.embeddingNearDupIvf(Tables.embeddings(s, dir), "vec_id", "embedding",
-          dim = 64, threshold = 0.3)
+          threshold = 0.3)
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -964,14 +964,14 @@ object SparkEntry {
     // ---- Similarity: batch ANN JOIN (two-corpus alignment): every even-id
     // vector finds its top-3 odd-id neighbors sharing its IVF cell — one
     // equi-join on the cell, bounded-heap top-k, never a cross join.
-    // Scale-adaptive: nlist = floor(sqrt(N)) derived in-plan (count ->
-    // broadcast md5 codebook), so cells stay ~sqrt(N) vectors ----
+    // Scale-adaptive: nlist = floor(sqrt(N)) corpus-sampled centroids
+    // (count -> md5-ordered sample -> broadcast), cells stay ~sqrt(N) ----
     "s08_ann_join" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Similarity.annJoinDerived(
           emb.filter(pmod(col("vec_id"), lit(2)) === 0),
           emb.filter(pmod(col("vec_id"), lit(2)) === 1),
-          "vec_id", "embedding", corpus = emb, dim = 64, k = 3)
+          "vec_id", "embedding", corpus = emb, k = 3)
         .orderBy(col("id_l"), col("rank"))
     },
 
@@ -981,7 +981,7 @@ object SparkEntry {
     // sqrt(N)-nlist broadcast-codebook cell ----
     "s10_hard_negatives" -> { (s, dir) =>
       Similarity.hardNegativesDerived(Tables.embeddings(s, dir),
-          "vec_id", "embedding", "label", dim = 64, k = 3)
+          "vec_id", "embedding", "label", k = 3)
         .orderBy(col("id_l"), col("rank"))
     },
 
@@ -1975,11 +1975,10 @@ object SparkEntry {
     "s08_ann_join" ->
       """WITH n AS (SELECT CAST(floor(sqrt(count(*))) AS BIGINT) AS nlist FROM embeddings),
          c AS (
-           SELECT ci AS cid,
-             list((CAST(('0x' || substr(md5('ivf_' || CAST(ci AS VARCHAR) || '_' || CAST(d AS VARCHAR)),1,12)) AS BIGINT) % 1000) / 1000.0 - 0.5
-                  ORDER BY d) AS cv
-           FROM range(0, 4096) t(ci), range(0, 64) u(d), n
-           WHERE ci < nlist GROUP BY ci),
+           SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           LIMIT (SELECT nlist FROM n)),
          v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          cosl AS (
            SELECT v.vec_id, v.v,
@@ -2004,11 +2003,10 @@ object SparkEntry {
     "s10_hard_negatives" ->
       """WITH n AS (SELECT CAST(floor(sqrt(count(*))) AS BIGINT) AS nlist FROM embeddings),
          c AS (
-           SELECT ci AS cid,
-             list((CAST(('0x' || substr(md5('ivf_' || CAST(ci AS VARCHAR) || '_' || CAST(d AS VARCHAR)),1,12)) AS BIGINT) % 1000) / 1000.0 - 0.5
-                  ORDER BY d) AS cv
-           FROM range(0, 4096) t(ci), range(0, 64) u(d), n
-           WHERE ci < nlist GROUP BY ci),
+           SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           LIMIT (SELECT nlist FROM n)),
          v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          cosl AS (
            SELECT v.vec_id, v.label, v.v,
@@ -2437,11 +2435,10 @@ object SparkEntry {
     "d11_semantic_dedup" ->
       """WITH n AS (SELECT CAST(floor(sqrt(count(*))) AS BIGINT) AS nlist FROM embeddings),
          c AS (
-           SELECT ci AS cid,
-             list((CAST(('0x' || substr(md5('ivf_' || CAST(ci AS VARCHAR) || '_' || CAST(d AS VARCHAR)),1,12)) AS BIGINT) % 1000) / 1000.0 - 0.5
-                  ORDER BY d) AS cv
-           FROM range(0, 4096) t(ci), range(0, 64) u(d), n
-           WHERE ci < nlist GROUP BY ci),
+           SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           LIMIT (SELECT nlist FROM n)),
          v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          cosl AS (
            SELECT v.vec_id, v.v,
@@ -2464,11 +2461,10 @@ object SparkEntry {
     "d14_embedding_neardup_ivf" ->
       """WITH n AS (SELECT CAST(floor(sqrt(count(*))) AS BIGINT) AS nlist FROM embeddings),
          c AS (
-           SELECT ci AS cid,
-             list((CAST(('0x' || substr(md5('ivf_' || CAST(ci AS VARCHAR) || '_' || CAST(d AS VARCHAR)),1,12)) AS BIGINT) % 1000) / 1000.0 - 0.5
-                  ORDER BY d) AS cv
-           FROM range(0, 4096) t(ci), range(0, 64) u(d), n
-           WHERE ci < nlist GROUP BY ci),
+           SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           LIMIT (SELECT nlist FROM n)),
          v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          cosl AS (
            SELECT v.vec_id, v.v,

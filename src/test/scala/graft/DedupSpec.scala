@@ -404,7 +404,7 @@ class DedupSpec extends SparkTestBase {
     val emb = Tables.embeddings(spark, sfDir)
     val nlist = Similarity.adaptiveNlist(emb.count())
     val got = Dedup.embeddingNearDupIvf(emb, "vec_id", "embedding",
-        dim = 64, threshold = 0.3)
+        threshold = 0.3)
       .select("cell", "id_a", "id_b", "cosine")
       .as[(Int, Long, Long, Double)].collect().toSeq
     assert(got.nonEmpty, "sf0.001 corpus must contain at least one near-dup pair")

@@ -392,23 +392,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(Similarity.adaptiveNlist(100000000L) == 10000)
   }
 
-  test("md5 centroids are deterministic and bounded in [-0.5, 0.5)") {
-    val v1 = Similarity.md5CentroidScala(3, 17)
-    val v2 = Similarity.md5CentroidScala(3, 17)
-    assert(v1 == v2)
-    for (c <- 0 until 8; d <- 0 until 64) {
-      val v = Similarity.md5CentroidScala(c, d)
-      assert(v >= -0.5 && v < 0.5, s"centroid($c,$d)=$v out of range")
-    }
-    // distinct seeds must not collapse to one value (sanity on the hash)
-    val vals = (0 until 16).map(d => Similarity.md5CentroidScala(0, d)).toSet
-    assert(vals.size > 8)
+  test("derivedCodebook: deterministic sqrt(N)-sized sample of actual corpus vectors") {
+    val n = emb.count()
+    val cb1 = Similarity.derivedCodebook(emb, "vec_id", "embedding").value
+    val cb2 = Similarity.derivedCodebook(emb, "vec_id", "embedding").value
+    assert(cb1.length == Similarity.adaptiveNlist(n))
+    assert(cb1.map(_.toSeq).toSeq == cb2.map(_.toSeq).toSeq,
+      "md5-ordered sampling must be deterministic across calls")
+    // every centroid is a real corpus vector (density-tracking sampling,
+    // not synthetic coordinates)
+    val corpus = emb.select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSet
+    cb1.foreach(c => assert(corpus.contains(c.toSeq),
+      "centroid must be sampled from the corpus"))
   }
 
   test("semanticDedupDerived is a total partition with sqrt(N) cells actually used") {
     val n = emb.count()
     val got = Similarity.semanticDedupDerived(emb, "vec_id", "embedding",
-      dim = 64, threshold = 0.3)
+      threshold = 0.3)
     val rows = got.select("vec_id", "cell", "keep")
       .as[(Long, Int, Boolean)].collect()
     assert(rows.length == n, "one output row per input vector")
@@ -424,7 +426,7 @@ class SimilaritySpec extends SparkTestBase {
     val left = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
     val right = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
     val got = Similarity.annJoinDerived(left, right, "vec_id", "embedding",
-      corpus = emb, dim = 64, k = 3)
+      corpus = emb, k = 3)
       .select("id_l", "rank", "id_r", "cosine")
       .as[(Long, Int, Long, Double)].collect().toSeq
     assert(got.nonEmpty)
