@@ -1104,6 +1104,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- Multimodal: REAL video frame extraction — animated GIF (the one
+    // multi-frame container the JDK ships a codec for) encoded with
+    // doc_id-derived frame counts and constant-gray frames, then every
+    // 2nd frame decoded to (frame_no, dims, mean luminance); the gray
+    // formula (doc_id*31 + f*17) % 256 lets the oracle replay the whole
+    // encode->decode round-trip in integer arithmetic ----
+    "m11_gif_frames" -> { (s, dir) =>
+      val frames = Tables.documents(s, dir).select(col("doc_id"),
+        (pmod(col("doc_id"), lit(4)) + 2).cast("int").as("_frames"))
+      Multimodal.decodeGifFrames(
+          Multimodal.encodeGif(frames, "doc_id", "_frames", w = 16, h = 8),
+          "asset_id", "payload", stride = 2)
+        .withColumnRenamed("asset_id", "doc_id")
+        .orderBy(col("doc_id"), col("frame_no"))
+    },
+
     // ---- Text: language-ID heuristic ----
     "t01_langid" -> { (s, dir) =>
       Tables.documents(s, dir)
@@ -3049,6 +3065,15 @@ object SparkEntry {
            CAST(doc_id % 1000 + 1 AS BIGINT) AS n_frames,
            CAST((doc_id % 1000 + 1) * 1000 // 8000 AS BIGINT) AS duration_ms
          FROM documents ORDER BY doc_id""",
+
+    "m11_gif_frames" ->
+      """WITH d AS (SELECT doc_id, doc_id % 4 + 2 AS nf FROM documents),
+         f AS (SELECT doc_id, CAST(fn AS INTEGER) AS frame_no
+               FROM d, range(0, 8) t(fn) WHERE fn < nf AND fn % 2 = 0)
+         SELECT doc_id, frame_no,
+                CAST(16 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+                CAST((doc_id * 31 + frame_no * 17) % 256 AS DOUBLE) AS luma_mean
+         FROM f ORDER BY doc_id, frame_no""",
 
     "m07_image_decode" ->
       """SELECT doc_id, 'png' AS format,

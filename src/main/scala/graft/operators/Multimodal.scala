@@ -14,13 +14,16 @@ import org.apache.spark.sql.types._
   * [[decodeImageMeta]] header-only metadata, [[resizeImageReal]] pixel
   * scaling, [[extractFeaturesReal]] decoded-pixel histograms, with
   * [[encodePng]] as the round-trip proof generator. Audio METADATA is
-  * real too ([[decodeAudioMeta]]/[[encodeWav]] via `javax.sound.sampled`).
-  * Compressed-audio sample decode and video codecs need libraries this
-  * container does not ship, so those kernels (and the *Stub variants kept
-  * as test doubles for the synthetic fake-magic assets) are deterministic
-  * fakes — the Spark-side plumbing (binary columns, byte-range frame
-  * sampling, schema, partition-preserving batched iteration) is identical
-  * either way.
+  * real too ([[decodeAudioMeta]]/[[encodeWav]] via `javax.sound.sampled`),
+  * and VIDEO frame extraction is real for animated GIF — the one
+  * multi-frame container the JDK ships a codec for —
+  * ([[decodeGifFrames]]/[[encodeGif]]: container parse, per-frame pixel
+  * decode, stride sampling). Compressed-audio sample decode and MP4-class
+  * video codecs need libraries this container does not ship, so those
+  * kernels (and the *Stub variants kept as test doubles for the synthetic
+  * fake-magic assets) are deterministic fakes — the Spark-side plumbing
+  * (binary columns, byte-range frame sampling, schema,
+  * partition-preserving batched iteration) is identical either way.
   *
   * Scale posture: every operator here is row-local (no shuffle); frame
   * sampling explodes bounded arrays; the decode stub is mapPartitions-shaped
@@ -451,6 +454,115 @@ object Multimodal {
         javax.sound.sampled.AudioSystem.write(ais,
           javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
         Row(id, bos.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** Decoded-video-frame schema for the REAL (animated-GIF) frame
+    * extractor: one row per sampled frame. */
+  val gifFrameSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("frame_no", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("luma_mean", DoubleType)))
+
+  /** Deterministic REAL animated-GIF encoder (pure JDK `ImageIO` sequence
+    * writer) for round-trip testing: `framesCol` frames of `w x h`
+    * constant gray, frame f of asset id filled with (id*31 + f*17) % 256 —
+    * integer arithmetic an oracle replays exactly. Row-local like every
+    * media kernel; a constant-color frame is lossless under GIF's palette
+    * quantization, so the decode side recovers the formula bit-exactly. */
+  def encodeGif(df: DataFrame, idCol: String, framesCol: String,
+                w: Int, h: Int): DataFrame = {
+    require(w >= 1 && h >= 1, s"encodeGif: dims must be positive, got ${w}x$h")
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    val input = df.select(col(idCol).cast("long"), col(framesCol).cast("int"))
+    val enc = RowEncoder.encoderFor(schema)
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = r.getInt(1)
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < n) {
+          val g = ((id * 31L + f * 17L) % 256L).toInt
+          val rgb = (g << 16) | (g << 8) | g
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        writer.dispose()
+        ios.close()
+        Row(id, bos.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** REAL video frame extraction over animated GIF (the one multi-frame
+    * container the JDK ships a codec for): every `stride`-th frame is
+    * decoded and reduced to (frame_no, width, height, mean luminance).
+    * This is the video-pipeline frame-sample shape — decode a bounded
+    * sample of frames per asset, never the whole stream — with real
+    * container parsing and real pixel decode; swapping the ImageIO reader
+    * for an MP4/H.264 codec changes only the per-partition reader
+    * construction. Row-local mapPartitions, bounded memory (one frame at
+    * a time); unreadable payloads emit ZERO rows (the filter posture —
+    * count them upstream via [[binaryStats]] if loss must be audited). */
+  def decodeGifFrames(df: DataFrame, idCol: String, binCol: String,
+                      stride: Int = 1): DataFrame = {
+    require(stride >= 1, s"decodeGifFrames: stride must be >= 1, got $stride")
+    val input = df.select(col(idCol).cast("long"), col(binCol))
+    val enc = RowEncoder.encoderFor(gifFrameSchema)
+    input.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) { iis.close(); Iterator.empty }
+          else {
+            val reader = readers.next()
+            reader.setInput(iis, false, true)
+            val out =
+              try {
+                val n = reader.getNumImages(true)
+                (0 until n by stride).map { f =>
+                  val img = reader.read(f)
+                  val (w, h) = (img.getWidth, img.getHeight)
+                  var sum = 0L
+                  var y = 0
+                  while (y < h) {
+                    var x = 0
+                    while (x < w) {
+                      val rgb = img.getRGB(x, y)
+                      sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  Row(id, f, w, h, sum.toDouble / (3.0 * w * h))
+                }
+              } finally { reader.dispose(); iis.close() }
+            out.iterator
+          }
+        } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
       }
     }(enc)
   }

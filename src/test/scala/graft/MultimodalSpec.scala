@@ -229,6 +229,30 @@ class MultimodalSpec extends SparkTestBase {
     assert(got.isNullAt(5), "duration_ms must be NULL, not negative")
   }
 
+  test("encodeGif -> decodeGifFrames round-trips frame count, dims, and gray formula") {
+    import spark.implicits._
+    val frames = Seq((0L, 1), (7L, 3), (300L, 5)).toDF("asset_id", "_n")
+    val gifs = Multimodal.encodeGif(frames, "asset_id", "_n", w = 6, h = 4)
+    // stride 1: every frame comes back with the encoded constant gray
+    val all = Multimodal.decodeGifFrames(gifs, "asset_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getDouble(4))).toSet
+    val expected = (for {
+      (id, n) <- Seq((0L, 1), (7L, 3), (300L, 5))
+      f <- 0 until n
+    } yield (id, f, 6, 4, ((id * 31 + f * 17) % 256).toDouble)).toSet
+    assert(all == expected)
+    // stride 2 keeps only even frame numbers
+    val sampled = Multimodal.decodeGifFrames(gifs, "asset_id", "payload", stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(sampled == expected.collect { case (id, f, _, _, _) if f % 2 == 0 => (id, f) })
+    // garbage payload: zero rows (filter posture), no task failure
+    val bad = Multimodal.decodeGifFrames(
+      Seq((9L, "not a gif".getBytes("UTF-8"))).toDF("asset_id", "payload"),
+      "asset_id", "payload").collect()
+    assert(bad.isEmpty)
+  }
+
   test("encodePng -> decodeImageMeta round-trips the requested dimensions") {
     import spark.implicits._
     val dims = Seq((10L, 5, 3), (11L, 1, 1), (12L, 300, 200))
