@@ -593,6 +593,25 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     },
 
+    // ---- JSON-lines source/sink round-trip: the reference's native wire
+    // shape (GraphQL JSON payloads) as a file source — schema'd read so
+    // dates/doubles type correctly; same identity-aggregate oracle ----
+    "q58_json_source" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .filter(pmod(col("l_orderkey"), lit(10)) === 2)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+          "l_returnflag", "l_shipdate")
+      val out = java.nio.file.Files.createTempDirectory("graft_json").toString + "/li"
+      li.write.mode("overwrite").json(out)
+      s.read.schema(li.schema).json(out)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).as("sum_cents"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // ---- Broadcast-Bloom semi-join reduction: the fact side is filtered
     // AT THE SCAN by an md5-deterministic Bloom of the selective dim's
     // keys, before any shuffle; false positives die in the exact join, so
@@ -2698,6 +2717,14 @@ object SparkEntry {
            min(CAST(l_shipdate AS DATE)) AS min_ship,
            max(CAST(l_shipdate AS DATE)) AS max_ship
          FROM lineitem WHERE l_orderkey % 10 = 1
+         GROUP BY 1 ORDER BY 1""",
+
+    "q58_json_source" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           min(CAST(l_shipdate AS DATE)) AS min_ship,
+           max(CAST(l_shipdate AS DATE)) AS max_ship
+         FROM lineitem WHERE l_orderkey % 10 = 2
          GROUP BY 1 ORDER BY 1""",
 
     "q55_zorder3" ->
