@@ -384,6 +384,22 @@ class SimilaritySpec extends SparkTestBase {
       "ivfPqTopK plan (incl. ADC tables) must not grow with nlist")
   }
 
+  test("lshBucket rejects numPlanes outside 1..63 (single-long sign-bit bucket)") {
+    // 1L << p wraps mod 64 in Java: plane 64 would silently collide with
+    // plane 0's bit instead of failing loudly
+    intercept[IllegalArgumentException] {
+      Similarity.lshBucket(emb, col("embedding"), numPlanes = 64, dim = 64)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.lshBucket(emb, col("embedding"), numPlanes = 0, dim = 64)
+    }
+    // 63 is the documented max and must work
+    val buckets = emb.select(
+      Similarity.lshBucket(emb, col("embedding"), numPlanes = 63, dim = 64).as("b"))
+      .collect().map(_.getLong(0))
+    assert(buckets.nonEmpty)
+  }
+
   test("adaptiveNlist tracks floor(sqrt(N)) with a floor of 1") {
     assert(Similarity.adaptiveNlist(0L) == 1)
     assert(Similarity.adaptiveNlist(1L) == 1)
