@@ -926,7 +926,12 @@ object SparkEntry {
         .orderBy(col("lang"), col("id_a"), col("id_b"))
     },
 
-    // ---- Dedup: embedding-cosine near-dup inside blocks ----
+    // ---- Dedup: embedding-cosine near-dup inside NATURAL-KEY blocks.
+    // The operator's contract requires a SELECTIVE blocking key; this entry
+    // blocks on fixed-cardinality `label` deliberately, as the contrast
+    // case the scaling probe flags (within-block pairs ~N^2/|labels|) —
+    // d14 is the same pair-mining shape on the scale-adaptive IVF cell
+    // for corpora with no selective natural key ----
     "d05_embedding_neardup" -> { (s, dir) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, dir), "vec_id", "embedding",
           "label", threshold = 0.3)
