@@ -6,15 +6,20 @@ package graft
   * time and reused across thousands of queries; an entry that rebuilds its
   * fixture on every call times the setup, not the operator, and hides
   * regressions in the part that matters (VERDICT r06 flagged exactly
-  * this). Memoized per (kind, data dir) within one JVM: the bench's
-  * two-pass per-query-min pays construction in pass 1 and reports the
-  * pure probe from pass 2, while a standalone Verify call — one JVM, one
-  * call — still builds everything itself, so the correctness gate's
-  * results are byte-identical. */
+  * this). Memoized per (kind, data dir, Spark application) within one
+  * JVM: the bench's two-pass per-query-min pays construction in pass 1
+  * and reports the pure probe from pass 2, while a standalone Verify
+  * call — one JVM, one call — still builds everything itself, so the
+  * correctness gate's results are byte-identical. The application id in
+  * the key matters because fixtures are session-bound (catalog table
+  * names, DataFrame plans): a stopped-and-recreated session in the same
+  * JVM must rebuild, not resurrect handles into a dead context. */
 object Fixtures {
   private val memo =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Any]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), Any]
 
-  def once[T](kind: String, dir: String)(build: => T): T =
-    memo.getOrElseUpdate((kind, dir), build).asInstanceOf[T]
+  def once[T](spark: org.apache.spark.sql.SparkSession, kind: String,
+              dir: String)(build: => T): T =
+    memo.getOrElseUpdate((spark.sparkContext.applicationId, kind, dir),
+      build).asInstanceOf[T]
 }

@@ -787,7 +787,7 @@ object SparkEntry {
     // per layout in production) — memoized per JVM+dir so the bench times
     // the exchange-free join, not the table write ----
     "q32_bucketed_join" -> { (s, dir) =>
-      val (liTbl, partTbl) = Fixtures.once("q32_bucketed_tables", dir) {
+      val (liTbl, partTbl) = Fixtures.once(s, "q32_bucketed_tables", dir) {
         val sfx = java.lang.Long.toHexString(
           java.util.UUID.nameUUIDFromBytes(dir.getBytes).getMostSignificantBits)
         val pt = s"graft_part_bkt_$sfx"
@@ -892,7 +892,7 @@ object SparkEntry {
       // the stored index is the FIXTURE (maintained incrementally in
       // production, see foreachBatchIndexedDedup) — memoized per JVM+dir
       // so the bench times the ingest probe, not index build + write
-      val stored = Fixtures.once("d12_lsh_index", dir) {
+      val stored = Fixtures.once(s, "d12_lsh_index", dir) {
         val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 2)
         val idxDir = java.nio.file.Files.createTempDirectory("graft_lsh_index").toString
         val built = Dedup.lshIndex(corpus, "doc_id", "text", k = 5, bands = 4, rowsPerBand = 4)

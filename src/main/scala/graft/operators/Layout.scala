@@ -81,8 +81,11 @@ object Layout {
     // ROWS frame, not the default RANGE: under RANGE, duplicate fileCol
     // values are peers and each peer's running sum includes the other's
     // bytes, overstating _before for the first peer. bytesCol is the
-    // tiebreak so duplicate file names still order deterministically
-    // (rows identical in both columns are interchangeable — same output).
+    // tiebreak; output is deterministic when (fileCol, bytesCol) pairs
+    // are distinct per partition — true of any real listing, where
+    // fileCol is a unique file name. Rows fully tied on both columns get
+    // an unspecified relative order (their group ids may swap run to
+    // run, though the multiset of (file, bytes, group) sizes cannot).
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(partCols.map(col): _*)
       .orderBy(col(fileCol), col(bytesCol))

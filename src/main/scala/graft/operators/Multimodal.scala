@@ -119,6 +119,62 @@ object Multimodal {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // ---- per-partition codec plumbing -------------------------------------
+  //
+  // The JDK media APIs hide two multi-core killers: AudioSystem's
+  // provider lookup takes a JVM-global lock per call (and tries the MIDI
+  // soft-synth reader — its own global lock — before the WAV reader), and
+  // ImageIO's convenience methods consult a global disk-cache flag that
+  // creates+deletes a temp file per image. Every kernel below resolves
+  // its providers ONCE per partition (one partition = one thread, so
+  // reuse is safe) and does stream I/O through explicit in-memory
+  // ImageIO streams — no global state touched, no temp files.
+
+  /** All installed providers of `cls`, resolved once per partition. Empty
+    * when provider loading is unavailable (callers fall back to the slow
+    * AudioSystem path). */
+  private def loadProviders[T](cls: Class[T]): scala.collection.mutable.ArrayBuffer[T] = {
+    val it = java.util.ServiceLoader.load(cls).iterator()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[T]
+    try while (it.hasNext) buf += it.next()
+    catch { case _: java.util.ServiceConfigurationError => () }
+    buf
+  }
+
+  /** One PNG writer per partition. */
+  private def pngWriter(): javax.imageio.ImageWriter =
+    javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+
+  /** Encode through an explicit in-memory stream (never the global
+    * disk-cache flag); the writer is reused across rows. */
+  private def writeImage(writer: javax.imageio.ImageWriter,
+                         img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(img)
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** Full decode through an explicit in-memory stream; null for
+    * unreadable/null payloads (the corrupt-payload posture). */
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    if (bytes == null) return null
+    try {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) null
+        else {
+          val reader = readers.next()
+          try { reader.setInput(iis); reader.read(0) } finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => null }
+  }
+
   /** Decoded-image metadata schema (what a real decoder would emit). */
   val imageMetaSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
@@ -224,9 +280,6 @@ object Multimodal {
     val input = df.select(col(idCol).cast("long"), col(binCol))
     val enc = RowEncoder.encoderFor(imageMetaSchema)
     input.mapPartitions { rows =>
-      // byte-array payloads never need ImageIO's DISK-backed stream cache
-      // (a temp file created+deleted per row; measured 3.4x on encode)
-      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val id = r.getLong(0)
         decodeImageBytes(r.getAs[Array[Byte]](1)) match {
@@ -241,7 +294,7 @@ object Multimodal {
     * when no installed ImageReader recognizes the bytes. */
   private[operators] def decodeImageBytes(bytes: Array[Byte]): Option[(String, Int, Int)] = {
     if (bytes == null) return None
-    val iis = javax.imageio.ImageIO.createImageInputStream(
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
@@ -269,11 +322,7 @@ object Multimodal {
     val input = df.select(col(idCol).cast("long"), col(wCol).cast("int"), col(hCol).cast("int"))
     val enc = RowEncoder.encoderFor(schema)
     input.mapPartitions { rows =>
-      // codec init once per partition: no disk-backed stream cache for
-      // byte arrays, and the writer lookup (registry scan) hoisted out of
-      // the row loop — one partition is one thread, so reuse is safe
-      javax.imageio.ImageIO.setUseCache(false)
-      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      val writer = pngWriter()
       rows.map { r =>
         val id = r.getLong(0)
         val w = r.getInt(1)
@@ -287,12 +336,7 @@ object Multimodal {
           while (x < w) { img.setRGB(x, y, rgb); x += 1 }
           y += 1
         }
-        val bos = new java.io.ByteArrayOutputStream()
-        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-        writer.setOutput(ios)
-        writer.write(img)
-        ios.close()
-        Row(id, bos.toByteArray)
+        Row(id, writeImage(writer, img))
       }
     }(enc)
   }
@@ -321,15 +365,10 @@ object Multimodal {
     val input = df.select(col(idCol).cast("long"), col(binCol))
     val enc = RowEncoder.encoderFor(resizeRealSchema)
     input.mapPartitions { rows =>
-      javax.imageio.ImageIO.setUseCache(false) // no temp file per row
-      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      val writer = pngWriter()
       rows.map { r =>
         val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        val img = try {
-          if (bytes == null) null
-          else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        } catch { case _: Exception => null }
+        val img = readImage(r.getAs[Array[Byte]](1))
         if (img == null) Row(id, null, null, null, null, null)
         else {
           val (w, h) = (img.getWidth, img.getHeight)
@@ -345,12 +384,7 @@ object Multimodal {
               java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
             g.drawImage(img, 0, 0, wOut, hOut, null)
           } finally g.dispose()
-          val bos = new java.io.ByteArrayOutputStream()
-          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-          writer.setOutput(ios)
-          writer.write(out)
-          ios.close()
-          Row(id, w, h, wOut, hOut, bos.toByteArray)
+          Row(id, w, h, wOut, hOut, writeImage(writer, out))
         }
       }
     }(enc)
@@ -369,14 +403,9 @@ object Multimodal {
     val input = df.select(col(idCol).cast("long"), col(binCol))
     val enc = RowEncoder.encoderFor(featureSchema(dim))
     input.mapPartitions { rows =>
-      javax.imageio.ImageIO.setUseCache(false) // no temp file per row
       rows.map { r =>
         val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        val img = try {
-          if (bytes == null) null
-          else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        } catch { case _: Exception => null }
+        val img = readImage(r.getAs[Array[Byte]](1))
         if (img == null) Row(id, Seq.fill(dim)(0.0))
         else {
           val counts = new Array[Long](dim)
@@ -428,14 +457,7 @@ object Multimodal {
       // 0.0014 with the matching reader tried first). Resolve providers
       // here and keep a move-to-front order so a homogeneous partition
       // pays ONE parse attempt per row.
-      val readers: scala.collection.mutable.ArrayBuffer[javax.sound.sampled.spi.AudioFileReader] = {
-        val it = java.util.ServiceLoader.load(
-          classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
-        val buf = scala.collection.mutable.ArrayBuffer.empty[javax.sound.sampled.spi.AudioFileReader]
-        try while (it.hasNext) buf += it.next()
-        catch { case _: java.util.ServiceConfigurationError => () }
-        buf
-      }
+      val readers = loadProviders(classOf[javax.sound.sampled.spi.AudioFileReader])
       def sniff(bytes: Array[Byte]): javax.sound.sampled.AudioFileFormat = {
         if (readers.isEmpty) // provider loading unavailable: correct, slower
           return javax.sound.sampled.AudioSystem.getAudioFileFormat(
@@ -459,15 +481,17 @@ object Multimodal {
           val aff = sniff(bytes)
           val fmt = aff.getType.toString.toLowerCase(java.util.Locale.ROOT)
           val rate = aff.getFormat.getSampleRate.toInt
-          val ch = aff.getFormat.getChannels
+          val rawCh = aff.getFormat.getChannels
+          val ch: Integer = if (rawCh <= 0) null else Integer.valueOf(rawCh)
           val rawFrames = aff.getFrameLength
-          // streamed AIFF/AU containers report NOT_SPECIFIED (-1) frame
-          // length; a non-positive rate would also corrupt duration — both
-          // get the corrupt-payload posture (NULLs), never negatives
+          // streamed containers report NOT_SPECIFIED (-1) for frame length
+          // (and can for channels); a non-positive rate would corrupt the
+          // duration — every unspecified field gets the corrupt-payload
+          // posture (NULLs), never negatives
           if (rawFrames == javax.sound.sampled.AudioSystem.NOT_SPECIFIED || rate <= 0)
             Row(id, fmt,
               if (rate <= 0) null else Integer.valueOf(rate),
-              Integer.valueOf(ch), null, null)
+              ch, null, null)
           else {
             val frames = rawFrames.toLong
             Row(id, fmt, rate, ch, frames, frames * 1000L / rate)
@@ -495,16 +519,8 @@ object Multimodal {
       // writer resolved ONCE per partition — AudioSystem.write re-runs the
       // JVM-globally-locked provider lookup on every call
       val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
-      val writer: Option[javax.sound.sampled.spi.AudioFileWriter] = {
-        val it = java.util.ServiceLoader.load(
-          classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
-        var found: Option[javax.sound.sampled.spi.AudioFileWriter] = None
-        try while (found.isEmpty && it.hasNext) {
-          val w = it.next()
-          if (w.isFileTypeSupported(wave)) found = Some(w)
-        } catch { case _: java.util.ServiceConfigurationError => () }
-        found
-      }
+      val writer = loadProviders(classOf[javax.sound.sampled.spi.AudioFileWriter])
+        .find(_.isFileTypeSupported(wave))
       rows.map { r =>
         val id = r.getLong(0)
         val frames = r.getInt(1)
@@ -545,13 +561,12 @@ object Multimodal {
     val input = df.select(col(idCol).cast("long"), col(framesCol).cast("int"))
     val enc = RowEncoder.encoderFor(schema)
     input.mapPartitions { rows =>
-      javax.imageio.ImageIO.setUseCache(false) // no temp file per row
       val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
       rows.map { r =>
         val id = r.getLong(0)
         val n = r.getInt(1)
         val bos = new java.io.ByteArrayOutputStream()
-        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
         writer.setOutput(ios)
         writer.prepareWriteSequence(null)
         var f = 0
@@ -592,12 +607,11 @@ object Multimodal {
     val input = df.select(col(idCol).cast("long"), col(binCol))
     val enc = RowEncoder.encoderFor(gifFrameSchema)
     input.mapPartitions { rows =>
-      javax.imageio.ImageIO.setUseCache(false) // no temp file per row
       rows.flatMap { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
         try {
-          val iis = javax.imageio.ImageIO.createImageInputStream(
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
             new java.io.ByteArrayInputStream(bytes))
           val readers = javax.imageio.ImageIO.getImageReaders(iis)
           if (!readers.hasNext) { iis.close(); Iterator.empty }

@@ -51,12 +51,13 @@ object Similarity {
     * (16+ planes over 1k+ dims) without plan/codegen blowup, the same
     * posture as [[broadcastCodebook]]. Planes remain md5-derived, so any
     * engine reproduces the buckets. The bucket id is one long of sign
-    * bits, so numPlanes is capped at 63 — `1L << p` wraps mod 64 past
-    * that, silently colliding buckets. */
+    * bits, so numPlanes is capped at 64 — plane p uses bit p (p in
+    * 0..63; plane 64 would shift `1L << 64`, which wraps mod 64 and
+    * silently collides with plane 0's bit). */
   def lshBucket(df: DataFrame, vec: Column, numPlanes: Int, dim: Int): Column = {
-    require(numPlanes >= 1 && numPlanes <= 63,
-      s"lshBucket: numPlanes must be in 1..63 (bucket is one long of sign bits" +
-        s" and 1L << p wraps at 64), got $numPlanes")
+    require(numPlanes >= 1 && numPlanes <= 64,
+      s"lshBucket: numPlanes must be in 1..64 (bucket is one long of sign bits" +
+        s" and `1L << p` wraps mod 64 from the 65th plane on), got $numPlanes")
     val planes: Array[Array[Double]] = Array.tabulate(numPlanes, dim)(md5PlaneScala)
     hyperplane_bucket(vec, df.sparkSession.sparkContext.broadcast(planes))
   }

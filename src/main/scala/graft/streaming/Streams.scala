@@ -331,18 +331,31 @@ object Streams {
     * As with [[foreachBatchUpsert]], pass the checkpoint location as
     * `lineage` so the batch-id skip gate only applies within one
     * checkpoint lineage (batch ids restart at 0 under a fresh
-    * checkpoint). Deltas are NOT content-idempotent, so restarting with a
-    * fresh checkpoint against an existing aggregate is only correct when
-    * the source replays from the beginning onto an empty target — the
-    * lineage gate makes the mismatch reprocess loudly (visible
-    * recomputation) rather than silently skip. */
+    * checkpoint). Unlike the upsert twin, deltas are NOT
+    * content-idempotent: against an existing aggregate, a batch id from
+    * a DIFFERENT lineage is ambiguous — it could be a replay (skipping
+    * is correct) or genuinely new deltas (skipping loses them), and
+    * applying a replay double-counts permanently. So a lineage mismatch
+    * over a non-empty published target THROWS instead of guessing;
+    * rebinding a target to a new checkpoint lineage requires an explicit
+    * reset (delete the target, or replay the source from scratch onto an
+    * empty one). A mismatch with NO published snapshot is just the
+    * bootstrap and proceeds. */
   def foreachBatchAggRefresh(aggPath: String, groupCols: Seq[String],
                              sumCols: Seq[String],
                              lineage: String = ""): (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
       val (lastId, lastLineage) = lastPublished(spark, aggPath)
-      if (lastLineage != lineage || batchId > lastId) {
+      if (lastId >= 0 && lastLineage != lineage)
+        throw new IllegalStateException(
+          s"foreachBatchAggRefresh: published aggregate at $aggPath carries " +
+            s"lineage '$lastLineage' but this query runs lineage '$lineage'. " +
+            "Delta application is not idempotent, so batch ids from a " +
+            "different checkpoint lineage cannot be safely applied OR " +
+            "skipped — reset the target (or keep the original checkpoint) " +
+            "before rebinding it.")
+      if (batchId > lastId) {
         val existing = publishedSnapshot(spark, aggPath).getOrElse(
           // bootstrap: an empty aggregate typed from the changelog's
           // _new columns (group/sum types) + a long count

@@ -384,18 +384,19 @@ class SimilaritySpec extends SparkTestBase {
       "ivfPqTopK plan (incl. ADC tables) must not grow with nlist")
   }
 
-  test("lshBucket rejects numPlanes outside 1..63 (single-long sign-bit bucket)") {
-    // 1L << p wraps mod 64 in Java: plane 64 would silently collide with
-    // plane 0's bit instead of failing loudly
+  test("lshBucket rejects numPlanes outside 1..64 (single-long sign-bit bucket)") {
+    // 1L << p wraps mod 64 in Java: the 65th plane (p=64) would silently
+    // collide with plane 0's bit instead of failing loudly. Plane p=63
+    // (numPlanes=64) sets the sign bit — well-defined, no wrap.
     intercept[IllegalArgumentException] {
-      Similarity.lshBucket(emb, col("embedding"), numPlanes = 64, dim = 64)
+      Similarity.lshBucket(emb, col("embedding"), numPlanes = 65, dim = 64)
     }
     intercept[IllegalArgumentException] {
       Similarity.lshBucket(emb, col("embedding"), numPlanes = 0, dim = 64)
     }
-    // 63 is the documented max and must work
+    // 64 is the documented max and must work (uses all bits incl. sign)
     val buckets = emb.select(
-      Similarity.lshBucket(emb, col("embedding"), numPlanes = 63, dim = 64).as("b"))
+      Similarity.lshBucket(emb, col("embedding"), numPlanes = 64, dim = 64).as("b"))
       .collect().map(_.getLong(0))
     assert(buckets.nonEmpty)
   }

@@ -475,6 +475,28 @@ class StreamingSpec extends SparkTestBase {
     assert(Streams.lastPublishedBatch(spark, target) == 0L)
   }
 
+  test("foreachBatchAggRefresh refuses a lineage mismatch over an existing aggregate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivm_lineage").toString
+    val agg = s"$dir/agg"
+    val batch = Seq(("I", Option.empty[String], Option("A"), Option.empty[Long], Option(10L)))
+      .toDF("op", "seg_old", "seg_new", "bal_old", "bal_new")
+    // lineage A bootstraps and publishes batch 0
+    Streams.foreachBatchAggRefresh(agg, Seq("seg"), Seq("bal"), lineage = "ckpt-A")(batch, 0L)
+    assert(Streams.lastPublished(spark, agg) == (0L, "ckpt-A"))
+    // a different lineage against the existing aggregate is ambiguous for
+    // non-idempotent deltas (replay? new?) — it must throw, not guess
+    val ex = intercept[IllegalStateException] {
+      Streams.foreachBatchAggRefresh(agg, Seq("seg"), Seq("bal"), lineage = "ckpt-B")(batch, 0L)
+    }
+    assert(ex.getMessage.contains("lineage"))
+    // the aggregate is untouched by the refused batch
+    assert(Streams.lastPublished(spark, agg) == (0L, "ckpt-A"))
+    // a mismatch with NO published snapshot is just the bootstrap
+    val agg2 = s"$dir/agg2"
+    Streams.foreachBatchAggRefresh(agg2, Seq("seg"), Seq("bal"), lineage = "ckpt-B")(batch, 0L)
+    assert(Streams.lastPublished(spark, agg2) == (0L, "ckpt-B"))
+  }
+
   test("foreachBatchUpsert lineage gate: fresh checkpoint ids do not silently skip") {
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert_lineage").toString
     val target = s"$dir/target"
