@@ -266,6 +266,103 @@ object Streams {
       }
     }
 
+  /** Sink-side continuous SEMANTIC (embedding) dedup with a persisted
+    * coarse quantizer — the embedding twin of [[foreachBatchIndexedDedup]]
+    * and the streaming form of SemDeDup ingest: each micro-batch of
+    * (id, vector) rows is deduped against the stored corpus inside shared
+    * IVF cells only (never all-pairs), and survivors are appended as
+    * batch-versioned cell-indexed parquet. Layout under `root`:
+    *
+    *   root/codebook/       the coarse quantizer — derived from the FIRST
+    *                        batch ([[graft.operators.Similarity.derivedCodebook]]:
+    *                        sqrt(N) corpus-sampled centroids) and then
+    *                        REUSED VERBATIM by every later batch, because a
+    *                        cell id must mean the same thing for the
+    *                        corpus's whole lifetime
+    *   root/vectors/b<id>/  batch id's surviving (cell, id, vec) rows
+    *   root/_committed.<id> monotonic commit marker, created LAST
+    *
+    * Per batch: read ONLY committed vector dirs, assign the batch row-local
+    * to cells (broadcast codebook, codegen argmax — no shuffle), drop any
+    * batch vector within `threshold` cosine of a stored same-cell vector
+    * or of a smaller-id same-batch vector, append survivors, advance the
+    * marker. Work per batch is O(batch x cell population), never
+    * O(corpus^2). Crash at any point: the marker still names the previous
+    * batch, partial dirs are invisible, the retry overwrites and commits
+    * (the codebook derivation is deterministic, so a retried first batch
+    * rewrites it byte-identically). Replays of committed ids are skipped.
+    * Recall trade matches SemDeDup/IVF-at-nprobe=1: near-dups straddling a
+    * cell boundary are missed. */
+  def foreachBatchEmbeddingDedup(root: String, idCol: String, vecCol: String,
+                                 threshold: Double): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val (fs, rootP) = hadoopFs(spark, root)
+      val last = lastCommittedBatch(fs, rootP)
+      if (batchId > last) {
+        import graft.Functions.{cell_assign, cosine}
+        val cbPath = new org.apache.hadoop.fs.Path(rootP, "codebook")
+        if (!fs.exists(cbPath)) {
+          val derived = graft.operators.Similarity.derivedCodebook(batch, idCol, vecCol)
+          val rows = derived.value.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+          spark.createDataFrame(rows).toDF("cid", "vec")
+            .coalesce(1).write.mode("overwrite").parquet(cbPath.toString)
+        }
+        val codebook = spark.sparkContext.broadcast(
+          spark.read.parquet(cbPath.toString)
+            .orderBy(col("cid")).select(col("vec"))
+            .collect().map(_.getSeq[Double](0).toArray))
+        val assigned = batch
+          .select(col(idCol).cast("long").as("id"),
+            col(vecCol).cast("array<double>").as("vec"))
+          .withColumn("cell", cell_assign(col("vec"), codebook))
+          .localCheckpoint() // one kernel pass feeds both join legs + write
+        val storedDirs: Seq[String] = {
+          val base = new org.apache.hadoop.fs.Path(rootP, "vectors")
+          if (!fs.exists(base)) Seq.empty
+          else fs.listStatus(base).toSeq.map(_.getPath)
+            .filter { p => p.getName.startsWith("b") &&
+              p.getName.drop(1).forall(_.isDigit) &&
+              p.getName.drop(1).toLong <= last }
+            .map(_.toString)
+        }
+        val vsStored =
+          if (storedDirs.isEmpty) spark.emptyDataFrame.select(lit(0L).as("id")).limit(0)
+          else assigned.join(
+              spark.read.parquet(storedDirs: _*)
+                .select(col("cell"), col("vec").as("_sv")), "cell")
+            .filter(cosine(col("vec"), col("_sv")) >= threshold)
+            .select("id")
+        val withinBatch = assigned.select(col("cell"), col("id").as("_ia"), col("vec").as("_va"))
+          .join(assigned.select(col("cell"), col("id").as("id"), col("vec").as("_vb")), "cell")
+          .filter(col("_ia") < col("id"))
+          .filter(cosine(col("_va"), col("_vb")) >= threshold)
+          .select("id")
+        val dropped = vsStored.unionByName(withinBatch).distinct()
+        val survivors = assigned.join(dropped, Seq("id"), "left_anti")
+        survivors.select("cell", "id", "vec")
+          .write.mode("overwrite").parquet(s"$root/vectors/b$batchId")
+        commitBatchMarker(fs, rootP, batchId) // commit point, written LAST
+      }
+    }
+
+  /** The deduped (cell, id, vec) corpus maintained by
+    * [[foreachBatchEmbeddingDedup]] — committed batches only. */
+  def embeddingCorpus(spark: SparkSession, root: String): DataFrame = {
+    val (fs, rootP) = hadoopFs(spark, root)
+    val last = lastCommittedBatch(fs, rootP)
+    val base = new org.apache.hadoop.fs.Path(rootP, "vectors")
+    val dirs =
+      if (!fs.exists(base)) Seq.empty
+      else fs.listStatus(base).toSeq.map(_.getPath)
+        .filter { p => p.getName.startsWith("b") &&
+          p.getName.drop(1).forall(_.isDigit) &&
+          p.getName.drop(1).toLong <= last }
+        .map(_.toString)
+    require(dirs.nonEmpty, s"embeddingCorpus: nothing committed under $root")
+    spark.read.parquet(dirs: _*)
+  }
+
   /** The deduped corpus maintained by [[foreachBatchIndexedDedup]] —
     * committed batches only. */
   def indexedCorpus(spark: SparkSession, root: String): DataFrame = {

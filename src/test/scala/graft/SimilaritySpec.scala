@@ -424,6 +424,17 @@ class SimilaritySpec extends SparkTestBase {
       "centroid must be sampled from the corpus"))
   }
 
+  test("derivedCodebook is layout-invariant: repartitioned corpus yields identical centroids") {
+    // the sample is ORDER BY (md5(id), id) LIMIT nlist — a total order, so
+    // file layout / partitioning must not change which vectors are chosen
+    // or their order (cell ids must be stable across re-writes of the
+    // same corpus)
+    val base = Similarity.derivedCodebook(emb, "vec_id", "embedding").value
+    val shuffled = Similarity.derivedCodebook(
+      emb.repartition(13, col("label")), "vec_id", "embedding").value
+    assert(base.map(_.toSeq).toSeq == shuffled.map(_.toSeq).toSeq)
+  }
+
   test("semanticDedupDerived is a total partition with sqrt(N) cells actually used") {
     val n = emb.count()
     val got = Similarity.semanticDedupDerived(emb, "vec_id", "embedding",

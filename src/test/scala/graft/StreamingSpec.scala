@@ -475,6 +475,44 @@ class StreamingSpec extends SparkTestBase {
     assert(Streams.lastPublishedBatch(spark, target) == 0L)
   }
 
+  test("foreachBatchEmbeddingDedup: cell-blocked ingest, replay-skip, torn-batch recovery") {
+    val root = java.nio.file.Files.createTempDirectory("graft_embed_dedup").toString
+    val fn = Streams.foreachBatchEmbeddingDedup(root, "vid", "v", threshold = 0.95)
+    def corpusIds() = Streams.embeddingCorpus(spark, root)
+      .select("id").as[Long].collect().toSet
+    // batch 0: ids 1 and 2 are near-identical (keep smallest), 3 distinct;
+    // 3 vectors -> derived nlist = 1, so everything shares one cell and
+    // the dedup decision is purely the cosine test
+    val b0 = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.999, 0.01, 0.0, 0.0)),
+      (3L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("vid", "v")
+    fn(b0, 0L)
+    assert(corpusIds() == Set(1L, 3L))
+    // the quantizer is persisted exactly once
+    val cbFiles = new java.io.File(s"$root/codebook").listFiles().map(_.getName).toSet
+    assert(cbFiles.exists(_.endsWith(".parquet")))
+    // batch 1: 4 is a near-dup of stored 1 -> dropped; 5 is novel -> kept
+    val b1 = Seq(
+      (4L, Seq(0.998, 0.0, 0.02, 0.0)),
+      (5L, Seq(0.0, 0.0, 1.0, 0.0))).toDF("vid", "v")
+    fn(b1, 1L)
+    assert(corpusIds() == Set(1L, 3L, 5L))
+    // replay of a committed id is skipped (corpus unchanged even though
+    // the replayed content would now all be "novel" against itself)
+    fn(b1, 1L)
+    assert(corpusIds() == Set(1L, 3L, 5L))
+    // torn batch: a crashed batch 2 left vectors but NO marker -> invisible
+    val torn = Seq((9L, Seq(0.5, 0.5, 0.5, 0.5))).toDF("vid", "v")
+    torn.selectExpr("CAST(0 AS INT) AS cell", "vid AS id",
+        "CAST(v AS ARRAY<DOUBLE>) AS vec")
+      .write.mode("overwrite").parquet(s"$root/vectors/b2")
+    assert(corpusIds() == Set(1L, 3L, 5L))
+    // the retry overwrites the partial dir and commits
+    fn(torn, 2L)
+    assert(corpusIds() == Set(1L, 3L, 5L, 9L))
+  }
+
   test("foreachBatchAggRefresh refuses a lineage mismatch over an existing aggregate") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivm_lineage").toString
     val agg = s"$dir/agg"
