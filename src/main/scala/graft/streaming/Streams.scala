@@ -299,7 +299,10 @@ object Streams {
       val spark = batch.sparkSession
       val (fs, rootP) = hadoopFs(spark, root)
       val last = lastCommittedBatch(fs, rootP)
-      if (batchId > last) {
+      // an empty micro-batch must not bootstrap: it would persist an EMPTY
+      // codebook and every later cell_assign would return null forever.
+      // Not committing its marker is safe — there is nothing to replay-skip.
+      if (batchId > last && !batch.isEmpty) {
         import graft.Functions.{cell_assign, cosine}
         val cbPath = new org.apache.hadoop.fs.Path(rootP, "codebook")
         if (!fs.exists(cbPath)) {
@@ -316,6 +319,10 @@ object Streams {
           .select(col(idCol).cast("long").as("id"),
             col(vecCol).cast("array<double>").as("vec"))
           .withColumn("cell", cell_assign(col("vec"), codebook))
+          // null cell = null/mis-dimensioned vector: excluded (the m05
+          // zero-norm posture) — a null cell would never match any join
+          // key, so such rows would pile up as permanently undedupable
+          .filter(col("cell").isNotNull)
           .localCheckpoint() // one kernel pass feeds both join legs + write
         val storedDirs: Seq[String] = {
           val base = new org.apache.hadoop.fs.Path(rootP, "vectors")

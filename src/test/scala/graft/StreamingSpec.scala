@@ -511,6 +511,22 @@ class StreamingSpec extends SparkTestBase {
     // the retry overwrites the partial dir and commits
     fn(torn, 2L)
     assert(corpusIds() == Set(1L, 3L, 5L, 9L))
+    // null / wrong-dim vectors are excluded, not stored as null-cell rows
+    fn(Seq((11L, Option(Seq(0.7, 0.7))), (12L, Option.empty[Seq[Double]]))
+      .toDF("vid", "v"), 3L)
+    assert(corpusIds() == Set(1L, 3L, 5L, 9L))
+  }
+
+  test("foreachBatchEmbeddingDedup: empty first batch does not poison the codebook") {
+    val root = java.nio.file.Files.createTempDirectory("graft_embed_empty").toString
+    val fn = Streams.foreachBatchEmbeddingDedup(root, "vid", "v", threshold = 0.95)
+    fn(Seq.empty[(Long, Seq[Double])].toDF("vid", "v"), 0L)
+    assert(!new java.io.File(s"$root/codebook").exists(),
+      "empty batch must not persist an empty quantizer")
+    // the next non-empty batch bootstraps normally
+    fn(Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))).toDF("vid", "v"), 1L)
+    assert(Streams.embeddingCorpus(spark, root)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
   test("foreachBatchAggRefresh refuses a lineage mismatch over an existing aggregate") {
