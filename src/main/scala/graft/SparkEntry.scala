@@ -975,6 +975,14 @@ object SparkEntry {
         queryId = 0L, k = 10, centroidIds = (1L to 8L), nprobe = 2)
     },
 
+    // ---- Similarity: IVF ANN with the DERIVED sqrt(N) sampled codebook —
+    // the query-side scale path (the probed fraction stays ~nprobe/sqrt(N)
+    // whatever the corpus size; a pinned nlist decays to a full scan) ----
+    "s11_ivf_ann_derived" -> { (s, dir) =>
+      Similarity.ivfTopKDerived(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryId = 0L, k = 10, nprobe = 3)
+    },
+
     // ---- Similarity: IVF codebook training (declarative Lloyd k-means,
     // quantized order-invariant means) ----
     "s04_ivf_train" -> { (s, dir) =>
@@ -2015,6 +2023,30 @@ object SparkEntry {
                    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine
            FROM asg a, q
            WHERE qcl[a.lst] >= list_sort(qcl, 'DESC')[2] AND a.vec_id <> 0)
+         SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""",
+
+    "s11_ivf_ann_derived" ->
+      """WITH n AS (SELECT CAST(floor(sqrt(count(*))) AS BIGINT) AS nlist FROM embeddings),
+         c AS (
+           SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           LIMIT (SELECT nlist FROM n)),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cosl AS (
+           SELECT v.vec_id, v.v,
+             list(list_dot_product(v.v, c.cv) /
+                  (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+                  ORDER BY c.cid) AS cl
+           FROM v CROSS JOIN c GROUP BY v.vec_id, v.v),
+         asg AS (SELECT vec_id, v, list_position(cl, list_max(cl)) AS lst FROM cosl),
+         q AS (SELECT v AS qv, cl AS qcl FROM cosl WHERE vec_id = 0),
+         scored AS (
+           SELECT a.vec_id,
+             round(list_dot_product(a.v, qv) /
+                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+           FROM asg a, q
+           WHERE qcl[a.lst] >= list_sort(qcl, 'DESC')[3] AND a.vec_id <> 0)
          SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""",
 
     "s08_ann_join" ->

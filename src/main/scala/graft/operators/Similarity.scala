@@ -311,7 +311,28 @@ object Similarity {
     require(centroidIds.nonEmpty, "ivfTopK: centroidIds must be non-empty")
     require(nprobe >= 1 && nprobe <= centroidIds.size,
       s"ivfTopK: nprobe must be in 1..${centroidIds.size} (the codebook size), got $nprobe")
-    val codebook = broadcastCodebook(emb, idCol, vecCol, centroidIds, "ivfTopK")
+    ivfTopKWithCodebook(emb, idCol, vecCol, queryId, k,
+      broadcastCodebook(emb, idCol, vecCol, centroidIds, "ivfTopK"), nprobe)
+  }
+
+  /** [[ivfTopK]] with scale-adaptive parameterization: the query-side twin
+    * of [[annJoinDerived]] — nlist = floor(sqrt(N)) corpus-sampled
+    * centroids ([[derivedCodebook]]), probing `nprobe` lists, so the scan
+    * touches ~nprobe/sqrt(N) of the corpus whatever its size (a pinned
+    * nlist would decay toward a full scan as N grows past it). */
+  def ivfTopKDerived(emb: DataFrame, idCol: String, vecCol: String,
+                     queryId: Long, k: Int, nprobe: Int): DataFrame = {
+    val codebook = derivedCodebook(emb, idCol, vecCol)
+    require(nprobe >= 1 && nprobe <= codebook.value.length,
+      s"ivfTopKDerived: nprobe must be in 1..${codebook.value.length} " +
+        s"(the derived codebook size), got $nprobe")
+    ivfTopKWithCodebook(emb, idCol, vecCol, queryId, k, codebook, nprobe)
+  }
+
+  private def ivfTopKWithCodebook(emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int,
+      codebook: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+      nprobe: Int): DataFrame = {
     def cosArr(vec: Column): Column = cell_scores(vec, codebook)
     // 0-based argmax, first index on exact-double ties
     def assign(vec: Column): Column = cell_assign(vec, codebook)

@@ -24,6 +24,17 @@ class SimilaritySpec extends SparkTestBase {
     assert(ivfAll == exact)
   }
 
+  test("ivfTopKDerived with nprobe = derived nlist equals exact brute-force top-k") {
+    val nlist = Similarity.adaptiveNlist(emb.count())
+    val exact = ids(Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10))
+    val derivedAll = ids(Similarity.ivfTopKDerived(emb, "vec_id", "embedding",
+      0L, 10, nprobe = nlist))
+    assert(derivedAll == exact)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopKDerived(emb, "vec_id", "embedding", 0L, 10, nprobe = nlist + 1)
+    }
+  }
+
   test("ivf candidates with nprobe=1 are a subset of nprobe=2, with recall > 0") {
     val n1 = ids(Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 50,
       centroidIds = (1L to 8L), nprobe = 1)).map(_._1).toSet
