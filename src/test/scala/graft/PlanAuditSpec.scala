@@ -16,6 +16,7 @@ class PlanAuditSpec extends SparkTestBase {
     * BroadcastNestedLoop (one-row query/count probes; s04's k-row codebook) */
   private val oneRowBroadcastOk = Set(
     "q12_page_with_count", "q28_account_history", "s01_cosine_topk", "s03_ivf_ann",
+    "s11_ivf_ann_derived", // s03's one-row broadcast query probe, derived codebook
     "s04_ivf_train", "s06_ivfpq_ann", "t16_tfidf_terms", "m05_asset_ann",
     "t19_source_mix", // one-row min-scale frame attached to the stratum dim
     "q41_bloom_join", // one-row bloom bitset broadcast to the fact scan
