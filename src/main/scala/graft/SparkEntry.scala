@@ -1341,6 +1341,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- Split-leakage detector: exact + MinHash-LSH near-dup pairs that
+    // straddle the deterministic train/val/test split — the leak no
+    // benchmark list catches (same params as t06's split and d03's LSH,
+    // so the oracle reuses both derivations) ----
+    "t24_split_leakage" -> { (s, dir) =>
+      Decontaminate.splitLeakage(
+          Parallelism.ensureDefaultParallelism(Tables.documents(s, dir)),
+          "doc_id", "text", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+          k = 5, bands = 4, rowsPerBand = 4, threshold = 0.2)
+        .orderBy(col("kind"), col("id_a"), col("id_b"))
+    },
+
     // ---- Training-sequence packing: concatenate-and-chop layout, packed
     // per language group (per-group windows, never one global ordering) ----
     "t15_seq_packing" -> { (s, dir) =>
@@ -3228,6 +3240,61 @@ object SparkEntry {
            FROM h)
          SELECT split, count(*) AS n, min(doc_id) AS min_id
          FROM a GROUP BY 1 ORDER BY 1""",
+
+    "t24_split_leakage" ->
+      """WITH sp AS (
+           SELECT doc_id,
+             CASE WHEN f < 0.8 THEN 'train' WHEN f < 0.9 THEN 'val' ELSE 'test' END AS split
+           FROM (SELECT doc_id,
+               CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,12)) AS BIGINT) % 1000000 AS DOUBLE)
+                 / 1000000 AS f
+             FROM documents)),
+         hx AS (SELECT doc_id, md5(text) AS h FROM documents WHERE text IS NOT NULL),
+         hc AS (SELECT * FROM hx QUALIFY count(*) OVER (PARTITION BY h) <= 1000),
+         exs AS (
+           SELECT 'exact' AS kind, a.doc_id AS id_a, b.doc_id AS id_b,
+             sa.split AS split_a, sb.split AS split_b, CAST(1.0 AS DOUBLE) AS jaccard
+           FROM hc a JOIN hc b ON a.h = b.h AND a.doc_id < b.doc_id
+           JOIN sp sa ON sa.doc_id = a.doc_id
+           JOIN sp sb ON sb.doc_id = b.doc_id
+           WHERE sa.split <> sb.split),
+         sh AS (
+           SELECT doc_id, list_sort(list_distinct(list_transform(
+             range(1, greatest(length(text)-4,1)+1),
+             i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 5)),1,12)) AS BIGINT)))) AS hs
+           FROM documents),
+         sig AS (
+           SELECT doc_id, hs,
+             list_transform(range(0, 16), j -> list_min(list_transform(hs,
+               h -> (h*(2*j+1) + (j*2654435761)%2147483647) % 2147483647))) AS sg
+           FROM sh),
+         bkt AS (
+           SELECT doc_id, b AS band,
+             md5(CAST(b AS VARCHAR) || '_' || array_to_string(sg[b*4+1 : b*4+4], ',')) AS bucket
+           FROM sig CROSS JOIN range(0, 4) t(b)),
+         capped AS (
+           SELECT * FROM bkt QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM capped a JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id),
+         jac AS (
+           SELECT id_a, id_b,
+             round(CAST(length(list_intersect(x.hs, y.hs)) AS DOUBLE) /
+                   (length(x.hs) + length(y.hs) - length(list_intersect(x.hs, y.hs))), 6) AS jaccard
+           FROM pairs JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b),
+         nr AS (
+           SELECT 'near' AS kind, j.id_a, j.id_b,
+             sa.split AS split_a, sb.split AS split_b, j.jaccard
+           FROM jac j
+           JOIN sp sa ON sa.doc_id = j.id_a
+           JOIN sp sb ON sb.doc_id = j.id_b
+           WHERE j.jaccard >= 0.2 AND sa.split <> sb.split
+             AND NOT EXISTS (SELECT 1 FROM exs e WHERE e.id_a = j.id_a AND e.id_b = j.id_b))
+         SELECT kind, id_a, id_b, split_a, split_b, jaccard FROM exs
+         UNION ALL
+         SELECT kind, id_a, id_b, split_a, split_b, jaccard FROM nr
+         ORDER BY kind, id_a, id_b""",
 
     "t05_kmv_distinct" ->
       """WITH h AS (

@@ -48,4 +48,50 @@ object Decontaminate {
       .withColumn("contaminated",
         when(col("overlap_ratio") >= threshold, 1).otherwise(0))
   }
+
+  /** Train/eval split LEAKAGE detector — the companion check to
+    * [[contamination]], run over the corpus's OWN splits: a document whose
+    * exact or near duplicate landed in a different split leaks eval
+    * content into training, and no benchmark list catches it. Exact pairs
+    * come from one equi-join on the content hash (hot identical-content
+    * groups capped like LSH buckets — a million blank documents must not
+    * go quadratic); near pairs from the [[Dedup.minhashLsh]] banding
+    * pipeline (capped buckets, never all-pairs). Both join the
+    * deterministic id-hash split assignment ([[Sampling.assignSplit]] —
+    * membership is a pure function of the id, so the report is stable
+    * under reprocessing) and keep cross-split pairs only; exact pairs are
+    * excluded from `near` so each leak reports once with its strongest
+    * evidence. Output: (kind, id_a, id_b, split_a, split_b, jaccard). */
+  def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
+                   weights: Seq[(String, Double)],
+                   k: Int = 5, bands: Int = 4, rowsPerBand: Int = 4,
+                   threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val splits = Sampling.assignSplit(docs, idCol, weights)
+      .select(col(idCol).as("_sid"), col("split"))
+    def attach(pairs: DataFrame): DataFrame = pairs
+      .join(splits.select(col("_sid").as("id_a"), col("split").as("split_a")), "id_a")
+      .join(splits.select(col("_sid").as("id_b"), col("split").as("split_b")), "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+    val hashed = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), md5(col(textCol)).as("_h"))
+      .withColumn("_sz", count(lit(1)).over(Window.partitionBy(col("_h"))))
+      .filter(col("_sz") <= maxBucketSize).drop("_sz")
+    val exact = attach(
+      hashed.select(col("_h"), col(idCol).as("id_a"))
+        .join(hashed.select(col("_h"), col(idCol).as("id_b")), "_h")
+        .filter(col("id_a") < col("id_b"))
+        .drop("_h"))
+      .withColumn("kind", lit("exact"))
+      .withColumn("jaccard", lit(1.0))
+      .localCheckpoint(false) // feeds the output AND the near anti-join
+    val near = attach(
+      Dedup.minhashLsh(docs, idCol, textCol, k, bands, rowsPerBand,
+          threshold, maxBucketSize)
+        .select("id_a", "id_b", "jaccard"))
+      .join(exact.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+      .withColumn("kind", lit("near"))
+    val cols = Seq("kind", "id_a", "id_b", "split_a", "split_b", "jaccard")
+    exact.select(cols.map(col): _*).unionByName(near.select(cols.map(col): _*))
+  }
 }

@@ -12,6 +12,37 @@ class CorpusPrepSpec extends SparkTestBase {
 
   // ---- Decontaminate ----
 
+  test("splitLeakage: only cross-split pairs, exact/near disjoint, correct evidence") {
+    import graft.operators.Sampling
+    import graft.sources.Tables
+    val weights = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = Decontaminate.splitLeakage(docs, "doc_id", "text", weights,
+        threshold = 0.2).collect()
+    assert(got.nonEmpty, "sf0.001 corpus must contain at least one leaked pair")
+    val splits = Sampling.assignSplit(docs, "doc_id", weights)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val text = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val seen = scala.collection.mutable.Set[(Long, Long)]()
+    got.foreach { r =>
+      val (kind, a, b) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val (sa, sb, j) = (r.getString(3), r.getString(4), r.getDouble(5))
+      assert(a < b, s"pair ($a,$b) must be ordered")
+      assert(sa != sb && splits(a) == sa && splits(b) == sb,
+        s"($a,$b) must straddle splits with the deterministic assignment")
+      assert(seen.add((a, b)), s"pair ($a,$b) reported twice")
+      if (kind == "exact") assert(text(a) == text(b) && j == 1.0)
+      else assert(kind == "near" && j >= 0.2 && text(a) != text(b))
+    }
+    // exact dups in the SAME split are not leakage and must not appear
+    val sameSplitExact = text.toSeq.groupBy(_._2).values
+      .filter(_.size > 1).flatMap(_.map(_._1).sorted.sliding(2))
+      .collect { case Seq(a, b) if splits(a) == splits(b) => (a, b) }
+    sameSplitExact.foreach(p => assert(!seen.contains(p)))
+  }
+
   test("a document identical to a benchmark doc is fully contaminated") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta"),
