@@ -612,6 +612,21 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     },
 
+    // ---- Z-order maintenance planner: per-file clustering depth from a
+    // boundary sweep over [zmin, zmax] ranges (one RANGE window per table
+    // partition — value peers must count, the frame compactionPlan had to
+    // avoid), flagging depth > maxDepth files for rewrite ----
+    "q59_recluster_plan" -> { (s, dir) =>
+      val listing = Tables.lineitem(s, dir).select(
+        col("l_returnflag").as("pt"),
+        concat_ws("_", col("l_orderkey"), col("l_linenumber")).as("file_id"),
+        (col("l_partkey") % 1000).cast("long").as("zmin"),
+        ((col("l_partkey") % 1000) + (col("l_suppkey") % 50)).cast("long").as("zmax"))
+      Layout.reclusterPlan(listing, Seq("pt"), "file_id", "zmin", "zmax",
+          maxDepth = 40)
+        .orderBy(col("pt"), col("file_id"))
+    },
+
     // ---- Broadcast-Bloom semi-join reduction: the fact side is filtered
     // AT THE SCAN by an md5-deterministic Bloom of the selective dim's
     // keys, before any shuffle; false positives die in the exact join, so
@@ -2772,6 +2787,25 @@ object SparkEntry {
            max(CAST(l_shipdate AS DATE)) AS max_ship
          FROM lineitem WHERE l_orderkey % 10 = 1
          GROUP BY 1 ORDER BY 1""",
+
+    "q59_recluster_plan" ->
+      """WITH l AS (
+           SELECT l_returnflag AS pt,
+             CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) AS file_id,
+             CAST(l_partkey % 1000 AS BIGINT) AS zmin,
+             CAST(l_partkey % 1000 + l_suppkey % 50 AS BIGINT) AS zmax
+           FROM lineitem),
+         ev AS (
+           SELECT pt, file_id, zmin, zmax, zmin AS pos, 1 AS delta FROM l
+           UNION ALL
+           SELECT pt, file_id, zmin, zmax, zmax + 1 AS pos, -1 AS delta FROM l),
+         d AS (
+           SELECT pt, file_id, zmin, zmax, delta,
+             CAST(sum(delta) OVER (PARTITION BY pt ORDER BY pos
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS depth
+           FROM ev)
+         SELECT pt, file_id, zmin, zmax, depth, depth > 40 AS needs_rewrite
+         FROM d WHERE delta = 1 ORDER BY pt, file_id""",
 
     "q58_json_source" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,

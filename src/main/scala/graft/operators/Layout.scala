@@ -98,4 +98,44 @@ object Layout {
         floor(col("_before") / targetBytes).cast("long"))
       .drop("_before")
   }
+
+  /** Z-order / clustering maintenance planner — the second half of the
+    * table-maintenance story next to [[compactionPlan]]: as appends land,
+    * per-file key ranges start overlapping and range pruning decays, long
+    * before size is a problem. Given a FILE LISTING with per-file
+    * inclusive [zmin, zmax] key ranges (metadata-scale: one row per
+    * file), compute each file's clustering DEPTH — how many files' ranges
+    * contain its range start — and flag depth > maxDepth for rewrite (a
+    * perfectly clustered partition has depth 1 everywhere; a point
+    * predicate must open ~depth files).
+    *
+    * The computation is a boundary sweep, not an interval self-join:
+    * +1 events at zmin, -1 events at zmax+1 (inclusive intervals), and
+    * ONE window per table partition whose RANGE frame sums deltas at
+    * positions <= the file's start. RANGE (value peers included) is
+    * load-bearing here — files starting at the same key must see each
+    * other — exactly the frame semantics [[compactionPlan]] had to avoid.
+    * Planning parallelizes across partitions; no global sort, no
+    * quadratic pair join. */
+  def reclusterPlan(listing: DataFrame, partCols: Seq[String], fileCol: String,
+                    zminCol: String, zmaxCol: String, maxDepth: Int): DataFrame = {
+    require(partCols.nonEmpty, "reclusterPlan: need at least one partition column")
+    require(maxDepth >= 1, s"reclusterPlan: maxDepth must be >= 1")
+    val base = listing.select((partCols.map(col) :+ col(fileCol).as("_file") :+
+      col(zminCol).cast("long").as("_zmin") :+
+      col(zmaxCol).cast("long").as("_zmax")): _*)
+    val starts = base.withColumn("_pos", col("_zmin")).withColumn("_delta", lit(1L))
+    val ends = base.withColumn("_pos", col("_zmax") + 1L).withColumn("_delta", lit(-1L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partCols.map(col): _*).orderBy(col("_pos"))
+      .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    starts.unionByName(ends)
+      .withColumn("_depth", sum(col("_delta")).over(w))
+      .filter(col("_delta") === 1L)
+      .select((partCols.map(col) :+ col("_file").as(fileCol) :+
+        col("_zmin").as(zminCol) :+ col("_zmax").as(zmaxCol) :+
+        col("_depth").as("depth") :+
+        (col("_depth") > maxDepth).as("needs_rewrite")): _*)
+  }
 }

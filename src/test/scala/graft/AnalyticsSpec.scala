@@ -181,6 +181,36 @@ class AnalyticsSpec extends SparkTestBase {
       ("a", 1, 0L), ("a", 2, 0L), ("a", 3, 0L), ("a", 4, 1L), ("b", 1, 0L)))
   }
 
+  test("reclusterPlan: depth equals containing-interval count, inclusive at touch points") {
+    // [0,10] and [5,15] overlap; [20,30] is clear of both ([0,10] ends at
+    // 11, [5,15] at 16); [10,18] starts exactly at [0,10]'s zmax —
+    // inclusive intervals, so it still counts it
+    val listing = Seq(
+      ("a", "f1", 0L, 10L),
+      ("a", "f2", 5L, 15L),
+      ("a", "f3", 20L, 30L),
+      ("a", "f4", 10L, 18L),
+      ("b", "g1", 0L, 100L)) // independent partition
+      .toDF("pt", "file_id", "zmin", "zmax")
+    val got = Layout.reclusterPlan(listing, Seq("pt"), "file_id",
+        "zmin", "zmax", maxDepth = 2)
+      .select("pt", "file_id", "depth", "needs_rewrite")
+      .as[(String, String, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      ("a", "f1", 1L, false),  // nothing before it
+      ("a", "f2", 2L, false),  // inside f1
+      ("a", "f4", 3L, true),   // touches f1's end, inside f2
+      ("a", "f3", 1L, false),  // both earlier intervals closed
+      ("b", "g1", 1L, false)))
+    // files starting at the SAME key must see each other (RANGE peers)
+    val tied = Seq(("a", "t1", 7L, 9L), ("a", "t2", 7L, 8L))
+      .toDF("pt", "file_id", "zmin", "zmax")
+    val depths = Layout.reclusterPlan(tied, Seq("pt"), "file_id",
+        "zmin", "zmax", maxDepth = 1)
+      .select("file_id", "depth").as[(String, Long)].collect().toMap
+    assert(depths == Map("t1" -> 2L, "t2" -> 2L))
+  }
+
   test("compactionPlan duplicate file ids are not RANGE-frame peers") {
     // under the default RANGE frame the two (1, 100) rows are peers: each
     // running sum includes BOTH, overstating _before for the first peer
