@@ -41,6 +41,10 @@ class PlanAuditSpec extends SparkTestBase {
     // index unioned with a checkpointed batch side — sizes statically
     // unknown, SMJ is the correct static plan, AQE downgrades at runtime
     "d12_stored_index_dedup",
+    // t24: the near leg's anti-join reads the exact leg's localCheckpointed
+    // frame (no size stats) joined against d03's checkpointed LSH sets —
+    // same AQE-downgrade posture as d12/d13
+    "t24_split_leakage",
     // d13: the final node-label left join reads two localCheckpointed
     // frames (LogicalRDD reports no size stats), same AQE-downgrade
     // posture as the anti-joins above
