@@ -618,7 +618,7 @@ object SparkEntry {
     // avoid), flagging depth > maxDepth files for rewrite ----
     "q59_recluster_plan" -> { (s, dir) =>
       val listing = Tables.lineitem(s, dir).select(
-        col("l_returnflag").as("pt"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("pt"),
         concat_ws("_", col("l_orderkey"), col("l_linenumber")).as("file_id"),
         (col("l_partkey") % 1000).cast("long").as("zmin"),
         ((col("l_partkey") % 1000) + (col("l_suppkey") % 50)).cast("long").as("zmax"))
@@ -2790,7 +2790,7 @@ object SparkEntry {
 
     "q59_recluster_plan" ->
       """WITH l AS (
-           SELECT l_returnflag AS pt,
+           SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS pt,
              CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) AS file_id,
              CAST(l_partkey % 1000 AS BIGINT) AS zmin,
              CAST(l_partkey % 1000 + l_suppkey % 50 AS BIGINT) AS zmax
