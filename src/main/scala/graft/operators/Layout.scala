@@ -124,6 +124,13 @@ object Layout {
     val base = listing.select((partCols.map(col) :+ col(fileCol).as("_file") :+
       col(zminCol).cast("long").as("_zmin") :+
       col(zmaxCol).cast("long").as("_zmax")): _*)
+      // a null or inverted range would emit its -1 event before its +1 (or
+      // a null _pos sorting first), silently corrupting every OTHER file's
+      // depth in the partition. Such files have no usable range stats —
+      // exclude them here and route them to rewrite upstream (a file
+      // without stats needs rewriting regardless of overlap).
+      .filter(col("_zmin").isNotNull && col("_zmax").isNotNull &&
+        col("_zmin") <= col("_zmax"))
     val starts = base.withColumn("_pos", col("_zmin")).withColumn("_delta", lit(1L))
     val ends = base.withColumn("_pos", col("_zmax") + 1L).withColumn("_delta", lit(-1L))
     val w = org.apache.spark.sql.expressions.Window

@@ -85,8 +85,10 @@ object Similarity {
   def derivedCodebook(emb: DataFrame, idCol: String, vecCol: String)
       : org.apache.spark.broadcast.Broadcast[Array[Array[Double]]] = {
     val nlist = adaptiveNlist(emb.count())
+    // id keeps its own type (a long cast would null string ids); centroid
+    // order = id order, so cell ids are stable under resampling
     val sampled = emb
-      .select(col(idCol).cast("long").as("_id"),
+      .select(col(idCol).as("_id"),
         col(vecCol).cast("array<double>").as("_v"))
       .orderBy(md5(col("_id").cast("string")), col("_id"))
       .limit(nlist)

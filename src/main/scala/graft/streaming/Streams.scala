@@ -238,16 +238,8 @@ object Streams {
       val (fs, rootP) = hadoopFs(spark, root)
       val last = lastCommittedBatch(fs, rootP)
       if (batchId > last) {
-        def committedDirs(kind: String): Seq[String] = {
-          val base = new org.apache.hadoop.fs.Path(rootP, kind)
-          if (!fs.exists(base)) Seq.empty
-          else fs.listStatus(base).toSeq
-            .map(_.getPath)
-            .filter { p => p.getName.startsWith("b") &&
-              p.getName.drop(1).forall(_.isDigit) &&
-              p.getName.drop(1).toLong <= last }
-            .map(_.toString)
-        }
+        def committedDirs(kind: String): Seq[String] =
+          committedKindDirs(fs, rootP, kind, last)
         val setsDirs = committedDirs("sets")
         val index =
           if (setsDirs.isEmpty)
@@ -305,8 +297,15 @@ object Streams {
       if (batchId > last && !batch.isEmpty) {
         import graft.Functions.{cell_assign, cosine}
         val cbPath = new org.apache.hadoop.fs.Path(rootP, "codebook")
-        if (!fs.exists(cbPath)) {
-          val derived = graft.operators.Similarity.derivedCodebook(batch, idCol, vecCol)
+        // (re)derive the codebook until the FIRST marker commits: a bare
+        // fs.exists gate would wedge forever on a codebook dir torn by a
+        // crash mid-write (exists, but unreadable). The derivation is
+        // deterministic, so overwriting on retry is byte-identical. Null
+        // vectors are excluded BEFORE sampling — a sampled null would NPE
+        // the derivation on every retry (the md5 order is deterministic).
+        if (last < 0L) {
+          val derived = graft.operators.Similarity.derivedCodebook(
+            batch.filter(col(vecCol).isNotNull), idCol, vecCol)
           val rows = derived.value.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
           spark.createDataFrame(rows).toDF("cid", "vec")
             .coalesce(1).write.mode("overwrite").parquet(cbPath.toString)
@@ -315,8 +314,11 @@ object Streams {
           spark.read.parquet(cbPath.toString)
             .orderBy(col("cid")).select(col("vec"))
             .collect().map(_.getSeq[Double](0).toArray))
+        // id stays UNTYPED (like foreachBatchIndexedDedup's): casting to
+        // long would null out string ids and silently disable every
+        // dedup comparison
         val assigned = batch
-          .select(col(idCol).cast("long").as("id"),
+          .select(col(idCol).as("id"),
             col(vecCol).cast("array<double>").as("vec"))
           .withColumn("cell", cell_assign(col("vec"), codebook))
           // null cell = null/mis-dimensioned vector: excluded (the m05
@@ -324,17 +326,9 @@ object Streams {
           // key, so such rows would pile up as permanently undedupable
           .filter(col("cell").isNotNull)
           .localCheckpoint() // one kernel pass feeds both join legs + write
-        val storedDirs: Seq[String] = {
-          val base = new org.apache.hadoop.fs.Path(rootP, "vectors")
-          if (!fs.exists(base)) Seq.empty
-          else fs.listStatus(base).toSeq.map(_.getPath)
-            .filter { p => p.getName.startsWith("b") &&
-              p.getName.drop(1).forall(_.isDigit) &&
-              p.getName.drop(1).toLong <= last }
-            .map(_.toString)
-        }
+        val storedDirs = committedKindDirs(fs, rootP, "vectors", last)
         val vsStored =
-          if (storedDirs.isEmpty) spark.emptyDataFrame.select(lit(0L).as("id")).limit(0)
+          if (storedDirs.isEmpty) assigned.select("id").limit(0)
           else assigned.join(
               spark.read.parquet(storedDirs: _*)
                 .select(col("cell"), col("vec").as("_sv")), "cell")
@@ -358,14 +352,7 @@ object Streams {
   def embeddingCorpus(spark: SparkSession, root: String): DataFrame = {
     val (fs, rootP) = hadoopFs(spark, root)
     val last = lastCommittedBatch(fs, rootP)
-    val base = new org.apache.hadoop.fs.Path(rootP, "vectors")
-    val dirs =
-      if (!fs.exists(base)) Seq.empty
-      else fs.listStatus(base).toSeq.map(_.getPath)
-        .filter { p => p.getName.startsWith("b") &&
-          p.getName.drop(1).forall(_.isDigit) &&
-          p.getName.drop(1).toLong <= last }
-        .map(_.toString)
+    val dirs = committedKindDirs(fs, rootP, "vectors", last)
     require(dirs.nonEmpty, s"embeddingCorpus: nothing committed under $root")
     spark.read.parquet(dirs: _*)
   }
@@ -375,16 +362,23 @@ object Streams {
   def indexedCorpus(spark: SparkSession, root: String): DataFrame = {
     val (fs, rootP) = hadoopFs(spark, root)
     val last = lastCommittedBatch(fs, rootP)
-    val base = new org.apache.hadoop.fs.Path(rootP, "corpus")
-    val dirs =
-      if (!fs.exists(base)) Seq.empty
-      else fs.listStatus(base).toSeq.map(_.getPath)
-        .filter { p => p.getName.startsWith("b") &&
-          p.getName.drop(1).forall(_.isDigit) &&
-          p.getName.drop(1).toLong <= last }
-        .map(_.toString)
+    val dirs = committedKindDirs(fs, rootP, "corpus", last)
     require(dirs.nonEmpty, s"indexedCorpus: nothing committed under $root")
     spark.read.parquet(dirs: _*)
+  }
+
+  /** Batch-versioned dirs `<root>/<kind>/b<id>` with id <= `last` — the
+    * committed slice of an index/corpus layout. ONE definition: writer and
+    * every reader must agree on what "committed" means. */
+  private def committedKindDirs(fs: org.apache.hadoop.fs.FileSystem,
+      rootP: org.apache.hadoop.fs.Path, kind: String, last: Long): Seq[String] = {
+    val base = new org.apache.hadoop.fs.Path(rootP, kind)
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq.map(_.getPath)
+      .filter { p => p.getName.startsWith("b") &&
+        p.getName.drop(1).forall(_.isDigit) &&
+        p.getName.drop(1).toLong <= last }
+      .map(_.toString)
   }
 
   /** Commit markers are MONOTONIC FILES `_committed.<id>` — file creation

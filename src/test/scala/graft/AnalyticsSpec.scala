@@ -209,6 +209,18 @@ class AnalyticsSpec extends SparkTestBase {
         "zmin", "zmax", maxDepth = 1)
       .select("file_id", "depth").as[(String, Long)].collect().toMap
     assert(depths == Map("t1" -> 2L, "t2" -> 2L))
+    // an inverted or null range must not corrupt other files' depths: the
+    // bad row is excluded (no stats -> rewrite upstream), the valid file
+    // keeps depth 1
+    val bad = Seq(
+      ("a", "ok", Some(7L), Some(9L)),
+      ("a", "inv", Some(10L), Some(5L)),
+      ("a", "nul", None: Option[Long], Some(9L)))
+      .toDF("pt", "file_id", "zmin", "zmax")
+    val cleaned = Layout.reclusterPlan(bad, Seq("pt"), "file_id",
+        "zmin", "zmax", maxDepth = 1)
+      .select("file_id", "depth").as[(String, Long)].collect().toMap
+    assert(cleaned == Map("ok" -> 1L))
   }
 
   test("compactionPlan duplicate file ids are not RANGE-frame peers") {
