@@ -517,6 +517,26 @@ class StreamingSpec extends SparkTestBase {
     assert(corpusIds() == Set(1L, 3L, 5L, 9L))
   }
 
+  test("foreachBatchEmbeddingDedup under a real streaming query (MemoryStream)") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_embed_stream").toString
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = in.toDF().toDF("vid", "v")
+      .writeStream
+      .foreachBatch(Streams.foreachBatchEmbeddingDedup(root, "vid", "v", threshold = 0.95))
+      .start()
+    try {
+      in.addData((1L, Seq(1.0, 0.0)), (2L, Seq(0.999, 0.01)), (3L, Seq(0.0, 1.0)))
+      q.processAllAvailable()
+      in.addData((4L, Seq(0.998, 0.02)), (5L, Seq(-1.0, 0.0)))
+      q.processAllAvailable()
+      val got = Streams.embeddingCorpus(spark, root)
+        .select("id").as[Long].collect().toSet
+      // 2 deduped within batch 0; 4 deduped against stored 1; 5 novel
+      assert(got == Set(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
   test("foreachBatchEmbeddingDedup: empty first batch does not poison the codebook") {
     val root = java.nio.file.Files.createTempDirectory("graft_embed_empty").toString
     val fn = Streams.foreachBatchEmbeddingDedup(root, "vid", "v", threshold = 0.95)
