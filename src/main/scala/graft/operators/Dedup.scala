@@ -276,19 +276,53 @@ object Dedup {
     * built with, or batch and corpus buckets would not collide. */
   def incrementalDedup(index: LshIndex, batch: DataFrame, idCol: String,
                        textCol: String, k: Int, bands: Int, rowsPerBand: Int,
-                       threshold: Double, maxBucketSize: Int): DataFrame = {
-    val corpusHashes = index.sets.select(col("_jhash").as("_h")).distinct()
+                       threshold: Double, maxBucketSize: Int): DataFrame =
+    incrementalDedupStore(
+      _ => index.sets.select(col("_jhash").as("_h")).distinct(),
+      _ => index.bands,
+      _ => index.sets.select(col("_jid"), col("_jset")),
+      batch, idCol, textCol, k, bands, rowsPerBand, threshold, maxBucketSize)
+
+  /** [[incrementalDedup]] against a stored index accessed through PRUNABLE
+    * loaders — the 100 TB ingest shape: each loader receives the batch-side
+    * probe frame and returns the corpus-side rows that could possibly match
+    * it, so a store PARTITIONED on the probe key can serve every micro-batch
+    * with a partition-pruned read instead of an O(corpus-index) scan
+    * ([[graft.streaming.Streams.foreachBatchIndexedDedup]] wires these to a
+    * bucket-partitioned parquet store).
+    *
+    *  - `corpusHashesFor`: batch content hashes (`_h`) -> corpus hashes
+    *    (`_h`) for the exact-dup anti-join;
+    *  - `corpusBandsFor`: batch (band, bucket) keys -> corpus index rows
+    *    (`_jid`, band, bucket) for candidate generation;
+    *  - `corpusSetsFor`: candidate corpus ids (`_jid`) -> their shingle
+    *    sets (`_jid`, `_jset`) for Jaccard verification.
+    *
+    * Each loader may return any SUPERSET of the matching rows (extra rows
+    * die in the joins — a plain full-index loader is the [[LshIndex]]
+    * overload); returning less loses duplicates. */
+  def incrementalDedupStore(corpusHashesFor: DataFrame => DataFrame,
+                            corpusBandsFor: DataFrame => DataFrame,
+                            corpusSetsFor: DataFrame => DataFrame,
+                            batch: DataFrame, idCol: String, textCol: String,
+                            k: Int, bands: Int, rowsPerBand: Int,
+                            threshold: Double, maxBucketSize: Int): DataFrame = {
+    val batchHashed = batch.withColumn("_h", md5(col(textCol)))
+    val corpusHashes = corpusHashesFor(batchHashed.select("_h").distinct())
+      .select(col("_h"))
     // exact phase: canonical min id within the batch, then anti-join the
     // corpus content hashes (128-bit hash crosses the shuffle, never text)
-    val batchExact = materialized(batch
-      .withColumn("_h", md5(col(textCol)))
+    val batchExact = materialized(batchHashed
       .withColumn("_keep", min(col(idCol)).over(Window.partitionBy(col("_h"))))
       .filter(col(idCol) === col("_keep"))
       .join(corpusHashes, Seq("_h"), "left_anti")
       .drop("_h", "_keep"))
     val batchIdx = lshIndex(batchExact, idCol, textCol, k, bands, rowsPerBand)
+    val corpusBands = corpusBandsFor(
+      batchIdx.bands.select(col("band"), col("bucket")).distinct())
     val allBands = batchIdx.bands.withColumn("_side", lit("b"))
-      .unionByName(index.bands.withColumn("_side", lit("c")))
+      .unionByName(corpusBands.select(col("_jid"), col("band"), col("bucket"))
+        .withColumn("_side", lit("c")))
     val sized = allBands.withColumn("_sz",
       count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
     val capped = materialized(sized.filter(col("_sz") <= maxBucketSize).drop("_sz"))
@@ -299,8 +333,12 @@ object Dedup {
     val pairs = probe.join(build, Seq("band", "bucket"))
       .filter(col("_side") === "c" || col("_oid") < col("_bid"))
       .select(col("_bid"), col("_oid")).distinct()
+    // corpus shingle sets only for ids that survived the bucket cap — at
+    // most maxBucketSize per touched bucket, never the whole stored index
+    val corpusSets = corpusSetsFor(
+      capped.filter(col("_side") === "c").select(col("_jid")).distinct())
     val sets = batchIdx.sets.select(col("_jid"), col("_jset"))
-      .unionByName(index.sets.select(col("_jid"), col("_jset")))
+      .unionByName(corpusSets.select(col("_jid"), col("_jset")))
     val dropIds = pairs
       .join(sets.select(col("_jid").as("_bid"), col("_jset").as("_bset")), "_bid")
       .join(sets.select(col("_jid").as("_oid"), col("_jset").as("_oset")), "_oid")

@@ -99,6 +99,86 @@ object Layout {
       .drop("_before")
   }
 
+  /** Execute a [[compactionPlan]]: rewrite the pre-image rows so each
+    * compaction group becomes exactly ONE output file. `df` carries its
+    * source-file id in `fileCol` (for a physical table, tag rows with
+    * `input_file_name()` first); `plan` maps (partCols, fileCol) ->
+    * compaction_group and must cover every file present in `df`.
+    *
+    * Scale shape: the plan is metadata-scale, so the tagging join
+    * BROADCASTS; one shuffle keyed on (partition, group) lands every
+    * group's rows in a single task; and the dynamic-partition write then
+    * emits exactly one file per (partition, compaction_group) directory —
+    * output file count == plan group count, each near `targetBytes` by the
+    * plan's construction, with no driver-side loop anywhere. The group id
+    * becomes a directory level ([[readCompacted]] drops it); that is what
+    * lets a distributed writer GUARANTEE the one-file-per-group contract
+    * (a bare repartition can hash two groups into one task and merge
+    * their files). */
+  def compact(df: DataFrame, plan: DataFrame, partCols: Seq[String],
+              fileCol: String, path: String): Unit = {
+    val groups = plan.select(
+      (partCols.map(col) :+ col(fileCol) :+ col("compaction_group")): _*)
+    df.join(broadcast(groups), partCols :+ fileCol)
+      .repartition((partCols.map(col) :+ col("compaction_group")): _*)
+      .write.mode("overwrite")
+      .partitionBy((partCols :+ "compaction_group"): _*)
+      .parquet(path)
+  }
+
+  /** Read back a [[compact]]ed table without the layout-only group
+    * column (consumers see the original contract columns). */
+  def readCompacted(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("compaction_group")
+
+  /** Execute a [[reclusterPlan]]: every table partition containing at
+    * least one needs_rewrite file is rewritten WHOLESALE — its rows
+    * re-sorted by the clustering key and re-split into `filesPerPartition`
+    * contiguous-range files — while healthy partitions pass through with
+    * their original file grouping (and therefore their original,
+    * already-within-budget clustering depth) intact. Partition-level
+    * rewrite is what makes the post-condition provable: re-running
+    * [[reclusterPlan]] on the new layout yields depth <= maxDepth
+    * everywhere, because rewritten partitions have depth <= 2 (exactly 1
+    * unless a single key value spans a file boundary) and untouched
+    * partitions had no flagged file to begin with.
+    *
+    * Output layout is two-level — partCols dirs, then a `_file` dir with
+    * one parquet file each (`z<k>` ids for rewritten partitions, the
+    * original file id for passed-through ones), so a follow-up listing
+    * re-derives per-file ranges from the directories alone.
+    *
+    * Scale shape: the flagged-partition set is metadata-scale (broadcast
+    * semi/anti joins); the rewrite sort is WINDOWED PER TABLE PARTITION,
+    * so it parallelizes across partitions and touches only decayed ones —
+    * never a full-table sort. */
+  def recluster(df: DataFrame, plan: DataFrame, partCols: Seq[String],
+                fileCol: String, zCol: String, path: String,
+                filesPerPartition: Int): Unit = {
+    require(filesPerPartition >= 1,
+      s"recluster: filesPerPartition must be >= 1, got $filesPerPartition")
+    val flagged = plan.filter(col("needs_rewrite"))
+      .select(partCols.map(col): _*).distinct()
+    val clean = df.join(broadcast(flagged), partCols, "left_anti")
+      .withColumn("_file", col(fileCol).cast("string"))
+    val wCnt = org.apache.spark.sql.expressions.Window
+      .partitionBy(partCols.map(col): _*)
+    val wRank = wCnt.orderBy(col(zCol), col(fileCol))
+    val rewritten = df.join(broadcast(flagged), partCols, "left_semi")
+      .withColumn("_rn", row_number().over(wRank))
+      .withColumn("_n", count(lit(1)).over(wCnt))
+      // contiguous z-runs of near-equal size: file k holds ranks in
+      // [k*n/F, (k+1)*n/F) — ranges cannot overlap except a boundary tie
+      .withColumn("_file", concat(lit("z"),
+        floor((col("_rn") - 1) * filesPerPartition / col("_n")).cast("string")))
+      .drop("_rn", "_n")
+    clean.unionByName(rewritten)
+      .repartition((partCols.map(col) :+ col("_file")): _*)
+      .write.mode("overwrite")
+      .partitionBy((partCols :+ "_file"): _*)
+      .parquet(path)
+  }
+
   /** Z-order / clustering maintenance planner — the second half of the
     * table-maintenance story next to [[compactionPlan]]: as appends land,
     * per-file key ranges start overlapping and range pruning decays, long

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.time.Instant
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -212,49 +212,98 @@ object Streams {
     * the O(batch)-per-ingest production shape
     * ([[foreachBatchIncrementalDedup]] re-reads and re-shingles the whole
     * corpus every micro-batch, which is O(corpus) per batch and untenable
-    * at 100 TB). Layout under `root`:
+    * at 100 TB). Layout under `root` — every index artifact is PARTITIONED
+    * on a bucket of its probe key, so each micro-batch's stored-side read
+    * is partition-pruned to the buckets the batch itself touches, never an
+    * O(corpus-index) scan:
     *
-    *   root/corpus/b<id>/   batch id's surviving docs
-    *   root/sets/b<id>/     their shingle-set index rows
-    *   root/bands/b<id>/    their (band, bucket) index rows
-    *   root/_committed.<id> monotonic commit marker, created LAST
+    *   root/corpus/b<id>/           batch id's surviving docs
+    *   root/sets/b<id>/_sb=N/       shingle sets, bucketed by hash(_jid)
+    *   root/bands/b<id>/_bb=N/      (band, bucket) rows, bucketed by
+    *                                hash(band, bucket)
+    *   root/hashes/b<id>/_hb=N/     content hashes, bucketed by hash(_h)
+    *   root/_committed.<id>         monotonic commit marker, created LAST
+    *                                (carries the checkpoint lineage)
     *
     * Per batch: read ONLY the committed index dirs (ids <= the highest
     * marker — a crashed batch's partial files are invisible, so a batch
     * can never see its own torn output and drop real docs as self-dups),
-    * dedup the
-    * batch against that index ([[Dedup.incrementalDedup]]'s stored-index
-    * overload: corpus text untouched), overwrite this batch's own three
-    * dirs, then advance the marker. Crash at any point -> the marker
-    * still names the previous batch, the retry overwrites the partial
-    * dirs and commits; a replay after commit is skipped by the marker.
-    * Exactly-once effective under at-least-once delivery. */
+    * and only the PARTITIONS matching the batch's own hash / band-bucket /
+    * candidate-id buckets (distinct bucket values are bounded control
+    * collects, <= `storeBuckets` rows each, that become partition filters
+    * on the bucketed store — [[Dedup.incrementalDedupStore]]'s loaders).
+    * Dedup the batch against that pruned index, overwrite this batch's own
+    * dirs, then advance the marker. Crash at any point -> the marker still
+    * names the previous batch, the retry overwrites the partial dirs and
+    * commits; a replay after commit is skipped by the marker. A batch with
+    * zero survivors commits nothing — its replay re-dedups to zero
+    * survivors again (content-idempotent). Exactly-once effective under
+    * at-least-once delivery.
+    *
+    * `k`/`bands`/`rowsPerBand`/`storeBuckets` must match across every
+    * batch of one root (they define the stored index's keys and
+    * partitioning). `lineage` names the checkpoint lineage (pass the
+    * query's checkpoint location): batch ids are only monotonic WITHIN one
+    * lineage, and appends are not content-idempotent across lineages (a
+    * replayed id would be silently skipped, a colliding id would overwrite
+    * a committed batch dir) — a mismatch over a non-empty corpus throws. */
   def foreachBatchIndexedDedup(root: String, idCol: String, textCol: String,
                                k: Int = 5, bands: Int = 4, rowsPerBand: Int = 4,
-                               threshold: Double = 0.5, maxBucketSize: Int = 1000)
+                               threshold: Double = 0.5, maxBucketSize: Int = 1000,
+                               storeBuckets: Int = 64, lineage: String = "")
       : (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
       val (fs, rootP) = hadoopFs(spark, root)
-      val last = lastCommittedBatch(fs, rootP)
+      val (last, storedLineage) = lastCommittedWithLineage(fs, rootP)
+      if (last >= 0L)
+        requireSameLineage("foreachBatchIndexedDedup", root, storedLineage, lineage)
       if (batchId > last) {
         def committedDirs(kind: String): Seq[String] =
           committedKindDirs(fs, rootP, kind, last)
-        val setsDirs = committedDirs("sets")
-        val index =
-          if (setsDirs.isEmpty)
-            Dedup.lshIndex(batch.limit(0), idCol, textCol, k, bands, rowsPerBand)
-          else Dedup.LshIndex(
-            spark.read.parquet(setsDirs: _*),
-            spark.read.parquet(committedDirs("bands"): _*))
-        val survivors = Dedup.incrementalDedup(index, batch, idCol, textCol,
-            k, bands, rowsPerBand, threshold, maxBucketSize)
-          .localCheckpoint() // one pass feeds the corpus write + both index writes
-        val sIdx = Dedup.lshIndex(survivors, idCol, textCol, k, bands, rowsPerBand)
-        survivors.write.mode("overwrite").parquet(s"$root/corpus/b$batchId")
-        sIdx.sets.write.mode("overwrite").parquet(s"$root/sets/b$batchId")
-        sIdx.bands.write.mode("overwrite").parquet(s"$root/bands/b$batchId")
-        commitBatchMarker(fs, rootP, batchId) // commit point, written LAST
+        // schemas for the pruned reads come from an EMPTY local index of the
+        // batch itself (plan-only — lazy checkpoints run no job), so a
+        // committed dir whose partitioned write produced zero files (an
+        // empty partitioned frame writes no part files to infer from) still
+        // reads as a typed empty frame
+        val shape = Dedup.lshIndex(batch.limit(0), idCol, textCol, k, bands, rowsPerBand)
+        def bucketed(key: Column): Column = pmod(hash(key), lit(storeBuckets))
+        def bucketsOf(probe: DataFrame, key: Column): Seq[Any] =
+          probe.select(pmod(hash(key), lit(storeBuckets)).as("_pb"))
+            .distinct().collect().map(_.get(0)).toSeq
+        val hashesFor: DataFrame => DataFrame = probe => {
+          val ds = committedDirs("hashes")
+          if (ds.isEmpty) probe.limit(0)
+          else prunedPartitionRead(spark,
+            ds, probe.schema.add("_hb", "int"), "_hb", bucketsOf(probe, col("_h")))
+        }
+        val bandsFor: DataFrame => DataFrame = probe => {
+          val ds = committedDirs("bands")
+          if (ds.isEmpty) shape.bands.limit(0)
+          else prunedPartitionRead(spark, ds, shape.bands.schema.add("_bb", "int"),
+            "_bb", bucketsOf(probe, struct(col("band"), col("bucket"))))
+        }
+        val setsFor: DataFrame => DataFrame = probe => {
+          val ds = committedDirs("sets")
+          if (ds.isEmpty) shape.sets.select(col("_jid"), col("_jset")).limit(0)
+          else prunedPartitionRead(spark, ds, shape.sets.schema.add("_sb", "int"),
+            "_sb", bucketsOf(probe, col("_jid")))
+        }
+        val survivors = Dedup.incrementalDedupStore(hashesFor, bandsFor, setsFor,
+            batch, idCol, textCol, k, bands, rowsPerBand, threshold, maxBucketSize)
+          .localCheckpoint() // one pass feeds the corpus write + the index writes
+        if (!survivors.isEmpty) {
+          val sIdx = Dedup.lshIndex(survivors, idCol, textCol, k, bands, rowsPerBand)
+          survivors.write.mode("overwrite").parquet(s"$root/corpus/b$batchId")
+          sIdx.sets.withColumn("_sb", bucketed(col("_jid")))
+            .write.partitionBy("_sb").mode("overwrite").parquet(s"$root/sets/b$batchId")
+          sIdx.bands.withColumn("_bb", bucketed(struct(col("band"), col("bucket"))))
+            .write.partitionBy("_bb").mode("overwrite").parquet(s"$root/bands/b$batchId")
+          sIdx.sets.select(col("_jhash").as("_h")).distinct()
+            .withColumn("_hb", bucketed(col("_h")))
+            .write.partitionBy("_hb").mode("overwrite").parquet(s"$root/hashes/b$batchId")
+          commitBatchMarker(fs, rootP, batchId, lineage) // commit point, written LAST
+        }
       }
     }
 
@@ -271,90 +320,139 @@ object Streams {
     *                        REUSED VERBATIM by every later batch, because a
     *                        cell id must mean the same thing for the
     *                        corpus's whole lifetime
-    *   root/vectors/b<id>/  batch id's surviving (cell, id, vec) rows
-    *   root/_committed.<id> monotonic commit marker, created LAST
+    *   root/vectors/b<id>/cell=N/  batch id's surviving (id, vec) rows,
+    *                               PARTITIONED by their cell
+    *   root/_committed.<id>        monotonic commit marker, created LAST
+    *                               (carries the checkpoint lineage)
     *
-    * Per batch: read ONLY committed vector dirs, assign the batch row-local
-    * to cells (broadcast codebook, codegen argmax — no shuffle), drop any
-    * batch vector within `threshold` cosine of a stored same-cell vector
-    * or of a smaller-id same-batch vector, append survivors, advance the
-    * marker. Work per batch is O(batch x cell population), never
-    * O(corpus^2). Crash at any point: the marker still names the previous
-    * batch, partial dirs are invisible, the retry overwrites and commits
-    * (the codebook derivation is deterministic, so a retried first batch
-    * rewrites it byte-identically). Replays of committed ids are skipped.
-    * Recall trade matches SemDeDup/IVF-at-nprobe=1: near-dups straddling a
-    * cell boundary are missed. */
+    * Per batch: assign the batch row-local to cells (broadcast codebook,
+    * codegen argmax — no shuffle), read the committed vector dirs PRUNED
+    * to the batch's own distinct cells (a bounded control collect,
+    * <= nlist values, that becomes a partition filter — a batch touching
+    * k cells opens only those k partitions of the store, never the whole
+    * corpus), drop any batch vector within `threshold` cosine of a stored
+    * same-cell vector or of a smaller-id same-batch vector, append
+    * survivors cell-partitioned, advance the marker. Work per batch is
+    * O(batch x cell population), never O(corpus^2) — and stored-side I/O
+    * is O(touched cells), never O(corpus). Crash at any point: the marker
+    * still names the previous batch, partial dirs are invisible, the
+    * retry overwrites and commits (the codebook derivation is
+    * deterministic, so a retried first batch rewrites it byte-identically).
+    * Replays of committed ids are skipped. Recall trade matches
+    * SemDeDup/IVF-at-nprobe=1: near-dups straddling a cell boundary are
+    * missed.
+    *
+    * `lineage` names the checkpoint lineage (pass the query's checkpoint
+    * location): batch ids are only monotonic WITHIN one lineage, and
+    * appends are not content-idempotent across lineages (a replayed id
+    * would be silently skipped, a colliding id would overwrite a committed
+    * batch dir) — a mismatch over a non-empty corpus throws. */
   def foreachBatchEmbeddingDedup(root: String, idCol: String, vecCol: String,
-                                 threshold: Double): (DataFrame, Long) => Unit =
+                                 threshold: Double, lineage: String = "")
+      : (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
       val (fs, rootP) = hadoopFs(spark, root)
-      val last = lastCommittedBatch(fs, rootP)
+      val (last, storedLineage) = lastCommittedWithLineage(fs, rootP)
+      if (last >= 0L)
+        requireSameLineage("foreachBatchEmbeddingDedup", root, storedLineage, lineage)
       // an empty micro-batch must not bootstrap: it would persist an EMPTY
       // codebook and every later cell_assign would return null forever.
       // Not committing its marker is safe — there is nothing to replay-skip.
       if (batchId > last && !batch.isEmpty) {
-        import graft.Functions.{cell_assign, cosine}
+        import graft.Functions.{cell_assign, cosine, l2_norm}
         val cbPath = new org.apache.hadoop.fs.Path(rootP, "codebook")
-        // (re)derive the codebook until the FIRST marker commits: a bare
-        // fs.exists gate would wedge forever on a codebook dir torn by a
-        // crash mid-write (exists, but unreadable). The derivation is
-        // deterministic, so overwriting on retry is byte-identical. Null
-        // vectors are excluded BEFORE sampling — a sampled null would NPE
-        // the derivation on every retry (the md5 order is deterministic).
-        if (last < 0L) {
-          val derived = graft.operators.Similarity.derivedCodebook(
-            batch.filter(col(vecCol).isNotNull), idCol, vecCol)
-          val rows = derived.value.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
-          spark.createDataFrame(rows).toDF("cid", "vec")
-            .coalesce(1).write.mode("overwrite").parquet(cbPath.toString)
-        }
-        val codebook = spark.sparkContext.broadcast(
-          spark.read.parquet(cbPath.toString)
-            .orderBy(col("cid")).select(col("vec"))
-            .collect().map(_.getSeq[Double](0).toArray))
+        val bootstrap = last < 0L
+        // null AND zero-norm vectors are excluded before anything else: a
+        // sampled null would NPE the codebook derivation on every retry
+        // (the md5 order is deterministic), and a zero-norm vector's
+        // cosine is NaN — which compares GREATER than any threshold under
+        // Spark's NaN ordering, so one stored zero-norm row would
+        // mass-dedup its whole cell (and a zero-norm CENTROID would NaN
+        // every assignment). This is the m05 zero-norm posture.
+        val usable = batch
+          .select(col(idCol).as("id"),
+            col(vecCol).cast("array<double>").as("vec"))
+          .filter(col("vec").isNotNull && l2_norm(col("vec")) > 0)
+        // bootstrap derives the codebook from the batch itself; later
+        // batches reload the persisted one — a cell id must mean the same
+        // thing for the corpus's whole lifetime. Nothing is persisted
+        // yet: the write happens only after the batch proves assignable.
+        val codebook =
+          if (bootstrap)
+            graft.operators.Similarity.derivedCodebook(usable, "id", "vec")
+          else spark.sparkContext.broadcast(
+            spark.read.parquet(cbPath.toString)
+              .orderBy(col("cid")).select(col("vec"))
+              .collect().map(_.getSeq[Double](0).toArray))
         // id stays UNTYPED (like foreachBatchIndexedDedup's): casting to
         // long would null out string ids and silently disable every
         // dedup comparison
-        val assigned = batch
-          .select(col(idCol).as("id"),
-            col(vecCol).cast("array<double>").as("vec"))
+        val assigned = usable
           .withColumn("cell", cell_assign(col("vec"), codebook))
-          // null cell = null/mis-dimensioned vector: excluded (the m05
-          // zero-norm posture) — a null cell would never match any join
+          // null cell = mis-dimensioned vector (or empty bootstrap
+          // codebook): excluded — a null cell would never match any join
           // key, so such rows would pile up as permanently undedupable
           .filter(col("cell").isNotNull)
           .localCheckpoint() // one kernel pass feeds both join legs + write
-        val storedDirs = committedKindDirs(fs, rootP, "vectors", last)
-        val vsStored =
-          if (storedDirs.isEmpty) assigned.select("id").limit(0)
-          else assigned.join(
-              spark.read.parquet(storedDirs: _*)
-                .select(col("cell"), col("vec").as("_sv")), "cell")
-            .filter(cosine(col("vec"), col("_sv")) >= threshold)
+        // bootstrap-gate on the USABLE result, not the raw row count: a
+        // first batch of only null / zero-norm / mis-dimensioned vectors
+        // derives an unusable codebook — persisting it (or its marker)
+        // would null every later assignment and silently drop the whole
+        // corpus forever. Skip the batch entirely instead.
+        if (!bootstrap || !assigned.isEmpty) {
+          if (bootstrap) {
+            val rows = codebook.value.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+            spark.createDataFrame(rows).toDF("cid", "vec")
+              .coalesce(1).write.mode("overwrite").parquet(cbPath.toString)
+          }
+          val storedDirs = committedKindDirs(fs, rootP, "vectors", last)
+          // the batch's touched cells — bounded control collect (<= nlist)
+          // that prunes the stored read to matching cell= partitions
+          val batchCells = assigned.select("cell").distinct()
+            .collect().map(_.get(0)).toSeq
+          val vsStored =
+            if (storedDirs.isEmpty) assigned.select("id").limit(0)
+            else assigned.join(
+                prunedPartitionRead(spark, storedDirs,
+                  assigned.select("id", "vec", "cell").schema, "cell", batchCells)
+                  .select(col("cell"), col("vec").as("_sv")), "cell")
+              .filter(cosine(col("vec"), col("_sv")) >= threshold)
+              .select("id")
+          val withinBatch = assigned.select(col("cell"), col("id").as("_ia"), col("vec").as("_va"))
+            .join(assigned.select(col("cell"), col("id").as("id"), col("vec").as("_vb")), "cell")
+            .filter(col("_ia") < col("id"))
+            .filter(cosine(col("_va"), col("_vb")) >= threshold)
             .select("id")
-        val withinBatch = assigned.select(col("cell"), col("id").as("_ia"), col("vec").as("_va"))
-          .join(assigned.select(col("cell"), col("id").as("id"), col("vec").as("_vb")), "cell")
-          .filter(col("_ia") < col("id"))
-          .filter(cosine(col("_va"), col("_vb")) >= threshold)
-          .select("id")
-        val dropped = vsStored.unionByName(withinBatch).distinct()
-        val survivors = assigned.join(dropped, Seq("id"), "left_anti")
-        survivors.select("cell", "id", "vec")
-          .write.mode("overwrite").parquet(s"$root/vectors/b$batchId")
-        commitBatchMarker(fs, rootP, batchId) // commit point, written LAST
+          val dropped = vsStored.unionByName(withinBatch).distinct()
+          val survivors = assigned.join(dropped, Seq("id"), "left_anti")
+          // a batch with zero survivors commits nothing: its replay
+          // re-dedups to zero again (content-idempotent), and every
+          // committed dir is guaranteed at least one file — a fileless
+          // partitioned dir would break the schema-inferring
+          // [[embeddingCorpus]] reader
+          if (!survivors.isEmpty) {
+            survivors.select("id", "vec", "cell")
+              .write.partitionBy("cell").mode("overwrite")
+              .parquet(s"$root/vectors/b$batchId")
+            commitBatchMarker(fs, rootP, batchId, lineage) // commit point, written LAST
+          }
+        }
       }
     }
 
-  /** The deduped (cell, id, vec) corpus maintained by
-    * [[foreachBatchEmbeddingDedup]] — committed batches only. */
+  /** The deduped (id, vec, cell) corpus maintained by
+    * [[foreachBatchEmbeddingDedup]] — committed batches only. Batch dirs
+    * are each cell-partitioned, so they are read one-by-one and unioned
+    * (several partitioned roots cannot share one multi-path read); a
+    * consumer's cell filter pushes through the Union and prunes every
+    * member scan to matching cell= partitions. */
   def embeddingCorpus(spark: SparkSession, root: String): DataFrame = {
     val (fs, rootP) = hadoopFs(spark, root)
     val last = lastCommittedBatch(fs, rootP)
     val dirs = committedKindDirs(fs, rootP, "vectors", last)
     require(dirs.nonEmpty, s"embeddingCorpus: nothing committed under $root")
-    spark.read.parquet(dirs: _*)
+    dirs.map(d => spark.read.parquet(d)).reduce(_.unionByName(_))
   }
 
   /** The deduped corpus maintained by [[foreachBatchIndexedDedup]] —
@@ -386,7 +484,9 @@ object Streams {
     * window in which previously-committed batches become invisible (a
     * delete-then-rename single marker would have one). Read = max id over
     * the marker files; stale markers are garbage, trimmed opportunistically
-    * after each commit. */
+    * after each commit. The marker body carries the checkpoint lineage the
+    * batch ran under (empty for lineage-less callers and for markers
+    * written before lineage support). */
   private def lastCommittedBatch(fs: org.apache.hadoop.fs.FileSystem,
                                  root: org.apache.hadoop.fs.Path): Long =
     if (!fs.exists(root)) -1L
@@ -396,10 +496,47 @@ object Streams {
       .map(_.stripPrefix("_committed.").toLong)
       .foldLeft(-1L)(math.max)
 
+  /** (last committed batch id, lineage its marker recorded) — (-1, "")
+    * when nothing is committed yet. */
+  private def lastCommittedWithLineage(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): (Long, String) = {
+    val last = lastCommittedBatch(fs, root)
+    if (last < 0L) (-1L, "")
+    else {
+      val in = fs.open(new org.apache.hadoop.fs.Path(root, s"_committed.$last"))
+      val text =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      (last, text.trim)
+    }
+  }
+
+  /** Batch-id replay gates only work WITHIN one checkpoint lineage (ids
+    * restart at 0 under a fresh checkpoint), and the append-structured
+    * dedup sinks are not content-idempotent across lineages: a replayed id
+    * would be silently skipped (dropping new data), a colliding id would
+    * overwrite a committed `b<id>` dir with different content. So a
+    * lineage mismatch over a non-empty corpus THROWS (the
+    * [[foreachBatchAggRefresh]] posture) instead of guessing. */
+  private def requireSameLineage(sink: String, root: String,
+                                 stored: String, lineage: String): Unit =
+    if (stored != lineage)
+      throw new IllegalStateException(
+        s"$sink: corpus at $root was committed under checkpoint lineage " +
+          s"'$stored' but this query runs lineage '$lineage'. Batch ids are " +
+          "only monotonic within one lineage and appends are not " +
+          "content-idempotent across lineages — reset the corpus root (or " +
+          "keep the original checkpoint) before rebinding it.")
+
   private def commitBatchMarker(fs: org.apache.hadoop.fs.FileSystem,
-                                root: org.apache.hadoop.fs.Path, id: Long): Unit = {
+                                root: org.apache.hadoop.fs.Path, id: Long,
+                                lineage: String = ""): Unit = {
     fs.mkdirs(root)
-    fs.create(new org.apache.hadoop.fs.Path(root, s"_committed.$id"), true).close()
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, s"_committed.$id"), true)
+    try if (lineage.nonEmpty)
+      out.write(lineage.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
     // trim older markers; a failure here is harmless (read takes the max)
     try fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
@@ -409,6 +546,23 @@ object Streams {
         fs.delete(st.getPath, false)
     } catch { case _: java.io.IOException => () }
   }
+
+  /** Partition-pruned read of a bucketed committed store: `partCol` is a
+    * PARTITION column of every dir in `dirs`, so the `isin` filter becomes
+    * a partition filter — the FileSourceScan lists only the matching
+    * `partCol=v` subdirectories (StreamingSpec asserts this via the scan's
+    * numFiles metric). Batch dirs are read one-by-one and unioned —
+    * several partitioned roots cannot share one multi-path read
+    * (conflicting-directory-structures), and the partition filter pushes
+    * through the Union onto every member scan. The explicit schema keeps
+    * committed dirs whose partitioned write produced zero files readable
+    * (nothing to infer from). */
+  private[graft] def prunedPartitionRead(spark: SparkSession, dirs: Seq[String],
+      schema: org.apache.spark.sql.types.StructType, partCol: String,
+      values: Seq[Any]): DataFrame =
+    dirs.map(d => spark.read.schema(schema).parquet(d))
+      .reduce(_.unionByName(_))
+      .filter(col(partCol).isin(values: _*))
 
   /** Sink-side incremental view maintenance for `foreachBatch` — the
     * streaming twin of [[graft.operators.IncrementalAgg]]: each micro-batch

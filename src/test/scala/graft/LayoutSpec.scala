@@ -118,4 +118,105 @@ class LayoutSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { Layout.zvalue(lit(1L), lit(1L), bits = 0) }
     intercept[IllegalArgumentException] { Layout.zvalue(lit(1L), lit(1L), bits = 32) }
   }
+
+  private def leafParquetFiles(dir: java.io.File): Seq[java.io.File] =
+    if (dir.isDirectory) dir.listFiles().toSeq.flatMap(leafParquetFiles)
+    else if (dir.getName.endsWith(".parquet")) Seq(dir) else Seq.empty
+
+  test("compact executes the plan: one file per group, rows routed per plan, identity") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    // pre-image: 2 table partitions x 20 "files" of varying row counts
+    val pre = spark.range(4000).select(
+      (col("id") % 2).cast("string").as("pt"),
+      (col("id") % 20).as("file_id"),
+      col("id").as("v"))
+    val listing = pre.groupBy(col("pt"), col("file_id"))
+      .agg((count(lit(1)) * 8).as("bytes"))
+    val plan = Layout.compactionPlan(listing, Seq("pt"), "file_id", "bytes",
+      targetBytes = 500)
+    Layout.compact(pre, plan, Seq("pt"), "file_id", s"$dir/out")
+    // exactly ONE parquet file per (pt, compaction_group) dir, and the
+    // set of dirs equals the plan's group set
+    val planGroups = plan.select(col("pt"), col("compaction_group"))
+      .distinct().as[(String, Long)].collect().toSet
+    val groupDirs = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.startsWith("pt=")).flatMap { ptDir =>
+        ptDir.listFiles().filter(_.getName.startsWith("compaction_group="))
+          .map(g => (ptDir.getName.stripPrefix("pt="),
+            g.getName.stripPrefix("compaction_group=").toLong, g))
+      }
+    assert(groupDirs.map(g => (g._1, g._2)).toSet == planGroups)
+    groupDirs.foreach { case (pt, g, d) =>
+      assert(leafParquetFiles(d).size == 1, s"pt=$pt group=$g must be ONE file")
+    }
+    // every row landed in the group its file was planned into
+    val back = spark.read.parquet(s"$dir/out")
+    val misrouted = back
+      .join(plan.select(col("pt"), col("file_id"), col("compaction_group").as("_want")),
+        Seq("pt", "file_id"))
+      .filter(col("compaction_group") =!= col("_want")).count()
+    assert(misrouted == 0L)
+    // identity: nothing lost or duplicated by the rewrite
+    val (n0, s0) = pre.agg(count(lit(1)), sum(col("v"))).as[(Long, Long)].head()
+    val (n1, s1) = Layout.readCompacted(spark, s"$dir/out")
+      .agg(count(lit(1)), sum(col("v"))).as[(Long, Long)].head()
+    assert((n0, s0) == (n1, s1))
+    // group sizes track the plan: each group's row count equals the sum of
+    // its member files' rows
+    val wantSizes = listing
+      .join(plan.select("pt", "file_id", "compaction_group"), Seq("pt", "file_id"))
+      .groupBy(col("pt"), col("compaction_group"))
+      .agg((sum(col("bytes")) / 8).cast("long").as("rows"))
+      .as[(String, Long, Long)].collect().toSet
+    val gotSizes = back.groupBy(col("pt"), col("compaction_group"))
+      .agg(count(lit(1)).as("rows")).as[(String, Long, Long)].collect().toSet
+    assert(gotSizes == wantSizes)
+  }
+
+  test("recluster rewrites flagged partitions to depth<=2 and passes clean ones through") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_recluster").toString
+    // pt=A: every file spans the whole z domain (depth = nFiles, decayed);
+    // pt=B: files cover disjoint z ranges (depth 1, healthy)
+    val a = spark.range(1000).select(lit("A").as("pt"),
+      (col("id") % 10).cast("string").as("file_id"),
+      floor(col("id") / 10).cast("long").as("z"))
+    val b = spark.range(1000).select(lit("B").as("pt"),
+      floor(col("id") / 100).cast("long").cast("string").as("file_id"),
+      col("id").as("z"))
+    val pre = a.unionByName(b)
+    def listingOf(df: org.apache.spark.sql.DataFrame, fileCol: String) =
+      df.groupBy(col("pt"), col(fileCol).as("file_id"))
+        .agg(min(col("z")).as("zmin"), max(col("z")).as("zmax"))
+    val plan = Layout.reclusterPlan(listingOf(pre, "file_id"), Seq("pt"),
+      "file_id", "zmin", "zmax", maxDepth = 4)
+    // sanity: A flagged, B not
+    assert(plan.filter(col("needs_rewrite")).select("pt").distinct()
+      .as[String].collect().toSeq == Seq("A"))
+    Layout.recluster(pre, plan, Seq("pt"), "file_id", "z", s"$dir/out",
+      filesPerPartition = 5)
+    val back = spark.read.parquet(s"$dir/out")
+    // A was re-split into 5 contiguous-range files; B kept its 10 original
+    val aFiles = back.filter(col("pt") === "A").select("_file").distinct()
+      .as[String].collect().toSet
+    val bFiles = back.filter(col("pt") === "B").select("_file").distinct()
+      .as[String].collect().toSet
+    assert(aFiles == (0 until 5).map(k => s"z$k").toSet, s"got $aFiles")
+    assert(bFiles == (0 until 10).map(_.toString).toSet, s"got $bFiles")
+    // B's per-file ranges are byte-identical to the pre-image's
+    val bPre = listingOf(b, "file_id").as[(String, String, Long, Long)].collect().toSet
+    val bPost = listingOf(back.filter(col("pt") === "B"), "_file")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(bPost == bPre)
+    // re-running the planner over the NEW layout: everything within budget,
+    // and the rewritten partition is (near-)perfectly clustered
+    val rePlan = Layout.reclusterPlan(listingOf(back, "_file"), Seq("pt"),
+      "file_id", "zmin", "zmax", maxDepth = 4)
+    assert(rePlan.filter(col("needs_rewrite")).count() == 0L)
+    assert(rePlan.filter(col("pt") === "A").agg(max(col("depth")))
+      .head().getLong(0) <= 2L)
+    // identity: nothing lost or duplicated
+    assert(back.count() == 2000L)
+    assert(back.agg(sum(col("z"))).head().getLong(0)
+      == pre.agg(sum(col("z"))).head().getLong(0))
+  }
 }

@@ -600,4 +600,194 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(target).filter(col("id") === "c")
       .head().getDouble(2) == 7.0)
   }
+
+  // ---- partition-pruned stored state for the dedup sinks ------------------
+
+  /** Every FileSourceScan in an executed plan, recursing through AQE
+    * wrappers, query stages, and subqueries. */
+  private def fileScans(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val here = plan match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case _ => Seq.empty
+    }
+    val kids = plan match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case p => p.children
+    }
+    here ++ (kids ++ plan.subqueries).flatMap(fileScans)
+  }
+
+  /** Run `body` under a QueryExecutionListener and return the (numFiles,
+    * numOutputRows) of every FileSourceScan over a path containing
+    * `pathFrag` — the direct measurement of how much of a stored corpus a
+    * sink's micro-batch actually read. Listener delivery is async, so the
+    * collection is polled to quiescence. */
+  private def capturedScans(pathFrag: String)(body: => Unit): Seq[(Long, Long)] = {
+    val buf = new scala.collection.mutable.ArrayBuffer[(Long, Long)]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        fileScans(qe.executedPlan).foreach { f =>
+          if (f.relation.location.rootPaths.exists(_.toString.contains(pathFrag)))
+            buf.synchronized {
+              buf += ((f.metrics("numFiles").value, f.metrics("numOutputRows").value))
+            }
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, error: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      body
+      // wait until the async listener bus has gone quiet (no growth across
+      // three consecutive polls), bounded by a deadline
+      var lastSize = -1
+      var stable = 0
+      val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+      while (stable < 3 && System.nanoTime < deadline) {
+        Thread.sleep(100)
+        val s = buf.synchronized(buf.size)
+        if (s == lastSize) stable += 1 else { stable = 0; lastSize = s }
+      }
+    } finally spark.listenerManager.unregister(listener)
+    buf.synchronized(buf.toSeq)
+  }
+
+  private def parquetFilesUnder(path: String): Int = {
+    val root = new java.io.File(path)
+    if (!root.exists) 0
+    else {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(root)
+    }
+  }
+
+  test("embedding dedup sink prunes the stored-vector read to the batch's cells") {
+    val root = java.nio.file.Files.createTempDirectory("graft_embed_prune").toString
+    val fn = Streams.foreachBatchEmbeddingDedup(root, "vid", "v", threshold = 0.95)
+    // 8 orthogonal unit vectors -> derived nlist = 2; the two sampled
+    // centroids claim their own cells, everything else ties onto cell 0 —
+    // guaranteed >= 2 populated cell= partitions, no near-dups at 0.95
+    def unit(i: Int) = Seq.tabulate(8)(j => if (j == i) 1.0 else 0.0)
+    fn((0 until 8).map(i => (i.toLong, unit(i))).toDF("vid", "v"), 0L)
+    val cellDirs = new java.io.File(s"$root/vectors/b0").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.length >= 2, s"need >=2 cells, got ${cellDirs.map(_.getName).toSeq}")
+    val totalFiles = parquetFilesUnder(s"$root/vectors/b0")
+    // batch 1 re-sends vector 0 verbatim: it touches exactly ONE cell —
+    // the stored-side scan must list only that cell's partition
+    val targetCell = Streams.embeddingCorpus(spark, root)
+      .filter(col("id") === 0L).select("cell").head().getInt(0)
+    val expectFiles = parquetFilesUnder(s"$root/vectors/b0/cell=$targetCell")
+    val scans = capturedScans("/vectors/") {
+      fn(Seq((100L, unit(0))).toDF("vid", "v"), 1L)
+    }
+    assert(scans.nonEmpty, "expected stored-vector scans during the batch")
+    assert(scans.forall(_._1 <= expectFiles),
+      s"a 1-cell batch must read only that cell's files: scans=$scans expected<=$expectFiles")
+    assert(expectFiles < totalFiles, "pruning must exclude the other cells' files")
+    // and the dedup stayed correct: 100 is an exact dup of stored 0
+    assert(Streams.embeddingCorpus(spark, root).select("id").as[Long].collect().toSet
+      == (0L until 8L).toSet)
+  }
+
+  test("indexed dedup sink prunes stored band/hash reads to the batch's buckets") {
+    val root = java.nio.file.Files.createTempDirectory("graft_idx_prune").toString + "/r"
+    val fn = Streams.foreachBatchIndexedDedup(root, "doc_id", "text")
+    // 30 docs with fully disjoint vocabularies (no cross-doc shingles):
+    // their band index spreads over many _bb partitions
+    def doc(i: Int) = (0 until 8).map(j => s"w${i}x$j").mkString(" ")
+    fn((0 until 30).map(i => (i.toLong, doc(i))).toDF("doc_id", "text"), 0L)
+    val totalBandFiles = parquetFilesUnder(s"$root/bands/b0")
+    val totalHashFiles = parquetFilesUnder(s"$root/hashes/b0")
+    val bandDirs = new java.io.File(s"$root/bands/b0").listFiles()
+      .count(_.getName.startsWith("_bb="))
+    assert(bandDirs >= 10, s"expected a spread band index, got $bandDirs dirs")
+    // one new doc touches <= 4 (band,bucket) keys and ONE content hash;
+    // compute its expected partitions with the sink's own bucketing
+    val b1 = Seq((100L, doc(100))).toDF("doc_id", "text")
+    val probeBuckets = graft.operators.Dedup.lshIndex(b1, "doc_id", "text", 5, 4, 4)
+      .bands.select(pmod(hash(struct(col("band"), col("bucket"))), lit(64)).as("b"))
+      .distinct().as[Int].collect().toSeq
+    val expectBandFiles = probeBuckets
+      .map(b => parquetFilesUnder(s"$root/bands/b0/_bb=$b")).sum
+    val bandScans = capturedScans("/bands/") { fn(b1, 1L) }
+    assert(bandScans.nonEmpty, "expected stored-band scans during the batch")
+    assert(bandScans.forall(_._1 <= expectBandFiles),
+      s"band scan must read only the batch's buckets: $bandScans <= $expectBandFiles")
+    assert(expectBandFiles < totalBandFiles,
+      s"pruning must exclude most band partitions ($expectBandFiles vs $totalBandFiles)")
+    // hash store: an exact re-crawl of doc 0 probes exactly ONE _hb
+    // partition — and that partition is guaranteed occupied (it holds doc
+    // 0's own hash), so the pruned scan is observable instead of being
+    // empty-propagated away by AQE
+    val expectHashFiles = {
+      val b = Seq((101L, doc(0))).toDF("doc_id", "text")
+        .select(pmod(hash(md5(col("text"))), lit(64)).as("b")).head().getInt(0)
+      parquetFilesUnder(s"$root/hashes/b0/_hb=$b")
+    }
+    val hashScans = capturedScans("/hashes/") {
+      fn(Seq((101L, doc(0))).toDF("doc_id", "text"), 2L)
+    }
+    assert(hashScans.nonEmpty, "expected stored-hash scans during the batch")
+    assert(hashScans.forall(_._1 <= expectHashFiles),
+      s"hash scan must read only the batch's bucket: $hashScans <= $expectHashFiles")
+    assert(expectHashFiles < totalHashFiles,
+      s"pruning must exclude most hash partitions ($expectHashFiles vs $totalHashFiles)")
+    // and the corpus is correct: the re-crawl was dropped, new docs kept
+    assert(Streams.indexedCorpus(spark, root).select("doc_id").as[Long].collect().toSet
+      == ((0L until 30L).toSet + 100L))
+  }
+
+  test("dedup sinks refuse a lineage mismatch over a committed corpus") {
+    // indexed
+    val rootI = java.nio.file.Files.createTempDirectory("graft_idx_lineage").toString + "/r"
+    val docs0 = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val docs1 = Seq((2L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    Streams.foreachBatchIndexedDedup(rootI, "doc_id", "text", lineage = "ckpt-A")(docs0, 0L)
+    val exI = intercept[IllegalStateException] {
+      Streams.foreachBatchIndexedDedup(rootI, "doc_id", "text", lineage = "ckpt-B")(docs1, 0L)
+    }
+    assert(exI.getMessage.contains("lineage"))
+    // the refused batch left nothing behind; the original lineage continues
+    assert(Streams.indexedCorpus(spark, rootI).select("doc_id").as[Long].collect().toSet == Set(1L))
+    Streams.foreachBatchIndexedDedup(rootI, "doc_id", "text", lineage = "ckpt-A")(docs1, 1L)
+    assert(Streams.indexedCorpus(spark, rootI).select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    // embedding
+    val rootE = java.nio.file.Files.createTempDirectory("graft_embed_lineage").toString
+    val v0 = Seq((1L, Seq(1.0, 0.0))).toDF("vid", "v")
+    val v1 = Seq((2L, Seq(0.0, 1.0))).toDF("vid", "v")
+    Streams.foreachBatchEmbeddingDedup(rootE, "vid", "v", 0.95, lineage = "ckpt-A")(v0, 0L)
+    val exE = intercept[IllegalStateException] {
+      Streams.foreachBatchEmbeddingDedup(rootE, "vid", "v", 0.95, lineage = "ckpt-B")(v1, 0L)
+    }
+    assert(exE.getMessage.contains("lineage"))
+    // same lineage proceeds; a FRESH root accepts any lineage (bootstrap)
+    Streams.foreachBatchEmbeddingDedup(rootE, "vid", "v", 0.95, lineage = "ckpt-A")(v1, 1L)
+    assert(Streams.embeddingCorpus(spark, rootE).select("id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("embedding dedup: unassignable first batch does not poison the codebook") {
+    val root = java.nio.file.Files.createTempDirectory("graft_embed_nullboot").toString
+    val fn = Streams.foreachBatchEmbeddingDedup(root, "vid", "v", threshold = 0.95)
+    // all-null and zero-norm vectors: the derived codebook would be
+    // unusable — the batch must be skipped entirely (no codebook, no
+    // marker), not committed as a permanently-poisoned quantizer
+    fn(Seq((1L, Option.empty[Seq[Double]]), (2L, Option(Seq(0.0, 0.0))))
+      .toDF("vid", "v"), 0L)
+    assert(!new java.io.File(s"$root/codebook").exists,
+      "unassignable batch must not persist a codebook")
+    assert(!new java.io.File(root).listFiles().exists(_.getName.startsWith("_committed")),
+      "unassignable batch must not commit a marker")
+    // the next real batch bootstraps normally
+    fn(Seq((3L, Option(Seq(1.0, 0.0))), (4L, Option(Seq(0.0, 1.0))))
+      .toDF("vid", "v"), 1L)
+    assert(Streams.embeddingCorpus(spark, root).select("id").as[Long].collect().toSet
+      == Set(3L, 4L))
+  }
 }
