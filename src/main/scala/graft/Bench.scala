@@ -61,8 +61,13 @@ object Bench {
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = times.values.filter(_ >= 0).sum
+    // entry-registry annotations (e.g. d05's deliberate scaling contrast)
+    // ride along so artifact-only readers see documented postures inline
+    val flagsJson = SparkEntry.entryFlags
+      .map { case (k, v) => "\"" + k + "\":\"" + v.replace("\"", "'") + "\"" }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errJson,"flags":$flagsJson,"sf":"$sfDir"}"""
     println(line)
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
     spark.stop()

@@ -15,11 +15,15 @@ package graft
   * names, DataFrame plans): a stopped-and-recreated session in the same
   * JVM must rebuild, not resurrect handles into a dead context. */
 object Fixtures {
+  // ConcurrentHashMap.computeIfAbsent runs the builder AT MOST ONCE per
+  // key (TrieMap.getOrElseUpdate does not — two racing threads can both
+  // run a builder that drops/rewrites catalog tables and parquet dirs,
+  // clobbering each other mid-build)
   private val memo =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String), Any]
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), Any]
 
   def once[T](spark: org.apache.spark.sql.SparkSession, kind: String,
               dir: String)(build: => T): T =
-    memo.getOrElseUpdate((spark.sparkContext.applicationId, kind, dir),
-      build).asInstanceOf[T]
+    memo.computeIfAbsent((spark.sparkContext.applicationId, kind, dir),
+      _ => build).asInstanceOf[T]
 }

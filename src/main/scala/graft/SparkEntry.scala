@@ -564,7 +564,7 @@ object SparkEntry {
         .filter(pmod(col("l_orderkey"), lit(10)) === 0)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
           "l_returnflag", "l_shipdate")
-      val out = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/li"
+      val out = scratch("q56_csv", dir) + "/li"
       Sinks.writeSheetCsv(li, out)
       s.read.schema(li.schema).option("header", "true").csv(out)
         .groupBy(col("l_returnflag"))
@@ -582,7 +582,7 @@ object SparkEntry {
         .filter(pmod(col("l_orderkey"), lit(10)) === 1)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
           "l_returnflag", "l_shipdate")
-      val out = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/li"
+      val out = scratch("q57_orc", dir) + "/li"
       li.write.mode("overwrite").orc(out)
       s.read.orc(out)
         .groupBy(col("l_returnflag"))
@@ -601,7 +601,7 @@ object SparkEntry {
         .filter(pmod(col("l_orderkey"), lit(10)) === 2)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
           "l_returnflag", "l_shipdate")
-      val out = java.nio.file.Files.createTempDirectory("graft_json").toString + "/li"
+      val out = scratch("q58_json", dir) + "/li"
       li.write.mode("overwrite").json(out)
       s.read.schema(li.schema).json(out)
         .groupBy(col("l_returnflag"))
@@ -625,6 +625,88 @@ object SparkEntry {
       Layout.reclusterPlan(listing, Seq("pt"), "file_id", "zmin", "zmax",
           maxDepth = 40)
         .orderBy(col("pt"), col("file_id"))
+    },
+
+    // ---- K1 at scale EXECUTED: month-partitioned dynamic partition
+    // overwrite (the incremental merge's table posture). The history is
+    // written once, then ONE month is overwritten with a reduced slice —
+    // dynamic mode replaces only that month's partition, every cold
+    // month's files untouched. The read-back identity aggregate proves
+    // replace-not-append: the oracle composes the untouched months with
+    // the reduced slice directly ----
+    "q60_month_overwrite_sink" -> { (s, dir) =>
+      val base = Tables.lineitem(s, dir)
+        .filter(pmod(col("l_orderkey"), lit(10)) === 3)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+          "l_returnflag", "l_shipdate")
+      val out = scratch("q60_month", dir)
+      Sinks.writeMonthPartitioned(base, out, "l_shipdate")
+      Sinks.writeMonthPartitioned(
+        base.filter(date_format(col("l_shipdate"), "yyyy-MM") === "1995-03" &&
+          col("l_linenumber") <= 3), out, "l_shipdate")
+      Sinks.readMonthPartitioned(s, out)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).as("sum_cents"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ---- Table maintenance EXECUTED: the q53 compaction plan applied —
+    // pre-image rows broadcast-joined to the plan, one (partition,
+    // group)-keyed shuffle, dynamic-partition write = exactly one file
+    // per group (LayoutSpec proves the file counts; the oracle proves
+    // identity under rewrite plus the per-partition group count) ----
+    "q61_compact_exec" -> { (s, dir) =>
+      val pre = Tables.lineitem(s, dir).select(
+        col("l_returnflag").as("part_key"),
+        date_trunc("week", col("l_shipdate")).cast("date").as("file_id"),
+        col("l_quantity"), col("l_extendedprice"))
+      val listing = pre.groupBy(col("part_key"), col("file_id"))
+        .agg((count(lit(1)) * 100).as("bytes"))
+      val plan = Layout.compactionPlan(listing, Seq("part_key"), "file_id",
+        "bytes", targetBytes = 50000)
+      val out = scratch("q61_compact", dir)
+      Layout.compact(pre, plan, Seq("part_key"), "file_id", out)
+      s.read.parquet(out)
+        .groupBy(col("part_key"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).as("sum_cents"),
+          min(col("file_id")).as("min_file"), max(col("file_id")).as("max_file"),
+          countDistinct(col("compaction_group")).as("n_groups"))
+        .orderBy(col("part_key"))
+    },
+
+    // ---- Z-order maintenance EXECUTED: the q59 planner's output applied.
+    // Odd ship-months get an overlapping per-file z layout (decayed ->
+    // flagged -> rewritten into filesPerPartition contiguous-range files);
+    // even months are file-banded (depth 1 -> passed through unchanged).
+    // The oracle recomputes which months the sweep flags and checks both
+    // the identity aggregates and the resulting per-month file count ----
+    "q62_recluster_exec" -> { (s, dir) =>
+      val pre = Tables.lineitem(s, dir).select(
+        date_format(col("l_shipdate"), "yyyy-MM").as("pt"),
+        pmod(col("l_orderkey"), lit(50)).cast("long").as("file_id"),
+        when(pmod(month(col("l_shipdate")), lit(2)) === 1,
+            col("l_partkey") % 1000)
+          .otherwise(pmod(col("l_orderkey"), lit(50)) * 20 + col("l_partkey") % 20)
+          .cast("long").as("z"),
+        col("l_extendedprice"))
+      val listing = pre.groupBy(col("pt"), col("file_id"))
+        .agg(min(col("z")).as("zmin"), max(col("z")).as("zmax"))
+      val plan = Layout.reclusterPlan(listing, Seq("pt"), "file_id",
+        "zmin", "zmax", maxDepth = 10)
+      val out = scratch("q62_recluster", dir)
+      Layout.recluster(pre, plan, Seq("pt"), "file_id", "z", out,
+        filesPerPartition = 8)
+      s.read.parquet(out)
+        .groupBy(col("pt"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("z")).as("sum_z"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).as("sum_cents"),
+          countDistinct(col("_file")).as("n_files"))
+        .orderBy(col("pt"))
     },
 
     // ---- Broadcast-Bloom semi-join reduction: the fact side is filtered
@@ -1449,6 +1531,42 @@ object SparkEntry {
         .orderBy(col("sub"), col("cid"), col("dim"))
     }
   )
+
+  /** Machine-readable per-entry annotations, carried verbatim into the
+    * bench JSON (`"flags"`) and the scaling-probe table so an
+    * artifact-only reader (a future round, an automated gate) sees an
+    * entry's documented posture without consulting prose. Today's single
+    * flag: d05 is the DELIBERATE scaling contrast — it blocks on a
+    * fixed-cardinality natural key, so its within-block pair volume (and
+    * probe slope) is ~quadratic BY DESIGN, demonstrating why d14's
+    * scale-adaptive IVF cell exists. A super-linear slope on d05 is the
+    * documented expectation, not a regression. */
+  def entryFlags: Map[String, String] = Map(
+    "d05_embedding_neardup" ->
+      ("contrast-quadratic-by-design: fixed-cardinality blocking key; " +
+       "see d14_embedding_neardup_ivf for the scale path"),
+    // the synthetic-asset entries prove the Spark-side plumbing (schema,
+    // partitioning, kernel batch shape) over test-double payloads; they
+    // are NOT oracle coverage of real media kernels — that is m07-m11
+    "m01_binary_stats" ->
+      "plumbing-only: byte-level stats over synthetic assets; real container decode is m07/m10/m11",
+    "m02_frame_sample" ->
+      "plumbing-only: byte-range frames over synthetic assets; real video frames are m11",
+    "m03_resize" ->
+      "plumbing-only: stride-downsample test double; real pixel resize is m08_resize_real",
+    "m04_features" ->
+      "plumbing-only: deterministic fake features; real luminance features are m09_features_real",
+    "m05_asset_ann" ->
+      "plumbing-only: ANN composition over m04's fake features; real-kernel ANN shape is identical")
+
+  /** Deterministic per-(entry, dataset) scratch dir for entries that
+    * exercise a sink + source round-trip. Keyed on the input dir (not a
+    * fresh createTempDirectory per call), so the bench's repeated
+    * warm-up + two-pass runs overwrite ONE directory instead of
+    * accumulating temp output without bound; every write through it uses
+    * overwrite mode, so staleness cannot leak between runs. */
+  private def scratch(name: String, dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_scratch/${name}_${java.lang.Integer.toHexString(dir.hashCode)}"
 
   /** Binary "media" assets derived from documents: UTF-8 payload behind an
     * ASCII container magic (PNG0/JPG0/none by doc_id mod 3). ASCII-only, so
@@ -2806,6 +2924,76 @@ object SparkEntry {
            FROM ev)
          SELECT pt, file_id, zmin, zmax, depth, depth > 40 AS needs_rewrite
          FROM d WHERE delta = 1 ORDER BY pt, file_id""",
+
+    // replace-not-append: untouched months composed with the reduced slice
+    "q60_month_overwrite_sink" ->
+      """WITH base AS (
+           SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                  l_returnflag, CAST(l_shipdate AS DATE) AS l_shipdate
+           FROM lineitem WHERE l_orderkey % 10 = 3),
+         merged AS (
+           SELECT * FROM base WHERE strftime(l_shipdate, '%Y-%m') <> '1995-03'
+           UNION ALL
+           SELECT * FROM base
+           WHERE strftime(l_shipdate, '%Y-%m') = '1995-03' AND l_linenumber <= 3)
+         SELECT l_returnflag, count(*) AS n,
+           CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+         FROM merged GROUP BY 1 ORDER BY 1""",
+
+    // identity under rewrite + the plan's per-partition group count
+    "q61_compact_exec" ->
+      """WITH listing AS (
+           SELECT l_returnflag AS part_key,
+                  CAST(date_trunc('week', l_shipdate) AS DATE) AS file_id,
+                  CAST(count(*) * 100 AS BIGINT) AS bytes
+           FROM lineitem GROUP BY 1, 2),
+         w AS (SELECT part_key, file_id,
+                 CAST(floor(coalesce(sum(bytes) OVER (PARTITION BY part_key ORDER BY file_id) - bytes, 0) / 50000) AS BIGINT) AS cg
+               FROM listing),
+         g AS (SELECT part_key, count(DISTINCT cg) AS n_groups FROM w GROUP BY 1),
+         agg AS (
+           SELECT l_returnflag AS part_key, count(*) AS n,
+             CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+             min(CAST(date_trunc('week', l_shipdate) AS DATE)) AS min_file,
+             max(CAST(date_trunc('week', l_shipdate) AS DATE)) AS max_file
+           FROM lineitem GROUP BY 1)
+         SELECT agg.part_key, n, sum_cents, min_file, max_file, n_groups
+         FROM agg JOIN g ON agg.part_key = g.part_key ORDER BY 1""",
+
+    // identity under selective rewrite + the post-rewrite file count:
+    // flagged months collapse to least(8, rows) contiguous-range files,
+    // clean months keep their original file set
+    "q62_recluster_exec" ->
+      """WITH pre AS (
+           SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS pt,
+                  CAST(l_orderkey % 50 AS BIGINT) AS file_id,
+                  CAST(CASE WHEN month(CAST(l_shipdate AS DATE)) % 2 = 1
+                       THEN l_partkey % 1000
+                       ELSE (l_orderkey % 50) * 20 + l_partkey % 20 END AS BIGINT) AS z,
+                  l_extendedprice
+           FROM lineitem),
+         listing AS (SELECT pt, file_id, min(z) AS zmin, max(z) AS zmax
+                     FROM pre GROUP BY 1, 2),
+         ev AS (
+           SELECT pt, zmin AS pos, 1 AS delta FROM listing
+           UNION ALL SELECT pt, zmax + 1, -1 FROM listing),
+         d AS (
+           SELECT pt, delta,
+             CAST(sum(delta) OVER (PARTITION BY pt ORDER BY pos
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS depth
+           FROM ev),
+         flagged AS (SELECT DISTINCT pt FROM d WHERE delta = 1 AND depth > 10),
+         counts AS (SELECT pt, count(*) AS nrows, count(DISTINCT file_id) AS nfiles
+                    FROM pre GROUP BY 1),
+         agg AS (SELECT pt, count(*) AS n, CAST(sum(z) AS BIGINT) AS sum_z,
+                   CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+                 FROM pre GROUP BY 1)
+         SELECT agg.pt, n, sum_z, sum_cents,
+           CASE WHEN f.pt IS NOT NULL THEN least(8, c.nrows) ELSE c.nfiles END AS n_files
+         FROM agg JOIN counts c ON agg.pt = c.pt
+           LEFT JOIN flagged f ON agg.pt = f.pt
+         ORDER BY agg.pt""",
 
     "q58_json_source" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,

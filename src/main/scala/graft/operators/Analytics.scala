@@ -25,12 +25,29 @@ object Analytics {
     * n_users non-increasing. Epoch-micro longs keep the arithmetic
     * engine-exact. */
   def funnel(events: DataFrame, userCol: String, typeCol: String, tsCol: String,
-             stages: Seq[String], horizonMicros: Long): DataFrame = {
+             stages: Seq[String], horizonMicros: Long): DataFrame =
+    funnelImpl(events, userCol, segCol = None, typeCol, tsCol, stages, horizonMicros)
+
+  /** [[funnel]] split by a per-user segment column (a cohort label, a
+    * feature bucket): one funnel row-set per segment value, counted in the
+    * same single user-keyed shuffle — the segment rides the per-user
+    * grouping key, so segmentation adds NO extra pass. `segCol` must be
+    * constant within a user (it joins the grouping key; a user with two
+    * segment values would be walked once per value). */
+  def funnelSegmented(events: DataFrame, userCol: String, segCol: String,
+                      typeCol: String, tsCol: String,
+                      stages: Seq[String], horizonMicros: Long): DataFrame =
+    funnelImpl(events, userCol, Some(segCol), typeCol, tsCol, stages, horizonMicros)
+
+  private def funnelImpl(events: DataFrame, userCol: String, segCol: Option[String],
+                         typeCol: String, tsCol: String,
+                         stages: Seq[String], horizonMicros: Long): DataFrame = {
     require(stages.size >= 2, s"funnel: need >= 2 stages, got ${stages.size}")
     require(horizonMicros > 0, s"funnel: horizonMicros must be positive")
+    val keys = (userCol +: segCol.toSeq).map(col)
     val perUser = events
       .filter(col(typeCol).isInCollection(stages))
-      .groupBy(col(userCol))
+      .groupBy(keys: _*)
       .agg(stages.zipWithIndex.map { case (s, i) =>
         sort_array(collect_list(when(col(typeCol) === s,
           unix_micros(col(tsCol))))).as(s"_ts$i")

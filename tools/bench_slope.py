@@ -13,6 +13,9 @@ big = json.load(open(sys.argv[2]))
 ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
 floor = float(sys.argv[4]) if len(sys.argv) > 4 else 0.5
 
+# entry-registry flags (either file may carry them; bench emits "flags")
+flags = {**small.get("flags", {}), **big.get("flags", {})}
+
 rows = []
 for q, t0 in small["queries"].items():
     t1 = big["queries"].get(q)
@@ -27,6 +30,8 @@ for q, t0, t1, s in rows:
     flag = ""
     if s is None:
         flag = "FAILED"
+    elif q in flags:
+        flag = f"[{flags[q]}]"
     elif t0 >= floor and s > ratio * 1.3:
         flag = "SUPER-LINEAR"
     elif t0 < floor:
