@@ -709,6 +709,40 @@ object SparkEntry {
         .orderBy(col("pt"))
     },
 
+    // ---- Composed cross-family FLAGSHIP — the analytics twin of t18's
+    // corpus pipeline, three families in ONE declarative plan: (1) exact
+    // dedup of the document corpus (d01 shape on the text payload) gates
+    // the event stream by semi-join — the funnel runs over the deduped
+    // corpus's surviving ids only; (2) each user's SCD2 as-of balance
+    // bucket (the q48 point-in-time read) becomes the funnel segment;
+    // (3) the segmented strict-sequential funnel (q51 semantics) counts
+    // per-segment conversion. The segment rides the funnel's single
+    // user-keyed shuffle, the dedup survivors and as-of dim are
+    // entity-scale joins Catalyst is free to broadcast — no extra pass
+    // over the event fact anywhere ----
+    "q63_composed_flagship" -> { (s, dir) =>
+      val survivors = Dedup.exact(Tables.documents(s, dir), "doc_id", Seq("text"))
+        .select(col("keep_id").as("user_id"))
+      val series = transform(sequence(lit(0), lit(30)), d =>
+        col("c_acctbal") + d.cast("double") * pmod(col("c_custkey"), lit(7)).cast("double") * 0.25)
+      val hist = EntityScans.explodeSeries(
+          Tables.customer(s, dir).select(col("c_custkey"), series.as("recent_balances")),
+          "c_custkey", "recent_balances", "1998-01-01")
+        .select(col("c_custkey"), col("date"),
+          floor(col("balance") / 25).cast("long").as("bal_bucket"))
+      val asof = Windows.scd2AsOf(
+          Windows.scd2Compress(hist, Seq("c_custkey"), "date", Seq("bal_bucket")),
+          to_date(lit("1998-01-15")))
+        .select(col("c_custkey").as("user_id"),
+          pmod(col("bal_bucket"), lit(5)).cast("long").as("segment"))
+      val ev = Tables.events(s, dir)
+        .join(survivors, Seq("user_id"), "left_semi")
+        .join(asof, "user_id")
+      Analytics.funnelSegmented(ev, "user_id", "segment", "event_type", "ts",
+          stages = Seq("view", "click", "purchase"), horizonMicros = 3600000000L)
+        .orderBy(col("segment"), col("stage_no"))
+    },
+
     // ---- Broadcast-Bloom semi-join reduction: the fact side is filtered
     // AT THE SCAN by an md5-deterministic Bloom of the selective dim's
     // keys, before any shuffle; false positives die in the exact join, so
@@ -2994,6 +3028,59 @@ object SparkEntry {
          FROM agg JOIN counts c ON agg.pt = c.pt
            LEFT JOIN flagged f ON agg.pt = f.pt
          ORDER BY agg.pt""",
+
+    // the composed flagship's oracle chains the d01, q48, and q51 oracle
+    // CTEs: text-dedup survivors gate events, the as-of bucket (pmod 5,
+    // non-negative like Spark's) segments the funnel stage walk
+    "q63_composed_flagship" ->
+      """WITH surv AS (SELECT min(doc_id) AS user_id FROM documents GROUP BY text),
+         h AS (
+           SELECT c_custkey, DATE '1998-01-01' + CAST(d AS INTEGER) AS dt,
+                  CAST(floor((c_acctbal + d * (c_custkey % 7) * 0.25) / 25) AS BIGINT) AS bal_bucket
+           FROM customer CROSS JOIN range(0, 31) t(d)),
+         chg AS (
+           SELECT c_custkey, dt, bal_bucket,
+                  (bal_bucket IS DISTINCT FROM lag(bal_bucket) OVER w)
+                    OR (lag(dt) OVER w IS NULL) AS is_chg
+           FROM h WINDOW w AS (PARTITION BY c_custkey ORDER BY dt)),
+         pts AS (SELECT c_custkey, dt, bal_bucket FROM chg WHERE is_chg),
+         scd AS (
+           SELECT c_custkey, bal_bucket, dt AS valid_from,
+                  lead(dt) OVER (PARTITION BY c_custkey ORDER BY dt) AS valid_to
+           FROM pts),
+         seg AS (
+           SELECT c_custkey AS user_id,
+                  ((bal_bucket % 5) + 5) % 5 AS segment
+           FROM scd
+           WHERE valid_from <= DATE '1998-01-15'
+             AND (valid_to IS NULL OR DATE '1998-01-15' < valid_to)),
+         e AS (
+           SELECT ev.user_id, seg.segment, ev.event_type, epoch_us(ev.ts) AS t
+           FROM events ev
+           JOIN surv ON ev.user_id = surv.user_id
+           JOIN seg ON ev.user_id = seg.user_id
+           WHERE ev.event_type IN ('view', 'click', 'purchase')),
+         u AS (
+           SELECT user_id, segment,
+             list_sort(list(t) FILTER (WHERE event_type = 'view')) AS t0,
+             list_sort(list(t) FILTER (WHERE event_type = 'click')) AS t1,
+             list_sort(list(t) FILTER (WHERE event_type = 'purchase')) AS t2
+           FROM e GROUP BY user_id, segment),
+         a0 AS (SELECT user_id, segment, t1, t2, list_min(t0) AS a0 FROM u),
+         a1 AS (SELECT user_id, segment, t2, a0,
+             list_min(list_filter(t1, x -> x >= a0 AND x <= a0 + 3600000000)) AS a1
+           FROM a0),
+         a2 AS (SELECT user_id, segment, a0, a1,
+             list_min(list_filter(t2, x -> x >= a1 AND x <= a1 + 3600000000)) AS a2
+           FROM a1)
+         SELECT * FROM (
+           SELECT segment, 1 AS stage_no, 'view' AS stage,
+                  CAST(count(a0) AS BIGINT) AS n_users FROM a2 GROUP BY segment
+           UNION ALL
+           SELECT segment, 2, 'click', CAST(count(a1) AS BIGINT) FROM a2 GROUP BY segment
+           UNION ALL
+           SELECT segment, 3, 'purchase', CAST(count(a2) AS BIGINT) FROM a2 GROUP BY segment)
+         ORDER BY segment, stage_no""",
 
     "q58_json_source" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,

@@ -74,17 +74,23 @@ object Analytics {
         }
       df.withColumn(s"_a$i", a)
     }
-    val reached = withAnchors.select(stages.indices.map(i =>
-      col(s"_a$i").isNotNull.cast("long").as(s"_r$i")): _*)
-    val counts = reached.agg(
-      sum(col("_r0")).as("_n0"),
-      stages.indices.tail.map(i => sum(col(s"_r$i")).as(s"_n$i")): _*)
+    val reached = withAnchors.select(
+      (segCol.map(col).toSeq ++ stages.indices.map(i =>
+        col(s"_a$i").isNotNull.cast("long").as(s"_r$i"))): _*)
+    val sums = sum(col("_r0")).as("_n0") +:
+      stages.indices.tail.map(i => sum(col(s"_r$i")).as(s"_n$i"))
+    // segmented: map-side-combined per-segment sums; global: one scalar row
+    val counts = segCol match {
+      case Some(sc) => reached.groupBy(col(sc)).agg(sums.head, sums.tail: _*)
+      case None     => reached.agg(sums.head, sums.tail: _*)
+    }
     val rows = array(stages.zipWithIndex.map { case (s, i) => struct(
       lit(i + 1).as("stage_no"), lit(s).as("stage"),
       coalesce(col(s"_n$i"), lit(0L)).as("n_users"))
     }: _*)
-    counts.select(explode(rows).as("_s")).select(col("_s.*"))
-      .orderBy(col("stage_no"))
+    counts.select((segCol.map(col).toSeq :+ explode(rows).as("_s")): _*)
+      .select((segCol.map(col).toSeq :+ col("_s.*")): _*)
+      .orderBy((segCol.map(col).toSeq :+ col("stage_no")): _*)
   }
 
   /** Cohort retention: users are cohorted by the day-bucket of their FIRST

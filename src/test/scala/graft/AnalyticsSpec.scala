@@ -38,6 +38,33 @@ class AnalyticsSpec extends SparkTestBase {
     assert(got == Seq((1, "view", 3L), (2, "click", 2L), (3, "purchase", 1L)))
   }
 
+  test("funnelSegmented partitions users by segment and sums back to the global funnel") {
+    val events = Seq(
+      // segment A: u1 fully converts, u4 stalls at view
+      (1L, "A", "view", ts("2026-01-01 10:00:00")),
+      (1L, "A", "click", ts("2026-01-01 10:30:00")),
+      (1L, "A", "purchase", ts("2026-01-01 11:15:00")),
+      (4L, "A", "view", ts("2026-01-01 12:00:00")),
+      // segment B: u2 reaches click only (purchase past the click anchor's horizon)
+      (2L, "B", "view", ts("2026-01-01 10:00:00")),
+      (2L, "B", "click", ts("2026-01-01 10:45:00")),
+      (2L, "B", "purchase", ts("2026-01-01 11:46:00")))
+      .toDF("user_id", "segment", "event_type", "ts")
+    val got = Analytics.funnelSegmented(events, "user_id", "segment",
+        "event_type", "ts", Seq("view", "click", "purchase"),
+        horizonMicros = 3600L * 1000000L)
+      .as[(String, Int, String, Long)].collect().toSeq
+    assert(got == Seq(
+      ("A", 1, "view", 2L), ("A", 2, "click", 1L), ("A", 3, "purchase", 1L),
+      ("B", 1, "view", 1L), ("B", 2, "click", 1L), ("B", 3, "purchase", 0L)))
+    // per-stage sums across segments == the unsegmented funnel on the same events
+    val global = Analytics.funnel(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), horizonMicros = 3600L * 1000000L)
+      .as[(Int, String, Long)].collect().map(r => (r._1, r._3)).toMap
+    val summed = got.groupBy(_._2).map { case (st, rs) => (st, rs.map(_._4).sum) }
+    assert(summed == global)
+  }
+
   test("funnel: simultaneous timestamps count (>= bound is inclusive)") {
     val events = Seq(
       (1L, "view", ts("2026-01-01 10:00:00")),
