@@ -465,18 +465,97 @@ object Streams {
     spark.read.parquet(dirs: _*)
   }
 
-  /** Batch-versioned dirs `<root>/<kind>/b<id>` with id <= `last` — the
-    * committed slice of an index/corpus layout. ONE definition: writer and
-    * every reader must agree on what "committed" means. */
+  /** The committed slice of an index/corpus layout under `<root>/<kind>`:
+    * at most one consolidated `base.<upTo>` dir (written by
+    * [[compactDedupState]]; the one with the highest upTo wins) plus the
+    * batch-versioned `b<id>` dirs with upTo < id <= `last`. Batch dirs at
+    * or below the base's upTo are SUPERSEDED — their content is inside the
+    * base — and are ignored even if a crash left them on disk. ONE
+    * definition: writer, readers, and the compactor must agree on what
+    * "committed" means. */
   private def committedKindDirs(fs: org.apache.hadoop.fs.FileSystem,
       rootP: org.apache.hadoop.fs.Path, kind: String, last: Long): Seq[String] = {
-    val base = new org.apache.hadoop.fs.Path(rootP, kind)
-    if (!fs.exists(base)) Seq.empty
-    else fs.listStatus(base).toSeq.map(_.getPath)
-      .filter { p => p.getName.startsWith("b") &&
-        p.getName.drop(1).forall(_.isDigit) &&
-        p.getName.drop(1).toLong <= last }
-      .map(_.toString)
+    val (bases, batches) = stateEntries(fs, new org.apache.hadoop.fs.Path(rootP, kind))
+    val live = bases.filter(_._1 <= last)
+    val upTo = live.foldLeft(-1L)((m, e) => math.max(m, e._1))
+    (live.filter(_._1 == upTo).map(_._2) ++
+      batches.filter(e => e._1 > upTo && e._1 <= last).map(_._2)).map(_.toString)
+  }
+
+  /** Classified children of one kind dir: (`base.<upTo>` entries,
+    * `b<id>` batch entries), each with its parsed id. */
+  private def stateEntries(fs: org.apache.hadoop.fs.FileSystem,
+      kindP: org.apache.hadoop.fs.Path)
+      : (Seq[(Long, org.apache.hadoop.fs.Path)], Seq[(Long, org.apache.hadoop.fs.Path)]) = {
+    if (!fs.exists(kindP)) return (Seq.empty, Seq.empty)
+    val entries = fs.listStatus(kindP).toSeq.map(_.getPath)
+    def num(s: String): Option[Long] =
+      if (s.nonEmpty && s.forall(_.isDigit)) Some(s.toLong) else None
+    val bases = entries.flatMap(p =>
+      if (p.getName.startsWith("base.")) num(p.getName.drop(5)).map((_, p)) else None)
+    val batches = entries.flatMap(p =>
+      if (p.getName.startsWith("b") && !p.getName.startsWith("base."))
+        num(p.getName.drop(1)).map((_, p))
+      else None)
+    (bases, batches)
+  }
+
+  /** Consolidate a dedup sink's committed batch-versioned state — the
+    * maintenance half of the ingest story. Every committed micro-batch
+    * appends its own `b<id>` dir, so a long-lived stream accumulates one
+    * dir (and >= one file per touched partition) PER BATCH: reads stay
+    * partition-pruned, but listing cost, open-file count, and the
+    * per-dir union in [[embeddingCorpus]] all grow O(batches) — the
+    * streaming twin of the small-files problem [[graft.operators.Layout.compact]]
+    * fixes for tables. This rewrites the live state of each kind
+    * (`vectors`/`corpus`/`sets`/`bands`/`hashes`, whichever exist) into
+    * ONE `base.<last>` dir with the same partitioning (repartitioned to
+    * one file per partition) and retires the merged dirs, so steady-state
+    * reads touch one consolidated dir plus the batches since the last
+    * compaction.
+    *
+    * Crash-safe without touching the commit protocol: the merge lands in
+    * a dot-staging dir (invisible — readers match only `base.<n>`/`b<n>`),
+    * is RENAMED to `base.<last>` (one atomic publish per kind), and only
+    * then are superseded dirs deleted. A crash before the rename leaves
+    * garbage staging to overwrite on retry; a crash after it leaves
+    * superseded dirs that every reader already ignores (their ids are
+    * <= the new base's upTo) and that the next compaction's hygiene pass
+    * removes. Concurrent ingest is safe: batches land at ids > `last`,
+    * which the merge never touches. Run it from the maintenance cadence
+    * (or `foreachBatch` every N batches), single compactor at a time —
+    * the same single-writer assumption the sinks themselves carry. */
+  def compactDedupState(spark: SparkSession, root: String): Unit = {
+    val (fs, rootP) = hadoopFs(spark, root)
+    val last = lastCommittedBatch(fs, rootP)
+    if (last < 0L) return
+    val kinds = Seq("vectors" -> Some("cell"), "corpus" -> None,
+      "sets" -> Some("_sb"), "bands" -> Some("_bb"), "hashes" -> Some("_hb"))
+    kinds.foreach { case (kind, partColName) =>
+      val kindP = new org.apache.hadoop.fs.Path(rootP, kind)
+      val (bases, batches) = stateEntries(fs, kindP)
+      val upTo = bases.filter(_._1 <= last).foldLeft(-1L)((m, e) => math.max(m, e._1))
+      // hygiene: anything a newest base supersedes is dead to every
+      // reader already — remove leftovers from a crashed prior cleanup
+      bases.filter(_._1 < upTo).foreach(e => fs.delete(e._2, true))
+      batches.filter(_._1 <= upTo).foreach(e => fs.delete(e._2, true))
+      val live = committedKindDirs(fs, rootP, kind, last)
+      if (live.size >= 2) {
+        val merged = live.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+        val staging = new org.apache.hadoop.fs.Path(kindP, s".base_staging.$last")
+        fs.delete(staging, true)
+        partColName match {
+          case Some(c) => merged.repartition(col(c))
+            .write.partitionBy(c).mode("overwrite").parquet(staging.toString)
+          case None => merged.write.mode("overwrite").parquet(staging.toString)
+        }
+        val target = new org.apache.hadoop.fs.Path(kindP, s"base.$last")
+        fs.delete(target, true)
+        require(fs.rename(staging, target),
+          s"compactDedupState: publishing rename failed for $kind under $root")
+        live.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+      }
+    }
   }
 
   /** Commit markers are MONOTONIC FILES `_committed.<id>` — file creation

@@ -744,6 +744,77 @@ class StreamingSpec extends SparkTestBase {
       == ((0L until 30L).toSet + 100L))
   }
 
+  test("compactDedupState consolidates embedding state, preserves dedup, ignores stale dirs") {
+    val root = java.nio.file.Files.createTempDirectory("graft_embed_compact").toString
+    val fn = Streams.foreachBatchEmbeddingDedup(root, "vid", "v", threshold = 0.95)
+    def unit(i: Int) = Seq.tabulate(8)(j => if (j == i) 1.0 else 0.0)
+    // pairwise-cosine <= 0.71 everywhere: nothing dedups
+    def pair(a: Int, b: Int) =
+      Seq.tabulate(8)(j => if (j == a || j == b) math.sqrt(0.5) else 0.0)
+    fn((0 until 8).map(i => (i.toLong, unit(i))).toDF("vid", "v"), 0L)
+    fn(Seq((10L, pair(0, 1)), (11L, pair(2, 3))).toDF("vid", "v"), 1L)
+    fn(Seq((12L, pair(4, 5)), (13L, pair(6, 7))).toDF("vid", "v"), 2L)
+    val before = Streams.embeddingCorpus(spark, root)
+      .select("id").as[Long].collect().toSet
+    assert(before == ((0L until 8L).toSet ++ Set(10L, 11L, 12L, 13L)))
+
+    Streams.compactDedupState(spark, root)
+    val entries = new java.io.File(s"$root/vectors").listFiles().map(_.getName).toSet
+    assert(entries == Set("base.2"), s"expected one consolidated dir, got $entries")
+    assert(Streams.embeddingCorpus(spark, root).select("id").as[Long].collect().toSet
+      == before, "compaction must not change the corpus")
+    // one file per cell partition in the consolidated base
+    val cellDirs = new java.io.File(s"$root/vectors/base.2").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty &&
+      cellDirs.forall(d => d.listFiles().count(_.getName.endsWith(".parquet")) == 1),
+      "expected exactly one file per cell partition after compaction")
+
+    // ingest continues against the base: an exact dup of stored 0 drops,
+    // a genuinely new vector survives
+    fn(Seq((100L, unit(0)), (101L, pair(1, 2))).toDF("vid", "v"), 3L)
+    assert(Streams.embeddingCorpus(spark, root).select("id").as[Long].collect().toSet
+      == before + 101L)
+
+    // crash-after-publish leftovers: a superseded b<id> (id <= base upTo)
+    // must be invisible to readers and removed by the next hygiene pass
+    val stale = new java.io.File(s"$root/vectors/b1")
+    Seq((999L, pair(3, 4), 0)).toDF("id", "vec", "cell")
+      .write.parquet(stale.toString)
+    assert(Streams.embeddingCorpus(spark, root).select("id").as[Long].collect().toSet
+      == before + 101L, "a superseded batch dir must be ignored")
+    Streams.compactDedupState(spark, root)
+    assert(!stale.exists, "hygiene pass must remove superseded dirs")
+    assert(Streams.embeddingCorpus(spark, root).select("id").as[Long].collect().toSet
+      == before + 101L)
+  }
+
+  test("compactDedupState consolidates the LSH index kinds and dedup still fires") {
+    val root = java.nio.file.Files.createTempDirectory("graft_idx_compact").toString + "/r"
+    val fn = Streams.foreachBatchIndexedDedup(root, "doc_id", "text")
+    def doc(i: Int) = (0 until 8).map(j => s"w${i}x$j").mkString(" ")
+    fn((0 until 10).map(i => (i.toLong, doc(i))).toDF("doc_id", "text"), 0L)
+    fn((10 until 20).map(i => (i.toLong, doc(i))).toDF("doc_id", "text"), 1L)
+    fn((20 until 30).map(i => (i.toLong, doc(i))).toDF("doc_id", "text"), 2L)
+    val before = Streams.indexedCorpus(spark, root)
+      .select("doc_id").as[Long].collect().toSet
+    assert(before == (0L until 30L).toSet)
+
+    Streams.compactDedupState(spark, root)
+    Seq("corpus", "sets", "bands", "hashes").foreach { kind =>
+      val entries = new java.io.File(s"$root/$kind").listFiles().map(_.getName).toSet
+      assert(entries == Set("base.2"), s"$kind: expected one consolidated dir, got $entries")
+    }
+    assert(Streams.indexedCorpus(spark, root).select("doc_id").as[Long].collect().toSet
+      == before, "compaction must not change the corpus")
+
+    // the consolidated index still catches dups: an exact re-crawl of doc 0
+    // (hash store) and a fresh doc both arrive; only the fresh one survives
+    fn(Seq((100L, doc(100)), (101L, doc(0))).toDF("doc_id", "text"), 3L)
+    assert(Streams.indexedCorpus(spark, root).select("doc_id").as[Long].collect().toSet
+      == before + 100L)
+  }
+
   test("dedup sinks refuse a lineage mismatch over a committed corpus") {
     // indexed
     val rootI = java.nio.file.Files.createTempDirectory("graft_idx_lineage").toString + "/r"
