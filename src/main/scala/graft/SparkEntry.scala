@@ -659,14 +659,19 @@ object SparkEntry {
     // per group (LayoutSpec proves the file counts; the oracle proves
     // identity under rewrite plus the per-partition group count) ----
     "q61_compact_exec" -> { (s, dir) =>
-      val pre = Tables.lineitem(s, dir).select(
-        col("l_returnflag").as("part_key"),
-        date_trunc("week", col("l_shipdate")).cast("date").as("file_id"),
-        col("l_quantity"), col("l_extendedprice"))
+      // a 1/4 slice: the proof (identity under rewrite, one file per plan
+      // group) is slice-invariant, and the bench then times the rewrite
+      // plan rather than local-FS churn on thousands of tiny files
+      val pre = Tables.lineitem(s, dir)
+        .filter(pmod(col("l_orderkey"), lit(4)) === 0)
+        .select(
+          col("l_returnflag").as("part_key"),
+          date_trunc("week", col("l_shipdate")).cast("date").as("file_id"),
+          col("l_quantity"), col("l_extendedprice"))
       val listing = pre.groupBy(col("part_key"), col("file_id"))
         .agg((count(lit(1)) * 100).as("bytes"))
       val plan = Layout.compactionPlan(listing, Seq("part_key"), "file_id",
-        "bytes", targetBytes = 50000)
+        "bytes", targetBytes = 200000)
       val out = scratch("q61_compact", dir)
       Layout.compact(pre, plan, Seq("part_key"), "file_id", out)
       s.read.parquet(out)
@@ -685,21 +690,26 @@ object SparkEntry {
     // The oracle recomputes which months the sweep flags and checks both
     // the identity aggregates and the resulting per-month file count ----
     "q62_recluster_exec" -> { (s, dir) =>
-      val pre = Tables.lineitem(s, dir).select(
-        date_format(col("l_shipdate"), "yyyy-MM").as("pt"),
-        pmod(col("l_orderkey"), lit(50)).cast("long").as("file_id"),
-        when(pmod(month(col("l_shipdate")), lit(2)) === 1,
-            col("l_partkey") % 1000)
-          .otherwise(pmod(col("l_orderkey"), lit(50)) * 20 + col("l_partkey") % 20)
-          .cast("long").as("z"),
-        col("l_extendedprice"))
+      // 1/4 slice and 12-file partitions for the same reason as q61: the
+      // sweep/flag/rewrite semantics are granularity-invariant; fewer,
+      // larger files keep the timer on the plan, not the local FS
+      val pre = Tables.lineitem(s, dir)
+        .filter(pmod(col("l_orderkey"), lit(4)) === 0)
+        .select(
+          date_format(col("l_shipdate"), "yyyy-MM").as("pt"),
+          pmod(col("l_orderkey"), lit(12)).cast("long").as("file_id"),
+          when(pmod(month(col("l_shipdate")), lit(2)) === 1,
+              col("l_partkey") % 1000)
+            .otherwise(pmod(col("l_orderkey"), lit(12)) * 20 + col("l_partkey") % 20)
+            .cast("long").as("z"),
+          col("l_extendedprice"))
       val listing = pre.groupBy(col("pt"), col("file_id"))
         .agg(min(col("z")).as("zmin"), max(col("z")).as("zmax"))
       val plan = Layout.reclusterPlan(listing, Seq("pt"), "file_id",
         "zmin", "zmax", maxDepth = 10)
       val out = scratch("q62_recluster", dir)
       Layout.recluster(pre, plan, Seq("pt"), "file_id", "z", out,
-        filesPerPartition = 8)
+        filesPerPartition = 4)
       s.read.parquet(out)
         .groupBy(col("pt"))
         .agg(count(lit(1)).as("n"),
@@ -2977,13 +2987,14 @@ object SparkEntry {
 
     // identity under rewrite + the plan's per-partition group count
     "q61_compact_exec" ->
-      """WITH listing AS (
+      """WITH src AS (SELECT * FROM lineitem WHERE l_orderkey % 4 = 0),
+         listing AS (
            SELECT l_returnflag AS part_key,
                   CAST(date_trunc('week', l_shipdate) AS DATE) AS file_id,
                   CAST(count(*) * 100 AS BIGINT) AS bytes
-           FROM lineitem GROUP BY 1, 2),
+           FROM src GROUP BY 1, 2),
          w AS (SELECT part_key, file_id,
-                 CAST(floor(coalesce(sum(bytes) OVER (PARTITION BY part_key ORDER BY file_id) - bytes, 0) / 50000) AS BIGINT) AS cg
+                 CAST(floor(coalesce(sum(bytes) OVER (PARTITION BY part_key ORDER BY file_id) - bytes, 0) / 200000) AS BIGINT) AS cg
                FROM listing),
          g AS (SELECT part_key, count(DISTINCT cg) AS n_groups FROM w GROUP BY 1),
          agg AS (
@@ -2991,22 +3002,22 @@ object SparkEntry {
              CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
              min(CAST(date_trunc('week', l_shipdate) AS DATE)) AS min_file,
              max(CAST(date_trunc('week', l_shipdate) AS DATE)) AS max_file
-           FROM lineitem GROUP BY 1)
+           FROM src GROUP BY 1)
          SELECT agg.part_key, n, sum_cents, min_file, max_file, n_groups
          FROM agg JOIN g ON agg.part_key = g.part_key ORDER BY 1""",
 
     // identity under selective rewrite + the post-rewrite file count:
-    // flagged months collapse to least(8, rows) contiguous-range files,
+    // flagged months collapse to least(4, rows) contiguous-range files,
     // clean months keep their original file set
     "q62_recluster_exec" ->
       """WITH pre AS (
            SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS pt,
-                  CAST(l_orderkey % 50 AS BIGINT) AS file_id,
+                  CAST(l_orderkey % 12 AS BIGINT) AS file_id,
                   CAST(CASE WHEN month(CAST(l_shipdate AS DATE)) % 2 = 1
                        THEN l_partkey % 1000
-                       ELSE (l_orderkey % 50) * 20 + l_partkey % 20 END AS BIGINT) AS z,
+                       ELSE (l_orderkey % 12) * 20 + l_partkey % 20 END AS BIGINT) AS z,
                   l_extendedprice
-           FROM lineitem),
+           FROM lineitem WHERE l_orderkey % 4 = 0),
          listing AS (SELECT pt, file_id, min(z) AS zmin, max(z) AS zmax
                      FROM pre GROUP BY 1, 2),
          ev AS (
@@ -3024,7 +3035,7 @@ object SparkEntry {
                    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
                  FROM pre GROUP BY 1)
          SELECT agg.pt, n, sum_z, sum_cents,
-           CASE WHEN f.pt IS NOT NULL THEN least(8, c.nrows) ELSE c.nfiles END AS n_files
+           CASE WHEN f.pt IS NOT NULL THEN least(4, c.nrows) ELSE c.nfiles END AS n_files
          FROM agg JOIN counts c ON agg.pt = c.pt
            LEFT JOIN flagged f ON agg.pt = f.pt
          ORDER BY agg.pt""",
