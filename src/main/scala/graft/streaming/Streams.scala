@@ -525,6 +525,27 @@ object Streams {
     * which the merge never touches. Run it from the maintenance cadence
     * (or `foreachBatch` every N batches), single compactor at a time —
     * the same single-writer assumption the sinks themselves carry. */
+  /** Wrap a dedup-sink `foreachBatch` function with a periodic
+    * [[compactDedupState]] cadence: after every batch whose id is a
+    * multiple of `every`, the sink's stored state is consolidated —
+    * bounding dir growth to O(every) without a separate maintenance
+    * scheduler. Compaction runs AFTER the batch commits (it only ever
+    * touches committed ids), and an uncommitted batch (replay-skip, zero
+    * survivors) still triggers the hygiene pass — which is idempotent and
+    * cheap when there is nothing to merge. Cadence choice is the usual
+    * LSM trade: small `every` keeps reads near one dir but rewrites the
+    * corpus more often (write amplification ~ corpus/every batches);
+    * production cadences are driven by dir count or bytes, which a caller
+    * can implement directly with [[compactDedupState]]. */
+  def withPeriodicCompaction(sink: (DataFrame, Long) => Unit, root: String,
+                             every: Int = 16): (DataFrame, Long) => Unit = {
+    require(every >= 1, s"withPeriodicCompaction: every must be >= 1, got $every")
+    (batch: DataFrame, batchId: Long) => {
+      sink(batch, batchId)
+      if (batchId % every == 0) compactDedupState(batch.sparkSession, root)
+    }
+  }
+
   def compactDedupState(spark: SparkSession, root: String): Unit = {
     val (fs, rootP) = hadoopFs(spark, root)
     val last = lastCommittedBatch(fs, rootP)

@@ -537,6 +537,38 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("withPeriodicCompaction keeps streamed state consolidated without changing results") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_embed_cadence").toString
+    def pair(a: Int, b: Int) =
+      Seq.tabulate(8)(j => if (j == a || j == b) math.sqrt(0.5) else 0.0)
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = in.toDF().toDF("vid", "v")
+      .writeStream
+      .foreachBatch(Streams.withPeriodicCompaction(
+        Streams.foreachBatchEmbeddingDedup(root, "vid", "v", threshold = 0.95),
+        root, every = 2))
+      .start()
+    try {
+      // 5 micro-batches; compaction fires after ids 0, 2, 4
+      in.addData((0L, pair(0, 1)), (1L, pair(2, 3))); q.processAllAvailable()
+      in.addData((2L, pair(4, 5)), (3L, pair(0, 1))); q.processAllAvailable() // 3 dups 0
+      in.addData((4L, pair(6, 7))); q.processAllAvailable()
+      in.addData((5L, pair(0, 2))); q.processAllAvailable()
+      in.addData((6L, pair(2, 3))); q.processAllAvailable()                   // dups 1
+      assert(Streams.embeddingCorpus(spark, root)
+        .select("id").as[Long].collect().toSet == Set(0L, 1L, 2L, 4L, 5L))
+      // 5 committed-or-skipped batches under an every-2 cadence: exactly one
+      // consolidated base plus at most the 1-2 batch dirs since the last fire
+      // (exact ids depend on whether the engine ran an initial empty batch)
+      val entries = new java.io.File(s"$root/vectors").listFiles().map(_.getName).toSet
+      assert(entries.count(_.startsWith("base.")) == 1,
+        s"expected one consolidated base, got $entries")
+      assert(entries.count(n => n.startsWith("b") && !n.startsWith("base.")) <= 2,
+        s"cadence must bound batch-dir growth, got $entries")
+    } finally q.stop()
+  }
+
   test("foreachBatchEmbeddingDedup: empty first batch does not poison the codebook") {
     val root = java.nio.file.Files.createTempDirectory("graft_embed_empty").toString
     val fn = Streams.foreachBatchEmbeddingDedup(root, "vid", "v", threshold = 0.95)
