@@ -1542,6 +1542,16 @@ object SparkEntry {
         topV = 30, minDf = 2)
     },
 
+    // ---- Text: CCNet-style bigram-LM perplexity quality gate — train an
+    // add-one word-bigram model on the doc_id%10<8 slice, score every doc's
+    // mean nll; model tables are vocabulary-sized, corpus scanned twice
+    // (train + score), V rides a broadcast one-row cross join ----
+    "t25_lm_perplexity" -> { (s, dir) =>
+      NgramLm.perplexityScore(Tables.documents(s, dir), "doc_id", "text",
+          trainFilter = col("doc_id") % 10 < 8)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- Text: cross-doc boilerplate removal (CCNet line-dedup shape over
     // token-window units; text never crosses the frequency shuffle) ----
     "t21_boilerplate" -> { (s, dir) =>
@@ -3560,6 +3570,28 @@ object SparkEntry {
            FROM h)
          SELECT split, count(*) AS n, min(doc_id) AS min_id
          FROM a GROUP BY 1 ORDER BY 1""",
+
+    "t25_lm_perplexity" ->
+      """WITH toks AS (SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+         bg AS (SELECT doc_id, doc_id % 10 < 8 AS is_train,
+             unnest(list_transform(range(1, greatest(len(t), 1)),
+               i -> struct_pack(w1 := t[CAST(i AS INTEGER)],
+                                w2 := t[CAST(i AS INTEGER) + 1]))) AS p
+           FROM toks),
+         bg2 AS (SELECT doc_id, is_train, p.w1 AS w1, p.w2 AS w2 FROM bg),
+         cb AS (SELECT w1, w2, count(*) AS cnt FROM bg2 WHERE is_train GROUP BY 1, 2),
+         cu AS (SELECT w1, sum(cnt) AS ctx FROM cb GROUP BY 1),
+         vv AS (SELECT count(DISTINCT w2) AS v FROM cb),
+         scored AS (
+           SELECT b.doc_id,
+             CASE WHEN cb.cnt IS NULL THEN 1 ELSE 0 END AS unseen,
+             -ln((COALESCE(cb.cnt, 0) + 1.0) / (COALESCE(cu.ctx, 0) + 1.0 * v)) AS nll
+           FROM bg2 b LEFT JOIN cb USING (w1, w2) LEFT JOIN cu USING (w1) CROSS JOIN vv)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(unseen) AS BIGINT) AS n_unseen,
+           round(sum(nll) / count(*), 4) AS nll_per_tok
+         FROM scored GROUP BY doc_id ORDER BY doc_id""",
 
     "t24_split_leakage" ->
       """WITH sp AS (
