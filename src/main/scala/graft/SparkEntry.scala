@@ -1298,6 +1298,20 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("frame_no"))
     },
 
+    // ---- Multimodal: raw-file object-store ingest round trip — assets
+    // written one file per row (distributed, Hadoop FS API), read back
+    // through the binaryFile source with filename->id recovery; the oracle
+    // recomputes the byte stats from the pre-image, so any write/list/read
+    // defect breaks the hash ----
+    "m12_binaryfile_source" -> { (s, dir) =>
+      val out = scratch("m12_raw", dir) + "/assets"
+      Multimodal.writeAssetFiles(syntheticAssets(s, dir), "doc_id", "payload", out)
+      Multimodal.readAssetFiles(s, out, glob = Some("*.bin"))
+        .select(col("asset_id").as("doc_id"), col("n_bytes"),
+          md5(col("content")).as("payload_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- Text: language-ID heuristic ----
     "t01_langid" -> { (s, dir) =>
       Tables.documents(s, dir)
@@ -3249,6 +3263,16 @@ object SparkEntry {
                    (length(x.fs) + length(y.fs) - length(list_intersect(x.fs, y.fs))), 6) AS jaccard
            FROM pairs JOIN sets x ON x.doc_id = id_a JOIN sets y ON y.doc_id = id_b)
          SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+
+    "m12_binaryfile_source" ->
+      """WITH a AS (
+           SELECT doc_id,
+             (CASE doc_id % 3 WHEN 0 THEN 'PNG0' WHEN 1 THEN 'JPG0' ELSE '' END) || text AS s
+           FROM documents)
+         SELECT doc_id,
+           CAST(octet_length(encode(s)) AS BIGINT) AS n_bytes,
+           md5(s) AS payload_md5
+         FROM a ORDER BY doc_id""",
 
     "m01_binary_stats" ->
       """WITH a AS (

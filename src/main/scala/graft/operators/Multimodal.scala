@@ -645,6 +645,77 @@ object Multimodal {
     }(enc)
   }
 
+  /** Materialize one raw file per asset row under `dir` — the write half of
+    * the object-store ingest round trip ([[readAssetFiles]] is the read
+    * half). Runs distributed: each partition opens the directory's Hadoop
+    * `FileSystem` once (works against local disk, HDFS, or object stores —
+    * the broadcast job configuration carries the store credentials) and
+    * streams its rows out as `<id>.bin`, no driver round-trip, no shuffle.
+    * Overwrites per file, so re-runs are idempotent. One file per row is
+    * the layout real crawled media lands in; the small-files pressure it
+    * creates at scale is exactly what [[graft.operators.Layout]]'s
+    * compaction planner exists to measure and fix. */
+  def writeAssetFiles(assets: DataFrame, idCol: String, payloadCol: String,
+                      dir: String): Unit = {
+    val sc = assets.sparkSession.sparkContext
+    val conf = sc.broadcast(
+      new HadoopConfHolder(assets.sparkSession.sessionState.newHadoopConf()))
+    assets.select(col(idCol).cast("string"), col(payloadCol))
+      .foreachPartition { rows: Iterator[Row] =>
+        if (rows.hasNext) {
+          val base = new org.apache.hadoop.fs.Path(dir)
+          val fs = base.getFileSystem(conf.value.value)
+          rows.foreach { r =>
+            val out = fs.create(
+              new org.apache.hadoop.fs.Path(base, r.getString(0) + ".bin"), true)
+            try out.write(r.getAs[Array[Byte]](1)) finally out.close()
+          }
+        }
+      }
+  }
+
+  /** Raw-file ingest through Spark's `binaryFile` source: one row per file
+    * with the asset id recovered from the file name (`<id>.bin` — the
+    * [[writeAssetFiles]] layout), the content as a binary column, and the
+    * store-reported length. The source is not splittable (a file never
+    * spans tasks — correct for opaque media) and parallelism comes from the
+    * file count, which is exactly the multimodal-corpus shape; a
+    * `pathGlobFilter` pushes container-type selection into the listing.
+    *
+    * CAVEAT (spec-pinned): Spark's file-scan planning drops ZERO-length
+    * files, so an empty asset written by [[writeAssetFiles]] exists on the
+    * store but never surfaces here — audit ingest completeness against the
+    * listing (`n_bytes > 0` pre-images), not against row counts. */
+  def readAssetFiles(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     glob: Option[String] = None): DataFrame = {
+    val reader = spark.read.format("binaryFile")
+    glob.foreach(g => reader.option("pathGlobFilter", g))
+    reader.load(dir)
+      .select(
+        regexp_extract(col("path"), "([^/]+)\\.bin$", 1).cast("long").as("asset_id"),
+        col("length").as("n_bytes"),
+        col("content"))
+  }
+
+  /** Hadoop `Configuration` is not `java.io.Serializable`; this holder
+    * ships it to executors via its own Writable round trip (the same trick
+    * Spark uses internally, whose helper is `private[spark]`). Carries the
+    * session's full Hadoop conf so object-store credentials and FS
+    * settings survive the broadcast. */
+  private class HadoopConfHolder(@transient private var conf: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    def value: org.apache.hadoop.conf.Configuration = conf
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
   /** Fake decode used by [[decodeImageMetaStub]]: derives stable fake
     * dimensions from the first bytes so tests are deterministic (the test
     * double for [[decodeImageMeta]]). */

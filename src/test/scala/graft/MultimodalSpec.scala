@@ -253,6 +253,32 @@ class MultimodalSpec extends SparkTestBase {
     assert(bad.isEmpty)
   }
 
+  test("writeAssetFiles -> readAssetFiles round-trips bytes, ids, and glob selection") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rawassets").toString
+    val assets = Seq(
+      (1L, "alpha".getBytes("UTF-8")),
+      (2L, Array[Byte]()),                       // empty payload: 0-byte file
+      (3L, Array[Byte](0, -1, 127, -128)))       // non-UTF8 bytes survive
+      .toDF("doc_id", "payload")
+    Multimodal.writeAssetFiles(assets, "doc_id", "payload", dir)
+    // a stray non-.bin file must be excluded by the glob
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_stray.txt"),
+      "junk".getBytes("UTF-8"))
+    val got = Multimodal.readAssetFiles(spark, dir, glob = Some("*.bin"))
+      .orderBy("asset_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Array[Byte]](2).toSeq))
+    // the 0-byte file is written (on disk) but Spark's file-scan planning
+    // drops zero-length files — the pinned caveat in readAssetFiles' doc
+    assert(java.nio.file.Files.size(java.nio.file.Paths.get(dir, "2.bin")) == 0)
+    assert(got.toSeq == Seq(
+      (1L, 5L, "alpha".getBytes("UTF-8").toSeq),
+      (3L, 4L, Seq[Byte](0, -1, 127, -128))))
+    // re-run overwrites in place: same file set, no duplicates
+    Multimodal.writeAssetFiles(assets, "doc_id", "payload", dir)
+    assert(Multimodal.readAssetFiles(spark, dir, glob = Some("*.bin")).count() == 2)
+  }
+
   test("encodePng -> decodeImageMeta round-trips the requested dimensions") {
     import spark.implicits._
     val dims = Seq((10L, 5, 3), (11L, 1, 1), (12L, 300, 200))
