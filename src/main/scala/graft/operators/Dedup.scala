@@ -367,9 +367,14 @@ object Dedup {
     * the round. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    // checkpoint the edge list ALREADY hash-partitioned on the join key:
+    // localCheckpoint preserves outputPartitioning on the LogicalRDD, so
+    // every round's label join reuses it and only the (small) label side
+    // moves — without this the static edge side re-shuffles every round
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
+      .repartition(col("dst"))
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
@@ -415,41 +420,53 @@ object Dedup {
     *    neighbor; every smaller neighbor AND hi itself re-link to m.
     *
     * Both steps are one window-min + projection over the SAME hash
-    * partitioning as the groupBy a label join would need — two keyed
-    * shuffles per round, like a min-label round, but O(log n) rounds
-    * total. The fixpoint (edge set unchanged by a full round) is a star
+    * partitioning as the groupBy a label join would need — three keyed
+    * shuffles per full round (each star's window plus one closing
+    * distinct; see the invariant note in the body), comparable to a
+    * min-label round, but O(log n) rounds total. The fixpoint (edge set unchanged by a full round) is a star
     * forest: every node points at its component min. Same output contract
     * as [[connectedComponents]]: (id, cluster_id) over every node
     * appearing in `pairs`, and a run that has not reached the fixpoint
     * within `maxIter` throws rather than returning partial contractions. */
   def connectedComponentsStar(pairs: DataFrame, idA: String = "id_a",
                               idB: String = "id_b", maxIter: Int = 25): DataFrame = {
-    val raw = pairs.select(col(idA).as("u"), col(idB).as("v"))
+    // checkpoint the bare pair projection FIRST: the nodes and edges
+    // checkpoints below are separate actions, and without this each would
+    // re-evaluate the whole upstream pair-generation plan (for LSH input
+    // that is the full shingle/minhash/band chain — the dominant cost)
+    val raw = pairs.select(col(idA).as("u"), col(idB).as("v")).localCheckpoint()
     // every node that appears anywhere keeps a label even if its only pair
     // is a self-pair (dropped from the edge work below as a no-op edge)
     val nodes = raw.select(col("u").as("id"))
       .union(raw.select(col("v").as("id"))).distinct().localCheckpoint()
+    // Every round's edge set keeps the INVARIANT u > v (established by the
+    // initial orientation below, preserved by both stars' emissions). That
+    // invariant is what lets each star body run with a single distinct: the
+    // bidirectional union is duplicate-free by construction (e and swap(e)
+    // cannot overlap when all of e is strictly hi->lo), and the duplicate
+    // (child, min) emissions from different source groups are harmless under
+    // the next window's `min` — so only the round's FINAL distinct pays a
+    // shuffle. 3 keyed shuffles per round (two window partitionings + one
+    // closing distinct) instead of the naive 6.
     def largeStar(e: DataFrame): DataFrame = {
-      val bi = e.union(e.select(col("v"), col("u"))).distinct()
+      val bi = e.union(e.select(col("v"), col("u")))
       bi.withColumn("_m", least(min(col("v")).over(Window.partitionBy(col("u"))), col("u")))
         .filter(col("v") > col("u"))
+        // emitted (v, m) has m <= u < v, so the u > v invariant holds
         .select(col("v").as("u"), col("_m").as("v"))
-        .filter(col("u") =!= col("v"))
-        .distinct()
     }
     def smallStar(e: DataFrame): DataFrame = {
-      val oriented = e.select(greatest(col("u"), col("v")).as("u"),
-          least(col("u"), col("v")).as("v"))
-        .filter(col("u") =!= col("v")).distinct()
-      val withM = oriented.withColumn("_m",
+      val withM = e.withColumn("_m",
         min(col("v")).over(Window.partitionBy(col("u"))))
       withM.filter(col("v") =!= col("_m"))
         .select(col("v").as("u"), col("_m").as("v"))
-        .union(withM.select(col("u"), col("_m").as("v")).distinct())
+        .union(withM.select(col("u"), col("_m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
     }
-    var edges = raw.filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var edges = raw.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint()
     var edgeCount = edges.count()
     var converged = edgeCount == 0
     var iter = 0
