@@ -753,6 +753,22 @@ object SparkEntry {
         .orderBy(col("segment"), col("stage_no"))
     },
 
+    // ---- Gap-based sessionization over the event stream (30-minute cut)
+    // with a per-session summary: the boundary windows and the session
+    // aggregate all ride ONE user-keyed shuffle; cent-integer value sums
+    // keep the payload engine-exact ----
+    "q64_sessionize" -> { (s, dir) =>
+      Analytics.sessionize(Tables.events(s, dir), "user_id", "ts",
+          gapMicros = 30L * 60 * 1000000)
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(
+          unix_micros(min(col("ts"))).as("start_us"),
+          unix_micros(max(col("ts"))).as("end_us"),
+          count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
+        .orderBy(col("user_id"), col("session_no"))
+    },
+
     // ---- Broadcast-Bloom semi-join reduction: the fact side is filtered
     // AT THE SCAN by an md5-deterministic Bloom of the selective dim's
     // keys, before any shuffle; false positives die in the exact join, so
@@ -3116,6 +3132,26 @@ object SparkEntry {
            UNION ALL
            SELECT segment, 3, 'purchase', CAST(count(a2) AS BIGINT) FROM a2 GROUP BY segment)
          ORDER BY segment, stage_no""",
+
+    // ties share one RANGE-frame cumulative boundary count in both
+    // engines, so session numbering agrees however the tie is ordered
+    "q64_sessionize" ->
+      """WITH f AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         n AS (
+           SELECT user_id, ts, value,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_no
+           FROM f)
+         SELECT user_id, session_no,
+           epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM n GROUP BY user_id, session_no
+         ORDER BY user_id, session_no""",
 
     "q58_json_source" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,

@@ -116,4 +116,33 @@ object Analytics {
       .agg(countDistinct(col(userCol)).as("n_users"))
       .orderBy(col("cohort_bucket"), col("bucket_offset"))
   }
+
+  /** Gap-based sessionization: number each user's events into sessions,
+    * starting a new session whenever the gap to the previous event exceeds
+    * `gapMicros` (the classic 30-minute web-session cut). Appends a
+    * 1-based `session_no` column; (userCol, session_no) is the session
+    * key for any downstream per-session aggregate.
+    *
+    * Scale design: ONE user-keyed shuffle — the boundary lag and the
+    * running boundary count are windows over the same (user, ts)
+    * partitioning, and a following groupBy on (user, session_no) rides
+    * that partitioning too (user alone already co-locates it), so a full
+    * sessionize-then-summarize plan shuffles the event fact exactly once.
+    *
+    * Determinism under timestamp ties: the boundary flag is computed from
+    * timestamp VALUES (tied rows see gap 0 whichever of them sorts
+    * first), and the running count uses the default RANGE frame, so all
+    * peer rows share one cumulative value — both engines agree however
+    * they break the tie. Epoch-micro longs keep the gap arithmetic
+    * engine-exact. */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+                 gapMicros: Long): DataFrame = {
+    require(gapMicros > 0, s"sessionize: gapMicros must be > 0, got $gapMicros")
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol))
+    val us = unix_micros(col(tsCol))
+    val prev = lag(us, 1).over(wOrd)
+    val isNew = when(prev.isNull || us - prev > gapMicros, 1L).otherwise(0L)
+    events.withColumn("session_no", sum(isNew).over(wOrd))
+  }
 }

@@ -77,6 +77,51 @@ class AnalyticsSpec extends SparkTestBase {
     assert(got.map(_._3) == Seq(1L, 1L, 1L))
   }
 
+  test("sessionize cuts on strict gap > threshold and shares sessions across ties") {
+    val gap = 30L * 60 * 1000000 // 30 min
+    val events = Seq(
+      // u1: 10:00, 10:29 (in), 10:59 (gap EXACTLY 30min — inclusive, same
+      // session), 11:30 (31min — new session), 11:45
+      (1L, ts("2026-01-01 10:00:00")),
+      (1L, ts("2026-01-01 10:29:00")),
+      (1L, ts("2026-01-01 10:59:00")),
+      (1L, ts("2026-01-01 11:30:00")),
+      (1L, ts("2026-01-01 11:45:00")),
+      // u2: tied timestamps share a session; the tie is the session start
+      (2L, ts("2026-01-01 09:00:00")),
+      (2L, ts("2026-01-01 09:00:00")),
+      (2L, ts("2026-01-01 09:20:00")),
+      // u3: single event = single session
+      (3L, ts("2026-01-01 08:00:00")))
+      .toDF("user_id", "ts")
+    val got = Analytics.sessionize(events, "user_id", "ts", gap)
+      .groupBy("user_id", "session_no").count()
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 3L), (1L, 2L, 2L), (2L, 1L, 3L), (3L, 1L, 1L)))
+  }
+
+  test("sessionize agrees with a driver-side replay on random event sets") {
+    val rnd = new scala.util.Random(64)
+    val gap = 1000L // micros
+    val rows = Seq.tabulate(400) { _ =>
+      (rnd.nextInt(12).toLong, new Timestamp(rnd.nextInt(2000).toLong))
+    }
+    val got = Analytics.sessionize(rows.toDF("user_id", "ts"), "user_id", "ts", gap)
+      .select(col("user_id"), unix_micros(col("ts")), col("session_no"))
+      .as[(Long, Long, Long)].collect().toSet
+    val expected = rows.groupBy(_._1).flatMap { case (u, es) =>
+      val sorted = es.map(_._2.getTime * 1000).sorted
+      val bounds = sorted.zip(Long.MinValue +: sorted.dropRight(1))
+      var s = 0L
+      val byTs = bounds.map { case (t, prev) =>
+        if (prev == Long.MinValue || t - prev > gap) s += 1
+        t -> s
+      }.toMap // ties: last assignment wins == shared RANGE-frame value
+      sorted.map(t => (u, t, byTs(t)))
+    }.toSet
+    assert(got == expected)
+  }
+
   test("cohortRetention buckets by first activity and counts distinct members") {
     val events = Seq(
       // u1 first in bucket of Jan-01 (day 20454 -> bucket 2922), active
