@@ -753,10 +753,13 @@ object SparkEntry {
         .orderBy(col("segment"), col("stage_no"))
     },
 
-    // ---- Gap-based sessionization over the event stream (30-minute cut)
-    // with a per-session summary: the boundary windows and the session
-    // aggregate all ride ONE user-keyed shuffle; cent-integer value sums
-    // keep the payload engine-exact ----
+    // ---- Gap-based sessionization as ROW-LEVEL ORDINAL NUMBERING — the
+    // gaps-and-islands complement to q33's session_window collapse: q33
+    // aggregates events away into session rows; this keeps every event,
+    // stamps it with its user's 1-based session_no (what per-session
+    // features, "first session", and session-keyed joins need), then
+    // summarizes — boundary windows and the session aggregate all ride
+    // ONE user-keyed shuffle; cent-integer value sums stay engine-exact ----
     "q64_sessionize" -> { (s, dir) =>
       Analytics.sessionize(Tables.events(s, dir), "user_id", "ts",
           gapMicros = 30L * 60 * 1000000)

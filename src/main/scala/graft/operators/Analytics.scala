@@ -117,11 +117,18 @@ object Analytics {
       .orderBy(col("cohort_bucket"), col("bucket_offset"))
   }
 
-  /** Gap-based sessionization: number each user's events into sessions,
+  /** Gap-based sessionization as row-level ordinal numbering (the
+    * gaps-and-islands form): number each user's events into sessions,
     * starting a new session whenever the gap to the previous event exceeds
     * `gapMicros` (the classic 30-minute web-session cut). Appends a
     * 1-based `session_no` column; (userCol, session_no) is the session
     * key for any downstream per-session aggregate.
+    *
+    * Contrast with `session_window` (q33 batch, [[graft.streaming.Streams.sessionize]]
+    * streaming), which COLLAPSES events into session rows: this keeps
+    * every event and stamps it with its session ordinal — the shape
+    * per-session features, "nth session" analyses, and session-keyed
+    * joins need.
     *
     * Scale design: ONE user-keyed shuffle — the boundary lag and the
     * running boundary count are windows over the same (user, ts)
