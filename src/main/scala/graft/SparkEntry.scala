@@ -1592,6 +1592,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- Text: token-budget corpus selection — keep the best-scoring
+    // docs whose cumulative tokens fit 40% of the corpus's token mass
+    // (the "best N tokens" cut a pretraining recipe ends with). The
+    // blended continuous score keeps the boundary bucket small; semantics
+    // are the exact greedy prefix of (score desc, doc_id), which the
+    // histogram-walk implementation provably equals — the oracle IS the
+    // naive global-window form ----
+    "t26_token_budget" -> { (s, dir) =>
+      val scored = TextAnalysis.qualitySignals(Tables.documents(s, dir), "text")
+        .select(col("doc_id"),
+          (col("quality_score") + col("stopword_ratio") / 10).as("score"),
+          col("n_tokens"))
+      val total = scored.agg(sum(col("n_tokens").cast("long"))).head.getLong(0)
+      Sampling.tokenBudgetSelect(scored, "doc_id", "score", "n_tokens",
+          budgetTokens = (total * 0.4).toLong)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- Text: cross-doc boilerplate removal (CCNet line-dedup shape over
     // token-window units; text never crosses the frequency shuffle) ----
     "t21_boilerplate" -> { (s, dir) =>
@@ -3640,6 +3658,41 @@ object SparkEntry {
            FROM h)
          SELECT split, count(*) AS n, min(doc_id) AS min_id
          FROM a GROUP BY 1 ORDER BY 1""",
+
+    // the exact greedy prefix of (score desc, doc_id): the naive global
+    // window IS the semantics the bucket-histogram implementation must
+    // reproduce document-for-document
+    "t26_token_budget" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+                  regexp_split_to_array(trim(text), '\s+') AS toks,
+                  regexp_split_to_array(trim(lower(text)), '\s+') AS ltoks,
+                  length(text) AS n_chars,
+                  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct
+           FROM documents),
+         m AS (
+           SELECT doc_id, n_chars, length(toks) AS n_tokens,
+                  round(CAST(punct AS DOUBLE) / greatest(n_chars, 1), 6) AS punct_ratio,
+                  round(CAST(length(list_filter(ltoks, x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS DOUBLE)
+                        / greatest(length(toks), 1), 6) AS stopword_ratio,
+                  round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                        / greatest(length(toks), 1), 6) AS mean_token_len
+           FROM t),
+         q AS (
+           SELECT doc_id, n_tokens,
+                  round((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+                      + (CASE WHEN punct_ratio <= 0.1 THEN 0.3 ELSE 0.0 END)
+                      + (CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END), 2)
+                    + stopword_ratio / 10 AS score
+           FROM m),
+         tot AS (SELECT CAST(floor(sum(n_tokens) * 0.4) AS BIGINT) AS budget FROM q),
+         r AS (
+           SELECT doc_id, score, n_tokens,
+             sum(n_tokens) OVER (ORDER BY score DESC, doc_id) AS cum
+           FROM q)
+         SELECT r.doc_id, r.score, r.n_tokens
+         FROM r, tot WHERE r.cum <= tot.budget
+         ORDER BY r.doc_id""",
 
     "t25_lm_perplexity" ->
       """WITH toks AS (SELECT doc_id,

@@ -101,4 +101,66 @@ object Sampling {
     }
     df.withColumn(as, expr)
   }
+
+  /** Token-budget corpus selection: keep the highest-scoring documents
+    * whose cumulative token count fits `budgetTokens` — the "best N tokens"
+    * cut every pretraining data recipe ends with. Semantics are EXACTLY the
+    * greedy prefix of the global (score desc, id asc) ordering: a row is
+    * kept iff its running token sum in that ordering is <= the budget.
+    *
+    * Scale design — the naive form is an unpartitioned window (a global
+    * sort-and-scan through ONE task; the shape PlanAuditSpec exists to
+    * reject). Instead: (1) one aggregate builds a score-bucket histogram —
+    * at most `granularity`+1 rows (scores are clamped to [0,1]) — which is
+    * collected (bounded, metadata-scale; same posture as the skew hot-key
+    * set); (2) the driver walks the histogram from the top to find the
+    * BOUNDARY bucket and the budget remaining above it; (3) buckets above
+    * the boundary are kept by a row-local filter (no shuffle at all), and
+    * only the boundary bucket's rows — bounded by the score distribution,
+    * not the corpus — pay a (bucketed, partitioned) window for the exact
+    * within-bucket prefix. Ties are broken by id, so the cut is
+    * deterministic and engine-reproducible down to the last document.
+    *
+    * Rows with a null score or null/negative token count are excluded up
+    * front (they can be neither ordered nor budgeted). */
+  def tokenBudgetSelect(docs: DataFrame, idCol: String, scoreCol: String,
+                        tokensCol: String, budgetTokens: Long,
+                        granularity: Int = 1000): DataFrame = {
+    require(budgetTokens >= 0, s"tokenBudgetSelect: budget must be >= 0")
+    require(granularity >= 1, s"tokenBudgetSelect: granularity must be >= 1")
+    val clean = docs.filter(col(scoreCol).isNotNull && col(tokensCol).isNotNull &&
+      col(tokensCol) >= 0)
+    val bucket = floor(
+      least(greatest(col(scoreCol), lit(0.0)), lit(1.0)) * granularity).cast("long")
+    val hist = clean.groupBy(bucket.as("_b"))
+      .agg(sum(col(tokensCol).cast("long")).as("_toks"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1)
+    // walk buckets from the best score down: everything above the boundary
+    // fits wholesale; the boundary bucket gets the remaining budget
+    var remaining = budgetTokens
+    var boundary = Long.MinValue
+    var boundaryBudget = 0L
+    val it = hist.iterator
+    var done = false
+    while (it.hasNext && !done) {
+      val (b, t) = it.next()
+      if (t <= remaining) remaining -= t
+      else { boundary = b; boundaryBudget = remaining; done = true }
+    }
+    if (!done) clean // whole corpus fits the budget
+    else {
+      val keptWhole = clean.filter(bucket > boundary)
+      val wPrefix = org.apache.spark.sql.expressions.Window
+        .partitionBy(bucket)
+        .orderBy(col(scoreCol).desc, col(idCol))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val boundaryKept = clean.filter(bucket === boundary)
+        .withColumn("_cum", sum(col(tokensCol).cast("long")).over(wPrefix))
+        .filter(col("_cum") <= boundaryBudget)
+        .drop("_cum")
+      keptWhole.unionByName(boundaryKept)
+    }
+  }
 }

@@ -104,4 +104,62 @@ class SamplingSpec extends SparkTestBase {
       Sampling.deterministicSample(docs, "doc_id", 1.5)
     }
   }
+
+  private def naiveBudgetPrefix(rows: Seq[(Long, Double, Long)],
+                                budget: Long): Set[Long] = {
+    val ordered = rows.sortBy { case (id, s, _) => (-s, id) }
+    var cum = 0L
+    ordered.flatMap { case (id, _, t) =>
+      cum += t
+      if (cum <= budget) Some(id) else None
+    }.toSet
+  }
+
+  test("tokenBudgetSelect equals the naive greedy prefix on random corpora") {
+    val rnd = new scala.util.Random(26)
+    for (trial <- 1 to 4) {
+      // mix of continuous scores, massive tie groups (the boundary-bucket
+      // hard case), zero-token rows, and rows straddling bucket edges
+      val rows = Seq.tabulate(600) { i =>
+        val score =
+          if (i % 3 == 0) 0.5                        // one huge tie group
+          else rnd.nextInt(1001) / 1000.0            // exactly on bucket edges
+        val toks = if (i % 41 == 0) 0L else rnd.nextInt(200).toLong
+        (i.toLong, score, toks)
+      }
+      val total = rows.map(_._3).sum
+      val budget = (total * (trial * 0.22)).toLong
+      val got = Sampling.tokenBudgetSelect(
+          rows.toDF("doc_id", "score", "n_toks"),
+          "doc_id", "score", "n_toks", budget)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == naiveBudgetPrefix(rows, budget),
+        s"trial $trial (budget $budget): ${got.size} vs naive ${naiveBudgetPrefix(rows, budget).size}")
+    }
+  }
+
+  test("tokenBudgetSelect: whole corpus fits; zero budget keeps only zero-token leaders") {
+    val rows = Seq((1L, 0.9, 5L), (2L, 0.8, 5L), (3L, 0.9, 0L))
+    val df = rows.toDF("doc_id", "score", "n_toks")
+    assert(Sampling.tokenBudgetSelect(df, "doc_id", "score", "n_toks", 100L)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // budget 0: prefix is (1, 3) by (score desc, id); doc 3 has 0 tokens but
+    // follows doc 1 (5 tokens) in the order, so cum is already over — only a
+    // zero-token row that LEADS its order prefix survives
+    assert(Sampling.tokenBudgetSelect(df, "doc_id", "score", "n_toks", 0L)
+      .select("doc_id").as[Long].collect().toSet ==
+      naiveBudgetPrefix(rows, 0L))
+  }
+
+  test("tokenBudgetSelect excludes null/negative inputs and validates args") {
+    val df = Seq(
+      (1L, Some(0.9), Some(10L)), (2L, None, Some(10L)),
+      (3L, Some(0.8), None), (4L, Some(0.7), Some(-5L)), (5L, Some(0.6), Some(10L)))
+      .toDF("doc_id", "score", "n_toks")
+    assert(Sampling.tokenBudgetSelect(df, "doc_id", "score", "n_toks", 1000L)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 5L))
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetSelect(df, "doc_id", "score", "n_toks", -1L)
+    }
+  }
 }
