@@ -519,6 +519,23 @@ object SparkEntry {
         .orderBy(col("user_id"), col("d"))
     },
 
+    // ---- Trailing time-range rolling features — 7- and 30-day customer
+    // spend on every order row via a true VALUE-range frame (sparse
+    // histories roll by elapsed days, not row count; same-day orders are
+    // peers, so ties are engine-deterministic). Both lookbacks and the
+    // count share one customer-keyed shuffle and sort ----
+    "q65_rolling_window" -> { (s, dir) =>
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_custkey"),
+        unix_date(col("o_orderdate").cast("date")).cast("long").as("day"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val w7 = Windows.rollingRange(o, Seq(col("o_custkey")), col("day"), 6,
+        Seq(sum(col("cents")) -> "spend_7d_cents", count(lit(1)) -> "n_7d"))
+      Windows.rollingRange(w7, Seq(col("o_custkey")), col("day"), 29,
+          Seq(sum(col("cents")) -> "spend_30d_cents"))
+        .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
+    },
+
     // ---- Profile edge cases: all-NULL column (0 distinct, NULL min/max),
     // constant column, alongside a normal one ----
     "q50_profile_edges" -> { (s, dir) =>
@@ -2469,6 +2486,24 @@ object SparkEntry {
          SELECT part_key, file_id, bytes,
                 CAST(floor(before / 50000) AS BIGINT) AS compaction_group
          FROM w ORDER BY part_key, file_id""",
+
+    "q65_rolling_window" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_custkey,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders)
+         SELECT o_orderkey, o_custkey, day, cents,
+           CAST(sum(cents) OVER w7 AS BIGINT) AS spend_7d_cents,
+           count(*) OVER w7 AS n_7d,
+           CAST(sum(cents) OVER w30 AS BIGINT) AS spend_30d_cents
+         FROM o
+         WINDOW
+           w7 AS (PARTITION BY o_custkey ORDER BY day
+                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),
+           w30 AS (PARTITION BY o_custkey ORDER BY day
+                   RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+         ORDER BY o_custkey, day, o_orderkey""",
 
     "q54_gap_fill" ->
       """WITH daily AS (

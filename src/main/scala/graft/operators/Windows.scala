@@ -136,4 +136,27 @@ object Windows {
       .withColumn("observed", col(valueCol).isNotNull)
       .withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
   }
+
+  /** Trailing time-range rolling aggregates — the "spend in the last 7/30
+    * days" feature every transaction- or event-keyed model consumes. For
+    * each row, every `(aggExpr, name)` is evaluated over the key's rows
+    * whose `orderCol` lies in `[current - lookback, current]` — a true
+    * VALUE-range frame (sparse histories roll by elapsed time, not by row
+    * count; a RANGE frame also makes same-instant rows peers, so ties are
+    * deterministic in any engine). `orderCol` must be an integral
+    * time axis (epoch day/micro) — whole-number arithmetic keeps the
+    * frame bounds engine-exact.
+    *
+    * Scale design: ONE key-partitioned shuffle; all aggregates share the
+    * same window spec, and even stacked calls with DIFFERENT lookbacks
+    * over the same key+axis collapse (CollapseWindow) into a single
+    * Window operator over one sort — spec-pinned in WindowsSpec. */
+  def rollingRange(df: DataFrame, partitionBy: Seq[Column], orderCol: Column,
+                   lookback: Long, aggs: Seq[(Column, String)]): DataFrame = {
+    require(lookback >= 0, s"rollingRange: lookback must be >= 0, got $lookback")
+    require(aggs.nonEmpty, "rollingRange: need at least one aggregate")
+    val w = Window.partitionBy(partitionBy: _*).orderBy(orderCol)
+      .rangeBetween(-lookback, Window.currentRow)
+    aggs.foldLeft(df) { case (d, (a, n)) => d.withColumn(n, a.over(w)) }
+  }
 }

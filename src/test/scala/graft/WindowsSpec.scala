@@ -89,4 +89,65 @@ class WindowsSpec extends SparkTestBase {
       (1L, "2026-01-04", 40L, true),
       (2L, "2026-01-03", 30L, true))) // span of one day, no padding
   }
+
+  test("rollingRange: value-range frame rolls by elapsed time, ties are peers") {
+    val rows = Seq(
+      // key 1: days 1, 2, 9 — day 9 is outside a 7-day trail of day 2
+      (1L, 1L, 10L), (1L, 2L, 20L), (1L, 9L, 40L),
+      // key 2: two same-day rows are RANGE peers (both see both)
+      (2L, 5L, 1L), (2L, 5L, 2L),
+      // key 2: day 11 sees day 5 rows at lookback 6 (11-6=5, inclusive)
+      (2L, 11L, 4L))
+      .toDF("k", "day", "v")
+    val got = Windows.rollingRange(rows, Seq(col("k")), col("day"), 6,
+        Seq(sum(col("v")) -> "s", count(lit(1)) -> "n"))
+      .select("k", "day", "v", "s", "n")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 10L, 10L, 1L), (1L, 2L, 20L, 30L, 2L), (1L, 9L, 40L, 40L, 1L),
+      (2L, 5L, 1L, 3L, 2L), (2L, 5L, 2L, 3L, 2L), (2L, 11L, 4L, 7L, 3L)))
+  }
+
+  test("rollingRange agrees with a driver-side replay on random sparse series") {
+    val rnd = new scala.util.Random(65)
+    val rows = Seq.tabulate(500) { i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(60).toLong, (rnd.nextInt(100) + 1).toLong)
+    }
+    val look = 13L
+    val got = Windows.rollingRange(rows.toDF("k", "day", "v"),
+        Seq(col("k")), col("day"), look, Seq(sum(col("v")) -> "s"))
+      .select("k", "day", "v", "s")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val expected = rows.map { case (k, d, v) =>
+      val s = rows.collect { case (`k`, d2, v2) if d2 >= d - look && d2 <= d => v2 }.sum
+      (k, d, v, s)
+    }.sorted
+    assert(got == expected)
+  }
+
+  test("rollingRange lookbacks over one key+axis share a single shuffle and sort") {
+    val df = Seq.tabulate(200)(i => (i.toLong % 7, i.toLong % 40, i.toLong))
+      .toDF("k", "day", "v")
+    val w7 = Windows.rollingRange(df, Seq(col("k")), col("day"), 6,
+      Seq(sum(col("v")) -> "s7", count(lit(1)) -> "n7"))
+    val plan = Windows.rollingRange(w7, Seq(col("k")), col("day"), 29,
+        Seq(sum(col("v")) -> "s30"))
+      .queryExecution.executedPlan.toString
+    // both frames ride one key-partitioned exchange and one sort, and
+    // CollapseWindow folds every aggregate (both lookbacks included —
+    // frames may differ within one operator) into a single Window pass
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(raw"\bSort \[".r.findAllIn(plan).size == 1, plan)
+    assert(raw"\bWindow \[".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("rollingRange validates its arguments") {
+    val df = Seq((1L, 1L, 1L)).toDF("k", "day", "v")
+    intercept[IllegalArgumentException] {
+      Windows.rollingRange(df, Seq(col("k")), col("day"), -1, Seq(sum(col("v")) -> "s"))
+    }
+    intercept[IllegalArgumentException] {
+      Windows.rollingRange(df, Seq(col("k")), col("day"), 1, Seq.empty)
+    }
+  }
 }
