@@ -71,4 +71,62 @@ object Profile {
         col("n"))
       .orderBy(col("bin"))
   }
+
+  /** EXACT global quantiles of an integral column without a global sort —
+    * the order statistic (p50/p99 latency, price percentiles) that naive
+    * SQL computes with an unpartitioned window (one task scanning the whole
+    * table; the shape PlanAuditSpec exists to reject) and approx sketches
+    * only estimate. Quantiles are given in basis points (`qBp` 5000 = p50)
+    * and resolved with pure integer arithmetic — rank = ceil(qBp*n/10000) =
+    * (qBp*n + 9999) div 10000 — so every engine lands on the same row; the
+    * value at a rank is well-defined under duplicate values, so no
+    * tie-break column is needed.
+    *
+    * Scale design (same posture as Sampling.tokenBudgetSelect): (1) one
+    * (min, max, count) aggregate; (2) one map-side-combined groupBy builds
+    * an equi-width histogram of at most `granularity`+1 buckets, collected
+    * (bounded, metadata-scale); (3) the driver walks cumulative counts to
+    * locate each target rank's bucket and in-bucket offset; (4) ONLY the
+    * target buckets' rows — a ~1/granularity fraction of the corpus each,
+    * bounded by the distribution — pay a bucket-PARTITIONED row_number, and
+    * a broadcast join against the driver's (bucket, offset) targets picks
+    * the exact rows. Three passes over a pushed-down one-column scan; no
+    * global sort anywhere. */
+  def exactQuantiles(df: DataFrame, valueCol: String, qBp: Seq[Int],
+                     granularity: Int = 1000): DataFrame = {
+    require(qBp.nonEmpty, "exactQuantiles: need at least one quantile")
+    qBp.foreach(q => require(q >= 1 && q <= 10000,
+      s"exactQuantiles: quantiles are basis points in [1, 10000], got $q"))
+    require(granularity >= 1, s"exactQuantiles: granularity must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val clean = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("_v"))
+    val stats = clean.agg(min(col("_v")), max(col("_v")), count(lit(1))).head()
+    val empty = Seq.empty[(Long, Long, Long)].toDF("q_bp", "rk", "_off")
+      .select(col("q_bp"), col("rk"), lit(0L).as("value"), lit(0L).as("n"))
+    if (stats.isNullAt(0)) return empty
+    val (mn, mx, n) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    val width = math.max(1L, (mx - mn) / granularity + 1)
+    // integral DIV, not floating floor(a/b): exact at any magnitude
+    val bucketed = clean.withColumn("_b", expr(s"(_v - ${mn}L) DIV ${width}L"))
+    val hist = bucketed.groupBy(col("_b")).agg(count(lit(1)).as("_c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val targets = qBp.sorted.distinct.map { q =>
+      val rk = (q.toLong * n + 9999L) / 10000L // ceil(q*n/10000), integer-exact
+      var cum = 0L
+      val (b, cumBefore) = hist.iterator.map { case (b, c) =>
+        val before = cum; cum += c; (b, before, cum)
+      }.find(_._3 >= rk).map(t => (t._1, t._2)).get // rk <= n, always found
+      (q.toLong, rk, b, rk - cumBefore)
+    }
+    val targetDf = targets.toDF("q_bp", "rk", "_tb", "_off")
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_b")).orderBy(col("_v"))
+    bucketed.filter(col("_b").isin(targets.map(_._3): _*))
+      .withColumn("_rn", row_number().over(wb).cast("long"))
+      .join(broadcast(targetDf), col("_b") === col("_tb") && col("_rn") === col("_off"))
+      .select(col("q_bp"), col("rk"), col("_v").as("value"), lit(n).as("n"))
+      .orderBy(col("q_bp"))
+  }
 }

@@ -50,4 +50,56 @@ class ProfileSpec extends SparkTestBase {
     val df = Seq.empty[Option[Double]].toDF("v")
     assert(Profile.histogram(df, "v", bins = 3).isEmpty)
   }
+
+  private def naiveQuantiles(vs: Seq[Long], qBp: Seq[Int]): Seq[(Long, Long, Long, Long)] = {
+    val sorted = vs.sorted
+    val n = vs.size.toLong
+    qBp.sorted.distinct.map { q =>
+      val rk = (q.toLong * n + 9999L) / 10000L
+      (q.toLong, rk, sorted((rk - 1).toInt), n)
+    }
+  }
+
+  test("exactQuantiles matches the naive sorted-rank answer, ties included") {
+    val rnd = new scala.util.Random(66)
+    val vs = Seq.fill(3000)(rnd.nextInt(200).toLong - 100) // heavy duplicates
+    val qs = Seq(1, 2500, 5000, 7500, 9900, 10000)
+    val got = Profile.exactQuantiles(vs.toDF("v"), "v", qs, granularity = 37)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == naiveQuantiles(vs, qs))
+  }
+
+  test("exactQuantiles is granularity-invariant (1 bucket to 1 per value)") {
+    val rnd = new scala.util.Random(67)
+    val vs = Seq.fill(500)(rnd.nextLong() % 1000000)
+    val qs = Seq(500, 5000, 9500)
+    val expected = naiveQuantiles(vs, qs)
+    for (g <- Seq(1, 10, 1000000)) {
+      val got = Profile.exactQuantiles(vs.toDF("v"), "v", qs, granularity = g)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(got == expected, s"granularity=$g")
+    }
+  }
+
+  test("exactQuantiles: constant column, nulls excluded, empty input") {
+    val const = Profile.exactQuantiles(Seq(5L, 5L, 5L).toDF("v"), "v", Seq(5000))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(const == Seq((5000L, 2L, 5L, 3L)))
+    val withNulls = Profile.exactQuantiles(
+        Seq(Some(1L), None, Some(3L), None).toDF("v"), "v", Seq(10000))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(withNulls == Seq((10000L, 2L, 3L, 2L))) // nulls neither rank nor count
+    assert(Profile.exactQuantiles(
+      Seq.empty[Option[Long]].toDF("v"), "v", Seq(5000)).isEmpty)
+  }
+
+  test("exactQuantiles validates its arguments") {
+    val df = Seq(1L).toDF("v")
+    intercept[IllegalArgumentException] { Profile.exactQuantiles(df, "v", Nil) }
+    intercept[IllegalArgumentException] { Profile.exactQuantiles(df, "v", Seq(0)) }
+    intercept[IllegalArgumentException] { Profile.exactQuantiles(df, "v", Seq(10001)) }
+    intercept[IllegalArgumentException] {
+      Profile.exactQuantiles(df, "v", Seq(5000), granularity = 0)
+    }
+  }
 }
