@@ -457,6 +457,17 @@ object SparkEntry {
       Profile.histogram(Tables.orders(s, dir), "o_totalprice", bins = 20)
     },
 
+    // ---- EXACT global quantiles (p25/p50/p75/p90/p99 price) WITHOUT a
+    // global sort: bounded histogram collect + driver rank walk + a
+    // bucket-partitioned row_number over only the target buckets; ranks
+    // are pure integer arithmetic so every engine lands on the same row ----
+    "q66_exact_quantiles" -> { (s, dir) =>
+      Profile.exactQuantiles(
+        Tables.lineitem(s, dir)
+          .select(floor(col("l_extendedprice") * 100).cast("long").as("cents")),
+        "cents", Seq(2500, 5000, 7500, 9000, 9900))
+    },
+
     // ---- Histogram edge cases: constant column (zero bin width), a
     // single-row frame, and an all-NULL column (which must emit NOTHING,
     // not a NaN-edged bin) ----
@@ -1627,6 +1638,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- Text: deterministic weighted sampling (A-Res over the id-hash
+    // uniform) — quality-weighted source mixing, key row-local, top-k a
+    // TakeOrderedAndProject; power-of-two weights keep pow() engine-exact ----
+    "t27_weighted_sample" -> { (s, dir) =>
+      val w = when(col("source") === "src0", 8.0)
+        .when(col("source") === "src1", 4.0)
+        .when(col("source") === "src2", 2.0)
+        .otherwise(1.0)
+      Sampling.weightedSample(Tables.documents(s, dir), "doc_id", w, k = 150)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- Text: cross-doc boilerplate removal (CCNet line-dedup shape over
     // token-window units; text never crosses the frequency shuffle) ----
     "t21_boilerplate" -> { (s, dir) =>
@@ -2555,6 +2579,22 @@ object SparkEntry {
          SELECT bin, mn + bin * w AS bin_lo, mn + (bin + 1) * w AS bin_hi,
                 CAST(count(*) AS BIGINT) AS n
          FROM b GROUP BY bin, mn, w ORDER BY bin""",
+
+    // ranks via integer arithmetic ((q_bp*n + 9999) // 10000) — float ceil
+    // of q*n would straddle engines' rounding on non-dyadic quantiles
+    "q66_exact_quantiles" ->
+      """WITH v AS (
+           SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS c
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         ranked AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v),
+         cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+         qs(q_bp) AS (VALUES (2500),(5000),(7500),(9000),(9900)),
+         tgt AS (SELECT CAST(q_bp AS BIGINT) AS q_bp,
+                        (CAST(q_bp AS BIGINT) * cnt.n + 9999) // 10000 AS rk,
+                        cnt.n AS n FROM qs, cnt)
+         SELECT t.q_bp AS q_bp, t.rk AS rk, r.c AS value, t.n AS n
+         FROM tgt t JOIN ranked r ON r.rn = t.rk
+         ORDER BY t.q_bp""",
 
     "q45_incremental_agg" ->
       """WITH n AS (SELECT c_custkey, CAST(floor(c_acctbal) AS BIGINT) + c_custkey % 3 AS bal, c_mktsegment AS seg
@@ -3728,6 +3768,19 @@ object SparkEntry {
          SELECT r.doc_id, r.score, r.n_tokens
          FROM r, tot WHERE r.cum <= tot.budget
          ORDER BY r.doc_id""",
+
+    "t27_weighted_sample" ->
+      """WITH s AS (
+           SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 8.0 WHEN 'src1' THEN 4.0
+                         WHEN 'src2' THEN 2.0 ELSE 1.0 END AS w,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,12)) AS BIGINT)
+                  % 1000000 AS DOUBLE) / 1000000 AS u
+           FROM documents),
+         top AS (
+           SELECT doc_id, source FROM s
+           ORDER BY pow(u, 1.0 / w) DESC, doc_id LIMIT 150)
+         SELECT doc_id, source FROM top ORDER BY doc_id""",
 
     "t25_lm_perplexity" ->
       """WITH toks AS (SELECT doc_id,
