@@ -102,6 +102,30 @@ object Sampling {
     df.withColumn(as, expr)
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement — the
+    * quality-weighted corpus cut ("prefer wiki 8:1 over web crawl") done as
+    * Efraimidis–Spirakis A-Res over the id-hash uniform instead of an RNG:
+    * each row gets key = u^(1/w) with u = [[hashFraction]](id), and the
+    * global top-k keys are the sample. Inclusion probability scales with
+    * weight, membership is a pure function of (id, weight) — reproducible
+    * across runs, engines, and cluster layouts, like every sampler here.
+    * Rows with null or non-positive weight are excluded (they cannot be
+    * drawn). Ties (id-hash collisions at equal weight) break by id.
+    *
+    * Scale design: the key is row-local (no shuffle to score), and top-k
+    * is a TakeOrderedAndProject — per-partition heaps merged once, never a
+    * global sort. Prefer power-of-two weights where exactness across
+    * engines matters: 1/w is then a dyadic exponent and pow() agrees to
+    * the last bit. */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+                     k: Int): DataFrame = {
+    require(k >= 0, s"weightedSample: k must be >= 0, got $k")
+    val key = pow(hashFraction(col(idCol)), lit(1.0) / weight)
+    df.filter(weight.isNotNull && weight > 0)
+      .orderBy(key.desc, col(idCol))
+      .limit(k)
+  }
+
   /** Token-budget corpus selection: keep the highest-scoring documents
     * whose cumulative token count fits `budgetTokens` — the "best N tokens"
     * cut every pretraining data recipe ends with. Semantics are EXACTLY the

@@ -151,6 +151,41 @@ class SamplingSpec extends SparkTestBase {
       naiveBudgetPrefix(rows, 0L))
   }
 
+  /** JVM replay of hashFraction: md5 of the id string, first 12 hex chars
+    * as a long, mod 1e6, over 1e6 — the exact Spark/DuckDB arithmetic. */
+  private def hashU(id: Long): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 12)
+    (java.lang.Long.parseLong(hex, 16) % 1000000L).toDouble / 1000000.0
+  }
+
+  test("weightedSample equals the driver-side A-Res replay") {
+    val rows = Seq.tabulate(2000)(i => (i.toLong, if (i % 2 == 0) 8.0 else 1.0))
+    val k = 300
+    val got = Sampling.weightedSample(
+        rows.toDF("doc_id", "w").repartition(7), "doc_id", col("w"), k)
+      .select("doc_id").as[Long].collect().toSet
+    val expected = rows
+      .map { case (id, w) => (id, math.pow(hashU(id), 1.0 / w)) }
+      .sortBy { case (id, key) => (-key, id) }
+      .take(k).map(_._1).toSet
+    assert(got == expected)
+    // inclusion scales with weight: the 8x stratum dominates the draw
+    val heavy = expected.count(_ % 2 == 0)
+    assert(heavy > 2 * (k - heavy), s"heavy=$heavy of $k")
+  }
+
+  test("weightedSample excludes null and non-positive weights, validates k") {
+    val df = Seq((1L, Some(1.0)), (2L, None), (3L, Some(0.0)), (4L, Some(-2.0)))
+      .toDF("doc_id", "w")
+    assert(Sampling.weightedSample(df, "doc_id", col("w"), 10)
+      .select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    intercept[IllegalArgumentException] {
+      Sampling.weightedSample(df, "doc_id", col("w"), -1)
+    }
+  }
+
   test("tokenBudgetSelect excludes null/negative inputs and validates args") {
     val df = Seq(
       (1L, Some(0.9), Some(10L)), (2L, None, Some(10L)),
