@@ -1638,6 +1638,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- Text: curriculum decile bucketing — ntile/percent_rank/cume_dist
+    // per language over a TOTAL order (score desc, doc_id), so tile
+    // boundaries are engine-deterministic; one lang-keyed shuffle serves
+    // all three rank functions ----
+    "t28_curriculum_deciles" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("quality_score").desc, col("doc_id"))
+      TextAnalysis.qualitySignals(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("lang"), col("quality_score"))
+        .withColumn("decile", ntile(10).over(w).cast("long")) // DuckDB ntile is BIGINT
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("cd", round(cume_dist().over(w), 6))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- Text: deterministic weighted sampling (A-Res over the id-hash
     // uniform) — quality-weighted source mixing, key row-local, top-k a
     // TakeOrderedAndProject; power-of-two weights keep pow() engine-exact ----
@@ -3768,6 +3784,33 @@ object SparkEntry {
          SELECT r.doc_id, r.score, r.n_tokens
          FROM r, tot WHERE r.cum <= tot.budget
          ORDER BY r.doc_id""",
+
+    "t28_curriculum_deciles" ->
+      """WITH t AS (
+           SELECT doc_id, lang, text,
+                  regexp_split_to_array(trim(text), '\s+') AS toks,
+                  length(text) AS n_chars,
+                  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct
+           FROM documents),
+         m AS (
+           SELECT doc_id, lang, length(toks) AS n_tokens,
+                  round(CAST(punct AS DOUBLE) / greatest(n_chars, 1), 6) AS punct_ratio,
+                  round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                        / greatest(length(toks), 1), 6) AS mean_token_len
+           FROM t),
+         q AS (
+           SELECT doc_id, lang,
+                  round((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+                      + (CASE WHEN punct_ratio <= 0.1 THEN 0.3 ELSE 0.0 END)
+                      + (CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END), 2) AS quality_score
+           FROM m)
+         SELECT doc_id, lang, quality_score,
+                ntile(10) OVER w AS decile,
+                round(percent_rank() OVER w, 6) AS pr,
+                round(cume_dist() OVER w, 6) AS cd
+         FROM q
+         WINDOW w AS (PARTITION BY lang ORDER BY quality_score DESC, doc_id)
+         ORDER BY doc_id""",
 
     "t27_weighted_sample" ->
       """WITH s AS (
