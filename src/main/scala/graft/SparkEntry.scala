@@ -457,6 +457,15 @@ object SparkEntry {
       Profile.histogram(Tables.orders(s, dir), "o_totalprice", bins = 20)
     },
 
+    // ---- Distribution drift (PSI) between the first and second half of
+    // the event stream — shared equi-width bins over the combined range,
+    // both slices' counts in ONE groupBy pass, psi floored at 1e-4 so
+    // empty bins stay finite; round(6) kills libm ln() ulp skew ----
+    "q67_drift_psi" -> { (s, dir) =>
+      Profile.driftPsi(Tables.events(s, dir), "value",
+        col("ts") < lit("2024-01-16").cast("timestamp"), bins = 20)
+    },
+
     // ---- EXACT global quantiles (p25/p50/p75/p90/p99 price) WITHOUT a
     // global sort: bounded histogram collect + driver rank walk + a
     // bucket-partitioned row_number over only the target buckets; ranks
@@ -2595,6 +2604,31 @@ object SparkEntry {
          SELECT bin, mn + bin * w AS bin_lo, mn + (bin + 1) * w AS bin_hi,
                 CAST(count(*) AS BIGINT) AS n
          FROM b GROUP BY bin, mn, w ORDER BY bin""",
+
+    // ts compared at micros (epoch_us) on both sides — Spark truncates the
+    // parquet nanos to micros at read, DuckDB keeps TIMESTAMP_NS
+    "q67_drift_psi" ->
+      """WITH e AS (
+           SELECT CAST(value AS DOUBLE) AS v,
+                  epoch_us(ts) < epoch_us(TIMESTAMP '2024-01-16') AS b
+           FROM events WHERE value IS NOT NULL),
+         s AS (SELECT min(v) AS mn, max(v) AS mx FROM e),
+         binned AS (
+           SELECT CASE WHEN (mx - mn) / 20 = 0 THEN 0
+                  ELSE CAST(least(floor((v - mn) / ((mx - mn) / 20)), 19) AS INTEGER)
+                  END AS bin, b
+           FROM e, s),
+         c AS (SELECT bin,
+                 CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+                 CAST(sum(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_curr
+               FROM binned GROUP BY bin),
+         t AS (SELECT sum(n_base) AS tb, sum(n_curr) AS tc FROM c),
+         pq AS (SELECT bin, n_base, n_curr,
+                 greatest(CASE WHEN tb > 0 THEN CAST(n_base AS DOUBLE) / tb ELSE 0 END, 0.0001) AS p,
+                 greatest(CASE WHEN tc > 0 THEN CAST(n_curr AS DOUBLE) / tc ELSE 0 END, 0.0001) AS q
+               FROM c, t)
+         SELECT bin, n_base, n_curr, round((p - q) * ln(p / q), 6) AS psi
+         FROM pq ORDER BY bin""",
 
     // ranks via integer arithmetic ((q_bp*n + 9999) // 10000) — float ceil
     // of q*n would straddle engines' rounding on non-dyadic quantiles

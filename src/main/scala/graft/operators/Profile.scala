@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Table profiling — the ANALYZE-style stats pass every warehouse runs
@@ -69,6 +69,49 @@ object Profile {
         (col("_min") + col("bin") * col("_w")).as("bin_lo"),
         (col("_min") + (col("bin") + 1) * col("_w")).as("bin_hi"),
         col("n"))
+      .orderBy(col("bin"))
+  }
+
+  /** Population Stability Index between a baseline and a current slice of
+    * one column — the drift monitor every long-running ingest needs (did
+    * this month's `value` distribution move vs last month's?). Bins are
+    * equi-width over the COMBINED range so both slices share boundaries;
+    * per-bin psi = (p - q) * ln(p / q) with proportions floored at
+    * `probFloor` so an empty bin contributes a large-but-finite term
+    * instead of ±inf. Total PSI is the sum of the `psi` column ( < 0.1
+    * stable, > 0.25 drifted, by the usual credit-scoring rule of thumb).
+    * Rows with a null value or null slice flag are excluded.
+    *
+    * Scale design: same as [[histogram]] — one tiny (min, max) aggregate
+    * broadcast back, one map-side-combined groupBy over at most `bins`
+    * keys carrying BOTH slices' conditional counts in a single pass, then
+    * a one-row totals attach. Two scans of a pushed-down one-column
+    * projection; psi is rounded to 6 so libm ln() ulp differences cannot
+    * leak across engines. */
+  def driftPsi(df: DataFrame, valueCol: String, isBaseline: Column, bins: Int,
+               probFloor: Double = 1e-4): DataFrame = {
+    require(bins >= 1, s"driftPsi: bins must be >= 1, got $bins")
+    require(probFloor > 0 && probFloor < 1,
+      s"driftPsi: probFloor must be in (0, 1), got $probFloor")
+    val v = col(valueCol).cast("double")
+    val rows = df.filter(v.isNotNull && isBaseline.isNotNull)
+      .select(v.as("_v"), isBaseline.cast("boolean").as("_base"))
+    val stats = rows.agg(min(col("_v")).as("_min"), max(col("_v")).as("_max"))
+    val width = (col("_max") - col("_min")) / bins
+    val bin = when(width === 0.0, lit(0))
+      .otherwise(least(floor((col("_v") - col("_min")) / width), lit(bins - 1)).cast("int"))
+    val counts = rows.crossJoin(broadcast(stats))
+      .groupBy(bin.as("bin"))
+      .agg(sum(when(col("_base"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(!col("_base"), 1L).otherwise(0L)).as("n_curr"))
+    val totals = counts.agg(sum(col("n_base")).as("_tb"), sum(col("n_curr")).as("_tc"))
+    def prop(n: Column, tot: Column) =
+      greatest(when(tot > 0, n.cast("double") / tot).otherwise(0.0), lit(probFloor))
+    val p = prop(col("n_base"), col("_tb"))
+    val q = prop(col("n_curr"), col("_tc"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_base"), col("n_curr"),
+        round((p - q) * log(p / q), 6).as("psi"))
       .orderBy(col("bin"))
   }
 

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.Profile
 
 /** ANALYZE-style table profiling: null/distinct accounting and the
@@ -91,6 +93,50 @@ class ProfileSpec extends SparkTestBase {
     assert(withNulls == Seq((10000L, 2L, 3L, 2L))) // nulls neither rank nor count
     assert(Profile.exactQuantiles(
       Seq.empty[Option[Long]].toDF("v"), "v", Seq(5000)).isEmpty)
+  }
+
+  test("driftPsi matches a driver-side replay and sums near zero for identical slices") {
+    val rnd = new scala.util.Random(68)
+    val rows = Seq.fill(4000)((rnd.nextGaussian() * 10 + 50, rnd.nextBoolean()))
+    val bins = 10
+    val got = Profile.driftPsi(rows.toDF("v", "b"), "v", col("b"), bins)
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    // driver replay with identical arithmetic
+    val vs = rows.map(_._1)
+    val (mn, mx) = (vs.min, vs.max)
+    val width = (mx - mn) / bins
+    def binOf(v: Double) = math.min(math.floor((v - mn) / width), bins - 1).toInt
+    val byBin = rows.groupBy(r => binOf(r._1))
+    val tb = rows.count(_._2).toDouble
+    val tc = rows.size - tb
+    val expected = byBin.toSeq.sortBy(_._1).map { case (b, rs) =>
+      val nb = rs.count(_._2).toLong
+      val nc = rs.size - nb
+      val p = math.max(nb / tb, 1e-4)
+      val q = math.max(nc / tc, 1e-4)
+      (b, nb, nc, BigDecimal((p - q) * math.log(p / q))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got == expected)
+    // two draws from the same distribution: total PSI is tiny
+    assert(math.abs(got.map(_._4).sum) < 0.05)
+  }
+
+  test("driftPsi: a shifted slice drifts, an empty bin stays finite") {
+    val base = Seq.tabulate(1000)(i => (i % 100 * 1.0, true))
+    val curr = Seq.tabulate(1000)(i => (i % 100 * 1.0 + 150, false)) // disjoint range
+    val got = Profile.driftPsi((base ++ curr).toDF("v", "b"), "v", col("b"), 5)
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(got.forall(r => !r._4.isInfinite && !r._4.isNaN))
+    assert(got.map(_._4).sum > 0.25, s"disjoint slices must read as drifted: $got")
+  }
+
+  test("driftPsi validates its arguments") {
+    val df = Seq((1.0, true)).toDF("v", "b")
+    intercept[IllegalArgumentException] { Profile.driftPsi(df, "v", col("b"), 0) }
+    intercept[IllegalArgumentException] {
+      Profile.driftPsi(df, "v", col("b"), 5, probFloor = 0.0)
+    }
   }
 
   test("exactQuantiles validates its arguments") {
