@@ -1229,6 +1229,25 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // ---- Multimodal: PERCEPTUAL near-dup over real decoded pixels —
+    // dHash (block-mean neighbor bits) of seeded-pattern PNGs, banded
+    // candidates + exact hamming verify; ten-doc pattern groups keep the
+    // true-pair population LINEAR in corpus size, and the one-cell patch
+    // on doc_id%3==0 is the controlled near-duplicate. The oracle replays
+    // encode->decode->dHash entirely in integer pixel arithmetic ----
+    "m13_dhash_neardup" -> { (s, dir) =>
+      val d = Tables.documents(s, dir).select(
+        col("doc_id"),
+        (expr("(doc_id DIV 10) % 40") + 9).cast("int").as("_w"),
+        (expr("(doc_id DIV 10) % 24") + 8).cast("int").as("_h"),
+        ((expr("doc_id DIV 10") + 1) * 2654435761L).as("_seed"),
+        when(col("doc_id") % 3 === 0, 60).otherwise(0).as("_delta"))
+      Multimodal.dHashNearDup(
+          Multimodal.encodePngPattern(d, "doc_id", "_w", "_h", "_seed", "_delta"),
+          "asset_id", "payload")
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // ---- Multimodal: binary asset stats (size / hash / magic sniff) ----
     "m01_binary_stats" -> { (s, dir) =>
       Multimodal.binaryStats(syntheticAssets(s, dir), "doc_id", "payload")
@@ -3429,6 +3448,41 @@ object SparkEntry {
       """SELECT o_orderstatus, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, count(*) AS n
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY 1 ORDER BY 1""",
+
+    // replays encodePngPattern -> decode -> dHash in pure integer pixel
+    // arithmetic: enumerate pixels, block means via integral division,
+    // neighbor bits, banded candidates, exact hamming — if Spark's REAL
+    // ImageIO decode dropped or altered one pixel, the means (and the
+    // hash gate) would move
+    "m13_dhash_neardup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 10 AS g,
+                  9 + (doc_id // 10) % 40 AS w, 8 + (doc_id // 10) % 24 AS h,
+                  CASE WHEN doc_id % 3 = 0 THEN 60 ELSE 0 END AS delta
+           FROM documents),
+         px AS (SELECT doc_id, w, h, x, y,
+                 least(((g+1) * 2654435761 * (x*31 + y*17 + 1)) % 251
+                       + CASE WHEN x*8//w = 2 AND y*8//h = 3 THEN delta ELSE 0 END,
+                       255) AS v
+                FROM d CROSS JOIN LATERAL unnest(range(0, w)) AS tx(x)
+                       CROSS JOIN LATERAL unnest(range(0, h)) AS ty(y)),
+         cells AS (SELECT doc_id, y*8//h AS r, x*8//w AS c, sum(v)//count(*) AS m
+                   FROM px GROUP BY 1, 2, 3),
+         bits AS (SELECT a.doc_id, a.r, a.c,
+                    CASE WHEN a.m < b.m THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+                  FROM cells a JOIN cells b
+                    ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+                  WHERE a.c < 7),
+         hash AS (SELECT doc_id, sum(bit << (r*7+c)) AS fp FROM bits GROUP BY 1),
+         banded AS (SELECT doc_id, k, (fp >> CAST(k*14 AS INTEGER)) & 16383 AS bucket
+                    FROM hash CROSS JOIN LATERAL unnest(range(0, 4)) AS tk(k)),
+         cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+                  FROM banded a JOIN banded b
+                    ON a.k = b.k AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         pairs AS (SELECT ia, ib, bit_count(xor(ha.fp, hb.fp)) AS ham
+                   FROM cand JOIN hash ha ON ha.doc_id = ia
+                             JOIN hash hb ON hb.doc_id = ib)
+         SELECT ia AS id_a, ib AS id_b, CAST(ham AS INTEGER) AS hamming
+         FROM pairs WHERE ham <= 3 ORDER BY 1, 2""",
 
     "m06_frame_neardup" ->
       """WITH a AS (

@@ -697,6 +697,149 @@ object Multimodal {
         col("content"))
   }
 
+  /** Seeded-pattern PNG generator — the proof-image twin of [[encodePng]]
+    * for PERCEPTUAL tests: gray(x, y) = min(seed*(x*31 + y*17 + 1) mod 251
+    * + patch, 255) with all channels equal (so Rec.601 luminance == gray
+    * exactly), where `patch` adds `deltaCol` inside ONE `grid`x`grid` dHash
+    * cell (`patchR`, `patchC`). Every term is integer arithmetic on (seed,
+    * delta, x, y), so an oracle enumerates the pixels and replays the
+    * produced image without decoding anything. Same-seed images are
+    * identical; a non-zero delta perturbs exactly one cell — the
+    * controlled near-duplicate. */
+  def encodePngPattern(df: DataFrame, idCol: String, wCol: String, hCol: String,
+                       seedCol: String, deltaCol: String, grid: Int = 8,
+                       patchR: Int = 3, patchC: Int = 2): DataFrame = {
+    require(grid >= 2, s"encodePngPattern: grid must be >= 2, got $grid")
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    val input = df.select(col(idCol).cast("long"), col(wCol).cast("int"),
+      col(hCol).cast("int"), col(seedCol).cast("long"), col(deltaCol).cast("int"))
+    val enc = RowEncoder.encoderFor(schema)
+    input.mapPartitions { rows =>
+      val writer = pngWriter()
+      rows.map { r =>
+        val (id, w, h) = (r.getLong(0), r.getInt(1), r.getInt(2))
+        val (seed, delta) = (r.getLong(3), r.getInt(4))
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val patch = if (x * grid / w == patchC && y * grid / h == patchR) delta else 0
+            val v = math.min((seed * (x * 31 + y * 17 + 1)) % 251 + patch, 255L).toInt
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        Row(id, writeImage(writer, img))
+      }
+    }(enc)
+  }
+
+  /** Difference hash (dHash) over DECODED PIXELS — the perceptual
+    * fingerprint image dedup pipelines run where byte hashes fail (a
+    * re-encoded or brightness-shifted copy keeps its dHash): integer
+    * Rec.601 luminance per pixel, block means over a `grid`x`grid` cell
+    * partition (cell of x = x*grid/w — integral, engine-exact), one bit
+    * per horizontal neighbor comparison mean(r,c) < mean(r,c+1), packed
+    * LSB-first at index r*(grid-1)+c. grid=8 gives 56 bits — inside a
+    * signed 64-bit long on every engine, no sign-bit straddling.
+    * Undecodable payloads and images smaller than the grid yield a NULL
+    * fingerprint (callers exclude them). Row-local mapPartitions, no
+    * shuffle, O(pixels) per row. */
+  def dHash(df: DataFrame, idCol: String, binCol: String, grid: Int = 8): DataFrame = {
+    require(grid >= 2 && (grid - 1) * grid <= 63,
+      s"dHash: need 2 <= grid and (grid-1)*grid <= 63 bits, got $grid")
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("dhash", LongType)))
+    val input = df.select(col(idCol).cast("long"), col(binCol))
+    val enc = RowEncoder.encoderFor(schema)
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val img = readImage(r.getAs[Array[Byte]](1))
+        if (img == null || img.getWidth < grid || img.getHeight < grid) Row(id, null)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val sum = Array.ofDim[Long](grid, grid)
+          val cnt = Array.ofDim[Long](grid, grid)
+          var y = 0
+          while (y < h) {
+            val cr = y * grid / h
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (77 * ((rgb >> 16) & 0xFF) + 151 * ((rgb >> 8) & 0xFF) +
+                28 * (rgb & 0xFF)) >> 8
+              val cc = x * grid / w
+              sum(cr)(cc) += lum
+              cnt(cr)(cc) += 1
+              x += 1
+            }
+            y += 1
+          }
+          var fp = 0L
+          var cr = 0
+          while (cr < grid) {
+            var cc = 0
+            while (cc < grid - 1) {
+              if (sum(cr)(cc) / cnt(cr)(cc) < sum(cr)(cc + 1) / cnt(cr)(cc + 1))
+                fp |= 1L << (cr * (grid - 1) + cc)
+              cc += 1
+            }
+            cr += 1
+          }
+          Row(id, fp)
+        }
+      }
+    }(enc)
+  }
+
+  /** Perceptual near-dup over decoded images: [[dHash]] fingerprints,
+    * banded bucketing for candidates (lossless for maxHamming < bands —
+    * a pair within the radius shares at least one intact band), exact
+    * hamming verify. The same verify-before-distinct economics as
+    * `Dedup.simhashNearDup` (xor + popcount is cheaper than a distinct
+    * over raw band collisions); the fingerprint frame is localCheckpointed
+    * so the decode kernel — the dominant cost — runs ONCE, not once per
+    * plan leg. Hot buckets (a constant-background corpus) are capped at
+    * `maxBucketSize`, trading recall on degenerate patterns for a bounded
+    * join, like every LSH operator here. */
+  def dHashNearDup(df: DataFrame, idCol: String, binCol: String, grid: Int = 8,
+                   bands: Int = 4, maxHamming: Int = 3,
+                   maxBucketSize: Int = 1000): DataFrame = {
+    val bits = (grid - 1) * grid
+    require(bits % bands == 0, s"dHashNearDup: $bits bits must divide into $bands bands")
+    require(maxHamming < bands,
+      s"banding is lossless only for maxHamming < bands, got $maxHamming >= $bands")
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    val fp = dHash(df, idCol, binCol, grid)
+      .filter(col("dhash").isNotNull).localCheckpoint(false)
+    val banded = fp.select(col("asset_id"), posexplode(array((0 until bands).map(b =>
+        shiftright(col("dhash"), b * bandBits).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val sized = banded.withColumn("_sz", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
+    val capped = sized.filter(col("_sz") <= maxBucketSize).drop("_sz")
+      .localCheckpoint(false)
+    val a = capped.select(col("band"), col("bucket"), col("asset_id").as("id_a"))
+    val b = capped.select(col("band"), col("bucket"), col("asset_id").as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .join(fp.select(col("asset_id").as("id_a"), col("dhash").as("_fp_a")), "id_a")
+      .join(fp.select(col("asset_id").as("id_b"), col("dhash").as("_fp_b")), "id_b")
+      .withColumn("hamming", Dedup.hammingDistance(col("_fp_a"), col("_fp_b"), bits))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
+  }
+
   /** Hadoop `Configuration` is not `java.io.Serializable`; this holder
     * ships it to executors via its own Writable round trip (the same trick
     * Spark uses internally, whose helper is `private[spark]`). Carries the

@@ -290,4 +290,57 @@ class MultimodalSpec extends SparkTestBase {
     assert(got.toSeq == Seq(
       (10L, "png", 5, 3, 15L), (11L, "png", 1, 1, 1L), (12L, "png", 300, 200, 60000L)))
   }
+
+  /** Driver replay of the encodePngPattern -> dHash chain: pixel formula,
+    * block means, neighbor bits — the arithmetic the DuckDB oracle uses. */
+  private def replayDHash(w: Int, h: Int, seed: Long, delta: Int,
+                          grid: Int = 8): Long = {
+    val sum = Array.ofDim[Long](grid, grid)
+    val cnt = Array.ofDim[Long](grid, grid)
+    for (y <- 0 until h; x <- 0 until w) {
+      val patch = if (x * grid / w == 2 && y * grid / h == 3) delta else 0
+      val v = math.min((seed * (x * 31 + y * 17 + 1)) % 251 + patch, 255L)
+      sum(y * grid / h)(x * grid / w) += v
+      cnt(y * grid / h)(x * grid / w) += 1
+    }
+    (for (r <- 0 until grid; c <- 0 until grid - 1
+          if sum(r)(c) / cnt(r)(c) < sum(r)(c + 1) / cnt(r)(c + 1))
+      yield 1L << (r * (grid - 1) + c)).sum
+  }
+
+  test("dHash over real decoded pixels equals the integer-arithmetic replay") {
+    val specs = Seq((1L, 40, 24, 7L, 0), (2L, 9, 8, 13L, 0), (3L, 33, 17, 7L, 60))
+    val df = specs.toDF("doc_id", "_w", "_h", "_seed", "_delta")
+    val got = Multimodal.dHash(
+        Multimodal.encodePngPattern(df, "doc_id", "_w", "_h", "_seed", "_delta"),
+        "asset_id", "payload")
+      .orderBy("asset_id").as[(Long, Long)].collect().toSeq
+    val expected = specs.map { case (id, w, h, s, d) => (id, replayDHash(w, h, s, d)) }
+    assert(got == expected)
+  }
+
+  test("dHash: undecodable payload and sub-grid image yield NULL") {
+    val tiny = Multimodal.encodePngPattern(
+      Seq((1L, 4, 4, 7L, 0)).toDF("doc_id", "_w", "_h", "_seed", "_delta"),
+      "doc_id", "_w", "_h", "_seed", "_delta")
+    val garbage = Seq((2L, bytes("not an image"))).toDF("asset_id", "payload")
+    val got = Multimodal.dHash(tiny.unionByName(garbage), "asset_id", "payload")
+      .orderBy("asset_id").collect()
+    assert(got.forall(_.isNullAt(1)))
+  }
+
+  test("dHashNearDup: same pattern pairs at 0, one-cell patch stays in radius, distinct patterns do not pair") {
+    // ids 1,2 share a seed (identical image); 3 is 1 with a one-cell patch
+    // (near-dup); 4 is an unrelated seed; 5 is garbage (excluded)
+    val imgs = Multimodal.encodePngPattern(
+      Seq((1L, 40, 24, 7L, 0), (2L, 40, 24, 7L, 0), (3L, 40, 24, 7L, 60),
+          (4L, 40, 24, 1811L, 0)).toDF("doc_id", "_w", "_h", "_seed", "_delta"),
+      "doc_id", "_w", "_h", "_seed", "_delta")
+      .unionByName(Seq((5L, bytes("junk"))).toDF("asset_id", "payload"))
+    val got = Multimodal.dHashNearDup(imgs, "asset_id", "payload")
+      .orderBy("id_a", "id_b").as[(Long, Long, Int)].collect().toSeq
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(got.head._3 == 0) // identical images: hamming 0
+    assert(got.forall(_._3 <= 3))
+  }
 }
