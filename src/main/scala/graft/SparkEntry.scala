@@ -1248,43 +1248,45 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // ---- Multimodal: binary asset stats (size / hash / magic sniff) ----
+    // ---- Multimodal: REAL container format sniff — every third doc becomes
+    // a genuine PNG / WAV / GIF (JDK encoders), and binaryStats must sniff
+    // each real signature (PNG \x89PNG, RIFF....WAVE, GIF8) back out. The
+    // oracle derives the expected format from doc_id arithmetic alone, so a
+    // wrong magic table or a corrupt encoder breaks the compare. (The
+    // byte-stat kernels over synthetic payloads remain library+spec-covered;
+    // this entry is the real-container proof.) ----
     "m01_binary_stats" -> { (s, dir) =>
-      Multimodal.binaryStats(syntheticAssets(s, dir), "doc_id", "payload")
+      val d = Parallelism.ensureDefaultParallelism(
+        Tables.documents(s, dir)).select(col("doc_id"),
+        (pmod(col("doc_id"), lit(8)) + 1).cast("int").as("_w"),
+        (pmod(col("doc_id"), lit(8)) + 1).cast("int").as("_h"),
+        (pmod(col("doc_id"), lit(4)) + 2).cast("int").as("_frames"))
+      val png = Multimodal.encodePng(d.filter(col("doc_id") % 3 === 0), "doc_id", "_w", "_h")
+      val wav = Multimodal.encodeWav(d.filter(col("doc_id") % 3 === 1), "doc_id", "_frames",
+        sampleRate = 8000)
+      val gif = Multimodal.encodeGif(d.filter(col("doc_id") % 3 === 2), "doc_id", "_frames",
+        w = 8, h = 4)
+      Multimodal.binaryStats(png.unionByName(wav).unionByName(gif), "asset_id", "payload")
+        .select(col("asset_id").as("doc_id"), col("format"))
         .orderBy(col("doc_id"))
     },
 
-    // ---- Multimodal: deterministic byte-range frame sampling ----
-    "m02_frame_sample" -> { (s, dir) =>
-      Multimodal.sampleFrames(syntheticAssets(s, dir), "doc_id", "payload", frameBytes = 256)
-        .orderBy(col("doc_id"), col("frame_no"))
-    },
-
-    // ---- Multimodal: resize stub (byte-stride downsample plumbing) ----
-    "m03_resize" -> { (s, dir) =>
-      Multimodal.resizeImageStub(syntheticAssets(s, dir), "doc_id", "payload", stride = 4)
-        .withColumnRenamed("asset_id", "doc_id")
-        .orderBy(col("doc_id"))
-    },
-
-    // ---- Multimodal: feature-extract stub (batched model-pass plumbing) ----
-    // The library API returns the fixed-dim vector; the entry explodes it to
-    // (doc_id, dim, value) rows because the oracle harness compares scalar
-    // columns (array cells are unhashable on the pandas side).
-    "m04_features" -> { (s, dir) =>
-      Multimodal.extractFeaturesStub(syntheticAssets(s, dir), "doc_id", "payload", dim = 16)
-        .withColumnRenamed("asset_id", "doc_id")
-        .select(col("doc_id"), posexplode(col("features")))
-        .select(col("doc_id"), col("pos").as("dim"), col("col").as("value"))
-        .orderBy(col("doc_id"), col("dim"))
-    },
-
-    // ---- Multimodal -> similarity composition: stub feature vectors feed
-    // the ANN suite unchanged (asset near-dup search); zero-norm vectors
-    // (empty payloads) are excluded — 0/0 cosine is engine-dependent ----
+    // ---- Multimodal -> similarity composition over REAL pixel features:
+    // patterned PNGs (varied per-pixel gray ramp => non-degenerate 16-bucket
+    // luminance histograms from the real decode kernel) feed the ANN suite
+    // unchanged. The oracle replays encode->decode->histogram->cosine in
+    // integer pixel arithmetic, m13-style. Zero-norm vectors excluded as a
+    // guard (decode failure yields the zero histogram). ----
     "m05_asset_ann" -> { (s, dir) =>
-      val feats = Multimodal.extractFeaturesStub(
-          syntheticAssets(s, dir), "doc_id", "payload", dim = 16)
+      val d = Parallelism.ensureDefaultParallelism(
+        Tables.documents(s, dir)).select(col("doc_id"),
+        (pmod(col("doc_id"), lit(40)) + 9).cast("int").as("_w"),
+        (pmod(col("doc_id"), lit(24)) + 8).cast("int").as("_h"),
+        ((col("doc_id") + 1) * 2654435761L).as("_seed"),
+        lit(0).as("_delta"))
+      val feats = Multimodal.extractFeaturesReal(
+          Multimodal.encodePngPattern(d, "doc_id", "_w", "_h", "_seed", "_delta"),
+          "asset_id", "payload")
         .withColumnRenamed("asset_id", "doc_id")
         .filter(l2_norm(col("features")) > 0)
       Similarity.bruteForceTopK(feats, "doc_id", "features", queryId = 0L, k = 10)
@@ -1742,19 +1744,16 @@ object SparkEntry {
     "d05_embedding_neardup" ->
       ("contrast-quadratic-by-design: fixed-cardinality blocking key; " +
        "see d14_embedding_neardup_ivf for the scale path"),
-    // the synthetic-asset entries prove the Spark-side plumbing (schema,
-    // partitioning, kernel batch shape) over test-double payloads; they
-    // are NOT oracle coverage of real media kernels — that is m07-m11
-    "m01_binary_stats" ->
-      "plumbing-only: byte-level stats over synthetic assets; real container decode is m07/m10/m11",
-    "m02_frame_sample" ->
-      "plumbing-only: byte-range frames over synthetic assets; real video frames are m11",
-    "m03_resize" ->
-      "plumbing-only: stride-downsample test double; real pixel resize is m08_resize_real",
-    "m04_features" ->
-      "plumbing-only: deterministic fake features; real luminance features are m09_features_real",
-    "m05_asset_ann" ->
-      "plumbing-only: ANN composition over m04's fake features; real-kernel ANN shape is identical")
+    // round 9: the former m02/m03/m04 stub-kernel entries are retired from
+    // the oracle registry (their plumbing kernels — sampleFrames,
+    // resizeImageStub, extractFeaturesStub — remain library+spec-covered as
+    // test doubles; the real twins m11/m08/m09 carry the oracle coverage).
+    // m01/m05 were re-pointed at real container/pixel kernels, so the
+    // registry now contains no entry whose kernel is a stub. m02's true
+    // capability gap is video container decode: the JDK ships no MP4/WebM
+    // codec, so only animated GIF (m11) has a real decode path.
+    "m11_gif_frames" ->
+      "video decode limited to animated GIF: the JDK ships no MP4/WebM codec; byte-range frame plumbing (sampleFrames) stays a documented test double")
 
   /** Deterministic per-(entry, dataset) scratch dir for entries that
     * exercise a sink + source round-trip. Keyed on the input dir (not a
@@ -3517,61 +3516,13 @@ object SparkEntry {
            md5(s) AS payload_md5
          FROM a ORDER BY doc_id""",
 
+    // real-container sniff: the expected format derives from doc_id alone,
+    // so the oracle proves the engine encoded a genuine container of each
+    // type AND recognized its real signature bytes
     "m01_binary_stats" ->
-      """WITH a AS (
-           SELECT doc_id,
-             (CASE doc_id % 3 WHEN 0 THEN 'PNG0' WHEN 1 THEN 'JPG0' ELSE '' END) || text AS s
-           FROM documents)
-         SELECT doc_id,
-           octet_length(encode(s)) AS n_bytes,
-           md5(s) AS content_md5,
-           CASE WHEN substr(s, 1, 4) = 'PNG0' THEN 'png'
-                WHEN substr(s, 1, 4) = 'JPG0' THEN 'jpeg'
-                ELSE 'unknown' END AS format
-         FROM a ORDER BY doc_id""",
-
-    "m02_frame_sample" ->
-      """WITH a AS (
-           SELECT doc_id,
-             (CASE doc_id % 3 WHEN 0 THEN 'PNG0' WHEN 1 THEN 'JPG0' ELSE '' END) || text AS s
-           FROM documents),
-         f AS (
-           SELECT doc_id, s,
-             unnest(range(0, CAST(greatest(ceil(octet_length(encode(s)) / 256.0), 1) AS BIGINT))) AS i
-           FROM a)
-         SELECT doc_id, CAST(i AS INTEGER) AS frame_no,
-           length(substr(s, CAST(i*256 + 1 AS INTEGER), 256)) AS frame_bytes,
-           md5(substr(s, CAST(i*256 + 1 AS INTEGER), 256)) AS frame_md5
-         FROM f ORDER BY doc_id, frame_no""",
-
-    "m03_resize" ->
-      """WITH a AS (
-           SELECT doc_id,
-             (CASE doc_id % 3 WHEN 0 THEN 'PNG0' WHEN 1 THEN 'JPG0' ELSE '' END) || text AS s
-           FROM documents),
-         r AS (
-           SELECT doc_id, octet_length(encode(s)) AS n_bytes_in,
-             array_to_string(list_transform(range(1, length(s)+1, 4),
-               i -> substr(s, CAST(i AS INTEGER), 1)), '') AS rs
-           FROM a)
-         SELECT doc_id, n_bytes_in, octet_length(encode(rs)) AS n_bytes_out,
-           md5(rs) AS resized_md5
-         FROM r ORDER BY doc_id""",
-
-    "m04_features" ->
-      """WITH a AS (
-           SELECT doc_id,
-             (CASE doc_id % 3 WHEN 0 THEN 'PNG0' WHEN 1 THEN 'JPG0' ELSE '' END) || text AS s
-           FROM documents),
-         c AS (
-           SELECT doc_id, greatest(length(s), 1) AS n,
-             list_transform(range(1, length(s)+1),
-               i -> ord(substr(s, CAST(i AS INTEGER), 1)) % 16) AS bs
-           FROM a),
-         d AS (SELECT doc_id, n, bs, unnest(range(0, 16)) AS dim FROM c)
-         SELECT doc_id, CAST(dim AS INTEGER) AS dim,
-           CAST(len(list_filter(bs, x -> x = dim)) AS DOUBLE) / n AS value
-         FROM d ORDER BY doc_id, dim""",
+      """SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'gif' END AS format
+         FROM documents ORDER BY doc_id""",
 
     "t01_langid" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
@@ -3692,24 +3643,32 @@ object SparkEntry {
            md5(regexp_replace(ne, '[0-9]{7,}', '<NUMBER>', 'g')) AS redacted_md5
          FROM e ORDER BY doc_id""",
 
+    // replays encodePngPattern -> real decode -> 16-bucket luminance
+    // histogram -> cosine top-k in integer pixel arithmetic (gray pixel
+    // v has luminance exactly v: (77v+151v+28v)>>8 = v)
     "m05_asset_ann" ->
-      """WITH a AS (SELECT doc_id,
-             (CASE doc_id % 3 WHEN 0 THEN 'PNG0' WHEN 1 THEN 'JPG0' ELSE '' END) || text AS s
+      """WITH d AS (SELECT doc_id,
+             9 + doc_id % 40 AS w, 8 + doc_id % 24 AS h,
+             (doc_id + 1) * 2654435761 AS seed
            FROM documents),
-         c AS (SELECT doc_id, greatest(length(s), 1) AS n,
-             list_transform(range(1, length(s)+1),
-               i -> ord(substr(s, CAST(i AS INTEGER), 1)) % 16) AS bs
-           FROM a),
-         f AS (SELECT doc_id,
-             list_transform(range(0, 16),
-               d -> CAST(len(list_filter(bs, x -> x = d)) AS DOUBLE) / n) AS v
-           FROM c),
-         nz AS (SELECT doc_id, v FROM f WHERE sqrt(list_dot_product(v, v)) > 0),
-         q AS (SELECT v AS qv FROM nz WHERE doc_id = 0)
+         px AS (SELECT doc_id, w, h,
+                 (seed * (x*31 + y*17 + 1)) % 251 AS v
+                FROM d CROSS JOIN LATERAL unnest(range(0, w)) AS tx(x)
+                       CROSS JOIN LATERAL unnest(range(0, h)) AS ty(y)),
+         hist AS (SELECT doc_id, v // 16 AS bucket, count(*) AS c
+                  FROM px GROUP BY 1, 2),
+         dims AS (SELECT d.doc_id, d.w * d.h AS n, t.dm
+                  FROM d CROSS JOIN range(0, 16) t(dm)),
+         vals AS (SELECT dims.doc_id, dims.dm,
+                    CAST(coalesce(hist.c, 0) AS DOUBLE) / dims.n AS v
+                  FROM dims LEFT JOIN hist
+                    ON hist.doc_id = dims.doc_id AND hist.bucket = dims.dm),
+         vecs AS (SELECT doc_id, list(v ORDER BY dm) AS vec FROM vals GROUP BY doc_id),
+         q AS (SELECT vec AS qvec FROM vecs WHERE doc_id = 0)
          SELECT doc_id,
-           round(list_dot_product(v, qv) /
-                 (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine
-         FROM nz, q WHERE doc_id <> 0
+           round(list_dot_product(vec, qvec) /
+                 (sqrt(list_dot_product(vec, vec)) * sqrt(list_dot_product(qvec, qvec))), 6) AS cosine
+         FROM vecs, q WHERE doc_id <> 0
          ORDER BY cosine DESC, doc_id LIMIT 10""",
 
     "m08_resize_real" ->

@@ -37,18 +37,26 @@ object Multimodal {
   val PngMagic: Array[Byte] = "PNG0".getBytes(StandardCharsets.UTF_8)
   val JpgMagic: Array[Byte] = "JPG0".getBytes(StandardCharsets.UTF_8)
 
-  /** Real container magics (the first bytes of actual PNG/JPEG payloads). */
+  /** Real container magics (the first bytes of actual PNG/JPEG/WAV/GIF
+    * payloads). WAV is RIFF-framed: "RIFF" at offset 0 AND "WAVE" at offset
+    * 8 (a bare RIFF check would also claim AVI/WebP containers). */
   val RealPngMagic: Array[Byte] = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)
   val RealJpgMagic: Array[Byte] = Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte)
+  val RealRiffMagic: Array[Byte] = "RIFF".getBytes(StandardCharsets.UTF_8)
+  val RealWaveMagic: Array[Byte] = "WAVE".getBytes(StandardCharsets.UTF_8)
+  val RealGifMagic: Array[Byte] = "GIF8".getBytes(StandardCharsets.UTF_8)
 
   /** Magic-byte format sniff over the leading bytes of a binary column —
     * recognizes both the synthetic ASCII magics (oracle-mirrorable) and the
-    * real PNG/JPEG signatures. */
+    * real PNG/JPEG/WAV/GIF signatures. */
   def sniffFormat(bin: Column): Column =
     when(substring(bin, 1, 4) === lit(PngMagic), "png")
       .when(substring(bin, 1, 4) === lit(JpgMagic), "jpeg")
       .when(substring(bin, 1, 4) === lit(RealPngMagic), "png")
       .when(substring(bin, 1, 3) === lit(RealJpgMagic), "jpeg")
+      .when(substring(bin, 1, 4) === lit(RealRiffMagic) &&
+            substring(bin, 9, 4) === lit(RealWaveMagic), "wav")
+      .when(substring(bin, 1, 4) === lit(RealGifMagic), "gif")
       .otherwise("unknown")
 
   /** Per-asset stats: byte size, content hash, sniffed format. One row-local

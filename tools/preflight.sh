@@ -1,0 +1,59 @@
+#!/usr/bin/env bash
+# Pre-snapshot gate: refuse to bless a round snapshot unless a FRESH run
+# against the CURRENT /root/testdata — the same parquet the driver will use —
+# is fully green and internally consistent.
+#
+# Round-8 postmortem: the committed bench_out.json said 132 entries/0 failed
+# while the driver saw 133/6, because the builder's bench predated a testdata
+# regeneration that changed events.ts to TIMESTAMP_NTZ. This script makes that
+# class of drift loud: it replays everything the driver replays, on the data
+# the driver reads, and exits nonzero on ANY divergence.
+#
+# Usage: tools/preflight.sh  (from repo root; ~10 min)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF_VERIFY=${SF_VERIFY:-/root/testdata/sf0.01}
+SF_BENCH=${SF_BENCH:-/root/testdata/sf0.1}
+OUT=/tmp/preflight_verify
+
+echo "== preflight: compile =="
+sbt -batch compile
+
+echo "== preflight: full Verify at $SF_VERIFY =="
+rm -rf "$OUT"
+sbt -batch "runMain graft.Verify $SF_VERIFY $OUT" 2>&1 \
+  | grep -E '\[verify\].*failed' && { echo "PREFLIGHT FAIL: verify errors above"; exit 1; } || true
+
+echo "== preflight: DuckDB oracle compare =="
+python3 tools/check_oracle.py "$SF_VERIFY" "$OUT" | tee /tmp/preflight_oracle.txt
+if grep -q '^FAIL' /tmp/preflight_oracle.txt; then
+  echo "PREFLIGHT FAIL: oracle mismatches above"; exit 1
+fi
+
+echo "== preflight: bench at $SF_BENCH =="
+SPARK_GRAFT_SF_DIR="$SF_BENCH" sbt -batch "runMain graft.Bench" >/dev/null
+python3 - <<'EOF'
+import json, os, sys
+bench = json.loads(open("bench_out.json").read())
+oracle = json.load(open("/tmp/preflight_verify/oracle_sql.json"))
+produced = {d for d in os.listdir("/tmp/preflight_verify")
+            if os.path.isdir(os.path.join("/tmp/preflight_verify", d))}
+bench_entries = set(bench["queries"])
+problems = []
+if bench["failed"] != 0:
+    problems.append(f"bench failed={bench['failed']}: {bench.get('errors')}")
+neg = [k for k, v in bench["queries"].items() if v < 0]
+if neg:
+    problems.append(f"bench entries with no successful run: {neg}")
+if bench_entries != produced:
+    problems.append(f"bench registry != verify output: only-bench={sorted(bench_entries-produced)} only-verify={sorted(produced-bench_entries)}")
+missing_oracle = produced - set(oracle)
+if missing_oracle:
+    print(f"note: {len(missing_oracle)} entries have rows-only checks (no SQL oracle): {sorted(missing_oracle)}")
+if problems:
+    print("PREFLIGHT FAIL:")
+    for p in problems: print(" -", p)
+    sys.exit(1)
+print(f"PREFLIGHT OK: {len(bench_entries)} entries, bench total {bench['value']}s, 0 failures")
+EOF
