@@ -1684,6 +1684,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- Text: BPE tokenizer-merge training (Sennrich et al.) — the
+    // corpus collapses to a word-frequency table in ONE shuffle; all 8
+    // merge rounds then run on the bounded vocabulary (pair stats
+    // row-local, pair-keyed agg, 1-row argmax control read per round),
+    // with canonical LTR non-overlap merge application expressed in plain
+    // window algebra so the DuckDB oracle replays every round exactly ----
+    "t29_bpe_merges" -> { (s, dir) =>
+      Bpe.trainMerges(Tables.documents(s, dir), "text", rounds = 8)
+        .select(col("round"), col("left").as("lhs"), col("right").as("rhs"),
+          col("pair_freq"))
+        .orderBy(col("round"))
+    },
+
     // ---- Text: deterministic weighted sampling (A-Res over the id-hash
     // uniform) — quality-weighted source mixing, key row-local, top-k a
     // TakeOrderedAndProject; power-of-two weights keep pow() engine-exact ----
@@ -1775,6 +1788,62 @@ object SparkEntry {
           .when(pmod(col("doc_id"), lit(3)) === 1, "JPG0")
           .otherwise(""),
         col("text")), "UTF-8").as("payload"))
+
+  /** The t29 BPE-training oracle: `rounds` unrolled CTE blocks, each
+    * selecting that round's winning pair INSIDE the SQL (a one-row CTE the
+    * merge application cross-joins) and replaying the same LTR non-overlap
+    * merge algebra the engine runs ([[graft.operators.Bpe.applyMerge]]):
+    * candidate starts, consecutive-run odd ranks, consumed-successor drop,
+    * ordered re-agg. Symbol arrays live as space-joined strings
+    * (split_part/string_agg are 1-based and order-stable in DuckDB). */
+  private def bpeOracleSql(rounds: Int): String = {
+    val head =
+      """WITH w0 AS (
+           SELECT word, count(*) AS freq FROM (
+             SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+             FROM documents) WHERE length(word) >= 1 GROUP BY word),
+         v0 AS (SELECT word, freq,
+                  array_to_string(list_transform(range(1, length(word)+1),
+                    i -> substr(word, CAST(i AS INTEGER), 1)), ' ') AS s
+                FROM w0)"""
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"v${r - 1}"
+      s"""sym$r AS (
+           SELECT word, freq, CAST(i AS INTEGER) AS p,
+             split_part(s, ' ', CAST(i AS INTEGER)) AS sym,
+             split_part(s, ' ', CAST(i+1 AS INTEGER)) AS nxt
+           FROM $prev CROSS JOIN LATERAL
+             unnest(range(1, length(s) - length(replace(s, ' ', '')) + 2)) AS t(i)),
+         top$r AS (
+           SELECT sym AS l, nxt AS r_, CAST(sum(freq) AS BIGINT) AS pf
+           FROM sym$r WHERE nxt <> ''
+           GROUP BY 1, 2 ORDER BY pf DESC, l, r_ LIMIT 1),
+         starts$r AS (
+           SELECT word, p FROM (
+             SELECT word, p, row_number() OVER (PARTITION BY word, run ORDER BY p) AS rk
+             FROM (SELECT c.word, c.p,
+                     c.p - row_number() OVER (PARTITION BY c.word ORDER BY c.p) AS run
+                   FROM sym$r c, top$r
+                   WHERE c.sym = top$r.l AND c.nxt = top$r.r_))
+           WHERE rk % 2 = 1),
+         v$r AS (
+           SELECT word, freq, string_agg(tok, ' ' ORDER BY p) AS s
+           FROM (
+             SELECT x.word, x.freq, x.p,
+               CASE WHEN st.p IS NOT NULL THEN x.sym || x.nxt ELSE x.sym END AS tok,
+               coalesce(lag(st.p IS NOT NULL) OVER (PARTITION BY x.word ORDER BY x.p),
+                        false) AS consumed
+             FROM sym$r x LEFT JOIN starts$r st ON st.word = x.word AND st.p = x.p)
+           WHERE NOT consumed GROUP BY word, freq)"""
+    }
+    val finals = (1 to rounds)
+      .map(r => s"SELECT $r AS \"round\", l AS lhs, r_ AS rhs, pf AS pair_freq FROM top$r")
+      .mkString("\n         UNION ALL ")
+    s"""$head,
+         ${roundCtes.mkString(",\n         ")}
+         $finals
+         ORDER BY "round""""
+  }
 
   /** The t07 corpus-cleaning oracle CTE chain (ends at `sp`:
     * doc_id, lang_pred, n_tokens, split) — shared with the t18
@@ -3831,6 +3900,8 @@ object SparkEntry {
          SELECT r.doc_id, r.score, r.n_tokens
          FROM r, tot WHERE r.cum <= tot.budget
          ORDER BY r.doc_id""",
+
+    "t29_bpe_merges" -> bpeOracleSql(8),
 
     "t28_curriculum_deciles" ->
       """WITH t AS (
