@@ -1697,6 +1697,26 @@ object SparkEntry {
         .orderBy(col("round"))
     },
 
+    // ---- Graph: PageRank over a deterministic crawl-link fixture — the
+    // source-quality signal a web-scale pipeline ranks hosts by before
+    // filtering. Variable out-degree (1 + doc_id%3 links, affine-map dsts)
+    // makes ranks non-uniform; 3 power iterations, dangling mass
+    // redistributed; output ordered by the ROUNDED ppm rank so the
+    // cross-engine cut is deterministic ----
+    "t30_pagerank" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = broadcast(docs.agg(count(lit(1)).as("_n")))
+      val edges = docs.crossJoin(n).select(col("doc_id").as("src"),
+        explode(transform(
+          sequence(lit(1), lit(1) + pmod(col("doc_id"), lit(3)).cast("int")),
+          k => pmod(col("doc_id") * 7 + k.cast("long") * 13, col("_n")))).as("dst"))
+      Graphs.pageRank(docs, "doc_id", edges, "src", "dst", iterations = 3)
+        .select(col("id").as("doc_id"),
+          round(col("rank") * 1000000, 4).as("rank_ppm"))
+        .orderBy(col("rank_ppm").desc, col("doc_id"))
+        .limit(50)
+    },
+
     // ---- Text: deterministic weighted sampling (A-Res over the id-hash
     // uniform) — quality-weighted source mixing, key row-local, top-k a
     // TakeOrderedAndProject; power-of-two weights keep pow() engine-exact ----
@@ -3902,6 +3922,36 @@ object SparkEntry {
          ORDER BY r.doc_id""",
 
     "t29_bpe_merges" -> bpeOracleSql(8),
+
+    // replays edges -> out-degrees -> 3 unrolled power iterations with the
+    // dangling-mass term, then the same rounded-ppm cut
+    "t30_pagerank" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         e AS (SELECT doc_id AS src, (doc_id*7 + 13*k) % nn.n AS dst
+               FROM documents, nn,
+                 LATERAL unnest(range(1, 2 + doc_id % 3)) AS t(k)),
+         deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src),
+         r0 AS (SELECT doc_id AS id, 1.0/nn.n AS rank FROM documents, nn),
+         dm1 AS (SELECT coalesce(sum(rank), 0) AS dm FROM r0
+                 WHERE id NOT IN (SELECT src FROM deg)),
+         c1 AS (SELECT dst, sum(r.rank/d.deg) AS cin
+                FROM e JOIN deg d USING (src) JOIN r0 r ON r.id = e.src GROUP BY dst),
+         r1 AS (SELECT id, (1.0-0.85)/nn.n + 0.85*(coalesce(cin, 0) + dm/nn.n) AS rank
+                FROM r0 LEFT JOIN c1 ON id = dst, nn, dm1),
+         dm2 AS (SELECT coalesce(sum(rank), 0) AS dm FROM r1
+                 WHERE id NOT IN (SELECT src FROM deg)),
+         c2 AS (SELECT dst, sum(r.rank/d.deg) AS cin
+                FROM e JOIN deg d USING (src) JOIN r1 r ON r.id = e.src GROUP BY dst),
+         r2 AS (SELECT id, (1.0-0.85)/nn.n + 0.85*(coalesce(cin, 0) + dm/nn.n) AS rank
+                FROM r1 LEFT JOIN c2 ON id = dst, nn, dm2),
+         dm3 AS (SELECT coalesce(sum(rank), 0) AS dm FROM r2
+                 WHERE id NOT IN (SELECT src FROM deg)),
+         c3 AS (SELECT dst, sum(r.rank/d.deg) AS cin
+                FROM e JOIN deg d USING (src) JOIN r2 r ON r.id = e.src GROUP BY dst),
+         r3 AS (SELECT id, (1.0-0.85)/nn.n + 0.85*(coalesce(cin, 0) + dm/nn.n) AS rank
+                FROM r2 LEFT JOIN c3 ON id = dst, nn, dm3)
+         SELECT id AS doc_id, round(rank*1000000, 4) AS rank_ppm
+         FROM r3 ORDER BY rank_ppm DESC, doc_id LIMIT 50""",
 
     "t28_curriculum_deciles" ->
       """WITH t AS (

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph operators for crawl-derived corpora. PageRank is the classic
+  * crawl-prioritization / source-quality signal a web-scale training-data
+  * pipeline computes before filtering: rank the page graph, keep (or
+  * up-weight) documents from high-rank hosts.
+  *
+  * Scale design: power iteration with ONE rank-keyed join and ONE
+  * dst-keyed aggregate per iteration — the irreducible shuffles of
+  * distributed PageRank. Out-degrees are computed once and joined (never
+  * recomputed per iteration); the graph frame is reused across iterations
+  * (at cluster scale: cache edges, pre-partitioned by src, so each
+  * iteration's join co-locates with the rank table hashed on the same
+  * key). Node count and per-iteration dangling mass ride the plan as
+  * broadcast one-row frames (the TfIdf corpus-count posture — no driver
+  * round trip). Ranks localCheckpoint per iteration: k iterations would
+  * otherwise stack into one re-executing mega-plan.
+  */
+object Graphs {
+
+  /** Power-iteration PageRank. Input: an edge list (srcCol, dstCol) and a
+    * node frame (idCol) — nodes, not edges, define the universe, so
+    * isolated pages keep the teleport rank instead of vanishing. Dangling
+    * nodes (no out-edges) redistribute their mass uniformly each iteration
+    * (the standard correction; dropping it leaks total rank). Output:
+    * (id, rank) after `iterations` rounds from the uniform start, NOT
+    * normalized — total mass stays 1 by construction.
+    *
+    * Engine parity note: each iteration is + and / over the previous
+    * ranks; summation order differs across engines only in final ulps, so
+    * consumers that need cross-engine identity should round the OUTPUT
+    * (and order by the rounded value) — the entry does exactly that. */
+  def pageRank(nodes: DataFrame, idCol: String, edges: DataFrame,
+               srcCol: String, dstCol: String, iterations: Int,
+               damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val ids = nodes.select(col(idCol).as("id"))
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // one-row broadcast frames keep counts in-plan (no driver collect)
+    val n = broadcast(ids.agg(count(lit(1)).cast("double").as("_n")))
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("_deg"))
+    var ranks = ids.crossJoin(n).select(col("id"), (lit(1.0) / col("_n")).as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      // mass of dangling nodes this iteration — a one-row broadcast agg
+      val dangling = broadcast(
+        ranks.join(outDeg, col("id") === col("src"), "left_anti")
+          .agg(coalesce(sum(col("rank")), lit(0.0)).as("_dm")))
+      val contribs = e
+        .join(outDeg, "src")
+        .join(ranks, col("src") === col("id"))
+        .select(col("dst"), (col("rank") / col("_deg")).as("_c"))
+        .groupBy(col("dst")).agg(sum(col("_c")).as("_in"))
+      ranks = ids
+        .join(contribs, col("id") === col("dst"), "left_outer")
+        .crossJoin(n).crossJoin(dangling)
+        .select(col("id"),
+          ((lit(1.0) - damping) / col("_n") +
+            lit(damping) * (coalesce(col("_in"), lit(0.0)) + col("_dm") / col("_n")))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+}
