@@ -1221,6 +1221,15 @@ object SparkEntry {
         queryTerms = Seq("spark", "window", "merge"), k = 20)
     },
 
+    // ---- Similarity: inverted-index posting lists (the retrieval
+    // artifact BM25 queries against) — df-band + top-V selection happens
+    // BEFORE any list is built, so a stopword's corpus-scale postings
+    // never materialize; lists order by doc_id, engine-deterministic ----
+    "s12_posting_lists" -> { (s, dir) =>
+      TfIdf.postingLists(Tables.documents(s, dir), "doc_id", "text",
+        topV = 30, minTokenLen = 3, minDf = 30)
+    },
+
     // ---- Multimodal: perceptual (frame-set) near-dup — inverted frame
     // index candidates with a hot-frame cap, sorted-set Jaccard verify ----
     "m06_frame_neardup" -> { (s, dir) =>
@@ -3925,6 +3934,21 @@ object SparkEntry {
 
     // replays edges -> out-degrees -> 3 unrolled power iterations with the
     // dangling-mass term, then the same rounded-ppm cut
+    "s12_posting_lists" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> length(t) >= 3) AS tk
+           FROM documents),
+         tc AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+         counts AS (SELECT doc_id, term, count(*) AS cnt FROM tc GROUP BY 1, 2),
+         v AS (SELECT term, count(*) AS doc_freq, CAST(sum(cnt) AS BIGINT) AS term_freq
+               FROM counts GROUP BY 1),
+         sel AS (SELECT * FROM v WHERE doc_freq >= 30
+                 ORDER BY doc_freq DESC, term LIMIT 30)
+         SELECT s.term, s.doc_freq, s.term_freq,
+           string_agg(c.doc_id || ':' || c.cnt, ',' ORDER BY c.doc_id) AS postings
+         FROM sel s JOIN counts c USING (term)
+         GROUP BY 1, 2, 3 ORDER BY doc_freq DESC, term""",
+
     "t30_pagerank" ->
       """WITH nn AS (SELECT count(*) AS n FROM documents),
          e AS (SELECT doc_id AS src, (doc_id*7 + 13*k) % nn.n AS dst

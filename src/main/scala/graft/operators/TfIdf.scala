@@ -195,4 +195,44 @@ object TfIdf {
         col("_payload.cnt").as("n"),
         col("_payload.score").as("score"))
   }
+
+  /** Inverted-index posting lists for a selected vocabulary slice — the
+    * retrieval artifact behind BM25/keyword search over a corpus: per term,
+    * the doc_id-ordered "doc:tf" postings string plus corpus stats.
+    *
+    * Scale design — selection BEFORE materialization: document frequencies
+    * are aggregated first (vocabulary-sized), the df-band [minDf, maxDf]
+    * and top-V cut pick the term slice, and only then are postings built,
+    * via a BROADCAST semi-join of the (bounded) selection against the
+    * counts. A stopword's corpus-scale posting list is therefore never
+    * collected anywhere — the classic inverted-index skew (the "the" list)
+    * is excluded by maxDf before any per-term list exists. Postings order
+    * by doc_id inside each list (array_sort on a doc-unique struct), so
+    * the string is engine-deterministic. */
+  def postingLists(docs: DataFrame, idCol: String, textCol: String,
+                   topV: Int, minTokenLen: Int = 3,
+                   minDf: Long = 2, maxDf: Long = Long.MaxValue): DataFrame = {
+    require(topV >= 1, s"topV must be >= 1, got $topV")
+    require(minDf <= maxDf, s"need minDf <= maxDf, got [$minDf, $maxDf]")
+    val counts = docs
+      .select(col(idCol).as("doc_id"), term_counts(col(textCol), minTokenLen).as("_tc"))
+      .select(col("doc_id"), explode(col("_tc.terms")).as("_t"))
+      .select(col("doc_id"), col("_t.term").as("term"),
+        col("_t.cnt").cast("long").as("cnt"))
+      .localCheckpoint(false) // feeds the df agg AND the postings build
+    val selected = counts
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("doc_freq"), sum(col("cnt")).as("term_freq"))
+      .filter(col("doc_freq").between(minDf, maxDf))
+      .orderBy(col("doc_freq").desc, col("term"))
+      .limit(topV)
+    counts
+      .join(broadcast(selected), "term")
+      .groupBy(col("term"), col("doc_freq"), col("term_freq"))
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("doc_id"), col("cnt")))),
+          x => concat(x("doc_id").cast("string"), lit(":"),
+            x("cnt").cast("string")))).as("postings"))
+      .orderBy(col("doc_freq").desc, col("term"))
+  }
 }

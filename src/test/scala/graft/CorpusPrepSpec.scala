@@ -97,6 +97,21 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(got == Seq(("aaa", 3L, 3L))) // bbb (df=2) cut by topV, ccc by minDf
   }
 
+  test("postingLists orders postings by doc_id and excludes the df band edges") {
+    val docs = Seq(
+      (3L, "apple apple banana the"),
+      (1L, "apple banana the"),
+      (2L, "apple the"),
+      (4L, "cherry the")).toDF("doc_id", "text")
+    // the: df=4 > maxDf (the stopword exclusion); cherry: df=1 < minDf
+    val got = TfIdf.postingLists(docs, "doc_id", "text",
+        topV = 10, minTokenLen = 3, minDf = 2, maxDf = 3)
+      .as[(String, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      ("apple", 3L, 4L, "1:1,2:1,3:2"), // doc-ordered even though 3 came first
+      ("banana", 2L, 2L, "1:1,3:1")))
+  }
+
   // ---- Packing ----
 
   test("packing lays groups out independently with exact integer arithmetic") {
