@@ -1726,6 +1726,16 @@ object SparkEntry {
         .limit(50)
     },
 
+    // ---- Text: repeated-span detection (substring-level exact dedup
+    // signal, Lee et al.) — LINEAR: gram hashes shuffle (text never does),
+    // the repeated-set probe is a semi-join on the same key, coverage is a
+    // doc-keyed distinct; no pair set ever exists ----
+    "t31_dup_spans" -> { (s, dir) =>
+      Dedup.dupSpans(Tables.documents(s, dir), "doc_id", "text",
+          n = 6, minDocs = 2)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- Text: deterministic weighted sampling (A-Res over the id-hash
     // uniform) — quality-weighted source mixing, key row-local, top-k a
     // TakeOrderedAndProject; power-of-two weights keep pow() engine-exact ----
@@ -3948,6 +3958,35 @@ object SparkEntry {
            string_agg(c.doc_id || ':' || c.cnt, ',' ORDER BY c.doc_id) AS postings
          FROM sel s JOIN counts c USING (term)
          GROUP BY 1, 2, 3 ORDER BY doc_freq DESC, term""",
+
+    // replays gram enumeration on the literal gram text (the engine's md5
+    // keying is an implementation detail; absent collisions the repeated
+    // set is identical)
+    "t31_dup_spans" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> length(t) >= 1) AS tk
+           FROM documents),
+         base AS (SELECT doc_id, len(tk) AS n_tokens, tk FROM toks),
+         pos AS (SELECT doc_id, CAST(i AS INTEGER) AS p,
+                   array_to_string(tk[CAST(i AS INTEGER):CAST(i+5 AS INTEGER)], ' ') AS gram
+                 FROM base CROSS JOIN LATERAL unnest(range(1, n_tokens - 4)) AS t(i)
+                 WHERE n_tokens >= 6),
+         dupg AS (SELECT gram FROM pos GROUP BY gram
+                  HAVING count(DISTINCT doc_id) >= 2),
+         dp AS (SELECT pos.doc_id, pos.p FROM pos JOIN dupg USING (gram)),
+         spans AS (SELECT doc_id, count(*) AS dup_spans FROM dp GROUP BY 1),
+         cov AS (SELECT doc_id, count(*) AS covered_tokens FROM (
+                   SELECT DISTINCT doc_id, p + j AS cp
+                   FROM dp CROSS JOIN LATERAL unnest(range(0, 6)) AS u(j))
+                 GROUP BY 1)
+         SELECT b.doc_id, b.n_tokens,
+           coalesce(spans.dup_spans, 0) AS dup_spans,
+           coalesce(cov.covered_tokens, 0) AS covered_tokens,
+           round(coalesce(cov.covered_tokens, 0) / greatest(b.n_tokens, 1), 6) AS dup_ratio
+         FROM base b
+         LEFT JOIN spans ON spans.doc_id = b.doc_id
+         LEFT JOIN cov ON cov.doc_id = b.doc_id
+         ORDER BY b.doc_id""",
 
     "t30_pagerank" ->
       """WITH nn AS (SELECT count(*) AS n FROM documents),

@@ -578,4 +578,62 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("cell", "id_a", "id_b", "cosine")
   }
+
+  /** Cross-document repeated-span detection — the exact SUBSTRING-level
+    * dedup signal (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): memorization risk comes from repeated
+    * *spans*, which document-level near-dup (d03) cannot see. Per document:
+    * how many n-token spans also occur in >= minDocs-1 other documents, and
+    * what fraction of the doc's tokens those spans cover.
+    *
+    * Output: (doc_id, n_tokens, dup_spans, covered_tokens, dup_ratio)
+    * for every document (0s for clean or short docs).
+    *
+    * Scale design — LINEAR end to end, unlike pair-producing dedup:
+    *  - grams are md5-hashed in the same row-local projection that
+    *    enumerates them, so TEXT NEVER CROSSES A SHUFFLE (the t21
+    *    boilerplate posture): only (doc_id, pos, hash128) rows move.
+    *  - "is this gram repeated" is ONE hash-keyed aggregate; the positions
+    *    then LEFT-SEMI join the repeated-hash set on the SAME key (filter
+    *    semantics — no fan-out on hot grams, a boilerplate gram appearing
+    *    in every doc adds zero pairs because no pairs exist anywhere).
+    *  - span coverage unions [p, p+n-1] intervals per doc via a
+    *    doc-keyed distinct over covered positions — bounded by document
+    *    length, never by corpus repetition. */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+               n: Int, minDocs: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val base = docs.select(col(idCol).as("doc_id"),
+        filter(split(trim(lower(col(textCol))), "\\s+"),
+          t => length(t) >= 1).as("_toks"))
+      .select(col("doc_id"), size(col("_toks")).as("n_tokens"), col("_toks"))
+    // hash the grams INSIDE the enumeration so the exploded rows carry the
+    // 128-bit digest, never the token array or the gram text
+    val pos = base.select(col("doc_id"), posexplode(
+        when(col("n_tokens") >= n,
+          transform(sequence(lit(1), col("n_tokens") - (n - 1)),
+            p => md5(concat_ws(" ", slice(col("_toks"), p, lit(n))))))
+          .otherwise(array().cast("array<string>"))).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("h"))
+    val repeated = pos.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("_df"))
+      .filter(col("_df") >= minDocs)
+      .select(col("h"))
+    val dupPos = pos.join(repeated, Seq("h"), "left_semi")
+    val spans = dupPos.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dup_spans"))
+    val covered = dupPos
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + (n - 1))).as("cp"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("covered_tokens"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(spans, Seq("doc_id"), "left_outer")
+      .join(covered, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(coalesce(col("covered_tokens"), lit(0L)) /
+          greatest(col("n_tokens"), lit(1)), 6).as("dup_ratio"))
+  }
 }

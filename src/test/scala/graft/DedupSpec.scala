@@ -399,6 +399,44 @@ class DedupSpec extends SparkTestBase {
     assert(dups.length == 1 && dups(0).getAs[Long]("keep_id") == 1L)
   }
 
+  test("dupSpans: shared 3-gram spans count, cover, and ratio per doc") {
+    val docs = Seq(
+      // docs 1 and 2 share the span "one two three" (and only that);
+      // doc 3 is clean; doc 4 is shorter than n
+      (1L, "one two three four five"),
+      (2L, "zero one two three zed"),
+      (3L, "alpha beta gamma delta"),
+      (4L, "hi")).toDF("doc_id", "text")
+    val got = Dedup.dupSpans(docs, "doc_id", "text", n = 3, minDocs = 2)
+      .orderBy("doc_id").as[(Long, Int, Long, Long, Double)].collect().toSeq
+    // doc 1: span at p=1 covers tokens 1-3 of 5 -> ratio 0.6
+    // doc 2: span at p=2 covers tokens 2-4 of 5 -> ratio 0.6
+    assert(got == Seq(
+      (1L, 5, 1L, 3L, 0.6),
+      (2L, 5, 1L, 3L, 0.6),
+      (3L, 4, 0L, 0L, 0.0),
+      (4L, 1, 0L, 0L, 0.0)))
+  }
+
+  test("dupSpans: overlapping repeated spans union their coverage") {
+    // both docs share the full 4-token text -> two 3-gram spans each,
+    // overlapping; covered must be 4 (union), not 6 (sum)
+    val docs = Seq(
+      (1L, "a1 b2 c3 d4"), (2L, "a1 b2 c3 d4")).toDF("doc_id", "text")
+    val got = Dedup.dupSpans(docs, "doc_id", "text", n = 3, minDocs = 2)
+      .orderBy("doc_id").as[(Long, Int, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 4, 2L, 4L, 1.0), (2L, 4, 2L, 4L, 1.0)))
+  }
+
+  test("dupSpans: a span repeated only within ONE doc is not cross-doc duplicated") {
+    val docs = Seq(
+      (1L, "x y z p q x y z"), // "x y z" twice, same doc
+      (2L, "totally different words here")).toDF("doc_id", "text")
+    val got = Dedup.dupSpans(docs, "doc_id", "text", n = 3, minDocs = 2)
+      .orderBy("doc_id").as[(Long, Int, Long, Long, Double)].collect().toSeq
+    assert(got.map(_._3) == Seq(0L, 0L))
+  }
+
   test("embeddingNearDupIvf: ordered pairs above threshold, cells within derived nlist") {
     import graft.operators.Similarity
     val emb = Tables.embeddings(spark, sfDir)
