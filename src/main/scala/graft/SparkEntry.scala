@@ -1726,6 +1726,25 @@ object SparkEntry {
         .limit(50)
     },
 
+    // ---- Sketch: Count-Min frequency estimation — the bounded-memory
+    // frequency table (depth x width counters, size CHOSEN not
+    // data-dependent); md5-derived buckets so the sketch is an
+    // engine-portable artifact; narrow width forces real collisions, so
+    // the one-sided overcount is visible and oracle-matched ----
+    "t32_cms_freq" -> { (s, dir) =>
+      val occ = Tables.documents(s, dir)
+        .select(explode(filter(split(trim(lower(col("text"))), "\\s+"),
+          t => length(t) >= 3)).as("term"))
+      val truth = occ.groupBy(col("term")).agg(count(lit(1)).as("true_freq"))
+      val cms = Sketches.countMinBuild(occ, "term", width = 64, depth = 4)
+      Sketches.countMinEstimate(cms, truth.select("term"), "term",
+          width = 64, depth = 4)
+        .join(truth, "term")
+        .select(col("term"), col("est_freq"), col("true_freq"),
+          (col("est_freq") - col("true_freq")).as("overcount"))
+        .orderBy(col("term"))
+    },
+
     // ---- Text: repeated-span detection (substring-level exact dedup
     // signal, Lee et al.) — LINEAR: gram hashes shuffle (text never does),
     // the repeated-set probe is a semi-join on the same key, coverage is a
@@ -3958,6 +3977,27 @@ object SparkEntry {
            string_agg(c.doc_id || ':' || c.cnt, ',' ORDER BY c.doc_id) AS postings
          FROM sel s JOIN counts c USING (term)
          GROUP BY 1, 2, 3 ORDER BY doc_freq DESC, term""",
+
+    // rebuilds the identical sketch table from md5 buckets and takes the
+    // same min-over-depths estimates — bit-for-bit, collisions included
+    "t32_cms_freq" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> length(t) >= 3) AS tk
+           FROM documents),
+         occ AS (SELECT unnest(tk) AS term FROM toks),
+         tf AS (SELECT term, count(*) AS true_freq FROM occ GROUP BY 1),
+         cms AS (SELECT j, bucket, count(*) AS cnt FROM (
+                   SELECT j, CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '_' || term),1,12)) AS BIGINT) % 64 AS bucket
+                   FROM occ CROSS JOIN range(0, 4) t(j))
+                 GROUP BY 1, 2),
+         cb AS (SELECT term, j,
+                  CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '_' || term),1,12)) AS BIGINT) % 64 AS bucket
+                FROM tf CROSS JOIN range(0, 4) t(j)),
+         est AS (SELECT cb.term, min(coalesce(cms.cnt, 0)) AS est_freq
+                 FROM cb LEFT JOIN cms USING (j, bucket) GROUP BY 1)
+         SELECT est.term, est.est_freq, tf.true_freq,
+           est.est_freq - tf.true_freq AS overcount
+         FROM est JOIN tf USING (term) ORDER BY term""",
 
     // replays gram enumeration on the literal gram text (the engine's md5
     // keying is an implementation detail; absent collisions the repeated
