@@ -1745,6 +1745,15 @@ object SparkEntry {
         .orderBy(col("term"))
     },
 
+    // ---- Text: duplicate-span REMOVAL (the Lee et al. cut): min-doc
+    // keeps each repeated gram, other docs drop covered tokens (drops
+    // union across overlapping grams); clean text proven by md5 ----
+    "t33_dup_span_removal" -> { (s, dir) =>
+      Dedup.removeDupSpans(Tables.documents(s, dir), "doc_id", "text",
+          n = 6, minDocs = 2)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- Text: repeated-span detection (substring-level exact dedup
     // signal, Lee et al.) — LINEAR: gram hashes shuffle (text never does),
     // the repeated-set probe is a semi-join on the same key, coverage is a
@@ -3998,6 +4007,37 @@ object SparkEntry {
          SELECT est.term, est.est_freq, tf.true_freq,
            est.est_freq - tf.true_freq AS overcount
          FROM est JOIN tf USING (term) ORDER BY term""",
+
+    // replays the keeper policy on literal gram text and md5s the rebuilt
+    // token stream — any dropped-or-kept divergence breaks the digest
+    "t33_dup_span_removal" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> length(t) >= 1) AS tk
+           FROM documents),
+         base AS (SELECT doc_id, len(tk) AS n_tokens, tk FROM toks),
+         pos AS (SELECT doc_id, CAST(i AS INTEGER) AS p,
+                   array_to_string(tk[CAST(i AS INTEGER):CAST(i+5 AS INTEGER)], ' ') AS gram
+                 FROM base CROSS JOIN LATERAL unnest(range(1, n_tokens - 4)) AS t(i)
+                 WHERE n_tokens >= 6),
+         keepers AS (SELECT gram, min(doc_id) AS keeper FROM pos GROUP BY gram
+                     HAVING count(DISTINCT doc_id) >= 2),
+         dropp AS (SELECT DISTINCT pos.doc_id, pos.p + j AS cp
+                   FROM pos JOIN keepers USING (gram)
+                   CROSS JOIN LATERAL unnest(range(0, 6)) AS u(j)
+                   WHERE pos.doc_id <> keepers.keeper),
+         toksflat AS (SELECT doc_id, CAST(i AS INTEGER) AS tp, tk[CAST(i AS INTEGER)] AS tok
+                      FROM base CROSS JOIN LATERAL unnest(range(1, n_tokens + 1)) AS t(i)),
+         kept AS (SELECT tf.doc_id, tf.tp, tf.tok FROM toksflat tf
+                  LEFT JOIN dropp ON dropp.doc_id = tf.doc_id AND dropp.cp = tf.tp
+                  WHERE dropp.cp IS NULL),
+         rb AS (SELECT doc_id, count(*) AS kept_tokens,
+                  md5(string_agg(tok, ' ' ORDER BY tp)) AS clean_md5
+                FROM kept GROUP BY doc_id)
+         SELECT b.doc_id, b.n_tokens,
+           coalesce(rb.kept_tokens, 0) AS kept_tokens,
+           coalesce(rb.clean_md5, md5('')) AS clean_md5
+         FROM base b LEFT JOIN rb ON rb.doc_id = b.doc_id
+         ORDER BY b.doc_id""",
 
     // replays gram enumeration on the literal gram text (the engine's md5
     // keying is an implementation detail; absent collisions the repeated

@@ -600,6 +600,67 @@ object Dedup {
     *  - span coverage unions [p, p+n-1] intervals per doc via a
     *    doc-keyed distinct over covered positions — bounded by document
     *    length, never by corpus repetition. */
+  /** Duplicate-span REMOVAL — the corrective half of [[dupSpans]] (Lee et
+    * al. cut the repeated spans out of the corpus, they don't just count
+    * them). Policy, chosen to be deterministic and engine-replayable: for
+    * every cross-document repeated n-gram, the document with the MINIMUM
+    * doc id among its holders keeps its occurrences; every other document
+    * drops the tokens its occurrences cover (drops union across grams, so
+    * overlapping spans never double-drop). One canonical copy of every
+    * repeated span survives corpus-wide at document granularity.
+    *
+    * Output: (doc_id, n_tokens, kept_tokens, clean_md5) — the md5 of the
+    * space-rejoined surviving tokens (the rebuilt text itself can be
+    * terabytes; the digest proves it byte-exactly).
+    *
+    * Scale: everything [[dupSpans]] says, plus one doc-keyed token-row
+    * shuffle for the ordered rebuild — linear, text still never crosses
+    * the gram shuffle (the rebuild shuffles (doc, pos, token) rows keyed
+    * by doc, the same volume as the corpus itself). */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int, minDocs: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val base = docs.select(col(idCol).as("doc_id"),
+        filter(split(trim(lower(col(textCol))), "\\s+"),
+          t => length(t) >= 1).as("_toks"))
+      .select(col("doc_id"), size(col("_toks")).as("n_tokens"), col("_toks"))
+      .localCheckpoint(false) // feeds gram enumeration AND the rebuild
+    val pos = base.select(col("doc_id"), posexplode(
+        when(col("n_tokens") >= n,
+          transform(sequence(lit(1), col("n_tokens") - (n - 1)),
+            p => md5(concat_ws(" ", slice(col("_toks"), p, lit(n))))))
+          .otherwise(array().cast("array<string>"))).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("h"))
+    // per repeated gram: who keeps it (min doc id among >= minDocs holders)
+    val keepers = pos.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("_df"), min(col("doc_id")).as("_keeper"))
+      .filter(col("_df") >= minDocs)
+      .select(col("h"), col("_keeper"))
+    val dropPos = pos.join(keepers, Seq("h"))
+      .filter(col("doc_id") =!= col("_keeper"))
+      .select(col("doc_id").as("_dd"),
+        explode(sequence(col("p"), col("p") + (n - 1))).as("cp"))
+      .distinct()
+    val rebuilt = base
+      .select(col("doc_id"), posexplode(col("_toks")).as(Seq("tp0", "tok")))
+      .select(col("doc_id"), (col("tp0") + 1).as("tp"), col("tok"))
+      .join(dropPos, col("doc_id") === col("_dd") && col("tp") === col("cp"),
+        "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_tokens"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("tp"), col("tok")))),
+            x => x("tok")))).as("clean_md5"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        // a fully-dropped (or empty) doc hashes the empty string — the
+        // same value concat_ws gives an empty token list
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+  }
+
   def dupSpans(docs: DataFrame, idCol: String, textCol: String,
                n: Int, minDocs: Int = 2): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")

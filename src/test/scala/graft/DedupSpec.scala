@@ -437,6 +437,34 @@ class DedupSpec extends SparkTestBase {
     assert(got.map(_._3) == Seq(0L, 0L))
   }
 
+  test("removeDupSpans: min-doc keeps the span, later docs lose covered tokens") {
+    val docs = Seq(
+      (2L, "zero one two three zed"),  // loses "one two three" (keeper is doc 1)
+      (1L, "one two three four five"), // keeper: keeps everything
+      (3L, "alpha beta gamma")).toDF("doc_id", "text")
+    val got = Dedup.removeDupSpans(docs, "doc_id", "text", n = 3, minDocs = 2)
+      .orderBy("doc_id").as[(Long, Int, Long, String)].collect().toSeq
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got == Seq(
+      (1L, 5, 5L, m("one two three four five")),
+      (2L, 5, 2L, m("zero zed")),
+      (3L, 3, 3L, m("alpha beta gamma"))))
+  }
+
+  test("removeDupSpans: overlapping drops union; fully-duplicated doc empties") {
+    val docs = Seq(
+      (5L, "a1 b2 c3 d4"),
+      (9L, "a1 b2 c3 d4")).toDF("doc_id", "text")
+    val got = Dedup.removeDupSpans(docs, "doc_id", "text", n = 3, minDocs = 2)
+      .orderBy("doc_id").as[(Long, Int, Long, String)].collect().toSeq
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 5 is the keeper for both overlapping 3-grams; doc 9 loses the
+    // union of their coverage = all 4 tokens, hashing the empty string
+    assert(got == Seq((5L, 4, 4L, m("a1 b2 c3 d4")), (9L, 4, 0L, m(""))))
+  }
+
   test("embeddingNearDupIvf: ordered pairs above threshold, cells within derived nlist") {
     import graft.operators.Similarity
     val emb = Tables.embeddings(spark, sfDir)
