@@ -1745,6 +1745,23 @@ object SparkEntry {
         .orderBy(col("term"))
     },
 
+    // ---- Text: BPE ENCODE — apply the trained merge model (memoized as
+    // a fixture, the d12 stored-model pattern: production trains once,
+    // encodes forever) and report the weighted token-vocabulary usage of
+    // the final segmentation; times the encode path, t29 times training ----
+    "t34_bpe_encode" -> { (s, dir) =>
+      val merges = Fixtures.once(s, "t34_bpe_model", dir) {
+        Bpe.trainMerges(Tables.documents(s, dir), "text", rounds = 8)
+          .orderBy(col("round")).select("left", "right")
+          .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      }
+      Bpe.segmentLocal(Bpe.wordTable(Tables.documents(s, dir), "text"), merges)
+        .select(col("freq"), explode(col("syms")).as("token"))
+        .groupBy(col("token")).agg(sum(col("freq")).as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(30)
+    },
+
     // ---- Text: duplicate-span REMOVAL (the Lee et al. cut): min-doc
     // keeps each repeated gram, other docs drop covered tokens (drops
     // union across overlapping grams); clean text proven by md5 ----
@@ -1864,28 +1881,47 @@ object SparkEntry {
     * ordered re-agg. Symbol arrays live as space-joined strings
     * (split_part/string_agg are 1-based and order-stable in DuckDB). */
   private def bpeOracleSql(rounds: Int): String = {
+    val finals = (1 to rounds)
+      .map(r => s"SELECT $r AS \"round\", l AS lhs, r_ AS rhs, pf AS pair_freq FROM top$r")
+      .mkString("\n         UNION ALL ")
+    s"""${bpeCtes(rounds)}
+         $finals
+         ORDER BY "round""""
+  }
+
+  /** The t34 encode oracle: same unrolled training CTEs, then the final
+    * segmentation's weighted symbol usage. */
+  private def bpeEncodeOracleSql(rounds: Int): String =
+    s"""${bpeCtes(rounds)}
+         SELECT sym AS token, CAST(sum(freq) AS BIGINT) AS freq
+         FROM (SELECT freq, split_part(s, ' ', CAST(i AS INTEGER)) AS sym
+               FROM v$rounds CROSS JOIN LATERAL
+                 unnest(range(1, length(s) - length(replace(s, ' ', '')) + 2)) AS t(i))
+         GROUP BY sym ORDER BY freq DESC, token LIMIT 30"""
+
+  private def bpeCtes(rounds: Int): String = {
     val head =
-      """WITH w0 AS (
+      """WITH w0 AS MATERIALIZED (
            SELECT word, count(*) AS freq FROM (
              SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
              FROM documents) WHERE length(word) >= 1 GROUP BY word),
-         v0 AS (SELECT word, freq,
+         v0 AS MATERIALIZED (SELECT word, freq,
                   array_to_string(list_transform(range(1, length(word)+1),
                     i -> substr(word, CAST(i AS INTEGER), 1)), ' ') AS s
                 FROM w0)"""
     val roundCtes = (1 to rounds).map { r =>
       val prev = s"v${r - 1}"
-      s"""sym$r AS (
+      s"""sym$r AS MATERIALIZED (
            SELECT word, freq, CAST(i AS INTEGER) AS p,
              split_part(s, ' ', CAST(i AS INTEGER)) AS sym,
              split_part(s, ' ', CAST(i+1 AS INTEGER)) AS nxt
            FROM $prev CROSS JOIN LATERAL
              unnest(range(1, length(s) - length(replace(s, ' ', '')) + 2)) AS t(i)),
-         top$r AS (
+         top$r AS MATERIALIZED (
            SELECT sym AS l, nxt AS r_, CAST(sum(freq) AS BIGINT) AS pf
            FROM sym$r WHERE nxt <> ''
            GROUP BY 1, 2 ORDER BY pf DESC, l, r_ LIMIT 1),
-         starts$r AS (
+         starts$r AS MATERIALIZED (
            SELECT word, p FROM (
              SELECT word, p, row_number() OVER (PARTITION BY word, run ORDER BY p) AS rk
              FROM (SELECT c.word, c.p,
@@ -1893,7 +1929,7 @@ object SparkEntry {
                    FROM sym$r c, top$r
                    WHERE c.sym = top$r.l AND c.nxt = top$r.r_))
            WHERE rk % 2 = 1),
-         v$r AS (
+         v$r AS MATERIALIZED (
            SELECT word, freq, string_agg(tok, ' ' ORDER BY p) AS s
            FROM (
              SELECT x.word, x.freq, x.p,
@@ -1903,13 +1939,8 @@ object SparkEntry {
              FROM sym$r x LEFT JOIN starts$r st ON st.word = x.word AND st.p = x.p)
            WHERE NOT consumed GROUP BY word, freq)"""
     }
-    val finals = (1 to rounds)
-      .map(r => s"SELECT $r AS \"round\", l AS lhs, r_ AS rhs, pf AS pair_freq FROM top$r")
-      .mkString("\n         UNION ALL ")
     s"""$head,
-         ${roundCtes.mkString(",\n         ")}
-         $finals
-         ORDER BY "round""""
+         ${roundCtes.mkString(",\n         ")}"""
   }
 
   /** The t07 corpus-cleaning oracle CTE chain (ends at `sp`:
@@ -3969,6 +4000,8 @@ object SparkEntry {
          ORDER BY r.doc_id""",
 
     "t29_bpe_merges" -> bpeOracleSql(8),
+
+    "t34_bpe_encode" -> bpeEncodeOracleSql(8),
 
     // replays edges -> out-degrees -> 3 unrolled power iterations with the
     // dangling-mass term, then the same rounded-ppm cut

@@ -139,7 +139,43 @@ object Bpe {
     * "apply" half): replays the merges in order and returns (word, freq,
     * syms) with the final segmentation — the table a token-count audit or
     * an encoder export consumes. The merge list is the model: bounded,
-    * driver-resident, applied as literals. */
+    * driver-resident, applied as literals.
+    *
+    * This is the distributed window-algebra form (one plan per merge) —
+    * the cross-engine-replayable reference semantics. Production encoding
+    * uses [[segmentLocal]]: same result, zero shuffles. */
   def segment(words: DataFrame, merges: Seq[(String, String)]): DataFrame =
     merges.foldLeft(words) { case (w, (a, b)) => applyMerge(w, a, b).localCheckpoint() }
+
+  /** Canonical LTR non-overlapping application of one merge to a symbol
+    * sequence — the in-memory twin of [[applyMerge]] (spec-pinned equal). */
+  private[operators] def applyMergeLocal(syms: IndexedSeq[String],
+                                         a: String, b: String): IndexedSeq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2 // consume the pair; LTR scan resumes after it
+      } else { out += syms(i); i += 1 }
+    }
+    out.toIndexedSeq
+  }
+
+  /** Row-local segmentation — the ENCODE path at scale: the merge list is
+    * the (bounded, broadcast-by-closure) model and per-word application is
+    * a pure function, so the whole encode is one mapPartitions projection
+    * with ZERO shuffles — versus [[segment]]'s one windowed plan per merge.
+    * Results are identical (the spec asserts it on same-symbol chains,
+    * where LTR semantics bite). */
+  def segmentLocal(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val schema = words.select(col("word"), col("freq"), col("syms")).schema
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    words.select(col("word"), col("freq"), col("syms")).mapPartitions { rows =>
+      rows.map { r =>
+        val syms0 = r.getSeq[String](2).toIndexedSeq
+        val out = merges.foldLeft(syms0) { case (s, (a, b)) => applyMergeLocal(s, a, b) }
+        Row(r.get(0), r.get(1), out)
+      }
+    }(enc)
+  }
 }

@@ -71,4 +71,24 @@ class BpeSpec extends SparkTestBase {
     assert(seg("hug") == ((2L, "hug")))
     assert(seg("pug") == ((1L, "p ug")))
   }
+
+  test("segmentLocal equals the window-algebra segment, chains included") {
+    // same-symbol chains + compounding merges — the cases where LTR
+    // non-overlap semantics could diverge between the two implementations
+    val docs = Seq("aaaa aaa abab hug pug banana").toDF("text")
+    val words = Bpe.wordTable(docs, "text")
+    val merges = Seq(("a", "a"), ("aa", "aa"), ("u", "g"), ("h", "ug"),
+      ("a", "b"), ("ab", "ab"), ("a", "n"))
+    def render(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("word"), col("freq"), concat_ws(" ", col("syms")))
+      .as[(String, Long, String)].collect().toSet
+    assert(render(Bpe.segmentLocal(words, merges)) ==
+      render(Bpe.segment(words, merges)))
+    // and the local form pins the hand-derived chain results
+    val local = render(Bpe.segmentLocal(words, merges)).map(t => t._1 -> t._3).toMap
+    assert(local("aaaa") == "aaaa")  // (a,a) -> aa aa; (aa,aa) -> aaaa
+    assert(local("aaa") == "aa a")   // odd chain leaves the trailing single
+    assert(local("abab") == "abab")  // (a,b) -> ab ab; (ab,ab) -> abab
+    assert(local("banana") == "b an an a")
+  }
 }
