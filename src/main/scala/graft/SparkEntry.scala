@@ -1850,7 +1850,10 @@ object SparkEntry {
     // capability gap is video container decode: the JDK ships no MP4/WebM
     // codec, so only animated GIF (m11) has a real decode path.
     "m11_gif_frames" ->
-      "video decode limited to animated GIF: the JDK ships no MP4/WebM codec; byte-range frame plumbing (sampleFrames) stays a documented test double")
+      "video decode limited to animated GIF: the JDK ships no MP4/WebM codec; byte-range frame plumbing (sampleFrames) stays a documented test double",
+    "m12_binaryfile_source" ->
+      ("file-count-bound-by-design: one file per asset IS the workload (listing + per-file open scale with file count, nothing amortizes across rows); " +
+       "the store build is a memoized fixture so the probe times ingest only"))
 
   /** Deterministic per-(entry, dataset) scratch dir for entries that
     * exercise a sink + source round-trip. Keyed on the input dir (not a
