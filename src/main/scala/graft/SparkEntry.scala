@@ -1221,6 +1221,15 @@ object SparkEntry {
         queryTerms = Seq("spark", "window", "merge"), k = 20)
     },
 
+    // ---- Similarity: Matryoshka prefix-rerank ANN — coarse cosine on
+    // the first 16 of 64 dims (TakeOrdered, no shuffle), exact full-dim
+    // rerank on the BOUNDED 50-candidate set; both cuts on rounded
+    // scores, engine-deterministic ----
+    "s13_matryoshka_ann" -> { (s, dir) =>
+      Similarity.prefixRerankTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryId = 0L, k = 10, prefixDim = 16, candidates = 50)
+    },
+
     // ---- Similarity: inverted-index posting lists (the retrieval
     // artifact BM25 queries against) — df-band + top-V selection happens
     // BEFORE any list is built, so a stopword's corpus-scale postings
@@ -4008,6 +4017,22 @@ object SparkEntry {
 
     // replays edges -> out-degrees -> 3 unrolled power iterations with the
     // dangling-mass term, then the same rounded-ppm cut
+    "s13_matryoshka_ann" ->
+      """WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT v AS qf, v[1:16] AS qp FROM vecs WHERE vec_id = 0),
+         coarse AS (
+           SELECT vec_id, v,
+             round(list_dot_product(v[1:16], qp) /
+               (sqrt(list_dot_product(v[1:16], v[1:16])) * sqrt(list_dot_product(qp, qp))), 6) AS pcos
+           FROM vecs, q
+           WHERE vec_id <> 0 AND sqrt(list_dot_product(v[1:16], v[1:16])) > 0
+           ORDER BY pcos DESC, vec_id LIMIT 50)
+         SELECT vec_id,
+           round(list_dot_product(v, qf) /
+             (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qf, qf))), 6) AS cosine
+         FROM coarse, q
+         ORDER BY cosine DESC, vec_id LIMIT 10""",
+
     "s12_posting_lists" ->
       """WITH toks AS (SELECT doc_id,
            list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> length(t) >= 3) AS tk

@@ -19,6 +19,43 @@ import graft.Functions._
   */
 object Similarity {
 
+  /** Matryoshka-style prefix-rerank ANN (Kusupati et al. 2022): score the
+    * corpus on the FIRST `prefixDim` dimensions only (MRL-trained
+    * embeddings front-load information, so the prefix preserves ranking),
+    * keep `candidates` coarse winners, then rerank exactly on the full
+    * vector. The cheap stage reads prefixDim/dim of the vector bytes per
+    * row (with vectors stored dim-major/chunked, the scan itself shrinks);
+    * the exact stage touches only the BOUNDED candidate set.
+    *
+    * Plan shape: stage 1 is one scan + row-local prefix cosine +
+    * `TakeOrderedAndProject(candidates)`; stage 2 joins the candidate ids
+    * back BROADCAST (bounded by construction) and ends in
+    * `TakeOrderedAndProject(k)`. No shuffle anywhere.
+    *
+    * Both stages order by (rounded score DESC, id) — total orders, so the
+    * candidate CUT and the final ranking are engine-deterministic. */
+  def prefixRerankTopK(emb: DataFrame, idCol: String, vecCol: String,
+                       queryId: Long, k: Int, prefixDim: Int,
+                       candidates: Int): DataFrame = {
+    require(prefixDim >= 1, s"prefixDim must be >= 1, got $prefixDim")
+    require(candidates >= k, s"need candidates >= k, got $candidates < $k")
+    val pvec = slice(col(vecCol), 1, prefixDim)
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("_qfull"), slice(col(vecCol), 1, prefixDim).as("_qpre"))
+    val coarse = emb.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= queryId && l2_norm(pvec) > 0)
+      .withColumn("_pcos", round(cosine(pvec, col("_qpre")), 6))
+      .orderBy(col("_pcos").desc, col(idCol).asc)
+      .limit(candidates)
+      .select(col(idCol).as("_cid"))
+    emb.join(broadcast(coarse), col(idCol) === col("_cid"))
+      .crossJoin(broadcast(q))
+      .withColumn("cosine", round(cosine(col(vecCol), col("_qfull")), 6))
+      .select(col(idCol), col("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Exact top-k by cosine against one query vector. `TakeOrderedAndProject`
     * keeps per-partition heaps of k — no full sort, no driver pressure. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,

@@ -17,6 +17,30 @@ class SimilaritySpec extends SparkTestBase {
   private def ids(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
     df.select("vec_id", "cosine").as[(Long, Double)].collect().toSeq
 
+  test("prefixRerankTopK: prefix gates the candidate set, full vector ranks it") {
+    // query 100: full vec (1, 0, 1). v1 has a PERFECT prefix (first dim)
+    // but orthogonal tail; v2 decent prefix + matching tail; v3 opposite
+    // prefix sign -> pruned at stage 1 even though its tail matches.
+    val vecs = Seq(
+      (100L, Seq(1.0, 0.0, 1.0)),
+      (1L, Seq(1.0, 1.0, -1.0)),
+      (2L, Seq(0.5, 0.0, 0.5)),
+      (3L, Seq(-1.0, 0.0, 1.0))).toDF("vec_id", "embedding")
+    // candidates=2 on prefixDim=1: coarse pcos is sign(v[0]) -> v1, v2 pass
+    // (pcos 1.0 each, tie broken by id), v3 (pcos -1) cut
+    val got = ids(Similarity.prefixRerankTopK(vecs, "vec_id", "embedding",
+      queryId = 100L, k = 2, prefixDim = 1, candidates = 2))
+    // full-dim rerank: v2 cosine = 1.0, v1 cosine = 0
+    assert(got == Seq((2L, 1.0), (1L, 0.0)))
+  }
+
+  test("prefixRerankTopK with full-width prefix and corpus-wide candidates = brute force") {
+    val exact = ids(Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10))
+    val pr = ids(Similarity.prefixRerankTopK(emb, "vec_id", "embedding",
+      0L, 10, prefixDim = 64, candidates = 10000))
+    assert(pr == exact)
+  }
+
   test("ivfTopK with nprobe = nlist equals exact brute-force top-k") {
     val exact = ids(Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10))
     val ivfAll = ids(Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10,
