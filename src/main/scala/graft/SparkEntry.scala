@@ -695,6 +695,33 @@ object SparkEntry {
     // group)-keyed shuffle, dynamic-partition write = exactly one file
     // per group (LayoutSpec proves the file counts; the oracle proves
     // identity under rewrite plus the per-partition group count) ----
+    // ---- Layout: explicit-boundary range export — range-bucketed table
+    // layout where the boundaries come from EXACT quantiles (the q66
+    // histogram-walk machinery, a bounded control read) instead of
+    // Spark's sampled RangePartitioner, so the bucketing is deterministic
+    // and engine-replayable; written partitioned + sorted-within, read
+    // back, and proven by per-bucket count/min/max (misrouting breaks
+    // min/max, loss breaks counts). The layout downstream merge-free
+    // range reads and partition-pruned key lookups consume ----
+    "q68_range_export" -> { (s, dir) =>
+      val keys = Tables.lineitem(s, dir).select(col("l_orderkey").as("k"))
+      val bounds = Profile.exactQuantiles(keys, "k",
+          Seq(1250, 2500, 3750, 5000, 6250, 7500, 8750))
+        .orderBy(col("q_bp")).select(col("value"))
+        .collect().map(_.getLong(0)) // 7 boundaries — bounded control read
+      val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col("k") > b, 1).otherwise(0) }
+      val out = scratch("q68_range", dir) + "/li"
+      keys.withColumn("bucket", bucket)
+        .repartition(col("bucket")).sortWithinPartitions(col("k"))
+        .write.partitionBy("bucket").mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+        .orderBy(col("bucket"))
+    },
+
     "q61_compact_exec" -> { (s, dir) =>
       // a 1/4 slice: the proof (identity under rewrite, one file per plan
       // group) is slice-invariant, and the bench then times the rewrite
@@ -2829,6 +2856,21 @@ object SparkEntry {
 
     // ranks via integer arithmetic ((q_bp*n + 9999) // 10000) — float ceil
     // of q*n would straddle engines' rounding on non-dyadic quantiles
+    // same ceil-rank quantile definition as q66; bucket = boundaries < k,
+    // so boundary keys close their own bucket — integer-exact end to end
+    "q68_range_export" ->
+      """WITH v AS (SELECT l_orderkey AS k FROM lineitem),
+         ranked AS (SELECT k, row_number() OVER (ORDER BY k) AS rn FROM v),
+         cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+         qs(q_bp) AS (VALUES (1250),(2500),(3750),(5000),(6250),(7500),(8750)),
+         tgt AS (SELECT (CAST(q_bp AS BIGINT) * cnt.n + 9999) // 10000 AS rk FROM qs, cnt),
+         bounds AS (SELECT r.k AS b FROM tgt t JOIN ranked r ON r.rn = t.rk),
+         assigned AS (SELECT k,
+             CAST((SELECT count(*) FROM bounds WHERE b < v.k) AS INTEGER) AS bucket
+           FROM v)
+         SELECT bucket, count(*) AS n_rows, min(k) AS min_key, max(k) AS max_key
+         FROM assigned GROUP BY 1 ORDER BY 1""",
+
     "q66_exact_quantiles" ->
       """WITH v AS (
            SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS c
