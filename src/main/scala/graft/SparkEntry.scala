@@ -695,6 +695,28 @@ object SparkEntry {
     // group)-keyed shuffle, dynamic-partition write = exactly one file
     // per group (LayoutSpec proves the file counts; the oracle proves
     // identity under rewrite plus the per-partition group count) ----
+    // ---- Events: SLIDING-window top-k trending (6h window, 1h slide) —
+    // q14's tumbling complement: each event expands row-local to its 6
+    // covering windows (integer index arithmetic, no window() struct so
+    // any engine replays it), one (window, type)-keyed agg, then the
+    // bounded-heap top_k_by — k rows per window-partition cross the final
+    // shuffle, never a per-window sort ----
+    "q69_sliding_topk" -> { (s, dir) =>
+      val step = 3600000000L // 1h in micros; window = 6 steps
+      val wins = Tables.events(s, dir)
+        .select(expr(s"unix_micros(ts) div $step").as("wbase"), col("event_type"))
+        .select(col("event_type"),
+          explode(sequence(col("wbase") - 5, col("wbase"))).as("w"))
+        .filter(col("w") >= 0)
+      val agg = wins.groupBy(col("w"), col("event_type")).agg(count(lit(1)).as("n"))
+      Windows.topKPerGroup(
+          agg.withColumn("_p", struct(col("event_type"), col("n"))),
+          Seq("w"), "_p", "n", "event_type", k = 3)
+        .select((col("w") * step).as("w_start_us"), col("rank"),
+          col("_p.event_type").as("event_type"), col("_p.n").as("n"))
+        .orderBy(col("w_start_us"), col("rank"))
+    },
+
     // ---- Layout: explicit-boundary range export — range-bucketed table
     // layout where the boundaries come from EXACT quantiles (the q66
     // histogram-walk machinery, a bounded control read) instead of
@@ -2856,6 +2878,18 @@ object SparkEntry {
 
     // ranks via integer arithmetic ((q_bp*n + 9999) // 10000) — float ceil
     // of q*n would straddle engines' rounding on non-dyadic quantiles
+    "q69_sliding_topk" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+         wins AS (SELECT us // 3600000000 - j AS w, event_type
+                  FROM e CROSS JOIN range(0, 6) t(j)
+                  WHERE us // 3600000000 - j >= 0),
+         agg AS (SELECT w, event_type, count(*) AS n FROM wins GROUP BY 1, 2),
+         rk AS (SELECT w, event_type, n,
+                  CAST(row_number() OVER (PARTITION BY w ORDER BY n DESC, event_type) AS INTEGER) AS rank
+                FROM agg)
+         SELECT w * 3600000000 AS w_start_us, rank, event_type, n
+         FROM rk WHERE rank <= 3 ORDER BY w_start_us, rank""",
+
     // same ceil-rank quantile definition as q66; bucket = boundaries < k,
     // so boundary keys close their own bucket — integer-exact end to end
     "q68_range_export" ->
