@@ -1784,6 +1784,14 @@ object SparkEntry {
         .limit(50)
     },
 
+    // ---- Dedup: LSH S-curve parameter sweep — the tuning step that makes
+    // the MinHash family self-configuring: per (bands, rows) split of a
+    // 16-hash budget, FP/FN areas of the collision curve against the 0.35
+    // threshold; row 1 is the parameterization d03/d12 should run ----
+    "d15_lsh_tune" -> { (s, dir) =>
+      Dedup.lshParameterSweep(s, threshold = 0.35, maxSignature = 16)
+    },
+
     // ---- Sketch: Count-Min frequency estimation — the bounded-memory
     // frequency table (depth x width counters, size CHOSEN not
     // data-dependent); md5-derived buckets so the sketch is an
@@ -4123,6 +4131,24 @@ object SparkEntry {
            string_agg(c.doc_id || ':' || c.cnt, ',' ORDER BY c.doc_id) AS postings
          FROM sel s JOIN counts c USING (term)
          GROUP BY 1, 2, 3 ORDER BY doc_freq DESC, term""",
+
+    // identical expression trees (midpoint grid, direct powers) so libm
+    // pow ulp skew stays under the round(6) grain on both engines
+    "d15_lsh_tune" ->
+      """WITH cand AS (
+           SELECT CAST(b AS INTEGER) AS n_bands, CAST(r AS INTEGER) AS n_rows
+           FROM range(1, 17) tb(b) CROSS JOIN range(1, 17) tr(r)
+           WHERE b * r <= 16),
+         sc AS (SELECT n_bands, n_rows,
+           round(list_sum(list_transform(
+             list_filter(range(0, 100), i -> (i+0.5)/100 < 0.35),
+             i -> 1.0 - pow(1.0 - pow((i+0.5)/100, n_rows), n_bands)))/100, 6) AS fp,
+           round(list_sum(list_transform(
+             list_filter(range(0, 100), i -> NOT ((i+0.5)/100 < 0.35)),
+             i -> pow(1.0 - pow((i+0.5)/100, n_rows), n_bands)))/100, 6) AS fn
+           FROM cand)
+         SELECT n_bands, n_rows, fp, fn, round(fp + fn, 6) AS err
+         FROM sc ORDER BY err, n_bands, n_rows""",
 
     // rebuilds the identical sketch table from md5 buckets and takes the
     // same min-over-depths estimates — bit-for-bit, collisions included

@@ -600,6 +600,48 @@ object Dedup {
     *  - span coverage unions [p, p+n-1] intervals per doc via a
     *    doc-keyed distinct over covered positions — bounded by document
     *    length, never by corpus repetition. */
+  /** LSH parameter sweep — the S-curve tuning step that makes the MinHash
+    * family self-configuring (the datasketch/Mining-of-Massive-Datasets
+    * recipe): for every (bands, rows) split of a signature budget, the
+    * collision probability of a pair with Jaccard s is 1-(1-s^rows)^bands;
+    * the best split minimizes false-positive area below the threshold plus
+    * false-negative area above it (midpoint-rule integrals over a fixed
+    * grid). Output: one row per candidate split with (fp, fn, err),
+    * ordered best-first by (rounded err, bands, rows) — row 1 is the
+    * chosen parameterization for [[lshNearDup]]/[[lshIndex]].
+    *
+    * The sweep is candidate-grid-sized (≤ ~50 rows for a 16-hash budget)
+    * and computed row-local with HOF aggregates — no data is touched; it
+    * lives in the engine (not a driver calculator) so the same plan
+    * documents the choice and any engine replays it. */
+  def lshParameterSweep(spark: org.apache.spark.sql.SparkSession,
+                        threshold: Double, maxSignature: Int,
+                        steps: Int = 100): DataFrame = {
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1), got $threshold")
+    require(maxSignature >= 1, s"maxSignature must be >= 1, got $maxSignature")
+    import spark.implicits._
+    val cands = (for {
+      r <- 1 to maxSignature
+      b <- 1 to maxSignature
+      if b * r <= maxSignature
+    } yield (b, r)).toDF("n_bands", "n_rows")
+    // miss(s) = (1 - s^rows)^bands; collision(s) = 1 - miss(s), at
+    // midpoints s_i = (i+0.5)/steps. Both integrands are written as the
+    // SAME expression tree the oracle uses (1-(1-x) double-rounds, so fn
+    // computes the power directly, never via 1-collision).
+    val miss = (i: Column) =>
+      pow(lit(1.0) - pow((i + 0.5) / steps, col("n_rows")), col("n_bands"))
+    val grid = sequence(lit(0), lit(steps - 1))
+    def area(pred: Column => Column, integrand: Column => Column): Column =
+      aggregate(filter(grid, pred), lit(0.0), (acc, i) => acc + integrand(i)) / steps
+    val below = (i: Column) => (i + 0.5) / steps < threshold
+    cands
+      .withColumn("fp", round(area(below, i => lit(1.0) - miss(i)), 6))
+      .withColumn("fn", round(area(i => !below(i), miss), 6))
+      .withColumn("err", round(col("fp") + col("fn"), 6))
+      .orderBy(col("err"), col("n_bands"), col("n_rows"))
+  }
+
   /** Duplicate-span REMOVAL — the corrective half of [[dupSpans]] (Lee et
     * al. cut the repeated spans out of the corpus, they don't just count
     * them). Policy, chosen to be deterministic and engine-replayable: for

@@ -399,6 +399,20 @@ class DedupSpec extends SparkTestBase {
     assert(dups.length == 1 && dups(0).getAs[Long]("keep_id") == 1L)
   }
 
+  test("lshParameterSweep: closed-form (1,1) areas, best split beats identity") {
+    val sweep = Dedup.lshParameterSweep(spark, threshold = 0.35, maxSignature = 16)
+      .as[(Int, Int, Double, Double, Double)].collect().toSeq
+    assert(sweep.size == 50) // all (b, r) with b*r <= 16
+    // (1,1): collision(s) = s. Midpoint integrals over 100 steps:
+    // fp = sum_{s_i<0.35} s_i/100 = 0.0612 (35 midpoints), fn = 0.21125
+    val id = sweep.find(t => t._1 == 1 && t._2 == 1).get
+    assert(math.abs(id._3 - 0.06125) < 1e-6 && math.abs(id._4 - 0.21125) < 1e-6)
+    // the sweep is best-first and its winner strictly beats identity
+    assert(sweep.head._5 == sweep.map(_._5).min)
+    assert(sweep.head._5 < id._5)
+    assert(sweep.forall(t => t._3 >= 0 && t._3 <= 1 && t._4 >= 0 && t._4 <= 1))
+  }
+
   test("dupSpans: shared 3-gram spans count, cover, and ratio per doc") {
     val docs = Seq(
       // docs 1 and 2 share the span "one two three" (and only that);
