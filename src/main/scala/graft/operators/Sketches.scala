@@ -45,7 +45,10 @@ object Sketches {
   def countMinBuild(items: DataFrame, keyCol: String,
                     width: Int, depth: Int): DataFrame = {
     require(width >= 1 && depth >= 1, s"need width, depth >= 1: got $width, $depth")
+    // a NULL key has no frequency meaning; hashing it would plant a null
+    // bucket row that polluted every later merge of a persisted sketch
     items
+      .filter(col(keyCol).isNotNull)
       .select(bucketed(keyCol, width, depth).as("jb"))
       .groupBy(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
@@ -58,6 +61,7 @@ object Sketches {
   def countMinEstimate(cms: DataFrame, candidates: DataFrame, keyCol: String,
                        width: Int, depth: Int): DataFrame =
     candidates
+      .filter(col(keyCol).isNotNull)
       .select(col(keyCol), bucketed(keyCol, width, depth).as("jb"))
       .select(col(keyCol), col("jb.j").as("j"), col("jb.bucket").as("bucket"))
       .join(broadcast(cms), Seq("j", "bucket"), "left_outer")

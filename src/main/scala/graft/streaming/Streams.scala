@@ -537,6 +537,78 @@ object Streams {
     * corpus more often (write amplification ~ corpus/every batches);
     * production cadences are driven by dir count or bytes, which a caller
     * can implement directly with [[compactDedupState]]. */
+  /** Sink-side continuous Count-Min maintenance — the streaming form of
+    * [[graft.operators.Sketches]]: each micro-batch's occurrence rows
+    * become a bounded (depth x width) DELTA sketch appended as
+    * `root/cms/b<id>/`, marker-committed LAST (the
+    * [[foreachBatchIndexedDedup]] exactly-once discipline: replays of
+    * committed ids are skipped, a crashed batch's partial dir is invisible
+    * and overwritten on retry, an empty batch commits nothing). Because
+    * the sketch is LINEAR (sums), the live sketch is just the counter-wise
+    * sum of committed deltas — [[cmsSketch]] — and deltas compact into a
+    * `base.<upTo>` by the same summation ([[compactCmsState]]), so
+    * steady-state reads stop growing with batch count. `width`/`depth`
+    * must match across every batch of one root (they define the counter
+    * table's keys); `lineage` follows the usual cross-checkpoint rule. */
+  def foreachBatchCmsUpdate(root: String, keyCol: String, width: Int, depth: Int,
+                            lineage: String = ""): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val (fs, rootP) = hadoopFs(spark, root)
+      val (last, storedLineage) = lastCommittedWithLineage(fs, rootP)
+      if (last >= 0L)
+        requireSameLineage("foreachBatchCmsUpdate", root, storedLineage, lineage)
+      if (batchId > last) {
+        val delta = graft.operators.Sketches.countMinBuild(batch, keyCol, width, depth)
+        // bounded by construction (depth x width rows): one file per delta
+        if (!delta.isEmpty) {
+          delta.coalesce(1).write.mode("overwrite").parquet(s"$root/cms/b$batchId")
+          commitBatchMarker(fs, rootP, batchId, lineage) // commit point, LAST
+        }
+      }
+    }
+
+  /** The live sketch at `root`: counter-wise sum of every committed delta
+    * (plus a compacted base when present). Typed-empty when nothing is
+    * committed. Feed to [[graft.operators.Sketches.countMinEstimate]]. */
+  def cmsSketch(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val (fs, rootP) = hadoopFs(spark, root)
+    val last = lastCommittedBatch(fs, rootP)
+    val dirs = if (last < 0L) Seq.empty else committedKindDirs(fs, rootP, "cms", last)
+    if (dirs.isEmpty) Seq.empty[(Int, Long, Long)].toDF("j", "bucket", "cnt")
+    else dirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+      .groupBy(col("j"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Collapse committed CMS deltas into `cms/base.<last>` (staging+rename
+    * publish, hygiene sweep — the [[compactDedupState]] shape). The merge
+    * is the counter-wise SUM, not a union: the compacted base is itself a
+    * valid delta, so readers never special-case it. */
+  def compactCmsState(spark: SparkSession, root: String): Unit = {
+    val (fs, rootP) = hadoopFs(spark, root)
+    val last = lastCommittedBatch(fs, rootP)
+    if (last < 0L) return
+    val kindP = new org.apache.hadoop.fs.Path(rootP, "cms")
+    val (bases, batches) = stateEntries(fs, kindP)
+    val upTo = bases.filter(_._1 <= last).foldLeft(-1L)((m, e) => math.max(m, e._1))
+    bases.filter(_._1 < upTo).foreach(e => fs.delete(e._2, true))
+    batches.filter(_._1 <= upTo).foreach(e => fs.delete(e._2, true))
+    val live = committedKindDirs(fs, rootP, "cms", last)
+    if (live.size >= 2) {
+      val merged = live.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+        .groupBy(col("j"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+      val staging = new org.apache.hadoop.fs.Path(kindP, s".base_staging.$last")
+      fs.delete(staging, true)
+      merged.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val target = new org.apache.hadoop.fs.Path(kindP, s"base.$last")
+      fs.delete(target, true)
+      require(fs.rename(staging, target),
+        s"compactCmsState: publishing rename failed under $root")
+      live.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    }
+  }
+
   def withPeriodicCompaction(sink: (DataFrame, Long) => Unit, root: String,
                              every: Int = 16): (DataFrame, Long) => Unit = {
     require(every >= 1, s"withPeriodicCompaction: every must be >= 1, got $every")

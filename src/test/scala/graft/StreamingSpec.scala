@@ -893,4 +893,56 @@ class StreamingSpec extends SparkTestBase {
     assert(Streams.embeddingCorpus(spark, root).select("id").as[Long].collect().toSet
       == Set(3L, 4L))
   }
+
+  test("CMS sink: deltas accumulate to the whole-input sketch; replays are no-ops") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cms_sink").toString
+    val (w, d) = (256, 4)
+    val fn = Streams.foreachBatchCmsUpdate(root, "key", w, d)
+    val b0 = Seq("x", "x", "y").toDF("key")
+    val b1 = Seq("x", "z", "z", "z").toDF("key")
+    fn(b0, 0L); fn(b1, 1L)
+    def estimates: Map[String, Long] = graft.operators.Sketches
+      .countMinEstimate(Streams.cmsSketch(spark, root),
+        Seq("x", "y", "z").toDF("key"), "key", w, d)
+      .as[(String, Long)].collect().toMap
+    assert(estimates == Map("x" -> 3L, "y" -> 1L, "z" -> 3L))
+    // persisted sum equals the one-shot whole-input build (linearity)
+    val whole = graft.operators.Sketches
+      .countMinBuild(b0.unionByName(b1), "key", w, d)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(Streams.cmsSketch(spark, root).as[(Int, Long, Long)].collect().toSet == whole)
+    // replaying a committed id and delivering an empty batch change nothing
+    fn(Seq("poison", "poison").toDF("key"), 1L)
+    fn(spark.emptyDataFrame.selectExpr("CAST(NULL AS STRING) AS key").limit(0), 2L)
+    assert(estimates == Map("x" -> 3L, "y" -> 1L, "z" -> 3L))
+  }
+
+  test("CMS sink: lineage guard and compaction preserve the sketch") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cms_lineage").toString
+    val (w, d) = (64, 3)
+    Streams.foreachBatchCmsUpdate(root, "key", w, d, lineage = "ckpt-A")(
+      Seq("a", "b").toDF("key"), 0L)
+    // fresh-checkpoint rebind over a non-empty sketch must throw
+    val ex = intercept[IllegalStateException] {
+      Streams.foreachBatchCmsUpdate(root, "key", w, d, lineage = "ckpt-B")(
+        Seq("c").toDF("key"), 0L)
+    }
+    assert(ex.getMessage.contains("lineage"))
+    // same lineage proceeds; compaction collapses the dirs, sketch intact
+    Streams.foreachBatchCmsUpdate(root, "key", w, d, lineage = "ckpt-A")(
+      Seq("a", "c").toDF("key"), 1L)
+    val before = Streams.cmsSketch(spark, root).as[(Int, Long, Long)].collect().toSet
+    Streams.compactCmsState(spark, root)
+    assert(Streams.cmsSketch(spark, root).as[(Int, Long, Long)].collect().toSet == before)
+    assert(new java.io.File(s"$root/cms").listFiles()
+      .count(_.getName.startsWith("base.")) == 1)
+    // post-compaction ingest keeps accumulating on top of the base
+    Streams.foreachBatchCmsUpdate(root, "key", w, d, lineage = "ckpt-A")(
+      Seq("a").toDF("key"), 2L)
+    val est = graft.operators.Sketches
+      .countMinEstimate(Streams.cmsSketch(spark, root),
+        Seq("a", "b", "c").toDF("key"), "key", w, d)
+      .as[(String, Long)].collect().toMap
+    assert(est == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+  }
 }
