@@ -1442,6 +1442,22 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("frame_no"))
     },
 
+    // ---- Multimodal: REAL audio signal features — deterministic integer
+    // waveform encoded with the JDK WAV writer, decoded back with the
+    // real javax.sound reader, and walked sample-by-sample for
+    // integer-exact energy / zero-crossing / peak statistics; the oracle
+    // replays the whole encode->decode->feature chain arithmetically ----
+    "m14_audio_features" -> { (s, dir) =>
+      val frames = Parallelism.ensureDefaultParallelism(
+        Tables.documents(s, dir)).select(col("doc_id"),
+        (pmod(col("doc_id"), lit(1000)) + 1).cast("int").as("_frames"))
+      Multimodal.audioFeatures(
+          Multimodal.encodeWavPattern(frames, "doc_id", "_frames", sampleRate = 8000),
+          "asset_id", "payload")
+        .withColumnRenamed("asset_id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
     // ---- Multimodal: raw-file object-store ingest round trip — assets
     // written one file per row (distributed, Hadoop FS API), read back
     // through the binaryFile source with filename->id recovery; the oracle
@@ -3958,6 +3974,25 @@ object SparkEntry {
          SELECT doc_id, CAST(t.d AS INTEGER) AS dim,
                 CAST(CASE WHEN t.d = bucket THEN 1 ELSE 0 END AS DOUBLE) AS value
          FROM b CROSS JOIN range(0, 16) t(d) ORDER BY doc_id, dim""",
+
+    // sample k = ((doc_id+1)*(k+1)) % 65521 - 32760; zero crossings count
+    // sign-boundary changes with sign(0)=+1 — all integer arithmetic
+    "m14_audio_features" ->
+      """WITH d AS (SELECT doc_id, doc_id % 1000 + 1 AS nf FROM documents),
+         s AS (SELECT doc_id, nf, CAST(k AS BIGINT) AS k,
+                 ((doc_id + 1) * (k + 1)) % 65521 - 32760 AS v
+               FROM d CROSS JOIN LATERAL unnest(range(0, nf)) AS t(k)),
+         f AS (SELECT doc_id,
+                 CAST(max(nf) AS BIGINT) AS n_frames,
+                 CAST(sum(v * v) AS BIGINT) AS sum_sq,
+                 CAST(sum(CASE WHEN k > 0 AND ((v >= 0) <> (pv >= 0)) THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+                 CAST(max(abs(v)) AS INTEGER) AS peak
+               FROM (SELECT doc_id, nf, k, v,
+                       lag(v) OVER (PARTITION BY doc_id ORDER BY k) AS pv
+                     FROM s)
+               GROUP BY doc_id)
+         SELECT doc_id, n_frames, sum_sq, zero_crossings, peak
+         FROM f ORDER BY doc_id""",
 
     "m10_audio_decode" ->
       """SELECT doc_id, 'wave' AS format,

@@ -545,6 +545,103 @@ object Multimodal {
     }(enc)
   }
 
+  /** [[encodeWav]] writes silence (header-proof only); this twin writes a
+    * DETERMINISTIC integer waveform so downstream feature kernels have
+    * real signal to prove themselves on: sample k (16-bit signed) is
+    * ((id+1)*(k+1)) % 65521 - 32760 — pure integer arithmetic, so an
+    * oracle replays the whole encode->decode->feature chain exactly
+    * (the audio analog of [[encodePngPattern]]). */
+  def encodeWavPattern(df: DataFrame, idCol: String, framesCol: String,
+                       sampleRate: Int): DataFrame = {
+    require(sampleRate >= 1, s"encodeWavPattern: sampleRate must be >= 1")
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    val input = df.select(col(idCol).cast("long"), col(framesCol).cast("int"))
+    val enc = RowEncoder.encoderFor(schema)
+    input.mapPartitions { rows =>
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+      val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+      val writer = loadProviders(classOf[javax.sound.sampled.spi.AudioFileWriter])
+        .find(_.isFileTypeSupported(wave))
+      rows.map { r =>
+        val id = r.getLong(0)
+        val frames = r.getInt(1)
+        val pcm = new Array[Byte](frames * 2)
+        var k = 0
+        while (k < frames) {
+          val s = (((id + 1) * (k + 1)) % 65521L - 32760L).toInt
+          pcm(2 * k) = (s & 0xFF).toByte // little-endian, matching fmt
+          pcm(2 * k + 1) = ((s >> 8) & 0xFF).toByte
+          k += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        writer match {
+          case Some(w) => w.write(ais, wave, bos)
+          case None => javax.sound.sampled.AudioSystem.write(ais, wave, bos)
+        }
+        Row(id, bos.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** Decoded-audio FEATURES over real PCM — the signal-level analog of
+    * [[decodeAudioMeta]]'s header read and [[extractFeaturesReal]]'s pixel
+    * read: parse the container with the real javax.sound decoder, walk the
+    * 16-bit mono samples, and emit integer-exact signal statistics
+    * (energy as a sum of squares, zero crossings with sign(0)=+1, peak
+    * magnitude). Integer outputs make the kernel hash-exact on any
+    * engine. Row-local mapPartitions, one decoder per partition, corrupt
+    * payloads degrade to NULL features. */
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("n_frames", LongType),
+    StructField("sum_sq", LongType),
+    StructField("zero_crossings", LongType),
+    StructField("peak", IntegerType)))
+
+  def audioFeatures(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val input = df.select(col(idCol).cast("long"), col(binCol))
+    val enc = RowEncoder.encoderFor(audioFeatureSchema)
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val fmt = ais.getFormat
+            require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+              "audioFeatures: expects 16-bit mono PCM")
+            val data = ais.readAllBytes()
+            val n = data.length / 2
+            var sumSq = 0L; var zc = 0L; var peak = 0
+            var prevNonNeg = true
+            var k = 0
+            while (k < n) {
+              val b0 = data(2 * k); val b1 = data(2 * k + 1)
+              // the high byte sign-extends (toInt), the low byte is masked
+              val s = if (fmt.isBigEndian) (b0.toInt << 8) | (b1 & 0xFF)
+                      else (b1.toInt << 8) | (b0 & 0xFF)
+              sumSq += s.toLong * s
+              val nonNeg = s >= 0
+              if (k > 0 && nonNeg != prevNonNeg) zc += 1
+              prevNonNeg = nonNeg
+              if (math.abs(s) > peak) peak = math.abs(s)
+              k += 1
+            }
+            Row(id, n.toLong, sumSq, zc, peak)
+          } finally ais.close()
+        } catch {
+          case scala.util.control.NonFatal(_) => Row(id, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
   /** Decoded-video-frame schema for the REAL (animated-GIF) frame
     * extractor: one row per sampled frame. */
   val gifFrameSchema: StructType = StructType(Seq(

@@ -329,6 +329,39 @@ class MultimodalSpec extends SparkTestBase {
     assert(got.forall(_.isNullAt(1)))
   }
 
+  test("audioFeatures: real WAV round-trip matches hand-computed signal stats") {
+    // id=1, 4 frames: s_k = (2*(k+1)) % 65521 - 32760 = {-32758, -32756,
+    // -32754, -32752}: all negative -> 0 crossings, peak 32758
+    val in = Seq((1L, 4)).toDF("id", "nf")
+    val got = Multimodal.audioFeatures(
+        Multimodal.encodeWavPattern(in, "id", "nf", sampleRate = 8000),
+        "asset_id", "payload")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Int])]
+      .collect().head
+    val expSumSq = Seq(-32758L, -32756L, -32754L, -32752L).map(s => s * s).sum
+    assert(got == ((1L, Some(4L), Some(expSumSq), Some(0L), Some(32758))))
+    // a waveform that crosses zero: multiplier id+1 = 32760 ~ modulus/2,
+    // so consecutive samples land on opposite sides of zero
+    val in2 = Seq((32759L, 6)).toDF("id", "nf")
+    val k2 = Multimodal.audioFeatures(
+        Multimodal.encodeWavPattern(in2, "id", "nf", sampleRate = 8000),
+        "asset_id", "payload")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Int])]
+      .collect().head
+    val samples = (0 until 6).map(k => ((32759L + 1) * (k + 1)) % 65521L - 32760L)
+    val zc = (1 until 6).count(k => (samples(k) >= 0) != (samples(k - 1) >= 0))
+    assert(k2._3 == Some(samples.map(s => s * s).sum))
+    assert(k2._4 == Some(zc.toLong) && zc > 0)
+  }
+
+  test("audioFeatures: corrupt payload degrades to NULL features") {
+    val junk = Seq((9L, Array[Byte](1, 2, 3, 4))).toDF("id", "payload")
+    val got = Multimodal.audioFeatures(junk, "id", "payload")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Int])]
+      .collect().head
+    assert(got == ((9L, None, None, None, None)))
+  }
+
   test("dHashNearDup: same pattern pairs at 0, one-cell patch stays in radius, distinct patterns do not pair") {
     // ids 1,2 share a seed (identical image); 3 is 1 with a one-cell patch
     // (near-dup); 4 is an unrelated seed; 5 is garbage (excluded)
