@@ -1800,6 +1800,32 @@ object SparkEntry {
         .limit(50)
     },
 
+    // ---- Text: corpus datasheet — the one-row dataset-card profile a
+    // release ships (doc/empty counts, token volume, exact-dup rate,
+    // dominant language + share), composed from the engine's own kernels
+    // in two aggregate passes + a one-row broadcast attach ----
+    "t35_datasheet" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val base = d.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).as("n_null"),
+        sum(when(col("text").isNull || length(trim(col("text"))) === 0, 1L)
+          .otherwise(0L)).as("n_empty"),
+        sum(size(filter(split(trim(lower(col("text"))), "\\s+"),
+          t => length(t) >= 1)).cast("long")).as("total_tokens"),
+        countDistinct(md5(col("text"))).as("distinct_texts"))
+      val lang = d.select(TextAnalysis.langId(col("text")).as("lang"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("_tn"))
+        .orderBy(col("_tn").desc, col("lang")).limit(1)
+        .withColumnRenamed("lang", "top_lang")
+      base.crossJoin(broadcast(lang))
+        .select(col("n_docs"), col("n_empty"), col("total_tokens"),
+          col("distinct_texts"),
+          (col("n_docs") - col("n_null") - col("distinct_texts")).as("dup_docs"),
+          col("top_lang"),
+          round(col("_tn") / col("n_docs"), 6).as("top_lang_share"))
+    },
+
     // ---- Dedup: LSH S-curve parameter sweep — the tuning step that makes
     // the MinHash family self-configuring: per (bands, rows) split of a
     // 16-hash budget, FP/FN areas of the collision curve against the 0.35
@@ -4166,6 +4192,36 @@ object SparkEntry {
            string_agg(c.doc_id || ':' || c.cnt, ',' ORDER BY c.doc_id) AS postings
          FROM sel s JOIN counts c USING (term)
          GROUP BY 1, 2, 3 ORDER BY doc_freq DESC, term""",
+
+    "t35_datasheet" ->
+      """WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+         s AS (SELECT doc_id,
+           length(list_filter(toks, x -> x IN ('der','die','das','und','ist','von','ein','eine','zu','den'))) AS h_de,
+           length(list_filter(toks, x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS h_en,
+           length(list_filter(toks, x -> x IN ('el','la','los','de','que','y','en','un','una','es'))) AS h_es,
+           length(list_filter(toks, x -> x IN ('le','la','les','de','et','un','une','est','que','dans'))) AS h_fr
+           FROM t),
+         lp AS (SELECT doc_id,
+           CASE WHEN greatest(h_de,h_en,h_es,h_fr) = 0 THEN 'und'
+                WHEN h_de = greatest(h_de,h_en,h_es,h_fr) THEN 'de'
+                WHEN h_en = greatest(h_de,h_en,h_es,h_fr) THEN 'en'
+                WHEN h_es = greatest(h_de,h_en,h_es,h_fr) THEN 'es'
+                ELSE 'fr' END AS lang
+           FROM s),
+         top AS (SELECT lang AS top_lang, count(*) AS tn FROM lp
+                 GROUP BY 1 ORDER BY tn DESC, top_lang LIMIT 1),
+         base AS (SELECT
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(sum(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+           CAST(sum(length(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> length(x) >= 1))) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS distinct_texts
+           FROM documents)
+         SELECT n_docs, n_empty, total_tokens, distinct_texts,
+           n_docs - n_null - distinct_texts AS dup_docs,
+           top_lang, round(CAST(tn AS DOUBLE) / n_docs, 6) AS top_lang_share
+         FROM base, top""",
 
     // identical expression trees (midpoint grid, direct powers) so libm
     // pow ulp skew stays under the round(6) grain on both engines
