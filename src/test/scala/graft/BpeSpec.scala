@@ -72,6 +72,24 @@ class BpeSpec extends SparkTestBase {
     assert(seg("pug") == ((1L, "p ug")))
   }
 
+  test("property: segmentLocal == segment on random corpora and merge lists") {
+    import org.scalacheck.{Gen, Prop}
+    // small alphabet maximizes chain/overlap collisions — the hard cases
+    val word = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val corpus = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, word))
+    val sym = Gen.oneOf("a", "b", "c", "aa", "ab", "ba", "bc", "cc")
+    val mergeList = Gen.chooseNum(1, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(sym, sym)))
+    PropHelper.check(Prop.forAll(corpus, mergeList) { (ws, ms) =>
+      val words = Bpe.wordTable(Seq(ws.mkString(" ")).toDF("text"), "text")
+      val render = (df: org.apache.spark.sql.DataFrame) => df
+        .select(col("word"), col("freq"), concat_ws(" ", col("syms")))
+        .as[(String, Long, String)].collect().toSet
+      render(Bpe.segmentLocal(words, ms)) == render(Bpe.segment(words, ms))
+    }, minTests = 30) // each case runs 2 Spark plans; 30 covers the space
+  }
+
   test("segmentLocal equals the window-algebra segment, chains included") {
     // same-symbol chains + compounding merges — the cases where LTR
     // non-overlap semantics could diverge between the two implementations
