@@ -111,6 +111,25 @@ object Functions {
     bridge.column(graft.functions.KmvDistinct(bridge.expression(c), k)
       .toAggregateExpression())
 
+  /** HLL distinct-count sketch aggregate (m=256 registers, md5-derived
+    * bucket/rho so the registers AND the raw estimate are
+    * oracle-reproducible). Returns (est_hll, registers_sum, n_zero). */
+  def hll_distinct(c: Column): Column =
+    bridge.column(graft.functions.HllDistinct(bridge.expression(c))
+      .toAggregateExpression())
+
+  /** The storable form of [[hll_distinct]]: the 256-byte register blob.
+    * Persist per day/partition; roll up later with [[hll_merge_est]]. */
+  def hll_registers(c: Column): Column =
+    bridge.column(graft.functions.HllRegisters(bridge.expression(c))
+      .toAggregateExpression())
+
+  /** Merge stored HLL register blobs (element-wise max — lossless and
+    * associative) and return the union's (est_hll, registers_sum, n_zero). */
+  def hll_merge_est(c: Column): Column =
+    bridge.column(graft.functions.HllMergeEst(bridge.expression(c))
+      .toAggregateExpression())
+
   /** Bloom-bitset aggregate over the build side's join keys (cast to
     * string): array<bigint> of numBits/64 words, md5-double-hashed so the
     * content is engine-reproducible. Merges are word-wise OR (map-side

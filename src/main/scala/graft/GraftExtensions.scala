@@ -77,6 +77,9 @@ object GraftExtensions {
         intArg(e(2), "bloom_contains", 3), intArg(e(3), "bloom_contains", 4))),
     "top_k_by" -> (e => TopKBy(e.head, e(1), e(2), intArg(e(3), "top_k_by", 4))),
     "kmv_distinct" -> (e => KmvDistinct(e.head, intArg(e(1), "kmv_distinct", 2))),
+    "hll_distinct" -> (e => HllDistinct(e.head)),
+    "hll_registers" -> (e => HllRegisters(e.head)),
+    "hll_merge_est" -> (e => HllMergeEst(e.head)),
     "dot_product" -> (e => DotProduct(e.head, e(1))),
     "cosine_similarity" -> (e => CosineSim(e.head, e(1))),
     "l2_norm" -> (e => L2Norm(e.head)),

@@ -1933,6 +1933,40 @@ object SparkEntry {
         .select(col("sub"), col("cid"), posexplode(col("centroid")))
         .select(col("sub"), col("cid"), col("pos").as("dim"), col("col").as("value"))
         .orderBy(col("sub"), col("cid"), col("dim"))
+    },
+
+    // ---- Sketch: HyperLogLog distinct counts per language — md5-derived
+    // registers (engine-portable, oracle-exact to the last bit, unlike any
+    // builtin approx_count_distinct); 256 bytes per (group, partition)
+    // cross the shuffle regardless of corpus size; exact countDistinct
+    // rides alongside so the sketch error is visible in the output ----
+    "t36_hll_distinct" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(hll_distinct(col("text")).as("h"),
+          countDistinct(col("text")).as("exact_distinct"))
+        .select(col("lang"), col("h.est_hll").as("est_hll"),
+          col("h.registers_sum").as("registers_sum"),
+          col("h.n_zero").as("n_zero"), col("exact_distinct"))
+        .orderBy(col("lang"))
+    },
+
+    // ---- Sketch: HLL two-level rollup — per-language register BLOBS are
+    // built first (the storable daily-sketch shape), then merged by
+    // element-wise max into the corpus-wide estimate. The raw texts are
+    // hashed exactly once; the rollup aggregates 256-byte blobs, which is
+    // how a year of daily sketches becomes an annual distinct count
+    // without re-reading a single day's data ----
+    "q70_hll_rollup" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val merged = d.groupBy(col("lang"))
+        .agg(hll_registers(col("text")).as("regs"))
+        .agg(hll_merge_est(col("regs")).as("h"))
+        .select(col("h.est_hll").as("est_hll"),
+          col("h.registers_sum").as("registers_sum"),
+          col("h.n_zero").as("n_zero"))
+      val exact = d.agg(countDistinct(col("text")).as("exact_distinct"))
+      merged.crossJoin(broadcast(exact))
     }
   )
 
@@ -4612,7 +4646,57 @@ object SparkEntry {
            FROM a1 CROSS JOIN range(0, 16) t(d) GROUP BY sub, cid, d)
          SELECT CAST(sub AS INTEGER) AS sub, cid, CAST(d AS INTEGER) AS dim,
            s / 1048576.0 / n AS value
-         FROM s2 ORDER BY sub, cid, dim"""
+         FROM s2 ORDER BY sub, cid, dim""",
+
+    // HLL registers replayed in SQL: bucket = md5 byte 0, rho =
+    // 49 - bitlength(next 48 bits); the harmonic sum stays in exact
+    // integer arithmetic (2^(49-rho) per register) and the estimate is one
+    // double division, so both engines produce identical IEEE bits. The
+    // left join keeps languages whose every text is NULL (empty sketch).
+    "t36_hll_distinct" ->
+      """WITH h AS (SELECT lang,
+             CAST(('0x' || substr(md5(text),1,2)) AS INTEGER) AS bucket,
+             CAST(('0x' || substr(md5(text),3,12)) AS BIGINT) AS w48
+           FROM documents WHERE text IS NOT NULL),
+         r AS (SELECT lang, bucket,
+             max(CASE WHEN w48 = 0 THEN 49 ELSE 49 - length(bin(w48)) END) AS rho
+           FROM h GROUP BY 1, 2),
+         g0 AS (SELECT lang, sum(CAST(1 AS BIGINT) << (49 - rho)) AS s_present,
+             count(*) AS n_present
+           FROM r GROUP BY 1),
+         e AS (SELECT lang, count(DISTINCT text) AS exact_distinct
+           FROM documents GROUP BY 1),
+         g AS (SELECT e.lang,
+             CAST(COALESCE(s_present, 0)
+               + (256 - COALESCE(n_present, 0)) * (CAST(1 AS BIGINT) << 49) AS BIGINT) AS registers_sum,
+             CAST(256 - COALESCE(n_present, 0) AS INTEGER) AS n_zero,
+             exact_distinct
+           FROM e LEFT JOIN g0 ON e.lang = g0.lang)
+         SELECT lang,
+           CAST(0.7182725932495458 AS DOUBLE) * 65536 * 562949953421312
+             / CAST(registers_sum AS DOUBLE) AS est_hll,
+           registers_sum, n_zero, exact_distinct
+         FROM g ORDER BY lang""",
+
+    // the two-level merge is element-wise max, so the rollup of per-lang
+    // blobs equals the direct global sketch — which is what this replays
+    "q70_hll_rollup" ->
+      """WITH h AS (SELECT
+             CAST(('0x' || substr(md5(text),1,2)) AS INTEGER) AS bucket,
+             CAST(('0x' || substr(md5(text),3,12)) AS BIGINT) AS w48
+           FROM documents WHERE text IS NOT NULL),
+         r AS (SELECT bucket,
+             max(CASE WHEN w48 = 0 THEN 49 ELSE 49 - length(bin(w48)) END) AS rho
+           FROM h GROUP BY 1),
+         g AS (SELECT CAST(sum(CAST(1 AS BIGINT) << (49 - rho))
+               + (256 - count(*)) * (CAST(1 AS BIGINT) << 49) AS BIGINT) AS registers_sum,
+             CAST(256 - count(*) AS INTEGER) AS n_zero
+           FROM r)
+         SELECT CAST(0.7182725932495458 AS DOUBLE) * 65536 * 562949953421312
+             / CAST(registers_sum AS DOUBLE) AS est_hll,
+           registers_sum, n_zero,
+           (SELECT count(DISTINCT text) FROM documents) AS exact_distinct
+         FROM g"""
   )
 
   /** Quantized PQ codebook as a SQL VALUES literal — shared by the PQ and
