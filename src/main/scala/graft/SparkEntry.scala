@@ -1935,6 +1935,23 @@ object SparkEntry {
         .orderBy(col("sub"), col("cid"), col("dim"))
     },
 
+    // ---- Dedup: Bloom-gated EXACT ingest dedup — the membership-index
+    // fast path in front of the LSH machinery (run before d09's near-dup
+    // pass): batch rows that miss the broadcast corpus bloom never enter
+    // a join; only bloom-positives pay the exact confirm anti-join.
+    // Result-identical to a plain anti-join; pinned 2^16-bit filter ----
+    "d16_bloom_dedup" -> { (s, dir) =>
+      val docs = Parallelism.ensureDefaultParallelism(Tables.documents(s, dir))
+      val fresh = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+      val recrawl = docs.filter(pmod(col("doc_id"), lit(25)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+      Dedup.bloomIncrementalExact(corpus, fresh.unionByName(recrawl),
+          "doc_id", "text", numBits = 1 << 16, numHashes = 5)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- Sketch: HyperLogLog distinct counts per language — md5-derived
     // registers (engine-portable, oracle-exact to the last bit, unlike any
     // builtin approx_count_distinct); 256 bytes per (group, partition)
@@ -4647,6 +4664,22 @@ object SparkEntry {
          SELECT CAST(sub AS INTEGER) AS sub, cid, CAST(d AS INTEGER) AS dim,
            s / 1048576.0 / n AS value
          FROM s2 ORDER BY sub, cid, dim""",
+
+    // the bloom is a pruning detail, not a semantic: the oracle is the
+    // plain exact-dedup anti-join the operator is result-identical to
+    "d16_bloom_dedup" ->
+      """WITH batch AS (
+           SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 5 = 4
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text, lang, source
+           FROM documents WHERE doc_id % 25 = 0),
+         corpus AS (SELECT DISTINCT md5(text) AS h
+           FROM documents WHERE doc_id % 5 <> 4),
+         b AS (SELECT * FROM batch
+           QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text)))
+         SELECT doc_id, lang, source FROM b
+         WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = md5(b.text))
+         ORDER BY doc_id""",
 
     // HLL registers replayed in SQL: bucket = md5 byte 0, rho =
     // 49 - bitlength(next 48 bits); the harmonic sum stays in exact

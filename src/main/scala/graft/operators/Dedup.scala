@@ -246,6 +246,33 @@ object Dedup {
     incrementalDedup(lshIndex(corpus, idCol, textCol, k, bands, rowsPerBand),
       batch, idCol, textCol, k, bands, rowsPerBand, threshold, maxBucketSize)
 
+  /** EXACT incremental dedup with a Bloom membership fast path — the
+    * cheapest ingest gate a 100 TB corpus can run. Semantics are the exact
+    * half of [[incrementalDedup]] rule 1: within the batch only the min-id
+    * doc of each identical text survives, and a batch doc whose text
+    * already exists in the corpus is dropped. No near-dup logic — run this
+    * BEFORE the LSH path so the expensive shingle/band machinery only sees
+    * exact-novel rows.
+    *
+    * Scale design: the corpus appears only as a content-hash aggregate
+    * folded into a broadcast Bloom bitset ([[SemiJoinReduction.bloomAntiJoin]]);
+    * batch rows that miss the bloom are definitely-new and never enter a
+    * join, so the per-ingest cost is O(batch) row-local work plus a confirm
+    * join whose probe side is (true dups + false positives) only. The
+    * bitset is OR-mergeable — append each ingest's survivors and store it
+    * beside the corpus like [[LshIndex]]. */
+  def bloomIncrementalExact(corpus: DataFrame, batch: DataFrame, idCol: String,
+                            textCol: String, numBits: Int = 1 << 20,
+                            numHashes: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("_h")).orderBy(col(idCol))
+    val b = batch.withColumn("_h", md5(col(textCol)))
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    val corpusHashes = corpus.select(md5(col(textCol)).as("_ch"))
+      .filter(col("_ch").isNotNull).distinct()
+    SemiJoinReduction.bloomAntiJoin(b, corpusHashes, "_h", "_ch", numBits, numHashes)
+      .drop("_h")
+  }
+
   /** Stored LSH index of a corpus — the artifact a production deployment
     * keeps NEXT TO the corpus so each ingest batch is indexed once, at its
     * own ingest: `sets` has one row per doc (_jid, _jhash content hash,

@@ -34,4 +34,37 @@ object SemiJoinReduction {
       .drop("_bloom")
       .join(dim, col(factKey) === col(dimKey))
   }
+
+  /** Anti-join `fact` against `build` with a Bloom FAST PATH: a fact row
+    * that misses the bloom is DEFINITELY absent from the build side (no
+    * false negatives), so it passes the anti-join without ever entering it;
+    * only bloom-positives — the build side's selectivity plus the false
+    * positive rate — pay the exact confirm join. Result-identical to a
+    * plain left_anti by construction.
+    *
+    * This is the membership-index shape of dedup at 100 TB: the build side
+    * (corpus content hashes) is data-scale, but its bloom is a few MB,
+    * broadcast once; the typical ingest batch is mostly-new, so almost all
+    * of it takes the row-local fast path and the confirm join's probe side
+    * is tiny. A null fact key is definitely-new (the build keys hash
+    * non-null), so nulls take the fast path — matching left_anti's
+    * null-never-matches semantics.
+    *
+    * The two output branches share one broadcast (ReuseExchange unifies the
+    * identical bloom subtrees), and the bitset itself is word-wise
+    * OR-mergeable: append each ingest's survivors map-side and the stored
+    * artifact stays valid forever — no rebuild, no re-read. */
+  def bloomAntiJoin(fact: DataFrame, build: DataFrame, factKey: String, buildKey: String,
+                    numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    val bloom = build.agg(bloom_agg(col(buildKey), numBits, numHashes).as("_bloom"))
+    val probed = fact.crossJoin(broadcast(bloom))
+      .withColumn("_maybe", coalesce(
+        bloom_contains(col("_bloom"), col(factKey), numBits, numHashes), lit(false)))
+      .drop("_bloom")
+    val sure = probed.filter(!col("_maybe")).drop("_maybe")
+    val confirm = probed.filter(col("_maybe")).drop("_maybe")
+      .join(build.select(col(buildKey).as("_bak")).distinct(),
+        col(factKey) === col("_bak"), "left_anti")
+    sure.unionByName(confirm)
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.Functions._
-import graft.operators.SemiJoinReduction
+import graft.operators.{Dedup, SemiJoinReduction}
 
 /** Bloom semi-join reduction: no false negatives (the load-bearing
   * property), bounded false positives, merge correctness across layouts,
@@ -66,5 +66,42 @@ class BloomSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       graft.functions.BloomAgg(null, numBits = 64, numHashes = 0)
     }
+  }
+
+  test("bloomAntiJoin equals plain left_anti, even with forced false positives") {
+    // 64 bits for 200 build keys: nearly every probe is a false positive,
+    // so the confirm join does all the work — result must not change
+    val build = spark.range(200).select((col("id") * 3).as("bk"))
+    val fact = spark.range(500).select(col("id").as("fk"),
+      concat(lit("p"), col("id")).as("v"))
+    val got = SemiJoinReduction.bloomAntiJoin(fact, build, "fk", "bk",
+        numBits = 64, numHashes = 3)
+      .select("fk", "v").as[(Long, String)].collect().toSet
+    val plain = fact.join(build, col("fk") === col("bk"), "left_anti")
+      .select("fk", "v").as[(Long, String)].collect().toSet
+    assert(got == plain && got.nonEmpty)
+  }
+
+  test("bloomAntiJoin: null fact keys survive (left_anti null-never-matches)") {
+    val build = Seq("a", "b").toDF("bk")
+    val fact = Seq(Some("a"), None, Some("z")).toDF("fk")
+    val got = SemiJoinReduction.bloomAntiJoin(fact, build, "fk", "bk",
+        numBits = 256, numHashes = 3)
+      .select("fk").as[Option[String]].collect().toSet
+    assert(got == Set(None, Some("z")))
+  }
+
+  test("bloomIncrementalExact: min-id wins in-batch, corpus texts drop, novel survive") {
+    val corpus = Seq((1L, "seen one"), (2L, "seen two")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "seen one"),  // exact corpus dup -> dropped
+      (11L, "brand new"), // novel -> survives
+      (13L, "twice in batch"), (12L, "twice in batch"), // min-id 12 survives
+      (14L, null.asInstanceOf[String]), (15L, null.asInstanceOf[String]) // one null row survives
+    ).toDF("doc_id", "text")
+    val got = Dedup.bloomIncrementalExact(corpus, batch, "doc_id", "text",
+        numBits = 256, numHashes = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(11L, 12L, 14L))
   }
 }

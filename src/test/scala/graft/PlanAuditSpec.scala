@@ -27,7 +27,8 @@ class PlanAuditSpec extends SparkTestBase {
     "q67_drift_psi", // q46's one-row range attach + a one-row totals attach
     "s13_matryoshka_ann", // s01's one-row query-vector broadcast, both stages
     "t35_datasheet", // one-row top-language frame attached to the one-row base
-    "q70_hll_rollup") // one-row exact-count frame attached to the one-row merged sketch
+    "q70_hll_rollup", // one-row exact-count frame attached to the one-row merged sketch
+    "d16_bloom_dedup") // one-row corpus-bloom bitset broadcast to the batch scan
   /** q32: the intentionally exchange-free bucketed join. t07/t18/d09: the
     * corpus anti-join against the near-dup drop set — both sides data-scale-
     * unknown, so SMJ is the correct static plan (AQE downgrades it to a
