@@ -1935,6 +1935,29 @@ object SparkEntry {
         .orderBy(col("sub"), col("cid"), col("dim"))
     },
 
+    // ---- Interval-OVERLAP join (both sides ranges): daily user activity
+    // spans x error-incident windows, binned hourly into an equi-join;
+    // the canonical-bin condition (keep a pair only in the bin of
+    // max-of-starts) makes each overlapping pair unique with a row-local
+    // filter instead of a pair-keyed distinct shuffle ----
+    "q71_interval_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val spans = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(unix_micros(min(col("ts"))).as("a_start"),
+          unix_micros(max(col("ts"))).as("a_end"))
+      val incidents = ev
+        .filter(col("event_type") === "error" && pmod(col("event_id"), lit(11)) === 0)
+        .select(col("event_id").as("incident_id"),
+          (unix_micros(col("ts")) - 900000000L).as("b_start"),
+          (unix_micros(col("ts")) + 900000000L).as("b_end"))
+      RangeJoin.intervalOverlap(spans, "a_start", "a_end",
+          incidents, "b_start", "b_end", binMicros = 3600000000L)
+        .select(col("user_id"), col("day"), col("incident_id"),
+          (least(col("a_end"), col("b_end"))
+            - greatest(col("a_start"), col("b_start"))).as("overlap_us"))
+        .orderBy(col("user_id"), col("day"), col("incident_id"))
+    },
+
     // ---- Dedup: Bloom-gated EXACT ingest dedup — the membership-index
     // fast path in front of the LSH machinery (run before d09's near-dup
     // pass): batch rows that miss the broadcast corpus bloom never enter
@@ -4664,6 +4687,23 @@ object SparkEntry {
          SELECT CAST(sub AS INTEGER) AS sub, cid, CAST(d AS INTEGER) AS dim,
            s / 1048576.0 / n AS value
          FROM s2 ORDER BY sub, cid, dim""",
+
+    // the binning + canonical-bin machinery is a pruning detail; the
+    // semantics are the plain closed-interval overlap join
+    "q71_interval_join" ->
+      """WITH spans AS (
+           SELECT user_id, CAST(ts AS DATE) AS day,
+                  epoch_us(min(ts)) AS a_start, epoch_us(max(ts)) AS a_end
+           FROM events GROUP BY 1, 2),
+         inc AS (
+           SELECT event_id AS incident_id,
+                  epoch_us(ts) - 900000000 AS b_start,
+                  epoch_us(ts) + 900000000 AS b_end
+           FROM events WHERE event_type = 'error' AND event_id % 11 = 0)
+         SELECT s.user_id, s.day, i.incident_id,
+                least(a_end, b_end) - greatest(a_start, b_start) AS overlap_us
+         FROM spans s JOIN inc i ON a_start <= b_end AND b_start <= a_end
+         ORDER BY user_id, day, incident_id""",
 
     // the bloom is a pruning detail, not a semantic: the oracle is the
     // plain exact-dedup anti-join the operator is result-identical to

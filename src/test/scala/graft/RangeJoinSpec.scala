@@ -46,4 +46,48 @@ class RangeJoinSpec extends SparkTestBase {
       3600000000L).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
+
+  // deterministic pseudo-random closed intervals: starts from a hash grid,
+  // lengths spanning zero-length through many-bin
+  private def randIntervals(n: Int, idName: String, sName: String, eName: String) = {
+    spark.range(n).select(col("id").as(idName),
+      (pmod(col("id") * 2654435761L, lit(100000L)) * 1000L).as(sName))
+      .withColumn(eName,
+        col(sName) + pmod(col(idName) * 40503L, lit(40L)) * lit(700000L))
+  }
+
+  test("intervalOverlap equals the naive overlap join, each pair exactly once") {
+    val a = randIntervals(300, "aid", "a_s", "a_e")
+    val b = randIntervals(200, "bid", "b_s", "b_e")
+      .withColumn("b_s", col("b_s") + 350000L) // misalign so touching cases vary
+      .withColumn("b_e", col("b_e") + 350000L)
+    val naive = a.crossJoin(b)
+      .filter(col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+      .select("aid", "bid").as[(Long, Long)].collect()
+    assert(naive.nonEmpty && naive.length == naive.toSet.size)
+    for (binUs <- Seq(500000L, 5000000L, 50000000L)) {
+      val got = RangeJoin.intervalOverlap(a, "a_s", "a_e", b, "b_s", "b_e", binUs)
+        .select("aid", "bid").as[(Long, Long)].collect()
+      // exactly once: the canonical-bin filter replaces a distinct
+      assert(got.length == got.toSet.size, s"bin=$binUs emitted duplicates")
+      assert(got.toSet == naive.toSet, s"bin=$binUs")
+    }
+  }
+
+  test("intervalOverlap endpoints are closed; zero-length intervals still match") {
+    val a = Seq((1L, 1000L, 1000L)).toDF("aid", "a_s", "a_e") // a point interval
+    val b = Seq((9L, 500L, 1000L), (8L, 1000L, 2000L), (7L, 1001L, 2000L))
+      .toDF("bid", "b_s", "b_e")
+    val got = RangeJoin.intervalOverlap(a, "a_s", "a_e", b, "b_s", "b_e", 700L)
+      .select("bid").as[Long].collect().toSet
+    assert(got == Set(9L, 8L)) // touching at either end matches; 7L starts after
+  }
+
+  test("intervalOverlap plans as a bin equi-join, never a nested loop") {
+    val a = randIntervals(50, "aid", "a_s", "a_e")
+    val b = randIntervals(50, "bid", "b_s", "b_e")
+    val plan = RangeJoin.intervalOverlap(a, "a_s", "a_e", b, "b_s", "b_e", 1000000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
 }
