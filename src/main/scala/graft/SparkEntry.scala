@@ -1935,6 +1935,24 @@ object SparkEntry {
         .orderBy(col("sub"), col("cid"), col("dim"))
     },
 
+    // ---- Multimodal: PNG container INTEGRITY scan — chunk-walk + CRC32
+    // validation with no codec in the loop, the quarantine gate that runs
+    // before any decode at ingest. Damage is injected deterministically
+    // (IDAT byte flip / mid-IHDR truncation) so the verdicts are
+    // arithmetic facts the oracle predicts per doc_id ----
+    "m15_png_integrity" -> { (s, dir) =>
+      val dims = Parallelism.ensureDefaultParallelism(
+        Tables.documents(s, dir)).select(col("doc_id"),
+        (pmod(col("doc_id"), lit(64)) + 1).cast("int").as("_w"),
+        (pmod(col("doc_id"), lit(48)) + 1).cast("int").as("_h"))
+      val damaged = Multimodal.damagePngAssets(
+        Multimodal.encodePng(dims, "doc_id", "_w", "_h"), "asset_id", "payload")
+      Multimodal.pngIntegrity(damaged, "asset_id", "payload")
+        .withColumnRenamed("asset_id", "doc_id")
+        .select(col("doc_id"), col("status"), col("bad_chunk"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- Interval-OVERLAP join (both sides ranges): daily user activity
     // spans x error-incident windows, binned hourly into an equi-join;
     // the canonical-bin condition (keep a pair only in the bin of
@@ -4687,6 +4705,19 @@ object SparkEntry {
          SELECT CAST(sub AS INTEGER) AS sub, cid, CAST(d AS INTEGER) AS dim,
            s / 1048576.0 / n AS value
          FROM s2 ORDER BY sub, cid, dim""",
+
+    // damage is keyed on doc_id, so the CRC verdicts are pure arithmetic:
+    // %13 flips an IDAT data byte (framing intact -> crc_mismatch), else
+    // %17 truncates inside IHDR -> truncated; everything else verifies
+    "m15_png_integrity" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0 THEN 'crc_mismatch'
+                WHEN doc_id % 17 = 0 THEN 'truncated'
+                ELSE 'ok' END AS status,
+           CASE WHEN doc_id % 13 = 0 THEN 'IDAT'
+                WHEN doc_id % 17 = 0 THEN 'IHDR'
+                ELSE NULL END AS bad_chunk
+         FROM documents ORDER BY doc_id""",
 
     // the binning + canonical-bin machinery is a pruning detail; the
     // semantics are the plain closed-interval overlap join

@@ -964,6 +964,126 @@ object Multimodal {
     }
   }
 
+  /** The full 8-byte PNG file signature (spec §5.2) — [[RealPngMagic]]
+    * plus the DOS/Unix line-ending tripwire bytes. */
+  val PngSignature: Array[Byte] = Array(0x89.toByte, 'P'.toByte, 'N'.toByte,
+    'G'.toByte, 0x0d.toByte, 0x0a.toByte, 0x1a.toByte, 0x0a.toByte)
+
+  /** PNG integrity-scan result schema ([[pngIntegrity]]). */
+  val pngIntegritySchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("status", StringType, nullable = false),
+    StructField("bad_chunk", StringType),
+    StructField("n_chunks", IntegerType)))
+
+  /** PNG container integrity scan WITHOUT decoding: walk the chunk stream
+    * (length, type, data, CRC32 over type+data) and classify each payload —
+    * the quarantine gate a 100 TB media ingest runs before any codec sees
+    * a byte. Statuses:
+    *
+    *  - `ok`: signature valid, every chunk's CRC verifies, stream ends at
+    *    IEND with no trailing bytes (n_chunks = chunks verified);
+    *  - `missing`: null payload;
+    *  - `bad_signature`: the 8-byte PNG magic is wrong or short;
+    *  - `truncated`: the stream ends mid-chunk or before IEND (bad_chunk =
+    *    the chunk type being read when bytes ran out, when readable);
+    *  - `crc_mismatch`: a chunk's stored CRC disagrees with the computed
+    *    one (bad_chunk = the first such chunk's type);
+    *  - `trailing_garbage`: bytes follow the IEND chunk.
+    *
+    * Row-local `mapPartitions` (one CRC32 instance per partition), bounded
+    * memory per row, no shuffle — corrupt assets surface as rows, never as
+    * task failures. CRC32 is bit-defined by the PNG spec (java.util.zip
+    * implements the same polynomial everywhere), so the verdicts are
+    * engine-portable facts about the bytes. */
+  def pngIntegrity(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val input = df.select(col(idCol).cast("long"), col(binCol))
+    val enc = RowEncoder.encoderFor(pngIntegritySchema)
+    input.mapPartitions { rows =>
+      val crc = new java.util.zip.CRC32()
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        if (bytes == null) Row(id, "missing", null, null)
+        else if (bytes.length < 8 || !bytes.startsWith(PngSignature))
+          Row(id, "bad_signature", null, null)
+        else {
+          var pos = 8
+          var nChunks = 0
+          var verdict: Row = null
+          var sawIend = false
+          while (verdict == null && !sawIend) {
+            if (pos + 8 > bytes.length) {
+              verdict = Row(id, "truncated", null, nChunks)
+            } else {
+              val len = ((bytes(pos) & 0xffL) << 24) | ((bytes(pos + 1) & 0xffL) << 16) |
+                ((bytes(pos + 2) & 0xffL) << 8) | (bytes(pos + 3) & 0xffL)
+              val ctype = new String(bytes, pos + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+              if (pos + 8 + len + 4 > bytes.length) {
+                verdict = Row(id, "truncated", ctype, nChunks)
+              } else {
+                crc.reset()
+                crc.update(bytes, pos + 4, 4 + len.toInt)
+                val stored = ((bytes(pos + 8 + len.toInt) & 0xffL) << 24) |
+                  ((bytes(pos + 9 + len.toInt) & 0xffL) << 16) |
+                  ((bytes(pos + 10 + len.toInt) & 0xffL) << 8) |
+                  (bytes(pos + 11 + len.toInt) & 0xffL)
+                if (crc.getValue != stored) {
+                  verdict = Row(id, "crc_mismatch", ctype, nChunks)
+                } else {
+                  nChunks += 1
+                  pos += 12 + len.toInt
+                  if (ctype == "IEND") sawIend = true
+                }
+              }
+            }
+          }
+          if (verdict != null) verdict
+          else if (pos < bytes.length) Row(id, "trailing_garbage", null, nChunks)
+          else Row(id, "ok", null, nChunks)
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic damage generator for integrity-scan testing: by
+    * asset id, flip one byte inside the first IDAT chunk's data (id % 13
+    * == 0 — framing intact, CRC must catch it), else truncate to 20 bytes
+    * (id % 17 == 0 — cuts IHDR mid-chunk), else pass through unchanged.
+    * Row-local, like [[encodePng]] whose output it damages. */
+  def damagePngAssets(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    val input = df.select(col(idCol).cast("long"), col(binCol))
+    val enc = RowEncoder.encoderFor(schema)
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        if (bytes == null) Row(id, bytes)
+        else if (id % 13 == 0) {
+          val out = bytes.clone()
+          // chunk walk to the first IDAT; flip the middle data byte
+          var pos = 8
+          var done = false
+          while (!done && pos + 8 <= out.length) {
+            val len = ((out(pos) & 0xff) << 24) | ((out(pos + 1) & 0xff) << 16) |
+              ((out(pos + 2) & 0xff) << 8) | (out(pos + 3) & 0xff)
+            val ctype = new String(out, pos + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+            if (ctype == "IDAT" && len > 0) {
+              val at = pos + 8 + len / 2
+              out(at) = (out(at) ^ 0x55).toByte
+              done = true
+            } else pos += 12 + len
+          }
+          Row(id, out)
+        } else if (id % 17 == 0) Row(id, bytes.take(20))
+        else Row(id, bytes)
+      }
+    }(enc)
+  }
+
   /** Fake decode used by [[decodeImageMetaStub]]: derives stable fake
     * dimensions from the first bytes so tests are deterministic (the test
     * double for [[decodeImageMeta]]). */

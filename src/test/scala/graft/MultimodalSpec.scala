@@ -376,4 +376,49 @@ class MultimodalSpec extends SparkTestBase {
     assert(got.head._3 == 0) // identical images: hamming 0
     assert(got.forall(_._3 <= 3))
   }
+
+  test("pngIntegrity: clean JDK-encoded PNGs verify ok with their chunks counted") {
+    val assets = Multimodal.encodePng(
+      Seq((1L, 16, 12), (2L, 3, 3)).toDF("doc_id", "_w", "_h"), "doc_id", "_w", "_h")
+    val got = Multimodal.pngIntegrity(assets, "asset_id", "payload")
+      .orderBy("asset_id")
+      .as[(Long, String, Option[String], Option[Int])].collect().toSeq
+    assert(got.forall(_._2 == "ok"))
+    assert(got.forall(_._3.isEmpty))
+    assert(got.forall(_._4.exists(_ >= 3))) // at least IHDR, IDAT, IEND
+  }
+
+  test("pngIntegrity: damage classes are detected with the right chunk blamed") {
+    // ids chosen so 13 | id (flip), 17 | id (truncate), neither (ok)
+    val assets = Multimodal.encodePng(
+      Seq((13L, 16, 12), (17L, 16, 12), (5L, 16, 12)).toDF("doc_id", "_w", "_h"),
+      "doc_id", "_w", "_h")
+    val got = Multimodal.pngIntegrity(
+        Multimodal.damagePngAssets(assets, "asset_id", "payload"),
+        "asset_id", "payload")
+      .orderBy("asset_id")
+      .select("asset_id", "status", "bad_chunk")
+      .as[(Long, String, Option[String])].collect().toSeq
+    assert(got == Seq(
+      (5L, "ok", None),
+      (13L, "crc_mismatch", Some("IDAT")),
+      (17L, "truncated", Some("IHDR"))))
+  }
+
+  test("pngIntegrity: bad signature, trailing garbage, and null payloads classify") {
+    val clean = Multimodal.encodePng(
+      Seq((1L, 4, 4)).toDF("doc_id", "_w", "_h"), "doc_id", "_w", "_h")
+      .as[(Long, Array[Byte])].collect().head._2
+    val cases = Seq(
+      (1L, "not a png at all".getBytes(StandardCharsets.UTF_8)),
+      (2L, clean ++ Array[Byte](1, 2, 3)),
+      (3L, null.asInstanceOf[Array[Byte]]),
+      (4L, clean.take(5))) // shorter than the signature itself
+    val got = Multimodal.pngIntegrity(cases.toDF("asset_id", "payload"),
+        "asset_id", "payload")
+      .orderBy("asset_id").select("asset_id", "status")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "bad_signature"), (2L, "trailing_garbage"),
+      (3L, "missing"), (4L, "bad_signature")))
+  }
 }
