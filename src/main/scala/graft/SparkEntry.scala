@@ -1935,6 +1935,29 @@ object SparkEntry {
         .orderBy(col("sub"), col("cid"), col("dim"))
     },
 
+    // ---- Similarity: ANN RECALL evaluation — the quality harness every
+    // index deployment needs: same-cell IVF ANN results for a sampled
+    // query panel measured against exact brute-force top-3 ground truth;
+    // recall@3 per query. Truth side broadcasts the bounded panel and
+    // heap-aggregates, so the exact pass is |corpus| x |panel|, never
+    // corpus x corpus ----
+    "s14_ann_recall" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      val corpusR = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      val ann = Similarity.annJoinDerived(queries, corpusR, "vec_id", "embedding",
+          corpus = emb, k = 3).select(col("id_l"), col("id_r"))
+      val truth = Similarity.bruteForceJoinTopK(queries, corpusR,
+          "vec_id", "embedding", k = 3)
+        .select(col("id_l"), col("id_r"))
+      truth.join(ann.withColumn("_hit", lit(1)), Seq("id_l", "id_r"), "left")
+        .groupBy(col("id_l"))
+        .agg(sum(coalesce(col("_hit"), lit(0))).cast("int").as("n_hits"))
+        .select(col("id_l"), col("n_hits"),
+          round(col("n_hits") / 3.0, 6).as("recall"))
+        .orderBy(col("id_l"))
+    },
+
     // ---- Multimodal: PNG container INTEGRITY scan — chunk-walk + CRC32
     // validation with no codec in the loop, the quarantine gate that runs
     // before any decode at ingest. Damage is injected deterministically
@@ -4705,6 +4728,47 @@ object SparkEntry {
          SELECT CAST(sub AS INTEGER) AS sub, cid, CAST(d AS INTEGER) AS dim,
            s / 1048576.0 / n AS value
          FROM s2 ORDER BY sub, cid, dim""",
+
+    // s08's derived-codebook cell assignment feeds the ANN leg; the truth
+    // leg is the plain exact top-3; recall counts their intersection
+    "s14_ann_recall" ->
+      """WITH n AS (SELECT CAST(floor(sqrt(count(*))) AS BIGINT) AS nlist FROM embeddings),
+         c AS (
+           SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           LIMIT (SELECT nlist FROM n)),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cosl AS (
+           SELECT v.vec_id, v.v,
+             list(list_dot_product(v.v, c.cv) /
+                  (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+                  ORDER BY c.cid) AS cl
+           FROM v CROSS JOIN c GROUP BY v.vec_id, v.v),
+         asg AS (SELECT vec_id, v, list_position(cl, list_max(cl)) AS cell FROM cosl),
+         l AS (SELECT vec_id AS id_l, v AS lv, cell FROM asg WHERE vec_id % 50 = 0),
+         r AS (SELECT vec_id AS id_r, v AS rv, cell FROM asg WHERE vec_id % 2 = 1),
+         scored AS (
+           SELECT id_l, id_r,
+             round(list_dot_product(lv, rv) /
+                   (sqrt(list_dot_product(lv, lv)) * sqrt(list_dot_product(rv, rv))), 6) AS cosine
+           FROM l JOIN r USING (cell) WHERE id_l <> id_r),
+         ann AS (
+           SELECT id_l, id_r FROM scored
+           QUALIFY row_number() OVER (PARTITION BY id_l ORDER BY cosine DESC, id_r) <= 3),
+         tscored AS (
+           SELECT lq.vec_id AS id_l, rq.vec_id AS id_r,
+             round(list_dot_product(lq.v, rq.v) /
+                   (sqrt(list_dot_product(lq.v, lq.v)) * sqrt(list_dot_product(rq.v, rq.v))), 6) AS cosine
+           FROM v lq CROSS JOIN v rq
+           WHERE lq.vec_id % 50 = 0 AND rq.vec_id % 2 = 1 AND lq.vec_id <> rq.vec_id),
+         truth AS (
+           SELECT id_l, id_r FROM tscored
+           QUALIFY row_number() OVER (PARTITION BY id_l ORDER BY cosine DESC, id_r) <= 3)
+         SELECT t.id_l, CAST(count(a.id_r) AS INTEGER) AS n_hits,
+           round(count(a.id_r) / 3.0, 6) AS recall
+         FROM truth t LEFT JOIN ann a ON a.id_l = t.id_l AND a.id_r = t.id_r
+         GROUP BY t.id_l ORDER BY t.id_l""",
 
     // damage is keyed on doc_id, so the CRC verdicts are pure arithmetic:
     // %13 flips an IDAT data byte (framing intact -> crc_mismatch), else

@@ -70,6 +70,31 @@ object Similarity {
       .limit(k)
   }
 
+  /** Brute-force batch top-k: exact cosine top-k over `corpus` for EVERY
+    * query row — the ground truth an ANN index is measured against. The
+    * query panel broadcasts (it is a bounded evaluation sample, not a
+    * data-scale side); the corpus streams past it once and the bounded-heap
+    * `top_k_by` keeps k ids per (query, partition) through the shuffle, so
+    * cost is O(|corpus| x |queries|) scoring with k-row shuffle volume.
+    * Use a sampled query panel: recall evaluation needs hundreds of
+    * queries, not the full left side. */
+  def bruteForceJoinTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                         vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("id_l"),
+      col(vecCol).cast("array<double>").as("_lv"))
+    val c = corpus.select(col(idCol).as("id_r"),
+      col(vecCol).cast("array<double>").as("_rv"))
+    c.crossJoin(broadcast(q))
+      .filter(col("id_l") =!= col("id_r"))
+      .select(col("id_l"), col("id_r"),
+        round(cosine(col("_rv"), col("_lv")), 6).as("cosine"))
+      .groupBy(col("id_l"))
+      .agg(graft.Functions.top_k_by(col("id_r"), col("cosine"), col("id_r"), k).as("_topk"))
+      .select(col("id_l"), posexplode(col("_topk")))
+      .withColumn("rank", (col("pos") + 1).cast("int"))
+      .select(col("id_l"), col("rank"), col("col").as("id_r"))
+  }
+
   /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
     * (md5_int48(p + "_" + d) mod 1000)/1000 - 0.5 — expressible in any
     * engine with md5 (the s02 oracle replays it in SQL), precomputed

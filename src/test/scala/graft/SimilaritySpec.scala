@@ -503,4 +503,26 @@ class SimilaritySpec extends SparkTestBase {
       })
     }
   }
+
+  test("bruteForceJoinTopK equals the window-sort formulation per query") {
+    import graft.Functions.cosine
+    // deterministic pseudo-random dim-8 vectors
+    val vecs = spark.range(120).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)),
+        d => pmod(col("id") * (d * 131L + 17L) + d * 7L, lit(97L)).cast("double") - 48.0
+      ).as("embedding"))
+    val queries = vecs.filter(col("vec_id") % 10 === 0)
+    val corpus = vecs.filter(col("vec_id") % 10 =!= 0)
+    val got = Similarity.bruteForceJoinTopK(queries, corpus, "vec_id", "embedding", k = 4)
+      .select("id_l", "rank", "id_r").as[(Long, Int, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_l")).orderBy(col("cosine").desc, col("id_r"))
+    val expect = corpus.select(col("vec_id").as("id_r"), col("embedding").as("_rv"))
+      .crossJoin(queries.select(col("vec_id").as("id_l"), col("embedding").as("_lv")))
+      .select(col("id_l"), col("id_r"), round(cosine(col("_rv"), col("_lv")), 6).as("cosine"))
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rank") <= 4)
+      .select("id_l", "rank", "id_r").as[(Long, Int, Long)].collect().toSet
+    assert(got == expect && got.size == 12 * 4)
+  }
 }
