@@ -1935,6 +1935,34 @@ object SparkEntry {
         .orderBy(col("sub"), col("cid"), col("dim"))
     },
 
+    // ---- Layout: MANIFEST file skipping — the zone-map metadata layer
+    // (Iceberg/Delta data skipping) built from the data at write time:
+    // a range query consults the file-count-sized manifest, reads ONLY
+    // intersecting files, and still applies the exact predicate inside
+    // them — result-identical to a full scan, IO proportional to the
+    // range. Export + manifest build once (fixture); the timed path is
+    // manifest consult + pruned read ----
+    "q72_manifest_skip" -> { (s, dir) =>
+      val (_, manifestPath) = Fixtures.once(s, "q72_manifest", dir) {
+        val root = scratch("q72_manifest", dir)
+        val p = root + "/li"
+        Tables.lineitem(s, dir)
+          .select(to_date(col("l_shipdate")).as("ship_day"),
+            col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+          .repartitionByRange(8, col("ship_day"))
+          .write.mode("overwrite").parquet(p)
+        val m = root + "/manifest"
+        Layout.buildManifest(s, p, "ship_day").write.mode("overwrite").parquet(m)
+        (p, m)
+      }
+      val manifest = s.read.parquet(manifestPath)
+      val (scan, _, _) = Layout.manifestScan(s, manifest, "ship_day",
+        lit("1996-01-01").cast("date"), lit("1996-06-30").cast("date"))
+      scan.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // ---- Similarity: ANN RECALL evaluation — the quality harness every
     // index deployment needs: same-cell IVF ANN results for a sampled
     // query panel measured against exact brute-force top-3 ground truth;
@@ -4728,6 +4756,16 @@ object SparkEntry {
          SELECT CAST(sub AS INTEGER) AS sub, cid, CAST(d AS INTEGER) AS dim,
            s / 1048576.0 / n AS value
          FROM s2 ORDER BY sub, cid, dim""",
+
+    // file pruning is an IO detail the zones make conservative-safe; the
+    // semantics are the plain range filter + aggregate
+    "q72_manifest_skip" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM lineitem
+         WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(l_shipdate AS DATE) <= DATE '1996-06-30'
+         GROUP BY 1 ORDER BY 1""",
 
     // s08's derived-codebook cell assignment feeds the ANN leg; the truth
     // leg is the plain exact top-3; recall counts their intersection

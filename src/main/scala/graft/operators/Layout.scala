@@ -131,6 +131,46 @@ object Layout {
   def readCompacted(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("compaction_group")
 
+  /** Build a data-skipping MANIFEST of a written parquet table: one row
+    * per physical file with the min/max of `keyCol` and the row count —
+    * the zone-map Iceberg/Delta keep in their metadata layer, derived
+    * here from the data itself. Build it ONCE at write time and store it
+    * beside the table; a consumer's range predicate then prunes FILES
+    * before any data is read ([[manifestScan]]). The aggregate is
+    * file-keyed, so the manifest is file-count-sized — metadata scale. */
+  def buildManifest(spark: org.apache.spark.sql.SparkSession, path: String,
+                    keyCol: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
+        count(lit(1)).as("n_rows"))
+
+  /** Range-scan a manifested table reading ONLY the files whose
+    * [min_key, max_key] zone intersects [lo, hi]. The manifest filter is
+    * a bounded control read (one row per file); the result is identical
+    * to a full-scan filter — the zones are conservative, so no file
+    * containing a matching row is ever skipped, and the exact predicate
+    * still applies inside the surviving files. Returns the scan plus how
+    * many files were read vs listed, so callers can assert skipping. */
+  def manifestScan(spark: org.apache.spark.sql.SparkSession, manifest: DataFrame,
+                   keyCol: String, lo: Column, hi: Column): (DataFrame, Int, Int) = {
+    val total = manifest.count().toInt
+    val selected = manifest
+      .filter(col("min_key") <= hi && col("max_key") >= lo)
+      .select(col("file")).collect().map(_.getString(0))
+    val scan =
+      if (selected.nonEmpty)
+        spark.read.parquet(selected.toIndexedSeq: _*)
+          .filter(col(keyCol) >= lo && col(keyCol) <= hi)
+      else {
+        // no zone intersects: schema comes from the footers, the filter
+        // folds to an empty LocalRelation — zero data pages read
+        val all = manifest.select(col("file")).collect().map(_.getString(0))
+        spark.read.parquet(all.toIndexedSeq: _*).filter(lit(false))
+      }
+    (scan, selected.length, total)
+  }
+
   /** Execute a [[reclusterPlan]]: every table partition containing at
     * least one needs_rewrite file is rewritten WHOLESALE — its rows
     * re-sorted by the clustering key and re-split into `filesPerPartition`

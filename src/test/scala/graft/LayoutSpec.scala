@@ -219,4 +219,33 @@ class LayoutSpec extends SparkTestBase {
     assert(back.agg(sum(col("z"))).head().getLong(0)
       == pre.agg(sum(col("z"))).head().getLong(0))
   }
+
+  test("manifest scan: zones prune files, results identical to a full scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest").toString
+    val data = spark.range(10000).select(col("id").as("k"),
+      (col("id") % 7).as("g"))
+    data.repartitionByRange(10, col("k")).write.mode("overwrite").parquet(s"$dir/t")
+    val manifest = Layout.buildManifest(spark, s"$dir/t", "k")
+    val mRows = manifest.collect()
+    assert(mRows.length == 10) // one row per file
+    assert(mRows.map(_.getLong(3)).sum == 10000L)
+
+    // mid-range query: clustered layout must skip most files
+    val (scan, nSel, nTot) = Layout.manifestScan(spark, manifest, "k",
+      lit(2000L), lit(2999L))
+    assert(nTot == 10 && nSel < 4, s"selected $nSel of $nTot")
+    val got = scan.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toSet
+    val full = data.filter(col("k") >= 2000L && col("k") <= 2999L)
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == full)
+
+    // out-of-range query: zero files read, empty result, schema intact
+    val (empty, nSelE, _) = Layout.manifestScan(spark, manifest, "k",
+      lit(50000L), lit(60000L))
+    assert(nSelE == 0)
+    assert(empty.columns.toSeq == Seq("k", "g") && empty.count() == 0L)
+  }
 }
