@@ -1935,6 +1935,17 @@ object SparkEntry {
         .orderBy(col("sub"), col("cid"), col("dim"))
     },
 
+    // ---- Dedup: directional CONTAINMENT (excerpt-inside-document, the
+    // asymmetric dup Jaccard/LSH structurally miss) via an inverted gram
+    // index with a hot-gram cap: pair volume <= cap x gram volume, text
+    // never shuffles, the posting join's count IS the exact intersection ----
+    "d17_containment" -> { (s, dir) =>
+      Dedup.containment(Parallelism.ensureDefaultParallelism(
+          Tables.documents(s, dir)), "doc_id", "text",
+          n = 4, threshold = 0.6, maxGramDocs = 50)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // ---- Layout: MANIFEST file skipping — the zone-map metadata layer
     // (Iceberg/Delta data skipping) built from the data at write time:
     // a range query consults the file-count-sized manifest, reads ONLY
@@ -4756,6 +4767,32 @@ object SparkEntry {
          SELECT CAST(sub AS INTEGER) AS sub, cid, CAST(d AS INTEGER) AS dim,
            s / 1048576.0 / n AS value
          FROM s2 ORDER BY sub, cid, dim""",
+
+    // d06's gram derivation at n=4, the df cap replayed; the posting join
+    // count is the intersection, sizes count the same capped universe
+    "d17_containment" ->
+      """WITH g AS (
+           SELECT doc_id,
+             list_sort(list_distinct(list_transform(
+               range(1, greatest(length(toks)-3, 1)+1),
+               i -> CAST(('0x' || substr(md5(array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+3], ' ')),1,12)) AS BIGINT)))) AS gs
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)),
+         inv AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+         dfreq AS (SELECT gram, count(*) AS df FROM inv GROUP BY 1),
+         kept AS (SELECT i.doc_id, i.gram FROM inv i JOIN dfreq d USING (gram)
+           WHERE d.df <= 50),
+         sizes AS (SELECT doc_id, count(*) AS size_a FROM kept GROUP BY 1),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+           FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2),
+         c AS (
+           SELECT p.id_a, p.id_b, CAST(p.shared AS BIGINT) AS shared,
+             CAST(s.size_a AS BIGINT) AS size_a,
+             round(CAST(p.shared AS DOUBLE) / s.size_a, 6) AS containment
+           FROM pairs p JOIN sizes s ON s.doc_id = p.id_a)
+         SELECT id_a, id_b, shared, size_a, containment
+         FROM c WHERE containment >= 0.6 ORDER BY id_a, id_b""",
 
     // file pruning is an IO detail the zones make conservative-safe; the
     // semantics are the plain range filter + aggregate

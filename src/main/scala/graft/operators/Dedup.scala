@@ -162,6 +162,44 @@ object Dedup {
       .select((blockCols.map(col) :+ col("id_a") :+ col("id_b") :+ col("jaccard")): _*)
   }
 
+  /** Directional CONTAINMENT detection — the asymmetric dup class Jaccard
+    * misses: an excerpt quoted inside a much larger document has
+    * C(A→B) = |A∩B|/|A| ≈ 1 but tiny Jaccard (the union is dominated by
+    * B), so MinHash-LSH never surfaces it. Candidates come from an
+    * INVERTED GRAM INDEX instead of signature banding: every doc's
+    * distinct word-n-gram hashes explode to (gram, doc) postings, grams
+    * seen in more than `maxGramDocs` docs are dropped (boilerplate — the
+    * capped graceful degradation of [[candidatePairs]], replayed by the
+    * oracle), and the posting self-join counts shared grams per ordered
+    * pair EXACTLY — the count doubles as the intersection, so no second
+    * verification pass exists.
+    *
+    * Scale shape: pair volume is sum over grams of df^2 <= maxGramDocs *
+    * corpus-gram-volume — linear in the corpus with a chosen constant,
+    * never quadratic in docs. Text never crosses a shuffle (hashes only).
+    * Sizes |A| count the SAME capped gram universe, keeping the ratio
+    * internally consistent; dropped boilerplate makes it conservative. */
+  def containment(docs: DataFrame, idCol: String, textCol: String, n: Int = 4,
+                  threshold: Double = 0.6, maxGramDocs: Int = 50): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(maxGramDocs >= 2, s"maxGramDocs must be >= 2, got $maxGramDocs")
+    val inv = materialized(docs.select(col(idCol).as("_cid"),
+      explode(ngram_hash_set(col(textCol), n)).as("_g")))
+    val dfreq = inv.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
+    val kept = materialized(
+      inv.join(dfreq.filter(col("_df") <= maxGramDocs).select("_g"), Seq("_g")))
+    val sizes = kept.groupBy(col("_cid")).agg(count(lit(1)).as("size_a"))
+    val pairs = kept.select(col("_g"), col("_cid").as("id_a"))
+      .join(kept.select(col("_g"), col("_cid").as("id_b")), Seq("_g"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+    pairs.join(sizes.withColumnRenamed("_cid", "id_a"), Seq("id_a"))
+      .withColumn("containment", round(col("shared") / col("size_a"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("shared"), col("size_a"),
+        col("containment"))
+  }
+
   /** SimHash: per-token md5-derived hash; each bit position accumulates
     * +1/-1 across tokens; the sign of each sum becomes the fingerprint bit.
     * Row-local fused kernel, no shuffle. */

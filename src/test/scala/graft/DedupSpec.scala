@@ -495,4 +495,38 @@ class DedupSpec extends SparkTestBase {
     }
     assert(got.map(p => (p._2, p._3)).distinct.size == got.size, "no duplicate pairs")
   }
+
+  test("containment finds the excerpt Jaccard misses, directionally") {
+    val big = (1 to 60).map(i => s"w$i").mkString(" ")     // 60 tokens
+    val excerpt = (20 to 29).map(i => s"w$i").mkString(" ") // 10-token slice of big
+    val other = (100 to 159).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, big), (2L, excerpt), (3L, other)).toDF("doc_id", "text")
+    val m = Dedup.containment(docs, "doc_id", "text",
+        n = 4, threshold = 0.6, maxGramDocs = 50)
+      .select("id_a", "id_b", "containment")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => ((a, b), c) }.toMap
+    assert(m.contains((2L, 1L)), s"excerpt->big missing: $m")
+    assert(m((2L, 1L)) == 1.0) // every excerpt gram is in big
+    assert(!m.contains((1L, 2L))) // big is NOT contained in the excerpt
+    assert(!m.exists { case ((a, b), _) => a == 3L || b == 3L })
+    // the Jaccard the excerpt pair would score: 7 shared of 57+7-7 grams —
+    // far below any usable threshold, which is why this operator exists
+    val jac = 7.0 / 57.0
+    assert(jac < 0.2)
+  }
+
+  test("containment: the hot-gram cap drops boilerplate from pairing and sizes") {
+    // 60 docs share one boilerplate phrase; two docs share unique content
+    val boiler = "all rights reserved by the corpus"
+    val docs = ((1 to 60).map(i => (i.toLong, s"$boiler doc $i unique tail piece $i here now"))
+      :+ (100L, "alpha beta gamma delta epsilon zeta")
+      :+ (101L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val got = Dedup.containment(docs, "doc_id", "text",
+        n = 4, threshold = 0.9, maxGramDocs = 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // boilerplate grams hit 60 docs > cap: those docs never pair on them;
+    // the unique-content dup pair survives in both directions
+    assert(got == Set((100L, 101L), (101L, 100L)), s"got $got")
+  }
 }
