@@ -1935,6 +1935,38 @@ object SparkEntry {
         .orderBy(col("sub"), col("cid"), col("dim"))
     },
 
+    // ---- Layout: bloom-manifest TARGETED DELETE (the GDPR shape) —
+    // "remove these keys everywhere" rewrites ONLY the files whose
+    // per-file bloom may contain a delete key (no false negatives, so a
+    // skipped file provably holds none); untouched files carry over by
+    // reference. Table + manifest built once (fixture); the timed path
+    // is manifest consult + selective rewrite + read-back ----
+    "q73_targeted_delete" -> { (s, dir) =>
+      val manifestPath = Fixtures.once(s, "q73_delete", dir) {
+        val root = scratch("q73_delete", dir)
+        val p = root + "/li"
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_returnflag"),
+            col("l_quantity").cast("long").as("qty"))
+          .repartition(12, col("l_orderkey"))
+          .write.mode("overwrite").parquet(p)
+        val m = root + "/manifest"
+        Layout.buildBloomManifest(s, p, "l_orderkey",
+            numBits = 1 << 14, numHashes = 5)
+          .write.mode("overwrite").parquet(m)
+        m
+      }
+      val deleteKeys = Tables.orders(s, dir)
+        .filter(pmod(col("o_orderkey"), lit(5000)) === 0)
+        .select(col("o_orderkey").as("l_orderkey"))
+      val (result, _, _) = Layout.targetedDelete(s, s.read.parquet(manifestPath),
+        "l_orderkey", deleteKeys, scratch("q73_delete_out", dir),
+        numBits = 1 << 14, numHashes = 5)
+      result.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // ---- Dedup: directional CONTAINMENT (excerpt-inside-document, the
     // asymmetric dup Jaccard/LSH structurally miss) via an inverted gram
     // index with a hot-gram cap: pair volume <= cap x gram volume, text
@@ -4767,6 +4799,15 @@ object SparkEntry {
          SELECT CAST(sub AS INTEGER) AS sub, cid, CAST(d AS INTEGER) AS dim,
            s / 1048576.0 / n AS value
          FROM s2 ORDER BY sub, cid, dim""",
+
+    // every lineitem orderkey exists in orders (TPC-H referential
+    // integrity), so the delete-key set is the %5000 residue class and
+    // the file machinery is an IO detail under the plain anti-join
+    "q73_targeted_delete" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM lineitem WHERE l_orderkey % 5000 <> 0
+         GROUP BY 1 ORDER BY 1""",
 
     // d06's gram derivation at n=4, the df cap replayed; the posting join
     // count is the intersection, sizes count the same capped universe

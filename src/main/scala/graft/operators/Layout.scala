@@ -145,6 +145,57 @@ object Layout {
       .agg(min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
         count(lit(1)).as("n_rows"))
 
+  /** Per-file BLOOM manifest — the point-lookup companion of
+    * [[buildManifest]]'s range zones: one row per physical file with a
+    * Bloom bitset of its `keyCol` values. Zone min/max is useless for a
+    * point key the table is not clustered on; the bloom answers "could
+    * this file contain key k" for scattered keys with no false negatives.
+    * File-count-sized, OR-mergeable, built once at write time. */
+  def buildBloomManifest(spark: org.apache.spark.sql.SparkSession, path: String,
+                         keyCol: String, numBits: Int, numHashes: Int): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(graft.Functions.bloom_agg(col(keyCol), numBits, numHashes).as("key_bloom"))
+
+  /** TARGETED DELETE — "remove these keys everywhere" (the GDPR shape)
+    * without rewriting the table: consult the bloom manifest to find the
+    * files that COULD contain a delete key (no false negatives, so a
+    * skipped file provably holds none), rewrite only those files minus
+    * the keys, and carry every untouched file over BY REFERENCE. Returns
+    * the resulting table (rewritten output ∪ untouched originals) plus
+    * touched/total file counts. `numBits`/`numHashes` must match the
+    * manifest build. At 100 TB deleting a few users touches the handful
+    * of files their rows landed in — IO proportional to the bloom's hit
+    * set, not the table. */
+  def targetedDelete(spark: org.apache.spark.sql.SparkSession, manifest: DataFrame,
+                     keyCol: String, deleteKeys: DataFrame, outPath: String,
+                     numBits: Int, numHashes: Int): (DataFrame, Int, Int) = {
+    val keys = deleteKeys.select(col(keyCol)).distinct()
+    val hit = manifest.crossJoin(broadcast(keys))
+      .filter(graft.Functions.bloom_contains(
+        col("key_bloom"), col(keyCol), numBits, numHashes))
+      .select(col("file")).distinct()
+      .collect().map(_.getString(0)) // bounded control read: one row per file
+    val all = manifest.select(col("file")).collect().map(_.getString(0))
+    val untouched = all.filterNot(hit.contains)
+    if (hit.nonEmpty)
+      spark.read.parquet(hit.toIndexedSeq: _*)
+        .join(keys, Seq(keyCol), "left_anti")
+        .write.mode("overwrite").parquet(outPath)
+    val rewritten =
+      if (hit.nonEmpty) Some(spark.read.parquet(outPath)) else None
+    val carried =
+      if (untouched.nonEmpty) Some(spark.read.parquet(untouched.toIndexedSeq: _*)) else None
+    val result = (rewritten, carried) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => throw new IllegalArgumentException(
+        "targetedDelete: empty manifest")
+    }
+    (result, hit.length, all.length)
+  }
+
   /** Range-scan a manifested table reading ONLY the files whose
     * [min_key, max_key] zone intersects [lo, hi]. The manifest filter is
     * a bounded control read (one row per file); the result is identical

@@ -248,4 +248,27 @@ class LayoutSpec extends SparkTestBase {
     assert(nSelE == 0)
     assert(empty.columns.toSeq == Seq("k", "g") && empty.count() == 0L)
   }
+
+  test("targeted delete rewrites only bloom-hit files, result equals the anti-join") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tdel").toString
+    val data = spark.range(10000).select(col("id").as("k"), (col("id") % 5).as("v"))
+    // range-clustered: each file owns a contiguous 1000-key slice
+    data.repartitionByRange(10, col("k")).write.mode("overwrite").parquet(s"$dir/t")
+    val manifest = Layout.buildBloomManifest(spark, s"$dir/t", "k",
+      numBits = 1 << 14, numHashes = 5)
+    val deleteKeys = Seq(1500L, 1501L, 1777L).toDF("k")
+    val (result, touched, total) = Layout.targetedDelete(spark, manifest, "k",
+      deleteKeys, s"$dir/out", numBits = 1 << 14, numHashes = 5)
+    assert(total == 10)
+    // all three keys live in one slice; blooms may false-positive a file
+    // or two extra, never miss one
+    assert(touched >= 1 && touched <= 3, s"touched=$touched")
+    assert(result.count() == 9997L)
+    assert(result.filter(col("k").isin(1500L, 1501L, 1777L)).count() == 0L)
+    val expect = data.filter(!col("k").isin(1500L, 1501L, 1777L))
+      .agg(sum(col("k")), sum(col("v"))).head()
+    val got = result.agg(sum(col("k")), sum(col("v"))).head()
+    assert(got == expect)
+  }
 }
