@@ -1935,6 +1935,53 @@ object SparkEntry {
         .orderBy(col("sub"), col("cid"), col("dim"))
     },
 
+    // ---- IVM: FK-join VIEW maintenance (the enrichment-view half of
+    // q45's aggregate IVM): stale keys leave the stored view by
+    // anti-join, I/U images re-join only the broadcast dim — refresh
+    // costs |changelog| x dim, the fact table is never re-read, and the
+    // oracle is the full recompute the view must equal ----
+    "q74_join_view_refresh" -> { (s, dir) =>
+      val ords = Tables.orders(s, dir)
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment").as("seg"))
+      val oldFact = ords.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("price"))
+      val newFact = ords.filter(pmod(col("o_orderkey"), lit(5)) =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") + pmod(col("o_orderkey"), lit(3)), 2).as("price"))
+      val oldView = oldFact.join(dim, "o_custkey")
+        .select(col("o_orderkey"), col("o_custkey"), col("price"), col("seg"))
+      val diff = Upsert.snapshotDiff(oldFact, newFact,
+        Seq("o_orderkey"), Seq("o_custkey", "price"))
+      IncrementalAgg.refreshJoin(oldView, diff, dim,
+          Seq("o_orderkey"), Seq("o_custkey", "price"), "o_custkey")
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ---- Similarity: MULTIPROBE recall — s14's harness re-run with the
+    // query side probing its 2 best cells (corpus rows keep one home
+    // cell, so pairs still meet at most once): the recall/cost dial
+    // measured, answering the tuning question s14's low single-probe
+    // numbers raise ----
+    "s15_ann_recall_nprobe2" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      val corpusR = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      val ann = Similarity.annJoinDerivedMultiprobe(queries, corpusR,
+          "vec_id", "embedding", corpus = emb, k = 3, nprobe = 2)
+        .select(col("id_l"), col("id_r"))
+      val truth = Similarity.bruteForceJoinTopK(queries, corpusR,
+          "vec_id", "embedding", k = 3)
+        .select(col("id_l"), col("id_r"))
+      truth.join(ann.withColumn("_hit", lit(1)), Seq("id_l", "id_r"), "left")
+        .groupBy(col("id_l"))
+        .agg(sum(coalesce(col("_hit"), lit(0))).cast("int").as("n_hits"))
+        .select(col("id_l"), col("n_hits"),
+          round(col("n_hits") / 3.0, 6).as("recall"))
+        .orderBy(col("id_l"))
+    },
+
     // ---- Layout: bloom-manifest TARGETED DELETE (the GDPR shape) —
     // "remove these keys everywhere" rewrites ONLY the files whose
     // per-file bloom may contain a delete key (no false negatives, so a
@@ -4799,6 +4846,63 @@ object SparkEntry {
          SELECT CAST(sub AS INTEGER) AS sub, cid, CAST(d AS INTEGER) AS dim,
            s / 1048576.0 / n AS value
          FROM s2 ORDER BY sub, cid, dim""",
+
+    // the refresh path is an IO strategy; the semantics are the full
+    // recompute — new fact image joined to the dim
+    "q74_join_view_refresh" ->
+      """WITH nf AS (SELECT o_orderkey, o_custkey,
+             round(o_totalprice + o_orderkey % 3, 2) AS price
+           FROM orders WHERE o_orderkey % 5 <> 0)
+         SELECT o_orderkey, o_custkey, price, c_mktsegment AS seg
+         FROM nf JOIN customer ON nf.o_custkey = customer.c_custkey
+         ORDER BY o_orderkey""",
+
+    // s14's oracle with the query side exploded to its top-2 cells
+    // (threshold = 2nd-largest centroid score, ties included — both
+    // engines include all >= thr); corpus cells unchanged
+    "s15_ann_recall_nprobe2" ->
+      """WITH n AS (SELECT CAST(floor(sqrt(count(*))) AS BIGINT) AS nlist FROM embeddings),
+         c AS (
+           SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           LIMIT (SELECT nlist FROM n)),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cosl AS (
+           SELECT v.vec_id, v.v,
+             list(list_dot_product(v.v, c.cv) /
+                  (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+                  ORDER BY c.cid) AS cl
+           FROM v CROSS JOIN c GROUP BY v.vec_id, v.v),
+         l AS (
+           SELECT vec_id AS id_l, v AS lv,
+             unnest(list_filter(range(1, len(cl)+1),
+               i -> cl[CAST(i AS INTEGER)] >= list_reverse_sort(cl)[2])) AS cell
+           FROM cosl WHERE vec_id % 50 = 0),
+         r AS (SELECT vec_id AS id_r, v AS rv,
+             list_position(cl, list_max(cl)) AS cell
+           FROM cosl WHERE vec_id % 2 = 1),
+         scored AS (
+           SELECT id_l, id_r,
+             round(list_dot_product(lv, rv) /
+                   (sqrt(list_dot_product(lv, lv)) * sqrt(list_dot_product(rv, rv))), 6) AS cosine
+           FROM l JOIN r USING (cell) WHERE id_l <> id_r),
+         ann AS (
+           SELECT id_l, id_r FROM scored
+           QUALIFY row_number() OVER (PARTITION BY id_l ORDER BY cosine DESC, id_r) <= 3),
+         tscored AS (
+           SELECT lq.vec_id AS id_l, rq.vec_id AS id_r,
+             round(list_dot_product(lq.v, rq.v) /
+                   (sqrt(list_dot_product(lq.v, lq.v)) * sqrt(list_dot_product(rq.v, rq.v))), 6) AS cosine
+           FROM v lq CROSS JOIN v rq
+           WHERE lq.vec_id % 50 = 0 AND rq.vec_id % 2 = 1 AND lq.vec_id <> rq.vec_id),
+         truth AS (
+           SELECT id_l, id_r FROM tscored
+           QUALIFY row_number() OVER (PARTITION BY id_l ORDER BY cosine DESC, id_r) <= 3)
+         SELECT t.id_l, CAST(count(a.id_r) AS INTEGER) AS n_hits,
+           round(count(a.id_r) / 3.0, 6) AS recall
+         FROM truth t LEFT JOIN ann a ON a.id_l = t.id_l AND a.id_r = t.id_r
+         GROUP BY t.id_l ORDER BY t.id_l""",
 
     // every lineitem orderkey exists in orders (TPC-H referential
     // integrity), so the delete-key set is the %5000 residue class and

@@ -63,4 +63,29 @@ object IncrementalAgg {
             (coalesce(col(c), lit(0L)) + coalesce(col(s"_d$c"), lit(0L))).as(c))): _*)
       .filter(col(cntAs) > 0)
   }
+
+  /** Incremental maintenance of a FK-JOIN view V = fact ⋈ dim, the other
+    * half of materialized-view upkeep (refresh covers aggregates). The
+    * dim must be unique on the join key and the view keyed by the fact
+    * key, so each fact key owns at most one view row — the enrichment
+    * shape (orders ⋈ customer, txn ⋈ account) every warehouse
+    * materializes. Applying a fact changelog ([[Upsert.snapshotDiff]]):
+    * every changed key's stale row leaves by anti-join, and the I/U new
+    * images re-join ONLY the dim — the view never rebuilds and the fact
+    * table is never re-read, so a refresh costs |changelog| ⋈ dim (dim
+    * broadcast when bona fide) plus a key-hashed anti-join against the
+    * stored view. Inner-join semantics: a fresh row whose FK misses the
+    * dim drops out, exactly as it would in the full recompute. */
+  def refreshJoin(oldView: DataFrame, changelog: DataFrame, dim: DataFrame,
+                  factKeys: Seq[String], factCols: Seq[String],
+                  joinKey: String): DataFrame = {
+    require(factKeys.nonEmpty, "refreshJoin: need at least one fact key column")
+    require(factCols.contains(joinKey),
+      s"refreshJoin: joinKey $joinKey must be a tracked fact column")
+    val stale = changelog.select(factKeys.map(col): _*)
+    val fresh = changelog.filter(col("op").isin("I", "U"))
+      .select(factKeys.map(col) ++ factCols.map(c => col(s"${c}_new").as(c)): _*)
+    oldView.join(stale, factKeys, "left_anti")
+      .unionByName(fresh.join(dim, joinKey))
+  }
 }

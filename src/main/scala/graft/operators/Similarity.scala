@@ -189,6 +189,43 @@ object Similarity {
     annJoinWithCodebook(left, right, idCol, vecCol,
       derivedCodebook(corpus, idCol, vecCol), k)
 
+  /** [[annJoinDerived]] with MULTIPROBE queries: each query explodes to
+    * the `nprobe` cells whose centroids score highest against it (ties at
+    * the probe threshold include extra cells, deterministically in both
+    * engines — the ivfTopK convention), while corpus rows keep their one
+    * home cell, so every (query, candidate) pair still meets AT MOST ONCE
+    * and no dedup pass exists. Candidate volume scales by nprobe/nlist of
+    * the corpus per query — the recall/cost dial the s14 harness measures:
+    * single-probe misses neighbors whose home cell is the query's
+    * second-best, which is exactly what probing 2 cells recovers. */
+  def annJoinDerivedMultiprobe(left: DataFrame, right: DataFrame, idCol: String,
+                               vecCol: String, corpus: DataFrame, k: Int,
+                               nprobe: Int): DataFrame = {
+    val codebook = derivedCodebook(corpus, idCol, vecCol)
+    require(nprobe >= 1 && nprobe <= codebook.value.length,
+      s"annJoinDerivedMultiprobe: nprobe must be in 1..${codebook.value.length}, got $nprobe")
+    val l = left.select(col(idCol).as("id_l"), col(vecCol).as("_lvec"))
+      .withColumn("_qcos", cell_scores(col("_lvec"), codebook))
+      .withColumn("_thr",
+        element_at(sort_array(col("_qcos"), asc = false), nprobe))
+      .withColumn("_cell", explode(filter(
+        transform(sequence(lit(0), size(col("_qcos")) - 1),
+          i => when(element_at(col("_qcos"), i + 1) >= col("_thr"), i)),
+        x => x.isNotNull)))
+      .drop("_qcos", "_thr")
+    val r = right.select(col(idCol).as("id_r"), col(vecCol).as("_rvec"))
+      .withColumn("_cell", cell_assign(col("_rvec"), codebook))
+    val scored = l.join(r, "_cell")
+      .filter(col("id_l") =!= col("id_r"))
+      .withColumn("cosine", round(cosine(col("_lvec"), col("_rvec")), 6))
+      .select(col("id_l"), col("id_r"), col("cosine"))
+    Windows.topKPerGroup(
+        scored.withColumn("_payload", struct(col("id_r"), col("cosine"))),
+        Seq("id_l"), "_payload", "cosine", "id_r", k)
+      .select(col("id_l"), col("rank"),
+        col("_payload.id_r").as("id_r"), col("_payload.cosine").as("cosine"))
+  }
+
   private def annJoinWithCodebook(left: DataFrame, right: DataFrame,
       idCol: String, vecCol: String,
       codebook: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],

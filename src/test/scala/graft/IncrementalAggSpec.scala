@@ -47,4 +47,32 @@ class IncrementalAggSpec extends SparkTestBase {
     val refreshed = IncrementalAgg.refresh(agg(snap), diff, Seq("seg"), Seq("bal"))
     assert(rows(refreshed) == rows(agg(snap)))
   }
+
+  test("refreshJoin equals the full recompute across I/D/U and FK misses") {
+    import spark.implicits._
+    val dim = Seq((10L, "x"), (20L, "y"), (30L, "z")).toDF("fk", "name")
+    // old: keys 1..4; new: 2 updated (value + fk move), 3 dropped, 5-6
+    // inserted (6 with a dangling FK that must vanish under inner join)
+    val oldFact = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 300L),
+      (4L, 30L, 400L)).toDF("id", "fk", "v")
+    val newFact = Seq((1L, 10L, 100L), (2L, 20L, 250L), (4L, 30L, 400L),
+      (5L, 20L, 500L), (6L, 99L, 600L)).toDF("id", "fk", "v")
+    val oldView = oldFact.join(dim, "fk").select("id", "fk", "v", "name")
+    val diff = Upsert.snapshotDiff(oldFact, newFact, Seq("id"), Seq("fk", "v"))
+    val got = IncrementalAgg.refreshJoin(oldView, diff, dim,
+        Seq("id"), Seq("fk", "v"), "fk")
+      .select("id", "fk", "v", "name").as[(Long, Long, Long, String)]
+      .collect().toSet
+    val full = newFact.join(dim, "fk").select("id", "fk", "v", "name")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got == full)
+    assert(!got.exists(_._1 == 6L)) // dangling FK dropped, as in the recompute
+    assert(got.exists(r => r._1 == 2L && r._2 == 20L && r._3 == 250L)) // U re-imaged
+  }
+
+  test("refreshJoin rejects a joinKey outside the tracked columns") {
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.refreshJoin(null, null, null, Seq("id"), Seq("v"), "fk")
+    }
+  }
 }

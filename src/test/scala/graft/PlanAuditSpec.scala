@@ -29,7 +29,8 @@ class PlanAuditSpec extends SparkTestBase {
     "t35_datasheet", // one-row top-language frame attached to the one-row base
     "q70_hll_rollup", // one-row exact-count frame attached to the one-row merged sketch
     "d16_bloom_dedup", // one-row corpus-bloom bitset broadcast to the batch scan
-    "s14_ann_recall") // bounded query-panel broadcast (s04's k-row posture) + s08's codebook
+    "s14_ann_recall", // bounded query-panel broadcast (s04's k-row posture) + s08's codebook
+    "s15_ann_recall_nprobe2") // s14's panel broadcast, multiprobe ANN leg
   /** q32: the intentionally exchange-free bucketed join. t07/t18/d09: the
     * corpus anti-join against the near-dup drop set — both sides data-scale-
     * unknown, so SMJ is the correct static plan (AQE downgrades it to a

@@ -525,4 +525,17 @@ class SimilaritySpec extends SparkTestBase {
       .select("id_l", "rank", "id_r").as[(Long, Int, Long)].collect().toSet
     assert(got == expect && got.size == 12 * 4)
   }
+
+  test("multiprobe nprobe=2 recall dominates single-probe, per query") {
+    // truth elements are GLOBAL top-3, so any candidate set containing one
+    // ranks at most 2 items above it — hits are monotone in candidate-set
+    // inclusion, and nprobe=2's cells are a superset of nprobe=1's
+    val dir = "/root/testdata/sf0.01"
+    val r1 = SparkEntry.queries("s14_ann_recall")(spark, dir)
+      .select("id_l", "n_hits").as[(Long, Int)].collect().toMap
+    val r2 = SparkEntry.queries("s15_ann_recall_nprobe2")(spark, dir)
+      .select("id_l", "n_hits").as[(Long, Int)].collect().toMap
+    assert(r1.nonEmpty && r2.keySet == r1.keySet)
+    r1.foreach { case (q, h1) => assert(r2(q) >= h1, s"query $q: ${r2(q)} < $h1") }
+  }
 }
