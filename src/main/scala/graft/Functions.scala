@@ -234,9 +234,12 @@ object Functions {
 
   /** Register every custom expression as a SQL function on a running session
     * (same definition list as [[GraftExtensions]], the build-time path). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     GraftExtensions.functions.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
     }
+    // the engine's optimizer rules ride the same session-setup hook
+    graft.plans.GraftRules.install(spark)
+  }
 }

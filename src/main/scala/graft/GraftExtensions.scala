@@ -18,13 +18,15 @@ import graft.functions._
   * `SELECT parse_money(amount), minhash_signature(text, 5, 16) FROM t`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+  }
 }
 
 object GraftExtensions {

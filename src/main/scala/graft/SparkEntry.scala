@@ -1935,6 +1935,27 @@ object SparkEntry {
         .orderBy(col("sub"), col("cid"), col("dim"))
     },
 
+    // ---- Optimizer rule: AUTOMATIC range-join rewrite — the join is
+    // written NAIVELY (`ts >= lo AND ts < hi`, the shape Spark plans as
+    // a nested loop) and graft.plans.RangeJoinRewrite turns it into the
+    // binned equi-join + residual filter at optimization time. The plan
+    // audit proves no BNLJ survives; the oracle proves the rewrite is
+    // semantics-exact. q35 is the same query spelled by hand ----
+    "q75_range_join_auto" -> { (s, dir) =>
+      graft.plans.GraftRules.install(s) // idempotent — self-contained entry
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"),
+          col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("end_ts"))
+      clicks.join(signups,
+          col("ts") >= col("start_ts") && col("ts") < col("end_ts"))
+        .select(col("click_id"), col("signup_id"))
+        .orderBy(col("click_id"), col("signup_id"))
+    },
+
     // ---- IVM: FK-join VIEW maintenance (the enrichment-view half of
     // q45's aggregate IVM): stale keys leave the stored view by
     // anti-join, I/U images re-join only the broadcast dim — refresh
@@ -4846,6 +4867,16 @@ object SparkEntry {
          SELECT CAST(sub AS INTEGER) AS sub, cid, CAST(d AS INTEGER) AS dim,
            s / 1048576.0 / n AS value
          FROM s2 ORDER BY sub, cid, dim""",
+
+    // q35's oracle verbatim: the rewrite must be invisible to results
+    "q75_range_join_auto" ->
+      """WITH c AS (SELECT event_id AS click_id, ts FROM events WHERE event_type = 'click'),
+            s AS (SELECT event_id AS signup_id, ts AS start_ts,
+                         ts + INTERVAL 1 HOUR AS end_ts
+                  FROM events WHERE event_type = 'signup')
+         SELECT click_id, signup_id
+         FROM c JOIN s ON c.ts >= s.start_ts AND c.ts < s.end_ts
+         ORDER BY click_id, signup_id""",
 
     // the refresh path is an IO strategy; the semantics are the full
     // recompute — new fact image joined to the dim

@@ -56,7 +56,15 @@ class PlanAuditSpec extends SparkTestBase {
     // d13: the final node-label left join reads two localCheckpointed
     // frames (LogicalRDD reports no size stats), same AQE-downgrade
     // posture as the anti-joins above
-    "d13_dup_clusters_star")
+    "d13_dup_clusters_star",
+    // s14/s15: the truth-vs-ann hit join reads two aggregate outputs
+    // (panel-sized, no static stats) — AQE downgrades to broadcast at
+    // runtime; the data-scale legs upstream are the audited shapes
+    "s14_ann_recall", "s15_ann_recall_nprobe2",
+    // q74: the stale-key anti-join against the stored view — both sides
+    // statically size-unknown; at scale the view is a bucketed store
+    // (exchange-free), locally AQE downgrades
+    "q74_join_view_refresh")
 
   test("no entry plans a cartesian; NLJ/SMJ only on the allowlists") {
     val violations = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
