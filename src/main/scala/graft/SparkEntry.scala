@@ -2187,6 +2187,74 @@ object SparkEntry {
           col("h.n_zero").as("n_zero"))
       val exact = d.agg(countDistinct(col("text")).as("exact_distinct"))
       merged.crossJoin(broadcast(exact))
+    },
+
+    // ---- Analytics: 2-D skyline (Pareto frontier) over per-user
+    // (spend ↑, errors ↓) — partition-local prune (no shuffle, preserves
+    // the frontier) then the exact sort-filter pass over the pruned
+    // candidate set only; per-row cents conversion BEFORE the sum keeps
+    // both metrics in exact integer arithmetic ----
+    "q76_skyline" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val stats = ev.groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long")).otherwise(0L)).as("spend_cents"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
+      Analytics.skyline2d(stats, "spend_cents", "n_errors")
+        .orderBy(col("spend_cents").desc, col("user_id"))
+    },
+
+    // ---- Analytics: sequential throttle — at most one kept event per
+    // (user, type) per 4 h measured from the LAST KEPT event (anchor
+    // advances on keeps only — disagrees with gap-sessionization on any
+    // burst longer than one gap, which is the point); one key-hashed
+    // shuffle + streaming in-partition fold, O(1) state ----
+    "q77_throttle" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      Analytics.throttle(ev, Seq("user_id", "event_type"), "ts", "event_id",
+          minGapMicros = 14400000000L)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .orderBy(col("user_id"), col("event_type"), col("us"), col("event_id"))
+    },
+
+    // ---- Graph: triangle participation over the co-purchase graph
+    // (parts appearing in >= 2 shared orders — the support threshold IS
+    // the market-basket semantic, and what keeps the graph sparse).
+    // Canonical orientation finds each triangle exactly once; two keyed
+    // equi-joins, no post-dedup ----
+    "q78_triangle_count" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li.as("a")
+        .join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+      Graphs.triangleCounts(pairs, "pa", "pb")
+        .orderBy(col("n_triangles").desc, col("id"))
+        .limit(50)
+        .select(col("id").as("l_partkey"), col("n_triangles"))
+    },
+
+    // ---- Similarity: SQ8 scalar-quantized ANN — int8 codes (4× scan-byte
+    // compression at scale), integer code-dot candidate ranking, exact
+    // float rerank over the bounded winner set; both stages end in
+    // TakeOrderedAndProject, zero shuffle ----
+    "s16_sq8_ann" -> { (s, dir) =>
+      Similarity.sq8TopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryId = 0L, k = 10, rerank = 50)
+    },
+
+    // ---- Text: hashed-bigram linear classifier score (the fastText-style
+    // quality-filter plumbing: hash → bucket → weight → sum) — fully
+    // row-local via an aggregate HOF over the bigram array; integer
+    // weights make score and verdict engine-exact ----
+    "t37_hash_classifier" -> { (s, dir) =>
+      TextAnalysis.hashedClassifierScore(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -5115,7 +5183,112 @@ object SparkEntry {
              / CAST(registers_sum AS DOUBLE) AS est_hll,
            registers_sum, n_zero,
            (SELECT count(DISTINCT text) FROM documents) AS exact_distinct
-         FROM g"""
+         FROM g""",
+
+    // the skyline is replayed as its definition: the dominance anti-join
+    // (NOT EXISTS a strictly-better row) — the sort-filter windows must
+    // reproduce it row-for-row
+    "q76_skyline" ->
+      """WITH st AS (
+           SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS spend_cents,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+           FROM events GROUP BY 1)
+         SELECT user_id, spend_cents, n_errors FROM st a
+         WHERE NOT EXISTS (SELECT 1 FROM st b
+           WHERE b.spend_cents >= a.spend_cents AND b.n_errors <= a.n_errors
+             AND (b.spend_cents > a.spend_cents OR b.n_errors < a.n_errors))
+         ORDER BY spend_cents DESC, user_id""",
+
+    // the sequential fold replayed as a recursive CTE: row rn folds
+    // against the accumulated last-kept anchor of rn-1 — the semantics a
+    // window can't express (the anchor advances on KEPT rows only)
+    "q77_throttle" ->
+      """WITH RECURSIVE r AS (
+           SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+           FROM events),
+         s AS (
+           SELECT user_id, event_type, event_id, us, rn, us AS last_kept,
+                  TRUE AS kept
+           FROM r WHERE rn = 1
+           UNION ALL
+           SELECT r.user_id, r.event_type, r.event_id, r.us, r.rn,
+             CASE WHEN r.us - s.last_kept >= 14400000000
+                  THEN r.us ELSE s.last_kept END,
+             r.us - s.last_kept >= 14400000000
+           FROM r JOIN s ON r.user_id = s.user_id
+             AND r.event_type = s.event_type AND r.rn = s.rn + 1)
+         SELECT user_id, event_type, event_id, us FROM s WHERE kept
+         ORDER BY user_id, event_type, us, event_id""",
+
+    // canonical a<b<c orientation: each triangle appears exactly once as
+    // wedge (a,b)+(b,c) closed by (a,c); per-node counts explode corners
+    "q78_triangle_count" ->
+      """WITH e AS (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         tri AS (
+           SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+           FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+           JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+         corners AS (
+           SELECT unnest([x, y, z]) AS id FROM tri)
+         SELECT id AS l_partkey, CAST(count(*) AS BIGINT) AS n_triangles
+         FROM corners GROUP BY 1
+         ORDER BY n_triangles DESC, l_partkey LIMIT 50""",
+
+    // SQ8 replayed element-for-element: double-widened floats, floor-based
+    // int8 codes (truncation parity), exact integer code-dot for the
+    // candidate cut, rounded float cosine for the final ordering
+    "s16_sq8_ann" ->
+      """WITH q0 AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+             FROM embeddings WHERE vec_id = 0),
+         q1 AS (SELECT qv, list_max(list_transform(qv, x -> abs(x))) AS qm FROM q0),
+         qc AS (SELECT qv,
+             CASE WHEN qm = 0 THEN list_transform(qv, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(qv, x -> CAST(floor(x * 127 / qm) AS BIGINT))
+             END AS qcodes FROM q1),
+         c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings WHERE vec_id <> 0),
+         c1 AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS vm FROM c0),
+         cc AS (SELECT vec_id, v,
+             CASE WHEN vm = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(floor(x * 127 / vm) AS BIGINT))
+             END AS codes FROM c1),
+         sc AS (SELECT vec_id, v,
+             CAST(list_sum(list_transform(range(1, len(codes) + 1),
+               i -> codes[CAST(i AS INTEGER)] * qcodes[CAST(i AS INTEGER)])) AS BIGINT) AS qdot
+           FROM cc, qc),
+         cand AS (SELECT vec_id, qdot, v FROM sc
+           ORDER BY qdot DESC, vec_id LIMIT 50)
+         SELECT vec_id, qdot,
+           round(list_dot_product(v, qv) /
+             (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+         FROM cand, q0
+         ORDER BY cosine DESC, vec_id LIMIT 10""",
+
+    // hash -> bucket -> derived integer weight -> exact integer sum,
+    // replayed per bigram; md5 buckets are bit-identical across engines
+    "t37_hash_classifier" ->
+      """WITH t AS (SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+           FROM documents),
+         bg AS (SELECT doc_id,
+             list_transform(range(1, greatest(len(tk), 1)),
+               i -> tk[CAST(i AS INTEGER)] || ' ' || tk[CAST(i AS INTEGER) + 1]) AS bg
+           FROM t),
+         sc AS (SELECT doc_id, CAST(len(bg) AS INTEGER) AS n_bigrams,
+             CAST(COALESCE(list_sum(list_transform(bg, g ->
+               (CAST(('0x' || substr(md5(g), 1, 4)) AS BIGINT) % 4096)
+                 * 2654435761 % 1001 - 500)), 0) AS BIGINT) AS score
+           FROM bg)
+         SELECT doc_id, n_bigrams, score, score > 0 AS keep
+         FROM sc ORDER BY doc_id"""
   )
 
   /** Quantized PQ codebook as a SQL VALUES literal — shared by the PQ and

@@ -152,4 +152,84 @@ object Analytics {
     val isNew = when(prev.isNull || us - prev > gapMicros, 1L).otherwise(0L)
     events.withColumn("session_no", sum(isNew).over(wOrd))
   }
+
+  /** 2-D skyline (Pareto frontier): rows not dominated by any other row,
+    * where domination means `maxCol` >= AND `minCol` <= with at least one
+    * strict. The classic multi-criteria cut ("no one is both cheaper and
+    * better") — for a training-data pipeline, the quality-vs-cost frontier
+    * over sources or shards. Duplicated frontier points all survive
+    * (neither dominates the other).
+    *
+    * Scale design: sort-filter skyline in two phases. Phase 1 prunes
+    * PARTITION-LOCALLY (window keyed on `spark_partition_id()` — fully
+    * parallel, no shuffle): any row dominated within its partition is
+    * dominated globally, so local pruning preserves the frontier while
+    * shrinking the candidate set to at most P × |skyline-per-partition|.
+    * Phase 2 runs the exact global sort-filter over those survivors; its
+    * single-ordered window is candidate-sized, not input-sized (the prune
+    * is what makes a global-order step admissible at scale — same posture
+    * as a TakeOrdered). Both phases are one window + one filter: a row
+    * survives iff its `minCol` beats the running min over STRICTLY greater
+    * `maxCol` (RANGE frame `(+1, ∞)` — integer metrics make +1 exactly
+    * "strictly greater") and equals the min within its `maxCol` tie-group.
+    * Both columns must be integral for the range frame to be exact. */
+  def skyline2d(df: DataFrame, maxCol: String, minCol: String): DataFrame = {
+    def frontier(in: DataFrame, part: Seq[Column]): DataFrame = {
+      val wGt = org.apache.spark.sql.expressions.Window
+        .partitionBy(part: _*).orderBy(col(maxCol))
+        .rangeBetween(1L, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      val wEq = org.apache.spark.sql.expressions.Window
+        .partitionBy((part :+ col(maxCol)): _*)
+      in.withColumn("_dom", min(col(minCol)).over(wGt))
+        .withColumn("_tie", min(col(minCol)).over(wEq))
+        .filter((col("_dom").isNull || col(minCol) < col("_dom")) &&
+          col(minCol) === col("_tie"))
+        .drop("_dom", "_tie")
+    }
+    val pruned = frontier(df.withColumn("_pid", spark_partition_id()),
+      Seq(col("_pid"))).drop("_pid")
+    frontier(pruned, Seq.empty)
+  }
+
+  /** Sequential throttle (rate limit): per key, keep an event iff it is at
+    * least `minGapMicros` after the LAST KEPT event — the anchor advances
+    * only on kept rows, which is what distinguishes a true throttle from
+    * gap-based sessionization ([[sessionize]] anchors at the previous RAW
+    * event; the two disagree on any burst longer than one gap). The
+    * semantics every alerting / notification / retry pipeline wants:
+    * "at most one per key per interval, measured from the last one sent".
+    *
+    * Scale design: the fold is inherently sequential PER KEY but
+    * embarrassingly parallel ACROSS keys, so the plan is one key-hashed
+    * repartition + an in-partition sort on (key, ts, tiebreak) + a
+    * STREAMING `mapPartitions` fold — O(1) memory per partition (state is
+    * one `(key, lastKeptTs)` pair; no per-key buffer is ever
+    * materialized, unlike a collect_list approach), one shuffle total.
+    * `tieCol` must make (key, ts, tieCol) a total order so both engines
+    * fold identically. */
+  def throttle(events: DataFrame, keyCols: Seq[String], tsCol: String,
+               tieCol: String, minGapMicros: Long): DataFrame = {
+    require(keyCols.nonEmpty, "throttle: need at least one key column")
+    require(minGapMicros > 0, s"throttle: minGapMicros must be > 0")
+    val withUs = events.withColumn("_us", unix_micros(col(tsCol)))
+    val sorted = withUs
+      .repartition(keyCols.map(col): _*)
+      .sortWithinPartitions((keyCols.map(col) :+ col("_us") :+ col(tieCol)): _*)
+    val schema = sorted.schema
+    val keyIdx = keyCols.map(schema.fieldIndex)
+    val usIdx = schema.fieldIndex("_us")
+    val out = sorted.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var lastKept = Long.MinValue
+      it.filter { row =>
+        val k = keyIdx.map(row.get)
+        if (k != curKey) { curKey = k; lastKept = Long.MinValue }
+        val us = row.getLong(usIdx)
+        val keep = lastKept == Long.MinValue || us - lastKept >= minGapMicros
+        if (keep) lastKept = us
+        keep
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+    out.drop("_us")
+  }
 }

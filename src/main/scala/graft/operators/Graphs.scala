@@ -65,4 +65,41 @@ object Graphs {
     }
     ranks
   }
+
+  /** Per-node triangle participation counts over an undirected graph —
+    * the local clustering signal (cohesive co-purchase bundles, tightly
+    * interlinked host clusters) that complements the global ranks of
+    * [[pageRank]] and the component labels of the dedup clusterers.
+    * Input edges may be directed / duplicated / self-looped; they are
+    * canonicalized to distinct `a < b` pairs first (each undirected edge
+    * exactly once, self-loops dropped). Output: (id, n_triangles) for
+    * every node in at least one triangle.
+    *
+    * Scale design: the compact-forward algorithm. Canonical orientation
+    * (low id → high id) means every triangle a<b<c is found EXACTLY once
+    * as wedge (a→b, b→c) closed by edge (a→c) — no post-hoc dedup of the
+    * 6 permutations. Two equi-joins total: the wedge join keyed on the
+    * shared middle vertex, the closure join keyed on the (a, c) pair —
+    * both plain shuffle-hash-joinable, nothing cartesian. Wedge fan-out is
+    * Σ_v out(v)·in(v), the standard bound; at web scale the orientation
+    * would be by DEGREE rather than id (orienting low-degree → high-degree
+    * caps out-degrees at O(√m) and hence wedges at O(m^1.5)) — an
+    * input-side permutation of node ids, not a different plan. The
+    * per-node count explodes each found triangle into its three corners
+    * and map-side-combines: triangle-count-sized, never wedge-sized. */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      .join(e.as("e3"), col("x") === col("e3.a") && col("z") === col("e3.b"))
+      .select(col("x"), col("y"), col("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

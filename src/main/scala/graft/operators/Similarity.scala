@@ -56,6 +56,54 @@ object Similarity {
       .limit(k)
   }
 
+  /** Scalar int8 quantization (SQ8) ANN: each vector is compressed to one
+    * signed byte per dimension with a per-vector symmetric scale
+    * (`c_i = floor(v_i * 127 / maxabs)`, all-zero codes for the zero
+    * vector), and candidates are ranked by the INTEGER dot product of the
+    * code arrays — the 4× memory compression every production vector store
+    * applies before anything fancier (FAISS `SQ8`, Lucene scalar
+    * quantization). Top `rerank` code-space winners are re-scored with the
+    * exact float cosine, and the final k come from that exact ordering —
+    * the standard quantize-then-rerank contract: compression decides the
+    * CANDIDATES, full precision decides the ANSWER.
+    *
+    * Scale design: codes are row-local arithmetic (at scale they'd be
+    * precomputed into a byte-array column — 1/4 the scan bytes; here they
+    * fuse into the scan). Stage 1 is one corpus scan ending in
+    * `TakeOrderedAndProject(rerank)` (per-partition heaps, no global
+    * sort); stage 2 re-reads only the BOUNDED candidate set via broadcast
+    * semi-join and ends in `TakeOrderedAndProject(k)`. No shuffle in
+    * either stage. Integer dots and floor-based codes are engine-exact, so
+    * the candidate CUT is deterministic (ties broken by id), and the float
+    * rerank rounds before ordering — the whole output is
+    * oracle-reproducible bit-for-bit. */
+  def sq8TopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"sq8TopK: need rerank >= k, got $rerank < $k")
+    def codes(vec: Column): Column = {
+      val dv = vec.cast("array<double>")
+      val maxabs = array_max(transform(dv, x => abs(x)))
+      when(maxabs === 0.0, transform(dv, _ => lit(0L)))
+        .otherwise(transform(dv, x => floor(x * lit(127.0) / maxabs)))
+    }
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("_qvec"), codes(col(vecCol)).as("_qcodes"))
+    val coarse = emb.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= queryId)
+      .withColumn("_qdot", aggregate(
+        zip_with(codes(col(vecCol)), col("_qcodes"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+      .orderBy(col("_qdot").desc, col(idCol).asc)
+      .limit(rerank)
+      .select(col(idCol).as("_cid"), col("_qdot"))
+    emb.join(broadcast(coarse), col(idCol) === col("_cid"))
+      .crossJoin(broadcast(q.select(col("_qvec"))))
+      .withColumn("cosine", round(cosine(col(vecCol), col("_qvec")), 6))
+      .select(col(idCol), col("_qdot").as("qdot"), col("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Exact top-k by cosine against one query vector. `TakeOrderedAndProject`
     * keeps per-partition heaps of k — no full sort, no driver pressure. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,

@@ -90,6 +90,47 @@ object TextAnalysis {
         size(regexp_extract_all(col(textCol), lit(subwordPattern), lit(0))))
   }
 
+  /** Hashed-n-gram linear classifier scoring — the fastText-style quality /
+    * domain classifier a pretraining pipeline applies to every document
+    * (CCNet's quality model, the "looks like reference text" filters):
+    * word bigrams hash into `numBuckets` feature buckets, each bucket
+    * carries a fixed weight, and a document's score is the sum of its
+    * bigram-bucket weights. Weights here are DERIVED deterministically
+    * from the bucket id (`(bucket * 2654435761) mod 1001 - 500`, a
+    * Knuth-multiplicative spread into [-500, 500]) — the plumbing is
+    * exactly a trained model's (hash → bucket → weight → sum); a real
+    * deployment broadcasts a learned weight array instead of computing
+    * the weight inline, with no change of plan shape.
+    *
+    * Scale design: ZERO shuffle — tokenize, bigram, hash, and the
+    * weight-sum all fuse into one row-local projection (the score is an
+    * `aggregate` HOF over the bigram array, not an exploded groupBy: no
+    * per-gram row ever exists). Integer weights keep the sum exact, so
+    * the score and the keep/drop verdict are engine-identical — the
+    * md5-bucket contract every hash-derived operator here shares.
+    * Tokenization is its own projection (HOF lambdas defeat CSE — the
+    * [[TfIdf.bigramVocabulary]] posture). */
+  def hashedClassifierScore(df: DataFrame, idCol: String, textCol: String,
+                            numBuckets: Int = 4096): DataFrame = {
+    require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
+    val toks = col("_toks")
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    def weight(g: Column): Column = {
+      val bucket = conv(substring(md5(g), 1, 4), 16, 10).cast("long") % numBuckets
+      (bucket * lit(2654435761L)) % 1001L - 500L
+    }
+    df.select(col(idCol), tokens(lower(col(textCol))).as("_toks"))
+      .select(col(idCol), bigrams.as("_bg"))
+      .select(col(idCol),
+        size(col("_bg")).as("n_bigrams"),
+        coalesce(aggregate(col("_bg"), lit(0L), (acc, g) => acc + weight(g)),
+          lit(0L)).as("score"))
+      .withColumn("keep", col("score") > 0)
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text, plus
     * a 48-bit integer form for cheap joins/bucketing. */
   def fingerprint(df: DataFrame, textCol: String): DataFrame = {

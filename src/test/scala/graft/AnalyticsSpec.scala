@@ -307,4 +307,62 @@ class AnalyticsSpec extends SparkTestBase {
       .as[(Int, Long)].collect().toSeq.sorted
     assert(got == Seq((1, 0L), (1, 1L), (2, 2L)))
   }
+
+  test("skyline2d matches the brute-force dominance definition") {
+    // deterministic pseudo-random points (hash spread), many partitions so
+    // the local-prune phase genuinely runs
+    val pts = (1 to 400).map { i =>
+      (i.toLong, (i * 7919L) % 97, (i * 6271L) % 89)
+    }
+    val df = pts.toDF("id", "x", "y").repartition(8)
+    val got = Analytics.skyline2d(df, "x", "y")
+      .select("id").as[Long].collect().toSet
+    val expect = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, bx, by) =>
+        bx >= x && by <= y && (bx > x || by < y)
+      }
+    }.map(_._1).toSet
+    assert(got == expect, s"skyline mismatch: got $got expect $expect")
+  }
+
+  test("skyline2d keeps duplicated frontier points and drops tie-group losers") {
+    val df = Seq(
+      (1L, 10L, 5L), (2L, 10L, 5L), // duplicate frontier point: both stay
+      (3L, 10L, 7L),                // same x, worse y: dominated by 1/2
+      (4L, 12L, 6L),                // frontier (best x)
+      (5L, 8L, 4L)                  // frontier (best y)
+    ).toDF("id", "x", "y")
+    val got = Analytics.skyline2d(df, "x", "y").select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 4L, 5L))
+  }
+
+  test("throttle anchors at the last KEPT event, not the previous raw event") {
+    // gap 15: 0 kept; 10 dropped (10 < 15 from anchor 0); 20 KEPT (20-0
+    // >= 15 — a lag-based filter would drop it: 20-10 < 15); 35 kept
+    // (35-20 >= 15). The burst case that separates throttle from
+    // sessionization.
+    val base = 1700000000000000L
+    val ev = Seq(0L, 10L, 20L, 35L).zipWithIndex.map { case (off, i) =>
+      (1L, "alert", i.toLong, new Timestamp((base + off * 1000000L) / 1000))
+    }.toDF("user_id", "kind", "event_id", "ts")
+    val kept = Analytics.throttle(ev, Seq("user_id", "kind"), "ts", "event_id",
+        minGapMicros = 15000000L)
+      .select("event_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 2L, 3L), s"got $kept")
+  }
+
+  test("throttle folds each key independently across partitions") {
+    val base = 1700000000000000L
+    val ev = (for {
+      u <- 1L to 20L; i <- 0L until 10L
+    } yield (u, "k", u * 100 + i, new Timestamp((base + i * 1000000L) / 1000)))
+      .toDF("user_id", "kind", "event_id", "ts").repartition(7)
+    // gap 3s over 1s-spaced events: keep offsets 0,3,6,9 for every user
+    val kept = Analytics.throttle(ev, Seq("user_id", "kind"), "ts", "event_id",
+        minGapMicros = 3000000L)
+      .select("event_id").as[Long].collect().toSet
+    val expect = (for (u <- 1L to 20L; i <- Seq(0L, 3L, 6L, 9L))
+      yield u * 100 + i).toSet
+    assert(kept == expect)
+  }
 }

@@ -35,4 +35,25 @@ class GraphsSpec extends SparkTestBase {
     val total = got.values.sum
     assert(math.abs(total - 1.0) < 1e-9, s"mass leaked: $total")
   }
+
+  test("triangleCounts: K4 gives 3 per node; edges canonicalized; loops dropped") {
+    // K4 has C(4,3)=4 triangles, each node in exactly 3. Edges arrive
+    // directed-both-ways + duplicated + a self-loop + a dangling edge —
+    // canonicalization must collapse all of that.
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a != b } yield (a, b)
+    val edges = (k4 ++ Seq((1L, 2L), (3L, 3L), (4L, 9L))).toDF("src", "dst")
+    val got = Graphs.triangleCounts(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
+  }
+
+  test("triangleCounts: triangle-free graph is empty; one triangle counts once") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(Graphs.triangleCounts(path, "src", "dst").count() == 0)
+    // triangle + pendant: pendant node 4 is in no triangle
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Graphs.triangleCounts(tri, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got $got")
+  }
 }

@@ -26,6 +26,7 @@ class PlanAuditSpec extends SparkTestBase {
     "t25_lm_perplexity", // one-row vocabulary-size (V) frame attach
     "q67_drift_psi", // q46's one-row range attach + a one-row totals attach
     "s13_matryoshka_ann", // s01's one-row query-vector broadcast, both stages
+    "s16_sq8_ann", // s01's one-row query broadcast + the bounded rerank-candidate set
     "t35_datasheet", // one-row top-language frame attached to the one-row base
     "q70_hll_rollup", // one-row exact-count frame attached to the one-row merged sketch
     "d16_bloom_dedup", // one-row corpus-bloom bitset broadcast to the batch scan
@@ -64,7 +65,19 @@ class PlanAuditSpec extends SparkTestBase {
     // q74: the stale-key anti-join against the stored view — both sides
     // statically size-unknown; at scale the view is a bucketed store
     // (exchange-free), locally AQE downgrades
-    "q74_join_view_refresh")
+    "q74_join_view_refresh",
+    // q78: the co-purchase pair build is a fact-fact self equi-join on
+    // l_orderkey (both sides data-scale) — SMJ is the correct static
+    // plan; the triangle joins downstream run on the support-thresholded
+    // sparse edge set
+    "q78_triangle_count")
+
+  /** entries whose plan legitimately contains an UNPARTITIONED window:
+    * q76's exact skyline pass — its input is the partition-locally pruned
+    * candidate set (≤ partitions × per-partition frontier, the TakeOrdered
+    * posture), never the raw input; the audit exists to catch ACCIDENTAL
+    * global windows over data-scale frames */
+  private val unpartitionedWindowOk = Set("q76_skyline")
 
   test("no entry plans a cartesian; NLJ/SMJ only on the allowlists") {
     val violations = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
@@ -85,7 +98,8 @@ class PlanAuditSpec extends SparkTestBase {
     // already dropped foldable keys there, so a partition spec that survives
     // only as literals (the r02 q16 regression) shows up as empty
     val violations = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
-      fn(spark, sfDir).queryExecution.optimizedPlan.collect {
+      if (unpartitionedWindowOk(name)) Seq.empty
+      else fn(spark, sfDir).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
             if w.partitionSpec.isEmpty =>
           s"$name: Window with empty partition spec (${w.windowExpressions.map(_.name).mkString(",")})"

@@ -538,4 +538,35 @@ class SimilaritySpec extends SparkTestBase {
     assert(r1.nonEmpty && r2.keySet == r1.keySet)
     r1.foreach { case (q, h1) => assert(r2(q) >= h1, s"query $q: ${r2(q)} < $h1") }
   }
+
+  test("sq8TopK with corpus-wide rerank equals exact brute force") {
+    // when every row survives the code-space cut, the final exact-cosine
+    // ordering must be identical to bruteForceTopK — quantization only
+    // ever decides the CANDIDATES
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count().toInt
+    val got = Similarity.sq8TopK(emb, "vec_id", "embedding",
+        queryId = 0L, k = 5, rerank = n)
+      .select("vec_id", "cosine").as[(Long, Double)].collect().toSeq
+    val expect = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queryId = 0L, k = 5)
+      .select("vec_id", "cosine").as[(Long, Double)].collect().toSeq
+    assert(got == expect)
+  }
+
+  test("sq8 codes: zero vector yields all-zero codes, not NaN; qdot is integral") {
+    val emb = Seq(
+      (0L, Array(1.0f, -2.0f, 4.0f)),
+      (1L, Array(0.0f, 0.0f, 0.0f)),   // zero vector: maxabs guard
+      (2L, Array(2.0f, -4.0f, 8.0f))   // colinear with query
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.sq8TopK(emb, "vec_id", "embedding",
+        queryId = 0L, k = 2, rerank = 2)
+      .select("vec_id", "qdot").as[(Long, Long)].collect().toMap
+    // query codes: maxabs 4 -> floor(v*127/4) = (31, -64, 127)
+    // vec 2 (same direction): identical codes -> qdot = 31^2+64^2+127^2
+    assert(got(2L) == 31L * 31 + 64L * 64 + 127L * 127)
+    // zero vector scores 0, never NaN/null
+    assert(got(1L) == 0L)
+  }
 }

@@ -230,4 +230,34 @@ class TextAnalysisSpec extends SparkTestBase {
       .as[String].collect().toSeq
     assert(twice == df.select(nfc_clean(col("t"))).as[String].collect().toSeq)
   }
+
+  test("hashedClassifierScore matches a hand-computed md5 bucket-weight sum") {
+    import spark.implicits._
+    def weight(bigram: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(bigram.getBytes("UTF-8")).take(2)
+        .map("%02x".format(_)).mkString
+      val bucket = java.lang.Long.parseLong(hex, 16) % 4096
+      bucket * 2654435761L % 1001L - 500L
+    }
+    val df = Seq(
+      (1L, "The quick brown fox"),   // 3 bigrams (lowercased)
+      (2L, "single"),                // no bigram -> score 0
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.hashedClassifierScore(df, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "score")
+      .as[(Long, Int, Long)].collect()
+      .map { case (id, n, sc) => id -> ((n, sc)) }.toMap
+    val expect1 = Seq("the quick", "quick brown", "brown fox").map(weight).sum
+    assert(got(1L) == ((3, expect1)))
+    assert(got(2L) == ((0, 0L)))
+    assert(got(3L) == ((0, 0L)))
+  }
+
+  test("hashedClassifierScore is shuffle-free (row-local plan)") {
+    val df = Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = TextAnalysis.hashedClassifierScore(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
 }
