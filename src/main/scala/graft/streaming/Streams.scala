@@ -88,6 +88,42 @@ object Streams {
       }
   }
 
+  /** Streaming sequential throttle — the streaming twin of
+    * [[graft.operators.Analytics.throttle]]: per key, emit an event iff it
+    * is at least `minGapMicros` after the last EMITTED event, with the
+    * anchor advancing on emits only. flatMapGroupsWithState (not
+    * mapGroups: a batch may emit 0..n rows per key), state is ONE long per
+    * key — bounded by key cardinality, not stream length.
+    *
+    * Semantics note: each micro-batch's rows are sorted by (tsMicros, tie)
+    * before folding, so a single batch folds exactly like the batch
+    * operator; ACROSS batches the fold is arrival-order (an event arriving
+    * late, after a later event was already emitted, is judged against the
+    * advanced anchor — the inherent streaming/batch divergence of any
+    * at-most-once-per-interval gate; pair with [[dedupeById]]-style
+    * watermark hygiene upstream if late data matters). */
+  final case class ThrottleEvent(key: String, tsMicros: Long, tie: Long)
+
+  def throttle(events: Dataset[ThrottleEvent],
+               minGapMicros: Long): Dataset[ThrottleEvent] = {
+    require(minGapMicros > 0, s"throttle: minGapMicros must be > 0")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Long, ThrottleEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[ThrottleEvent], state: GroupState[Long]) =>
+          var lastKept = state.getOption.getOrElse(Long.MinValue)
+          val kept = rows.toSeq.sortBy(e => (e.tsMicros, e.tie)).filter { e =>
+            val keep = lastKept == Long.MinValue || e.tsMicros - lastKept >= minGapMicros
+            if (keep) lastKept = e.tsMicros
+            keep
+          }
+          if (kept.nonEmpty || state.exists) state.update(lastKept)
+          kept.iterator
+      }
+  }
+
   /** Streaming decontamination gate — the stream-static enrichment shape:
     * incoming documents are flagged against a STATIC benchmark set without
     * any streaming state. The benchmark's distinct gram set collapses to a

@@ -157,6 +157,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("throttle anchors at the last EMITTED event, state carries across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.ThrottleEvent]
+    val q = Streams.throttle(in.toDS(), minGapMicros = 15L)
+      .writeStream.format("memory").queryName("throttled")
+      .outputMode("append").start()
+    try {
+      // batch 1, one key, offsets 0/10/20/35 (delivered out of order —
+      // the in-batch sort must restore fold order): the burst case —
+      // keep 0 (first), drop 10, keep 20 (vs anchor 0), keep 35 (vs 20)
+      in.addData(
+        Streams.ThrottleEvent("a", 10L, 1), Streams.ThrottleEvent("a", 0L, 0),
+        Streams.ThrottleEvent("a", 35L, 3), Streams.ThrottleEvent("a", 20L, 2))
+      q.processAllAvailable()
+      val b1 = spark.table("throttled").as[Streams.ThrottleEvent]
+        .collect().map(_.tie).toSet
+      assert(b1 == Set(0L, 2L, 3L), s"got $b1")
+      // batch 2: anchor 35 persisted — 45 (gap 10) drops, 50 keeps;
+      // a fresh key starts its own anchor
+      in.addData(
+        Streams.ThrottleEvent("a", 45L, 4), Streams.ThrottleEvent("a", 50L, 5),
+        Streams.ThrottleEvent("b", 1L, 6))
+      q.processAllAvailable()
+      val all = spark.table("throttled").as[Streams.ThrottleEvent]
+        .collect().map(_.tie).toSet
+      assert(all == Set(0L, 2L, 3L, 5L, 6L), s"got $all")
+    } finally q.stop()
+  }
+
   test("foreachBatchMerge applies correct-by-reload semantics per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
