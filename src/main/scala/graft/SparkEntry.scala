@@ -2239,6 +2239,52 @@ object SparkEntry {
         .select(col("id").as("l_partkey"), col("n_triangles"))
     },
 
+    // ---- Optimizer rule: AUTOMATIC interval-overlap rewrite — q71's
+    // query written NAIVELY (`a_start <= b_end AND b_start <= a_end`,
+    // the shape Spark plans as a nested loop); IntervalJoinRewrite
+    // produces the double-explode bin equi-join + canonical-bin
+    // uniqueness + residual at optimization time. The oracle is the
+    // naive SQL join — each overlapping pair exactly once ----
+    "q80_interval_join_auto" -> { (s, dir) =>
+      graft.plans.GraftRules.install(s) // idempotent — self-contained entry
+      val ev = Tables.events(s, dir)
+      val spans = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(unix_micros(min(col("ts"))).as("a_start"),
+          unix_micros(max(col("ts"))).as("a_end"))
+      val incidents = ev
+        .filter(col("event_type") === "error" && pmod(col("event_id"), lit(11)) === 0)
+        .select(col("event_id").as("incident_id"),
+          (unix_micros(col("ts")) - 900000000L).as("b_start"),
+          (unix_micros(col("ts")) + 900000000L).as("b_end"))
+      spans.join(incidents,
+          col("a_start") <= col("b_end") && col("b_start") <= col("a_end"))
+        .select(col("user_id"), col("day"), col("incident_id"),
+          (least(col("a_end"), col("b_end"))
+            - greatest(col("a_start"), col("b_start"))).as("overlap_us"))
+        .orderBy(col("user_id"), col("day"), col("incident_id"))
+    },
+
+    // ---- Analytics: trailing-7-day rolling distinct users (the WAU
+    // report) — sliding distinct counts can't ride a window frame
+    // (countDistinct isn't frame-able), so each (user, active-day) pair
+    // explodes to the ≤7 report days it covers and one keyed
+    // countDistinct does the rest: row growth is a fixed ×7, the
+    // shuffle is (day, user)-keyed, no per-day rescan of the fact.
+    // Integer epoch-day arithmetic keeps bucketing engine-exact ----
+    "q79_rolling_distinct" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val active = ev.select(col("user_id"),
+        unix_date(to_date(col("ts"))).cast("long").as("d")).distinct()
+      val maxDay = broadcast(active.agg(max(col("d")).as("_max_d")))
+      active
+        .select(col("user_id"), explode(sequence(col("d"), col("d") + 6)).as("day"))
+        .crossJoin(maxDay)
+        .filter(col("day") <= col("_max_d"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .orderBy(col("day"))
+    },
+
     // ---- Similarity: SQ8 scalar-quantized ANN — int8 codes (4× scan-byte
     // compression at scale), integer code-dot candidate ranking, exact
     // float rerank over the bounded winner set; both stages end in
@@ -5271,6 +5317,35 @@ object SparkEntry {
              (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine
          FROM cand, q0
          ORDER BY cosine DESC, vec_id LIMIT 10""",
+
+    // the oracle IS the naive overlap join — the rewrite must emit each
+    // qualifying pair exactly once, like the nested loop would
+    "q80_interval_join_auto" ->
+      """WITH spans AS (
+           SELECT user_id, CAST(ts AS DATE) AS day,
+                  epoch_us(min(ts)) AS a_start, epoch_us(max(ts)) AS a_end
+           FROM events GROUP BY 1, 2),
+         inc AS (
+           SELECT event_id AS incident_id,
+                  epoch_us(ts) - 900000000 AS b_start,
+                  epoch_us(ts) + 900000000 AS b_end
+           FROM events WHERE event_type = 'error' AND event_id % 11 = 0)
+         SELECT user_id, day, incident_id,
+                least(a_end, b_end) - greatest(a_start, b_start) AS overlap_us
+         FROM spans s JOIN inc i ON a_start <= b_end AND b_start <= a_end
+         ORDER BY user_id, day, incident_id""",
+
+    // the explode-to-covered-days trick replayed literally: a user counts
+    // toward day d iff active in [d-6, d]
+    "q79_rolling_distinct" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+           FROM events),
+         mx AS (SELECT max(d) AS max_d FROM a),
+         cov AS (SELECT DISTINCT user_id, d + unnest(range(0, 7)) AS day FROM a)
+         SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+         FROM cov, mx WHERE day <= max_d
+         GROUP BY day ORDER BY day""",
 
     // hash -> bucket -> derived integer weight -> exact integer sum,
     // replayed per bigram; md5 buckets are bit-identical across engines

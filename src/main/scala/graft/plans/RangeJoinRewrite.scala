@@ -93,8 +93,9 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   * [[graft.Functions.register]] twin for optimizer rules). Idempotent. */
 object GraftRules {
   def install(spark: SparkSession): Unit = {
+    val want = Seq(RangeJoinRewrite, IntervalJoinRewrite)
     val cur = spark.experimental.extraOptimizations
-    if (!cur.contains(RangeJoinRewrite))
-      spark.experimental.extraOptimizations = cur :+ RangeJoinRewrite
+    val add = want.filterNot(cur.contains)
+    if (add.nonEmpty) spark.experimental.extraOptimizations = cur ++ add
   }
 }

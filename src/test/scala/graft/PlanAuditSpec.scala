@@ -27,6 +27,7 @@ class PlanAuditSpec extends SparkTestBase {
     "q67_drift_psi", // q46's one-row range attach + a one-row totals attach
     "s13_matryoshka_ann", // s01's one-row query-vector broadcast, both stages
     "s16_sq8_ann", // s01's one-row query broadcast + the bounded rerank-candidate set
+    "q79_rolling_distinct", // one-row max-day frame attached to the cover explode
     "t35_datasheet", // one-row top-language frame attached to the one-row base
     "q70_hll_rollup", // one-row exact-count frame attached to the one-row merged sketch
     "d16_bloom_dedup", // one-row corpus-bloom bitset broadcast to the batch scan
