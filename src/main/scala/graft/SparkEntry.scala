@@ -2294,6 +2294,16 @@ object SparkEntry {
         queryId = 0L, k = 10, rerank = 50)
     },
 
+    // ---- Similarity: MMR diversified rerank — greedy λ·rel − (1−λ)·maxsim
+    // selection over the bounded relevance top-candN; corpus-scale work is
+    // stage 1's TakeOrdered scan only, the fold reads candN + candN²/2
+    // rows as a bounded control read; integer micro-unit scores make the
+    // pick order engine-exact (oracle unrolls the k greedy steps) ----
+    "s17_mmr_rerank" -> { (s, dir) =>
+      Similarity.mmrRerank(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryId = 0L, k = 10, candN = 50, lambdaMilli = 700)
+    },
+
     // ---- Text: hashed-bigram linear classifier score (the fastText-style
     // quality-filter plumbing: hash → bucket → weight → sum) — fully
     // row-local via an aggregate HOF over the bigram array; integer
@@ -5347,6 +5357,11 @@ object SparkEntry {
          FROM cov, mx WHERE day <= max_d
          GROUP BY day ORDER BY day""",
 
+    // the k greedy MMR steps unrolled as chained CTEs over the same
+    // integer micro-unit scores the engine folds with
+    "s17_mmr_rerank" -> mmrOracleSql(queryId = 0L, k = 10, candN = 50,
+      lambdaMilli = 700),
+
     // hash -> bucket -> derived integer weight -> exact integer sum,
     // replayed per bigram; md5 buckets are bit-identical across engines
     "t37_hash_classifier" ->
@@ -5365,6 +5380,48 @@ object SparkEntry {
          SELECT doc_id, n_bigrams, score, score > 0 AS keep
          FROM sc ORDER BY doc_id"""
   )
+
+  /** The MMR oracle: the k greedy selection steps UNROLLED as chained
+    * CTEs (a recursive CTE can't aggregate over the accumulated selected
+    * set; k is a small literal, so unrolling is exact and cheap). Step i
+    * picks, among candidates not yet in sel(i-1), the max of
+    * `λₘ·rel_m − (1000−λₘ)·max_sim_m` with ties by id — the same integer
+    * micro-unit arithmetic the engine folds with. */
+  private def mmrOracleSql(queryId: Long, k: Int, candN: Int,
+                           lambdaMilli: Int): String = {
+    val lm = lambdaMilli
+    val im = 1000 - lambdaMilli
+    val steps = (2 to k).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT c.vec_id, c.rel_m,
+           CAST($lm * c.rel_m - $im * (SELECT max(p.sim_m) FROM pairs2 p
+             WHERE p.a = c.vec_id AND p.b IN (SELECT vec_id FROM sel${i - 1})) AS BIGINT) AS mmr_m
+           FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+           ORDER BY mmr_m DESC, c.vec_id LIMIT 1),
+         sel$i AS MATERIALIZED (SELECT * FROM sel${i - 1}
+           UNION ALL SELECT $i, vec_id, rel_m, mmr_m FROM p$i)"""
+    }.mkString(",\n         ")
+    s"""WITH q AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id = $queryId),
+         c0 AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id <> $queryId),
+         cand AS MATERIALIZED (SELECT vec_id,
+             CAST(floor(list_dot_product(v, qv) /
+               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+               * 1000000) AS BIGINT) AS rel_m, v
+           FROM c0, q ORDER BY rel_m DESC, vec_id LIMIT $candN),
+         pairs AS MATERIALIZED (SELECT x.vec_id AS xid, y.vec_id AS yid,
+             CAST(floor(list_dot_product(x.v, y.v) /
+               (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
+               * 1000000) AS BIGINT) AS sim_m
+           FROM cand x JOIN cand y ON x.vec_id < y.vec_id),
+         pairs2 AS MATERIALIZED (SELECT xid AS a, yid AS b, sim_m FROM pairs
+           UNION ALL SELECT yid, xid, sim_m FROM pairs),
+         p1 AS MATERIALIZED (SELECT vec_id, rel_m, CAST($lm * rel_m AS BIGINT) AS mmr_m
+           FROM cand ORDER BY mmr_m DESC, vec_id LIMIT 1),
+         sel1 AS MATERIALIZED (SELECT 1 AS rank, vec_id, rel_m, mmr_m FROM p1),
+         $steps
+         SELECT rank, vec_id, rel_m, mmr_m FROM sel$k ORDER BY rank"""
+  }
 
   /** Quantized PQ codebook as a SQL VALUES literal — shared by the PQ and
     * IVF-PQ oracles (the codebook is a deterministic constant, like s03's

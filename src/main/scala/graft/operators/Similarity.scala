@@ -104,6 +104,69 @@ object Similarity {
       .limit(k)
   }
 
+  private final case class MmrPick(rank: Int, vec_id: Long, rel_m: Long, mmr_m: Long)
+
+  /** Maximal-Marginal-Relevance diversified top-k (Carbonell & Goldstein
+    * 1998) — the de-duplicating rerank retrieval pipelines bolt onto ANN:
+    * after relevance proposes `candN` candidates, greedily pick k items by
+    * `λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)` so near-duplicate hits
+    * don't crowd the result list.
+    *
+    * Scale design: the DATA-SCALE stage is stage 1 only — the corpus-wide
+    * relevance top-candN (one scan, `TakeOrderedAndProject`). Everything
+    * after runs on the BOUNDED candidate set: the pairwise-similarity
+    * self-join is candN² with the right side broadcast, and the greedy
+    * fold (inherently sequential — each pick changes every remaining
+    * score) reads candidates + pairs as a bounded CONTROL read (≤ candN +
+    * candN²/2 rows, the codebook-trainer posture — never data-scale).
+    *
+    * Engine parity: scores stay in exact integer arithmetic — relevance
+    * and pair cosines quantize to micro-units (`floor(cos·10⁶)` longs)
+    * and λ to thousandths, so `mmr_m = λₘ·rel_m − (1000−λₘ)·max_sim_m`
+    * has no float comparison anywhere and the selection order is
+    * bit-reproducible (ties by id). The oracle unrolls the k greedy steps
+    * as chained CTEs over the same integers. */
+  def mmrRerank(emb: DataFrame, idCol: String, vecCol: String,
+                queryId: Long, k: Int, candN: Int, lambdaMilli: Int): DataFrame = {
+    require(k >= 1 && k <= candN, s"mmrRerank: need 1 <= k <= candN, got k=$k candN=$candN")
+    require(lambdaMilli >= 0 && lambdaMilli <= 1000,
+      s"mmrRerank: lambdaMilli must be in [0, 1000], got $lambdaMilli")
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>").as("_qvec"))
+    val cand = emb.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol).as("cid"),
+        floor(cosine(col(vecCol).cast("array<double>"), col("_qvec")) * lit(1e6))
+          .cast("long").as("rel_m"),
+        col(vecCol).cast("array<double>").as("cvec"))
+      .orderBy(col("rel_m").desc, col("cid").asc)
+      .limit(candN)
+      .localCheckpoint() // reused thrice below; bounded (candN rows)
+    val x = cand.select(col("cid").as("xid"), col("cvec").as("xv"))
+    val y = cand.select(col("cid").as("yid"), col("cvec").as("yv"))
+    val pairs = x.join(broadcast(y), col("xid") < col("yid"))
+      .select(col("xid"), col("yid"),
+        floor(cosine(col("xv"), col("yv")) * lit(1e6)).cast("long").as("sim_m"))
+    // bounded control reads — candN and candN·(candN−1)/2 rows
+    val cs = cand.select(col("cid"), col("rel_m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sim = pairs.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    def simOf(a: Long, b: Long): Long = sim((math.min(a, b), math.max(a, b)))
+    val selected = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+    val remaining = scala.collection.mutable.LinkedHashMap(cs: _*)
+    for (rank <- 1 to math.min(k, cs.length)) {
+      val (bestId, bestRel, bestScore) = remaining.iterator.map { case (id, rel) =>
+        val maxSim = if (selected.isEmpty) 0L
+          else selected.iterator.map(s => simOf(id, s.vec_id)).max
+        (id, rel, lambdaMilli * rel - (1000L - lambdaMilli) * maxSim)
+      }.minBy { case (id, _, score) => (-score, id) }
+      selected += MmrPick(rank, bestId, bestRel, bestScore)
+      remaining.remove(bestId)
+    }
+    emb.sparkSession.createDataFrame(selected.toSeq)
+  }
+
   /** Exact top-k by cosine against one query vector. `TakeOrderedAndProject`
     * keeps per-partition heaps of k — no full sort, no driver pressure. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,

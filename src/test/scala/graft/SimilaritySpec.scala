@@ -554,6 +554,36 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == expect)
   }
 
+  test("mmrRerank: λ=1000 reduces to pure relevance; λ<1000 defers near-duplicates") {
+    // corpus: a near-duplicate pair (1, 2) most similar to the query, and
+    // a moderately relevant but diverse item 3
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),           // query
+      (1L, Array(0.99f, 0.14f, 0.0f)),         // top relevance
+      (2L, Array(0.99f, 0.141f, 0.001f)),      // its near-duplicate
+      (3L, Array(0.7f, -0.7f, 0.1f)),          // diverse, less relevant
+      (4L, Array(0.6f, 0.75f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    // pure relevance: order = brute-force cosine order
+    val pure = Similarity.mmrRerank(emb, "vec_id", "embedding",
+        queryId = 0L, k = 4, candN = 4, lambdaMilli = 1000)
+      .orderBy(col("rank")).select("vec_id").as[Long].collect().toSeq
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(pure == bf, s"λ=1 order $pure != relevance order $bf")
+    // diversified: rank 1 is still the relevance winner, but the
+    // near-duplicate is deferred below the diverse items
+    val div = Similarity.mmrRerank(emb, "vec_id", "embedding",
+        queryId = 0L, k = 4, candN = 4, lambdaMilli = 500)
+      .orderBy(col("rank")).select("vec_id").as[Long].collect().toSeq
+    assert(div.head == bf.head)
+    // pure relevance ranks 2 second; diversification must defer it below
+    // at least one diverse item (how far depends on the diverse items'
+    // own mutual similarities — not asserted)
+    assert(bf(1) == 2L && div.indexOf(2L) > 1,
+      s"near-duplicate not deferred: $div (relevance order $bf)")
+  }
+
   test("sq8 codes: zero vector yields all-zero codes, not NaN; qdot is integral") {
     val emb = Seq(
       (0L, Array(1.0f, -2.0f, 4.0f)),
