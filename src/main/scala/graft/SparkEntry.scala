@@ -2294,6 +2294,29 @@ object SparkEntry {
         queryId = 0L, k = 10, rerank = 50)
     },
 
+    // ---- Analytics: CUSUM drift detection — per-user running sum of
+    // deviations from the 50.00 reference level, flagging threshold
+    // crossings (the sequential change-detection complement to q67's
+    // distributional PSI). One user-keyed shuffle: the cumulative window
+    // and the summary groupBy share the partitioning. Per-row cents
+    // conversion BEFORE the cumsum keeps every partial sum exact, so
+    // crossing verdicts can't wobble on float summation order ----
+    "q81_cusum" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val ev = Tables.events(s, dir)
+        .withColumn("dev_cents", round(col("value") * 100).cast("long") - 5000L)
+        .withColumn("cum", sum(col("dev_cents")).over(w))
+        .withColumn("crossed", abs(col("cum")) > 50000L)
+      ev.groupBy(col("user_id"))
+        .agg(sum(when(col("crossed"), 1L).otherwise(0L)).as("n_crossings"),
+          min(when(col("crossed"), unix_micros(col("ts")))).as("first_cross_us"),
+          sum(col("dev_cents")).as("final_dev_cents"))
+        .orderBy(col("user_id"))
+    },
+
     // ---- Similarity: MMR diversified rerank — greedy λ·rel − (1−λ)·maxsim
     // selection over the bounded relevance top-candN; corpus-scale work is
     // stage 1's TakeOrdered scan only, the fold reads candN + candN²/2
@@ -5356,6 +5379,22 @@ object SparkEntry {
          SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
          FROM cov, mx WHERE day <= max_d
          GROUP BY day ORDER BY day""",
+
+    // integer cents deviations so every partial sum is exact; rows
+    // frame pinned (peer timestamps must not share a cumulative value)
+    "q81_cusum" ->
+      """WITH d AS (SELECT user_id, event_id, ts,
+             CAST(round(value * 100) AS BIGINT) - 5000 AS dev_cents
+           FROM events),
+         c AS (SELECT user_id, ts, dev_cents,
+             sum(dev_cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+           FROM d)
+         SELECT user_id,
+           CAST(sum(CASE WHEN abs(cum) > 50000 THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings,
+           min(CASE WHEN abs(cum) > 50000 THEN epoch_us(ts) END) AS first_cross_us,
+           CAST(sum(dev_cents) AS BIGINT) AS final_dev_cents
+         FROM c GROUP BY user_id ORDER BY user_id""",
 
     // the k greedy MMR steps unrolled as chained CTEs over the same
     // integer micro-unit scores the engine folds with
