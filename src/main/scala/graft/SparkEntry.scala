@@ -1229,6 +1229,19 @@ object SparkEntry {
         queryId = 0L, k = 10, nprobe = 3)
     },
 
+    // ---- Similarity: attribute-FILTERED ANN — the metadata-constrained
+    // search every production vector store exposes ("nearest among
+    // label<=5 only"): the predicate applies BEFORE any scoring, reaches
+    // the parquet scan as a pushed filter, and the index (derived
+    // codebook + nlist) is built over the filtered population — the
+    // partition-per-predicate index design, which never pays post-filter
+    // recall loss (a post-filtered top-k can starve to < k) ----
+    "s18_filtered_ann" -> { (s, dir) =>
+      Similarity.ivfTopKDerived(
+        Tables.embeddings(s, dir).filter(col("label") <= 5),
+        "vec_id", "embedding", queryId = 0L, k = 10, nprobe = 3)
+    },
+
     // ---- Similarity: IVF codebook training (declarative Lloyd k-means,
     // quantized order-invariant means) ----
     "s04_ivf_train" -> { (s, dir) =>
@@ -3053,6 +3066,33 @@ object SparkEntry {
            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
            LIMIT (SELECT nlist FROM n)),
          v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cosl AS (
+           SELECT v.vec_id, v.v,
+             list(list_dot_product(v.v, c.cv) /
+                  (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+                  ORDER BY c.cid) AS cl
+           FROM v CROSS JOIN c GROUP BY v.vec_id, v.v),
+         asg AS (SELECT vec_id, v, list_position(cl, list_max(cl)) AS lst FROM cosl),
+         q AS (SELECT v AS qv, cl AS qcl FROM cosl WHERE vec_id = 0),
+         scored AS (
+           SELECT a.vec_id,
+             round(list_dot_product(a.v, qv) /
+                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+           FROM asg a, q
+           WHERE qcl[a.lst] >= list_sort(qcl, 'DESC')[3] AND a.vec_id <> 0)
+         SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""",
+
+    // s11's replay over the label-filtered population: nlist, codebook
+    // sample, and candidates all derive from the filtered set
+    "s18_filtered_ann" ->
+      """WITH f AS (SELECT vec_id, embedding FROM embeddings WHERE label <= 5),
+         n AS (SELECT CAST(floor(sqrt(count(*))) AS BIGINT) AS nlist FROM f),
+         c AS (
+           SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+           FROM f
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           LIMIT (SELECT nlist FROM n)),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM f),
          cosl AS (
            SELECT v.vec_id, v.v,
              list(list_dot_product(v.v, c.cv) /
