@@ -2307,6 +2307,22 @@ object SparkEntry {
         queryId = 0L, k = 10, rerank = 50)
     },
 
+    // ---- Multimodal: silence segmentation over REAL WAV decode — the
+    // audio trim/segment gate: per-sample silence verdicts fold into
+    // maximal runs in the SAME one-pass buffer walk as the decode
+    // (samples never explode into rows); threshold 16384 ≈ half scale,
+    // runs count from 4 samples ----
+    "m16_audio_silence" -> { (s, dir) =>
+      val frames = Parallelism.ensureDefaultParallelism(
+        Tables.documents(s, dir)).select(col("doc_id"),
+        (pmod(col("doc_id"), lit(1000)) + 1).cast("int").as("_frames"))
+      Multimodal.audioSilence(
+          Multimodal.encodeWavPattern(frames, "doc_id", "_frames", sampleRate = 8000),
+          "asset_id", "payload", threshold = 16384, minRun = 4)
+        .withColumnRenamed("asset_id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
     // ---- Analytics: CUSUM drift detection — per-user running sum of
     // deviations from the 50.00 reference level, flagging threshold
     // crossings (the sequential change-detection complement to q67's
@@ -5419,6 +5435,29 @@ object SparkEntry {
          SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
          FROM cov, mx WHERE day <= max_d
          GROUP BY day ORDER BY day""",
+
+    // the deterministic waveform replayed in SQL, runs via
+    // gaps-and-islands (k minus silent-partition row_number)
+    "m16_audio_silence" ->
+      """WITH d AS (SELECT doc_id, doc_id % 1000 + 1 AS nf FROM documents),
+         s AS (SELECT doc_id, nf, CAST(k AS BIGINT) AS k,
+                 ((doc_id + 1) * (k + 1)) % 65521 - 32760 AS v
+               FROM d CROSS JOIN LATERAL unnest(range(0, nf)) AS t(k)),
+         g AS (SELECT doc_id, k,
+                 k - row_number() OVER (PARTITION BY doc_id ORDER BY k) AS grp
+               FROM s WHERE abs(v) < 16384),
+         runs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len
+                  FROM g GROUP BY doc_id, grp),
+         f AS (SELECT doc_id,
+                 CAST(sum(len) AS BIGINT) AS n_silent,
+                 CAST(sum(CASE WHEN len >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+                 CAST(max(len) AS BIGINT) AS longest_run
+               FROM runs GROUP BY doc_id)
+         SELECT d.doc_id, CAST(nf AS BIGINT) AS n_frames,
+           CAST(COALESCE(n_silent, 0) AS BIGINT) AS n_silent,
+           CAST(COALESCE(n_runs, 0) AS BIGINT) AS n_runs,
+           CAST(COALESCE(longest_run, 0) AS BIGINT) AS longest_run
+         FROM d LEFT JOIN f USING (doc_id) ORDER BY doc_id""",
 
     // integer cents deviations so every partial sum is exact; rows
     // frame pinned (peer timestamps must not share a cumulative value)

@@ -642,6 +642,69 @@ object Multimodal {
     }(enc)
   }
 
+  val audioSilenceSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("n_frames", LongType),
+    StructField("n_silent", LongType),
+    StructField("n_runs", LongType),
+    StructField("longest_run", LongType)))
+
+  /** Silence segmentation over decoded 16-bit mono PCM — the trim/segment
+    * gate an audio-pretraining pipeline runs before feature extraction
+    * (drop silent assets, split on long pauses). A sample is silent when
+    * `|s| < threshold`; a RUN is a maximal consecutive silent stretch, and
+    * only runs of at least `minRun` samples count (micro-dips between
+    * speech samples are not pauses). One row in, one row out: the run walk
+    * is a single in-order pass over the decoded buffer fused into the same
+    * `mapPartitions` decode as [[audioFeatures]] — samples never become
+    * rows, so a 10-minute asset costs one buffer scan, not 4.8M exploded
+    * rows through a window. Corrupt payloads yield NULL features
+    * (quarantine row), never a task failure. */
+  def audioSilence(df: DataFrame, idCol: String, binCol: String,
+                   threshold: Int, minRun: Int): DataFrame = {
+    require(threshold >= 1, s"audioSilence: threshold must be >= 1")
+    require(minRun >= 1, s"audioSilence: minRun must be >= 1")
+    val input = df.select(col(idCol).cast("long"), col(binCol))
+    val enc = RowEncoder.encoderFor(audioSilenceSchema)
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val fmt = ais.getFormat
+            require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+              "audioSilence: expects 16-bit mono PCM")
+            val data = ais.readAllBytes()
+            val n = data.length / 2
+            var nSilent = 0L; var nRuns = 0L; var longest = 0L; var run = 0L
+            var k = 0
+            while (k < n) {
+              val b0 = data(2 * k); val b1 = data(2 * k + 1)
+              val s = if (fmt.isBigEndian) (b0.toInt << 8) | (b1 & 0xFF)
+                      else (b1.toInt << 8) | (b0 & 0xFF)
+              if (math.abs(s) < threshold) {
+                nSilent += 1; run += 1
+              } else {
+                if (run >= minRun) nRuns += 1
+                if (run > longest) longest = run
+                run = 0
+              }
+              k += 1
+            }
+            if (run >= minRun) nRuns += 1
+            if (run > longest) longest = run
+            Row(id, n.toLong, nSilent, nRuns, longest)
+          } finally ais.close()
+        } catch {
+          case scala.util.control.NonFatal(_) => Row(id, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
   /** Decoded-video-frame schema for the REAL (animated-GIF) frame
     * extractor: one row per sampled frame. */
   val gifFrameSchema: StructType = StructType(Seq(
