@@ -362,6 +362,44 @@ class MultimodalSpec extends SparkTestBase {
     assert(got == ((9L, None, None, None, None)))
   }
 
+  test("audioSilence: run detection matches a scalar replay of the waveform") {
+    val in = Seq((1L, 200), (7L, 64)).toDF("id", "nf")
+    val got = Multimodal.audioSilence(
+        Multimodal.encodeWavPattern(in, "id", "nf", sampleRate = 8000),
+        "asset_id", "payload", threshold = 16384, minRun = 4)
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    for ((id, nf) <- Seq((1L, 200), (7L, 64))) {
+      val samples = (0 until nf).map(k => ((id + 1) * (k + 1)) % 65521L - 32760L)
+      val silent = samples.map(s => math.abs(s) < 16384)
+      var runs = List.empty[Int]; var cur = 0
+      silent.foreach { s => if (s) cur += 1 else { if (cur > 0) runs ::= cur; cur = 0 } }
+      if (cur > 0) runs ::= cur
+      val exp = (Some(nf.toLong), Some(silent.count(identity).toLong),
+        Some(runs.count(_ >= 4).toLong),
+        Some(if (runs.isEmpty) 0L else runs.max.toLong))
+      assert(got(id) == exp, s"id $id: ${got(id)} != $exp")
+    }
+  }
+
+  test("audioSilence: all-silent and corrupt payloads handle cleanly") {
+    // id such that every sample is quiet: id=65520 -> (65521*(k+1)) % 65521
+    // = 0 -> s = -32760... that's loud. Use a tiny threshold instead: with
+    // threshold above full scale every sample is silent -> one run of nf
+    val in = Seq((3L, 10)).toDF("id", "nf")
+    val all = Multimodal.audioSilence(
+        Multimodal.encodeWavPattern(in, "id", "nf", sampleRate = 8000),
+        "asset_id", "payload", threshold = 40000, minRun = 4)
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().head
+    assert(all == ((3L, Some(10L), Some(10L), Some(1L), Some(10L))))
+    val junk = Seq((9L, Array[Byte](1, 2, 3, 4))).toDF("id", "payload")
+    val got = Multimodal.audioSilence(junk, "id", "payload", 16384, 4)
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().head
+    assert(got == ((9L, None, None, None, None)))
+  }
+
   test("dHashNearDup: same pattern pairs at 0, one-cell patch stays in radius, distinct patterns do not pair") {
     // ids 1,2 share a seed (identical image); 3 is 1 with a one-cell patch
     // (near-dup); 4 is an unrelated seed; 5 is garbage (excluded)
