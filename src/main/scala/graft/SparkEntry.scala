@@ -2307,6 +2307,21 @@ object SparkEntry {
         queryId = 0L, k = 10, rerank = 50)
     },
 
+    // ---- Governance: k-anonymity audit — the release gate a dataset
+    // passes before publication: rows whose quasi-identifier combination
+    // (lang, source, length bucket) occurs fewer than k=5 times are
+    // re-identifiable and must be suppressed or generalized. One
+    // map-side-combined groupBy on the quasi key; integer bucketing
+    // keeps the generalization engine-exact ----
+    "t38_k_anonymity" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("lang"), col("source"),
+          floor(col("n_chars") / 500).cast("long").as("size_bucket"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("suppress", col("n") < 5)
+        .orderBy(col("lang"), col("source"), col("size_bucket"))
+    },
+
     // ---- Multimodal: silence segmentation over REAL WAV decode — the
     // audio trim/segment gate: per-sample silence verdicts fold into
     // maximal runs in the SAME one-pass buffer walk as the decode
@@ -5435,6 +5450,14 @@ object SparkEntry {
          SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
          FROM cov, mx WHERE day <= max_d
          GROUP BY day ORDER BY day""",
+
+    "t38_k_anonymity" ->
+      """SELECT lang, source,
+           CAST(floor(n_chars / 500) AS BIGINT) AS size_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           count(*) < 5 AS suppress
+         FROM documents GROUP BY 1, 2, 3
+         ORDER BY lang, source, size_bucket""",
 
     // the deterministic waveform replayed in SQL, runs via
     // gaps-and-islands (k minus silent-partition row_number)
