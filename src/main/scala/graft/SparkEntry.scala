@@ -2307,6 +2307,15 @@ object SparkEntry {
         queryId = 0L, k = 10, rerank = 50)
     },
 
+    // ---- Text: drop-provenance audit — t07's cleaning verdict for EVERY
+    // input doc with the first failing rule named (lang → quality →
+    // exact_dup → near_dup); the "why did the corpus shrink" telemetry;
+    // same shuffles as the pipeline plus two id-keyed verdict attaches ----
+    "t39_drop_provenance" -> { (s, dir) =>
+      CorpusPipeline.dropProvenance(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // ---- Governance: k-anonymity audit — the release gate a dataset
     // passes before publication: rows whose quasi-identifier combination
     // (lang, source, length bucket) occurs fewer than k=5 times are
@@ -5450,6 +5459,26 @@ object SparkEntry {
          SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
          FROM cov, mx WHERE day <= max_d
          GROUP BY day ORDER BY day""",
+
+    // the pipeline CTE chain re-used; the reason CASE applies the same
+    // precedence the engine's when-chain does
+    "t39_drop_provenance" ->
+      s"""WITH $corpusCleanCtes,
+         nd AS (SELECT DISTINCT id_b FROM jac),
+         r AS (
+           SELECT d.doc_id,
+             CASE WHEN l.lang_pred = 'und' THEN 'lang'
+                  WHEN qq.quality_score < 0.7 THEN 'quality'
+                  WHEN e.doc_id IS NULL THEN 'exact_dup'
+                  WHEN nd.id_b IS NOT NULL THEN 'near_dup'
+                  ELSE 'kept' END AS reason
+           FROM documents d
+           JOIN lang l USING (doc_id)
+           JOIN q qq USING (doc_id)
+           LEFT JOIN exact e ON e.doc_id = d.doc_id
+           LEFT JOIN nd ON nd.id_b = d.doc_id)
+         SELECT doc_id, reason, reason = 'kept' AS keep
+         FROM r ORDER BY doc_id""",
 
     "t38_k_anonymity" ->
       """SELECT lang, source,
