@@ -2307,6 +2307,50 @@ object SparkEntry {
         queryId = 0L, k = 10, rerank = 50)
     },
 
+    // ---- Layout: version-log TIME TRAVEL — three committed snapshots
+    // (v1 base 4-file layout, v2 compaction rewrite, v3 delete rewrite);
+    // "AS OF v" resolves the log, never the directory listing, so v1
+    // and v2 must read IDENTICAL content through different file sets
+    // (content-preservation of compaction proven through the log) and
+    // v3 reads the post-delete content while v1/v2 stay readable ----
+    "q82_time_travel" -> { (s, dir) =>
+      val root = scratch("q82_tt", dir)
+      Fixtures.once(s, "q82_tt", dir) {
+        val base = Tables.lineitem(s, dir)
+          .filter(pmod(col("l_orderkey"), lit(4)) === 1)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+        val v1Files = (0 until 4).map { b =>
+          val f = s"$root/f$b"
+          base.filter(pmod(col("l_orderkey"), lit(16)).divide(4).cast("int") === b)
+            .write.mode("overwrite").parquet(f)
+          f
+        }
+        val v2Files = Seq(0, 1).map { c =>
+          val f = s"$root/c$c"
+          s.read.parquet(v1Files(2 * c), v1Files(2 * c + 1))
+            .write.mode("overwrite").parquet(f)
+          f
+        }
+        val v3Files = v2Files.zipWithIndex.map { case (src, i) =>
+          val f = s"$root/d$i"
+          s.read.parquet(src).filter(pmod(col("l_orderkey"), lit(5)) =!= 0)
+            .write.mode("overwrite").parquet(f)
+          f
+        }
+        Layout.writeVersionLog(s, root,
+          v1Files.map(1L -> _) ++ v2Files.map(2L -> _) ++ v3Files.map(3L -> _))
+      }
+      val stats = (1L to 3L).map { v =>
+        Layout.readAsOf(s, root, v)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(floor(col("l_quantity") * 100).cast("long")).as("sum_qty_x100"),
+            sum(floor(col("l_extendedprice") * 100).cast("long")).as("sum_price_cents"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_qty_x100"),
+            col("sum_price_cents"))
+      }
+      stats.reduce(_.unionByName(_)).orderBy(col("version"))
+    },
+
     // ---- Text: drop-provenance audit — t07's cleaning verdict for EVERY
     // input doc with the first failing rule named (lang → quality →
     // exact_dup → near_dup); the "why did the corpus shrink" telemetry;
@@ -5459,6 +5503,27 @@ object SparkEntry {
          SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
          FROM cov, mx WHERE day <= max_d
          GROUP BY day ORDER BY day""",
+
+    // the oracle sees CONTENT, never the metadata layer: v1 and v2 must
+    // both equal the base slice (compaction preserved content through
+    // the log), v3 the post-delete slice
+    "q82_time_travel" ->
+      """WITH s AS (SELECT l_quantity, l_extendedprice, l_orderkey
+           FROM lineitem WHERE l_orderkey % 4 = 1),
+         st AS (SELECT
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_x100,
+             CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+           FROM s),
+         st3 AS (SELECT
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_x100,
+             CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+           FROM s WHERE l_orderkey % 5 <> 0)
+         SELECT CAST(1 AS BIGINT) AS version, * FROM st
+         UNION ALL SELECT CAST(2 AS BIGINT), * FROM st
+         UNION ALL SELECT CAST(3 AS BIGINT), * FROM st3
+         ORDER BY version""",
 
     // the pipeline CTE chain re-used; the reason CASE applies the same
     // precedence the engine's when-chain does
