@@ -28,6 +28,7 @@ class PlanAuditSpec extends SparkTestBase {
     "s13_matryoshka_ann", // s01's one-row query-vector broadcast, both stages
     "s16_sq8_ann", // s01's one-row query broadcast + the bounded rerank-candidate set
     "q79_rolling_distinct", // one-row max-day frame attached to the cover explode
+    "s18_filtered_ann", // s11's one-row query probe over the filtered population
     "t35_datasheet", // one-row top-language frame attached to the one-row base
     "q70_hll_rollup", // one-row exact-count frame attached to the one-row merged sketch
     "d16_bloom_dedup", // one-row corpus-bloom bitset broadcast to the batch scan
@@ -67,6 +68,9 @@ class PlanAuditSpec extends SparkTestBase {
     // statically size-unknown; at scale the view is a bucketed store
     // (exchange-free), locally AQE downgrades
     "q74_join_view_refresh",
+    // t39: the verdict attach joins read the localCheckpointed exact-kept
+    // frame (no size stats) — t07/t24's AQE-downgrade posture
+    "t39_drop_provenance",
     // q78: the co-purchase pair build is a fact-fact self equi-join on
     // l_orderkey (both sides data-scale) — SMJ is the correct static
     // plan; the triangle joins downstream run on the support-thresholded
