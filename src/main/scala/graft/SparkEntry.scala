@@ -2307,6 +2307,37 @@ object SparkEntry {
         queryId = 0L, k = 10, rerank = 50)
     },
 
+    // ---- Governance: referential-integrity audit — orphan detection
+    // across the FK graph (lineitem→orders, lineitem→part, orders→
+    // customer), the data-quality gate an ingest runs before publishing:
+    // each relationship is ONE anti-join (left_anti on the key, AQE
+    // broadcasts the smaller dim side) aggregated to a one-row verdict;
+    // a synthetic orphan batch proves the detector actually fires ----
+    "q83_fk_audit" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val ords = Tables.orders(s, dir)
+      // inject orphans deterministically: shifted keys that exist nowhere
+      val liChecked = li.select(col("l_orderkey"), col("l_partkey"))
+        .unionByName(li.limit(7).select(
+          (col("l_orderkey") + 900000000L).as("l_orderkey"), col("l_partkey")))
+      def audit(name: String, fact: DataFrame, key: String,
+                dim: DataFrame, dimKey: String) = {
+        val orphans = fact.join(dim.select(col(dimKey).as(key)).distinct(),
+          Seq(key), "left_anti")
+        fact.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_orphans"))))
+          .select(lit(name).as("relationship"), col("n_rows"), col("n_orphans"),
+            (col("n_orphans") === 0).as("ok"))
+      }
+      Seq(
+        audit("lineitem->orders", liChecked, "l_orderkey", ords, "o_orderkey"),
+        audit("lineitem->part", li.select(col("l_partkey")), "l_partkey",
+          Tables.part(s, dir), "p_partkey"),
+        audit("orders->customer", ords.select(col("o_custkey")), "o_custkey",
+          Tables.customer(s, dir), "c_custkey")
+      ).reduce(_.unionByName(_)).orderBy(col("relationship"))
+    },
+
     // ---- Layout: version-log TIME TRAVEL — three committed snapshots
     // (v1 base 4-file layout, v2 compaction rewrite, v3 delete rewrite);
     // "AS OF v" resolves the log, never the directory listing, so v1
@@ -5503,6 +5534,29 @@ object SparkEntry {
          SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
          FROM cov, mx WHERE day <= max_d
          GROUP BY day ORDER BY day""",
+
+    // base data is referentially intact (verified), so orphans = exactly
+    // the 7 injected shifted keys; the other two relationships are clean
+    "q83_fk_audit" ->
+      """WITH inj AS (SELECT l_orderkey + 900000000 AS k
+           FROM (SELECT l_orderkey FROM lineitem LIMIT 7)),
+         r1 AS (SELECT 'lineitem->orders' AS relationship,
+             CAST((SELECT count(*) FROM lineitem) + 7 AS BIGINT) AS n_rows,
+             CAST((SELECT count(*) FROM lineitem
+                    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+                  + (SELECT count(*) FROM inj
+                     WHERE k NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT) AS n_orphans),
+         r2 AS (SELECT 'lineitem->part' AS relationship,
+             CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_rows,
+             CAST((SELECT count(*) FROM lineitem
+                    WHERE l_partkey NOT IN (SELECT p_partkey FROM part)) AS BIGINT) AS n_orphans),
+         r3 AS (SELECT 'orders->customer' AS relationship,
+             CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_rows,
+             CAST((SELECT count(*) FROM orders
+                    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT) AS n_orphans)
+         SELECT relationship, n_rows, n_orphans, n_orphans = 0 AS ok
+         FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3)
+         ORDER BY relationship""",
 
     // the oracle sees CONTENT, never the metadata layer: v1 and v2 must
     // both equal the base slice (compaction preserved content through
