@@ -29,6 +29,7 @@ class PlanAuditSpec extends SparkTestBase {
     "s16_sq8_ann", // s01's one-row query broadcast + the bounded rerank-candidate set
     "q79_rolling_distinct", // one-row max-day frame attached to the cover explode
     "s18_filtered_ann", // s11's one-row query probe over the filtered population
+    "q83_fk_audit", // one-row orphan-count frame attached to the one-row total per relationship
     "t35_datasheet", // one-row top-language frame attached to the one-row base
     "q70_hll_rollup", // one-row exact-count frame attached to the one-row merged sketch
     "d16_bloom_dedup", // one-row corpus-bloom bitset broadcast to the batch scan
