@@ -2462,6 +2462,66 @@ object SparkEntry {
     "t37_hash_classifier" -> { (s, dir) =>
       TextAnalysis.hashedClassifierScore(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))
+    },
+
+    // ---- Text: URL canonicalization + keep-latest dedup — the CCNet/Dolma
+    // crawl-dedup key: case-shuffled hosts, default ports, tracking params,
+    // fragments and trailing slashes all collapse to one canonical form
+    // (TextAnalysis.canonicalizeUrl), then ONE hash-shuffle on that key
+    // keeps the newest version. The dirty URLs are derived in-plan from
+    // (doc_id, source) arithmetic so the oracle replays byte-for-byte;
+    // canonical key = (source, doc_id%7), so every group really does
+    // collapse several raw variants ----
+    "t40_url_dedup" -> { (s, dir) =>
+      val id = col("doc_id")
+      val k = pmod(id, lit(7)).cast("string")
+      val dirty = Tables.documents(s, dir).withColumn("url", concat(
+        element_at(array(lit("HTTP"), lit("http"), lit("Http")),
+          (pmod(id, lit(3)) + 1).cast("int")),
+        lit("://"),
+        when(pmod(id, lit(2)) === 0, "WWW.").otherwise("www."),
+        when(pmod(id, lit(5)) === 0, upper(col("source"))).otherwise(col("source")),
+        when(pmod(id, lit(11)) === 0, ".EXAMPLE.com").otherwise(".example.com"),
+        when(pmod(id, lit(4)) === 0, ":80").otherwise(""),
+        lit("/item/"), k,
+        when(pmod(id, lit(2)) === 1, "/").otherwise(""),
+        when(pmod(id, lit(3)) === 0, concat(lit("?utm_source=feed&id="), k))
+          .when(pmod(id, lit(3)) === 1, concat(lit("?id="), k, lit("&utm_campaign=x")))
+          .otherwise(concat(lit("?id="), k)),
+        when(pmod(id, lit(5)) === 0, "#top").otherwise("")))
+      TextAnalysis.urlDedup(dirty, "doc_id", "url")
+        .orderBy(col("canonical_url"))
+    },
+
+    // ---- Text: Gopher repetition rules (duplicate-segment fraction,
+    // duplicate-segment char fraction, top-bigram multiplicity) — fully
+    // row-local: segments/bigrams sort IN-ROW and duplicates read off
+    // adjacent equality, so the quality gate runs at scan speed with zero
+    // shuffle ----
+    "t41_gopher_repetition" -> { (s, dir) =>
+      TextAnalysis.gopherRepetition(Tables.documents(s, dir), "text", segTokens = 2)
+        .select(col("doc_id"), col("n_segments"), col("n_dup_segments"),
+          col("dup_segment_frac"), col("dup_segment_char_frac"),
+          col("n_bigrams"), col("top_bigram_count"), col("top_bigram_frac"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Dedup: cluster-representative selection (keep-BEST, not
+    // keep-any) — d08's LSH components joined to a broadcast source-rank
+    // registry; the representative is a struct-ordered min, so selection
+    // is ONE map-side-combined aggregate on cluster_id (no window sort).
+    // Singletons ride through as their own clusters: output partitions
+    // the corpus ----
+    "d18_cluster_rep" -> { (s, dir) =>
+      val docs = Parallelism.ensureDefaultParallelism(Tables.documents(s, dir))
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        k = 5, bands = 4, rowsPerBand = 4, threshold = 0.2)
+      val clusters = Dedup.connectedComponents(pairs)
+      // source-rank registry: a broadcast-sized dim in production; the
+      // synthetic corpus ranks srcN by N (lower = more curated)
+      val priority = substring(col("source"), 4, 8).cast("int")
+      Dedup.clusterRepresentatives(clusters, docs, "doc_id", "source", priority)
+        .orderBy(col("cluster_id"))
     }
   )
 
@@ -5667,7 +5727,135 @@ object SparkEntry {
                  * 2654435761 % 1001 - 500)), 0) AS BIGINT) AS score
            FROM bg)
          SELECT doc_id, n_bigrams, score, score > 0 AS keep
-         FROM sc ORDER BY doc_id"""
+         FROM sc ORDER BY doc_id""",
+
+    // the dirty-URL derivation and every canonicalization step replayed;
+    // regexes are anchors + literal classes only so Java and RE2 agree
+    "t40_url_dedup" ->
+      """WITH u AS (SELECT doc_id, source,
+           CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'http' ELSE 'Http' END || '://' ||
+           CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'www.' END ||
+           CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END ||
+           CASE WHEN doc_id % 11 = 0 THEN '.EXAMPLE.com' ELSE '.example.com' END ||
+           CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END ||
+           '/item/' || CAST(doc_id % 7 AS VARCHAR) ||
+           CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END ||
+           CASE doc_id % 3 WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR)
+                WHEN 1 THEN '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=x'
+                ELSE '?id=' || CAST(doc_id % 7 AS VARCHAR) END ||
+           CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END AS url
+         FROM documents),
+         p1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nf FROM u),
+         p2 AS (SELECT doc_id, url,
+             regexp_extract(nf, '^[^?]*') AS base,
+             regexp_extract(nf, '\?(.*)$', 1) AS query FROM p1),
+         p3 AS (SELECT doc_id, url, query,
+             lower(regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)', 1)) AS hostport,
+             regexp_replace(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', '') AS rawpath FROM p2),
+         p4 AS (SELECT doc_id, url, scheme, query,
+             regexp_replace(CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                                 WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                                 ELSE hostport END, '^www\.', '') AS host,
+             CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path0 FROM p3),
+         p5 AS (SELECT doc_id, url, scheme, host,
+             CASE WHEN path0 <> '/' AND path0 LIKE '%/'
+                  THEN substr(path0, 1, length(path0) - 1) ELSE path0 END AS path,
+             list_sort(list_filter(string_split(query, '&'), p ->
+               p <> '' AND substr(p, 1, 4) <> 'utm_' AND substr(p, 1, 4) <> 'ref=')) AS params
+           FROM p4),
+         c AS (SELECT doc_id, url,
+             scheme || '://' || host || path ||
+             CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END
+               AS canonical_url
+           FROM p5)
+         SELECT canonical_url, max(doc_id) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_versions,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_raw_variants
+         FROM c GROUP BY 1 ORDER BY 1""",
+
+    // segments/bigrams rebuilt by unnest + group-by (the relational dual
+    // of the engine's in-row sorted-adjacency fold); fractions are the
+    // same single IEEE division over integer sums
+    "t41_gopher_repetition" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+         b AS (SELECT doc_id, toks, length(toks) AS ntok,
+             CAST(ceil(length(toks) / 2.0) AS BIGINT) AS nseg FROM d),
+         seg AS (SELECT doc_id,
+             array_to_string(toks[CAST(k*2+1 AS INTEGER) : CAST(k*2+2 AS INTEGER)], ' ') AS seg_text
+           FROM b CROSS JOIN LATERAL unnest(range(0, nseg)) AS t(k)),
+         sc AS (SELECT doc_id, seg_text, count(*) AS c FROM seg GROUP BY 1, 2),
+         ss AS (SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_segments,
+             CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_segments,
+             CAST(sum(c * length(seg_text)) AS BIGINT) AS total_chars,
+             CAST(sum(CASE WHEN c > 1 THEN c * length(seg_text) ELSE 0 END) AS BIGINT) AS dup_chars
+           FROM sc GROUP BY 1),
+         bg AS (SELECT doc_id,
+             toks[CAST(k AS INTEGER)] || ' ' || toks[CAST(k AS INTEGER) + 1] AS gram
+           FROM b CROSS JOIN LATERAL unnest(range(1, ntok)) AS t(k) WHERE ntok >= 2),
+         bc AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2),
+         bs AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_count FROM bc GROUP BY 1)
+         SELECT b.doc_id, ss.n_segments, ss.n_dup_segments,
+           CAST(ss.n_dup_segments AS DOUBLE) / ss.n_segments AS dup_segment_frac,
+           CASE WHEN ss.total_chars = 0 THEN 0.0
+                ELSE CAST(ss.dup_chars AS DOUBLE) / ss.total_chars END AS dup_segment_char_frac,
+           CAST(greatest(ntok - 1, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(bs.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+           CASE WHEN ntok < 2 THEN 0.0
+                ELSE CAST(COALESCE(bs.top_bigram_count, 0) AS DOUBLE) / (ntok - 1) END AS top_bigram_frac
+         FROM b JOIN ss USING (doc_id) LEFT JOIN bs USING (doc_id)
+         ORDER BY doc_id""",
+
+    // d08's full LSH-component chain, then representative selection:
+    // priority-then-id row_number is the relational dual of the engine's
+    // struct-ordered min; singletons coalesce to their own cluster
+    "d18_cluster_rep" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id, list_sort(list_distinct(list_transform(
+             range(1, greatest(length(text)-4,1)+1),
+             i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 5)),1,12)) AS BIGINT)))) AS hs
+           FROM documents),
+         sig AS (
+           SELECT doc_id, hs,
+             list_transform(range(0, 16), j -> list_min(list_transform(hs,
+               h -> (h*(2*j+1) + (j*2654435761)%2147483647) % 2147483647))) AS sg
+           FROM sh),
+         bkt AS (
+           SELECT doc_id, b AS band,
+             md5(CAST(b AS VARCHAR) || '_' || array_to_string(sg[b*4+1 : b*4+4], ',')) AS bucket
+           FROM sig CROSS JOIN range(0, 4) t(b)),
+         capped AS (
+           SELECT * FROM bkt QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000),
+         prs AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM capped a JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id),
+         fp AS (
+           SELECT id_a, id_b
+           FROM prs JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
+           WHERE round(CAST(length(list_intersect(x.hs, y.hs)) AS DOUBLE) /
+                 (length(x.hs) + length(y.hs) - length(list_intersect(x.hs, y.hs))), 6) >= 0.2),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM fp
+           UNION SELECT id_b, id_a FROM fp),
+         walk(id, label) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst),
+         lab AS (SELECT id, min(label) AS cluster_id FROM walk GROUP BY id),
+         ad AS (SELECT d.doc_id, d.source,
+             COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+             CAST(substr(d.source, 4) AS INTEGER) AS prio
+           FROM documents d LEFT JOIN lab l ON l.id = d.doc_id),
+         r AS (SELECT *,
+             row_number() OVER (PARTITION BY cluster_id ORDER BY prio, doc_id) AS rn,
+             count(*) OVER (PARTITION BY cluster_id) AS nm
+           FROM ad)
+         SELECT cluster_id, doc_id AS rep_id, source AS rep_source,
+           prio AS rep_priority, CAST(nm AS BIGINT) AS n_members,
+           CAST(nm - 1 AS BIGINT) AS n_dropped
+         FROM r WHERE rn = 1 ORDER BY cluster_id"""
   )
 
   /** The MMR oracle: the k greedy selection steps UNROLLED as chained

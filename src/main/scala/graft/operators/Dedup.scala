@@ -804,4 +804,42 @@ object Dedup {
         round(coalesce(col("covered_tokens"), lit(0L)) /
           greatest(col("n_tokens"), lit(1)), 6).as("dup_ratio"))
   }
+
+  /** Cluster-representative selection — the keep-BEST policy the keep-any
+    * dedup entries (d01's min id, [[exact]]) deliberately avoid: when a
+    * near-dup cluster spans sources of different curation quality, the
+    * pipeline keeps the copy from the most-trusted source (RefinedWeb /
+    * Dolma keep wiki-grade text over its web mirrors), not an arbitrary
+    * member. `clusters` is any (id, cluster_id) labeling (d08/d13's
+    * connected components); `priority` ranks sources ascending-better.
+    *
+    * The representative is the lexicographic `min` of
+    * (priority, id, source) — a plain struct-ordered `min`, so the whole
+    * selection is ONE map-side-combined aggregate on cluster_id, no
+    * window sort, no secondary shuffle; the unique id inside the struct
+    * makes the pick deterministic under any priority ties. Docs absent
+    * from `clusters` (never paired by LSH) ride through as their own
+    * singleton clusters via the left join + coalesce, so the output is a
+    * total partition of the corpus: every doc is exactly one cluster's
+    * member, every cluster has exactly one representative. */
+  def clusterRepresentatives(clusters: DataFrame, docs: DataFrame,
+                             idCol: String, sourceCol: String,
+                             priority: Column): DataFrame = {
+    val labeled = docs
+      .select(col(idCol), col(sourceCol), priority.cast("int").as("_prio"))
+      .join(clusters.select(col("id").as(idCol), col("cluster_id")),
+        Seq(idCol), "left_outer")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+    labeled.groupBy(col("cluster_id"))
+      .agg(
+        min(struct(col("_prio"), col(idCol), col(sourceCol))).as("_rep"),
+        count(lit(1)).as("n_members"))
+      .select(
+        col("cluster_id"),
+        col(s"_rep.$idCol").as("rep_id"),
+        col(s"_rep.$sourceCol").as("rep_source"),
+        col("_rep._prio").as("rep_priority"),
+        col("n_members"),
+        (col("n_members") - 1).as("n_dropped"))
+  }
 }

@@ -277,4 +277,128 @@ object TextAnalysis {
       .withColumn("n_digit_runs", size(regexp_extract_all(noEmail, lit(digitRunPattern), lit(0))))
       .withColumn("redacted", regexp_replace(noEmail, digitRunPattern, "<NUMBER>"))
   }
+
+  /** Canonical form of an http(s) URL (the CCNet/Dolma URL-dedup key —
+    * crawls see the same page under case-shuffled hosts, default ports,
+    * tracking params, fragments and trailing slashes, and deduplicate on
+    * the canonical form, not the raw string). Normalizations applied, each
+    * an RFC 3986 §6 equivalence or the standard crawl-pipeline extension:
+    *
+    *  - fragment dropped (never sent to the server);
+    *  - scheme and host case-folded;
+    *  - default port stripped (`:80` for http, `:443` for https);
+    *  - leading `www.` stripped from the host;
+    *  - empty path -> `/`; ONE trailing slash stripped from a non-root
+    *    path (the generator never emits `//` runs — documented contract);
+    *  - tracking query params dropped (`utm_*`, `ref=`), survivors sorted
+    *    so param order cannot split a dedup group; empty query dropped.
+    *
+    * Pure string/array built-ins — row-local, whole-stage codegen, no
+    * shuffle; regexes are anchors + literal character classes only, so
+    * Java and RE2 (the oracle engine) agree. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val base = regexp_extract(noFrag, "^[^?]*", 0)
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val scheme = lower(regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)", 1))
+    val hostNoPort = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val host = regexp_replace(hostNoPort, "^www\\.", "")
+    val rawPath = regexp_replace(base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", "")
+    val path0 = when(rawPath === "", lit("/")).otherwise(rawPath)
+    val path = when(path0 =!= "/" && path0.endsWith("/"),
+      substr(path0, lit(1), length(path0) - 1)).otherwise(path0)
+    // prefix tests instead of LIKE so the literal underscore in `utm_`
+    // cannot act as a wildcard in the oracle's replay
+    val params = array_sort(filter(split(query, "&"), p =>
+      p =!= "" && substring(p, 1, 4) =!= "utm_" && substring(p, 1, 4) =!= "ref="))
+    val canonQuery = when(size(params) > 0,
+      concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))
+    concat(scheme, lit("://"), host, path, canonQuery)
+  }
+
+  /** URL-keyed deduplication (keep-latest): group on the canonical URL,
+    * keep the highest id as the surviving version, and report how many raw
+    * variants the canonicalization collapsed. One map-side-combined
+    * hash-shuffle on the canonical key — the countDistinct adds the
+    * standard two-phase expand, both phases on the same key, so at 100 TB
+    * this costs exactly one URL-keyed exchange. */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.groupBy(canonicalizeUrl(col(urlCol)).as("canonical_url"))
+      .agg(
+        max(col(idCol)).as("keep_id"),
+        count(lit(1)).as("n_versions"),
+        countDistinct(col(urlCol)).as("n_raw_variants"))
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1: "duplicate
+    * line fraction", "duplicate line character fraction", "top 2-gram
+    * character fraction"): within-document repetition marks boilerplate
+    * and degenerate generations. The corpus is newline-free, so the
+    * "line" unit is a non-overlapping `segTokens`-token window — the same
+    * unit convention [[removeBoilerplate]] documents. Reported per doc:
+    *
+    *  - `n_segments`, `n_dup_segments`, `dup_segment_frac`: segments whose
+    *    text occurs more than once in the SAME document (every occurrence
+    *    counted, as Gopher does);
+    *  - `dup_segment_char_frac`: characters inside those duplicate
+    *    segments over all segment characters;
+    *  - `n_bigrams`, `top_bigram_count`, `top_bigram_frac`: the mode
+    *    multiplicity of the word 2-grams (the count alone — reporting the
+    *    gram itself would need a tie-break the signal doesn't).
+    *
+    * Scale design: entirely row-local — segments and bigrams are sorted
+    * IN-ROW (`array_sort`) and duplicates read off adjacent equality, so
+    * no per-line explode, no shuffle, and the doc text never leaves its
+    * scan partition. Fractions are a single IEEE division over
+    * order-independent integer sums, so any engine reproduces them
+    * bit-for-bit. */
+  def gopherRepetition(df: DataFrame, textCol: String, segTokens: Int = 2): DataFrame = {
+    require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
+    val w = segTokens
+    val toks = tokens(col(textCol))
+    val nTok = size(toks)
+    // tokens() never yields an empty array (split of "" is [""]), so nSeg
+    // >= 1 and the 0-based index sequence below is always ascending
+    val nSeg = ceil(nTok.cast("double") / w).cast("long")
+    val segs = array_sort(transform(sequence(lit(0L), nSeg - 1),
+      i => array_join(slice(toks, (i * w + 1).cast("int"), lit(w)), " ")))
+    // a sorted element is part of a duplicate group iff it equals a
+    // neighbor; CaseWhen keeps the out-of-range element_at unevaluated
+    def dupAt(arr: Column, n: Column)(i: Column): Column =
+      when(i > 1, element_at(arr, (i - 1).cast("int")) === element_at(arr, i.cast("int")))
+        .otherwise(lit(false)) ||
+      when(i < n, element_at(arr, (i + 1).cast("int")) === element_at(arr, i.cast("int")))
+        .otherwise(lit(false))
+    val dupIdx = filter(sequence(lit(1L), nSeg), dupAt(segs, nSeg)(_))
+    val nDup = size(dupIdx).cast("long")
+    val dupChars = aggregate(dupIdx, lit(0L),
+      (acc, i) => acc + length(element_at(segs, i.cast("int"))).cast("long"))
+    val totalChars = aggregate(segs, lit(0L), (acc, s) => acc + length(s).cast("long"))
+    val nBigrams = greatest(nTok - 1, lit(0)).cast("long")
+    val bigramsSorted = array_sort(when(nTok >= 2, transform(sequence(lit(1), nTok - 1),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>")))
+    // mode multiplicity = longest equal run in the sorted gram array: one
+    // fold with a (prev, run, best) accumulator
+    val topBigram = aggregate(bigramsSorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    df.withColumn("n_segments", nSeg)
+      .withColumn("n_dup_segments", nDup)
+      .withColumn("dup_segment_frac", nDup.cast("double") / col("n_segments"))
+      .withColumn("dup_segment_char_frac",
+        when(totalChars === 0, 0.0).otherwise(dupChars.cast("double") / totalChars))
+      .withColumn("n_bigrams", nBigrams)
+      .withColumn("top_bigram_count", topBigram)
+      .withColumn("top_bigram_frac",
+        when(col("n_bigrams") === 0, 0.0)
+          .otherwise(col("top_bigram_count").cast("double") / col("n_bigrams")))
+  }
 }

@@ -529,4 +529,25 @@ class DedupSpec extends SparkTestBase {
     // the unique-content dup pair survives in both directions
     assert(got == Set((100L, 101L), (101L, 100L)), s"got $got")
   }
+
+  test("clusterRepresentatives: keep-best by priority, ties by id, singletons ride through") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "src3"), (2L, "src1"), (3L, "src1"),  // cluster A: src1 beats src3, id 2 beats 3
+      (4L, "src0"),                              // cluster B alone in clusters frame
+      (9L, "src9"))                              // never paired: singleton via coalesce
+      .toDF("doc_id", "source")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L)).toDF("id", "cluster_id")
+    val prio = substring(col("source"), 4, 8).cast("int")
+    val got = Dedup.clusterRepresentatives(clusters, docs, "doc_id", "source", prio)
+      .orderBy("cluster_id")
+      .as[(Long, Long, String, Int, Long, Long)].collect()
+    assert(got(0) == ((1L, 2L, "src1", 1, 3L, 2L)))
+    assert(got(1) == ((4L, 4L, "src0", 0, 1L, 0L)))
+    assert(got(2) == ((9L, 9L, "src9", 9, 1L, 0L)))
+    // the selection is one aggregate — no window sort in the plan
+    val plan = Dedup.clusterRepresentatives(clusters, docs, "doc_id", "source", prio)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window in:\n$plan")
+  }
 }

@@ -76,7 +76,12 @@ class PlanAuditSpec extends SparkTestBase {
     // l_orderkey (both sides data-scale) — SMJ is the correct static
     // plan; the triangle joins downstream run on the support-thresholded
     // sparse edge set
-    "q78_triangle_count")
+    "q78_triangle_count",
+    // d18: the docs ⋈ cluster-label left join — the label side is d08's
+    // localCheckpointed component output (corpus-sized at scale, no
+    // static stats), so SMJ is the correct static plan; AQE downgrades
+    // locally. The representative pick itself is a plain aggregate.
+    "d18_cluster_rep")
 
   /** entries whose plan legitimately contains an UNPARTITIONED window:
     * q76's exact skyline pass — its input is the partition-locally pruned

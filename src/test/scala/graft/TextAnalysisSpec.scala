@@ -260,4 +260,67 @@ class TextAnalysisSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
+
+  test("canonicalizeUrl: every RFC 3986 §6 variant collapses; non-defaults survive") {
+    import spark.implicits._
+    val urls = Seq(
+      "HTTP://WWW.Example.COM:80/item/5/?utm_source=feed&id=5#top",
+      "http://example.com/item/5?id=5",
+      "Http://www.EXAMPLE.com/item/5/?id=5&utm_campaign=x&ref=abc",
+      // and forms that must NOT collapse into the above:
+      "http://example.com:8080/item/5?id=5",   // non-default port kept
+      "https://example.com/item/5?id=5",       // scheme is part of identity
+      "http://example.com/item/5?id=6",        // different kept param
+      "http://example.com/",                   // root path: slash kept
+      "http://example.com/a?b=2&a=1")          // params sorted
+    val got = urls.toDF("url")
+      .select(TextAnalysis.canonicalizeUrl(col("url")).as("c"))
+      .as[String].collect()
+    assert(got.take(3).toSet == Set("http://example.com/item/5?id=5"))
+    assert(got(3) == "http://example.com:8080/item/5?id=5")
+    assert(got(4) == "https://example.com/item/5?id=5")
+    assert(got(5) == "http://example.com/item/5?id=6")
+    assert(got(6) == "http://example.com/")
+    assert(got(7) == "http://example.com/a?a=1&b=2")
+  }
+
+  test("urlDedup: keeps the latest id per canonical key, counts raw variants") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "http://www.site.com/p?utm_source=a"),
+      (2L, "HTTP://site.com:80/p"),
+      (3L, "http://site.com/p"),
+      (9L, "https://other.com/q")).toDF("doc_id", "url")
+    val got = TextAnalysis.urlDedup(df, "doc_id", "url")
+      .orderBy("canonical_url")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got(0) == (("http://site.com/p", 3L, 3L, 3L)))
+    assert(got(1) == (("https://other.com/q", 9L, 1L, 1L)))
+  }
+
+  test("gopherRepetition: dup-segment and top-bigram arithmetic on crafted docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b c"), // segs(w=2): [a b][a b][c]; bigrams: a b, b a, a b, b c
+      (2L, "x"),         // 1 token: one segment, no bigrams
+      (3L, "p q r s"))   // all unique
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRepetition(df, "text", segTokens = 2)
+      .select("doc_id", "n_segments", "n_dup_segments", "dup_segment_frac",
+        "dup_segment_char_frac", "n_bigrams", "top_bigram_count", "top_bigram_frac")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Double, Long, Long, Double)].collect()
+    // doc 1: 2 of 3 segments duplicate; chars 3+3 of 3+3+1; mode bigram "a b" ×2 of 4
+    assert(got(0) == ((1L, 3L, 2L, 2.0 / 3, 6.0 / 7, 4L, 2L, 0.5)))
+    // doc 2: degenerate edges — no duplicates, no bigrams, fracs pinned to 0
+    assert(got(1) == ((2L, 1L, 0L, 0.0, 0.0, 0L, 0L, 0.0)))
+    assert(got(2) == ((3L, 2L, 0L, 0.0, 0.0, 3L, 1L, 1.0 / 3)))
+  }
+
+  test("gopherRepetition is shuffle-free (row-local plan)") {
+    val df = Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = TextAnalysis.gopherRepetition(df, "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
 }
