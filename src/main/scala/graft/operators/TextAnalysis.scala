@@ -357,32 +357,46 @@ object TextAnalysis {
   def gopherRepetition(df: DataFrame, textCol: String, segTokens: Int = 2): DataFrame = {
     require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
     val w = segTokens
-    val toks = tokens(col(textCol))
-    val nTok = size(toks)
+    // Stage the sorted segment / bigram arrays as REAL columns before any
+    // statistic reads them. Lambda bodies are interpreted, and an outer
+    // expression referenced inside one re-evaluates per ELEMENT — with the
+    // arrays inlined, every element_at(segs, i) re-ran the whole
+    // tokenize+slice+sort chain, turning a linear fold quadratic (measured:
+    // the inlined form hung the sf0.1 bench). As attributes they cost one
+    // row-read per reference, and CollapseProject keeps multi-referenced
+    // non-cheap aliases staged, so the plan stays two back-to-back
+    // projections — still row-local, still zero shuffle.
+    val toks0 = tokens(col(textCol))
     // tokens() never yields an empty array (split of "" is [""]), so nSeg
     // >= 1 and the 0-based index sequence below is always ascending
-    val nSeg = ceil(nTok.cast("double") / w).cast("long")
-    val segs = array_sort(transform(sequence(lit(0L), nSeg - 1),
-      i => array_join(slice(toks, (i * w + 1).cast("int"), lit(w)), " ")))
+    val nSeg0 = ceil(size(toks0).cast("double") / w).cast("long")
+    val staged = df
+      .withColumn("_toks", toks0)
+      .withColumn("_segs", array_sort(transform(sequence(lit(0L), nSeg0 - 1),
+        i => array_join(slice(col("_toks"), (i * w + 1).cast("int"), lit(w)), " "))))
+      .withColumn("_bg", array_sort(
+        when(size(col("_toks")) >= 2, transform(sequence(lit(1), size(col("_toks")) - 1),
+          i => concat_ws(" ", element_at(col("_toks"), i), element_at(col("_toks"), i + 1))))
+          .otherwise(array().cast("array<string>"))))
+    val segs = col("_segs")
+    val nTok = size(col("_toks"))
+    val nSeg = size(segs).cast("long")
     // a sorted element is part of a duplicate group iff it equals a
     // neighbor; CaseWhen keeps the out-of-range element_at unevaluated
-    def dupAt(arr: Column, n: Column)(i: Column): Column =
-      when(i > 1, element_at(arr, (i - 1).cast("int")) === element_at(arr, i.cast("int")))
+    def dupAt(i: Column): Column =
+      when(i > 1, element_at(segs, (i - 1).cast("int")) === element_at(segs, i.cast("int")))
         .otherwise(lit(false)) ||
-      when(i < n, element_at(arr, (i + 1).cast("int")) === element_at(arr, i.cast("int")))
+      when(i < nSeg, element_at(segs, (i + 1).cast("int")) === element_at(segs, i.cast("int")))
         .otherwise(lit(false))
-    val dupIdx = filter(sequence(lit(1L), nSeg), dupAt(segs, nSeg)(_))
+    val dupIdx = filter(sequence(lit(1L), nSeg), dupAt(_))
     val nDup = size(dupIdx).cast("long")
     val dupChars = aggregate(dupIdx, lit(0L),
       (acc, i) => acc + length(element_at(segs, i.cast("int"))).cast("long"))
     val totalChars = aggregate(segs, lit(0L), (acc, s) => acc + length(s).cast("long"))
     val nBigrams = greatest(nTok - 1, lit(0)).cast("long")
-    val bigramsSorted = array_sort(when(nTok >= 2, transform(sequence(lit(1), nTok - 1),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>")))
     // mode multiplicity = longest equal run in the sorted gram array: one
     // fold with a (prev, run, best) accumulator
-    val topBigram = aggregate(bigramsSorted,
+    val topBigram = aggregate(col("_bg"),
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
       (acc, x) => {
         val run = when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1L))
@@ -390,7 +404,8 @@ object TextAnalysis {
           greatest(acc.getField("best"), run).as("best"))
       },
       acc => acc.getField("best"))
-    df.withColumn("n_segments", nSeg)
+    staged
+      .withColumn("n_segments", nSeg)
       .withColumn("n_dup_segments", nDup)
       .withColumn("dup_segment_frac", nDup.cast("double") / col("n_segments"))
       .withColumn("dup_segment_char_frac",
@@ -400,5 +415,6 @@ object TextAnalysis {
       .withColumn("top_bigram_frac",
         when(col("n_bigrams") === 0, 0.0)
           .otherwise(col("top_bigram_count").cast("double") / col("n_bigrams")))
+      .drop("_toks", "_segs", "_bg")
   }
 }
