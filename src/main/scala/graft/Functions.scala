@@ -197,6 +197,12 @@ object Functions {
   def quality_signals(text: Column): Column =
     bridge.column(graft.functions.QualitySignals(bridge.expression(text)))
 
+  /** Fused Gopher-repetition kernel (one pass: duplicate-segment counts,
+    * char fractions, top-bigram multiplicity) — see functions.GopherUtil
+    * for the parity contract. */
+  def gopher_repetition(text: Column, w: Int): Column =
+    bridge.column(graft.functions.GopherRepetition(bridge.expression(text), w))
+
   /** Fused per-document term counting (lowercase, \s+ tokenize, min-length
     * filter, duplicate counting in one codegen pass) — see
     * functions.TermCountsUtil. */

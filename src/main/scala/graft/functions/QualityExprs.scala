@@ -114,3 +114,101 @@ case class QualitySignals(child: Expression) extends TextHashExpression {
   override protected def withNewChildInternal(newChild: Expression): QualitySignals =
     copy(child = newChild)
 }
+
+/** Fused Gopher-repetition kernel: one pass computes every column of
+  * TextAnalysis.gopherRepetition. The staged-HOF formulation (kept as
+  * gopherRepetitionHof, the equivalence oracle in TextAnalysisSpec) pays
+  * interpreted lambda dispatch per array element; this kernel is one
+  * static call inside the scan projection.
+  *
+  * Parity contract with the HOF composition:
+  *  - tokenization = split(trim(text), "\\s+"): space-only trim, trailing
+  *    empty token kept (limit -1), so nSeg >= 1 always;
+  *  - the sorted-adjacency duplicate test is equality-only, so hash-map
+  *    multiplicity counting gives identical counts without the sort;
+  *  - segment/char lengths count CODE POINTS (Spark length semantics);
+  *  - fractions are the same single IEEE division over integer sums.
+  */
+object GopherUtil {
+  private val Ws = Pattern.compile("\\s+")
+
+  def signals(text: UTF8String, w: Int): InternalRow = {
+    val s = text.toString
+    var start = 0
+    var end = s.length
+    while (start < end && s.charAt(start) == ' ') start += 1
+    while (end > start && s.charAt(end - 1) == ' ') end -= 1
+    val toks = Ws.split(s.substring(start, end), -1)
+    val nTok = toks.length
+    val nSeg = (nTok + w - 1) / w
+    // segment multiplicity via one hash map; char sums weighted by count
+    val segCounts = new java.util.HashMap[String, Int]()
+    var i = 0
+    while (i < nSeg) {
+      val from = i * w
+      val to = math.min(from + w, nTok)
+      val sb = new java.lang.StringBuilder()
+      var j = from
+      while (j < to) {
+        if (j > from) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      segCounts.merge(sb.toString, 1, Integer.sum _)
+      i += 1
+    }
+    var nDup = 0L
+    var dupChars = 0L
+    var totalChars = 0L
+    val it = segCounts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val seg = e.getKey
+      val c = e.getValue.toLong
+      val len = seg.codePointCount(0, seg.length).toLong
+      totalChars += c * len
+      if (c > 1) { nDup += c; dupChars += c * len }
+    }
+    // bigram mode multiplicity via a second map (bigrams overlap, so they
+    // cannot share the segment walk)
+    var topBigram = 0L
+    if (nTok >= 2) {
+      val bgCounts = new java.util.HashMap[String, Int]()
+      var k = 0
+      while (k < nTok - 1) {
+        val c = bgCounts.merge(toks(k) + " " + toks(k + 1), 1, Integer.sum _)
+        if (c > topBigram) topBigram = c.toLong
+        k += 1
+      }
+    }
+    val nBigrams = math.max(nTok - 1, 0).toLong
+    val dupFrac = nDup.toDouble / nSeg
+    val dupCharFrac = if (totalChars == 0L) 0.0 else dupChars.toDouble / totalChars
+    val topFrac = if (nBigrams == 0L) 0.0 else topBigram.toDouble / nBigrams
+    new GenericInternalRow(Array[Any](
+      nSeg.toLong, nDup, dupFrac, dupCharFrac, nBigrams, topBigram, topFrac))
+  }
+}
+
+/** gopher_repetition(text, w) -> struct<n_segments:bigint,
+  * n_dup_segments:bigint, dup_segment_frac:double,
+  * dup_segment_char_frac:double, n_bigrams:bigint, top_bigram_count:bigint,
+  * top_bigram_frac:double>. */
+case class GopherRepetition(child: Expression, w: Int) extends TextHashExpression {
+  require(w >= 1, s"segTokens must be >= 1, got $w")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_segments", LongType, nullable = false),
+    StructField("n_dup_segments", LongType, nullable = false),
+    StructField("dup_segment_frac", DoubleType, nullable = false),
+    StructField("dup_segment_char_frac", DoubleType, nullable = false),
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("top_bigram_count", LongType, nullable = false),
+    StructField("top_bigram_frac", DoubleType, nullable = false)))
+  override def prettyName: String = "gopher_repetition"
+  override def nullSafeEval(input: Any): Any =
+    GopherUtil.signals(input.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GopherUtil.signals($c, $w)")
+  override protected def withNewChildInternal(newChild: Expression): GopherRepetition =
+    copy(child = newChild)
+}

@@ -356,16 +356,25 @@ object TextAnalysis {
     * bit-for-bit. */
   def gopherRepetition(df: DataFrame, textCol: String, segTokens: Int = 2): DataFrame = {
     require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
+    val outNames = Seq("n_segments", "n_dup_segments", "dup_segment_frac",
+      "dup_segment_char_frac", "n_bigrams", "top_bigram_count", "top_bigram_frac")
+    val cols = df.columns.filterNot(outNames.toSet).map(col)
+    df.withColumn("_g", gopher_repetition(col(textCol), segTokens))
+      .select(cols ++ outNames.map(n => col(s"_g.$n").as(n)): _*)
+  }
+
+  /** The staged-HOF formulation — retained as the spec's equivalence
+    * oracle for the fused kernel (not on any hot path). Staging the
+    * sorted arrays as REAL columns matters even here: lambda bodies are
+    * interpreted, and an outer expression referenced inside one
+    * re-evaluates per ELEMENT — with the arrays inlined, every
+    * element_at(segs, i) re-ran the whole tokenize+slice+sort chain,
+    * turning a linear fold quadratic (measured: the inlined form hung the
+    * sf0.1 bench). As attributes they cost one row-read per reference,
+    * and CollapseProject keeps multi-referenced non-cheap aliases staged. */
+  def gopherRepetitionHof(df: DataFrame, textCol: String, segTokens: Int = 2): DataFrame = {
+    require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
     val w = segTokens
-    // Stage the sorted segment / bigram arrays as REAL columns before any
-    // statistic reads them. Lambda bodies are interpreted, and an outer
-    // expression referenced inside one re-evaluates per ELEMENT — with the
-    // arrays inlined, every element_at(segs, i) re-ran the whole
-    // tokenize+slice+sort chain, turning a linear fold quadratic (measured:
-    // the inlined form hung the sf0.1 bench). As attributes they cost one
-    // row-read per reference, and CollapseProject keeps multi-referenced
-    // non-cheap aliases staged, so the plan stays two back-to-back
-    // projections — still row-local, still zero shuffle.
     val toks0 = tokens(col(textCol))
     // tokens() never yields an empty array (split of "" is [""]), so nSeg
     // >= 1 and the 0-based index sequence below is always ascending

@@ -323,4 +323,17 @@ class TextAnalysisSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
+
+  test("fused gopher_repetition equals the staged HOF composition, bit for bit") {
+    val df = Tables.documents(spark, "/root/testdata/sf0.001")
+    val cols = Seq("doc_id", "n_segments", "n_dup_segments", "dup_segment_frac",
+      "dup_segment_char_frac", "n_bigrams", "top_bigram_count", "top_bigram_frac")
+    for (w <- Seq(1, 2, 5)) {
+      val a = TextAnalysis.gopherRepetition(df, "text", w)
+        .select(cols.head, cols.tail: _*).orderBy("doc_id").collect()
+      val b = TextAnalysis.gopherRepetitionHof(df, "text", w)
+        .select(cols.head, cols.tail: _*).orderBy("doc_id").collect()
+      assert(a.sameElements(b), s"kernel/HOF divergence at w=$w")
+    }
+  }
 }
