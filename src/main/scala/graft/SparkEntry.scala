@@ -1509,7 +1509,10 @@ object SparkEntry {
 
     // ---- Text: token statistics ----
     "t03_token_stats" -> { (s, dir) =>
-      TextAnalysis.tokenStats(Tables.documents(s, dir), "text")
+      // HOF-fold token statistics are CPU-heavy per row: keep the scan off
+      // a single packed partition (no-op at real scale)
+      TextAnalysis.tokenStats(Parallelism.ensureDefaultParallelism(
+          Tables.documents(s, dir)), "text")
         .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
           col("type_token_ratio"), col("n_subword_chunks"))
         .orderBy(col("doc_id"))
@@ -2460,7 +2463,11 @@ object SparkEntry {
     // row-local via an aggregate HOF over the bigram array; integer
     // weights make score and verdict engine-exact ----
     "t37_hash_classifier" -> { (s, dir) =>
-      TextAnalysis.hashedClassifierScore(Tables.documents(s, dir), "doc_id", "text")
+      // the per-row aggregate-HOF fold dominates: without the partition
+      // floor the sf1 probe ran the whole scan on ONE packed-file task
+      // (9.6x slope); with it the entry tracks data volume
+      TextAnalysis.hashedClassifierScore(Parallelism.ensureDefaultParallelism(
+          Tables.documents(s, dir)), "doc_id", "text")
         .orderBy(col("doc_id"))
     },
 
@@ -2499,7 +2506,8 @@ object SparkEntry {
     // adjacent equality, so the quality gate runs at scan speed with zero
     // shuffle ----
     "t41_gopher_repetition" -> { (s, dir) =>
-      TextAnalysis.gopherRepetition(Tables.documents(s, dir), "text", segTokens = 2)
+      TextAnalysis.gopherRepetition(Parallelism.ensureDefaultParallelism(
+          Tables.documents(s, dir)), "text", segTokens = 2)
         .select(col("doc_id"), col("n_segments"), col("n_dup_segments"),
           col("dup_segment_frac"), col("dup_segment_char_frac"),
           col("n_bigrams"), col("top_bigram_count"), col("top_bigram_frac"))
