@@ -2341,41 +2341,54 @@ object SparkEntry {
       ).reduce(_.unionByName(_)).orderBy(col("relationship"))
     },
 
-    // ---- Layout: version-log TIME TRAVEL — three committed snapshots
-    // (v1 base 4-file layout, v2 compaction rewrite, v3 delete rewrite);
-    // "AS OF v" resolves the log, never the directory listing, so v1
+    // ---- Layout: version-log TIME TRAVEL on the APPEND-ONLY TableFormat
+    // log — three commits (v1 base 4-file layout, v2 compaction rewrite,
+    // v3 delete rewrite), each a CAS-published commit FILE (never an
+    // O(history) log rewrite). "AS OF v" resolves its commit directly —
+    // one listing + three tiny JSON reads for all three versions — so v1
     // and v2 must read IDENTICAL content through different file sets
     // (content-preservation of compaction proven through the log) and
     // v3 reads the post-delete content while v1/v2 stay readable ----
     "q82_time_travel" -> { (s, dir) =>
       val root = scratch("q82_tt", dir)
       Fixtures.once(s, "q82_tt", dir) {
+        // the log is append-only: wipe the scratch root so a rebuild in a
+        // fresh JVM starts its history at v1 instead of appending v4..v6
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
         val base = Tables.lineitem(s, dir)
           .filter(pmod(col("l_orderkey"), lit(4)) === 1)
           .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
-        val v1Files = (0 until 4).map { b =>
+        val v1Files = (0 until 4).flatMap { b =>
           val f = s"$root/f$b"
           base.filter(pmod(col("l_orderkey"), lit(16)).divide(4).cast("int") === b)
             .write.mode("overwrite").parquet(f)
-          f
+          TableFormat.listParquet(s, f)
         }
-        val v2Files = Seq(0, 1).map { c =>
+        TableFormat.commitFiles(s, root, "l_orderkey", v1Files,
+          numBits = 1 << 12, numHashes = 3)
+        val v2Files = Seq(0, 1).flatMap { c =>
           val f = s"$root/c$c"
-          s.read.parquet(v1Files(2 * c), v1Files(2 * c + 1))
+          s.read.parquet(s"$root/f${2 * c}", s"$root/f${2 * c + 1}")
             .write.mode("overwrite").parquet(f)
-          f
+          TableFormat.listParquet(s, f)
         }
-        val v3Files = v2Files.zipWithIndex.map { case (src, i) =>
-          val f = s"$root/d$i"
-          s.read.parquet(src).filter(pmod(col("l_orderkey"), lit(5)) =!= 0)
+        TableFormat.commitFiles(s, root, "l_orderkey", v2Files,
+          numBits = 1 << 12, numHashes = 3)
+        val v3Files = Seq(0, 1).flatMap { c =>
+          val f = s"$root/d$c"
+          s.read.parquet(s"$root/c$c").filter(pmod(col("l_orderkey"), lit(5)) =!= 0)
             .write.mode("overwrite").parquet(f)
-          f
+          TableFormat.listParquet(s, f)
         }
-        Layout.writeVersionLog(s, root,
-          v1Files.map(1L -> _) ++ v2Files.map(2L -> _) ++ v3Files.map(3L -> _))
+        TableFormat.commitFiles(s, root, "l_orderkey", v3Files,
+          numBits = 1 << 12, numHashes = 3)
       }
-      val stats = (1L to 3L).map { v =>
-        Layout.readAsOf(s, root, v)
+      // ONE listing for the version set; each as-of resolve reads its
+      // commit file directly (no per-version log scan, no data listing)
+      val stats = TableFormat.versions(s, root).map { v =>
+        val snap = TableFormat.snapshot(s, root, Some(v))
+        Parallelism.ensureDefaultParallelism(TableFormat.read(s, snap))
           .agg(count(lit(1)).as("n_rows"),
             sum(floor(col("l_quantity") * 100).cast("long")).as("sum_qty_x100"),
             sum(floor(col("l_extendedprice") * 100).cast("long")).as("sum_price_cents"))
@@ -2383,6 +2396,81 @@ object SparkEntry {
             col("sum_price_cents"))
       }
       stats.reduce(_.unionByName(_)).orderBy(col("version"))
+    },
+
+    // ---- Layout: UNIFIED TABLE FORMAT (q84) — time travel + zone-map
+    // file skipping + bloom-targeted delete composed through ONE metadata
+    // layer: every commit carries its complete file set WITH per-file
+    // zone/bloom stats, so an as-of range scan prunes files from the same
+    // single log read that resolved the version. v1 = 4 key-range files,
+    // v2 = deterministic pair-merge compaction (2 files), v3 = bloom-
+    // pruned targeted delete of the k%500==2 keys. 'full' probes grade
+    // content per version (v1 == v2 proves compaction through the log;
+    // v3 the delete); 'range' probes on v1/v2 grade FILE PRUNING — the
+    // oracle recomputes files_read from per-bucket zones, so a skipped
+    // file is an arithmetic fact, not a layout accident. v3's file count
+    // reports NULL: the delete's rewrite file count is an IO detail
+    // (task bin-packing), not a semantic ----
+    "q84_table_format" -> { (s, dir) =>
+      val root = scratch("q84_tf", dir)
+      val width = Fixtures.once(s, "q84_tf", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val base = Tables.lineitem(s, dir)
+          .filter(pmod(col("l_orderkey"), lit(4)) === 2)
+          .select(col("l_orderkey"),
+            floor(col("l_quantity") * 100).cast("long").as("qty_x100"))
+        val maxKey = base.agg(max(col("l_orderkey"))).collect()(0).getLong(0)
+        val width = maxKey / 4 + 1 // buckets 0..3 (keys are 0-based)
+        val v1Files = (0 until 4).flatMap { b =>
+          val f = s"$root/b$b"
+          base.filter(expr(s"l_orderkey div $width") === b)
+            .repartition(1).write.mode("overwrite").parquet(f)
+          TableFormat.listParquet(s, f)
+        }
+        TableFormat.commitFiles(s, root, "l_orderkey", v1Files,
+          numBits = 1 << 14, numHashes = 5)
+        // deterministic pair-merge compaction: c0 = buckets 0-1, c1 = 2-3
+        // (repartitionByRange would sample nondeterministic boundaries and
+        // make the pruning counts unpredictable for the oracle)
+        val v2Files = Seq(0, 1).flatMap { c =>
+          val f = s"$root/c$c"
+          s.read.parquet(s"$root/b${2 * c}", s"$root/b${2 * c + 1}")
+            .repartition(1).write.mode("overwrite").parquet(f)
+          TableFormat.listParquet(s, f)
+        }
+        TableFormat.commitFiles(s, root, "l_orderkey", v2Files,
+          numBits = 1 << 14, numHashes = 5)
+        // targeted delete through the blooms already in the log; the key
+        // set is control-sized (production receives it externally — GDPR
+        // subjects; here derived deterministically so the oracle can too)
+        val delKeys = base.filter(pmod(col("l_orderkey"), lit(500)) === 2)
+          .select(col("l_orderkey")).distinct()
+          .collect().map(_.getLong(0)).toSeq.sorted
+        TableFormat.deleteKeys(s, root, root, delKeys)
+        width
+      }
+      val snaps = TableFormat.versions(s, root)
+        .map(v => TableFormat.snapshot(s, root, Some(v)))
+      def agg(df: DataFrame) =
+        df.agg(count(lit(1)).as("n_rows"), sum(col("qty_x100")).as("sum_qty_x100"))
+      val fulls = snaps.map { sn =>
+        val files = if (sn.version == 3) lit(null).cast("long")
+          else lit(sn.files.size.toLong)
+        agg(TableFormat.read(s, sn))
+          .select(lit(sn.version).as("version"), lit("full").as("probe"),
+            files.as("files_read"), files.as("files_total"),
+            col("n_rows"), col("sum_qty_x100"))
+      }
+      val ranges = snaps.filter(_.version <= 2).map { sn =>
+        val (scan, nRead, nTotal) = TableFormat.scanRange(s, sn, 0L, width - 1)
+        agg(scan)
+          .select(lit(sn.version).as("version"), lit("range").as("probe"),
+            lit(nRead.toLong).as("files_read"), lit(nTotal.toLong).as("files_total"),
+            col("n_rows"), col("sum_qty_x100"))
+      }
+      (fulls ++ ranges).reduce(_.unionByName(_))
+        .orderBy(col("version"), col("probe"))
     },
 
     // ---- Text: drop-provenance audit — t07's cleaning verdict for EVERY
@@ -5646,6 +5734,47 @@ object SparkEntry {
          UNION ALL SELECT CAST(2 AS BIGINT), * FROM st
          UNION ALL SELECT CAST(3 AS BIGINT), * FROM st3
          ORDER BY version""",
+
+    // the oracle recomputes the metadata layer's answers from arithmetic:
+    // content per version (v1 == v2 under compaction, v3 post-delete) and
+    // the zone-pruned file counts from per-bucket min/max — a skipped
+    // file is a provable fact of the zones, not a layout accident. v3's
+    // file counts are NULL by contract (rewrite bin-packing is an IO
+    // detail)
+    "q84_table_format" ->
+      """WITH s AS (
+           SELECT l_orderkey AS k,
+             CAST(floor(l_quantity * 100) AS BIGINT) AS q
+           FROM lineitem WHERE l_orderkey % 4 = 2),
+         w AS (SELECT (max(k) // 4) + 1 AS width FROM s),
+         bz AS (
+           SELECT k // (SELECT width FROM w) AS b, min(k) AS mn, max(k) AS mx
+           FROM s GROUP BY 1),
+         pz AS (SELECT b // 2 AS p, min(mn) AS mn, max(mx) AS mx FROM bz GROUP BY 1),
+         f1 AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(sum(q) AS BIGINT) AS sum_qty_x100 FROM s),
+         f3 AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(sum(q) AS BIGINT) AS sum_qty_x100 FROM s WHERE k % 500 <> 2),
+         rg AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(sum(q) AS BIGINT) AS sum_qty_x100
+                FROM s WHERE k < (SELECT width FROM w)),
+         nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bz),
+         np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pz),
+         rb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bz
+                WHERE mn <= (SELECT width FROM w) - 1 AND mx >= 0),
+         rp AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pz
+                WHERE mn <= (SELECT width FROM w) - 1 AND mx >= 0)
+         SELECT CAST(1 AS BIGINT) AS version, 'full' AS probe,
+           (SELECT n FROM nb) AS files_read, (SELECT n FROM nb) AS files_total,
+           n_rows, sum_qty_x100 FROM f1
+         UNION ALL SELECT 1, 'range', (SELECT n FROM rb), (SELECT n FROM nb),
+           n_rows, sum_qty_x100 FROM rg
+         UNION ALL SELECT 2, 'full', (SELECT n FROM np), (SELECT n FROM np),
+           n_rows, sum_qty_x100 FROM f1
+         UNION ALL SELECT 2, 'range', (SELECT n FROM rp), (SELECT n FROM np),
+           n_rows, sum_qty_x100 FROM rg
+         UNION ALL SELECT 3, 'full', NULL, NULL, n_rows, sum_qty_x100 FROM f3
+         ORDER BY version, probe""",
 
     // the pipeline CTE chain re-used; the reason CASE applies the same
     // precedence the engine's when-chain does

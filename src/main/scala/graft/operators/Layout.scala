@@ -131,33 +131,11 @@ object Layout {
   def readCompacted(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("compaction_group")
 
-  /** Snapshot VERSION LOG — the time-travel metadata layer (Iceberg
-    * snapshots, Delta versions) in its minimal sound form: one row per
-    * (version, file), where a version's rows are the COMPLETE file set
-    * live at that version. Rewrites (compaction, delete) commit a new
-    * version pointing at new files; old files stay on disk, so any
-    * historical version remains readable — "read AS OF v" resolves the
-    * log, never the data directory listing. The log is file-count-sized
-    * metadata. This writer rewrites the whole log (idempotent under
-    * fixture rebuilds); a production log appends each commit via the
-    * atomic-rename publish the streaming sinks already use
-    * ([[graft.streaming.Streams]]'s marker protocol). */
-  def writeVersionLog(spark: org.apache.spark.sql.SparkSession, root: String,
-                      entries: Seq[(Long, String)]): Unit =
-    spark.createDataFrame(entries).toDF("version", "file")
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/_versions")
-
-  /** Time-travel read: the file set the version log records for `version`,
-    * read as one DataFrame. The log lookup is a file-count-bound control
-    * read (metadata scale — never data rows). */
-  def readAsOf(spark: org.apache.spark.sql.SparkSession, root: String,
-               version: Long): DataFrame = {
-    val files = spark.read.parquet(s"$root/_versions")
-      .filter(col("version") === version)
-      .select(col("file")).collect().map(_.getString(0))
-    require(files.nonEmpty, s"readAsOf: version $version not in the log")
-    spark.read.parquet(files.toIndexedSeq: _*)
-  }
+  // The round-9 version-log pair (writeVersionLog/readAsOf) is superseded
+  // by [[TableFormat]]: an APPEND-ONLY log (one commit file per version,
+  // CAS-published — never an O(history) whole-log rewrite), with the
+  // zone-map/bloom manifests attached to each commit so time travel, file
+  // skipping and targeted delete compose through ONE log read.
 
   /** Build a data-skipping MANIFEST of a written parquet table: one row
     * per physical file with the min/max of `keyCol` and the row count —

@@ -1,0 +1,332 @@
+package graft.operators
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.BloomUtil
+
+/** Unified table-format metadata layer — the single-log composition of the
+  * three capabilities the round-9 entries proved separately: version-log
+  * time travel (q82), zone-map file skipping (q72), and bloom-manifest
+  * targeted delete (q73). One APPEND-ONLY commit log under `<root>/_log/`,
+  * one commit FILE per version (never a rewritten whole-log), each commit
+  * carrying the complete live file set WITH its per-file statistics
+  * (zone min/max, row count, bloom bitset), so a reader resolves the log
+  * ONCE and then has everything: the as-of file set, the range-pruning
+  * zones, and the point-lookup blooms. This is the minimal sound form of
+  * the Iceberg/Delta metadata contract (reference analog: the watermark /
+  * control-state discipline of `MonarchMoneyMain-v3.py:1217-1225,1335-1337`
+  * generalized from one scalar to a full snapshot).
+  *
+  * Concurrency: commits are OPTIMISTIC. A writer resolves the latest
+  * snapshot, computes its new file set, and publishes version v+1 by
+  * writing a temp file and renaming it to `v<20-digit>.json` via
+  * `FileContext.rename` with no OVERWRITE option — the rename FAILS when
+  * the destination exists (the HDFS commit primitive Delta's HDFSLogStore
+  * uses), so two racers to the same version cannot both win.
+  * [[commitTransform]] wraps the whole read-compute-publish cycle in a
+  * retry loop: the loser re-resolves the NEW snapshot and re-derives its
+  * change against it, which is what makes concurrent compaction + delete
+  * serialize correctly (proven in TableFormatSpec). On stores without an
+  * atomic no-overwrite rename (S3), this layer is where a conditional-put
+  * or commit-service implementation would slot in.
+  *
+  * Snapshot isolation falls out of immutability: a rewrite commits NEW
+  * files and never touches old ones, so any reader pinned to an older
+  * snapshot keeps reading exactly the bytes that snapshot listed,
+  * concurrent committers notwithstanding.
+  *
+  * Scale shape: the log is file-count-sized metadata — resolving a
+  * snapshot is one directory listing plus one small JSON read, no Spark
+  * job. Per-file stats are computed with ONE distributed aggregate per
+  * commit (`input_file_name`-keyed, file-count output — the
+  * [[Layout.buildManifest]] posture) and collected as a bounded control
+  * read. Data reads are always explicit file lists from the snapshot, so
+  * zone pruning happens before any data IO.
+  */
+object TableFormat {
+
+  /** Per-file statistics carried in every commit: zone bounds and row count
+    * of the (long-typed) table key, plus the md5-double-hashed bloom bitset
+    * of the key's string form ([[graft.Functions.bloom_agg]] layout). */
+  final case class FileStat(file: String, minKey: Long, maxKey: Long,
+                            nRows: Long, bloom: Array[Long])
+
+  /** A resolved snapshot: the complete live file set (with stats) of one
+    * committed version. Immutable — safe to hold across concurrent
+    * commits (snapshot isolation). */
+  final case class Snapshot(root: String, version: Long, keyCol: String,
+                            numBits: Int, numHashes: Int, files: Seq[FileStat])
+
+  private def logDir(root: String) = s"$root/_log"
+  private def commitName(v: Long) = f"v$v%020d.json"
+
+  private def fileContext(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, spark.sparkContext.hadoopConfiguration), fs, p)
+  }
+
+  // ---- per-file statistics (one distributed aggregate, metadata-out) ----
+
+  /** Compute [[FileStat]]s for an explicit parquet file list: ONE
+    * file-keyed aggregate (min/max/count + bloom), output one row per
+    * file — a bounded control read by construction. `keyCol` must be
+    * integral (cast to long for zones; hashed as its base-10 string for
+    * the bloom, matching `bloom_contains` probes on the long column). */
+  def fileStats(spark: SparkSession, files: Seq[String], keyCol: String,
+                numBits: Int, numHashes: Int): Seq[FileStat] = {
+    require(files.nonEmpty, "fileStats: empty file list")
+    spark.read.parquet(files: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(
+        min(col(keyCol).cast("long")).as("min_key"),
+        max(col(keyCol).cast("long")).as("max_key"),
+        count(lit(1)).as("n_rows"),
+        graft.Functions.bloom_agg(col(keyCol), numBits, numHashes).as("bloom"))
+      .collect()
+      .map(r => FileStat(r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getSeq[Long](4).toArray))
+      .sortBy(_.file).toSeq
+  }
+
+  // ---- commit protocol ---------------------------------------------------
+
+  /** Serialize a commit to its JSON form (schema versioned by the layer;
+    * bloom words base64 big-endian so the artifact is engine-portable). */
+  private def renderCommit(version: Long, keyCol: String, numBits: Int,
+                           numHashes: Int, files: Seq[FileStat]): String = {
+    val sb = new StringBuilder
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    sb.append(s"""{"version":$version,"key_col":"${esc(keyCol)}",""")
+    sb.append(s""""num_bits":$numBits,"num_hashes":$numHashes,"files":[""")
+    files.zipWithIndex.foreach { case (f, i) =>
+      if (i > 0) sb.append(',')
+      val bytes = java.nio.ByteBuffer.allocate(f.bloom.length * 8)
+      f.bloom.foreach(bytes.putLong)
+      val b64 = java.util.Base64.getEncoder.encodeToString(bytes.array())
+      sb.append(s"""{"file":"${esc(f.file)}","min_key":${f.minKey},""")
+      sb.append(s""""max_key":${f.maxKey},"n_rows":${f.nRows},"bloom":"$b64"}""")
+    }
+    sb.append("]}")
+    sb.toString
+  }
+
+  private def parseCommit(root: String, text: String): Snapshot = {
+    val node = new ObjectMapper().readTree(text)
+    val files = (0 until node.get("files").size()).map { i =>
+      val f = node.get("files").get(i)
+      val bytes = java.util.Base64.getDecoder.decode(f.get("bloom").asText())
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      FileStat(f.get("file").asText(), f.get("min_key").asLong(),
+        f.get("max_key").asLong(), f.get("n_rows").asLong(),
+        Array.fill(bytes.length / 8)(bb.getLong))
+    }
+    Snapshot(root, node.get("version").asLong(), node.get("key_col").asText(),
+      node.get("num_bits").asInt(), node.get("num_hashes").asInt(), files)
+  }
+
+  /** All committed versions, ascending — ONE directory listing, no data
+    * IO. Empty when the table has never been committed. */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val (_, fs, _) = fileContext(spark, root)
+    val dir = new org.apache.hadoop.fs.Path(logDir(root))
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+      .sorted
+  }
+
+  /** Resolve a snapshot — the SINGLE log read every query path goes
+    * through: one commit-file read (plus one directory listing only when
+    * `asOf` is None, to find the latest version; a pinned as-of read goes
+    * straight to its commit file) yields the complete file set AND its
+    * zone/bloom stats. Nothing downstream re-reads the log. */
+  def snapshot(spark: SparkSession, root: String,
+               asOf: Option[Long] = None): Snapshot = {
+    val (_, fs, _) = fileContext(spark, root)
+    val v = asOf match {
+      case Some(want) =>
+        require(fs.exists(new org.apache.hadoop.fs.Path(logDir(root), commitName(want))),
+          s"snapshot: version $want not in the log at ${logDir(root)}")
+        want
+      case None =>
+        val vs = versions(spark, root)
+        require(vs.nonEmpty, s"snapshot: no commits under ${logDir(root)}")
+        vs.last
+    }
+    val p = new org.apache.hadoop.fs.Path(logDir(root), commitName(v))
+    val in = fs.open(p)
+    val text =
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    parseCommit(root, text)
+  }
+
+  /** Publish `files` as version `version` — returns false when the CAS
+    * loses (that version is already committed). The commit is staged to a
+    * temp name and renamed WITHOUT overwrite, so a half-written commit is
+    * never visible under a `v*.json` name and two racers cannot both
+    * publish the same version. */
+  def tryCommit(spark: SparkSession, root: String, version: Long,
+                keyCol: String, numBits: Int, numHashes: Int,
+                files: Seq[FileStat]): Boolean = {
+    require(version >= 1, s"tryCommit: versions start at 1, got $version")
+    val (fc, fs, _) = fileContext(spark, root)
+    val dir = new org.apache.hadoop.fs.Path(logDir(root))
+    fs.mkdirs(dir)
+    val dst = new org.apache.hadoop.fs.Path(dir, commitName(version))
+    if (fs.exists(dst)) return false // fast path; the rename below is the gate
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s".tmp-$version-${java.util.UUID.randomUUID().toString}")
+    val out = fs.create(tmp, true)
+    try out.write(renderCommit(version, keyCol, numBits, numHashes, files)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    try { fc.rename(tmp, dst); true }
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.io.IOException =>
+        fs.delete(tmp, false); false
+    }
+  }
+
+  /** Optimistic-concurrency commit: resolve the latest snapshot, derive
+    * the next file set from it, publish at version+1; on a CAS loss
+    * re-resolve and RE-DERIVE against the winner's snapshot (the loser's
+    * change must compose with the committed one, not clobber it). `derive`
+    * receives None on an empty table (the bootstrap commit). Returns the
+    * committed snapshot. */
+  def commitTransform(spark: SparkSession, root: String, keyCol: String,
+                      numBits: Int, numHashes: Int,
+                      derive: Option[Snapshot] => Seq[FileStat],
+                      maxAttempts: Int = 20): Snapshot = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val vs = versions(spark, root)
+      val cur = if (vs.isEmpty) None else Some(snapshot(spark, root, Some(vs.last)))
+      val next = cur.map(_.version + 1).getOrElse(1L)
+      val files = derive(cur)
+      if (tryCommit(spark, root, next, keyCol, numBits, numHashes, files))
+        return Snapshot(root, next, keyCol, numBits, numHashes, files)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"commitTransform: lost the commit race $maxAttempts times at $root")
+  }
+
+  // ---- reads (always through a resolved snapshot) ------------------------
+
+  /** Read a snapshot's complete content. */
+  def read(spark: SparkSession, snap: Snapshot): DataFrame = {
+    require(snap.files.nonEmpty, s"read: snapshot v${snap.version} lists no files")
+    spark.read.parquet(snap.files.map(_.file): _*)
+  }
+
+  /** Zone-pruned range scan `lo <= key <= hi`: file selection is pure
+    * driver arithmetic over the snapshot's IN-MEMORY stats (the log was
+    * already read — no second metadata pass), the exact predicate still
+    * applies inside surviving files, so the result equals a full-scan
+    * filter. Returns (scan, files read, files listed). */
+  def scanRange(spark: SparkSession, snap: Snapshot,
+                lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    val hit = snap.files.filter(f => f.minKey <= hi && f.maxKey >= lo)
+    val scan =
+      if (hit.nonEmpty)
+        spark.read.parquet(hit.map(_.file): _*)
+          .filter(col(snap.keyCol).cast("long").between(lo, hi))
+      else read(spark, snap).filter(lit(false))
+    (scan, hit.size, snap.files.size)
+  }
+
+  /** Files whose bloom MAY contain `key` — the point-lookup prune. Pure
+    * driver arithmetic on the snapshot (no false negatives: a skipped
+    * file provably lacks the key). */
+  def filesForKey(snap: Snapshot, key: Long): Seq[String] =
+    snap.files.filter { f =>
+      BloomUtil.contains(new GenericArrayData(f.bloom),
+        UTF8String.fromString(key.toString), snap.numBits, snap.numHashes)
+    }.map(_.file)
+
+  // ---- table operations (each commits one new version) -------------------
+
+  /** Bootstrap commit: register `files` (freshly written data) as version
+    * 1 — or, under concurrency, the next version over whatever exists.
+    * Stats are computed once here and never recomputed by readers. */
+  def commitFiles(spark: SparkSession, root: String, keyCol: String,
+                  files: Seq[String], numBits: Int, numHashes: Int): Snapshot = {
+    val stats = fileStats(spark, files, keyCol, numBits, numHashes)
+    commitTransform(spark, root, keyCol, numBits, numHashes, _ => stats)
+  }
+
+  /** Compaction: rewrite the CURRENT file set into `nFiles`
+    * range-clustered files under `dataDir` and commit the result.
+    * Content-preserving; old files stay on disk, so every prior version
+    * remains readable (the q82 contract). Untouched here: with the whole
+    * set rewritten the new stats come from one [[fileStats]] pass over
+    * the output. */
+  def compact(spark: SparkSession, root: String, dataDir: String,
+              nFiles: Int): Snapshot = {
+    require(nFiles >= 1, s"compact: nFiles must be >= 1, got $nFiles")
+    val out = s"$dataDir/compact-${java.util.UUID.randomUUID().toString}"
+    val first = snapshot(spark, root)
+    commitTransform(spark, root, first.keyCol, first.numBits, first.numHashes, { curOpt =>
+      val cur = curOpt.getOrElse(
+        throw new IllegalStateException("compact: nothing committed"))
+      // derive against the CURRENT snapshot on every attempt: a racing
+      // delete's rewrite must be what we compact, not the stale set
+      read(spark, cur)
+        .repartitionByRange(nFiles, col(cur.keyCol))
+        .write.mode("overwrite").parquet(out)
+      val files = listParquet(spark, out)
+      fileStats(spark, files, cur.keyCol, cur.numBits, cur.numHashes)
+    })
+  }
+
+  /** Targeted delete ("remove these keys everywhere"): bloom-prune to the
+    * files that COULD hold a delete key, rewrite ONLY those under
+    * `dataDir` minus the keys, carry every other file over BY REFERENCE —
+    * stats untouched, no re-read. `keys` is a control-sized set (the GDPR
+    * shape: subjects, not rows). Commits and returns the new snapshot. */
+  def deleteKeys(spark: SparkSession, root: String, dataDir: String,
+                 keys: Seq[Long]): Snapshot = {
+    require(keys.nonEmpty, "deleteKeys: empty key set")
+    val first = snapshot(spark, root)
+    commitTransform(spark, root, first.keyCol, first.numBits, first.numHashes, { curOpt =>
+      val cur = curOpt.getOrElse(
+        throw new IllegalStateException("deleteKeys: nothing committed"))
+      val keyStrs = keys.map(k => UTF8String.fromString(k.toString))
+      val (hit, carried) = cur.files.partition { f =>
+        val bits = new GenericArrayData(f.bloom)
+        keyStrs.exists(k => BloomUtil.contains(bits, k, cur.numBits, cur.numHashes))
+      }
+      val rewritten =
+        if (hit.isEmpty) Seq.empty[FileStat]
+        else {
+          val out = s"$dataDir/delete-${java.util.UUID.randomUUID().toString}"
+          spark.read.parquet(hit.map(_.file): _*)
+            .filter(!col(cur.keyCol).cast("long").isInCollection(keys))
+            .write.mode("overwrite").parquet(out)
+          val files = listParquet(spark, out)
+          if (files.isEmpty) Seq.empty
+          else fileStats(spark, files, cur.keyCol, cur.numBits, cur.numHashes)
+        }
+      (carried ++ rewritten).sortBy(_.file)
+    })
+  }
+
+  /** Data files under a just-written parquet directory (one listing). */
+  def listParquet(spark: SparkSession, dir: String): Seq[String] = {
+    val (_, fs, p) = fileContext(spark, dir)
+    fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).sorted
+  }
+}

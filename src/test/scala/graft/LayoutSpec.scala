@@ -272,22 +272,7 @@ class LayoutSpec extends SparkTestBase {
     assert(got == expect)
   }
 
-  test("version log: AS OF reads the committed file set; history survives rewrites") {
-    import spark.implicits._
-    val root = java.nio.file.Files.createTempDirectory("graft_vlog").toString
-    val a = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
-    val b = Seq((3L, 30.0)).toDF("k", "v")
-    a.write.mode("overwrite").parquet(s"$root/fa")
-    b.write.mode("overwrite").parquet(s"$root/fb")
-    // v2: compaction rewrite — same content, one file
-    a.unionByName(b).write.mode("overwrite").parquet(s"$root/c0")
-    Layout.writeVersionLog(spark, root,
-      Seq(1L -> s"$root/fa", 1L -> s"$root/fb", 2L -> s"$root/c0"))
-    val v1 = Layout.readAsOf(spark, root, 1L).orderBy("k").as[(Long, Double)].collect().toSeq
-    val v2 = Layout.readAsOf(spark, root, 2L).orderBy("k").as[(Long, Double)].collect().toSeq
-    assert(v1 == v2 && v1 == Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
-    // an uncommitted version is an explicit error, not an empty frame
-    val e = intercept[IllegalArgumentException](Layout.readAsOf(spark, root, 9L))
-    assert(e.getMessage.contains("version 9"))
-  }
+  // The round-9 version-log tests moved to TableFormatSpec: the
+  // whole-log-rewrite writer (writeVersionLog/readAsOf) was replaced by
+  // the append-only CAS-committed TableFormat layer.
 }

@@ -1,0 +1,152 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TableFormat
+
+class TableFormatSpec extends SparkTestBase {
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_tf").toString
+
+  private def writeKv(pairs: Seq[(Long, Double)], path: String): String = {
+    import spark.implicits._
+    pairs.toDF("k", "v").repartition(1).write.mode("overwrite").parquet(path)
+    path
+  }
+
+  test("commit/snapshot round-trip: append-only log, as-of resolves one commit file") {
+    val root = freshRoot()
+    val fa = writeKv(Seq(1L -> 10.0, 2L -> 20.0), s"$root/fa")
+    val fb = writeKv(Seq(30L -> 30.0), s"$root/fb")
+    val s1 = TableFormat.commitFiles(spark, root,
+      "k", TableFormat.listParquet(spark, fa) ++ TableFormat.listParquet(spark, fb),
+      numBits = 256, numHashes = 3)
+    assert(s1.version == 1L && s1.files.size == 2)
+    // v2: compaction rewrite — same content, one file; v1 files untouched
+    val c0 = s"$root/c0"
+    spark.read.parquet(fa, fb).repartition(1).write.mode("overwrite").parquet(c0)
+    val s2 = TableFormat.commitFiles(spark, root, "k",
+      TableFormat.listParquet(spark, c0), numBits = 256, numHashes = 3)
+    assert(s2.version == 2L && s2.files.size == 1)
+    assert(TableFormat.versions(spark, root) == Seq(1L, 2L))
+    // the log is append-only: exactly one commit FILE per version on disk
+    val logFiles = new java.io.File(s"$root/_log").listFiles()
+      .map(_.getName).filter(_.endsWith(".json")).sorted
+    assert(logFiles.toSeq == Seq(f"v${1L}%020d.json", f"v${2L}%020d.json"))
+    def content(v: Long) = TableFormat
+      .read(spark, TableFormat.snapshot(spark, root, Some(v)))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(content(1L) == content(2L))
+    assert(content(1L) == Seq(1L -> 10.0, 2L -> 20.0, 30L -> 30.0))
+    // an uncommitted version is an explicit error, not an empty frame
+    val e = intercept[IllegalArgumentException](
+      TableFormat.snapshot(spark, root, Some(9L)))
+    assert(e.getMessage.contains("version 9"))
+  }
+
+  test("zone-pruned scanRange equals the full-scan filter and skips files") {
+    val root = freshRoot()
+    // three files with disjoint key ranges -> exact zone arithmetic
+    val files = Seq(0, 1, 2).flatMap { b =>
+      val f = writeKv((0L until 100L).map(i => (b * 1000L + i, i * 1.0)), s"$root/f$b")
+      TableFormat.listParquet(spark, f)
+    }
+    val snap = TableFormat.commitFiles(spark, root, "k", files, 1024, 3)
+    val (scan, nRead, nTotal) = TableFormat.scanRange(spark, snap, 1000L, 1099L)
+    assert(nTotal == 3 && nRead == 1, s"read=$nRead total=$nTotal")
+    val got = scan.orderBy("k").collect().map(_.getLong(0)).toSeq
+    assert(got == (1000L until 1100L).toSeq)
+    // a range matching nothing reads zero files but keeps the schema
+    val (empty, zr, _) = TableFormat.scanRange(spark, snap, 5000L, 6000L)
+    assert(zr == 0 && empty.count() == 0L && empty.columns.toSeq == Seq("k", "v"))
+  }
+
+  test("bloom filesForKey: no false negatives; typical misses prune") {
+    val root = freshRoot()
+    val files = Seq(0, 1).flatMap { b =>
+      val f = writeKv((0L until 200L).map(i => (b * 100000L + i * 7L, 1.0)), s"$root/g$b")
+      TableFormat.listParquet(spark, f)
+    }
+    val snap = TableFormat.commitFiles(spark, root, "k", files, 1 << 14, 5)
+    // every present key's home file is always returned
+    for (k <- Seq(0L, 7L, 1393L, 100000L, 100007L)) {
+      val hit = TableFormat.filesForKey(snap, k)
+      val truth = snap.files.filter(f => k >= f.minKey && k <= f.maxKey).map(_.file)
+      assert(truth.forall(hit.contains), s"false negative for $k")
+    }
+    // absent keys miss both files almost surely at this bloom size; at
+    // minimum they can never exceed the file count (sanity, not proof)
+    val misses = (1L to 50L).map(i => TableFormat.filesForKey(snap, i * 7L + 3L).size)
+    assert(misses.sum < 10, s"bloom FP rate implausibly high: ${misses.sum}/100")
+  }
+
+  test("targeted delete: bloom-pruned rewrite, untouched files carried by reference") {
+    val root = freshRoot()
+    val files = Seq(0, 1, 2).flatMap { b =>
+      val f = writeKv((0L until 100L).map(i => (b * 1000L + i, 1.0)), s"$root/h$b")
+      TableFormat.listParquet(spark, f)
+    }
+    val s1 = TableFormat.commitFiles(spark, root, "k", files, 1 << 14, 5)
+    val s2 = TableFormat.deleteKeys(spark, root, root, Seq(1005L, 1006L))
+    assert(s2.version == 2L)
+    // files 0 and 2 hold none of the keys: carried with IDENTICAL paths
+    val carried = s1.files.filterNot(f => 1005L >= f.minKey && 1005L <= f.maxKey)
+      .map(_.file).toSet
+    assert(carried.subsetOf(s2.files.map(_.file).toSet))
+    val got = TableFormat.read(spark, s2)
+    assert(got.count() == 298L)
+    assert(got.filter(col("k").isin(1005L, 1006L)).count() == 0L)
+    // v1 still reads the pre-delete content (history survives)
+    assert(TableFormat.read(spark,
+      TableFormat.snapshot(spark, root, Some(1L))).count() == 300L)
+  }
+
+  test("concurrent compaction + delete serialize via CAS retry; pinned reader keeps its snapshot") {
+    val root = freshRoot()
+    val files = Seq(0, 1).flatMap { b =>
+      val f = writeKv((0L until 100L).map(i => (b * 1000L + i, 1.0)), s"$root/j$b")
+      TableFormat.listParquet(spark, f)
+    }
+    val s1 = TableFormat.commitFiles(spark, root, "k", files, 1 << 12, 3)
+    val pinned = TableFormat.snapshot(spark, root, Some(1L))
+    // both writers resolve v1, then race to commit v2; the loser must
+    // re-derive against the winner's snapshot so both changes land
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val fCompact = pool.submit(new java.util.concurrent.Callable[Long] {
+      def call(): Long = { start.await(); TableFormat.compact(spark, root, root, 1).version }
+    })
+    val fDelete = pool.submit(new java.util.concurrent.Callable[Long] {
+      def call(): Long = {
+        start.await(); TableFormat.deleteKeys(spark, root, root, Seq(5L, 1007L)).version
+      }
+    })
+    start.countDown()
+    val versionsCommitted = Seq(fCompact.get(60, TimeUnit.SECONDS),
+      fDelete.get(60, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(versionsCommitted.sorted == Seq(2L, 3L), s"got $versionsCommitted")
+    // the final snapshot reflects BOTH changes regardless of commit order
+    val last = TableFormat.snapshot(spark, root)
+    val content = TableFormat.read(spark, last)
+    assert(content.count() == 198L)
+    assert(content.filter(col("k").isin(5L, 1007L)).count() == 0L)
+    // snapshot isolation: the pinned v1 reader still sees the original
+    // 200 rows — rewrites committed new files and never touched v1's
+    assert(TableFormat.read(spark, pinned).count() == 200L)
+    assert(TableFormat.read(spark, pinned).filter(col("k") === 5L).count() == 1L)
+  }
+
+  test("tryCommit CAS: the same version cannot be published twice") {
+    val root = freshRoot()
+    val f = writeKv(Seq(1L -> 1.0), s"$root/x")
+    val stats = TableFormat.fileStats(spark, TableFormat.listParquet(spark, f),
+      "k", 256, 3)
+    assert(TableFormat.tryCommit(spark, root, 1L, "k", 256, 3, stats))
+    assert(!TableFormat.tryCommit(spark, root, 1L, "k", 256, 3, stats))
+    assert(TableFormat.versions(spark, root) == Seq(1L))
+  }
+}
