@@ -826,7 +826,12 @@ object Dedup {
                              idCol: String, sourceCol: String,
                              priority: Column): DataFrame = {
     val labeled = docs
-      .select(col(idCol), col(sourceCol), priority.cast("int").as("_prio"))
+      // a null priority (e.g. a cast failure on an unexpected source
+      // string) must sort LAST, not first: min(struct) treats null as
+      // smallest, which would silently elect the unrankable doc as the
+      // representative — coalesce to worst instead
+      .select(col(idCol), col(sourceCol),
+        coalesce(priority.cast("int"), lit(Int.MaxValue)).as("_prio"))
       .join(clusters.select(col("id").as(idCol), col("cluster_id")),
         Seq(idCol), "left_outer")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
@@ -842,4 +847,19 @@ object Dedup {
         col("n_members"),
         (col("n_members") - 1).as("n_dropped"))
   }
+
+  /** [[clusterRepresentatives]] over a STORED cluster table — the
+    * production posture at 100 TB: the LSH + connected-components chain
+    * is a layout-time artifact written once (the d12 stored-index
+    * pattern), and representative selection is a cheap query against it —
+    * never an inline recompute of the whole pairing chain. `clustersPath`
+    * is the parquet round-trip of a (id, cluster_id) labeling
+    * ([[connectedComponents]]'s output). Results are identical to the
+    * recompute form by construction (proven in DedupSpec). */
+  def clusterRepresentativesStored(spark: org.apache.spark.sql.SparkSession,
+                                   clustersPath: String, docs: DataFrame,
+                                   idCol: String, sourceCol: String,
+                                   priority: Column): DataFrame =
+    clusterRepresentatives(spark.read.parquet(clustersPath), docs,
+      idCol, sourceCol, priority)
 }

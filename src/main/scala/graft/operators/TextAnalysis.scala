@@ -260,6 +260,95 @@ object TextAnalysis {
           .as("clean_md5"))
   }
 
+  /** [[removeBoilerplate]] with LINES as the unit — the literal CCNet /
+    * RefinedWeb form for newline-bearing web text: a trimmed non-empty
+    * line appearing in at least `minDocs` DISTINCT documents (headers,
+    * footers, cookie banners) is dropped everywhere; survivors reassemble
+    * in original order, newline-joined. Same scale shape as the
+    * token-window form: the frequency shuffle carries only (id, line_no,
+    * md5) — text never leaves its scan partition — and reassembly
+    * re-slices the original row's line array by the kept indices. Output
+    * one row per doc: (id, n_lines, n_removed, clean_md5) where clean_md5
+    * hashes the newline-joined surviving lines. */
+  def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                             minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lineArr = filter(transform(split(col(textCol), "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val hashes = df
+      .select(col(idCol), posexplode(lineArr))
+      .select(col(idCol), col("pos").as("_line_no"), md5(col("col")).as("_h"))
+    val docFreq = hashes.groupBy(col("_h"))
+      .agg(countDistinct(col(idCol)).as("_df"))
+    val perDoc = hashes.join(docFreq, "_h")
+      .withColumn("_boiler", col("_df") >= minDocs)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_lines"),
+        sum(when(col("_boiler"), 1).otherwise(0)).cast("int").as("n_removed"),
+        array_sort(collect_list(when(!col("_boiler"), col("_line_no"))))
+          .as("_kept"))
+    df.select(col(idCol), lineArr.as("_lines"))
+      .join(perDoc, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_lines"), lit(0)).as("n_lines"),
+        coalesce(col("n_removed"), lit(0)).as("n_removed"),
+        md5(coalesce(array_join(transform(col("_kept"),
+          i => element_at(col("_lines"), i.cast("int") + 1)), "\n"), lit("")))
+          .as("clean_md5"))
+  }
+
+  /** Gopher duplicate-LINE fractions (Rae et al. 2021 §A1.1, the literal
+    * line-unit form — [[gopherRepetition]] is the token-window analog for
+    * newline-free corpora): per doc, the fraction of lines occurring more
+    * than once in the SAME document (every occurrence counted) and the
+    * fraction of line characters inside those duplicates. Lines are
+    * trimmed; empty lines are ignored.
+    *
+    * Scale design: entirely row-local — the trimmed line array sorts
+    * IN-ROW (staged as a real column, the t41 lesson: inlined HOF arrays
+    * re-evaluate per element) and ONE linear fold over the sorted array
+    * detects equal runs, so the gate runs at scan speed with zero
+    * shuffle. */
+  def gopherLineRepetition(df: DataFrame, textCol: String): DataFrame = {
+    val staged = df.withColumn("_lines", array_sort(
+      filter(transform(split(col(textCol), "\n"), l => trim(l)),
+        l => length(l) > 0)))
+    // fold state: (prev line, current run length, current run chars,
+    // duplicate-line count so far, duplicate chars so far); a run of
+    // length >= 2 contributes ALL its occurrences and characters
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("rchars"),
+      lit(0L).as("dups"), lit(0L).as("dchars"))
+    def flushed(acc: Column) = struct(
+      when(acc.getField("run") >= 2, acc.getField("dups") + acc.getField("run"))
+        .otherwise(acc.getField("dups")).as("dups"),
+      when(acc.getField("run") >= 2, acc.getField("dchars") + acc.getField("rchars"))
+        .otherwise(acc.getField("dchars")).as("dchars"))
+    val folded = aggregate(col("_lines"), zero,
+      (acc, x) => {
+        val same = x === acc.getField("prev") && acc.getField("run") >= 1
+        val f = flushed(acc)
+        struct(x.as("prev"),
+          when(same, acc.getField("run") + 1).otherwise(lit(1L)).as("run"),
+          when(same, acc.getField("rchars") + length(x)).otherwise(length(x).cast("long"))
+            .as("rchars"),
+          when(same, acc.getField("dups")).otherwise(f.getField("dups")).as("dups"),
+          when(same, acc.getField("dchars")).otherwise(f.getField("dchars")).as("dchars"))
+      },
+      acc => flushed(acc))
+    val totChars = aggregate(col("_lines"), lit(0L), (a, x) => a + length(x))
+    staged
+      .withColumn("_f", folded)
+      .withColumn("n_lines", size(col("_lines")).cast("long"))
+      .withColumn("n_dup_lines", col("_f.dups"))
+      .withColumn("dup_line_frac",
+        when(col("n_lines") === 0, 0.0)
+          .otherwise(col("n_dup_lines").cast("double") / col("n_lines")))
+      .withColumn("dup_line_char_frac",
+        when(totChars === 0, 0.0)
+          .otherwise(col("_f.dchars").cast("double") / totChars))
+      .drop("_lines", "_f")
+  }
+
   /** PII patterns kept to constructs with identical semantics in Java regex
     * and RE2 (no backtracking-order dependence): a literal email shape and
     * plain 7+-digit runs. */
@@ -332,12 +421,13 @@ object TextAnalysis {
         count(lit(1)).as("n_versions"),
         countDistinct(col(urlCol)).as("n_raw_variants"))
 
-  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1: "duplicate
-    * line fraction", "duplicate line character fraction", "top 2-gram
-    * character fraction"): within-document repetition marks boilerplate
+  /** Gopher-style repetition signals (after Rae et al. 2021 §A1.1's
+    * duplicate-line family): within-document repetition marks boilerplate
     * and degenerate generations. The corpus is newline-free, so the
     * "line" unit is a non-overlapping `segTokens`-token window — the same
-    * unit convention [[removeBoilerplate]] documents. Reported per doc:
+    * unit convention [[removeBoilerplate]] documents (the literal
+    * line-unit form runs over a newline-bearing corpus in
+    * [[gopherLineRepetition]]). Reported per doc:
     *
     *  - `n_segments`, `n_dup_segments`, `dup_segment_frac`: segments whose
     *    text occurs more than once in the SAME document (every occurrence
@@ -345,8 +435,11 @@ object TextAnalysis {
     *  - `dup_segment_char_frac`: characters inside those duplicate
     *    segments over all segment characters;
     *  - `n_bigrams`, `top_bigram_count`, `top_bigram_frac`: the mode
-    *    multiplicity of the word 2-grams (the count alone — reporting the
-    *    gram itself would need a tie-break the signal doesn't).
+    *    multiplicity of the word 2-grams. NOTE: `top_bigram_frac` is an
+    *    OCCURRENCE fraction (mode count / n_bigrams), deliberately not
+    *    the paper's "top 2-gram character fraction" (which weights by the
+    *    gram's character length) — apply thresholds calibrated for the
+    *    occurrence quantity, not the paper's 0.20 char-fraction cut.
     *
     * Scale design: entirely row-local — segments and bigrams are sorted
     * IN-ROW (`array_sort`) and duplicates read off adjacent equality, so

@@ -550,4 +550,36 @@ class DedupSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"unexpected window in:\n$plan")
   }
+
+  test("clusterRepresentatives: a null/unparseable priority cannot win representative") {
+    import spark.implicits._
+    // doc 1's source does not parse -> try_cast yields null -> must rank
+    // WORST (Int.MaxValue), so the parseable src2 doc wins despite the
+    // higher id (a plain ANSI cast would throw; null-producing priority
+    // expressions are the try_cast / missing-dim-join shape)
+    val docs = Seq((1L, "weird"), (2L, "src2")).toDF("doc_id", "source")
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("id", "cluster_id")
+    val prio = expr("try_cast(substr(source, 4, 8) AS INT)")
+    val got = Dedup.clusterRepresentatives(clusters, docs, "doc_id", "source", prio)
+      .select("rep_id", "rep_source", "rep_priority")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(got == Seq((2L, "src2", 2)))
+  }
+
+  test("clusterRepresentativesStored equals the recompute form") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "src3"), (2L, "src1"), (3L, "src1"), (4L, "src0"), (9L, "src9"))
+      .toDF("doc_id", "source")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L)).toDF("id", "cluster_id")
+    val path = java.nio.file.Files.createTempDirectory("graft_d18").toString + "/clusters"
+    clusters.write.mode("overwrite").parquet(path)
+    val prio = substring(col("source"), 4, 8).cast("int")
+    val direct = Dedup.clusterRepresentatives(clusters, docs, "doc_id", "source", prio)
+      .orderBy("cluster_id").collect().toSeq
+    val stored = Dedup.clusterRepresentativesStored(spark, path, docs,
+        "doc_id", "source", prio)
+      .orderBy("cluster_id").collect().toSeq
+    assert(stored == direct)
+  }
 }

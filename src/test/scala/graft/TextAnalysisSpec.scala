@@ -336,4 +336,46 @@ class TextAnalysisSpec extends SparkTestBase {
       assert(a.sameElements(b), s"kernel/HOF divergence at w=$w")
     }
   }
+
+  test("gopherLineRepetition: run fold counts every occurrence of a duplicated line") {
+    import spark.implicits._
+    val df = Seq(
+      // "x y" ×3 (3 chars each -> 9 dup chars of 13), "solo" once; blank line ignored
+      (1L, "x y\nsolo\n\nx y\nx y"),
+      (2L, "only one line"),
+      (3L, ""),                      // no lines at all
+      (4L, "a\na\nb\nb\nc"))         // two runs of 2 + one singleton
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherLineRepetition(df, "text")
+      .select("doc_id", "n_lines", "n_dup_lines", "dup_line_frac", "dup_line_char_frac")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(got(0) == ((1L, 4L, 3L, 0.75, 9.0 / 13)))
+    assert(got(1) == ((2L, 1L, 0L, 0.0, 0.0)))
+    assert(got(2) == ((3L, 0L, 0L, 0.0, 0.0)))
+    assert(got(3) == ((4L, 5L, 4L, 0.8, 4.0 / 5)))
+    // row-local: no shuffle in the plan
+    val plan = TextAnalysis.gopherLineRepetition(df, "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
+  test("removeBoilerplateLines: cross-doc lines drop, within-doc repeats survive") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "HEADER\nbody one\nbody one\nFOOT"),
+      (2L, "HEADER\nbody two\nFOOT"),
+      (3L, "HEADER\nFOOT"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.removeBoilerplateLines(df, "doc_id", "text", minDocs = 2)
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, String)].collect()
+    // HEADER/FOOT are in all 3 docs -> removed; "body one" repeats only
+    // within doc 1 (df = 1) -> BOTH copies survive
+    def md5Of(sq: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(sq.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(0) == ((1L, 4, 2, md5Of("body one\nbody one"))))
+    assert(got(1) == ((2L, 3, 2, md5Of("body two"))))
+    assert(got(2) == ((3L, 2, 2, md5Of(""))))
+  }
 }
