@@ -2654,6 +2654,44 @@ object SparkEntry {
           Parallelism.ensureDefaultParallelism(syntheticLineDocs(s, dir)),
           "doc_id", "line_text", minDocs = 2)
         .orderBy(col("doc_id"))
+    },
+
+    // ---- V2 source: server-side ORDERED PAGINATION — the reference's
+    // `orderBy: "date"` + offset/limit request (monarchmoney.py:1443-1446,
+    // driver loop v3:344-391) executed INSIDE the DataSourceV2 scan:
+    // Spark pushes TopN(date,id; limit+offset) + Offset into the reader,
+    // which streams all files once through a bounded heap — no Sort, no
+    // re-skip above the scan (MonarchV2SourceSpec proves the plan). The
+    // fixture exports orders as the JSONL the source reads ----
+    "q85_v2_paged" -> { (s, dir) =>
+      val path = Fixtures.once(s, "q85_v2", dir) {
+        val out = scratch("q85_v2", dir)
+        val p = new org.apache.hadoop.fs.Path(out)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+        Tables.orders(s, dir).select(to_json(struct(
+          col("o_orderkey").cast("string").as("id"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("date"),
+          col("o_totalprice").as("amount"),
+          concat(lit("A"), pmod(col("o_custkey"), lit(7))).as("account_id"),
+          col("o_orderstatus").as("category"),
+          concat(lit("M"), pmod(col("o_orderkey"), lit(11))).as("merchant"),
+          (pmod(col("o_orderkey"), lit(97)) === 0).as("pending"))).as("value"))
+          .repartition(4).write.mode("overwrite").text(out)
+        // the source's listing contract is *.jsonl
+        fs.listStatus(p).foreach { st =>
+          val n = st.getPath.getName
+          if (st.isFile && n.endsWith(".txt"))
+            fs.rename(st.getPath,
+              new org.apache.hadoop.fs.Path(p, n.stripSuffix(".txt") + ".jsonl"))
+        }
+        out
+      }
+      s.read.format("monarch-txns").load(path)
+        .orderBy(col("date"), col("id"))
+        .offset(100).limit(25)
+        .select(col("id"), col("date"), col("amount"), col("category"))
+        .orderBy(col("date"), col("id"))
     }
   )
 
@@ -6119,7 +6157,18 @@ object SparkEntry {
              md5(coalesce(string_agg(CASE WHEN NOT boiler THEN line END,
                chr(10) ORDER BY pos), '')) AS clean_md5
            FROM j GROUP BY 1)
-         SELECT doc_id, n_lines, n_removed, clean_md5 FROM agg ORDER BY doc_id"""
+         SELECT doc_id, n_lines, n_removed, clean_md5 FROM agg ORDER BY doc_id""",
+
+    // the page is fully determined by the (date, id-string) ordering —
+    // the id tie-break makes same-day pages stable in both engines
+    "q85_v2_paged" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS id,
+           CAST(o_orderdate AS DATE) AS date,
+           o_totalprice AS amount,
+           o_orderstatus AS category
+         FROM orders
+         ORDER BY CAST(o_orderdate AS DATE), CAST(o_orderkey AS VARCHAR)
+         LIMIT 25 OFFSET 100"""
   )
 
   /** The MMR oracle: the k greedy selection steps UNROLLED as chained

@@ -79,14 +79,23 @@ private case class MinCall(field: String) extends AggCall
 private case class MaxCall(field: String) extends AggCall
 private case class SumCall(field: String) extends AggCall
 
+/** One sort key of a pushed TopN: (field, ascending, nullsFirst). */
+private case class SortKey(field: String, asc: Boolean, nullsFirst: Boolean) {
+  override def toString: String =
+    s"$field ${if (asc) "ASC" else "DESC"} NULLS ${if (nullsFirst) "FIRST" else "LAST"}"
+}
+
 private class TxnScanBuilder(path: String)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+  with SupportsPushDownTopN with SupportsPushDownOffset
   with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = MonarchTransactionsV2.schema
   private var limit: Int = -1
+  private var sortKeys: Seq[SortKey] = Nil
+  private var offset: Int = 0
   private var aggCalls: Seq[AggCall] = Nil
 
   import org.apache.spark.sql.connector.expressions.NamedReference
@@ -180,57 +189,197 @@ private class TxnScanBuilder(path: String)
     required = requiredSchema
 
   override def pushLimit(l: Int): Boolean = { limit = l; true }
-  override def isPartiallyPushed: Boolean = true
+
+  /** A plain limit is applied per partition (partial — Spark re-limits
+    * globally); a pushed TopN is evaluated COMPLETELY (single coordinated
+    * reader), so Spark removes both the Sort and the Limit. The two
+    * interfaces share this flag, hence the dynamic answer. */
+  override def isPartiallyPushed: Boolean = sortKeys.isEmpty
+
+  /** Server-side ordered pagination, the reference's
+    * `orderBy: "date"` + offset/limit contract (monarchmoney.py:1443-1446;
+    * driver loop MonarchMoneyMain-v3.py:344-391): accept a TopN whose
+    * every key is a plain schema column. Evaluated completely — the scan
+    * plans ONE reader that streams all files through a bounded heap of
+    * size limit(+offset), so memory is O(page), IO one pass, and no
+    * Sort/Limit/Offset runs above the scan. Mutually exclusive with
+    * aggregate pushdown (different output shape). */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+                        l: Int): Boolean = {
+    if (aggCalls.nonEmpty || groupFields.nonEmpty) return false
+    import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
+    val keys = orders.toSeq.map { o =>
+      fieldOf(o.expression()).map(f => SortKey(f,
+        o.direction() == SortDirection.ASCENDING,
+        o.nullOrdering() == NullOrdering.NULLS_FIRST))
+    }
+    if (keys.isEmpty || keys.exists(_.isEmpty)) return false
+    sortKeys = keys.flatten
+    limit = l
+    true
+  }
+
+  /** Offset composes only with an ORDERED scan (a bare offset over an
+    * unordered multi-file read is nondeterministic — left in Spark). With
+    * a pushed TopN Spark hands us limit+offset as the TopN bound and the
+    * offset separately; the reader skips `offset` rows of the sorted
+    * prefix. */
+  override def pushOffset(o: Int): Boolean =
+    if (sortKeys.nonEmpty) { offset = o; true } else false
 
   override def build(): Scan = {
     // group-by-only pushdown (a distinct()) has aggCalls empty but still
     // needs the aggregated schema and the folding reader
     val aggregating = aggCalls.nonEmpty || groupFields.nonEmpty
     val schema = if (aggregating) aggSchema else required
-    new TxnScan(path, pushed, schema, limit, aggCalls, groupFields)
+    new TxnScan(path, pushed, schema, limit, aggCalls, groupFields,
+      sortKeys, offset)
   }
 }
 
 private class TxnScan(path: String, filters: Array[Filter],
                       required: StructType, limit: Int,
-                      aggCalls: Seq[AggCall], groupFields: Seq[String]) extends Scan with Batch {
+                      aggCalls: Seq[AggCall], groupFields: Seq[String],
+                      sortKeys: Seq[SortKey] = Nil, offset: Int = 0) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
     s"monarch-txns PushedFilters: [${filters.mkString(", ")}], " +
       s"ReadSchema: ${required.catalogString}, Limit: $limit" +
+      (if (sortKeys.nonEmpty)
+        s", PushedTopN: [${sortKeys.mkString(", ")}], PushedOffset: $offset"
+      else "") +
       (if (aggCalls.nonEmpty)
         s", PushedAggregates: [${aggCalls.mkString(", ")}], " +
           s"PushedGroupBy: [${groupFields.mkString(", ")}]"
       else "")
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  private def listFiles(): Array[String] = {
     val p = Paths.get(path)
-    val files =
-      if (Files.isDirectory(p)) {
-        val stream = Files.list(p)
-        try stream.iterator().asScala.filter(f => f.toString.endsWith(".jsonl")).toArray
-        finally stream.close()
-      } else Array(p)
-    files.map(f => TxnFilePartition(f.toString): InputPartition)
+    if (Files.isDirectory(p)) {
+      val stream = Files.list(p)
+      try stream.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".jsonl")).toArray.sorted
+      finally stream.close()
+    } else Array(p.toString)
   }
 
+  override def planInputPartitions(): Array[InputPartition] =
+    if (sortKeys.nonEmpty)
+      // complete TopN+offset: ONE coordinated reader over all files in
+      // deterministic order (the "server" answering one page request) —
+      // work and memory bounded by the page, not the table
+      Array(TxnAllFilesPartition(listFiles().toSeq))
+    else listFiles().map(f => TxnFilePartition(f): InputPartition)
+
   override def createReaderFactory(): PartitionReaderFactory =
-    new TxnReaderFactory(filters, required, limit, aggCalls, groupFields)
+    new TxnReaderFactory(filters, required, limit, aggCalls, groupFields,
+      sortKeys, offset)
 }
 
 private case class TxnFilePartition(file: String) extends InputPartition
+private case class TxnAllFilesPartition(files: Seq[String]) extends InputPartition
 
 private class TxnReaderFactory(filters: Array[Filter], required: StructType,
                                limit: Int, aggCalls: Seq[AggCall],
-                               groupFields: Seq[String])
+                               groupFields: Seq[String],
+                               sortKeys: Seq[SortKey] = Nil, offset: Int = 0)
   extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[TxnFilePartition].file
-    if (aggCalls.nonEmpty || groupFields.nonEmpty)
-      new TxnAggReader(file, filters, groupFields, aggCalls)
-    else new TxnPartitionReader(file, filters, required, limit)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case TxnAllFilesPartition(files) =>
+        new TxnTopNReader(files, filters, required, sortKeys, limit, offset)
+      case TxnFilePartition(file) =>
+        if (aggCalls.nonEmpty || groupFields.nonEmpty)
+          new TxnAggReader(file, filters, groupFields, aggCalls)
+        else new TxnPartitionReader(file, filters, required, limit)
+    }
+}
+
+/** Complete TopN + offset evaluation: stream every file once through a
+  * bounded max-heap of the best `limit` records (Spark already folded the
+  * offset into the TopN bound), then emit the sorted survivors minus the
+  * first `offset`. Sort keys are evaluated from the parsed record, so they
+  * need not survive column pruning. Ties beyond the sort keys keep an
+  * unspecified subset (standard SQL TopN semantics — callers wanting a
+  * stable page sort on a unique key suffix, as the reference's
+  * date-ordered pagination does with its id tie-break). */
+private class TxnTopNReader(files: Seq[String], filters: Array[Filter],
+                            required: StructType, sortKeys: Seq[SortKey],
+                            limit: Int, offset: Int)
+  extends PartitionReader[InternalRow] {
+
+  private class Stream(f: String) extends TxnJsonlReaderBase(f, filters) {
+    def nextRec(): JsonNode = nextMatching()
+    override def next(): Boolean = false
+    override def get(): InternalRow = null
+    def cmp(name: String, a: Any, b: Any): Int = compareInternal(name, a, b)
+    def rowVal(v: Any): Any = toRowValue(v)
+    def fv(node: JsonNode, name: String): Any = fieldValue(node, name)
   }
+
+  private case class Entry(keys: Array[Any], row: Array[Any])
+
+  private var out: Iterator[InternalRow] = _
+  private var current: InternalRow = _
+
+  /** Output-order comparison of two key vectors (nullsFirst/direction are
+    * absolute, the Spark SortOrder contract). */
+  private def compareKeys(s: Stream, a: Array[Any], b: Array[Any]): Int = {
+    var i = 0
+    while (i < sortKeys.length) {
+      val k = sortKeys(i)
+      val (x, y) = (a(i), b(i))
+      val c =
+        if (x == null && y == null) 0
+        else if (x == null) { if (k.nullsFirst) -1 else 1 }
+        else if (y == null) { if (k.nullsFirst) 1 else -1 }
+        else { val c0 = s.cmp(k.field, x, y); if (k.asc) c0 else -c0 }
+      if (c != 0) return c
+      i += 1
+    }
+    0
+  }
+
+  private def fold(): Iterator[InternalRow] = {
+    if (limit == 0) return Iterator.empty
+    require(limit > 0, s"TopN pushdown without a limit bound: $limit")
+    var refStream: Stream = null
+    val heap = new java.util.PriorityQueue[Entry](limit,
+      // max-heap: root = worst kept entry in output order
+      (a: Entry, b: Entry) => -compareKeys(refStream, a.keys, b.keys))
+    for (f <- files) {
+      val s = new Stream(f)
+      if (refStream == null) refStream = s
+      try {
+        var node = s.nextRec()
+        while (node != null) {
+          val keys = sortKeys.map(k => s.fv(node, k.field)).toArray
+          if (heap.size < limit) {
+            heap.add(Entry(keys,
+              required.fields.map(fd => s.rowVal(s.fv(node, fd.name)))))
+          } else if (compareKeys(s, keys, heap.peek().keys) < 0) {
+            heap.poll()
+            heap.add(Entry(keys,
+              required.fields.map(fd => s.rowVal(s.fv(node, fd.name)))))
+          }
+          node = s.nextRec()
+        }
+      } finally s.close()
+    }
+    val sorted = new Array[Entry](heap.size)
+    var i = sorted.length - 1
+    while (i >= 0) { sorted(i) = heap.poll(); i -= 1 } // heap drains worst-first
+    sorted.iterator.drop(offset).map(e => InternalRow.fromSeq(e.row.toSeq))
+  }
+
+  override def next(): Boolean = {
+    if (out == null) out = fold()
+    if (out.hasNext) { current = out.next(); true } else false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }
 
 /** Executor-side partial aggregation: streams the partition's lines once,

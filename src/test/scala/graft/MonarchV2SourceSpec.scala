@@ -166,6 +166,64 @@ class MonarchV2SourceSpec extends SparkTestBase {
     assert(df.as[(String, String)].head() == expected)
   }
 
+  test("ordered pagination pushes TopN + offset: no Sort/Limit/Offset above the scan") {
+    val df = read()
+      .orderBy(col("date"), col("id"))
+      .offset(100).limit(25)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedTopN: [date ASC NULLS FIRST, id ASC NULLS FIRST]"),
+      s"TopN not pushed:\n$plan")
+    assert(plan.contains("PushedOffset: 100"), s"offset not pushed:\n$plan")
+    // the pagination executes INSIDE the scan: nothing re-sorts or
+    // re-skips above it
+    assert(!plan.contains("Sort ") && !plan.contains("TakeOrdered") &&
+      !plan.contains("GlobalLimit") && !plan.contains("CollectLimit"),
+      s"residual sort/limit machinery:\n$plan")
+    val expected = spark.read.schema(graft.sources.v2.MonarchTransactionsV2.schema)
+      .json(dataDir + "/part-0.jsonl", dataDir + "/part-1.jsonl")
+      .orderBy(col("date"), col("id"))
+      .offset(100).limit(25)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString)).toSeq
+    val got = df.collect().map(r => (r.getString(0), r.getDate(1).toString)).toSeq
+    assert(got == expected, s"page mismatch: $got vs $expected")
+  }
+
+  test("TopN pushdown respects direction and filters; bare offset is rejected") {
+    val df = read()
+      .filter(col("category") === "food")
+      .orderBy(col("amount").desc, col("id"))
+      .limit(5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedTopN: [amount DESC NULLS LAST, id ASC NULLS FIRST]"),
+      s"TopN not pushed:\n$plan")
+    val expected = spark.read.schema(graft.sources.v2.MonarchTransactionsV2.schema)
+      .json(dataDir + "/part-0.jsonl", dataDir + "/part-1.jsonl")
+      .filter(col("category") === "food")
+      .orderBy(col("amount").desc, col("id"))
+      .limit(5).collect().map(_.getString(0)).toSeq
+    assert(df.collect().map(_.getString(0)).toSeq == expected)
+    // an offset with no ordering is nondeterministic -> stays in Spark,
+    // result count still correct
+    val bare = read().offset(490)
+    assert(!bare.queryExecution.executedPlan.toString.contains("PushedOffset"))
+    assert(bare.count() == 10)
+  }
+
+  test("TopN with pruned projection still sorts on non-projected keys") {
+    // sort keys (date, id) are evaluated in the reader even though the
+    // projection keeps only amount — pruning cannot break the ordering
+    val df = read()
+      .orderBy(col("date"), col("id"))
+      .offset(10).limit(3)
+      .select("amount")
+    val expected = spark.read.schema(graft.sources.v2.MonarchTransactionsV2.schema)
+      .json(dataDir + "/part-0.jsonl", dataDir + "/part-1.jsonl")
+      .orderBy(col("date"), col("id"))
+      .offset(10).limit(3)
+      .select("amount").collect().map(_.getDouble(0)).sorted.toSeq
+    assert(df.collect().map(_.getDouble(0)).sorted.toSeq == expected)
+  }
+
   test("limit pushes down and unsupported predicates stay Spark-side") {
     val limited = read().limit(7)
     assert(limited.queryExecution.executedPlan.toString.contains("Limit: 7"))
