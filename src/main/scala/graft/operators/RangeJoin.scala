@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Range (point-in-interval) join without a cartesian product.
@@ -18,6 +18,68 @@ import org.apache.spark.sql.functions._
   * interval replicas but more candidates per point; narrower the reverse.
   */
 object RangeJoin {
+
+  /** Derive the bin width FROM the interval-length distribution instead of
+    * trusting a caller's guess: the `quantileBp` quantile (default p90) of
+    * `endUs - startUs`, via the histogram-walk posture
+    * ([[Profile.exactQuantiles]]'s steps 1-3): ONE (min, max, count)
+    * aggregate + ONE bounded histogram collect (`granularity`+1 buckets,
+    * metadata-scale), no sort. Returns the target bucket's UPPER edge —
+    * deliberately rounding the quantile UP, so at least `quantileBp` of
+    * intervals replicate to <= 2 bins.
+    *
+    * Why p90 and not the mean or max: a long-tail distribution (mostly
+    * minutes, a few multi-hour stragglers) pulls the mean up and the max
+    * way up — a max-derived width makes every point's bin huge (candidate
+    * explosion), while a mean/median-derived width makes the tail
+    * intervals replicate hundreds of times. p90 bounds BOTH: the bulk
+    * stays at <= 2 replicas and only the 10% tail pays proportional
+    * replication. Inputs are microsecond longs; zero/negative lengths are
+    * ignored (inverted intervals match nothing anyway); an empty input
+    * falls back to one hour. */
+  def autoBinMicros(intervals: DataFrame, startUs: Column, endUs: Column,
+                    quantileBp: Int = 9000, granularity: Int = 1000): Long = {
+    require(quantileBp >= 1 && quantileBp <= 10000,
+      s"autoBinMicros: quantileBp in [1,10000], got $quantileBp")
+    require(granularity >= 1, s"autoBinMicros: granularity must be >= 1")
+    val lens = intervals
+      .select((endUs.cast("long") - startUs.cast("long")).as("_len"))
+      .filter(col("_len").isNotNull && col("_len") > 0)
+    val stats = lens.agg(min(col("_len")), max(col("_len")), count(lit(1))).head()
+    if (stats.isNullAt(0)) return 3600L * 1000000L // empty: one hour
+    val (mn, mx, n) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    val width = math.max(1L, (mx - mn) / granularity + 1)
+    val hist = lens.selectExpr(s"(_len - ${mn}L) DIV ${width}L AS _b")
+      .groupBy(col("_b")).agg(count(lit(1)).as("_c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val rk = (quantileBp.toLong * n + 9999L) / 10000L // ceil, integer-exact
+    var cum = 0L
+    val bucket = hist.iterator.map { case (b, c) => cum += c; (b, cum) }
+      .find(_._2 >= rk).map(_._1).get // rk <= n, always found
+    math.max(1L, mn + (bucket + 1) * width)
+  }
+
+  /** [[pointInInterval]] with the bin width self-derived from the interval
+    * distribution ([[autoBinMicros]]) — the form pipelines should default
+    * to: a skewed interval mix cannot blow up replica counts through a
+    * stale hand-tuned constant. */
+  def pointInIntervalAuto(points: DataFrame, ptTs: String,
+                          intervals: DataFrame, startTs: String,
+                          endTs: String): DataFrame =
+    pointInInterval(points, ptTs, intervals, startTs, endTs,
+      autoBinMicros(intervals, unix_micros(col(startTs)), unix_micros(col(endTs))))
+
+  /** [[intervalOverlap]] with the bin width self-derived from BOTH sides'
+    * interval lengths (the union drives the quantile, so whichever side
+    * carries the tail bounds the replication). */
+  def intervalOverlapAuto(a: DataFrame, aStartUs: String, aEndUs: String,
+                          b: DataFrame, bStartUs: String,
+                          bEndUs: String): DataFrame = {
+    val lens = a.select(col(aStartUs).as("_s"), col(aEndUs).as("_e"))
+      .unionByName(b.select(col(bStartUs).as("_s"), col(bEndUs).as("_e")))
+    intervalOverlap(a, aStartUs, aEndUs, b, bStartUs, bEndUs,
+      autoBinMicros(lens, col("_s"), col("_e")))
+  }
 
   def pointInInterval(points: DataFrame, ptTs: String,
                       intervals: DataFrame, startTs: String, endTs: String,

@@ -98,4 +98,25 @@ object GraftRules {
     val add = want.filterNot(cur.contains)
     if (add.nonEmpty) spark.experimental.extraOptimizations = cur ++ add
   }
+
+  /** Derive the rewrite rules' bin width FROM the interval data and pin it
+    * into the session conf the rules read. An optimizer rule must not run
+    * jobs, so the derivation is a caller step (run it once per interval
+    * table, at layout/registration time — the same cadence as computing
+    * table statistics): the p90 interval length via the bounded
+    * histogram-walk ([[graft.operators.RangeJoin.autoBinMicros]]), rounded
+    * UP to whole seconds. Correctness never depends on the value — only
+    * replica counts do — so a stale setting degrades, never breaks.
+    * Returns the seconds it set. */
+  def autoTuneBinSeconds(spark: SparkSession,
+                         intervals: org.apache.spark.sql.DataFrame,
+                         startTs: String, endTs: String): Long = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val micros = graft.operators.RangeJoin.autoBinMicros(
+      intervals, unix_micros(col(startTs)), unix_micros(col(endTs)))
+    val secs = math.max(1L, (micros + 999999L) / 1000000L)
+    // IntervalJoinRewrite reads the same key
+    spark.conf.set(RangeJoinRewrite.BinSecondsKey, secs.toString)
+    secs
+  }
 }

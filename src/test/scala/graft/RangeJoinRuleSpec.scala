@@ -60,6 +60,19 @@ class RangeJoinRuleSpec extends SparkTestBase {
     } finally spark.conf.unset(RangeJoinRewrite.BinSecondsKey)
   }
 
+  test("autoTuneBinSeconds derives the width from the data and the result is unchanged") {
+    GraftRules.install(spark)
+    try {
+      val secs = GraftRules.autoTuneBinSeconds(spark, intervals, "start_ts", "end_ts")
+      // valid interval lengths here are exactly one hour; the p90 of the
+      // histogram walk rounds up by at most one bucket (~width/1000)
+      assert(secs >= 3600L && secs <= 3700L, s"derived $secs s")
+      assert(spark.conf.get(RangeJoinRewrite.BinSecondsKey) == secs.toString)
+      val got = naiveJoin.as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 9L), (2L, 9L), (4L, 8L)))
+    } finally spark.conf.unset(RangeJoinRewrite.BinSecondsKey)
+  }
+
   test("does not fire on equi-joins, outer range joins, or hinted joins") {
     GraftRules.install(spark)
     // equi + range residual: already a hash join, pattern must not match

@@ -90,4 +90,57 @@ class RangeJoinSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
+
+  // long-tail interval mix: 95% short (1-10 min), 5% multi-hour stragglers
+  // — the distribution that breaks both a mean-derived and a max-derived
+  // width. Micros since an arbitrary epoch.
+  private lazy val longTail = spark.range(400).select(
+    col("id").as("iid"),
+    (pmod(col("id") * 2654435761L, lit(86400L)) * 1000000L).as("s_us"))
+    .withColumn("len_us",
+      when(pmod(col("iid"), lit(20)) === 0,
+        (lit(5L) + pmod(col("iid"), lit(5L))) * 3600L * 1000000L) // 5-9 h tail
+        .otherwise((lit(60L) + pmod(col("iid") * 37L, lit(540L))) * 1000000L)) // 1-10 min bulk
+    .withColumn("e_us", col("s_us") + col("len_us"))
+    .drop("len_us")
+
+  private def replicasAt(widthUs: Long): Long =
+    longTail.selectExpr(s"e_us div ${widthUs}L - s_us div ${widthUs}L + 1 AS r")
+      .agg(sum(col("r"))).head().getLong(0)
+
+  test("autoBinMicros lands within 2x of the hand-tuned width on a long-tail mix") {
+    val auto = RangeJoin.autoBinMicros(longTail, col("s_us"), col("e_us"))
+    // the expert's pick per the docstring: "near the typical interval
+    // length" for the bulk while keeping the tail's replication bounded —
+    // the p90 length (10 min) is that pick
+    val handTuned = 600L * 1000000L
+    assert(auto > 0)
+    val (ra, rh) = (replicasAt(auto), replicasAt(handTuned))
+    assert(ra <= 2 * rh && rh <= 2 * ra,
+      s"auto width $auto -> $ra replicas vs hand-tuned $handTuned -> $rh")
+    // and NOT the degenerate widths: a mean/max-derived width would blow
+    // one side of the trade — sanity-bound the derived value itself
+    assert(auto >= 60L * 1000000L && auto <= 3600L * 1000000L, s"auto=$auto")
+  }
+
+  test("intervalOverlapAuto / pointInIntervalAuto equal their naive joins") {
+    val a = longTail.select(col("iid").as("aid"), col("s_us").as("a_s"),
+      col("e_us").as("a_e"))
+    val b = randIntervals(150, "bid", "b_s", "b_e")
+    val naive = a.crossJoin(b)
+      .filter(col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+      .select("aid", "bid").as[(Long, Long)].collect()
+    val got = RangeJoin.intervalOverlapAuto(a, "a_s", "a_e", b, "b_s", "b_e")
+      .select("aid", "bid").as[(Long, Long)].collect()
+    assert(got.length == got.toSet.size, "duplicates under auto width")
+    assert(got.toSet == naive.toSet)
+    val pts = points
+    val ivs = intervals
+    val naiveP = pts.crossJoin(ivs)
+      .filter(col("ts") >= col("start_ts") && col("ts") < col("end_ts"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val gotP = RangeJoin.pointInIntervalAuto(pts, "ts", ivs, "start_ts", "end_ts")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(gotP == naiveP)
+  }
 }
