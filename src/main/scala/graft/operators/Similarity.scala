@@ -315,6 +315,18 @@ object Similarity {
     val codebook = derivedCodebook(corpus, idCol, vecCol)
     require(nprobe >= 1 && nprobe <= codebook.value.length,
       s"annJoinDerivedMultiprobe: nprobe must be in 1..${codebook.value.length}, got $nprobe")
+    topKFromScored(multiprobeScored(left, right, idCol, vecCol, codebook, nprobe), k)
+  }
+
+  /** The multiprobe candidate frame shared by [[annJoinDerivedMultiprobe]]
+    * and [[annAutotune]]: queries explode to their `nprobe` best cells
+    * (ties at the probe threshold included, the ivfTopK convention), corpus
+    * rows keep one home cell, ONE cell equi-join scores the candidates —
+    * each (query, candidate) pair meets at most once. */
+  private def multiprobeScored(left: DataFrame, right: DataFrame,
+      idCol: String, vecCol: String,
+      codebook: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+      nprobe: Int): DataFrame = {
     val l = left.select(col(idCol).as("id_l"), col(vecCol).as("_lvec"))
       .withColumn("_qcos", cell_scores(col("_lvec"), codebook))
       .withColumn("_thr",
@@ -326,15 +338,80 @@ object Similarity {
       .drop("_qcos", "_thr")
     val r = right.select(col(idCol).as("id_r"), col(vecCol).as("_rvec"))
       .withColumn("_cell", cell_assign(col("_rvec"), codebook))
-    val scored = l.join(r, "_cell")
+    l.join(r, "_cell")
       .filter(col("id_l") =!= col("id_r"))
       .withColumn("cosine", round(cosine(col("_lvec"), col("_rvec")), 6))
       .select(col("id_l"), col("id_r"), col("cosine"))
+  }
+
+  private def topKFromScored(scored: DataFrame, k: Int): DataFrame =
     Windows.topKPerGroup(
         scored.withColumn("_payload", struct(col("id_r"), col("cosine"))),
         Seq("id_l"), "_payload", "cosine", "id_r", k)
       .select(col("id_l"), col("rank"),
         col("_payload.id_r").as("id_r"), col("_payload.cosine").as("cosine"))
+
+  /** Recall-targeted ANN SELF-CONFIGURATION — the tuning loop every index
+    * deployment runs before pinning nprobe: sweep `nprobes` over the
+    * s14/s15 recall harness (multiprobe ANN vs exact ground truth on a
+    * bounded query panel) and SELECT the cheapest configuration meeting
+    * `targetRecallMicro` (recall in micro-units, 10^6 = 1.0). One summary
+    * row per swept nprobe: candidate-pair cost, truth hits, recall, and
+    * `chosen` pinned on exactly one row — the min-cost config that meets
+    * the target, or the max-recall config (ties to the smaller nprobe)
+    * when none does, so the sweep always returns an actionable pick.
+    *
+    * Scale design: the codebook derives ONCE for the whole sweep (one
+    * bounded control read, shared broadcast); ground truth computes ONCE
+    * (|corpus| x |panel| scoring through the bounded-heap top-k, never
+    * corpus x corpus) and is localCheckpointed at panel x k rows; each
+    * probe's candidate frame materializes once and feeds both its cost
+    * count and its top-k (panel x nprobe x sqrt(N) rows — panel-bounded,
+    * never data-scale). Recall stays in exact integer arithmetic
+    * (`(hits * 10^6) DIV truth_rows`) and the selection key is a
+    * struct-ordered min — no float comparison anywhere, so the pick is
+    * bit-reproducible in any engine (the oracle replays the same sweep
+    * with a row_number over the same integer keys). */
+  def annAutotune(queries: DataFrame, corpusR: DataFrame, idCol: String,
+                  vecCol: String, corpus: DataFrame, k: Int,
+                  nprobes: Seq[Int], targetRecallMicro: Long): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.distinct == nprobes,
+      s"annAutotune: nprobes must be non-empty and distinct, got $nprobes")
+    require(targetRecallMicro >= 0 && targetRecallMicro <= 1000000L,
+      s"annAutotune: targetRecallMicro must be in [0, 10^6], got $targetRecallMicro")
+    val codebook = derivedCodebook(corpus, idCol, vecCol)
+    require(nprobes.forall(np => np >= 1 && np <= codebook.value.length),
+      s"annAutotune: every nprobe must be in 1..${codebook.value.length}, got $nprobes")
+    // ground truth once for the whole sweep — bounded (panel x k rows)
+    val truth = bruteForceJoinTopK(queries, corpusR, idCol, vecCol, k)
+      .select(col("id_l"), col("id_r")).localCheckpoint()
+    val nTruth = truth.groupBy().agg(count(lit(1)).as("n_truth"))
+    val perProbe = nprobes.map { np =>
+      val scored = multiprobeScored(queries, corpusR, idCol, vecCol, codebook, np)
+        .localCheckpoint() // one pass feeds both the cost count and the top-k
+      val ann = topKFromScored(scored, k).select(col("id_l"), col("id_r"))
+      val cost = scored.groupBy().agg(count(lit(1)).as("n_pairs"))
+      val hits = truth.join(ann, Seq("id_l", "id_r"))
+        .groupBy().agg(count(lit(1)).as("n_hits"))
+      cost.crossJoin(broadcast(hits))
+        .select(lit(np).as("nprobe"), col("n_pairs"), col("n_hits"))
+    }
+    val summary = perProbe.reduce(_.unionByName(_))
+      .crossJoin(broadcast(nTruth))
+      .withColumn("recall_micro",
+        expr("CAST((n_hits * 1000000) DIV n_truth AS BIGINT)"))
+    // selection key: meeting configs first (by cost), else by recall —
+    // a struct-ordered min over the sweep rows, no window, no floats
+    def selKey = struct(
+      when(col("recall_micro") >= targetRecallMicro, 0).otherwise(1).as("k1"),
+      when(col("recall_micro") >= targetRecallMicro, col("n_pairs"))
+        .otherwise(-col("recall_micro")).as("k2"),
+      col("nprobe").as("k3"))
+    val best = summary.groupBy().agg(min(selKey).as("_best"))
+    summary.crossJoin(broadcast(best))
+      .select(col("nprobe"), col("n_pairs"), col("n_hits"), col("recall_micro"),
+        (selKey === col("_best")).as("chosen"))
+      .orderBy(col("nprobe"))
   }
 
   private def annJoinWithCodebook(left: DataFrame, right: DataFrame,

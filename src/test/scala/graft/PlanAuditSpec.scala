@@ -34,7 +34,10 @@ class PlanAuditSpec extends SparkTestBase {
     "q70_hll_rollup", // one-row exact-count frame attached to the one-row merged sketch
     "d16_bloom_dedup", // one-row corpus-bloom bitset broadcast to the batch scan
     "s14_ann_recall", // bounded query-panel broadcast (s04's k-row posture) + s08's codebook
-    "s15_ann_recall_nprobe2") // s14's panel broadcast, multiprobe ANN leg
+    "s15_ann_recall_nprobe2", // s14's panel broadcast, multiprobe ANN leg
+    // s19: s14's panel broadcast per swept nprobe + one-row cost/hits/
+    // truth-count/selection-key attaches (all global-aggregate outputs)
+    "s19_ann_autotune")
   /** q32: the intentionally exchange-free bucketed join. t07/t18/d09: the
     * corpus anti-join against the near-dup drop set — both sides data-scale-
     * unknown, so SMJ is the correct static plan (AQE downgrades it to a
@@ -61,10 +64,10 @@ class PlanAuditSpec extends SparkTestBase {
     // frames (LogicalRDD reports no size stats), same AQE-downgrade
     // posture as the anti-joins above
     "d13_dup_clusters_star",
-    // s14/s15: the truth-vs-ann hit join reads two aggregate outputs
+    // s14/s15/s19: the truth-vs-ann hit join reads two aggregate outputs
     // (panel-sized, no static stats) — AQE downgrades to broadcast at
     // runtime; the data-scale legs upstream are the audited shapes
-    "s14_ann_recall", "s15_ann_recall_nprobe2",
+    "s14_ann_recall", "s15_ann_recall_nprobe2", "s19_ann_autotune",
     // q74: the stale-key anti-join against the stored view — both sides
     // statically size-unknown; at scale the view is a bucketed store
     // (exchange-free), locally AQE downgrades

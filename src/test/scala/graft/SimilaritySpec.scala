@@ -539,6 +539,48 @@ class SimilaritySpec extends SparkTestBase {
     r1.foreach { case (q, h1) => assert(r2(q) >= h1, s"query $q: ${r2(q)} < $h1") }
   }
 
+  test("annAutotune: monotone sweep, exactly one chosen row, selection semantics") {
+    val dir = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+    val corpusR = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val rows = Similarity.annAutotune(queries, corpusR, "vec_id", "embedding",
+        emb, k = 3, nprobes = Seq(1, 2, 4, 8), targetRecallMicro = 500000L)
+      .collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4, 8))
+    // the s14/s15 monotonicity carries over to the whole sweep: probing
+    // more cells can only add candidates (cost) and recover more truth
+    // elements (a global top-k item in a smaller candidate set stays
+    // top-k in any superset — anything outranking it is itself truth)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2, s"cost must be monotone: $b vs $a")
+      assert(b._3 >= a._3, s"hits must be monotone: $b vs $a")
+    }
+    // exactly one pinned config: the cheapest meeting the target,
+    // or the max-recall row when nothing does
+    assert(rows.count(_._5) == 1)
+    val meeting = rows.filter(_._4 >= 500000L)
+    val expected =
+      if (meeting.nonEmpty) meeting.minBy(r => (r._2, r._1))
+      else rows.maxBy(r => (r._4, -r._1))
+    assert(rows.find(_._5).get == expected)
+  }
+
+  test("annAutotune fallback: an unreachable target pins the max-recall config") {
+    val dir = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+    val corpusR = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val rows = Similarity.annAutotune(queries, corpusR, "vec_id", "embedding",
+        emb, k = 3, nprobes = Seq(1, 2), targetRecallMicro = 1000000L)
+      .collect().map(r => (r.getInt(0), r.getLong(3), r.getBoolean(4)))
+    assert(rows.count(_._3) == 1)
+    val chosen = rows.find(_._3).get
+    assert(chosen._2 == rows.map(_._2).max,
+      s"fallback must pin the max-recall config, got $chosen of ${rows.toSeq}")
+  }
+
   test("sq8TopK with corpus-wide rerank equals exact brute force") {
     // when every row survives the code-space cut, the final exact-cosine
     // ordering must be identical to bruteForceTopK — quantization only
