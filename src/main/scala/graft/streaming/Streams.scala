@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.operators.{Dedup, IncrementalMerge}
+import graft.operators.{Dedup, IncrementalMerge, Packing}
 
 /** Structured-Streaming re-expression of the reference's incremental model
   * (SURVEY §2.9). The reference is batch-incremental: a watermark bounds each
@@ -295,53 +295,179 @@ object Streams {
       if (last >= 0L)
         requireSameLineage("foreachBatchIndexedDedup", root, storedLineage, lineage)
       if (batchId > last) {
-        def committedDirs(kind: String): Seq[String] =
-          committedKindDirs(fs, rootP, kind, last)
-        // schemas for the pruned reads come from an EMPTY local index of the
-        // batch itself (plan-only — lazy checkpoints run no job), so a
-        // committed dir whose partitioned write produced zero files (an
-        // empty partitioned frame writes no part files to infer from) still
-        // reads as a typed empty frame
-        val shape = Dedup.lshIndex(batch.limit(0), idCol, textCol, k, bands, rowsPerBand)
-        def bucketed(key: Column): Column = pmod(hash(key), lit(storeBuckets))
-        def bucketsOf(probe: DataFrame, key: Column): Seq[Any] =
-          probe.select(pmod(hash(key), lit(storeBuckets)).as("_pb"))
-            .distinct().collect().map(_.get(0)).toSeq
-        val hashesFor: DataFrame => DataFrame = probe => {
-          val ds = committedDirs("hashes")
-          if (ds.isEmpty) probe.limit(0)
-          else prunedPartitionRead(spark,
-            ds, probe.schema.add("_hb", "int"), "_hb", bucketsOf(probe, col("_h")))
-        }
-        val bandsFor: DataFrame => DataFrame = probe => {
-          val ds = committedDirs("bands")
-          if (ds.isEmpty) shape.bands.limit(0)
-          else prunedPartitionRead(spark, ds, shape.bands.schema.add("_bb", "int"),
-            "_bb", bucketsOf(probe, struct(col("band"), col("bucket"))))
-        }
-        val setsFor: DataFrame => DataFrame = probe => {
-          val ds = committedDirs("sets")
-          if (ds.isEmpty) shape.sets.select(col("_jid"), col("_jset")).limit(0)
-          else prunedPartitionRead(spark, ds, shape.sets.schema.add("_sb", "int"),
-            "_sb", bucketsOf(probe, col("_jid")))
-        }
-        val survivors = Dedup.incrementalDedupStore(hashesFor, bandsFor, setsFor,
-            batch, idCol, textCol, k, bands, rowsPerBand, threshold, maxBucketSize)
+        val survivors = dedupVsCommittedIndex(spark, fs, rootP, batch, idCol,
+            textCol, k, bands, rowsPerBand, threshold, maxBucketSize,
+            storeBuckets, last)
           .localCheckpoint() // one pass feeds the corpus write + the index writes
         if (!survivors.isEmpty) {
-          val sIdx = Dedup.lshIndex(survivors, idCol, textCol, k, bands, rowsPerBand)
           survivors.write.mode("overwrite").parquet(s"$root/corpus/b$batchId")
-          sIdx.sets.withColumn("_sb", bucketed(col("_jid")))
-            .write.partitionBy("_sb").mode("overwrite").parquet(s"$root/sets/b$batchId")
-          sIdx.bands.withColumn("_bb", bucketed(struct(col("band"), col("bucket"))))
-            .write.partitionBy("_bb").mode("overwrite").parquet(s"$root/bands/b$batchId")
-          sIdx.sets.select(col("_jhash").as("_h")).distinct()
-            .withColumn("_hb", bucketed(col("_h")))
-            .write.partitionBy("_hb").mode("overwrite").parquet(s"$root/hashes/b$batchId")
+          writeIndexDirs(root, batchId, survivors, idCol, textCol,
+            k, bands, rowsPerBand, storeBuckets)
           commitBatchMarker(fs, rootP, batchId, lineage) // commit point, written LAST
         }
       }
     }
+
+  /** The shared dedup-vs-store core of [[foreachBatchIndexedDedup]] and
+    * [[foreachBatchCorpusPipeline]]: pruned partition reads of the COMMITTED
+    * hashes/bands/sets stores (ids <= `last` only — torn dirs are invisible)
+    * feed [[Dedup.incrementalDedupStore]]; stored-side I/O is bounded by the
+    * buckets the batch itself touches, never an O(corpus-index) scan. */
+  private def dedupVsCommittedIndex(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, rootP: org.apache.hadoop.fs.Path,
+      batch: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int, rowsPerBand: Int, threshold: Double,
+      maxBucketSize: Int, storeBuckets: Int, last: Long): DataFrame = {
+    def committedDirs(kind: String): Seq[String] =
+      committedKindDirs(fs, rootP, kind, last)
+    // schemas for the pruned reads come from an EMPTY local index of the
+    // batch itself (plan-only — lazy checkpoints run no job), so a
+    // committed dir whose partitioned write produced zero files (an
+    // empty partitioned frame writes no part files to infer from) still
+    // reads as a typed empty frame
+    val shape = Dedup.lshIndex(batch.limit(0), idCol, textCol, k, bands, rowsPerBand)
+    def bucketsOf(probe: DataFrame, key: Column): Seq[Any] =
+      probe.select(pmod(hash(key), lit(storeBuckets)).as("_pb"))
+        .distinct().collect().map(_.get(0)).toSeq
+    val hashesFor: DataFrame => DataFrame = probe => {
+      val ds = committedDirs("hashes")
+      if (ds.isEmpty) probe.limit(0)
+      else prunedPartitionRead(spark,
+        ds, probe.schema.add("_hb", "int"), "_hb", bucketsOf(probe, col("_h")))
+    }
+    val bandsFor: DataFrame => DataFrame = probe => {
+      val ds = committedDirs("bands")
+      if (ds.isEmpty) shape.bands.limit(0)
+      else prunedPartitionRead(spark, ds, shape.bands.schema.add("_bb", "int"),
+        "_bb", bucketsOf(probe, struct(col("band"), col("bucket"))))
+    }
+    val setsFor: DataFrame => DataFrame = probe => {
+      val ds = committedDirs("sets")
+      if (ds.isEmpty) shape.sets.select(col("_jid"), col("_jset")).limit(0)
+      else prunedPartitionRead(spark, ds, shape.sets.schema.add("_sb", "int"),
+        "_sb", bucketsOf(probe, col("_jid")))
+    }
+    Dedup.incrementalDedupStore(hashesFor, bandsFor, setsFor,
+      batch, idCol, textCol, k, bands, rowsPerBand, threshold, maxBucketSize)
+  }
+
+  /** Write one batch's bucket-partitioned LSH index dirs (sets/bands/hashes)
+    * under `root` — overwrite mode, so a torn prior attempt is replaced. */
+  private def writeIndexDirs(root: String, batchId: Long, survivors: DataFrame,
+      idCol: String, textCol: String, k: Int, bands: Int, rowsPerBand: Int,
+      storeBuckets: Int): Unit = {
+    def bucketed(key: Column): Column = pmod(hash(key), lit(storeBuckets))
+    val sIdx = Dedup.lshIndex(survivors, idCol, textCol, k, bands, rowsPerBand)
+    sIdx.sets.withColumn("_sb", bucketed(col("_jid")))
+      .write.partitionBy("_sb").mode("overwrite").parquet(s"$root/sets/b$batchId")
+    sIdx.bands.withColumn("_bb", bucketed(struct(col("band"), col("bucket"))))
+      .write.partitionBy("_bb").mode("overwrite").parquet(s"$root/bands/b$batchId")
+    sIdx.sets.select(col("_jhash").as("_h")).distinct()
+      .withColumn("_hb", bucketed(col("_h")))
+      .write.partitionBy("_hb").mode("overwrite").parquet(s"$root/hashes/b$batchId")
+  }
+
+  /** End-to-end streaming CORPUS PIPELINE — the composed ingest chain a
+    * training-data build runs continuously: per micro-batch,
+    *
+    *   1. dedup against the maintained stored LSH index
+    *      (the [[foreachBatchIndexedDedup]] machinery: exact re-crawl drop +
+    *      near-dup vs corpus and within-batch, O(batch) stored-side I/O);
+    *   2. quality-gate the dedup survivors (`quality`, a predicate over the
+    *      [[graft.operators.TextAnalysis.qualitySignals]] columns — one
+    *      fused kernel pass);
+    *   3. pack the ACCEPTED docs into fixed-length training sequences
+    *      ([[graft.operators.Packing.packSequences]] inside hash shards) and
+    *      append the layout as this batch's packed export.
+    *
+    * under ONE commit discipline: all stage dirs for batch id
+    * (`sets`/`bands`/`hashes` from ALL dedup survivors, `corpus` + `packed`
+    * from the accepted docs) are written first, then a SINGLE
+    * `_committed.<id>` marker publishes every stage atomically-enough — a
+    * crash ANYWHERE inside the chain leaves the marker at the previous
+    * batch, every torn dir invisible to readers (they read committed ids
+    * only), and the retry recomputes the same survivors against the same
+    * committed state and overwrites the torn dirs (exactly-once effective
+    * under at-least-once delivery; StreamingSpec drives a kill window at
+    * each stage). Replays of committed ids are skipped by the marker.
+    *
+    * Design choices a 100 TB corpus wants:
+    *  - ALL dedup survivors enter the index, quality-rejected ones too: a
+    *    re-crawl of a rejected doc is still a duplicate — reject once,
+    *    remember forever (otherwise every crawl re-pays its near-dup join);
+    *  - `corpus`/`packed` carry only the accepted docs — the product;
+    *  - packing is per (batch, shard): sequences are addressed
+    *    (batch, shard, seq_id), so no global token offset ever serializes
+    *    the stream, and shards parallelize the window within a batch.
+    *
+    * `lineage` follows the usual cross-checkpoint rule ([[requireSameLineage]]). */
+  def foreachBatchCorpusPipeline(root: String, idCol: String, textCol: String,
+      quality: Column, seqTokens: Int, shards: Int = 16,
+      k: Int = 5, bands: Int = 4, rowsPerBand: Int = 4,
+      threshold: Double = 0.5, maxBucketSize: Int = 1000,
+      storeBuckets: Int = 64, lineage: String = ""): (DataFrame, Long) => Unit =
+    corpusPipelineWithFailpoint(root, idCol, textCol, quality, seqTokens,
+      shards, k, bands, rowsPerBand, threshold, maxBucketSize, storeBuckets,
+      lineage, _ => ())
+
+  /** [[foreachBatchCorpusPipeline]] with a crash-injection hook for the
+    * kill-window spec: `failpoint` is invoked after each stage's write
+    * ("index", "corpus", "packed") and may throw to simulate a kill at
+    * that point in the chain. Production callers use the public wrapper
+    * (no-op hook). */
+  private[graft] def corpusPipelineWithFailpoint(root: String, idCol: String,
+      textCol: String, quality: Column, seqTokens: Int, shards: Int,
+      k: Int, bands: Int, rowsPerBand: Int, threshold: Double,
+      maxBucketSize: Int, storeBuckets: Int, lineage: String,
+      failpoint: String => Unit): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      require(seqTokens > 0 && shards > 0,
+        s"corpusPipeline: seqTokens and shards must be positive, got $seqTokens/$shards")
+      val spark = batch.sparkSession
+      val (fs, rootP) = hadoopFs(spark, root)
+      val (last, storedLineage) = lastCommittedWithLineage(fs, rootP)
+      if (last >= 0L)
+        requireSameLineage("foreachBatchCorpusPipeline", root, storedLineage, lineage)
+      if (batchId > last) {
+        val survivors = dedupVsCommittedIndex(spark, fs, rootP, batch, idCol,
+            textCol, k, bands, rowsPerBand, threshold, maxBucketSize,
+            storeBuckets, last)
+          .localCheckpoint() // one dedup pass feeds the index + the gate
+        // a batch with zero dedup survivors commits nothing: its replay
+        // re-dedups to zero again (content-idempotent)
+        if (!survivors.isEmpty) {
+          writeIndexDirs(root, batchId, survivors, idCol, textCol,
+            k, bands, rowsPerBand, storeBuckets)
+          failpoint("index")
+          val survivorCols = survivors.columns.map(col)
+          val accepted = graft.operators.TextAnalysis
+            .qualitySignals(survivors, textCol)
+            .filter(quality)
+            .select(survivorCols: _*)
+            .localCheckpoint() // one gate pass feeds corpus + packing
+          accepted.write.mode("overwrite").parquet(s"$root/corpus/b$batchId")
+          failpoint("corpus")
+          Packing.packSequences(
+              accepted.withColumn("_shard", pmod(hash(col(idCol)), lit(shards))),
+              idCol, textCol, seqTokens, Seq("_shard"))
+            .write.mode("overwrite").parquet(s"$root/packed/b$batchId")
+          failpoint("packed")
+          commitBatchMarker(fs, rootP, batchId, lineage) // commit point, LAST
+        }
+      }
+    }
+
+  /** The packed-sequence export maintained by [[foreachBatchCorpusPipeline]]
+    * — committed batches only. Rows address training sequences as
+    * (batch dir, _shard, seq_id); [[indexedCorpus]] reads the same
+    * pipeline's accepted-document corpus. */
+  def packedExport(spark: SparkSession, root: String): DataFrame = {
+    val (fs, rootP) = hadoopFs(spark, root)
+    val last = lastCommittedBatch(fs, rootP)
+    val dirs = committedKindDirs(fs, rootP, "packed", last)
+    require(dirs.nonEmpty, s"packedExport: nothing committed under $root")
+    spark.read.parquet(dirs: _*)
+  }
 
   /** Sink-side continuous SEMANTIC (embedding) dedup with a persisted
     * coarse quantizer — the embedding twin of [[foreachBatchIndexedDedup]]
@@ -659,6 +785,7 @@ object Streams {
     val last = lastCommittedBatch(fs, rootP)
     if (last < 0L) return
     val kinds = Seq("vectors" -> Some("cell"), "corpus" -> None,
+      "packed" -> None,
       "sets" -> Some("_sb"), "bands" -> Some("_bb"), "hashes" -> Some("_hb"))
     kinds.foreach { case (kind, partColName) =>
       val kindP = new org.apache.hadoop.fs.Path(rootP, kind)

@@ -439,6 +439,69 @@ class StreamingSpec extends SparkTestBase {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/_committed.2")))
   }
 
+  test("foreachBatchCorpusPipeline: kill window at each stage, exactly-once output") {
+    val root = java.nio.file.Files.createTempDirectory("graft_corpus_pipe").toString + "/r"
+    // gate: at least 8 whitespace tokens (one of qualitySignals' columns)
+    val gate = col("n_tokens") >= 8
+    def cleanSink = Streams.foreachBatchCorpusPipeline(
+      root, "doc_id", "text", gate, seqTokens = 16, shards = 4)
+    def killSink(stage: String) = Streams.corpusPipelineWithFailpoint(
+      root, "doc_id", "text", gate, 16, 4, 5, 4, 4, 0.5, 1000, 64, "",
+      s => if (s == stage) throw new RuntimeException(s"kill@$s"))
+    def corpusIds() = Streams.indexedCorpus(spark, root)
+      .select("doc_id").as[Long].collect().toSet
+    def packedIds() = Streams.packedExport(spark, root)
+      .select("doc_id").as[Long].collect().toSeq
+
+    // batch 0: 1/2 exact in-batch dups (keep 1), 3 survives dedup but FAILS
+    // the quality gate (2 tokens), 4 is a fresh accepted doc
+    val good1 = "the quick brown fox jumps over the lazy dog tonight"
+    val good4 = "completely unrelated corpus document with other words entirely here"
+    val b0 = Seq(
+      (1L, good1), (2L, good1), (3L, "short junk"), (4L, good4))
+      .toDF("doc_id", "text")
+    cleanSink(b0, 0L)
+    assert(corpusIds() == Set(1L, 4L), "corpus carries only accepted docs")
+    assert(packedIds().sorted == Seq(1L, 4L), "packed export covers accepted docs once")
+
+    // batch 1: 10 re-crawls the REJECTED doc 3's text (must drop — rejected
+    // docs stay indexed: reject once, remember forever), 11 is a near-dup of
+    // stored 1, 12 is fresh + accepted, 13 is fresh but quality-rejected
+    val b1 = Seq(
+      (10L, "short junk"),
+      (11L, "the quick brown fox jumps over the lazy dog tonite"),
+      (12L, "entirely fresh content with its own unique wording every time"),
+      (13L, "tiny noise"))
+      .toDF("doc_id", "text")
+    // kill window at each stage: torn dirs land on disk, the marker stays at
+    // batch 0, and every committed reader still sees exactly batch-0 state
+    Seq("index", "corpus", "packed").foreach { stage =>
+      val e = intercept[RuntimeException] { killSink(stage)(b1, 1L) }
+      assert(e.getMessage == s"kill@$stage")
+      assert(corpusIds() == Set(1L, 4L), s"torn $stage visible in corpus")
+      assert(packedIds().sorted == Seq(1L, 4L), s"torn $stage visible in packed")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$root/_committed.1")), s"marker after $stage kill")
+    }
+    // the retry completes the chain exactly once
+    cleanSink(b1, 1L)
+    assert(corpusIds() == Set(1L, 4L, 12L))
+    assert(packedIds().sorted == Seq(1L, 4L, 12L),
+      "every accepted doc exactly once in the packed export")
+    // replay of the committed id is skipped
+    cleanSink(b1, 1L)
+    assert(packedIds().sorted == Seq(1L, 4L, 12L))
+    // packed rows carry a sane per-shard layout: offsets within sequences,
+    // spans consistent with token counts
+    val packed = Streams.packedExport(spark, root)
+      .select("doc_id", "n_tokens", "tok_start", "seq_id", "seq_offset", "n_seqs")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    packed.foreach { case (id, n, start, seq, off, nseqs) =>
+      assert(n > 0 && start >= 0 && off >= 0 && off < 16, s"doc $id layout")
+      assert(seq == start / 16 && nseqs == (start + n - 1) / 16 - seq + 1, s"doc $id spans")
+    }
+  }
+
   test("publish recovery is total: every reachable crash layout lands on a sane snapshot") {
     // enumerate the layouts a crash can leave behind (live x staging x old)
     // and assert the next batch application never double-applies, never
