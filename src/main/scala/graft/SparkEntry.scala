@@ -2598,7 +2598,8 @@ object SparkEntry {
           Tables.documents(s, dir)), "text", segTokens = 2)
         .select(col("doc_id"), col("n_segments"), col("n_dup_segments"),
           col("dup_segment_frac"), col("dup_segment_char_frac"),
-          col("n_bigrams"), col("top_bigram_count"), col("top_bigram_frac"))
+          col("n_bigrams"), col("top_bigram_count"), col("top_bigram_frac"),
+          col("top_bigram_char_frac"))
         .orderBy(col("doc_id"))
     },
 
@@ -6046,8 +6047,9 @@ object SparkEntry {
     // of the engine's in-row sorted-adjacency fold); fractions are the
     // same single IEEE division over integer sums
     "t41_gopher_repetition" ->
-      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
-         b AS (SELECT doc_id, toks, length(toks) AS ntok,
+      """WITH d AS (SELECT doc_id, length(trim(text)) AS tlen,
+             regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+         b AS (SELECT doc_id, tlen, toks, length(toks) AS ntok,
              CAST(ceil(length(toks) / 2.0) AS BIGINT) AS nseg FROM d),
          seg AS (SELECT doc_id,
              array_to_string(toks[CAST(k*2+1 AS INTEGER) : CAST(k*2+2 AS INTEGER)], ' ') AS seg_text
@@ -6063,7 +6065,9 @@ object SparkEntry {
              toks[CAST(k AS INTEGER)] || ' ' || toks[CAST(k AS INTEGER) + 1] AS gram
            FROM b CROSS JOIN LATERAL unnest(range(1, ntok)) AS t(k) WHERE ntok >= 2),
          bc AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2),
-         bs AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_count FROM bc GROUP BY 1)
+         bs AS (SELECT doc_id, CAST(c AS BIGINT) AS top_bigram_count,
+             length(gram) AS top_len
+           FROM bc QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) = 1)
          SELECT b.doc_id, ss.n_segments, ss.n_dup_segments,
            CAST(ss.n_dup_segments AS DOUBLE) / ss.n_segments AS dup_segment_frac,
            CASE WHEN ss.total_chars = 0 THEN 0.0
@@ -6071,7 +6075,10 @@ object SparkEntry {
            CAST(greatest(ntok - 1, 0) AS BIGINT) AS n_bigrams,
            CAST(COALESCE(bs.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
            CASE WHEN ntok < 2 THEN 0.0
-                ELSE CAST(COALESCE(bs.top_bigram_count, 0) AS DOUBLE) / (ntok - 1) END AS top_bigram_frac
+                ELSE CAST(COALESCE(bs.top_bigram_count, 0) AS DOUBLE) / (ntok - 1) END AS top_bigram_frac,
+           CASE WHEN ntok < 2 THEN 0.0
+                ELSE CAST(COALESCE(bs.top_bigram_count, 0) AS DOUBLE)
+                     * COALESCE(bs.top_len, 0) / b.tlen END AS top_bigram_char_frac
          FROM b JOIN ss USING (doc_id) LEFT JOIN bs USING (doc_id)
          ORDER BY doc_id""",
 

@@ -169,31 +169,52 @@ object GopherUtil {
       totalChars += c * len
       if (c > 1) { nDup += c; dupChars += c * len }
     }
-    // bigram mode multiplicity via a second map (bigrams overlap, so they
-    // cannot share the segment walk)
+    // bigram mode via a second map (bigrams overlap, so they cannot share
+    // the segment walk); the TOP gram is selected totally — max count,
+    // ties to the lexicographically smallest gram — so the char fraction
+    // below is engine-deterministic, not map-iteration-order luck
     var topBigram = 0L
+    var topGram: String = null
     if (nTok >= 2) {
       val bgCounts = new java.util.HashMap[String, Int]()
       var k = 0
       while (k < nTok - 1) {
-        val c = bgCounts.merge(toks(k) + " " + toks(k + 1), 1, Integer.sum _)
-        if (c > topBigram) topBigram = c.toLong
+        bgCounts.merge(toks(k) + " " + toks(k + 1), 1, Integer.sum _)
         k += 1
+      }
+      val bit = bgCounts.entrySet().iterator()
+      while (bit.hasNext) {
+        val e = bit.next()
+        val c = e.getValue.toLong
+        if (c > topBigram ||
+            (c == topBigram && (topGram == null || e.getKey.compareTo(topGram) < 0))) {
+          topBigram = c
+          topGram = e.getKey
+        }
       }
     }
     val nBigrams = math.max(nTok - 1, 0).toLong
     val dupFrac = nDup.toDouble / nSeg
     val dupCharFrac = if (totalChars == 0L) 0.0 else dupChars.toDouble / totalChars
     val topFrac = if (nBigrams == 0L) 0.0 else topBigram.toDouble / nBigrams
+    // Gopher's actual §A1.1 gate: characters covered by occurrences of the
+    // most frequent 2-gram over the (space-trimmed) document length —
+    // the quantity the paper's 0.20 threshold applies to
+    val trimmedLen = s.codePointCount(start, end).toLong
+    val topCharFrac =
+      if (nBigrams == 0L || trimmedLen == 0L) 0.0
+      else topBigram.toDouble *
+        topGram.codePointCount(0, topGram.length) / trimmedLen
     new GenericInternalRow(Array[Any](
-      nSeg.toLong, nDup, dupFrac, dupCharFrac, nBigrams, topBigram, topFrac))
+      nSeg.toLong, nDup, dupFrac, dupCharFrac, nBigrams, topBigram, topFrac,
+      topCharFrac))
   }
 }
 
 /** gopher_repetition(text, w) -> struct<n_segments:bigint,
   * n_dup_segments:bigint, dup_segment_frac:double,
   * dup_segment_char_frac:double, n_bigrams:bigint, top_bigram_count:bigint,
-  * top_bigram_frac:double>. */
+  * top_bigram_frac:double, top_bigram_char_frac:double>. */
 case class GopherRepetition(child: Expression, w: Int) extends TextHashExpression {
   require(w >= 1, s"segTokens must be >= 1, got $w")
   override def dataType: DataType = StructType(Seq(
@@ -203,7 +224,8 @@ case class GopherRepetition(child: Expression, w: Int) extends TextHashExpressio
     StructField("dup_segment_char_frac", DoubleType, nullable = false),
     StructField("n_bigrams", LongType, nullable = false),
     StructField("top_bigram_count", LongType, nullable = false),
-    StructField("top_bigram_frac", DoubleType, nullable = false)))
+    StructField("top_bigram_frac", DoubleType, nullable = false),
+    StructField("top_bigram_char_frac", DoubleType, nullable = false)))
   override def prettyName: String = "gopher_repetition"
   override def nullSafeEval(input: Any): Any =
     GopherUtil.signals(input.asInstanceOf[UTF8String], w)

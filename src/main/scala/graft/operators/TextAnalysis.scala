@@ -436,10 +436,13 @@ object TextAnalysis {
     *    segments over all segment characters;
     *  - `n_bigrams`, `top_bigram_count`, `top_bigram_frac`: the mode
     *    multiplicity of the word 2-grams. NOTE: `top_bigram_frac` is an
-    *    OCCURRENCE fraction (mode count / n_bigrams), deliberately not
-    *    the paper's "top 2-gram character fraction" (which weights by the
-    *    gram's character length) — apply thresholds calibrated for the
-    *    occurrence quantity, not the paper's 0.20 char-fraction cut.
+    *    OCCURRENCE fraction (mode count / n_bigrams) — an auxiliary
+    *    diagnostic, not the paper's gate;
+    *  - `top_bigram_char_frac`: the paper's actual §A1.1 quantity —
+    *    characters covered by occurrences of the most frequent 2-gram
+    *    (count x gram length, ties to the lexicographically smallest
+    *    gram) over the space-trimmed document length. Apply Gopher's
+    *    0.20 threshold to THIS column.
     *
     * Scale design: entirely row-local — segments and bigrams are sorted
     * IN-ROW (`array_sort`) and duplicates read off adjacent equality, so
@@ -450,7 +453,8 @@ object TextAnalysis {
   def gopherRepetition(df: DataFrame, textCol: String, segTokens: Int = 2): DataFrame = {
     require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
     val outNames = Seq("n_segments", "n_dup_segments", "dup_segment_frac",
-      "dup_segment_char_frac", "n_bigrams", "top_bigram_count", "top_bigram_frac")
+      "dup_segment_char_frac", "n_bigrams", "top_bigram_count",
+      "top_bigram_frac", "top_bigram_char_frac")
     val cols = df.columns.filterNot(outNames.toSet).map(col)
     df.withColumn("_g", gopher_repetition(col(textCol), segTokens))
       .select(cols ++ outNames.map(n => col(s"_g.$n").as(n)): _*)
@@ -496,16 +500,21 @@ object TextAnalysis {
       (acc, i) => acc + length(element_at(segs, i.cast("int"))).cast("long"))
     val totalChars = aggregate(segs, lit(0L), (acc, s) => acc + length(s).cast("long"))
     val nBigrams = greatest(nTok - 1, lit(0)).cast("long")
-    // mode multiplicity = longest equal run in the sorted gram array: one
-    // fold with a (prev, run, best) accumulator
-    val topBigram = aggregate(col("_bg"),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+    // mode = longest equal run in the sorted gram array: one fold with a
+    // (prev, run, best, bestg) accumulator. The STRICT improvement test
+    // keeps the first run reaching the max, i.e. the lexicographically
+    // smallest gram among count ties — the kernel's tie rule
+    val topStruct = aggregate(col("_bg"),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"),
+        lit("").as("bestg")),
       (acc, x) => {
         val run = when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1L))
+        val better = run > acc.getField("best")
         struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
+          when(better, run).otherwise(acc.getField("best")).as("best"),
+          when(better, x).otherwise(acc.getField("bestg")).as("bestg"))
       },
-      acc => acc.getField("best"))
+      acc => struct(acc.getField("best").as("best"), acc.getField("bestg").as("bestg")))
     staged
       .withColumn("n_segments", nSeg)
       .withColumn("n_dup_segments", nDup)
@@ -513,10 +522,15 @@ object TextAnalysis {
       .withColumn("dup_segment_char_frac",
         when(totalChars === 0, 0.0).otherwise(dupChars.cast("double") / totalChars))
       .withColumn("n_bigrams", nBigrams)
-      .withColumn("top_bigram_count", topBigram)
+      .withColumn("_top", topStruct)
+      .withColumn("top_bigram_count", col("_top.best"))
       .withColumn("top_bigram_frac",
         when(col("n_bigrams") === 0, 0.0)
           .otherwise(col("top_bigram_count").cast("double") / col("n_bigrams")))
-      .drop("_toks", "_segs", "_bg")
+      .withColumn("top_bigram_char_frac",
+        when(col("n_bigrams") === 0, 0.0)
+          .otherwise(col("top_bigram_count").cast("double") *
+            length(col("_top.bestg")) / length(trim(col(textCol)))))
+      .drop("_toks", "_segs", "_bg", "_top")
   }
 }

@@ -307,14 +307,18 @@ class TextAnalysisSpec extends SparkTestBase {
       .toDF("doc_id", "text")
     val got = TextAnalysis.gopherRepetition(df, "text", segTokens = 2)
       .select("doc_id", "n_segments", "n_dup_segments", "dup_segment_frac",
-        "dup_segment_char_frac", "n_bigrams", "top_bigram_count", "top_bigram_frac")
+        "dup_segment_char_frac", "n_bigrams", "top_bigram_count", "top_bigram_frac",
+        "top_bigram_char_frac")
       .orderBy("doc_id")
-      .as[(Long, Long, Long, Double, Double, Long, Long, Double)].collect()
-    // doc 1: 2 of 3 segments duplicate; chars 3+3 of 3+3+1; mode bigram "a b" ×2 of 4
-    assert(got(0) == ((1L, 3L, 2L, 2.0 / 3, 6.0 / 7, 4L, 2L, 0.5)))
+      .as[(Long, Long, Long, Double, Double, Long, Long, Double, Double)].collect()
+    // doc 1: 2 of 3 segments duplicate; chars 3+3 of 3+3+1; mode bigram "a b" ×2
+    // of 4; the paper's char gate: 2 occurrences × 3 chars over 9 text chars
+    assert(got(0) == ((1L, 3L, 2L, 2.0 / 3, 6.0 / 7, 4L, 2L, 0.5, 6.0 / 9)))
     // doc 2: degenerate edges — no duplicates, no bigrams, fracs pinned to 0
-    assert(got(1) == ((2L, 1L, 0L, 0.0, 0.0, 0L, 0L, 0.0)))
-    assert(got(2) == ((3L, 2L, 0L, 0.0, 0.0, 3L, 1L, 1.0 / 3)))
+    assert(got(1) == ((2L, 1L, 0L, 0.0, 0.0, 0L, 0L, 0.0, 0.0)))
+    // doc 3: count ties across all three bigrams — the lexicographically
+    // smallest ("p q", 3 chars) carries the char fraction: 1 × 3 / 7
+    assert(got(2) == ((3L, 2L, 0L, 0.0, 0.0, 3L, 1L, 1.0 / 3, 3.0 / 7)))
   }
 
   test("gopherRepetition is shuffle-free (row-local plan)") {
@@ -327,7 +331,8 @@ class TextAnalysisSpec extends SparkTestBase {
   test("fused gopher_repetition equals the staged HOF composition, bit for bit") {
     val df = Tables.documents(spark, "/root/testdata/sf0.001")
     val cols = Seq("doc_id", "n_segments", "n_dup_segments", "dup_segment_frac",
-      "dup_segment_char_frac", "n_bigrams", "top_bigram_count", "top_bigram_frac")
+      "dup_segment_char_frac", "n_bigrams", "top_bigram_count", "top_bigram_frac",
+      "top_bigram_char_frac")
     for (w <- Seq(1, 2, 5)) {
       val a = TextAnalysis.gopherRepetition(df, "text", w)
         .select(cols.head, cols.tail: _*).orderBy("doc_id").collect()
