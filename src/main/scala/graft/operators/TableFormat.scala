@@ -56,10 +56,15 @@ object TableFormat {
                             nRows: Long, bloom: Array[Long])
 
   /** A resolved snapshot: the complete live file set (with stats) of one
-    * committed version. Immutable — safe to hold across concurrent
-    * commits (snapshot isolation). */
+    * committed version, plus the commit's PROPERTIES — small string pairs
+    * carried forward by maintenance commits (the Iceberg snapshot-summary
+    * shape). The streaming append sink stores its replay gate here
+    * (`batch_id`, `lineage`), so exactly-once ingest derives from the log
+    * itself instead of a side channel of marker files. Immutable — safe to
+    * hold across concurrent commits (snapshot isolation). */
   final case class Snapshot(root: String, version: Long, keyCol: String,
-                            numBits: Int, numHashes: Int, files: Seq[FileStat])
+                            numBits: Int, numHashes: Int, files: Seq[FileStat],
+                            props: Map[String, String] = Map.empty)
 
   private def logDir(root: String) = s"$root/_log"
   private def commitName(v: Long) = f"v$v%020d.json"
@@ -99,11 +104,18 @@ object TableFormat {
   /** Serialize a commit to its JSON form (schema versioned by the layer;
     * bloom words base64 big-endian so the artifact is engine-portable). */
   private def renderCommit(version: Long, keyCol: String, numBits: Int,
-                           numHashes: Int, files: Seq[FileStat]): String = {
+                           numHashes: Int, files: Seq[FileStat],
+                           props: Map[String, String]): String = {
     val sb = new StringBuilder
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     sb.append(s"""{"version":$version,"key_col":"${esc(keyCol)}",""")
-    sb.append(s""""num_bits":$numBits,"num_hashes":$numHashes,"files":[""")
+    sb.append(s""""num_bits":$numBits,"num_hashes":$numHashes,""")
+    sb.append("\"props\":{")
+    props.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((k, v), i) =>
+      if (i > 0) sb.append(',')
+      sb.append(s""""${esc(k)}":"${esc(v)}"""")
+    }
+    sb.append("},\"files\":[")
     files.zipWithIndex.foreach { case (f, i) =>
       if (i > 0) sb.append(',')
       val bytes = java.nio.ByteBuffer.allocate(f.bloom.length * 8)
@@ -126,8 +138,18 @@ object TableFormat {
         f.get("max_key").asLong(), f.get("n_rows").asLong(),
         Array.fill(bytes.length / 8)(bb.getLong))
     }
+    // commits written before props support parse unchanged (empty map)
+    val props =
+      if (!node.has("props")) Map.empty[String, String]
+      else {
+        val p = node.get("props")
+        val it = p.fieldNames()
+        val m = Map.newBuilder[String, String]
+        while (it.hasNext) { val k = it.next(); m += k -> p.get(k).asText() }
+        m.result()
+      }
     Snapshot(root, node.get("version").asLong(), node.get("key_col").asText(),
-      node.get("num_bits").asInt(), node.get("num_hashes").asInt(), files)
+      node.get("num_bits").asInt(), node.get("num_hashes").asInt(), files, props)
   }
 
   /** All committed versions, ascending — ONE directory listing, no data
@@ -177,7 +199,8 @@ object TableFormat {
     * publish the same version. */
   def tryCommit(spark: SparkSession, root: String, version: Long,
                 keyCol: String, numBits: Int, numHashes: Int,
-                files: Seq[FileStat]): Boolean = {
+                files: Seq[FileStat],
+                props: Map[String, String] = Map.empty): Boolean = {
     require(version >= 1, s"tryCommit: versions start at 1, got $version")
     val (fc, fs, _) = fileContext(spark, root)
     val dir = new org.apache.hadoop.fs.Path(logDir(root))
@@ -187,7 +210,7 @@ object TableFormat {
     val tmp = new org.apache.hadoop.fs.Path(dir,
       s".tmp-$version-${java.util.UUID.randomUUID().toString}")
     val out = fs.create(tmp, true)
-    try out.write(renderCommit(version, keyCol, numBits, numHashes, files)
+    try out.write(renderCommit(version, keyCol, numBits, numHashes, files, props)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     try { fc.rename(tmp, dst); true }
@@ -202,20 +225,26 @@ object TableFormat {
     * the next file set from it, publish at version+1; on a CAS loss
     * re-resolve and RE-DERIVE against the winner's snapshot (the loser's
     * change must compose with the committed one, not clobber it). `derive`
-    * receives None on an empty table (the bootstrap commit). Returns the
-    * committed snapshot. */
+    * receives None on an empty table (the bootstrap commit). `deriveProps`
+    * yields the new commit's properties from the same snapshot — the
+    * DEFAULT carries the current properties forward unchanged, so
+    * maintenance commits (compaction, delete) preserve an ingest sink's
+    * replay gate. Returns the committed snapshot. */
   def commitTransform(spark: SparkSession, root: String, keyCol: String,
                       numBits: Int, numHashes: Int,
                       derive: Option[Snapshot] => Seq[FileStat],
-                      maxAttempts: Int = 20): Snapshot = {
+                      maxAttempts: Int = 20,
+                      deriveProps: Option[Snapshot] => Map[String, String] =
+                        _.map(_.props).getOrElse(Map.empty)): Snapshot = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val vs = versions(spark, root)
       val cur = if (vs.isEmpty) None else Some(snapshot(spark, root, Some(vs.last)))
       val next = cur.map(_.version + 1).getOrElse(1L)
       val files = derive(cur)
-      if (tryCommit(spark, root, next, keyCol, numBits, numHashes, files))
-        return Snapshot(root, next, keyCol, numBits, numHashes, files)
+      val props = deriveProps(cur)
+      if (tryCommit(spark, root, next, keyCol, numBits, numHashes, files, props))
+        return Snapshot(root, next, keyCol, numBits, numHashes, files, props)
       attempt += 1
     }
     throw new IllegalStateException(

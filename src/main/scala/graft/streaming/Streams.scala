@@ -457,6 +457,60 @@ object Streams {
       }
     }
 
+  /** Streaming micro-batch APPEND into the [[graft.operators.TableFormat]]
+    * log — the full unification of the foreachBatch discipline with the
+    * table-format commit protocol: each batch's rows land as new data
+    * files and one CAS-published commit makes them visible, so the sink
+    * needs NO side channel of marker files — the replay gate (`batch_id`,
+    * `lineage`) lives in the commit's PROPERTIES, which maintenance
+    * commits (compaction, targeted delete) carry forward, letting ingest
+    * interleave with table maintenance under one log. What falls out for
+    * free: exactly-once (a crash between the data write and the commit
+    * leaves orphan files no snapshot references — the retry writes fresh
+    * files and commits once; a replayed committed id is skipped by the
+    * gate), ingest-history TIME TRAVEL ("the table as of batch 40"), and
+    * zone/bloom stats on every ingested file from the same single commit
+    * read every query path uses.
+    *
+    * Contract: one appender per lineage (the foreachBatch guarantee);
+    * concurrent MAINTENANCE commits are safe — the optimistic commit loop
+    * re-derives the append against the winner's file set. Binding an
+    * appender to a table bootstrapped by [[graft.operators.TableFormat.commitFiles]]
+    * is allowed (the gate initializes); rebinding a STREAM-written table
+    * to a different checkpoint lineage throws, the usual cross-lineage
+    * rule. Orphan files from crashed attempts are unreferenced garbage a
+    * retention sweep can delete by diffing `dataDir` against the log. */
+  def foreachBatchTableAppend(root: String, dataDir: String, keyCol: String,
+                              numBits: Int = 1 << 14, numHashes: Int = 5,
+                              lineage: String = ""): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      import graft.operators.TableFormat
+      val spark = batch.sparkSession
+      val vs = TableFormat.versions(spark, root)
+      val cur = vs.lastOption.map(v => TableFormat.snapshot(spark, root, Some(v)))
+      cur.foreach(c => require(c.keyCol == keyCol,
+        s"foreachBatchTableAppend: table at $root is keyed on '${c.keyCol}', not '$keyCol'"))
+      val streamWritten = cur.exists(_.props.contains("batch_id"))
+      val storedLineage = cur.flatMap(_.props.get("lineage")).getOrElse("")
+      if (streamWritten && storedLineage != lineage)
+        requireSameLineage("foreachBatchTableAppend", root, storedLineage, lineage)
+      val lastBatch = cur.flatMap(_.props.get("batch_id")).map(_.toLong).getOrElse(-1L)
+      if (batchId > lastBatch && !batch.isEmpty) {
+        // bloom geometry is a property of the TABLE, not the batch: later
+        // appends inherit the bootstrap commit's parameters
+        val (effBits, effHashes) =
+          cur.map(c => (c.numBits, c.numHashes)).getOrElse((numBits, numHashes))
+        val out = s"$dataDir/append-$batchId-${java.util.UUID.randomUUID().toString}"
+        batch.write.mode("overwrite").parquet(out)
+        val stats = TableFormat.fileStats(spark,
+          TableFormat.listParquet(spark, out), keyCol, effBits, effHashes)
+        TableFormat.commitTransform(spark, root, keyCol, effBits, effHashes,
+          curOpt => (curOpt.map(_.files).getOrElse(Seq.empty) ++ stats).sortBy(_.file),
+          deriveProps = curOpt => curOpt.map(_.props).getOrElse(Map.empty) +
+            ("batch_id" -> batchId.toString) + ("lineage" -> lineage))
+      }
+    }
+
   /** The packed-sequence export maintained by [[foreachBatchCorpusPipeline]]
     * — committed batches only. Rows address training sequences as
     * (batch dir, _shard, seq_id); [[indexedCorpus]] reads the same

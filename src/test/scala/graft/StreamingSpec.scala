@@ -502,6 +502,54 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("foreachBatchTableAppend: log-derived replay gate, crash invisibility, ingest time travel") {
+    import graft.operators.TableFormat
+    val dir = java.nio.file.Files.createTempDirectory("graft_tf_append").toString
+    val (root, data) = (s"$dir/t", s"$dir/d")
+    val fn = Streams.foreachBatchTableAppend(root, data, "k",
+      numBits = 256, numHashes = 3, lineage = "ckpt-A")
+    def latest() = TableFormat.read(spark, TableFormat.snapshot(spark, root))
+      .select("k").as[Long].collect().toSet
+    fn(Seq(1L -> 10.0, 2L -> 20.0).toDF("k", "v"), 0L)
+    assert(latest() == Set(1L, 2L))
+    assert(TableFormat.versions(spark, root) == Seq(1L))
+    // replay of the committed id: the gate comes from the commit props —
+    // no marker files exist anywhere
+    fn(Seq(1L -> 10.0, 2L -> 20.0).toDF("k", "v"), 0L)
+    assert(TableFormat.versions(spark, root) == Seq(1L))
+    assert(!new java.io.File(dir).list().exists(_.startsWith("_committed")))
+    // an empty batch commits no version
+    fn(Seq.empty[(Long, Double)].toDF("k", "v"), 1L)
+    assert(TableFormat.versions(spark, root) == Seq(1L))
+    // crash window: data files written but never committed are invisible
+    Seq(99L -> 0.0).toDF("k", "v").write.parquet(s"$data/append-orphan")
+    assert(latest() == Set(1L, 2L))
+    // batch 2 appends; the table as of v1 still reads batch 0 alone
+    fn(Seq(10L -> 1.0).toDF("k", "v"), 2L)
+    assert(latest() == Set(1L, 2L, 10L))
+    assert(TableFormat.read(spark, TableFormat.snapshot(spark, root, Some(1L)))
+      .select("k").as[Long].collect().toSet == Set(1L, 2L))
+    // interleaved MAINTENANCE commit preserves the replay gate: compaction
+    // carries props forward, so a replay of batch 2 is still skipped and
+    // the next append proceeds from the compacted snapshot
+    TableFormat.compact(spark, root, data, nFiles = 1)
+    val afterCompact = TableFormat.versions(spark, root).size
+    fn(Seq(10L -> 1.0).toDF("k", "v"), 2L) // replay across the compaction
+    assert(TableFormat.versions(spark, root).size == afterCompact)
+    fn(Seq(20L -> 2.0).toDF("k", "v"), 3L)
+    assert(latest() == Set(1L, 2L, 10L, 20L))
+    // zone/bloom stats exist for every ingested file from the same log read
+    val snap = TableFormat.snapshot(spark, root)
+    assert(snap.files.forall(f => f.nRows > 0 && f.minKey <= f.maxKey))
+    // rebinding a stream-written table to another lineage throws
+    val other = Streams.foreachBatchTableAppend(root, data, "k",
+      numBits = 256, numHashes = 3, lineage = "ckpt-B")
+    val e = intercept[IllegalStateException] {
+      other(Seq(30L -> 3.0).toDF("k", "v"), 0L)
+    }
+    assert(e.getMessage.contains("lineage"))
+  }
+
   test("publish recovery is total: every reachable crash layout lands on a sane snapshot") {
     // enumerate the layouts a crash can leave behind (live x staging x old)
     // and assert the next batch application never double-applies, never

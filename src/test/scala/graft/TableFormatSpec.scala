@@ -140,6 +140,29 @@ class TableFormatSpec extends SparkTestBase {
     assert(TableFormat.read(spark, pinned).filter(col("k") === 5L).count() == 1L)
   }
 
+  test("commit properties round-trip and maintenance commits carry them forward") {
+    val root = freshRoot()
+    val fa = writeKv((1L to 40L).map(k => k -> k.toDouble), s"$root/fa")
+    TableFormat.commitFiles(spark, root, "k",
+      TableFormat.listParquet(spark, fa), numBits = 256, numHashes = 3)
+    assert(TableFormat.snapshot(spark, root).props.isEmpty)
+    // a props-bearing commit (the streaming appender's replay gate shape),
+    // including characters the JSON escaper must handle
+    val s2 = TableFormat.commitTransform(spark, root, "k", 256, 3,
+      cur => cur.get.files,
+      deriveProps = _ => Map("batch_id" -> "7", "lineage" -> """ck"pt\path"""))
+    assert(s2.props == Map("batch_id" -> "7", "lineage" -> """ck"pt\path"""))
+    assert(TableFormat.snapshot(spark, root, Some(2L)).props == s2.props)
+    // compaction and targeted delete preserve the properties (the default
+    // deriveProps), so a maintenance commit can never erase the gate
+    val s3 = TableFormat.compact(spark, root, root, nFiles = 1)
+    assert(s3.props == s2.props)
+    val s4 = TableFormat.deleteKeys(spark, root, root, Seq(5L))
+    assert(s4.props == s2.props)
+    // v1 (pre-props) still parses with an empty map
+    assert(TableFormat.snapshot(spark, root, Some(1L)).props.isEmpty)
+  }
+
   test("tryCommit CAS: the same version cannot be published twice") {
     val root = freshRoot()
     val f = writeKv(Seq(1L -> 1.0), s"$root/x")
