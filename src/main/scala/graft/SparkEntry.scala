@@ -2670,6 +2670,11 @@ object SparkEntry {
         val p = new org.apache.hadoop.fs.Path(out)
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(p, true)
+        // shard count grows with the table (the production layout): the
+        // pushed TopN folds per-file heaps concurrently, so wall time is
+        // ~table/shards — a pinned file count would serialize the probe
+        val nShards = math.max(4L,
+          Tables.orders(s, dir).count() / 150000L).toInt
         Tables.orders(s, dir).select(to_json(struct(
           col("o_orderkey").cast("string").as("id"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("date"),
@@ -2678,7 +2683,7 @@ object SparkEntry {
           col("o_orderstatus").as("category"),
           concat(lit("M"), pmod(col("o_orderkey"), lit(11))).as("merchant"),
           (pmod(col("o_orderkey"), lit(97)) === 0).as("pending"))).as("value"))
-          .repartition(4).write.mode("overwrite").text(out)
+          .repartition(nShards).write.mode("overwrite").text(out)
         // the source's listing contract is *.jsonl
         fs.listStatus(p).foreach { st =>
           val n = st.getPath.getName

@@ -296,14 +296,19 @@ private class TxnReaderFactory(filters: Array[Filter], required: StructType,
     }
 }
 
-/** Complete TopN + offset evaluation: stream every file once through a
-  * bounded max-heap of the best `limit` records (Spark already folded the
-  * offset into the TopN bound), then emit the sorted survivors minus the
-  * first `offset`. Sort keys are evaluated from the parsed record, so they
-  * need not survive column pruning. Ties beyond the sort keys keep an
-  * unspecified subset (standard SQL TopN semantics — callers wanting a
-  * stable page sort on a unique key suffix, as the reference's
-  * date-ordered pagination does with its id tie-break). */
+/** Complete TopN + offset evaluation — the "server" answering one page
+  * request. Each file streams once through its OWN bounded max-heap of the
+  * best `limit` records (Spark already folded the offset into the TopN
+  * bound), the per-file folds run CONCURRENTLY on a scan thread pool (a
+  * sharded server fans the page request out to its shards — wall time is
+  * table/shards, not table), and the final page is selected from the
+  * ≤ files × limit local survivors — merge work bounded by the page times
+  * the shard count, never the table. Memory is O(files × limit) entries.
+  * Sort keys are evaluated from the parsed record, so they need not
+  * survive column pruning. Ties beyond the sort keys keep an unspecified
+  * subset (standard SQL TopN semantics — callers wanting a stable page
+  * sort on a unique key suffix, as the reference's date-ordered
+  * pagination does with its id tie-break). */
 private class TxnTopNReader(files: Seq[String], filters: Array[Filter],
                             required: StructType, sortKeys: Seq[SortKey],
                             limit: Int, offset: Int)
@@ -313,7 +318,6 @@ private class TxnTopNReader(files: Seq[String], filters: Array[Filter],
     def nextRec(): JsonNode = nextMatching()
     override def next(): Boolean = false
     override def get(): InternalRow = null
-    def cmp(name: String, a: Any, b: Any): Int = compareInternal(name, a, b)
     def rowVal(v: Any): Any = toRowValue(v)
     def fv(node: JsonNode, name: String): Any = fieldValue(node, name)
   }
@@ -324,8 +328,9 @@ private class TxnTopNReader(files: Seq[String], filters: Array[Filter],
   private var current: InternalRow = _
 
   /** Output-order comparison of two key vectors (nullsFirst/direction are
-    * absolute, the Spark SortOrder contract). */
-  private def compareKeys(s: Stream, a: Array[Any], b: Array[Any]): Int = {
+    * absolute, the Spark SortOrder contract). Pure value comparison
+    * ([[TxnValues.compareInternal]]) — safe from any scan thread. */
+  private def compareKeys(a: Array[Any], b: Array[Any]): Int = {
     var i = 0
     while (i < sortKeys.length) {
       val k = sortKeys(i)
@@ -334,43 +339,56 @@ private class TxnTopNReader(files: Seq[String], filters: Array[Filter],
         if (x == null && y == null) 0
         else if (x == null) { if (k.nullsFirst) -1 else 1 }
         else if (y == null) { if (k.nullsFirst) 1 else -1 }
-        else { val c0 = s.cmp(k.field, x, y); if (k.asc) c0 else -c0 }
+        else { val c0 = TxnValues.compareInternal(k.field, x, y); if (k.asc) c0 else -c0 }
       if (c != 0) return c
       i += 1
     }
     0
   }
 
+  /** One file's local top-`limit` fold — independent of every other file's. */
+  private def foldFile(f: String): java.util.PriorityQueue[Entry] = {
+    val s = new Stream(f)
+    try {
+      // max-heap: root = worst kept entry in output order
+      val heap = new java.util.PriorityQueue[Entry](limit,
+        (a: Entry, b: Entry) => -compareKeys(a.keys, b.keys))
+      var node = s.nextRec()
+      while (node != null) {
+        val keys = sortKeys.map(k => s.fv(node, k.field)).toArray
+        if (heap.size < limit) {
+          heap.add(Entry(keys,
+            required.fields.map(fd => s.rowVal(s.fv(node, fd.name)))))
+        } else if (compareKeys(keys, heap.peek().keys) < 0) {
+          heap.poll()
+          heap.add(Entry(keys,
+            required.fields.map(fd => s.rowVal(s.fv(node, fd.name)))))
+        }
+        node = s.nextRec()
+      }
+      heap
+    } finally s.close()
+  }
+
   private def fold(): Iterator[InternalRow] = {
     if (limit == 0) return Iterator.empty
     require(limit > 0, s"TopN pushdown without a limit bound: $limit")
-    var refStream: Stream = null
-    val heap = new java.util.PriorityQueue[Entry](limit,
-      // max-heap: root = worst kept entry in output order
-      (a: Entry, b: Entry) => -compareKeys(refStream, a.keys, b.keys))
-    for (f <- files) {
-      val s = new Stream(f)
-      if (refStream == null) refStream = s
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(files.size, Runtime.getRuntime.availableProcessors())))
+    val locals =
       try {
-        var node = s.nextRec()
-        while (node != null) {
-          val keys = sortKeys.map(k => s.fv(node, k.field)).toArray
-          if (heap.size < limit) {
-            heap.add(Entry(keys,
-              required.fields.map(fd => s.rowVal(s.fv(node, fd.name)))))
-          } else if (compareKeys(s, keys, heap.peek().keys) < 0) {
-            heap.poll()
-            heap.add(Entry(keys,
-              required.fields.map(fd => s.rowVal(s.fv(node, fd.name)))))
-          }
-          node = s.nextRec()
-        }
-      } finally s.close()
-    }
-    val sorted = new Array[Entry](heap.size)
-    var i = sorted.length - 1
-    while (i >= 0) { sorted(i) = heap.poll(); i -= 1 } // heap drains worst-first
-    sorted.iterator.drop(offset).map(e => InternalRow.fromSeq(e.row.toSeq))
+        val futures = files.map(f =>
+          pool.submit(new java.util.concurrent.Callable[java.util.PriorityQueue[Entry]] {
+            override def call(): java.util.PriorityQueue[Entry] = foldFile(f)
+          }))
+        futures.map(_.get())
+      } finally pool.shutdown()
+    // global page = best `limit` of the local survivors (≤ files × limit)
+    val all = new java.util.ArrayList[Entry]()
+    locals.foreach(h => all.addAll(h))
+    all.sort((a: Entry, b: Entry) => compareKeys(a.keys, b.keys))
+    all.iterator().asScala.slice(offset, limit)
+      .map(e => InternalRow.fromSeq(e.row.toSeq))
   }
 
   override def next(): Boolean = {
@@ -453,6 +471,22 @@ private class TxnAggReader(file: String, filters: Array[Filter],
   override def get(): InternalRow = current
 }
 
+/** Stateless value comparisons shared by the readers and the concurrent
+  * TopN fold (no reader instance required — safe from any scan thread). */
+private object TxnValues {
+  /** Compare two reader-internal values of the same field. Strings compare
+    * in UTF-8 BINARY order (Spark's StringType ordering) — java.lang.String
+    * compareTo is UTF-16 code-unit order, which inverts min/max for
+    * supplementary characters vs U+E000..U+FFFF. */
+  def compareInternal(name: String, a: Any, b: Any): Int = name match {
+    case "date" => a.asInstanceOf[Int].compareTo(b.asInstanceOf[Int])
+    case "amount" => a.asInstanceOf[Double].compareTo(b.asInstanceOf[Double])
+    case "pending" => a.asInstanceOf[Boolean].compareTo(b.asInstanceOf[Boolean])
+    case _ => UTF8String.fromString(a.asInstanceOf[String])
+      .compareTo(UTF8String.fromString(b.asInstanceOf[String]))
+  }
+}
+
 /** Shared executor-side JSONL machinery: line streaming, record parsing,
   * pushed-filter evaluation. Values use the reader-internal representation
   * (date = epoch-day Int, strings = java String until row construction). */
@@ -490,17 +524,10 @@ private abstract class TxnJsonlReaderBase(file: String, filters: Array[Filter])
     case _ => value.toString.compareTo(filterValue.toString)
   }
 
-  /** Compare two reader-internal values of the same field. Strings compare
-    * in UTF-8 BINARY order (Spark's StringType ordering) — java.lang.String
-    * compareTo is UTF-16 code-unit order, which inverts min/max for
-    * supplementary characters vs U+E000..U+FFFF. */
-  protected def compareInternal(name: String, a: Any, b: Any): Int = name match {
-    case "date" => a.asInstanceOf[Int].compareTo(b.asInstanceOf[Int])
-    case "amount" => a.asInstanceOf[Double].compareTo(b.asInstanceOf[Double])
-    case "pending" => a.asInstanceOf[Boolean].compareTo(b.asInstanceOf[Boolean])
-    case _ => UTF8String.fromString(a.asInstanceOf[String])
-      .compareTo(UTF8String.fromString(b.asInstanceOf[String]))
-  }
+  /** Compare two reader-internal values of the same field (see
+    * [[TxnValues.compareInternal]]). */
+  protected def compareInternal(name: String, a: Any, b: Any): Int =
+    TxnValues.compareInternal(name, a, b)
 
   /** Reader-internal value -> InternalRow representation. */
   protected def toRowValue(v: Any): Any = v match {
