@@ -2716,6 +2716,59 @@ object SparkEntry {
       Similarity.annAutotune(queries, corpusR, "vec_id", "embedding",
         corpus = emb, k = 3, nprobes = Seq(1, 2, 4, 8),
         targetRecallMicro = 500000L)
+    },
+
+    // ---- Layout: SCHEMA EVOLUTION through the TableFormat log — commits
+    // carry the table schema, so a widened append (new `rflag` column)
+    // evolves the schema add-only WITHOUT rewriting a byte: earlier
+    // files read the new column as NULL (by-name parquet resolution,
+    // never reader-side footer inference), "AS OF v1" still reads the
+    // ORIGINAL two-column schema, and a targeted delete afterwards
+    // rewrites only bloom-positive files under the evolved schema. The
+    // probe grades per-version column count + content; the oracle
+    // recomputes both from the base table ----
+    "q86_schema_evolution" -> { (s, dir) =>
+      val root = scratch("q86_se", dir)
+      Fixtures.once(s, "q86_se", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val base = Tables.lineitem(s, dir)
+          .filter(pmod(col("l_orderkey"), lit(4)) === 3)
+          .select(col("l_orderkey"),
+            floor(col("l_quantity") * 100).cast("long").as("qty_x100"))
+        base.repartition(2).write.mode("overwrite").parquet(s"$root/v1")
+        TableFormat.commitFiles(s, root, "l_orderkey",
+          TableFormat.listParquet(s, s"$root/v1"), numBits = 1 << 14, numHashes = 5)
+        val widened = Tables.lineitem(s, dir)
+          .filter(pmod(col("l_orderkey"), lit(4)) === 0)
+          .select(col("l_orderkey"),
+            floor(col("l_quantity") * 100).cast("long").as("qty_x100"),
+            col("l_returnflag").as("rflag"))
+        widened.repartition(2).write.mode("overwrite").parquet(s"$root/v2")
+        TableFormat.appendFiles(s, root, TableFormat.listParquet(s, s"$root/v2"))
+        // the delete-key set is control-sized and data-derived so the
+        // oracle replays it exactly: every table key = 3 (mod 1000)
+        val delKeys = base.select(col("l_orderkey"))
+          .unionByName(widened.select(col("l_orderkey")))
+          .filter(pmod(col("l_orderkey"), lit(1000)) === 3)
+          .distinct().collect().map(_.getLong(0)).toSeq.sorted
+        TableFormat.deleteKeys(s, root, root, delKeys)
+      }
+      val stats = TableFormat.versions(s, root).map { v =>
+        val snap = TableFormat.snapshot(s, root, Some(v))
+        val df0 = Parallelism.ensureDefaultParallelism(TableFormat.read(s, snap))
+        val nCols = df0.columns.length
+        // v1's schema has no rflag at all — that absence IS the probe
+        // (n_cols); count over an all-null stand-in keeps one agg shape
+        val df = if (df0.columns.contains("rflag")) df0
+          else df0.withColumn("rflag", lit(null).cast("string"))
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(col("qty_x100")).as("sum_qty_x100"),
+            count(col("rflag")).as("n_flag"))
+          .select(lit(v.toInt).as("version"), lit(nCols).as("n_cols"),
+            col("n_rows"), col("sum_qty_x100"), col("n_flag"))
+      }
+      stats.reduce(_.unionByName(_)).orderBy(col("version"))
     }
   )
 
@@ -6262,7 +6315,30 @@ object SparkEntry {
              nprobe) AS rn
            FROM summary s)
          SELECT nprobe, n_pairs, n_hits, recall_micro, (rn = 1) AS chosen
-         FROM ranked ORDER BY nprobe"""
+         FROM ranked ORDER BY nprobe""",
+
+    // the file/log machinery is an IO detail; the semantics per version
+    // are plain filters over the base table, with n_cols recording the
+    // committed schema's width (2 before the widened append, 3 after)
+    "q86_schema_evolution" ->
+      """WITH rows1 AS (
+           SELECT l_orderkey AS k, CAST(floor(l_quantity * 100) AS BIGINT) AS q,
+             CAST(NULL AS VARCHAR) AS rf
+           FROM lineitem WHERE l_orderkey % 4 = 3),
+         rows2 AS (
+           SELECT l_orderkey AS k, CAST(floor(l_quantity * 100) AS BIGINT) AS q,
+             l_returnflag AS rf
+           FROM lineitem WHERE l_orderkey % 4 = 0),
+         allrows AS (SELECT * FROM rows1 UNION ALL SELECT * FROM rows2),
+         v1 AS (SELECT CAST(1 AS INTEGER) AS version, CAST(2 AS INTEGER) AS n_cols,
+             count(*) AS n_rows, CAST(sum(q) AS BIGINT) AS sum_qty_x100,
+             count(rf) AS n_flag FROM rows1),
+         v2 AS (SELECT CAST(2 AS INTEGER), CAST(3 AS INTEGER), count(*),
+             CAST(sum(q) AS BIGINT), count(rf) FROM allrows),
+         v3 AS (SELECT CAST(3 AS INTEGER), CAST(3 AS INTEGER), count(*),
+             CAST(sum(q) AS BIGINT), count(rf) FROM allrows WHERE k % 1000 <> 3)
+         SELECT * FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2
+           UNION ALL SELECT * FROM v3) ORDER BY version"""
   )
 
   /** The MMR oracle: the k greedy selection steps UNROLLED as chained

@@ -64,7 +64,8 @@ object TableFormat {
     * hold across concurrent commits (snapshot isolation). */
   final case class Snapshot(root: String, version: Long, keyCol: String,
                             numBits: Int, numHashes: Int, files: Seq[FileStat],
-                            props: Map[String, String] = Map.empty)
+                            props: Map[String, String] = Map.empty,
+                            schemaDdl: Option[String] = None)
 
   private def logDir(root: String) = s"$root/_log"
   private def commitName(v: Long) = f"v$v%020d.json"
@@ -105,11 +106,13 @@ object TableFormat {
     * bloom words base64 big-endian so the artifact is engine-portable). */
   private def renderCommit(version: Long, keyCol: String, numBits: Int,
                            numHashes: Int, files: Seq[FileStat],
-                           props: Map[String, String]): String = {
+                           props: Map[String, String],
+                           schemaDdl: Option[String]): String = {
     val sb = new StringBuilder
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     sb.append(s"""{"version":$version,"key_col":"${esc(keyCol)}",""")
     sb.append(s""""num_bits":$numBits,"num_hashes":$numHashes,""")
+    schemaDdl.foreach(d => sb.append(s""""schema":"${esc(d)}","""))
     sb.append("\"props\":{")
     props.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((k, v), i) =>
       if (i > 0) sb.append(',')
@@ -148,8 +151,11 @@ object TableFormat {
         while (it.hasNext) { val k = it.next(); m += k -> p.get(k).asText() }
         m.result()
       }
+    val schemaDdl =
+      if (node.has("schema")) Some(node.get("schema").asText()) else None
     Snapshot(root, node.get("version").asLong(), node.get("key_col").asText(),
-      node.get("num_bits").asInt(), node.get("num_hashes").asInt(), files, props)
+      node.get("num_bits").asInt(), node.get("num_hashes").asInt(), files,
+      props, schemaDdl)
   }
 
   /** All committed versions, ascending — ONE directory listing, no data
@@ -200,7 +206,8 @@ object TableFormat {
   def tryCommit(spark: SparkSession, root: String, version: Long,
                 keyCol: String, numBits: Int, numHashes: Int,
                 files: Seq[FileStat],
-                props: Map[String, String] = Map.empty): Boolean = {
+                props: Map[String, String] = Map.empty,
+                schemaDdl: Option[String] = None): Boolean = {
     require(version >= 1, s"tryCommit: versions start at 1, got $version")
     val (fc, fs, _) = fileContext(spark, root)
     val dir = new org.apache.hadoop.fs.Path(logDir(root))
@@ -210,8 +217,9 @@ object TableFormat {
     val tmp = new org.apache.hadoop.fs.Path(dir,
       s".tmp-$version-${java.util.UUID.randomUUID().toString}")
     val out = fs.create(tmp, true)
-    try out.write(renderCommit(version, keyCol, numBits, numHashes, files, props)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(
+      renderCommit(version, keyCol, numBits, numHashes, files, props, schemaDdl)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     try { fc.rename(tmp, dst); true }
     catch {
@@ -235,7 +243,9 @@ object TableFormat {
                       derive: Option[Snapshot] => Seq[FileStat],
                       maxAttempts: Int = 20,
                       deriveProps: Option[Snapshot] => Map[String, String] =
-                        _.map(_.props).getOrElse(Map.empty)): Snapshot = {
+                        _.map(_.props).getOrElse(Map.empty),
+                      deriveSchema: Option[Snapshot] => Option[String] =
+                        _.flatMap(_.schemaDdl)): Snapshot = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val vs = versions(spark, root)
@@ -243,8 +253,11 @@ object TableFormat {
       val next = cur.map(_.version + 1).getOrElse(1L)
       val files = derive(cur)
       val props = deriveProps(cur)
-      if (tryCommit(spark, root, next, keyCol, numBits, numHashes, files, props))
-        return Snapshot(root, next, keyCol, numBits, numHashes, files, props)
+      val schemaDdl = deriveSchema(cur)
+      if (tryCommit(spark, root, next, keyCol, numBits, numHashes, files,
+          props, schemaDdl))
+        return Snapshot(root, next, keyCol, numBits, numHashes, files,
+          props, schemaDdl)
       attempt += 1
     }
     throw new IllegalStateException(
@@ -253,10 +266,39 @@ object TableFormat {
 
   // ---- reads (always through a resolved snapshot) ------------------------
 
-  /** Read a snapshot's complete content. */
+  /** Read a snapshot's complete content, under the snapshot's own SCHEMA
+    * when the commit carries one: files written before a column existed
+    * read it as NULL (by-name parquet resolution) — schema evolution
+    * without a rewrite, and no reader-side footer inference ever. */
   def read(spark: SparkSession, snap: Snapshot): DataFrame = {
     require(snap.files.nonEmpty, s"read: snapshot v${snap.version} lists no files")
-    spark.read.parquet(snap.files.map(_.file): _*)
+    readFiles(spark, snap, snap.files.map(_.file))
+  }
+
+  private def readFiles(spark: SparkSession, snap: Snapshot,
+                        files: Seq[String]): DataFrame =
+    snap.schemaDdl match {
+      case Some(ddl) =>
+        spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+          .parquet(files: _*)
+      case None => spark.read.parquet(files: _*)
+    }
+
+  /** Add-only schema union: columns of `next` not in `cur` are appended in
+    * `next`'s order; a column present in both must keep its exact type
+    * (type changes and drops need a rewrite — out of the minimal sound
+    * form, as in early Iceberg v1 readers). */
+  def evolveSchema(cur: org.apache.spark.sql.types.StructType,
+                   next: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val byName = cur.fields.map(f => f.name -> f).toMap
+    next.fields.foreach { f =>
+      byName.get(f.name).foreach(c => require(c.dataType == f.dataType,
+        s"schema evolution: column '${f.name}' cannot change type " +
+          s"${c.dataType.simpleString} -> ${f.dataType.simpleString}"))
+    }
+    org.apache.spark.sql.types.StructType(
+      cur.fields ++ next.fields.filterNot(f => byName.contains(f.name)))
   }
 
   /** Zone-pruned range scan `lo <= key <= hi`: file selection is pure
@@ -269,7 +311,7 @@ object TableFormat {
     val hit = snap.files.filter(f => f.minKey <= hi && f.maxKey >= lo)
     val scan =
       if (hit.nonEmpty)
-        spark.read.parquet(hit.map(_.file): _*)
+        readFiles(spark, snap, hit.map(_.file))
           .filter(col(snap.keyCol).cast("long").between(lo, hi))
       else read(spark, snap).filter(lit(false))
     (scan, hit.size, snap.files.size)
@@ -288,11 +330,38 @@ object TableFormat {
 
   /** Bootstrap commit: register `files` (freshly written data) as version
     * 1 — or, under concurrency, the next version over whatever exists.
-    * Stats are computed once here and never recomputed by readers. */
+    * Stats AND the schema are captured once here (from the files being
+    * committed — the writer knows what it wrote) and never recomputed by
+    * readers. */
   def commitFiles(spark: SparkSession, root: String, keyCol: String,
                   files: Seq[String], numBits: Int, numHashes: Int): Snapshot = {
     val stats = fileStats(spark, files, keyCol, numBits, numHashes)
-    commitTransform(spark, root, keyCol, numBits, numHashes, _ => stats)
+    val ddl = spark.read.parquet(files: _*).schema.toDDL
+    commitTransform(spark, root, keyCol, numBits, numHashes, _ => stats,
+      deriveSchema = _ => Some(ddl))
+  }
+
+  /** APPEND files to the current snapshot — the ingest commit. The table
+    * schema EVOLVES add-only: new columns in the appended files join the
+    * schema, earlier files read them as NULL, and no existing file is
+    * rewritten. Existing columns must keep their type
+    * ([[evolveSchema]]). */
+  def appendFiles(spark: SparkSession, root: String,
+                  files: Seq[String]): Snapshot = {
+    val first = snapshot(spark, root)
+    val stats = fileStats(spark, files, first.keyCol, first.numBits, first.numHashes)
+    val newSchema = spark.read.parquet(files: _*).schema
+    commitTransform(spark, root, first.keyCol, first.numBits, first.numHashes,
+      { curOpt =>
+        val cur = curOpt.getOrElse(
+          throw new IllegalStateException("appendFiles: nothing committed"))
+        (cur.files ++ stats).sortBy(_.file)
+      },
+      deriveSchema = curOpt => Some(evolveSchema(
+        curOpt.flatMap(_.schemaDdl)
+          .map(org.apache.spark.sql.types.StructType.fromDDL)
+          .getOrElse(newSchema),
+        newSchema).toDDL))
   }
 
   /** Compaction: rewrite the CURRENT file set into `nFiles`
@@ -340,7 +409,7 @@ object TableFormat {
         if (hit.isEmpty) Seq.empty[FileStat]
         else {
           val out = s"$dataDir/delete-${java.util.UUID.randomUUID().toString}"
-          spark.read.parquet(hit.map(_.file): _*)
+          readFiles(spark, cur, hit.map(_.file))
             .filter(!col(cur.keyCol).cast("long").isInCollection(keys))
             .write.mode("overwrite").parquet(out)
           val files = listParquet(spark, out)

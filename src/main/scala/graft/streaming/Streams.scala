@@ -507,7 +507,14 @@ object Streams {
         TableFormat.commitTransform(spark, root, keyCol, effBits, effHashes,
           curOpt => (curOpt.map(_.files).getOrElse(Seq.empty) ++ stats).sortBy(_.file),
           deriveProps = curOpt => curOpt.map(_.props).getOrElse(Map.empty) +
-            ("batch_id" -> batchId.toString) + ("lineage" -> lineage))
+            ("batch_id" -> batchId.toString) + ("lineage" -> lineage),
+          // the table schema evolves add-only with the batch: a widened
+          // batch joins its new columns, earlier files read them as null
+          deriveSchema = curOpt => Some(TableFormat.evolveSchema(
+            curOpt.flatMap(_.schemaDdl)
+              .map(org.apache.spark.sql.types.StructType.fromDDL)
+              .getOrElse(batch.schema),
+            batch.schema).toDDL))
       }
     }
 

@@ -163,6 +163,43 @@ class TableFormatSpec extends SparkTestBase {
     assert(TableFormat.snapshot(spark, root, Some(1L)).props.isEmpty)
   }
 
+  test("schema evolution: widened append, null back-fill, as-of keeps the old schema") {
+    import spark.implicits._
+    val root = freshRoot()
+    val fa = writeKv(Seq(1L -> 10.0, 2L -> 20.0), s"$root/fa")
+    TableFormat.commitFiles(spark, root, "k",
+      TableFormat.listParquet(spark, fa), numBits = 256, numHashes = 3)
+    // widened append: new `tag` column joins the schema, nothing rewrites
+    Seq((30L, 30.0, "x")).toDF("k", "v", "tag")
+      .repartition(1).write.mode("overwrite").parquet(s"$root/fb")
+    val s2 = TableFormat.appendFiles(spark, root, TableFormat.listParquet(spark, s"$root/fb"))
+    assert(s2.schemaDdl.exists(_.contains("tag")))
+    val latest = TableFormat.read(spark, TableFormat.snapshot(spark, root))
+    assert(latest.columns.toSeq == Seq("k", "v", "tag"))
+    val rows = latest.select("k", "tag").as[(Long, Option[String])]
+      .collect().toMap
+    assert(rows == Map(1L -> None, 2L -> None, 30L -> Some("x")),
+      "pre-evolution files must read the new column as null")
+    // as-of v1 reads the ORIGINAL two-column schema
+    assert(TableFormat.read(spark, TableFormat.snapshot(spark, root, Some(1L)))
+      .columns.toSeq == Seq("k", "v"))
+    // zone-pruned range scan honors the evolved schema too
+    val (scan, _, _) = TableFormat.scanRange(spark,
+      TableFormat.snapshot(spark, root), 1L, 2L)
+    assert(scan.columns.toSeq == Seq("k", "v", "tag"))
+    // type changes are rejected add-only evolution
+    Seq((40L, "not-a-double")).toDF("k", "v")
+      .repartition(1).write.mode("overwrite").parquet(s"$root/fc")
+    intercept[IllegalArgumentException] {
+      TableFormat.appendFiles(spark, root, TableFormat.listParquet(spark, s"$root/fc"))
+    }
+    // compaction under the evolved schema preserves content incl. back-fill
+    TableFormat.compact(spark, root, root, nFiles = 1)
+    val after = TableFormat.read(spark, TableFormat.snapshot(spark, root))
+      .select("k", "tag").as[(Long, Option[String])].collect().toMap
+    assert(after == rows)
+  }
+
   test("tryCommit CAS: the same version cannot be published twice") {
     val root = freshRoot()
     val f = writeKv(Seq(1L -> 1.0), s"$root/x")
