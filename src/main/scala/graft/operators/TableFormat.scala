@@ -420,6 +420,59 @@ object TableFormat {
     })
   }
 
+  /** Snapshot RETENTION + orphan sweep — the GC maintenance op every
+    * append-only log needs (Iceberg's expire-snapshots + remove-orphans):
+    * drop commit files older than the last `keepLast` versions (the time
+    * travel horizon), then delete data files under `dataDirs` that no
+    * SURVIVING version references — which reclaims both the files only
+    * expired versions referenced AND the orphans crashed commit attempts
+    * left behind (a failed [[graft.streaming.Streams.foreachBatchTableAppend]]
+    * or delete/compact rewrite). Crash-safe by ordering: a commit file
+    * deletion never breaks a surviving version (files are referenced, not
+    * contained), and a crash mid-sweep leaves only still-unreferenced
+    * garbage for the next sweep. Concurrent ingest carries the one caveat
+    * every table format documents: a data file written but not yet
+    * committed looks orphaned — `graceMs` keeps files younger than the
+    * grace window out of the sweep, so only run with grace shorter than
+    * an in-flight commit when ingest is quiesced. Paths compare in
+    * URI-path form (listing and `input_file_name` render schemes
+    * differently). Returns (expired versions, deleted data files). */
+  def expireSnapshots(spark: SparkSession, root: String, keepLast: Int,
+                      dataDirs: Seq[String],
+                      graceMs: Long = 0L): (Seq[Long], Seq[String]) = {
+    require(keepLast >= 1, s"expireSnapshots: keepLast must be >= 1, got $keepLast")
+    val (_, fs, _) = fileContext(spark, root)
+    val vs = versions(spark, root)
+    val expired = vs.dropRight(keepLast)
+    val survivors = vs.takeRight(keepLast)
+    def uriPath(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
+    val referenced = survivors
+      .flatMap(v => snapshot(spark, root, Some(v)).files.map(f => uriPath(f.file)))
+      .toSet
+    // phase 1: expire commit files (readers of surviving versions are
+    // untouched — their commit files carry their complete file sets)
+    expired.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(logDir(root), commitName(v)), false)
+    }
+    // phase 2: orphan sweep over the data dirs (recursive; the log dir is
+    // never under a data dir by layout)
+    val cutoff = System.currentTimeMillis() - graceMs
+    val removed = Seq.newBuilder[String]
+    def sweep(p: org.apache.hadoop.fs.Path): Unit =
+      if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+        if (st.isDirectory) {
+          if (st.getPath.getName != "_log") sweep(st.getPath)
+        } else if (st.getPath.getName.endsWith(".parquet") &&
+            !referenced.contains(uriPath(st.getPath.toString)) &&
+            st.getModificationTime < cutoff) {
+          fs.delete(st.getPath, false)
+          removed += st.getPath.toString
+        }
+      }
+    dataDirs.foreach(d => sweep(new org.apache.hadoop.fs.Path(d)))
+    (expired, removed.result())
+  }
+
   /** Data files under a just-written parquet directory (one listing). */
   def listParquet(spark: SparkSession, dir: String): Seq[String] = {
     val (_, fs, p) = fileContext(spark, dir)

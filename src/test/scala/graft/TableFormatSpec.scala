@@ -200,6 +200,45 @@ class TableFormatSpec extends SparkTestBase {
     assert(after == rows)
   }
 
+  test("expireSnapshots: retention horizon + orphan sweep never touch survivors") {
+    import spark.implicits._
+    val root = freshRoot()
+    // v1: two files; v2: compaction rewrite (c0); v3: delete rewrite
+    val fa = writeKv((1L to 20L).map(k => k -> k.toDouble), s"$root/fa")
+    val fb = writeKv((30L to 40L).map(k => k -> k.toDouble), s"$root/fb")
+    TableFormat.commitFiles(spark, root, "k",
+      TableFormat.listParquet(spark, fa) ++ TableFormat.listParquet(spark, fb),
+      numBits = 256, numHashes = 3)
+    TableFormat.compact(spark, root, root, nFiles = 1)
+    TableFormat.deleteKeys(spark, root, root, Seq(5L))
+    // an orphan from a crashed append attempt: data written, never committed
+    writeKv(Seq(99L -> 0.0), s"$root/orphan")
+    val before = TableFormat.read(spark, TableFormat.snapshot(spark, root))
+      .select("k").as[Long].collect().toSet
+    val (expired, removed) = TableFormat.expireSnapshots(spark, root,
+      keepLast = 2, dataDirs = Seq(root))
+    assert(expired == Seq(1L))
+    assert(TableFormat.versions(spark, root) == Seq(2L, 3L))
+    // v1's exclusive files (fa/fb) and the orphan are gone; survivors intact
+    assert(removed.exists(_.contains("/fa/")) && removed.exists(_.contains("/fb/")))
+    assert(removed.exists(_.contains("/orphan/")))
+    assert(TableFormat.read(spark, TableFormat.snapshot(spark, root))
+      .select("k").as[Long].collect().toSet == before)
+    assert(TableFormat.read(spark, TableFormat.snapshot(spark, root, Some(2L)))
+      .count() == 31L)
+    intercept[IllegalArgumentException] {
+      TableFormat.snapshot(spark, root, Some(1L)) // expired horizon
+    }
+    // grace window: a fresh unreferenced file survives the sweep
+    writeKv(Seq(98L -> 0.0), s"$root/inflight")
+    val (_, removed2) = TableFormat.expireSnapshots(spark, root,
+      keepLast = 2, dataDirs = Seq(root), graceMs = 3600000L)
+    assert(!removed2.exists(_.contains("/inflight/")))
+    val (_, removed3) = TableFormat.expireSnapshots(spark, root,
+      keepLast = 2, dataDirs = Seq(root))
+    assert(removed3.exists(_.contains("/inflight/")))
+  }
+
   test("tryCommit CAS: the same version cannot be published twice") {
     val root = freshRoot()
     val f = writeKv(Seq(1L -> 1.0), s"$root/x")
