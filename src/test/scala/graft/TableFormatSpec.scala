@@ -239,6 +239,90 @@ class TableFormatSpec extends SparkTestBase {
     assert(removed3.exists(_.contains("/inflight/")))
   }
 
+  test("model-based: random append/delete/compact sequences preserve every version") {
+    // seeded random op sequences checked against a plain in-memory model:
+    // after the whole sequence, EVERY committed version must still read
+    // exactly the model's content for that point in history (snapshot
+    // isolation + schema evolution + delete/compact correctness in one
+    // invariant), and a zone range scan must equal the model filter while
+    // never reading more files than the snapshot lists
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val root = freshRoot()
+      var nextKey = 1L
+      var cur = Map.empty[Long, (Long, Option[String])]
+      var history = Vector.empty[(Map[Long, (Long, Option[String])], Boolean)]
+      var tagged = false // has the schema ever widened to carry `tag`
+      def freshRows(n: Int, withTag: Boolean): Seq[(Long, Long, Option[String])] =
+        (1 to n).map { _ =>
+          val k = nextKey; nextKey += 1
+          (k, rnd.nextInt(100).toLong,
+            if (withTag) Some(s"t${rnd.nextInt(3)}") else None)
+        }
+      def writeRows(rows: Seq[(Long, Long, Option[String])], withTag: Boolean,
+                    dir: String): Seq[String] = {
+        if (withTag) rows.map(r => (r._1, r._2, r._3.orNull))
+          .toDF("k", "q", "tag").repartition(1)
+          .write.mode("overwrite").parquet(dir)
+        else rows.map(r => (r._1, r._2)).toDF("k", "q").repartition(1)
+          .write.mode("overwrite").parquet(dir)
+        TableFormat.listParquet(spark, dir)
+      }
+      val rows0 = freshRows(8, withTag = false)
+      TableFormat.commitFiles(spark, root, "k",
+        writeRows(rows0, withTag = false, s"$root/w0"), 256, 3)
+      cur = rows0.map(r => r._1 -> ((r._2, r._3))).toMap
+      history :+= ((cur, tagged))
+      for (op <- 1 to 5) {
+        rnd.nextInt(3) match {
+          case 0 =>
+            val withTag = rnd.nextBoolean()
+            val rows = freshRows(1 + rnd.nextInt(5), withTag)
+            TableFormat.appendFiles(spark, root,
+              writeRows(rows, withTag, s"$root/w$op"))
+            tagged ||= withTag
+            cur ++= rows.map(r => r._1 -> ((r._2, r._3)))
+          case 1 =>
+            // keep at least one row alive so every version stays readable
+            val keys = rnd.shuffle(cur.keys.toSeq.sorted)
+              .take(math.min(4, cur.size - 1))
+            if (keys.nonEmpty) {
+              TableFormat.deleteKeys(spark, root, root, keys)
+              cur --= keys
+            } else TableFormat.compact(spark, root, root, 1)
+          case 2 =>
+            TableFormat.compact(spark, root, root, 1 + rnd.nextInt(2))
+        }
+        history :+= ((cur, tagged))
+      }
+      val vs = TableFormat.versions(spark, root)
+      assert(vs == (1L to history.size.toLong), s"version ids $vs")
+      vs.zip(history).foreach { case (v, (model, hadTag)) =>
+        val snap = TableFormat.snapshot(spark, root, Some(v))
+        val df = TableFormat.read(spark, snap)
+        val got: Map[Long, (Long, Option[String])] =
+          if (!hadTag) {
+            assert(df.columns.toSeq == Seq("k", "q"), s"v$v schema")
+            df.as[(Long, Long)].collect().toMap.map { case (k, q) => k -> ((q, None)) }
+          } else {
+            assert(df.columns.toSeq == Seq("k", "q", "tag"), s"v$v schema")
+            df.as[(Long, Long, Option[String])].collect()
+              .map(r => r._1 -> ((r._2, r._3))).toMap
+          }
+        assert(got == model, s"v$v content mismatch")
+        // zone range scan vs the model filter; pruning never over-reads
+        val keys = model.keys
+        val (lo, hi) = (keys.min + (keys.max - keys.min) / 4,
+          keys.min + (keys.max - keys.min) / 2)
+        val (scan, nRead, nTotal) = TableFormat.scanRange(spark, snap, lo, hi)
+        assert(nRead <= nTotal)
+        assert(scan.select("k").as[Long].collect().toSet ==
+          model.keys.filter(k => k >= lo && k <= hi).toSet, s"v$v range scan")
+      }
+    }
+  }
+
   test("tryCommit CAS: the same version cannot be published twice") {
     val root = freshRoot()
     val f = writeKv(Seq(1L -> 1.0), s"$root/x")
