@@ -171,6 +171,29 @@ object TableFormat {
       .sorted
   }
 
+  /** Timestamp time travel — "the table as it was at `timestampMs`": the
+    * latest version whose commit file landed at or before the instant,
+    * from the same single log listing (commit mtimes come with the
+    * listing; no extra IO). Commit mtimes are filesystem facts, so this
+    * is the operational API (debugging, reproducing a run) — version
+    * pins remain the deterministic contract. */
+  def snapshotAsOfTime(spark: SparkSession, root: String,
+                       timestampMs: Long): Snapshot = {
+    val (_, fs, _) = fileContext(spark, root)
+    val dir = new org.apache.hadoop.fs.Path(logDir(root))
+    require(fs.exists(dir), s"snapshotAsOfTime: no commits under ${logDir(root)}")
+    val candidates = fs.listStatus(dir).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("v") && n.endsWith(".json") &&
+          st.getModificationTime <= timestampMs
+      }
+      .map(_.getPath.getName.stripPrefix("v").stripSuffix(".json").toLong)
+    require(candidates.nonEmpty,
+      s"snapshotAsOfTime: no version committed at or before $timestampMs at $root")
+    snapshot(spark, root, Some(candidates.max))
+  }
+
   /** Resolve a snapshot — the SINGLE log read every query path goes
     * through: one commit-file read (plus one directory listing only when
     * `asOf` is None, to find the latest version; a pinned as-of read goes

@@ -541,6 +541,15 @@ class StreamingSpec extends SparkTestBase {
     // zone/bloom stats exist for every ingested file from the same log read
     val snap = TableFormat.snapshot(spark, root)
     assert(snap.files.forall(f => f.nRows > 0 && f.minKey <= f.maxKey))
+    // a WIDENED batch evolves the table schema add-only: earlier files
+    // read the new column as null, as-of keeps each version's schema
+    fn(Seq((40L, 4.0, "tagged")).toDF("k", "v", "note"), 4L)
+    val widened = TableFormat.read(spark, TableFormat.snapshot(spark, root))
+    assert(widened.columns.toSeq == Seq("k", "v", "note"))
+    assert(widened.filter(col("note").isNotNull)
+      .select("k").as[Long].collect().toSeq == Seq(40L))
+    assert(TableFormat.read(spark, TableFormat.snapshot(spark, root, Some(1L)))
+      .columns.toSeq == Seq("k", "v"))
     // rebinding a stream-written table to another lineage throws
     val other = Streams.foreachBatchTableAppend(root, data, "k",
       numBits = 256, numHashes = 3, lineage = "ckpt-B")

@@ -323,6 +323,23 @@ class TableFormatSpec extends SparkTestBase {
     }
   }
 
+  test("snapshotAsOfTime resolves the latest commit at or before the instant") {
+    val root = freshRoot()
+    val fa = writeKv(Seq(1L -> 10.0), s"$root/fa")
+    TableFormat.commitFiles(spark, root, "k",
+      TableFormat.listParquet(spark, fa), numBits = 256, numHashes = 3)
+    val t1 = new java.io.File(s"$root/_log").listFiles()
+      .filter(_.getName.endsWith(".json")).map(_.lastModified).max
+    Thread.sleep(1100) // local-fs mtime granularity can be one second
+    TableFormat.compact(spark, root, root, nFiles = 1)
+    assert(TableFormat.snapshotAsOfTime(spark, root, t1).version == 1L)
+    assert(TableFormat.snapshotAsOfTime(spark, root,
+      System.currentTimeMillis()).version == 2L)
+    intercept[IllegalArgumentException] {
+      TableFormat.snapshotAsOfTime(spark, root, t1 - 3600000L)
+    }
+  }
+
   test("tryCommit CAS: the same version cannot be published twice") {
     val root = freshRoot()
     val f = writeKv(Seq(1L -> 1.0), s"$root/x")
