@@ -2769,6 +2769,53 @@ object SparkEntry {
             col("n_rows"), col("sum_qty_x100"), col("n_flag"))
       }
       stats.reduce(_.unionByName(_)).orderBy(col("version"))
+    },
+
+    // ---- Streaming ingest AS TableFormat commits, oracle-graded end to
+    // end (q87): three deterministic micro-batches through
+    // foreachBatchTableAppend (the replay of batch 1 is SKIPPED by the
+    // commit-property gate — no marker files exist), a compaction
+    // between ingests, a widened third batch (schema evolves add-only
+    // mid-stream), and a bloom-targeted delete after — five versions
+    // whose per-version content and column count the oracle recomputes
+    // from the base table with plain filters ----
+    "q87_stream_table_ingest" -> { (s, dir) =>
+      val root = scratch("q87_sti", dir)
+      Fixtures.once(s, "q87_sti", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val data = root + "/data"
+        val sink = graft.streaming.Streams.foreachBatchTableAppend(
+          root, data, "o_orderkey", numBits = 1 << 14, numHashes = 5,
+          lineage = "q87-fixture")
+        def slice(res: Int) = Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(3)) === res)
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        sink(slice(0), 0L)                              // v1
+        sink(slice(1), 1L)                              // v2
+        sink(slice(1), 1L)                              // replay: skipped
+        TableFormat.compact(s, root, data, nFiles = 2)  // v3 (maintenance)
+        sink(slice(2).withColumn("status",              // v4, widened batch
+          concat(lit("S"), pmod(col("o_orderkey"), lit(5)))), 2L)
+        val delKeys = Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(700)) === 1)
+          .select(col("o_orderkey")).distinct()
+          .collect().map(_.getLong(0)).toSeq.sorted
+        TableFormat.deleteKeys(s, root, data, delKeys)  // v5
+      }
+      val stats = TableFormat.versions(s, root).map { v =>
+        val snap = TableFormat.snapshot(s, root, Some(v))
+        val df0 = Parallelism.ensureDefaultParallelism(TableFormat.read(s, snap))
+        val nCols = df0.columns.length
+        val df = if (df0.columns.contains("status")) df0
+          else df0.withColumn("status", lit(null).cast("string"))
+        df.agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"),
+            count(col("status")).as("n_status"))
+          .select(lit(v.toInt).as("version"), lit(nCols).as("n_cols"),
+            col("n_rows"), col("sum_cents"), col("n_status"))
+      }
+      stats.reduce(_.unionByName(_)).orderBy(col("version"))
     }
   )
 
@@ -6338,7 +6385,40 @@ object SparkEntry {
          v3 AS (SELECT CAST(3 AS INTEGER), CAST(3 AS INTEGER), count(*),
              CAST(sum(q) AS BIGINT), count(rf) FROM allrows WHERE k % 1000 <> 3)
          SELECT * FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2
-           UNION ALL SELECT * FROM v3) ORDER BY version"""
+           UNION ALL SELECT * FROM v3) ORDER BY version""",
+
+    // the five ingest/maintenance versions are plain filters over orders;
+    // the replayed batch commits nothing, compaction (v3) preserves v2's
+    // content, the widened batch (v4) raises n_cols to 3
+    "q87_stream_table_ingest" ->
+      """WITH r0 AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(NULL AS VARCHAR) AS status
+           FROM orders WHERE o_orderkey % 3 = 0),
+         r1 AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(NULL AS VARCHAR) AS status
+           FROM orders WHERE o_orderkey % 3 = 1),
+         r2 AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+             'S' || CAST(o_orderkey % 5 AS VARCHAR) AS status
+           FROM orders WHERE o_orderkey % 3 = 2),
+         u2 AS (SELECT * FROM r0 UNION ALL SELECT * FROM r1),
+         u4 AS (SELECT * FROM u2 UNION ALL SELECT * FROM r2),
+         v1 AS (SELECT CAST(1 AS INTEGER) AS version, CAST(2 AS INTEGER) AS n_cols,
+             count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents,
+             count(status) AS n_status FROM r0),
+         v2 AS (SELECT CAST(2 AS INTEGER), CAST(2 AS INTEGER), count(*),
+             CAST(sum(cents) AS BIGINT), count(status) FROM u2),
+         v3 AS (SELECT CAST(3 AS INTEGER), CAST(2 AS INTEGER), count(*),
+             CAST(sum(cents) AS BIGINT), count(status) FROM u2),
+         v4 AS (SELECT CAST(4 AS INTEGER), CAST(3 AS INTEGER), count(*),
+             CAST(sum(cents) AS BIGINT), count(status) FROM u4),
+         v5 AS (SELECT CAST(5 AS INTEGER), CAST(3 AS INTEGER), count(*),
+             CAST(sum(cents) AS BIGINT), count(status) FROM u4 WHERE k % 700 <> 1)
+         SELECT * FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2
+           UNION ALL SELECT * FROM v3 UNION ALL SELECT * FROM v4
+           UNION ALL SELECT * FROM v5) ORDER BY version"""
   )
 
   /** The MMR oracle: the k greedy selection steps UNROLLED as chained
