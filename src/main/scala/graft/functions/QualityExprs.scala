@@ -186,8 +186,14 @@ object GopherUtil {
       while (bit.hasNext) {
         val e = bit.next()
         val c = e.getValue.toLong
+        // tie-break in UTF-8 BINARY order (Spark/DuckDB string order) —
+        // java String.compareTo is UTF-16 code-unit order, which inverts
+        // supplementary chars vs U+E000..U+FFFF and would break parity
+        // with the HOF form's array_sort and the oracle's ORDER BY
         if (c > topBigram ||
-            (c == topBigram && (topGram == null || e.getKey.compareTo(topGram) < 0))) {
+            (c == topBigram && (topGram == null ||
+              UTF8String.fromString(e.getKey)
+                .compareTo(UTF8String.fromString(topGram)) < 0))) {
           topBigram = c
           topGram = e.getKey
         }

@@ -398,8 +398,12 @@ object Similarity {
     }
     val summary = perProbe.reduce(_.unionByName(_))
       .crossJoin(broadcast(nTruth))
-      .withColumn("recall_micro",
-        expr("CAST((n_hits * 1000000) DIV n_truth AS BIGINT)"))
+      // an empty truth panel pins recall to 0 rather than a null DIV-by-
+      // zero (which would null the selection key on every row and leave
+      // NO chosen config); the fallback then picks the smallest nprobe
+      .withColumn("recall_micro", expr(
+        "CAST(CASE WHEN n_truth = 0 THEN 0 " +
+          "ELSE (n_hits * 1000000) DIV n_truth END AS BIGINT)"))
     // selection key: meeting configs first (by cost), else by recall —
     // a struct-ordered min over the sweep rows, no window, no floats
     def selKey = struct(

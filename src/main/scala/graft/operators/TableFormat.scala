@@ -246,9 +246,14 @@ object TableFormat {
     finally out.close()
     try { fc.rename(tmp, dst); true }
     catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-           _: java.io.IOException =>
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
         fs.delete(tmp, false); false
+      case e: java.io.IOException =>
+        fs.delete(tmp, false)
+        // only an actual race reads as a CAS loss; a genuine IO failure
+        // (permissions, disk full) must surface, not masquerade as 20
+        // rounds of phantom contention in commitTransform
+        if (fs.exists(dst)) false else throw e
     }
   }
 
@@ -292,11 +297,20 @@ object TableFormat {
   /** Read a snapshot's complete content, under the snapshot's own SCHEMA
     * when the commit carries one: files written before a column existed
     * read it as NULL (by-name parquet resolution) — schema evolution
-    * without a rewrite, and no reader-side footer inference ever. */
-  def read(spark: SparkSession, snap: Snapshot): DataFrame = {
-    require(snap.files.nonEmpty, s"read: snapshot v${snap.version} lists no files")
-    readFiles(spark, snap, snap.files.map(_.file))
-  }
+    * without a rewrite, and no reader-side footer inference ever. A
+    * ZERO-FILE snapshot (a delete that purged every row — the full-GDPR
+    * state) reads as a typed empty frame through the committed schema;
+    * only a schema-less empty snapshot (pre-schema commits) is an
+    * error. */
+  def read(spark: SparkSession, snap: Snapshot): DataFrame =
+    if (snap.files.nonEmpty) readFiles(spark, snap, snap.files.map(_.file))
+    else snap.schemaDdl match {
+      case Some(ddl) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      case None => throw new IllegalArgumentException(
+        s"read: snapshot v${snap.version} lists no files and carries no schema")
+    }
 
   private def readFiles(spark: SparkSession, snap: Snapshot,
                         files: Seq[String]): DataFrame =
@@ -368,9 +382,10 @@ object TableFormat {
     * schema EVOLVES add-only: new columns in the appended files join the
     * schema, earlier files read them as NULL, and no existing file is
     * rewritten. Existing columns must keep their type
-    * ([[evolveSchema]]). */
-  def appendFiles(spark: SparkSession, root: String,
-                  files: Seq[String]): Snapshot = {
+    * ([[evolveSchema]]). `extraProps` overlay the carried-forward commit
+    * properties (how the streaming sink records its replay gate). */
+  def appendFiles(spark: SparkSession, root: String, files: Seq[String],
+                  extraProps: Map[String, String] = Map.empty): Snapshot = {
     val first = snapshot(spark, root)
     val stats = fileStats(spark, files, first.keyCol, first.numBits, first.numHashes)
     val newSchema = spark.read.parquet(files: _*).schema
@@ -380,6 +395,8 @@ object TableFormat {
           throw new IllegalStateException("appendFiles: nothing committed"))
         (cur.files ++ stats).sortBy(_.file)
       },
+      deriveProps = curOpt =>
+        curOpt.map(_.props).getOrElse(Map.empty) ++ extraProps,
       deriveSchema = curOpt => Some(evolveSchema(
         curOpt.flatMap(_.schemaDdl)
           .map(org.apache.spark.sql.types.StructType.fromDDL)
@@ -462,7 +479,11 @@ object TableFormat {
     * differently). Returns (expired versions, deleted data files). */
   def expireSnapshots(spark: SparkSession, root: String, keepLast: Int,
                       dataDirs: Seq[String],
-                      graceMs: Long = 0L): (Seq[Long], Seq[String]) = {
+                      graceMs: Long = 3600000L): (Seq[Long], Seq[String]) = {
+    // the grace default is DELIBERATELY an hour: with graceMs=0 a file
+    // written by a commit that lands after this sweep's version listing
+    // would look orphaned and be deleted out from under the new snapshot
+    // — pass 0 only with ingest quiesced
     require(keepLast >= 1, s"expireSnapshots: keepLast must be >= 1, got $keepLast")
     val (_, fs, _) = fileContext(spark, root)
     val vs = versions(spark, root)

@@ -335,18 +335,22 @@ object TextAnalysis {
           when(same, acc.getField("dchars")).otherwise(f.getField("dchars")).as("dchars"))
       },
       acc => flushed(acc))
-    val totChars = aggregate(col("_lines"), lit(0L), (a, x) => a + length(x))
     staged
       .withColumn("_f", folded)
+      // staged as a column for the same reason _f is: referenced twice
+      // below (guard + divisor), and an inlined interpreted aggregate
+      // would re-run its O(n) fold per reference
+      .withColumn("_tot",
+        aggregate(col("_lines"), lit(0L), (a, x) => a + length(x)))
       .withColumn("n_lines", size(col("_lines")).cast("long"))
       .withColumn("n_dup_lines", col("_f.dups"))
       .withColumn("dup_line_frac",
         when(col("n_lines") === 0, 0.0)
           .otherwise(col("n_dup_lines").cast("double") / col("n_lines")))
       .withColumn("dup_line_char_frac",
-        when(totChars === 0, 0.0)
-          .otherwise(col("_f.dchars").cast("double") / totChars))
-      .drop("_lines", "_f")
+        when(col("_tot") === 0, 0.0)
+          .otherwise(col("_f.dchars").cast("double") / col("_tot")))
+      .drop("_lines", "_f", "_tot")
   }
 
   /** PII patterns kept to constructs with identical semantics in Java regex

@@ -439,11 +439,15 @@ object Streams {
           writeIndexDirs(root, batchId, survivors, idCol, textCol,
             k, bands, rowsPerBand, storeBuckets)
           failpoint("index")
-          val survivorCols = survivors.columns.map(col)
-          val accepted = graft.operators.TextAnalysis
-            .qualitySignals(survivors, textCol)
+          // the gate evaluates over a (id, text) PROJECTION, and accepted
+          // ids semi-join back — so a batch column that happens to share a
+          // qualitySignals output name (n_tokens, quality_score, ...) is
+          // never silently replaced by the computed signal in the outputs
+          val acceptedIds = graft.operators.TextAnalysis
+            .qualitySignals(survivors.select(col(idCol), col(textCol)), textCol)
             .filter(quality)
-            .select(survivorCols: _*)
+            .select(col(idCol))
+          val accepted = survivors.join(acceptedIds, Seq(idCol), "left_semi")
             .localCheckpoint() // one gate pass feeds corpus + packing
           accepted.write.mode("overwrite").parquet(s"$root/corpus/b$batchId")
           failpoint("corpus")
@@ -496,25 +500,22 @@ object Streams {
         requireSameLineage("foreachBatchTableAppend", root, storedLineage, lineage)
       val lastBatch = cur.flatMap(_.props.get("batch_id")).map(_.toLong).getOrElse(-1L)
       if (batchId > lastBatch && !batch.isEmpty) {
-        // bloom geometry is a property of the TABLE, not the batch: later
-        // appends inherit the bootstrap commit's parameters
-        val (effBits, effHashes) =
-          cur.map(c => (c.numBits, c.numHashes)).getOrElse((numBits, numHashes))
+        val gate = Map("batch_id" -> batchId.toString, "lineage" -> lineage)
         val out = s"$dataDir/append-$batchId-${java.util.UUID.randomUUID().toString}"
         batch.write.mode("overwrite").parquet(out)
-        val stats = TableFormat.fileStats(spark,
-          TableFormat.listParquet(spark, out), keyCol, effBits, effHashes)
-        TableFormat.commitTransform(spark, root, keyCol, effBits, effHashes,
-          curOpt => (curOpt.map(_.files).getOrElse(Seq.empty) ++ stats).sortBy(_.file),
-          deriveProps = curOpt => curOpt.map(_.props).getOrElse(Map.empty) +
-            ("batch_id" -> batchId.toString) + ("lineage" -> lineage),
-          // the table schema evolves add-only with the batch: a widened
-          // batch joins its new columns, earlier files read them as null
-          deriveSchema = curOpt => Some(TableFormat.evolveSchema(
-            curOpt.flatMap(_.schemaDdl)
-              .map(org.apache.spark.sql.types.StructType.fromDDL)
-              .getOrElse(batch.schema),
-            batch.schema).toDDL))
+        val files = TableFormat.listParquet(spark, out)
+        if (cur.isDefined)
+          // the shared ingest commit: schema evolves add-only with the
+          // batch, bloom geometry inherited from the table, gate overlaid
+          TableFormat.appendFiles(spark, root, files, extraProps = gate)
+        else {
+          // bootstrap: first commit fixes key/bloom geometry and schema
+          val stats = TableFormat.fileStats(spark, files, keyCol, numBits, numHashes)
+          TableFormat.commitTransform(spark, root, keyCol, numBits, numHashes,
+            curOpt => (curOpt.map(_.files).getOrElse(Seq.empty) ++ stats).sortBy(_.file),
+            deriveProps = curOpt => curOpt.map(_.props).getOrElse(Map.empty) ++ gate,
+            deriveSchema = _ => Some(batch.schema.toDDL))
+        }
       }
     }
 

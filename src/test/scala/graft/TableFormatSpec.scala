@@ -215,8 +215,10 @@ class TableFormatSpec extends SparkTestBase {
     writeKv(Seq(99L -> 0.0), s"$root/orphan")
     val before = TableFormat.read(spark, TableFormat.snapshot(spark, root))
       .select("k").as[Long].collect().toSet
+    // graceMs = 0 is the quiesced-ingest sweep; the DEFAULT is an hour so
+    // a concurrent commit's fresh files can never look orphaned
     val (expired, removed) = TableFormat.expireSnapshots(spark, root,
-      keepLast = 2, dataDirs = Seq(root))
+      keepLast = 2, dataDirs = Seq(root), graceMs = 0L)
     assert(expired == Seq(1L))
     assert(TableFormat.versions(spark, root) == Seq(2L, 3L))
     // v1's exclusive files (fa/fb) and the orphan are gone; survivors intact
@@ -235,8 +237,26 @@ class TableFormatSpec extends SparkTestBase {
       keepLast = 2, dataDirs = Seq(root), graceMs = 3600000L)
     assert(!removed2.exists(_.contains("/inflight/")))
     val (_, removed3) = TableFormat.expireSnapshots(spark, root,
-      keepLast = 2, dataDirs = Seq(root))
+      keepLast = 2, dataDirs = Seq(root), graceMs = 0L)
     assert(removed3.exists(_.contains("/inflight/")))
+  }
+
+  test("a full purge leaves a readable zero-file snapshot (typed empty frame)") {
+    import spark.implicits._
+    val root = freshRoot()
+    val fa = writeKv(Seq(1L -> 10.0, 2L -> 20.0), s"$root/fa")
+    TableFormat.commitFiles(spark, root, "k",
+      TableFormat.listParquet(spark, fa), numBits = 256, numHashes = 3)
+    TableFormat.deleteKeys(spark, root, root, Seq(1L, 2L)) // every row
+    val snap = TableFormat.snapshot(spark, root)
+    assert(snap.files.isEmpty)
+    val df = TableFormat.read(spark, snap)
+    assert(df.columns.toSeq == Seq("k", "v") && df.count() == 0L)
+    // the empty table accepts a fresh append and reads again
+    val fb = writeKv(Seq(9L -> 90.0), s"$root/fb")
+    TableFormat.appendFiles(spark, root, TableFormat.listParquet(spark, fb))
+    assert(TableFormat.read(spark, TableFormat.snapshot(spark, root))
+      .select("k").as[Long].collect().toSeq == Seq(9L))
   }
 
   test("model-based: random append/delete/compact sequences preserve every version") {
