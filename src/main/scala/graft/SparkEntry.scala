@@ -2816,6 +2816,27 @@ object SparkEntry {
             col("n_rows"), col("sum_cents"), col("n_status"))
       }
       stats.reduce(_.unionByName(_)).orderBy(col("version"))
+    },
+
+    // ---- Multimodal: REAL AVI/MJPEG video decode — the second real
+    // video path beyond GIF, composed entirely from JDK parts: a
+    // standard-layout RIFF AVI (hdrl/strl headers + movi stream) whose
+    // 00dc chunks are real JPEGs, container-walked and frame-decoded
+    // with the shipped JPEG codec. MJPEG is LOSSY, so the oracle grades
+    // the exact container facts (sampled frame inventory, dims, JPEG
+    // marker validity); decoded pixel fidelity is spec-checked within a
+    // tolerance (MultimodalSpec) ----
+    "m17_avi_frames" -> { (s, dir) =>
+      val frames = Parallelism.ensureDefaultParallelism(
+        Tables.documents(s, dir)).select(col("doc_id"),
+        (pmod(col("doc_id"), lit(3)) + 2).cast("int").as("_frames"))
+      Multimodal.decodeAviMjpegFrames(
+          Multimodal.encodeAviMjpeg(frames, "doc_id", "_frames", w = 16, h = 8),
+          "asset_id", "payload", stride = 2)
+        .withColumnRenamed("asset_id", "doc_id")
+        .select(col("doc_id"), col("frame_no"), col("width"), col("height"),
+          col("valid_jpeg"))
+        .orderBy(col("doc_id"), col("frame_no"))
     }
   )
 
@@ -2841,7 +2862,9 @@ object SparkEntry {
     // capability gap is video container decode: the JDK ships no MP4/WebM
     // codec, so only animated GIF (m11) has a real decode path.
     "m11_gif_frames" ->
-      "video decode limited to animated GIF: the JDK ships no MP4/WebM codec; byte-range frame plumbing (sampleFrames) stays a documented test double",
+      "JDK-native video decode: animated GIF here, AVI/MJPEG in m17 (RIFF walk + real JPEG codec); MP4/WebM remain impossible without non-JDK codecs; byte-range frame plumbing (sampleFrames) stays a documented test double",
+    "m17_avi_frames" ->
+      "MJPEG is lossy: the oracle grades container facts (frame inventory, dims, marker validity); decoded pixel fidelity is spec-checked with tolerance in MultimodalSpec",
     "m12_binaryfile_source" ->
       ("file-count-bound-by-design: one file per asset IS the workload (listing + per-file open scale with file count, nothing amortizes across rows); " +
        "the store build is a memoized fixture so the probe times ingest only"))
@@ -6418,7 +6441,19 @@ object SparkEntry {
              CAST(sum(cents) AS BIGINT), count(status) FROM u4 WHERE k % 700 <> 1)
          SELECT * FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2
            UNION ALL SELECT * FROM v3 UNION ALL SELECT * FROM v4
-           UNION ALL SELECT * FROM v5) ORDER BY version"""
+           UNION ALL SELECT * FROM v5) ORDER BY version""",
+
+    // the sampled frame inventory is pure integer arithmetic (doc_id%3+2
+    // frames, every 2nd), dims are the fixture constants, and our encoder
+    // always emits marker-valid JPEGs; decoded pixels are lossy and
+    // deliberately NOT oracle columns (spec-checked with tolerance)
+    "m17_avi_frames" ->
+      """SELECT doc_id, CAST(f AS INTEGER) AS frame_no,
+           CAST(16 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+           TRUE AS valid_jpeg
+         FROM documents
+         CROSS JOIN LATERAL unnest(range(0, doc_id % 3 + 2, 2)) t(f)
+         ORDER BY doc_id, frame_no"""
   )
 
   /** The MMR oracle: the k greedy selection steps UNROLLED as chained

@@ -813,6 +813,181 @@ object Multimodal {
     }(enc)
   }
 
+  val aviFrameSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("frame_no", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("valid_jpeg", BooleanType),
+    StructField("luma_mean", DoubleType)))
+
+  private def leInt(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+    out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF)
+  }
+  private def fourcc(out: java.io.ByteArrayOutputStream, s: String): Unit =
+    out.write(s.getBytes(StandardCharsets.US_ASCII))
+
+  /** Deterministic REAL AVI/MJPEG encoder — the one VIDEO codec composable
+    * from pure-JDK parts (RIFF container framing + the shipped JPEG coder):
+    * each frame is a constant-gray JPEG (gray = (id*31 + f*17) % 256, the
+    * m11 formula) wrapped as a `00dc` chunk in a minimal but
+    * standard-layout RIFF AVI (`hdrl` with avih/strh/strf headers, `movi`
+    * stream, even-byte chunk padding). Unlike GIF, MJPEG is LOSSY — the
+    * container facts (frame inventory, dims, JPEG marker validity) are
+    * exact and oracle-checkable; decoded pixel values are codec-dependent
+    * and are spec-checked within a tolerance instead. Row-local. */
+  def encodeAviMjpeg(df: DataFrame, idCol: String, framesCol: String,
+                     w: Int, h: Int): DataFrame = {
+    require(w >= 1 && h >= 1, s"encodeAviMjpeg: dims must be positive, got ${w}x$h")
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    val input = df.select(col(idCol).cast("long"), col(framesCol).cast("int"))
+    val enc = RowEncoder.encoderFor(schema)
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = r.getInt(1)
+        // one JPEG per frame via the JDK coder
+        val jpegs = (0 until n).map { f =>
+          val g = ((id * 31L + f * 17L) % 256L).toInt
+          val rgb = (g << 16) | (g << 8) | g
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", bos)
+          bos.toByteArray
+        }
+        def pad(len: Int) = len + (len & 1)
+        // sizes bottom-up: movi list, strl list, hdrl list, riff total
+        val moviBody = 4 + jpegs.map(j => 8 + pad(j.length)).sum
+        val strlBody = 4 + (8 + 56) + (8 + 40)
+        val hdrlBody = 4 + (8 + 56) + (8 + strlBody)
+        val riffBody = 4 + (8 + hdrlBody) + (8 + moviBody)
+        val out = new java.io.ByteArrayOutputStream()
+        fourcc(out, "RIFF"); leInt(out, riffBody); fourcc(out, "AVI ")
+        fourcc(out, "LIST"); leInt(out, hdrlBody); fourcc(out, "hdrl")
+        fourcc(out, "avih"); leInt(out, 56)
+        leInt(out, 40000); leInt(out, 0); leInt(out, 0); leInt(out, 0) // usPerFrame..flags
+        leInt(out, n); leInt(out, 0); leInt(out, 1); leInt(out, 0)     // totalFrames..bufSize
+        leInt(out, w); leInt(out, h)
+        (0 until 4).foreach(_ => leInt(out, 0))                        // reserved
+        fourcc(out, "LIST"); leInt(out, strlBody); fourcc(out, "strl")
+        fourcc(out, "strh"); leInt(out, 56)
+        fourcc(out, "vids"); fourcc(out, "MJPG")
+        leInt(out, 0); out.write(0); out.write(0); out.write(0); out.write(0) // flags, prio, lang
+        leInt(out, 0); leInt(out, 1); leInt(out, 25)                   // initFrames, scale, rate
+        leInt(out, 0); leInt(out, n); leInt(out, 0)                    // start, length, bufSize
+        leInt(out, 0); leInt(out, 0)                                   // quality, sampleSize
+        leInt(out, 0); leInt(out, 0)                                   // rcFrame
+        fourcc(out, "strf"); leInt(out, 40)
+        leInt(out, 40); leInt(out, w); leInt(out, h)
+        out.write(1); out.write(0); out.write(24); out.write(0)        // planes=1, bpp=24
+        fourcc(out, "MJPG"); leInt(out, w * h * 3)
+        leInt(out, 0); leInt(out, 0); leInt(out, 0); leInt(out, 0)     // ppm, colors
+        fourcc(out, "LIST"); leInt(out, moviBody); fourcc(out, "movi")
+        jpegs.foreach { j =>
+          fourcc(out, "00dc"); leInt(out, j.length); out.write(j)
+          if ((j.length & 1) == 1) out.write(0) // RIFF even-byte padding
+        }
+        Row(id, out.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** REAL AVI/MJPEG frame extraction: walk the RIFF container to the
+    * `movi` list, take every `stride`-th `##dc`/`##db` chunk, decode the
+    * JPEG with the real JDK codec, and emit (frame_no, dims, JPEG marker
+    * validity, mean luminance). The container walk and the lossy decode
+    * are both real; swap the JPEG step for an H.264 decoder and the same
+    * walk carries an interleaved production AVI. Unreadable payloads emit
+    * ZERO rows (the [[decodeGifFrames]] filter posture); a chunk whose
+    * JPEG fails to decode emits its row with NULL dims/luma and
+    * valid_jpeg=false, so per-frame corruption is visible rather than
+    * silently skipped. Row-local, one frame in memory at a time. */
+  def decodeAviMjpegFrames(df: DataFrame, idCol: String, binCol: String,
+                           stride: Int = 1): DataFrame = {
+    require(stride >= 1, s"decodeAviMjpegFrames: stride must be >= 1, got $stride")
+    val input = df.select(col(idCol).cast("long"), col(binCol))
+    val enc = RowEncoder.encoderFor(aviFrameSchema)
+    input.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        def le(o: Int) = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
+          ((bytes(o + 2) & 0xFF) << 16) | ((bytes(o + 3) & 0xFF) << 24)
+        def cc(o: Int) = new String(bytes, o, 4, StandardCharsets.US_ASCII)
+        try {
+          if (bytes.length < 12 || cc(0) != "RIFF" || cc(8) != "AVI ") Iterator.empty
+          else {
+            // top-level walk to the movi LIST
+            var pos = 12
+            var movi = -1
+            var moviEnd = -1
+            while (movi < 0 && pos + 8 <= bytes.length) {
+              val size = le(pos + 4)
+              if (cc(pos) == "LIST" && pos + 12 <= bytes.length &&
+                  cc(pos + 8) == "movi") {
+                movi = pos + 12
+                moviEnd = math.min(pos + 8 + size, bytes.length)
+              }
+              pos += 8 + size + (size & 1)
+            }
+            if (movi < 0) Iterator.empty
+            else {
+              val frames = Seq.newBuilder[(Int, Array[Byte])]
+              var p = movi
+              var f = 0
+              while (p + 8 <= moviEnd) {
+                val fcc = cc(p)
+                val size = le(p + 4)
+                if (fcc.endsWith("dc") || fcc.endsWith("db")) {
+                  if (f % stride == 0 && p + 8 + size <= moviEnd)
+                    frames += ((f, java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + size)))
+                  f += 1
+                }
+                p += 8 + size + (size & 1)
+              }
+              frames.result().iterator.map { case (frameNo, jpeg) =>
+                val valid = jpeg.length >= 4 &&
+                  (jpeg(0) & 0xFF) == 0xFF && (jpeg(1) & 0xFF) == 0xD8 &&
+                  (jpeg(jpeg.length - 2) & 0xFF) == 0xFF &&
+                  (jpeg(jpeg.length - 1) & 0xFF) == 0xD9
+                val img = try Option(javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(jpeg)))
+                catch { case scala.util.control.NonFatal(_) => None }
+                img match {
+                  case Some(im) =>
+                    val (w, h) = (im.getWidth, im.getHeight)
+                    var sum = 0L
+                    var y = 0
+                    while (y < h) {
+                      var x = 0
+                      while (x < w) {
+                        val rgb = im.getRGB(x, y)
+                        sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+                        x += 1
+                      }
+                      y += 1
+                    }
+                    Row(id, frameNo, w, h, valid, sum.toDouble / (3.0 * w * h))
+                  case None => Row(id, frameNo, null, null, false, null)
+                }
+              }
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+      }
+    }(enc)
+  }
+
   /** Materialize one raw file per asset row under `dir` — the write half of
     * the object-store ingest round trip ([[readAssetFiles]] is the read
     * half). Runs distributed: each partition opens the directory's Hadoop

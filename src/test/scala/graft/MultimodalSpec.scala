@@ -253,6 +253,47 @@ class MultimodalSpec extends SparkTestBase {
     assert(bad.isEmpty)
   }
 
+  test("encodeAviMjpeg -> decodeAviMjpegFrames: container facts exact, pixels within JPEG tolerance") {
+    import spark.implicits._
+    val frames = Seq((0L, 1), (7L, 3), (300L, 5)).toDF("asset_id", "_n")
+    val avis = Multimodal.encodeAviMjpeg(frames, "asset_id", "_n", w = 16, h = 8)
+    val all = Multimodal.decodeAviMjpegFrames(avis, "asset_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getBoolean(4), r.getDouble(5)))
+    // frame inventory, dims, and marker validity are exact container facts
+    assert(all.map(t => (t._1, t._2, t._3, t._4, t._5)).toSet ==
+      (for { (id, n) <- Seq((0L, 1), (7L, 3), (300L, 5)); f <- 0 until n }
+        yield (id, f, 16, 8, true)).toSet)
+    // JPEG is lossy: a constant-gray frame decodes within DC-quantization
+    // distance of the encoded gray (chroma stays neutral on gray input)
+    all.foreach { case (id, f, _, _, _, lum) =>
+      val g = ((id * 31 + f * 17) % 256).toDouble
+      assert(math.abs(lum - g) <= 2.0, s"asset $id frame $f: |$lum - $g| > 2")
+    }
+    // stride sampling keeps even frame numbers only
+    val sampled = Multimodal.decodeAviMjpegFrames(avis, "asset_id", "payload",
+        stride = 2).collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(sampled == all.collect { case (id, f, _, _, _, _) if f % 2 == 0 => (id, f) }.toSet)
+    // garbage and truncated payloads: zero rows, no task failure
+    val avi0 = avis.filter(col("asset_id") === 300L)
+      .select("payload").head().getAs[Array[Byte]](0)
+    val bad = Multimodal.decodeAviMjpegFrames(Seq(
+        (9L, "not an avi".getBytes("UTF-8")),
+        (10L, java.util.Arrays.copyOf(avi0, 16))).toDF("asset_id", "payload"),
+      "asset_id", "payload").collect()
+    assert(bad.isEmpty)
+    // a corrupted FRAME (JPEG body zeroed) still reports its row, flagged
+    val corrupt = avi0.clone()
+    // find the first 00dc chunk and zero its payload head
+    val movi = new String(corrupt, 0, corrupt.length, "ISO-8859-1").indexOf("00dc")
+    assert(movi > 0)
+    java.util.Arrays.fill(corrupt, movi + 8, movi + 24, 0.toByte)
+    val flagged = Multimodal.decodeAviMjpegFrames(
+        Seq((11L, corrupt)).toDF("asset_id", "payload"), "asset_id", "payload")
+      .filter(col("frame_no") === 0).collect()
+    assert(flagged.length == 1 && !flagged(0).getBoolean(4))
+  }
+
   test("writeAssetFiles -> readAssetFiles round-trips bytes, ids, and glob selection") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_rawassets").toString
