@@ -846,6 +846,13 @@ object Multimodal {
     val input = df.select(col(idCol).cast("long"), col(framesCol).cast("int"))
     val enc = RowEncoder.encoderFor(schema)
     input.mapPartitions { rows =>
+      // one reusable JPEG writer + frame buffer per partition; encode goes
+      // through the in-memory stream helper, never ImageIO's convenience
+      // path (whose default stream cache is a temp FILE per call — at one
+      // encode per frame that disk round-trip dominated the whole kernel)
+      val jw = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
       rows.map { r =>
         val id = r.getLong(0)
         val n = r.getInt(1)
@@ -853,17 +860,13 @@ object Multimodal {
         val jpegs = (0 until n).map { f =>
           val g = ((id * 31L + f * 17L) % 256L).toInt
           val rgb = (g << 16) | (g << 8) | g
-          val img = new java.awt.image.BufferedImage(w, h,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
           var y = 0
           while (y < h) {
             var x = 0
             while (x < w) { img.setRGB(x, y, rgb); x += 1 }
             y += 1
           }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "jpg", bos)
-          bos.toByteArray
+          writeImage(jw, img)
         }
         def pad(len: Int) = len + (len & 1)
         // sizes bottom-up: movi list, strl list, hdrl list, riff total
@@ -918,6 +921,17 @@ object Multimodal {
     val input = df.select(col(idCol).cast("long"), col(binCol))
     val enc = RowEncoder.encoderFor(aviFrameSchema)
     input.mapPartitions { rows =>
+      // one reusable JPEG reader per partition (same posture as the encode
+      // half: explicit in-memory streams, never the disk-cached convenience
+      // API); decode failures return null so the per-frame corruption row
+      // below stays visible
+      val jr = javax.imageio.ImageIO.getImageReadersByFormatName("jpg").next()
+      def decodeJpeg(jpeg: Array[Byte]): java.awt.image.BufferedImage =
+        try {
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(jpeg))
+          try { jr.setInput(iis); jr.read(0) } finally iis.close()
+        } catch { case scala.util.control.NonFatal(_) => null }
       rows.flatMap { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
@@ -960,10 +974,7 @@ object Multimodal {
                   (jpeg(0) & 0xFF) == 0xFF && (jpeg(1) & 0xFF) == 0xD8 &&
                   (jpeg(jpeg.length - 2) & 0xFF) == 0xFF &&
                   (jpeg(jpeg.length - 1) & 0xFF) == 0xD9
-                val img = try Option(javax.imageio.ImageIO.read(
-                  new java.io.ByteArrayInputStream(jpeg)))
-                catch { case scala.util.control.NonFatal(_) => None }
-                img match {
+                Option(decodeJpeg(jpeg)) match {
                   case Some(im) =>
                     val (w, h) = (im.getWidth, im.getHeight)
                     var sum = 0L
