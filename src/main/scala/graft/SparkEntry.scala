@@ -2837,6 +2837,29 @@ object SparkEntry {
         .select(col("doc_id"), col("frame_no"), col("width"), col("height"),
           col("valid_jpeg"))
         .orderBy(col("doc_id"), col("frame_no"))
+    },
+
+    // ---- Multimodal: shot/scene segmentation — the step a video curation
+    // pipeline runs right after frame decode: luma-delta boundary
+    // detection + running scene ids, here over REAL decoded GIF frames
+    // (lossless constant-gray palette, so the luma walk is integer-exact
+    // and the oracle replays decode + detector arithmetically; the +17/frame
+    // gray formula wraps at 256, so wrap frames are the shot boundaries).
+    // The detector itself is one partitioned Window exec (lag + running
+    // sum fused), embarrassingly parallel per asset ----
+    "m18_scene_segments" -> { (s, dir) =>
+      val frames = Parallelism.ensureDefaultParallelism(
+        Tables.documents(s, dir)).select(col("doc_id"),
+        (pmod(col("doc_id"), lit(6)) + 3).cast("int").as("_frames"))
+      Multimodal.sceneSegments(
+          Multimodal.decodeGifFrames(
+            Multimodal.encodeGif(frames, "doc_id", "_frames", w = 16, h = 8),
+            "asset_id", "payload", stride = 1),
+          "asset_id", "frame_no", "luma_mean", threshold = 100.0)
+        .withColumnRenamed("asset_id", "doc_id")
+        .select(col("doc_id"), col("frame_no"), col("luma_mean"),
+          col("is_boundary"), col("scene_id"))
+        .orderBy(col("doc_id"), col("frame_no"))
     }
   )
 
@@ -6453,7 +6476,26 @@ object SparkEntry {
            TRUE AS valid_jpeg
          FROM documents
          CROSS JOIN LATERAL unnest(range(0, doc_id % 3 + 2, 2)) t(f)
-         ORDER BY doc_id, frame_no"""
+         ORDER BY doc_id, frame_no""",
+
+    // GIF decode is lossless for constant-gray frames, so the oracle
+    // replays the full decode -> luma-delta -> running-scene-id chain in
+    // integer arithmetic: gray walks +17 per frame mod 256, a wrap is the
+    // only |delta| > 100, and scene_id is the running wrap count
+    "m18_scene_segments" ->
+      """WITH f AS (SELECT doc_id, CAST(fn AS INTEGER) AS frame_no,
+               CAST((doc_id * 31 + fn * 17) % 256 AS DOUBLE) AS luma_mean
+             FROM documents
+             CROSS JOIN LATERAL unnest(range(0, doc_id % 6 + 3)) t(fn)),
+         b AS (SELECT doc_id, frame_no, luma_mean,
+               COALESCE(ABS(luma_mean - LAG(luma_mean) OVER
+                 (PARTITION BY doc_id ORDER BY frame_no)) > 100.0, FALSE)
+                 AS is_boundary
+             FROM f)
+         SELECT doc_id, frame_no, luma_mean, is_boundary,
+                CAST(SUM(CASE WHEN is_boundary THEN 1 ELSE 0 END) OVER
+                  (PARTITION BY doc_id ORDER BY frame_no) AS INTEGER) AS scene_id
+         FROM b ORDER BY doc_id, frame_no"""
   )
 
   /** The MMR oracle: the k greedy selection steps UNROLLED as chained

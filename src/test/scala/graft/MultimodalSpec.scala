@@ -500,4 +500,43 @@ class MultimodalSpec extends SparkTestBase {
     assert(got == Seq((1L, "bad_signature"), (2L, "trailing_garbage"),
       (3L, "missing"), (4L, "bad_signature")))
   }
+
+  test("sceneSegments: boundaries open new scenes, frame 0 never does") {
+    // asset 1: jump at frame 2 and frame 4; asset 2: flat (one scene)
+    val frames = Seq(
+      (1L, 0, 10.0), (1L, 1, 15.0), (1L, 2, 200.0), (1L, 3, 205.0), (1L, 4, 20.0),
+      (2L, 0, 99.0), (2L, 1, 99.0)).toDF("asset_id", "frame_no", "luma_mean")
+    val got = Multimodal.sceneSegments(frames, "asset_id", "frame_no",
+        "luma_mean", threshold = 100.0)
+      .orderBy("asset_id", "frame_no")
+      .select("asset_id", "frame_no", "is_boundary", "scene_id")
+      .as[(Long, Int, Boolean, Int)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0, false, 0), (1L, 1, false, 0), (1L, 2, true, 1),
+      (1L, 3, false, 1), (1L, 4, true, 2),
+      (2L, 0, false, 0), (2L, 1, false, 0)))
+    // keyframe selection composes as a plain groupBy on the output
+    val keys = Multimodal.sceneSegments(frames, "asset_id", "frame_no",
+        "luma_mean", threshold = 100.0)
+      .groupBy("asset_id", "scene_id").agg(min("frame_no").as("keyframe"))
+      .orderBy("asset_id", "scene_id")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(keys == Seq((1L, 0, 0), (1L, 1, 2), (1L, 2, 4), (2L, 0, 0)))
+  }
+
+  test("sceneSegments round-trip: GIF decode luma wrap marks the boundary") {
+    // gray walks +17 per frame mod 256: start asset at 250 -> frame 1 wraps
+    // (250*?) — use the encoder formula directly: id=8 gives gray(0)=248,
+    // gray(1)=(248+17)%256=9 -> |delta|=239 > 100 = boundary at frame 1
+    val in = Seq((8L, 3)).toDF("doc_id", "_frames")
+    val got = Multimodal.sceneSegments(
+        Multimodal.decodeGifFrames(
+          Multimodal.encodeGif(in, "doc_id", "_frames", w = 8, h = 8),
+          "asset_id", "payload", stride = 1),
+        "asset_id", "frame_no", "luma_mean", threshold = 100.0)
+      .orderBy("frame_no")
+      .select("frame_no", "luma_mean", "is_boundary", "scene_id")
+      .as[(Int, Double, Boolean, Int)].collect().toSeq
+    assert(got == Seq((0, 248.0, false, 0), (1, 9.0, true, 1), (2, 26.0, false, 1)))
+  }
 }
