@@ -2818,6 +2818,109 @@ object SparkEntry {
       stats.reduce(_.unionByName(_)).orderBy(col("version"))
     },
 
+    // ---- Table format: row-level MERGE (upsert) — the copy-on-write
+    // Delta/Iceberg MERGE shape over the unified log: zone-prune by the
+    // source key range, detect touched files with an EXACT key-column
+    // semi-join (a file-count-bounded control read), rewrite ONLY the
+    // touched files (here 2 of 4 — update keys are confined to the even
+    // buckets by construction), carry the rest by reference, insert the
+    // unmatched source rows, one CAS commit. The summary rows carry the
+    // rewrite/carry counts, so the PRUNING itself is oracle-graded, not
+    // just the merged data ----
+    "q88_table_merge" -> { (s, dir) =>
+      val root = scratch("q88_tm", dir)
+      val (width, nRw, nCar) = Fixtures.once(s, "q88_tm", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val base = Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(4)) === 1)
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        val maxKey = base.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+        val width = maxKey / 4 + 1 // buckets 0..3
+        val v1Files = (0 until 4).flatMap { b =>
+          val f = s"$root/b$b"
+          base.filter(expr(s"o_orderkey div $width") === b)
+            .repartition(1).write.mode("overwrite").parquet(f)
+          TableFormat.listParquet(s, f)
+        }
+        TableFormat.commitFiles(s, root, "o_orderkey", v1Files,
+          numBits = 1 << 14, numHashes = 5)
+        // updates confined to even buckets (so the touched set is a strict
+        // subset the oracle can count); inserts shifted past the key
+        // ceiling (so they match nothing)
+        val updates = base
+          .filter(pmod(col("o_orderkey"), lit(7)) === 3 &&
+            pmod(expr(s"o_orderkey div $width"), lit(2)) === 0)
+          .select(col("o_orderkey"), (col("cents") + 1000).as("cents"))
+        val inserts = base.filter(pmod(col("o_orderkey"), lit(11)) === 5)
+          .select((col("o_orderkey") + lit(4L * width)).as("o_orderkey"),
+            col("cents"))
+        val (_, rw, car) = TableFormat.mergeRows(s, root, root,
+          updates.unionByName(inserts), nOutFiles = 1)
+        (width, rw, car)
+      }
+      def summary(v: Long, rw: Option[Int], car: Option[Int]) = {
+        val snap = TableFormat.snapshot(s, root, Some(v))
+        def opt(o: Option[Int]) =
+          o.map(n => lit(n.toLong)).getOrElse(lit(null).cast("long"))
+        Parallelism.ensureDefaultParallelism(TableFormat.read(s, snap))
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+          .select(lit(v).as("version"), lit("summary").as("probe"),
+            lit(null).cast("long").as("bucket"), col("n_rows"),
+            col("sum_cents"), opt(rw).as("files_rewritten"),
+            opt(car).as("files_carried"))
+      }
+      val buckets = Parallelism.ensureDefaultParallelism(
+          TableFormat.read(s, TableFormat.snapshot(s, root, Some(2L))))
+        .groupBy(expr(s"o_orderkey div $width").as("bucket"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .select(lit(2L).as("version"), lit("bucket").as("probe"),
+          col("bucket"), col("n_rows"), col("sum_cents"),
+          lit(null).cast("long").as("files_rewritten"),
+          lit(null).cast("long").as("files_carried"))
+      summary(1L, None, None)
+        .unionByName(summary(2L, Some(nRw), Some(nCar)))
+        .unionByName(buckets)
+        .orderBy(col("version"), col("probe"), col("bucket"))
+    },
+
+    // ---- Table format: incremental changelog (CDF) — "what changed
+    // between v1 and v5" read from the log alone: per-step file-list diff
+    // + exceptAll over ONLY the changed files, "replace" (compaction)
+    // commits skipped with zero data IO, a rollback commit reading as the
+    // re-insertion of what the delete removed. The oracle recomputes every
+    // step's logical delta from the base table ----
+    "q89_changelog" -> { (s, dir) =>
+      val root = scratch("q89_cdf", dir)
+      Fixtures.once(s, "q89_cdf", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val cust = Tables.customer(s, dir)
+          .select(col("c_custkey"),
+            floor(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+        cust.filter(pmod(col("c_custkey"), lit(3)) === 0)
+          .repartition(2).write.mode("overwrite").parquet(s"$root/v1")
+        TableFormat.commitFiles(s, root, "c_custkey",
+          TableFormat.listParquet(s, s"$root/v1"), numBits = 1 << 14, numHashes = 5)
+        cust.filter(pmod(col("c_custkey"), lit(3)) === 1)
+          .repartition(1).write.mode("overwrite").parquet(s"$root/v2")
+        TableFormat.appendFiles(s, root, TableFormat.listParquet(s, s"$root/v2"))
+        // control-sized, data-derived delete set the oracle replays
+        val delKeys = cust
+          .filter(pmod(col("c_custkey"), lit(3)) < 2 &&
+            pmod(col("c_custkey"), lit(50)) === 0)
+          .select(col("c_custkey")).distinct()
+          .collect().map(_.getLong(0)).toSeq.sorted
+        TableFormat.deleteKeys(s, root, root, delKeys) // v3: delete commit
+        TableFormat.compact(s, root, root, nFiles = 2) // v4: replace — invisible
+        TableFormat.rollback(s, root, 2L)              // v5: restore pre-delete
+      }
+      Parallelism.ensureDefaultParallelism(
+          TableFormat.changesBetween(s, root, 1L, 5L))
+        .orderBy(col("_version"), col("_change"), col("c_custkey"))
+    },
+
     // ---- Multimodal: REAL AVI/MJPEG video decode — the second real
     // video path beyond GIF, composed entirely from JDK parts: a
     // standard-layout RIFF AVI (hdrl/strl headers + movi stream) whose
@@ -6465,6 +6568,51 @@ object SparkEntry {
          SELECT * FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2
            UNION ALL SELECT * FROM v3 UNION ALL SELECT * FROM v4
            UNION ALL SELECT * FROM v5) ORDER BY version""",
+
+    // the merged state is the plain ANSI upsert recomputed; the rewrite
+    // count is the number of DISTINCT even buckets holding an update key
+    // (touched detection is exact, so no bloom/zone false positive can
+    // inflate it), carried = 4 - rewritten
+    "q88_table_merge" ->
+      """WITH s AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders WHERE o_orderkey % 4 = 1),
+         w AS (SELECT (max(k) // 4) + 1 AS width FROM s),
+         upd AS (SELECT k, c + 1000 AS c FROM s
+                 WHERE k % 7 = 3 AND (k // (SELECT width FROM w)) % 2 = 0),
+         ins AS (SELECT k + 4 * (SELECT width FROM w) AS k, c FROM s
+                 WHERE k % 11 = 5),
+         m AS (SELECT k, c FROM s WHERE k NOT IN (SELECT k FROM upd)
+               UNION ALL SELECT k, c FROM upd
+               UNION ALL SELECT k, c FROM ins),
+         rw AS (SELECT CAST(count(DISTINCT k // (SELECT width FROM w)) AS BIGINT) AS n
+                FROM upd)
+         SELECT CAST(1 AS BIGINT) AS version, 'summary' AS probe,
+             CAST(NULL AS BIGINT) AS bucket, count(*) AS n_rows,
+             CAST(sum(c) AS BIGINT) AS sum_cents,
+             CAST(NULL AS BIGINT) AS files_rewritten,
+             CAST(NULL AS BIGINT) AS files_carried
+           FROM s
+         UNION ALL SELECT 2, 'summary', NULL, count(*), CAST(sum(c) AS BIGINT),
+             (SELECT n FROM rw), 4 - (SELECT n FROM rw) FROM m
+         UNION ALL SELECT 2, 'bucket', k // (SELECT width FROM w), count(*),
+             CAST(sum(c) AS BIGINT), NULL, NULL
+           FROM m GROUP BY k // (SELECT width FROM w)
+         ORDER BY version, probe, bucket""",
+
+    // each step's logical delta replayed from the base table: v2 = the
+    // appended residue class, v3 = the delete set, v4 (compaction) emits
+    // NOTHING, v5 (rollback) re-inserts exactly what v3 deleted
+    "q89_changelog" ->
+      """WITH s AS (SELECT c_custkey AS k,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS c FROM customer),
+         t1 AS (SELECT k, c FROM s WHERE k % 3 = 1),
+         del AS (SELECT k, c FROM s WHERE k % 3 < 2 AND k % 50 = 0)
+         SELECT CAST(2 AS BIGINT) AS _version, 'insert' AS _change,
+             k AS c_custkey, c AS bal_cents FROM t1
+         UNION ALL SELECT 3, 'delete', k, c FROM del
+         UNION ALL SELECT 5, 'insert', k, c FROM del
+         ORDER BY _version, _change, c_custkey""",
 
     // the sampled frame inventory is pure integer arithmetic (doc_id%3+2
     // frames, every 2nd), dims are the fixture constants, and our encoder

@@ -60,12 +60,19 @@ object TableFormat {
     * carried forward by maintenance commits (the Iceberg snapshot-summary
     * shape). The streaming append sink stores its replay gate here
     * (`batch_id`, `lineage`), so exactly-once ingest derives from the log
-    * itself instead of a side channel of marker files. Immutable — safe to
-    * hold across concurrent commits (snapshot isolation). */
+    * itself instead of a side channel of marker files. `op` is the
+    * PER-COMMIT operation kind ("append", "delete", "merge", "replace",
+    * "rollback" — Iceberg's snapshot-summary `operation`): unlike props it
+    * is NEVER carried forward, because it states what THIS commit did.
+    * [[changesBetween]] keys on it — a "replace" commit is
+    * content-preserving by contract, so the changelog reader skips its
+    * file churn without any data IO. Immutable — safe to hold across
+    * concurrent commits (snapshot isolation). */
   final case class Snapshot(root: String, version: Long, keyCol: String,
                             numBits: Int, numHashes: Int, files: Seq[FileStat],
                             props: Map[String, String] = Map.empty,
-                            schemaDdl: Option[String] = None)
+                            schemaDdl: Option[String] = None,
+                            op: Option[String] = None)
 
   private def logDir(root: String) = s"$root/_log"
   private def commitName(v: Long) = f"v$v%020d.json"
@@ -107,12 +114,14 @@ object TableFormat {
   private def renderCommit(version: Long, keyCol: String, numBits: Int,
                            numHashes: Int, files: Seq[FileStat],
                            props: Map[String, String],
-                           schemaDdl: Option[String]): String = {
+                           schemaDdl: Option[String],
+                           op: Option[String]): String = {
     val sb = new StringBuilder
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     sb.append(s"""{"version":$version,"key_col":"${esc(keyCol)}",""")
     sb.append(s""""num_bits":$numBits,"num_hashes":$numHashes,""")
     schemaDdl.foreach(d => sb.append(s""""schema":"${esc(d)}","""))
+    op.foreach(o => sb.append(s""""op":"${esc(o)}","""))
     sb.append("\"props\":{")
     props.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((k, v), i) =>
       if (i > 0) sb.append(',')
@@ -153,9 +162,10 @@ object TableFormat {
       }
     val schemaDdl =
       if (node.has("schema")) Some(node.get("schema").asText()) else None
+    val op = if (node.has("op")) Some(node.get("op").asText()) else None
     Snapshot(root, node.get("version").asLong(), node.get("key_col").asText(),
       node.get("num_bits").asInt(), node.get("num_hashes").asInt(), files,
-      props, schemaDdl)
+      props, schemaDdl, op)
   }
 
   /** All committed versions, ascending — ONE directory listing, no data
@@ -230,7 +240,8 @@ object TableFormat {
                 keyCol: String, numBits: Int, numHashes: Int,
                 files: Seq[FileStat],
                 props: Map[String, String] = Map.empty,
-                schemaDdl: Option[String] = None): Boolean = {
+                schemaDdl: Option[String] = None,
+                op: Option[String] = None): Boolean = {
     require(version >= 1, s"tryCommit: versions start at 1, got $version")
     val (fc, fs, _) = fileContext(spark, root)
     val dir = new org.apache.hadoop.fs.Path(logDir(root))
@@ -241,7 +252,8 @@ object TableFormat {
       s".tmp-$version-${java.util.UUID.randomUUID().toString}")
     val out = fs.create(tmp, true)
     try out.write(
-      renderCommit(version, keyCol, numBits, numHashes, files, props, schemaDdl)
+      renderCommit(version, keyCol, numBits, numHashes, files, props,
+        schemaDdl, op)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     try { fc.rename(tmp, dst); true }
@@ -273,7 +285,8 @@ object TableFormat {
                       deriveProps: Option[Snapshot] => Map[String, String] =
                         _.map(_.props).getOrElse(Map.empty),
                       deriveSchema: Option[Snapshot] => Option[String] =
-                        _.flatMap(_.schemaDdl)): Snapshot = {
+                        _.flatMap(_.schemaDdl),
+                      op: Option[String] = None): Snapshot = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val vs = versions(spark, root)
@@ -283,9 +296,9 @@ object TableFormat {
       val props = deriveProps(cur)
       val schemaDdl = deriveSchema(cur)
       if (tryCommit(spark, root, next, keyCol, numBits, numHashes, files,
-          props, schemaDdl))
+          props, schemaDdl, op))
         return Snapshot(root, next, keyCol, numBits, numHashes, files,
-          props, schemaDdl)
+          props, schemaDdl, op)
       attempt += 1
     }
     throw new IllegalStateException(
@@ -375,7 +388,7 @@ object TableFormat {
     val stats = fileStats(spark, files, keyCol, numBits, numHashes)
     val ddl = spark.read.parquet(files: _*).schema.toDDL
     commitTransform(spark, root, keyCol, numBits, numHashes, _ => stats,
-      deriveSchema = _ => Some(ddl))
+      deriveSchema = _ => Some(ddl), op = Some("append"))
   }
 
   /** APPEND files to the current snapshot — the ingest commit. The table
@@ -401,7 +414,8 @@ object TableFormat {
         curOpt.flatMap(_.schemaDdl)
           .map(org.apache.spark.sql.types.StructType.fromDDL)
           .getOrElse(newSchema),
-        newSchema).toDDL))
+        newSchema).toDDL),
+      op = Some("append"))
   }
 
   /** Compaction: rewrite the CURRENT file set into `nFiles`
@@ -425,7 +439,7 @@ object TableFormat {
         .write.mode("overwrite").parquet(out)
       val files = listParquet(spark, out)
       fileStats(spark, files, cur.keyCol, cur.numBits, cur.numHashes)
-    })
+    }, op = Some("replace"))
   }
 
   /** Targeted delete ("remove these keys everywhere"): bloom-prune to the
@@ -457,7 +471,175 @@ object TableFormat {
           else fileStats(spark, files, cur.keyCol, cur.numBits, cur.numHashes)
         }
       (carried ++ rewritten).sortBy(_.file)
-    })
+    }, op = Some("delete"))
+  }
+
+  /** Row-level MERGE (upsert): for each source row, update the table row
+    * with the same key (WHEN MATCHED → the source row replaces it, the
+    * ANSI UPDATE SET * form) or insert it (WHEN NOT MATCHED). The scale
+    * contract is the Delta/Iceberg copy-on-write MERGE shape, cheapened by
+    * the stats already in the log:
+    *
+    *   1. ZONE PRUNE, driver arithmetic: one aggregate over the source
+    *      yields its key range (and the ANSI cardinality check — duplicate
+    *      source keys make the merge ambiguous and are refused); files
+    *      disjoint from that range provably contain no matched key.
+    *   2. TOUCHED-FILE DETECTION, exact: the key column ALONE of the
+    *      zone-surviving files (column-pruned scan) semi-joins the distinct
+    *      source keys; the distinct `input_file_name` set that survives is
+    *      the rewrite set — a file-count-bounded control read. Blooms are
+    *      deliberately NOT the gate here: a data-scale source key set
+    *      cannot be probed on the driver, and the exact join also removes
+    *      false-positive rewrites.
+    *   3. REWRITE only the touched files: their rows anti-joined against
+    *      the source keys (survivors), unioned with the WHOLE source
+    *      (matched rows = updates, the rest = inserts), written as
+    *      `nOutFiles` new files. Every untouched file is carried BY
+    *      REFERENCE — stats untouched, no re-read.
+    *
+    * Cost: O(source + zone-hit keys + touched data), never O(table). The
+    * commit derives inside [[commitTransform]], so a racing committer
+    * forces a re-derive against the winner's snapshot. Source columns must
+    * match the table schema by name (schema evolution stays the
+    * [[appendFiles]] contract). Returns (snapshot, files rewritten, files
+    * carried). */
+  def mergeRows(spark: SparkSession, root: String, dataDir: String,
+                source: DataFrame, nOutFiles: Int = 1): (Snapshot, Int, Int) = {
+    require(nOutFiles >= 1, s"mergeRows: nOutFiles must be >= 1, got $nOutFiles")
+    val first = snapshot(spark, root)
+    val tableCols = first.schemaDdl
+      .map(d => org.apache.spark.sql.types.StructType.fromDDL(d).fieldNames.toSeq)
+      .getOrElse(read(spark, first).columns.toSeq)
+    require(source.columns.toSet == tableCols.toSet,
+      s"mergeRows: source columns ${source.columns.sorted.mkString(",")} must " +
+        s"match table columns ${tableCols.sorted.mkString(",")}")
+    val src = source.select(tableCols.map(col): _*)
+    // one source pass: key range + the ANSI duplicate-key cardinality check
+    val prof = src.agg(
+      min(col(first.keyCol).cast("long")), max(col(first.keyCol).cast("long")),
+      count(lit(1)), count_distinct(col(first.keyCol))).collect()(0)
+    if (prof.isNullAt(0)) return (first, 0, first.files.size) // empty source: no-op
+    require(prof.getLong(2) == prof.getLong(3),
+      s"mergeRows: ${prof.getLong(2) - prof.getLong(3)} duplicate source key(s) — " +
+        "a key matched by two source rows makes the merge ambiguous (ANSI MERGE cardinality rule)")
+    val (lo, hi) = (prof.getLong(0), prof.getLong(1))
+    var nRewritten = 0
+    var nCarried = 0
+    val snap = commitTransform(spark, root, first.keyCol, first.numBits,
+      first.numHashes, { curOpt =>
+        val cur = curOpt.getOrElse(
+          throw new IllegalStateException("mergeRows: nothing committed"))
+        val zoneHit = cur.files.filter(f => f.minKey <= hi && f.maxKey >= lo)
+        val srcKeys = src.select(col(cur.keyCol)).distinct()
+        val touched: Set[String] =
+          if (zoneHit.isEmpty) Set.empty
+          else readFiles(spark, cur, zoneHit.map(_.file))
+            .select(input_file_name().as("_file"), col(cur.keyCol))
+            .join(srcKeys, Seq(cur.keyCol), "leftsemi")
+            .select(col("_file")).distinct()
+            .collect().map(_.getString(0)).toSet
+        def uriPath(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
+        val touchedPaths = touched.map(uriPath)
+        val (hit, carried) = cur.files.partition(f => touchedPaths.contains(uriPath(f.file)))
+        val newData =
+          if (hit.isEmpty) src // pure insert: no matched key anywhere
+          else readFiles(spark, cur, hit.map(_.file))
+            .join(srcKeys, Seq(cur.keyCol), "leftanti")
+            .select(tableCols.map(col): _*)
+            .unionByName(src)
+        val out = s"$dataDir/merge-${java.util.UUID.randomUUID().toString}"
+        newData.repartition(nOutFiles).write.mode("overwrite").parquet(out)
+        val newStats = fileStats(spark, listParquet(spark, out),
+          cur.keyCol, cur.numBits, cur.numHashes)
+        nRewritten = hit.size
+        nCarried = carried.size
+        (carried ++ newStats).sortBy(_.file)
+      }, op = Some("merge"))
+    (snap, nRewritten, nCarried)
+  }
+
+  /** ROLLBACK: re-publish version `toVersion`'s file set (and schema) as a
+    * NEW commit — the Delta RESTORE shape. History is never rewritten: the
+    * rolled-back versions stay readable, and the restore itself is one
+    * metadata commit (no data IO — the target's files still exist because
+    * commits never delete, only [[expireSnapshots]] does; restoring past
+    * the retention horizon is therefore refused by snapshot resolution).
+    * Properties carry FORWARD from the current version, not the target: a
+    * streaming ingest gate records how far ingest got, and reverting data
+    * must not make the sink replay batches it already shipped. */
+  def rollback(spark: SparkSession, root: String, toVersion: Long): Snapshot = {
+    val target = snapshot(spark, root, Some(toVersion))
+    commitTransform(spark, root, target.keyCol, target.numBits,
+      target.numHashes, _ => target.files,
+      deriveSchema = _ => target.schemaDdl, op = Some("rollback"))
+  }
+
+  /** CHANGELOG between two committed versions — the incremental (CDF) read:
+    * every row inserted or deleted by commits `fromV+1..toV`, tagged
+    * (`_version`, `_change` ∈ insert|delete). An update reads as its
+    * delete+insert pair, which is exactly what a downstream incremental
+    * materialization needs (the q47 changelog-invert contract).
+    *
+    * Cost is O(CHANGED files), never O(table): each step diffs the two
+    * versions' file LISTS (driver set arithmetic on the already-resolved
+    * snapshots), reads only the added/removed files, and `exceptAll`
+    * cancels the rows a rewrite merely moved (a delete commit's surviving
+    * rows appear in both sides and vanish). Commits whose `op` is
+    * "replace" (compaction/recluster) are content-preserving BY CONTRACT
+    * and skipped with NO data IO at all — the file churn of maintenance
+    * never costs the incremental reader anything. Schema evolution across
+    * the interval unions by name: rows from pre-evolution files carry
+    * nulls in later columns. */
+  def changesBetween(spark: SparkSession, root: String,
+                     fromV: Long, toV: Long): DataFrame = {
+    require(fromV < toV, s"changesBetween: need fromV < toV, got $fromV >= $toV")
+    val snaps = (fromV to toV).map(v => snapshot(spark, root, Some(v)))
+    val parts = snaps.sliding(2).flatMap { case Seq(prev, cur) =>
+      if (cur.op.contains("replace")) Seq.empty
+      else {
+        val prevSet = prev.files.map(_.file).toSet
+        val curSet = cur.files.map(_.file).toSet
+        val added = cur.files.map(_.file).filterNot(prevSet)
+        val removed = prev.files.map(_.file).filterNot(curSet)
+        def tag(df: DataFrame, change: String) =
+          df.select(lit(cur.version).as("_version"), lit(change).as("_change"),
+            col("*"))
+        // both sides read under the LATER version's schema: add-only
+        // evolution means it covers the earlier one, and removed-file rows
+        // resolve absent columns to null by name — so exceptAll always
+        // compares aligned rows
+        val addedDf = if (added.isEmpty) None
+          else Some(readFiles(spark, cur, added))
+        val removedDf = if (removed.isEmpty) None
+          else Some(readFiles(spark, cur, removed))
+        val inserts = (addedDf, removedDf) match {
+          case (None, _) => None
+          case (Some(a), None) => Some(a)
+          case (Some(a), Some(r)) => Some(a.exceptAll(r))
+        }
+        val deletes = (removedDf, addedDf) match {
+          case (None, _) => None
+          case (Some(r), None) => Some(r)
+          case (Some(r), Some(a)) => Some(r.exceptAll(a))
+        }
+        inserts.map(tag(_, "insert")).toSeq ++ deletes.map(tag(_, "delete"))
+      }
+    }.toSeq
+    if (parts.nonEmpty)
+      parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    else {
+      // no content-changing commit in the interval: a typed empty changelog
+      val schema = org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField("_version",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("_change",
+            org.apache.spark.sql.types.StringType)) ++
+          snaps.last.schemaDdl.map(d =>
+            org.apache.spark.sql.types.StructType.fromDDL(d).fields.toSeq)
+            .getOrElse(Seq.empty))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
   }
 
   /** Snapshot RETENTION + orphan sweep — the GC maintenance op every

@@ -514,7 +514,8 @@ object Streams {
           TableFormat.commitTransform(spark, root, keyCol, numBits, numHashes,
             curOpt => (curOpt.map(_.files).getOrElse(Seq.empty) ++ stats).sortBy(_.file),
             deriveProps = curOpt => curOpt.map(_.props).getOrElse(Map.empty) ++ gate,
-            deriveSchema = _ => Some(batch.schema.toDDL))
+            deriveSchema = _ => Some(batch.schema.toDDL),
+            op = Some("append"))
         }
       }
     }

@@ -360,6 +360,116 @@ class TableFormatSpec extends SparkTestBase {
     }
   }
 
+  test("mergeRows: rewrites only touched files, carries the rest, inserts unmatched") {
+    import spark.implicits._
+    val root = freshRoot()
+    val files = Seq(0, 1, 2).flatMap { b =>
+      val f = writeKv((0L until 100L).map(i => (b * 1000L + i, 1.0)), s"$root/m$b")
+      TableFormat.listParquet(spark, f)
+    }
+    val s1 = TableFormat.commitFiles(spark, root, "k", files, 1 << 12, 3)
+    val source = Seq(1005L -> 9.9, 1010L -> 8.8, 5000L -> 7.7).toDF("k", "v")
+    val (s2, rw, car) = TableFormat.mergeRows(spark, root, root, source)
+    assert(s2.version == 2L && s2.op.contains("merge"))
+    assert(rw == 1 && car == 2, s"rewritten=$rw carried=$car")
+    // untouched files carried with IDENTICAL paths (no re-read, no rewrite)
+    val untouched = s1.files.filter(f => f.maxKey < 1000L || f.minKey > 1099L)
+      .map(_.file).toSet
+    assert(untouched.subsetOf(s2.files.map(_.file).toSet))
+    val got = TableFormat.read(spark, s2)
+    assert(got.count() == 301L) // 300 original + 1 insert, updates in place
+    val byKey = got.as[(Long, Double)].collect().toMap
+    assert(byKey(1005L) == 9.9 && byKey(1010L) == 8.8 && byKey(5000L) == 7.7)
+    assert(byKey(1004L) == 1.0 && byKey(4L) == 1.0)
+    // v1 still reads pre-merge content (history survives)
+    assert(TableFormat.read(spark,
+      TableFormat.snapshot(spark, root, Some(1L))).count() == 300L)
+    // pure insert: no key matches -> zero rewrites, all files carried
+    val (s3, rw3, car3) = TableFormat.mergeRows(spark, root, root,
+      Seq(9000L -> 1.0).toDF("k", "v"))
+    assert(rw3 == 0 && car3 == s2.files.size)
+    assert(TableFormat.read(spark, s3).count() == 302L)
+    // ANSI cardinality rule: duplicate source keys are refused
+    val e = intercept[IllegalArgumentException] {
+      TableFormat.mergeRows(spark, root, root,
+        Seq(7L -> 1.0, 7L -> 2.0).toDF("k", "v"))
+    }
+    assert(e.getMessage.contains("duplicate source key"))
+    // empty source is a committed no-op (same snapshot back, no new version)
+    val before = TableFormat.versions(spark, root)
+    val (s4, _, _) = TableFormat.mergeRows(spark, root, root,
+      Seq.empty[(Long, Double)].toDF("k", "v"))
+    assert(s4.version == s3.version && TableFormat.versions(spark, root) == before)
+    // mismatched source columns are refused
+    intercept[IllegalArgumentException] {
+      TableFormat.mergeRows(spark, root, root, Seq((1L, 1.0, "x")).toDF("k", "v", "w"))
+    }
+  }
+
+  test("rollback republishes the target file set as a NEW commit; history intact") {
+    val root = freshRoot()
+    val fa = writeKv((1L to 50L).map(k => k -> k.toDouble), s"$root/fa")
+    TableFormat.commitFiles(spark, root, "k",
+      TableFormat.listParquet(spark, fa), numBits = 256, numHashes = 3)
+    TableFormat.deleteKeys(spark, root, root, Seq(5L, 6L, 7L))
+    val s3 = TableFormat.rollback(spark, root, 1L)
+    assert(s3.version == 3L && s3.op.contains("rollback"))
+    assert(TableFormat.versions(spark, root) == Seq(1L, 2L, 3L))
+    assert(TableFormat.read(spark, s3).count() == 50L)
+    // the rolled-back-over delete is still readable as history
+    assert(TableFormat.read(spark,
+      TableFormat.snapshot(spark, root, Some(2L))).count() == 47L)
+    // rollback is pure metadata: v3 lists exactly v1's files
+    assert(s3.files.map(_.file) ==
+      TableFormat.snapshot(spark, root, Some(1L)).files.map(_.file))
+  }
+
+  test("changesBetween: appends/deletes emitted, replace skipped, rollback re-inserts") {
+    import spark.implicits._
+    val root = freshRoot()
+    val fa = writeKv((0L until 100L).map(i => (i, 1.0)), s"$root/fa")
+    TableFormat.commitFiles(spark, root, "k",
+      TableFormat.listParquet(spark, fa), numBits = 1 << 12, numHashes = 3)
+    val fb = writeKv((200L until 250L).map(i => (i, 2.0)), s"$root/fb")
+    TableFormat.appendFiles(spark, root, TableFormat.listParquet(spark, fb)) // v2
+    TableFormat.deleteKeys(spark, root, root, Seq(5L, 207L))                 // v3
+    TableFormat.compact(spark, root, root, nFiles = 2)                       // v4
+    TableFormat.rollback(spark, root, 2L)                                    // v5
+    // op audit trail in the log itself
+    assert((1L to 5L).map(v =>
+      TableFormat.snapshot(spark, root, Some(v)).op.get) ==
+      Seq("append", "append", "delete", "replace", "rollback"))
+    val ch = TableFormat.changesBetween(spark, root, 1L, 5L)
+      .as[(Long, String, Long, Double)].collect().toSet
+    val expected =
+      (200L until 250L).map(k => (2L, "insert", k, 2.0)).toSet ++
+        Set((3L, "delete", 5L, 1.0), (3L, "delete", 207L, 2.0),
+          (5L, "insert", 5L, 1.0), (5L, "insert", 207L, 2.0))
+    assert(ch == expected)
+    // the replace step alone reads NOTHING and yields an empty changelog
+    assert(TableFormat.changesBetween(spark, root, 3L, 4L).count() == 0L)
+    // delete step alone: only the deleted rows, never the rewritten survivors
+    assert(TableFormat.changesBetween(spark, root, 2L, 3L)
+      .as[(Long, String, Long, Double)].collect().toSet ==
+      Set((3L, "delete", 5L, 1.0), (3L, "delete", 207L, 2.0)))
+  }
+
+  test("changesBetween unions by name across schema evolution (old rows null-fill)") {
+    import spark.implicits._
+    val root = freshRoot()
+    val fa = writeKv(Seq(1L -> 1.0, 2L -> 2.0), s"$root/fa")
+    TableFormat.commitFiles(spark, root, "k",
+      TableFormat.listParquet(spark, fa), numBits = 256, numHashes = 3)
+    Seq((9L, 9.0, "x")).toDF("k", "v", "tag")
+      .repartition(1).write.mode("overwrite").parquet(s"$root/fb")
+    TableFormat.appendFiles(spark, root, TableFormat.listParquet(spark, s"$root/fb")) // v2
+    TableFormat.deleteKeys(spark, root, root, Seq(1L)) // v3: rewrites a PRE-evolution file
+    val ch = TableFormat.changesBetween(spark, root, 1L, 3L)
+      .as[(Long, String, Long, Double, Option[String])].collect().toSet
+    assert(ch == Set((2L, "insert", 9L, 9.0, Some("x")),
+      (3L, "delete", 1L, 1.0, None)))
+  }
+
   test("tryCommit CAS: the same version cannot be published twice") {
     val root = freshRoot()
     val f = writeKv(Seq(1L -> 1.0), s"$root/x")
