@@ -2921,6 +2921,123 @@ object SparkEntry {
         .orderBy(col("_version"), col("_change"), col("c_custkey"))
     },
 
+    // ---- Table format: changelog-driven incremental view maintenance —
+    // the CDF × MERGE × IVM composition: a per-bucket aggregate view
+    // established at v1 is advanced to v5 purely from changesBetween
+    // (append, delete, compaction-skip, MERGE with updates+inserts), the
+    // table's full v5 state never re-read. The oracle recomputes the v5
+    // view directly, so any drift in the incremental path breaks the
+    // hash ----
+    "q90_cdf_view" -> { (s, dir) =>
+      val root = scratch("q90_ivm", dir)
+      Fixtures.once(s, "q90_ivm", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val cust = Tables.customer(s, dir)
+          .select(col("c_custkey"),
+            floor(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+        cust.filter(pmod(col("c_custkey"), lit(3)) === 0)
+          .repartition(2).write.mode("overwrite").parquet(s"$root/v1")
+        TableFormat.commitFiles(s, root, "c_custkey",
+          TableFormat.listParquet(s, s"$root/v1"), numBits = 1 << 14, numHashes = 5)
+        cust.filter(pmod(col("c_custkey"), lit(3)) === 1)
+          .repartition(1).write.mode("overwrite").parquet(s"$root/v2")
+        TableFormat.appendFiles(s, root, TableFormat.listParquet(s, s"$root/v2"))
+        val delKeys = cust
+          .filter(pmod(col("c_custkey"), lit(3)) < 2 &&
+            pmod(col("c_custkey"), lit(50)) === 0)
+          .select(col("c_custkey")).distinct()
+          .collect().map(_.getLong(0)).toSeq.sorted
+        TableFormat.deleteKeys(s, root, root, delKeys) // v3
+        TableFormat.compact(s, root, root, nFiles = 2) // v4: CDF-invisible
+        // v5: MERGE — updates confined to live keys (%50<>0 survives the
+        // delete), inserts are the residue class the table never held
+        val updates = cust
+          .filter(pmod(col("c_custkey"), lit(3)) < 2 &&
+            pmod(col("c_custkey"), lit(50)) =!= 0 &&
+            pmod(col("c_custkey"), lit(7)) === 3)
+          .select(col("c_custkey"), (col("bal_cents") + 1000).as("bal_cents"))
+        val inserts = cust.filter(pmod(col("c_custkey"), lit(3)) === 2)
+        TableFormat.mergeRows(s, root, root, updates.unionByName(inserts))
+      }
+      val v1 = TableFormat.snapshot(s, root, Some(1L))
+      val baseView = Parallelism.ensureDefaultParallelism(
+          TableFormat.read(s, v1))
+        .groupBy(pmod(col("c_custkey"), lit(8)).as("grp"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("bal_cents")).as("total"))
+      TableFormat.refreshView(s, root, 1L, 5L,
+          pmod(col("c_custkey"), lit(8)), col("bal_cents"), baseView)
+        .orderBy(col("grp"))
+    },
+
+    // ---- Table format: SECONDARY zone stats (Iceberg per-column
+    // lower/upper metrics) — files written clustered by DATE while the
+    // table stays keyed on o_orderkey: a time-range probe prunes through
+    // the od_day zones (1 of 4 files), the key probe uses the primary
+    // zones over the same snapshot, and a deterministic pair-merge
+    // compaction carries the secondary bounds into its rewritten stats
+    // (date probe then 1 of 2). Every files_read count is recomputed by
+    // the oracle from per-bucket min/max arithmetic — a skipped file is
+    // an arithmetic fact, not an assumption ----
+    "q91_zone_scan" -> { (s, dir) =>
+      val root = scratch("q91_zs", dir)
+      val (dmin, dwidth, kwidth) = Fixtures.once(s, "q91_zs", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val base = Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(4)) === 3)
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"),
+            datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+              .as("od_day"))
+        val r = base.agg(min(col("od_day")), max(col("od_day")),
+          max(col("o_orderkey"))).collect()(0)
+        val (dmin, dmax, kmax) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        val dwidth = (dmax - dmin) / 4 + 1
+        val kwidth = kmax / 4 + 1
+        val v1Files = (0 until 4).flatMap { b =>
+          val f = s"$root/d$b"
+          base.filter(expr(s"(od_day - $dmin) div $dwidth") === b)
+            .repartition(1).write.mode("overwrite").parquet(f)
+          TableFormat.listParquet(s, f)
+        }
+        TableFormat.commitFiles(s, root, "o_orderkey", v1Files,
+          numBits = 1 << 14, numHashes = 5, zoneCols = Seq("od_day"))
+        // deterministic pair-merge compaction (c0 = date buckets 0-1,
+        // c1 = 2-3) — repartitionByRange would sample nondeterministic
+        // boundaries and make the v2 pruning count unpredictable
+        val v2Files = Seq(0, 1).flatMap { cpair =>
+          val f = s"$root/c$cpair"
+          s.read.parquet(s"$root/d${2 * cpair}", s"$root/d${2 * cpair + 1}")
+            .repartition(1).write.mode("overwrite").parquet(f)
+          TableFormat.listParquet(s, f)
+        }
+        TableFormat.commitFiles(s, root, "o_orderkey", v2Files,
+          numBits = 1 << 14, numHashes = 5, zoneCols = Seq("od_day"))
+        (dmin, dwidth, kwidth)
+      }
+      def agg(df: DataFrame) =
+        df.agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      def probeRow(version: Long, probe: String, nRead: Int, nTotal: Int,
+                   df: DataFrame) =
+        agg(df).select(lit(version).as("version"), lit(probe).as("probe"),
+          lit(nRead.toLong).as("files_read"), lit(nTotal.toLong).as("files_total"),
+          col("n_rows"), col("sum_cents"))
+      val rows = Seq(1L, 2L).flatMap { v =>
+        val snap = TableFormat.snapshot(s, root, Some(v))
+        val (dScan, dRead, dTotal) =
+          TableFormat.scanZone(s, snap, "od_day", dmin, dmin + dwidth - 1)
+        val (kScan, kRead, kTotal) =
+          TableFormat.scanRange(s, snap, 0L, kwidth - 1)
+        Seq(
+          probeRow(v, "full", snap.files.size, snap.files.size,
+            Parallelism.ensureDefaultParallelism(TableFormat.read(s, snap))),
+          probeRow(v, "date", dRead, dTotal, dScan),
+          probeRow(v, "key", kRead, kTotal, kScan))
+      }
+      rows.reduce(_.unionByName(_)).orderBy(col("version"), col("probe"))
+    },
+
     // ---- Multimodal: REAL AVI/MJPEG video decode — the second real
     // video path beyond GIF, composed entirely from JDK parts: a
     // standard-layout RIFF AVI (hdrl/strl headers + movi stream) whose
@@ -6613,6 +6730,67 @@ object SparkEntry {
          UNION ALL SELECT 3, 'delete', k, c FROM del
          UNION ALL SELECT 5, 'insert', k, c FROM del
          ORDER BY _version, _change, c_custkey""",
+
+    // the final view recomputed directly from the base table: the state
+    // after append + delete + (invisible) compaction + merge, aggregated
+    // per bucket — the incremental path must land on exactly this
+    "q90_cdf_view" ->
+      """WITH s AS (SELECT c_custkey AS k,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS c FROM customer),
+         base AS (SELECT k, c FROM s WHERE k % 3 < 2 AND k % 50 <> 0),
+         st AS (SELECT k, c FROM base WHERE k % 7 <> 3
+                UNION ALL SELECT k, c + 1000 FROM base WHERE k % 7 = 3
+                UNION ALL SELECT k, c FROM s WHERE k % 3 = 2)
+         SELECT k % 8 AS grp, count(*) AS n_rows,
+             CAST(sum(c) AS BIGINT) AS total
+         FROM st GROUP BY 1 ORDER BY grp""",
+
+    // per-bucket (and per-merged-pair) min/max of BOTH dimensions replayed
+    // arithmetically: files_read for each probe is the count of buckets
+    // whose bounds overlap the probe range — zone pruning as arithmetic
+    "q91_zone_scan" ->
+      """WITH s AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS c,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+           FROM orders WHERE o_orderkey % 4 = 3),
+         dw AS (SELECT min(d) AS dmin, ((max(d) - min(d)) // 4) + 1 AS width FROM s),
+         kw AS (SELECT (max(k) // 4) + 1 AS width FROM s),
+         bz AS (SELECT (d - (SELECT dmin FROM dw)) // (SELECT width FROM dw) AS b,
+                 min(d) AS dmn, max(d) AS dmx, min(k) AS kmn, max(k) AS kmx
+               FROM s GROUP BY 1),
+         pz AS (SELECT b // 2 AS pp, min(dmn) AS dmn, max(dmx) AS dmx,
+                 min(kmn) AS kmn, max(kmx) AS kmx FROM bz GROUP BY 1),
+         fa AS (SELECT count(*) AS n_rows, CAST(sum(c) AS BIGINT) AS sum_cents FROM s),
+         ds AS (SELECT count(*) AS n_rows, CAST(sum(c) AS BIGINT) AS sum_cents FROM s
+                WHERE d <= (SELECT dmin FROM dw) + (SELECT width FROM dw) - 1),
+         ks AS (SELECT count(*) AS n_rows, CAST(sum(c) AS BIGINT) AS sum_cents FROM s
+                WHERE k < (SELECT width FROM kw)),
+         nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bz),
+         np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pz),
+         drb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bz
+                 WHERE dmn <= (SELECT dmin FROM dw) + (SELECT width FROM dw) - 1
+                   AND dmx >= (SELECT dmin FROM dw)),
+         drp AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pz
+                 WHERE dmn <= (SELECT dmin FROM dw) + (SELECT width FROM dw) - 1
+                   AND dmx >= (SELECT dmin FROM dw)),
+         krb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bz
+                 WHERE kmn <= (SELECT width FROM kw) - 1 AND kmx >= 0),
+         krp AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pz
+                 WHERE kmn <= (SELECT width FROM kw) - 1 AND kmx >= 0)
+         SELECT CAST(1 AS BIGINT) AS version, 'full' AS probe,
+             (SELECT n FROM nb) AS files_read, (SELECT n FROM nb) AS files_total,
+             n_rows, sum_cents FROM fa
+         UNION ALL SELECT 1, 'date', (SELECT n FROM drb), (SELECT n FROM nb),
+             n_rows, sum_cents FROM ds
+         UNION ALL SELECT 1, 'key', (SELECT n FROM krb), (SELECT n FROM nb),
+             n_rows, sum_cents FROM ks
+         UNION ALL SELECT 2, 'full', (SELECT n FROM np), (SELECT n FROM np),
+             n_rows, sum_cents FROM fa
+         UNION ALL SELECT 2, 'date', (SELECT n FROM drp), (SELECT n FROM np),
+             n_rows, sum_cents FROM ds
+         UNION ALL SELECT 2, 'key', (SELECT n FROM krp), (SELECT n FROM np),
+             n_rows, sum_cents FROM ks
+         ORDER BY version, probe""",
 
     // the sampled frame inventory is pure integer arithmetic (doc_id%3+2
     // frames, every 2nd), dims are the fixture constants, and our encoder

@@ -51,9 +51,14 @@ object TableFormat {
 
   /** Per-file statistics carried in every commit: zone bounds and row count
     * of the (long-typed) table key, plus the md5-double-hashed bloom bitset
-    * of the key's string form ([[graft.Functions.bloom_agg]] layout). */
+    * of the key's string form ([[graft.Functions.bloom_agg]] layout), plus
+    * OPTIONAL secondary zone bounds for the table's declared `zoneCols`
+    * (the Iceberg per-column lower/upper metrics shape, long-typed like
+    * the key) — what lets a scan prune on a non-key dimension (time,
+    * size, score) without any partitioning scheme. */
   final case class FileStat(file: String, minKey: Long, maxKey: Long,
-                            nRows: Long, bloom: Array[Long])
+                            nRows: Long, bloom: Array[Long],
+                            zones: Map[String, (Long, Long)] = Map.empty)
 
   /** A resolved snapshot: the complete live file set (with stats) of one
     * committed version, plus the commit's PROPERTIES — small string pairs
@@ -72,7 +77,8 @@ object TableFormat {
                             numBits: Int, numHashes: Int, files: Seq[FileStat],
                             props: Map[String, String] = Map.empty,
                             schemaDdl: Option[String] = None,
-                            op: Option[String] = None)
+                            op: Option[String] = None,
+                            zoneCols: Seq[String] = Seq.empty)
 
   private def logDir(root: String) = s"$root/_log"
   private def commitName(v: Long) = f"v$v%020d.json"
@@ -92,18 +98,29 @@ object TableFormat {
     * integral (cast to long for zones; hashed as its base-10 string for
     * the bloom, matching `bloom_contains` probes on the long column). */
   def fileStats(spark: SparkSession, files: Seq[String], keyCol: String,
-                numBits: Int, numHashes: Int): Seq[FileStat] = {
+                numBits: Int, numHashes: Int,
+                zoneCols: Seq[String] = Seq.empty): Seq[FileStat] = {
     require(files.nonEmpty, "fileStats: empty file list")
+    val zoneAggs = zoneCols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"zmin_$c"),
+      max(col(c).cast("long")).as(s"zmax_$c")))
+    val aggs = Seq(
+      min(col(keyCol).cast("long")).as("min_key"),
+      max(col(keyCol).cast("long")).as("max_key"),
+      count(lit(1)).as("n_rows"),
+      graft.Functions.bloom_agg(col(keyCol), numBits, numHashes).as("bloom")) ++
+      zoneAggs
     spark.read.parquet(files: _*)
       .groupBy(input_file_name().as("file"))
-      .agg(
-        min(col(keyCol).cast("long")).as("min_key"),
-        max(col(keyCol).cast("long")).as("max_key"),
-        count(lit(1)).as("n_rows"),
-        graft.Functions.bloom_agg(col(keyCol), numBits, numHashes).as("bloom"))
+      .agg(aggs.head, aggs.tail: _*)
       .collect()
-      .map(r => FileStat(r.getString(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getSeq[Long](4).toArray))
+      .map { r =>
+        val zones = zoneCols.zipWithIndex.map { case (c, i) =>
+          c -> ((r.getLong(5 + 2 * i), r.getLong(6 + 2 * i)))
+        }.toMap
+        FileStat(r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getSeq[Long](4).toArray, zones)
+      }
       .sortBy(_.file).toSeq
   }
 
@@ -115,13 +132,17 @@ object TableFormat {
                            numHashes: Int, files: Seq[FileStat],
                            props: Map[String, String],
                            schemaDdl: Option[String],
-                           op: Option[String]): String = {
+                           op: Option[String],
+                           zoneCols: Seq[String]): String = {
     val sb = new StringBuilder
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     sb.append(s"""{"version":$version,"key_col":"${esc(keyCol)}",""")
     sb.append(s""""num_bits":$numBits,"num_hashes":$numHashes,""")
     schemaDdl.foreach(d => sb.append(s""""schema":"${esc(d)}","""))
     op.foreach(o => sb.append(s""""op":"${esc(o)}","""))
+    if (zoneCols.nonEmpty)
+      sb.append(zoneCols.map(c => s""""${esc(c)}"""")
+        .mkString("\"zone_cols\":[", ",", "],"))
     sb.append("\"props\":{")
     props.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((k, v), i) =>
       if (i > 0) sb.append(',')
@@ -134,7 +155,16 @@ object TableFormat {
       f.bloom.foreach(bytes.putLong)
       val b64 = java.util.Base64.getEncoder.encodeToString(bytes.array())
       sb.append(s"""{"file":"${esc(f.file)}","min_key":${f.minKey},""")
-      sb.append(s""""max_key":${f.maxKey},"n_rows":${f.nRows},"bloom":"$b64"}""")
+      sb.append(s""""max_key":${f.maxKey},"n_rows":${f.nRows},"bloom":"$b64"""")
+      if (f.zones.nonEmpty) {
+        sb.append(""","zones":{""")
+        f.zones.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((c, (mn, mx)), j) =>
+          if (j > 0) sb.append(',')
+          sb.append(s""""${esc(c)}":[$mn,$mx]""")
+        }
+        sb.append('}')
+      }
+      sb.append('}')
     }
     sb.append("]}")
     sb.toString
@@ -146,9 +176,21 @@ object TableFormat {
       val f = node.get("files").get(i)
       val bytes = java.util.Base64.getDecoder.decode(f.get("bloom").asText())
       val bb = java.nio.ByteBuffer.wrap(bytes)
+      val zones =
+        if (!f.has("zones")) Map.empty[String, (Long, Long)]
+        else {
+          val z = f.get("zones")
+          val it = z.fieldNames()
+          val m = Map.newBuilder[String, (Long, Long)]
+          while (it.hasNext) {
+            val c = it.next()
+            m += c -> ((z.get(c).get(0).asLong(), z.get(c).get(1).asLong()))
+          }
+          m.result()
+        }
       FileStat(f.get("file").asText(), f.get("min_key").asLong(),
         f.get("max_key").asLong(), f.get("n_rows").asLong(),
-        Array.fill(bytes.length / 8)(bb.getLong))
+        Array.fill(bytes.length / 8)(bb.getLong), zones)
     }
     // commits written before props support parse unchanged (empty map)
     val props =
@@ -163,9 +205,13 @@ object TableFormat {
     val schemaDdl =
       if (node.has("schema")) Some(node.get("schema").asText()) else None
     val op = if (node.has("op")) Some(node.get("op").asText()) else None
+    val zoneCols =
+      if (!node.has("zone_cols")) Seq.empty[String]
+      else (0 until node.get("zone_cols").size())
+        .map(i => node.get("zone_cols").get(i).asText())
     Snapshot(root, node.get("version").asLong(), node.get("key_col").asText(),
       node.get("num_bits").asInt(), node.get("num_hashes").asInt(), files,
-      props, schemaDdl, op)
+      props, schemaDdl, op, zoneCols)
   }
 
   /** All committed versions, ascending — ONE directory listing, no data
@@ -241,7 +287,8 @@ object TableFormat {
                 files: Seq[FileStat],
                 props: Map[String, String] = Map.empty,
                 schemaDdl: Option[String] = None,
-                op: Option[String] = None): Boolean = {
+                op: Option[String] = None,
+                zoneCols: Seq[String] = Seq.empty): Boolean = {
     require(version >= 1, s"tryCommit: versions start at 1, got $version")
     val (fc, fs, _) = fileContext(spark, root)
     val dir = new org.apache.hadoop.fs.Path(logDir(root))
@@ -253,7 +300,7 @@ object TableFormat {
     val out = fs.create(tmp, true)
     try out.write(
       renderCommit(version, keyCol, numBits, numHashes, files, props,
-        schemaDdl, op)
+        schemaDdl, op, zoneCols)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     try { fc.rename(tmp, dst); true }
@@ -286,7 +333,8 @@ object TableFormat {
                         _.map(_.props).getOrElse(Map.empty),
                       deriveSchema: Option[Snapshot] => Option[String] =
                         _.flatMap(_.schemaDdl),
-                      op: Option[String] = None): Snapshot = {
+                      op: Option[String] = None,
+                      zoneCols: Option[Seq[String]] = None): Snapshot = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val vs = versions(spark, root)
@@ -295,10 +343,13 @@ object TableFormat {
       val files = derive(cur)
       val props = deriveProps(cur)
       val schemaDdl = deriveSchema(cur)
+      // zone-col declarations carry forward like the schema: an explicit
+      // Some overrides (the bootstrap), otherwise the table's stand
+      val zc = zoneCols.orElse(cur.map(_.zoneCols)).getOrElse(Seq.empty)
       if (tryCommit(spark, root, next, keyCol, numBits, numHashes, files,
-          props, schemaDdl, op))
+          props, schemaDdl, op, zc))
         return Snapshot(root, next, keyCol, numBits, numHashes, files,
-          props, schemaDdl, op)
+          props, schemaDdl, op, zc)
       attempt += 1
     }
     throw new IllegalStateException(
@@ -367,6 +418,30 @@ object TableFormat {
     (scan, hit.size, snap.files.size)
   }
 
+  /** Zone-pruned range scan on a SECONDARY zoned column (`zoneCol` must be
+    * in the snapshot's declared `zoneCols`): same contract as
+    * [[scanRange]] but over the per-file secondary bounds — what lets a
+    * time-range query over a key-ordered table skip files with no
+    * partitioning scheme at all (Iceberg's metrics-based pruning). A file
+    * somehow lacking bounds for the column (never produced by this layer,
+    * but a defensive posture) is read, not skipped — pruning can only ever
+    * be a no-false-negative optimization. Returns (scan, files read,
+    * files listed). */
+  def scanZone(spark: SparkSession, snap: Snapshot, zoneCol: String,
+               lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    require(snap.zoneCols.contains(zoneCol),
+      s"scanZone: '$zoneCol' is not a declared zone column " +
+        s"(have: ${snap.zoneCols.mkString(",")})")
+    val hit = snap.files.filter(f =>
+      f.zones.get(zoneCol).forall { case (mn, mx) => mn <= hi && mx >= lo })
+    val scan =
+      if (hit.nonEmpty)
+        readFiles(spark, snap, hit.map(_.file))
+          .filter(col(zoneCol).cast("long").between(lo, hi))
+      else read(spark, snap).filter(lit(false))
+    (scan, hit.size, snap.files.size)
+  }
+
   /** Files whose bloom MAY contain `key` — the point-lookup prune. Pure
     * driver arithmetic on the snapshot (no false negatives: a skipped
     * file provably lacks the key). */
@@ -384,11 +459,13 @@ object TableFormat {
     * committed — the writer knows what it wrote) and never recomputed by
     * readers. */
   def commitFiles(spark: SparkSession, root: String, keyCol: String,
-                  files: Seq[String], numBits: Int, numHashes: Int): Snapshot = {
-    val stats = fileStats(spark, files, keyCol, numBits, numHashes)
+                  files: Seq[String], numBits: Int, numHashes: Int,
+                  zoneCols: Seq[String] = Seq.empty): Snapshot = {
+    val stats = fileStats(spark, files, keyCol, numBits, numHashes, zoneCols)
     val ddl = spark.read.parquet(files: _*).schema.toDDL
     commitTransform(spark, root, keyCol, numBits, numHashes, _ => stats,
-      deriveSchema = _ => Some(ddl), op = Some("append"))
+      deriveSchema = _ => Some(ddl), op = Some("append"),
+      zoneCols = Some(zoneCols))
   }
 
   /** APPEND files to the current snapshot — the ingest commit. The table
@@ -400,7 +477,8 @@ object TableFormat {
   def appendFiles(spark: SparkSession, root: String, files: Seq[String],
                   extraProps: Map[String, String] = Map.empty): Snapshot = {
     val first = snapshot(spark, root)
-    val stats = fileStats(spark, files, first.keyCol, first.numBits, first.numHashes)
+    val stats = fileStats(spark, files, first.keyCol, first.numBits,
+      first.numHashes, first.zoneCols)
     val newSchema = spark.read.parquet(files: _*).schema
     commitTransform(spark, root, first.keyCol, first.numBits, first.numHashes,
       { curOpt =>
@@ -438,7 +516,8 @@ object TableFormat {
         .repartitionByRange(nFiles, col(cur.keyCol))
         .write.mode("overwrite").parquet(out)
       val files = listParquet(spark, out)
-      fileStats(spark, files, cur.keyCol, cur.numBits, cur.numHashes)
+      fileStats(spark, files, cur.keyCol, cur.numBits, cur.numHashes,
+        cur.zoneCols)
     }, op = Some("replace"))
   }
 
@@ -468,7 +547,8 @@ object TableFormat {
             .write.mode("overwrite").parquet(out)
           val files = listParquet(spark, out)
           if (files.isEmpty) Seq.empty
-          else fileStats(spark, files, cur.keyCol, cur.numBits, cur.numHashes)
+          else fileStats(spark, files, cur.keyCol, cur.numBits,
+            cur.numHashes, cur.zoneCols)
         }
       (carried ++ rewritten).sortBy(_.file)
     }, op = Some("delete"))
@@ -550,7 +630,7 @@ object TableFormat {
         val out = s"$dataDir/merge-${java.util.UUID.randomUUID().toString}"
         newData.repartition(nOutFiles).write.mode("overwrite").parquet(out)
         val newStats = fileStats(spark, listParquet(spark, out),
-          cur.keyCol, cur.numBits, cur.numHashes)
+          cur.keyCol, cur.numBits, cur.numHashes, cur.zoneCols)
         nRewritten = hit.size
         nCarried = carried.size
         (carried ++ newStats).sortBy(_.file)
@@ -571,7 +651,8 @@ object TableFormat {
     val target = snapshot(spark, root, Some(toVersion))
     commitTransform(spark, root, target.keyCol, target.numBits,
       target.numHashes, _ => target.files,
-      deriveSchema = _ => target.schemaDdl, op = Some("rollback"))
+      deriveSchema = _ => target.schemaDdl, op = Some("rollback"),
+      zoneCols = Some(target.zoneCols))
   }
 
   /** CHANGELOG between two committed versions — the incremental (CDF) read:
@@ -639,6 +720,108 @@ object TableFormat {
             .getOrElse(Seq.empty))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+  }
+
+  /** Advance a (group, n_rows, total) aggregate VIEW from `fromV` to `toV`
+    * using the changelog ONLY — incremental view maintenance over the
+    * format's own CDF: the delta is one aggregate over
+    * [[changesBetween]]'s changed-file reads (inserts count +1/+value,
+    * deletes −1/−value), outer-joined onto the base view; groups whose
+    * row count reaches zero drop out. Cost is O(changed files + |view|),
+    * never O(table) — and compaction steps cost nothing at all (the
+    * op=replace skip). `baseView` must be the view's exact state at
+    * `fromV` with columns (grp, n_rows, total); `groupExpr`/`valueExpr`
+    * must be the same expressions that built it. */
+  def refreshView(spark: SparkSession, root: String, fromV: Long, toV: Long,
+                  groupExpr: org.apache.spark.sql.Column,
+                  valueExpr: org.apache.spark.sql.Column,
+                  baseView: DataFrame): DataFrame = {
+    require(baseView.columns.toSeq == Seq("grp", "n_rows", "total"),
+      s"refreshView: baseView columns must be (grp, n_rows, total), " +
+        s"got ${baseView.columns.mkString(",")}")
+    val sign = when(col("_change") === "insert", lit(1L)).otherwise(lit(-1L))
+    val delta = changesBetween(spark, root, fromV, toV)
+      .groupBy(groupExpr.as("grp"))
+      .agg(sum(sign).as("d_rows"), sum(sign * valueExpr).as("d_total"))
+    baseView.join(delta, Seq("grp"), "full_outer")
+      .select(col("grp"),
+        (coalesce(col("n_rows"), lit(0L)) + coalesce(col("d_rows"), lit(0L)))
+          .as("n_rows"),
+        (coalesce(col("total"), lit(0L)) + coalesce(col("d_total"), lit(0L)))
+          .as("total"))
+      .filter(col("n_rows") > 0)
+  }
+
+  /** MAINTAIN a materialized (group, n_rows, total) view of a TableFormat
+    * table as another TableFormat table — the resumable incremental-view
+    * loop a streaming trigger (or a cron) calls once per tick:
+    *
+    *   - bootstrap: no view table yet → full compute at the source's
+    *     current version, committed with the CURSOR (`source_version`) in
+    *     the commit properties — the same in-log gate discipline as the
+    *     streaming ingest sink (no side-channel state).
+    *   - advance: cursor < source head → [[refreshView]] applies the
+    *     changelog delta (O(changed files + view), compaction steps free),
+    *     and the new view state commits with the moved cursor.
+    *   - idempotent: cursor == head → NO new commit (calling twice is a
+    *     no-op, which is what makes an at-least-once caller exactly-once).
+    *
+    * Crash-safety is the commit's: compute-then-CAS means a crash before
+    * the commit leaves the old cursor visible and the retry recomputes
+    * the identical delta against identical committed state. The view
+    * table keeps full TableFormat semantics — its own history, time
+    * travel, and retention. Returns the view's current snapshot. */
+  def maintainView(spark: SparkSession, sourceRoot: String, viewRoot: String,
+                   viewDataDir: String,
+                   groupExpr: org.apache.spark.sql.Column,
+                   valueExpr: org.apache.spark.sql.Column): Snapshot = {
+    val src = snapshot(spark, sourceRoot)
+    val haveView = versions(spark, viewRoot).nonEmpty
+    if (!haveView) {
+      val out = s"$viewDataDir/view-${java.util.UUID.randomUUID().toString}"
+      read(spark, src)
+        .groupBy(groupExpr.as("grp"))
+        .agg(count(lit(1)).as("n_rows"), sum(valueExpr).as("total"))
+        .repartition(1).write.mode("overwrite").parquet(out)
+      val files = listParquet(spark, out)
+      val stats = fileStats(spark, files, "grp", 1 << 10, 3)
+      val ddl = spark.read.parquet(files: _*).schema.toDDL
+      commitTransform(spark, viewRoot, "grp", 1 << 10, 3,
+        { curOpt =>
+          if (curOpt.nonEmpty) throw new IllegalStateException(
+            s"maintainView: concurrent bootstrap at $viewRoot")
+          stats
+        },
+        deriveProps = _ => Map("source_version" -> src.version.toString),
+        deriveSchema = _ => Some(ddl), op = Some("append"))
+    } else {
+      val cur = snapshot(spark, viewRoot)
+      val cursor = cur.props.getOrElse("source_version",
+        throw new IllegalStateException(
+          s"maintainView: view at $viewRoot carries no source_version cursor")).toLong
+      if (cursor >= src.version) cur // nothing new: no commit
+      else {
+        val refreshed = refreshView(spark, sourceRoot, cursor, src.version,
+          groupExpr, valueExpr, read(spark, cur).select("grp", "n_rows", "total"))
+        val out = s"$viewDataDir/view-${java.util.UUID.randomUUID().toString}"
+        refreshed.repartition(1).write.mode("overwrite").parquet(out)
+        val files = listParquet(spark, out)
+        val stats = fileStats(spark, files, "grp", cur.numBits, cur.numHashes)
+        commitTransform(spark, viewRoot, "grp", cur.numBits, cur.numHashes,
+          { curOpt =>
+            // the loop is single-maintainer by contract (like the ingest
+            // sink's lineage); if a racer moved the cursor, committing our
+            // now-stale state would silently rewind the view — fail loud
+            val now = curOpt.flatMap(_.props.get("source_version")).map(_.toLong)
+            if (!now.contains(cursor)) throw new IllegalStateException(
+              s"maintainView: concurrent maintainer moved the cursor " +
+                s"($now != Some($cursor)) at $viewRoot")
+            stats
+          },
+          deriveProps = _ => Map("source_version" -> src.version.toString),
+          op = Some("refresh"))
+      }
     }
   }
 

@@ -454,6 +454,46 @@ class TableFormatSpec extends SparkTestBase {
       Set((3L, "delete", 5L, 1.0), (3L, "delete", 207L, 2.0)))
   }
 
+  test("refreshView: changelog-advanced aggregate equals the full recompute") {
+    import spark.implicits._
+    val root = freshRoot()
+    val fa = writeKv((0L until 100L).map(i => (i, (i % 10).toDouble)), s"$root/fa")
+    TableFormat.commitFiles(spark, root, "k",
+      TableFormat.listParquet(spark, fa), numBits = 1 << 12, numHashes = 3)
+    val v1 = TableFormat.snapshot(spark, root)
+    def viewOf(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(pmod(col("k"), lit(4)).as("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("v").cast("long")).as("total"))
+    val base = viewOf(TableFormat.read(spark, v1))
+    val fb = writeKv((200L until 230L).map(i => (i, 5.0)), s"$root/fb")
+    TableFormat.appendFiles(spark, root, TableFormat.listParquet(spark, fb)) // v2
+    TableFormat.deleteKeys(spark, root, root, Seq(3L, 17L, 202L))            // v3
+    TableFormat.compact(spark, root, root, nFiles = 2)                       // v4
+    TableFormat.mergeRows(spark, root, root,                                 // v5
+      Seq(8L -> 99.0, 9000L -> 7.0).toDF("k", "v"))
+    val got = TableFormat.refreshView(spark, root, 1L, 5L,
+      pmod(col("k"), lit(4)), col("v").cast("long"), base)
+      .as[(Long, Long, Long)].collect().toSet
+    val full = viewOf(TableFormat.read(spark, TableFormat.snapshot(spark, root)))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == full)
+    // a group emptied by deletes must drop out, not linger at zero: delete
+    // every key of group 1 mod 4 among the small keys, then re-check
+    val g1keys = (0L until 100L).filter(k => k % 4 == 1 && k != 17L) ++
+      (200L until 230L).filter(k => k % 4 == 1 && k != 202L) :+ 9000L
+    // 9000 % 4 = 0, so group 1 empties only if we delete its members
+    TableFormat.deleteKeys(spark, root, root,
+      g1keys.filter(_ % 4 == 1))                                             // v6
+    val got2 = TableFormat.refreshView(spark, root, 1L, 6L,
+      pmod(col("k"), lit(4)), col("v").cast("long"), base)
+      .as[(Long, Long, Long)].collect().toSet
+    val full2 = viewOf(TableFormat.read(spark, TableFormat.snapshot(spark, root)))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got2 == full2)
+    assert(!got2.exists(_._1 == 1L), "emptied group must drop out of the view")
+  }
+
   test("changesBetween unions by name across schema evolution (old rows null-fill)") {
     import spark.implicits._
     val root = freshRoot()
@@ -468,6 +508,103 @@ class TableFormatSpec extends SparkTestBase {
       .as[(Long, String, Long, Double, Option[String])].collect().toSet
     assert(ch == Set((2L, "insert", 9L, 9.0, Some("x")),
       (3L, "delete", 1L, 1.0, None)))
+  }
+
+  test("maintainView: bootstrap, incremental advance, idempotent tick, crash-window resume") {
+    import spark.implicits._
+    val srcRoot = freshRoot()
+    val viewRoot = freshRoot()
+    val grp = pmod(col("k"), lit(4))
+    val value = col("v").cast("long")
+    def fullView() = TableFormat
+      .read(spark, TableFormat.snapshot(spark, srcRoot))
+      .groupBy(grp.as("grp"))
+      .agg(count(lit(1)).as("n_rows"), sum(value).as("total"))
+      .as[(Long, Long, Long)].collect().toSet
+    def viewNow() = TableFormat
+      .read(spark, TableFormat.snapshot(spark, viewRoot))
+      .select("grp", "n_rows", "total")
+      .as[(Long, Long, Long)].collect().toSet
+    val fa = writeKv((0L until 80L).map(i => (i, (i % 7).toDouble)), s"$srcRoot/fa")
+    TableFormat.commitFiles(spark, srcRoot, "k",
+      TableFormat.listParquet(spark, fa), numBits = 1 << 12, numHashes = 3)
+    // bootstrap tick
+    val v1 = TableFormat.maintainView(spark, srcRoot, viewRoot, viewRoot, grp, value)
+    assert(v1.props("source_version") == "1" && viewNow() == fullView())
+    // idempotent tick: no source change -> NO new view commit
+    TableFormat.maintainView(spark, srcRoot, viewRoot, viewRoot, grp, value)
+    assert(TableFormat.versions(spark, viewRoot) == Seq(1L))
+    // source advances: append + delete + compact + merge, one maintenance tick
+    val fb = writeKv((100L until 130L).map(i => (i, 3.0)), s"$srcRoot/fb")
+    TableFormat.appendFiles(spark, srcRoot, TableFormat.listParquet(spark, fb))
+    TableFormat.deleteKeys(spark, srcRoot, srcRoot, Seq(2L, 101L))
+    TableFormat.compact(spark, srcRoot, srcRoot, nFiles = 2)
+    TableFormat.mergeRows(spark, srcRoot, srcRoot,
+      Seq(4L -> 50.0, 9999L -> 1.0).toDF("k", "v"))
+    val v2 = TableFormat.maintainView(spark, srcRoot, viewRoot, viewRoot, grp, value)
+    assert(v2.props("source_version") == "5" && viewNow() == fullView())
+    assert(TableFormat.versions(spark, viewRoot) == Seq(1L, 2L))
+    // crash window: source moved, but the tick died before committing the
+    // view — the cursor still reads old, and the retry lands exactly once
+    TableFormat.deleteKeys(spark, srcRoot, srcRoot, Seq(7L))
+    assert(TableFormat.snapshot(spark, viewRoot).props("source_version") == "5")
+    TableFormat.maintainView(spark, srcRoot, viewRoot, viewRoot, grp, value)
+    assert(viewNow() == fullView())
+    assert(TableFormat.snapshot(spark, viewRoot).props("source_version") == "6")
+    // the view is itself a TableFormat table: its history time-travels
+    assert(TableFormat.read(spark,
+      TableFormat.snapshot(spark, viewRoot, Some(1L)))
+      .agg(sum(col("n_rows"))).collect()(0).getLong(0) == 80L)
+  }
+
+  test("secondary zone stats: scanZone prunes on a non-key column; maintenance preserves bounds") {
+    import spark.implicits._
+    val root = freshRoot()
+    // keys INTERLEAVE across files while t is file-disjoint: key zones
+    // can't prune a t-range, the secondary zones can
+    def rowsOf(b: Int) = (0L until 100L).map(i => (i * 3 + b, 1.0, b * 1000L + i))
+    val files = Seq(0, 1, 2).flatMap { b =>
+      rowsOf(b).toDF("k", "v", "t").repartition(1)
+        .write.mode("overwrite").parquet(s"$root/z$b")
+      TableFormat.listParquet(spark, s"$root/z$b")
+    }
+    val s1 = TableFormat.commitFiles(spark, root, "k", files, 1 << 12, 3,
+      zoneCols = Seq("t"))
+    assert(s1.zoneCols == Seq("t"))
+    assert(s1.files.forall(_.zones.contains("t")))
+    val (scan, nRead, nTotal) = TableFormat.scanZone(spark, s1, "t", 1000L, 1099L)
+    assert(nTotal == 3 && nRead == 1, s"read=$nRead total=$nTotal")
+    assert(scan.count() == 100L)
+    // the key zones CANNOT prune this probe (interleaved), proving the
+    // secondary dimension carries information the primary lacks
+    assert(s1.files.count(f => f.minKey <= 3000L && f.maxKey >= 0L) == 3)
+    // undeclared zone column is an explicit error
+    intercept[IllegalArgumentException] {
+      TableFormat.scanZone(spark, s1, "v", 0L, 1L)
+    }
+    // delete rewrites recompute the secondary zones (declaration carries)
+    TableFormat.deleteKeys(spark, root, root, Seq(3L + 1L)) // k=4 in file b=1
+    val s2 = TableFormat.snapshot(spark, root)
+    assert(s2.zoneCols == Seq("t") && s2.files.forall(_.zones.contains("t")))
+    val (scan2, nRead2, _) = TableFormat.scanZone(spark, s2, "t", 1000L, 1099L)
+    assert(nRead2 == 1 && scan2.count() == 99L)
+    // appended files get zones too; a disjoint-range probe reads only them
+    (0L until 10L).map(i => (10000L + i, 2.0, 5000L + i)).toDF("k", "v", "t")
+      .repartition(1).write.mode("overwrite").parquet(s"$root/z9")
+    TableFormat.appendFiles(spark, root, TableFormat.listParquet(spark, s"$root/z9"))
+    val s3 = TableFormat.snapshot(spark, root)
+    val (scan3, nRead3, nTotal3) = TableFormat.scanZone(spark, s3, "t", 5000L, 5999L)
+    assert(nRead3 == 1 && nTotal3 == s3.files.size && scan3.count() == 10L)
+    // merge + compact + rollback all carry the declaration and the stats
+    TableFormat.mergeRows(spark, root, root, Seq((2L, 9.0, 666L)).toDF("k", "v", "t"))
+    TableFormat.compact(spark, root, root, nFiles = 2)
+    val s5 = TableFormat.snapshot(spark, root)
+    assert(s5.zoneCols == Seq("t") && s5.files.forall(_.zones.contains("t")))
+    val (scan5, _, _) = TableFormat.scanZone(spark, s5, "t", 666L, 666L)
+    assert(scan5.select("k").as[Long].collect().toSeq == Seq(2L))
+    val s6 = TableFormat.rollback(spark, root, s3.version)
+    assert(s6.zoneCols == Seq("t"))
+    assert(TableFormat.scanZone(spark, s6, "t", 5000L, 5999L)._1.count() == 10L)
   }
 
   test("tryCommit CAS: the same version cannot be published twice") {
