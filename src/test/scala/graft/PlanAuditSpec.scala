@@ -84,7 +84,13 @@ class PlanAuditSpec extends SparkTestBase {
     // localCheckpointed component output (corpus-sized at scale, no
     // static stats), so SMJ is the correct static plan; AQE downgrades
     // locally. The representative pick itself is a plain aggregate.
-    "d18_cluster_rep")
+    "d18_cluster_rep",
+    // q90: refreshView's base-view ⋈ delta FULL OUTER — both sides are
+    // group-cardinality aggregate outputs (|view|-sized, no static
+    // stats) and full-outer cannot broadcast, so SMJ is the only correct
+    // static shape (q44's posture); the data-scale work upstream is the
+    // changed-file reads inside changesBetween, which join nothing
+    "q90_cdf_view")
 
   /** entries whose plan legitimately contains an UNPARTITIONED window:
     * q76's exact skyline pass — its input is the partition-locally pruned
