@@ -559,6 +559,47 @@ class StreamingSpec extends SparkTestBase {
     assert(e.getMessage.contains("lineage"))
   }
 
+  test("stream -> table -> maintained view: ingest ticks drive exactly-once IVM refreshes") {
+    import graft.operators.TableFormat
+    val dir = java.nio.file.Files.createTempDirectory("graft_tf_view").toString
+    val (root, data, vroot) = (s"$dir/t", s"$dir/d", s"$dir/view")
+    val fn = Streams.foreachBatchTableAppend(root, data, "k",
+      numBits = 256, numHashes = 3, lineage = "ckpt-V")
+    val grp = pmod(col("k"), lit(2))
+    val value = col("v").cast("long")
+    def tick() = TableFormat.maintainView(spark, root, vroot, vroot, grp, value)
+    def viewNow() = TableFormat
+      .read(spark, TableFormat.snapshot(spark, vroot))
+      .select("grp", "n_rows", "total")
+      .as[(Long, Long, Long)].collect().toSet
+    def fullView() = TableFormat
+      .read(spark, TableFormat.snapshot(spark, root))
+      .groupBy(grp.as("grp"))
+      .agg(count(lit(1)).as("n_rows"), sum(value).as("total"))
+      .as[(Long, Long, Long)].collect().toSet
+    fn((1L to 8L).map(k => k -> (k * 10).toDouble).toDF("k", "v"), 0L)
+    tick() // bootstrap
+    assert(viewNow() == fullView())
+    fn((11L to 14L).map(k => k -> 5.0).toDF("k", "v"), 1L)
+    fn((11L to 14L).map(k => k -> 5.0).toDF("k", "v"), 1L) // replay: skipped
+    tick() // one ingest version -> one refresh commit
+    assert(viewNow() == fullView())
+    assert(TableFormat.versions(spark, vroot) == Seq(1L, 2L))
+    // maintenance + mutation between ticks: delete, compact (CDF-free),
+    // then a single tick folds the whole interval through the changelog
+    TableFormat.deleteKeys(spark, root, data, Seq(2L, 12L))
+    TableFormat.compact(spark, root, data, nFiles = 1)
+    tick()
+    assert(viewNow() == fullView())
+    assert(TableFormat.versions(spark, vroot) == Seq(1L, 2L, 3L))
+    // idle tick: source unchanged -> NO view commit (exactly-once refresh)
+    tick()
+    assert(TableFormat.versions(spark, vroot) == Seq(1L, 2L, 3L))
+    // the view's cursor tracks the source head in its own commit props
+    assert(TableFormat.snapshot(spark, vroot).props("source_version").toLong ==
+      TableFormat.versions(spark, root).last)
+  }
+
   test("publish recovery is total: every reachable crash layout lands on a sane snapshot") {
     // enumerate the layouts a crash can leave behind (live x staging x old)
     // and assert the next batch application never double-applies, never
