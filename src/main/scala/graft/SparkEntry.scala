@@ -3038,6 +3038,118 @@ object SparkEntry {
       rows.reduce(_.unionByName(_)).orderBy(col("version"), col("probe"))
     },
 
+    // ---- Table format: WRITE-AUDIT-PUBLISH branching — the Iceberg
+    // stage-to-branch / audit / fast-forward contract over the unified
+    // log: a branch forks as ONE metadata commit (parent files carried by
+    // reference, zero data IO), a dirty ingest batch lands on the BRANCH
+    // (invisible to main readers), the audit gate counts its violations
+    // (negative cents), a bloom-targeted delete repairs the branch, and
+    // only the audited head fast-forwards onto main. Every (log, version)
+    // state is graded, so the oracle checks the ISOLATION itself: the
+    // dirty batch appears in branch v2 and on main never — main jumps
+    // from the v1 state straight to the audited v3 state ----
+    "q92_wap_branch" -> { (s, dir) =>
+      val root = scratch("q92_wap", dir)
+      val broot = TableFormat.branchRoot(root, "wap")
+      Fixtures.once(s, "q92_wap", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val base = Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(4)) === 2)
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        base.repartition(2).write.mode("overwrite").parquet(s"$root/v1")
+        TableFormat.commitFiles(s, root, "o_orderkey",
+          TableFormat.listParquet(s, s"$root/v1"),
+          numBits = 1 << 14, numHashes = 5)          // main v1
+        TableFormat.createBranch(s, root, "wap")     // branch v1 (metadata)
+        // the staged batch is DIRTY by construction: cents negated on the
+        // %13==2 residue — the violation the audit gate must catch
+        val batch = Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(4)) === 0)
+          .select(col("o_orderkey"),
+            when(pmod(col("o_orderkey"), lit(13)) === 2,
+              -floor(col("o_totalprice") * 100))
+              .otherwise(floor(col("o_totalprice") * 100))
+              .cast("long").as("cents"))
+        batch.repartition(1).write.mode("overwrite").parquet(s"$broot/stage")
+        TableFormat.appendFiles(s, broot,
+          TableFormat.listParquet(s, s"$broot/stage")) // branch v2 (staged)
+        // audit REJECTS: repair with a targeted delete of the bad keys
+        // (control-sized, data-derived — the oracle replays %13==2)
+        val badKeys = Parallelism.ensureDefaultParallelism(
+            TableFormat.read(s, TableFormat.snapshot(s, broot)))
+          .filter(col("cents") < 0)
+          .select(col("o_orderkey")).distinct()
+          .collect().map(_.getLong(0)).toSeq.sorted
+        TableFormat.deleteKeys(s, broot, broot, badKeys) // branch v3 (clean)
+        // audit PASSES on the branch head -> fast-forward publish
+        TableFormat.publishBranch(s, root, "wap")    // main v2
+      }
+      def state(log: String, logRoot: String, v: Long) =
+        Parallelism.ensureDefaultParallelism(
+            TableFormat.read(s, TableFormat.snapshot(s, logRoot, Some(v))))
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"),
+            count(when(col("cents") < 0, 1)).as("n_bad"))
+          .select(lit(log).as("log"), lit(v).as("version"),
+            col("n_rows"), col("sum_cents"), col("n_bad"))
+      Seq(state("main", root, 1L), state("main", root, 2L),
+          state("branch", broot, 1L), state("branch", broot, 2L),
+          state("branch", broot, 3L))
+        .reduce(_.unionByName(_)).orderBy(col("log"), col("version"))
+    },
+
+    // ---- Table format: METADATA-ONLY aggregates — count(*)/min/max
+    // answered from the snapshot's per-file stats with ZERO data IO
+    // (the Iceberg/Trino metadata-scan pushdown), plus the hybrid range
+    // count: files fully inside the range contribute their exact row
+    // counts from metadata, disjoint files are skipped, and only the
+    // BOUNDARY files are scanned — O(boundary) = O(1) files on a
+    // range-clustered table regardless of table size. The probe range
+    // [kwidth/2, 3*kwidth-1] exercises all three classes (bucket 0
+    // boundary, 1-2 inside, 3 disjoint), and the oracle recomputes the
+    // per-class file counts from bucket min/max arithmetic ----
+    "q93_stats_scan" -> { (s, dir) =>
+      val root = scratch("q93_ss", dir)
+      val kwidth = Fixtures.once(s, "q93_ss", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val base = Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(4)) === 0)
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        val kmax = base.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+        val w = kmax / 4 + 1
+        val files = (0 until 4).flatMap { b =>
+          val f = s"$root/b$b"
+          base.filter(expr(s"o_orderkey div $w") === b)
+            .repartition(1).write.mode("overwrite").parquet(f)
+          TableFormat.listParquet(s, f)
+        }
+        TableFormat.commitFiles(s, root, "o_orderkey", files,
+          numBits = 1 << 14, numHashes = 5)
+        w
+      }
+      val snap = TableFormat.snapshot(s, root)
+      val (nRows, minK, maxK) = TableFormat.statsSummary(snap)
+      val (rangeN, nMeta, nScan, nSkip) =
+        TableFormat.countRange(s, snap, "o_orderkey",
+          kwidth / 2, 3 * kwidth - 1)
+      def row(probe: String, value: Long, meta: Option[Int],
+              scan: Option[Int], skip: Option[Int]) = {
+        def opt(o: Option[Int]) =
+          o.map(n => lit(n.toLong)).getOrElse(lit(null).cast("long"))
+        s.range(1).select(lit(probe).as("probe"), lit(value).as("value"),
+          opt(meta).as("files_meta"), opt(scan).as("files_scanned"),
+          opt(skip).as("files_skipped"))
+      }
+      Seq(row("count_star", nRows, None, None, None),
+          row("min_key", minK, None, None, None),
+          row("max_key", maxK, None, None, None),
+          row("range_count", rangeN, Some(nMeta), Some(nScan), Some(nSkip)))
+        .reduce(_.unionByName(_)).orderBy(col("probe"))
+    },
+
     // ---- Multimodal: REAL AVI/MJPEG video decode — the second real
     // video path beyond GIF, composed entirely from JDK parts: a
     // standard-layout RIFF AVI (hdrl/strl headers + movi stream) whose
@@ -6791,6 +6903,70 @@ object SparkEntry {
          UNION ALL SELECT 2, 'key', (SELECT n FROM krp), (SELECT n FROM np),
              n_rows, sum_cents FROM ks
          ORDER BY version, probe""",
+
+    // every (log, version) state replayed from the base table: the dirty
+    // batch (negated %13==2 cents) exists in branch v2 ONLY; main jumps
+    // from its v1 state straight to the audited branch-v3 state — the
+    // WAP isolation contract as plain arithmetic
+    "q92_wap_branch" ->
+      """WITH s2 AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders WHERE o_orderkey % 4 = 2),
+         s0 AS (SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 13 = 2
+                  THEN -CAST(floor(o_totalprice * 100) AS BIGINT)
+                  ELSE CAST(floor(o_totalprice * 100) AS BIGINT) END AS c
+           FROM orders WHERE o_orderkey % 4 = 0),
+         b2 AS (SELECT k, c FROM s2 UNION ALL SELECT k, c FROM s0),
+         b3 AS (SELECT k, c FROM s2
+                UNION ALL SELECT k, c FROM s0 WHERE k % 13 <> 2)
+         SELECT 'branch' AS log, CAST(1 AS BIGINT) AS version,
+             count(*) AS n_rows, CAST(sum(c) AS BIGINT) AS sum_cents,
+             CAST(count(CASE WHEN c < 0 THEN 1 END) AS BIGINT) AS n_bad
+           FROM s2
+         UNION ALL SELECT 'branch', 2, count(*), CAST(sum(c) AS BIGINT),
+             CAST(count(CASE WHEN c < 0 THEN 1 END) AS BIGINT) FROM b2
+         UNION ALL SELECT 'branch', 3, count(*), CAST(sum(c) AS BIGINT),
+             CAST(count(CASE WHEN c < 0 THEN 1 END) AS BIGINT) FROM b3
+         UNION ALL SELECT 'main', 1, count(*), CAST(sum(c) AS BIGINT),
+             CAST(count(CASE WHEN c < 0 THEN 1 END) AS BIGINT) FROM s2
+         UNION ALL SELECT 'main', 2, count(*), CAST(sum(c) AS BIGINT),
+             CAST(count(CASE WHEN c < 0 THEN 1 END) AS BIGINT) FROM b3
+         ORDER BY log, version""",
+
+    // metadata answers replayed directly; the hybrid range-count's
+    // per-class file counts recomputed from bucket min/max arithmetic —
+    // a file counted from metadata / scanned / skipped is an arithmetic
+    // fact about its bounds vs the probe range
+    "q93_stats_scan" ->
+      """WITH s AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 4 = 0),
+         kw AS (SELECT (max(k) // 4) + 1 AS w FROM s),
+         rng AS (SELECT (SELECT w FROM kw) // 2 AS lo,
+                        3 * (SELECT w FROM kw) - 1 AS hi),
+         bz AS (SELECT k // (SELECT w FROM kw) AS b, min(k) AS mn,
+                 max(k) AS mx, count(*) AS n
+               FROM s GROUP BY 1),
+         cls AS (SELECT b, n,
+             CASE WHEN mn >= (SELECT lo FROM rng) AND mx <= (SELECT hi FROM rng)
+                    THEN 'inside'
+                  WHEN mx < (SELECT lo FROM rng) OR mn > (SELECT hi FROM rng)
+                    THEN 'skip'
+                  ELSE 'boundary' END AS cls
+           FROM bz)
+         SELECT 'count_star' AS probe, count(*) AS value,
+             CAST(NULL AS BIGINT) AS files_meta,
+             CAST(NULL AS BIGINT) AS files_scanned,
+             CAST(NULL AS BIGINT) AS files_skipped
+           FROM s
+         UNION ALL SELECT 'max_key', max(k), NULL, NULL, NULL FROM s
+         UNION ALL SELECT 'min_key', min(k), NULL, NULL, NULL FROM s
+         UNION ALL SELECT 'range_count',
+             (SELECT count(*) FROM s
+              WHERE k BETWEEN (SELECT lo FROM rng) AND (SELECT hi FROM rng)),
+             (SELECT count(*) FROM cls WHERE cls = 'inside'),
+             (SELECT count(*) FROM cls WHERE cls = 'boundary'),
+             (SELECT count(*) FROM cls WHERE cls = 'skip')
+         ORDER BY probe""",
 
     // the sampled frame inventory is pure integer arithmetic (doc_id%3+2
     // frames, every 2nd), dims are the fixture constants, and our encoder

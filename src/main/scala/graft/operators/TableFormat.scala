@@ -655,6 +655,125 @@ object TableFormat {
       zoneCols = Some(target.zoneCols))
   }
 
+  // ---- branches (write-audit-publish) -------------------------------------
+
+  /** Root of branch `name`'s own commit log. A branch IS a TableFormat
+    * table: every operation in this object works on a branch root
+    * unchanged, because data files are immutable and referenced by
+    * absolute path — forking copies METADATA only. */
+  def branchRoot(root: String, name: String): String = {
+    require(name.matches("[A-Za-z0-9._-]+"),
+      s"branchRoot: illegal branch name '$name'")
+    s"$root/_branch/$name"
+  }
+
+  /** Fork a branch from the table's current (or pinned) snapshot — the
+    * Iceberg/Nessie branch-create: ONE metadata commit on the branch's own
+    * log carrying the parent file set BY REFERENCE (stats copied, zero
+    * data IO, zero recompute), with the fork point pinned in
+    * `branch.forked_from`. Staged work (appends, deletes, merges) then
+    * targets the branch root and is INVISIBLE to main-table readers until
+    * [[publishBranch]] — the write-audit-publish staging contract.
+    *
+    * Interaction with maintenance: a branch references main's data files,
+    * so do not pass a live branch's data dirs to a main-root
+    * [[expireSnapshots]] sweep (and vice versa) until the branch is
+    * published or dropped — the sweep's referenced-set is per-log. */
+  def createBranch(spark: SparkSession, root: String, name: String,
+                   asOf: Option[Long] = None): Snapshot = {
+    val parent = snapshot(spark, root, asOf)
+    val broot = branchRoot(root, name)
+    require(versions(spark, broot).isEmpty,
+      s"createBranch: branch '$name' already exists at $broot")
+    commitTransform(spark, broot, parent.keyCol, parent.numBits,
+      parent.numHashes, _ => parent.files,
+      deriveProps = _ =>
+        parent.props + ("branch.forked_from" -> parent.version.toString),
+      deriveSchema = _ => parent.schemaDdl,
+      op = Some("branch"), zoneCols = Some(parent.zoneCols))
+  }
+
+  /** Publish a branch head onto the main log — the WAP fast-forward: one
+    * metadata commit (op="publish") carrying the audited branch head's
+    * file set by reference. CONFLICT RULE: main must still be at the
+    * branch's fork point; if another writer advanced main since the fork,
+    * publishing would silently drop that writer's rows (the branch head's
+    * file set supersedes, it does not compose), so the publish FAILS and
+    * the staged work must be re-derived on a fresh branch — the Iceberg
+    * fast-forward contract, enforced inside the commit retry loop so a
+    * racer can't slip between the check and the CAS. */
+  def publishBranch(spark: SparkSession, root: String, name: String): Snapshot = {
+    val head = snapshot(spark, branchRoot(root, name))
+    val forkedFrom = head.props.getOrElse("branch.forked_from",
+      throw new IllegalStateException(
+        s"publishBranch: '$name' carries no fork point — not a branch?")).toLong
+    commitTransform(spark, root, head.keyCol, head.numBits, head.numHashes,
+      { curOpt =>
+        val curV = curOpt.map(_.version).getOrElse(0L)
+        if (curV != forkedFrom) throw new java.util.ConcurrentModificationException(
+          s"publishBranch: main advanced to v$curV since the fork at " +
+            s"v$forkedFrom — rebase: re-fork and re-apply the staged change")
+        head.files
+      },
+      deriveProps = _ => head.props - "branch.forked_from",
+      deriveSchema = _ => head.schemaDdl,
+      op = Some("publish"), zoneCols = Some(head.zoneCols))
+  }
+
+  /** Drop a branch: delete its commit LOG only. Data files staged under
+    * the branch's data dirs are left for an orphan sweep ([[expireSnapshots]]
+    * over those dirs) — never deleted here, because a published commit on
+    * main may reference them. */
+  def dropBranch(spark: SparkSession, root: String, name: String): Unit = {
+    val (_, fs, _) = fileContext(spark, root)
+    fs.delete(new org.apache.hadoop.fs.Path(logDir(branchRoot(root, name))), true)
+  }
+
+  // ---- metadata-only aggregates -------------------------------------------
+
+  /** count(*)/min(key)/max(key) answered ENTIRELY from the resolved
+    * snapshot's per-file stats — zero data IO, O(files) driver arithmetic.
+    * Exact by construction: every commit path computes exact per-file
+    * stats over the files it publishes (deletes REWRITE files, so no
+    * stale counts survive). This is the Iceberg/Trino metadata-scan
+    * count(*) pushdown; at 100 TB it turns a full-table aggregate into a
+    * snapshot read. */
+  def statsSummary(snap: Snapshot): (Long, Long, Long) = {
+    require(snap.files.nonEmpty, "statsSummary: empty snapshot")
+    (snap.files.map(_.nRows).sum,
+      snap.files.map(_.minKey).min,
+      snap.files.map(_.maxKey).max)
+  }
+
+  /** Hybrid range count over `zoneCol` (the key when it equals
+    * `snap.keyCol`, else a declared secondary zone column): files FULLY
+    * inside [lo, hi] contribute their exact row count from metadata,
+    * disjoint files are skipped, and only BOUNDARY files (partial
+    * overlap) are scanned — with the range predicate pushed into that
+    * explicit-file-list read. Cost is O(boundary files), not O(table):
+    * on a range-clustered table the boundary is ≤ 2 files regardless of
+    * table size. A file lacking bounds for `zoneCol` counts as boundary
+    * (scanned, never guessed). Returns (count, filesFromMeta,
+    * filesScanned, filesSkipped). */
+  def countRange(spark: SparkSession, snap: Snapshot, zoneCol: String,
+                 lo: Long, hi: Long): (Long, Int, Int, Int) = {
+    require(lo <= hi, s"countRange: empty range [$lo, $hi]")
+    def bounds(f: FileStat): Option[(Long, Long)] =
+      if (zoneCol == snap.keyCol) Some((f.minKey, f.maxKey))
+      else f.zones.get(zoneCol)
+    val (inside, rest) = snap.files.partition(
+      bounds(_).exists { case (mn, mx) => mn >= lo && mx <= hi })
+    val (disjoint, boundary) = rest.partition(
+      bounds(_).exists { case (mn, mx) => mx < lo || mn > hi })
+    val metaCount = inside.map(_.nRows).sum
+    val scanned =
+      if (boundary.isEmpty) 0L
+      else readFiles(spark, snap, boundary.map(_.file))
+        .filter(col(zoneCol).cast("long").between(lo, hi))
+        .count()
+    (metaCount + scanned, inside.size, boundary.size, disjoint.size)
+  }
+
   /** CHANGELOG between two committed versions — the incremental (CDF) read:
     * every row inserted or deleted by commits `fromV+1..toV`, tagged
     * (`_version`, `_change` ∈ insert|delete). An update reads as its

@@ -616,4 +616,106 @@ class TableFormatSpec extends SparkTestBase {
     assert(!TableFormat.tryCommit(spark, root, 1L, "k", 256, 3, stats))
     assert(TableFormat.versions(spark, root) == Seq(1L))
   }
+
+  test("branch fork/publish: staged work invisible to main until fast-forward") {
+    val root = freshRoot()
+    writeKv(Seq(1L -> 1.0, 2L -> 2.0), s"$root/w1")
+    TableFormat.commitFiles(spark, root, "k",
+      TableFormat.listParquet(spark, s"$root/w1"), 256, 3)
+    val b = TableFormat.createBranch(spark, root, "wap")
+    val broot = TableFormat.branchRoot(root, "wap")
+    assert(b.version == 1L && b.props("branch.forked_from") == "1")
+    // the fork is metadata-only: parent files carried by reference
+    assert(b.files.map(_.file) ==
+      TableFormat.snapshot(spark, root).files.map(_.file))
+    // staged append lands on the branch log; main readers never see it
+    writeKv(Seq(3L -> 3.0, 4L -> -4.0), s"$broot/stage")
+    TableFormat.appendFiles(spark, broot,
+      TableFormat.listParquet(spark, s"$broot/stage"))
+    assert(TableFormat.versions(spark, root) == Seq(1L))
+    assert(TableFormat.read(spark, TableFormat.snapshot(spark, root)).count() == 2L)
+    assert(TableFormat.read(spark, TableFormat.snapshot(spark, broot)).count() == 4L)
+    // audit repair on the branch, then fast-forward publish onto main
+    TableFormat.deleteKeys(spark, broot, broot, Seq(4L))
+    val pub = TableFormat.publishBranch(spark, root, "wap")
+    assert(pub.version == 2L && !pub.props.contains("branch.forked_from"))
+    val mainRows = TableFormat.read(spark, TableFormat.snapshot(spark, root))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(mainRows == Seq(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
+    // main history intact: v1 still resolves the pre-branch state
+    assert(TableFormat.read(spark,
+      TableFormat.snapshot(spark, root, Some(1L))).count() == 2L)
+    // drop removes only the branch LOG; published main commit unaffected
+    TableFormat.dropBranch(spark, root, "wap")
+    assert(TableFormat.versions(spark, broot).isEmpty)
+    assert(TableFormat.read(spark, TableFormat.snapshot(spark, root)).count() == 3L)
+  }
+
+  test("publishBranch conflict: main advanced since the fork -> publish fails") {
+    val root = freshRoot()
+    writeKv(Seq(1L -> 1.0), s"$root/w1")
+    TableFormat.commitFiles(spark, root, "k",
+      TableFormat.listParquet(spark, s"$root/w1"), 256, 3)
+    TableFormat.createBranch(spark, root, "wap")
+    // duplicate branch name is an explicit error, not a silent reset
+    intercept[IllegalArgumentException](
+      TableFormat.createBranch(spark, root, "wap"))
+    // another writer advances main after the fork
+    writeKv(Seq(9L -> 9.0), s"$root/w2")
+    TableFormat.appendFiles(spark, root,
+      TableFormat.listParquet(spark, s"$root/w2"))
+    val e = intercept[java.util.ConcurrentModificationException](
+      TableFormat.publishBranch(spark, root, "wap"))
+    assert(e.getMessage.contains("re-fork"))
+    // the failed publish left no commit on main
+    assert(TableFormat.versions(spark, root) == Seq(1L, 2L))
+    // a log without fork metadata cannot be published as a branch
+    val raw = TableFormat.branchRoot(root, "raw")
+    writeKv(Seq(5L -> 5.0), s"$raw/w")
+    TableFormat.commitFiles(spark, raw, "k",
+      TableFormat.listParquet(spark, s"$raw/w"), 256, 3)
+    intercept[IllegalStateException](
+      TableFormat.publishBranch(spark, root, "raw"))
+    // path traversal in a branch name is rejected before any IO
+    intercept[IllegalArgumentException](
+      TableFormat.branchRoot(root, "../evil"))
+  }
+
+  test("statsSummary and countRange: metadata-exact, boundary-only scanning") {
+    import spark.implicits._
+    val root = freshRoot()
+    // four disjoint key files: [0,99] [100,199] [200,299] [300,399]
+    val files = (0 to 3).flatMap { bkt =>
+      TableFormat.listParquet(spark, writeKv(
+        (0L until 100L).map(i => (bkt * 100L + i, i * 1.0)), s"$root/f$bkt"))
+    }
+    val snap = TableFormat.commitFiles(spark, root, "k", files, 1024, 3)
+    assert(TableFormat.statsSummary(snap) == ((400L, 0L, 399L)))
+    // [50,299]: f0 boundary (scanned), f1/f2 inside (metadata), f3 skipped
+    assert(TableFormat.countRange(spark, snap, "k", 50L, 299L) ==
+      ((250L, 2, 1, 1)))
+    // whole-table range answers with zero scanning
+    assert(TableFormat.countRange(spark, snap, "k", 0L, 399L) ==
+      ((400L, 4, 0, 0)))
+    // empty-intersection range skips everything
+    assert(TableFormat.countRange(spark, snap, "k", 5000L, 6000L) ==
+      ((0L, 0, 0, 4)))
+    // secondary zone column: same arithmetic on declared per-file bounds
+    val root2 = freshRoot()
+    val files2 = (0 to 1).flatMap { bkt =>
+      val f = s"$root2/f$bkt"
+      (0L until 50L).map(i => (bkt * 50L + i, 1.0, bkt * 1000L + i))
+        .toDF("k", "v", "z").repartition(1).write.mode("overwrite").parquet(f)
+      TableFormat.listParquet(spark, f)
+    }
+    val snap2 = TableFormat.commitFiles(spark, root2, "k", files2, 256, 3,
+      zoneCols = Seq("z"))
+    assert(TableFormat.countRange(spark, snap2, "z", 1000L, 1049L) ==
+      ((50L, 1, 0, 1)))
+    // a file LACKING bounds for the zone column is scanned, never guessed
+    val stripped = snap2.copy(files = snap2.files.map { f =>
+      if (f.zones("z")._1 == 1000L) f.copy(zones = Map.empty) else f })
+    assert(TableFormat.countRange(spark, stripped, "z", 1000L, 1049L) ==
+      ((50L, 0, 1, 1)))
+  }
 }
