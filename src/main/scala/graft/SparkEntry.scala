@@ -3093,9 +3093,11 @@ object SparkEntry {
             count(when(col("cents") < 0, 1)).as("n_bad"))
           .select(lit(log).as("log"), lit(v).as("version"),
             col("n_rows"), col("sum_cents"), col("n_bad"))
+      // the branch log CONTINUES main's numbering (fork = parent v1 + 1),
+      // so its three states are v2 (fork), v3 (staged), v4 (repaired)
       Seq(state("main", root, 1L), state("main", root, 2L),
-          state("branch", broot, 1L), state("branch", broot, 2L),
-          state("branch", broot, 3L))
+          state("branch", broot, 2L), state("branch", broot, 3L),
+          state("branch", broot, 4L))
         .reduce(_.unionByName(_)).orderBy(col("log"), col("version"))
     },
 
@@ -3148,6 +3150,75 @@ object SparkEntry {
           row("max_key", maxK, None, None, None),
           row("range_count", rangeN, Some(nMeta), Some(nScan), Some(nSkip)))
         .reduce(_.unionByName(_)).orderBy(col("probe"))
+    },
+
+    // ---- Table format: MERGE-ON-READ deletes (Iceberg v2 equality
+    // deletes) — the GDPR-at-100-TB posture where copy-on-write would
+    // rewrite most of the table: a delete commits as a KEY MANIFEST with
+    // every data file carried by reference (O(keys) IO), readers apply it
+    // as one anti-join scoped by SEQUENCE NUMBER to strictly-older files
+    // (so v3's re-append of the deleted keys resurrects them — the
+    // sequence-number probe), a second manifest then kills both the
+    // %11==7 originals and the resurrected rows, and compaction
+    // materializes everything and clears the manifests. The oracle
+    // replays all five (rows, sum) states AND the metadata ledger
+    // (data-file / manifest-file / manifest-key counts per version), so
+    // the no-rewrite contract itself is graded, not just the row
+    // algebra ----
+    "q94_mor_delete" -> { (s, dir) =>
+      val root = scratch("q94_mor", dir)
+      Fixtures.once(s, "q94_mor", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val base = Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(4)) === 1)
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        val kmax = base.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+        val w = kmax / 4 + 1
+        val files = (0 until 4).flatMap { b =>
+          val f = s"$root/b$b"
+          base.filter(expr(s"o_orderkey div $w") === b)
+            .repartition(1).write.mode("overwrite").parquet(f)
+          TableFormat.listParquet(s, f)
+        }
+        TableFormat.commitFiles(s, root, "o_orderkey", files,
+          numBits = 1 << 14, numHashes = 5)                      // v1
+        // v2: MoR delete — keys derived from the table itself, shipped
+        // as a DataFrame (never collected), zero data files rewritten
+        TableFormat.deleteKeysMoR(s, root, root,
+          TableFormat.read(s, TableFormat.snapshot(s, root))
+            .filter(pmod(col("o_orderkey"), lit(11)) === 3)
+            .select(col("o_orderkey")), nManifestFiles = 1)      // v2
+        // v3: re-append the deleted keys with bumped cents — the v2
+        // manifest must NOT apply to these newer rows
+        val resurrect = Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(4)) === 1 &&
+            pmod(col("o_orderkey"), lit(11)) === 3)
+          .select(col("o_orderkey"),
+            (floor(col("o_totalprice") * 100) + 1).cast("long").as("cents"))
+        resurrect.repartition(1).write.mode("overwrite").parquet(s"$root/res")
+        TableFormat.appendFiles(s, root,
+          TableFormat.listParquet(s, s"$root/res"))              // v3
+        // v4: second manifest covers %11 IN (3,7) — kills the %11==7
+        // originals AND the just-resurrected rows (both older than it)
+        TableFormat.deleteKeysMoR(s, root, root,
+          Tables.orders(s, dir)
+            .filter(pmod(col("o_orderkey"), lit(4)) === 1 &&
+              pmod(col("o_orderkey"), lit(11)).isin(3, 7))
+            .select(col("o_orderkey")), nManifestFiles = 1)      // v4
+        TableFormat.compact(s, root, root, 2)                    // v5
+      }
+      val states = (1L to 5L).map { v =>
+        val snap = TableFormat.snapshot(s, root, Some(v))
+        Parallelism.ensureDefaultParallelism(TableFormat.read(s, snap))
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_cents"),
+            lit(snap.files.size.toLong).as("n_files"),
+            lit(snap.deletes.size.toLong).as("n_delete_files"),
+            lit(snap.deletes.map(_.nKeys).sum).as("n_delete_keys"))
+      }
+      states.reduce(_.unionByName(_)).orderBy(col("version"))
     },
 
     // ---- Multimodal: REAL AVI/MJPEG video decode — the second real
@@ -6920,13 +6991,13 @@ object SparkEntry {
          b2 AS (SELECT k, c FROM s2 UNION ALL SELECT k, c FROM s0),
          b3 AS (SELECT k, c FROM s2
                 UNION ALL SELECT k, c FROM s0 WHERE k % 13 <> 2)
-         SELECT 'branch' AS log, CAST(1 AS BIGINT) AS version,
+         SELECT 'branch' AS log, CAST(2 AS BIGINT) AS version,
              count(*) AS n_rows, CAST(sum(c) AS BIGINT) AS sum_cents,
              CAST(count(CASE WHEN c < 0 THEN 1 END) AS BIGINT) AS n_bad
            FROM s2
-         UNION ALL SELECT 'branch', 2, count(*), CAST(sum(c) AS BIGINT),
-             CAST(count(CASE WHEN c < 0 THEN 1 END) AS BIGINT) FROM b2
          UNION ALL SELECT 'branch', 3, count(*), CAST(sum(c) AS BIGINT),
+             CAST(count(CASE WHEN c < 0 THEN 1 END) AS BIGINT) FROM b2
+         UNION ALL SELECT 'branch', 4, count(*), CAST(sum(c) AS BIGINT),
              CAST(count(CASE WHEN c < 0 THEN 1 END) AS BIGINT) FROM b3
          UNION ALL SELECT 'main', 1, count(*), CAST(sum(c) AS BIGINT),
              CAST(count(CASE WHEN c < 0 THEN 1 END) AS BIGINT) FROM s2
@@ -6967,6 +7038,39 @@ object SparkEntry {
              (SELECT count(*) FROM cls WHERE cls = 'boundary'),
              (SELECT count(*) FROM cls WHERE cls = 'skip')
          ORDER BY probe""",
+
+    // every version's (rows, sum) state is plain arithmetic over the base
+    // slice, and the metadata ledger is replayed from the construction:
+    // v1 = 4 bucket files; v2 carries all 4 + 1 manifest (the %11==3 key
+    // count); v3 adds the resurrection file (manifest must NOT apply to
+    // it — its rows count with cents+1); v4 adds the %11 IN (3,7)
+    // manifest which kills originals AND resurrected rows; v5 = compacted
+    // to 2 files, manifests cleared
+    "q94_mor_delete" ->
+      """WITH s AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders WHERE o_orderkey % 4 = 1),
+         d1 AS (SELECT count(*) AS n FROM s WHERE k % 11 = 3),
+         d2 AS (SELECT count(*) AS n FROM s WHERE k % 11 IN (3, 7)),
+         v1 AS (SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS t FROM s),
+         v2 AS (SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS t FROM s
+                WHERE k % 11 <> 3),
+         v3 AS (SELECT count(*) AS n,
+                 CAST(sum(CASE WHEN k % 11 = 3 THEN c + 1 ELSE c END)
+                   AS BIGINT) AS t FROM s),
+         v4 AS (SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS t FROM s
+                WHERE k % 11 NOT IN (3, 7))
+         SELECT CAST(1 AS BIGINT) AS version, n AS n_rows, t AS sum_cents,
+             CAST(4 AS BIGINT) AS n_files,
+             CAST(0 AS BIGINT) AS n_delete_files,
+             CAST(0 AS BIGINT) AS n_delete_keys
+           FROM v1
+         UNION ALL SELECT 2, n, t, 4, 1, (SELECT n FROM d1) FROM v2
+         UNION ALL SELECT 3, n, t, 5, 1, (SELECT n FROM d1) FROM v3
+         UNION ALL SELECT 4, n, t, 5, 2,
+             (SELECT n FROM d1) + (SELECT n FROM d2) FROM v4
+         UNION ALL SELECT 5, n, t, 2, 0, 0 FROM v4
+         ORDER BY version""",
 
     // the sampled frame inventory is pure integer arithmetic (doc_id%3+2
     // frames, every 2nd), dims are the fixture constants, and our encoder

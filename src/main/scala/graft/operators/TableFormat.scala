@@ -58,7 +58,17 @@ object TableFormat {
     * size, score) without any partitioning scheme. */
   final case class FileStat(file: String, minKey: Long, maxKey: Long,
                             nRows: Long, bloom: Array[Long],
-                            zones: Map[String, (Long, Long)] = Map.empty)
+                            zones: Map[String, (Long, Long)] = Map.empty,
+                            seq: Long = -1L)
+
+  /** A merge-on-read DELETE MANIFEST (Iceberg v2's equality-delete file):
+    * a parquet file of `_del_key` longs committed WITHOUT rewriting any
+    * data file. `seq` is the commit version that published the manifest;
+    * it applies only to data files with a strictly smaller `seq`, so a
+    * key re-appended AFTER the delete is visible (the Iceberg sequence-
+    * number rule). `seq = -1` means "stamp me with the committing
+    * version" ([[tryCommit]] does), same convention as [[FileStat.seq]]. */
+  final case class DeleteFile(file: String, nKeys: Long, seq: Long = -1L)
 
   /** A resolved snapshot: the complete live file set (with stats) of one
     * committed version, plus the commit's PROPERTIES — small string pairs
@@ -78,7 +88,8 @@ object TableFormat {
                             props: Map[String, String] = Map.empty,
                             schemaDdl: Option[String] = None,
                             op: Option[String] = None,
-                            zoneCols: Seq[String] = Seq.empty)
+                            zoneCols: Seq[String] = Seq.empty,
+                            deletes: Seq[DeleteFile] = Seq.empty)
 
   private def logDir(root: String) = s"$root/_log"
   private def commitName(v: Long) = f"v$v%020d.json"
@@ -133,7 +144,8 @@ object TableFormat {
                            props: Map[String, String],
                            schemaDdl: Option[String],
                            op: Option[String],
-                           zoneCols: Seq[String]): String = {
+                           zoneCols: Seq[String],
+                           deletes: Seq[DeleteFile]): String = {
     val sb = new StringBuilder
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     sb.append(s"""{"version":$version,"key_col":"${esc(keyCol)}",""")
@@ -143,6 +155,10 @@ object TableFormat {
     if (zoneCols.nonEmpty)
       sb.append(zoneCols.map(c => s""""${esc(c)}"""")
         .mkString("\"zone_cols\":[", ",", "],"))
+    if (deletes.nonEmpty)
+      sb.append(deletes.map(d =>
+          s"""{"file":"${esc(d.file)}","n_keys":${d.nKeys},"seq":${d.seq}}""")
+        .mkString("\"deletes\":[", ",", "],"))
     sb.append("\"props\":{")
     props.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((k, v), i) =>
       if (i > 0) sb.append(',')
@@ -155,7 +171,8 @@ object TableFormat {
       f.bloom.foreach(bytes.putLong)
       val b64 = java.util.Base64.getEncoder.encodeToString(bytes.array())
       sb.append(s"""{"file":"${esc(f.file)}","min_key":${f.minKey},""")
-      sb.append(s""""max_key":${f.maxKey},"n_rows":${f.nRows},"bloom":"$b64"""")
+      sb.append(s""""max_key":${f.maxKey},"n_rows":${f.nRows},""")
+      sb.append(s""""seq":${f.seq},"bloom":"$b64"""")
       if (f.zones.nonEmpty) {
         sb.append(""","zones":{""")
         f.zones.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((c, (mn, mx)), j) =>
@@ -190,7 +207,10 @@ object TableFormat {
         }
       FileStat(f.get("file").asText(), f.get("min_key").asLong(),
         f.get("max_key").asLong(), f.get("n_rows").asLong(),
-        Array.fill(bytes.length / 8)(bb.getLong), zones)
+        Array.fill(bytes.length / 8)(bb.getLong), zones,
+        // commits written before sequence numbers parse as seq 0 =
+        // oldest: every delete manifest applies (conservative-correct)
+        seq = if (f.has("seq")) f.get("seq").asLong() else 0L)
     }
     // commits written before props support parse unchanged (empty map)
     val props =
@@ -209,9 +229,16 @@ object TableFormat {
       if (!node.has("zone_cols")) Seq.empty[String]
       else (0 until node.get("zone_cols").size())
         .map(i => node.get("zone_cols").get(i).asText())
+    val deletes =
+      if (!node.has("deletes")) Seq.empty[DeleteFile]
+      else (0 until node.get("deletes").size()).map { i =>
+        val d = node.get("deletes").get(i)
+        DeleteFile(d.get("file").asText(), d.get("n_keys").asLong(),
+          d.get("seq").asLong())
+      }
     Snapshot(root, node.get("version").asLong(), node.get("key_col").asText(),
       node.get("num_bits").asInt(), node.get("num_hashes").asInt(), files,
-      props, schemaDdl, op, zoneCols)
+      props, schemaDdl, op, zoneCols, deletes)
   }
 
   /** All committed versions, ascending — ONE directory listing, no data
@@ -288,8 +315,14 @@ object TableFormat {
                 props: Map[String, String] = Map.empty,
                 schemaDdl: Option[String] = None,
                 op: Option[String] = None,
-                zoneCols: Seq[String] = Seq.empty): Boolean = {
+                zoneCols: Seq[String] = Seq.empty,
+                deletes: Seq[DeleteFile] = Seq.empty): Boolean = {
     require(version >= 1, s"tryCommit: versions start at 1, got $version")
+    // stamp sequence numbers: seq < 0 means "new in THIS commit" — files
+    // carried by reference keep the version that first added them, which
+    // is what scopes delete manifests to strictly-older data
+    val stampedFiles = files.map(f => if (f.seq < 0) f.copy(seq = version) else f)
+    val stampedDeletes = deletes.map(d => if (d.seq < 0) d.copy(seq = version) else d)
     val (fc, fs, _) = fileContext(spark, root)
     val dir = new org.apache.hadoop.fs.Path(logDir(root))
     fs.mkdirs(dir)
@@ -299,8 +332,8 @@ object TableFormat {
       s".tmp-$version-${java.util.UUID.randomUUID().toString}")
     val out = fs.create(tmp, true)
     try out.write(
-      renderCommit(version, keyCol, numBits, numHashes, files, props,
-        schemaDdl, op, zoneCols)
+      renderCommit(version, keyCol, numBits, numHashes, stampedFiles, props,
+        schemaDdl, op, zoneCols, stampedDeletes)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     try { fc.rename(tmp, dst); true }
@@ -334,22 +367,27 @@ object TableFormat {
                       deriveSchema: Option[Snapshot] => Option[String] =
                         _.flatMap(_.schemaDdl),
                       op: Option[String] = None,
-                      zoneCols: Option[Seq[String]] = None): Snapshot = {
+                      zoneCols: Option[Seq[String]] = None,
+                      deriveDeletes: Option[Snapshot] => Seq[DeleteFile] =
+                        _.map(_.deletes).getOrElse(Seq.empty)): Snapshot = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val vs = versions(spark, root)
       val cur = if (vs.isEmpty) None else Some(snapshot(spark, root, Some(vs.last)))
       val next = cur.map(_.version + 1).getOrElse(1L)
       val files = derive(cur)
+        .map(f => if (f.seq < 0) f.copy(seq = next) else f)
       val props = deriveProps(cur)
       val schemaDdl = deriveSchema(cur)
       // zone-col declarations carry forward like the schema: an explicit
       // Some overrides (the bootstrap), otherwise the table's stand
       val zc = zoneCols.orElse(cur.map(_.zoneCols)).getOrElse(Seq.empty)
+      val dels = deriveDeletes(cur)
+        .map(d => if (d.seq < 0) d.copy(seq = next) else d)
       if (tryCommit(spark, root, next, keyCol, numBits, numHashes, files,
-          props, schemaDdl, op, zc))
+          props, schemaDdl, op, zc, dels))
         return Snapshot(root, next, keyCol, numBits, numHashes, files,
-          props, schemaDdl, op, zc)
+          props, schemaDdl, op, zc, dels)
       attempt += 1
     }
     throw new IllegalStateException(
@@ -376,13 +414,38 @@ object TableFormat {
         s"read: snapshot v${snap.version} lists no files and carries no schema")
     }
 
-  private def readFiles(spark: SparkSession, snap: Snapshot,
-                        files: Seq[String]): DataFrame =
+  private def readRaw(spark: SparkSession, snap: Snapshot,
+                      files: Seq[String]): DataFrame =
     snap.schemaDdl match {
       case Some(ddl) =>
         spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
           .parquet(files: _*)
       case None => spark.read.parquet(files: _*)
+    }
+
+  /** Read an explicit file subset of `snap` with its merge-on-read delete
+    * manifests APPLIED — every reader goes through here, so MoR deletes
+    * are invisible to scans, changelogs, merges and compaction alike. A
+    * manifest applies only to data files with a strictly smaller `seq`
+    * (the Iceberg sequence-number rule): files are grouped by seq — at
+    * most one group per commit, and compaction collapses them back to
+    * one — and each group anti-joins the union of its applicable
+    * manifests (one equi-join; AQE broadcasts small manifests). */
+  private def readFiles(spark: SparkSession, snap: Snapshot,
+                        files: Seq[String]): DataFrame =
+    if (snap.deletes.isEmpty) readRaw(spark, snap, files)
+    else {
+      val seqOf = snap.files.map(f => f.file -> f.seq).toMap
+      files.groupBy(f => seqOf.getOrElse(f, 0L)).toSeq.sortBy(_._1)
+        .map { case (fseq, group) =>
+          val manifests = snap.deletes.filter(_.seq > fseq).map(_.file)
+          val df = readRaw(spark, snap, group)
+          if (manifests.isEmpty) df
+          else df.join(
+            spark.read.parquet(manifests: _*).select(col("_del_key")).distinct(),
+            col(snap.keyCol).cast("long") === col("_del_key"), "left_anti")
+        }
+        .reduce(_.unionByName(_))
     }
 
   /** Add-only schema union: columns of `next` not in `cur` are appended in
@@ -518,7 +581,11 @@ object TableFormat {
       val files = listParquet(spark, out)
       fileStats(spark, files, cur.keyCol, cur.numBits, cur.numHashes,
         cur.zoneCols)
-    }, op = Some("replace"))
+    }, op = Some("replace"),
+      // the rewrite read MoR manifests through read() above, so the
+      // output is materialized: compaction CLEARS the delete set — the
+      // op that pays down a v2 table's read amplification
+      deriveDeletes = _ => Seq.empty)
   }
 
   /** Targeted delete ("remove these keys everywhere"): bloom-prune to the
@@ -552,6 +619,57 @@ object TableFormat {
         }
       (carried ++ rewritten).sortBy(_.file)
     }, op = Some("delete"))
+  }
+
+  /** MERGE-ON-READ delete (Iceberg v2 equality deletes): publish the key
+    * set as a DELETE MANIFEST and commit with every data file carried by
+    * reference — O(keys) IO total, no data rewrite at all. This is the
+    * 100 TB posture for large or scattered delete sets where
+    * [[deleteKeys]]' copy-on-write would rewrite most of the table:
+    * readers apply the manifest as one anti-join per file-seq group
+    * ([[readFiles]]), a key APPENDED after the delete is visible again
+    * (manifests scope to strictly-older files via sequence numbers), and
+    * [[compact]] materializes the deletes and clears the manifests — the
+    * read-amplification ⇄ write-amplification dial every v2 table tunes.
+    * `keys` is a single-column frame (any integral type); it is
+    * deduplicated, never collected to the driver. */
+  def deleteKeysMoR(spark: SparkSession, root: String, dataDir: String,
+                    keys: DataFrame, nManifestFiles: Int = 0): Snapshot = {
+    require(keys.columns.length == 1,
+      s"deleteKeysMoR: keys must be a single-column frame, got " +
+        keys.columns.mkString(","))
+    val first = snapshot(spark, root)
+    val out = s"$dataDir/mordel-${java.util.UUID.randomUUID().toString}"
+    val dedup = keys.select(col(keys.columns.head).cast("long").as("_del_key"))
+      .filter(col("_del_key").isNotNull).distinct()
+    // nManifestFiles > 0 shapes the manifest layout (the writer's
+    // target-file dial); 0 leaves it to the dedup's own partitioning
+    (if (nManifestFiles > 0) dedup.repartition(nManifestFiles) else dedup)
+      .write.mode("overwrite").parquet(out)
+    // per-manifest-file key counts: bounded metadata (one row per file);
+    // zero-row part files never enter the commit
+    val counts = spark.read.parquet(listParquet(spark, out): _*)
+      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "deleteKeysMoR: empty key set")
+    commitTransform(spark, root, first.keyCol, first.numBits, first.numHashes,
+      { curOpt =>
+        curOpt.getOrElse(throw new IllegalStateException(
+          "deleteKeysMoR: nothing committed")).files
+      },
+      op = Some("mor-delete"),
+      deriveDeletes = curOpt =>
+        curOpt.map(_.deletes).getOrElse(Seq.empty) ++
+          counts.toSeq.sortBy(_._1).map { case (f, n) => DeleteFile(f, n) })
+  }
+
+  /** [[deleteKeysMoR]] for a control-sized driver-held key set. */
+  def deleteKeysMoR(spark: SparkSession, root: String, dataDir: String,
+                    keys: Seq[Long]): Snapshot = {
+    require(keys.nonEmpty, "deleteKeysMoR: empty key set")
+    deleteKeysMoR(spark, root, dataDir,
+      spark.createDataset(keys)(org.apache.spark.sql.Encoders.scalaLong)
+        .toDF("_del_key"), nManifestFiles = 1)
   }
 
   /** Row-level MERGE (upsert): for each source row, update the table row
@@ -652,7 +770,10 @@ object TableFormat {
     commitTransform(spark, root, target.keyCol, target.numBits,
       target.numHashes, _ => target.files,
       deriveSchema = _ => target.schemaDdl, op = Some("rollback"),
-      zoneCols = Some(target.zoneCols))
+      zoneCols = Some(target.zoneCols),
+      // the delete-manifest set is part of the restored STATE, not a
+      // property: rolling back across a MoR delete must un-delete
+      deriveDeletes = _ => target.deletes)
   }
 
   // ---- branches (write-audit-publish) -------------------------------------
@@ -685,12 +806,18 @@ object TableFormat {
     val broot = branchRoot(root, name)
     require(versions(spark, broot).isEmpty,
       s"createBranch: branch '$name' already exists at $broot")
-    commitTransform(spark, broot, parent.keyCol, parent.numBits,
-      parent.numHashes, _ => parent.files,
-      deriveProps = _ =>
+    // the branch log CONTINUES the parent's version numbering (fork
+    // commit = parent.version + 1): file/manifest sequence numbers are
+    // only comparable within a monotone version line, and inherited
+    // delete manifests must never apply to files the branch adds later
+    val v = parent.version + 1
+    if (!tryCommit(spark, broot, v, parent.keyCol, parent.numBits,
+        parent.numHashes, parent.files,
         parent.props + ("branch.forked_from" -> parent.version.toString),
-      deriveSchema = _ => parent.schemaDdl,
-      op = Some("branch"), zoneCols = Some(parent.zoneCols))
+        parent.schemaDdl, Some("branch"), parent.zoneCols, parent.deletes))
+      throw new java.util.ConcurrentModificationException(
+        s"createBranch: branch '$name' appeared concurrently at $broot")
+    snapshot(spark, broot)
   }
 
   /** Publish a branch head onto the main log — the WAP fast-forward: one
@@ -707,17 +834,28 @@ object TableFormat {
     val forkedFrom = head.props.getOrElse("branch.forked_from",
       throw new IllegalStateException(
         s"publishBranch: '$name' carries no fork point — not a branch?")).toLong
+    // MoR manifests the BRANCH added cannot survive the fast-forward: the
+    // publish collapses the branch's commit line into one main commit, so
+    // a branch-born manifest would lose its ordering against the branch's
+    // own earlier files and deleted rows would resurrect. Inherited
+    // manifests (seq <= fork point, shared history) carry fine.
+    require(head.deletes.forall(_.seq <= forkedFrom),
+      s"publishBranch: '$name' carries merge-on-read delete manifests " +
+        "added on the branch — materialize them first (compact the branch)")
     commitTransform(spark, root, head.keyCol, head.numBits, head.numHashes,
       { curOpt =>
         val curV = curOpt.map(_.version).getOrElse(0L)
         if (curV != forkedFrom) throw new java.util.ConcurrentModificationException(
           s"publishBranch: main advanced to v$curV since the fork at " +
             s"v$forkedFrom — rebase: re-fork and re-apply the staged change")
-        head.files
+        // branch-born files (seq past the fork point) re-stamp to the
+        // publish version; shared-history files keep their main seq
+        head.files.map(f => if (f.seq > forkedFrom) f.copy(seq = -1L) else f)
       },
       deriveProps = _ => head.props - "branch.forked_from",
       deriveSchema = _ => head.schemaDdl,
-      op = Some("publish"), zoneCols = Some(head.zoneCols))
+      op = Some("publish"), zoneCols = Some(head.zoneCols),
+      deriveDeletes = _ => head.deletes)
   }
 
   /** Drop a branch: delete its commit LOG only. Data files staged under
@@ -740,6 +878,9 @@ object TableFormat {
     * snapshot read. */
   def statsSummary(snap: Snapshot): (Long, Long, Long) = {
     require(snap.files.nonEmpty, "statsSummary: empty snapshot")
+    require(snap.deletes.isEmpty,
+      "statsSummary: per-file stats are not exact under merge-on-read " +
+        "delete manifests — compact to materialize them first")
     (snap.files.map(_.nRows).sum,
       snap.files.map(_.minKey).min,
       snap.files.map(_.maxKey).max)
@@ -758,6 +899,9 @@ object TableFormat {
   def countRange(spark: SparkSession, snap: Snapshot, zoneCol: String,
                  lo: Long, hi: Long): (Long, Int, Int, Int) = {
     require(lo <= hi, s"countRange: empty range [$lo, $hi]")
+    require(snap.deletes.isEmpty,
+      "countRange: per-file row counts are not exact under merge-on-read " +
+        "delete manifests — compact to materialize them first")
     def bounds(f: FileStat): Option[(Long, Long)] =
       if (zoneCol == snap.keyCol) Some((f.minKey, f.maxKey))
       else f.zones.get(zoneCol)
@@ -795,23 +939,58 @@ object TableFormat {
     require(fromV < toV, s"changesBetween: need fromV < toV, got $fromV >= $toV")
     val snaps = (fromV to toV).map(v => snapshot(spark, root, Some(v)))
     val parts = snaps.sliding(2).flatMap { case Seq(prev, cur) =>
+      def tag(df: DataFrame, change: String) =
+        df.select(lit(cur.version).as("_version"), lit(change).as("_change"),
+          col("*"))
       if (cur.op.contains("replace")) Seq.empty
+      else if (cur.op.contains("mor-delete")) {
+        // a merge-on-read delete changes NO data file: the delta is the
+        // prev-version rows matching the commit's NEW manifests. Zone-
+        // prune prev's files to the manifest key range (one bounded agg),
+        // read only candidates (prev's own manifests applied, so an
+        // already-deleted key is not re-emitted), one semi-join.
+        val prevManifests = prev.deletes.map(_.file).toSet
+        val newManifests = cur.deletes.map(_.file).filterNot(prevManifests)
+        val keys = spark.read.parquet(newManifests: _*)
+          .select(col("_del_key")).distinct()
+        val rng = keys.agg(min(col("_del_key")), max(col("_del_key"))).collect()(0)
+        if (rng.isNullAt(0)) Seq.empty
+        else {
+          val (lo, hi) = (rng.getLong(0), rng.getLong(1))
+          val cand = prev.files
+            .filter(f => f.minKey <= hi && f.maxKey >= lo).map(_.file)
+          if (cand.isEmpty) Seq.empty
+          else Seq(tag(readFiles(spark, prev, cand)
+            .join(keys, col(prev.keyCol).cast("long") === col("_del_key"),
+              "left_semi"), "delete"))
+        }
+      }
+      else if (cur.deletes.map(_.file).sorted != prev.deletes.map(_.file).sorted) {
+        // the manifest set changed outside a mor-delete commit (a rollback
+        // across a MoR boundary, a branch publish): no file-diff shortcut
+        // is sound, so fall back to the full state diff under the later
+        // schema — a rare maintenance path, never the ingest hot path
+        val curDf = read(spark, cur)
+        val prevDf = read(spark,
+          prev.copy(schemaDdl = cur.schemaDdl.orElse(prev.schemaDdl)))
+        Seq(tag(curDf.exceptAll(prevDf), "insert"),
+          tag(prevDf.exceptAll(curDf), "delete"))
+      }
       else {
         val prevSet = prev.files.map(_.file).toSet
         val curSet = cur.files.map(_.file).toSet
         val added = cur.files.map(_.file).filterNot(prevSet)
         val removed = prev.files.map(_.file).filterNot(curSet)
-        def tag(df: DataFrame, change: String) =
-          df.select(lit(cur.version).as("_version"), lit(change).as("_change"),
-            col("*"))
         // both sides read under the LATER version's schema: add-only
         // evolution means it covers the earlier one, and removed-file rows
         // resolve absent columns to null by name — so exceptAll always
-        // compares aligned rows
+        // compares aligned rows. Removed files carry PREV's stats (they
+        // are not in cur.files), so the seq lookup for manifest scoping
+        // must come from prev while the schema comes from cur.
         val addedDf = if (added.isEmpty) None
           else Some(readFiles(spark, cur, added))
         val removedDf = if (removed.isEmpty) None
-          else Some(readFiles(spark, cur, removed))
+          else Some(readFiles(spark, cur.copy(files = prev.files), removed))
         val inserts = (addedDf, removedDf) match {
           case (None, _) => None
           case (Some(a), None) => Some(a)
@@ -975,7 +1154,12 @@ object TableFormat {
     val survivors = vs.takeRight(keepLast)
     def uriPath(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
     val referenced = survivors
-      .flatMap(v => snapshot(spark, root, Some(v)).files.map(f => uriPath(f.file)))
+      .flatMap { v =>
+        val s = snapshot(spark, root, Some(v))
+        // delete manifests are live state: sweeping one would resurrect
+        // its deleted rows in every surviving version that references it
+        s.files.map(f => uriPath(f.file)) ++ s.deletes.map(d => uriPath(d.file))
+      }
       .toSet
     // phase 1: expire commit files (readers of surviving versions are
     // untouched — their commit files carry their complete file sets)

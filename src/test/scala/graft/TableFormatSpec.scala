@@ -624,7 +624,8 @@ class TableFormatSpec extends SparkTestBase {
       TableFormat.listParquet(spark, s"$root/w1"), 256, 3)
     val b = TableFormat.createBranch(spark, root, "wap")
     val broot = TableFormat.branchRoot(root, "wap")
-    assert(b.version == 1L && b.props("branch.forked_from") == "1")
+    // the branch log continues main's numbering: fork commit = v2
+    assert(b.version == 2L && b.props("branch.forked_from") == "1")
     // the fork is metadata-only: parent files carried by reference
     assert(b.files.map(_.file) ==
       TableFormat.snapshot(spark, root).files.map(_.file))
@@ -717,5 +718,128 @@ class TableFormatSpec extends SparkTestBase {
       if (f.zones("z")._1 == 1000L) f.copy(zones = Map.empty) else f })
     assert(TableFormat.countRange(spark, stripped, "z", 1000L, 1049L) ==
       ((50L, 0, 1, 1)))
+  }
+
+  test("merge-on-read delete: no rewrite, seq-scoped manifests, compact materializes") {
+    val root = freshRoot()
+    writeKv(Seq(1L -> 1.0, 2L -> 2.0, 3L -> 3.0), s"$root/w1")
+    val s1 = TableFormat.commitFiles(spark, root, "k",
+      TableFormat.listParquet(spark, s"$root/w1"), 256, 3)
+    val s2 = TableFormat.deleteKeysMoR(spark, root, root, Seq(2L))
+    // zero data rewrite: every data file carried by reference
+    assert(s2.files.map(_.file) == s1.files.map(_.file))
+    assert(s2.deletes.map(d => (d.nKeys, d.seq)) == Seq((1L, 2L)))
+    def content(v: Long) = TableFormat
+      .read(spark, TableFormat.snapshot(spark, root, Some(v)))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(content(2L) == Seq(1L -> 1.0, 3L -> 3.0))
+    assert(content(1L) == Seq(1L -> 1.0, 2L -> 2.0, 3L -> 3.0)) // time travel
+    // sequence scoping: a re-appended key is NEWER than the manifest
+    writeKv(Seq(2L -> 9.0), s"$root/w2")
+    TableFormat.appendFiles(spark, root,
+      TableFormat.listParquet(spark, s"$root/w2"))
+    assert(content(3L) == Seq(1L -> 1.0, 2L -> 9.0, 3L -> 3.0))
+    // a later manifest kills the resurrected row too (it IS older than it)
+    TableFormat.deleteKeysMoR(spark, root, root, Seq(2L, 3L))
+    assert(content(4L) == Seq(1L -> 1.0))
+    // metadata stats refuse to answer under manifests (counts are stale)
+    intercept[IllegalArgumentException](
+      TableFormat.statsSummary(TableFormat.snapshot(spark, root)))
+    // compaction materializes the deletes and clears the manifest set
+    val s5 = TableFormat.compact(spark, root, root, 1)
+    assert(s5.deletes.isEmpty && content(5L) == Seq(1L -> 1.0))
+    assert(TableFormat.statsSummary(s5) == ((1L, 1L, 1L)))
+    // rollback across the MoR boundary restores the manifest set too
+    val s6 = TableFormat.rollback(spark, root, 4L)
+    assert(s6.deletes.map(_.seq) == Seq(2L, 4L) && content(6L) == Seq(1L -> 1.0))
+    val s7 = TableFormat.rollback(spark, root, 1L)
+    assert(s7.deletes.isEmpty &&
+      content(7L) == Seq(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
+  }
+
+  test("changelog and IVM flow through merge-on-read deletes") {
+    val root = freshRoot()
+    writeKv(Seq(1L -> 10.0, 2L -> 20.0, 3L -> 30.0), s"$root/w1")
+    TableFormat.commitFiles(spark, root,
+      "k", TableFormat.listParquet(spark, s"$root/w1"), 256, 3)
+    TableFormat.deleteKeysMoR(spark, root, root, Seq(2L))        // v2
+    writeKv(Seq(2L -> 25.0), s"$root/w2")
+    TableFormat.appendFiles(spark, root,
+      TableFormat.listParquet(spark, s"$root/w2"))               // v3
+    TableFormat.deleteKeysMoR(spark, root, root, Seq(1L, 2L))    // v4
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("_version", "_change", "k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // v2 emits ONLY the masked row; v4 emits the original k=1 and the
+    // resurrected k=2 — never the long-dead original k=2
+    assert(rows(TableFormat.changesBetween(spark, root, 1L, 4L)) == Set(
+      (2L, "delete", 2L, 20.0), (3L, "insert", 2L, 25.0),
+      (4L, "delete", 1L, 10.0), (4L, "delete", 2L, 25.0)))
+    // rollback to v1 crosses a manifest boundary: the full-diff fallback
+    // emits the restored rows as inserts
+    TableFormat.rollback(spark, root, 1L)                        // v5
+    assert(rows(TableFormat.changesBetween(spark, root, 4L, 5L)) == Set(
+      (5L, "insert", 1L, 10.0), (5L, "insert", 2L, 20.0)))
+    // IVM: a view advanced across the MoR chain equals the recompute
+    def viewAt(v: Long) = TableFormat
+      .read(spark, TableFormat.snapshot(spark, root, Some(v)))
+      .groupBy((col("k") % 2).as("grp"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("total"))
+    def pinned(df: org.apache.spark.sql.DataFrame) = df.orderBy("grp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val refreshed = TableFormat.refreshView(spark, root, 1L, 4L,
+      col("k") % 2, col("v"), viewAt(1L))
+    assert(pinned(refreshed) == pinned(viewAt(4L)))
+  }
+
+  test("expireSnapshots never sweeps a live delete manifest") {
+    val root = freshRoot()
+    writeKv(Seq(1L -> 1.0, 2L -> 2.0), s"$root/w1")
+    TableFormat.commitFiles(spark, root, "k",
+      TableFormat.listParquet(spark, s"$root/w1"), 256, 3)
+    TableFormat.deleteKeysMoR(spark, root, root, Seq(2L))
+    val (expired, removed) =
+      TableFormat.expireSnapshots(spark, root, keepLast = 1, Seq(root),
+        graceMs = 0L)
+    assert(expired == Seq(1L))
+    assert(!removed.exists(_.contains("mordel")),
+      s"manifest swept: ${removed.mkString(",")}")
+    // the surviving version still reads with the delete applied
+    assert(TableFormat.read(spark, TableFormat.snapshot(spark, root))
+      .orderBy("k").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("publishBranch refuses branch-born MoR manifests; inherited ones carry") {
+    val root = freshRoot()
+    writeKv(Seq(1L -> 1.0, 2L -> 2.0, 3L -> 3.0), s"$root/w1")
+    TableFormat.commitFiles(spark, root, "k",
+      TableFormat.listParquet(spark, s"$root/w1"), 256, 3)
+    TableFormat.deleteKeysMoR(spark, root, root, Seq(3L))  // main v2, inherited
+    TableFormat.createBranch(spark, root, "wap")           // branch v3
+    val broot = TableFormat.branchRoot(root, "wap")
+    // inherited manifest masks k=3 on the branch too
+    assert(TableFormat.read(spark, TableFormat.snapshot(spark, broot))
+      .orderBy("k").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // a branch append is NEWER than the inherited manifest (no collision:
+    // the branch log continues main's numbering)
+    writeKv(Seq(3L -> 9.0), s"$broot/w2")
+    TableFormat.appendFiles(spark, broot,
+      TableFormat.listParquet(spark, s"$broot/w2"))
+    assert(TableFormat.read(spark, TableFormat.snapshot(spark, broot))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq(1L -> 1.0, 2L -> 2.0, 3L -> 9.0))
+    // a branch-born manifest cannot fast-forward (its ordering against the
+    // branch's own files would collapse) — materialize first, then publish
+    TableFormat.deleteKeysMoR(spark, broot, broot, Seq(1L))
+    val e = intercept[IllegalArgumentException](
+      TableFormat.publishBranch(spark, root, "wap"))
+    assert(e.getMessage.contains("materialize"))
+    TableFormat.compact(spark, broot, broot, 1)
+    val pub = TableFormat.publishBranch(spark, root, "wap")
+    assert(pub.deletes.isEmpty)
+    assert(TableFormat.read(spark, TableFormat.snapshot(spark, root))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq(2L -> 2.0, 3L -> 9.0))
   }
 }
