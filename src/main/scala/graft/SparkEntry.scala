@@ -3221,6 +3221,72 @@ object SparkEntry {
       states.reduce(_.unionByName(_)).orderBy(col("version"))
     },
 
+    // ---- Table format: MERGE-ON-READ upsert — the CDC-apply shape at
+    // 100 TB: each batch is ONE commit that appends the batch file and
+    // masks the batch's keys in all OLDER files via a manifest — O(batch)
+    // IO with no touched-file detection and no rewrite (contrast q88's
+    // copy-on-write MERGE). The strict file-seq < manifest-seq rule is
+    // the whole correctness story: the manifest masks every older copy
+    // of its keys and never the batch it shipped with, and a second
+    // upsert of the same key masks the first upsert's file the same way.
+    // Compaction materializes (v4). The oracle replays all four (rows,
+    // sum) states with replacement semantics AND the per-version
+    // data-file/manifest ledger, so the no-rewrite contract is graded ----
+    "q95_mor_upsert" -> { (s, dir) =>
+      val root = scratch("q95_moru", dir)
+      Fixtures.once(s, "q95_moru", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val orders = Tables.orders(s, dir)
+        val base = orders.filter(pmod(col("o_orderkey"), lit(4)) === 2)
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        val kmax = base.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+        val w = kmax / 4 + 1
+        val files = (0 until 4).flatMap { b =>
+          val f = s"$root/b$b"
+          base.filter(expr(s"o_orderkey div $w") === b)
+            .repartition(1).write.mode("overwrite").parquet(f)
+          TableFormat.listParquet(s, f)
+        }
+        TableFormat.commitFiles(s, root, "o_orderkey", files,
+          numBits = 1 << 14, numHashes = 5)                      // v1
+        // v2: one CDC batch — updates for existing %11==5 keys (cents+5)
+        // and brand-new %4==0 && %11==5 keys (cents+3)
+        val b2 = orders
+          .filter(pmod(col("o_orderkey"), lit(4)) === 2 &&
+            pmod(col("o_orderkey"), lit(11)) === 5)
+          .select(col("o_orderkey"),
+            (floor(col("o_totalprice") * 100) + 5).cast("long").as("cents"))
+          .unionByName(orders
+            .filter(pmod(col("o_orderkey"), lit(4)) === 0 &&
+              pmod(col("o_orderkey"), lit(11)) === 5)
+            .select(col("o_orderkey"),
+              (floor(col("o_totalprice") * 100) + 3).cast("long").as("cents")))
+        TableFormat.upsertRowsMoR(s, root, root, b2)             // v2
+        // v3: a second batch REPLACES the %3==0 subset of both
+        // populations (cents+7 from the original, not stacked)
+        val b3 = orders
+          .filter(pmod(col("o_orderkey"), lit(4)).isin(0, 2) &&
+            pmod(col("o_orderkey"), lit(11)) === 5 &&
+            pmod(col("o_orderkey"), lit(3)) === 0)
+          .select(col("o_orderkey"),
+            (floor(col("o_totalprice") * 100) + 7).cast("long").as("cents"))
+        TableFormat.upsertRowsMoR(s, root, root, b3)             // v3
+        TableFormat.compact(s, root, root, 2)                    // v4
+      }
+      val states = (1L to 4L).map { v =>
+        val snap = TableFormat.snapshot(s, root, Some(v))
+        Parallelism.ensureDefaultParallelism(TableFormat.read(s, snap))
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_cents"),
+            lit(snap.files.size.toLong).as("n_files"),
+            lit(snap.deletes.size.toLong).as("n_delete_files"),
+            lit(snap.deletes.map(_.nKeys).sum).as("n_delete_keys"))
+      }
+      states.reduce(_.unionByName(_)).orderBy(col("version"))
+    },
+
     // ---- Multimodal: REAL AVI/MJPEG video decode — the second real
     // video path beyond GIF, composed entirely from JDK parts: a
     // standard-layout RIFF AVI (hdrl/strl headers + movi stream) whose
@@ -7070,6 +7136,45 @@ object SparkEntry {
          UNION ALL SELECT 4, n, t, 5, 2,
              (SELECT n FROM d1) + (SELECT n FROM d2) FROM v4
          UNION ALL SELECT 5, n, t, 2, 0, 0 FROM v4
+         ORDER BY version""",
+
+    // replacement semantics make the replay pure CASE arithmetic: v2
+    // updates existing %11==5 rows to c+5 and inserts the %4==0 && %11==5
+    // population at c+3; v3 replaces the %3==0 subset of BOTH at c+7
+    // (from the original price, never stacked); v4 is the compacted v3.
+    // The ledger: each upsert adds exactly one data file and one manifest
+    // (batch-key count), compaction collapses to 2 files / 0 manifests
+    "q95_mor_upsert" ->
+      """WITH s AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders WHERE o_orderkey % 4 = 2),
+         z AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 11 = 5),
+         b2n AS (SELECT count(*) + (SELECT count(*) FROM z) AS n
+                 FROM s WHERE k % 11 = 5),
+         b3n AS (SELECT count(*) AS n FROM (
+             SELECT k FROM s WHERE k % 11 = 5 AND k % 3 = 0
+             UNION ALL SELECT k FROM z WHERE k % 3 = 0)),
+         v1 AS (SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS t FROM s),
+         v2 AS (SELECT (SELECT count(*) FROM s) + (SELECT count(*) FROM z) AS n,
+             CAST((SELECT sum(CASE WHEN k % 11 = 5 THEN c + 5 ELSE c END) FROM s)
+               + (SELECT sum(c + 3) FROM z) AS BIGINT) AS t),
+         v3 AS (SELECT (SELECT count(*) FROM s) + (SELECT count(*) FROM z) AS n,
+             CAST((SELECT sum(CASE
+                   WHEN k % 11 = 5 AND k % 3 = 0 THEN c + 7
+                   WHEN k % 11 = 5 THEN c + 5 ELSE c END) FROM s)
+               + (SELECT sum(CASE WHEN k % 3 = 0 THEN c + 7 ELSE c + 3 END)
+                  FROM z) AS BIGINT) AS t)
+         SELECT CAST(1 AS BIGINT) AS version, n AS n_rows, t AS sum_cents,
+             CAST(4 AS BIGINT) AS n_files,
+             CAST(0 AS BIGINT) AS n_delete_files,
+             CAST(0 AS BIGINT) AS n_delete_keys
+           FROM v1
+         UNION ALL SELECT 2, n, t, 5, 1, (SELECT n FROM b2n) FROM v2
+         UNION ALL SELECT 3, n, t, 6, 2,
+             (SELECT n FROM b2n) + (SELECT n FROM b3n) FROM v3
+         UNION ALL SELECT 4, n, t, 2, 0, 0 FROM v3
          ORDER BY version""",
 
     // the sampled frame inventory is pure integer arithmetic (doc_id%3+2

@@ -672,6 +672,58 @@ object TableFormat {
         .toDF("_del_key"), nManifestFiles = 1)
   }
 
+  /** MERGE-ON-READ upsert — the CDC-apply shape at 100 TB: ONE commit
+    * that appends the batch as new data file(s) AND masks the batch's
+    * keys in all OLDER files via a delete manifest. Total IO is O(batch)
+    * regardless of table size — no touched-file detection, no rewrite
+    * (contrast [[mergeRows]], the copy-on-write MERGE). Correctness
+    * hangs on the sequence rule alone: the manifest and the new files
+    * share the commit's version, and a manifest applies only to files
+    * with a STRICTLY smaller seq — so the batch masks every older copy
+    * of its keys and never itself. Upserting the same key again later
+    * replaces it the same way (the older upsert file gets masked).
+    * The ANSI duplicate-source-key cardinality rule applies as in
+    * [[mergeRows]]. Reads pay one anti-join per file-seq group until
+    * [[compact]] materializes — the merge-on-read dial. */
+  def upsertRowsMoR(spark: SparkSession, root: String, dataDir: String,
+                    source: DataFrame, nOutFiles: Int = 1): Snapshot = {
+    require(nOutFiles >= 1, s"upsertRowsMoR: nOutFiles must be >= 1, got $nOutFiles")
+    val first = snapshot(spark, root)
+    val tableCols = first.schemaDdl
+      .map(d => org.apache.spark.sql.types.StructType.fromDDL(d).fieldNames.toSeq)
+      .getOrElse(read(spark, first).columns.toSeq)
+    require(source.columns.toSet == tableCols.toSet,
+      s"upsertRowsMoR: source columns ${source.columns.sorted.mkString(",")} " +
+        s"must match table columns ${tableCols.sorted.mkString(",")}")
+    val src = source.select(tableCols.map(col): _*)
+    // one source pass: the ANSI duplicate-key cardinality check
+    val prof = src.agg(count(lit(1)), count_distinct(col(first.keyCol))).collect()(0)
+    if (prof.getLong(0) == 0L) return first // empty source: no-op
+    require(prof.getLong(0) == prof.getLong(1),
+      s"upsertRowsMoR: ${prof.getLong(0) - prof.getLong(1)} duplicate source " +
+        "key(s) — ambiguous upsert (ANSI MERGE cardinality rule)")
+    val dataOut = s"$dataDir/morup-${java.util.UUID.randomUUID().toString}"
+    src.repartition(nOutFiles).write.mode("overwrite").parquet(dataOut)
+    val newFiles = listParquet(spark, dataOut)
+    val newStats = fileStats(spark, newFiles, first.keyCol, first.numBits,
+      first.numHashes, first.zoneCols)
+    val manOut = s"$dataDir/mordel-${java.util.UUID.randomUUID().toString}"
+    src.select(col(first.keyCol).cast("long").as("_del_key"))
+      .distinct().repartition(1).write.mode("overwrite").parquet(manOut)
+    val manFiles = listParquet(spark, manOut)
+    val nKeys = prof.getLong(1)
+    commitTransform(spark, root, first.keyCol, first.numBits, first.numHashes,
+      { curOpt =>
+        val cur = curOpt.getOrElse(throw new IllegalStateException(
+          "upsertRowsMoR: nothing committed"))
+        (cur.files ++ newStats).sortBy(_.file)
+      },
+      op = Some("mor-upsert"),
+      deriveDeletes = curOpt =>
+        curOpt.map(_.deletes).getOrElse(Seq.empty) ++
+          manFiles.map(f => DeleteFile(f, nKeys / manFiles.size)))
+  }
+
   /** Row-level MERGE (upsert): for each source row, update the table row
     * with the same key (WHEN MATCHED → the source row replaces it, the
     * ANSI UPDATE SET * form) or insert it (WHEN NOT MATCHED). The scale
@@ -943,27 +995,39 @@ object TableFormat {
         df.select(lit(cur.version).as("_version"), lit(change).as("_change"),
           col("*"))
       if (cur.op.contains("replace")) Seq.empty
-      else if (cur.op.contains("mor-delete")) {
-        // a merge-on-read delete changes NO data file: the delta is the
-        // prev-version rows matching the commit's NEW manifests. Zone-
-        // prune prev's files to the manifest key range (one bounded agg),
-        // read only candidates (prev's own manifests applied, so an
-        // already-deleted key is not re-emitted), one semi-join.
+      else if (cur.op.exists(o => o == "mor-delete" || o == "mor-upsert")) {
+        // a merge-on-read commit's delta is (a) the prev-version rows
+        // masked by its NEW manifests — zone-prune prev's files to the
+        // manifest key range (one bounded agg), read only candidates
+        // (prev's own manifests applied, so an already-deleted key is
+        // not re-emitted), one semi-join — and (b) for an upsert, the
+        // appended batch file(s) as inserts: the delete(old)+insert(new)
+        // pair downstream IVM expects, never an O(table) read.
         val prevManifests = prev.deletes.map(_.file).toSet
         val newManifests = cur.deletes.map(_.file).filterNot(prevManifests)
-        val keys = spark.read.parquet(newManifests: _*)
-          .select(col("_del_key")).distinct()
-        val rng = keys.agg(min(col("_del_key")), max(col("_del_key"))).collect()(0)
-        if (rng.isNullAt(0)) Seq.empty
-        else {
-          val (lo, hi) = (rng.getLong(0), rng.getLong(1))
-          val cand = prev.files
-            .filter(f => f.minKey <= hi && f.maxKey >= lo).map(_.file)
-          if (cand.isEmpty) Seq.empty
-          else Seq(tag(readFiles(spark, prev, cand)
-            .join(keys, col(prev.keyCol).cast("long") === col("_del_key"),
-              "left_semi"), "delete"))
-        }
+        val masked: Option[DataFrame] =
+          if (newManifests.isEmpty) None
+          else {
+            val keys = spark.read.parquet(newManifests: _*)
+              .select(col("_del_key")).distinct()
+            val rng = keys.agg(min(col("_del_key")), max(col("_del_key")))
+              .collect()(0)
+            if (rng.isNullAt(0)) None
+            else {
+              val (lo, hi) = (rng.getLong(0), rng.getLong(1))
+              val cand = prev.files
+                .filter(f => f.minKey <= hi && f.maxKey >= lo).map(_.file)
+              if (cand.isEmpty) None
+              else Some(readFiles(spark, prev, cand)
+                .join(keys, col(prev.keyCol).cast("long") === col("_del_key"),
+                  "left_semi"))
+            }
+          }
+        val prevSet = prev.files.map(_.file).toSet
+        val added = cur.files.map(_.file).filterNot(prevSet)
+        val inserted: Option[DataFrame] =
+          if (added.isEmpty) None else Some(readFiles(spark, cur, added))
+        inserted.map(tag(_, "insert")).toSeq ++ masked.map(tag(_, "delete"))
       }
       else if (cur.deletes.map(_.file).sorted != prev.deletes.map(_.file).sorted) {
         // the manifest set changed outside a mor-delete commit (a rollback

@@ -793,6 +793,60 @@ class TableFormatSpec extends SparkTestBase {
     assert(pinned(refreshed) == pinned(viewAt(4L)))
   }
 
+  test("upsertRowsMoR: O(batch) commit equals copy-on-write mergeRows") {
+    import spark.implicits._
+    val rootA = freshRoot()
+    val rootB = freshRoot()
+    val base = Seq(1L -> 10.0, 2L -> 20.0, 3L -> 30.0, 4L -> 40.0)
+    Seq(rootA, rootB).foreach { r =>
+      writeKv(base, s"$r/w1")
+      TableFormat.commitFiles(spark, r, "k",
+        TableFormat.listParquet(spark, s"$r/w1"), 256, 3)
+    }
+    val src = Seq(2L -> 25.0, 5L -> 50.0).toDF("k", "v")
+    val sU = TableFormat.upsertRowsMoR(spark, rootA, rootA, src)
+    TableFormat.mergeRows(spark, rootB, rootB, src)
+    def content(root: String, v: Option[Long] = None) = TableFormat
+      .read(spark, TableFormat.snapshot(spark, root, v))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = Seq(1L -> 10.0, 2L -> 25.0, 3L -> 30.0, 4L -> 40.0, 5L -> 50.0)
+    assert(content(rootA) == want && content(rootB) == want)
+    // O(batch): the base file is carried by reference, one new data file,
+    // one manifest — no touched-file detection ever ran
+    assert(sU.files.size == 2 && sU.deletes.map(_.nKeys) == Seq(2L))
+    // changelog emits the delete(old)+insert(new) pair, not a rewrite
+    val ch = TableFormat.changesBetween(spark, rootA, 1L, 2L)
+      .select("_version", "_change", "k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(ch == Set((2L, "insert", 2L, 25.0), (2L, "insert", 5L, 50.0),
+      (2L, "delete", 2L, 20.0)))
+    // IVM across the upsert equals the recompute
+    def viewAt(v: Long) = TableFormat
+      .read(spark, TableFormat.snapshot(spark, rootA, Some(v)))
+      .groupBy((col("k") % 2).as("grp"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("total"))
+    def pinned(df: org.apache.spark.sql.DataFrame) = df.orderBy("grp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pinned(TableFormat.refreshView(spark, rootA, 1L, 2L,
+      col("k") % 2, col("v"), viewAt(1L))) == pinned(viewAt(2L)))
+    // a second upsert of the same key masks the FIRST upsert's file
+    TableFormat.upsertRowsMoR(spark, rootA, rootA,
+      Seq(2L -> 29.0).toDF("k", "v"))
+    assert(content(rootA) ==
+      Seq(1L -> 10.0, 2L -> 29.0, 3L -> 30.0, 4L -> 40.0, 5L -> 50.0))
+    assert(content(rootA, Some(2L)) == want) // time travel intact
+    // ANSI cardinality: duplicate source keys refuse loudly
+    val e = intercept[IllegalArgumentException](
+      TableFormat.upsertRowsMoR(spark, rootA, rootA,
+        Seq(7L -> 1.0, 7L -> 2.0).toDF("k", "v")))
+    assert(e.getMessage.contains("duplicate"))
+    // compaction materializes: manifests cleared, content unchanged
+    val sc = TableFormat.compact(spark, rootA, rootA, 1)
+    assert(sc.deletes.isEmpty && content(rootA) ==
+      Seq(1L -> 10.0, 2L -> 29.0, 3L -> 30.0, 4L -> 40.0, 5L -> 50.0))
+  }
+
   test("expireSnapshots never sweeps a live delete manifest") {
     val root = freshRoot()
     writeKv(Seq(1L -> 1.0, 2L -> 2.0), s"$root/w1")
