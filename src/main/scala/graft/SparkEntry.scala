@@ -3287,6 +3287,53 @@ object SparkEntry {
       states.reduce(_.unionByName(_)).orderBy(col("version"))
     },
 
+    // ---- Table format: METADATA INTROSPECTION — the Iceberg
+    // `history`/`snapshots` table as a DataFrame: one row per committed
+    // version (operation, file/manifest counts, manifest key total, and
+    // the scan-free per-file-stats row total) from PURE LOG READS — one
+    // commit file per version, zero data IO. `meta_rows` is deliberately
+    // STALE under merge-on-read manifests (v3 keeps v2's total: the log
+    // claims what its file stats say without reading data — the same
+    // honesty contract statsSummary enforces by refusal), and the
+    // compaction row shows the materialized truth. The oracle replays
+    // every column from construction arithmetic ----
+    "q96_meta_tables" -> { (s, dir) =>
+      val root = scratch("q96_meta", dir)
+      Fixtures.once(s, "q96_meta", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val orders = Tables.orders(s, dir)
+        val base = orders.filter(pmod(col("o_orderkey"), lit(4)) === 3)
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        val kmax = base.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+        val w = kmax / 2 + 1
+        val files = (0 until 2).flatMap { b =>
+          val f = s"$root/b$b"
+          base.filter(expr(s"o_orderkey div $w") === b)
+            .repartition(1).write.mode("overwrite").parquet(f)
+          TableFormat.listParquet(s, f)
+        }
+        TableFormat.commitFiles(s, root, "o_orderkey", files,
+          numBits = 1 << 14, numHashes = 5)                      // v1
+        val batch = orders
+          .filter(pmod(col("o_orderkey"), lit(4)) === 1 &&
+            pmod(col("o_orderkey"), lit(11)) === 2)
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        batch.repartition(1).write.mode("overwrite").parquet(s"$root/a1")
+        TableFormat.appendFiles(s, root,
+          TableFormat.listParquet(s, s"$root/a1"))               // v2
+        TableFormat.deleteKeysMoR(s, root, root,
+          TableFormat.read(s, TableFormat.snapshot(s, root))
+            .filter(pmod(col("o_orderkey"), lit(11)) === 6)
+            .select(col("o_orderkey")), nManifestFiles = 1)      // v3
+        TableFormat.compact(s, root, root, 1)                    // v4
+      }
+      Parallelism.ensureDefaultParallelism(
+        TableFormat.historyTable(s, root)).orderBy(col("version"))
+    },
+
     // ---- Multimodal: REAL AVI/MJPEG video decode — the second real
     // video path beyond GIF, composed entirely from JDK parts: a
     // standard-layout RIFF AVI (hdrl/strl headers + movi stream) whose
@@ -7175,6 +7222,31 @@ object SparkEntry {
          UNION ALL SELECT 3, n, t, 6, 2,
              (SELECT n FROM b2n) + (SELECT n FROM b3n) FROM v3
          UNION ALL SELECT 4, n, t, 2, 0, 0 FROM v3
+         ORDER BY version""",
+
+    // the history table replayed from construction arithmetic: v1/v2
+    // append the %4==3 base (2 files) and the %4==1 && %11==2 batch
+    // (1 file); v3's mor-delete keeps meta_rows STALE at v2's total
+    // (zero data IO is the contract being graded) while recording the
+    // %11==6 manifest; v4's compaction materializes the true count
+    "q96_meta_tables" ->
+      """WITH s AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 4 = 3),
+         a AS (SELECT o_orderkey AS k FROM orders
+               WHERE o_orderkey % 4 = 1 AND o_orderkey % 11 = 2),
+         d AS (SELECT count(*) AS n FROM s WHERE k % 11 = 6),
+         c3 AS (SELECT count(*) AS n FROM s),
+         c12 AS (SELECT count(*) AS n FROM a)
+         SELECT CAST(1 AS BIGINT) AS version, 'append' AS op,
+             CAST(2 AS BIGINT) AS n_files,
+             CAST(0 AS BIGINT) AS n_delete_files,
+             CAST(0 AS BIGINT) AS n_delete_keys,
+             (SELECT n FROM c3) AS meta_rows
+         UNION ALL SELECT 2, 'append', 3, 0, 0,
+             (SELECT n FROM c3) + (SELECT n FROM c12)
+         UNION ALL SELECT 3, 'mor-delete', 3, 1, (SELECT n FROM d),
+             (SELECT n FROM c3) + (SELECT n FROM c12)
+         UNION ALL SELECT 4, 'replace', 1, 0, 0,
+             (SELECT n FROM c3) + (SELECT n FROM c12) - (SELECT n FROM d)
          ORDER BY version""",
 
     // the sampled frame inventory is pure integer arithmetic (doc_id%3+2

@@ -686,7 +686,8 @@ object TableFormat {
     * [[mergeRows]]. Reads pay one anti-join per file-seq group until
     * [[compact]] materializes — the merge-on-read dial. */
   def upsertRowsMoR(spark: SparkSession, root: String, dataDir: String,
-                    source: DataFrame, nOutFiles: Int = 1): Snapshot = {
+                    source: DataFrame, nOutFiles: Int = 1,
+                    extraProps: Map[String, String] = Map.empty): Snapshot = {
     require(nOutFiles >= 1, s"upsertRowsMoR: nOutFiles must be >= 1, got $nOutFiles")
     val first = snapshot(spark, root)
     val tableCols = first.schemaDdl
@@ -719,6 +720,8 @@ object TableFormat {
         (cur.files ++ newStats).sortBy(_.file)
       },
       op = Some("mor-upsert"),
+      deriveProps = curOpt =>
+        curOpt.map(_.props).getOrElse(Map.empty) ++ extraProps,
       deriveDeletes = curOpt =>
         curOpt.map(_.deletes).getOrElse(Seq.empty) ++
           manFiles.map(f => DeleteFile(f, nKeys / manFiles.size)))
@@ -1247,6 +1250,40 @@ object TableFormat {
       }
     dataDirs.foreach(d => sweep(new org.apache.hadoop.fs.Path(d)))
     (expired, removed.result())
+  }
+
+  // ---- metadata introspection tables --------------------------------------
+
+  /** One row per committed version — the Iceberg `history`/`snapshots`
+    * metadata table as a DataFrame: version, operation, file/manifest
+    * counts and the per-file-stats row total. PURE LOG READS (one commit
+    * file per version), zero data IO — `meta_rows` is the scan-free
+    * metadata total, which is intentionally STALE under merge-on-read
+    * manifests (the same honesty contract as [[statsSummary]]'s refusal;
+    * here the stale number is the point — it shows what the log claims
+    * without reading data). */
+  def historyTable(spark: SparkSession, root: String): DataFrame = {
+    val rows = versions(spark, root).map { v =>
+      val s = snapshot(spark, root, Some(v))
+      (v, s.op.getOrElse(""), s.files.size.toLong, s.deletes.size.toLong,
+        s.deletes.map(_.nKeys).sum, s.files.map(_.nRows).sum)
+    }
+    spark.createDataFrame(rows).toDF("version", "op", "n_files",
+      "n_delete_files", "n_delete_keys", "meta_rows")
+  }
+
+  /** One row per data file of a resolved snapshot — the Iceberg `files`
+    * metadata table: path, commit sequence, key bounds, row count, and
+    * the declared secondary zone bounds. Driver arithmetic over the
+    * already-resolved snapshot, zero IO of any kind. */
+  def filesTable(spark: SparkSession, snap: Snapshot): DataFrame = {
+    val rows = snap.files.map { f =>
+      (f.file, f.seq, f.minKey, f.maxKey, f.nRows,
+        snap.zoneCols.flatMap(c => f.zones.get(c).map { case (mn, mx) =>
+          s"$c:[$mn,$mx]" }).mkString(";"))
+    }
+    spark.createDataFrame(rows).toDF("file", "seq", "min_key", "max_key",
+      "n_rows", "zone_bounds")
   }
 
   /** Data files under a just-written parquet directory (one listing). */

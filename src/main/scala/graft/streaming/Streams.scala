@@ -520,6 +520,64 @@ object Streams {
       }
     }
 
+  /** CDC-apply streaming sink: each micro-batch lands as ONE
+    * merge-on-read upsert commit on a [[graft.operators.TableFormat]]
+    * table — batch file + key manifest, O(batch) IO regardless of table
+    * size (no touched-file detection, no rewrite; contrast
+    * [[foreachBatchMerge]]'s correct-by-reload snapshot rewrite). The
+    * replay gate is the same in-log discipline as
+    * [[foreachBatchTableAppend]]: `batch_id`/`lineage` live in the commit
+    * properties, so exactly-once apply under at-least-once foreachBatch
+    * delivery derives from the log itself — a crash between the batch
+    * write and the commit leaves only orphan files (invisible; swept by
+    * retention) and the retry re-applies identically. Latest-per-key
+    * within the batch wins (ordered by `verCol` descending), which also
+    * satisfies [[graft.operators.TableFormat.upsertRowsMoR]]'s ANSI
+    * cardinality rule before the commit. Run [[graft.operators.TableFormat.compact]]
+    * on a maintenance cadence to pay down the manifest chain. */
+  def foreachBatchTableUpsertMoR(root: String, dataDir: String, keyCol: String,
+                                 verCol: String, numBits: Int = 1 << 14,
+                                 numHashes: Int = 5, lineage: String = "")
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      import graft.operators.TableFormat
+      val spark = batch.sparkSession
+      val vs = TableFormat.versions(spark, root)
+      val cur = vs.lastOption.map(v => TableFormat.snapshot(spark, root, Some(v)))
+      cur.foreach(c => require(c.keyCol == keyCol,
+        s"foreachBatchTableUpsertMoR: table at $root is keyed on " +
+          s"'${c.keyCol}', not '$keyCol'"))
+      val streamWritten = cur.exists(_.props.contains("batch_id"))
+      val storedLineage = cur.flatMap(_.props.get("lineage")).getOrElse("")
+      if (streamWritten && storedLineage != lineage)
+        requireSameLineage("foreachBatchTableUpsertMoR", root, storedLineage, lineage)
+      val lastBatch = cur.flatMap(_.props.get("batch_id")).map(_.toLong).getOrElse(-1L)
+      if (batchId > lastBatch && !batch.isEmpty) {
+        val latest = batch
+          .withColumn("_rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col(keyCol)).orderBy(col(verCol).desc)))
+          .filter(col("_rn") === 1).drop("_rn")
+        val gate = Map("batch_id" -> batchId.toString, "lineage" -> lineage)
+        if (cur.isDefined)
+          TableFormat.upsertRowsMoR(spark, root, dataDir, latest,
+            extraProps = gate)
+        else {
+          // bootstrap: plain first commit (nothing to mask yet) fixes
+          // key/bloom geometry, schema, and the gate
+          val out = s"$dataDir/upsert-$batchId-${java.util.UUID.randomUUID().toString}"
+          latest.write.mode("overwrite").parquet(out)
+          val files = TableFormat.listParquet(spark, out)
+          val stats = TableFormat.fileStats(spark, files, keyCol, numBits, numHashes)
+          TableFormat.commitTransform(spark, root, keyCol, numBits, numHashes,
+            curOpt => (curOpt.map(_.files).getOrElse(Seq.empty) ++ stats).sortBy(_.file),
+            deriveProps = curOpt => curOpt.map(_.props).getOrElse(Map.empty) ++ gate,
+            deriveSchema = _ => Some(latest.schema.toDDL),
+            op = Some("append"))
+        }
+      }
+    }
+
   /** The packed-sequence export maintained by [[foreachBatchCorpusPipeline]]
     * — committed batches only. Rows address training sequences as
     * (batch dir, _shard, seq_id); [[indexedCorpus]] reads the same

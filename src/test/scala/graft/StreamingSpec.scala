@@ -559,6 +559,52 @@ class StreamingSpec extends SparkTestBase {
     assert(e.getMessage.contains("lineage"))
   }
 
+  test("foreachBatchTableUpsertMoR: O(batch) CDC apply, replay gate, latest-per-key") {
+    import graft.operators.TableFormat
+    val dir = java.nio.file.Files.createTempDirectory("graft_tf_morup").toString
+    val (root, data) = (s"$dir/t", s"$dir/d")
+    val fn = Streams.foreachBatchTableUpsertMoR(root, data, "k", "ver",
+      numBits = 256, numHashes = 3, lineage = "ckpt-A")
+    def state() = TableFormat.read(spark, TableFormat.snapshot(spark, root))
+      .orderBy("k").select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // bootstrap batch: plain first commit, no manifest
+    fn(Seq((1L, 10.0, 1L), (2L, 20.0, 1L)).toDF("k", "v", "ver"), 0L)
+    assert(state() == Seq(1L -> 10.0, 2L -> 20.0))
+    assert(TableFormat.snapshot(spark, root).deletes.isEmpty)
+    // CDC batch: update k=2, insert k=3, with an in-batch superseded row
+    // for k=2 (latest ver wins) — ONE mor-upsert commit, base file carried
+    fn(Seq((2L, 21.0, 2L), (2L, 25.0, 3L), (3L, 30.0, 2L))
+      .toDF("k", "v", "ver"), 1L)
+    assert(state() == Seq(1L -> 10.0, 2L -> 25.0, 3L -> 30.0))
+    val s2 = TableFormat.snapshot(spark, root)
+    assert(s2.op.contains("mor-upsert") && s2.files.size == 2 &&
+      s2.deletes.map(_.nKeys) == Seq(2L))
+    // replay of the committed id is a no-op (gate lives in the log)
+    fn(Seq((2L, 99.0, 9L)).toDF("k", "v", "ver"), 1L)
+    assert(state() == Seq(1L -> 10.0, 2L -> 25.0, 3L -> 30.0))
+    assert(TableFormat.versions(spark, root).size == 2)
+    // crash window: a batch file written but never committed is invisible
+    Seq((99L, 0.0, 1L)).toDF("k", "v", "ver").write.parquet(s"$data/morup-orphan")
+    assert(state() == Seq(1L -> 10.0, 2L -> 25.0, 3L -> 30.0))
+    // maintenance compaction interleaves: gate carried, replay still skipped
+    TableFormat.compact(spark, root, data, nFiles = 1)
+    fn(Seq((2L, 99.0, 9L)).toDF("k", "v", "ver"), 1L) // replay across compact
+    assert(state() == Seq(1L -> 10.0, 2L -> 25.0, 3L -> 30.0))
+    fn(Seq((1L, 11.0, 4L)).toDF("k", "v", "ver"), 2L)
+    assert(state() == Seq(1L -> 11.0, 2L -> 25.0, 3L -> 30.0))
+    // ingest time travel: the pre-CDC state still reads
+    assert(TableFormat.read(spark, TableFormat.snapshot(spark, root, Some(1L)))
+      .orderBy("k").select("v").as[Double].collect().toSeq == Seq(10.0, 20.0))
+    // lineage rebinding refuses
+    val other = Streams.foreachBatchTableUpsertMoR(root, data, "k", "ver",
+      numBits = 256, numHashes = 3, lineage = "ckpt-B")
+    val e = intercept[IllegalStateException] {
+      other(Seq((5L, 5.0, 1L)).toDF("k", "v", "ver"), 0L)
+    }
+    assert(e.getMessage.contains("lineage"))
+  }
+
   test("stream -> table -> maintained view: ingest ticks drive exactly-once IVM refreshes") {
     import graft.operators.TableFormat
     val dir = java.nio.file.Files.createTempDirectory("graft_tf_view").toString

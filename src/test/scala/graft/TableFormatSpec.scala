@@ -847,6 +847,28 @@ class TableFormatSpec extends SparkTestBase {
       Seq(1L -> 10.0, 2L -> 29.0, 3L -> 30.0, 4L -> 40.0, 5L -> 50.0))
   }
 
+  test("historyTable and filesTable: pure metadata, stale-by-contract under MoR") {
+    val root = freshRoot()
+    writeKv(Seq(1L -> 1.0, 2L -> 2.0, 3L -> 3.0), s"$root/w1")
+    TableFormat.commitFiles(spark, root, "k",
+      TableFormat.listParquet(spark, s"$root/w1"), 256, 3)
+    TableFormat.deleteKeysMoR(spark, root, root, Seq(2L))   // v2: meta stale
+    TableFormat.compact(spark, root, root, 1)               // v3: materialized
+    val hist = TableFormat.historyTable(spark, root).orderBy("version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(hist == Seq(
+      (1L, "append", 1L, 0L, 0L, 3L),
+      (2L, "mor-delete", 1L, 1L, 1L, 3L), // meta_rows stays 3: zero data IO
+      (3L, "replace", 1L, 0L, 0L, 2L)))
+    val ft = TableFormat.filesTable(spark,
+      TableFormat.snapshot(spark, root)).collect()
+    assert(ft.length == 1)
+    val r = ft(0)
+    assert(r.getAs[Long]("seq") == 3L && r.getAs[Long]("min_key") == 1L &&
+      r.getAs[Long]("max_key") == 3L && r.getAs[Long]("n_rows") == 2L)
+  }
+
   test("expireSnapshots never sweeps a live delete manifest") {
     val root = freshRoot()
     writeKv(Seq(1L -> 1.0, 2L -> 2.0), s"$root/w1")
