@@ -3334,6 +3334,59 @@ object SparkEntry {
         TableFormat.historyTable(s, root)).orderBy(col("version"))
     },
 
+    // ---- Table format: TARGETED MoR materialization — Iceberg's
+    // rewrite-data-files with delete compaction: the manifest's STORED
+    // key bounds pick the rewrite set with pure driver arithmetic, so
+    // only the one bucket file the delete touched is rewritten and the
+    // other three are carried by reference — O(affected), never
+    // O(table), which is what makes merge-on-read sustainable at 100 TB
+    // (compact()'s full rewrite would be the thing MoR exists to avoid).
+    // The oracle replays the three states AND the rewrite ledger
+    // (n_rewritten/n_carried from bucket-range arithmetic) ----
+    "q97_mor_materialize" -> { (s, dir) =>
+      val root = scratch("q97_matd", dir)
+      val (nRe, nCa) = Fixtures.once(s, "q97_matd", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val base = Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(4)) === 0)
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        val kmax = base.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+        val w = kmax / 4 + 1
+        val files = (0 until 4).flatMap { b =>
+          val f = s"$root/b$b"
+          base.filter(expr(s"o_orderkey div $w") === b)
+            .repartition(1).write.mode("overwrite").parquet(f)
+          TableFormat.listParquet(s, f)
+        }
+        TableFormat.commitFiles(s, root, "o_orderkey", files,
+          numBits = 1 << 14, numHashes = 5)                      // v1
+        // the delete set lives entirely inside bucket 1's key range, so
+        // the manifest bounds prove buckets 0/2/3 clean
+        TableFormat.deleteKeysMoR(s, root, root,
+          base.filter(expr(s"o_orderkey div $w") === 1 &&
+              pmod(col("o_orderkey"), lit(11)) === 4)
+            .select(col("o_orderkey")), nManifestFiles = 1)      // v2
+        val (_, re, ca) =
+          TableFormat.materializeDeletes(s, root, root, nOutFiles = 1) // v3
+        (re, ca)
+      }
+      val states = (1L to 3L).map { v =>
+        val snap = TableFormat.snapshot(s, root, Some(v))
+        Parallelism.ensureDefaultParallelism(TableFormat.read(s, snap))
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_cents"),
+            lit(snap.files.size.toLong).as("n_files"),
+            lit(snap.deletes.size.toLong).as("n_delete_files"),
+            (if (v == 3L) lit(nRe.toLong) else lit(null).cast("long"))
+              .as("n_rewritten"),
+            (if (v == 3L) lit(nCa.toLong) else lit(null).cast("long"))
+              .as("n_carried"))
+      }
+      states.reduce(_.unionByName(_)).orderBy(col("version"))
+    },
+
     // ---- Multimodal: REAL AVI/MJPEG video decode — the second real
     // video path beyond GIF, composed entirely from JDK parts: a
     // standard-layout RIFF AVI (hdrl/strl headers + movi stream) whose
@@ -7247,6 +7300,30 @@ object SparkEntry {
              (SELECT n FROM c3) + (SELECT n FROM c12)
          UNION ALL SELECT 4, 'replace', 1, 0, 0,
              (SELECT n FROM c3) + (SELECT n FROM c12) - (SELECT n FROM d)
+         ORDER BY version""",
+
+    // the rewrite ledger is bucket arithmetic: the delete set lives in
+    // bucket 1, so exactly 1 file rewrites and 3 carry; v3's state drops
+    // the bucket-1 %11==4 rows and v2 reads identically (the manifest is
+    // applied at read time — same rows, stale metadata)
+    "q97_mor_materialize" ->
+      """WITH s AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders WHERE o_orderkey % 4 = 0),
+         kw AS (SELECT (max(k) // 4) + 1 AS w FROM s),
+         del AS (SELECT k FROM s
+                 WHERE k // (SELECT w FROM kw) = 1 AND k % 11 = 4),
+         v1 AS (SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS t FROM s),
+         v2 AS (SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS t FROM s
+                WHERE k NOT IN (SELECT k FROM del))
+         SELECT CAST(1 AS BIGINT) AS version, n AS n_rows, t AS sum_cents,
+             CAST(4 AS BIGINT) AS n_files,
+             CAST(0 AS BIGINT) AS n_delete_files,
+             CAST(NULL AS BIGINT) AS n_rewritten,
+             CAST(NULL AS BIGINT) AS n_carried
+           FROM v1
+         UNION ALL SELECT 2, n, t, 4, 1, NULL, NULL FROM v2
+         UNION ALL SELECT 3, n, t, 4, 0, 1, 3 FROM v2
          ORDER BY version""",
 
     // the sampled frame inventory is pure integer arithmetic (doc_id%3+2

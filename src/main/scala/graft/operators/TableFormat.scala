@@ -67,8 +67,15 @@ object TableFormat {
     * it applies only to data files with a strictly smaller `seq`, so a
     * key re-appended AFTER the delete is visible (the Iceberg sequence-
     * number rule). `seq = -1` means "stamp me with the committing
-    * version" ([[tryCommit]] does), same convention as [[FileStat.seq]]. */
-  final case class DeleteFile(file: String, nKeys: Long, seq: Long = -1L)
+    * version" ([[tryCommit]] does), same convention as [[FileStat.seq]].
+    * `minKey`/`maxKey` bound the manifest's key range (computed in the
+    * same bounded aggregate as the key counts) — what lets
+    * [[materializeDeletes]] pick its rewrite set with pure driver
+    * arithmetic; the defaults mean "unknown: overlaps everything"
+    * (conservative, and what pre-bounds commits parse as). */
+  final case class DeleteFile(file: String, nKeys: Long, seq: Long = -1L,
+                              minKey: Long = Long.MinValue,
+                              maxKey: Long = Long.MaxValue)
 
   /** A resolved snapshot: the complete live file set (with stats) of one
     * committed version, plus the commit's PROPERTIES — small string pairs
@@ -157,7 +164,8 @@ object TableFormat {
         .mkString("\"zone_cols\":[", ",", "],"))
     if (deletes.nonEmpty)
       sb.append(deletes.map(d =>
-          s"""{"file":"${esc(d.file)}","n_keys":${d.nKeys},"seq":${d.seq}}""")
+          s"""{"file":"${esc(d.file)}","n_keys":${d.nKeys},"seq":${d.seq},""" +
+            s""""min_key":${d.minKey},"max_key":${d.maxKey}}""")
         .mkString("\"deletes\":[", ",", "],"))
     sb.append("\"props\":{")
     props.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((k, v), i) =>
@@ -234,7 +242,9 @@ object TableFormat {
       else (0 until node.get("deletes").size()).map { i =>
         val d = node.get("deletes").get(i)
         DeleteFile(d.get("file").asText(), d.get("n_keys").asLong(),
-          d.get("seq").asLong())
+          d.get("seq").asLong(),
+          if (d.has("min_key")) d.get("min_key").asLong() else Long.MinValue,
+          if (d.has("max_key")) d.get("max_key").asLong() else Long.MaxValue)
       }
     Snapshot(root, node.get("version").asLong(), node.get("key_col").asText(),
       node.get("num_bits").asInt(), node.get("num_hashes").asInt(), files,
@@ -646,11 +656,15 @@ object TableFormat {
     // target-file dial); 0 leaves it to the dedup's own partitioning
     (if (nManifestFiles > 0) dedup.repartition(nManifestFiles) else dedup)
       .write.mode("overwrite").parquet(out)
-    // per-manifest-file key counts: bounded metadata (one row per file);
-    // zero-row part files never enter the commit
+    // per-manifest-file key counts + bounds: bounded metadata (one row
+    // per file); zero-row part files never enter the commit
     val counts = spark.read.parquet(listParquet(spark, out): _*)
-      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("n"), min(col("_del_key")).as("mn"),
+        max(col("_del_key")).as("mx"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
     require(counts.nonEmpty, "deleteKeysMoR: empty key set")
     commitTransform(spark, root, first.keyCol, first.numBits, first.numHashes,
       { curOpt =>
@@ -660,7 +674,8 @@ object TableFormat {
       op = Some("mor-delete"),
       deriveDeletes = curOpt =>
         curOpt.map(_.deletes).getOrElse(Seq.empty) ++
-          counts.toSeq.sortBy(_._1).map { case (f, n) => DeleteFile(f, n) })
+          counts.toSeq.sortBy(_._1).map { case (f, (n, mn, mx)) =>
+            DeleteFile(f, n, minKey = mn, maxKey = mx) })
   }
 
   /** [[deleteKeysMoR]] for a control-sized driver-held key set. */
@@ -697,12 +712,16 @@ object TableFormat {
       s"upsertRowsMoR: source columns ${source.columns.sorted.mkString(",")} " +
         s"must match table columns ${tableCols.sorted.mkString(",")}")
     val src = source.select(tableCols.map(col): _*)
-    // one source pass: the ANSI duplicate-key cardinality check
-    val prof = src.agg(count(lit(1)), count_distinct(col(first.keyCol))).collect()(0)
+    // one source pass: the ANSI duplicate-key cardinality check + the
+    // manifest's key bounds
+    val prof = src.agg(count(lit(1)), count_distinct(col(first.keyCol)),
+      min(col(first.keyCol).cast("long")),
+      max(col(first.keyCol).cast("long"))).collect()(0)
     if (prof.getLong(0) == 0L) return first // empty source: no-op
     require(prof.getLong(0) == prof.getLong(1),
       s"upsertRowsMoR: ${prof.getLong(0) - prof.getLong(1)} duplicate source " +
         "key(s) — ambiguous upsert (ANSI MERGE cardinality rule)")
+    val (keyLo, keyHi) = (prof.getLong(2), prof.getLong(3))
     val dataOut = s"$dataDir/morup-${java.util.UUID.randomUUID().toString}"
     src.repartition(nOutFiles).write.mode("overwrite").parquet(dataOut)
     val newFiles = listParquet(spark, dataOut)
@@ -724,7 +743,53 @@ object TableFormat {
         curOpt.map(_.props).getOrElse(Map.empty) ++ extraProps,
       deriveDeletes = curOpt =>
         curOpt.map(_.deletes).getOrElse(Seq.empty) ++
-          manFiles.map(f => DeleteFile(f, nKeys / manFiles.size)))
+          manFiles.map(f => DeleteFile(f, nKeys / manFiles.size,
+            minKey = keyLo, maxKey = keyHi)))
+  }
+
+  /** Targeted merge-on-read MATERIALIZATION — Iceberg's
+    * rewrite-data-files with delete compaction: rewrite ONLY the files
+    * some manifest may apply to (sequence + key-range arithmetic over the
+    * resolved snapshot — pure driver work on the manifests' stored
+    * bounds), carry every clean file by reference, clear the manifest
+    * set. Cost is O(affected data), never O(table) — the maintenance op
+    * that pays down a v2 table's read amplification without [[compact]]'s
+    * full rewrite. Content-preserving by construction (it applies exactly
+    * the masks every reader already applies), so the commit is stamped
+    * op=replace and incremental readers skip it for free. Returns
+    * (snapshot, files rewritten, files carried). */
+  def materializeDeletes(spark: SparkSession, root: String, dataDir: String,
+                         nOutFiles: Int = 0): (Snapshot, Int, Int) = {
+    val first = snapshot(spark, root)
+    if (first.deletes.isEmpty) return (first, 0, first.files.size)
+    var nRe = 0
+    var nCa = 0
+    val snap = commitTransform(spark, root, first.keyCol, first.numBits,
+      first.numHashes, { curOpt =>
+        val cur = curOpt.getOrElse(throw new IllegalStateException(
+          "materializeDeletes: nothing committed"))
+        val (affected, clean) = cur.files.partition { f =>
+          cur.deletes.exists(d => d.seq > f.seq &&
+            d.minKey <= f.maxKey && d.maxKey >= f.minKey)
+        }
+        val rewritten =
+          if (affected.isEmpty) Seq.empty[FileStat]
+          else {
+            val out = s"$dataDir/matdel-${java.util.UUID.randomUUID().toString}"
+            val masked = readFiles(spark, cur, affected.map(_.file))
+            (if (nOutFiles > 0) masked.repartition(nOutFiles) else masked)
+              .write.mode("overwrite").parquet(out)
+            val files = listParquet(spark, out)
+            // a fully-masked rewrite may produce no files at all
+            if (files.isEmpty) Seq.empty[FileStat]
+            else fileStats(spark, files, cur.keyCol, cur.numBits,
+              cur.numHashes, cur.zoneCols)
+          }
+        nRe = affected.size
+        nCa = clean.size
+        (clean ++ rewritten).sortBy(_.file)
+      }, op = Some("replace"), deriveDeletes = _ => Seq.empty)
+    (snap, nRe, nCa)
   }
 
   /** Row-level MERGE (upsert): for each source row, update the table row

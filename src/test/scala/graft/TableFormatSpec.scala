@@ -869,6 +869,32 @@ class TableFormatSpec extends SparkTestBase {
       r.getAs[Long]("max_key") == 3L && r.getAs[Long]("n_rows") == 2L)
   }
 
+  test("materializeDeletes rewrites only manifest-affected files") {
+    val root = freshRoot()
+    writeKv(Seq(1L -> 1.0, 2L -> 2.0, 3L -> 3.0), s"$root/w1")
+    writeKv(Seq(10L -> 10.0, 11L -> 11.0), s"$root/w2")
+    TableFormat.commitFiles(spark, root, "k",
+      TableFormat.listParquet(spark, s"$root/w1") ++
+        TableFormat.listParquet(spark, s"$root/w2"), 256, 3)
+    val cleanFile = TableFormat.snapshot(spark, root).files
+      .find(_.minKey == 10L).get.file
+    TableFormat.deleteKeysMoR(spark, root, root, Seq(2L)) // bounds [2,2]
+    val (s3, nRe, nCa) = TableFormat.materializeDeletes(spark, root, root,
+      nOutFiles = 1)
+    // only the [1,3] file overlaps the manifest bounds; [10,11] is carried
+    assert(nRe == 1 && nCa == 1 && s3.deletes.isEmpty)
+    assert(s3.files.map(_.file).contains(cleanFile))
+    assert(TableFormat.read(spark, s3).orderBy("k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L, 10L, 11L))
+    // metadata stats answer again after materialization
+    assert(TableFormat.statsSummary(s3) == ((4L, 1L, 11L)))
+    // content-preserving: op=replace, free for incremental readers
+    assert(TableFormat.changesBetween(spark, root, 2L, 3L).count() == 0L)
+    // no manifests -> no-op, no commit
+    val (s4, a, c) = TableFormat.materializeDeletes(spark, root, root)
+    assert(s4.version == s3.version && a == 0 && c == 2)
+  }
+
   test("expireSnapshots never sweeps a live delete manifest") {
     val root = freshRoot()
     writeKv(Seq(1L -> 1.0, 2L -> 2.0), s"$root/w1")
