@@ -895,6 +895,45 @@ class TableFormatSpec extends SparkTestBase {
     assert(s4.version == s3.version && a == 0 && c == 2)
   }
 
+  test("concurrent append + MoR delete serialize: the delete masks the winner's rows") {
+    val root = freshRoot()
+    writeKv(Seq(1L -> 1.0, 2L -> 2.0), s"$root/w1")
+    TableFormat.commitFiles(spark, root, "k",
+      TableFormat.listParquet(spark, s"$root/w1"), 256, 3)
+    writeKv(Seq(3L -> 3.0, 7L -> 7.0), s"$root/w2")
+    val appendFiles = TableFormat.listParquet(spark, s"$root/w2")
+    // race an append of {3,7} against a MoR delete of {2,7} from v1: the
+    // CAS loser re-derives against the winner, so whichever order they
+    // land in, both commits exist and serialize
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val fa = pool.submit(new java.util.concurrent.Callable[Long] {
+      def call(): Long = { start.await()
+        TableFormat.appendFiles(spark, root, appendFiles).version }
+    })
+    val fd = pool.submit(new java.util.concurrent.Callable[Long] {
+      def call(): Long = { start.await()
+        TableFormat.deleteKeysMoR(spark, root, root, Seq(2L, 7L)).version }
+    })
+    start.countDown()
+    val (va, vd) = (fa.get(30, TimeUnit.SECONDS), fd.get(30, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(Set(va, vd) == Set(2L, 3L))
+    val content = TableFormat.read(spark, TableFormat.snapshot(spark, root))
+      .orderBy("k").collect().map(_.getLong(0)).toSeq
+    if (vd > va)
+      // delete committed AFTER the append: its manifest seq exceeds the
+      // appended file's, so the appended k=7 is masked too — the
+      // serializable delete-at-commit-time semantics
+      assert(content == Seq(1L, 3L))
+    else
+      // append committed after: its rows are newer than the manifest
+      assert(content == Seq(1L, 3L, 7L))
+    // either order: both versions remain individually readable
+    assert(TableFormat.read(spark, TableFormat.snapshot(spark, root, Some(1L)))
+      .count() == 2L)
+  }
+
   test("expireSnapshots never sweeps a live delete manifest") {
     val root = freshRoot()
     writeKv(Seq(1L -> 1.0, 2L -> 2.0), s"$root/w1")
