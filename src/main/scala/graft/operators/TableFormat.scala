@@ -747,6 +747,82 @@ object TableFormat {
             minKey = keyLo, maxKey = keyHi)))
   }
 
+  /** MANIFEST compaction — Iceberg's rewrite-manifests for the delete
+    * chain: merge delete manifests into fewer files WITHOUT touching any
+    * data file, so a long run of streaming MoR commits stops costing one
+    * anti-join each. Soundness is a pure seq argument: a group of
+    * manifests with seqs S merged at seq max(S) applies to exactly the
+    * same files iff NO live data file's seq falls in [min(S), max(S)) —
+    * greedy grouping over the sorted manifest seqs against the file-seq
+    * set (driver arithmetic). Merged keys are unioned/deduped (O(keys)),
+    * singleton groups carry their file by reference, the commit stamps
+    * op=replace (content-preserving: readers already applied these
+    * masks). Returns (snapshot, manifests before, manifests after). */
+  def compactManifests(spark: SparkSession, root: String,
+                       dataDir: String): (Snapshot, Int, Int) = {
+    val first = snapshot(spark, root)
+    if (first.deletes.size <= 1)
+      return (first, first.deletes.size, first.deletes.size)
+    // pre-check against the current snapshot: if no group merges, there
+    // is nothing to commit (idempotent no-op); the grouping re-derives
+    // inside the CAS loop regardless, so a racer cannot stale this
+    val firstSeqs = first.files.map(_.seq).toSet
+    val firstGroups = first.deletes.sortBy(_.seq)
+      .foldLeft(List.empty[List[DeleteFile]]) {
+        case (Nil, d) => List(List(d))
+        case (g :: rest, d) =>
+          if (!firstSeqs.exists(s => s >= g.map(_.seq).min && s < d.seq))
+            (d :: g) :: rest
+          else List(d) :: g :: rest
+      }
+    if (firstGroups.size == first.deletes.size)
+      return (first, first.deletes.size, first.deletes.size)
+    var nBefore = 0
+    var nAfter = 0
+    val snap = commitTransform(spark, root, first.keyCol, first.numBits,
+      first.numHashes,
+      { curOpt =>
+        curOpt.getOrElse(throw new IllegalStateException(
+          "compactManifests: nothing committed")).files
+      },
+      op = Some("replace"),
+      deriveDeletes = { curOpt =>
+        val cur = curOpt.getOrElse(throw new IllegalStateException(
+          "compactManifests: nothing committed"))
+        val fileSeqs = cur.files.map(_.seq).toSet
+        val sorted = cur.deletes.sortBy(_.seq)
+        val groups = sorted.foldLeft(List.empty[List[DeleteFile]]) {
+          case (Nil, d) => List(List(d))
+          case (g :: rest, d) =>
+            // extend the group iff no live file seq separates its span
+            if (!fileSeqs.exists(s => s >= g.map(_.seq).min && s < d.seq))
+              (d :: g) :: rest
+            else List(d) :: g :: rest
+        }.map(_.reverse).reverse
+        nBefore = cur.deletes.size
+        nAfter = groups.size
+        groups.map {
+          case Seq(single) => single
+          case group =>
+            val out = s"$dataDir/mordel-${java.util.UUID.randomUUID().toString}"
+            spark.read.parquet(group.map(_.file): _*)
+              .select(col("_del_key")).distinct().repartition(1)
+              .write.mode("overwrite").parquet(out)
+            val files = listParquet(spark, out)
+            require(files.size == 1,
+              s"compactManifests: expected one merged file, got ${files.size}")
+            val prof = spark.read.parquet(files.head)
+              .agg(count(lit(1)), min(col("_del_key")), max(col("_del_key")))
+              .collect()(0)
+            // seq = the group's MAX, explicitly (never restamped to the
+            // commit version — that would widen its applicability)
+            DeleteFile(files.head, prof.getLong(0), group.map(_.seq).max,
+              prof.getLong(1), prof.getLong(2))
+        }
+      })
+    (snap, nBefore, nAfter)
+  }
+
   /** Targeted merge-on-read MATERIALIZATION — Iceberg's
     * rewrite-data-files with delete compaction: rewrite ONLY the files
     * some manifest may apply to (sequence + key-range arithmetic over the

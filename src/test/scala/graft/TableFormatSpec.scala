@@ -934,6 +934,37 @@ class TableFormatSpec extends SparkTestBase {
       .count() == 2L)
   }
 
+  test("compactManifests merges only seq-indistinguishable manifests") {
+    val root = freshRoot()
+    writeKv(Seq(1L -> 1.0, 2L -> 2.0, 3L -> 3.0, 4L -> 4.0), s"$root/w1")
+    TableFormat.commitFiles(spark, root, "k",
+      TableFormat.listParquet(spark, s"$root/w1"), 256, 3)     // v1, file seq 1
+    TableFormat.deleteKeysMoR(spark, root, root, Seq(2L))      // manifest seq 2
+    TableFormat.deleteKeysMoR(spark, root, root, Seq(3L))      // manifest seq 3
+    writeKv(Seq(3L -> 33.0, 10L -> 10.0), s"$root/w2")
+    TableFormat.appendFiles(spark, root,
+      TableFormat.listParquet(spark, s"$root/w2"))             // v4, file seq 4
+    TableFormat.deleteKeysMoR(spark, root, root, Seq(10L))     // manifest seq 5
+    def content() = TableFormat.read(spark, TableFormat.snapshot(spark, root))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = content()
+    assert(before == Seq(1L -> 1.0, 3L -> 33.0, 4L -> 4.0))
+    // seqs {2,3} merge (no file seq in [2,3)); seq 5 cannot join them
+    // (file seq 4 separates: merging would mask the re-appended k=3)
+    val (s6, nB, nA) = TableFormat.compactManifests(spark, root, root)
+    assert(nB == 3 && nA == 2)
+    assert(s6.deletes.map(_.seq) == Seq(3L, 5L))
+    assert(s6.deletes.head.nKeys == 2L) // {2,3} unioned
+    assert(content() == before)
+    // the merged manifest still does NOT apply to the seq-4 re-append
+    assert(content().contains(3L -> 33.0))
+    // content-preserving: op=replace, free for incremental readers
+    assert(TableFormat.changesBetween(spark, root, 5L, 6L).count() == 0L)
+    // idempotent: nothing left to merge
+    val (s7, b2, a2) = TableFormat.compactManifests(spark, root, root)
+    assert(s7.version == s6.version && b2 == 2 && a2 == 2)
+  }
+
   test("expireSnapshots never sweeps a live delete manifest") {
     val root = freshRoot()
     writeKv(Seq(1L -> 1.0, 2L -> 2.0), s"$root/w1")
