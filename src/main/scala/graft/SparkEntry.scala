@@ -3387,6 +3387,51 @@ object SparkEntry {
       states.reduce(_.unionByName(_)).orderBy(col("version"))
     },
 
+    // ---- Streaming CDC → table: the foreachBatchTableUpsertMoR loop
+    // driven with deterministic batches — each update batch is ONE
+    // O(batch) merge-on-read commit (v2, v3, v5), a targeted
+    // materializeDeletes interleaves as maintenance (v4, op=replace,
+    // manifests cleared), and a REPLAY of the committed batch across the
+    // maintenance boundary is skipped by the in-log gate (no version
+    // appears for it — the absence IS the grade). Every version's state
+    // is replacement arithmetic the oracle replays; ops and manifest
+    // counts come from the log ----
+    "q98_stream_cdc_upsert" -> { (s, dir) =>
+      val root = scratch("q98_cdc", dir)
+      Fixtures.once(s, "q98_cdc", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val base = Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(4)) === 3)
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        val sink = graft.streaming.Streams.foreachBatchTableUpsertMoR(
+          root, root, "o_orderkey", "ver", numBits = 1 << 14, numHashes = 5,
+          lineage = "q98")
+        def batch(mod9: Int, bump: Int, ver: Int) = Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(4)) === 3 &&
+            pmod(col("o_orderkey"), lit(9)) === mod9)
+          .select(col("o_orderkey"),
+            (floor(col("o_totalprice") * 100) + bump).cast("long").as("cents"),
+            lit(ver.toLong).as("ver"))
+        sink(base.withColumn("ver", lit(1L)), 0L)              // v1 bootstrap
+        sink(batch(2, 10, 2), 1L)                              // v2 upsert
+        sink(batch(5, 20, 3), 2L)                              // v3 upsert
+        TableFormat.materializeDeletes(s, root, root, nOutFiles = 2) // v4
+        sink(batch(5, 20, 3), 2L) // REPLAY across maintenance: must skip
+        sink(batch(2, 30, 4), 3L)                              // v5 upsert
+      }
+      val states = (1L to 5L).map { v =>
+        val snap = TableFormat.snapshot(s, root, Some(v))
+        Parallelism.ensureDefaultParallelism(TableFormat.read(s, snap))
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+          .select(lit(v).as("version"), lit(snap.op.getOrElse("")).as("op"),
+            col("n_rows"), col("sum_cents"),
+            lit(snap.deletes.size.toLong).as("n_delete_files"))
+      }
+      states.reduce(_.unionByName(_)).orderBy(col("version"))
+    },
+
     // ---- Multimodal: REAL AVI/MJPEG video decode — the second real
     // video path beyond GIF, composed entirely from JDK parts: a
     // standard-layout RIFF AVI (hdrl/strl headers + movi stream) whose
@@ -7324,6 +7369,30 @@ object SparkEntry {
            FROM v1
          UNION ALL SELECT 2, n, t, 4, 1, NULL, NULL FROM v2
          UNION ALL SELECT 3, n, t, 4, 0, 1, 3 FROM v2
+         ORDER BY version""",
+
+    // replacement arithmetic per version over the fixed %4==3 population
+    // (updates only, so row counts never move): v2 bumps the %9==2 slice
+    // by 10, v3 adds the %9==5 slice at +20, v4 is the materialization
+    // (same rows, manifests cleared), v5 REPLACES the %9==2 bump with
+    // +30; exactly five versions exist — the replayed batch committed
+    // nothing, which is the exactly-once grade
+    "q98_stream_cdc_upsert" ->
+      """WITH s AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders WHERE o_orderkey % 4 = 3),
+         n AS (SELECT count(*) AS all_n,
+             count(CASE WHEN k % 9 = 2 THEN 1 END) AS n92,
+             count(CASE WHEN k % 9 = 5 THEN 1 END) AS n95,
+             CAST(sum(c) AS BIGINT) AS t FROM s)
+         SELECT CAST(1 AS BIGINT) AS version, 'append' AS op,
+             all_n AS n_rows, t AS sum_cents,
+             CAST(0 AS BIGINT) AS n_delete_files
+           FROM n
+         UNION ALL SELECT 2, 'mor-upsert', all_n, t + 10 * n92, 1 FROM n
+         UNION ALL SELECT 3, 'mor-upsert', all_n, t + 10 * n92 + 20 * n95, 2 FROM n
+         UNION ALL SELECT 4, 'replace', all_n, t + 10 * n92 + 20 * n95, 0 FROM n
+         UNION ALL SELECT 5, 'mor-upsert', all_n, t + 30 * n92 + 20 * n95, 1 FROM n
          ORDER BY version""",
 
     // the sampled frame inventory is pure integer arithmetic (doc_id%3+2
