@@ -3432,6 +3432,61 @@ object SparkEntry {
       states.reduce(_.unionByName(_)).orderBy(col("version"))
     },
 
+    // ---- CDC table→table REPLICATION: a mirror advanced purely from
+    // the source changelog — one tick nets a WINDOW of source commits
+    // (an upsert and a delete) into ONE O(changes) merge-on-read mirror
+    // commit, a source materialization inside the next window costs the
+    // mirror a pure metadata cursor bump (op=replace), and a replay tick
+    // with an unmoved cursor commits NOTHING: the entry emits one row
+    // per EXISTING mirror version, so exactly three rows is itself the
+    // graded exactly-once property. Every version's state, op, cursor,
+    // and file/manifest ledger is replacement arithmetic the oracle
+    // replays ----
+    "q99_table_replication" -> { (s, dir) =>
+      val root = scratch("q99_repl", dir)
+      val src = s"$root/src"; val tgt = s"$root/tgt"
+      Fixtures.once(s, "q99_repl", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val base = Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(4)) === 1)
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        val kmax = base.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+        val w = kmax / 4 + 1
+        val files = (0 until 4).flatMap { b =>
+          val f = s"$src/b$b"
+          base.filter(expr(s"o_orderkey div $w") === b)
+            .repartition(1).write.mode("overwrite").parquet(f)
+          TableFormat.listParquet(s, f)
+        }
+        TableFormat.commitFiles(s, src, "o_orderkey", files,
+          numBits = 1 << 14, numHashes = 5)                    // src v1
+        TableFormat.replicateTo(s, src, tgt, tgt)              // mirror v1
+        TableFormat.upsertRowsMoR(s, src, src,                 // src v2
+          base.filter(pmod(col("o_orderkey"), lit(11)) === 3)
+            .select(col("o_orderkey"), (col("cents") + 10).as("cents")))
+        TableFormat.deleteKeysMoR(s, src, src,                 // src v3
+          base.filter(pmod(col("o_orderkey"), lit(11)) === 7)
+            .select("o_orderkey"), nManifestFiles = 1)
+        TableFormat.replicateTo(s, src, tgt, tgt)              // mirror v2
+        TableFormat.materializeDeletes(s, src, src)            // src v4
+        TableFormat.replicateTo(s, src, tgt, tgt)              // mirror v3
+        TableFormat.replicateTo(s, src, tgt, tgt)              // replay: no-op
+      }
+      val states = TableFormat.versions(s, tgt).map { v =>
+        val snap = TableFormat.snapshot(s, tgt, Some(v))
+        Parallelism.ensureDefaultParallelism(TableFormat.read(s, snap))
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+          .select(lit(v).as("version"), lit(snap.op.getOrElse("")).as("op"),
+            lit(snap.props("source_version").toLong).as("cursor"),
+            col("n_rows"), col("sum_cents"),
+            lit(snap.files.size.toLong).as("n_files"),
+            lit(snap.deletes.size.toLong).as("n_delete_files"))
+      }
+      states.reduce(_.unionByName(_)).orderBy(col("version"))
+    },
+
     // ---- Multimodal: REAL AVI/MJPEG video decode — the second real
     // video path beyond GIF, composed entirely from JDK parts: a
     // standard-layout RIFF AVI (hdrl/strl headers + movi stream) whose
@@ -7393,6 +7448,32 @@ object SparkEntry {
          UNION ALL SELECT 3, 'mor-upsert', all_n, t + 10 * n92 + 20 * n95, 2 FROM n
          UNION ALL SELECT 4, 'replace', all_n, t + 10 * n92 + 20 * n95, 0 FROM n
          UNION ALL SELECT 5, 'mor-upsert', all_n, t + 30 * n92 + 20 * n95, 1 FROM n
+         ORDER BY version""",
+
+    // mirror replacement arithmetic over the fixed %4==1 population:
+    // v1 bootstraps the full copy (cursor 1), v2 nets src v2 (+10 on the
+    // %11==3 slice) and src v3 (delete the %11==7 slice) into one commit
+    // (cursor 3, one batch file + one manifest), v3 is the cursor bump
+    // past the source materialization (cursor 4, ledger unchanged);
+    // exactly three rows exist because the replay tick committed nothing
+    "q99_table_replication" ->
+      """WITH s AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders WHERE o_orderkey % 4 = 1),
+         n AS (SELECT count(*) AS all_n,
+             count(CASE WHEN k % 11 = 3 THEN 1 END) AS n113,
+             count(CASE WHEN k % 11 = 7 THEN 1 END) AS n117,
+             CAST(sum(c) AS BIGINT) AS t,
+             CAST(COALESCE(sum(CASE WHEN k % 11 = 7 THEN c END), 0) AS BIGINT) AS t117
+           FROM s)
+         SELECT CAST(1 AS BIGINT) AS version, 'append' AS op,
+             CAST(1 AS BIGINT) AS cursor, all_n AS n_rows, t AS sum_cents,
+             CAST(1 AS BIGINT) AS n_files, CAST(0 AS BIGINT) AS n_delete_files
+           FROM n
+         UNION ALL SELECT 2, 'mor-upsert', 3, all_n - n117,
+             t + 10 * n113 - t117, 2, 1 FROM n
+         UNION ALL SELECT 3, 'replace', 4, all_n - n117,
+             t + 10 * n113 - t117, 2, 1 FROM n
          ORDER BY version""",
 
     // the sampled frame inventory is pure integer arithmetic (doc_id%3+2

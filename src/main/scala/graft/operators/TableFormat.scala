@@ -1331,6 +1331,131 @@ object TableFormat {
     }
   }
 
+  /** CDC REPLICATION — maintain a MIRROR of a TableFormat table as
+    * another TableFormat table, advanced purely from the source
+    * CHANGELOG (the Delta `APPLY CHANGES INTO` / streaming-table
+    * replication shape; reference analog: the incremental watermark sync
+    * of `MonarchMoneyMain-v3.py:1217-1225` generalized from one sheet to
+    * a whole table). One call = one tick:
+    *
+    *   - bootstrap: no mirror log yet → full copy of the source's
+    *     current state, committed with the CURSOR (`source_version`) in
+    *     the commit properties — the same in-log gate discipline as
+    *     [[maintainView]] and the streaming ingest sinks.
+    *   - advance: cursor < source head → [[changesBetween]] over the
+    *     window, NETTED to one effect per key (the highest `_version`
+    *     wins; within a version an update's insert beats its delete),
+    *     applied as ONE merge-on-read commit: net-insert rows land as
+    *     the batch file(s) and EVERY touched key is masked in older
+    *     mirror files by a delete manifest — so a window of N source
+    *     commits costs the mirror one commit and O(changes) IO, never
+    *     O(table), and a source compaction inside the window costs
+    *     nothing at all (the op=replace skip).
+    *   - cursor-bump: the window nets to zero changes (only replace
+    *     commits) → a metadata-only op=replace commit moves the cursor
+    *     (sound for the MIRROR's changelog too: content-preserving).
+    *   - idempotent: cursor == head → NO commit; a racing replicator
+    *     that moved the cursor fails LOUD instead of silently rewinding.
+    *
+    * Schema evolution flows through: the mirror commits under the
+    * source's current DDL, so an add-only widening upstream widens the
+    * mirror on its next tick without rewriting a byte (older mirror
+    * files read the new column as NULL by name). The mirror is itself a
+    * full TableFormat table — history, time travel, its own changelog
+    * (each tick is a well-formed mor-upsert), retention, and onward
+    * replication chain all compose. Returns the mirror's snapshot. */
+  def replicateTo(spark: SparkSession, sourceRoot: String, targetRoot: String,
+                  targetDataDir: String, nOutFiles: Int = 1): Snapshot = {
+    require(nOutFiles >= 1, s"replicateTo: nOutFiles must be >= 1, got $nOutFiles")
+    val src = snapshot(spark, sourceRoot)
+    def uuid() = java.util.UUID.randomUUID().toString
+    if (versions(spark, targetRoot).isEmpty) {
+      val out = s"$targetDataDir/repl-${uuid()}"
+      read(spark, src).repartition(nOutFiles).write.mode("overwrite").parquet(out)
+      val files = listParquet(spark, out)
+      val stats = fileStats(spark, files, src.keyCol, src.numBits,
+        src.numHashes, src.zoneCols)
+      val ddl = src.schemaDdl.orElse(
+        if (files.nonEmpty) Some(spark.read.parquet(files: _*).schema.toDDL)
+        else None)
+      commitTransform(spark, targetRoot, src.keyCol, src.numBits, src.numHashes,
+        { curOpt =>
+          if (curOpt.nonEmpty) throw new IllegalStateException(
+            s"replicateTo: concurrent bootstrap at $targetRoot")
+          stats
+        },
+        deriveProps = _ => Map("source_version" -> src.version.toString),
+        deriveSchema = _ => ddl, op = Some("append"),
+        zoneCols = Some(src.zoneCols))
+    } else {
+      val cur = snapshot(spark, targetRoot)
+      val cursor = cur.props.getOrElse("source_version",
+        throw new IllegalStateException(
+          s"replicateTo: mirror at $targetRoot carries no source_version " +
+            "cursor")).toLong
+      if (cursor >= src.version) return cur // nothing new: no commit
+      // single-replicator contract, enforced inside the CAS loop below
+      def guardCursor(curOpt: Option[Snapshot]): Snapshot = {
+        val now = curOpt.flatMap(_.props.get("source_version")).map(_.toLong)
+        if (!now.contains(cursor)) throw new IllegalStateException(
+          s"replicateTo: concurrent replicator moved the cursor " +
+            s"($now != Some($cursor)) at $targetRoot")
+        curOpt.get
+      }
+      val delta = changesBetween(spark, sourceRoot, cursor, src.version)
+      val dataCols = delta.columns.filterNot(Set("_version", "_change")).toSeq
+      val keyL = col(cur.keyCol).cast("long")
+      // net effect per key over the window; ties inside one version are
+      // an update's delete+insert pair — the insert is the later state
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(keyL)
+        .orderBy(col("_version").desc,
+          when(col("_change") === "insert", 1).otherwise(0).desc)
+      val netted = delta.withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") === 1)
+      val insRows = netted.filter(col("_change") === "insert")
+        .select(dataCols.map(col): _*)
+      // every touched key masks its older mirror copy; a fresh insert's
+      // key in the manifest is harmless (nothing older to mask), a
+      // deleted key simply gets no replacement row
+      val manOut = s"$targetDataDir/repl-del-${uuid()}"
+      delta.select(keyL.as("_del_key")).filter(col("_del_key").isNotNull)
+        .distinct().repartition(1).write.mode("overwrite").parquet(manOut)
+      val manFiles = listParquet(spark, manOut)
+      val keyProf = spark.read.parquet(manFiles: _*)
+        .agg(count(lit(1)), min(col("_del_key")), max(col("_del_key")))
+        .collect()(0)
+      val ddl = src.schemaDdl.orElse(cur.schemaDdl)
+      if (keyProf.getLong(0) == 0L) {
+        // only replace commits in the window: metadata-only cursor bump
+        return commitTransform(spark, targetRoot, cur.keyCol, cur.numBits,
+          cur.numHashes, curOpt => guardCursor(curOpt).files,
+          deriveProps = curOpt => guardCursor(curOpt).props +
+            ("source_version" -> src.version.toString),
+          deriveSchema = _ => ddl, op = Some("replace"))
+      }
+      val dataOut = s"$targetDataDir/repl-${uuid()}"
+      insRows.repartition(nOutFiles).write.mode("overwrite").parquet(dataOut)
+      val newFiles = listParquet(spark, dataOut)
+      // a pure-delete window nets to zero insert rows: the batch dir holds
+      // only empty part files, which the row-keyed stats aggregate drops —
+      // the commit then carries the manifest alone
+      val newStats = if (newFiles.isEmpty) Seq.empty
+        else fileStats(spark, newFiles, cur.keyCol, cur.numBits,
+          cur.numHashes, cur.zoneCols)
+      val (nKeys, keyLo, keyHi) =
+        (keyProf.getLong(0), keyProf.getLong(1), keyProf.getLong(2))
+      commitTransform(spark, targetRoot, cur.keyCol, cur.numBits, cur.numHashes,
+        curOpt => (guardCursor(curOpt).files ++ newStats).sortBy(_.file),
+        deriveProps = curOpt => guardCursor(curOpt).props +
+          ("source_version" -> src.version.toString),
+        deriveSchema = _ => ddl, op = Some("mor-upsert"),
+        deriveDeletes = curOpt =>
+          curOpt.map(_.deletes).getOrElse(Seq.empty) ++
+            manFiles.map(f => DeleteFile(f, nKeys / manFiles.size,
+              minKey = keyLo, maxKey = keyHi)))
+    }
+  }
+
   /** Snapshot RETENTION + orphan sweep — the GC maintenance op every
     * append-only log needs (Iceberg's expire-snapshots + remove-orphans):
     * drop commit files older than the last `keepLast` versions (the time

@@ -1014,4 +1014,75 @@ class TableFormatSpec extends SparkTestBase {
       .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
       Seq(2L -> 2.0, 3L -> 9.0))
   }
+
+  test("replicateTo: bootstrap, netted multi-commit advance, cursor bump, idempotent") {
+    import spark.implicits._
+    val srcRoot = freshRoot(); val tgtRoot = freshRoot()
+    writeKv((0L until 40L).map(i => (i, i * 1.0)), s"$srcRoot/fa")
+    TableFormat.commitFiles(spark, srcRoot, "k",
+      TableFormat.listParquet(spark, s"$srcRoot/fa"), 1024, 3)       // src v1
+    def srcContent() = TableFormat.read(spark, TableFormat.snapshot(spark, srcRoot))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def tgtContent(v: Option[Long] = None) = TableFormat
+      .read(spark, TableFormat.snapshot(spark, tgtRoot, v))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // tick 1: bootstrap = full copy, cursor pinned in props
+    val m1 = TableFormat.replicateTo(spark, srcRoot, tgtRoot, tgtRoot)
+    assert(m1.version == 1L && m1.props("source_version") == "1")
+    assert(tgtContent() == srcContent())
+    // src v2 upsert + v3 delete; ONE tick nets both into ONE mirror commit
+    TableFormat.upsertRowsMoR(spark, srcRoot, srcRoot,
+      Seq(5L -> 105.0, 6L -> 106.0).toDF("k", "v"))                  // src v2
+    TableFormat.deleteKeysMoR(spark, srcRoot, srcRoot, Seq(10L, 11L, 12L)) // v3
+    val m2 = TableFormat.replicateTo(spark, srcRoot, tgtRoot, tgtRoot)
+    assert(m2.version == 2L && m2.op.contains("mor-upsert") &&
+      m2.props("source_version") == "3")
+    assert(tgtContent() == srcContent())
+    // O(changes) shape: every bootstrap file carried by reference, exactly
+    // one new batch file, one manifest masking the 5 touched keys
+    assert(m1.files.map(_.file).forall(m2.files.map(_.file).contains))
+    assert(m2.files.size == m1.files.size + 1)
+    assert(m2.deletes.size == 1 && m2.deletes.head.nKeys == 5L)
+    // src v4 materialization: content-preserving -> tick 3 is a pure
+    // metadata cursor bump (no file churn on the mirror)
+    TableFormat.materializeDeletes(spark, srcRoot, srcRoot)          // src v4
+    val m3 = TableFormat.replicateTo(spark, srcRoot, tgtRoot, tgtRoot)
+    assert(m3.version == 3L && m3.op.contains("replace") &&
+      m3.props("source_version") == "4")
+    assert(m3.files.map(_.file).sorted == m2.files.map(_.file).sorted)
+    assert(tgtContent() == srcContent())
+    // tick 4: cursor == head -> NO commit (at-least-once caller, exactly-once)
+    val m4 = TableFormat.replicateTo(spark, srcRoot, tgtRoot, tgtRoot)
+    assert(m4.version == 3L)
+    assert(TableFormat.versions(spark, tgtRoot) == Seq(1L, 2L, 3L))
+    // the mirror keeps full table semantics: time travel to its v1 shows
+    // the pre-advance state, and its own changelog emits the netted delta
+    assert(tgtContent(Some(1L)).toMap.get(5L).contains(5.0))
+    val mirrorDelta = TableFormat.changesBetween(spark, tgtRoot, 1L, 2L)
+    assert(mirrorDelta.select("k").distinct().collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(5L, 6L, 10L, 11L, 12L))
+  }
+
+  test("replicateTo nets delete-then-reappend and follows schema evolution") {
+    import spark.implicits._
+    val srcRoot = freshRoot(); val tgtRoot = freshRoot()
+    writeKv(Seq(1L -> 1.0, 2L -> 2.0, 3L -> 3.0), s"$srcRoot/fa")
+    TableFormat.commitFiles(spark, srcRoot, "k",
+      TableFormat.listParquet(spark, s"$srcRoot/fa"), 256, 3)        // src v1
+    TableFormat.replicateTo(spark, srcRoot, tgtRoot, tgtRoot)        // mirror v1
+    // src v2: MoR-delete k=2; src v3: widened re-append of k=2
+    TableFormat.deleteKeysMoR(spark, srcRoot, srcRoot, Seq(2L))      // src v2
+    Seq((2L, 22.0, "tag")).toDF("k", "v", "t").repartition(1)
+      .write.mode("overwrite").parquet(s"$srcRoot/fb")
+    TableFormat.appendFiles(spark, srcRoot,
+      TableFormat.listParquet(spark, s"$srcRoot/fb"))                // src v3
+    val m2 = TableFormat.replicateTo(spark, srcRoot, tgtRoot, tgtRoot)
+    // the window nets k=2 to its LATEST state (the widened re-append);
+    // the mirror's schema widened without rewriting its v1 file
+    assert(m2.version == 2L)
+    val got = TableFormat.read(spark, m2).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSeq
+    assert(got == Seq((1L, 1.0, None), (2L, 22.0, Some("tag")), (3L, 3.0, None)))
+    assert(m2.files.count(f => m2.version == f.seq) == 1) // one new batch file
+  }
 }
