@@ -3487,6 +3487,54 @@ object SparkEntry {
       states.reduce(_.unionByName(_)).orderBy(col("version"))
     },
 
+    // ---- Predicate (range) delete with METADATA-ONLY file drops — the
+    // retention / GDPR-by-date shape: on a table clustered by the bound
+    // column, a range delete drops fully-covered files as pure metadata
+    // (zero IO), rewrites ONLY the boundary file, and carries the rest
+    // by reference. The file classification is driver arithmetic over
+    // commit stats, so the oracle replays the dropped/rewritten/carried
+    // ledger from the same bucket bounds, alongside both versions'
+    // state ----
+    "q100_retention_delete" -> { (s, dir) =>
+      val root = scratch("q100_delw", dir)
+      val (nDrop, nRewr, nCarry) = Fixtures.once(s, "q100_delw", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val base = Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(4)) === 0)
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        val kmax = base.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+        val w = kmax / 4 + 1
+        val files = (0 until 4).flatMap { b =>
+          val f = s"$root/b$b"
+          base.filter(expr(s"o_orderkey div $w") === b)
+            .repartition(1).write.mode("overwrite").parquet(f)
+          TableFormat.listParquet(s, f)
+        }
+        TableFormat.commitFiles(s, root, "o_orderkey", files,
+          numBits = 1 << 14, numHashes = 5)                    // v1
+        // [w, 2w + w/2]: bucket 1 fully covered (drops metadata-only),
+        // bucket 2 boundary (the one rewrite), buckets 0/3 disjoint
+        val (_, d, r, c) = TableFormat.deleteWhere(s, root, root,
+          "o_orderkey", w, 2 * w + w / 2)                      // v2
+        (d, r, c)
+      }
+      val states = TableFormat.versions(s, root).map { v =>
+        val snap = TableFormat.snapshot(s, root, Some(v))
+        val led = if (v == 2L) (nDrop.toLong, nRewr.toLong, nCarry.toLong)
+          else (0L, 0L, 0L)
+        Parallelism.ensureDefaultParallelism(TableFormat.read(s, snap))
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+          .select(lit(v).as("version"), lit(snap.op.getOrElse("")).as("op"),
+            col("n_rows"), col("sum_cents"),
+            lit(snap.files.size.toLong).as("n_files"),
+            lit(led._1).as("n_dropped"), lit(led._2).as("n_rewritten"),
+            lit(led._3).as("n_carried"))
+      }
+      states.reduce(_.unionByName(_)).orderBy(col("version"))
+    },
+
     // ---- Multimodal: REAL AVI/MJPEG video decode — the second real
     // video path beyond GIF, composed entirely from JDK parts: a
     // standard-layout RIFF AVI (hdrl/strl headers + movi stream) whose
@@ -7474,6 +7522,30 @@ object SparkEntry {
              t + 10 * n113 - t117, 2, 1 FROM n
          UNION ALL SELECT 3, 'replace', 4, all_n - n117,
              t + 10 * n113 - t117, 2, 1 FROM n
+         ORDER BY version""",
+
+    // the ledger is bucket-bounds arithmetic the engine and oracle share:
+    // with w = kmax/4+1 and the delete range [w, 2w + w/2], bucket 1 is
+    // fully covered (dropped as metadata), bucket 2 straddles the upper
+    // bound (the one rewrite), buckets 0 and 3 are disjoint (carried);
+    // v2's state is the complement filter over the same population
+    "q100_retention_delete" ->
+      """WITH s AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders WHERE o_orderkey % 4 = 0),
+         p AS (SELECT max(k) // 4 + 1 AS w FROM s),
+         n AS (SELECT count(*) AS all_n, CAST(sum(c) AS BIGINT) AS t,
+             count(CASE WHEN k >= w AND k <= 2*w + w//2 THEN 1 END) AS del_n,
+             CAST(COALESCE(sum(CASE WHEN k >= w AND k <= 2*w + w//2
+               THEN c END), 0) AS BIGINT) AS del_t
+           FROM s, p)
+         SELECT CAST(1 AS BIGINT) AS version, 'append' AS op,
+             all_n AS n_rows, t AS sum_cents, CAST(4 AS BIGINT) AS n_files,
+             CAST(0 AS BIGINT) AS n_dropped, CAST(0 AS BIGINT) AS n_rewritten,
+             CAST(0 AS BIGINT) AS n_carried
+           FROM n
+         UNION ALL SELECT 2, 'delete', all_n - del_n, t - del_t, 3, 1, 1, 2
+           FROM n
          ORDER BY version""",
 
     // the sampled frame inventory is pure integer arithmetic (doc_id%3+2

@@ -631,6 +631,68 @@ object TableFormat {
     }, op = Some("delete"))
   }
 
+  /** PREDICATE (range) delete with METADATA-ONLY file drops — the
+    * retention / GDPR-by-date posture (Delta `DELETE WHERE` with file
+    * pruning, Iceberg's delete-with-metadata): remove every row with
+    * `lo <= boundCol <= hi`, classifying each live file by its commit
+    * stats with pure driver arithmetic:
+    *
+    *   - FULLY COVERED (bounds inside [lo, hi]) → DROPPED from the file
+    *     list: zero data IO — on a table clustered by the bound column
+    *     (ingest date, [[graft.operators.Layout]] clustering) this is
+    *     almost every affected file, so dropping a day from a 100 TB
+    *     table is a metadata commit;
+    *   - DISJOINT → carried by reference, stats untouched;
+    *   - BOUNDARY (overlapping, or lacking bounds for a secondary
+    *     column) → rewritten under `dataDir` with the complement filter —
+    *     the only data IO, O(boundary files) = O(1) on a clustered table.
+    *
+    * `boundCol` is the table key (zone bounds from the commit) or any
+    * declared secondary zone column; a file without bounds for it is
+    * conservatively rewritten, never guessed about. Sound under
+    * merge-on-read manifests: drops only remove rows, carried files keep
+    * their seqs (manifests still apply), and boundary rewrites read
+    * THROUGH the manifests ([[readFiles]]) so the replacement file is
+    * materialized with respect to every existing mask. Returns
+    * (snapshot, dropped, rewritten, carried). */
+  def deleteWhere(spark: SparkSession, root: String, dataDir: String,
+                  boundCol: String, lo: Long, hi: Long)
+      : (Snapshot, Int, Int, Int) = {
+    require(lo <= hi, s"deleteWhere: need lo <= hi, got $lo > $hi")
+    val first = snapshot(spark, root)
+    require(boundCol == first.keyCol || first.zoneCols.contains(boundCol),
+      s"deleteWhere: '$boundCol' is neither the key nor a declared zone " +
+        s"column (have: ${first.keyCol}; ${first.zoneCols.mkString(",")})")
+    var ledger = (0, 0, 0)
+    val snap = commitTransform(spark, root, first.keyCol, first.numBits,
+      first.numHashes, { curOpt =>
+        val cur = curOpt.getOrElse(
+          throw new IllegalStateException("deleteWhere: nothing committed"))
+        def boundsOf(f: FileStat): Option[(Long, Long)] =
+          if (boundCol == cur.keyCol) Some((f.minKey, f.maxKey))
+          else f.zones.get(boundCol)
+        val (dropped, kept) = cur.files.partition(f =>
+          boundsOf(f).exists { case (mn, mx) => mn >= lo && mx <= hi })
+        val (carried, boundary) = kept.partition(f =>
+          boundsOf(f).exists { case (mn, mx) => mx < lo || mn > hi })
+        val rewritten =
+          if (boundary.isEmpty) Seq.empty[FileStat]
+          else {
+            val out = s"$dataDir/delwhere-${java.util.UUID.randomUUID().toString}"
+            readFiles(spark, cur, boundary.map(_.file))
+              .filter(!col(boundCol).cast("long").between(lo, hi))
+              .write.mode("overwrite").parquet(out)
+            val files = listParquet(spark, out)
+            if (files.isEmpty) Seq.empty
+            else fileStats(spark, files, cur.keyCol, cur.numBits,
+              cur.numHashes, cur.zoneCols)
+          }
+        ledger = (dropped.size, boundary.size, carried.size)
+        (carried ++ rewritten).sortBy(_.file)
+      }, op = Some("delete"))
+    (snap, ledger._1, ledger._2, ledger._3)
+  }
+
   /** MERGE-ON-READ delete (Iceberg v2 equality deletes): publish the key
     * set as a DELETE MANIFEST and commit with every data file carried by
     * reference — O(keys) IO total, no data rewrite at all. This is the

@@ -1015,6 +1015,80 @@ class TableFormatSpec extends SparkTestBase {
       Seq(2L -> 2.0, 3L -> 9.0))
   }
 
+  test("deleteWhere: covered files drop metadata-only, boundary rewrites, disjoint carry") {
+    val root = freshRoot()
+    val files = Seq(0, 1, 2, 3).flatMap { b =>
+      val f = writeKv((0L until 100L).map(i => (b * 1000L + i, i * 1.0)), s"$root/f$b")
+      TableFormat.listParquet(spark, f)
+    }
+    val s1 = TableFormat.commitFiles(spark, root, "k", files, 1024, 3)
+    // [1000, 2049]: f1 fully covered -> drop; f2 boundary -> rewrite;
+    // f0/f3 disjoint -> carry
+    val (s2, nDrop, nRewr, nCarry) =
+      TableFormat.deleteWhere(spark, root, root, "k", 1000L, 2049L)
+    assert((nDrop, nRewr, nCarry) == ((1, 1, 2)))
+    val keys = TableFormat.read(spark, s2).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq
+    assert(keys == ((0L until 100L) ++ (2050L until 2100L) ++
+      (3000L until 3100L)).toSeq)
+    // carried files are BY REFERENCE: same file at its original seq, and
+    // the dropped/boundary originals left the list
+    val v1Names = s1.files.map(_.file).toSet
+    assert(s2.files.count(f => v1Names(f.file) && f.seq == 1L) == 2)
+    assert(s2.files.size == 3 && s2.op.contains("delete"))
+    // v1 pinned reader unaffected (snapshot isolation)
+    assert(TableFormat.read(spark, TableFormat.snapshot(spark, root, Some(1L)))
+      .count() == 400L)
+    // changelog: exactly the deleted rows, as deletes
+    val delta = TableFormat.changesBetween(spark, root, 1L, 2L)
+    assert(delta.filter(col("_change") === "insert").count() == 0L)
+    assert(delta.filter(col("_change") === "delete").count() == 150L)
+  }
+
+  test("deleteWhere on a secondary zone column; missing bounds rewrite conservatively") {
+    import spark.implicits._
+    val root = freshRoot()
+    def writeZoned(b: Long, path: String): Seq[String] = {
+      (0L until 50L).map(i => (b * 100L + i, 1.0, b * 10L + i % 10))
+        .toDF("k", "v", "z").repartition(1)
+        .write.mode("overwrite").parquet(path)
+      TableFormat.listParquet(spark, path)
+    }
+    val files = Seq(0L, 1L, 2L).flatMap(b => writeZoned(b, s"$root/f$b"))
+    TableFormat.commitFiles(spark, root, "k", files, 256, 3, zoneCols = Seq("z"))
+    // z ranges: f0 [0,9], f1 [10,19], f2 [20,29]; delete z in [10,25]:
+    // f1 covered -> drop, f2 boundary -> rewrite, f0 carried
+    val (s2, nDrop, nRewr, nCarry) =
+      TableFormat.deleteWhere(spark, root, root, "z", 10L, 25L)
+    assert((nDrop, nRewr, nCarry) == ((1, 1, 1)))
+    val zs = TableFormat.read(spark, s2).select("z").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(zs == ((0L to 9L) ++ (26L to 29L)).toSeq)
+    // a non-key, non-zone column refuses rather than guessing
+    val e = intercept[IllegalArgumentException](
+      TableFormat.deleteWhere(spark, root, root, "v", 0L, 1L))
+    assert(e.getMessage.contains("neither the key"))
+  }
+
+  test("deleteWhere boundary rewrites materialize MoR masks (no resurrection)") {
+    val root = freshRoot()
+    writeKv((1L to 10L).map(i => (i, i * 1.0)), s"$root/fa")
+    writeKv((11L to 20L).map(i => (i, i * 1.0)), s"$root/fb")
+    TableFormat.commitFiles(spark, root, "k",
+      TableFormat.listParquet(spark, s"$root/fa") ++
+        TableFormat.listParquet(spark, s"$root/fb"), 256, 3)   // v1
+    TableFormat.deleteKeysMoR(spark, root, root, Seq(5L, 15L)) // v2
+    // [8,12] overlaps BOTH files -> both rewrite; the replacement files
+    // take the commit's seq, so the v2 manifest no longer applies to
+    // them — the rewrite read masks through, k=5/k=15 stay deleted
+    val (s3, nDrop, nRewr, nCarry) =
+      TableFormat.deleteWhere(spark, root, root, "k", 8L, 12L)
+    assert((nDrop, nRewr, nCarry) == ((0, 2, 0)))
+    val keys = TableFormat.read(spark, s3).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq
+    assert(keys == Seq(1L, 2L, 3L, 4L, 6L, 7L, 13L, 14L, 16L, 17L, 18L, 19L, 20L))
+  }
+
   test("replicateTo: bootstrap, netted multi-commit advance, cursor bump, idempotent") {
     import spark.implicits._
     val srcRoot = freshRoot(); val tgtRoot = freshRoot()
