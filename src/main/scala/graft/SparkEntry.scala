@@ -3535,6 +3535,77 @@ object SparkEntry {
       states.reduce(_.unionByName(_)).orderBy(col("version"))
     },
 
+    // ---- Transactional CATALOG: atomic multi-table commits — a facts
+    // table and its derived rollup advance in lockstep because every
+    // transaction commits BOTH tables first (invisible to catalog
+    // readers) and then swings both pointers in ONE catalog CAS commit.
+    // The entry pins every catalog version and grades the cross-table
+    // invariant itself: at each version the rollup's stored totals equal
+    // the facts' state — replacement arithmetic the oracle replays.
+    // Catalog time travel = consistent cross-table time travel ----
+    "q101_catalog_txn" -> { (s, dir) =>
+      val root = scratch("q101_cat", dir)
+      val croot = s"$root/cat"; val aRoot = s"$root/facts"
+      val bRoot = s"$root/rollup"
+      Fixtures.once(s, "q101_cat", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val base = Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(8)) === 6)
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        def commitB(aSnap: graft.operators.TableFormat.Snapshot) = {
+          val f = s"$bRoot/agg-${java.util.UUID.randomUUID().toString}"
+          TableFormat.read(s, aSnap)
+            .groupBy((col("o_orderkey") % 16).cast("long").as("bucket"))
+            .agg(count(lit(1)).as("n"), sum(col("cents")).as("total"))
+            .repartition(1).write.mode("overwrite").parquet(f)
+          val files = TableFormat.listParquet(s, f)
+          if (TableFormat.versions(s, bRoot).isEmpty)
+            TableFormat.commitFiles(s, bRoot, "bucket", files, 1 << 10, 3)
+          else TableFormat.commitTransform(s, bRoot, "bucket", 1 << 10, 3,
+            _ => TableFormat.fileStats(s, files, "bucket", 1 << 10, 3),
+            op = Some("refresh"))
+        }
+        // txn 1: bootstrap both tables, one catalog commit binds them
+        val fa = s"$aRoot/b0"
+        base.repartition(2).write.mode("overwrite").parquet(fa)
+        val a1 = TableFormat.commitFiles(s, aRoot, "o_orderkey",
+          TableFormat.listParquet(s, fa), numBits = 1 << 14, numHashes = 5)
+        Catalog.publish(s, croot, Map("facts" -> a1, "rollup" -> commitB(a1)))
+        // txn 2: CDC bump on the %13==2 slice; rollup refreshed; both
+        // pointers swing atomically
+        val a2 = TableFormat.upsertRowsMoR(s, aRoot, aRoot,
+          base.filter(pmod(col("o_orderkey"), lit(13)) === 2)
+            .select(col("o_orderkey"), (col("cents") + 10).as("cents")))
+        Catalog.publish(s, croot, Map("facts" -> a2, "rollup" -> commitB(a2)),
+          guard = Map("facts" -> 1L))
+        // txn 3: delete the %13==9 slice; rollup follows
+        val a3 = TableFormat.deleteKeysMoR(s, aRoot, aRoot,
+          base.filter(pmod(col("o_orderkey"), lit(13)) === 9)
+            .select("o_orderkey"), nManifestFiles = 1)
+        Catalog.publish(s, croot, Map("facts" -> a3, "rollup" -> commitB(a3)),
+          guard = Map("facts" -> 2L))
+      }
+      val states = Catalog.versions(s, croot).map { cv =>
+        val aSnap = Catalog.snapshotOf(s, croot, "facts", Some(cv))
+        val bSnap = Catalog.snapshotOf(s, croot, "rollup", Some(cv))
+        // the rollup is bucket-count-bounded: its roll-back-up is a
+        // bounded control read, while the facts side stays distributed
+        val b = TableFormat.read(s, bSnap)
+          .agg(count(lit(1)).as("nb"), sum(col("total")).as("bt"))
+          .collect()(0)
+        Parallelism.ensureDefaultParallelism(TableFormat.read(s, aSnap))
+          .agg(count(lit(1)).as("a_rows"), sum(col("cents")).as("a_sum"))
+          .select(lit(cv).as("cat_version"),
+            lit(aSnap.version).as("a_version"),
+            lit(bSnap.version).as("b_version"),
+            col("a_rows"), col("a_sum"),
+            lit(b.getLong(0)).as("b_buckets"), lit(b.getLong(1)).as("b_sum"))
+      }
+      states.reduce(_.unionByName(_)).orderBy(col("cat_version"))
+    },
+
     // ---- Multimodal: REAL AVI/MJPEG video decode — the second real
     // video path beyond GIF, composed entirely from JDK parts: a
     // standard-layout RIFF AVI (hdrl/strl headers + movi stream) whose
@@ -7547,6 +7618,32 @@ object SparkEntry {
          UNION ALL SELECT 2, 'delete', all_n - del_n, t - del_t, 3, 1, 1, 2
            FROM n
          ORDER BY version""",
+
+    // the cross-table invariant IS the check: at every catalog version
+    // the rollup's stored total equals the facts' state — v2 bumps the
+    // %13==2 slice by 10 in both tables, v3 removes the %13==9 slice
+    // from both; bucket count is distinct k%16 over the surviving keys
+    "q101_catalog_txn" ->
+      """WITH s AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders WHERE o_orderkey % 8 = 6),
+         n AS (SELECT count(*) AS all_n, CAST(sum(c) AS BIGINT) AS t,
+             count(CASE WHEN k % 13 = 2 THEN 1 END) AS n132,
+             count(CASE WHEN k % 13 = 9 THEN 1 END) AS n139,
+             CAST(COALESCE(sum(CASE WHEN k % 13 = 9 THEN c END), 0)
+               AS BIGINT) AS t139,
+             count(DISTINCT k % 16) AS nb_all,
+             count(DISTINCT CASE WHEN k % 13 <> 9 THEN k % 16 END) AS nb_v3
+           FROM s)
+         SELECT CAST(1 AS BIGINT) AS cat_version, CAST(1 AS BIGINT) AS a_version,
+             CAST(1 AS BIGINT) AS b_version, all_n AS a_rows, t AS a_sum,
+             nb_all AS b_buckets, t AS b_sum
+           FROM n
+         UNION ALL SELECT 2, 2, 2, all_n, t + 10 * n132, nb_all,
+             t + 10 * n132 FROM n
+         UNION ALL SELECT 3, 3, 3, all_n - n139, t + 10 * n132 - t139, nb_v3,
+             t + 10 * n132 - t139 FROM n
+         ORDER BY cat_version""",
 
     // the sampled frame inventory is pure integer arithmetic (doc_id%3+2
     // frames, every 2nd), dims are the fixture constants, and our encoder
