@@ -3606,6 +3606,60 @@ object SparkEntry {
       states.reduce(_.unionByName(_)).orderBy(col("cat_version"))
     },
 
+    // ---- Bin-packing small-file compaction: the maintenance-cadence
+    // rewrite that coalesces a streaming ingest's small-file tail in
+    // O(small files), never O(table) — the big file is untouched, the
+    // small files pack into key-ADJACENT bins (clustering and zone
+    // pruning survive), singleton bins carry by reference. The fixture
+    // slices the population by exact rank fractions, so the greedy
+    // outcome (5 packed into 2 bins, 7 files -> 4) is fixed arithmetic
+    // at every scale factor, and op=replace keeps the rewrite free for
+    // incremental readers ----
+    "q102_binpack_compact" -> { (s, dir) =>
+      val root = scratch("q102_binp", dir)
+      val (nPacked, nBins) = Fixtures.once(s, "q102_binp", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val base = Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(8)) === 2)
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        val n = base.count()
+        // small-file sizes as rank fractions: greedy at target 0.25N
+        // packs {10%,8%,5%}=23% then {12%,6%}=18% and leaves {9%} a
+        // singleton; the 50% remainder file is never a candidate
+        val sizes = Seq(0.10, 0.08, 0.05, 0.12, 0.06, 0.09)
+          .map(f => (f * n).toLong)
+        val bounds = sizes.scanLeft(0L)(_ + _)
+        val ranked = base.withColumn("_rn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("o_orderkey"))).cast("long") - 1)
+        val files = (0 until 7).flatMap { i =>
+          val lo = bounds(i); val hi = if (i < 6) bounds(i + 1) else n
+          val f = s"$root/f$i"
+          ranked.filter(col("_rn") >= lo && col("_rn") < hi).drop("_rn")
+            .repartition(1).write.mode("overwrite").parquet(f)
+          TableFormat.listParquet(s, f)
+        }
+        TableFormat.commitFiles(s, root, "o_orderkey", files,
+          numBits = 1 << 14, numHashes = 5)                    // v1
+        val (_, pk, bn) = TableFormat.compactSmallFiles(s, root, root,
+          targetRows = (0.25 * n).toLong)                      // v2
+        (pk, bn)
+      }
+      val states = TableFormat.versions(s, root).map { v =>
+        val snap = TableFormat.snapshot(s, root, Some(v))
+        val led = if (v == 2L) (nPacked.toLong, nBins.toLong) else (0L, 0L)
+        Parallelism.ensureDefaultParallelism(TableFormat.read(s, snap))
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+          .select(lit(v).as("version"), lit(snap.op.getOrElse("")).as("op"),
+            col("n_rows"), col("sum_cents"),
+            lit(snap.files.size.toLong).as("n_files"),
+            lit(led._1).as("n_packed"), lit(led._2).as("n_bins"))
+      }
+      states.reduce(_.unionByName(_)).orderBy(col("version"))
+    },
+
     // ---- Multimodal: REAL AVI/MJPEG video decode — the second real
     // video path beyond GIF, composed entirely from JDK parts: a
     // standard-layout RIFF AVI (hdrl/strl headers + movi stream) whose
@@ -7644,6 +7698,21 @@ object SparkEntry {
          UNION ALL SELECT 3, 3, 3, all_n - n139, t + 10 * n132 - t139, nb_v3,
              t + 10 * n132 - t139 FROM n
          ORDER BY cat_version""",
+
+    // compaction is content-preserving, so both versions carry the same
+    // state; the ledger is fixed by the rank-fraction construction —
+    // bins {10,8,5}% and {12,6}% pack (5 files -> 2), the 9% singleton
+    // and the 50% remainder carry: 7 files -> 4
+    "q102_binpack_compact" ->
+      """WITH s AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders WHERE o_orderkey % 8 = 2),
+         n AS (SELECT count(*) AS all_n, CAST(sum(c) AS BIGINT) AS t FROM s)
+         SELECT CAST(1 AS BIGINT) AS version, 'append' AS op, all_n AS n_rows,
+             t AS sum_cents, CAST(7 AS BIGINT) AS n_files,
+             CAST(0 AS BIGINT) AS n_packed, CAST(0 AS BIGINT) AS n_bins
+           FROM n
+         UNION ALL SELECT 2, 'replace', all_n, t, 4, 5, 2 FROM n
+         ORDER BY version""",
 
     // the sampled frame inventory is pure integer arithmetic (doc_id%3+2
     // frames, every 2nd), dims are the fixture constants, and our encoder

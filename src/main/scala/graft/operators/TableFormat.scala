@@ -631,6 +631,58 @@ object TableFormat {
     }, op = Some("delete"))
   }
 
+  /** BIN-PACKING small-file compaction — Iceberg's rewrite-data-files
+    * binpack strategy / Delta OPTIMIZE: coalesce the SMALL-FILE TAIL a
+    * streaming ingest leaves behind without touching the rest of the
+    * table. [[compact]] is O(table) — the right tool to materialize
+    * MoR masks everywhere; this is the MAINTENANCE-CADENCE tool, cost
+    * O(small files) regardless of table size. Files with
+    * `nRows < targetRows` are greedily packed, IN minKey ORDER, into
+    * bins of at most `targetRows` rows — adjacency in key order is the
+    * load-bearing detail: packing random small files together would
+    * widen every zone span and bleed pruning power, packing neighbors
+    * keeps each output file covering one contiguous-ish key range.
+    * Multi-file bins rewrite to ONE file each (reads go through
+    * [[readFiles]], so MoR masks materialize in the rewritten files);
+    * singleton bins and every large file carry by reference with their
+    * seqs (existing manifests still apply to them — the manifest set is
+    * carried, unlike [[compact]] which clears it). Content-preserving
+    * by construction: op=replace, free for incremental readers.
+    * Returns (snapshot, small files packed, bins written). */
+  def compactSmallFiles(spark: SparkSession, root: String, dataDir: String,
+                        targetRows: Long): (Snapshot, Int, Int) = {
+    require(targetRows >= 1, s"compactSmallFiles: targetRows must be >= 1")
+    val first = snapshot(spark, root)
+    var ledger = (0, 0)
+    val snap = commitTransform(spark, root, first.keyCol, first.numBits,
+      first.numHashes, { curOpt =>
+        val cur = curOpt.getOrElse(throw new IllegalStateException(
+          "compactSmallFiles: nothing committed"))
+        val (small, large) = cur.files.partition(_.nRows < targetRows)
+        val bins = scala.collection.mutable.ArrayBuffer(
+          scala.collection.mutable.ArrayBuffer.empty[FileStat])
+        small.sortBy(f => (f.minKey, f.file)).foreach { f =>
+          if (bins.last.nonEmpty &&
+              bins.last.map(_.nRows).sum + f.nRows > targetRows)
+            bins += scala.collection.mutable.ArrayBuffer.empty[FileStat]
+          bins.last += f
+        }
+        val (multi, single) = bins.filter(_.nonEmpty).partition(_.size >= 2)
+        val rewritten = multi.zipWithIndex.flatMap { case (bin, i) =>
+          val out = s"$dataDir/binpack-${java.util.UUID.randomUUID().toString}-$i"
+          readFiles(spark, cur, bin.map(_.file).toSeq)
+            .coalesce(1).write.mode("overwrite").parquet(out)
+          val files = listParquet(spark, out)
+          if (files.isEmpty) Seq.empty
+          else fileStats(spark, files, cur.keyCol, cur.numBits,
+            cur.numHashes, cur.zoneCols)
+        }
+        ledger = (multi.map(_.size).sum, multi.size)
+        (large ++ single.flatten ++ rewritten).sortBy(_.file)
+      }, op = Some("replace"))
+    (snap, ledger._1, ledger._2)
+  }
+
   /** PREDICATE (range) delete with METADATA-ONLY file drops — the
     * retention / GDPR-by-date posture (Delta `DELETE WHERE` with file
     * pruning, Iceberg's delete-with-metadata): remove every row with

@@ -1015,6 +1015,60 @@ class TableFormatSpec extends SparkTestBase {
       Seq(2L -> 2.0, 3L -> 9.0))
   }
 
+  test("compactSmallFiles: key-adjacent greedy bins, singletons and large files carry") {
+    val root = freshRoot()
+    def f(name: String, keys: Range): Seq[String] = {
+      val p = writeKv(keys.map(i => (i.toLong, i * 1.0)), s"$root/$name")
+      TableFormat.listParquet(spark, p)
+    }
+    val files = f("f0", 0 until 10) ++ f("f1", 10 until 15) ++
+      f("f2", 15 until 20) ++ f("f3", 20 until 30) ++ f("f4", 30 until 32) ++
+      f("f5", 40 until 50) ++ f("big", 100 until 200)
+    val s1 = TableFormat.commitFiles(spark, root, "k", files, 1024, 3)
+    assert(s1.files.size == 7)
+    // target 21: bins over the small tail in minKey order are
+    // {f0,f1,f2}=20, {f3,f4}=12 (f5 would overflow), {f5} singleton;
+    // big (100 rows) is never a candidate
+    val (s2, nPacked, nBins) =
+      TableFormat.compactSmallFiles(spark, root, root, targetRows = 21L)
+    assert((nPacked, nBins) == ((5, 2)))
+    assert(s2.files.size == 4 && s2.op.contains("replace"))
+    // carried by reference: big and the singleton keep their v1 seqs
+    assert(s2.files.count(_.seq == 1L) == 2)
+    // adjacency preserved: the two rewritten bins cover disjoint,
+    // contiguous key ranges — zone pruning power survives
+    val rewr = s2.files.filter(_.seq == 2L).sortBy(_.minKey)
+    assert(rewr.map(f => (f.minKey, f.maxKey)) == Seq((0L, 19L), (20L, 31L)))
+    // content identical; changelog-free (op=replace)
+    assert(TableFormat.read(spark, s2).orderBy("k").collect().map(_.getLong(0))
+      .toSeq == ((0 until 32) ++ (40 until 50) ++ (100 until 200)).map(_.toLong))
+    assert(TableFormat.changesBetween(spark, root, 1L, 2L).count() == 0L)
+  }
+
+  test("compactSmallFiles under MoR: bins materialize masks, carried files keep theirs") {
+    val root = freshRoot()
+    def f(name: String, keys: Range): Seq[String] = {
+      val p = writeKv(keys.map(i => (i.toLong, i * 1.0)), s"$root/$name")
+      TableFormat.listParquet(spark, p)
+    }
+    TableFormat.commitFiles(spark, root, "k",
+      f("f0", 1 to 10) ++ f("f1", 11 to 20) ++ f("big", 100 until 200),
+      256, 3)                                                   // v1
+    TableFormat.deleteKeysMoR(spark, root, root, Seq(5L, 15L, 150L)) // v2
+    val (s3, nPacked, nBins) =
+      TableFormat.compactSmallFiles(spark, root, root, targetRows = 25L)
+    assert((nPacked, nBins) == ((2, 1)))
+    // the manifest is CARRIED (big still needs it), and the rewritten
+    // bin is materialized — 5/15 gone from it, 150 still masked on big
+    assert(s3.deletes.size == 1)
+    val keys = TableFormat.read(spark, s3).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq
+    assert(keys == ((1L to 20L).filterNot(k => k == 5L || k == 15L) ++
+      (100L until 200L).filterNot(_ == 150L)))
+    // the rewritten bin really is one file at the new seq
+    assert(s3.files.count(_.seq == 3L) == 1 && s3.files.size == 2)
+  }
+
   test("deleteWhere: covered files drop metadata-only, boundary rewrites, disjoint carry") {
     val root = freshRoot()
     val files = Seq(0, 1, 2, 3).flatMap { b =>
