@@ -3660,6 +3660,49 @@ object SparkEntry {
       states.reduce(_.unionByName(_)).orderBy(col("version"))
     },
 
+    // ---- Table-as-STREAM: the custom DataSourceV2 MicroBatchStream
+    // over the table log (`graft-table-changes`) driven end-to-end —
+    // offsets ARE table versions (the checkpoint stores a version
+    // number), each commit's appended files fan out one partition per
+    // file, the op=replace compaction emits NOTHING, and every row
+    // carries its _commit_version. The sink's per-commit groups are the
+    // grade: three commits' replacement arithmetic, and the compaction
+    // version's ABSENCE from the groups ----
+    "q103_stream_table_source" -> { (s, dir) =>
+      val root = scratch("q103_tcs", dir)
+      val tbl = s"$root/tbl"; val out = s"$root/out"; val cp = s"$root/cp"
+      Fixtures.once(s, "q103_tcs", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val orders = Tables.orders(s, dir)
+        def slice(m16: Int) = orders
+          .filter(pmod(col("o_orderkey"), lit(16)) === m16)
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        val fa = s"$tbl/b0"
+        slice(11).repartition(2).write.mode("overwrite").parquet(fa)
+        TableFormat.commitFiles(s, tbl, "o_orderkey",
+          TableFormat.listParquet(s, fa), numBits = 1 << 14, numHashes = 5)
+        TableFormat.upsertRowsMoR(s, tbl, tbl,                 // v2
+          slice(11).filter(pmod(col("o_orderkey"), lit(9)) === 4)
+            .select(col("o_orderkey"), (col("cents") + 10).as("cents")))
+        TableFormat.compact(s, tbl, tbl, 1)                    // v3: replace
+        val fb = s"$tbl/late"
+        slice(3).repartition(1).write.mode("overwrite").parquet(fb)
+        TableFormat.appendFiles(s, tbl, TableFormat.listParquet(s, fb)) // v4
+        val q = s.readStream.format("graft-table-changes").load(tbl)
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), "q103: stream did not finish")
+      }
+      Parallelism.ensureDefaultParallelism(s.read.parquet(out))
+        .groupBy(col("_commit_version").as("commit_version"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .orderBy(col("commit_version"))
+    },
+
     // ---- Multimodal: REAL AVI/MJPEG video decode — the second real
     // video path beyond GIF, composed entirely from JDK parts: a
     // standard-layout RIFF AVI (hdrl/strl headers + movi stream) whose
@@ -7713,6 +7756,24 @@ object SparkEntry {
            FROM n
          UNION ALL SELECT 2, 'replace', all_n, t, 4, 5, 2 FROM n
          ORDER BY version""",
+
+    // one group per EMITTING commit: v1 the %16==11 base, v2 only its
+    // upsert batch (the bumped %9==4 slice), v4 the %16==3 late append;
+    // v3 (compaction) is op=replace and contributes NO group — the
+    // skip is itself the graded property
+    "q103_stream_table_source" ->
+      """WITH s AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders WHERE o_orderkey % 16 = 11),
+         a AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders WHERE o_orderkey % 16 = 3)
+         SELECT CAST(1 AS BIGINT) AS commit_version,
+             count(*) AS n_rows, CAST(sum(c) AS BIGINT) AS sum_cents FROM s
+         UNION ALL SELECT 2, count(*),
+             CAST(sum(c) + 10 * count(*) AS BIGINT)
+           FROM s WHERE k % 9 = 4
+         UNION ALL SELECT 4, count(*), CAST(sum(c) AS BIGINT) FROM a
+         ORDER BY commit_version""",
 
     // the sampled frame inventory is pure integer arithmetic (doc_id%3+2
     // frames, every 2nd), dims are the fixture constants, and our encoder

@@ -1,0 +1,226 @@
+package graft.sources.v2
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.TableFormat
+
+/** STRUCTURED STREAMING source over a [[TableFormat]] table — the Delta
+  * "table as a stream" shape as a real DataSourceV2 `MicroBatchStream`:
+  * `spark.readStream.format("graft-table-changes").load(root)` turns the
+  * table's append-only commit log into a stream of its appended rows.
+  *
+  * Offsets ARE table versions — the streaming checkpoint stores a plain
+  * version number, so exactly-once delivery across restarts derives from
+  * the same monotone log every batch reader uses (no side-channel state,
+  * the discipline every sink in [[graft.streaming.Streams]] follows). A
+  * micro-batch covers the commit window `(start, end]`; each commit
+  * contributes ONE input partition per file it APPENDED, planned with
+  * pure driver arithmetic over the already-resolved snapshots (the
+  * file-set diff [[TableFormat.changesBetween]] uses) — zero data IO at
+  * planning time, and a partition per file means a 1000-file ingest
+  * burst fans out across the cluster.
+  *
+  * Emission semantics (Delta's `ignoreChanges` contract, documented not
+  * accidental): op=replace commits (compaction, manifest maintenance,
+  * clustering rewrites) are SKIPPED ENTIRELY — content-preserving by the
+  * format's contract, so the stream never re-emits a compacted table.
+  * Other commits emit exactly the rows of their appended files: an
+  * append emits its batch, a merge-on-read upsert emits the new row
+  * versions (consumers see upserts as fresh rows), and a copy-on-write
+  * rewrite re-emits rewritten survivors — downstream either dedups on
+  * key or, for full CDC fidelity, consumes [[TableFormat.changesBetween]]
+  * / [[TableFormat.replicateTo]] instead. Masks are not applied to
+  * appended files: within their own commit no manifest can apply to
+  * them (the strict seq rule), and later deletes are later commits.
+  *
+  * Every row carries `_commit_version` (the Delta `_commit_version`
+  * metadata column): per-commit lineage for free, and what lets a
+  * consumer grade exactly which commit produced which rows. Schema
+  * comes from the LATEST snapshot's committed DDL (never footer
+  * inference); files written before a column existed read it as null.
+  * Supported leaf types: long/int/double/string/boolean — the
+  * format's zone/bloom machinery is long-keyed, and wider types belong
+  * to the batch reader. */
+class TableChangesV2 extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-table-changes"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TableChangesV2.streamSchema(TableChangesV2.rootOf(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new ChangesTable(TableChangesV2.rootOf(
+      new CaseInsensitiveStringMap(properties)), schema)
+}
+
+object TableChangesV2 {
+  val VersionColumn = "_commit_version"
+
+  private[v2] def rootOf(options: CaseInsensitiveStringMap): String = {
+    val p = Option(options.get("path")).getOrElse(options.get("paths"))
+    require(p != null && p.nonEmpty, "graft-table-changes: missing path")
+    // load(path) arrives as a JSON array in "paths" for some call shapes
+    if (p.startsWith("[")) new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(p).get(0).asText()
+    else p
+  }
+
+  private[v2] def streamSchema(root: String): StructType = {
+    val spark = SparkSession.active
+    val snap = TableFormat.snapshot(spark, root)
+    val ddl = snap.schemaDdl.getOrElse(throw new IllegalArgumentException(
+      s"graft-table-changes: table at $root carries no committed schema"))
+    StructType(StructType.fromDDL(ddl).fields :+
+      StructField(VersionColumn, LongType, nullable = false))
+  }
+}
+
+private class ChangesTable(root: String, tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-table-changes($root)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new ChangesScan(root, tableSchema)
+    }
+}
+
+private class ChangesScan(root: String, schema: StructType) extends Scan {
+  override def readSchema(): StructType = schema
+  override def description(): String = s"graft-table-changes($root)"
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ChangesStream(root, schema)
+}
+
+private case class VersionOffset(version: Long) extends Offset {
+  override def json(): String = version.toString
+}
+
+private case class TableFilePartition(file: String, version: Long)
+  extends InputPartition
+
+private class ChangesStream(root: String, schema: StructType)
+    extends MicroBatchStream {
+  private def spark = SparkSession.active
+
+  override def initialOffset(): Offset = VersionOffset(0L)
+
+  override def latestOffset(): Offset = {
+    val vs = TableFormat.versions(spark, root)
+    VersionOffset(vs.lastOption.getOrElse(0L))
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[VersionOffset].version
+    val e = end.asInstanceOf[VersionOffset].version
+    if (s >= e) return Array.empty
+    // one resolved snapshot per commit in the window; the appended-file
+    // diff is driver arithmetic over the in-memory file lists
+    val snaps = (math.max(1L, s) to e)
+      .map(v => v -> TableFormat.snapshot(spark, root, Some(v))).toMap
+    (s + 1 to e).flatMap { v =>
+      val cur = snaps(v)
+      if (cur.op.contains("replace")) Seq.empty // content-preserving: skip
+      else {
+        val prevFiles =
+          if (v == 1L) Set.empty[String]
+          else snaps(v - 1).files.map(_.file).toSet
+        cur.files.map(_.file).filterNot(prevFiles)
+          .map(f => TableFilePartition(f, v): InputPartition)
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ParquetRowReaderFactory(schema)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private class ParquetRowReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[TableFilePartition]
+    new ParquetRowReader(p.file, p.version, schema)
+  }
+}
+
+/** Executor-side parquet → InternalRow reader over the parquet Group
+  * API (parquet-column ships with Spark). Columns are resolved BY NAME
+  * against the file's own schema — a file written before a column
+  * existed yields null for it (the format's evolution contract), and
+  * `_commit_version` is synthesized from the partition. */
+private class ParquetRowReader(file: String, version: Long,
+                               schema: StructType)
+    extends PartitionReader[InternalRow] {
+  import org.apache.parquet.example.data.Group
+  import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+  import org.apache.parquet.hadoop.ParquetFileReader
+  import org.apache.parquet.hadoop.util.HadoopInputFile
+  import org.apache.parquet.io.ColumnIOFactory
+
+  private val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+    new org.apache.hadoop.fs.Path(file),
+    new org.apache.hadoop.conf.Configuration()))
+  private val fileSchema = reader.getFooter.getFileMetaData.getSchema
+  private val columnIO = new ColumnIOFactory().getColumnIO(fileSchema)
+  private val hasField = schema.fields.map(f =>
+    f.name -> fileSchema.containsField(f.name)).toMap
+
+  private var recordReader: org.apache.parquet.io.RecordReader[Group] = _
+  private var rowsLeftInGroup = 0L
+  private var current: InternalRow = _
+
+  private def advanceRowGroup(): Boolean = {
+    val pages = reader.readNextRowGroup()
+    if (pages == null) false
+    else {
+      recordReader = columnIO.getRecordReader(pages,
+        new GroupRecordConverter(fileSchema))
+      rowsLeftInGroup = pages.getRowCount
+      if (rowsLeftInGroup == 0) advanceRowGroup() else true
+    }
+  }
+
+  override def next(): Boolean = {
+    if (rowsLeftInGroup == 0 && !advanceRowGroup()) return false
+    val g = recordReader.read()
+    rowsLeftInGroup -= 1
+    current = InternalRow.fromSeq(schema.fields.map { f =>
+      if (f.name == TableChangesV2.VersionColumn) version
+      else if (!hasField(f.name) || g.getFieldRepetitionCount(f.name) == 0) null
+      else f.dataType match {
+        case LongType => g.getLong(f.name, 0)
+        case IntegerType => g.getInteger(f.name, 0)
+        case DoubleType => g.getDouble(f.name, 0)
+        case BooleanType => g.getBoolean(f.name, 0)
+        case StringType => UTF8String.fromString(g.getString(f.name, 0))
+        case dt => throw new UnsupportedOperationException(
+          s"graft-table-changes: unsupported leaf type ${dt.simpleString} " +
+            s"for column ${f.name} (supported: long/int/double/string/boolean)")
+      }
+    }.toSeq)
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}

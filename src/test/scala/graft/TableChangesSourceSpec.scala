@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.TableFormat
+
+class TableChangesSourceSpec extends SparkTestBase {
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_tcs").toString
+
+  private def writeKv(pairs: Seq[(Long, Double)], path: String): String = {
+    import spark.implicits._
+    pairs.toDF("k", "v").repartition(1).write.mode("overwrite").parquet(path)
+    path
+  }
+
+  private def runOnce(root: String, out: String, cp: String): Unit = {
+    val q = spark.readStream.format("graft-table-changes").load(root)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not finish")
+  }
+
+  test("table-as-stream: appends emit, replace skipped, checkpoint restart exactly-once") {
+    import spark.implicits._
+    val root = freshRoot()
+    val out = s"${freshRoot()}/out"; val cp = s"${freshRoot()}/cp"
+    writeKv((1L to 10L).map(i => (i, i * 1.0)), s"$root/w1")
+    TableFormat.commitFiles(spark, root, "k",
+      TableFormat.listParquet(spark, s"$root/w1"), 256, 3)        // v1 append
+    TableFormat.upsertRowsMoR(spark, root, root,
+      Seq(5L -> 55.0, 11L -> 11.0).toDF("k", "v"))                // v2 upsert
+    TableFormat.compact(spark, root, root, 1)                     // v3 replace
+    writeKv(Seq(20L -> 20.0), s"$root/w2")
+    TableFormat.appendFiles(spark, root,
+      TableFormat.listParquet(spark, s"$root/w2"))                // v4 append
+    runOnce(root, out, cp)
+    def got() = spark.read.parquet(out)
+      .select("_commit_version", "k", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    // v1 emits the base, v2 emits ONLY its batch (the new row versions),
+    // v3 (compaction) emits NOTHING, v4 its append
+    val expected = ((1L to 10L).map(i => (1L, i, i * 1.0)) ++
+      Seq((2L, 5L, 55.0), (2L, 11L, 11.0), (4L, 20L, 20.0))).sorted
+    assert(got() == expected)
+    // restart with the same checkpoint, no new commits: nothing re-emits
+    runOnce(root, out, cp)
+    assert(got() == expected)
+    // a new commit after restart: only the delta appears
+    writeKv(Seq(30L -> 30.0), s"$root/w3")
+    TableFormat.appendFiles(spark, root,
+      TableFormat.listParquet(spark, s"$root/w3"))                // v5
+    runOnce(root, out, cp)
+    assert(got() == (expected :+ ((5L, 30L, 30.0))).sorted)
+  }
+
+  test("table-as-stream follows schema evolution with null back-fill") {
+    import spark.implicits._
+    val root = freshRoot()
+    val out = s"${freshRoot()}/out"; val cp = s"${freshRoot()}/cp"
+    writeKv(Seq(1L -> 1.0), s"$root/w1")
+    TableFormat.commitFiles(spark, root, "k",
+      TableFormat.listParquet(spark, s"$root/w1"), 256, 3)
+    Seq((2L, 2.0, "tag")).toDF("k", "v", "t").repartition(1)
+      .write.mode("overwrite").parquet(s"$root/w2")
+    TableFormat.appendFiles(spark, root,
+      TableFormat.listParquet(spark, s"$root/w2"))
+    runOnce(root, out, cp)
+    val got = spark.read.parquet(out).orderBy("k")
+      .select("k", "t", "_commit_version").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2))).toSeq
+    assert(got == Seq((1L, None, 1L), (2L, Some("tag"), 2L)))
+  }
+}
