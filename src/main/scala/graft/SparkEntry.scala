@@ -3703,6 +3703,72 @@ object SparkEntry {
         .orderBy(col("commit_version"))
     },
 
+    // ---- SQL catalog over the table format: `graft.<table>` resolves
+    // through the TableCatalog plugin, `VERSION AS OF` rides the log's
+    // pinned snapshots, merge-on-read masks apply INSIDE the reader
+    // task, and a key-range probe proves FILE PRUNING from the plan
+    // itself — the PrunedFiles count parsed out of the executed plan is
+    // graded against the oracle's bucket arithmetic (3 of 4 files
+    // skipped with zero data IO) ----
+    "q104_sql_catalog" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"sales_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val root = s"$wh/$tbl"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val w = Fixtures.once(s, "q104_cat", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val orders = Tables.orders(s, dir)
+        val base = orders.filter(pmod(col("o_orderkey"), lit(16)) === 7)
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        val kmax = base.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+        val ww = kmax / 4 + 1
+        val files = (0 until 4).flatMap { b =>
+          val f = s"$root/b$b"
+          base.filter(expr(s"o_orderkey div $ww") === b)
+            .repartition(1).write.mode("overwrite").parquet(f)
+          TableFormat.listParquet(s, f)
+        }
+        TableFormat.commitFiles(s, root, "o_orderkey", files,
+          numBits = 1 << 14, numHashes = 5)                    // v1
+        TableFormat.deleteKeysMoR(s, root, root,               // v2
+          base.filter(pmod(col("o_orderkey"), lit(9)) === 1)
+            .select("o_orderkey"), nManifestFiles = 1)
+        val late = s"$root/late"
+        orders.filter(pmod(col("o_orderkey"), lit(16)) === 15)
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .repartition(1).write.mode("overwrite").parquet(late)
+        TableFormat.appendFiles(s, root, TableFormat.listParquet(s, late)) // v3
+        ww
+      }
+      val states = (1 to 3).map { v =>
+        val snap = TableFormat.snapshot(s, root, Some(v))
+        Parallelism.ensureDefaultParallelism(
+            s.sql(s"SELECT cents FROM graft.`$tbl` VERSION AS OF $v"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+          .select(lit(s"v$v").as("pin"), col("n_rows"), col("sum_cents"),
+            lit(0L).as("files_pruned"),
+            lit(snap.files.size.toLong).as("files_total"))
+      }
+      val probeDf = s.sql(
+        s"""SELECT cents FROM graft.`$tbl` VERSION AS OF 1
+            WHERE o_orderkey >= ${2 * w} AND o_orderkey <= ${2 * w + w / 4}""")
+      val pruned = "PrunedFiles: (\\d+)/(\\d+)".r
+        .findFirstMatchIn(probeDf.queryExecution.executedPlan.toString)
+        .getOrElse(throw new IllegalStateException(
+          "q104: no PrunedFiles marker in the executed plan"))
+      val probe = probeDf
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("cents")), lit(0L)).as("sum_cents"))
+        .select(lit("range").as("pin"), col("n_rows"), col("sum_cents"),
+          lit(pruned.group(1).toLong).as("files_pruned"),
+          lit(pruned.group(2).toLong).as("files_total"))
+      (states :+ probe).reduce(_.unionByName(_)).orderBy(col("pin"))
+    },
+
     // ---- Multimodal: REAL AVI/MJPEG video decode — the second real
     // video path beyond GIF, composed entirely from JDK parts: a
     // standard-layout RIFF AVI (hdrl/strl headers + movi stream) whose
@@ -7774,6 +7840,37 @@ object SparkEntry {
            FROM s WHERE k % 9 = 4
          UNION ALL SELECT 4, count(*), CAST(sum(c) AS BIGINT) FROM a
          ORDER BY commit_version""",
+
+    // v1 = the %16==7 base over 4 bucket files, v2 masks the %9==1
+    // slice (file count unchanged — the manifest is O(keys)), v3 adds
+    // the %16==15 late file; the range probe pins v1 and its
+    // PrunedFiles ledger is bucket arithmetic: [2w, 2w+w/4] lies inside
+    // bucket 2, so 3 of 4 files are skipped with zero data IO
+    "q104_sql_catalog" ->
+      """WITH s AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders WHERE o_orderkey % 16 = 7),
+         p AS (SELECT max(k) // 4 + 1 AS w FROM s),
+         n AS (SELECT count(*) AS all_n, CAST(sum(c) AS BIGINT) AS t,
+             count(CASE WHEN k % 9 = 1 THEN 1 END) AS n91,
+             CAST(COALESCE(sum(CASE WHEN k % 9 = 1 THEN c END), 0)
+               AS BIGINT) AS t91,
+             count(CASE WHEN k >= 2*w AND k <= 2*w + w//4 THEN 1 END) AS rng_n,
+             CAST(COALESCE(sum(CASE WHEN k >= 2*w AND k <= 2*w + w//4
+               THEN c END), 0) AS BIGINT) AS rng_t
+           FROM s, p),
+         a AS (SELECT count(*) AS late_n,
+             CAST(COALESCE(sum(CAST(floor(o_totalprice * 100) AS BIGINT)), 0)
+               AS BIGINT) AS late_t
+           FROM orders WHERE o_orderkey % 16 = 15)
+         SELECT 'v1' AS pin, all_n AS n_rows, t AS sum_cents,
+             CAST(0 AS BIGINT) AS files_pruned, CAST(4 AS BIGINT) AS files_total
+           FROM n
+         UNION ALL SELECT 'v2', all_n - n91, t - t91, 0, 4 FROM n
+         UNION ALL SELECT 'v3', all_n - n91 + late_n, t - t91 + late_t, 0, 5
+           FROM n, a
+         UNION ALL SELECT 'range', rng_n, rng_t, 3, 4 FROM n
+         ORDER BY pin""",
 
     // the sampled frame inventory is pure integer arithmetic (doc_id%3+2
     // frames, every 2nd), dims are the fixture constants, and our encoder

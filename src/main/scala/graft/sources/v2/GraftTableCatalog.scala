@@ -1,0 +1,227 @@
+package graft.sources.v2
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.TableFormat
+
+/** SQL CATALOG over [[TableFormat]] tables — the `TableCatalog` plugin
+  * that makes the format a first-class SQL citizen (the Delta/Iceberg
+  * catalog integration shape):
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft",
+  *     "graft.sources.v2.GraftTableCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft.warehouse", "/data/wh")
+  *   spark.sql("SELECT * FROM graft.sales")                   // latest
+  *   spark.sql("SELECT * FROM graft.sales VERSION AS OF 2")   // time travel
+  * }}}
+  *
+  * A table named `t` resolves to the TableFormat log at
+  * `<warehouse>/t` (namespace levels become path segments). `VERSION AS
+  * OF` maps straight onto the log's pinned snapshots — Spark's own time
+  * travel syntax rides the format's versioning with no extra state.
+  *
+  * The scan is the format's metadata made native to Catalyst:
+  *
+  *  - column pruning (`SupportsPushDownRequiredColumns`) reaches the
+  *    parquet Group reader — unprojected columns are never materialized;
+  *  - filter pushdown (`SupportsPushDownFilters`) turns key/zone-column
+  *    comparisons into FILE PRUNING with pure driver arithmetic over the
+  *    snapshot's stats — the `.explain` shows the pruned count, and a
+  *    range probe on a clustered 100 TB table plans O(hit files)
+  *    partitions (filters are also left residual, so Spark re-applies
+  *    them row-level: pruning is best-effort, never a correctness
+  *    dependency);
+  *  - merge-on-read manifests are applied INSIDE the reader task: each
+  *    partition carries the manifest files applicable to its data file
+  *    (the strict seq rule), the task loads their keys into a hash set
+  *    and skips masked rows before Spark sees them — memory O(manifest
+  *    keys), the bound [[TableFormat.compactManifests]] maintains.
+  *
+  * Mutations go through the library API ([[TableFormat]]); the catalog
+  * is deliberately read-only — `createTable`/`alterTable`/`dropTable`
+  * refuse loudly rather than offering a second, weaker write path. */
+class GraftTableCatalog extends TableCatalog {
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = options.get("warehouse")
+    require(warehouse != null && warehouse.nonEmpty,
+      s"graft catalog '$name': set spark.sql.catalog.$name.warehouse")
+  }
+
+  override def name(): String = catalogName
+
+  private def rootOf(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(s"$warehouse/", "/", "")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val spark = SparkSession.active
+    val base = namespace.mkString(s"$warehouse/", "/", "")
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Array.empty
+    else fs.listStatus(p).filter(_.isDirectory)
+      .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_log")))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    loadPinned(ident, None)
+
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadPinned(ident, Some(version.toLong))
+
+  private def loadPinned(ident: Identifier, version: Option[Long]): Table = {
+    val spark = SparkSession.active
+    val root = rootOf(ident)
+    if (TableFormat.versions(spark, root).isEmpty)
+      throw new NoSuchTableException(ident)
+    val snap = TableFormat.snapshot(spark, root, version)
+    new GraftSqlTable(ident.toString, snap)
+  }
+
+  override def invalidateTable(ident: Identifier): Unit = ()
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog is read-only: create tables through graft.operators.TableFormat")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog is read-only: evolve tables through graft.operators.TableFormat")
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "graft catalog is read-only: retention runs through TableFormat.expireSnapshots")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graft catalog is read-only")
+}
+
+private class GraftSqlTable(ident: String, snap: TableFormat.Snapshot)
+    extends Table with SupportsRead {
+  private val tableSchema = StructType.fromDDL(snap.schemaDdl.getOrElse(
+    throw new IllegalArgumentException(
+      s"graft catalog: table $ident v${snap.version} carries no schema")))
+  override def name(): String = s"$ident@v${snap.version}"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftSqlScanBuilder(snap, tableSchema)
+}
+
+private class GraftSqlScanBuilder(snap: TableFormat.Snapshot,
+                                  tableSchema: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  private var required: StructType = tableSchema
+  private var pushed: Array[Filter] = Array.empty
+  // accumulated per-column bounds used ONLY for file pruning
+  private val bounds = scala.collection.mutable.Map
+    .empty[String, (Long, Long)]
+
+  private def prunable(col: String): Boolean =
+    col == snap.keyCol || snap.zoneCols.contains(col)
+
+  private def tighten(col: String, lo: Long, hi: Long): Unit = {
+    val (clo, chi) = bounds.getOrElse(col, (Long.MinValue, Long.MaxValue))
+    bounds(col) = (math.max(clo, lo), math.min(chi, hi))
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    filters.foreach {
+      case EqualTo(c, v: Number) if prunable(c) =>
+        tighten(c, v.longValue(), v.longValue())
+      case GreaterThan(c, v: Number) if prunable(c) =>
+        tighten(c, v.longValue() + 1, Long.MaxValue)
+      case GreaterThanOrEqual(c, v: Number) if prunable(c) =>
+        tighten(c, v.longValue(), Long.MaxValue)
+      case LessThan(c, v: Number) if prunable(c) =>
+        tighten(c, Long.MinValue, v.longValue() - 1)
+      case LessThanOrEqual(c, v: Number) if prunable(c) =>
+        tighten(c, Long.MinValue, v.longValue())
+      case _ => ()
+    }
+    pushed = filters.filter {
+      case EqualTo(c, _: Number) => prunable(c)
+      case GreaterThan(c, _: Number) => prunable(c)
+      case GreaterThanOrEqual(c, _: Number) => prunable(c)
+      case LessThan(c, _: Number) => prunable(c)
+      case LessThanOrEqual(c, _: Number) => prunable(c)
+      case _ => false
+    }
+    // everything stays residual: pruning is an optimization, Spark keeps
+    // the row-level filter above the scan
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new GraftSqlScan(snap, required, bounds.toMap)
+}
+
+private case class GraftSqlPartition(file: String, manifests: Seq[String],
+                                     keyCol: String) extends InputPartition
+
+private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
+                           bounds: Map[String, (Long, Long)])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+
+  private def boundsOf(f: TableFormat.FileStat, col: String): Option[(Long, Long)] =
+    if (col == snap.keyCol) Some((f.minKey, f.maxKey)) else f.zones.get(col)
+
+  private lazy val hit = snap.files.filter { f =>
+    bounds.forall { case (col, (lo, hi)) =>
+      boundsOf(f, col).forall { case (mn, mx) => mn <= hi && mx >= lo }
+    }
+  }
+
+  override def description(): String =
+    s"graft(${snap.root}@v${snap.version}) PrunedFiles: " +
+      s"${snap.files.size - hit.size}/${snap.files.size}, Bounds: " +
+      bounds.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => s"$c in [$lo,$hi]" }
+        .mkString("[", ", ", s"], ReadSchema: ${required.catalogString}")
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    hit.map { f =>
+      val manifests = snap.deletes.filter(_.seq > f.seq).map(_.file)
+      GraftSqlPartition(f.file, manifests, snap.keyCol): InputPartition
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftSqlReaderFactory(required)
+}
+
+private class GraftSqlReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    val p = partition.asInstanceOf[GraftSqlPartition]
+    val mask =
+      if (p.manifests.isEmpty) null
+      else {
+        val m = new java.util.HashSet[java.lang.Long]()
+        p.manifests.foreach(f =>
+          m.addAll(ParquetRowReader.readLongColumn(f, "_del_key")))
+        m
+      }
+    new ParquetRowReader(p.file, required, mask = mask, keyCol = p.keyCol)
+  }
+}

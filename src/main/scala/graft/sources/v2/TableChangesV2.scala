@@ -159,17 +159,37 @@ private class ParquetRowReaderFactory(schema: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TableFilePartition]
-    new ParquetRowReader(p.file, p.version, schema)
+    new ParquetRowReader(p.file, schema,
+      synth = Map(TableChangesV2.VersionColumn -> p.version))
+  }
+}
+
+private[v2] object ParquetRowReader {
+  /** Drain one long-typed column of a parquet file into a hash set —
+    * how a reader task loads the delete manifests that apply to its
+    * file (memory O(manifest keys); manifest compaction is the dial
+    * that bounds it). */
+  def readLongColumn(file: String, column: String): java.util.HashSet[java.lang.Long] = {
+    val out = new java.util.HashSet[java.lang.Long]()
+    val r = new ParquetRowReader(file,
+      StructType(Seq(StructField(column, LongType))))
+    try while (r.next()) out.add(r.get().getLong(0))
+    finally r.close()
+    out
   }
 }
 
 /** Executor-side parquet → InternalRow reader over the parquet Group
   * API (parquet-column ships with Spark). Columns are resolved BY NAME
   * against the file's own schema — a file written before a column
-  * existed yields null for it (the format's evolution contract), and
-  * `_commit_version` is synthesized from the partition. */
-private class ParquetRowReader(file: String, version: Long,
-                               schema: StructType)
+  * existed yields null for it (the format's evolution contract).
+  * `synth` columns (e.g. `_commit_version`) are synthesized per row;
+  * `mask`+`keyCol` apply a merge-on-read delete set — masked rows are
+  * skipped during the scan, before Spark sees them. */
+private[v2] class ParquetRowReader(file: String, schema: StructType,
+                                   synth: Map[String, Any] = Map.empty,
+                                   mask: java.util.HashSet[java.lang.Long] = null,
+                                   keyCol: String = null)
     extends PartitionReader[InternalRow] {
   import org.apache.parquet.example.data.Group
   import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
@@ -200,25 +220,41 @@ private class ParquetRowReader(file: String, version: Long,
     }
   }
 
+  private def keyOf(g: Group): Long =
+    fileSchema.getType(fileSchema.getFieldIndex(keyCol))
+      .asPrimitiveType().getPrimitiveTypeName match {
+      case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64 =>
+        g.getLong(keyCol, 0)
+      case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32 =>
+        g.getInteger(keyCol, 0).toLong
+      case t => throw new UnsupportedOperationException(
+        s"parquet-row-reader: non-integral key column $keyCol ($t)")
+    }
+
   override def next(): Boolean = {
-    if (rowsLeftInGroup == 0 && !advanceRowGroup()) return false
-    val g = recordReader.read()
-    rowsLeftInGroup -= 1
-    current = InternalRow.fromSeq(schema.fields.map { f =>
-      if (f.name == TableChangesV2.VersionColumn) version
-      else if (!hasField(f.name) || g.getFieldRepetitionCount(f.name) == 0) null
-      else f.dataType match {
-        case LongType => g.getLong(f.name, 0)
-        case IntegerType => g.getInteger(f.name, 0)
-        case DoubleType => g.getDouble(f.name, 0)
-        case BooleanType => g.getBoolean(f.name, 0)
-        case StringType => UTF8String.fromString(g.getString(f.name, 0))
-        case dt => throw new UnsupportedOperationException(
-          s"graft-table-changes: unsupported leaf type ${dt.simpleString} " +
-            s"for column ${f.name} (supported: long/int/double/string/boolean)")
+    while (true) {
+      if (rowsLeftInGroup == 0 && !advanceRowGroup()) return false
+      val g = recordReader.read()
+      rowsLeftInGroup -= 1
+      if (mask == null || !mask.contains(keyOf(g))) {
+        current = InternalRow.fromSeq(schema.fields.map { f =>
+          if (synth.contains(f.name)) synth(f.name)
+          else if (!hasField(f.name) || g.getFieldRepetitionCount(f.name) == 0) null
+          else f.dataType match {
+            case LongType => g.getLong(f.name, 0)
+            case IntegerType => g.getInteger(f.name, 0)
+            case DoubleType => g.getDouble(f.name, 0)
+            case BooleanType => g.getBoolean(f.name, 0)
+            case StringType => UTF8String.fromString(g.getString(f.name, 0))
+            case dt => throw new UnsupportedOperationException(
+              s"parquet-row-reader: unsupported leaf type ${dt.simpleString} " +
+                s"for column ${f.name} (supported: long/int/double/string/boolean)")
+          }
+        }.toSeq)
+        return true
       }
-    }.toSeq)
-    true
+    }
+    false
   }
 
   override def get(): InternalRow = current
