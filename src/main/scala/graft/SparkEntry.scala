@@ -3769,6 +3769,65 @@ object SparkEntry {
       (states :+ probe).reduce(_.unionByName(_)).orderBy(col("pin"))
     },
 
+    // ---- Clustering rewrite INSIDE the table format: v1 is clustered
+    // by key alone (a key probe reads 1 of 4 files, a day probe reads
+    // all 4 — the single-dimension failure), one `rewriteClustered`
+    // commit regroups the table into 2x2 key-half x day-half quadrants
+    // (op=replace, one shuffle, one file per quadrant, od_day zones
+    // recomputed), after which BOTH probes read 2 of 4 — the multi-
+    // dimension balance Z-ordering buys. The oracle replays every
+    // files_read count from per-bucket/per-quadrant min/max arithmetic
+    // over the same population ----
+    "q105_cluster_rewrite" -> { (s, dir) =>
+      val root = scratch("q105_clu", dir)
+      val (kw, dw, dmin) = Fixtures.once(s, "q105_clu", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val base = Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(16)) === 9)
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"),
+            datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+              .as("od_day"))
+        val r = base.agg(max(col("o_orderkey")), min(col("od_day")),
+          max(col("od_day"))).collect()(0)
+        val (kmax, dmn, dmx) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        val kw = kmax / 4 + 1
+        val files = (0 until 4).flatMap { b =>
+          val f = s"$root/b$b"
+          base.filter(expr(s"o_orderkey div $kw") === b)
+            .repartition(1).write.mode("overwrite").parquet(f)
+          TableFormat.listParquet(s, f)
+        }
+        TableFormat.commitFiles(s, root, "o_orderkey", files,
+          numBits = 1 << 14, numHashes = 5, zoneCols = Seq("od_day")) // v1
+        val kw2 = kmax / 2 + 1; val dw2 = (dmx - dmn) / 2 + 1
+        TableFormat.rewriteClustered(s, root, root,                   // v2
+          expr(s"(o_orderkey div $kw2) * 2 + ((od_day - $dmn) div $dw2)"),
+          zoneCols = Seq("od_day"))
+        (kw, (dmx - dmn) / 4 + 1, dmn)
+      }
+      val rows = Seq(1L, 2L).flatMap { v =>
+        val snap = TableFormat.snapshot(s, root, Some(v))
+        val total = snap.files.size
+        val (kScan, kRead, _) =
+          TableFormat.scanRange(s, snap, kw, 2 * kw - 2)
+        val (dScan, dRead, _) =
+          TableFormat.scanZone(s, snap, "od_day", dmin + dw, dmin + 2 * dw - 2)
+        def agg(df: DataFrame, probe: String, read: Int) =
+          Parallelism.ensureDefaultParallelism(df)
+            .agg(count(lit(1)).as("n_rows"),
+              coalesce(sum(col("cents")), lit(0L)).as("sum_cents"))
+            .select(lit(v).as("version"), lit(probe).as("probe"),
+              lit(read.toLong).as("files_read"),
+              lit(total.toLong).as("files_total"),
+              col("n_rows"), col("sum_cents"))
+        Seq(agg(TableFormat.read(s, snap), "state", total),
+          agg(kScan, "key", kRead), agg(dScan, "day", dRead))
+      }
+      rows.reduce(_.unionByName(_)).orderBy(col("version"), col("probe"))
+    },
+
     // ---- Multimodal: REAL AVI/MJPEG video decode — the second real
     // video path beyond GIF, composed entirely from JDK parts: a
     // standard-layout RIFF AVI (hdrl/strl headers + movi stream) whose
@@ -7871,6 +7930,57 @@ object SparkEntry {
            FROM n, a
          UNION ALL SELECT 'range', rng_n, rng_t, 3, 4 FROM n
          ORDER BY pin""",
+
+    // v1 files = key quartiles, v2 files = key-half x day-half quadrants;
+    // every files_read count is replayed from the per-bucket/per-quadrant
+    // min/max bounds over the same population (exact because the engine's
+    // files ARE these groups), probe windows are [kw, 2kw-2] on the key
+    // and [dmin+dw, dmin+2dw-2] on the day
+    "q105_cluster_rewrite" ->
+      """WITH s AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS c,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+           FROM orders WHERE o_orderkey % 16 = 9),
+         w AS (SELECT (max(k) // 4) + 1 AS kw, (max(k) // 2) + 1 AS kw2,
+             min(d) AS dmin, ((max(d) - min(d)) // 4) + 1 AS dw,
+             ((max(d) - min(d)) // 2) + 1 AS dw2 FROM s),
+         pr AS (SELECT kw AS klo, 2*kw - 2 AS khi,
+             dmin + dw AS dlo, dmin + 2*dw - 2 AS dhi FROM w),
+         bk AS (SELECT k // (SELECT kw FROM w) AS b, min(k) AS kmn,
+             max(k) AS kmx, min(d) AS dmn, max(d) AS dmx FROM s GROUP BY 1),
+         gq AS (SELECT (k // (SELECT kw2 FROM w)) * 2 +
+               ((d - (SELECT dmin FROM w)) // (SELECT dw2 FROM w)) AS g,
+             min(k) AS kmn, max(k) AS kmx, min(d) AS dmn, max(d) AS dmx
+           FROM s GROUP BY 1),
+         fa AS (SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS t FROM s),
+         kp AS (SELECT count(*) AS n, CAST(COALESCE(sum(c), 0) AS BIGINT) AS t
+           FROM s, pr WHERE k >= klo AND k <= khi),
+         dp AS (SELECT count(*) AS n, CAST(COALESCE(sum(c), 0) AS BIGINT) AS t
+           FROM s, pr WHERE d >= dlo AND d <= dhi),
+         n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bk),
+         n2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM gq),
+         kr1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bk, pr
+           WHERE kmn <= khi AND kmx >= klo),
+         dr1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bk, pr
+           WHERE dmn <= dhi AND dmx >= dlo),
+         kr2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM gq, pr
+           WHERE kmn <= khi AND kmx >= klo),
+         dr2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM gq, pr
+           WHERE dmn <= dhi AND dmx >= dlo)
+         SELECT CAST(1 AS BIGINT) AS version, 'day' AS probe,
+             (SELECT n FROM dr1) AS files_read, (SELECT n FROM n1) AS files_total,
+             n AS n_rows, t AS sum_cents FROM dp
+         UNION ALL SELECT 1, 'key', (SELECT n FROM kr1), (SELECT n FROM n1),
+             n, t FROM kp
+         UNION ALL SELECT 1, 'state', (SELECT n FROM n1), (SELECT n FROM n1),
+             n, t FROM fa
+         UNION ALL SELECT 2, 'day', (SELECT n FROM dr2), (SELECT n FROM n2),
+             n, t FROM dp
+         UNION ALL SELECT 2, 'key', (SELECT n FROM kr2), (SELECT n FROM n2),
+             n, t FROM kp
+         UNION ALL SELECT 2, 'state', (SELECT n FROM n2), (SELECT n FROM n2),
+             n, t FROM fa
+         ORDER BY version, probe""",
 
     // the sampled frame inventory is pure integer arithmetic (doc_id%3+2
     // frames, every 2nd), dims are the fixture constants, and our encoder

@@ -631,6 +631,50 @@ object TableFormat {
     }, op = Some("delete"))
   }
 
+  /** CLUSTERING rewrite — Iceberg's rewrite-data-files with a sort
+    * order / Delta OPTIMIZE ZORDER bound into the commit log: rewrite
+    * the whole table grouped by `groupExpr` (a [[Layout.zvalue]] morton
+    * prefix, a date bucket — any clustering expression over the row)
+    * and commit the new layout as ONE op=replace version with
+    * `zoneCols` declared, so every subsequent scan prunes on the new
+    * clustering through the ordinary zone arithmetic. ONE data pass:
+    * rows shuffle once on the group key and land as one file per group
+    * (`partitionBy` dirs; the group column lives in the path, not the
+    * rows). Reads go through the manifests ([[readFiles]]), so like
+    * [[compact]] this materializes merge-on-read masks and CLEARS the
+    * manifest set. Content-preserving: op=replace, free for incremental
+    * readers; pinned readers keep the old layout (snapshot isolation).
+    * This is the table-format binding of the [[Layout]] machinery the
+    * q42/q55/q62 entries prove on raw directories. */
+  def rewriteClustered(spark: SparkSession, root: String, dataDir: String,
+                       groupExpr: org.apache.spark.sql.Column,
+                       zoneCols: Seq[String]): Snapshot = {
+    val first = snapshot(spark, root)
+    val out = s"$dataDir/cluster-${java.util.UUID.randomUUID().toString}"
+    commitTransform(spark, root, first.keyCol, first.numBits, first.numHashes,
+      { curOpt =>
+        val cur = curOpt.getOrElse(throw new IllegalStateException(
+          "rewriteClustered: nothing committed"))
+        read(spark, cur)
+          .withColumn("_g", groupExpr)
+          .repartition(col("_g"))
+          .write.mode("overwrite").partitionBy("_g").parquet(out)
+        // partitionBy nests files under _g=<v>/ dirs: list recursively
+        val p = new org.apache.hadoop.fs.Path(out)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val files = scala.collection.mutable.ArrayBuffer.empty[String]
+        val it = fs.listFiles(p, true)
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.getPath.getName.endsWith(".parquet"))
+            files += st.getPath.toString
+        }
+        fileStats(spark, files.sorted.toSeq, cur.keyCol, cur.numBits,
+          cur.numHashes, zoneCols)
+      }, op = Some("replace"), zoneCols = Some(zoneCols),
+      deriveDeletes = _ => Seq.empty)
+  }
+
   /** BIN-PACKING small-file compaction — Iceberg's rewrite-data-files
     * binpack strategy / Delta OPTIMIZE: coalesce the SMALL-FILE TAIL a
     * streaming ingest leaves behind without touching the rest of the

@@ -1015,6 +1015,38 @@ class TableFormatSpec extends SparkTestBase {
       Seq(2L -> 2.0, 3L -> 9.0))
   }
 
+  test("rewriteClustered: one file per group, zone decls flow, masks materialize") {
+    import spark.implicits._
+    val root = freshRoot()
+    def writeKvz(keys: Range, path: String): Seq[String] = {
+      keys.map(i => (i.toLong, i * 1.0, (i % 10).toLong)).toDF("k", "v", "z")
+        .repartition(1).write.mode("overwrite").parquet(path)
+      TableFormat.listParquet(spark, path)
+    }
+    TableFormat.commitFiles(spark, root, "k",
+      writeKvz(0 until 100, s"$root/f0") ++ writeKvz(100 until 200, s"$root/f1"),
+      1024, 3, zoneCols = Seq("z"))                            // v1
+    TableFormat.deleteKeysMoR(spark, root, root, Seq(5L))      // v2
+    // regroup by z-halves: the rewrite shuffles ONCE, lands one file per
+    // group, clears the manifest (masks materialized), declares z zones
+    val s3 = TableFormat.rewriteClustered(spark, root, root,
+      (col("z") / 5).cast("int"), zoneCols = Seq("z"))
+    assert(s3.op.contains("replace") && s3.deletes.isEmpty)
+    assert(s3.files.size == 2)
+    assert(s3.files.map(_.zones("z")).sortBy(_._1) == Seq((0L, 4L), (5L, 9L)))
+    assert(TableFormat.read(spark, s3).count() == 199L) // k=5 stays deleted
+    // the new clustering prunes: a z probe reads one file
+    val (zscan, nRead, nTotal) = TableFormat.scanZone(spark, s3, "z", 0L, 4L)
+    assert(nRead == 1 && nTotal == 2)
+    assert(zscan.count() == 100L) // the masked k=5 (z=5) is in the OTHER group
+    assert(TableFormat.scanZone(spark, s3, "z", 5L, 9L)._1.count() == 99L)
+    // pinned v1 reader keeps the old layout and full content
+    assert(TableFormat.read(spark,
+      TableFormat.snapshot(spark, root, Some(1L))).count() == 200L)
+    // changelog-free
+    assert(TableFormat.changesBetween(spark, root, 2L, 3L).count() == 0L)
+  }
+
   test("compactSmallFiles: key-adjacent greedy bins, singletons and large files carry") {
     val root = freshRoot()
     def f(name: String, keys: Range): Seq[String] = {
