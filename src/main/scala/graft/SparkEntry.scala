@@ -3828,6 +3828,60 @@ object SparkEntry {
       rows.reduce(_.unionByName(_)).orderBy(col("version"), col("probe"))
     },
 
+    // ---- CHECK constraints at the commit edge: the constraint lands
+    // as a metadata-only replace commit (changelog-free), every
+    // subsequent row-adding commit validates its batch in O(batch), a
+    // violating upsert is REFUSED — the fixture attempts it, and the
+    // entry emits one row per EXISTING version, so the refused commit's
+    // absence (exactly four versions) is itself the graded contract —
+    // and constraint counts ride the props every maintenance commit
+    // carries forward ----
+    "q106_check_constraints" -> { (s, dir) =>
+      val root = scratch("q106_chk", dir)
+      Fixtures.once(s, "q106_chk", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val orders = Tables.orders(s, dir)
+        val base = orders.filter(pmod(col("o_orderkey"), lit(16)) === 13)
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        val fa = s"$root/b0"
+        base.repartition(2).write.mode("overwrite").parquet(fa)
+        TableFormat.commitFiles(s, root, "o_orderkey",
+          TableFormat.listParquet(s, fa), numBits = 1 << 14, numHashes = 5)
+        TableFormat.setConstraint(s, root, "cents_pos", "cents > 0") // v2
+        TableFormat.upsertRowsMoR(s, root, root,                     // v3
+          base.filter(pmod(col("o_orderkey"), lit(7)) === 3)
+            .select(col("o_orderkey"), (col("cents") + 5).as("cents")))
+        // the violating batch must be REFUSED and leave no version
+        val refused =
+          try {
+            TableFormat.upsertRowsMoR(s, root, root,
+              base.filter(pmod(col("o_orderkey"), lit(7)) === 5)
+                .select(col("o_orderkey"), (-col("cents")).as("cents")))
+            false
+          } catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("cents_pos") }
+        require(refused, "q106: violating upsert was not refused")
+        val late = s"$root/late"
+        orders.filter(pmod(col("o_orderkey"), lit(16)) === 5)
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .repartition(1).write.mode("overwrite").parquet(late)
+        TableFormat.appendFiles(s, root, TableFormat.listParquet(s, late)) // v4
+      }
+      val states = TableFormat.versions(s, root).map { v =>
+        val snap = TableFormat.snapshot(s, root, Some(v))
+        val nCons = snap.props.count(_._1.startsWith("constraint.")).toLong
+        Parallelism.ensureDefaultParallelism(TableFormat.read(s, snap))
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+          .select(lit(v).as("version"), lit(snap.op.getOrElse("")).as("op"),
+            col("n_rows"), col("sum_cents"),
+            lit(nCons).as("n_constraints"))
+      }
+      states.reduce(_.unionByName(_)).orderBy(col("version"))
+    },
+
     // ---- Multimodal: REAL AVI/MJPEG video decode — the second real
     // video path beyond GIF, composed entirely from JDK parts: a
     // standard-layout RIFF AVI (hdrl/strl headers + movi stream) whose
@@ -7981,6 +8035,31 @@ object SparkEntry {
          UNION ALL SELECT 2, 'state', (SELECT n FROM n2), (SELECT n FROM n2),
              n, t FROM fa
          ORDER BY version, probe""",
+
+    // exactly four versions exist because the violating upsert was
+    // refused: v1 the %16==13 base, v2 the constraint (replace, rows
+    // unchanged), v3 the valid +5 bump on the %7==3 slice, v4 the
+    // %16==5 late append — all replacement arithmetic
+    "q106_check_constraints" ->
+      """WITH s AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders WHERE o_orderkey % 16 = 13),
+         n AS (SELECT count(*) AS all_n, CAST(sum(c) AS BIGINT) AS t,
+             count(CASE WHEN k % 7 = 3 THEN 1 END) AS n73
+           FROM s),
+         a AS (SELECT count(*) AS late_n,
+             CAST(COALESCE(sum(CAST(floor(o_totalprice * 100) AS BIGINT)), 0)
+               AS BIGINT) AS late_t
+           FROM orders WHERE o_orderkey % 16 = 5)
+         SELECT CAST(1 AS BIGINT) AS version, 'append' AS op,
+             all_n AS n_rows, t AS sum_cents,
+             CAST(0 AS BIGINT) AS n_constraints
+           FROM n
+         UNION ALL SELECT 2, 'replace', all_n, t, 1 FROM n
+         UNION ALL SELECT 3, 'mor-upsert', all_n, t + 5 * n73, 1 FROM n
+         UNION ALL SELECT 4, 'append', all_n + late_n, t + 5 * n73 + late_t, 1
+           FROM n, a
+         ORDER BY version""",
 
     // the sampled frame inventory is pure integer arithmetic (doc_id%3+2
     // frames, every 2nd), dims are the fixture constants, and our encoder

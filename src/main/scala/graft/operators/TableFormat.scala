@@ -547,12 +547,71 @@ object TableFormat {
     * rewritten. Existing columns must keep their type
     * ([[evolveSchema]]). `extraProps` overlay the carried-forward commit
     * properties (how the streaming sink records its replay gate). */
+  /** Commit-property prefix under which CHECK constraints live. Props
+    * are carried forward by every maintenance commit, inherited by
+    * branches, and follow replication — so a constraint set once holds
+    * everywhere the table's lineage goes, with no extra machinery. */
+  private val ConstraintPrefix = "constraint."
+
+  /** Enforce the table's CHECK constraints against `batch` — called by
+    * every ROW-ADDING commit path ([[appendFiles]], [[upsertRowsMoR]],
+    * [[mergeRows]]); delete/compact/rewrite commits cannot introduce
+    * rows, so enforcement at the adding edge keeps the whole table
+    * valid by induction. SQL CHECK semantics: a row violates only when
+    * the predicate evaluates FALSE (NULL passes). Cost is one O(batch)
+    * pass per commit, short-circuited at the first violation. */
+  private def checkConstraints(spark: SparkSession, snap: Snapshot,
+                               batch: DataFrame, caller: String): Unit =
+    snap.props.foreach { case (k, sql) if k.startsWith(ConstraintPrefix) =>
+      val bad = batch.filter(!coalesce(expr(sql), lit(true))).limit(1).count()
+      if (bad > 0) throw new IllegalArgumentException(
+        s"$caller: CHECK constraint '${k.stripPrefix(ConstraintPrefix)}' " +
+          s"($sql) violated by the batch — commit refused")
+      case _ => ()
+    }
+
+  /** Add (or replace) a CHECK constraint — Delta's `ADD CONSTRAINT`:
+    * the EXISTING table must already satisfy the predicate (one full
+    * validation pass, as Delta does — the one O(table) cost, paid once
+    * at declaration), then the constraint commits as a metadata-only
+    * op=replace carrying it in the properties. Every subsequent
+    * row-adding commit validates its batch in O(batch) and REFUSES on
+    * violation — data that breaks the contract can never land. */
+  def setConstraint(spark: SparkSession, root: String, name: String,
+                    predicateSql: String): Snapshot = {
+    require(name.nonEmpty && !name.contains('.'),
+      s"setConstraint: bad constraint name '$name'")
+    val first = snapshot(spark, root)
+    val bad = read(spark, first)
+      .filter(!coalesce(expr(predicateSql), lit(true))).limit(1).count()
+    if (bad > 0) throw new IllegalArgumentException(
+      s"setConstraint: existing rows violate '$name' ($predicateSql)")
+    commitTransform(spark, root, first.keyCol, first.numBits, first.numHashes,
+      curOpt => curOpt.map(_.files).getOrElse(Seq.empty),
+      deriveProps = curOpt => curOpt.map(_.props).getOrElse(Map.empty) +
+        (s"$ConstraintPrefix$name" -> predicateSql),
+      op = Some("replace"))
+  }
+
+  /** Drop a CHECK constraint — metadata-only. */
+  def dropConstraint(spark: SparkSession, root: String, name: String): Snapshot = {
+    val first = snapshot(spark, root)
+    require(first.props.contains(s"$ConstraintPrefix$name"),
+      s"dropConstraint: no constraint '$name'")
+    commitTransform(spark, root, first.keyCol, first.numBits, first.numHashes,
+      curOpt => curOpt.map(_.files).getOrElse(Seq.empty),
+      deriveProps = curOpt => curOpt.map(_.props).getOrElse(Map.empty) -
+        s"$ConstraintPrefix$name",
+      op = Some("replace"))
+  }
+
   def appendFiles(spark: SparkSession, root: String, files: Seq[String],
                   extraProps: Map[String, String] = Map.empty): Snapshot = {
     val first = snapshot(spark, root)
     val stats = fileStats(spark, files, first.keyCol, first.numBits,
       first.numHashes, first.zoneCols)
     val newSchema = spark.read.parquet(files: _*).schema
+    checkConstraints(spark, first, spark.read.parquet(files: _*), "appendFiles")
     commitTransform(spark, root, first.keyCol, first.numBits, first.numHashes,
       { curOpt =>
         val cur = curOpt.getOrElse(
@@ -870,6 +929,7 @@ object TableFormat {
       s"upsertRowsMoR: source columns ${source.columns.sorted.mkString(",")} " +
         s"must match table columns ${tableCols.sorted.mkString(",")}")
     val src = source.select(tableCols.map(col): _*)
+    checkConstraints(spark, first, src, "upsertRowsMoR")
     // one source pass: the ANSI duplicate-key cardinality check + the
     // manifest's key bounds
     val prof = src.agg(count(lit(1)), count_distinct(col(first.keyCol)),
@@ -1066,6 +1126,7 @@ object TableFormat {
       s"mergeRows: source columns ${source.columns.sorted.mkString(",")} must " +
         s"match table columns ${tableCols.sorted.mkString(",")}")
     val src = source.select(tableCols.map(col): _*)
+    checkConstraints(spark, first, src, "mergeRows")
     // one source pass: key range + the ANSI duplicate-key cardinality check
     val prof = src.agg(
       min(col(first.keyCol).cast("long")), max(col(first.keyCol).cast("long")),

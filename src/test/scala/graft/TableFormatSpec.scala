@@ -1015,6 +1015,48 @@ class TableFormatSpec extends SparkTestBase {
       Seq(2L -> 2.0, 3L -> 9.0))
   }
 
+  test("CHECK constraints: declaration validates, row-adding commits refuse violations") {
+    import spark.implicits._
+    val root = freshRoot()
+    writeKv((1L to 10L).map(i => (i, i * 1.0)), s"$root/w1")
+    TableFormat.commitFiles(spark, root, "k",
+      TableFormat.listParquet(spark, s"$root/w1"), 256, 3)         // v1
+    // a declaration the existing data violates refuses up front
+    val e0 = intercept[IllegalArgumentException](
+      TableFormat.setConstraint(spark, root, "high_keys", "k > 5"))
+    assert(e0.getMessage.contains("existing rows"))
+    val s2 = TableFormat.setConstraint(spark, root, "pos_v", "v > 0") // v2
+    assert(s2.op.contains("replace"))
+    assert(TableFormat.changesBetween(spark, root, 1L, 2L).count() == 0L)
+    // valid append lands; violating append refuses and leaves NO version
+    writeKv(Seq(11L -> 1.0), s"$root/ok")
+    TableFormat.appendFiles(spark, root,
+      TableFormat.listParquet(spark, s"$root/ok"))                 // v3
+    writeKv(Seq(12L -> -1.0), s"$root/bad")
+    val e1 = intercept[IllegalArgumentException](TableFormat.appendFiles(
+      spark, root, TableFormat.listParquet(spark, s"$root/bad")))
+    assert(e1.getMessage.contains("pos_v"))
+    val e2 = intercept[IllegalArgumentException](TableFormat.upsertRowsMoR(
+      spark, root, root, Seq(1L -> -5.0).toDF("k", "v")))
+    assert(e2.getMessage.contains("pos_v"))
+    val e3 = intercept[IllegalArgumentException](TableFormat.mergeRows(
+      spark, root, root, Seq(1L -> -5.0).toDF("k", "v")))
+    assert(e3.getMessage.contains("pos_v"))
+    assert(TableFormat.versions(spark, root) == Seq(1L, 2L, 3L))
+    assert(TableFormat.read(spark, TableFormat.snapshot(spark, root))
+      .count() == 11L)
+    // maintenance carries the constraint forward; dropping re-opens the gate
+    TableFormat.compact(spark, root, root, 1)                      // v4
+    val e4 = intercept[IllegalArgumentException](TableFormat.appendFiles(
+      spark, root, TableFormat.listParquet(spark, s"$root/bad")))
+    assert(e4.getMessage.contains("pos_v"))
+    TableFormat.dropConstraint(spark, root, "pos_v")               // v5
+    TableFormat.appendFiles(spark, root,
+      TableFormat.listParquet(spark, s"$root/bad"))                // v6
+    assert(TableFormat.read(spark, TableFormat.snapshot(spark, root))
+      .count() == 12L)
+  }
+
   test("rewriteClustered: one file per group, zone decls flow, masks materialize") {
     import spark.implicits._
     val root = freshRoot()
