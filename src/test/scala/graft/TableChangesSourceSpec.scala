@@ -57,6 +57,52 @@ class TableChangesSourceSpec extends SparkTestBase {
     assert(got() == (expected :+ ((5L, 30L, 30.0))).sorted)
   }
 
+  test("full streaming composition: table A -> V2 source -> CDC sink -> table B") {
+    import spark.implicits._
+    val aRoot = freshRoot(); val bRoot = freshRoot()
+    val cp = s"${freshRoot()}/cp"
+    writeKv((1L to 8L).map(i => (i, i * 1.0)), s"$aRoot/w1")
+    TableFormat.commitFiles(spark, aRoot, "k",
+      TableFormat.listParquet(spark, s"$aRoot/w1"), 256, 3)       // A v1
+    TableFormat.upsertRowsMoR(spark, aRoot, aRoot,
+      Seq(3L -> 33.0, 9L -> 9.0).toDF("k", "v"))                  // A v2
+    // the stream's _commit_version doubles as the CDC version column:
+    // latest-per-key within a batch falls out of the source's lineage
+    val sink = graft.streaming.Streams.foreachBatchTableUpsertMoR(
+      bRoot, bRoot, "k", "_commit_version", numBits = 256, numHashes = 3,
+      lineage = "a2b")
+    def tick(): Unit = {
+      val q = spark.readStream.format("graft-table-changes").load(aRoot)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "stream did not finish")
+    }
+    tick()
+    def bContent() = TableFormat
+      .read(spark, TableFormat.snapshot(spark, bRoot))
+      .select("k", "v").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def aContent() = TableFormat
+      .read(spark, TableFormat.snapshot(spark, aRoot))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(bContent() == aContent()) // the upsert replaced k=3, added k=9
+    // replay tick: both gates (source offset, sink batch_id) hold — B
+    // does not move
+    val bVer = TableFormat.versions(spark, bRoot).last
+    tick()
+    assert(TableFormat.versions(spark, bRoot).last == bVer)
+    // more commits on A flow through incrementally on the next tick
+    TableFormat.upsertRowsMoR(spark, aRoot, aRoot,
+      Seq(9L -> 99.0).toDF("k", "v"))                             // A v3
+    writeKv(Seq(20L -> 20.0), s"$aRoot/w2")
+    TableFormat.appendFiles(spark, aRoot,
+      TableFormat.listParquet(spark, s"$aRoot/w2"))               // A v4
+    tick()
+    assert(bContent() == aContent())
+  }
+
   test("table-as-stream follows schema evolution with null back-fill") {
     import spark.implicits._
     val root = freshRoot()
