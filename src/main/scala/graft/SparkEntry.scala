@@ -3882,6 +3882,74 @@ object SparkEntry {
       states.reduce(_.unionByName(_)).orderBy(col("version"))
     },
 
+    // ---- The round's composed LAKEHOUSE flagship: one population
+    // through the whole metadata layer in a single fixture — streaming
+    // ingest (3 append commits, replayed batch skipped by the in-log
+    // gate), a CHECK constraint (metadata-only), compaction (replace,
+    // changelog-free), a CDC upsert validated against the constraint, a
+    // MoR delete, CDC replication to a mirror (bootstrap + a netted
+    // pure-delete tick), an atomic catalog transaction binding facts +
+    // mirror, and a SQL time-travel probe through the TableCatalog —
+    // every layer's state graded as one replacement-arithmetic table ----
+    "q107_lakehouse_flagship" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"flag_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val aRoot = s"$wh/$tbl"
+      val scratchRoot = scratch("q107_flag", dir)
+      val bRoot = s"$scratchRoot/mirror"; val cRoot = s"$scratchRoot/cat"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q107_flag", dir) {
+        Seq(aRoot, scratchRoot).foreach { r =>
+          val p = new org.apache.hadoop.fs.Path(r)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+        val base = Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(16)) === 1)
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        val sink = graft.streaming.Streams.foreachBatchTableAppend(
+          aRoot, aRoot, "o_orderkey", numBits = 1 << 14, numHashes = 5,
+          lineage = "q107")
+        def slice(m3: Int) =
+          base.filter(pmod(col("o_orderkey"), lit(3)) === m3)
+        sink(slice(0), 0L); sink(slice(1), 1L); sink(slice(2), 2L) // v1-v3
+        sink(slice(1), 1L)                    // replay: gate skips, no v4
+        TableFormat.setConstraint(s, aRoot, "cents_pos", "cents > 0") // v4
+        TableFormat.compact(s, aRoot, aRoot, 2)                       // v5
+        TableFormat.upsertRowsMoR(s, aRoot, aRoot,                    // v6
+          base.filter(pmod(col("o_orderkey"), lit(11)) === 6)
+            .select(col("o_orderkey"), (col("cents") + 10).as("cents")))
+        TableFormat.replicateTo(s, aRoot, bRoot, bRoot)  // mirror v1 @6
+        TableFormat.deleteKeysMoR(s, aRoot, aRoot,                    // v7
+          base.filter(pmod(col("o_orderkey"), lit(11)) === 2)
+            .select("o_orderkey"), nManifestFiles = 1)
+        TableFormat.replicateTo(s, aRoot, bRoot, bRoot)  // mirror v2 @7
+        Catalog.publish(s, cRoot, Map(
+          "facts" -> TableFormat.snapshot(s, aRoot),
+          "mirror" -> TableFormat.snapshot(s, bRoot)))
+      }
+      def layerRow(layer: String, version: Long, op: String, df: DataFrame) =
+        Parallelism.ensureDefaultParallelism(df)
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+          .select(lit(layer).as("layer"), lit(version).as("version"),
+            lit(op).as("op"), col("n_rows"), col("sum_cents"))
+      val facts = TableFormat.versions(s, aRoot).map { v =>
+        val snap = TableFormat.snapshot(s, aRoot, Some(v))
+        layerRow("facts", v, snap.op.getOrElse(""), TableFormat.read(s, snap))
+      }
+      val mirror = TableFormat.versions(s, bRoot).map { v =>
+        val snap = TableFormat.snapshot(s, bRoot, Some(v))
+        layerRow("mirror", v, snap.op.getOrElse(""), TableFormat.read(s, snap))
+      }
+      val sqlRow = layerRow("sql", 5L, "asof",
+        s.sql(s"SELECT cents FROM graft.`$tbl` VERSION AS OF 5"))
+      val catRow = layerRow("catalog", 1L, "publish",
+        TableFormat.read(s, Catalog.snapshotOf(s, cRoot, "facts", Some(1L))))
+      (facts ++ mirror :+ sqlRow :+ catRow).reduce(_.unionByName(_))
+        .orderBy(col("layer"), col("version"))
+    },
+
     // ---- Multimodal: REAL AVI/MJPEG video decode — the second real
     // video path beyond GIF, composed entirely from JDK parts: a
     // standard-layout RIFF AVI (hdrl/strl headers + movi stream) whose
@@ -8060,6 +8128,42 @@ object SparkEntry {
          UNION ALL SELECT 4, 'append', all_n + late_n, t + 5 * n73 + late_t, 1
            FROM n, a
          ORDER BY version""",
+
+    // the whole lakehouse loop as replacement arithmetic over the
+    // %16==1 population: three %3-slice appends (the replayed batch
+    // left no version), constraint and compaction are state-preserving,
+    // the upsert bumps the %11==6 slice by 10, the delete removes the
+    // %11==2 slice; the mirror's two ticks pin states 6 and 7, the SQL
+    // probe pins version 5, the catalog pins the published head
+    "q107_lakehouse_flagship" ->
+      """WITH s AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders WHERE o_orderkey % 16 = 1),
+         n AS (SELECT count(*) AS all_n, CAST(sum(c) AS BIGINT) AS t,
+             count(CASE WHEN k % 3 = 0 THEN 1 END) AS n30,
+             CAST(COALESCE(sum(CASE WHEN k % 3 = 0 THEN c END), 0) AS BIGINT) AS t30,
+             count(CASE WHEN k % 3 = 1 THEN 1 END) AS n31,
+             CAST(COALESCE(sum(CASE WHEN k % 3 = 1 THEN c END), 0) AS BIGINT) AS t31,
+             count(CASE WHEN k % 11 = 6 THEN 1 END) AS n116,
+             count(CASE WHEN k % 11 = 2 THEN 1 END) AS n112,
+             CAST(COALESCE(sum(CASE WHEN k % 11 = 2 THEN c END), 0) AS BIGINT) AS t112
+           FROM s)
+         SELECT 'catalog' AS layer, CAST(1 AS BIGINT) AS version,
+             'publish' AS op, all_n - n112 AS n_rows,
+             t + 10 * n116 - t112 AS sum_cents FROM n
+         UNION ALL SELECT 'facts', 1, 'append', n30, t30 FROM n
+         UNION ALL SELECT 'facts', 2, 'append', n30 + n31, t30 + t31 FROM n
+         UNION ALL SELECT 'facts', 3, 'append', all_n, t FROM n
+         UNION ALL SELECT 'facts', 4, 'replace', all_n, t FROM n
+         UNION ALL SELECT 'facts', 5, 'replace', all_n, t FROM n
+         UNION ALL SELECT 'facts', 6, 'mor-upsert', all_n, t + 10 * n116 FROM n
+         UNION ALL SELECT 'facts', 7, 'mor-delete', all_n - n112,
+             t + 10 * n116 - t112 FROM n
+         UNION ALL SELECT 'mirror', 1, 'append', all_n, t + 10 * n116 FROM n
+         UNION ALL SELECT 'mirror', 2, 'mor-upsert', all_n - n112,
+             t + 10 * n116 - t112 FROM n
+         UNION ALL SELECT 'sql', 5, 'asof', all_n, t FROM n
+         ORDER BY layer, version""",
 
     // the sampled frame inventory is pure integer arithmetic (doc_id%3+2
     // frames, every 2nd), dims are the fixture constants, and our encoder
