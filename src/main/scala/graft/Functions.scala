@@ -111,6 +111,14 @@ object Functions {
     bridge.column(graft.functions.KmvDistinct(bridge.expression(c), k)
       .toAggregateExpression())
 
+  /** The KMV sketch ITSELF (sorted k smallest distinct hashes,
+    * `array<long>`) — the mergeable per-file form a metadata layer
+    * stores; union + re-truncate reproduces a single-pass sketch
+    * bit-for-bit. */
+  def kmv_sketch(c: Column, k: Int): Column =
+    bridge.column(graft.functions.KmvSketchValues(bridge.expression(c), k)
+      .toAggregateExpression())
+
   /** HLL distinct-count sketch aggregate (m=256 registers, md5-derived
     * bucket/rho so the registers AND the raw estimate are
     * oracle-reproducible). Returns (est_hll, registers_sum, n_zero). */

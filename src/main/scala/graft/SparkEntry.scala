@@ -3950,6 +3950,45 @@ object SparkEntry {
         .orderBy(col("layer"), col("version"))
     },
 
+    // ---- Metadata-only distinct-key estimate: every commit carries a
+    // per-file KMV sketch (64 longs), and the three fixture files
+    // OVERLAP (per-file rows sum to ~1.8x the true distinct count), so
+    // the graded estimate only comes out right if the driver-side
+    // sketch MERGE is exact — which KMV's bottom-k property guarantees
+    // and the oracle bit-replays (md5-derived hashes, same estimator
+    // expression). Zero data IO for the estimate; the exact count rides
+    // along as the distributed reference ----
+    "q108_meta_ndv" -> { (s, dir) =>
+      val root = scratch("q108_ndv", dir)
+      Fixtures.once(s, "q108_ndv", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val base = Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(8)) === 7)
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        Seq(
+          ("f0", pmod(col("o_orderkey"), lit(3)).isin(0, 1)),
+          ("f1", pmod(col("o_orderkey"), lit(3)).isin(1, 2)),
+          ("f2", pmod(col("o_orderkey"), lit(5)) === 0)
+        ).foreach { case (n, pred) =>
+          base.filter(pred).repartition(1)
+            .write.mode("overwrite").parquet(s"$root/$n")
+        }
+        TableFormat.commitFiles(s, root, "o_orderkey",
+          Seq("f0", "f1", "f2").flatMap(n =>
+            TableFormat.listParquet(s, s"$root/$n")),
+          numBits = 1 << 14, numHashes = 5)
+      }
+      val snap = TableFormat.snapshot(s, root)
+      val est = TableFormat.approxDistinctKeys(snap)
+      Parallelism.ensureDefaultParallelism(TableFormat.read(s, snap))
+        .agg(count_distinct(col("o_orderkey")).as("exact_distinct"))
+        .select(lit(est).as("est_distinct"), col("exact_distinct"),
+          lit(snap.files.size.toLong).as("n_files"),
+          lit(snap.files.map(_.nRows).sum).as("sum_file_rows"))
+    },
+
     // ---- Multimodal: REAL AVI/MJPEG video decode — the second real
     // video path beyond GIF, composed entirely from JDK parts: a
     // standard-layout RIFF AVI (hdrl/strl headers + movi stream) whose
@@ -8164,6 +8203,30 @@ object SparkEntry {
              t + 10 * n116 - t112 FROM n
          UNION ALL SELECT 'sql', 5, 'asof', all_n, t FROM n
          ORDER BY layer, version""",
+
+    // the estimator is bit-replayed: 48-bit md5 prefix of the key's
+    // base-10 string, bottom-64, (k-1)*2^48/h_64 — the same terms the
+    // engine's merged per-file sketches produce (exact mergeability);
+    // sum_file_rows counts file MEMBERSHIPS (the %3 slices overlap on
+    // %3==1 and f2 double-counts %5==0), which is what makes the graded
+    // estimate depend on the merge being a true distinct-union
+    "q108_meta_ndv" ->
+      """WITH s AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 8 = 7),
+         m AS (SELECT CAST(sum((CASE WHEN k % 3 IN (0, 1) THEN 1 ELSE 0 END)
+               + (CASE WHEN k % 3 IN (1, 2) THEN 1 ELSE 0 END)
+               + (CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END)) AS BIGINT) AS sum_rows
+           FROM s),
+         h AS (SELECT DISTINCT
+             CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+           FROM s),
+         kk AS (SELECT list_sort(list(h)) AS hs, count(*) AS exact FROM h)
+         SELECT CASE WHEN len(hs) < 64 THEN CAST(len(hs) AS DOUBLE)
+                ELSE 63e0 * 281474976710656e0 / CAST(hs[64] AS DOUBLE) END
+               AS est_distinct,
+             CAST(exact AS BIGINT) AS exact_distinct,
+             CAST(3 AS BIGINT) AS n_files,
+             (SELECT sum_rows FROM m) AS sum_file_rows
+         FROM kk""",
 
     // the sampled frame inventory is pure integer arithmetic (doc_id%3+2
     // frames, every 2nd), dims are the fixture constants, and our encoder

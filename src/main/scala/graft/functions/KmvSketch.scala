@@ -86,6 +86,15 @@ final class KmvBuffer(val k: Int) {
     if (set.size < k) set.size.toDouble
     else (k - 1).toDouble * KmvBuffer.HashSpace / set.last().toDouble
 
+  /** The sketch's hashes, ascending. */
+  def values: Array[Long] = {
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    out
+  }
+
   def toBytes: Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
@@ -95,6 +104,58 @@ final class KmvBuffer(val k: Int) {
     out.flush()
     bos.toByteArray
   }
+}
+
+/** [[KmvDistinct]]'s MERGEABLE twin: evaluates to the sketch ITSELF (the
+  * sorted k smallest distinct hashes, `array<long>`) instead of the
+  * estimate — what a metadata layer stores PER FILE so later reads can
+  * union sketches and estimate global distinct counts with zero data IO
+  * ([[graft.operators.TableFormat.approxDistinctKeys]]). Mergeability is
+  * exact, not approximate: the global k smallest distinct hashes are
+  * always contained in the union of per-file k smallest, so merging
+  * sketches reproduces bit-for-bit the sketch a single pass over the
+  * union would build. */
+case class KmvSketchValues(child: Expression, k: Int,
+                           mutableAggBufferOffset: Int = 0,
+                           inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvBuffer] {
+
+  require(k >= 2, s"kmv_sketch: k must be >= 2, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "kmv_sketch"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType || child.dataType == NullType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"kmv_sketch requires a string input, got ${child.dataType.catalogString}")
+
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+
+  override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      buf.offer(TextHashUtil.md5Prefix48(v.asInstanceOf[UTF8String].getBytes))
+    }
+    buf
+  }
+
+  override def merge(buf: KmvBuffer, other: KmvBuffer): KmvBuffer = { buf.absorb(other); buf }
+
+  override def eval(buf: KmvBuffer): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.values)
+
+  override def serialize(buf: KmvBuffer): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = KmvBuffer.fromBytes(bytes, k)
+
+  override def withNewMutableAggBufferOffset(n: Int): KmvSketchValues = copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): KmvSketchValues = copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KmvSketchValues =
+    copy(child = c(0))
 }
 
 object KmvBuffer {

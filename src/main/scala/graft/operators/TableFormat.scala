@@ -59,7 +59,13 @@ object TableFormat {
   final case class FileStat(file: String, minKey: Long, maxKey: Long,
                             nRows: Long, bloom: Array[Long],
                             zones: Map[String, (Long, Long)] = Map.empty,
-                            seq: Long = -1L)
+                            seq: Long = -1L,
+                            kmv: Seq[Long] = Seq.empty)
+
+  /** Sketch size for the per-file KMV distinct-key sketches carried in
+    * commit stats (64 longs per file in the commit JSON — bounded
+    * metadata; merged sketches estimate within ~1/sqrt(k-1) ≈ 13%). */
+  val KmvStatsK = 64
 
   /** A merge-on-read DELETE MANIFEST (Iceberg v2's equality-delete file):
     * a parquet file of `_del_key` longs committed WITHOUT rewriting any
@@ -127,7 +133,8 @@ object TableFormat {
       max(col(keyCol).cast("long")).as("max_key"),
       count(lit(1)).as("n_rows"),
       graft.Functions.bloom_agg(col(keyCol), numBits, numHashes).as("bloom")) ++
-      zoneAggs
+      zoneAggs :+
+      graft.Functions.kmv_sketch(col(keyCol).cast("string"), KmvStatsK).as("kmv")
     spark.read.parquet(files: _*)
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -137,9 +144,34 @@ object TableFormat {
           c -> ((r.getLong(5 + 2 * i), r.getLong(6 + 2 * i)))
         }.toMap
         FileStat(r.getString(0), r.getLong(1), r.getLong(2),
-          r.getLong(3), r.getSeq[Long](4).toArray, zones)
+          r.getLong(3), r.getSeq[Long](4).toArray, zones,
+          kmv = r.getSeq[Long](5 + 2 * zoneCols.length))
       }
       .sortBy(_.file).toSeq
+  }
+
+  /** METADATA-ONLY approximate distinct-key count — union the per-file
+    * KMV sketches every commit carries and estimate from the merged
+    * bottom-k (Iceberg's `ndv` metrics / Trino's stats-based
+    * `approx_distinct` pushdown): zero data IO, O(files × k) driver
+    * arithmetic, and EXACT mergeability — the global k smallest distinct
+    * hashes are contained in the union of per-file k smallest, so the
+    * merged sketch is bit-identical to a single pass over the table.
+    * Honesty contract as [[statsSummary]]: refuses under pending
+    * merge-on-read manifests (masked keys would inflate the estimate)
+    * and on pre-sketch commits, rather than guessing. Exact below k
+    * distinct keys (the sketch holds them all). */
+  def approxDistinctKeys(snap: Snapshot): Double = {
+    require(snap.deletes.isEmpty,
+      "approxDistinctKeys: merge-on-read manifests pending — materialize " +
+        "deletes first (masked keys would inflate the metadata estimate)")
+    if (snap.files.isEmpty) return 0.0
+    require(snap.files.forall(_.kmv.nonEmpty),
+      "approxDistinctKeys: commit stats predate KMV sketches — rewrite or " +
+        "recommit the affected files")
+    val buf = new graft.functions.KmvBuffer(KmvStatsK)
+    snap.files.foreach(_.kmv.foreach(buf.offer))
+    buf.estimate
   }
 
   // ---- commit protocol ---------------------------------------------------
@@ -189,6 +221,8 @@ object TableFormat {
         }
         sb.append('}')
       }
+      if (f.kmv.nonEmpty)
+        sb.append(f.kmv.mkString(""","kmv":[""", ",", "]"))
       sb.append('}')
     }
     sb.append("]}")
@@ -218,7 +252,10 @@ object TableFormat {
         Array.fill(bytes.length / 8)(bb.getLong), zones,
         // commits written before sequence numbers parse as seq 0 =
         // oldest: every delete manifest applies (conservative-correct)
-        seq = if (f.has("seq")) f.get("seq").asLong() else 0L)
+        seq = if (f.has("seq")) f.get("seq").asLong() else 0L,
+        // pre-sketch commits parse empty: approxDistinctKeys refuses
+        kmv = if (!f.has("kmv")) Seq.empty
+          else (0 until f.get("kmv").size()).map(f.get("kmv").get(_).asLong()))
     }
     // commits written before props support parse unchanged (empty map)
     val props =

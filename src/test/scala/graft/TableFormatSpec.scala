@@ -1015,6 +1015,41 @@ class TableFormatSpec extends SparkTestBase {
       Seq(2L -> 2.0, 3L -> 9.0))
   }
 
+  test("approxDistinctKeys: merged file sketches equal the single-pass sketch; refusals") {
+    import spark.implicits._
+    val root = freshRoot()
+    // three OVERLAPPING files: per-file distinct counts sum to 1800 but
+    // the true global distinct is 1000 — the merge has to matter
+    writeKv((0L until 600L).map(i => (i, 1.0)), s"$root/f0")
+    writeKv((400L until 1000L).map(i => (i, 1.0)), s"$root/f1")
+    writeKv((0L until 1000L by 5).map(i => (i, 1.0)), s"$root/f2")
+    val s1 = TableFormat.commitFiles(spark, root, "k",
+      Seq("f0", "f1", "f2").flatMap(n => TableFormat.listParquet(spark, s"$root/$n")),
+      256, 3)
+    val est = TableFormat.approxDistinctKeys(s1)
+    // bit-identical to one pass over the union (exact mergeability)
+    val direct = TableFormat.read(spark, s1)
+      .agg(graft.Functions.kmv_distinct(col("k").cast("string"),
+        TableFormat.KmvStatsK)).collect()(0).getDouble(0)
+    assert(est == direct, s"merged=$est single-pass=$direct")
+    assert(math.abs(est - 1000.0) / 1000.0 < 0.3, s"est=$est")
+    // below k distinct: exact
+    val small = freshRoot()
+    writeKv((1L to 20L).map(i => (i, 1.0)), s"$small/f")
+    val s2 = TableFormat.commitFiles(spark, small, "k",
+      TableFormat.listParquet(spark, s"$small/f"), 256, 3)
+    assert(TableFormat.approxDistinctKeys(s2) == 20.0)
+    // pending MoR manifests refuse (masked keys would inflate)
+    TableFormat.deleteKeysMoR(spark, small, small, Seq(5L))
+    val e = intercept[IllegalArgumentException](
+      TableFormat.approxDistinctKeys(TableFormat.snapshot(spark, small)))
+    assert(e.getMessage.contains("materialize"))
+    // materialization restores the metadata answer
+    TableFormat.compact(spark, small, small, 1)
+    assert(TableFormat.approxDistinctKeys(
+      TableFormat.snapshot(spark, small)) == 19.0)
+  }
+
   test("CHECK constraints: declaration validates, row-adding commits refuse violations") {
     import spark.implicits._
     val root = freshRoot()
