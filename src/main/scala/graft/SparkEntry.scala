@@ -3989,6 +3989,51 @@ object SparkEntry {
           lit(snap.files.map(_.nRows).sum).as("sum_file_rows"))
     },
 
+    // ---- SQL metadata tables: Iceberg's `$history`/`$files` idiom
+    // through the TableCatalog (driver-local scans — the rows ARE log
+    // arithmetic), graded alongside a `TIMESTAMP AS OF` head probe;
+    // v2's meta_rows staleness under the manifest is the honesty
+    // contract made SQL-visible, and every ledger number is replacement
+    // arithmetic ----
+    "q109_sql_meta_tables" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"meta_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val root = s"$wh/$tbl"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q109_meta", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val base = Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(8)) === 3)
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        val fa = s"$root/b0"
+        base.repartition(2).write.mode("overwrite").parquet(fa)
+        TableFormat.commitFiles(s, root, "o_orderkey",
+          TableFormat.listParquet(s, fa), numBits = 1 << 14, numHashes = 5)
+        TableFormat.deleteKeysMoR(s, root, root,                     // v2
+          base.filter(pmod(col("o_orderkey"), lit(9)) === 5)
+            .select("o_orderkey"), nManifestFiles = 1)
+        TableFormat.compact(s, root, root, 2)                        // v3
+      }
+      val hist = s.sql(
+        s"""SELECT version, op, n_files, n_delete_files, n_delete_keys,
+            meta_rows FROM graft.`$tbl$$history`""")
+      val filesV1 = s.sql(
+        s"""SELECT CAST(99 AS BIGINT) AS version, 'files_v1' AS op,
+            count(*) AS n_files, CAST(0 AS BIGINT) AS n_delete_files,
+            CAST(0 AS BIGINT) AS n_delete_keys, sum(n_rows) AS meta_rows
+            FROM graft.`$tbl$$files` VERSION AS OF 1""")
+      val future = new java.sql.Timestamp(System.currentTimeMillis + 60000)
+      val asofNow = s.sql(
+        s"""SELECT CAST(98 AS BIGINT) AS version, 'asof_now' AS op,
+            CAST(0 AS BIGINT) AS n_files, CAST(0 AS BIGINT) AS n_delete_files,
+            CAST(0 AS BIGINT) AS n_delete_keys, count(*) AS meta_rows
+            FROM graft.`$tbl` TIMESTAMP AS OF '$future'""")
+      hist.unionByName(asofNow).unionByName(filesV1).orderBy(col("version"))
+    },
+
     // ---- Multimodal: REAL AVI/MJPEG video decode — the second real
     // video path beyond GIF, composed entirely from JDK parts: a
     // standard-layout RIFF AVI (hdrl/strl headers + movi stream) whose
@@ -8227,6 +8272,25 @@ object SparkEntry {
              CAST(3 AS BIGINT) AS n_files,
              (SELECT sum_rows FROM m) AS sum_file_rows
          FROM kk""",
+
+    // history over the %8==3 population: v1 two-file append, v2 masks
+    // the %9==5 slice (meta_rows stays N — the SQL-visible staleness
+    // contract), v3 compacts to two files with the masks materialized;
+    // row 98 is the TIMESTAMP-AS-OF head probe, row 99 the $files pin
+    "q109_sql_meta_tables" ->
+      """WITH s AS (SELECT o_orderkey AS k FROM orders
+           WHERE o_orderkey % 8 = 3),
+         n AS (SELECT count(*) AS all_n,
+             count(CASE WHEN k % 9 = 5 THEN 1 END) AS n95 FROM s)
+         SELECT CAST(1 AS BIGINT) AS version, 'append' AS op,
+             CAST(2 AS BIGINT) AS n_files, CAST(0 AS BIGINT) AS n_delete_files,
+             CAST(0 AS BIGINT) AS n_delete_keys, all_n AS meta_rows
+           FROM n
+         UNION ALL SELECT 2, 'mor-delete', 2, 1, n95, all_n FROM n
+         UNION ALL SELECT 3, 'replace', 2, 0, 0, all_n - n95 FROM n
+         UNION ALL SELECT 98, 'asof_now', 0, 0, 0, all_n - n95 FROM n
+         UNION ALL SELECT 99, 'files_v1', 2, 0, 0, all_n FROM n
+         ORDER BY version""",
 
     // the sampled frame inventory is pure integer arithmetic (doc_id%3+2
     // frames, every 2nd), dims are the fixture constants, and our encoder

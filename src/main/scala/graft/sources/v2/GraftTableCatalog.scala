@@ -83,13 +83,43 @@ class GraftTableCatalog extends TableCatalog {
   override def loadTable(ident: Identifier, version: String): Table =
     loadPinned(ident, Some(version.toLong))
 
-  private def loadPinned(ident: Identifier, version: Option[Long]): Table = {
+  /** `TIMESTAMP AS OF` — Spark hands micros since epoch; resolve through
+    * the log's commit mtimes ([[TableFormat.snapshotAsOfTime]]). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val spark = SparkSession.active
     val root = rootOf(ident)
     if (TableFormat.versions(spark, root).isEmpty)
       throw new NoSuchTableException(ident)
-    val snap = TableFormat.snapshot(spark, root, version)
-    new GraftSqlTable(ident.toString, snap)
+    loadPinned(ident, Some(
+      TableFormat.snapshotAsOfTime(spark, root, timestamp / 1000L).version))
+  }
+
+  private def loadPinned(ident: Identifier, version: Option[Long]): Table = {
+    val spark = SparkSession.active
+    val name = ident.name()
+    val dollar = name.indexOf('$')
+    if (dollar > 0) {
+      // Iceberg's metadata-table idiom: `<table>$history` / `<table>$files`
+      // — pure log/snapshot arithmetic served through a driver-local scan
+      // (the row counts are file- and version-bounded by construction)
+      val root = rootOf(Identifier.of(ident.namespace(),
+        name.substring(0, dollar)))
+      if (TableFormat.versions(spark, root).isEmpty)
+        throw new NoSuchTableException(ident)
+      val df = name.substring(dollar + 1) match {
+        case "history" => TableFormat.historyTable(spark, root)
+        case "files" => TableFormat.filesTable(spark,
+          TableFormat.snapshot(spark, root, version))
+        case other => throw new NoSuchTableException(ident)
+      }
+      new GraftMetaTable(ident.toString, df)
+    } else {
+      val root = rootOf(ident)
+      if (TableFormat.versions(spark, root).isEmpty)
+        throw new NoSuchTableException(ident)
+      val snap = TableFormat.snapshot(spark, root, version)
+      new GraftSqlTable(ident.toString, snap)
+    }
   }
 
   override def invalidateTable(ident: Identifier): Unit = ()
@@ -106,6 +136,26 @@ class GraftTableCatalog extends TableCatalog {
       "graft catalog is read-only: retention runs through TableFormat.expireSnapshots")
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft catalog is read-only")
+}
+
+/** A metadata table (`$history` / `$files`): version- or file-bounded
+  * rows computed on the driver and served via [[LocalScan]] — no
+  * executor work for what is already in-memory log arithmetic. */
+private class GraftMetaTable(ident: String, df: org.apache.spark.sql.DataFrame)
+    extends Table with SupportsRead {
+  override def name(): String = ident
+  override def schema(): StructType = df.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def readSchema(): StructType = df.schema
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+          df.queryExecution.executedPlan.executeCollect()
+        override def description(): String = s"graft-meta($ident)"
+      }
+    }
 }
 
 private class GraftSqlTable(ident: String, snap: TableFormat.Snapshot)

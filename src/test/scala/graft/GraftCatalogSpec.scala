@@ -74,6 +74,38 @@ class GraftCatalogSpec extends SparkTestBase {
       .collect()(0).getLong(0) == 400L)
   }
 
+  test("metadata tables ($history/$files) and TIMESTAMP AS OF through SQL") {
+    val root = s"$warehouse/metat"
+    writeKv((1L to 10L).map(i => (i, i * 1.0)), s"$root/w1")
+    writeKv((11L to 20L).map(i => (i, i * 1.0)), s"$root/w2")
+    TableFormat.commitFiles(spark, root, "k",
+      TableFormat.listParquet(spark, s"$root/w1") ++
+        TableFormat.listParquet(spark, s"$root/w2"), 256, 3)     // v1
+    TableFormat.deleteKeysMoR(spark, root, root, Seq(5L, 15L))   // v2
+    TableFormat.compact(spark, root, root, 1)                    // v3
+    val hist = spark.sql(
+      "SELECT version, op, n_files, n_delete_files, meta_rows " +
+        "FROM sqlcat.`metat$history` ORDER BY version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // v2's meta_rows is stale BY CONTRACT (stats say 20 under a manifest)
+    assert(hist == Seq((1L, "append", 2L, 0L, 20L),
+      (2L, "mor-delete", 2L, 1L, 20L), (3L, "replace", 1L, 0L, 18L)))
+    val files1 = spark.sql(
+      "SELECT count(*) AS n, sum(n_rows) AS r " +
+        "FROM sqlcat.`metat$files` VERSION AS OF 1").collect()(0)
+    assert((files1.getLong(0), files1.getLong(1)) == ((2L, 20L)))
+    // TIMESTAMP AS OF in the future resolves to the head
+    val future = new java.sql.Timestamp(System.currentTimeMillis + 60000)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM sqlcat.metat TIMESTAMP AS OF '$future'")
+      .collect()(0).getLong(0) == 18L)
+    // unknown metadata suffix is a loud NoSuchTable
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM sqlcat.`metat$bogus`").collect())
+    assert(e.getMessage.toLowerCase.contains("table"))
+  }
+
   test("schema evolution: SQL sees the committed DDL with null back-fill") {
     import spark.implicits._
     val root = s"$warehouse/evolving"
