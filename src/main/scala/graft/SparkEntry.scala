@@ -4034,6 +4034,55 @@ object SparkEntry {
       hist.unionByName(asofNow).unionByName(filesV1).orderBy(col("version"))
     },
 
+    // ---- Named refs (tags): 'audited' pins v1 through a CDC upsert, a
+    // compaction, and a RETENTION sweep that would otherwise expire it
+    // (the ref-protection rule — only the untagged v2 expires), and the
+    // pin resolves from SQL (`VERSION AS OF 'audited'`); the graded
+    // rows are the tag state, the head state, and the expired-version
+    // count ----
+    "q110_named_refs" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"refs_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val root = s"$wh/$tbl"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val nExpired = Fixtures.once(s, "q110_refs", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val base = Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(16)) === 6)
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        val fa = s"$root/b0"
+        base.repartition(2).write.mode("overwrite").parquet(fa)
+        TableFormat.commitFiles(s, root, "o_orderkey",
+          TableFormat.listParquet(s, fa), numBits = 1 << 14, numHashes = 5)
+        TableFormat.createTag(s, root, "audited")                    // v2 @1
+        TableFormat.upsertRowsMoR(s, root, root,                     // v3
+          base.filter(pmod(col("o_orderkey"), lit(9)) === 8)
+            .select(col("o_orderkey"), (col("cents") + 10).as("cents")))
+        TableFormat.compact(s, root, root, 2)                        // v4
+        // keepLast=2 would expire v1+v2; the tag protects v1, so ONLY
+        // the tag commit itself (v2) leaves the horizon
+        val (expired, _) = TableFormat.expireSnapshots(s, root,
+          keepLast = 2, Seq(root), graceMs = 0L)
+        expired.size.toLong
+      }
+      def pinRow(pin: String, df: DataFrame) =
+        Parallelism.ensureDefaultParallelism(df)
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("cents")), lit(0L)).as("sum_cents"))
+          .select(lit(pin).as("pin"), col("n_rows"), col("sum_cents"))
+      val expiredRow = s.range(1).select(lit("expired").as("pin"),
+        lit(nExpired).as("n_rows"), lit(0L).as("sum_cents"))
+      Seq(
+        pinRow("audited",
+          s.sql(s"SELECT cents FROM graft.`$tbl` VERSION AS OF 'audited'")),
+        pinRow("head", s.sql(s"SELECT cents FROM graft.`$tbl`")),
+        expiredRow
+      ).reduce(_.unionByName(_)).orderBy(col("pin"))
+    },
+
     // ---- Multimodal: REAL AVI/MJPEG video decode — the second real
     // video path beyond GIF, composed entirely from JDK parts: a
     // standard-layout RIFF AVI (hdrl/strl headers + movi stream) whose
@@ -8291,6 +8340,20 @@ object SparkEntry {
          UNION ALL SELECT 98, 'asof_now', 0, 0, 0, all_n - n95 FROM n
          UNION ALL SELECT 99, 'files_v1', 2, 0, 0, all_n FROM n
          ORDER BY version""",
+
+    // the tag pins the pre-upsert state of the %16==6 population, the
+    // head carries the +10 bump on the %9==8 slice, and exactly ONE
+    // version expired (the untagged tag-commit v2 — v1 is protected)
+    "q110_named_refs" ->
+      """WITH s AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders WHERE o_orderkey % 16 = 6),
+         n AS (SELECT count(*) AS all_n, CAST(sum(c) AS BIGINT) AS t,
+             count(CASE WHEN k % 9 = 8 THEN 1 END) AS n98 FROM s)
+         SELECT 'audited' AS pin, all_n AS n_rows, t AS sum_cents FROM n
+         UNION ALL SELECT 'expired', 1, 0 FROM n
+         UNION ALL SELECT 'head', all_n, t + 10 * n98 FROM n
+         ORDER BY pin""",
 
     // the sampled frame inventory is pure integer arithmetic (doc_id%3+2
     // frames, every 2nd), dims are the fixture constants, and our encoder

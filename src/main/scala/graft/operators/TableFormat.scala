@@ -584,6 +584,56 @@ object TableFormat {
     * rewritten. Existing columns must keep their type
     * ([[evolveSchema]]). `extraProps` overlay the carried-forward commit
     * properties (how the streaming sink records its replay gate). */
+  /** Commit-property prefix under which NAMED REFS (tags) live — the
+    * Iceberg tag shape: a human name pinned to a version, carried in
+    * props so it flows through maintenance/branches/replication like
+    * everything else, resolvable from SQL (`VERSION AS OF 'prod'`), and
+    * PROTECTING its version from [[expireSnapshots]]' horizon. */
+  private val RefPrefix = "ref."
+
+  /** Pin `name` to a version (default: the current head) — a
+    * metadata-only op=replace commit. Re-tagging moves the pin. */
+  def createTag(spark: SparkSession, root: String, name: String,
+                version: Option[Long] = None): Snapshot = {
+    // all-digit names are reserved: `VERSION AS OF 7` must stay a
+    // version, never a tag
+    require(name.nonEmpty && !name.contains('.') && !name.forall(_.isDigit),
+      s"createTag: bad tag name '$name' (non-numeric, no dots)")
+    val first = snapshot(spark, root)
+    val v = version.getOrElse(first.version)
+    require(versions(spark, root).contains(v),
+      s"createTag: no version $v at $root")
+    commitTransform(spark, root, first.keyCol, first.numBits, first.numHashes,
+      curOpt => curOpt.map(_.files).getOrElse(Seq.empty),
+      deriveProps = curOpt => curOpt.map(_.props).getOrElse(Map.empty) +
+        (s"$RefPrefix$name" -> v.toString),
+      op = Some("replace"))
+  }
+
+  /** Drop a tag — metadata-only; its version rejoins the normal
+    * retention horizon. */
+  def dropTag(spark: SparkSession, root: String, name: String): Snapshot = {
+    val first = snapshot(spark, root)
+    require(first.props.contains(s"$RefPrefix$name"),
+      s"dropTag: no tag '$name'")
+    commitTransform(spark, root, first.keyCol, first.numBits, first.numHashes,
+      curOpt => curOpt.map(_.files).getOrElse(Seq.empty),
+      deriveProps = curOpt => curOpt.map(_.props).getOrElse(Map.empty) -
+        s"$RefPrefix$name",
+      op = Some("replace"))
+  }
+
+  /** Resolve a tag to its pinned snapshot. */
+  def snapshotOfTag(spark: SparkSession, root: String, name: String): Snapshot = {
+    val head = snapshot(spark, root)
+    val v = head.props.getOrElse(s"$RefPrefix$name",
+      throw new IllegalArgumentException(
+        s"snapshotOfTag: no tag '$name' at $root (have: " +
+          head.props.keys.filter(_.startsWith(RefPrefix))
+            .map(_.stripPrefix(RefPrefix)).toSeq.sorted.mkString(",") + ")"))
+    snapshot(spark, root, Some(v.toLong))
+  }
+
   /** Commit-property prefix under which CHECK constraints live. Props
     * are carried forward by every maintenance commit, inherited by
     * branches, and follow replication — so a constraint set once holds
@@ -1739,8 +1789,14 @@ object TableFormat {
     require(keepLast >= 1, s"expireSnapshots: keepLast must be >= 1, got $keepLast")
     val (_, fs, _) = fileContext(spark, root)
     val vs = versions(spark, root)
-    val expired = vs.dropRight(keepLast)
-    val survivors = vs.takeRight(keepLast)
+    // named refs (tags) PROTECT their versions from the horizon — the
+    // Iceberg ref-retention rule: "prod points at v7" must keep v7
+    // readable however far the head advances
+    val tagged = snapshot(spark, root, Some(vs.last)).props.collect {
+      case (k, v) if k.startsWith(RefPrefix) => v.toLong
+    }.toSet
+    val (expired, protectedVs) = vs.dropRight(keepLast).partition(v => !tagged(v))
+    val survivors = vs.takeRight(keepLast) ++ protectedVs
     def uriPath(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
     val referenced = survivors
       .flatMap { v =>

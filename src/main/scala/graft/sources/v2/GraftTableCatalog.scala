@@ -80,8 +80,24 @@ class GraftTableCatalog extends TableCatalog {
   override def loadTable(ident: Identifier): Table =
     loadPinned(ident, None)
 
+  /** `VERSION AS OF` — a numeric argument pins a version; anything else
+    * resolves as a NAMED REF (`VERSION AS OF 'prod'`), the Iceberg tag
+    * idiom ([[TableFormat.createTag]]; all-digit tag names are refused
+    * at creation so the two namespaces cannot collide). */
   override def loadTable(ident: Identifier, version: String): Table =
-    loadPinned(ident, Some(version.toLong))
+    version.toLongOption match {
+      case Some(v) => loadPinned(ident, Some(v))
+      case None =>
+        val spark = SparkSession.active
+        val name = ident.name()
+        val dollar = name.indexOf('$')
+        val baseName = if (dollar > 0) name.substring(0, dollar) else name
+        val root = rootOf(Identifier.of(ident.namespace(), baseName))
+        if (TableFormat.versions(spark, root).isEmpty)
+          throw new NoSuchTableException(ident)
+        loadPinned(ident,
+          Some(TableFormat.snapshotOfTag(spark, root, version).version))
+    }
 
   /** `TIMESTAMP AS OF` — Spark hands micros since epoch; resolve through
     * the log's commit mtimes ([[TableFormat.snapshotAsOfTime]]). */

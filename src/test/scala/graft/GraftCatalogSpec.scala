@@ -106,6 +106,28 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(e.getMessage.toLowerCase.contains("table"))
   }
 
+  test("VERSION AS OF resolves named refs (tags) next to numeric pins") {
+    val root = s"$warehouse/tagged"
+    writeKv((1L to 5L).map(i => (i, i * 1.0)), s"$root/w1")
+    TableFormat.commitFiles(spark, root, "k",
+      TableFormat.listParquet(spark, s"$root/w1"), 256, 3)       // v1
+    TableFormat.createTag(spark, root, "prod")                   // v2, pins v1
+    writeKv(Seq(6L -> 6.0), s"$root/w2")
+    TableFormat.appendFiles(spark, root,
+      TableFormat.listParquet(spark, s"$root/w2"))               // v3
+    assert(spark.sql("SELECT count(*) AS n FROM sqlcat.tagged VERSION AS OF 'prod'")
+      .collect()(0).getLong(0) == 5L)
+    assert(spark.sql("SELECT count(*) AS n FROM sqlcat.tagged")
+      .collect()(0).getLong(0) == 6L)
+    // tags compose with metadata tables
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM sqlcat.`tagged$files` VERSION AS OF 'prod'")
+      .collect()(0).getLong(0) == 1L)
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM sqlcat.tagged VERSION AS OF 'nope'").collect())
+    assert(e.getMessage.contains("no tag"))
+  }
+
   test("schema evolution: SQL sees the committed DDL with null back-fill") {
     import spark.implicits._
     val root = s"$warehouse/evolving"

@@ -1015,6 +1015,41 @@ class TableFormatSpec extends SparkTestBase {
       Seq(2L -> 2.0, 3L -> 9.0))
   }
 
+  test("tags: named pins resolve, survive maintenance, protect retention") {
+    val root = freshRoot()
+    writeKv(Seq(1L -> 1.0, 2L -> 2.0), s"$root/w1")
+    TableFormat.commitFiles(spark, root, "k",
+      TableFormat.listParquet(spark, s"$root/w1"), 256, 3)       // v1
+    TableFormat.createTag(spark, root, "audited")                // v2 @ v1? no: pins current head = v1
+    writeKv(Seq(3L -> 3.0), s"$root/w2")
+    TableFormat.appendFiles(spark, root,
+      TableFormat.listParquet(spark, s"$root/w2"))               // v3
+    TableFormat.compact(spark, root, root, 1)                    // v4
+    // the tag still resolves to the pinned content after maintenance
+    val tagged = TableFormat.snapshotOfTag(spark, root, "audited")
+    assert(tagged.version == 1L)
+    assert(TableFormat.read(spark, tagged).count() == 2L)
+    // all-digit names are refused (they would shadow numeric pins)
+    val e0 = intercept[IllegalArgumentException](
+      TableFormat.createTag(spark, root, "7"))
+    assert(e0.getMessage.contains("non-numeric"))
+    // retention: keepLast=1 would expire v1, but the tag protects it —
+    // its version AND its data files survive the sweep
+    val (expired, removed) = TableFormat.expireSnapshots(spark, root,
+      keepLast = 1, Seq(root), graceMs = 0L)
+    assert(!expired.contains(1L))
+    assert(TableFormat.read(spark,
+      TableFormat.snapshotOfTag(spark, root, "audited")).count() == 2L)
+    // dropping the tag re-opens the horizon
+    TableFormat.dropTag(spark, root, "audited")                  // v5
+    val (expired2, _) = TableFormat.expireSnapshots(spark, root,
+      keepLast = 1, Seq(root), graceMs = 0L)
+    assert(expired2.contains(1L))
+    val e1 = intercept[IllegalArgumentException](
+      TableFormat.snapshotOfTag(spark, root, "audited"))
+    assert(e1.getMessage.contains("no tag"))
+  }
+
   test("approxDistinctKeys: merged file sketches equal the single-pass sketch; refusals") {
     import spark.implicits._
     val root = freshRoot()
