@@ -4083,6 +4083,69 @@ object SparkEntry {
       ).reduce(_.unionByName(_)).orderBy(col("pin"))
     },
 
+    // ---- Shallow clone: the target's first commit references every
+    // source file AND manifest by path (zero data IO — the 'shared'
+    // ledger row counts the common paths), its log CONTINUES the
+    // source's numbering so MoR seq scoping survives, and the two
+    // tables then diverge independently — a source delete and a clone
+    // append each visible only on their own side ----
+    "q111_shallow_clone" -> { (s, dir) =>
+      val root = scratch("q111_cln", dir)
+      val src = s"$root/src"; val tgt = s"$root/tgt"
+      val nShared = Fixtures.once(s, "q111_cln", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val orders = Tables.orders(s, dir)
+        val base = orders.filter(pmod(col("o_orderkey"), lit(16)) === 10)
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        val kmax = base.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+        val w = kmax / 4 + 1
+        val files = (0 until 4).flatMap { b =>
+          val f = s"$src/b$b"
+          base.filter(expr(s"o_orderkey div $w") === b)
+            .repartition(1).write.mode("overwrite").parquet(f)
+          TableFormat.listParquet(s, f)
+        }
+        TableFormat.commitFiles(s, src, "o_orderkey", files,
+          numBits = 1 << 14, numHashes = 5)                      // src v1
+        TableFormat.upsertRowsMoR(s, src, src,                   // src v2
+          base.filter(pmod(col("o_orderkey"), lit(9)) === 7)
+            .select(col("o_orderkey"), (col("cents") + 10).as("cents")))
+        val cloned = TableFormat.cloneTable(s, src, tgt)         // tgt v2
+        val shared = cloned.files.map(_.file).toSet
+          .intersect(TableFormat.snapshot(s, src).files.map(_.file).toSet)
+        TableFormat.deleteKeysMoR(s, src, src,                   // src v3
+          base.filter(pmod(col("o_orderkey"), lit(9)) === 3)
+            .select("o_orderkey"), nManifestFiles = 1)
+        val late = s"$tgt/late"
+        orders.filter(pmod(col("o_orderkey"), lit(16)) === 2)
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .repartition(1).write.mode("overwrite").parquet(late)
+        TableFormat.appendFiles(s, tgt, TableFormat.listParquet(s, late)) // tgt v3
+        shared.size.toLong
+      }
+      def layerRow(layer: String, version: Long, op: String, df: DataFrame) =
+        Parallelism.ensureDefaultParallelism(df)
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+          .select(lit(layer).as("layer"), lit(version).as("version"),
+            lit(op).as("op"), col("n_rows"), col("sum_cents"))
+      val rows =
+        TableFormat.versions(s, src).map { v =>
+          val snap = TableFormat.snapshot(s, src, Some(v))
+          layerRow("src", v, snap.op.getOrElse(""), TableFormat.read(s, snap))
+        } ++
+        TableFormat.versions(s, tgt).map { v =>
+          val snap = TableFormat.snapshot(s, tgt, Some(v))
+          layerRow("clone", v, snap.op.getOrElse(""), TableFormat.read(s, snap))
+        } :+
+        s.range(1).select(lit("shared").as("layer"), lit(0L).as("version"),
+          lit("files").as("op"), lit(nShared).as("n_rows"),
+          lit(0L).as("sum_cents"))
+      rows.reduce(_.unionByName(_)).orderBy(col("layer"), col("version"))
+    },
+
     // ---- Multimodal: REAL AVI/MJPEG video decode — the second real
     // video path beyond GIF, composed entirely from JDK parts: a
     // standard-layout RIFF AVI (hdrl/strl headers + movi stream) whose
@@ -8354,6 +8417,36 @@ object SparkEntry {
          UNION ALL SELECT 'expired', 1, 0 FROM n
          UNION ALL SELECT 'head', all_n, t + 10 * n98 FROM n
          ORDER BY pin""",
+
+    // both logs replay from the %16==10 population: the clone pins the
+    // post-upsert state (+10 on the %9==7 slice) and appends the
+    // %16==2 late slice; the source deletes its %9==3 slice after the
+    // clone; 'shared' counts the zero-copy file references — the four
+    // key buckets plus the upsert batch file
+    "q111_shallow_clone" ->
+      """WITH s AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders WHERE o_orderkey % 16 = 10),
+         n AS (SELECT count(*) AS all_n, CAST(sum(c) AS BIGINT) AS t,
+             count(CASE WHEN k % 9 = 7 THEN 1 END) AS n97,
+             count(CASE WHEN k % 9 = 3 THEN 1 END) AS n93,
+             CAST(COALESCE(sum(CASE WHEN k % 9 = 3 THEN c END), 0)
+               AS BIGINT) AS t93
+           FROM s),
+         a AS (SELECT count(*) AS late_n,
+             CAST(COALESCE(sum(CAST(floor(o_totalprice * 100) AS BIGINT)), 0)
+               AS BIGINT) AS late_t
+           FROM orders WHERE o_orderkey % 16 = 2)
+         SELECT 'clone' AS layer, CAST(2 AS BIGINT) AS version,
+             'clone' AS op, all_n AS n_rows, t + 10 * n97 AS sum_cents FROM n
+         UNION ALL SELECT 'clone', 3, 'append', all_n + late_n,
+             t + 10 * n97 + late_t FROM n, a
+         UNION ALL SELECT 'shared', 0, 'files', 5, 0 FROM n
+         UNION ALL SELECT 'src', 1, 'append', all_n, t FROM n
+         UNION ALL SELECT 'src', 2, 'mor-upsert', all_n, t + 10 * n97 FROM n
+         UNION ALL SELECT 'src', 3, 'mor-delete', all_n - n93,
+             t + 10 * n97 - t93 FROM n
+         ORDER BY layer, version""",
 
     // the sampled frame inventory is pure integer arithmetic (doc_id%3+2
     // frames, every 2nd), dims are the fixture constants, and our encoder

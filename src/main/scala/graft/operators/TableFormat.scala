@@ -584,6 +584,39 @@ object TableFormat {
     * rewritten. Existing columns must keep their type
     * ([[evolveSchema]]). `extraProps` overlay the carried-forward commit
     * properties (how the streaming sink records its replay gate). */
+  /** SHALLOW CLONE — Delta's `CREATE TABLE ... SHALLOW CLONE`: start a
+    * NEW table log whose v1 references the source snapshot's files (and
+    * delete manifests) BY PATH — one metadata commit, zero data IO,
+    * however large the table. Clones then diverge independently: each
+    * log commits its own versions, and because data files are immutable
+    * neither side's writes can corrupt the other. The one operational
+    * caveat is Delta's too, stated rather than hidden: the SOURCE's
+    * [[expireSnapshots]] cannot see a clone's references, so sweeping
+    * source versions a clone still depends on breaks the clone — run
+    * clone-aware retention (keep the cloned version tagged on the
+    * source) or deep-copy before expiring. Props are carried verbatim
+    * (constraints and tags travel; a carried ingest gate makes a
+    * different-lineage stream REFUSE the clone, which is the safe
+    * default). */
+  def cloneTable(spark: SparkSession, sourceRoot: String, targetRoot: String,
+                 version: Option[Long] = None): Snapshot = {
+    val src = snapshot(spark, sourceRoot, version)
+    require(versions(spark, targetRoot).isEmpty,
+      s"cloneTable: target $targetRoot already has commits")
+    // the clone's log CONTINUES the source's version numbering (the
+    // branch-log rule): cloned files and manifests keep their source
+    // seqs, and publishing the clone AT the source version keeps every
+    // future target commit strictly above them — so a MoR delete on the
+    // clone masks the cloned files, and the cloned manifests keep
+    // applying to exactly the files they did on the source
+    if (!tryCommit(spark, targetRoot, src.version, src.keyCol, src.numBits,
+        src.numHashes, src.files, src.props, src.schemaDdl, Some("clone"),
+        src.zoneCols, src.deletes))
+      throw new IllegalStateException(
+        s"cloneTable: lost the bootstrap race at $targetRoot")
+    snapshot(spark, targetRoot)
+  }
+
   /** Commit-property prefix under which NAMED REFS (tags) live — the
     * Iceberg tag shape: a human name pinned to a version, carried in
     * props so it flows through maintenance/branches/replication like

@@ -1015,6 +1015,50 @@ class TableFormatSpec extends SparkTestBase {
       Seq(2L -> 2.0, 3L -> 9.0))
   }
 
+  test("shallow clone: zero-copy bootstrap, independent divergence, MoR seq scoping") {
+    import spark.implicits._
+    val srcRoot = freshRoot(); val tgtRoot = freshRoot()
+    writeKv((1L to 10L).map(i => (i, i * 1.0)), s"$srcRoot/w1")
+    TableFormat.commitFiles(spark, srcRoot, "k",
+      TableFormat.listParquet(spark, s"$srcRoot/w1"), 256, 3)      // src v1
+    TableFormat.deleteKeysMoR(spark, srcRoot, srcRoot, Seq(4L))    // src v2
+    val cloned = TableFormat.cloneTable(spark, srcRoot, tgtRoot)
+    // zero-copy: same files AND the same manifest, by path, at v2
+    assert(cloned.version == 2L && cloned.op.contains("clone"))
+    assert(cloned.files.map(_.file) ==
+      TableFormat.snapshot(spark, srcRoot).files.map(_.file))
+    assert(cloned.deletes.map(_.file) ==
+      TableFormat.snapshot(spark, srcRoot).deletes.map(_.file))
+    def content(root: String) = TableFormat
+      .read(spark, TableFormat.snapshot(spark, root))
+      .orderBy("k").collect().map(_.getLong(0)).toSeq
+    assert(content(tgtRoot) == content(srcRoot))
+    // divergence: a MoR delete on the CLONE masks cloned files (the
+    // continued numbering keeps its seq above theirs) and never touches
+    // the source; a source append never appears on the clone
+    TableFormat.deleteKeysMoR(spark, tgtRoot, tgtRoot, Seq(7L))    // tgt v3
+    writeKv(Seq(20L -> 20.0), s"$srcRoot/w2")
+    TableFormat.appendFiles(spark, srcRoot,
+      TableFormat.listParquet(spark, s"$srcRoot/w2"))              // src v3
+    assert(content(tgtRoot) ==
+      (1L to 10L).filterNot(k => k == 4L || k == 7L))
+    assert(content(srcRoot) == ((1L to 10L).filterNot(_ == 4L) :+ 20L))
+    // a clone into a non-empty log refuses
+    val e = intercept[IllegalArgumentException](
+      TableFormat.cloneTable(spark, srcRoot, tgtRoot))
+    assert(e.getMessage.contains("already has commits"))
+    // constraints travel with the clone (props verbatim)
+    val srcRoot2 = freshRoot(); val tgtRoot2 = freshRoot()
+    writeKv(Seq(1L -> 1.0), s"$srcRoot2/w")
+    TableFormat.commitFiles(spark, srcRoot2, "k",
+      TableFormat.listParquet(spark, s"$srcRoot2/w"), 256, 3)
+    TableFormat.setConstraint(spark, srcRoot2, "pos_v", "v > 0")
+    TableFormat.cloneTable(spark, srcRoot2, tgtRoot2)
+    val e2 = intercept[IllegalArgumentException](TableFormat.upsertRowsMoR(
+      spark, tgtRoot2, tgtRoot2, Seq(2L -> -1.0).toDF("k", "v")))
+    assert(e2.getMessage.contains("pos_v"))
+  }
+
   test("tags: named pins resolve, survive maintenance, protect retention") {
     val root = freshRoot()
     writeKv(Seq(1L -> 1.0, 2L -> 2.0), s"$root/w1")
