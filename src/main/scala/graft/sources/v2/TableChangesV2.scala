@@ -131,17 +131,21 @@ private class ChangesStream(root: String, schema: StructType)
     val s = start.asInstanceOf[VersionOffset].version
     val e = end.asInstanceOf[VersionOffset].version
     if (s >= e) return Array.empty
-    // one resolved snapshot per commit in the window; the appended-file
-    // diff is driver arithmetic over the in-memory file lists
-    val snaps = (math.max(1L, s) to e)
-      .map(v => v -> TableFormat.snapshot(spark, root, Some(v))).toMap
-    (s + 1 to e).flatMap { v =>
+    // walk only versions that EXIST — a log need not start at 1 (a
+    // clone's log continues the source's numbering) and retention may
+    // have expired a prefix; the first live version in the window has
+    // no predecessor and emits its full file set
+    val all = TableFormat.versions(spark, root)
+    val window = all.filter(v => v > s && v <= e)
+    val snaps = (window ++ window.flatMap(v => all.filter(_ < v).lastOption))
+      .distinct.map(v => v -> TableFormat.snapshot(spark, root, Some(v))).toMap
+    window.flatMap { v =>
       val cur = snaps(v)
       if (cur.op.contains("replace")) Seq.empty // content-preserving: skip
       else {
-        val prevFiles =
-          if (v == 1L) Set.empty[String]
-          else snaps(v - 1).files.map(_.file).toSet
+        val prevFiles = all.filter(_ < v).lastOption
+          .map(pv => snaps(pv).files.map(_.file).toSet)
+          .getOrElse(Set.empty[String])
         cur.files.map(_.file).filterNot(prevFiles)
           .map(f => TableFilePartition(f, v): InputPartition)
       }

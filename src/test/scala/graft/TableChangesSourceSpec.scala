@@ -103,6 +103,27 @@ class TableChangesSourceSpec extends SparkTestBase {
     assert(bContent() == aContent())
   }
 
+  test("streaming a clone log (versions start above 1) emits from the clone point") {
+    val src = freshRoot(); val tgt = freshRoot()
+    val out = s"${freshRoot()}/out"; val cp = s"${freshRoot()}/cp"
+    writeKv((1L to 5L).map(i => (i, i * 1.0)), s"$src/w1")
+    TableFormat.commitFiles(spark, src, "k",
+      TableFormat.listParquet(spark, s"$src/w1"), 256, 3)        // src v1
+    TableFormat.deleteKeysMoR(spark, src, src, Seq(2L))          // src v2
+    TableFormat.cloneTable(spark, src, tgt)                      // tgt log @ v2
+    writeKv(Seq(9L -> 9.0), s"$tgt/w2")
+    TableFormat.appendFiles(spark, tgt,
+      TableFormat.listParquet(spark, s"$tgt/w2"))                // tgt v3
+    runOnce(tgt, out, cp)
+    val got = spark.read.parquet(out).select("_commit_version", "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // the clone commit (v2, the window's first live version) emits its
+    // full file set — raw appended files, so the cloned manifest's
+    // masked k=2 appears here (append-stream semantics, documented);
+    // the clone-side append emits at v3
+    assert(got == ((1L to 5L).map(i => (2L, i)) :+ ((3L, 9L))))
+  }
+
   test("table-as-stream follows schema evolution with null back-fill") {
     import spark.implicits._
     val root = freshRoot()

@@ -1015,6 +1015,37 @@ class TableFormatSpec extends SparkTestBase {
       Seq(2L -> 2.0, 3L -> 9.0))
   }
 
+  test("concurrent append + compactSmallFiles serialize; the binpack re-derives") {
+    val root = freshRoot()
+    def f(name: String, keys: Range): Seq[String] = {
+      val p = writeKv(keys.map(i => (i.toLong, i * 1.0)), s"$root/$name")
+      TableFormat.listParquet(spark, p)
+    }
+    TableFormat.commitFiles(spark, root, "k",
+      f("f0", 0 until 5) ++ f("f1", 5 until 10) ++ f("f2", 10 until 15), 256, 3)
+    val late = f("late", 100 until 105)
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val start = new CountDownLatch(1)
+      val fa = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = { start.await()
+          TableFormat.appendFiles(spark, root, late).version }
+      })
+      val fb = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = { start.await()
+          TableFormat.compactSmallFiles(spark, root, root, targetRows = 12L)
+            ._1.version }
+      })
+      start.countDown()
+      val got = Set(fa.get(120, TimeUnit.SECONDS), fb.get(120, TimeUnit.SECONDS))
+      assert(got == Set(2L, 3L), s"got $got")
+      // whatever the order, nothing is lost and nothing duplicated
+      val keys = TableFormat.read(spark, TableFormat.snapshot(spark, root))
+        .orderBy("k").collect().map(_.getLong(0)).toSeq
+      assert(keys == ((0L until 15L) ++ (100L until 105L)).toSeq)
+    } finally pool.shutdownNow()
+  }
+
   test("shallow clone: zero-copy bootstrap, independent divergence, MoR seq scoping") {
     import spark.implicits._
     val srcRoot = freshRoot(); val tgtRoot = freshRoot()
