@@ -28,8 +28,12 @@ import org.apache.spark.sql.SparkSession
   * Scale shape: a catalog commit is one tiny JSON file — O(tables)
   * metadata, zero data IO — and resolving it is one read. The
   * optimistic CAS serializes concurrent transactions; losers re-derive
-  * against the winner's map, so disjoint-table transactions compose and
-  * same-table racers conflict loudly at re-derive time. */
+  * against the winner's map, so disjoint-table transactions compose.
+  * Same-table racers serialize last-writer-wins UNLESS the transaction
+  * pins its expected versions with [[publish]]'s `guard` — pass the
+  * guard whenever the new pointer was DERIVED from the old state
+  * (refresh, replication), so a stale derivation fails loudly instead
+  * of silently undoing the winner. */
 object Catalog {
 
   /** A pinned table pointer: the table's log root and the version this
