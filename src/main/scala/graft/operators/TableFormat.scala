@@ -186,7 +186,23 @@ object TableFormat {
                            zoneCols: Seq[String],
                            deletes: Seq[DeleteFile]): String = {
     val sb = new StringBuilder
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    // full JSON string escaping: a commit property, schema DDL, or CHECK
+    // predicate may carry newlines/tabs (multi-line SQL) — an unescaped
+    // control char would publish a commit that every later parse rejects,
+    // permanently bricking the log head
+    def esc(s: String): String = {
+      val b = new StringBuilder(s.length + 8)
+      s.foreach {
+        case '\\' => b.append("\\\\")
+        case '"' => b.append("\\\"")
+        case '\n' => b.append("\\n")
+        case '\r' => b.append("\\r")
+        case '\t' => b.append("\\t")
+        case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+        case c => b.append(c)
+      }
+      b.toString
+    }
     sb.append(s"""{"version":$version,"key_col":"${esc(keyCol)}",""")
     sb.append(s""""num_bits":$numBits,"num_hashes":$numHashes,""")
     schemaDdl.foreach(d => sb.append(s""""schema":"${esc(d)}","""))
@@ -690,6 +706,21 @@ object TableFormat {
       case _ => ()
     }
 
+  /** Close the setConstraint-vs-ingest race: a row-adding commit
+    * validates its batch against the snapshot it resolved BEFORE the CAS
+    * loop, so a constraint added concurrently could otherwise slip past
+    * it. Called inside the commitTransform derive with the re-resolved
+    * snapshot — re-validates ONLY when the constraint prop set actually
+    * changed since the pre-check (a rare race; the common path stays one
+    * validation pass). */
+  private def recheckConstraintsIfChanged(spark: SparkSession, base: Snapshot,
+                                          cur: Snapshot, batch: DataFrame,
+                                          caller: String): Unit = {
+    def cset(s: Snapshot) =
+      s.props.filter(_._1.startsWith(ConstraintPrefix))
+    if (cset(cur) != cset(base)) checkConstraints(spark, cur, batch, caller)
+  }
+
   /** Add (or replace) a CHECK constraint — Delta's `ADD CONSTRAINT`:
     * the EXISTING table must already satisfy the predicate (one full
     * validation pass, as Delta does — the one O(table) cost, paid once
@@ -702,12 +733,25 @@ object TableFormat {
     require(name.nonEmpty && !name.contains('.'),
       s"setConstraint: bad constraint name '$name'")
     val first = snapshot(spark, root)
-    val bad = read(spark, first)
-      .filter(!coalesce(expr(predicateSql), lit(true))).limit(1).count()
-    if (bad > 0) throw new IllegalArgumentException(
-      s"setConstraint: existing rows violate '$name' ($predicateSql)")
+    def validate(snap: Snapshot): Unit = {
+      val bad = read(spark, snap)
+        .filter(!coalesce(expr(predicateSql), lit(true))).limit(1).count()
+      if (bad > 0) throw new IllegalArgumentException(
+        s"setConstraint: existing rows violate '$name' ($predicateSql)")
+    }
+    validate(first)
     commitTransform(spark, root, first.keyCol, first.numBits, first.numHashes,
-      curOpt => curOpt.map(_.files).getOrElse(Seq.empty),
+      { curOpt =>
+        val cur = curOpt.getOrElse(
+          throw new IllegalStateException("setConstraint: nothing committed"))
+        // symmetric half of the ingest-vs-setConstraint race: rows
+        // committed between the pre-validation and OUR commit must also
+        // satisfy the predicate, else the constraint would declare a
+        // contract the table already breaks (re-validate only on an
+        // actual race — cur moved past the pre-checked snapshot)
+        if (cur.version != first.version) validate(cur)
+        cur.files
+      },
       deriveProps = curOpt => curOpt.map(_.props).getOrElse(Map.empty) +
         (s"$ConstraintPrefix$name" -> predicateSql),
       op = Some("replace"))
@@ -736,6 +780,8 @@ object TableFormat {
       { curOpt =>
         val cur = curOpt.getOrElse(
           throw new IllegalStateException("appendFiles: nothing committed"))
+        recheckConstraintsIfChanged(spark, first, cur,
+          spark.read.parquet(files: _*), "appendFiles")
         (cur.files ++ stats).sortBy(_.file)
       },
       deriveProps = curOpt =>
@@ -1074,6 +1120,7 @@ object TableFormat {
       { curOpt =>
         val cur = curOpt.getOrElse(throw new IllegalStateException(
           "upsertRowsMoR: nothing committed"))
+        recheckConstraintsIfChanged(spark, first, cur, src, "upsertRowsMoR")
         (cur.files ++ newStats).sortBy(_.file)
       },
       op = Some("mor-upsert"),
@@ -1262,6 +1309,7 @@ object TableFormat {
       first.numHashes, { curOpt =>
         val cur = curOpt.getOrElse(
           throw new IllegalStateException("mergeRows: nothing committed"))
+        recheckConstraintsIfChanged(spark, first, cur, src, "mergeRows")
         val zoneHit = cur.files.filter(f => f.minKey <= hi && f.maxKey >= lo)
         val srcKeys = src.select(col(cur.keyCol)).distinct()
         val touched: Set[String] =

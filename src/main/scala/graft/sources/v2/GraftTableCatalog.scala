@@ -200,6 +200,17 @@ private class GraftSqlScanBuilder(snap: TableFormat.Snapshot,
   private def prunable(col: String): Boolean =
     col == snap.keyCol || snap.zoneCols.contains(col)
 
+  /** Strict bounds (`>`/`<`) may only be tightened by ±1 when the column
+    * is integral in the TABLE schema: zone stats are cast-to-long, so for
+    * a double/decimal column `x > 0.5` must keep lo=0 (trunc is monotone,
+    * plain longValue() is conservative) — lo=1 would falsely prune a file
+    * whose long-cast bounds are [0,0] but which holds 0.7. */
+  private def integral(c: String): Boolean =
+    tableSchema.fields.find(_.name == c).map(_.dataType).exists {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+
   private def tighten(col: String, lo: Long, hi: Long): Unit = {
     val (clo, chi) = bounds.getOrElse(col, (Long.MinValue, Long.MaxValue))
     bounds(col) = (math.max(clo, lo), math.min(chi, hi))
@@ -210,11 +221,13 @@ private class GraftSqlScanBuilder(snap: TableFormat.Snapshot,
       case EqualTo(c, v: Number) if prunable(c) =>
         tighten(c, v.longValue(), v.longValue())
       case GreaterThan(c, v: Number) if prunable(c) =>
-        tighten(c, v.longValue() + 1, Long.MaxValue)
+        tighten(c, if (integral(c)) v.longValue() + 1 else v.longValue(),
+          Long.MaxValue)
       case GreaterThanOrEqual(c, v: Number) if prunable(c) =>
         tighten(c, v.longValue(), Long.MaxValue)
       case LessThan(c, v: Number) if prunable(c) =>
-        tighten(c, Long.MinValue, v.longValue() - 1)
+        tighten(c, Long.MinValue,
+          if (integral(c)) v.longValue() - 1 else v.longValue())
       case LessThanOrEqual(c, v: Number) if prunable(c) =>
         tighten(c, Long.MinValue, v.longValue())
       case _ => ()
@@ -273,10 +286,12 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftSqlReaderFactory(required)
+    new GraftSqlReaderFactory(required, new SerializableHadoopConf(
+      SparkSession.active.sessionState.newHadoopConf()))
 }
 
-private class GraftSqlReaderFactory(required: StructType)
+private class GraftSqlReaderFactory(required: StructType,
+                                    conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
     val p = partition.asInstanceOf[GraftSqlPartition]
@@ -285,9 +300,10 @@ private class GraftSqlReaderFactory(required: StructType)
       else {
         val m = new java.util.HashSet[java.lang.Long]()
         p.manifests.foreach(f =>
-          m.addAll(ParquetRowReader.readLongColumn(f, "_del_key")))
+          m.addAll(ParquetRowReader.readLongColumn(f, "_del_key", conf.value)))
         m
       }
-    new ParquetRowReader(p.file, required, mask = mask, keyCol = p.keyCol)
+    new ParquetRowReader(p.file, required, conf.value,
+      mask = mask, keyCol = p.keyCol)
   }
 }

@@ -141,11 +141,17 @@ private class ChangesStream(root: String, schema: StructType)
       .distinct.map(v => v -> TableFormat.snapshot(spark, root, Some(v))).toMap
     window.flatMap { v =>
       val cur = snaps(v)
-      if (cur.op.contains("replace")) Seq.empty // content-preserving: skip
+      val prev = all.filter(_ < v).lastOption
+      if (prev.isEmpty)
+        // no live predecessor (fresh table, clone log, or retention
+        // expired the prefix): this version IS the base content — emit
+        // its full file set EVEN when op=replace, else a stream started
+        // after compaction+expiry would silently never deliver the
+        // table's pre-existing rows
+        cur.files.map(f => TableFilePartition(f.file, v): InputPartition)
+      else if (cur.op.contains("replace")) Seq.empty // content-preserving: skip
       else {
-        val prevFiles = all.filter(_ < v).lastOption
-          .map(pv => snaps(pv).files.map(_.file).toSet)
-          .getOrElse(Set.empty[String])
+        val prevFiles = snaps(prev.get).files.map(_.file).toSet
         cur.files.map(_.file).filterNot(prevFiles)
           .map(f => TableFilePartition(f, v): InputPartition)
       }
@@ -153,17 +159,38 @@ private class ChangesStream(root: String, schema: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ParquetRowReaderFactory(schema)
+    new ParquetRowReaderFactory(schema,
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-private class ParquetRowReaderFactory(schema: StructType)
+/** Serializable carrier for the session's Hadoop configuration — what
+  * lets the executor-side parquet readers honor fs.* settings (S3A/ABFS
+  * credentials, endpoints) instead of a bare `new Configuration()` that
+  * only works on default-configured filesystems. Capture with
+  * `spark.sessionState.newHadoopConf()` ON THE DRIVER. */
+private[v2] class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
+private class ParquetRowReaderFactory(schema: StructType,
+                                      conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TableFilePartition]
-    new ParquetRowReader(p.file, schema,
+    new ParquetRowReader(p.file, schema, conf.value,
       synth = Map(TableChangesV2.VersionColumn -> p.version))
   }
 }
@@ -173,10 +200,12 @@ private[v2] object ParquetRowReader {
     * how a reader task loads the delete manifests that apply to its
     * file (memory O(manifest keys); manifest compaction is the dial
     * that bounds it). */
-  def readLongColumn(file: String, column: String): java.util.HashSet[java.lang.Long] = {
+  def readLongColumn(file: String, column: String,
+                     conf: org.apache.hadoop.conf.Configuration)
+      : java.util.HashSet[java.lang.Long] = {
     val out = new java.util.HashSet[java.lang.Long]()
     val r = new ParquetRowReader(file,
-      StructType(Seq(StructField(column, LongType))))
+      StructType(Seq(StructField(column, LongType))), conf)
     try while (r.next()) out.add(r.get().getLong(0))
     finally r.close()
     out
@@ -191,6 +220,7 @@ private[v2] object ParquetRowReader {
   * `mask`+`keyCol` apply a merge-on-read delete set — masked rows are
   * skipped during the scan, before Spark sees them. */
 private[v2] class ParquetRowReader(file: String, schema: StructType,
+                                   conf: org.apache.hadoop.conf.Configuration,
                                    synth: Map[String, Any] = Map.empty,
                                    mask: java.util.HashSet[java.lang.Long] = null,
                                    keyCol: String = null)
@@ -202,8 +232,7 @@ private[v2] class ParquetRowReader(file: String, schema: StructType,
   import org.apache.parquet.io.ColumnIOFactory
 
   private val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
-    new org.apache.hadoop.fs.Path(file),
-    new org.apache.hadoop.conf.Configuration()))
+    new org.apache.hadoop.fs.Path(file), conf))
   private val fileSchema = reader.getFooter.getFileMetaData.getSchema
   private val columnIO = new ColumnIOFactory().getColumnIO(fileSchema)
   private val hasField = schema.fields.map(f =>

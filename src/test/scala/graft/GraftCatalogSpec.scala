@@ -145,4 +145,31 @@ class GraftCatalogSpec extends SparkTestBase {
     val cols = spark.sql("SELECT * FROM sqlcat.evolving VERSION AS OF 1").columns
     assert(cols.toSeq == Seq("k", "v"))
   }
+
+  test("strict bound on a double zone column never false-prunes (trunc-conservative)") {
+    import spark.implicits._
+    val root = s"$warehouse/scored"
+    // two files by score range: [0.1..0.9] casts to long bounds [0,0],
+    // [1.1..1.9] to [1,1] — `score > 0.5` must keep the first file (its
+    // 0.7 matches) even though 0.5+1 = 1 would prune it
+    Seq((1L, 0.1), (2L, 0.7), (3L, 0.9)).toDF("k", "score")
+      .repartition(1).write.mode("overwrite").parquet(s"$root/lo")
+    Seq((4L, 1.1), (5L, 1.9)).toDF("k", "score")
+      .repartition(1).write.mode("overwrite").parquet(s"$root/hi")
+    TableFormat.commitFiles(spark, root, "k",
+      TableFormat.listParquet(spark, s"$root/lo") ++
+        TableFormat.listParquet(spark, s"$root/hi"),
+      256, 3, zoneCols = Seq("score"))
+    val got = spark.sql(
+      "SELECT k FROM sqlcat.scored WHERE score > 0.5 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L, 3L, 4L, 5L))
+    // integral strict bounds still tighten exactly: k > 3 reads 1 of 2 files
+    val df = spark.sql("SELECT k FROM sqlcat.scored WHERE k > 3")
+    val m = "PrunedFiles: (\\d+)/(\\d+)".r
+      .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+    assert(m.exists(x => x.group(1) == "1" && x.group(2) == "2"),
+      s"expected 1/2 pruned: ${df.queryExecution.executedPlan.toString}")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(4L, 5L))
+  }
 }

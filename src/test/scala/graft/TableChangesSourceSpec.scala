@@ -141,4 +141,28 @@ class TableChangesSourceSpec extends SparkTestBase {
       .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2))).toSeq
     assert(got == Seq((1L, None, 1L), (2L, Some("tag"), 2L)))
   }
+
+  test("oldest survivor is op=replace after retention: a fresh stream still emits the base") {
+    val root = freshRoot()
+    val out = s"${freshRoot()}/out"; val cp = s"${freshRoot()}/cp"
+    writeKv((1L to 10L).map(i => (i, i * 1.0)), s"$root/w1")
+    TableFormat.commitFiles(spark, root, "k",
+      TableFormat.listParquet(spark, s"$root/w1"), 256, 3)        // v1 append
+    TableFormat.compact(spark, root, root, 1)                     // v2 replace
+    writeKv(Seq(20L -> 20.0), s"$root/w2")
+    TableFormat.appendFiles(spark, root,
+      TableFormat.listParquet(spark, s"$root/w2"))                // v3 append
+    // expire v1: the oldest LIVE version is now the op=replace compaction
+    TableFormat.expireSnapshots(spark, root, keepLast = 2,
+      dataDirs = Seq(root), graceMs = 0L)
+    assert(TableFormat.versions(spark, root) == Seq(2L, 3L))
+    runOnce(root, out, cp)
+    // v2 has no live predecessor: it IS the base — its full file set
+    // must emit (the replace skip would silently lose rows 1..10)
+    val got = spark.read.parquet(out)
+      .select("_commit_version", "k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val expected = ((1L to 10L).map(i => (2L, i)) :+ ((3L, 20L))).sorted
+    assert(got == expected)
+  }
 }

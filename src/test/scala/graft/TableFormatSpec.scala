@@ -1432,4 +1432,73 @@ class TableFormatSpec extends SparkTestBase {
     assert(got == Seq((1L, 1.0, None), (2L, 22.0, Some("tag")), (3L, 3.0, None)))
     assert(m2.files.count(f => m2.version == f.seq) == 1) // one new batch file
   }
+
+  test("commit JSON escapes control characters: multi-line constraint SQL round-trips") {
+    import spark.implicits._
+    val root = freshRoot()
+    writeKv((1L to 5L).map(k => k -> k.toDouble), s"$root/fa")
+    TableFormat.commitFiles(spark, root, "k",
+      TableFormat.listParquet(spark, s"$root/fa"), 256, 3)
+    // a newline+tab in the predicate (multi-line SQL) and in a prop value:
+    // pre-fix this published a commit that every later parse rejected
+    val pred = "v > 0\n\tAND v < 100"
+    TableFormat.setConstraint(spark, root, "ml", pred)
+    val snap = TableFormat.snapshot(spark, root) // parse must survive
+    assert(snap.props("constraint.ml") == pred)
+    // the multi-line predicate ENFORCES: a violating append is refused
+    Seq((9L, -1.0)).toDF("k", "v").repartition(1)
+      .write.mode("overwrite").parquet(s"$root/bad")
+    val e = intercept[IllegalArgumentException](TableFormat.appendFiles(
+      spark, root, TableFormat.listParquet(spark, s"$root/bad")))
+    assert(e.getMessage.contains("ml"))
+  }
+
+  test("setConstraint racing a violating append: no violating row ever lands after the constraint commit") {
+    import spark.implicits._
+    // run the race a few times so both win orders occur; the invariant
+    // holds in either: if the append commits AFTER the constraint, the
+    // in-derive re-check must have refused it
+    (1 to 4).foreach { i =>
+      val root = freshRoot()
+      writeKv((1L to 5L).map(k => k -> k.toDouble), s"$root/fa")
+      TableFormat.commitFiles(spark, root, "k",
+        TableFormat.listParquet(spark, s"$root/fa"), 256, 3)
+      Seq((100L + i, -5.0)).toDF("k", "v").repartition(1)
+        .write.mode("overwrite").parquet(s"$root/bad")
+      val badFiles = TableFormat.listParquet(spark, s"$root/bad")
+      val start = new CountDownLatch(1)
+      val pool = Executors.newFixedThreadPool(2)
+      val fCons = pool.submit(new java.util.concurrent.Callable[Option[Long]] {
+        def call(): Option[Long] = {
+          start.await()
+          try Some(TableFormat.setConstraint(spark, root, "pos_v", "v > 0").version)
+          catch { case _: IllegalArgumentException => None } // append won + landed first
+        }
+      })
+      val fApp = pool.submit(new java.util.concurrent.Callable[Option[Long]] {
+        def call(): Option[Long] = {
+          start.await()
+          try Some(TableFormat.appendFiles(spark, root, badFiles).version)
+          catch { case _: IllegalArgumentException => None } // refused by re-check
+        }
+      })
+      start.countDown()
+      val consV = fCons.get(120, TimeUnit.SECONDS)
+      val appV = fApp.get(120, TimeUnit.SECONDS)
+      pool.shutdown()
+      (consV, appV) match {
+        case (Some(cv), Some(av)) =>
+          // both landed: only legal when the append committed FIRST
+          assert(av < cv, s"violating append v$av landed after constraint v$cv")
+        case (Some(_), None) => // append refused by the in-derive re-check
+        case (None, Some(_)) => // constraint refused: the violating row was live
+        case (None, None) =>
+          fail("both the constraint and the append were refused")
+      }
+      // terminal invariant: constraint present => no violating row visible
+      val head = TableFormat.snapshot(spark, root)
+      if (head.props.contains("constraint.pos_v"))
+        assert(TableFormat.read(spark, head).filter(col("v") <= 0).count() == 0L)
+    }
+  }
 }
