@@ -4146,6 +4146,137 @@ object SparkEntry {
       rows.reduce(_.unionByName(_)).orderBy(col("layer"), col("version"))
     },
 
+    // ---- SQL WRITE PATH through the TableCatalog: CREATE TABLE
+    // bootstraps an empty v1 (schema + key + CHECK constraint all in
+    // TBLPROPERTIES), INSERT INTO appends through TableFormat commits
+    // (executors stream rows to parquet, the driver commits with stats
+    // + constraint enforcement), a violating INSERT is REFUSED and
+    // leaves no version, CTAS composes create+append, and INSERT
+    // OVERWRITE truncate-loads in one op=overwrite commit — every
+    // version's content graded by replacement arithmetic ----
+    "q112_sql_write_path" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"wtx_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val root = s"$wh/$tbl"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q112_sqlw", dir) {
+        Seq(root, s"$wh/${tbl}_c").foreach { r =>
+          val p = new org.apache.hadoop.fs.Path(r)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+        Tables.orders(s, dir).filter(pmod(col("o_orderkey"), lit(16)) === 3)
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("q112_src")
+        s.sql(s"""CREATE TABLE graft.`$tbl` (o_orderkey BIGINT, cents BIGINT)
+          TBLPROPERTIES('key_col'='o_orderkey',
+                        'constraint.cents_pos'='cents > 0')""")        // v1
+        s.sql(s"INSERT INTO graft.`$tbl` " +
+          "SELECT * FROM q112_src WHERE o_orderkey % 32 = 3")          // v2
+        s.sql(s"INSERT INTO graft.`$tbl` " +
+          "SELECT * FROM q112_src WHERE o_orderkey % 32 = 19")         // v3
+        val refused =
+          try { s.sql(s"INSERT INTO graft.`$tbl` VALUES (1, -5)"); false }
+          catch { case e: Throwable =>
+            Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+              .exists(t => Option(t.getMessage).exists(_.contains("cents_pos")))
+          }
+        require(refused, "q112: violating INSERT was not refused")
+        s.sql(s"""CREATE TABLE graft.`${tbl}_c`
+          TBLPROPERTIES('key_col'='o_orderkey')
+          AS SELECT o_orderkey, cents * 2 AS cents FROM graft.`$tbl`""")
+        s.sql(s"INSERT OVERWRITE graft.`$tbl` " +
+          "SELECT * FROM q112_src WHERE o_orderkey % 5 = 0")           // v4
+      }
+      val states = TableFormat.versions(s, root).map { v =>
+        val snap = TableFormat.snapshot(s, root, Some(v))
+        Parallelism.ensureDefaultParallelism(
+            s.sql(s"SELECT cents FROM graft.`$tbl` VERSION AS OF $v"))
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("cents")), lit(0L)).as("sum_cents"))
+          .select(lit(s"v$v").as("pin"), lit(snap.op.getOrElse("")).as("op"),
+            col("n_rows"), col("sum_cents"))
+      }
+      val ctas = Parallelism.ensureDefaultParallelism(
+          s.sql(s"SELECT cents FROM graft.`${tbl}_c`"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .select(lit("ctas").as("pin"), lit("append").as("op"),
+          col("n_rows"), col("sum_cents"))
+      (states :+ ctas).reduce(_.unionByName(_)).orderBy(col("pin"))
+    },
+
+    // ---- DATE/TIMESTAMP as first-class leaf types through the whole
+    // metadata layer: a Transactions-shaped table (date + timestamp
+    // columns, the reference's data model — `v3:139-179` ISO date keys)
+    // commits with DATE ZONE STATS, rides the SQL catalog through the
+    // custom row reader (typed round-trip graded), PRUNES FILES from a
+    // DATE predicate (the PrunedFiles ledger replayed by bucket
+    // arithmetic), and streams through graft-table-changes with the
+    // same typed values ----
+    "q113_sql_dates" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"dated_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val root = s"$wh/$tbl"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val (dmin, w) = Fixtures.once(s, "q113_dts", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val base = Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(16)) === 12)
+          .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"),
+            to_timestamp(to_date(col("o_orderdate"))).as("ts"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        val r = base.agg(min(unix_date(col("o_orderdate"))),
+          max(unix_date(col("o_orderdate")))).collect()(0)
+        val (dmn, dmx) = (r.getInt(0).toLong, r.getInt(1).toLong)
+        val bw = (dmx - dmn) / 4 + 1
+        val files = (0 until 4).flatMap { b =>
+          val f = s"$root/b$b"
+          base.filter(expr(s"(unix_date(o_orderdate) - $dmn) div $bw") === b)
+            .repartition(1).write.mode("overwrite").parquet(f)
+          TableFormat.listParquet(s, f)
+        }
+        TableFormat.commitFiles(s, root, "o_orderkey", files,
+          numBits = 1 << 14, numHashes = 5, zoneCols = Seq("o_orderdate"))
+        val q = s.readStream.format("graft-table-changes").load(root)
+          .writeStream.format("parquet")
+          .option("path", s"$root/stream_out")
+          .option("checkpointLocation", s"$root/stream_cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), "q113: stream did not finish")
+        (dmn, bw)
+      }
+      val total = TableFormat.snapshot(s, root).files.size.toLong
+      def aggRow(df: DataFrame, pin: String, pruned: Long) =
+        Parallelism.ensureDefaultParallelism(df)
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("cents")), lit(0L)).as("sum_cents"),
+            date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("d_min"),
+            date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("d_max"),
+            coalesce(sum(unix_seconds(col("ts"))), lit(0L)).as("ts_sec_sum"))
+          .select(lit(pin).as("pin"), lit(pruned).as("files_pruned"),
+            lit(total).as("files_total"), col("n_rows"), col("sum_cents"),
+            col("d_min"), col("d_max"), col("ts_sec_sum"))
+      val d1 = java.time.LocalDate.ofEpochDay(dmin + w).toString
+      val d2 = java.time.LocalDate.ofEpochDay(dmin + 2 * w - 2).toString
+      val probeDf = s.sql(s"""SELECT cents, o_orderdate, ts
+        FROM graft.`$tbl`
+        WHERE o_orderdate >= DATE'$d1' AND o_orderdate <= DATE'$d2'""")
+      val pruned = "PrunedFiles: (\\d+)/(\\d+)".r
+        .findFirstMatchIn(probeDf.queryExecution.executedPlan.toString)
+        .getOrElse(throw new IllegalStateException(
+          "q113: no PrunedFiles marker in the executed plan"))
+      Seq(
+        aggRow(s.sql(s"SELECT cents, o_orderdate, ts FROM graft.`$tbl`"),
+          "all", 0L),
+        aggRow(probeDf, "range", pruned.group(1).toLong),
+        aggRow(s.read.parquet(s"$root/stream_out"), "stream", 0L))
+        .reduce(_.unionByName(_)).orderBy(col("pin"))
+    },
+
     // ---- Multimodal: REAL AVI/MJPEG video decode — the second real
     // video path beyond GIF, composed entirely from JDK parts: a
     // standard-layout RIFF AVI (hdrl/strl headers + movi stream) whose
@@ -8447,6 +8578,70 @@ object SparkEntry {
          UNION ALL SELECT 'src', 3, 'mor-delete', all_n - n93,
              t + 10 * n97 - t93 FROM n
          ORDER BY layer, version""",
+
+    // the %16==3 population split by key mod 32 (3 vs 19 — the two
+    // residues the %16 slice contains): v1 empty (create), v2 the %32==3
+    // INSERT, v3 both halves, v4 the %5==0 overwrite; the
+    // refused negative-cents INSERT left NO version (exactly v1..v4
+    // exist), and the CTAS doubles v3's content — all replayed by
+    // slice arithmetic
+    "q112_sql_write_path" ->
+      """WITH s AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders WHERE o_orderkey % 16 = 3),
+         n AS (SELECT count(*) AS all_n, CAST(sum(c) AS BIGINT) AS t,
+             count(CASE WHEN k % 32 = 3 THEN 1 END) AS n_odd,
+             CAST(COALESCE(sum(CASE WHEN k % 32 = 3 THEN c END), 0)
+               AS BIGINT) AS t_odd,
+             count(CASE WHEN k % 5 = 0 THEN 1 END) AS n5,
+             CAST(COALESCE(sum(CASE WHEN k % 5 = 0 THEN c END), 0)
+               AS BIGINT) AS t5
+           FROM s)
+         SELECT 'ctas' AS pin, 'append' AS op, all_n AS n_rows,
+             CAST(2 * t AS BIGINT) AS sum_cents FROM n
+         UNION ALL SELECT 'v1', 'create', CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT) FROM n
+         UNION ALL SELECT 'v2', 'append', n_odd, t_odd FROM n
+         UNION ALL SELECT 'v3', 'append', all_n, t FROM n
+         UNION ALL SELECT 'v4', 'overwrite', n5, t5 FROM n
+         ORDER BY pin""",
+
+    // four date-bucket files over the %16==12 population: the range
+    // probe [dmin+w, dmin+2w-2] lies strictly inside bucket 1's day
+    // range, so the PrunedFiles ledger is per-bucket min/max overlap
+    // arithmetic; d_min/d_max grade the DATE round-trip through the
+    // custom readers, ts_sec_sum the TIMESTAMP one (midnight
+    // construction makes it exactly 86400 x day-number per row)
+    "q113_sql_dates" ->
+      """WITH s AS (SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS dt,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders WHERE o_orderkey % 16 = 12),
+         w AS (SELECT min(d) AS dmin, ((max(d) - min(d)) // 4) + 1 AS bw FROM s),
+         pr AS (SELECT dmin + bw AS dlo, dmin + 2 * bw - 2 AS dhi FROM w),
+         bk AS (SELECT (d - (SELECT dmin FROM w)) // (SELECT bw FROM w) AS b,
+             min(d) AS dmn, max(d) AS dmx FROM s GROUP BY 1),
+         nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bk),
+         hit AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bk, pr
+           WHERE dmn <= dhi AND dmx >= dlo),
+         fa AS (SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS t,
+             strftime(min(dt), '%Y-%m-%d') AS dmin_s,
+             strftime(max(dt), '%Y-%m-%d') AS dmax_s,
+             CAST(sum(d * 86400) AS BIGINT) AS ts_sec FROM s),
+         fr AS (SELECT count(*) AS n,
+             CAST(COALESCE(sum(c), 0) AS BIGINT) AS t,
+             strftime(min(dt), '%Y-%m-%d') AS dmin_s,
+             strftime(max(dt), '%Y-%m-%d') AS dmax_s,
+             CAST(COALESCE(sum(d * 86400), 0) AS BIGINT) AS ts_sec
+           FROM s, pr WHERE d >= dlo AND d <= dhi)
+         SELECT 'all' AS pin, CAST(0 AS BIGINT) AS files_pruned,
+             (SELECT n FROM nt) AS files_total, n AS n_rows, t AS sum_cents,
+             dmin_s AS d_min, dmax_s AS d_max, ts_sec AS ts_sec_sum FROM fa
+         UNION ALL SELECT 'range', (SELECT n FROM nt) - (SELECT n FROM hit),
+             (SELECT n FROM nt), n, t, dmin_s, dmax_s, ts_sec FROM fr
+         UNION ALL SELECT 'stream', 0, (SELECT n FROM nt), n, t,
+             dmin_s, dmax_s, ts_sec FROM fa
+         ORDER BY pin""",
 
     // the sampled frame inventory is pure integer arithmetic (doc_id%3+2
     // frames, every 2nd), dims are the fixture constants, and our encoder

@@ -116,18 +116,36 @@ object TableFormat {
 
   // ---- per-file statistics (one distributed aggregate, metadata-out) ----
 
+  /** Canonical long form of a column for ZONE ARITHMETIC: integral
+    * columns cast directly, DATE maps to days since epoch, TIMESTAMP to
+    * micros since epoch (both total orders, so min/max bounds and range
+    * predicates translate exactly), floating types truncate (bounds stay
+    * conservative — trunc is monotone). The same mapping is applied to
+    * pushed filter values by the SQL catalog, so stats and probes always
+    * live in one space. */
+  def zoneLong(dt: org.apache.spark.sql.types.DataType,
+               c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    dt match {
+      case org.apache.spark.sql.types.DateType => unix_date(c).cast("long")
+      case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case _ => c.cast("long")
+    }
+
   /** Compute [[FileStat]]s for an explicit parquet file list: ONE
     * file-keyed aggregate (min/max/count + bloom), output one row per
     * file — a bounded control read by construction. `keyCol` must be
     * integral (cast to long for zones; hashed as its base-10 string for
-    * the bloom, matching `bloom_contains` probes on the long column). */
+    * the bloom, matching `bloom_contains` probes on the long column).
+    * Zone columns may additionally be DATE/TIMESTAMP ([[zoneLong]]). */
   def fileStats(spark: SparkSession, files: Seq[String], keyCol: String,
                 numBits: Int, numHashes: Int,
                 zoneCols: Seq[String] = Seq.empty): Seq[FileStat] = {
     require(files.nonEmpty, "fileStats: empty file list")
+    val schema = spark.read.parquet(files: _*).schema
+    def zl(c: String) = zoneLong(schema(c).dataType, col(c))
     val zoneAggs = zoneCols.flatMap(c => Seq(
-      min(col(c).cast("long")).as(s"zmin_$c"),
-      max(col(c).cast("long")).as(s"zmax_$c")))
+      min(zl(c)).as(s"zmin_$c"),
+      max(zl(c)).as(s"zmax_$c")))
     val aggs = Seq(
       min(col(keyCol).cast("long")).as("min_key"),
       max(col(keyCol).cast("long")).as("max_key"),
@@ -561,10 +579,11 @@ object TableFormat {
     val hit = snap.files.filter(f =>
       f.zones.get(zoneCol).forall { case (mn, mx) => mn <= hi && mx >= lo })
     val scan =
-      if (hit.nonEmpty)
-        readFiles(spark, snap, hit.map(_.file))
-          .filter(col(zoneCol).cast("long").between(lo, hi))
-      else read(spark, snap).filter(lit(false))
+      if (hit.nonEmpty) {
+        val df = readFiles(spark, snap, hit.map(_.file))
+        df.filter(zoneLong(df.schema(zoneCol).dataType, col(zoneCol))
+          .between(lo, hi))
+      } else read(spark, snap).filter(lit(false))
     (scan, hit.size, snap.files.size)
   }
 
@@ -767,6 +786,67 @@ object TableFormat {
       deriveProps = curOpt => curOpt.map(_.props).getOrElse(Map.empty) -
         s"$ConstraintPrefix$name",
       op = Some("replace"))
+  }
+
+  /** Bootstrap an EMPTY table: version 1 carries the schema, key/zone
+    * declarations and any initial properties but no files — the `CREATE
+    * TABLE` commit the SQL catalog's DDL path rides ([[appendFiles]]
+    * lands the first data). Zero data IO. */
+  def createEmpty(spark: SparkSession, root: String, keyCol: String,
+                  schemaDdl: String, numBits: Int = 1 << 14,
+                  numHashes: Int = 5, zoneCols: Seq[String] = Seq.empty,
+                  props: Map[String, String] = Map.empty): Snapshot = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+    require(schema.fieldNames.contains(keyCol),
+      s"createEmpty: key column '$keyCol' not in schema ($schemaDdl)")
+    zoneCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"createEmpty: zone column '$c' not in schema ($schemaDdl)"))
+    require(versions(spark, root).isEmpty,
+      s"createEmpty: $root already has commits")
+    if (!tryCommit(spark, root, 1L, keyCol, numBits, numHashes, Seq.empty,
+        props, Some(schemaDdl), Some("create"), zoneCols))
+      throw new IllegalStateException(
+        s"createEmpty: lost the bootstrap race at $root")
+    snapshot(spark, root)
+  }
+
+  /** REPLACE the table's content with `files` — `INSERT OVERWRITE` /
+    * truncate-and-load: one commit whose file set is exactly the new
+    * batch, delete manifests cleared (they applied to replaced content),
+    * schema evolved add-only like [[appendFiles]], constraints enforced
+    * on the incoming batch. Old files stay on disk for time travel. */
+  def overwriteFiles(spark: SparkSession, root: String, files: Seq[String],
+                     extraProps: Map[String, String] = Map.empty): Snapshot = {
+    val first = snapshot(spark, root)
+    val stats =
+      if (files.isEmpty) Seq.empty
+      else fileStats(spark, files, first.keyCol, first.numBits,
+        first.numHashes, first.zoneCols)
+    if (files.nonEmpty)
+      checkConstraints(spark, first, spark.read.parquet(files: _*),
+        "overwriteFiles")
+    val newSchema =
+      if (files.isEmpty) None else Some(spark.read.parquet(files: _*).schema)
+    commitTransform(spark, root, first.keyCol, first.numBits, first.numHashes,
+      { curOpt =>
+        val cur = curOpt.getOrElse(
+          throw new IllegalStateException("overwriteFiles: nothing committed"))
+        if (files.nonEmpty)
+          recheckConstraintsIfChanged(spark, first, cur,
+            spark.read.parquet(files: _*), "overwriteFiles")
+        stats.sortBy(_.file)
+      },
+      deriveProps = curOpt =>
+        curOpt.map(_.props).getOrElse(Map.empty) ++ extraProps,
+      deriveSchema = curOpt => newSchema match {
+        case Some(ns) => Some(evolveSchema(
+          curOpt.flatMap(_.schemaDdl)
+            .map(org.apache.spark.sql.types.StructType.fromDDL).getOrElse(ns),
+          ns).toDDL)
+        case None => curOpt.flatMap(_.schemaDdl)
+      },
+      op = Some("overwrite"),
+      deriveDeletes = _ => Seq.empty)
   }
 
   def appendFiles(spark: SparkSession, root: String, files: Seq[String],

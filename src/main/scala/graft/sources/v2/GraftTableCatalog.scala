@@ -134,24 +134,79 @@ class GraftTableCatalog extends TableCatalog {
       if (TableFormat.versions(spark, root).isEmpty)
         throw new NoSuchTableException(ident)
       val snap = TableFormat.snapshot(spark, root, version)
-      new GraftSqlTable(ident.toString, snap)
+      new GraftSqlTable(ident.toString, root, snap)
     }
   }
 
   override def invalidateTable(ident: Identifier): Unit = ()
+
+  // Spark-managed reserved/bookkeeping property keys that must not leak
+  // into the commit props
+  private val ReservedProps =
+    Set("provider", "location", "comment", "owner", "external",
+      "is_managed_location")
+
+  /** `CREATE TABLE graft.t (...) TBLPROPERTIES(...)` — bootstraps an
+    * EMPTY TableFormat log (v1 = schema + declarations, no files; zero
+    * data IO), which is also the first half of CTAS (Spark then appends
+    * through the returned table's write path). Config rides
+    * TBLPROPERTIES: `key_col` (default: the first integral column —
+    * the format's zone/bloom key must be integral), `zone_cols`
+    * (comma-separated), `num_bits`/`num_hashes` (bloom shape), and
+    * `constraint.<name>` CHECK predicates enforced from the first
+    * INSERT. Remaining user properties land in the commit props. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: JMap[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog is read-only: create tables through graft.operators.TableFormat")
+                           properties: JMap[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft catalog: PARTITIONED BY is not supported — declare zone_cols " +
+        "in TBLPROPERTIES (stats-based pruning needs no partition scheme)")
+    val spark = SparkSession.active
+    val root = rootOf(ident)
+    if (TableFormat.versions(spark, root).nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    import scala.jdk.CollectionConverters._
+    val props = properties.asScala.toMap
+    def integralCols = schema.fields.collect {
+      case f if f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == ShortType || f.dataType == ByteType => f.name
+    }
+    val keyCol = props.getOrElse("key_col", integralCols.headOption.getOrElse(
+      throw new IllegalArgumentException(
+        "graft catalog: table needs an integral key column (set " +
+          "TBLPROPERTIES('key_col'='...') or include an integral column)")))
+    val zoneCols = props.get("zone_cols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    val carried = props -- ReservedProps --
+      Seq("key_col", "zone_cols", "num_bits", "num_hashes") filterNot {
+        case (k, _) => k.startsWith("option.")
+      }
+    TableFormat.createEmpty(spark, root, keyCol, schema.toDDL,
+      numBits = props.get("num_bits").map(_.toInt).getOrElse(1 << 14),
+      numHashes = props.get("num_hashes").map(_.toInt).getOrElse(5),
+      zoneCols = zoneCols, props = carried)
+    loadTable(ident)
+  }
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(
-      "graft catalog is read-only: evolve tables through graft.operators.TableFormat")
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      "graft catalog is read-only: retention runs through TableFormat.expireSnapshots")
+      "graft catalog: evolve tables through graft.operators.TableFormat " +
+        "(schema evolves add-only at append time)")
+
+  /** DROP TABLE — removes the table directory (log + data). Also what
+    * Spark calls to clean up a failed CTAS. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val spark = SparkSession.active
+    val p = new org.apache.hadoop.fs.Path(rootOf(ident))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.delete(p, true)
+  }
+
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("graft catalog is read-only")
+    throw new UnsupportedOperationException(
+      "graft catalog: rename is not supported (clone + drop instead)")
 }
 
 /** A metadata table (`$history` / `$files`): version- or file-bounded
@@ -174,17 +229,22 @@ private class GraftMetaTable(ident: String, df: org.apache.spark.sql.DataFrame)
     }
 }
 
-private class GraftSqlTable(ident: String, snap: TableFormat.Snapshot)
-    extends Table with SupportsRead {
+private class GraftSqlTable(ident: String, root: String,
+                            snap: TableFormat.Snapshot)
+    extends Table with SupportsRead with SupportsWrite {
   private val tableSchema = StructType.fromDDL(snap.schemaDdl.getOrElse(
     throw new IllegalArgumentException(
       s"graft catalog: table $ident v${snap.version} carries no schema")))
   override def name(): String = s"$ident@v${snap.version}"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftSqlScanBuilder(snap, tableSchema)
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftSqlWriteBuilder(root, info.schema(), info.queryId())
 }
 
 private class GraftSqlScanBuilder(snap: TableFormat.Snapshot,
@@ -216,28 +276,51 @@ private class GraftSqlScanBuilder(snap: TableFormat.Snapshot,
     bounds(col) = (math.max(clo, lo), math.min(chi, hi))
   }
 
+  /** Translate a pushed filter value into the ZONE-LONG space the commit
+    * stats live in ([[TableFormat.zoneLong]]): numbers cast/trunc, DATE
+    * values (either java.sql/java.time form) map to epoch days,
+    * TIMESTAMP values to epoch micros. Values outside the mapping yield
+    * None — the filter simply doesn't prune (it always stays residual). */
+  private def zoneValue(v: Any): Option[Long] = v match {
+    case n: Number => Some(n.longValue())
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case t: java.sql.Timestamp =>
+      Some(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L)
+    case t: java.time.Instant =>
+      Some(t.getEpochSecond * 1000000L + t.getNano / 1000L)
+    case _ => None
+  }
+
+  /** Exact ±1 strict-bound tightening also applies to date/timestamp:
+    * their zone-long mapping is a bijection onto the stored stats, so
+    * `d > DATE'x'` means days >= x+1 exactly. */
+  private def discrete(c: String): Boolean =
+    integral(c) || tableSchema.fields.find(_.name == c).map(_.dataType)
+      .exists(dt => dt == DateType || dt == TimestampType)
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     filters.foreach {
-      case EqualTo(c, v: Number) if prunable(c) =>
-        tighten(c, v.longValue(), v.longValue())
-      case GreaterThan(c, v: Number) if prunable(c) =>
-        tighten(c, if (integral(c)) v.longValue() + 1 else v.longValue(),
-          Long.MaxValue)
-      case GreaterThanOrEqual(c, v: Number) if prunable(c) =>
-        tighten(c, v.longValue(), Long.MaxValue)
-      case LessThan(c, v: Number) if prunable(c) =>
-        tighten(c, Long.MinValue,
-          if (integral(c)) v.longValue() - 1 else v.longValue())
-      case LessThanOrEqual(c, v: Number) if prunable(c) =>
-        tighten(c, Long.MinValue, v.longValue())
+      case EqualTo(c, v) if prunable(c) =>
+        zoneValue(v).foreach(l => tighten(c, l, l))
+      case GreaterThan(c, v) if prunable(c) =>
+        zoneValue(v).foreach(l =>
+          tighten(c, if (discrete(c)) l + 1 else l, Long.MaxValue))
+      case GreaterThanOrEqual(c, v) if prunable(c) =>
+        zoneValue(v).foreach(l => tighten(c, l, Long.MaxValue))
+      case LessThan(c, v) if prunable(c) =>
+        zoneValue(v).foreach(l =>
+          tighten(c, Long.MinValue, if (discrete(c)) l - 1 else l))
+      case LessThanOrEqual(c, v) if prunable(c) =>
+        zoneValue(v).foreach(l => tighten(c, Long.MinValue, l))
       case _ => ()
     }
     pushed = filters.filter {
-      case EqualTo(c, _: Number) => prunable(c)
-      case GreaterThan(c, _: Number) => prunable(c)
-      case GreaterThanOrEqual(c, _: Number) => prunable(c)
-      case LessThan(c, _: Number) => prunable(c)
-      case LessThanOrEqual(c, _: Number) => prunable(c)
+      case EqualTo(c, v) => prunable(c) && zoneValue(v).isDefined
+      case GreaterThan(c, v) => prunable(c) && zoneValue(v).isDefined
+      case GreaterThanOrEqual(c, v) => prunable(c) && zoneValue(v).isDefined
+      case LessThan(c, v) => prunable(c) && zoneValue(v).isDefined
+      case LessThanOrEqual(c, v) => prunable(c) && zoneValue(v).isDefined
       case _ => false
     }
     // everything stays residual: pruning is an optimization, Spark keeps

@@ -48,9 +48,12 @@ import graft.operators.TableFormat
   * consumer grade exactly which commit produced which rows. Schema
   * comes from the LATEST snapshot's committed DDL (never footer
   * inference); files written before a column existed read it as null.
-  * Supported leaf types: long/int/double/string/boolean — the
-  * format's zone/bloom machinery is long-keyed, and wider types belong
-  * to the batch reader. */
+  * Supported leaf types: long/int/double/float/string/boolean plus
+  * DATE, TIMESTAMP (INT64 millis/micros/nanos and legacy INT96) and
+  * DECIMAL — the reference's data model is date/timestamp-first
+  * (`v3:139-179` ISO date keys), so a Transactions-shaped table rides
+  * the stream without casting. The table KEY stays integral (the
+  * format's zone/bloom machinery is long-keyed). */
 class TableChangesV2 extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "graft-table-changes"
@@ -235,8 +238,85 @@ private[v2] class ParquetRowReader(file: String, schema: StructType,
     new org.apache.hadoop.fs.Path(file), conf))
   private val fileSchema = reader.getFooter.getFileMetaData.getSchema
   private val columnIO = new ColumnIOFactory().getColumnIO(fileSchema)
-  private val hasField = schema.fields.map(f =>
-    f.name -> fileSchema.containsField(f.name)).toMap
+
+  /** Leaf converter resolved ONCE per field against the file's own
+    * parquet type (not per row): primitives map directly; DATE is the
+    * parquet INT32 day count (= Spark's internal representation);
+    * TIMESTAMP handles INT64 MILLIS/MICROS/NANOS and legacy INT96
+    * (julian day + nanos-of-day), normalized to Spark's micros; DECIMAL
+    * handles the INT32/INT64/binary physical encodings at the declared
+    * scale. */
+  private def leafConverter(f: StructField): Group => Any = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val name = f.name
+    lazy val prim =
+      fileSchema.getType(fileSchema.getFieldIndex(name)).asPrimitiveType()
+    f.dataType match {
+      case LongType => g => g.getLong(name, 0)
+      case IntegerType => g => g.getInteger(name, 0)
+      case DoubleType => g => g.getDouble(name, 0)
+      case FloatType => g => g.getFloat(name, 0)
+      case BooleanType => g => g.getBoolean(name, 0)
+      case StringType => g => UTF8String.fromString(g.getString(name, 0))
+      case DateType => g => g.getInteger(name, 0) // INT32 days since epoch
+      case TimestampType => prim.getPrimitiveTypeName match {
+        case PrimitiveTypeName.INT96 => g => {
+          // legacy INT96: 8 bytes little-endian nanos-of-day + 4 bytes
+          // little-endian julian day (2440588 = 1970-01-01)
+          val bb = g.getInt96(name, 0).toByteBuffer
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val nanosOfDay = bb.getLong; val julianDay = bb.getInt
+          (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
+        }
+        case PrimitiveTypeName.INT64 =>
+          val unit = prim.getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit
+            case _ => LogicalTypeAnnotation.TimeUnit.MICROS
+          }
+          unit match {
+            case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+              g => g.getLong(name, 0) * 1000L
+            case LogicalTypeAnnotation.TimeUnit.NANOS =>
+              g => g.getLong(name, 0) / 1000L
+            case _ => g => g.getLong(name, 0) // micros: Spark's own unit
+          }
+        case t => throw new UnsupportedOperationException(
+          s"parquet-row-reader: timestamp column $name stored as $t")
+      }
+      case d: DecimalType => prim.getPrimitiveTypeName match {
+        case PrimitiveTypeName.INT32 =>
+          g => Decimal(g.getInteger(name, 0).toLong, d.precision, d.scale)
+        case PrimitiveTypeName.INT64 =>
+          g => Decimal(g.getLong(name, 0), d.precision, d.scale)
+        case PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY | PrimitiveTypeName.BINARY =>
+          g => {
+            val unscaled = new java.math.BigInteger(g.getBinary(name, 0).getBytes)
+            Decimal(BigDecimal(new java.math.BigDecimal(unscaled, d.scale)),
+              d.precision, d.scale)
+          }
+        case t => throw new UnsupportedOperationException(
+          s"parquet-row-reader: decimal column $name stored as $t")
+      }
+      case dt => throw new UnsupportedOperationException(
+        s"parquet-row-reader: unsupported leaf type ${dt.simpleString} " +
+          s"for column $name (supported: long/int/double/float/string/" +
+          "boolean/date/timestamp/decimal)")
+    }
+  }
+
+  // per-field extractors resolved once: synth columns, schema-evolution
+  // nulls for fields the file predates, and typed leaf conversion
+  private val extractors: Array[Group => Any] = schema.fields.map { f =>
+    if (synth.contains(f.name)) { val v = synth(f.name); (_: Group) => v }
+    else if (!fileSchema.containsField(f.name)) (_: Group) => null
+    else {
+      val name = f.name
+      val conv = leafConverter(f)
+      (g: Group) => if (g.getFieldRepetitionCount(name) == 0) null else conv(g)
+    }
+  }
 
   private var recordReader: org.apache.parquet.io.RecordReader[Group] = _
   private var rowsLeftInGroup = 0L
@@ -270,20 +350,10 @@ private[v2] class ParquetRowReader(file: String, schema: StructType,
       val g = recordReader.read()
       rowsLeftInGroup -= 1
       if (mask == null || !mask.contains(keyOf(g))) {
-        current = InternalRow.fromSeq(schema.fields.map { f =>
-          if (synth.contains(f.name)) synth(f.name)
-          else if (!hasField(f.name) || g.getFieldRepetitionCount(f.name) == 0) null
-          else f.dataType match {
-            case LongType => g.getLong(f.name, 0)
-            case IntegerType => g.getInteger(f.name, 0)
-            case DoubleType => g.getDouble(f.name, 0)
-            case BooleanType => g.getBoolean(f.name, 0)
-            case StringType => UTF8String.fromString(g.getString(f.name, 0))
-            case dt => throw new UnsupportedOperationException(
-              s"parquet-row-reader: unsupported leaf type ${dt.simpleString} " +
-                s"for column ${f.name} (supported: long/int/double/string/boolean)")
-          }
-        }.toSeq)
+        val vals = new Array[Any](extractors.length)
+        var i = 0
+        while (i < extractors.length) { vals(i) = extractors(i)(g); i += 1 }
+        current = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
         return true
       }
     }

@@ -172,4 +172,94 @@ class GraftCatalogSpec extends SparkTestBase {
       s"expected 1/2 pruned: ${df.queryExecution.executedPlan.toString}")
     assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(4L, 5L))
   }
+
+  test("SQL write path: CREATE TABLE, INSERT INTO, CTAS, constraint refusal, INSERT OVERWRITE") {
+    spark.sql("""CREATE TABLE sqlcat.wt (k BIGINT, v DOUBLE)
+      TBLPROPERTIES('key_col'='k', 'constraint.pos_v'='v > 0')""")
+    val root = s"$warehouse/wt"
+    assert(TableFormat.versions(spark, root) == Seq(1L)) // empty bootstrap
+    spark.sql("INSERT INTO sqlcat.wt VALUES (1, 1.0), (2, 2.0)")   // v2
+    spark.sql("INSERT INTO sqlcat.wt VALUES (3, 3.5)")             // v3
+    def sums(q: String) = spark.sql(q).collect()(0)
+    assert(sums("SELECT count(*) AS n, sum(v) AS s FROM sqlcat.wt")
+      .getLong(0) == 3L)
+    // per-version time travel over the SQL-written commits
+    assert(sums("SELECT count(*) AS n FROM sqlcat.wt VERSION AS OF 1").getLong(0) == 0L)
+    assert(sums("SELECT count(*) AS n FROM sqlcat.wt VERSION AS OF 2").getLong(0) == 2L)
+    // the TBLPROPERTIES constraint REFUSES a violating INSERT at commit
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO sqlcat.wt VALUES (4, -1.0)"))
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(e).contains("pos_v"), rootMsg(e))
+    assert(TableFormat.versions(spark, root) == Seq(1L, 2L, 3L)) // nothing landed
+    assert(sums("SELECT count(*) AS n FROM sqlcat.wt").getLong(0) == 3L)
+    // INSERT OVERWRITE truncates-and-loads in ONE commit; history survives
+    spark.sql("INSERT OVERWRITE sqlcat.wt VALUES (9, 9.0), (10, 10.0)") // v4
+    assert(spark.sql("SELECT k FROM sqlcat.wt ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(9L, 10L))
+    assert(sums("SELECT count(*) AS n FROM sqlcat.wt VERSION AS OF 3").getLong(0) == 3L)
+    val head = TableFormat.snapshot(spark, root)
+    assert(head.op.contains("overwrite") && head.version == 4L)
+    // CTAS: create + append through the same commit path
+    spark.sql("""CREATE TABLE sqlcat.ct TBLPROPERTIES('key_col'='k')
+      AS SELECT k, v * 2 AS v2 FROM sqlcat.wt""")
+    assert(spark.sql("SELECT sum(v2) AS s FROM sqlcat.ct").collect()(0)
+      .getDouble(0) == 38.0)
+    assert(TableFormat.snapshot(spark, s"$warehouse/ct").keyCol == "k")
+    // duplicate CREATE refuses; DROP removes and recreate works
+    val dup = intercept[Exception](spark.sql("CREATE TABLE sqlcat.ct (k BIGINT) TBLPROPERTIES('key_col'='k')"))
+    assert(rootMsg(dup).toLowerCase.contains("exists"), rootMsg(dup))
+    spark.sql("DROP TABLE sqlcat.ct")
+    val gone = intercept[Exception](spark.sql("SELECT * FROM sqlcat.ct").collect())
+    assert(rootMsg(gone).toLowerCase.contains("table"), rootMsg(gone))
+  }
+
+  test("date/timestamp columns: SQL round-trip, date-zone pruning, streaming reader") {
+    import org.apache.spark.sql.functions._
+    val root = s"$warehouse/dated"
+    // two files split by date range; d is a DATE zone column, ts TIMESTAMP
+    val base = spark.range(1, 21).select(col("id").as("k"),
+      date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+        col("id").cast("int")).as("d"),
+      to_timestamp(lit("2024-06-01 08:30:00")).as("ts"))
+    base.filter(col("k") <= 10).repartition(1)
+      .write.mode("overwrite").parquet(s"$root/w1")
+    base.filter(col("k") > 10).repartition(1)
+      .write.mode("overwrite").parquet(s"$root/w2")
+    TableFormat.commitFiles(spark, root, "k",
+      TableFormat.listParquet(spark, s"$root/w1") ++
+        TableFormat.listParquet(spark, s"$root/w2"),
+      256, 3, zoneCols = Seq("d", "ts"))
+    // values round-trip through the custom row reader
+    val got = spark.sql(
+      "SELECT k, d, ts FROM sqlcat.dated WHERE k IN (1, 20) ORDER BY k").collect()
+    assert(got(0).getDate(1) == java.sql.Date.valueOf("2024-01-02"))
+    assert(got(1).getDate(1) == java.sql.Date.valueOf("2024-01-21"))
+    assert(got(0).getTimestamp(2) ==
+      java.sql.Timestamp.valueOf("2024-06-01 08:30:00"))
+    // a date predicate PRUNES files from the zone stats (w1 covers
+    // 01-02..01-11, w2 01-12..01-21): > 2024-01-11 reads only w2
+    val df = spark.sql(
+      "SELECT k FROM sqlcat.dated WHERE d > DATE'2024-01-11'")
+    val m = "PrunedFiles: (\\d+)/(\\d+)".r
+      .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+    assert(m.exists(x => x.group(1) == "1" && x.group(2) == "2"),
+      df.queryExecution.executedPlan.toString)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == (11L to 20L))
+    // the streaming source delivers the same typed values
+    val out = java.nio.file.Files.createTempDirectory("graft_dt_out").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_dt_cp").toString
+    val q = spark.readStream.format("graft-table-changes").load(root)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    val sgot = spark.read.parquet(out).orderBy("k").collect()
+    assert(sgot.length == 20)
+    assert(sgot(0).getDate(1) == java.sql.Date.valueOf("2024-01-02"))
+    assert(sgot(19).getTimestamp(2) ==
+      java.sql.Timestamp.valueOf("2024-06-01 08:30:00"))
+  }
 }
