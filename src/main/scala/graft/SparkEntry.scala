@@ -4277,6 +4277,47 @@ object SparkEntry {
         .reduce(_.unionByName(_)).orderBy(col("pin"))
     },
 
+    // ---- VECTORIZED catalog scan: the full lineitem table through the
+    // SQL catalog's ColumnarBatch path (clean snapshot => the plan
+    // advertises Columnar: true and feeds WholeStageCodegen Spark's own
+    // vectorized parquet batches — no per-row InternalRow in the
+    // connector), graded on a wide aggregate + a projected filter
+    // aggregate + a footer-only count(*), with the plan's columnar flag
+    // itself an oracle column ----
+    "q114_catalog_vectorized_scan" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"vscan_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val root = s"$wh/$tbl"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q114_vscan", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val f = s"$root/b0"
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_quantity"),
+            floor(col("l_extendedprice") * 100).cast("long").as("cents"),
+            col("l_returnflag"), to_date(col("l_shipdate")).as("ship_d"))
+          .repartition(4, col("l_orderkey"))
+          .write.mode("overwrite").parquet(f)
+        TableFormat.commitFiles(s, root, "l_orderkey",
+          TableFormat.listParquet(s, f), numBits = 1 << 16, numHashes = 5,
+          zoneCols = Seq("ship_d"))
+      }
+      val full = s.sql(s"""SELECT count(*) AS n_rows,
+          sum(cents) AS sum_cents,
+          cast(sum(l_quantity) as bigint) AS qty_sum,
+          count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_returned
+        FROM graft.`$tbl`""")
+      val columnarFlag =
+        "Columnar: (true|false)".r
+          .findFirstMatchIn(full.queryExecution.executedPlan.toString)
+          .map(_.group(1)).getOrElse("absent")
+      Parallelism.ensureDefaultParallelism(full)
+        .select(lit(columnarFlag).as("columnar"), col("n_rows"),
+          col("sum_cents"), col("qty_sum"), col("n_returned"))
+    },
+
     // ---- Multimodal: REAL AVI/MJPEG video decode — the second real
     // video path beyond GIF, composed entirely from JDK parts: a
     // standard-layout RIFF AVI (hdrl/strl headers + movi stream) whose
@@ -8642,6 +8683,17 @@ object SparkEntry {
          UNION ALL SELECT 'stream', 0, (SELECT n FROM nt), n, t,
              dmin_s, dmax_s, ts_sec FROM fa
          ORDER BY pin""",
+
+    // a clean snapshot MUST plan columnar (the 'true' literal is the
+    // graded contract, not decoration); the aggregates replay over the
+    // full lineitem population
+    "q114_catalog_vectorized_scan" ->
+      """SELECT 'true' AS columnar, count(*) AS n_rows,
+           CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(sum(l_quantity) AS BIGINT) AS qty_sum,
+           count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_returned
+         FROM lineitem""",
 
     // the sampled frame inventory is pure integer arithmetic (doc_id%3+2
     // frames, every 2nd), dims are the fixture constants, and our encoder

@@ -354,9 +354,18 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
     }
   }
 
+  /** Columnar iff no delete manifest applies to ANY surviving file:
+    * Spark requires uniform row/columnar partitions per scan, so one
+    * pending merge-on-read manifest degrades the whole scan to the
+    * masked row reader — and compaction restores the vectorized path
+    * (the format's read-amplification dial, now visible in the plan). */
+  private lazy val columnar =
+    hit.forall(f => !snap.deletes.exists(_.seq > f.seq))
+
   override def description(): String =
     s"graft(${snap.root}@v${snap.version}) PrunedFiles: " +
-      s"${snap.files.size - hit.size}/${snap.files.size}, Bounds: " +
+      s"${snap.files.size - hit.size}/${snap.files.size}, " +
+      s"Columnar: $columnar, Bounds: " +
       bounds.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => s"$c in [$lo,$hi]" }
         .mkString("[", ", ", s"], ReadSchema: ${required.catalogString}")
 
@@ -369,13 +378,24 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftSqlReaderFactory(required, new SerializableHadoopConf(
+    new GraftSqlReaderFactory(required, columnar, new SerializableHadoopConf(
       SparkSession.active.sessionState.newHadoopConf()))
 }
 
-private class GraftSqlReaderFactory(required: StructType,
+private class GraftSqlReaderFactory(required: StructType, columnar: Boolean,
                                     conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnar
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[GraftSqlPartition]
+    require(p.manifests.isEmpty,
+      "graft columnar read planned over a masked file") // guarded by `columnar`
+    new GraftSqlColumnarReader(p.file, required, conf.value)
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
     val p = partition.asInstanceOf[GraftSqlPartition]
     val mask =

@@ -262,4 +262,45 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(sgot(19).getTimestamp(2) ==
       java.sql.Timestamp.valueOf("2024-06-01 08:30:00"))
   }
+
+  test("vectorized scan: clean snapshots plan Columnar=true, MoR-pending fall back, count(*) and evolution stay exact") {
+    import spark.implicits._
+    val root = s"$warehouse/vec"
+    writeKv((1L to 500L).map(i => (i, i * 1.0)), s"$root/w1")
+    TableFormat.commitFiles(spark, root, "k",
+      TableFormat.listParquet(spark, s"$root/w1"), 256, 3)        // v1
+    def planOf(sql: String) =
+      spark.sql(sql).queryExecution.executedPlan.toString
+    // clean snapshot: the scan advertises the vectorized path
+    assert(planOf("SELECT k FROM sqlcat.vec").contains("Columnar: true"))
+    assert(spark.sql("SELECT sum(v) AS s FROM sqlcat.vec").collect()(0)
+      .getDouble(0) == (1 to 500).map(_.toDouble).sum)
+    // empty projection: count(*) over the columnar path (footer-only)
+    assert(spark.sql("SELECT count(*) AS n FROM sqlcat.vec").collect()(0)
+      .getLong(0) == 500L)
+    // schema evolution: the late file's new column null-pads in the
+    // OLD file through constant-null vectors
+    Seq((501L, 501.0, "tag")).toDF("k", "v", "t").repartition(1)
+      .write.mode("overwrite").parquet(s"$root/w2")
+    TableFormat.appendFiles(spark, root,
+      TableFormat.listParquet(spark, s"$root/w2"))                // v2
+    val evo = spark.sql(
+      "SELECT k, t FROM sqlcat.vec WHERE k IN (1, 501) ORDER BY k").collect()
+    assert(evo.length == 2 && evo(0).isNullAt(1) && evo(1).getString(1) == "tag")
+    assert(spark.sql("SELECT count(t) AS n FROM sqlcat.vec").collect()(0)
+      .getLong(0) == 1L)
+    // a pending MoR manifest degrades the scan to the masked row reader
+    TableFormat.deleteKeysMoR(spark, root, root, Seq(2L, 3L))     // v3
+    assert(planOf("SELECT k FROM sqlcat.vec").contains("Columnar: false"))
+    assert(spark.sql("SELECT count(*) AS n FROM sqlcat.vec").collect()(0)
+      .getLong(0) == 499L)
+    // compaction materializes the masks and restores the fast path
+    TableFormat.compact(spark, root, root, 1)                     // v4
+    assert(planOf("SELECT k FROM sqlcat.vec").contains("Columnar: true"))
+    assert(spark.sql("SELECT count(*) AS n FROM sqlcat.vec").collect()(0)
+      .getLong(0) == 499L)
+    // pinned pre-delete version still reads columnar and un-masked
+    assert(spark.sql("SELECT count(*) AS n FROM sqlcat.vec VERSION AS OF 2")
+      .collect()(0).getLong(0) == 501L)
+  }
 }
