@@ -4318,6 +4318,76 @@ object SparkEntry {
           col("sum_cents"), col("qty_sum"), col("n_returned"))
     },
 
+    // ---- SEMANTIC commit-conflict validation (Iceberg SERIALIZABLE):
+    // a row-level committer declares the key scope it READ; on a CAS
+    // loss, intervening commits whose file/manifest bounds intersect it
+    // fail the loser LOUD with a named conflict instead of silently
+    // re-deriving. The entry replays the isolation matrix
+    // deterministically (base->cur pairs over a real commit history)
+    // next to every version's content; delete-at-commit-time
+    // (conflictWithAppends=false) is the documented deleteKeysMoR
+    // exception ----
+    "q115_commit_conflicts" -> { (s, dir) =>
+      val root = scratch("q115_ccf", dir)
+      Fixtures.once(s, "q115_ccf", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val orders = Tables.orders(s, dir)
+        def slice(m16: Int) = orders
+          .filter(pmod(col("o_orderkey"), lit(16)) === m16)
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        slice(14).repartition(2).write.mode("overwrite").parquet(s"$root/b0")
+        TableFormat.commitFiles(s, root, "o_orderkey",
+          TableFormat.listParquet(s, s"$root/b0"),
+          numBits = 1 << 14, numHashes = 5)                       // v1
+        slice(4).repartition(1).write.mode("overwrite").parquet(s"$root/late")
+        TableFormat.appendFiles(s, root,
+          TableFormat.listParquet(s, s"$root/late"))              // v2 append
+        TableFormat.deleteKeysMoR(s, root, root,                  // v3 delete
+          slice(14).filter(pmod(col("o_orderkey"), lit(9)) === 2)
+            .select("o_orderkey"), nManifestFiles = 1)
+        TableFormat.compact(s, root, root, 1)                     // v4 replace
+        TableFormat.overwriteFiles(s, root,                       // v5 overwrite
+          TableFormat.listParquet(s, s"$root/late"))
+      }
+      val snaps = (1L to 5L).map(v =>
+        v -> TableFormat.snapshot(s, root, Some(v))).toMap
+      val a2 = snaps(2).files.filter(_.seq == 2L)
+      val (a2min, a2max) = (a2.map(_.minKey).min, a2.map(_.maxKey).max)
+      val d3 = snaps(3).deletes.filter(_.seq == 3L)
+      val (d3min, d3max) = (d3.map(_.minKey).min, d3.map(_.maxKey).max)
+      def probe(label: String, base: Long, cur: Long, lo: Long, hi: Long,
+                apps: Boolean = true): (String, Boolean) =
+        (label,
+          try {
+            TableFormat.assertNoConflicts(s, root, snaps(base), snaps(cur),
+              "o_orderkey", lo, hi, "q115", conflictWithAppends = apps)
+            false
+          } catch { case _: TableFormat.CommitConflictException => true })
+      val probes = Seq(
+        probe("p1_append_disjoint", 1, 2, a2max + 1, a2max + 100),
+        probe("p2_append_overlap_rmw", 1, 2, a2min, a2min),
+        probe("p3_append_overlap_dacs", 1, 2, a2min, a2min, apps = false),
+        probe("p4_delete_overlap", 2, 3, d3min, d3min),
+        probe("p5_delete_disjoint", 2, 3, d3max + 1, d3max + 5),
+        probe("p6_replace_any", 3, 4, Long.MinValue + 1, Long.MaxValue - 1),
+        probe("p7_overwrite_any", 4, 5, a2max + 1, a2max + 2))
+      val stateRows = (1L to 5L).map { v =>
+        Parallelism.ensureDefaultParallelism(TableFormat.read(s, snaps(v)))
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("cents")), lit(0L)).as("sum_cents"))
+          .select(lit(s"v$v").as("label"), lit(snaps(v).op.getOrElse(""))
+            .as("op"), lit(false).as("conflict"), col("n_rows"),
+            col("sum_cents"))
+      }
+      val probeRows = probes.map { case (label, c) =>
+        s.range(1).select(lit(label).as("label"), lit("probe").as("op"),
+          lit(c).as("conflict"), lit(0L).as("n_rows"), lit(0L).as("sum_cents"))
+      }
+      (stateRows ++ probeRows).reduce(_.unionByName(_)).orderBy(col("label"))
+    },
+
     // ---- Multimodal: REAL AVI/MJPEG video decode — the second real
     // video path beyond GIF, composed entirely from JDK parts: a
     // standard-layout RIFF AVI (hdrl/strl headers + movi stream) whose
@@ -8683,6 +8753,43 @@ object SparkEntry {
          UNION ALL SELECT 'stream', 0, (SELECT n FROM nt), n, t,
              dmin_s, dmax_s, ts_sec FROM fa
          ORDER BY pin""",
+
+    // the isolation matrix is deterministic BY CONSTRUCTION (each probe's
+    // scope is derived from the very bounds it tests against), so the
+    // probe verdicts are constants; the version states replay from the
+    // %16==14 / %16==4 slices — v3 masks the %9==2 sub-slice, v4 is
+    // content-preserving, v5 replaces with the %16==4 slice
+    "q115_commit_conflicts" ->
+      """WITH s AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders WHERE o_orderkey % 16 = 14),
+         a AS (SELECT count(*) AS late_n,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS late_t
+           FROM orders WHERE o_orderkey % 16 = 4),
+         n AS (SELECT count(*) AS all_n, CAST(sum(c) AS BIGINT) AS t,
+             count(CASE WHEN k % 9 = 2 THEN 1 END) AS n92,
+             CAST(COALESCE(sum(CASE WHEN k % 9 = 2 THEN c END), 0)
+               AS BIGINT) AS t92
+           FROM s)
+         SELECT 'p1_append_disjoint' AS label, 'probe' AS op,
+             FALSE AS conflict, CAST(0 AS BIGINT) AS n_rows,
+             CAST(0 AS BIGINT) AS sum_cents FROM n
+         UNION ALL SELECT 'p2_append_overlap_rmw', 'probe', TRUE, 0, 0 FROM n
+         UNION ALL SELECT 'p3_append_overlap_dacs', 'probe', FALSE, 0, 0 FROM n
+         UNION ALL SELECT 'p4_delete_overlap', 'probe', TRUE, 0, 0 FROM n
+         UNION ALL SELECT 'p5_delete_disjoint', 'probe', FALSE, 0, 0 FROM n
+         UNION ALL SELECT 'p6_replace_any', 'probe', FALSE, 0, 0 FROM n
+         UNION ALL SELECT 'p7_overwrite_any', 'probe', TRUE, 0, 0 FROM n
+         UNION ALL SELECT 'v1', 'append', FALSE, all_n, t FROM n
+         UNION ALL SELECT 'v2', 'append', FALSE, all_n + late_n, t + late_t
+           FROM n, a
+         UNION ALL SELECT 'v3', 'mor-delete', FALSE, all_n + late_n - n92,
+             t + late_t - t92 FROM n, a
+         UNION ALL SELECT 'v4', 'replace', FALSE, all_n + late_n - n92,
+             t + late_t - t92 FROM n, a
+         UNION ALL SELECT 'v5', 'overwrite', FALSE, late_n, late_t FROM n, a
+         ORDER BY label""",
 
     // a clean snapshot MUST plan columnar (the 'true' literal is the
     // graded contract, not decoration); the aggregates replay over the

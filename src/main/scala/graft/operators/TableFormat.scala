@@ -430,6 +430,80 @@ object TableFormat {
     }
   }
 
+  /** A committer's declared READ SCOPE intersected a concurrent commit —
+    * blind CAS re-derivation would silently reorder row-level intent, so
+    * the loser fails LOUD instead (Iceberg's validation failure). The
+    * caller retries at the application level against fresh reads. */
+  final class CommitConflictException(msg: String)
+    extends RuntimeException(msg)
+
+  /** SEMANTIC conflict validation for row-level committers — the
+    * Iceberg-style guard on top of the CAS: a key-overlapping
+    * delete‖merge (or upsert‖upsert, delete‖upsert) pair must NOT
+    * serialize blindly, because the loser derived its row-level change
+    * (which keys to mask, which files to rewrite) from a snapshot the
+    * winner just changed. The committer declares the scope it READ
+    * (`col` = the key column or a declared zone column, `[lo, hi]` in
+    * [[zoneLong]] space); on a CAS loss this walks every version the
+    * winner(s) committed in between and throws [[CommitConflictException]]
+    * if any of their file or manifest bounds intersect it.
+    *
+    * ISOLATION MATRIX (enforced here + by commit immutability; Iceberg's
+    * SERIALIZABLE level — a row-level committer's reads must still hold):
+    *   - replace/create/clone ‖ anything → both land (content-preserving
+    *     by contract; CAS re-derive composes them)
+    *   - append ‖ append → both land (additive; never scoped)
+    *   - {append,delete,upsert,merge} ‖ {delete,upsert,merge} with
+    *     DISJOINT scopes → both land
+    *   - with OVERLAPPING scopes → the CAS loser throws (a concurrent
+    *     append INTO the scope also invalidates a read-modify-write —
+    *     the Iceberg validateNoConflicting* rule). EXCEPTION, stated not
+    *     hidden: [[deleteKeysMoR]] passes `conflictWithAppends = false`
+    *     — its manifest masks every strictly-older copy of its keys, so
+    *     append ‖ key-delete serializes exactly as delete-at-commit-time
+    *     whichever side wins (the seq-rule contract TableFormatSpec pins)
+    *   - overwrite/rollback ‖ any scoped op → the scoped loser throws
+    *     (replacement removes rows invisibly to bounds arithmetic)
+    *
+    * Conservative by construction: an intervening commit whose bounds
+    * for `col` are unknown (no zone stats for that column, pre-bounds
+    * delete manifests) counts as overlapping. */
+  private[graft] def assertNoConflicts(spark: SparkSession, root: String,
+                                       base: Snapshot, cur: Snapshot,
+                                       col: String, lo: Long, hi: Long,
+                                       caller: String,
+                                       conflictWithAppends: Boolean = true): Unit = {
+    if (cur.version <= base.version) return
+    versions(spark, root)
+      .filter(v => v > base.version && v <= cur.version)
+      .foreach { v =>
+        val snap = snapshot(spark, root, Some(v))
+        def conflict(what: String): Nothing =
+          throw new CommitConflictException(
+            s"$caller: read scope $col in [$lo,$hi] (resolved at " +
+              s"v${base.version}) conflicts with concurrent $what " +
+              s"commit v$v at $root — retry against a fresh snapshot")
+        val op = snap.op.getOrElse("")
+        // content-preserving ops move bytes, not rows — never a conflict
+        if (op != "replace" && op != "create" && op != "clone" &&
+            !(op == "append" && !conflictWithAppends)) {
+          // full-replacement ops can REMOVE in-scope rows without any
+          // new file/manifest bounds betraying it
+          if (op == "overwrite" || op == "rollback") conflict(op)
+          def fileBounds(f: FileStat): Option[(Long, Long)] =
+            if (col == snap.keyCol) Some((f.minKey, f.maxKey))
+            else f.zones.get(col)
+          val newFileHit = snap.files.filter(_.seq == v).exists(f =>
+            fileBounds(f).forall { case (mn, mx) => mn <= hi && mx >= lo })
+          val newDeleteHit = snap.deletes.filter(_.seq == v).exists { d =>
+            if (col == snap.keyCol) d.minKey <= hi && d.maxKey >= lo
+            else true // manifests carry only key bounds: conservative
+          }
+          if (newFileHit || newDeleteHit) conflict(op)
+        }
+      }
+  }
+
   /** Optimistic-concurrency commit: resolve the latest snapshot, derive
     * the next file set from it, publish at version+1; on a CAS loss
     * re-resolve and RE-DERIVE against the winner's snapshot (the loser's
@@ -1069,6 +1143,8 @@ object TableFormat {
       first.numHashes, { curOpt =>
         val cur = curOpt.getOrElse(
           throw new IllegalStateException("deleteWhere: nothing committed"))
+        assertNoConflicts(spark, root, first, cur, boundCol, lo, hi,
+          "deleteWhere")
         def boundsOf(f: FileStat): Option[(Long, Long)] =
           if (boundCol == cur.keyCol) Some((f.minKey, f.maxKey))
           else f.zones.get(boundCol)
@@ -1080,8 +1156,9 @@ object TableFormat {
           if (boundary.isEmpty) Seq.empty[FileStat]
           else {
             val out = s"$dataDir/delwhere-${java.util.UUID.randomUUID().toString}"
-            readFiles(spark, cur, boundary.map(_.file))
-              .filter(!col(boundCol).cast("long").between(lo, hi))
+            val bdf = readFiles(spark, cur, boundary.map(_.file))
+            bdf.filter(!zoneLong(bdf.schema(boundCol).dataType, col(boundCol))
+                .between(lo, hi))
               .write.mode("overwrite").parquet(out)
             val files = listParquet(spark, out)
             if (files.isEmpty) Seq.empty
@@ -1129,10 +1206,15 @@ object TableFormat {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
       .toMap
     require(counts.nonEmpty, "deleteKeysMoR: empty key set")
+    val scopeLo = counts.values.map(_._2).min
+    val scopeHi = counts.values.map(_._3).max
     commitTransform(spark, root, first.keyCol, first.numBits, first.numHashes,
       { curOpt =>
-        curOpt.getOrElse(throw new IllegalStateException(
-          "deleteKeysMoR: nothing committed")).files
+        val cur = curOpt.getOrElse(throw new IllegalStateException(
+          "deleteKeysMoR: nothing committed"))
+        assertNoConflicts(spark, root, first, cur, cur.keyCol,
+          scopeLo, scopeHi, "deleteKeysMoR", conflictWithAppends = false)
+        cur.files
       },
       op = Some("mor-delete"),
       deriveDeletes = curOpt =>
@@ -1200,6 +1282,8 @@ object TableFormat {
       { curOpt =>
         val cur = curOpt.getOrElse(throw new IllegalStateException(
           "upsertRowsMoR: nothing committed"))
+        assertNoConflicts(spark, root, first, cur, cur.keyCol,
+          keyLo, keyHi, "upsertRowsMoR")
         recheckConstraintsIfChanged(spark, first, cur, src, "upsertRowsMoR")
         (cur.files ++ newStats).sortBy(_.file)
       },
@@ -1389,6 +1473,8 @@ object TableFormat {
       first.numHashes, { curOpt =>
         val cur = curOpt.getOrElse(
           throw new IllegalStateException("mergeRows: nothing committed"))
+        assertNoConflicts(spark, root, first, cur, cur.keyCol, lo, hi,
+          "mergeRows")
         recheckConstraintsIfChanged(spark, first, cur, src, "mergeRows")
         val zoneHit = cur.files.filter(f => f.minKey <= hi && f.maxKey >= lo)
         val srcKeys = src.select(col(cur.keyCol)).distinct()

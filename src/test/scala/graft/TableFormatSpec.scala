@@ -1501,4 +1501,82 @@ class TableFormatSpec extends SparkTestBase {
         assert(TableFormat.read(spark, head).filter(col("v") <= 0).count() == 0L)
     }
   }
+
+  test("conflict matrix: scoped validation fails loud only on overlapping row-changing commits") {
+    import spark.implicits._
+    val root = freshRoot()
+    writeKv((1L to 50L).map(k => k -> k.toDouble), s"$root/w1")
+    TableFormat.commitFiles(spark, root, "k",
+      TableFormat.listParquet(spark, s"$root/w1"), 256, 3)       // v1
+    val v1 = TableFormat.snapshot(spark, root)
+    writeKv((100L to 200L by 10).map(k => k -> k.toDouble), s"$root/w2")
+    TableFormat.appendFiles(spark, root,
+      TableFormat.listParquet(spark, s"$root/w2"))               // v2 append [100,200]
+    val v2 = TableFormat.snapshot(spark, root)
+    def ok(base: TableFormat.Snapshot, cur: TableFormat.Snapshot,
+           lo: Long, hi: Long, apps: Boolean = true) =
+      TableFormat.assertNoConflicts(spark, root, base, cur, "k", lo, hi,
+        "spec", conflictWithAppends = apps)
+    def bad(base: TableFormat.Snapshot, cur: TableFormat.Snapshot,
+            lo: Long, hi: Long, apps: Boolean = true) =
+      intercept[TableFormat.CommitConflictException](
+        TableFormat.assertNoConflicts(spark, root, base, cur, "k", lo, hi,
+          "spec", conflictWithAppends = apps))
+    ok(v1, v2, 1L, 50L)                 // disjoint append: both land
+    bad(v1, v2, 150L, 160L)             // in-scope append invalidates RMW
+    ok(v1, v2, 150L, 160L, apps = false) // ...unless delete-at-commit-time
+    TableFormat.deleteKeysMoR(spark, root, root, Seq(10L, 20L))  // v3
+    val v3 = TableFormat.snapshot(spark, root)
+    bad(v2, v3, 5L, 15L)                // overlapping delete manifest
+    bad(v2, v3, 5L, 15L, apps = false)  // appends-exempt still sees deletes
+    ok(v2, v3, 30L, 60L)                // disjoint delete
+    TableFormat.compact(spark, root, root, 1)                    // v4 replace
+    val v4 = TableFormat.snapshot(spark, root)
+    ok(v3, v4, 1L, 200L)                // content-preserving: never conflicts
+    TableFormat.overwriteFiles(spark, root,
+      TableFormat.listParquet(spark, s"$root/w2"))               // v5 overwrite
+    val v5 = TableFormat.snapshot(spark, root)
+    bad(v4, v5, 1L, 5L)                 // replacement conflicts with any scope
+  }
+
+  test("overlapping upsert race: the CAS loser fails with a named conflict (or serializes cleanly)") {
+    import spark.implicits._
+    (1 to 4).foreach { i =>
+      val root = freshRoot()
+      writeKv((1L to 20L).map(k => k -> 1.0), s"$root/w1")
+      TableFormat.commitFiles(spark, root, "k",
+        TableFormat.listParquet(spark, s"$root/w1"), 256, 3)
+      val start = new CountDownLatch(1)
+      val pool = Executors.newFixedThreadPool(2)
+      def upsert(value: Double) = new java.util.concurrent.Callable[Either[String, Long]] {
+        def call(): Either[String, Long] = {
+          start.await()
+          try Right(TableFormat.upsertRowsMoR(spark, root, root,
+            Seq(5L -> value).toDF("k", "v")).version)
+          catch { case e: TableFormat.CommitConflictException =>
+            Left(e.getMessage) }
+        }
+      }
+      val fa = pool.submit(upsert(100.0)); val fb = pool.submit(upsert(200.0))
+      start.countDown()
+      val (ra, rb) = (fa.get(120, TimeUnit.SECONDS), fb.get(120, TimeUnit.SECONDS))
+      pool.shutdown()
+      val vGot = TableFormat.read(spark, TableFormat.snapshot(spark, root))
+        .filter(col("k") === 5L).collect().map(_.getDouble(1)).toSeq
+      (ra, rb) match {
+        case (Right(va), Right(vb)) =>
+          // no CAS loss: they serialized cleanly — k=5 holds the LATER value
+          assert(va != vb)
+          val later = if (va > vb) 100.0 else 200.0
+          assert(vGot == Seq(later), s"expected $later, got $vGot")
+        case (Left(msg), Right(_)) =>
+          assert(msg.contains("upsertRowsMoR") && msg.contains("conflicts"))
+          assert(vGot == Seq(200.0))
+        case (Right(_), Left(msg)) =>
+          assert(msg.contains("upsertRowsMoR") && msg.contains("conflicts"))
+          assert(vGot == Seq(100.0))
+        case (Left(_), Left(_)) => fail("both upserts failed")
+      }
+    }
+  }
 }
