@@ -707,6 +707,21 @@ object Dedup {
       .orderBy(col("err"), col("n_bands"), col("n_rows"))
   }
 
+  /** Row 1 of [[lshParameterSweep]] as the `(bands, rowsPerBand)` pair to
+    * RUN — the s19 autotune pattern applied to the LSH family: production
+    * entries ([[minhashLsh]] callers, [[lshIndex]] builders) derive their
+    * banding from the target threshold and signature budget instead of
+    * caller constants, so the deployed configuration is by construction
+    * the FP+FN-minimal point of the S-curve (DedupSpec pins it at or
+    * below every constant split of the same budget). Driver cost: one
+    * candidate-grid-sized local job (≤ ~50 rows at budget 16). */
+  def selectLshSplit(spark: org.apache.spark.sql.SparkSession,
+                     threshold: Double, maxSignature: Int = 16): (Int, Int) = {
+    val r = lshParameterSweep(spark, threshold, maxSignature)
+      .limit(1).collect()(0)
+    (r.getAs[Int]("n_bands"), r.getAs[Int]("n_rows"))
+  }
+
   /** Duplicate-span REMOVAL — the corrective half of [[dupSpans]] (Lee et
     * al. cut the repeated spans out of the corpus, they don't just count
     * them). Policy, chosen to be deterministic and engine-replayable: for

@@ -582,4 +582,21 @@ class DedupSpec extends SparkTestBase {
       .orderBy("cluster_id").collect().toSeq
     assert(stored == direct)
   }
+
+  test("selectLshSplit: deterministic winners whose FP+FN area never exceeds the legacy (4,4) constant") {
+    // the splits d03/d12 deploy (budget 32; rows >= 2 falls out of the
+    // optimization — single-hash bands would flood the bucket join with
+    // near-zero-similarity collisions)
+    assert(Dedup.selectLshSplit(spark, threshold = 0.2, maxSignature = 32) == ((16, 2)))
+    assert(Dedup.selectLshSplit(spark, threshold = 0.35, maxSignature = 32) == ((10, 3)))
+    def err(threshold: Double, budget: Int, b: Int, r: Int): Double =
+      Dedup.lshParameterSweep(spark, threshold, budget)
+        .filter(col("n_bands") === b && col("n_rows") === r)
+        .collect()(0).getAs[Double]("err")
+    Seq(0.2, 0.35).foreach { t =>
+      val (b, r) = Dedup.selectLshSplit(spark, t, maxSignature = 32)
+      assert(err(t, 32, b, r) <= err(t, 32, 4, 4),
+        s"selected ($b,$r) must beat the legacy (4,4) at threshold $t")
+    }
+  }
 }
