@@ -4401,6 +4401,54 @@ object SparkEntry {
       (stateRows ++ probeRows).reduce(_.unionByName(_)).orderBy(col("label"))
     },
 
+    // ---- METADATA-AGGREGATE pushdown through the SQL catalog:
+    // count(*)/min/max on the key and a DATE zone column answered from
+    // commit stats as a driver-local row — the plan for the clean pinned
+    // version shows a LocalTableScan over stats columns and NO data-file
+    // BatchScan (the 'pushed' boolean is parsed from the executed plan
+    // and graded); the same query at the MoR-pending head REFUSES the
+    // pushdown and falls back to the masked scan, whose values the
+    // oracle replays with the deletion applied ----
+    "q116_meta_agg_pushdown" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"magg_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val root = s"$wh/$tbl"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q116_magg", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val base = Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(16)) === 8)
+          .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        base.repartition(3).write.mode("overwrite").parquet(s"$root/b0")
+        TableFormat.commitFiles(s, root, "o_orderkey",
+          TableFormat.listParquet(s, s"$root/b0"),
+          numBits = 1 << 14, numHashes = 5, zoneCols = Seq("od"))   // v1
+        TableFormat.deleteKeysMoR(s, root, root,                    // v2
+          base.filter(pmod(col("o_orderkey"), lit(9)) === 4)
+            .select("o_orderkey"), nManifestFiles = 1)
+      }
+      def probe(pin: String, versionSql: String) = {
+        val df = s.sql(s"""SELECT count(*) AS n_rows,
+            min(o_orderkey) AS k_min, max(o_orderkey) AS k_max,
+            min(od) AS d0, max(od) AS d1
+          FROM graft.`$tbl` $versionSql""")
+        val plan = df.queryExecution.executedPlan.toString
+        val pushed =
+          plan.contains("LocalTableScan [count_star") && !plan.contains("BatchScan")
+        Parallelism.ensureDefaultParallelism(df)
+          .select(lit(pin).as("pin"), lit(pushed).as("pushed"),
+            col("n_rows"), col("k_min"), col("k_max"),
+            date_format(col("d0"), "yyyy-MM-dd").as("d_min"),
+            date_format(col("d1"), "yyyy-MM-dd").as("d_max"))
+      }
+      probe("clean_v1", "VERSION AS OF 1")
+        .unionByName(probe("mor_head", ""))
+        .orderBy(col("pin"))
+    },
+
     // ---- Multimodal: REAL AVI/MJPEG video decode — the second real
     // video path beyond GIF, composed entirely from JDK parts: a
     // standard-layout RIFF AVI (hdrl/strl headers + movi stream) whose
@@ -8775,6 +8823,24 @@ object SparkEntry {
              (SELECT n FROM nt), n, t, dmin_s, dmax_s, ts_sec FROM fr
          UNION ALL SELECT 'stream', 0, (SELECT n FROM nt), n, t,
              dmin_s, dmax_s, ts_sec FROM fa
+         ORDER BY pin""",
+
+    // the clean pin MUST push (pushed=true is the graded contract) and
+    // replays full-slice extrema; the MoR head must NOT push and its
+    // extrema replay with the %9==4 deletion applied
+    "q116_meta_agg_pushdown" ->
+      """WITH s AS (SELECT o_orderkey AS k,
+             CAST(CAST(o_orderdate AS DATE) AS DATE) AS dt
+           FROM orders WHERE o_orderkey % 16 = 8),
+         kept AS (SELECT * FROM s WHERE k % 9 <> 4)
+         SELECT 'clean_v1' AS pin, TRUE AS pushed, count(*) AS n_rows,
+             min(k) AS k_min, max(k) AS k_max,
+             strftime(min(dt), '%Y-%m-%d') AS d_min,
+             strftime(max(dt), '%Y-%m-%d') AS d_max
+           FROM s
+         UNION ALL SELECT 'mor_head', FALSE, count(*), min(k), max(k),
+             strftime(min(dt), '%Y-%m-%d'), strftime(max(dt), '%Y-%m-%d')
+           FROM kept
          ORDER BY pin""",
 
     // the isolation matrix is deterministic BY CONSTRUCTION (each probe's

@@ -250,7 +250,11 @@ private class GraftSqlTable(ident: String, root: String,
 private class GraftSqlScanBuilder(snap: TableFormat.Snapshot,
                                   tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.connector.expressions.NamedReference
+
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
   // accumulated per-column bounds used ONLY for file pruning
@@ -333,8 +337,114 @@ private class GraftSqlScanBuilder(snap: TableFormat.Snapshot,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new GraftSqlScan(snap, required, bounds.toMap)
+  // ---- METADATA-AGGREGATE pushdown: `SELECT count(*) / min / max FROM
+  // graft.t` answered from COMMIT STATS with zero data-file IO (the
+  // Iceberg/Trino stats-pushdown shape). Complete-pushdown only, under
+  // the honesty rules the library's statsSummary already enforces:
+  //  - refused when merge-on-read manifests are pending (masked rows
+  //    would falsify counts and extrema) — Spark falls back to a real
+  //    scan through the masked reader;
+  //  - min/max only on the KEY or a DISCRETE-typed zone column
+  //    (integral/date/timestamp — their zoneLong mapping is a
+  //    bijection; a double's truncated bounds are not its extrema);
+  //  - count(*) only (count(col) needs null counts stats don't carry);
+  //  - no group-by, no filtered scans (Spark only offers the pushdown
+  //    when every filter was consumed, and ours stay residual).
+  private sealed trait AggSpec
+  private case object CountStarSpec extends AggSpec
+  private final case class MinSpec(col: String) extends AggSpec
+  private final case class MaxSpec(col: String) extends AggSpec
+  private var pushedAgg: Option[Seq[AggSpec]] = None
+
+  private def discreteStats(c: String): Boolean =
+    (c == snap.keyCol ||
+      // a zone column is usable only when EVERY live file carries its
+      // bounds (a file committed before the zone declaration has values
+      // but no recorded extrema — refuse, don't guess)
+      (snap.zoneCols.contains(c) && snap.files.forall(_.zones.contains(c)))) &&
+      tableSchema.fields.find(_.name == c).map(_.dataType).exists {
+        case ByteType | ShortType | IntegerType | LongType |
+             DateType | TimestampType => true
+        case _ => false
+      }
+
+  private def planAgg(agg: Aggregation): Option[Seq[AggSpec]] = {
+    if (agg.groupByExpressions().nonEmpty || snap.deletes.nonEmpty ||
+        bounds.nonEmpty) return None
+    val specs = agg.aggregateExpressions().map {
+      case _: CountStar => CountStarSpec
+      case m: Min => m.column() match {
+        case r: NamedReference if r.fieldNames.length == 1 &&
+          discreteStats(r.fieldNames()(0)) => MinSpec(r.fieldNames()(0))
+        case _ => return None
+      }
+      case m: Max => m.column() match {
+        case r: NamedReference if r.fieldNames.length == 1 &&
+          discreteStats(r.fieldNames()(0)) => MaxSpec(r.fieldNames()(0))
+        case _ => return None
+      }
+      case _ => return None
+    }
+    Some(specs.toSeq)
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    planAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    planAgg(agg) match {
+      case Some(specs) => pushedAgg = Some(specs); true
+      case None => false
+    }
+
+  override def build(): Scan = pushedAgg match {
+    case Some(specs) => new GraftSqlAggScan(snap, tableSchema, specs)
+    case None => new GraftSqlScan(snap, required, bounds.toMap)
+  }
+
+  /** The pushed-aggregate scan: ONE driver-local row computed from the
+    * snapshot's per-file stats — no input partition ever reads a data
+    * file (the plan shows `graft-meta-agg`). */
+  private class GraftSqlAggScan(snap: TableFormat.Snapshot,
+                                tableSchema: StructType, specs: Seq[AggSpec])
+      extends LocalScan {
+    private def colType(c: String) =
+      tableSchema.fields.find(_.name == c).get.dataType
+
+    override def readSchema(): StructType = StructType(specs.map {
+      case CountStarSpec => StructField("count_star", LongType, nullable = false)
+      case MinSpec(c) => StructField(s"min_$c", colType(c))
+      case MaxSpec(c) => StructField(s"max_$c", colType(c))
+    })
+
+    private def statOf(c: String, take: TableFormat.FileStat => Long,
+                       reduce: (Long, Long) => Long): Any =
+      if (snap.files.isEmpty) null
+      else {
+        val v = snap.files.map(take).reduce(reduce)
+        colType(c) match {
+          case ByteType => v.toByte
+          case ShortType => v.toShort
+          case IntegerType | DateType => v.toInt // date = epoch days
+          case _ => v // long / timestamp-micros
+        }
+      }
+
+    override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+      Array(org.apache.spark.sql.catalyst.InternalRow.fromSeq(specs.map {
+        case CountStarSpec => snap.files.map(_.nRows).sum
+        case MinSpec(c) =>
+          statOf(c, f => if (c == snap.keyCol) f.minKey else f.zones(c)._1,
+            math.min)
+        case MaxSpec(c) =>
+          statOf(c, f => if (c == snap.keyCol) f.maxKey else f.zones(c)._2,
+            math.max)
+      }))
+
+    override def description(): String =
+      s"graft-meta-agg(${snap.root}@v${snap.version}) " +
+        specs.mkString("[", ", ", "] — commit-stats only, no data files read")
+  }
 }
 
 private case class GraftSqlPartition(file: String, manifests: Seq[String],

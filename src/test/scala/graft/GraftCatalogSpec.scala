@@ -303,4 +303,46 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(spark.sql("SELECT count(*) AS n FROM sqlcat.vec VERSION AS OF 2")
       .collect()(0).getLong(0) == 501L)
   }
+
+  test("metadata-aggregate pushdown: count/min/max answered from commit stats; MoR/doubles/filters fall back") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = s"$warehouse/agg"
+    spark.range(1, 101).select(col("id").as("k"), (col("id") * 1.5).as("v"),
+        date_add(lit(java.sql.Date.valueOf("2024-03-01")),
+          col("id").cast("int")).as("d"))
+      .repartition(3).write.mode("overwrite").parquet(s"$root/w1")
+    TableFormat.commitFiles(spark, root, "k",
+      TableFormat.listParquet(spark, s"$root/w1"), 256, 3, zoneCols = Seq("d"))
+    def planOf(sql: String) = spark.sql(sql).queryExecution.executedPlan.toString
+    val q = "SELECT count(*) AS n, min(k) AS k0, max(k) AS k1, " +
+      "min(d) AS d0, max(d) AS d1 FROM sqlcat.agg"
+    // the pushed plan is a driver-local row (LocalTableScan over the
+    // stats columns) — no BatchScan of data files anywhere
+    def pushedDown(plan: String) =
+      plan.contains("LocalTableScan [count_star") && !plan.contains("BatchScan")
+    assert(pushedDown(planOf(q)), planOf(q))
+    val r = spark.sql(q).collect()(0)
+    assert(r.getLong(0) == 100L && r.getLong(1) == 1L && r.getLong(2) == 100L)
+    assert(r.getDate(3) == java.sql.Date.valueOf("2024-03-02"))
+    assert(r.getDate(4) == java.sql.Date.valueOf("2024-06-09"))
+    // min/max on a DOUBLE never push (truncated bounds are not extrema)
+    val qd = "SELECT min(v) AS v0 FROM sqlcat.agg"
+    assert(!planOf(qd).contains("LocalTableScan"))
+    assert(spark.sql(qd).collect()(0).getDouble(0) == 1.5)
+    // a WHERE keeps the aggregate on a real scan (filters stay residual)
+    val qf = "SELECT count(*) AS n FROM sqlcat.agg WHERE k > 50"
+    assert(!planOf(qf).contains("LocalTableScan"))
+    assert(spark.sql(qf).collect()(0).getLong(0) == 50L)
+    // pending MoR manifests refuse the pushdown and the fallback is exact
+    TableFormat.deleteKeysMoR(spark, root, root, Seq(1L, 100L))
+    assert(!planOf(q).contains("LocalTableScan"))
+    val r2 = spark.sql(q).collect()(0)
+    assert(r2.getLong(0) == 98L && r2.getLong(1) == 2L && r2.getLong(2) == 99L)
+    // compaction materializes the masks; the pushdown returns, post-delete
+    TableFormat.compact(spark, root, root, 1)
+    assert(pushedDown(planOf(q)))
+    val r3 = spark.sql(q).collect()(0)
+    assert(r3.getLong(0) == 98L && r3.getLong(1) == 2L && r3.getLong(2) == 99L)
+  }
 }
