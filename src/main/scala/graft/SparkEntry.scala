@@ -4449,6 +4449,61 @@ object SparkEntry {
         .orderBy(col("pin"))
     },
 
+    // ---- DECLARATIVE partition spec + EVOLUTION: writes route by the
+    // declared spec (gen-1: month(od) — one file per calendar month;
+    // after one metadata-only evolution commit, gen-2: div(o_orderkey,
+    // 16384) — one file per key bucket), readers never consult the spec
+    // at all — both generations prune through the same zone stats, so
+    // a month probe and a key probe each skip the other generation's
+    // irrelevant files, and the PrunedFiles ledger replays from
+    // per-group min/max arithmetic in the oracle ----
+    "q117_partition_spec_evolution" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"pspec_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val root = s"$wh/$tbl"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q117_ps", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val orders = Tables.orders(s, dir)
+        def sl(r: Int) = orders
+          .filter(pmod(col("o_orderkey"), lit(32)) === r)
+          .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        TableFormat.createEmpty(s, root, "o_orderkey",
+          "o_orderkey BIGINT, od DATE, cents BIGINT",
+          numBits = 1 << 14, numHashes = 5, zoneCols = Seq("od"))      // v1
+        TableFormat.setPartitionSpec(s, root, "month(od)")             // v2
+        TableFormat.appendPartitioned(s, root, sl(0), root)            // v3
+        TableFormat.setPartitionSpec(s, root, "div(o_orderkey, 16384)") // v4
+        TableFormat.appendPartitioned(s, root, sl(16), root)           // v5
+      }
+      val head = TableFormat.snapshot(s, root)
+      val total = head.files.size.toLong
+      val minDay = head.files.flatMap(_.zones.get("od")).map(_._1).min
+      val m1 = java.time.LocalDate.ofEpochDay(minDay)
+        .withDayOfMonth(1).plusMonths(1)
+      val m1e = m1.plusMonths(1).minusDays(1)
+      def row(pin: String, df: DataFrame, read: Long) =
+        Parallelism.ensureDefaultParallelism(df)
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("cents")), lit(0L)).as("sum_cents"))
+          .select(lit(pin).as("probe"), lit(read).as("files_read"),
+            lit(total).as("files_total"), col("n_rows"), col("sum_cents"))
+      def probe(pin: String, whereSql: String) = {
+        val df = s.sql(s"SELECT cents FROM graft.`$tbl` WHERE $whereSql")
+        val m = "PrunedFiles: (\\d+)/(\\d+)".r
+          .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+          .getOrElse(throw new IllegalStateException("q117: no PrunedFiles"))
+        row(pin, df, m.group(2).toLong - m.group(1).toLong)
+      }
+      Seq(row("state", s.sql(s"SELECT cents FROM graft.`$tbl`"), total),
+          probe("month", s"od >= DATE'$m1' AND od <= DATE'$m1e'"),
+          probe("key", "o_orderkey >= 16400 AND o_orderkey <= 20480"))
+        .reduce(_.unionByName(_)).orderBy(col("probe"))
+    },
+
     // ---- Multimodal: REAL AVI/MJPEG video decode — the second real
     // video path beyond GIF, composed entirely from JDK parts: a
     // standard-layout RIFF AVI (hdrl/strl headers + movi stream) whose
@@ -8824,6 +8879,54 @@ object SparkEntry {
          UNION ALL SELECT 'stream', 0, (SELECT n FROM nt), n, t,
              dmin_s, dmax_s, ts_sec FROM fa
          ORDER BY pin""",
+
+    // gen-1 files ARE the %32==0 slice's month groups, gen-2 files its
+    // %32==16 slice's 16384-wide key buckets; every files_read count
+    // replays from per-group min/max bounds; the month probe is the
+    // calendar month after the table's min date, the key probe sits in
+    // key bucket 1
+    "q117_partition_spec_evolution" ->
+      """WITH a AS (SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS dt,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders WHERE o_orderkey % 32 = 0),
+         b AS (SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS dt,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders WHERE o_orderkey % 32 = 16),
+         t AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+         pr AS (SELECT
+             CAST(date_trunc('month', (SELECT min(dt) FROM t))
+               + INTERVAL 1 MONTH AS DATE) AS mlo,
+             CAST(date_trunc('month', (SELECT min(dt) FROM t))
+               + INTERVAL 2 MONTH - INTERVAL 1 DAY AS DATE) AS mhi),
+         fa AS (SELECT date_trunc('month', dt) AS g, min(dt) AS dmn,
+             max(dt) AS dmx, min(k) AS kmn, max(k) AS kmx FROM a GROUP BY 1),
+         fb AS (SELECT k // 16384 AS g, min(dt) AS dmn, max(dt) AS dmx,
+             min(k) AS kmn, max(k) AS kmx FROM b GROUP BY 1),
+         nt AS (SELECT CAST((SELECT count(*) FROM fa)
+             + (SELECT count(*) FROM fb) AS BIGINT) AS n),
+         mhit AS (SELECT CAST(
+             (SELECT count(*) FROM fa, pr WHERE dmn <= mhi AND dmx >= mlo)
+             + (SELECT count(*) FROM fb, pr WHERE dmn <= mhi AND dmx >= mlo)
+             AS BIGINT) AS n),
+         khit AS (SELECT CAST(
+             (SELECT count(*) FROM fa WHERE kmn <= 20480 AND kmx >= 16400)
+             + (SELECT count(*) FROM fb WHERE kmn <= 20480 AND kmx >= 16400)
+             AS BIGINT) AS n),
+         st AS (SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS s FROM t),
+         mr AS (SELECT count(*) AS n,
+             CAST(COALESCE(sum(c), 0) AS BIGINT) AS s
+           FROM t, pr WHERE dt >= mlo AND dt <= mhi),
+         kr AS (SELECT count(*) AS n,
+             CAST(COALESCE(sum(c), 0) AS BIGINT) AS s
+           FROM t WHERE k >= 16400 AND k <= 20480)
+         SELECT 'key' AS probe, (SELECT n FROM khit) AS files_read,
+             (SELECT n FROM nt) AS files_total, n AS n_rows, s AS sum_cents
+           FROM kr
+         UNION ALL SELECT 'month', (SELECT n FROM mhit), (SELECT n FROM nt),
+             n, s FROM mr
+         UNION ALL SELECT 'state', (SELECT n FROM nt), (SELECT n FROM nt),
+             n, s FROM st
+         ORDER BY probe""",
 
     // the clean pin MUST push (pushed=true is the graded contract) and
     // replays full-slice extrema; the MoR head must NOT push and its

@@ -948,6 +948,124 @@ object TableFormat {
       op = Some("append"))
   }
 
+  /** Commit property carrying the DECLARATIVE PARTITION SPEC — the
+    * Iceberg `PARTITIONED BY` shape re-expressed over stats-based
+    * pruning: the spec tells WRITERS how to route rows into files
+    * ([[appendPartitioned]]); READERS never consult it, because every
+    * routed file carries tight zone bounds on the spec's base columns
+    * and the existing zone pruning ([[scanZone]], the SQL catalog's
+    * pushFilters) prunes them with no partition scheme at all. That
+    * split is what makes SPEC EVOLUTION free: changing the spec is one
+    * metadata commit, old files keep their old layout AND their old
+    * bounds, and scans prune both generations correctly (Iceberg's
+    * "new spec applies to new files only" rule, without its
+    * per-file spec-id bookkeeping).
+    *
+    * Grammar: comma-separated terms — `col` (identity), `month(col)`
+    * (calendar month of a date/timestamp), `div(col, n)` (width-n range
+    * bucket of the column's [[zoneLong]] image). */
+  val PartitionSpecProp = "partition.spec"
+
+  private[graft] sealed trait SpecTerm { def baseCol: String }
+  private[graft] final case class IdentityTerm(baseCol: String) extends SpecTerm
+  private[graft] final case class MonthTerm(baseCol: String) extends SpecTerm
+  private[graft] final case class DivTerm(baseCol: String, width: Long)
+    extends SpecTerm
+
+  private[graft] def parseSpec(spec: String): Seq[SpecTerm] = {
+    val Month = """month\(\s*([A-Za-z0-9_]+)\s*\)""".r
+    val Div = """div\(\s*([A-Za-z0-9_]+)\s*,\s*(\d+)\s*\)""".r
+    val Ident = """([A-Za-z0-9_]+)""".r
+    // split on TOP-LEVEL commas only — `div(col, n)` has one inside
+    val terms = {
+      val buf = Seq.newBuilder[String]
+      val cur = new StringBuilder
+      var depth = 0
+      spec.foreach {
+        case '(' => depth += 1; cur.append('(')
+        case ')' => depth -= 1; cur.append(')')
+        case ',' if depth == 0 => buf += cur.toString; cur.clear()
+        case c => cur.append(c)
+      }
+      buf += cur.toString
+      buf.result().map(_.trim).filter(_.nonEmpty)
+    }
+    require(terms.nonEmpty, s"partition spec is empty: '$spec'")
+    terms.map {
+      case Month(c) => MonthTerm(c)
+      case Div(c, n) =>
+        require(n.toLong >= 1, s"div width must be >= 1 in '$spec'")
+        DivTerm(c, n.toLong)
+      case Ident(c) => IdentityTerm(c)
+      case t => throw new IllegalArgumentException(
+        s"partition spec term '$t' (grammar: col | month(col) | div(col, n))")
+    }
+  }
+
+  /** Routing value of one spec term as a STRING column (strings because
+    * the values become directory names; the stored rows never carry
+    * them — pruning reads the base column's zone bounds instead). */
+  private def specValue(term: SpecTerm,
+                        df: DataFrame): org.apache.spark.sql.Column =
+    term match {
+      case IdentityTerm(c) => col(c).cast("string")
+      case MonthTerm(c) => date_format(col(c), "yyyy-MM")
+      case DivTerm(c, w) =>
+        floor(zoneLong(df.schema(c).dataType, col(c)) / w).cast("long")
+          .cast("string")
+    }
+
+  /** Declare (or EVOLVE) the table's partition spec — one metadata-only
+    * op=replace commit. Every base column must be the key or a declared
+    * zone column: the spec's pruning power IS its zone stats, so an
+    * un-zoned spec column would route files nothing can skip. */
+  def setPartitionSpec(spark: SparkSession, root: String,
+                       spec: String): Snapshot = {
+    val first = snapshot(spark, root)
+    val schema = first.schemaDdl
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+    parseSpec(spec).foreach { t =>
+      schema.foreach(sc => require(sc.fieldNames.contains(t.baseCol),
+        s"setPartitionSpec: column '${t.baseCol}' not in the table schema"))
+      require(t.baseCol == first.keyCol || first.zoneCols.contains(t.baseCol),
+        s"setPartitionSpec: '${t.baseCol}' must be the key or a declared " +
+          "zone column — spec files prune through zone stats")
+    }
+    commitTransform(spark, root, first.keyCol, first.numBits, first.numHashes,
+      curOpt => curOpt.map(_.files).getOrElse(Seq.empty),
+      deriveProps = curOpt => curOpt.map(_.props).getOrElse(Map.empty) +
+        (PartitionSpecProp -> spec),
+      op = Some("replace"))
+  }
+
+  /** APPEND a batch routed by the CURRENT partition spec: one shuffled
+    * write partitioned by the spec's routing value — one job however
+    * many partitions, one file per live partition value (plus splits for
+    * oversized values), each with TIGHT zone bounds on the spec's base
+    * columns — then one ordinary [[appendFiles]] commit (stats,
+    * constraints, schema evolution, replay props all apply). The routing
+    * column itself is never stored: it is derived, and the layout under
+    * `<dataDir>/.../_pv=<value>/` is an operator convenience, not a
+    * reader contract. */
+  def appendPartitioned(spark: SparkSession, root: String, batch: DataFrame,
+                        dataDir: String,
+                        extraProps: Map[String, String] = Map.empty): Snapshot = {
+    val head = snapshot(spark, root)
+    val spec = head.props.getOrElse(PartitionSpecProp,
+      throw new IllegalArgumentException(
+        s"appendPartitioned: no '$PartitionSpecProp' declared at $root " +
+          "(setPartitionSpec first)"))
+    val terms = parseSpec(spec)
+    val out = s"$dataDir/routed-${java.util.UUID.randomUUID().toString}"
+    val routed = batch.withColumn("_pv",
+      concat_ws("/", terms.map(t => specValue(t, batch)): _*))
+    routed.repartition(col("_pv"))
+      .write.partitionBy("_pv").mode("overwrite").parquet(out)
+    val files = listParquetRecursive(spark, out)
+    require(files.nonEmpty, "appendPartitioned: empty batch")
+    appendFiles(spark, root, files, extraProps)
+  }
+
   /** Compaction: rewrite the CURRENT file set into `nFiles`
     * range-clustered files under `dataDir` and commit the result.
     * Content-preserving; old files stay on disk, so every prior version
@@ -2117,5 +2235,19 @@ object TableFormat {
     fs.listStatus(p).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString).sorted
+  }
+
+  /** [[listParquet]] descending into subdirectories — what a
+    * `partitionBy`-routed write produces ([[appendPartitioned]]). */
+  def listParquetRecursive(spark: SparkSession, dir: String): Seq[String] = {
+    val (_, fs, p) = fileContext(spark, dir)
+    val it = fs.listFiles(p, true)
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+        out += st.getPath.toString
+    }
+    out.result().sorted
   }
 }

@@ -1579,4 +1579,66 @@ class TableFormatSpec extends SparkTestBase {
       }
     }
   }
+
+  test("partition spec: routed writes prune via zones, evolution applies to new files only") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = freshRoot()
+    // month-of-date spec v1, then evolve to width-100 key buckets
+    val base = spark.range(1, 201).select(col("id").as("k"),
+      expr("date_add(DATE'2024-01-01', CAST(id / 20 AS INT) * 31)").as("d"),
+      (col("id") * 2).as("v"))
+    base.filter(col("k") <= 100).limit(0).repartition(1)
+      .write.mode("overwrite").parquet(s"$root/seed")
+    // bootstrap with an empty seed so the spec can be declared up front
+    TableFormat.createEmpty(spark, root, "k",
+      "k BIGINT, d DATE, v BIGINT", zoneCols = Seq("d"))
+    TableFormat.setPartitionSpec(spark, root, "month(d)")          // v2
+    TableFormat.appendPartitioned(spark, root,
+      base.filter(col("k") <= 100), root)                          // v3
+    val s3 = TableFormat.snapshot(spark, root)
+    // one file per live month, each with TIGHT d-bounds
+    val months = base.filter(col("k") <= 100)
+      .select(date_format(col("d"), "yyyy-MM")).distinct().count()
+    assert(s3.files.size == months.toInt, s"${s3.files.size} vs $months")
+    // the routing column must NOT leak into the stored schema or reads
+    assert(!spark.read.parquet(s3.files.head.file).columns.contains("_pv"))
+    assert(TableFormat.read(spark, s3).columns.toSeq == Seq("k", "d", "v"))
+    assert(TableFormat.read(spark, s3).count() == 100L)
+    // EVOLVE: new spec routes new files; old files stay put
+    TableFormat.setPartitionSpec(spark, root, "div(k, 25)")        // v4
+    TableFormat.appendPartitioned(spark, root,
+      base.filter(col("k") > 100), root)                           // v5
+    val s5 = TableFormat.snapshot(spark, root)
+    val buckets = base.filter(col("k") > 100)
+      .select(floor(col("k") / 25)).distinct().count()
+    assert(s5.files.size == months.toInt + buckets.toInt)
+    assert(TableFormat.read(spark, s5).count() == 200L)
+    // a date probe inside ONE month prunes every other month file AND
+    // uses the gen-2 files' real d-bounds (both specs prune correctly)
+    val d0 = java.sql.Date.valueOf("2024-03-03")
+    val lo = d0.toLocalDate.toEpochDay; val (scan, nRead, nTotal) =
+      TableFormat.scanZone(spark, s5, "d", lo, lo)
+    assert(nTotal == months.toInt + buckets.toInt)
+    val expect = base.filter(col("d") === lit(d0)).count()
+    assert(scan.count() == expect && expect > 0)
+    // gen-1: exactly one month file holds that date; gen-2 files whose
+    // d-zones cover it are read too — the prune count is their sum
+    val s5hit = s5.files.count(f =>
+      f.zones("d")._1 <= lo && f.zones("d")._2 >= lo)
+    assert(nRead == s5hit && nRead < nTotal)
+    // a key probe prunes to exactly ONE width-25 gen-2 bucket (gen-1
+    // files all hold k <= 100, so their key bounds skip too)
+    val (kscan, kRead, _) = TableFormat.scanRange(spark, s5, 130L, 140L)
+    assert(kscan.count() == 11L)
+    assert(kRead == 1, s"kRead=$kRead")
+    // un-zoned spec column refused loudly
+    val e = intercept[IllegalArgumentException](
+      TableFormat.setPartitionSpec(spark, root, "v"))
+    assert(e.getMessage.contains("zone"))
+    // spec survives maintenance commits (props carry forward)
+    TableFormat.compact(spark, root, root, 2)
+    assert(TableFormat.snapshot(spark, root)
+      .props(TableFormat.PartitionSpecProp) == "div(k, 25)")
+  }
 }
