@@ -254,23 +254,39 @@ object Layout {
                 filesPerPartition: Int): Unit = {
     require(filesPerPartition >= 1,
       s"recluster: filesPerPartition must be >= 1, got $filesPerPartition")
+    // ONE pass, ONE shuffle: the flagged set broadcasts onto a single
+    // scan (no separate semi/anti legs re-reading the input), the
+    // explicit repartition on partCols is the only exchange, and both
+    // windows reuse that clustering (the ranking one adds a sort, never
+    // a shuffle) — so the partitionBy write streams straight out of the
+    // window with each task holding whole partitions, one file per
+    // (partition, _file) directory. The previous shape shuffled the
+    // rewritten rows twice (window exchange + layout repartition) and
+    // scanned the input twice.
     val flagged = plan.filter(col("needs_rewrite"))
       .select(partCols.map(col): _*).distinct()
-    val clean = df.join(broadcast(flagged), partCols, "left_anti")
-      .withColumn("_file", col(fileCol).cast("string"))
+      .withColumn("_rw", lit(true))
     val wCnt = org.apache.spark.sql.expressions.Window
       .partitionBy(partCols.map(col): _*)
     val wRank = wCnt.orderBy(col(zCol), col(fileCol))
-    val rewritten = df.join(broadcast(flagged), partCols, "left_semi")
-      .withColumn("_rn", row_number().over(wRank))
-      .withColumn("_n", count(lit(1)).over(wCnt))
+    df.join(broadcast(flagged), partCols, "left_outer")
+      // explicit numPartitions: a column-only repartition is an AQE
+      // coalesce target, and this stage's output volume is small enough
+      // that AQE would fuse the sort+write into a couple of tasks —
+      // serializing exactly the work that must fan out across the
+      // cluster. Cores-many partitions keep the rewrite parallel.
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        partCols.map(col): _*)
       // contiguous z-runs of near-equal size: file k holds ranks in
-      // [k*n/F, (k+1)*n/F) — ranges cannot overlap except a boundary tie
-      .withColumn("_file", concat(lit("z"),
-        floor((col("_rn") - 1) * filesPerPartition / col("_n")).cast("string")))
-      .drop("_rn", "_n")
-    clean.unionByName(rewritten)
-      .repartition((partCols.map(col) :+ col("_file")): _*)
+      // [k*n/F, (k+1)*n/F) — ranges cannot overlap except a boundary tie;
+      // pass-through partitions keep their original file grouping (their
+      // ranks are computed and discarded — cheaper than a second scan)
+      .withColumn("_file",
+        when(col("_rw").isNotNull, concat(lit("z"),
+          floor((row_number().over(wRank) - 1) * filesPerPartition /
+            count(lit(1)).over(wCnt)).cast("string")))
+        .otherwise(col(fileCol).cast("string")))
+      .drop("_rw")
       .write.mode("overwrite")
       .partitionBy((partCols :+ "_file"): _*)
       .parquet(path)
