@@ -16,6 +16,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    // machine-load provenance: round-over-round comparisons kept needing
+    // the driver's run as tiebreaker because committed archives ran on a
+    // loaded box with no record of it — stamp the 1-minute load average
+    // at start and end so an artifact-only reader can discount a noisy run
+    def loadAvg(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg()
     val spark = GraftSession.get()
     // JIT + session warm-up so per-query numbers measure the plan, not JVM startup
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -67,7 +74,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":\"" + v.replace("\"", "'") + "\"" }
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errJson,"flags":$flagsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errJson,"flags":$flagsJson,"passes":2,"agg":"per-entry min of passes","load_avg":{"start":${num(loadStart)},"end":${num(loadAvg())},"cores":${Runtime.getRuntime.availableProcessors()}},"sf":"$sfDir"}"""
     println(line)
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
     spark.stop()

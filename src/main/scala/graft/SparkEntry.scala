@@ -4504,6 +4504,52 @@ object SparkEntry {
         .reduce(_.unionByName(_)).orderBy(col("probe"))
     },
 
+    // ---- Full SQL DML over a spec'd table: CREATE TABLE declares
+    // month(od) routing in TBLPROPERTIES, one INSERT INTO range-
+    // distributes and rolls per month (file count = live months, graded),
+    // DELETE WHERE od < 1994 drops whole month files by bounds
+    // arithmetic (no rewrite — month granularity aligns), an equality
+    // DELETE rewrites boundary files, and an unconditional DELETE
+    // truncates in one commit with history intact ----
+    "q118_sql_dml_spec" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"wdml_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val root = s"$wh/$tbl"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q118_dml", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        Tables.orders(s, dir).filter(pmod(col("o_orderkey"), lit(16)) === 9)
+          .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("q118_src")
+        s.sql(s"""CREATE TABLE graft.`$tbl`
+          (o_orderkey BIGINT, od DATE, cents BIGINT)
+          TBLPROPERTIES('key_col'='o_orderkey', 'zone_cols'='od',
+                        '${TableFormat.PartitionSpecProp}'='month(od)')""") // v1
+        s.sql(s"INSERT INTO graft.`$tbl` SELECT * FROM q118_src")           // v2
+        s.sql(s"DELETE FROM graft.`$tbl` WHERE od < DATE'1994-01-01'")      // v3
+        val kmin = s.sql(s"SELECT min(o_orderkey) FROM graft.`$tbl`")
+          .collect()(0).getLong(0)
+        s.sql(s"DELETE FROM graft.`$tbl` WHERE o_orderkey = $kmin")         // v4
+        s.sql(s"DELETE FROM graft.`$tbl`")                                  // v5
+      }
+      val states = TableFormat.versions(s, root).map { v =>
+        val snap = TableFormat.snapshot(s, root, Some(v))
+        // v4's boundary-rewrite file count is a write-partitioning
+        // artifact, not a contract — ungraded sentinel on both sides
+        val nf = if (v == 4L) -1L else snap.files.size.toLong
+        Parallelism.ensureDefaultParallelism(
+            s.sql(s"SELECT cents FROM graft.`$tbl` VERSION AS OF $v"))
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("cents")), lit(0L)).as("sum_cents"))
+          .select(lit(s"v$v").as("pin"), lit(snap.op.getOrElse("")).as("op"),
+            col("n_rows"), col("sum_cents"), lit(nf).as("n_files"))
+      }
+      states.reduce(_.unionByName(_)).orderBy(col("pin"))
+    },
+
     // ---- Multimodal: REAL AVI/MJPEG video decode — the second real
     // video path beyond GIF, composed entirely from JDK parts: a
     // standard-layout RIFF AVI (hdrl/strl headers + movi stream) whose
@@ -8878,6 +8924,32 @@ object SparkEntry {
              (SELECT n FROM nt), n, t, dmin_s, dmax_s, ts_sec FROM fr
          UNION ALL SELECT 'stream', 0, (SELECT n FROM nt), n, t,
              dmin_s, dmax_s, ts_sec FROM fa
+         ORDER BY pin""",
+
+    // v2's file count = live months of the %16==9 slice (the spec routes
+    // one file per month), v3 drops exactly the pre-1994 months (aligned
+    // bounds, zero rewrite), v4 removes the then-minimum key, v5 is the
+    // truncate; ops and counts all replay from slice arithmetic
+    "q118_sql_dml_spec" ->
+      """WITH s AS (SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS dt,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders WHERE o_orderkey % 16 = 9),
+         kept AS (SELECT * FROM s WHERE dt >= DATE '1994-01-01'),
+         k4 AS (SELECT * FROM kept WHERE k <> (SELECT min(k) FROM kept)),
+         m2 AS (SELECT CAST(count(DISTINCT strftime(dt, '%Y-%m')) AS BIGINT)
+             AS n FROM s),
+         m3 AS (SELECT CAST(count(DISTINCT strftime(dt, '%Y-%m')) AS BIGINT)
+             AS n FROM kept)
+         SELECT 'v1' AS pin, 'create' AS op, CAST(0 AS BIGINT) AS n_rows,
+             CAST(0 AS BIGINT) AS sum_cents, CAST(0 AS BIGINT) AS n_files
+           FROM m2
+         UNION ALL SELECT 'v2', 'append', count(*), CAST(sum(c) AS BIGINT),
+             (SELECT n FROM m2) FROM s
+         UNION ALL SELECT 'v3', 'delete', count(*), CAST(sum(c) AS BIGINT),
+             (SELECT n FROM m3) FROM kept
+         UNION ALL SELECT 'v4', 'delete', count(*), CAST(sum(c) AS BIGINT),
+             -1 FROM k4
+         UNION ALL SELECT 'v5', 'overwrite', 0, 0, 0 FROM m2
          ORDER BY pin""",
 
     // gen-1 files ARE the %32==0 slice's month groups, gen-2 files its

@@ -31,23 +31,52 @@ import graft.operators.TableFormat
   * DECIMAL-int64) so the catalog's own row reader, the streaming source
   * and Spark's vectorized scan all read them back identically. */
 private[v2] class GraftSqlWriteBuilder(root: String, schema: StructType,
-                                       queryId: String)
+                                       queryId: String,
+                                       partitionSpec: Option[String])
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
 
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      new GraftSqlBatchWrite(root, schema, queryId, doTruncate)
+  override def build(): Write = partitionSpec match {
+    case None => new Write {
+      override def toBatch: BatchWrite =
+        new GraftSqlBatchWrite(root, schema, queryId, doTruncate, Seq.empty)
+    }
+    case Some(spec) =>
+      // SQL writes HONOR the declared partition spec through Spark's own
+      // required-distribution mechanism (the Iceberg DSv2 shape): range-
+      // distribute + sort by the spec's base columns, so each task holds
+      // contiguous runs and the writer rolls to a new file whenever the
+      // ROUTING VALUE (month/div-bucket/identity) changes — one file per
+      // live partition value (boundary values split across at most two
+      // tasks), each with tight zone bounds on the spec columns, from an
+      // ordinary INSERT INTO with no writer-side shuffle code at all.
+      val terms = TableFormat.parseSpec(spec)
+      terms.foreach(t => require(schema.fieldNames.contains(t.baseCol),
+        s"graft SQL write: partition-spec column '${t.baseCol}' missing " +
+          s"from the written schema ${schema.fieldNames.mkString(",")}"))
+      new Write with RequiresDistributionAndOrdering {
+        import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+        import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+        private val orders: Array[SortOrder] = terms.map(t =>
+          Expressions.sort(Expressions.column(t.baseCol),
+            SortDirection.ASCENDING)).toArray
+        override def requiredDistribution(): Distribution =
+          Distributions.ordered(orders)
+        override def requiredOrdering(): Array[SortOrder] = orders
+        override def toBatch: BatchWrite =
+          new GraftSqlBatchWrite(root, schema, queryId, doTruncate, terms)
+      }
   }
 }
 
-private case class GraftSqlWriteMessage(file: String, nRows: Long)
+private case class GraftSqlWriteMessage(files: Seq[String], nRows: Long)
   extends WriterCommitMessage
 
 private class GraftSqlBatchWrite(root: String, schema: StructType,
-                                 queryId: String, truncate: Boolean)
+                                 queryId: String, truncate: Boolean,
+                                 specTerms: Seq[TableFormat.SpecTerm])
     extends BatchWrite {
 
   // one data dir per write attempt: abort can sweep it wholesale, and a
@@ -56,14 +85,15 @@ private class GraftSqlBatchWrite(root: String, schema: StructType,
     s"$root/data/sql-$queryId-${java.util.UUID.randomUUID().toString}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftSqlWriterFactory(dataDir, schema, new SerializableHadoopConf(
-      SparkSession.active.sessionState.newHadoopConf()))
+    new GraftSqlWriterFactory(dataDir, schema, specTerms,
+      new SerializableHadoopConf(
+        SparkSession.active.sessionState.newHadoopConf()))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
     val files = messages.collect {
-      case GraftSqlWriteMessage(f, n) if n > 0 => f
-    }.toSeq.sorted
+      case GraftSqlWriteMessage(fs, n) if n > 0 => fs
+    }.flatten.toSeq.sorted
     if (truncate) TableFormat.overwriteFiles(spark, root, files)
     else if (files.nonEmpty) TableFormat.appendFiles(spark, root, files)
     // plain INSERT of zero rows: nothing to commit, the table is unchanged
@@ -78,18 +108,24 @@ private class GraftSqlBatchWrite(root: String, schema: StructType,
 }
 
 private class GraftSqlWriterFactory(dataDir: String, schema: StructType,
+                                    specTerms: Seq[TableFormat.SpecTerm],
                                     conf: SerializableHadoopConf)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftSqlDataWriter(
-      s"$dataDir/part-$partitionId-$taskId.parquet", schema, conf.value)
+    new GraftSqlDataWriter(dataDir, s"part-$partitionId-$taskId", schema,
+      specTerms, conf.value)
 }
 
 /** Executor-side InternalRow → parquet writer over the parquet example
-  * Group API (the mirror of [[ParquetRowReader]]). The file is created
+  * Group API (the mirror of [[ParquetRowReader]]). Files are created
   * lazily on the first row, so empty partitions contribute nothing to
-  * the commit. */
-private class GraftSqlDataWriter(file: String, schema: StructType,
+  * the commit. Under a partition spec the writer ROLLS to a new file
+  * whenever the routing value changes — with the Write's required
+  * range-distribution + ordering on the spec's base columns, that is
+  * one file per live partition value per task. */
+private class GraftSqlDataWriter(dataDir: String, taskTag: String,
+                                 schema: StructType,
+                                 specTerms: Seq[TableFormat.SpecTerm],
                                  conf: org.apache.hadoop.conf.Configuration)
     extends DataWriter[InternalRow] {
   import org.apache.parquet.example.data.Group
@@ -152,18 +188,62 @@ private class GraftSqlDataWriter(file: String, schema: StructType,
       }
     }
 
+  /** Routing value of one spec term from the row's INTERNAL
+    * representation (dates = epoch days, timestamps = epoch micros). */
+  private val routers: Array[InternalRow => String] =
+    specTerms.toArray.map { t =>
+      val i = schema.fieldIndex(t.baseCol)
+      val dt = schema.fields(i).dataType
+      def days(r: InternalRow): Long = dt match {
+        case DateType => r.getInt(i).toLong
+        case TimestampType => Math.floorDiv(r.getLong(i), 86400000000L)
+        case _ => throw new UnsupportedOperationException(
+          s"month() over ${dt.simpleString}")
+      }
+      def zl(r: InternalRow): Long = dt match {
+        case LongType => r.getLong(i)
+        case IntegerType | DateType => r.getInt(i).toLong
+        case TimestampType => r.getLong(i)
+        case _ => throw new UnsupportedOperationException(
+          s"div() over ${dt.simpleString}")
+      }
+      t match {
+        case TableFormat.IdentityTerm(_) => r =>
+          if (r.isNullAt(i)) "null" else String.valueOf(r.get(i, dt))
+        case TableFormat.MonthTerm(_) => r =>
+          if (r.isNullAt(i)) "null"
+          else java.time.LocalDate.ofEpochDay(days(r))
+            .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM"))
+        case TableFormat.DivTerm(_, w) => r =>
+          if (r.isNullAt(i)) "null" else Math.floorDiv(zl(r), w).toString
+      }
+    }
+
   private val factory = new SimpleGroupFactory(msgType)
   private var writer: ParquetWriter[Group] = _
+  private var currentKey: String = null
+  private var fileSeq = 0
+  private val written = Seq.newBuilder[String]
   private var nRows = 0L
 
+  private def roll(): Unit = {
+    if (writer != null) writer.close()
+    val file = s"$dataDir/$taskTag-$fileSeq.parquet"
+    fileSeq += 1
+    written += file
+    writer = ExampleParquetWriter.builder(HadoopOutputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file), conf))
+      .withConf(conf)
+      .withType(msgType)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+  }
+
   override def write(row: InternalRow): Unit = {
-    if (writer == null)
-      writer = ExampleParquetWriter.builder(HadoopOutputFile.fromPath(
-          new org.apache.hadoop.fs.Path(file), conf))
-        .withConf(conf)
-        .withType(msgType)
-        .withCompressionCodec(CompressionCodecName.SNAPPY)
-        .build()
+    if (routers.nonEmpty) {
+      val key = routers.map(_(row)).mkString("/")
+      if (writer == null || key != currentKey) { roll(); currentKey = key }
+    } else if (writer == null) roll()
     val g = factory.newGroup()
     var i = 0
     while (i < appenders.length) {
@@ -176,13 +256,14 @@ private class GraftSqlDataWriter(file: String, schema: StructType,
 
   override def commit(): WriterCommitMessage = {
     if (writer != null) writer.close()
-    GraftSqlWriteMessage(if (nRows > 0) file else null, nRows)
+    GraftSqlWriteMessage(written.result(), nRows)
   }
 
   override def abort(): Unit = {
     if (writer != null) writer.close()
-    val p = new org.apache.hadoop.fs.Path(file)
-    p.getFileSystem(conf).delete(p, false)
+    val fs = new org.apache.hadoop.fs.Path(dataDir).getFileSystem(conf)
+    written.result().foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(f), false))
   }
 
   override def close(): Unit = ()

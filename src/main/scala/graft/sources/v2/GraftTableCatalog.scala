@@ -229,9 +229,33 @@ private class GraftMetaTable(ident: String, df: org.apache.spark.sql.DataFrame)
     }
 }
 
+/** Filter-value translation shared by the scan builder and the DELETE
+  * path: pushed comparison values mapped into [[TableFormat.zoneLong]]
+  * space (numbers cast/trunc, dates to epoch days, timestamps to epoch
+  * micros). */
+private[v2] object GraftSqlValues {
+  def zoneValue(v: Any): Option[Long] = v match {
+    case n: Number => Some(n.longValue())
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case t: java.sql.Timestamp =>
+      Some(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L)
+    case t: java.time.Instant =>
+      Some(t.getEpochSecond * 1000000L + t.getNano / 1000L)
+    case _ => None
+  }
+
+  def discreteType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType |
+         DateType | TimestampType => true
+    case _ => false
+  }
+}
+
 private class GraftSqlTable(ident: String, root: String,
                             snap: TableFormat.Snapshot)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   private val tableSchema = StructType.fromDDL(snap.schemaDdl.getOrElse(
     throw new IllegalArgumentException(
       s"graft catalog: table $ident v${snap.version} carries no schema")))
@@ -244,7 +268,65 @@ private class GraftSqlTable(ident: String, root: String,
     new GraftSqlScanBuilder(snap, tableSchema)
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new GraftSqlWriteBuilder(root, info.schema(), info.queryId())
+    new GraftSqlWriteBuilder(root, info.schema(), info.queryId(),
+      snap.props.get(TableFormat.PartitionSpecProp))
+
+  /** SQL `DELETE FROM graft.t [WHERE ...]` — a metadata-level plan, not
+    * a rewrite-everything scan: an unconditional delete truncates in one
+    * commit; a conjunction of comparisons on ONE discrete key/zone
+    * column becomes [[TableFormat.deleteWhere]]'s bound-range delete
+    * (whole files dropped by bounds arithmetic, only boundary files
+    * rewritten). Anything richer is refused LOUDLY with the library
+    * alternatives — a silent full-table rewrite is never the default. */
+  private def deleteRange(filters: Array[Filter])
+      : Option[Option[(String, Long, Long)]] = {
+    val real = filters.filterNot(_.isInstanceOf[AlwaysTrue])
+    if (real.isEmpty) return Some(None) // truncate
+    def prunable(c: String): Boolean =
+      (c == snap.keyCol || snap.zoneCols.contains(c)) &&
+        tableSchema.fields.find(_.name == c).map(_.dataType)
+          .exists(GraftSqlValues.discreteType)
+    var colOpt: Option[String] = None
+    var lo = Long.MinValue; var hi = Long.MaxValue
+    def narrow(c: String, nlo: Long, nhi: Long): Boolean = {
+      if (!prunable(c) || colOpt.exists(_ != c)) return false
+      colOpt = Some(c); lo = math.max(lo, nlo); hi = math.min(hi, nhi); true
+    }
+    val ok = real.forall {
+      case EqualTo(c, v) => GraftSqlValues.zoneValue(v)
+        .exists(l => narrow(c, l, l))
+      case GreaterThan(c, v) => GraftSqlValues.zoneValue(v)
+        .exists(l => narrow(c, l + 1, Long.MaxValue))
+      case GreaterThanOrEqual(c, v) => GraftSqlValues.zoneValue(v)
+        .exists(l => narrow(c, l, Long.MaxValue))
+      case LessThan(c, v) => GraftSqlValues.zoneValue(v)
+        .exists(l => narrow(c, Long.MinValue, l - 1))
+      case LessThanOrEqual(c, v) => GraftSqlValues.zoneValue(v)
+        .exists(l => narrow(c, Long.MinValue, l))
+      case IsNotNull(c) => colOpt.forall(_ == c) && prunable(c) &&
+        { colOpt = Some(c); true } // implied by any comparison on c
+      case _ => false
+    }
+    if (ok && colOpt.isDefined && lo <= hi) Some(Some((colOpt.get, lo, hi)))
+    else if (ok && colOpt.isDefined) Some(Some((colOpt.get, 0L, -1L))) // empty range: no-op delete
+    else None
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    deleteRange(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = SparkSession.active
+    deleteRange(filters).getOrElse(throw new UnsupportedOperationException(
+      "graft catalog: DELETE supports an unconditional truncate or range/" +
+        "equality predicates on one discrete key/zone column — use " +
+        "TableFormat.deleteKeysMoR / mergeRows for row-level shapes")) match {
+      case None => TableFormat.overwriteFiles(spark, root, Seq.empty)
+      case Some((c, lo, hi)) if lo <= hi =>
+        TableFormat.deleteWhere(spark, root, s"$root/data", c, lo, hi)
+      case _ => () // provably-empty range: nothing to delete, no commit
+    }
+  }
 }
 
 private class GraftSqlScanBuilder(snap: TableFormat.Snapshot,

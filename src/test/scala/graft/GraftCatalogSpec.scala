@@ -345,4 +345,73 @@ class GraftCatalogSpec extends SparkTestBase {
     val r3 = spark.sql(q).collect()(0)
     assert(r3.getLong(0) == 98L && r3.getLong(1) == 2L && r3.getLong(2) == 99L)
   }
+
+  test("SQL DELETE: truncate, key range, date range on zone column; rich predicates refused") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = s"$warehouse/del"
+    spark.sql("""CREATE TABLE sqlcat.del (k BIGINT, d DATE, v DOUBLE)
+      TBLPROPERTIES('key_col'='k', 'zone_cols'='d')""")
+    spark.sql("""INSERT INTO sqlcat.del SELECT id AS k,
+      date_add(DATE'2024-01-01', CAST(id AS INT)) AS d, id * 1.0 AS v
+      FROM range(1, 101)""")
+    def ks() = spark.sql("SELECT k FROM sqlcat.del ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    // key-range delete: whole files dropped / boundary rewritten
+    spark.sql("DELETE FROM sqlcat.del WHERE k >= 11 AND k <= 90")
+    assert(ks() == ((1L to 10L) ++ (91L to 100L)))
+    // date-range delete on the zone column (d = 2024-01-01 + k days, so
+    // d > 2024-04-05 is exactly k >= 96)
+    spark.sql("DELETE FROM sqlcat.del WHERE d > DATE'2024-04-05'")
+    assert(ks() == ((1L to 10L) ++ (91L to 95L)))
+    // equality delete
+    spark.sql("DELETE FROM sqlcat.del WHERE k = 5")
+    assert(ks() == (Seq(1L, 2L, 3L, 4L, 6L, 7L, 8L, 9L, 10L) ++ (91L to 95L)))
+    // a provably-empty range is a no-op (no commit)
+    val vBefore = TableFormat.versions(spark, root).last
+    spark.sql("DELETE FROM sqlcat.del WHERE k > 10 AND k < 5")
+    assert(TableFormat.versions(spark, root).last == vBefore)
+    // rich predicates are refused loudly, not silently table-scanned
+    val e = intercept[Exception](
+      spark.sql("DELETE FROM sqlcat.del WHERE v > 2.5"))
+    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+    // unconditional delete = truncate in one commit; history survives
+    spark.sql("DELETE FROM sqlcat.del")
+    assert(ks().isEmpty)
+    assert(spark.sql(s"SELECT count(*) AS n FROM sqlcat.del VERSION AS OF ${vBefore}")
+      .collect()(0).getLong(0) > 0L)
+  }
+
+  test("INSERT INTO honors the declared partition spec: routed files with tight zone bounds") {
+    import org.apache.spark.sql.functions._
+    val root = s"$warehouse/specins"
+    spark.sql(s"""CREATE TABLE sqlcat.specins (k BIGINT, d DATE, v DOUBLE)
+      TBLPROPERTIES('key_col'='k', 'zone_cols'='d',
+                    '${TableFormat.PartitionSpecProp}'='month(d)')""")
+    // 4 months of data in ONE insert; required distribution/ordering
+    // makes the writer roll per month
+    spark.sql("""INSERT INTO sqlcat.specins SELECT id AS k,
+      date_add(DATE'2024-01-01', CAST(id / 3 AS INT) * 31) AS d, id * 1.0 AS v
+      FROM range(0, 12)""")
+    val snap = TableFormat.snapshot(spark, root)
+    val months = spark.sql(
+      "SELECT count(DISTINCT date_trunc('MONTH', d)) FROM sqlcat.specins")
+      .collect()(0).getLong(0)
+    assert(snap.files.size == months.toInt, s"${snap.files.size} vs $months")
+    // each routed file's d-bounds stay within one calendar month
+    snap.files.foreach { f =>
+      val (lo, hi) = f.zones("d")
+      val (l, h) = (java.time.LocalDate.ofEpochDay(lo),
+        java.time.LocalDate.ofEpochDay(hi))
+      assert(l.getYear == h.getYear && l.getMonth == h.getMonth, f.file)
+    }
+    // a month probe through SQL prunes the other months' files
+    val df = spark.sql(
+      "SELECT k FROM sqlcat.specins WHERE d >= DATE'2024-02-01' AND d <= DATE'2024-02-29'")
+    val m = "PrunedFiles: (\\d+)/(\\d+)".r
+      .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+    assert(m.exists(x => x.group(1).toInt == months.toInt - 1), 
+      df.queryExecution.executedPlan.toString)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L, 5L))
+  }
 }

@@ -55,5 +55,32 @@ if problems:
     print("PREFLIGHT FAIL:")
     for p in problems: print(" -", p)
     sys.exit(1)
-print(f"PREFLIGHT OK: {len(bench_entries)} entries, bench total {bench['value']}s, 0 failures")
+load = bench.get("load_avg", {})
+print(f"PREFLIGHT OK: {len(bench_entries)} entries, bench total {bench['value']}s, "
+      f"0 failures, load_avg {load.get('start')}->{load.get('end')} on {load.get('cores')} cores")
+EOF
+
+echo "== preflight: committed-archive staleness guard =="
+python3 - <<'EOF'
+# The committed bench archive must describe THIS code on THIS data: if the
+# fresh run just produced totals >10% away from what HEAD has committed,
+# the archive is stale (or was taken on a loaded box) — refuse until the
+# fresh bench_out.json (+ its bench_r{N}_full.json copy) is committed.
+import json, subprocess, sys
+fresh = json.loads(open("bench_out.json").read())
+try:
+    committed = json.loads(subprocess.run(
+        ["git", "show", "HEAD:bench_out.json"],
+        capture_output=True, text=True, check=True).stdout)
+except subprocess.CalledProcessError:
+    print("note: no committed bench_out.json at HEAD — commit the fresh one")
+    sys.exit(0)
+fv, cv = fresh["value"], committed["value"]
+drift = abs(fv - cv) / max(fv, cv)
+if drift > 0.10:
+    print(f"PREFLIGHT FAIL: committed bench total {cv}s diverges "
+          f"{drift:.0%} from the fresh run's {fv}s — commit the fresh "
+          "bench_out.json and bench_r{N}_full.json (and note load if any)")
+    sys.exit(1)
+print(f"archive guard OK: committed {cv}s vs fresh {fv}s ({drift:.1%} drift)")
 EOF
