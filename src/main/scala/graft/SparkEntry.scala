@@ -4550,6 +4550,66 @@ object SparkEntry {
       states.reduce(_.unionByName(_)).orderBy(col("pin"))
     },
 
+    // ---- Path-based DSv2 table-to-table streaming: the
+    // graft-table-changes SOURCE feeds the graft-table SINK — both real
+    // DataSourceV2 streaming halves, exactly-once from BOTH in-log
+    // gates (the source's version offset in the checkpoint, the sink's
+    // batch_id in the target's commit props): tick 1 ships the base,
+    // an idle re-tick commits NOTHING (v3's absence graded), tick 2
+    // ships only the delta; the final aggregate reads the target back
+    // through the path-based BATCH read (the vectorized scan) ----
+    "q119_dsv2_stream_sink" -> { (s, dir) =>
+      val root = scratch("q119_dsw", dir)
+      val aRoot = s"$root/a"; val bRoot = s"$root/b"; val cp = s"$root/cp"
+      Fixtures.once(s, "q119_dsw", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val orders = Tables.orders(s, dir)
+        def slice(m16: Int) = orders
+          .filter(pmod(col("o_orderkey"), lit(16)) === m16)
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        slice(7).repartition(2).write.mode("overwrite").parquet(s"$aRoot/w1")
+        TableFormat.commitFiles(s, aRoot, "o_orderkey",
+          TableFormat.listParquet(s, s"$aRoot/w1"),
+          numBits = 1 << 14, numHashes = 5)                        // A v1
+        TableFormat.createEmpty(s, bRoot, "o_orderkey",
+          "o_orderkey BIGINT, cents BIGINT")                       // B v1
+        def tick(): Unit = {
+          val q = s.readStream.format("graft-table-changes").load(aRoot)
+            .select("o_orderkey", "cents")
+            .writeStream.format("graft-table")
+            .option("path", bRoot).option("lineage", cp)
+            .option("checkpointLocation", cp)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          require(q.awaitTermination(300000), "q119: stream did not finish")
+        }
+        tick()                                                     // B v2
+        tick() // idle replay: MUST commit nothing
+        slice(15).repartition(1).write.mode("overwrite")
+          .parquet(s"$aRoot/w2")
+        TableFormat.appendFiles(s, aRoot,
+          TableFormat.listParquet(s, s"$aRoot/w2"))                // A v2
+        tick()                                                     // B v3
+      }
+      def aggRow(df: DataFrame, pin: String, op: String) =
+        Parallelism.ensureDefaultParallelism(df)
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("cents")), lit(0L)).as("sum_cents"))
+          .select(lit(pin).as("pin"), lit(op).as("op"),
+            col("n_rows"), col("sum_cents"))
+      val states = TableFormat.versions(s, bRoot).map { v =>
+        val snap = TableFormat.snapshot(s, bRoot, Some(v))
+        aggRow(TableFormat.read(s, snap), s"v$v", snap.op.getOrElse(""))
+      }
+      // the head also read back through the PATH-BASED batch source
+      // (the vectorized scan without any catalog mounted)
+      val pathHead = aggRow(
+        s.read.format("graft-table").load(bRoot), "path_head", "read")
+      (states :+ pathHead).reduce(_.unionByName(_)).orderBy(col("pin"))
+    },
+
     // ---- Multimodal: REAL AVI/MJPEG video decode — the second real
     // video path beyond GIF, composed entirely from JDK parts: a
     // standard-layout RIFF AVI (hdrl/strl headers + movi stream) whose
@@ -8924,6 +8984,28 @@ object SparkEntry {
              (SELECT n FROM nt), n, t, dmin_s, dmax_s, ts_sec FROM fr
          UNION ALL SELECT 'stream', 0, (SELECT n FROM nt), n, t,
              dmin_s, dmax_s, ts_sec FROM fa
+         ORDER BY pin""",
+
+    // B has exactly three versions — create, the base tick, the delta
+    // tick; the idle replay's absence IS the graded exactly-once
+    // contract; path_head re-reads the final state through the
+    // path-based batch source
+    "q119_dsv2_stream_sink" ->
+      """WITH s AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders WHERE o_orderkey % 16 = 7),
+         a AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders WHERE o_orderkey % 16 = 15),
+         n AS (SELECT count(*) AS base_n, CAST(sum(c) AS BIGINT) AS base_t
+           FROM s),
+         m AS (SELECT count(*) AS late_n, CAST(sum(c) AS BIGINT) AS late_t
+           FROM a)
+         SELECT 'path_head' AS pin, 'read' AS op,
+             base_n + late_n AS n_rows,
+             CAST(base_t + late_t AS BIGINT) AS sum_cents FROM n, m
+         UNION ALL SELECT 'v1', 'create', 0, 0 FROM n
+         UNION ALL SELECT 'v2', 'append', base_n, base_t FROM n
+         UNION ALL SELECT 'v3', 'append', base_n + late_n, base_t + late_t
+           FROM n, m
          ORDER BY pin""",
 
     // v2's file count = live months of the %16==9 slice (the spec routes

@@ -32,7 +32,8 @@ import graft.operators.TableFormat
   * and Spark's vectorized scan all read them back identically. */
 private[v2] class GraftSqlWriteBuilder(root: String, schema: StructType,
                                        queryId: String,
-                                       partitionSpec: Option[String])
+                                       partitionSpec: Option[String],
+                                       lineage: String = "")
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
 
@@ -42,6 +43,8 @@ private[v2] class GraftSqlWriteBuilder(root: String, schema: StructType,
     case None => new Write {
       override def toBatch: BatchWrite =
         new GraftSqlBatchWrite(root, schema, queryId, doTruncate, Seq.empty)
+      override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new GraftSqlStreamingWrite(root, schema, queryId, lineage, Seq.empty)
     }
     case Some(spec) =>
       // SQL writes HONOR the declared partition spec through Spark's own
@@ -67,8 +70,71 @@ private[v2] class GraftSqlWriteBuilder(root: String, schema: StructType,
         override def requiredOrdering(): Array[SortOrder] = orders
         override def toBatch: BatchWrite =
           new GraftSqlBatchWrite(root, schema, queryId, doTruncate, terms)
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new GraftSqlStreamingWrite(root, schema, queryId, lineage, terms)
       }
   }
+}
+
+/** The DSv2 STREAMING sink: each epoch's task files land as ONE append
+  * commit whose props carry the `batch_id`/`lineage` replay gate — the
+  * same in-log exactly-once discipline as
+  * [[graft.streaming.Streams.foreachBatchTableAppend]], so a re-executed
+  * epoch (restart, at-least-once delivery) commits nothing, and a sink
+  * restarted under a DIFFERENT checkpoint lineage is refused rather
+  * than silently deduped against the old lineage's epoch numbering. */
+private class GraftSqlStreamingWrite(root: String, schema: StructType,
+                                     queryId: String, lineage: String,
+                                     specTerms: Seq[TableFormat.SpecTerm])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private val dataDirBase =
+    s"$root/data/stream-$queryId-${java.util.UUID.randomUUID().toString}"
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new GraftSqlStreamingWriterFactory(dataDirBase, schema, specTerms,
+      new SerializableHadoopConf(
+        SparkSession.active.sessionState.newHadoopConf()))
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val files = messages.collect {
+      case GraftSqlWriteMessage(fs, n) if n > 0 => fs
+    }.flatten.toSeq.sorted
+    val cur = TableFormat.snapshot(spark, root)
+    val streamWritten = cur.props.contains("batch_id")
+    val storedLineage = cur.props.getOrElse("lineage", "")
+    require(!streamWritten || storedLineage == lineage,
+      s"graft-table sink: table at $root was written by checkpoint " +
+        s"lineage '$storedLineage', this query runs '$lineage' — epoch " +
+        "numbering is not comparable across lineages; target a fresh " +
+        "table or resume the original checkpoint")
+    val last = cur.props.get("batch_id").map(_.toLong).getOrElse(-1L)
+    if (epochId > last && files.nonEmpty)
+      TableFormat.appendFiles(spark, root, files, extraProps =
+        Map("batch_id" -> epochId.toString, "lineage" -> lineage))
+    // replayed or empty epoch: the table already reflects it — no commit
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val fs = new org.apache.hadoop.fs.Path(dataDirBase)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    messages.collect { case GraftSqlWriteMessage(fls, _) => fls }.flatten
+      .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+  }
+}
+
+private class GraftSqlStreamingWriterFactory(dataDirBase: String,
+                                             schema: StructType,
+                                             specTerms: Seq[TableFormat.SpecTerm],
+                                             conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new GraftSqlDataWriter(s"$dataDirBase/e$epochId",
+      s"part-$partitionId-$taskId", schema, specTerms, conf.value)
 }
 
 private case class GraftSqlWriteMessage(files: Seq[String], nRows: Long)

@@ -165,4 +165,53 @@ class TableChangesSourceSpec extends SparkTestBase {
     val expected = ((1L to 10L).map(i => (2L, i)) :+ ((3L, 20L))).sorted
     assert(got == expected)
   }
+
+  test("DSv2 table-to-table: graft-table-changes source into the graft-table streaming sink, exactly-once") {
+    val aRoot = freshRoot(); val bRoot = freshRoot(); val cp = s"${freshRoot()}/cp"
+    writeKv((1L to 10L).map(i => (i, i * 1.0)), s"$aRoot/w1")
+    TableFormat.commitFiles(spark, aRoot, "k",
+      TableFormat.listParquet(spark, s"$aRoot/w1"), 256, 3)       // A v1
+    TableFormat.createEmpty(spark, bRoot, "k", "k BIGINT, v DOUBLE") // B v1
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-table-changes").load(aRoot)
+        .select("k", "v")
+        .writeStream.format("graft-table")
+        .option("path", bRoot).option("lineage", cp)
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "stream did not finish")
+    }
+    runOnce()
+    def bContent() = TableFormat.read(spark, TableFormat.snapshot(spark, bRoot))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(bContent() == (1L to 10L).map(i => (i, i * 1.0)))
+    assert(TableFormat.versions(spark, bRoot) == Seq(1L, 2L))
+    // restart, nothing new on A: B must not move (in-log replay gate +
+    // source offsets both hold)
+    runOnce()
+    assert(TableFormat.versions(spark, bRoot) == Seq(1L, 2L))
+    // a new commit on A flows through as exactly one append on B
+    writeKv(Seq(20L -> 20.0), s"$aRoot/w2")
+    TableFormat.appendFiles(spark, aRoot,
+      TableFormat.listParquet(spark, s"$aRoot/w2"))               // A v2
+    runOnce()
+    assert(TableFormat.versions(spark, bRoot) == Seq(1L, 2L, 3L))
+    assert(bContent() == ((1L to 10L).map(i => (i, i * 1.0)) :+ ((20L, 20.0))))
+    // the path-based BATCH read serves the same snapshot (vectorized path)
+    val viaDs = spark.read.format("graft-table").load(bRoot)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaDs == bContent())
+    // a different checkpoint lineage is refused, not silently deduped
+    val cp2 = s"${freshRoot()}/cp2"
+    val q2 = spark.readStream.format("graft-table-changes").load(aRoot)
+      .select("k", "v")
+      .writeStream.format("graft-table")
+      .option("path", bRoot).option("lineage", cp2)
+      .option("checkpointLocation", cp2)
+      .trigger(Trigger.AvailableNow()).start()
+    val e = intercept[Exception](q2.awaitTermination(120000))
+    def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs(e).contains("lineage"), msgs(e))
+  }
 }
