@@ -4856,13 +4856,13 @@ object SparkEntry {
            FROM exact),
          sig AS (
            SELECT doc_id, hs,
-             list_transform(range(0, 32), j -> list_min(list_transform(hs,
+             list_transform(range(0, 16), j -> list_min(list_transform(hs,
                h -> (h*(2*j+1) + (j*2654435761)%2147483647) % 2147483647))) AS sg
            FROM sh),
          bkt AS (
            SELECT doc_id, b AS band,
-             md5(CAST(b AS VARCHAR) || '_' || array_to_string(sg[b*2+1 : b*2+2], ',')) AS bucket
-           FROM sig CROSS JOIN range(0, 16) t(b)),
+             md5(CAST(b AS VARCHAR) || '_' || array_to_string(sg[b*4+1 : b*4+4], ',')) AS bucket
+           FROM sig CROSS JOIN range(0, 4) t(b)),
          capped AS (
            SELECT * FROM bkt QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000),
          pairs AS (
@@ -5276,13 +5276,13 @@ object SparkEntry {
            FROM documents),
          sig AS (
            SELECT doc_id, hs,
-             list_transform(range(0, 32), j -> list_min(list_transform(hs,
+             list_transform(range(0, 16), j -> list_min(list_transform(hs,
                h -> (h*(2*j+1) + (j*2654435761)%2147483647) % 2147483647))) AS sg
            FROM sh),
          bkt AS (
            SELECT doc_id, b AS band,
-             md5(CAST(b AS VARCHAR) || '_' || array_to_string(sg[b*2+1 : b*2+2], ',')) AS bucket
-           FROM sig CROSS JOIN range(0, 16) t(b)),
+             md5(CAST(b AS VARCHAR) || '_' || array_to_string(sg[b*4+1 : b*4+4], ',')) AS bucket
+           FROM sig CROSS JOIN range(0, 4) t(b)),
          capped AS (
            SELECT * FROM bkt QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000),
          prs AS (
@@ -5312,13 +5312,13 @@ object SparkEntry {
            FROM documents),
          sig AS (
            SELECT doc_id, hs,
-             list_transform(range(0, 32), j -> list_min(list_transform(hs,
+             list_transform(range(0, 16), j -> list_min(list_transform(hs,
                h -> (h*(2*j+1) + (j*2654435761)%2147483647) % 2147483647))) AS sg
            FROM sh),
          bkt AS (
            SELECT doc_id, b AS band,
-             md5(CAST(b AS VARCHAR) || '_' || array_to_string(sg[b*2+1 : b*2+2], ',')) AS bucket
-           FROM sig CROSS JOIN range(0, 16) t(b)),
+             md5(CAST(b AS VARCHAR) || '_' || array_to_string(sg[b*4+1 : b*4+4], ',')) AS bucket
+           FROM sig CROSS JOIN range(0, 4) t(b)),
          capped AS (
            SELECT * FROM bkt QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000),
          prs AS (
@@ -5894,23 +5894,23 @@ object SparkEntry {
              i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 5)),1,12)) AS BIGINT)))) AS hs
            FROM corpus),
          bsig AS (
-           SELECT doc_id, list_transform(range(0, 30), j -> list_min(list_transform(hs,
+           SELECT doc_id, list_transform(range(0, 16), j -> list_min(list_transform(hs,
              h -> (h*(2*j+1) + (j*2654435761)%2147483647) % 2147483647))) AS sg
            FROM bsh),
          csig AS (
-           SELECT doc_id, list_transform(range(0, 30), j -> list_min(list_transform(hs,
+           SELECT doc_id, list_transform(range(0, 16), j -> list_min(list_transform(hs,
              h -> (h*(2*j+1) + (j*2654435761)%2147483647) % 2147483647))) AS sg
            FROM csh),
          allb AS (
            SELECT doc_id, b AS band,
-             md5(CAST(b AS VARCHAR) || '_' || array_to_string(sg[b*3+1 : b*3+3], ',')) AS bucket,
+             md5(CAST(b AS VARCHAR) || '_' || array_to_string(sg[b*4+1 : b*4+4], ',')) AS bucket,
              'b' AS side
-           FROM bsig CROSS JOIN range(0, 10) t(b)
+           FROM bsig CROSS JOIN range(0, 4) t(b)
            UNION ALL
            SELECT doc_id, b AS band,
-             md5(CAST(b AS VARCHAR) || '_' || array_to_string(sg[b*3+1 : b*3+3], ',')) AS bucket,
+             md5(CAST(b AS VARCHAR) || '_' || array_to_string(sg[b*4+1 : b*4+4], ',')) AS bucket,
              'c' AS side
-           FROM csig CROSS JOIN range(0, 10) t(b)),
+           FROM csig CROSS JOIN range(0, 4) t(b)),
          capped AS (
            SELECT * FROM allb QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000),
          pairs AS (
@@ -7233,13 +7233,13 @@ object SparkEntry {
            FROM documents),
          sig AS (
            SELECT doc_id, hs,
-             list_transform(range(0, 32), j -> list_min(list_transform(hs,
+             list_transform(range(0, 16), j -> list_min(list_transform(hs,
                h -> (h*(2*j+1) + (j*2654435761)%2147483647) % 2147483647))) AS sg
            FROM sh),
          bkt AS (
            SELECT doc_id, b AS band,
-             md5(CAST(b AS VARCHAR) || '_' || array_to_string(sg[b*2+1 : b*2+2], ',')) AS bucket
-           FROM sig CROSS JOIN range(0, 16) t(b)),
+             md5(CAST(b AS VARCHAR) || '_' || array_to_string(sg[b*4+1 : b*4+4], ',')) AS bucket
+           FROM sig CROSS JOIN range(0, 4) t(b)),
          capped AS (
            SELECT * FROM bkt QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000),
          pairs AS (
@@ -8046,13 +8046,13 @@ object SparkEntry {
            FROM documents),
          sig AS (
            SELECT doc_id, hs,
-             list_transform(range(0, 32), j -> list_min(list_transform(hs,
+             list_transform(range(0, 16), j -> list_min(list_transform(hs,
                h -> (h*(2*j+1) + (j*2654435761)%2147483647) % 2147483647))) AS sg
            FROM sh),
          bkt AS (
            SELECT doc_id, b AS band,
-             md5(CAST(b AS VARCHAR) || '_' || array_to_string(sg[b*2+1 : b*2+2], ',')) AS bucket
-           FROM sig CROSS JOIN range(0, 16) t(b)),
+             md5(CAST(b AS VARCHAR) || '_' || array_to_string(sg[b*4+1 : b*4+4], ',')) AS bucket
+           FROM sig CROSS JOIN range(0, 4) t(b)),
          capped AS (
            SELECT * FROM bkt QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000),
          prs AS (
