@@ -4610,6 +4610,58 @@ object SparkEntry {
       (states :+ pathHead).reduce(_.unionByName(_)).orderBy(col("pin"))
     },
 
+    // ---- Row-level SQL DML (group-based copy-on-write): UPDATE with an
+    // arbitrary predicate, a three-clause MERGE INTO (update + insert
+    // through one statement), and a rich-predicate DELETE — each lands
+    // as ONE commit that swaps exactly the matched groups (runtime
+    // file filtering narrows the rewrite; unmatched files carry by
+    // reference), ops stamped in the log, every version's state
+    // replayed by the oracle's row-class arithmetic ----
+    "q120_sql_row_level_dml" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"rldml_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val root = s"$wh/$tbl"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q120_rl", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val slice = Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(8)) === 6)
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        slice.createOrReplaceTempView("q120_src")
+        s.sql(s"""CREATE TABLE graft.`$tbl` (o_orderkey BIGINT, cents BIGINT)
+          TBLPROPERTIES('key_col'='o_orderkey',
+                        'constraint.cents_pos'='cents > 0')""")       // v1
+        s.sql(s"INSERT INTO graft.`$tbl` SELECT * FROM q120_src")     // v2
+        s.sql(s"UPDATE graft.`$tbl` SET cents = cents + 7 " +
+          "WHERE o_orderkey % 9 = 1")                                 // v3
+        // merge source: double the %9==4 keys (matched -> update),
+        // shifted copies of the %9==7 keys (not matched -> insert)
+        s.sql("""SELECT o_orderkey AS mk, cents * 2 AS mc FROM q120_src
+            WHERE o_orderkey % 9 = 4
+          UNION ALL SELECT o_orderkey + 3000000, cents FROM q120_src
+            WHERE o_orderkey % 9 = 7""").createOrReplaceTempView("q120_delta")
+        s.sql(s"""MERGE INTO graft.`$tbl` t USING q120_delta s
+          ON t.o_orderkey = s.mk
+          WHEN MATCHED THEN UPDATE SET cents = s.mc
+          WHEN NOT MATCHED THEN INSERT (o_orderkey, cents)
+            VALUES (s.mk, s.mc)""")                                   // v4
+        s.sql(s"DELETE FROM graft.`$tbl` WHERE cents % 10 = 3")       // v5
+      }
+      val states = TableFormat.versions(s, root).map { v =>
+        val snap = TableFormat.snapshot(s, root, Some(v))
+        Parallelism.ensureDefaultParallelism(
+            s.sql(s"SELECT cents FROM graft.`$tbl` VERSION AS OF $v"))
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("cents")), lit(0L)).as("sum_cents"))
+          .select(lit(s"v$v").as("pin"), lit(snap.op.getOrElse("")).as("op"),
+            col("n_rows"), col("sum_cents"))
+      }
+      states.reduce(_.unionByName(_)).orderBy(col("pin"))
+    },
+
     // ---- Multimodal: REAL AVI/MJPEG video decode — the second real
     // video path beyond GIF, composed entirely from JDK parts: a
     // standard-layout RIFF AVI (hdrl/strl headers + movi stream) whose
@@ -8984,6 +9036,33 @@ object SparkEntry {
              (SELECT n FROM nt), n, t, dmin_s, dmax_s, ts_sec FROM fr
          UNION ALL SELECT 'stream', 0, (SELECT n FROM nt), n, t,
              dmin_s, dmax_s, ts_sec FROM fa
+         ORDER BY pin""",
+
+    // row-class arithmetic over the %8==6 slice: v3 bumps the %9==1
+    // class by 7, v4 doubles the %9==4 class and inserts shifted %9==7
+    // copies, v5 drops the cents%10==3 rows of the v4 state
+    "q120_sql_row_level_dml" ->
+      """WITH s AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders WHERE o_orderkey % 8 = 6),
+         v3r AS (SELECT k,
+             CASE WHEN k % 9 = 1 THEN c + 7 ELSE c END AS c FROM s),
+         v4r AS (SELECT k, CASE WHEN k % 9 = 4 THEN 2 * (CASE WHEN k % 9 = 1
+               THEN c + 7 ELSE c END) ELSE (CASE WHEN k % 9 = 1 THEN c + 7
+               ELSE c END) END AS c
+           FROM s
+           UNION ALL SELECT k + 3000000, c FROM s WHERE k % 9 = 7),
+         v5r AS (SELECT * FROM v4r WHERE c % 10 <> 3)
+         SELECT 'v1' AS pin, 'create' AS op, CAST(0 AS BIGINT) AS n_rows,
+             CAST(0 AS BIGINT) AS sum_cents
+         UNION ALL SELECT 'v2', 'append', count(*), CAST(sum(c) AS BIGINT)
+           FROM s
+         UNION ALL SELECT 'v3', 'update', count(*), CAST(sum(c) AS BIGINT)
+           FROM v3r
+         UNION ALL SELECT 'v4', 'merge', count(*), CAST(sum(c) AS BIGINT)
+           FROM v4r
+         UNION ALL SELECT 'v5', 'delete', count(*), CAST(sum(c) AS BIGINT)
+           FROM v5r
          ORDER BY pin""",
 
     // B has exactly three versions — create, the base tick, the delta

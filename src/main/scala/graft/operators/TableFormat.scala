@@ -1066,6 +1066,40 @@ object TableFormat {
     appendFiles(spark, root, files, extraProps)
   }
 
+  /** Swap an explicit set of data files for new ones in ONE commit —
+    * the copy-on-write GROUP REPLACEMENT the SQL row-level operations
+    * (MERGE/UPDATE/arbitrary DELETE) commit through: `replaced` is
+    * exactly the file set the operation's scan read (its replacement
+    * content was derived from those bytes), so if ANY of them is no
+    * longer live at commit time a concurrent writer swapped it first
+    * and this commit must fail loud ([[CommitConflictException]]) —
+    * blind re-derivation would resurrect the concurrent writer's
+    * removed rows. Constraints validate the replacement batch; delete
+    * manifests carry (new files' seqs sit above every manifest, and the
+    * replacement content was read through the masks). */
+  def replaceDataFiles(spark: SparkSession, root: String, base: Snapshot,
+                       replaced: Set[String], newStats: Seq[FileStat],
+                       newContent: Option[DataFrame],
+                       opName: String): Snapshot = {
+    newContent.foreach(df => checkConstraints(spark, base, df, opName))
+    commitTransform(spark, root, base.keyCol, base.numBits, base.numHashes,
+      { curOpt =>
+        val cur = curOpt.getOrElse(throw new IllegalStateException(
+          s"$opName: nothing committed"))
+        val live = cur.files.map(_.file).toSet
+        val gone = replaced -- live
+        if (gone.nonEmpty) throw new CommitConflictException(
+          s"$opName: ${gone.size} scanned file(s) were replaced by a " +
+            s"concurrent commit at $root (e.g. ${gone.head}) — the " +
+            "computed replacement is stale, retry against a fresh snapshot")
+        newContent.foreach(df =>
+          recheckConstraintsIfChanged(spark, base, cur, df, opName))
+        (cur.files.filterNot(f => replaced(f.file)) ++ newStats)
+          .sortBy(_.file)
+      },
+      op = Some(opName))
+  }
+
   /** Compaction: rewrite the CURRENT file set into `nFiles`
     * range-clustered files under `dataDir` and commit the result.
     * Content-preserving; old files stay on disk, so every prior version

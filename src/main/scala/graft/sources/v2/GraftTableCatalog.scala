@@ -5,6 +5,7 @@ import java.util.{Map => JMap}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.MetadataColumn
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
@@ -255,7 +256,9 @@ private[v2] object GraftSqlValues {
 private class GraftSqlTable(ident: String, root: String,
                             snap: TableFormat.Snapshot)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   private val tableSchema = StructType.fromDDL(snap.schemaDdl.getOrElse(
     throw new IllegalArgumentException(
       s"graft catalog: table $ident v${snap.version} carries no schema")))
@@ -270,6 +273,16 @@ private class GraftSqlTable(ident: String, root: String,
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new GraftSqlWriteBuilder(root, info.schema(), info.queryId(),
       snap.props.get(TableFormat.PartitionSpecProp))
+
+  /** `MERGE INTO` / `UPDATE` / arbitrary-predicate `DELETE` — the
+    * group-based copy-on-write rewrite ([[GraftRowLevelOperation]]). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(root, snap, tableSchema, info.command())
+
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(GraftRowLevel.FileMetadataColumn)
 
   /** SQL `DELETE FROM graft.t [WHERE ...]` — a metadata-level plan, not
     * a rewrite-everything scan: an unconditional delete truncates in one
@@ -546,13 +559,15 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
     }
   }
 
-  /** Columnar iff no delete manifest applies to ANY surviving file:
-    * Spark requires uniform row/columnar partitions per scan, so one
+  /** Columnar iff no delete manifest applies to ANY surviving file
+    * (Spark requires uniform row/columnar partitions per scan, so one
     * pending merge-on-read manifest degrades the whole scan to the
-    * masked row reader — and compaction restores the vectorized path
-    * (the format's read-amplification dial, now visible in the plan). */
+    * masked row reader — and compaction restores the vectorized path,
+    * the format's read-amplification dial, now visible in the plan) AND
+    * the projection carries no synthesized metadata column. */
   private lazy val columnar =
-    hit.forall(f => !snap.deletes.exists(_.seq > f.seq))
+    hit.forall(f => !snap.deletes.exists(_.seq > f.seq)) &&
+      !required.fieldNames.contains(GraftRowLevel.FileColumn)
 
   override def description(): String =
     s"graft(${snap.root}@v${snap.version}) PrunedFiles: " +
@@ -598,7 +613,14 @@ private class GraftSqlReaderFactory(required: StructType, columnar: Boolean,
           m.addAll(ParquetRowReader.readLongColumn(f, "_del_key", conf.value)))
         m
       }
-    new ParquetRowReader(p.file, required, conf.value,
+    // the _file METADATA column (SELECT _file FROM graft.t, row-level
+    // op plumbing) synthesizes per partition
+    val synth: Map[String, Any] =
+      if (required.fieldNames.contains(GraftRowLevel.FileColumn))
+        Map(GraftRowLevel.FileColumn ->
+          org.apache.spark.unsafe.types.UTF8String.fromString(p.file))
+      else Map.empty
+    new ParquetRowReader(p.file, required, conf.value, synth = synth,
       mask = mask, keyCol = p.keyCol)
   }
 }

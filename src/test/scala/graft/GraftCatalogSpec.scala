@@ -371,10 +371,10 @@ class GraftCatalogSpec extends SparkTestBase {
     val vBefore = TableFormat.versions(spark, root).last
     spark.sql("DELETE FROM sqlcat.del WHERE k > 10 AND k < 5")
     assert(TableFormat.versions(spark, root).last == vBefore)
-    // rich predicates are refused loudly, not silently table-scanned
-    val e = intercept[Exception](
-      spark.sql("DELETE FROM sqlcat.del WHERE v > 2.5"))
-    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+    // rich predicates fall through to the GROUP-BASED rewrite
+    // (copy-on-write row-level DELETE) and stay exact
+    spark.sql("DELETE FROM sqlcat.del WHERE v > 2.5 AND k % 2 = 0")
+    assert(ks() == (Seq(1L, 2L, 3L, 7L, 9L) ++ Seq(91L, 93L, 95L)))
     // unconditional delete = truncate in one commit; history survives
     spark.sql("DELETE FROM sqlcat.del")
     assert(ks().isEmpty)
@@ -413,5 +413,62 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(m.exists(x => x.group(1).toInt == months.toInt - 1), 
       df.queryExecution.executedPlan.toString)
     assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L, 5L))
+  }
+
+  test("row-level SQL: MERGE INTO and UPDATE rewrite only matched groups; conflicts fail loud") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = s"$warehouse/rl"
+    spark.sql("""CREATE TABLE sqlcat.rl (k BIGINT, v DOUBLE, tag STRING)
+      TBLPROPERTIES('key_col'='k', 'constraint.v_pos'='v > 0')""")
+    // two disjoint key-range files so group replacement is observable
+    spark.sql("""INSERT INTO sqlcat.rl SELECT id AS k, id * 1.0 AS v,
+      'a' AS tag FROM range(1, 51)""")
+    spark.sql("""INSERT INTO sqlcat.rl SELECT id AS k, id * 1.0 AS v,
+      'b' AS tag FROM range(1001, 1051)""")
+    val before = TableFormat.snapshot(spark, root)
+    assert(before.files.size >= 2)
+    // every file whose key bounds miss [1,10] is an UNMATCHED group and
+    // must survive the UPDATE by reference (group-level rewrite)
+    val untouched = before.files
+      .filter(f => f.minKey > 10L || f.maxKey < 1L).map(_.file)
+    assert(untouched.nonEmpty)
+    spark.sql("UPDATE sqlcat.rl SET v = v + 1000 WHERE k <= 10")
+    val afterU = TableFormat.snapshot(spark, root)
+    assert(afterU.op.contains("update"))
+    assert(untouched.forall(f => afterU.files.exists(_.file == f)),
+      "unmatched group was rewritten")
+    assert(spark.sql("SELECT sum(v) AS s FROM sqlcat.rl WHERE k <= 10")
+      .collect()(0).getDouble(0) == (1 to 10).map(_ + 1000.0).sum)
+    assert(spark.sql("SELECT count(*) AS n FROM sqlcat.rl").collect()(0)
+      .getLong(0) == 100L)
+    // MERGE INTO: updates, deletes and inserts in one statement
+    Seq((5L, 5000.0), (1005L, 5000.0), (2000L, 7.0))
+      .toDF("mk", "mv").createOrReplaceTempView("rl_src")
+    spark.sql("""MERGE INTO sqlcat.rl t USING rl_src s ON t.k = s.mk
+      WHEN MATCHED AND t.k < 1000 THEN UPDATE SET v = s.mv
+      WHEN MATCHED THEN DELETE
+      WHEN NOT MATCHED THEN INSERT (k, v, tag) VALUES (s.mk, s.mv, 'm')""")
+    val afterM = TableFormat.snapshot(spark, root)
+    assert(afterM.op.contains("merge"))
+    val got = spark.sql(
+      "SELECT k, v, tag FROM sqlcat.rl WHERE k IN (5, 1005, 2000) ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(got == Seq((5L, 5000.0, "a"), (2000L, 7.0, "m")), got)
+    assert(spark.sql("SELECT count(*) AS n FROM sqlcat.rl").collect()(0)
+      .getLong(0) == 100L) // -1 delete +1 insert
+    // a constraint-violating UPDATE is refused and leaves no version
+    val vNow = TableFormat.versions(spark, root).last
+    val e = intercept[Exception](
+      spark.sql("UPDATE sqlcat.rl SET v = -5 WHERE k = 7"))
+    def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse("")).mkString("|")
+    assert(msgs(e).contains("v_pos"), msgs(e))
+    assert(TableFormat.versions(spark, root).last == vNow)
+    // time travel still serves the pre-UPDATE content (snapshot isolation)
+    assert(spark.sql(s"SELECT sum(v) AS s FROM sqlcat.rl VERSION AS OF ${before.version} WHERE k <= 10")
+      .collect()(0).getDouble(0) == (1 to 10).map(_.toDouble).sum)
+    // SELECT _file metadata column works on plain reads too
+    assert(spark.sql("SELECT DISTINCT _file FROM sqlcat.rl").count() >= 2)
   }
 }
