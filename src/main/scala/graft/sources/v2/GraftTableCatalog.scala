@@ -191,10 +191,83 @@ class GraftTableCatalog extends TableCatalog {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: evolve tables through graft.operators.TableFormat " +
-        "(schema evolves add-only at append time)")
+  /** `ALTER TABLE` — the metadata-only subset the format supports
+    * natively, in ONE op=replace commit: ADD COLUMN(S) (add-only schema
+    * evolution — existing files read the new column as null, the same
+    * contract appends use) and SET/UNSET TBLPROPERTIES (which is also
+    * the SQL route to CHECK constraints — `SET TBLPROPERTIES
+    * ('constraint.x'='...')` validates the existing table exactly like
+    * [[TableFormat.setConstraint]] — and to the partition spec).
+    * Type changes, renames and drops need a rewrite and are refused. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val spark = SparkSession.active
+    val root = rootOf(ident)
+    if (TableFormat.versions(spark, root).isEmpty)
+      throw new NoSuchTableException(ident)
+    val first = TableFormat.snapshot(spark, root)
+    var schema = StructType.fromDDL(first.schemaDdl.getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog: table at $root carries no schema")))
+    val setProps = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val unsetProps = scala.collection.mutable.ListBuffer.empty[String]
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          "graft catalog: nested column adds are not supported")
+        val name = a.fieldNames()(0)
+        require(!schema.fieldNames.contains(name),
+          s"graft catalog: column '$name' already exists")
+        require(a.isNullable,
+          "graft catalog: added columns must be nullable (existing files " +
+            "back-fill them with null)")
+        schema = StructType(schema.fields :+
+          StructField(name, a.dataType(), nullable = true))
+      case sp: TableChange.SetProperty =>
+        setProps += sp.property() -> sp.value()
+      case rp: TableChange.RemoveProperty =>
+        unsetProps += rp.property()
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported table change $other — type changes, " +
+          "renames and drops need a rewrite (library API)")
+    }
+    // new CHECK constraints validate the EXISTING table before they may
+    // commit (the setConstraint contract), and spec declarations get the
+    // same zone-coverage check as setPartitionSpec
+    def validateNew(snap: TableFormat.Snapshot): Unit = {
+      setProps.foreach {
+        case (k, sql) if k.startsWith("constraint.") =>
+          val bad = TableFormat.read(spark, snap)
+            .filter(!org.apache.spark.sql.functions.coalesce(
+              org.apache.spark.sql.functions.expr(sql),
+              org.apache.spark.sql.functions.lit(true)))
+            .limit(1).count()
+          require(bad == 0,
+            s"graft catalog: existing rows violate '$k' ($sql)")
+        case (k, spec) if k == TableFormat.PartitionSpecProp =>
+          TableFormat.parseSpec(spec).foreach(t =>
+            require(t.baseCol == snap.keyCol ||
+              snap.zoneCols.contains(t.baseCol),
+              s"graft catalog: spec column '${t.baseCol}' must be the key " +
+                "or a declared zone column"))
+        case _ => ()
+      }
+    }
+    validateNew(first)
+    val ddl = schema.toDDL
+    TableFormat.commitTransform(spark, root, first.keyCol, first.numBits,
+      first.numHashes,
+      { curOpt =>
+        val cur = curOpt.getOrElse(
+          throw new IllegalStateException("alterTable: nothing committed"))
+        if (cur.version != first.version) validateNew(cur)
+        cur.files
+      },
+      deriveProps = curOpt =>
+        curOpt.map(_.props).getOrElse(Map.empty) ++ setProps -- unsetProps,
+      deriveSchema = _ => Some(ddl),
+      op = Some("replace"))
+    loadTable(ident)
+  }
 
   /** DROP TABLE — removes the table directory (log + data). Also what
     * Spark calls to clean up a failed CTAS. */

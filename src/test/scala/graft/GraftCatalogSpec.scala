@@ -471,4 +471,40 @@ class GraftCatalogSpec extends SparkTestBase {
     // SELECT _file metadata column works on plain reads too
     assert(spark.sql("SELECT DISTINCT _file FROM sqlcat.rl").count() >= 2)
   }
+
+  test("ALTER TABLE: add-only column evolution and TBLPROPERTIES as the SQL constraint/spec route") {
+    val root = s"$warehouse/alt"
+    spark.sql("""CREATE TABLE sqlcat.alt (k BIGINT, v DOUBLE)
+      TBLPROPERTIES('key_col'='k')""")
+    spark.sql("INSERT INTO sqlcat.alt SELECT id AS k, id * 1.0 AS v FROM range(1, 11)")
+    // ADD COLUMNS: one metadata commit, old rows null back-fill
+    spark.sql("ALTER TABLE sqlcat.alt ADD COLUMNS (tag STRING)")
+    assert(spark.sql("SELECT count(tag) AS n FROM sqlcat.alt")
+      .collect()(0).getLong(0) == 0L)
+    spark.sql("INSERT INTO sqlcat.alt VALUES (11, 11.0, 'new')")
+    assert(spark.sql("SELECT count(tag) AS n FROM sqlcat.alt")
+      .collect()(0).getLong(0) == 1L)
+    // SET TBLPROPERTIES is the SQL route to CHECK constraints: an
+    // unsatisfiable one is refused against the existing rows...
+    val e = intercept[Exception](spark.sql(
+      "ALTER TABLE sqlcat.alt SET TBLPROPERTIES('constraint.big_v'='v > 100')"))
+    assert(e.getMessage.contains("violate"), e.getMessage)
+    // ...a satisfiable one lands and ENFORCES from the next INSERT
+    spark.sql("ALTER TABLE sqlcat.alt SET TBLPROPERTIES('constraint.pos_v'='v > 0')")
+    val e2 = intercept[Exception](
+      spark.sql("INSERT INTO sqlcat.alt VALUES (12, -1.0, 'bad')"))
+    def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse("")).mkString("|")
+    assert(msgs(e2).contains("pos_v"), msgs(e2))
+    // UNSET drops the constraint; the insert then lands
+    spark.sql("ALTER TABLE sqlcat.alt UNSET TBLPROPERTIES('constraint.pos_v')")
+    spark.sql("INSERT INTO sqlcat.alt VALUES (12, -1.0, 'ok')")
+    assert(spark.sql("SELECT count(*) AS n FROM sqlcat.alt")
+      .collect()(0).getLong(0) == 12L)
+    // type changes are refused loudly (rewrite territory)
+    val e3 = intercept[Exception](spark.sql(
+      "ALTER TABLE sqlcat.alt ALTER COLUMN v TYPE STRING"))
+    assert(e3.getMessage.toLowerCase.contains("unsupported") ||
+      e3.getMessage.toLowerCase.contains("rewrite"), e3.getMessage)
+  }
 }
