@@ -507,4 +507,25 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(e3.getMessage.toLowerCase.contains("unsupported") ||
       e3.getMessage.toLowerCase.contains("rewrite"), e3.getMessage)
   }
+
+  test("concurrent SQL INSERTs serialize through the commit CAS: both land, nothing lost") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val root = s"$warehouse/conc" // forces the lazy catalog registration
+    spark.sql("""CREATE TABLE sqlcat.conc (k BIGINT, v DOUBLE)
+      TBLPROPERTIES('key_col'='k')""")
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    def ins(lo: Int, hi: Int) = new java.util.concurrent.Callable[Unit] {
+      def call(): Unit = { start.await()
+        spark.sql(s"INSERT INTO sqlcat.conc SELECT id AS k, id * 1.0 AS v FROM range($lo, $hi)") }
+    }
+    val fa = pool.submit(ins(1, 101)); val fb = pool.submit(ins(1001, 1101))
+    start.countDown()
+    fa.get(120, TimeUnit.SECONDS); fb.get(120, TimeUnit.SECONDS)
+    pool.shutdown()
+    val r = spark.sql("SELECT count(*) AS n, sum(k) AS s FROM sqlcat.conc").collect()(0)
+    assert(r.getLong(0) == 200L)
+    assert(r.getLong(1) == (1L to 100L).sum + (1001L to 1100L).sum)
+    assert(TableFormat.versions(spark, root) == Seq(1L, 2L, 3L))
+  }
 }

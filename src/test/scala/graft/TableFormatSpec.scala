@@ -1641,4 +1641,41 @@ class TableFormatSpec extends SparkTestBase {
     assert(TableFormat.snapshot(spark, root)
       .props(TableFormat.PartitionSpecProp) == "div(k, 25)")
   }
+
+  test("replaceDataFiles: a concurrently swapped group fails loud; disjoint swaps compose") {
+    import spark.implicits._
+    val root = freshRoot()
+    val fa = writeKv((1L to 20L).map(k => k -> 1.0), s"$root/fa")
+    val fb = writeKv((100L to 120L).map(k => k -> 2.0), s"$root/fb")
+    TableFormat.commitFiles(spark, root,
+      "k", TableFormat.listParquet(spark, fa) ++ TableFormat.listParquet(spark, fb),
+      256, 3)
+    val base = TableFormat.snapshot(spark, root)
+    val lowFile = base.files.minBy(_.minKey)
+    val highFile = base.files.maxBy(_.minKey)
+    def rewrite(tag: String, keys: Seq[Long]): (Seq[TableFormat.FileStat], String) = {
+      val out = writeKv(keys.map(k => k -> 9.0), s"$root/$tag")
+      val fs = TableFormat.listParquet(spark, out)
+      (TableFormat.fileStats(spark, fs, "k", 256, 3), out)
+    }
+    // swap the low group (commits v2)
+    val (s1, _) = rewrite("r1", 1L to 20L)
+    TableFormat.replaceDataFiles(spark, root, base, Set(lowFile.file), s1,
+      Some(spark.read.parquet(s1.map(_.file): _*)), "update")
+    // a second rewrite computed from the SAME base against the SAME
+    // (now-gone) group: stale — must fail with a named conflict
+    val (s2, _) = rewrite("r2", 1L to 20L)
+    val e = intercept[TableFormat.CommitConflictException](
+      TableFormat.replaceDataFiles(spark, root, base, Set(lowFile.file), s2,
+        Some(spark.read.parquet(s2.map(_.file): _*)), "update"))
+    assert(e.getMessage.contains("concurrent"), e.getMessage)
+    // ...but a stale-base swap of the UNTOUCHED group composes fine
+    val (s3, _) = rewrite("r3", 100L to 120L)
+    val after = TableFormat.replaceDataFiles(spark, root, base,
+      Set(highFile.file), s3,
+      Some(spark.read.parquet(s3.map(_.file): _*)), "update")
+    assert(after.version == 3L)
+    assert(TableFormat.read(spark, after)
+      .filter(col("v") === 9.0).count() == 41L)
+  }
 }
