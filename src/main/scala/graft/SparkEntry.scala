@@ -4662,6 +4662,85 @@ object SparkEntry {
       states.reduce(_.unionByName(_)).orderBy(col("pin"))
     },
 
+    // ---- The all-SQL lakehouse flagship: every round-11 surface in ONE
+    // pure-SQL lifecycle — CREATE (partition spec + CHECK constraint in
+    // TBLPROPERTIES), spec-routed INSERTs, a REFUSED violating INSERT
+    // (its version's absence graded), ALTER TABLE ADD COLUMNS with null
+    // back-fill, a three-clause MERGE INTO (copy-on-write groups), a
+    // metadata-only range DELETE on the date zone column, per-version
+    // time travel, and a final metadata-aggregate probe whose
+    // pushed-down plan (no data-file scan) is itself an oracle column ----
+    "q121_sql_lakehouse_flagship" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"sqlflag_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val root = s"$wh/$tbl"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q121_sqlf", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        Tables.orders(s, dir).filter(pmod(col("o_orderkey"), lit(16)) === 2)
+          .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("q121_src")
+        s.sql(s"""CREATE TABLE graft.`$tbl`
+          (o_orderkey BIGINT, od DATE, cents BIGINT)
+          TBLPROPERTIES('key_col'='o_orderkey', 'zone_cols'='od',
+            '${TableFormat.PartitionSpecProp}'='month(od)',
+            'constraint.cents_pos'='cents > 0')""")                   // v1
+        s.sql(s"INSERT INTO graft.`$tbl` " +
+          "SELECT * FROM q121_src WHERE o_orderkey % 3 = 0")          // v2
+        s.sql(s"INSERT INTO graft.`$tbl` " +
+          "SELECT * FROM q121_src WHERE o_orderkey % 3 = 1")          // v3
+        val refused =
+          try { s.sql(s"INSERT INTO graft.`$tbl` " +
+            "VALUES (7, DATE'1995-01-01', -1)"); false }
+          catch { case e: Throwable =>
+            Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+              .exists(t => Option(t.getMessage).exists(_.contains("cents_pos")))
+          }
+        require(refused, "q121: violating INSERT was not refused")
+        s.sql(s"ALTER TABLE graft.`$tbl` ADD COLUMNS (note STRING)")  // v4
+        s.sql(s"""INSERT INTO graft.`$tbl`
+          SELECT o_orderkey, od, cents, 'w3' AS note FROM q121_src
+          WHERE o_orderkey % 3 = 2""")                                // v5
+        s.sql("""SELECT o_orderkey AS mk, od AS mod, cents * 2 AS mc
+            FROM q121_src WHERE o_orderkey % 9 = 5
+          UNION ALL SELECT o_orderkey + 4000000, od, cents
+            FROM q121_src WHERE o_orderkey % 9 = 8""")
+          .createOrReplaceTempView("q121_delta")
+        s.sql(s"""MERGE INTO graft.`$tbl` t USING q121_delta s
+          ON t.o_orderkey = s.mk
+          WHEN MATCHED THEN UPDATE SET cents = s.mc
+          WHEN NOT MATCHED THEN INSERT (o_orderkey, od, cents, note)
+            VALUES (s.mk, s.mod, s.mc, 'm')""")                       // v6
+        s.sql(s"DELETE FROM graft.`$tbl` WHERE od < DATE'1994-01-01'") // v7
+      }
+      val states = TableFormat.versions(s, root).map { v =>
+        val snap = TableFormat.snapshot(s, root, Some(v))
+        val cols =
+          if (v < 4) "cents, CAST(NULL AS STRING) AS note" else "cents, note"
+        Parallelism.ensureDefaultParallelism(
+            s.sql(s"SELECT $cols FROM graft.`$tbl` VERSION AS OF $v"))
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("cents")), lit(0L)).as("sum_cents"),
+            count(col("note")).as("n_note"))
+          .select(lit(f"v$v%02d").as("pin"), lit(snap.op.getOrElse(""))
+            .as("op"), col("n_rows"), col("sum_cents"), col("n_note"))
+      }
+      val aggDf = s.sql(s"""SELECT count(*) AS n, min(o_orderkey) AS k0,
+        max(o_orderkey) AS k1 FROM graft.`$tbl`""")
+      val plan = aggDf.queryExecution.executedPlan.toString
+      val pushed =
+        plan.contains("LocalTableScan [count_star") && !plan.contains("BatchScan")
+      val aggRow = Parallelism.ensureDefaultParallelism(aggDf)
+        .select(lit("zagg").as("pin"),
+          lit(if (pushed) "pushed" else "scanned").as("op"),
+          col("n").as("n_rows"), col("k1").as("sum_cents"),
+          col("k0").as("n_note"))
+      (states :+ aggRow).reduce(_.unionByName(_)).orderBy(col("pin"))
+    },
+
     // ---- Multimodal: REAL AVI/MJPEG video decode — the second real
     // video path beyond GIF, composed entirely from JDK parts: a
     // standard-layout RIFF AVI (hdrl/strl headers + movi stream) whose
@@ -9036,6 +9115,41 @@ object SparkEntry {
              (SELECT n FROM nt), n, t, dmin_s, dmax_s, ts_sec FROM fr
          UNION ALL SELECT 'stream', 0, (SELECT n FROM nt), n, t,
              dmin_s, dmax_s, ts_sec FROM fa
+         ORDER BY pin""",
+
+    // the pure-SQL lifecycle replayed as row-class arithmetic over the
+    // %16==2 slice: waves by k mod 3, the refused INSERT leaves exactly
+    // seven versions, v6 doubles the %9==5 class and inserts shifted
+    // 'm'-noted %9==8 copies, v7 cuts everything before 1994; the
+    // 'zagg' row is the metadata-pushed count/min/max over the final
+    // state ('pushed' asserts the no-data-scan plan)
+    "q121_sql_lakehouse_flagship" ->
+      """WITH s AS (SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS dt,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders WHERE o_orderkey % 16 = 2),
+         v5r AS (SELECT k, dt, c,
+             CASE WHEN k % 3 = 2 THEN 'w3' END AS note FROM s),
+         v6r AS (SELECT k, dt,
+             CASE WHEN k % 9 = 5 THEN 2 * c ELSE c END AS c, note FROM v5r
+           UNION ALL SELECT k + 4000000, dt, c, 'm' FROM s WHERE k % 9 = 8),
+         v7r AS (SELECT * FROM v6r WHERE dt >= DATE '1994-01-01'),
+         w0 AS (SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS t
+           FROM s WHERE k % 3 = 0),
+         w01 AS (SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS t
+           FROM s WHERE k % 3 IN (0, 1))
+         SELECT 'v01' AS pin, 'create' AS op, CAST(0 AS BIGINT) AS n_rows,
+             CAST(0 AS BIGINT) AS sum_cents, CAST(0 AS BIGINT) AS n_note
+         UNION ALL SELECT 'v02', 'append', n, t, 0 FROM w0
+         UNION ALL SELECT 'v03', 'append', n, t, 0 FROM w01
+         UNION ALL SELECT 'v04', 'replace', n, t, 0 FROM w01
+         UNION ALL SELECT 'v05', 'append', count(*), CAST(sum(c) AS BIGINT),
+             count(note) FROM v5r
+         UNION ALL SELECT 'v06', 'merge', count(*), CAST(sum(c) AS BIGINT),
+             count(note) FROM v6r
+         UNION ALL SELECT 'v07', 'delete', count(*), CAST(sum(c) AS BIGINT),
+             count(note) FROM v7r
+         UNION ALL SELECT 'zagg', 'pushed', count(*), CAST(max(k) AS BIGINT),
+             CAST(min(k) AS BIGINT) FROM v7r
          ORDER BY pin""",
 
     // row-class arithmetic over the %8==6 slice: v3 bumps the %9==1
