@@ -4741,6 +4741,57 @@ object SparkEntry {
       (states :+ aggRow).reduce(_.unionByName(_)).orderBy(col("pin"))
     },
 
+    // ---- Expectation-gated ingest with QUARANTINE (the DLT expect-or-
+    // drop mode): instead of refusing a whole batch on one bad row, the
+    // ingest splits it against the table's declared CHECK constraints —
+    // clean rows append, violators land in a quarantine TABLE with a
+    // `_violated` column naming every failed constraint (comma-joined,
+    // name-sorted); the oracle replays the main/quarantine split and
+    // the per-reason ledger from the injected violation classes ----
+    "q122_quarantine_ingest" -> { (s, dir) =>
+      val root = scratch("q122_qr", dir)
+      val main = s"$root/main"; val quar = s"$root/quarantine"
+      Fixtures.once(s, "q122_qr", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val orders = Tables.orders(s, dir)
+        def base(m16: Int) = orders
+          .filter(pmod(col("o_orderkey"), lit(16)) === m16)
+          .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        base(12).repartition(1).write.mode("overwrite").parquet(s"$main/b0")
+        TableFormat.commitFiles(s, main, "o_orderkey",
+          TableFormat.listParquet(s, s"$main/b0"),
+          numBits = 1 << 14, numHashes = 5)                          // v1
+        TableFormat.setConstraint(s, main, "cents_pos", "cents > 0")
+        TableFormat.setConstraint(s, main, "od_recent",
+          "od >= DATE'1993-01-01'")
+        // the ingest batch with injected violation classes: k%7==0
+        // breaks cents_pos, k%11==0 breaks od_recent, k%77==0 both
+        val batch = base(4).select(col("o_orderkey"),
+          when(pmod(col("o_orderkey"), lit(11)) === 0,
+            add_months(col("od"), -240)).otherwise(col("od")).as("od"),
+          when(pmod(col("o_orderkey"), lit(7)) === 0, -col("cents"))
+            .otherwise(col("cents")).as("cents"))
+        TableFormat.appendWithQuarantine(s, main, quar, batch, root)
+      }
+      val mainRow = Parallelism.ensureDefaultParallelism(
+          TableFormat.read(s, TableFormat.snapshot(s, main)))
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("cents")), lit(0L)).as("sum_cents"))
+        .select(lit("main").as("layer"), lit("").as("violated"),
+          col("n_rows"), col("sum_cents"))
+      val quarRows = Parallelism.ensureDefaultParallelism(
+          TableFormat.read(s, TableFormat.snapshot(s, quar)))
+        .groupBy(col("_violated").as("violated"))
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("cents")), lit(0L)).as("sum_cents"))
+        .select(lit("quarantine").as("layer"), col("violated"),
+          col("n_rows"), col("sum_cents"))
+      mainRow.unionByName(quarRows)
+        .orderBy(col("layer"), col("violated"))
+    },
+
     // ---- Multimodal: REAL AVI/MJPEG video decode — the second real
     // video path beyond GIF, composed entirely from JDK parts: a
     // standard-layout RIFF AVI (hdrl/strl headers + movi stream) whose
@@ -9116,6 +9167,36 @@ object SparkEntry {
          UNION ALL SELECT 'stream', 0, (SELECT n FROM nt), n, t,
              dmin_s, dmax_s, ts_sec FROM fa
          ORDER BY pin""",
+
+    // main = the %16==12 base plus the clean slice of the %16==4 batch;
+    // the quarantine ledger groups by the name-sorted violated set —
+    // k%7==0 negates cents (cents_pos), k%11==0 shifts od back 20 years
+    // (od_recent), k%77==0 both
+    "q122_quarantine_ingest" ->
+      """WITH b AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders WHERE o_orderkey % 16 = 12),
+         s AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders WHERE o_orderkey % 16 = 4),
+         cl AS (SELECT count(*) AS n, CAST(COALESCE(sum(c), 0) AS BIGINT) AS t
+           FROM s WHERE k % 7 <> 0 AND k % 11 <> 0),
+         q7 AS (SELECT count(*) AS n,
+             CAST(COALESCE(sum(-c), 0) AS BIGINT) AS t
+           FROM s WHERE k % 7 = 0 AND k % 11 <> 0),
+         q11 AS (SELECT count(*) AS n,
+             CAST(COALESCE(sum(c), 0) AS BIGINT) AS t
+           FROM s WHERE k % 11 = 0 AND k % 7 <> 0),
+         q77 AS (SELECT count(*) AS n,
+             CAST(COALESCE(sum(-c), 0) AS BIGINT) AS t
+           FROM s WHERE k % 77 = 0)
+         SELECT 'main' AS layer, '' AS violated,
+             (SELECT count(*) FROM b) + (SELECT n FROM cl) AS n_rows,
+             CAST((SELECT sum(c) FROM b) + (SELECT t FROM cl) AS BIGINT)
+               AS sum_cents
+         UNION ALL SELECT 'quarantine', 'cents_pos', n, t FROM q7
+         UNION ALL SELECT 'quarantine', 'cents_pos,od_recent', n, t FROM q77
+         UNION ALL SELECT 'quarantine', 'od_recent', n, t FROM q11
+         ORDER BY layer, violated""",
 
     // the pure-SQL lifecycle replayed as row-class arithmetic over the
     // %16==2 slice: waves by k mod 3, the refused INSERT leaves exactly

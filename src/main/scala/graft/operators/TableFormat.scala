@@ -1066,6 +1066,76 @@ object TableFormat {
     appendFiles(spark, root, files, extraProps)
   }
 
+  /** EXPECTATION-GATED ingest with QUARANTINE — the Delta Live Tables
+    * "expect or drop" mode on top of the table's CHECK constraints:
+    * instead of refusing the whole batch when any row violates
+    * ([[appendFiles]]' fail mode), split it — clean rows append to the
+    * main table, violating rows land in a SEPARATE quarantine table
+    * with a `_violated` column naming the failed constraint(s)
+    * (comma-joined, name-sorted) for triage and replay. Cost is one
+    * labeling pass over the batch (all predicates evaluated in one
+    * projection) plus the two writes; counts come from the commits' own
+    * file stats, no extra aggregate. The quarantine table is a full
+    * TableFormat table (history, time travel, its own changelog) and
+    * deliberately carries NO constraints of its own. Returns
+    * (main snapshot, quarantine snapshot if any rows quarantined,
+    * clean count, quarantined count). */
+  def appendWithQuarantine(spark: SparkSession, root: String,
+                           quarantineRoot: String, batch: DataFrame,
+                           dataDir: String,
+                           extraProps: Map[String, String] = Map.empty)
+      : (Snapshot, Option[Snapshot], Long, Long) = {
+    val first = snapshot(spark, root)
+    val constraints = first.props.toSeq
+      .filter(_._1.startsWith(ConstraintPrefix))
+      .map { case (k, sql) => k.stripPrefix(ConstraintPrefix) -> sql }
+      .sortBy(_._1)
+    require(constraints.nonEmpty,
+      "appendWithQuarantine: the table declares no constraints — use " +
+        "appendFiles (there is nothing to quarantine on)")
+    val labeled = batch.withColumn("_violated",
+      concat_ws(",", constraints.map { case (name, sql) =>
+        when(!coalesce(expr(sql), lit(true)), lit(name))
+      }: _*))
+    val stamp = java.util.UUID.randomUUID().toString
+    val cleanOut = s"$dataDir/clean-$stamp"
+    val quarOut = s"$dataDir/quarantine-$stamp"
+    labeled.filter(col("_violated") === "").drop("_violated")
+      .write.mode("overwrite").parquet(cleanOut)
+    labeled.filter(col("_violated") =!= "")
+      .write.mode("overwrite").parquet(quarOut)
+    val cleanFiles = listParquet(spark, cleanOut)
+    val quarFiles = listParquet(spark, quarOut)
+    // zero-row part files read as empty: commit only what holds rows
+    def nonEmpty(files: Seq[String]): Seq[String] =
+      if (files.isEmpty) Seq.empty
+      else {
+        val counts = spark.read.parquet(files: _*)
+          .groupBy(input_file_name().as("f")).count().collect()
+          .map(r => r.getString(0)).toSet
+        files.filter(f => counts.exists(c =>
+          new org.apache.hadoop.fs.Path(c).toUri.getPath ==
+            new org.apache.hadoop.fs.Path(f).toUri.getPath))
+      }
+    val clean = nonEmpty(cleanFiles)
+    val quar = nonEmpty(quarFiles)
+    val mainSnap =
+      if (clean.isEmpty) first
+      else appendFiles(spark, root, clean, extraProps)
+    val quarSnap =
+      if (quar.isEmpty) None
+      else if (versions(spark, quarantineRoot).isEmpty)
+        Some(commitFiles(spark, quarantineRoot, first.keyCol, quar,
+          first.numBits, first.numHashes))
+      else Some(appendFiles(spark, quarantineRoot, quar))
+    val nClean =
+      if (clean.isEmpty) 0L
+      else mainSnap.files.filter(_.seq == mainSnap.version).map(_.nRows).sum
+    val nQuar = quarSnap.map(s =>
+      s.files.filter(_.seq == s.version).map(_.nRows).sum).getOrElse(0L)
+    (mainSnap, quarSnap, nClean, nQuar)
+  }
+
   /** Swap an explicit set of data files for new ones in ONE commit —
     * the copy-on-write GROUP REPLACEMENT the SQL row-level operations
     * (MERGE/UPDATE/arbitrary DELETE) commit through: `replaced` is

@@ -1678,4 +1678,38 @@ class TableFormatSpec extends SparkTestBase {
     assert(TableFormat.read(spark, after)
       .filter(col("v") === 9.0).count() == 41L)
   }
+
+  test("appendWithQuarantine: clean rows land, violators quarantine with named reasons") {
+    import spark.implicits._
+    val root = freshRoot(); val qroot = freshRoot()
+    writeKv(Seq(1L -> 1.0), s"$root/fa")
+    TableFormat.commitFiles(spark, root, "k",
+      TableFormat.listParquet(spark, s"$root/fa"), 256, 3)
+    TableFormat.setConstraint(spark, root, "pos_v", "v > 0")
+    TableFormat.setConstraint(spark, root, "small_k", "k < 1000")
+    val batch = Seq(
+      (2L, 2.0),      // clean
+      (3L, -3.0),     // pos_v
+      (2000L, 4.0),   // small_k
+      (3000L, -5.0))  // both
+      .toDF("k", "v")
+    val (m, q, nClean, nQuar) = TableFormat.appendWithQuarantine(
+      spark, root, qroot, batch, root)
+    assert(nClean == 1L && nQuar == 3L)
+    assert(TableFormat.read(spark, m).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val qRows = TableFormat.read(spark, q.get)
+      .select("k", "_violated").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(qRows == Seq((3L, "pos_v"), (2000L, "small_k"),
+      (3000L, "pos_v,small_k")))
+    // the quarantine table carries NO constraints: replaying a fixed
+    // row back into the main table works, re-quarantining does not loop
+    val (m2, q2, c2, n2) = TableFormat.appendWithQuarantine(
+      spark, root, qroot, Seq(3L -> 3.0).toDF("k", "v"), root)
+    assert(c2 == 1L && n2 == 0L && q2.isEmpty)
+    assert(TableFormat.read(spark, m2).count() == 3L)
+    // an all-clean batch leaves the quarantine log untouched
+    assert(TableFormat.versions(spark, qroot) == Seq(1L))
+  }
 }
