@@ -4792,6 +4792,59 @@ object SparkEntry {
         .orderBy(col("layer"), col("violated"))
     },
 
+    // ---- STREAMING expectation gate: the q122 quarantine split as a
+    // production sink — three deterministic ticks (mixed batch,
+    // ALL-VIOLATION batch, clean batch) with a REPLAY of each proving
+    // the one-gate discipline: the main table's batch_id props advance
+    // even when nothing clean lands (a metadata-only commit), so a
+    // replayed all-bad batch re-quarantines NOTHING; both tables'
+    // version ledgers are graded ----
+    "q123_stream_quarantine" -> { (s, dir) =>
+      val root = scratch("q123_sq", dir)
+      val main = s"$root/main"; val quar = s"$root/quarantine"
+      Fixtures.once(s, "q123_sq", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val orders = Tables.orders(s, dir)
+        def slice(m16: Int) = orders
+          .filter(pmod(col("o_orderkey"), lit(16)) === m16)
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        slice(10).repartition(1).write.mode("overwrite").parquet(s"$main/b0")
+        TableFormat.commitFiles(s, main, "o_orderkey",
+          TableFormat.listParquet(s, s"$main/b0"),
+          numBits = 1 << 14, numHashes = 5)                         // main v1
+        TableFormat.setConstraint(s, main, "cents_pos", "cents > 0") // v2
+        val sink = graft.streaming.Streams.foreachBatchQuarantineAppend(
+          main, quar, root, lineage = "q123")
+        // tick 1: mixed — k%5==0 rows negated (violate), rest clean
+        val mixed = slice(6).select(col("o_orderkey"),
+          when(pmod(col("o_orderkey"), lit(5)) === 0, -col("cents"))
+            .otherwise(col("cents")).as("cents"))
+        sink(mixed, 0L)                        // main v3 (+gate), quar v1
+        sink(mixed, 0L)                        // REPLAY: neither moves
+        // tick 2: ALL violations — gate still advances (metadata commit)
+        val allBad = slice(14).select(col("o_orderkey"),
+          (-col("cents")).as("cents"))
+        sink(allBad, 1L)                       // main v4 (replace), quar v2
+        sink(allBad, 1L)                       // REPLAY: neither moves
+        // tick 3: all clean
+        sink(slice(2), 2L)                     // main v5
+      }
+      def ledger(layer: String, root: String) =
+        TableFormat.versions(s, root).map { v =>
+          val snap = TableFormat.snapshot(s, root, Some(v))
+          Parallelism.ensureDefaultParallelism(TableFormat.read(s, snap))
+            .agg(count(lit(1)).as("n_rows"),
+              coalesce(sum(col("cents")), lit(0L)).as("sum_cents"))
+            .select(lit(layer).as("layer"), lit(v).as("version"),
+              lit(snap.op.getOrElse("")).as("op"),
+              col("n_rows"), col("sum_cents"))
+        }
+      (ledger("main", main) ++ ledger("quarantine", quar))
+        .reduce(_.unionByName(_)).orderBy(col("layer"), col("version"))
+    },
+
     // ---- Multimodal: REAL AVI/MJPEG video decode — the second real
     // video path beyond GIF, composed entirely from JDK parts: a
     // standard-layout RIFF AVI (hdrl/strl headers + movi stream) whose
@@ -9167,6 +9220,43 @@ object SparkEntry {
          UNION ALL SELECT 'stream', 0, (SELECT n FROM nt), n, t,
              dmin_s, dmax_s, ts_sec FROM fa
          ORDER BY pin""",
+
+    // exactly five main versions and two quarantine versions exist —
+    // each replay's absence is the graded contract; v4 is the
+    // all-violation tick's metadata-only gate advance (op=replace,
+    // state unchanged); ticks replay from the %16 slices with k%5==0
+    // negation as the violation class
+    "q123_stream_quarantine" ->
+      """WITH b AS (SELECT count(*) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS t
+           FROM orders WHERE o_orderkey % 16 = 10),
+         c6 AS (SELECT count(*) AS n,
+             CAST(COALESCE(sum(CAST(floor(o_totalprice * 100) AS BIGINT)), 0)
+               AS BIGINT) AS t
+           FROM orders WHERE o_orderkey % 16 = 6 AND o_orderkey % 5 <> 0),
+         v6 AS (SELECT count(*) AS n,
+             CAST(COALESCE(sum(-CAST(floor(o_totalprice * 100) AS BIGINT)), 0)
+               AS BIGINT) AS t
+           FROM orders WHERE o_orderkey % 16 = 6 AND o_orderkey % 5 = 0),
+         a14 AS (SELECT count(*) AS n,
+             CAST(sum(-CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS t
+           FROM orders WHERE o_orderkey % 16 = 14),
+         s2 AS (SELECT count(*) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS t
+           FROM orders WHERE o_orderkey % 16 = 2)
+         SELECT 'main' AS layer, CAST(1 AS BIGINT) AS version,
+             'append' AS op, n AS n_rows, t AS sum_cents FROM b
+         UNION ALL SELECT 'main', 2, 'replace', n, t FROM b
+         UNION ALL SELECT 'main', 3, 'append', b.n + c6.n, b.t + c6.t
+           FROM b, c6
+         UNION ALL SELECT 'main', 4, 'replace', b.n + c6.n, b.t + c6.t
+           FROM b, c6
+         UNION ALL SELECT 'main', 5, 'append', b.n + c6.n + s2.n,
+             b.t + c6.t + s2.t FROM b, c6, s2
+         UNION ALL SELECT 'quarantine', 1, 'append', n, t FROM v6
+         UNION ALL SELECT 'quarantine', 2, 'append', v6.n + a14.n,
+             v6.t + a14.t FROM v6, a14
+         ORDER BY layer, version""",
 
     // main = the %16==12 base plus the clean slice of the %16==4 batch;
     // the quarantine ledger groups by the name-sorted violated set —

@@ -1120,8 +1120,19 @@ object TableFormat {
     val clean = nonEmpty(cleanFiles)
     val quar = nonEmpty(quarFiles)
     val mainSnap =
-      if (clean.isEmpty) first
-      else appendFiles(spark, root, clean, extraProps)
+      if (clean.nonEmpty) appendFiles(spark, root, clean, extraProps)
+      else if (extraProps.nonEmpty)
+        // an ALL-VIOLATION batch still advances the caller's props (a
+        // streaming sink's replay gate lives there — without this, a
+        // replayed all-bad batch would re-quarantine its rows): one
+        // metadata-only commit, no files touched
+        commitTransform(spark, root, first.keyCol, first.numBits,
+          first.numHashes,
+          curOpt => curOpt.map(_.files).getOrElse(Seq.empty),
+          deriveProps = curOpt =>
+            curOpt.map(_.props).getOrElse(Map.empty) ++ extraProps,
+          op = Some("replace"))
+      else first
     val quarSnap =
       if (quar.isEmpty) None
       else if (versions(spark, quarantineRoot).isEmpty)

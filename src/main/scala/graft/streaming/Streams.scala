@@ -520,6 +520,35 @@ object Streams {
       }
     }
 
+  /** EXPECTATION-GATED streaming ingest — the streaming twin of
+    * [[graft.operators.TableFormat.appendWithQuarantine]] (the DLT
+    * expect-or-drop mode): each micro-batch splits against the main
+    * table's CHECK constraints, clean rows append, violators land in
+    * the quarantine table with their `_violated` reasons. Exactly-once
+    * under at-least-once delivery derives from ONE gate — the
+    * `batch_id`/`lineage` props on the MAIN table's commit (an
+    * all-violation batch advances it with a metadata-only commit), so a
+    * replayed batch moves NEITHER table. */
+  def foreachBatchQuarantineAppend(root: String, quarantineRoot: String,
+                                   dataDir: String, lineage: String = "")
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      import graft.operators.TableFormat
+      val spark = batch.sparkSession
+      val cur = TableFormat.snapshot(spark, root)
+      val streamWritten = cur.props.contains("batch_id")
+      val storedLineage = cur.props.getOrElse("lineage", "")
+      if (streamWritten && storedLineage != lineage)
+        requireSameLineage("foreachBatchQuarantineAppend", root,
+          storedLineage, lineage)
+      val lastBatch = cur.props.get("batch_id").map(_.toLong).getOrElse(-1L)
+      if (batchId > lastBatch && !batch.isEmpty) {
+        TableFormat.appendWithQuarantine(spark, root, quarantineRoot, batch,
+          dataDir, extraProps =
+            Map("batch_id" -> batchId.toString, "lineage" -> lineage))
+      }
+    }
+
   /** CDC-apply streaming sink: each micro-batch lands as ONE
     * merge-on-read upsert commit on a [[graft.operators.TableFormat]]
     * table — batch file + key manifest, O(batch) IO regardless of table
