@@ -124,8 +124,15 @@ private class GraftRowLevelScan(op: GraftRowLevelOperation,
 
   override def planInputPartitions(): Array[InputPartition] = {
     // record the final group set on the shared operation: these are
-    // exactly the files the commit must swap out
-    op.replacedFiles = candidates.map(_.file)
+    // exactly the files the commit must swap out. SHRINK-ONLY: the API
+    // contract is one operation scan (the Iceberg copy-on-write
+    // assumption), but if a second, unfiltered scan instance ever
+    // planned after the filtered one, letting it RESET the record to
+    // the full file set while the write carries only the matched
+    // groups' replacement rows would drop every unmatched group —
+    // monotone narrowing makes that direction impossible
+    if (candidates.size <= op.replacedFiles.size)
+      op.replacedFiles = candidates.map(_.file)
     candidates.map { f =>
       val manifests = snap.deletes.filter(_.seq > f.seq).map(_.file)
       GraftSqlPartition(f.file, manifests, snap.keyCol): InputPartition
