@@ -205,9 +205,10 @@ class GraftTableCatalog extends TableCatalog {
     if (TableFormat.versions(spark, root).isEmpty)
       throw new NoSuchTableException(ident)
     val first = TableFormat.snapshot(spark, root)
-    var schema = StructType.fromDDL(first.schemaDdl.getOrElse(
+    val baseSchema = StructType.fromDDL(first.schemaDdl.getOrElse(
       throw new IllegalArgumentException(
         s"graft catalog: table at $root carries no schema")))
+    val addedFields = scala.collection.mutable.ListBuffer.empty[StructField]
     val setProps = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val unsetProps = scala.collection.mutable.ListBuffer.empty[String]
     changes.foreach {
@@ -215,13 +216,13 @@ class GraftTableCatalog extends TableCatalog {
         require(a.fieldNames().length == 1,
           "graft catalog: nested column adds are not supported")
         val name = a.fieldNames()(0)
-        require(!schema.fieldNames.contains(name),
+        require(!baseSchema.fieldNames.contains(name) &&
+          !addedFields.exists(_.name == name),
           s"graft catalog: column '$name' already exists")
         require(a.isNullable,
           "graft catalog: added columns must be nullable (existing files " +
             "back-fill them with null)")
-        schema = StructType(schema.fields :+
-          StructField(name, a.dataType(), nullable = true))
+        addedFields += StructField(name, a.dataType(), nullable = true)
       case sp: TableChange.SetProperty =>
         setProps += sp.property() -> sp.value()
       case rp: TableChange.RemoveProperty =>
@@ -253,7 +254,6 @@ class GraftTableCatalog extends TableCatalog {
       }
     }
     validateNew(first)
-    val ddl = schema.toDDL
     TableFormat.commitTransform(spark, root, first.keyCol, first.numBits,
       first.numHashes,
       { curOpt =>
@@ -264,7 +264,13 @@ class GraftTableCatalog extends TableCatalog {
       },
       deriveProps = curOpt =>
         curOpt.map(_.props).getOrElse(Map.empty) ++ setProps -- unsetProps,
-      deriveSchema = _ => Some(ddl),
+      // schema re-derives against the RE-RESOLVED snapshot: a column a
+      // concurrent append evolved in must survive this commit (deriving
+      // from the stale base would silently drop it from the DDL)
+      deriveSchema = curOpt => Some(TableFormat.evolveSchema(
+        curOpt.flatMap(_.schemaDdl).map(StructType.fromDDL)
+          .getOrElse(baseSchema),
+        StructType(addedFields.toSeq)).toDDL),
       op = Some("replace"))
     loadTable(ident)
   }
@@ -374,9 +380,11 @@ private class GraftSqlTable(ident: String, root: String,
           .exists(GraftSqlValues.discreteType)
     var colOpt: Option[String] = None
     var lo = Long.MinValue; var hi = Long.MaxValue
+    var sawComparison = false
     def narrow(c: String, nlo: Long, nhi: Long): Boolean = {
       if (!prunable(c) || colOpt.exists(_ != c)) return false
-      colOpt = Some(c); lo = math.max(lo, nlo); hi = math.min(hi, nhi); true
+      colOpt = Some(c); lo = math.max(lo, nlo); hi = math.min(hi, nhi)
+      sawComparison = true; true
     }
     val ok = real.forall {
       case EqualTo(c, v) => GraftSqlValues.zoneValue(v)
@@ -389,12 +397,16 @@ private class GraftSqlTable(ident: String, root: String,
         .exists(l => narrow(c, Long.MinValue, l - 1))
       case LessThanOrEqual(c, v) => GraftSqlValues.zoneValue(v)
         .exists(l => narrow(c, Long.MinValue, l))
+      // implied by any comparison on the same column — but NEVER a range
+      // by itself: a bare `k IS NOT NULL` delete through bounds
+      // arithmetic would also drop a file's null-key rows (whole-file
+      // drops can't see them); it falls through to the row-level rewrite
       case IsNotNull(c) => colOpt.forall(_ == c) && prunable(c) &&
-        { colOpt = Some(c); true } // implied by any comparison on c
+        { colOpt = Some(c); true }
       case _ => false
     }
-    if (ok && colOpt.isDefined && lo <= hi) Some(Some((colOpt.get, lo, hi)))
-    else if (ok && colOpt.isDefined) Some(Some((colOpt.get, 0L, -1L))) // empty range: no-op delete
+    if (ok && sawComparison && lo <= hi) Some(Some((colOpt.get, lo, hi)))
+    else if (ok && sawComparison) Some(Some((colOpt.get, 0L, -1L))) // provably empty
     else None
   }
 
