@@ -55,12 +55,29 @@ object TableFormat {
     * OPTIONAL secondary zone bounds for the table's declared `zoneCols`
     * (the Iceberg per-column lower/upper metrics shape, long-typed like
     * the key) — what lets a scan prune on a non-key dimension (time,
-    * size, score) without any partitioning scheme. */
+    * size, score) without any partitioning scheme.
+    *
+    * `nulls` records the NULL COUNT per stats column (the key and every
+    * declared zone column) — the Iceberg null_value_counts metric, and
+    * the piece min/max bounds cannot carry: a file whose non-null values
+    * all fall inside a delete range may still hold null rows the bounds
+    * cannot see, so metadata-only whole-file operations ([[deleteWhere]]
+    * drops, [[countRange]] metadata counts) require a RECORDED ZERO here
+    * before trusting bounds alone. A column absent from the map (commits
+    * written before null counts) means UNKNOWN — always treated as
+    * possibly-null, never as null-free. A file whose stats column is
+    * entirely null carries NO bounds for it (`zones` omits the column;
+    * an all-null KEY records the conservative full-range sentinel). */
   final case class FileStat(file: String, minKey: Long, maxKey: Long,
                             nRows: Long, bloom: Array[Long],
                             zones: Map[String, (Long, Long)] = Map.empty,
                             seq: Long = -1L,
-                            kmv: Seq[Long] = Seq.empty)
+                            kmv: Seq[Long] = Seq.empty,
+                            nulls: Map[String, Long] = Map.empty) {
+    /** True iff the file PROVABLY holds no null in `col` (recorded zero;
+      * unknown — pre-null-stats commits — is not proof). */
+    def nullFree(col: String): Boolean = nulls.get(col).contains(0L)
+  }
 
   /** Sketch size for the per-file KMV distinct-key sketches carried in
     * commit stats (64 longs per file in the commit JSON — bounded
@@ -145,11 +162,13 @@ object TableFormat {
     def zl(c: String) = zoneLong(schema(c).dataType, col(c))
     val zoneAggs = zoneCols.flatMap(c => Seq(
       min(zl(c)).as(s"zmin_$c"),
-      max(zl(c)).as(s"zmax_$c")))
+      max(zl(c)).as(s"zmax_$c"),
+      count(when(col(c).isNull, lit(1))).as(s"znull_$c")))
     val aggs = Seq(
       min(col(keyCol).cast("long")).as("min_key"),
       max(col(keyCol).cast("long")).as("max_key"),
       count(lit(1)).as("n_rows"),
+      count(when(col(keyCol).isNull, lit(1))).as("null_key"),
       graft.Functions.bloom_agg(col(keyCol), numBits, numHashes).as("bloom")) ++
       zoneAggs :+
       graft.Functions.kmv_sketch(col(keyCol).cast("string"), KmvStatsK).as("kmv")
@@ -158,12 +177,30 @@ object TableFormat {
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
-        val zones = zoneCols.zipWithIndex.map { case (c, i) =>
-          c -> ((r.getLong(5 + 2 * i), r.getLong(6 + 2 * i)))
+        def longAt(name: String): Long = r.getLong(r.fieldIndex(name))
+        def longOpt(name: String): Option[Long] = {
+          val i = r.fieldIndex(name)
+          if (r.isNullAt(i)) None else Some(r.getLong(i))
+        }
+        // an all-null stats column yields NULL aggregates: the zone map
+        // OMITS the column (downstream treats missing bounds as
+        // unknown-overlaps-everything), and an all-null KEY records the
+        // conservative full-range sentinel — never a getLong NPE
+        val zones = zoneCols.flatMap { c =>
+          (longOpt(s"zmin_$c"), longOpt(s"zmax_$c")) match {
+            case (Some(mn), Some(mx)) => Some(c -> ((mn, mx)))
+            case _ => None
+          }
         }.toMap
-        FileStat(r.getString(0), r.getLong(1), r.getLong(2),
-          r.getLong(3), r.getSeq[Long](4).toArray, zones,
-          kmv = r.getSeq[Long](5 + 2 * zoneCols.length))
+        val nulls = (zoneCols.map(c => c -> longAt(s"znull_$c")) :+
+          (keyCol -> longAt("null_key"))).toMap
+        FileStat(r.getString(r.fieldIndex("file")),
+          longOpt("min_key").getOrElse(Long.MinValue),
+          longOpt("max_key").getOrElse(Long.MaxValue),
+          longAt("n_rows"),
+          r.getSeq[Long](r.fieldIndex("bloom")).toArray, zones,
+          kmv = r.getSeq[Long](r.fieldIndex("kmv")),
+          nulls = nulls)
       }
       .sortBy(_.file).toSeq
   }
@@ -257,6 +294,14 @@ object TableFormat {
       }
       if (f.kmv.nonEmpty)
         sb.append(f.kmv.mkString(""","kmv":[""", ",", "]"))
+      if (f.nulls.nonEmpty) {
+        sb.append(""","nulls":{""")
+        f.nulls.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((c, n), j) =>
+          if (j > 0) sb.append(',')
+          sb.append(s""""${esc(c)}":$n""")
+        }
+        sb.append('}')
+      }
       sb.append('}')
     }
     sb.append("]}")
@@ -289,7 +334,18 @@ object TableFormat {
         seq = if (f.has("seq")) f.get("seq").asLong() else 0L,
         // pre-sketch commits parse empty: approxDistinctKeys refuses
         kmv = if (!f.has("kmv")) Seq.empty
-          else (0 until f.get("kmv").size()).map(f.get("kmv").get(_).asLong()))
+          else (0 until f.get("kmv").size()).map(f.get("kmv").get(_).asLong()),
+        // pre-null-stats commits parse empty = UNKNOWN (possibly-null):
+        // metadata-only drops/counts refuse to trust bounds alone
+        nulls =
+          if (!f.has("nulls")) Map.empty[String, Long]
+          else {
+            val z = f.get("nulls")
+            val it = z.fieldNames()
+            val m = Map.newBuilder[String, Long]
+            while (it.hasNext) { val c = it.next(); m += c -> z.get(c).asLong() }
+            m.result()
+          })
     }
     // commits written before props support parse unchanged (empty map)
     val props =
@@ -1163,6 +1219,21 @@ object TableFormat {
                        newContent: Option[DataFrame],
                        opName: String): Snapshot = {
     newContent.foreach(df => checkConstraints(spark, base, df, opName))
+    // the operation's READ SCOPE: the key span of the replaced groups
+    // (the replacement content was derived from exactly those bytes)
+    // plus the new files' span (a MERGE's NOT-MATCHED inserts were
+    // decided by reading the table too). Liveness of the replaced files
+    // alone is NOT enough — a concurrent merge-on-read delete manifest
+    // (or an append into the matched range) leaves every replaced file
+    // live, yet the replacement rows would RESURRECT its masked rows
+    // (the new files' seq sits above the manifest). assertNoConflicts
+    // walks the intervening commits and fails loud on bound overlap —
+    // the Iceberg validateNoConflictingDeletes/Appends rule for
+    // copy-on-write.
+    val scopeFiles = base.files.filter(f => replaced(f.file)) ++ newStats
+    val scope =
+      if (scopeFiles.isEmpty) None
+      else Some((scopeFiles.map(_.minKey).min, scopeFiles.map(_.maxKey).max))
     commitTransform(spark, root, base.keyCol, base.numBits, base.numHashes,
       { curOpt =>
         val cur = curOpt.getOrElse(throw new IllegalStateException(
@@ -1173,6 +1244,9 @@ object TableFormat {
           s"$opName: ${gone.size} scanned file(s) were replaced by a " +
             s"concurrent commit at $root (e.g. ${gone.head}) — the " +
             "computed replacement is stale, retry against a fresh snapshot")
+        scope.foreach { case (lo, hi) =>
+          assertNoConflicts(spark, root, base, cur, base.keyCol, lo, hi, opName)
+        }
         newContent.foreach(df =>
           recheckConstraintsIfChanged(spark, base, cur, df, opName))
         (cur.files.filterNot(f => replaced(f.file)) ++ newStats)
@@ -1232,7 +1306,10 @@ object TableFormat {
         else {
           val out = s"$dataDir/delete-${java.util.UUID.randomUUID().toString}"
           readFiles(spark, cur, hit.map(_.file))
-            .filter(!col(cur.keyCol).cast("long").isInCollection(keys))
+            // coalesce(_, true): a NULL key is not in any delete set, but
+            // !IN(...) evaluates NULL for it — keep null-key rows
+            .filter(coalesce(
+              !col(cur.keyCol).cast("long").isInCollection(keys), lit(true)))
             .write.mode("overwrite").parquet(out)
           val files = listParquet(spark, out)
           if (files.isEmpty) Seq.empty
@@ -1381,8 +1458,15 @@ object TableFormat {
         def boundsOf(f: FileStat): Option[(Long, Long)] =
           if (boundCol == cur.keyCol) Some((f.minKey, f.maxKey))
           else f.zones.get(boundCol)
+        // SQL DELETE semantics: a NULL bound value never satisfies the
+        // range predicate, so null rows must SURVIVE — but min/max
+        // bounds cannot see them. A whole-file drop therefore also
+        // requires a RECORDED ZERO null count for boundCol (unknown =
+        // possibly-null routes to the boundary rewrite, whose complement
+        // filter keeps nulls explicitly).
         val (dropped, kept) = cur.files.partition(f =>
-          boundsOf(f).exists { case (mn, mx) => mn >= lo && mx <= hi })
+          f.nullFree(boundCol) &&
+            boundsOf(f).exists { case (mn, mx) => mn >= lo && mx <= hi })
         val (carried, boundary) = kept.partition(f =>
           boundsOf(f).exists { case (mn, mx) => mx < lo || mn > hi })
         val rewritten =
@@ -1390,8 +1474,11 @@ object TableFormat {
           else {
             val out = s"$dataDir/delwhere-${java.util.UUID.randomUUID().toString}"
             val bdf = readFiles(spark, cur, boundary.map(_.file))
-            bdf.filter(!zoneLong(bdf.schema(boundCol).dataType, col(boundCol))
-                .between(lo, hi))
+            // coalesce(_, true): !between is NULL (not false) for null
+            // values — without it the rewrite silently deletes null rows
+            bdf.filter(coalesce(
+                !zoneLong(bdf.schema(boundCol).dataType, col(boundCol))
+                  .between(lo, hi), lit(true)))
               .write.mode("overwrite").parquet(out)
             val files = listParquet(spark, out)
             if (files.isEmpty) Seq.empty
@@ -1863,9 +1950,16 @@ object TableFormat {
     require(snap.deletes.isEmpty,
       "statsSummary: per-file stats are not exact under merge-on-read " +
         "delete manifests — compact to materialize them first")
+    // an all-null-key file carries the conservative full-range sentinel
+    // as bounds — real extrema come from files with at least one
+    // non-null key (SQL min/max ignore nulls)
+    val bounded = snap.files.filterNot(f =>
+      f.nRows > 0 && f.nulls.get(snap.keyCol).contains(f.nRows))
+    require(bounded.nonEmpty,
+      "statsSummary: every row has a null key — no key extrema exist")
     (snap.files.map(_.nRows).sum,
-      snap.files.map(_.minKey).min,
-      snap.files.map(_.maxKey).max)
+      bounded.map(_.minKey).min,
+      bounded.map(_.maxKey).max)
   }
 
   /** Hybrid range count over `zoneCol` (the key when it equals
@@ -1887,16 +1981,22 @@ object TableFormat {
     def bounds(f: FileStat): Option[(Long, Long)] =
       if (zoneCol == snap.keyCol) Some((f.minKey, f.maxKey))
       else f.zones.get(zoneCol)
-    val (inside, rest) = snap.files.partition(
-      bounds(_).exists { case (mn, mx) => mn >= lo && mx <= hi })
+    // a metadata count trusts nRows only when the file provably holds no
+    // null in zoneCol (nulls never satisfy a range predicate, but they
+    // ARE in nRows); unknown/nonzero null counts scan as boundary
+    val (inside, rest) = snap.files.partition(f =>
+      f.nullFree(zoneCol) &&
+        bounds(f).exists { case (mn, mx) => mn >= lo && mx <= hi })
     val (disjoint, boundary) = rest.partition(
       bounds(_).exists { case (mn, mx) => mx < lo || mn > hi })
     val metaCount = inside.map(_.nRows).sum
     val scanned =
       if (boundary.isEmpty) 0L
-      else readFiles(spark, snap, boundary.map(_.file))
-        .filter(col(zoneCol).cast("long").between(lo, hi))
-        .count()
+      else {
+        val bdf = readFiles(spark, snap, boundary.map(_.file))
+        bdf.filter(zoneLong(bdf.schema(zoneCol).dataType, col(zoneCol))
+          .between(lo, hi)).count()
+      }
     (metaCount + scanned, inside.size, boundary.size, disjoint.size)
   }
 

@@ -2,9 +2,10 @@ package graft.sources.v2
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.PartitionReader
-import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
-import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
+import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
@@ -20,34 +21,52 @@ import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
   * compaction/manifest-materialization restores the fast path — which
   * is the format's documented read-amplification dial.
   *
-  * Two cases the delegate cannot express are layered on top:
+  * The delegate is initialized through the PRODUCTION
+  * `initialize(InputSplit, TaskAttemptContext)` path with the SESSION's
+  * Hadoop configuration (not the test-only `initialize(path, columns)`
+  * overload, which builds a bare `new Configuration()` internally and
+  * would strand fs.* settings — S3A/ABFS credentials, endpoints — that
+  * the footer read and the row reader already honor). That path also
+  * buys SCHEMA EVOLUTION natively: `ParquetReadSupport` clips the
+  * requested Catalyst schema against the file's own schema and the
+  * reader null-pads columns the file predates — the same back-fill
+  * contract as the row reader, with no wrapper batch.
   *
-  *  - SCHEMA EVOLUTION: a file written before a column existed cannot
-  *    be projected for it (the vectorized reader refuses missing
-  *    fields). The reader projects the INTERSECTION and pads the gaps
-  *    with `ConstantColumnVector`s pinned to null — zero per-row cost,
-  *    same null-back-fill contract as the row reader.
-  *  - EMPTY PROJECTION (`SELECT count(*)`): parquet group types cannot
-  *    be empty, so a zero-column scan emits row-group-sized empty
-  *    batches straight from FOOTER metadata — a count over a clean
-  *    table reads no data pages at all. */
+  * One case is layered on top: an EMPTY PROJECTION (`SELECT count(*)`)
+  * — parquet group types cannot be empty, so a zero-column scan emits
+  * row-group-sized empty batches straight from FOOTER metadata — a
+  * count over a clean table reads no data pages at all. */
+private[v2] object GraftSqlColumnar {
+  /** DRIVER-side conf preparation: the vectorized reader's task-side
+    * `ParquetReadSupport`/`ParquetToSparkSchemaConverter` read their
+    * conversion settings from the TASK Hadoop conf, and
+    * `newHadoopConf()` only carries session confs the user explicitly
+    * set — so the effective values must be stamped here, exactly as
+    * Spark's own `ParquetFileFormat.buildReaderWithPartitionValues`
+    * does before broadcasting. */
+  def scanConf(spark: SparkSession): org.apache.hadoop.conf.Configuration = {
+    val c = spark.sessionState.newHadoopConf()
+    val sql = spark.sessionState.conf
+    c.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    c.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key,
+      sql.isParquetBinaryAsString)
+    c.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key,
+      sql.isParquetINT96AsTimestamp)
+    c.setBoolean(SQLConf.CASE_SENSITIVE.key, sql.caseSensitiveAnalysis)
+    c.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+      sql.parquetInferTimestampNTZEnabled)
+    c.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
+      sql.legacyParquetNanosAsLong)
+    c
+  }
+}
+
 private class GraftSqlColumnarReader(file: String, required: StructType,
                                      conf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[ColumnarBatch] {
   import org.apache.parquet.hadoop.ParquetFileReader
   import org.apache.parquet.hadoop.util.HadoopInputFile
-
-  // one footer read decides the projection (the data read below opens
-  // the file again through Spark's reader — footer IO is metadata-sized)
-  private val fileFields: Set[String] = {
-    val r = ParquetFileReader.open(HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(file), conf))
-    try {
-      val s = r.getFooter.getFileMetaData.getSchema
-      (0 until s.getFieldCount).map(s.getFieldName).toSet
-    } finally r.close()
-  }
-  private val present = required.fields.filter(f => fileFields(f.name))
 
   // row counts per row group, for the zero-projection fast path
   private lazy val groupRowCounts: Iterator[Long] = {
@@ -58,31 +77,46 @@ private class GraftSqlColumnarReader(file: String, required: StructType,
   }
 
   private val delegate: VectorizedParquetRecordReader =
-    if (present.isEmpty) null
+    if (required.fields.isEmpty) null
     else {
+      // per-file conf copy: the requested schema is scan-specific state
+      val c = new org.apache.hadoop.conf.Configuration(conf)
+      c.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, required.json)
+      val path = new org.apache.hadoop.fs.Path(file)
+      val len = path.getFileSystem(c).getFileStatus(path).getLen
+      // the mapred (not mapreduce.lib.input) split: Spark's reader base
+      // downcasts to it internally; mapred.FileSplit extends the
+      // mapreduce one, so it satisfies the initialize signature too
+      val split = new org.apache.hadoop.mapred.FileSplit(
+        path, 0, len, Array.empty[String])
+      val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+        c, new org.apache.hadoop.mapreduce.TaskAttemptID(
+          new org.apache.hadoop.mapreduce.TaskID(
+            new org.apache.hadoop.mapreduce.JobID(), // synthetic: no MR job
+            org.apache.hadoop.mapreduce.TaskType.MAP, 0), 0))
       val r = new VectorizedParquetRecordReader(false, 4096)
-      r.initialize(file, present.map(_.name).toList.asJava)
+      try r.initialize(split, ctx)
+      catch {
+        case e: InterruptedException =>
+          r.close()
+          Thread.currentThread().interrupt()
+          throw new java.io.InterruptedIOException(
+            s"interrupted initializing vectorized read of $file: ${e.getMessage}")
+      }
       r.resultBatch() // allocates the batch vectors (nextBatch needs them)
       r
     }
 
-  // wrapper batch built once: delegate vectors where the file has the
-  // column, constant-null vectors where it predates it
-  private var wrapped: ColumnarBatch = _
   private var countBatch: ColumnarBatch = _
   private var current: ColumnarBatch = _
 
   override def next(): Boolean =
     if (delegate == null) {
-      // no readable column: batches are pure row counts (+ null pads)
+      // zero-column projection: batches are pure row counts
       if (!groupRowCounts.hasNext) false
       else {
         if (countBatch == null)
-          countBatch = new ColumnarBatch(required.fields.map { f =>
-            val v = new ConstantColumnVector(1, f.dataType)
-            v.setNull()
-            v: ColumnVector
-          })
+          countBatch = new ColumnarBatch(Array.empty[ColumnVector])
         // ColumnarBatch.setNumRows takes an int; parquet row groups are
         // bounded far below 2^31 rows (128 MB default block)
         countBatch.setNumRows(groupRowCounts.next().toInt)
@@ -90,25 +124,7 @@ private class GraftSqlColumnarReader(file: String, required: StructType,
         true
       }
     } else if (delegate.nextBatch()) {
-      val inner = delegate.resultBatch()
-      current =
-        if (present.length == required.fields.length) inner
-        else {
-          if (wrapped == null) {
-            val presentIdx = present.map(_.name).zipWithIndex.toMap
-            wrapped = new ColumnarBatch(required.fields.map { f =>
-              presentIdx.get(f.name) match {
-                case Some(i) => inner.column(i)
-                case None =>
-                  val v = new ConstantColumnVector(1, f.dataType)
-                  v.setNull()
-                  v: ColumnVector
-              }
-            })
-          }
-          wrapped.setNumRows(inner.numRows())
-          wrapped
-        }
+      current = delegate.resultBatch()
       true
     } else false
 

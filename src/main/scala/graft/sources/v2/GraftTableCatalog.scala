@@ -389,12 +389,21 @@ private class GraftSqlTable(ident: String, root: String,
     val ok = real.forall {
       case EqualTo(c, v) => GraftSqlValues.zoneValue(v)
         .exists(l => narrow(c, l, l))
+      // overflow guard: `k > Long.MaxValue` is PROVABLY EMPTY — a blind
+      // l+1 would wrap to Long.MinValue and turn "delete nothing" into a
+      // full-range delete that destroys the table. Narrowing to the
+      // inverted sentinel (MaxValue, MinValue) forces lo > hi, which the
+      // caller maps to the no-op path.
       case GreaterThan(c, v) => GraftSqlValues.zoneValue(v)
-        .exists(l => narrow(c, l + 1, Long.MaxValue))
+        .exists(l =>
+          if (l == Long.MaxValue) narrow(c, Long.MaxValue, Long.MinValue)
+          else narrow(c, l + 1, Long.MaxValue))
       case GreaterThanOrEqual(c, v) => GraftSqlValues.zoneValue(v)
         .exists(l => narrow(c, l, Long.MaxValue))
       case LessThan(c, v) => GraftSqlValues.zoneValue(v)
-        .exists(l => narrow(c, Long.MinValue, l - 1))
+        .exists(l =>
+          if (l == Long.MinValue) narrow(c, Long.MaxValue, Long.MinValue)
+          else narrow(c, Long.MinValue, l - 1))
       case LessThanOrEqual(c, v) => GraftSqlValues.zoneValue(v)
         .exists(l => narrow(c, Long.MinValue, l))
       // implied by any comparison on the same column — but NEVER a range
@@ -488,13 +497,17 @@ private class GraftSqlScanBuilder(snap: TableFormat.Snapshot,
       case EqualTo(c, v) if prunable(c) =>
         zoneValue(v).foreach(l => tighten(c, l, l))
       case GreaterThan(c, v) if prunable(c) =>
+        // saturate at the domain edge: l+1 on Long.MaxValue would wrap
+        // negative and silently widen the pruning range
         zoneValue(v).foreach(l =>
-          tighten(c, if (discrete(c)) l + 1 else l, Long.MaxValue))
+          tighten(c, if (discrete(c) && l != Long.MaxValue) l + 1 else l,
+            Long.MaxValue))
       case GreaterThanOrEqual(c, v) if prunable(c) =>
         zoneValue(v).foreach(l => tighten(c, l, Long.MaxValue))
       case LessThan(c, v) if prunable(c) =>
         zoneValue(v).foreach(l =>
-          tighten(c, Long.MinValue, if (discrete(c)) l - 1 else l))
+          tighten(c, Long.MinValue,
+            if (discrete(c) && l != Long.MinValue) l - 1 else l))
       case LessThanOrEqual(c, v) if prunable(c) =>
         zoneValue(v).foreach(l => tighten(c, Long.MinValue, l))
       case _ => ()
@@ -598,10 +611,16 @@ private class GraftSqlScanBuilder(snap: TableFormat.Snapshot,
     })
 
     private def statOf(c: String, take: TableFormat.FileStat => Long,
-                       reduce: (Long, Long) => Long): Any =
-      if (snap.files.isEmpty) null
+                       reduce: (Long, Long) => Long): Any = {
+      // SQL min/max ignore nulls: an all-null file carries no real
+      // bounds (key: full-range sentinel; zone: omitted — but zone
+      // columns with any boundless file never pass discreteStats), so
+      // extrema come from files with at least one non-null value
+      val bounded = snap.files.filterNot(f =>
+        f.nRows > 0 && f.nulls.get(c).contains(f.nRows))
+      if (bounded.isEmpty) null
       else {
-        val v = snap.files.map(take).reduce(reduce)
+        val v = bounded.map(take).reduce(reduce)
         colType(c) match {
           case ByteType => v.toByte
           case ShortType => v.toShort
@@ -609,6 +628,7 @@ private class GraftSqlScanBuilder(snap: TableFormat.Snapshot,
           case _ => v // long / timestamp-micros
         }
       }
+    }
 
     override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
       Array(org.apache.spark.sql.catalyst.InternalRow.fromSeq(specs.map {
@@ -670,8 +690,10 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
+    // scanConf stamps the parquet conversion settings the vectorized
+    // delegate reads from the task conf (harmless for the row reader)
     new GraftSqlReaderFactory(required, columnar, new SerializableHadoopConf(
-      SparkSession.active.sessionState.newHadoopConf()))
+      GraftSqlColumnar.scanConf(SparkSession.active)))
 }
 
 private class GraftSqlReaderFactory(required: StructType, columnar: Boolean,

@@ -333,8 +333,12 @@ private[v2] class ParquetRowReader(file: String, schema: StructType,
     }
   }
 
-  private def keyOf(g: Group): Long =
-    fileSchema.getType(fileSchema.getFieldIndex(keyCol))
+  /** The row's key for mask probing, or null for a NULL key — delete
+    * manifests never hold nulls (the writers filter them), so a
+    * null-key row is never masked (and must not NPE the scan). */
+  private def keyOf(g: Group): java.lang.Long =
+    if (g.getFieldRepetitionCount(keyCol) == 0) null
+    else fileSchema.getType(fileSchema.getFieldIndex(keyCol))
       .asPrimitiveType().getPrimitiveTypeName match {
       case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64 =>
         g.getLong(keyCol, 0)
@@ -349,7 +353,7 @@ private[v2] class ParquetRowReader(file: String, schema: StructType,
       if (rowsLeftInGroup == 0 && !advanceRowGroup()) return false
       val g = recordReader.read()
       rowsLeftInGroup -= 1
-      if (mask == null || !mask.contains(keyOf(g))) {
+      if (mask == null || { val k = keyOf(g); k == null || !mask.contains(k) }) {
         val vals = new Array[Any](extractors.length)
         var i = 0
         while (i < extractors.length) { vals(i) = extractors(i)(g); i += 1 }

@@ -382,6 +382,31 @@ class GraftCatalogSpec extends SparkTestBase {
       .collect()(0).getLong(0) > 0L)
   }
 
+  test("SQL DELETE edge semantics: domain-edge strict bounds are empty (no overflow), null rows survive range deletes") {
+    val root = s"$warehouse/deledge"
+    spark.sql("""CREATE TABLE sqlcat.deledge (k BIGINT, z BIGINT, v DOUBLE)
+      TBLPROPERTIES('key_col'='k', 'zone_cols'='z')""")
+    spark.sql("""INSERT INTO sqlcat.deledge VALUES
+      (1, 10, 1.0), (2, 20, 2.0), (3, NULL, 3.0), (4, 40, 4.0)""")
+    def rows() = spark.sql("SELECT k FROM sqlcat.deledge ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    // `k > Long.MaxValue` is provably empty: a blind +1 would wrap to
+    // Long.MinValue and delete the WHOLE table
+    spark.sql(s"DELETE FROM sqlcat.deledge WHERE k > ${Long.MaxValue}L")
+    assert(rows() == Seq(1L, 2L, 3L, 4L))
+    spark.sql(s"DELETE FROM sqlcat.deledge WHERE k < ${Long.MinValue}L")
+    assert(rows() == Seq(1L, 2L, 3L, 4L))
+    // no commit happened either time (pure no-ops)
+    assert(TableFormat.versions(spark, root).size == 2)
+    // a zone-range delete must NOT delete the z IS NULL row (SQL: NULL
+    // never satisfies `z < 30`), even though file bounds cannot see it
+    spark.sql("DELETE FROM sqlcat.deledge WHERE z < 30")
+    assert(rows() == Seq(3L, 4L))
+    assert(spark.sql(
+      "SELECT v FROM sqlcat.deledge WHERE z IS NULL").collect()
+      .map(_.getDouble(0)).toSeq == Seq(3.0))
+  }
+
   test("INSERT INTO honors the declared partition spec: routed files with tight zone bounds") {
     import org.apache.spark.sql.functions._
     val root = s"$warehouse/specins"

@@ -1712,4 +1712,171 @@ class TableFormatSpec extends SparkTestBase {
     // an all-clean batch leaves the quarantine log untouched
     assert(TableFormat.versions(spark, qroot) == Seq(1L))
   }
+
+  test("deleteWhere never deletes null rows: null-gated whole-file drops, null-keeping boundary rewrite") {
+    import spark.implicits._
+    val root = freshRoot()
+    def writeZoned(rows: Seq[(Long, Option[Long])], path: String): Seq[String] = {
+      rows.toDF("k", "z").repartition(1).write.mode("overwrite").parquet(path)
+      TableFormat.listParquet(spark, path)
+    }
+    // A: fully inside the delete range, null-free -> metadata drop
+    // B: bounds inside the range BUT holds null z rows -> MUST rewrite
+    //    (a bounds-only drop would destroy the nulls)
+    // C: boundary overlap plus nulls -> rewrite keeps out-of-range + nulls
+    // D: disjoint -> carried by reference
+    val fa = writeZoned((0L until 10L).map(i => (i, Some(100L + i))), s"$root/fa")
+    val fb = writeZoned((10L until 20L).map(i =>
+      (i, if (i % 2 == 0) Some(150L) else None)), s"$root/fb")
+    val fc = writeZoned((20L until 30L).map(i =>
+      (i, if (i == 29) None else Some(180L + (i - 20) * 10L))), s"$root/fc")
+    val fd = writeZoned((30L until 40L).map(i => (i, Some(300L + i))), s"$root/fd")
+    TableFormat.commitFiles(spark, root, "k", fa ++ fb ++ fc ++ fd, 256, 3,
+      zoneCols = Seq("z"))
+    val (snap, nDrop, nRewrite, nCarry) =
+      TableFormat.deleteWhere(spark, root, root, "z", 100L, 199L)
+    assert(nDrop == 1 && nRewrite == 2 && nCarry == 1,
+      s"drop=$nDrop rewrite=$nRewrite carry=$nCarry")
+    val got = TableFormat.read(spark, snap).orderBy("k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSeq
+    // every null-z row SURVIVES (SQL: NULL never satisfies the range);
+    // every z in [100,199] is gone; C's z >= 200 rows survive
+    val expected =
+      (10L until 20L).filter(_ % 2 == 1).map(i => (i, None)) ++
+        (20L until 30L).collect {
+          case i if i == 29 => (i, None)
+          case i if 180L + (i - 20) * 10L >= 200L => (i, Some(180L + (i - 20) * 10L))
+        } ++
+        (30L until 40L).map(i => (i, Some(300L + i)))
+    assert(got == expected.sortBy(_._1))
+  }
+
+  test("deleteKeys keeps null-key rows in rewritten files") {
+    import spark.implicits._
+    val root = freshRoot()
+    Seq((Some(1L), 10.0), (Some(2L), 20.0), (None, 30.0), (Some(4L), 40.0))
+      .toDF("k", "v").repartition(1).write.mode("overwrite").parquet(s"$root/fa")
+    TableFormat.commitFiles(spark, root, "k",
+      TableFormat.listParquet(spark, s"$root/fa"), 256, 3)
+    val snap = TableFormat.deleteKeys(spark, root, root, Seq(2L))
+    val got = TableFormat.read(spark, snap).orderBy("v").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getDouble(1)))
+      .toSeq
+    // k=2 gone; the NULL-key row (no key set can name it) survives
+    assert(got == Seq((Some(1L), 10.0), (None, 30.0), (Some(4L), 40.0)))
+  }
+
+  test("fileStats under nulls: all-null zone omits bounds, all-null key gets the sentinel, counts recorded") {
+    import spark.implicits._
+    val root = freshRoot()
+    // one file whose z is ENTIRELY null (the getLong-NPE shape), one all-null key
+    Seq((Some(1L), Option.empty[Long]), (Some(2L), Option.empty[Long]))
+      .toDF("k", "z").repartition(1).write.mode("overwrite").parquet(s"$root/fz")
+    Seq((Option.empty[Long], Some(5L)), (Option.empty[Long], Some(6L)))
+      .toDF("k", "z").repartition(1).write.mode("overwrite").parquet(s"$root/fk")
+    val stats = TableFormat.fileStats(spark,
+      TableFormat.listParquet(spark, s"$root/fz") ++
+        TableFormat.listParquet(spark, s"$root/fk"),
+      "k", 256, 3, zoneCols = Seq("z"))
+    val byNull = stats.partition(_.nulls("z") == 2L)
+    val zNull = byNull._1.head  // the all-null-z file
+    val kNull = byNull._2.head  // the all-null-key file
+    assert(!zNull.zones.contains("z") && zNull.nulls("k") == 0L)
+    assert(kNull.minKey == Long.MinValue && kNull.maxKey == Long.MaxValue &&
+      kNull.nulls("k") == 2L && kNull.zones("z") == ((5L, 6L)))
+    // scans stay exact: the boundless file is read, never guessed about
+    val snap = TableFormat.commitFiles(spark, root, "k",
+      stats.map(_.file), 256, 3, zoneCols = Seq("z"))
+    val (scan, nRead, _) = TableFormat.scanZone(spark, snap, "z", 5L, 5L)
+    assert(nRead == 2 && scan.collect().map(_.getLong(1)).toSeq == Seq(5L))
+    // statsSummary extrema skip the sentinel file
+    val (n, mn, mx) = TableFormat.statsSummary(snap)
+    assert(n == 4L && mn == 1L && mx == 2L)
+  }
+
+  test("countRange is exact under nulls: files with nulls scan instead of trusting nRows") {
+    import spark.implicits._
+    val root = freshRoot()
+    // bounds fully inside [0, 100] but half the rows are null-z: a
+    // metadata-only count would report 10, truth is 5
+    (0L until 10L).map(i => (i, if (i % 2 == 0) Some(50L) else Option.empty[Long]))
+      .toDF("k", "z").repartition(1).write.mode("overwrite").parquet(s"$root/fa")
+    val snap = TableFormat.commitFiles(spark, root, "k",
+      TableFormat.listParquet(spark, s"$root/fa"), 256, 3, zoneCols = Seq("z"))
+    val (cnt, fromMeta, scanned, skipped) =
+      TableFormat.countRange(spark, snap, "z", 0L, 100L)
+    assert(cnt == 5L && fromMeta == 0 && scanned == 1 && skipped == 0)
+    // a genuinely null-free file still counts from metadata alone
+    val root2 = freshRoot()
+    (0L until 10L).map(i => (i, 50L)).toDF("k", "z")
+      .repartition(1).write.mode("overwrite").parquet(s"$root2/fa")
+    val snap2 = TableFormat.commitFiles(spark, root2, "k",
+      TableFormat.listParquet(spark, s"$root2/fa"), 256, 3, zoneCols = Seq("z"))
+    val (cnt2, fromMeta2, scanned2, _) =
+      TableFormat.countRange(spark, snap2, "z", 0L, 100L)
+    assert(cnt2 == 10L && fromMeta2 == 1 && scanned2 == 0)
+  }
+
+  test("replaceDataFiles refuses concurrent MoR deletes and in-scope appends (lost-update guard)") {
+    import spark.implicits._
+    val root = freshRoot()
+    def writeRows(rows: Seq[(Long, Double)], path: String): Seq[String] = {
+      rows.toDF("k", "v").repartition(1).write.mode("overwrite").parquet(path)
+      TableFormat.listParquet(spark, path)
+    }
+    TableFormat.commitFiles(spark, root, "k",
+      writeRows((1L to 10L).map(i => (i, i * 1.0)), s"$root/fa"), 256, 3)
+    val base = TableFormat.snapshot(spark, root)
+    def replacement(tag: String): (Seq[TableFormat.FileStat],
+        org.apache.spark.sql.DataFrame) = {
+      val files = writeRows((1L to 10L).map(i => (i, i * 2.0)), s"$root/$tag")
+      (TableFormat.fileStats(spark, files, "k", 256, 3),
+        spark.read.parquet(files: _*))
+    }
+    // concurrent merge-on-read delete between the scan and the commit:
+    // replaced files all still live, but the replacement rows would
+    // resurrect the masked keys — must fail loud, not silently win
+    TableFormat.deleteKeysMoR(spark, root, root, Seq(3L))
+    val (st1, df1) = replacement("r1")
+    val e1 = intercept[TableFormat.CommitConflictException](
+      TableFormat.replaceDataFiles(spark, root, base,
+        base.files.map(_.file).toSet, st1, Some(df1), "update"))
+    assert(e1.getMessage.contains("update"))
+    // same guard for an append INTO the replaced key span (the
+    // replacement file set was derived without it)
+    val root2 = freshRoot()
+    TableFormat.commitFiles(spark, root2, "k",
+      writeRows((1L to 10L).map(i => (i, i * 1.0)), s"$root2/fa"), 256, 3)
+    val base2 = TableFormat.snapshot(spark, root2)
+    TableFormat.appendFiles(spark, root2,
+      writeRows(Seq(5L -> 55.0), s"$root2/fb"))
+    def replacement2(tag: String) = {
+      val files = writeRows((1L to 10L).map(i => (i, i * 2.0)), s"$root2/$tag")
+      (TableFormat.fileStats(spark, files, "k", 256, 3),
+        spark.read.parquet(files: _*))
+    }
+    val (st2, df2) = replacement2("r2")
+    intercept[TableFormat.CommitConflictException](
+      TableFormat.replaceDataFiles(spark, root2, base2,
+        base2.files.map(_.file).toSet, st2, Some(df2), "merge"))
+    // an append OUTSIDE the span composes: both commits land
+    val root3 = freshRoot()
+    TableFormat.commitFiles(spark, root3, "k",
+      writeRows((1L to 10L).map(i => (i, i * 1.0)), s"$root3/fa"), 256, 3)
+    val base3 = TableFormat.snapshot(spark, root3)
+    TableFormat.appendFiles(spark, root3,
+      writeRows(Seq(100L -> 100.0), s"$root3/fb"))
+    def replacement3(tag: String) = {
+      val files = writeRows((1L to 10L).map(i => (i, i * 2.0)), s"$root3/$tag")
+      (TableFormat.fileStats(spark, files, "k", 256, 3),
+        spark.read.parquet(files: _*))
+    }
+    val (st3, df3) = replacement3("r3")
+    val snap3 = TableFormat.replaceDataFiles(spark, root3, base3,
+      base3.files.map(_.file).toSet, st3, Some(df3), "update")
+    val got = TableFormat.read(spark, snap3).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == (1L to 10L).map(i => (i, i * 2.0)) :+ (100L -> 100.0))
+  }
 }
