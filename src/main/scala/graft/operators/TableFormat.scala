@@ -1019,7 +1019,13 @@ object TableFormat {
     *
     * Grammar: comma-separated terms — `col` (identity), `month(col)`
     * (calendar month of a date/timestamp), `div(col, n)` (width-n range
-    * bucket of the column's [[zoneLong]] image). */
+    * bucket of the column's [[zoneLong]] image), `bucket(col, n)`
+    * (modular hash bucket: floorMod of the zone-long image by n — the
+    * Iceberg `bucket(n, col)` shape for write fan-out control; NOTE the
+    * routed files carry WIDE zone bounds on the base column, so range
+    * pruning does not benefit — point lookups still prune through the
+    * blooms, and the term exists for layout/distribution, stated not
+    * hidden). */
   val PartitionSpecProp = "partition.spec"
 
   private[graft] sealed trait SpecTerm { def baseCol: String }
@@ -1027,10 +1033,13 @@ object TableFormat {
   private[graft] final case class MonthTerm(baseCol: String) extends SpecTerm
   private[graft] final case class DivTerm(baseCol: String, width: Long)
     extends SpecTerm
+  private[graft] final case class BucketTerm(baseCol: String, n: Long)
+    extends SpecTerm
 
   private[graft] def parseSpec(spec: String): Seq[SpecTerm] = {
     val Month = """month\(\s*([A-Za-z0-9_]+)\s*\)""".r
     val Div = """div\(\s*([A-Za-z0-9_]+)\s*,\s*(\d+)\s*\)""".r
+    val Bucket = """bucket\(\s*([A-Za-z0-9_]+)\s*,\s*(\d+)\s*\)""".r
     val Ident = """([A-Za-z0-9_]+)""".r
     // split on TOP-LEVEL commas only — `div(col, n)` has one inside
     val terms = {
@@ -1052,9 +1061,13 @@ object TableFormat {
       case Div(c, n) =>
         require(n.toLong >= 1, s"div width must be >= 1 in '$spec'")
         DivTerm(c, n.toLong)
+      case Bucket(c, n) =>
+        require(n.toLong >= 1, s"bucket count must be >= 1 in '$spec'")
+        BucketTerm(c, n.toLong)
       case Ident(c) => IdentityTerm(c)
       case t => throw new IllegalArgumentException(
-        s"partition spec term '$t' (grammar: col | month(col) | div(col, n))")
+        s"partition spec term '$t' (grammar: col | month(col) | " +
+          "div(col, n) | bucket(col, n))")
     }
   }
 
@@ -1069,6 +1082,8 @@ object TableFormat {
       case DivTerm(c, w) =>
         floor(zoneLong(df.schema(c).dataType, col(c)) / w).cast("long")
           .cast("string")
+      case BucketTerm(c, n) =>
+        pmod(zoneLong(df.schema(c).dataType, col(c)), lit(n)).cast("string")
     }
 
   /** Declare (or EVOLVE) the table's partition spec — one metadata-only

@@ -1,0 +1,175 @@
+package graft.sources.v2
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.TableFormat
+
+/** SQL-INVOCABLE MAINTENANCE — the Iceberg `CALL catalog.system.proc`
+  * shape on Spark 4's DSv2 procedure API, so an SQL-only user can run
+  * the table-format maintenance the library exposes programmatically:
+  *
+  * {{{
+  *   CALL graft.system.compact('t', 4)            -- materialize MoR, 4 files
+  *   CALL graft.system.compact_small_files('t', 100000)
+  *   CALL graft.system.compact_manifests('t')
+  *   CALL graft.system.materialize_deletes('t')
+  *   CALL graft.system.expire_snapshots('t', 10)  -- keep last 10 versions
+  *   CALL graft.system.recluster('t', 'cast(od as string)', 'od')
+  * }}}
+  *
+  * This closes the read-amplification dial for SQL users: ingest
+  * merge-on-read deletes through SQL, watch the catalog scan fall back
+  * to the masked row reader (`Columnar: false`), `CALL compact`, and
+  * the vectorized plan is restored — all without leaving SQL
+  * (GraftCatalogSpec proves the loop end-to-end). Each procedure is one
+  * library call ([[TableFormat]] / [[graft.operators.Layout]]-shaped
+  * rewrite), commits through the same CAS as every writer, and returns
+  * its ledger (new version, files touched) as the CALL's result rows.
+  *
+  * The `table` argument is the catalog-relative name (namespace levels
+  * dot-separated, exactly as in `SELECT ... FROM graft.ns.t`). */
+private[v2] object GraftProcedures {
+  val Namespace = "system"
+
+  val names: Seq[String] = Seq("compact", "compact_small_files",
+    "compact_manifests", "materialize_deletes", "expire_snapshots",
+    "recluster")
+
+  private def param(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+
+  private def paramD(name: String, dt: DataType,
+                     default: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  /** One-row result scan (the CALL output). */
+  private final case class ResultScan(schema: StructType, values: Seq[Any],
+                                      label: String) extends LocalScan {
+    override def readSchema(): StructType = schema
+    override def rows(): Array[InternalRow] =
+      Array(InternalRow.fromSeq(values))
+    override def description(): String = s"graft-procedure($label)"
+  }
+
+  private def result(label: String, fields: (String, Any)*): java.util.Iterator[Scan] = {
+    val schema = StructType(fields.map {
+      case (n, _: Long) => StructField(n, LongType, nullable = false)
+      case (n, _: Int) => StructField(n, IntegerType, nullable = false)
+      case (n, _: String) => StructField(n, StringType, nullable = false)
+      case (n, v) => throw new IllegalStateException(s"procedure result $n: $v")
+    })
+    val values = fields.map {
+      case (_, s: String) => UTF8String.fromString(s)
+      case (_, v) => v
+    }
+    java.util.List.of[Scan](ResultScan(schema, values, label)).iterator()
+  }
+
+  def load(catalog: GraftTableCatalog, name: String): UnboundProcedure = {
+    // the procedure resolves table names through ITS catalog's warehouse
+    // (two mounted graft catalogs each call their own)
+    implicit val cat: GraftTableCatalog = catalog
+    name match {
+      case "compact" => proc(name,
+        "rewrite the whole table range-clustered; materializes merge-on-read masks",
+        Array(param("table", StringType), paramD("n_files", IntegerType, "1"))) {
+        (spark, root, args) =>
+          val snap = TableFormat.compact(spark, root, s"$root/data",
+            args.getInt(1))
+          result(name, "version" -> snap.version,
+            "n_files" -> snap.files.size.toLong)
+      }
+      case "compact_small_files" => proc(name,
+        "bin-pack the small-file tail in key order; O(small files) not O(table)",
+        Array(param("table", StringType), param("target_rows", LongType))) {
+        (spark, root, args) =>
+          val (snap, packed, bins) = TableFormat.compactSmallFiles(spark, root,
+            s"$root/data", args.getLong(1))
+          result(name, "version" -> snap.version,
+            "files_packed" -> packed.toLong, "bins_written" -> bins.toLong)
+      }
+      case "compact_manifests" => proc(name,
+        "merge delete manifests without touching data files",
+        Array(param("table", StringType))) {
+        (spark, root, args) =>
+          val (snap, before, after) =
+            TableFormat.compactManifests(spark, root, s"$root/data")
+          result(name, "version" -> snap.version,
+            "manifests_before" -> before.toLong,
+            "manifests_after" -> after.toLong)
+      }
+      case "materialize_deletes" => proc(name,
+        "rewrite only manifest-affected files and clear the manifest set",
+        Array(param("table", StringType),
+          paramD("n_out_files", IntegerType, "0"))) {
+        (spark, root, args) =>
+          val (snap, rewritten, carried) = TableFormat.materializeDeletes(
+            spark, root, s"$root/data", args.getInt(1))
+          result(name, "version" -> snap.version,
+            "files_rewritten" -> rewritten.toLong,
+            "files_carried" -> carried.toLong)
+      }
+      case "expire_snapshots" => proc(name,
+        "drop versions beyond the retention horizon and sweep orphan data files",
+        Array(param("table", StringType), param("keep_last", IntegerType),
+          paramD("grace_ms", LongType, "3600000"))) {
+        (spark, root, args) =>
+          val (expired, removed) = TableFormat.expireSnapshots(spark, root,
+            args.getInt(1), Seq(s"$root/data", root), args.getLong(2))
+          result(name, "versions_expired" -> expired.size.toLong,
+            "files_removed" -> removed.size.toLong)
+      }
+      case "recluster" => proc(name,
+        "rewrite the table grouped by a clustering expression, declaring zone columns",
+        Array(param("table", StringType), param("group_expr", StringType),
+          param("zone_cols", StringType))) {
+        (spark, root, args) =>
+          val zones = args.getUTF8String(2).toString
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          val snap = TableFormat.rewriteClustered(spark, root, s"$root/data",
+            org.apache.spark.sql.functions.expr(args.getUTF8String(1).toString),
+            zones)
+          result(name, "version" -> snap.version,
+            "n_files" -> snap.files.size.toLong)
+      }
+      case other => throw new RuntimeException(
+        s"graft catalog: no procedure system.$other " +
+          s"(have: ${names.mkString(", ")})")
+    }
+  }
+
+  /** An UnboundProcedure whose bound form resolves the table root from
+    * the owning catalog's warehouse and runs `body` on the driver.
+    * Procedures are non-deterministic by declaration (they commit new
+    * versions). */
+  private def proc(procName: String, desc: String,
+                   params: Array[ProcedureParameter])
+                  (body: (SparkSession, String, InternalRow) => java.util.Iterator[Scan])
+                  (implicit catalog: GraftTableCatalog): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = desc
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = procName
+          override def description(): String = desc
+          override def parameters(): Array[ProcedureParameter] = params
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val spark = SparkSession.active
+            val parts = input.getUTF8String(0).toString.split('.').toSeq
+            val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+              parts.init.toArray, parts.last)
+            val root = catalog.tableRoot(ident)
+            require(TableFormat.versions(spark, root).nonEmpty,
+              s"graft procedure $procName: no table '${parts.mkString(".")}'")
+            body(spark, root, input)
+          }
+        }
+    }
+}

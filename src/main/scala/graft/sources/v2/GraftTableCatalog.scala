@@ -51,7 +51,8 @@ import graft.operators.TableFormat
   * Mutations go through the library API ([[TableFormat]]); the catalog
   * is deliberately read-only — `createTable`/`alterTable`/`dropTable`
   * refuse loudly rather than offering a second, weaker write path. */
-class GraftTableCatalog extends TableCatalog {
+class GraftTableCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -66,6 +67,26 @@ class GraftTableCatalog extends TableCatalog {
 
   private def rootOf(ident: Identifier): String =
     (ident.namespace() :+ ident.name()).mkString(s"$warehouse/", "/", "")
+
+  /** The table's log root under this catalog's warehouse — what the
+    * `system.*` maintenance procedures resolve their `table` argument
+    * through ([[GraftProcedures]]). */
+  private[v2] def tableRoot(ident: Identifier): String = rootOf(ident)
+
+  // ---- SQL-invocable maintenance: CALL <cat>.system.<proc>(...) ----
+
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().toSeq == Seq(GraftProcedures.Namespace),
+      s"graft catalog: procedures live in the '${GraftProcedures.Namespace}' " +
+        s"namespace (CALL $catalogName.system.<name>), got $ident")
+    GraftProcedures.load(this, ident.name())
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == Seq(GraftProcedures.Namespace))
+      GraftProcedures.names
+        .map(n => Identifier.of(namespace, n)).toArray
+    else Array.empty
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val spark = SparkSession.active
@@ -156,12 +177,49 @@ class GraftTableCatalog extends TableCatalog {
     * (comma-separated), `num_bits`/`num_hashes` (bloom shape), and
     * `constraint.<name>` CHECK predicates enforced from the first
     * INSERT. Remaining user properties land in the commit props. */
+  /** `PARTITIONED BY` DSv2 transforms mapped onto the format's
+    * [[TableFormat.PartitionSpecProp]] spec terms — the idiomatic DDL
+    * declaration (`CREATE TABLE ... PARTITIONED BY (months(od))`)
+    * instead of the TBLPROPERTIES side-channel (which stays honored for
+    * programmatic callers and ALTER-time evolution):
+    *   - `col`             → identity term
+    *   - `months(col)`     → `month(col)` (calendar-month routing)
+    *   - `days(col)`       → `div(col, 1)` (the zone-long image of a
+    *                          date IS its epoch day, so width-1 range
+    *                          bucketing is exactly day routing)
+    *   - `bucket(n, col)`  → `bucket(col, n)` (modular fan-out)
+    * Base columns are AUTO-DECLARED as zone columns (a partition column
+    * the scan cannot prune on would be a silent contradiction). */
+  private def specOfTransforms(partitions: Array[Transform],
+                               keyCol: String): Option[String] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (partitions.isEmpty) return None
+    def singleRef(refs: Array[NamedReference], t: Transform): String = {
+      require(refs.length == 1 && refs(0).fieldNames().length == 1,
+        s"graft catalog: transform $t must reference one top-level column")
+      refs(0).fieldNames()(0)
+    }
+    Some(partitions.map {
+      case t if t.name() == "identity" => singleRef(t.references(), t)
+      case t if t.name() == "months" => s"month(${singleRef(t.references(), t)})"
+      case t if t.name() == "days" => s"div(${singleRef(t.references(), t)}, 1)"
+      case t if t.name() == "bucket" =>
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.value().isInstanceOf[Number] =>
+            l.value().asInstanceOf[Number].longValue()
+        }.getOrElse(throw new IllegalArgumentException(
+          s"graft catalog: bucket transform $t carries no numeric width"))
+        s"bucket(${singleRef(t.references(), t)}, $n)"
+      case t => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported partition transform $t (supported: " +
+          "identity, months(col), days(col), bucket(n, col))")
+    }.mkString(", "))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: JMap[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft catalog: PARTITIONED BY is not supported — declare zone_cols " +
-        "in TBLPROPERTIES (stats-based pruning needs no partition scheme)")
     val spark = SparkSession.active
     val root = rootOf(ident)
     if (TableFormat.versions(spark, root).nonEmpty)
@@ -177,9 +235,19 @@ class GraftTableCatalog extends TableCatalog {
       throw new IllegalArgumentException(
         "graft catalog: table needs an integral key column (set " +
           "TBLPROPERTIES('key_col'='...') or include an integral column)")))
-    val zoneCols = props.get("zone_cols")
+    val ddlSpec = specOfTransforms(partitions, keyCol)
+    require(ddlSpec.isEmpty || !props.contains(TableFormat.PartitionSpecProp),
+      "graft catalog: declare the partition spec EITHER via PARTITIONED BY " +
+        s"or TBLPROPERTIES('${TableFormat.PartitionSpecProp}'), not both")
+    val spec = ddlSpec.orElse(props.get(TableFormat.PartitionSpecProp))
+    // spec base columns prune through zone stats: auto-declare them
+    val specZones = spec.toSeq.flatMap(TableFormat.parseSpec)
+      .map(_.baseCol).filterNot(_ == keyCol)
+    val zoneCols = (props.get("zone_cols")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(Seq.empty)
+      .getOrElse(Seq.empty) ++ specZones).distinct
+    zoneCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"graft catalog: zone/partition column '$c' not in the table schema"))
     val carried = props -- ReservedProps --
       Seq("key_col", "zone_cols", "num_bits", "num_hashes") filterNot {
         case (k, _) => k.startsWith("option.")
@@ -187,7 +255,8 @@ class GraftTableCatalog extends TableCatalog {
     TableFormat.createEmpty(spark, root, keyCol, schema.toDDL,
       numBits = props.get("num_bits").map(_.toInt).getOrElse(1 << 14),
       numHashes = props.get("num_hashes").map(_.toInt).getOrElse(5),
-      zoneCols = zoneCols, props = carried)
+      zoneCols = zoneCols,
+      props = carried ++ spec.map(TableFormat.PartitionSpecProp -> _))
     loadTable(ident)
   }
 
@@ -345,7 +414,8 @@ private class GraftSqlTable(ident: String, root: String,
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftSqlScanBuilder(snap, tableSchema)
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -654,6 +724,20 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
                            bounds: Map[String, (Long, Long)])
     extends Scan with Batch {
   override def readSchema(): StructType = required
+
+  /** STREAMING read of the table — `spark.readStream.table("graft.t")`
+    * / `readStream.format("graft-table").load(root)`: delegates to the
+    * same [[ChangesStream]] the `graft-table-changes` source runs
+    * (offsets are table versions in the checkpoint, op=replace commits
+    * skipped, a retention-expired prefix emits the first live version
+    * as base — all proven by TableChangesSourceSpec). The stream reads
+    * the LIVE log, not this scan's pinned snapshot: a stream by nature
+    * outruns any single version. Zone-bound pruning does not apply to
+    * streaming batches (they are planned from version diffs); pushed
+    * filters stay residual above the scan, so results remain exact. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ChangesStream(snap.root, required)
 
   private def boundsOf(f: TableFormat.FileStat, col: String): Option[(Long, Long)] =
     if (col == snap.keyCol) Some((f.minKey, f.maxKey)) else f.zones.get(col)

@@ -116,7 +116,7 @@ private case class VersionOffset(version: Long) extends Offset {
 private case class TableFilePartition(file: String, version: Long)
   extends InputPartition
 
-private class ChangesStream(root: String, schema: StructType)
+private[v2] class ChangesStream(root: String, schema: StructType)
     extends MicroBatchStream {
   private def spark = SparkSession.active
 
@@ -240,31 +240,30 @@ private[v2] class ParquetRowReader(file: String, schema: StructType,
   private val columnIO = new ColumnIOFactory().getColumnIO(fileSchema)
 
   /** Leaf converter resolved ONCE per field against the file's own
-    * parquet type (not per row): primitives map directly; DATE is the
-    * parquet INT32 day count (= Spark's internal representation);
-    * TIMESTAMP handles INT64 MILLIS/MICROS/NANOS and legacy INT96
-    * (julian day + nanos-of-day), normalized to Spark's micros; DECIMAL
-    * handles the INT32/INT64/binary physical encodings at the declared
-    * scale. */
-  private def leafConverter(f: StructField): Group => Any = {
+    * parquet type (not per row), reading repetition `idx` of `name` in
+    * its parent group (idx > 0 only for legacy 2-level repeated leafs):
+    * primitives map directly; DATE is the parquet INT32 day count
+    * (= Spark's internal representation); TIMESTAMP handles INT64
+    * MILLIS/MICROS/NANOS and legacy INT96 (julian day + nanos-of-day),
+    * normalized to Spark's micros; DECIMAL handles the INT32/INT64/
+    * binary physical encodings at the declared scale. */
+  private def leafConverter(prim: org.apache.parquet.schema.PrimitiveType,
+                            name: String, dt: DataType): (Group, Int) => Any = {
     import org.apache.parquet.schema.LogicalTypeAnnotation
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
-    val name = f.name
-    lazy val prim =
-      fileSchema.getType(fileSchema.getFieldIndex(name)).asPrimitiveType()
-    f.dataType match {
-      case LongType => g => g.getLong(name, 0)
-      case IntegerType => g => g.getInteger(name, 0)
-      case DoubleType => g => g.getDouble(name, 0)
-      case FloatType => g => g.getFloat(name, 0)
-      case BooleanType => g => g.getBoolean(name, 0)
-      case StringType => g => UTF8String.fromString(g.getString(name, 0))
-      case DateType => g => g.getInteger(name, 0) // INT32 days since epoch
+    dt match {
+      case LongType => (g, i) => g.getLong(name, i)
+      case IntegerType => (g, i) => g.getInteger(name, i)
+      case DoubleType => (g, i) => g.getDouble(name, i)
+      case FloatType => (g, i) => g.getFloat(name, i)
+      case BooleanType => (g, i) => g.getBoolean(name, i)
+      case StringType => (g, i) => UTF8String.fromString(g.getString(name, i))
+      case DateType => (g, i) => g.getInteger(name, i) // INT32 days since epoch
       case TimestampType => prim.getPrimitiveTypeName match {
-        case PrimitiveTypeName.INT96 => g => {
+        case PrimitiveTypeName.INT96 => (g, i) => {
           // legacy INT96: 8 bytes little-endian nanos-of-day + 4 bytes
           // little-endian julian day (2440588 = 1970-01-01)
-          val bb = g.getInt96(name, 0).toByteBuffer
+          val bb = g.getInt96(name, i).toByteBuffer
             .order(java.nio.ByteOrder.LITTLE_ENDIAN)
           val nanosOfDay = bb.getLong; val julianDay = bb.getInt
           (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
@@ -277,22 +276,22 @@ private[v2] class ParquetRowReader(file: String, schema: StructType,
           }
           unit match {
             case LogicalTypeAnnotation.TimeUnit.MILLIS =>
-              g => g.getLong(name, 0) * 1000L
+              (g, i) => g.getLong(name, i) * 1000L
             case LogicalTypeAnnotation.TimeUnit.NANOS =>
-              g => g.getLong(name, 0) / 1000L
-            case _ => g => g.getLong(name, 0) // micros: Spark's own unit
+              (g, i) => g.getLong(name, i) / 1000L
+            case _ => (g, i) => g.getLong(name, i) // micros: Spark's own unit
           }
         case t => throw new UnsupportedOperationException(
           s"parquet-row-reader: timestamp column $name stored as $t")
       }
       case d: DecimalType => prim.getPrimitiveTypeName match {
         case PrimitiveTypeName.INT32 =>
-          g => Decimal(g.getInteger(name, 0).toLong, d.precision, d.scale)
+          (g, i) => Decimal(g.getInteger(name, i).toLong, d.precision, d.scale)
         case PrimitiveTypeName.INT64 =>
-          g => Decimal(g.getLong(name, 0), d.precision, d.scale)
+          (g, i) => Decimal(g.getLong(name, i), d.precision, d.scale)
         case PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY | PrimitiveTypeName.BINARY =>
-          g => {
-            val unscaled = new java.math.BigInteger(g.getBinary(name, 0).getBytes)
+          (g, i) => {
+            val unscaled = new java.math.BigInteger(g.getBinary(name, i).getBytes)
             Decimal(BigDecimal(new java.math.BigDecimal(unscaled, d.scale)),
               d.precision, d.scale)
           }
@@ -302,20 +301,95 @@ private[v2] class ParquetRowReader(file: String, schema: StructType,
       case dt => throw new UnsupportedOperationException(
         s"parquet-row-reader: unsupported leaf type ${dt.simpleString} " +
           s"for column $name (supported: long/int/double/float/string/" +
-          "boolean/date/timestamp/decimal)")
+          "boolean/date/timestamp/decimal, ARRAY, STRUCT)")
+    }
+  }
+
+  /** Extractor for `f` inside a group of parquet type `gt` — the
+    * recursive spine that makes NESTED columns (struct groups, LIST
+    * arrays, arrays of structs) first-class through the custom reader:
+    *   - a field the file lacks reads as null at EVERY level (the same
+    *     add-only evolution contract as flat columns — a struct widened
+    *     with a new member back-fills it inside old rows);
+    *   - STRUCT maps to its parquet group, each member resolved by name;
+    *   - ARRAY handles the standard 3-level LIST encoding (`repeated
+    *     group list { optional element }` — what Spark and the catalog
+    *     writer emit), plus the legacy 2-level repeated-leaf and
+    *     repeated-struct forms, detected from the file's own schema the
+    *     way Spark's ParquetSchemaConverter does. */
+  private def fieldExtractor(gt: org.apache.parquet.schema.GroupType,
+                             f: StructField): Group => Any = {
+    val name = f.name
+    if (!gt.containsField(name)) return (_: Group) => null
+    val ftype = gt.getType(gt.getFieldIndex(name))
+    f.dataType match {
+      case st: StructType =>
+        val sub = ftype.asGroupType()
+        val members = st.fields.map(sf => fieldExtractor(sub, sf))
+        g => if (g.getFieldRepetitionCount(name) == 0) null
+          else {
+            val sg = g.getGroup(name, 0)
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              members.map(_(sg)): Array[Any])
+          }
+      case ArrayType(et, _) =>
+        val lst = ftype.asGroupType()
+        require(lst.getFieldCount == 1,
+          s"parquet-row-reader: list group $name has ${lst.getFieldCount} fields")
+        val repName = lst.getFieldName(0)
+        val repType = lst.getType(0)
+        // element read strategy, decided once from the FILE's encoding
+        val readElem: (Group, Int) => Any =
+          if (repType.isPrimitive) {
+            // legacy 2-level: repeated leaf directly under the list group
+            val conv = leafConverter(repType.asPrimitiveType(), repName, et)
+            (lg, j) => conv(lg, j)
+          } else {
+            val repGroup = repType.asGroupType()
+            val isElementHolder = repGroup.getFieldCount == 1 &&
+              (repName == "list" || repName == "bag" ||
+                repGroup.getFieldName(0) == "element")
+            if (isElementHolder) {
+              // standard 3-level: repeated holder wraps one optional element
+              val elemField = StructField(repGroup.getFieldName(0), et)
+              val conv = fieldExtractor(repGroup, elemField)
+              (lg, j) => conv(lg.getGroup(repName, j))
+            } else {
+              // legacy 2-level repeated STRUCT: the repeated group IS the element
+              val est = et match {
+                case s: StructType => s
+                case other => throw new UnsupportedOperationException(
+                  s"parquet-row-reader: repeated group $repName read as " +
+                    s"${other.simpleString}")
+              }
+              val members = est.fields.map(sf => fieldExtractor(repGroup, sf))
+              (lg, j) => {
+                val eg = lg.getGroup(repName, j)
+                new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                  members.map(_(eg)): Array[Any])
+              }
+            }
+          }
+        g => if (g.getFieldRepetitionCount(name) == 0) null
+          else {
+            val lg = g.getGroup(name, 0)
+            val n = lg.getFieldRepetitionCount(repName)
+            val out = new Array[Any](n)
+            var j = 0
+            while (j < n) { out(j) = readElem(lg, j); j += 1 }
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+          }
+      case _ =>
+        val conv = leafConverter(ftype.asPrimitiveType(), name, f.dataType)
+        g => if (g.getFieldRepetitionCount(name) == 0) null else conv(g, 0)
     }
   }
 
   // per-field extractors resolved once: synth columns, schema-evolution
-  // nulls for fields the file predates, and typed leaf conversion
+  // nulls for fields the file predates, and typed (nested) conversion
   private val extractors: Array[Group => Any] = schema.fields.map { f =>
     if (synth.contains(f.name)) { val v = synth(f.name); (_: Group) => v }
-    else if (!fileSchema.containsField(f.name)) (_: Group) => null
-    else {
-      val name = f.name
-      val conv = leafConverter(f)
-      (g: Group) => if (g.getFieldRepetitionCount(name) == 0) null else conv(g)
-    }
+    else fieldExtractor(fileSchema, f)
   }
 
   private var recordReader: org.apache.parquet.io.RecordReader[Group] = _

@@ -553,4 +553,193 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(r.getLong(1) == (1L to 100L).sum + (1001L to 1100L).sum)
     assert(TableFormat.versions(spark, root) == Seq(1L, 2L, 3L))
   }
+
+  test("nested ARRAY<STRUCT> and STRUCT columns: CTAS + INSERT, explode read-back, null shapes, evolution") {
+    val root = s"$warehouse/nested"
+    spark.sql("""SELECT id AS k,
+        CASE WHEN id % 5 = 0 THEN NULL
+             ELSE named_struct('pri', concat('p', CAST(id % 3 AS STRING)),
+                               'w', id * 10) END AS category,
+        CASE WHEN id % 7 = 0 THEN NULL
+             WHEN id % 4 = 0 THEN
+               CAST(array() AS ARRAY<STRUCT<line: INT, qty: BIGINT>>)
+             ELSE array(named_struct('line', 1, 'qty', id),
+                        named_struct('line', 2, 'qty', id * 2)) END AS tags
+      FROM range(1, 41)""").createOrReplaceTempView("nested_src")
+    spark.sql("""CREATE TABLE sqlcat.nested TBLPROPERTIES('key_col'='k')
+      AS SELECT * FROM nested_src WHERE k <= 20""")
+    spark.sql("INSERT INTO sqlcat.nested SELECT * FROM nested_src WHERE k > 20")
+    // flat + struct-member read through the catalog readers
+    val base = spark.sql("""SELECT count(*) AS n,
+        count(category.pri) AS np, sum(category.w) AS sw
+      FROM sqlcat.nested""").collect()(0)
+    assert(base.getLong(0) == 40L)
+    assert(base.getLong(1) == 40L - 8L) // k%5=0 -> null category
+    assert(base.getLong(2) == (1L to 40L).filterNot(_ % 5 == 0).map(_ * 10).sum)
+    // explode(tags): array-of-struct round-trip, element fields typed
+    val ex = spark.sql("""SELECT count(*) AS n, sum(t.qty) AS sq, max(t.line) AS ml
+      FROM sqlcat.nested LATERAL VIEW explode(tags) x AS t""").collect()(0)
+    val withTags = (1L to 40L).filterNot(k => k % 7 == 0 || k % 4 == 0)
+    assert(ex.getLong(0) == withTags.size * 2L)
+    assert(ex.getLong(1) == withTags.map(k => k + 2 * k).sum)
+    assert(ex.getInt(2) == 2)
+    // null / empty array shapes survive exactly
+    val shapes = spark.sql("""SELECT
+        count(CASE WHEN tags IS NULL THEN 1 END) AS n_null,
+        count(CASE WHEN tags IS NOT NULL AND size(tags) = 0 THEN 1 END) AS n_empty
+      FROM sqlcat.nested""").collect()(0)
+    assert(shapes.getLong(0) == (1L to 40L).count(_ % 7 == 0))
+    assert(shapes.getLong(1) == (1L to 40L).count(k => k % 4 == 0 && k % 7 != 0))
+    // the clean snapshot still plans the vectorized path over nested cols
+    val plan = spark.sql("SELECT tags FROM sqlcat.nested")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Columnar: true"), plan.linesIterator.take(8).mkString("\n"))
+    // add-only evolution: a nested column the old files predate null-fills
+    spark.sql("""ALTER TABLE sqlcat.nested
+      ADD COLUMN extra STRUCT<a: BIGINT, b: STRING>""")
+    spark.sql("""INSERT INTO sqlcat.nested VALUES
+      (100, named_struct('pri', 'px', 'w', CAST(1000 AS BIGINT)),
+       array(named_struct('line', 9, 'qty', CAST(7 AS BIGINT))),
+       named_struct('a', CAST(5 AS BIGINT), 'b', 'five'))""")
+    val evo = spark.sql("""SELECT count(extra.a) AS ne, sum(extra.a) AS se,
+        count(*) AS n FROM sqlcat.nested""").collect()(0)
+    assert(evo.getLong(0) == 1L && evo.getLong(1) == 5L && evo.getLong(2) == 41L)
+    // MoR masks compose with nested reads (row reader decodes arrays)
+    TableFormat.deleteKeysMoR(spark, root, root, Seq(1L, 2L))
+    val masked = spark.sql("""SELECT count(*) AS n, sum(t.qty) AS sq
+      FROM sqlcat.nested LATERAL VIEW explode(tags) x AS t""").collect()(0)
+    assert(masked.getLong(0) == withTags.size * 2L + 1L - 4L) // -k1,k2 +evo row
+    assert(masked.getLong(1) == withTags.map(k => 3 * k).sum + 7L - 9L)
+  }
+
+  test("CALL graft.system procedures: the MoR read-amplification dial end-to-end through SQL") {
+    val root = s"$warehouse/dial"
+    spark.sql("""CREATE TABLE sqlcat.dial (k BIGINT, v BIGINT)
+      TBLPROPERTIES('key_col'='k')""")
+    spark.sql("INSERT INTO sqlcat.dial SELECT id, id * 100 FROM range(1, 1001)")
+    def planOf(sql: String) =
+      spark.sql(sql).queryExecution.executedPlan.toString
+    // clean table: vectorized scan + metadata-aggregate pushdown
+    assert(planOf("SELECT v FROM sqlcat.dial").contains("Columnar: true"))
+    assert(planOf("SELECT count(*) FROM sqlcat.dial").contains("LocalTableScan"))
+    // merge-on-read deletes (two manifests): scan degrades to the masked
+    // row reader, the aggregate pushdown honestly refuses
+    TableFormat.deleteKeysMoR(spark, root, root, Seq(10L, 20L))
+    TableFormat.deleteKeysMoR(spark, root, root, Seq(30L))
+    assert(planOf("SELECT v FROM sqlcat.dial").contains("Columnar: false"))
+    assert(!planOf("SELECT count(*) FROM sqlcat.dial").contains("LocalTableScan"))
+    assert(spark.sql("SELECT count(*) AS n FROM sqlcat.dial")
+      .collect()(0).getLong(0) == 997L)
+    // CALL compact_manifests first (pure-metadata merge), then compact:
+    // the dial turns back — columnar scan and pushdown restored
+    val cm = spark.sql("CALL sqlcat.system.compact_manifests('dial')").collect()(0)
+    assert(cm.getLong(1) == 2L && cm.getLong(2) == 1L, cm.toString)
+    val cp = spark.sql("CALL sqlcat.system.compact('dial', 2)").collect()(0)
+    assert(cp.getLong(1) == 2L, cp.toString)
+    assert(planOf("SELECT v FROM sqlcat.dial").contains("Columnar: true"))
+    assert(planOf("SELECT count(*) FROM sqlcat.dial").contains("LocalTableScan"))
+    assert(spark.sql("SELECT count(*) AS n FROM sqlcat.dial")
+      .collect()(0).getLong(0) == 997L)
+    assert(spark.sql("SELECT sum(v) AS s FROM sqlcat.dial").collect()(0)
+      .getLong(0) == (1L to 1000L).filterNot(Set(10L, 20L, 30L)).map(_ * 100).sum)
+    // maintenance breadth: bin-pack + retention through CALL
+    val sf = spark.sql("CALL sqlcat.system.compact_small_files('dial', 10000)")
+      .collect()(0)
+    assert(sf.getLong(1) == 2L && sf.getLong(2) == 1L, sf.toString)
+    val exp = spark.sql("CALL sqlcat.system.expire_snapshots('dial', 2, 0)")
+      .collect()(0)
+    assert(exp.getLong(0) > 0L && exp.getLong(1) > 0L, exp.toString)
+    // expired prefix gone, head intact
+    assert(TableFormat.versions(spark, root).size == 2)
+    assert(spark.sql("SELECT count(*) AS n FROM sqlcat.dial")
+      .collect()(0).getLong(0) == 997L)
+    // unknown procedure fails loud
+    val e = intercept[Exception](
+      spark.sql("CALL sqlcat.system.nope('dial')").collect())
+    assert(e.getMessage.contains("nope") || e.getMessage.contains("procedure"),
+      e.getMessage)
+  }
+
+  test("PARTITIONED BY DDL transforms map onto the partition spec; bucket routing fans out") {
+    import org.apache.spark.sql.functions._
+    val root = s"$warehouse/pddl"
+    // months(dt) through the idiomatic DDL clause — base column
+    // auto-declared as a zone column, spec lands in the commit props
+    spark.sql("""CREATE TABLE sqlcat.pddl (k BIGINT, dt DATE, v BIGINT)
+      PARTITIONED BY (months(dt)) TBLPROPERTIES('key_col'='k')""")
+    val head = TableFormat.snapshot(spark, root)
+    assert(head.props(TableFormat.PartitionSpecProp) == "month(dt)")
+    assert(head.zoneCols == Seq("dt"))
+    spark.sql("""INSERT INTO sqlcat.pddl
+      SELECT id, date_add(DATE'2024-01-05', CAST(id AS INT) * 10), id
+      FROM range(0, 12)""")
+    // 120 days from 2024-01-05 span 4 months -> one routed file each
+    val snap2 = TableFormat.snapshot(spark, root)
+    assert(snap2.files.size == 4, snap2.files.map(_.file).mkString(","))
+    // month files carry tight dt bounds: a one-month probe prunes to 1
+    val probe = spark.sql(
+      "SELECT v FROM sqlcat.pddl WHERE dt >= DATE'2024-02-01' AND dt <= DATE'2024-02-29'")
+    val m = "PrunedFiles: (\\d+)/(\\d+)".r
+      .findFirstMatchIn(probe.queryExecution.executedPlan.toString).get
+    assert(m.group(1).toInt == 3 && m.group(2).toInt == 4)
+    assert(probe.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 12L).filter(i => {
+        val d = java.time.LocalDate.of(2024, 1, 5).plusDays(i * 10)
+        d.getMonthValue == 2
+      }))
+    // PARTITIONED BY and the TBLPROPERTIES side-channel are exclusive
+    val e = intercept[Exception](spark.sql(
+      s"""CREATE TABLE sqlcat.pddl2 (k BIGINT, v BIGINT)
+        PARTITIONED BY (k)
+        TBLPROPERTIES('key_col'='k',
+                      '${TableFormat.PartitionSpecProp}'='div(k, 10)')"""))
+    assert(e.getMessage.contains("not both"), e.getMessage)
+    // bucket(n, col): modular fan-out — every routed file holds ONE residue
+    spark.sql("""CREATE TABLE sqlcat.pbkt (k BIGINT, v BIGINT)
+      PARTITIONED BY (bucket(4, k)) TBLPROPERTIES('key_col'='k')""")
+    spark.sql("INSERT INTO sqlcat.pbkt SELECT id, id FROM range(0, 400)")
+    val perFile = spark.sql(
+      "SELECT _file, count(DISTINCT k % 4) AS nr FROM sqlcat.pbkt GROUP BY _file")
+      .collect()
+    assert(perFile.nonEmpty && perFile.forall(_.getLong(1) == 1L),
+      perFile.mkString(";"))
+    assert(spark.sql("SELECT sum(v) AS s FROM sqlcat.pbkt").collect()(0)
+      .getLong(0) == (0L until 400L).sum)
+    // bare `k IS NOT NULL`-style identity still works through DDL too
+    spark.sql("""CREATE TABLE sqlcat.pid (k BIGINT, g BIGINT, v BIGINT)
+      PARTITIONED BY (g) TBLPROPERTIES('key_col'='k', 'zone_cols'='g')""")
+    spark.sql("INSERT INTO sqlcat.pid SELECT id, id % 3, id FROM range(0, 30)")
+    assert(TableFormat.snapshot(spark, s"$warehouse/pid").files.size == 3)
+  }
+
+  test("spark.readStream.table streams catalog-table appends; op=replace commits skipped") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = s"$warehouse/stread"
+    val out = freshRoot()
+    spark.sql("""CREATE TABLE sqlcat.stread (k BIGINT, v BIGINT)
+      TBLPROPERTIES('key_col'='k')""")
+    spark.sql("INSERT INTO sqlcat.stread SELECT id, id * 2 FROM range(1, 11)")
+    def tick(): Unit = {
+      val q = spark.readStream.table("sqlcat.stread")
+        .writeStream.format("parquet")
+        .option("path", s"$out/sink")
+        .option("checkpointLocation", s"$out/cp")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(300000))
+    }
+    tick()
+    def sunk() = spark.read.parquet(s"$out/sink")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(sunk() == (1L to 10L).map(i => (i, i * 2)))
+    // compaction is content-preserving: the stream must NOT re-emit
+    spark.sql("CALL sqlcat.system.compact('stread', 1)")
+    tick()
+    assert(sunk() == (1L to 10L).map(i => (i, i * 2)))
+    // a new append ships exactly its delta, offsets resumed from the
+    // checkpointed version
+    spark.sql("INSERT INTO sqlcat.stread SELECT id, id * 2 FROM range(11, 16)")
+    tick()
+    assert(sunk() == (1L to 15L).map(i => (i, i * 2)))
+  }
 }
