@@ -4845,6 +4845,287 @@ object SparkEntry {
         .reduce(_.unionByName(_)).orderBy(col("layer"), col("version"))
     },
 
+    // ---- NESTED types through the lakehouse: a transactions-shaped
+    // table (tags ARRAY<STRUCT<line,flag,qty>>, category STRUCT — the
+    // reference's own data model, `lib:1470-1504` tags[]/category{})
+    // lives in the SQL catalog. CTAS + INSERT write the nested columns
+    // through the DSv2 writer (standard 3-level parquet LIST), the
+    // catalog's vectorized/row readers decode them back (the explode
+    // probe's plan advertises Columnar: true — graded), and the null
+    // shapes (null struct, empty array, null array, chosen by modular
+    // rules) round-trip exactly; the oracle replays from the FLATTENED
+    // orders×lineitem fixture, never building an array ----
+    "q124_nested_types" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"ntx_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val root = s"$wh/$tbl"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q124_nt", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber").cast("int").as("line"),
+          col("l_returnflag").as("flag"),
+          floor(col("l_quantity")).cast("long").as("qty"))
+        val tagType = "array<struct<line:int,flag:string,qty:bigint>>"
+        def src(m32: Int) = Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(32)) === m32)
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_orderpriority"))
+          .agg(sort_array(collect_list(struct(col("line"), col("flag"),
+            col("qty")))).as("tags0"))
+          .select(col("o_orderkey"),
+            when(pmod(col("o_orderkey"), lit(3)) === 0, lit(null))
+              .otherwise(struct(col("o_orderpriority").as("pri"),
+                size(col("tags0")).cast("long").as("n"))).as("category"),
+            when(pmod(col("o_orderkey"), lit(11)) === 0,
+                lit(null).cast(tagType))
+              .when(pmod(col("o_orderkey"), lit(7)) === 0,
+                array().cast(tagType))
+              .otherwise(col("tags0")).as("tags"))
+        src(5).createOrReplaceTempView("q124_src_a")
+        src(21).createOrReplaceTempView("q124_src_b")
+        s.sql(s"""CREATE TABLE graft.`$tbl`
+          TBLPROPERTIES('key_col'='o_orderkey')
+          AS SELECT * FROM q124_src_a""")                           // v1+v2
+        s.sql(s"INSERT INTO graft.`$tbl` SELECT * FROM q124_src_b") // v3
+      }
+      def flag(df: DataFrame): String =
+        if (df.queryExecution.executedPlan.toString.contains("Columnar: true"))
+          "true" else "false"
+      def row(pin: String, df: DataFrame, columnar: String) =
+        Parallelism.ensureDefaultParallelism(df)
+          .select(lit(pin).as("probe"), col("n_rows"), col("v1"), col("v2"),
+            lit(columnar).as("columnar"))
+      val base = s.sql(s"""SELECT count(*) AS n_rows,
+          count(DISTINCT category.pri) AS v1,
+          coalesce(sum(category.n), CAST(0 AS BIGINT)) AS v2
+        FROM graft.`$tbl`""")
+      val ex = s.sql(s"""SELECT count(*) AS n_rows,
+          coalesce(sum(t.qty), CAST(0 AS BIGINT)) AS v1,
+          CAST(coalesce(max(t.line), 0) AS BIGINT) AS v2
+        FROM graft.`$tbl` LATERAL VIEW explode(tags) x AS t""")
+      val shape = s.sql(s"""SELECT
+          count(CASE WHEN tags IS NULL THEN 1 END) AS n_rows,
+          count(CASE WHEN tags IS NOT NULL AND size(tags) = 0 THEN 1 END) AS v1,
+          count(CASE WHEN category IS NULL THEN 1 END) AS v2
+        FROM graft.`$tbl`""")
+      Seq(row("base", base, flag(base)), row("explode", ex, flag(ex)),
+          row("shape", shape, "-"))
+        .reduce(_.unionByName(_)).orderBy(col("probe"))
+    },
+
+    // ---- STREAMING READ of a catalog table: spark.readStream.table
+    // ("graft.t") rides the version-offset MicroBatchStream — tick 1
+    // ships the table's content into the q119 DSv2 sink, a compaction
+    // (op=replace) re-tick ships NOTHING (target version count graded),
+    // an INSERT re-tick ships only the delta, and a FRESH checkpoint
+    // started after compaction + retention expiry emits the oldest
+    // LIVE version as base (the compacted state, once) ----
+    "q125_stream_table_read" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"stc_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val rootA = s"$wh/$tbl"
+      val root = scratch("q125_str", dir)
+      val bRoot = s"$root/b"; val cRoot = s"$root/c"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q125_str", dir) {
+        Seq(rootA, root).foreach { r =>
+          val p = new org.apache.hadoop.fs.Path(r)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("q125_src")
+        s.sql(s"""CREATE TABLE graft.`$tbl` (o_orderkey BIGINT, cents BIGINT)
+          TBLPROPERTIES('key_col'='o_orderkey')""")                   // A v1
+        s.sql(s"INSERT INTO graft.`$tbl` " +
+          "SELECT * FROM q125_src WHERE o_orderkey % 32 = 11")        // A v2
+        TableFormat.createEmpty(s, bRoot, "o_orderkey",
+          "o_orderkey BIGINT, cents BIGINT")                          // B v1
+        def tick(target: String, cp: String): Unit = {
+          val q = s.readStream.table(s"graft.`$tbl`")
+            .writeStream.format("graft-table")
+            .option("path", target).option("lineage", cp)
+            .option("checkpointLocation", cp)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          require(q.awaitTermination(300000), "q125: stream did not finish")
+        }
+        tick(bRoot, s"$root/cp")                       // B v2: the base
+        TableFormat.compact(s, rootA, s"$rootA/data", 1) // A v3 (replace)
+        tick(bRoot, s"$root/cp")                       // replace skipped: no commit
+        s.sql(s"INSERT INTO graft.`$tbl` " +
+          "SELECT * FROM q125_src WHERE o_orderkey % 32 = 27")        // A v4
+        tick(bRoot, s"$root/cp")                       // B v3: the delta only
+        // fresh checkpoint after maintenance + retention: the first
+        // LIVE version (the compacted v3) is the emitted base
+        TableFormat.expireSnapshots(s, rootA, keepLast = 2,
+          Seq(s"$rootA/data"), graceMs = 0L)
+        TableFormat.createEmpty(s, cRoot, "o_orderkey",
+          "o_orderkey BIGINT, cents BIGINT")                          // C v1
+        tick(cRoot, s"$root/cp2")                      // C v2: base + delta
+      }
+      def ledger(layer: String, r: String) =
+        TableFormat.versions(s, r).map { v =>
+          val snap = TableFormat.snapshot(s, r, Some(v))
+          Parallelism.ensureDefaultParallelism(TableFormat.read(s, snap))
+            .agg(count(lit(1)).as("n_rows"),
+              coalesce(sum(col("cents")), lit(0L)).as("sum_cents"))
+            .select(lit(s"${layer}_v$v").as("pin"),
+              lit(snap.op.getOrElse("")).as("op"),
+              col("n_rows"), col("sum_cents"))
+        }
+      val counts = s.range(1).select(lit("z_counts").as("pin"), lit("-").as("op"),
+        lit(TableFormat.versions(s, bRoot).size.toLong).as("n_rows"),
+        lit(TableFormat.versions(s, cRoot).size.toLong).as("sum_cents"))
+      (ledger("b", bRoot) ++ ledger("c", cRoot) :+ counts)
+        .reduce(_.unionByName(_)).orderBy(col("pin"))
+    },
+
+    // ---- SQL-INVOCABLE MAINTENANCE: the merge-on-read read-
+    // amplification dial driven END-TO-END from SQL — INSERT, two MoR
+    // delete manifests, then CALL graft.system.compact_manifests (pure
+    // metadata merge, ledger graded) and CALL graft.system.compact; the
+    // pinned MoR version plans the masked ROW reader with the metadata-
+    // aggregate pushdown honestly refused, the compacted head restores
+    // Columnar: true AND the commit-stats count(*) pushdown — both plan
+    // flags are oracle columns ----
+    "q126_sql_maintenance" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"mnt_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val root = s"$wh/$tbl"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val (cmLed, cpLed) = Fixtures.once(s, "q126_mnt", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val base = Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(16)) === 13)
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        base.createOrReplaceTempView("q126_src")
+        s.sql(s"""CREATE TABLE graft.`$tbl` (o_orderkey BIGINT, cents BIGINT)
+          TBLPROPERTIES('key_col'='o_orderkey')""")                  // v1
+        s.sql(s"INSERT INTO graft.`$tbl` SELECT * FROM q126_src")    // v2
+        TableFormat.deleteKeysMoR(s, root, s"$root/data",            // v3
+          base.filter(pmod(col("o_orderkey"), lit(9)) === 1)
+            .select("o_orderkey"), nManifestFiles = 1)
+        TableFormat.deleteKeysMoR(s, root, s"$root/data",            // v4
+          base.filter(pmod(col("o_orderkey"), lit(9)) === 5)
+            .select("o_orderkey"), nManifestFiles = 1)
+        val cm = s.sql(s"CALL graft.system.compact_manifests('$tbl')")
+          .collect()(0)                                              // v5
+        val cp = s.sql(s"CALL graft.system.compact('$tbl', 2)")
+          .collect()(0)                                              // v6
+        ((cm.getLong(0), cm.getLong(1), cm.getLong(2)),
+          (cp.getLong(0), cp.getLong(1)))
+      }
+      def probe(pin: String, versionSql: String) = {
+        val scanPlan = s.sql(
+          s"SELECT cents FROM graft.`$tbl` $versionSql")
+          .queryExecution.executedPlan.toString
+        val columnar = if (scanPlan.contains("Columnar: true")) "true" else "false"
+        val aggDf = s.sql(s"""SELECT count(*) AS n_rows,
+            coalesce(sum(cents), CAST(0 AS BIGINT)) AS sum_cents
+          FROM graft.`$tbl` $versionSql""")
+        val cntPlan = s.sql(s"SELECT count(*) FROM graft.`$tbl` $versionSql")
+          .queryExecution.executedPlan.toString
+        val pushed =
+          if (cntPlan.contains("LocalTableScan") && !cntPlan.contains("BatchScan"))
+            "true" else "false"
+        Parallelism.ensureDefaultParallelism(aggDf)
+          .select(lit(pin).as("pin"), lit(columnar).as("columnar"),
+            lit(pushed).as("pushed"), col("n_rows"), col("sum_cents"))
+      }
+      val calls = Seq(
+        ("call_manifests", s"v${cmLed._1}", cmLed._2, cmLed._3),
+        ("call_compact", s"v${cpLed._1}", cpLed._2, 0L)).map {
+        case (pin, ver, a, b) =>
+          s.range(1).select(lit(pin).as("pin"), lit(ver).as("columnar"),
+            lit("-").as("pushed"), lit(a).as("n_rows"), lit(b).as("sum_cents"))
+      }
+      (Seq(probe("head", ""), probe("mor_v4", "VERSION AS OF 4")) ++ calls)
+        .reduce(_.unionByName(_)).orderBy(col("pin"))
+    },
+
+    // ---- PARTITIONED BY as the idiomatic DDL declaration: months(od)
+    // through the CREATE TABLE clause (base column auto-declared a zone
+    // column), spec EVOLUTION via ALTER TBLPROPERTIES to a key-bucket
+    // spec, both generations pruning through the same zone stats
+    // (files_read ledgers replay from per-group min/max arithmetic
+    // exactly as q117) — plus bucket(4, key) fan-out on a second table,
+    // graded by the per-file single-residue invariant through the
+    // _file metadata column ----
+    "q127_partitioned_ddl" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val hex = java.lang.Integer.toHexString(dir.hashCode)
+      val t1 = s"pddl_$hex"; val t2 = s"pbkt_$hex"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q127_pd", dir) {
+        Seq(s"$wh/$t1", s"$wh/$t2").foreach { r =>
+          val p = new org.apache.hadoop.fs.Path(r)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+        Tables.orders(s, dir).filter(pmod(col("o_orderkey"), lit(16)) === 15)
+          .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("q127_src")
+        s.sql(s"""CREATE TABLE graft.`$t1`
+          (o_orderkey BIGINT, od DATE, cents BIGINT)
+          PARTITIONED BY (months(od))
+          TBLPROPERTIES('key_col'='o_orderkey')""")                    // v1
+        s.sql(s"INSERT INTO graft.`$t1` SELECT * FROM q127_src")       // v2
+        s.sql(s"""ALTER TABLE graft.`$t1` SET TBLPROPERTIES
+          ('${TableFormat.PartitionSpecProp}'='div(o_orderkey, 16384)')""") // v3
+        s.sql(s"""INSERT INTO graft.`$t1`
+          SELECT o_orderkey + 1000000, od, cents FROM q127_src""")     // v4
+        s.sql(s"""CREATE TABLE graft.`$t2` (o_orderkey BIGINT, cents BIGINT)
+          PARTITIONED BY (bucket(4, o_orderkey))
+          TBLPROPERTIES('key_col'='o_orderkey')""")
+        s.sql(s"""INSERT INTO graft.`$t2`
+          SELECT o_orderkey, cents FROM q127_src""")
+      }
+      val head = TableFormat.snapshot(s, s"$wh/$t1")
+      val total = head.files.size.toLong
+      val minDay = head.files.flatMap(_.zones.get("od")).map(_._1).min
+      val m1 = java.time.LocalDate.ofEpochDay(minDay)
+        .withDayOfMonth(1).plusMonths(1)
+      val m1e = m1.plusMonths(1).minusDays(1)
+      def row(pin: String, df: DataFrame, read: Long, routed: String) =
+        Parallelism.ensureDefaultParallelism(df)
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("cents")), lit(0L)).as("sum_cents"))
+          .select(lit(pin).as("probe"), lit(read).as("files_read"),
+            lit(total).as("files_total"), col("n_rows"), col("sum_cents"),
+            lit(routed).as("routed"))
+      def probe(pin: String, whereSql: String) = {
+        val df = s.sql(s"SELECT cents FROM graft.`$t1` WHERE $whereSql")
+        val m = "PrunedFiles: (\\d+)/(\\d+)".r
+          .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+          .getOrElse(throw new IllegalStateException("q127: no PrunedFiles"))
+        row(pin, df, m.group(2).toLong - m.group(1).toLong, "-")
+      }
+      // bucket table: every routed file holds exactly one k%4 residue
+      val residues = s.sql(s"""SELECT count(DISTINCT o_orderkey % 4) AS nr
+          FROM graft.`$t2` GROUP BY _file""")
+        .collect().map(_.getLong(0))
+      val routedOk = if (residues.nonEmpty && residues.forall(_ == 1L)) "ok"
+        else "bad"
+      val bucket = row("bucket", s.sql(s"SELECT cents FROM graft.`$t2`")
+        .withColumn("cents", col("cents")), -1L, routedOk)
+        .withColumn("files_total", lit(-1L))
+      Seq(row("state", s.sql(s"SELECT cents FROM graft.`$t1`"), total, "-"),
+          probe("gen1_month", s"od >= DATE'$m1' AND od <= DATE'$m1e'"),
+          probe("gen2_key", "o_orderkey >= 1016400 AND o_orderkey <= 1020480"),
+          bucket)
+        .reduce(_.unionByName(_)).orderBy(col("probe"))
+    },
+
     // ---- Multimodal: REAL AVI/MJPEG video decode — the second real
     // video path beyond GIF, composed entirely from JDK parts: a
     // standard-layout RIFF AVI (hdrl/strl headers + movi stream) whose
@@ -9220,6 +9501,129 @@ object SparkEntry {
          UNION ALL SELECT 'stream', 0, (SELECT n FROM nt), n, t,
              dmin_s, dmax_s, ts_sec FROM fa
          ORDER BY pin""",
+
+    // the nested fixture replays FLATTENED: j = per-order lineitem
+    // rollups over the %16==5 slice (nt = array size, sq = qty sum, ml
+    // = max line); category is null when k%3==0, tags null when
+    // k%11==0, empty when k%7==0 (the when-chain precedence mirrored);
+    // the columnar flags are graded plan contracts on a clean snapshot
+    "q124_nested_types" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS pri
+           FROM orders WHERE o_orderkey % 16 = 5),
+         li AS (SELECT l_orderkey AS k,
+             CAST(l_linenumber AS INT) AS line,
+             CAST(floor(l_quantity) AS BIGINT) AS qty FROM lineitem),
+         j AS (SELECT o.k, o.pri, CAST(count(*) AS BIGINT) AS nt,
+             CAST(sum(li.qty) AS BIGINT) AS sq, max(li.line) AS ml
+           FROM o JOIN li ON o.k = li.k GROUP BY o.k, o.pri),
+         base AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT CASE WHEN k % 3 <> 0 THEN pri END)
+               AS BIGINT) AS v1,
+             CAST(COALESCE(sum(CASE WHEN k % 3 <> 0 THEN nt END), 0)
+               AS BIGINT) AS v2 FROM j),
+         ex AS (SELECT CAST(COALESCE(sum(nt), 0) AS BIGINT) AS n_rows,
+             CAST(COALESCE(sum(sq), 0) AS BIGINT) AS v1,
+             CAST(COALESCE(max(ml), 0) AS BIGINT) AS v2
+           FROM j WHERE k % 11 <> 0 AND k % 7 <> 0),
+         sh AS (SELECT
+             CAST(count(CASE WHEN k % 11 = 0 THEN 1 END) AS BIGINT) AS n_rows,
+             CAST(count(CASE WHEN k % 7 = 0 AND k % 11 <> 0 THEN 1 END)
+               AS BIGINT) AS v1,
+             CAST(count(CASE WHEN k % 3 = 0 THEN 1 END) AS BIGINT) AS v2
+           FROM j)
+         SELECT 'base' AS probe, n_rows, v1, v2, 'true' AS columnar FROM base
+         UNION ALL SELECT 'explode', n_rows, v1, v2, 'true' FROM ex
+         UNION ALL SELECT 'shape', n_rows, v1, v2, '-' FROM sh
+         ORDER BY probe""",
+
+    // B gets exactly 3 versions (create, base tick, delta tick — the
+    // compaction re-tick's ABSENCE is the graded contract) and C
+    // exactly 2 (create, base+delta in one fresh-checkpoint batch
+    // emitted from the oldest LIVE version after retention expiry)
+    "q125_stream_table_read" ->
+      """WITH x AS (SELECT count(*) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS t
+           FROM orders WHERE o_orderkey % 32 = 11),
+         y AS (SELECT count(*) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS t
+           FROM orders WHERE o_orderkey % 32 = 27)
+         SELECT 'b_v1' AS pin, 'create' AS op, CAST(0 AS BIGINT) AS n_rows,
+             CAST(0 AS BIGINT) AS sum_cents FROM x
+         UNION ALL SELECT 'b_v2', 'append', n, t FROM x
+         UNION ALL SELECT 'b_v3', 'append', x.n + y.n, x.t + y.t FROM x, y
+         UNION ALL SELECT 'c_v1', 'create', 0, 0 FROM x
+         UNION ALL SELECT 'c_v2', 'append', x.n + y.n, x.t + y.t FROM x, y
+         UNION ALL SELECT 'z_counts', '-', 3, 2 FROM x
+         ORDER BY pin""",
+
+    // versions by construction: v1 create, v2 insert, v3/v4 the two
+    // MoR manifests, v5 CALL compact_manifests (2 -> 1, metadata only),
+    // v6 CALL compact(2 files); the pinned MoR read must plan the row
+    // reader with pushdown refused, the compacted head must restore
+    // both — kept rows replay with k%9 in (1,5) masked
+    "q126_sql_maintenance" ->
+      """WITH s AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders WHERE o_orderkey % 16 = 13),
+         kept AS (SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS t
+           FROM s WHERE k % 9 NOT IN (1, 5))
+         SELECT 'call_compact' AS pin, 'v6' AS columnar, '-' AS pushed,
+             CAST(2 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS sum_cents
+           FROM kept
+         UNION ALL SELECT 'call_manifests', 'v5', '-', 2, 1 FROM kept
+         UNION ALL SELECT 'head', 'true', 'true', n, t FROM kept
+         UNION ALL SELECT 'mor_v4', 'false', 'false', n, t FROM kept
+         ORDER BY pin""",
+
+    // gen-1 files ARE the %16==15 slice's month groups (DDL-declared
+    // months(od)), gen-2 its +1000000-shifted 16384-wide key buckets
+    // (post-ALTER spec); both generations prune through od/key zone
+    // stats, replayed as per-group min/max overlap arithmetic; the
+    // bucket table's single-residue-per-file invariant is computed
+    // through the _file metadata column and graded as 'ok'
+    "q127_partitioned_ddl" ->
+      """WITH a AS (SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS dt,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders WHERE o_orderkey % 16 = 15),
+         b AS (SELECT k + 1000000 AS k, dt, c FROM a),
+         t AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+         pr AS (SELECT
+             CAST(date_trunc('month', (SELECT min(dt) FROM t))
+               + INTERVAL 1 MONTH AS DATE) AS mlo,
+             CAST(date_trunc('month', (SELECT min(dt) FROM t))
+               + INTERVAL 2 MONTH - INTERVAL 1 DAY AS DATE) AS mhi),
+         fa AS (SELECT date_trunc('month', dt) AS g, min(dt) AS dmn,
+             max(dt) AS dmx, min(k) AS kmn, max(k) AS kmx FROM a GROUP BY 1),
+         fb AS (SELECT k // 16384 AS g, min(dt) AS dmn, max(dt) AS dmx,
+             min(k) AS kmn, max(k) AS kmx FROM b GROUP BY 1),
+         nt AS (SELECT CAST((SELECT count(*) FROM fa)
+             + (SELECT count(*) FROM fb) AS BIGINT) AS n),
+         mhit AS (SELECT CAST(
+             (SELECT count(*) FROM fa, pr WHERE dmn <= mhi AND dmx >= mlo)
+             + (SELECT count(*) FROM fb, pr WHERE dmn <= mhi AND dmx >= mlo)
+             AS BIGINT) AS n),
+         khit AS (SELECT CAST(
+             (SELECT count(*) FROM fa WHERE kmn <= 1020480 AND kmx >= 1016400)
+             + (SELECT count(*) FROM fb WHERE kmn <= 1020480 AND kmx >= 1016400)
+             AS BIGINT) AS n),
+         st AS (SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS s FROM t),
+         mr AS (SELECT count(*) AS n,
+             CAST(COALESCE(sum(c), 0) AS BIGINT) AS s
+           FROM t, pr WHERE dt >= mlo AND dt <= mhi),
+         kr AS (SELECT count(*) AS n,
+             CAST(COALESCE(sum(c), 0) AS BIGINT) AS s
+           FROM t WHERE k >= 1016400 AND k <= 1020480),
+         bt AS (SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS s FROM a)
+         SELECT 'bucket' AS probe, CAST(-1 AS BIGINT) AS files_read,
+             CAST(-1 AS BIGINT) AS files_total, n AS n_rows, s AS sum_cents,
+             'ok' AS routed FROM bt
+         UNION ALL SELECT 'gen1_month', (SELECT n FROM mhit),
+             (SELECT n FROM nt), n, s, '-' FROM mr
+         UNION ALL SELECT 'gen2_key', (SELECT n FROM khit),
+             (SELECT n FROM nt), n, s, '-' FROM kr
+         UNION ALL SELECT 'state', (SELECT n FROM nt), (SELECT n FROM nt),
+             n, s, '-' FROM st
+         ORDER BY probe""",
 
     // exactly five main versions and two quarantine versions exist —
     // each replay's absence is the graded contract; v4 is the
