@@ -59,8 +59,13 @@ object CorpusPipeline {
       .withColumn("_keep", min(col(idCol)).over(Window.partitionBy(md5(col(textCol)))))
       .filter(col(idCol) === col("_keep")).drop("_keep")
       .localCheckpoint(false)
+    // banding AUTOCONFIGURED from the S-curve sweep at the pipeline's
+    // own threshold (the d03/d12 discipline — a blind constant here
+    // silently starves near-threshold recall; (8,4) at the default 0.5)
+    val (nb, nr) = Dedup.selectLshSplit(docs.sparkSession,
+      threshold = jaccardThreshold, maxSignature = 32)
     val nearDupPairs = Dedup.minhashLsh(exactKept, idCol, textCol,
-      k = 5, bands = 4, rowsPerBand = 4, threshold = jaccardThreshold)
+      k = 5, bands = nb, rowsPerBand = nr, threshold = jaccardThreshold)
     val keptPlan =
       if (clusterDedup)
         Dedup.dropDuplicateClusterMembers(exactKept, idCol, nearDupPairs)
@@ -114,8 +119,12 @@ object CorpusPipeline {
       .withColumn("_keep", min(col(idCol)).over(Window.partitionBy(md5(col(textCol)))))
       .filter(col(idCol) === col("_keep")).drop("_keep")
       .localCheckpoint(false) // feeds the LSH leg AND the verdict join
+    // same sweep-selected banding as [[clean]] — the two legs must agree
+    // on the pair set or the provenance verdicts drift from the survivors
+    val (nb, nr) = Dedup.selectLshSplit(docs.sparkSession,
+      threshold = jaccardThreshold, maxSignature = 32)
     val nearDrop = Dedup.minhashLsh(exactKept, idCol, textCol,
-        k = 5, bands = 4, rowsPerBand = 4, threshold = jaccardThreshold)
+        k = 5, bands = nb, rowsPerBand = nr, threshold = jaccardThreshold)
       .select(col("id_b").as("_nd")).distinct()
     val exactIds = exactKept.select(col(idCol).as("_ek"))
     tagged
