@@ -38,7 +38,7 @@ private[v2] object GraftProcedures {
 
   val names: Seq[String] = Seq("compact", "compact_small_files",
     "compact_manifests", "materialize_deletes", "expire_snapshots",
-    "recluster")
+    "recluster", "rollback", "create_tag", "drop_tag")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -136,6 +136,34 @@ private[v2] object GraftProcedures {
             zones)
           result(name, "version" -> snap.version,
             "n_files" -> snap.files.size.toLong)
+      }
+      case "rollback" => proc(name,
+        "re-publish a prior version's state as a NEW commit (history intact)",
+        Array(param("table", StringType), param("to_version", LongType))) {
+        (spark, root, args) =>
+          val snap = TableFormat.rollback(spark, root, args.getLong(1))
+          result(name, "version" -> snap.version,
+            "restored_from" -> args.getLong(1))
+      }
+      case "create_tag" => proc(name,
+        "pin a named ref to a version (default: the head) — resolvable as VERSION AS OF 'name', protected from retention",
+        Array(param("table", StringType), param("tag", StringType),
+          paramD("tag_version", LongType, "-1"))) {
+        (spark, root, args) =>
+          val v = args.getLong(2)
+          val snap = TableFormat.createTag(spark, root,
+            args.getUTF8String(1).toString,
+            if (v < 0) None else Some(v))
+          val pinned = snap.props(s"ref.${args.getUTF8String(1).toString}").toLong
+          result(name, "version" -> snap.version, "pinned" -> pinned)
+      }
+      case "drop_tag" => proc(name,
+        "drop a named ref — its version rejoins the retention horizon",
+        Array(param("table", StringType), param("tag", StringType))) {
+        (spark, root, args) =>
+          val snap = TableFormat.dropTag(spark, root,
+            args.getUTF8String(1).toString)
+          result(name, "version" -> snap.version)
       }
       case other => throw new RuntimeException(
         s"graft catalog: no procedure system.$other " +

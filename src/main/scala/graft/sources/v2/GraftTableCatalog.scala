@@ -417,7 +417,8 @@ private class GraftSqlTable(ident: String, root: String,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftSqlScanBuilder(snap, tableSchema)
+    new GraftSqlScanBuilder(snap, tableSchema,
+      ChangesStream.startingVersion(options))
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new GraftSqlWriteBuilder(root, info.schema(), info.queryId(),
@@ -507,7 +508,8 @@ private class GraftSqlTable(ident: String, root: String,
 }
 
 private class GraftSqlScanBuilder(snap: TableFormat.Snapshot,
-                                  tableSchema: StructType)
+                                  tableSchema: StructType,
+                                  startingVersion: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -662,7 +664,7 @@ private class GraftSqlScanBuilder(snap: TableFormat.Snapshot,
 
   override def build(): Scan = pushedAgg match {
     case Some(specs) => new GraftSqlAggScan(snap, tableSchema, specs)
-    case None => new GraftSqlScan(snap, required, bounds.toMap)
+    case None => new GraftSqlScan(snap, required, bounds.toMap, startingVersion)
   }
 
   /** The pushed-aggregate scan: ONE driver-local row computed from the
@@ -721,7 +723,8 @@ private case class GraftSqlPartition(file: String, manifests: Seq[String],
                                      keyCol: String) extends InputPartition
 
 private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
-                           bounds: Map[String, (Long, Long)])
+                           bounds: Map[String, (Long, Long)],
+                           startingVersion: Option[Long] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
 
@@ -737,7 +740,7 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
     * filters stay residual above the scan, so results remain exact. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ChangesStream(snap.root, required)
+    new ChangesStream(snap.root, required, startingVersion)
 
   private def boundsOf(f: TableFormat.FileStat, col: String): Option[(Long, Long)] =
     if (col == snap.keyCol) Some((f.minKey, f.maxKey)) else f.zones.get(col)

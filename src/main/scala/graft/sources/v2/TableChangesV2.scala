@@ -98,15 +98,17 @@ private class ChangesTable(root: String, tableSchema: StructType)
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new ChangesScan(root, tableSchema)
+      override def build(): Scan = new ChangesScan(root, tableSchema,
+        ChangesStream.startingVersion(options))
     }
 }
 
-private class ChangesScan(root: String, schema: StructType) extends Scan {
+private class ChangesScan(root: String, schema: StructType,
+                          startingVersion: Option[Long]) extends Scan {
   override def readSchema(): StructType = schema
   override def description(): String = s"graft-table-changes($root)"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ChangesStream(root, schema)
+    new ChangesStream(root, schema, startingVersion)
 }
 
 private case class VersionOffset(version: Long) extends Offset {
@@ -116,11 +118,35 @@ private case class VersionOffset(version: Long) extends Offset {
 private case class TableFilePartition(file: String, version: Long)
   extends InputPartition
 
-private[v2] class ChangesStream(root: String, schema: StructType)
+private[v2] object ChangesStream {
+  /** Delta's `startingVersion` option: `n` starts the stream at commits
+    * AFTER version n (n's own content excluded — the usual "I already
+    * have the state as of n" resume shape); `latest` starts at the
+    * current head, emitting only commits that land after the query
+    * starts. Absent = 0 = the full table (the first live version
+    * emits as base). Only consulted for a FRESH checkpoint — a resumed
+    * query's offset always wins (Spark never calls initialOffset when
+    * the checkpoint holds one). */
+  def startingVersion(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("starting_version")).map {
+      case "latest" => -1L // resolved against the live log at start
+      case v => v.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"graft-table-changes: starting_version must be a version number " +
+          s"or 'latest', got '$v'"))
+    }
+}
+
+private[v2] class ChangesStream(root: String, schema: StructType,
+                                startingVersion: Option[Long] = None)
     extends MicroBatchStream {
   private def spark = SparkSession.active
 
-  override def initialOffset(): Offset = VersionOffset(0L)
+  override def initialOffset(): Offset = startingVersion match {
+    case Some(-1L) => // 'latest': only commits after the stream starts
+      VersionOffset(TableFormat.versions(spark, root).lastOption.getOrElse(0L))
+    case Some(v) => VersionOffset(v)
+    case None => VersionOffset(0L)
+  }
 
   override def latestOffset(): Offset = {
     val vs = TableFormat.versions(spark, root)

@@ -741,5 +741,56 @@ class GraftCatalogSpec extends SparkTestBase {
     spark.sql("INSERT INTO sqlcat.stread SELECT id, id * 2 FROM range(11, 16)")
     tick()
     assert(sunk() == (1L to 15L).map(i => (i, i * 2)))
+    // starting_version: a FRESH checkpoint beginning after version 2
+    // (the first INSERT) ships only later commits' rows
+    val q2 = spark.readStream.option("starting_version", "2")
+      .table("sqlcat.stread")
+      .writeStream.format("parquet")
+      .option("path", s"$out/sink2")
+      .option("checkpointLocation", s"$out/cp2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q2.awaitTermination(300000))
+    assert(spark.read.parquet(s"$out/sink2").collect()
+      .map(_.getLong(0)).sorted.toSeq == (11L to 15L))
+    // starting_version=latest on a fresh checkpoint: nothing yet emitted
+    val q3 = spark.readStream.option("starting_version", "latest")
+      .table("sqlcat.stread")
+      .writeStream.format("parquet")
+      .option("path", s"$out/sink3")
+      .option("checkpointLocation", s"$out/cp3")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q3.awaitTermination(300000))
+    val fs3 = new java.io.File(s"$out/sink3")
+    assert(!fs3.exists() ||
+      spark.read.parquet(s"$out/sink3").count() == 0L)
+  }
+
+  test("CALL lifecycle procedures: rollback, create_tag/drop_tag pin and protect versions") {
+    val root = s"$warehouse/lcp"
+    spark.sql("""CREATE TABLE sqlcat.lcp (k BIGINT, v BIGINT)
+      TBLPROPERTIES('key_col'='k')""")
+    spark.sql("INSERT INTO sqlcat.lcp SELECT id, id FROM range(1, 11)")    // v2
+    spark.sql("INSERT INTO sqlcat.lcp SELECT id, id FROM range(11, 21)")   // v3
+    // tag v2, read it back through VERSION AS OF 'name'
+    val tg = spark.sql("CALL sqlcat.system.create_tag('lcp', 'beforeb', 2)")
+      .collect()(0)
+    assert(tg.getLong(1) == 2L, tg.toString)
+    assert(spark.sql("SELECT count(*) AS n FROM sqlcat.lcp VERSION AS OF 'beforeb'")
+      .collect()(0).getLong(0) == 10L)
+    // rollback to the tagged state: a NEW commit, history intact
+    val rb = spark.sql("CALL sqlcat.system.rollback('lcp', 2)").collect()(0)
+    assert(rb.getLong(1) == 2L)
+    assert(spark.sql("SELECT count(*) AS n FROM sqlcat.lcp")
+      .collect()(0).getLong(0) == 10L)
+    assert(spark.sql("SELECT count(*) AS n FROM sqlcat.lcp VERSION AS OF 3")
+      .collect()(0).getLong(0) == 20L)
+    // drop the tag; the named ref stops resolving
+    spark.sql("CALL sqlcat.system.drop_tag('lcp', 'beforeb')")
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM sqlcat.lcp VERSION AS OF 'beforeb'").collect())
+    assert(e.getMessage.contains("beforeb") || e.getMessage.contains("tag"),
+      e.getMessage)
   }
 }
