@@ -5149,6 +5149,50 @@ object SparkEntry {
         .reduce(_.unionByName(_)).orderBy(col("probe"))
     },
 
+    // ---- MULTIMODAL ASSETS IN THE LAKEHOUSE: real PNG payloads
+    // (BINARY) with a typed metadata MAP live in a catalog table —
+    // CTAS writes blobs through the DSv2 writer (parquet BINARY +
+    // standard MAP encoding), the catalog readers hand the bytes back
+    // EXACTLY (the JDK decode of the read-back payload yields the
+    // original dimensions — the integrity proof no hash can fake), and
+    // the map's width entry must agree with the decoded width row by
+    // row; columnar plan flag graded on the blob projection ----
+    "q128_lakehouse_assets" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"ast_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val root = s"$wh/$tbl"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q128_ast", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val dims = Parallelism.ensureDefaultParallelism(
+          Tables.documents(s, dir)).select(col("doc_id"),
+          (pmod(col("doc_id"), lit(64)) + 1).cast("int").as("_w"),
+          (pmod(col("doc_id"), lit(48)) + 1).cast("int").as("_h"))
+        Multimodal.encodePng(dims, "doc_id", "_w", "_h")
+          .withColumn("meta", map(
+            lit("w"), (pmod(col("asset_id"), lit(64)) + 1).cast("string"),
+            lit("src"), concat(lit("img/"), col("asset_id").cast("string"))))
+          .createOrReplaceTempView("q128_src")
+        s.sql(s"""CREATE TABLE graft.`$tbl`
+          TBLPROPERTIES('key_col'='asset_id')
+          AS SELECT * FROM q128_src""")
+      }
+      val back = s.sql(s"SELECT asset_id, payload, meta['w'] AS mw FROM graft.`$tbl`")
+      val columnar =
+        if (s.sql(s"SELECT payload FROM graft.`$tbl`")
+            .queryExecution.executedPlan.toString.contains("Columnar: true"))
+          "true" else "false"
+      Multimodal.decodeImageMeta(back, "asset_id", "payload")
+        .join(back.select(col("asset_id"), col("mw")), Seq("asset_id"))
+        .select(col("asset_id").as("doc_id"), col("format"), col("width"),
+          col("height"), col("n_pixels"),
+          (col("mw").cast("int") === col("width")).as("meta_agrees"),
+          lit(columnar).as("columnar"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- Multimodal: REAL AVI/MJPEG video decode — the second real
     // video path beyond GIF, composed entirely from JDK parts: a
     // standard-layout RIFF AVI (hdrl/strl headers + movi stream) whose
@@ -7400,6 +7444,18 @@ object SparkEntry {
            CAST(doc_id % 64 + 1 AS INTEGER) AS width,
            CAST(doc_id % 48 + 1 AS INTEGER) AS height,
            CAST((doc_id % 64 + 1) * (doc_id % 48 + 1) AS BIGINT) AS n_pixels
+         FROM documents ORDER BY doc_id""",
+
+    // the decode of the READ-BACK payload must yield m07's exact facts
+    // (byte-identical storage is the only way a lossless decode agrees),
+    // the map's width entry must agree row by row, and the blob
+    // projection must plan columnar
+    "q128_lakehouse_assets" ->
+      """SELECT doc_id, 'png' AS format,
+           CAST(doc_id % 64 + 1 AS INTEGER) AS width,
+           CAST(doc_id % 48 + 1 AS INTEGER) AS height,
+           CAST((doc_id % 64 + 1) * (doc_id % 48 + 1) AS BIGINT) AS n_pixels,
+           TRUE AS meta_agrees, 'true' AS columnar
          FROM documents ORDER BY doc_id""",
 
     "t17_url_filter" ->

@@ -233,6 +233,7 @@ private class GraftSqlDataWriter(dataDir: String, taskTag: String,
           LogicalTypeAnnotation.TimeUnit.MICROS)).named(name)
       case d: DecimalType if d.precision <= 18 => PTypes.primitive(INT64, rep)
         .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision)).named(name)
+      case BinaryType => PTypes.primitive(BINARY, rep).named(name)
       case ArrayType(et, containsNull) =>
         PTypes.buildGroup(rep).as(LogicalTypeAnnotation.listType())
           .addField(PTypes.repeatedGroup()
@@ -244,10 +245,19 @@ private class GraftSqlDataWriter(dataDir: String, taskTag: String,
         st.fields.foreach(f =>
           g.addField(parquetTypeOf(f.name, f.dataType, f.nullable)))
         g.named(name)
+      case MapType(kt, vt, valueContainsNull) =>
+        // standard parquet MAP encoding (repeated key_value group,
+        // required key — what Spark's native writer emits)
+        PTypes.buildGroup(rep).as(LogicalTypeAnnotation.mapType())
+          .addField(PTypes.repeatedGroup()
+            .addField(parquetTypeOf("key", kt, nullable = false))
+            .addField(parquetTypeOf("value", vt, valueContainsNull))
+            .named("key_value"))
+          .named(name)
       case dt => throw new UnsupportedOperationException(
         s"graft SQL write: unsupported column type ${dt.simpleString} " +
           s"for $name (supported: long/int/double/float/string/boolean/" +
-          "date/timestamp/decimal(<=18), ARRAY, STRUCT)")
+          "date/timestamp/decimal(<=18)/binary, ARRAY, STRUCT, MAP)")
     }
   }
 
@@ -277,6 +287,8 @@ private class GraftSqlDataWriter(dataDir: String, taskTag: String,
       case TimestampType => (g, r, i) => g.add(name, r.getLong(i))
       case d: DecimalType => (g, r, i) =>
         g.add(name, r.getDecimal(i, d.precision, d.scale).toUnscaledLong)
+      case BinaryType => (g, r, i) =>
+        g.add(name, Binary.fromConstantByteArray(r.getBinary(i)))
       case ArrayType(et, _) =>
         val elem = getterAppender("element", et)
         (g, r, i) => {
@@ -300,6 +312,24 @@ private class GraftSqlDataWriter(dataDir: String, taskTag: String,
           var j = 0
           while (j < n) {
             if (!row.isNullAt(j)) subs(j)(sub, row, j)
+            j += 1
+          }
+        }
+      case MapType(kt, vt, _) =>
+        val keyApp = getterAppender("key", kt)
+        val valApp = getterAppender("value", vt)
+        (g, r, i) => {
+          val m = r.getMap(i)
+          val keys = m.keyArray(); val vals = m.valueArray()
+          val mg = g.addGroup(name)
+          var j = 0
+          while (j < m.numElements()) {
+            // one key_value repetition per entry; a null value is the
+            // repetition with its optional `value` field absent (keys
+            // are never null by Spark's map contract)
+            val kv = mg.addGroup("key_value")
+            keyApp(kv, keys, j)
+            if (!vals.isNullAt(j)) valApp(kv, vals, j)
             j += 1
           }
         }

@@ -284,6 +284,7 @@ private[v2] class ParquetRowReader(file: String, schema: StructType,
       case FloatType => (g, i) => g.getFloat(name, i)
       case BooleanType => (g, i) => g.getBoolean(name, i)
       case StringType => (g, i) => UTF8String.fromString(g.getString(name, i))
+      case BinaryType => (g, i) => g.getBinary(name, i).getBytes
       case DateType => (g, i) => g.getInteger(name, i) // INT32 days since epoch
       case TimestampType => prim.getPrimitiveTypeName match {
         case PrimitiveTypeName.INT96 => (g, i) => {
@@ -327,7 +328,7 @@ private[v2] class ParquetRowReader(file: String, schema: StructType,
       case dt => throw new UnsupportedOperationException(
         s"parquet-row-reader: unsupported leaf type ${dt.simpleString} " +
           s"for column $name (supported: long/int/double/float/string/" +
-          "boolean/date/timestamp/decimal, ARRAY, STRUCT)")
+          "boolean/date/timestamp/decimal/binary, ARRAY, STRUCT, MAP)")
     }
   }
 
@@ -404,6 +405,36 @@ private[v2] class ParquetRowReader(file: String, schema: StructType,
             var j = 0
             while (j < n) { out(j) = readElem(lg, j); j += 1 }
             new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+          }
+      case MapType(kt, vt, _) =>
+        // standard MAP encoding: repeated key_value group of (key, value)
+        // — the repeated-group name is taken from the file ("key_value",
+        // legacy "map")
+        val mapG = ftype.asGroupType()
+        require(mapG.getFieldCount == 1,
+          s"parquet-row-reader: map group $name has ${mapG.getFieldCount} fields")
+        val repName = mapG.getFieldName(0)
+        val kvType = mapG.getType(0).asGroupType()
+        val keyConv = fieldExtractor(kvType,
+          StructField(kvType.getFieldName(0), kt))
+        val valConv = fieldExtractor(kvType,
+          StructField(kvType.getFieldName(1), vt))
+        g => if (g.getFieldRepetitionCount(name) == 0) null
+          else {
+            val mg = g.getGroup(name, 0)
+            val n = mg.getFieldRepetitionCount(repName)
+            val keys = new Array[Any](n)
+            val vals = new Array[Any](n)
+            var j = 0
+            while (j < n) {
+              val kv = mg.getGroup(repName, j)
+              keys(j) = keyConv(kv)
+              vals(j) = valConv(kv)
+              j += 1
+            }
+            new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(keys),
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(vals))
           }
       case _ =>
         val conv = leafConverter(ftype.asPrimitiveType(), name, f.dataType)

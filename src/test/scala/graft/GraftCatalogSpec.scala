@@ -767,6 +767,48 @@ class GraftCatalogSpec extends SparkTestBase {
       spark.read.parquet(s"$out/sink3").count() == 0L)
   }
 
+  test("BINARY and MAP columns round-trip through the catalog (media payloads in the lakehouse)") {
+    val root = s"$warehouse/blobs"
+    spark.sql("""SELECT id AS k,
+        CASE WHEN id % 9 = 0 THEN NULL
+             ELSE encode(concat('blob-', CAST(id AS STRING)), 'utf-8') END AS payload,
+        CASE WHEN id % 6 = 0 THEN NULL
+             ELSE map('src', concat('img/', CAST(id AS STRING)),
+                      'w', CAST(id % 64 AS STRING)) END AS meta
+      FROM range(1, 31)""").createOrReplaceTempView("blob_src")
+    spark.sql("""CREATE TABLE sqlcat.blobs TBLPROPERTIES('key_col'='k')
+      AS SELECT * FROM blob_src WHERE k <= 15""")
+    spark.sql("INSERT INTO sqlcat.blobs SELECT * FROM blob_src WHERE k > 15")
+    // payload bytes come back exactly; null blobs stay null
+    val back = spark.sql("""SELECT k, decode(payload, 'utf-8') AS s,
+        meta['src'] AS src, meta['w'] AS w
+      FROM sqlcat.blobs ORDER BY k""").collect()
+    assert(back.length == 30)
+    back.foreach { r =>
+      val k = r.getLong(0)
+      if (k % 9 == 0) assert(r.isNullAt(1)) else assert(r.getString(1) == s"blob-$k")
+      if (k % 6 == 0) assert(r.isNullAt(2) && r.isNullAt(3))
+      else { assert(r.getString(2) == s"img/$k"); assert(r.getString(3) == (k % 64).toString) }
+    }
+    // clean snapshot stays columnar over binary+map; MoR masks compose
+    // through the row reader's nested/binary decode
+    val plan = spark.sql("SELECT payload, meta FROM sqlcat.blobs")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Columnar: true"), plan.linesIterator.take(6).mkString("\n"))
+    TableFormat.deleteKeysMoR(spark, root, root, Seq(1L, 2L))
+    val masked = spark.sql("""SELECT count(*) AS n,
+        count(payload) AS np, count(meta) AS nm FROM sqlcat.blobs""").collect()(0)
+    assert(masked.getLong(0) == 28L)
+    assert(masked.getLong(1) == (3L to 30L).count(_ % 9 != 0))
+    assert(masked.getLong(2) == (3L to 30L).count(_ % 6 != 0))
+    // nested-field pruning reaches the scan: reading one map is not
+    // reading the blob column (ReadSchema excludes payload)
+    val pruned = spark.sql("SELECT meta['src'] FROM sqlcat.blobs")
+      .queryExecution.executedPlan.toString
+    assert(pruned.contains("ReadSchema") && !pruned.contains("payload"),
+      pruned.linesIterator.take(8).mkString("\n"))
+  }
+
   test("CALL lifecycle procedures: rollback, create_tag/drop_tag pin and protect versions") {
     val root = s"$warehouse/lcp"
     spark.sql("""CREATE TABLE sqlcat.lcp (k BIGINT, v BIGINT)
