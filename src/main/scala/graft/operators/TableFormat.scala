@@ -659,21 +659,91 @@ object TableFormat {
         .reduce(_.unionByName(_))
     }
 
-  /** Add-only schema union: columns of `next` not in `cur` are appended in
-    * `next`'s order; a column present in both must keep its exact type
-    * (type changes and drops need a rewrite — out of the minimal sound
-    * form, as in early Iceberg v1 readers). */
+  /** Add-only schema union, RECURSIVE through nested types: top-level
+    * columns of `next` not in `cur` are appended in `next`'s order, and
+    * a STRUCT present in both (directly, as an array element, or as a
+    * map value) may gain NEW members — appended after the existing ones,
+    * forced nullable, because rows written before the member existed
+    * null-fill it by name at every nesting level (both the custom
+    * readers and Spark's native parquet reader do). Anything else —
+    * leaf type changes, member drops, map KEY changes — needs a rewrite
+    * (out of the minimal sound form, as in early Iceberg v1 readers). */
   def evolveSchema(cur: org.apache.spark.sql.types.StructType,
                    next: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType = {
-    val byName = cur.fields.map(f => f.name -> f).toMap
-    next.fields.foreach { f =>
-      byName.get(f.name).foreach(c => require(c.dataType == f.dataType,
-        s"schema evolution: column '${f.name}' cannot change type " +
-          s"${c.dataType.simpleString} -> ${f.dataType.simpleString}"))
+    import org.apache.spark.sql.types._
+    def merge(cur: DataType, nxt: DataType, path: String): DataType =
+      (cur, nxt) match {
+        case (a: StructType, b: StructType) =>
+          val aNames = a.fieldNames.toSet
+          StructType(
+            a.fields.map { f =>
+              b.fields.find(_.name == f.name) match {
+                case Some(nf) => f.copy(dataType =
+                  merge(f.dataType, nf.dataType, s"$path.${f.name}"))
+                case None => f
+              }
+            } ++
+              b.fields.filterNot(f => aNames(f.name))
+                .map(f => f.copy(nullable = true)))
+        case (ArrayType(ae, an), ArrayType(be, bn)) =>
+          ArrayType(merge(ae, be, s"$path.element"), an || bn)
+        case (MapType(ak, av, an), MapType(bk, bv, bn)) =>
+          require(ak == bk,
+            s"schema evolution: map '$path' cannot change key type " +
+              s"${ak.simpleString} -> ${bk.simpleString}")
+          MapType(ak, merge(av, bv, s"$path.value"), an || bn)
+        case (a, b) =>
+          require(a == b,
+            s"schema evolution: column '$path' cannot change type " +
+              s"${a.simpleString} -> ${b.simpleString}")
+          a
+      }
+    merge(cur, next, "<root>") match {
+      case st: StructType => st
+      case other => throw new IllegalStateException(other.simpleString)
     }
-    org.apache.spark.sql.types.StructType(
-      cur.fields ++ next.fields.filterNot(f => byName.contains(f.name)))
+  }
+
+  /** Insert a NEW nullable field at a nested `path` (struct member
+    * segments; `element` descends an array, `value` a map value) — the
+    * ALTER TABLE nested-add primitive. The parent must exist and be
+    * navigable; adding under a map KEY is refused (keys identify
+    * entries — evolving them is not add-only). */
+  def addNestedField(schema: org.apache.spark.sql.types.StructType,
+                     path: Seq[String],
+                     dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    require(path.nonEmpty, "addNestedField: empty path")
+    def at(cur: DataType, p: Seq[String], walked: String): DataType =
+      cur match {
+        case st: StructType if p.length == 1 =>
+          require(!st.fieldNames.exists(_.equalsIgnoreCase(p.head)),
+            s"addNestedField: '$walked.${p.head}' already exists")
+          StructType(st.fields :+ StructField(p.head, dt, nullable = true))
+        case st: StructType =>
+          require(st.fieldNames.contains(p.head),
+            s"addNestedField: no struct member '$walked.${p.head}'")
+          StructType(st.fields.map(f =>
+            if (f.name == p.head)
+              f.copy(dataType = at(f.dataType, p.tail, s"$walked.${p.head}"))
+            else f))
+        case ArrayType(e, n) =>
+          require(p.head == "element",
+            s"addNestedField: array at '$walked' descends via 'element', " +
+              s"got '${p.head}'")
+          ArrayType(at(e, p.tail, s"$walked.element"), n)
+        case MapType(k, v, n) =>
+          require(p.head == "value",
+            s"addNestedField: map at '$walked' descends via 'value' " +
+              s"(keys cannot evolve), got '${p.head}'")
+          MapType(k, at(v, p.tail, s"$walked.value"), n)
+        case other => throw new IllegalArgumentException(
+          s"addNestedField: '$walked' is a ${other.simpleString}, not a " +
+            "struct/array/map")
+      }
+    at(schema, path, "<root>").asInstanceOf[StructType]
   }
 
   /** Zone-pruned range scan `lo <= key <= hi`: file selection is pure

@@ -278,12 +278,12 @@ class GraftTableCatalog extends TableCatalog
       throw new IllegalArgumentException(
         s"graft catalog: table at $root carries no schema")))
     val addedFields = scala.collection.mutable.ListBuffer.empty[StructField]
+    val nestedAdds =
+      scala.collection.mutable.ListBuffer.empty[(Seq[String], org.apache.spark.sql.types.DataType)]
     val setProps = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val unsetProps = scala.collection.mutable.ListBuffer.empty[String]
     changes.foreach {
-      case a: TableChange.AddColumn =>
-        require(a.fieldNames().length == 1,
-          "graft catalog: nested column adds are not supported")
+      case a: TableChange.AddColumn if a.fieldNames().length == 1 =>
         val name = a.fieldNames()(0)
         require(!baseSchema.fieldNames.contains(name) &&
           !addedFields.exists(_.name == name),
@@ -292,6 +292,14 @@ class GraftTableCatalog extends TableCatalog
           "graft catalog: added columns must be nullable (existing files " +
             "back-fill them with null)")
         addedFields += StructField(name, a.dataType(), nullable = true)
+      case a: TableChange.AddColumn =>
+        // NESTED add-only evolution: a new struct member (possibly under
+        // an array element or map value) — rows written before it existed
+        // null-fill it by name at every level, so no file is rewritten
+        require(a.isNullable,
+          "graft catalog: added nested fields must be nullable (existing " +
+            "rows back-fill them with null)")
+        nestedAdds += ((a.fieldNames().toSeq, a.dataType()))
       case sp: TableChange.SetProperty =>
         setProps += sp.property() -> sp.value()
       case rp: TableChange.RemoveProperty =>
@@ -323,6 +331,13 @@ class GraftTableCatalog extends TableCatalog
       }
     }
     validateNew(first)
+    // the TARGET schema: base + nested member inserts + appended
+    // top-level columns (path validation — parent exists, member new —
+    // happens here, against the schema the user altered)
+    val target = StructType(
+      nestedAdds.foldLeft(baseSchema) { case (sc, (path, dt)) =>
+        TableFormat.addNestedField(sc, path, dt)
+      }.fields ++ addedFields)
     TableFormat.commitTransform(spark, root, first.keyCol, first.numBits,
       first.numHashes,
       { curOpt =>
@@ -335,11 +350,12 @@ class GraftTableCatalog extends TableCatalog
         curOpt.map(_.props).getOrElse(Map.empty) ++ setProps -- unsetProps,
       // schema re-derives against the RE-RESOLVED snapshot: a column a
       // concurrent append evolved in must survive this commit (deriving
-      // from the stale base would silently drop it from the DDL)
+      // from the stale base would silently drop it from the DDL);
+      // evolveSchema merges recursively, so nested adds compose too
       deriveSchema = curOpt => Some(TableFormat.evolveSchema(
         curOpt.flatMap(_.schemaDdl).map(StructType.fromDDL)
           .getOrElse(baseSchema),
-        StructType(addedFields.toSeq)).toDDL),
+        target).toDDL),
       op = Some("replace"))
     loadTable(ident)
   }
@@ -412,6 +428,18 @@ private class GraftSqlTable(ident: String, root: String,
       s"graft catalog: table $ident v${snap.version} carries no schema")))
   override def name(): String = s"$ident@v${snap.version}"
   override def schema(): StructType = tableSchema
+
+  /** `SHOW TBLPROPERTIES` / DESCRIBE EXTENDED surface: the snapshot's
+    * commit properties (constraints, partition spec, tags, ingest
+    * gates) plus the format's own declarations. */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    snap.props.foreach { case (k, v) => m.put(k, v) }
+    m.put("key_col", snap.keyCol)
+    if (snap.zoneCols.nonEmpty) m.put("zone_cols", snap.zoneCols.mkString(","))
+    m.put("graft.current_version", snap.version.toString)
+    m
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,

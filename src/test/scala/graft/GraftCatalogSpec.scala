@@ -809,6 +809,47 @@ class GraftCatalogSpec extends SparkTestBase {
       pruned.linesIterator.take(8).mkString("\n"))
   }
 
+  test("nested add-only evolution: ALTER adds struct members (incl. under arrays); old rows null-fill") {
+    val root = s"$warehouse/nevo" // forces the lazy catalog registration
+    assert(root.nonEmpty)
+    spark.sql("""SELECT id AS k,
+        named_struct('pri', concat('p', CAST(id % 3 AS STRING))) AS category,
+        array(named_struct('line', 1, 'qty', id)) AS tags
+      FROM range(1, 11)""").createOrReplaceTempView("nevo_src")
+    spark.sql("""CREATE TABLE sqlcat.nevo TBLPROPERTIES('key_col'='k')
+      AS SELECT * FROM nevo_src""")
+    // add a struct member and an array-element member — metadata only
+    spark.sql("ALTER TABLE sqlcat.nevo ADD COLUMNS (category.note STRING)")
+    spark.sql("ALTER TABLE sqlcat.nevo ADD COLUMNS (tags.element.extra BIGINT)")
+    // old rows read the new members as null at every nesting level
+    val old = spark.sql("""SELECT count(category.note) AS nn,
+        count(*) AS n FROM sqlcat.nevo""").collect()(0)
+    assert(old.getLong(0) == 0L && old.getLong(1) == 10L)
+    val oldTags = spark.sql("""SELECT count(t.extra) AS ne, count(*) AS n
+      FROM sqlcat.nevo LATERAL VIEW explode(tags) x AS t""").collect()(0)
+    assert(oldTags.getLong(0) == 0L && oldTags.getLong(1) == 10L)
+    // new rows carry the widened shape; both generations coexist
+    spark.sql("""INSERT INTO sqlcat.nevo VALUES (100,
+      named_struct('pri', 'px', 'note', 'hello'),
+      array(named_struct('line', 2, 'qty', CAST(7 AS BIGINT),
+                         'extra', CAST(42 AS BIGINT))))""")
+    val mixed = spark.sql("""SELECT count(category.note) AS nn,
+        sum(t.extra) AS se, count(*) AS nt
+      FROM sqlcat.nevo LATERAL VIEW explode(tags) x AS t""").collect()(0)
+    assert(mixed.getLong(0) == 1L && mixed.getLong(1) == 42L &&
+      mixed.getLong(2) == 11L)
+    // a nested add under a MISSING parent fails loud
+    val e = intercept[Exception](spark.sql(
+      "ALTER TABLE sqlcat.nevo ADD COLUMNS (nope.x STRING)"))
+    assert(e.getMessage.contains("nope") || e.getMessage.toLowerCase
+      .contains("missing field"), e.getMessage)
+    // SHOW TBLPROPERTIES exposes the format declarations
+    val props = spark.sql("SHOW TBLPROPERTIES sqlcat.nevo").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("key_col") == "k")
+    assert(props.contains("graft.current_version"))
+  }
+
   test("CALL lifecycle procedures: rollback, create_tag/drop_tag pin and protect versions") {
     val root = s"$warehouse/lcp"
     spark.sql("""CREATE TABLE sqlcat.lcp (k BIGINT, v BIGINT)
