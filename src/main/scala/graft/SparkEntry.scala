@@ -5149,6 +5149,72 @@ object SparkEntry {
         .reduce(_.unionByName(_)).orderBy(col("probe"))
     },
 
+    // ---- STREAM RESUME SHAPES: starting_version on a fresh checkpoint
+    // — a NUMBER starts after that commit (the "I already hold the state
+    // as of n" resume: target B receives ONLY the later INSERT), and
+    // 'latest' starts at the live head (target C receives nothing until
+    // a commit lands after the query first runs, then exactly that
+    // delta); both targets' version ledgers and counts are graded ----
+    "q129_stream_start_version" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"svr_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val rootA = s"$wh/$tbl"
+      val root = scratch("q129_svr", dir)
+      val bRoot = s"$root/b"; val cRoot = s"$root/c"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q129_svr", dir) {
+        Seq(rootA, root).foreach { r =>
+          val p = new org.apache.hadoop.fs.Path(r)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("q129_src")
+        s.sql(s"""CREATE TABLE graft.`$tbl` (o_orderkey BIGINT, cents BIGINT)
+          TBLPROPERTIES('key_col'='o_orderkey')""")                   // A v1
+        s.sql(s"INSERT INTO graft.`$tbl` " +
+          "SELECT * FROM q129_src WHERE o_orderkey % 32 = 13")        // A v2
+        s.sql(s"INSERT INTO graft.`$tbl` " +
+          "SELECT * FROM q129_src WHERE o_orderkey % 32 = 29")        // A v3
+        def tick(target: String, cp: String, sv: String): Unit = {
+          val q = s.readStream.option("starting_version", sv)
+            .table(s"graft.`$tbl`")
+            .writeStream.format("graft-table")
+            .option("path", target).option("lineage", cp)
+            .option("checkpointLocation", cp)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          require(q.awaitTermination(300000), "q129: stream did not finish")
+        }
+        TableFormat.createEmpty(s, bRoot, "o_orderkey",
+          "o_orderkey BIGINT, cents BIGINT")                          // B v1
+        tick(bRoot, s"$root/cpb", "2")     // B v2: only A v3's delta
+        TableFormat.createEmpty(s, cRoot, "o_orderkey",
+          "o_orderkey BIGINT, cents BIGINT")                          // C v1
+        tick(cRoot, s"$root/cpc", "latest") // nothing yet: no commit
+        s.sql(s"INSERT INTO graft.`$tbl` " +
+          "SELECT * FROM q129_src WHERE o_orderkey % 32 = 3")         // A v4
+        tick(cRoot, s"$root/cpc", "latest") // C v2: exactly A v4's delta
+      }
+      def ledger(layer: String, r: String) =
+        TableFormat.versions(s, r).map { v =>
+          val snap = TableFormat.snapshot(s, r, Some(v))
+          Parallelism.ensureDefaultParallelism(TableFormat.read(s, snap))
+            .agg(count(lit(1)).as("n_rows"),
+              coalesce(sum(col("cents")), lit(0L)).as("sum_cents"))
+            .select(lit(s"${layer}_v$v").as("pin"),
+              lit(snap.op.getOrElse("")).as("op"),
+              col("n_rows"), col("sum_cents"))
+        }
+      val counts = s.range(1).select(lit("z_counts").as("pin"), lit("-").as("op"),
+        lit(TableFormat.versions(s, bRoot).size.toLong).as("n_rows"),
+        lit(TableFormat.versions(s, cRoot).size.toLong).as("sum_cents"))
+      (ledger("b", bRoot) ++ ledger("c", cRoot) :+ counts)
+        .reduce(_.unionByName(_)).orderBy(col("pin"))
+    },
+
     // ---- MULTIMODAL ASSETS IN THE LAKEHOUSE: real PNG payloads
     // (BINARY) with a typed metadata MAP live in a catalog table —
     // CTAS writes blobs through the DSv2 writer (parquet BINARY +
@@ -7445,6 +7511,24 @@ object SparkEntry {
            CAST(doc_id % 48 + 1 AS INTEGER) AS height,
            CAST((doc_id % 64 + 1) * (doc_id % 48 + 1) AS BIGINT) AS n_pixels
          FROM documents ORDER BY doc_id""",
+
+    // B resumes AFTER version 2, so it holds exactly the %32==29 slice
+    // in one commit; C started at 'latest' sees only the %32==3 INSERT
+    // that landed after its first tick; both at exactly 2 versions
+    "q129_stream_start_version" ->
+      """WITH y AS (SELECT count(*) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS t
+           FROM orders WHERE o_orderkey % 32 = 29),
+         z AS (SELECT count(*) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS t
+           FROM orders WHERE o_orderkey % 32 = 3)
+         SELECT 'b_v1' AS pin, 'create' AS op, CAST(0 AS BIGINT) AS n_rows,
+             CAST(0 AS BIGINT) AS sum_cents FROM y
+         UNION ALL SELECT 'b_v2', 'append', n, t FROM y
+         UNION ALL SELECT 'c_v1', 'create', 0, 0 FROM y
+         UNION ALL SELECT 'c_v2', 'append', n, t FROM z
+         UNION ALL SELECT 'z_counts', '-', 2, 2 FROM y
+         ORDER BY pin""",
 
     // the decode of the READ-BACK payload must yield m07's exact facts
     // (byte-identical storage is the only way a lossless decode agrees),

@@ -52,7 +52,8 @@ import graft.operators.TableFormat
   * is deliberately read-only — `createTable`/`alterTable`/`dropTable`
   * refuse loudly rather than offering a second, weaker write path. */
 class GraftTableCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -87,6 +88,79 @@ class GraftTableCatalog extends TableCatalog
       GraftProcedures.names
         .map(n => Identifier.of(namespace, n)).toArray
     else Array.empty
+
+  // ---- namespaces: warehouse subdirectories (a table is a dir with a
+  // _log; a namespace is a dir without one) — CREATE/SHOW/DROP
+  // NAMESPACE organize tables exactly as paths already resolve ----
+
+  private def namespacePath(ns: Array[String]): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(ns.mkString(s"$warehouse/", "/", ""))
+
+  private def fsOf(p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+
+  private def isTableDir(fs: org.apache.hadoop.fs.FileSystem,
+                         p: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(p, "_log"))
+
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val base = namespacePath(namespace)
+    val fs = fsOf(base)
+    if (!fs.exists(base)) {
+      if (namespace.isEmpty) return Array.empty
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        namespace.toSeq)
+    }
+    fs.listStatus(base).filter(_.isDirectory)
+      .filter(st => !isTableDir(fs, st.getPath))
+      .filterNot(_.getPath.getName.startsWith("_"))
+      .map(st => namespace :+ st.getPath.getName)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    if (namespace.isEmpty) return true
+    val p = namespacePath(namespace)
+    val fs = fsOf(p)
+    fs.exists(p) && !isTableDir(fs, p)
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : JMap[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        namespace.toSeq)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: JMap[String, String]): Unit = {
+    val p = namespacePath(namespace)
+    val fs = fsOf(p)
+    if (fs.exists(p))
+      throw new org.apache.spark.sql.catalyst.analysis.NamespaceAlreadyExistsException(
+        namespace)
+    fs.mkdirs(p)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: namespaces carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    val p = namespacePath(namespace)
+    val fs = fsOf(p)
+    if (!cascade && fs.listStatus(p).nonEmpty)
+      throw new IllegalStateException(
+        s"graft catalog: namespace ${namespace.mkString(".")} is not " +
+          "empty — DROP NAMESPACE ... CASCADE to remove its tables")
+    fs.delete(p, true)
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val spark = SparkSession.active

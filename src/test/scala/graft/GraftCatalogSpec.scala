@@ -850,6 +850,31 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(props.contains("graft.current_version"))
   }
 
+  test("namespaces: CREATE/SHOW/DROP organize tables under warehouse subdirectories") {
+    val root = s"$warehouse/touch" // forces the lazy catalog registration
+    assert(root.nonEmpty)
+    spark.sql("CREATE NAMESPACE sqlcat.finance")
+    assert(spark.sql("SHOW NAMESPACES IN sqlcat").collect()
+      .map(_.getString(0)).contains("finance"))
+    spark.sql("""CREATE TABLE sqlcat.finance.txns (k BIGINT, v BIGINT)
+      TBLPROPERTIES('key_col'='k')""")
+    spark.sql("INSERT INTO sqlcat.finance.txns SELECT id, id FROM range(1, 6)")
+    assert(spark.sql("SELECT sum(v) AS s FROM sqlcat.finance.txns")
+      .collect()(0).getLong(0) == 15L)
+    assert(spark.sql("SHOW TABLES IN sqlcat.finance").collect()
+      .map(_.getString(1)).contains("txns"))
+    // a table dir is NOT a namespace; a non-empty namespace refuses a
+    // bare drop and CASCADE removes it with its tables
+    assert(!spark.sql("SHOW NAMESPACES IN sqlcat").collect()
+      .map(_.getString(0)).contains("txns"))
+    val e = intercept[Exception](spark.sql("DROP NAMESPACE sqlcat.finance"))
+    assert(e.getMessage.toLowerCase.contains("cascade") ||
+      e.getMessage.toLowerCase.contains("not empty"), e.getMessage)
+    spark.sql("DROP NAMESPACE sqlcat.finance CASCADE")
+    assert(!spark.sql("SHOW NAMESPACES IN sqlcat").collect()
+      .map(_.getString(0)).contains("finance"))
+  }
+
   test("CALL lifecycle procedures: rollback, create_tag/drop_tag pin and protect versions") {
     val root = s"$warehouse/lcp"
     spark.sql("""CREATE TABLE sqlcat.lcp (k BIGINT, v BIGINT)
