@@ -90,7 +90,13 @@ class PlanAuditSpec extends SparkTestBase {
     // stats) and full-outer cannot broadcast, so SMJ is the only correct
     // static shape (q44's posture); the data-scale work upstream is the
     // changed-file reads inside changesBetween, which join nothing
-    "q90_cdf_view")
+    "q90_cdf_view",
+    // q128: the decoded-asset ⋈ stored-meta agreement join — both sides
+    // project the SAME asset-scale catalog scan (one through the
+    // row-local decode kernel, which erases size stats), keyed on the
+    // asset id: a fact-fact equi-join, SMJ is the correct static plan
+    // (q78's posture); AQE downgrades at test scale
+    "q128_lakehouse_assets")
 
   /** entries whose plan legitimately contains an UNPARTITIONED window:
     * q76's exact skyline pass — its input is the partition-locally pruned
