@@ -79,18 +79,20 @@ private class GraftSqlColumnarReader(file: String, required: StructType,
   private val delegate: VectorizedParquetRecordReader =
     if (required.fields.isEmpty) null
     else {
-      // per-file conf copy: the requested schema is scan-specific state
-      val c = new org.apache.hadoop.conf.Configuration(conf)
-      c.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, required.json)
-      val path = new org.apache.hadoop.fs.Path(file)
-      val len = path.getFileSystem(c).getFileStatus(path).getLen
-      // the mapred (not mapreduce.lib.input) split: Spark's reader base
+      // the conf arrives with SPARK_ROW_REQUESTED_SCHEMA already stamped
+      // DRIVER-side (scan-constant — one Configuration per scan, never a
+      // per-file copy, which costs real milliseconds × files), and the
+      // whole-file split range spares a getFileStatus RPC per file (our
+      // files are read whole; every row group's midpoint lies inside
+      // [0, Long.MaxValue)).
+      // The mapred (not mapreduce.lib.input) split: Spark's reader base
       // downcasts to it internally; mapred.FileSplit extends the
       // mapreduce one, so it satisfies the initialize signature too
+      val path = new org.apache.hadoop.fs.Path(file)
       val split = new org.apache.hadoop.mapred.FileSplit(
-        path, 0, len, Array.empty[String])
+        path, 0, Long.MaxValue, Array.empty[String])
       val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
-        c, new org.apache.hadoop.mapreduce.TaskAttemptID(
+        conf, new org.apache.hadoop.mapreduce.TaskAttemptID(
           new org.apache.hadoop.mapreduce.TaskID(
             new org.apache.hadoop.mapreduce.JobID(), // synthetic: no MR job
             org.apache.hadoop.mapreduce.TaskType.MAP, 0), 0))

@@ -878,11 +878,16 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
       GraftSqlPartition(f.file, manifests, snap.keyCol): InputPartition
     }.toArray
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
     // scanConf stamps the parquet conversion settings the vectorized
-    // delegate reads from the task conf (harmless for the row reader)
-    new GraftSqlReaderFactory(required, columnar, new SerializableHadoopConf(
-      GraftSqlColumnar.scanConf(SparkSession.active)))
+    // delegate reads from the task conf (harmless for the row reader);
+    // the requested schema is scan-constant, so it stamps HERE — one
+    // Configuration for the whole scan, never a per-file copy
+    val c = GraftSqlColumnar.scanConf(SparkSession.active)
+    c.set(org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport
+      .SPARK_ROW_REQUESTED_SCHEMA, required.json)
+    new GraftSqlReaderFactory(required, columnar, new SerializableHadoopConf(c))
+  }
 }
 
 private class GraftSqlReaderFactory(required: StructType, columnar: Boolean,

@@ -130,9 +130,10 @@ private[v2] object ChangesStream {
   def startingVersion(options: CaseInsensitiveStringMap): Option[Long] =
     Option(options.get("starting_version")).map {
       case "latest" => -1L // resolved against the live log at start
-      case v => v.toLongOption.getOrElse(throw new IllegalArgumentException(
-        s"graft-table-changes: starting_version must be a version number " +
-          s"or 'latest', got '$v'"))
+      case v => v.toLongOption.filter(_ >= 0).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-table-changes: starting_version must be a version " +
+            s"number >= 0 or 'latest', got '$v'"))
     }
 }
 
