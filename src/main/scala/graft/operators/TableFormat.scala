@@ -2477,13 +2477,18 @@ object TableFormat {
       fs.delete(new org.apache.hadoop.fs.Path(logDir(root), commitName(v)), false)
     }
     // phase 2: orphan sweep over the data dirs (recursive; the log dir is
-    // never under a data dir by layout)
+    // never under a data dir by layout). The `_branch` subtree is SKIPPED
+    // wholesale: a live WAP branch's staged data files are referenced
+    // only by the BRANCH's log, so the main log's referenced-set would
+    // misread them as orphans and destroy staged work — branch cleanup
+    // belongs to dropBranch + a branch-root sweep, never the main sweep.
     val cutoff = System.currentTimeMillis() - graceMs
     val removed = Seq.newBuilder[String]
     def sweep(p: org.apache.hadoop.fs.Path): Unit =
       if (fs.exists(p)) fs.listStatus(p).foreach { st =>
         if (st.isDirectory) {
-          if (st.getPath.getName != "_log") sweep(st.getPath)
+          if (st.getPath.getName != "_log" && st.getPath.getName != "_branch")
+            sweep(st.getPath)
         } else if (st.getPath.getName.endsWith(".parquet") &&
             !referenced.contains(uriPath(st.getPath.toString)) &&
             st.getModificationTime < cutoff) {

@@ -875,6 +875,34 @@ class GraftCatalogSpec extends SparkTestBase {
       .map(_.getString(0)).contains("finance"))
   }
 
+  test("spec-routed INSERT with NULL partition values commits cleanly (null rows route to one file, stats omit bounds)") {
+    val root = s"$warehouse/pnull"
+    spark.sql("""CREATE TABLE sqlcat.pnull (k BIGINT, g BIGINT, v BIGINT)
+      PARTITIONED BY (g) TBLPROPERTIES('key_col'='k', 'zone_cols'='g')""")
+    // the ADVICE-5 shape end-to-end: the writer routes all null-g rows
+    // into one file whose g stats are entirely null — the commit's
+    // fileStats must record omitted bounds (never NPE), and scans stay
+    // exact over the boundless file
+    spark.sql("""INSERT INTO sqlcat.pnull
+      SELECT id, CASE WHEN id % 3 = 0 THEN NULL ELSE id % 2 END, id
+      FROM range(0, 30)""")
+    val snap = TableFormat.snapshot(spark, root)
+    val boundless = snap.files.filterNot(_.zones.contains("g"))
+    assert(boundless.size == 1 && boundless.head.nulls("g") == boundless.head.nRows)
+    assert(spark.sql("SELECT count(*) AS n FROM sqlcat.pnull WHERE g IS NULL")
+      .collect()(0).getLong(0) == 10L)
+    assert(spark.sql("SELECT sum(v) AS s FROM sqlcat.pnull WHERE g = 1")
+      .collect()(0).getLong(0) ==
+      (0L until 30L).filter(i => i % 3 != 0 && i % 2 == 1).sum)
+    // and a zone-range DELETE over g keeps the null rows (the round's
+    // null-discipline fix, here through the routed layout)
+    spark.sql("DELETE FROM sqlcat.pnull WHERE g <= 1")
+    assert(spark.sql("SELECT count(*) AS n FROM sqlcat.pnull")
+      .collect()(0).getLong(0) == 10L)
+    assert(spark.sql("SELECT count(*) AS n FROM sqlcat.pnull WHERE g IS NULL")
+      .collect()(0).getLong(0) == 10L)
+  }
+
   test("CALL lifecycle procedures: rollback, create_tag/drop_tag pin and protect versions") {
     val root = s"$warehouse/lcp"
     spark.sql("""CREATE TABLE sqlcat.lcp (k BIGINT, v BIGINT)

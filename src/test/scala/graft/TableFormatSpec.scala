@@ -1713,6 +1713,35 @@ class TableFormatSpec extends SparkTestBase {
     assert(TableFormat.versions(spark, qroot) == Seq(1L))
   }
 
+  test("expireSnapshots never sweeps a live branch's staged data (the _branch subtree is out of scope)") {
+    import spark.implicits._
+    val root = freshRoot()
+    def writeRows(rows: Seq[(Long, Double)], path: String): Seq[String] = {
+      rows.toDF("k", "v").repartition(1).write.mode("overwrite").parquet(path)
+      TableFormat.listParquet(spark, path)
+    }
+    TableFormat.commitFiles(spark, root, "k",
+      writeRows(Seq(1L -> 1.0, 2L -> 2.0), s"$root/fa"), 256, 3)
+    TableFormat.appendFiles(spark, root,
+      writeRows(Seq(3L -> 3.0), s"$root/fb"))
+    // stage work on a branch: its appended file lives under the main
+    // root's _branch subtree and is referenced ONLY by the branch log
+    TableFormat.createBranch(spark, root, "wip")
+    val broot = TableFormat.branchRoot(root, "wip")
+    TableFormat.appendFiles(spark, broot,
+      writeRows(Seq(100L -> 100.0), s"$broot/staged"))
+    // an aggressive main-root sweep (keep 1, zero grace) must not
+    // destroy the staged branch file
+    TableFormat.expireSnapshots(spark, root, keepLast = 1,
+      Seq(root), graceMs = 0L)
+    val staged = TableFormat.read(spark, TableFormat.snapshot(spark, broot))
+      .orderBy("k").collect().map(_.getLong(0)).toSeq
+    assert(staged == Seq(1L, 2L, 3L, 100L))
+    // and the branch still publishes cleanly... after main's horizon
+    // moved the fork check fails loud (main advanced is a separate
+    // contract) — content readability is what this test pins
+  }
+
   test("deleteWhere never deletes null rows: null-gated whole-file drops, null-keeping boundary rewrite") {
     import spark.implicits._
     val root = freshRoot()
