@@ -5150,8 +5150,9 @@ object SparkEntry {
     },
 
     // ---- STREAM RESUME SHAPES: starting_version on a fresh checkpoint
-    // — a NUMBER starts after that commit (the "I already hold the state
-    // as of n" resume: target B receives ONLY the later INSERT), and
+    // — a NUMBER starts AT that commit inclusive (Delta's documented
+    // startingVersion convention: "I hold the state as of n-1"; target
+    // B passes 3 and receives ONLY the v3 INSERT), and
     // 'latest' starts at the live head (target C receives nothing until
     // a commit lands after the query first runs, then exactly that
     // delta); both targets' version ledgers and counts are graded ----
@@ -5190,7 +5191,8 @@ object SparkEntry {
         }
         TableFormat.createEmpty(s, bRoot, "o_orderkey",
           "o_orderkey BIGINT, cents BIGINT")                          // B v1
-        tick(bRoot, s"$root/cpb", "2")     // B v2: only A v3's delta
+        tick(bRoot, s"$root/cpb", "3")     // B v2: only A v3's delta
+        // (inclusive Delta semantics: version 3 is the first emitted)
         TableFormat.createEmpty(s, cRoot, "o_orderkey",
           "o_orderkey BIGINT, cents BIGINT")                          // C v1
         tick(cRoot, s"$root/cpc", "latest") // nothing yet: no commit

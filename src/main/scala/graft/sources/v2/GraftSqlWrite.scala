@@ -185,10 +185,12 @@ private class GraftSqlWriterFactory(dataDir: String, schema: StructType,
 /** Executor-side InternalRow → parquet writer over the parquet example
   * Group API (the mirror of [[ParquetRowReader]]). Files are created
   * lazily on the first row, so empty partitions contribute nothing to
-  * the commit. Under a partition spec the writer ROLLS to a new file
-  * whenever the routing value changes — with the Write's required
-  * range-distribution + ordering on the spec's base columns, that is
-  * one file per live partition value per task. */
+  * the commit. Under a partition spec the writer ROLLS on the monotone
+  * (identity/month/div) half of the routing key and keeps a
+  * bucket-fan-out-bounded map for the bucket half — with the Write's
+  * required range-distribution + ordering on the spec's base columns,
+  * that is one file per live partition value per task, with at most
+  * (declared bucket fan-out) writers open at any moment. */
 private class GraftSqlDataWriter(dataDir: String, taskTag: String,
                                  schema: StructType,
                                  specTerms: Seq[TableFormat.SpecTerm],
@@ -345,8 +347,7 @@ private class GraftSqlDataWriter(dataDir: String, taskTag: String,
 
   /** Routing value of one spec term from the row's INTERNAL
     * representation (dates = epoch days, timestamps = epoch micros). */
-  private val routers: Array[InternalRow => String] =
-    specTerms.toArray.map { t =>
+  private def routerOf(t: TableFormat.SpecTerm): InternalRow => String = {
       val i = schema.fieldIndex(t.baseCol)
       val dt = schema.fields(i).dataType
       def days(r: InternalRow): Long = dt match {
@@ -376,40 +377,69 @@ private class GraftSqlDataWriter(dataDir: String, taskTag: String,
       }
     }
 
+  // the routing key is SPLIT by term kind — the two halves have opposite
+  // lifecycles under the Write's required ordering (see below)
+  private val monotoneRouters: Array[InternalRow => String] =
+    specTerms.toArray.filterNot(_.isInstanceOf[TableFormat.BucketTerm])
+      .map(routerOf)
+  private val bucketRouters: Array[InternalRow => String] =
+    specTerms.toArray.filter(_.isInstanceOf[TableFormat.BucketTerm])
+      .map(routerOf)
+
   private val factory = new SimpleGroupFactory(msgType)
-  // ONE OPEN WRITER PER LIVE ROUTING VALUE, not roll-on-change: the
-  // required ordering makes identity/month/div routing values contiguous
-  // per task (so this map holds one entry at a time for them, exactly
-  // the old roll behavior), but a BUCKET term's floorMod values
-  // interleave under any sort order — rolling on every change would
-  // explode into one file per ROW. The map is bounded by the live
-  // routing values a task sees (≤ bucket count × ordered-prefix runs).
+  // Writer lifecycle — an open ParquetWriter holds its full row-group
+  // buffers, so "how many stay open" IS the task's memory bound:
+  //  - the MONOTONE half of the key (identity/month/div terms): the
+  //    Write's required ordering makes it non-returning per task, so a
+  //    change CLOSES EVERY open writer (that run of values is exhausted
+  //    and can never come back) — an identity spec on a high-cardinality
+  //    column or a decade of months holds one run's writers at a time,
+  //    never one per distinct value seen;
+  //  - the BUCKET half: floorMod values interleave under every sort
+  //    order (rolling on change would emit one file per ROW), so within
+  //    one monotone run writers live in a map keyed by the bucket
+  //    values. Its size is bounded by the DECLARED bucket fan-out
+  //    (product of the spec's bucket counts) — an explicit, user-chosen
+  //    bound, the same one Iceberg's bucket transform carries. An LRU
+  //    cap would be wrong here: cyclically revisited bucket values would
+  //    evict exactly the writer needed next and explode the file count.
   private val open =
     scala.collection.mutable.LinkedHashMap.empty[String, ParquetWriter[Group]]
-  private var lastKey: String = null
+  private var lastMono: String = null
+  private var lastBucket: String = null
   private var lastWriter: ParquetWriter[Group] = null
   private var fileSeq = 0
   private val written = Seq.newBuilder[String]
   private var nRows = 0L
 
-  private def writerFor(key: String): ParquetWriter[Group] =
-    open.getOrElseUpdate(key, {
-      val file = s"$dataDir/$taskTag-$fileSeq.parquet"
-      fileSeq += 1
-      written += file
-      ExampleParquetWriter.builder(HadoopOutputFile.fromPath(
-          new org.apache.hadoop.fs.Path(file), conf))
-        .withConf(conf)
-        .withType(msgType)
-        .withCompressionCodec(CompressionCodecName.SNAPPY)
-        .build()
-    })
+  private def newWriter(): ParquetWriter[Group] = {
+    val file = s"$dataDir/$taskTag-$fileSeq.parquet"
+    fileSeq += 1
+    written += file
+    ExampleParquetWriter.builder(HadoopOutputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file), conf))
+      .withConf(conf)
+      .withType(msgType)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+  }
 
   override def write(row: InternalRow): Unit = {
-    val key = if (routers.isEmpty) "" else routers.map(_(row)).mkString("/")
-    if (lastWriter == null || key != lastKey) {
-      lastKey = key
-      lastWriter = writerFor(key)
+    val mono =
+      if (monotoneRouters.isEmpty) ""
+      else monotoneRouters.map(_(row)).mkString("/")
+    if (lastWriter == null || mono != lastMono) {
+      // run boundary: every writer of the previous run is exhausted
+      closeAll()
+      lastMono = mono
+      lastBucket = null
+    }
+    val bucket =
+      if (bucketRouters.isEmpty) ""
+      else bucketRouters.map(_(row)).mkString("/")
+    if (lastWriter == null || bucket != lastBucket) {
+      lastWriter = open.getOrElseUpdate(bucket, newWriter())
+      lastBucket = bucket
     }
     val g = factory.newGroup()
     var i = 0
@@ -421,15 +451,19 @@ private class GraftSqlDataWriter(dataDir: String, taskTag: String,
     nRows += 1
   }
 
-  override def commit(): WriterCommitMessage = {
+  private def closeAll(): Unit = {
+    lastWriter = null
     open.values.foreach(_.close())
     open.clear()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    closeAll()
     GraftSqlWriteMessage(written.result(), nRows)
   }
 
   override def abort(): Unit = {
-    open.values.foreach(_.close())
-    open.clear()
+    closeAll()
     val fs = new org.apache.hadoop.fs.Path(dataDir).getFileSystem(conf)
     written.result().foreach(f =>
       fs.delete(new org.apache.hadoop.fs.Path(f), false))

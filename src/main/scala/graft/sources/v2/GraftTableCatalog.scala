@@ -258,14 +258,20 @@ class GraftTableCatalog extends TableCatalog
     * programmatic callers and ALTER-time evolution):
     *   - `col`             → identity term
     *   - `months(col)`     → `month(col)` (calendar-month routing)
-    *   - `days(col)`       → `div(col, 1)` (the zone-long image of a
-    *                          date IS its epoch day, so width-1 range
-    *                          bucketing is exactly day routing)
+    *   - `days(col)`       → resolved against the column's TYPE: a DATE's
+    *                          zone-long image IS its epoch day, so
+    *                          `div(col, 1)` is exactly day routing — but a
+    *                          TIMESTAMP's zone-long is epoch MICROS, where
+    *                          width-1 would route one file per distinct
+    *                          microsecond; it maps to `div(col, 86400000000)`
+    *                          (floor-div micros to the epoch day, matching
+    *                          the writer's `Math.floorDiv` routing so
+    *                          pre-1970 values stay day-aligned)
     *   - `bucket(n, col)`  → `bucket(col, n)` (modular fan-out)
     * Base columns are AUTO-DECLARED as zone columns (a partition column
     * the scan cannot prune on would be a silent contradiction). */
   private def specOfTransforms(partitions: Array[Transform],
-                               keyCol: String): Option[String] = {
+                               schema: StructType): Option[String] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     if (partitions.isEmpty) return None
     def singleRef(refs: Array[NamedReference], t: Transform): String = {
@@ -276,7 +282,15 @@ class GraftTableCatalog extends TableCatalog
     Some(partitions.map {
       case t if t.name() == "identity" => singleRef(t.references(), t)
       case t if t.name() == "months" => s"month(${singleRef(t.references(), t)})"
-      case t if t.name() == "days" => s"div(${singleRef(t.references(), t)}, 1)"
+      case t if t.name() == "days" =>
+        val c = singleRef(t.references(), t)
+        schema.fields.find(_.name == c).map(_.dataType) match {
+          case Some(DateType) => s"div($c, 1)"
+          case Some(TimestampType) => s"div($c, 86400000000)"
+          case other => throw new UnsupportedOperationException(
+            s"graft catalog: days($c) needs a DATE or TIMESTAMP column, " +
+              s"got ${other.map(_.simpleString).getOrElse("<missing>")}")
+        }
       case t if t.name() == "bucket" =>
         val n = t.arguments().collectFirst {
           case l: org.apache.spark.sql.connector.expressions.Literal[_]
@@ -309,7 +323,7 @@ class GraftTableCatalog extends TableCatalog
       throw new IllegalArgumentException(
         "graft catalog: table needs an integral key column (set " +
           "TBLPROPERTIES('key_col'='...') or include an integral column)")))
-    val ddlSpec = specOfTransforms(partitions, keyCol)
+    val ddlSpec = specOfTransforms(partitions, schema)
     require(ddlSpec.isEmpty || !props.contains(TableFormat.PartitionSpecProp),
       "graft catalog: declare the partition spec EITHER via PARTITIONED BY " +
         s"or TBLPROPERTIES('${TableFormat.PartitionSpecProp}'), not both")

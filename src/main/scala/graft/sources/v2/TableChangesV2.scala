@@ -119,14 +119,14 @@ private case class TableFilePartition(file: String, version: Long)
   extends InputPartition
 
 private[v2] object ChangesStream {
-  /** Delta's `startingVersion` option: `n` starts the stream at commits
-    * AFTER version n (n's own content excluded — the usual "I already
-    * have the state as of n" resume shape); `latest` starts at the
-    * current head, emitting only commits that land after the query
-    * starts. Absent = 0 = the full table (the first live version
-    * emits as base). Only consulted for a FRESH checkpoint — a resumed
-    * query's offset always wins (Spark never calls initialOffset when
-    * the checkpoint holds one). */
+  /** Delta's `startingVersion` option, with Delta's documented
+    * INCLUSIVE semantics: `n` starts the stream AT version n (n's own
+    * commit is the first one emitted — "I hold the state as of n-1");
+    * `latest` starts at the current head, emitting only commits that
+    * land after the query starts. Absent = the full table (the first
+    * live version emits as base). Only consulted for a FRESH
+    * checkpoint — a resumed query's offset always wins (Spark never
+    * calls initialOffset when the checkpoint holds one). */
   def startingVersion(options: CaseInsensitiveStringMap): Option[Long] =
     Option(options.get("starting_version")).map {
       case "latest" => -1L // resolved against the live log at start
@@ -145,7 +145,9 @@ private[v2] class ChangesStream(root: String, schema: StructType,
   override def initialOffset(): Offset = startingVersion match {
     case Some(-1L) => // 'latest': only commits after the stream starts
       VersionOffset(TableFormat.versions(spark, root).lastOption.getOrElse(0L))
-    case Some(v) => VersionOffset(v)
+    // inclusive (the Delta convention): version n itself is the first
+    // emitted commit, so the exclusive low offset is n-1
+    case Some(v) => VersionOffset(v - 1)
     case None => VersionOffset(0L)
   }
 
@@ -374,9 +376,17 @@ private[v2] class ParquetRowReader(file: String, schema: StructType,
             (lg, j) => conv(lg, j)
           } else {
             val repGroup = repType.asGroupType()
-            val isElementHolder = repGroup.getFieldCount == 1 &&
-              (repName == "list" || repName == "bag" ||
-                repGroup.getFieldName(0) == "element")
+            // parquet's documented LIST backward-compat rule (mirrored by
+            // Spark's ParquetSchemaConverter.isElementType): the repeated
+            // group IS the element when it has multiple fields, or is
+            // named "array", or carries the list group's name + "_tuple"
+            // (legacy Avro/Thrift writers); ONLY otherwise is it the
+            // standard 3-level element holder. Keying off the inner
+            // field being named "element" would misparse a legacy
+            // 2-level struct element that happens to have a single
+            // member called "element".
+            val isElementHolder = !(repGroup.getFieldCount > 1 ||
+              repName == "array" || repName == s"${name}_tuple")
             if (isElementHolder) {
               // standard 3-level: repeated holder wraps one optional element
               val elemField = StructField(repGroup.getFieldName(0), et)

@@ -712,6 +712,59 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(TableFormat.snapshot(spark, s"$warehouse/pid").files.size == 3)
   }
 
+  test("days() transform resolves against the column type: TIMESTAMP routes per DAY, never per microsecond") {
+    // days(dt) on a DATE: width-1 div over epoch days
+    spark.sql("""CREATE TABLE sqlcat.pday (k BIGINT, dt DATE)
+      PARTITIONED BY (days(dt)) TBLPROPERTIES('key_col'='k')""")
+    assert(TableFormat.snapshot(spark, s"$warehouse/pday")
+      .props(TableFormat.PartitionSpecProp) == "div(dt, 1)")
+    // days(ts) on a TIMESTAMP: zone-long space is epoch MICROS — the
+    // mapped width must be a full day of micros, or 40 rows spread over
+    // 2 days would route 40 files (one per distinct microsecond), each
+    // holding an open ParquetWriter
+    spark.sql("""CREATE TABLE sqlcat.ptsd (k BIGINT, ts TIMESTAMP)
+      PARTITIONED BY (days(ts)) TBLPROPERTIES('key_col'='k')""")
+    assert(TableFormat.snapshot(spark, s"$warehouse/ptsd")
+      .props(TableFormat.PartitionSpecProp) == "div(ts, 86400000000)")
+    spark.sql("""INSERT INTO sqlcat.ptsd
+      SELECT id, timestampadd(MINUTE, CAST(id AS INT) * 37,
+                              TIMESTAMP'2024-03-01 00:00:00')
+      FROM range(0, 40)""")
+    // 40 rows x 37 min ≈ 24.7 h -> exactly 2 day files
+    val snap = TableFormat.snapshot(spark, s"$warehouse/ptsd")
+    assert(snap.files.size == 2, snap.files.map(_.file).mkString(","))
+    assert(spark.sql("SELECT count(*) FROM sqlcat.ptsd")
+      .collect()(0).getLong(0) == 40L)
+    // a non-temporal column is refused loudly, not routed absurdly
+    val e = intercept[Exception](spark.sql(
+      """CREATE TABLE sqlcat.pbad (k BIGINT)
+        PARTITIONED BY (days(k)) TBLPROPERTIES('key_col'='k')"""))
+    assert(e.getMessage.contains("DATE or TIMESTAMP"), e.getMessage)
+  }
+
+  test("composite month x bucket spec: bounded open writers, every (month, residue) file routed correctly") {
+    // month(dt) is the monotone half (closes the run's writers when the
+    // month advances), bucket(k, 3) the interleaving half (map bounded
+    // by the DECLARED fan-out of 3) — 6 months x 3 residues = 18 files
+    // from one ordered INSERT, and no (month, residue) pair splits
+    spark.sql(s"""CREATE TABLE sqlcat.pmb (k BIGINT, dt DATE, v BIGINT)
+      TBLPROPERTIES('key_col'='k', 'zone_cols'='dt',
+                    '${TableFormat.PartitionSpecProp}'='month(dt), bucket(k, 3)')""")
+    spark.sql("""INSERT INTO sqlcat.pmb
+      SELECT id, date_add(DATE'2024-01-03', CAST(id AS INT)), id * 2
+      FROM range(0, 180)""")
+    val snap = TableFormat.snapshot(spark, s"$warehouse/pmb")
+    assert(snap.files.size == 18, s"got ${snap.files.size} files")
+    val perFile = spark.sql("""SELECT _file,
+        count(DISTINCT date_trunc('MONTH', dt)) AS nm,
+        count(DISTINCT k % 3) AS nr
+      FROM sqlcat.pmb GROUP BY _file""").collect()
+    assert(perFile.forall(r => r.getLong(1) == 1L && r.getLong(2) == 1L),
+      perFile.mkString(";"))
+    assert(spark.sql("SELECT sum(v) FROM sqlcat.pmb").collect()(0)
+      .getLong(0) == (0L until 180L).map(_ * 2).sum)
+  }
+
   test("spark.readStream.table streams catalog-table appends; op=replace commits skipped") {
     import org.apache.spark.sql.streaming.Trigger
     val root = s"$warehouse/stread"
@@ -741,9 +794,11 @@ class GraftCatalogSpec extends SparkTestBase {
     spark.sql("INSERT INTO sqlcat.stread SELECT id, id * 2 FROM range(11, 16)")
     tick()
     assert(sunk() == (1L to 15L).map(i => (i, i * 2)))
-    // starting_version: a FRESH checkpoint beginning after version 2
-    // (the first INSERT) ships only later commits' rows
-    val q2 = spark.readStream.option("starting_version", "2")
+    // starting_version: INCLUSIVE (the Delta convention) — a FRESH
+    // checkpoint starting AT version 3 skips v2 (the first INSERT) and
+    // ships v3 (the compaction replace, skipped as content-preserving)
+    // onward: only the second INSERT's rows arrive
+    val q2 = spark.readStream.option("starting_version", "3")
       .table("sqlcat.stread")
       .writeStream.format("parquet")
       .option("path", s"$out/sink2")

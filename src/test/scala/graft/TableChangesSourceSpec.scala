@@ -214,4 +214,75 @@ class TableChangesSourceSpec extends SparkTestBase {
       .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
     assert(msgs(e).contains("lineage"), msgs(e))
   }
+
+  test("legacy 2-level parquet LIST forms read by the spec's backward-compat rule (array / name_tuple groups are elements)") {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.util.HadoopOutputFile
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Type, Types => PT}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+    val root = freshRoot()
+    val out = s"${freshRoot()}/out"; val cp = s"${freshRoot()}/cp"
+    // a foreign-written legacy file: two single-field repeated groups
+    // that are ELEMENTS by parquet's documented rule ("array" name /
+    // list name + "_tuple") — the tags_tuple element's SOLE member is
+    // deliberately named "element", the exact shape a field-name
+    // heuristic would misparse as a 3-level holder
+    val msg = PT.buildMessage()
+      .addField(PT.primitive(INT64, Type.Repetition.REQUIRED).named("k"))
+      .addField(PT.buildGroup(Type.Repetition.OPTIONAL)
+        .as(LogicalTypeAnnotation.listType())
+        .addField(PT.buildGroup(Type.Repetition.REPEATED)
+          .addField(PT.primitive(BINARY, Type.Repetition.OPTIONAL)
+            .as(LogicalTypeAnnotation.stringType()).named("element"))
+          .named("tags_tuple"))
+        .named("tags"))
+      .addField(PT.buildGroup(Type.Repetition.OPTIONAL)
+        .as(LogicalTypeAnnotation.listType())
+        .addField(PT.buildGroup(Type.Repetition.REPEATED)
+          .addField(PT.primitive(INT64, Type.Repetition.OPTIONAL).named("a"))
+          .named("array"))
+        .named("arr"))
+      .named("legacy")
+    val file = s"$root/w1/legacy-0.parquet"
+    val w = ExampleParquetWriter.builder(HadoopOutputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file),
+        spark.sessionState.newHadoopConf()))
+      .withType(msg).build()
+    val f = new SimpleGroupFactory(msg)
+    try (1L to 3L).foreach { i =>
+      val g = f.newGroup()
+      g.add("k", i)
+      val tg = g.addGroup("tags")
+      (1L to i).foreach(j => tg.addGroup("tags_tuple").add("element", s"t$i$j"))
+      val ag = g.addGroup("arr")
+      (1L to i).foreach(j => ag.addGroup("array").add("a", i * 10 + j))
+      w.write(g)
+    } finally w.close()
+    // commitFiles derives the committed DDL through Spark's own parquet
+    // converter — ARRAY<STRUCT<element STRING>> / ARRAY<STRUCT<a BIGINT>>
+    // by the same backward-compat rule the custom reader must mirror
+    TableFormat.commitFiles(spark, root, "k", Seq(file), 256, 3)
+    runOnce(root, out, cp)
+    val got = spark.read.parquet(out).orderBy("k").collect().map { r =>
+      (r.getLong(r.fieldIndex("k")),
+        r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("tags"))
+          .map(_.getString(0)),
+        r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("arr"))
+          .map(_.getLong(0)))
+    }.toSeq
+    assert(got == (1L to 3L).map(i =>
+      (i, (1L to i).map(j => s"t$i$j"), (1L to i).map(j => i * 10 + j))))
+    // the same file reads identically through Spark's native converter
+    // (the rule is parquet's, not ours)
+    val native = spark.read.parquet(file).orderBy("k").collect().map { r =>
+      (r.getLong(r.fieldIndex("k")),
+        r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("tags"))
+          .map(_.getString(0)),
+        r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("arr"))
+          .map(_.getLong(0)))
+    }.toSeq
+    assert(native == got)
+  }
 }
