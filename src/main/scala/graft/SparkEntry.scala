@@ -5217,6 +5217,137 @@ object SparkEntry {
         .reduce(_.unionByName(_)).orderBy(col("pin"))
     },
 
+    // ---- NULL/IN FILE PRUNING (r13): the per-file null counts and key
+    // blooms every commit carries now prune at PLAN time — `od IS NULL`
+    // drops files with a RECORDED zero null count, `od IS NOT NULL`
+    // drops provably all-null files, and IN/= on the key probes each
+    // value against bounds AND the file's bloom (no false negatives, so
+    // a no-value-present file drops exactly). The dataset is fixed, so
+    // the pruned-files ledger is a constant the oracle states; counts
+    // and sums replay from the slices ----
+    "q130_null_in_pruning" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"nip_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val root = s"$wh/$tbl"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q130_nip", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val base = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"), to_date(col("o_orderdate")).as("od"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        TableFormat.createEmpty(s, root, "k", "k BIGINT, od DATE, cents BIGINT",
+          numBits = 1 << 14, numHashes = 5, zoneCols = Seq("od"))
+        // f1 (k%48=11): od never null; f2 (27): od null on k%5=2;
+        // f3 (43): od ALL null — three files with distinct null ledgers
+        Seq(
+          11 -> col("od"),
+          27 -> when(pmod(col("k"), lit(5)) === 2, lit(null).cast("date"))
+            .otherwise(col("od")),
+          43 -> lit(null).cast("date")
+        ).foreach { case (r, odExpr) =>
+          base.filter(pmod(col("k"), lit(48)) === r)
+            .select(col("k"), odExpr.as("od"), col("cents"))
+            .repartition(1).write.mode("overwrite").parquet(s"$root/b$r")
+          TableFormat.appendFiles(s, root,
+            TableFormat.listParquet(s, s"$root/b$r"))
+        }
+      }
+      // kmid: the largest f1 key at or below f1's key midpoint — inside
+      // every file's key range, so only the BLOOM can discriminate;
+      // kmid+1 has residue 12 mod 48: in the table's range, in no slice
+      val Array(mn, mx) = s.sql(
+        s"SELECT min(k), max(k) FROM graft.`$tbl` WHERE k % 48 = 11")
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      val kmid = s.sql(s"SELECT max(k) FROM graft.`$tbl` " +
+        s"WHERE k % 48 = 11 AND k <= ${(mn + mx) / 2}").collect()(0).getLong(0)
+      def probe(pin: String, whereSql: String) = {
+        val df = s.sql(s"SELECT cents FROM graft.`$tbl` WHERE $whereSql")
+        val m = "PrunedFiles: (\\d+)/(\\d+)".r
+          .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+          .getOrElse(throw new IllegalStateException(s"$pin: no PrunedFiles"))
+        Parallelism.ensureDefaultParallelism(df)
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("cents")), lit(0L)).as("sum_cents"))
+          .select(lit(pin).as("pin"),
+            lit(m.group(2).toLong - m.group(1).toLong).as("files_read"),
+            lit(m.group(2).toLong).as("files_total"),
+            col("n_rows"), col("sum_cents"))
+      }
+      Seq(probe("p1_is_null", "od IS NULL"),
+          probe("p2_not_null", "od IS NOT NULL"),
+          probe("p3_in_bloom", s"k IN ($kmid, ${kmid + 1})"),
+          probe("p4_eq_absent", s"k = ${kmid + 1}"),
+          probe("z_state", "k >= 0"))
+        .reduce(_.unionByName(_)).orderBy(col("pin"))
+    },
+
+    // ---- PARQUET ROW-GROUP PUSHDOWN (r13): inside a SURVIVING file the
+    // pushed key/zone predicates now reach the parquet reader as
+    // FilterApi predicates, so footer stats skip non-matching row groups
+    // — a point probe on a 200-group file surfaces one group, not the
+    // file, on BOTH reader paths (vectorized clean scan, masked MoR row
+    // reader), and the stamped filter provably never leaks into the
+    // delete-manifest read (the masked key stays gone) ----
+    "q131_rowgroup_pushdown" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"rgp_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val root = s"$wh/$tbl"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q131_rgp", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        // ONE key-sorted file with a deliberately tiny row-group size:
+        // file-level pruning cannot help a point probe here AT ALL — any
+        // IO saving is row-group skipping or nothing
+        Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .coalesce(1).sortWithinPartitions("k")
+          .write.option("parquet.block.size", "8192")
+          .mode("overwrite").parquet(s"$root/b0")
+        TableFormat.commitFiles(s, root, "k",
+          TableFormat.listParquet(s, s"$root/b0"), 1 << 14, 5)   // v1 clean
+        val maxk = TableFormat.snapshot(s, root).files.map(_.maxKey).max
+        TableFormat.deleteKeysMoR(s, root, root,
+          s.range(1).select(lit(maxk / 2 + 17).as("k")))          // v2 MoR
+      }
+      val total = s.sql(s"SELECT count(*) FROM graft.`$tbl` VERSION AS OF 1")
+        .collect()(0).getLong(0)
+      val maxk = TableFormat.snapshot(s, root).files.map(_.maxKey).max
+      val kmid = maxk / 2
+      def probe(pin: String, versionSql: String, k: Long) = {
+        val df = s.sql(
+          s"SELECT cents FROM graft.`$tbl` $versionSql WHERE k = $k")
+        val rows = df.collect()
+        val plan = df.queryExecution.executedPlan
+        val scanRows = plan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+        }.head.metrics("numOutputRows").value
+        val planStr = plan.toString
+        s.range(1).select(lit(pin).as("pin"),
+          lit(planStr.contains("RowGroupFilter: true")).as("rg_pushed"),
+          lit(planStr.contains("Columnar: true")).as("columnar"),
+          // the graded IO claim: the scan surfaced well under half the
+          // file — i.e. row groups were skipped (the file is the whole
+          // table, so total IS the file's row count)
+          lit(scanRows * 2 < total).as("rg_skipped"),
+          lit(rows.length.toLong).as("n_rows"),
+          lit(rows.map(_.getLong(0)).sum).as("sum_cents"))
+      }
+      Seq(probe("c1_clean_hit", "VERSION AS OF 1", kmid),
+          probe("m1_mor_hit", "", kmid),
+          probe("m2_mor_masked", "", kmid + 17),
+          s.range(1).select(lit("z_state").as("pin"), lit(false).as("rg_pushed"),
+            lit(false).as("columnar"), lit(false).as("rg_skipped"),
+            lit(s.sql(s"SELECT count(*) FROM graft.`$tbl`")
+              .collect()(0).getLong(0)).as("n_rows"),
+            lit(total).as("sum_cents")))
+        .reduce(_.unionByName(_)).orderBy(col("pin"))
+    },
+
     // ---- MULTIMODAL ASSETS IN THE LAKEHOUSE: real PNG payloads
     // (BINARY) with a typed metadata MAP live in a catalog table —
     // CTAS writes blobs through the DSv2 writer (parquet BINARY +
@@ -7530,6 +7661,62 @@ object SparkEntry {
          UNION ALL SELECT 'c_v1', 'create', 0, 0 FROM y
          UNION ALL SELECT 'c_v2', 'append', n, t FROM z
          UNION ALL SELECT 'z_counts', '-', 2, 2 FROM y
+         ORDER BY pin""",
+
+    // the pruned-files ledger is a CONSTANT of the fixed dataset: f1
+    // (never-null od) drops under IS NULL, f3 (all-null od) under IS NOT
+    // NULL, the key IN/= probes drop bloom-missing files (kmid sits in
+    // every file's key range, so only the bloom can discriminate; the
+    // md5 blooms are data-deterministic, verified collision-free at the
+    // gate's SF); counts and sums replay from the slice definitions
+    "q130_null_in_pruning" ->
+      """WITH s AS (SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS od0,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey % 48 AS r
+           FROM orders WHERE o_orderkey % 48 IN (11, 27, 43)),
+         t AS (SELECT k, cents,
+             CASE WHEN r = 43 THEN NULL
+                  WHEN r = 27 AND k % 5 = 2 THEN NULL
+                  ELSE od0 END AS od
+           FROM s),
+         f1 AS (SELECT k, cents FROM s WHERE r = 11),
+         km AS (SELECT max(k) AS kmid FROM f1
+                WHERE k <= (SELECT (min(k) + max(k)) // 2 FROM f1))
+         SELECT 'p1_is_null' AS pin, CAST(2 AS BIGINT) AS files_read,
+             CAST(3 AS BIGINT) AS files_total, count(*) AS n_rows,
+             CAST(COALESCE(sum(cents), 0) AS BIGINT) AS sum_cents
+           FROM t WHERE od IS NULL
+         UNION ALL SELECT 'p2_not_null', 2, 3, count(*),
+             CAST(COALESCE(sum(cents), 0) AS BIGINT)
+           FROM t WHERE od IS NOT NULL
+         UNION ALL SELECT 'p3_in_bloom', 1, 3, count(*),
+             CAST(COALESCE(sum(cents), 0) AS BIGINT)
+           FROM t, km WHERE k IN (km.kmid, km.kmid + 1)
+         UNION ALL SELECT 'p4_eq_absent', 0, 3, CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT) FROM km
+         UNION ALL SELECT 'z_state', 3, 3, count(*),
+             CAST(sum(cents) AS BIGINT) FROM t
+         ORDER BY pin""",
+
+    // plan verdicts are constants (fixed dataset, fixed block size):
+    // the clean pinned probe pushes the row-group filter AND plans
+    // columnar AND surfaces under half the single file's rows; the MoR
+    // head probes keep the pushdown + skipping on the masked ROW reader
+    // with the deleted key still gone (the stamped filter never reaches
+    // the manifest read); kmid = max(k)/2 on the contiguous key domain
+    "q131_rowgroup_pushdown" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+         km AS (SELECT (SELECT max(k) FROM o) // 2 AS kmid),
+         hit AS (SELECT cents FROM o, km WHERE k = km.kmid)
+         SELECT 'c1_clean_hit' AS pin, TRUE AS rg_pushed, TRUE AS columnar,
+             TRUE AS rg_skipped, CAST(1 AS BIGINT) AS n_rows,
+             (SELECT cents FROM hit) AS sum_cents FROM km
+         UNION ALL SELECT 'm1_mor_hit', TRUE, FALSE, TRUE, 1,
+             (SELECT cents FROM hit) FROM km
+         UNION ALL SELECT 'm2_mor_masked', TRUE, FALSE, TRUE, 0, 0 FROM km
+         UNION ALL SELECT 'z_state', FALSE, FALSE, FALSE,
+             (SELECT count(*) - 1 FROM o), (SELECT count(*) FROM o) FROM km
          ORDER BY pin""",
 
     // the decode of the READ-BACK payload must yield m07's exact facts

@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.PartitionReader
 import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
 /** VECTORIZED read path for the SQL catalog — the answer to "a custom
@@ -62,6 +62,156 @@ private[v2] object GraftSqlColumnar {
   }
 }
 
+/** PARQUET ROW-GROUP predicate pushdown — the translation from pushed
+  * DSv2 filters to parquet `FilterApi` predicates, stamped on the scan
+  * conf so BOTH reader paths skip non-matching row groups via footer
+  * stats (`ParquetFileReader` applies the stats + dictionary filters at
+  * open; the zone arithmetic prunes FILES, this prunes INSIDE the
+  * surviving files — at 100 TB with ~1 GB files a selective key probe
+  * stops re-reading whole files for one hit row group).
+  *
+  * Translation is restricted to columns whose committed Spark type maps
+  * to ONE canonical physical type (int32 family / int64 family /
+  * binary-string), so the typed predicate matches the physical column
+  * in every file the format's own writers produced. A FOREIGN file that
+  * stored the column differently (e.g. an INT96 timestamp) makes the
+  * reader's open throw a schema-compatibility error — both readers
+  * catch exactly that case and retry the file WITHOUT the filter
+  * (correctness never depends on the pushdown; Spark's residual filter
+  * re-applies row-level either way). Record-level and column-index
+  * filtering stay DISABLED: the readers assume whole row groups
+  * surface, and row-group granularity is the 100 TB lever. */
+private[v2] object GraftRowGroupFilter {
+  import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate, Operators}
+  import org.apache.spark.sql.sources._
+
+  /** Zone-long filter value rendered in the column's PHYSICAL space
+    * (the same mapping [[GraftSqlValues.zoneValue]] uses for stats). */
+  private def predicateFor(dt: DataType, name: String, f: Filter)
+      : Option[FilterPredicate] = {
+    def longCol = FilterApi.longColumn(name)
+    def intCol = FilterApi.intColumn(name)
+    def intOk(l: Long) = l >= Int.MinValue && l <= Int.MaxValue
+    val isLong = dt == LongType || dt == TimestampType
+    val isInt = dt == IntegerType || dt == ShortType || dt == ByteType ||
+      dt == DateType
+    def zv(v: Any): Option[Long] = GraftSqlValues.zoneValue(v)
+    f match {
+      case EqualTo(_, v) if isLong => zv(v).map(l =>
+        FilterApi.eq(longCol, java.lang.Long.valueOf(l)))
+      case EqualTo(_, v) if isInt => zv(v).filter(intOk).map(l =>
+        FilterApi.eq(intCol, java.lang.Integer.valueOf(l.toInt)))
+      case GreaterThan(_, v) if isLong => zv(v).map(l =>
+        FilterApi.gt(longCol, java.lang.Long.valueOf(l)))
+      case GreaterThan(_, v) if isInt => zv(v).filter(intOk).map(l =>
+        FilterApi.gt(intCol, java.lang.Integer.valueOf(l.toInt)))
+      case GreaterThanOrEqual(_, v) if isLong => zv(v).map(l =>
+        FilterApi.gtEq(longCol, java.lang.Long.valueOf(l)))
+      case GreaterThanOrEqual(_, v) if isInt => zv(v).filter(intOk).map(l =>
+        FilterApi.gtEq(intCol, java.lang.Integer.valueOf(l.toInt)))
+      case LessThan(_, v) if isLong => zv(v).map(l =>
+        FilterApi.lt(longCol, java.lang.Long.valueOf(l)))
+      case LessThan(_, v) if isInt => zv(v).filter(intOk).map(l =>
+        FilterApi.lt(intCol, java.lang.Integer.valueOf(l.toInt)))
+      case LessThanOrEqual(_, v) if isLong => zv(v).map(l =>
+        FilterApi.ltEq(longCol, java.lang.Long.valueOf(l)))
+      case LessThanOrEqual(_, v) if isInt => zv(v).filter(intOk).map(l =>
+        FilterApi.ltEq(intCol, java.lang.Integer.valueOf(l.toInt)))
+      case In(_, vs) if isLong =>
+        val ls = vs.toSeq.filter(_ != null).flatMap(zv)
+        if (ls.size != vs.count(_ != null) || ls.isEmpty) None
+        else {
+          val set = new java.util.HashSet[java.lang.Long]()
+          ls.foreach(l => set.add(java.lang.Long.valueOf(l)))
+          Some(FilterApi.in(longCol, set))
+        }
+      case In(_, vs) if isInt =>
+        val ls = vs.toSeq.filter(_ != null).flatMap(zv)
+        if (ls.size != vs.count(_ != null) || ls.isEmpty ||
+            !ls.forall(intOk)) None
+        else {
+          val set = new java.util.HashSet[java.lang.Integer]()
+          ls.foreach(l => set.add(java.lang.Integer.valueOf(l.toInt)))
+          Some(FilterApi.in(intCol, set))
+        }
+      // null tests carry no value to translate — any physical type with
+      // a typed column constructor works; the common stats columns are
+      // covered (int/long families and strings)
+      case IsNull(_) if isLong =>
+        Some(FilterApi.eq(longCol, null.asInstanceOf[java.lang.Long]))
+      case IsNull(_) if isInt =>
+        Some(FilterApi.eq(intCol, null.asInstanceOf[java.lang.Integer]))
+      case IsNull(_) if dt == StringType =>
+        Some(FilterApi.eq(FilterApi.binaryColumn(name),
+          null.asInstanceOf[org.apache.parquet.io.api.Binary]))
+      case IsNotNull(_) if isLong =>
+        Some(FilterApi.notEq(longCol, null.asInstanceOf[java.lang.Long]))
+      case IsNotNull(_) if isInt =>
+        Some(FilterApi.notEq(intCol, null.asInstanceOf[java.lang.Integer]))
+      case IsNotNull(_) if dt == StringType =>
+        Some(FilterApi.notEq(FilterApi.binaryColumn(name),
+          null.asInstanceOf[org.apache.parquet.io.api.Binary]))
+      case _ => None
+    }
+  }
+
+  /** AND of every translatable pushed filter (untranslatable ones are
+    * simply skipped — the residual filter covers them). */
+  def build(filters: Array[Filter], schema: StructType)
+      : Option[FilterPredicate] = {
+    val preds = filters.flatMap { f =>
+      val colOpt = f match {
+        case EqualTo(c, _) => Some(c)
+        case GreaterThan(c, _) => Some(c)
+        case GreaterThanOrEqual(c, _) => Some(c)
+        case LessThan(c, _) => Some(c)
+        case LessThanOrEqual(c, _) => Some(c)
+        case In(c, _) => Some(c)
+        case IsNull(c) => Some(c)
+        case IsNotNull(c) => Some(c)
+        case _ => None
+      }
+      for {
+        c <- colOpt
+        field <- schema.fields.find(_.name == c)
+        p <- predicateFor(field.dataType, c, f)
+      } yield p
+    }
+    preds.reduceOption(FilterApi.and)
+  }
+
+  /** Stamp `pred` for the readers: the predicate itself plus the
+    * filtering levels — stats + dictionary ON (row-group granularity),
+    * record-level and column-index OFF (the readers surface whole row
+    * groups; Spark's residual filter does the row-level work). */
+  def stamp(c: org.apache.hadoop.conf.Configuration,
+            pred: FilterPredicate): Unit = {
+    org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(c, pred)
+    c.setBoolean(org.apache.parquet.hadoop.ParquetInputFormat
+      .RECORD_FILTERING_ENABLED, false)
+    c.setBoolean(org.apache.parquet.hadoop.ParquetInputFormat
+      .COLUMN_INDEX_FILTERING_ENABLED, false)
+  }
+
+  private val PredicateKey =
+    org.apache.parquet.hadoop.ParquetInputFormat.FILTER_PREDICATE
+
+  def hasFilter(c: org.apache.hadoop.conf.Configuration): Boolean =
+    c.get(PredicateKey) != null
+
+  /** A conf copy with the filter REMOVED — the per-file fallback when a
+    * foreign file's physical types reject the typed predicate, and the
+    * mandatory conf for manifest (`_del_key`) reads, which must never
+    * inherit a data-column filter (an empty mask would resurrect
+    * deleted rows). */
+  def without(c: org.apache.hadoop.conf.Configuration)
+      : org.apache.hadoop.conf.Configuration = {
+    val c2 = new org.apache.hadoop.conf.Configuration(c)
+    c2.unset(PredicateKey)
+    c2
+  }
+}
+
 private class GraftSqlColumnarReader(file: String, required: StructType,
                                      conf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[ColumnarBatch] {
@@ -91,22 +241,37 @@ private class GraftSqlColumnarReader(file: String, required: StructType,
       val path = new org.apache.hadoop.fs.Path(file)
       val split = new org.apache.hadoop.mapred.FileSplit(
         path, 0, Long.MaxValue, Array.empty[String])
-      val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
-        conf, new org.apache.hadoop.mapreduce.TaskAttemptID(
-          new org.apache.hadoop.mapreduce.TaskID(
-            new org.apache.hadoop.mapreduce.JobID(), // synthetic: no MR job
-            org.apache.hadoop.mapreduce.TaskType.MAP, 0), 0))
-      val r = new VectorizedParquetRecordReader(false, 4096)
-      try r.initialize(split, ctx)
-      catch {
-        case e: InterruptedException =>
-          r.close()
-          Thread.currentThread().interrupt()
-          throw new java.io.InterruptedIOException(
-            s"interrupted initializing vectorized read of $file: ${e.getMessage}")
+      def init(c: org.apache.hadoop.conf.Configuration)
+          : VectorizedParquetRecordReader = {
+        val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+          c, new org.apache.hadoop.mapreduce.TaskAttemptID(
+            new org.apache.hadoop.mapreduce.TaskID(
+              new org.apache.hadoop.mapreduce.JobID(), // synthetic: no MR job
+              org.apache.hadoop.mapreduce.TaskType.MAP, 0), 0))
+        val r = new VectorizedParquetRecordReader(false, 4096)
+        try r.initialize(split, ctx)
+        catch {
+          case e: InterruptedException =>
+            r.close()
+            Thread.currentThread().interrupt()
+            throw new java.io.InterruptedIOException(
+              s"interrupted initializing vectorized read of $file: ${e.getMessage}")
+          case e: Throwable =>
+            r.close()
+            throw e
+        }
+        r.resultBatch() // allocates the batch vectors (nextBatch needs them)
+        r
       }
-      r.resultBatch() // allocates the batch vectors (nextBatch needs them)
-      r
+      try init(conf)
+      catch {
+        // a FOREIGN file whose physical column type rejects the stamped
+        // row-group predicate (parquet's SchemaCompatibilityValidator):
+        // re-open WITHOUT the filter — pushdown is an optimization, the
+        // residual Spark filter keeps the result exact
+        case e: IllegalArgumentException if GraftRowGroupFilter.hasFilter(conf) =>
+          init(GraftRowGroupFilter.without(conf))
+      }
     }
 
   private var countBatch: ColumnarBatch = _

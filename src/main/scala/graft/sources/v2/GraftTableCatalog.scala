@@ -637,6 +637,11 @@ private class GraftSqlScanBuilder(snap: TableFormat.Snapshot,
   // accumulated per-column bounds used ONLY for file pruning
   private val bounds = scala.collection.mutable.Map
     .empty[String, (Long, Long)]
+  // labeled per-file keep-predicates from the NULL/IN shapes — driver
+  // arithmetic over recorded null counts and key blooms, same
+  // best-effort contract as `bounds` (filters always stay residual)
+  private val pruners = scala.collection.mutable.ArrayBuffer
+    .empty[(String, TableFormat.FileStat => Boolean)]
 
   private def prunable(col: String): Boolean =
     col == snap.keyCol || snap.zoneCols.contains(col)
@@ -683,7 +688,23 @@ private class GraftSqlScanBuilder(snap: TableFormat.Snapshot,
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     filters.foreach {
       case EqualTo(c, v) if prunable(c) =>
-        zoneValue(v).foreach(l => tighten(c, l, l))
+        zoneValue(v).foreach { l =>
+          tighten(c, l, l)
+          // a KEY point probe also consults the per-file bloom: bounds
+          // keep every file whose range covers the value, the bloom
+          // drops the ones that provably never held it (no false
+          // negatives — exactly the library's bloom-gated point lookup,
+          // now at SQL plan time; Catalyst folds 1-element IN to `=`,
+          // so this is also the single-value IN path)
+          if (c == snap.keyCol) {
+            val s = org.apache.spark.unsafe.types.UTF8String
+              .fromString(l.toString)
+            pruners += ((s"EqBloom($c)", (f: TableFormat.FileStat) =>
+              graft.functions.BloomUtil.contains(
+                new org.apache.spark.sql.catalyst.util.GenericArrayData(f.bloom),
+                s, snap.numBits, snap.numHashes)))
+          }
+        }
       case GreaterThan(c, v) if prunable(c) =>
         // saturate at the domain edge: l+1 on Long.MaxValue would wrap
         // negative and silently widen the pruning range
@@ -698,6 +719,45 @@ private class GraftSqlScanBuilder(snap: TableFormat.Snapshot,
             if (discrete(c) && l != Long.MinValue) l - 1 else l))
       case LessThanOrEqual(c, v) if prunable(c) =>
         zoneValue(v).foreach(l => tighten(c, Long.MinValue, l))
+      // `c IS NULL`: only files that MAY hold a null can match — a
+      // RECORDED zero null count (FileStat.nulls) is proof of absence;
+      // unknown (pre-null-stats commits) keeps the file (never guess)
+      case IsNull(c) if prunable(c) =>
+        pruners += ((s"IsNull($c)", (f: TableFormat.FileStat) => !f.nullFree(c)))
+      // `c IS NOT NULL`: an ALL-null file (recorded null count = row
+      // count) provably matches nothing
+      case IsNotNull(c) if prunable(c) =>
+        pruners += ((s"IsNotNull($c)", (f: TableFormat.FileStat) =>
+          !(f.nRows > 0 && f.nulls.get(c).contains(f.nRows))))
+      // `c IN (...)`: on the KEY, probe each value against the file's
+      // key bounds AND its bloom (the per-file membership sketch every
+      // commit carries — no false negatives, so dropping a
+      // no-value-maybe-present file is exact); on a zone column, bounds
+      // only. A null in the value list contributes no match (SQL IN
+      // null-matches nothing), so it is simply not probed.
+      case In(c, values) if prunable(c) && values.nonEmpty =>
+        val longs = values.toSeq.flatMap(v => zoneValue(v))
+        if (longs.size == values.count(_ != null)) {
+          // every non-null value translated — the probe set is complete
+          if (c == snap.keyCol) {
+            val strs = longs.map(l =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(l.toString))
+            pruners += ((s"In($c:${longs.size})", (f: TableFormat.FileStat) => {
+              val bits =
+                new org.apache.spark.sql.catalyst.util.GenericArrayData(f.bloom)
+              longs.indices.exists { i =>
+                longs(i) >= f.minKey && longs(i) <= f.maxKey &&
+                  graft.functions.BloomUtil.contains(bits, strs(i),
+                    snap.numBits, snap.numHashes)
+              }
+            }))
+          } else {
+            pruners += ((s"In($c:${longs.size})", (f: TableFormat.FileStat) =>
+              f.zones.get(c).forall { case (mn, mx) =>
+                longs.exists(l => l >= mn && l <= mx)
+              }))
+          }
+        }
       case _ => ()
     }
     pushed = filters.filter {
@@ -706,6 +766,10 @@ private class GraftSqlScanBuilder(snap: TableFormat.Snapshot,
       case GreaterThanOrEqual(c, v) => prunable(c) && zoneValue(v).isDefined
       case LessThan(c, v) => prunable(c) && zoneValue(v).isDefined
       case LessThanOrEqual(c, v) => prunable(c) && zoneValue(v).isDefined
+      case IsNull(c) => prunable(c)
+      case IsNotNull(c) => prunable(c)
+      case In(c, values) => prunable(c) && values.nonEmpty &&
+        values.forall(v => v == null || zoneValue(v).isDefined)
       case _ => false
     }
     // everything stays residual: pruning is an optimization, Spark keeps
@@ -751,7 +815,7 @@ private class GraftSqlScanBuilder(snap: TableFormat.Snapshot,
 
   private def planAgg(agg: Aggregation): Option[Seq[AggSpec]] = {
     if (agg.groupByExpressions().nonEmpty || snap.deletes.nonEmpty ||
-        bounds.nonEmpty) return None
+        bounds.nonEmpty || pruners.nonEmpty) return None
     val specs = agg.aggregateExpressions().map {
       case _: CountStar => CountStarSpec
       case m: Min => m.column() match {
@@ -780,7 +844,25 @@ private class GraftSqlScanBuilder(snap: TableFormat.Snapshot,
 
   override def build(): Scan = pushedAgg match {
     case Some(specs) => new GraftSqlAggScan(snap, tableSchema, specs)
-    case None => new GraftSqlScan(snap, required, bounds.toMap, startingVersion)
+    case None => new GraftSqlScan(snap, required, bounds.toMap, startingVersion,
+      pruners.toSeq, rowGroupFilters(), tableSchema)
+  }
+
+  /** The pushed shapes eligible for PARQUET ROW-GROUP pushdown inside
+    * surviving files: comparisons/IN/NULL tests on DISCRETE-typed
+    * key/zone columns, whose zone-long mapping is a bijection onto the
+    * file's physical values — so a `FilterApi` predicate built from the
+    * same translated values is exact at row-group granularity (and rows
+    * are still residual-filtered above the scan either way). */
+  private def rowGroupFilters(): Array[Filter] = pushed.filter {
+    case EqualTo(c, _) => discrete(c)
+    case GreaterThan(c, _) => discrete(c)
+    case GreaterThanOrEqual(c, _) => discrete(c)
+    case LessThan(c, _) => discrete(c)
+    case LessThanOrEqual(c, _) => discrete(c)
+    case In(c, _) => discrete(c)
+    case IsNull(_) | IsNotNull(_) => true
+    case _ => false
   }
 
   /** The pushed-aggregate scan: ONE driver-local row computed from the
@@ -840,7 +922,11 @@ private case class GraftSqlPartition(file: String, manifests: Seq[String],
 
 private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
                            bounds: Map[String, (Long, Long)],
-                           startingVersion: Option[Long] = None)
+                           startingVersion: Option[Long] = None,
+                           pruners: Seq[(String, TableFormat.FileStat => Boolean)] =
+                             Seq.empty,
+                           rowGroupFilters: Array[Filter] = Array.empty,
+                           tableSchema: StructType = StructType(Nil))
     extends Scan with Batch {
   override def readSchema(): StructType = required
 
@@ -864,7 +950,7 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
   private lazy val hit = snap.files.filter { f =>
     bounds.forall { case (col, (lo, hi)) =>
       boundsOf(f, col).forall { case (mn, mx) => mn <= hi && mx >= lo }
-    }
+    } && pruners.forall(_._2(f))
   }
 
   /** Columnar iff no delete manifest applies to ANY surviving file
@@ -882,9 +968,21 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
       s"${snap.files.size - hit.size}/${snap.files.size}, " +
       s"Columnar: $columnar, Bounds: " +
       bounds.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => s"$c in [$lo,$hi]" }
-        .mkString("[", ", ", s"], ReadSchema: ${required.catalogString}")
+        .mkString("[", ", ", "]") +
+      s", Pruners: ${pruners.map(_._1).sorted.mkString("[", ", ", "]")}" +
+      s", RowGroupFilter: ${rowGroupFilter.isDefined}" +
+      s", ReadSchema: ${required.catalogString}"
 
   override def toBatch: Batch = this
+
+  /** The row-group-level `FilterApi` predicate stamped for the readers
+    * — built from the pushed discrete-column filters ONLY when the scan
+    * projects at least one column (a zero-column count(*) scan answers
+    * from footer row counts and must never see a filter). */
+  private lazy val rowGroupFilter
+      : Option[org.apache.parquet.filter2.predicate.FilterPredicate] =
+    if (required.fields.isEmpty) None
+    else GraftRowGroupFilter.build(rowGroupFilters, tableSchema)
 
   override def planInputPartitions(): Array[InputPartition] =
     hit.map { f =>
@@ -900,6 +998,7 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
     val c = GraftSqlColumnar.scanConf(SparkSession.active)
     c.set(org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport
       .SPARK_ROW_REQUESTED_SCHEMA, required.json)
+    rowGroupFilter.foreach(GraftRowGroupFilter.stamp(c, _))
     new GraftSqlReaderFactory(required, columnar, new SerializableHadoopConf(c))
   }
 }

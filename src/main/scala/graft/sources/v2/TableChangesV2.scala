@@ -236,8 +236,14 @@ private[v2] object ParquetRowReader {
                      conf: org.apache.hadoop.conf.Configuration)
       : java.util.HashSet[java.lang.Long] = {
     val out = new java.util.HashSet[java.lang.Long]()
+    // NEVER let a scan's stamped row-group predicate reach a manifest
+    // read: a data-column filter would drop `_del_key` row groups and
+    // the emptied mask would resurrect deleted rows
+    val c =
+      if (GraftRowGroupFilter.hasFilter(conf)) GraftRowGroupFilter.without(conf)
+      else conf
     val r = new ParquetRowReader(file,
-      StructType(Seq(StructField(column, LongType))), conf)
+      StructType(Seq(StructField(column, LongType))), c)
     try while (r.next()) out.add(r.get().getLong(0))
     finally r.close()
     out
@@ -263,8 +269,22 @@ private[v2] class ParquetRowReader(file: String, schema: StructType,
   import org.apache.parquet.hadoop.util.HadoopInputFile
   import org.apache.parquet.io.ColumnIOFactory
 
-  private val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
-    new org.apache.hadoop.fs.Path(file), conf))
+  // open through HadoopReadOptions so a row-group FilterPredicate the
+  // scan stamped on the conf applies at open (stats-level skipping of
+  // non-matching row groups — the masked MoR path gets the same IO
+  // savings as the vectorized path); a foreign file whose physical type
+  // rejects the typed predicate falls back to an unfiltered open
+  private val reader = {
+    val path = new org.apache.hadoop.fs.Path(file)
+    def open(c: org.apache.hadoop.conf.Configuration) =
+      ParquetFileReader.open(HadoopInputFile.fromPath(path, c),
+        org.apache.parquet.HadoopReadOptions.builder(c, path).build())
+    try open(conf)
+    catch {
+      case _: IllegalArgumentException if GraftRowGroupFilter.hasFilter(conf) =>
+        open(GraftRowGroupFilter.without(conf))
+    }
+  }
   private val fileSchema = reader.getFooter.getFileMetaData.getSchema
   private val columnIO = new ColumnIOFactory().getColumnIO(fileSchema)
 

@@ -742,6 +742,105 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(e.getMessage.contains("DATE or TIMESTAMP"), e.getMessage)
   }
 
+  test("NULL/IN file pruning: recorded null counts and key blooms prune at plan time, results exact") {
+    import spark.implicits._
+    val root = s"$warehouse/nulin"
+    TableFormat.createEmpty(spark, root, "k", "k BIGINT, g BIGINT, v BIGINT",
+      numBits = 1 << 12, numHashes = 5, zoneCols = Seq("g"))
+    def appendDf(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      df.repartition(1).write.mode("overwrite").parquet(s"$root/w_$tag")
+      TableFormat.appendFiles(spark, root,
+        TableFormat.listParquet(spark, s"$root/w_$tag"))
+    }
+    // f1: keys 0..198 EVEN, g never null; f2: keys 100..199, g null on
+    // multiples of 10; f3: keys 200..299, g ALL null
+    appendDf((0L until 200L by 2).map(i => (i, i % 7, i)).toDF("k", "g", "v"), "f1")
+    appendDf(spark.range(100, 200).select(col("id").as("k"),
+      when(col("id") % 10 === 0, lit(null)).otherwise(col("id") % 7).as("g"),
+      col("id").as("v")), "f2")
+    appendDf(spark.range(200, 300).select(col("id").as("k"),
+      lit(null).cast("long").as("g"), col("id").as("v")), "f3")
+    def pruned(sql: String): (Int, Int, Long) = {
+      val df = spark.sql(sql)
+      val m = "PrunedFiles: (\\d+)/(\\d+)".r
+        .findFirstMatchIn(df.queryExecution.executedPlan.toString).get
+      (m.group(1).toInt, m.group(2).toInt, df.count())
+    }
+    // IS NULL prunes the PROVABLY null-free f1 (recorded zero), keeps
+    // f2 (nulls recorded) and f3 (all null)
+    assert(pruned("SELECT v FROM sqlcat.nulin WHERE g IS NULL") ==
+      ((1, 3, 10L + 100L)))
+    // IS NOT NULL prunes the provably ALL-null f3
+    assert(pruned("SELECT v FROM sqlcat.nulin WHERE g IS NOT NULL") ==
+      ((1, 3, 100L + 90L)))
+    // IN on the key: ranges eliminate f3, the bloom eliminates f2
+    // (1000 out of range everywhere; 4 in f1's range and bloom-present)
+    assert(pruned("SELECT v FROM sqlcat.nulin WHERE k IN (4, 1000)") ==
+      ((2, 3, 1L)))
+    // an in-range but ABSENT key (odd, f1 holds evens): the bloom alone
+    // prunes all three files — zero partitions planned, zero IO
+    assert(pruned("SELECT v FROM sqlcat.nulin WHERE k IN (7)") ==
+      ((3, 3, 0L)))
+    // IN on the zone column prunes by bounds (g in [0,6] on f1/f2)
+    assert(pruned("SELECT v FROM sqlcat.nulin WHERE g IN (50)") ==
+      ((3, 3, 0L)))
+    // combined with a range: conjunction narrows to f2 only
+    assert(pruned(
+      "SELECT v FROM sqlcat.nulin WHERE g IS NULL AND k >= 100 AND k < 200") ==
+      ((2, 3, 10L)))
+  }
+
+  test("row-group predicate pushdown: a within-file-selective probe reads one row group, not the file") {
+    val root = s"$warehouse/rgpush"
+    // ONE sorted 200k-row file with ~tens of row groups (tiny block
+    // size), so file-level pruning cannot help a point probe at all
+    spark.range(0, 200000).selectExpr("id AS k", "id * 2 AS v")
+      .sort("k").coalesce(1)
+      .write.option("parquet.block.size", "65536")
+      .mode("overwrite").parquet(s"$root/w1")
+    TableFormat.commitFiles(spark, root, "k",
+      TableFormat.listParquet(spark, s"$root/w1"), 1 << 14, 5)
+    val snap = TableFormat.snapshot(spark, root)
+    assert(snap.files.size == 1)
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      assert(scans.size == 1)
+      scans.head.metrics("numOutputRows").value
+    }
+    // vectorized path: the scan surfaces only the surviving row
+    // group(s), far below the file's 200k rows
+    val probe = spark.sql("SELECT v FROM sqlcat.rgpush WHERE k = 123456")
+    assert(probe.queryExecution.executedPlan.toString
+      .contains("RowGroupFilter: true"))
+    assert(probe.collect().map(_.getLong(0)).toSeq == Seq(246912L))
+    val vRows = scanRows(spark.sql(
+      "SELECT v FROM sqlcat.rgpush WHERE k = 123456"))
+    assert(vRows > 0 && vRows < 20000, s"vectorized scan surfaced $vRows rows")
+    // a range probe stays exact
+    assert(spark.sql(
+      "SELECT sum(v) FROM sqlcat.rgpush WHERE k >= 1000 AND k < 2000")
+      .collect()(0).getLong(0) == (1000L until 2000L).map(_ * 2).sum)
+    // merge-on-read path: the masked ROW reader must row-group-skip too,
+    // and the stamped filter must never leak into the manifest read
+    // (the mask still applies — the deleted key stays gone)
+    TableFormat.deleteKeysMoR(spark, root, root, Seq(123456L))
+    val mor = spark.sql("SELECT v FROM sqlcat.rgpush WHERE k = 123456")
+    assert(mor.queryExecution.executedPlan.toString.contains("Columnar: false"))
+    assert(mor.collect().isEmpty)
+    val morRows = scanRows(spark.sql(
+      "SELECT v FROM sqlcat.rgpush WHERE k = 123455"))
+    assert(morRows > 0 && morRows < 20000, s"MoR scan surfaced $morRows rows")
+    assert(spark.sql("SELECT v FROM sqlcat.rgpush WHERE k = 123455")
+      .collect().map(_.getLong(0)).toSeq == Seq(246910L))
+    // count(*) over the MoR snapshot (no aggregate pushdown under
+    // manifests): still exact under stamped filters elsewhere
+    assert(spark.sql("SELECT count(*) FROM sqlcat.rgpush").collect()(0)
+      .getLong(0) == 199999L)
+  }
+
   test("composite month x bucket spec: bounded open writers, every (month, residue) file routed correctly") {
     // month(dt) is the monotone half (closes the run's writers when the
     // month advances), bucket(k, 3) the interleaving half (map bounded
