@@ -5217,6 +5217,63 @@ object SparkEntry {
         .reduce(_.unionByName(_)).orderBy(col("pin"))
     },
 
+    // ---- STREAMING ADMISSION CONTROL (r13): a 7-version backlog on a
+    // catalog table drains through `max_versions_per_trigger=2` into
+    // FOUR bounded micro-batches (Delta's maxFilesPerTrigger shape —
+    // SupportsAdmissionControl + a native SupportsTriggerAvailableNow,
+    // because Spark's wrapper ignores delegate admission), each batch
+    // committing one exactly-once epoch on the target: the target's
+    // version ledger IS the batch structure, graded version by version,
+    // and the union equals the unthrottled content ----
+    "q132_stream_admission" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"adm_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val root = scratch("q132_adm", dir)
+      val bRoot = s"$root/b"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q132_adm", dir) {
+        Seq(s"$wh/$tbl", root).foreach { r =>
+          val p = new org.apache.hadoop.fs.Path(r)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("q132_src")
+        s.sql(s"""CREATE TABLE graft.`$tbl` (o_orderkey BIGINT, cents BIGINT)
+          TBLPROPERTIES('key_col'='o_orderkey')""")                  // A v1
+        Seq(1, 5, 9, 17, 21, 25).foreach(r =>
+          s.sql(s"INSERT INTO graft.`$tbl` " +
+            s"SELECT * FROM q132_src WHERE o_orderkey % 32 = $r"))   // A v2..v7
+        TableFormat.createEmpty(s, bRoot, "o_orderkey",
+          "o_orderkey BIGINT, cents BIGINT")                         // B v1
+        val cp = s"$root/cp"
+        val q = s.readStream.option("max_versions_per_trigger", "2")
+          .table(s"graft.`$tbl`")
+          .writeStream.format("graft-table")
+          .option("path", bRoot).option("lineage", cp)
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), "q132: stream did not finish")
+      }
+      val ledger = TableFormat.versions(s, bRoot).map { v =>
+        val snap = TableFormat.snapshot(s, bRoot, Some(v))
+        Parallelism.ensureDefaultParallelism(TableFormat.read(s, snap))
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("cents")), lit(0L)).as("sum_cents"))
+          .select(lit(s"b_v$v").as("pin"),
+            lit(snap.op.getOrElse("")).as("op"),
+            col("n_rows"), col("sum_cents"))
+      }
+      val counts = s.range(1).select(lit("z_counts").as("pin"),
+        lit("-").as("op"),
+        lit(TableFormat.versions(s, bRoot).size.toLong).as("n_rows"),
+        lit(TableFormat.versions(s, bRoot).size.toLong).as("sum_cents"))
+      (ledger :+ counts).reduce(_.unionByName(_)).orderBy(col("pin"))
+    },
+
     // ---- NULL/IN FILE PRUNING (r13): the per-file null counts and key
     // blooms every commit carries now prune at PLAN time — `od IS NULL`
     // drops files with a RECORDED zero null count, `od IS NOT NULL`
@@ -7661,6 +7718,38 @@ object SparkEntry {
          UNION ALL SELECT 'c_v1', 'create', 0, 0 FROM y
          UNION ALL SELECT 'c_v2', 'append', n, t FROM z
          UNION ALL SELECT 'z_counts', '-', 2, 2 FROM y
+         ORDER BY pin""",
+
+    // the throttled drain's batch structure IS the target's version
+    // ledger: 4 data batches from a 7-version backlog at 2 versions per
+    // trigger ([v1,v2] -> slice 1, [v3,v4] -> 5+9, [v5,v6] -> 17+21,
+    // [v7] -> 25), plus the create — exactly 5 versions whose running
+    // contents replay from the slice unions
+    "q132_stream_admission" ->
+      """WITH sl AS (SELECT o_orderkey % 32 AS r, count(*) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS t
+           FROM orders WHERE o_orderkey % 32 IN (1, 5, 9, 17, 21, 25)
+           GROUP BY 1),
+         c AS (SELECT
+             sum(CASE WHEN r IN (1) THEN n END) AS n2,
+             sum(CASE WHEN r IN (1) THEN t END) AS t2,
+             sum(CASE WHEN r IN (1, 5, 9) THEN n END) AS n3,
+             sum(CASE WHEN r IN (1, 5, 9) THEN t END) AS t3,
+             sum(CASE WHEN r IN (1, 5, 9, 17, 21) THEN n END) AS n4,
+             sum(CASE WHEN r IN (1, 5, 9, 17, 21) THEN t END) AS t4,
+             sum(n) AS n5, sum(t) AS t5
+           FROM sl)
+         SELECT 'b_v1' AS pin, 'create' AS op, CAST(0 AS BIGINT) AS n_rows,
+             CAST(0 AS BIGINT) AS sum_cents FROM c
+         UNION ALL SELECT 'b_v2', 'append', CAST(n2 AS BIGINT),
+             CAST(t2 AS BIGINT) FROM c
+         UNION ALL SELECT 'b_v3', 'append', CAST(n3 AS BIGINT),
+             CAST(t3 AS BIGINT) FROM c
+         UNION ALL SELECT 'b_v4', 'append', CAST(n4 AS BIGINT),
+             CAST(t4 AS BIGINT) FROM c
+         UNION ALL SELECT 'b_v5', 'append', CAST(n5 AS BIGINT),
+             CAST(t5 AS BIGINT) FROM c
+         UNION ALL SELECT 'z_counts', '-', 5, 5 FROM c
          ORDER BY pin""",
 
     // the pruned-files ledger is a CONSTANT of the fixed dataset: f1

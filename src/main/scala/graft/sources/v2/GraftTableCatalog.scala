@@ -534,7 +534,7 @@ private class GraftSqlTable(ident: String, root: String,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftSqlScanBuilder(snap, tableSchema,
-      ChangesStream.startingVersion(options))
+      ChangesStream.readOptions(options))
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new GraftSqlWriteBuilder(root, info.schema(), info.queryId(),
@@ -625,7 +625,8 @@ private class GraftSqlTable(ident: String, root: String,
 
 private class GraftSqlScanBuilder(snap: TableFormat.Snapshot,
                                   tableSchema: StructType,
-                                  startingVersion: Option[Long] = None)
+                                  streamOpts: ChangesStream.ReadOptions =
+                                    ChangesStream.ReadOptions())
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -844,7 +845,7 @@ private class GraftSqlScanBuilder(snap: TableFormat.Snapshot,
 
   override def build(): Scan = pushedAgg match {
     case Some(specs) => new GraftSqlAggScan(snap, tableSchema, specs)
-    case None => new GraftSqlScan(snap, required, bounds.toMap, startingVersion,
+    case None => new GraftSqlScan(snap, required, bounds.toMap, streamOpts,
       pruners.toSeq, rowGroupFilters(), tableSchema)
   }
 
@@ -922,7 +923,8 @@ private case class GraftSqlPartition(file: String, manifests: Seq[String],
 
 private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
                            bounds: Map[String, (Long, Long)],
-                           startingVersion: Option[Long] = None,
+                           streamOpts: ChangesStream.ReadOptions =
+                             ChangesStream.ReadOptions(),
                            pruners: Seq[(String, TableFormat.FileStat => Boolean)] =
                              Seq.empty,
                            rowGroupFilters: Array[Filter] = Array.empty,
@@ -942,7 +944,7 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
     * filters stay residual above the scan, so results remain exact. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ChangesStream(snap.root, required, startingVersion)
+    new ChangesStream(snap.root, required, streamOpts)
 
   private def boundsOf(f: TableFormat.FileStat, col: String): Option[(Long, Long)] =
     if (col == snap.keyCol) Some((f.minKey, f.maxKey)) else f.zones.get(col)

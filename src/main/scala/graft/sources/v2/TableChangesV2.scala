@@ -99,16 +99,16 @@ private class ChangesTable(root: String, tableSchema: StructType)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new ChangesScan(root, tableSchema,
-        ChangesStream.startingVersion(options))
+        ChangesStream.readOptions(options))
     }
 }
 
 private class ChangesScan(root: String, schema: StructType,
-                          startingVersion: Option[Long]) extends Scan {
+                          opts: ChangesStream.ReadOptions) extends Scan {
   override def readSchema(): StructType = schema
   override def description(): String = s"graft-table-changes($root)"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ChangesStream(root, schema, startingVersion)
+    new ChangesStream(root, schema, opts)
 }
 
 private case class VersionOffset(version: Long) extends Offset {
@@ -119,14 +119,34 @@ private case class TableFilePartition(file: String, version: Long)
   extends InputPartition
 
 private[v2] object ChangesStream {
-  /** Delta's `startingVersion` option, with Delta's documented
-    * INCLUSIVE semantics: `n` starts the stream AT version n (n's own
-    * commit is the first one emitted — "I hold the state as of n-1");
-    * `latest` starts at the current head, emitting only commits that
-    * land after the query starts. Absent = the full table (the first
-    * live version emits as base). Only consulted for a FRESH
-    * checkpoint — a resumed query's offset always wins (Spark never
-    * calls initialOffset when the checkpoint holds one). */
+  /** The stream's option bundle:
+    *  - `starting_version` — Delta's option with Delta's documented
+    *    INCLUSIVE semantics: `n` starts the stream AT version n (n's own
+    *    commit is the first one emitted — "I hold the state as of n-1");
+    *    `latest` starts at the current head. Absent = the full table
+    *    (the first live version emits as base). Only consulted for a
+    *    FRESH checkpoint — a resumed query's offset always wins.
+    *  - `max_versions_per_trigger` / `max_files_per_trigger` — ADMISSION
+    *    CONTROL (the Delta maxFilesPerTrigger shape): cap how much of a
+    *    pending backlog one micro-batch plans, so a fresh checkpoint on
+    *    a large table (or an ingest burst) drains across bounded batches
+    *    instead of one giant batch that blows executor memory and the
+    *    latency SLA. At least one version is always admitted (progress
+    *    guarantee); `Trigger.Once`-style ReadAllAvailable requests
+    *    bypass the caps, exactly like Delta. */
+  final case class ReadOptions(startingVersion: Option[Long] = None,
+                               maxVersionsPerTrigger: Option[Int] = None,
+                               maxFilesPerTrigger: Option[Int] = None)
+
+  def readOptions(options: CaseInsensitiveStringMap): ReadOptions = {
+    def intOpt(key: String): Option[Int] =
+      Option(options.get(key)).map(v => v.toIntOption.filter(_ >= 1).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-table-changes: $key must be a positive integer, got '$v'")))
+    ReadOptions(startingVersion(options),
+      intOpt("max_versions_per_trigger"), intOpt("max_files_per_trigger"))
+  }
+
   def startingVersion(options: CaseInsensitiveStringMap): Option[Long] =
     Option(options.get("starting_version")).map {
       case "latest" => -1L // resolved against the live log at start
@@ -138,11 +158,20 @@ private[v2] object ChangesStream {
 }
 
 private[v2] class ChangesStream(root: String, schema: StructType,
-                                startingVersion: Option[Long] = None)
-    extends MicroBatchStream {
+                                opts: ChangesStream.ReadOptions)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{ReadAllAvailable, ReadLimit}
+
+  // source-compat shim for the pre-admission-control call shape
+  def this(root: String, schema: StructType,
+           startingVersion: Option[Long] = None) =
+    this(root, schema, ChangesStream.ReadOptions(startingVersion))
+
   private def spark = SparkSession.active
 
-  override def initialOffset(): Offset = startingVersion match {
+  override def initialOffset(): Offset = opts.startingVersion match {
     case Some(-1L) => // 'latest': only commits after the stream starts
       VersionOffset(TableFormat.versions(spark, root).lastOption.getOrElse(0L))
     // inclusive (the Delta convention): version n itself is the first
@@ -154,6 +183,81 @@ private[v2] class ChangesStream(root: String, schema: StructType,
   override def latestOffset(): Offset = {
     val vs = TableFormat.versions(spark, root)
     VersionOffset(vs.lastOption.getOrElse(0L))
+  }
+
+  // ---- Trigger.AvailableNow (SupportsTriggerAvailableNow) ----
+  // Implemented DIRECTLY (not via Spark's wrapper) because the wrapper's
+  // latestOffset(start, limit) returns the prepared head outright —
+  // admission control would be silently ignored and the whole backlog
+  // would land in one batch. Owning the interface pins the run's end
+  // offset at prepare time AND keeps the per-batch caps: the backlog
+  // drains across bounded batches up to the pinned head, exactly
+  // Delta's AvailableNow behavior.
+  private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap =
+      Some(TableFormat.versions(spark, root).lastOption.getOrElse(0L))
+
+  private def cappedHead(head: Long): Long =
+    availableNowCap.fold(head)(math.min(head, _))
+
+  // ---- admission control (SupportsAdmissionControl) ----
+
+  /** Advertise a file cap when EITHER throttle option is set — the
+    * concrete ReadLimit object is only a carrier; [[latestOffset(Offset,
+    * ReadLimit)]] applies the caps from the parsed options, and treats a
+    * ReadAllAvailable request (Trigger.Once) as "bypass the caps". */
+  override def getDefaultReadLimit: ReadLimit =
+    if (opts.maxVersionsPerTrigger.isEmpty && opts.maxFilesPerTrigger.isEmpty)
+      ReadLimit.allAvailable()
+    else ReadLimit.maxFiles(opts.maxFilesPerTrigger.getOrElse(Int.MaxValue))
+
+  override def reportLatestOffset(): Offset = latestOffset()
+
+  /** Cap the batch END VERSION so the window `(start, end]` admits at
+    * most `max_versions_per_trigger` versions and (approximately) at
+    * most `max_files_per_trigger` appended files — the first admitted
+    * version is never split (progress guarantee: a single version larger
+    * than the file cap still drains alone). Pure driver arithmetic over
+    * the already-resolved snapshots, like batch planning itself. */
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val s = startOffset.asInstanceOf[VersionOffset].version
+    val all = TableFormat.versions(spark, root)
+    val head = cappedHead(all.lastOption.getOrElse(0L))
+    val uncapped = limit.isInstanceOf[ReadAllAvailable] ||
+      (opts.maxVersionsPerTrigger.isEmpty && opts.maxFilesPerTrigger.isEmpty)
+    if (uncapped || head <= s) return VersionOffset(head)
+    val maxV = opts.maxVersionsPerTrigger.getOrElse(Int.MaxValue)
+    val maxF = opts.maxFilesPerTrigger.getOrElse(Int.MaxValue).toLong
+    val pending = all.filter(v => v > s && v <= head)
+    var end = s
+    var files = 0L
+    var taken = 0
+    val it = pending.iterator
+    var stop = false
+    while (it.hasNext && !stop) {
+      val v = it.next()
+      if (taken >= maxV) stop = true
+      else {
+        // appended-file count of v, the same diff batch planning uses:
+        // a replace commit contributes nothing, a base version (no live
+        // predecessor) contributes its full file set
+        val cur = TableFormat.snapshot(spark, root, Some(v))
+        val prev = all.filter(_ < v).lastOption
+        val n =
+          if (prev.isEmpty) cur.files.size.toLong
+          else if (cur.op.contains("replace")) 0L
+          else {
+            val prevFiles = TableFormat.snapshot(spark, root, prev)
+              .files.map(_.file).toSet
+            cur.files.count(f => !prevFiles(f.file)).toLong
+          }
+        if (taken > 0 && files + n > maxF) stop = true
+        else { end = v; files += n; taken += 1 }
+      }
+    }
+    VersionOffset(end)
   }
 
   override def deserializeOffset(json: String): Offset =

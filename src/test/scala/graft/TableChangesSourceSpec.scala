@@ -215,6 +215,60 @@ class TableChangesSourceSpec extends SparkTestBase {
     assert(msgs(e).contains("lineage"), msgs(e))
   }
 
+  test("admission control: a versioned backlog drains across bounded micro-batches, results identical to unthrottled") {
+    import spark.implicits._
+    val root = freshRoot()
+    // a 6-version backlog (v2 carries TWO files — the file cap must
+    // count files, not versions)
+    writeKv((1L to 10L).map(i => (i, i * 1.0)), s"$root/w1")
+    TableFormat.commitFiles(spark, root, "k",
+      TableFormat.listParquet(spark, s"$root/w1"), 256, 3)          // v1
+    (2 to 6).foreach { v =>
+      val path = s"$root/w$v"
+      if (v == 2)
+        (1 to 2).foreach(j => writeKv(Seq((v * 100L + j, v * 1.0)),
+          s"$path/p$j"))
+      else writeKv(Seq((v * 100L, v * 1.0)), path)
+      TableFormat.appendFiles(spark, root,
+        TableFormat.listParquetRecursive(spark, path))              // v2..v6
+    }
+    def drain(out: String, cp: String, opts: Map[String, String]): Int = {
+      val r = spark.readStream.format("graft-table-changes")
+        .options(opts).load(root)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(r.awaitTermination(300000), "stream did not finish")
+      // committed batches = offset files in the checkpoint (numeric
+      // names only — the dir also holds .crc shadows)
+      new java.io.File(s"$cp/offsets").list().count(_.forall(_.isDigit))
+    }
+    def content(out: String) = spark.read.parquet(out)
+      .select("_commit_version", "k", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val base = s"${freshRoot()}"
+    // unthrottled: the whole backlog in ONE batch
+    val b0 = drain(s"$base/o0", s"$base/c0", Map.empty)
+    assert(b0 == 1, s"unthrottled drained in $b0 batches")
+    // max_versions_per_trigger=2 over 6 pending versions -> 3 batches,
+    // offsets resuming mid-backlog, identical content
+    val b1 = drain(s"$base/o1", s"$base/c1",
+      Map("max_versions_per_trigger" -> "2"))
+    assert(b1 == 3, s"version-throttled drained in $b1 batches")
+    assert(content(s"$base/o1") == content(s"$base/o0"))
+    // max_files_per_trigger=2: v1(1 file)+v2(2 files) would exceed the
+    // cap -> v1 alone, then v2 (its 2 files admitted together: a version
+    // is never split), then v3+v4, v5+v6 -> 4 batches
+    val b2 = drain(s"$base/o2", s"$base/c2",
+      Map("max_files_per_trigger" -> "2"))
+    assert(b2 == 4, s"file-throttled drained in $b2 batches")
+    assert(content(s"$base/o2") == content(s"$base/o0"))
+    // a restart on the drained checkpoint ships nothing new
+    val b3 = drain(s"$base/o1", s"$base/c1",
+      Map("max_versions_per_trigger" -> "2"))
+    assert(content(s"$base/o1") == content(s"$base/o0"))
+  }
+
   test("legacy 2-level parquet LIST forms read by the spec's backward-compat rule (array / name_tuple groups are elements)") {
     import org.apache.parquet.example.data.simple.SimpleGroupFactory
     import org.apache.parquet.hadoop.example.ExampleParquetWriter
