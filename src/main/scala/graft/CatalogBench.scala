@@ -56,5 +56,21 @@ object CatalogBench {
     require(rCat == rNat, s"result mismatch: $rCat vs $rNat")
     println(f"CATBENCH catalog=${tCat}%.3fs native=${tNat}%.3fs " +
       f"ratio=${tCat / tNat}%.2f rows=$rCat")
+
+    // r13: MoR-PENDING leg — ~1% of keys masked through a manifest; the
+    // masked VECTORIZED path (row-id-remapped batches + scan-appended
+    // key column) must stay in the same band as the clean columnar
+    // scan, not fall off the old row-reader cliff
+    TableFormat.deleteKeysMoR(spark, root, root,
+      spark.read.parquet(files: _*).select(col("l_orderkey"))
+        .filter(pmod(col("l_orderkey"), lit(97)) === 0).distinct())
+    val morPlan = spark.sql(s"SELECT $agg FROM graft.`$tbl`")
+      .queryExecution.executedPlan.toString
+    require(morPlan.contains("Columnar: true"),
+      "MoR-pending scan no longer columnar")
+    spark.sql(s"SELECT $agg FROM graft.`$tbl`").collect() // warm
+    val (tMor, rMor) = time(s"SELECT $agg FROM graft.`$tbl`")
+    println(f"CATBENCH_MOR mor=${tMor}%.3fs clean=${tCat}%.3fs " +
+      f"ratio=${tMor / tCat}%.2f rows=$rMor")
   }
 }

@@ -5344,9 +5344,10 @@ object SparkEntry {
     // pushed key/zone predicates now reach the parquet reader as
     // FilterApi predicates, so footer stats skip non-matching row groups
     // — a point probe on a 200-group file surfaces one group, not the
-    // file, on BOTH reader paths (vectorized clean scan, masked MoR row
-    // reader), and the stamped filter provably never leaks into the
-    // delete-manifest read (the masked key stays gone) ----
+    // file, on a clean scan AND under a pending MoR manifest (also
+    // columnar since r13 — the mask rides the vectorized batches), and
+    // the stamped filter provably never leaks into the delete-manifest
+    // read (the masked key stays gone) ----
     "q131_rowgroup_pushdown" -> { (s, dir) =>
       val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
       val tbl = s"rgp_${java.lang.Integer.toHexString(dir.hashCode)}"
@@ -7790,9 +7791,10 @@ object SparkEntry {
     // plan verdicts are constants (fixed dataset, fixed block size):
     // the clean pinned probe pushes the row-group filter AND plans
     // columnar AND surfaces under half the single file's rows; the MoR
-    // head probes keep the pushdown + skipping on the masked ROW reader
-    // with the deleted key still gone (the stamped filter never reaches
-    // the manifest read); kmid = max(k)/2 on the contiguous key domain
+    // head probes stay COLUMNAR (r13 masked vectorized reads) with the
+    // pushdown + skipping intact and the deleted key still gone (the
+    // stamped filter never reaches the manifest read); kmid = max(k)/2
+    // on the contiguous key domain
     "q131_rowgroup_pushdown" ->
       """WITH o AS (SELECT o_orderkey AS k,
              CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
@@ -7801,9 +7803,9 @@ object SparkEntry {
          SELECT 'c1_clean_hit' AS pin, TRUE AS rg_pushed, TRUE AS columnar,
              TRUE AS rg_skipped, CAST(1 AS BIGINT) AS n_rows,
              (SELECT cents FROM hit) AS sum_cents FROM km
-         UNION ALL SELECT 'm1_mor_hit', TRUE, FALSE, TRUE, 1,
+         UNION ALL SELECT 'm1_mor_hit', TRUE, TRUE, TRUE, 1,
              (SELECT cents FROM hit) FROM km
-         UNION ALL SELECT 'm2_mor_masked', TRUE, FALSE, TRUE, 0, 0 FROM km
+         UNION ALL SELECT 'm2_mor_masked', TRUE, TRUE, TRUE, 0, 0 FROM km
          UNION ALL SELECT 'z_state', FALSE, FALSE, FALSE,
              (SELECT count(*) - 1 FROM o), (SELECT count(*) FROM o) FROM km
          ORDER BY pin""",
@@ -10022,9 +10024,10 @@ object SparkEntry {
 
     // versions by construction: v1 create, v2 insert, v3/v4 the two
     // MoR manifests, v5 CALL compact_manifests (2 -> 1, metadata only),
-    // v6 CALL compact(2 files); the pinned MoR read must plan the row
-    // reader with pushdown refused, the compacted head must restore
-    // both — kept rows replay with k%9 in (1,5) masked
+    // v6 CALL compact(2 files); the pinned MoR read stays COLUMNAR
+    // (r13 masked vectorized) with the aggregate pushdown honestly
+    // refused, the compacted head restores the pushdown — kept rows
+    // replay with k%9 in (1,5) masked
     "q126_sql_maintenance" ->
       """WITH s AS (SELECT o_orderkey AS k,
              CAST(floor(o_totalprice * 100) AS BIGINT) AS c
@@ -10036,7 +10039,7 @@ object SparkEntry {
            FROM kept
          UNION ALL SELECT 'call_manifests', 'v5', '-', 2, 1 FROM kept
          UNION ALL SELECT 'head', 'true', 'true', n, t FROM kept
-         UNION ALL SELECT 'mor_v4', 'false', 'false', n, t FROM kept
+         UNION ALL SELECT 'mor_v4', 'true', 'false', n, t FROM kept
          ORDER BY pin""",
 
     // gen-1 files ARE the %16==15 slice's month groups (DDL-declared

@@ -23,9 +23,10 @@ import graft.operators.TableFormat
   * }}}
   *
   * This closes the read-amplification dial for SQL users: ingest
-  * merge-on-read deletes through SQL, watch the catalog scan fall back
-  * to the masked row reader (`Columnar: false`), `CALL compact`, and
-  * the vectorized plan is restored — all without leaving SQL
+  * merge-on-read deletes through SQL (the scan stays columnar since
+  * r13, paying per-batch mask work + the honest refusal of the
+  * metadata-aggregate pushdown), `CALL compact`, and the mask work and
+  * the pushdown refusal both disappear — all without leaving SQL
   * (GraftCatalogSpec proves the loop end-to-end). Each procedure is one
   * library call ([[TableFormat]] / [[graft.operators.Layout]]-shaped
   * rewrite), commits through the same CAS as every writer, and returns

@@ -11,15 +11,19 @@ import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
 /** VECTORIZED read path for the SQL catalog — the answer to "a custom
   * reader must not cost Spark its columnar parquet scan at 100 TB":
-  * clean files (no merge-on-read manifest applies) are read through
-  * Spark's own `VectorizedParquetRecordReader`, so the catalog scan
-  * feeds WholeStageCodegen `ColumnarBatch`es exactly like a native
-  * `spark.read.parquet`, instead of materializing one `InternalRow` per
-  * row in the connector. The scan chooses the mode per SNAPSHOT (Spark
-  * requires uniform row/columnar partitions): merge-on-read-pending
-  * snapshots fall back to the row reader with in-task masks, and
-  * compaction/manifest-materialization restores the fast path — which
-  * is the format's documented read-amplification dial.
+  * files are read through Spark's own `VectorizedParquetRecordReader`,
+  * so the catalog scan feeds WholeStageCodegen `ColumnarBatch`es
+  * exactly like a native `spark.read.parquet`, instead of
+  * materializing one `InternalRow` per row in the connector. Since r13
+  * MERGE-ON-READ-pending snapshots stay columnar too: a masked
+  * partition loads its manifest keys into a hash set, computes the
+  * surviving row ids per batch, and serves the batch through
+  * [[MappedColumnVector]] row-id remapping (the Iceberg
+  * vectorized-equality-delete shape) — the key column is read
+  * scan-uniformly (appended to the projection when absent) and only
+  * the projected prefix is emitted. Compaction still pays by removing
+  * the per-batch mask work; the row reader remains only for the
+  * `_file` metadata projection (row-level op plumbing).
   *
   * The delegate is initialized through the PRODUCTION
   * `initialize(InputSplit, TaskAttemptContext)` path with the SESSION's
@@ -212,7 +216,53 @@ private[v2] object GraftRowGroupFilter {
   }
 }
 
+/** Row-id-remapping wrapper over a delegate [[ColumnVector]] — what
+  * lets a merge-on-read mask apply OVER a vectorized batch instead of
+  * degrading the scan to the row reader (the Iceberg vectorized
+  * equality-delete shape): the reader computes the surviving row ids
+  * once per batch into `state.map`, and every wrapped vector (and,
+  * recursively, its struct children — [[ColumnarRow]] accessors read
+  * children at the PARENT's row id) translates through it. The
+  * delegate's vectors are reused across batches, so the wrappers are
+  * allocated once and only the shared map array changes. `close` is a
+  * no-op — the delegate reader owns the real vectors. */
+private class MaskState { var map: Array[Int] = _ }
+
+private class MappedColumnVector(base: ColumnVector, state: MaskState)
+    extends ColumnVector(base.dataType) {
+  private val children =
+    new java.util.HashMap[Integer, MappedColumnVector]()
+  @inline private def m(i: Int): Int = state.map(i)
+  override def close(): Unit = ()
+  // conservative: the filtered view may hold fewer nulls than the base
+  // reports — callers use these only to pick a null-checking code path
+  override def hasNull: Boolean = base.hasNull
+  override def numNulls: Int = base.numNulls
+  override def isNullAt(i: Int): Boolean = base.isNullAt(m(i))
+  override def getBoolean(i: Int): Boolean = base.getBoolean(m(i))
+  override def getByte(i: Int): Byte = base.getByte(m(i))
+  override def getShort(i: Int): Short = base.getShort(m(i))
+  override def getInt(i: Int): Int = base.getInt(m(i))
+  override def getLong(i: Int): Long = base.getLong(m(i))
+  override def getFloat(i: Int): Float = base.getFloat(m(i))
+  override def getDouble(i: Int): Double = base.getDouble(m(i))
+  override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+    base.getArray(m(i))
+  override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+    base.getMap(m(i))
+  override def getDecimal(i: Int, precision: Int, scale: Int) =
+    base.getDecimal(m(i), precision, scale)
+  override def getUTF8String(i: Int) = base.getUTF8String(m(i))
+  override def getBinary(i: Int): Array[Byte] = base.getBinary(m(i))
+  override def getChild(ordinal: Int): ColumnVector =
+    children.computeIfAbsent(ordinal,
+      (_: Integer) => new MappedColumnVector(base.getChild(ordinal), state))
+}
+
 private class GraftSqlColumnarReader(file: String, required: StructType,
+                                     extended: StructType,
+                                     mask: java.util.HashSet[java.lang.Long],
+                                     keyCol: String,
                                      conf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[ColumnarBatch] {
   import org.apache.parquet.hadoop.ParquetFileReader
@@ -227,7 +277,7 @@ private class GraftSqlColumnarReader(file: String, required: StructType,
   }
 
   private val delegate: VectorizedParquetRecordReader =
-    if (required.fields.isEmpty) null
+    if (extended.fields.isEmpty) null
     else {
       // the conf arrives with SPARK_ROW_REQUESTED_SCHEMA already stamped
       // DRIVER-side (scan-constant — one Configuration per scan, never a
@@ -274,8 +324,53 @@ private class GraftSqlColumnarReader(file: String, required: StructType,
       }
     }
 
+  private val nRequired = required.fields.length
+  private lazy val keyIdx = extended.fieldIndex(keyCol)
+  private lazy val keyIsLong =
+    extended.fields(keyIdx).dataType == org.apache.spark.sql.types.LongType
+
   private var countBatch: ColumnarBatch = _
   private var current: ColumnarBatch = _
+  // lazily-built output shells (delegate vectors are reused per batch,
+  // so these allocate once): `trimmed` drops an appended key column,
+  // `maskState`+`maskedBatch` apply the row-id mapping
+  private var trimmed: ColumnarBatch = _
+  private val maskState = new MaskState
+  private var maskedBatch: ColumnarBatch = _
+
+  private def emit(b: ColumnarBatch): ColumnarBatch =
+    if (mask == null) {
+      if (nRequired == extended.fields.length) b
+      else {
+        // clean partition inside a masked scan: the key column was read
+        // scan-uniformly — emit only the projected prefix
+        if (trimmed == null)
+          trimmed = new ColumnarBatch(
+            Array.tabulate[ColumnVector](nRequired)(b.column))
+        trimmed.setNumRows(b.numRows())
+        trimmed
+      }
+    } else {
+      val rows = b.numRows()
+      val keys = b.column(keyIdx)
+      if (maskState.map == null || maskState.map.length < rows)
+        maskState.map = new Array[Int](rows)
+      var n = 0
+      var i = 0
+      while (i < rows) {
+        // a NULL key is never masked (manifests hold no nulls)
+        val keep = keys.isNullAt(i) || !mask.contains(
+          if (keyIsLong) keys.getLong(i) else keys.getInt(i).toLong)
+        if (keep) { maskState.map(n) = i; n += 1 }
+        i += 1
+      }
+      if (maskedBatch == null)
+        maskedBatch = new ColumnarBatch(
+          Array.tabulate[ColumnVector](nRequired)(j =>
+            new MappedColumnVector(b.column(j), maskState)))
+      maskedBatch.setNumRows(n)
+      maskedBatch
+    }
 
   override def next(): Boolean =
     if (delegate == null) {
@@ -291,7 +386,7 @@ private class GraftSqlColumnarReader(file: String, required: StructType,
         true
       }
     } else if (delegate.nextBatch()) {
-      current = delegate.resultBatch()
+      current = emit(delegate.resultBatch())
       true
     } else false
 

@@ -955,15 +955,29 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
     } && pruners.forall(_._2(f))
   }
 
-  /** Columnar iff no delete manifest applies to ANY surviving file
-    * (Spark requires uniform row/columnar partitions per scan, so one
-    * pending merge-on-read manifest degrades the whole scan to the
-    * masked row reader — and compaction restores the vectorized path,
-    * the format's read-amplification dial, now visible in the plan) AND
-    * the projection carries no synthesized metadata column. */
+  /** Columnar for every scan except a projection that carries the
+    * synthesized `_file` metadata column (row-level op plumbing). Since
+    * r13 merge-on-read manifests NO LONGER degrade the scan to the row
+    * reader: masked partitions load their manifest keys into a hash set
+    * and filter each `ColumnarBatch` through a row-id mapping (the
+    * Iceberg vectorized-equality-delete shape, [[MappedColumnVector]]),
+    * so the read-amplification dial's cliff is gone — compaction still
+    * pays by removing the per-batch mask work, but a MoR-pending
+    * snapshot keeps WholeStageCodegen batches. */
   private lazy val columnar =
-    hit.forall(f => !snap.deletes.exists(_.seq > f.seq)) &&
-      !required.fieldNames.contains(GraftRowLevel.FileColumn)
+    !required.fieldNames.contains(GraftRowLevel.FileColumn)
+
+  /** True when any surviving file has an applicable manifest — the scan
+    * then reads the KEY column alongside the projection (appended when
+    * not already projected) so the columnar mask can probe it; the
+    * reader emits only the projected prefix. */
+  private lazy val anyMasked =
+    hit.exists(f => snap.deletes.exists(_.seq > f.seq))
+
+  private lazy val extendedSchema: StructType =
+    if (anyMasked && !required.fieldNames.contains(snap.keyCol))
+      StructType(required.fields :+ tableSchema(snap.keyCol))
+    else required
 
   override def description(): String =
     s"graft(${snap.root}@v${snap.version}) PrunedFiles: " +
@@ -999,36 +1013,39 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
     // Configuration for the whole scan, never a per-file copy
     val c = GraftSqlColumnar.scanConf(SparkSession.active)
     c.set(org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport
-      .SPARK_ROW_REQUESTED_SCHEMA, required.json)
+      .SPARK_ROW_REQUESTED_SCHEMA, extendedSchema.json)
     rowGroupFilter.foreach(GraftRowGroupFilter.stamp(c, _))
-    new GraftSqlReaderFactory(required, columnar, new SerializableHadoopConf(c))
+    new GraftSqlReaderFactory(required, extendedSchema, columnar,
+      new SerializableHadoopConf(c))
   }
 }
 
-private class GraftSqlReaderFactory(required: StructType, columnar: Boolean,
+private class GraftSqlReaderFactory(required: StructType,
+                                    extended: StructType, columnar: Boolean,
                                     conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def supportColumnarReads(partition: InputPartition): Boolean =
     columnar
 
+  private def maskOf(p: GraftSqlPartition): java.util.HashSet[java.lang.Long] =
+    if (p.manifests.isEmpty) null
+    else {
+      val m = new java.util.HashSet[java.lang.Long]()
+      p.manifests.foreach(f =>
+        m.addAll(ParquetRowReader.readLongColumn(f, "_del_key", conf.value)))
+      m
+    }
+
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftSqlPartition]
-    require(p.manifests.isEmpty,
-      "graft columnar read planned over a masked file") // guarded by `columnar`
-    new GraftSqlColumnarReader(p.file, required, conf.value)
+    new GraftSqlColumnarReader(p.file, required, extended, maskOf(p),
+      p.keyCol, conf.value)
   }
 
   override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
     val p = partition.asInstanceOf[GraftSqlPartition]
-    val mask =
-      if (p.manifests.isEmpty) null
-      else {
-        val m = new java.util.HashSet[java.lang.Long]()
-        p.manifests.foreach(f =>
-          m.addAll(ParquetRowReader.readLongColumn(f, "_del_key", conf.value)))
-        m
-      }
+    val mask = maskOf(p)
     // the _file METADATA column (SELECT _file FROM graft.t, row-level
     // op plumbing) synthesizes per partition
     val synth: Map[String, Any] =

@@ -263,7 +263,7 @@ class GraftCatalogSpec extends SparkTestBase {
       java.sql.Timestamp.valueOf("2024-06-01 08:30:00"))
   }
 
-  test("vectorized scan: clean snapshots plan Columnar=true, MoR-pending fall back, count(*) and evolution stay exact") {
+  test("vectorized scan: clean AND MoR-pending snapshots plan Columnar=true, count(*) and evolution stay exact") {
     import spark.implicits._
     val root = s"$warehouse/vec"
     writeKv((1L to 500L).map(i => (i, i * 1.0)), s"$root/w1")
@@ -289,9 +289,16 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(evo.length == 2 && evo(0).isNullAt(1) && evo(1).getString(1) == "tag")
     assert(spark.sql("SELECT count(t) AS n FROM sqlcat.vec").collect()(0)
       .getLong(0) == 1L)
-    // a pending MoR manifest degrades the scan to the masked row reader
+    // a pending MoR manifest stays COLUMNAR (r13): the mask applies over
+    // the vectorized batches via row-id remapping — masked rows absent,
+    // projections with and without the key both exact, count(*) (empty
+    // projection + scan-appended key) exact too
     TableFormat.deleteKeysMoR(spark, root, root, Seq(2L, 3L))     // v3
-    assert(planOf("SELECT k FROM sqlcat.vec").contains("Columnar: false"))
+    assert(planOf("SELECT k FROM sqlcat.vec").contains("Columnar: true"))
+    assert(spark.sql("SELECT k FROM sqlcat.vec ORDER BY k LIMIT 3").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 4L, 5L))
+    assert(spark.sql("SELECT v FROM sqlcat.vec").collect()
+      .map(_.getDouble(0)).sum == (1 to 501).map(_.toDouble).sum - 2.0 - 3.0)
     assert(spark.sql("SELECT count(*) AS n FROM sqlcat.vec").collect()(0)
       .getLong(0) == 499L)
     // compaction materializes the masks and restores the fast path
@@ -622,11 +629,12 @@ class GraftCatalogSpec extends SparkTestBase {
     // clean table: vectorized scan + metadata-aggregate pushdown
     assert(planOf("SELECT v FROM sqlcat.dial").contains("Columnar: true"))
     assert(planOf("SELECT count(*) FROM sqlcat.dial").contains("LocalTableScan"))
-    // merge-on-read deletes (two manifests): scan degrades to the masked
-    // row reader, the aggregate pushdown honestly refuses
+    // merge-on-read deletes (two manifests): the scan STAYS columnar
+    // (r13 — masks apply over vectorized batches), while the
+    // metadata-aggregate pushdown still honestly refuses
     TableFormat.deleteKeysMoR(spark, root, root, Seq(10L, 20L))
     TableFormat.deleteKeysMoR(spark, root, root, Seq(30L))
-    assert(planOf("SELECT v FROM sqlcat.dial").contains("Columnar: false"))
+    assert(planOf("SELECT v FROM sqlcat.dial").contains("Columnar: true"))
     assert(!planOf("SELECT count(*) FROM sqlcat.dial").contains("LocalTableScan"))
     assert(spark.sql("SELECT count(*) AS n FROM sqlcat.dial")
       .collect()(0).getLong(0) == 997L)
@@ -823,12 +831,13 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(spark.sql(
       "SELECT sum(v) FROM sqlcat.rgpush WHERE k >= 1000 AND k < 2000")
       .collect()(0).getLong(0) == (1000L until 2000L).map(_ * 2).sum)
-    // merge-on-read path: the masked ROW reader must row-group-skip too,
-    // and the stamped filter must never leak into the manifest read
-    // (the mask still applies — the deleted key stays gone)
+    // merge-on-read path: the masked VECTORIZED reader (r13) must
+    // row-group-skip too, and the stamped filter must never leak into
+    // the manifest read (the mask still applies — the deleted key
+    // stays gone)
     TableFormat.deleteKeysMoR(spark, root, root, Seq(123456L))
     val mor = spark.sql("SELECT v FROM sqlcat.rgpush WHERE k = 123456")
-    assert(mor.queryExecution.executedPlan.toString.contains("Columnar: false"))
+    assert(mor.queryExecution.executedPlan.toString.contains("Columnar: true"))
     assert(mor.collect().isEmpty)
     val morRows = scanRows(spark.sql(
       "SELECT v FROM sqlcat.rgpush WHERE k = 123455"))
