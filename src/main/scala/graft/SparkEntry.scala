@@ -5217,6 +5217,92 @@ object SparkEntry {
         .reduce(_.unionByName(_)).orderBy(col("pin"))
     },
 
+    // ---- SQL WRITE-AUDIT-PUBLISH (r13): the WAP staging flow driven
+    // ENTIRELY through SQL — CALL create_branch forks, INSERT INTO
+    // graft.`t$branch_audit` stages (invisible to main), SQL DELETE
+    // audits on the branch, CALL publish_branch fast-forwards, a STALE
+    // fork (main advanced since) fails LOUD, drop_branch sweeps, and
+    // CALL clone produces an independent zero-copy table; every stage's
+    // observed state is graded ----
+    "q133_sql_wap" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"wap_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val tblCl = s"${tbl}_cl"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val (aN, aT, bN, bT, cN, cT, fN, fT, staleFailed) =
+        Fixtures.once(s, "q133_wap", dir) {
+          Seq(tbl, tblCl).foreach { t =>
+            val p = new org.apache.hadoop.fs.Path(s"$wh/$t")
+            p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+          }
+          Tables.orders(s, dir)
+            .select(col("o_orderkey").as("k"),
+              floor(col("o_totalprice") * 100).cast("long").as("cents"))
+            .createOrReplaceTempView("q133_src")
+          s.sql(s"""CREATE TABLE graft.`$tbl` (k BIGINT, cents BIGINT)
+            TBLPROPERTIES('key_col'='k')""")                         // v1
+          s.sql(s"INSERT INTO graft.`$tbl` " +
+            "SELECT * FROM q133_src WHERE k % 32 = 7")               // v2
+          def st(sql: String): (Long, Long) = {
+            val r = s.sql(s"SELECT count(*), coalesce(sum(cents), 0L) FROM $sql")
+              .collect()(0)
+            (r.getLong(0), r.getLong(1))
+          }
+          s.sql(s"CALL graft.system.create_branch('$tbl', 'audit')").collect()
+          s.sql(s"INSERT INTO graft.`$tbl$$branch_audit` " +
+            "SELECT * FROM q133_src WHERE k % 32 = 15")
+          val cut = s.sql("SELECT max(k) FROM q133_src")
+            .collect()(0).getLong(0) / 2
+          s.sql(s"DELETE FROM graft.`$tbl$$branch_audit` WHERE k >= $cut")
+          val (a1, a2) = st(s"graft.`$tbl`")          // main: pre-publish
+          val (b1, b2) = st(s"graft.`$tbl$$branch_audit`") // audited stage
+          s.sql(s"CALL graft.system.publish_branch('$tbl', 'audit')").collect()
+          val (c1, c2) = st(s"graft.`$tbl`")          // main: published
+          s.sql(s"CALL graft.system.drop_branch('$tbl', 'audit')").collect()
+          // stale fork: main advances after the fork -> publish refuses
+          s.sql(s"CALL graft.system.create_branch('$tbl', 'stale')").collect()
+          s.sql(s"INSERT INTO graft.`$tbl` " +
+            "SELECT * FROM q133_src WHERE k % 32 = 23")
+          val failed =
+            try {
+              s.sql(s"CALL graft.system.publish_branch('$tbl', 'stale')")
+                .collect()
+              false
+            } catch {
+              case e: Throwable => Iterator.iterate(e: Throwable)(_.getCause)
+                .takeWhile(_ != null)
+                .exists(x => Option(x.getMessage).exists(_.contains("advanced")))
+            }
+          s.sql(s"CALL graft.system.drop_branch('$tbl', 'stale')").collect()
+          s.sql(s"CALL graft.system.clone('$tbl', '$tblCl')").collect()
+          val (f1, f2) = st(s"graft.`$tblCl`")        // clone @ creation
+          // divergence: the clone moves, the source must not
+          s.sql(s"INSERT INTO graft.`$tblCl` SELECT 900000001, 1")
+          (a1, a2, b1, b2, c1, c2, f1, f2, failed)
+        }
+      def live(sql: String): (Long, Long) = {
+        val r = s.sql(s"SELECT count(*), coalesce(sum(cents), 0L) FROM $sql")
+          .collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      val (eN, eT) = live(s"graft.`$tbl`")
+      val (gN, _) = live(s"graft.`$tblCl`")
+      def row(pin: String, flag: String, n: Long, t: Long) =
+        s.range(1).select(lit(pin).as("pin"), lit(flag).as("flag"),
+          lit(n).as("n_rows"), lit(t).as("sum_cents"))
+      Seq(row("a_main_before", "-", aN, aT),
+          row("b_branch_staged", "-", bN, bT),
+          row("c_main_published", "-", cN, cT),
+          row("d_stale_conflict", staleFailed.toString, 0L, 0L),
+          row("e_main_after", "-", eN, eT),
+          row("f_clone", "-", fN, fT),
+          // the clone advanced by exactly its own insert; the live main
+          // count (sum_cents column) proves the source did not move
+          row("g_divergence", (gN == fN + 1).toString, gN, eN))
+        .reduce(_.unionByName(_)).orderBy(col("pin"))
+    },
+
     // ---- STREAMING ADMISSION CONTROL (r13): a 7-version backlog on a
     // catalog table drains through `max_versions_per_trigger=2` into
     // FOUR bounded micro-batches (Delta's maxFilesPerTrigger shape —
@@ -7719,6 +7805,37 @@ object SparkEntry {
          UNION ALL SELECT 'c_v1', 'create', 0, 0 FROM y
          UNION ALL SELECT 'c_v2', 'append', n, t FROM z
          UNION ALL SELECT 'z_counts', '-', 2, 2 FROM y
+         ORDER BY pin""",
+
+    // every WAP stage replays from the slice arithmetic: the branch
+    // stages r=15 on top of the forked r=7 and the audit DELETE drops
+    // k >= max(k)//2 from BOTH; publish makes main the kept set; the
+    // stale-conflict verdict and clone-divergence proof are constants
+    "q133_sql_wap" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS c,
+             o_orderkey % 32 AS r FROM orders),
+         cut AS (SELECT (SELECT max(k) FROM o) // 2 AS cut),
+         s7 AS (SELECT k, c FROM o WHERE r = 7),
+         kept AS (SELECT k, c FROM o, cut WHERE r IN (7, 15) AND k < cut.cut),
+         s23 AS (SELECT k, c FROM o WHERE r = 23),
+         aft AS (SELECT
+             (SELECT count(*) FROM kept) + (SELECT count(*) FROM s23) AS n,
+             (SELECT COALESCE(sum(c), 0) FROM kept) +
+               (SELECT COALESCE(sum(c), 0) FROM s23) AS t)
+         SELECT 'a_main_before' AS pin, '-' AS flag, count(*) AS n_rows,
+             CAST(sum(c) AS BIGINT) AS sum_cents FROM s7
+         UNION ALL SELECT 'b_branch_staged', '-', count(*),
+             CAST(COALESCE(sum(c), 0) AS BIGINT) FROM kept
+         UNION ALL SELECT 'c_main_published', '-', count(*),
+             CAST(COALESCE(sum(c), 0) AS BIGINT) FROM kept
+         UNION ALL SELECT 'd_stale_conflict', 'true', 0, 0
+         UNION ALL SELECT 'e_main_after', '-', CAST(n AS BIGINT),
+             CAST(t AS BIGINT) FROM aft
+         UNION ALL SELECT 'f_clone', '-', CAST(n AS BIGINT),
+             CAST(t AS BIGINT) FROM aft
+         UNION ALL SELECT 'g_divergence', 'true', CAST(n + 1 AS BIGINT),
+             CAST(n AS BIGINT) FROM aft
          ORDER BY pin""",
 
     // the throttled drain's batch structure IS the target's version

@@ -2012,13 +2012,75 @@ object TableFormat {
       deriveDeletes = _ => head.deletes)
   }
 
-  /** Drop a branch: delete its commit LOG only. Data files staged under
-    * the branch's data dirs are left for an orphan sweep ([[expireSnapshots]]
-    * over those dirs) — never deleted here, because a published commit on
-    * main may reference them. */
-  def dropBranch(spark: SparkSession, root: String, name: String): Unit = {
+  /** Live branch names of a table: subdirectories of `_branch/` that
+    * carry a commit log. */
+  def listBranches(spark: SparkSession, root: String): Seq[String] = {
     val (_, fs, _) = fileContext(spark, root)
-    fs.delete(new org.apache.hadoop.fs.Path(logDir(branchRoot(root, name))), true)
+    val p = new org.apache.hadoop.fs.Path(s"$root/_branch")
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => versions(spark, branchRoot(root, n)).nonEmpty)
+      .sorted
+  }
+
+  /** Drop a branch: sweep the branch root's DATA FILES that no other
+    * live log references, then delete its commit log. The sweep is what
+    * keeps a never-published branch's staged files from leaking forever
+    * — the main-root orphan sweep deliberately skips the `_branch/`
+    * subtree wholesale (a live branch's staged files are referenced
+    * only by the branch's own log), so branch storage hygiene lives
+    * HERE. Files a surviving log references stay in place: a PUBLISHED
+    * branch's files are referenced by main's commits at their absolute
+    * `_branch/<name>/...` paths and must keep resolving after the drop.
+    * The reference set spans main's live versions AND every other live
+    * branch's versions (a sibling forked after a publish references the
+    * published files too). Sweep-then-delete-log ordering makes a crash
+    * mid-sweep recoverable: the branch still exists and dropBranch can
+    * simply run again. A branch with live NESTED branches is refused —
+    * their staged files live under this branch's root but belong to
+    * logs this sweep does not walk. Do not drop a branch while a writer
+    * is mid-commit on it (its just-written files look unreferenced).
+    * Returns (files removed, referenced files kept). */
+  def dropBranch(spark: SparkSession, root: String, name: String): (Int, Int) = {
+    val broot = branchRoot(root, name)
+    val (_, fs, _) = fileContext(spark, root)
+    require(listBranches(spark, broot).isEmpty,
+      s"dropBranch: '$name' has live nested branches " +
+        s"(${listBranches(spark, broot).mkString(", ")}) — drop them first")
+    def uriPath(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
+    val otherLogs = root +:
+      listBranches(spark, root).filterNot(_ == name).map(branchRoot(root, _))
+    val referenced = otherLogs.flatMap { r =>
+      versions(spark, r).flatMap { v =>
+        val s = snapshot(spark, r, Some(v))
+        s.files.map(f => uriPath(f.file)) ++ s.deletes.map(d => uriPath(d.file))
+      }
+    }.toSet
+    var removed = 0
+    var kept = 0
+    val logPath = new org.apache.hadoop.fs.Path(logDir(broot))
+    def sweep(p: org.apache.hadoop.fs.Path): Boolean = { // true = dir emptied
+      var empty = true
+      if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+        if (st.isDirectory) {
+          if (st.getPath == logPath) empty = false // deleted after the sweep
+          else if (sweep(st.getPath)) fs.delete(st.getPath, false)
+          else empty = false
+        } else if (referenced.contains(uriPath(st.getPath.toString))) {
+          kept += 1; empty = false
+        } else {
+          fs.delete(st.getPath, false); removed += 1
+        }
+      }
+      empty
+    }
+    sweep(new org.apache.hadoop.fs.Path(broot))
+    fs.delete(logPath, true)
+    // remove the branch root itself when nothing referenced remains
+    if (kept == 0)
+      fs.delete(new org.apache.hadoop.fs.Path(broot), true)
+    (removed, kept)
   }
 
   // ---- metadata-only aggregates -------------------------------------------

@@ -39,7 +39,8 @@ private[v2] object GraftProcedures {
 
   val names: Seq[String] = Seq("compact", "compact_small_files",
     "compact_manifests", "materialize_deletes", "expire_snapshots",
-    "recluster", "rollback", "create_tag", "drop_tag")
+    "recluster", "rollback", "create_tag", "drop_tag",
+    "create_branch", "publish_branch", "drop_branch", "clone")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -165,6 +166,54 @@ private[v2] object GraftProcedures {
           val snap = TableFormat.dropTag(spark, root,
             args.getUTF8String(1).toString)
           result(name, "version" -> snap.version)
+      }
+      // ---- write-audit-publish from SQL: the staging flow the library
+      // proves programmatically, driveable end-to-end with CALL + the
+      // `t$branch_<name>` table idiom (stage with INSERT INTO
+      // graft.`t$branch_b`, audit with SELECT, publish or drop here) ----
+      case "create_branch" => proc(name,
+        "fork a branch from the head (or a pinned version) — metadata only; stage via INSERT INTO graft.`<table>$branch_<name>`",
+        Array(param("table", StringType), param("branch", StringType),
+          paramD("as_of", LongType, "-1"))) {
+        (spark, root, args) =>
+          val v = args.getLong(2)
+          val snap = TableFormat.createBranch(spark, root,
+            args.getUTF8String(1).toString, if (v < 0) None else Some(v))
+          result(name, "version" -> snap.version,
+            "forked_from" -> snap.props("branch.forked_from").toLong)
+      }
+      case "publish_branch" => proc(name,
+        "fast-forward the audited branch head onto main — FAILS LOUD if main advanced since the fork",
+        Array(param("table", StringType), param("branch", StringType))) {
+        (spark, root, args) =>
+          val snap = TableFormat.publishBranch(spark, root,
+            args.getUTF8String(1).toString)
+          result(name, "version" -> snap.version,
+            "n_files" -> snap.files.size.toLong)
+      }
+      case "drop_branch" => proc(name,
+        "drop a branch: sweep its unreferenced staged files, delete its log (published files survive)",
+        Array(param("table", StringType), param("branch", StringType))) {
+        (spark, root, args) =>
+          val (removed, kept) = TableFormat.dropBranch(spark, root,
+            args.getUTF8String(1).toString)
+          result(name, "files_removed" -> removed.toLong,
+            "files_kept" -> kept.toLong)
+      }
+      case "clone" => proc(name,
+        "zero-copy clone of the table (or a pinned version) under a new catalog name — metadata only",
+        Array(param("table", StringType), param("target", StringType),
+          paramD("as_of", LongType, "-1"))) {
+        (spark, root, args) =>
+          val tgtParts = args.getUTF8String(1).toString.split('.').toSeq
+          val tgtRoot = catalog.tableRoot(
+            org.apache.spark.sql.connector.catalog.Identifier.of(
+              tgtParts.init.toArray, tgtParts.last))
+          val v = args.getLong(2)
+          val snap = TableFormat.cloneTable(spark, root, tgtRoot,
+            if (v < 0) None else Some(v))
+          result(name, "version" -> snap.version,
+            "n_files" -> snap.files.size.toLong)
       }
       case other => throw new RuntimeException(
         s"graft catalog: no procedure system.$other " +

@@ -210,7 +210,22 @@ class GraftTableCatalog extends TableCatalog
     val spark = SparkSession.active
     val name = ident.name()
     val dollar = name.indexOf('$')
-    if (dollar > 0) {
+    if (dollar > 0 && name.substring(dollar + 1).startsWith("branch_")) {
+      // `t$branch_<name>` — the BRANCH as a first-class SQL table (read
+      // AND write): a branch is a TableFormat table at its own root, so
+      // the whole SQL surface (INSERT, DELETE, MERGE, time travel)
+      // works against it unchanged — which is what makes the CALL
+      // create_branch / stage / audit / publish_branch flow driveable
+      // without leaving SQL
+      val baseRoot = rootOf(Identifier.of(ident.namespace(),
+        name.substring(0, dollar)))
+      val bname = name.substring(dollar + 1 + "branch_".length)
+      val root = TableFormat.branchRoot(baseRoot, bname)
+      if (TableFormat.versions(spark, root).isEmpty)
+        throw new NoSuchTableException(ident)
+      val snap = TableFormat.snapshot(spark, root, version)
+      new GraftSqlTable(ident.toString, root, snap)
+    } else if (dollar > 0) {
       // Iceberg's metadata-table idiom: `<table>$history` / `<table>$files`
       // — pure log/snapshot arithmetic served through a driver-local scan
       // (the row counts are file- and version-bounded by construction)

@@ -1066,6 +1066,57 @@ class GraftCatalogSpec extends SparkTestBase {
       .collect()(0).getLong(0) == 10L)
   }
 
+  test("SQL write-audit-publish: CALL create_branch, stage via t$branch_<name>, publish fast-forward, stale fork fails loud, clone") {
+    val root = s"$warehouse/wapsql"
+    spark.sql("""CREATE TABLE sqlcat.wapsql (k BIGINT, v BIGINT)
+      TBLPROPERTIES('key_col'='k')""")                               // v1
+    spark.sql("INSERT INTO sqlcat.wapsql SELECT id, id * 10 FROM range(1, 6)") // v2
+    // fork + stage: branch work is INVISIBLE to main until publish
+    val cb = spark.sql("CALL sqlcat.system.create_branch('wapsql', 'audit')")
+      .collect()(0)
+    assert(cb.getLong(0) == 3L && cb.getLong(1) == 2L, cb.toString)
+    spark.sql("INSERT INTO sqlcat.`wapsql$branch_audit` " +
+      "SELECT id, id * 10 FROM range(6, 9)")
+    assert(spark.sql("SELECT count(*) FROM sqlcat.wapsql")
+      .collect()(0).getLong(0) == 5L)
+    assert(spark.sql("SELECT count(*) FROM sqlcat.`wapsql$branch_audit`")
+      .collect()(0).getLong(0) == 8L)
+    // audit on the branch: SQL DELETE works against the branch table
+    spark.sql("DELETE FROM sqlcat.`wapsql$branch_audit` WHERE k = 7")
+    // publish fast-forwards main; the branch table keeps resolving
+    val pb = spark.sql("CALL sqlcat.system.publish_branch('wapsql', 'audit')")
+      .collect()(0)
+    assert(pb.getLong(0) == 3L, pb.toString)
+    assert(spark.sql("SELECT k FROM sqlcat.wapsql ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L, 8L))
+    // drop sweeps; main still reads the published files
+    spark.sql("CALL sqlcat.system.drop_branch('wapsql', 'audit')")
+    assert(spark.sql("SELECT count(*) FROM sqlcat.wapsql")
+      .collect()(0).getLong(0) == 7L)
+    // stale fork: main advances after the fork -> publish FAILS LOUD
+    spark.sql("CALL sqlcat.system.create_branch('wapsql', 'stale')")
+    spark.sql("INSERT INTO sqlcat.wapsql SELECT 100, 1000")
+    val e = intercept[Exception](spark.sql(
+      "CALL sqlcat.system.publish_branch('wapsql', 'stale')"))
+    def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs(e).contains("advanced"), msgs(e))
+    spark.sql("CALL sqlcat.system.drop_branch('wapsql', 'stale')")
+    // zero-copy clone under a new catalog name, pinned or head
+    val cl = spark.sql("CALL sqlcat.system.clone('wapsql', 'wapsql_copy')")
+      .collect()(0)
+    assert(spark.sql("SELECT sum(v) FROM sqlcat.wapsql_copy")
+      .collect()(0).getLong(0) ==
+      spark.sql("SELECT sum(v) FROM sqlcat.wapsql").collect()(0).getLong(0))
+    // the clone is independent: writing it never moves the source
+    spark.sql("INSERT INTO sqlcat.wapsql_copy SELECT 200, 2000")
+    assert(spark.sql("SELECT count(*) FROM sqlcat.wapsql")
+      .collect()(0).getLong(0) == 8L)
+    assert(spark.sql("SELECT count(*) FROM sqlcat.wapsql_copy")
+      .collect()(0).getLong(0) == 9L)
+  }
+
   test("CALL lifecycle procedures: rollback, create_tag/drop_tag pin and protect versions") {
     val root = s"$warehouse/lcp"
     spark.sql("""CREATE TABLE sqlcat.lcp (k BIGINT, v BIGINT)

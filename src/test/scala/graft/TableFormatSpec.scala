@@ -646,10 +646,80 @@ class TableFormatSpec extends SparkTestBase {
     // main history intact: v1 still resolves the pre-branch state
     assert(TableFormat.read(spark,
       TableFormat.snapshot(spark, root, Some(1L))).count() == 2L)
-    // drop removes only the branch LOG; published main commit unaffected
+    // drop removes the branch LOG and sweeps unreferenced staged files;
+    // the published main commit (which references branch-root paths) is
+    // unaffected and still reads
     TableFormat.dropBranch(spark, root, "wap")
     assert(TableFormat.versions(spark, broot).isEmpty)
     assert(TableFormat.read(spark, TableFormat.snapshot(spark, root)).count() == 3L)
+  }
+
+  test("dropBranch sweeps staged files of an unpublished branch; published files survive; nested branches refuse") {
+    val root = freshRoot()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetUnder(p: String): Seq[String] = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      if (!fs.exists(path)) Seq.empty
+      else {
+        val it = fs.listFiles(path, true)
+        val out = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.getPath.getName.endsWith(".parquet"))
+            out += st.getPath.toString
+        }
+        out.result()
+      }
+    }
+    writeKv(Seq(1L -> 1.0, 2L -> 2.0), s"$root/w1")
+    TableFormat.commitFiles(spark, root, "k",
+      TableFormat.listParquet(spark, s"$root/w1"), 256, 3)          // main v1
+    // ---- branch A: staged work, never published ----
+    TableFormat.createBranch(spark, root, "a")
+    val aRoot = TableFormat.branchRoot(root, "a")
+    writeKv(Seq(10L -> 10.0), s"$aRoot/stage")
+    TableFormat.appendFiles(spark, aRoot,
+      TableFormat.listParquet(spark, s"$aRoot/stage"))
+    assert(parquetUnder(aRoot).nonEmpty)
+    val (removedA, keptA) = TableFormat.dropBranch(spark, root, "a")
+    assert(removedA >= 1 && keptA == 0, s"($removedA, $keptA)")
+    // ZERO unreachable files: the whole branch subtree is gone
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(aRoot)))
+    assert(TableFormat.read(spark, TableFormat.snapshot(spark, root))
+      .count() == 2L)
+    // ---- branch B: staged work, PUBLISHED, then dropped ----
+    TableFormat.createBranch(spark, root, "b")
+    val bRoot = TableFormat.branchRoot(root, "b")
+    writeKv(Seq(20L -> 20.0), s"$bRoot/stage")
+    TableFormat.appendFiles(spark, bRoot,
+      TableFormat.listParquet(spark, s"$bRoot/stage"))
+    TableFormat.publishBranch(spark, root, "b")
+    val (removedB, keptB) = TableFormat.dropBranch(spark, root, "b")
+    // main references the published file at its _branch/b path: kept
+    assert(keptB >= 1, s"($removedB, $keptB)")
+    assert(parquetUnder(bRoot).nonEmpty)
+    assert(TableFormat.read(spark, TableFormat.snapshot(spark, root))
+      .orderBy("k").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 20L))
+    // every surviving parquet under the table is reachable: a zero-grace
+    // retention sweep of the main log (which skips _branch wholesale)
+    // plus the branch sweeps leave no file outside some live log
+    val live = TableFormat.versions(spark, root).flatMap(v =>
+      TableFormat.snapshot(spark, root, Some(v)).files.map(f =>
+        new org.apache.hadoop.fs.Path(f.file).toUri.getPath)).toSet
+    val onDisk = parquetUnder(s"$root/_branch").map(p =>
+      new org.apache.hadoop.fs.Path(p).toUri.getPath)
+    assert(onDisk.forall(live.contains), onDisk.filterNot(live.contains))
+    // ---- nested branches: dropping the parent is refused loudly ----
+    TableFormat.createBranch(spark, root, "c")
+    val cRoot = TableFormat.branchRoot(root, "c")
+    TableFormat.createBranch(spark, cRoot, "inner")
+    val e = intercept[IllegalArgumentException](
+      TableFormat.dropBranch(spark, root, "c"))
+    assert(e.getMessage.contains("nested"), e.getMessage)
+    TableFormat.dropBranch(spark, cRoot, "inner")
+    val (_, keptC) = TableFormat.dropBranch(spark, root, "c")
+    assert(keptC == 0 && !fs.exists(new org.apache.hadoop.fs.Path(cRoot)))
   }
 
   test("publishBranch conflict: main advanced since the fork -> publish fails") {
