@@ -5217,6 +5217,68 @@ object SparkEntry {
         .reduce(_.unionByName(_)).orderBy(col("pin"))
     },
 
+    // ---- RENAME/DROP COLUMN (r13): metadata-only schema changes over
+    // the column-mapping ledger — RENAME commits no data IO and OLD-era
+    // files keep resolving through their physical names on both reader
+    // paths; time travel shows the old name at old versions; a DROPPED
+    // name re-ADDED reads null for old rows (dead data never
+    // resurrects); a compaction rewrite migrates files to the current
+    // names with content intact ----
+    "q134_rename_drop_column" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"cmap_${java.lang.Integer.toHexString(dir.hashCode)}"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val (aN, aT, dN, dT) = Fixtures.once(s, "q134_cm", dir) {
+        val p = new org.apache.hadoop.fs.Path(s"$wh/$tbl")
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"),
+            floor(col("o_totalprice") * 100).cast("long").as("amt"),
+            col("o_orderpriority").as("note"))
+          .createOrReplaceTempView("q134_src")
+        s.sql(s"""CREATE TABLE graft.`$tbl` (k BIGINT, amt BIGINT, note STRING)
+          TBLPROPERTIES('key_col'='k')""")                            // v1
+        s.sql(s"INSERT INTO graft.`$tbl` " +
+          "SELECT * FROM q134_src WHERE k % 32 = 6")                  // v2
+        s.sql(s"ALTER TABLE graft.`$tbl` RENAME COLUMN amt TO value") // v3
+        s.sql(s"INSERT INTO graft.`$tbl` " +
+          "SELECT * FROM q134_src WHERE k % 32 = 14")                 // v4
+        val a = s.sql(s"SELECT count(*), sum(value) FROM graft.`$tbl`")
+          .collect()(0)
+        // an old-era residual filter: the probe value lives in the v2
+        // file, physically named amt there
+        val k0 = s.sql(s"SELECT min(k) FROM graft.`$tbl` WHERE k % 32 = 6")
+          .collect()(0).getLong(0)
+        val dRow = s.sql(
+          s"SELECT count(*), sum(value) FROM graft.`$tbl` WHERE k = $k0")
+          .collect()(0)
+        s.sql(s"ALTER TABLE graft.`$tbl` DROP COLUMN note")           // v5
+        s.sql(s"ALTER TABLE graft.`$tbl` ADD COLUMNS (note STRING)")  // v6
+        s.sql(s"INSERT INTO graft.`$tbl` SELECT 900000001, 777, 'fresh'") // v7
+        s.sql(s"CALL graft.system.compact('$tbl', 1)")                // v8
+        (a.getLong(0), a.getLong(1), dRow.getLong(0), dRow.getLong(1))
+      }
+      val v2cols = s.sql(s"SELECT * FROM graft.`$tbl` VERSION AS OF 2").columns
+      val bFlag = if (v2cols.contains("amt") && !v2cols.contains("value"))
+        "amt" else "wrong"
+      val b = s.sql(s"SELECT count(*), sum(amt) FROM graft.`$tbl` VERSION AS OF 2")
+        .collect()(0)
+      val c = s.sql(s"SELECT count(*), coalesce(sum(value), 0L) " +
+        s"FROM graft.`$tbl` WHERE note IS NOT NULL").collect()(0)
+      val e = s.sql(s"SELECT count(*), sum(value) FROM graft.`$tbl`")
+        .collect()(0)
+      def row(pin: String, flag: String, n: Long, t: Long) =
+        s.range(1).select(lit(pin).as("pin"), lit(flag).as("flag"),
+          lit(n).as("n_rows"), lit(t).as("sum_val"))
+      Seq(row("a_mixed_eras", "-", aN, aT),
+          row("b_time_travel", bFlag, b.getLong(0), b.getLong(1)),
+          row("c_no_resurrection", "-", c.getLong(0), c.getLong(1)),
+          row("d_old_era_filter", "-", dN, dT),
+          row("e_compacted", "-", e.getLong(0), e.getLong(1)))
+        .reduce(_.unionByName(_)).orderBy(col("pin"))
+    },
+
     // ---- SQL WRITE-AUDIT-PUBLISH (r13): the WAP staging flow driven
     // ENTIRELY through SQL — CALL create_branch forks, INSERT INTO
     // graft.`t$branch_audit` stages (invisible to main), SQL DELETE
@@ -7805,6 +7867,32 @@ object SparkEntry {
          UNION ALL SELECT 'c_v1', 'create', 0, 0 FROM y
          UNION ALL SELECT 'c_v2', 'append', n, t FROM z
          UNION ALL SELECT 'z_counts', '-', 2, 2 FROM y
+         ORDER BY pin""",
+
+    // the mapping ledger's observable facts replay from the slices: the
+    // mixed-era read sums both slices under the NEW name, time travel
+    // to v2 resolves the OLD name (flag constant), the re-added note is
+    // non-null only for the fresh post-re-add row, the old-era point
+    // filter returns the slice-min row, and compaction changes nothing
+    "q134_rename_drop_column" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS c,
+             o_orderkey % 32 AS r FROM orders),
+         s1 AS (SELECT k, c FROM o WHERE r = 6),
+         s2 AS (SELECT k, c FROM o WHERE r = 14),
+         d AS (SELECT c FROM s1 WHERE k = (SELECT min(k) FROM s1)),
+         tot AS (SELECT
+             (SELECT count(*) FROM s1) + (SELECT count(*) FROM s2) AS n,
+             (SELECT sum(c) FROM s1) + (SELECT sum(c) FROM s2) AS t)
+         SELECT 'a_mixed_eras' AS pin, '-' AS flag, CAST(n AS BIGINT) AS n_rows,
+             CAST(t AS BIGINT) AS sum_val FROM tot
+         UNION ALL SELECT 'b_time_travel', 'amt', count(*),
+             CAST(sum(c) AS BIGINT) FROM s1
+         UNION ALL SELECT 'c_no_resurrection', '-', 1, 777
+         UNION ALL SELECT 'd_old_era_filter', '-', 1,
+             (SELECT CAST(c AS BIGINT) FROM d)
+         UNION ALL SELECT 'e_compacted', '-', CAST(n + 1 AS BIGINT),
+             CAST(t + 777 AS BIGINT) FROM tot
          ORDER BY pin""",
 
     // every WAP stage replays from the slice arithmetic: the branch

@@ -625,12 +625,88 @@ object TableFormat {
         s"read: snapshot v${snap.version} lists no files and carries no schema")
     }
 
+  // ---- COLUMN MAPPING (rename/drop without rewrites) ---------------------
+  // The Iceberg-name-mapping answer to "files resolve columns by name":
+  // a RENAME records the old name's era in the commit props, a DROP
+  // tombstones every historical name, and readers resolve each LOGICAL
+  // column to the PHYSICAL name that was live when the file was written
+  // (its commit seq). Props, per logical column `L` (current name):
+  //   colmap.L  = "n1:d1,n2:d2"  — n1 physically served files with
+  //               seq < d1, n2 served d1 <= seq < d2, and L itself
+  //               serves seq >= d_last (eras are contiguous, so no
+  //               start markers are needed);
+  //   coldead.n = v              — name n stopped binding at version v
+  //               (rename source or dropped column); a LATER re-ADD of
+  //               n sets colborn so dead namesake data cannot resurrect;
+  //   colborn.L = v              — L binds only files with seq >= v.
+  // Everything is per-commit: time travel to a pre-rename version reads
+  // the old DDL with the old (or no) mapping, exactly as committed.
+
+  /** Physical name of logical column `logical` for a file committed at
+    * `seq`, or None when the file's same-named data belongs to a DEAD
+    * column (dropped-then-re-added) and must read as null. */
+  def physicalName(props: Map[String, String], logical: String,
+                   seq: Long): Option[String] = {
+    props.get(s"colmap.$logical")
+      .flatMap { hist =>
+        hist.split(',').iterator.filter(_.nonEmpty).map { e =>
+          val i = e.lastIndexOf(':')
+          (e.substring(0, i), e.substring(i + 1).toLong)
+        }.toSeq.sortBy(_._2).find(_._2 > seq).map(_._1)
+      }
+      .map(Some(_))
+      .getOrElse(props.get(s"colborn.$logical") match {
+        case Some(v) if seq < v.toLong => None
+        case _ => Some(logical)
+      })
+  }
+
+  /** True when the snapshot carries any rename/drop ledger — the fast
+    * gate that keeps unaffected tables on the identity read path. */
+  def hasColumnMapping(props: Map[String, String]): Boolean =
+    props.keysIterator.exists(k =>
+      k.startsWith("colmap.") || k.startsWith("colborn."))
+
+  /** The schema to hand a by-name parquet reader for a file committed
+    * at `seq`: each top-level field renamed to its physical name; a
+    * dead-namesake field maps to a reserved absent name, which by-name
+    * resolution null-fills. Field ORDER is preserved, so positional
+    * rename back to logical names is exact. */
+  def physicalSchemaOf(props: Map[String, String],
+                       schema: org.apache.spark.sql.types.StructType,
+                       seq: Long): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(schema.fields.map { f =>
+      physicalName(props, f.name, seq) match {
+        case Some(n) if n == f.name => f
+        case Some(n) => f.copy(name = n)
+        case None => f.copy(name = s"__graft_dropped__${f.name}")
+      }
+    })
+
   private def readRaw(spark: SparkSession, snap: Snapshot,
                       files: Seq[String]): DataFrame =
     snap.schemaDdl match {
       case Some(ddl) =>
-        spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
-          .parquet(files: _*)
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        if (!hasColumnMapping(snap.props))
+          spark.read.schema(schema).parquet(files: _*)
+        else {
+          // mapping-aware read: group files by their ERA's physical
+          // schema (one group per rename boundary, a handful at most),
+          // read each group under physical names, rename back
+          // positionally — rewrites (compact/recluster) then WRITE the
+          // current names, so maintenance naturally migrates files out
+          // of old eras
+          val seqOf = snap.files.map(f => f.file -> f.seq).toMap
+          files.groupBy(f => physicalSchemaOf(snap.props, schema,
+              seqOf.getOrElse(f, Long.MaxValue)))
+            .toSeq.sortBy(_._2.head)
+            .map { case (phys, group) =>
+              spark.read.schema(phys).parquet(group: _*)
+                .toDF(schema.fieldNames: _*)
+            }
+            .reduce(_.unionByName(_))
+        }
       case None => spark.read.parquet(files: _*)
     }
 

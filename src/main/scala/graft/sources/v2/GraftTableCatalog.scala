@@ -385,7 +385,47 @@ class GraftTableCatalog extends TableCatalog
       scala.collection.mutable.ListBuffer.empty[(Seq[String], org.apache.spark.sql.types.DataType)]
     val setProps = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val unsetProps = scala.collection.mutable.ListBuffer.empty[String]
+    val renames = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    val drops = scala.collection.mutable.ListBuffer.empty[String]
+    // rename/drop are metadata-only via the COLUMN MAPPING ledger
+    // ([[TableFormat.physicalName]]); the stats machinery stays
+    // name-keyed, so the key and declared zone columns refuse (their
+    // rename would orphan every recorded bound/bloom/null count)
+    def mappable(c: String): String = {
+      require(c.matches("[A-Za-z0-9_]+"),
+        s"graft catalog: column mapping needs [A-Za-z0-9_]+ names, got '$c'")
+      require(c != first.keyCol && !first.zoneCols.contains(c),
+        s"graft catalog: cannot rename/drop '$c' — it is the key or a " +
+          "declared zone/partition column (stats are name-keyed; " +
+          "recluster to re-key first)")
+      c
+    }
     changes.foreach {
+      case r: TableChange.RenameColumn if r.fieldNames().length == 1 =>
+        val from = mappable(r.fieldNames()(0))
+        val to = r.newName()
+        require(to.matches("[A-Za-z0-9_]+"),
+          s"graft catalog: column mapping needs [A-Za-z0-9_]+ names, got '$to'")
+        require(baseSchema.fieldNames.contains(from),
+          s"graft catalog: no column '$from' to rename")
+        require(!baseSchema.fieldNames.contains(to),
+          s"graft catalog: rename target '$to' already exists")
+        renames += ((from, to))
+      case r: TableChange.RenameColumn =>
+        throw new UnsupportedOperationException(
+          "graft catalog: only top-level columns can be renamed " +
+            s"(got ${r.fieldNames().mkString(".")})")
+      case d: TableChange.DeleteColumn if d.fieldNames().length == 1 =>
+        val c = mappable(d.fieldNames()(0))
+        require(baseSchema.fieldNames.contains(c),
+          s"graft catalog: no column '$c' to drop")
+        require(baseSchema.fields.length > 1,
+          s"graft catalog: cannot drop the last column '$c'")
+        drops += c
+      case d: TableChange.DeleteColumn =>
+        throw new UnsupportedOperationException(
+          "graft catalog: only top-level columns can be dropped " +
+            s"(got ${d.fieldNames().mkString(".")})")
       case a: TableChange.AddColumn if a.fieldNames().length == 1 =>
         val name = a.fieldNames()(0)
         require(!baseSchema.fieldNames.contains(name) &&
@@ -408,8 +448,8 @@ class GraftTableCatalog extends TableCatalog
       case rp: TableChange.RemoveProperty =>
         unsetProps += rp.property()
       case other => throw new UnsupportedOperationException(
-        s"graft catalog: unsupported table change $other — type changes, " +
-          "renames and drops need a rewrite (library API)")
+        s"graft catalog: unsupported table change $other — type changes " +
+          "need a rewrite (library API)")
     }
     // new CHECK constraints validate the EXISTING table before they may
     // commit (the setConstraint contract), and spec declarations get the
@@ -449,16 +489,52 @@ class GraftTableCatalog extends TableCatalog
         if (cur.version != first.version) validateNew(cur)
         cur.files
       },
-      deriveProps = curOpt =>
-        curOpt.map(_.props).getOrElse(Map.empty) ++ setProps -- unsetProps,
+      deriveProps = { curOpt =>
+        var p = curOpt.map(_.props).getOrElse(Map.empty) ++ setProps -- unsetProps
+        // the COLUMN MAPPING ledger updates stamp the version THIS
+        // commit will get (cur + 1): files from earlier commits keep
+        // resolving the old names, files from this version on bind the
+        // new ones
+        val v = curOpt.map(_.version).getOrElse(0L) + 1
+        renames.foreach { case (from, to) =>
+          val hist = p.getOrElse(s"colmap.$from", "")
+          val newHist = (if (hist.isEmpty) "" else hist + ",") + s"$from:$v"
+          p = p - s"colmap.$from" +
+            (s"colmap.$to" -> newHist) + (s"coldead.$from" -> v.toString)
+          if (p.contains(s"coldead.$to")) p += (s"colborn.$to" -> v.toString)
+        }
+        drops.foreach { d =>
+          val names = p.getOrElse(s"colmap.$d", "").split(',')
+            .filter(_.nonEmpty)
+            .map(e => e.substring(0, e.lastIndexOf(':'))) :+ d
+          names.foreach(n => p += (s"coldead.$n" -> v.toString))
+          p -= s"colmap.$d"
+        }
+        // a re-ADD of a previously-bound name: files older than this
+        // commit hold the DEAD column's data under that name — colborn
+        // pins the new column to files from here on
+        addedFields.map(_.name).foreach { n =>
+          if (p.contains(s"coldead.$n") && !p.contains(s"colmap.$n"))
+            p += (s"colborn.$n" -> v.toString)
+        }
+        p
+      },
       // schema re-derives against the RE-RESOLVED snapshot: a column a
       // concurrent append evolved in must survive this commit (deriving
       // from the stale base would silently drop it from the DDL);
-      // evolveSchema merges recursively, so nested adds compose too
-      deriveSchema = curOpt => Some(TableFormat.evolveSchema(
-        curOpt.flatMap(_.schemaDdl).map(StructType.fromDDL)
-          .getOrElse(baseSchema),
-        target).toDDL),
+      // evolveSchema merges recursively, so nested adds compose too —
+      // renames and drops apply AFTER the merge, on the evolved shape
+      deriveSchema = { curOpt =>
+        val evolved = TableFormat.evolveSchema(
+          curOpt.flatMap(_.schemaDdl).map(StructType.fromDDL)
+            .getOrElse(baseSchema),
+          target)
+        val renamed = StructType(evolved.fields.map { f =>
+          renames.find(_._1 == f.name).map(r => f.copy(name = r._2))
+            .getOrElse(f)
+        }.filterNot(f => drops.contains(f.name)))
+        Some(renamed.toDDL)
+      },
       op = Some("replace"))
     loadTable(ident)
   }
@@ -934,7 +1010,9 @@ private class GraftSqlScanBuilder(snap: TableFormat.Snapshot,
 }
 
 private case class GraftSqlPartition(file: String, manifests: Seq[String],
-                                     keyCol: String) extends InputPartition
+                                     keyCol: String,
+                                     physSchemaJson: Option[String] = None)
+  extends InputPartition
 
 private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
                            bounds: Map[String, (Long, Long)],
@@ -1015,10 +1093,24 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
     if (required.fields.isEmpty) None
     else GraftRowGroupFilter.build(rowGroupFilters, tableSchema)
 
+  private lazy val columnMapping = TableFormat.hasColumnMapping(snap.props)
+
   override def planInputPartitions(): Array[InputPartition] =
     hit.map { f =>
       val manifests = snap.deletes.filter(_.seq > f.seq).map(_.file)
-      GraftSqlPartition(f.file, manifests, snap.keyCol): InputPartition
+      // under a rename/drop ledger, a file from an OLD ERA carries its
+      // columns under old physical names: the partition ships the
+      // era-resolved schema and the reader reads through it (output
+      // stays positional, so logical names never reach the file)
+      val phys =
+        if (!columnMapping) None
+        else {
+          val ps = TableFormat.physicalSchemaOf(snap.props, extendedSchema,
+            f.seq)
+          if (ps.fieldNames.sameElements(extendedSchema.fieldNames)) None
+          else Some(ps.json)
+        }
+      GraftSqlPartition(f.file, manifests, snap.keyCol, phys): InputPartition
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -1051,11 +1143,24 @@ private class GraftSqlReaderFactory(required: StructType,
       m
     }
 
+  /** Era-resolved conf/schema for a partition under a rename/drop
+    * ledger: the per-file conf copy happens ONLY for old-era files of
+    * mapped tables — the common case keeps the one scan-wide stamp. */
+  private def confFor(p: GraftSqlPartition): org.apache.hadoop.conf.Configuration =
+    p.physSchemaJson match {
+      case Some(js) =>
+        val c2 = new org.apache.hadoop.conf.Configuration(conf.value)
+        c2.set(org.apache.spark.sql.execution.datasources.parquet
+          .ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, js)
+        c2
+      case None => conf.value
+    }
+
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftSqlPartition]
     new GraftSqlColumnarReader(p.file, required, extended, maskOf(p),
-      p.keyCol, conf.value)
+      p.keyCol, confFor(p))
   }
 
   override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
@@ -1068,7 +1173,16 @@ private class GraftSqlReaderFactory(required: StructType,
         Map(GraftRowLevel.FileColumn ->
           org.apache.spark.unsafe.types.UTF8String.fromString(p.file))
       else Map.empty
-    new ParquetRowReader(p.file, required, conf.value, synth = synth,
+    // era-resolved names for an old-era file of a mapped table: the
+    // partition's physical schema covers `extended` — its projected
+    // prefix is exactly `required` under physical names (output stays
+    // positional; synth names like _file are never mapped)
+    val physRequired = p.physSchemaJson match {
+      case Some(js) => StructType(org.apache.spark.sql.types.DataType
+        .fromJson(js).asInstanceOf[StructType].fields.take(required.length))
+      case None => required
+    }
+    new ParquetRowReader(p.file, physRequired, conf.value, synth = synth,
       mask = mask, keyCol = p.keyCol)
   }
 }

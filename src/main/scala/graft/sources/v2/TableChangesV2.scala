@@ -294,9 +294,16 @@ private[v2] class ChangesStream(root: String, schema: StructType,
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // rename/drop ledger of the live head (the stream reads under the
+    // LATEST schema): old-era files resolve their columns through it,
+    // by partition version — only the small colmap/colborn subset ships
+    val mapping = TableFormat.snapshot(spark, root).props.filter { case (k, _) =>
+      k.startsWith("colmap.") || k.startsWith("colborn.")
+    }
     new ParquetRowReaderFactory(schema,
-      new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()), mapping)
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -322,11 +329,18 @@ private[v2] class SerializableHadoopConf(
 }
 
 private class ParquetRowReaderFactory(schema: StructType,
-                                      conf: SerializableHadoopConf)
+                                      conf: SerializableHadoopConf,
+                                      mapping: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TableFilePartition]
-    new ParquetRowReader(p.file, schema, conf.value,
+    // a file emitted at version v was written under the names live at
+    // v: resolve the requested schema into that era (identity when no
+    // ledger; output is positional, synth columns are never mapped)
+    val physSchema =
+      if (mapping.isEmpty) schema
+      else TableFormat.physicalSchemaOf(mapping, schema, p.version)
+    new ParquetRowReader(p.file, physSchema, conf.value,
       synth = Map(TableChangesV2.VersionColumn -> p.version))
   }
 }

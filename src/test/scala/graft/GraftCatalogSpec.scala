@@ -1066,6 +1066,74 @@ class GraftCatalogSpec extends SparkTestBase {
       .collect()(0).getLong(0) == 10L)
   }
 
+  test("RENAME/DROP COLUMN are metadata-only via the column-mapping ledger; old files resolve, dead names never resurrect") {
+    val root = s"$warehouse/cmap"
+    spark.sql("""CREATE TABLE sqlcat.cmap (k BIGINT, a BIGINT, note STRING)
+      TBLPROPERTIES('key_col'='k')""")                                // v1
+    spark.sql("INSERT INTO sqlcat.cmap " +
+      "SELECT id, id * 2, concat('n', id) FROM range(1, 6)")          // v2
+    // RENAME: one metadata commit; the old-era file keeps resolving
+    spark.sql("ALTER TABLE sqlcat.cmap RENAME COLUMN a TO b")         // v3
+    assert(spark.sql("SELECT b FROM sqlcat.cmap ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == (1L to 5L).map(_ * 2))
+    assert(TableFormat.versions(spark, root).last == 3L)
+    // mixed eras: new files physically carry b, old files carry a
+    spark.sql("INSERT INTO sqlcat.cmap " +
+      "SELECT id, id * 2, concat('n', id) FROM range(6, 9)")          // v4
+    assert(spark.sql("SELECT sum(b) FROM sqlcat.cmap").collect()(0)
+      .getLong(0) == (1L to 8L).map(_ * 2).sum)
+    // residual filters on the renamed column work across eras
+    assert(spark.sql("SELECT k FROM sqlcat.cmap WHERE b = 4").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    // the row-reader path (_file projection) resolves old eras too
+    val byFile = spark.sql(
+      "SELECT _file, b FROM sqlcat.cmap WHERE k IN (1, 7)").collect()
+    assert(byFile.map(_.getLong(1)).sorted.toSeq == Seq(2L, 14L))
+    assert(byFile.map(_.getString(0)).distinct.length == 2)
+    // time travel: the pre-rename version shows the OLD name
+    val v2cols = spark.sql("SELECT * FROM sqlcat.cmap VERSION AS OF 2")
+      .columns.toSeq
+    assert(v2cols == Seq("k", "a", "note"), v2cols)
+    assert(spark.sql("SELECT a FROM sqlcat.cmap VERSION AS OF 2")
+      .collect().map(_.getLong(0)).sorted.toSeq == (1L to 5L).map(_ * 2))
+    // DROP + re-ADD: the re-added column must NOT resurrect dead data
+    spark.sql("ALTER TABLE sqlcat.cmap DROP COLUMN note")             // v5
+    assert(!spark.sql("SELECT * FROM sqlcat.cmap").columns.contains("note"))
+    spark.sql("ALTER TABLE sqlcat.cmap ADD COLUMNS (note STRING)")    // v6
+    assert(spark.sql("SELECT note FROM sqlcat.cmap").collect()
+      .forall(_.isNullAt(0)))
+    spark.sql("INSERT INTO sqlcat.cmap SELECT 100, 200, 'fresh'")     // v7
+    val notes = spark.sql(
+      "SELECT k, note FROM sqlcat.cmap WHERE note IS NOT NULL").collect()
+    assert(notes.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((100L, "fresh")))
+    // streaming reads under the live schema resolve old eras
+    val out = s"${freshRoot()}/out"; val cp = s"${freshRoot()}/cp"
+    val q = spark.readStream.table("sqlcat.cmap")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(300000))
+    assert(spark.read.parquet(out).selectExpr("sum(b)").collect()(0)
+      .getLong(0) == (1L to 8L).map(_ * 2).sum + 200L)
+    // MoR masking composes with the mapping (masked vectorized read of
+    // an old-era file)
+    TableFormat.deleteKeysMoR(spark, root, root, Seq(2L))             // v8
+    assert(spark.sql("SELECT sum(b) FROM sqlcat.cmap").collect()(0)
+      .getLong(0) == (1L to 8L).map(_ * 2).sum + 200L - 4L)
+    // a rewrite migrates files to current physical names; content holds
+    spark.sql("CALL sqlcat.system.compact('cmap', 1)")                // v9
+    assert(spark.sql("SELECT sum(b) FROM sqlcat.cmap").collect()(0)
+      .getLong(0) == (1L to 8L).map(_ * 2).sum + 200L - 4L)
+    assert(spark.sql("SELECT k, b FROM sqlcat.cmap WHERE k = 7")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((7L, 14L)))
+    // the key and zone columns refuse rename/drop loudly
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE sqlcat.cmap RENAME COLUMN k TO kk"))
+    assert(e.getMessage.contains("key"), e.getMessage)
+  }
+
   test("SQL write-audit-publish: CALL create_branch, stage via t$branch_<name>, publish fast-forward, stale fork fails loud, clone") {
     val root = s"$warehouse/wapsql"
     spark.sql("""CREATE TABLE sqlcat.wapsql (k BIGINT, v BIGINT)
