@@ -65,7 +65,21 @@ object Decontaminate {
   def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
                    weights: Seq[(String, Double)],
                    k: Int = 5, bands: Int = 4, rowsPerBand: Int = 4,
-                   threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
+                   threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame =
+    splitLeakageFromPairs(docs, idCol, textCol, weights,
+      Dedup.minhashLsh(docs, idCol, textCol, k, bands, rowsPerBand,
+        threshold, maxBucketSize).select("id_a", "id_b", "jaccard"),
+      maxBucketSize)
+
+  /** [[splitLeakage]] over a PRECOMPUTED near-dup pair graph (id_a,
+    * id_b, jaccard) — the stored-artifact shape: a maintained corpus
+    * pair graph serves the leakage report (and clustering, and the
+    * near-dup listing) without re-shingling the corpus per consumer.
+    * The exact-dup half is one content-hash equi-join either way. */
+  def splitLeakageFromPairs(docs: DataFrame, idCol: String, textCol: String,
+                            weights: Seq[(String, Double)],
+                            nearPairs: DataFrame,
+                            maxBucketSize: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val splits = Sampling.assignSplit(docs, idCol, weights)
       .select(col(idCol).as("_sid"), col("split"))
@@ -85,10 +99,7 @@ object Decontaminate {
       .withColumn("kind", lit("exact"))
       .withColumn("jaccard", lit(1.0))
       .localCheckpoint(false) // feeds the output AND the near anti-join
-    val near = attach(
-      Dedup.minhashLsh(docs, idCol, textCol, k, bands, rowsPerBand,
-          threshold, maxBucketSize)
-        .select("id_a", "id_b", "jaccard"))
+    val near = attach(nearPairs.select("id_a", "id_b", "jaccard"))
       .join(exact.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
       .withColumn("kind", lit("near"))
     val cols = Seq("kind", "id_a", "id_b", "split_a", "split_b", "jaccard")
