@@ -5411,6 +5411,63 @@ object SparkEntry {
     // a no-value-present file drops exactly). The dataset is fixed, so
     // the pruned-files ledger is a constant the oracle states; counts
     // and sums replay from the slices ----
+    // ---- RUNTIME (join-driven) FILE PRUNING (r13): the scan implements
+    // SupportsRuntimeFiltering — Spark's dynamic-partition-pruning rule
+    // collects the dim side's join keys at EXECUTION time and hands them
+    // to the fact scan as an In filter, which probes per-file key bounds
+    // AND the commit blooms (no false negatives). The fixture slices the
+    // fact by key RESIDUE so every file spans the full key range: bounds
+    // can never discriminate — a dropped file is bloom evidence driven
+    // by the JOIN's dim filter, which the fact WHERE clause never named.
+    // The 100 TB star-join lever: a selective dim probe reads O(hit
+    // files) of the fact, not the table ----
+    "q135_runtime_filter" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"rtf_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val root = s"$wh/$tbl"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q135_rtf", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val base = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        val files = (0 until 8).flatMap { r =>
+          base.filter(pmod(col("k"), lit(8)) === r)
+            .repartition(1).write.mode("overwrite").parquet(s"$root/r$r")
+          TableFormat.listParquet(s, s"$root/r$r")
+        }
+        // blooms sized for PROBE CARDINALITY, not just point lookups: a
+        // runtime In filter probes every dim key against every file, so
+        // per-file FP odds compound as 1-(1-fp)^|dim| — at ~2k keys/file
+        // and a few hundred probes, 2^18 bits keeps the compound FP ~0
+        // where the 2^14 default would keep every file
+        TableFormat.commitFiles(s, root, "k", files, 1 << 18, 5)
+      }
+      // dim keys all ≡ 19 (mod 64) ⊂ residue 3 (mod 8): only the r=3
+      // fact file can hold matches; the dim must stay FILE-BACKED so its
+      // selective filter survives to drive the pruning subquery
+      val dim = Tables.orders(s, dir)
+        .filter(pmod(col("o_orderkey"), lit(64)) === 19)
+        .select(col("o_orderkey").as("dk"))
+      val joined = s.sql(s"SELECT k, cents FROM graft.`$tbl`")
+        .join(dim, col("k") === col("dk"))
+        .select(col("k"), col("cents"))
+      val rows = joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      val m = "RuntimeFiltered: (\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+        .getOrElse(throw new IllegalStateException(
+          s"q135: no RuntimeFiltered marker in:\n$plan"))
+      s.range(1).select(
+        lit(plan.contains("dynamicpruning")).as("dpp_planted"),
+        lit(m.group(2).toInt == 8).as("eight_files"),
+        // 7 of 8 dropped at runtime (a bloom false positive could in
+        // principle keep one extra file; never fewer than 6)
+        lit(m.group(1).toInt >= 6).as("rt_pruned"),
+        lit(rows.length.toLong).as("n_rows"),
+        lit(rows.map(_.getLong(1)).sum).as("sum_cents"))
+    },
+
     "q130_null_in_pruning" -> { (s, dir) =>
       val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
       val tbl = s"nip_${java.lang.Integer.toHexString(dir.hashCode)}"
@@ -8006,6 +8063,19 @@ object SparkEntry {
     // pushdown + skipping intact and the deleted key still gone (the
     // stamped filter never reaches the manifest read); kmid = max(k)/2
     // on the contiguous key domain
+    // the pruning ledger flags are dataset constants: DPP is planted
+    // (the join's dim side is selective and file-backed), the fixture
+    // holds exactly 8 residue files, and at least 6 are runtime-dropped
+    // (bounds overlap fully — only the blooms discriminate)
+    "q135_runtime_filter" ->
+      """WITH f AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+         d AS (SELECT o_orderkey AS dk FROM orders WHERE o_orderkey % 64 = 19)
+         SELECT TRUE AS dpp_planted, TRUE AS eight_files, TRUE AS rt_pruned,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(f.cents) AS BIGINT) AS sum_cents
+         FROM f JOIN d ON f.k = d.dk""",
+
     "q131_rowgroup_pushdown" ->
       """WITH o AS (SELECT o_orderkey AS k,
              CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),

@@ -1022,7 +1022,7 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
                              Seq.empty,
                            rowGroupFilters: Array[Filter] = Array.empty,
                            tableSchema: StructType = StructType(Nil))
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
 
   /** STREAMING read of the table — `spark.readStream.table("graft.t")`
@@ -1042,10 +1042,90 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
   private def boundsOf(f: TableFormat.FileStat, col: String): Option[(Long, Long)] =
     if (col == snap.keyCol) Some((f.minKey, f.maxKey)) else f.zones.get(col)
 
-  private lazy val hit = snap.files.filter { f =>
+  /** PLAN-TIME survivors: zone-bound + null/bloom pruning from the
+    * pushed filters. Runtime (DPP) filters narrow further below. */
+  private lazy val planHit = snap.files.filter { f =>
     bounds.forall { case (col, (lo, hi)) =>
       boundsOf(f, col).forall { case (mn, mx) => mn <= hi && mx >= lo }
     } && pruners.forall(_._2(f))
+  }
+
+  // ---- RUNTIME (join-driven) file pruning — SupportsRuntimeFiltering.
+  // Spark's dynamic-partition-pruning rule plants a subquery that
+  // collects the OTHER join side's key values at execution time and
+  // hands them here as `In`/`EqualTo` filters; each value probes the
+  // per-file bounds AND (on the key) the commit blooms — exactly the
+  // plan-time IN machinery, but fed by the join. A selective dim
+  // filter thus prunes FACT FILES the WHERE clause never mentioned —
+  // the 100 TB star-join lever (same contract as plan-time pruning:
+  // best-effort, rows stay filtered by the join itself). ----
+  @volatile private var runtimeKeep
+      : Seq[TableFormat.FileStat => Boolean] = Seq.empty
+
+  private def hit: Seq[TableFormat.FileStat] =
+    if (runtimeKeep.isEmpty) planHit
+    else planHit.filter(f => runtimeKeep.forall(_(f)))
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    (snap.keyCol +: snap.zoneCols).distinct
+      // Spark resolves these against the scan's OUTPUT — a stats column
+      // pruned out of the projection cannot be a runtime-filter anchor
+      .filter(required.fieldNames.contains)
+      .filter(c => tableSchema.fields.find(_.name == c).map(_.dataType)
+        .exists(GraftSqlValues.discreteType))
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val keep = Seq.newBuilder[TableFormat.FileStat => Boolean]
+    filters.foreach {
+      case In(c, values) if c == snap.keyCol || snap.zoneCols.contains(c) =>
+        val longs = values.toSeq.flatMap(GraftSqlValues.zoneValue)
+        // only a COMPLETE translation may prune (a value outside the
+        // zone-long mapping could match rows in any file); an empty
+        // runtime set legitimately prunes everything — the join side
+        // produced no keys
+        if (longs.size == values.count(_ != null)) {
+          if (c == snap.keyCol) {
+            val strs = longs.map(l =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(l.toString))
+            keep += { f =>
+              val bits =
+                new org.apache.spark.sql.catalyst.util.GenericArrayData(f.bloom)
+              longs.indices.exists { i =>
+                longs(i) >= f.minKey && longs(i) <= f.maxKey &&
+                  graft.functions.BloomUtil.contains(bits, strs(i),
+                    snap.numBits, snap.numHashes)
+              }
+            }
+          } else {
+            keep += { f =>
+              f.zones.get(c).forall { case (mn, mx) =>
+                longs.exists(l => l >= mn && l <= mx)
+              }
+            }
+          }
+        }
+      case EqualTo(c, v) if c == snap.keyCol || snap.zoneCols.contains(c) =>
+        GraftSqlValues.zoneValue(v).foreach { l =>
+          if (c == snap.keyCol) {
+            val s = org.apache.spark.unsafe.types.UTF8String
+              .fromString(l.toString)
+            keep += { f =>
+              l >= f.minKey && l <= f.maxKey &&
+                graft.functions.BloomUtil.contains(
+                  new org.apache.spark.sql.catalyst.util.GenericArrayData(f.bloom),
+                  s, snap.numBits, snap.numHashes)
+            }
+          } else {
+            keep += { f =>
+              f.zones.get(c).forall { case (mn, mx) => l >= mn && l <= mx }
+            }
+          }
+        }
+      case _ => () // unsupported runtime shape: no pruning, join filters rows
+    }
+    runtimeKeep = keep.result()
   }
 
   /** Columnar for every scan except a projection that carries the
@@ -1063,9 +1143,11 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
   /** True when any surviving file has an applicable manifest — the scan
     * then reads the KEY column alongside the projection (appended when
     * not already projected) so the columnar mask can probe it; the
-    * reader emits only the projected prefix. */
+    * reader emits only the projected prefix. Judged on the PLAN-TIME
+    * survivors: the read schema must not depend on runtime filters
+    * (which arrive after the scan's schema is fixed). */
   private lazy val anyMasked =
-    hit.exists(f => snap.deletes.exists(_.seq > f.seq))
+    planHit.exists(f => snap.deletes.exists(_.seq > f.seq))
 
   private lazy val extendedSchema: StructType =
     if (anyMasked && !required.fieldNames.contains(snap.keyCol))
@@ -1075,6 +1157,7 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
   override def description(): String =
     s"graft(${snap.root}@v${snap.version}) PrunedFiles: " +
       s"${snap.files.size - hit.size}/${snap.files.size}, " +
+      s"RuntimeFiltered: ${planHit.size - hit.size}/${planHit.size}, " +
       s"Columnar: $columnar, Bounds: " +
       bounds.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => s"$c in [$lo,$hi]" }
         .mkString("[", ", ", "]") +
