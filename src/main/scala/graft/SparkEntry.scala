@@ -5468,6 +5468,48 @@ object SparkEntry {
         lit(rows.map(_.getLong(1)).sum).as("sum_cents"))
     },
 
+    // ---- PLAN-TIME STATISTICS (r13): the scan reports the pruned
+    // survivors' recorded on-disk bytes + exact commit row counts
+    // (SupportsReportStatistics) — so Catalyst AUTO-BROADCASTS a small
+    // graft dim with no hint, where the DSv2 default size would plan a
+    // shuffle join for a 1,500-row table. Graded live: the leaf
+    // relation's rowCount must equal the oracle's dim count, the size
+    // must be a real figure (not the never-broadcast default), and the
+    // executed join must be a BroadcastHashJoin ----
+    "q136_stats_broadcast" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"sbc_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val root = s"$wh/$tbl"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q136_sbc", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        Tables.customer(s, dir)
+          .select(col("c_custkey").as("k"), col("c_name").as("name"))
+          .repartition(2).write.mode("overwrite").parquet(s"$root/d0")
+        TableFormat.commitFiles(s, root, "k",
+          TableFormat.listParquet(s, s"$root/d0"), 1 << 14, 5)
+      }
+      val fact = Tables.orders(s, dir).select(col("o_custkey").as("fk"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val agg = fact.join(s.sql(s"SELECT k, name FROM graft.`$tbl`"),
+          col("fk") === col("k"))
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sc"))
+      val stats = agg.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+          if r.scan.description().startsWith("graft(") => r.stats
+      }.head
+      val row = agg.collect()(0)
+      val plan = agg.queryExecution.executedPlan.toString
+      s.range(1).select(
+        lit(plan.contains("BroadcastHashJoin")).as("bhj"),
+        lit(stats.sizeInBytes < BigInt(Long.MaxValue) / 4).as("sz_known"),
+        lit(stats.rowCount.map(_.toLong).getOrElse(-1L)).as("dim_rows"),
+        lit(row.getLong(0)).as("n_rows"),
+        lit(row.getLong(1)).as("sum_cents"))
+    },
+
     "q130_null_in_pruning" -> { (s, dir) =>
       val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
       val tbl = s"nip_${java.lang.Integer.toHexString(dir.hashCode)}"
@@ -8063,6 +8105,18 @@ object SparkEntry {
     // pushdown + skipping intact and the deleted key still gone (the
     // stamped filter never reaches the manifest read); kmid = max(k)/2
     // on the contiguous key domain
+    // the stats flags are dataset constants (a 1.5k-row dim always
+    // broadcasts under the default 10 MB threshold; the reported size is
+    // real commit bytes); dim_rows is the strong check — the scan's
+    // reported rowCount must equal the table's true cardinality
+    "q136_stats_broadcast" ->
+      """SELECT TRUE AS bhj, TRUE AS sz_known,
+           (SELECT CAST(count(*) AS BIGINT) FROM customer) AS dim_rows,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
+
     // the pruning ledger flags are dataset constants: DPP is planted
     // (the join's dim side is selective and file-backed), the fixture
     // holds exactly 8 residue files, and at least 6 are runtime-dropped

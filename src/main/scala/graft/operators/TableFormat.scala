@@ -73,7 +73,8 @@ object TableFormat {
                             zones: Map[String, (Long, Long)] = Map.empty,
                             seq: Long = -1L,
                             kmv: Seq[Long] = Seq.empty,
-                            nulls: Map[String, Long] = Map.empty) {
+                            nulls: Map[String, Long] = Map.empty,
+                            bytes: Long = -1L) {
     /** True iff the file PROVABLY holds no null in `col` (recorded zero;
       * unknown — pre-null-stats commits — is not proof). */
     def nullFree(col: String): Boolean = nulls.get(col).contains(0L)
@@ -200,10 +201,28 @@ object TableFormat {
           longAt("n_rows"),
           r.getSeq[Long](r.fieldIndex("bloom")).toArray, zones,
           kmv = r.getSeq[Long](r.fieldIndex("kmv")),
-          nulls = nulls)
+          nulls = nulls,
+          // on-disk size recorded at stats time (one driver-side status
+          // call per NEWLY COMMITTED file — the file was just read
+          // wholesale for the aggregate, the RPC is noise): what lets
+          // the SQL scan report honest sizeInBytes, so Catalyst's
+          // broadcast decisions see the table's true footprint instead
+          // of the never-broadcast default
+          bytes = statusOf(r.getString(r.fieldIndex("file")),
+            spark.sparkContext.hadoopConfiguration))
       }
       .sortBy(_.file).toSeq
   }
+
+  /** Length of one file, -1 when the status call fails (stat stays
+    * UNKNOWN — estimation falls back, a commit never fails over a size
+    * probe). Hadoop caches FileSystem instances, so this is one RPC. */
+  private def statusOf(file: String,
+                       conf: org.apache.hadoop.conf.Configuration): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(file)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    } catch { case _: Exception => -1L }
 
   /** METADATA-ONLY approximate distinct-key count — union the per-file
     * KMV sketches every commit carries and estimate from the merged
@@ -302,6 +321,7 @@ object TableFormat {
         }
         sb.append('}')
       }
+      if (f.bytes >= 0) sb.append(s""","bytes":${f.bytes}""")
       sb.append('}')
     }
     sb.append("]}")
@@ -345,7 +365,10 @@ object TableFormat {
             val m = Map.newBuilder[String, Long]
             while (it.hasNext) { val c = it.next(); m += c -> z.get(c).asLong() }
             m.result()
-          })
+          },
+        // pre-byte-stats commits parse as -1 = UNKNOWN: size estimation
+        // falls back to row-width arithmetic, never guesses zero
+        bytes = if (f.has("bytes")) f.get("bytes").asLong() else -1L)
     }
     // commits written before props support parse unchanged (empty map)
     val props =

@@ -1022,7 +1022,31 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
                              Seq.empty,
                            rowGroupFilters: Array[Filter] = Array.empty,
                            tableSchema: StructType = StructType(Nil))
-    extends Scan with Batch with SupportsRuntimeFiltering {
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
+
+  /** HONEST plan-time statistics from commit metadata, AFTER file
+    * pruning — without this a DSv2 relation carries the never-broadcast
+    * default size, so a 3-row dim table still plans a shuffle join.
+    * sizeInBytes = the pruned survivors' recorded on-disk bytes (the
+    * same figure the v1 parquet relation reports); files from
+    * pre-byte-stats commits fall back to rows × schema default width
+    * (conservative, never zero). numRows is exact from commit stats and
+    * REFUSED under pending merge-on-read manifests (masked rows would
+    * overcount — the statsSummary honesty rule at plan time). */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val files = planHit
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(files.map { f =>
+          if (f.bytes >= 0) f.bytes
+          else f.nRows * math.max(tableSchema.defaultSize.toLong, 8L)
+        }.sum, 1L))
+      override def numRows(): java.util.OptionalLong =
+        if (snap.deletes.isEmpty)
+          java.util.OptionalLong.of(files.map(_.nRows).sum)
+        else java.util.OptionalLong.empty()
+    }
   override def readSchema(): StructType = required
 
   /** STREAMING read of the table — `spark.readStream.table("graft.t")`
