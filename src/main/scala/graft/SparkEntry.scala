@@ -5468,6 +5468,67 @@ object SparkEntry {
         lit(rows.map(_.getLong(1)).sum).as("sum_cents"))
     },
 
+    // ---- STORAGE-PARTITIONED JOIN (r13): two tables PARTITIONED BY the
+    // same bucket transform equi-join WITHOUT A SHUFFLE — the scan
+    // reports KeyGroupedPartitioning over the per-file partition tuples
+    // every routed commit records (FileStat.part), Spark resolves the
+    // transform through the catalog's V2 `bucket` function and groups
+    // co-valued files into co-located tasks. At 100 TB this is THE
+    // fact-fact join lever: bucket-laid-out tables of any size join
+    // with zero exchange, from TABLE LAYOUT alone — the layout survives
+    // restarts and reaches every SQL reader, where the q32 in-session
+    // bucketing had to be rebuilt per run. Graded live: every file must
+    // carry its tuple, the static join plan must be exchange-free, and
+    // the join must agree with the oracle ----
+    "q137_storage_partitioned_join" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val hex = java.lang.Integer.toHexString(dir.hashCode)
+      val (tblA, tblB) = (s"sja_$hex", s"sjb_$hex")
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q137_spj", dir) {
+        Seq(tblA, tblB).foreach { t =>
+          val p = new org.apache.hadoop.fs.Path(s"$wh/$t")
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+        val base = Tables.orders(s, dir)
+        s.sql(s"""CREATE TABLE graft.`$tblA` (k BIGINT, cents BIGINT)
+          PARTITIONED BY (bucket(8, k))""")
+        base.select(col("o_orderkey").as("k"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("q137_a")
+        s.sql(s"INSERT INTO graft.`$tblA` SELECT * FROM q137_a")
+        s.sql(s"""CREATE TABLE graft.`$tblB` (k BIGINT, pay BIGINT)
+          PARTITIONED BY (bucket(8, k))""")
+        base.select(col("o_orderkey").as("k"), col("o_custkey").as("pay"))
+          .createOrReplaceTempView("q137_b")
+        s.sql(s"INSERT INTO graft.`$tblB` SELECT * FROM q137_b")
+      }
+      val tuplesRecorded = Seq(tblA, tblB).forall(t =>
+        TableFormat.snapshot(s, s"$wh/$t").files
+          .forall(_.part.exists(_._1 == "bucket(k, 8)")))
+      val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = s.sql(s"""SELECT a.k AS k, a.cents AS cents, b.pay AS pay
+          FROM graft.`$tblA` a JOIN graft.`$tblB` b ON a.k = b.k""")
+        val plan = j.queryExecution.executedPlan.toString
+        val row = j.agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("sc"), sum(col("pay")).as("sp")).collect()(0)
+        s.range(1).select(
+          lit(tuplesRecorded).as("tuples_recorded"),
+          lit(plan.contains("Join") && !plan.contains("Exchange"))
+            .as("spj_no_shuffle"),
+          lit(row.getLong(0)).as("n_rows"),
+          lit(row.getLong(1)).as("sum_cents"),
+          lit(row.getLong(2)).as("sum_pay"))
+      } finally {
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      }
+    },
+
     // ---- PLAN-TIME STATISTICS (r13): the scan reports the pruned
     // survivors' recorded on-disk bytes + exact commit row counts
     // (SupportsReportStatistics) — so Catalyst AUTO-BROADCASTS a small
@@ -8105,6 +8166,19 @@ object SparkEntry {
     // pushdown + skipping intact and the deleted key still gone (the
     // stamped filter never reaches the manifest read); kmid = max(k)/2
     // on the contiguous key domain
+    // the layout flags are dataset constants: the routed INSERTs stamp a
+    // tuple on every file (bucket purity), and the equal-transform join
+    // plans exchange-free under v2 bucketing
+    "q137_storage_partitioned_join" ->
+      """WITH a AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+         b AS (SELECT o_orderkey AS k, o_custkey AS pay FROM orders)
+         SELECT TRUE AS tuples_recorded, TRUE AS spj_no_shuffle,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(a.cents) AS BIGINT) AS sum_cents,
+           CAST(sum(b.pay) AS BIGINT) AS sum_pay
+         FROM a JOIN b ON a.k = b.k""",
+
     // the stats flags are dataset constants (a 1.5k-row dim always
     // broadcasts under the default 10 MB threshold; the reported size is
     // real commit bytes); dim_rows is the strong check — the scan's

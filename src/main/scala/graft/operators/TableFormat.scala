@@ -74,11 +74,21 @@ object TableFormat {
                             seq: Long = -1L,
                             kmv: Seq[Long] = Seq.empty,
                             nulls: Map[String, Long] = Map.empty,
-                            bytes: Long = -1L) {
+                            bytes: Long = -1L,
+                            part: Option[(String, Seq[Long])] = None) {
     /** True iff the file PROVABLY holds no null in `col` (recorded zero;
       * unknown — pre-null-stats commits — is not proof). */
     def nullFree(col: String): Boolean = nulls.get(col).contains(0L)
   }
+  // `part` is the file's PARTITION TUPLE — the Iceberg manifest shape:
+  // when every row of the file maps to ONE value per spec term (pure,
+  // null-free — what the routing writers produce), the tuple is recorded
+  // as the terms' long images TOGETHER WITH the spec string it was
+  // computed under. A later spec evolution makes stored tuples
+  // self-invalidating (the strings differ), so a consumer can never
+  // group files by a stale layout. None = mixed/unknown (pre-r13
+  // commits, compacted files, non-routed appends) — consumers that need
+  // co-location (storage-partitioned joins) simply don't engage.
 
   /** Sketch size for the per-file KMV distinct-key sketches carried in
     * commit stats (64 longs per file in the commit JSON — bounded
@@ -154,10 +164,15 @@ object TableFormat {
     * file — a bounded control read by construction. `keyCol` must be
     * integral (cast to long for zones; hashed as its base-10 string for
     * the bloom, matching `bloom_contains` probes on the long column).
-    * Zone columns may additionally be DATE/TIMESTAMP ([[zoneLong]]). */
+    * Zone columns may additionally be DATE/TIMESTAMP ([[zoneLong]]).
+    * When `spec` names the table's partition layout, the same aggregate
+    * also derives each file's PARTITION TUPLE (per-term min/max of the
+    * routing value — min==max and null-free proves purity) recorded as
+    * [[FileStat.part]]; a mixed or null-holding file records None. */
   def fileStats(spark: SparkSession, files: Seq[String], keyCol: String,
                 numBits: Int, numHashes: Int,
-                zoneCols: Seq[String] = Seq.empty): Seq[FileStat] = {
+                zoneCols: Seq[String] = Seq.empty,
+                spec: Option[String] = None): Seq[FileStat] = {
     require(files.nonEmpty, "fileStats: empty file list")
     val schema = spark.read.parquet(files: _*).schema
     def zl(c: String) = zoneLong(schema(c).dataType, col(c))
@@ -165,13 +180,25 @@ object TableFormat {
       min(zl(c)).as(s"zmin_$c"),
       max(zl(c)).as(s"zmax_$c"),
       count(when(col(c).isNull, lit(1))).as(s"znull_$c")))
+    // spec terms are derivable only when every base column is present in
+    // the files (a schema-evolution edge keeps part=None, never a guess)
+    val specTerms: Seq[SpecTerm] = spec.map(parseSpec).getOrElse(Seq.empty)
+    val specUsable = specTerms.nonEmpty &&
+      specTerms.forall(t => schema.fieldNames.contains(t.baseCol))
+    val partAggs =
+      if (!specUsable) Seq.empty
+      else specTerms.zipWithIndex.flatMap { case (t, i) =>
+        val tl = termLong(t, schema)
+        Seq(min(tl).as(s"pmin_$i"), max(tl).as(s"pmax_$i"),
+          count(when(col(t.baseCol).isNull, lit(1))).as(s"pnull_$i"))
+      }
     val aggs = Seq(
       min(col(keyCol).cast("long")).as("min_key"),
       max(col(keyCol).cast("long")).as("max_key"),
       count(lit(1)).as("n_rows"),
       count(when(col(keyCol).isNull, lit(1))).as("null_key"),
       graft.Functions.bloom_agg(col(keyCol), numBits, numHashes).as("bloom")) ++
-      zoneAggs :+
+      zoneAggs ++ partAggs :+
       graft.Functions.kmv_sketch(col(keyCol).cast("string"), KmvStatsK).as("kmv")
     spark.read.parquet(files: _*)
       .groupBy(input_file_name().as("file"))
@@ -209,9 +236,51 @@ object TableFormat {
           // broadcast decisions see the table's true footprint instead
           // of the never-broadcast default
           bytes = statusOf(r.getString(r.fieldIndex("file")),
-            spark.sparkContext.hadoopConfiguration))
+            spark.sparkContext.hadoopConfiguration),
+          part =
+            if (!specUsable) None
+            else {
+              val probes = specTerms.indices.map(i =>
+                (longOpt(s"pmin_$i"), longOpt(s"pmax_$i"),
+                  longAt(s"pnull_$i")))
+              if (probes.forall { case (mn, mx, nn) =>
+                    mn.isDefined && mn == mx && nn == 0L })
+                Some((spec.get, probes.map(_._1.get)))
+              else None
+            })
       }
       .sortBy(_.file).toSeq
+  }
+
+  /** LONG image of one spec term over the file's rows — the exact value
+    * space the routing writers partition by (identity = [[zoneLong]],
+    * month = months since 1970 over the UTC day, div = floor division,
+    * bucket = floorMod), bijective with the writers' routing strings —
+    * so per-file min == max proves the file holds ONE partition value.
+    * Division mirrors [[specValue]]'s double floor (exact for |values|
+    * < 2^53 — every realistic date/timestamp/key). */
+  private def termLong(term: SpecTerm,
+                       schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.Column = {
+    val dt = schema(term.baseCol).dataType
+    val zl = zoneLong(dt, col(term.baseCol))
+    term match {
+      case IdentityTerm(_) => zl
+      case MonthTerm(c) =>
+        val d = dt match {
+          case org.apache.spark.sql.types.DateType => col(c)
+          case org.apache.spark.sql.types.TimestampType =>
+            // the writers derive the UTC epoch day with floorDiv — NOT
+            // the session-zone year()/month() on the raw timestamp
+            date_from_unix_date(
+              floor(zl / lit(86400000000L)).cast("int"))
+          case other => throw new UnsupportedOperationException(
+            s"month($c) over ${other.simpleString}")
+        }
+        ((year(d) - 1970) * 12 + month(d) - 1).cast("long")
+      case DivTerm(_, w) => floor(zl / w).cast("long")
+      case BucketTerm(_, n) => pmod(zl, lit(n)).cast("long")
+    }
   }
 
   /** Length of one file, -1 when the status call fails (stat stays
@@ -322,6 +391,10 @@ object TableFormat {
         sb.append('}')
       }
       if (f.bytes >= 0) sb.append(s""","bytes":${f.bytes}""")
+      f.part.foreach { case (spec, vals) =>
+        sb.append(s""","part_spec":"${esc(spec)}"""")
+        sb.append(vals.mkString(""","part":[""", ",", "]"))
+      }
       sb.append('}')
     }
     sb.append("]}")
@@ -368,7 +441,11 @@ object TableFormat {
           },
         // pre-byte-stats commits parse as -1 = UNKNOWN: size estimation
         // falls back to row-width arithmetic, never guesses zero
-        bytes = if (f.has("bytes")) f.get("bytes").asLong() else -1L)
+        bytes = if (f.has("bytes")) f.get("bytes").asLong() else -1L,
+        part =
+          if (!f.has("part_spec") || !f.has("part")) None
+          else Some((f.get("part_spec").asText(),
+            (0 until f.get("part").size()).map(f.get("part").get(_).asLong()))))
     }
     // commits written before props support parse unchanged (empty map)
     val props =
@@ -1120,7 +1197,8 @@ object TableFormat {
     val stats =
       if (files.isEmpty) Seq.empty
       else fileStats(spark, files, first.keyCol, first.numBits,
-        first.numHashes, first.zoneCols)
+        first.numHashes, first.zoneCols,
+        spec = first.props.get(PartitionSpecProp))
     if (files.nonEmpty)
       checkConstraints(spark, first, spark.read.parquet(files: _*),
         "overwriteFiles")
@@ -1152,7 +1230,8 @@ object TableFormat {
                   extraProps: Map[String, String] = Map.empty): Snapshot = {
     val first = snapshot(spark, root)
     val stats = fileStats(spark, files, first.keyCol, first.numBits,
-      first.numHashes, first.zoneCols)
+      first.numHashes, first.zoneCols,
+      spec = first.props.get(PartitionSpecProp))
     val newSchema = spark.read.parquet(files: _*).schema
     checkConstraints(spark, first, spark.read.parquet(files: _*), "appendFiles")
     commitTransform(spark, root, first.keyCol, first.numBits, first.numHashes,
@@ -1460,7 +1539,7 @@ object TableFormat {
         .write.mode("overwrite").parquet(out)
       val files = listParquet(spark, out)
       fileStats(spark, files, cur.keyCol, cur.numBits, cur.numHashes,
-        cur.zoneCols)
+        cur.zoneCols, spec = cur.props.get(PartitionSpecProp))
     }, op = Some("replace"),
       // the rewrite read MoR manifests through read() above, so the
       // output is materialized: compaction CLEARS the delete set — the
@@ -1498,7 +1577,8 @@ object TableFormat {
           val files = listParquet(spark, out)
           if (files.isEmpty) Seq.empty
           else fileStats(spark, files, cur.keyCol, cur.numBits,
-            cur.numHashes, cur.zoneCols)
+            cur.numHashes, cur.zoneCols,
+            spec = cur.props.get(PartitionSpecProp))
         }
       (carried ++ rewritten).sortBy(_.file)
     }, op = Some("delete"))
@@ -1543,7 +1623,8 @@ object TableFormat {
             files += st.getPath.toString
         }
         fileStats(spark, files.sorted.toSeq, cur.keyCol, cur.numBits,
-          cur.numHashes, zoneCols)
+          cur.numHashes, zoneCols,
+          spec = cur.props.get(PartitionSpecProp))
       }, op = Some("replace"), zoneCols = Some(zoneCols),
       deriveDeletes = _ => Seq.empty)
   }
@@ -1592,7 +1673,8 @@ object TableFormat {
           val files = listParquet(spark, out)
           if (files.isEmpty) Seq.empty
           else fileStats(spark, files, cur.keyCol, cur.numBits,
-            cur.numHashes, cur.zoneCols)
+            cur.numHashes, cur.zoneCols,
+            spec = cur.props.get(PartitionSpecProp))
         }
         ledger = (multi.map(_.size).sum, multi.size)
         (large ++ single.flatten ++ rewritten).sortBy(_.file)
@@ -1667,7 +1749,8 @@ object TableFormat {
             val files = listParquet(spark, out)
             if (files.isEmpty) Seq.empty
             else fileStats(spark, files, cur.keyCol, cur.numBits,
-              cur.numHashes, cur.zoneCols)
+              cur.numHashes, cur.zoneCols,
+              spec = cur.props.get(PartitionSpecProp))
           }
         ledger = (dropped.size, boundary.size, carried.size)
         (carried ++ rewritten).sortBy(_.file)
@@ -1776,7 +1859,8 @@ object TableFormat {
     src.repartition(nOutFiles).write.mode("overwrite").parquet(dataOut)
     val newFiles = listParquet(spark, dataOut)
     val newStats = fileStats(spark, newFiles, first.keyCol, first.numBits,
-      first.numHashes, first.zoneCols)
+      first.numHashes, first.zoneCols,
+      spec = first.props.get(PartitionSpecProp))
     val manOut = s"$dataDir/mordel-${java.util.UUID.randomUUID().toString}"
     src.select(col(first.keyCol).cast("long").as("_del_key"))
       .distinct().repartition(1).write.mode("overwrite").parquet(manOut)
@@ -1912,7 +1996,8 @@ object TableFormat {
             // a fully-masked rewrite may produce no files at all
             if (files.isEmpty) Seq.empty[FileStat]
             else fileStats(spark, files, cur.keyCol, cur.numBits,
-              cur.numHashes, cur.zoneCols)
+              cur.numHashes, cur.zoneCols,
+              spec = cur.props.get(PartitionSpecProp))
           }
         nRe = affected.size
         nCa = clean.size
@@ -2001,7 +2086,8 @@ object TableFormat {
         val out = s"$dataDir/merge-${java.util.UUID.randomUUID().toString}"
         newData.repartition(nOutFiles).write.mode("overwrite").parquet(out)
         val newStats = fileStats(spark, listParquet(spark, out),
-          cur.keyCol, cur.numBits, cur.numHashes, cur.zoneCols)
+          cur.keyCol, cur.numBits, cur.numHashes, cur.zoneCols,
+          spec = cur.props.get(PartitionSpecProp))
         nRewritten = hit.size
         nCarried = carried.size
         (carried ++ newStats).sortBy(_.file)
@@ -2506,7 +2592,8 @@ object TableFormat {
       read(spark, src).repartition(nOutFiles).write.mode("overwrite").parquet(out)
       val files = listParquet(spark, out)
       val stats = fileStats(spark, files, src.keyCol, src.numBits,
-        src.numHashes, src.zoneCols)
+        src.numHashes, src.zoneCols,
+        spec = src.props.get(PartitionSpecProp))
       val ddl = src.schemaDdl.orElse(
         if (files.nonEmpty) Some(spark.read.parquet(files: _*).schema.toDDL)
         else None)
@@ -2573,7 +2660,8 @@ object TableFormat {
       // the commit then carries the manifest alone
       val newStats = if (newFiles.isEmpty) Seq.empty
         else fileStats(spark, newFiles, cur.keyCol, cur.numBits,
-          cur.numHashes, cur.zoneCols)
+          cur.numHashes, cur.zoneCols,
+          spec = cur.props.get(PartitionSpecProp))
       val (nKeys, keyLo, keyHi) =
         (keyProf.getLong(0), keyProf.getLong(1), keyProf.getLong(2))
       commitTransform(spark, targetRoot, cur.keyCol, cur.numBits, cur.numHashes,

@@ -152,7 +152,7 @@ private class GraftRowLevelReaderFactory(required: StructType,
                                          conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftSqlPartition]
+    val p = partition.asInstanceOf[GraftPartition]
     val mask =
       if (p.manifests.isEmpty) null
       else {
@@ -201,7 +201,8 @@ private class GraftReplaceDataWrite(op: GraftRowLevelOperation, root: String,
     val stats =
       if (newFiles.isEmpty) Seq.empty
       else TableFormat.fileStats(spark, newFiles, snap.keyCol, snap.numBits,
-        snap.numHashes, snap.zoneCols)
+        snap.numHashes, snap.zoneCols,
+        spec = snap.props.get(TableFormat.PartitionSpecProp))
     val opName = op.command() match {
       case RowLevelOperation.Command.DELETE => "delete"
       case RowLevelOperation.Command.UPDATE => "update"

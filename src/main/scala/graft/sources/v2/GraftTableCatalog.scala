@@ -53,7 +53,8 @@ import graft.operators.TableFormat
   * refuse loudly rather than offering a second, weaker write path. */
 class GraftTableCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
-    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -88,6 +89,29 @@ class GraftTableCatalog extends TableCatalog
       GraftProcedures.names
         .map(n => Identifier.of(namespace, n)).toArray
     else Array.empty
+
+  // ---- V2 FUNCTIONS: the partition transforms (bucket/months/div) as
+  // bound scalar functions. Spark's storage-partitioned-join machinery
+  // resolves KeyGroupedPartitioning keys through THIS hook — and they
+  // double as SQL surface (`SELECT graft.bucket(8, k)`). Root namespace
+  // (where transform resolution looks) plus `system` (discoverable next
+  // to the procedures). ----
+
+  private def functionNamespace(ns: Seq[String]): Boolean =
+    ns.isEmpty || ns == Seq(GraftProcedures.Namespace)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (functionNamespace(namespace.toSeq))
+      GraftFunctions.names.map(n => Identifier.of(namespace, n)).toArray
+    else Array.empty
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (functionNamespace(ident.namespace().toSeq) &&
+        GraftFunctions.names.contains(ident.name()))
+      GraftFunctions.load(ident.name())
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   // ---- namespaces: warehouse subdirectories (a table is a dir with a
   // _log; a namespace is a dir without one) — CREATE/SHOW/DROP
@@ -1009,10 +1033,31 @@ private class GraftSqlScanBuilder(snap: TableFormat.Snapshot,
   }
 }
 
+private trait GraftPartition extends InputPartition {
+  def file: String
+  def manifests: Seq[String]
+  def keyCol: String
+  def physSchemaJson: Option[String]
+}
+
 private case class GraftSqlPartition(file: String, manifests: Seq[String],
                                      keyCol: String,
                                      physSchemaJson: Option[String] = None)
-  extends InputPartition
+  extends GraftPartition
+
+/** A partition that KNOWS its partition tuple (`HasPartitionKey`) —
+  * what lets Spark group co-valued files into one task and elide the
+  * shuffle in a storage-partitioned join. `keyVals` are catalyst
+  * internal values typed per the reported partitioning expressions. */
+private case class GraftSqlKeyedPartition(file: String,
+                                          manifests: Seq[String],
+                                          keyCol: String,
+                                          physSchemaJson: Option[String],
+                                          keyVals: Array[Any])
+  extends GraftPartition with HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(keyVals)
+}
 
 private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
                            bounds: Map[String, (Long, Long)],
@@ -1023,7 +1068,72 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
                            rowGroupFilters: Array[Filter] = Array.empty,
                            tableSchema: StructType = StructType(Nil))
     extends Scan with Batch with SupportsRuntimeFiltering
-    with SupportsReportStatistics {
+    with SupportsReportStatistics with SupportsReportPartitioning {
+
+  // ---- STORAGE-PARTITIONED JOINS: when the table declares a partition
+  // spec and EVERY surviving file carries a recorded partition tuple
+  // computed under that same spec (FileStat.part — the routed writers
+  // stamp it; compaction across values clears it), the scan reports
+  // KeyGroupedPartitioning over the spec's transforms. Spark resolves
+  // the transforms through the catalog's FunctionCatalog, groups
+  // co-valued files into one task each (HasPartitionKey), and a join of
+  // two tables laid out by the same transform runs WITHOUT A SHUFFLE —
+  // the bucketed co-located join, from table layout alone. Anything
+  // impure (mixed files, stale-spec tuples, no spec) reports Unknown
+  // and plans exactly as before. ----
+
+  private lazy val spjTerms: Option[Seq[TableFormat.SpecTerm]] =
+    snap.props.get(TableFormat.PartitionSpecProp).flatMap { spec =>
+      // every term must resolve against the scan OUTPUT (Spark binds the
+      // reported keys to the relation's columns), and every surviving
+      // file must carry a tuple recorded under THIS spec string
+      scala.util.Try(TableFormat.parseSpec(spec)).toOption.filter { terms =>
+        terms.forall(t => required.fieldNames.contains(t.baseCol)) &&
+          planHit.nonEmpty &&
+          planHit.forall(f => f.part.exists(p =>
+            p._1 == spec && p._2.length == terms.length))
+      }
+    }
+
+  private def spjExprs(terms: Seq[TableFormat.SpecTerm])
+      : Array[org.apache.spark.sql.connector.expressions.Expression] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions => E}
+    terms.map {
+      case TableFormat.IdentityTerm(c) => E.identity(c)
+      case TableFormat.MonthTerm(c) => E.months(c)
+      case TableFormat.BucketTerm(c, n) => E.bucket(n.toInt, c)
+      case TableFormat.DivTerm(c, w) =>
+        E.apply("div", E.column(c), E.literal(java.lang.Long.valueOf(w)))
+    }.toArray[org.apache.spark.sql.connector.expressions.Expression]
+  }
+
+  /** One stored tuple value as the catalyst-internal value of the
+    * reported key expression: identity keys carry the COLUMN's type
+    * (int columns int, dates epoch-day ints), transform keys are the
+    * functions' long results. */
+  private def keyedValue(term: TableFormat.SpecTerm, v: Long): Any =
+    term match {
+      case TableFormat.IdentityTerm(c) =>
+        tableSchema.fields.find(_.name == c).map(_.dataType) match {
+          case Some(ByteType) => v.toByte
+          case Some(ShortType) => v.toShort
+          case Some(IntegerType) | Some(DateType) => v.toInt
+          case _ => v
+        }
+      case _ => v
+    }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjTerms match {
+      case Some(terms) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(spjExprs(terms),
+            planHit.flatMap(_.part.map(_._2)).distinct.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
 
   /** HONEST plan-time statistics from commit metadata, AFTER file
     * pruning — without this a DSv2 relation carries the never-broadcast
@@ -1217,7 +1327,16 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
           if (ps.fieldNames.sameElements(extendedSchema.fieldNames)) None
           else Some(ps.json)
         }
-      GraftSqlPartition(f.file, manifests, snap.keyCol, phys): InputPartition
+      spjTerms match {
+        case Some(terms) =>
+          GraftSqlKeyedPartition(f.file, manifests, snap.keyCol, phys,
+            terms.zip(f.part.get._2).map { case (t, v) =>
+              keyedValue(t, v)
+            }.toArray): InputPartition
+        case None =>
+          GraftSqlPartition(f.file, manifests, snap.keyCol, phys)
+            : InputPartition
+      }
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -1241,7 +1360,7 @@ private class GraftSqlReaderFactory(required: StructType,
   override def supportColumnarReads(partition: InputPartition): Boolean =
     columnar
 
-  private def maskOf(p: GraftSqlPartition): java.util.HashSet[java.lang.Long] =
+  private def maskOf(p: GraftPartition): java.util.HashSet[java.lang.Long] =
     if (p.manifests.isEmpty) null
     else {
       val m = new java.util.HashSet[java.lang.Long]()
@@ -1253,7 +1372,7 @@ private class GraftSqlReaderFactory(required: StructType,
   /** Era-resolved conf/schema for a partition under a rename/drop
     * ledger: the per-file conf copy happens ONLY for old-era files of
     * mapped tables — the common case keeps the one scan-wide stamp. */
-  private def confFor(p: GraftSqlPartition): org.apache.hadoop.conf.Configuration =
+  private def confFor(p: GraftPartition): org.apache.hadoop.conf.Configuration =
     p.physSchemaJson match {
       case Some(js) =>
         val c2 = new org.apache.hadoop.conf.Configuration(conf.value)
@@ -1265,13 +1384,13 @@ private class GraftSqlReaderFactory(required: StructType,
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val p = partition.asInstanceOf[GraftSqlPartition]
+    val p = partition.asInstanceOf[GraftPartition]
     new GraftSqlColumnarReader(p.file, required, extended, maskOf(p),
       p.keyCol, confFor(p))
   }
 
   override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
-    val p = partition.asInstanceOf[GraftSqlPartition]
+    val p = partition.asInstanceOf[GraftPartition]
     val mask = maskOf(p)
     // the _file METADATA column (SELECT _file FROM graft.t, row-level
     // op plumbing) synthesizes per partition

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TableFormat
+
+/** STORAGE-PARTITIONED JOINS — `SupportsReportPartitioning` over the
+  * recorded per-file partition tuples plus the catalog's V2 functions:
+  * two tables laid out by the same declared transform join WITHOUT a
+  * shuffle (Spark groups co-valued files into co-located tasks), and
+  * anything impure — mixed files after compaction, stale-spec tuples —
+  * falls back to the ordinary shuffled plan. */
+class StoragePartitionedJoinSpec extends SparkTestBase {
+
+  private lazy val warehouse: String = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_spj").toString
+    spark.conf.set("spark.sql.catalog.spjcat",
+      "graft.sources.v2.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.spjcat.warehouse", wh)
+    wh
+  }
+
+  private def withSpj[T](body: => T): T = {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    }
+  }
+
+  private def mkBucketed(name: String, rows: Long, valExpr: String): Unit = {
+    spark.sql(s"""CREATE TABLE spjcat.$name (k BIGINT, v BIGINT)
+      PARTITIONED BY (bucket(4, k))""")
+    spark.range(rows).selectExpr("id AS k", s"$valExpr AS v")
+      .createOrReplaceTempView(s"src_$name")
+    spark.sql(s"INSERT INTO spjcat.$name SELECT * FROM src_$name")
+  }
+
+  test("bucket-partitioned tables join with no shuffle; results exact") {
+    warehouse
+    mkBucketed("ba", 400, "id * 2")
+    mkBucketed("bb", 300, "id * 10")
+    // the routed files carry their tuples
+    val snapA = TableFormat.snapshot(spark, s"$warehouse/ba")
+    assert(snapA.files.nonEmpty)
+    assert(snapA.files.forall(_.part.exists(_._1 == "bucket(k, 4)")), snapA.files.map(_.part))
+    withSpj {
+      val j = spark.sql(
+        "SELECT a.k AS k, a.v AS av, b.v AS bv " +
+          "FROM spjcat.ba a JOIN spjcat.bb b ON a.k = b.k")
+      val rows = j.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      assert(rows.length == 300)
+      assert(rows.toSeq == (0L until 300L).map(k => (k, k * 2, k * 10)))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"shuffle in SPJ plan:\n$plan")
+      assert(plan.contains("Join"), plan)
+    }
+  }
+
+  test("identity-partitioned tables co-locate the same way") {
+    warehouse
+    def mk(name: String): Unit = {
+      spark.sql(s"""CREATE TABLE spjcat.$name (k BIGINT, g BIGINT, v BIGINT)
+        TBLPROPERTIES('key_col'='k', 'zone_cols'='g',
+          '${TableFormat.PartitionSpecProp}'='g')""")
+      spark.range(200)
+        .selectExpr("id AS k", "id % 5 AS g", "id * 3 AS v")
+        .createOrReplaceTempView(s"src_$name")
+      spark.sql(s"INSERT INTO spjcat.$name SELECT * FROM src_$name")
+    }
+    mk("ia"); mk("ib")
+    withSpj {
+      // join keys == partition keys exactly (Spark's default
+      // co-partition check requires full coverage); the GROUP BY on the
+      // same key then REUSES the key-grouped layout — the whole plan
+      // runs with zero exchanges
+      val j = spark.sql(
+        "SELECT a.g AS g, count(*) AS n " +
+          "FROM spjcat.ia a JOIN spjcat.ib b ON a.g = b.g GROUP BY a.g")
+      val rows = j.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(rows.toSeq == (0L until 5L).map(g => (g, 1600L)))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"shuffle in identity SPJ:\n$plan")
+    }
+  }
+
+  test("compaction mixes partition values: reports Unknown, plan shuffles") {
+    warehouse
+    mkBucketed("ca", 100, "id")
+    mkBucketed("cb", 100, "id")
+    TableFormat.compact(spark, s"$warehouse/ca", s"$warehouse/ca/data", 1)
+    val snap = TableFormat.snapshot(spark, s"$warehouse/ca")
+    assert(snap.files.exists(_.part.isEmpty), snap.files.map(_.part))
+    withSpj {
+      val j = spark.sql(
+        "SELECT a.k AS k FROM spjcat.ca a JOIN spjcat.cb b ON a.k = b.k")
+      assert(j.collect().length == 100)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("Exchange"), s"expected fallback shuffle:\n$plan")
+    }
+  }
+
+  test("the V2 functions are SQL-invocable and match the writers") {
+    warehouse
+    val r = spark.sql(
+      "SELECT spjcat.bucket(4, -7L) AS b, spjcat.div(-7L, 4L) AS d, " +
+        "spjcat.months(DATE'2026-03-15') AS m").collect()(0)
+    assert(r.getLong(0) == Math.floorMod(-7L, 4L)) // 1, not -3
+    assert(r.getLong(1) == Math.floorDiv(-7L, 4L)) // -2, not -1
+    assert(r.getLong(2) == (2026 - 1970) * 12 + 2)
+  }
+}
