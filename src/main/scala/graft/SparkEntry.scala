@@ -5468,6 +5468,25 @@ object SparkEntry {
         lit(rows.map(_.getLong(1)).sum).as("sum_cents"))
     },
 
+    // ---- V2 FUNCTION SURFACE (r13): the catalog's partition transforms
+    // as SQL-invocable scalar functions — `graft.bucket/div/months` are
+    // the same floorMod/floorDiv/months-since-epoch images the routed
+    // writers, the recorded tuples and the join transforms use, so a
+    // user can validate a layout by hand from SQL. Graded value-by-value
+    // against the oracle's arithmetic over the whole orders table ----
+    "q138_v2_functions" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Parallelism.ensureDefaultParallelism(Tables.orders(s, dir))
+        .createOrReplaceTempView("q138_o")
+      s.sql("""SELECT o_orderkey AS k,
+          graft.bucket(16, o_orderkey) AS b,
+          graft.div(o_orderkey, 1000) AS d,
+          graft.months(o_orderdate) AS m
+        FROM q138_o""").orderBy("k")
+    },
+
     // ---- STORAGE-PARTITIONED JOIN (r13): two tables PARTITIONED BY the
     // same bucket transform equi-join WITHOUT A SHUFFLE — the scan
     // reports KeyGroupedPartitioning over the per-file partition tuples
@@ -8166,6 +8185,16 @@ object SparkEntry {
     // pushdown + skipping intact and the deleted key still gone (the
     // stamped filter never reaches the manifest read); kmid = max(k)/2
     // on the contiguous key domain
+    // floorMod/floorDiv/months-since-epoch in plain arithmetic (keys are
+    // positive here, but the pmod idiom keeps the oracle shape exact)
+    "q138_v2_functions" ->
+      """SELECT o_orderkey AS k,
+           CAST(((o_orderkey % 16) + 16) % 16 AS BIGINT) AS b,
+           CAST(floor(o_orderkey / 1000.0) AS BIGINT) AS d,
+           CAST((year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1
+             AS BIGINT) AS m
+         FROM orders ORDER BY k""",
+
     // the layout flags are dataset constants: the routed INSERTs stamp a
     // tuple on every file (bucket purity), and the equal-transform join
     // plans exchange-free under v2 bucketing

@@ -43,14 +43,14 @@ object GraftFunctions {
       case ByteType => row.getByte(i).toLong
       case ShortType => row.getShort(i).toLong
       case IntegerType | DateType => row.getInt(i).toLong
-      case LongType | TimestampType => row.getLong(i)
+      case LongType | TimestampType | TimestampNTZType => row.getLong(i)
       case other => throw new UnsupportedOperationException(
         s"graft function over ${other.simpleString}")
     }
 
   private def discrete(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType |
-         DateType | TimestampType => true
+         DateType | TimestampType | TimestampNTZType => true
     case _ => false
   }
 
@@ -92,7 +92,8 @@ object GraftFunctions {
     override def bind(inputType: StructType): BoundFunction = {
       require(inputType.fields.length == 1 &&
         (inputType.fields(0).dataType == DateType ||
-          inputType.fields(0).dataType == TimestampType),
+          inputType.fields(0).dataType == TimestampType ||
+          inputType.fields(0).dataType == TimestampNTZType),
         s"months(col) needs a DATE or TIMESTAMP column, got $inputType")
       BoundMonths(inputType.fields(0).dataType)
     }
