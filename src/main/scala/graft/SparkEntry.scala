@@ -5468,6 +5468,57 @@ object SparkEntry {
         lit(rows.map(_.getLong(1)).sum).as("sum_cents"))
     },
 
+    // ---- PER-COLUMN STATISTICS (r13): the scan's estimateStatistics
+    // also reports columnStats from commit metadata — merged-KMV
+    // distinct count for the key, recorded null counts, integral
+    // min/max for key/zone columns — the figures a cost-based optimizer
+    // reorders joins by, with the statsSummary honesty rules (nothing
+    // under MoR manifests; any pre-stats file omits the figure). Graded
+    // live: exact null counts and bounds against the oracle, the ndv
+    // within the KMV error bound of Spark's own exact count ----
+    "q139_column_stats" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"cst_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val root = s"$wh/$tbl"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q139_cst", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+            when(pmod(col("o_orderkey"), lit(7)) === 3,
+              lit(null).cast("long")).otherwise(col("o_custkey")).as("pay"))
+          .repartition(3).write.mode("overwrite").parquet(s"$root/d0")
+        TableFormat.commitFiles(s, root, "k",
+          TableFormat.listParquet(s, s"$root/d0"), 1 << 14, 5,
+          zoneCols = Seq("pay"))
+      }
+      val df = s.sql(s"SELECT k, pay FROM graft.`$tbl`")
+      val cs = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.head.scan
+        .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+        .estimateStatistics().columnStats()
+      import scala.jdk.CollectionConverters._
+      val byName = cs.asScala.map { case (ref, st) =>
+        ref.fieldNames()(0) -> st
+      }.toMap
+      val trueNdv = df.select(countDistinct(col("k"))).collect()(0).getLong(0)
+      val ndv = byName("k").distinctCount().getAsLong
+      s.range(1).select(
+        // KMV at k=64 has RMSE ~1/sqrt(63) = 12.6%; 0.35 = 2.8 sigma
+        // (realized per-SF errors measured: +29.6% sf0.001, -6.9% sf0.01
+        // — a fixed dataset draws ONE error from that distribution)
+        lit(math.abs(ndv - trueNdv) <= math.ceil(trueNdv * 0.35).toLong)
+          .as("ndv_ok"),
+        lit(byName("k").nullCount().getAsLong).as("k_nulls"),
+        lit(byName("pay").nullCount().getAsLong).as("pay_nulls"),
+        lit(byName("k").min().get().asInstanceOf[Long]).as("k_min"),
+        lit(byName("k").max().get().asInstanceOf[Long]).as("k_max"),
+        lit(byName("pay").min().get().asInstanceOf[Long]).as("pay_min"),
+        lit(byName("pay").max().get().asInstanceOf[Long]).as("pay_max"))
+    },
+
     // ---- V2 FUNCTION SURFACE (r13): the catalog's partition transforms
     // as SQL-invocable scalar functions — `graft.bucket/div/months` are
     // the same floorMod/floorDiv/months-since-epoch images the routed
@@ -8185,6 +8236,22 @@ object SparkEntry {
     // pushdown + skipping intact and the deleted key still gone (the
     // stamped filter never reaches the manifest read); kmid = max(k)/2
     // on the contiguous key domain
+    // exact null counts and bounds from commit metadata; ndv_ok is a
+    // dataset constant (the KMV estimate sits within its error bound of
+    // the exact distinct count both engines agree on)
+    "q139_column_stats" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+           CASE WHEN o_orderkey % 7 = 3 THEN NULL ELSE o_custkey END AS pay
+         FROM orders)
+         SELECT TRUE AS ndv_ok,
+           CAST(0 AS BIGINT) AS k_nulls,
+           CAST(sum(CASE WHEN pay IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS pay_nulls,
+           CAST(min(k) AS BIGINT) AS k_min, CAST(max(k) AS BIGINT) AS k_max,
+           CAST(min(pay) AS BIGINT) AS pay_min,
+           CAST(max(pay) AS BIGINT) AS pay_max
+         FROM o""",
+
     // floorMod/floorDiv/months-since-epoch in plain arithmetic (keys are
     // positive here, but the pmod idiom keeps the oracle shape exact)
     "q138_v2_functions" ->

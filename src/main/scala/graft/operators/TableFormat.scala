@@ -312,9 +312,19 @@ object TableFormat {
     require(snap.files.forall(_.kmv.nonEmpty),
       "approxDistinctKeys: commit stats predate KMV sketches — rewrite or " +
         "recommit the affected files")
+    approxDistinctOf(snap.files).get
+  }
+
+  /** Merged-KMV distinct-key estimate over an explicit FILE SUBSET (the
+    * scan's pruned survivors, a compaction bin) — None when any file
+    * predates the sketches (never guess). Same exact-mergeability
+    * argument as [[approxDistinctKeys]]. */
+  def approxDistinctOf(files: Seq[FileStat]): Option[Double] = {
+    if (files.isEmpty) return Some(0.0)
+    if (!files.forall(_.kmv.nonEmpty)) return None
     val buf = new graft.functions.KmvBuffer(KmvStatsK)
-    snap.files.foreach(_.kmv.foreach(buf.offer))
-    buf.estimate
+    files.foreach(_.kmv.foreach(buf.offer))
+    Some(buf.estimate)
   }
 
   // ---- commit protocol ---------------------------------------------------

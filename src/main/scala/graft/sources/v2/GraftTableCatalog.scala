@@ -1156,6 +1156,74 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
         if (snap.deletes.isEmpty)
           java.util.OptionalLong.of(files.map(_.nRows).sum)
         else java.util.OptionalLong.empty()
+
+      /** PER-COLUMN statistics from the same commit metadata, over the
+        * pruned survivors — what a cost-based optimizer reorders joins
+        * by: merged-KMV distinct count for the key (~13% at k=64),
+        * recorded null counts, and min/max for integral-typed key/zone
+        * columns. Same honesty rules as numRows: nothing is reported
+        * under pending MoR manifests; a column with any pre-stats file
+        * (unknown nulls, sentinel bounds, missing sketch) omits that
+        * figure rather than guessing. */
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        val m = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        if (snap.deletes.nonEmpty || files.isEmpty) return m
+        def integralLong(c: String): Boolean =
+          tableSchema.fields.find(_.name == c).map(_.dataType)
+            .contains(LongType)
+        def statsFor(c: String)
+            : org.apache.spark.sql.connector.read.colstats.ColumnStatistics = {
+          val nullsKnown = files.forall(_.nulls.contains(c))
+          val nullsTotal = files.map(_.nulls.getOrElse(c, 0L)).sum
+          // extremes come from files with at least one non-null value;
+          // an all-null key file carries the full-range sentinel, an
+          // all-null zone file omits its bounds — both excluded
+          val bounded =
+            if (c == snap.keyCol)
+              files.filter(f => !(f.minKey == Long.MinValue &&
+                f.maxKey == Long.MaxValue))
+            else files.filter(_.zones.contains(c))
+          val allBoundedOrAllNull = files.forall(f =>
+            (if (c == snap.keyCol)
+              !(f.minKey == Long.MinValue && f.maxKey == Long.MaxValue)
+            else f.zones.contains(c)) ||
+              (f.nRows > 0 && f.nulls.get(c).contains(f.nRows)))
+          def boundsOk = integralLong(c) && nullsKnown &&
+            allBoundedOrAllNull && bounded.nonEmpty
+          val ndv =
+            if (c == snap.keyCol) TableFormat.approxDistinctOf(files)
+            else None
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              ndv.map(d => java.util.OptionalLong.of(math.round(d)))
+                .getOrElse(java.util.OptionalLong.empty())
+            override def nullCount(): java.util.OptionalLong =
+              if (nullsKnown) java.util.OptionalLong.of(nullsTotal)
+              else java.util.OptionalLong.empty()
+            override def min(): java.util.Optional[Object] =
+              if (boundsOk) java.util.Optional.of(java.lang.Long.valueOf(
+                bounded.map(f => if (c == snap.keyCol) f.minKey
+                  else f.zones(c)._1).min))
+              else java.util.Optional.empty()
+            override def max(): java.util.Optional[Object] =
+              if (boundsOk) java.util.Optional.of(java.lang.Long.valueOf(
+                bounded.map(f => if (c == snap.keyCol) f.maxKey
+                  else f.zones(c)._2).max))
+              else java.util.Optional.empty()
+          }
+        }
+        (snap.keyCol +: snap.zoneCols).distinct
+          .filter(required.fieldNames.contains)
+          .foreach { c =>
+            m.put(org.apache.spark.sql.connector.expressions.Expressions
+              .column(c), statsFor(c))
+          }
+        m
+      }
     }
   override def readSchema(): StructType = required
 

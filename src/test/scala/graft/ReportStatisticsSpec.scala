@@ -77,6 +77,39 @@ class ReportStatisticsSpec extends SparkTestBase {
     assert(!smj.contains("BroadcastHashJoin"), smj)
   }
 
+  test("column statistics: KMV ndv, recorded nulls, integral bounds") {
+    import spark.implicits._
+    val root = s"$warehouse/cstats"
+    (0L until 300L).map(k =>
+        (k, if (k % 3 == 0) None else Some(k * 2)))
+      .toDF("k", "z").repartition(2)
+      .write.mode("overwrite").parquet(s"$root/d0")
+    TableFormat.commitFiles(spark, root, "k",
+      TableFormat.listParquet(spark, s"$root/d0"), 1 << 12, 5,
+      zoneCols = Seq("z"))
+    val rel = spark.table("stcat.cstats").queryExecution.optimizedPlan
+      .collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.head
+    val cs = rel.scan
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics().columnStats()
+    import scala.jdk.CollectionConverters._
+    val byName = cs.asScala.map { case (ref, st) =>
+      ref.fieldNames()(0) -> st
+    }.toMap
+    val k = byName("k"); val z = byName("z")
+    assert(k.nullCount().getAsLong == 0L)
+    assert(z.nullCount().getAsLong == 100L)
+    assert(k.min().get() == java.lang.Long.valueOf(0L) &&
+      k.max().get() == java.lang.Long.valueOf(299L))
+    assert(z.min().get() == java.lang.Long.valueOf(2L) &&
+      z.max().get() == java.lang.Long.valueOf(598L))
+    val ndv = k.distinctCount().getAsLong
+    assert(math.abs(ndv - 300L) <= 45, s"ndv=$ndv") // KMV k=64 ~13%
+    assert(!z.distinctCount().isPresent) // no per-zone sketch: omitted
+  }
+
   test("numRows refused under pending merge-on-read manifests") {
     val root = commitKv("mor", Seq(0 until 100))
     TableFormat.deleteKeysMoR(spark, root, root, Seq(3L, 7L))
