@@ -33,7 +33,8 @@ import graft.operators.TableFormat
 private[v2] class GraftSqlWriteBuilder(root: String, schema: StructType,
                                        queryId: String,
                                        partitionSpec: Option[String],
-                                       lineage: String = "")
+                                       lineage: String = "",
+                                       resolveTransforms: Boolean = false)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
 
@@ -48,25 +49,42 @@ private[v2] class GraftSqlWriteBuilder(root: String, schema: StructType,
     }
     case Some(spec) =>
       // SQL writes HONOR the declared partition spec through Spark's own
-      // required-distribution mechanism (the Iceberg DSv2 shape): range-
-      // distribute + sort by the spec's base columns, so each task holds
-      // contiguous runs and the writer rolls to a new file whenever the
-      // ROUTING VALUE (month/div-bucket/identity) changes — one file per
-      // live partition value (boundary values split across at most two
-      // tasks), each with tight zone bounds on the spec columns, from an
-      // ordinary INSERT INTO with no writer-side shuffle code at all.
+      // required-distribution mechanism (the Iceberg DSv2 shape).
+      // Catalog-resolved writes (`resolveTransforms`) cluster BY THE
+      // TRANSFORM ITSELF — Spark resolves bucket/months/div through the
+      // catalog's FunctionCatalog, hashes rows by the routing value, and
+      // every partition value lands in exactly ONE task: one file per
+      // live partition value however many tasks the insert runs
+      // (Iceberg's write.distribution-mode=hash), which is also the
+      // layout storage-partitioned joins group by. Path-based writes
+      // have no catalog to resolve a transform function through, so
+      // they keep the ordered fallback: range-distribute + sort by the
+      // spec's base columns — contiguous runs per task, one file per
+      // value per task (boundary values split across at most two
+      // tasks). Both paths sort within partitions by the base columns,
+      // which is what lets the writer close each monotone run's files
+      // the moment the run ends.
       val terms = TableFormat.parseSpec(spec)
       terms.foreach(t => require(schema.fieldNames.contains(t.baseCol),
         s"graft SQL write: partition-spec column '${t.baseCol}' missing " +
           s"from the written schema ${schema.fieldNames.mkString(",")}"))
       new Write with RequiresDistributionAndOrdering {
         import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
-        import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+        import org.apache.spark.sql.connector.expressions.{Expression, Expressions, SortDirection, SortOrder}
         private val orders: Array[SortOrder] = terms.map(t =>
           Expressions.sort(Expressions.column(t.baseCol),
             SortDirection.ASCENDING)).toArray
+        private val clustering: Array[Expression] = terms.map {
+          case TableFormat.IdentityTerm(c) => Expressions.identity(c)
+          case TableFormat.MonthTerm(c) => Expressions.months(c)
+          case TableFormat.BucketTerm(c, n) => Expressions.bucket(n.toInt, c)
+          case TableFormat.DivTerm(c, w) =>
+            Expressions.apply("div", Expressions.column(c),
+              Expressions.literal(java.lang.Long.valueOf(w)))
+        }.toArray[Expression]
         override def requiredDistribution(): Distribution =
-          Distributions.ordered(orders)
+          if (resolveTransforms) Distributions.clustered(clustering)
+          else Distributions.ordered(orders)
         override def requiredOrdering(): Array[SortOrder] = orders
         override def toBatch: BatchWrite =
           new GraftSqlBatchWrite(root, schema, queryId, doTruncate, terms)

@@ -653,7 +653,10 @@ private class GraftSqlTable(ident: String, root: String,
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new GraftSqlWriteBuilder(root, info.schema(), info.queryId(),
-      snap.props.get(TableFormat.PartitionSpecProp))
+      snap.props.get(TableFormat.PartitionSpecProp),
+      // catalog-resolved: spec transforms CAN resolve through this
+      // catalog's FunctionCatalog, so the write clusters by them
+      resolveTransforms = true)
 
   /** `MERGE INTO` / `UPDATE` / arbitrary-predicate `DELETE` — the
     * group-based copy-on-write rewrite ([[GraftRowLevelOperation]]). */

@@ -103,6 +103,18 @@ class StoragePartitionedJoinSpec extends SparkTestBase {
     }
   }
 
+  test("catalog INSERT clusters by the transform: one file per bucket") {
+    warehouse
+    mkBucketed("wc", 1000, "id")
+    val snap = TableFormat.snapshot(spark, s"$warehouse/wc")
+    val inserted = snap.files.filter(_.seq == snap.version)
+    // clustered-by-transform distribution: every bucket value lands in
+    // ONE task — exactly 4 files however many tasks the insert ran
+    assert(inserted.size == 4, inserted.map(_.file))
+    assert(inserted.flatMap(_.part.map(_._2)).map(_.head).sorted ==
+      Seq(0L, 1L, 2L, 3L))
+  }
+
   test("the V2 functions are SQL-invocable and match the writers") {
     warehouse
     val r = spark.sql(
