@@ -5468,6 +5468,32 @@ object SparkEntry {
         lit(rows.map(_.getLong(1)).sum).as("sum_cents"))
     },
 
+    // ---- PARTITIONS METADATA TABLE (r13): `t$partitions` lists one row
+    // per live partition value — tuple, file count, row count, bytes —
+    // from pure snapshot arithmetic over the recorded per-file tuples
+    // (the Iceberg partitions-table idiom). With clustered catalog
+    // writes, each bucket is exactly ONE file — the layout a user
+    // inspects before trusting a storage-partitioned join ----
+    "q140_partitions_meta" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"cpt_${java.lang.Integer.toHexString(dir.hashCode)}"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q140_cpt", dir) {
+        val p = new org.apache.hadoop.fs.Path(s"$wh/$tbl")
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        s.sql(s"""CREATE TABLE graft.`$tbl` (k BIGINT, cents BIGINT)
+          PARTITIONED BY (bucket(8, k))""")
+        Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("q140_src")
+        s.sql(s"INSERT INTO graft.`$tbl` SELECT * FROM q140_src")
+      }
+      s.sql(s"""SELECT part, n_files, n_rows,
+          (bytes IS NOT NULL AND bytes > 0) AS has_bytes
+        FROM graft.`$tbl$$partitions` ORDER BY part""")
+    },
+
     // ---- PER-COLUMN STATISTICS (r13): the scan's estimateStatistics
     // also reports columnStats from commit metadata — merged-KMV
     // distinct count for the key, recorded null counts, integral
@@ -8236,6 +8262,15 @@ object SparkEntry {
     // pushdown + skipping intact and the deleted key still gone (the
     // stamped filter never reaches the manifest read); kmid = max(k)/2
     // on the contiguous key domain
+    // one row per bucket; n_files=1 is a dataset constant (the clustered
+    // catalog write lands each partition value in exactly one file)
+    "q140_partitions_meta" ->
+      """SELECT CAST(o_orderkey % 8 AS VARCHAR) AS part,
+           CAST(1 AS BIGINT) AS n_files,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           TRUE AS has_bytes
+         FROM orders GROUP BY 1 ORDER BY part""",
+
     // exact null counts and bounds from commit metadata; ndv_ok is a
     // dataset constant (the KMV estimate sits within its error bound of
     // the exact distinct count both engines agree on)

@@ -2793,6 +2793,43 @@ object TableFormat {
       "n_rows", "zone_bounds")
   }
 
+  /** The `t$partitions` metadata table (the Iceberg partitions-table
+    * idiom): one row per live PARTITION VALUE — tuple (term long images
+    * joined "/", the routed writers' value space), file count, row
+    * count, and total bytes — from pure snapshot arithmetic, no data
+    * IO. Files without a current-spec tuple (pre-spec commits,
+    * compaction across values) aggregate under a NULL partition: stated
+    * mixed layout, never a guess. `bytes` is NULL when any member file
+    * predates byte stats. Requires a declared spec — a partitions table
+    * over an undeclared layout would be an invented answer. */
+  def partitionsTable(spark: SparkSession, snap: Snapshot): DataFrame = {
+    val spec = snap.props.getOrElse(PartitionSpecProp,
+      throw new IllegalArgumentException(
+        s"partitionsTable: no '$PartitionSpecProp' declared at ${snap.root}"))
+    val rows = snap.files
+      .groupBy(_.part.collect { case (s, vals) if s == spec => vals })
+      .toSeq
+      .map { case (tuple, files) =>
+        org.apache.spark.sql.Row(
+          tuple.map(_.mkString("/")).orNull,
+          files.size.toLong,
+          files.map(_.nRows).sum,
+          if (files.forall(_.bytes >= 0)) files.map(_.bytes).sum
+          else null)
+      }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("part",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_files",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_rows",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("bytes",
+          org.apache.spark.sql.types.LongType))))
+  }
+
   /** Data files under a just-written parquet directory (one listing). */
   def listParquet(spark: SparkSession, dir: String): Seq[String] = {
     val (_, fs, p) = fileContext(spark, dir)

@@ -261,6 +261,8 @@ class GraftTableCatalog extends TableCatalog
         case "history" => TableFormat.historyTable(spark, root)
         case "files" => TableFormat.filesTable(spark,
           TableFormat.snapshot(spark, root, version))
+        case "partitions" => TableFormat.partitionsTable(spark,
+          TableFormat.snapshot(spark, root, version))
         case other => throw new NoSuchTableException(ident)
       }
       new GraftMetaTable(ident.toString, df)
