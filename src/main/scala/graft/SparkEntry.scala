@@ -5468,6 +5468,46 @@ object SparkEntry {
         lit(rows.map(_.getLong(1)).sum).as("sum_cents"))
     },
 
+    // ---- LIMIT PUSHDOWN (r13): a bare `LIMIT n` plans a FILE PREFIX —
+    // commit stats record exact per-file row counts, so the scan keeps
+    // only files whose cumulative rows reach n (a LIMIT 10 on a
+    // 100k-file table plans one file); Spark's residual limit trims the
+    // surplus, and pending MoR masks refuse the prefix (recorded counts
+    // would overcount). Graded: the probe returns exactly n rows with
+    // all but one fixture file pruned ----
+    "q141_limit_pushdown" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"lim_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val root = s"$wh/$tbl"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q141_lim", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val base = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        val files = (0 until 8).flatMap { r =>
+          base.filter(pmod(col("k"), lit(8)) === r)
+            .repartition(1).write.mode("overwrite").parquet(s"$root/r$r")
+          TableFormat.listParquet(s, s"$root/r$r")
+        }
+        TableFormat.commitFiles(s, root, "k", files, 1 << 14, 5)
+      }
+      // 77 < any residue file's rows at every SF (orders/8 >= 187 at
+      // sf0.001): the prefix is always exactly one of eight files
+      val df = s.sql(s"SELECT k FROM graft.`$tbl` LIMIT 77")
+      val n = df.collect().length
+      val plan = df.queryExecution.executedPlan.toString
+      val m = "PrunedFiles: (\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+        .getOrElse(throw new IllegalStateException(
+          s"q141: no PrunedFiles marker in:\n$plan"))
+      s.range(1).select(
+        lit(plan.contains("LimitPrefix: 77")).as("limit_pushed"),
+        lit(m.group(1).toInt == 7 && m.group(2).toInt == 8)
+          .as("prefix_planned"),
+        lit(n.toLong).as("n_rows"))
+    },
+
     // ---- PARTITIONS METADATA TABLE (r13): `t$partitions` lists one row
     // per live partition value — tuple, file count, row count, bytes —
     // from pure snapshot arithmetic over the recorded per-file tuples
@@ -8262,6 +8302,12 @@ object SparkEntry {
     // pushdown + skipping intact and the deleted key still gone (the
     // stamped filter never reaches the manifest read); kmid = max(k)/2
     // on the contiguous key domain
+    // the prefix flags are dataset constants: every residue file holds
+    // more than 77 rows at every SF, so exactly one of eight plans
+    "q141_limit_pushdown" ->
+      """SELECT TRUE AS limit_pushed, TRUE AS prefix_planned,
+           CAST(77 AS BIGINT) AS n_rows""",
+
     // one row per bucket; n_files=1 is a dataset constant (the clustered
     // catalog write lands each partition value in exactly one file)
     "q140_partitions_meta" ->

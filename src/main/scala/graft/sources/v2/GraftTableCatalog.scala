@@ -749,7 +749,8 @@ private class GraftSqlScanBuilder(snap: TableFormat.Snapshot,
                                     ChangesStream.ReadOptions())
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   import org.apache.spark.sql.connector.expressions.aggregate._
   import org.apache.spark.sql.connector.expressions.NamedReference
 
@@ -900,6 +901,22 @@ private class GraftSqlScanBuilder(snap: TableFormat.Snapshot,
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  // ---- LIMIT pushdown as metadata FILE-PREFIX pruning: a bare LIMIT n
+  // needs ANY n rows, and commit stats record every file's row count —
+  // so the scan plans only a prefix of files whose cumulative recorded
+  // rows reach n (a LIMIT 10 on a 100k-file table plans one file), and
+  // Spark's residual limit (isPartiallyPushed) trims the surplus rows.
+  // Spark only offers the pushdown on filter-free scans, so recorded
+  // counts are exact row deliveries — except under pending merge-on-read
+  // manifests, where masked rows make them overcounts and the prefix
+  // could under-deliver: the scan refuses the prefix there. ----
+  private var limit: Option[Int] = None
+
+  override def pushLimit(n: Int): Boolean = {
+    if (n > 0) limit = Some(n)
+    limit.isDefined
+  }
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
@@ -966,7 +983,7 @@ private class GraftSqlScanBuilder(snap: TableFormat.Snapshot,
   override def build(): Scan = pushedAgg match {
     case Some(specs) => new GraftSqlAggScan(snap, tableSchema, specs)
     case None => new GraftSqlScan(snap, required, bounds.toMap, streamOpts,
-      pruners.toSeq, rowGroupFilters(), tableSchema)
+      pruners.toSeq, rowGroupFilters(), tableSchema, limit)
   }
 
   /** The pushed shapes eligible for PARQUET ROW-GROUP pushdown inside
@@ -1071,7 +1088,8 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
                            pruners: Seq[(String, TableFormat.FileStat => Boolean)] =
                              Seq.empty,
                            rowGroupFilters: Array[Filter] = Array.empty,
-                           tableSchema: StructType = StructType(Nil))
+                           tableSchema: StructType = StructType(Nil),
+                           limit: Option[Int] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics with SupportsReportPartitioning {
 
@@ -1269,9 +1287,21 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
   @volatile private var runtimeKeep
       : Seq[TableFormat.FileStat => Boolean] = Seq.empty
 
-  private def hit: Seq[TableFormat.FileStat] =
-    if (runtimeKeep.isEmpty) planHit
-    else planHit.filter(f => runtimeKeep.forall(_(f)))
+  private def hit: Seq[TableFormat.FileStat] = {
+    val base =
+      if (runtimeKeep.isEmpty) planHit
+      else planHit.filter(f => runtimeKeep.forall(_(f)))
+    // LIMIT prefix: recorded counts are exact deliveries on a
+    // filter-free scan (the only shape Spark pushes a limit on) UNLESS
+    // merge-on-read masks are pending — refuse there, never
+    // under-deliver
+    limit match {
+      case Some(n) if !anyMasked =>
+        var acc = 0L
+        base.takeWhile { f => val need = acc < n; acc += f.nRows; need }
+      case _ => base
+    }
+  }
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     (snap.keyCol +: snap.zoneCols).distinct
@@ -1370,6 +1400,7 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
         .mkString("[", ", ", "]") +
       s", Pruners: ${pruners.map(_._1).sorted.mkString("[", ", ", "]")}" +
       s", RowGroupFilter: ${rowGroupFilter.isDefined}" +
+      s", LimitPrefix: ${limit.filter(_ => !anyMasked).map(_.toString).getOrElse("none")}" +
       s", ReadSchema: ${required.catalogString}"
 
   override def toBatch: Batch = this
