@@ -5468,6 +5468,45 @@ object SparkEntry {
         lit(rows.map(_.getLong(1)).sum).as("sum_cents"))
     },
 
+    // ---- TARGET FILE SIZE (r13): the `write.target-file-size-bytes`
+    // table property (Iceberg's knob) bounds ONE DATA FILE's size on the
+    // SQL write path — the executor writer rolls to a fresh file when
+    // the open file's buffered bytes reach the target. Without it,
+    // clustered distribution (one task per partition value — the layout
+    // storage-partitioned joins need) writes one UNBOUNDED file per
+    // skewed partition value at 100 TB. Rolled files keep pure partition
+    // tuples, so t$partitions and SPJ planning survive the roll. Graded:
+    // every bucket splits into >=2 files, on-disk sizes stay near the
+    // target, tuples stay pure, and the row ledger is exact ----
+    "q142_target_file_size" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"tfs_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val root = s"$wh/$tbl"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q142_tfs", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        s.sql(s"""CREATE TABLE graft.`$tbl` (k BIGINT, cents BIGINT)
+          PARTITIONED BY (bucket(2, k))
+          TBLPROPERTIES('write.target-file-size-bytes'='4096')""")
+        Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("q142_src")
+        s.sql(s"INSERT INTO graft.`$tbl` SELECT * FROM q142_src")
+      }
+      val snap = TableFormat.snapshot(s, root)
+      // roll overshoot is bounded by the probe cadence (64 rows), and
+      // snappy keeps disk at-or-under the buffered figure the probe saw
+      val sizeBounded = snap.files.forall(f => f.bytes > 0 && f.bytes < 4L * 4096)
+      val pure = snap.files.forall(_.part.exists(_._1 == "bucket(k, 2)"))
+      s.sql(s"""SELECT part, (n_files >= 2) AS rolled, n_rows
+          FROM graft.`$tbl$$partitions`""")
+        .withColumn("size_bounded", lit(sizeBounded))
+        .withColumn("tuples_pure", lit(pure))
+        .orderBy("part")
+    },
+
     // ---- LIMIT PUSHDOWN (r13): a bare `LIMIT n` plans a FILE PREFIX —
     // commit stats record exact per-file row counts, so the scan keeps
     // only files whose cumulative rows reach n (a LIMIT 10 on a
@@ -8302,6 +8341,15 @@ object SparkEntry {
     // pushdown + skipping intact and the deleted key still gone (the
     // stamped filter never reaches the manifest read); kmid = max(k)/2
     // on the contiguous key domain
+    // the roll flags are dataset constants: 4 KB target vs >=750 rows
+    // per bucket at every SF forces >=2 files per bucket, overshoot is
+    // probe-cadence-bounded, and rolled files keep pure tuples
+    "q142_target_file_size" ->
+      """SELECT CAST(o_orderkey % 2 AS VARCHAR) AS part, TRUE AS rolled,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           TRUE AS size_bounded, TRUE AS tuples_pure
+         FROM orders GROUP BY 1 ORDER BY part""",
+
     // the prefix flags are dataset constants: every residue file holds
     // more than 77 rows at every SF, so exactly one of eight plans
     "q141_limit_pushdown" ->

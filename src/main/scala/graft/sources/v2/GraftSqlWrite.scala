@@ -30,11 +30,34 @@ import graft.operators.TableFormat
   * Files are written with explicit logical types (DATE, TIMESTAMP-micros,
   * DECIMAL-int64) so the catalog's own row reader, the streaming source
   * and Spark's vectorized scan all read them back identically. */
+private[v2] object GraftSqlWrite {
+  /** Table property capping one data file's size (Iceberg's
+    * `write.target-file-size-bytes`): the executor writer ROLLS to a
+    * fresh file when the open file's buffered+written bytes reach the
+    * target. Without it, clustered distribution — one task per
+    * partition value, the layout storage-partitioned joins need — would
+    * write ONE UNBOUNDED FILE per skewed partition value at 100 TB.
+    * Rolled files still hold a single partition value, so the recorded
+    * partition tuples (and the joins planned from them) stay pure. */
+  val TargetFileSizeProp = "write.target-file-size-bytes"
+  val DefaultTargetFileBytes: Long = 512L << 20
+
+  def targetOf(props: Map[String, String]): Long =
+    props.get(TargetFileSizeProp) match {
+      case None => DefaultTargetFileBytes
+      case Some(v) => v.toLongOption.filter(_ > 0).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft: $TargetFileSizeProp must be a positive long, got '$v'"))
+    }
+}
+
 private[v2] class GraftSqlWriteBuilder(root: String, schema: StructType,
                                        queryId: String,
                                        partitionSpec: Option[String],
                                        lineage: String = "",
-                                       resolveTransforms: Boolean = false)
+                                       resolveTransforms: Boolean = false,
+                                       targetFileBytes: Long =
+                                         GraftSqlWrite.DefaultTargetFileBytes)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
 
@@ -43,9 +66,11 @@ private[v2] class GraftSqlWriteBuilder(root: String, schema: StructType,
   override def build(): Write = partitionSpec match {
     case None => new Write {
       override def toBatch: BatchWrite =
-        new GraftSqlBatchWrite(root, schema, queryId, doTruncate, Seq.empty)
+        new GraftSqlBatchWrite(root, schema, queryId, doTruncate, Seq.empty,
+          targetFileBytes)
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-        new GraftSqlStreamingWrite(root, schema, queryId, lineage, Seq.empty)
+        new GraftSqlStreamingWrite(root, schema, queryId, lineage, Seq.empty,
+          targetFileBytes)
     }
     case Some(spec) =>
       // SQL writes HONOR the declared partition spec through Spark's own
@@ -87,9 +112,11 @@ private[v2] class GraftSqlWriteBuilder(root: String, schema: StructType,
           else Distributions.ordered(orders)
         override def requiredOrdering(): Array[SortOrder] = orders
         override def toBatch: BatchWrite =
-          new GraftSqlBatchWrite(root, schema, queryId, doTruncate, terms)
+          new GraftSqlBatchWrite(root, schema, queryId, doTruncate, terms,
+            targetFileBytes)
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-          new GraftSqlStreamingWrite(root, schema, queryId, lineage, terms)
+          new GraftSqlStreamingWrite(root, schema, queryId, lineage, terms,
+            targetFileBytes)
       }
   }
 }
@@ -103,7 +130,8 @@ private[v2] class GraftSqlWriteBuilder(root: String, schema: StructType,
   * than silently deduped against the old lineage's epoch numbering. */
 private class GraftSqlStreamingWrite(root: String, schema: StructType,
                                      queryId: String, lineage: String,
-                                     specTerms: Seq[TableFormat.SpecTerm])
+                                     specTerms: Seq[TableFormat.SpecTerm],
+                                     targetFileBytes: Long)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
@@ -113,7 +141,7 @@ private class GraftSqlStreamingWrite(root: String, schema: StructType,
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new GraftSqlStreamingWriterFactory(dataDirBase, schema, specTerms,
       new SerializableHadoopConf(
-        SparkSession.active.sessionState.newHadoopConf()))
+        SparkSession.active.sessionState.newHadoopConf()), targetFileBytes)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -147,12 +175,14 @@ private class GraftSqlStreamingWrite(root: String, schema: StructType,
 private class GraftSqlStreamingWriterFactory(dataDirBase: String,
                                              schema: StructType,
                                              specTerms: Seq[TableFormat.SpecTerm],
-                                             conf: SerializableHadoopConf)
+                                             conf: SerializableHadoopConf,
+                                             targetFileBytes: Long)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new GraftSqlDataWriter(s"$dataDirBase/e$epochId",
-      s"part-$partitionId-$taskId", schema, specTerms, conf.value)
+      s"part-$partitionId-$taskId", schema, specTerms, conf.value,
+      targetFileBytes)
 }
 
 private case class GraftSqlWriteMessage(files: Seq[String], nRows: Long)
@@ -160,7 +190,8 @@ private case class GraftSqlWriteMessage(files: Seq[String], nRows: Long)
 
 private class GraftSqlBatchWrite(root: String, schema: StructType,
                                  queryId: String, truncate: Boolean,
-                                 specTerms: Seq[TableFormat.SpecTerm])
+                                 specTerms: Seq[TableFormat.SpecTerm],
+                                 targetFileBytes: Long)
     extends BatchWrite {
 
   // one data dir per write attempt: abort can sweep it wholesale, and a
@@ -171,7 +202,7 @@ private class GraftSqlBatchWrite(root: String, schema: StructType,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftSqlWriterFactory(dataDir, schema, specTerms,
       new SerializableHadoopConf(
-        SparkSession.active.sessionState.newHadoopConf()))
+        SparkSession.active.sessionState.newHadoopConf()), targetFileBytes)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -193,11 +224,12 @@ private class GraftSqlBatchWrite(root: String, schema: StructType,
 
 private class GraftSqlWriterFactory(dataDir: String, schema: StructType,
                                     specTerms: Seq[TableFormat.SpecTerm],
-                                    conf: SerializableHadoopConf)
+                                    conf: SerializableHadoopConf,
+                                    targetFileBytes: Long)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftSqlDataWriter(dataDir, s"part-$partitionId-$taskId", schema,
-      specTerms, conf.value)
+      specTerms, conf.value, targetFileBytes)
 }
 
 /** Executor-side InternalRow → parquet writer over the parquet example
@@ -212,7 +244,8 @@ private class GraftSqlWriterFactory(dataDir: String, schema: StructType,
 private class GraftSqlDataWriter(dataDir: String, taskTag: String,
                                  schema: StructType,
                                  specTerms: Seq[TableFormat.SpecTerm],
-                                 conf: org.apache.hadoop.conf.Configuration)
+                                 conf: org.apache.hadoop.conf.Configuration,
+                                 targetFileBytes: Long = Long.MaxValue)
     extends DataWriter[InternalRow] {
   import org.apache.parquet.example.data.Group
   import org.apache.parquet.example.data.simple.SimpleGroupFactory
@@ -421,6 +454,17 @@ private class GraftSqlDataWriter(dataDir: String, taskTag: String,
   //    bound, the same one Iceberg's bucket transform carries. An LRU
   //    cap would be wrong here: cyclically revisited bucket values would
   //    evict exactly the writer needed next and explode the file count.
+  //  - the SIZE dimension is orthogonal to both: when the open file's
+  //    buffered+written bytes reach `targetFileBytes` (the
+  //    write.target-file-size-bytes table property, Iceberg's default
+  //    512 MB), the writer ROLLS that one file — close, drop from the
+  //    map, next row of the same routing key opens a fresh file. This
+  //    is what bounds a SKEWED partition value: clustered distribution
+  //    sends the whole value to one task, and without the roll that
+  //    task would write one unbounded file. Rolled files still hold a
+  //    single partition value, so recorded tuples stay pure. The size
+  //    probe runs every [[RollCheckRows]] rows (getDataSize walks the
+  //    column writers — cheap, but not per-row cheap).
   private val open =
     scala.collection.mutable.LinkedHashMap.empty[String, ParquetWriter[Group]]
   private var lastMono: String = null
@@ -429,6 +473,8 @@ private class GraftSqlDataWriter(dataDir: String, taskTag: String,
   private var fileSeq = 0
   private val written = Seq.newBuilder[String]
   private var nRows = 0L
+  private val RollCheckRows = 64
+  private var rowsSinceRollCheck = 0
 
   private def newWriter(): ParquetWriter[Group] = {
     val file = s"$dataDir/$taskTag-$fileSeq.parquet"
@@ -446,8 +492,11 @@ private class GraftSqlDataWriter(dataDir: String, taskTag: String,
     val mono =
       if (monotoneRouters.isEmpty) ""
       else monotoneRouters.map(_(row)).mkString("/")
-    if (lastWriter == null || mono != lastMono) {
-      // run boundary: every writer of the previous run is exhausted
+    if (mono != lastMono) {
+      // run boundary: every writer of the previous run is exhausted.
+      // (Keyed on the MONO value, not lastWriter — a size roll nulls
+      // lastWriter without ending the run, and must not close the
+      // other bucket writers of the same run.)
       closeAll()
       lastMono = mono
       lastBucket = null
@@ -467,6 +516,22 @@ private class GraftSqlDataWriter(dataDir: String, taskTag: String,
     }
     lastWriter.write(g)
     nRows += 1
+    rowsSinceRollCheck += 1
+    if (rowsSinceRollCheck >= RollCheckRows) {
+      rowsSinceRollCheck = 0
+      // probe EVERY open writer, not just the current one — under
+      // interleaved bucket routing the writer that crossed the target
+      // is rarely the one the probe row landed in
+      val full = open.iterator.filter(_._2.getDataSize >= targetFileBytes)
+        .map(_._1).toList
+      full.foreach { k =>
+        open.remove(k).foreach(_.close())
+        if (k == lastBucket) {
+          lastWriter = null
+          lastBucket = null // force the re-fetch; same key opens a fresh file
+        }
+      }
+    }
   }
 
   private def closeAll(): Unit = {

@@ -658,7 +658,8 @@ private class GraftSqlTable(ident: String, root: String,
       snap.props.get(TableFormat.PartitionSpecProp),
       // catalog-resolved: spec transforms CAN resolve through this
       // catalog's FunctionCatalog, so the write clusters by them
-      resolveTransforms = true)
+      resolveTransforms = true,
+      targetFileBytes = GraftSqlWrite.targetOf(snap.props))
 
   /** `MERGE INTO` / `UPDATE` / arbitrary-predicate `DELETE` — the
     * group-based copy-on-write rewrite ([[GraftRowLevelOperation]]). */

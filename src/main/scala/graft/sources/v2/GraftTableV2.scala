@@ -80,6 +80,7 @@ private class PathGraftTable(root: String, tableSchema: StructType)
     val snap = TableFormat.snapshot(SparkSession.active, root)
     new GraftSqlWriteBuilder(root, info.schema(), info.queryId(),
       snap.props.get(TableFormat.PartitionSpecProp),
-      lineage = Option(info.options.get("lineage")).getOrElse(""))
+      lineage = Option(info.options.get("lineage")).getOrElse(""),
+      targetFileBytes = GraftSqlWrite.targetOf(snap.props))
   }
 }
