@@ -5507,6 +5507,44 @@ object SparkEntry {
         .orderBy("part")
     },
 
+    // ---- SORT-FREE STORAGE-PARTITIONED JOIN (r13): routed writes land
+    // their files SORTED by the spec's base columns, so the scan also
+    // reports per-partition ordering (SupportsReportOrdering) when the
+    // layout is pure with one file per partition value — the sort-merge
+    // join of two bucket-laid-out tables then drops its exchanges AND
+    // its sorts: a pure streaming merge of pre-sorted files, the
+    // Iceberg sorted-table + SPJ endgame. Graded: SMJ planned, zero
+    // Exchange, zero Sort, both scans report Ordered: true, and the
+    // join ledger is exact ----
+    "q143_spj_sort_free" -> { (s, dir) =>
+      val (tblA, tblB) = spjTables(s, dir)
+      val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = s.sql(s"""SELECT a.k AS k, a.cents AS cents, b.pay AS pay
+          FROM graft.`$tblA` a JOIN graft.`$tblB` b ON a.k = b.k""")
+        // "Sort [" prints for a SortExec node, never for SortMergeJoin;
+        // sorts (like exchanges) are placed at initial planning, so the
+        // pre-execution plan string is decisive
+        val plan = j.queryExecution.executedPlan.toString
+        val row = j.agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("sc"), sum(col("pay")).as("sp")).collect()(0)
+        s.range(1).select(
+          lit(plan.contains("SortMergeJoin") && !plan.contains("Exchange"))
+            .as("smj_no_shuffle"),
+          lit(!plan.contains("Sort [")).as("sort_free"),
+          lit(plan.contains("Ordered: true") &&
+            !plan.contains("Ordered: false")).as("ordered_scans"),
+          lit(row.getLong(0)).as("n_rows"),
+          lit(row.getLong(1)).as("sum_cents"),
+          lit(row.getLong(2)).as("sum_pay"))
+      } finally {
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      }
+    },
+
     // ---- LIMIT PUSHDOWN (r13): a bare `LIMIT n` plans a FILE PREFIX —
     // commit stats record exact per-file row counts, so the scan keeps
     // only files whose cumulative rows reach n (a LIMIT 10 on a
@@ -5657,28 +5695,7 @@ object SparkEntry {
     // the join must agree with the oracle ----
     "q137_storage_partitioned_join" -> { (s, dir) =>
       val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
-      val hex = java.lang.Integer.toHexString(dir.hashCode)
-      val (tblA, tblB) = (s"sja_$hex", s"sjb_$hex")
-      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
-      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
-      Fixtures.once(s, "q137_spj", dir) {
-        Seq(tblA, tblB).foreach { t =>
-          val p = new org.apache.hadoop.fs.Path(s"$wh/$t")
-          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-        }
-        val base = Tables.orders(s, dir)
-        s.sql(s"""CREATE TABLE graft.`$tblA` (k BIGINT, cents BIGINT)
-          PARTITIONED BY (bucket(8, k))""")
-        base.select(col("o_orderkey").as("k"),
-            floor(col("o_totalprice") * 100).cast("long").as("cents"))
-          .createOrReplaceTempView("q137_a")
-        s.sql(s"INSERT INTO graft.`$tblA` SELECT * FROM q137_a")
-        s.sql(s"""CREATE TABLE graft.`$tblB` (k BIGINT, pay BIGINT)
-          PARTITIONED BY (bucket(8, k))""")
-        base.select(col("o_orderkey").as("k"), col("o_custkey").as("pay"))
-          .createOrReplaceTempView("q137_b")
-        s.sql(s"INSERT INTO graft.`$tblB` SELECT * FROM q137_b")
-      }
+      val (tblA, tblB) = spjTables(s, dir)
       val tuplesRecorded = Seq(tblA, tblB).forall(t =>
         TableFormat.snapshot(s, s"$wh/$t").files
           .forall(_.part.exists(_._1 == "bucket(k, 8)")))
@@ -6027,6 +6044,37 @@ object SparkEntry {
     * warm-up + two-pass runs overwrite ONE directory instead of
     * accumulating temp output without bound; every write through it uses
     * overwrite mode, so staleness cannot leak between runs. */
+  /** The bucket(8, k)-laid-out table pair q137/q143 both join: built
+    * once per dataset (routed INSERTs stamp the tuples), returned as
+    * (fact-with-cents, fact-with-pay) table names in the `graft`
+    * catalog. */
+  private def spjTables(s: SparkSession, dir: String): (String, String) = {
+    val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+    val hex = java.lang.Integer.toHexString(dir.hashCode)
+    val (tblA, tblB) = (s"sja_$hex", s"sjb_$hex")
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    Fixtures.once(s, "q137_spj", dir) {
+      Seq(tblA, tblB).foreach { t =>
+        val p = new org.apache.hadoop.fs.Path(s"$wh/$t")
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      val base = Tables.orders(s, dir)
+      s.sql(s"""CREATE TABLE graft.`$tblA` (k BIGINT, cents BIGINT)
+        PARTITIONED BY (bucket(8, k))""")
+      base.select(col("o_orderkey").as("k"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("q137_a")
+      s.sql(s"INSERT INTO graft.`$tblA` SELECT * FROM q137_a")
+      s.sql(s"""CREATE TABLE graft.`$tblB` (k BIGINT, pay BIGINT)
+        PARTITIONED BY (bucket(8, k))""")
+      base.select(col("o_orderkey").as("k"), col("o_custkey").as("pay"))
+        .createOrReplaceTempView("q137_b")
+      s.sql(s"INSERT INTO graft.`$tblB` SELECT * FROM q137_b")
+    }
+    (tblA, tblB)
+  }
+
   private def scratch(name: String, dir: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_scratch/${name}_${java.lang.Integer.toHexString(dir.hashCode)}"
 
@@ -8341,6 +8389,20 @@ object SparkEntry {
     // pushdown + skipping intact and the deleted key still gone (the
     // stamped filter never reaches the manifest read); kmid = max(k)/2
     // on the contiguous key domain
+    // the sort-free flags are dataset constants: the fixture layout is
+    // pure (one sorted file per bucket per table), so the SMJ plans
+    // with zero exchanges and zero sorts under v2 bucketing
+    "q143_spj_sort_free" ->
+      """WITH a AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+         b AS (SELECT o_orderkey AS k, o_custkey AS pay FROM orders)
+         SELECT TRUE AS smj_no_shuffle, TRUE AS sort_free,
+           TRUE AS ordered_scans,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(a.cents) AS BIGINT) AS sum_cents,
+           CAST(sum(b.pay) AS BIGINT) AS sum_pay
+         FROM a JOIN b ON a.k = b.k""",
+
     // the roll flags are dataset constants: 4 KB target vs >=750 rows
     // per bucket at every SF forces >=2 files per bucket, overshoot is
     // probe-cadence-bounded, and rolled files keep pure tuples

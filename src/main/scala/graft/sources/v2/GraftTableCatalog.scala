@@ -1092,7 +1092,8 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
                            tableSchema: StructType = StructType(Nil),
                            limit: Option[Int] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
-    with SupportsReportStatistics with SupportsReportPartitioning {
+    with SupportsReportStatistics with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   // ---- STORAGE-PARTITIONED JOINS: when the table declares a partition
   // spec and EVERY surviving file carries a recorded partition tuple
@@ -1157,6 +1158,28 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
       case None =>
         new org.apache.spark.sql.connector.read.partitioning
           .UnknownPartitioning(0)
+    }
+
+  /** SORT-FREE storage-partitioned joins (`SupportsReportOrdering`):
+    * every routed write lands its files SORTED by the spec's base
+    * columns (the Write's required ordering), so when the layout is
+    * pure the scan reports that per-partition ordering and Spark's
+    * sort-merge join drops BOTH its exchanges (from the partitioning)
+    * AND its sorts (from here) — a join of two bucket-laid-out tables
+    * runs as a pure streaming merge of pre-sorted files. Reported only
+    * when each surviving file carries a DISTINCT current-spec tuple: a
+    * key group holding two files (a size-rolled partition value) would
+    * CONCATENATE two sorted runs, which is not sorted — that layout
+    * keeps the partitioning report but lets the join re-sort. */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    spjTerms match {
+      case Some(terms)
+        if planHit.map(_.part.map(_._2.toSeq)).distinct.size == planHit.size =>
+        import org.apache.spark.sql.connector.expressions.{Expressions => E, SortDirection}
+        terms.map(t => E.sort(E.column(t.baseCol),
+          SortDirection.ASCENDING)).toArray
+      case _ => Array.empty
     }
 
   /** HONEST plan-time statistics from commit metadata, AFTER file
@@ -1400,6 +1423,7 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
       bounds.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => s"$c in [$lo,$hi]" }
         .mkString("[", ", ", "]") +
       s", Pruners: ${pruners.map(_._1).sorted.mkString("[", ", ", "]")}" +
+      s", Ordered: ${outputOrdering().nonEmpty}" +
       s", RowGroupFilter: ${rowGroupFilter.isDefined}" +
       s", LimitPrefix: ${limit.filter(_ => !anyMasked).map(_.toString).getOrElse("none")}" +
       s", ReadSchema: ${required.catalogString}"

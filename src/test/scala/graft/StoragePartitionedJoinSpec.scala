@@ -115,6 +115,60 @@ class StoragePartitionedJoinSpec extends SparkTestBase {
       Seq(0L, 1L, 2L, 3L))
   }
 
+  test("pure layouts also report per-file ordering: the SPJ join drops " +
+      "its sorts, not just its exchanges") {
+    warehouse
+    mkBucketed("oa", 500, "id * 2")
+    mkBucketed("ob", 400, "id * 10")
+    withSpj {
+      val j = spark.sql(
+        "SELECT a.k AS k, a.v AS av, b.v AS bv " +
+          "FROM spjcat.oa a JOIN spjcat.ob b ON a.k = b.k")
+      val rows = j.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      assert(rows.length == 400)
+      assert(rows.toSeq == (0L until 400L).map(k => (k, k * 2, k * 10)))
+      // string probe ("Sort [" prints for SortExec, not SortMergeJoin —
+      // and unlike collect() it sees inside materialized AQE stages)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), plan)
+      assert(!plan.contains("Sort ["),
+        s"routed files are pre-sorted by k; SMJ should not re-sort:\n$plan")
+    }
+  }
+
+  test("a size-rolled bucket (duplicate tuples) withholds the ordering " +
+      "report; the join re-sorts and stays exact") {
+    warehouse
+    spark.sql(s"""CREATE TABLE spjcat.ra (k BIGINT, v BIGINT)
+      PARTITIONED BY (bucket(4, k))
+      TBLPROPERTIES('write.target-file-size-bytes'='1')""")
+    spark.range(600).selectExpr("id AS k", "id * 2 AS v")
+      .createOrReplaceTempView("src_ra")
+    spark.sql("INSERT INTO spjcat.ra SELECT * FROM src_ra")
+    val snap = TableFormat.snapshot(spark, s"$warehouse/ra")
+    val tuples = snap.files.flatMap(_.part.map(_._2.toSeq))
+    assert(tuples.distinct.size < tuples.size, "fixture must have rolled")
+    mkBucketed("rb", 500, "id * 10")
+    withSpj {
+      val j = spark.sql(
+        "SELECT a.k AS k, a.v AS av, b.v AS bv " +
+          "FROM spjcat.ra a JOIN spjcat.rb b ON a.k = b.k")
+      val rows = j.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      assert(rows.length == 500)
+      assert(rows.toSeq == (0L until 500L).map(k => (k, k * 2, k * 10)))
+      val plan = j.queryExecution.executedPlan.toString
+      // the rolled side's key groups hold >1 file each — concatenation
+      // is unsorted, so that side reports no ordering and must re-sort
+      // (the pure side keeps its Ordered: true, sort-free read)
+      assert(plan.contains("Sort ["), s"expected a fallback sort:\n$plan")
+      assert(plan.contains("Ordered: true"), plan)
+      assert(plan.contains("Ordered: false"), plan)
+    }
+  }
+
   test("the V2 functions are SQL-invocable and match the writers") {
     warehouse
     val r = spark.sql(
