@@ -5507,6 +5507,68 @@ object SparkEntry {
         .orderBy("part")
     },
 
+    // ---- BYTE-BOUNDED STREAM ADMISSION (r13): `max_bytes_per_trigger`
+    // caps a micro-batch by the pending versions' RECORDED on-disk
+    // bytes (commit stats — zero filesystem probes at admission time),
+    // the Delta maxBytesPerTrigger shape and the cap that actually
+    // protects executor memory when file counts lie about volume. The
+    // cap here is sized at 1.5x the largest source file, so every batch
+    // admits exactly one data version (the empty CREATE rides with the
+    // first) — a 7-version backlog drains across 6 exactly-once epochs
+    // whose cumulative ledger the oracle replays ----
+    "q144_stream_bytes_admission" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"bta_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val root = scratch("q144_bta", dir)
+      val bRoot = s"$root/b"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q144_bta", dir) {
+        Seq(s"$wh/$tbl", root).foreach { r =>
+          val p = new org.apache.hadoop.fs.Path(r)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("q144_src")
+        s.sql(s"""CREATE TABLE graft.`$tbl` (o_orderkey BIGINT, cents BIGINT)
+          TBLPROPERTIES('key_col'='o_orderkey')""")                  // A v1
+        Seq(1, 5, 9, 17, 21, 25).foreach(r =>
+          s.sql(s"INSERT INTO graft.`$tbl` " +
+            s"SELECT * FROM q144_src WHERE o_orderkey % 32 = $r"))   // A v2..v7
+        // residue slices are within a few percent of one another, so
+        // 1.5x the largest file admits any one version but never two
+        val cap = TableFormat.snapshot(s, s"$wh/$tbl").files
+          .map(_.bytes).max * 3 / 2
+        TableFormat.createEmpty(s, bRoot, "o_orderkey",
+          "o_orderkey BIGINT, cents BIGINT")                         // B v1
+        val cp = s"$root/cp"
+        val q = s.readStream.option("max_bytes_per_trigger", cap.toString)
+          .table(s"graft.`$tbl`")
+          .writeStream.format("graft-table")
+          .option("path", bRoot).option("lineage", cp)
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), "q144: stream did not finish")
+      }
+      val ledger = TableFormat.versions(s, bRoot).map { v =>
+        val snap = TableFormat.snapshot(s, bRoot, Some(v))
+        Parallelism.ensureDefaultParallelism(TableFormat.read(s, snap))
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("cents")), lit(0L)).as("sum_cents"))
+          .select(lit(s"b_v$v").as("pin"),
+            lit(snap.op.getOrElse("")).as("op"),
+            col("n_rows"), col("sum_cents"))
+      }
+      val counts = s.range(1).select(lit("z_counts").as("pin"),
+        lit("-").as("op"),
+        lit(TableFormat.versions(s, bRoot).size.toLong).as("n_rows"),
+        lit(TableFormat.versions(s, bRoot).size.toLong).as("sum_cents"))
+      (ledger :+ counts).reduce(_.unionByName(_)).orderBy(col("pin"))
+    },
+
     // ---- SORT-FREE STORAGE-PARTITIONED JOIN (r13): routed writes land
     // their files SORTED by the spec's base columns, so the scan also
     // reports per-partition ordering (SupportsReportOrdering) when the
@@ -8389,6 +8451,44 @@ object SparkEntry {
     // pushdown + skipping intact and the deleted key still gone (the
     // stamped filter never reaches the manifest read); kmid = max(k)/2
     // on the contiguous key domain
+    // one data version per byte-capped batch: B's ledger accumulates
+    // one residue slice per version (the empty CREATE rides with the
+    // first slice), 7 versions total — all figures replay from orders
+    "q144_stream_bytes_admission" ->
+      """WITH sl AS (SELECT o_orderkey % 32 AS r, count(*) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS t
+           FROM orders WHERE o_orderkey % 32 IN (1, 5, 9, 17, 21, 25)
+           GROUP BY 1),
+         c AS (SELECT
+             sum(CASE WHEN r IN (1) THEN n END) AS n2,
+             sum(CASE WHEN r IN (1) THEN t END) AS t2,
+             sum(CASE WHEN r IN (1, 5) THEN n END) AS n3,
+             sum(CASE WHEN r IN (1, 5) THEN t END) AS t3,
+             sum(CASE WHEN r IN (1, 5, 9) THEN n END) AS n4,
+             sum(CASE WHEN r IN (1, 5, 9) THEN t END) AS t4,
+             sum(CASE WHEN r IN (1, 5, 9, 17) THEN n END) AS n5,
+             sum(CASE WHEN r IN (1, 5, 9, 17) THEN t END) AS t5,
+             sum(CASE WHEN r IN (1, 5, 9, 17, 21) THEN n END) AS n6,
+             sum(CASE WHEN r IN (1, 5, 9, 17, 21) THEN t END) AS t6,
+             sum(n) AS n7, sum(t) AS t7
+           FROM sl)
+         SELECT 'b_v1' AS pin, 'create' AS op, CAST(0 AS BIGINT) AS n_rows,
+             CAST(0 AS BIGINT) AS sum_cents FROM c
+         UNION ALL SELECT 'b_v2', 'append', CAST(n2 AS BIGINT),
+             CAST(t2 AS BIGINT) FROM c
+         UNION ALL SELECT 'b_v3', 'append', CAST(n3 AS BIGINT),
+             CAST(t3 AS BIGINT) FROM c
+         UNION ALL SELECT 'b_v4', 'append', CAST(n4 AS BIGINT),
+             CAST(t4 AS BIGINT) FROM c
+         UNION ALL SELECT 'b_v5', 'append', CAST(n5 AS BIGINT),
+             CAST(t5 AS BIGINT) FROM c
+         UNION ALL SELECT 'b_v6', 'append', CAST(n6 AS BIGINT),
+             CAST(t6 AS BIGINT) FROM c
+         UNION ALL SELECT 'b_v7', 'append', CAST(n7 AS BIGINT),
+             CAST(t7 AS BIGINT) FROM c
+         UNION ALL SELECT 'z_counts', '-', 7, 7 FROM c
+         ORDER BY pin""",
+
     // the sort-free flags are dataset constants: the fixture layout is
     // pure (one sorted file per bucket per table), so the SMJ plans
     // with zero exchanges and zero sorts under v2 bucketing

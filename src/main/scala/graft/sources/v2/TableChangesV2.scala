@@ -126,25 +126,37 @@ private[v2] object ChangesStream {
     *    `latest` starts at the current head. Absent = the full table
     *    (the first live version emits as base). Only consulted for a
     *    FRESH checkpoint — a resumed query's offset always wins.
-    *  - `max_versions_per_trigger` / `max_files_per_trigger` — ADMISSION
-    *    CONTROL (the Delta maxFilesPerTrigger shape): cap how much of a
+    *  - `max_versions_per_trigger` / `max_files_per_trigger` /
+    *    `max_bytes_per_trigger` — ADMISSION CONTROL (the Delta
+    *    maxFilesPerTrigger/maxBytesPerTrigger shape): cap how much of a
     *    pending backlog one micro-batch plans, so a fresh checkpoint on
     *    a large table (or an ingest burst) drains across bounded batches
     *    instead of one giant batch that blows executor memory and the
-    *    latency SLA. At least one version is always admitted (progress
-    *    guarantee); `Trigger.Once`-style ReadAllAvailable requests
-    *    bypass the caps, exactly like Delta. */
+    *    latency SLA. The bytes cap reads each version's RECORDED
+    *    on-disk file bytes from commit stats (no filesystem probes at
+    *    admission time); a version containing any pre-byte-stats file
+    *    (unknown size) is treated as cap-busting and admits alone —
+    *    unknown means assume big, never assume free. At least one
+    *    version is always admitted (progress guarantee);
+    *    `Trigger.Once`-style ReadAllAvailable requests bypass the caps,
+    *    exactly like Delta. */
   final case class ReadOptions(startingVersion: Option[Long] = None,
                                maxVersionsPerTrigger: Option[Int] = None,
-                               maxFilesPerTrigger: Option[Int] = None)
+                               maxFilesPerTrigger: Option[Int] = None,
+                               maxBytesPerTrigger: Option[Long] = None)
 
   def readOptions(options: CaseInsensitiveStringMap): ReadOptions = {
     def intOpt(key: String): Option[Int] =
       Option(options.get(key)).map(v => v.toIntOption.filter(_ >= 1).getOrElse(
         throw new IllegalArgumentException(
           s"graft-table-changes: $key must be a positive integer, got '$v'")))
+    def longOpt(key: String): Option[Long] =
+      Option(options.get(key)).map(v => v.toLongOption.filter(_ >= 1).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-table-changes: $key must be a positive long, got '$v'")))
     ReadOptions(startingVersion(options),
-      intOpt("max_versions_per_trigger"), intOpt("max_files_per_trigger"))
+      intOpt("max_versions_per_trigger"), intOpt("max_files_per_trigger"),
+      longOpt("max_bytes_per_trigger"))
   }
 
   def startingVersion(options: CaseInsensitiveStringMap): Option[Long] =
@@ -209,9 +221,13 @@ private[v2] class ChangesStream(root: String, schema: StructType,
     * ReadLimit)]] applies the caps from the parsed options, and treats a
     * ReadAllAvailable request (Trigger.Once) as "bypass the caps". */
   override def getDefaultReadLimit: ReadLimit =
-    if (opts.maxVersionsPerTrigger.isEmpty && opts.maxFilesPerTrigger.isEmpty)
+    if (opts.maxVersionsPerTrigger.isEmpty && opts.maxFilesPerTrigger.isEmpty
+        && opts.maxBytesPerTrigger.isEmpty)
       ReadLimit.allAvailable()
-    else ReadLimit.maxFiles(opts.maxFilesPerTrigger.getOrElse(Int.MaxValue))
+    else opts.maxBytesPerTrigger match {
+      case Some(b) if opts.maxFilesPerTrigger.isEmpty => ReadLimit.maxBytes(b)
+      case _ => ReadLimit.maxFiles(opts.maxFilesPerTrigger.getOrElse(Int.MaxValue))
+    }
 
   override def reportLatestOffset(): Offset = latestOffset()
 
@@ -226,35 +242,51 @@ private[v2] class ChangesStream(root: String, schema: StructType,
     val all = TableFormat.versions(spark, root)
     val head = cappedHead(all.lastOption.getOrElse(0L))
     val uncapped = limit.isInstanceOf[ReadAllAvailable] ||
-      (opts.maxVersionsPerTrigger.isEmpty && opts.maxFilesPerTrigger.isEmpty)
+      (opts.maxVersionsPerTrigger.isEmpty && opts.maxFilesPerTrigger.isEmpty
+        && opts.maxBytesPerTrigger.isEmpty)
     if (uncapped || head <= s) return VersionOffset(head)
     val maxV = opts.maxVersionsPerTrigger.getOrElse(Int.MaxValue)
     val maxF = opts.maxFilesPerTrigger.getOrElse(Int.MaxValue).toLong
+    val maxB = opts.maxBytesPerTrigger.getOrElse(Long.MaxValue)
     val pending = all.filter(v => v > s && v <= head)
     var end = s
     var files = 0L
+    var bytes = 0L
     var taken = 0
     val it = pending.iterator
     var stop = false
+    // saturating add: an unknown-size version carries the Long.MaxValue
+    // sentinel, and the running total must pin there, not wrap
+    def satAdd(a: Long, b: Long): Long = {
+      val r = a + b; if (r < 0) Long.MaxValue else r
+    }
     while (it.hasNext && !stop) {
       val v = it.next()
       if (taken >= maxV) stop = true
       else {
-        // appended-file count of v, the same diff batch planning uses:
-        // a replace commit contributes nothing, a base version (no live
+        // appended files of v, the same diff batch planning uses: a
+        // replace commit contributes nothing, a base version (no live
         // predecessor) contributes its full file set
         val cur = TableFormat.snapshot(spark, root, Some(v))
         val prev = all.filter(_ < v).lastOption
-        val n =
-          if (prev.isEmpty) cur.files.size.toLong
-          else if (cur.op.contains("replace")) 0L
+        val added =
+          if (prev.isEmpty) cur.files
+          else if (cur.op.contains("replace")) Seq.empty
           else {
             val prevFiles = TableFormat.snapshot(spark, root, prev)
               .files.map(_.file).toSet
-            cur.files.count(f => !prevFiles(f.file)).toLong
+            cur.files.filterNot(f => prevFiles(f.file))
           }
-        if (taken > 0 && files + n > maxF) stop = true
-        else { end = v; files += n; taken += 1 }
+        val n = added.size.toLong
+        // recorded on-disk bytes; any pre-byte-stats file (-1) makes
+        // the version cap-busting under a bytes limit — unknown size
+        // admits alone rather than piling into an unbounded batch
+        val b =
+          if (added.exists(_.bytes < 0)) Long.MaxValue
+          else added.map(_.bytes).sum
+        if (taken > 0 && (files + n > maxF || satAdd(bytes, b) > maxB))
+          stop = true
+        else { end = v; files += n; bytes = satAdd(bytes, b); taken += 1 }
       }
     }
     VersionOffset(end)

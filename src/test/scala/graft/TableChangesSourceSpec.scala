@@ -267,6 +267,21 @@ class TableChangesSourceSpec extends SparkTestBase {
     val b3 = drain(s"$base/o1", s"$base/c1",
       Map("max_versions_per_trigger" -> "2"))
     assert(content(s"$base/o1") == content(s"$base/o0"))
+    // max_bytes_per_trigger from RECORDED commit bytes: each version's
+    // parquet files are a few hundred bytes; a cap of ~1.5 files forces
+    // roughly one version per batch (never fewer than 3 batches over 6
+    // versions), a huge cap drains in one — content identical either way
+    val snap = TableFormat.snapshot(spark, root)
+    assert(snap.files.forall(_.bytes > 0), snap.files.map(_.bytes))
+    val oneFile = snap.files.map(_.bytes).max
+    val b4 = drain(s"$base/o4", s"$base/c4",
+      Map("max_bytes_per_trigger" -> (oneFile * 3 / 2).toString))
+    assert(b4 >= 3, s"byte-throttled drained in $b4 batches")
+    assert(content(s"$base/o4") == content(s"$base/o0"))
+    val b5 = drain(s"$base/o5", s"$base/c5",
+      Map("max_bytes_per_trigger" -> (1L << 40).toString))
+    assert(b5 == 1, s"loose byte cap drained in $b5 batches")
+    assert(content(s"$base/o5") == content(s"$base/o0"))
   }
 
   test("legacy 2-level parquet LIST forms read by the spec's backward-compat rule (array / name_tuple groups are elements)") {
