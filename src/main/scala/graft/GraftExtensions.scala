@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    // graft-catalog view documents expand at resolution time (OSS Spark
+    // ships ViewCatalog without analyzer wiring — see ViewSubstitution)
+    ext.injectResolutionRule(_ => graft.plans.ViewSubstitution)
   }
 }
 

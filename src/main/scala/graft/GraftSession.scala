@@ -25,6 +25,11 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName("graft")
+      // functions + optimizer rules also register post-hoc
+      // (Functions.register), but RESOLUTION rules (view expansion)
+      // only exist as a session-build hook — wire them here so every
+      // entry point gets the full SQL surface
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.getOrElse(cores).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

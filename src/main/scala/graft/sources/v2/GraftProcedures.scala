@@ -40,7 +40,8 @@ private[v2] object GraftProcedures {
   val names: Seq[String] = Seq("compact", "compact_small_files",
     "compact_manifests", "materialize_deletes", "expire_snapshots",
     "recluster", "rollback", "create_tag", "drop_tag",
-    "create_branch", "publish_branch", "drop_branch", "clone")
+    "create_branch", "publish_branch", "drop_branch", "clone",
+    "create_view", "drop_view", "rename_view", "list_views")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -49,12 +50,13 @@ private[v2] object GraftProcedures {
                      default: String): ProcedureParameter =
     ProcedureParameter.in(name, dt).defaultValue(default).build()
 
-  /** One-row result scan (the CALL output). */
-  private final case class ResultScan(schema: StructType, values: Seq[Any],
+  /** Result scan for the CALL output (usually one row; list_views many). */
+  private final case class ResultScan(schema: StructType,
+                                      rowValues: Seq[Seq[Any]],
                                       label: String) extends LocalScan {
     override def readSchema(): StructType = schema
     override def rows(): Array[InternalRow] =
-      Array(InternalRow.fromSeq(values))
+      rowValues.map(InternalRow.fromSeq).toArray
     override def description(): String = s"graft-procedure($label)"
   }
 
@@ -69,8 +71,15 @@ private[v2] object GraftProcedures {
       case (_, s: String) => UTF8String.fromString(s)
       case (_, v) => v
     }
-    java.util.List.of[Scan](ResultScan(schema, values, label)).iterator()
+    java.util.List.of[Scan](ResultScan(schema, Seq(values), label)).iterator()
   }
+
+  private def resultList(label: String, colName: String,
+                         values: Seq[String]): java.util.Iterator[Scan] =
+    java.util.List.of[Scan](ResultScan(
+      StructType(Seq(StructField(colName, StringType, nullable = false))),
+      values.sorted.map(v => Seq(UTF8String.fromString(v))),
+      label)).iterator()
 
   def load(catalog: GraftTableCatalog, name: String): UnboundProcedure = {
     // the procedure resolves table names through ITS catalog's warehouse
@@ -215,11 +224,92 @@ private[v2] object GraftProcedures {
           result(name, "version" -> snap.version,
             "n_files" -> snap.files.size.toLong)
       }
+      // ---- persisted views: DDL rides CALL because OSS Spark 4 refuses
+      // CREATE VIEW on non-session catalogs (ResolveSessionCatalog) —
+      // reads expand through graft.plans.ViewSubstitution ----
+      case "create_view" => viewProc(name,
+        "store a SQL view document under the warehouse; SELECTs re-analyze it every read",
+        Array(param("view", StringType), param("view_sql", StringType),
+          paramD("replace", BooleanType, "false"))) { (spark, args) =>
+        val viewName = args.getUTF8String(0).toString
+        val sql = args.getUTF8String(1).toString
+        val parts = viewName.split('.').toSeq
+        val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+          parts.init.toArray, parts.last)
+        require(!catalog.tableExists(ident),
+          s"graft create_view: '$viewName' names an existing TABLE — " +
+            "tables shadow views; pick another name")
+        // analyze now: a view that cannot resolve at create time is a
+        // typo, not a definition (also captures the schema)
+        val analyzed = spark.sql(sql)
+        val info = new org.apache.spark.sql.connector.catalog.ViewInfo(
+          ident, sql,
+          spark.sessionState.catalogManager.currentCatalog.name(),
+          spark.sessionState.catalogManager.currentNamespace,
+          analyzed.schema, Array.empty[String], Array.empty[String],
+          Array.empty[String],
+          java.util.Collections.emptyMap[String, String]())
+        val v =
+          if (args.getBoolean(2)) catalog.replaceView(info, orCreate = true)
+          else catalog.createView(info)
+        result(name, "view" -> viewName,
+          "n_columns" -> v.schema().fields.length.toLong)
+      }
+      case "drop_view" => viewProc(name,
+        "delete a stored view document",
+        Array(param("view", StringType))) { (spark, args) =>
+        val parts = args.getUTF8String(0).toString.split('.').toSeq
+        val dropped = catalog.dropView(
+          org.apache.spark.sql.connector.catalog.Identifier.of(
+            parts.init.toArray, parts.last))
+        result(name, "dropped" -> (if (dropped) 1L else 0L))
+      }
+      case "rename_view" => viewProc(name,
+        "move a stored view document to a new name (refuses an occupied target)",
+        Array(param("view", StringType), param("to", StringType))) {
+        (spark, args) =>
+        def identOf(s: String) = {
+          val parts = s.split('.').toSeq
+          org.apache.spark.sql.connector.catalog.Identifier.of(
+            parts.init.toArray, parts.last)
+        }
+        catalog.renameView(identOf(args.getUTF8String(0).toString),
+          identOf(args.getUTF8String(1).toString))
+        result(name, "view" -> args.getUTF8String(1).toString)
+      }
+      case "list_views" => viewProc(name,
+        "list stored views in a namespace ('' = the warehouse root)",
+        Array(paramD("in_namespace", StringType, "''"))) { (spark, args) =>
+        val ns = args.getUTF8String(0).toString.split('.').toSeq
+          .filter(_.nonEmpty)
+        resultList(name, "view",
+          catalog.listViews(ns: _*).map(_.name()).toSeq)
+      }
       case other => throw new RuntimeException(
         s"graft catalog: no procedure system.$other " +
           s"(have: ${names.mkString(", ")})")
     }
   }
+
+  /** Like [[proc]] but WITHOUT the table-existence gate — view
+    * procedures name view documents, not table logs. */
+  private def viewProc(procName: String, desc: String,
+                       params: Array[ProcedureParameter])
+                      (body: (SparkSession, InternalRow) => java.util.Iterator[Scan])
+      : UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = desc
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = procName
+          override def description(): String = desc
+          override def parameters(): Array[ProcedureParameter] = params
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): java.util.Iterator[Scan] =
+            body(SparkSession.active, input)
+        }
+    }
 
   /** An UnboundProcedure whose bound form resolves the table root from
     * the owning catalog's warehouse and runs `body` on the driver.
