@@ -186,15 +186,21 @@ private[v2] object GraftRowGroupFilter {
 
   /** Stamp `pred` for the readers: the predicate itself plus the
     * filtering levels — stats + dictionary ON (row-group granularity),
-    * record-level and column-index OFF (the readers surface whole row
-    * groups; Spark's residual filter does the row-level work). */
+    * record-level OFF (surviving pages surface whole; Spark's residual
+    * filter does the row-level work). COLUMN-INDEX filtering rides the
+    * `columnIndex` flag: ON for the vectorized path, whose delegate
+    * (Spark's `VectorizedParquetRecordReader`) natively reads filtered
+    * row ranges — a point probe inside a 128 MB row group then reads
+    * ~one PAGE instead of the whole group, the sub-row-group IO lever —
+    * and OFF for the row reader, which iterates unfiltered row groups
+    * and would gain nothing from index-trimmed page stores. */
   def stamp(c: org.apache.hadoop.conf.Configuration,
-            pred: FilterPredicate): Unit = {
+            pred: FilterPredicate, columnIndex: Boolean = false): Unit = {
     org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(c, pred)
     c.setBoolean(org.apache.parquet.hadoop.ParquetInputFormat
       .RECORD_FILTERING_ENABLED, false)
     c.setBoolean(org.apache.parquet.hadoop.ParquetInputFormat
-      .COLUMN_INDEX_FILTERING_ENABLED, false)
+      .COLUMN_INDEX_FILTERING_ENABLED, columnIndex)
   }
 
   private val PredicateKey =

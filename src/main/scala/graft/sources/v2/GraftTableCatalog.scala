@@ -54,7 +54,8 @@ import graft.operators.TableFormat
 class GraftTableCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
     with org.apache.spark.sql.connector.catalog.SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -112,6 +113,45 @@ class GraftTableCatalog extends TableCatalog
       GraftFunctions.load(ident.name())
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchFunctionException(ident)
+
+  // ---- PERSISTED VIEWS (ViewCatalog): CREATE/ALTER/DROP/SHOW VIEWS
+  // over JSON view documents under <warehouse>/_views — the stored SQL
+  // re-analyzes at read time, so views track table evolution. The
+  // storage and semantics live in [[GraftViews]]. ----
+
+  override def listViews(namespace: String*): Array[Identifier] =
+    GraftViews.list(warehouse, namespace.toArray)
+
+  override def loadView(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.View =
+    GraftViews.load(warehouse, ident)
+
+  override def viewExists(ident: Identifier): Boolean =
+    GraftViews.exists(warehouse, ident)
+
+  override def createView(info: org.apache.spark.sql.connector.catalog.ViewInfo)
+      : org.apache.spark.sql.connector.catalog.View =
+    GraftViews.create(warehouse, info, replace = false)
+
+  override def replaceView(info: org.apache.spark.sql.connector.catalog.ViewInfo,
+                           orCreate: Boolean)
+      : org.apache.spark.sql.connector.catalog.View = {
+    if (!orCreate && !GraftViews.exists(warehouse, info.ident()))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(info.ident())
+    GraftViews.create(warehouse, info, replace = true)
+  }
+
+  override def alterView(ident: Identifier,
+                         changes: org.apache.spark.sql.connector.catalog.ViewChange*)
+      : org.apache.spark.sql.connector.catalog.View =
+    GraftViews.alter(warehouse, ident, changes)
+
+  override def dropView(ident: Identifier): Boolean =
+    GraftViews.drop(warehouse, ident)
+
+  override def renameView(from: Identifier, to: Identifier): Unit =
+    GraftViews.rename(warehouse, from, to)
 
   // ---- namespaces: warehouse subdirectories (a table is a dir with a
   // _log; a namespace is a dir without one) — CREATE/SHOW/DROP
@@ -659,7 +699,8 @@ private class GraftSqlTable(ident: String, root: String,
       // catalog-resolved: spec transforms CAN resolve through this
       // catalog's FunctionCatalog, so the write clusters by them
       resolveTransforms = true,
-      targetFileBytes = GraftSqlWrite.targetOf(snap.props))
+      targetFileBytes = GraftSqlWrite.targetOf(snap.props),
+      sortOrder = GraftSqlWrite.sortOrderOf(snap.props))
 
   /** `MERGE INTO` / `UPDATE` / arbitrary-predicate `DELETE` — the
     * group-based copy-on-write rewrite ([[GraftRowLevelOperation]]). */
@@ -1476,7 +1517,9 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
     val c = GraftSqlColumnar.scanConf(SparkSession.active)
     c.set(org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport
       .SPARK_ROW_REQUESTED_SCHEMA, extendedSchema.json)
-    rowGroupFilter.foreach(GraftRowGroupFilter.stamp(c, _))
+    // column-index (page-level) trimming only on the vectorized path,
+    // which reads filtered row ranges natively
+    rowGroupFilter.foreach(GraftRowGroupFilter.stamp(c, _, columnar))
     new GraftSqlReaderFactory(required, extendedSchema, columnar,
       new SerializableHadoopConf(c))
   }
