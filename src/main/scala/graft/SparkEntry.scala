@@ -5507,6 +5507,162 @@ object SparkEntry {
         .orderBy("part")
     },
 
+    // ---- WRITE-TIME SORT ORDER (r13): the `write.sort-order` table
+    // property range-distributes + sorts every write by the declared
+    // columns, so each data file lands with a NEAR-DISJOINT slice of
+    // the sort domain — recluster at write time, no rewrite ever
+    // scheduled. The commit's zone stats then make range probes on the
+    // sort column prune files the moment they land. Graded: the layout
+    // is tight (per-file zone widths sum to about one global range,
+    // not files-many overlapping copies), a 1/8-domain window keeps at
+    // most about 1/4 of the files, and the window ledger is exact ----
+    "q147_write_sort_order" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"wso_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val root = s"$wh/$tbl"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q147_wso", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        s.sql(s"""CREATE TABLE graft.`$tbl` (k BIGINT, odd BIGINT, cents BIGINT)
+          TBLPROPERTIES('key_col'='k', 'zone_cols'='odd',
+            'write.sort-order'='odd')""")
+        Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+            datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+              .cast("long").as("odd"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("q147_src")
+        s.sql(s"INSERT INTO graft.`$tbl` SELECT * FROM q147_src")
+      }
+      val snap = TableFormat.snapshot(s, root)
+      val zs = snap.files.map(_.zones("odd"))
+      val (lo, hi) = (zs.map(_._1).min, zs.map(_._2).max)
+      // range distribution: per-file widths sum to ~one global range
+      // (edges overlap by at most a value), never files-many copies
+      val zonesTight = zs.map(z => z._2 - z._1 + 1).sum < 2 * (hi - lo + 1)
+      val (w1, w2) = (lo + (hi - lo) * 7 / 16, lo + (hi - lo) * 9 / 16)
+      val df = s.sql(s"""SELECT count(*) AS n_rows,
+          CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM graft.`$tbl` WHERE odd BETWEEN $w1 AND $w2""")
+      val row = df.collect()(0)
+      val m = "PrunedFiles: (\\d+)/(\\d+)".r
+        .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+        .getOrElse(throw new IllegalStateException("q147: no PrunedFiles"))
+      val (pruned, n) = (m.group(1).toInt, m.group(2).toInt)
+      // a 1/8-domain window keeps ~n/8 (+ boundary) files at any file
+      // count the write produced (AQE may coalesce small inserts)
+      val windowPruned = (n - pruned) <= n / 4 + 2
+      s.range(1).select(lit(zonesTight).as("zones_tight"),
+        lit(windowPruned).as("window_pruned"),
+        lit(row.getLong(0)).as("n_rows"),
+        lit(row.getLong(1)).as("sum_cents"))
+    },
+
+    // ---- PAGE-LEVEL (COLUMN-INDEX) FILTERING (r13): inside a SURVIVING
+    // row group, the vectorized reader now trims to the pages the
+    // parquet column index proves can match — the sub-row-group IO
+    // lever (a point probe in a 128 MB row group reads ~one page, not
+    // the group). The fixture is ONE file with ONE row group and tiny
+    // pages, so neither file pruning nor row-group skipping can help a
+    // point probe AT ALL: any surfaced-row reduction is page trimming
+    // or nothing. The masked probe proves the row-id-remapping MoR path
+    // composes with trimmed batches ----
+    "q146_page_index" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"pgi_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val root = s"$wh/$tbl"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q146_pgi", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .coalesce(1).sortWithinPartitions("k")
+          .write.option("parquet.page.size", "1024")
+          .option("parquet.page.row.count.limit", "256")
+          .mode("overwrite").parquet(s"$root/p0")
+        TableFormat.commitFiles(s, root, "k",
+          TableFormat.listParquet(s, s"$root/p0"), 1 << 14, 5)   // v1 clean
+        val maxk = TableFormat.snapshot(s, root).files.map(_.maxKey).max
+        TableFormat.deleteKeysMoR(s, root, root,
+          s.range(1).select(lit(maxk / 2 + 17).as("k")))          // v2 MoR
+      }
+      val total = s.sql(s"SELECT count(*) FROM graft.`$tbl` VERSION AS OF 1")
+        .collect()(0).getLong(0)
+      val kmid = TableFormat.snapshot(s, root).files.map(_.maxKey).max / 2
+      def probe(pin: String, versionSql: String, k: Long) = {
+        val df = s.sql(
+          s"SELECT cents FROM graft.`$tbl` $versionSql WHERE k = $k")
+        val rows = df.collect()
+        val plan = df.queryExecution.executedPlan
+        val scanRows = plan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+        }.head.metrics("numOutputRows").value
+        s.range(1).select(lit(pin).as("pin"),
+          lit(plan.toString.contains("Columnar: true")).as("columnar"),
+          // the graded IO claim: one row group holds the WHOLE table,
+          // so any surfaced reduction is the column index trimming
+          // pages (256-row pages: a point probe surfaces well under
+          // half the file at every SF)
+          lit(scanRows * 2 < total).as("pages_trimmed"),
+          lit(rows.length.toLong).as("n_rows"),
+          lit(rows.map(_.getLong(0)).sum).as("sum_cents"))
+      }
+      Seq(probe("c1_clean_hit", "VERSION AS OF 1", kmid),
+          probe("m1_mor_hit", "", kmid),
+          probe("m2_mor_masked", "", kmid + 17),
+          s.range(1).select(lit("z_state").as("pin"), lit(false).as("columnar"),
+            lit(false).as("pages_trimmed"),
+            lit(s.sql(s"SELECT count(*) FROM graft.`$tbl`")
+              .collect()(0).getLong(0)).as("n_rows"),
+            lit(total).as("sum_cents")))
+        .reduce(_.unionByName(_)).orderBy(col("pin"))
+    },
+
+    // ---- PERSISTED CATALOG VIEWS (r13): view documents (SQL text +
+    // analyzed schema) stored under the warehouse, DDL via `CALL
+    // graft.system.{create_view, drop_view, rename_view, list_views}`
+    // (OSS Spark's ResolveSessionCatalog refuses CREATE VIEW DDL on any
+    // non-session catalog — the ViewCatalog API ships unwired), reads
+    // expanded at resolution time by graft.plans.ViewSubstitution so
+    // every SELECT re-analyzes against the CURRENT table state. Graded:
+    // a view over a catalog table aggregates exactly, a nested view
+    // composes, and the listing sees both ----
+    "q145_catalog_views" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val hex = java.lang.Integer.toHexString(dir.hashCode)
+      val tbl = s"vwt_$hex"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q145_vws", dir) {
+        val p = new org.apache.hadoop.fs.Path(s"$wh/$tbl")
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        s.sql(s"CREATE TABLE graft.`$tbl` (k BIGINT, cents BIGINT)")
+        Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("q145_src")
+        s.sql(s"INSERT INTO graft.`$tbl` SELECT * FROM q145_src")
+        s.sql(s"CALL graft.system.create_view('vsum_$hex', " +
+          s"'SELECT k % 8 AS g, count(*) AS n, sum(cents) AS sc " +
+          s"FROM graft.`$tbl` GROUP BY k % 8', replace => true)")
+        s.sql(s"CALL graft.system.create_view('vtop_$hex', " +
+          s"'SELECT max(sc) AS top_sc FROM graft.vsum_$hex', " +
+          "replace => true)")
+      }
+      val listed = s.sql("CALL graft.system.list_views()").collect()
+        .map(_.getString(0)).toSet
+      s.sql(s"SELECT g, n, sc FROM graft.vsum_$hex")
+        .withColumn("nested_top",
+          lit(s.sql(s"SELECT top_sc FROM graft.vtop_$hex")
+            .collect()(0).getLong(0)))
+        .withColumn("both_listed",
+          lit(listed.contains(s"vsum_$hex") && listed.contains(s"vtop_$hex")))
+        .orderBy("g")
+    },
+
     // ---- BYTE-BOUNDED STREAM ADMISSION (r13): `max_bytes_per_trigger`
     // caps a micro-batch by the pending versions' RECORDED on-disk
     // bytes (commit stats — zero filesystem probes at admission time),
@@ -8451,6 +8607,54 @@ object SparkEntry {
     // pushdown + skipping intact and the deleted key still gone (the
     // stamped filter never reaches the manifest read); kmid = max(k)/2
     // on the contiguous key domain
+    // layout flags are dataset constants of the range-distributed
+    // write; the window ledger replays from orders with the same
+    // integer arithmetic (epoch days, 7/16..9/16 of the domain)
+    "q147_write_sort_order" ->
+      """WITH o AS (SELECT
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS odd,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         b AS (SELECT min(odd) AS lo, max(odd) AS hi FROM o),
+         w AS (SELECT lo + (hi - lo) * 7 // 16 AS w1,
+                      lo + (hi - lo) * 9 // 16 AS w2 FROM b)
+         SELECT TRUE AS zones_tight, TRUE AS window_pruned,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM o, w WHERE odd BETWEEN w.w1 AND w.w2""",
+
+    // the page-trim flags are dataset constants (one row group, 256-row
+    // pages: a point probe surfaces well under half the file at every
+    // SF); kmid = max(k)/2 on the contiguous key domain, and the MoR
+    // head masks exactly kmid+17
+    "q146_page_index" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+         km AS (SELECT (SELECT max(k) FROM o) // 2 AS kmid),
+         hit AS (SELECT cents FROM o, km WHERE k = km.kmid)
+         SELECT 'c1_clean_hit' AS pin, TRUE AS columnar,
+             TRUE AS pages_trimmed, CAST(1 AS BIGINT) AS n_rows,
+             (SELECT cents FROM hit) AS sum_cents FROM km
+         UNION ALL SELECT 'm1_mor_hit', TRUE, TRUE, 1,
+             (SELECT cents FROM hit) FROM km
+         UNION ALL SELECT 'm2_mor_masked', TRUE, TRUE, 0, 0 FROM km
+         UNION ALL SELECT 'z_state', FALSE, FALSE,
+             (SELECT count(*) - 1 FROM o), (SELECT count(*) FROM o) FROM km
+         ORDER BY pin""",
+
+    // the view replays as plain SQL over orders; nested_top is the max
+    // group sum (constant per SF via the same arithmetic), both_listed
+    // is a catalog constant
+    "q145_catalog_views" ->
+      """WITH g AS (SELECT o_orderkey % 8 AS g, count(*) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sc
+           FROM orders GROUP BY 1)
+         SELECT g.g, g.n, g.sc, (SELECT max(sc) FROM g) AS nested_top,
+           TRUE AS both_listed
+         FROM g ORDER BY g""",
+
     // one data version per byte-capped batch: B's ledger accumulates
     // one residue slice per version (the empty CREATE rides with the
     // first slice), 7 versions total — all figures replay from orders

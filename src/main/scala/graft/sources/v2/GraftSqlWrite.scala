@@ -49,6 +49,26 @@ private[v2] object GraftSqlWrite {
         throw new IllegalArgumentException(
           s"graft: $TargetFileSizeProp must be a positive long, got '$v'"))
     }
+
+  /** Table property declaring a WRITE-TIME SORT ORDER (Iceberg's
+    * sort-order idea, comma-separated ascending columns): every write
+    * range-distributes + sorts by these columns (after the partition
+    * spec's base columns, when a spec exists), so each data file lands
+    * with a NEAR-DISJOINT range of the sort columns — recluster at
+    * write time. The zone stats every commit records then make range
+    * probes on the sort columns prune FILES, with no rewrite ever
+    * scheduled. */
+  val SortOrderProp = "write.sort-order"
+
+  def sortOrderOf(props: Map[String, String]): Seq[String] =
+    props.get(SortOrderProp) match {
+      case None => Seq.empty
+      case Some(v) =>
+        val cols = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(cols.nonEmpty && cols.distinct == cols,
+          s"graft: $SortOrderProp must be distinct column names, got '$v'")
+        cols
+    }
 }
 
 private[v2] class GraftSqlWriteBuilder(root: String, schema: StructType,
@@ -57,13 +77,38 @@ private[v2] class GraftSqlWriteBuilder(root: String, schema: StructType,
                                        lineage: String = "",
                                        resolveTransforms: Boolean = false,
                                        targetFileBytes: Long =
-                                         GraftSqlWrite.DefaultTargetFileBytes)
+                                         GraftSqlWrite.DefaultTargetFileBytes,
+                                       sortOrder: Seq[String] = Seq.empty)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
+
+  sortOrder.foreach(c => require(schema.fieldNames.contains(c),
+    s"graft SQL write: ${GraftSqlWrite.SortOrderProp} column '$c' missing " +
+      s"from the written schema ${schema.fieldNames.mkString(",")}"))
 
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
   override def build(): Write = partitionSpec match {
+    case None if sortOrder.nonEmpty =>
+      // UNPARTITIONED but sort-ordered: range-distribute + sort, so the
+      // task files land with near-disjoint sort-column ranges (each
+      // file one contiguous slice — write-time reclustering)
+      new Write with RequiresDistributionAndOrdering {
+        import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+        import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+        private val orders: Array[SortOrder] = sortOrder.map(c =>
+          Expressions.sort(Expressions.column(c),
+            SortDirection.ASCENDING)).toArray
+        override def requiredDistribution(): Distribution =
+          Distributions.ordered(orders)
+        override def requiredOrdering(): Array[SortOrder] = orders
+        override def toBatch: BatchWrite =
+          new GraftSqlBatchWrite(root, schema, queryId, doTruncate, Seq.empty,
+            targetFileBytes)
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new GraftSqlStreamingWrite(root, schema, queryId, lineage, Seq.empty,
+            targetFileBytes)
+      }
     case None => new Write {
       override def toBatch: BatchWrite =
         new GraftSqlBatchWrite(root, schema, queryId, doTruncate, Seq.empty,
@@ -96,8 +141,14 @@ private[v2] class GraftSqlWriteBuilder(root: String, schema: StructType,
       new Write with RequiresDistributionAndOrdering {
         import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
         import org.apache.spark.sql.connector.expressions.{Expression, Expressions, SortDirection, SortOrder}
-        private val orders: Array[SortOrder] = terms.map(t =>
-          Expressions.sort(Expressions.column(t.baseCol),
+        // spec base columns lead (the writer's run-boundary contract),
+        // declared sort-order columns follow WITHIN each value — files
+        // of one partition value land internally sorted, and rolled
+        // files carry near-disjoint sort-column zones
+        private val orders: Array[SortOrder] =
+          (terms.map(_.baseCol) ++
+            sortOrder.filterNot(terms.map(_.baseCol).contains))
+          .map(c => Expressions.sort(Expressions.column(c),
             SortDirection.ASCENDING)).toArray
         private val clustering: Array[Expression] = terms.map {
           case TableFormat.IdentityTerm(c) => Expressions.identity(c)

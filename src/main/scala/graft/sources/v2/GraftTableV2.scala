@@ -81,6 +81,7 @@ private class PathGraftTable(root: String, tableSchema: StructType)
     new GraftSqlWriteBuilder(root, info.schema(), info.queryId(),
       snap.props.get(TableFormat.PartitionSpecProp),
       lineage = Option(info.options.get("lineage")).getOrElse(""),
-      targetFileBytes = GraftSqlWrite.targetOf(snap.props))
+      targetFileBytes = GraftSqlWrite.targetOf(snap.props),
+      sortOrder = GraftSqlWrite.sortOrderOf(snap.props))
   }
 }
