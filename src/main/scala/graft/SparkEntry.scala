@@ -5507,6 +5507,48 @@ object SparkEntry {
         .orderBy("part")
     },
 
+    // ---- SMALL-FILE READ PACKING (r13): a post-ingest tail of tiny
+    // files reads through byte-bounded MULTI-FILE tasks — Spark's
+    // maxSplitBytes arithmetic (maxPartitionBytes cap, openCost
+    // padding, bytes-per-core floor) over the RECORDED commit bytes,
+    // zero filesystem probes at plan time. One task per tiny file pays
+    // scheduler + open latency 100k times on an ingest backlog; the
+    // chained reader keeps per-member manifests, era schemas and _file
+    // synthesis, and key-grouped (SPJ) layouts never pack. Graded: 256
+    // fixture files plan into at most a quarter as many tasks
+    // (~parallelism-many under the floor) with the full-table ledger
+    // exact ----
+    "q148_small_file_packing" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"pkf_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val root = s"$wh/$tbl"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q148_pk256", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        // 256 tiny files from ONE job — the post-ingest shape
+        Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .repartition(256, col("k"))
+          .write.mode("overwrite").parquet(s"$root/all")
+        TableFormat.commitFiles(s, root, "k",
+          TableFormat.listParquet(s, s"$root/all"), 1 << 14, 5)
+      }
+      val df = s.sql(s"SELECT k, cents FROM graft.`$tbl`")
+      val m = "PackedTasks: (\\d+)/(\\d+)".r
+        .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+        .getOrElse(throw new IllegalStateException("q148: no PackedTasks"))
+      val (tasks, files) = (m.group(1).toInt, m.group(2).toInt)
+      val row = df.agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+        .collect()(0)
+      s.range(1).select(
+        lit(files == 256).as("all_files_planned"),
+        lit(tasks * 4 <= files).as("packed"),
+        lit(row.getLong(0)).as("n_rows"),
+        lit(row.getLong(1)).as("sum_cents"))
+    },
+
     // ---- WRITE-TIME SORT ORDER (r13): the `write.sort-order` table
     // property range-distributes + sorts every write by the declared
     // columns, so each data file lands with a NEAR-DISJOINT slice of
@@ -8607,6 +8649,16 @@ object SparkEntry {
     // pushdown + skipping intact and the deleted key still gone (the
     // stamped filter never reaches the manifest read); kmid = max(k)/2
     // on the contiguous key domain
+    // the packing flags are dataset constants: 256 tiny fixture files
+    // always plan into at most a quarter as many byte-bounded tasks
+    // (the bytes-per-core floor keeps ~parallelism-many)
+    "q148_small_file_packing" ->
+      """SELECT TRUE AS all_files_planned, TRUE AS packed,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+         FROM orders""",
+
     // layout flags are dataset constants of the range-distributed
     // write; the window ledger replays from orders with the same
     // integer arithmetic (epoch days, 7/16..9/16 of the domain)

@@ -1109,6 +1109,19 @@ private case class GraftSqlPartition(file: String, manifests: Seq[String],
                                      physSchemaJson: Option[String] = None)
   extends GraftPartition
 
+/** Several SMALL files served by ONE task — the reader chains the
+  * member files sequentially (each with its own manifests / era
+  * schema / `_file` synthesis). Packing is byte-bounded by
+  * `spark.sql.files.maxPartitionBytes` + `openCostInBytes`, exactly
+  * the arithmetic Spark's own FilePartition planner uses: after a
+  * streaming-ingest burst a table holds thousands of tiny files, and
+  * one task per file would pay scheduler + open latency per file
+  * until compaction runs. Never used under a storage-partitioned
+  * layout (key-grouped partitions must stay per-file for
+  * HasPartitionKey and the ordering report). */
+private case class GraftSqlPackedPartition(subs: Seq[GraftSqlPartition])
+  extends InputPartition
+
 /** A partition that KNOWS its partition tuple (`HasPartitionKey`) —
   * what lets Spark group co-valued files into one task and elide the
   * shuffle in a storage-partitioned join. `keyVals` are catalyst
@@ -1464,6 +1477,9 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
       bounds.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => s"$c in [$lo,$hi]" }
         .mkString("[", ", ", "]") +
       s", Pruners: ${pruners.map(_._1).sorted.mkString("[", ", ", "]")}" +
+      s", PackedTasks: ${
+        if (spjTerms.isDefined) "keyed"
+        else s"${planInputPartitions().length}/${hit.size}"}" +
       s", Ordered: ${outputOrdering().nonEmpty}" +
       s", RowGroupFilter: ${rowGroupFilter.isDefined}" +
       s", LimitPrefix: ${limit.filter(_ => !anyMasked).map(_.toString).getOrElse("none")}" +
@@ -1482,8 +1498,8 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
 
   private lazy val columnMapping = TableFormat.hasColumnMapping(snap.props)
 
-  override def planInputPartitions(): Array[InputPartition] =
-    hit.map { f =>
+  override def planInputPartitions(): Array[InputPartition] = {
+    val perFile = hit.map { f =>
       val manifests = snap.deletes.filter(_.seq > f.seq).map(_.file)
       // under a rename/drop ledger, a file from an OLD ERA carries its
       // columns under old physical names: the partition ships the
@@ -1497,17 +1513,66 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
           if (ps.fieldNames.sameElements(extendedSchema.fieldNames)) None
           else Some(ps.json)
         }
-      spjTerms match {
-        case Some(terms) =>
+      (f, manifests, phys)
+    }
+    spjTerms match {
+      case Some(terms) =>
+        // key-grouped: strictly one partition per file (HasPartitionKey
+        // + the ordering report both depend on it)
+        perFile.map { case (f, manifests, phys) =>
           GraftSqlKeyedPartition(f.file, manifests, snap.keyCol, phys,
             terms.zip(f.part.get._2).map { case (t, v) =>
               keyedValue(t, v)
             }.toArray): InputPartition
-        case None =>
-          GraftSqlPartition(f.file, manifests, snap.keyCol, phys)
-            : InputPartition
+        }.toArray
+      case None =>
+        packSmallFiles(perFile.map { case (f, manifests, phys) =>
+          (GraftSqlPartition(f.file, manifests, snap.keyCol, phys),
+            if (f.bytes >= 0) f.bytes
+            else f.nRows * math.max(tableSchema.defaultSize.toLong, 8L))
+        })
+    }
+  }
+
+  /** Byte-bounded first-fit packing of SMALL files into shared tasks —
+    * Spark's own FilePartition arithmetic (`maxPartitionBytes` target,
+    * `openCostInBytes` per-file padding) applied to the recorded commit
+    * bytes, so a post-ingest tail of tiny files reads in a handful of
+    * tasks instead of one task per file. Files stay in file-name order
+    * (the LIMIT prefix and the ledger's determinism both like it);
+    * a bin of one stays a plain per-file partition. */
+  private def packSmallFiles(parts: Seq[(GraftSqlPartition, Long)])
+      : Array[InputPartition] = {
+    val spark = SparkSession.active
+    val conf = spark.sessionState.conf
+    val openCost = conf.filesOpenCostInBytes
+    // Spark's own maxSplitBytes arithmetic: a SMALL table never packs
+    // below the cluster's parallelism (bytes-per-core floor), a LARGE
+    // one bins at maxPartitionBytes — so local benches keep their
+    // fan-out and a 100k-tiny-file ingest tail still collapses
+    val totalBytes = parts.map(_._2 + openCost).sum
+    val bytesPerCore = totalBytes / spark.sparkContext.defaultParallelism
+    val target = math.min(conf.filesMaxPartitionBytes,
+      math.max(openCost, bytesPerCore))
+    val bins = Seq.newBuilder[InputPartition]
+    var cur = List.empty[GraftSqlPartition]
+    var acc = 0L
+    def flush(): Unit = {
+      cur.reverse match {
+        case Nil =>
+        case one :: Nil => bins += one
+        case many => bins += GraftSqlPackedPartition(many)
       }
-    }.toArray
+      cur = Nil; acc = 0L
+    }
+    parts.foreach { case (p, bytes) =>
+      val cost = bytes + openCost
+      if (cur.nonEmpty && acc + cost > target) flush()
+      cur = p :: cur; acc += cost
+    }
+    flush()
+    bins.result().toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // scanConf stamps the parquet conversion settings the vectorized
@@ -1554,18 +1619,25 @@ private class GraftSqlReaderFactory(required: StructType,
       case None => conf.value
     }
 
-  override def createColumnarReader(partition: InputPartition)
-      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val p = partition.asInstanceOf[GraftPartition]
+  private def columnarReaderOf(p: GraftPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new GraftSqlColumnarReader(p.file, required, extended, maskOf(p),
       p.keyCol, confFor(p))
-  }
 
-  override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
-    val p = partition.asInstanceOf[GraftPartition]
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    partition match {
+      case pk: GraftSqlPackedPartition =>
+        new GraftChainedReader(pk.subs, columnarReaderOf)
+      case p: GraftPartition => columnarReaderOf(p)
+    }
+
+  private def rowReaderOf(p: GraftPartition)
+      : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
     val mask = maskOf(p)
     // the _file METADATA column (SELECT _file FROM graft.t, row-level
-    // op plumbing) synthesizes per partition
+    // op plumbing) synthesizes per partition — per MEMBER FILE under a
+    // packed partition (each chained sub-reader carries its own)
     val synth: Map[String, Any] =
       if (required.fieldNames.contains(GraftRowLevel.FileColumn))
         Map(GraftRowLevel.FileColumn ->
@@ -1582,5 +1654,42 @@ private class GraftSqlReaderFactory(required: StructType,
     }
     new ParquetRowReader(p.file, physRequired, conf.value, synth = synth,
       mask = mask, keyCol = p.keyCol)
+  }
+
+  override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+    partition match {
+      case pk: GraftSqlPackedPartition =>
+        new GraftChainedReader(pk.subs, rowReaderOf)
+      case p: GraftPartition => rowReaderOf(p)
+    }
+}
+
+/** Sequential chain over a packed partition's member files: sub-readers
+  * open LAZILY (one file's reader lives at a time — the memory profile
+  * of a single-file task) and each member keeps its own manifests, era
+  * schema and `_file` synthesis. */
+private class GraftChainedReader[T](subs: Seq[GraftSqlPartition],
+                                    mk: GraftSqlPartition => PartitionReader[T])
+    extends PartitionReader[T] {
+  private val it = subs.iterator
+  private var cur: PartitionReader[T] = _
+
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null) {
+        if (!it.hasNext) return false
+        cur = mk(it.next())
+      }
+      if (cur.next()) return true
+      cur.close()
+      cur = null
+    }
+    false // unreachable
+  }
+
+  override def get(): T = cur.get()
+
+  override def close(): Unit = {
+    if (cur != null) { cur.close(); cur = null }
   }
 }
