@@ -5507,6 +5507,86 @@ object SparkEntry {
         .orderBy("part")
     },
 
+    // ---- LAYOUT COMPOSITION FLAGSHIP (r13): bucket(8, k) +
+    // write.sort-order='odd' + a small write.target-file-size-bytes on
+    // ONE table — inserts land bucket-pure, internally date-sorted,
+    // size-bounded files. Graded all at once: every bucket ROLLED into
+    // >=2 files with pure tuples; the roll boundaries follow the sort
+    // order, so a date-window probe prunes files INSIDE surviving
+    // buckets (file-level pruning below partition granularity — what
+    // Iceberg needs a z-order rewrite for, here from write-path knobs
+    // alone); the equi-join against a second bucket table still plans
+    // EXCHANGE-FREE over the rolled layout (key groups hold several
+    // files; ordering report withheld, partitioning kept); ledgers
+    // exact ----
+    "q149_layout_composition" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val hex = java.lang.Integer.toHexString(dir.hashCode)
+      val tbl = s"lcf_$hex"
+      val root = s"$wh/$tbl"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q149_lcf2", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        s.sql(s"""CREATE TABLE graft.`$tbl` (k BIGINT, odd BIGINT, cents BIGINT)
+          PARTITIONED BY (bucket(8, k))
+          TBLPROPERTIES('zone_cols'='odd', 'write.sort-order'='odd',
+            'write.target-file-size-bytes'='2048')""")
+        Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+            datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+              .cast("long").as("odd"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("q149_src")
+        s.sql(s"INSERT INTO graft.`$tbl` SELECT * FROM q149_src")
+      }
+      val snap = TableFormat.snapshot(s, root)
+      val byBucket = snap.files.groupBy(_.part.map(_._2.toSeq))
+      val rolled = byBucket.size == 8 && byBucket.values.forall(_.size >= 2)
+      val pure = snap.files.forall(_.part.exists(_._1 == "bucket(k, 8)"))
+      // date window = the middle 1/8 of the domain: inside each bucket
+      // the rolled, sort-ordered files carve the date range, so most
+      // files prune on their odd zones even though every BUCKET matches
+      val zs = snap.files.map(_.zones("odd"))
+      val (lo, hi) = (zs.map(_._1).min, zs.map(_._2).max)
+      val (w1, w2) = (lo + (hi - lo) * 7 / 16, lo + (hi - lo) * 9 / 16)
+      val probe = s.sql(s"""SELECT count(*) AS n,
+          CAST(sum(cents) AS BIGINT) AS sc
+        FROM graft.`$tbl` WHERE odd BETWEEN $w1 AND $w2""")
+      val prow = probe.collect()(0)
+      val pm = "PrunedFiles: (\\d+)/(\\d+)".r
+        .findFirstMatchIn(probe.queryExecution.executedPlan.toString).get
+      // at the smoke SF each bucket has only ~190 rows across 3 rolled
+      // files, so boundary files straddle the window noisily — a third
+      // pruned is the scale-stable floor (large SFs prune ~7/8)
+      val innerPruned = pm.group(1).toInt * 3 >= pm.group(2).toInt
+      // the SPJ leg: the rolled layout still joins exchange-free
+      val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val (tblB, _) = spjTables(s, dir) // bucket(8, k) fixture table
+        val j = s.sql(s"""SELECT a.k AS k, a.cents AS ac, b.cents AS bc
+          FROM graft.`$tbl` a JOIN graft.`$tblB` b ON a.k = b.k""")
+        val plan = j.queryExecution.executedPlan.toString
+        val jrow = j.agg(count(lit(1)).as("n"), sum(col("ac")).as("sa"))
+          .collect()(0)
+        s.range(1).select(
+          lit(rolled).as("rolled_all_buckets"),
+          lit(pure).as("tuples_pure"),
+          lit(innerPruned).as("window_prunes_in_bucket"),
+          lit(plan.contains("Join") && !plan.contains("Exchange"))
+            .as("spj_no_shuffle"),
+          lit(prow.getLong(0)).as("w_rows"),
+          lit(prow.getLong(1)).as("w_cents"),
+          lit(jrow.getLong(0)).as("j_rows"),
+          lit(jrow.getLong(1)).as("j_cents"))
+      } finally {
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      }
+    },
+
     // ---- SMALL-FILE READ PACKING (r13): a post-ingest tail of tiny
     // files reads through byte-bounded MULTI-FILE tasks — Spark's
     // maxSplitBytes arithmetic (maxPartitionBytes cap, openCost
@@ -8649,6 +8729,28 @@ object SparkEntry {
     // pushdown + skipping intact and the deleted key still gone (the
     // stamped filter never reaches the manifest read); kmid = max(k)/2
     // on the contiguous key domain
+    // composition flags are dataset constants (2 KB target rolls every
+    // bucket; sort-ordered rolls carve the date domain, so the middle
+    // 1/8 window prunes at least a third of the files at every SF;
+    // rolled layouts keep the exchange-free SPJ); ledgers replay from
+    // orders
+    "q149_layout_composition" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS odd,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+         b AS (SELECT min(odd) AS lo, max(odd) AS hi FROM o),
+         w AS (SELECT lo + (hi - lo) * 7 // 16 AS w1,
+                      lo + (hi - lo) * 9 // 16 AS w2 FROM b),
+         wa AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS sc
+           FROM o, w WHERE odd BETWEEN w.w1 AND w.w2)
+         SELECT TRUE AS rolled_all_buckets, TRUE AS tuples_pure,
+           TRUE AS window_prunes_in_bucket, TRUE AS spj_no_shuffle,
+           (SELECT CAST(n AS BIGINT) FROM wa) AS w_rows,
+           (SELECT sc FROM wa) AS w_cents,
+           (SELECT CAST(count(*) AS BIGINT) FROM o) AS j_rows,
+           (SELECT CAST(sum(cents) AS BIGINT) FROM o) AS j_cents""",
+
     // the packing flags are dataset constants: 256 tiny fixture files
     // always plan into at most a quarter as many byte-bounded tasks
     // (the bytes-per-core floor keeps ~parallelism-many)

@@ -2705,7 +2705,8 @@ object TableFormat {
     * differently). Returns (expired versions, deleted data files). */
   def expireSnapshots(spark: SparkSession, root: String, keepLast: Int,
                       dataDirs: Seq[String],
-                      graceMs: Long = 3600000L): (Seq[Long], Seq[String]) = {
+                      graceMs: Long = 3600000L,
+                      olderThanMs: Long = 0L): (Seq[Long], Seq[String]) = {
     // the grace default is DELIBERATELY an hour: with graceMs=0 a file
     // written by a commit that lands after this sweep's version listing
     // would look orphaned and be deleted out from under the new snapshot
@@ -2719,8 +2720,23 @@ object TableFormat {
     val tagged = snapshot(spark, root, Some(vs.last)).props.collect {
       case (k, v) if k.startsWith(RefPrefix) => v.toLong
     }.toSet
-    val (expired, protectedVs) = vs.dropRight(keepLast).partition(v => !tagged(v))
-    val survivors = vs.takeRight(keepLast) ++ protectedVs
+    val (candidates, protectedVs) =
+      vs.dropRight(keepLast).partition(v => !tagged(v))
+    // TIME-BASED retention (olderThanMs > 0, the "keep 7 days"
+    // operational shape): a candidate expires only when its commit file
+    // is older than the horizon — commit mtimes are the SAME clock
+    // TIMESTAMP AS OF resolves by, so what time travel can still reach
+    // is exactly what age retention keeps
+    val (expired, ageProtected) =
+      if (olderThanMs <= 0L) (candidates, Seq.empty[Long])
+      else {
+        val ageCutoff = System.currentTimeMillis() - olderThanMs
+        candidates.partition { v =>
+          fs.getFileStatus(new org.apache.hadoop.fs.Path(
+            logDir(root), commitName(v))).getModificationTime < ageCutoff
+        }
+      }
+    val survivors = vs.takeRight(keepLast) ++ protectedVs ++ ageProtected
     def uriPath(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
     val referenced = survivors
       .flatMap { v =>

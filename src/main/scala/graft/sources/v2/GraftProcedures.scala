@@ -126,12 +126,16 @@ private[v2] object GraftProcedures {
             "files_carried" -> carried.toLong)
       }
       case "expire_snapshots" => proc(name,
-        "drop versions beyond the retention horizon and sweep orphan data files",
+        "drop versions beyond the retention horizon (count- and/or age-based) and sweep orphan data files",
         Array(param("table", StringType), param("keep_last", IntegerType),
-          paramD("grace_ms", LongType, "3600000"))) {
+          paramD("grace_ms", LongType, "3600000"),
+          // 0 = count-only; > 0 = also require the commit be older than
+          // this many ms ("keep 7 days" = 604800000)
+          paramD("older_than_ms", LongType, "0"))) {
         (spark, root, args) =>
           val (expired, removed) = TableFormat.expireSnapshots(spark, root,
-            args.getInt(1), Seq(s"$root/data", root), args.getLong(2))
+            args.getInt(1), Seq(s"$root/data", root), args.getLong(2),
+            args.getLong(3))
           result(name, "versions_expired" -> expired.size.toLong,
             "files_removed" -> removed.size.toLong)
       }

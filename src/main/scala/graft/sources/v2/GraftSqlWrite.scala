@@ -141,15 +141,24 @@ private[v2] class GraftSqlWriteBuilder(root: String, schema: StructType,
       new Write with RequiresDistributionAndOrdering {
         import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
         import org.apache.spark.sql.connector.expressions.{Expression, Expressions, SortDirection, SortOrder}
-        // spec base columns lead (the writer's run-boundary contract),
-        // declared sort-order columns follow WITHIN each value — files
-        // of one partition value land internally sorted, and rolled
-        // files carry near-disjoint sort-column zones
-        private val orders: Array[SortOrder] =
-          (terms.map(_.baseCol) ++
-            sortOrder.filterNot(terms.map(_.baseCol).contains))
-          .map(c => Expressions.sort(Expressions.column(c),
+        // ordering contract: MONOTONE (identity/month/div) base columns
+        // always lead — the writer's run-boundary close depends on their
+        // contiguity. After them, the DECLARED sort order wins: bucket
+        // base columns only sort when no write.sort-order is set (their
+        // ordering buys the sort-free-SPJ report; a declared sort order
+        // buys within-value zone carving instead, and the scan then
+        // withholds the base-column ordering report — see
+        // GraftSqlScan.outputOrdering). Rolled files of one partition
+        // value thus carry near-disjoint sort-column zones.
+        private val orders: Array[SortOrder] = {
+          val monoBases = terms.filterNot(_.isInstanceOf[TableFormat.BucketTerm])
+            .map(_.baseCol)
+          val cols =
+            if (sortOrder.isEmpty) terms.map(_.baseCol)
+            else monoBases ++ sortOrder.filterNot(monoBases.contains)
+          cols.map(c => Expressions.sort(Expressions.column(c),
             SortDirection.ASCENDING)).toArray
+        }
         private val clustering: Array[Expression] = terms.map {
           case TableFormat.IdentityTerm(c) => Expressions.identity(c)
           case TableFormat.MonthTerm(c) => Expressions.months(c)

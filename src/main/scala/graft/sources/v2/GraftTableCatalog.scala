@@ -512,6 +512,16 @@ class GraftTableCatalog extends TableCatalog
       case sp: TableChange.SetProperty =>
         setProps += sp.property() -> sp.value()
       case rp: TableChange.RemoveProperty =>
+        // UNSETting the sort contract on a table with data would let the
+        // scan's ordering report claim base-column order over files
+        // actually sorted by the (now invisible) old sort columns — a
+        // silent sort-merge-join corruption. SETTING it later is safe
+        // (its presence alone suppresses the report).
+        require(rp.property() != GraftSqlWrite.SortOrderProp ||
+          first.files.isEmpty,
+          s"graft catalog: cannot UNSET ${GraftSqlWrite.SortOrderProp} on " +
+            "a table with data files — existing files keep the old order; " +
+            "rewrite the table (compact/recluster) into a fresh one instead")
         unsetProps += rp.property()
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported table change $other — type changes " +
@@ -1224,12 +1234,19 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
     * when each surviving file carries a DISTINCT current-spec tuple: a
     * key group holding two files (a size-rolled partition value) would
     * CONCATENATE two sorted runs, which is not sorted — that layout
-    * keeps the partitioning report but lets the join re-sort. */
+    * keeps the partitioning report but lets the join re-sort. A table
+    * with `write.sort-order` set ALSO withholds the report: its files
+    * sort by the declared columns, not the bucket bases, and files
+    * written before the property was set may be mixed in (which is why
+    * UNSETting the property is refused once data exists — a report
+    * claiming an order mixed files don't have would corrupt a
+    * sort-merge join silently). */
   override def outputOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     spjTerms match {
       case Some(terms)
-        if planHit.map(_.part.map(_._2.toSeq)).distinct.size == planHit.size =>
+        if !snap.props.contains(GraftSqlWrite.SortOrderProp) &&
+          planHit.map(_.part.map(_._2.toSeq)).distinct.size == planHit.size =>
         import org.apache.spark.sql.connector.expressions.{Expressions => E, SortDirection}
         terms.map(t => E.sort(E.column(t.baseCol),
           SortDirection.ASCENDING)).toArray

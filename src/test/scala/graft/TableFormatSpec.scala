@@ -241,6 +241,30 @@ class TableFormatSpec extends SparkTestBase {
     assert(removed3.exists(_.contains("/inflight/")))
   }
 
+  test("expireSnapshots age retention: young commits survive keep_last, " +
+      "old ones expire") {
+    val root = freshRoot()
+    (1 to 4).foreach { i =>
+      val f = writeKv(Seq(i.toLong -> i.toDouble), s"$root/w$i")
+      if (i == 1) TableFormat.commitFiles(spark, root, "k",
+        TableFormat.listParquet(spark, f), 256, 3)
+      else TableFormat.appendFiles(spark, root,
+        TableFormat.listParquet(spark, f))
+    }
+    // a week-long horizon protects every candidate: nothing expires even
+    // at keep_last=1 (the "keep 7 days" operational shape)
+    val (e1, _) = TableFormat.expireSnapshots(spark, root, keepLast = 1,
+      dataDirs = Seq(root), graceMs = 3600000L, olderThanMs = 7L * 86400000)
+    assert(e1.isEmpty, e1)
+    assert(TableFormat.versions(spark, root) == Seq(1L, 2L, 3L, 4L))
+    // a 1 ms horizon (after letting the clock tick) expires them all
+    Thread.sleep(50)
+    val (e2, _) = TableFormat.expireSnapshots(spark, root, keepLast = 1,
+      dataDirs = Seq(root), graceMs = 3600000L, olderThanMs = 1L)
+    assert(e2 == Seq(1L, 2L, 3L), e2)
+    assert(TableFormat.versions(spark, root) == Seq(4L))
+  }
+
   test("a full purge leaves a readable zero-file snapshot (typed empty frame)") {
     import spark.implicits._
     val root = freshRoot()
