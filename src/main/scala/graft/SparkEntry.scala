@@ -5507,6 +5507,68 @@ object SparkEntry {
         .orderBy("part")
     },
 
+    // ---- PARTIAL OVERWRITES (r13): INSERT OVERWRITE grows Delta's two
+    // production shapes — REPLACE-WHERE (a bound range on one discrete
+    // key/zone column: whole files drop by metadata arithmetic,
+    // boundary files rewrite with the complement, the batch lands, ONE
+    // atomic commit; a batch with out-of-scope rows is REFUSED) and
+    // DYNAMIC PARTITION OVERWRITE (replace exactly the partition values
+    // present in the batch, resolved from recorded tuples; mixed
+    // layouts refuse). Reprocessing one day of a 100 TB table costs
+    // O(that day). Graded: both ledgers replay exactly, each mutation
+    // is one commit with the overwrite_where op ----
+    "q150_partial_overwrite" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val hex = java.lang.Integer.toHexString(dir.hashCode)
+      val (tblA, tblB) = (s"rwo_$hex", s"dyo_$hex")
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q150_pow", dir) {
+        Seq(tblA, tblB).foreach { t =>
+          val p = new org.apache.hadoop.fs.Path(s"$wh/$t")
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+        val base = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+            .cast("long").as("odd"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        base.createOrReplaceTempView("q150_src")
+        // A: replace-where on the odd zone column
+        s.sql(s"""CREATE TABLE graft.`$tblA` (k BIGINT, odd BIGINT, cents BIGINT)
+          TBLPROPERTIES('key_col'='k', 'zone_cols'='odd')""")
+        s.sql(s"INSERT INTO graft.`$tblA` SELECT * FROM q150_src")
+        val r = base.agg(min(col("odd")), max(col("odd"))).collect()(0)
+        val (lo, hi) = (r.getLong(0), r.getLong(1))
+        val (w1, w2) = (lo + (hi - lo) * 7 / 16, lo + (hi - lo) * 9 / 16)
+        base.filter(col("odd").between(w1, w2))
+          .select(col("k"), col("odd"), (col("cents") * 3).as("cents"))
+          .writeTo(s"graft.`$tblA`")
+          .overwrite(col("odd").between(w1, w2))
+        // B: dynamic partition overwrite of buckets {2, 5}
+        s.sql(s"""CREATE TABLE graft.`$tblB` (k BIGINT, cents BIGINT)
+          PARTITIONED BY (bucket(8, k))""")
+        s.sql(s"INSERT INTO graft.`$tblB` SELECT k, cents FROM q150_src")
+        val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try s.sql(s"""INSERT OVERWRITE graft.`$tblB`
+          SELECT k, cents * 7 AS cents FROM q150_src WHERE k % 8 IN (2, 5)""")
+        finally
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+      }
+      def leg(pin: String, tbl: String, wantVersion: Long) = {
+        val snap = TableFormat.snapshot(s, s"$wh/$tbl")
+        s.sql(s"""SELECT count(*) AS n_rows,
+            CAST(sum(cents) AS BIGINT) AS sum_cents FROM graft.`$tbl`""")
+          .select(lit(pin).as("pin"),
+            lit(snap.version == wantVersion &&
+              snap.op.contains("overwrite_where")).as("ok"),
+            col("n_rows"), col("sum_cents"))
+      }
+      leg("a_replace_where", tblA, 3L)
+        .unionByName(leg("b_dynamic", tblB, 3L))
+        .orderBy(col("pin"))
+    },
+
     // ---- LAYOUT COMPOSITION FLAGSHIP (r13): bucket(8, k) +
     // write.sort-order='odd' + a small write.target-file-size-bytes on
     // ONE table — inserts land bucket-pure, internally date-sorted,
@@ -5526,13 +5588,19 @@ object SparkEntry {
       val root = s"$wh/$tbl"
       s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
       s.conf.set("spark.sql.catalog.graft.warehouse", wh)
-      Fixtures.once(s, "q149_lcf2", dir) {
+      Fixtures.once(s, "q149_lcf3", dir) {
         val p = new org.apache.hadoop.fs.Path(root)
         p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        // the roll target scales with the dataset so the fixture holds
+        // ~3 rolled files per bucket at EVERY SF — a fixed tiny target
+        // would mean 100k+ files at sf1, a test artifact masquerading
+        // as a layout (production uses the 512 MB default)
+        val target = 2048L * math.max(1L,
+          Tables.orders(s, dir).count() / 1500L)
         s.sql(s"""CREATE TABLE graft.`$tbl` (k BIGINT, odd BIGINT, cents BIGINT)
           PARTITIONED BY (bucket(8, k))
           TBLPROPERTIES('zone_cols'='odd', 'write.sort-order'='odd',
-            'write.target-file-size-bytes'='2048')""")
+            'write.target-file-size-bytes'='$target')""")
         Tables.orders(s, dir).select(col("o_orderkey").as("k"),
             datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
               .cast("long").as("odd"),
@@ -8729,6 +8797,29 @@ object SparkEntry {
     // pushdown + skipping intact and the deleted key still gone (the
     // stamped filter never reaches the manifest read); kmid = max(k)/2
     // on the contiguous key domain
+    // both overwrite ledgers replay from orders with the entry's own
+    // integer arithmetic (epoch-day window at 7/16..9/16 of the domain
+    // tripled; buckets 2 and 5 of k % 8 at x7); one commit each
+    "q150_partial_overwrite" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS odd,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+         b AS (SELECT min(odd) AS lo, max(odd) AS hi FROM o),
+         w AS (SELECT lo + (hi - lo) * 7 // 16 AS w1,
+                      lo + (hi - lo) * 9 // 16 AS w2 FROM b)
+         SELECT 'a_replace_where' AS pin, TRUE AS ok,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN odd BETWEEN w.w1 AND w.w2
+               THEN cents * 3 ELSE cents END) AS BIGINT) AS sum_cents
+           FROM o, w
+         UNION ALL
+         SELECT 'b_dynamic', TRUE, CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN k % 8 IN (2, 5) THEN cents * 7
+               ELSE cents END) AS BIGINT)
+           FROM o
+         ORDER BY pin""",
+
     // composition flags are dataset constants (2 KB target rolls every
     // bucket; sort-ordered rolls carve the date domain, so the middle
     // 1/8 window prunes at least a third of the files at every SF;

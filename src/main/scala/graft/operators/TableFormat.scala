@@ -1768,6 +1768,148 @@ object TableFormat {
     (snap, ledger._1, ledger._2, ledger._3)
   }
 
+  /** REPLACE WHERE — Delta's `INSERT OVERWRITE ... replaceWhere` shape,
+    * ONE atomic commit: rows of `[lo, hi]` on a discrete key/zone
+    * column are removed by [[deleteWhere]]'s metadata arithmetic
+    * (whole-file drops by bounds, boundary files rewritten with the
+    * complement, null rows kept) and `files` land in their place. The
+    * INCOMING batch must actually BELONG to the scope: every new file's
+    * recorded bounds must lie inside `[lo, hi]` with a zero null count
+    * on the bound column — out-of-scope rows are REFUSED before any
+    * commit (Delta's constraint), because silently keeping them would
+    * turn "replace January" into "replace January and corrupt March".
+    * Reprocessing one partition of a 100 TB table costs O(that
+    * partition), never a table rewrite. */
+  def replaceWhere(spark: SparkSession, root: String, dataDir: String,
+                   boundCol: String, lo: Long, hi: Long,
+                   files: Seq[String]): (Snapshot, Int, Int, Int) = {
+    require(lo <= hi, s"replaceWhere: need lo <= hi, got $lo > $hi")
+    val first = snapshot(spark, root)
+    require(boundCol == first.keyCol || first.zoneCols.contains(boundCol),
+      s"replaceWhere: '$boundCol' is neither the key nor a declared zone " +
+        s"column (have: ${first.keyCol}; ${first.zoneCols.mkString(",")})")
+    val newStats =
+      if (files.isEmpty) Seq.empty
+      else fileStats(spark, files, first.keyCol, first.numBits,
+        first.numHashes, first.zoneCols,
+        spec = first.props.get(PartitionSpecProp))
+    newStats.foreach { f =>
+      val bounds =
+        if (boundCol == first.keyCol) Some((f.minKey, f.maxKey))
+        else f.zones.get(boundCol)
+      require(f.nullFree(boundCol) &&
+        bounds.exists { case (mn, mx) => mn >= lo && mx <= hi },
+        s"replaceWhere: incoming file ${f.file} carries rows OUTSIDE the " +
+          s"replaced scope $boundCol in [$lo,$hi] (bounds $bounds, " +
+          s"nulls ${f.nulls.get(boundCol)}) — the batch must contain " +
+          "only rows it is replacing")
+    }
+    if (files.nonEmpty)
+      checkConstraints(spark, first, spark.read.parquet(files: _*),
+        "replaceWhere")
+    var ledger = (0, 0, 0)
+    val snap = commitTransform(spark, root, first.keyCol, first.numBits,
+      first.numHashes, { curOpt =>
+        val cur = curOpt.getOrElse(
+          throw new IllegalStateException("replaceWhere: nothing committed"))
+        assertNoConflicts(spark, root, first, cur, boundCol, lo, hi,
+          "replaceWhere")
+        if (files.nonEmpty)
+          recheckConstraintsIfChanged(spark, first, cur,
+            spark.read.parquet(files: _*), "replaceWhere")
+        def boundsOf(f: FileStat): Option[(Long, Long)] =
+          if (boundCol == cur.keyCol) Some((f.minKey, f.maxKey))
+          else f.zones.get(boundCol)
+        // same null discipline as deleteWhere: a whole-file drop needs a
+        // RECORDED zero null count (null bound values never match the
+        // range and must survive via the boundary rewrite's complement)
+        val (dropped, kept) = cur.files.partition(f =>
+          f.nullFree(boundCol) &&
+            boundsOf(f).exists { case (mn, mx) => mn >= lo && mx <= hi })
+        val (carried, boundary) = kept.partition(f =>
+          boundsOf(f).exists { case (mn, mx) => mx < lo || mn > hi })
+        val rewritten =
+          if (boundary.isEmpty) Seq.empty[FileStat]
+          else {
+            val out = s"$dataDir/replwhere-${java.util.UUID.randomUUID().toString}"
+            val bdf = readFiles(spark, cur, boundary.map(_.file))
+            bdf.filter(coalesce(
+                !zoneLong(bdf.schema(boundCol).dataType, col(boundCol))
+                  .between(lo, hi), lit(true)))
+              .write.mode("overwrite").parquet(out)
+            val fs = listParquet(spark, out)
+            if (fs.isEmpty) Seq.empty
+            else fileStats(spark, fs, cur.keyCol, cur.numBits,
+              cur.numHashes, cur.zoneCols,
+              spec = cur.props.get(PartitionSpecProp))
+          }
+        ledger = (dropped.size, boundary.size, carried.size)
+        (carried ++ rewritten ++ newStats).sortBy(_.file)
+      }, op = Some("overwrite_where"))
+    (snap, ledger._1, ledger._2, ledger._3)
+  }
+
+  /** DYNAMIC PARTITION OVERWRITE — `INSERT OVERWRITE` under
+    * `partitionOverwriteMode=dynamic`: replace exactly the partition
+    * values PRESENT IN THE BATCH, leave every other partition alone
+    * (the Hive/Iceberg semantic). Victims are resolved from the
+    * RECORDED per-file partition tuples, so the whole operation is
+    * metadata arithmetic plus the batch's own writes. Refused unless
+    * BOTH sides are tuple-pure under the current spec: an incoming file
+    * spanning several values, or an existing tuple-less file (mixed
+    * post-compaction layout), could silently leave stale rows next to
+    * the replacement — mixed layouts must recluster back to the routed
+    * layout first. A concurrent append into a replaced partition fails
+    * the commit LOUDLY rather than being clobbered. */
+  def overwritePartitionsDynamic(spark: SparkSession, root: String,
+                                 files: Seq[String]): (Snapshot, Int, Int) = {
+    val first = snapshot(spark, root)
+    val spec = first.props.getOrElse(PartitionSpecProp,
+      throw new UnsupportedOperationException(
+        "overwritePartitionsDynamic: the table declares no partition " +
+          "spec — dynamic overwrite replaces PARTITION VALUES; use " +
+          "replaceWhere/overwriteFiles instead"))
+    val newStats =
+      if (files.isEmpty) Seq.empty
+      else fileStats(spark, files, first.keyCol, first.numBits,
+        first.numHashes, first.zoneCols, spec = Some(spec))
+    newStats.foreach(f => require(f.part.exists(_._1 == spec),
+      s"overwritePartitionsDynamic: incoming file ${f.file} spans " +
+        "several partition values — route the batch through the " +
+        "catalog INSERT path (clustered by the spec's transforms)"))
+    val newTuples = newStats.flatMap(_.part.map(_._2.toSeq)).toSet
+    if (files.nonEmpty)
+      checkConstraints(spark, first, spark.read.parquet(files: _*),
+        "overwritePartitionsDynamic")
+    var ledger = (0, 0)
+    val snap = commitTransform(spark, root, first.keyCol, first.numBits,
+      first.numHashes, { curOpt =>
+        val cur = curOpt.getOrElse(throw new IllegalStateException(
+          "overwritePartitionsDynamic: nothing committed"))
+        if (files.nonEmpty)
+          recheckConstraintsIfChanged(spark, first, cur,
+            spark.read.parquet(files: _*), "overwritePartitionsDynamic")
+        cur.files.foreach(f => require(f.part.exists(_._1 == spec),
+          s"overwritePartitionsDynamic: existing file ${f.file} carries " +
+            "no current-spec partition tuple (mixed layout, e.g. after " +
+            "compaction across values) — a tuple-blind replace could " +
+            "leave stale rows; recluster to the routed layout first"))
+        val firstFiles = first.files.map(_.file).toSet
+        cur.files.filterNot(f => firstFiles(f.file)).foreach { f =>
+          if (f.part.exists(p => newTuples.contains(p._2.toSeq)))
+            throw new CommitConflictException(
+              "overwritePartitionsDynamic: concurrent commit added " +
+                s"${f.file} into a partition this overwrite replaces — " +
+                "retry against a fresh snapshot")
+        }
+        val (victims, carried) = cur.files.partition(f =>
+          f.part.exists(p => newTuples.contains(p._2.toSeq)))
+        ledger = (newTuples.size, victims.size)
+        (carried ++ newStats).sortBy(_.file)
+      }, op = Some("overwrite_where"))
+    (snap, ledger._1, ledger._2)
+  }
+
   /** MERGE-ON-READ delete (Iceberg v2 equality deletes): publish the key
     * set as a DELETE MANIFEST and commit with every data file carried by
     * reference — O(keys) IO total, no data rewrite at all. This is the

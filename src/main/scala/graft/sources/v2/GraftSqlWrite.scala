@@ -79,14 +79,46 @@ private[v2] class GraftSqlWriteBuilder(root: String, schema: StructType,
                                        targetFileBytes: Long =
                                          GraftSqlWrite.DefaultTargetFileBytes,
                                        sortOrder: Seq[String] = Seq.empty)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsTruncate
+    with SupportsOverwrite with SupportsDynamicOverwrite {
   private var doTruncate = false
+  // INSERT OVERWRITE scopes: a translated replace-where bound range
+  // (static overwrite / overwrite-by-expression), or dynamic partition
+  // replacement — both commit through metadata arithmetic, never a
+  // whole-table rewrite
+  private var replaceRange: Option[(String, Long, Long)] = None
+  private var dynamicParts = false
 
   sortOrder.foreach(c => require(schema.fieldNames.contains(c),
     s"graft SQL write: ${GraftSqlWrite.SortOrderProp} column '$c' missing " +
       s"from the written schema ${schema.fieldNames.mkString(",")}"))
 
   override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter])
+      : WriteBuilder = {
+    val real = filters.filterNot(
+      _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+    if (real.isEmpty) { doTruncate = true; return this }
+    val snap = TableFormat.snapshot(SparkSession.active, root)
+    replaceRange = Some(GraftSqlFilters.boundRange(real, snap.keyCol,
+      snap.zoneCols, schema).getOrElse(
+      throw new UnsupportedOperationException(
+        "graft SQL write: INSERT OVERWRITE supports an unconditional " +
+          "overwrite or range/equality predicates on one discrete " +
+          "key/zone column (replace-where) — got " +
+          real.mkString(", "))))
+    this
+  }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    require(partitionSpec.isDefined,
+      "graft SQL write: dynamic partition overwrite needs a declared " +
+        "partition spec (PARTITIONED BY) — an unpartitioned table has " +
+        "no partition values to replace")
+    dynamicParts = true
+    this
+  }
 
   override def build(): Write = partitionSpec match {
     case None if sortOrder.nonEmpty =>
@@ -104,7 +136,7 @@ private[v2] class GraftSqlWriteBuilder(root: String, schema: StructType,
         override def requiredOrdering(): Array[SortOrder] = orders
         override def toBatch: BatchWrite =
           new GraftSqlBatchWrite(root, schema, queryId, doTruncate, Seq.empty,
-            targetFileBytes)
+            targetFileBytes, replaceRange, dynamicParts)
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           new GraftSqlStreamingWrite(root, schema, queryId, lineage, Seq.empty,
             targetFileBytes)
@@ -112,7 +144,7 @@ private[v2] class GraftSqlWriteBuilder(root: String, schema: StructType,
     case None => new Write {
       override def toBatch: BatchWrite =
         new GraftSqlBatchWrite(root, schema, queryId, doTruncate, Seq.empty,
-          targetFileBytes)
+          targetFileBytes, replaceRange, dynamicParts)
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
         new GraftSqlStreamingWrite(root, schema, queryId, lineage, Seq.empty,
           targetFileBytes)
@@ -173,7 +205,7 @@ private[v2] class GraftSqlWriteBuilder(root: String, schema: StructType,
         override def requiredOrdering(): Array[SortOrder] = orders
         override def toBatch: BatchWrite =
           new GraftSqlBatchWrite(root, schema, queryId, doTruncate, terms,
-            targetFileBytes)
+            targetFileBytes, replaceRange, dynamicParts)
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           new GraftSqlStreamingWrite(root, schema, queryId, lineage, terms,
             targetFileBytes)
@@ -251,7 +283,9 @@ private case class GraftSqlWriteMessage(files: Seq[String], nRows: Long)
 private class GraftSqlBatchWrite(root: String, schema: StructType,
                                  queryId: String, truncate: Boolean,
                                  specTerms: Seq[TableFormat.SpecTerm],
-                                 targetFileBytes: Long)
+                                 targetFileBytes: Long,
+                                 replaceRange: Option[(String, Long, Long)] = None,
+                                 dynamicParts: Boolean = false)
     extends BatchWrite {
 
   // one data dir per write attempt: abort can sweep it wholesale, and a
@@ -269,9 +303,23 @@ private class GraftSqlBatchWrite(root: String, schema: StructType,
     val files = messages.collect {
       case GraftSqlWriteMessage(fs, n) if n > 0 => fs
     }.flatten.toSeq.sorted
-    if (truncate) TableFormat.overwriteFiles(spark, root, files)
-    else if (files.nonEmpty) TableFormat.appendFiles(spark, root, files)
-    // plain INSERT of zero rows: nothing to commit, the table is unchanged
+    if (dynamicParts)
+      // replace exactly the partition values present in the batch
+      TableFormat.overwritePartitionsDynamic(spark, root, files)
+    else replaceRange match {
+      case Some((c, lo, hi)) if lo <= hi =>
+        TableFormat.replaceWhere(spark, root, s"$root/data", c, lo, hi, files)
+      case Some(_) =>
+        // provably-empty scope: nothing is being replaced; the batch
+        // (constrained to lie inside the scope) is necessarily empty too
+        require(files.isEmpty,
+          "graft SQL write: non-empty batch for a provably-empty " +
+            "replace-where scope")
+      case None =>
+        if (truncate) TableFormat.overwriteFiles(spark, root, files)
+        else if (files.nonEmpty) TableFormat.appendFiles(spark, root, files)
+        // plain INSERT of zero rows: nothing to commit, table unchanged
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

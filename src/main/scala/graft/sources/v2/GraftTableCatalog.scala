@@ -672,70 +672,20 @@ private[v2] object GraftSqlValues {
   }
 }
 
-private class GraftSqlTable(ident: String, root: String,
-                            snap: TableFormat.Snapshot)
-    extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
-    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
-  private val tableSchema = StructType.fromDDL(snap.schemaDdl.getOrElse(
-    throw new IllegalArgumentException(
-      s"graft catalog: table $ident v${snap.version} carries no schema")))
-  override def name(): String = s"$ident@v${snap.version}"
-  override def schema(): StructType = tableSchema
+/** Conjunction-of-comparisons → single-column zone-long bound range —
+  * the translation SQL DELETE and INSERT OVERWRITE (replace-where) both
+  * plan by. Returns the narrowed `(col, lo, hi)` when EVERY filter is a
+  * comparison/equality on ONE discrete key/zone column (an inverted
+  * range, lo > hi via the overflow sentinels, means provably empty);
+  * `None` when any filter falls outside that shape. */
+private[v2] object GraftSqlFilters {
+  import org.apache.spark.sql.sources._
 
-  /** `SHOW TBLPROPERTIES` / DESCRIBE EXTENDED surface: the snapshot's
-    * commit properties (constraints, partition spec, tags, ingest
-    * gates) plus the format's own declarations. */
-  override def properties(): java.util.Map[String, String] = {
-    val m = new java.util.HashMap[String, String]()
-    snap.props.foreach { case (k, v) => m.put(k, v) }
-    m.put("key_col", snap.keyCol)
-    if (snap.zoneCols.nonEmpty) m.put("zone_cols", snap.zoneCols.mkString(","))
-    m.put("graft.current_version", snap.version.toString)
-    m
-  }
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftSqlScanBuilder(snap, tableSchema,
-      ChangesStream.readOptions(options))
-  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
-    new GraftSqlWriteBuilder(root, info.schema(), info.queryId(),
-      snap.props.get(TableFormat.PartitionSpecProp),
-      // catalog-resolved: spec transforms CAN resolve through this
-      // catalog's FunctionCatalog, so the write clusters by them
-      resolveTransforms = true,
-      targetFileBytes = GraftSqlWrite.targetOf(snap.props),
-      sortOrder = GraftSqlWrite.sortOrderOf(snap.props))
-
-  /** `MERGE INTO` / `UPDATE` / arbitrary-predicate `DELETE` — the
-    * group-based copy-on-write rewrite ([[GraftRowLevelOperation]]). */
-  override def newRowLevelOperationBuilder(
-      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new GraftRowLevelOperation(root, snap, tableSchema, info.command())
-
-  override def metadataColumns(): Array[MetadataColumn] =
-    Array(GraftRowLevel.FileMetadataColumn)
-
-  /** SQL `DELETE FROM graft.t [WHERE ...]` — a metadata-level plan, not
-    * a rewrite-everything scan: an unconditional delete truncates in one
-    * commit; a conjunction of comparisons on ONE discrete key/zone
-    * column becomes [[TableFormat.deleteWhere]]'s bound-range delete
-    * (whole files dropped by bounds arithmetic, only boundary files
-    * rewritten). Anything richer is refused LOUDLY with the library
-    * alternatives — a silent full-table rewrite is never the default. */
-  private def deleteRange(filters: Array[Filter])
-      : Option[Option[(String, Long, Long)]] = {
-    val real = filters.filterNot(_.isInstanceOf[AlwaysTrue])
-    if (real.isEmpty) return Some(None) // truncate
+  def boundRange(real: Array[Filter], keyCol: String, zoneCols: Seq[String],
+                 schema: StructType): Option[(String, Long, Long)] = {
     def prunable(c: String): Boolean =
-      (c == snap.keyCol || snap.zoneCols.contains(c)) &&
-        tableSchema.fields.find(_.name == c).map(_.dataType)
+      (c == keyCol || zoneCols.contains(c)) &&
+        schema.fields.find(_.name == c).map(_.dataType)
           .exists(GraftSqlValues.discreteType)
     var colOpt: Option[String] = None
     var lo = Long.MinValue; var hi = Long.MaxValue
@@ -773,9 +723,76 @@ private class GraftSqlTable(ident: String, root: String,
         { colOpt = Some(c); true }
       case _ => false
     }
-    if (ok && sawComparison && lo <= hi) Some(Some((colOpt.get, lo, hi)))
-    else if (ok && sawComparison) Some(Some((colOpt.get, 0L, -1L))) // provably empty
+    if (ok && sawComparison && lo <= hi) Some((colOpt.get, lo, hi))
+    else if (ok && sawComparison) Some((colOpt.get, 0L, -1L)) // provably empty
     else None
+  }
+}
+
+private class GraftSqlTable(ident: String, root: String,
+                            snap: TableFormat.Snapshot)
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+  private val tableSchema = StructType.fromDDL(snap.schemaDdl.getOrElse(
+    throw new IllegalArgumentException(
+      s"graft catalog: table $ident v${snap.version} carries no schema")))
+  override def name(): String = s"$ident@v${snap.version}"
+  override def schema(): StructType = tableSchema
+
+  /** `SHOW TBLPROPERTIES` / DESCRIBE EXTENDED surface: the snapshot's
+    * commit properties (constraints, partition spec, tags, ingest
+    * gates) plus the format's own declarations. */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    snap.props.foreach { case (k, v) => m.put(k, v) }
+    m.put("key_col", snap.keyCol)
+    if (snap.zoneCols.nonEmpty) m.put("zone_cols", snap.zoneCols.mkString(","))
+    m.put("graft.current_version", snap.version.toString)
+    m
+  }
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftSqlScanBuilder(snap, tableSchema,
+      ChangesStream.readOptions(options))
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftSqlWriteBuilder(root, info.schema(), info.queryId(),
+      snap.props.get(TableFormat.PartitionSpecProp),
+      // catalog-resolved: spec transforms CAN resolve through this
+      // catalog's FunctionCatalog, so the write clusters by them
+      resolveTransforms = true,
+      targetFileBytes = GraftSqlWrite.targetOf(snap.props),
+      sortOrder = GraftSqlWrite.sortOrderOf(snap.props))
+
+  /** `MERGE INTO` / `UPDATE` / arbitrary-predicate `DELETE` — the
+    * group-based copy-on-write rewrite ([[GraftRowLevelOperation]]). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(root, snap, tableSchema, info.command())
+
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(GraftRowLevel.FileMetadataColumn)
+
+  /** SQL `DELETE FROM graft.t [WHERE ...]` — a metadata-level plan, not
+    * a rewrite-everything scan: an unconditional delete truncates in one
+    * commit; a conjunction of comparisons on ONE discrete key/zone
+    * column becomes [[TableFormat.deleteWhere]]'s bound-range delete
+    * (whole files dropped by bounds arithmetic, only boundary files
+    * rewritten). Anything richer is refused LOUDLY with the library
+    * alternatives — a silent full-table rewrite is never the default. */
+  private def deleteRange(filters: Array[Filter])
+      : Option[Option[(String, Long, Long)]] = {
+    val real = filters.filterNot(_.isInstanceOf[AlwaysTrue])
+    if (real.isEmpty) return Some(None) // truncate
+    GraftSqlFilters.boundRange(real, snap.keyCol, snap.zoneCols, tableSchema)
+      .map(Some(_))
   }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
