@@ -75,11 +75,27 @@ object TableFormat {
                             kmv: Seq[Long] = Seq.empty,
                             nulls: Map[String, Long] = Map.empty,
                             bytes: Long = -1L,
-                            part: Option[(String, Seq[Long])] = None) {
+                            part: Option[(String, Seq[Long])] = None,
+                            sorted: Boolean = false) {
     /** True iff the file PROVABLY holds no null in `col` (recorded zero;
       * unknown — pre-null-stats commits — is not proof). */
     def nullFree(col: String): Boolean = nulls.get(col).contains(0L)
   }
+  // `sorted` is a WRITE-PROVENANCE marker, not a measured statistic: true
+  // only when the file was produced by a write whose REQUIRED ORDERING
+  // sorted rows by the partition spec's base columns (the routed SQL
+  // write path under RequiresDistributionAndOrdering, with no
+  // write.sort-order overriding the base-column order). Tuple purity
+  // alone can NOT prove sortedness — recluster repartitions without a
+  // sort, bin-packing concatenates sorted runs, and boundary rewrites
+  // re-emit filtered rows — so maintenance rewrites DROP the marker
+  // (fileStats defaults it false) and the SQL scan reports
+  // outputOrdering (sort-free SPJ) only when every surviving file
+  // carries it. A falsely-reported ordering would let a sort-merge join
+  // elide its sorts and silently return wrong rows; a dropped marker
+  // merely costs the join a re-sort. Commits written before the marker
+  // parse as false — conservative in the same direction.
+  //
   // `part` is the file's PARTITION TUPLE — the Iceberg manifest shape:
   // when every row of the file maps to ONE value per spec term (pure,
   // null-free — what the routing writers produce), the tuple is recorded
@@ -405,6 +421,7 @@ object TableFormat {
         sb.append(s""","part_spec":"${esc(spec)}"""")
         sb.append(vals.mkString(""","part":[""", ",", "]"))
       }
+      if (f.sorted) sb.append(""","sorted":true""")
       sb.append('}')
     }
     sb.append("]}")
@@ -455,7 +472,10 @@ object TableFormat {
         part =
           if (!f.has("part_spec") || !f.has("part")) None
           else Some((f.get("part_spec").asText(),
-            (0 until f.get("part").size()).map(f.get("part").get(_).asLong()))))
+            (0 until f.get("part").size()).map(f.get("part").get(_).asLong()))),
+        // pre-marker commits parse unsorted: the scan withholds its
+        // ordering report (a join re-sorts) rather than trusting purity
+        sorted = f.has("sorted") && f.get("sorted").asBoolean())
     }
     // commits written before props support parse unchanged (empty map)
     val props =
@@ -1202,13 +1222,16 @@ object TableFormat {
     * schema evolved add-only like [[appendFiles]], constraints enforced
     * on the incoming batch. Old files stay on disk for time travel. */
   def overwriteFiles(spark: SparkSession, root: String, files: Seq[String],
-                     extraProps: Map[String, String] = Map.empty): Snapshot = {
+                     extraProps: Map[String, String] = Map.empty,
+                     filesSorted: Boolean = false): Snapshot = {
     val first = snapshot(spark, root)
-    val stats =
+    val stats0 =
       if (files.isEmpty) Seq.empty
       else fileStats(spark, files, first.keyCol, first.numBits,
         first.numHashes, first.zoneCols,
         spec = first.props.get(PartitionSpecProp))
+    val stats =
+      if (filesSorted) stats0.map(_.copy(sorted = true)) else stats0
     if (files.nonEmpty)
       checkConstraints(spark, first, spark.read.parquet(files: _*),
         "overwriteFiles")
@@ -1237,11 +1260,14 @@ object TableFormat {
   }
 
   def appendFiles(spark: SparkSession, root: String, files: Seq[String],
-                  extraProps: Map[String, String] = Map.empty): Snapshot = {
+                  extraProps: Map[String, String] = Map.empty,
+                  filesSorted: Boolean = false): Snapshot = {
     val first = snapshot(spark, root)
-    val stats = fileStats(spark, files, first.keyCol, first.numBits,
+    val stats0 = fileStats(spark, files, first.keyCol, first.numBits,
       first.numHashes, first.zoneCols,
       spec = first.props.get(PartitionSpecProp))
+    val stats =
+      if (filesSorted) stats0.map(_.copy(sorted = true)) else stats0
     val newSchema = spark.read.parquet(files: _*).schema
     checkConstraints(spark, first, spark.read.parquet(files: _*), "appendFiles")
     commitTransform(spark, root, first.keyCol, first.numBits, first.numHashes,
@@ -1782,17 +1808,22 @@ object TableFormat {
     * partition), never a table rewrite. */
   def replaceWhere(spark: SparkSession, root: String, dataDir: String,
                    boundCol: String, lo: Long, hi: Long,
-                   files: Seq[String]): (Snapshot, Int, Int, Int) = {
+                   files: Seq[String],
+                   filesSorted: Boolean = false): (Snapshot, Int, Int, Int) = {
     require(lo <= hi, s"replaceWhere: need lo <= hi, got $lo > $hi")
     val first = snapshot(spark, root)
     require(boundCol == first.keyCol || first.zoneCols.contains(boundCol),
       s"replaceWhere: '$boundCol' is neither the key nor a declared zone " +
         s"column (have: ${first.keyCol}; ${first.zoneCols.mkString(",")})")
-    val newStats =
+    val newStats0 =
       if (files.isEmpty) Seq.empty
       else fileStats(spark, files, first.keyCol, first.numBits,
         first.numHashes, first.zoneCols,
         spec = first.props.get(PartitionSpecProp))
+    // boundary rewrites below stay UNSORTED (filtered re-emits); only
+    // the incoming routed batch may carry the write-provenance marker
+    val newStats =
+      if (filesSorted) newStats0.map(_.copy(sorted = true)) else newStats0
     newStats.foreach { f =>
       val bounds =
         if (boundCol == first.keyCol) Some((f.minKey, f.maxKey))
@@ -1862,17 +1893,21 @@ object TableFormat {
     * layout first. A concurrent append into a replaced partition fails
     * the commit LOUDLY rather than being clobbered. */
   def overwritePartitionsDynamic(spark: SparkSession, root: String,
-                                 files: Seq[String]): (Snapshot, Int, Int) = {
+                                 files: Seq[String],
+                                 filesSorted: Boolean = false)
+      : (Snapshot, Int, Int) = {
     val first = snapshot(spark, root)
     val spec = first.props.getOrElse(PartitionSpecProp,
       throw new UnsupportedOperationException(
         "overwritePartitionsDynamic: the table declares no partition " +
           "spec — dynamic overwrite replaces PARTITION VALUES; use " +
           "replaceWhere/overwriteFiles instead"))
-    val newStats =
+    val newStats0 =
       if (files.isEmpty) Seq.empty
       else fileStats(spark, files, first.keyCol, first.numBits,
         first.numHashes, first.zoneCols, spec = Some(spec))
+    val newStats =
+      if (filesSorted) newStats0.map(_.copy(sorted = true)) else newStats0
     newStats.foreach(f => require(f.part.exists(_._1 == spec),
       s"overwritePartitionsDynamic: incoming file ${f.file} spans " +
         "several partition values — route the batch through the " +

@@ -29,10 +29,16 @@ import org.apache.spark.sql.connector.catalog.Identifier
   *  - Nested views expand one layer per fixed-point iteration; a
   *    reference CYCLE therefore fails loudly with the analyzer's
   *    max-iterations error instead of hanging.
-  *  - The stored SQL resolves in the CURRENT session context; views
-  *    should reference their inputs catalog-qualified (the create
-  *    procedure analyzes the text at create time, which catches
-  *    unqualified names that only resolved by accident). */
+  *  - The stored SQL resolves against the STORED creation context (the
+  *    Iceberg view-spec rule): every relation whose leading part is not
+  *    a registered catalog is qualified with the document's
+  *    `currentCatalog` (and, for single-part names, its
+  *    `currentNamespace`) before analysis. Without this, a view that
+  *    analyzed fine at create time could resolve a SAME-NAMED but
+  *    different relation — or fail outright — in another session whose
+  *    current catalog/namespace differ. Session-local state (temp
+  *    views) is rejected at CREATE time instead: no stored context can
+  *    make it reachable elsewhere. */
 object ViewSubstitution extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
@@ -52,10 +58,45 @@ object ViewSubstitution extends Rule[LogicalPlan] {
         if (!g.viewExists(ident)) None
         else {
           val v = g.loadView(ident)
-          Some(SubqueryAlias(parts.last,
-            spark.sessionState.sqlParser.parsePlan(v.query)))
+          Some(SubqueryAlias(parts.last, qualified(spark,
+            spark.sessionState.sqlParser.parsePlan(v.query),
+            v.currentCatalog, v.currentNamespace)))
         }
       case _ => None
+    }
+  }
+
+  /** Qualify the parsed view body's relations against the STORED
+    * creation context: a single-part name gains the stored catalog and
+    * namespace, a multi-part name whose head names no registered
+    * catalog gains the stored catalog. Names already catalog-anchored
+    * pass through untouched, so fully-qualified view SQL (the
+    * recommended style) is a no-op here. Subqueries are walked too —
+    * a scalar subquery's relation diverging across sessions is the
+    * same bug. */
+  private def qualified(spark: SparkSession, plan: LogicalPlan,
+                        storedCatalog: String,
+                        storedNamespace: Array[String]): LogicalPlan = {
+    val mgr = spark.sessionState.catalogManager
+    // names bound by a CTE in the view body are NOT relations to
+    // qualify — `WITH t AS (...) SELECT ... FROM t` must keep its `t`
+    // local (resolution is case-insensitive, so compare folded)
+    val cteNames = plan.collectWithSubqueries {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.cteRelations.map(_._1.toLowerCase(java.util.Locale.ROOT))
+    }.flatten.toSet
+    plan.transformUpWithSubqueries {
+      case r: UnresolvedRelation
+          if !(r.multipartIdentifier.length == 1 && cteNames.contains(
+            r.multipartIdentifier.head.toLowerCase(java.util.Locale.ROOT))) =>
+        val ps = r.multipartIdentifier
+        if (ps.length >= 2 && mgr.isCatalogRegistered(ps.head)) r
+        else {
+          val full =
+            if (ps.length == 1) (storedCatalog +: storedNamespace.toSeq) ++ ps
+            else storedCatalog +: ps
+          r.copy(multipartIdentifier = full)
+        }
     }
   }
 }

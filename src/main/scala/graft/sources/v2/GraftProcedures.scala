@@ -243,6 +243,22 @@ private[v2] object GraftProcedures {
         require(!catalog.tableExists(ident),
           s"graft create_view: '$viewName' names an existing TABLE — " +
             "tables shadow views; pick another name")
+        // SESSION-LOCAL relations are refused outright: a stored view
+        // re-resolves in OTHER sessions where this session's temp views
+        // do not exist — no stored context can carry them, so accepting
+        // one here would store a definition that only ever resolved by
+        // accident (ViewSubstitution resolves everything else against
+        // the STORED catalog/namespace)
+        spark.sessionState.sqlParser.parsePlan(sql).collectWithSubqueries {
+          case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+              if spark.sessionState.catalog
+                .isTempView(r.multipartIdentifier) =>
+            throw new IllegalArgumentException(
+              s"graft create_view: '$viewName' references the TEMP VIEW " +
+                s"'${r.multipartIdentifier.mkString(".")}' — temp views " +
+                "are session-local and unreachable from other sessions; " +
+                "persist the input as a table or inline its query")
+        }
         // analyze now: a view that cannot resolve at create time is a
         // typo, not a definition (also captures the schema)
         val analyzed = spark.sql(sql)

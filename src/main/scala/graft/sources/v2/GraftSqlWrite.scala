@@ -204,8 +204,15 @@ private[v2] class GraftSqlWriteBuilder(root: String, schema: StructType,
           else Distributions.ordered(orders)
         override def requiredOrdering(): Array[SortOrder] = orders
         override def toBatch: BatchWrite =
+          // with no declared sort order the required ordering is exactly
+          // the spec's base columns, so each landed file is a sorted run
+          // in the base-column order — the write-provenance fact the
+          // commit records as FileStat.sorted (sort-free SPJ evidence);
+          // a declared write.sort-order reorders by OTHER columns, so
+          // the marker stays off
           new GraftSqlBatchWrite(root, schema, queryId, doTruncate, terms,
-            targetFileBytes, replaceRange, dynamicParts)
+            targetFileBytes, replaceRange, dynamicParts,
+            specSorted = sortOrder.isEmpty)
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           new GraftSqlStreamingWrite(root, schema, queryId, lineage, terms,
             targetFileBytes)
@@ -285,7 +292,8 @@ private class GraftSqlBatchWrite(root: String, schema: StructType,
                                  specTerms: Seq[TableFormat.SpecTerm],
                                  targetFileBytes: Long,
                                  replaceRange: Option[(String, Long, Long)] = None,
-                                 dynamicParts: Boolean = false)
+                                 dynamicParts: Boolean = false,
+                                 specSorted: Boolean = false)
     extends BatchWrite {
 
   // one data dir per write attempt: abort can sweep it wholesale, and a
@@ -305,10 +313,12 @@ private class GraftSqlBatchWrite(root: String, schema: StructType,
     }.flatten.toSeq.sorted
     if (dynamicParts)
       // replace exactly the partition values present in the batch
-      TableFormat.overwritePartitionsDynamic(spark, root, files)
+      TableFormat.overwritePartitionsDynamic(spark, root, files,
+        filesSorted = specSorted)
     else replaceRange match {
       case Some((c, lo, hi)) if lo <= hi =>
-        TableFormat.replaceWhere(spark, root, s"$root/data", c, lo, hi, files)
+        TableFormat.replaceWhere(spark, root, s"$root/data", c, lo, hi, files,
+          filesSorted = specSorted)
       case Some(_) =>
         // provably-empty scope: nothing is being replaced; the batch
         // (constrained to lie inside the scope) is necessarily empty too
@@ -316,8 +326,10 @@ private class GraftSqlBatchWrite(root: String, schema: StructType,
           "graft SQL write: non-empty batch for a provably-empty " +
             "replace-where scope")
       case None =>
-        if (truncate) TableFormat.overwriteFiles(spark, root, files)
-        else if (files.nonEmpty) TableFormat.appendFiles(spark, root, files)
+        if (truncate) TableFormat.overwriteFiles(spark, root, files,
+          filesSorted = specSorted)
+        else if (files.nonEmpty) TableFormat.appendFiles(spark, root, files,
+          filesSorted = specSorted)
         // plain INSERT of zero rows: nothing to commit, table unchanged
     }
   }

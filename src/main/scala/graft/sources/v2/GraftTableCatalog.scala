@@ -150,8 +150,16 @@ class GraftTableCatalog extends TableCatalog
   override def dropView(ident: Identifier): Boolean =
     GraftViews.drop(warehouse, ident)
 
-  override def renameView(from: Identifier, to: Identifier): Unit =
+  override def renameView(from: Identifier, to: Identifier): Unit = {
+    // mirror create_view's guard: tables SHADOW views at resolution, so
+    // renaming a view onto a table-held name would succeed yet make the
+    // view unreachable — refuse loudly instead
+    if (tableExists(to))
+      throw new IllegalArgumentException(
+        s"graft rename_view: target '$to' names an existing TABLE — " +
+          "tables shadow views; pick another name")
     GraftViews.rename(warehouse, from, to)
+  }
 
   // ---- namespaces: warehouse subdirectories (a table is a dir with a
   // _log; a namespace is a dir without one) — CREATE/SHOW/DROP
@@ -1257,12 +1265,23 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
     * written before the property was set may be mixed in (which is why
     * UNSETting the property is refused once data exists — a report
     * claiming an order mixed files don't have would corrupt a
-    * sort-merge join silently). */
+    * sort-merge join silently).
+    *
+    * The decisive evidence is each file's WRITE-PROVENANCE marker
+    * ([[TableFormat.FileStat.sorted]], stamped only by the routed write
+    * path whose required ordering IS the base columns): tuple purity
+    * alone cannot prove sortedness — recluster repartitions with no
+    * sort, bin-packing concatenates sorted runs, boundary rewrites
+    * re-emit filtered rows — and every such maintenance rewrite drops
+    * the marker, so this report is withheld the moment any surviving
+    * file's order is unproven. Withholding merely costs the join its
+    * sorts; over-claiming would silently corrupt it. */
   override def outputOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     spjTerms match {
       case Some(terms)
         if !snap.props.contains(GraftSqlWrite.SortOrderProp) &&
+          planHit.forall(_.sorted) &&
           planHit.map(_.part.map(_._2.toSeq)).distinct.size == planHit.size =>
         import org.apache.spark.sql.connector.expressions.{Expressions => E, SortDirection}
         terms.map(t => E.sort(E.column(t.baseCol),

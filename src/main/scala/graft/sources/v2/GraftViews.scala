@@ -43,7 +43,28 @@ private[v2] object GraftViews {
     val out = fs.create(tmp, true)
     try out.write(doc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (replace) fs.delete(p, false)
+    if (replace) {
+      // ATOMIC overwrite where the filesystem supports it: FileContext
+      // rename with OVERWRITE swaps the document in one namesystem op,
+      // so a concurrent SELECT resolving through ViewSubstitution never
+      // observes a missing file mid-replace. Filesystems without a
+      // FileContext binding (rare; some object-store shims) fall back to
+      // delete+rename — there the no-document window exists and a racing
+      // read can see a spurious NoSuchViewException. Note alter() above
+      // this layer is a read-modify-write with no lock: two concurrent
+      // SetProperty calls can lose one update (last writer wins) —
+      // views are low-churn metadata, so the race is documented rather
+      // than locked.
+      try {
+        org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+          .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        return
+      } catch {
+        case _: UnsupportedOperationException |
+             _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          fs.delete(p, false) // fallback: non-atomic replace window
+      }
+    }
     if (!fs.rename(tmp, p)) {
       fs.delete(tmp, false)
       throw new IllegalStateException(s"graft views: lost a create race at $p")

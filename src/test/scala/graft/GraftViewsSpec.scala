@@ -109,6 +109,57 @@ class GraftViewsSpec extends SparkTestBase {
     assert(e.getMessage != null, e.toString)
   }
 
+  test("a view resolves against its STORED context: an unqualified body " +
+      "name finds the creation catalog's table, not the reader's session") {
+    warehouse
+    val cat = spark.sessionState.catalogManager.catalog("vcat")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.ViewCatalog]
+    import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
+    // stored with creation context (vcat, root) and an UNQUALIFIED body —
+    // the shape another engine (or an older session) may have written
+    cat.createView(new ViewInfo(Identifier.of(Array.empty, "ctx_v"),
+      "SELECT k, v FROM t", "vcat", Array.empty[String],
+      spark.table("vcat.t").schema, Array.empty[String], Array.empty[String],
+      Array.empty[String], java.util.Collections.emptyMap[String, String]()))
+    // an adversarial same-named TEMP VIEW in the reading session must NOT
+    // hijack the body's `t` — the stored context wins
+    spark.range(3).selectExpr("id AS k", "id AS v")
+      .createOrReplaceTempView("t")
+    try {
+      val viaView = spark.sql("SELECT count(*) AS n FROM vcat.ctx_v")
+        .collect()(0).getLong(0)
+      val direct = spark.sql("SELECT count(*) AS n FROM vcat.t")
+        .collect()(0).getLong(0)
+      assert(viaView == direct && viaView > 3,
+        s"view read $viaView rows; table holds $direct")
+    } finally spark.catalog.dropTempView("t")
+  }
+
+  test("create_view refuses a body that references a session temp view") {
+    warehouse
+    spark.range(3).selectExpr("id AS k").createOrReplaceTempView("sess_tmp")
+    val e = intercept[Exception] {
+      spark.sql(
+        "CALL vcat.system.create_view('bad_v', 'SELECT k FROM sess_tmp')")
+        .collect()
+    }
+    assert(e.getMessage != null &&
+      e.getMessage.toUpperCase.contains("TEMP VIEW"), e.getMessage)
+  }
+
+  test("rename_view refuses a table-held target (tables shadow views)") {
+    warehouse
+    spark.sql("CALL vcat.system.create_view('rt_v', 'SELECT k FROM vcat.t')")
+    val e = intercept[Exception] {
+      spark.sql("CALL vcat.system.rename_view('rt_v', 't')").collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("TABLE"),
+      e.getMessage)
+    // the source view is untouched by the refused rename
+    assert(spark.sql("SELECT count(*) AS n FROM vcat.rt_v")
+      .collect()(0).getLong(0) > 0)
+  }
+
   test("the ViewCatalog API surface round-trips properties and metadata") {
     warehouse
     val cat = spark.sessionState.catalogManager.catalog("vcat")

@@ -169,6 +169,40 @@ class StoragePartitionedJoinSpec extends SparkTestBase {
     }
   }
 
+  test("a maintenance rewrite drops the sorted marker: tuple-pure but " +
+      "unsorted files withhold the ordering report and the join re-sorts") {
+    warehouse
+    mkBucketed("ma", 500, "id * 2")
+    mkBucketed("mb", 400, "id * 10")
+    val maRoot = s"$warehouse/ma"
+    // the routed INSERT stamped write provenance
+    assert(TableFormat.snapshot(spark, maRoot).files.forall(_.sorted))
+    // recluster back into one file per bucket value: fileStats re-derives
+    // PURE DISTINCT tuples, but the repartition wrote rows in shuffle
+    // order — exactly the layout that must NOT report an ordering
+    TableFormat.rewriteClustered(spark, maRoot, s"$maRoot/data",
+      pmod(col("k"), lit(4)), zoneCols = Seq.empty)
+    val snap = TableFormat.snapshot(spark, maRoot)
+    val tuples = snap.files.flatMap(_.part.map(_._2.toSeq))
+    assert(tuples.nonEmpty && tuples.distinct.size == tuples.size,
+      s"fixture must stay tuple-pure+distinct: $tuples")
+    assert(snap.files.forall(!_.sorted), "rewrite must drop the marker")
+    withSpj {
+      val j = spark.sql(
+        "SELECT a.k AS k, a.v AS av, b.v AS bv " +
+          "FROM spjcat.ma a JOIN spjcat.mb b ON a.k = b.k")
+      val rows = j.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      assert(rows.length == 400)
+      assert(rows.toSeq == (0L until 400L).map(k => (k, k * 2, k * 10)))
+      val plan = j.queryExecution.executedPlan.toString
+      // the reclustered side must re-sort (no false ordering claim); the
+      // untouched side keeps its sort-free read
+      assert(plan.contains("Sort ["), s"expected a fallback sort:\n$plan")
+      assert(plan.contains("Ordered: false"), plan)
+    }
+  }
+
   test("the V2 functions are SQL-invocable and match the writers") {
     warehouse
     val r = spark.sql(
