@@ -5517,6 +5517,93 @@ object SparkEntry {
     // layouts refuse). Reprocessing one day of a 100 TB table costs
     // O(that day). Graded: both ledgers replay exactly, each mutation
     // is one commit with the overwrite_where op ----
+    // ---- COST-BASED JOIN REORDER (r14): the scan's per-column
+    // statistics (exact row counts, merged-KMV NDV for the key AND —
+    // new — every zone column, null counts, integral bounds) flow
+    // through DataSourceV2Relation.transformV2Stats into Catalyst, and
+    // with spark.sql.cbo.joinReorder.enabled the DP reorderer re-orders
+    // a star join by estimated intermediate size. Graded live: the
+    // SYNTACTICALLY SUBOPTIMAL order (small-coverage dim last) must
+    // flip to the cheaper dim first exactly when stats are consumed,
+    // the relation's Catalyst rowCount must equal the commit's recorded
+    // count, and the join result matches the oracle. At 100 TB this is
+    // THE multi-join lever: a wrong star order materializes a
+    // billions-row intermediate no later stage can undo ----
+    "q151_cbo_join_reorder" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val hex = java.lang.Integer.toHexString(dir.hashCode)
+      val (tblF, tblM, tblS) = (s"cbf_$hex", s"cbm_$hex", s"cbs_$hex")
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q151_cbo", dir) {
+        Seq(tblF, tblM, tblS).foreach { t =>
+          val p = new org.apache.hadoop.fs.Path(s"$wh/$t")
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+        // fact: cust spans the customer domain (~2/3 of custkeys order);
+        // sk spans exactly 20 values
+        s.sql(s"""CREATE TABLE graft.`$tblF` (k BIGINT, cust BIGINT, sk BIGINT)
+          TBLPROPERTIES('key_col'='k', 'zone_cols'='cust,sk')""")
+        Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+            col("o_custkey").as("cust"),
+            pmod(col("o_orderkey"), lit(20)).as("sk"))
+          .createOrReplaceTempView("q151_f_src")
+        s.sql(s"INSERT INTO graft.`$tblF` SELECT * FROM q151_f_src")
+        // mid dim: every 10th cust value -> f JOIN m keeps ~10% of f
+        s.sql(s"CREATE TABLE graft.`$tblM` (mk BIGINT, mv BIGINT) " +
+          "TBLPROPERTIES('key_col'='mk')")
+        Tables.orders(s, dir).select(col("o_custkey").as("mk")).distinct()
+          .filter(pmod(col("mk"), lit(10)) === 0)
+          .select(col("mk"), (col("mk") * 7).as("mv"))
+          .createOrReplaceTempView("q151_m_src")
+        s.sql(s"INSERT INTO graft.`$tblM` SELECT * FROM q151_m_src")
+        // small dim: 4 of sk's 20 values -> f JOIN s keeps ~20% of f
+        s.sql(s"CREATE TABLE graft.`$tblS` (sk2 BIGINT, sv BIGINT) " +
+          "TBLPROPERTIES('key_col'='sk2')")
+        s.range(4).selectExpr("id AS sk2", "id * 11 AS sv")
+          .createOrReplaceTempView("q151_s_src")
+        s.sql(s"INSERT INTO graft.`$tblS` SELECT * FROM q151_s_src")
+      }
+      // written s-first: the CHEAPER m-join is syntactically last
+      val starSql = s"SELECT f.k AS k, m.mv AS mv, s2.sv AS sv " +
+        s"FROM graft.`$tblF` f " +
+        s"JOIN graft.`$tblS` s2 ON f.sk = s2.sk2 " +
+        s"JOIN graft.`$tblM` m ON f.cust = m.mk"
+      def leaves(df: DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2ScanRelation =>
+            r.relation.identifier.map(_.name).getOrElse("?")
+        }
+      val prev = (s.conf.get("spark.sql.cbo.enabled"),
+        s.conf.get("spark.sql.cbo.joinReorder.enabled"))
+      val (syntacticKept, reorderFlipped, rowCountSeen) =
+        try {
+          s.conf.set("spark.sql.cbo.enabled", "false")
+          s.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+          val base = leaves(s.sql(starSql))
+          s.conf.set("spark.sql.cbo.enabled", "true")
+          s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+          val reord = leaves(s.sql(starSql))
+          val st = s.table(s"graft.`$tblF`")
+            .queryExecution.optimizedPlan.stats
+          val recorded =
+            TableFormat.snapshot(s, s"$wh/$tblF").files.map(_.nRows).sum
+          (base == Seq(tblF, tblS, tblM),
+            reord == Seq(tblF, tblM, tblS),
+            st.rowCount.contains(BigInt(recorded)))
+        } finally {
+          s.conf.set("spark.sql.cbo.enabled", prev._1)
+          s.conf.set("spark.sql.cbo.joinReorder.enabled", prev._2)
+        }
+      s.sql(starSql)
+        .agg(count(lit(1)).as("n"),
+          sum(col("mv")).as("sum_mv"), sum(col("sv")).as("sum_sv"))
+        .select(col("n"), col("sum_mv"), col("sum_sv"),
+          lit(rowCountSeen).as("stats_consumed"),
+          lit(syntacticKept && reorderFlipped).as("reorder_flipped"))
+    },
+
     "q150_partial_overwrite" -> { (s, dir) =>
       val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
       val hex = java.lang.Integer.toHexString(dir.hashCode)
@@ -8797,6 +8884,24 @@ object SparkEntry {
     // pushdown + skipping intact and the deleted key still gone (the
     // stamped filter never reaches the manifest read); kmid = max(k)/2
     // on the contiguous key domain
+    // the star join replays from orders arithmetic; the two plan flags
+    // are dataset constants (the recorded row count reaches Catalyst,
+    // and the reorderer flips the suboptimal syntactic order exactly
+    // when stats are consumed — the selectivity gap is 2x, far outside
+    // the KMV error bound)
+    "q151_cbo_join_reorder" ->
+      """WITH f AS (SELECT o_orderkey AS k, o_custkey AS cust,
+             o_orderkey % 20 AS sk FROM orders),
+         m AS (SELECT DISTINCT o_custkey AS mk FROM orders
+               WHERE o_custkey % 10 = 0),
+         s AS (SELECT * FROM (VALUES (0, 0), (1, 11), (2, 22), (3, 33))
+               AS t(sk2, sv))
+         SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(m.mk * 7) AS BIGINT) AS sum_mv,
+           CAST(sum(s.sv) AS BIGINT) AS sum_sv,
+           TRUE AS stats_consumed, TRUE AS reorder_flipped
+         FROM f JOIN s ON f.sk = s.sk2 JOIN m ON f.cust = m.mk""",
+
     // both overwrite ledgers replay from orders with the entry's own
     // integer arithmetic (epoch-day window at 7/16..9/16 of the domain
     // tripled; buckets 2 and 5 of k % 8 at x7); one commit each

@@ -76,11 +76,22 @@ object TableFormat {
                             nulls: Map[String, Long] = Map.empty,
                             bytes: Long = -1L,
                             part: Option[(String, Seq[Long])] = None,
-                            sorted: Boolean = false) {
+                            sorted: Boolean = false,
+                            kmvs: Map[String, Seq[Long]] = Map.empty) {
     /** True iff the file PROVABLY holds no null in `col` (recorded zero;
       * unknown — pre-null-stats commits — is not proof). */
     def nullFree(col: String): Boolean = nulls.get(col).contains(0L)
   }
+  // `kmvs` carries one KMV distinct-value sketch PER DECLARED ZONE
+  // COLUMN (the key's sketch stays in `kmv`), hashed over the column's
+  // zone-long image as a base-10 string — what gives the SQL scan's
+  // columnStats() an NDV for every stats column, which is exactly what
+  // Catalyst's cost-based join reorder needs on the FACT side's foreign
+  // keys (a star query's join keys are zone columns, not the table
+  // key). An EMPTY sketch is a recorded fact (the file's column is
+  // all-null); a column ABSENT from the map is unknown (pre-sketch
+  // commit) and the per-column estimate is withheld, never guessed.
+  //
   // `sorted` is a WRITE-PROVENANCE marker, not a measured statistic: true
   // only when the file was produced by a write whose REQUIRED ORDERING
   // sorted rows by the partition spec's base columns (the routed SQL
@@ -195,7 +206,13 @@ object TableFormat {
     val zoneAggs = zoneCols.flatMap(c => Seq(
       min(zl(c)).as(s"zmin_$c"),
       max(zl(c)).as(s"zmax_$c"),
-      count(when(col(c).isNull, lit(1))).as(s"znull_$c")))
+      count(when(col(c).isNull, lit(1))).as(s"znull_$c"),
+      // per-zone-column KMV over the zone-long image's string form (the
+      // same value space as the bounds, so DATE/TIMESTAMP sketch their
+      // epoch images) — the NDV source for CBO join estimation on
+      // non-key join columns; nulls are skipped by the sketch itself
+      graft.Functions.kmv_sketch(zl(c).cast("string"), KmvStatsK)
+        .as(s"zkmv_$c")))
     // spec terms are derivable only when every base column is present in
     // the files (a schema-evolution edge keeps part=None, never a guess)
     val specTerms: Seq[SpecTerm] = spec.map(parseSpec).getOrElse(Seq.empty)
@@ -238,6 +255,10 @@ object TableFormat {
         }.toMap
         val nulls = (zoneCols.map(c => c -> longAt(s"znull_$c")) :+
           (keyCol -> longAt("null_key"))).toMap
+        val kmvs = zoneCols.map { c =>
+          val i = r.fieldIndex(s"zkmv_$c")
+          c -> (if (r.isNullAt(i)) Seq.empty[Long] else r.getSeq[Long](i).toSeq)
+        }.toMap
         FileStat(r.getString(r.fieldIndex("file")),
           longOpt("min_key").getOrElse(Long.MinValue),
           longOpt("max_key").getOrElse(Long.MaxValue),
@@ -245,6 +266,7 @@ object TableFormat {
           r.getSeq[Long](r.fieldIndex("bloom")).toArray, zones,
           kmv = r.getSeq[Long](r.fieldIndex("kmv")),
           nulls = nulls,
+          kmvs = kmvs,
           // on-disk size recorded at stats time (one driver-side status
           // call per NEWLY COMMITTED file — the file was just read
           // wholesale for the aggregate, the RPC is noise): what lets
@@ -343,6 +365,19 @@ object TableFormat {
     Some(buf.estimate)
   }
 
+  /** Merged-KMV distinct estimate for a ZONE COLUMN over a file subset —
+    * None when any file predates the per-column sketches (`kmvs` entry
+    * absent = unknown; an empty entry is a recorded all-null column and
+    * merges as zero values). What the SQL scan reports as the column's
+    * `distinctCount` to Catalyst's cost-based join reorder. */
+  def approxDistinctZone(files: Seq[FileStat], col: String): Option[Double] = {
+    if (files.isEmpty) return Some(0.0)
+    if (!files.forall(_.kmvs.contains(col))) return None
+    val buf = new graft.functions.KmvBuffer(KmvStatsK)
+    files.foreach(_.kmvs(col).foreach(buf.offer))
+    Some(buf.estimate)
+  }
+
   // ---- commit protocol ---------------------------------------------------
 
   /** Serialize a commit to its JSON form (schema versioned by the layer;
@@ -408,6 +443,16 @@ object TableFormat {
       }
       if (f.kmv.nonEmpty)
         sb.append(f.kmv.mkString(""","kmv":[""", ",", "]"))
+      if (f.kmvs.nonEmpty) {
+        sb.append(""","kmvs":{""")
+        f.kmvs.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((c, s), j) =>
+          if (j > 0) sb.append(',')
+          // an EMPTY array is stored deliberately: all-null column, a
+          // recorded fact distinct from an absent (pre-sketch) entry
+          sb.append(s.mkString(s""""${esc(c)}":[""", ",", "]"))
+        }
+        sb.append('}')
+      }
       if (f.nulls.nonEmpty) {
         sb.append(""","nulls":{""")
         f.nulls.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((c, n), j) =>
@@ -455,6 +500,21 @@ object TableFormat {
         // pre-sketch commits parse empty: approxDistinctKeys refuses
         kmv = if (!f.has("kmv")) Seq.empty
           else (0 until f.get("kmv").size()).map(f.get("kmv").get(_).asLong()),
+        // zone-column sketches: absent map = unknown (per-column NDV
+        // withheld); a present-but-empty array = all-null column
+        kmvs =
+          if (!f.has("kmvs")) Map.empty[String, Seq[Long]]
+          else {
+            val z = f.get("kmvs")
+            val it = z.fieldNames()
+            val m = Map.newBuilder[String, Seq[Long]]
+            while (it.hasNext) {
+              val c = it.next()
+              val arr = z.get(c)
+              m += c -> (0 until arr.size()).map(arr.get(_).asLong())
+            }
+            m.result()
+          },
         // pre-null-stats commits parse empty = UNKNOWN (possibly-null):
         // metadata-only drops/counts refuse to trust bounds alone
         nulls =

@@ -1350,7 +1350,7 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
             allBoundedOrAllNull && bounded.nonEmpty
           val ndv =
             if (c == snap.keyCol) TableFormat.approxDistinctOf(files)
-            else None
+            else TableFormat.approxDistinctZone(files, c)
           new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
             override def distinctCount(): java.util.OptionalLong =
               ndv.map(d => java.util.OptionalLong.of(math.round(d)))

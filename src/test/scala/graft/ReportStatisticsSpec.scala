@@ -107,7 +107,10 @@ class ReportStatisticsSpec extends SparkTestBase {
       z.max().get() == java.lang.Long.valueOf(598L))
     val ndv = k.distinctCount().getAsLong
     assert(math.abs(ndv - 300L) <= 45, s"ndv=$ndv") // KMV k=64 ~13%
-    assert(!z.distinctCount().isPresent) // no per-zone sketch: omitted
+    // zone columns carry their own KMV sketches (r14): 200 non-null
+    // distinct values, nulls excluded from the sketch by construction
+    val zndv = z.distinctCount().getAsLong
+    assert(math.abs(zndv - 200L) <= 70, s"zone ndv=$zndv")
   }
 
   test("numRows refused under pending merge-on-read manifests") {
