@@ -5517,6 +5517,59 @@ object SparkEntry {
     // layouts refuse). Reprocessing one day of a 100 TB table costs
     // O(that day). Graded: both ledgers replay exactly, each mutation
     // is one commit with the overwrite_where op ----
+    // ---- DELETION VECTORS (r14): the POSITIONAL delete shape next to
+    // copy-on-write (q88/q120) and equality manifests (q94/q95) — a
+    // predicate delete commits O(deleted rows) of per-file roaring
+    // bitmap sidecar, NO data rewrite and NO key manifest; reads skip
+    // masked ordinals per batch (vectorized), count(*) subtracts
+    // exactly from metadata, the changelog emits exactly the masked
+    // rows, and CALL-able materialization rewrites the masks away.
+    // Graded as a 4-pin ledger the oracle replays: base content, the
+    // masked read, the changelog delta, and the materialized state ----
+    "q152_deletion_vectors" -> { (s, dir) =>
+      val root = scratch("q152_dvx", dir)
+      Fixtures.once(s, "q152_dvx", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .repartition(4).write.mode("overwrite").parquet(s"$root/d0")
+        TableFormat.commitFiles(s, root, "k",
+          TableFormat.listParquet(s, s"$root/d0"), 1 << 14, 5)     // v1
+        TableFormat.deletePositions(s, root, s"$root/data",
+          pmod(col("k"), lit(9)) === 4)                            // v2
+        TableFormat.materializeDeletes(s, root, s"$root/data")     // v3
+      }
+      val (v1, v2, v3) = (TableFormat.snapshot(s, root, Some(1)),
+        TableFormat.snapshot(s, root, Some(2)),
+        TableFormat.snapshot(s, root, Some(3)))
+      // DV facts: v2 rewrote NOTHING (same file set, vectors attached,
+      // op recorded), exact live counts from pure metadata arithmetic;
+      // v3 materialized (vectors gone, op=replace — changelog-free)
+      val dvOk = v2.op.contains("dv-delete") &&
+        v2.files.map(_.file).toSet == v1.files.map(_.file).toSet &&
+        v2.files.forall(_.dv.isDefined) &&
+        v2.files.map(_.liveRows).sum ==
+          v1.files.map(_.nRows).sum - v2.files.map(_.dv.get._2).sum
+      val matOk = v3.op.contains("replace") && v3.files.forall(_.dv.isEmpty)
+      def leg(pin: String, df: DataFrame, ok: Boolean) =
+        Parallelism.ensureDefaultParallelism(df)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("cents")).cast("long").as("sum_cents"))
+          .select(lit(pin).as("pin"), lit(ok).as("ok"),
+            col("n_rows"), col("sum_cents"))
+      val changes = TableFormat.changesBetween(s, root, 1, 2)
+      val changesOk = // the delta is deletes only
+        changes.select(countDistinct(col("_change"))).collect()(0)
+          .getLong(0) == 1L
+      leg("a_v1", TableFormat.read(s, v1), ok = true)
+        .unionByName(leg("b_masked", TableFormat.read(s, v2), dvOk))
+        .unionByName(leg("c_changelog",
+          changes.filter(col("_change") === "delete"), changesOk))
+        .unionByName(leg("d_materialized", TableFormat.read(s, v3), matOk))
+        .orderBy("pin")
+    },
+
     // ---- COST-BASED JOIN REORDER (r14): the scan's per-column
     // statistics (exact row counts, merged-KMV NDV for the key AND —
     // new — every zone column, null counts, integral bounds) flow
@@ -8884,6 +8937,24 @@ object SparkEntry {
     // pushdown + skipping intact and the deleted key still gone (the
     // stamped filter never reaches the manifest read); kmid = max(k)/2
     // on the contiguous key domain
+    // the 4-pin ledger replays from orders arithmetic: base, masked
+    // (k % 9 <> 4), the changelog's masked rows, materialized; the ok
+    // flags are dataset constants (no-rewrite commit facts, deletes-only
+    // changelog, vector-free materialization)
+    "q152_deletion_vectors" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+         SELECT 'a_v1' AS pin, TRUE AS ok,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(cents) AS BIGINT) AS sum_cents FROM o
+         UNION ALL SELECT 'b_masked', TRUE, CAST(count(*) AS BIGINT),
+             CAST(sum(cents) AS BIGINT) FROM o WHERE k % 9 <> 4
+         UNION ALL SELECT 'c_changelog', TRUE, CAST(count(*) AS BIGINT),
+             CAST(sum(cents) AS BIGINT) FROM o WHERE k % 9 = 4
+         UNION ALL SELECT 'd_materialized', TRUE, CAST(count(*) AS BIGINT),
+             CAST(sum(cents) AS BIGINT) FROM o WHERE k % 9 <> 4
+         ORDER BY pin""",
+
     // the star join replays from orders arithmetic; the two plan flags
     // are dataset constants (the recorded row count reaches Catalyst,
     // and the reorderer flips the suboptimal syntactic order exactly

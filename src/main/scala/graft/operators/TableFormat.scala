@@ -77,11 +77,32 @@ object TableFormat {
                             bytes: Long = -1L,
                             part: Option[(String, Seq[Long])] = None,
                             sorted: Boolean = false,
-                            kmvs: Map[String, Seq[Long]] = Map.empty) {
+                            kmvs: Map[String, Seq[Long]] = Map.empty,
+                            dv: Option[(String, Long)] = None) {
     /** True iff the file PROVABLY holds no null in `col` (recorded zero;
       * unknown — pre-null-stats commits — is not proof). */
     def nullFree(col: String): Boolean = nulls.get(col).contains(0L)
+
+    /** Live row count — raw rows minus the deletion vector's masked
+      * positions. EXACT: the vector is bound to this exact immutable
+      * file, positions are distinct by construction (bitmap), and a
+      * rewrite drops the vector with the file. */
+    def liveRows: Long = nRows - dv.map(_._2).getOrElse(0L)
   }
+  // `dv` is the file's DELETION VECTOR — the POSITIONAL delete shape
+  // (Delta's deletion vectors / Iceberg's positional deletes) next to
+  // copy-on-write rewrites and equality-delete manifests: a sidecar
+  // holding a roaring bitmap of DELETED ROW ORDINALS (file-absolute,
+  // 0-based parquet row positions) plus its cardinality. The vector
+  // binds to THIS immutable file: rewrites (compaction, boundary
+  // complements, materialization) emit fresh files and drop it; a
+  // later positional delete MERGES bitmaps into a new sidecar (the
+  // FileStat in the new commit points at the union — old versions keep
+  // the old sidecar, so time travel is exact). Masked reads become a
+  // per-batch ordinal skip — no key hash-probe, no join — and
+  // `liveRows` is exact metadata arithmetic, unlike an equality
+  // manifest whose overlap with any one file is unknown.
+  //
   // `kmvs` carries one KMV distinct-value sketch PER DECLARED ZONE
   // COLUMN (the key's sketch stays in `kmv`), hashed over the column's
   // zone-long image as a base-10 string — what gives the SQL scan's
@@ -346,6 +367,9 @@ object TableFormat {
     require(snap.deletes.isEmpty,
       "approxDistinctKeys: merge-on-read manifests pending — materialize " +
         "deletes first (masked keys would inflate the metadata estimate)")
+    require(snap.files.forall(_.dv.isEmpty),
+      "approxDistinctKeys: deletion vectors pending — materialize " +
+        "deletes first (masked keys would inflate the metadata estimate)")
     if (snap.files.isEmpty) return 0.0
     require(snap.files.forall(_.kmv.nonEmpty),
       "approxDistinctKeys: commit stats predate KMV sketches — rewrite or " +
@@ -376,6 +400,92 @@ object TableFormat {
     val buf = new graft.functions.KmvBuffer(KmvStatsK)
     files.foreach(_.kmvs(col).foreach(buf.offer))
     Some(buf.estimate)
+  }
+
+  // ---- deletion vectors (positional deletes) ------------------------------
+
+  /** Write a deletion-vector sidecar: the roaring bitmap's portable
+    * serialization, temp-file + rename so a crashed writer never leaves
+    * a half-written sidecar a commit could reference. Returns the
+    * bitmap's cardinality (the `dv_rows` the commit records). */
+  def writeDv(conf: org.apache.hadoop.conf.Configuration, path: String,
+              bm: org.roaringbitmap.longlong.Roaring64Bitmap): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.getParent, s".${p.getName}.${java.util.UUID.randomUUID()}.tmp")
+    fs.mkdirs(p.getParent)
+    val out = new java.io.DataOutputStream(fs.create(tmp, true))
+    try bm.serialize(out) finally out.close()
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(s"writeDv: rename failed at $path")
+    }
+    bm.getLongCardinality
+  }
+
+  /** Read a deletion-vector sidecar back. Used on the driver (merging,
+    * changelog diffs) and once per task by the catalog readers — the
+    * sidecar is O(deleted rows) small by design. */
+  def readDv(conf: org.apache.hadoop.conf.Configuration,
+             path: String): org.roaringbitmap.longlong.Roaring64Bitmap = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = new java.io.DataInputStream(p.getFileSystem(conf).open(p))
+    val bm = new org.roaringbitmap.longlong.Roaring64Bitmap()
+    try bm.deserialize(in) finally in.close()
+    bm
+  }
+
+  /** Read files RAW with each row's FILE-ABSOLUTE ORDINAL (`__pos`, the
+    * native reader's `_metadata.row_index`) and source path (`__file`,
+    * `_metadata.file_path` — the reader's URI rendering; compare in
+    * URI-path form). Era-mapped like [[readRaw]]; no masks applied —
+    * the positional-delete writer and the changelog's DV diff both
+    * anchor on raw ordinals. */
+  private def readWithPos(spark: SparkSession, snap: Snapshot,
+                          files: Seq[String]): DataFrame = {
+    val metaCols = Seq(col("_metadata.file_path").as("__file"),
+      col("_metadata.row_index").as("__pos"))
+    snap.schemaDdl match {
+      case Some(ddl) =>
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        val seqOf = snap.files.map(f => f.file -> f.seq).toMap
+        files.groupBy(f => physicalSchemaOf(snap.props, schema,
+            seqOf.getOrElse(f, Long.MaxValue)))
+          .toSeq.sortBy(_._2.head)
+          .map { case (phys, group) =>
+            spark.read.schema(phys).parquet(group: _*)
+              .select(metaCols ++ phys.fieldNames.map(col): _*)
+              .toDF("__file" +: "__pos" +: schema.fieldNames.toSeq: _*)
+          }
+          .reduce(_.unionByName(_))
+      case None =>
+        val df = spark.read.parquet(files: _*)
+        df.select(metaCols ++ df.columns.map(col): _*)
+    }
+  }
+
+  /** Apply a file subset's DELETION VECTORS: per DV'd file, anti-join
+    * the rows' ordinals against the sidecar's exploded positions
+    * (O(deleted rows) — AQE broadcasts it). Per-file reads keep the
+    * join key a plain long ordinal — no path-rendering comparison, no
+    * UDF — and DV'd files are FEW by design (positional deletes target
+    * scattered small deletes; range deletes belong to [[deleteWhere]]). */
+  private def applyDvs(spark: SparkSession, snap: Snapshot,
+                       dvd: Seq[FileStat]): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    dvd.map { f =>
+      val bm = readDv(conf, f.dv.get._1)
+      val b = Seq.newBuilder[Long]
+      bm.forEach(new org.roaringbitmap.longlong.LongConsumer {
+        override def accept(v: Long): Unit = b += v
+      })
+      val posDf = spark.createDataset(b.result())(
+        org.apache.spark.sql.Encoders.scalaLong).toDF("__dvpos")
+      readWithPos(spark, snap, Seq(f.file))
+        .join(posDf, col("__pos") === col("__dvpos"), "left_anti")
+        .drop("__file", "__pos")
+    }.reduce(_.unionByName(_))
   }
 
   // ---- commit protocol ---------------------------------------------------
@@ -467,6 +577,9 @@ object TableFormat {
         sb.append(vals.mkString(""","part":[""", ",", "]"))
       }
       if (f.sorted) sb.append(""","sorted":true""")
+      f.dv.foreach { case (p, n) =>
+        sb.append(s""","dv":"${esc(p)}","dv_rows":$n""")
+      }
       sb.append('}')
     }
     sb.append("]}")
@@ -535,7 +648,10 @@ object TableFormat {
             (0 until f.get("part").size()).map(f.get("part").get(_).asLong()))),
         // pre-marker commits parse unsorted: the scan withholds its
         // ordering report (a join re-sorts) rather than trusting purity
-        sorted = f.has("sorted") && f.get("sorted").asBoolean())
+        sorted = f.has("sorted") && f.get("sorted").asBoolean(),
+        dv =
+          if (!f.has("dv")) None
+          else Some((f.get("dv").asText(), f.get("dv_rows").asLong())))
     }
     // commits written before props support parse unchanged (empty map)
     val props =
@@ -909,14 +1025,26 @@ object TableFormat {
     * one — and each group anti-joins the union of its applicable
     * manifests (one equi-join; AQE broadcasts small manifests). */
   private def readFiles(spark: SparkSession, snap: Snapshot,
-                        files: Seq[String]): DataFrame =
-    if (snap.deletes.isEmpty) readRaw(spark, snap, files)
+                        files: Seq[String]): DataFrame = {
+    // DELETION VECTORS apply per file (position masks bind to exact
+    // files); equality manifests then scope by seq over both branches.
+    // The common all-clean case stays the single readRaw of before.
+    val statOf = snap.files.map(f => f.file -> f).toMap
+    def readMasked(group: Seq[String]): DataFrame = {
+      val (gDvd, gClean) =
+        group.partition(f => statOf.get(f).exists(_.dv.isDefined))
+      Seq(
+        if (gClean.nonEmpty) Some(readRaw(spark, snap, gClean)) else None,
+        if (gDvd.nonEmpty) Some(applyDvs(spark, snap, gDvd.map(statOf)))
+        else None).flatten.reduce(_.unionByName(_))
+    }
+    if (snap.deletes.isEmpty) readMasked(files)
     else {
       val seqOf = snap.files.map(f => f.file -> f.seq).toMap
       files.groupBy(f => seqOf.getOrElse(f, 0L)).toSeq.sortBy(_._1)
         .map { case (fseq, group) =>
           val manifests = snap.deletes.filter(_.seq > fseq).map(_.file)
-          val df = readRaw(spark, snap, group)
+          val df = readMasked(group)
           if (manifests.isEmpty) df
           else df.join(
             spark.read.parquet(manifests: _*).select(col("_del_key")).distinct(),
@@ -924,6 +1052,7 @@ object TableFormat {
         }
         .reduce(_.unionByName(_))
     }
+  }
 
   /** Add-only schema union, RECURSIVE through nested types: top-level
     * columns of `next` not in `cur` are appended in `next`'s order, and
@@ -2005,6 +2134,89 @@ object TableFormat {
     (snap, ledger._1, ledger._2)
   }
 
+  /** POSITIONAL delete via DELETION VECTORS — the third row-level delete
+    * shape next to copy-on-write ([[deleteKeys]]) and equality manifests
+    * ([[deleteKeysMoR]]), the Delta DV / Iceberg positional-delete
+    * design: rows matching `predicate` are masked by recording their
+    * FILE-ABSOLUTE ROW ORDINALS in per-file roaring-bitmap sidecars —
+    * O(deleted rows) metadata, zero data-file rewrites, no key manifest
+    * (so reads pay a per-batch ordinal skip, not a key hash-probe, and
+    * the delete needs no key column at all — any predicate works).
+    *
+    * Semantics and safety:
+    *  - a file whose every row dies is DROPPED from the file list (a
+    *    strictly better commit than an all-ones bitmap);
+    *  - a later positional delete MERGES bitmaps (old sidecar ∪ new
+    *    positions → new sidecar; old versions keep the old sidecar, so
+    *    time travel is exact);
+    *  - concurrent rewrites of a matched file fail the commit LOUDLY
+    *    ([[CommitConflictException]]) — ordinals are meaningless against
+    *    a rewritten file; concurrent DV deletes merge cleanly (ordinals
+    *    are file-absolute, bitmap union is exact);
+    *  - masked reads flow through [[readFiles]] (library) and the
+    *    catalog readers (ordinal skip on the vectorized path), and
+    *    [[materializeDeletes]] / [[compact]] rewrite the masks away;
+    *  - the candidate scan reads RAW (a position already masked by an
+    *    equality manifest may re-enter the bitmap — idempotent for
+    *    reads; the changelog re-applies manifests at emit time so no
+    *    row is double-deleted).
+    *
+    * Scale posture: DVs suit SCATTERED row deletes (GDPR keys spread
+    * over many files, per-row quality kills). `maxRows` guards the
+    * O(deleted rows) driver collect — a predicate matching a large
+    * RANGE belongs to [[deleteWhere]]'s metadata arithmetic instead.
+    * Returns (snapshot, rows masked, files affected). */
+  def deletePositions(spark: SparkSession, root: String, dataDir: String,
+                      predicate: org.apache.spark.sql.Column,
+                      maxRows: Long = 1L << 22): (Snapshot, Long, Int) = {
+    val first = snapshot(spark, root)
+    if (first.files.isEmpty) return (first, 0L, 0)
+    def uriPath(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
+    val matched = readWithPos(spark, first, first.files.map(_.file))
+      .filter(predicate)
+      .select(col("__file"), col("__pos"))
+      .collect()
+    require(matched.length <= maxRows,
+      s"deletePositions: ${matched.length} matched rows exceed maxRows=" +
+        s"$maxRows — a delete this large belongs to deleteWhere (range " +
+        "metadata arithmetic) or deleteKeys (copy-on-write)")
+    if (matched.isEmpty) return (first, 0L, 0)
+    val byPath: Map[String, Array[Long]] = matched
+      .groupBy(r => uriPath(r.getString(0)))
+      .map { case (p, rows) => p -> rows.map(_.getLong(1)) }
+    val conf = spark.sparkContext.hadoopConfiguration
+    var affected = 0
+    val snap = commitTransform(spark, root, first.keyCol, first.numBits,
+      first.numHashes, { curOpt =>
+        val cur = curOpt.getOrElse(throw new IllegalStateException(
+          "deletePositions: nothing committed"))
+        val curPaths = cur.files.map(f => uriPath(f.file)).toSet
+        byPath.keys.foreach(p => if (!curPaths.contains(p))
+          throw new CommitConflictException(
+            s"deletePositions: matched file $p was rewritten or removed " +
+              "by a concurrent commit — row ordinals are stale; retry " +
+              "against a fresh snapshot"))
+        affected = 0
+        cur.files.flatMap { f =>
+          byPath.get(uriPath(f.file)) match {
+            case None => Some(f)
+            case Some(ps) =>
+              affected += 1
+              val bm = f.dv.map(d => readDv(conf, d._1))
+                .getOrElse(new org.roaringbitmap.longlong.Roaring64Bitmap())
+              ps.foreach(bm.addLong)
+              if (bm.getLongCardinality >= f.nRows) None // fully dead: drop
+              else {
+                val path = s"$dataDir/dv-${java.util.UUID.randomUUID()}.rbm"
+                val n = writeDv(conf, path, bm)
+                Some(f.copy(dv = Some((path, n))))
+              }
+          }
+        }.sortBy(_.file)
+      }, op = Some("dv-delete"))
+    (snap, matched.length.toLong, affected)
+  }
+
   /** MERGE-ON-READ delete (Iceberg v2 equality deletes): publish the key
     * set as a DELETE MANIFEST and commit with every data file carried by
     * reference — O(keys) IO total, no data rewrite at all. This is the
@@ -2221,16 +2433,22 @@ object TableFormat {
   def materializeDeletes(spark: SparkSession, root: String, dataDir: String,
                          nOutFiles: Int = 0): (Snapshot, Int, Int) = {
     val first = snapshot(spark, root)
-    if (first.deletes.isEmpty) return (first, 0, first.files.size)
+    if (first.deletes.isEmpty && first.files.forall(_.dv.isEmpty))
+      return (first, 0, first.files.size)
     var nRe = 0
     var nCa = 0
     val snap = commitTransform(spark, root, first.keyCol, first.numBits,
       first.numHashes, { curOpt =>
         val cur = curOpt.getOrElse(throw new IllegalStateException(
           "materializeDeletes: nothing committed"))
+        // rewrite set: manifest-affected files (sequence + key-range
+        // arithmetic) PLUS deletion-vector'd files (their masks
+        // materialize in the same pass — the DV is dropped with the
+        // rewritten file)
         val (affected, clean) = cur.files.partition { f =>
-          cur.deletes.exists(d => d.seq > f.seq &&
-            d.minKey <= f.maxKey && d.maxKey >= f.minKey)
+          f.dv.isDefined ||
+            cur.deletes.exists(d => d.seq > f.seq &&
+              d.minKey <= f.maxKey && d.maxKey >= f.minKey)
         }
         val rewritten =
           if (affected.isEmpty) Seq.empty[FileStat]
@@ -2529,6 +2747,12 @@ object TableFormat {
     require(snap.deletes.isEmpty,
       "statsSummary: per-file stats are not exact under merge-on-read " +
         "delete manifests — compact to materialize them first")
+    // deletion vectors: COUNT stays exact (liveRows subtracts each
+    // file's recorded cardinality) but BOUNDS do not — a masked row may
+    // hold the extremum — so min/max refuse under any DV
+    require(snap.files.forall(_.dv.isEmpty),
+      "statsSummary: key extrema are not exact under deletion vectors " +
+        "(a masked row may hold the extremum) — materialize deletes first")
     // an all-null-key file carries the conservative full-range sentinel
     // as bounds — real extrema come from files with at least one
     // non-null key (SQL min/max ignore nulls)
@@ -2568,7 +2792,10 @@ object TableFormat {
         bounds(f).exists { case (mn, mx) => mn >= lo && mx <= hi })
     val (disjoint, boundary) = rest.partition(
       bounds(_).exists { case (mn, mx) => mx < lo || mn > hi })
-    val metaCount = inside.map(_.nRows).sum
+    // liveRows: a fully-inside file's metadata count subtracts its
+    // deletion vector's cardinality — exact (every raw row is in range,
+    // dead rows are dead whatever their value)
+    val metaCount = inside.map(_.liveRows).sum
     val scanned =
       if (boundary.isEmpty) 0L
       else {
@@ -2638,7 +2865,63 @@ object TableFormat {
           if (added.isEmpty) None else Some(readFiles(spark, cur, added))
         inserted.map(tag(_, "insert")).toSeq ++ masked.map(tag(_, "delete"))
       }
-      else if (cur.deletes.map(_.file).sorted != prev.deletes.map(_.file).sorted) {
+      else if (cur.op.contains("dv-delete")) {
+        // a DELETION-VECTOR commit's delta is (a) for each file whose
+        // vector GREW, the previously-LIVE rows at the newly-masked
+        // ordinals (bitmap difference, read back by position — prev's
+        // equality manifests re-applied so an already-dead row is never
+        // re-emitted), and (b) for each file the commit DROPPED (fully
+        // dead), its previously-live rows via the ordinary masked read.
+        // O(newly deleted rows + dropped files), never O(table).
+        val conf = spark.sparkContext.hadoopConfiguration
+        val prevByFile = prev.files.map(f => f.file -> f).toMap
+        val snapFor = cur.copy(files = prev.files)
+        val grown: Seq[DataFrame] = cur.files.flatMap { f =>
+          val pf = prevByFile.get(f.file)
+          if (f.dv.isEmpty || pf.isEmpty ||
+              pf.get.dv.map(_._1) == f.dv.map(_._1)) None
+          else {
+            val bm = readDv(conf, f.dv.get._1)
+            pf.get.dv.foreach(d => bm.andNot(readDv(conf, d._1)))
+            if (bm.isEmpty) None
+            else {
+              val b = Seq.newBuilder[Long]
+              bm.forEach(new org.roaringbitmap.longlong.LongConsumer {
+                override def accept(v: Long): Unit = b += v
+              })
+              val posDf = spark.createDataset(b.result())(
+                org.apache.spark.sql.Encoders.scalaLong).toDF("__dvpos")
+              val rows = readWithPos(spark, snapFor, Seq(f.file))
+                .join(posDf, col("__pos") === col("__dvpos"), "left_semi")
+                .drop("__file", "__pos")
+              val manifests = prev.deletes.filter(_.seq > pf.get.seq)
+                .map(_.file)
+              Some(
+                if (manifests.isEmpty) rows
+                else rows.join(
+                  spark.read.parquet(manifests: _*)
+                    .select(col("_del_key")).distinct(),
+                  col(prev.keyCol).cast("long") === col("_del_key"),
+                  "left_anti"))
+            }
+          }
+        }
+        val curSet = cur.files.map(_.file).toSet
+        val dropped = prev.files.map(_.file).filterNot(curSet)
+        val droppedDf =
+          if (dropped.isEmpty) None
+          else Some(readFiles(spark, snapFor, dropped))
+        (grown ++ droppedDf).reduceOption(_.unionByName(_))
+          .map(tag(_, "delete")).toSeq
+      }
+      else if (cur.deletes.map(_.file).sorted != prev.deletes.map(_.file).sorted ||
+          {
+            // a deletion vector changed OUTSIDE a dv-delete commit
+            // (rollback across a DV boundary, branch publish): the
+            // file-name diff is blind to it — full state diff below
+            val pdv = prev.files.map(f => f.file -> f.dv).toMap
+            cur.files.exists(f => pdv.get(f.file).exists(_ != f.dv))
+          }) {
         // the manifest set changed outside a mor-delete commit (a rollback
         // across a MoR boundary, a branch publish): no file-diff shortcut
         // is sound, so fall back to the full state diff under the later
@@ -2978,9 +3261,12 @@ object TableFormat {
     val referenced = survivors
       .flatMap { v =>
         val s = snapshot(spark, root, Some(v))
-        // delete manifests are live state: sweeping one would resurrect
-        // its deleted rows in every surviving version that references it
-        s.files.map(f => uriPath(f.file)) ++ s.deletes.map(d => uriPath(d.file))
+        // delete manifests and DV sidecars are live state: sweeping one
+        // would resurrect its deleted rows in every surviving version
+        // that references it
+        s.files.map(f => uriPath(f.file)) ++
+          s.files.flatMap(_.dv.map(d => uriPath(d._1))) ++
+          s.deletes.map(d => uriPath(d.file))
       }
       .toSet
     // phase 1: expire commit files (readers of surviving versions are
@@ -3001,7 +3287,8 @@ object TableFormat {
         if (st.isDirectory) {
           if (st.getPath.getName != "_log" && st.getPath.getName != "_branch")
             sweep(st.getPath)
-        } else if (st.getPath.getName.endsWith(".parquet") &&
+        } else if ((st.getPath.getName.endsWith(".parquet") ||
+            st.getPath.getName.endsWith(".rbm")) &&
             !referenced.contains(uriPath(st.getPath.toString)) &&
             st.getModificationTime < cutoff) {
           fs.delete(st.getPath, false)

@@ -135,7 +135,8 @@ private class GraftRowLevelScan(op: GraftRowLevelOperation,
       op.replacedFiles = candidates.map(_.file)
     candidates.map { f =>
       val manifests = snap.deletes.filter(_.seq > f.seq).map(_.file)
-      GraftSqlPartition(f.file, manifests, snap.keyCol): InputPartition
+      GraftSqlPartition(f.file, manifests, snap.keyCol, dv = f.dv)
+        : InputPartition
     }.toArray
   }
 
@@ -161,9 +162,14 @@ private class GraftRowLevelReaderFactory(required: StructType,
           m.addAll(ParquetRowReader.readLongColumn(f, "_del_key", conf.value)))
         m
       }
+    // the deletion vector applies INSIDE the rewrite scan too: a
+    // copy-on-write UPDATE/MERGE over a DV'd file must not resurrect
+    // its masked rows in the replacement content
     new ParquetRowReader(p.file, required, conf.value,
       synth = Map(GraftRowLevel.FileColumn -> UTF8String.fromString(p.file)),
-      mask = mask, keyCol = p.keyCol)
+      mask = mask, keyCol = p.keyCol,
+      posMask = p.dv.map(d =>
+        TableFormat.readDv(conf.value, d._1)).orNull)
   }
 }
 

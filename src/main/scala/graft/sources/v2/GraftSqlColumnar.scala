@@ -269,8 +269,14 @@ private class GraftSqlColumnarReader(file: String, required: StructType,
                                      extended: StructType,
                                      mask: java.util.HashSet[java.lang.Long],
                                      keyCol: String,
-                                     conf: org.apache.hadoop.conf.Configuration)
+                                     conf: org.apache.hadoop.conf.Configuration,
+                                     posMask: org.roaringbitmap.longlong.Roaring64Bitmap = null)
     extends PartitionReader[ColumnarBatch] {
+  // `posMask` is the file's DELETION VECTOR (file-absolute ordinals).
+  // The factory hands a FILTER-FREE conf with it — a stamped row-group
+  // predicate would skip groups and desynchronize the running ordinal.
+  require(posMask == null || !GraftRowGroupFilter.hasFilter(conf),
+    s"graft-columnar: deletion vector needs an unfiltered read of $file")
   import org.apache.parquet.hadoop.ParquetFileReader
   import org.apache.parquet.hadoop.util.HadoopInputFile
 
@@ -344,8 +350,14 @@ private class GraftSqlColumnarReader(file: String, required: StructType,
   private val maskState = new MaskState
   private var maskedBatch: ColumnarBatch = _
 
-  private def emit(b: ColumnarBatch): ColumnarBatch =
-    if (mask == null) {
+  // file-absolute ordinal of the CURRENT batch's first row — valid
+  // because a posMask read never skips row groups (constructor guard)
+  private var batchBase = 0L
+
+  private def emit(b: ColumnarBatch): ColumnarBatch = {
+    val base = batchBase
+    batchBase += b.numRows()
+    if (mask == null && posMask == null) {
       if (nRequired == extended.fields.length) b
       else {
         // clean partition inside a masked scan: the key column was read
@@ -358,15 +370,17 @@ private class GraftSqlColumnarReader(file: String, required: StructType,
       }
     } else {
       val rows = b.numRows()
-      val keys = b.column(keyIdx)
+      val keys = if (mask == null) null else b.column(keyIdx)
       if (maskState.map == null || maskState.map.length < rows)
         maskState.map = new Array[Int](rows)
       var n = 0
       var i = 0
       while (i < rows) {
-        // a NULL key is never masked (manifests hold no nulls)
-        val keep = keys.isNullAt(i) || !mask.contains(
-          if (keyIsLong) keys.getLong(i) else keys.getInt(i).toLong)
+        // deletion vector: skip by file-absolute ordinal; equality
+        // manifests: a NULL key is never masked (manifests hold no nulls)
+        val keep = (posMask == null || !posMask.contains(base + i)) &&
+          (mask == null || keys.isNullAt(i) || !mask.contains(
+            if (keyIsLong) keys.getLong(i) else keys.getInt(i).toLong))
         if (keep) { maskState.map(n) = i; n += 1 }
         i += 1
       }
@@ -377,11 +391,28 @@ private class GraftSqlColumnarReader(file: String, required: StructType,
       maskedBatch.setNumRows(n)
       maskedBatch
     }
+  }
+
+  private var countEmitted = false
 
   override def next(): Boolean =
     if (delegate == null) {
-      // zero-column projection: batches are pure row counts
-      if (!groupRowCounts.hasNext) false
+      // zero-column projection: batches are pure row counts. Under a
+      // deletion vector the LIVE count is exact metadata arithmetic:
+      // total footer rows minus the bitmap's cardinality, one batch.
+      if (posMask != null) {
+        if (countEmitted) false
+        else {
+          countEmitted = true
+          if (countBatch == null)
+            countBatch = new ColumnarBatch(Array.empty[ColumnVector])
+          countBatch.setNumRows(
+            (groupRowCounts.sum - posMask.getLongCardinality).toInt)
+          current = countBatch
+          true
+        }
+      }
+      else if (!groupRowCounts.hasNext) false
       else {
         if (countBatch == null)
           countBatch = new ColumnarBatch(Array.empty[ColumnVector])

@@ -1031,14 +1031,18 @@ private class GraftSqlScanBuilder(snap: TableFormat.Snapshot,
   private def planAgg(agg: Aggregation): Option[Seq[AggSpec]] = {
     if (agg.groupByExpressions().nonEmpty || snap.deletes.nonEmpty ||
         bounds.nonEmpty || pruners.nonEmpty) return None
+    // deletion vectors: count(*) stays exact (liveRows subtraction) but
+    // extrema do not (a masked row may hold the min/max) — min/max
+    // refuse, count keeps the metadata answer
+    val anyDv = snap.files.exists(_.dv.isDefined)
     val specs = agg.aggregateExpressions().map {
       case _: CountStar => CountStarSpec
-      case m: Min => m.column() match {
+      case m: Min if !anyDv => m.column() match {
         case r: NamedReference if r.fieldNames.length == 1 &&
           discreteStats(r.fieldNames()(0)) => MinSpec(r.fieldNames()(0))
         case _ => return None
       }
-      case m: Max => m.column() match {
+      case m: Max if !anyDv => m.column() match {
         case r: NamedReference if r.fieldNames.length == 1 &&
           discreteStats(r.fieldNames()(0)) => MaxSpec(r.fieldNames()(0))
         case _ => return None
@@ -1117,7 +1121,7 @@ private class GraftSqlScanBuilder(snap: TableFormat.Snapshot,
 
     override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
       Array(org.apache.spark.sql.catalyst.InternalRow.fromSeq(specs.map {
-        case CountStarSpec => snap.files.map(_.nRows).sum
+        case CountStarSpec => snap.files.map(_.liveRows).sum
         case MinSpec(c) =>
           statOf(c, f => if (c == snap.keyCol) f.minKey else f.zones(c)._1,
             math.min)
@@ -1137,11 +1141,16 @@ private trait GraftPartition extends InputPartition {
   def manifests: Seq[String]
   def keyCol: String
   def physSchemaJson: Option[String]
+  /** Deletion-vector sidecar (path, cardinality) — the reader loads the
+    * bitmap once and skips masked ordinals per batch; a DV read is
+    * always FILTER-FREE so ordinals stay file-absolute. */
+  def dv: Option[(String, Long)]
 }
 
 private case class GraftSqlPartition(file: String, manifests: Seq[String],
                                      keyCol: String,
-                                     physSchemaJson: Option[String] = None)
+                                     physSchemaJson: Option[String] = None,
+                                     dv: Option[(String, Long)] = None)
   extends GraftPartition
 
 /** Several SMALL files served by ONE task — the reader chains the
@@ -1165,7 +1174,8 @@ private case class GraftSqlKeyedPartition(file: String,
                                           manifests: Seq[String],
                                           keyCol: String,
                                           physSchemaJson: Option[String],
-                                          keyVals: Array[Any])
+                                          keyVals: Array[Any],
+                                          dv: Option[(String, Long)] = None)
   extends GraftPartition with HasPartitionKey {
   override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(keyVals)
@@ -1307,8 +1317,10 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
           else f.nRows * math.max(tableSchema.defaultSize.toLong, 8L)
         }.sum, 1L))
       override def numRows(): java.util.OptionalLong =
+        // deletion vectors subtract EXACTLY (liveRows); only equality
+        // manifests (unknown per-file overlap) withhold the figure
         if (snap.deletes.isEmpty)
-          java.util.OptionalLong.of(files.map(_.nRows).sum)
+          java.util.OptionalLong.of(files.map(_.liveRows).sum)
         else java.util.OptionalLong.empty()
 
       /** PER-COLUMN statistics from the same commit metadata, over the
@@ -1325,7 +1337,11 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
         val m = new java.util.HashMap[
           org.apache.spark.sql.connector.expressions.NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-        if (snap.deletes.nonEmpty || files.isEmpty) return m
+        // per-column figures are NOT exact under any pending mask:
+        // manifests (unknown overlap) or deletion vectors (masked rows
+        // still count in nulls/ndv/bounds) both withhold them
+        if (snap.deletes.nonEmpty || files.exists(_.dv.isDefined) ||
+            files.isEmpty) return m
         def integralLong(c: String): Boolean =
           tableSchema.fields.find(_.name == c).map(_.dataType)
             .contains(LongType)
@@ -1429,7 +1445,9 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
     limit match {
       case Some(n) if !anyMasked =>
         var acc = 0L
-        base.takeWhile { f => val need = acc < n; acc += f.nRows; need }
+        // liveRows: a deletion vector's cardinality subtracts exactly,
+        // so the prefix still never under-delivers
+        base.takeWhile { f => val need = acc < n; acc += f.liveRows; need }
       case _ => base
     }
   }
@@ -1576,11 +1594,11 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
           GraftSqlKeyedPartition(f.file, manifests, snap.keyCol, phys,
             terms.zip(f.part.get._2).map { case (t, v) =>
               keyedValue(t, v)
-            }.toArray): InputPartition
+            }.toArray, f.dv): InputPartition
         }.toArray
       case None =>
         packSmallFiles(perFile.map { case (f, manifests, phys) =>
-          (GraftSqlPartition(f.file, manifests, snap.keyCol, phys),
+          (GraftSqlPartition(f.file, manifests, snap.keyCol, phys, f.dv),
             if (f.bytes >= 0) f.bytes
             else f.nRows * math.max(tableSchema.defaultSize.toLong, 8L))
         })
@@ -1659,11 +1677,21 @@ private class GraftSqlReaderFactory(required: StructType,
       m
     }
 
+  /** The partition's DELETION VECTOR, loaded once per task — O(deleted
+    * rows) small by design. */
+  private def posMaskOf(p: GraftPartition)
+      : org.roaringbitmap.longlong.Roaring64Bitmap =
+    p.dv.map(d => graft.operators.TableFormat.readDv(conf.value, d._1))
+      .orNull
+
   /** Era-resolved conf/schema for a partition under a rename/drop
     * ledger: the per-file conf copy happens ONLY for old-era files of
-    * mapped tables — the common case keeps the one scan-wide stamp. */
-  private def confFor(p: GraftPartition): org.apache.hadoop.conf.Configuration =
-    p.physSchemaJson match {
+    * mapped tables — the common case keeps the one scan-wide stamp.
+    * A DV'd partition additionally STRIPS the stamped row-group filter
+    * (the manifest-read precedent): skipped row groups would break the
+    * file-absolute ordinal count the vector masks by. */
+  private def confFor(p: GraftPartition): org.apache.hadoop.conf.Configuration = {
+    val base = p.physSchemaJson match {
       case Some(js) =>
         val c2 = new org.apache.hadoop.conf.Configuration(conf.value)
         c2.set(org.apache.spark.sql.execution.datasources.parquet
@@ -1671,11 +1699,15 @@ private class GraftSqlReaderFactory(required: StructType,
         c2
       case None => conf.value
     }
+    if (p.dv.isDefined && GraftRowGroupFilter.hasFilter(base))
+      GraftRowGroupFilter.without(base)
+    else base
+  }
 
   private def columnarReaderOf(p: GraftPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new GraftSqlColumnarReader(p.file, required, extended, maskOf(p),
-      p.keyCol, confFor(p))
+      p.keyCol, confFor(p), posMaskOf(p))
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
@@ -1705,8 +1737,8 @@ private class GraftSqlReaderFactory(required: StructType,
         .fromJson(js).asInstanceOf[StructType].fields.take(required.length))
       case None => required
     }
-    new ParquetRowReader(p.file, physRequired, conf.value, synth = synth,
-      mask = mask, keyCol = p.keyCol)
+    new ParquetRowReader(p.file, physRequired, confFor(p), synth = synth,
+      mask = mask, keyCol = p.keyCol, posMask = posMaskOf(p))
   }
 
   override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =

@@ -411,8 +411,15 @@ private[v2] class ParquetRowReader(file: String, schema: StructType,
                                    conf: org.apache.hadoop.conf.Configuration,
                                    synth: Map[String, Any] = Map.empty,
                                    mask: java.util.HashSet[java.lang.Long] = null,
-                                   keyCol: String = null)
+                                   keyCol: String = null,
+                                   posMask: org.roaringbitmap.longlong.Roaring64Bitmap = null)
     extends PartitionReader[InternalRow] {
+  // `posMask` is a DELETION VECTOR of file-absolute row ordinals. The
+  // caller must hand a FILTER-FREE conf with it (the factory does):
+  // a stamped row-group predicate would skip groups and break the
+  // sequential ordinal count.
+  require(posMask == null || !GraftRowGroupFilter.hasFilter(conf),
+    s"parquet-row-reader: deletion vector needs an unfiltered read of $file")
   import org.apache.parquet.example.data.Group
   import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
   import org.apache.parquet.hadoop.ParquetFileReader
@@ -660,12 +667,18 @@ private[v2] class ParquetRowReader(file: String, schema: StructType,
         s"parquet-row-reader: non-integral key column $keyCol ($t)")
     }
 
+  // file-absolute row ordinal of the NEXT record (valid because a
+  // posMask read never skips row groups — see the constructor guard)
+  private var pos = -1L
+
   override def next(): Boolean = {
     while (true) {
       if (rowsLeftInGroup == 0 && !advanceRowGroup()) return false
       val g = recordReader.read()
       rowsLeftInGroup -= 1
-      if (mask == null || { val k = keyOf(g); k == null || !mask.contains(k) }) {
+      pos += 1
+      if ((posMask == null || !posMask.contains(pos)) &&
+          (mask == null || { val k = keyOf(g); k == null || !mask.contains(k) })) {
         val vals = new Array[Any](extractors.length)
         var i = 0
         while (i < extractors.length) { vals(i) = extractors(i)(g); i += 1 }
