@@ -5517,6 +5517,52 @@ object SparkEntry {
     // layouts refuse). Reprocessing one day of a 100 TB table costs
     // O(that day). Graded: both ledgers replay exactly, each mutation
     // is one commit with the overwrite_where op ----
+    // ---- SAFE TYPE WIDENING (r14): ALTER COLUMN TYPE int->long is ONE
+    // metadata commit — old files keep their INT32 pages and every
+    // reader up-converts (Iceberg's promotion matrix); old versions
+    // keep the old DDL (time travel shows INT); inserts under the new
+    // type land values beyond the old width; narrowing refuses loudly.
+    // Graded: both eras aggregate together against the oracle's
+    // arithmetic, with the era/refusal facts as constant flags ----
+    "q153_type_widening" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"twd_${java.lang.Integer.toHexString(dir.hashCode)}"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q153_twd", dir) {
+        val p = new org.apache.hadoop.fs.Path(s"$wh/$tbl")
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        s.sql(s"""CREATE TABLE graft.`$tbl` (k BIGINT, pay INT)
+          TBLPROPERTIES('key_col'='k')""")
+        Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+            col("o_custkey").cast("int").as("pay"))
+          .filter(pmod(col("k"), lit(2)) === 0)
+          .createOrReplaceTempView("q153_even")                     // v1+v2
+        s.sql(s"INSERT INTO graft.`$tbl` SELECT * FROM q153_even")
+        s.sql(s"ALTER TABLE graft.`$tbl` ALTER COLUMN pay TYPE BIGINT") // v3
+        Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+            (col("o_custkey") * 10000000L).as("pay")) // beyond INT range
+          .filter(pmod(col("k"), lit(2)) === 1)
+          .createOrReplaceTempView("q153_odd")
+        s.sql(s"INSERT INTO graft.`$tbl` SELECT * FROM q153_odd")   // v4
+      }
+      import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
+      def payType(v: Long) = StructType.fromDDL(
+        TableFormat.snapshot(s, s"$wh/$tbl", Some(v)).schemaDdl.get)
+        .fields.find(_.name == "pay").get.dataType
+      // time travel: INT before the widen, BIGINT after
+      val eraOk = payType(2) == IntegerType && payType(3) == LongType
+      val narrowRefused =
+        try { s.sql(s"ALTER TABLE graft.`$tbl` ALTER COLUMN pay TYPE INT")
+          false }
+        catch { case _: Exception => true }
+      s.sql(s"""SELECT count(*) AS n_rows,
+          CAST(sum(pay) AS BIGINT) AS sum_pay,
+          CAST(max(pay) AS BIGINT) AS max_pay FROM graft.`$tbl`""")
+        .select(col("n_rows"), col("sum_pay"), col("max_pay"),
+          lit(eraOk).as("era_ok"), lit(narrowRefused).as("narrow_refused"))
+    },
+
     // ---- DELETION VECTORS (r14): the POSITIONAL delete shape next to
     // copy-on-write (q88/q120) and equality manifests (q94/q95) — a
     // predicate delete commits O(deleted rows) of per-file roaring
@@ -8937,6 +8983,18 @@ object SparkEntry {
     // pushdown + skipping intact and the deleted key still gone (the
     // stamped filter never reaches the manifest read); kmid = max(k)/2
     // on the contiguous key domain
+    // both eras aggregate from orders arithmetic (even keys kept their
+    // INT-era custkey, odd keys landed post-widen at x1e7 — beyond INT
+    // range); the era/refusal flags are dataset constants
+    "q153_type_widening" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN o_custkey
+             ELSE o_custkey * 10000000 END) AS BIGINT) AS sum_pay,
+           CAST(max(CASE WHEN o_orderkey % 2 = 0 THEN o_custkey
+             ELSE o_custkey * 10000000 END) AS BIGINT) AS max_pay,
+           TRUE AS era_ok, TRUE AS narrow_refused
+         FROM orders""",
+
     // the 4-pin ledger replays from orders arithmetic: base, masked
     // (k % 9 <> 4), the changelog's masked rows, materialized; the ok
     // flags are dataset constants (no-rewrite commit facts, deletes-only

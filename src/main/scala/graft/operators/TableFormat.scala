@@ -1063,6 +1063,35 @@ object TableFormat {
     * readers and Spark's native parquet reader do). Anything else —
     * leaf type changes, member drops, map KEY changes — needs a rewrite
     * (out of the minimal sound form, as in early Iceberg v1 readers). */
+  /** SAFE TYPE WIDENING lattice (the Iceberg promotion matrix): the
+    * wider of two integral types, the wider of float/double, and
+    * same-scale decimal precision growth (capped at 18 — the catalog
+    * writer's INT64 decimal encoding). None = not width-related (a real
+    * type change, which still needs a rewrite). Sound because parquet
+    * readers up-convert at read time — Spark's native vectorized and
+    * row-based readers both read INT32 pages under a BIGINT schema
+    * (and FLOAT under DOUBLE), and the engine's custom row reader
+    * resolves its converters against the file's own physical type. */
+  private[graft] def widened(a: org.apache.spark.sql.types.DataType,
+                             b: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    val intRank = Map[DataType, Int](
+      ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+    val fltRank = Map[DataType, Int](FloatType -> 1, DoubleType -> 2)
+    if (a == b) Some(a)
+    else if (intRank.contains(a) && intRank.contains(b))
+      Some(if (intRank(a) >= intRank(b)) a else b)
+    else if (fltRank.contains(a) && fltRank.contains(b))
+      Some(if (fltRank(a) >= fltRank(b)) a else b)
+    else (a, b) match {
+      case (x: DecimalType, y: DecimalType)
+        if x.scale == y.scale && math.max(x.precision, y.precision) <= 18 =>
+        Some(if (x.precision >= y.precision) x else y)
+      case _ => None
+    }
+  }
+
   def evolveSchema(cur: org.apache.spark.sql.types.StructType,
                    next: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType = {
@@ -1089,15 +1118,57 @@ object TableFormat {
               s"${ak.simpleString} -> ${bk.simpleString}")
           MapType(ak, merge(av, bv, s"$path.value"), an || bn)
         case (a, b) =>
-          require(a == b,
+          // SAFE WIDENING merges to the wider type (int→long,
+          // float→double, decimal precision growth): a widened table
+          // reads old narrow files by up-conversion, and a NARROW batch
+          // appended to a widened table keeps the wide schema. Anything
+          // else is a real type change and needs a rewrite.
+          widened(a, b).getOrElse(throw new IllegalArgumentException(
             s"schema evolution: column '$path' cannot change type " +
-              s"${a.simpleString} -> ${b.simpleString}")
-          a
+              s"${a.simpleString} -> ${b.simpleString} (only safe " +
+              "widening — int->long, float->double, same-scale decimal " +
+              "precision growth — is metadata-only)"))
       }
     merge(cur, next, "<root>") match {
       case st: StructType => st
       case other => throw new IllegalStateException(other.simpleString)
     }
+  }
+
+  /** WIDEN a top-level column's type — ONE metadata commit, zero file
+    * rewrites (the ALTER TABLE shape of the [[widened]] lattice): old
+    * files keep their narrow physical pages and every reader
+    * up-converts; old VERSIONS keep the old DDL, so time travel shows
+    * the old type. Narrowing (or any non-width change) is refused
+    * loudly. Zone/key columns widen freely — their recorded stats live
+    * in the zone-long image, which widening does not move. */
+  def widenColumnType(spark: SparkSession, root: String, colName: String,
+                      dt: org.apache.spark.sql.types.DataType): Snapshot = {
+    val first = snapshot(spark, root)
+    val schema = first.schemaDdl
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+      .getOrElse(throw new IllegalArgumentException(
+        s"widenColumnType: table at $root carries no schema"))
+    val field = schema.fields.find(_.name == colName).getOrElse(
+      throw new IllegalArgumentException(
+        s"widenColumnType: no column '$colName'"))
+    require(field.dataType != dt,
+      s"widenColumnType: '$colName' already has type ${dt.simpleString}")
+    require(widened(field.dataType, dt).contains(dt),
+      s"widenColumnType: ${field.dataType.simpleString} -> " +
+        s"${dt.simpleString} is not a safe widening (int->long, " +
+        "float->double, same-scale decimal precision growth) — " +
+        "narrowing or retyping needs a rewrite")
+    val target = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+      if (f.name == colName) f.copy(dataType = dt) else f))
+    commitTransform(spark, root, first.keyCol, first.numBits, first.numHashes,
+      curOpt => curOpt.map(_.files).getOrElse(Seq.empty),
+      deriveSchema = curOpt => Some(evolveSchema(
+        curOpt.flatMap(_.schemaDdl)
+          .map(org.apache.spark.sql.types.StructType.fromDDL)
+          .getOrElse(target),
+        target).toDDL),
+      op = Some("replace"))
   }
 
   /** Insert a NEW nullable field at a nested `path` (struct member

@@ -461,6 +461,8 @@ class GraftTableCatalog extends TableCatalog
     val unsetProps = scala.collection.mutable.ListBuffer.empty[String]
     val renames = scala.collection.mutable.ListBuffer.empty[(String, String)]
     val drops = scala.collection.mutable.ListBuffer.empty[String]
+    val widens =
+      scala.collection.mutable.ListBuffer.empty[(String, org.apache.spark.sql.types.DataType)]
     // rename/drop are metadata-only via the COLUMN MAPPING ledger
     // ([[TableFormat.physicalName]]); the stats machinery stays
     // name-keyed, so the key and declared zone columns refuse (their
@@ -517,6 +519,25 @@ class GraftTableCatalog extends TableCatalog
           "graft catalog: added nested fields must be nullable (existing " +
             "rows back-fill them with null)")
         nestedAdds += ((a.fieldNames().toSeq, a.dataType()))
+      case u: TableChange.UpdateColumnType if u.fieldNames().length == 1 =>
+        // SAFE WIDENING only (int->long, float->double, same-scale
+        // decimal precision growth) — one metadata commit, readers
+        // up-convert old narrow files; anything else refuses loudly
+        val c = u.fieldNames()(0)
+        val cur = baseSchema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft catalog: no column '$c' to retype")).dataType
+        require(cur != u.newDataType() &&
+          TableFormat.widened(cur, u.newDataType()).contains(u.newDataType()),
+          s"graft catalog: ALTER COLUMN $c TYPE ${u.newDataType().simpleString}" +
+            s" from ${cur.simpleString} is not a safe widening " +
+            "(int->long, float->double, same-scale decimal precision " +
+            "growth) — narrowing or retyping needs a rewrite")
+        widens += ((c, u.newDataType()))
+      case u: TableChange.UpdateColumnType =>
+        throw new UnsupportedOperationException(
+          "graft catalog: only top-level columns can be widened " +
+            s"(got ${u.fieldNames().mkString(".")})")
       case sp: TableChange.SetProperty =>
         setProps += sp.property() -> sp.value()
       case rp: TableChange.RemoveProperty =>
@@ -562,9 +583,12 @@ class GraftTableCatalog extends TableCatalog
     // top-level columns (path validation — parent exists, member new —
     // happens here, against the schema the user altered)
     val target = StructType(
-      nestedAdds.foldLeft(baseSchema) { case (sc, (path, dt)) =>
+      (nestedAdds.foldLeft(baseSchema) { case (sc, (path, dt)) =>
         TableFormat.addNestedField(sc, path, dt)
-      }.fields ++ addedFields)
+      }.fields ++ addedFields).map { f =>
+        widens.find(_._1 == f.name).map(w => f.copy(dataType = w._2))
+          .getOrElse(f)
+      })
     TableFormat.commitTransform(spark, root, first.keyCol, first.numBits,
       first.numHashes,
       { curOpt =>

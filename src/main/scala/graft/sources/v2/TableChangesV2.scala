@@ -458,9 +458,21 @@ private[v2] class ParquetRowReader(file: String, schema: StructType,
     import org.apache.parquet.schema.LogicalTypeAnnotation
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
     dt match {
-      case LongType => (g, i) => g.getLong(name, i)
+      // type-widened columns read files written BEFORE the widen: the
+      // converter resolves against the file's own physical type, so an
+      // INT32-era file up-converts under a BIGINT schema (FLOAT under
+      // DOUBLE) — the read half of safe widening
+      case LongType => prim.getPrimitiveTypeName match {
+        case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32 =>
+          (g, i) => g.getInteger(name, i).toLong
+        case _ => (g, i) => g.getLong(name, i)
+      }
       case IntegerType => (g, i) => g.getInteger(name, i)
-      case DoubleType => (g, i) => g.getDouble(name, i)
+      case DoubleType => prim.getPrimitiveTypeName match {
+        case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.FLOAT =>
+          (g, i) => g.getFloat(name, i).toDouble
+        case _ => (g, i) => g.getDouble(name, i)
+      }
       case FloatType => (g, i) => g.getFloat(name, i)
       case BooleanType => (g, i) => g.getBoolean(name, i)
       case StringType => (g, i) => UTF8String.fromString(g.getString(name, i))
