@@ -5517,6 +5517,59 @@ object SparkEntry {
     // layouts refuse). Reprocessing one day of a 100 TB table costs
     // O(that day). Graded: both ledgers replay exactly, each mutation
     // is one commit with the overwrite_where op ----
+    // ---- KEY-COLUMN RENAME + TABLE RENAME (r14): the column-mapping
+    // ledger now covers the KEY and ZONE columns — per-file stats
+    // re-key through the mapping at snapshot resolution, so pruning,
+    // blooms and the storage-partitioned-join tuples survive the
+    // rename — and ALTER TABLE RENAME TO moves the root with O(versions)
+    // logged-path rewrites (history and time travel intact). Graded:
+    // aggregate + bloom-pruned point probe under the NEW names on the
+    // RENAMED table, with the spec/tuple/time-travel facts as flags ----
+    "q154_rename_column_table" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val hex = java.lang.Integer.toHexString(dir.hashCode)
+      val (t1, t2) = (s"krn_$hex", s"kr2_$hex")
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q154_krn", dir) {
+        Seq(t1, t2).foreach { t =>
+          val p = new org.apache.hadoop.fs.Path(s"$wh/$t")
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+        s.sql(s"""CREATE TABLE graft.`$t1` (k BIGINT, cents BIGINT)
+          PARTITIONED BY (bucket(8, k))""")
+        Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("q154_src")
+        s.sql(s"INSERT INTO graft.`$t1` SELECT * FROM q154_src")      // v2
+        s.sql(s"ALTER TABLE graft.`$t1` RENAME COLUMN k TO okey")     // v3
+        s.sql(s"ALTER TABLE graft.`$t1` RENAME TO `$t2`")
+      }
+      val snap = TableFormat.snapshot(s, s"$wh/$t2")
+      val specOk = snap.keyCol == "okey" &&
+        snap.props(TableFormat.PartitionSpecProp) == "bucket(okey, 8)" &&
+        snap.files.forall(_.part.exists(_._1 == "bucket(okey, 8)")) &&
+        snap.files.forall(_.file.contains(s"/$t2/"))
+      // time travel under the renamed root shows the OLD column name
+      val timeOk = TableFormat.snapshot(s, s"$wh/$t2", Some(2)).keyCol == "k"
+      val minKey = s.sql(s"SELECT min(okey) AS m FROM graft.`$t2`")
+        .collect()(0).getLong(0)
+      val probe = s.sql(
+        s"SELECT count(*) AS n FROM graft.`$t2` WHERE okey = $minKey")
+      // the bloom probe must prune files under the NEW name (re-keyed
+      // stats); bucket layouts carry wide bounds, so pruning here IS
+      // the bloom's work
+      val pruned = """PrunedFiles: (\d+)/(\d+)""".r
+        .findFirstMatchIn(probe.queryExecution.executedPlan.toString)
+        .exists(m => m.group(1).toInt * 2 > m.group(2).toInt)
+      val nProbe = probe.collect()(0).getLong(0)
+      s.sql(s"""SELECT count(*) AS n_rows,
+          CAST(sum(cents) AS BIGINT) AS sum_cents FROM graft.`$t2`""")
+        .select(col("n_rows"), col("sum_cents"),
+          lit(nProbe).as("n_probe"),
+          lit(specOk && timeOk).as("rename_ok"), lit(pruned).as("pruned"))
+    },
+
     // ---- SAFE TYPE WIDENING (r14): ALTER COLUMN TYPE int->long is ONE
     // metadata commit — old files keep their INT32 pages and every
     // reader up-converts (Iceberg's promotion matrix); old versions
@@ -8983,6 +9036,18 @@ object SparkEntry {
     // pushdown + skipping intact and the deleted key still gone (the
     // stamped filter never reaches the manifest read); kmid = max(k)/2
     // on the contiguous key domain
+    // aggregate + the min-key point probe replay from orders; the
+    // rename/prune facts are dataset constants (spec and tuples follow
+    // the rename, time travel keeps the old name, blooms prune under
+    // the new one)
+    "q154_rename_column_table" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(1 AS BIGINT) AS n_probe,
+           TRUE AS rename_ok, TRUE AS pruned
+         FROM orders""",
+
     // both eras aggregate from orders arithmetic (even keys kept their
     // INT-era custkey, odd keys landed post-widen at x1e7 — beyond INT
     // range); the era/refusal flags are dataset constants

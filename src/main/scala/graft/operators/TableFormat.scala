@@ -744,7 +744,77 @@ object TableFormat {
       try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
         java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
-    parseCommit(root, text)
+    rekeyStats(parseCommit(root, text))
+  }
+
+  /** Canonical rendering of a partition spec — the exact format the SQL
+    * catalog writes for `PARTITIONED BY` transforms, so a re-rendered
+    * spec string compares equal to a catalog-written one. */
+  private[graft] def renderSpec(terms: Seq[SpecTerm]): String = terms.map {
+    case IdentityTerm(c) => c
+    case MonthTerm(c) => s"month($c)"
+    case DivTerm(c, w) => s"div($c, $w)"
+    case BucketTerm(c, n) => s"bucket($c, $n)"
+  }.mkString(", ")
+
+  /** Rewrite a spec string's base columns through `ren` (old → new).
+    * Verbatim when no base column is renamed — stored strings that need
+    * no change keep their exact bytes, so tuple-spec comparisons
+    * elsewhere never break on formatting. */
+  private[graft] def renameSpecCols(spec: String,
+                                    ren: Map[String, String]): String = {
+    val terms = parseSpec(spec)
+    if (!terms.exists(t => ren.contains(t.baseCol))) spec
+    else renderSpec(terms.map {
+      case IdentityTerm(c) => IdentityTerm(ren.getOrElse(c, c))
+      case MonthTerm(c) => MonthTerm(ren.getOrElse(c, c))
+      case DivTerm(c, w) => DivTerm(ren.getOrElse(c, c), w)
+      case BucketTerm(c, n) => BucketTerm(ren.getOrElse(c, c), n)
+    })
+  }
+
+  /** RE-KEY per-file statistics through the COLUMN-MAPPING ledger at
+    * snapshot resolution: a file committed before a key/zone column was
+    * renamed carries its zone bounds, null counts, sketches and
+    * partition-tuple spec under the OLD (physical) name — exactly the
+    * name [[physicalName]] resolves for the file's era — so mapping
+    * them back to the CURRENT logical names makes every stats consumer
+    * (pruning, SPJ, blooms, metadata aggregates) work unchanged across
+    * renames. No-op (fast path) without a mapping ledger. */
+  private def rekeyStats(snap: Snapshot): Snapshot = {
+    if (!hasColumnMapping(snap.props)) return snap
+    val statCols = (snap.keyCol +: snap.zoneCols).distinct
+    val curSpec = snap.props.get(PartitionSpecProp)
+    val files = snap.files.map { f =>
+      val ren: Map[String, String] = statCols.flatMap { lc =>
+        physicalName(snap.props, lc, f.seq) match {
+          case Some(pn) if pn != lc => Some(pn -> lc)
+          case _ => None
+        }
+      }.toMap
+      // the stored tuple's spec string also re-keys: base columns were
+      // recorded under the file era's names, and the spec comparison
+      // (storage-partitioned joins) must see the CURRENT names. The
+      // current props spec is canonically rendered on rename, so a
+      // re-keyed string and the props string compare equal.
+      val specRen: Map[String, String] = curSpec.map(parseSpec).getOrElse(Seq.empty)
+        .flatMap { t =>
+          physicalName(snap.props, t.baseCol, f.seq) match {
+            case Some(pn) if pn != t.baseCol => Some(pn -> t.baseCol)
+            case _ => None
+          }
+        }.toMap
+      val part2 = f.part.map { case (spec, vals) =>
+        (renameSpecCols(spec, specRen), vals)
+      }
+      if (ren.isEmpty && part2 == f.part) f
+      else f.copy(
+        zones = f.zones.map { case (c, v) => (ren.getOrElse(c, c), v) },
+        nulls = f.nulls.map { case (c, v) => (ren.getOrElse(c, c), v) },
+        kmvs = f.kmvs.map { case (c, v) => (ren.getOrElse(c, c), v) },
+        part = part2)
+    }
+    snap.copy(files = files)
   }
 
   /** Publish `files` as version `version` — returns false when the CAS
@@ -903,8 +973,10 @@ object TableFormat {
         .map(d => if (d.seq < 0) d.copy(seq = next) else d)
       if (tryCommit(spark, root, next, keyCol, numBits, numHashes, files,
           props, schemaDdl, op, zc, dels))
-        return Snapshot(root, next, keyCol, numBits, numHashes, files,
-          props, schemaDdl, op, zc, dels)
+        // re-key through the mapping ledger like snapshot() does, so a
+        // caller holding this return sees current-name stats too
+        return rekeyStats(Snapshot(root, next, keyCol, numBits, numHashes,
+          files, props, schemaDdl, op, zc, dels))
       attempt += 1
     }
     throw new IllegalStateException(
@@ -1316,6 +1388,61 @@ object TableFormat {
       throw new IllegalStateException(
         s"cloneTable: lost the bootstrap race at $targetRoot")
     snapshot(spark, targetRoot)
+  }
+
+  /** RENAME a table's root directory, rewriting the log's recorded
+    * absolute paths (data files, deletion-vector sidecars, delete
+    * manifests) to the new prefix — one directory move plus O(versions)
+    * small commit rewrites, no data IO. History, time travel, tags and
+    * stats all survive: every commit is parsed and re-rendered, not
+    * string-patched. OFFLINE by contract (run with readers/writers
+    * quiesced — the move itself is atomic but the path rewrites are
+    * not); REFUSED under live WAP branches (their logs also hold
+    * absolute paths — publish or drop them first). Shallow CLONES of
+    * this table keep referencing the OLD paths and break, the same
+    * caveat [[cloneTable]] documents for source-side retention. */
+  def renameRoot(spark: SparkSession, oldRoot: String,
+                 newRoot: String): Unit = {
+    val (fc, fs, oldP) = fileContext(spark, oldRoot)
+    val newP = new org.apache.hadoop.fs.Path(newRoot)
+    require(fs.exists(oldP), s"renameRoot: nothing at $oldRoot")
+    require(versions(spark, oldRoot).nonEmpty,
+      s"renameRoot: no table log at $oldRoot")
+    require(!fs.exists(newP), s"renameRoot: target $newRoot already exists")
+    val branches = new org.apache.hadoop.fs.Path(oldRoot, "_branch")
+    require(!fs.exists(branches) || fs.listStatus(branches).isEmpty,
+      s"renameRoot: live branches under $oldRoot hold absolute paths — " +
+        "publish or drop them first")
+    fs.mkdirs(newP.getParent)
+    require(fs.rename(oldP, newP), s"renameRoot: move $oldRoot -> $newRoot failed")
+    val oldUri = oldP.toUri.getPath
+    def rewrite(s: String): String = {
+      val sp = new org.apache.hadoop.fs.Path(s).toUri.getPath
+      if (sp == oldUri || sp.startsWith(oldUri + "/"))
+        newRoot + sp.stripPrefix(oldUri)
+      else s
+    }
+    versions(spark, newRoot).foreach { v =>
+      val p = new org.apache.hadoop.fs.Path(logDir(newRoot), commitName(v))
+      val in = fs.open(p)
+      val text =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      val snap = parseCommit(newRoot, text) // RAW: no stats re-keying here
+      val rewritten = renderCommit(v, snap.keyCol, snap.numBits,
+        snap.numHashes,
+        snap.files.map(f => f.copy(file = rewrite(f.file),
+          dv = f.dv.map { case (dp, n) => (rewrite(dp), n) })),
+        snap.props, snap.schemaDdl, snap.op, snap.zoneCols,
+        snap.deletes.map(d => d.copy(file = rewrite(d.file))))
+      val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+        s".rename-${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(rewritten.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
   }
 
   /** Commit-property prefix under which NAMED REFS (tags) live — the

@@ -464,28 +464,41 @@ class GraftTableCatalog extends TableCatalog
     val widens =
       scala.collection.mutable.ListBuffer.empty[(String, org.apache.spark.sql.types.DataType)]
     // rename/drop are metadata-only via the COLUMN MAPPING ledger
-    // ([[TableFormat.physicalName]]); the stats machinery stays
-    // name-keyed, so the key and declared zone columns refuse (their
-    // rename would orphan every recorded bound/bloom/null count)
-    def mappable(c: String): String = {
+    // ([[TableFormat.physicalName]]). RENAMES now cover the key and
+    // zone columns too: per-file stats stay recorded under each file
+    // era's physical name and snapshot resolution RE-KEYS them to the
+    // current logical names ([[TableFormat]] rekeyStats), so pruning,
+    // blooms, SPJ tuples and metadata aggregates survive the rename.
+    // DROPS of key/zone columns still refuse — a table cannot lose its
+    // key, and a dropped zone column would orphan its declared stats.
+    def mapName(c: String): String = {
       require(c.matches("[A-Za-z0-9_]+"),
         s"graft catalog: column mapping needs [A-Za-z0-9_]+ names, got '$c'")
+      c
+    }
+    def mappable(c: String): String = {
+      mapName(c)
       require(c != first.keyCol && !first.zoneCols.contains(c),
-        s"graft catalog: cannot rename/drop '$c' — it is the key or a " +
-          "declared zone/partition column (stats are name-keyed; " +
-          "recluster to re-key first)")
+        s"graft catalog: cannot drop '$c' — it is the key or a " +
+          "declared zone/partition column")
       c
     }
     changes.foreach {
       case r: TableChange.RenameColumn if r.fieldNames().length == 1 =>
-        val from = mappable(r.fieldNames()(0))
-        val to = r.newName()
-        require(to.matches("[A-Za-z0-9_]+"),
-          s"graft catalog: column mapping needs [A-Za-z0-9_]+ names, got '$to'")
+        val from = mapName(r.fieldNames()(0))
+        val to = mapName(r.newName())
         require(baseSchema.fieldNames.contains(from),
           s"graft catalog: no column '$from' to rename")
         require(!baseSchema.fieldNames.contains(to),
           s"graft catalog: rename target '$to' already exists")
+        // CHECK constraints hold raw SQL text — a rename would silently
+        // break (or worse, re-bind) their column references; refuse
+        first.props.foreach { case (k, sql) =>
+          require(!k.startsWith("constraint.") ||
+            !sql.matches(s"(?s).*\\b$from\\b.*"),
+            s"graft catalog: cannot rename '$from' — constraint '$k' " +
+              s"references it ($sql); drop the constraint first")
+        }
         renames += ((from, to))
       case r: TableChange.RenameColumn =>
         throw new UnsupportedOperationException(
@@ -589,7 +602,12 @@ class GraftTableCatalog extends TableCatalog
         widens.find(_._1 == f.name).map(w => f.copy(dataType = w._2))
           .getOrElse(f)
       })
-    TableFormat.commitTransform(spark, root, first.keyCol, first.numBits,
+    // a key/zone rename re-declares the commit's stats columns under
+    // the new names (stored per-file stats re-key at resolution)
+    val renMapAll = renames.toMap
+    val newKeyCol = renMapAll.getOrElse(first.keyCol, first.keyCol)
+    val newZoneCols = first.zoneCols.map(c => renMapAll.getOrElse(c, c))
+    TableFormat.commitTransform(spark, root, newKeyCol, first.numBits,
       first.numHashes,
       { curOpt =>
         val cur = curOpt.getOrElse(
@@ -625,6 +643,20 @@ class GraftTableCatalog extends TableCatalog
           if (p.contains(s"coldead.$n") && !p.contains(s"colmap.$n"))
             p += (s"colborn.$n" -> v.toString)
         }
+        // name-carrying properties follow a key/zone rename: the
+        // partition spec re-renders canonically (stored file tuples
+        // re-key to the same canonical form at resolution) and the
+        // write sort order renames its columns
+        val renMap = renames.toMap
+        if (renMap.nonEmpty) {
+          p.get(TableFormat.PartitionSpecProp).foreach(spec =>
+            p += TableFormat.PartitionSpecProp ->
+              TableFormat.renameSpecCols(spec, renMap))
+          p.get(GraftSqlWrite.SortOrderProp).foreach(so =>
+            p += GraftSqlWrite.SortOrderProp ->
+              so.split(',').map(_.trim).filter(_.nonEmpty)
+                .map(c => renMap.getOrElse(c, c)).mkString(","))
+        }
         p
       },
       // schema re-derives against the RE-RESOLVED snapshot: a column a
@@ -643,7 +675,9 @@ class GraftTableCatalog extends TableCatalog
         }.filterNot(f => drops.contains(f.name)))
         Some(renamed.toDDL)
       },
-      op = Some("replace"))
+      op = Some("replace"),
+      zoneCols =
+        if (newZoneCols == first.zoneCols) None else Some(newZoneCols))
     loadTable(ident)
   }
 
@@ -656,9 +690,23 @@ class GraftTableCatalog extends TableCatalog
     fs.exists(p) && fs.delete(p, true)
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException(
-      "graft catalog: rename is not supported (clone + drop instead)")
+  /** ALTER TABLE ... RENAME TO — a root-directory move plus O(versions)
+    * commit-path rewrites ([[TableFormat.renameRoot]]): history, time
+    * travel, tags, stats, vectors and manifests all survive under the
+    * new name. Refuses occupied targets (tables AND views — tables
+    * shadow views at resolution, so landing on a view name would bury
+    * it) and live WAP branches. */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val spark = SparkSession.active
+    if (TableFormat.versions(spark, rootOf(oldIdent)).isEmpty)
+      throw new NoSuchTableException(oldIdent)
+    require(!tableExists(newIdent),
+      s"graft catalog: rename target '$newIdent' names an existing table")
+    require(!viewExists(newIdent),
+      s"graft catalog: rename target '$newIdent' names an existing VIEW — " +
+        "tables shadow views; pick another name")
+    TableFormat.renameRoot(spark, rootOf(oldIdent), rootOf(newIdent))
+  }
 }
 
 /** A metadata table (`$history` / `$files`): version- or file-bounded
@@ -1713,7 +1761,13 @@ private class GraftSqlReaderFactory(required: StructType,
     * mapped tables — the common case keeps the one scan-wide stamp.
     * A DV'd partition additionally STRIPS the stamped row-group filter
     * (the manifest-read precedent): skipped row groups would break the
-    * file-absolute ordinal count the vector masks by. */
+    * file-absolute ordinal count the vector masks by. An OLD-ERA file
+    * (physSchemaJson present) strips it too: the predicate names the
+    * CURRENT logical column, which the file stores under its physical
+    * name — parquet treats the missing column as all-null and would
+    * silently drop every row group. Pushdown is an optimization; the
+    * residual Spark filter keeps results exact, and maintenance
+    * rewrites migrate files back onto the filtered fast path. */
   private def confFor(p: GraftPartition): org.apache.hadoop.conf.Configuration = {
     val base = p.physSchemaJson match {
       case Some(js) =>
@@ -1723,7 +1777,8 @@ private class GraftSqlReaderFactory(required: StructType,
         c2
       case None => conf.value
     }
-    if (p.dv.isDefined && GraftRowGroupFilter.hasFilter(base))
+    if ((p.dv.isDefined || p.physSchemaJson.isDefined) &&
+        GraftRowGroupFilter.hasFilter(base))
       GraftRowGroupFilter.without(base)
     else base
   }

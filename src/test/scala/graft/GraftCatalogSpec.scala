@@ -1128,9 +1128,15 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(spark.sql("SELECT k, b FROM sqlcat.cmap WHERE k = 7")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       Seq((7L, 14L)))
-    // the key and zone columns refuse rename/drop loudly
+    // the key column RENAMES through the ledger since r14 (stats re-key
+    // at snapshot resolution) — the point probe still prunes and answers
+    spark.sql("ALTER TABLE sqlcat.cmap RENAME COLUMN k TO kk")
+    assert(spark.sql("SELECT kk, b FROM sqlcat.cmap WHERE kk = 7")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((7L, 14L)))
+    // DROPPING the key still refuses loudly
     val e = intercept[Exception](
-      spark.sql("ALTER TABLE sqlcat.cmap RENAME COLUMN k TO kk"))
+      spark.sql("ALTER TABLE sqlcat.cmap DROP COLUMN kk"))
     assert(e.getMessage.contains("key"), e.getMessage)
   }
 
