@@ -5517,6 +5517,65 @@ object SparkEntry {
     // layouts refuse). Reprocessing one day of a 100 TB table costs
     // O(that day). Graded: both ledgers replay exactly, each mutation
     // is one commit with the overwrite_where op ----
+    // ---- SECONDARY-COLUMN BLOOMS (r14): `bloom.cols` declares zone
+    // columns that carry PER-FILE bloom bitsets in commit stats — the
+    // q130 IN/= membership pruning extended past the key. The fixture
+    // is the shape that NEEDS it: a time-keyed table (ts-range files)
+    // whose high-cardinality `usr` column spans every file, so bounds
+    // prune nothing and only the bloom can. Graded against a twin
+    // WITHOUT the property: same oracle rows, strictly more files
+    // pruned on the bloomed table ----
+    "q155_secondary_blooms" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val hex = java.lang.Integer.toHexString(dir.hashCode)
+      val (tA, tB) = (s"sbl_$hex", s"sbn_$hex")
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q155_sbl", dir) {
+        Seq(tA, tB).foreach { t =>
+          val p = new org.apache.hadoop.fs.Path(s"$wh/$t")
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+        val src = Tables.orders(s, dir).select(col("o_orderkey").as("ts"),
+          (col("o_orderkey") * 1000003 % 16777216).as("usr"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        val maxTs = src.agg(max(col("ts"))).collect()(0).getLong(0)
+        val w = maxTs / 8 + 1 // ~8 ts-range partitions at every SF
+        src.createOrReplaceTempView("q155_src")
+        Seq(tA -> s", 'bloom.cols'='usr'", tB -> "").foreach { case (t, bc) =>
+          // bloom sizing note honored: ~8 bits/value at the largest SF
+          // this entry sees (the default 16K bits saturates at 18k+
+          // values/file and would prune nothing)
+          s.sql(s"""CREATE TABLE graft.`$t` (ts BIGINT, usr BIGINT, cents BIGINT)
+            TBLPROPERTIES('key_col'='ts', 'zone_cols'='usr',
+              'num_bits'='${1 << 21}',
+              '${TableFormat.PartitionSpecProp}'='div(ts, $w)'$bc)""")
+          s.sql(s"INSERT INTO graft.`$t` SELECT * FROM q155_src")
+        }
+      }
+      // an INTERIOR usr value (the midpoint key's image): the domain
+      // edges are bounds-prunable, which would mask the bloom's work
+      val mm = s.sql(s"SELECT min(ts) AS a, max(ts) AS b FROM graft.`$tA`")
+        .collect()(0)
+      val probeUsr = (mm.getLong(0) + mm.getLong(1)) / 2 * 1000003 % 16777216
+      def prunedOf(t: String): (DataFrame, Int) = {
+        val df = s.sql(s"SELECT ts, cents FROM graft.`$t` WHERE usr = $probeUsr")
+        val m = """PrunedFiles: (\d+)/(\d+)""".r
+          .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+        (df, m.map(_.group(1).toInt).getOrElse(-1))
+      }
+      val (dfA, prunedA) = prunedOf(tA)
+      val (_, prunedB) = prunedOf(tB)
+      // the bloomed table must STRICTLY out-prune the bounds-only twin
+      // (usr's pseudorandom walk spans nearly every ts-range file, so
+      // bounds alone keep almost everything)
+      dfA.agg(count(lit(1)).as("n_probe"),
+          coalesce(sum(col("ts")), lit(0L)).as("sum_ts"),
+          coalesce(sum(col("cents")), lit(0L)).cast("long").as("sum_cents"))
+        .select(col("n_probe"), col("sum_ts"), col("sum_cents"),
+          lit(prunedA > prunedB).as("bloom_wins"))
+    },
+
     // ---- KEY-COLUMN RENAME + TABLE RENAME (r14): the column-mapping
     // ledger now covers the KEY and ZONE columns — per-file stats
     // re-key through the mapping at snapshot resolution, so pruning,
@@ -9036,6 +9095,23 @@ object SparkEntry {
     // pushdown + skipping intact and the deleted key still gone (the
     // stamped filter never reaches the manifest read); kmid = max(k)/2
     // on the contiguous key domain
+    // the probe replays from orders arithmetic (the permuted usr of the
+    // midpoint orderkey, collisions included); bloom_wins is a dataset
+    // constant (usr's pseudorandom walk spans nearly every ts-range
+    // file, so bounds keep almost everything and the bloom strictly
+    // out-prunes)
+    "q155_secondary_blooms" ->
+      """WITH o AS (SELECT o_orderkey AS ts,
+             (o_orderkey * 1000003) % 16777216 AS usr,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+         p AS (SELECT ((min(ts) + max(ts)) // 2 * 1000003) % 16777216 AS pu
+               FROM o)
+         SELECT CAST(count(*) AS BIGINT) AS n_probe,
+           CAST(coalesce(sum(ts), 0) AS BIGINT) AS sum_ts,
+           CAST(coalesce(sum(cents), 0) AS BIGINT) AS sum_cents,
+           TRUE AS bloom_wins
+         FROM o, p WHERE o.usr = p.pu""",
+
     // aggregate + the min-key point probe replay from orders; the
     // rename/prune facts are dataset constants (spec and tuples follow
     // the rename, time travel keeps the old name, blooms prune under

@@ -78,7 +78,8 @@ object TableFormat {
                             part: Option[(String, Seq[Long])] = None,
                             sorted: Boolean = false,
                             kmvs: Map[String, Seq[Long]] = Map.empty,
-                            dv: Option[(String, Long)] = None) {
+                            dv: Option[(String, Long)] = None,
+                            blooms: Map[String, Array[Long]] = Map.empty) {
     /** True iff the file PROVABLY holds no null in `col` (recorded zero;
       * unknown — pre-null-stats commits — is not proof). */
     def nullFree(col: String): Boolean = nulls.get(col).contains(0L)
@@ -89,6 +90,16 @@ object TableFormat {
       * rewrite drops the vector with the file. */
     def liveRows: Long = nRows - dv.map(_._2).getOrElse(0L)
   }
+  // `blooms` carries SECONDARY-COLUMN bloom bitsets for the zone
+  // columns named by the `bloom.cols` table property, hashed over the
+  // column's zone-long image as a base-10 string (the same value space
+  // the pushed-filter probes translate into): a point lookup on a
+  // high-cardinality NON-KEY column (user_id in a time-keyed event
+  // table) prunes files whose wide time-range bounds could never — the
+  // q130 IN/= pruning, extended past the key. A column absent from the
+  // map (pre-declaration commits, non-bloomed zones) simply doesn't
+  // prune by membership; bounds still apply.
+  //
   // `dv` is the file's DELETION VECTOR — the POSITIONAL delete shape
   // (Delta's deletion vectors / Iceberg's positional deletes) next to
   // copy-on-write rewrites and equality-delete manifests: a sidecar
@@ -220,10 +231,19 @@ object TableFormat {
   def fileStats(spark: SparkSession, files: Seq[String], keyCol: String,
                 numBits: Int, numHashes: Int,
                 zoneCols: Seq[String] = Seq.empty,
-                spec: Option[String] = None): Seq[FileStat] = {
+                spec: Option[String] = None,
+                bloomCols: Seq[String] = Seq.empty): Seq[FileStat] = {
     require(files.nonEmpty, "fileStats: empty file list")
+    require(bloomCols.forall(zoneCols.contains),
+      s"fileStats: bloom.cols must name declared zone columns " +
+        s"(got ${bloomCols.mkString(",")}; zones ${zoneCols.mkString(",")})")
     val schema = spark.read.parquet(files: _*).schema
     def zl(c: String) = zoneLong(schema(c).dataType, col(c))
+    // secondary blooms hash the ZONE-LONG image's base-10 string — the
+    // exact space pushed-filter probes translate values into
+    val bloomAggs = bloomCols.map(c =>
+      graft.Functions.bloom_agg(zl(c), numBits, numHashes)
+        .as(s"zbloom_$c"))
     val zoneAggs = zoneCols.flatMap(c => Seq(
       min(zl(c)).as(s"zmin_$c"),
       max(zl(c)).as(s"zmax_$c"),
@@ -252,7 +272,7 @@ object TableFormat {
       count(lit(1)).as("n_rows"),
       count(when(col(keyCol).isNull, lit(1))).as("null_key"),
       graft.Functions.bloom_agg(col(keyCol), numBits, numHashes).as("bloom")) ++
-      zoneAggs ++ partAggs :+
+      zoneAggs ++ partAggs ++ bloomAggs :+
       graft.Functions.kmv_sketch(col(keyCol).cast("string"), KmvStatsK).as("kmv")
     spark.read.parquet(files: _*)
       .groupBy(input_file_name().as("file"))
@@ -280,6 +300,9 @@ object TableFormat {
           val i = r.fieldIndex(s"zkmv_$c")
           c -> (if (r.isNullAt(i)) Seq.empty[Long] else r.getSeq[Long](i).toSeq)
         }.toMap
+        val zblooms = bloomCols.map { c =>
+          c -> r.getSeq[Long](r.fieldIndex(s"zbloom_$c")).toArray
+        }.toMap
         FileStat(r.getString(r.fieldIndex("file")),
           longOpt("min_key").getOrElse(Long.MinValue),
           longOpt("max_key").getOrElse(Long.MaxValue),
@@ -288,6 +311,7 @@ object TableFormat {
           kmv = r.getSeq[Long](r.fieldIndex("kmv")),
           nulls = nulls,
           kmvs = kmvs,
+          blooms = zblooms,
           // on-disk size recorded at stats time (one driver-side status
           // call per NEWLY COMMITTED file — the file was just read
           // wholesale for the aggregate, the RPC is noise): what lets
@@ -580,6 +604,17 @@ object TableFormat {
       f.dv.foreach { case (p, n) =>
         sb.append(s""","dv":"${esc(p)}","dv_rows":$n""")
       }
+      if (f.blooms.nonEmpty) {
+        sb.append(""","blooms":{""")
+        f.blooms.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((c, words), j) =>
+          if (j > 0) sb.append(',')
+          val bb = java.nio.ByteBuffer.allocate(words.length * 8)
+          words.foreach(bb.putLong)
+          sb.append(s""""${esc(c)}":"${java.util.Base64.getEncoder
+            .encodeToString(bb.array())}"""")
+        }
+        sb.append('}')
+      }
       sb.append('}')
     }
     sb.append("]}")
@@ -651,7 +686,21 @@ object TableFormat {
         sorted = f.has("sorted") && f.get("sorted").asBoolean(),
         dv =
           if (!f.has("dv")) None
-          else Some((f.get("dv").asText(), f.get("dv_rows").asLong())))
+          else Some((f.get("dv").asText(), f.get("dv_rows").asLong())),
+        blooms =
+          if (!f.has("blooms")) Map.empty[String, Array[Long]]
+          else {
+            val z = f.get("blooms")
+            val it = z.fieldNames()
+            val m = Map.newBuilder[String, Array[Long]]
+            while (it.hasNext) {
+              val c = it.next()
+              val raw = java.util.Base64.getDecoder.decode(z.get(c).asText())
+              val bb = java.nio.ByteBuffer.wrap(raw)
+              m += c -> Array.fill(raw.length / 8)(bb.getLong)
+            }
+            m.result()
+          })
     }
     // commits written before props support parse unchanged (empty map)
     val props =
@@ -812,6 +861,7 @@ object TableFormat {
         zones = f.zones.map { case (c, v) => (ren.getOrElse(c, c), v) },
         nulls = f.nulls.map { case (c, v) => (ren.getOrElse(c, c), v) },
         kmvs = f.kmvs.map { case (c, v) => (ren.getOrElse(c, c), v) },
+        blooms = f.blooms.map { case (c, v) => (ren.getOrElse(c, c), v) },
         part = part2)
     }
     snap.copy(files = files)
@@ -1616,7 +1666,8 @@ object TableFormat {
       if (files.isEmpty) Seq.empty
       else fileStats(spark, files, first.keyCol, first.numBits,
         first.numHashes, first.zoneCols,
-        spec = first.props.get(PartitionSpecProp))
+        spec = first.props.get(PartitionSpecProp),
+        bloomCols = bloomColsOf(first.props))
     val stats =
       if (filesSorted) stats0.map(_.copy(sorted = true)) else stats0
     if (files.nonEmpty)
@@ -1652,7 +1703,8 @@ object TableFormat {
     val first = snapshot(spark, root)
     val stats0 = fileStats(spark, files, first.keyCol, first.numBits,
       first.numHashes, first.zoneCols,
-      spec = first.props.get(PartitionSpecProp))
+      spec = first.props.get(PartitionSpecProp),
+        bloomCols = bloomColsOf(first.props))
     val stats =
       if (filesSorted) stats0.map(_.copy(sorted = true)) else stats0
     val newSchema = spark.read.parquet(files: _*).schema
@@ -1698,6 +1750,18 @@ object TableFormat {
     * blooms, and the term exists for layout/distribution, stated not
     * hidden). */
   val PartitionSpecProp = "partition.spec"
+
+  /** Commit property naming the ZONE COLUMNS that also carry PER-FILE
+    * BLOOM BITSETS (comma-separated; must be declared zone columns) —
+    * the membership-pruning dial for high-cardinality non-key lookups.
+    * Sized by the table's numBits/numHashes, same as the key bloom. */
+  val BloomColsProp = "bloom.cols"
+
+  /** Parse the [[BloomColsProp]] declaration out of commit props. */
+  def bloomColsOf(props: Map[String, String]): Seq[String] =
+    props.get(BloomColsProp)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
 
   private[graft] sealed trait SpecTerm { def baseCol: String }
   private[graft] final case class IdentityTerm(baseCol: String) extends SpecTerm
@@ -1962,7 +2026,8 @@ object TableFormat {
         .write.mode("overwrite").parquet(out)
       val files = listParquet(spark, out)
       fileStats(spark, files, cur.keyCol, cur.numBits, cur.numHashes,
-        cur.zoneCols, spec = cur.props.get(PartitionSpecProp))
+        cur.zoneCols, spec = cur.props.get(PartitionSpecProp),
+              bloomCols = bloomColsOf(cur.props))
     }, op = Some("replace"),
       // the rewrite read MoR manifests through read() above, so the
       // output is materialized: compaction CLEARS the delete set — the
@@ -2001,7 +2066,8 @@ object TableFormat {
           if (files.isEmpty) Seq.empty
           else fileStats(spark, files, cur.keyCol, cur.numBits,
             cur.numHashes, cur.zoneCols,
-            spec = cur.props.get(PartitionSpecProp))
+            spec = cur.props.get(PartitionSpecProp),
+              bloomCols = bloomColsOf(cur.props))
         }
       (carried ++ rewritten).sortBy(_.file)
     }, op = Some("delete"))
@@ -2047,7 +2113,8 @@ object TableFormat {
         }
         fileStats(spark, files.sorted.toSeq, cur.keyCol, cur.numBits,
           cur.numHashes, zoneCols,
-          spec = cur.props.get(PartitionSpecProp))
+          spec = cur.props.get(PartitionSpecProp),
+              bloomCols = bloomColsOf(cur.props))
       }, op = Some("replace"), zoneCols = Some(zoneCols),
       deriveDeletes = _ => Seq.empty)
   }
@@ -2097,7 +2164,8 @@ object TableFormat {
           if (files.isEmpty) Seq.empty
           else fileStats(spark, files, cur.keyCol, cur.numBits,
             cur.numHashes, cur.zoneCols,
-            spec = cur.props.get(PartitionSpecProp))
+            spec = cur.props.get(PartitionSpecProp),
+              bloomCols = bloomColsOf(cur.props))
         }
         ledger = (multi.map(_.size).sum, multi.size)
         (large ++ single.flatten ++ rewritten).sortBy(_.file)
@@ -2173,7 +2241,8 @@ object TableFormat {
             if (files.isEmpty) Seq.empty
             else fileStats(spark, files, cur.keyCol, cur.numBits,
               cur.numHashes, cur.zoneCols,
-              spec = cur.props.get(PartitionSpecProp))
+              spec = cur.props.get(PartitionSpecProp),
+              bloomCols = bloomColsOf(cur.props))
           }
         ledger = (dropped.size, boundary.size, carried.size)
         (carried ++ rewritten).sortBy(_.file)
@@ -2206,7 +2275,8 @@ object TableFormat {
       if (files.isEmpty) Seq.empty
       else fileStats(spark, files, first.keyCol, first.numBits,
         first.numHashes, first.zoneCols,
-        spec = first.props.get(PartitionSpecProp))
+        spec = first.props.get(PartitionSpecProp),
+        bloomCols = bloomColsOf(first.props))
     // boundary rewrites below stay UNSORTED (filtered re-emits); only
     // the incoming routed batch may carry the write-provenance marker
     val newStats =
@@ -2259,7 +2329,8 @@ object TableFormat {
             if (fs.isEmpty) Seq.empty
             else fileStats(spark, fs, cur.keyCol, cur.numBits,
               cur.numHashes, cur.zoneCols,
-              spec = cur.props.get(PartitionSpecProp))
+              spec = cur.props.get(PartitionSpecProp),
+              bloomCols = bloomColsOf(cur.props))
           }
         ledger = (dropped.size, boundary.size, carried.size)
         (carried ++ rewritten ++ newStats).sortBy(_.file)
@@ -2292,7 +2363,8 @@ object TableFormat {
     val newStats0 =
       if (files.isEmpty) Seq.empty
       else fileStats(spark, files, first.keyCol, first.numBits,
-        first.numHashes, first.zoneCols, spec = Some(spec))
+        first.numHashes, first.zoneCols, spec = Some(spec),
+        bloomCols = bloomColsOf(first.props))
     val newStats =
       if (filesSorted) newStats0.map(_.copy(sorted = true)) else newStats0
     newStats.foreach(f => require(f.part.exists(_._1 == spec),
@@ -2517,7 +2589,8 @@ object TableFormat {
     val newFiles = listParquet(spark, dataOut)
     val newStats = fileStats(spark, newFiles, first.keyCol, first.numBits,
       first.numHashes, first.zoneCols,
-      spec = first.props.get(PartitionSpecProp))
+      spec = first.props.get(PartitionSpecProp),
+        bloomCols = bloomColsOf(first.props))
     val manOut = s"$dataDir/mordel-${java.util.UUID.randomUUID().toString}"
     src.select(col(first.keyCol).cast("long").as("_del_key"))
       .distinct().repartition(1).write.mode("overwrite").parquet(manOut)
@@ -2660,7 +2733,8 @@ object TableFormat {
             if (files.isEmpty) Seq.empty[FileStat]
             else fileStats(spark, files, cur.keyCol, cur.numBits,
               cur.numHashes, cur.zoneCols,
-              spec = cur.props.get(PartitionSpecProp))
+              spec = cur.props.get(PartitionSpecProp),
+              bloomCols = bloomColsOf(cur.props))
           }
         nRe = affected.size
         nCa = clean.size
@@ -2750,7 +2824,8 @@ object TableFormat {
         newData.repartition(nOutFiles).write.mode("overwrite").parquet(out)
         val newStats = fileStats(spark, listParquet(spark, out),
           cur.keyCol, cur.numBits, cur.numHashes, cur.zoneCols,
-          spec = cur.props.get(PartitionSpecProp))
+          spec = cur.props.get(PartitionSpecProp),
+              bloomCols = bloomColsOf(cur.props))
         nRewritten = hit.size
         nCarried = carried.size
         (carried ++ newStats).sortBy(_.file)
@@ -3389,7 +3464,8 @@ object TableFormat {
       val newStats = if (newFiles.isEmpty) Seq.empty
         else fileStats(spark, newFiles, cur.keyCol, cur.numBits,
           cur.numHashes, cur.zoneCols,
-          spec = cur.props.get(PartitionSpecProp))
+          spec = cur.props.get(PartitionSpecProp),
+              bloomCols = bloomColsOf(cur.props))
       val (nKeys, keyLo, keyHi) =
         (keyProf.getLong(0), keyProf.getLong(1), keyProf.getLong(2))
       commitTransform(spark, targetRoot, cur.keyCol, cur.numBits, cur.numHashes,

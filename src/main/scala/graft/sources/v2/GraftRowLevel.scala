@@ -208,7 +208,8 @@ private class GraftReplaceDataWrite(op: GraftRowLevelOperation, root: String,
       if (newFiles.isEmpty) Seq.empty
       else TableFormat.fileStats(spark, newFiles, snap.keyCol, snap.numBits,
         snap.numHashes, snap.zoneCols,
-        spec = snap.props.get(TableFormat.PartitionSpecProp))
+        spec = snap.props.get(TableFormat.PartitionSpecProp),
+        bloomCols = TableFormat.bloomColsOf(snap.props))
     val opName = op.command() match {
       case RowLevelOperation.Command.DELETE => "delete"
       case RowLevelOperation.Command.UPDATE => "update"

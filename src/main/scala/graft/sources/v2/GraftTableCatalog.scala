@@ -588,6 +588,11 @@ class GraftTableCatalog extends TableCatalog
               snap.zoneCols.contains(t.baseCol),
               s"graft catalog: spec column '${t.baseCol}' must be the key " +
                 "or a declared zone column"))
+        case (k, v) if k == TableFormat.BloomColsProp =>
+          v.split(',').map(_.trim).filter(_.nonEmpty).foreach(c =>
+            require(snap.zoneCols.contains(c),
+              s"graft catalog: bloom.cols column '$c' must be a declared " +
+                "zone column (blooms ride the zone-stats aggregate)"))
         case _ => ()
       }
     }
@@ -655,6 +660,10 @@ class GraftTableCatalog extends TableCatalog
           p.get(GraftSqlWrite.SortOrderProp).foreach(so =>
             p += GraftSqlWrite.SortOrderProp ->
               so.split(',').map(_.trim).filter(_.nonEmpty)
+                .map(c => renMap.getOrElse(c, c)).mkString(","))
+          p.get(TableFormat.BloomColsProp).foreach(bc =>
+            p += TableFormat.BloomColsProp ->
+              bc.split(',').map(_.trim).filter(_.nonEmpty)
                 .map(c => renMap.getOrElse(c, c)).mkString(","))
         }
         p
@@ -974,6 +983,17 @@ private class GraftSqlScanBuilder(snap: TableFormat.Snapshot,
               graft.functions.BloomUtil.contains(
                 new org.apache.spark.sql.catalyst.util.GenericArrayData(f.bloom),
                 s, snap.numBits, snap.numHashes)))
+          } else {
+            // a ZONE column declared in bloom.cols carries per-file
+            // membership bitsets too — the high-cardinality non-key
+            // point probe (files without one keep bounds-only pruning)
+            val s = org.apache.spark.unsafe.types.UTF8String
+              .fromString(l.toString)
+            pruners += ((s"EqBloom($c)", (f: TableFormat.FileStat) =>
+              f.blooms.get(c).forall(words =>
+                graft.functions.BloomUtil.contains(
+                  new org.apache.spark.sql.catalyst.util.GenericArrayData(words),
+                  s, snap.numBits, snap.numHashes))))
           }
         }
       case GreaterThan(c, v) if prunable(c) =>
@@ -1023,9 +1043,25 @@ private class GraftSqlScanBuilder(snap: TableFormat.Snapshot,
               }
             }))
           } else {
+            // zone columns: bounds always; a bloom.cols bitset refines
+            // the probe to per-value membership when the file has one
+            val strs = longs.map(l =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(l.toString))
             pruners += ((s"In($c:${longs.size})", (f: TableFormat.FileStat) =>
-              f.zones.get(c).forall { case (mn, mx) =>
-                longs.exists(l => l >= mn && l <= mx)
+              f.blooms.get(c) match {
+                case Some(words) =>
+                  val bits = new org.apache.spark.sql.catalyst.util
+                    .GenericArrayData(words)
+                  longs.indices.exists { i =>
+                    f.zones.get(c).forall { case (mn, mx) =>
+                      longs(i) >= mn && longs(i) <= mx } &&
+                      graft.functions.BloomUtil.contains(bits, strs(i),
+                        snap.numBits, snap.numHashes)
+                  }
+                case None =>
+                  f.zones.get(c).forall { case (mn, mx) =>
+                    longs.exists(l => l >= mn && l <= mx)
+                  }
               }))
           }
         }
@@ -1557,9 +1593,25 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
               }
             }
           } else {
+            // zone columns: bounds, refined by a bloom.cols bitset when
+            // the file carries one (runtime join keys probe membership)
+            val strs = longs.map(l =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(l.toString))
             keep += { f =>
-              f.zones.get(c).forall { case (mn, mx) =>
-                longs.exists(l => l >= mn && l <= mx)
+              f.blooms.get(c) match {
+                case Some(words) =>
+                  val bits = new org.apache.spark.sql.catalyst.util
+                    .GenericArrayData(words)
+                  longs.indices.exists { i =>
+                    f.zones.get(c).forall { case (mn, mx) =>
+                      longs(i) >= mn && longs(i) <= mx } &&
+                      graft.functions.BloomUtil.contains(bits, strs(i),
+                        snap.numBits, snap.numHashes)
+                  }
+                case None =>
+                  f.zones.get(c).forall { case (mn, mx) =>
+                    longs.exists(l => l >= mn && l <= mx)
+                  }
               }
             }
           }
@@ -1576,8 +1628,15 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
                   s, snap.numBits, snap.numHashes)
             }
           } else {
+            val s = org.apache.spark.unsafe.types.UTF8String
+              .fromString(l.toString)
             keep += { f =>
-              f.zones.get(c).forall { case (mn, mx) => l >= mn && l <= mx }
+              f.zones.get(c).forall { case (mn, mx) => l >= mn && l <= mx } &&
+                f.blooms.get(c).forall(words =>
+                  graft.functions.BloomUtil.contains(
+                    new org.apache.spark.sql.catalyst.util
+                      .GenericArrayData(words),
+                    s, snap.numBits, snap.numHashes))
             }
           }
         }
