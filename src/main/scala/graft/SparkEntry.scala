@@ -5517,6 +5517,123 @@ object SparkEntry {
     // layouts refuse). Reprocessing one day of a 100 TB table costs
     // O(that day). Graded: both ledgers replay exactly, each mutation
     // is one commit with the overwrite_where op ----
+    // ---- AUTO-MAINTENANCE TICK (r14): `CALL graft.system.maintain`
+    // runs ONE idempotent policy pass — materialize pending masks
+    // (manifests + deletion vectors), bin-pack the small-file tail,
+    // expire versions past retention — each only past its threshold,
+    // with a bin PRE-CHECK so a tick that would change nothing commits
+    // nothing. The fixture converges a deliberately messy table
+    // (5 small range-slice files, an equality manifest, a deletion
+    // vector, 8+ versions) in one tick, absorbs an interleaved ingest
+    // with a second, and THIS entry runs a third tick LIVE on every
+    // invocation proving the no-op. Content graded by the oracle ----
+    "q157_maintenance_tick" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"mnt_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val root = s"$wh/$tbl"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val maintainSql = s"CALL graft.system.maintain('$tbl', " +
+        "target_rows => 1000000, min_small_files => 4, " +
+        "max_pending_masks => 0, keep_last => 3, grace_ms => 0)"
+      Fixtures.once(s, "q157_mnt", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        s.sql(s"""CREATE TABLE graft.`$tbl` (k BIGINT, cents BIGINT)
+          TBLPROPERTIES('key_col'='k')""")                           // v1
+        val src = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        val w = src.agg(max(col("k"))).collect()(0).getLong(0) / 6 + 1
+        src.createOrReplaceTempView("q157_src")
+        // five SMALL range-slice files (one per insert)                v2-6
+        (0 until 5).foreach(i => s.sql(
+          s"""INSERT INTO graft.`$tbl`
+             SELECT /*+ REPARTITION(1) */ * FROM q157_src
+             WHERE k >= ${i * w} AND k < ${(i + 1) * w}"""))
+        // a pending equality manifest (slice 0) and a deletion vector
+        // (slice 1)                                                    v7-8
+        TableFormat.deleteKeysMoR(s, root, s"$root/data",
+          src.filter(col("k") < w && pmod(col("k"), lit(41)) === 7)
+            .select(col("k")))
+        TableFormat.deletePositions(s, root, s"$root/data",
+          col("k") >= w && col("k") < 2 * w && pmod(col("k"), lit(53)) === 9)
+        s.sql(maintainSql)                     // tick 1: converges (v9-10)
+        s.sql(s"""INSERT INTO graft.`$tbl`
+          SELECT /*+ REPARTITION(1) */ * FROM q157_src
+          WHERE k >= ${5 * w}""")              // interleaved ingest  (v11)
+        s.sql(maintainSql)                     // tick 2: absorbs it
+      }
+      // tick 3 runs LIVE on every invocation: the converged table must
+      // take ZERO commits ("none", version unchanged)
+      val before = TableFormat.snapshot(s, root).version
+      val tick = s.sql(maintainSql).collect()(0)
+      val after = TableFormat.snapshot(s, root)
+      val noopOk = tick.getString(tick.fieldIndex("actions")) == "none" &&
+        after.version == before
+      val convergedOk = after.deletes.isEmpty &&
+        after.files.forall(_.dv.isEmpty) &&
+        TableFormat.versions(s, root).size <= 3
+      s.sql(s"""SELECT count(*) AS n_rows,
+          CAST(sum(cents) AS BIGINT) AS sum_cents FROM graft.`$tbl`""")
+        .select(col("n_rows"), col("sum_cents"),
+          lit(noopOk).as("tick_noop"), lit(convergedOk).as("converged"))
+    },
+
+    // ---- SQL MERGE-ON-READ DELETE MODE (r14): under the
+    // write.delete.mode='merge-on-read' table property (Iceberg's
+    // knob), `DELETE FROM t WHERE k IN (...)` commits an EQUALITY
+    // DELETE MANIFEST — O(keys) metadata, zero file drops or rewrites —
+    // making the GDPR key-scatter shape SQL-drivable; `CALL
+    // materialize_deletes` then pays the read amplification down.
+    // Graded: masked read + materialized read against the oracle, with
+    // the commit-shape facts (op, untouched file set, manifest key
+    // count) as flags ----
+    "q156_sql_mor_delete" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"mdm_${java.lang.Integer.toHexString(dir.hashCode)}"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q156_mdm", dir) {
+        val p = new org.apache.hadoop.fs.Path(s"$wh/$tbl")
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        s.sql(s"""CREATE TABLE graft.`$tbl` (k BIGINT, cents BIGINT)
+          TBLPROPERTIES('key_col'='k',
+            '${TableFormat.DeleteModeProp}'='merge-on-read')""")
+        Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("q156_src")
+        s.sql(s"INSERT INTO graft.`$tbl` SELECT * FROM q156_src")    // v2
+        val keys = s.sql(
+          "SELECT k FROM q156_src WHERE k % 997 = 13 ORDER BY k")
+          .collect().map(_.getLong(0))
+        s.sql(s"DELETE FROM graft.`$tbl` WHERE k IN " +
+          keys.mkString("(", ", ", ")"))                             // v3
+        s.sql(s"CALL graft.system.materialize_deletes('$tbl')")      // v4
+      }
+      val (v2, v3, v4) = (TableFormat.snapshot(s, s"$wh/$tbl", Some(2)),
+        TableFormat.snapshot(s, s"$wh/$tbl", Some(3)),
+        TableFormat.snapshot(s, s"$wh/$tbl", Some(4)))
+      val nKeys = Parallelism
+        .ensureDefaultParallelism(TableFormat.read(s, v2))
+        .filter(pmod(col("k"), lit(997)) === 13).count()
+      // the manifest commit touched NO data file: same set, same seqs,
+      // one manifest carrying exactly the key count, op recorded
+      val morOk = v3.op.contains("mor-delete") &&
+        v3.files.map(f => (f.file, f.seq)).toSet ==
+          v2.files.map(f => (f.file, f.seq)).toSet &&
+        v3.deletes.map(_.nKeys).sum == nKeys
+      val matOk = v4.deletes.isEmpty && v4.op.contains("replace")
+      def leg(pin: String, v: TableFormat.Snapshot, ok: Boolean) =
+        Parallelism.ensureDefaultParallelism(TableFormat.read(s, v))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("cents")).cast("long").as("sum_cents"))
+          .select(lit(pin).as("pin"), lit(ok).as("ok"),
+            col("n_rows"), col("sum_cents"))
+      leg("b_masked", v3, morOk)
+        .unionByName(leg("d_materialized", v4, matOk))
+        .orderBy("pin")
+    },
+
     // ---- SECONDARY-COLUMN BLOOMS (r14): `bloom.cols` declares zone
     // columns that carry PER-FILE bloom bitsets in commit stats — the
     // q130 IN/= membership pruning extended past the key. The fixture
@@ -9095,6 +9212,38 @@ object SparkEntry {
     // pushdown + skipping intact and the deleted key still gone (the
     // stamped filter never reaches the manifest read); kmid = max(k)/2
     // on the contiguous key domain
+    // the surviving content replays from orders arithmetic: slices 0-4
+    // minus the manifest keys (slice 0, k%41=7) and the vector rows
+    // (slice 1, k%53=9), plus the post-tick slice-5 ingest complete;
+    // the tick flags are dataset constants
+    "q157_maintenance_tick" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+         wd AS (SELECT max(k) // 6 + 1 AS w FROM o),
+         kept AS (SELECT k, cents FROM o, wd
+           WHERE (k >= 5 * w)
+              OR (k < 5 * w
+                  AND NOT (k < w AND k % 41 = 7)
+                  AND NOT (k >= w AND k < 2 * w AND k % 53 = 9)))
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           TRUE AS tick_noop, TRUE AS converged
+         FROM kept""",
+
+    // both pins replay the masked aggregate from orders arithmetic; the
+    // flags are dataset constants (manifest-only commit, exact key
+    // count, vector-free materialization)
+    "q156_sql_mor_delete" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+           WHERE o_orderkey % 997 <> 13)
+         SELECT 'b_masked' AS pin, TRUE AS ok,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(cents) AS BIGINT) AS sum_cents FROM o
+         UNION ALL SELECT 'd_materialized', TRUE, CAST(count(*) AS BIGINT),
+             CAST(sum(cents) AS BIGINT) FROM o
+         ORDER BY pin""",
+
     // the probe replays from orders arithmetic (the permuted usr of the
     // midpoint orderkey, collisions included); bloom_wins is a dataset
     // constant (usr's pseudorandom walk spans nearly every ts-range

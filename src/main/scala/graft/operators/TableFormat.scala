@@ -1751,6 +1751,14 @@ object TableFormat {
     * hidden). */
   val PartitionSpecProp = "partition.spec"
 
+  /** Commit property selecting the SQL DELETE route (the Iceberg
+    * `write.delete.mode` knob): absent / "copy-on-write" keeps the
+    * metadata-drop + row-level-rewrite paths; "merge-on-read" routes
+    * key equality/IN deletes to an equality-delete manifest commit —
+    * O(keys) write cost, the read-amplification dial the table then
+    * pays down with `CALL materialize_deletes`. */
+  val DeleteModeProp = "write.delete.mode"
+
   /** Commit property naming the ZONE COLUMNS that also carry PER-FILE
     * BLOOM BITSETS (comma-separated; must be declared zone columns) —
     * the membership-pruning dial for high-cardinality non-key lookups.
@@ -2137,6 +2145,25 @@ object TableFormat {
     * carried, unlike [[compact]] which clears it). Content-preserving
     * by construction: op=replace, free for incremental readers.
     * Returns (snapshot, small files packed, bins written). */
+  /** Greedy key-adjacent bin packing of the SMALL-FILE set — the pure
+    * driver arithmetic [[compactSmallFiles]] rewrites by and
+    * [[maintainTable]] pre-checks for idempotence (a tick must know a
+    * rewrite would change something BEFORE committing anything).
+    * Returns (multi-file bins, singleton bins). */
+  private def packBins(small: Seq[FileStat], targetRows: Long)
+      : (Seq[Seq[FileStat]], Seq[Seq[FileStat]]) = {
+    val bins = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[FileStat])
+    small.sortBy(f => (f.minKey, f.file)).foreach { f =>
+      if (bins.last.nonEmpty &&
+          bins.last.map(_.nRows).sum + f.nRows > targetRows)
+        bins += scala.collection.mutable.ArrayBuffer.empty[FileStat]
+      bins.last += f
+    }
+    val (multi, single) = bins.filter(_.nonEmpty).partition(_.size >= 2)
+    (multi.map(_.toSeq).toSeq, single.map(_.toSeq).toSeq)
+  }
+
   def compactSmallFiles(spark: SparkSession, root: String, dataDir: String,
                         targetRows: Long): (Snapshot, Int, Int) = {
     require(targetRows >= 1, s"compactSmallFiles: targetRows must be >= 1")
@@ -2147,15 +2174,7 @@ object TableFormat {
         val cur = curOpt.getOrElse(throw new IllegalStateException(
           "compactSmallFiles: nothing committed"))
         val (small, large) = cur.files.partition(_.nRows < targetRows)
-        val bins = scala.collection.mutable.ArrayBuffer(
-          scala.collection.mutable.ArrayBuffer.empty[FileStat])
-        small.sortBy(f => (f.minKey, f.file)).foreach { f =>
-          if (bins.last.nonEmpty &&
-              bins.last.map(_.nRows).sum + f.nRows > targetRows)
-            bins += scala.collection.mutable.ArrayBuffer.empty[FileStat]
-          bins.last += f
-        }
-        val (multi, single) = bins.filter(_.nonEmpty).partition(_.size >= 2)
+        val (multi, single) = packBins(small, targetRows)
         val rewritten = multi.zipWithIndex.flatMap { case (bin, i) =>
           val out = s"$dataDir/binpack-${java.util.UUID.randomUUID().toString}-$i"
           readFiles(spark, cur, bin.map(_.file).toSeq)
@@ -2171,6 +2190,60 @@ object TableFormat {
         (large ++ single.flatten ++ rewritten).sortBy(_.file)
       }, op = Some("replace"))
     (snap, ledger._1, ledger._2)
+  }
+
+  /** AUTO-MAINTENANCE POLICY TICK — one idempotent pass that converges
+    * a messy table, choosing actions from THRESHOLDS instead of
+    * hand-run CALLs (the operational loop a 100 TB table actually runs
+    * on a schedule):
+    *
+    *  1. pending read masks (equality manifests + deletion vectors)
+    *     above `maxPendingMasks` → [[materializeDeletes]] (first, so
+    *     the compaction bins below never carry masks);
+    *  2. `targetRows > 0` and at least `minSmallFiles` small files
+    *     forming at least one MULTI-FILE bin → [[compactSmallFiles]]
+    *     (the bin pre-check is what makes the tick IDEMPOTENT: a
+    *     threshold trip that would rewrite nothing commits nothing);
+    *  3. `keepLast > 0` and more versions than it → [[expireSnapshots]]
+    *     (last, so it also sweeps the orphans steps 1–2 just unlinked).
+    *
+    * A second tick on the converged table performs ZERO commits.
+    * Concurrent ingest survives: every step re-resolves the head
+    * through the ordinary CAS, and the expiry grace window keeps
+    * in-flight files out of the sweep. Returns (snapshot, the actions
+    * taken, human-readable). */
+  def maintainTable(spark: SparkSession, root: String, dataDir: String,
+                    targetRows: Long = 0L,
+                    minSmallFiles: Int = 8,
+                    maxPendingMasks: Int = 0,
+                    keepLast: Int = 0,
+                    graceMs: Long = 3600000L): (Snapshot, Seq[String]) = {
+    val actions = Seq.newBuilder[String]
+    var snap = snapshot(spark, root)
+    val masks = snap.deletes.size + snap.files.count(_.dv.isDefined)
+    if (masks > maxPendingMasks) {
+      val (s2, nRe, _) = materializeDeletes(spark, root, dataDir)
+      snap = s2
+      actions += s"materialize_deletes:$nRe"
+    }
+    if (targetRows > 0) {
+      val small = snap.files.filter(_.nRows < targetRows)
+      val wouldRewrite = packBins(small, targetRows)._1.nonEmpty
+      if (small.size >= minSmallFiles && wouldRewrite) {
+        val (s3, nPacked, nBins) = compactSmallFiles(spark, root, dataDir,
+          targetRows)
+        snap = s3
+        actions += s"compact_small_files:$nPacked->$nBins"
+      }
+    }
+    if (keepLast > 0 && versions(spark, root).size > keepLast) {
+      val (expired, removed) = expireSnapshots(spark, root, keepLast,
+        Seq(dataDir), graceMs)
+      if (expired.nonEmpty)
+        actions += s"expire_snapshots:${expired.size}v,${removed.size}f"
+      snap = snapshot(spark, root)
+    }
+    (snap, actions.result())
   }
 
   /** PREDICATE (range) delete with METADATA-ONLY file drops — the

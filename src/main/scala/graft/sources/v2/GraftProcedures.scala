@@ -38,7 +38,8 @@ private[v2] object GraftProcedures {
   val Namespace = "system"
 
   val names: Seq[String] = Seq("compact", "compact_small_files",
-    "compact_manifests", "materialize_deletes", "expire_snapshots",
+    "compact_manifests", "maintain", "materialize_deletes",
+    "expire_snapshots",
     "recluster", "rollback", "create_tag", "drop_tag",
     "create_branch", "publish_branch", "drop_branch", "clone",
     "create_view", "drop_view", "rename_view", "list_views")
@@ -113,6 +114,23 @@ private[v2] object GraftProcedures {
           result(name, "version" -> snap.version,
             "manifests_before" -> before.toLong,
             "manifests_after" -> after.toLong)
+      }
+      case "maintain" => proc(name,
+        "one idempotent auto-maintenance tick: materialize pending masks, bin-pack the small-file tail, expire old versions — each only past its threshold",
+        Array(param("table", StringType),
+          paramD("target_rows", LongType, "0"),
+          paramD("min_small_files", IntegerType, "8"),
+          paramD("max_pending_masks", IntegerType, "0"),
+          paramD("keep_last", IntegerType, "0"),
+          paramD("grace_ms", LongType, "3600000"))) {
+        (spark, root, args) =>
+          val (snap, actions) = TableFormat.maintainTable(spark, root,
+            s"$root/data", args.getLong(1), args.getInt(2), args.getInt(3),
+            args.getInt(4), args.getLong(5))
+          result(name, "version" -> snap.version,
+            "n_files" -> snap.files.size.toLong,
+            "actions" -> (if (actions.isEmpty) "none"
+              else actions.mkString(";")))
       }
       case "materialize_deletes" => proc(name,
         "rewrite only manifest-affected files and clear the manifest set",

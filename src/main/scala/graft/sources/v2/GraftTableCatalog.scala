@@ -884,11 +884,44 @@ private class GraftSqlTable(ident: String, root: String,
       .map(Some(_))
   }
 
+  /** Under `write.delete.mode = merge-on-read` (the Iceberg knob), a
+    * KEY equality/IN delete routes to an EQUALITY-DELETE MANIFEST
+    * commit — O(keys) metadata, no file drops, no rewrite: the GDPR
+    * shape, SQL-drivable. Only the exact membership shape qualifies
+    * (one `key = v` or `key IN (...)` plus the implied IS NOT NULL);
+    * ranges keep the metadata-drop arithmetic (already O(metadata) and
+    * read-amplification-free), and anything else falls through to the
+    * row-level rewrite as before. */
+  private def morDeleteKeys(filters: Array[Filter]): Option[Seq[Long]] = {
+    if (!snap.props.get(TableFormat.DeleteModeProp).contains("merge-on-read"))
+      return None
+    val real = filters.filterNot(_.isInstanceOf[AlwaysTrue])
+    var keys: Option[Seq[Long]] = None
+    val ok = real.nonEmpty && real.forall {
+      case EqualTo(c, v) if c == snap.keyCol && keys.isEmpty =>
+        GraftSqlValues.zoneValue(v).exists { l => keys = Some(Seq(l)); true }
+      case In(c, vs) if c == snap.keyCol && keys.isEmpty && vs.nonEmpty =>
+        val ls = vs.toSeq.filter(_ != null).map(GraftSqlValues.zoneValue)
+        ls.nonEmpty && ls.forall(_.isDefined) && {
+          keys = Some(ls.flatten.distinct); true
+        }
+      case IsNotNull(c) => c == snap.keyCol
+      case _ => false
+    }
+    if (ok) keys else None
+  }
+
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    deleteRange(filters).isDefined
+    morDeleteKeys(filters).isDefined || deleteRange(filters).isDefined
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val spark = SparkSession.active
+    morDeleteKeys(filters) match {
+      case Some(keys) =>
+        TableFormat.deleteKeysMoR(spark, root, s"$root/data", keys)
+        return
+      case None => ()
+    }
     deleteRange(filters).getOrElse(throw new UnsupportedOperationException(
       "graft catalog: DELETE supports an unconditional truncate or range/" +
         "equality predicates on one discrete key/zone column — use " +

@@ -50,6 +50,40 @@ class SecondaryBloomSpec extends SparkTestBase {
       .blooms("usr").sameElements(f0.blooms("usr")))
   }
 
+  test("write.delete.mode=merge-on-read routes key IN/= deletes to a " +
+      "manifest commit; ranges keep metadata drops; default keeps " +
+      "copy-on-write") {
+    warehouse
+    spark.sql(s"""CREATE TABLE sblcat.dm (k BIGINT, v BIGINT)
+      TBLPROPERTIES('key_col'='k',
+        '${TableFormat.DeleteModeProp}'='merge-on-read')""")
+    spark.range(200).selectExpr("id AS k", "id * 2 AS v")
+      .createOrReplaceTempView("dm_src")
+    spark.sql("INSERT INTO sblcat.dm SELECT * FROM dm_src")          // v2
+    spark.sql("DELETE FROM sblcat.dm WHERE k IN (3, 77, 150)")       // v3
+    val v3 = TableFormat.snapshot(spark, s"$warehouse/dm")
+    assert(v3.op.contains("mor-delete") && v3.deletes.map(_.nKeys).sum == 3,
+      s"${v3.op} ${v3.deletes}")
+    assert(spark.sql("SELECT count(*) FROM sblcat.dm").collect()(0)
+      .getLong(0) == 197)
+    // a RANGE delete under the same property keeps the metadata path
+    spark.sql("DELETE FROM sblcat.dm WHERE k >= 190")                // v4
+    val v4 = TableFormat.snapshot(spark, s"$warehouse/dm")
+    assert(v4.op.contains("delete") && !v4.op.contains("mor-delete"), v4.op)
+    assert(spark.sql("SELECT count(*) FROM sblcat.dm").collect()(0)
+      .getLong(0) == 187)
+    // WITHOUT the property, the same IN delete is copy-on-write: no
+    // manifest appears
+    spark.sql("CREATE TABLE sblcat.dc (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('key_col'='k')")
+    spark.sql("INSERT INTO sblcat.dc SELECT * FROM dm_src")
+    spark.sql("DELETE FROM sblcat.dc WHERE k IN (3, 77)")
+    val dc = TableFormat.snapshot(spark, s"$warehouse/dc")
+    assert(dc.deletes.isEmpty, dc.deletes)
+    assert(spark.sql("SELECT count(*) FROM sblcat.dc").collect()(0)
+      .getLong(0) == 198)
+  }
+
   test("bloom.cols must name declared zone columns (loud at stats time)") {
     warehouse
     spark.sql("""CREATE TABLE sblcat.bad (ts BIGINT, usr BIGINT)
