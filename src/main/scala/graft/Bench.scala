@@ -38,22 +38,32 @@ object Bench {
     }
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    // two timed passes, per-query min: a single pass is exposed to transient
-    // machine load (an unrelated burst during one query's window inflates it
-    // 2-3x); the min of two spaced runs of an identical deterministic plan is
-    // the steady-state number the bench is defined to report
-    for (_ <- 1 to 2) SparkEntry.queries.foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        val t = (System.nanoTime() - t0) / 1e9
-        if (!times.get(name).exists(p => p >= 0 && p <= t)) times(name) = t
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          if (!times.get(name).exists(_ >= 0)) times(name) = -1.0
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("""[\p{Cntrl}"\\]""", " ").take(160)
+    // MIN-OF-N timed passes (N >= 3 since r14 — the round-13 same-code
+    // 179.6->227.9 s spread showed two passes under-sample host noise),
+    // per-query min, with a LOAD STAMP taken at each pass boundary: a
+    // single pass is exposed to transient machine load (an unrelated
+    // burst inflates a query window 2-3x); the min of N spaced runs of
+    // an identical deterministic plan is the steady-state number the
+    // bench is defined to report, and the per-pass stamps let preflight
+    // (and artifact readers) compare min-to-min ONLY when the stamps
+    // say both runs were flat.
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(3)
+    val passLoads = scala.collection.mutable.ArrayBuffer[Double]()
+    for (_ <- 1 to passes) {
+      passLoads += loadAvg()
+      SparkEntry.queries.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          val t = (System.nanoTime() - t0) / 1e9
+          if (!times.get(name).exists(p => p >= 0 && p <= t)) times(name) = t
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            if (!times.get(name).exists(_ >= 0)) times(name) = -1.0
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("""[\p{Cntrl}"\\]""", " ").take(160)
+        }
       }
     }
     // a query that failed in one pass but succeeded in the other has a valid
@@ -73,8 +83,9 @@ object Bench {
     val flagsJson = SparkEntry.entryFlags
       .map { case (k, v) => "\"" + k + "\":\"" + v.replace("\"", "'") + "\"" }
       .mkString("{", ",", "}")
+    val passLoadsJson = passLoads.map(num).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errJson,"flags":$flagsJson,"passes":2,"agg":"per-entry min of passes","load_avg":{"start":${num(loadStart)},"end":${num(loadAvg())},"cores":${Runtime.getRuntime.availableProcessors()}},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errJson,"flags":$flagsJson,"passes":$passes,"agg":"per-entry min of passes","load_avg":{"start":${num(loadStart)},"per_pass":$passLoadsJson,"end":${num(loadAvg())},"cores":${Runtime.getRuntime.availableProcessors()}},"sf":"$sfDir"}"""
     println(line)
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
     spark.stop()

@@ -60,13 +60,24 @@ print(f"PREFLIGHT OK: {len(bench_entries)} entries, bench total {bench['value']}
       f"0 failures, load_avg {load.get('start')}->{load.get('end')} on {load.get('cores')} cores")
 EOF
 
-echo "== preflight: committed-archive staleness guard =="
+echo "== preflight: committed-archive staleness guard (load-aware) =="
 python3 - <<'EOF'
-# The committed bench archive must describe THIS code on THIS data: if the
-# fresh run just produced totals >10% away from what HEAD has committed,
-# the archive is stale (or was taken on a loaded box) — refuse until the
-# fresh bench_out.json (+ its bench_r{N}_full.json copy) is committed.
+# The committed bench archive must describe THIS code on THIS data. Both
+# runs are min-of-N (N>=3 since r14) with PER-PASS load stamps; the 10%
+# drift gate is only meaningful when BOTH runs were taken on a flat box —
+# the round-13 postmortem saw same-code totals spread 179.6->227.9 s under
+# host contention, which would false-refuse a perfectly fresh archive. A
+# noisy stamp therefore DOWNGRADES the gate to a warning instead of
+# failing the snapshot; a flat-vs-flat divergence still fails hard.
 import json, subprocess, sys
+FLAT = 40.0  # 1-min load avg below which a 32-core guest counts as flat
+
+def loads(b):
+    la = b.get("load_avg", {})
+    per = la.get("per_pass") or [x for x in (la.get("start"), la.get("end"))
+                                 if x is not None]
+    return [x for x in per if x is not None and x >= 0]
+
 fresh = json.loads(open("bench_out.json").read())
 try:
     committed = json.loads(subprocess.run(
@@ -77,10 +88,21 @@ except subprocess.CalledProcessError:
     sys.exit(0)
 fv, cv = fresh["value"], committed["value"]
 drift = abs(fv - cv) / max(fv, cv)
+flat_fresh = loads(fresh) and max(loads(fresh)) < FLAT
+flat_committed = loads(committed) and max(loads(committed)) < FLAT
 if drift > 0.10:
-    print(f"PREFLIGHT FAIL: committed bench total {cv}s diverges "
-          f"{drift:.0%} from the fresh run's {fv}s — commit the fresh "
-          "bench_out.json and bench_r{N}_full.json (and note load if any)")
-    sys.exit(1)
-print(f"archive guard OK: committed {cv}s vs fresh {fv}s ({drift:.1%} drift)")
+    if flat_fresh and flat_committed:
+        print(f"PREFLIGHT FAIL: committed bench total {cv}s diverges "
+              f"{drift:.0%} from the fresh run's {fv}s with BOTH load "
+              "stamps flat — the archive is stale; commit the fresh "
+              "bench_out.json and bench_r{N}_full.json")
+        sys.exit(1)
+    noisy = "fresh" if not flat_fresh else "committed"
+    print(f"archive guard WARNING: {drift:.0%} drift but the {noisy} run's "
+          f"load stamp is not flat (fresh {loads(fresh)}, committed "
+          f"{loads(committed)}) — re-run on an idle box before blessing")
+else:
+    print(f"archive guard OK: committed {cv}s vs fresh {fv}s "
+          f"({drift:.1%} drift; loads fresh {loads(fresh)}, "
+          f"committed {loads(committed)})")
 EOF
