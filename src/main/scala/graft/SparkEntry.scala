@@ -5529,7 +5529,7 @@ object SparkEntry {
     // invocation proving the no-op. Content graded by the oracle ----
     "q157_maintenance_tick" -> { (s, dir) =>
       val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
-      val tbl = s"mnt_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val tbl = s"mtk_${java.lang.Integer.toHexString(dir.hashCode)}"
       val root = s"$wh/$tbl"
       s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
       s.conf.set("spark.sql.catalog.graft.warehouse", wh)
