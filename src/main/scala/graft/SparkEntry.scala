@@ -5527,6 +5527,127 @@ object SparkEntry {
     // vector, 8+ versions) in one tick, absorbs an interleaved ingest
     // with a second, and THIS entry runs a third tick LIVE on every
     // invocation proving the no-op. Content graded by the oracle ----
+    // ---- SQL MERGE-ON-READ UPDATE (r14 second wave): under
+    // write.update.mode='merge-on-read' (Iceberg's knob) an UPDATE
+    // routes through Spark's SupportsDelta write instead of the
+    // group-based copy-on-write rewrite: matched rows mask by their
+    // FILE-ABSOLUTE ORDINALS in deletion-vector sidecars and the
+    // replacement rows land as one appended batch — ONE commit, zero
+    // data-file rewrites (the Delta-DV / Iceberg positional-update
+    // shape). At 100 TB a scattered 6k-row correction costs O(changed
+    // rows), not O(touched files) = terabytes of rewrite. Graded:
+    // updated read + materialized read vs the oracle, commit-shape
+    // facts (op, untouched file set, vector cardinality = replacement
+    // rows) as flags ----
+    "q158_sql_mor_update" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"udm_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val root = s"$wh/$tbl"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q158_udm", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        s.sql(s"""CREATE TABLE graft.`$tbl` (k BIGINT, cents BIGINT)
+          TBLPROPERTIES('key_col'='k',
+            '${TableFormat.UpdateModeProp}'='merge-on-read')""")
+        Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("q158_src")
+        s.sql(s"""INSERT INTO graft.`$tbl`
+          SELECT /*+ REPARTITION(4) */ * FROM q158_src""")           // v2
+        s.sql(s"UPDATE graft.`$tbl` SET cents = cents + 7 " +
+          "WHERE k % 997 = 13")                                      // v3
+        s.sql(s"CALL graft.system.materialize_deletes('$tbl')")      // v4
+      }
+      val (v2, v3, v4) = (TableFormat.snapshot(s, root, Some(2)),
+        TableFormat.snapshot(s, root, Some(3)),
+        TableFormat.snapshot(s, root, Some(4)))
+      val nKeys = Parallelism
+        .ensureDefaultParallelism(TableFormat.read(s, v2))
+        .filter(pmod(col("k"), lit(997)) === 13).count()
+      // the delta commit carried EVERY v2 data file by reference (same
+      // path, same seq — vectors attached, no rewrite), masked exactly
+      // nKeys ordinals, and appended exactly nKeys replacement rows
+      val v2Set = v2.files.map(f => (f.file, f.seq)).toSet
+      val added = v3.files.filterNot(f => v2Set.contains((f.file, f.seq)))
+      val morOk = v3.op.contains("dv-update") &&
+        v3.files.count(f => v2Set.contains((f.file, f.seq))) == v2Set.size &&
+        v3.files.map(f => f.dv.map(_._2).getOrElse(0L)).sum == nKeys &&
+        added.map(_.nRows).sum == nKeys && v3.deletes.isEmpty
+      val matOk = v4.op.contains("replace") && v4.files.forall(_.dv.isEmpty)
+      def leg(pin: String, v: TableFormat.Snapshot, ok: Boolean) =
+        Parallelism.ensureDefaultParallelism(TableFormat.read(s, v))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("cents")).cast("long").as("sum_cents"))
+          .select(lit(pin).as("pin"), lit(ok).as("ok"),
+            col("n_rows"), col("sum_cents"))
+      leg("b_updated", v3, morOk)
+        .unionByName(leg("d_materialized", v4, matOk))
+        .orderBy("pin")
+    },
+
+    // ---- SQL MERGE-ON-READ MERGE INTO (r14 second wave): the same
+    // SupportsDelta write under write.merge.mode='merge-on-read' —
+    // matched rows mask (pre-images into vectors), their replacements
+    // AND the not-matched inserts land in the SAME appended batch, one
+    // dv-merge commit. The changelog of that commit is exactly the
+    // delete(pre-image)+insert(post-image) pairs + pure inserts a
+    // downstream incremental materialization consumes. Graded: merged
+    // content vs an oracle replay of the MERGE arithmetic, with the
+    // matched count cross-checked from the vectors' cardinality ----
+    "q159_sql_mor_merge" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"mgm_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val root = s"$wh/$tbl"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q159_mgm", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        s.sql(s"""CREATE TABLE graft.`$tbl` (k BIGINT, cents BIGINT)
+          TBLPROPERTIES('key_col'='k',
+            '${TableFormat.MergeModeProp}'='merge-on-read')""")
+        Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("q159_src")
+        s.sql(s"""INSERT INTO graft.`$tbl`
+          SELECT /*+ REPARTITION(4) */ * FROM q159_src""")           // v2
+        // stage: corrections for k%811=17 (matched) + brand-new keys
+        // past the max (not matched) — disjoint by construction
+        s.sql("""SELECT k, cents + 1000000 AS cents FROM q159_src
+            WHERE k % 811 = 17
+          UNION ALL
+          SELECT k + (SELECT max(k) FROM q159_src), CAST(55 AS BIGINT)
+            FROM q159_src WHERE k % 1301 = 5""")
+          .createOrReplaceTempView("q159_stage")
+        s.sql(s"""MERGE INTO graft.`$tbl` AS t USING q159_stage AS st
+          ON t.k = st.k
+          WHEN MATCHED THEN UPDATE SET cents = st.cents
+          WHEN NOT MATCHED THEN INSERT (k, cents)
+            VALUES (st.k, st.cents)""")                              // v3
+      }
+      val (v2, v3) = (TableFormat.snapshot(s, root, Some(2)),
+        TableFormat.snapshot(s, root, Some(3)))
+      val src = Parallelism.ensureDefaultParallelism(TableFormat.read(s, v2))
+      val nMatched = src.filter(pmod(col("k"), lit(811)) === 17).count()
+      val nInserted = src.filter(pmod(col("k"), lit(1301)) === 5).count()
+      val v2Set = v2.files.map(f => (f.file, f.seq)).toSet
+      val added = v3.files.filterNot(f => v2Set.contains((f.file, f.seq)))
+      // ONE commit: carried files by reference, vectors mask exactly the
+      // matched pre-images, the appended batch is replacements + inserts
+      val mergeOk = v3.version == 3 && v3.op.contains("dv-merge") &&
+        v3.files.count(f => v2Set.contains((f.file, f.seq))) == v2Set.size &&
+        added.map(_.nRows).sum == nMatched + nInserted
+      s.sql(s"""SELECT count(*) AS n_rows,
+          CAST(sum(cents) AS BIGINT) AS sum_cents FROM graft.`$tbl`""")
+        .select(col("n_rows"), col("sum_cents"),
+          lit(v3.files.map(f => f.dv.map(_._2).getOrElse(0L)).sum)
+            .as("n_matched"),
+          lit(nInserted).cast("long").as("n_inserted"),
+          lit(mergeOk).as("merge_ok"))
+    },
+
     "q157_maintenance_tick" -> { (s, dir) =>
       val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
       val tbl = s"mtk_${java.lang.Integer.toHexString(dir.hashCode)}"
@@ -9226,6 +9347,45 @@ object SparkEntry {
     // minus the manifest keys (slice 0, k%41=7) and the vector rows
     // (slice 1, k%53=9), plus the post-tick slice-5 ingest complete;
     // the tick flags are dataset constants
+    // both pins replay the updated aggregate from orders arithmetic
+    // (every k % 997 = 13 row's cents grew by 7; materialization is
+    // content-preserving); the ok flags are dataset constants (carried
+    // file set, vector cardinality = replacement rows, vector-free
+    // materialization)
+    "q158_sql_mor_update" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 997 = 13 THEN 7 ELSE 0 END AS cents
+           FROM orders)
+         SELECT 'b_updated' AS pin, TRUE AS ok,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(cents) AS BIGINT) AS sum_cents FROM o
+         UNION ALL SELECT 'd_materialized', TRUE, CAST(count(*) AS BIGINT),
+             CAST(sum(cents) AS BIGINT) FROM o
+         ORDER BY pin""",
+
+    // the merged content replays the MERGE arithmetic from orders:
+    // matched rows (k % 811 = 17) take the staged correction, staged
+    // new keys (shifted past max(k)) insert at 55 cents; the matched
+    // count doubles as the vectors' recorded cardinality and merge_ok
+    // is a dataset constant (one dv-merge commit, carried file set)
+    "q159_sql_mor_merge" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+         SELECT
+           CAST((SELECT count(*) FROM o)
+             + (SELECT count(*) FROM o WHERE k % 1301 = 5) AS BIGINT)
+             AS n_rows,
+           CAST((SELECT sum(cents + CASE WHEN k % 811 = 17
+                 THEN 1000000 ELSE 0 END) FROM o)
+             + (SELECT coalesce(55 * count(*), 0) FROM o WHERE k % 1301 = 5)
+             AS BIGINT) AS sum_cents,
+           CAST((SELECT count(*) FROM o WHERE k % 811 = 17) AS BIGINT)
+             AS n_matched,
+           CAST((SELECT count(*) FROM o WHERE k % 1301 = 5) AS BIGINT)
+             AS n_inserted,
+           TRUE AS merge_ok""",
+
     "q157_maintenance_tick" ->
       """WITH o AS (SELECT o_orderkey AS k,
              CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),

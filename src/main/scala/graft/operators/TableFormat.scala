@@ -1759,6 +1759,19 @@ object TableFormat {
     * pays down with `CALL materialize_deletes`. */
   val DeleteModeProp = "write.delete.mode"
 
+  /** Commit properties selecting the SQL UPDATE / MERGE write shape
+    * (Iceberg's `write.update.mode` / `write.merge.mode`): absent /
+    * "copy-on-write" keeps the group-based rewrite
+    * ([[graft.sources.v2]]'s replace-groups path); "merge-on-read"
+    * routes the statement through the DELTA write — matched rows are
+    * masked by their file-absolute ordinals in deletion-vector sidecars
+    * and replacement/new rows land as an appended batch, ONE commit,
+    * O(changed rows) instead of O(touched files). The dial's read
+    * amplification is the DV skip, paid down by `CALL
+    * materialize_deletes` / compaction like every other mask. */
+  val UpdateModeProp = "write.update.mode"
+  val MergeModeProp = "write.merge.mode"
+
   /** Commit property naming the ZONE COLUMNS that also carry PER-FILE
     * BLOOM BITSETS (comma-separated; must be declared zone columns) —
     * the membership-pruning dial for high-cardinality non-key lookups.
@@ -2560,6 +2573,98 @@ object TableFormat {
     (snap, matched.length.toLong, affected)
   }
 
+  /** ONE-COMMIT delta publish — the landing half of the SQL
+    * merge-on-read row-level operations ([[graft.sources.v2]]'s
+    * `SupportsDelta` path, routed by `write.{update,merge,delete}.mode =
+    * 'merge-on-read'`): `posByFile` masks rows by file-absolute ordinal
+    * (deletion-vector growth, exactly [[deletePositions]]' merge rules —
+    * old versions keep old sidecars, fully-dead files drop) and
+    * `newFiles` are the statement's replacement/insert rows, stamped at
+    * the committing version's sequence so they ride ABOVE every pending
+    * equality manifest. Both land in ONE version: a reader never sees an
+    * update's delete half without its insert half.
+    *
+    * Conflict rules, on top of the CAS:
+    *  - a touched file rewritten/removed since `base` fails LOUD —
+    *    ordinals are meaningless against other bytes
+    *    ([[CommitConflictException]], the deletePositions rule);
+    *  - when the statement carries REPLACEMENT rows (update/merge), a
+    *    touched file whose deletion vector changed since `base`, or any
+    *    equality manifest committed since, also fails loud: the
+    *    replacement row was derived from a pre-image a concurrent
+    *    deleter may just have masked, and re-inserting it would
+    *    resurrect the row (Iceberg's validateNoConflictingDeletes);
+    *    pure deletes skip this — bitmap ∪ bitmap and mask ∪ mask are
+    *    idempotent whichever side wins;
+    *  - CHECK constraints validate the incoming batch, re-validated if
+    *    the constraint set changed under the CAS retry. */
+  def commitDelta(spark: SparkSession, root: String, base: Snapshot,
+                  posByFile: Map[String, org.roaringbitmap.longlong.Roaring64Bitmap],
+                  newFiles: Seq[String], op: String): Snapshot = {
+    require(op == "dv-delete" || op == "dv-update" || op == "dv-merge",
+      s"commitDelta: unknown op '$op'")
+    def uriPath(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
+    val byPath = posByFile.map { case (f, bm) => uriPath(f) -> bm }
+    val batch =
+      if (newFiles.isEmpty) None else Some(spark.read.parquet(newFiles: _*))
+    batch.foreach(b => checkConstraints(spark, base, b, s"commitDelta($op)"))
+    val newStats =
+      if (newFiles.isEmpty) Seq.empty
+      else fileStats(spark, newFiles, base.keyCol, base.numBits,
+        base.numHashes, base.zoneCols,
+        spec = base.props.get(PartitionSpecProp),
+        bloomCols = bloomColsOf(base.props))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dataDir = s"$root/data"
+    val baseDv = base.files.map(f => uriPath(f.file) -> f.dv).toMap
+    commitTransform(spark, root, base.keyCol, base.numBits, base.numHashes,
+      { curOpt =>
+        val cur = curOpt.getOrElse(throw new IllegalStateException(
+          "commitDelta: nothing committed"))
+        batch.foreach(b =>
+          recheckConstraintsIfChanged(spark, base, cur, b, s"commitDelta($op)"))
+        val curPaths = cur.files.map(f => uriPath(f.file)).toSet
+        byPath.keys.foreach(p => if (!curPaths.contains(p))
+          throw new CommitConflictException(
+            s"commitDelta($op): matched file $p was rewritten or removed " +
+              "by a concurrent commit — row ordinals are stale; retry " +
+              "against a fresh snapshot"))
+        if (op != "dv-delete") {
+          cur.files.foreach { f =>
+            val p = uriPath(f.file)
+            if (byPath.contains(p) && baseDv.get(p).exists(_ != f.dv))
+              throw new CommitConflictException(
+                s"commitDelta($op): file $p's deletion vector changed " +
+                  "since the statement's snapshot — a replacement row may " +
+                  "resurrect a concurrently-deleted pre-image; retry " +
+                  "against a fresh snapshot")
+          }
+          if (cur.deletes.exists(_.seq > base.version))
+            throw new CommitConflictException(
+              s"commitDelta($op): a concurrent merge-on-read delete " +
+                s"manifest landed after v${base.version} — a replacement " +
+                "row may resurrect a concurrently-deleted pre-image; " +
+                "retry against a fresh snapshot")
+        }
+        val grown = cur.files.flatMap { f =>
+          byPath.get(uriPath(f.file)) match {
+            case None => Some(f)
+            case Some(ps) =>
+              val bm = f.dv.map(d => readDv(conf, d._1))
+                .getOrElse(new org.roaringbitmap.longlong.Roaring64Bitmap())
+              bm.or(ps)
+              if (bm.getLongCardinality >= f.nRows) None // fully dead: drop
+              else {
+                val path = s"$dataDir/dv-${java.util.UUID.randomUUID()}.rbm"
+                val n = writeDv(conf, path, bm)
+                Some(f.copy(dv = Some((path, n))))
+              }
+          }
+        }
+        (grown ++ newStats).sortBy(_.file)
+      }, op = Some(op))
+  }
+
   /** MERGE-ON-READ delete (Iceberg v2 equality deletes): publish the key
     * set as a DELETE MANIFEST and commit with every data file carried by
     * reference — O(keys) IO total, no data rewrite at all. This is the
@@ -3211,14 +3316,18 @@ object TableFormat {
           if (added.isEmpty) None else Some(readFiles(spark, cur, added))
         inserted.map(tag(_, "insert")).toSeq ++ masked.map(tag(_, "delete"))
       }
-      else if (cur.op.contains("dv-delete")) {
+      else if (cur.op.exists(o => o == "dv-delete" || o == "dv-update" ||
+          o == "dv-merge")) {
         // a DELETION-VECTOR commit's delta is (a) for each file whose
         // vector GREW, the previously-LIVE rows at the newly-masked
         // ordinals (bitmap difference, read back by position — prev's
         // equality manifests re-applied so an already-dead row is never
-        // re-emitted), and (b) for each file the commit DROPPED (fully
-        // dead), its previously-live rows via the ordinary masked read.
-        // O(newly deleted rows + dropped files), never O(table).
+        // re-emitted), (b) for each file the commit DROPPED (fully
+        // dead), its previously-live rows via the ordinary masked read,
+        // and (c) for a dv-update/dv-merge (the SQL merge-on-read
+        // row-level commit), the APPENDED batch files as inserts — the
+        // delete(pre-image)+insert(post-image) pair downstream IVM
+        // expects. O(changed rows + dropped files), never O(table).
         val conf = spark.sparkContext.hadoopConfiguration
         val prevByFile = prev.files.map(f => f.file -> f).toMap
         val snapFor = cur.copy(files = prev.files)
@@ -3257,8 +3366,13 @@ object TableFormat {
         val droppedDf =
           if (dropped.isEmpty) None
           else Some(readFiles(spark, snapFor, dropped))
-        (grown ++ droppedDf).reduceOption(_.unionByName(_))
-          .map(tag(_, "delete")).toSeq
+        val prevSet = prev.files.map(_.file).toSet
+        val added = cur.files.map(_.file).filterNot(prevSet)
+        val inserted: Option[DataFrame] =
+          if (added.isEmpty) None else Some(readFiles(spark, cur, added))
+        inserted.map(tag(_, "insert")).toSeq ++
+          (grown ++ droppedDf).reduceOption(_.unionByName(_))
+            .map(tag(_, "delete")).toSeq
       }
       else if (cur.deletes.map(_.file).sorted != prev.deletes.map(_.file).sorted ||
           {

@@ -1,0 +1,283 @@
+package graft.sources.v2
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.TableFormat
+
+/** DELTA-BASED (merge-on-read) row-level SQL operations — Spark's
+  * `SupportsDelta` API over the format's deletion vectors: what
+  * `write.update.mode` / `write.merge.mode` / `write.delete.mode` =
+  * `'merge-on-read'` route `UPDATE graft.t`, `MERGE INTO graft.t` and
+  * rich-predicate `DELETE FROM graft.t` through instead of the
+  * group-based copy-on-write rewrite ([[GraftRowLevelOperation]]).
+  *
+  * Shape (the Iceberg v2 positional-delete write, Delta Lake's DV
+  * update): the target scan tags every row with its ROW IDENTITY —
+  * `(_file, _pos)`, the data file and the row's file-absolute ordinal —
+  * and Spark hands the writer a stream of per-row operations. Deleted
+  * identities accumulate into per-file roaring bitmaps; replacement and
+  * new rows land as an ordinary appended batch; commit publishes BOTH in
+  * ONE version: grown deletion-vector sidecars (old versions keep the
+  * old sidecars — time travel exact), fully-dead files dropped, appended
+  * files stamped at the committing version's sequence (above every
+  * pending equality manifest, so replacement rows never re-mask).
+  *
+  * Why this beats copy-on-write for the scattered shape: an UPDATE
+  * matching 1k rows spread over 1k 1-GB files rewrites a TERABYTE under
+  * the group-based plan and ~1k bitmap entries + one small batch here —
+  * O(changed rows), not O(touched files). The dial's read amplification
+  * (per-batch ordinal skip on the vectorized path) is the same one every
+  * mask pays, and `CALL graft.system.materialize_deletes` /
+  * compaction/maintenance pay it down. Updates arrive as DELETE+INSERT
+  * pairs (`representUpdateAsDeleteAndInsert` — the split keeps the
+  * writer one-pass), which is also exactly the changelog contract
+  * downstream incremental consumers expect.
+  *
+  * Scan economics: the statement's own predicate pushes into the scan
+  * through the standard DSv2 pushdown, so zone bounds, null counts and
+  * the key/`bloom.cols` blooms prune FILES before any IO (a key-equality
+  * UPDATE on a 100k-file table plans a handful); rows stream through the
+  * unfiltered row reader because `_pos` is DEFINED as the file-absolute
+  * ordinal and a row-group-skipping open would desynchronize it —
+  * pruning lives at file granularity here, which is the granularity that
+  * matters for the scattered-update shape this path exists for.
+  *
+  * Reference: the engine half of the reference's transaction
+  * update/delete mutations (`lib:2410-2570`), re-expressed as SQL DML
+  * over table state. */
+private[v2] class GraftDeltaOperation(root: String,
+                                      snap: TableFormat.Snapshot,
+                                      tableSchema: StructType,
+                                      cmd: RowLevelOperation.Command)
+    extends RowLevelOperation with SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(GraftRowLevel.FileColumn),
+      Expressions.column(GraftRowLevel.PosColumn))
+
+  // updates split into DELETE(id) + INSERT(row): the writer stays
+  // one-pass (bitmap add + batch append) and the commit's changelog
+  // reads as the delete+insert pair incremental consumers expect
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def newScanBuilder(options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : ScanBuilder =
+    // the standard scan builder in delta mode: one pushFilters
+    // implementation (zone bounds + null counts + key/zone blooms)
+    // feeds both the columnar table scan and this row-identity scan
+    new GraftSqlScanBuilder(snap, tableSchema, deltaPos = true)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        override def toBatch: DeltaBatchWrite = new GraftDeltaBatchWrite(
+          root, snap, tableSchema, info.schema(), info.queryId(),
+          cmd match {
+            case RowLevelOperation.Command.DELETE => "dv-delete"
+            case RowLevelOperation.Command.UPDATE => "dv-update"
+            case _ => "dv-merge"
+          })
+      }
+    }
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array.empty
+
+  override def description(): String =
+    s"graft-delta($cmd, $root@v${snap.version})"
+}
+
+/** The row-identity scan the delta write reads: every surviving file
+  * (after the builder's pushed-filter pruning) served through the row
+  * reader with `_file`/`_pos` synthesized and every pending mask applied
+  * in-task — an already-deleted row must never re-enter a bitmap or be
+  * re-emitted as an update's pre-image. */
+private class GraftDeltaScan(snap: TableFormat.Snapshot,
+                             required: StructType,
+                             bounds: Map[String, (Long, Long)],
+                             pruners: Seq[(String, TableFormat.FileStat => Boolean)])
+    extends Scan with Batch {
+
+  private lazy val hit = snap.files.filter { f =>
+    bounds.forall { case (c, (lo, hi)) =>
+      (if (c == snap.keyCol) Some((f.minKey, f.maxKey)) else f.zones.get(c))
+        .forall { case (mn, mx) => mn <= hi && mx >= lo }
+    } && pruners.forall(_._2(f))
+  }
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  private lazy val columnMapping = TableFormat.hasColumnMapping(snap.props)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    hit.map { f =>
+      val manifests = snap.deletes.filter(_.seq > f.seq).map(_.file)
+      // era-mapped files ship their physical schema, exactly like the
+      // main scan (synth names are never mapped)
+      val phys =
+        if (!columnMapping) None
+        else {
+          val ps = TableFormat.physicalSchemaOf(snap.props, required, f.seq)
+          if (ps.fieldNames.sameElements(required.fieldNames)) None
+          else Some(ps.json)
+        }
+      GraftSqlPartition(f.file, manifests, snap.keyCol, phys, f.dv)
+        : InputPartition
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // the shared row-reader factory (mask + DV + era handling + the
+    // _file/_pos synthesis); no row-group predicate is ever stamped
+    // here — ordinals must stay file-absolute
+    val c = GraftSqlColumnar.scanConf(SparkSession.active)
+    new GraftSqlReaderFactory(required, required, columnar = false,
+      new SerializableHadoopConf(c))
+  }
+
+  override def description(): String =
+    s"graft-delta-scan(${snap.root}@v${snap.version}) " +
+      s"PrunedFiles: ${snap.files.size - hit.size}/${snap.files.size}, " +
+      s"RowId: (${GraftRowLevel.FileColumn}, ${GraftRowLevel.PosColumn})"
+}
+
+/** Per-task result of a delta write: the appended files plus each
+  * touched data file's NEW deletion ordinals (one serialized roaring
+  * bitmap per file — O(rows this task deleted)). */
+private case class GraftDeltaWriteMessage(files: Seq[String], nRows: Long,
+                                          dv: Map[String, Array[Byte]])
+  extends WriterCommitMessage
+
+private class GraftDeltaBatchWrite(root: String,
+                                   snap: TableFormat.Snapshot,
+                                   tableSchema: StructType,
+                                   writeSchema: StructType, queryId: String,
+                                   op: String)
+    extends DeltaBatchWrite {
+  private val dataDir =
+    s"$root/data/delta-$queryId-${java.util.UUID.randomUUID().toString}"
+
+  // the insert rows may carry metadata columns — project them out, only
+  // real table columns reach parquet (the replace-groups precedent)
+  private val keep: Array[Int] = writeSchema.fields.zipWithIndex.collect {
+    case (f, i) if tableSchema.fieldNames.contains(f.name) => i
+  }
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    new GraftDeltaWriterFactory(dataDir,
+      StructType(keep.map(writeSchema.fields(_))), keep,
+      new SerializableHadoopConf(
+        SparkSession.active.sessionState.newHadoopConf()))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val ms = messages.collect { case m: GraftDeltaWriteMessage => m }
+    val newFiles = ms.flatMap(m => if (m.nRows > 0) m.files else Nil)
+      .toSeq.sorted
+    // union each file's per-task bitmaps (tasks partition the scan, but
+    // a shuffle between scan and write can scatter one file's rows)
+    val posByFile = scala.collection.mutable.Map
+      .empty[String, org.roaringbitmap.longlong.Roaring64Bitmap]
+    ms.foreach(_.dv.foreach { case (file, bytes) =>
+      val bm = new org.roaringbitmap.longlong.Roaring64Bitmap()
+      bm.deserialize(new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+      posByFile.get(file) match {
+        case Some(acc) => acc.or(bm)
+        case None => posByFile(file) = bm
+      }
+    })
+    if (newFiles.isEmpty && posByFile.isEmpty) return // nothing matched
+    TableFormat.commitDelta(spark, root, snap, posByFile.toMap, newFiles, op)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val p = new org.apache.hadoop.fs.Path(dataDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+}
+
+private class GraftDeltaWriterFactory(dataDir: String,
+                                      parquetSchema: StructType,
+                                      keep: Array[Int],
+                                      conf: SerializableHadoopConf)
+    extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new GraftDeltaRowWriter(dataDir, s"part-$partitionId-$taskId",
+      parquetSchema, keep, conf.value)
+}
+
+/** The executor half: inserts stream into one parquet writer (lazily
+  * opened — a pure-delete task writes nothing), deleted row identities
+  * accumulate into per-file bitmaps. `update` never fires
+  * (representUpdateAsDeleteAndInsert), but delegates correctly anyway. */
+private class GraftDeltaRowWriter(dataDir: String, taskTag: String,
+                                  parquetSchema: StructType,
+                                  keep: Array[Int],
+                                  conf: org.apache.hadoop.conf.Configuration)
+    extends DeltaWriter[InternalRow] {
+  private val types = parquetSchema.fields.map(_.dataType)
+  private val identity = keep.nonEmpty && keep.length == keep.max + 1 &&
+    keep.zipWithIndex.forall { case (s, o) => s == o }
+  private var inner: GraftSqlDataWriter = _
+  private val dv = scala.collection.mutable.Map
+    .empty[String, org.roaringbitmap.longlong.Roaring64Bitmap]
+
+  // the id row carries the operation's rowId() projection in
+  // declaration order: (_file string, _pos long)
+  override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+    val file = id.getUTF8String(0).toString
+    dv.getOrElseUpdate(file,
+      new org.roaringbitmap.longlong.Roaring64Bitmap())
+      .addLong(id.getLong(1))
+  }
+
+  override def insert(row: InternalRow): Unit = {
+    if (inner == null)
+      inner = new GraftSqlDataWriter(dataDir, taskTag, parquetSchema,
+        Seq.empty, conf)
+    if (identity) inner.write(row)
+    else {
+      val vals = new Array[Any](keep.length)
+      var j = 0
+      while (j < keep.length) { vals(j) = row.get(keep(j), types(j)); j += 1 }
+      inner.write(new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(vals))
+    }
+  }
+
+  override def update(metadata: InternalRow, id: InternalRow,
+                      row: InternalRow): Unit = {
+    delete(metadata, id)
+    insert(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val (files, n) = if (inner == null) (Seq.empty[String], 0L)
+      else inner.commit() match {
+        case GraftSqlWriteMessage(fs, rows) => (fs, rows)
+        case other => throw new IllegalStateException(
+          s"graft-delta-writer: unexpected inner commit $other")
+      }
+    val bytesByFile = dv.toMap.map { case (file, bm) =>
+      val bos = new java.io.ByteArrayOutputStream()
+      bm.serialize(new java.io.DataOutputStream(bos))
+      file -> bos.toByteArray
+    }
+    // nRows > 0 marks files worth keeping even when empty bitmaps ride
+    // along; a task that wrote rows always reports them
+    GraftDeltaWriteMessage(files, math.max(n, 0L), bytesByFile)
+  }
+
+  override def abort(): Unit = if (inner != null) inner.abort()
+  override def close(): Unit = if (inner != null) inner.close()
+}

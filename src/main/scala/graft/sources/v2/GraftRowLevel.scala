@@ -76,6 +76,20 @@ private[v2] object GraftRowLevel {
     override def isNullable: Boolean = false
     override def comment(): String = "data file holding the row"
   }
+
+  /** The row's FILE-ABSOLUTE ordinal (pre-mask — masked rows count), the
+    * second half of the `(_file, _pos)` row identity delta-based
+    * row-level operations anchor deletion vectors on. Serving it forces
+    * the row reader with an unfiltered open: a skipped row group would
+    * desynchronize the ordinal count. */
+  val PosColumn = "_pos"
+
+  val PosMetadataColumn: MetadataColumn = new MetadataColumn {
+    override def name(): String = PosColumn
+    override def dataType(): DataType = LongType
+    override def isNullable: Boolean = false
+    override def comment(): String = "file-absolute row ordinal"
+  }
 }
 
 private class GraftRowLevelScanBuilder(op: GraftRowLevelOperation,

@@ -860,14 +860,32 @@ private class GraftSqlTable(ident: String, root: String,
       sortOrder = GraftSqlWrite.sortOrderOf(snap.props))
 
   /** `MERGE INTO` / `UPDATE` / arbitrary-predicate `DELETE` — the
-    * group-based copy-on-write rewrite ([[GraftRowLevelOperation]]). */
+    * group-based copy-on-write rewrite ([[GraftRowLevelOperation]]) by
+    * default; under the table's `write.update.mode` / `write.merge.mode`
+    * / `write.delete.mode` = 'merge-on-read' knobs the DELTA operation
+    * ([[GraftDeltaOperation]], Spark's `SupportsDelta`) instead: matched
+    * rows mask by deletion-vector ordinals and new rows append — one
+    * O(changed rows) commit, no file rewrites. Key-shape DELETEs never
+    * reach either path ([[SupportsDelete]] answers them first with
+    * metadata arithmetic or an equality manifest). */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new GraftRowLevelOperation(root, snap, tableSchema, info.command())
+    () => {
+      import org.apache.spark.sql.connector.write.RowLevelOperation.Command._
+      val modeProp = info.command() match {
+        case UPDATE => TableFormat.UpdateModeProp
+        case MERGE => TableFormat.MergeModeProp
+        case _ => TableFormat.DeleteModeProp
+      }
+      if (snap.props.get(modeProp).contains("merge-on-read"))
+        new GraftDeltaOperation(root, snap, tableSchema, info.command())
+      else
+        new GraftRowLevelOperation(root, snap, tableSchema, info.command())
+    }
 
   override def metadataColumns(): Array[MetadataColumn] =
-    Array(GraftRowLevel.FileMetadataColumn)
+    Array(GraftRowLevel.FileMetadataColumn, GraftRowLevel.PosMetadataColumn)
 
   /** SQL `DELETE FROM graft.t [WHERE ...]` — a metadata-level plan, not
     * a rewrite-everything scan: an unconditional delete truncates in one
@@ -937,7 +955,8 @@ private class GraftSqlTable(ident: String, root: String,
 private class GraftSqlScanBuilder(snap: TableFormat.Snapshot,
                                   tableSchema: StructType,
                                   streamOpts: ChangesStream.ReadOptions =
-                                    ChangesStream.ReadOptions())
+                                    ChangesStream.ReadOptions(),
+                                  deltaPos: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -1202,11 +1221,18 @@ private class GraftSqlScanBuilder(snap: TableFormat.Snapshot,
       case None => false
     }
 
-  override def build(): Scan = pushedAgg match {
-    case Some(specs) => new GraftSqlAggScan(snap, tableSchema, specs)
-    case None => new GraftSqlScan(snap, required, bounds.toMap, streamOpts,
-      pruners.toSeq, rowGroupFilters(), tableSchema, limit)
-  }
+  override def build(): Scan =
+    // delta mode (row-level merge-on-read ops): same pushed-filter file
+    // pruning, served through the row-identity scan — `_pos` must count
+    // file-absolute ordinals, so no row-group filter and no agg/limit
+    // shortcuts (Spark never offers them on a row-level target anyway)
+    if (deltaPos) new GraftDeltaScan(snap, required, bounds.toMap,
+      pruners.toSeq)
+    else pushedAgg match {
+      case Some(specs) => new GraftSqlAggScan(snap, tableSchema, specs)
+      case None => new GraftSqlScan(snap, required, bounds.toMap, streamOpts,
+        pruners.toSeq, rowGroupFilters(), tableSchema, limit)
+    }
 
   /** The pushed shapes eligible for PARQUET ROW-GROUP pushdown inside
     * surviving files: comparisons/IN/NULL tests on DISCRETE-typed
@@ -1688,7 +1714,8 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
     * pays by removing the per-batch mask work, but a MoR-pending
     * snapshot keeps WholeStageCodegen batches. */
   private lazy val columnar =
-    !required.fieldNames.contains(GraftRowLevel.FileColumn)
+    !required.fieldNames.contains(GraftRowLevel.FileColumn) &&
+      !required.fieldNames.contains(GraftRowLevel.PosColumn)
 
   /** True when any surviving file has an applicable manifest — the scan
     * then reads the KEY column alongside the projection (appended when
@@ -1860,6 +1887,11 @@ private class GraftSqlReaderFactory(required: StructType,
     * silently drop every row group. Pushdown is an optimization; the
     * residual Spark filter keeps results exact, and maintenance
     * rewrites migrate files back onto the filtered fast path. */
+  // a `_pos` projection forces the unfiltered row reader everywhere:
+  // the ordinal column is defined as the FILE-absolute row index, which
+  // a row-group-skipping open would desynchronize
+  private val needsPos = required.fieldNames.contains(GraftRowLevel.PosColumn)
+
   private def confFor(p: GraftPartition): org.apache.hadoop.conf.Configuration = {
     val base = p.physSchemaJson match {
       case Some(js) =>
@@ -1869,7 +1901,7 @@ private class GraftSqlReaderFactory(required: StructType,
         c2
       case None => conf.value
     }
-    if ((p.dv.isDefined || p.physSchemaJson.isDefined) &&
+    if ((p.dv.isDefined || p.physSchemaJson.isDefined || needsPos) &&
         GraftRowGroupFilter.hasFilter(base))
       GraftRowGroupFilter.without(base)
     else base
@@ -1909,7 +1941,8 @@ private class GraftSqlReaderFactory(required: StructType,
       case None => required
     }
     new ParquetRowReader(p.file, physRequired, confFor(p), synth = synth,
-      mask = mask, keyCol = p.keyCol, posMask = posMaskOf(p))
+      mask = mask, keyCol = p.keyCol, posMask = posMaskOf(p),
+      posCol = if (needsPos) GraftRowLevel.PosColumn else null)
   }
 
   override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =

@@ -412,14 +412,18 @@ private[v2] class ParquetRowReader(file: String, schema: StructType,
                                    synth: Map[String, Any] = Map.empty,
                                    mask: java.util.HashSet[java.lang.Long] = null,
                                    keyCol: String = null,
-                                   posMask: org.roaringbitmap.longlong.Roaring64Bitmap = null)
+                                   posMask: org.roaringbitmap.longlong.Roaring64Bitmap = null,
+                                   posCol: String = null)
     extends PartitionReader[InternalRow] {
-  // `posMask` is a DELETION VECTOR of file-absolute row ordinals. The
-  // caller must hand a FILTER-FREE conf with it (the factory does):
-  // a stamped row-group predicate would skip groups and break the
-  // sequential ordinal count.
-  require(posMask == null || !GraftRowGroupFilter.hasFilter(conf),
-    s"parquet-row-reader: deletion vector needs an unfiltered read of $file")
+  // `posMask` is a DELETION VECTOR of file-absolute row ordinals, and
+  // `posCol` names a schema field synthesized AS the row's ordinal (the
+  // `_pos` metadata column delta-based row-level ops anchor on). Both
+  // need the sequential ordinal count, so the caller must hand a
+  // FILTER-FREE conf with either (the factories do): a stamped
+  // row-group predicate would skip groups and desynchronize it.
+  require((posMask == null && posCol == null) ||
+    !GraftRowGroupFilter.hasFilter(conf),
+    s"parquet-row-reader: file-absolute ordinals need an unfiltered read of $file")
   import org.apache.parquet.example.data.Group
   import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
   import org.apache.parquet.hadoop.ParquetFileReader
@@ -648,6 +652,9 @@ private[v2] class ParquetRowReader(file: String, schema: StructType,
     if (synth.contains(f.name)) { val v = synth(f.name); (_: Group) => v }
     else fieldExtractor(fileSchema, f)
   }
+  // schema slot synthesized per row as the file-absolute ordinal
+  private val posIdx: Int =
+    if (posCol == null) -1 else schema.fieldIndex(posCol)
 
   private var recordReader: org.apache.parquet.io.RecordReader[Group] = _
   private var rowsLeftInGroup = 0L
@@ -694,6 +701,7 @@ private[v2] class ParquetRowReader(file: String, schema: StructType,
         val vals = new Array[Any](extractors.length)
         var i = 0
         while (i < extractors.length) { vals(i) = extractors(i)(g); i += 1 }
+        if (posIdx >= 0) vals(posIdx) = pos
         current = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
         return true
       }
