@@ -5648,6 +5648,78 @@ object SparkEntry {
           lit(mergeOk).as("merge_ok"))
     },
 
+    // ---- LAYOUT-PRESERVING SORTED COMPACTION (r14 second wave): the
+    // r13 ADVICE's stronger alternative — instead of merely DROPPING
+    // the sorted write-provenance marker, `compact_small_files` on a
+    // spec'd table now (a) bins WITHIN partition tuples (a bin never
+    // spans values, so tuple purity survives) and (b) RE-SORTS each bin
+    // by the spec's base columns and re-stamps FileStat.sorted. The
+    // operational consequence this entry grades: after an ingest tail
+    // is compacted, the exchange-free AND sort-free storage-partitioned
+    // join still plans — maintenance no longer silently degrades every
+    // downstream join until a recluster. Oracle: the joined aggregate
+    // replay; the plan facts (no Exchange, no Sort, one sorted file per
+    // bucket) are flags ----
+    "q160_sorted_compaction" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val hex = java.lang.Integer.toHexString(dir.hashCode)
+      val (tblA, tblB) = (s"sca_$hex", s"scb_$hex")
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q160_sc", dir) {
+        Seq(tblA, tblB).foreach { t =>
+          val p = new org.apache.hadoop.fs.Path(s"$wh/$t")
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+        val base = Tables.orders(s, dir)
+        base.select(col("o_orderkey").as("k"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("q160_a")
+        base.select(col("o_orderkey").as("k"), col("o_custkey").as("pay"))
+          .createOrReplaceTempView("q160_b")
+        val mx = base.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+        val w = mx / 3 + 1
+        Seq(tblA -> "q160_a", tblB -> "q160_b").foreach { case (t, v) =>
+          s.sql(s"""CREATE TABLE graft.`$t`
+            (k BIGINT, ${if (t == tblA) "cents" else "pay"} BIGINT)
+            PARTITIONED BY (bucket(8, k))""")
+          // three range-sliced routed inserts: an ingest tail of 3
+          // small sorted files PER BUCKET (24 files, all tuple-pure)
+          (0 until 3).foreach(i => s.sql(
+            s"""INSERT INTO graft.`$t` SELECT * FROM $v
+               WHERE k >= ${i * w} AND k < ${(i + 1) * w}"""))
+          s.sql(s"CALL graft.system.compact_small_files('$t', 100000000)")
+        }
+      }
+      val snapA = TableFormat.snapshot(s, s"$wh/$tblA")
+      // one file per bucket, every survivor tuple-pure AND re-stamped
+      // sorted — the compaction preserved the routed layout
+      val layoutOk = snapA.files.size == 8 &&
+        snapA.files.forall(f => f.sorted && f.part.isDefined) &&
+        snapA.files.flatMap(_.part.map(_._2.toSeq)).distinct.size == 8
+      val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = s.sql(s"""SELECT a.k AS k, a.cents AS cents, b.pay AS pay
+          FROM graft.`$tblA` a JOIN graft.`$tblB` b ON a.k = b.k""")
+        val plan = j.queryExecution.executedPlan.toString
+        val row = j.agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("sc"), sum(col("pay")).as("sp")).collect()(0)
+        s.range(1).select(
+          lit(layoutOk).as("layout_kept"),
+          lit(plan.contains("SortMergeJoin") && !plan.contains("Exchange"))
+            .as("smj_no_shuffle"),
+          lit(!plan.contains("Sort [")).as("sort_free"),
+          lit(row.getLong(0)).as("n_rows"),
+          lit(row.getLong(1)).as("sum_cents"),
+          lit(row.getLong(2)).as("sum_pay"))
+      } finally {
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      }
+    },
+
     "q157_maintenance_tick" -> { (s, dir) =>
       val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
       val tbl = s"mtk_${java.lang.Integer.toHexString(dir.hashCode)}"
@@ -9347,6 +9419,18 @@ object SparkEntry {
     // minus the manifest keys (slice 0, k%41=7) and the vector rows
     // (slice 1, k%53=9), plus the post-tick slice-5 ingest complete;
     // the tick flags are dataset constants
+    // the self-join aggregate replays from orders arithmetic; the plan
+    // flags are dataset constants (tuple-pure sorted survivors after
+    // compaction, exchange- and sort-free SMJ)
+    "q160_sorted_compaction" ->
+      """SELECT TRUE AS layout_kept, TRUE AS smj_no_shuffle,
+           TRUE AS sort_free,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_pay
+         FROM orders""",
+
     // both pins replay the updated aggregate from orders arithmetic
     // (every k % 997 = 13 row's cents grew by 7; materialization is
     // content-preserving); the ok flags are dataset constants (carried

@@ -1772,6 +1772,21 @@ object TableFormat {
   val UpdateModeProp = "write.update.mode"
   val MergeModeProp = "write.merge.mode"
 
+  /** Commit property declaring the WRITE-TIME SORT ORDER (owned here so
+    * maintenance rewrites can honor it; the SQL write layer aliases
+    * it). Comma-separated distinct column names. */
+  val SortOrderProp = "write.sort-order"
+
+  def sortOrderColsOf(props: Map[String, String]): Seq[String] =
+    props.get(SortOrderProp) match {
+      case None => Seq.empty
+      case Some(v) =>
+        val cols = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(cols.nonEmpty && cols.distinct == cols,
+          s"graft: $SortOrderProp must be distinct column names, got '$v'")
+        cols
+    }
+
   /** Commit property naming the ZONE COLUMNS that also carry PER-FILE
     * BLOOM BITSETS (comma-separated; must be declared zone columns) —
     * the membership-pruning dial for high-cardinality non-key lookups.
@@ -2157,6 +2172,15 @@ object TableFormat {
     * seqs (existing manifests still apply to them — the manifest set is
     * carried, unlike [[compact]] which clears it). Content-preserving
     * by construction: op=replace, free for incremental readers.
+    *
+    * LAYOUT-PRESERVING under a partition spec (r14): bins never span
+    * partition values ([[planBins]]) and each tuple-pure bin is
+    * RE-SORTED by the spec's base columns and re-stamped
+    * `FileStat.sorted` — so compaction keeps the exchange-free AND
+    * sort-free storage-partitioned join alive instead of silently
+    * degrading every downstream join until a recluster; a declared
+    * `write.sort-order` re-sorts by those columns instead (range
+    * clustering preserved, marker off, matching the routed write).
     * Returns (snapshot, small files packed, bins written). */
   /** Greedy key-adjacent bin packing of the SMALL-FILE set — the pure
     * driver arithmetic [[compactSmallFiles]] rewrites by and
@@ -2177,6 +2201,27 @@ object TableFormat {
     (multi.map(_.toSeq).toSeq, single.map(_.toSeq).toSeq)
   }
 
+  /** LAYOUT-AWARE bin plan: under a declared partition spec the small
+    * files group by their CURRENT-SPEC partition tuple first, then pack
+    * key-adjacent WITHIN each group — so a bin never spans partition
+    * values and the rewritten file keeps its tuple purity (the
+    * storage-partitioned-join evidence maintenance used to destroy).
+    * Files without a current-spec tuple (pre-spec commits, earlier
+    * cross-value rewrites) fall into one mixed group and pack as
+    * before. Returns (tuple, multi-file bins) per group; the pure
+    * function both [[compactSmallFiles]] rewrites by and
+    * [[maintainTable]] pre-checks. */
+  private def planBins(small: Seq[FileStat], spec: Option[String],
+                       targetRows: Long)
+      : Seq[(Option[Seq[Long]], Seq[Seq[FileStat]])] =
+    (spec match {
+      case Some(sp) =>
+        small.groupBy(f =>
+            f.part.collect { case (s2, v) if s2 == sp => v.toSeq })
+          .toSeq.sortBy(_._2.map(_.file).min)
+      case None => Seq((Option.empty[Seq[Long]], small))
+    }).map { case (t, fs) => (t, packBins(fs, targetRows)._1) }
+
   def compactSmallFiles(spark: SparkSession, root: String, dataDir: String,
                         targetRows: Long): (Snapshot, Int, Int) = {
     require(targetRows >= 1, s"compactSmallFiles: targetRows must be >= 1")
@@ -2187,20 +2232,56 @@ object TableFormat {
         val cur = curOpt.getOrElse(throw new IllegalStateException(
           "compactSmallFiles: nothing committed"))
         val (small, large) = cur.files.partition(_.nRows < targetRows)
-        val (multi, single) = packBins(small, targetRows)
-        val rewritten = multi.zipWithIndex.flatMap { case (bin, i) =>
-          val out = s"$dataDir/binpack-${java.util.UUID.randomUUID().toString}-$i"
-          readFiles(spark, cur, bin.map(_.file).toSeq)
-            .coalesce(1).write.mode("overwrite").parquet(out)
-          val files = listParquet(spark, out)
-          if (files.isEmpty) Seq.empty
-          else fileStats(spark, files, cur.keyCol, cur.numBits,
-            cur.numHashes, cur.zoneCols,
-            spec = cur.props.get(PartitionSpecProp),
-              bloomCols = bloomColsOf(cur.props))
+        val spec = cur.props.get(PartitionSpecProp)
+        val groups = planBins(small, spec, targetRows)
+        // the rewrite RE-SORTS each bin so maintenance restores the
+        // routed write's file order instead of erasing it: under a
+        // declared write.sort-order the bin sorts by THOSE columns
+        // (preserving q147's range clustering, no provenance marker —
+        // same as the routed write); otherwise a TUPLE-PURE bin sorts
+        // by the spec's base columns and RE-STAMPS FileStat.sorted,
+        // so the sort-free storage-partitioned join survives
+        // compaction (the r13 ADVICE alternative: re-sort and re-stamp
+        // rather than drop). A mixed-group bin stays unsorted and
+        // unstamped — no order is provable for it.
+        val declaredOrder = sortOrderColsOf(cur.props)
+        val baseCols =
+          spec.map(sp => parseSpec(sp).map(_.baseCol)).getOrElse(Seq.empty)
+        var nPacked = 0
+        var nBins = 0
+        val rewritten = groups.flatMap { case (tuple, multi) =>
+          multi.zipWithIndex.flatMap { case (bin, i) =>
+            val out =
+              s"$dataDir/binpack-${java.util.UUID.randomUUID().toString}-$i"
+            val sortCols =
+              if (declaredOrder.nonEmpty) declaredOrder
+              else if (tuple.isDefined) baseCols
+              else Seq.empty
+            val df0 = readFiles(spark, cur, bin.map(_.file)).coalesce(1)
+            val df = if (sortCols.isEmpty) df0
+              else df0.sortWithinPartitions(sortCols.map(col): _*)
+            df.write.mode("overwrite").parquet(out)
+            val files = listParquet(spark, out)
+            nPacked += bin.size
+            nBins += 1
+            if (files.isEmpty) Seq.empty
+            else {
+              val stats0 = fileStats(spark, files, cur.keyCol, cur.numBits,
+                cur.numHashes, cur.zoneCols, spec = spec,
+                bloomCols = bloomColsOf(cur.props))
+              // write-provenance marker only when the bin provably
+              // landed sorted by the spec base columns (tuple-pure, no
+              // overriding declared order) — the outputOrdering rule
+              if (tuple.isDefined && declaredOrder.isEmpty &&
+                  sortCols.nonEmpty) stats0.map(_.copy(sorted = true))
+              else stats0
+            }
+          }
         }
-        ledger = (multi.map(_.size).sum, multi.size)
-        (large ++ single.flatten ++ rewritten).sortBy(_.file)
+        val packed = groups.flatMap(_._2).flatten.map(_.file).toSet
+        val carriedSmall = small.filterNot(f => packed.contains(f.file))
+        ledger = (nPacked, nBins)
+        (large ++ carriedSmall ++ rewritten).sortBy(_.file)
       }, op = Some("replace"))
     (snap, ledger._1, ledger._2)
   }
@@ -2241,7 +2322,8 @@ object TableFormat {
     }
     if (targetRows > 0) {
       val small = snap.files.filter(_.nRows < targetRows)
-      val wouldRewrite = packBins(small, targetRows)._1.nonEmpty
+      val wouldRewrite = planBins(small,
+        snap.props.get(PartitionSpecProp), targetRows).exists(_._2.nonEmpty)
       if (small.size >= minSmallFiles && wouldRewrite) {
         val (s3, nPacked, nBins) = compactSmallFiles(spark, root, dataDir,
           targetRows)

@@ -58,17 +58,10 @@ private[v2] object GraftSqlWrite {
     * write time. The zone stats every commit records then make range
     * probes on the sort columns prune FILES, with no rewrite ever
     * scheduled. */
-  val SortOrderProp = "write.sort-order"
+  val SortOrderProp: String = TableFormat.SortOrderProp
 
   def sortOrderOf(props: Map[String, String]): Seq[String] =
-    props.get(SortOrderProp) match {
-      case None => Seq.empty
-      case Some(v) =>
-        val cols = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        require(cols.nonEmpty && cols.distinct == cols,
-          s"graft: $SortOrderProp must be distinct column names, got '$v'")
-        cols
-    }
+    TableFormat.sortOrderColsOf(props)
 }
 
 private[v2] class GraftSqlWriteBuilder(root: String, schema: StructType,

@@ -203,6 +203,92 @@ class StoragePartitionedJoinSpec extends SparkTestBase {
     }
   }
 
+  test("layout-preserving compaction: bins never span partition values, " +
+      "re-sort by the base columns and re-stamp sorted — the sort-free " +
+      "SPJ survives maintenance") {
+    warehouse
+    mkBucketed("sa", 400, "id * 2")
+    mkBucketed("sb", 400, "id * 10")
+    val saRoot = s"$warehouse/sa"
+    // dirty the table: three more routed inserts leave 3 extra small
+    // files PER BUCKET (all tuple-pure, all sorted runs)
+    (1 to 3).foreach { i =>
+      spark.range(400L * i, 400L * (i + 1))
+        .selectExpr("id AS k", "id * 2 AS v")
+        .createOrReplaceTempView(s"src_sa_$i")
+      spark.sql(s"INSERT INTO spjcat.sa SELECT * FROM src_sa_$i")
+      spark.sql(s"INSERT INTO spjcat.sb SELECT id AS k, id * 10 AS v " +
+        s"FROM range(${400L * i}, ${400L * (i + 1)})")
+    }
+    assert(TableFormat.snapshot(spark, saRoot).files.size == 16)
+    val (snap, nPacked, nBins) =
+      TableFormat.compactSmallFiles(spark, saRoot, s"$saRoot/data",
+        targetRows = 1000000L)
+    val (snapB, _, _) =
+      TableFormat.compactSmallFiles(spark, s"$warehouse/sb",
+        s"$warehouse/sb/data", targetRows = 1000000L)
+    // 16 files → 4 (one per bucket), every output tuple-pure AND
+    // sorted-stamped: the bin never crossed a bucket and re-sorted
+    assert(nPacked == 16 && nBins == 4, (nPacked, nBins))
+    assert(snap.files.size == 4 && snapB.files.size == 4)
+    assert(snap.files.forall(_.part.exists(_._1 == "bucket(k, 4)")),
+      snap.files.map(_.part))
+    assert(snap.files.forall(_.sorted), "compaction must re-stamp sorted")
+    // and the physical rows ARE sorted by k within each file
+    snap.files.foreach { f =>
+      val ks = spark.read.parquet(f.file).select("k").collect()
+        .map(_.getLong(0)).toSeq
+      assert(ks == ks.sorted, s"${f.file} not sorted")
+    }
+    withSpj {
+      val j = spark.sql(
+        "SELECT a.k AS k, a.v AS av, b.v AS bv " +
+          "FROM spjcat.sa a JOIN spjcat.sb b ON a.k = b.k")
+      val rows = j.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      assert(rows.length == 1600)
+      assert(rows.toSeq == (0L until 1600L).map(k => (k, k * 2, k * 10)))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"shuffle after compaction:\n$plan")
+      assert(!plan.contains("Sort ["), s"sort after compaction:\n$plan")
+    }
+  }
+
+  test("compaction under write.sort-order re-sorts bins by the declared " +
+      "columns (range clustering preserved) with the marker off; the " +
+      "maintenance pre-check matches the tuple-aware binning") {
+    warehouse
+    spark.sql(s"""CREATE TABLE spjcat.so (k BIGINT, odd BIGINT)
+      TBLPROPERTIES('key_col'='k', 'zone_cols'='odd',
+        '${TableFormat.SortOrderProp}'='odd')""")
+    (0 until 3).foreach { i =>
+      spark.sql("INSERT INTO spjcat.so SELECT id AS k, id % 2 AS odd " +
+        s"FROM range(${100 * i}, ${100 * (i + 1)})")
+    }
+    val root = s"$warehouse/so"
+    val (snap, _, nBins) = TableFormat.compactSmallFiles(spark, root,
+      s"$root/data", targetRows = 1000000L)
+    assert(nBins == 1 && snap.files.size == 1)
+    assert(snap.files.forall(!_.sorted),
+      "declared sort order must keep the provenance marker OFF")
+    val odds = spark.read.parquet(snap.files.head.file).select("odd")
+      .collect().map(_.getLong(0)).toSeq
+    assert(odds == odds.sorted, "bin must sort by the declared order")
+
+    // pre-check parity: a spec'd table whose small files are one per
+    // tuple has NO multi-file bin under tuple-aware binning — the tick
+    // must commit nothing (before r14 a cross-tuple bin would rewrite)
+    spark.sql("""CREATE TABLE spjcat.pc (k BIGINT, v BIGINT)
+      PARTITIONED BY (bucket(4, k))""")
+    spark.sql("INSERT INTO spjcat.pc SELECT id AS k, id AS v FROM range(40)")
+    val pcRoot = s"$warehouse/pc"
+    val before = TableFormat.snapshot(spark, pcRoot).version
+    val (_, actions) = TableFormat.maintainTable(spark, pcRoot,
+      s"$pcRoot/data", targetRows = 1000000L, minSmallFiles = 2)
+    assert(!actions.exists(_.startsWith("compact")), actions)
+    assert(TableFormat.snapshot(spark, pcRoot).version == before)
+  }
+
   test("the V2 functions are SQL-invocable and match the writers") {
     warehouse
     val r = spark.sql(
