@@ -5720,6 +5720,90 @@ object SparkEntry {
       }
     },
 
+    // ---- MERGE-ON-READ × LAYOUT, the operational chain (r14 second
+    // wave): a MoR MERGE on a bucket-partitioned table routes its
+    // appended batch through the SAME clustered+ordered writer as the
+    // ordinary INSERT (tuple-pure sorted files — the delta write
+    // declares RequiresDistributionAndOrdering), materialize_deletes
+    // rewrites DV'd files 1:1 re-sorted + re-stamped, and the
+    // tuple-aware compaction bins the per-bucket tail — after the whole
+    // chain the storage-partitioned join still plans with ZERO
+    // exchanges and ZERO sorts. This is the 100 TB posture: corrections
+    // via MoR merge never cost a routed table its join layout. Oracle:
+    // the joined post-merge aggregate; the layout/plan facts are
+    // flags ----
+    "q161_mor_layout_chain" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val hex = java.lang.Integer.toHexString(dir.hashCode)
+      val (tblA, tblB) = (s"mla_$hex", s"mlb_$hex")
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      var addedOk = true
+      Fixtures.once(s, "q161_ml", dir) {
+        Seq(tblA, tblB).foreach { t =>
+          val p = new org.apache.hadoop.fs.Path(s"$wh/$t")
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+        val base = Tables.orders(s, dir)
+        base.select(col("o_orderkey").as("k"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("q161_a")
+        base.select(col("o_orderkey").as("k"), col("o_custkey").as("pay"))
+          .createOrReplaceTempView("q161_b")
+        s.sql(s"""CREATE TABLE graft.`$tblA` (k BIGINT, cents BIGINT)
+          PARTITIONED BY (bucket(8, k))
+          TBLPROPERTIES('${TableFormat.MergeModeProp}'='merge-on-read')""")
+        s.sql(s"INSERT INTO graft.`$tblA` SELECT * FROM q161_a")     // v2
+        s.sql(s"""CREATE TABLE graft.`$tblB` (k BIGINT, pay BIGINT)
+          PARTITIONED BY (bucket(8, k))""")
+        s.sql(s"INSERT INTO graft.`$tblB` SELECT * FROM q161_b")
+        s.sql("""SELECT k, cents + 1000000 AS cents FROM q161_a
+            WHERE k % 811 = 17
+          UNION ALL
+          SELECT k + (SELECT max(k) FROM q161_a), CAST(55 AS BIGINT)
+            FROM q161_a WHERE k % 1301 = 5""")
+          .createOrReplaceTempView("q161_stage")
+        s.sql(s"""MERGE INTO graft.`$tblA` AS t USING q161_stage AS st
+          ON t.k = st.k
+          WHEN MATCHED THEN UPDATE SET cents = st.cents
+          WHEN NOT MATCHED THEN INSERT (k, cents)
+            VALUES (st.k, st.cents)""")                              // v3
+        s.sql(s"CALL graft.system.materialize_deletes('$tblA')")     // v4
+        s.sql(s"CALL graft.system.compact_small_files('$tblA', 100000000)")
+      }
+      // the MERGE's appended batch went through the ROUTED writer
+      val v3 = TableFormat.snapshot(s, s"$wh/$tblA", Some(3))
+      addedOk = v3.op.contains("dv-merge") &&
+        v3.files.filter(_.seq == 3).forall(f =>
+          f.sorted && f.part.exists(_._1 == "bucket(k, 8)"))
+      // after the chain: vector-free, one sorted tuple-pure file/bucket
+      val now = TableFormat.snapshot(s, s"$wh/$tblA")
+      val chainOk = now.files.forall(f => f.dv.isEmpty && f.sorted) &&
+        now.files.flatMap(_.part.map(_._2.toSeq)).distinct.size ==
+          now.files.size
+      val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = s.sql(s"""SELECT a.k AS k, a.cents AS cents, b.pay AS pay
+          FROM graft.`$tblA` a JOIN graft.`$tblB` b ON a.k = b.k""")
+        val plan = j.queryExecution.executedPlan.toString
+        val row = j.agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("sc"), sum(col("pay")).as("sp")).collect()(0)
+        s.range(1).select(
+          lit(addedOk).as("routed_append"),
+          lit(chainOk).as("chain_layout"),
+          lit(!plan.contains("Exchange") && !plan.contains("Sort ["))
+            .as("spj_clean"),
+          lit(row.getLong(0)).as("n_rows"),
+          lit(row.getLong(1)).as("sum_cents"),
+          lit(row.getLong(2)).as("sum_pay"))
+      } finally {
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      }
+    },
+
     "q157_maintenance_tick" -> { (s, dir) =>
       val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
       val tbl = s"mtk_${java.lang.Integer.toHexString(dir.hashCode)}"
@@ -9419,6 +9503,25 @@ object SparkEntry {
     // minus the manifest keys (slice 0, k%41=7) and the vector rows
     // (slice 1, k%53=9), plus the post-tick slice-5 ingest complete;
     // the tick flags are dataset constants
+    // the post-merge join replays from orders arithmetic: only original
+    // keys match the pay side (the staged inserts live past max(k)),
+    // matched rows carry the 1e6-cent correction; the layout/plan flags
+    // are dataset constants (routed tuple-pure sorted append, vector-
+    // free single-file-per-bucket after the chain, exchange- and
+    // sort-free SPJ)
+    "q161_mor_layout_chain" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 811 = 17 THEN 1000000 ELSE 0 END
+               AS cents,
+             o_custkey AS pay FROM orders)
+         SELECT TRUE AS routed_append, TRUE AS chain_layout,
+           TRUE AS spj_clean,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(sum(pay) AS BIGINT) AS sum_pay
+         FROM o""",
+
     // the self-join aggregate replays from orders arithmetic; the plan
     // flags are dataset constants (tuple-pure sorted survivors after
     // compaction, exchange- and sort-free SMJ)

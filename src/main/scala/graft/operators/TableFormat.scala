@@ -2682,7 +2682,8 @@ object TableFormat {
     *    the constraint set changed under the CAS retry. */
   def commitDelta(spark: SparkSession, root: String, base: Snapshot,
                   posByFile: Map[String, org.roaringbitmap.longlong.Roaring64Bitmap],
-                  newFiles: Seq[String], op: String): Snapshot = {
+                  newFiles: Seq[String], op: String,
+                  filesSorted: Boolean = false): Snapshot = {
     require(op == "dv-delete" || op == "dv-update" || op == "dv-merge",
       s"commitDelta: unknown op '$op'")
     def uriPath(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
@@ -2690,12 +2691,14 @@ object TableFormat {
     val batch =
       if (newFiles.isEmpty) None else Some(spark.read.parquet(newFiles: _*))
     batch.foreach(b => checkConstraints(spark, base, b, s"commitDelta($op)"))
-    val newStats =
+    val newStats0 =
       if (newFiles.isEmpty) Seq.empty
       else fileStats(spark, newFiles, base.keyCol, base.numBits,
         base.numHashes, base.zoneCols,
         spec = base.props.get(PartitionSpecProp),
         bloomCols = bloomColsOf(base.props))
+    val newStats =
+      if (filesSorted) newStats0.map(_.copy(sorted = true)) else newStats0
     val conf = spark.sparkContext.hadoopConfiguration
     val dataDir = s"$root/data"
     val baseDv = base.files.map(f => uriPath(f.file) -> f.dv).toMap
@@ -2959,7 +2962,14 @@ object TableFormat {
     * that pays down a v2 table's read amplification without [[compact]]'s
     * full rewrite. Content-preserving by construction (it applies exactly
     * the masks every reader already applies), so the commit is stamped
-    * op=replace and incremental readers skip it for free. Returns
+    * op=replace and incremental readers skip it for free.
+    *
+    * LAYOUT-PRESERVING under a partition spec (r14, the compaction
+    * rule): with no forced fan-out, tuple-pure affected files rewrite
+    * 1:1 — each replacement re-sorted by the spec's base columns and
+    * re-stamped `FileStat.sorted` (a declared write.sort-order sorts by
+    * those columns, marker off) — so the storage-partitioned join
+    * survives the mask paydown. Returns
     * (snapshot, files rewritten, files carried). */
   def materializeDeletes(spark: SparkSession, root: String, dataDir: String,
                          nOutFiles: Int = 0): (Snapshot, Int, Int) = {
@@ -2981,8 +2991,41 @@ object TableFormat {
             cur.deletes.exists(d => d.seq > f.seq &&
               d.minKey <= f.maxKey && d.maxKey >= f.minKey)
         }
+        val spec = cur.props.get(PartitionSpecProp)
+        // LAYOUT-PRESERVING when the table is routed and the caller
+        // didn't force a fan-out: each tuple-pure affected file
+        // materializes 1:1 into its own replacement, re-sorted by the
+        // spec's base columns and re-stamped `sorted` (declared
+        // write.sort-order sorts by those columns instead, marker off)
+        // — so paying down a MoR mask no longer costs the table its
+        // storage-partitioned join until a recluster. The bulk path
+        // remains for unrouted tables, mixed layouts and nOutFiles > 0.
+        val perFile = nOutFiles == 0 && spec.isDefined &&
+          affected.forall(f => f.part.exists(_._1 == spec.get))
+        val declaredOrder = sortOrderColsOf(cur.props)
+        val baseCols =
+          spec.map(sp => parseSpec(sp).map(_.baseCol)).getOrElse(Seq.empty)
         val rewritten =
           if (affected.isEmpty) Seq.empty[FileStat]
+          else if (perFile) affected.flatMap { f =>
+            val out = s"$dataDir/matdel-${java.util.UUID.randomUUID().toString}"
+            val sortCols = if (declaredOrder.nonEmpty) declaredOrder
+              else baseCols
+            val df0 = readFiles(spark, cur, Seq(f.file)).coalesce(1)
+            (if (sortCols.isEmpty) df0
+             else df0.sortWithinPartitions(sortCols.map(col): _*))
+              .write.mode("overwrite").parquet(out)
+            val files = listParquet(spark, out)
+            if (files.isEmpty) Seq.empty // fully masked: the file is gone
+            else {
+              val stats0 = fileStats(spark, files, cur.keyCol, cur.numBits,
+                cur.numHashes, cur.zoneCols, spec = spec,
+                bloomCols = bloomColsOf(cur.props))
+              if (declaredOrder.isEmpty && baseCols.nonEmpty)
+                stats0.map(_.copy(sorted = true))
+              else stats0
+            }
+          }
           else {
             val out = s"$dataDir/matdel-${java.util.UUID.randomUUID().toString}"
             val masked = readFiles(spark, cur, affected.map(_.file))
@@ -2992,8 +3035,7 @@ object TableFormat {
             // a fully-masked rewrite may produce no files at all
             if (files.isEmpty) Seq.empty[FileStat]
             else fileStats(spark, files, cur.keyCol, cur.numBits,
-              cur.numHashes, cur.zoneCols,
-              spec = cur.props.get(PartitionSpecProp),
+              cur.numHashes, cur.zoneCols, spec = spec,
               bloomCols = bloomColsOf(cur.props))
           }
         nRe = affected.size

@@ -77,15 +77,13 @@ private[v2] class GraftDeltaOperation(root: String,
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
-      override def build(): DeltaWrite = new DeltaWrite {
-        override def toBatch: DeltaBatchWrite = new GraftDeltaBatchWrite(
-          root, snap, tableSchema, info.schema(), info.queryId(),
-          cmd match {
-            case RowLevelOperation.Command.DELETE => "dv-delete"
-            case RowLevelOperation.Command.UPDATE => "dv-update"
-            case _ => "dv-merge"
-          })
-      }
+      override def build(): DeltaWrite = new GraftDeltaWrite(
+        root, snap, tableSchema, info.schema(), info.queryId(),
+        cmd match {
+          case RowLevelOperation.Command.DELETE => "dv-delete"
+          case RowLevelOperation.Command.UPDATE => "dv-update"
+          case _ => "dv-merge"
+        })
     }
 
   override def requiredMetadataAttributes(): Array[NamedReference] =
@@ -149,6 +147,68 @@ private class GraftDeltaScan(snap: TableFormat.Snapshot,
       s"RowId: (${GraftRowLevel.FileColumn}, ${GraftRowLevel.PosColumn})"
 }
 
+/** The delta write, LAYOUT-ROUTED like the ordinary INSERT: when the
+  * table declares a partition spec and the statement can insert rows
+  * (update/merge — a pure delete writes nothing and must not funnel its
+  * null-row delete stream through one task), the write requires the
+  * routed path's clustered distribution and base-column ordering, so
+  * the appended replacement/insert batch lands tuple-pure sorted files
+  * through the SAME run-splitting writer — a merge-on-read MERGE does
+  * not cost a routed table its storage-partitioned join. Delete rows
+  * carry null row columns and simply cluster together; the writer
+  * ignores them for file routing (they only feed bitmaps). */
+private class GraftDeltaWrite(root: String,
+                              snap: TableFormat.Snapshot,
+                              tableSchema: StructType,
+                              writeSchema: StructType, queryId: String,
+                              op: String)
+    extends DeltaWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expression, Expressions, SortDirection, SortOrder}
+
+  private val terms: Seq[TableFormat.SpecTerm] =
+    if (op == "dv-delete") Seq.empty
+    else snap.props.get(TableFormat.PartitionSpecProp)
+      .map(TableFormat.parseSpec).getOrElse(Seq.empty)
+  private val declaredOrder: Seq[String] =
+    TableFormat.sortOrderColsOf(snap.props)
+
+  // the routed INSERT's ordering contract verbatim: monotone bases
+  // lead, a declared write.sort-order overrides bucket-base sorting
+  private val orders: Array[SortOrder] =
+    if (terms.isEmpty) Array.empty
+    else {
+      val monoBases = terms.filterNot(_.isInstanceOf[TableFormat.BucketTerm])
+        .map(_.baseCol)
+      val cols =
+        if (declaredOrder.isEmpty) terms.map(_.baseCol)
+        else monoBases ++ declaredOrder.filterNot(monoBases.contains)
+      cols.map(c => Expressions.sort(Expressions.column(c),
+        SortDirection.ASCENDING)).toArray
+    }
+
+  override def requiredDistribution(): Distribution =
+    if (terms.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(terms.map {
+      case TableFormat.IdentityTerm(c) => Expressions.identity(c)
+      case TableFormat.MonthTerm(c) => Expressions.months(c)
+      case TableFormat.BucketTerm(c, n) => Expressions.bucket(n.toInt, c)
+      case TableFormat.DivTerm(c, w) =>
+        Expressions.apply("div", Expressions.column(c),
+          Expressions.literal(java.lang.Long.valueOf(w)))
+    }.toArray[Expression])
+
+  override def requiredOrdering(): Array[SortOrder] = orders
+
+  override def toBatch: DeltaBatchWrite = new GraftDeltaBatchWrite(
+    root, snap, tableSchema, writeSchema, queryId, op, terms,
+    // write-provenance: with no declared sort order the required
+    // ordering IS the spec base columns, so each landed file is a
+    // sorted run (the GraftSqlBatchWrite.specSorted rule)
+    filesSorted = terms.nonEmpty && declaredOrder.isEmpty)
+}
+
 /** Per-task result of a delta write: the appended files plus each
   * touched data file's NEW deletion ordinals (one serialized roaring
   * bitmap per file — O(rows this task deleted)). */
@@ -160,7 +220,10 @@ private class GraftDeltaBatchWrite(root: String,
                                    snap: TableFormat.Snapshot,
                                    tableSchema: StructType,
                                    writeSchema: StructType, queryId: String,
-                                   op: String)
+                                   op: String,
+                                   specTerms: Seq[TableFormat.SpecTerm] =
+                                     Seq.empty,
+                                   filesSorted: Boolean = false)
     extends DeltaBatchWrite {
   private val dataDir =
     s"$root/data/delta-$queryId-${java.util.UUID.randomUUID().toString}"
@@ -175,7 +238,8 @@ private class GraftDeltaBatchWrite(root: String,
     new GraftDeltaWriterFactory(dataDir,
       StructType(keep.map(writeSchema.fields(_))), keep,
       new SerializableHadoopConf(
-        SparkSession.active.sessionState.newHadoopConf()))
+        SparkSession.active.sessionState.newHadoopConf()),
+      specTerms, GraftSqlWrite.targetOf(snap.props))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -196,7 +260,8 @@ private class GraftDeltaBatchWrite(root: String,
       }
     })
     if (newFiles.isEmpty && posByFile.isEmpty) return // nothing matched
-    TableFormat.commitDelta(spark, root, snap, posByFile.toMap, newFiles, op)
+    TableFormat.commitDelta(spark, root, snap, posByFile.toMap, newFiles, op,
+      filesSorted = filesSorted)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -209,11 +274,13 @@ private class GraftDeltaBatchWrite(root: String,
 private class GraftDeltaWriterFactory(dataDir: String,
                                       parquetSchema: StructType,
                                       keep: Array[Int],
-                                      conf: SerializableHadoopConf)
+                                      conf: SerializableHadoopConf,
+                                      specTerms: Seq[TableFormat.SpecTerm],
+                                      targetFileBytes: Long)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new GraftDeltaRowWriter(dataDir, s"part-$partitionId-$taskId",
-      parquetSchema, keep, conf.value)
+      parquetSchema, keep, conf.value, specTerms, targetFileBytes)
 }
 
 /** The executor half: inserts stream into one parquet writer (lazily
@@ -223,7 +290,10 @@ private class GraftDeltaWriterFactory(dataDir: String,
 private class GraftDeltaRowWriter(dataDir: String, taskTag: String,
                                   parquetSchema: StructType,
                                   keep: Array[Int],
-                                  conf: org.apache.hadoop.conf.Configuration)
+                                  conf: org.apache.hadoop.conf.Configuration,
+                                  specTerms: Seq[TableFormat.SpecTerm] =
+                                    Seq.empty,
+                                  targetFileBytes: Long = Long.MaxValue)
     extends DeltaWriter[InternalRow] {
   private val types = parquetSchema.fields.map(_.dataType)
   private val identity = keep.nonEmpty && keep.length == keep.max + 1 &&
@@ -244,7 +314,7 @@ private class GraftDeltaRowWriter(dataDir: String, taskTag: String,
   override def insert(row: InternalRow): Unit = {
     if (inner == null)
       inner = new GraftSqlDataWriter(dataDir, taskTag, parquetSchema,
-        Seq.empty, conf)
+        specTerms, conf, targetFileBytes)
     if (identity) inner.write(row)
     else {
       val vals = new Array[Any](keep.length)

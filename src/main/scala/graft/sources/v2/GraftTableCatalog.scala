@@ -48,9 +48,12 @@ import graft.operators.TableFormat
   *    and skips masked rows before Spark sees them — memory O(manifest
   *    keys), the bound [[TableFormat.compactManifests]] maintains.
   *
-  * Mutations go through the library API ([[TableFormat]]); the catalog
-  * is deliberately read-only — `createTable`/`alterTable`/`dropTable`
-  * refuse loudly rather than offering a second, weaker write path. */
+  * Mutations flow through the SAME commit protocol as the library API
+  * ([[TableFormat]]): DDL (`createTable`/`alterTable`/`dropTable`/
+  * `renameTable`), the routed INSERT path, row-level DML (group-based
+  * and delta merge-on-read), and the CALL procedures all land ordinary
+  * versioned commits — SQL is a face on the format, never a second,
+  * weaker write path. */
 class GraftTableCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
     with org.apache.spark.sql.connector.catalog.SupportsNamespaces

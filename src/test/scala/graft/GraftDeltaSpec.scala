@@ -192,6 +192,61 @@ class GraftDeltaSpec extends SparkTestBase {
     assert(after == 300) // 299 survivors + 1 replacement
   }
 
+  test("a merge-on-read MERGE on a bucket-partitioned table keeps the " +
+      "layout: appended files tuple-pure + sorted, and the maintenance " +
+      "chain restores the exchange- and sort-free SPJ") {
+    warehouse
+    spark.sql(s"""CREATE TABLE dcat.bm (k BIGINT, v BIGINT)
+      PARTITIONED BY (bucket(4, k))
+      TBLPROPERTIES('${TableFormat.MergeModeProp}'='merge-on-read')""")
+    spark.sql("INSERT INTO dcat.bm SELECT id AS k, id * 2 AS v " +
+      "FROM range(400)")
+    spark.sql("""CREATE TABLE dcat.bn (k BIGINT, w BIGINT)
+      PARTITIONED BY (bucket(4, k))""")
+    spark.sql("INSERT INTO dcat.bn SELECT id AS k, id * 10 AS w " +
+      "FROM range(600)")
+    spark.sql("SELECT id AS k, id * 3 AS v FROM range(300, 600)")
+      .createOrReplaceTempView("stage_bm")
+    spark.sql("""MERGE INTO dcat.bm t USING stage_bm s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    val root = s"$warehouse/bm"
+    val v3 = TableFormat.snapshot(spark, root)
+    assert(v3.op.contains("dv-merge"))
+    // the appended batch went through the ROUTED writer: tuple-pure
+    // sorted files, one per bucket value
+    val added = v3.files.filter(_.seq == v3.version)
+    assert(added.size == 4, added.map(_.file))
+    assert(added.forall(f => f.sorted && f.part.exists(_._1 == "bucket(k, 4)")),
+      added.map(f => (f.sorted, f.part.map(_._1))))
+    // maintenance: materialize the vectors (per-file, layout kept),
+    // then bin-pack within tuples — the sort-free SPJ is back
+    spark.sql("CALL dcat.system.materialize_deletes('bm')")
+    val v4 = TableFormat.snapshot(spark, root)
+    assert(v4.files.forall(f => f.dv.isEmpty && f.sorted &&
+      f.part.exists(_._1 == "bucket(k, 4)")),
+      v4.files.map(f => (f.dv, f.sorted, f.part.map(_._1))))
+    spark.sql("CALL dcat.system.compact_small_files('bm', 100000000)")
+    val v5 = TableFormat.snapshot(spark, root)
+    assert(v5.files.size == 4 && v5.files.forall(_.sorted))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.sql("SELECT a.k AS k, a.v AS v, b.w AS w " +
+        "FROM dcat.bm a JOIN dcat.bn b ON a.k = b.k")
+      val rows = j.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(rows == (0L until 600L).map(k =>
+        (k, if (k >= 300) k * 3 else k * 2, k * 10)))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"shuffle:\n$plan")
+      assert(!plan.contains("Sort ["), s"sort:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    }
+  }
+
   test("a concurrent rewrite of a touched file fails the delta commit " +
       "loudly (stale ordinals must never mask other bytes)") {
     val (t, root) = mkTable(Seq("update"))
