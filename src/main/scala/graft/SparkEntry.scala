@@ -5804,6 +5804,65 @@ object SparkEntry {
       }
     },
 
+    // ---- METADATA TABLES t$refs / t$manifests + remove_orphan_files
+    // (r14 second wave): the introspection surface an operator works
+    // from — named refs (tags + live branches) and the PENDING READ
+    // MASKS (equality manifests with key counts, DV sidecars with
+    // ordinal cardinality, each anchored to its data file: the read
+    // amplification a materialize would pay down, queryable BEFORE
+    // running it) — plus the standalone orphan sweep (crashed-writer
+    // files reclaimed WITHOUT expiring any snapshot). Oracle: the
+    // masked aggregate + mask cardinalities replay from orders
+    // arithmetic; the ref/sweep facts are flags ----
+    "q162_meta_refs_manifests" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"mrf_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val root = s"$wh/$tbl"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q162_mrf", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        s.sql(s"""CREATE TABLE graft.`$tbl` (k BIGINT, cents BIGINT)
+          TBLPROPERTIES('key_col'='k')""")
+        Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("q162_src")
+        s.sql(s"INSERT INTO graft.`$tbl` SELECT * FROM q162_src")    // v2
+        s.sql(s"CALL graft.system.create_tag('$tbl', 'base', 2)")    // v3
+        s.sql(s"CALL graft.system.create_branch('$tbl', 'wip')")
+        TableFormat.deleteKeysMoR(s, root, s"$root/data",
+          s.sql("SELECT k FROM q162_src WHERE k % 997 = 13"))
+        TableFormat.deletePositions(s, root, s"$root/data",
+          pmod(col("k"), lit(1009)) === 5)
+        // a crashed writer's never-committed files
+        s.range(5).toDF("x").coalesce(1).write.mode("overwrite")
+          .parquet(s"$root/data/orphan_dir")
+        s.sql(s"CALL graft.system.remove_orphan_files('$tbl', " +
+          "grace_ms => 0)")
+      }
+      val nVersions = TableFormat.versions(s, root).size.toLong
+      val refs = s.sql(s"SELECT name, type FROM graft.`$tbl$$refs`")
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      val refsOk = refs == Seq(("base", "tag"), ("wip", "branch"))
+      val masks = s.sql(
+        s"SELECT kind, n_masked FROM graft.`$tbl$$manifests`")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      // the sweep kept every version AND every mask (sidecars are live
+      // state), and the orphan parquet is gone (the sweep reclaims
+      // FILES; an emptied directory shell may remain)
+      val sweepOk =
+        scala.util.Try(TableFormat.listParquet(s, s"$root/data/orphan_dir"))
+          .toOption.forall(_.isEmpty) && nVersions >= 3
+      s.sql(s"""SELECT count(*) AS n_rows,
+          CAST(sum(cents) AS BIGINT) AS sum_cents FROM graft.`$tbl`""")
+        .select(col("n_rows"), col("sum_cents"),
+          lit(masks.filter(_._1 == "equality").map(_._2).sum)
+            .as("n_eq_keys"),
+          lit(masks.filter(_._1 == "dv").map(_._2).sum).as("n_dv_rows"),
+          lit(refsOk).as("refs_ok"), lit(sweepOk).as("sweep_ok"))
+    },
+
     "q157_maintenance_tick" -> { (s, dir) =>
       val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
       val tbl = s"mtk_${java.lang.Integer.toHexString(dir.hashCode)}"
@@ -9503,6 +9562,22 @@ object SparkEntry {
     // minus the manifest keys (slice 0, k%41=7) and the vector rows
     // (slice 1, k%53=9), plus the post-tick slice-5 ingest complete;
     // the tick flags are dataset constants
+    // the masked aggregate and both mask cardinalities replay from
+    // orders arithmetic (an equality-masked key may ALSO be in the DV —
+    // reads are idempotent, the cardinalities count their own masks);
+    // the ref/sweep facts are dataset constants
+    "q162_meta_refs_manifests" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           (SELECT CAST(count(*) AS BIGINT) FROM o WHERE k % 997 = 13)
+             AS n_eq_keys,
+           (SELECT CAST(count(*) AS BIGINT) FROM o WHERE k % 1009 = 5)
+             AS n_dv_rows,
+           TRUE AS refs_ok, TRUE AS sweep_ok
+         FROM o WHERE k % 997 <> 13 AND k % 1009 <> 5""",
+
     // the post-merge join replays from orders arithmetic: only original
     // keys match the pay side (the staged inserts live past max(k)),
     // matched rows carry the 1e6-cent correction; the layout/plan flags

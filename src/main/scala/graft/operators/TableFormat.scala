@@ -3904,6 +3904,58 @@ object TableFormat {
       "n_delete_files", "n_delete_keys", "meta_rows")
   }
 
+  /** The `t$refs` metadata table (Iceberg's refs-table idiom): one row
+    * per named reference — TAGS (immutable version pins from the
+    * `ref.*` props, the TIMESTAMP/VERSION AS OF anchors retention
+    * protects) and live BRANCHES (each with its own head version).
+    * Pure log/props arithmetic. */
+  def refsTable(spark: SparkSession, root: String): DataFrame = {
+    val head = snapshot(spark, root)
+    val tags = head.props.collect {
+      case (k, v) if k.startsWith(RefPrefix) =>
+        (k.stripPrefix(RefPrefix), "tag", v.toLong)
+    }.toSeq
+    val branches = listBranches(spark, root).map { b =>
+      (b, "branch", snapshot(spark, branchRoot(root, b)).version)
+    }
+    spark.createDataFrame((tags ++ branches).sortBy(r => (r._2, r._1)))
+      .toDF("name", "type", "version")
+  }
+
+  /** The `t$manifests` metadata table: one row per PENDING READ MASK of
+    * the resolved snapshot — equality-delete manifests (key count + key
+    * bounds) and deletion-vector sidecars (masked-ordinal cardinality,
+    * anchored to their data file). The operational dial this surfaces:
+    * total read amplification a `CALL materialize_deletes` would pay
+    * down, queryable before deciding to run it. */
+  def manifestsTable(spark: SparkSession, snap: Snapshot): DataFrame = {
+    val eq = snap.deletes.map(d => ("equality", d.file, d.seq, d.nKeys,
+      null: java.lang.Long, null: String))
+    val dvs = snap.files.collect {
+      case f if f.dv.isDefined =>
+        ("dv", f.dv.get._1, f.seq, f.dv.get._2,
+          java.lang.Long.valueOf(f.nRows), f.file)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize((eq ++ dvs).map {
+        case (k, fl, sq, n, rows, df) =>
+          org.apache.spark.sql.Row(k, fl, sq, n, rows, df)
+      }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("kind",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("file",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("seq",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_masked",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("data_file_rows",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("data_file",
+          org.apache.spark.sql.types.StringType))))
+  }
+
   /** One row per data file of a resolved snapshot — the Iceberg `files`
     * metadata table: path, commit sequence, key bounds, row count, and
     * the declared secondary zone bounds. Driver arithmetic over the

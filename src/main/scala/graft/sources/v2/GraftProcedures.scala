@@ -39,7 +39,7 @@ private[v2] object GraftProcedures {
 
   val names: Seq[String] = Seq("compact", "compact_small_files",
     "compact_manifests", "maintain", "materialize_deletes",
-    "expire_snapshots",
+    "expire_snapshots", "remove_orphan_files",
     "recluster", "rollback", "create_tag", "drop_tag",
     "create_branch", "publish_branch", "drop_branch", "clone",
     "create_view", "drop_view", "rename_view", "list_views")
@@ -156,6 +156,21 @@ private[v2] object GraftProcedures {
             args.getLong(3))
           result(name, "versions_expired" -> expired.size.toLong,
             "files_removed" -> removed.size.toLong)
+      }
+      case "remove_orphan_files" => proc(name,
+        "sweep files no retained version references (crashed writers, " +
+          "aborted commits) WITHOUT expiring any snapshot",
+        Array(param("table", StringType),
+          paramD("grace_ms", LongType, "3600000"))) {
+        (spark, root, args) =>
+          // expiry with the horizon past every version = pure orphan
+          // sweep: all versions survive, phase 2 still reconciles the
+          // data dirs against the full referenced set (grace keeps
+          // in-flight writers' files out of the sweep)
+          val keepAll = TableFormat.versions(spark, root).size + 1
+          val (_, removed) = TableFormat.expireSnapshots(spark, root,
+            keepAll, Seq(s"$root/data", root), args.getLong(1))
+          result(name, "files_removed" -> removed.size.toLong)
       }
       case "recluster" => proc(name,
         "rewrite the table grouped by a clustering expression, declaring zone columns",

@@ -314,6 +314,9 @@ class GraftTableCatalog extends TableCatalog
           TableFormat.snapshot(spark, root, version))
         case "partitions" => TableFormat.partitionsTable(spark,
           TableFormat.snapshot(spark, root, version))
+        case "refs" => TableFormat.refsTable(spark, root)
+        case "manifests" => TableFormat.manifestsTable(spark,
+          TableFormat.snapshot(spark, root, version))
         case other => throw new NoSuchTableException(ident)
       }
       new GraftMetaTable(ident.toString, df)

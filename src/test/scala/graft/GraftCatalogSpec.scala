@@ -1217,4 +1217,46 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(e.getMessage.contains("beforeb") || e.getMessage.contains("tag"),
       e.getMessage)
   }
+
+  test("t$refs and t$manifests surface names and pending masks; " +
+      "remove_orphan_files sweeps unreferenced files, keeps every version") {
+    val root = s"$warehouse/mrt"
+    spark.sql("""CREATE TABLE sqlcat.mrt (k BIGINT, v BIGINT)
+      TBLPROPERTIES('key_col'='k')""")
+    spark.sql("INSERT INTO sqlcat.mrt SELECT id, id FROM range(100)")    // v2
+    spark.sql("CALL sqlcat.system.create_tag('mrt', 'base', 2)")         // v3
+    spark.sql("CALL sqlcat.system.create_branch('mrt', 'wip')")
+    TableFormat.deleteKeysMoR(spark, root, s"$root/data", Seq(7L, 8L))
+    TableFormat.deletePositions(spark, root, s"$root/data", col("k") === 11)
+    val refs = spark.sql("SELECT name, type, version FROM sqlcat.`mrt$refs`")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(refs.map(r => (r._1, r._2)) ==
+      Seq(("base", "tag"), ("wip", "branch")), refs)
+    assert(refs.head._3 == 2L)
+    val masks = spark.sql(
+      "SELECT kind, n_masked, data_file FROM sqlcat.`mrt$manifests`")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(masks.length == 2, masks.toSeq)
+    assert(masks.count(_._1 == "equality") == 1 &&
+      masks.count(_._1 == "dv") == 1)
+    assert(masks.find(_._1 == "equality").get._2 == 2L)
+    assert(masks.find(_._1 == "dv").get._2 == 1L)
+    assert(masks.find(_._1 == "dv").get._3 != null)
+    // orphan: a crashed writer's files under data/, never committed
+    spark.range(5).toDF("x").coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/data/orphan_dir")
+    val nVersions = TableFormat.versions(spark, root).size
+    val swept = spark.sql(
+      "CALL sqlcat.system.remove_orphan_files('mrt', grace_ms => 0)")
+      .collect()(0)
+    assert(swept.getLong(swept.fieldIndex("files_removed")) >= 1L,
+      swept.toString)
+    // every version survives, content intact, masks still apply
+    assert(TableFormat.versions(spark, root).size == nVersions)
+    assert(spark.sql("SELECT count(*) FROM sqlcat.mrt").collect()(0)
+      .getLong(0) == 97L)
+    assert(spark.sql("SELECT count(*) FROM sqlcat.mrt VERSION AS OF 2")
+      .collect()(0).getLong(0) == 100L)
+  }
 }

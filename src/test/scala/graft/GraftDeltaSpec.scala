@@ -247,6 +247,71 @@ class GraftDeltaSpec extends SparkTestBase {
     }
   }
 
+  test("the mode flips live via ALTER TABLE SET TBLPROPERTIES, delta " +
+      "updates work across a column rename, and CHECK constraints " +
+      "validate the replacement batch") {
+    val (t, root) = mkTable(Seq.empty) // copy-on-write by default
+    spark.sql(s"ALTER TABLE dcat.$t SET TBLPROPERTIES(" +
+      s"'${TableFormat.UpdateModeProp}'='merge-on-read')")
+    // era ledger: rename the value column, then a MoR update through
+    // the NEW name — old-era files read through the mapping, the
+    // replacement batch writes current names (the constraint lands
+    // AFTER the rename: constraint-referenced renames refuse, q154)
+    spark.sql(s"ALTER TABLE dcat.$t RENAME COLUMN v TO amount")
+    spark.sql(s"ALTER TABLE dcat.$t SET TBLPROPERTIES(" +
+      "'constraint.v_bound'='amount < 100000')")
+    spark.sql(s"UPDATE dcat.$t SET amount = 1 WHERE k = 42")
+    val snap = TableFormat.snapshot(spark, root)
+    assert(snap.op.contains("dv-update"), snap.op)
+    val got = spark.sql(s"SELECT k, amount FROM dcat.$t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == (0L until 300L).map(k => (k, if (k == 42) 1L else k * 10)))
+    // the constraint rejects a violating replacement batch LOUDLY and
+    // nothing commits
+    val before = TableFormat.snapshot(spark, root).version
+    val ex = intercept[Exception] {
+      spark.sql(s"UPDATE dcat.$t SET amount = 200000 WHERE k = 7")
+    }
+    assert(exceptionChain(ex).exists(_.getMessage != null) &&
+      exceptionChain(ex).exists(m => m.getMessage != null &&
+        m.getMessage.contains("v_bound")), ex.getMessage)
+    assert(TableFormat.snapshot(spark, root).version == before)
+    assert(spark.sql(s"SELECT amount FROM dcat.$t WHERE k = 7")
+      .collect()(0).getLong(0) == 70L)
+  }
+
+  private def exceptionChain(e: Throwable): Seq[Throwable] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
+
+  test("two delta commits derived from the same snapshot COMPOSE when " +
+      "they touch different files, and conflict loudly on the same file") {
+    val (t, root) = mkTable(Seq("update"))
+    val base = TableFormat.snapshot(spark, root)
+    val files = base.files.map(_.file).sorted
+    assert(files.size >= 2)
+    def bm(ps: Long*) = {
+      val b = new org.roaringbitmap.longlong.Roaring64Bitmap()
+      ps.foreach(b.addLong)
+      b
+    }
+    // disjoint touched files: the CAS loser re-derives and both land
+    TableFormat.commitDelta(spark, root, base,
+      Map(files(0) -> bm(0L)), Seq.empty, "dv-update")
+    val s2 = TableFormat.commitDelta(spark, root, base,
+      Map(files(1) -> bm(0L)), Seq.empty, "dv-update")
+    assert(s2.files.count(_.dv.isDefined) == 2)
+    // same touched file: the second statement's pre-images may have
+    // been deleted by the first — refuse, demand a fresh derivation
+    val base2 = TableFormat.snapshot(spark, root)
+    TableFormat.commitDelta(spark, root, base2,
+      Map(files(0) -> bm(1L)), Seq.empty, "dv-update")
+    val ex = intercept[TableFormat.CommitConflictException] {
+      TableFormat.commitDelta(spark, root, base2,
+        Map(files(0) -> bm(2L)), Seq.empty, "dv-update")
+    }
+    assert(ex.getMessage.contains("deletion vector changed"), ex.getMessage)
+  }
+
   test("a concurrent rewrite of a touched file fails the delta commit " +
       "loudly (stale ordinals must never mask other bytes)") {
     val (t, root) = mkTable(Seq("update"))
