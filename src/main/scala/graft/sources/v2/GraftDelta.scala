@@ -42,11 +42,14 @@ import graft.operators.TableFormat
   * Scan economics: the statement's own predicate pushes into the scan
   * through the standard DSv2 pushdown, so zone bounds, null counts and
   * the key/`bloom.cols` blooms prune FILES before any IO (a key-equality
-  * UPDATE on a 100k-file table plans a handful); rows stream through the
-  * unfiltered row reader because `_pos` is DEFINED as the file-absolute
-  * ordinal and a row-group-skipping open would desynchronize it —
-  * pruning lives at file granularity here, which is the granularity that
-  * matters for the scattered-update shape this path exists for.
+  * UPDATE on a 100k-file table plans a handful); the scan itself is
+  * COLUMNAR — `_file`/`_pos` synthesize as vectors over the vectorized
+  * parquet batches — so a MoR MERGE's full-target read keeps
+  * WholeStageCodegen throughput. The open stays unfiltered because
+  * `_pos` is DEFINED as the file-absolute ordinal and row-group skipping
+  * would desynchronize it — pruning lives at file granularity here,
+  * which is the granularity that matters for the scattered-update shape
+  * this path exists for.
   *
   * Reference: the engine half of the reference's transaction
   * update/delete mutations (`lib:2410-2570`), re-expressed as SQL DML
@@ -94,12 +97,13 @@ private[v2] class GraftDeltaOperation(root: String,
 }
 
 /** The row-identity scan the delta write reads: every surviving file
-  * (after the builder's pushed-filter pruning) served through the row
-  * reader with `_file`/`_pos` synthesized and every pending mask applied
-  * in-task — an already-deleted row must never re-enter a bitmap or be
+  * (after the builder's pushed-filter pruning) served COLUMNAR with
+  * `_file`/`_pos` synthesized as vectors and every pending mask applied
+  * per batch — an already-deleted row must never re-enter a bitmap or be
   * re-emitted as an update's pre-image. */
 private class GraftDeltaScan(snap: TableFormat.Snapshot,
                              required: StructType,
+                             tableSchema: StructType,
                              bounds: Map[String, (Long, Long)],
                              pruners: Seq[(String, TableFormat.FileStat => Boolean)])
     extends Scan with Batch {
@@ -116,6 +120,14 @@ private class GraftDeltaScan(snap: TableFormat.Snapshot,
 
   private lazy val columnMapping = TableFormat.hasColumnMapping(snap.props)
 
+  private lazy val anyMasked =
+    hit.exists(f => snap.deletes.exists(_.seq > f.seq))
+
+  // real parquet columns: the projection minus the synthesized row
+  // identity, key appended for mask probing (the main scan's rule)
+  private lazy val extended = GraftSqlReaderFactory.extendedOf(required,
+    tableSchema, snap.keyCol, anyMasked)
+
   override def planInputPartitions(): Array[InputPartition] =
     hit.map { f =>
       val manifests = snap.deletes.filter(_.seq > f.seq).map(_.file)
@@ -124,8 +136,8 @@ private class GraftDeltaScan(snap: TableFormat.Snapshot,
       val phys =
         if (!columnMapping) None
         else {
-          val ps = TableFormat.physicalSchemaOf(snap.props, required, f.seq)
-          if (ps.fieldNames.sameElements(required.fieldNames)) None
+          val ps = TableFormat.physicalSchemaOf(snap.props, extended, f.seq)
+          if (ps.fieldNames.sameElements(extended.fieldNames)) None
           else Some(ps.json)
         }
       GraftSqlPartition(f.file, manifests, snap.keyCol, phys, f.dv)
@@ -133,11 +145,14 @@ private class GraftDeltaScan(snap: TableFormat.Snapshot,
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    // the shared row-reader factory (mask + DV + era handling + the
-    // _file/_pos synthesis); no row-group predicate is ever stamped
+    // the SHARED columnar factory: masks and the _file/_pos row
+    // identity all synthesize as vectors, so even the delta scan feeds
+    // WholeStageCodegen batches; no row-group predicate is ever stamped
     // here — ordinals must stay file-absolute
     val c = GraftSqlColumnar.scanConf(SparkSession.active)
-    new GraftSqlReaderFactory(required, required, columnar = false,
+    c.set(org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport
+      .SPARK_ROW_REQUESTED_SCHEMA, extended.json)
+    new GraftSqlReaderFactory(required, extended, columnar = true,
       new SerializableHadoopConf(c))
   }
 

@@ -265,6 +265,72 @@ private class MappedColumnVector(base: ColumnVector, state: MaskState)
       (_: Integer) => new MappedColumnVector(base.getChild(ordinal), state))
 }
 
+/** A constant-string vector — the `_file` metadata column synthesized
+  * per partition on the COLUMNAR path (every row of a partition shares
+  * its source path, so the vector is one shared UTF8String). */
+private class ConstStringVector(value: org.apache.spark.unsafe.types.UTF8String)
+    extends ColumnVector(StringType) {
+  override def close(): Unit = ()
+  override def hasNull: Boolean = false
+  override def numNulls: Int = 0
+  override def isNullAt(i: Int): Boolean = false
+  override def getUTF8String(i: Int) = value
+  override def getBoolean(i: Int): Boolean =
+    throw new UnsupportedOperationException
+  override def getByte(i: Int): Byte = throw new UnsupportedOperationException
+  override def getShort(i: Int): Short = throw new UnsupportedOperationException
+  override def getInt(i: Int): Int = throw new UnsupportedOperationException
+  override def getLong(i: Int): Long = throw new UnsupportedOperationException
+  override def getFloat(i: Int): Float = throw new UnsupportedOperationException
+  override def getDouble(i: Int): Double = throw new UnsupportedOperationException
+  override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+    throw new UnsupportedOperationException
+  override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+    throw new UnsupportedOperationException
+  override def getDecimal(i: Int, p: Int, s: Int) =
+    throw new UnsupportedOperationException
+  override def getBinary(i: Int): Array[Byte] =
+    throw new UnsupportedOperationException
+  override def getChild(ordinal: Int): ColumnVector =
+    throw new UnsupportedOperationException
+}
+
+/** The `_pos` metadata column on the COLUMNAR path: the row's
+  * FILE-ABSOLUTE pre-mask ordinal — `base + i` on a clean batch,
+  * `base + map(i)` under a mask (the map holds RAW batch indices of the
+  * surviving rows, so masked ordinals are exactly the skipped ones).
+  * `base` lives on the holder the reader advances per batch; reads are
+  * only valid for the CURRENT batch, which is all Spark ever does. */
+private class BatchBase { var value: Long = 0L }
+
+private class OrdinalVector(base: BatchBase, state: MaskState)
+    extends ColumnVector(LongType) {
+  override def close(): Unit = ()
+  override def hasNull: Boolean = false
+  override def numNulls: Int = 0
+  override def isNullAt(i: Int): Boolean = false
+  override def getLong(i: Int): Long =
+    base.value + (if (state == null) i else state.map(i))
+  override def getBoolean(i: Int): Boolean =
+    throw new UnsupportedOperationException
+  override def getByte(i: Int): Byte = throw new UnsupportedOperationException
+  override def getShort(i: Int): Short = throw new UnsupportedOperationException
+  override def getInt(i: Int): Int = throw new UnsupportedOperationException
+  override def getFloat(i: Int): Float = throw new UnsupportedOperationException
+  override def getDouble(i: Int): Double = throw new UnsupportedOperationException
+  override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+    throw new UnsupportedOperationException
+  override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+    throw new UnsupportedOperationException
+  override def getDecimal(i: Int, p: Int, s: Int) =
+    throw new UnsupportedOperationException
+  override def getUTF8String(i: Int) = throw new UnsupportedOperationException
+  override def getBinary(i: Int): Array[Byte] =
+    throw new UnsupportedOperationException
+  override def getChild(ordinal: Int): ColumnVector =
+    throw new UnsupportedOperationException
+}
+
 private class GraftSqlColumnarReader(file: String, required: StructType,
                                      extended: StructType,
                                      mask: java.util.HashSet[java.lang.Long],
@@ -272,11 +338,14 @@ private class GraftSqlColumnarReader(file: String, required: StructType,
                                      conf: org.apache.hadoop.conf.Configuration,
                                      posMask: org.roaringbitmap.longlong.Roaring64Bitmap = null)
     extends PartitionReader[ColumnarBatch] {
-  // `posMask` is the file's DELETION VECTOR (file-absolute ordinals).
-  // The factory hands a FILTER-FREE conf with it — a stamped row-group
-  // predicate would skip groups and desynchronize the running ordinal.
-  require(posMask == null || !GraftRowGroupFilter.hasFilter(conf),
-    s"graft-columnar: deletion vector needs an unfiltered read of $file")
+  // `posMask` is the file's DELETION VECTOR (file-absolute ordinals),
+  // and a `_pos` projection synthesizes the same ordinals as a column.
+  // The factory hands a FILTER-FREE conf with either — a stamped
+  // row-group predicate would skip groups and desynchronize the count.
+  require((posMask == null &&
+    !required.fieldNames.contains(GraftRowLevel.PosColumn)) ||
+    !GraftRowGroupFilter.hasFilter(conf),
+    s"graft-columnar: file-absolute ordinals need an unfiltered read of $file")
   import org.apache.parquet.hadoop.ParquetFileReader
   import org.apache.parquet.hadoop.util.HadoopInputFile
 
@@ -336,38 +405,59 @@ private class GraftSqlColumnarReader(file: String, required: StructType,
       }
     }
 
-  private val nRequired = required.fields.length
+  // output slot -> source: >= 0 is the delegate (extended) column index,
+  // -1 synthesizes `_file`, -2 synthesizes `_pos`
+  private val outputs: Array[Int] = required.fields.map { f =>
+    if (f.name == GraftRowLevel.FileColumn) -1
+    else if (f.name == GraftRowLevel.PosColumn) -2
+    else extended.fieldIndex(f.name)
+  }
+  private val identityOutputs =
+    outputs.length == extended.fields.length &&
+      outputs.zipWithIndex.forall { case (s, o) => s == o }
   private lazy val keyIdx = extended.fieldIndex(keyCol)
   private lazy val keyIsLong =
     extended.fields(keyIdx).dataType == org.apache.spark.sql.types.LongType
+  private lazy val fileVec = new ConstStringVector(
+    org.apache.spark.unsafe.types.UTF8String.fromString(file))
 
   private var countBatch: ColumnarBatch = _
   private var current: ColumnarBatch = _
   // lazily-built output shells (delegate vectors are reused per batch,
-  // so these allocate once): `trimmed` drops an appended key column,
-  // `maskState`+`maskedBatch` apply the row-id mapping
-  private var trimmed: ColumnarBatch = _
+  // so these allocate once): `shell` projects/synthesizes over a clean
+  // batch, `maskState`+`maskedBatch` additionally apply the row-id map
+  private var shell: ColumnarBatch = _
   private val maskState = new MaskState
   private var maskedBatch: ColumnarBatch = _
 
-  // file-absolute ordinal of the CURRENT batch's first row — valid
-  // because a posMask read never skips row groups (constructor guard)
-  private var batchBase = 0L
+  // `batchBase` holds the CURRENT emitted batch's first raw ordinal —
+  // the synthesized OrdinalVectors read it while Spark consumes the
+  // batch (a batch is fully drained before the next `next()` call), and
+  // `nextBase` runs ahead as the raw-row count. Valid because a
+  // posMask/_pos read never skips row groups (constructor guard).
+  private val batchBase = new BatchBase
+  private var nextBase = 0L
 
   private def emit(b: ColumnarBatch): ColumnarBatch = {
-    val base = batchBase
-    batchBase += b.numRows()
+    batchBase.value = nextBase
+    nextBase += b.numRows()
+    val base = batchBase.value
     if (mask == null && posMask == null) {
-      if (nRequired == extended.fields.length) b
-      else {
-        // clean partition inside a masked scan: the key column was read
-        // scan-uniformly — emit only the projected prefix
-        if (trimmed == null)
-          trimmed = new ColumnarBatch(
-            Array.tabulate[ColumnVector](nRequired)(b.column))
-        trimmed.setNumRows(b.numRows())
-        trimmed
-      }
+      val out =
+        if (identityOutputs) b
+        else {
+          // projection shell: delegate columns by index, `_file`/`_pos`
+          // synthesized (a clean batch's ordinals are base + i)
+          if (shell == null)
+            shell = new ColumnarBatch(outputs.map {
+              case -1 => fileVec: ColumnVector
+              case -2 => new OrdinalVector(batchBase, null): ColumnVector
+              case i => b.column(i)
+            })
+          shell.setNumRows(b.numRows())
+          shell
+        }
+      out
     } else {
       val rows = b.numRows()
       val keys = if (mask == null) null else b.column(keyIdx)
@@ -385,9 +475,13 @@ private class GraftSqlColumnarReader(file: String, required: StructType,
         i += 1
       }
       if (maskedBatch == null)
-        maskedBatch = new ColumnarBatch(
-          Array.tabulate[ColumnVector](nRequired)(j =>
-            new MappedColumnVector(b.column(j), maskState)))
+        maskedBatch = new ColumnarBatch(outputs.map {
+          case -1 => fileVec: ColumnVector
+          // surviving rows keep their RAW ordinals (base + map(i)) —
+          // exactly the identity a deletion vector anchors on
+          case -2 => new OrdinalVector(batchBase, maskState): ColumnVector
+          case i => new MappedColumnVector(b.column(i), maskState): ColumnVector
+        })
       maskedBatch.setNumRows(n)
       maskedBatch
     }

@@ -1232,8 +1232,8 @@ private class GraftSqlScanBuilder(snap: TableFormat.Snapshot,
     // pruning, served through the row-identity scan — `_pos` must count
     // file-absolute ordinals, so no row-group filter and no agg/limit
     // shortcuts (Spark never offers them on a row-level target anyway)
-    if (deltaPos) new GraftDeltaScan(snap, required, bounds.toMap,
-      pruners.toSeq)
+    if (deltaPos) new GraftDeltaScan(snap, required, tableSchema,
+      bounds.toMap, pruners.toSeq)
     else pushedAgg match {
       case Some(specs) => new GraftSqlAggScan(snap, tableSchema, specs)
       case None => new GraftSqlScan(snap, required, bounds.toMap, streamOpts,
@@ -1710,18 +1710,15 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
     runtimeKeep = keep.result()
   }
 
-  /** Columnar for every scan except a projection that carries the
-    * synthesized `_file` metadata column (row-level op plumbing). Since
-    * r13 merge-on-read manifests NO LONGER degrade the scan to the row
-    * reader: masked partitions load their manifest keys into a hash set
-    * and filter each `ColumnarBatch` through a row-id mapping (the
-    * Iceberg vectorized-equality-delete shape, [[MappedColumnVector]]),
-    * so the read-amplification dial's cliff is gone — compaction still
-    * pays by removing the per-batch mask work, but a MoR-pending
-    * snapshot keeps WholeStageCodegen batches. */
-  private lazy val columnar =
-    !required.fieldNames.contains(GraftRowLevel.FileColumn) &&
-      !required.fieldNames.contains(GraftRowLevel.PosColumn)
+  /** Columnar ALWAYS (r14): masks apply per batch through the row-id
+    * mapping (the Iceberg vectorized-equality-delete shape,
+    * [[MappedColumnVector]]), deletion vectors skip by batch ordinal,
+    * and since r14 the `_file`/`_pos` METADATA columns synthesize as
+    * vectors too ([[ConstStringVector]]/[[OrdinalVector]]) — so even
+    * the delta (merge-on-read) row-level scans feed WholeStageCodegen
+    * `ColumnarBatch`es. The custom row reader remains only for
+    * changelog/manifest plumbing. */
+  private lazy val columnar = true
 
   /** True when any surviving file has an applicable manifest — the scan
     * then reads the KEY column alongside the projection (appended when
@@ -1732,10 +1729,14 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
   private lazy val anyMasked =
     planHit.exists(f => snap.deletes.exists(_.seq > f.seq))
 
+  /** The REAL columns parquet must deliver: the projection minus the
+    * synthesized metadata columns, plus the key when a mask must probe
+    * it — and the key alone when metadata columns are requested with no
+    * real column at all (the ordinal/file synthesis needs true per-row
+    * batches, not the footer-count fast path). */
   private lazy val extendedSchema: StructType =
-    if (anyMasked && !required.fieldNames.contains(snap.keyCol))
-      StructType(required.fields :+ tableSchema(snap.keyCol))
-    else required
+    GraftSqlReaderFactory.extendedOf(required, tableSchema, snap.keyCol,
+      anyMasked)
 
   override def description(): String =
     s"graft(${snap.root}@v${snap.version}) PrunedFiles: " +
@@ -1858,10 +1859,30 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
   }
 }
 
+private object GraftSqlReaderFactory {
+  private def isSynth(n: String): Boolean =
+    n == GraftRowLevel.FileColumn || n == GraftRowLevel.PosColumn
+
+  /** The parquet-delivered schema for a projection that may carry
+    * synthesized metadata columns: real fields only, the key appended
+    * when a mask must probe it, and the key ALONE when only metadata
+    * columns were requested (their synthesis needs true per-row
+    * batches). */
+  def extendedOf(required: StructType, tableSchema: StructType,
+                 keyCol: String, masked: Boolean): StructType = {
+    val real = StructType(required.fields.filterNot(f => isSynth(f.name)))
+    val needKey =
+      (masked || (real.fields.isEmpty && required.fields.nonEmpty)) &&
+        !real.fieldNames.contains(keyCol)
+    if (needKey) StructType(real.fields :+ tableSchema(keyCol)) else real
+  }
+}
+
 private class GraftSqlReaderFactory(required: StructType,
                                     extended: StructType, columnar: Boolean,
                                     conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
+  import GraftSqlReaderFactory.isSynth
   override def supportColumnarReads(partition: InputPartition): Boolean =
     columnar
 
@@ -1938,12 +1959,17 @@ private class GraftSqlReaderFactory(required: StructType,
           org.apache.spark.unsafe.types.UTF8String.fromString(p.file))
       else Map.empty
     // era-resolved names for an old-era file of a mapped table: the
-    // partition's physical schema covers `extended` — its projected
-    // prefix is exactly `required` under physical names (output stays
-    // positional; synth names like _file are never mapped)
+    // partition's physical schema covers `extended` (real columns) —
+    // each real required field resolves to its physical name by
+    // extended position; synth fields (_file/_pos) pass through (the
+    // row reader synthesizes them, they are never mapped)
     val physRequired = p.physSchemaJson match {
-      case Some(js) => StructType(org.apache.spark.sql.types.DataType
-        .fromJson(js).asInstanceOf[StructType].fields.take(required.length))
+      case Some(js) =>
+        val phys = org.apache.spark.sql.types.DataType.fromJson(js)
+          .asInstanceOf[StructType]
+        StructType(required.fields.map(f =>
+          if (isSynth(f.name)) f
+          else phys.fields(extended.fieldIndex(f.name))))
       case None => required
     }
     new ParquetRowReader(p.file, physRequired, confFor(p), synth = synth,

@@ -179,8 +179,13 @@ class GraftDeltaSpec extends SparkTestBase {
   test("_file/_pos are first-class metadata columns on the plain scan " +
       "(file-absolute, pre-mask ordinals)") {
     val (t, root) = mkTable(Seq("update"))
-    val rows = spark.sql(s"SELECT _file, _pos, k FROM dcat.$t")
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val q = spark.sql(s"SELECT _file, _pos, k FROM dcat.$t")
+    // the metadata projection stays COLUMNAR: _file/_pos synthesize as
+    // vectors over the vectorized batches, no row-reader fallback
+    assert(q.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      q.queryExecution.executedPlan.toString)
+    val rows = q.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(rows.length == 300)
     // per file, ordinals are dense from 0
     rows.groupBy(_._1).foreach { case (f, rs) =>
