@@ -5863,6 +5863,42 @@ object SparkEntry {
           lit(refsOk).as("refs_ok"), lit(sweepOk).as("sweep_ok"))
     },
 
+    // ---- GROUPED METADATA AGGREGATES (r14 second wave): `SELECT g,
+    // count(*), min(k), max(k) GROUP BY g` on an identity-partitioned
+    // table answers from COMMIT STATS alone — every tuple-pure file
+    // belongs to exactly one group, so per-group figures are per-group-
+    // of-files arithmetic (one driver-local row per live partition
+    // value, zero data IO; at 100 TB the partition-profile query every
+    // pipeline dashboard runs becomes a metadata read). Honesty rules
+    // carry over: mixed/null-holding files, transform terms, pending
+    // manifests, filtered scans all fall back to the real scan ----
+    "q163_grouped_meta_agg" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"gma_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val root = s"$wh/$tbl"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q163_gma", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        s.sql(s"""CREATE TABLE graft.`$tbl` (k BIGINT, g BIGINT, cents BIGINT)
+          PARTITIONED BY (g) TBLPROPERTIES('key_col'='k')""")
+        Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+            pmod(col("o_orderkey"), lit(5)).cast("long").as("g"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("q163_src")
+        s.sql(s"INSERT INTO graft.`$tbl` SELECT * FROM q163_src")
+      }
+      val q = s.sql(s"""SELECT g, count(*) AS n_rows, min(k) AS min_k,
+          max(k) AS max_k FROM graft.`$tbl` GROUP BY g""")
+      val plan = q.queryExecution.executedPlan.toString
+      val pushed = plan.contains("LocalTableScan") &&
+        !plan.contains("BatchScan")
+      q.select(col("g"), col("n_rows"), col("min_k"), col("max_k"),
+          lit(pushed).as("meta_pushed"))
+        .orderBy("g")
+    },
+
     "q157_maintenance_tick" -> { (s, dir) =>
       val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
       val tbl = s"mtk_${java.lang.Integer.toHexString(dir.hashCode)}"
@@ -9562,6 +9598,17 @@ object SparkEntry {
     // minus the manifest keys (slice 0, k%41=7) and the vector rows
     // (slice 1, k%53=9), plus the post-tick slice-5 ingest complete;
     // the tick flags are dataset constants
+    // the grouped profile replays from orders arithmetic; the plan flag
+    // is a dataset constant (tuple-pure identity layout → metadata-only
+    // grouped aggregation)
+    "q163_grouped_meta_agg" ->
+      """SELECT o_orderkey % 5 AS g,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(o_orderkey) AS BIGINT) AS min_k,
+           CAST(max(o_orderkey) AS BIGINT) AS max_k,
+           TRUE AS meta_pushed
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
     // the masked aggregate and both mask cardinalities replay from
     // orders arithmetic (an equality-masked key may ALSO be in the DV —
     // reads are idempotent, the cardinalities count their own masks);

@@ -1180,7 +1180,7 @@ private class GraftSqlScanBuilder(snap: TableFormat.Snapshot,
   private case object CountStarSpec extends AggSpec
   private final case class MinSpec(col: String) extends AggSpec
   private final case class MaxSpec(col: String) extends AggSpec
-  private var pushedAgg: Option[Seq[AggSpec]] = None
+  private var pushedAgg: Option[(Seq[String], Seq[AggSpec])] = None
 
   private def discreteStats(c: String): Boolean =
     (c == snap.keyCol ||
@@ -1194,9 +1194,34 @@ private class GraftSqlScanBuilder(snap: TableFormat.Snapshot,
         case _ => false
       }
 
-  private def planAgg(agg: Aggregation): Option[Seq[AggSpec]] = {
-    if (agg.groupByExpressions().nonEmpty || snap.deletes.nonEmpty ||
-        bounds.nonEmpty || pruners.nonEmpty) return None
+  private def planAgg(agg: Aggregation): Option[(Seq[String], Seq[AggSpec])] = {
+    if (snap.deletes.nonEmpty || bounds.nonEmpty || pruners.nonEmpty)
+      return None
+    // GROUP BY pushes down when every group column is an IDENTITY term
+    // of the declared partition spec and EVERY live file is tuple-pure
+    // under it: each file then belongs to exactly ONE group (its tuple
+    // component IS the column value — including for a DV'd file, whose
+    // surviving rows keep the file's value), so per-group figures are
+    // per-group-of-files arithmetic. A null-holding or mixed file
+    // records no tuple and refuses the whole pushdown — Spark falls
+    // back to the real scan, never a guessed group.
+    val groupCols: Seq[String] = agg.groupByExpressions().toSeq.map {
+      case r: NamedReference if r.fieldNames.length == 1 => r.fieldNames()(0)
+      case _ => return None
+    }
+    if (groupCols.nonEmpty) {
+      val spec = snap.props.get(TableFormat.PartitionSpecProp)
+        .getOrElse(return None)
+      val terms = scala.util.Try(TableFormat.parseSpec(spec))
+        .getOrElse(return None)
+      val ok = groupCols.forall(c => terms.exists {
+        case TableFormat.IdentityTerm(b) => b == c
+        case _ => false
+      })
+      if (!ok) return None
+      if (snap.files.isEmpty ||
+          !snap.files.forall(_.part.exists(_._1 == spec))) return None
+    }
     // deletion vectors: count(*) stays exact (liveRows subtraction) but
     // extrema do not (a masked row may hold the min/max) — min/max
     // refuse, count keeps the metadata answer
@@ -1215,7 +1240,7 @@ private class GraftSqlScanBuilder(snap: TableFormat.Snapshot,
       }
       case _ => return None
     }
-    Some(specs.toSeq)
+    Some((groupCols, specs.toSeq))
   }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
@@ -1223,7 +1248,7 @@ private class GraftSqlScanBuilder(snap: TableFormat.Snapshot,
 
   override def pushAggregation(agg: Aggregation): Boolean =
     planAgg(agg) match {
-      case Some(specs) => pushedAgg = Some(specs); true
+      case Some(planned) => pushedAgg = Some(planned); true
       case None => false
     }
 
@@ -1235,7 +1260,8 @@ private class GraftSqlScanBuilder(snap: TableFormat.Snapshot,
     if (deltaPos) new GraftDeltaScan(snap, required, tableSchema,
       bounds.toMap, pruners.toSeq)
     else pushedAgg match {
-      case Some(specs) => new GraftSqlAggScan(snap, tableSchema, specs)
+      case Some((groupCols, specs)) =>
+        new GraftSqlAggScan(snap, tableSchema, groupCols, specs)
       case None => new GraftSqlScan(snap, required, bounds.toMap, streamOpts,
         pruners.toSeq, rowGroupFilters(), tableSchema, limit)
     }
@@ -1257,54 +1283,83 @@ private class GraftSqlScanBuilder(snap: TableFormat.Snapshot,
     case _ => false
   }
 
-  /** The pushed-aggregate scan: ONE driver-local row computed from the
+  /** The pushed-aggregate scan: driver-local rows computed from the
     * snapshot's per-file stats — no input partition ever reads a data
-    * file (the plan shows `graft-meta-agg`). */
+    * file (the plan shows `graft-meta-agg`). Grouped form (r14): group
+    * columns are identity spec terms and every file is tuple-pure, so
+    * the files partition cleanly into groups and each group aggregates
+    * its own file subset — `SELECT g, count(*) ... GROUP BY g` is pure
+    * metadata arithmetic, one row per live partition value. */
   private class GraftSqlAggScan(snap: TableFormat.Snapshot,
-                                tableSchema: StructType, specs: Seq[AggSpec])
+                                tableSchema: StructType,
+                                groupCols: Seq[String], specs: Seq[AggSpec])
       extends LocalScan {
     private def colType(c: String) =
       tableSchema.fields.find(_.name == c).get.dataType
 
-    override def readSchema(): StructType = StructType(specs.map {
-      case CountStarSpec => StructField("count_star", LongType, nullable = false)
-      case MinSpec(c) => StructField(s"min_$c", colType(c))
-      case MaxSpec(c) => StructField(s"max_$c", colType(c))
-    })
+    private def typed(c: String, v: Long): Any = colType(c) match {
+      case ByteType => v.toByte
+      case ShortType => v.toShort
+      case IntegerType | DateType => v.toInt // date = epoch days
+      case _ => v // long / timestamp-micros
+    }
 
-    private def statOf(c: String, take: TableFormat.FileStat => Long,
+    override def readSchema(): StructType = StructType(
+      groupCols.map(c => StructField(c, colType(c), nullable = false)) ++
+        specs.map {
+          case CountStarSpec =>
+            StructField("count_star", LongType, nullable = false)
+          case MinSpec(c) => StructField(s"min_$c", colType(c))
+          case MaxSpec(c) => StructField(s"max_$c", colType(c))
+        })
+
+    private def statOf(files: Seq[TableFormat.FileStat], c: String,
+                       take: TableFormat.FileStat => Long,
                        reduce: (Long, Long) => Long): Any = {
       // SQL min/max ignore nulls: an all-null file carries no real
       // bounds (key: full-range sentinel; zone: omitted — but zone
       // columns with any boundless file never pass discreteStats), so
       // extrema come from files with at least one non-null value
-      val bounded = snap.files.filterNot(f =>
+      val bounded = files.filterNot(f =>
         f.nRows > 0 && f.nulls.get(c).contains(f.nRows))
       if (bounded.isEmpty) null
-      else {
-        val v = bounded.map(take).reduce(reduce)
-        colType(c) match {
-          case ByteType => v.toByte
-          case ShortType => v.toShort
-          case IntegerType | DateType => v.toInt // date = epoch days
-          case _ => v // long / timestamp-micros
-        }
-      }
+      else typed(c, bounded.map(take).reduce(reduce))
     }
 
-    override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
-      Array(org.apache.spark.sql.catalyst.InternalRow.fromSeq(specs.map {
-        case CountStarSpec => snap.files.map(_.liveRows).sum
+    private def aggRow(keyVals: Seq[Any], files: Seq[TableFormat.FileStat])
+        : org.apache.spark.sql.catalyst.InternalRow =
+      org.apache.spark.sql.catalyst.InternalRow.fromSeq(keyVals ++ specs.map {
+        case CountStarSpec => files.map(_.liveRows).sum
         case MinSpec(c) =>
-          statOf(c, f => if (c == snap.keyCol) f.minKey else f.zones(c)._1,
-            math.min)
+          statOf(files, c,
+            f => if (c == snap.keyCol) f.minKey else f.zones(c)._1, math.min)
         case MaxSpec(c) =>
-          statOf(c, f => if (c == snap.keyCol) f.maxKey else f.zones(c)._2,
-            math.max)
-      }))
+          statOf(files, c,
+            f => if (c == snap.keyCol) f.maxKey else f.zones(c)._2, math.max)
+      })
+
+    override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+      if (groupCols.isEmpty) Array(aggRow(Seq.empty, snap.files))
+      else {
+        val spec = snap.props(TableFormat.PartitionSpecProp)
+        val terms = TableFormat.parseSpec(spec)
+        val idx = groupCols.map(c => terms.indexWhere {
+          case TableFormat.IdentityTerm(b) => b == c
+          case _ => false
+        })
+        snap.files
+          .groupBy(f => idx.map(f.part.get._2(_)))
+          .toSeq.sortBy(_._1.mkString("/"))
+          .map { case (tuple, files) =>
+            aggRow(groupCols.zip(tuple).map { case (c, v) => typed(c, v) },
+              files)
+          }.toArray
+      }
 
     override def description(): String =
       s"graft-meta-agg(${snap.root}@v${snap.version}) " +
+        (if (groupCols.isEmpty) ""
+         else groupCols.mkString("group_by [", ", ", "] ")) +
         specs.mkString("[", ", ", "] — commit-stats only, no data files read")
   }
 }

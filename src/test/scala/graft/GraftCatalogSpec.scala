@@ -353,6 +353,47 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(r3.getLong(0) == 98L && r3.getLong(1) == 2L && r3.getLong(2) == 99L)
   }
 
+  test("GROUPED metadata-aggregate pushdown: GROUP BY an identity " +
+      "partition column answers from per-file tuples; impure layouts " +
+      "and transform terms fall back") {
+    val root = s"$warehouse/gagg"
+    spark.sql("""CREATE TABLE sqlcat.gagg (k BIGINT, g BIGINT, v BIGINT)
+      PARTITIONED BY (g) TBLPROPERTIES('key_col'='k')""")
+    spark.sql("""INSERT INTO sqlcat.gagg
+      SELECT id AS k, id % 4 AS g, id * 3 AS v FROM range(200)""")
+    def planOf(sql: String) = spark.sql(sql).queryExecution.executedPlan.toString
+    val q = "SELECT g, count(*) AS n, min(k) AS k0, max(k) AS k1 " +
+      "FROM sqlcat.gagg GROUP BY g"
+    assert(planOf(q).contains("LocalTableScan") &&
+      !planOf(q).contains("BatchScan"), planOf(q))
+    val rows = spark.sql(q).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(rows == (0L until 4L).map(g =>
+      (g, 50L, g, 196L + g)), rows)
+    // a deletion vector keeps the grouped COUNT exact (per-file
+    // liveRows; the file's group is its tuple) but refuses extrema
+    TableFormat.deletePositions(spark, root, s"$root/data",
+      col("k") < 8 && col("g") === 1)
+    val qc = "SELECT g, count(*) AS n FROM sqlcat.gagg GROUP BY g"
+    assert(planOf(qc).contains("LocalTableScan"), planOf(qc))
+    assert(spark.sql(qc).collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq == Seq((0L, 50L), (1L, 48L), (2L, 50L), (3L, 50L)))
+    assert(!planOf(q).contains("LocalTableScan"))
+    // compaction across values makes a mixed file: the grouped pushdown
+    // refuses and the real scan stays exact
+    TableFormat.compact(spark, root, s"$root/data", 1)
+    assert(!planOf(qc).contains("LocalTableScan"))
+    assert(spark.sql(qc).collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq == Seq((0L, 50L), (1L, 48L), (2L, 50L), (3L, 50L)))
+    // a TRANSFORM term (bucket) is not a value-carrying group column
+    spark.sql("""CREATE TABLE sqlcat.gaggb (k BIGINT, v BIGINT)
+      PARTITIONED BY (bucket(4, k))""")
+    spark.sql("INSERT INTO sqlcat.gaggb SELECT id, id FROM range(40)")
+    assert(!planOf("SELECT k, count(*) AS n FROM sqlcat.gaggb GROUP BY k")
+      .contains("LocalTableScan"))
+  }
+
   test("SQL DELETE: truncate, key range, date range on zone column; rich predicates refused") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
