@@ -103,7 +103,8 @@ private class GraftRowLevelScanBuilder(op: GraftRowLevelOperation,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftRowLevelScan(op, snap, required)
+  override def build(): Scan =
+    new GraftRowLevelScan(op, snap, required, tableSchema)
 }
 
 /** The copy-on-write target scan: every row tagged with its `_file`,
@@ -111,7 +112,8 @@ private class GraftRowLevelScanBuilder(op: GraftRowLevelOperation,
   * file set to the matched groups before any data IO. */
 private class GraftRowLevelScan(op: GraftRowLevelOperation,
                                 snap: TableFormat.Snapshot,
-                                required: StructType)
+                                required: StructType,
+                                tableSchema: StructType)
     extends Scan with Batch with SupportsRuntimeV2Filtering {
   private var candidates: Seq[TableFormat.FileStat] = snap.files
 
@@ -136,6 +138,15 @@ private class GraftRowLevelScan(op: GraftRowLevelOperation,
 
   override def toBatch: Batch = this
 
+  // real parquet columns for the shared columnar factory: the
+  // projection minus the synthesized `_file`, key appended when a mask
+  // must probe it (the main scan's rule)
+  private lazy val extended = GraftSqlReaderFactory.extendedOf(required,
+    tableSchema, snap.keyCol,
+    masked = snap.files.exists(f => snap.deletes.exists(_.seq > f.seq)))
+
+  private lazy val columnMapping = TableFormat.hasColumnMapping(snap.props)
+
   override def planInputPartitions(): Array[InputPartition] = {
     // record the final group set on the shared operation: these are
     // exactly the files the commit must swap out. SHRINK-ONLY: the API
@@ -149,42 +160,34 @@ private class GraftRowLevelScan(op: GraftRowLevelOperation,
       op.replacedFiles = candidates.map(_.file)
     candidates.map { f =>
       val manifests = snap.deletes.filter(_.seq > f.seq).map(_.file)
-      GraftSqlPartition(f.file, manifests, snap.keyCol, dv = f.dv)
+      // era-mapped files ship their physical schema, like the main scan
+      val phys =
+        if (!columnMapping) None
+        else {
+          val ps = TableFormat.physicalSchemaOf(snap.props, extended, f.seq)
+          if (ps.fieldNames.sameElements(extended.fieldNames)) None
+          else Some(ps.json)
+        }
+      GraftSqlPartition(f.file, manifests, snap.keyCol, phys, dv = f.dv)
         : InputPartition
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GraftRowLevelReaderFactory(required, new SerializableHadoopConf(
-      SparkSession.active.sessionState.newHadoopConf()))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // the SHARED columnar factory (r14): the copy-on-write target scan
+    // feeds WholeStageCodegen batches with `_file` synthesized as a
+    // constant vector per partition — a CoW MERGE over wide tables no
+    // longer pays the row-by-row reader
+    val c = GraftSqlColumnar.scanConf(SparkSession.active)
+    c.set(org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport
+      .SPARK_ROW_REQUESTED_SCHEMA, extended.json)
+    new GraftSqlReaderFactory(required, extended, columnar = true,
+      new SerializableHadoopConf(c))
+  }
 
   override def description(): String =
     s"graft-row-level-scan(${snap.root}@v${snap.version}) " +
       s"Groups: ${candidates.size}/${snap.files.size}"
-}
-
-private class GraftRowLevelReaderFactory(required: StructType,
-                                         conf: SerializableHadoopConf)
-    extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftPartition]
-    val mask =
-      if (p.manifests.isEmpty) null
-      else {
-        val m = new java.util.HashSet[java.lang.Long]()
-        p.manifests.foreach(f =>
-          m.addAll(ParquetRowReader.readLongColumn(f, "_del_key", conf.value)))
-        m
-      }
-    // the deletion vector applies INSIDE the rewrite scan too: a
-    // copy-on-write UPDATE/MERGE over a DV'd file must not resurrect
-    // its masked rows in the replacement content
-    new ParquetRowReader(p.file, required, conf.value,
-      synth = Map(GraftRowLevel.FileColumn -> UTF8String.fromString(p.file)),
-      mask = mask, keyCol = p.keyCol,
-      posMask = p.dv.map(d =>
-        TableFormat.readDv(conf.value, d._1)).orNull)
-  }
 }
 
 /** The replace-groups write: executors write the replacement rows
