@@ -5899,6 +5899,57 @@ object SparkEntry {
         .orderBy("g")
     },
 
+    // ---- ROW LINEAGE (r14 second wave, the Iceberg v3 `_row_id`
+    // shape): every commit assigns the files it ADDS consecutive id
+    // ranges from a lineage counter in the commit props; a row's
+    // `_row_id` is its materialized `__graft_row_id` column value
+    // (lineage-preserving maintenance rewrites carry ids through
+    // compaction/materialization/recluster in a physical column hidden
+    // from every declared-schema read) or `range start + file ordinal`.
+    // What a 100 TB training pipeline buys: stable per-row identity for
+    // CDC, dedup provenance and audit across arbitrary maintenance.
+    // Graded: ids equal the insertion ranks on an ordered single-file
+    // insert, stay FIXED across a MoR update + materialize + compact
+    // chain (the untouched-row id sum is replayed by the oracle), and
+    // replacements draw fresh ids past the counter ----
+    "q164_row_lineage" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"rln_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val root = s"$wh/$tbl"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q164_rln", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        s.sql(s"""CREATE TABLE graft.`$tbl` (k BIGINT, cents BIGINT)
+          TBLPROPERTIES('key_col'='k',
+            '${TableFormat.UpdateModeProp}'='merge-on-read')""")
+        Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("q164_src")
+        // ONE ordered file: _row_id == rank(k) - 1, deterministic
+        s.sql(s"""INSERT INTO graft.`$tbl`
+          SELECT /*+ REPARTITION(1) */ * FROM q164_src ORDER BY k""")
+        s.sql(s"UPDATE graft.`$tbl` SET cents = cents + 7 " +
+          "WHERE k % 1013 = 11")
+        s.sql(s"CALL graft.system.materialize_deletes('$tbl')")
+        s.sql(s"CALL graft.system.compact_small_files('$tbl', 100000000)")
+      }
+      val n = Parallelism.ensureDefaultParallelism(
+        TableFormat.read(s, TableFormat.snapshot(s, root, Some(2)))).count()
+      // untouched rows keep their insertion-rank ids through the whole
+      // chain; the MoR update's replacements draw PAST the counter
+      val ids = s.sql(s"SELECT k, _row_id, cents FROM graft.`$tbl`")
+      val freshOk = ids.filter(pmod(col("k"), lit(1013)) === 11)
+        .agg(min(col("_row_id"))).collect()(0).getLong(0) >= n
+      ids.filter(pmod(col("k"), lit(1013)) =!= 11)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("cents")).cast("long").as("sum_cents"),
+          sum(col("_row_id")).cast("long").as("sum_ids"))
+        .select(col("n_rows"), col("sum_cents"), col("sum_ids"),
+          lit(freshOk).as("fresh_ok"))
+    },
+
     "q157_maintenance_tick" -> { (s, dir) =>
       val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
       val tbl = s"mtk_${java.lang.Integer.toHexString(dir.hashCode)}"
@@ -9598,6 +9649,22 @@ object SparkEntry {
     // minus the manifest keys (slice 0, k%41=7) and the vector rows
     // (slice 1, k%53=9), plus the post-tick slice-5 ingest complete;
     // the tick flags are dataset constants
+    // untouched rows' ids are their insertion ranks (the ordered
+    // single-file insert), replayed as row_number arithmetic; the
+    // updated rows' cents grew by 7 but are EXCLUDED from this leg
+    // (their fresh ids are counter-dependent — the fresh_ok flag pins
+    // them spark-side)
+    "q164_row_lineage" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+             row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+           FROM orders)
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(sum(rid) AS BIGINT) AS sum_ids,
+           TRUE AS fresh_ok
+         FROM o WHERE k % 1013 <> 11""",
+
     // the grouped profile replays from orders arithmetic; the plan flag
     // is a dataset constant (tuple-pure identity layout → metadata-only
     // grouped aggregation)

@@ -79,7 +79,9 @@ object TableFormat {
                             sorted: Boolean = false,
                             kmvs: Map[String, Seq[Long]] = Map.empty,
                             dv: Option[(String, Long)] = None,
-                            blooms: Map[String, Array[Long]] = Map.empty) {
+                            blooms: Map[String, Array[Long]] = Map.empty,
+                            rid: Long = -1L,
+                            ridCol: Boolean = false) {
     /** True iff the file PROVABLY holds no null in `col` (recorded zero;
       * unknown — pre-null-stats commits — is not proof). */
     def nullFree(col: String): Boolean = nulls.get(col).contains(0L)
@@ -467,9 +469,17 @@ object TableFormat {
     * the positional-delete writer and the changelog's DV diff both
     * anchor on raw ordinals. */
   private def readWithPos(spark: SparkSession, snap: Snapshot,
-                          files: Seq[String]): DataFrame = {
+                          files: Seq[String],
+                          withIdCol: Boolean = false): DataFrame = {
     val metaCols = Seq(col("_metadata.file_path").as("__file"),
       col("_metadata.row_index").as("__pos"))
+    // the materialized id column reads by name (null-filled when the
+    // file predates it) and is NEVER era-mapped (synth-adjacent name)
+    def plusId(s: org.apache.spark.sql.types.StructType) =
+      if (!withIdCol) s
+      else org.apache.spark.sql.types.StructType(s.fields :+
+        org.apache.spark.sql.types.StructField(IdColName,
+          org.apache.spark.sql.types.LongType))
     snap.schemaDdl match {
       case Some(ddl) =>
         val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
@@ -478,13 +488,21 @@ object TableFormat {
             seqOf.getOrElse(f, Long.MaxValue)))
           .toSeq.sortBy(_._2.head)
           .map { case (phys, group) =>
-            spark.read.schema(phys).parquet(group: _*)
-              .select(metaCols ++ phys.fieldNames.map(col): _*)
-              .toDF("__file" +: "__pos" +: schema.fieldNames.toSeq: _*)
+            val read = plusId(phys)
+            spark.read.schema(read).parquet(group: _*)
+              .select(metaCols ++ read.fieldNames.map(col): _*)
+              .toDF("__file" +: "__pos" +: plusId(schema).fieldNames.toSeq: _*)
           }
           .reduce(_.unionByName(_))
       case None =>
-        val df = spark.read.parquet(files: _*)
+        val df =
+          if (!withIdCol) spark.read.parquet(files: _*)
+          else {
+            val base = spark.read.parquet(files: _*).schema
+            val s =
+              if (base.fieldNames.contains(IdColName)) base else plusId(base)
+            spark.read.schema(s).parquet(files: _*)
+          }
         df.select(metaCols ++ df.columns.map(col): _*)
     }
   }
@@ -601,6 +619,8 @@ object TableFormat {
         sb.append(vals.mkString(""","part":[""", ",", "]"))
       }
       if (f.sorted) sb.append(""","sorted":true""")
+      if (f.rid >= 0) sb.append(s""","rid":${f.rid}""")
+      if (f.ridCol) sb.append(""","rid_col":true""")
       f.dv.foreach { case (p, n) =>
         sb.append(s""","dv":"${esc(p)}","dv_rows":$n""")
       }
@@ -684,6 +704,10 @@ object TableFormat {
         // pre-marker commits parse unsorted: the scan withholds its
         // ordering report (a join re-sorts) rather than trusting purity
         sorted = f.has("sorted") && f.get("sorted").asBoolean(),
+        // pre-lineage commits parse rid = -1 (no assigned range) and no
+        // materialized id column: _row_id reads NULL, never a guess
+        rid = if (f.has("rid")) f.get("rid").asLong() else -1L,
+        ridCol = f.has("rid_col") && f.get("rid_col").asBoolean(),
         dv =
           if (!f.has("dv")) None
           else Some((f.get("dv").asText(), f.get("dv_rows").asLong())),
@@ -1012,9 +1036,34 @@ object TableFormat {
       val vs = versions(spark, root)
       val cur = if (vs.isEmpty) None else Some(snapshot(spark, root, Some(vs.last)))
       val next = cur.map(_.version + 1).getOrElse(1L)
-      val files = derive(cur)
+      val files0 = derive(cur)
         .map(f => if (f.seq < 0) f.copy(seq = next) else f)
-      val props = deriveProps(cur)
+      val props0 = deriveProps(cur)
+      // ROW LINEAGE assignment, central for every write path: every
+      // file this commit ADDS (new path, no carried range) gets the
+      // next consecutive `_row_id` range from the table's lineage
+      // counter — a row's id is its materialized `__graft_row_id`
+      // column value when one exists (lineage-preserving rewrites),
+      // falling back to `rid + ordinal` (plain appends, and the
+      // inserted rows a rewrite mixed in as column nulls — they are
+      // BORN here and stay stable: the next rewrite resolves the
+      // arithmetic id into the column). Carried/rolled-back files keep
+      // their recorded range; id ranges are burned, never reused.
+      val curPaths = cur.map(_.files.map(_.file).toSet).getOrElse(Set.empty)
+      // the counter is MONOTONE whatever deriveProps returned: a custom
+      // props map that dropped it must not reset id assignment (ranges
+      // are burned, never reused — reuse would collide with live ids)
+      var nextId = math.max(
+        props0.get(NextRowIdProp).map(_.toLong).getOrElse(0L),
+        cur.flatMap(_.props.get(NextRowIdProp)).map(_.toLong).getOrElse(0L))
+      val files = files0.map { f =>
+        if (f.rid < 0 && f.nRows > 0 && !curPaths.contains(f.file)) {
+          val a = f.copy(rid = nextId); nextId += f.nRows; a
+        } else f
+      }
+      val props =
+        if (nextId > 0) props0 + (NextRowIdProp -> nextId.toString)
+        else props0
       val schemaDdl = deriveSchema(cur)
       // zone-col declarations carry forward like the schema: an explicit
       // Some overrides (the bootstrap), otherwise the table's stand
@@ -1175,6 +1224,51 @@ object TableFormat {
         .reduce(_.unionByName(_))
     }
   }
+
+  /** Masked read of `files` carrying each row's `_row_id` in the
+    * [[IdColName]] column — the LINEAGE-PRESERVING rewrite input: a
+    * maintenance rewrite that reads through this and writes the column
+    * keeps every surviving row's id across the rewrite (the Iceberg v3
+    * row-lineage materialization rule). Per file: ids resolve as the
+    * materialized column value, falling back to `rid + ordinal` when a
+    * range is assigned (null = no lineage — pre-lineage files read a
+    * null id, stated not guessed); deletion vectors mask by ordinal and
+    * equality manifests by key, exactly like [[readFiles]]. */
+  private def readWithRowIds(spark: SparkSession, snap: Snapshot,
+                             files: Seq[String]): DataFrame = {
+    def uriPath(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
+    val statOf = snap.files.map(f => uriPath(f.file) -> f).toMap
+    files.map { fl =>
+      val st = statOf(uriPath(fl))
+      var df = readWithPos(spark, snap, Seq(fl), withIdCol = true)
+      df = df.withColumn(IdColName,
+        if (st.rid >= 0) coalesce(col(IdColName), lit(st.rid) + col("__pos"))
+        else col(IdColName))
+      st.dv.foreach { d =>
+        val bm = readDv(spark.sparkContext.hadoopConfiguration, d._1)
+        val b = Seq.newBuilder[Long]
+        bm.forEach(new org.roaringbitmap.longlong.LongConsumer {
+          override def accept(v: Long): Unit = b += v
+        })
+        val posDf = spark.createDataset(b.result())(
+          org.apache.spark.sql.Encoders.scalaLong).toDF("__dvpos")
+        df = df.join(posDf, col("__pos") === col("__dvpos"), "left_anti")
+      }
+      val manifests = snap.deletes.filter(_.seq > st.seq).map(_.file)
+      if (manifests.nonEmpty)
+        df = df.join(
+          spark.read.parquet(manifests: _*).select(col("_del_key")).distinct(),
+          col(snap.keyCol).cast("long") === col("_del_key"), "left_anti")
+      df.drop("__file", "__pos")
+    }.reduce(_.unionByName(_))
+  }
+
+  /** True when a lineage-preserving rewrite of `files` is worthwhile:
+    * at least one of them carries an id range or a materialized id
+    * column (rewriting id-less files through the id path would just
+    * write a null column). */
+  private def anyLineage(files: Seq[FileStat]): Boolean =
+    files.exists(f => f.rid >= 0 || f.ridCol)
 
   /** Add-only schema union, RECURSIVE through nested types: top-level
     * columns of `next` not in `cur` are appended in `next`'s order, and
@@ -1777,6 +1871,20 @@ object TableFormat {
     * it). Comma-separated distinct column names. */
   val SortOrderProp = "write.sort-order"
 
+  /** Commit property holding the table's ROW-LINEAGE counter: the next
+    * unassigned `_row_id`. Every commit assigns consecutive id ranges
+    * to the files it adds ([[commitTransform]]); the counter only grows
+    * (fast-forward branch publishes carry the branch's counter — the
+    * publish gate refuses diverged mains, so ranges never collide). */
+  val NextRowIdProp = "lineage.next_row_id"
+
+  /** Physical column maintenance rewrites materialize row ids into —
+    * hidden from every declared-schema read (both reader paths clip to
+    * the requested schema), consulted only by `_row_id` projections and
+    * lineage-preserving rewrites. A NULL value inherits the file's
+    * arithmetic id (`rid + ordinal`) when a range is assigned. */
+  val IdColName = "__graft_row_id"
+
   def sortOrderColsOf(props: Map[String, String]): Seq[String] =
     props.get(SortOrderProp) match {
       case None => Seq.empty
@@ -2056,14 +2164,19 @@ object TableFormat {
       val cur = curOpt.getOrElse(
         throw new IllegalStateException("compact: nothing committed"))
       // derive against the CURRENT snapshot on every attempt: a racing
-      // delete's rewrite must be what we compact, not the stale set
-      read(spark, cur)
+      // delete's rewrite must be what we compact, not the stale set.
+      // Lineage-preserving: rows carry their _row_id through the
+      // rewrite in the materialized id column.
+      val lineage = anyLineage(cur.files) && cur.files.nonEmpty
+      (if (lineage) readWithRowIds(spark, cur, cur.files.map(_.file))
+       else read(spark, cur))
         .repartitionByRange(nFiles, col(cur.keyCol))
         .write.mode("overwrite").parquet(out)
       val files = listParquet(spark, out)
       fileStats(spark, files, cur.keyCol, cur.numBits, cur.numHashes,
         cur.zoneCols, spec = cur.props.get(PartitionSpecProp),
               bloomCols = bloomColsOf(cur.props))
+        .map(s => if (lineage) s.copy(ridCol = true) else s)
     }, op = Some("replace"),
       // the rewrite read MoR manifests through read() above, so the
       // output is materialized: compaction CLEARS the delete set — the
@@ -2133,7 +2246,9 @@ object TableFormat {
       { curOpt =>
         val cur = curOpt.getOrElse(throw new IllegalStateException(
           "rewriteClustered: nothing committed"))
-        read(spark, cur)
+        val lineage = cur.files.nonEmpty && anyLineage(cur.files)
+        (if (lineage) readWithRowIds(spark, cur, cur.files.map(_.file))
+         else read(spark, cur))
           .withColumn("_g", groupExpr)
           .repartition(col("_g"))
           .write.mode("overwrite").partitionBy("_g").parquet(out)
@@ -2151,6 +2266,7 @@ object TableFormat {
           cur.numHashes, zoneCols,
           spec = cur.props.get(PartitionSpecProp),
               bloomCols = bloomColsOf(cur.props))
+          .map(s => if (lineage) s.copy(ridCol = true) else s)
       }, op = Some("replace"), zoneCols = Some(zoneCols),
       deriveDeletes = _ => Seq.empty)
   }
@@ -2257,7 +2373,9 @@ object TableFormat {
               if (declaredOrder.nonEmpty) declaredOrder
               else if (tuple.isDefined) baseCols
               else Seq.empty
-            val df0 = readFiles(spark, cur, bin.map(_.file)).coalesce(1)
+            val lineage = anyLineage(bin)
+            val df0 = (if (lineage) readWithRowIds(spark, cur, bin.map(_.file))
+                       else readFiles(spark, cur, bin.map(_.file))).coalesce(1)
             val df = if (sortCols.isEmpty) df0
               else df0.sortWithinPartitions(sortCols.map(col): _*)
             df.write.mode("overwrite").parquet(out)
@@ -2269,6 +2387,7 @@ object TableFormat {
               val stats0 = fileStats(spark, files, cur.keyCol, cur.numBits,
                 cur.numHashes, cur.zoneCols, spec = spec,
                 bloomCols = bloomColsOf(cur.props))
+                .map(s => if (lineage) s.copy(ridCol = true) else s)
               // write-provenance marker only when the bin provably
               // landed sorted by the spec base columns (tuple-pure, no
               // overriding declared order) — the outputOrdering rule
@@ -3011,7 +3130,9 @@ object TableFormat {
             val out = s"$dataDir/matdel-${java.util.UUID.randomUUID().toString}"
             val sortCols = if (declaredOrder.nonEmpty) declaredOrder
               else baseCols
-            val df0 = readFiles(spark, cur, Seq(f.file)).coalesce(1)
+            val lineage = anyLineage(Seq(f))
+            val df0 = (if (lineage) readWithRowIds(spark, cur, Seq(f.file))
+                       else readFiles(spark, cur, Seq(f.file))).coalesce(1)
             (if (sortCols.isEmpty) df0
              else df0.sortWithinPartitions(sortCols.map(col): _*))
               .write.mode("overwrite").parquet(out)
@@ -3021,6 +3142,7 @@ object TableFormat {
               val stats0 = fileStats(spark, files, cur.keyCol, cur.numBits,
                 cur.numHashes, cur.zoneCols, spec = spec,
                 bloomCols = bloomColsOf(cur.props))
+                .map(s => if (lineage) s.copy(ridCol = true) else s)
               if (declaredOrder.isEmpty && baseCols.nonEmpty)
                 stats0.map(_.copy(sorted = true))
               else stats0
@@ -3028,7 +3150,10 @@ object TableFormat {
           }
           else {
             val out = s"$dataDir/matdel-${java.util.UUID.randomUUID().toString}"
-            val masked = readFiles(spark, cur, affected.map(_.file))
+            val lineage = anyLineage(affected)
+            val masked =
+              if (lineage) readWithRowIds(spark, cur, affected.map(_.file))
+              else readFiles(spark, cur, affected.map(_.file))
             (if (nOutFiles > 0) masked.repartition(nOutFiles) else masked)
               .write.mode("overwrite").parquet(out)
             val files = listParquet(spark, out)
@@ -3037,6 +3162,7 @@ object TableFormat {
             else fileStats(spark, files, cur.keyCol, cur.numBits,
               cur.numHashes, cur.zoneCols, spec = spec,
               bloomCols = bloomColsOf(cur.props))
+              .map(s => if (lineage) s.copy(ridCol = true) else s)
           }
         nRe = affected.size
         nCa = clean.size

@@ -140,8 +140,8 @@ private class GraftDeltaScan(snap: TableFormat.Snapshot,
           if (ps.fieldNames.sameElements(extended.fieldNames)) None
           else Some(ps.json)
         }
-      GraftSqlPartition(f.file, manifests, snap.keyCol, phys, f.dv)
-        : InputPartition
+      GraftSqlPartition(f.file, manifests, snap.keyCol, phys, f.dv,
+        f.rid, f.ridCol): InputPartition
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {

@@ -90,6 +90,21 @@ private[v2] object GraftRowLevel {
     override def isNullable: Boolean = false
     override def comment(): String = "file-absolute row ordinal"
   }
+
+  /** ROW LINEAGE (the Iceberg v3 `_row_id` shape): a stable per-row id
+    * assigned by the row's FIRST commit — `rid + ordinal` from the
+    * file's recorded range, overridden by the materialized
+    * `__graft_row_id` column lineage-preserving maintenance rewrites
+    * carry it in. NULL for rows whose file predates lineage (stated,
+    * never guessed). */
+  val RowIdColumn = "_row_id"
+
+  val RowIdMetadataColumn: MetadataColumn = new MetadataColumn {
+    override def name(): String = RowIdColumn
+    override def dataType(): DataType = LongType
+    override def isNullable: Boolean = true
+    override def comment(): String = "stable row id (row lineage)"
+  }
 }
 
 private class GraftRowLevelScanBuilder(op: GraftRowLevelOperation,
@@ -168,8 +183,8 @@ private class GraftRowLevelScan(op: GraftRowLevelOperation,
           if (ps.fieldNames.sameElements(extended.fieldNames)) None
           else Some(ps.json)
         }
-      GraftSqlPartition(f.file, manifests, snap.keyCol, phys, dv = f.dv)
-        : InputPartition
+      GraftSqlPartition(f.file, manifests, snap.keyCol, phys, dv = f.dv,
+        rid = f.rid, ridCol = f.ridCol): InputPartition
     }.toArray
   }
 

@@ -331,19 +331,61 @@ private class OrdinalVector(base: BatchBase, state: MaskState)
     throw new UnsupportedOperationException
 }
 
+/** The `_row_id` metadata column (row lineage): the materialized
+  * `__graft_row_id` value when the file carries one (read as the
+  * delegate batch's appended last column), falling back to the file's
+  * assigned range + the RAW file-absolute ordinal; NULL when neither
+  * source exists (pre-lineage rows — stated, never guessed). */
+private class RowIdVector(base: BatchBase, state: MaskState, rid: Long,
+                          idCol: ColumnVector)
+    extends ColumnVector(LongType) {
+  @inline private def raw(i: Int): Int = if (state == null) i else state.map(i)
+  override def close(): Unit = ()
+  override def hasNull: Boolean = rid < 0
+  override def numNulls: Int = 0
+  override def isNullAt(i: Int): Boolean =
+    rid < 0 && (idCol == null || idCol.isNullAt(raw(i)))
+  override def getLong(i: Int): Long = {
+    val r = raw(i)
+    if (idCol != null && !idCol.isNullAt(r)) idCol.getLong(r)
+    else rid + base.value + r
+  }
+  override def getBoolean(i: Int): Boolean =
+    throw new UnsupportedOperationException
+  override def getByte(i: Int): Byte = throw new UnsupportedOperationException
+  override def getShort(i: Int): Short = throw new UnsupportedOperationException
+  override def getInt(i: Int): Int = throw new UnsupportedOperationException
+  override def getFloat(i: Int): Float = throw new UnsupportedOperationException
+  override def getDouble(i: Int): Double = throw new UnsupportedOperationException
+  override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+    throw new UnsupportedOperationException
+  override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+    throw new UnsupportedOperationException
+  override def getDecimal(i: Int, p: Int, s: Int) =
+    throw new UnsupportedOperationException
+  override def getUTF8String(i: Int) = throw new UnsupportedOperationException
+  override def getBinary(i: Int): Array[Byte] =
+    throw new UnsupportedOperationException
+  override def getChild(ordinal: Int): ColumnVector =
+    throw new UnsupportedOperationException
+}
+
 private class GraftSqlColumnarReader(file: String, required: StructType,
                                      extended: StructType,
                                      mask: java.util.HashSet[java.lang.Long],
                                      keyCol: String,
                                      conf: org.apache.hadoop.conf.Configuration,
-                                     posMask: org.roaringbitmap.longlong.Roaring64Bitmap = null)
+                                     posMask: org.roaringbitmap.longlong.Roaring64Bitmap = null,
+                                     rid: Long = -1L,
+                                     ridColRead: Boolean = false)
     extends PartitionReader[ColumnarBatch] {
   // `posMask` is the file's DELETION VECTOR (file-absolute ordinals),
   // and a `_pos` projection synthesizes the same ordinals as a column.
   // The factory hands a FILTER-FREE conf with either — a stamped
   // row-group predicate would skip groups and desynchronize the count.
   require((posMask == null &&
-    !required.fieldNames.contains(GraftRowLevel.PosColumn)) ||
+    !required.fieldNames.contains(GraftRowLevel.PosColumn) &&
+    !required.fieldNames.contains(GraftRowLevel.RowIdColumn)) ||
     !GraftRowGroupFilter.hasFilter(conf),
     s"graft-columnar: file-absolute ordinals need an unfiltered read of $file")
   import org.apache.parquet.hadoop.ParquetFileReader
@@ -406,12 +448,17 @@ private class GraftSqlColumnarReader(file: String, required: StructType,
     }
 
   // output slot -> source: >= 0 is the delegate (extended) column index,
-  // -1 synthesizes `_file`, -2 synthesizes `_pos`
+  // -1 synthesizes `_file`, -2 synthesizes `_pos`, -3 the `_row_id`
+  // lineage value (materialized id column when this file carries one —
+  // read as the delegate's appended LAST column — else rid + ordinal)
   private val outputs: Array[Int] = required.fields.map { f =>
     if (f.name == GraftRowLevel.FileColumn) -1
     else if (f.name == GraftRowLevel.PosColumn) -2
+    else if (f.name == GraftRowLevel.RowIdColumn) -3
     else extended.fieldIndex(f.name)
   }
+  private def idColOf(b: ColumnarBatch): ColumnVector =
+    if (ridColRead) b.column(extended.fields.length) else null
   private val identityOutputs =
     outputs.length == extended.fields.length &&
       outputs.zipWithIndex.forall { case (s, o) => s == o }
@@ -452,6 +499,8 @@ private class GraftSqlColumnarReader(file: String, required: StructType,
             shell = new ColumnarBatch(outputs.map {
               case -1 => fileVec: ColumnVector
               case -2 => new OrdinalVector(batchBase, null): ColumnVector
+              case -3 =>
+                new RowIdVector(batchBase, null, rid, idColOf(b)): ColumnVector
               case i => b.column(i)
             })
           shell.setNumRows(b.numRows())
@@ -480,6 +529,8 @@ private class GraftSqlColumnarReader(file: String, required: StructType,
           // surviving rows keep their RAW ordinals (base + map(i)) —
           // exactly the identity a deletion vector anchors on
           case -2 => new OrdinalVector(batchBase, maskState): ColumnVector
+          case -3 => new RowIdVector(batchBase, maskState, rid,
+            idColOf(b)): ColumnVector
           case i => new MappedColumnVector(b.column(i), maskState): ColumnVector
         })
       maskedBatch.setNumRows(n)

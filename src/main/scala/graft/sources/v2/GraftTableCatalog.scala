@@ -891,7 +891,8 @@ private class GraftSqlTable(ident: String, root: String,
     }
 
   override def metadataColumns(): Array[MetadataColumn] =
-    Array(GraftRowLevel.FileMetadataColumn, GraftRowLevel.PosMetadataColumn)
+    Array(GraftRowLevel.FileMetadataColumn, GraftRowLevel.PosMetadataColumn,
+      GraftRowLevel.RowIdMetadataColumn)
 
   /** SQL `DELETE FROM graft.t [WHERE ...]` — a metadata-level plan, not
     * a rewrite-everything scan: an unconditional delete truncates in one
@@ -1373,12 +1374,19 @@ private trait GraftPartition extends InputPartition {
     * bitmap once and skips masked ordinals per batch; a DV read is
     * always FILTER-FREE so ordinals stay file-absolute. */
   def dv: Option[(String, Long)]
+  /** Row-lineage sources: the file's assigned `_row_id` range start
+    * (-1 = pre-lineage) and whether it carries the materialized
+    * `__graft_row_id` column. */
+  def rid: Long
+  def ridCol: Boolean
 }
 
 private case class GraftSqlPartition(file: String, manifests: Seq[String],
                                      keyCol: String,
                                      physSchemaJson: Option[String] = None,
-                                     dv: Option[(String, Long)] = None)
+                                     dv: Option[(String, Long)] = None,
+                                     rid: Long = -1L,
+                                     ridCol: Boolean = false)
   extends GraftPartition
 
 /** Several SMALL files served by ONE task — the reader chains the
@@ -1403,7 +1411,9 @@ private case class GraftSqlKeyedPartition(file: String,
                                           keyCol: String,
                                           physSchemaJson: Option[String],
                                           keyVals: Array[Any],
-                                          dv: Option[(String, Long)] = None)
+                                          dv: Option[(String, Long)] = None,
+                                          rid: Long = -1L,
+                                          ridCol: Boolean = false)
   extends GraftPartition with HasPartitionKey {
   override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(keyVals)
@@ -1847,11 +1857,12 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
           GraftSqlKeyedPartition(f.file, manifests, snap.keyCol, phys,
             terms.zip(f.part.get._2).map { case (t, v) =>
               keyedValue(t, v)
-            }.toArray, f.dv): InputPartition
+            }.toArray, f.dv, f.rid, f.ridCol): InputPartition
         }.toArray
       case None =>
         packSmallFiles(perFile.map { case (f, manifests, phys) =>
-          (GraftSqlPartition(f.file, manifests, snap.keyCol, phys, f.dv),
+          (GraftSqlPartition(f.file, manifests, snap.keyCol, phys, f.dv,
+            f.rid, f.ridCol),
             if (f.bytes >= 0) f.bytes
             else f.nRows * math.max(tableSchema.defaultSize.toLong, 8L))
         })
@@ -1916,7 +1927,8 @@ private class GraftSqlScan(snap: TableFormat.Snapshot, required: StructType,
 
 private object GraftSqlReaderFactory {
   private def isSynth(n: String): Boolean =
-    n == GraftRowLevel.FileColumn || n == GraftRowLevel.PosColumn
+    n == GraftRowLevel.FileColumn || n == GraftRowLevel.PosColumn ||
+      n == GraftRowLevel.RowIdColumn
 
   /** The parquet-delivered schema for a projection that may carry
     * synthesized metadata columns: real fields only, the key appended
@@ -1969,22 +1981,33 @@ private class GraftSqlReaderFactory(required: StructType,
     * silently drop every row group. Pushdown is an optimization; the
     * residual Spark filter keeps results exact, and maintenance
     * rewrites migrate files back onto the filtered fast path. */
-  // a `_pos` projection forces the unfiltered row reader everywhere:
-  // the ordinal column is defined as the FILE-absolute row index, which
-  // a row-group-skipping open would desynchronize
+  // a `_pos` or `_row_id` projection forces an UNFILTERED open
+  // everywhere: both are defined over the FILE-absolute row index,
+  // which a row-group-skipping open would desynchronize
   private val needsPos = required.fieldNames.contains(GraftRowLevel.PosColumn)
+  private val needsRowId =
+    required.fieldNames.contains(GraftRowLevel.RowIdColumn)
 
   private def confFor(p: GraftPartition): org.apache.hadoop.conf.Configuration = {
-    val base = p.physSchemaJson match {
-      case Some(js) =>
+    // a file with a MATERIALIZED id column serves a _row_id projection
+    // by reading it — appended to the (possibly era-mapped) requested
+    // schema for this partition only
+    val plusId = needsRowId && p.ridCol
+    val base = (p.physSchemaJson, plusId) match {
+      case (None, false) => conf.value
+      case (js, _) =>
         val c2 = new org.apache.hadoop.conf.Configuration(conf.value)
+        val s0 = js.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[StructType]).getOrElse(extended)
+        val s = if (!plusId) s0
+          else StructType(s0.fields :+ StructField(
+            TableFormat.IdColName, LongType))
         c2.set(org.apache.spark.sql.execution.datasources.parquet
-          .ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, js)
+          .ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, s.json)
         c2
-      case None => conf.value
     }
-    if ((p.dv.isDefined || p.physSchemaJson.isDefined || needsPos) &&
-        GraftRowGroupFilter.hasFilter(base))
+    if ((p.dv.isDefined || p.physSchemaJson.isDefined || needsPos ||
+        needsRowId) && GraftRowGroupFilter.hasFilter(base))
       GraftRowGroupFilter.without(base)
     else base
   }
@@ -1992,7 +2015,8 @@ private class GraftSqlReaderFactory(required: StructType,
   private def columnarReaderOf(p: GraftPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new GraftSqlColumnarReader(p.file, required, extended, maskOf(p),
-      p.keyCol, confFor(p), posMaskOf(p))
+      p.keyCol, confFor(p), posMaskOf(p), p.rid,
+      ridColRead = needsRowId && p.ridCol)
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
@@ -2004,6 +2028,8 @@ private class GraftSqlReaderFactory(required: StructType,
 
   private def rowReaderOf(p: GraftPartition)
       : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    require(!needsRowId,
+      "graft: the _row_id projection is served by the columnar path only")
     val mask = maskOf(p)
     // the _file METADATA column (SELECT _file FROM graft.t, row-level
     // op plumbing) synthesizes per partition — per MEMBER FILE under a

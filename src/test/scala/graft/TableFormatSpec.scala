@@ -145,22 +145,29 @@ class TableFormatSpec extends SparkTestBase {
     val fa = writeKv((1L to 40L).map(k => k -> k.toDouble), s"$root/fa")
     TableFormat.commitFiles(spark, root, "k",
       TableFormat.listParquet(spark, fa), numBits = 256, numHashes = 3)
-    assert(TableFormat.snapshot(spark, root).props.isEmpty)
+    // the row-lineage counter is the format's own bookkeeping and rides
+    // every props map; user-visible props are everything else
+    def userProps(p: Map[String, String]) = p - TableFormat.NextRowIdProp
+    assert(userProps(TableFormat.snapshot(spark, root).props).isEmpty)
     // a props-bearing commit (the streaming appender's replay gate shape),
     // including characters the JSON escaper must handle
     val s2 = TableFormat.commitTransform(spark, root, "k", 256, 3,
       cur => cur.get.files,
       deriveProps = _ => Map("batch_id" -> "7", "lineage" -> """ck"pt\path"""))
-    assert(s2.props == Map("batch_id" -> "7", "lineage" -> """ck"pt\path"""))
+    assert(userProps(s2.props) ==
+      Map("batch_id" -> "7", "lineage" -> """ck"pt\path"""))
+    // a custom deriveProps that DROPPED the counter must not reset it
+    // (id ranges are burned, never reused)
+    assert(s2.props(TableFormat.NextRowIdProp).toLong == 40L)
     assert(TableFormat.snapshot(spark, root, Some(2L)).props == s2.props)
     // compaction and targeted delete preserve the properties (the default
     // deriveProps), so a maintenance commit can never erase the gate
     val s3 = TableFormat.compact(spark, root, root, nFiles = 1)
-    assert(s3.props == s2.props)
+    assert(userProps(s3.props) == userProps(s2.props))
     val s4 = TableFormat.deleteKeys(spark, root, root, Seq(5L))
-    assert(s4.props == s2.props)
-    // v1 (pre-props) still parses with an empty map
-    assert(TableFormat.snapshot(spark, root, Some(1L)).props.isEmpty)
+    assert(userProps(s4.props) == userProps(s2.props))
+    // v1 (pre-user-props) parses with only the lineage bookkeeping
+    assert(userProps(TableFormat.snapshot(spark, root, Some(1L)).props).isEmpty)
   }
 
   test("schema evolution: widened append, null back-fill, as-of keeps the old schema") {
