@@ -6181,7 +6181,7 @@ object SparkEntry {
       val tbl = s"twd_${java.lang.Integer.toHexString(dir.hashCode)}"
       s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
       s.conf.set("spark.sql.catalog.graft.warehouse", wh)
-      Fixtures.once(s, "q153_twd", dir) {
+      Fixtures.once(s, "q153_twd2", dir) {
         val p = new org.apache.hadoop.fs.Path(s"$wh/$tbl")
         p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
         s.sql(s"""CREATE TABLE graft.`$tbl` (k BIGINT, pay INT)
@@ -6192,8 +6192,10 @@ object SparkEntry {
           .createOrReplaceTempView("q153_even")                     // v1+v2
         s.sql(s"INSERT INTO graft.`$tbl` SELECT * FROM q153_even")
         s.sql(s"ALTER TABLE graft.`$tbl` ALTER COLUMN pay TYPE BIGINT") // v3
+        // beyond INT range per row, SUM-safe at every SF (the sf1 probe
+        // caught the raw custkey*1e7 sum overflowing long at x10 data)
         Tables.orders(s, dir).select(col("o_orderkey").as("k"),
-            (col("o_custkey") * 10000000L).as("pay")) // beyond INT range
+            ((pmod(col("o_custkey"), lit(1000)) + 1) * 10000000L).as("pay"))
           .filter(pmod(col("k"), lit(2)) === 1)
           .createOrReplaceTempView("q153_odd")
         s.sql(s"INSERT INTO graft.`$tbl` SELECT * FROM q153_odd")   // v4
@@ -9825,9 +9827,11 @@ object SparkEntry {
     "q153_type_widening" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
            CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN o_custkey
-             ELSE o_custkey * 10000000 END) AS BIGINT) AS sum_pay,
+             ELSE (o_custkey % 1000 + 1) * 10000000 END) AS BIGINT)
+             AS sum_pay,
            CAST(max(CASE WHEN o_orderkey % 2 = 0 THEN o_custkey
-             ELSE o_custkey * 10000000 END) AS BIGINT) AS max_pay,
+             ELSE (o_custkey % 1000 + 1) * 10000000 END) AS BIGINT)
+             AS max_pay,
            TRUE AS era_ok, TRUE AS narrow_refused
          FROM orders""",
 

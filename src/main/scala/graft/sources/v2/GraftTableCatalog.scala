@@ -418,6 +418,11 @@ class GraftTableCatalog extends TableCatalog
       throw new IllegalArgumentException(
         "graft catalog: table needs an integral key column (set " +
           "TBLPROPERTIES('key_col'='...') or include an integral column)")))
+    // reserved names: the synthesized metadata columns and the hidden
+    // lineage column — a user column by these names would shadow or
+    // corrupt the machinery that serves them
+    schema.fieldNames.foreach(c => require(!GraftSqlReaderFactory.reserved(c),
+      s"graft catalog: column name '$c' is reserved (metadata/lineage)"))
     val ddlSpec = specOfTransforms(partitions, schema)
     require(ddlSpec.isEmpty || !props.contains(TableFormat.PartitionSpecProp),
       "graft catalog: declare the partition spec EITHER via PARTITIONED BY " +
@@ -480,6 +485,8 @@ class GraftTableCatalog extends TableCatalog
     def mapName(c: String): String = {
       require(c.matches("[A-Za-z0-9_]+"),
         s"graft catalog: column mapping needs [A-Za-z0-9_]+ names, got '$c'")
+      require(!GraftSqlReaderFactory.reserved(c),
+        s"graft catalog: column name '$c' is reserved (metadata/lineage)")
       c
     }
     def mappable(c: String): String = {
@@ -523,6 +530,8 @@ class GraftTableCatalog extends TableCatalog
             s"(got ${d.fieldNames().mkString(".")})")
       case a: TableChange.AddColumn if a.fieldNames().length == 1 =>
         val name = a.fieldNames()(0)
+        require(!GraftSqlReaderFactory.reserved(name),
+          s"graft catalog: column name '$name' is reserved (metadata/lineage)")
         require(!baseSchema.fieldNames.contains(name) &&
           !addedFields.exists(_.name == name),
           s"graft catalog: column '$name' already exists")
@@ -1929,6 +1938,11 @@ private object GraftSqlReaderFactory {
   private def isSynth(n: String): Boolean =
     n == GraftRowLevel.FileColumn || n == GraftRowLevel.PosColumn ||
       n == GraftRowLevel.RowIdColumn
+
+  /** Names a user column may not take: the synthesized metadata columns
+    * and the hidden materialized-lineage column. */
+  def reserved(n: String): Boolean =
+    isSynth(n) || n == TableFormat.IdColName
 
   /** The parquet-delivered schema for a projection that may carry
     * synthesized metadata columns: real fields only, the key appended

@@ -102,6 +102,24 @@ class RowLineageSpec extends SparkTestBase {
     assert(after.values.toSeq.distinct.size == 60, "ids must stay unique")
   }
 
+  test("reserved column names refuse at CREATE, ADD COLUMN and RENAME") {
+    warehouse
+    Seq("_file", "_pos", "_row_id", "__graft_row_id").foreach { c =>
+      val e = intercept[Exception](spark.sql(
+        s"CREATE TABLE rlcat.bad_${c.replace("_", "u")} " +
+          s"(k BIGINT, `$c` BIGINT) TBLPROPERTIES('key_col'='k')"))
+      assert(e.getMessage.contains("reserved"), s"$c: ${e.getMessage}")
+    }
+    spark.sql("CREATE TABLE rlcat.rv (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('key_col'='k')")
+    val e1 = intercept[Exception](spark.sql(
+      "ALTER TABLE rlcat.rv ADD COLUMN _row_id BIGINT"))
+    assert(e1.getMessage.contains("reserved"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "ALTER TABLE rlcat.rv RENAME COLUMN v TO __graft_row_id"))
+    assert(e2.getMessage.contains("reserved"), e2.getMessage)
+  }
+
   test("copy-on-write DML reassigns ids in rewritten groups (stated); " +
       "untouched files keep theirs") {
     warehouse
