@@ -1238,29 +1238,54 @@ object TableFormat {
                              files: Seq[String]): DataFrame = {
     def uriPath(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
     val statOf = snap.files.map(f => uriPath(f.file) -> f).toMap
-    files.map { fl =>
-      val st = statOf(uriPath(fl))
-      var df = readWithPos(spark, snap, Seq(fl), withIdCol = true)
-      df = df.withColumn(IdColName,
-        if (st.rid >= 0) coalesce(col(IdColName), lit(st.rid) + col("__pos"))
-        else col(IdColName))
-      st.dv.foreach { d =>
-        val bm = readDv(spark.sparkContext.hadoopConfiguration, d._1)
-        val b = Seq.newBuilder[Long]
-        bm.forEach(new org.roaringbitmap.longlong.LongConsumer {
-          override def accept(v: Long): Unit = b += v
-        })
-        val posDf = spark.createDataset(b.result())(
-          org.apache.spark.sql.Encoders.scalaLong).toDF("__dvpos")
-        df = df.join(posDf, col("__pos") === col("__dvpos"), "left_anti")
-      }
-      val manifests = snap.deletes.filter(_.seq > st.seq).map(_.file)
-      if (manifests.nonEmpty)
-        df = df.join(
-          spark.read.parquet(manifests: _*).select(col("_del_key")).distinct(),
-          col(snap.keyCol).cast("long") === col("_del_key"), "left_anti")
-      df.drop("__file", "__pos")
-    }.reduce(_.unionByName(_))
+    // DV'd files read individually (positional anti-join per exact
+    // file — FEW by design); everything else reads in seq-grouped BULK
+    // scans: the per-file `rid` joins in as a broadcast lookup keyed on
+    // the scheme-stripped `_metadata.file_path` (the same URI-path form
+    // the rest of the format compares in), so a whole-table maintenance
+    // rewrite costs ONE scan + a broadcast hash join, not a union of
+    // per-file plans — the shape the sf1 probe caught regressing on
+    // compact/recluster.
+    val dfPath = regexp_replace(col("__file"),
+      "^[a-zA-Z0-9+.\\-]+:(//[^/]*)?", "")
+    def resolveIds(df: DataFrame, members: Seq[FileStat]): DataFrame = {
+      val lookup = spark.createDataFrame(
+          members.map(f => (uriPath(f.file), f.rid)))
+        .toDF("__lf", "__rid")
+      df.join(broadcast(lookup), dfPath === col("__lf"))
+        .withColumn(IdColName, coalesce(col(IdColName),
+          when(col("__rid") >= 0, col("__rid") + col("__pos"))))
+        .drop("__lf", "__rid")
+    }
+    def maskManifests(df: DataFrame, fseq: Long): DataFrame = {
+      val manifests = snap.deletes.filter(_.seq > fseq).map(_.file)
+      if (manifests.isEmpty) df
+      else df.join(
+        spark.read.parquet(manifests: _*).select(col("_del_key")).distinct(),
+        col(snap.keyCol).cast("long") === col("_del_key"), "left_anti")
+    }
+    val stats = files.map(fl => statOf(uriPath(fl)))
+    val (dvd, plain) = stats.partition(_.dv.isDefined)
+    val bulk = plain.groupBy(_.seq).toSeq.sortBy(_._1).map {
+      case (fseq, members) =>
+        maskManifests(
+          resolveIds(readWithPos(spark, snap, members.map(_.file),
+            withIdCol = true), members), fseq)
+    }
+    val perFile = dvd.map { st =>
+      var df = resolveIds(
+        readWithPos(spark, snap, Seq(st.file), withIdCol = true), Seq(st))
+      val bm = readDv(spark.sparkContext.hadoopConfiguration, st.dv.get._1)
+      val b = Seq.newBuilder[Long]
+      bm.forEach(new org.roaringbitmap.longlong.LongConsumer {
+        override def accept(v: Long): Unit = b += v
+      })
+      val posDf = spark.createDataset(b.result())(
+        org.apache.spark.sql.Encoders.scalaLong).toDF("__dvpos")
+      df = df.join(posDf, col("__pos") === col("__dvpos"), "left_anti")
+      maskManifests(df, st.seq)
+    }
+    (bulk ++ perFile).reduce(_.unionByName(_)).drop("__file", "__pos")
   }
 
   /** True when a lineage-preserving rewrite of `files` is worthwhile:
