@@ -138,6 +138,14 @@ object Functions {
     bridge.column(graft.functions.HllMergeEst(bridge.expression(c))
       .toAggregateExpression())
 
+  /** Roaring64 bitmap aggregate over a long column (serialized `binary`
+    * blob, `writeDv`-codec compatible) — the distributed deletion-vector
+    * build: O(files) compressed blobs reach the driver, never the
+    * matched (file, ordinal) rows. Merges OR partial bitmaps map-side. */
+  def roaring_agg(c: Column): Column =
+    bridge.column(graft.functions.RoaringAgg(bridge.expression(c))
+      .toAggregateExpression())
+
   /** Bloom-bitset aggregate over the build side's join keys (cast to
     * string): array<bigint> of numBits/64 words, md5-double-hashed so the
     * content is engine-reproducible. Merges are word-wise OR (map-side

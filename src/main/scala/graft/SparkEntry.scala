@@ -7252,6 +7252,23 @@ object SparkEntry {
     "m12_binaryfile_source" ->
       ("file-count-bound-by-design: one file per asset IS the workload (listing + per-file open scale with file count, nothing amortizes across rows); " +
        "the store build is a memoized fixture so the probe times ingest only"),
+    // round 15: m14/m16 were the two steepest UNFLAGGED slopes at the
+    // round-14 probe (×8.7/×7.6 at ×10 data) — same class as m12, bound
+    // by sample volume, not rows. Quantified per the d12 convention:
+    // samples/asset = (doc_id % 1000) + 1, so total samples are exactly
+    // 2,502,500 at sf0.1 → 25,025,000 at sf1 (×10.0 measured growth).
+    "m14_audio_features" ->
+      ("sample-volume-bound-by-design: the timed path encodes, decodes and walks " +
+       "every PCM sample ((doc_id%1000)+1 per asset — 2,502,500 samples at sf0.1 " +
+       "-> 25,025,000 at sf1, x10.0), so near-x10 wall time at x10 data is the " +
+       "honest per-sample cost, same class as m12's file-count bound; the WAV " +
+       "encode fixture rides inside the timed path by design — the capability " +
+       "under test is the full encode->decode->feature chain"),
+    "m16_audio_silence" ->
+      ("sample-volume-bound-by-design: same x10.0 sample growth as m14 " +
+       "(2,502,500 -> 25,025,000 samples); silence runs fold in the same " +
+       "one-pass per-sample buffer walk as the decode — linear in samples, " +
+       "constant in rows"),
     // round 11: d03/d12 banding is sweep-selected ((16,2) / (10,3) at
     // budget 32) per the round-10 judge ask. Slower than the old (4,4)
     // constant BECAUSE the constant was blind: (4,4) collides only 0.6%

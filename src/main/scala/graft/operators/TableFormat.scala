@@ -220,6 +220,38 @@ object TableFormat {
       case _ => c.cast("long")
     }
 
+  /** Canonical DECODED URI-path form of a file reference — the ONE
+    * comparison space for file identity across the format. Two path
+    * conventions reach comparisons: driver-built / `Path`-listed strings
+    * (already decoded; the `Path.toUri.getPath` round trip just strips
+    * scheme/authority) and READER renderings (`input_file_name`,
+    * `_metadata.file_path` — URL-ENCODED URI strings; a residual %XX
+    * after the Path round trip marks one, decoded here by a URI parse).
+    * Every comparison site MUST normalize both sides through this —
+    * a round-14 advisory found one site joining the encoded rendering
+    * against the decoded form, silently losing every row under a
+    * space/non-ASCII warehouse path. A literal '%' inside an actual
+    * file NAME is ambiguous under this rule (the ambiguity every
+    * `input_file_name` consumer carries); the format's writers never
+    * produce one. */
+  def uriPathOf(s: String): String = {
+    val raw = new org.apache.hadoop.fs.Path(s).toUri.getPath
+    if (raw.indexOf('%') < 0) raw
+    else try new java.net.URI(raw).getPath
+    catch { case _: java.net.URISyntaxException => raw }
+  }
+
+  /** Decode a READER rendering (`input_file_name` /
+    * `_metadata.file_path` — URL-encoded URI strings) into the STORED
+    * form (decoded, scheme-preserving `Path.toString`) — applied at the
+    * moment a reader rendering is about to be RECORDED in a commit, so
+    * stored paths are always directly openable by `new Path(...)` /
+    * `spark.read.parquet` (an encoded rendering is NOT: its %XX bytes
+    * read as literal path characters). */
+  def decodeRendering(s: String): String =
+    try new org.apache.hadoop.fs.Path(new java.net.URI(s)).toString
+    catch { case _: java.net.URISyntaxException => s }
+
   /** Compute [[FileStat]]s for an explicit parquet file list: ONE
     * file-keyed aggregate (min/max/count + bloom), output one row per
     * file — a bounded control read by construction. `keyCol` must be
@@ -305,7 +337,9 @@ object TableFormat {
         val zblooms = bloomCols.map { c =>
           c -> r.getSeq[Long](r.fieldIndex(s"zbloom_$c")).toArray
         }.toMap
-        FileStat(r.getString(r.fieldIndex("file")),
+        // input_file_name renders URL-ENCODED: decode before RECORDING,
+        // or a space/non-ASCII warehouse path commits an unopenable name
+        FileStat(decodeRendering(r.getString(r.fieldIndex("file"))),
           longOpt("min_key").getOrElse(Long.MinValue),
           longOpt("max_key").getOrElse(Long.MaxValue),
           longAt("n_rows"),
@@ -1236,25 +1270,32 @@ object TableFormat {
     * equality manifests by key, exactly like [[readFiles]]. */
   private def readWithRowIds(spark: SparkSession, snap: Snapshot,
                              files: Seq[String]): DataFrame = {
-    def uriPath(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
+    def uriPath(s: String) = uriPathOf(s)
     val statOf = snap.files.map(f => uriPath(f.file) -> f).toMap
     // DV'd files read individually (positional anti-join per exact
     // file — FEW by design); everything else reads in seq-grouped BULK
     // scans: the per-file `rid` joins in as a broadcast lookup keyed on
-    // the scheme-stripped `_metadata.file_path` (the same URI-path form
-    // the rest of the format compares in), so a whole-table maintenance
-    // rewrite costs ONE scan + a broadcast hash join, not a union of
-    // per-file plans — the shape the sf1 probe caught regressing on
-    // compact/recluster.
-    val dfPath = regexp_replace(col("__file"),
-      "^[a-zA-Z0-9+.\\-]+:(//[^/]*)?", "")
+    // the URI-path form of `_metadata.file_path`, NORMALIZED BY THE SAME
+    // `uriPath` function as the lookup side (the deletePositions
+    // convention — a regexp strip of the reader's rendering left the
+    // percent-encoding intact and silently dropped rows on any space/
+    // non-ASCII warehouse path), so a whole-table maintenance rewrite
+    // costs ONE scan + a broadcast hash join, not a union of per-file
+    // plans. The join is LEFT + fail-fast: an unresolved path raises at
+    // execution time instead of committing a truncated op=replace.
+    val dfPath = udf(uriPathOf _).apply(col("__file"))
     def resolveIds(df: DataFrame, members: Seq[FileStat]): DataFrame = {
       val lookup = spark.createDataFrame(
           members.map(f => (uriPath(f.file), f.rid)))
         .toDF("__lf", "__rid")
-      df.join(broadcast(lookup), dfPath === col("__lf"))
-        .withColumn(IdColName, coalesce(col(IdColName),
-          when(col("__rid") >= 0, col("__rid") + col("__pos"))))
+      df.join(broadcast(lookup), dfPath === col("__lf"), "left")
+        .withColumn(IdColName,
+          when(col("__rid").isNull, raise_error(concat(
+            lit("readWithRowIds: file path did not resolve against the " +
+              "snapshot's rid lookup (path-form mismatch?): "),
+            col("__file"))).cast("long"))
+          .otherwise(coalesce(col(IdColName),
+            when(col("__rid") >= 0, col("__rid") + col("__pos")))))
         .drop("__lf", "__rid")
     }
     def maskManifests(df: DataFrame, fseq: Long): DataFrame = {
@@ -1287,6 +1328,14 @@ object TableFormat {
     }
     (bulk ++ perFile).reduce(_.unionByName(_)).drop("__file", "__pos")
   }
+
+  /** Public face of [[readWithRowIds]] for the SQL layer's
+    * copy-on-write lineage re-attachment ([[graft.sources.v2]]): masked
+    * read of `files` with each row's lineage id exposed as
+    * [[IdColName]] (null = pre-lineage row, stated not guessed). */
+  def readFilesWithLineage(spark: SparkSession, snap: Snapshot,
+                           files: Seq[String]): DataFrame =
+    readWithRowIds(spark, snap, files)
 
   /** True when a lineage-preserving rewrite of `files` is worthwhile:
     * at least one of them carries an id range or a materialized id
@@ -1586,7 +1635,7 @@ object TableFormat {
     require(fs.rename(oldP, newP), s"renameRoot: move $oldRoot -> $newRoot failed")
     val oldUri = oldP.toUri.getPath
     def rewrite(s: String): String = {
-      val sp = new org.apache.hadoop.fs.Path(s).toUri.getPath
+      val sp = uriPathOf(s)
       if (sp == oldUri || sp.startsWith(oldUri + "/"))
         newRoot + sp.stripPrefix(oldUri)
       else s
@@ -2089,8 +2138,7 @@ object TableFormat {
           .groupBy(input_file_name().as("f")).count().collect()
           .map(r => r.getString(0)).toSet
         files.filter(f => counts.exists(c =>
-          new org.apache.hadoop.fs.Path(c).toUri.getPath ==
-            new org.apache.hadoop.fs.Path(f).toUri.getPath))
+          uriPathOf(c) == uriPathOf(f)))
       }
     val clean = nonEmpty(cleanFiles)
     val quar = nonEmpty(quarFiles)
@@ -2230,7 +2278,12 @@ object TableFormat {
         if (hit.isEmpty) Seq.empty[FileStat]
         else {
           val out = s"$dataDir/delete-${java.util.UUID.randomUUID().toString}"
-          readFiles(spark, cur, hit.map(_.file))
+          // lineage-preserving (Iceberg v3's CoW rule): SURVIVING rows in
+          // rewritten files keep their _row_id through the materialized
+          // id column — only the deleted rows' ids retire
+          val lineage = anyLineage(hit)
+          (if (lineage) readWithRowIds(spark, cur, hit.map(_.file))
+           else readFiles(spark, cur, hit.map(_.file)))
             // coalesce(_, true): a NULL key is not in any delete set, but
             // !IN(...) evaluates NULL for it — keep null-key rows
             .filter(coalesce(
@@ -2242,6 +2295,7 @@ object TableFormat {
             cur.numHashes, cur.zoneCols,
             spec = cur.props.get(PartitionSpecProp),
               bloomCols = bloomColsOf(cur.props))
+            .map(s => if (lineage) s.copy(ridCol = true) else s)
         }
       (carried ++ rewritten).sortBy(_.file)
     }, op = Some("delete"))
@@ -2744,28 +2798,36 @@ object TableFormat {
     *    row is double-deleted).
     *
     * Scale posture: DVs suit SCATTERED row deletes (GDPR keys spread
-    * over many files, per-row quality kills). `maxRows` guards the
-    * O(deleted rows) driver collect — a predicate matching a large
-    * RANGE belongs to [[deleteWhere]]'s metadata arithmetic instead.
+    * over many files, per-row quality kills). The bitmap build is
+    * DISTRIBUTED — the candidate scan aggregates matched ordinals into
+    * per-file Roaring64 blobs EXECUTOR-SIDE (`roaring_agg`, map-side
+    * partial OR), so the driver collects O(affected files) compressed
+    * bitmaps, never O(deleted rows) — no row cap at any delete size. A
+    * predicate matching a large contiguous RANGE still belongs to
+    * [[deleteWhere]]'s metadata arithmetic (cheaper: no scan at all).
     * Returns (snapshot, rows masked, files affected). */
   def deletePositions(spark: SparkSession, root: String, dataDir: String,
-                      predicate: org.apache.spark.sql.Column,
-                      maxRows: Long = 1L << 22): (Snapshot, Long, Int) = {
+                      predicate: org.apache.spark.sql.Column)
+      : (Snapshot, Long, Int) = {
     val first = snapshot(spark, root)
     if (first.files.isEmpty) return (first, 0L, 0)
-    def uriPath(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
+    def uriPath(s: String) = uriPathOf(s)
+    // per-file distributed bitmap build: one blob + count per file
     val matched = readWithPos(spark, first, first.files.map(_.file))
       .filter(predicate)
-      .select(col("__file"), col("__pos"))
+      .groupBy(col("__file"))
+      .agg(graft.Functions.roaring_agg(col("__pos")).as("__dv"),
+        count(lit(1)).as("__n"))
       .collect()
-    require(matched.length <= maxRows,
-      s"deletePositions: ${matched.length} matched rows exceed maxRows=" +
-        s"$maxRows — a delete this large belongs to deleteWhere (range " +
-        "metadata arithmetic) or deleteKeys (copy-on-write)")
     if (matched.isEmpty) return (first, 0L, 0)
-    val byPath: Map[String, Array[Long]] = matched
-      .groupBy(r => uriPath(r.getString(0)))
-      .map { case (p, rows) => p -> rows.map(_.getLong(1)) }
+    val nMatched = matched.map(_.getLong(2)).sum
+    val byPath: Map[String, org.roaringbitmap.longlong.Roaring64Bitmap] =
+      matched.map { r =>
+        val bm = new org.roaringbitmap.longlong.Roaring64Bitmap()
+        bm.deserialize(new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1))))
+        uriPath(r.getString(0)) -> bm
+      }.toMap
     val conf = spark.sparkContext.hadoopConfiguration
     var affected = 0
     val snap = commitTransform(spark, root, first.keyCol, first.numBits,
@@ -2786,7 +2848,7 @@ object TableFormat {
               affected += 1
               val bm = f.dv.map(d => readDv(conf, d._1))
                 .getOrElse(new org.roaringbitmap.longlong.Roaring64Bitmap())
-              ps.foreach(bm.addLong)
+              bm.or(ps)
               if (bm.getLongCardinality >= f.nRows) None // fully dead: drop
               else {
                 val path = s"$dataDir/dv-${java.util.UUID.randomUUID()}.rbm"
@@ -2796,7 +2858,7 @@ object TableFormat {
           }
         }.sortBy(_.file)
       }, op = Some("dv-delete"))
-    (snap, matched.length.toLong, affected)
+    (snap, nMatched, affected)
   }
 
   /** ONE-COMMIT delta publish — the landing half of the SQL
@@ -2830,7 +2892,7 @@ object TableFormat {
                   filesSorted: Boolean = false): Snapshot = {
     require(op == "dv-delete" || op == "dv-update" || op == "dv-merge",
       s"commitDelta: unknown op '$op'")
-    def uriPath(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
+    def uriPath(s: String) = uriPathOf(s)
     val byPath = posByFile.map { case (f, bm) => uriPath(f) -> bm }
     val batch =
       if (newFiles.isEmpty) None else Some(spark.read.parquet(newFiles: _*))
@@ -2943,7 +3005,9 @@ object TableFormat {
       deriveDeletes = curOpt =>
         curOpt.map(_.deletes).getOrElse(Seq.empty) ++
           counts.toSeq.sortBy(_._1).map { case (f, (n, mn, mx)) =>
-            DeleteFile(f, n, minKey = mn, maxKey = mx) })
+            // counts keys are input_file_name renderings — decode before
+            // recording (stored paths must be directly openable)
+            DeleteFile(decodeRendering(f), n, minKey = mn, maxKey = mx) })
   }
 
   /** [[deleteKeysMoR]] for a control-sized driver-held key set. */
@@ -3264,21 +3328,46 @@ object TableFormat {
             .join(srcKeys, Seq(cur.keyCol), "leftsemi")
             .select(col("_file")).distinct()
             .collect().map(_.getString(0)).toSet
-        def uriPath(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
+        def uriPath(s: String) = uriPathOf(s)
         val touchedPaths = touched.map(uriPath)
         val (hit, carried) = cur.files.partition(f => touchedPaths.contains(uriPath(f.file)))
+        // LINEAGE through the copy-on-write MERGE (Iceberg v3's rule):
+        // unmatched survivors AND matched (updated) rows keep their
+        // _row_id through the materialized id column — an update
+        // modifies a row, it does not create one; only true inserts
+        // write a NULL id and are born into the new file's fresh rid
+        // range (the central commit arithmetic). A duplicate-key target
+        // (the format never enforces key uniqueness) collapses to the
+        // MIN surviving id for the one replacement row — deterministic.
+        val lineage = hit.nonEmpty && anyLineage(hit)
         val newData =
           if (hit.isEmpty) src // pure insert: no matched key anywhere
-          else readFiles(spark, cur, hit.map(_.file))
-            .join(srcKeys, Seq(cur.keyCol), "leftanti")
-            .select(tableCols.map(col): _*)
-            .unionByName(src)
+          else if (!lineage)
+            readFiles(spark, cur, hit.map(_.file))
+              .join(srcKeys, Seq(cur.keyCol), "leftanti")
+              .select(tableCols.map(col): _*)
+              .unionByName(src)
+          else {
+            val withIds = readWithRowIds(spark, cur, hit.map(_.file))
+            val outCols = (tableCols :+ IdColName).map(col)
+            val survivors = withIds
+              .join(srcKeys, Seq(cur.keyCol), "leftanti")
+              .select(outCols: _*)
+            val targetIds = withIds
+              .join(srcKeys, Seq(cur.keyCol), "leftsemi")
+              .groupBy(col(cur.keyCol))
+              .agg(min(col(IdColName)).as(IdColName))
+            survivors.unionByName(
+              src.join(targetIds, Seq(cur.keyCol), "left")
+                .select(outCols: _*))
+          }
         val out = s"$dataDir/merge-${java.util.UUID.randomUUID().toString}"
         newData.repartition(nOutFiles).write.mode("overwrite").parquet(out)
         val newStats = fileStats(spark, listParquet(spark, out),
           cur.keyCol, cur.numBits, cur.numHashes, cur.zoneCols,
           spec = cur.props.get(PartitionSpecProp),
               bloomCols = bloomColsOf(cur.props))
+          .map(s => if (lineage) s.copy(ridCol = true) else s)
         nRewritten = hit.size
         nCarried = carried.size
         (carried ++ newStats).sortBy(_.file)
@@ -3424,7 +3513,7 @@ object TableFormat {
     require(listBranches(spark, broot).isEmpty,
       s"dropBranch: '$name' has live nested branches " +
         s"(${listBranches(spark, broot).mkString(", ")}) — drop them first")
-    def uriPath(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
+    def uriPath(s: String) = uriPathOf(s)
     val otherLogs = root +:
       listBranches(spark, root).filterNot(_ == name).map(branchRoot(root, _))
     val referenced = otherLogs.flatMap { r =>
@@ -3993,7 +4082,7 @@ object TableFormat {
         }
       }
     val survivors = vs.takeRight(keepLast) ++ protectedVs ++ ageProtected
-    def uriPath(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
+    def uriPath(s: String) = uriPathOf(s)
     val referenced = survivors
       .flatMap { v =>
         val s = snapshot(spark, root, Some(v))

@@ -190,10 +190,18 @@ private class GraftDeltaWrite(root: String,
     TableFormat.sortOrderColsOf(snap.props)
 
   // the routed INSERT's ordering contract verbatim: monotone bases
-  // lead, a declared write.sort-order overrides bucket-base sorting
+  // lead, a declared write.sort-order overrides bucket-base sorting.
+  // On an UNPARTITIONED table a declared write.sort-order still orders
+  // the appended batch (ordering without distribution) — otherwise the
+  // MoR update/merge replacement rows would land unsorted, degrading
+  // zone-bound pruning, unlike the routed INSERT. A pure delete writes
+  // no rows, so it never pays the sort.
   private val orders: Array[SortOrder] =
-    if (terms.isEmpty) Array.empty
-    else {
+    if (terms.isEmpty) {
+      if (declaredOrder.isEmpty || op == "dv-delete") Array.empty
+      else declaredOrder.map(c => Expressions.sort(Expressions.column(c),
+        SortDirection.ASCENDING)).toArray
+    } else {
       val monoBases = terms.filterNot(_.isInstanceOf[TableFormat.BucketTerm])
         .map(_.baseCol)
       val cols =
@@ -212,7 +220,18 @@ private class GraftDeltaWrite(root: String,
       case TableFormat.DivTerm(c, w) =>
         Expressions.apply("div", Expressions.column(c),
           Expressions.literal(java.lang.Long.valueOf(w)))
-    }.toArray[Expression])
+    }.toArray[Expression] ++ (
+      // dv-update/dv-merge: DELETE rows carry NULL partition columns, so
+      // clustering on the spec alone would hash the ENTIRE delete stream
+      // into one task (the skew the dv-delete special case avoids by
+      // writing nothing). Adding the `_file` row identity spreads delete
+      // rows by source file while leaving insert rows (null _file for
+      // true inserts) clustered by their spec tuple; a tuple split
+      // across source files yields more, still tuple-pure appended
+      // files — the run-splitting writer keeps purity per task.
+      if (op == "dv-delete") Array.empty[Expression]
+      else Array[Expression](
+        Expressions.identity(GraftRowLevel.FileColumn))))
 
   override def requiredOrdering(): Array[SortOrder] = orders
 

@@ -231,17 +231,56 @@ private class GraftReplaceDataWrite(op: GraftRowLevelOperation, root: String,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
-    val newFiles = messages.collect {
+    val newFiles0 = messages.collect {
       case GraftSqlWriteMessage(fs, n) if n > 0 => fs
     }.flatten.toSeq.sorted
     val replaced = op.replacedFiles.toSet
-    if (replaced.isEmpty && newFiles.isEmpty) return // nothing matched
+    if (replaced.isEmpty && newFiles0.isEmpty) return // nothing matched
+    // LINEAGE through copy-on-write DML (Iceberg v3's rule): surviving
+    // rows in rewritten groups — including the UPDATED rows themselves
+    // (an update modifies a row, it does not create one) — keep their
+    // `_row_id`. Spark's group-based API projects metadata columns out
+    // before the write reaches us (verified: the write schema carries
+    // table columns only), so ids cannot ride the plan the way the
+    // delta path's masks do; instead the replacement batch is re-keyed
+    // against the replaced groups' ids in ONE distributed join + rewrite
+    // — group-bounded work on top of a rewrite that already paid group
+    // bytes (the MoR modes stay the lineage-cheap dial). Keys matched
+    // 1:1 between old and new content carry their id; MERGE inserts and
+    // ambiguous (duplicate-key) rows write NULL and are born into the
+    // new files' fresh rid range by the central commit arithmetic.
+    val lineage = newFiles0.nonEmpty &&
+      snap.files.exists(f => replaced(f.file) && (f.rid >= 0 || f.ridCol))
+    val newFiles = if (!lineage) newFiles0 else {
+      import org.apache.spark.sql.functions._
+      val k = snap.keyCol
+      val olds = TableFormat.readFilesWithLineage(spark, snap,
+          snap.files.map(_.file).filter(replaced))
+        .select(col(k), col(TableFormat.IdColName).as("__oid"))
+        .groupBy(col(k))
+        .agg(min(col("__oid")).as("__oid"), count(lit(1)).as("__oc"))
+      val batch = spark.read.parquet(newFiles0: _*)
+      val newCounts = batch.groupBy(col(k)).agg(count(lit(1)).as("__nc"))
+      val ids = olds.join(newCounts, Seq(k))
+        .filter(col("__oc") === 1 && col("__nc") === 1)
+        .select(col(k), col("__oid"))
+      val out = s"$dataDir-lineage"
+      batch.join(ids, Seq(k), "left")
+        .withColumn(TableFormat.IdColName, col("__oid")).drop("__oid")
+        .repartition(newFiles0.size)
+        .write.mode("overwrite").parquet(out)
+      // the id-less first-pass files are uncommitted scratch: drop them
+      val p = new org.apache.hadoop.fs.Path(dataDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      TableFormat.listParquet(spark, out)
+    }
     val stats =
       if (newFiles.isEmpty) Seq.empty
       else TableFormat.fileStats(spark, newFiles, snap.keyCol, snap.numBits,
         snap.numHashes, snap.zoneCols,
         spec = snap.props.get(TableFormat.PartitionSpecProp),
         bloomCols = TableFormat.bloomColsOf(snap.props))
+        .map(s => if (lineage) s.copy(ridCol = true) else s)
     val opName = op.command() match {
       case RowLevelOperation.Command.DELETE => "delete"
       case RowLevelOperation.Command.UPDATE => "update"

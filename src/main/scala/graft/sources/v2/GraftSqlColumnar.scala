@@ -301,7 +301,7 @@ private class ConstStringVector(value: org.apache.spark.unsafe.types.UTF8String)
   * surviving rows, so masked ordinals are exactly the skipped ones).
   * `base` lives on the holder the reader advances per batch; reads are
   * only valid for the CURRENT batch, which is all Spark ever does. */
-private class BatchBase { var value: Long = 0L }
+private class BatchBase { var value: Long = 0L; var rows: Int = 0 }
 
 private class OrdinalVector(base: BatchBase, state: MaskState)
     extends ColumnVector(LongType) {
@@ -341,8 +341,26 @@ private class RowIdVector(base: BatchBase, state: MaskState, rid: Long,
     extends ColumnVector(LongType) {
   @inline private def raw(i: Int): Int = if (state == null) i else state.map(i)
   override def close(): Unit = ()
-  override def hasNull: Boolean = rid < 0
-  override def numNulls: Int = 0
+  // hasNull/numNulls MUST stay mutually consistent (ColumnVector
+  // contract — columnar-to-row and Arrow conversion trust numNulls):
+  // nulls only occur for pre-lineage files (rid < 0), where they are
+  // counted per emitted batch (cached on the batch's base ordinal,
+  // strictly increasing) rather than hard-coded.
+  private var nullsFor: Long = -1L
+  private var nullsRows: Int = -1
+  private var nullsN: Int = 0
+  private def nulls: Int = {
+    if (rid >= 0) return 0
+    if (idCol == null) return base.rows // no id source at all: all null
+    if (nullsFor != base.value || nullsRows != base.rows) {
+      var n = 0; var i = 0
+      while (i < base.rows) { if (idCol.isNullAt(raw(i))) n += 1; i += 1 }
+      nullsFor = base.value; nullsRows = base.rows; nullsN = n
+    }
+    nullsN
+  }
+  override def hasNull: Boolean = nulls > 0
+  override def numNulls: Int = nulls
   override def isNullAt(i: Int): Boolean =
     rid < 0 && (idCol == null || idCol.isNullAt(raw(i)))
   override def getLong(i: Int): Long = {
@@ -487,6 +505,7 @@ private class GraftSqlColumnarReader(file: String, required: StructType,
 
   private def emit(b: ColumnarBatch): ColumnarBatch = {
     batchBase.value = nextBase
+    batchBase.rows = b.numRows() // masked path overwrites with kept count
     nextBase += b.numRows()
     val base = batchBase.value
     if (mask == null && posMask == null) {
@@ -533,6 +552,7 @@ private class GraftSqlColumnarReader(file: String, required: StructType,
             idColOf(b)): ColumnVector
           case i => new MappedColumnVector(b.column(i), maskState): ColumnVector
         })
+      batchBase.rows = n
       maskedBatch.setNumRows(n)
       maskedBatch
     }

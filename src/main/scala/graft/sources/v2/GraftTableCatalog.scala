@@ -1166,6 +1166,9 @@ private class GraftSqlScanBuilder(snap: TableFormat.Snapshot,
   private var limit: Option[Int] = None
 
   override def pushLimit(n: Int): Boolean = {
+    // delta mode serves row identities to a row-level write — a limit
+    // prefix would truncate the operation's target set
+    if (deltaPos) return false
     if (n > 0) limit = Some(n)
     limit.isDefined
   }
@@ -1253,11 +1256,16 @@ private class GraftSqlScanBuilder(snap: TableFormat.Snapshot,
     Some((groupCols, specs.toSeq))
   }
 
+  // delta mode (row-level merge-on-read target): build() always returns
+  // the row-identity GraftDeltaScan and would silently IGNORE a pushed
+  // aggregate — refuse at the entry points so the contract can never be
+  // violated even if Spark someday offers an aggregate on this builder
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    planAgg(agg).isDefined
+    !deltaPos && planAgg(agg).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean =
-    planAgg(agg) match {
+    if (deltaPos) false
+    else planAgg(agg) match {
       case Some(planned) => pushedAgg = Some(planned); true
       case None => false
     }

@@ -52,6 +52,46 @@ class DeletionVectorSpec extends SparkTestBase {
     assert(s3.files.map(_.liveRows).sum == keysOf(s3).size)
   }
 
+  test("the distributed bitmap build writes sidecars BYTE-IDENTICAL to a " +
+      "driver-side addLong build of the same ordinals") {
+    // round-15: deletePositions aggregates ordinals into per-file
+    // Roaring64 blobs executor-side (roaring_agg) — O(files) driver
+    // traffic, no row cap. Roaring container layout is deterministic in
+    // content, so the committed sidecar must equal a reference bitmap
+    // built row-by-row on the driver from the same (file, ordinal) set.
+    val root = freshRoot()
+    val s1 = mkTable(root)
+    // reference: collect matched (file, pos) the OLD way, build per-file
+    // bitmaps with addLong, serialize with the writeDv codec
+    val ref = spark.read.parquet(s1.files.map(_.file): _*)
+      .select(col("_metadata.file_path").as("__file"),
+        col("_metadata.row_index").as("__pos"), col("k"))
+      .filter(col("k") % 3 === 0)
+      .select(col("__file"), col("__pos")).collect()
+      .groupBy(r => TableFormat.uriPathOf(r.getString(0)))
+      .map { case (p, rows) =>
+        val bm = new org.roaringbitmap.longlong.Roaring64Bitmap()
+        rows.map(_.getLong(1)).sorted.reverse.foreach(bm.addLong) // order-free
+        val bos = new java.io.ByteArrayOutputStream()
+        bm.serialize(new java.io.DataOutputStream(bos))
+        p -> bos.toByteArray
+      }
+    val (s2, n, aff) = TableFormat.deletePositions(spark, root,
+      s"$root/data", col("k") % 3 === 0)
+    assert(n == 100 && aff == 3, s"$n / $aff")
+    val conf = spark.sparkContext.hadoopConfiguration
+    s2.files.foreach { f =>
+      val dvPath = new org.apache.hadoop.fs.Path(f.dv.get._1)
+      val in = dvPath.getFileSystem(conf).open(dvPath)
+      val len = dvPath.getFileSystem(conf).getFileStatus(dvPath).getLen.toInt
+      val bytes = new Array[Byte](len)
+      try in.readFully(bytes) finally in.close()
+      val expect = ref(TableFormat.uriPathOf(f.file))
+      assert(java.util.Arrays.equals(bytes, expect),
+        s"sidecar bytes diverge for ${f.file}")
+    }
+  }
+
   test("a fully-dead file is dropped from the commit instead of carrying " +
       "an all-ones bitmap") {
     val root = freshRoot()

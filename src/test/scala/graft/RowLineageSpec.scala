@@ -120,8 +120,38 @@ class RowLineageSpec extends SparkTestBase {
     assert(e2.getMessage.contains("reserved"), e2.getMessage)
   }
 
-  test("copy-on-write DML reassigns ids in rewritten groups (stated); " +
-      "untouched files keep theirs") {
+  test("lineage rewrites survive a warehouse path needing URI encoding: " +
+      "the rid lookup normalizes both path forms and fails fast") {
+    // a SPACE in the warehouse path makes the reader's _metadata.file_path
+    // rendering percent-encoded — the regression the round-14 advisor
+    // caught: a regexp-stripped (still-encoded) join key against the
+    // decoded lookup key dropped EVERY row, and compact committed the
+    // truncated result as op=replace (silent data loss). Both sides now
+    // normalize through the same uriPath function, and an unresolved
+    // path raises instead of truncating.
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft lineage sp").toString
+    spark.conf.set("spark.sql.catalog.rlsp",
+      "graft.sources.v2.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.rlsp.warehouse", wh)
+    spark.sql("""CREATE TABLE rlsp.rs (k BIGINT, v BIGINT)
+      TBLPROPERTIES('key_col'='k')""")
+    spark.sql("INSERT INTO rlsp.rs SELECT id, id FROM range(60) ORDER BY id")
+    spark.sql("INSERT INTO rlsp.rs SELECT id, id FROM range(60, 90) ORDER BY id")
+    val before = spark.sql("SELECT k, _row_id FROM rlsp.rs").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(before.size == 90 && before.values.toSeq.distinct.size == 90)
+    spark.sql("CALL rlsp.system.compact('rs', 2)")
+    val after = spark.sql("SELECT k, _row_id FROM rlsp.rs").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == before,
+      s"ids changed or rows lost across a space-path compact: " +
+        s"${after.size} rows vs ${before.size}")
+  }
+
+  test("copy-on-write DML PRESERVES surviving rows' ids (Iceberg v3): " +
+      "SQL UPDATE keeps every id — including the updated row's — and " +
+      "a CoW DELETE retires only the deleted ids") {
     warehouse
     spark.sql("""CREATE TABLE rlcat.rc (k BIGINT, v BIGINT)
       TBLPROPERTIES('key_col'='k')""")
@@ -131,16 +161,38 @@ class RowLineageSpec extends SparkTestBase {
     val before = idsByKey("rc")
     spark.sql("UPDATE rlcat.rc SET v = -1 WHERE k = 75") // CoW: group rewrite
     val after = idsByKey("rc")
-    // the runtime group filter narrowed the rewrite to the ONE file
-    // holding k=75: every other file keeps its ids by reference, the
-    // rewritten group's rows re-id from the counter (copy-on-write
-    // semantics, stated)
-    val moved = after.keySet.filter(k => after(k) != before(k))
-    assert(moved.contains(75L), moved)
-    assert(moved.forall(k => after(k) >= 100L), moved.map(after))
-    val keptFiles = TableFormat.snapshot(spark, s"$warehouse/rc")
-      .files.filter(_.seq < 4)
-    assert(moved.size == 100 - keptFiles.map(_.nRows).sum, moved.size)
-    assert(after.values.toSeq.distinct.size == 100)
+    // round 15: the rewrite reads _row_id as a required metadata
+    // attribute and persists it as the materialized id column, so the
+    // rewritten group's SURVIVORS — and the updated row itself (an
+    // update modifies a row, it does not create one) — keep their ids
+    assert(after == before,
+      s"CoW UPDATE moved ids: ${after.toSeq.diff(before.toSeq).take(5)}")
+    // the rewritten file carries the materialized column
+    val snapU = TableFormat.snapshot(spark, s"$warehouse/rc")
+    assert(snapU.files.exists(_.ridCol), "rewritten group lost ridCol")
+    assert(spark.sql("SELECT v FROM rlcat.rc WHERE k = 75")
+      .collect()(0).getLong(0) == -1L)
+    // CoW DELETE through the same path: survivors keep ids, the deleted
+    // key's id disappears and is never reused
+    spark.sql("DELETE FROM rlcat.rc WHERE k IN (10, 75)")
+    val afterDel = idsByKey("rc")
+    assert(afterDel == before - 10L - 75L,
+      "CoW DELETE moved surviving ids")
+    // library-level CoW MERGE (mergeRows): matched rows keep their ids,
+    // true inserts draw fresh ones from the counter
+    val root = s"$warehouse/rc"
+    import spark.implicits._
+    TableFormat.mergeRows(spark, root, s"$root/data",
+      Seq((20L, -2L), (200L, -3L)).toDF("k", "v"))
+    val afterMerge = idsByKey("rc")
+    assert(afterMerge(20L) == before(20L), "CoW MERGE moved the matched row's id")
+    assert(afterMerge(200L) >= 100L, "insert must draw a fresh id")
+    assert((afterMerge - 20L - 200L) == (afterDel - 20L),
+      "CoW MERGE moved unmatched survivors' ids")
+    // targeted deleteKeys (bloom-pruned CoW): survivors keep ids too
+    TableFormat.deleteKeys(spark, root, s"$root/data", Seq(30L))
+    val afterDk = idsByKey("rc")
+    assert(afterDk == afterMerge - 30L, "deleteKeys moved surviving ids")
+    assert(afterDk.values.toSeq.distinct.size == afterDk.size)
   }
 }
