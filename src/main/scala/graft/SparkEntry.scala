@@ -5937,17 +5937,131 @@ object SparkEntry {
       }
       val n = Parallelism.ensureDefaultParallelism(
         TableFormat.read(s, TableFormat.snapshot(s, root, Some(2)))).count()
-      // untouched rows keep their insertion-rank ids through the whole
-      // chain; the MoR update's replacements draw PAST the counter
+      // round 15: EVERY row keeps its insertion-rank id through the
+      // whole chain — the MoR update's replacements now PRESERVE the
+      // pre-image's id (Iceberg v3's rule; formerly they drew past the
+      // counter), so the table's id set stays exactly 0..n-1 and the
+      // whole-table id sum is oracle arithmetic; kept_ok pins that no
+      // id was ever drawn past the insert
       val ids = s.sql(s"SELECT k, _row_id, cents FROM graft.`$tbl`")
-      val freshOk = ids.filter(pmod(col("k"), lit(1013)) === 11)
-        .agg(min(col("_row_id"))).collect()(0).getLong(0) >= n
-      ids.filter(pmod(col("k"), lit(1013)) =!= 11)
-        .agg(count(lit(1)).as("n_rows"),
+      val keptOk = ids.agg(max(col("_row_id"))).collect()(0)
+        .getLong(0) == n - 1
+      ids.agg(count(lit(1)).as("n_rows"),
           sum(col("cents")).cast("long").as("sum_cents"),
           sum(col("_row_id")).cast("long").as("sum_ids"))
         .select(col("n_rows"), col("sum_cents"), col("sum_ids"),
-          lit(freshOk).as("fresh_ok"))
+          lit(keptOk).as("kept_ok"))
+    },
+
+    // ---- CDF UPDATE IMAGES (r15): with row lineage on every involved
+    // file, a merge-on-read UPDATE's changelog emits
+    // update_preimage/update_postimage PAIRED by a shared `_row_id`
+    // (the Delta CDF shape — the MoR writer persists the pre-image's id
+    // on the replacement row). The entry joins the two images BY that
+    // id — NO key self-join, the exact work this shape saves a
+    // downstream IVM consumer — and the oracle replays the update
+    // arithmetic from orders: any pairing drift (missed pair, diverged
+    // id, mis-tagged row) drops or duplicates rows and breaks the hash ----
+    "q165_cdf_update_images" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"cdfu_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val root = s"$wh/$tbl"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q165_cdfu", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        s.sql(s"""CREATE TABLE graft.`$tbl` (k BIGINT, cents BIGINT)
+          TBLPROPERTIES('key_col'='k',
+            '${TableFormat.UpdateModeProp}'='merge-on-read')""")
+        Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("q165_src")
+        s.sql(s"""INSERT INTO graft.`$tbl`
+          SELECT /*+ REPARTITION(4) */ * FROM q165_src""")           // v2
+        s.sql(s"UPDATE graft.`$tbl` SET cents = cents + 1000000 " +
+          "WHERE k % 811 = 17")                                      // v3
+      }
+      val ch = TableFormat.changesBetween(s, root, 2, 3)
+      val pre = ch.filter(col("_change") === "update_preimage")
+        .select(col("_row_id"), col("k"), col("cents").as("pre_cents"))
+      val post = ch.filter(col("_change") === "update_postimage")
+        .select(col("_row_id"), col("cents").as("post_cents"))
+      Parallelism.ensureDefaultParallelism(pre)
+        .join(post, Seq("_row_id"))
+        .select(col("k"), col("pre_cents"), col("post_cents"))
+        .orderBy(col("k"))
+    },
+
+    // ---- SQL MATERIALIZED VIEW with incremental refresh (r15, the
+    // round's top ask): CALL create_materialized_view stores the
+    // aggregate + a source-version cursor; after a MoR MERGE, a
+    // deletion-vector delete, an equality-manifest delete, a
+    // copy-on-write delete AND a compaction on the fact table, ONE
+    // CALL refresh_mv advances the view by consuming the changelog as
+    // signed deltas — O(changed files + |view|), the fact never
+    // re-scanned (compaction costs zero via the op=replace skip). The
+    // oracle recomputes the final aggregate from orders arithmetic:
+    // any drift in any changelog shape breaks the hash ----
+    "q166_materialized_view" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val hex = java.lang.Integer.toHexString(dir.hashCode)
+      val (tbl, mv) = (s"mvf_$hex", s"mvv_$hex")
+      val root = s"$wh/$tbl"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q166_mv", dir) {
+        Seq(tbl, s"${mv}__store").foreach { t =>
+          val p = new org.apache.hadoop.fs.Path(s"$wh/$t")
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+        s.sql(s"CALL graft.system.drop_view('$mv')") // idempotent re-fixture
+        s.sql(s"""CREATE TABLE graft.`$tbl` (k BIGINT, cents BIGINT)
+          TBLPROPERTIES('key_col'='k',
+            '${TableFormat.MergeModeProp}'='merge-on-read',
+            '${TableFormat.DeleteModeProp}'='merge-on-read')""")
+        Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("q166_src")
+        s.sql(s"""INSERT INTO graft.`$tbl`
+          SELECT /*+ REPARTITION(4) */ * FROM q166_src""")           // v2
+        s.sql("CALL graft.system.create_materialized_view(" +
+          s"'$mv', 'SELECT k % 8 AS grp, count(*) AS n_rows, " +
+          s"sum(cents) AS total FROM graft.`$tbl` GROUP BY k % 8')")
+        // MoR MERGE: matched corrections + new keys past the max   (v3)
+        s.sql("""SELECT k, cents + 1000000 AS cents FROM q166_src
+            WHERE k % 811 = 17
+          UNION ALL
+          SELECT k + (SELECT max(k) FROM q166_src), CAST(55 AS BIGINT)
+            FROM q166_src WHERE k % 1301 = 5""")
+          .createOrReplaceTempView("q166_stage")
+        s.sql(s"""MERGE INTO graft.`$tbl` AS t USING q166_stage AS st
+          ON t.k = st.k
+          WHEN MATCHED THEN UPDATE SET cents = st.cents
+          WHEN NOT MATCHED THEN INSERT (k, cents)
+            VALUES (st.k, st.cents)""")
+        // deletion-vector delete (rich non-key predicate)          (v4)
+        s.sql(s"DELETE FROM graft.`$tbl` WHERE cents % 89 = 7")
+        // equality-manifest delete (key-IN shape, data-derived)    (v5)
+        val delKeys = Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(7919)) === 13)
+          .select(col("o_orderkey")).collect().map(_.getLong(0))
+          .toSeq.sorted
+        s.sql(s"DELETE FROM graft.`$tbl` WHERE k IN " +
+          delKeys.mkString("(", ",", ")"))
+        // copy-on-write delete (mode flipped live)                 (v6)
+        s.sql(s"ALTER TABLE graft.`$tbl` SET TBLPROPERTIES(" +
+          s"'${TableFormat.DeleteModeProp}'='copy-on-write')")
+        s.sql(s"DELETE FROM graft.`$tbl` WHERE cents % 83 = 5")
+        // compaction: content-preserving, changelog-free           (v7)
+        s.sql(s"CALL graft.system.compact('$tbl', 2)")
+      }
+      // ONE refresh tick over (create-cursor, head]; idempotent on
+      // re-invocation (a converged view refreshes to refreshed=0)
+      s.sql(s"CALL graft.system.refresh_mv('$mv')").collect()
+      Parallelism.ensureDefaultParallelism(
+          s.sql(s"SELECT grp, n_rows, total FROM graft.`$mv`"))
+        .orderBy(col("grp"))
     },
 
     "q157_maintenance_tick" -> { (s, dir) =>
@@ -9668,21 +9782,58 @@ object SparkEntry {
     // minus the manifest keys (slice 0, k%41=7) and the vector rows
     // (slice 1, k%53=9), plus the post-tick slice-5 ingest complete;
     // the tick flags are dataset constants
-    // untouched rows' ids are their insertion ranks (the ordered
-    // single-file insert), replayed as row_number arithmetic; the
-    // updated rows' cents grew by 7 but are EXCLUDED from this leg
-    // (their fresh ids are counter-dependent — the fresh_ok flag pins
-    // them spark-side)
+    // every row's id is its insertion rank (the ordered single-file
+    // insert), replayed as row_number arithmetic over the WHOLE table —
+    // since r15 the MoR update's replacements preserve the pre-image
+    // id, so updated rows are INCLUDED (cents grew by 7, ids unchanged)
+    // and kept_ok (no id drawn past the insert) is a dataset constant
     "q164_row_lineage" ->
       """WITH o AS (SELECT o_orderkey AS k,
-             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(floor(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 1013 = 11 THEN 7 ELSE 0 END AS cents,
              row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
            FROM orders)
          SELECT CAST(count(*) AS BIGINT) AS n_rows,
            CAST(sum(cents) AS BIGINT) AS sum_cents,
            CAST(sum(rid) AS BIGINT) AS sum_ids,
-           TRUE AS fresh_ok
-         FROM o WHERE k % 1013 <> 11""",
+           TRUE AS kept_ok
+         FROM o""",
+
+    // the refreshed materialized view replays the whole mutation
+    // history from orders arithmetic: insert + MERGE (matched
+    // corrections, shifted inserts) + three delete shapes applied as
+    // conjunctive filters (deletes only remove, so sequential deletes
+    // equal their conjunction), grouped per the definition
+    "q166_materialized_view" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+         mx AS (SELECT max(k) AS m FROM o),
+         merged AS (
+           SELECT k, cents + CASE WHEN k % 811 = 17
+             THEN 1000000 ELSE 0 END AS cents FROM o
+           UNION ALL
+           SELECT k + m, CAST(55 AS BIGINT) FROM o, mx WHERE k % 1301 = 5),
+         final AS (
+           -- the key-IN manifest delete names ORIGINAL keys only
+           -- (k <= m); a shifted insert landing in the same residue
+           -- class is NOT in the list and survives
+           SELECT merged.* FROM merged, mx
+           WHERE NOT (cents % 89 = 7)
+             AND NOT (k % 7919 = 13 AND k <= m)
+             AND NOT (cents % 83 = 5))
+         SELECT k % 8 AS grp, count(*) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS total
+         FROM final GROUP BY 1 ORDER BY 1""",
+
+    // the paired images replay the UPDATE arithmetic: every k%811=17
+    // row pairs its pre-image cents with pre+1000000 — the Spark side
+    // joins pre to post BY the shared _row_id, so a missed or diverged
+    // pairing drops the row here and breaks the row count/hash
+    "q165_cdf_update_images" ->
+      """SELECT o_orderkey AS k,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS pre_cents,
+           CAST(floor(o_totalprice * 100) + 1000000 AS BIGINT) AS post_cents
+         FROM orders WHERE o_orderkey % 811 = 17 ORDER BY k""",
 
     // the grouped profile replays from orders arithmetic; the plan flag
     // is a dataset constant (tuple-pure identity layout → metadata-only

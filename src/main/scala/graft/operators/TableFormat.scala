@@ -2889,7 +2889,8 @@ object TableFormat {
   def commitDelta(spark: SparkSession, root: String, base: Snapshot,
                   posByFile: Map[String, org.roaringbitmap.longlong.Roaring64Bitmap],
                   newFiles: Seq[String], op: String,
-                  filesSorted: Boolean = false): Snapshot = {
+                  filesSorted: Boolean = false,
+                  ridFiles: Boolean = false): Snapshot = {
     require(op == "dv-delete" || op == "dv-update" || op == "dv-merge",
       s"commitDelta: unknown op '$op'")
     def uriPath(s: String) = uriPathOf(s)
@@ -2903,6 +2904,7 @@ object TableFormat {
         base.numHashes, base.zoneCols,
         spec = base.props.get(PartitionSpecProp),
         bloomCols = bloomColsOf(base.props))
+        .map(s => if (ridFiles) s.copy(ridCol = true) else s)
     val newStats =
       if (filesSorted) newStats0.map(_.copy(sorted = true)) else newStats0
     val conf = spark.sparkContext.hadoopConfiguration
@@ -3623,9 +3625,15 @@ object TableFormat {
 
   /** CHANGELOG between two committed versions — the incremental (CDF) read:
     * every row inserted or deleted by commits `fromV+1..toV`, tagged
-    * (`_version`, `_change` ∈ insert|delete). An update reads as its
-    * delete+insert pair, which is exactly what a downstream incremental
-    * materialization needs (the q47 changelog-invert contract).
+    * (`_version`, `_change` ∈ insert|delete|update_preimage|
+    * update_postimage). A merge-on-read UPDATE/MERGE whose involved
+    * files all carry row lineage emits the Delta-CDF update shape —
+    * pre/post images paired by a shared `_row_id` column (the MoR
+    * writer persists the pre-image's id on the replacement row); every
+    * other update reads as its delete+insert pair. Either shape is
+    * exactly what a downstream incremental materialization needs (the
+    * q47 changelog-invert contract; signed-delta consumers treat
+    * update_preimage as delete and update_postimage as insert).
     *
     * Cost is O(CHANGED files), never O(table): each step diffs the two
     * versions' file LISTS (driver set arithmetic on the already-resolved
@@ -3689,54 +3697,93 @@ object TableFormat {
         // re-emitted), (b) for each file the commit DROPPED (fully
         // dead), its previously-live rows via the ordinary masked read,
         // and (c) for a dv-update/dv-merge (the SQL merge-on-read
-        // row-level commit), the APPENDED batch files as inserts — the
-        // delete(pre-image)+insert(post-image) pair downstream IVM
-        // expects. O(changed rows + dropped files), never O(table).
+        // row-level commit), the APPENDED batch files. O(changed rows +
+        // dropped files), never O(table).
+        //
+        // With ROW LINEAGE resolvable on every involved file, a
+        // dv-update/dv-merge emits the Delta-CDF UPDATE SHAPE: the
+        // MoR update writer persists each replacement row's pre-image
+        // `_row_id`, so a pre-image and its post-image SHARE an id —
+        // paired here as `update_preimage`/`update_postimage` (both
+        // carrying `_row_id`), with unpaired rows staying
+        // delete/insert. Downstream IVM consumers no longer self-join
+        // on the key to reconstruct updates.
         val conf = spark.sparkContext.hadoopConfiguration
         val prevByFile = prev.files.map(f => f.file -> f).toMap
         val snapFor = cur.copy(files = prev.files)
-        val grown: Seq[DataFrame] = cur.files.flatMap { f =>
-          val pf = prevByFile.get(f.file)
-          if (f.dv.isEmpty || pf.isEmpty ||
-              pf.get.dv.map(_._1) == f.dv.map(_._1)) None
-          else {
-            val bm = readDv(conf, f.dv.get._1)
-            pf.get.dv.foreach(d => bm.andNot(readDv(conf, d._1)))
-            if (bm.isEmpty) None
-            else {
-              val b = Seq.newBuilder[Long]
-              bm.forEach(new org.roaringbitmap.longlong.LongConsumer {
-                override def accept(v: Long): Unit = b += v
-              })
-              val posDf = spark.createDataset(b.result())(
-                org.apache.spark.sql.Encoders.scalaLong).toDF("__dvpos")
-              val rows = readWithPos(spark, snapFor, Seq(f.file))
-                .join(posDf, col("__pos") === col("__dvpos"), "left_semi")
-                .drop("__file", "__pos")
-              val manifests = prev.deletes.filter(_.seq > pf.get.seq)
-                .map(_.file)
-              Some(
-                if (manifests.isEmpty) rows
-                else rows.join(
-                  spark.read.parquet(manifests: _*)
-                    .select(col("_del_key")).distinct(),
-                  col(prev.keyCol).cast("long") === col("_del_key"),
-                  "left_anti"))
-            }
-          }
-        }
-        val curSet = cur.files.map(_.file).toSet
-        val dropped = prev.files.map(_.file).filterNot(curSet)
-        val droppedDf =
-          if (dropped.isEmpty) None
-          else Some(readFiles(spark, snapFor, dropped))
         val prevSet = prev.files.map(_.file).toSet
         val added = cur.files.map(_.file).filterNot(prevSet)
-        val inserted: Option[DataFrame] =
-          if (added.isEmpty) None else Some(readFiles(spark, cur, added))
-        inserted.map(tag(_, "insert")).toSeq ++
-          (grown ++ droppedDf).reduceOption(_.unionByName(_))
-            .map(tag(_, "delete")).toSeq
+        val curSet = cur.files.map(_.file).toSet
+        val dropped = prev.files.map(_.file).filterNot(curSet)
+        val grownStats = cur.files.filter(f => prevByFile.get(f.file)
+          .exists(pf => f.dv.isDefined && pf.dv.map(_._1) != f.dv.map(_._1)))
+        val pairable = cur.op.exists(o => o == "dv-update" || o == "dv-merge") &&
+          (grownStats.map(f => prevByFile(f.file)) ++
+            prev.files.filter(f => dropped.contains(f.file)) ++
+            cur.files.filter(f => added.contains(f.file)))
+            .forall(f => f.rid >= 0 || f.ridCol)
+        val RID = "_row_id"
+        def grownRows(withIds: Boolean): Seq[DataFrame] = grownStats.map { f =>
+          val pf = prevByFile(f.file)
+          val bm = readDv(conf, f.dv.get._1)
+          pf.dv.foreach(d => bm.andNot(readDv(conf, d._1)))
+          val b = Seq.newBuilder[Long]
+          bm.forEach(new org.roaringbitmap.longlong.LongConsumer {
+            override def accept(v: Long): Unit = b += v
+          })
+          val posDf = spark.createDataset(b.result())(
+            org.apache.spark.sql.Encoders.scalaLong).toDF("__dvpos")
+          val raw = readWithPos(spark, snapFor, Seq(f.file),
+              withIdCol = withIds)
+            .join(posDf, col("__pos") === col("__dvpos"), "left_semi")
+          val rows0 =
+            if (!withIds) raw.drop("__file", "__pos")
+            else raw.withColumn(RID,
+                if (pf.rid >= 0)
+                  coalesce(col(IdColName), lit(pf.rid) + col("__pos"))
+                else col(IdColName))
+              .drop("__file", "__pos", IdColName)
+          val manifests = prev.deletes.filter(_.seq > pf.seq).map(_.file)
+          if (manifests.isEmpty) rows0
+          else rows0.join(
+            spark.read.parquet(manifests: _*)
+              .select(col("_del_key")).distinct(),
+            col(prev.keyCol).cast("long") === col("_del_key"), "left_anti")
+        }.filter(_ != null)
+        if (pairable) {
+          val pre = (grownRows(withIds = true) ++
+            (if (dropped.isEmpty) Seq.empty
+             else Seq(readWithRowIds(spark, snapFor, dropped)
+               .withColumnRenamed(IdColName, RID))))
+            .reduceOption(_.unionByName(_))
+          val post =
+            if (added.isEmpty) None
+            else Some(readWithRowIds(spark, cur, added)
+              .withColumnRenamed(IdColName, RID))
+          val updIds = (pre, post) match {
+            case (Some(p), Some(q)) =>
+              p.select(col(RID)).filter(col(RID).isNotNull)
+                .join(q.select(col(RID)).filter(col(RID).isNotNull),
+                  Seq(RID), "left_semi").distinct()
+            case _ => null
+          }
+          def split(df: DataFrame, hit: String, miss: String) =
+            if (updIds == null) Seq(tag(df, miss))
+            else Seq(tag(df.join(updIds, Seq(RID), "left_semi"), hit),
+              tag(df.join(updIds, Seq(RID), "left_anti"), miss))
+          post.toSeq.flatMap(split(_, "update_postimage", "insert")) ++
+            pre.toSeq.flatMap(split(_, "update_preimage", "delete"))
+        } else {
+          val grown = grownRows(withIds = false)
+          val droppedDf =
+            if (dropped.isEmpty) None
+            else Some(readFiles(spark, snapFor, dropped))
+          val inserted: Option[DataFrame] =
+            if (added.isEmpty) None else Some(readFiles(spark, cur, added))
+          inserted.map(tag(_, "insert")).toSeq ++
+            (grown ++ droppedDf).reduceOption(_.unionByName(_))
+              .map(tag(_, "delete")).toSeq
+        }
       }
       else if (cur.deletes.map(_.file).sorted != prev.deletes.map(_.file).sorted ||
           {
@@ -3818,7 +3865,8 @@ object TableFormat {
     require(baseView.columns.toSeq == Seq("grp", "n_rows", "total"),
       s"refreshView: baseView columns must be (grp, n_rows, total), " +
         s"got ${baseView.columns.mkString(",")}")
-    val sign = when(col("_change") === "insert", lit(1L)).otherwise(lit(-1L))
+    val sign = when(col("_change").isin("insert", "update_postimage"),
+      lit(1L)).otherwise(lit(-1L))
     val delta = changesBetween(spark, root, fromV, toV)
       .groupBy(groupExpr.as("grp"))
       .agg(sum(sign).as("d_rows"), sum(sign * valueExpr).as("d_total"))
@@ -3976,16 +4024,21 @@ object TableFormat {
         curOpt.get
       }
       val delta = changesBetween(spark, sourceRoot, cursor, src.version)
-      val dataCols = delta.columns.filterNot(Set("_version", "_change")).toSeq
+      // _row_id rides the changelog only for lineage-paired updates and
+      // is not mirrored content — drop it with the tags
+      val dataCols = delta.columns
+        .filterNot(Set("_version", "_change", "_row_id")).toSeq
       val keyL = col(cur.keyCol).cast("long")
       // net effect per key over the window; ties inside one version are
-      // an update's delete+insert pair — the insert is the later state
+      // an update's pre/post pair (paired or delete+insert) — the
+      // post-state row is the later state
+      val isPost = col("_change").isin("insert", "update_postimage")
       val w = org.apache.spark.sql.expressions.Window.partitionBy(keyL)
         .orderBy(col("_version").desc,
-          when(col("_change") === "insert", 1).otherwise(0).desc)
+          when(isPost, 1).otherwise(0).desc)
       val netted = delta.withColumn("_rk", row_number().over(w))
         .filter(col("_rk") === 1)
-      val insRows = netted.filter(col("_change") === "insert")
+      val insRows = netted.filter(isPost)
         .select(dataCols.map(col): _*)
       // every touched key masks its older mirror copy; a fresh insert's
       // key in the manifest is harmless (nothing older to mask), a

@@ -66,10 +66,23 @@ private[v2] class GraftDeltaOperation(root: String,
     Array(Expressions.column(GraftRowLevel.FileColumn),
       Expressions.column(GraftRowLevel.PosColumn))
 
-  // updates split into DELETE(id) + INSERT(row): the writer stays
-  // one-pass (bitmap add + batch append) and the commit's changelog
-  // reads as the delete+insert pair incremental consumers expect
-  override def representUpdateAsDeleteAndInsert(): Boolean = true
+  // LINEAGE (Iceberg v3): on a lineage-carrying table an UPDATE is a
+  // real update op — the writer receives the pre-image's `_row_id`
+  // (required metadata attribute) alongside the replacement row and
+  // persists it in the appended batch's materialized id column, so a
+  // merge-on-read UPDATE/MERGE-matched-update PRESERVES the row's id
+  // (an update modifies a row, it does not create one) and the
+  // changelog can pair pre/post images BY id (the Delta CDF shape).
+  // Without lineage, updates split into DELETE(id)+INSERT(row) as
+  // before (one-pass writer, delete+insert changelog contract).
+  private val lineage = snap.files.exists(f => f.rid >= 0 || f.ridCol)
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = !lineage
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    if (lineage && cmd != RowLevelOperation.Command.DELETE)
+      Array(Expressions.column(GraftRowLevel.RowIdColumn))
+    else Array.empty
 
   override def newScanBuilder(options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
       : ScanBuilder =
@@ -86,11 +99,9 @@ private[v2] class GraftDeltaOperation(root: String,
           case RowLevelOperation.Command.DELETE => "dv-delete"
           case RowLevelOperation.Command.UPDATE => "dv-update"
           case _ => "dv-merge"
-        })
+        },
+        lineage = lineage && cmd != RowLevelOperation.Command.DELETE)
     }
-
-  override def requiredMetadataAttributes(): Array[NamedReference] =
-    Array.empty
 
   override def description(): String =
     s"graft-delta($cmd, $root@v${snap.version})"
@@ -176,7 +187,8 @@ private class GraftDeltaWrite(root: String,
                               snap: TableFormat.Snapshot,
                               tableSchema: StructType,
                               writeSchema: StructType, queryId: String,
-                              op: String)
+                              op: String,
+                              lineage: Boolean = false)
     extends DeltaWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -240,7 +252,8 @@ private class GraftDeltaWrite(root: String,
     // write-provenance: with no declared sort order the required
     // ordering IS the spec base columns, so each landed file is a
     // sorted run (the GraftSqlBatchWrite.specSorted rule)
-    filesSorted = terms.nonEmpty && declaredOrder.isEmpty)
+    filesSorted = terms.nonEmpty && declaredOrder.isEmpty,
+    lineage = lineage)
 }
 
 /** Per-task result of a delta write: the appended files plus each
@@ -257,23 +270,33 @@ private class GraftDeltaBatchWrite(root: String,
                                    op: String,
                                    specTerms: Seq[TableFormat.SpecTerm] =
                                      Seq.empty,
-                                   filesSorted: Boolean = false)
+                                   filesSorted: Boolean = false,
+                                   lineage: Boolean = false)
     extends DeltaBatchWrite {
   private val dataDir =
     s"$root/data/delta-$queryId-${java.util.UUID.randomUUID().toString}"
 
   // the insert rows may carry metadata columns — project them out, only
-  // real table columns reach parquet (the replace-groups precedent)
+  // real table columns reach parquet (the replace-groups precedent);
+  // under lineage the MATERIALIZED id column rides along as the last
+  // parquet column (update pre-image ids; null for true inserts)
   private val keep: Array[Int] = writeSchema.fields.zipWithIndex.collect {
     case (f, i) if tableSchema.fieldNames.contains(f.name) => i
   }
 
+  private val parquetSchema: StructType = {
+    val base = StructType(keep.map(writeSchema.fields(_)))
+    if (lineage)
+      StructType(base.fields :+
+        StructField(TableFormat.IdColName, LongType, nullable = true))
+    else base
+  }
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
-    new GraftDeltaWriterFactory(dataDir,
-      StructType(keep.map(writeSchema.fields(_))), keep,
+    new GraftDeltaWriterFactory(dataDir, parquetSchema, keep,
       new SerializableHadoopConf(
         SparkSession.active.sessionState.newHadoopConf()),
-      specTerms, GraftSqlWrite.targetOf(snap.props))
+      specTerms, GraftSqlWrite.targetOf(snap.props), lineage)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -295,7 +318,7 @@ private class GraftDeltaBatchWrite(root: String,
     })
     if (newFiles.isEmpty && posByFile.isEmpty) return // nothing matched
     TableFormat.commitDelta(spark, root, snap, posByFile.toMap, newFiles, op,
-      filesSorted = filesSorted)
+      filesSorted = filesSorted, ridFiles = lineage)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -310,28 +333,37 @@ private class GraftDeltaWriterFactory(dataDir: String,
                                       keep: Array[Int],
                                       conf: SerializableHadoopConf,
                                       specTerms: Seq[TableFormat.SpecTerm],
-                                      targetFileBytes: Long)
+                                      targetFileBytes: Long,
+                                      lineage: Boolean = false)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new GraftDeltaRowWriter(dataDir, s"part-$partitionId-$taskId",
-      parquetSchema, keep, conf.value, specTerms, targetFileBytes)
+      parquetSchema, keep, conf.value, specTerms, targetFileBytes, lineage)
 }
 
 /** The executor half: inserts stream into one parquet writer (lazily
   * opened — a pure-delete task writes nothing), deleted row identities
-  * accumulate into per-file bitmaps. `update` never fires
-  * (representUpdateAsDeleteAndInsert), but delegates correctly anyway. */
+  * accumulate into per-file bitmaps. Under LINEAGE, `update` fires as a
+  * real op (representUpdateAsDeleteAndInsert = false): the pre-image's
+  * `_row_id` arrives as the metadata projection and is written into the
+  * replacement row's materialized id column — the row keeps its id
+  * across the update; plain inserts write a NULL id and are born into
+  * the appended file's fresh range by the commit arithmetic. */
 private class GraftDeltaRowWriter(dataDir: String, taskTag: String,
                                   parquetSchema: StructType,
                                   keep: Array[Int],
                                   conf: org.apache.hadoop.conf.Configuration,
                                   specTerms: Seq[TableFormat.SpecTerm] =
                                     Seq.empty,
-                                  targetFileBytes: Long = Long.MaxValue)
+                                  targetFileBytes: Long = Long.MaxValue,
+                                  lineage: Boolean = false)
     extends DeltaWriter[InternalRow] {
   private val types = parquetSchema.fields.map(_.dataType)
-  private val identity = keep.nonEmpty && keep.length == keep.max + 1 &&
+  private val identity = !lineage && keep.nonEmpty &&
+    keep.length == keep.max + 1 &&
     keep.zipWithIndex.forall { case (s, o) => s == o }
+  // with lineage the parquet schema appends the id column after `keep`
+  private val outWidth = if (lineage) keep.length + 1 else keep.length
   private var inner: GraftSqlDataWriter = _
   private val dv = scala.collection.mutable.Map
     .empty[String, org.roaringbitmap.longlong.Roaring64Bitmap]
@@ -345,24 +377,32 @@ private class GraftDeltaRowWriter(dataDir: String, taskTag: String,
       .addLong(id.getLong(1))
   }
 
-  override def insert(row: InternalRow): Unit = {
+  private def writeRow(row: InternalRow, rowIdVal: Any): Unit = {
     if (inner == null)
       inner = new GraftSqlDataWriter(dataDir, taskTag, parquetSchema,
         specTerms, conf, targetFileBytes)
     if (identity) inner.write(row)
     else {
-      val vals = new Array[Any](keep.length)
+      val vals = new Array[Any](outWidth)
       var j = 0
       while (j < keep.length) { vals(j) = row.get(keep(j), types(j)); j += 1 }
+      if (lineage) vals(keep.length) = rowIdVal
       inner.write(new org.apache.spark.sql.catalyst.expressions
         .GenericInternalRow(vals))
     }
   }
 
+  override def insert(row: InternalRow): Unit = writeRow(row, null)
+
   override def update(metadata: InternalRow, id: InternalRow,
                       row: InternalRow): Unit = {
     delete(metadata, id)
-    insert(row)
+    // metadata carries requiredMetadataAttributes in declaration order:
+    // (_row_id) — null for a pre-lineage pre-image (stated, not guessed)
+    writeRow(row,
+      if (lineage && metadata != null && !metadata.isNullAt(0))
+        java.lang.Long.valueOf(metadata.getLong(0))
+      else null)
   }
 
   override def commit(): WriterCommitMessage = {

@@ -42,7 +42,8 @@ private[v2] object GraftProcedures {
     "expire_snapshots", "remove_orphan_files",
     "recluster", "rollback", "create_tag", "drop_tag",
     "create_branch", "publish_branch", "drop_branch", "clone",
-    "create_view", "drop_view", "rename_view", "list_views")
+    "create_view", "drop_view", "rename_view", "list_views",
+    "create_materialized_view", "refresh_mv", "drop_materialized_view")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -307,6 +308,97 @@ private[v2] object GraftProcedures {
           else catalog.createView(info)
         result(name, "view" -> viewName,
           "n_columns" -> v.schema().fields.length.toLong)
+      }
+      // ---- SQL MATERIALIZED VIEWS with incremental refresh: the IVM
+      // operators + changelog + stored views composed into the surface a
+      // user expects — CALL create_materialized_view / refresh_mv, read
+      // via an ordinary SELECT on the stored view. Refresh consumes
+      // table_changes as signed deltas (all three delete shapes + the
+      // CDF paired-update shape), NEVER re-scanning the fact table ----
+      case "create_materialized_view" => viewProc(name,
+        "store an incrementally-maintainable aggregate (count(*)/count/sum " +
+          "over one graft table) as a table + stored view with a " +
+          "source-version cursor",
+        Array(param("mv", StringType), param("mv_sql", StringType),
+          paramD("n_out_files", IntegerType, "1"))) { (spark, args) =>
+        val mvName = args.getUTF8String(0).toString
+        val parts = mvName.split('.').toSeq
+        val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+          parts.init.toArray, parts.last)
+        require(!catalog.tableExists(ident),
+          s"create_materialized_view: '$mvName' names an existing TABLE")
+        val d = graft.operators.MaterializedView.parse(spark,
+          args.getUTF8String(1).toString, catalog.name())
+        val srcParts = d.sourceTable.split('.').toSeq
+        val srcRoot = catalog.tableRoot(
+          org.apache.spark.sql.connector.catalog.Identifier.of(
+            srcParts.init.toArray, srcParts.last))
+        val storeParts = parts.init :+ s"${parts.last}__store"
+        val storeIdent = org.apache.spark.sql.connector.catalog.Identifier.of(
+          storeParts.init.toArray, storeParts.last)
+        val storeRoot = catalog.tableRoot(storeIdent)
+        val (snap, cursor) = graft.operators.MaterializedView.create(
+          spark, d, srcRoot, storeRoot, args.getInt(2))
+        // the user-facing name is a STORED VIEW projecting the
+        // definition's columns over the store (hidden __mv_* columns
+        // rebuild NULL sums and group liveness)
+        val fromRef = (catalog.name() +: storeParts.map(p => s"`$p`"))
+          .mkString(".")
+        val vsql = graft.operators.MaterializedView.viewSql(fromRef, d)
+        val analyzed = spark.sql(vsql)
+        catalog.createView(new org.apache.spark.sql.connector.catalog.ViewInfo(
+          ident, vsql, catalog.name(),
+          Array.empty[String],
+          analyzed.schema, Array.empty[String], Array.empty[String],
+          Array.empty[String],
+          java.util.Collections.emptyMap[String, String]()))
+        result(name, "mv" -> mvName, "store_version" -> snap.version,
+          "cursor" -> cursor)
+      }
+      case "refresh_mv" => viewProc(name,
+        "advance a materialized view to the source head by consuming the " +
+          "changelog (cursor, head] as signed deltas — O(changed files + " +
+          "|view|), never a fact-table rescan",
+        Array(param("mv", StringType),
+          paramD("n_out_files", IntegerType, "1"))) { (spark, args) =>
+        val mvName = args.getUTF8String(0).toString
+        val parts = mvName.split('.').toSeq
+        val storeParts = parts.init :+ s"${parts.last}__store"
+        val storeRoot = catalog.tableRoot(
+          org.apache.spark.sql.connector.catalog.Identifier.of(
+            storeParts.init.toArray, storeParts.last))
+        require(TableFormat.versions(spark, storeRoot).nonEmpty,
+          s"refresh_mv: no materialized view '$mvName'")
+        val props = TableFormat.snapshot(spark, storeRoot).props
+        val srcParts = props("mv.source").split('.').toSeq
+        val srcRoot = catalog.tableRoot(
+          org.apache.spark.sql.connector.catalog.Identifier.of(
+            srcParts.init.toArray, srcParts.last))
+        val (snap, from, to) = graft.operators.MaterializedView.refresh(
+          spark, srcRoot, storeRoot, args.getInt(1))
+        result(name, "store_version" -> snap.version,
+          "from_version" -> from, "to_version" -> to,
+          "refreshed" -> (if (to > from) 1L else 0L))
+      }
+      case "drop_materialized_view" => viewProc(name,
+        "drop a materialized view: the stored view document and the store " +
+          "table's log + data",
+        Array(param("mv", StringType))) { (spark, args) =>
+        val mvName = args.getUTF8String(0).toString
+        val parts = mvName.split('.').toSeq
+        val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+          parts.init.toArray, parts.last)
+        val storeParts = parts.init :+ s"${parts.last}__store"
+        val storeRoot = catalog.tableRoot(
+          org.apache.spark.sql.connector.catalog.Identifier.of(
+            storeParts.init.toArray, storeParts.last))
+        require(TableFormat.versions(spark, storeRoot).nonEmpty,
+          s"drop_materialized_view: no materialized view '$mvName'")
+        catalog.dropView(ident)
+        val p = new org.apache.hadoop.fs.Path(storeRoot)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+        result(name, "dropped" -> 1L)
       }
       case "drop_view" => viewProc(name,
         "delete a stored view document",

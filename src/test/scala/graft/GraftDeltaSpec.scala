@@ -136,14 +136,22 @@ class GraftDeltaSpec extends SparkTestBase {
         .map(k => (k, k * 10)))
   }
 
-  test("the changelog of a dv-update commit is the delete(pre-image) + " +
-      "insert(post-image) pair") {
+  test("the changelog of a dv-update commit is the PAIRED " +
+      "update_preimage/update_postimage sharing one _row_id (Delta CDF)") {
     val (t, root) = mkTable(Seq("update"))
     spark.sql(s"UPDATE dcat.$t SET v = 1 WHERE k = 123")
-    val ch = TableFormat.changesBetween(spark, root, 2, 3)
-      .select("_change", "k", "v").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
-    assert(ch == Seq(("delete", 123L, 1230L), ("insert", 123L, 1L)), ch)
+    val rows = TableFormat.changesBetween(spark, root, 2, 3)
+      .select("_change", "k", "v", "_row_id").collect()
+    val ch = rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(ch == Seq(("update_postimage", 123L, 1L),
+      ("update_preimage", 123L, 1230L)), ch)
+    // pre and post images share the row's lineage id — the pairing key
+    val ids = rows.map(_.getLong(3)).distinct
+    assert(ids.length == 1, s"pre/post ids diverge: ${ids.toSeq}")
+    // and the live row still carries that id (MoR update preserves it)
+    assert(spark.sql(s"SELECT _row_id FROM dcat.$t WHERE k = 123")
+      .collect()(0).getLong(0) == ids(0))
   }
 
   test("materialize_deletes clears the vectors a SQL MoR update left and " +

@@ -59,12 +59,15 @@ class RowLineageSpec extends SparkTestBase {
     val before = idsByKey("rm")
     assert(before.size == 300)
     val root = s"$warehouse/rm"
-    // MoR update masks 3 rows and appends replacements with FRESH ids
+    // MoR update masks 3 rows; since round 15 the replacement rows KEEP
+    // the pre-image's id (Iceberg v3's rule: an update modifies a row,
+    // it does not create one) — the pre-image _row_id rides the update
+    // op's metadata projection into the appended batch's id column
     spark.sql("UPDATE rlcat.rm SET v = -1 WHERE k IN (7, 107, 207)")
     val afterUpd = idsByKey("rm")
-    Seq(7L, 107L, 207L).foreach(k => assert(afterUpd(k) >= 300, afterUpd(k)))
-    (before.keySet -- Set(7L, 107L, 207L)).foreach(k =>
-      assert(afterUpd(k) == before(k), s"k=$k moved by MoR update"))
+    assert(afterUpd == before, "MoR update moved ids")
+    assert(spark.sql("SELECT sum(v) FROM rlcat.rm WHERE k IN (7,107,207)")
+      .collect()(0).getLong(0) == -3L)
     // materialize the vectors: per-file rewrites carry ids in the column
     spark.sql("CALL rlcat.system.materialize_deletes('rm')")
     assert(idsByKey("rm") == afterUpd, "materialization moved ids")
@@ -84,8 +87,8 @@ class RowLineageSpec extends SparkTestBase {
       .collect()(0).getLong(0) == before(7L))
   }
 
-  test("a MoR MERGE keeps unmatched rows' ids; inserts and replacements " +
-      "get fresh ones; the changelog pairs carry distinct ids") {
+  test("a MoR MERGE keeps unmatched AND matched rows' ids (matched " +
+      "updates carry the pre-image id); only true inserts draw fresh ones") {
     warehouse
     spark.sql("""CREATE TABLE rlcat.rg (k BIGINT, v BIGINT)
       TBLPROPERTIES('key_col'='k', 'write.merge.mode'='merge-on-read')""")
@@ -97,9 +100,13 @@ class RowLineageSpec extends SparkTestBase {
       WHEN MATCHED THEN UPDATE SET v = s.v
       WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
     val after = idsByKey("rg")
-    (0L until 40L).foreach(k => assert(after(k) == before(k)))
-    (40L until 60L).foreach(k => assert(after(k) >= 50L))
+    (0L until 50L).foreach(k =>
+      assert(after(k) == before(k), s"k=$k moved by MoR merge"))
+    (50L until 60L).foreach(k => assert(after(k) >= 50L, s"k=$k id ${after(k)}"))
     assert(after.values.toSeq.distinct.size == 60, "ids must stay unique")
+    // the updated rows' post-images really are the new values
+    assert(spark.sql("SELECT sum(v) FROM rlcat.rg WHERE k >= 40 AND k < 60")
+      .collect()(0).getLong(0) == (40L until 60L).map(_ * 100).sum)
   }
 
   test("reserved column names refuse at CREATE, ADD COLUMN and RENAME") {
