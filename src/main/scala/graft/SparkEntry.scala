@@ -6064,6 +6064,142 @@ object SparkEntry {
         .orderBy(col("grp"))
     },
 
+    // ---- PARTITION SPEC EVOLUTION (r15): ALTER TABLE SET
+    // TBLPROPERTIES('partition.spec') on a LIVE table — old files keep
+    // their old-era tuples (reads stay exact; pruning is era-agnostic
+    // zone arithmetic), new inserts route by the new spec, the
+    // storage-partitioned join honestly refuses while eras are mixed
+    // (time-travel-verified flag), and CALL migrate_partition_spec
+    // rewrites exactly the stale era — after which the join of the
+    // evolved fact with a dim laid out by the NEW spec plans with ZERO
+    // exchanges. Oracle: the joined aggregate replay; the era/plan
+    // facts are flags ----
+    "q167_spec_evolution" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val hex = java.lang.Integer.toHexString(dir.hashCode)
+      val (tblA, tblB) = (s"pse_$hex", s"psd_$hex")
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q167_pse", dir) {
+        Seq(tblA, tblB).foreach { t =>
+          val p = new org.apache.hadoop.fs.Path(s"$wh/$t")
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+        val base = Tables.orders(s, dir)
+        base.select(col("o_orderkey").as("k"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("q167_a")
+        base.select(col("o_orderkey").as("k"), col("o_custkey").as("pay"))
+          .createOrReplaceTempView("q167_b")
+        s.sql(s"""CREATE TABLE graft.`$tblA` (k BIGINT, cents BIGINT)
+          PARTITIONED BY (bucket(2, k))""")                           // v1
+        s.sql(s"INSERT INTO graft.`$tblA` " +
+          "SELECT * FROM q167_a WHERE k % 2 = 0")                     // v2
+        s.sql(s"ALTER TABLE graft.`$tblA` SET TBLPROPERTIES(" +
+          "'partition.spec'='bucket(k, 8)')")                         // v3
+        s.sql(s"INSERT INTO graft.`$tblA` " +
+          "SELECT * FROM q167_a WHERE k % 2 = 1")                     // v4
+        s.sql(s"""CREATE TABLE graft.`$tblB` (k BIGINT, pay BIGINT)
+          PARTITIONED BY (bucket(8, k))""")
+        s.sql(s"INSERT INTO graft.`$tblB` SELECT * FROM q167_b")
+        s.sql(s"CALL graft.system.migrate_partition_spec('$tblA')")   // v5
+      }
+      val root = s"$wh/$tblA"
+      // era facts read from the LOG, not fixture-run state: v4 held
+      // both eras; the head holds only the current one
+      val mixed = TableFormat.snapshot(s, root, Some(4))
+      val mixedOk =
+        mixed.files.exists(_.part.exists(_._1 == "bucket(k, 2)")) &&
+        mixed.files.exists(_.part.exists(_._1 == "bucket(k, 8)"))
+      val head = TableFormat.snapshot(s, root)
+      val migratedOk = head.op.contains("replace") &&
+        head.files.forall(f =>
+          f.part.exists(_._1 == "bucket(k, 8)") && f.sorted)
+      val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = s.sql(s"""SELECT a.k AS k, a.cents AS cents, b.pay AS pay
+          FROM graft.`$tblA` a JOIN graft.`$tblB` b ON a.k = b.k""")
+        val plan = j.queryExecution.executedPlan.toString
+        val row = j.agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("sc"), sum(col("pay")).as("sp")).collect()(0)
+        s.range(1).select(
+          lit(mixedOk).as("mixed_era_held"),
+          lit(migratedOk).as("migrated_pure"),
+          lit(!plan.contains("Exchange")).as("spj_no_shuffle"),
+          lit(row.getLong(0)).as("n_rows"),
+          lit(row.getLong(1)).as("sum_cents"),
+          lit(row.getLong(2)).as("sum_pay"))
+      } finally {
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      }
+    },
+
+    // ---- BRANCH REBASE for diverged write-audit-publish (r15):
+    // publish_branch's fast-forward refusal used to DEAD-END a long
+    // audit once main kept ingesting; CALL rebase_branch re-forks the
+    // branch onto main's head and re-applies its net staged change
+    // (disjoint touched-file sets only — the append-only WAP shape
+    // always composes), after which publish fast-forwards. Staged
+    // row-id ranges re-assign past BOTH lines' counters, so lineage
+    // stays collision-free. Oracle: the final main content replay;
+    // the log facts (rebase commit, publish commit, the conflict gate
+    // still refusing a stale publish) are flags ----
+    "q168_branch_rebase" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val hex = java.lang.Integer.toHexString(dir.hashCode)
+      val tbl = s"reb_$hex"
+      val root = s"$wh/$tbl"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q168_reb", dir) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        s.sql(s"""CREATE TABLE graft.`$tbl` (k BIGINT, cents BIGINT)
+          TBLPROPERTIES('key_col'='k')""")                           // v1
+        Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("q168_src")
+        s.sql(s"""INSERT INTO graft.`$tbl`
+          SELECT /*+ REPARTITION(2) */ * FROM q168_src
+          WHERE k % 2 = 0""")                                        // v2
+        s.sql(s"CALL graft.system.create_branch('$tbl', 'wap')")
+        // the audit stages the odd half on the branch...
+        s.sql(s"""INSERT INTO graft.`$tbl$$branch_wap`
+          SELECT /*+ REPARTITION(2) */ * FROM q168_src
+          WHERE k % 2 = 1""")
+        // ...while main keeps ingesting (keys shifted past the max)
+        s.sql(s"""INSERT INTO graft.`$tbl`
+          SELECT k + (SELECT max(k) FROM q168_src), CAST(55 AS BIGINT)
+          FROM q168_src WHERE k % 1301 = 5""")                       // v3
+        s.sql(s"CALL graft.system.rebase_branch('$tbl', 'wap')")
+        s.sql(s"CALL graft.system.publish_branch('$tbl', 'wap')")    // v4
+      }
+      val main = TableFormat.snapshot(s, root)
+      val branch = TableFormat.snapshot(s,
+        TableFormat.branchRoot(root, "wap"))
+      val rebasedOk = branch.op.contains("rebase") &&
+        branch.props("branch.forked_from").toLong == main.version - 1
+      val publishOk = main.op.contains("publish")
+      // the conflict gate still holds LIVE: re-publishing the already
+      // published branch against the advanced main refuses
+      val refusedOk =
+        try { TableFormat.publishBranch(s, root, "wap"); false }
+        catch { case _: java.util.ConcurrentModificationException => true }
+      // lineage stayed collision-free through the re-ranged staged files
+      val rids = main.files.filter(_.rid >= 0)
+        .flatMap(f => f.rid until (f.rid + f.nRows))
+      val idsOk = rids.distinct.size == rids.size
+      s.sql(s"""SELECT count(*) AS n_rows,
+          CAST(sum(cents) AS BIGINT) AS sum_cents FROM graft.`$tbl`""")
+        .select(col("n_rows"), col("sum_cents"),
+          lit(rebasedOk).as("rebased_ok"), lit(publishOk).as("publish_ok"),
+          lit(refusedOk).as("stale_publish_refused"),
+          lit(idsOk).as("ids_unique"))
+    },
+
     "q157_maintenance_tick" -> { (s, dir) =>
       val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
       val tbl = s"mtk_${java.lang.Integer.toHexString(dir.hashCode)}"
@@ -9798,6 +9934,35 @@ object SparkEntry {
            CAST(sum(rid) AS BIGINT) AS sum_ids,
            TRUE AS kept_ok
          FROM o""",
+
+    // the final main content replays from orders arithmetic: both
+    // halves of orders (main's even ingest + the branch's audited odd
+    // half re-applied by the rebase) plus main's shifted concurrent
+    // ingest at 55 cents; the log facts are flags
+    "q168_branch_rebase" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+         SELECT
+           CAST((SELECT count(*) FROM o)
+             + (SELECT count(*) FROM o WHERE k % 1301 = 5) AS BIGINT)
+             AS n_rows,
+           CAST((SELECT sum(cents) FROM o)
+             + (SELECT coalesce(55 * count(*), 0) FROM o WHERE k % 1301 = 5)
+             AS BIGINT) AS sum_cents,
+           TRUE AS rebased_ok, TRUE AS publish_ok,
+           TRUE AS stale_publish_refused, TRUE AS ids_unique""",
+
+    // the joined aggregate replays from orders arithmetic (k joins 1:1
+    // on o_orderkey); the era and plan facts are flags — time-travel
+    // proves v4 held both spec eras, the head is pure + sorted under
+    // the new spec, and the SPJ plan carries no exchange
+    "q167_spec_evolution" ->
+      """SELECT TRUE AS mixed_era_held, TRUE AS migrated_pure,
+           TRUE AS spj_no_shuffle,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS sum_cents,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_pay
+         FROM orders""",
 
     // the refreshed materialized view replays the whole mutation
     // history from orders arithmetic: insert + MERGE (matched

@@ -2062,6 +2062,80 @@ object TableFormat {
       op = Some("replace"))
   }
 
+  /** PARTITION SPEC EVOLUTION, the migration half (Iceberg's
+    * rewrite-data-files after an evolve-spec): rewrite every file whose
+    * recorded tuple was derived under a DIFFERENT (or no) spec, ROUTED
+    * by the CURRENT spec — one shuffled write, one file per live
+    * partition value, sorted within each value by the spec's base
+    * columns (the routed INSERT's ordering contract, so the rewritten
+    * files re-earn the `sorted` marker when no write.sort-order is
+    * declared) — and carry every current-era file BY REFERENCE.
+    *
+    * Why this exists: after [[setPartitionSpec]] on a live table, OLD
+    * files keep their old-era tuples (pruning still works through the
+    * era-agnostic zone stats, correctness never depends on the spec),
+    * but the storage-partitioned join honestly REFUSES its report until
+    * every live file is tuple-pure under the CURRENT spec — this one
+    * maintenance pass restores it. Masked reads materialize the stale
+    * files' pending deletes; lineage-preserving (`_row_id` rides the
+    * materialized column); content-preserving (op=replace — free for
+    * incremental readers). Refuses loudly if a concurrent commit moved
+    * the spec again. Returns (snapshot, files migrated, files carried). */
+  def migratePartitionSpec(spark: SparkSession, root: String,
+                           dataDir: String): (Snapshot, Int, Int) = {
+    val first = snapshot(spark, root)
+    val spec = first.props.getOrElse(PartitionSpecProp,
+      throw new IllegalArgumentException(
+        s"migratePartitionSpec: no '$PartitionSpecProp' declared at $root"))
+    var migrated = 0
+    var carried = 0
+    val snap = commitTransform(spark, root, first.keyCol, first.numBits,
+      first.numHashes, { curOpt =>
+        val cur = curOpt.getOrElse(throw new IllegalStateException(
+          "migratePartitionSpec: nothing committed"))
+        require(cur.props.get(PartitionSpecProp).contains(spec),
+          s"migratePartitionSpec: the spec moved concurrently " +
+            s"(${cur.props.get(PartitionSpecProp)} != $spec) — re-run " +
+            "against the new declaration")
+        val (stale, pure) = cur.files.partition(f =>
+          !f.part.exists(_._1 == spec))
+        migrated = stale.size
+        carried = pure.size
+        if (stale.isEmpty) cur.files
+        else {
+          val terms = parseSpec(spec)
+          val lineage = anyLineage(stale)
+          val df0 =
+            if (lineage) readWithRowIds(spark, cur, stale.map(_.file))
+            else readFiles(spark, cur, stale.map(_.file))
+          val declaredOrder = sortOrderColsOf(cur.props)
+          val monoBases = terms.filterNot(_.isInstanceOf[BucketTerm])
+            .map(_.baseCol)
+          val sortCols =
+            if (declaredOrder.isEmpty) terms.map(_.baseCol)
+            else monoBases ++ declaredOrder.filterNot(monoBases.contains)
+          val out = s"$dataDir/migrate-${java.util.UUID.randomUUID()}"
+          df0.withColumn("_pv",
+              concat_ws("/", terms.map(t => specValue(t, df0)): _*))
+            .repartition(col("_pv"))
+            .sortWithinPartitions(sortCols.map(col): _*)
+            .write.partitionBy("_pv").mode("overwrite").parquet(out)
+          val files = listParquetRecursive(spark, out)
+          val newStats =
+            if (files.isEmpty) Seq.empty // every stale row was masked
+            else fileStats(spark, files, cur.keyCol, cur.numBits,
+              cur.numHashes, cur.zoneCols, spec = Some(spec),
+              bloomCols = bloomColsOf(cur.props))
+              .map { s0 =>
+                val s1 = if (lineage) s0.copy(ridCol = true) else s0
+                if (declaredOrder.isEmpty) s1.copy(sorted = true) else s1
+              }
+          (pure ++ newStats).sortBy(_.file)
+        }
+      }, op = Some("replace"))
+    (snap, migrated, carried)
+  }
+
   /** APPEND a batch routed by the CURRENT partition spec: one shuffled
     * write partitioned by the spec's routing value — one job however
     * many partitions, one file per live partition value (plus splits for
@@ -3477,6 +3551,111 @@ object TableFormat {
       deriveSchema = _ => head.schemaDdl,
       op = Some("publish"), zoneCols = Some(head.zoneCols),
       deriveDeletes = _ => head.deletes)
+  }
+
+  /** REBASE a diverged branch onto main's CURRENT head — the escape
+    * hatch [[publishBranch]]'s fast-forward refusal points at (Nessie's
+    * merge, `git rebase` for the WAP flow): when main advanced past the
+    * fork point, re-fork the branch from main's head and re-apply the
+    * branch's net staged change in ONE branch commit, so a subsequent
+    * publish fast-forwards.
+    *
+    * CONFLICT RULE (refused loudly otherwise): the fork-point files the
+    * BRANCH touched (dropped, rewrote, or grew a deletion vector on)
+    * must be DISJOINT from the ones MAIN touched since the fork —
+    * overlapping edits of one file cannot compose from metadata (whose
+    * bytes win?); the staged change must be re-derived instead. The
+    * typical WAP shape (branch only APPENDS, main keeps ingesting)
+    * always rebases: its touched set is empty.
+    *
+    * What the rebased commit carries: main's head files (shared files
+    * the branch DV-masked take the branch's grown vector — main's copy
+    * is untouched by the disjointness rule), minus shared files the
+    * branch removed, plus the branch-born files RE-STAMPED to the
+    * rebase version (they must sequence above main's manifests) with
+    * their `_row_id` ranges REASSIGNED from the merged lineage counter
+    * (branch and main drew overlapping ranges from the shared fork
+    * counter; staged ids are provisional until publish). Branch-born
+    * files carrying a MATERIALIZED id column are refused — their ids
+    * cannot be re-ranged without a rewrite. Branch-born delete
+    * manifests are refused exactly as at publish (materialize first).
+    * Properties and schema: main's props carry (staged prop changes
+    * must be re-applied); an add-only schema evolution on either side
+    * carries, both sides evolving is refused.
+    * Returns (branch snapshot, branch-born files re-applied, main files
+    * carried). */
+  def rebaseBranch(spark: SparkSession, root: String, name: String)
+      : (Snapshot, Int, Int) = {
+    val broot = branchRoot(root, name)
+    val head = snapshot(spark, broot)
+    val forkedFrom = head.props.getOrElse("branch.forked_from",
+      throw new IllegalStateException(
+        s"rebaseBranch: '$name' carries no fork point — not a branch?")).toLong
+    val main = snapshot(spark, root)
+    require(main.version > forkedFrom,
+      s"rebaseBranch: main is at the fork point v$forkedFrom — nothing " +
+        "to rebase; publish fast-forwards directly")
+    require(head.deletes.forall(_.seq <= forkedFrom),
+      s"rebaseBranch: '$name' carries merge-on-read delete manifests " +
+        "added on the branch — materialize them first (compact the branch)")
+    val fork = snapshot(spark, root, Some(forkedFrom))
+    val forkStat = fork.files.map(f => f.file -> f).toMap
+    val branchByFile = head.files.map(f => f.file -> f).toMap
+    val mainByFile = main.files.map(f => f.file -> f).toMap
+    def touched(by: Map[String, FileStat]): Set[String] =
+      fork.files.flatMap { f =>
+        by.get(f.file) match {
+          case None => Some(f.file) // dropped or rewritten
+          case Some(b) if b.dv != f.dv => Some(f.file) // vector grew
+          case _ => None
+        }
+      }.toSet
+    val branchTouched = touched(branchByFile)
+    val mainTouched = touched(mainByFile)
+    val overlap = branchTouched.intersect(mainTouched)
+    if (overlap.nonEmpty) throw new CommitConflictException(
+      s"rebaseBranch: branch '$name' and main both touched " +
+        s"${overlap.size} fork-point file(s) since v$forkedFrom (e.g. " +
+        s"${overlap.head}) — overlapping edits cannot compose; re-derive " +
+        "the staged change on a fresh branch")
+    val branchBorn = head.files.filter(_.seq > forkedFrom)
+    require(branchBorn.forall(!_.ridCol),
+      s"rebaseBranch: '$name' carries branch-born files with a " +
+        "MATERIALIZED row-id column — their ids cannot be re-ranged " +
+        "without a rewrite; re-stage or publish from a fresh fork")
+    // schema: at most one side may have evolved since the fork
+    val schemaDdl =
+      if (head.schemaDdl == fork.schemaDdl) main.schemaDdl
+      else if (main.schemaDdl == fork.schemaDdl) head.schemaDdl
+      else throw new CommitConflictException(
+        s"rebaseBranch: both main and branch '$name' evolved the schema " +
+          "since the fork — re-derive the staged change on a fresh branch")
+    val v = math.max(head.version, main.version) + 1
+    // merged lineage counter: both lines drew from the fork's counter —
+    // branch-born ranges reassign past BOTH
+    var nextId = math.max(
+      main.props.get(NextRowIdProp).map(_.toLong).getOrElse(0L),
+      head.props.get(NextRowIdProp).map(_.toLong).getOrElse(0L))
+    val reborn = branchBorn.map { f =>
+      val f2 =
+        if (f.rid < 0 || f.nRows == 0) f.copy(seq = v)
+        else { val a = f.copy(seq = v, rid = nextId); nextId += f.nRows; a }
+      f2
+    }
+    val carried = main.files.map { f =>
+      if (branchTouched.contains(f.file)) branchByFile.get(f.file)
+      else Some(f)
+    }.collect { case Some(f) => f }
+    val files = (carried ++ reborn).sortBy(_.file)
+    val props = main.props +
+      ("branch.forked_from" -> main.version.toString) +
+      (NextRowIdProp -> nextId.toString)
+    if (!tryCommit(spark, broot, v, main.keyCol, main.numBits,
+        main.numHashes, files, props, schemaDdl, Some("rebase"),
+        main.zoneCols, main.deletes))
+      throw new java.util.ConcurrentModificationException(
+        s"rebaseBranch: a concurrent commit landed on branch '$name'")
+    (snapshot(spark, broot), reborn.size, carried.size)
   }
 
   /** Live branch names of a table: subdirectories of `_branch/` that

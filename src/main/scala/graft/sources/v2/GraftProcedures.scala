@@ -43,7 +43,8 @@ private[v2] object GraftProcedures {
     "recluster", "rollback", "create_tag", "drop_tag",
     "create_branch", "publish_branch", "drop_branch", "clone",
     "create_view", "drop_view", "rename_view", "list_views",
-    "create_materialized_view", "refresh_mv", "drop_materialized_view")
+    "create_materialized_view", "refresh_mv", "drop_materialized_view",
+    "migrate_partition_spec", "rebase_branch")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -186,6 +187,19 @@ private[v2] object GraftProcedures {
           result(name, "version" -> snap.version,
             "n_files" -> snap.files.size.toLong)
       }
+      case "migrate_partition_spec" => proc(name,
+        "rewrite files recorded under an OLD partition spec routed by the " +
+          "CURRENT one (one file per live value, sorted) — restores the " +
+          "storage-partitioned join after ALTER TABLE SET " +
+          "TBLPROPERTIES('partition.spec'=...)",
+        Array(param("table", StringType))) {
+        (spark, root, args) =>
+          val (snap, migrated, carriedN) =
+            TableFormat.migratePartitionSpec(spark, root, s"$root/data")
+          result(name, "version" -> snap.version,
+            "files_migrated" -> migrated.toLong,
+            "files_carried" -> carriedN.toLong)
+      }
       case "rollback" => proc(name,
         "re-publish a prior version's state as a NEW commit (history intact)",
         Array(param("table", StringType), param("to_version", LongType))) {
@@ -237,6 +251,19 @@ private[v2] object GraftProcedures {
             args.getUTF8String(1).toString)
           result(name, "version" -> snap.version,
             "n_files" -> snap.files.size.toLong)
+      }
+      case "rebase_branch" => proc(name,
+        "re-fork a diverged branch onto main's head and re-apply its net " +
+          "staged change (disjoint touched-file sets only; refuses loudly " +
+          "otherwise) so publish_branch fast-forwards",
+        Array(param("table", StringType), param("branch", StringType))) {
+        (spark, root, args) =>
+          val (snap, reborn, carriedN) = TableFormat.rebaseBranch(spark, root,
+            args.getUTF8String(1).toString)
+          result(name, "version" -> snap.version,
+            "forked_from" -> snap.props("branch.forked_from").toLong,
+            "files_reapplied" -> reborn.toLong,
+            "files_carried" -> carriedN.toLong)
       }
       case "drop_branch" => proc(name,
         "drop a branch: sweep its unreferenced staged files, delete its log (published files survive)",

@@ -783,6 +783,58 @@ class TableFormatSpec extends SparkTestBase {
       TableFormat.branchRoot(root, "../evil"))
   }
 
+  test("rebaseBranch re-forks a diverged branch onto main's head: the " +
+      "publish then fast-forwards; overlapping touched files refuse; " +
+      "staged row ids re-range past both counters") {
+    val root = freshRoot()
+    writeKv((0L until 50L).map(k => k -> k * 1.0), s"$root/w1")
+    TableFormat.commitFiles(spark, root, "k",
+      TableFormat.listParquet(spark, s"$root/w1"), 256, 3)
+    TableFormat.createBranch(spark, root, "wap")
+    val broot = TableFormat.branchRoot(root, "wap")
+    // branch stages an append (the audit flow)
+    writeKv((100L until 130L).map(k => k -> k * 1.0), s"$broot/s1")
+    TableFormat.appendFiles(spark, broot,
+      TableFormat.listParquet(spark, s"$broot/s1"))
+    // main keeps ingesting: two appends past the fork
+    writeKv((50L until 80L).map(k => k -> k * 1.0), s"$root/w2")
+    TableFormat.appendFiles(spark, root,
+      TableFormat.listParquet(spark, s"$root/w2"))
+    writeKv((80L until 90L).map(k => k -> k * 1.0), s"$root/w3")
+    TableFormat.appendFiles(spark, root,
+      TableFormat.listParquet(spark, s"$root/w3"))
+    // fast-forward refuses; rebase composes (append-only branch)
+    intercept[java.util.ConcurrentModificationException](
+      TableFormat.publishBranch(spark, root, "wap"))
+    val (reb, reborn, carried) = TableFormat.rebaseBranch(spark, root, "wap")
+    assert(reborn == 1 && carried == 3, s"$reborn/$carried")
+    assert(reb.props("branch.forked_from").toLong == 3L)
+    // staged ids re-ranged past BOTH lines' counters: no collisions
+    val pub = TableFormat.publishBranch(spark, root, "wap")
+    val ids = TableFormat.read(spark, pub)
+      .select(org.apache.spark.sql.functions.col("k"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == ((0L until 90L) ++ (100L until 130L)).sorted)
+    val main = TableFormat.snapshot(spark, root)
+    val rids = main.files.filter(_.rid >= 0)
+      .flatMap(f => f.rid until (f.rid + f.nRows))
+    assert(rids.distinct.size == rids.size, "row-id ranges collide")
+
+    // overlapping touched files refuse: branch deletes a fork-point key
+    // while main rewrites the same file
+    val root2 = freshRoot()
+    writeKv((0L until 40L).map(k => k -> k * 1.0), s"$root2/w1")
+    TableFormat.commitFiles(spark, root2, "k",
+      TableFormat.listParquet(spark, s"$root2/w1"), 256, 3)
+    TableFormat.createBranch(spark, root2, "fix")
+    TableFormat.deleteKeys(spark, TableFormat.branchRoot(root2, "fix"),
+      s"${TableFormat.branchRoot(root2, "fix")}/data", Seq(7L))
+    TableFormat.deleteKeys(spark, root2, s"$root2/data", Seq(9L))
+    val e = intercept[TableFormat.CommitConflictException](
+      TableFormat.rebaseBranch(spark, root2, "fix"))
+    assert(e.getMessage.contains("both touched"), e.getMessage)
+  }
+
   test("statsSummary and countRange: metadata-exact, boundary-only scanning") {
     import spark.implicits._
     val root = freshRoot()
