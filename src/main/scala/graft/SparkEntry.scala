@@ -1078,6 +1078,40 @@ object SparkEntry {
       lshPairs02(s, dir).orderBy(col("id_a"), col("id_b"))
     },
 
+    // ---- Dedup: INCREMENTALLY MAINTAINED pair graph (r15, the #1 sf1
+    // cost family's production posture): the corpus ingests in FOUR
+    // batches through Dedup.maintainPairGraph — each call generates
+    // candidates ONLY from batch-vs-batch and batch-touched corpus
+    // buckets (the d09 ingest shape: the stored index joins a BROADCAST
+    // of the batch's bucket keys, no corpus shuffle, no rebuild) and
+    // appends pairs/bands/sets to three TableFormat tables gated by a
+    // per-table batch cursor (replays commit nothing). The oracle is
+    // the FROM-SCRATCH (16,2)@0.2 build — the maintained graph must
+    // hash-equal the whole-corpus rebuild exactly ----
+    "d19_pair_graph_maintenance" -> { (s, dir) =>
+      val path = Fixtures.once(s, "d19_pg", dir) {
+        val root = scratch("d19_pg", dir)
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val docs = Parallelism.ensureDefaultParallelism(
+          Tables.documents(s, dir))
+        (0 until 4).foreach { i =>
+          Dedup.maintainPairGraph(s, root,
+            docs.filter(pmod(col("doc_id"), lit(4)) === i),
+            "doc_id", "text", k = 5, bands = 16, rowsPerBand = 2,
+            threshold = 0.2, maxBucketSize = 1000, batchSeq = i + 1L)
+        }
+        // a replayed batch is a committed no-op (the cursor gate)
+        Dedup.maintainPairGraph(s, root,
+          docs.filter(pmod(col("doc_id"), lit(4)) === 3),
+          "doc_id", "text", 5, 16, 2, 0.2, 1000, batchSeq = 4L)
+        root
+      }
+      TableFormat.read(s, TableFormat.snapshot(s, s"$path/pairs"))
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // ---- Dedup: duplicate clustering — connected components over the
     // stored LSH near-dup pair graph (min-label propagation to fixpoint) ----
     "d08_dup_clusters" -> { (s, dir) =>
@@ -7545,6 +7579,14 @@ object SparkEntry {
       "recall-restored-by-tuning + stored-pair-graph: stored cluster table labels the shared stored (16,2)@0.2 graph",
     "d09_incremental_dedup" ->
       "recall-restored-by-tuning: ingest banding sweep-selected ((10,3)@0.35, d12's split)",
+    "d19_pair_graph_maintenance" ->
+      ("candidate-bound-by-design ingest (the d09/d12 class): the timed path " +
+       "is FOUR maintainPairGraph calls — per call O(batch shingling + " +
+       "touched-bucket candidates), corpus side read via a broadcast bucket " +
+       "probe with no corpus shuffle; candidate volume grows with true " +
+       "near-dup density exactly as d12's quantified slope, and the " +
+       "whole-corpus from-scratch rebuild (the oracle) is what this entry " +
+       "exists to REPLACE"),
     "t24_split_leakage" ->
       "recall-restored-by-tuning + stored-pair-graph: leakage near-dup half consumes the shared stored (16,2)@0.2 graph (7391 cross-split pairs at sf0.01); timed path = split intersection + the exact-dup equi-join",
     "t07_corpus_pipeline" ->
@@ -8163,6 +8205,39 @@ object SparkEntry {
                   h -> (h*(2*j+1) + (j*2654435761)%2147483647) % 2147483647)) AS minhash
          FROM sh, range(0, 16) t(j)
          ORDER BY doc_id, j""",
+
+    // the maintained graph must equal the FROM-SCRATCH build — the
+    // oracle is d03's whole-corpus replay verbatim: any divergence in
+    // the incremental candidate generation, the cumulative bucket cap,
+    // replay gating or pair verification breaks the hash
+    "d19_pair_graph_maintenance" ->
+      """WITH sh AS (
+           SELECT doc_id, list_sort(list_distinct(list_transform(
+             range(1, greatest(length(text)-4,1)+1),
+             i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 5)),1,12)) AS BIGINT)))) AS hs
+           FROM documents),
+         sig AS (
+           SELECT doc_id, hs,
+             list_transform(range(0, 32), j -> list_min(list_transform(hs,
+               h -> (h*(2*j+1) + (j*2654435761)%2147483647) % 2147483647))) AS sg
+           FROM sh),
+         bkt AS (
+           SELECT doc_id, b AS band,
+             md5(CAST(b AS VARCHAR) || '_' || array_to_string(sg[b*2+1 : b*2+2], ',')) AS bucket
+           FROM sig CROSS JOIN range(0, 16) t(b)),
+         capped AS (
+           SELECT * FROM bkt QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM capped a JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id),
+         jac AS (
+           SELECT id_a, id_b,
+             round(CAST(length(list_intersect(x.hs, y.hs)) AS DOUBLE) /
+                   (length(x.hs) + length(y.hs) - length(list_intersect(x.hs, y.hs))), 6) AS jaccard
+           FROM pairs JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+         SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.2
+         ORDER BY id_a, id_b""",
 
     "d03_minhash_lsh" ->
       """WITH sh AS (

@@ -877,4 +877,147 @@ object Dedup {
                                    priority: Column): DataFrame =
     clusterRepresentatives(spark.read.parquet(clustersPath), docs,
       idCol, sourceCol, priority)
+
+  /** INCREMENTALLY MAINTAINED NEAR-DUP PAIR GRAPH — the production
+    * posture for the shared stored graph its five consumers label and
+    * query: instead of rebuilding the whole-corpus graph per run, each
+    * ingested batch appends to THREE [[TableFormat]] tables under
+    * `graphRoot` — `pairs` (id_a, id_b, jaccard), `bands` (the LSH
+    * index rows) and `sets` (the shingle-hash sets) — in ONE
+    * maintenance call:
+    *
+    *  - candidates come ONLY from batch-vs-batch buckets and the
+    *    batch-touched corpus buckets (the d09 ingest posture): the
+    *    stored index joins against a BROADCAST of the batch's distinct
+    *    (band, bucket) keys — no corpus-side shuffle, no all-pairs term
+    *    anywhere; verification reads corpus shingle sets only for ids
+    *    that survived the bucket cap;
+    *  - the hot-bucket cap applies to the CUMULATIVE bucket (stored +
+    *    batch rows), so a bucket that grows degenerate stops producing
+    *    pairs the moment it crosses the cap — pairs it produced while
+    *    small remain (the full rebuild drops the whole bucket; the two
+    *    agree exactly whenever no bucket ever crosses the cap, which
+    *    the proof entry's oracle pins);
+    *  - each table carries a `graph.batch_seq` CURSOR in its commit
+    *    props (the maintainView discipline): a replayed batch commits
+    *    nothing (per-table, so a crash between the index and pair
+    *    commits replays to exactly one state), a gap refuses, and a
+    *    concurrent maintainer fails the CAS loudly. Corpus-side reads
+    *    anti-join the batch's own ids, so a partial replay can never
+    *    pair a batch against its own half-committed index rows.
+    *
+    * Batch ids must be new (the corpus tables never hold them twice —
+    * the caller's ingest contract, same as every append). Cost per
+    * call: O(batch shingling + touched buckets), never O(corpus).
+    * Returns (pairs-table snapshot, new pairs committed). */
+  def maintainPairGraph(spark: org.apache.spark.sql.SparkSession,
+                        graphRoot: String, batch: DataFrame,
+                        idCol: String, textCol: String,
+                        k: Int, bands: Int, rowsPerBand: Int,
+                        threshold: Double, maxBucketSize: Int,
+                        batchSeq: Long): (TableFormat.Snapshot, Long) = {
+    require(batchSeq >= 1, s"maintainPairGraph: batchSeq must be >= 1")
+    val SeqProp = "graph.batch_seq"
+    val pairsRoot = s"$graphRoot/pairs"
+    val bandsRoot = s"$graphRoot/bands"
+    val setsRoot = s"$graphRoot/sets"
+    def cursorOf(root: String): Long =
+      if (TableFormat.versions(spark, root).isEmpty) 0L
+      else TableFormat.snapshot(spark, root).props
+        .getOrElse(SeqProp, "0").toLong
+    val pairsCur = cursorOf(pairsRoot)
+    if (batchSeq <= pairsCur)
+      return (TableFormat.snapshot(spark, pairsRoot), 0L) // replayed batch
+    require(batchSeq == pairsCur + 1,
+      s"maintainPairGraph: batchSeq $batchSeq gaps the cursor $pairsCur — " +
+        "batches apply in order, exactly once")
+
+    def commitBatch(root: String, df: DataFrame, keyCol: String): Unit = {
+      val curSeq = cursorOf(root)
+      if (batchSeq <= curSeq) return // this table already took the batch
+      val out = s"$root/data/b$batchSeq-${java.util.UUID.randomUUID()}"
+      df.write.mode("overwrite").parquet(out)
+      val files = TableFormat.listParquet(spark, out)
+      val stats =
+        if (files.isEmpty) Seq.empty
+        else TableFormat.fileStats(spark, files, keyCol, 1 << 12, 5)
+      TableFormat.commitTransform(spark, root, keyCol, 1 << 12, 5,
+        { curOpt =>
+          val now = curOpt.flatMap(_.props.get(SeqProp))
+            .map(_.toLong).getOrElse(0L)
+          if (now != curSeq) throw new IllegalStateException(
+            s"maintainPairGraph: concurrent maintainer moved $root's " +
+              s"cursor ($now != $curSeq)")
+          curOpt.map(_.files).getOrElse(Seq.empty) ++ stats
+        },
+        deriveProps = curOpt => curOpt.map(_.props).getOrElse(Map.empty) +
+          (SeqProp -> batchSeq.toString),
+        deriveSchema = curOpt =>
+          curOpt.flatMap(_.schemaDdl).orElse(Some(df.schema.toDDL)),
+        op = Some("append"))
+    }
+
+    val idx = lshIndex(batch, idCol, textCol, k, bands, rowsPerBand)
+    val batchIds = batch.select(col(idCol).as("_jid")).distinct()
+    val batchBuckets = idx.bands.select(col("band"), col("bucket")).distinct()
+    val haveCorpus = TableFormat.versions(spark, bandsRoot).nonEmpty
+    // corpus index rows of the TOUCHED buckets only (broadcast semi
+    // probe — the stored scan never shuffles); the batch's own ids are
+    // excluded so a partial replay can never self-pair
+    val corpusTouched =
+      if (!haveCorpus) None
+      else Some(TableFormat.read(spark,
+          TableFormat.snapshot(spark, bandsRoot))
+        .join(broadcast(batchBuckets), Seq("band", "bucket"))
+        .join(broadcast(batchIds), Seq("_jid"), "left_anti"))
+    val allBands = idx.bands.withColumn("_side", lit("b"))
+      .unionByName(corpusTouched
+        .map(_.select(col("_jid"), col("band"), col("bucket"))
+          .withColumn("_side", lit("c")))
+        .getOrElse(idx.bands.withColumn("_side", lit("b")).limit(0)))
+    // cumulative hot-bucket cap: stored + batch rows per (band, bucket)
+    val sized = allBands.withColumn("_sz",
+      count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+    val capped = materialized(
+      sized.filter(col("_sz") <= maxBucketSize).drop("_sz"))
+    val probe = capped.filter(col("_side") === "b")
+      .select(col("band"), col("bucket"), col("_jid").as("_bid"))
+    val build = capped
+      .select(col("band"), col("bucket"), col("_jid").as("_oid"), col("_side"))
+    val cand = probe.join(build, Seq("band", "bucket"))
+      .filter((col("_side") === "c") || (col("_oid") < col("_bid")))
+      .select(least(col("_bid"), col("_oid")).as("id_a"),
+        greatest(col("_bid"), col("_oid")).as("id_b"))
+      .distinct()
+    // shingle sets: the batch's own plus corpus sets for surviving
+    // candidate ids only (bounded by cap x touched buckets)
+    val corpusSets =
+      if (!haveCorpus) None
+      else Some(TableFormat.read(spark, TableFormat.snapshot(spark, setsRoot))
+        .join(capped.filter(col("_side") === "c")
+          .select(col("_jid")).distinct(), Seq("_jid"), "left_semi")
+        .select(col("_jid"), col("_jset")))
+    val sets = idx.sets.select(col("_jid"), col("_jset"))
+      .unionByName(corpusSets.getOrElse(
+        idx.sets.select(col("_jid"), col("_jset")).limit(0)))
+    val newPairs = cand
+      .join(sets.select(col("_jid").as("id_a"), col("_jset").as("_aset")), "id_a")
+      .join(sets.select(col("_jid").as("id_b"), col("_jset").as("_bset")), "id_b")
+      .filter(jaccard_ge(col("_aset"), col("_bset"), threshold))
+      .withColumn("jaccard", round(jaccard_sorted(col("_aset"), col("_bset")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    // index tables first, pairs (the authoritative cursor) last — a
+    // crash in between replays to exactly one state
+    commitBatch(bandsRoot,
+      idx.bands.select(col("_jid"), col("band"), col("bucket")), "_jid")
+    commitBatch(setsRoot,
+      idx.sets.select(col("_jid"), col("_jset")), "_jid")
+    val before =
+      if (TableFormat.versions(spark, pairsRoot).isEmpty) 0L
+      else TableFormat.snapshot(spark, pairsRoot).files.map(_.nRows).sum
+    commitBatch(pairsRoot, newPairs, "id_a")
+    val snap = TableFormat.snapshot(spark, pairsRoot)
+    (snap, snap.files.map(_.nRows).sum - before)
+  }
 }

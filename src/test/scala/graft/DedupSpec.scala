@@ -599,4 +599,60 @@ class DedupSpec extends SparkTestBase {
         s"selected ($b,$r) must beat the legacy (4,4) at threshold $t")
     }
   }
+
+  test("maintainPairGraph: N incremental batches hash-equal the " +
+      "from-scratch build; replays are no-ops; gaps refuse") {
+    val docs = Tables.documents(spark, sfDir)
+    val graphRoot =
+      java.nio.file.Files.createTempDirectory("graft_pg").toString
+    val (k, nb, nr, t) = (5, 16, 2, 0.2)
+    // three ingest batches partitioned by id residue
+    (0 until 3).foreach { i =>
+      val batch = docs.filter(pmod(col("doc_id"), lit(3)) === i)
+      Dedup.maintainPairGraph(spark, graphRoot, batch, "doc_id", "text",
+        k, nb, nr, t, maxBucketSize = 1000, batchSeq = i + 1L)
+    }
+    val full = Dedup.minhashLsh(docs, "doc_id", "text", k, nb, nr, t)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    def graph(): Seq[(Long, Long, Double)] =
+      graft.operators.TableFormat.read(spark,
+          graft.operators.TableFormat.snapshot(spark, s"$graphRoot/pairs"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(full.nonEmpty, "fixture found no near-dup pairs at all")
+    assert(graph() == full, "incremental graph diverges from the rebuild")
+    // a replayed batch commits nothing (per-table cursors)
+    val v = graft.operators.TableFormat
+      .snapshot(spark, s"$graphRoot/pairs").version
+    val (snap, n) = Dedup.maintainPairGraph(spark, graphRoot,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 2), "doc_id", "text",
+      k, nb, nr, t, 1000, batchSeq = 3L)
+    assert(n == 0L && snap.version == v, "replay must be a no-op")
+    assert(graph() == full)
+    // a gapped sequence refuses loudly
+    val e = intercept[IllegalArgumentException](
+      Dedup.maintainPairGraph(spark, graphRoot,
+        docs.limit(5), "doc_id", "text", k, nb, nr, t, 1000, batchSeq = 9L))
+    assert(e.getMessage.contains("gaps the cursor"), e.getMessage)
+  }
+
+  test("maintainPairGraph: the cumulative hot-bucket cap stops a " +
+      "degenerate bucket from producing pairs once crossed") {
+    val graphRoot =
+      java.nio.file.Files.createTempDirectory("graft_pg_hot").toString
+    // 12 identical docs in two batches of 6; cap 8 — batch 1's buckets
+    // (6 rows each) produce pairs, batch 2's cumulative 12 > 8 stops
+    def mk(ids: Range) = ids.map(i =>
+        (i.toLong, "the same boilerplate text repeated here verbatim"))
+      .toDF("doc_id", "text")
+    Dedup.maintainPairGraph(spark, graphRoot, mk(0 until 6), "doc_id",
+      "text", 5, 16, 2, 0.2, maxBucketSize = 8, batchSeq = 1L)
+    val after1 = graft.operators.TableFormat.read(spark,
+      graft.operators.TableFormat.snapshot(spark, s"$graphRoot/pairs")).count()
+    assert(after1 > 0, "small bucket must pair")
+    val (_, n2) = Dedup.maintainPairGraph(spark, graphRoot, mk(6 until 12),
+      "doc_id", "text", 5, 16, 2, 0.2, maxBucketSize = 8, batchSeq = 2L)
+    assert(n2 == 0L, s"crossed cap must stop pair production, got $n2")
+  }
 }
