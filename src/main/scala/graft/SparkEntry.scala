@@ -1112,6 +1112,40 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // ---- Dedup: INCREMENTALLY MAINTAINED component labels (r15) — the
+    // labels table repairs in O(batch + touched components) per ingested
+    // batch instead of re-labeling the corpus (the d08/d13 cost family,
+    // the #1 sf1 cost): new pairs' endpoints look up their reps
+    // key-pruned, the batch CONTRACTS to a graph over reps (every stored
+    // component is one node), and only remapped-rep rows rewrite
+    // (zone-pruned on the rep column). After 4 batches + a replayed
+    // no-op the table must equal the from-scratch CC of the full
+    // (16,2)@0.2 graph — d08's oracle verbatim ----
+    "d20_label_maintenance" -> { (s, dir) =>
+      val path = Fixtures.once(s, "d20_lb", dir) {
+        val root = scratch("d20_lb", dir)
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val docs = Parallelism.ensureDefaultParallelism(
+          Tables.documents(s, dir))
+        (0 until 4).foreach { i =>
+          Dedup.maintainPairGraph(s, root,
+            docs.filter(pmod(col("doc_id"), lit(4)) === i),
+            "doc_id", "text", k = 5, bands = 16, rowsPerBand = 2,
+            threshold = 0.2, maxBucketSize = 1000, batchSeq = i + 1L)
+          Dedup.maintainLabels(s, root)
+        }
+        // replayed maintenance is a committed no-op (the cursor gate)
+        val (_, remapped, fresh) = Dedup.maintainLabels(s, root)
+        require(remapped == 0L && fresh == 0L,
+          s"replayed maintainLabels must be a no-op ($remapped, $fresh)")
+        root
+      }
+      TableFormat.read(s, TableFormat.snapshot(s, s"$path/labels"))
+        .select(col("id"), col("rep").as("cluster_id"))
+        .orderBy(col("id"))
+    },
+
     // ---- Dedup: duplicate clustering — connected components over the
     // stored LSH near-dup pair graph (min-label propagation to fixpoint) ----
     "d08_dup_clusters" -> { (s, dir) =>
@@ -6234,6 +6268,175 @@ object SparkEntry {
           lit(idsOk).as("ids_unique"))
     },
 
+    // ---- JOIN MATERIALIZED VIEW (r15): the definition joins TWO graft
+    // tables; refresh applies the exact signed delta-join identity
+    // Δ(A⋈B) = ΔA⋈B@cursorB + A@headA⋈ΔB — each side's changelog joins
+    // the OTHER side exactly once (time travel pins B at its co-cursor),
+    // file-pruned to the delta's join keys. ONE tick covers: a fact
+    // insert pointing at dim keys that do not exist yet, a DV delete on
+    // the fact, a CoW delete on the dim, and the dim insert that
+    // supplies the missing keys (the A@new⋈ΔB cross term must admit
+    // them). Oracle: the final join recomputed from orders × customer ----
+    "q169_mv_join" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val hex = java.lang.Integer.toHexString(dir.hashCode)
+      val (fact, dimT, mv) = (s"jmf_$hex", s"jmd_$hex", s"jmv_$hex")
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q169_mvj", dir) {
+        Seq(fact, dimT, s"${mv}__store").foreach { t =>
+          val p = new org.apache.hadoop.fs.Path(s"$wh/$t")
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+        s.sql(s"CALL graft.system.drop_view('$mv')") // idempotent re-fixture
+        s.sql(s"""CREATE TABLE graft.`$fact` (k BIGINT, ck BIGINT, cents BIGINT)
+          TBLPROPERTIES('key_col'='k', 'zone_cols'='ck',
+            '${TableFormat.DeleteModeProp}'='merge-on-read')""")
+        s.sql(s"""CREATE TABLE graft.`$dimT` (ck BIGINT, seg BIGINT)
+          TBLPROPERTIES('key_col'='ck')""")
+        Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+            col("o_custkey").as("ck"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("q169_f")
+        Tables.customer(s, dir).select(col("c_custkey").as("ck"),
+            col("c_nationkey").cast("long").as("seg"))
+          .createOrReplaceTempView("q169_d")
+        s.sql(s"INSERT INTO graft.`$fact` " +
+          "SELECT /*+ REPARTITION(4) */ * FROM q169_f")              // fv2
+        s.sql(s"INSERT INTO graft.`$dimT` " +
+          "SELECT /*+ REPARTITION(2) */ * FROM q169_d")              // dv2
+        s.sql("CALL graft.system.create_materialized_view(" +
+          s"'$mv', 'SELECT seg, count(*) AS n_rows, sum(cents) AS total " +
+          s"FROM graft.`$fact` f JOIN graft.`$dimT` d ON f.ck = d.ck " +
+          "GROUP BY seg')")
+        // fact insert whose dim keys do not exist YET               (fv3)
+        s.sql(s"""INSERT INTO graft.`$fact`
+          SELECT k + (SELECT max(k) FROM q169_f),
+                 ck + (SELECT max(ck) FROM q169_d), cents + 55
+          FROM q169_f WHERE k % 5 = 0""")
+        // deletion-vector delete on the fact                        (fv4)
+        s.sql(s"DELETE FROM graft.`$fact` WHERE cents % 7 = 3")
+        // copy-on-write delete on the dim: every joined fact row of
+        // those keys retires                                        (dv3)
+        s.sql(s"DELETE FROM graft.`$dimT` WHERE ck % 11 = 4")
+        // dim insert supplying fv3's keys                           (dv4)
+        s.sql(s"""INSERT INTO graft.`$dimT`
+          SELECT ck + (SELECT max(ck) FROM q169_d), seg % 10 + 100
+          FROM q169_d WHERE ck % 3 = 1""")
+      }
+      // ONE refresh tick consumes BOTH changelogs; idempotent on
+      // re-invocation (converged refresh commits nothing)
+      s.sql(s"CALL graft.system.refresh_mv('$mv')").collect()
+      Parallelism.ensureDefaultParallelism(
+          s.sql(s"SELECT seg, n_rows, total FROM graft.`$mv`"))
+        .orderBy(col("seg"))
+    },
+
+    // ---- MIN/MAX MATERIALIZED VIEW (r15): extrema survive deletes by
+    // the DIRTY-GROUP contract — an insert-only tick folds from the
+    // changelog alone (tick 1, inside the fixture); a delete marks
+    // exactly its groups dirty and the live refresh rescans ONLY those
+    // groups — the group key is the fact's ZONE column, so the rescan
+    // reads just the files whose ck bounds intersect the dirty keys
+    // (tick 2: retires extrema in 1/19 of the groups and fully empties
+    // the ck%97 residue class, which must vanish from the view).
+    // Oracle: the final extrema recomputed from orders arithmetic ----
+    "q170_mv_minmax" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val hex = java.lang.Integer.toHexString(dir.hashCode)
+      val (tbl, mv) = (s"mmf_$hex", s"mmv_$hex")
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q170_mvx", dir) {
+        Seq(tbl, s"${mv}__store").foreach { t =>
+          val p = new org.apache.hadoop.fs.Path(s"$wh/$t")
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+        s.sql(s"CALL graft.system.drop_view('$mv')") // idempotent re-fixture
+        s.sql(s"""CREATE TABLE graft.`$tbl` (k BIGINT, ck BIGINT, cents BIGINT)
+          TBLPROPERTIES('key_col'='k', 'zone_cols'='ck',
+            '${TableFormat.DeleteModeProp}'='merge-on-read')""")
+        Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+            col("o_custkey").as("ck"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("q170_src")
+        s.sql(s"INSERT INTO graft.`$tbl` " +
+          "SELECT /*+ REPARTITION(4) */ * FROM q170_src")            // v2
+        s.sql("CALL graft.system.create_materialized_view(" +
+          s"'$mv', 'SELECT ck AS grp, min(cents) AS lo, " +
+          "max(cents) AS hi, count(*) AS n_rows " +
+          s"FROM graft.`$tbl` GROUP BY ck')")
+        // insert-only tick: pure changelog fold, no fact read        (v3)
+        s.sql(s"""INSERT INTO graft.`$tbl`
+          SELECT k + (SELECT max(k) FROM q170_src), ck, cents + 1
+          FROM q170_src WHERE k % 6 = 2""")
+        s.sql(s"CALL graft.system.refresh_mv('$mv')")
+        // extrema-retiring deletes: 1/19 of groups dirty + the ck%97
+        // class emptied entirely                                     (v4-5)
+        s.sql(s"DELETE FROM graft.`$tbl` " +
+          "WHERE cents % 5 = 1 AND ck % 19 = 3")
+        s.sql(s"DELETE FROM graft.`$tbl` WHERE ck % 97 = 11")
+      }
+      s.sql(s"CALL graft.system.refresh_mv('$mv')").collect()
+      Parallelism.ensureDefaultParallelism(
+          s.sql(s"SELECT grp, lo, hi, n_rows FROM graft.`$mv`"))
+        .orderBy(col("grp"))
+    },
+
+    // ---- COLUMN DEFAULT VALUES (r15): the Iceberg-v3 initial/write-
+    // default shape on the coldefault ledger — `ADD COLUMN ... DEFAULT 7`
+    // back-fills every PRE-EXISTING file with the frozen initial default
+    // (Spark's own readers fill missing columns from EXISTS_DEFAULT
+    // metadata; pre-born files take the era path so stamped row-group
+    // predicates can never drop rows that must read the default), while
+    // INSERTs omitting the column materialize the CURRENT write default
+    // (SET DEFAULT moves it; never retroactive). The entry also proves a
+    // DV delete MATCHES the back-filled value in old files, and that
+    // compaction materializes the default rather than NULL ----
+    "q171_column_defaults" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"cdf_${java.lang.Integer.toHexString(dir.hashCode)}"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q171_cdf", dir) {
+        val p = new org.apache.hadoop.fs.Path(s"$wh/$tbl")
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        s.sql(s"""CREATE TABLE graft.`$tbl` (k BIGINT, ck BIGINT, cents BIGINT)
+          TBLPROPERTIES('key_col'='k', 'zone_cols'='ck',
+            '${TableFormat.DeleteModeProp}'='merge-on-read')""")
+        Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+            col("o_custkey").as("ck"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("q171_src")
+        s.sql(s"INSERT INTO graft.`$tbl` " +
+          "SELECT /*+ REPARTITION(4) */ * FROM q171_src")            // v2
+        // initial default: files above back-fill 7 on read, frozen
+        s.sql(s"ALTER TABLE graft.`$tbl` ADD COLUMN flag BIGINT DEFAULT 7")
+        // omitted column -> write default 7 materialized              (v4)
+        s.sql(s"""INSERT INTO graft.`$tbl` (k, ck, cents)
+          SELECT k + (SELECT max(k) FROM q171_src), ck, cents + 11
+          FROM q171_src WHERE k % 7 = 3""")
+        // explicit value wins                                         (v5)
+        s.sql(s"""INSERT INTO graft.`$tbl`
+          SELECT k + 2 * (SELECT max(k) FROM q171_src), ck, cents + 13, 99
+          FROM q171_src WHERE k % 11 = 5""")
+        // SET DEFAULT moves ONLY the write default: back-fills stay 7
+        s.sql(s"ALTER TABLE graft.`$tbl` ALTER COLUMN flag SET DEFAULT 9")
+        s.sql(s"""INSERT INTO graft.`$tbl` (k, ck, cents)
+          SELECT k + 3 * (SELECT max(k) FROM q171_src), ck, cents + 17
+          FROM q171_src WHERE k % 13 = 8""")                        // v7
+        // the DV delete's predicate MATCHES the back-filled 7 in v2's
+        // files (a reader that filled NULL would delete nothing there)
+        s.sql(s"DELETE FROM graft.`$tbl` WHERE flag = 7 AND cents % 19 = 4")
+        // compaction materializes the default into rewritten files
+        s.sql(s"CALL graft.system.compact('$tbl', 4)")
+      }
+      Parallelism.ensureDefaultParallelism(
+          s.sql(s"""SELECT flag, ck % 10 AS grp, count(*) AS n_rows,
+            sum(cents) AS total FROM graft.`$tbl` GROUP BY flag, ck % 10"""))
+        .orderBy(col("flag"), col("grp"))
+    },
+
     "q157_maintenance_tick" -> { (s, dir) =>
       val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
       val tbl = s"mtk_${java.lang.Integer.toHexString(dir.hashCode)}"
@@ -8304,6 +8507,46 @@ object SparkEntry {
          SELECT id, min(label) AS cluster_id FROM walk
          GROUP BY id ORDER BY id""",
 
+    // the INCREMENTALLY maintained labels must equal the from-scratch
+    // CC of the full graph — d08's oracle verbatim: any divergence in
+    // the batch contraction, the remap arithmetic or the cursor
+    // discipline breaks the hash
+    "d20_label_maintenance" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id, list_sort(list_distinct(list_transform(
+             range(1, greatest(length(text)-4,1)+1),
+             i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 5)),1,12)) AS BIGINT)))) AS hs
+           FROM documents),
+         sig AS (
+           SELECT doc_id, hs,
+             list_transform(range(0, 32), j -> list_min(list_transform(hs,
+               h -> (h*(2*j+1) + (j*2654435761)%2147483647) % 2147483647))) AS sg
+           FROM sh),
+         bkt AS (
+           SELECT doc_id, b AS band,
+             md5(CAST(b AS VARCHAR) || '_' || array_to_string(sg[b*2+1 : b*2+2], ',')) AS bucket
+           FROM sig CROSS JOIN range(0, 16) t(b)),
+         capped AS (
+           SELECT * FROM bkt QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000),
+         prs AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM capped a JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id),
+         fp AS (
+           SELECT id_a, id_b
+           FROM prs JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
+           WHERE round(CAST(length(list_intersect(x.hs, y.hs)) AS DOUBLE) /
+                 (length(x.hs) + length(y.hs) - length(list_intersect(x.hs, y.hs))), 6) >= 0.2),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM fp
+           UNION SELECT id_b, id_a FROM fp),
+         walk(id, label) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst)
+         SELECT id, min(label) AS cluster_id FROM walk
+         GROUP BY id ORDER BY id""",
+
     "d13_dup_clusters_star" ->
       """WITH RECURSIVE sh AS (
            SELECT doc_id, list_sort(list_distinct(list_transform(
@@ -10064,6 +10307,67 @@ object SparkEntry {
          SELECT k % 8 AS grp, count(*) AS n_rows,
            CAST(sum(cents) AS BIGINT) AS total
          FROM final GROUP BY 1 ORDER BY 1""",
+
+    // the join MV's oracle replays BOTH tables' final states and
+    // re-joins: any drift in either changelog, the delta-join identity,
+    // the co-cursor time travel or the natural-key drop breaks the hash
+    "q169_mv_join" ->
+      """WITH f0 AS (SELECT o_orderkey AS k, o_custkey AS ck,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+         d0 AS (SELECT c_custkey AS ck,
+             CAST(c_nationkey AS BIGINT) AS seg FROM customer),
+         mk AS (SELECT max(k) AS mk FROM f0),
+         mc AS (SELECT max(ck) AS mc FROM d0),
+         f1 AS (SELECT * FROM f0
+                UNION ALL
+                SELECT k + mk, ck + mc, cents + 55
+                FROM f0, mk, mc WHERE k % 5 = 0),
+         f AS (SELECT * FROM f1 WHERE NOT (cents % 7 = 3)),
+         d AS (SELECT * FROM d0 WHERE NOT (ck % 11 = 4)
+               UNION ALL
+               SELECT ck + mc, seg % 10 + 100 FROM d0, mc WHERE ck % 3 = 1)
+         SELECT seg, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total
+         FROM f JOIN d ON f.ck = d.ck
+         GROUP BY seg ORDER BY seg""",
+
+    // the extrema MV's oracle recomputes min/max after deletes that
+    // retired current extrema across many groups and emptied one — a
+    // fold that ignored the dirty-group rescan would keep stale extrema
+    // and break the hash
+    "q170_mv_minmax" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS ck,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+         mk AS (SELECT max(k) AS mk FROM o),
+         t1 AS (SELECT * FROM o
+                UNION ALL
+                SELECT k + mk, ck, cents + 1 FROM o, mk WHERE k % 6 = 2),
+         t AS (SELECT * FROM t1
+               WHERE NOT (cents % 5 = 1 AND ck % 19 = 3)
+                 AND NOT (ck % 97 = 11))
+         SELECT ck AS grp, min(cents) AS lo, max(cents) AS hi,
+           count(*) AS n_rows
+         FROM t GROUP BY 1 ORDER BY 1""",
+
+    // the oracle replays the default arithmetic: base rows carry the
+    // FROZEN initial default 7 (not NULL, not the later 9), omitted-
+    // column inserts carry the write default live at their insert, and
+    // the delete matched the back-filled value — any reader that filled
+    // NULL or the wrong default breaks counts AND sums
+    "q171_column_defaults" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS ck,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+         mk AS (SELECT max(k) AS mk FROM o),
+         t AS (SELECT k, ck, cents, 7 AS flag FROM o
+               UNION ALL
+               SELECT k + mk, ck, cents + 11, 7 FROM o, mk WHERE k % 7 = 3
+               UNION ALL
+               SELECT k + 2*mk, ck, cents + 13, 99 FROM o, mk WHERE k % 11 = 5
+               UNION ALL
+               SELECT k + 3*mk, ck, cents + 17, 9 FROM o, mk WHERE k % 13 = 8),
+         f AS (SELECT * FROM t WHERE NOT (flag = 7 AND cents % 19 = 4))
+         SELECT flag, ck % 10 AS grp, count(*) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS total
+         FROM f GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // the paired images replay the UPDATE arithmetic: every k%811=17
     // row pairs its pre-image cents with pre+1000000 — the Spark side

@@ -1020,4 +1020,177 @@ object Dedup {
     val snap = TableFormat.snapshot(spark, pairsRoot)
     (snap, snap.files.map(_.nRows).sum - before)
   }
+
+  /** INCREMENTALLY MAINTAINED COMPONENT LABELS over the
+    * [[maintainPairGraph]] graph — the production complement to the
+    * from-scratch labelers ([[connectedComponents]] /
+    * [[connectedComponentsStar]], the #1 per-run cost family at scale):
+    * instead of re-labeling the whole corpus after every ingested
+    * batch, one call consumes the pairs table's changelog past a
+    * stored cursor and repairs the label table in O(batch +
+    * touched components):
+    *
+    *  1. the NEW pairs' endpoints look up their current representative
+    *     (self when unlabeled) — the labels table is KEY-clustered by
+    *     `id`, so the lookup reads only the files whose id range can
+    *     hold an endpoint;
+    *  2. the batch CONTRACTS to a graph over representatives (O(batch)
+    *     nodes — every stored component is one node) and a star-
+    *     contraction CC labels it; reps whose label moved form the
+    *     REMAP (old rep → merged component's min id — the global min,
+    *     because stored reps are their components' minima: the
+    *     invariant this maintenance preserves);
+    *  3. only rows whose `rep` is remapped rewrite — `rep` is a
+    *     declared ZONE column, so the rewrite touches only files whose
+    *     rep bounds intersect the remap — and new endpoints append.
+    *
+    * The cursor (`labels.pairs_version` in the label table's props)
+    * makes replays no-ops and concurrent maintainers fail the CAS.
+    * After any sequence of batches the table equals the from-scratch
+    * CC of the full pairs graph (the proof entry's oracle). Returns
+    * (snapshot, rowsRemapped, rowsAppended). */
+  def maintainLabels(spark: org.apache.spark.sql.SparkSession,
+                     graphRoot: String, maxIter: Int = 25,
+                     collectCap: Int = 1 << 16)
+      : (TableFormat.Snapshot, Long, Long) = {
+    val pairsRoot = s"$graphRoot/pairs"
+    val labelsRoot = s"$graphRoot/labels"
+    require(TableFormat.versions(spark, pairsRoot).nonEmpty,
+      s"maintainLabels: no pairs table under $graphRoot")
+    val head = TableFormat.snapshot(spark, pairsRoot)
+    val have = TableFormat.versions(spark, labelsRoot).nonEmpty
+    val labelsSnap = if (have) Some(TableFormat.snapshot(spark, labelsRoot)) else None
+    val cursor = labelsSnap.flatMap(_.props.get("labels.pairs_version"))
+      .map(_.toLong).getOrElse(0L)
+    if (cursor >= head.version) return (labelsSnap.get, 0L, 0L)
+
+    // batch = pairs committed past the cursor (bootstrap: the whole
+    // graph IS the first batch); bounded by the ingest batch size
+    val newPairs = (if (cursor == 0L) TableFormat.read(spark, head)
+        else TableFormat.changesBetween(spark, pairsRoot, cursor, head.version)
+          .filter(col("_change") === "insert"))
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+
+    // endpoint -> current representative (labels pruned to the files
+    // whose id bounds can hold an endpoint; self when unlabeled)
+    def prunedLabelRead(snap: TableFormat.Snapshot, colName: String,
+                        keys: Array[Long]): DataFrame = {
+      val sorted = keys.sorted
+      def hit(mn: Long, mx: Long) = {
+        val i = java.util.Arrays.binarySearch(sorted, mn)
+        val from = if (i >= 0) i else -i - 1
+        from < sorted.length && sorted(from) <= mx
+      }
+      val subset = snap.files.filter { f =>
+        val bounds =
+          if (colName == snap.keyCol) Some((f.minKey, f.maxKey))
+          else f.zones.get(colName)
+        bounds.forall { case (mn, mx) => hit(mn, mx) }
+      }
+      if (subset.isEmpty) TableFormat.read(spark, snap).limit(0)
+      else TableFormat.read(spark, snap.copy(files = subset))
+    }
+    val endpoints = newPairs.select(col("id_a").as("id"))
+      .union(newPairs.select(col("id_b").as("id"))).distinct()
+      .localCheckpoint()
+    val endpointKeys = endpoints.limit(collectCap + 1).collect()
+      .map(_.getLong(0))
+    val storedForLookup = labelsSnap.map { snap =>
+      if (endpointKeys.length > collectCap) TableFormat.read(spark, snap)
+      else prunedLabelRead(snap, snap.keyCol, endpointKeys)
+    }
+    val reps = storedForLookup match {
+      case Some(l) => endpoints.join(l, Seq("id"), "left")
+        .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
+      case None => endpoints.select(col("id"), col("id").as("rep"))
+    }
+    val repsCk = reps.localCheckpoint()
+
+    // contract to the representative graph and label it: O(batch)
+    val repEdges = newPairs
+      .join(repsCk.select(col("id").as("id_a"), col("rep").as("__ra")), "id_a")
+      .join(repsCk.select(col("id").as("id_b"), col("rep").as("__rb")), "id_b")
+      .select(col("__ra").as("id_a"), col("__rb").as("id_b"))
+      .filter(col("id_a") =!= col("id_b")).distinct()
+    val remap =
+      if (repEdges.isEmpty) repEdges.select(col("id_a").as("rep"),
+        col("id_b").as("__new_rep")).limit(0)
+      else connectedComponentsStar(repEdges, maxIter = maxIter)
+        .filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as("rep"), col("cluster_id").as("__new_rep"))
+    val remapCk = remap.localCheckpoint()
+    val remapKeys = remapCk.select(col("rep")).limit(collectCap + 1)
+      .collect().map(_.getLong(0))
+
+    // fresh endpoints append with their final label; stored rows whose
+    // rep is remapped rewrite (zone-pruned to the remap's rep bounds)
+    val fresh = (storedForLookup match {
+        case Some(l) => endpoints.join(l.select(col("id")), Seq("id"), "left_anti")
+        case None => endpoints
+      })
+      .join(repsCk, Seq("id"))
+      .join(broadcast(remapCk), Seq("rep"), "left")
+      .select(col("id"), coalesce(col("__new_rep"), col("rep")).as("rep"))
+    val outDir = s"$labelsRoot/data/l${head.version}-${java.util.UUID.randomUUID()}"
+    val freshFiles = {
+      val rows = fresh.sort(col("id"))
+      rows.write.mode("overwrite").parquet(s"$outDir/fresh")
+      TableFormat.listParquet(spark, s"$outDir/fresh")
+    }
+    val (rewriteOld, rewriteNew, nRemapped) = labelsSnap match {
+      case Some(snap) if remapKeys.nonEmpty =>
+        val affected =
+          if (remapKeys.length > collectCap) snap.files
+          else {
+            val sorted = remapKeys.sorted
+            snap.files.filter { f =>
+              f.zones.get("rep").forall { case (mn, mx) =>
+                val i = java.util.Arrays.binarySearch(sorted, mn)
+                val from = if (i >= 0) i else -i - 1
+                from < sorted.length && sorted(from) <= mx
+              }
+            }
+          }
+        if (affected.isEmpty) (Seq.empty[String], Seq.empty[String], 0L)
+        else {
+          val before = TableFormat.read(spark, snap.copy(files = affected))
+            .localCheckpoint()
+          val n = before.join(broadcast(remapCk.select(col("rep"))),
+            Seq("rep"), "left_semi").count()
+          val rewritten = before
+            .join(broadcast(remapCk), Seq("rep"), "left")
+            .select(col("id"), coalesce(col("__new_rep"), col("rep")).as("rep"))
+            .sort(col("id"))
+          rewritten.write.mode("overwrite").parquet(s"$outDir/rewrite")
+          val files = TableFormat.listParquet(spark, s"$outDir/rewrite")
+          (affected.map(_.file), files, n)
+        }
+      case _ => (Seq.empty[String], Seq.empty[String], 0L)
+    }
+    val nFresh =
+      if (freshFiles.isEmpty) 0L
+      else spark.read.parquet(freshFiles: _*).count()
+    val allNew = freshFiles ++ rewriteNew
+    val newStats =
+      if (allNew.isEmpty) Seq.empty
+      else TableFormat.fileStats(spark, allNew, "id", 1 << 12, 5,
+        zoneCols = Seq("rep"))
+    val snap = TableFormat.commitTransform(spark, labelsRoot, "id", 1 << 12, 5,
+      { curOpt =>
+        val now = curOpt.flatMap(_.props.get("labels.pairs_version"))
+          .map(_.toLong).getOrElse(0L)
+        if (now != cursor) throw new IllegalStateException(
+          s"maintainLabels: concurrent maintainer moved the cursor " +
+            s"($now != $cursor) at $labelsRoot")
+        val dropped = rewriteOld.toSet
+        curOpt.map(_.files).getOrElse(Seq.empty)
+          .filterNot(f => dropped.contains(f.file)) ++ newStats
+      },
+      deriveProps = curOpt => curOpt.map(_.props).getOrElse(Map.empty) +
+        ("labels.pairs_version" -> head.version.toString),
+      deriveSchema = curOpt => curOpt.flatMap(_.schemaDdl)
+        .orElse(Some("id BIGINT, rep BIGINT")),
+      op = Some("labels"))
+    (snap, nRemapped, nFresh)
+  }
 }

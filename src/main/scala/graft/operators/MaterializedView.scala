@@ -1,17 +1,19 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** SQL MATERIALIZED VIEWS with INCREMENTAL refresh — the engine's
   * q45/q74 IVM operators, q89 changelog and q145 stored views composed
   * into the user-facing surface a warehouse expects (the
-  * Materialize/Delta "live table" shape, scoped to what is EXACTLY
-  * incrementally maintainable):
+  * Materialize/Delta "live table" shape, scoped to what is
+  * incrementally maintainable at a DECLARED cost):
   *
   * {{{
   *   CALL graft.system.create_materialized_view('daily',
@@ -21,15 +23,31 @@ import org.apache.spark.sql.functions._
   *   CALL graft.system.refresh_mv('daily')
   * }}}
   *
-  * The definition must be ONE aggregate over ONE table of the SAME
-  * graft catalog: `SELECT <group exprs>, <count(*)/count(e)/sum(e)>...
-  * FROM <graft table> [WHERE <pred>] GROUP BY <group exprs>`. Those
-  * aggregates form the SELF-MAINTAINABLE class under inserts AND
-  * deletes (each is a signed sum over the changelog); MIN/MAX are
-  * REFUSED loudly — a delete of the current extremum forces a rescan,
-  * which would silently break the "reads only the changelog" cost
-  * contract (Materialize draws the same line; avg(e) is expressed as
-  * sum(e)/count(e) by the author).
+  * Three definition shapes, three cost contracts:
+  *
+  *  1. '''Signed-delta aggregates''' — `SELECT <groups>,
+  *     count(*)/count(e)/sum(e)... FROM <graft table> [WHERE] GROUP BY`
+  *     — the EXACTLY-self-maintainable class: refresh reads ONLY the
+  *     changelog `(cursor, head]`, O(changed files + |view|), never the
+  *     fact (avg(e) is written sum(e)/count(e) by the author).
+  *  2. '''min/max aggregates (single table)''' — a delete can retire
+  *     the current extremum, so refresh additionally RESCANS the dirty
+  *     groups — exactly the groups the delta deleted from — reading
+  *     the fact pruned to those groups' files (zone/key bounds when
+  *     the group key is the cluster or a zone column). Insert-only
+  *     groups still fold monotonically from the changelog alone. The
+  *     cost is O(changelog + dirty groups' files), stated here rather
+  *     than hidden: Materialize refuses this class outright; a lakehouse
+  *     can price it because the fact is clustered.
+  *  3. '''Two-table inner-join aggregates''' — `FROM a JOIN b ON
+  *     a.k = b.k [...]` over two tables of the SAME catalog. Refresh
+  *     applies the exact signed delta-join identity
+  *     Δ(A⋈B) = ΔA⋈B@old + A@new⋈ΔB: each side's changelog joins the
+  *     OTHER side once — B read at its previous cursor (time travel),
+  *     A at the new head — pruned to the delta's join keys (file-level
+  *     bounds pruning on single-key joins). No ΔA⋈ΔB term exists in
+  *     this formulation (A@new already contains ΔA). Outer joins,
+  *     self-joins and min/max-over-join refuse loudly.
   *
   * Storage: the aggregate persists as a graft TABLE `<name>__store`
   * carrying the group columns, the aggregate columns, a hidden
@@ -39,50 +57,66 @@ import org.apache.spark.sql.functions._
   * all-null group is NULL, which a bare signed sum cannot represent);
   * a STORED VIEW `<name>` projects exactly the definition's columns,
   * rebuilding NULL sums from the companion counts. The store's props
-  * carry the definition (source, groups, aggregates, filter) and a
-  * `source_version` CURSOR.
+  * carry the definition and the `source_version` cursor(s) — one per
+  * source table for a join.
   *
-  * Refresh is the IVM contract made procedural: one call reads
-  * [[TableFormat.changesBetween]] over `(cursor, head]` — inserts and
-  * update POST-images count +1, deletes and update PRE-images −1, all
-  * three delete shapes (copy-on-write file diff, equality-manifest
-  * MoR, deletion-vector) and the paired-update CDF shape included —
-  * aggregates the signed delta, outer-joins it onto the stored state
-  * (null-safe on group columns: NULL is a group), and commits the new
-  * state with the advanced cursor in ONE version. Cost is O(changed
-  * files + |view|), NEVER O(fact table); compaction/recluster commits
-  * cost zero (the op=replace skip). A concurrent refresher that moved
-  * the cursor fails the CAS loudly (the maintainView single-maintainer
-  * rule). Reference anchor: the shared-scan multi-aggregate economics
-  * of `lib:2253-2356` made persistent and resumable. */
+  * Refresh consumes [[TableFormat.changesBetween]] as signed rows —
+  * inserts and update POST-images +1, deletes and update PRE-images
+  * −1, all three delete shapes (copy-on-write file diff,
+  * equality-manifest MoR, deletion-vector) and the paired-update CDF
+  * shape included — and commits the new state with the advanced
+  * cursor(s) in ONE version. Compaction/recluster commits cost zero
+  * (the op=replace skip). A concurrent refresher that moved a cursor
+  * fails the CAS loudly (the maintainView single-maintainer rule).
+  * A join refresh needs the co-cursor snapshot of the unchanged side:
+  * `expire_snapshots` that outran a stale MV cursor makes the refresh
+  * REFUSE loudly (re-create the view) rather than silently rescan.
+  * Reference anchor: the shared-scan multi-aggregate economics of
+  * `lib:2253-2356` made persistent and resumable. */
 object MaterializedView {
 
-  /** One aggregate column: `kind` ∈ count_star | count | sum;
-    * `exprSql` is the input expression's SQL (absent for count_star);
-    * `nullableSum` marks a SUM over a nullable input (companion
-    * non-null count maintained). */
+  /** One aggregate column: `kind` ∈ count_star | count | sum | min |
+    * max; `exprSql` is the input expression's SQL (absent for
+    * count_star); `nullableSum` marks a SUM over a nullable input
+    * (companion non-null count maintained). */
   case class AggSpec(name: String, kind: String, exprSql: Option[String],
                      nullableSum: Boolean)
 
+  /** Second source of a join MV: `keys` are (leftCol, rightCol) name
+    * pairs of the inner equi-join. */
+  case class JoinSpec(table: String, keys: Seq[(String, String)])
+
   /** Parsed, validated definition. `groups` are (outputName, exprSql). */
   case class MvDef(sourceTable: String, groups: Seq[(String, String)],
-                   aggs: Seq[AggSpec], filterSql: Option[String])
+                   aggs: Seq[AggSpec], filterSql: Option[String],
+                   join: Option[JoinSpec] = None)
+
+  /** One refresh outcome: `fromB`/`toB` are 0 for single-table views.
+    * `refreshed` is false when every cursor was already at head. */
+  case class RefreshResult(snap: TableFormat.Snapshot, fromA: Long,
+                           toA: Long, fromB: Long, toB: Long) {
+    def refreshed: Boolean = toA > fromA || toB > fromB
+  }
 
   private val NRows = "__mv_nrows"
   private def nnCol(c: String) = s"__mv_nn_$c"
+  private def extrema(d: MvDef): Boolean =
+    d.aggs.exists(a => a.kind == "min" || a.kind == "max")
 
   // ---- definition parsing -------------------------------------------------
 
   /** Analyze `sql` and extract the maintainable shape, refusing loudly
-    * anything outside it. `catalogName` pins the source to the calling
-    * catalog (the changelog reads its warehouse). */
+    * anything outside it. `catalogName` pins the source(s) to the
+    * calling catalog (the changelog reads its warehouse). */
   def parse(spark: SparkSession, sql: String, catalogName: String): MvDef = {
     val analyzed = spark.sql(sql).queryExecution.analyzed
     def fail(msg: String): Nothing = throw new IllegalArgumentException(
       s"create_materialized_view: $msg (definition must be " +
-        "SELECT <groups>, count(*)/count(e)/sum(e)... FROM <graft table> " +
-        "[WHERE <pred>] GROUP BY <groups> — min/max/avg/distinct are not " +
-        "incrementally maintainable under deletes; write avg as sum/count)")
+        "SELECT <groups>, count(*)/count(e)/sum(e)/min(e)/max(e)... " +
+        "FROM <graft table> [JOIN <graft table> ON <col equalities>] " +
+        "[WHERE <pred>] GROUP BY <groups> — min/max only without a join; " +
+        "avg/distinct are not incrementally maintainable under deletes; " +
+        "write avg as sum/count)")
     val agg = analyzed match {
       case a: Aggregate => a
       case _ => fail(s"top-level plan is ${analyzed.nodeName}, not an aggregate")
@@ -93,8 +127,22 @@ object MaterializedView {
     def sqlOf(e: Expression): String = e.transform {
       case a: AttributeReference => a.withQualifier(Seq.empty)
     }.sql
-    // unwrap to the ONE source relation, capturing a WHERE if present
+    // unwrap a join SIDE to its relation (filters inside a side would
+    // make the side's changelog semantics diverge from its table's)
+    def unwrapRel(p: LogicalPlan, where: String): DataSourceV2Relation = p match {
+      case SubqueryAlias(_, c) => unwrapRel(c, where)
+      case pr: Project if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        unwrapRel(pr.child, where)
+      case r: DataSourceV2Relation => r
+      case other => fail(s"unsupported operator ${other.nodeName} $where")
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case x => Seq(x)
+    }
+    // unwrap to the source relation(s), capturing a WHERE above them
     var filterSql: Option[String] = None
+    var joinParsed: Option[(DataSourceV2Relation, Seq[(String, String)])] = None
     def unwrap(p: LogicalPlan): DataSourceV2Relation = p match {
       case SubqueryAlias(_, c) => unwrap(c)
       case f: Filter =>
@@ -104,15 +152,54 @@ object MaterializedView {
       case pr: Project if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
         unwrap(pr.child)
       case r: DataSourceV2Relation => r
+      case jn: Join =>
+        if (joinParsed.nonEmpty) fail("more than one join (two tables max)")
+        if (jn.joinType != Inner) fail(s"${jn.joinType.sql} join (only INNER " +
+          "joins admit the signed delta-join identity)")
+        val cond = jn.condition.getOrElse(fail("join without an ON condition"))
+        val lOut = jn.left.outputSet
+        val rOut = jn.right.outputSet
+        val keys = conjuncts(cond).map {
+          case EqualTo(x: AttributeReference, y: AttributeReference)
+            if lOut.contains(x) && rOut.contains(y) => (x.name, y.name)
+          case EqualTo(x: AttributeReference, y: AttributeReference)
+            if lOut.contains(y) && rOut.contains(x) => (y.name, x.name)
+          case other => fail(s"join condition term '${other.sql}' is not " +
+            "an equality between a left column and a right column")
+        }
+        val relR = unwrapRel(jn.right, "on the join's right side")
+        joinParsed = Some((relR, keys))
+        unwrapRel(jn.left, "on the join's left side")
       case other => fail(s"unsupported operator ${other.nodeName} between " +
-        "the aggregate and the table (joins/subqueries are not maintainable " +
-        "from one table's changelog)")
+        "the aggregate and the table (subqueries are not maintainable " +
+        "from a table changelog)")
     }
     val rel = unwrap(agg.child)
-    val srcName = rel.identifier.getOrElse(
-      fail("source relation carries no catalog identifier")).toString
-    if (!rel.catalog.exists(_.name() == catalogName))
-      fail(s"source table '$srcName' is not in catalog '$catalogName'")
+    def nameOf(r: DataSourceV2Relation): String = {
+      val n = r.identifier.getOrElse(
+        fail("source relation carries no catalog identifier")).toString
+      if (!r.catalog.exists(_.name() == catalogName))
+        fail(s"source table '$n' is not in catalog '$catalogName'")
+      n
+    }
+    val srcName = nameOf(rel)
+    val join = joinParsed.map { case (relR, keys) =>
+      val rightName = nameOf(relR)
+      if (rightName == srcName) fail("self-join of a table with itself " +
+        "(the two changelog cursors would alias)")
+      if (keys.isEmpty) fail("join without an equality key")
+      // name collisions between the sides are only admissible for a
+      // NATURAL join key (a.k = b.k): the right copy drops after the
+      // join and the stored SQL re-resolves to the left's EQUAL value
+      val lNames = rel.output.map(_.name).toSet
+      val rNames = relR.output.map(_.name).toSet
+      val naturalKeys = keys.collect { case (lk, rk) if lk == rk => lk }.toSet
+      val bad = (lNames & rNames) -- naturalKeys
+      if (bad.nonEmpty) fail(s"column name(s) ${bad.mkString(", ")} exist " +
+        "on both join sides without being a natural join key — the stored " +
+        "definition could not re-resolve them unambiguously")
+      JoinSpec(rightName, keys)
+    }
     // group expressions index: output columns matching one are keys
     val groupSqls = agg.groupingExpressions.map(sqlOf)
     val groups = Seq.newBuilder[(String, String)]
@@ -128,6 +215,14 @@ object MaterializedView {
             aggs += AggSpec(name, "count", Some(sqlOf(e)), nullableSum = false)
           case Sum(e, _) if e.deterministic =>
             aggs += AggSpec(name, "sum", Some(sqlOf(e)), nullableSum = e.nullable)
+          case Min(e) if e.deterministic =>
+            if (join.nonEmpty) fail(s"min over a join ('$name') — a dirty-" +
+              "group rescan would have to re-join; define it on a single table")
+            aggs += AggSpec(name, "min", Some(sqlOf(e)), nullableSum = false)
+          case Max(e) if e.deterministic =>
+            if (join.nonEmpty) fail(s"max over a join ('$name') — a dirty-" +
+              "group rescan would have to re-join; define it on a single table")
+            aggs += AggSpec(name, "max", Some(sqlOf(e)), nullableSum = false)
           case other => fail(s"aggregate ${other.prettyName} on '$name'")
         }
       case a: Alias if groupSqls.contains(sqlOf(a.child)) =>
@@ -148,16 +243,22 @@ object MaterializedView {
     if (names.distinct.size != names.size) fail("duplicate output column names")
     if (names.exists(_.startsWith("__mv_")))
       fail("output column names must not start with __mv_ (reserved)")
-    MvDef(srcName, g, as, filterSql)
+    MvDef(srcName, g, as, filterSql, join)
   }
 
   // ---- shared aggregate arithmetic ---------------------------------------
 
-  /** Store-shaped aggregate of `rows`: groups, user aggregates, hidden
-    * liveness/non-null counts. `sign` is +1/−1 per row (lit(1) for the
-    * bootstrap full compute). */
-  private def aggregate(rows: DataFrame, d: MvDef, sign: Column): DataFrame = {
-    val base = d.filterSql.map(f => rows.filter(expr(f))).getOrElse(rows)
+  /** Store-shaped aggregate of `rows` (the definition's WHERE applied
+    * first): groups, user aggregates, hidden liveness/non-null counts.
+    * `sign` is +1/−1 per row (lit(1) for a full compute). min/max
+    * aggregate only the POSITIVE rows — callers route groups with any
+    * negative row through the dirty-group rescan instead. */
+  private def aggregate(rows: DataFrame, d: MvDef, sign: Column): DataFrame =
+    aggregate0(d.filterSql.map(f => rows.filter(expr(f))).getOrElse(rows),
+      d, sign)
+
+  /** [[aggregate]] without the WHERE (for frames already filtered). */
+  private def aggregate0(base: DataFrame, d: MvDef, sign: Column): DataFrame = {
     val aggCols: Seq[Column] = d.aggs.flatMap { a =>
       val main = a.kind match {
         case "count_star" => sum(sign).as(a.name)
@@ -166,6 +267,8 @@ object MaterializedView {
         case "sum" =>
           val e = expr(a.exprSql.get)
           sum(when(e.isNotNull, e * sign)).as(a.name)
+        case "min" => min(when(sign > 0, expr(a.exprSql.get))).as(a.name)
+        case "max" => max(when(sign > 0, expr(a.exprSql.get))).as(a.name)
       }
       val nn =
         if (!a.nullableSum) Seq.empty
@@ -177,9 +280,10 @@ object MaterializedView {
       .agg(aggCols.head, aggCols.tail: _*)
   }
 
-  /** Merge the stored state with a signed delta aggregate (both
-    * store-shaped): null-safe outer join on the group columns, add
-    * counts and sums, drop dead groups. */
+  /** Merge the stored state with a delta aggregate (both store-shaped):
+    * null-safe outer join on the group columns, add counts and sums,
+    * fold min/max monotonically (valid ONLY for insert-only deltas —
+    * extrema callers exclude dirty groups first), drop dead groups. */
   private def merge(store: DataFrame, delta: DataFrame, d: MvDef): DataFrame = {
     val gs = d.groups.map(_._1)
     val l = store.alias("__l")
@@ -191,7 +295,16 @@ object MaterializedView {
         (coalesce(col(s"__l.$c"), lit(0L).cast(store.schema(c).dataType)) +
           coalesce(col(s"__r.$c"), lit(0L).cast(store.schema(c).dataType)))
           .cast(store.schema(c).dataType).as(c)
-      add(a.name) +: (if (a.nullableSum) Seq(add(nnCol(a.name))) else Seq.empty)
+      a.kind match {
+        case "min" | "max" =>
+          val (lc, rc) = (col(s"__l.${a.name}"), col(s"__r.${a.name}"))
+          val fold = if (a.kind == "min") least(lc, rc) else greatest(lc, rc)
+          Seq(when(lc.isNull, rc).when(rc.isNull, lc).otherwise(fold)
+            .as(a.name))
+        case _ =>
+          add(a.name) +:
+            (if (a.nullableSum) Seq(add(nnCol(a.name))) else Seq.empty)
+      }
     } :+ (coalesce(col(s"__l.$NRows"), lit(0L)) +
       coalesce(col(s"__r.$NRows"), lit(0L))).as(NRows)
     l.join(r, cond, "full_outer")
@@ -212,6 +325,71 @@ object MaterializedView {
     s"SELECT ${cols.mkString(", ")} FROM $fromRef"
   }
 
+  // ---- delta plumbing ------------------------------------------------------
+
+  /** Changelog rows as a signed frame: `__mv_sign` rides the rows, the
+    * tag columns drop before the definition's expressions see them. */
+  private def signedDelta(delta: DataFrame): DataFrame =
+    delta.withColumn("__mv_sign",
+        when(col("_change").isin("insert", "update_postimage"), lit(1L))
+          .otherwise(lit(-1L)))
+      .drop("_version", "_change", "_row_id")
+
+  /** Inner equi-join of the two definition sides; a right join-key
+    * column whose NAME collides with a left column (the natural-key
+    * case parse admits) drops after the join — its value equals the
+    * left's under the inner equality. */
+  private def joined(l: DataFrame, r: DataFrame,
+                     keys: Seq[(String, String)]): DataFrame = {
+    val cond = keys.map { case (lk, rk) => l(lk) === r(rk) }.reduce(_ && _)
+    val lCols = l.columns.toSet
+    val dropRight = keys.collect { case (_, rk) if lCols.contains(rk) => r(rk) }
+    dropRight.foldLeft(l.join(r, cond, "inner"))(_.drop(_))
+  }
+
+  /** Read `snap` pruned at the FILE level to rows that can carry one of
+    * `keyVals` in `colName` — exact when the column is the snapshot's
+    * cluster key or a zone column (recorded bounds), a full read
+    * otherwise or past the key-count cap. `nullMatters` keeps files
+    * that may hold NULLs in the column (a NULL group is real for the
+    * dirty-group rescan; a NULL join key never matches and may drop).
+    * Pruning is an OPTIMIZATION only: callers re-apply the exact
+    * join/semi-join on the result. */
+  private def prunedRead(spark: SparkSession, snap: TableFormat.Snapshot,
+                         colName: String, keyVals: DataFrame,
+                         nullMatters: Boolean, cap: Int = 4096): DataFrame = {
+    val full = () => TableFormat.read(spark, snap)
+    val integral = keyVals.schema.fields.head.dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    if (!integral) return full()
+    if (colName != snap.keyCol && !snap.zoneCols.contains(colName)) return full()
+    val rows = keyVals.distinct().limit(cap + 1).collect()
+    if (rows.length > cap) return full()
+    val hasNull = rows.exists(_.isNullAt(0))
+    val keys = rows.filterNot(_.isNullAt(0)).map(_.get(0) match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+    })
+    val subset = snap.files.filter { f =>
+      val bounds =
+        if (colName == snap.keyCol) Some((f.minKey, f.maxKey))
+        else f.zones.get(colName)
+      val rangeHit = bounds match {
+        case Some((mn, mx)) => keys.exists(k => k >= mn && k <= mx)
+        case None => true // no recorded bounds: must keep
+      }
+      rangeHit || (nullMatters && hasNull && !f.nullFree(colName))
+    }
+    if (subset.size == snap.files.size) full()
+    else if (subset.isEmpty)
+      full().limit(0) // schema-only: every file provably misses every key
+    else TableFormat.read(spark, snap.copy(files = subset))
+  }
+
   // ---- lifecycle ----------------------------------------------------------
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -225,7 +403,11 @@ object MaterializedView {
       d.aggs.map(a => java.util.Map.of("name", a.name, "kind", a.kind,
         "sql", a.exprSql.getOrElse(""),
         "nullable", a.nullableSum.toString)).toArray)) ++
-    d.filterSql.map("mv.filter" -> _)
+    d.filterSql.map("mv.filter" -> _) ++
+    d.join.map(j => "mv.source2" -> j.table) ++
+    d.join.map(j => "mv.join_keys" -> mapper.writeValueAsString(
+      j.keys.map { case (lk, rk) => java.util.Map.of("left", lk, "right", rk) }
+        .toArray))
 
   private def defOf(props: Map[String, String]): MvDef = {
     def arr(key: String) = mapper.readTree(props(key))
@@ -239,89 +421,231 @@ object MaterializedView {
         Some(n.get("sql").asText()).filter(_.nonEmpty),
         n.get("nullable").asText().toBoolean)
     }
-    MvDef(props("mv.source"), groups, aggs, props.get("mv.filter"))
+    val join = props.get("mv.source2").map { t =>
+      val ks = arr("mv.join_keys")
+      JoinSpec(t, (0 until ks.size()).map { i =>
+        ks.get(i).get("left").asText() -> ks.get(i).get("right").asText()
+      })
+    }
+    MvDef(props("mv.source"), groups, aggs, props.get("mv.filter"), join)
   }
 
-  /** Bootstrap: full compute at the source's CURRENT version, committed
-    * as the store's v1 with the cursor. Returns (snapshot, cursor). */
-  def create(spark: SparkSession, d: MvDef, sourceRoot: String,
-             storeRoot: String, nOutFiles: Int = 1): (TableFormat.Snapshot, Long) = {
-    require(TableFormat.versions(spark, storeRoot).isEmpty,
-      s"create_materialized_view: store at $storeRoot already exists")
-    val src = TableFormat.snapshot(spark, sourceRoot)
-    val full = aggregate(TableFormat.read(spark, src), d, lit(1L))
+  /** Write `state` as the store's next version carrying `props`, with
+    * `check` run inside the commit's CAS. */
+  private def commitState(spark: SparkSession, storeRoot: String,
+                          state: DataFrame, nOutFiles: Int, keyCol: String,
+                          numBits: Int, numHashes: Int,
+                          props: Map[String, String], op: String,
+                          check: Option[TableFormat.Snapshot] => Unit,
+                          schemaIfEmpty: => Option[String])
+      : TableFormat.Snapshot = {
     val out = s"$storeRoot/data/mv-${java.util.UUID.randomUUID()}"
-    full.repartition(nOutFiles).write.mode("overwrite").parquet(out)
-    val files = TableFormat.listParquet(spark, out)
-    val keyCol = NRows // always present, integral; zone use is incidental
-    val snap =
-      if (files.isEmpty) {
-        // empty source: commit schema-only state (the cursor still pins)
-        val ddl = full.schema.toDDL
-        TableFormat.commitTransform(spark, storeRoot, keyCol, 1 << 10, 3,
-          { curOpt =>
-            if (curOpt.nonEmpty) throw new IllegalStateException(
-              s"create_materialized_view: concurrent bootstrap at $storeRoot")
-            Seq.empty
-          },
-          deriveProps = _ => defProps(d) + ("source_version" -> src.version.toString),
-          deriveSchema = _ => Some(ddl), op = Some("append"))
-      } else {
-        val stats = TableFormat.fileStats(spark, files, keyCol, 1 << 10, 3)
-        val ddl = spark.read.parquet(files: _*).schema.toDDL
-        TableFormat.commitTransform(spark, storeRoot, keyCol, 1 << 10, 3,
-          { curOpt =>
-            if (curOpt.nonEmpty) throw new IllegalStateException(
-              s"create_materialized_view: concurrent bootstrap at $storeRoot")
-            stats
-          },
-          deriveProps = _ => defProps(d) + ("source_version" -> src.version.toString),
-          deriveSchema = _ => Some(ddl), op = Some("append"))
-      }
-    (snap, src.version)
-  }
-
-  /** One refresh tick: consume the changelog `(cursor, head]` as signed
-    * deltas against the stored aggregate and commit with the advanced
-    * cursor. Returns (snapshot, fromVersion, toVersion) — from == to
-    * means nothing new (no commit). */
-  def refresh(spark: SparkSession, sourceRoot: String, storeRoot: String,
-              nOutFiles: Int = 1): (TableFormat.Snapshot, Long, Long) = {
-    val cur = TableFormat.snapshot(spark, storeRoot)
-    val d = defOf(cur.props)
-    val cursor = cur.props.getOrElse("source_version",
-      throw new IllegalStateException(
-        s"refresh_mv: store at $storeRoot carries no source_version cursor"))
-      .toLong
-    val src = TableFormat.snapshot(spark, sourceRoot)
-    if (cursor >= src.version) return (cur, cursor, cursor)
-    val delta = TableFormat.changesBetween(spark, sourceRoot, cursor, src.version)
-    // the sign rides the rows as a column (the tag columns drop before
-    // the definition's expressions see the frame)
-    val signed = delta.withColumn("__mv_sign",
-        when(col("_change").isin("insert", "update_postimage"), lit(1L))
-          .otherwise(lit(-1L)))
-      .drop("_version", "_change", "_row_id")
-    val deltaState = aggregate(signed, d, col("__mv_sign"))
-    val merged = merge(TableFormat.read(spark, cur), deltaState, d)
-    val out = s"$storeRoot/data/mv-${java.util.UUID.randomUUID()}"
-    merged.repartition(nOutFiles).write.mode("overwrite").parquet(out)
+    state.repartition(nOutFiles).write.mode("overwrite").parquet(out)
     val files = TableFormat.listParquet(spark, out)
     val stats =
       if (files.isEmpty) Seq.empty
-      else TableFormat.fileStats(spark, files, cur.keyCol, cur.numBits,
-        cur.numHashes)
-    val snap = TableFormat.commitTransform(spark, storeRoot, cur.keyCol,
-      cur.numBits, cur.numHashes,
-      { curOpt =>
-        val now = curOpt.flatMap(_.props.get("source_version")).map(_.toLong)
-        if (!now.contains(cursor)) throw new IllegalStateException(
-          s"refresh_mv: concurrent refresher moved the cursor " +
-            s"($now != Some($cursor)) at $storeRoot")
-        stats
-      },
-      deriveProps = _ => defProps(d) + ("source_version" -> src.version.toString),
-      op = Some("refresh"))
-    (snap, cursor, src.version)
+      else TableFormat.fileStats(spark, files, keyCol, numBits, numHashes)
+    TableFormat.commitTransform(spark, storeRoot, keyCol, numBits, numHashes,
+      { curOpt => check(curOpt); stats },
+      deriveProps = _ => props,
+      deriveSchema = cur => cur.flatMap(_.schemaDdl).orElse(schemaIfEmpty),
+      op = Some(op))
   }
+
+  /** Bootstrap: full compute at the source(s)' CURRENT version(s),
+    * committed as the store's v1 with the cursor(s). `src2Root` must be
+    * given iff the definition joins. Returns (snapshot, cursorA). */
+  def create(spark: SparkSession, d: MvDef, sourceRoot: String,
+             src2Root: Option[String], storeRoot: String,
+             nOutFiles: Int = 1): (TableFormat.Snapshot, Long) = {
+    require(TableFormat.versions(spark, storeRoot).isEmpty,
+      s"create_materialized_view: store at $storeRoot already exists")
+    require(d.join.isEmpty == src2Root.isEmpty,
+      "create: src2Root must be provided exactly when the definition joins")
+    val src = TableFormat.snapshot(spark, sourceRoot)
+    val cursors = Map("source_version" -> src.version.toString) ++
+      src2Root.map(r2 =>
+        "source2_version" -> TableFormat.snapshot(spark, r2).version.toString)
+    val base = d.join match {
+      case Some(spec) =>
+        joined(TableFormat.read(spark, src),
+          TableFormat.read(spark, TableFormat.snapshot(spark, src2Root.get)),
+          spec.keys)
+      case None => TableFormat.read(spark, src)
+    }
+    val full = aggregate(base, d, lit(1L))
+    val snap = commitState(spark, storeRoot, full, nOutFiles, NRows,
+      1 << 10, 3, defProps(d) ++ cursors, "append",
+      check = curOpt =>
+        if (curOpt.nonEmpty) throw new IllegalStateException(
+          s"create_materialized_view: concurrent bootstrap at $storeRoot"),
+      schemaIfEmpty = Some(full.schema.toDDL))
+    (snap, src.version)
+  }
+
+  /** One refresh tick: consume the changelog(s) past the cursor(s) and
+    * commit the new state with the advanced cursor(s). No commit when
+    * nothing advanced. */
+  def refresh(spark: SparkSession, sourceRoot: String,
+              src2Root: Option[String], storeRoot: String,
+              nOutFiles: Int = 1): RefreshResult = {
+    val cur = TableFormat.snapshot(spark, storeRoot)
+    val d = defOf(cur.props)
+    def cursorOf(prop: String): Long = cur.props.getOrElse(prop,
+      throw new IllegalStateException(
+        s"refresh_mv: store at $storeRoot carries no $prop cursor")).toLong
+    val cursorA = cursorOf("source_version")
+    d.join match {
+      case Some(spec) =>
+        require(src2Root.nonEmpty, "refresh: join view needs src2Root")
+        refreshJoin(spark, d, spec, sourceRoot, src2Root.get, storeRoot, cur,
+          cursorA, cursorOf("source2_version"), nOutFiles)
+      case None if extrema(d) =>
+        refreshExtrema(spark, d, sourceRoot, storeRoot, cur, cursorA,
+          nOutFiles)
+      case None =>
+        refreshPlain(spark, d, sourceRoot, storeRoot, cur, cursorA, nOutFiles)
+    }
+  }
+
+  /** Signed-delta refresh — reads ONLY the changelog. */
+  private def refreshPlain(spark: SparkSession, d: MvDef, sourceRoot: String,
+                           storeRoot: String, cur: TableFormat.Snapshot,
+                           cursor: Long, nOutFiles: Int): RefreshResult = {
+    val src = TableFormat.snapshot(spark, sourceRoot)
+    if (cursor >= src.version) return RefreshResult(cur, cursor, cursor, 0, 0)
+    val signed = signedDelta(
+      TableFormat.changesBetween(spark, sourceRoot, cursor, src.version))
+    val deltaState = aggregate(signed, d, col("__mv_sign"))
+    val merged = merge(TableFormat.read(spark, cur), deltaState, d)
+    val snap = commitMerged(spark, d, storeRoot, cur, merged, nOutFiles,
+      Map("source_version" -> (cursor, src.version)))
+    RefreshResult(snap, cursor, src.version, 0, 0)
+  }
+
+  /** min/max refresh: groups the delta DELETED from are dirty and
+    * rescan from the fact (file-pruned to their keys); every other
+    * group folds from the changelog alone. */
+  private def refreshExtrema(spark: SparkSession, d: MvDef,
+                             sourceRoot: String, storeRoot: String,
+                             cur: TableFormat.Snapshot, cursor: Long,
+                             nOutFiles: Int): RefreshResult = {
+    val src = TableFormat.snapshot(spark, sourceRoot)
+    if (cursor >= src.version) return RefreshResult(cur, cursor, cursor, 0, 0)
+    val signed = signedDelta(
+      TableFormat.changesBetween(spark, sourceRoot, cursor, src.version))
+    val base = d.filterSql.map(f => signed.filter(expr(f))).getOrElse(signed)
+      .persist()
+    val dirty = base.filter(col("__mv_sign") < 0)
+      .select(d.groups.map { case (n, s) => expr(s).as(n) }: _*).distinct()
+      .persist()
+    try {
+      val gN = d.groups.map(_._1)
+      // dirty = groups any delete touched, as a store-shaped key frame
+      // renamed __mv_g<i> so join conditions can't collide with fact
+      // column names
+      val dirtyR = broadcast(dirty.select(gN.zipWithIndex.map {
+        case (n, i) => col(n).as(s"__mv_g$i") }: _*))
+      def exprCond(frame: String) = d.groups.zipWithIndex.map {
+        case ((_, s), i) => expr(s) <=> col(s"__mv_g$i") }.reduce(_ && _)
+      val storeCond = gN.zipWithIndex.map {
+        case (n, i) => col(n) <=> col(s"__mv_g$i") }.reduce(_ && _)
+      // clean side: fold exactly as the plain path (insert-only groups)
+      val clean = base.join(dirtyR, exprCond("delta"), "left_anti")
+      val cleanState = aggregate0(clean, d, col("__mv_sign"))
+      val storedKeep = TableFormat.read(spark, cur)
+        .join(dirtyR, storeCond, "left_anti")
+      val mergedClean = merge(storedKeep, cleanState, d)
+      // dirty side: recompute those groups from the fact at head —
+      // file-pruned when the single group key is the cluster key or a
+      // zone column (NULL groups keep files not provably null-free)
+      val factRead = d.groups match {
+        case Seq((n, s)) if s == s"`${s.stripPrefix("`").stripSuffix("`")}`"
+            || s.matches("[A-Za-z_][A-Za-z0-9_]*") =>
+          prunedRead(spark, src, s.stripPrefix("`").stripSuffix("`"),
+            dirty.select(col(n)), nullMatters = true)
+        case _ => TableFormat.read(spark, src)
+      }
+      val recomputed = aggregate(
+        factRead.join(dirtyR, exprCond("fact"), "left_semi"), d, lit(1L))
+      val merged = mergedClean.unionByName(recomputed)
+      val snap = commitMerged(spark, d, storeRoot, cur, merged, nOutFiles,
+        Map("source_version" -> (cursor, src.version)))
+      RefreshResult(snap, cursor, src.version, 0, 0)
+    } finally {
+      dirty.unpersist()
+      base.unpersist()
+    }
+  }
+
+  /** Join refresh — the exact signed identity
+    * Δ(A⋈B) = ΔA⋈B@cursorB + A@headA⋈ΔB. The unchanged-side reads are
+    * file-pruned to the delta's join keys on single-key joins. */
+  private def refreshJoin(spark: SparkSession, d: MvDef, spec: JoinSpec,
+                          rootA: String, rootB: String, storeRoot: String,
+                          cur: TableFormat.Snapshot, curA: Long, curB: Long,
+                          nOutFiles: Int): RefreshResult = {
+    val headA = TableFormat.snapshot(spark, rootA)
+    if (curA > headA.version) throw new IllegalStateException(
+      s"refresh_mv: cursor $curA is ahead of source head ${headA.version}")
+    val headB = TableFormat.snapshot(spark, rootB)
+    if (curA >= headA.version && curB >= headB.version)
+      return RefreshResult(cur, curA, curA, curB, curB)
+    val (lk, rk) = spec.keys.head
+    val parts = Seq.newBuilder[DataFrame]
+    val persisted = Seq.newBuilder[DataFrame]
+    try {
+      if (headA.version > curA) {
+        val dA = signedDelta(
+          TableFormat.changesBetween(spark, rootA, curA, headA.version)).persist()
+        persisted += dA
+        // B at the CO-CURSOR version: a swept snapshot refuses loudly
+        // inside snapshot() rather than silently rescanning
+        val bOld = TableFormat.snapshot(spark, rootB, Some(curB))
+        val bRead =
+          if (spec.keys.size == 1)
+            prunedRead(spark, bOld, rk, dA.select(col(lk)), nullMatters = false)
+          else TableFormat.read(spark, bOld)
+        parts += joined(dA, bRead, spec.keys)
+      }
+      if (headB.version > curB) {
+        val dB = signedDelta(
+          TableFormat.changesBetween(spark, rootB, curB, headB.version)).persist()
+        persisted += dB
+        val aRead =
+          if (spec.keys.size == 1)
+            prunedRead(spark, headA, lk, dB.select(col(rk)), nullMatters = false)
+          else TableFormat.read(spark, headA)
+        parts += joined(aRead, dB, spec.keys)
+      }
+      val delta = parts.result().reduce(_.unionByName(_))
+      val deltaState = aggregate(delta, d, col("__mv_sign"))
+      val merged = merge(TableFormat.read(spark, cur), deltaState, d)
+      val snap = commitMerged(spark, d, storeRoot, cur, merged, nOutFiles,
+        Map("source_version" -> (curA, headA.version),
+          "source2_version" -> (curB, headB.version)))
+      RefreshResult(snap, curA, headA.version, curB, headB.version)
+    } finally {
+      persisted.result().foreach(_.unpersist())
+    }
+  }
+
+  /** Commit `merged` as the store's next version, CAS-checking every
+    * cursor in `advances` (prop -> (expectedOld, newValue)). */
+  private def commitMerged(spark: SparkSession, d: MvDef, storeRoot: String,
+                           cur: TableFormat.Snapshot, merged: DataFrame,
+                           nOutFiles: Int,
+                           advances: Map[String, (Long, Long)])
+      : TableFormat.Snapshot =
+    commitState(spark, storeRoot, merged, nOutFiles, cur.keyCol, cur.numBits,
+      cur.numHashes,
+      defProps(d) ++ advances.map { case (k, (_, v)) => k -> v.toString },
+      "refresh",
+      check = curOpt => advances.foreach { case (k, (expected, _)) =>
+        val now = curOpt.flatMap(_.props.get(k)).map(_.toLong)
+        if (!now.contains(expected)) throw new IllegalStateException(
+          s"refresh_mv: concurrent refresher moved the cursor $k " +
+            s"($now != Some($expected)) at $storeRoot")
+      },
+      schemaIfEmpty = Some(merged.schema.toDDL))
 }

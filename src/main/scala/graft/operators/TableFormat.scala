@@ -516,7 +516,11 @@ object TableFormat {
           org.apache.spark.sql.types.LongType))
     snap.schemaDdl match {
       case Some(ddl) =>
-        val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        // default metadata rides the read schema: a maintenance rewrite
+        // of a pre-born file must MATERIALIZE the initial default, not
+        // NULL (withDefaultMetadata is declared below readRaw)
+        val schema = withDefaultMetadata(
+          org.apache.spark.sql.types.StructType.fromDDL(ddl), snap.props)
         val seqOf = snap.files.map(f => f.file -> f.seq).toMap
         files.groupBy(f => physicalSchemaOf(snap.props, schema,
             seqOf.getOrElse(f, Long.MaxValue)))
@@ -1194,11 +1198,73 @@ object TableFormat {
       }
     })
 
+  // ---- COLUMN DEFAULT VALUES (Iceberg-v3 initial/write defaults) ---------
+  // Declared per column in the commit props and injected into every
+  // reader/analyzer-facing schema as Spark's own default metadata:
+  //   coldefault.cur.c   — CURRENT_DEFAULT: the SQL an INSERT omitting
+  //                        `c` materializes (changes with SET DEFAULT);
+  //   coldefault.exist.c — EXISTS_DEFAULT: the folded literal files
+  //                        written BEFORE `c` existed read back (frozen
+  //                        at ADD COLUMN; never retroactive).
+  // No custom reader code: Spark's vectorized and row parquet readers
+  // both back-fill missing columns from EXISTS_DEFAULT metadata, and
+  // the analyzer fills INSERT gaps from CURRENT_DEFAULT — by-name file
+  // resolution makes "missing in the file" exactly "pre-born".
+
+  val ColDefaultCurPrefix = "coldefault.cur."
+  val ColDefaultExistPrefix = "coldefault.exist."
+
+  /** Remove the default-value metadata keys from every field — the
+    * stored DDL must stay metadata-free (`toDDL` renders `DEFAULT ...`
+    * clauses `fromDDL` cannot parse back; the coldefault props are the
+    * single source of truth). Other metadata (comments) survives. */
+  def stripDefaultMetadata(schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+    org.apache.spark.sql.types.StructType(schema.fields.map { f =>
+      if (!f.metadata.contains(
+            ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY) &&
+          !f.metadata.contains(
+            ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY)) f
+      else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .remove(ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY)
+        .remove(ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY)
+        .build())
+    })
+  }
+
+  /** Inject the stored column-default declarations into `schema` as the
+    * metadata Spark's machinery consumes (see the ledger note above).
+    * Tables with no declared defaults return `schema` unchanged. */
+  def withDefaultMetadata(schema: org.apache.spark.sql.types.StructType,
+                          props: Map[String, String])
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+    if (!props.keysIterator.exists(k => k.startsWith(ColDefaultCurPrefix) ||
+        k.startsWith(ColDefaultExistPrefix))) return schema
+    org.apache.spark.sql.types.StructType(schema.fields.map { f =>
+      val cur = props.get(ColDefaultCurPrefix + f.name)
+      val exist = props.get(ColDefaultExistPrefix + f.name)
+      if (cur.isEmpty && exist.isEmpty) f
+      else {
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        cur.foreach(mb.putString(
+          ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY, _))
+        exist.foreach(mb.putString(
+          ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY, _))
+        f.copy(metadata = mb.build())
+      }
+    })
+  }
+
   private def readRaw(spark: SparkSession, snap: Snapshot,
                       files: Seq[String]): DataFrame =
     snap.schemaDdl match {
       case Some(ddl) =>
-        val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        val schema = withDefaultMetadata(
+          org.apache.spark.sql.types.StructType.fromDDL(ddl), snap.props)
         if (!hasColumnMapping(snap.props))
           spark.read.schema(schema).parquet(files: _*)
         else {

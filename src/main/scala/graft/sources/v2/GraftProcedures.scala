@@ -356,16 +356,20 @@ private[v2] object GraftProcedures {
           s"create_materialized_view: '$mvName' names an existing TABLE")
         val d = graft.operators.MaterializedView.parse(spark,
           args.getUTF8String(1).toString, catalog.name())
-        val srcParts = d.sourceTable.split('.').toSeq
-        val srcRoot = catalog.tableRoot(
-          org.apache.spark.sql.connector.catalog.Identifier.of(
-            srcParts.init.toArray, srcParts.last))
+        def rootOf(table: String): String = {
+          val p = table.split('.').toSeq
+          catalog.tableRoot(
+            org.apache.spark.sql.connector.catalog.Identifier.of(
+              p.init.toArray, p.last))
+        }
+        val srcRoot = rootOf(d.sourceTable)
+        val src2Root = d.join.map(j => rootOf(j.table))
         val storeParts = parts.init :+ s"${parts.last}__store"
         val storeIdent = org.apache.spark.sql.connector.catalog.Identifier.of(
           storeParts.init.toArray, storeParts.last)
         val storeRoot = catalog.tableRoot(storeIdent)
         val (snap, cursor) = graft.operators.MaterializedView.create(
-          spark, d, srcRoot, storeRoot, args.getInt(2))
+          spark, d, srcRoot, src2Root, storeRoot, args.getInt(2))
         // the user-facing name is a STORED VIEW projecting the
         // definition's columns over the store (hidden __mv_* columns
         // rebuild NULL sums and group liveness)
@@ -397,15 +401,20 @@ private[v2] object GraftProcedures {
         require(TableFormat.versions(spark, storeRoot).nonEmpty,
           s"refresh_mv: no materialized view '$mvName'")
         val props = TableFormat.snapshot(spark, storeRoot).props
-        val srcParts = props("mv.source").split('.').toSeq
-        val srcRoot = catalog.tableRoot(
-          org.apache.spark.sql.connector.catalog.Identifier.of(
-            srcParts.init.toArray, srcParts.last))
-        val (snap, from, to) = graft.operators.MaterializedView.refresh(
-          spark, srcRoot, storeRoot, args.getInt(1))
-        result(name, "store_version" -> snap.version,
-          "from_version" -> from, "to_version" -> to,
-          "refreshed" -> (if (to > from) 1L else 0L))
+        def rootOf(table: String): String = {
+          val p = table.split('.').toSeq
+          catalog.tableRoot(
+            org.apache.spark.sql.connector.catalog.Identifier.of(
+              p.init.toArray, p.last))
+        }
+        val srcRoot = rootOf(props("mv.source"))
+        val src2Root = props.get("mv.source2").map(rootOf)
+        val r = graft.operators.MaterializedView.refresh(
+          spark, srcRoot, src2Root, storeRoot, args.getInt(1))
+        result(name, "store_version" -> r.snap.version,
+          "from_version" -> r.fromA, "to_version" -> r.toA,
+          "from_version2" -> r.fromB, "to_version2" -> r.toB,
+          "refreshed" -> (if (r.refreshed) 1L else 0L))
       }
       case "drop_materialized_view" => viewProc(name,
         "drop a materialized view: the stored view document and the store " +

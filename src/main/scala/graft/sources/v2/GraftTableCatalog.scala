@@ -62,6 +62,16 @@ class GraftTableCatalog extends TableCatalog
   private var catalogName: String = _
   private var warehouse: String = _
 
+  /** Opts into the analyzer's DEFAULT-clause support: CREATE/ALTER may
+    * declare column defaults, which this catalog persists as
+    * `coldefault.*` commit props (TableFormat's ledger) and serves back
+    * as schema metadata — INSERT gap-fill and old-file back-fill then
+    * ride Spark's own machinery. */
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     warehouse = options.get("warehouse")
@@ -440,11 +450,30 @@ class GraftTableCatalog extends TableCatalog
       Seq("key_col", "zone_cols", "num_bits", "num_hashes") filterNot {
         case (k, _) => k.startsWith("option.")
       }
-    TableFormat.createEmpty(spark, root, keyCol, schema.toDDL,
+    // CREATE-time DEFAULT clauses arrive as Spark's schema metadata
+    // (the SUPPORT_COLUMN_DEFAULT_VALUE contract): persist them in the
+    // coldefault ledger — the DDL string itself stays metadata-free
+    val defaultProps = schema.fields.flatMap { f =>
+      import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns._
+      val cur =
+        if (f.metadata.contains(CURRENT_DEFAULT_COLUMN_METADATA_KEY))
+          Seq(TableFormat.ColDefaultCurPrefix + f.name ->
+            f.metadata.getString(CURRENT_DEFAULT_COLUMN_METADATA_KEY))
+        else Seq.empty
+      val exist =
+        if (f.metadata.contains(EXISTS_DEFAULT_COLUMN_METADATA_KEY))
+          Seq(TableFormat.ColDefaultExistPrefix + f.name ->
+            f.metadata.getString(EXISTS_DEFAULT_COLUMN_METADATA_KEY))
+        else Seq.empty
+      cur ++ exist
+    }.toMap
+    TableFormat.createEmpty(spark, root, keyCol,
+      TableFormat.stripDefaultMetadata(schema).toDDL,
       numBits = props.get("num_bits").map(_.toInt).getOrElse(1 << 14),
       numHashes = props.get("num_hashes").map(_.toInt).getOrElse(5),
       zoneCols = zoneCols,
-      props = carried ++ spec.map(TableFormat.PartitionSpecProp -> _))
+      props = carried ++ defaultProps ++
+        spec.map(TableFormat.PartitionSpecProp -> _))
     loadTable(ident)
   }
 
@@ -474,6 +503,12 @@ class GraftTableCatalog extends TableCatalog
     val drops = scala.collection.mutable.ListBuffer.empty[String]
     val widens =
       scala.collection.mutable.ListBuffer.empty[(String, org.apache.spark.sql.types.DataType)]
+    // (column, CURRENT_DEFAULT sql, EXISTS_DEFAULT sql) from ADD COLUMN
+    // ... DEFAULT; (column, Some(sql)/None) from SET/DROP DEFAULT
+    val defaultAdds =
+      scala.collection.mutable.ListBuffer.empty[(String, String, String)]
+    val defaultUpdates =
+      scala.collection.mutable.ListBuffer.empty[(String, Option[String])]
     // rename/drop are metadata-only via the COLUMN MAPPING ledger
     // ([[TableFormat.physicalName]]). RENAMES now cover the key and
     // zone columns too: per-file stats stay recorded under each file
@@ -538,6 +573,17 @@ class GraftTableCatalog extends TableCatalog
         require(a.isNullable,
           "graft catalog: added columns must be nullable (existing files " +
             "back-fill them with null)")
+        // ADD COLUMN ... DEFAULT d: the analyzer already folded d to a
+        // typed literal — CURRENT_DEFAULT keeps the author's SQL,
+        // EXISTS_DEFAULT freezes the folded literal (the Iceberg v3
+        // initial default old files back-fill; SET DEFAULT later never
+        // rewrites it)
+        Option(a.defaultValue()).foreach { dv =>
+          val lit = org.apache.spark.sql.catalyst.expressions.Literal(
+            dv.getValue.value(), dv.getValue.dataType())
+          defaultAdds += ((name, Option(dv.getSql).getOrElse(lit.sql),
+            lit.sql))
+        }
         addedFields += StructField(name, a.dataType(), nullable = true)
       case a: TableChange.AddColumn =>
         // NESTED add-only evolution: a new struct member (possibly under
@@ -546,6 +592,9 @@ class GraftTableCatalog extends TableCatalog
         require(a.isNullable,
           "graft catalog: added nested fields must be nullable (existing " +
             "rows back-fill them with null)")
+        require(a.defaultValue() == null,
+          "graft catalog: DEFAULT is supported on top-level columns only " +
+            s"(got ${a.fieldNames().mkString(".")})")
         nestedAdds += ((a.fieldNames().toSeq, a.dataType()))
       case u: TableChange.UpdateColumnType if u.fieldNames().length == 1 =>
         // SAFE WIDENING only (int->long, float->double, same-scale
@@ -565,6 +614,34 @@ class GraftTableCatalog extends TableCatalog
       case u: TableChange.UpdateColumnType =>
         throw new UnsupportedOperationException(
           "graft catalog: only top-level columns can be widened " +
+            s"(got ${u.fieldNames().mkString(".")})")
+      case u: TableChange.UpdateColumnDefaultValue
+          if u.fieldNames().length == 1 =>
+        // SET DEFAULT changes only the WRITE default (future INSERTs);
+        // the exists default stays frozen at its ADD COLUMN value —
+        // never retroactive, so no file is reinterpreted. DROP DEFAULT
+        // removes the write default (inserts fill NULL again).
+        val c = u.fieldNames()(0)
+        val field = baseSchema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft catalog: no column '$c' to alter a default on"))
+        Option(u.newCurrentDefault()).filter(d =>
+            d.getSql == null || d.getSql.nonEmpty) match {
+          case Some(dv) =>
+            // re-analyze against the column's type: a malformed or
+            // non-castable default refuses here, not at first INSERT
+            val analyzed = org.apache.spark.sql.catalyst.util
+              .ResolveDefaultColumns.analyze(c, field.dataType, dv,
+                "ALTER TABLE ALTER COLUMN")
+            val sql = Option(dv.getSql).getOrElse(
+              org.apache.spark.sql.catalyst.expressions.Literal(
+                analyzed.eval(), analyzed.dataType).sql)
+            defaultUpdates += ((c, Some(sql)))
+          case None => defaultUpdates += ((c, None))
+        }
+      case u: TableChange.UpdateColumnDefaultValue =>
+        throw new UnsupportedOperationException(
+          "graft catalog: only top-level columns can carry defaults " +
             s"(got ${u.fieldNames().mkString(".")})")
       case sp: TableChange.SetProperty =>
         setProps += sp.property() -> sp.value()
@@ -648,6 +725,14 @@ class GraftTableCatalog extends TableCatalog
           p = p - s"colmap.$from" +
             (s"colmap.$to" -> newHist) + (s"coldead.$from" -> v.toString)
           if (p.contains(s"coldead.$to")) p += (s"colborn.$to" -> v.toString)
+          // the default ledger follows the rename (declarations are
+          // per-LOGICAL-column)
+          Seq(TableFormat.ColDefaultCurPrefix,
+              TableFormat.ColDefaultExistPrefix).foreach { pre =>
+            p.get(pre + from).foreach { d =>
+              p = p - (pre + from) + (pre + to -> d)
+            }
+          }
         }
         drops.foreach { d =>
           val names = p.getOrElse(s"colmap.$d", "").split(',')
@@ -655,6 +740,25 @@ class GraftTableCatalog extends TableCatalog
             .map(e => e.substring(0, e.lastIndexOf(':'))) :+ d
           names.foreach(n => p += (s"coldead.$n" -> v.toString))
           p -= s"colmap.$d"
+          p = p - (TableFormat.ColDefaultCurPrefix + d) -
+            (TableFormat.ColDefaultExistPrefix + d)
+        }
+        defaultAdds.foreach { case (n, cur, exist) =>
+          p += (TableFormat.ColDefaultCurPrefix + n -> cur)
+          p += (TableFormat.ColDefaultExistPrefix + n -> exist)
+          // pre-born files must take the ERA read path: a scan-wide
+          // parquet row-group predicate naming `n` would treat the
+          // missing column as all-null and silently DROP row groups
+          // that must read the default — colborn routes those files
+          // through the per-file schema (filter stripped, EXISTS
+          // default filled), exactly as old-era renamed files
+          p += (s"colborn.$n" -> v.toString)
+        }
+        defaultUpdates.foreach {
+          case (n, Some(sql)) =>
+            p += (TableFormat.ColDefaultCurPrefix + n -> sql)
+          case (n, None) =>
+            p -= TableFormat.ColDefaultCurPrefix + n
         }
         // a re-ADD of a previously-bound name: files older than this
         // commit hold the DEAD column's data under that name — colborn
@@ -839,9 +943,15 @@ private class GraftSqlTable(ident: String, root: String,
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
-  private val tableSchema = StructType.fromDDL(snap.schemaDdl.getOrElse(
-    throw new IllegalArgumentException(
-      s"graft catalog: table $ident v${snap.version} carries no schema")))
+  // default metadata rides the reported schema: the analyzer fills
+  // INSERT gaps from CURRENT_DEFAULT, and the scan's requested schema
+  // carries EXISTS_DEFAULT down to the parquet readers (which back-fill
+  // columns missing from pre-born files)
+  private val tableSchema = TableFormat.withDefaultMetadata(
+    StructType.fromDDL(snap.schemaDdl.getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog: table $ident v${snap.version} carries no schema"))),
+    snap.props)
   override def name(): String = s"$ident@v${snap.version}"
   override def schema(): StructType = tableSchema
 

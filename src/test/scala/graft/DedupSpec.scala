@@ -655,4 +655,85 @@ class DedupSpec extends SparkTestBase {
       "doc_id", "text", 5, 16, 2, 0.2, maxBucketSize = 8, batchSeq = 2L)
     assert(n2 == 0L, s"crossed cap must stop pair production, got $n2")
   }
+
+  test("maintainLabels: incremental label maintenance over batched " +
+      "ingest equals the from-scratch CC of the full graph; replays " +
+      "are committed no-ops") {
+    val docs = Tables.documents(spark, sfDir)
+    val graphRoot =
+      java.nio.file.Files.createTempDirectory("graft_lb").toString
+    (0 until 3).foreach { i =>
+      Dedup.maintainPairGraph(spark, graphRoot,
+        docs.filter(pmod(col("doc_id"), lit(3)) === i), "doc_id", "text",
+        5, 16, 2, 0.2, maxBucketSize = 1000, batchSeq = i + 1L)
+      Dedup.maintainLabels(spark, graphRoot)
+    }
+    val pairs = graft.operators.TableFormat.read(spark,
+      graft.operators.TableFormat.snapshot(spark, s"$graphRoot/pairs"))
+    val want = Dedup.connectedComponentsStar(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    def labels(): Seq[(Long, Long)] =
+      graft.operators.TableFormat.read(spark,
+          graft.operators.TableFormat.snapshot(spark, s"$graphRoot/labels"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(want.nonEmpty, "fixture produced no labeled components")
+    assert(labels() == want, "maintained labels diverge from the rebuild")
+    // the from-scratch labeler agrees too (shared min-id contract)
+    assert(want == Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    // replay: the pairs cursor is at head, so nothing commits
+    val v = graft.operators.TableFormat
+      .snapshot(spark, s"$graphRoot/labels").version
+    val (snap, remapped, fresh) = Dedup.maintainLabels(spark, graphRoot)
+    assert(remapped == 0L && fresh == 0L && snap.version == v,
+      s"replay must be a no-op ($remapped, $fresh, ${snap.version} vs $v)")
+    assert(labels() == want)
+  }
+
+  test("maintainLabels: a disjoint batch appends without touching stored " +
+      "label files; a merging batch remaps whole components to the " +
+      "global min id") {
+    val graphRoot =
+      java.nio.file.Files.createTempDirectory("graft_lb2").toString
+    val ta = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    val tb = "zulu yankee xray whiskey victor uniform tango sierra romeo"
+    def mk(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    // batch 1: two components {0,1} (text ta) and {2,3} (text tb)
+    Dedup.maintainPairGraph(spark, graphRoot,
+      mk(Seq(0L -> ta, 1L -> ta, 2L -> tb, 3L -> tb)),
+      "doc_id", "text", 5, 16, 2, 0.2, maxBucketSize = 100, batchSeq = 1L)
+    Dedup.maintainLabels(spark, graphRoot)
+    def labels(): Map[Long, Long] =
+      graft.operators.TableFormat.read(spark,
+          graft.operators.TableFormat.snapshot(spark, s"$graphRoot/labels"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels() == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 2L))
+    val filesAfter1 = graft.operators.TableFormat
+      .snapshot(spark, s"$graphRoot/labels").files.map(_.file).toSet
+    // batch 2: a DISJOINT component {10,11} — stored files must
+    // survive verbatim (no remap, pure append)
+    val tc = "lima mike november oscar papa quebec kilo juliett hotel"
+    Dedup.maintainPairGraph(spark, graphRoot,
+      mk(Seq(10L -> tc, 11L -> tc)),
+      "doc_id", "text", 5, 16, 2, 0.2, maxBucketSize = 100, batchSeq = 2L)
+    val (_, rm2, fr2) = Dedup.maintainLabels(spark, graphRoot)
+    assert(rm2 == 0L && fr2 == 2L, s"disjoint batch: ($rm2, $fr2)")
+    val filesAfter2 = graft.operators.TableFormat
+      .snapshot(spark, s"$graphRoot/labels").files.map(_.file).toSet
+    assert(filesAfter1.subsetOf(filesAfter2),
+      "a no-remap batch must not rewrite stored label files")
+    assert(labels() == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 2L,
+      10L -> 10L, 11L -> 10L))
+    // batch 3: doc 20's text spans ta AND tb — the two components
+    // MERGE and every member remaps to the global min (0); the
+    // disjoint component {10,11} must not rewrite
+    Dedup.maintainPairGraph(spark, graphRoot,
+      mk(Seq(20L -> s"$ta $tb")),
+      "doc_id", "text", 5, 16, 2, 0.2, maxBucketSize = 100, batchSeq = 3L)
+    val (_, rm3, fr3) = Dedup.maintainLabels(spark, graphRoot)
+    assert(fr3 == 1L, s"one fresh endpoint expected, got $fr3")
+    assert(rm3 >= 2L, s"the {2,3} component must remap, got $rm3")
+    assert(labels() == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      10L -> 10L, 11L -> 10L, 20L -> 0L))
+  }
 }

@@ -127,22 +127,102 @@ class MaterializedViewSpec extends SparkTestBase {
       .collect()(0).getLong(0) > 0, "NULL group must be maintained")
   }
 
-  test("non-maintainable definitions refuse loudly: min/max, joins, " +
-      "distinct, a second aggregate-less column; drop removes both halves") {
+  test("min/max refresh: insert-only groups fold from the changelog; a " +
+      "delete of the current extremum rescans ONLY the dirty groups; an " +
+      "emptied group disappears") {
+    warehouse
+    spark.sql("""CREATE TABLE mvcat.mx (k BIGINT, v BIGINT)
+      TBLPROPERTIES('key_col'='k',
+        'write.delete.mode'='merge-on-read')""")
+    spark.sql("""INSERT INTO mvcat.mx SELECT id,
+      CASE WHEN id % 13 = 5 THEN NULL ELSE id * 3 END
+      FROM range(400) ORDER BY id""")
+    val defSql = "SELECT k % 4 AS grp, min(v) AS lo, max(v) AS hi, " +
+      "count(*) AS n FROM mvcat.mx GROUP BY k % 4"
+    spark.sql(s"CALL mvcat.system.create_materialized_view('mxv', '$defSql')")
+    assert(mvRows("mxv") == recompute(defSql), "extrema bootstrap diverges")
+    // insert-only tick: pure changelog fold (new max in group 1, new
+    // min impossible - monotone fold suffices)
+    spark.sql("INSERT INTO mvcat.mx SELECT id, id * 3 FROM range(400, 450)")
+    spark.sql("CALL mvcat.system.refresh_mv('mxv')")
+    assert(mvRows("mxv") == recompute(defSql), "insert-only fold diverges")
+    // delete the CURRENT max of group 2 (and some mins of group 3):
+    // those groups are dirty and rescan; group 0/1 untouched
+    spark.sql("DELETE FROM mvcat.mx WHERE k >= 440 AND k % 4 = 2")
+    spark.sql("DELETE FROM mvcat.mx WHERE k < 40 AND k % 4 = 3")
+    spark.sql("CALL mvcat.system.refresh_mv('mxv')")
+    assert(mvRows("mxv") == recompute(defSql), "dirty-group rescan diverges")
+    // empty a whole group -> it must disappear from the view
+    spark.sql("DELETE FROM mvcat.mx WHERE k % 4 = 1")
+    spark.sql("CALL mvcat.system.refresh_mv('mxv')")
+    assert(mvRows("mxv") == recompute(defSql))
+    assert(spark.sql("SELECT * FROM mvcat.mxv WHERE grp = 1").count() == 0)
+  }
+
+  test("join MV: refresh applies the signed delta-join identity across " +
+      "mutations on BOTH sides and equals the recompute; converged " +
+      "refresh commits nothing") {
+    warehouse
+    spark.sql("""CREATE TABLE mvcat.jf (ok BIGINT, ck BIGINT, cents BIGINT)
+      TBLPROPERTIES('key_col'='ok', 'zone_cols'='ck',
+        'write.delete.mode'='merge-on-read')""")
+    spark.sql("""CREATE TABLE mvcat.jd (ck BIGINT, seg BIGINT)
+      TBLPROPERTIES('key_col'='ck')""")
+    spark.sql("""INSERT INTO mvcat.jf
+      SELECT id, id % 40, id * 7 FROM range(600) ORDER BY id""")
+    spark.sql("""INSERT INTO mvcat.jd
+      SELECT id, id % 5 FROM range(50) ORDER BY id""")
+    val defSql = "SELECT seg, count(*) AS n, sum(cents) AS total " +
+      "FROM mvcat.jf f JOIN mvcat.jd d ON f.ck = d.ck GROUP BY seg"
+    spark.sql(s"CALL mvcat.system.create_materialized_view('jv', '$defSql')")
+    assert(mvRows("jv") == recompute(defSql), "join bootstrap diverges")
+    // fact-side delta only (dim unchanged): DeltaA x B@old
+    spark.sql("INSERT INTO mvcat.jf SELECT id, id % 40, id * 7 " +
+      "FROM range(600, 700)")
+    spark.sql("DELETE FROM mvcat.jf WHERE ok % 9 = 2")
+    var r = spark.sql("CALL mvcat.system.refresh_mv('jv')").collect()(0)
+    assert(r.getLong(r.fieldIndex("refreshed")) == 1L)
+    assert(mvRows("jv") == recompute(defSql), "fact-side delta diverges")
+    // dim-side delta only: A@new x DeltaB -- a dim DELETE retires every
+    // joined fact row of that key; a dim INSERT admits new matches
+    spark.sql("DELETE FROM mvcat.jd WHERE ck IN (3, 17)")
+    spark.sql("INSERT INTO mvcat.jd SELECT id, id % 5 FROM range(50, 60)")
+    spark.sql("CALL mvcat.system.refresh_mv('jv')")
+    assert(mvRows("jv") == recompute(defSql), "dim-side delta diverges")
+    // BOTH sides move in one tick: DeltaA x B@old + A@new x DeltaB
+    spark.sql("INSERT INTO mvcat.jf SELECT id, id % 60, id " +
+      "FROM range(700, 760)")
+    spark.sql("DELETE FROM mvcat.jd WHERE ck = 8")
+    spark.sql("INSERT INTO mvcat.jd SELECT id, id % 5 FROM range(60, 65)")
+    spark.sql("CALL mvcat.system.refresh_mv('jv')")
+    assert(mvRows("jv") == recompute(defSql), "two-sided delta diverges")
+    r = spark.sql("CALL mvcat.system.refresh_mv('jv')").collect()(0)
+    assert(r.getLong(r.fieldIndex("refreshed")) == 0L, "converged must no-op")
+  }
+
+  test("non-maintainable definitions refuse loudly: min/max over a join, " +
+      "outer/self joins, distinct; drop removes both halves") {
     warehouse
     spark.sql("""CREATE TABLE mvcat.rf (k BIGINT, v BIGINT)
       TBLPROPERTIES('key_col'='k')""")
+    spark.sql("""CREATE TABLE mvcat.rd (dk BIGINT, w BIGINT)
+      TBLPROPERTIES('key_col'='dk')""")
     spark.sql("INSERT INTO mvcat.rf SELECT id, id FROM range(10)")
+    spark.sql("INSERT INTO mvcat.rd SELECT id, id FROM range(10)")
     def refuse(sql: String, frag: String): Unit = {
       val e = intercept[Exception](spark.sql(
         s"CALL mvcat.system.create_materialized_view('bad', '$sql')"))
       assert(e.getMessage != null && e.getMessage.contains(frag),
         s"${e.getMessage} !contains $frag")
     }
-    refuse("SELECT k % 2 AS g, max(v) AS m FROM mvcat.rf GROUP BY k % 2",
-      "not incrementally maintainable")
+    refuse("SELECT k % 2 AS g, max(w) AS m FROM mvcat.rf " +
+      "JOIN mvcat.rd ON k = dk GROUP BY k % 2", "rescan would have to re-join")
+    refuse("SELECT k % 2 AS g, count(*) AS n FROM mvcat.rf " +
+      "LEFT JOIN mvcat.rd ON k = dk GROUP BY k % 2", "INNER")
     refuse("SELECT a.k % 2 AS g, count(*) AS n FROM mvcat.rf a " +
-      "JOIN mvcat.rf b ON a.k = b.k GROUP BY a.k % 2", "maintainable")
+      "JOIN mvcat.rf b ON a.k = b.k GROUP BY a.k % 2", "self-join")
+    refuse("SELECT k % 2 AS g, count(*) AS n FROM mvcat.rf " +
+      "JOIN mvcat.rd ON k < dk GROUP BY k % 2", "not an equality")
     refuse("SELECT k % 2 AS g, count(DISTINCT v) AS n FROM mvcat.rf " +
       "GROUP BY k % 2", "DISTINCT")
     // lifecycle: create then drop removes the view AND the store
