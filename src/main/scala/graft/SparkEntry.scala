@@ -6437,6 +6437,87 @@ object SparkEntry {
         .orderBy(col("flag"), col("grp"))
     },
 
+    // ---- GENERATED COLUMNS (r15): `GENERATED ALWAYS AS (expr)` — the
+    // engine computes the column at the SQL write edge (a bound catalyst
+    // projection in the writer; Spark's analyzer accepts the DDL but
+    // leaves computation to the connector), refuses explicit values that
+    // disagree per-row, and re-validates `c <=> expr` as an implicit
+    // CHECK at every row-adding commit so no path can land a file that
+    // breaks the invariant. The entry inserts with the columns OMITTED,
+    // then with correct explicit values, DV-deletes BY a generated
+    // value, and aggregates by the generated bucket ----
+    "q172_generated_columns" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"gen_${java.lang.Integer.toHexString(dir.hashCode)}"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q172_gen", dir) {
+        val p = new org.apache.hadoop.fs.Path(s"$wh/$tbl")
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        s.sql(s"""CREATE TABLE graft.`$tbl` (k BIGINT, cents BIGINT,
+          fee BIGINT GENERATED ALWAYS AS (cents DIV 50 + 1),
+          bucket BIGINT GENERATED ALWAYS AS (k % 16))
+          TBLPROPERTIES('key_col'='k', 'zone_cols'='bucket',
+            '${TableFormat.DeleteModeProp}'='merge-on-read')""")
+        Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("q172_src")
+        // generated columns OMITTED: the writer computes them
+        s.sql(s"INSERT INTO graft.`$tbl` (k, cents) " +
+          "SELECT /*+ REPARTITION(4) */ * FROM q172_src")
+        // explicit AND correct: passes the per-row agreement guard
+        s.sql(s"""INSERT INTO graft.`$tbl`
+          SELECT k + (SELECT max(k) FROM q172_src), cents + 5,
+                 (cents + 5) DIV 50 + 1,
+                 (k + (SELECT max(k) FROM q172_src)) % 16
+          FROM q172_src WHERE k % 9 = 4""")
+        // a DV delete keyed BY a generated value (materialized at write,
+        // so the row-level match reads it like any column)
+        s.sql(s"DELETE FROM graft.`$tbl` WHERE fee % 7 = 2")
+      }
+      Parallelism.ensureDefaultParallelism(
+          s.sql(s"""SELECT bucket, count(*) AS n_rows, sum(fee) AS fee_sum,
+            sum(cents) AS cents_sum FROM graft.`$tbl` GROUP BY bucket"""))
+        .orderBy(col("bucket"))
+    },
+
+    // ---- IDENTITY COLUMNS (r15): `GENERATED ALWAYS AS IDENTITY (START
+    // WITH s INCREMENT BY d)` — values assigned writer-side with zero
+    // cross-task coordination (task pid of P assigns next + (i*P+pid)*d:
+    // globally unique by round-robin interleave, gaps allowed — the
+    // SQL-standard contract), the `colid.next` watermark CAS-advances
+    // per commit so concurrent writers refuse instead of colliding. The
+    // entry writes two single-partition batches, so the assigned VALUE
+    // SET is exactly {s + d*i} — deterministic for the oracle however
+    // rows were ordered ----
+    "q173_identity_columns" -> { (s, dir) =>
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
+      val tbl = s"idn_${java.lang.Integer.toHexString(dir.hashCode)}"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Fixtures.once(s, "q173_idn", dir) {
+        val p = new org.apache.hadoop.fs.Path(s"$wh/$tbl")
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        s.sql(s"""CREATE TABLE graft.`$tbl` (
+          id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1000 INCREMENT BY 7),
+          ck BIGINT, cents BIGINT)
+          TBLPROPERTIES('key_col'='id')""")
+        Tables.orders(s, dir).select(col("o_custkey").as("ck"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("q173_src")
+        s.sql(s"INSERT INTO graft.`$tbl` (ck, cents) " +
+          "SELECT /*+ REPARTITION(1) */ ck, cents FROM q173_src " +
+          "WHERE cents % 3 = 1")                               // batch 1
+        s.sql(s"INSERT INTO graft.`$tbl` (ck, cents) " +
+          "SELECT /*+ REPARTITION(1) */ ck, cents FROM q173_src " +
+          "WHERE cents % 5 = 2")                               // batch 2
+      }
+      // the id SET is deterministic (the pairing with ck/cents is not):
+      // project ids alone, plus set-level invariants of the whole table
+      Parallelism.ensureDefaultParallelism(
+        s.sql(s"SELECT id FROM graft.`$tbl`")).orderBy(col("id"))
+    },
+
     "q157_maintenance_tick" -> { (s, dir) =>
       val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/q104_wh"
       val tbl = s"mtk_${java.lang.Integer.toHexString(dir.hashCode)}"
@@ -10368,6 +10449,37 @@ object SparkEntry {
          SELECT flag, ck % 10 AS grp, count(*) AS n_rows,
            CAST(sum(cents) AS BIGINT) AS total
          FROM f GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // the oracle recomputes the generation expressions and the delete
+    // keyed by one: a writer that failed to compute, computed wrongly,
+    // or let a wrong explicit value through breaks counts and sums
+    "q172_generated_columns" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+         mk AS (SELECT max(k) AS mk FROM o),
+         t AS (SELECT k, cents FROM o
+               UNION ALL
+               SELECT k + mk, cents + 5 FROM o, mk WHERE k % 9 = 4),
+         g AS (SELECT k, cents, cents // 50 + 1 AS fee, k % 16 AS bucket
+               FROM t),
+         f AS (SELECT * FROM g WHERE NOT (fee % 7 = 2))
+         SELECT bucket, count(*) AS n_rows, CAST(sum(fee) AS BIGINT) AS fee_sum,
+           CAST(sum(cents) AS BIGINT) AS cents_sum
+         FROM f GROUP BY 1 ORDER BY 1""",
+
+    // the assigned id SET is exactly {start + step*i, i < total rows}
+    // for single-partition batches (the interleave collapses to
+    // consecutive ordinals and the watermark carries across commits):
+    // the oracle regenerates it from the two batch counts — duplicate
+    // assignment, a stale watermark, or a wrong step all break the set
+    "q173_identity_columns" ->
+      """WITH o AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+             FROM orders),
+         b AS (SELECT cents FROM o WHERE cents % 3 = 1
+               UNION ALL
+               SELECT cents FROM o WHERE cents % 5 = 2)
+         SELECT 1000 + 7 * (row_number() OVER () - 1) AS id
+         FROM b ORDER BY id""",
 
     // the paired images replay the UPDATE arithmetic: every k%811=17
     // row pairs its pre-image cents with pre+1000000 — the Spark side

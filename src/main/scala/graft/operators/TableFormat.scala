@@ -1220,16 +1220,19 @@ object TableFormat {
     * single source of truth). Other metadata (comments) survives. */
   def stripDefaultMetadata(schema: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType = {
-    import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+    import org.apache.spark.sql.catalyst.util.{GeneratedColumn, IdentityColumn, ResolveDefaultColumns}
+    val keys = Seq(
+      ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY,
+      ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY,
+      GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY,
+      IdentityColumn.IDENTITY_INFO_START,
+      IdentityColumn.IDENTITY_INFO_STEP,
+      IdentityColumn.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT)
     org.apache.spark.sql.types.StructType(schema.fields.map { f =>
-      if (!f.metadata.contains(
-            ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY) &&
-          !f.metadata.contains(
-            ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY)) f
-      else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-        .withMetadata(f.metadata)
-        .remove(ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY)
-        .remove(ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY)
+      if (!keys.exists(f.metadata.contains)) f
+      else f.copy(metadata = keys.foldLeft(
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata))(_.remove(_))
         .build())
     })
   }
@@ -1794,11 +1797,24 @@ object TableFormat {
     * pass per commit, short-circuited at the first violation. */
   private def checkConstraints(spark: SparkSession, snap: Snapshot,
                                batch: DataFrame, caller: String): Unit =
-    snap.props.foreach { case (k, sql) if k.startsWith(ConstraintPrefix) =>
-      val bad = batch.filter(!coalesce(expr(sql), lit(true))).limit(1).count()
-      if (bad > 0) throw new IllegalArgumentException(
-        s"$caller: CHECK constraint '${k.stripPrefix(ConstraintPrefix)}' " +
-          s"($sql) violated by the batch — commit refused")
+    snap.props.foreach {
+      case (k, sql) if k.startsWith(ConstraintPrefix) =>
+        val bad = batch.filter(!coalesce(expr(sql), lit(true))).limit(1).count()
+        if (bad > 0) throw new IllegalArgumentException(
+          s"$caller: CHECK constraint '${k.stripPrefix(ConstraintPrefix)}' " +
+            s"($sql) violated by the batch — commit refused")
+      case (k, sql) if k.startsWith("colgen.") =>
+        // GENERATED ALWAYS AS is an implicit CHECK at every row-adding
+        // edge: files that disagree with the generation expression can
+        // never land, whichever write path produced them (the SQL
+        // writer computes the column; this guards the library path)
+        val c = k.stripPrefix("colgen.")
+        if (batch.columns.contains(c)) {
+          val bad = batch.filter(!(col(c) <=> expr(sql))).limit(1).count()
+          if (bad > 0) throw new IllegalArgumentException(
+            s"$caller: generated column '$c' disagrees with its " +
+              s"generation expression ($sql) in the batch — commit refused")
+        }
       case _ => ()
     }
 
@@ -1933,7 +1949,9 @@ object TableFormat {
 
   def appendFiles(spark: SparkSession, root: String, files: Seq[String],
                   extraProps: Map[String, String] = Map.empty,
-                  filesSorted: Boolean = false): Snapshot = {
+                  filesSorted: Boolean = false,
+                  propCas: Map[String, (Option[String], String)] = Map.empty)
+      : Snapshot = {
     val first = snapshot(spark, root)
     val stats0 = fileStats(spark, files, first.keyCol, first.numBits,
       first.numHashes, first.zoneCols,
@@ -1951,8 +1969,20 @@ object TableFormat {
           spark.read.parquet(files: _*), "appendFiles")
         (cur.files ++ stats).sortBy(_.file)
       },
-      deriveProps = curOpt =>
-        curOpt.map(_.props).getOrElse(Map.empty) ++ extraProps,
+      deriveProps = { curOpt =>
+        val base = curOpt.map(_.props).getOrElse(Map.empty)
+        // compare-and-set properties (the identity watermark): a
+        // concurrent writer that moved one refuses THIS commit loudly —
+        // its assignments were drawn from the stale value
+        propCas.foreach { case (k, (expected, _)) =>
+          val now = base.get(k)
+          if (now != expected) throw new IllegalStateException(
+            s"appendFiles: property '$k' moved concurrently " +
+              s"($now != $expected) at $root — the write's assignments " +
+              "are stale; re-run the statement")
+        }
+        base ++ extraProps ++ propCas.map { case (k, (_, v)) => k -> v }
+      },
       deriveSchema = curOpt => Some(evolveSchema(
         curOpt.flatMap(_.schemaDdl)
           .map(org.apache.spark.sql.types.StructType.fromDDL)

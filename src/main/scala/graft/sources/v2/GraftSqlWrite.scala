@@ -86,6 +86,32 @@ private[v2] class GraftSqlWriteBuilder(root: String, schema: StructType,
     s"graft SQL write: ${GraftSqlWrite.SortOrderProp} column '$c' missing " +
       s"from the written schema ${schema.fieldNames.mkString(",")}"))
 
+  // GENERATED/IDENTITY ledgers (GraftGenerated): resolved once at plan
+  // time against the WRITE schema; empty for the overwhelmingly common
+  // plain table
+  private lazy val ledgerProps: Map[String, String] = {
+    val spark = SparkSession.active
+    if (TableFormat.versions(spark, root).isEmpty) Map.empty
+    else TableFormat.snapshot(spark, root).props
+  }
+  private lazy val writeGenExprs =
+    GraftGenerated.boundGenerated(SparkSession.active, schema, ledgerProps)
+  private lazy val writeIdAssigns =
+    GraftGenerated.identityAssigns(schema, ledgerProps)
+
+  private def requirePlainAppendForIdentity(): Unit =
+    require(writeIdAssigns.isEmpty ||
+      (!doTruncate && replaceRange.isEmpty && !dynamicParts),
+      "graft SQL write: INSERT OVERWRITE/truncate on a table with an " +
+        "identity column is not supported (the watermark advance is " +
+        "append-only) — write to a fresh table instead")
+
+  private def requireNoLedgerForStreaming(): Unit =
+    require(writeGenExprs.isEmpty && writeIdAssigns.isEmpty,
+      "graft SQL write: streaming writes to a table with generated or " +
+        "identity columns are not supported — compute the columns in " +
+        "the stream and target a plain table")
+
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
   override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter])
@@ -127,20 +153,30 @@ private[v2] class GraftSqlWriteBuilder(root: String, schema: StructType,
         override def requiredDistribution(): Distribution =
           Distributions.ordered(orders)
         override def requiredOrdering(): Array[SortOrder] = orders
-        override def toBatch: BatchWrite =
+        override def toBatch: BatchWrite = {
+          requirePlainAppendForIdentity()
           new GraftSqlBatchWrite(root, schema, queryId, doTruncate, Seq.empty,
-            targetFileBytes, replaceRange, dynamicParts)
-        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            targetFileBytes, replaceRange, dynamicParts,
+            genExprs = writeGenExprs, idAssigns = writeIdAssigns)
+        }
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          requireNoLedgerForStreaming()
           new GraftSqlStreamingWrite(root, schema, queryId, lineage, Seq.empty,
             targetFileBytes)
+        }
       }
     case None => new Write {
-      override def toBatch: BatchWrite =
+      override def toBatch: BatchWrite = {
+        requirePlainAppendForIdentity()
         new GraftSqlBatchWrite(root, schema, queryId, doTruncate, Seq.empty,
-          targetFileBytes, replaceRange, dynamicParts)
-      override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          targetFileBytes, replaceRange, dynamicParts,
+          genExprs = writeGenExprs, idAssigns = writeIdAssigns)
+      }
+      override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+        requireNoLedgerForStreaming()
         new GraftSqlStreamingWrite(root, schema, queryId, lineage, Seq.empty,
           targetFileBytes)
+      }
     }
     case Some(spec) =>
       // SQL writes HONOR the declared partition spec through Spark's own
@@ -203,12 +239,16 @@ private[v2] class GraftSqlWriteBuilder(root: String, schema: StructType,
           // commit records as FileStat.sorted (sort-free SPJ evidence);
           // a declared write.sort-order reorders by OTHER columns, so
           // the marker stays off
-          new GraftSqlBatchWrite(root, schema, queryId, doTruncate, terms,
-            targetFileBytes, replaceRange, dynamicParts,
-            specSorted = sortOrder.isEmpty)
-        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          { requirePlainAppendForIdentity()
+            new GraftSqlBatchWrite(root, schema, queryId, doTruncate, terms,
+              targetFileBytes, replaceRange, dynamicParts,
+              specSorted = sortOrder.isEmpty,
+              genExprs = writeGenExprs, idAssigns = writeIdAssigns) }
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          requireNoLedgerForStreaming()
           new GraftSqlStreamingWrite(root, schema, queryId, lineage, terms,
             targetFileBytes)
+        }
       }
   }
 }
@@ -286,7 +326,9 @@ private class GraftSqlBatchWrite(root: String, schema: StructType,
                                  targetFileBytes: Long,
                                  replaceRange: Option[(String, Long, Long)] = None,
                                  dynamicParts: Boolean = false,
-                                 specSorted: Boolean = false)
+                                 specSorted: Boolean = false,
+                                 genExprs: Seq[(Int, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty,
+                                 idAssigns: Seq[GraftGenerated.IdentityAssign] = Seq.empty)
     extends BatchWrite {
 
   // one data dir per write attempt: abort can sweep it wholesale, and a
@@ -294,16 +336,40 @@ private class GraftSqlBatchWrite(root: String, schema: StructType,
   private val dataDir =
     s"$root/data/sql-$queryId-${java.util.UUID.randomUUID().toString}"
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftSqlWriterFactory(dataDir, schema, specTerms,
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val base = new GraftSqlWriterFactory(dataDir, schema, specTerms,
       new SerializableHadoopConf(
         SparkSession.active.sessionState.newHadoopConf()), targetFileBytes)
+    if (genExprs.isEmpty && idAssigns.isEmpty) base
+    else new GraftGeneratingWriterFactory(base, schema, genExprs, idAssigns,
+      info.numPartitions())
+  }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  override def commit(rawMessages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
+    // identity tasks wrap their message with the max assigned ordinal
+    val messages = rawMessages.map {
+      case GraftIdentityMessage(m, _) => m
+      case m => m
+    }
+    val maxOrdinal = rawMessages.collect {
+      case GraftIdentityMessage(_, mo) => mo
+    }.foldLeft(-1L)(math.max)
     val files = messages.collect {
       case GraftSqlWriteMessage(fs, n) if n > 0 => fs
     }.flatten.toSeq.sorted
+    // advance each identity watermark past the batch's assignments,
+    // CAS-checked against the value the plan read: a concurrent
+    // identity writer that committed first makes THIS commit refuse
+    // (its values were drawn from a stale range and could collide)
+    val idCas: Map[String, (Option[String], String)] =
+      if (idAssigns.isEmpty || maxOrdinal < 0) Map.empty
+      else idAssigns.map { a =>
+        val c = schema.fields(a.fieldIndex).name
+        (GraftGenerated.ColIdNextPrefix + c,
+          (Some(a.next.toString),
+            (a.next + (maxOrdinal + 1) * a.step).toString))
+      }.toMap
     if (dynamicParts)
       // replace exactly the partition values present in the batch
       TableFormat.overwritePartitionsDynamic(spark, root, files,
@@ -322,7 +388,7 @@ private class GraftSqlBatchWrite(root: String, schema: StructType,
         if (truncate) TableFormat.overwriteFiles(spark, root, files,
           filesSorted = specSorted)
         else if (files.nonEmpty) TableFormat.appendFiles(spark, root, files,
-          filesSorted = specSorted)
+          filesSorted = specSorted, propCas = idCas)
         // plain INSERT of zero rows: nothing to commit, table unchanged
     }
   }

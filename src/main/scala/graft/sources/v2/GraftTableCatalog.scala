@@ -68,9 +68,12 @@ class GraftTableCatalog extends TableCatalog
     * as schema metadata — INSERT gap-fill and old-file back-fill then
     * ride Spark's own machinery. */
   override def capabilities()
-      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] = {
+    import org.apache.spark.sql.connector.catalog.TableCatalogCapability._
+    java.util.EnumSet.of(SUPPORT_COLUMN_DEFAULT_VALUE,
+      SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+  }
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -410,6 +413,44 @@ class GraftTableCatalog extends TableCatalog
     }.mkString(", "))
   }
 
+  /** The non-deprecated CREATE entry point: Spark hands GENERATED /
+    * IDENTITY declarations only on the `Column` objects (the back-compat
+    * StructType conversion keeps defaults but DROPS them), so this
+    * override re-attaches them as the metadata keys the schema-based
+    * path below persists into the ledgers. */
+  override def createTable(ident: Identifier,
+                           columns: Array[org.apache.spark.sql.connector.catalog.Column],
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): Table = {
+    val enriched = StructType(columns.map { c =>
+      var mb = new org.apache.spark.sql.types.MetadataBuilder()
+      Option(c.metadataInJSON()).filter(_.nonEmpty).foreach(j =>
+        mb = mb.withMetadata(
+          org.apache.spark.sql.types.Metadata.fromJson(j)))
+      Option(c.comment()).foreach(cm => mb = mb.putString("comment", cm))
+      Option(c.defaultValue()).foreach { dv =>
+        import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns._
+        val lit = org.apache.spark.sql.catalyst.expressions.Literal(
+          dv.getValue.value(), dv.getValue.dataType())
+        mb = mb.putString(CURRENT_DEFAULT_COLUMN_METADATA_KEY,
+            Option(dv.getSql).getOrElse(lit.sql))
+          .putString(EXISTS_DEFAULT_COLUMN_METADATA_KEY, lit.sql)
+      }
+      Option(c.generationExpression()).filter(_.nonEmpty).foreach(g =>
+        mb = mb.putString(org.apache.spark.sql.catalyst.util.GeneratedColumn
+          .GENERATION_EXPRESSION_METADATA_KEY, g))
+      Option(c.identityColumnSpec()).foreach { spec =>
+        import org.apache.spark.sql.catalyst.util.IdentityColumn
+        mb = mb.putLong(IdentityColumn.IDENTITY_INFO_START, spec.getStart)
+          .putLong(IdentityColumn.IDENTITY_INFO_STEP, spec.getStep)
+          .putBoolean(IdentityColumn.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT,
+            spec.isAllowExplicitInsert)
+      }
+      StructField(c.name(), c.dataType(), c.nullable(), mb.build())
+    })
+    createTable(ident, enriched, partitions, properties)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: JMap[String, String]): Table = {
@@ -467,12 +508,35 @@ class GraftTableCatalog extends TableCatalog
         else Seq.empty
       cur ++ exist
     }.toMap
+    // GENERATED / IDENTITY declarations (the write edge enforces them;
+    // GraftGenerated has the contract): persist the ledgers, refuse
+    // shapes the writer cannot honor
+    val genProps = schema.fields.flatMap { f =>
+      org.apache.spark.sql.catalyst.util.GeneratedColumn
+        .getGenerationExpression(f).map { sql =>
+          GraftGenerated.ColGenPrefix + f.name -> sql
+        }
+    }.toMap
+    val idProps = schema.fields.flatMap { f =>
+      org.apache.spark.sql.catalyst.util.IdentityColumn.getIdentityInfo(f)
+        .map { spec =>
+          require(f.dataType == LongType || f.dataType == IntegerType,
+            s"graft catalog: identity column '${f.name}' must be BIGINT " +
+              s"or INT (got ${f.dataType.simpleString})")
+          require(spec.getStep != 0,
+            s"graft catalog: identity column '${f.name}' needs a non-zero " +
+              "step")
+          Seq(GraftGenerated.ColIdPrefix + f.name ->
+              s"${spec.getStart},${spec.getStep},${spec.isAllowExplicitInsert}",
+            GraftGenerated.ColIdNextPrefix + f.name -> spec.getStart.toString)
+        }.getOrElse(Seq.empty)
+    }.toMap
     TableFormat.createEmpty(spark, root, keyCol,
       TableFormat.stripDefaultMetadata(schema).toDDL,
       numBits = props.get("num_bits").map(_.toInt).getOrElse(1 << 14),
       numHashes = props.get("num_hashes").map(_.toInt).getOrElse(5),
       zoneCols = zoneCols,
-      props = carried ++ defaultProps ++
+      props = carried ++ defaultProps ++ genProps ++ idProps ++
         spec.map(TableFormat.PartitionSpecProp -> _))
     loadTable(ident)
   }
@@ -546,6 +610,14 @@ class GraftTableCatalog extends TableCatalog
             !sql.matches(s"(?s).*\\b$from\\b.*"),
             s"graft catalog: cannot rename '$from' — constraint '$k' " +
               s"references it ($sql); drop the constraint first")
+          // generation expressions hold raw SQL too: renaming a BASE
+          // column a generated column computes from would break it
+          require(!k.startsWith(GraftGenerated.ColGenPrefix) ||
+            k == GraftGenerated.ColGenPrefix + from ||
+            !sql.matches(s"(?s).*\\b$from\\b.*"),
+            s"graft catalog: cannot rename '$from' — generated column " +
+              s"'${k.stripPrefix(GraftGenerated.ColGenPrefix)}' computes " +
+              s"from it ($sql)")
         }
         renames += ((from, to))
       case r: TableChange.RenameColumn =>
@@ -558,6 +630,14 @@ class GraftTableCatalog extends TableCatalog
           s"graft catalog: no column '$c' to drop")
         require(baseSchema.fields.length > 1,
           s"graft catalog: cannot drop the last column '$c'")
+        first.props.foreach { case (k, sql) =>
+          require(!k.startsWith(GraftGenerated.ColGenPrefix) ||
+            k == GraftGenerated.ColGenPrefix + c ||
+            !sql.matches(s"(?s).*\\b$c\\b.*"),
+            s"graft catalog: cannot drop '$c' — generated column " +
+              s"'${k.stripPrefix(GraftGenerated.ColGenPrefix)}' computes " +
+              s"from it ($sql); drop the generated column first")
+        }
         drops += c
       case d: TableChange.DeleteColumn =>
         throw new UnsupportedOperationException(
@@ -725,10 +805,13 @@ class GraftTableCatalog extends TableCatalog
           p = p - s"colmap.$from" +
             (s"colmap.$to" -> newHist) + (s"coldead.$from" -> v.toString)
           if (p.contains(s"coldead.$to")) p += (s"colborn.$to" -> v.toString)
-          // the default ledger follows the rename (declarations are
-          // per-LOGICAL-column)
+          // the default/generated/identity ledgers follow the rename
+          // (declarations are per-LOGICAL-column)
           Seq(TableFormat.ColDefaultCurPrefix,
-              TableFormat.ColDefaultExistPrefix).foreach { pre =>
+              TableFormat.ColDefaultExistPrefix,
+              GraftGenerated.ColGenPrefix,
+              GraftGenerated.ColIdNextPrefix,
+              GraftGenerated.ColIdPrefix).foreach { pre =>
             p.get(pre + from).foreach { d =>
               p = p - (pre + from) + (pre + to -> d)
             }
@@ -741,7 +824,10 @@ class GraftTableCatalog extends TableCatalog
           names.foreach(n => p += (s"coldead.$n" -> v.toString))
           p -= s"colmap.$d"
           p = p - (TableFormat.ColDefaultCurPrefix + d) -
-            (TableFormat.ColDefaultExistPrefix + d)
+            (TableFormat.ColDefaultExistPrefix + d) -
+            (GraftGenerated.ColGenPrefix + d) -
+            (GraftGenerated.ColIdPrefix + d) -
+            (GraftGenerated.ColIdNextPrefix + d)
         }
         defaultAdds.foreach { case (n, cur, exist) =>
           p += (TableFormat.ColDefaultCurPrefix + n -> cur)
@@ -998,6 +1084,21 @@ private class GraftSqlTable(ident: String, root: String,
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     () => {
       import org.apache.spark.sql.connector.write.RowLevelOperation.Command._
+      // generated columns would need RECOMPUTATION when a base column
+      // changes, and MERGE inserts would need identity assignment —
+      // neither row-level write path carries the generating writer, so
+      // refuse rather than corrupt (DELETE only removes rows: fine)
+      if (info.command() != DELETE) {
+        require(!GraftGenerated.hasGenerated(snap.props),
+          s"graft catalog: ${info.command()} on a table with generated " +
+            "columns is not supported — generated values would not " +
+            "recompute; rewrite via INSERT OVERWRITE of a SELECT")
+        require(info.command() != MERGE ||
+            !GraftGenerated.hasIdentity(snap.props),
+          "graft catalog: MERGE into a table with an identity column is " +
+            "not supported — inserted rows would bypass identity " +
+            "assignment; INSERT the new rows instead")
+      }
       val modeProp = info.command() match {
         case UPDATE => TableFormat.UpdateModeProp
         case MERGE => TableFormat.MergeModeProp
