@@ -93,7 +93,14 @@ object Bpe {
         case None => exhausted = true
         case Some(Row(a: String, b: String, pf: Long)) =>
           merges += Merge(r, a, b, pf)
-          words = applyMerge(words, a, b).localCheckpoint()
+          // apply the merge ROW-LOCAL ([[segmentLocal]]'s path — spec-pinned
+          // equal to the window algebra): per-word application is a pure
+          // function, so the windowed form's per-round exchange + sort
+          // tower + join + re-agg over symbol-level rows buys nothing here.
+          // [[applyMerge]] remains the cross-engine-replayable reference
+          // semantics (the oracle's unrolled CTEs mirror it; [[segment]]
+          // still runs it). (guide §2.4: remove shuffles outright)
+          words = segmentLocal(words, Seq((a, b))).localCheckpoint()
           r += 1
         case Some(other) =>
           throw new IllegalStateException(s"unexpected pair row: $other")

@@ -436,10 +436,15 @@ object Dedup {
     // localCheckpoint preserves outputPartitioning on the LogicalRDD, so
     // every round's label join reuses it and only the (small) label side
     // moves — without this the static edge side re-shuffles every round
+    // repartition FIRST, dedup second: hash(dst) satisfies the (src, dst)
+    // aggregate's clustering (dst ⊆ keys), so dropDuplicates runs
+    // partition-local on the already-exchanged rows — one edge shuffle for
+    // the whole setup instead of distinct's plus repartition's (guide §2.4:
+    // two operations keyed compatibly share one exchange)
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct()
       .repartition(col("dst"))
+      .dropDuplicates("src", "dst")
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
@@ -501,9 +506,12 @@ object Dedup {
     // that is the full shingle/minhash/band chain — the dominant cost)
     val raw = pairs.select(col(idA).as("u"), col(idB).as("v")).localCheckpoint()
     // every node that appears anywhere keeps a label even if its only pair
-    // is a self-pair (dropped from the edge work below as a no-op edge)
+    // is a self-pair (dropped from the edge work below as a no-op edge).
+    // NOT checkpointed: its single consumer is the final labeling join, and
+    // it reads the already-checkpointed `raw` blocks — an eager
+    // materialization here paid one extra setup pass for nothing
     val nodes = raw.select(col("u").as("id"))
-      .union(raw.select(col("v").as("id"))).distinct().localCheckpoint()
+      .union(raw.select(col("v").as("id"))).distinct()
     // Every round's edge set keeps the INVARIANT u > v (established by the
     // initial orientation below, preserved by both stars' emissions). That
     // invariant is what lets each star body run with a single distinct: the
@@ -716,11 +724,21 @@ object Dedup {
     * below every constant split of the same budget). Driver cost: one
     * candidate-grid-sized local job (≤ ~50 rows at budget 16). */
   def selectLshSplit(spark: org.apache.spark.sql.SparkSession,
-                     threshold: Double, maxSignature: Int = 16): (Int, Int) = {
-    val r = lshParameterSweep(spark, threshold, maxSignature)
-      .limit(1).collect()(0)
-    (r.getAs[Int]("n_bands"), r.getAs[Int]("n_rows"))
-  }
+                     threshold: Double, maxSignature: Int = 16): (Int, Int) =
+    // memoized: the sweep is a PURE function of (threshold, budget) — no
+    // data is touched — yet every caller (the pipeline entries run it per
+    // invocation) paid a driver collect round for the identical one-row
+    // answer. First call still computes through the engine plan (the d15
+    // sweep documents the choice); repeats are a map lookup. (guide §1.2:
+    // don't compute things you throw away — here, re-compute)
+    lshSplitMemo.computeIfAbsent((threshold, maxSignature), _ => {
+      val r = lshParameterSweep(spark, threshold, maxSignature)
+        .limit(1).collect()(0)
+      (r.getAs[Int]("n_bands"), r.getAs[Int]("n_rows"))
+    })
+
+  private val lshSplitMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Double, Int), (Int, Int)]
 
   /** Duplicate-span REMOVAL — the corrective half of [[dupSpans]] (Lee et
     * al. cut the repeated spans out of the corpus, they don't just count
@@ -793,17 +811,21 @@ object Dedup {
       .select(col("doc_id"), size(col("_toks")).as("n_tokens"), col("_toks"))
     // hash the grams INSIDE the enumeration so the exploded rows carry the
     // 128-bit digest, never the token array or the gram text
-    val pos = base.select(col("doc_id"), posexplode(
+    // materialized once: the gram-hash kernel (the dominant per-doc cost)
+    // feeds BOTH the repeated-set aggregate and the probe side of the
+    // semi-join — the [[removeDupSpans]]/[[minhashLsh]] trade (guide §5)
+    val pos = materialized(base.select(col("doc_id"), posexplode(
         when(col("n_tokens") >= n,
           transform(sequence(lit(1), col("n_tokens") - (n - 1)),
             p => md5(concat_ws(" ", slice(col("_toks"), p, lit(n))))))
           .otherwise(array().cast("array<string>"))).as(Seq("p0", "h")))
-      .select(col("doc_id"), (col("p0") + 1).as("p"), col("h"))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("h")))
     val repeated = pos.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("_df"))
       .filter(col("_df") >= minDocs)
       .select(col("h"))
-    val dupPos = pos.join(repeated, Seq("h"), "left_semi")
+    // dup-position-sized (repeated grams only); feeds spans AND covered
+    val dupPos = materialized(pos.join(repeated, Seq("h"), "left_semi"))
     val spans = dupPos.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("dup_spans"))
     val covered = dupPos

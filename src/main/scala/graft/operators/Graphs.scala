@@ -88,11 +88,18 @@ object Graphs {
     * per-node count explodes each found triangle into its three corners
     * and map-side-combines: triangle-count-sized, never wedge-sized. */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // materialized once: the canonical edge set feeds THREE legs of the
+    // wedge-close plan (e1/e2/e3) and Catalyst does not reuse the exchange
+    // across differently-keyed joins — without this the entire upstream
+    // edge derivation (for q78, a fact-scale self-join + support aggregate)
+    // re-executes per leg (guide §5; the edge set is the sparse graph,
+    // bounded far below the fact it came from)
     val e = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") < col("b"))
       .distinct()
+      .localCheckpoint(false)
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))

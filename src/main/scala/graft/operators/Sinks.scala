@@ -25,7 +25,15 @@ object Sinks {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
       val partitioned = df.withColumn("__month", date_format(col(dateCol), "yyyy-MM"))
-      partitioned.write
+      // hash-distribute by the partition value before the partitioned write
+      // (Iceberg's write.distribution-mode=hash): without it every scan
+      // task holding rows of a month opens its own file in that month's
+      // directory — tasks x months files of a few KB each, the small-file
+      // problem twice over at read time. One row-hash shuffle buys one
+      // file per month. (guide §6: output file sizing; AQE may still split
+      // a giant month across tasks, which is the correct large-scale
+      // behavior.)
+      partitioned.repartition(col("__month")).write
         .mode(SaveMode.Overwrite)
         .partitionBy("__month")
         .parquet(path)

@@ -54,6 +54,24 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Build the sketch from PRE-AGGREGATED (key, count) rows — bit-identical
+    * to [[countMinBuild]] over the raw occurrences (sum of per-key counts
+    * per bucket == count of occurrence rows per bucket), but the corpus
+    * explode/shuffle happens once upstream: a caller that already holds the
+    * exact per-key table (or any partial aggregate of it) derives the
+    * sketch from vocabulary-sized input instead of re-scanning occurrences
+    * (guide §2.3: aggregate before you shuffle). */
+  def countMinBuildWeighted(counts: DataFrame, keyCol: String, freqCol: String,
+                            width: Int, depth: Int): DataFrame = {
+    require(width >= 1 && depth >= 1, s"need width, depth >= 1: got $width, $depth")
+    counts
+      .filter(col(keyCol).isNotNull)
+      .select(col(freqCol).cast("long").as("_w"),
+        bucketed(keyCol, width, depth).as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+      .agg(sum(col("_w")).as("cnt"))
+  }
+
   /** Point-estimate candidate keys against a built sketch: min over the
     * key's depth buckets, absent buckets counting 0. Output:
     * (keyCol, est_freq). The sketch side broadcasts (bounded by

@@ -4026,15 +4026,25 @@ object TableFormat {
             col(prev.keyCol).cast("long") === col("_del_key"), "left_anti")
         }.filter(_ != null)
         if (pairable) {
-          val pre = (grownRows(withIds = true) ++
+          val pre0 = (grownRows(withIds = true) ++
             (if (dropped.isEmpty) Seq.empty
              else Seq(readWithRowIds(spark, snapFor, dropped)
                .withColumnRenamed(IdColName, RID))))
             .reduceOption(_.unionByName(_))
-          val post =
+          val post0 =
             if (added.isEmpty) None
             else Some(readWithRowIds(spark, cur, added)
               .withColumnRenamed(IdColName, RID))
+          // when BOTH images exist each side feeds three plan legs (the
+          // updIds pairing plus its own semi/anti split) — materialize the
+          // bounded changed-row frames once instead of re-running the
+          // per-file masked reads per leg (guide §5; O(changed rows) by
+          // construction, the posture this path already documents)
+          val (pre, post) = (pre0, post0) match {
+            case (Some(p), Some(q)) =>
+              (Some(p.localCheckpoint(false)), Some(q.localCheckpoint(false)))
+            case other => other
+          }
           val updIds = (pre, post) match {
             case (Some(p), Some(q)) =>
               p.select(col(RID)).filter(col(RID).isNotNull)

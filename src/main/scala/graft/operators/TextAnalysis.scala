@@ -275,8 +275,14 @@ object TextAnalysis {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val lineArr = filter(transform(split(col(textCol), "\n"), l => trim(l)),
       l => length(l) > 0)
-    val hashes = df
-      .select(col(idCol), posexplode(lineArr))
+    // staged ONCE: the line-array derivation (and, for derived corpora, the
+    // whole upstream text synthesis) otherwise runs twice — once under the
+    // hash explode and again for the reassembly leg; same materialize-the-
+    // shared-input trade as minhashLsh's shingle sets (guide §5)
+    val staged = df.select(col(idCol), lineArr.as("_lines"))
+      .localCheckpoint(false)
+    val hashes = staged
+      .select(col(idCol), posexplode(col("_lines")))
       .select(col(idCol), col("pos").as("_line_no"), md5(col("col")).as("_h"))
     val docFreq = hashes.groupBy(col("_h"))
       .agg(countDistinct(col(idCol)).as("_df"))
@@ -287,7 +293,7 @@ object TextAnalysis {
         sum(when(col("_boiler"), 1).otherwise(0)).cast("int").as("n_removed"),
         array_sort(collect_list(when(!col("_boiler"), col("_line_no"))))
           .as("_kept"))
-    df.select(col(idCol), lineArr.as("_lines"))
+    staged
       .join(perDoc, Seq(idCol), "left_outer")
       .select(col(idCol),
         coalesce(col("n_lines"), lit(0)).as("n_lines"),
