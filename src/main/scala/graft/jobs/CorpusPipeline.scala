@@ -111,8 +111,12 @@ object CorpusPipeline {
   def dropProvenance(docs: DataFrame, idCol: String, textCol: String,
                      minQuality: Double = 0.7,
                      jaccardThreshold: Double = 0.5): DataFrame = {
+    // materialized once: `tagged` feeds the gate -> exact-dedup chain AND
+    // the final verdict projection — without this the langid + quality
+    // kernels (the dominant row-local cost) run twice per audit (guide §5)
     val tagged = TextAnalysis.qualitySignals(docs, textCol)
       .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
+      .localCheckpoint(false)
     val gated = tagged.filter(
       col("lang_pred") =!= "und" && col("quality_score") >= minQuality)
     val exactKept = gated

@@ -51,8 +51,16 @@ object SyncTransactions {
         when(col("AccDispName") =!= "", col("AccDispName")).otherwise(col("_acct_name")))
       .drop("_acct_name")
     // A7 merchant count as count+broadcast-join (merchants are dim-like; the
-    // window form would sort the whole batch by merchant id)
-    Windows.groupCountJoin(named.drop("MrchntTranCount"), "MrchntID", "MrchntTranCount")
+    // window form would sort the whole batch by merchant id).
+    // The batch is materialized once first: groupCountJoin reads its input
+    // TWICE (the count aggregate and the probe side share no exchange
+    // Catalyst could reuse), and this input is the whole flatten + scrub +
+    // enrich chain — without the checkpoint every sync leg ran that chain
+    // twice (guide §5; the flattened batch is exactly what the merge
+    // union consumes anyway)
+    Windows.groupCountJoin(
+      named.drop("MrchntTranCount").localCheckpoint(false),
+      "MrchntID", "MrchntTranCount")
   }
 
   /** Full sync step: merge the flattened fresh batch over the existing table

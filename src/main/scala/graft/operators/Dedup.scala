@@ -449,11 +449,20 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint()
+    // DELTA propagation: only nodes whose label CHANGED last round need to
+    // re-notify their neighbors — if neighbor v is unchanged since round j,
+    // every u adjacent to v already folded label(v) in round j+1, so v's
+    // re-notification is a no-op (inductively the per-round label states
+    // are IDENTICAL to full propagation, not just the fixpoint). Round 1
+    // is full-volume; later rounds' join output shrinks toward zero, so
+    // the per-round shuffle is O(frontier), not O(edges). (guide §2.3:
+    // shuffle fewer bytes)
+    var changed = labels
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val neighborLabels = edges
-        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .join(changed.select(col("id").as("dst"), col("label")), "dst")
         .select(col("src").as("id"), col("label"))
       // the previous label rides through the aggregation (own row carries
       // it, neighbor rows carry null, max ignores nulls), so convergence is
@@ -463,7 +472,8 @@ object Dedup {
           labels.schema("label").dataType)))
         .groupBy("id").agg(min("label").as("label"), max("_prev").as("_prev"))
         .localCheckpoint()
-      converged = next.filter(col("label") =!= col("_prev")).isEmpty
+      changed = next.filter(col("label") =!= col("_prev")).select("id", "label")
+      converged = changed.isEmpty
       labels = next.select("id", "label")
       iter += 1
     }
@@ -529,8 +539,13 @@ object Dedup {
         .select(col("v").as("u"), col("_m").as("v"))
     }
     def smallStar(e: DataFrame): DataFrame = {
+      // materialized once: both union legs read the windowed frame, and
+      // while ReuseExchange dedups the exchange, the Sort + Window tower
+      // itself would run per leg — one checkpoint halves the round's
+      // window work (guide §5)
       val withM = e.withColumn("_m",
         min(col("v")).over(Window.partitionBy(col("u"))))
+        .localCheckpoint(false)
       withM.filter(col("v") =!= col("_m"))
         .select(col("v").as("u"), col("_m").as("v"))
         .union(withM.select(col("u"), col("_m").as("v")))

@@ -37,11 +37,18 @@ object Graphs {
                srcCol: String, dstCol: String, iterations: Int,
                damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val ids = nodes.select(col(idCol).as("id"))
+    // materialized once: every iteration reads the node set (rank rebuild),
+    // the edge list (contribs) and the out-degree table TWICE (dangling
+    // anti-join + contribs join) — without the checkpoints the upstream
+    // node/edge derivations re-execute 2x per iteration (guide §5; node-
+    // and edge-sized, the iterative-graph posture the CC labelers share)
+    val ids = nodes.select(col(idCol).as("id")).localCheckpoint(false)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(false)
     // one-row broadcast frames keep counts in-plan (no driver collect)
     val n = broadcast(ids.agg(count(lit(1)).cast("double").as("_n")))
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("_deg"))
+      .localCheckpoint(false)
     var ranks = ids.crossJoin(n).select(col("id"), (lit(1.0) / col("_n")).as("rank"))
       .localCheckpoint()
     for (_ <- 1 to iterations) {

@@ -235,11 +235,16 @@ object TextAnalysis {
     require(segmentTokens > 0, s"segmentTokens must be positive, got $segmentTokens")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val toks = tokens(col(textCol))
-    val nSegs = greatest(
-      ceil(size(toks).cast("double") / segmentTokens), lit(1.0)).cast("int")
+    // staged ONCE: the tokenization otherwise runs twice — under the
+    // segment-hash explode and again for the reassembly leg (the
+    // [[removeBoilerplateLines]] trade, guide §5)
+    val staged = df.select(col(idCol), toks.as("_toks"))
+      .localCheckpoint(false)
     // narrow segment stream: id, seg_no, 128-bit unit hash — no text
-    val hashes = df
-      .select(col(idCol), toks.as("_toks"), posexplode(sequence(lit(0), nSegs - 1)))
+    val nSegsT = greatest(
+      ceil(size(col("_toks")).cast("double") / segmentTokens), lit(1.0)).cast("int")
+    val hashes = staged
+      .select(col(idCol), col("_toks"), posexplode(sequence(lit(0), nSegsT - 1)))
       .select(col(idCol), col("pos").as("_seg_no"),
         md5(array_join(slice(col("_toks"), col("pos") * segmentTokens + 1,
           lit(segmentTokens)), " ")).as("_h"))
@@ -252,7 +257,7 @@ object TextAnalysis {
         sum(when(col("_boiler"), 1).otherwise(0)).cast("int").as("n_removed"),
         array_sort(collect_list(when(!col("_boiler"), col("_seg_no"))))
           .as("_kept"))
-    df.select(col(idCol), toks.as("_toks"))
+    staged
       .join(perDoc, idCol)
       .select(col(idCol), col("n_segments"), col("n_removed"),
         md5(array_join(flatten(transform(col("_kept"),
