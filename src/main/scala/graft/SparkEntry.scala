@@ -6838,7 +6838,11 @@ object SparkEntry {
             sum(col("cents")).cast("long").as("sum_cents"))
           .select(lit(pin).as("pin"), lit(ok).as("ok"),
             col("n_rows"), col("sum_cents"))
+      // staged once: the changelog feeds the countDistinct probe (an
+      // eager collect below) AND the output's delete leg — without this
+      // the per-file masked-read changelog plan evaluates twice (guide §5)
       val changes = TableFormat.changesBetween(s, root, 1, 2)
+        .localCheckpoint(false)
       val changesOk = // the delta is deletes only
         changes.select(countDistinct(col("_change"))).collect()(0)
           .getLong(0) == 1L

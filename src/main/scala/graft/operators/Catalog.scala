@@ -114,8 +114,15 @@ object Catalog {
     fs.mkdirs(dir)
     val dst = new org.apache.hadoop.fs.Path(dir, commitName(version))
     if (fs.exists(dst)) return false
-    val tmp = new org.apache.hadoop.fs.Path(dir,
-      s".tmp-$version-${java.util.UUID.randomUUID().toString}")
+    // stage OUTSIDE the log dir: a concurrent versions() listing stats
+    // every entry of the dir after enumerating it, so a tmp file renamed
+    // or deleted mid-listing throws FileNotFoundException in the lister —
+    // a sibling staging dir keeps the listed dir append-only (only
+    // immutable v*.json ever appear there)
+    val tmpDir = new org.apache.hadoop.fs.Path(logDir(croot) + ".tmp")
+    fs.mkdirs(tmpDir)
+    val tmp = new org.apache.hadoop.fs.Path(tmpDir,
+      s"$version-${java.util.UUID.randomUUID().toString}")
     val out = fs.create(tmp, true)
     try out.write(render(version, tables)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))

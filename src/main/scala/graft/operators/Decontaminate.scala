@@ -81,16 +81,25 @@ object Decontaminate {
                             nearPairs: DataFrame,
                             maxBucketSize: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // staged once: the split table feeds FOUR join sides (id_a/id_b of
+    // both the exact and near legs), each of which otherwise re-scans the
+    // corpus and re-runs the assignment kernel (guide §5 — reuse beats
+    // recompute for a doc-count × 2-column frame)
     val splits = Sampling.assignSplit(docs, idCol, weights)
       .select(col(idCol).as("_sid"), col("split"))
+      .localCheckpoint(false)
     def attach(pairs: DataFrame): DataFrame = pairs
       .join(splits.select(col("_sid").as("id_a"), col("split").as("split_a")), "id_a")
       .join(splits.select(col("_sid").as("id_b"), col("split").as("split_b")), "id_b")
       .filter(col("split_a") =!= col("split_b"))
+    // staged once: both sides of the exact self-join read this frame, and
+    // while ReuseExchange dedups the hash(_h) exchange, the Sort + Window
+    // bucket-cap tower above it would run per leg (the smallStar lesson)
     val hashed = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), md5(col(textCol)).as("_h"))
       .withColumn("_sz", count(lit(1)).over(Window.partitionBy(col("_h"))))
       .filter(col("_sz") <= maxBucketSize).drop("_sz")
+      .localCheckpoint(false)
     val exact = attach(
       hashed.select(col("_h"), col(idCol).as("id_a"))
         .join(hashed.select(col("_h"), col(idCol).as("id_b")), "_h")

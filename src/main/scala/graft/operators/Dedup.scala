@@ -539,16 +539,22 @@ object Dedup {
         .select(col("v").as("u"), col("_m").as("v"))
     }
     def smallStar(e: DataFrame): DataFrame = {
-      // materialized once: both union legs read the windowed frame, and
-      // while ReuseExchange dedups the exchange, the Sort + Window tower
-      // itself would run per leg — one checkpoint halves the round's
-      // window work (guide §5)
-      val withM = e.withColumn("_m",
-        min(col("v")).over(Window.partitionBy(col("u"))))
-        .localCheckpoint(false)
-      withM.filter(col("v") =!= col("_m"))
-        .select(col("v").as("u"), col("_m").as("v"))
-        .union(withM.select(col("u"), col("_m").as("v")))
+      // both emission legs fold into ONE projection (explode of a
+      // 2-element struct array): per input row, (v, m) when v != m plus
+      // the unconditional (u, m) — the same multiset the two union legs
+      // produced, so the set after filter+distinct is identical. The
+      // Sort + Window tower now has a single consumer, so it evaluates
+      // once per round with NO materialization: round 15's per-round
+      // localCheckpoint here paid a block write the driver measured as a
+      // 26% regression at 32 cores (guide §1.2: the algorithm fix —
+      // don't compute twice — beats caching what you computed twice)
+      e.withColumn("_m", min(col("v")).over(Window.partitionBy(col("u"))))
+        .select(explode(array(
+          when(col("v") =!= col("_m"),
+            struct(col("v").as("u"), col("_m").as("v"))),
+          struct(col("u").as("u"), col("_m").as("v")))).as("_e"))
+        .filter(col("_e").isNotNull)
+        .select(col("_e.u").as("u"), col("_e.v").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
     }
@@ -781,11 +787,16 @@ object Dedup {
           t => length(t) >= 1).as("_toks"))
       .select(col("doc_id"), size(col("_toks")).as("n_tokens"), col("_toks"))
       .localCheckpoint(false) // feeds gram enumeration AND the rebuild
+    // the gram digest crosses every shuffle of this operator as the key:
+    // unhex folds the 32-char hex string to its 16 raw bytes (md5 is a
+    // fixed-width hex alphabet, so unhex is a bijection — grouping and
+    // join equality are unchanged), halving the key bytes on the gram
+    // aggregate and the keeper join (guide §2.3: narrower types)
     val pos = base.select(col("doc_id"), posexplode(
         when(col("n_tokens") >= n,
           transform(sequence(lit(1), col("n_tokens") - (n - 1)),
-            p => md5(concat_ws(" ", slice(col("_toks"), p, lit(n))))))
-          .otherwise(array().cast("array<string>"))).as(Seq("p0", "h")))
+            p => unhex(md5(concat_ws(" ", slice(col("_toks"), p, lit(n)))))))
+          .otherwise(array().cast("array<binary>"))).as(Seq("p0", "h")))
       .select(col("doc_id"), (col("p0") + 1).as("p"), col("h"))
     // per repeated gram: who keeps it (min doc id among >= minDocs holders)
     val keepers = pos.groupBy(col("h"))
@@ -829,11 +840,14 @@ object Dedup {
     // materialized once: the gram-hash kernel (the dominant per-doc cost)
     // feeds BOTH the repeated-set aggregate and the probe side of the
     // semi-join — the [[removeDupSpans]]/[[minhashLsh]] trade (guide §5)
+    // gram digests carried as 16 raw bytes, not 32 hex chars — see the
+    // [[removeDupSpans]] note (unhex is a bijection on md5 output, so the
+    // repeated-set aggregate and the semi-join probe are unchanged)
     val pos = materialized(base.select(col("doc_id"), posexplode(
         when(col("n_tokens") >= n,
           transform(sequence(lit(1), col("n_tokens") - (n - 1)),
-            p => md5(concat_ws(" ", slice(col("_toks"), p, lit(n))))))
-          .otherwise(array().cast("array<string>"))).as(Seq("p0", "h")))
+            p => unhex(md5(concat_ws(" ", slice(col("_toks"), p, lit(n)))))))
+          .otherwise(array().cast("array<binary>"))).as(Seq("p0", "h")))
       .select(col("doc_id"), (col("p0") + 1).as("p"), col("h")))
     val repeated = pos.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("_df"))

@@ -953,8 +953,14 @@ object TableFormat {
     fs.mkdirs(dir)
     val dst = new org.apache.hadoop.fs.Path(dir, commitName(version))
     if (fs.exists(dst)) return false // fast path; the rename below is the gate
-    val tmp = new org.apache.hadoop.fs.Path(dir,
-      s".tmp-$version-${java.util.UUID.randomUUID().toString}")
+    // stage OUTSIDE the log dir (the Catalog.tryCommit rule): versions()
+    // stats every listed entry, and a tmp file renamed/deleted by a racer
+    // mid-listing throws FileNotFoundException in the lister; the sibling
+    // staging dir keeps the listed log append-only
+    val tmpDir = new org.apache.hadoop.fs.Path(logDir(root) + ".tmp")
+    fs.mkdirs(tmpDir)
+    val tmp = new org.apache.hadoop.fs.Path(tmpDir,
+      s"$version-${java.util.UUID.randomUUID().toString}")
     val out = fs.create(tmp, true)
     try out.write(
       renderCommit(version, keyCol, numBits, numHashes, stampedFiles, props,

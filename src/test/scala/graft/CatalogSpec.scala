@@ -85,6 +85,36 @@ class CatalogSpec extends SparkTestBase {
     assert(e.getMessage.contains("stale"))
   }
 
+  test("injected CAS collision: commitTransform re-derives against the winner") {
+    // deterministic twin of the racing test below: the derive callback
+    // publishes a racer's commit BEFORE returning, so this transaction's
+    // first tryCommit finds its version taken and must re-derive — the
+    // exact loser path a thread race only sometimes exercises
+    val croot = freshRoot(); val aRoot = freshRoot(); val bRoot = freshRoot()
+    val a1 = commitKv(aRoot, Seq(1L -> 1.0))
+    val b1 = commitKv(bRoot, Seq(9L -> 9.0))
+    var derives = 0
+    val (v, tables) = Catalog.commitTransform(spark, croot, { cur =>
+      derives += 1
+      if (derives == 1)
+        assert(Catalog.tryCommit(spark, croot, 1L,
+          Map("a" -> Catalog.TableRef(a1.root, a1.version))), "racer must win v1")
+      cur.getOrElse(Map.empty) + ("b" -> Catalog.TableRef(b1.root, b1.version))
+    })
+    assert(derives == 2, s"expected exactly one CAS loss, derived $derives times")
+    assert(v == 2L)
+    assert(tables.keySet == Set("a", "b"))
+    val (_, resolved) = Catalog.resolve(spark, croot)
+    assert(resolved("a").version == 1L && resolved("b").version == 1L)
+    // the listed log dir stays append-only: staging happens in a sibling
+    // dir, so a concurrent versions() can never stat a vanishing tmp file
+    val p = new org.apache.hadoop.fs.Path(s"$croot/_catlog")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(p).map(_.getPath.getName).toSeq
+    assert(names.forall(n => n.startsWith("v") && n.endsWith(".json")),
+      s"non-commit entries in the listed log dir: $names")
+  }
+
   test("disjoint-table transactions compose through the CAS retry") {
     val croot = freshRoot(); val aRoot = freshRoot(); val bRoot = freshRoot()
     val a1 = commitKv(aRoot, Seq(1L -> 1.0))
