@@ -460,6 +460,10 @@ object Dedup {
     var changed = labels
     var converged = false
     var iter = 0
+    // round N-1's checkpointed label frame is dead once round N has
+    // materialized and been convergence-checked — release its blocks or
+    // the loop accumulates a node-scale frame per round ([[Blocks]])
+    var prevRound = labels
     while (!converged && iter < maxIter) {
       val neighborLabels = edges
         .join(changed.select(col("id").as("dst"), col("label")), "dst")
@@ -474,6 +478,8 @@ object Dedup {
         .localCheckpoint()
       changed = next.filter(col("label") =!= col("_prev")).select("id", "label")
       converged = changed.isEmpty
+      Blocks.drop(prevRound)
+      prevRound = next
       labels = next.select("id", "label")
       iter += 1
     }
@@ -573,6 +579,10 @@ object Dedup {
       // converged round pays ONE anti-join instead of two
       val nextCount = next.count()
       converged = nextCount == edgeCount && next.exceptAll(edges).isEmpty
+      // the superseded round's edge blocks are dead after the convergence
+      // check — release them or the loop retains an edge-scale frame per
+      // round (the sf1-probe OOM; [[Blocks]])
+      Blocks.drop(edges)
       edges = next
       edgeCount = nextCount
       iter += 1

@@ -52,6 +52,7 @@ object Graphs {
     var ranks = ids.crossJoin(n).select(col("id"), (lit(1.0) / col("_n")).as("rank"))
       .localCheckpoint()
     for (_ <- 1 to iterations) {
+      val prev = ranks
       // mass of dangling nodes this iteration — a one-row broadcast agg
       val dangling = broadcast(
         ranks.join(outDeg, col("id") === col("src"), "left_anti")
@@ -69,6 +70,10 @@ object Graphs {
             lit(damping) * (coalesce(col("_in"), lit(0.0)) + col("_dm") / col("_n")))
             .as("rank"))
         .localCheckpoint()
+      // the superseded iteration's rank blocks are dead once the eager
+      // checkpoint above has materialized — release them or k iterations
+      // retain k node-scale frames ([[graft.operators.Blocks]])
+      Blocks.drop(prev)
     }
     ranks
   }
