@@ -486,6 +486,10 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter iterations — " +
         "a component's diameter exceeds maxIter; raise it")
+    // the returned frame reads only the final label checkpoint; the
+    // edge-scale blocks are dead past this point — release them so a
+    // long session does not pin one edge set per invocation ([[Blocks]])
+    Blocks.drop(edges)
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
